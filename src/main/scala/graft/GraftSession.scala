@@ -1,0 +1,73 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Session factory with scale-oriented defaults.
+  *
+  * The engine targets large clusters (100 TB-class inputs); locally we run
+  * `local[32]`. Defaults here are the ones that matter at both scales:
+  *   - AQE on (runtime re-planning, skew-join splitting, partition coalescing)
+  *   - shuffle partitions sized for the local harness via env; on a real
+  *     cluster AQE coalescing makes the static number far less critical
+  *   - broadcast threshold generous: dimension tables (region/nation/customer
+  *     at small SF, lookup tables in streaming) should never shuffle-join
+  */
+object GraftSession {
+  def builder(appName: String = "graft", cpus: String = defaultCpus): SparkSession.Builder =
+    SparkSession
+      .builder()
+      .appName(appName)
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      .config("spark.sql.adaptive.skewJoin.enabled", "true")
+      .config("spark.sql.autoBroadcastJoinThreshold", (64L * 1024 * 1024).toString)
+      .config("spark.sql.parquet.filterPushdown", "true")
+      .config("spark.sql.files.maxPartitionBytes", (128L * 1024 * 1024).toString)
+      // testdata events.parquet stores TIMESTAMP(NANOS); Spark has no ns type.
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+
+  def defaultCpus: String = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+
+  def get(appName: String = "graft"): SparkSession = {
+    val spark = builder(appName).getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    spark
+  }
+}
+
+/** Loaders for the driver's TPC-H-ish testdata directory layout:
+  * `<sfDir>/<table>.parquet`.
+  */
+object Tables {
+  val all: Seq[String] = Seq(
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings")
+
+  def load(spark: SparkSession, sfDir: String, name: String): DataFrame = {
+    val df = spark.read.parquet(s"$sfDir/$name.parquet")
+    if (name == "events") normalizeEvents(df) else df
+  }
+
+  /** events.ts is parquet TIMESTAMP(NANOS); with `nanosAsLong` Spark reads it
+    * as LongType nanos. Convert to a proper microsecond TimestampType column
+    * (matching DuckDB's ns→µs truncation) so event-time operators work on it.
+    */
+  private def normalizeEvents(df: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.types._
+    df.schema("ts").dataType match {
+      case LongType =>
+        // `div` (integer division) — a double-typed `/` would be lossy past 2^53
+        df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case _ => df
+    }
+  }
+
+  /** Register every table as a temp view for spark.sql use. */
+  def registerAll(spark: SparkSession, sfDir: String): Unit =
+    all.foreach { t => load(spark, sfDir, t).createOrReplaceTempView(t) }
+}

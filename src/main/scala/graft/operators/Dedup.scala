@@ -1,0 +1,238 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Aggregator
+import org.apache.spark.sql.functions._
+
+/** Document-deduplication operators for training-data pipelines.
+  *
+  * All of these are designed around one constraint: at 100 TB there is no
+  * "compare every pair". Each strategy reduces candidate generation to a
+  * shuffle on a *bucketing key* (content hash, LSH band, shared shingle),
+  * so cost is O(data) + O(candidate pairs), never O(n²).
+  *
+  * Determinism: all hashing is xxhash64 over content + literal seeds, so
+  * results are reproducible run-to-run and cluster-to-cluster.
+  */
+object Dedup {
+
+  /** Exact dedup by content hash: one shuffle on md5(text).
+    * Returns one row per distinct content: the surviving (minimum) id, the
+    * duplicate count, and the hash. Map-side partial aggregation makes the
+    * shuffle proportional to distinct content, not input rows.
+    */
+  def exact(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.groupBy(md5(col(textCol)).as("content_hash"))
+      .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_copies"))
+
+  /** Word-level shingles (n-grams joined by a single space), distinct per doc.
+    * Produces (id, shingle) pairs — the exploded inverted-index form shared
+    * by minhash and exact-jaccard dedup.
+    */
+  def shingles(df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame = {
+    val toks = tokens(col(textCol))
+    df.select(
+        col(idCol).as("doc"),
+        when(size(toks) >= n,
+          transform(sequence(lit(0), size(toks) - n),
+            i => concat_ws(" ", slice(toks, i + 1, lit(n)))))
+          .otherwise(array(concat_ws(" ", toks)))
+          .as("shingle_list"))
+      .select(col("doc"), explode(array_distinct(col("shingle_list"))).as("shingle"))
+  }
+
+  /** MinHash signature per doc: `numHashes` independent hash functions
+    * simulated as xxhash64(seed_i, shingle); signature_i = min over the
+    * doc's shingles. One aggregation = one shuffle keyed by doc.
+    */
+  def minhashSignatures(sh: DataFrame, numHashes: Int): DataFrame = {
+    val mins = (0 until numHashes).map(i =>
+      min(xxhash64(lit(i), col("shingle"))).as(s"mh_$i"))
+    sh.groupBy(col("doc")).agg(mins.head, mins.tail: _*)
+  }
+
+  /** MinHash + LSH banding dedup.
+    *
+    * shingle → signature (numHashes mins) → band hashes (bands groups of
+    * rowsPerBand) → docs sharing any band hash become candidate pairs →
+    * pairs scored by estimated Jaccard (fraction of equal signature slots)
+    * and filtered by `threshold`.
+    *
+    * Scale: candidates come from a groupBy on (band, bandHash) — only docs
+    * that actually collide are ever paired. Oversized buckets (degenerate
+    * content) are capped at `maxBucket` to bound the quadratic pair
+    * expansion; the cap is a standard LSH-at-scale guard.
+    *
+    * Returns (doc_a, doc_b, est_jaccard) with doc_a < doc_b.
+    */
+  def minhashLshPairs(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      shingleSize: Int = 3,
+      numHashes: Int = 64,
+      bands: Int = 16,
+      threshold: Double = 0.7,
+      maxBucket: Int = 1000): DataFrame = {
+    require(numHashes % bands == 0, s"numHashes ($numHashes) must divide into bands ($bands)")
+    val rowsPerBand = numHashes / bands
+
+    val sig = minhashSignatures(shingles(df, idCol, textCol, shingleSize), numHashes)
+    val sigArr = sig.withColumn("sig", array((0 until numHashes).map(i => col(s"mh_$i")): _*))
+      .select(col("doc"), col("sig"))
+
+    val bandHashes = (0 until bands).map { b =>
+      xxhash64(lit(b), slice(col("sig"), b * rowsPerBand + 1, rowsPerBand))
+    }
+    val banded = sigArr.select(
+      col("doc"), col("sig"), posexplode(array(bandHashes: _*)))
+      .withColumnRenamed("pos", "band").withColumnRenamed("col", "band_hash")
+
+    // Bucket by (band, band_hash); cap pathological buckets.
+    val buckets = banded
+      .withColumn("bn", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("band"), col("band_hash"))))
+      .filter(col("bn") <= maxBucket)
+      .select(col("band"), col("band_hash"), col("doc"), col("sig"))
+
+    val a = buckets.as("a")
+    val b = buckets.as("b")
+    val pairs = a.join(b,
+        col("a.band") === col("b.band") &&
+          col("a.band_hash") === col("b.band_hash") &&
+          col("a.doc") < col("b.doc"))
+      .select(col("a.doc").as("doc_a"), col("b.doc").as("doc_b"),
+        col("a.sig").as("sig_a"), col("b.sig").as("sig_b"))
+      .dropDuplicates("doc_a", "doc_b")
+
+    pairs
+      .withColumn("est_jaccard",
+        size(filter(zip_with(col("sig_a"), col("sig_b"), (x, y) => x === y), b => b))
+          .cast("double") / numHashes.toDouble)
+      .filter(col("est_jaccard") >= threshold)
+      .select(col("doc_a"), col("doc_b"), col("est_jaccard"))
+  }
+
+  /** Greedy cluster assignment from candidate pairs: every doc maps to the
+    * smallest doc id it is directly paired with (or itself). One-hop
+    * union — full connected components would iterate this to fixpoint; for
+    * near-dup text dedup one hop removes the overwhelming majority of mass
+    * and is the standard first pass.
+    */
+  def keeperAssignment(df: DataFrame, idCol: String, pairs: DataFrame): DataFrame = {
+    val edges = pairs.select(col("doc_b").as("doc"), col("doc_a").as("other"))
+      .union(pairs.select(col("doc_a").as("doc"), col("doc_b").as("other")))
+    val minPeer = edges.groupBy("doc").agg(min("other").as("min_peer"))
+    df.select(col(idCol).as("doc"))
+      .join(minPeer, Seq("doc"), "left")
+      .select(col("doc"),
+        least(col("doc"), coalesce(col("min_peer"), col("doc"))).as("keep_as"))
+  }
+
+  /** Exact n-gram Jaccard similarity via inverted index join.
+    * (id, shingle) self-join on shingle → per-pair intersection counts;
+    * union sizes from per-doc shingle counts. `maxDocFreq` drops ubiquitous
+    * shingles (stopword-like n-grams) that would otherwise create skewed,
+    * near-cartesian join keys — the standard scale guard for index joins.
+    */
+  def ngramJaccardPairs(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      shingleSize: Int = 3,
+      threshold: Double = 0.5,
+      maxDocFreq: Int = 1000): DataFrame = {
+    val sh = shingles(df, idCol, textCol, shingleSize).cache()
+    val sizes = sh.groupBy("doc").agg(count(lit(1)).as("n_sh"))
+    val filtered = sh.withColumn("df",
+        count(lit(1)).over(org.apache.spark.sql.expressions.Window.partitionBy("shingle")))
+      .filter(col("df") <= maxDocFreq)
+      .drop("df")
+
+    val inter = filtered.as("x").join(filtered.as("y"),
+        col("x.shingle") === col("y.shingle") && col("x.doc") < col("y.doc"))
+      .groupBy(col("x.doc").as("doc_a"), col("y.doc").as("doc_b"))
+      .agg(count(lit(1)).as("inter"))
+
+    inter
+      .join(sizes.withColumnRenamed("doc", "doc_a").withColumnRenamed("n_sh", "size_a"), "doc_a")
+      .join(sizes.withColumnRenamed("doc", "doc_b").withColumnRenamed("n_sh", "size_b"), "doc_b")
+      .withColumn("jaccard",
+        col("inter").cast("double") / (col("size_a") + col("size_b") - col("inter")))
+      .filter(col("jaccard") >= threshold)
+      .select("doc_a", "doc_b", "jaccard")
+  }
+
+  /** SimHash: 64-bit locality-sensitive fingerprint. Tokens are hashed to
+    * 64 bits; each bit position accumulates +w/−w across tokens; the sign
+    * pattern is the fingerprint. Near-dups differ in few bits (small
+    * Hamming distance).
+    *
+    * Implemented as a typed Aggregator (partial-merge friendly — Spark
+    * runs it map-side first, so the shuffle carries one 64-int vector per
+    * doc per partition, not the tokens).
+    */
+  val simhashAgg: Aggregator[Long, Array[Int], Long] = new Aggregator[Long, Array[Int], Long] {
+    def zero: Array[Int] = new Array[Int](64)
+    def reduce(acc: Array[Int], tokenHash: Long): Array[Int] = {
+      var i = 0
+      while (i < 64) {
+        if (((tokenHash >>> i) & 1L) == 1L) acc(i) += 1 else acc(i) -= 1
+        i += 1
+      }
+      acc
+    }
+    def merge(a: Array[Int], b: Array[Int]): Array[Int] = {
+      var i = 0
+      while (i < 64) { a(i) += b(i); i += 1 }
+      a
+    }
+    def finish(acc: Array[Int]): Long = {
+      var r = 0L
+      var i = 0
+      while (i < 64) { if (acc(i) > 0) r |= (1L << i); i += 1 }
+      r
+    }
+    def bufferEncoder: org.apache.spark.sql.Encoder[Array[Int]] =
+      org.apache.spark.sql.Encoders.javaSerialization[Array[Int]]
+    def outputEncoder: org.apache.spark.sql.Encoder[Long] =
+      org.apache.spark.sql.Encoders.scalaLong
+  }
+
+  /** Per-doc 64-bit SimHash fingerprints: (doc, simhash). */
+  def simhash(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val sh = udaf(simhashAgg)
+    df.select(col(idCol).as("doc"), explode(tokens(col(textCol))).as("tok"))
+      .select(col("doc"), xxhash64(col("tok")).as("h"))
+      .groupBy("doc").agg(sh(col("h")).as("simhash"))
+  }
+
+  /** SimHash near-dup pairs within `maxHamming` bits, using 4-way band
+    * blocking (two near-dup fingerprints within 3 bits must agree on at
+    * least one of four 16-bit quarters) — turns pairing into a groupBy join,
+    * never all-pairs.
+    */
+  def simhashPairs(df: DataFrame, idCol: String, textCol: String, maxHamming: Int = 3): DataFrame = {
+    val fp = simhash(df, idCol, textCol)
+    val quarters = (0 until 4).map(q =>
+      shiftrightunsigned(col("simhash"), q * 16).bitwiseAND(lit(0xFFFFL)))
+    val banded = fp.select(col("doc"), col("simhash"), posexplode(array(quarters: _*)))
+      .withColumnRenamed("pos", "q").withColumnRenamed("col", "qval")
+    val cand = banded.as("a").join(banded.as("b"),
+        col("a.q") === col("b.q") && col("a.qval") === col("b.qval") &&
+          col("a.doc") < col("b.doc"))
+      .select(col("a.doc").as("doc_a"), col("b.doc").as("doc_b"),
+        col("a.simhash").as("h_a"), col("b.simhash").as("h_b"))
+      .dropDuplicates("doc_a", "doc_b")
+    cand.withColumn("hamming", bit_count(col("h_a").bitwiseXOR(col("h_b"))))
+      .filter(col("hamming") <= maxHamming)
+      .select("doc_a", "doc_b", "hamming")
+  }
+
+  /** Lowercased whitespace tokens with empties removed — the shared
+    * tokenizer for all text operators (kept trivially SQL-portable so
+    * DuckDB oracles can reproduce it).
+    */
+  def tokens(text: Column): Column =
+    filter(split(lower(text), "\\s+"), t => t =!= "")
+}

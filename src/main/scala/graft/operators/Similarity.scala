@@ -1,0 +1,91 @@
+package graft.operators
+
+import graft.functions.VectorOps
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Approximate-nearest-neighbor search over an embedding column
+  * (`array<float>`).
+  *
+  * Two tiers:
+  *   - [[bruteForceTopK]]: exact cosine top-k. The query side is broadcast
+  *     (queries ≪ corpus always holds in retrieval), so the corpus streams
+  *     through one codegen'd stage — no shuffle of the 100 TB side; the only
+  *     shuffle is the final per-query top-k reduction, which is bounded by
+  *     |queries| × k.
+  *   - [[lshTopK]]: random-hyperplane LSH. Corpus and queries are bucketed
+  *     by an L-bit sign signature; search touches only colliding buckets.
+  *     Hyperplanes are derived deterministically from hash seeds so the
+  *     index is reproducible and needs no stored model.
+  */
+object Similarity {
+
+  /** Exact top-k by cosine similarity for each query vector.
+    * Output: (query_id, vec_id, sim, rank), rank 1..k per query,
+    * deterministic tie-break on vec_id.
+    */
+  def bruteForceTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      queryIdCol: String = "query_id", queryVecCol: String = "query_vec"): DataFrame = {
+    val scored = corpus.crossJoin(broadcast(queries))
+      .withColumn("sim", VectorOps.cosineF(col(vecCol), col(queryVecCol)))
+    val w = Window.partitionBy(col(queryIdCol)).orderBy(col("sim").desc, col(idCol))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col(queryIdCol), col(idCol), col("sim"), col("rank"))
+  }
+
+  /** Deterministic pseudo-random hyperplane component for (plane, dim):
+    * xxhash64 → uniform in [-1, 1). Good enough for sign-LSH; no stored
+    * index, fully reproducible.
+    */
+  private def planeComponent(plane: Int, dim: org.apache.spark.sql.Column) =
+    (pmod(xxhash64(lit(plane), dim), lit(1000000)).cast("double") / 500000.0) - 1.0
+
+  /** L-bit sign signature of a vector under `nPlanes` deterministic random
+    * hyperplanes. Same expression applied to corpus and queries.
+    */
+  def lshSignature(vec: org.apache.spark.sql.Column, nPlanes: Int): org.apache.spark.sql.Column =
+    aggregate(
+      sequence(lit(0), lit(nPlanes - 1)),
+      lit(0L),
+      (acc, p) => {
+        val dot = aggregate(
+          zip_with(vec, transform(sequence(lit(1), size(vec)), d => planeComponent(0, d * 1000 + p)),
+            (x, h) => x.cast("double") * h),
+          lit(0.0), (a, x) => a + x)
+        acc * 2 + when(dot >= 0, 1L).otherwise(0L)
+      })
+
+  /** Approximate top-k: candidates limited to vectors sharing the query's
+    * LSH bucket (exact cosine re-rank inside the bucket). Trades recall for
+    * touching ~1/2^bits of the corpus per query. Output schema matches
+    * [[bruteForceTopK]].
+    */
+  def lshTopK(corpus: DataFrame, queries: DataFrame, k: Int, nPlanes: Int = 8,
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      queryIdCol: String = "query_id", queryVecCol: String = "query_vec"): DataFrame = {
+    val cb = corpus.withColumn("bucket", lshSignature(col(vecCol), nPlanes))
+    val qb = queries.withColumn("bucket", lshSignature(col(queryVecCol), nPlanes))
+    val scored = cb.join(broadcast(qb), "bucket")
+      .withColumn("sim", VectorOps.cosineF(col(vecCol), col(queryVecCol)))
+    val w = Window.partitionBy(col(queryIdCol)).orderBy(col("sim").desc, col(idCol))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col(queryIdCol), col(idCol), col("sim"), col("rank"))
+  }
+
+  /** All near-duplicate pairs by embedding cosine ≥ threshold, LSH-bucketed
+    * so comparisons stay within buckets (embedding-space near-dup dedup).
+    */
+  def cosineDupPairs(corpus: DataFrame, threshold: Double, nPlanes: Int = 8,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val b = corpus.withColumn("bucket", lshSignature(col(vecCol), nPlanes))
+    b.as("a").join(b.as("b"),
+        col("a.bucket") === col("b.bucket") && col(s"a.$idCol") < col(s"b.$idCol"))
+      .withColumn("sim", VectorOps.cosineF(col(s"a.$vecCol"), col(s"b.$vecCol")))
+      .filter(col("sim") >= threshold)
+      .select(col(s"a.$idCol").as("id_a"), col(s"b.$idCol").as("id_b"), col("sim"))
+  }
+}

@@ -1,0 +1,130 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for training-data pipelines: token counting,
+  * quality scoring, language identification, and document fingerprinting.
+  *
+  * Everything here is pure column expressions (whole-stage codegen, no
+  * UDFs), so these run at scan speed and the filters they feed survive
+  * Catalyst pushdown/pruning.
+  */
+object TextAnalysis {
+
+  /** Whitespace token count. */
+  def tokenCount(text: Column): Column = size(Dedup.tokens(text))
+
+  /** BPE-ish token estimate: counts word/number/punctuation chunks the way a
+    * byte-pair tokenizer's pre-tokenizer splits (letters run | digits run |
+    * single punct). A cheap, deterministic proxy for LLM token budgeting.
+    */
+  def tokenCountBpe(text: Column): Column =
+    regexp_count(text, lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"))
+
+  /** Quality-score components; all ratios in [0,1]. */
+  def charCount(text: Column): Column = length(text)
+  def punctRatio(text: Column): Column =
+    when(length(text) > 0,
+      length(regexp_replace(text, "[^.,;:!?]", "")).cast("double") / length(text))
+      .otherwise(0.0)
+  def upperRatio(text: Column): Column =
+    when(length(text) > 0,
+      length(regexp_replace(text, "[^A-Z]", "")).cast("double") / length(text))
+      .otherwise(0.0)
+  def digitRatio(text: Column): Column =
+    when(length(text) > 0,
+      length(regexp_replace(text, "[^0-9]", "")).cast("double") / length(text))
+      .otherwise(0.0)
+  def meanWordLen(text: Column): Column = {
+    val toks = Dedup.tokens(text)
+    when(size(toks) > 0,
+      aggregate(toks, lit(0L), (acc, t) => acc + length(t)).cast("double") / size(toks))
+      .otherwise(0.0)
+  }
+  def stopwordRatio(text: Column, stopwords: Seq[String] = StopWords.en): Column = {
+    val toks = Dedup.tokens(text)
+    when(size(toks) > 0,
+      size(filter(toks, t => t.isin(stopwords: _*))).cast("double") / size(toks))
+      .otherwise(0.0)
+  }
+
+  /** Composite heuristic quality score in [0,1]: rewards natural stopword
+    * density and word lengths, penalizes punctuation/digit noise. The exact
+    * weights are a heuristic; the value is monotone in "looks like prose".
+    */
+  def qualityScore(text: Column): Column = {
+    val len = length(text).cast("double")
+    val lenScore = least(len / 500.0, lit(1.0))
+    val stopScore = least(stopwordRatio(text) * 3.0, lit(1.0))
+    val wordLen = meanWordLen(text)
+    val wordScore = when(wordLen.between(3.0, 8.0), 1.0).otherwise(0.5)
+    val noise = punctRatio(text) + digitRatio(text)
+    val noiseScore = greatest(lit(0.0), lit(1.0) - noise * 2.0)
+    round(lenScore * 0.25 + stopScore * 0.35 + wordScore * 0.2 + noiseScore * 0.2, 4)
+  }
+
+  /** Language ID by stopword evidence: score each candidate language by the
+    * fraction of tokens found in its stopword list, pick the argmax
+    * (ties → "und" if zero evidence). N-gram-free but robust for the long
+    * documents a pretraining pipeline filters on.
+    */
+  def languageId(text: Column): Column = {
+    val toks = Dedup.tokens(text)
+    val scored = StopWords.all.map { case (lang, words) =>
+      struct(
+        size(filter(toks, t => t.isin(words: _*))).cast("double").as("score"),
+        lit(lang).as("lang"))
+    }
+    val best = greatest(scored: _*)
+    when(best.getField("score") > 0, best.getField("lang")).otherwise(lit("und"))
+  }
+
+  /** Order-sensitive document fingerprint: two independent polynomial
+    * rolling hashes over the token sequence, each mod 2³¹−1 (keeps every
+    * intermediate < 2⁶², so it is exact under ANSI arithmetic — no wrapping
+    * needed), packed into one 62-bit value. Equal fingerprint ⇒ same token
+    * sequence modulo collisions; unlike minhash/simhash this is
+    * order-sensitive.
+    */
+  def fingerprint(text: Column): Column = {
+    val m = 2147483647L // 2^31 - 1
+    val packed = aggregate(
+      Dedup.tokens(text),
+      struct(lit(7L).as("a"), lit(13L).as("b")),
+      (acc, t) => struct(
+        pmod(acc.getField("a") * 1000003L + pmod(xxhash64(t), lit(m)), lit(m)).as("a"),
+        pmod(acc.getField("b") * 69069L + pmod(xxhash64(lit(1), t), lit(m)), lit(m)).as("b")))
+    packed.getField("a") * 2147483648L + packed.getField("b")
+  }
+
+  /** Full per-document feature frame used by quality filtering. */
+  def features(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val t = col(textCol)
+    df.select(
+      col(idCol),
+      tokenCount(t).as("n_tokens"),
+      tokenCountBpe(t).as("n_tokens_bpe"),
+      charCount(t).as("n_chars"),
+      round(punctRatio(t), 4).as("punct_ratio"),
+      round(digitRatio(t), 4).as("digit_ratio"),
+      round(meanWordLen(t), 4).as("mean_word_len"),
+      round(stopwordRatio(t), 4).as("stopword_ratio"),
+      qualityScore(t).as("quality"),
+      languageId(t).as("lang_pred"),
+      fingerprint(t).as("fingerprint"))
+  }
+}
+
+/** Minimal stopword lists for stopword-evidence language ID. */
+object StopWords {
+  val en: Seq[String] = Seq("the", "a", "an", "and", "or", "of", "to", "in", "is",
+    "it", "that", "for", "on", "with", "as", "this", "are", "be", "at", "by")
+  val de: Seq[String] = Seq("der", "die", "das", "und", "oder", "von", "zu", "im",
+    "ist", "es", "dass", "für", "auf", "mit", "als", "sind", "ein", "eine", "bei", "nicht")
+  val fr: Seq[String] = Seq("le", "la", "les", "et", "ou", "de", "du", "dans", "est",
+    "il", "que", "pour", "sur", "avec", "comme", "ce", "sont", "une", "aux", "pas")
+  val es: Seq[String] = Seq("el", "los", "las", "y", "o", "de", "del", "en", "es",
+    "que", "para", "por", "con", "como", "este", "son", "una", "unos", "al", "no")
+  val all: Seq[(String, Seq[String])] = Seq("en" -> en, "de" -> de, "fr" -> fr, "es" -> es)
+}

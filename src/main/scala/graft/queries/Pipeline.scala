@@ -1,0 +1,216 @@
+package graft.queries
+
+import graft.Tables
+import graft.operators.{Dedup, Similarity, TextAnalysis}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Training-data pipeline inventory over `documents` and `embeddings`:
+  * deduplication (exact / minhash-LSH / simhash / n-gram Jaccard), text
+  * analysis (tokens, quality, language-ID, fingerprints), and
+  * similarity search (brute-force + LSH ANN).
+  *
+  * Oracles replicate the exact tokenizer ([[oTokens]]) and scoring formulas
+  * in DuckDB SQL. Hash-based internals (xxhash64 minhash/simhash
+  * signatures, LSH buckets) aren't portable to DuckDB → those entries ship
+  * without oracle (driver rows-only check) and are instead verified by
+  * ScalaTest specs with constructed near-duplicate corpora.
+  */
+object Pipeline {
+
+  private def docs(s: SparkSession, dir: String): DataFrame = Tables.load(s, dir, "documents")
+  private def emb(s: SparkSession, dir: String): DataFrame = Tables.load(s, dir, "embeddings")
+
+  private def olist(words: Seq[String]): String =
+    words.map(w => s"'$w'").mkString("[", ", ", "]")
+
+  val all: Seq[Q] = Seq(
+
+    // ── exact dedup by content hash (scales as one shuffle on md5)
+    Q("q_dedup_exact",
+      (s, dir) => Dedup.exact(docs(s, dir), "doc_id", "text"),
+      Some("""SELECT md5(text) AS content_hash, MIN(doc_id) AS keep_id, COUNT(*) AS n_copies
+             |FROM documents GROUP BY md5(text)""".stripMargin)),
+
+    // ── tokenizer + shingle pipeline check (the exploded (doc, shingle)
+    //    form every dedup strategy shares)
+    Q("q_doc_shingles",
+      (s, dir) => Dedup.shingles(docs(s, dir), "doc_id", "text", 3)
+        .groupBy(col("doc"))
+        .agg(count(lit(1)).as("n_shingles"), countDistinct(col("shingle")).as("n_distinct")),
+      Some(s"""WITH t AS (SELECT doc_id, ${oTokens("text")} AS toks FROM documents),
+              |sh AS (SELECT doc_id, unnest(list_distinct(CASE WHEN len(toks) >= 3
+              |         THEN list_transform(range(1, len(toks) - 1), i -> array_to_string(toks[i:i+2], ' '))
+              |         ELSE [array_to_string(toks, ' ')] END)) AS shingle
+              |       FROM t)
+              |SELECT doc_id AS doc, COUNT(*) AS n_shingles, COUNT(DISTINCT shingle) AS n_distinct
+              |FROM sh GROUP BY doc_id""".stripMargin)),
+
+    // ── token counting: whitespace + BPE-ish pre-tokenizer regex counts
+    Q("q_token_count",
+      (s, dir) => docs(s, dir).select(
+        col("doc_id"),
+        TextAnalysis.tokenCount(col("text")).as("n_tokens"),
+        TextAnalysis.tokenCountBpe(col("text")).as("n_tokens_bpe"),
+        length(col("text")).as("n_chars_m")),
+      Some(s"""SELECT doc_id,
+              |  CAST(len(${oTokens("text")}) AS INTEGER) AS n_tokens,
+              |  CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS INTEGER) AS n_tokens_bpe,
+              |  CAST(length(text) AS INTEGER) AS n_chars_m
+              |FROM documents""".stripMargin)),
+
+    // ── quality scoring (formula mirrored exactly; per-row double math is
+    //    deterministic so only the final round is needed)
+    Q("q_quality",
+      (s, dir) => docs(s, dir).select(
+        col("doc_id"),
+        round(TextAnalysis.punctRatio(col("text")), 4).as("punct_ratio"),
+        round(TextAnalysis.digitRatio(col("text")), 4).as("digit_ratio"),
+        round(TextAnalysis.meanWordLen(col("text")), 4).as("mean_word_len"),
+        round(TextAnalysis.stopwordRatio(col("text")), 4).as("stopword_ratio"),
+        TextAnalysis.qualityScore(col("text")).as("quality")),
+      Some {
+        val toks = oTokens("text")
+        val sw = olist(graft.operators.StopWords.en)
+        val punct = s"CASE WHEN length(text) > 0 THEN CAST(length(regexp_replace(text, '[^.,;:!?]', '', 'g')) AS DOUBLE) / length(text) ELSE 0.0 END"
+        val digit = s"CASE WHEN length(text) > 0 THEN CAST(length(regexp_replace(text, '[^0-9]', '', 'g')) AS DOUBLE) / length(text) ELSE 0.0 END"
+        val mwl = s"CASE WHEN len($toks) > 0 THEN CAST(list_sum(list_transform($toks, t -> length(t))) AS DOUBLE) / len($toks) ELSE 0.0 END"
+        val stop = s"CASE WHEN len($toks) > 0 THEN CAST(len(list_filter($toks, t -> list_contains($sw, t))) AS DOUBLE) / len($toks) ELSE 0.0 END"
+        s"""SELECT doc_id,
+           |  round($punct, 4) AS punct_ratio,
+           |  round($digit, 4) AS digit_ratio,
+           |  round($mwl, 4) AS mean_word_len,
+           |  round($stop, 4) AS stopword_ratio,
+           |  round(
+           |    least(CAST(length(text) AS DOUBLE) / 500.0, 1.0) * 0.25
+           |    + least(($stop) * 3.0, 1.0) * 0.35
+           |    + (CASE WHEN ($mwl) BETWEEN 3.0 AND 8.0 THEN 1.0 ELSE 0.5 END) * 0.2
+           |    + greatest(0.0, 1.0 - (($punct) + ($digit)) * 2.0) * 0.2, 4) AS quality
+           |FROM documents""".stripMargin
+      }),
+
+    // ── language ID (stopword-evidence argmax; tie-break = max lang code,
+    //    mirroring Spark's struct-compare in TextAnalysis.languageId)
+    Q("q_lang_id",
+      (s, dir) => docs(s, dir)
+        .select(col("lang"), TextAnalysis.languageId(col("text")).as("lang_pred"))
+        .groupBy(col("lang"), col("lang_pred"))
+        .agg(count(lit(1)).as("n")),
+      Some {
+        val toks = oTokens("text")
+        def score(l: Seq[String]) =
+          s"CAST(len(list_filter($toks, t -> list_contains(${olist(l)}, t))) AS DOUBLE)"
+        val (en, de, fr, es) = (score(graft.operators.StopWords.en), score(graft.operators.StopWords.de),
+          score(graft.operators.StopWords.fr), score(graft.operators.StopWords.es))
+        s"""WITH p AS (
+           |  SELECT lang, s_en, s_de, s_fr, s_es, greatest(s_en, s_de, s_fr, s_es) AS m
+           |  FROM (SELECT lang, $en AS s_en, $de AS s_de, $fr AS s_fr, $es AS s_es FROM documents)),
+           |pred AS (SELECT lang,
+           |  CASE WHEN m = 0 THEN 'und'
+           |       WHEN s_fr = m THEN 'fr' WHEN s_es = m THEN 'es'
+           |       WHEN s_en = m THEN 'en' ELSE 'de' END AS lang_pred FROM p)
+           |SELECT lang, lang_pred, COUNT(*) AS n FROM pred GROUP BY lang, lang_pred""".stripMargin
+      }),
+
+    // ── word frequencies via unnest/explode (reference UnnestRewriter →
+    //    Spark Generate; map-side partial agg keeps the shuffle at vocab size)
+    Q("q_word_freq",
+      (s, dir) => docs(s, dir)
+        .select(explode(Dedup.tokens(col("text"))).as("word"))
+        .groupBy(col("word"))
+        .agg(count(lit(1)).as("n"))
+        .filter(col("n") >= 10),
+      Some(s"""SELECT word, COUNT(*) AS n FROM (
+              |  SELECT unnest(${oTokens("text")}) AS word FROM documents)
+              |GROUP BY word HAVING COUNT(*) >= 10""".stripMargin)),
+
+    // ── embedding column stats (vector plumbing check: element access,
+    //    norm via codegen'd dot product; exact decimal aggregation)
+    Q("q_embed_stats",
+      (s, dir) => {
+        val e = emb(s, dir).withColumn("norm",
+            round(graft.functions.VectorOps.normF(col("embedding")), 6))
+          .withColumn("c0", round(col("embedding").getItem(0).cast("double"), 6))
+        e.groupBy(col("label")).agg(
+          count(lit(1)).as("n"),
+          sum(col("norm").cast(DecimalType(18, 6))).cast("double").as("sum_norm"),
+          sum(col("c0").cast(DecimalType(18, 6))).cast("double").as("sum_c0"),
+          min(col("c0")).as("min_c0"),
+          max(col("c0")).as("max_c0"))
+      },
+      Some("""WITH e AS (SELECT label,
+             |    round(sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))), 6) AS norm,
+             |    round(CAST(embedding[1] AS DOUBLE), 6) AS c0
+             |  FROM embeddings)
+             |SELECT label, COUNT(*) AS n,
+             |  CAST(SUM(CAST(norm AS DECIMAL(18,6))) AS DOUBLE) AS sum_norm,
+             |  CAST(SUM(CAST(c0 AS DECIMAL(18,6))) AS DOUBLE) AS sum_c0,
+             |  MIN(c0) AS min_c0, MAX(c0) AS max_c0
+             |FROM e GROUP BY label""".stripMargin)),
+
+    // ── n-gram Jaccard near-dup pairs: portable SQL oracle (inverted-index
+    //    join in both engines). Threshold low enough to produce rows on the
+    //    synthetic corpus.
+    Q("q_ngram_jaccard",
+      (s, dir) => Dedup.ngramJaccardPairs(docs(s, dir), "doc_id", "text",
+          shingleSize = 2, threshold = 0.2, maxDocFreq = 1000000)
+        .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 6).as("jaccard")),
+      Some(s"""WITH t AS (SELECT doc_id, ${oTokens("text")} AS toks FROM documents),
+              |sh AS (SELECT doc_id AS doc, unnest(list_distinct(CASE WHEN len(toks) >= 2
+              |         THEN list_transform(range(1, len(toks)), i -> array_to_string(toks[i:i+1], ' '))
+              |         ELSE [array_to_string(toks, ' ')] END)) AS shingle FROM t),
+              |sizes AS (SELECT doc, COUNT(*) AS n_sh FROM sh GROUP BY doc),
+              |inter AS (SELECT x.doc AS doc_a, y.doc AS doc_b, COUNT(*) AS i
+              |          FROM sh x JOIN sh y ON x.shingle = y.shingle AND x.doc < y.doc
+              |          GROUP BY x.doc, y.doc)
+              |SELECT doc_a, doc_b,
+              |  round(CAST(i AS DOUBLE) / (sa.n_sh + sb.n_sh - i), 6) AS jaccard
+              |FROM inter
+              |JOIN sizes sa ON sa.doc = doc_a
+              |JOIN sizes sb ON sb.doc = doc_b
+              |WHERE CAST(i AS DOUBLE) / (sa.n_sh + sb.n_sh - i) >= 0.2""".stripMargin)),
+
+    // ── MinHash + LSH near-dup pairs (xxhash64 signatures — not DuckDB-
+    //    portable; verified by DedupSpec against constructed near-dups)
+    Q("q_minhash_lsh",
+      (s, dir) => Dedup.minhashLshPairs(docs(s, dir), "doc_id", "text",
+        shingleSize = 2, numHashes = 64, bands = 16, threshold = 0.5),
+      None),
+
+    // ── SimHash fingerprints + near-dup pairs (rows-only; DedupSpec covers
+    //    correctness)
+    Q("q_simhash",
+      (s, dir) => Dedup.simhash(docs(s, dir), "doc_id", "text"),
+      None),
+
+    // ── order-sensitive document fingerprint (wrapping 64-bit arithmetic —
+    //    not portable to DuckDB's checked BIGINT)
+    Q("q_fingerprint",
+      (s, dir) => docs(s, dir).select(col("doc_id"),
+        TextAnalysis.fingerprint(col("text")).as("fingerprint")),
+      None),
+
+    // ── brute-force cosine top-k ANN (codegen'd dot product, broadcast
+    //    query side; float math not bit-portable → SimilaritySpec oracle)
+    Q("q_ann_bruteforce",
+      (s, dir) => {
+        val queries = emb(s, dir).filter(col("vec_id") % 50 === 0)
+          .select(col("vec_id").as("query_id"), col("embedding").as("query_vec"))
+        Similarity.bruteForceTopK(emb(s, dir), queries, k = 5)
+          .select(col("query_id"), col("vec_id"), col("rank"))
+      },
+      None),
+
+    // ── LSH-bucketed ANN (the 100 TB-scale path: only colliding buckets
+    //    are scanned)
+    Q("q_ann_lsh",
+      (s, dir) => {
+        val queries = emb(s, dir).filter(col("vec_id") % 50 === 0)
+          .select(col("vec_id").as("query_id"), col("embedding").as("query_vec"))
+        Similarity.lshTopK(emb(s, dir), queries, k = 5, nPlanes = 6)
+          .select(col("query_id"), col("vec_id"), col("rank"))
+      },
+      None)
+  )
+}

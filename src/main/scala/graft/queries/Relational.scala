@@ -1,0 +1,351 @@
+package graft.queries
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Relational operator inventory over the TPC-H-ish testdata — each entry
+  * maps one operator family from SURVEY.md §2 (filter/projection, aggregate,
+  * joins incl. semi/anti/lookup, distinct, union, window functions, unnest,
+  * rollup, scalar/JSON functions) to an idiomatic DataFrame program with a
+  * DuckDB oracle.
+  *
+  * Scale notes are per query: broadcast the dimension side, shuffle only on
+  * declared keys, keep everything inside whole-stage codegen.
+  */
+object Relational {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables.load(s, dir, name)
+
+  val all: Seq[Q] = Seq(
+
+    // ── stateless filter + projection (ArrowValue / Projection operators;
+    //    predicate pushdown + column pruning reach the parquet scan)
+    Q("q_filter_project",
+      (s, dir) => t(s, dir, "lineitem")
+        .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("l_discount") < 0.03 && col("l_quantity") < 10)
+        .select(
+          col("l_orderkey"), col("l_linenumber"),
+          // exact decimal product (round(double) differs between engines at
+          // .5 boundaries), cast back to double
+          (col("l_extendedprice").cast(DecimalType(18, 2)) *
+            (lit(1.0) - col("l_discount")).cast(DecimalType(18, 4)))
+            .cast("double").as("net_price"),
+          col("l_shipdate")),
+      Some("""SELECT l_orderkey, l_linenumber,
+             |  CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1 - l_discount AS DECIMAL(18,4)) AS DOUBLE) AS net_price,
+             |  CAST(l_shipdate AS TIMESTAMP) AS l_shipdate
+             |FROM lineitem
+             |WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_discount < 0.03 AND l_quantity < 10""".stripMargin)),
+
+    // ── grouped aggregate battery, TPC-H Q1 shape (partial→final agg split
+    //    is Catalyst's; shuffle carries one row per (flag,status) pair)
+    Q("q_agg",
+      (s, dir) => t(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          dsum(col("l_quantity")).as("sum_qty"),
+          dsum(col("l_extendedprice")).as("sum_base_price"),
+          revenue.as("sum_disc_price"),
+          davg(col("l_quantity")).as("avg_qty"),
+          davg(col("l_discount"), 4).as("avg_disc"),
+          count(lit(1)).as("count_order")),
+      Some(s"""SELECT l_returnflag, l_linestatus,
+              |  ${oSum("l_quantity")} AS sum_qty,
+              |  ${oSum("l_extendedprice")} AS sum_base_price,
+              |  $oRevenue AS sum_disc_price,
+              |  ${oAvg("l_quantity")} AS avg_qty,
+              |  ${oAvg("l_discount", 4)} AS avg_disc,
+              |  COUNT(*) AS count_order
+              |FROM lineitem GROUP BY l_returnflag, l_linestatus""".stripMargin)),
+
+    // ── statistical aggregate battery (reference every_aggregate.sql,
+    //    sql-testing/src/test/queries/every_aggregate.sql): stddev/var/corr/
+    //    covar/regr/median/bool/bit — rounded since these are genuinely
+    //    floating-point on both engines
+    Q("q_agg_stats",
+      (s, dir) => t(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(
+          round(stddev_samp(col("l_quantity")), 6).as("sd_qty"),
+          round(stddev_pop(col("l_quantity")), 6).as("sdp_qty"),
+          round(var_samp(col("l_quantity")), 6).as("var_qty"),
+          round(var_pop(col("l_quantity")), 6).as("varp_qty"),
+          round(corr(col("l_quantity"), col("l_extendedprice")), 6).as("corr_qe"),
+          round(covar_samp(col("l_quantity"), col("l_extendedprice")), 4).as("covar_qe"),
+          round(covar_pop(col("l_quantity"), col("l_extendedprice")), 4).as("covarp_qe"),
+          round(regr_slope(col("l_extendedprice"), col("l_quantity")), 6).as("slope_eq"),
+          round(regr_intercept(col("l_extendedprice"), col("l_quantity")), 4).as("icept_eq"),
+          round(median(col("l_quantity")), 6).as("med_qty"),
+          bool_and(col("l_quantity") < 49.0).as("all_lt49"),
+          bool_or(col("l_discount") > 0.09).as("any_disc9"),
+          bit_and(col("l_linenumber")).cast("long").as("band_ln"),
+          bit_or(col("l_linenumber")).cast("long").as("bor_ln"),
+          bit_xor(col("l_linenumber")).cast("long").as("bxor_ln"),
+          min(col("l_shipdate")).as("min_ship"),
+          max(col("l_shipdate")).as("max_ship")),
+      Some("""SELECT l_returnflag,
+             |  round(stddev_samp(l_quantity), 6) AS sd_qty,
+             |  round(stddev_pop(l_quantity), 6) AS sdp_qty,
+             |  round(var_samp(l_quantity), 6) AS var_qty,
+             |  round(var_pop(l_quantity), 6) AS varp_qty,
+             |  round(corr(l_quantity, l_extendedprice), 6) AS corr_qe,
+             |  round(covar_samp(l_quantity, l_extendedprice), 4) AS covar_qe,
+             |  round(covar_pop(l_quantity, l_extendedprice), 4) AS covarp_qe,
+             |  round(regr_slope(l_extendedprice, l_quantity), 6) AS slope_eq,
+             |  round(regr_intercept(l_extendedprice, l_quantity), 4) AS icept_eq,
+             |  round(median(l_quantity), 6) AS med_qty,
+             |  bool_and(l_quantity < 49.0) AS all_lt49,
+             |  bool_or(l_discount > 0.09) AS any_disc9,
+             |  CAST(bit_and(l_linenumber) AS BIGINT) AS band_ln,
+             |  CAST(bit_or(l_linenumber) AS BIGINT) AS bor_ln,
+             |  CAST(bit_xor(l_linenumber) AS BIGINT) AS bxor_ln,
+             |  CAST(min(l_shipdate) AS TIMESTAMP) AS min_ship,
+             |  CAST(max(l_shipdate) AS TIMESTAMP) AS max_ship
+             |FROM lineitem GROUP BY l_returnflag""".stripMargin)),
+
+    // ── ORDER BY + LIMIT with total tie-break (deterministic top-k; Spark
+    //    TakeOrderedAndProject — no full sort at scale)
+    Q("q_topk",
+      (s, dir) => t(s, dir, "orders")
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+        .limit(25),
+      Some("""SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+             |ORDER BY o_totalprice DESC, o_orderkey LIMIT 25""".stripMargin)),
+
+    // ── broadcast join chain: fact(customer) ⋈ dim(nation) ⋈ dim(region);
+    //    both dims broadcast — zero shuffle of the fact side before the
+    //    final small aggregation
+    Q("q_join_broadcast",
+      (s, dir) => t(s, dir, "customer")
+        .join(broadcast(t(s, dir, "nation")), col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(t(s, dir, "region")), col("n_regionkey") === col("r_regionkey"))
+        .groupBy(col("r_name"))
+        .agg(count(lit(1)).as("n_cust"), dsum(col("c_acctbal")).as("sum_bal")),
+      Some(s"""SELECT r_name, COUNT(*) AS n_cust, ${oSum("c_acctbal")} AS sum_bal
+              |FROM customer
+              |JOIN nation ON c_nationkey = n_nationkey
+              |JOIN region ON n_regionkey = r_regionkey
+              |GROUP BY r_name""".stripMargin)),
+
+    // ── shuffle equi-join of the two big tables on the join key; AQE handles
+    //    skew; count(distinct) rides the same shuffle
+    Q("q_join_shuffle",
+      (s, dir) => t(s, dir, "orders")
+        .join(t(s, dir, "lineitem"), col("o_orderkey") === col("l_orderkey"))
+        .groupBy(col("o_orderpriority"))
+        .agg(
+          countDistinct(col("o_orderkey")).as("n_orders"),
+          count(lit(1)).as("n_items"),
+          revenue.as("rev")),
+      Some(s"""SELECT o_orderpriority, COUNT(DISTINCT o_orderkey) AS n_orders,
+              |  COUNT(*) AS n_items, $oRevenue AS rev
+              |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+              |GROUP BY o_orderpriority""".stripMargin)),
+
+    // ── multi-way join, TPC-H Q5 shape: two shuffle joins on the fact
+    //    chain + three broadcast dims; the flagship `entry` query
+    Q("q_multi_join",
+      (s, dir) => {
+        val orders = t(s, dir, "orders")
+          .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+            col("o_orderdate") < lit("1998-01-01").cast("timestamp"))
+        t(s, dir, "customer")
+          .join(orders, col("c_custkey") === col("o_custkey"))
+          .join(t(s, dir, "lineitem"), col("l_orderkey") === col("o_orderkey"))
+          .join(broadcast(t(s, dir, "supplier")),
+            col("l_suppkey") === col("s_suppkey") && col("c_nationkey") === col("s_nationkey"))
+          .join(broadcast(t(s, dir, "nation")), col("s_nationkey") === col("n_nationkey"))
+          .join(broadcast(t(s, dir, "region")), col("n_regionkey") === col("r_regionkey"))
+          .filter(col("r_name") === "ASIA")
+          .groupBy(col("n_name"))
+          .agg(revenue.as("rev"), count(lit(1)).as("n_items"))
+      },
+      Some(s"""SELECT n_name, $oRevenue AS rev, COUNT(*) AS n_items
+              |FROM customer
+              |JOIN orders ON c_custkey = o_custkey
+              |JOIN lineitem ON l_orderkey = o_orderkey
+              |JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+              |JOIN nation ON s_nationkey = n_nationkey
+              |JOIN region ON n_regionkey = r_regionkey
+              |WHERE r_name = 'ASIA'
+              |  AND o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1998-01-01'
+              |GROUP BY n_name""".stripMargin)),
+
+    // ── left-semi join (EXISTS decorrelation — reference gets these from
+    //    DataFusion's DecorrelatePredicateSubquery, SURVEY §2.3)
+    Q("q_semi_join",
+      (s, dir) => t(s, dir, "customer")
+        .join(t(s, dir, "orders"), col("c_custkey") === col("o_custkey"), "left_semi")
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("n_active")),
+      Some("""SELECT c_mktsegment, COUNT(*) AS n_active FROM customer
+             |WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+             |GROUP BY c_mktsegment""".stripMargin)),
+
+    // ── left-anti join (NOT EXISTS)
+    Q("q_anti_join",
+      (s, dir) => t(s, dir, "customer")
+        .join(t(s, dir, "orders").filter(col("o_orderpriority") === "1-URGENT"),
+          col("c_custkey") === col("o_custkey"), "left_anti")
+        .join(broadcast(t(s, dir, "nation")), col("c_nationkey") === col("n_nationkey"))
+        .groupBy(col("n_name"))
+        .agg(count(lit(1)).as("n_no_urgent")),
+      Some("""SELECT n_name, COUNT(*) AS n_no_urgent FROM customer
+             |JOIN nation ON c_nationkey = n_nationkey
+             |WHERE NOT EXISTS (SELECT 1 FROM orders
+             |                  WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')
+             |GROUP BY n_name""".stripMargin)),
+
+    // ── DISTINCT (reference: ReplaceDistinctWithAggregate)
+    Q("q_distinct",
+      (s, dir) => t(s, dir, "lineitem")
+        .select(col("l_returnflag"), col("l_linestatus")).distinct(),
+      Some("SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem")),
+
+    // ── distinct aggregates (reference keeps DataFusion with_distinct path)
+    Q("q_agg_distinct",
+      (s, dir) => t(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(
+          countDistinct(col("l_suppkey")).as("n_supp"),
+          countDistinct(col("l_partkey")).as("n_part"),
+          count(lit(1)).as("n_rows")),
+      Some("""SELECT l_returnflag, COUNT(DISTINCT l_suppkey) AS n_supp,
+             |  COUNT(DISTINCT l_partkey) AS n_part, COUNT(*) AS n_rows
+             |FROM lineitem GROUP BY l_returnflag""".stripMargin)),
+
+    // ── UNION ALL of heterogeneous branches (reference RemoteTableExtension
+    //    materialization; Spark unions are free)
+    Q("q_union",
+      (s, dir) => {
+        val c = t(s, dir, "customer").select(lit("customer").as("src"),
+          col("c_custkey").as("k"), col("c_acctbal").as("bal"))
+        val su = t(s, dir, "supplier").select(lit("supplier").as("src"),
+          col("s_suppkey").as("k"), col("s_acctbal").as("bal"))
+        c.union(su).groupBy(col("src"))
+          .agg(count(lit(1)).as("n"), dsum(col("bal")).as("sum_bal"))
+      },
+      Some(s"""SELECT src, COUNT(*) AS n, ${oSum("bal")} AS sum_bal FROM (
+              |  SELECT 'customer' AS src, c_custkey AS k, c_acctbal AS bal FROM customer
+              |  UNION ALL
+              |  SELECT 'supplier' AS src, s_suppkey AS k, s_acctbal AS bal FROM supplier
+              |) GROUP BY src""".stripMargin)),
+
+    // ── INTERSECT / EXCEPT (Spark-native superset; reference lowers these
+    //    to semi/anti joins)
+    Q("q_intersect",
+      (s, dir) => t(s, dir, "orders").filter(col("o_orderpriority") === "1-URGENT")
+        .select(col("o_custkey"))
+        .intersect(t(s, dir, "orders").filter(col("o_orderpriority") === "5-LOW")
+          .select(col("o_custkey"))),
+      Some("""SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+             |INTERSECT
+             |SELECT o_custkey FROM orders WHERE o_orderpriority = '5-LOW'""".stripMargin)),
+
+    // ── SQL window functions (reference WindowFunction operator,
+    //    window_fn.rs): rank within partition, deterministic tie-break
+    Q("q_window_fn",
+      (s, dir) => {
+        val w = Window.partitionBy(col("o_custkey"))
+          .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        t(s, dir, "orders")
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") <= 3)
+          .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"), col("rn"))
+      },
+      Some("""SELECT o_custkey, o_orderkey, o_totalprice, CAST(rn AS INTEGER) AS rn FROM (
+             |  SELECT o_custkey, o_orderkey, o_totalprice,
+             |    row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rn
+             |  FROM orders) WHERE rn <= 3""".stripMargin)),
+
+    // ── lag/lead + running aggregate window functions
+    Q("q_window_analytic",
+      (s, dir) => {
+        val w = Window.partitionBy(col("o_custkey")).orderBy(col("o_orderdate"), col("o_orderkey"))
+        t(s, dir, "orders")
+          .select(
+            col("o_custkey"), col("o_orderkey"),
+            lag(col("o_totalprice"), 1).over(w).as("prev_price"),
+            round(sum(col("o_totalprice").cast(DecimalType(18, 2))).over(
+              w.rowsBetween(Window.unboundedPreceding, Window.currentRow)).cast("double"), 2)
+              .as("running_total"))
+      },
+      Some("""SELECT o_custkey, o_orderkey,
+             |  lag(o_totalprice, 1) OVER w AS prev_price,
+             |  round(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER w AS DOUBLE), 2) AS running_total
+             |FROM orders
+             |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+             |             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)""".stripMargin)),
+
+    // ── ROLLUP (Spark-native superset of the reference's grouping surface)
+    Q("q_rollup",
+      (s, dir) => t(s, dir, "lineitem")
+        .rollup(col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("n"), dsum(col("l_quantity")).as("sum_qty"))
+        .select(
+          coalesce(col("l_returnflag"), lit("ALL")).as("rf"),
+          coalesce(col("l_linestatus"), lit("ALL")).as("ls"),
+          col("n"), col("sum_qty")),
+      Some(s"""SELECT coalesce(l_returnflag, 'ALL') AS rf, coalesce(l_linestatus, 'ALL') AS ls,
+              |  COUNT(*) AS n, ${oSum("l_quantity")} AS sum_qty
+              |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)""".stripMargin)),
+
+    // ── scalar function battery: string/date/conditional (SURVEY §2.4 —
+    //    DataFusion's scalar library ⊂ Spark's built-ins)
+    Q("q_scalar_fns",
+      (s, dir) => t(s, dir, "orders")
+        .select(
+          col("o_orderkey"),
+          year(col("o_orderdate")).as("yr"),
+          month(col("o_orderdate")).as("mon"),
+          dayofmonth(col("o_orderdate")).as("dom"),
+          date_trunc("month", col("o_orderdate")).as("month_start"),
+          upper(col("o_orderpriority")).as("pri_upper"),
+          substring(col("o_orderpriority"), 1, 1).as("pri_code"),
+          length(col("o_orderpriority")).as("pri_len"),
+          concat_ws("|", col("o_orderstatus"), col("o_orderpriority")).as("status_pri"),
+          when(col("o_totalprice") > 300000, "high")
+            .when(col("o_totalprice") > 100000, "mid")
+            .otherwise("low").as("price_band"),
+          abs(col("o_totalprice") - 150000.0).as("dist_150k"),
+          floor(col("o_totalprice") / 50000).cast("long").as("bucket50k")),
+      Some("""SELECT o_orderkey,
+             |  CAST(year(o_orderdate) AS INTEGER) AS yr,
+             |  CAST(month(o_orderdate) AS INTEGER) AS mon,
+             |  CAST(day(o_orderdate) AS INTEGER) AS dom,
+             |  CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS month_start,
+             |  upper(o_orderpriority) AS pri_upper,
+             |  substring(o_orderpriority, 1, 1) AS pri_code,
+             |  CAST(length(o_orderpriority) AS INTEGER) AS pri_len,
+             |  concat_ws('|', o_orderstatus, o_orderpriority) AS status_pri,
+             |  CASE WHEN o_totalprice > 300000 THEN 'high'
+             |       WHEN o_totalprice > 100000 THEN 'mid' ELSE 'low' END AS price_band,
+             |  abs(o_totalprice - 150000.0) AS dist_150k,
+             |  CAST(floor(o_totalprice / 50000) AS BIGINT) AS bucket50k
+             |FROM orders""".stripMargin)),
+
+    // ── JSON path extraction (reference: datafusion-functions-json +
+    //    get_first_json_object custom scalar, functions.rs:55-97)
+    Q("q_json_fns",
+      (s, dir) => t(s, dir, "events")
+        .select(col("event_type"),
+          get_json_object(col("props"), "$.k").cast("int").as("k"))
+        .groupBy(col("event_type"))
+        .agg(
+          count(col("k")).as("n"),
+          sum(col("k").cast("long")).as("sum_k"),
+          (sum(col("k").cast("long")).cast("double") / count(col("k"))).as("avg_k"),
+          count(when(col("k") > 50, 1)).as("n_gt50")),
+      Some("""SELECT event_type, COUNT(k) AS n, CAST(SUM(k) AS BIGINT) AS sum_k,
+             |  CAST(SUM(k) AS DOUBLE) / COUNT(k) AS avg_k,
+             |  COUNT(CASE WHEN k > 50 THEN 1 END) AS n_gt50
+             |FROM (SELECT event_type, CAST(json_extract_string(props, '$.k') AS INTEGER) AS k FROM events)
+             |GROUP BY event_type""".stripMargin))
+  )
+}
