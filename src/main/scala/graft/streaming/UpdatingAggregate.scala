@@ -26,17 +26,23 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   */
 object UpdatingAggregate {
 
-  /** One output row of the updating stream. */
+  /** One output row of the updating stream. Field names avoid `min`/`max`/
+    * `sum` — those collide with methods Spark's encoder codegen references
+    * unqualified in generated Java.
+    */
   case class Updating(
       key: String,
       n: Long,
-      sum: Double,
-      min: Double,
-      max: Double,
-      avg: Double,
+      total: Double,
+      lo: Double,
+      hi: Double,
+      mean: Double,
       is_retract: Boolean)
 
-  private case class Acc(n: Long, sum: Double, min: Double, max: Double)
+  /** Per-key accumulator state (public: Spark's encoder codegen emits Java
+    * that invokes the accessors, which fails on a private class).
+    */
+  case class Acc(n: Long, total: Double, lo: Double, hi: Double)
 
   /** Incremental per-key aggregate with retractions.
     *
@@ -65,27 +71,28 @@ object UpdatingAggregate {
             // TTL expiry: retract the published value and drop state
             val old = state.get
             state.remove()
-            Iterator(Updating(key, old.n, old.sum, old.min, old.max, old.sum / old.n, is_retract = true))
+            Iterator(Updating(key, old.n, old.total, old.lo, old.hi, old.total / old.n, is_retract = true))
           } else {
             val vs = rows.map(_._2).toArray
             if (vs.isEmpty) Iterator.empty
             else {
               val prev = state.getOption
               val acc0 = prev.getOrElse(Acc(0L, 0.0, Double.PositiveInfinity, Double.NegativeInfinity))
-              val acc = Acc(acc0.n + vs.length, acc0.sum + vs.sum,
-                math.min(acc0.min, vs.min), math.max(acc0.max, vs.max))
+              val acc = Acc(acc0.n + vs.length, acc0.total + vs.sum,
+                math.min(acc0.lo, vs.min), math.max(acc0.hi, vs.max))
               state.update(acc)
               ttl.foreach(d => state.setTimeoutDuration(d.toMillis))
               val retract = prev.map(p =>
-                Updating(key, p.n, p.sum, p.min, p.max, p.sum / p.n, is_retract = true))
+                Updating(key, p.n, p.total, p.lo, p.hi, p.total / p.n, is_retract = true))
               val append =
-                Updating(key, acc.n, acc.sum, acc.min, acc.max, acc.sum / acc.n, is_retract = false)
+                Updating(key, acc.n, acc.total, acc.lo, acc.hi, acc.total / acc.n, is_retract = false)
               (retract.iterator ++ Iterator(append))
             }
           }
       }(Encoders.product[Acc], Encoders.product[Updating])
       .toDF()
-      .select(col("key"), col("n"), col("sum"), col("min"), col("max"), col("avg"),
+      .select(col("key"), col("n"), col("total").as("sum"), col("lo").as("min"),
+        col("hi").as("max"), col("mean").as("avg"),
         struct(col("is_retract"),
           md5(concat_ws("§", col("key"), col("n").cast("string"))).as("id")).as("_updating_meta"))
   }

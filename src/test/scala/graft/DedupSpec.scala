@@ -1,0 +1,87 @@
+package graft
+
+import graft.operators.{Dedup, TextAnalysis}
+import org.apache.spark.sql.functions._
+
+class DedupSpec extends SparkSpec {
+
+  private val base = "the quick brown fox jumps over the lazy dog and runs far away into the woods tonight"
+  private val nearDup = base.replace("tonight", "today") // one-token edit
+  private val other = "completely different content about spark engines aggregating columnar batches with watermarks"
+
+  private def docs = {
+    import spark.implicits._
+    Seq(
+      (1L, base), (2L, base),        // exact duplicates
+      (3L, nearDup),                 // near-duplicate of 1/2
+      (4L, other)                    // unrelated
+    ).toDF("doc_id", "text")
+  }
+
+  test("exact dedup groups identical texts, keeps min id") {
+    val r = Dedup.exact(docs, "doc_id", "text").orderBy("keep_id").collect()
+    assert(r.length == 3)
+    val dupRow = r.find(_.getAs[Long]("n_copies") == 2L).get
+    assert(dupRow.getAs[Long]("keep_id") == 1L)
+  }
+
+  test("minhash LSH finds exact and near duplicates, not unrelated docs") {
+    val pairs = Dedup.minhashLshPairs(docs, "doc_id", "text",
+        shingleSize = 2, numHashes = 64, bands = 16, threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    val keys = pairs.map(p => (p._1, p._2)).toSet
+    assert(keys.contains((1L, 2L)), s"exact dup pair missing: $keys")
+    assert(pairs.find(p => (p._1, p._2) == ((1L, 2L))).get._3 == 1.0)
+    assert(keys.contains((1L, 3L)) || keys.contains((2L, 3L)), s"near dup pair missing: $keys")
+    assert(!keys.exists(p => p._1 == 4L || p._2 == 4L), s"unrelated doc paired: $keys")
+  }
+
+  test("keeperAssignment maps duplicates to the smallest paired id") {
+    val pairs = Dedup.minhashLshPairs(docs, "doc_id", "text",
+      shingleSize = 2, numHashes = 64, bands = 16, threshold = 0.5)
+    val keep = Dedup.keeperAssignment(docs, "doc_id", pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(keep(1L) == 1L && keep(2L) == 1L && keep(4L) == 4L)
+    assert(keep(3L) < 3L) // folded into the dup cluster
+  }
+
+  test("ngram jaccard computes exact overlap and respects threshold") {
+    val pairs = Dedup.ngramJaccardPairs(docs, "doc_id", "text",
+        shingleSize = 2, threshold = 0.3, maxDocFreq = 100)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    assert(pairs(((1L, 2L))) == 1.0)                       // identical
+    assert(pairs.contains((1L, 3L)))                       // near dup above threshold
+    assert(!pairs.keys.exists(p => p._1 == 4L || p._2 == 4L))
+    // hand-check 1↔3: 16 distinct bigrams each; "tonight" is the final token
+    // so exactly one bigram differs → 15 shared, union = 16+16-15 = 17
+    assert(math.abs(pairs(((1L, 3L))) - 15.0 / 17.0) < 1e-9)
+  }
+
+  test("simhash: identical docs share fingerprint; near dups closer than unrelated") {
+    val fp = Dedup.simhash(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(fp(1L) == fp(2L))
+    // short docs flip several bits per edit; the invariant is relative:
+    // a one-token edit stays much closer than unrelated content
+    val near = java.lang.Long.bitCount(fp(1L) ^ fp(3L))
+    val far = java.lang.Long.bitCount(fp(1L) ^ fp(4L))
+    assert(near < far, s"near=$near far=$far")
+    assert(far > 10)
+    // 4-quarter blocking guarantees recall only for hamming ≤ 3 (pigeonhole:
+    // ≤3 flips leave one 16-bit quarter untouched); identical docs always pair
+    val pairs = Dedup.simhashPairs(docs, "doc_id", "text", maxHamming = near)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 2L)))
+    if (near <= 3) assert(pairs.contains((1L, 3L)))
+    assert(!pairs.exists(p => p._1 == 4L || p._2 == 4L))
+  }
+
+  test("fingerprint is order-sensitive and deterministic") {
+    import spark.implicits._
+    val d = Seq((1L, "a b c"), (2L, "a b c"), (3L, "c b a")).toDF("doc_id", "text")
+    val fp = d.select(col("doc_id"), TextAnalysis.fingerprint(col("text")).as("f"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(fp(1L) == fp(2L))
+    assert(fp(1L) != fp(3L))
+  }
+}

@@ -1,0 +1,54 @@
+package graft
+
+import graft.operators.Similarity
+import org.apache.spark.sql.functions._
+
+class SimilaritySpec extends SparkSpec {
+
+  test("bruteForceTopK matches a driver-side exact computation") {
+    val corpus = Tables.load(spark, sfDir, "embeddings")
+    val queries = corpus.filter(col("vec_id") % 100 === 0)
+      .select(col("vec_id").as("query_id"), col("embedding").as("query_vec"))
+
+    val got = Similarity.bruteForceTopK(corpus, queries, k = 3)
+      .collect().map(r => (r.getLong(0), r.getInt(3)) -> r.getLong(1)).toMap
+
+    // naive reference on the driver
+    val vecs = corpus.select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0
+      for (i <- a.indices) { d += a(i).toDouble * b(i); na += a(i).toDouble * a(i); nb += b(i).toDouble * b(i) }
+      if (na == 0 || nb == 0) 0.0 else d / (math.sqrt(na) * math.sqrt(nb))
+    }
+    for (q <- vecs.keys.filter(_ % 100 == 0)) {
+      val expected = vecs.toSeq.map { case (id, v) => (id, cos(vecs(q), v)) }
+        .sortBy { case (id, s) => (-s, id) }.take(3).map(_._1)
+      val mine = (1 to 3).map(rk => got((q, rk)))
+      assert(mine == expected, s"query $q: got $mine expected $expected")
+    }
+  }
+
+  test("lshTopK returns correctly-ranked results drawn from the query bucket") {
+    val corpus = Tables.load(spark, sfDir, "embeddings")
+    val queries = corpus.filter(col("vec_id") % 100 === 0)
+      .select(col("vec_id").as("query_id"), col("embedding").as("query_vec"))
+    val rows = Similarity.lshTopK(corpus, queries, k = 5, nPlanes = 4).collect()
+    assert(rows.nonEmpty)
+    // every query's own vector is in its own bucket → rank 1 is itself (sim 1.0 max, min id tiebreak)
+    val rank1 = rows.filter(_.getInt(3) == 1).map(r => r.getLong(0) -> r.getLong(1)).toMap
+    rank1.foreach { case (q, top) => assert(top == q, s"query $q top-1 is $top") }
+  }
+
+  test("cosineDupPairs finds injected duplicate embeddings") {
+    import spark.implicits._
+    val v1 = Array.tabulate(8)(i => (i + 1).toFloat)
+    val v2 = v1.map(_ * 2.0f)             // same direction → cosine 1
+    val v3 = Array.tabulate(8)(i => if (i % 2 == 0) 1.0f else -1.0f)
+    val d = Seq((1L, v1), (2L, v2), (3L, v3)).toDF("vec_id", "embedding")
+    val pairs = Similarity.cosineDupPairs(d, threshold = 0.99, nPlanes = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 2L)))
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L))
+  }
+}

@@ -1,0 +1,63 @@
+package graft
+
+import graft.operators.TextAnalysis
+import org.apache.spark.sql.functions._
+
+class TextAnalysisSpec extends SparkSpec {
+
+  private def one(text: String) = {
+    import spark.implicits._
+    Seq((1L, text)).toDF("doc_id", "text")
+  }
+
+  test("token counts: whitespace and BPE-ish") {
+    val r = one("Hello, world!  This has 42 tokens?")
+      .select(
+        TextAnalysis.tokenCount(col("text")).as("ws"),
+        TextAnalysis.tokenCountBpe(col("text")).as("bpe"))
+      .collect()(0)
+    assert(r.getInt(0) == 6)
+    // Hello , world ! This has 42 tokens ? → 9 BPE-ish chunks
+    assert(r.getInt(1) == 9)
+  }
+
+  test("quality score rewards prose, penalizes noise") {
+    val prose = "The quick brown fox jumps over the lazy dog and it is a very good day " * 8
+    val noise = "!!! ??? 12345 @@@@ ##### 99999 !!!!! 00000 ..... 4242424242"
+    val rows = {
+      import spark.implicits._
+      Seq((1L, prose), (2L, noise)).toDF("doc_id", "text")
+    }.select(col("doc_id"), TextAnalysis.qualityScore(col("text")).as("q"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(rows(1L) > 0.8, s"prose scored ${rows(1L)}")
+    assert(rows(2L) < 0.4, s"noise scored ${rows(2L)}")
+  }
+
+  test("language id picks the stopword-dominant language") {
+    val rows = {
+      import spark.implicits._
+      Seq(
+        (1L, "the cat and the dog are in the house with a mouse"),
+        (2L, "der Hund und die Katze sind im Haus mit einer Maus und das ist gut"),
+        (3L, "le chat et le chien sont dans la maison avec une souris"),
+        (4L, "el gato y el perro están en la casa con un ratón y es bueno"),
+        (5L, "xyzzy plugh qwerty asdf")
+      ).toDF("doc_id", "text")
+    }.select(col("doc_id"), TextAnalysis.languageId(col("text")).as("lang"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(rows(1L) == "en")
+    assert(rows(2L) == "de")
+    assert(rows(3L) == "fr")
+    assert(rows(4L) == "es")
+    assert(rows(5L) == "und")
+  }
+
+  test("features frame computes all columns without nulls") {
+    val docs = Tables.load(spark, sfDir, "documents")
+    val f = TextAnalysis.features(docs, "doc_id", "text")
+    assert(f.count() == docs.count())
+    val nulls = f.select(f.columns.map(c => sum(when(col(c).isNull, 1).otherwise(0)).as(c)).toIndexedSeq: _*)
+      .collect()(0)
+    f.columns.indices.foreach(i => assert(nulls.getLong(i) == 0L, s"nulls in ${f.columns(i)}"))
+  }
+}
