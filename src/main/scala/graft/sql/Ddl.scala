@@ -1,0 +1,179 @@
+package graft.sql
+
+import org.apache.spark.sql.types.{DataType, StructType}
+
+/** Arroyo-flavored DDL front-end.
+  *
+  * The reference accepts only SQL: `CREATE TABLE name (cols…) WITH
+  * (connector = '…', format = '…', …)` plus `WATERMARK FOR col AS (expr)`
+  * and `event_time_field` options (crates/arroyo-planner/src/tables.rs:
+  * 360-420, 771+). Spark SQL DDL can't express connector options +
+  * watermarks, so this small hand-rolled parser handles the statement shape
+  * and hands everything else (types, queries) to Spark's own parsers.
+  */
+object Ddl {
+
+  /** One column: name + Spark-normalized type DDL, or a virtual/generated
+    * column (reference FieldSpec::Virtual, tables.rs:103-110).
+    */
+  final case class ColumnDef(name: String, sqlType: String, virtualExpr: Option[String]) {
+    def ddl: String = s"`$name` $sqlType"
+  }
+
+  /** A connector table registered in the catalog (reference
+    * Table::ConnectorTable, tables.rs:66-85).
+    */
+  final case class ConnectorTable(
+      name: String,
+      columns: Seq[ColumnDef],
+      options: Map[String, String],
+      eventTimeField: Option[String],
+      watermarkDelay: Option[String]) {
+    def connector: String = options.getOrElse("connector", "filesystem")
+    def format: String = options.getOrElse("format", "parquet")
+    def path: Option[String] = options.get("path")
+    def isSink: Boolean = options.get("type").contains("sink")
+    def schema: StructType =
+      StructType.fromDDL(columns.filter(_.virtualExpr.isEmpty).map(_.ddl).mkString(", "))
+  }
+
+  private val CreateTableRe =
+    """(?is)^\s*CREATE\s+TABLE\s+(?:IF\s+NOT\s+EXISTS\s+)?([A-Za-z_][A-Za-z0-9_]*)\s*(\(.*\))?\s*WITH\s*\((.*)\)\s*$""".r
+  private val InsertRe =
+    """(?is)^\s*INSERT\s+INTO\s+([A-Za-z_][A-Za-z0-9_]*)\s+(.*)$""".r
+  private val CreateViewRe =
+    """(?is)^\s*CREATE\s+(?:TEMPORARY\s+)?VIEW\s+([A-Za-z_][A-Za-z0-9_]*)\s+AS\s+(.*)$""".r
+
+  sealed trait Stmt
+  final case class CreateTbl(table: ConnectorTable) extends Stmt
+  final case class CreateView(name: String, query: String) extends Stmt
+  final case class Insert(sink: String, query: String) extends Stmt
+  final case class Query(query: String) extends Stmt
+
+  /** Split a script into statements on top-level semicolons (quote-aware). */
+  def splitStatements(script: String): Seq[String] = {
+    val out = Seq.newBuilder[String]
+    val cur = new StringBuilder
+    var inS = false // inside 'string'
+    var i = 0
+    while (i < script.length) {
+      val c = script.charAt(i)
+      c match {
+        case '\'' => inS = !inS; cur += c
+        case ';' if !inS => out += cur.toString; cur.clear()
+        case _ => cur += c
+      }
+      i += 1
+    }
+    out += cur.toString
+    out.result().map(stripComments).map(_.trim).filter(_.nonEmpty)
+  }
+
+  private def stripComments(s: String): String =
+    s.linesIterator.map { l =>
+      val idx = findCommentStart(l)
+      if (idx >= 0) l.substring(0, idx) else l
+    }.mkString("\n")
+
+  private def findCommentStart(l: String): Int = {
+    var inS = false
+    var i = 0
+    while (i < l.length - 1) {
+      val c = l.charAt(i)
+      if (c == '\'') inS = !inS
+      else if (!inS && c == '-' && l.charAt(i + 1) == '-') return i
+      i += 1
+    }
+    -1
+  }
+
+  def parse(statement: String): Stmt = statement match {
+    case CreateTableRe(name, cols, opts) =>
+      val options = parseOptions(opts)
+      val (columns, wmField, wmDelay) =
+        if (cols == null || cols.trim.isEmpty) (Seq.empty[ColumnDef], None, None)
+        else parseColumns(cols.trim.stripPrefix("(").stripSuffix(")"))
+      val et = options.get("event_time_field").orElse(wmField)
+      val delay = options.get("watermark_delay").orElse(wmDelay)
+      CreateTbl(ConnectorTable(name, columns, options, et, delay))
+    case CreateViewRe(name, q) => CreateView(name, q)
+    case InsertRe(sink, q) => Insert(sink, q)
+    case q => Query(q)
+  }
+
+  /** Parse `k = 'v', k2 = 'v2'` WITH-options. */
+  def parseOptions(s: String): Map[String, String] =
+    splitTop(s, ',').flatMap { kv =>
+      kv.split("=", 2) match {
+        case Array(k, v) => Some(k.trim.toLowerCase -> v.trim.stripPrefix("'").stripSuffix("'"))
+        case _ => None
+      }
+    }.toMap
+
+  /** Parse the column list; extracts WATERMARK FOR clause and virtual
+    * columns (`name type GENERATED ALWAYS AS (expr)` / `AS (expr)`).
+    * Returns (columns, watermarkField, watermarkDelay).
+    */
+  def parseColumns(s: String): (Seq[ColumnDef], Option[String], Option[String]) = {
+    var wmField: Option[String] = None
+    var wmDelay: Option[String] = None
+    val WatermarkRe =
+      """(?is)^\s*WATERMARK\s+FOR\s+([A-Za-z_][A-Za-z0-9_]*)(?:\s+AS\s+.*?(?:INTERVAL\s+'([^']+)'(?:\s+(\w+))?).*)?$""".r
+    val VirtualRe =
+      """(?is)^\s*([A-Za-z_][A-Za-z0-9_]*)\s+(.+?)\s+(?:GENERATED\s+ALWAYS\s+)?AS\s*\((.*)\)\s*$""".r
+    val ColRe = """(?is)^\s*([A-Za-z_][A-Za-z0-9_]*)\s+(.+?)\s*$""".r
+
+    val cols = splitTop(s, ',').flatMap {
+      case WatermarkRe(f, iv, unit) =>
+        wmField = Some(f)
+        wmDelay = Option(iv).map(v => if (unit != null) s"$v $unit" else v)
+        None
+      case VirtualRe(name, tpe, expr) =>
+        Some(ColumnDef(name, normalizeType(tpe), Some(expr)))
+      case ColRe(name, tpe) =>
+        Some(ColumnDef(name, normalizeType(tpe), None))
+      case other =>
+        throw new IllegalArgumentException(s"cannot parse column def: '$other'")
+    }
+    (cols, wmField, wmDelay)
+  }
+
+  /** Split on a separator at paren/quote depth 0. */
+  def splitTop(s: String, sep: Char): Seq[String] = {
+    val out = Seq.newBuilder[String]
+    val cur = new StringBuilder
+    var depth = 0
+    var inS = false
+    s.foreach {
+      case '\'' => inS = !inS; cur += '\''
+      case '(' if !inS => depth += 1; cur += '('
+      case ')' if !inS => depth -= 1; cur += ')'
+      case c if c == sep && depth == 0 && !inS => out += cur.toString; cur.clear()
+      case c => cur += c
+    }
+    out += cur.toString
+    out.result().map(_.trim).filter(_.nonEmpty)
+  }
+
+  /** Normalize reference SQL types to Spark DDL types. Unsigned ints widen
+    * (no unsigned types in Spark — SURVEY §1.2); TEXT→STRING; JSON→STRING;
+    * sub-second TIMESTAMP precision collapses to Spark's µs TIMESTAMP.
+    */
+  def normalizeType(t0: String): String = {
+    val t = t0.trim.replaceAll("(?i)\\s+NOT\\s+NULL$", "").replaceAll("(?i)\\s+NULL$", "").trim
+    val up = t.toUpperCase
+    up match {
+      case "TEXT" | "VARCHAR" | "CHAR" | "JSON" => "STRING"
+      case s if s.startsWith("VARCHAR(") || s.startsWith("CHAR(") => "STRING"
+      case "TINYINT UNSIGNED" => "SMALLINT"
+      case "SMALLINT UNSIGNED" => "INT"
+      case "INT UNSIGNED" | "INTEGER UNSIGNED" => "BIGINT"
+      case "BIGINT UNSIGNED" => "BIGINT" // documented overflow caveat
+      case "REAL" => "FLOAT"
+      case s if s.startsWith("TIMESTAMP") => "TIMESTAMP"
+      case "TIME" => "BIGINT" // ns-of-day; Spark has no TIME type
+      case "BYTEA" => "BINARY"
+      case _ => t
+    }
+  }
+}

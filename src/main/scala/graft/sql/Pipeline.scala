@@ -1,0 +1,264 @@
+package graft.sql
+
+import graft.sql.Ddl._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+
+/** SQL pipeline runner: the reference's only entry point is a SQL script
+  * (`CREATE TABLE … WITH(…); INSERT INTO sink SELECT …`) compiled to a
+  * dataflow (crates/arroyo-planner/src/lib.rs:821+). Here the same script
+  * compiles to DataFrame programs: sources become (streaming or batch)
+  * DataFrames registered as temp views, `tumble/hop/session` GROUP BY
+  * calls rewrite to Spark's `window()`/`session_window()`, the query goes
+  * through Spark SQL (Catalyst does the optimizing), and sinks map to
+  * writers/writeStream.
+  *
+  * Two execution modes per pipeline, matching SURVEY §7.1's dual-mode
+  * stance:
+  *   - batch: bounded sources read eagerly; INSERT writes once. Used by the
+  *     correctness oracle.
+  *   - streaming: `readStream` sources + `writeStream` sinks; bounded
+  *     sources finish via Trigger.AvailableNow (the reference's bounded
+  *     sources emit EndOfData the same way).
+  */
+class Pipeline(spark: SparkSession, streaming: Boolean = false) {
+
+  private var catalog = Map.empty[String, ConnectorTable]
+  private var queries = List.empty[StreamingQuery]
+  private var lastResult: Option[DataFrame] = None
+
+  /** Run a full SQL script; returns the last bare-SELECT's DataFrame. */
+  def run(script: String): Option[DataFrame] = {
+    splitStatements(script).foreach(s => runStatement(parse(s)))
+    queries.foreach(_.awaitTermination())
+    lastResult
+  }
+
+  def runStatement(stmt: Stmt): Unit = stmt match {
+    case CreateTbl(t) =>
+      catalog += t.name -> t
+      if (!t.isSink) sourceFrame(t).createOrReplaceTempView(t.name)
+
+    case CreateView(name, q) =>
+      spark.sql(rewriteWindows(q)).createOrReplaceTempView(name)
+
+    case Insert(sinkName, q) =>
+      val sink = catalog.getOrElse(sinkName,
+        throw new IllegalArgumentException(s"unknown sink table $sinkName"))
+      writeTo(sink, spark.sql(rewriteWindows(q)))
+
+    case Query(q) =>
+      lastResult = Some(spark.sql(rewriteWindows(q)))
+  }
+
+  // ── sources ──────────────────────────────────────────────────────────
+
+  /** Build the DataFrame for a source table per its connector (SURVEY
+    * §2.2 mapping). Virtual columns project after the scan; event-time
+    * column gets a watermark in streaming mode (default delay 1s, the
+    * reference's `ts - 1s` default).
+    */
+  def sourceFrame(t: ConnectorTable): DataFrame = {
+    val base = t.connector match {
+      case "filesystem" | "single_file" =>
+        val path = t.path.getOrElse(sys.error(s"table ${t.name}: path required"))
+        def load(fmt: String, opts: Map[String, String] = Map.empty): DataFrame =
+          if (streaming) {
+            // Spark's file stream source requires a directory; single_file
+            // tables point at one file → stream the parent dir filtered to it
+            val f = new java.io.File(path)
+            val (dir, extra) =
+              if (f.isFile) (f.getParent, Map("pathGlobFilter" -> f.getName)) else (path, Map.empty)
+            spark.readStream.schema(t.schema).format(fmt).options(opts ++ extra).load(dir)
+          } else
+            spark.read.schema(t.schema).format(fmt).options(opts).load(path)
+        t.format match {
+          case "json" => load("json")
+          case "parquet" => load("parquet")
+          case "csv" => load("csv", Map("header" -> "true"))
+          case "raw_string" =>
+            if (streaming) spark.readStream.text(path) else spark.read.text(path)
+          case f => sys.error(s"unsupported format $f")
+        }
+      case "impulse" => Generators.impulse(spark, t, streaming)
+      case "nexmark" => Generators.nexmarkBids(spark, t, streaming)
+      case "kafka" =>
+        val reader = if (streaming) spark.readStream else sys.error("kafka requires streaming mode")
+        reader.format("kafka")
+          .options(t.options.collect {
+            case (k, v) if k.startsWith("kafka.") || k == "subscribe" || k == "startingoffsets" => k -> v
+          })
+          .load()
+      case c => sys.error(s"unsupported connector $c")
+    }
+    val withVirtual = t.columns.filter(_.virtualExpr.isDefined).foldLeft(base) {
+      case (df, cd) => df.withColumn(cd.name, expr(cd.virtualExpr.get))
+    }
+    t.eventTimeField match {
+      case Some(f) if streaming =>
+        withVirtual.withWatermark(f, t.watermarkDelay.getOrElse("1 second"))
+      case _ => withVirtual
+    }
+  }
+
+  // ── sinks ────────────────────────────────────────────────────────────
+
+  def writeTo(sink: ConnectorTable, df: DataFrame): Unit = {
+    if (!streaming) {
+      sink.connector match {
+        case "filesystem" | "single_file" =>
+          val w = df.write.mode("append")
+          sink.format match {
+            case "json" => w.json(sink.path.get)
+            case "parquet" => w.parquet(sink.path.get)
+            case "csv" => w.option("header", "true").csv(sink.path.get)
+            case f => sys.error(s"unsupported sink format $f")
+          }
+        case "stdout" | "preview" => df.show(100, truncate = false)
+        case "blackhole" => df.write.format("noop").mode("overwrite").save()
+        case "memory" => df.createOrReplaceTempView(s"${sink.name}_result")
+        case c => sys.error(s"unsupported sink connector $c")
+      }
+    } else {
+      // Emit-on-close (append) for event-time-windowed aggregates — the
+      // reference's windowed operators fire when the watermark passes the
+      // bin end; update mode only for non-windowed (updating) aggregates.
+      val mode = sink.options.getOrElse("output_mode",
+        if (hasAggregation(df) && !hasTimeWindowGrouping(df)) "update" else "append")
+      val cp = sink.options.getOrElse("checkpoint",
+        java.nio.file.Files.createTempDirectory(s"graft-cp-${sink.name}").toString)
+      val ws = df.writeStream.outputMode(mode).option("checkpointLocation", cp)
+        .trigger(Trigger.AvailableNow())
+      val q = sink.connector match {
+        case "filesystem" | "single_file" =>
+          ws.outputMode("append").format(sink.format).option("path", sink.path.get).start()
+        case "stdout" | "preview" => ws.format("console").option("truncate", "false").start()
+        case "blackhole" => ws.format("noop").start()
+        case "memory" => ws.format("memory").queryName(s"${sink.name}_result").start()
+        case "kafka" =>
+          ws.format("kafka").options(sink.options.filter(_._1.startsWith("kafka."))).start()
+        case c => sys.error(s"unsupported sink connector $c")
+      }
+      queries ::= q
+    }
+  }
+
+  private def hasAggregation(df: DataFrame): Boolean =
+    df.queryExecution.analyzed.collectFirst {
+      case a: org.apache.spark.sql.catalyst.plans.logical.Aggregate => a
+    }.isDefined
+
+  private def hasTimeWindowGrouping(df: DataFrame): Boolean =
+    df.queryExecution.analyzed.collectFirst {
+      case a: org.apache.spark.sql.catalyst.plans.logical.Aggregate
+          if a.groupingExpressions.exists(_.references.exists(r =>
+            r.name == "window" || r.name == "session_window")) => a
+    }.isDefined
+
+  // ── window-function rewrite ──────────────────────────────────────────
+
+  /** Rewrite the reference's time-window table functions into Spark's:
+    *   tumble(interval '1 hour')            → window(<et>, '1 hour')
+    *   tumble(ts, interval '1 hour')        → window(ts, '1 hour')
+    *   hop(interval '5 s', interval '1 m')  → window(<et>, '1 m', '5 s')
+    *   session(interval '10 minutes')       → session_window(<et>, '10 minutes')
+    * `<et>` = the event-time column of the statement's source tables
+    * (unambiguous single event-time required, like the reference's
+    * WindowDetectingVisitor demands a single window per SELECT).
+    * hop(w,w) collapses to tumble (reference lib.rs:648-652) — Spark's
+    * window(ts, w, w) is already equivalent.
+    */
+  def rewriteWindows(q: String): String = {
+    val et = defaultEventTime(q)
+    def need: String = et.getOrElse(
+      sys.error("window function needs an event_time_field on the source table or an explicit column"))
+    val interval = """[iI][nN][tT][eE][rR][vV][aA][lL]\s+'([^']+)'(?:\s+([a-zA-Z]+))?"""
+    def iv(v: String, u: String) = if (u == null) v else s"$v $u"
+
+    var out = q
+    out = s"""(?s)\\btumble\\s*\\(\\s*$interval\\s*\\)""".r
+      .replaceAllIn(out, m => s"window($need, '${iv(m.group(1), m.group(2))}')")
+    out = s"""(?s)\\btumble\\s*\\(\\s*([A-Za-z_][A-Za-z0-9_.]*)\\s*,\\s*$interval\\s*\\)""".r
+      .replaceAllIn(out, m => s"window(${m.group(1)}, '${iv(m.group(2), m.group(3))}')")
+    out = s"""(?s)\\bhop\\s*\\(\\s*$interval\\s*,\\s*$interval\\s*\\)""".r
+      .replaceAllIn(out, m =>
+        s"window($need, '${iv(m.group(3), m.group(4))}', '${iv(m.group(1), m.group(2))}')")
+    val hadTumbleOrHop = out != q
+    val beforeSession = out
+    out = s"""(?s)\\bsession\\s*\\(\\s*$interval\\s*\\)""".r
+      .replaceAllIn(out, m => s"session_window($need, '${iv(m.group(1), m.group(2))}')")
+    // session windows group under `session_window`, but the reference's
+    // surface exposes `window.start/.end` for every window type — remap
+    if (out != beforeSession && !hadTumbleOrHop)
+      out = """(?i)\bwindow\s*\.""".r.replaceAllIn(out, "session_window.")
+    // row_time() → the event-time column (reference RowTimeRewriter)
+    out = """(?i)\brow_time\s*\(\s*\)""".r.replaceAllIn(out, _ => et.getOrElse("row_time()"))
+    out
+  }
+
+  /** The single event-time column across the source tables referenced by a
+    * query (None if none/ambiguous).
+    */
+  private def defaultEventTime(q: String): Option[String] = {
+    val names = catalog.values.filter(t => !t.isSink)
+      .filter(t => s"""(?i)\\b${t.name}\\b""".r.findFirstIn(q).isDefined)
+      .flatMap(_.eventTimeField).toSeq.distinct
+    names match {
+      case Seq(one) => Some(one)
+      case _ => None
+    }
+  }
+}
+
+/** Synthetic generator sources (reference impulse + nexmark connectors,
+  * crates/arroyo-connectors/src/{impulse,nexmark}/). In streaming mode they
+  * ride Spark's rate source; in batch mode they materialize
+  * `message_count` rows via spark.range — same schema and values either
+  * way (deterministic, seedless).
+  */
+object Generators {
+  import Ddl.ConnectorTable
+
+  def impulse(spark: SparkSession, t: ConnectorTable, streaming: Boolean): DataFrame = {
+    val rate = t.options.getOrElse("event_rate", "1000").toDouble
+    if (streaming) {
+      spark.readStream.format("rate").option("rowsPerSecond", rate.toLong.max(1)).load()
+        .select(col("timestamp"), col("value").as("counter"), lit(0L).as("subtask_index"))
+    } else {
+      val n = t.options.getOrElse("message_count", "1000").toLong
+      val start = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+      spark.range(n).select(
+        timestamp_micros(unix_micros(lit(start).cast("timestamp")) +
+          (col("id") * 1000000.0 / rate).cast("long")).as("timestamp"),
+        col("id").as("counter"), lit(0L).as("subtask_index"))
+    }
+  }
+
+  /** Nexmark bid stream subset (schema: nexmark/mod.rs:56-66): auction,
+    * bidder, price, channel, url, datetime, extra.
+    */
+  def nexmarkBids(spark: SparkSession, t: ConnectorTable, streaming: Boolean): DataFrame = {
+    val base =
+      if (streaming) {
+        val rate = t.options.getOrElse("event_rate", "1000").toDouble
+        spark.readStream.format("rate").option("rowsPerSecond", rate.toLong.max(1)).load()
+          .select(col("timestamp").as("datetime"), col("value").as("id"))
+      } else {
+        val n = t.options.getOrElse("message_count", "10000").toLong
+        val start = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+        spark.range(n).select(
+          timestamp_micros(unix_micros(lit(start).cast("timestamp")) +
+            col("id") * 1000L).as("datetime"),
+          col("id"))
+      }
+    base.select(
+      col("datetime"),
+      pmod(xxhash64(col("id"), lit(1)), lit(1000)).as("auction"),
+      pmod(xxhash64(col("id"), lit(2)), lit(500)).as("bidder"),
+      (pmod(xxhash64(col("id"), lit(3)), lit(10000)) + 100).as("price"),
+      concat(lit("channel-"), pmod(col("id"), lit(10))).as("channel"),
+      concat(lit("https://auction/"), pmod(xxhash64(col("id"), lit(1)), lit(1000))).as("url"),
+      lit("").as("extra"))
+  }
+}

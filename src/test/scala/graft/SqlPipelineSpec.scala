@@ -1,0 +1,144 @@
+package graft
+
+import graft.sql.{Ddl, Pipeline}
+import org.apache.spark.sql.functions._
+
+/** SQL front-end parity: scripts in the reference's shape (CREATE TABLE …
+  * WITH(connector…) + tumble/hop/session + INSERT INTO sink) run end-to-end,
+  * modeled on arroyo-sql-testing's smoke tests (hourly_by_event_type.sql
+  * over the cars fixture).
+  */
+class SqlPipelineSpec extends SparkSpec {
+
+  private def tmp(): String = java.nio.file.Files.createTempDirectory("graft-sql").toString
+
+  private def writeCarsFixture(): String = {
+    val dir = tmp()
+    val lines = Seq(
+      """{"timestamp":"2023-09-18T14:10:00Z","driver_id":100,"event_type":"pickup","location":"A"}""",
+      """{"timestamp":"2023-09-18T14:23:10Z","driver_id":101,"event_type":"dropoff","location":"B"}""",
+      """{"timestamp":"2023-09-18T14:55:00Z","driver_id":100,"event_type":"pickup","location":"C"}""",
+      """{"timestamp":"2023-09-18T15:05:00Z","driver_id":102,"event_type":"pickup","location":"A"}""",
+      """{"timestamp":"2023-09-18T15:45:00Z","driver_id":101,"event_type":"dropoff","location":"D"}""",
+      """{"timestamp":"2023-09-18T16:59:00Z","driver_id":103,"event_type":"pickup","location":"E"}""")
+    java.nio.file.Files.write(java.nio.file.Paths.get(s"$dir/cars.json"),
+      lines.mkString("\n").getBytes)
+    s"$dir/cars.json"
+  }
+
+  test("DDL parses connector tables with watermark clause and options") {
+    val stmt = Ddl.parse(
+      """CREATE TABLE cars (
+        |  timestamp TIMESTAMP,
+        |  driver_id BIGINT UNSIGNED NOT NULL,
+        |  event_type TEXT,
+        |  WATERMARK FOR timestamp AS (timestamp - INTERVAL '5' SECOND)
+        |) WITH (connector = 'single_file', path = '/x/cars.json', format = 'json', type = 'source')""".stripMargin)
+    val t = stmt.asInstanceOf[Ddl.CreateTbl].table
+    assert(t.connector == "single_file" && t.format == "json")
+    assert(t.eventTimeField.contains("timestamp"))
+    assert(t.watermarkDelay.contains("5 SECOND"))
+    assert(t.schema.fieldNames.toSeq == Seq("timestamp", "driver_id", "event_type"))
+    assert(t.schema("driver_id").dataType.typeName == "long") // unsigned widened
+  }
+
+  test("hourly_by_event_type: tumble + count over cars fixture (batch)") {
+    val cars = writeCarsFixture()
+    val out = tmp()
+    val p = new Pipeline(spark, streaming = false)
+    p.run(
+      s"""CREATE TABLE cars (
+         |  timestamp TIMESTAMP,
+         |  driver_id BIGINT,
+         |  event_type TEXT,
+         |  location TEXT
+         |) WITH (connector = 'single_file', path = '$cars', format = 'json',
+         |        type = 'source', event_time_field = 'timestamp');
+         |
+         |CREATE TABLE sink WITH (connector = 'filesystem', path = '$out/result',
+         |                        format = 'json', type = 'sink');
+         |
+         |INSERT INTO sink
+         |SELECT window.start AS hour_start, event_type, count(*) AS n
+         |FROM cars
+         |GROUP BY tumble(interval '1 hour'), event_type""".stripMargin)
+
+    val got = spark.read.json(s"$out/result")
+      .select(col("hour_start"), col("event_type"), col("n"))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+    assert(got == Set(
+      ("2023-09-18T14:00:00.000Z", "pickup", 2L),
+      ("2023-09-18T14:00:00.000Z", "dropoff", 1L),
+      ("2023-09-18T15:00:00.000Z", "pickup", 1L),
+      ("2023-09-18T15:00:00.000Z", "dropoff", 1L),
+      ("2023-09-18T16:00:00.000Z", "pickup", 1L)), s"got $got")
+  }
+
+  test("same pipeline runs in streaming mode (availableNow) with identical closed windows") {
+    val cars = writeCarsFixture()
+    val p = new Pipeline(spark, streaming = true)
+    p.run(
+      s"""CREATE TABLE cars (
+         |  timestamp TIMESTAMP, driver_id BIGINT, event_type TEXT, location TEXT
+         |) WITH (connector = 'single_file', path = '$cars', format = 'json',
+         |        type = 'source', event_time_field = 'timestamp');
+         |CREATE TABLE sink WITH (connector = 'memory', type = 'sink');
+         |INSERT INTO sink
+         |SELECT window.start AS hour_start, event_type, count(*) AS n
+         |FROM cars GROUP BY tumble(interval '1 hour'), event_type""".stripMargin)
+    val got = spark.table("sink_result")
+      .collect().map(r => (r.getTimestamp(0).toString, r.getString(1), r.getLong(2))).toSet
+    // closed windows only (append mode): the 16:00 window stays open at EOF
+    assert(got == Set(
+      ("2023-09-18 14:00:00.0", "pickup", 2L),
+      ("2023-09-18 14:00:00.0", "dropoff", 1L),
+      ("2023-09-18 15:00:00.0", "pickup", 1L),
+      ("2023-09-18 15:00:00.0", "dropoff", 1L)), s"got $got")
+  }
+
+  test("hop and session rewrite to window()/session_window()") {
+    val p = new Pipeline(spark)
+    p.runStatement(Ddl.parse(
+      """CREATE TABLE ev (ts TIMESTAMP, k TEXT)
+        |WITH (connector='impulse', type='source', event_time_field='ts')""".stripMargin))
+    assert(p.rewriteWindows("SELECT count(*) FROM ev GROUP BY hop(interval '5 seconds', interval '1 minute')")
+      .contains("window(ts, '1 minute', '5 seconds')"))
+    assert(p.rewriteWindows("SELECT count(*) FROM ev GROUP BY session(interval '10 minutes')")
+      .contains("session_window(ts, '10 minutes')"))
+    assert(p.rewriteWindows("SELECT count(*) FROM ev GROUP BY tumble(other_col, interval '1 hour')")
+      .contains("window(other_col, '1 hour')"))
+  }
+
+  test("impulse and nexmark generators produce deterministic batch data") {
+    val p = new Pipeline(spark)
+    p.runStatement(Ddl.parse(
+      "CREATE TABLE imp (timestamp TIMESTAMP, counter BIGINT, subtask_index BIGINT) " +
+        "WITH (connector='impulse', event_rate='10', message_count='100', type='source')"))
+    val imp = spark.table("imp")
+    assert(imp.count() == 100)
+    assert(imp.agg(min("counter"), max("counter")).collect()(0).toSeq == Seq(0L, 99L))
+
+    p.runStatement(Ddl.parse(
+      "CREATE TABLE bids (datetime TIMESTAMP, auction BIGINT, bidder BIGINT, price BIGINT) " +
+        "WITH (connector='nexmark', message_count='1000', type='source')"))
+    val bids = spark.table("bids")
+    assert(bids.count() == 1000)
+    val r = bids.agg(min("price"), countDistinct("auction")).collect()(0)
+    assert(r.getLong(0) >= 100 && r.getLong(1) > 100)
+  }
+
+  test("nexmark q5 shape: hot auctions via hop window + window join") {
+    val p = new Pipeline(spark)
+    p.runStatement(Ddl.parse(
+      "CREATE TABLE bids (datetime TIMESTAMP, auction BIGINT, bidder BIGINT, price BIGINT, " +
+        "channel TEXT, url TEXT, extra TEXT) " +
+        "WITH (connector='nexmark', message_count='5000', type='source', event_time_field='datetime')"))
+    val agg = spark.sql(p.rewriteWindows(
+      """SELECT auction, window.start AS ws, count(*) AS n
+        |FROM bids GROUP BY auction, hop(interval '2 seconds', interval '10 seconds')""".stripMargin))
+    assert(agg.count() > 0)
+    // every event lands in exactly width/slide = 5 windows
+    val total = agg.agg(sum("n")).collect()(0).getLong(0)
+    assert(total == 5000L * 5)
+  }
+}
