@@ -15,8 +15,16 @@ object Bench {
     spark.sparkContext.setLogLevel("WARN")
 
     val qmap = SparkEntry.queries
-    // JVM/codegen warm-up (not timed)
-    try qmap("q_agg")(spark, sfDir).count() catch { case _: Throwable => }
+    // JVM/codegen warm-up (not timed): one relational query plus the text
+    // pipelines on a tiny sample — the shingle/minhash expressions cost
+    // several seconds of one-time whole-stage-codegen + JIT otherwise
+    try {
+      qmap("q_agg")(spark, sfDir).count()
+      val docSample = Tables.load(spark, sfDir, "documents").limit(64).cache()
+      graft.operators.Dedup.minhashLshPairs(docSample, "doc_id", "text", 2, 64, 16, 0.5).count()
+      graft.operators.Dedup.ngramJaccardPairs(docSample, "doc_id", "text", 2, 0.2, 100).count()
+      docSample.unpersist()
+    } catch { case _: Throwable => }
 
     val results = SparkEntry.headline.map { name =>
       val t0 = System.nanoTime()

@@ -35,7 +35,14 @@ object GraftSession {
   def get(appName: String = "graft"): SparkSession = {
     val spark = builder(appName).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    registerFunctions(spark)
     spark
+  }
+
+  /** SQL-callable custom functions (reference §2.4 surface). */
+  def registerFunctions(spark: SparkSession): Unit = {
+    graft.functions.Scalars.register(spark)
+    graft.functions.Udafs.register(spark)
   }
 }
 

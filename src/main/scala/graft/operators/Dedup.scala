@@ -31,7 +31,15 @@ object Dedup {
     */
   def shingles(df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame = {
     val toks = tokens(col(textCol))
-    df.select(
+    // text corpora often arrive as few large files → few partitions; the
+    // shingle pipeline is compute-bound, so spread it across the cluster
+    // before the per-row work (round-robin: no key needed yet)
+    val spread =
+      if (!df.isStreaming &&
+          df.rdd.getNumPartitions < df.sparkSession.sparkContext.defaultParallelism)
+        df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+      else df
+    spread.select(
         col(idCol).as("doc"),
         when(size(toks) >= n,
           transform(sequence(lit(0), size(toks) - n),
@@ -41,14 +49,21 @@ object Dedup {
       .select(col("doc"), explode(array_distinct(col("shingle_list"))).as("shingle"))
   }
 
-  /** MinHash signature per doc: `numHashes` independent hash functions
-    * simulated as xxhash64(seed_i, shingle); signature_i = min over the
-    * doc's shingles. One aggregation = one shuffle keyed by doc.
+  /** MinHash signature per doc: `numHashes` hash functions simulated by
+    * double hashing — h_i = (h1 + i·h2) in a 40-bit space (Kirsch-
+    * Mitzenmacher construction) — so each shingle is hashed twice, not
+    * `numHashes` times; signature_i = min over the doc's shingles. One
+    * aggregation = one shuffle keyed by doc. 40-bit range keeps every
+    * intermediate exact under ANSI arithmetic.
     */
   def minhashSignatures(sh: DataFrame, numHashes: Int): DataFrame = {
+    val m = 1L << 40
+    val withH = sh
+      .withColumn("h1", pmod(xxhash64(col("shingle")), lit(m)))
+      .withColumn("h2", pmod(xxhash64(lit(1), col("shingle")), lit(m)).bitwiseOR(lit(1L)))
     val mins = (0 until numHashes).map(i =>
-      min(xxhash64(lit(i), col("shingle"))).as(s"mh_$i"))
-    sh.groupBy(col("doc")).agg(mins.head, mins.tail: _*)
+      min(pmod(col("h1") + lit(i.toLong) * col("h2"), lit(m))).as(s"mh_$i"))
+    withH.groupBy(col("doc")).agg(mins.head, mins.tail: _*)
   }
 
   /** MinHash + LSH banding dedup.
@@ -78,34 +93,40 @@ object Dedup {
     val rowsPerBand = numHashes / bands
 
     val sig = minhashSignatures(shingles(df, idCol, textCol, shingleSize), numHashes)
+    // persisted: consumed by banding + both signature re-joins — without it
+    // Spark recomputes the full tokenize→shingle→64-way-min pipeline per branch
     val sigArr = sig.withColumn("sig", array((0 until numHashes).map(i => col(s"mh_$i")): _*))
       .select(col("doc"), col("sig"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
     val bandHashes = (0 until bands).map { b =>
       xxhash64(lit(b), slice(col("sig"), b * rowsPerBand + 1, rowsPerBand))
     }
-    val banded = sigArr.select(
-      col("doc"), col("sig"), posexplode(array(bandHashes: _*)))
+    // banding carries only (doc, band, band_hash): the 64-slot signature
+    // would otherwise be replicated 16× through the explode and every
+    // downstream shuffle — it re-attaches after pair dedup instead
+    val banded = sigArr.select(col("doc"), posexplode(array(bandHashes: _*)))
       .withColumnRenamed("pos", "band").withColumnRenamed("col", "band_hash")
 
-    // Bucket by (band, band_hash); cap pathological buckets.
-    val buckets = banded
-      .withColumn("bn", count(lit(1)).over(
-        org.apache.spark.sql.expressions.Window.partitionBy(col("band"), col("band_hash"))))
+    // Bucket by (band, band_hash); cap pathological buckets. groupBy+join
+    // instead of a window count: partial aggregation shrinks the shuffle to
+    // one row per bucket and avoids the window's sort.
+    val okBuckets = banded.groupBy(col("band"), col("band_hash"))
+      .agg(count(lit(1)).as("bn"))
       .filter(col("bn") <= maxBucket)
-      .select(col("band"), col("band_hash"), col("doc"), col("sig"))
+      .select(col("band"), col("band_hash"))
+    val buckets = banded.join(okBuckets, Seq("band", "band_hash"))
 
-    val a = buckets.as("a")
-    val b = buckets.as("b")
-    val pairs = a.join(b,
+    val rawPairs = buckets.as("a").join(buckets.as("b"),
         col("a.band") === col("b.band") &&
           col("a.band_hash") === col("b.band_hash") &&
           col("a.doc") < col("b.doc"))
-      .select(col("a.doc").as("doc_a"), col("b.doc").as("doc_b"),
-        col("a.sig").as("sig_a"), col("b.sig").as("sig_b"))
+      .select(col("a.doc").as("doc_a"), col("b.doc").as("doc_b"))
       .dropDuplicates("doc_a", "doc_b")
 
-    pairs
+    rawPairs
+      .join(sigArr.select(col("doc").as("doc_a"), col("sig").as("sig_a")), "doc_a")
+      .join(sigArr.select(col("doc").as("doc_b"), col("sig").as("sig_b")), "doc_b")
       .withColumn("est_jaccard",
         size(filter(zip_with(col("sig_a"), col("sig_b"), (x, y) => x === y), b => b))
           .cast("double") / numHashes.toDouble)
@@ -133,7 +154,10 @@ object Dedup {
     * (id, shingle) self-join on shingle → per-pair intersection counts;
     * union sizes from per-doc shingle counts. `maxDocFreq` drops ubiquitous
     * shingles (stopword-like n-grams) that would otherwise create skewed,
-    * near-cartesian join keys — the standard scale guard for index joins.
+    * near-cartesian join keys — the standard scale guard for index joins
+    * (cost is Σ df² per shingle; one hot shingle dominates everything).
+    * Jaccard is computed over the surviving shingles on both sides of the
+    * ratio, so the metric stays internally consistent under the cap.
     */
   def ngramJaccardPairs(
       df: DataFrame,
@@ -142,12 +166,14 @@ object Dedup {
       shingleSize: Int = 3,
       threshold: Double = 0.5,
       maxDocFreq: Int = 1000): DataFrame = {
-    val sh = shingles(df, idCol, textCol, shingleSize).cache()
-    val sizes = sh.groupBy("doc").agg(count(lit(1)).as("n_sh"))
-    val filtered = sh.withColumn("df",
-        count(lit(1)).over(org.apache.spark.sql.expressions.Window.partitionBy("shingle")))
+    val sh = shingles(df, idCol, textCol, shingleSize)
+    val okShingles = sh.groupBy("shingle").agg(count(lit(1)).as("df"))
       .filter(col("df") <= maxDocFreq)
-      .drop("df")
+      .select("shingle")
+    // persisted: feeds per-doc sizes and both sides of the self-join
+    val filtered = sh.join(okShingles, "shingle")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val sizes = filtered.groupBy("doc").agg(count(lit(1)).as("n_sh"))
 
     val inter = filtered.as("x").join(filtered.as("y"),
         col("x.shingle") === col("y.shingle") && col("x.doc") < col("y.doc"))

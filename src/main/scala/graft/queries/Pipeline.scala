@@ -154,12 +154,14 @@ object Pipeline {
     //    synthetic corpus.
     Q("q_ngram_jaccard",
       (s, dir) => Dedup.ngramJaccardPairs(docs(s, dir), "doc_id", "text",
-          shingleSize = 2, threshold = 0.2, maxDocFreq = 1000000)
+          shingleSize = 2, threshold = 0.2, maxDocFreq = 100)
         .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 6).as("jaccard")),
       Some(s"""WITH t AS (SELECT doc_id, ${oTokens("text")} AS toks FROM documents),
-              |sh AS (SELECT doc_id AS doc, unnest(list_distinct(CASE WHEN len(toks) >= 2
+              |sh0 AS (SELECT doc_id AS doc, unnest(list_distinct(CASE WHEN len(toks) >= 2
               |         THEN list_transform(range(1, len(toks)), i -> array_to_string(toks[i:i+1], ' '))
               |         ELSE [array_to_string(toks, ' ')] END)) AS shingle FROM t),
+              |ok AS (SELECT shingle FROM sh0 GROUP BY shingle HAVING COUNT(*) <= 100),
+              |sh AS (SELECT doc, sh0.shingle FROM sh0 JOIN ok ON sh0.shingle = ok.shingle),
               |sizes AS (SELECT doc, COUNT(*) AS n_sh FROM sh GROUP BY doc),
               |inter AS (SELECT x.doc AS doc_a, y.doc AS doc_b, COUNT(*) AS i
               |          FROM sh x JOIN sh y ON x.shingle = y.shingle AND x.doc < y.doc

@@ -79,6 +79,11 @@ class Pipeline(spark: SparkSession, streaming: Boolean = false) {
           case "csv" => load("csv", Map("header" -> "true"))
           case "raw_string" =>
             if (streaming) spark.readStream.text(path) else spark.read.text(path)
+          case "debezium_json" =>
+            // CDC envelope {before, after, op} → flat rows + _is_retract
+            // (reference DebeziumUnrollingExec; formats.rs:69-180)
+            val raw = if (streaming) spark.readStream.text(path) else spark.read.text(path)
+            graft.streaming.Debezium.unroll(raw, "value", t.schema)
           case f => sys.error(s"unsupported format $f")
         }
       case "impulse" => Generators.impulse(spark, t, streaming)
@@ -105,19 +110,34 @@ class Pipeline(spark: SparkSession, streaming: Boolean = false) {
   // ── sinks ────────────────────────────────────────────────────────────
 
   def writeTo(sink: ConnectorTable, df: DataFrame): Unit = {
+    // debezium_json sinks: wrap rows in the CDC envelope first (reference
+    // ToDebeziumExec). Rows carrying `_updating_meta` (updating aggregates)
+    // encode retract/append as d/c ops; plain appends become op=c.
+    val out0 =
+      if (sink.format == "debezium_json") {
+        val withMeta =
+          if (df.columns.contains("_updating_meta")) df
+          else df.withColumn("_updating_meta",
+            org.apache.spark.sql.functions.struct(
+              org.apache.spark.sql.functions.lit(false).as("is_retract"),
+              org.apache.spark.sql.functions.lit("").as("id")))
+        withMeta.select(graft.streaming.Debezium.roll(withMeta).as("value"))
+      } else df
+
     if (!streaming) {
       sink.connector match {
         case "filesystem" | "single_file" =>
-          val w = df.write.mode("append")
+          val w = out0.write.mode("append")
           sink.format match {
             case "json" => w.json(sink.path.get)
+            case "debezium_json" => w.text(sink.path.get)
             case "parquet" => w.parquet(sink.path.get)
             case "csv" => w.option("header", "true").csv(sink.path.get)
             case f => sys.error(s"unsupported sink format $f")
           }
-        case "stdout" | "preview" => df.show(100, truncate = false)
-        case "blackhole" => df.write.format("noop").mode("overwrite").save()
-        case "memory" => df.createOrReplaceTempView(s"${sink.name}_result")
+        case "stdout" | "preview" => out0.show(100, truncate = false)
+        case "blackhole" => out0.write.format("noop").mode("overwrite").save()
+        case "memory" => out0.createOrReplaceTempView(s"${sink.name}_result")
         case c => sys.error(s"unsupported sink connector $c")
       }
     } else {
@@ -128,11 +148,12 @@ class Pipeline(spark: SparkSession, streaming: Boolean = false) {
         if (hasAggregation(df) && !hasTimeWindowGrouping(df)) "update" else "append")
       val cp = sink.options.getOrElse("checkpoint",
         java.nio.file.Files.createTempDirectory(s"graft-cp-${sink.name}").toString)
-      val ws = df.writeStream.outputMode(mode).option("checkpointLocation", cp)
+      val ws = out0.writeStream.outputMode(mode).option("checkpointLocation", cp)
         .trigger(Trigger.AvailableNow())
       val q = sink.connector match {
         case "filesystem" | "single_file" =>
-          ws.outputMode("append").format(sink.format).option("path", sink.path.get).start()
+          val fmt = if (sink.format == "debezium_json") "text" else sink.format
+          ws.outputMode("append").format(fmt).option("path", sink.path.get).start()
         case "stdout" | "preview" => ws.format("console").option("truncate", "false").start()
         case "blackhole" => ws.format("noop").start()
         case "memory" => ws.format("memory").queryName(s"${sink.name}_result").start()

@@ -1,0 +1,146 @@
+package graft
+
+import graft.functions.{Scalars, Udafs}
+import graft.operators.{AsyncUdf, LookupJoin}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+import java.util.concurrent.CompletableFuture
+
+class OperatorsSpec extends SparkSpec {
+
+  test("custom scalar functions: json extraction + multi_hash (Column + SQL surfaces)") {
+    import spark.implicits._
+    GraftSession.registerFunctions(spark)
+    val df = Seq((1L, """{"k": 42, "s": "hi"}""")).toDF("id", "js")
+    val r = df.select(
+      Scalars.getFirstJsonObject(col("js"), "$.k").as("k"),
+      Scalars.extractJson(col("js"), "$.s").as("arr"),
+      Scalars.multiHash(col("js")).as("mh")).collect()(0)
+    assert(r.getString(0) == "42")
+    assert(r.getSeq[String](1) == Seq("hi"))
+    assert(r.getString(2).length == 32)
+
+    df.createOrReplaceTempView("js_t")
+    val sqlR = spark.sql(
+      "SELECT get_first_json_object(js, '$.k') AS k, multi_hash(js) AS mh FROM js_t").collect()(0)
+    assert(sqlR.getString(0) == "42")
+    assert(sqlR.getString(1).length == 32)
+  }
+
+  test("UDAFs: my_median and max_product (reference udaf.sql)") {
+    import spark.implicits._
+    GraftSession.registerFunctions(spark)
+    Seq((1.0, 2.0), (3.0, 4.0), (5.0, 1.0), (7.0, 2.0))
+      .toDF("a", "b").createOrReplaceTempView("u_t")
+    val r = spark.sql(
+      "SELECT my_median(a) AS med, max_product(a, b) AS mp FROM u_t").collect()(0)
+    assert(r.getDouble(0) == 4.0) // median of 1,3,5,7
+    assert(r.getDouble(1) == 14.0) // 7*2
+  }
+
+  test("async UDF: ordered mode preserves input order, concurrency-bounded") {
+    import spark.implicits._
+    val df = (1 to 100).map(i => (i.toLong, s"v$i")).toDF("id", "v").repartition(2)
+    val out = AsyncUdf.withAsyncColumn(df, "res", LongType,
+      row => CompletableFuture.supplyAsync { () =>
+        Thread.sleep(1) // simulate remote latency
+        row.getLong(0) * 10
+      },
+      maxConcurrency = 8, ordered = true)
+    val rows = out.collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(rows.size == 100)
+    rows.foreach { case (id, res) => assert(res == id * 10) }
+  }
+
+  test("async UDF: timeout yields null instead of failing the job") {
+    import spark.implicits._
+    val df = Seq((1L, "slow"), (2L, "fast")).toDF("id", "v")
+    val out = AsyncUdf.withAsyncColumn(df, "res", StringType,
+      row => CompletableFuture.supplyAsync { () =>
+        if (row.getString(1) == "slow") Thread.sleep(5000)
+        row.getString(1).toUpperCase
+      },
+      maxConcurrency = 4, ordered = true, timeoutMs = 500)
+    val rows = out.collect().map(r => r.getLong(0) -> Option(r.getString(2))).toMap
+    assert(rows(1L).isEmpty)        // timed out → null
+    assert(rows(2L).contains("FAST"))
+  }
+
+  test("lookup join: static broadcast (inner/left) and restriction check") {
+    val events = Tables.load(spark, sfDir, "events")
+    val nation = Tables.load(spark, sfDir, "nation")
+    val enriched = LookupJoin.static_(
+      events.withColumn("n_nationkey", pmod(col("user_id"), lit(25)).cast("int")),
+      nation, Seq("n_nationkey"), "left")
+    assert(enriched.count() == events.count()) // left join keeps all rows
+    intercept[IllegalArgumentException] {
+      LookupJoin.static_(events, nation, Seq("n_nationkey"), "full_outer")
+    }
+  }
+
+  test("lookup join: per-partition cached fetch against a remote-store stub") {
+    import spark.implicits._
+    val fetchCount = spark.sparkContext.longAccumulator("fetches")
+    val df = (1 to 1000).map(i => (i.toLong, i % 10)).toDF("id", "k").repartition(2)
+    val outSchema = StructType(df.schema.fields :+ StructField("name", StringType))
+    val out = LookupJoin.perPartition[Int, String](
+      df,
+      keyOf = r => r.getInt(1),
+      fetch = keys => { fetchCount.add(keys.size); keys.map(k => k -> s"name-$k").toMap },
+      outSchema = outSchema,
+      project = (r, v) => org.apache.spark.sql.Row.fromSeq(r.toSeq :+ v.orNull))
+    val rows = out.collect()
+    assert(rows.length == 1000)
+    assert(rows.forall(r => r.getString(2) == s"name-${r.getInt(1)}"))
+    // cache effectiveness: 10 distinct keys × ≤2 partitions ≪ 1000 rows
+    assert(fetchCount.value <= 20, s"fetched ${fetchCount.value} keys")
+  }
+
+  test("streaming checkpoint restore: stop mid-stream, restart, identical final result") {
+    import org.apache.spark.sql.streaming.Trigger
+    val src = java.nio.file.Files.createTempDirectory("cp-src").toString
+    val cp = java.nio.file.Files.createTempDirectory("cp-chk").toString
+    val events = Tables.load(spark, sfDir, "events")
+    // split at a TIME boundary (a paused stream, not interleaved ids) so
+    // run-1's closed windows carry complete counts
+    val mid = lit("2024-01-15").cast("timestamp")
+    events.filter(col("ts") < mid).write.parquet(s"$src/p=a")
+    val agg = () => graft.operators.TimeWindows.tumbleAgg(
+      spark.readStream.schema(events.schema).option("maxFilesPerTrigger", "1").parquet(src)
+        .withWatermark("ts", "1 second"),
+      "ts", "1 hour", Seq(col("event_type")), Seq(count(lit(1)).as("n")))
+
+    val outDir = java.nio.file.Files.createTempDirectory("cp-out").toString
+
+    // run 1: consume what's there, then stop (simulates failure/stop);
+    // file sink = recoverable + exactly-once
+    val q1 = agg().writeStream.format("parquet").outputMode("append")
+      .option("path", outDir)
+      .option("checkpointLocation", cp).trigger(Trigger.AvailableNow()).start()
+    q1.awaitTermination(120000)
+
+    // more data arrives while "down"
+    events.filter(col("ts") >= mid).write.mode("append").parquet(s"$src/p=b")
+
+    // run 2: restart from the same checkpoint into the same sink
+    val q2 = agg().writeStream.format("parquet").outputMode("append")
+      .option("path", outDir)
+      .option("checkpointLocation", cp).trigger(Trigger.AvailableNow()).start()
+    q2.awaitTermination(120000)
+
+    // sink contents = exactly the windows closed across both runs; every
+    // emitted row must agree with a batch aggregate over the full data
+    // (no dup, no loss: batch-1 state survives the restart)
+    val restored = spark.read.parquet(outDir)
+      .select("window_start", "event_type", "n")
+      .collect().map(r => (r.getTimestamp(0), r.getString(1)) -> r.getLong(2)).toMap
+    val full = graft.operators.TimeWindows.tumbleAgg(events, "ts", "1 hour",
+        Seq(col("event_type")), Seq(count(lit(1)).as("n")))
+      .select("window_start", "event_type", "n")
+      .collect().map(r => (r.getTimestamp(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(restored.nonEmpty)
+    restored.foreach { case (k, n) =>
+      assert(full.get(k).contains(n), s"window $k: restored $n vs batch ${full.get(k)}")
+    }
+  }
+}
