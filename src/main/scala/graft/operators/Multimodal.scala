@@ -1,0 +1,135 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, Encoder, Row}
+import org.apache.spark.sql.catalyst.encoders.RowEncoder
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Multimodal columns for training-data pipelines: image/audio/video as
+  * opaque `binary` columns + typed metadata, with decode / feature-extract /
+  * resize / frame-sample stages.
+  *
+  * The Spark-side plumbing is real: schemas, partition-size control, batched
+  * `mapPartitions` over rows (the Scala analogue of `mapInPandas` — one
+  * iterator per partition, vectorizable per chunk), deterministic outputs.
+  * The codec itself is STUBBED — this container has no image/audio
+  * libraries — behind [[Codec]]: `decodeReal` is `???` (the integration
+  * point for an actual decoder), and the default [[Codec.decodeFake]] is a
+  * deterministic pure-JVM fake so every downstream stage is testable.
+  */
+object Multimodal {
+
+  /** media metadata struct carried next to the bytes */
+  val metaSchema: StructType = StructType(Seq(
+    StructField("media_type", StringType),   // image | audio | video
+    StructField("format", StringType),       // png/jpeg/wav/mp4/…
+    StructField("width", IntegerType),
+    StructField("height", IntegerType),
+    StructField("n_frames", IntegerType),
+    StructField("sample_rate", IntegerType)))
+
+  /** A decoded frame: row-major grayscale f32 pixels (fake decode). */
+  final case class Frame(width: Int, height: Int, pixels: Array[Float])
+
+  /** Codec boundary: swap [[decodeFake]] for a real implementation when the
+    * image/audio libraries are available.
+    */
+  object Codec {
+    /** Integration point for a real decoder (javax.imageio / ffmpeg / …). */
+    def decodeReal(bytes: Array[Byte], format: String): Frame = ???
+
+    /** Deterministic fake: pixels derived from a rolling hash of the bytes —
+      * stable across runs/executors, so tests and benchmarks are exact.
+      */
+    def decodeFake(bytes: Array[Byte], width: Int, height: Int): Frame = {
+      val px = new Array[Float](width * height)
+      var h = 1125899906842597L
+      var i = 0
+      while (i < bytes.length) { h = 31 * h + bytes(i); i += 1 }
+      var p = 0
+      while (p < px.length) {
+        h ^= h << 13; h ^= h >>> 7; h ^= h << 17 // xorshift
+        px(p) = ((h & 0xFFFF).toFloat / 65535.0f)
+        p += 1
+      }
+      Frame(width, height, px)
+    }
+  }
+
+  /** Attach a metadata struct column for raw media bytes. */
+  def withMeta(df: DataFrame, bytesCol: String, mediaType: String, format: String,
+      width: Int, height: Int): DataFrame =
+    df.withColumn("media_meta", struct(
+      lit(mediaType).as("media_type"), lit(format).as("format"),
+      lit(width).as("width"), lit(height).as("height"),
+      lit(1).as("n_frames"), lit(0).as("sample_rate")))
+
+  /** Decode + feature-extract: bytes → fixed-size embedding (mean-pooled
+    * patch intensities of the decoded frame). Batched per partition; the
+    * per-row work is pure function of (bytes, meta) so it parallelizes and
+    * re-executes deterministically (speculative tasks safe).
+    */
+  def extractFeatures(df: DataFrame, bytesCol: String, dim: Int = 16): DataFrame = {
+    val outSchema = StructType(df.schema.fields :+
+      StructField("features", ArrayType(FloatType), nullable = true))
+    implicit val enc: Encoder[Row] = RowEncoder.encoderFor(outSchema)
+    val bytesIdx = df.schema.fieldIndex(bytesCol)
+    val metaIdx = df.schema.fieldIndex("media_meta")
+    df.mapPartitions { rows =>
+      rows.map { r =>
+        val bytes = r.getAs[Array[Byte]](bytesIdx)
+        if (bytes == null) Row.fromSeq(r.toSeq :+ null)
+        else {
+          val meta = r.getStruct(metaIdx)
+          val frame = Codec.decodeFake(bytes, meta.getInt(2), meta.getInt(3))
+          Row.fromSeq(r.toSeq :+ meanPool(frame, dim))
+        }
+      }
+    }
+  }
+
+  /** Resize: re-decode at a target geometry (fake decode keeps determinism;
+    * real codec would interpolate). Output replaces bytes-derived pixels
+    * with a `frame` struct column.
+    */
+  def resize(df: DataFrame, bytesCol: String, w: Int, h: Int): DataFrame = {
+    val frameSchema = StructType(Seq(
+      StructField("width", IntegerType), StructField("height", IntegerType),
+      StructField("pixels", ArrayType(FloatType))))
+    val outSchema = StructType(df.schema.fields :+ StructField("frame", frameSchema))
+    implicit val enc: Encoder[Row] = RowEncoder.encoderFor(outSchema)
+    val bytesIdx = df.schema.fieldIndex(bytesCol)
+    df.mapPartitions { rows =>
+      rows.map { r =>
+        val bytes = r.getAs[Array[Byte]](bytesIdx)
+        if (bytes == null) Row.fromSeq(r.toSeq :+ null)
+        else {
+          val f = Codec.decodeFake(bytes, w, h)
+          Row.fromSeq(r.toSeq :+ Row(f.width, f.height, f.pixels.toSeq))
+        }
+      }
+    }
+  }
+
+  /** Frame sampling for video-ish media: one row per sampled frame index
+    * (`explode` of a deterministic index sequence — the shape a frame
+    * sampler needs; the decode of each frame is the stubbed codec).
+    */
+  def sampleFrames(df: DataFrame, everyN: Int): DataFrame =
+    df.withColumn("frame_idx",
+        explode(sequence(lit(0), greatest(col("media_meta.n_frames") - 1, lit(0)), lit(everyN))))
+
+  private def meanPool(frame: Frame, dim: Int): Seq[Float] = {
+    val out = new Array[Float](dim)
+    val counts = new Array[Int](dim)
+    var i = 0
+    while (i < frame.pixels.length) {
+      val b = i * dim / frame.pixels.length
+      out(b) += frame.pixels(i); counts(b) += 1
+      i += 1
+    }
+    var b = 0
+    while (b < dim) { if (counts(b) > 0) out(b) /= counts(b); b += 1 }
+    out.toSeq
+  }
+}
