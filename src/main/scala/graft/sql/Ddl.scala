@@ -49,6 +49,12 @@ object Ddl {
   final case class CreateView(name: String, query: String) extends Stmt
   final case class Insert(sink: String, query: String) extends Stmt
   final case class Query(query: String) extends Stmt
+  /** `SET key = value` — the reference supports only `SET updating_ttl`
+    * (crates/arroyo-planner/src/lib.rs:790-819).
+    */
+  final case class SetOption(key: String, value: String) extends Stmt
+
+  private val SetRe = """(?is)^\s*SET\s+([A-Za-z_][A-Za-z0-9_.]*)\s*=\s*(.+?)\s*$""".r
 
   /** Split a script into statements on top-level semicolons (quote-aware). */
   def splitStatements(script: String): Seq[String] = {
@@ -98,7 +104,22 @@ object Ddl {
       CreateTbl(ConnectorTable(name, columns, options, et, delay))
     case CreateViewRe(name, q) => CreateView(name, q)
     case InsertRe(sink, q) => Insert(sink, q)
+    case SetRe(k, v) => SetOption(k.toLowerCase, v.stripPrefix("'").stripSuffix("'"))
     case q => Query(q)
+  }
+
+  /** True if the statement has `kw` at paren-depth 0 (top level). */
+  def hasTopLevel(q: String, kw: String): Boolean = {
+    val re = s"(?i)\\b${kw.replace(" ", "\\s+")}\\b".r
+    var depth = 0
+    var inS = false
+    val depths = q.map { c =>
+      if (c == '\'') inS = !inS
+      else if (!inS && c == '(') depth += 1
+      else if (!inS && c == ')') depth -= 1
+      depth
+    }
+    re.findAllMatchIn(q).exists(m => depths(m.start) == 0)
   }
 
   /** Parse `k = 'v', k2 = 'v2'` WITH-options. */

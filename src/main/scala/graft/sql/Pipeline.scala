@@ -27,6 +27,8 @@ class Pipeline(spark: SparkSession, streaming: Boolean = false) {
   private var catalog = Map.empty[String, ConnectorTable]
   private var queries = List.empty[StreamingQuery]
   private var lastResult: Option[DataFrame] = None
+  /** `SET updating_ttl` (reference default 24h, lib.rs:104-110). */
+  var updatingTtl: String = "24 hours"
 
   /** Run a full SQL script; returns the last bare-SELECT's DataFrame. */
   def run(script: String): Option[DataFrame] = {
@@ -46,10 +48,30 @@ class Pipeline(spark: SparkSession, streaming: Boolean = false) {
     case Insert(sinkName, q) =>
       val sink = catalog.getOrElse(sinkName,
         throw new IllegalArgumentException(s"unknown sink table $sinkName"))
+      rejectUnsupportedStreaming(q)
       writeTo(sink, spark.sql(rewriteWindows(q)))
 
     case Query(q) =>
       lastResult = Some(spark.sql(rewriteWindows(q)))
+
+    case SetOption(key, value) => key match {
+      case "updating_ttl" =>
+        updatingTtl = value.replaceAll("(?i)^interval\\s+", "").stripPrefix("'").stripSuffix("'")
+      case k => sys.error(s"unsupported SET option: $k (reference supports only updating_ttl)")
+    }
+  }
+
+  /** The reference rejects top-level ORDER BY and LIMIT on unbounded
+    * pipelines (plan/mod.rs:352-354, 393-395) — mirror that in streaming
+    * mode (batch mode accepts them; Spark supports both there).
+    */
+  private def rejectUnsupportedStreaming(q: String): Unit = if (streaming) {
+    if (Ddl.hasTopLevel(q, "order by"))
+      throw new IllegalArgumentException(
+        "ORDER BY is not supported in streaming pipelines (reference parity, plan/mod.rs:352-354)")
+    if (Ddl.hasTopLevel(q, "limit"))
+      throw new IllegalArgumentException(
+        "LIMIT is not supported in streaming pipelines (reference parity, plan/mod.rs:393-395)")
   }
 
   // ── sources ──────────────────────────────────────────────────────────
@@ -86,8 +108,8 @@ class Pipeline(spark: SparkSession, streaming: Boolean = false) {
             graft.streaming.Debezium.unroll(raw, "value", t.schema)
           case f => sys.error(s"unsupported format $f")
         }
-      case "impulse" => Generators.impulse(spark, t, streaming)
-      case "nexmark" => Generators.nexmarkBids(spark, t, streaming)
+      case "impulse" => Generators.renameTo(Generators.impulse(spark, t, streaming), t)
+      case "nexmark" => Generators.renameTo(Generators.nexmarkBids(spark, t, streaming), t)
       case "kafka" =>
         val reader = if (streaming) spark.readStream else sys.error("kafka requires streaming mode")
         reader.format("kafka")
@@ -240,6 +262,21 @@ class Pipeline(spark: SparkSession, streaming: Boolean = false) {
   */
 object Generators {
   import Ddl.ConnectorTable
+
+  /** Project a generator's fixed output onto the DDL-declared column names
+    * (positional): users name the columns in CREATE TABLE, the generator
+    * defines the values — mirror the reference where the DDL schema is the
+    * user surface. Declaring fewer columns keeps a prefix.
+    */
+  def renameTo(df: DataFrame, t: ConnectorTable): DataFrame = {
+    val declared = t.columns.filter(_.virtualExpr.isEmpty).map(_.name)
+    if (declared.isEmpty) df
+    else {
+      require(declared.size <= df.columns.length,
+        s"table ${t.name} declares ${declared.size} columns; connector ${t.connector} provides ${df.columns.length}")
+      df.select(df.columns.take(declared.size).map(col).toIndexedSeq: _*).toDF(declared: _*)
+    }
+  }
 
   def impulse(spark: SparkSession, t: ConnectorTable, streaming: Boolean): DataFrame = {
     val rate = t.options.getOrElse("event_rate", "1000").toDouble

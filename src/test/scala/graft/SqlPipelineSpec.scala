@@ -127,6 +127,44 @@ class SqlPipelineSpec extends SparkSpec {
     assert(r.getLong(0) >= 100 && r.getLong(1) > 100)
   }
 
+  test("SET updating_ttl and streaming ORDER BY/LIMIT rejection (reference parity)") {
+    val p = new Pipeline(spark, streaming = true)
+    p.runStatement(Ddl.parse("SET updating_ttl = INTERVAL '1 hour'"))
+    assert(p.updatingTtl == "'1 hour'".stripPrefix("'").stripSuffix("'"))
+    p.runStatement(Ddl.parse(
+      "CREATE TABLE s (ts TIMESTAMP, k TEXT) WITH (connector='impulse', type='source')"))
+    p.runStatement(Ddl.parse("CREATE TABLE out WITH (connector='blackhole', type='sink')"))
+    intercept[IllegalArgumentException] {
+      p.runStatement(Ddl.parse("INSERT INTO out SELECT * FROM s ORDER BY ts"))
+    }
+    intercept[IllegalArgumentException] {
+      p.runStatement(Ddl.parse("INSERT INTO out SELECT * FROM s LIMIT 5"))
+    }
+    // subquery LIMIT stays legal (only top-level is rejected)
+    assert(!Ddl.hasTopLevel("SELECT * FROM (SELECT * FROM s LIMIT 5)", "limit"))
+  }
+
+  test("nexmark q5: hot auctions (hop-window counts joined to per-window max)") {
+    val p = new Pipeline(spark)
+    p.runStatement(Ddl.parse(
+      "CREATE TABLE bids (datetime TIMESTAMP, auction BIGINT, bidder BIGINT, price BIGINT, " +
+        "channel TEXT, url TEXT, extra TEXT) " +
+        "WITH (connector='nexmark', message_count='20000', type='source', event_time_field='datetime')"))
+    val q5 = p.run(
+      """CREATE VIEW counts AS
+        |SELECT auction, window.start AS ws, count(*) AS n
+        |FROM bids GROUP BY auction, hop(interval '2 seconds', interval '10 seconds');
+        |
+        |SELECT c.auction, c.ws, c.n FROM counts c
+        |JOIN (SELECT ws, max(n) AS maxn FROM counts GROUP BY ws) m
+        |  ON c.ws = m.ws AND c.n = m.maxn""".stripMargin).get
+    val rows = q5.collect()
+    assert(rows.nonEmpty)
+    // every emitted row is a per-window maximum
+    val byWs = rows.groupBy(_.getTimestamp(1))
+    byWs.foreach { case (_, rs) => assert(rs.map(_.getLong(2)).distinct.length == 1) }
+  }
+
   test("nexmark q5 shape: hot auctions via hop window + window join") {
     val p = new Pipeline(spark)
     p.runStatement(Ddl.parse(
