@@ -1,7 +1,7 @@
 package graft.operators
 
 import graft.functions.VectorOps
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -69,6 +69,45 @@ object Similarity {
     val cb = corpus.withColumn("bucket", lshSignature(col(vecCol), nPlanes))
     val qb = queries.withColumn("bucket", lshSignature(col(queryVecCol), nPlanes))
     val scored = cb.join(broadcast(qb), "bucket")
+      .withColumn("sim", VectorOps.cosineF(col(vecCol), col(queryVecCol)))
+    val w = Window.partitionBy(col(queryIdCol)).orderBy(col("sim").desc, col(idCol))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col(queryIdCol), col(idCol), col("sim"), col("rank"))
+  }
+
+  /** IVF (inverted-file) ANN: partition the corpus into `nCentroids` cells
+    * around sampled centroid vectors; a query probes its `nProbe` nearest
+    * cells and reranks exactly inside them — the classic recall/cost dial
+    * for billion-vector search. Centroids are hash-sampled corpus rows
+    * (deterministic, no stored model, no training iterations — a k-means
+    * refinement can slot in without changing the query path).
+    *
+    * Scale: cell assignment is one broadcast pass over the corpus; the
+    * search join touches ~nProbe/nCentroids of the data per query.
+    */
+  def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+      nCentroids: Int = 16, nProbe: Int = 4,
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      queryIdCol: String = "query_id", queryVecCol: String = "query_vec"): DataFrame = {
+    val centroids = corpus
+      .withColumn("r", pmod(xxhash64(col(idCol)), lit(1000000)))
+      .orderBy(col("r"), col(idCol)).limit(nCentroids)
+      .select(col(idCol).as("cid"), col(vecCol).as("cvec"))
+
+    def nearest(df: DataFrame, id: Column, vec: Column, keep: Int) = {
+      val w = Window.partitionBy(id).orderBy(col("csim").desc, col("cid"))
+      df.crossJoin(broadcast(centroids))
+        .withColumn("csim", VectorOps.cosineF(vec, col("cvec")))
+        .withColumn("crn", row_number().over(w))
+        .filter(col("crn") <= keep)
+        .drop("cvec", "csim", "crn")
+    }
+
+    val cells = nearest(corpus, col(idCol), col(vecCol), 1)
+    val probes = nearest(queries, col(queryIdCol), col(queryVecCol), nProbe)
+
+    val scored = cells.join(broadcast(probes), "cid")
       .withColumn("sim", VectorOps.cosineF(col(vecCol), col(queryVecCol)))
     val w = Window.partitionBy(col(queryIdCol)).orderBy(col("sim").desc, col(idCol))
     scored.withColumn("rank", row_number().over(w))

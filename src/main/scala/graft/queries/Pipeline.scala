@@ -213,6 +213,17 @@ object Pipeline {
         Similarity.lshTopK(emb(s, dir), queries, k = 5, nPlanes = 6)
           .select(col("query_id"), col("vec_id"), col("rank"))
       },
+      None),
+
+    // ── IVF ANN (inverted-file cells around sampled centroids; probe-and-
+    //    rerank — the billion-vector architecture)
+    Q("q_ann_ivf",
+      (s, dir) => {
+        val queries = emb(s, dir).filter(col("vec_id") % 50 === 0)
+          .select(col("vec_id").as("query_id"), col("embedding").as("query_vec"))
+        Similarity.ivfTopK(emb(s, dir), queries, k = 5, nCentroids = 16, nProbe = 4)
+          .select(col("query_id"), col("vec_id"), col("rank"))
+      },
       None)
   )
 }

@@ -330,6 +330,100 @@ object Relational {
              |  CAST(floor(o_totalprice / 50000) AS BIGINT) AS bucket50k
              |FROM orders""".stripMargin)),
 
+    // ── string-function battery (trim/pad/replace/regexp/split — the
+    //    DataFusion string library surface, SURVEY §2.4)
+    Q("q_string_fns",
+      (s, dir) => t(s, dir, "part")
+        .select(
+          col("p_partkey"),
+          trim(col("p_name")).as("name_trim"),
+          lpad(col("p_brand"), 12, "_").as("brand_pad"),
+          regexp_replace(col("p_type"), "[aeiou]", "").as("type_novowel"),
+          regexp_extract(col("p_type"), "^(\\w+)", 1).as("type_first"),
+          split(col("p_name"), " ").getItem(0).as("name_head"),
+          reverse(col("p_brand")).as("brand_rev"),
+          translate(col("p_brand"), "#", "-").as("brand_dash"),
+          instr(col("p_name"), "a").cast("long").as("a_pos"),
+          repeat(col("p_brand"), 2).as("brand_x2")),
+      Some("""SELECT p_partkey,
+             |  trim(p_name) AS name_trim,
+             |  lpad(p_brand, 12, '_') AS brand_pad,
+             |  regexp_replace(p_type, '[aeiou]', '', 'g') AS type_novowel,
+             |  regexp_extract(p_type, '^(\w+)', 1) AS type_first,
+             |  string_split(p_name, ' ')[1] AS name_head,
+             |  reverse(p_brand) AS brand_rev,
+             |  replace(p_brand, '#', '-') AS brand_dash,
+             |  CAST(instr(p_name, 'a') AS BIGINT) AS a_pos,
+             |  repeat(p_brand, 2) AS brand_x2
+             |FROM part""".stripMargin)),
+
+    // ── time-function battery (date arithmetic / extraction / epoch)
+    Q("q_time_fns",
+      (s, dir) => t(s, dir, "orders")
+        .select(
+          col("o_orderkey"),
+          date_add(col("o_orderdate"), 30).as("plus30"),
+          datediff(lit("2000-01-01").cast("date"), col("o_orderdate")).as("days_to_y2k"),
+          unix_timestamp(col("o_orderdate")).as("epoch_s"),
+          quarter(col("o_orderdate")).as("qtr"),
+          dayofweek(col("o_orderdate")).as("dow"),
+          last_day(col("o_orderdate")).as("month_end")),
+      Some("""SELECT o_orderkey,
+             |  CAST(o_orderdate + INTERVAL '30 days' AS DATE) AS plus30,
+             |  CAST(datediff('day', CAST(o_orderdate AS DATE), DATE '2000-01-01') AS INTEGER) AS days_to_y2k,
+             |  CAST(epoch(o_orderdate) AS BIGINT) AS epoch_s,
+             |  CAST(quarter(o_orderdate) AS INTEGER) AS qtr,
+             |  CAST(dayofweek(o_orderdate) + 1 AS INTEGER) AS dow,
+             |  CAST(last_day(CAST(o_orderdate AS DATE)) AS DATE) AS month_end
+             |FROM orders""".stripMargin)),
+
+    // ── CUBE grouping (full grouping-set surface beyond ROLLUP)
+    Q("q_cube",
+      (s, dir) => t(s, dir, "orders")
+        .cube(col("o_orderstatus"), col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("sum_price"))
+        .select(
+          coalesce(col("o_orderstatus"), lit("ALL")).as("st"),
+          coalesce(col("o_orderpriority"), lit("ALL")).as("pri"),
+          col("n"), col("sum_price")),
+      Some(s"""SELECT coalesce(o_orderstatus, 'ALL') AS st, coalesce(o_orderpriority, 'ALL') AS pri,
+              |  COUNT(*) AS n, ${oSum("o_totalprice")} AS sum_price
+              |FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)""".stripMargin)),
+
+    // ── ranking-function battery: rank/dense_rank/ntile/percent_rank over
+    //    a deterministic ordering
+    Q("q_rank_fns",
+      (s, dir) => {
+        val w = Window.partitionBy(col("c_mktsegment"))
+          .orderBy(col("c_acctbal").desc, col("c_custkey"))
+        t(s, dir, "customer")
+          .select(
+            col("c_custkey"), col("c_mktsegment"),
+            rank().over(w).as("rnk"),
+            dense_rank().over(w).as("drnk"),
+            ntile(4).over(w).as("quartile"),
+            round(percent_rank().over(w), 6).as("prank"))
+      },
+      Some("""SELECT c_custkey, c_mktsegment,
+             |  CAST(rank() OVER w AS INTEGER) AS rnk,
+             |  CAST(dense_rank() OVER w AS INTEGER) AS drnk,
+             |  CAST(ntile(4) OVER w AS INTEGER) AS quartile,
+             |  round(percent_rank() OVER w, 6) AS prank
+             |FROM customer
+             |WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal DESC, c_custkey)""".stripMargin)),
+
+    // ── approximate aggregates (reference approx_distinct / approx_
+    //    percentile via DataFusion; HLL++ / GK-sketch here — algorithms
+    //    differ from DuckDB's, so rows-only + ApproxSpec bounds)
+    Q("q_approx_aggs",
+      (s, dir) => t(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(
+          approx_count_distinct(col("l_partkey")).as("approx_parts"),
+          percentile_approx(col("l_extendedprice"), lit(0.5), lit(10000)).as("approx_median"),
+          percentile_approx(col("l_extendedprice"), lit(0.95), lit(10000)).as("approx_p95")),
+      None),
+
     // ── JSON path extraction (reference: datafusion-functions-json +
     //    get_first_json_object custom scalar, functions.rs:55-97)
     Q("q_json_fns",

@@ -40,6 +40,26 @@ class SimilaritySpec extends SparkSpec {
     rank1.foreach { case (q, top) => assert(top == q, s"query $q top-1 is $top") }
   }
 
+  test("ivfTopK: rank-1 self-retrieval and high recall vs exact top-k") {
+    val corpus = Tables.load(spark, sfDir, "embeddings")
+    val queries = corpus.filter(col("vec_id") % 100 === 0)
+      .select(col("vec_id").as("query_id"), col("embedding").as("query_vec"))
+    val ivf = Similarity.ivfTopK(corpus, queries, k = 5, nCentroids = 8, nProbe = 3)
+      .collect().map(r => (r.getLong(0), r.getInt(3)) -> r.getLong(1)).toMap
+    // a query always lands in its own cell → must retrieve itself at rank 1
+    ivf.keys.map(_._1).toSeq.distinct.foreach(q => assert(ivf((q, 1)) == q))
+    // recall@5 vs exact: probing 3/8 cells must stay well above random
+    val exact = Similarity.bruteForceTopK(corpus, queries, k = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).groupBy(_._1)
+      .view.mapValues(_.map(_._2).toSet).toMap
+    val hits = exact.keys.toSeq.map { q =>
+      val got = (1 to 5).flatMap(rk => ivf.get((q, rk))).toSet
+      (got intersect exact(q)).size.toDouble / 5.0
+    }
+    val recall = hits.sum / hits.size
+    assert(recall >= 0.4, s"recall@5 = $recall")
+  }
+
   test("cosineDupPairs finds injected duplicate embeddings") {
     import spark.implicits._
     val v1 = Array.tabulate(8)(i => (i + 1).toFloat)

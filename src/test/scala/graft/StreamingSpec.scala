@@ -124,6 +124,37 @@ class StreamingSpec extends SparkSpec {
     assert(back == Set(("a", 10L, false), ("a", 9L, true)))
   }
 
+  test("stream-stream interval join (JoinWithExpiration semantics) matches batch") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    def t(s: String) = Timestamp.valueOf(s)
+    val left = MemoryStream[(Long, Timestamp)]
+    val right = MemoryStream[(Long, Timestamp)]
+    val l = left.toDF().toDF("uid", "sg_ts").withWatermark("sg_ts", "1 second")
+    val r = right.toDF().toDF("p_uid", "pu_ts").withWatermark("pu_ts", "1 second")
+    val joined = l.join(r,
+      col("uid") === col("p_uid") &&
+        col("pu_ts") >= col("sg_ts") &&
+        col("pu_ts") < col("sg_ts") + org.apache.spark.sql.functions.expr("INTERVAL 30 MINUTES"))
+    val q = joined.writeStream.format("memory").queryName("ssj")
+      .outputMode("append").start()
+
+    left.addData((1L, t("2024-01-01 10:00:00")), (2L, t("2024-01-01 10:05:00")))
+    right.addData((1L, t("2024-01-01 10:10:00")))   // in range for uid 1
+    q.processAllAvailable()
+    right.addData((2L, t("2024-01-01 11:05:00")))   // out of range for uid 2
+    right.addData((1L, t("2024-01-01 10:29:00")))   // second match for uid 1
+    q.processAllAvailable()
+
+    val got = spark.table("ssj")
+      .select("uid", "pu_ts")
+      .collect().map(r => (r.getLong(0), r.getTimestamp(1).toString)).toSet
+    assert(got == Set(
+      (1L, "2024-01-01 10:10:00.0"),
+      (1L, "2024-01-01 10:29:00.0")), s"got $got")
+    q.stop()
+  }
+
   test("late rows beyond the watermark are dropped in streaming aggregation") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
