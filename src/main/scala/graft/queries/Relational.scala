@@ -248,6 +248,43 @@ object Relational {
              |INTERSECT
              |SELECT o_custkey FROM orders WHERE o_orderpriority = '5-LOW'""".stripMargin)),
 
+    // ── EXCEPT (set difference; reference lowers to anti join)
+    Q("q_except",
+      (s, dir) => t(s, dir, "orders").filter(col("o_orderpriority") === "1-URGENT")
+        .select(col("o_custkey"))
+        .except(t(s, dir, "orders").filter(col("o_orderpriority") === "5-LOW")
+          .select(col("o_custkey"))),
+      Some("""SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+             |EXCEPT
+             |SELECT o_custkey FROM orders WHERE o_orderpriority = '5-LOW'""".stripMargin)),
+
+    // ── array/struct type surface (SURVEY §1.2): construction, access,
+    //    slicing, sort, containment, zip — over the embeddings list column
+    Q("q_array_fns",
+      (s, dir) => Tables.load(s, dir, "embeddings")
+        .select(
+          col("vec_id"),
+          size(col("embedding")).as("dim"),
+          round(col("embedding").getItem(0).cast("double"), 6).as("first"),
+          round(element_at(col("embedding"), -1).cast("double"), 6).as("last"),
+          round(array_max(col("embedding")).cast("double"), 6).as("mx"),
+          round(array_min(col("embedding")).cast("double"), 6).as("mn"),
+          size(filter(col("embedding"), x => x > 0.0f)).as("n_pos"),
+          round(aggregate(col("embedding"), lit(0.0),
+            (acc, x) => acc + x.cast("double")), 6).as("sum_all"),
+          round(slice(col("embedding"), 1, 4).getItem(2).cast("double"), 6).as("third")),
+      Some("""SELECT vec_id,
+             |  CAST(len(embedding) AS INTEGER) AS dim,
+             |  round(CAST(embedding[1] AS DOUBLE), 6) AS first,
+             |  round(CAST(embedding[-1] AS DOUBLE), 6) AS last,
+             |  round(CAST(list_max(embedding) AS DOUBLE), 6) AS mx,
+             |  round(CAST(list_min(embedding) AS DOUBLE), 6) AS mn,
+             |  CAST(len(list_filter(embedding, x -> x > 0.0)) AS INTEGER) AS n_pos,
+             |  round(list_reduce(list_transform(embedding, x -> CAST(x AS DOUBLE)),
+             |                    (acc, x) -> acc + x), 6) AS sum_all,
+             |  round(CAST(embedding[3] AS DOUBLE), 6) AS third
+             |FROM embeddings""".stripMargin)),
+
     // ── SQL window functions (reference WindowFunction operator,
     //    window_fn.rs): rank within partition, deterministic tie-break
     Q("q_window_fn",

@@ -96,6 +96,24 @@ class OperatorsSpec extends SparkSpec {
     assert(fetchCount.value <= 20, s"fetched ${fetchCount.value} keys")
   }
 
+  test("salted skew join equals plain join, spreads hot keys over salts") {
+    import spark.implicits._
+    // one pathological hot key (90% of rows) + tail
+    val large = ((1 to 900).map(i => (1L, i)) ++ (1 to 100).map(i => ((i % 7 + 2).toLong, i)))
+      .toDF("k", "v")
+    val small = Seq((1L, "hot"), (2L, "a"), (3L, "b"), (4L, "c")).toDF("sk", "name")
+    val plain = large.join(small, col("k") === col("sk")).drop("sk")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2))).toSet
+    val salted = graft.operators.SkewJoin.saltedEquiJoin(large, small, "k", "sk", salts = 8)
+      .drop("sk")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2))).toSet
+    assert(salted == plain)
+    // left join keeps unmatched rows exactly once
+    val lplain = large.join(small, col("k") === col("sk"), "left").drop("sk").count()
+    val lsalted = graft.operators.SkewJoin.saltedEquiJoin(large, small, "k", "sk", 8, "left").count()
+    assert(lplain == lsalted && lsalted == 1000)
+  }
+
   test("streaming checkpoint restore: stop mid-stream, restart, identical final result") {
     import org.apache.spark.sql.streaming.Trigger
     val src = java.nio.file.Files.createTempDirectory("cp-src").toString

@@ -144,6 +144,22 @@ class SqlPipelineSpec extends SparkSpec {
     assert(!Ddl.hasTopLevel("SELECT * FROM (SELECT * FROM s LIMIT 5)", "limit"))
   }
 
+  test("non-windowed streaming aggregate runs in update mode (updating-agg surface)") {
+    val cars = writeCarsFixture()
+    val p = new Pipeline(spark, streaming = true)
+    p.run(
+      s"""CREATE TABLE cars (
+         |  timestamp TIMESTAMP, driver_id BIGINT, event_type TEXT, location TEXT
+         |) WITH (connector = 'single_file', path = '$cars', format = 'json',
+         |        type = 'source', event_time_field = 'timestamp');
+         |CREATE TABLE sink WITH (connector = 'memory', type = 'sink');
+         |INSERT INTO sink SELECT event_type, count(*) AS n FROM cars GROUP BY event_type""".stripMargin)
+    val got = spark.table("sink_result")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // update mode emits the latest value per key — final counts over all rows
+    assert(got == Map("pickup" -> 4L, "dropoff" -> 2L), s"got $got")
+  }
+
   test("nexmark q5: hot auctions (hop-window counts joined to per-window max)") {
     val p = new Pipeline(spark)
     p.runStatement(Ddl.parse(
