@@ -29,6 +29,9 @@ object GraftSession {
       .config("spark.sql.files.maxPartitionBytes", (128L * 1024 * 1024).toString)
       // testdata events.parquet stores TIMESTAMP(NANOS); Spark has no ns type.
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // keep managed tables (bucketing) out of the working directory
+      .config("spark.sql.warehouse.dir",
+        s"${System.getProperty("java.io.tmpdir")}/graft-warehouse")
 
   def defaultCpus: String = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
 

@@ -255,6 +255,13 @@ object Dedup {
       .select("doc_a", "doc_b", "hamming")
   }
 
+  /** Streaming exact dedup: keep the first occurrence of each key within
+    * the watermark horizon (state expires with the event-time watermark —
+    * bounded state, the streaming analogue of [[exact]]).
+    */
+  def streamingExact(df: DataFrame, tsCol: String, delay: String, keyCols: String*): DataFrame =
+    df.withWatermark(tsCol, delay).dropDuplicatesWithinWatermark(keyCols.toSeq)
+
   /** Lowercased whitespace tokens with empties removed — the shared
     * tokenizer for all text operators (kept trivially SQL-portable so
     * DuckDB oracles can reproduce it).

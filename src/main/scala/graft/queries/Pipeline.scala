@@ -180,6 +180,17 @@ object Pipeline {
         shingleSize = 2, numHashes = 64, bands = 16, threshold = 0.5),
       None),
 
+    // ── end-to-end dedup pipeline: minhash-LSH pairs → per-doc keeper
+    //    assignment (every doc maps to its cluster representative)
+    Q("q_dedup_keeper",
+      (s, dir) => {
+        val d = docs(s, dir)
+        val pairs = Dedup.minhashLshPairs(d, "doc_id", "text",
+          shingleSize = 2, numHashes = 64, bands = 16, threshold = 0.5)
+        Dedup.keeperAssignment(d, "doc_id", pairs)
+      },
+      None),
+
     // ── SimHash fingerprints + near-dup pairs (rows-only; DedupSpec covers
     //    correctness)
     Q("q_simhash",

@@ -96,6 +96,49 @@ class OperatorsSpec extends SparkSpec {
     assert(fetchCount.value <= 20, s"fetched ${fetchCount.value} keys")
   }
 
+  test("bucketed tables join without a shuffle exchange") {
+    import graft.operators.Bucketing
+    val orders = Tables.load(spark, sfDir, "orders")
+    val lineitem = Tables.load(spark, sfDir, "lineitem")
+    Bucketing.writeBucketed(orders, "orders_b", "o_orderkey", 8)
+    Bucketing.writeBucketed(lineitem, "lineitem_b", "l_orderkey", 8)
+    // force SMJ so the bucketing (not a broadcast) eliminates the exchange
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val joined = Bucketing.bucketedJoin(spark, "orders_b", "lineitem_b",
+        "o_orderkey", "l_orderkey")
+      assert(!Bucketing.hasShuffle(joined), "bucketed join should be exchange-free")
+      assert(joined.count() == lineitem.count())
+      // the same join on raw (unbucketed) frames does shuffle
+      val raw = orders.join(lineitem, orders("o_orderkey") === lineitem("l_orderkey"))
+      assert(Bucketing.hasShuffle(raw))
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
+  test("streaming exact dedup keeps first occurrence within the watermark") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val input = MemoryStream[(java.sql.Timestamp, Long, String)]
+    val dedup = graft.operators.Dedup.streamingExact(
+      input.toDF().toDF("ts", "id", "v"), "ts", "10 minutes", "id")
+    val q = dedup.writeStream.format("memory").queryName("sdedup")
+      .outputMode("append").start()
+    input.addData(
+      (ts("2024-01-01 10:00:00"), 1L, "first"),
+      (ts("2024-01-01 10:01:00"), 1L, "dup"),
+      (ts("2024-01-01 10:02:00"), 2L, "only"))
+    q.processAllAvailable()
+    input.addData((ts("2024-01-01 10:03:00"), 1L, "dup2"))
+    q.processAllAvailable()
+    val got = spark.table("sdedup")
+      .collect().map(r => r.getLong(1) -> r.getString(2)).toMap
+    assert(got == Map(1L -> "first", 2L -> "only"), s"got $got")
+    q.stop()
+  }
+
   test("salted skew join equals plain join, spreads hot keys over salts") {
     import spark.implicits._
     // one pathological hot key (90% of rows) + tail
