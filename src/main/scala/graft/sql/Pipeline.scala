@@ -278,19 +278,15 @@ object Generators {
     }
   }
 
+  /** Rides the custom DSv2 source (graft.sources.ImpulseSourceProvider):
+    * deterministic event times, bounded by message_count, exactly-once
+    * offsets in streaming.
+    */
   def impulse(spark: SparkSession, t: ConnectorTable, streaming: Boolean): DataFrame = {
-    val rate = t.options.getOrElse("event_rate", "1000").toDouble
-    if (streaming) {
-      spark.readStream.format("rate").option("rowsPerSecond", rate.toLong.max(1)).load()
-        .select(col("timestamp"), col("value").as("counter"), lit(0L).as("subtask_index"))
-    } else {
-      val n = t.options.getOrElse("message_count", "1000").toLong
-      val start = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
-      spark.range(n).select(
-        timestamp_micros(unix_micros(lit(start).cast("timestamp")) +
-          (col("id") * 1000000.0 / rate).cast("long")).as("timestamp"),
-        col("id").as("counter"), lit(0L).as("subtask_index"))
-    }
+    val opts = t.options.filter { case (k, _) =>
+      Set("event_rate", "message_count", "start_ts", "parallelism")(k) }
+    if (streaming) spark.readStream.format("graft-impulse").options(opts).load()
+    else spark.read.format("graft-impulse").options(opts).load()
   }
 
   /** Nexmark bid stream subset (schema: nexmark/mod.rs:56-66): auction,
