@@ -4,6 +4,7 @@ import graft.sql.Ddl._
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+import org.apache.spark.sql.types.StructType
 
 /** SQL pipeline runner: the reference's only entry point is a SQL script
   * (`CREATE TABLE … WITH(…); INSERT INTO sink SELECT …`) compiled to a
@@ -85,19 +86,24 @@ class Pipeline(spark: SparkSession, streaming: Boolean = false) {
     val base = t.connector match {
       case "filesystem" | "single_file" =>
         val path = t.path.getOrElse(sys.error(s"table ${t.name}: path required"))
-        def load(fmt: String, opts: Map[String, String] = Map.empty): DataFrame =
+        def load(fmt: String, opts: Map[String, String] = Map.empty,
+            schema: StructType = t.schema): DataFrame =
           if (streaming) {
             // Spark's file stream source requires a directory; single_file
             // tables point at one file → stream the parent dir filtered to it
             val f = new java.io.File(path)
             val (dir, extra) =
               if (f.isFile) (f.getParent, Map("pathGlobFilter" -> f.getName)) else (path, Map.empty)
-            spark.readStream.schema(t.schema).format(fmt).options(opts ++ extra).load(dir)
+            spark.readStream.schema(schema).format(fmt).options(opts ++ extra).load(dir)
           } else
-            spark.read.schema(t.schema).format(fmt).options(opts).load(path)
+            spark.read.schema(schema).format(fmt).options(opts).load(path)
         t.format match {
           case "json" => load("json")
-          case "parquet" => load("parquet")
+          case "parquet" =>
+            // parquet is self-describing: read the file's own schema (the
+            // declared one may disagree on physical types, e.g.
+            // TIMESTAMP(NANOS) surfacing as LONG) and align to DDL below
+            load("parquet", schema = spark.read.parquet(path).schema)
           case "csv" => load("csv", Map("header" -> "true"))
           case "raw_string" =>
             if (streaming) spark.readStream.text(path) else spark.read.text(path)
@@ -119,13 +125,31 @@ class Pipeline(spark: SparkSession, streaming: Boolean = false) {
           .load()
       case c => sys.error(s"unsupported connector $c")
     }
-    val withVirtual = t.columns.filter(_.virtualExpr.isDefined).foldLeft(base) {
+    // parquet TIMESTAMP(NANOS) reads as LONG under nanosAsLong: when the
+    // DDL declares TIMESTAMP, rebuild the µs timestamp (ns truncated —
+    // SURVEY §1.2's documented precision mapping)
+    val nsFixed = t.columns.filter(_.virtualExpr.isEmpty).foldLeft(base) { (df, cd) =>
+      val declared = org.apache.spark.sql.types.DataType.fromDDL(cd.sqlType)
+      val actual = df.schema.fields.find(_.name == cd.name).map(_.dataType)
+      if (declared == org.apache.spark.sql.types.TimestampType &&
+          actual.contains(org.apache.spark.sql.types.LongType))
+        df.withColumn(cd.name, timestamp_micros(expr(s"`${cd.name}` div 1000")))
+      else df
+    }
+    val withVirtual = t.columns.filter(_.virtualExpr.isDefined).foldLeft(nsFixed) {
       case (df, cd) => df.withColumn(cd.name, expr(cd.virtualExpr.get))
     }
+    // the DDL is the user surface: project to exactly the declared columns
+    // (kafka-style envelope frames keep their raw shape — payload columns
+    // appear only after format decoding)
+    val projected =
+      if (t.columns.nonEmpty && t.columns.forall(c => withVirtual.columns.contains(c.name)))
+        withVirtual.select(t.columns.map(c => col(c.name)).toIndexedSeq: _*)
+      else withVirtual
     t.eventTimeField match {
       case Some(f) if streaming =>
-        withVirtual.withWatermark(f, t.watermarkDelay.getOrElse("1 second"))
-      case _ => withVirtual
+        projected.withWatermark(f, t.watermarkDelay.getOrElse("1 second"))
+      case _ => projected
     }
   }
 

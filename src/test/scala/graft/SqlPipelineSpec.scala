@@ -127,6 +127,21 @@ class SqlPipelineSpec extends SparkSpec {
     assert(r.getLong(0) >= 100 && r.getLong(1) > 100)
   }
 
+  test("nanosecond-timestamp parquet works through the SQL front-end") {
+    val p = new Pipeline(spark, streaming = false)
+    val res = p.run(
+      s"""CREATE TABLE ev (
+         |  event_id BIGINT, ts TIMESTAMP, user_id BIGINT,
+         |  event_type TEXT, value DOUBLE, props TEXT
+         |) WITH (connector = 'filesystem', path = '$sfDir/events.parquet',
+         |        format = 'parquet', type = 'source', event_time_field = 'ts');
+         |SELECT window.start AS ws, count(*) AS n
+         |FROM ev GROUP BY tumble(interval '1 day')""".stripMargin).get
+    val rows = res.collect()
+    assert(rows.length == 30) // January 2024 events: one window per day
+    assert(rows.map(_.getLong(1)).sum == Tables.load(spark, sfDir, "events").count())
+  }
+
   test("SET updating_ttl and streaming ORDER BY/LIMIT rejection (reference parity)") {
     val p = new Pipeline(spark, streaming = true)
     p.runStatement(Ddl.parse("SET updating_ttl = INTERVAL '1 hour'"))
