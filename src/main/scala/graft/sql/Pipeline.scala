@@ -123,6 +123,17 @@ class Pipeline(spark: SparkSession, streaming: Boolean = false) {
             case (k, v) if k.startsWith("kafka.") || k == "subscribe" || k == "startingoffsets" => k -> v
           })
           .load()
+      case "sse" =>
+        if (!streaming) sys.error("sse requires streaming mode")
+        spark.readStream.format("graft-sse")
+          .options(t.options.filter { case (k, _) => Set("endpoint", "events", "headers")(k) })
+          .load()
+      case "polling_http" =>
+        if (!streaming) sys.error("polling_http requires streaming mode")
+        spark.readStream.format("graft-polling-http")
+          .options(t.options.filter { case (k, _) =>
+            Set("endpoint", "method", "body", "poll_interval_ms", "emit_behavior", "headers")(k) })
+          .load()
       case c => sys.error(s"unsupported connector $c")
     }
     // parquet TIMESTAMP(NANOS) reads as LONG under nanosAsLong: when the
@@ -184,6 +195,9 @@ class Pipeline(spark: SparkSession, streaming: Boolean = false) {
         case "stdout" | "preview" => out0.show(100, truncate = false)
         case "blackhole" => out0.write.format("noop").mode("overwrite").save()
         case "memory" => out0.createOrReplaceTempView(s"${sink.name}_result")
+        case "webhook" =>
+          graft.sinks.WebhookSink.writeBatch(out0, sink.options("endpoint"),
+            graft.sources.HttpConf.headers(sink.options))
         case c => sys.error(s"unsupported sink connector $c")
       }
     } else {
@@ -205,6 +219,11 @@ class Pipeline(spark: SparkSession, streaming: Boolean = false) {
         case "memory" => ws.format("memory").queryName(s"${sink.name}_result").start()
         case "kafka" =>
           ws.format("kafka").options(sink.options.filter(_._1.startsWith("kafka."))).start()
+        case "webhook" =>
+          val endpoint = sink.options("endpoint")
+          val headers = graft.sources.HttpConf.headers(sink.options)
+          ws.foreachBatch((b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+            graft.sinks.WebhookSink.writeBatch(b.toDF(), endpoint, headers)).start()
         case c => sys.error(s"unsupported sink connector $c")
       }
       queries ::= q
