@@ -134,6 +134,12 @@ class Pipeline(spark: SparkSession, streaming: Boolean = false) {
           .options(t.options.filter { case (k, _) =>
             Set("endpoint", "method", "body", "poll_interval_ms", "emit_behavior", "headers")(k) })
           .load()
+      case "websocket" =>
+        if (!streaming) sys.error("websocket requires streaming mode")
+        spark.readStream.format("graft-websocket")
+          .options(t.options.filter { case (k, _) =>
+            k == "endpoint" || k == "headers" || k.startsWith("subscription_message") })
+          .load()
       case c => sys.error(s"unsupported connector $c")
     }
     // parquet TIMESTAMP(NANOS) reads as LONG under nanosAsLong: when the
