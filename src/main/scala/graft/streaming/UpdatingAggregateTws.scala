@@ -22,13 +22,22 @@ import org.apache.spark.sql.streaming._
   */
 object UpdatingAggregateTws {
 
+  /** Encoders derived ONCE per JVM. `Encoders.product` goes through Scala
+    * 2.13 runtime reflection, which serializes on a global lock —
+    * deriving it inside `Processor.init` (per state partition, per batch,
+    * on executor task threads) livelocks under 32 concurrent partitions.
+    * Object-val initialization is lazy and synchronized exactly once.
+    */
+  private[streaming] val accEncoder = Encoders.product[Acc]
+  private[streaming] val updatingEncoder = Encoders.product[Updating]
+
   class Processor(ttl: Option[java.time.Duration])
       extends StatefulProcessor[String, (String, Double), Updating] {
     @transient private var acc: ValueState[Acc] = _
 
     override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
       val cfg = ttl.map(TTLConfig(_)).getOrElse(TTLConfig.NONE)
-      acc = getHandle.getValueState[Acc]("acc", Encoders.product[Acc], cfg)
+      acc = getHandle.getValueState[Acc]("acc", accEncoder, cfg)
     }
 
     override def handleInputRows(key: String, rows: Iterator[(String, Double)],
@@ -61,7 +70,7 @@ object UpdatingAggregateTws {
       .groupByKey(_._1)
       .transformWithState(new Processor(ttl),
         if (ttl.isDefined) TimeMode.ProcessingTime() else TimeMode.None(),
-        OutputMode.Update(), Encoders.product[Updating])
+        OutputMode.Update(), updatingEncoder)
       .toDF()
       .select(col("key"), col("n"), col("total").as("sum"), col("lo").as("min"),
         col("hi").as("max"), col("mean").as("avg"),

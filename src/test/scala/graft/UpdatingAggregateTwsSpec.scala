@@ -15,11 +15,18 @@ class UpdatingAggregateTwsSpec extends SparkSpec {
 
   private def withRocksDb(f: => Unit): Unit = {
     val prev = spark.conf.getOption(providerKey)
+    val prevShuffle = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set(providerKey, rocks)
+    // state partitions = shuffle partitions at query start; keep the
+    // RocksDB instance count small for the test
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
     try f
-    finally prev match {
-      case Some(v) => spark.conf.set(providerKey, v)
-      case None => spark.conf.unset(providerKey)
+    finally {
+      spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+      prev match {
+        case Some(v) => spark.conf.set(providerKey, v)
+        case None => spark.conf.unset(providerKey)
+      }
     }
   }
 
@@ -61,18 +68,30 @@ class UpdatingAggregateTwsSpec extends SparkSpec {
         ttl = Some(java.time.Duration.ofMillis(500)))
       val q = updates.writeStream.format("memory").queryName("tws_ttl")
         .outputMode("update").start()
-      try {
-        input.addData(("a", 1.0))
-        q.processAllAvailable()
-        Thread.sleep(1200) // let the 500ms TTL lapse
-        input.addData(("a", 10.0))
-        q.processAllAvailable()
-        val rows = spark.table("tws_ttl")
+      // NOTE: with TimeMode.ProcessingTime, TransformWithStateExec.
+      // shouldRunAnotherBatch is always true (Spark 4.1, SPARK-50180), so
+      // micro-batches run back-to-back and processAllAvailable never
+      // observes quiescence — poll the memory sink with a deadline instead.
+      def sinkRows(): Set[(String, Long, Double, Boolean)] =
+        spark.table("tws_ttl")
           .select(col("key"), col("n"), col("sum"), col("_updating_meta.is_retract"))
           .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2), r.getBoolean(3))).toSet
+      def awaitRows(expected: Set[(String, Long, Double, Boolean)], timeoutMs: Long = 60000): Unit = {
+        val deadline = System.currentTimeMillis() + timeoutMs
+        var got = sinkRows()
+        while (got != expected && System.currentTimeMillis() < deadline) {
+          Thread.sleep(200); got = sinkRows()
+        }
+        assert(got == expected, s"got $got")
+      }
+      try {
+        input.addData(("a", 1.0))
+        awaitRows(Set(("a", 1L, 1.0, false)))
+        Thread.sleep(1200) // let the 500ms TTL lapse
+        input.addData(("a", 10.0))
         // second event sees expired state → fresh n=1 append, no retraction
         // of the pre-TTL value (reference parity: TTL'd state just vanishes)
-        assert(rows == Set(("a", 1L, 1.0, false), ("a", 1L, 10.0, false)), s"got $rows")
+        awaitRows(Set(("a", 1L, 1.0, false), ("a", 1L, 10.0, false)))
       } finally q.stop()
     }
   }
