@@ -1,11 +1,10 @@
 package graft.operators
 
 import org.apache.spark.sql.{DataFrame, Encoder, Row}
-import org.apache.spark.sql.catalyst.encoders.{ExpressionEncoder, RowEncoder}
+import org.apache.spark.sql.catalyst.encoders.RowEncoder
 import org.apache.spark.sql.types.{DataType, StructField, StructType}
 
-import java.util.concurrent.{CompletableFuture, Semaphore}
-import scala.jdk.CollectionConverters._
+import java.util.concurrent.{CompletableFuture, LinkedBlockingQueue, TimeUnit}
 
 /** Async scalar UDF executor — the reference's AsyncUdf operator
   * (crates/arroyo-worker/src/arrow/async_udf.rs:33-495): up to
@@ -22,6 +21,13 @@ object AsyncUdf {
 
   /** Append `outCol` computed by `fn` (run asynchronously) to every row.
     *
+    * Ordered mode keeps a sliding window of up to `maxConcurrency` submitted
+    * futures: the head is drained while the tail keeps filling, so calls
+    * genuinely overlap (wall-time ≈ n/maxConcurrency × latency, not
+    * n × latency). Unordered mode emits rows in *completion* order through a
+    * completion queue, never holding more than `maxConcurrency` rows in
+    * flight (no whole-partition buffering).
+    *
     * @param ordered  true = emit in input order (reference Ordered mode);
     *                 false = emit as completions arrive
     * @param timeoutMs per-call timeout; a timed-out call yields null
@@ -37,33 +43,53 @@ object AsyncUdf {
 
     val outSchema = StructType(df.schema.fields :+ StructField(outCol, outType, nullable = true))
     implicit val enc: Encoder[Row] = RowEncoder.encoderFor(outSchema)
+    val window = math.max(1, maxConcurrency)
 
     df.mapPartitions { rows =>
-      val sem = new Semaphore(maxConcurrency)
-      val inFlight = new java.util.concurrent.ConcurrentLinkedQueue[(Row, CompletableFuture[Any])]()
+      // orTimeout bounds every future, so a hung call surfaces as an
+      // exceptional completion instead of wedging the queue/deque drain.
+      def submit(r: Row): CompletableFuture[Any] =
+        fn(r).orTimeout(timeoutMs, TimeUnit.MILLISECONDS)
 
-      def complete(row: Row, fut: CompletableFuture[Any]): Row = {
-        val v = try fut.get(timeoutMs, java.util.concurrent.TimeUnit.MILLISECONDS)
-        catch { case _: Exception => null }
-        Row.fromSeq(row.toSeq :+ v)
-      }
+      def value(fut: CompletableFuture[Any]): Any =
+        try fut.join() catch { case _: Exception => null }
 
       if (ordered) {
-        // sliding window of futures, emitted in submission order
-        val buffered = rows.map { r =>
-          sem.acquire()
-          val fut = fn(r).whenComplete((_, _) => sem.release())
-          (r, fut)
+        new Iterator[Row] {
+          private val pending = new java.util.ArrayDeque[(Row, CompletableFuture[Any])](window)
+          private def fill(): Unit =
+            while (pending.size < window && rows.hasNext) {
+              val r = rows.next()
+              pending.addLast((r, submit(r)))
+            }
+          fill()
+          override def hasNext: Boolean = !pending.isEmpty
+          override def next(): Row = {
+            val (r, fut) = pending.pollFirst()
+            fill() // refill the window BEFORE blocking on the head
+            Row.fromSeq(r.toSeq :+ value(fut))
+          }
         }
-        buffered.map { case (r, f) => complete(r, f) }
       } else {
-        // drain completions as they finish
-        rows.foreach { r =>
-          sem.acquire()
-          val fut = fn(r).whenComplete((_, _) => sem.release())
-          inFlight.add((r, fut))
+        new Iterator[Row] {
+          private val done = new LinkedBlockingQueue[(Row, CompletableFuture[Any])]()
+          private var inFlight = 0
+          private def fill(): Unit =
+            while (inFlight < window && rows.hasNext) {
+              val r = rows.next()
+              val fut = submit(r)
+              inFlight += 1
+              fut.whenComplete((_, _) => done.put((r, fut)))
+            }
+          fill()
+          override def hasNext: Boolean = inFlight > 0
+          override def next(): Row = {
+            val (r, fut) = done.take() // completion order
+            inFlight -= 1
+            fill()
+            Row.fromSeq(r.toSeq :+ value(fut))
+          }
         }
-        inFlight.asScala.iterator.map { case (r, f) => complete(r, f) }
       }
     }
   }

@@ -1,10 +1,10 @@
 package graft.queries
 
 import graft.Tables
-import graft.operators.{Dedup, Similarity, TextAnalysis}
+import graft.operators.{AsyncUdf, Dedup, Similarity, TextAnalysis}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.DecimalType
+import org.apache.spark.sql.types.{DecimalType, LongType}
 
 /** Training-data pipeline inventory over `documents` and `embeddings`:
   * deduplication (exact / minhash-LSH / simhash / n-gram Jaccard), text
@@ -190,6 +190,20 @@ object Pipeline {
         Dedup.keeperAssignment(d, "doc_id", pairs)
       },
       None),
+
+    // ── async UDF enrichment (reference async_udf.rs): a deterministic
+    //    "remote call" per row through the concurrent sliding-window
+    //    executor, so the operator itself gets a DuckDB-checked row
+    Q("q_async_udf",
+      (s, dir) => AsyncUdf.withAsyncColumn(
+        docs(s, dir).select(col("doc_id"), col("text")),
+        "enriched", LongType,
+        row => java.util.concurrent.CompletableFuture.supplyAsync { () =>
+          row.getString(1).length.toLong * 2 + 7
+        },
+        maxConcurrency = 16, ordered = true)
+        .select(col("doc_id"), col("enriched")),
+      Some("SELECT doc_id, CAST(length(text) * 2 + 7 AS BIGINT) AS enriched FROM documents")),
 
     // ── SimHash fingerprints + near-dup pairs (rows-only; DedupSpec covers
     //    correctness)

@@ -52,6 +52,50 @@ class OperatorsSpec extends SparkSpec {
     rows.foreach { case (id, res) => assert(res == id * 10) }
   }
 
+  test("async UDF: ordered mode genuinely overlaps calls (wall-time bound)") {
+    import spark.implicits._
+    // 32 rows × 100ms latency in ONE partition: serial = 3.2s; with
+    // maxConcurrency=16 the sliding window should finish in ~2 × 100ms
+    // (+ overhead). Assert well under the serial bound.
+    val df = (1 to 32).map(i => (i.toLong, s"v$i")).toDF("id", "v").coalesce(1)
+    val t0 = System.nanoTime()
+    val out = AsyncUdf.withAsyncColumn(df, "res", LongType,
+      row => CompletableFuture.supplyAsync { () =>
+        Thread.sleep(100)
+        row.getLong(0) * 10
+      },
+      maxConcurrency = 16, ordered = true)
+    val rows = out.collect()
+    val elapsedMs = (System.nanoTime() - t0) / 1000000
+    assert(rows.map(_.getLong(0)).toSeq == (1L to 32L)) // input order kept
+    rows.foreach(r => assert(r.getLong(2) == r.getLong(0) * 10))
+    assert(elapsedMs < 1600, s"expected overlapped execution, took ${elapsedMs}ms (serial would be 3200ms)")
+  }
+
+  test("async UDF: unordered mode emits in completion order, bounded in-flight") {
+    import spark.implicits._
+    import java.util.concurrent.atomic.AtomicInteger
+    // Row 1 is slow; with completion-order emission it must NOT block the
+    // fast rows behind it. Also track peak in-flight ≤ maxConcurrency.
+    val peak = new AtomicInteger(0)
+    val cur = new AtomicInteger(0)
+    val df = (1 to 20).map(i => (i.toLong, s"v$i")).toDF("id", "v").coalesce(1)
+    val out = AsyncUdf.withAsyncColumn(df, "res", LongType,
+      row => CompletableFuture.supplyAsync { () =>
+        val c = cur.incrementAndGet()
+        peak.updateAndGet(p => math.max(p, c))
+        try {
+          if (row.getLong(0) == 1L) Thread.sleep(800) else Thread.sleep(10)
+          row.getLong(0) * 10
+        } finally cur.decrementAndGet()
+      },
+      maxConcurrency = 4, ordered = false)
+    val ids = out.collect().map(_.getLong(0)).toSeq
+    assert(ids.toSet == (1L to 20L).toSet)
+    assert(ids.last == 1L, s"slow row should surface last in completion order, got $ids")
+    assert(peak.get() <= 4, s"in-flight exceeded maxConcurrency: ${peak.get()}")
+  }
+
   test("async UDF: timeout yields null instead of failing the job") {
     import spark.implicits._
     val df = Seq((1L, "slow"), (2L, "fast")).toDF("id", "v")
