@@ -198,6 +198,11 @@ object Dedup {
     * runs it map-side first, so the shuffle carries one 64-int vector per
     * doc per partition, not the tokens).
     */
+  // unsafe-array encoder (not java serialization) for the shuffle-crossing
+  // partial buffers; derived once per JVM
+  private val intArrayEncoder: org.apache.spark.sql.Encoder[Array[Int]] =
+    org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Int]]()
+
   val simhashAgg: Aggregator[Long, Array[Int], Long] = new Aggregator[Long, Array[Int], Long] {
     def zero: Array[Int] = new Array[Int](64)
     def reduce(acc: Array[Int], tokenHash: Long): Array[Int] = {
@@ -219,8 +224,7 @@ object Dedup {
       while (i < 64) { if (acc(i) > 0) r |= (1L << i); i += 1 }
       r
     }
-    def bufferEncoder: org.apache.spark.sql.Encoder[Array[Int]] =
-      org.apache.spark.sql.Encoders.javaSerialization[Array[Int]]
+    def bufferEncoder: org.apache.spark.sql.Encoder[Array[Int]] = intArrayEncoder
     def outputEncoder: org.apache.spark.sql.Encoder[Long] =
       org.apache.spark.sql.Encoders.scalaLong
   }

@@ -56,7 +56,10 @@ object Ddl {
 
   private val SetRe = """(?is)^\s*SET\s+([A-Za-z_][A-Za-z0-9_.]*)\s*=\s*(.+?)\s*$""".r
 
-  /** Split a script into statements on top-level semicolons (quote-aware). */
+  /** Split a script into statements on top-level semicolons. Quote-aware
+    * AND comment-aware in one scanner pass: a `;` or `'` inside a `--` line
+    * comment neither splits the statement nor flips the in-string state.
+    */
   def splitStatements(script: String): Seq[String] = {
     val out = Seq.newBuilder[String]
     val cur = new StringBuilder
@@ -64,33 +67,19 @@ object Ddl {
     var i = 0
     while (i < script.length) {
       val c = script.charAt(i)
-      c match {
-        case '\'' => inS = !inS; cur += c
-        case ';' if !inS => out += cur.toString; cur.clear()
-        case _ => cur += c
+      if (!inS && c == '-' && i + 1 < script.length && script.charAt(i + 1) == '-') {
+        while (i < script.length && script.charAt(i) != '\n') i += 1 // drop comment
+      } else {
+        c match {
+          case '\'' => inS = !inS; cur += c
+          case ';' if !inS => out += cur.toString; cur.clear()
+          case _ => cur += c
+        }
+        i += 1
       }
-      i += 1
     }
     out += cur.toString
-    out.result().map(stripComments).map(_.trim).filter(_.nonEmpty)
-  }
-
-  private def stripComments(s: String): String =
-    s.linesIterator.map { l =>
-      val idx = findCommentStart(l)
-      if (idx >= 0) l.substring(0, idx) else l
-    }.mkString("\n")
-
-  private def findCommentStart(l: String): Int = {
-    var inS = false
-    var i = 0
-    while (i < l.length - 1) {
-      val c = l.charAt(i)
-      if (c == '\'') inS = !inS
-      else if (!inS && c == '-' && l.charAt(i + 1) == '-') return i
-      i += 1
-    }
-    -1
+    out.result().map(_.trim).filter(_.nonEmpty)
   }
 
   def parse(statement: String): Stmt = statement match {

@@ -24,7 +24,37 @@ class OperatorsSpec extends SparkSpec {
     val sqlR = spark.sql(
       "SELECT get_first_json_object(js, '$.k') AS k, multi_hash(js) AS mh FROM js_t").collect()(0)
     assert(sqlR.getString(0) == "42")
-    assert(sqlR.getString(1).length == 32)
+    // SQL and Column surfaces must compute the SAME hash (expression-builder
+    // registration shares the xxhash64 pair)
+    assert(sqlR.getString(1) == r.getString(2))
+  }
+
+  test("json functions: real parser semantics (nested paths, escapes, wildcards)") {
+    import spark.implicits._
+    GraftSession.registerFunctions(spark)
+    val nested = """{"a": {"k": 1}, "k": "top", "q": "say \"hi\"", "xs": [{"v": 1}, {"v": 2}]}"""
+    val df = Seq(Tuple1(nested)).toDF("js")
+    df.createOrReplaceTempView("js_nested")
+    val r = spark.sql(
+      """SELECT get_first_json_object(js, '$.k') AS top_k,
+        |       get_first_json_object(js, '$.a.k') AS nested_k,
+        |       get_first_json_object(js, '$.q') AS escaped,
+        |       extract_json(js, '$.xs[*].v') AS all_vs
+        |FROM js_nested""".stripMargin).collect()(0)
+    // '$.k' must match the TOP-LEVEL key, not the nested a.k (the old regex
+    // parser got this wrong)
+    assert(r.getString(0) == "top")
+    assert(r.getString(1) == "1")
+    assert(r.getString(2) == "say \"hi\"")
+    assert(r.getSeq[String](3) == Seq("1", "2")) // ALL matches, not first
+  }
+
+  test("multi_hash: column-wise hashing prevents delimiter collisions") {
+    import spark.implicits._
+    GraftSession.registerFunctions(spark)
+    val r = Seq(("a b", "c", "a", "b c")).toDF("w", "x", "y", "z")
+      .selectExpr("multi_hash(w, x) AS h1", "multi_hash(y, z) AS h2").collect()(0)
+    assert(r.getString(0) != r.getString(1))
   }
 
   test("UDAFs: my_median and max_product (reference udaf.sql)") {

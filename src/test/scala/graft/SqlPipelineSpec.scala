@@ -10,6 +10,16 @@ import org.apache.spark.sql.functions._
   */
 class SqlPipelineSpec extends SparkSpec {
 
+  test("splitStatements: semicolons and quotes inside -- comments are inert") {
+    val script =
+      """-- leading comment; with a semicolon and a stray ' quote
+        |CREATE TABLE t (x INT); -- trailing; comment
+        |SELECT 'semi ; colon' FROM t;
+        |-- final comment only""".stripMargin
+    val stmts = Ddl.splitStatements(script)
+    assert(stmts == Seq("CREATE TABLE t (x INT)", "SELECT 'semi ; colon' FROM t"))
+  }
+
   private def tmp(): String = java.nio.file.Files.createTempDirectory("graft-sql").toString
 
   private def writeCarsFixture(): String = {
