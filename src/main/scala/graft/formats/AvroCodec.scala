@@ -1,0 +1,357 @@
+package graft.formats
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.types._
+
+import java.io.{ByteArrayOutputStream, EOFException, InputStream, OutputStream}
+import java.nio.ByteBuffer
+import java.nio.charset.StandardCharsets
+
+/** Minimal Apache Avro binary codec over Spark rows — no external jar
+  * (spark-avro isn't in the container), implementing the subset of the
+  * spec the reference's AvroFormat uses
+  * (crates/arroyo-rpc/src/formats.rs:245-395, crates/arroyo-formats/src/
+  * avro/): record schemas with nullable-union fields, raw datums,
+  * Confluent Schema Registry wire framing (magic 0x00 + 4-byte schema id),
+  * and Object Container Files (null codec) for the filesystem connector.
+  *
+  * The DDL-declared StructType is both writer and reader schema; schema
+  * resolution between differing schemas is out of scope (the reference
+  * fetches the writer schema from the registry for that).
+  *
+  * Supported Spark types: BOOLEAN, INT, BIGINT, FLOAT, DOUBLE, STRING,
+  * BINARY, TIMESTAMP (avro long/timestamp-micros), DATE (avro int/date),
+  * ARRAY, MAP<STRING,_>, nested STRUCT. Every field encodes as the
+  * union ["null", T] (Spark fields are nullable by default).
+  */
+object AvroCodec {
+
+  // ── schema JSON ───────────────────────────────────────────────────────
+
+  /** The Avro record schema (as JSON) for a StructType — what goes in the
+    * OCF `avro.schema` header or gets registered with a schema registry.
+    */
+  def avroSchemaJson(schema: StructType, name: String): String = {
+    def quote(s: String) = "\"" + s + "\""
+    def typeJson(dt: DataType): String = dt match {
+      case BooleanType => quote("boolean")
+      case IntegerType | ShortType | ByteType => quote("int")
+      case LongType => quote("long")
+      case FloatType => quote("float")
+      case DoubleType => quote("double")
+      case StringType => quote("string")
+      case BinaryType => quote("bytes")
+      case TimestampType => """{"type": "long", "logicalType": "timestamp-micros"}"""
+      case DateType => """{"type": "int", "logicalType": "date"}"""
+      case ArrayType(et, _) => s"""{"type": "array", "items": ${unionJson(et)}}"""
+      case MapType(StringType, vt, _) => s"""{"type": "map", "values": ${unionJson(vt)}}"""
+      case st: StructType => recordJson(st, name + "_rec" + st.hashCode.abs)
+      case other => throw new IllegalArgumentException(s"avro: unsupported type $other")
+    }
+    def unionJson(dt: DataType): String = s"""["null", ${typeJson(dt)}]"""
+    def recordJson(st: StructType, recName: String): String = {
+      val fields = st.fields.map(f =>
+        s"""{"name": ${quote(f.name)}, "type": ${unionJson(f.dataType)}, "default": null}""")
+      s"""{"type": "record", "name": ${quote(recName)}, "fields": [${fields.mkString(", ")}]}"""
+    }
+    recordJson(schema, name)
+  }
+
+  // ── primitive encoding ────────────────────────────────────────────────
+
+  private def writeVarLong(out: OutputStream, v0: Long): Unit = {
+    // zigzag then base-128 varint (Avro spec, binary encoding)
+    var v = (v0 << 1) ^ (v0 >> 63)
+    while ((v & ~0x7fL) != 0) {
+      out.write(((v & 0x7f) | 0x80).toInt)
+      v >>>= 7
+    }
+    out.write(v.toInt)
+  }
+
+  private def readVarLong(in: InputStream): Long = {
+    var shift = 0
+    var acc = 0L
+    var b = in.read()
+    if (b < 0) throw new EOFException("avro: EOF in varint")
+    while ((b & 0x80) != 0) {
+      acc |= (b & 0x7fL) << shift
+      shift += 7
+      b = in.read()
+      if (b < 0) throw new EOFException("avro: EOF in varint")
+    }
+    acc |= (b & 0x7fL) << shift
+    (acc >>> 1) ^ -(acc & 1) // un-zigzag
+  }
+
+  private def writeBytes(out: OutputStream, b: Array[Byte]): Unit = {
+    writeVarLong(out, b.length.toLong)
+    out.write(b)
+  }
+
+  private def readNBytes(in: InputStream, n: Int): Array[Byte] = {
+    val buf = new Array[Byte](n)
+    var off = 0
+    while (off < n) {
+      val r = in.read(buf, off, n - off)
+      if (r < 0) throw new EOFException(s"avro: EOF reading $n bytes")
+      off += r
+    }
+    buf
+  }
+
+  private def readBytes(in: InputStream): Array[Byte] =
+    readNBytes(in, readVarLong(in).toInt)
+
+  // ── datum encoding (Row ↔ bytes) ──────────────────────────────────────
+
+  private def writeValue(out: OutputStream, v: Any, dt: DataType): Unit = dt match {
+    case BooleanType => out.write(if (v.asInstanceOf[Boolean]) 1 else 0)
+    case IntegerType => writeVarLong(out, v.asInstanceOf[Int].toLong)
+    case ShortType => writeVarLong(out, v.asInstanceOf[Short].toLong)
+    case ByteType => writeVarLong(out, v.asInstanceOf[Byte].toLong)
+    case LongType => writeVarLong(out, v.asInstanceOf[Long])
+    case FloatType =>
+      val bits = java.lang.Float.floatToIntBits(v.asInstanceOf[Float])
+      out.write(ByteBuffer.allocate(4).order(java.nio.ByteOrder.LITTLE_ENDIAN).putInt(bits).array())
+    case DoubleType =>
+      val bits = java.lang.Double.doubleToLongBits(v.asInstanceOf[Double])
+      out.write(ByteBuffer.allocate(8).order(java.nio.ByteOrder.LITTLE_ENDIAN).putLong(bits).array())
+    case StringType => writeBytes(out, v.toString.getBytes(StandardCharsets.UTF_8))
+    case BinaryType => writeBytes(out, v.asInstanceOf[Array[Byte]])
+    case TimestampType =>
+      val micros = v match {
+        case ts: java.sql.Timestamp => ts.getTime * 1000L + (ts.getNanos % 1000000L) / 1000L
+        case i: java.time.Instant => i.getEpochSecond * 1000000L + i.getNano / 1000L
+        case l: Long => l
+      }
+      writeVarLong(out, micros)
+    case DateType =>
+      val days = v match {
+        case d: java.sql.Date => d.toLocalDate.toEpochDay
+        case d: java.time.LocalDate => d.toEpochDay
+        case i: Int => i.toLong
+      }
+      writeVarLong(out, days)
+    case ArrayType(et, _) =>
+      val items = v.asInstanceOf[scala.collection.Seq[Any]]
+      if (items.nonEmpty) {
+        writeVarLong(out, items.size.toLong)
+        items.foreach(i => writeNullable(out, i, et))
+      }
+      writeVarLong(out, 0L) // end of blocks
+    case MapType(StringType, vt, _) =>
+      val m = v.asInstanceOf[scala.collection.Map[String, Any]]
+      if (m.nonEmpty) {
+        writeVarLong(out, m.size.toLong)
+        m.foreach { case (k, mv) =>
+          writeBytes(out, k.getBytes(StandardCharsets.UTF_8))
+          writeNullable(out, mv, vt)
+        }
+      }
+      writeVarLong(out, 0L)
+    case st: StructType => writeRecord(out, v.asInstanceOf[Row], st)
+    case other => throw new IllegalArgumentException(s"avro: unsupported type $other")
+  }
+
+  private def writeNullable(out: OutputStream, v: Any, dt: DataType): Unit =
+    if (v == null) writeVarLong(out, 0L) // union branch 0 = null
+    else {
+      writeVarLong(out, 1L) // union branch 1 = the value type
+      writeValue(out, v, dt)
+    }
+
+  private def writeRecord(out: OutputStream, row: Row, schema: StructType): Unit =
+    schema.fields.zipWithIndex.foreach { case (f, i) =>
+      writeNullable(out, if (row.isNullAt(i)) null else row.get(i), f.dataType)
+    }
+
+  private def readValue(in: InputStream, dt: DataType): Any = dt match {
+    case BooleanType => in.read() == 1
+    case IntegerType => readVarLong(in).toInt
+    case ShortType => readVarLong(in).toShort
+    case ByteType => readVarLong(in).toByte
+    case LongType => readVarLong(in)
+    case FloatType =>
+      java.lang.Float.intBitsToFloat(
+        ByteBuffer.wrap(readNBytes(in, 4)).order(java.nio.ByteOrder.LITTLE_ENDIAN).getInt)
+    case DoubleType =>
+      java.lang.Double.longBitsToDouble(
+        ByteBuffer.wrap(readNBytes(in, 8)).order(java.nio.ByteOrder.LITTLE_ENDIAN).getLong)
+    case StringType => new String(readBytes(in), StandardCharsets.UTF_8)
+    case BinaryType => readBytes(in)
+    case TimestampType =>
+      val micros = readVarLong(in)
+      val ts = new java.sql.Timestamp(Math.floorDiv(micros, 1000L))
+      ts.setNanos((Math.floorMod(micros, 1000000L) * 1000L).toInt)
+      ts
+    case DateType => java.sql.Date.valueOf(java.time.LocalDate.ofEpochDay(readVarLong(in)))
+    case ArrayType(et, _) =>
+      val buf = scala.collection.mutable.ArrayBuffer.empty[Any]
+      var n = readVarLong(in)
+      while (n != 0) {
+        if (n < 0) { readVarLong(in); n = -n } // block with byte-size prefix
+        var i = 0L
+        while (i < n) { buf += readNullable(in, et); i += 1 }
+        n = readVarLong(in)
+      }
+      buf.toSeq
+    case MapType(StringType, vt, _) =>
+      val buf = scala.collection.mutable.LinkedHashMap.empty[String, Any]
+      var n = readVarLong(in)
+      while (n != 0) {
+        if (n < 0) { readVarLong(in); n = -n }
+        var i = 0L
+        while (i < n) {
+          val k = new String(readBytes(in), StandardCharsets.UTF_8)
+          buf(k) = readNullable(in, vt)
+          i += 1
+        }
+        n = readVarLong(in)
+      }
+      buf.toMap
+    case st: StructType => readRecord(in, st)
+    case other => throw new IllegalArgumentException(s"avro: unsupported type $other")
+  }
+
+  private def readNullable(in: InputStream, dt: DataType): Any =
+    readVarLong(in) match {
+      case 0 => null
+      case 1 => readValue(in, dt)
+      case b => throw new IllegalArgumentException(s"avro: bad union branch $b")
+    }
+
+  private def readRecord(in: InputStream, schema: StructType): Row =
+    Row.fromSeq(schema.fields.toIndexedSeq.map(f => readNullable(in, f.dataType)))
+
+  /** Encode one row as a raw Avro datum (`avro.raw_datums = true`). */
+  def encodeRow(row: Row, schema: StructType): Array[Byte] = {
+    val out = new ByteArrayOutputStream(64)
+    writeRecord(out, row, schema)
+    out.toByteArray
+  }
+
+  /** Decode one raw Avro datum. */
+  def decodeRow(bytes: Array[Byte], schema: StructType): Row =
+    readRecord(new java.io.ByteArrayInputStream(bytes), schema)
+
+  // ── Confluent Schema Registry wire framing ────────────────────────────
+
+  /** magic 0x00 + big-endian 4-byte schema id + datum
+    * (`avro.confluent_schema_registry = true`).
+    */
+  def frameConfluent(datum: Array[Byte], schemaId: Int): Array[Byte] = {
+    val out = ByteBuffer.allocate(5 + datum.length)
+    out.put(0.toByte).putInt(schemaId).put(datum)
+    out.array()
+  }
+
+  /** Strip Confluent framing → (schemaId, datum). */
+  def unframeConfluent(bytes: Array[Byte]): (Int, Array[Byte]) = {
+    require(bytes.length >= 5 && bytes(0) == 0,
+      "confluent avro: expected magic byte 0x00 + 4-byte schema id")
+    val bb = ByteBuffer.wrap(bytes, 1, 4)
+    (bb.getInt, java.util.Arrays.copyOfRange(bytes, 5, bytes.length))
+  }
+
+  // ── Object Container Files (filesystem connector) ─────────────────────
+
+  private val OcfMagic = Array[Byte]('O', 'b', 'j', 1)
+
+  /** Write rows as one Avro OCF stream (null codec, single block). */
+  def writeOcf(out: OutputStream, schema: StructType, rows: Iterator[Row],
+      recordName: String = "graft_record"): Unit = {
+    val sync = new Array[Byte](16)
+    // deterministic sync marker from the schema (re-runs produce identical
+    // files — handy for idempotent sinks)
+    val schemaJson = avroSchemaJson(schema, recordName)
+    val digest = java.security.MessageDigest.getInstance("MD5")
+      .digest(schemaJson.getBytes(StandardCharsets.UTF_8))
+    System.arraycopy(digest, 0, sync, 0, 16)
+
+    out.write(OcfMagic)
+    // metadata map: 2 entries
+    writeVarLong(out, 2L)
+    writeBytes(out, "avro.schema".getBytes(StandardCharsets.UTF_8))
+    writeBytes(out, schemaJson.getBytes(StandardCharsets.UTF_8))
+    writeBytes(out, "avro.codec".getBytes(StandardCharsets.UTF_8))
+    writeBytes(out, "null".getBytes(StandardCharsets.UTF_8))
+    writeVarLong(out, 0L) // end of map
+    out.write(sync)
+
+    val buf = new ByteArrayOutputStream(4096)
+    var n = 0L
+    rows.foreach { r => writeRecord(buf, r, schema); n += 1 }
+    if (n > 0) {
+      writeVarLong(out, n)
+      writeVarLong(out, buf.size().toLong)
+      buf.writeTo(out)
+      out.write(sync)
+    }
+    out.flush()
+  }
+
+  /** Read an Avro OCF stream written with [[writeOcf]] (or any null-codec
+    * OCF whose writer schema matches the declared StructType).
+    */
+  def readOcf(in: InputStream, schema: StructType): Iterator[Row] = {
+    val magic = readNBytes(in, 4)
+    require(java.util.Arrays.equals(magic, OcfMagic), "avro: not an OCF (bad magic)")
+    // metadata map (validate codec, skip the rest)
+    var n = readVarLong(in)
+    while (n != 0) {
+      if (n < 0) { readVarLong(in); n = -n }
+      var i = 0L
+      while (i < n) {
+        val key = new String(readBytes(in), StandardCharsets.UTF_8)
+        val value = readBytes(in)
+        if (key == "avro.codec") {
+          val codec = new String(value, StandardCharsets.UTF_8)
+          require(codec == "null", s"avro: unsupported codec '$codec' (only null)")
+        }
+        i += 1
+      }
+      n = readVarLong(in)
+    }
+    readNBytes(in, 16) // sync marker
+
+    new Iterator[Row] {
+      private var remainingInBlock = 0L
+      private var exhausted = false
+      private def advanceBlock(): Unit = {
+        val first = in.read()
+        if (first < 0) { exhausted = true; return }
+        // un-read trick: varint first byte already consumed — rebuild count
+        var acc = 0L
+        var shift = 0
+        var b = first
+        while ((b & 0x80) != 0) {
+          acc |= (b & 0x7fL) << shift; shift += 7
+          b = in.read()
+          if (b < 0) throw new EOFException("avro: EOF in block count")
+        }
+        acc |= (b & 0x7fL) << shift
+        var count = (acc >>> 1) ^ -(acc & 1)
+        if (count < 0) count = -count
+        readVarLong(in) // block byte size (unused — we decode sequentially)
+        remainingInBlock = count
+      }
+      override def hasNext: Boolean = {
+        while (remainingInBlock == 0 && !exhausted) {
+          advanceBlock()
+          if (!exhausted && remainingInBlock == 0) exhausted = true // empty trailing block
+        }
+        remainingInBlock > 0
+      }
+      override def next(): Row = {
+        if (!hasNext) throw new NoSuchElementException
+        val r = readRecord(in, schema)
+        remainingInBlock -= 1
+        if (remainingInBlock == 0) {
+          readNBytes(in, 16) // block-trailing sync marker
+        }
+        r
+      }
+    }
+  }
+}

@@ -191,6 +191,25 @@ object Pipeline {
       },
       None),
 
+    // ── avro format round-trip (reference AvroFormat, formats.rs:245-395):
+    //    events → our OCF writer → our OCF reader → aggregate; the oracle
+    //    aggregates the original parquet, so a hash match proves the codec
+    //    is lossless for longs/strings/doubles/timestamps
+    Q("q_avro_roundtrip",
+      (s, dir) => {
+        val src = Tables.load(s, dir, "events")
+          .select(col("event_id"), col("ts"), col("event_type"), col("value"))
+        val tmp = java.nio.file.Files.createTempDirectory("graft-avro-rt").toString
+        graft.formats.Formats.writeAvroFiles(src, tmp)
+        graft.formats.Formats.readAvroFiles(s, tmp, src.schema, streaming = false)
+          .groupBy(col("event_type"))
+          .agg(count(lit(1)).as("n"), dsum(col("value")).as("sum_value"),
+            max(col("ts")).as("max_ts"), min(col("event_id")).as("min_id"))
+      },
+      Some(s"""SELECT event_type, COUNT(*) AS n, ${oSum("value")} AS sum_value,
+              |  MAX(CAST(ts AS TIMESTAMP)) AS max_ts, MIN(event_id) AS min_id
+              |FROM events GROUP BY 1""".stripMargin)),
+
     // ── async UDF enrichment (reference async_udf.rs): a deterministic
     //    "remote call" per row through the concurrent sliding-window
     //    executor, so the operator itself gets a DuckDB-checked row

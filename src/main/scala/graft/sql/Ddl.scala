@@ -111,11 +111,15 @@ object Ddl {
     re.findAllMatchIn(q).exists(m => depths(m.start) == 0)
   }
 
-  /** Parse `k = 'v', k2 = 'v2'` WITH-options. */
+  /** Parse `k = 'v', k2 = 'v2'` WITH-options. Keys may be quoted (the
+    * reference quotes dotted keys like 'avro.confluent_schema_registry').
+    */
   def parseOptions(s: String): Map[String, String] =
     splitTop(s, ',').flatMap { kv =>
       kv.split("=", 2) match {
-        case Array(k, v) => Some(k.trim.toLowerCase -> v.trim.stripPrefix("'").stripSuffix("'"))
+        case Array(k, v) =>
+          Some(k.trim.stripPrefix("'").stripSuffix("'").toLowerCase ->
+            v.trim.stripPrefix("'").stripSuffix("'"))
         case _ => None
       }
     }.toMap

@@ -98,7 +98,11 @@ class Pipeline(spark: SparkSession, streaming: Boolean = false) {
           } else
             spark.read.schema(schema).format(fmt).options(opts).load(path)
         t.format match {
-          case "json" => load("json")
+          case "json" =>
+            // BadData::{Fail,Drop} (formats.rs:461-497) → FAILFAST /
+            // DROPMALFORMED on Spark's json reader
+            load("json", Map("mode" -> graft.formats.Formats.jsonMode(
+              graft.formats.Formats.badDataOf(t.options))))
           case "parquet" =>
             // parquet is self-describing: read the file's own schema (the
             // declared one may disagree on physical types, e.g.
@@ -107,6 +111,18 @@ class Pipeline(spark: SparkSession, streaming: Boolean = false) {
           case "csv" => load("csv", Map("header" -> "true"))
           case "raw_string" =>
             if (streaming) spark.readStream.text(path) else spark.read.text(path)
+          case "raw_bytes" =>
+            val bf = if (streaming)
+              spark.readStream.format("binaryFile")
+                .schema(StructType.fromDDL(
+                  "path STRING, modificationTime TIMESTAMP, length BIGINT, content BINARY"))
+                .load(path)
+            else spark.read.format("binaryFile").load(path)
+            bf.select(col("content").as("value"))
+          case "avro" =>
+            graft.formats.Formats.readAvroFiles(spark, path, t.schema, streaming, t.options)
+          case "protobuf" =>
+            graft.formats.Formats.readProtoFiles(spark, path, t.schema, streaming, t.options)
           case "debezium_json" =>
             // CDC envelope {before, after, op} → flat rows + _is_retract
             // (reference DebeziumUnrollingExec; formats.rs:69-180)
@@ -118,11 +134,12 @@ class Pipeline(spark: SparkSession, streaming: Boolean = false) {
       case "nexmark" => Generators.renameTo(Generators.nexmarkBids(spark, t, streaming), t)
       case "kafka" =>
         val reader = if (streaming) spark.readStream else sys.error("kafka requires streaming mode")
-        reader.format("kafka")
+        val raw = reader.format("kafka")
           .options(t.options.collect {
             case (k, v) if k.startsWith("kafka.") || k == "subscribe" || k == "startingoffsets" => k -> v
           })
           .load()
+        decodeKafka(raw, t)
       case "sse" =>
         if (!streaming) sys.error("sse requires streaming mode")
         spark.readStream.format("graft-sse")
@@ -142,6 +159,15 @@ class Pipeline(spark: SparkSession, streaming: Boolean = false) {
           .load()
       case c => sys.error(s"unsupported connector $c")
     }
+    applyColumns(t, base)
+  }
+
+  /** Align a connector's raw frame to the DDL surface: ns-timestamp fixup,
+    * virtual/generated columns (incl. `metadata('…')` accessors), project
+    * to the declared columns, attach the watermark. Public so connector
+    * decode paths can be spec-driven without live endpoints.
+    */
+  def applyColumns(t: ConnectorTable, base: DataFrame): DataFrame = {
     // parquet TIMESTAMP(NANOS) reads as LONG under nanosAsLong: when the
     // DDL declares TIMESTAMP, rebuild the µs timestamp (ns truncated —
     // SURVEY §1.2's documented precision mapping)
@@ -154,7 +180,7 @@ class Pipeline(spark: SparkSession, streaming: Boolean = false) {
       else df
     }
     val withVirtual = t.columns.filter(_.virtualExpr.isDefined).foldLeft(nsFixed) {
-      case (df, cd) => df.withColumn(cd.name, expr(cd.virtualExpr.get))
+      case (df, cd) => df.withColumn(cd.name, expr(substituteMetadata(cd.virtualExpr.get, t)))
     }
     // the DDL is the user surface: project to exactly the declared columns
     // (kafka-style envelope frames keep their raw shape — payload columns
@@ -168,6 +194,50 @@ class Pipeline(spark: SparkSession, streaming: Boolean = false) {
         projected.withWatermark(f, t.watermarkDelay.getOrElse("1 second"))
       case _ => projected
     }
+  }
+
+  /** `metadata('key')` virtual-column accessor (reference
+    * crates/arroyo-planner/src/tables.rs:626-660): rewrites the call to the
+    * connector's passthrough metadata column. Kafka-only, like the
+    * reference registry.
+    */
+  private def substituteMetadata(e: String, t: ConnectorTable): String = {
+    val re = """(?i)metadata\s*\(\s*'([A-Za-z_]+)'\s*\)""".r
+    re.replaceAllIn(e, m => {
+      val key = m.group(1)
+      if (t.connector != "kafka")
+        sys.error(s"metadata('$key') is only available on kafka tables (reference tables.rs:626-660)")
+      key match {
+        case "offset_id" => "offset"
+        case "partition" => "partition"
+        case "topic" => "topic"
+        case "timestamp" => "_kafka_timestamp"
+        case "key" => "_kafka_key"
+        case k => sys.error(
+          s"unknown metadata key '$k' for kafka (supported: offset_id, partition, topic, timestamp, key)")
+      }
+    })
+  }
+
+  /** Kafka frame → declared columns: payload decode on `value` per the
+    * table's format (json/avro/protobuf/raw_*) + metadata passthrough for
+    * `metadata('…')` virtual columns. Broker-independent (takes the raw
+    * kafka-shaped frame), so specs can drive it with crafted binary rows.
+    *
+    * Exactly-once note: the reference's kafka sink supports
+    * `sink.commit_mode = exactly_once` via Kafka transactions
+    * (crates/arroyo-connectors/src/kafka/mod.rs:128-142). Spark's kafka
+    * sink is at-least-once; end-to-end exactly-once here means idempotent
+    * downstream consumption (keyed upserts) or foreachBatch with
+    * transactional writes — documented divergence.
+    */
+  def decodeKafka(raw: DataFrame, t: ConnectorTable): DataFrame = {
+    val frame = raw.select(col("value"), col("topic"), col("partition"), col("offset"),
+      col("timestamp").as("_kafka_timestamp"), col("key").as("_kafka_key"))
+    if (t.format == "debezium_json")
+      graft.streaming.Debezium.unroll(
+        frame.select(col("value").cast("string").as("value")), "value", t.schema)
+    else graft.formats.Formats.decodeValue(frame, t.schema, t.format, t.options)
   }
 
   // ── sinks ────────────────────────────────────────────────────────────
@@ -196,6 +266,8 @@ class Pipeline(spark: SparkSession, streaming: Boolean = false) {
             case "debezium_json" => w.text(sink.path.get)
             case "parquet" => w.parquet(sink.path.get)
             case "csv" => w.option("header", "true").csv(sink.path.get)
+            case "avro" => graft.formats.Formats.writeAvroFiles(out0, sink.path.get)
+            case "protobuf" => graft.formats.Formats.writeProtoFiles(out0, sink.path.get)
             case f => sys.error(s"unsupported sink format $f")
           }
         case "stdout" | "preview" => out0.show(100, truncate = false)
@@ -217,6 +289,14 @@ class Pipeline(spark: SparkSession, streaming: Boolean = false) {
       val ws = out0.writeStream.outputMode(mode).option("checkpointLocation", cp)
         .trigger(Trigger.AvailableNow())
       val q = sink.connector match {
+        case "filesystem" | "single_file" if sink.format == "avro" =>
+          val path = sink.path.get
+          ws.foreachBatch((b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
+            graft.formats.Formats.writeAvroFiles(b.toDF(), path, s"batch$id")).start()
+        case "filesystem" | "single_file" if sink.format == "protobuf" =>
+          val path = sink.path.get
+          ws.foreachBatch((b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
+            graft.formats.Formats.writeProtoFiles(b.toDF(), path, s"batch$id")).start()
         case "filesystem" | "single_file" =>
           val fmt = if (sink.format == "debezium_json") "text" else sink.format
           ws.outputMode("append").format(fmt).option("path", sink.path.get).start()
@@ -224,7 +304,16 @@ class Pipeline(spark: SparkSession, streaming: Boolean = false) {
         case "blackhole" => ws.format("noop").start()
         case "memory" => ws.format("memory").queryName(s"${sink.name}_result").start()
         case "kafka" =>
-          ws.format("kafka").options(sink.options.filter(_._1.startsWith("kafka."))).start()
+          // payload encode per the declared format (debezium_json already
+          // rolled into a string `value` above). At-least-once: Spark's
+          // kafka sink has no transactional exactly_once — see decodeKafka
+          // note on the reference's sink.commit_mode divergence.
+          val enc =
+            if (sink.format == "debezium_json") out0
+            else graft.formats.Formats.encodeValue(out0, sink.format, sink.options)
+          enc.writeStream.outputMode(mode).option("checkpointLocation", cp)
+            .trigger(Trigger.AvailableNow())
+            .format("kafka").options(sink.options.filter(_._1.startsWith("kafka."))).start()
         case "webhook" =>
           val endpoint = sink.options("endpoint")
           val headers = graft.sources.HttpConf.headers(sink.options)
