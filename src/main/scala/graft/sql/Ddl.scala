@@ -39,6 +39,16 @@ object Ddl {
 
   private val CreateTableRe =
     """(?is)^\s*CREATE\s+TABLE\s+(?:IF\s+NOT\s+EXISTS\s+)?([A-Za-z_][A-Za-z0-9_]*)\s*(\(.*\))?\s*WITH\s*\((.*)\)\s*$""".r
+  /** `CREATE TABLE name (cols)` with no WITH clause — a memory table
+    * (reference Table::MemoryTable: one INSERT materializes it).
+    */
+  private val CreateTableMemRe =
+    """(?is)^\s*CREATE\s+TABLE\s+(?:IF\s+NOT\s+EXISTS\s+)?([A-Za-z_][A-Za-z0-9_]*)\s*\((.*)\)\s*$""".r
+  /** `CREATE TABLE name AS (query)` — the reference's in-pipeline named
+    * sub-plan (create_table_updating.sql); equivalent to a view here.
+    */
+  private val CreateTableAsRe =
+    """(?is)^\s*CREATE\s+TABLE\s+([A-Za-z_][A-Za-z0-9_]*)\s+AS\s+(.*)$""".r
   private val InsertRe =
     """(?is)^\s*INSERT\s+INTO\s+([A-Za-z_][A-Za-z0-9_]*)\s+(.*)$""".r
   private val CreateViewRe =
@@ -91,6 +101,15 @@ object Ddl {
       val et = options.get("event_time_field").orElse(wmField)
       val delay = options.get("watermark_delay").orElse(wmDelay)
       CreateTbl(ConnectorTable(name, columns, options, et, delay))
+    case CreateTableAsRe(name, q) =>
+      val body = q.trim
+      val unwrapped =
+        if (body.startsWith("(") && body.endsWith(")")) body.substring(1, body.length - 1)
+        else body
+      CreateView(name, unwrapped)
+    case CreateTableMemRe(name, cols) =>
+      val (columns, _, _) = parseColumns(cols)
+      CreateTbl(ConnectorTable(name, columns, Map("connector" -> "memory_table"), None, None))
     case CreateViewRe(name, q) => CreateView(name, q)
     case InsertRe(sink, q) => Insert(sink, q)
     case SetRe(k, v) => SetOption(k.toLowerCase, v.stripPrefix("'").stripSuffix("'"))

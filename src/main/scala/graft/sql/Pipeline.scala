@@ -28,6 +28,11 @@ class Pipeline(spark: SparkSession, streaming: Boolean = false) {
   private var catalog = Map.empty[String, ConnectorTable]
   private var queries = List.empty[StreamingQuery]
   private var lastResult: Option[DataFrame] = None
+  /** memory tables (CREATE TABLE without a connector) already written to —
+    * the reference allows exactly one INSERT per memory table
+    * (plan/mod.rs; error_memory_table_double_write.sql).
+    */
+  private var writtenMemoryTables = Set.empty[String]
   /** `SET updating_ttl` (reference default 24h, lib.rs:104-110). */
   var updatingTtl: String = "24 hours"
 
@@ -40,25 +45,135 @@ class Pipeline(spark: SparkSession, streaming: Boolean = false) {
 
   def runStatement(stmt: Stmt): Unit = stmt match {
     case CreateTbl(t) =>
+      // reference parity: virtual/generated columns can't combine with the
+      // debezium envelope (no_virtual_fields_updating.sql)
+      if (t.format == "debezium_json" && t.columns.exists(_.virtualExpr.isDefined))
+        throw new IllegalArgumentException(
+          s"Failed to create table ${t.name}: can't use virtual fields with debezium format")
       catalog += t.name -> t
-      if (!t.isSink) sourceFrame(t).createOrReplaceTempView(t.name)
+      if (t.connector != "memory_table" && !t.isSink)
+        sourceFrame(t).createOrReplaceTempView(t.name)
 
     case CreateView(name, q) =>
+      rejectUnsupportedStatements(q)
+      checkMemoryReads(q)
       spark.sql(rewriteWindows(q)).createOrReplaceTempView(name)
 
     case Insert(sinkName, q) =>
       val sink = catalog.getOrElse(sinkName,
         throw new IllegalArgumentException(s"unknown sink table $sinkName"))
+      rejectUnsupportedStatements(q)
       rejectUnsupportedStreaming(q)
-      writeTo(sink, spark.sql(rewriteWindows(q)))
+      checkMemoryReads(q)
+      val df = spark.sql(rewriteWindows(q))
+      if (streaming) checkStreamingGuards(df, Some(sink))
+      if (sink.connector == "memory_table") {
+        if (writtenMemoryTables(sink.name))
+          throw new IllegalArgumentException("Can only insert into a memory table once")
+        writtenMemoryTables += sink.name
+        // positional rename onto the declared memory-table columns, like the
+        // reference's memory-table plan splice
+        val declared = sink.columns.map(_.name)
+        val renamed = if (declared.nonEmpty) df.toDF(declared: _*) else df
+        renamed.createOrReplaceTempView(sink.name)
+      } else writeTo(sink, df)
 
     case Query(q) =>
-      lastResult = Some(spark.sql(rewriteWindows(q)))
+      rejectUnsupportedStatements(q)
+      checkMemoryReads(q)
+      val df = spark.sql(rewriteWindows(q))
+      if (streaming) checkStreamingGuards(df, None)
+      lastResult = Some(df)
 
     case SetOption(key, value) => key match {
       case "updating_ttl" =>
         updatingTtl = value.replaceAll("(?i)^interval\\s+", "").stripPrefix("'").stripSuffix("'")
       case k => sys.error(s"unsupported SET option: $k (reference supports only updating_ttl)")
+    }
+  }
+
+  /** EXPLAIN/ANALYZE/COPY/DESCRIBE are rejected like the reference planner
+    * (plan/mod.rs:400-414) — without this, Spark would happily EXPLAIN.
+    */
+  private def rejectUnsupportedStatements(q: String): Unit = {
+    val head = q.trim.split("\\s+", 2).headOption.getOrElse("").toUpperCase
+    head match {
+      case "EXPLAIN" => throw new IllegalArgumentException("EXPLAIN is not supported (reference parity, plan/mod.rs:400)")
+      case "ANALYZE" => throw new IllegalArgumentException("ANALYZE is not supported (reference parity, plan/mod.rs:403)")
+      case "COPY" => throw new IllegalArgumentException("COPY is not supported (reference parity, plan/mod.rs:410)")
+      case "DESCRIBE" | "DESC" => throw new IllegalArgumentException("DESCRIBE is not supported (reference parity, plan/mod.rs:413)")
+      case _ =>
+    }
+  }
+
+  /** Reading a memory table that nothing inserted into yet is a plan error
+    * in the reference (error_read_from_unwritten_memory_table.sql).
+    */
+  private def checkMemoryReads(q: String): Unit =
+    catalog.values.filter(t => t.connector == "memory_table" && !writtenMemoryTables(t.name))
+      .foreach { t =>
+        if (s"""(?i)\\b${t.name}\\b""".r.findFirstIn(q).isDefined)
+          throw new IllegalArgumentException(
+            s"Can't query from memory table ${t.name} without first inserting into it.")
+      }
+
+  /** Source tables whose rows carry retractions (debezium format) — the
+    * "is_updating" trait of the reference's Format (formats.rs:449-458).
+    */
+  private def updatingSourceNames: Set[String] =
+    catalog.values.filter(t => !t.isSink && t.format == "debezium_json")
+      .map(_.name.toLowerCase).toSet
+
+  private def isNonWindowedAgg(a: org.apache.spark.sql.catalyst.plans.logical.Aggregate): Boolean =
+    !a.groupingExpressions.exists(_.references.exists(r =>
+      r.name == "window" || r.name == "session_window"))
+
+  /** True if the sub-plan produces an updating stream: it reads a debezium
+    * source or contains a non-windowed aggregate (reference plan/mod.rs's
+    * updating trait propagation).
+    */
+  private def isUpdatingPlan(plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): Boolean = {
+    val updating = updatingSourceNames
+    val readsUpdating = plan.collectFirst {
+      case sa: org.apache.spark.sql.catalyst.plans.logical.SubqueryAlias
+          if updating(sa.identifier.name.toLowerCase) => sa
+    }.isDefined
+    val hasUpdatingAgg = plan.collectFirst {
+      case a: org.apache.spark.sql.catalyst.plans.logical.Aggregate if isNonWindowedAgg(a) => a
+    }.isDefined
+    readsUpdating || hasUpdatingAgg
+  }
+
+  /** Plan-level streaming guards ported from the reference planner:
+    *   - joins can't take updating inputs (plan/join.rs:71-86,
+    *     no_updating_joins.sql)
+    *   - window functions need windowed (non-updating) input
+    *     (no_updating_window_functions.sql)
+    *   - updating results can't feed a non-updating format sink
+    *     (no_inserting_updates_into_non_updating.sql)
+    */
+  private def checkStreamingGuards(df: DataFrame, sink: Option[ConnectorTable]): Unit = {
+    val plan = df.queryExecution.analyzed
+    plan.foreach {
+      case j: org.apache.spark.sql.catalyst.plans.logical.Join =>
+        if (isUpdatingPlan(j.left))
+          throw new IllegalArgumentException(
+            "can't handle updating left side of join (reference parity, plan/join.rs:71-86)")
+        if (isUpdatingPlan(j.right))
+          throw new IllegalArgumentException(
+            "can't handle updating right side of join (reference parity, plan/join.rs:71-86)")
+      case w: org.apache.spark.sql.catalyst.plans.logical.Window =>
+        if (isUpdatingPlan(w.child))
+          throw new IllegalArgumentException(
+            "Window functions require already windowed input (reference parity, no_updating_window_functions.sql)")
+      case _ =>
+    }
+    sink.foreach { s =>
+      val formatSink = Set("filesystem", "single_file", "kafka")(s.connector)
+      if (formatSink && s.format != "debezium_json" && isUpdatingPlan(plan))
+        throw new IllegalArgumentException(
+          s"can't insert an updating query into non-updating sink ${s.name} " +
+            "(use format='debezium_json'; reference parity, no_inserting_updates_into_non_updating.sql)")
     }
   }
 
@@ -357,14 +472,32 @@ class Pipeline(spark: SparkSession, streaming: Boolean = false) {
     val interval = """[iI][nN][tT][eE][rR][vV][aA][lL]\s+'([^']+)'(?:\s+([a-zA-Z]+))?"""
     def iv(v: String, u: String) = if (u == null) v else s"$v $u"
 
+    // the reference rejects statements mixing window types rather than
+    // guessing (error_mismatched_nested_windows.sql) — detect BEFORE any
+    // rewrite so a session+tumble mix can't be silently mis-remapped
+    val hasSessionFn = """(?i)\bsession\s*\(\s*interval""".r.findFirstIn(q).isDefined
+    val hasTumbleHopFn = """(?i)\b(tumble|hop)\s*\(""".r.findFirstIn(q).isDefined
+    if (hasSessionFn && hasTumbleHopFn)
+      throw new IllegalArgumentException(
+        "window in group by does not match input window: can't mix session with tumble/hop " +
+          "in one statement (reference parity, error_mismatched_nested_windows.sql)")
+
     var out = q
     out = s"""(?s)\\btumble\\s*\\(\\s*$interval\\s*\\)""".r
       .replaceAllIn(out, m => s"window($need, '${iv(m.group(1), m.group(2))}')")
     out = s"""(?s)\\btumble\\s*\\(\\s*([A-Za-z_][A-Za-z0-9_.]*)\\s*,\\s*$interval\\s*\\)""".r
       .replaceAllIn(out, m => s"window(${m.group(1)}, '${iv(m.group(2), m.group(3))}')")
     out = s"""(?s)\\bhop\\s*\\(\\s*$interval\\s*,\\s*$interval\\s*\\)""".r
-      .replaceAllIn(out, m =>
-        s"window($need, '${iv(m.group(3), m.group(4))}', '${iv(m.group(1), m.group(2))}')")
+      .replaceAllIn(out, m => {
+        val slide = iv(m.group(1), m.group(2))
+        val width = iv(m.group(3), m.group(4))
+        val (ss, ws) = (intervalSeconds(slide), intervalSeconds(width))
+        // reference lib.rs:648-652: hop width must be a slide multiple
+        if (ss > 0 && ws % ss != 0)
+          throw new IllegalArgumentException(
+            s"hop() width ${ws}s currently must be a multiple of slide ${ss}s (reference parity)")
+        s"window($need, '$width', '$slide')"
+      })
     val hadTumbleOrHop = out != q
     val beforeSession = out
     out = s"""(?s)\\bsession\\s*\\(\\s*$interval\\s*\\)""".r
@@ -376,6 +509,21 @@ class Pipeline(spark: SparkSession, streaming: Boolean = false) {
     // row_time() → the event-time column (reference RowTimeRewriter)
     out = """(?i)\brow_time\s*\(\s*\)""".r.replaceAllIn(out, _ => et.getOrElse("row_time()"))
     out
+  }
+
+  /** Interval string ('3 minute', '90 seconds', '1 hour') → seconds. */
+  private def intervalSeconds(s: String): Long = {
+    val Re = """(?i)\s*(\d+)\s*(millisecond|second|minute|hour|day)s?\s*""".r
+    s match {
+      case Re(n, unit) => unit.toLowerCase match {
+        case "millisecond" => n.toLong / 1000
+        case "second" => n.toLong
+        case "minute" => n.toLong * 60
+        case "hour" => n.toLong * 3600
+        case "day" => n.toLong * 86400
+      }
+      case _ => 0L // unknown shape: skip the multiple check
+    }
   }
 
   /** The single event-time column across the source tables referenced by a
