@@ -193,7 +193,12 @@ object Ddl {
     * sub-second TIMESTAMP precision collapses to Spark's µs TIMESTAMP.
     */
   def normalizeType(t0: String): String = {
-    val t = t0.trim.replaceAll("(?i)\\s+NOT\\s+NULL$", "").replaceAll("(?i)\\s+NULL$", "").trim
+    val t = t0.trim
+      .replaceAll("(?i)\\s+PRIMARY\\s+KEY$", "")
+      .replaceAll("(?i)\\s+NOT\\s+NULL$", "")
+      .replaceAll("(?i)\\s+NULL$", "")
+      .replaceAll("(?i)\\s+PRIMARY\\s+KEY$", "")
+      .trim
     val up = t.toUpperCase
     up match {
       case "TEXT" | "VARCHAR" | "CHAR" | "JSON" => "STRING"

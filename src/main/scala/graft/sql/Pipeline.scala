@@ -357,7 +357,17 @@ class Pipeline(spark: SparkSession, streaming: Boolean = false) {
 
   // ── sinks ────────────────────────────────────────────────────────────
 
-  def writeTo(sink: ConnectorTable, df: DataFrame): Unit = {
+  def writeTo(sink: ConnectorTable, df0: DataFrame): Unit = {
+    // positional rename + cast onto the sink's declared schema (reference
+    // cast_to_sink_type.sql: the sink DDL decides the output shape, not the
+    // SELECT's auto-generated names/types)
+    val declared = sink.columns.filter(_.virtualExpr.isEmpty)
+    val df =
+      if (declared.nonEmpty && declared.size == df0.columns.length)
+        df0.toDF(declared.map(_.name): _*)
+          .select(declared.map(cd => col(s"`${cd.name}`")
+            .cast(org.apache.spark.sql.types.DataType.fromDDL(cd.sqlType)).as(cd.name)).toIndexedSeq: _*)
+      else df0
     // debezium_json sinks: wrap rows in the CDC envelope first (reference
     // ToDebeziumExec). Rows carrying `_updating_meta` (updating aggregates)
     // encode retract/append as d/c ops; plain appends become op=c.
@@ -404,6 +414,12 @@ class Pipeline(spark: SparkSession, streaming: Boolean = false) {
       val ws = out0.writeStream.outputMode(mode).option("checkpointLocation", cp)
         .trigger(Trigger.AvailableNow())
       val q = sink.connector match {
+        case "filesystem" | "single_file" if sink.format == "debezium_json" =>
+          // file sinks are append-only in Spark; updating (debezium) output
+          // needs update mode → foreachBatch append of the rolled envelope
+          val path = sink.path.get
+          ws.foreachBatch((b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+            b.toDF().write.mode("append").text(path)).start()
         case "filesystem" | "single_file" if sink.format == "avro" =>
           val path = sink.path.get
           ws.foreachBatch((b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
@@ -483,11 +499,11 @@ class Pipeline(spark: SparkSession, streaming: Boolean = false) {
           "in one statement (reference parity, error_mismatched_nested_windows.sql)")
 
     var out = q
-    out = s"""(?s)\\btumble\\s*\\(\\s*$interval\\s*\\)""".r
+    out = s"""(?si)\\btumble\\s*\\(\\s*$interval\\s*\\)""".r
       .replaceAllIn(out, m => s"window($need, '${iv(m.group(1), m.group(2))}')")
-    out = s"""(?s)\\btumble\\s*\\(\\s*([A-Za-z_][A-Za-z0-9_.]*)\\s*,\\s*$interval\\s*\\)""".r
+    out = s"""(?si)\\btumble\\s*\\(\\s*([A-Za-z_][A-Za-z0-9_.]*)\\s*,\\s*$interval\\s*\\)""".r
       .replaceAllIn(out, m => s"window(${m.group(1)}, '${iv(m.group(2), m.group(3))}')")
-    out = s"""(?s)\\bhop\\s*\\(\\s*$interval\\s*,\\s*$interval\\s*\\)""".r
+    out = s"""(?si)\\bhop\\s*\\(\\s*$interval\\s*,\\s*$interval\\s*\\)""".r
       .replaceAllIn(out, m => {
         val slide = iv(m.group(1), m.group(2))
         val width = iv(m.group(3), m.group(4))
@@ -500,11 +516,15 @@ class Pipeline(spark: SparkSession, streaming: Boolean = false) {
       })
     val hadTumbleOrHop = out != q
     val beforeSession = out
-    out = s"""(?s)\\bsession\\s*\\(\\s*$interval\\s*\\)""".r
+    out = s"""(?si)\\bsession\\s*\\(\\s*$interval\\s*\\)""".r
       .replaceAllIn(out, m => s"session_window($need, '${iv(m.group(1), m.group(2))}')")
     // session windows group under `session_window`, but the reference's
-    // surface exposes `window.start/.end` for every window type — remap
-    if (out != beforeSession && !hadTumbleOrHop)
+    // surface exposes `window.start/.end` for every window type — remap,
+    // UNLESS the statement aliases the session struct itself (`session(…)
+    // AS window`): then `window.` correctly refers to the alias
+    val sessionAliased =
+      """(?is)session_window\s*\([^)]*\)\s+as\s+\w+""".r.findFirstIn(out).isDefined
+    if (out != beforeSession && !hadTumbleOrHop && !sessionAliased)
       out = """(?i)\bwindow\s*\.""".r.replaceAllIn(out, "session_window.")
     // row_time() → the event-time column (reference RowTimeRewriter)
     out = """(?i)\brow_time\s*\(\s*\)""".r.replaceAllIn(out, _ => et.getOrElse("row_time()"))
@@ -530,11 +550,19 @@ class Pipeline(spark: SparkSession, streaming: Boolean = false) {
     * query (None if none/ambiguous).
     */
   private def defaultEventTime(q: String): Option[String] = {
-    val names = catalog.values.filter(t => !t.isSink)
-      .filter(t => s"""(?i)\\b${t.name}\\b""".r.findFirstIn(q).isDefined)
-      .flatMap(_.eventTimeField).toSeq.distinct
+    val referenced = catalog.values.filter(t => !t.isSink)
+      .filter(t => s"""(?i)\\b${t.name}\\b""".r.findFirstIn(q).isDefined).toSeq
+    val names = referenced.flatMap(_.eventTimeField).distinct
     names match {
       case Seq(one) => Some(one)
+      case Seq() =>
+        // the reference's smoke fixtures window over sources with a column
+        // literally named `timestamp` and no explicit event_time_field —
+        // fall back to it when every referenced table declares one
+        if (referenced.nonEmpty &&
+            referenced.forall(_.columns.exists(_.name.equalsIgnoreCase("timestamp"))))
+          Some("timestamp")
+        else None
       case _ => None
     }
   }
