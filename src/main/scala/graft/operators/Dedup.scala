@@ -134,20 +134,55 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"), col("est_jaccard"))
   }
 
-  /** Greedy cluster assignment from candidate pairs: every doc maps to the
-    * smallest doc id it is directly paired with (or itself). One-hop
-    * union — full connected components would iterate this to fixpoint; for
-    * near-dup text dedup one hop removes the overwhelming majority of mass
-    * and is the standard first pass.
+  /** Cluster assignment from candidate pairs: connected components to
+    * FIXPOINT — every doc maps to the smallest doc id reachable through
+    * the pair graph (a–b, b–c ⇒ c→a), so transitive duplicate chains
+    * collapse to one keeper.
+    *
+    * Iterative min-label propagation with path-halving (label :=
+    * label(label)), the doubling trick that converges in O(log diameter)
+    * shuffle rounds instead of O(diameter). Each round persists its labels
+    * and localCheckpoints every few rounds to truncate lineage — the
+    * standard large-graph CC recipe (cf. the large-star/small-star
+    * map-reduce algorithm). Near-dup text graphs have tiny diameters, so
+    * this typically converges in 2-3 rounds.
     */
-  def keeperAssignment(df: DataFrame, idCol: String, pairs: DataFrame): DataFrame = {
-    val edges = pairs.select(col("doc_b").as("doc"), col("doc_a").as("other"))
-      .union(pairs.select(col("doc_a").as("doc"), col("doc_b").as("other")))
-    val minPeer = edges.groupBy("doc").agg(min("other").as("min_peer"))
-    df.select(col(idCol).as("doc"))
-      .join(minPeer, Seq("doc"), "left")
-      .select(col("doc"),
-        least(col("doc"), coalesce(col("min_peer"), col("doc"))).as("keep_as"))
+  def keeperAssignment(df: DataFrame, idCol: String, pairs: DataFrame,
+      maxIter: Int = 15): DataFrame = {
+    val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+      .distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+
+    var labels = df.select(col(idCol).as("doc"), col(idCol).as("keep_as"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var iter = 0
+    var converged = false
+    while (iter < maxIter && !converged) {
+      // 1-hop: min neighbor label
+      val nbrMin = edges
+        .join(labels.select(col("doc").as("dst"), col("keep_as").as("dst_label")), "dst")
+        .groupBy(col("src").as("doc")).agg(min("dst_label").as("nbr_min"))
+      val hopped = labels.join(nbrMin, Seq("doc"), "left")
+        .select(col("doc"),
+          least(col("keep_as"), coalesce(col("nbr_min"), col("keep_as"))).as("keep_as"))
+      // path-halving: keep_as := label(keep_as)
+      val jumped = hopped.as("l")
+        .join(hopped.select(col("doc").as("p_doc"), col("keep_as").as("p_label")),
+          col("l.keep_as") === col("p_doc"), "left")
+        .select(col("l.doc").as("doc"),
+          least(col("l.keep_as"), coalesce(col("p_label"), col("l.keep_as"))).as("keep_as"))
+      val next =
+        if (iter % 4 == 3) jumped.localCheckpoint() // eager, truncates lineage
+        else jumped.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      converged = next.join(labels.withColumnRenamed("keep_as", "prev"), "doc")
+        .filter(col("keep_as") =!= col("prev")).isEmpty
+      labels.unpersist()
+      labels = next
+      iter += 1
+    }
+    edges.unpersist()
+    labels
   }
 
   /** Exact n-gram Jaccard similarity via inverted index join.

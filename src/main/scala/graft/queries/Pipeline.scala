@@ -180,16 +180,39 @@ object Pipeline {
         shingleSize = 2, numHashes = 64, bands = 16, threshold = 0.5),
       None),
 
-    // ── end-to-end dedup pipeline: minhash-LSH pairs → per-doc keeper
-    //    assignment (every doc maps to its cluster representative)
+    // ── end-to-end dedup pipeline: exact-jaccard pairs → connected
+    //    components to fixpoint → per-doc keeper (cluster representative).
+    //    The DuckDB oracle replays the same pair graph and computes CC min
+    //    labels with a recursive CTE, so transitive chains are checked too.
     Q("q_dedup_keeper",
       (s, dir) => {
         val d = docs(s, dir)
-        val pairs = Dedup.minhashLshPairs(d, "doc_id", "text",
-          shingleSize = 2, numHashes = 64, bands = 16, threshold = 0.5)
+        val pairs = Dedup.ngramJaccardPairs(d, "doc_id", "text",
+          shingleSize = 2, threshold = 0.2, maxDocFreq = 100)
         Dedup.keeperAssignment(d, "doc_id", pairs)
       },
-      None),
+      Some(s"""WITH RECURSIVE
+              |t AS (SELECT doc_id, ${oTokens("text")} AS toks FROM documents),
+              |sh0 AS (SELECT doc_id AS doc, unnest(list_distinct(CASE WHEN len(toks) >= 2
+              |         THEN list_transform(range(1, len(toks)), i -> array_to_string(toks[i:i+1], ' '))
+              |         ELSE [array_to_string(toks, ' ')] END)) AS shingle FROM t),
+              |ok AS (SELECT shingle FROM sh0 GROUP BY shingle HAVING COUNT(*) <= 100),
+              |sh AS (SELECT doc, sh0.shingle FROM sh0 JOIN ok ON sh0.shingle = ok.shingle),
+              |sizes AS (SELECT doc, COUNT(*) AS n_sh FROM sh GROUP BY doc),
+              |inter AS (SELECT x.doc AS doc_a, y.doc AS doc_b, COUNT(*) AS i
+              |          FROM sh x JOIN sh y ON x.shingle = y.shingle AND x.doc < y.doc
+              |          GROUP BY x.doc, y.doc),
+              |pairs AS (SELECT doc_a, doc_b FROM inter
+              |          JOIN sizes sa ON sa.doc = doc_a
+              |          JOIN sizes sb ON sb.doc = doc_b
+              |          WHERE CAST(i AS DOUBLE) / (sa.n_sh + sb.n_sh - i) >= 0.2),
+              |edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+              |          UNION SELECT doc_b, doc_a FROM pairs),
+              |reach(doc, label) AS (
+              |  SELECT doc_id, doc_id FROM documents
+              |  UNION
+              |  SELECT e.src, r.label FROM edges e JOIN reach r ON e.dst = r.doc)
+              |SELECT doc, MIN(label) AS keep_as FROM reach GROUP BY doc""".stripMargin)),
 
     // ── avro format round-trip (reference AvroFormat, formats.rs:245-395):
     //    events → our OCF writer → our OCF reader → aggregate; the oracle

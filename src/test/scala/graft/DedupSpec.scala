@@ -45,6 +45,18 @@ class DedupSpec extends SparkSpec {
     assert(keep(3L) < 3L) // folded into the dup cluster
   }
 
+  test("keeperAssignment reaches fixpoint on transitive chains (a-b, b-c ⇒ c→a)") {
+    import spark.implicits._
+    val ids = (1L to 8L).map(i => Tuple1(i)).toDF("doc_id")
+    // chain 1-2-3, isolated 4, longer chain 5-6-7-8 (NO direct 5-7/5-8 edge)
+    val pairs = Seq((1L, 2L), (2L, 3L), (5L, 6L), (6L, 7L), (7L, 8L))
+      .toDF("doc_a", "doc_b")
+    val keep = Dedup.keeperAssignment(ids, "doc_id", pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(keep == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 4L,
+      5L -> 5L, 6L -> 5L, 7L -> 5L, 8L -> 5L), s"got $keep")
+  }
+
   test("ngram jaccard computes exact overlap and respects threshold") {
     val pairs = Dedup.ngramJaccardPairs(docs, "doc_id", "text",
         shingleSize = 2, threshold = 0.3, maxDocFreq = 100)
