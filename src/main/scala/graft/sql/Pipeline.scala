@@ -33,8 +33,14 @@ class Pipeline(spark: SparkSession, streaming: Boolean = false) {
     * (plan/mod.rs; error_memory_table_double_write.sql).
     */
   private var writtenMemoryTables = Set.empty[String]
-  /** `SET updating_ttl` (reference default 24h, lib.rs:104-110). */
+  /** `SET updating_ttl` (reference default 24h, lib.rs:104-110). The TTL is
+    * only ARMED when the user sets it: a ProcessingTimeTimeout on the
+    * retraction operator makes Spark re-run micro-batches until the timeout
+    * fires, which would hang bounded AvailableNow pipelines (SPARK-50180
+    * family) — unbounded pipelines that want state expiry opt in via SET.
+    */
   var updatingTtl: String = "24 hours"
+  private var updatingTtlArmed = false
 
   /** Run a full SQL script; returns the last bare-SELECT's DataFrame. */
   def run(script: String): Option[DataFrame] = {
@@ -88,6 +94,7 @@ class Pipeline(spark: SparkSession, streaming: Boolean = false) {
     case SetOption(key, value) => key match {
       case "updating_ttl" =>
         updatingTtl = value.replaceAll("(?i)^interval\\s+", "").stripPrefix("'").stripSuffix("'")
+        updatingTtlArmed = true
       case k => sys.error(s"unsupported SET option: $k (reference supports only updating_ttl)")
     }
   }
@@ -357,17 +364,34 @@ class Pipeline(spark: SparkSession, streaming: Boolean = false) {
 
   // ── sinks ────────────────────────────────────────────────────────────
 
-  def writeTo(sink: ConnectorTable, df0: DataFrame): Unit = {
+  def writeTo(sink: ConnectorTable, dfIn: DataFrame): Unit = {
+    // debezium sinks on streaming non-windowed aggregates: route through
+    // the generalized retraction operator so the envelope carries true
+    // retract+append pairs (reference UpdatingAggregate), not re-emits
+    val df0 =
+      if (streaming && sink.format == "debezium_json" &&
+          !dfIn.columns.contains("_updating_meta")) {
+        val ttl =
+          if (updatingTtlArmed)
+            Some(java.time.Duration.ofSeconds(math.max(1L, intervalSeconds(updatingTtl))))
+          else None
+        graft.streaming.UpdatingSql.translate(dfIn, ttl).getOrElse(dfIn)
+      } else dfIn
     // positional rename + cast onto the sink's declared schema (reference
     // cast_to_sink_type.sql: the sink DDL decides the output shape, not the
-    // SELECT's auto-generated names/types)
+    // SELECT's auto-generated names/types). `_updating_meta` rides along
+    // outside the declared columns.
     val declared = sink.columns.filter(_.virtualExpr.isEmpty)
+    val hasMeta = df0.columns.lastOption.contains("_updating_meta")
+    val dataCols = if (hasMeta) df0.columns.dropRight(1) else df0.columns
     val df =
-      if (declared.nonEmpty && declared.size == df0.columns.length)
-        df0.toDF(declared.map(_.name): _*)
-          .select(declared.map(cd => col(s"`${cd.name}`")
-            .cast(org.apache.spark.sql.types.DataType.fromDDL(cd.sqlType)).as(cd.name)).toIndexedSeq: _*)
-      else df0
+      if (declared.nonEmpty && declared.size == dataCols.length) {
+        val names = declared.map(_.name) ++ (if (hasMeta) Seq("_updating_meta") else Nil)
+        val renamed = df0.toDF(names: _*) // positional, collision-free
+        val cast = declared.map(cd => col(s"`${cd.name}`")
+          .cast(org.apache.spark.sql.types.DataType.fromDDL(cd.sqlType)).as(cd.name))
+        renamed.select((if (hasMeta) cast :+ col("_updating_meta") else cast).toIndexedSeq: _*)
+      } else df0
     // debezium_json sinks: wrap rows in the CDC envelope first (reference
     // ToDebeziumExec). Rows carrying `_updating_meta` (updating aggregates)
     // encode retract/append as d/c ops; plain appends become op=c.
@@ -408,7 +432,9 @@ class Pipeline(spark: SparkSession, streaming: Boolean = false) {
       // reference's windowed operators fire when the watermark passes the
       // bin end; update mode only for non-windowed (updating) aggregates.
       val mode = sink.options.getOrElse("output_mode",
-        if (hasAggregation(df) && !hasTimeWindowGrouping(df)) "update" else "append")
+        if (df.columns.contains("_updating_meta") ||
+          (hasAggregation(df) && !hasTimeWindowGrouping(df))) "update"
+        else "append")
       val cp = sink.options.getOrElse("checkpoint",
         java.nio.file.Files.createTempDirectory(s"graft-cp-${sink.name}").toString)
       val ws = out0.writeStream.outputMode(mode).option("checkpointLocation", cp)

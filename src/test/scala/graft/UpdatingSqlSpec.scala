@@ -1,0 +1,103 @@
+package graft
+
+import graft.streaming.UpdatingSql
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+/** Generalized SQL-path updating aggregate (UpdatingSql.translate):
+  * composite keys, expression groupings, multiple aggregates, and true
+  * retract+append emission across micro-batches.
+  */
+class UpdatingSqlSpec extends SparkSpec {
+
+  test("translate: multi-agg grouped query matches plain aggregation in batch") {
+    import spark.implicits._
+    Seq(("a", 1.0), ("a", 3.0), ("b", 10.0), ("b", 20.0), ("b", 30.0))
+      .toDF("k", "v").createOrReplaceTempView("us_t")
+    val df = spark.sql(
+      """SELECT k, count(*) AS n, sum(v) AS s, min(v) AS mn, max(v) AS mx, avg(v) AS av
+        |FROM us_t GROUP BY k""".stripMargin)
+    val translated = UpdatingSql.translate(df, None)
+    assert(translated.isDefined, "expected the plan shape to translate")
+    val rows = translated.get.collect().map(r =>
+      (r.getString(0), r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4), r.getDouble(5),
+        r.getStruct(6).getBoolean(0))).toSet
+    assert(rows == Set(
+      ("a", 2L, 4.0, 1.0, 3.0, 2.0, false),
+      ("b", 3L, 60.0, 10.0, 30.0, 20.0, false)), s"got $rows")
+  }
+
+  test("translate: composite keys and expression groupings/inputs") {
+    import spark.implicits._
+    Seq((1L, 2L, 2.0, 3.0), (1L, 3L, 4.0, 5.0), (2L, 2L, 1.0, 1.0))
+      .toDF("k1", "k2", "a", "b").createOrReplaceTempView("us_t2")
+    val df = spark.sql(
+      "SELECT k1, k2 % 2 AS m, sum(a * b) AS sab FROM us_t2 GROUP BY k1, k2 % 2")
+    val translated = UpdatingSql.translate(df, None)
+    assert(translated.isDefined)
+    val rows = translated.get.collect().map(r =>
+      (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(rows == Set((1L, 0L, 6.0), (1L, 1L, 20.0), (2L, 0L, 1.0)), s"got $rows")
+  }
+
+  test("translate: unsupported shapes fall back (distinct agg, windowed)") {
+    import spark.implicits._
+    Seq(("a", 1.0)).toDF("k", "v").createOrReplaceTempView("us_t3")
+    val distinctAgg = spark.sql("SELECT k, count(DISTINCT v) FROM us_t3 GROUP BY k")
+    assert(UpdatingSql.translate(distinctAgg, None).isEmpty)
+    val nonAgg = spark.sql("SELECT k FROM us_t3")
+    assert(UpdatingSql.translate(nonAgg, None).isEmpty)
+  }
+
+  test("streaming: second micro-batch emits retract of the published row") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    val input = MemoryStream[(String, Double)]
+    val df = input.toDF().toDF("k", "v")
+      .selectExpr("k AS __k_0", "CAST(v AS DOUBLE) AS __v_0", "CAST(v AS DOUBLE) AS __v_1")
+    val updates = UpdatingSql.updatingAggRows(df, numKeys = 1,
+      kinds = Seq(UpdatingSql.KCountStar, UpdatingSql.KSum), ttl = None)
+    val q = updates.writeStream.format("memory").queryName("us_stream")
+      .outputMode("update").start()
+    try {
+      input.addData(("a", 1.0))
+      q.processAllAvailable()
+      input.addData(("a", 2.0), ("b", 5.0))
+      q.processAllAvailable()
+      val rows = spark.table("us_stream")
+        .select(col("__k_0"), col("__a_0"), col("__a_1"), col("_updating_meta.is_retract"))
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2), r.getBoolean(3)))
+      // batch 1: append (a,1,1.0). batch 2: retract (a,1,1.0), append
+      // (a,2,3.0), append (b,1,5.0)
+      assert(rows.toSet == Set(
+        ("a", 1L, 1.0, false), ("a", 1L, 1.0, true),
+        ("a", 2L, 3.0, false), ("b", 1L, 5.0, false)), s"got ${rows.toSet}")
+    } finally q.stop()
+  }
+
+  test("SQL pipeline e2e: debezium sink carries retractable envelope with sink names") {
+    import graft.sql.{Ddl, Pipeline}
+    val dir = java.nio.file.Files.createTempDirectory("graft-us").toString
+    java.nio.file.Files.write(java.nio.file.Paths.get(s"$dir/d.json"),
+      "{\"k\": \"x\", \"v\": 1.5}\n{\"k\": \"x\", \"v\": 2.5}\n{\"k\": \"y\", \"v\": 4.0}\n".getBytes)
+    val outDir = java.nio.file.Files.createTempDirectory("graft-us-out").toString
+    val p = new Pipeline(spark, streaming = true)
+    p.run(
+      s"""CREATE TABLE src (k TEXT, v DOUBLE) WITH (connector='filesystem', path='$dir', format='json', type='source');
+         |CREATE TABLE snk (kk TEXT, n BIGINT, total DOUBLE) WITH (connector='filesystem', path='$outDir/out', format='debezium_json', type='sink');
+         |INSERT INTO snk SELECT k, count(*), sum(v) FROM src GROUP BY k""".stripMargin)
+    import scala.jdk.CollectionConverters._
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val lines = java.nio.file.Files.walk(java.nio.file.Paths.get(s"$outDir/out"))
+      .iterator().asScala.filter(java.nio.file.Files.isRegularFile(_))
+      .filterNot(f => f.getFileName.toString.startsWith(".") || f.toString.contains("_spark_metadata"))
+      .flatMap(f => java.nio.file.Files.readAllLines(f).asScala)
+      .map(_.trim).filter(_.nonEmpty).map(mapper.readTree).toSeq
+    assert(lines.nonEmpty)
+    val afters = lines.filter(l => l.get("op").asText() == "c").map(_.get("after"))
+    // sink-declared names, not SELECT auto-names
+    assert(afters.forall(a => a.has("kk") && a.has("n") && a.has("total")), s"got $lines")
+    val byK = afters.map(a => a.get("kk").asText() -> (a.get("n").asLong(), a.get("total").asDouble())).toMap
+    assert(byK("x") == ((2L, 4.0)) && byK("y") == ((1L, 4.0)), s"got $byK")
+  }
+}
