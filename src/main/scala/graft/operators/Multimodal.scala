@@ -31,12 +31,65 @@ object Multimodal {
   /** A decoded frame: row-major grayscale f32 pixels (fake decode). */
   final case class Frame(width: Int, height: Int, pixels: Array[Float])
 
-  /** Codec boundary: swap [[decodeFake]] for a real implementation when the
-    * image/audio libraries are available.
+  /** Codec boundary: images decode for REAL via JDK-native `javax.imageio`
+    * (png/jpeg/bmp/gif need no external jar); audio/video remain stubbed
+    * behind [[decodeFake]] (no codec libraries in this container).
     */
   object Codec {
-    /** Integration point for a real decoder (javax.imageio / ffmpeg / …). */
-    def decodeReal(bytes: Array[Byte], format: String): Frame = ???
+    private val imageFormats = Set("png", "jpeg", "jpg", "bmp", "gif")
+
+    def canDecode(format: String): Boolean =
+      format != null && imageFormats(format.toLowerCase)
+
+    /** Real image decode: bytes → row-major grayscale f32 (ITU-R BT.601
+      * luma). Deterministic across executors — pure function of the bytes.
+      */
+    def decodeReal(bytes: Array[Byte], format: String): Frame = {
+      require(canDecode(format), s"no real codec for format '$format' (audio/video are stubbed)")
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+      require(img != null, s"imageio failed to decode a '$format' payload")
+      val w = img.getWidth
+      val h = img.getHeight
+      val px = new Array[Float](w * h)
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          val rgb = img.getRGB(x, y)
+          val r = (rgb >> 16) & 0xff
+          val g = (rgb >> 8) & 0xff
+          val b = rgb & 0xff
+          px(y * w + x) = (0.299f * r + 0.587f * g + 0.114f * b) / 255f
+          x += 1
+        }
+        y += 1
+      }
+      Frame(w, h, px)
+    }
+
+    /** Nearest-neighbor resample to a target geometry. */
+    def resample(f: Frame, w: Int, h: Int): Frame = {
+      val px = new Array[Float](w * h)
+      var y = 0
+      while (y < h) {
+        val sy = y * f.height / h
+        var x = 0
+        while (x < w) {
+          px(y * w + x) = f.pixels(sy * f.width + (x * f.width / w))
+          x += 1
+        }
+        y += 1
+      }
+      Frame(w, h, px)
+    }
+
+    /** Dispatch: real decode for images, deterministic fake otherwise. */
+    def decode(bytes: Array[Byte], meta: Row): Frame = {
+      val mediaType = meta.getString(0)
+      val format = meta.getString(1)
+      if (mediaType == "image" && canDecode(format)) decodeReal(bytes, format)
+      else decodeFake(bytes, meta.getInt(2), meta.getInt(3))
+    }
 
     /** Deterministic fake: pixels derived from a rolling hash of the bytes —
       * stable across runs/executors, so tests and benchmarks are exact.
@@ -81,16 +134,15 @@ object Multimodal {
         if (bytes == null) Row.fromSeq(r.toSeq :+ null)
         else {
           val meta = r.getStruct(metaIdx)
-          val frame = Codec.decodeFake(bytes, meta.getInt(2), meta.getInt(3))
+          val frame = Codec.decode(bytes, meta)
           Row.fromSeq(r.toSeq :+ meanPool(frame, dim))
         }
       }
     }
   }
 
-  /** Resize: re-decode at a target geometry (fake decode keeps determinism;
-    * real codec would interpolate). Output replaces bytes-derived pixels
-    * with a `frame` struct column.
+  /** Resize: decode (real for images) then resample to the target geometry.
+    * Output adds a `frame` struct column.
     */
   def resize(df: DataFrame, bytesCol: String, w: Int, h: Int): DataFrame = {
     val frameSchema = StructType(Seq(
@@ -99,12 +151,18 @@ object Multimodal {
     val outSchema = StructType(df.schema.fields :+ StructField("frame", frameSchema))
     implicit val enc: Encoder[Row] = RowEncoder.encoderFor(outSchema)
     val bytesIdx = df.schema.fieldIndex(bytesCol)
+    val metaIdx = df.schema.fieldIndex("media_meta")
     df.mapPartitions { rows =>
       rows.map { r =>
         val bytes = r.getAs[Array[Byte]](bytesIdx)
         if (bytes == null) Row.fromSeq(r.toSeq :+ null)
         else {
-          val f = Codec.decodeFake(bytes, w, h)
+          val meta = r.getStruct(metaIdx)
+          val f0 =
+            if (meta.getString(0) == "image" && Codec.canDecode(meta.getString(1)))
+              Codec.decodeReal(bytes, meta.getString(1))
+            else Codec.decodeFake(bytes, w, h)
+          val f = if (f0.width == w && f0.height == h) f0 else Codec.resample(f0, w, h)
           Row.fromSeq(r.toSeq :+ Row(f.width, f.height, f.pixels.toSeq))
         }
       }

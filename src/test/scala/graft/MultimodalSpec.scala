@@ -15,7 +15,8 @@ class MultimodalSpec extends SparkSpec {
   }
 
   test("binary media column + metadata + deterministic feature extraction") {
-    val df = Multimodal.withMeta(media, "bytes", "image", "png", 8, 8)
+    // format 'raw' has no real codec → exercises the deterministic fake path
+    val df = Multimodal.withMeta(media, "bytes", "image", "raw", 8, 8)
     assert(df.schema("media_meta").dataType.asInstanceOf[org.apache.spark.sql.types.StructType]
       .fieldNames.contains("media_type"))
     val feats = Multimodal.extractFeatures(df, "bytes", dim = 4)
@@ -29,6 +30,35 @@ class MultimodalSpec extends SparkSpec {
       .select(col("id"), col("features"))
       .collect().map(r => r.getLong(0) -> r.getSeq[Float](1)).toMap
     assert(again == feats)
+  }
+
+  test("real PNG decode via javax.imageio: features reflect actual pixels") {
+    import spark.implicits._
+    // 8×8 PNG: left half black, right half white
+    def png(): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(8, 8, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until 8; x <- 0 until 8)
+        img.setRGB(x, y, if (x < 4) 0x000000 else 0xFFFFFF)
+      val out = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", out)
+      out.toByteArray
+    }
+    val df = Multimodal.withMeta(
+      Seq((1L, png()), (2L, png())).toDF("id", "bytes"), "bytes", "image", "png", 8, 8)
+    val feats = Multimodal.extractFeatures(df, "bytes", dim = 2)
+      .select(col("id"), col("features"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Float](1)).toMap
+    // row-major mean-pool over halves: both buckets mix black+white columns
+    // equally → each ≈ 0.5; and decode is deterministic across rows
+    assert(feats(1L) == feats(2L))
+    assert(feats(1L).forall(v => v > 0.4f && v < 0.6f), s"got ${feats(1L)}")
+
+    // geometry comes from the actual decoded image
+    val frame = Multimodal.resize(df, "bytes", 4, 4).select("frame.*").collect()(0)
+    assert(frame.getInt(0) == 4 && frame.getInt(1) == 4)
+    val px = frame.getSeq[Float](2)
+    // resampled 4×4 keeps the black-left / white-right structure
+    assert(px.grouped(4).forall(row => row(0) < 0.1f && row(3) > 0.9f), s"got $px")
   }
 
   test("resize produces target geometry; frame sampling explodes indices") {
