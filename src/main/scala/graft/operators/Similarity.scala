@@ -40,23 +40,15 @@ object Similarity {
     * xxhash64 → uniform in [-1, 1). Good enough for sign-LSH; no stored
     * index, fully reproducible.
     */
-  private def planeComponent(plane: Int, dim: org.apache.spark.sql.Column) =
-    (pmod(xxhash64(lit(plane), dim), lit(1000000)).cast("double") / 500000.0) - 1.0
-
   /** L-bit sign signature of a vector under `nPlanes` deterministic random
-    * hyperplanes. Same expression applied to corpus and queries.
+    * hyperplanes. Same expression applied to corpus and queries. Native
+    * codegen'd expression ([[graft.functions.SignLshF]]) — the previous
+    * aggregate(zip_with(transform(...))) version allocated nPlanes × dim
+    * arrays per row.
     */
   def lshSignature(vec: org.apache.spark.sql.Column, nPlanes: Int): org.apache.spark.sql.Column =
-    aggregate(
-      sequence(lit(0), lit(nPlanes - 1)),
-      lit(0L),
-      (acc, p) => {
-        val dot = aggregate(
-          zip_with(vec, transform(sequence(lit(1), size(vec)), d => planeComponent(0, d * 1000 + p)),
-            (x, h) => x.cast("double") * h),
-          lit(0.0), (a, x) => a + x)
-        acc * 2 + when(dot >= 0, 1L).otherwise(0L)
-      })
+    org.apache.spark.sql.GraftShim.column(
+      graft.functions.SignLshF(org.apache.spark.sql.GraftShim.expression(vec), nPlanes))
 
   /** Approximate top-k: candidates limited to vectors sharing the query's
     * LSH bucket (exact cosine re-rank inside the bucket). Trades recall for

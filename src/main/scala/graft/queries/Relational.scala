@@ -80,6 +80,13 @@ object Relational {
           round(covar_pop(col("l_quantity"), col("l_extendedprice")), 4).as("covarp_qe"),
           round(regr_slope(col("l_extendedprice"), col("l_quantity")), 6).as("slope_eq"),
           round(regr_intercept(col("l_extendedprice"), col("l_quantity")), 4).as("icept_eq"),
+          regr_count(col("l_extendedprice"), col("l_quantity")).cast("long").as("rcount_eq"),
+          round(regr_r2(col("l_extendedprice"), col("l_quantity")), 6).as("r2_eq"),
+          round(regr_avgx(col("l_extendedprice"), col("l_quantity")), 6).as("ravgx_eq"),
+          round(regr_avgy(col("l_extendedprice"), col("l_quantity")), 4).as("ravgy_eq"),
+          round(regr_sxx(col("l_extendedprice"), col("l_quantity")), 2).as("rsxx_eq"),
+          round(regr_syy(col("l_extendedprice"), col("l_quantity")), 2).as("rsyy_eq"),
+          round(regr_sxy(col("l_extendedprice"), col("l_quantity")), 2).as("rsxy_eq"),
           round(median(col("l_quantity")), 6).as("med_qty"),
           bool_and(col("l_quantity") < 49.0).as("all_lt49"),
           bool_or(col("l_discount") > 0.09).as("any_disc9"),
@@ -98,6 +105,13 @@ object Relational {
              |  round(covar_pop(l_quantity, l_extendedprice), 4) AS covarp_qe,
              |  round(regr_slope(l_extendedprice, l_quantity), 6) AS slope_eq,
              |  round(regr_intercept(l_extendedprice, l_quantity), 4) AS icept_eq,
+             |  CAST(regr_count(l_extendedprice, l_quantity) AS BIGINT) AS rcount_eq,
+             |  round(regr_r2(l_extendedprice, l_quantity), 6) AS r2_eq,
+             |  round(regr_avgx(l_extendedprice, l_quantity), 6) AS ravgx_eq,
+             |  round(regr_avgy(l_extendedprice, l_quantity), 4) AS ravgy_eq,
+             |  round(regr_sxx(l_extendedprice, l_quantity), 2) AS rsxx_eq,
+             |  round(regr_syy(l_extendedprice, l_quantity), 2) AS rsyy_eq,
+             |  round(regr_sxy(l_extendedprice, l_quantity), 2) AS rsxy_eq,
              |  round(median(l_quantity), 6) AS med_qty,
              |  bool_and(l_quantity < 49.0) AS all_lt49,
              |  bool_or(l_discount > 0.09) AS any_disc9,
