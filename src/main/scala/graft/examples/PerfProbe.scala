@@ -18,7 +18,7 @@ object PerfProbe {
 
     t("shingles.count")(Dedup.shingles(docs, "doc_id", "text", 2).count())
     t("signatures.count")(
-      Dedup.minhashSignatures(Dedup.shingles(docs, "doc_id", "text", 2), 64).count())
+      Dedup.minhashSignatures(docs, "doc_id", "text", 2, 64).count())
     t("minhashLshPairs.count")(
       Dedup.minhashLshPairs(docs, "doc_id", "text", 2, 64, 16, 0.5).count())
     t("minhashLshPairs again")(

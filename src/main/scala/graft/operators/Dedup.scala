@@ -29,42 +29,68 @@ object Dedup {
     * Produces (id, shingle) pairs — the exploded inverted-index form shared
     * by minhash and exact-jaccard dedup.
     */
-  def shingles(df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame = {
+  /** (doc, distinct shingle list) — the row-local form every dedup strategy
+    * starts from. Spreads under-partitioned corpora before the per-row
+    * work (round-robin: no key needed yet).
+    */
+  def shingleArrays(df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame = {
     val toks = tokens(col(textCol))
     // text corpora often arrive as few large files → few partitions; the
     // shingle pipeline is compute-bound, so spread it across the cluster
-    // before the per-row work (round-robin: no key needed yet)
+    // before the per-row work
     val spread =
       if (!df.isStreaming &&
           df.rdd.getNumPartitions < df.sparkSession.sparkContext.defaultParallelism)
         df.repartition(df.sparkSession.sparkContext.defaultParallelism)
       else df
     spread.select(
-        col(idCol).as("doc"),
+      col(idCol).as("doc"),
+      array_distinct(
         when(size(toks) >= n,
           transform(sequence(lit(0), size(toks) - n),
             i => concat_ws(" ", slice(toks, i + 1, lit(n)))))
-          .otherwise(array(concat_ws(" ", toks)))
-          .as("shingle_list"))
-      .select(col("doc"), explode(array_distinct(col("shingle_list"))).as("shingle"))
+          .otherwise(array(concat_ws(" ", toks))))
+        .as("shingle_list"))
   }
 
-  /** MinHash signature per doc: `numHashes` hash functions simulated by
-    * double hashing — h_i = (h1 + i·h2) in a 40-bit space (Kirsch-
-    * Mitzenmacher construction) — so each shingle is hashed twice, not
-    * `numHashes` times; signature_i = min over the doc's shingles. One
-    * aggregation = one shuffle keyed by doc. 40-bit range keeps every
-    * intermediate exact under ANSI arithmetic.
+  /** Exploded (doc, shingle) pairs — the inverted-index form used by
+    * exact-jaccard dedup and the shingle-statistics query.
+    *
+    * PERF NOTE: the explode MUST take the shingle expression inline
+    * (`explode(array_distinct(<expr>))` in one projection). Materializing
+    * the array in a separate Project below the Generate measured 13×
+    * slower at sf0.1 (6.0s vs 0.45s for the full shingle count) — the
+    * Generate boundary forces the large array through UnsafeRow and breaks
+    * whole-stage fusion with the scan.
     */
-  def minhashSignatures(sh: DataFrame, numHashes: Int): DataFrame = {
-    val m = 1L << 40
-    val withH = sh
-      .withColumn("h1", pmod(xxhash64(col("shingle")), lit(m)))
-      .withColumn("h2", pmod(xxhash64(lit(1), col("shingle")), lit(m)).bitwiseOR(lit(1L)))
-    val mins = (0 until numHashes).map(i =>
-      min(pmod(col("h1") + lit(i.toLong) * col("h2"), lit(m))).as(s"mh_$i"))
-    withH.groupBy(col("doc")).agg(mins.head, mins.tail: _*)
+  def shingles(df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame = {
+    val toks = tokens(col(textCol))
+    val spread =
+      if (!df.isStreaming &&
+          df.rdd.getNumPartitions < df.sparkSession.sparkContext.defaultParallelism)
+        df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+      else df
+    spread.select(
+      col(idCol).as("doc"),
+      explode(array_distinct(
+        when(size(toks) >= n,
+          transform(sequence(lit(0), size(toks) - n),
+            i => concat_ws(" ", slice(toks, i + 1, lit(n)))))
+          .otherwise(array(concat_ws(" ", toks))))).as("shingle"))
   }
+
+  /** MinHash signature per doc, computed ROW-LOCALLY by the codegen'd
+    * [[graft.functions.MinHashSigF]] expression (Kirsch-Mitzenmacher double
+    * hashing in a 40-bit space). The signature is a pure function of one
+    * document's shingles, so the old explode → groupBy(doc).agg(64 mins)
+    * formulation paid two structural shuffles for nothing — this pays none.
+    */
+  def minhashSignatures(df: DataFrame, idCol: String, textCol: String,
+      shingleSize: Int, numHashes: Int): DataFrame =
+    shingleArrays(df, idCol, textCol, shingleSize).select(
+      col("doc"),
+      org.apache.spark.sql.GraftShim.column(graft.functions.MinHashSigF(
+        org.apache.spark.sql.GraftShim.expression(col("shingle_list")), numHashes)).as("sig"))
 
   /** MinHash + LSH banding dedup.
     *
@@ -92,11 +118,9 @@ object Dedup {
     require(numHashes % bands == 0, s"numHashes ($numHashes) must divide into bands ($bands)")
     val rowsPerBand = numHashes / bands
 
-    val sig = minhashSignatures(shingles(df, idCol, textCol, shingleSize), numHashes)
     // persisted: consumed by banding + both signature re-joins — without it
-    // Spark recomputes the full tokenize→shingle→64-way-min pipeline per branch
-    val sigArr = sig.withColumn("sig", array((0 until numHashes).map(i => col(s"mh_$i")): _*))
-      .select(col("doc"), col("sig"))
+    // Spark recomputes the full tokenize→shingle→signature pipeline per branch
+    val sigArr = minhashSignatures(df, idCol, textCol, shingleSize, numHashes)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
     val bandHashes = (0 until bands).map { b =>
