@@ -29,21 +29,31 @@ object Dedup {
     * Produces (id, shingle) pairs — the exploded inverted-index form shared
     * by minhash and exact-jaccard dedup.
     */
+  /** Spread an under-partitioned batch input across the cluster before
+    * compute-bound per-row work. Text corpora often arrive as few large
+    * files → few scan partitions. Parallelism is estimated from logical-plan
+    * size stats, NOT `df.rdd.getNumPartitions` — building the RDD lineage
+    * plans the query eagerly on the driver and reads the pre-AQE
+    * partitioning, which silently disabled this guard under AQE coalescing.
+    */
+  private def spreadForCompute(df: DataFrame): DataFrame =
+    if (df.isStreaming) df
+    else {
+      val spark = df.sparkSession
+      val par = spark.sparkContext.defaultParallelism
+      val bytes = df.queryExecution.optimizedPlan.stats.sizeInBytes
+      val maxPart = BigInt(spark.sessionState.conf.filesMaxPartitionBytes)
+      val estParts = (bytes / maxPart.max(BigInt(1))) + 1
+      if (estParts < par) df.repartition(par) else df
+    }
+
   /** (doc, distinct shingle list) — the row-local form every dedup strategy
     * starts from. Spreads under-partitioned corpora before the per-row
     * work (round-robin: no key needed yet).
     */
   def shingleArrays(df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame = {
     val toks = tokens(col(textCol))
-    // text corpora often arrive as few large files → few partitions; the
-    // shingle pipeline is compute-bound, so spread it across the cluster
-    // before the per-row work
-    val spread =
-      if (!df.isStreaming &&
-          df.rdd.getNumPartitions < df.sparkSession.sparkContext.defaultParallelism)
-        df.repartition(df.sparkSession.sparkContext.defaultParallelism)
-      else df
-    spread.select(
+    spreadForCompute(df).select(
       col(idCol).as("doc"),
       array_distinct(
         when(size(toks) >= n,
@@ -65,12 +75,7 @@ object Dedup {
     */
   def shingles(df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame = {
     val toks = tokens(col(textCol))
-    val spread =
-      if (!df.isStreaming &&
-          df.rdd.getNumPartitions < df.sparkSession.sparkContext.defaultParallelism)
-        df.repartition(df.sparkSession.sparkContext.defaultParallelism)
-      else df
-    spread.select(
+    spreadForCompute(df).select(
       col(idCol).as("doc"),
       explode(array_distinct(
         when(size(toks) >= n,

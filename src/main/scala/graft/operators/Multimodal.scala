@@ -12,10 +12,10 @@ import org.apache.spark.sql.types._
   * The Spark-side plumbing is real: schemas, partition-size control, batched
   * `mapPartitions` over rows (the Scala analogue of `mapInPandas` — one
   * iterator per partition, vectorizable per chunk), deterministic outputs.
-  * The codec itself is STUBBED — this container has no image/audio
-  * libraries — behind [[Codec]]: `decodeReal` is `???` (the integration
-  * point for an actual decoder), and the default [[Codec.decodeFake]] is a
-  * deterministic pure-JVM fake so every downstream stage is testable.
+  * Image decode is REAL (JDK-native `javax.imageio`: png/jpeg/bmp/gif →
+  * BT.601 luma + nearest-neighbor resample, see [[Codec]]); only audio and
+  * video remain a clearly-marked deterministic fake ([[Codec.decodeFake]])
+  * because this container ships no audio/video codec libraries.
   */
 object Multimodal {
 

@@ -68,38 +68,72 @@ object Similarity {
       .select(col(queryIdCol), col(idCol), col("sim"), col("rank"))
   }
 
+  /** Row-local cell assignment: cosine-argmax over the driver-side centroid
+    * matrix, compiled into one projection ([[graft.functions.NearestCentroidF]]).
+    */
+  def nearestCentroid(vec: Column, centroids: Array[Array[Float]]): Column =
+    org.apache.spark.sql.GraftShim.column(
+      graft.functions.NearestCentroidF(
+        org.apache.spark.sql.GraftShim.expression(vec), centroids))
+
   /** IVF (inverted-file) ANN: partition the corpus into `nCentroids` cells
     * around sampled centroid vectors; a query probes its `nProbe` nearest
     * cells and reranks exactly inside them — the classic recall/cost dial
     * for billion-vector search. Centroids are hash-sampled corpus rows
-    * (deterministic, no stored model, no training iterations — a k-means
-    * refinement can slot in without changing the query path).
+    * (deterministic, no stored model), optionally refined by
+    * `kmeansSweeps` Lloyd iterations (each sweep = one corpus pass with a
+    * map-side-combined per-dimension mean: the shuffle carries only
+    * nCentroids × dim partial rows).
     *
-    * Scale: cell assignment is one broadcast pass over the corpus; the
-    * search join touches ~nProbe/nCentroids of the data per query.
+    * Scale: cell assignment is a ROW-LOCAL codegen'd argmax — zero shuffle
+    * of the corpus (round 2 shuffled corpus × nCentroids rows through a
+    * window sort here; fixed per the round-2 review). The search join then
+    * touches ~nProbe/nCentroids of the data per query. The only driver
+    * materializations are the ≤ nCentroids-row centroid samples/means.
     */
   def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int,
-      nCentroids: Int = 16, nProbe: Int = 4,
+      nCentroids: Int = 16, nProbe: Int = 4, kmeansSweeps: Int = 0,
       idCol: String = "vec_id", vecCol: String = "embedding",
       queryIdCol: String = "query_id", queryVecCol: String = "query_vec"): DataFrame = {
-    val centroids = corpus
+    var centroidMat: Array[Array[Float]] = corpus
       .withColumn("r", pmod(xxhash64(col(idCol)), lit(1000000)))
       .orderBy(col("r"), col(idCol)).limit(nCentroids)
-      .select(col(idCol).as("cid"), col(vecCol).as("cvec"))
+      .select(col(vecCol))
+      .collect().map(_.getSeq[Float](0).toArray)
 
-    def nearest(df: DataFrame, id: Column, vec: Column, keep: Int) = {
-      val w = Window.partitionBy(id).orderBy(col("csim").desc, col("cid"))
-      df.crossJoin(broadcast(centroids))
-        .withColumn("csim", VectorOps.cosineF(vec, col("cvec")))
-        .withColumn("crn", row_number().over(w))
-        .filter(col("crn") <= keep)
-        .drop("cvec", "csim", "crn")
+    for (_ <- 0 until kmeansSweeps) {
+      val means = corpus
+        .select(nearestCentroid(col(vecCol), centroidMat).as("cell"),
+          posexplode(col(vecCol)).as(Seq("pos", "x")))
+        .groupBy("cell", "pos").agg(avg("x").as("m"))
+        .groupBy("cell")
+        .agg(sort_array(collect_list(struct(col("pos"), col("m")))).as("pm"))
+        .select(col("cell"), transform(col("pm"), p => p("m")).as("cvec"))
+        .collect()
+      val next = centroidMat.clone() // empty cells keep their old centroid
+      means.foreach { r =>
+        next(r.getInt(0)) = r.getSeq[Double](1).map(_.toFloat).toArray
+      }
+      centroidMat = next
     }
 
-    val cells = nearest(corpus, col(idCol), col(vecCol), 1)
-    val probes = nearest(queries, col(queryIdCol), col(queryVecCol), nProbe)
+    val cells = corpus.withColumn("cell", nearestCentroid(col(vecCol), centroidMat))
 
-    val scored = cells.join(broadcast(probes), "cid")
+    // query side is tiny (queries ≪ corpus): rank centroids per query with
+    // a window over queries × nCentroids rows
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val centroidsDf = broadcast(
+      centroidMat.zipWithIndex.map { case (v, i) => (i, v.toSeq) }
+        .toSeq.toDF("cell", "cvec"))
+    val pw = Window.partitionBy(col(queryIdCol)).orderBy(col("csim").desc, col("cell"))
+    val probes = queries.crossJoin(centroidsDf)
+      .withColumn("csim", VectorOps.cosineF(col(queryVecCol), col("cvec")))
+      .withColumn("crn", row_number().over(pw))
+      .filter(col("crn") <= nProbe)
+      .select(col(queryIdCol), col(queryVecCol), col("cell"))
+
+    val scored = cells.join(broadcast(probes), "cell")
       .withColumn("sim", VectorOps.cosineF(col(vecCol), col(queryVecCol)))
     val w = Window.partitionBy(col(queryIdCol)).orderBy(col("sim").desc, col(idCol))
     scored.withColumn("rank", row_number().over(w))

