@@ -75,6 +75,18 @@ object Scalars {
     registry.createOrReplaceTempFunction("multi_hash2", multiHashExpr _, "built-in")
     spark.udf.register("extract_json",
       (t: String, p: String) => JsonPathAll.all(t, p))
+    // DataFusion's `->` json access operator (json_operators.sql golden):
+    // returns the field's RAW JSON text — numbers unquoted, strings with
+    // their quotes, missing fields as the literal text "null"
+    spark.udf.register("json_get_json", (t: String, f: String) => {
+      if (t == null) "null"
+      else {
+        val node =
+          try JsonPathAll.rootNode(t) catch { case _: Exception => null }
+        val v = if (node == null) null else node.get(f)
+        if (v == null) "null" else v.toString
+      }
+    })
   }
 
   private val extractJsonUdf = udf((t: String, p: String) => JsonPathAll.all(t, p))
@@ -89,6 +101,8 @@ object Scalars {
     @transient private lazy val mapper = new ObjectMapper()
 
     private val stepRe = """\.([A-Za-z0-9_\-]+)|\[(\d+)\]|\[\*\]""".r
+
+    def rootNode(text: String): JsonNode = mapper.readTree(text)
 
     def all(text: String, path: String): Seq[String] = {
       if (text == null || path == null) return Seq.empty

@@ -68,8 +68,68 @@ object Udafs {
       def outputEncoder: Encoder[Double] = Encoders.scalaDouble
     }
 
+  /** Buffer for [[weightedPercentileCont]]: (value, weight) pairs + the
+    * percentile argument (constant per call, captured from the first row).
+    */
+  final case class WPctlBuf(var vals: Array[Double], var ws: Array[Double],
+      var used: Int, var p: Double) {
+    def add(v: Double, w: Double, pct: Double): WPctlBuf = {
+      if (used == vals.length) {
+        val n = math.max(8, vals.length * 2)
+        vals = java.util.Arrays.copyOf(vals, n)
+        ws = java.util.Arrays.copyOf(ws, n)
+      }
+      vals(used) = v; ws(used) = w; used += 1; p = pct
+      this
+    }
+  }
+
+  private val wpctlBufEncoder = Encoders.product[WPctlBuf]
+
+  /** `approx_percentile_cont_with_weight(value, weight, p)` with the
+    * reference engine's observable semantics: walk the values in ascending
+    * order accumulating WEIGHT, and stop when the cumulative weight reaches
+    * `p × row-count` (not `p × Σweight` — verified against the
+    * every_aggregate.sql golden, where mean weight ≈ 10 puts the weighted
+    * median near the 5th percentile of the data). Exact and deterministic
+    * where the reference's t-digest is approximate; on this threshold rule
+    * the two agree for continuous-ish data.
+    */
+  val weightedPercentileCont: Aggregator[(Double, Double, Double), WPctlBuf, Double] =
+    new Aggregator[(Double, Double, Double), WPctlBuf, Double] {
+      def zero: WPctlBuf = WPctlBuf(Array.empty, Array.empty, 0, 0.5)
+      def reduce(b: WPctlBuf, a: (Double, Double, Double)): WPctlBuf =
+        b.add(a._1, a._2, a._3)
+      def merge(x: WPctlBuf, y: WPctlBuf): WPctlBuf = {
+        val out = WPctlBuf(new Array[Double](x.used + y.used),
+          new Array[Double](x.used + y.used), 0, if (x.used > 0) x.p else y.p)
+        System.arraycopy(x.vals, 0, out.vals, 0, x.used)
+        System.arraycopy(y.vals, 0, out.vals, x.used, y.used)
+        System.arraycopy(x.ws, 0, out.ws, 0, x.used)
+        System.arraycopy(y.ws, 0, out.ws, x.used, y.used)
+        out.used = x.used + y.used
+        out
+      }
+      def finish(b: WPctlBuf): Double = {
+        if (b.used == 0) return Double.NaN
+        val idx = (0 until b.used).sortBy(b.vals(_))
+        val threshold = b.p * b.used
+        var cum = 0.0
+        var i = 0
+        while (i < idx.length) {
+          cum += b.ws(idx(i))
+          if (cum >= threshold) return b.vals(idx(i))
+          i += 1
+        }
+        b.vals(idx.last)
+      }
+      def bufferEncoder: Encoder[WPctlBuf] = wpctlBufEncoder
+      def outputEncoder: Encoder[Double] = Encoders.scalaDouble
+    }
+
   def register(spark: SparkSession): Unit = {
     spark.udf.register("my_median", udaf(myMedian))
     spark.udf.register("max_product", udaf(maxProduct))
+    spark.udf.register("approx_percentile_cont_with_weight", udaf(weightedPercentileCont))
   }
 }

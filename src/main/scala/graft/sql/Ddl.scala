@@ -15,8 +15,11 @@ object Ddl {
 
   /** One column: name + Spark-normalized type DDL, or a virtual/generated
     * column (reference FieldSpec::Virtual, tables.rs:103-110).
+    * `primaryKey` marks `PRIMARY KEY` columns — debezium sources merge
+    * their CDC stream by these (reference updating semantics).
     */
-  final case class ColumnDef(name: String, sqlType: String, virtualExpr: Option[String]) {
+  final case class ColumnDef(name: String, sqlType: String, virtualExpr: Option[String],
+      primaryKey: Boolean = false) {
     def ddl: String = s"`$name` $sqlType"
   }
 
@@ -33,6 +36,7 @@ object Ddl {
     def format: String = options.getOrElse("format", "parquet")
     def path: Option[String] = options.get("path")
     def isSink: Boolean = options.get("type").contains("sink")
+    def pkColumns: Seq[String] = columns.filter(_.primaryKey).map(_.name)
     def schema: StructType =
       StructType.fromDDL(columns.filter(_.virtualExpr.isEmpty).map(_.ddl).mkString(", "))
   }
@@ -164,7 +168,8 @@ object Ddl {
       case VirtualRe(name, tpe, expr) =>
         Some(ColumnDef(name, normalizeType(tpe), Some(expr)))
       case ColRe(name, tpe) =>
-        Some(ColumnDef(name, normalizeType(tpe), None))
+        val pk = """(?i)\bPRIMARY\s+KEY\b""".r.findFirstIn(tpe).isDefined
+        Some(ColumnDef(name, normalizeType(tpe), None, primaryKey = pk))
       case other =>
         throw new IllegalArgumentException(s"cannot parse column def: '$other'")
     }

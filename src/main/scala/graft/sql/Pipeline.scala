@@ -63,7 +63,7 @@ class Pipeline(spark: SparkSession, streaming: Boolean = false) {
     case CreateView(name, q) =>
       rejectUnsupportedStatements(q)
       checkMemoryReads(q)
-      spark.sql(rewriteWindows(q)).createOrReplaceTempView(name)
+      sql(rewriteWindows(rewriteDialect(q))).createOrReplaceTempView(name)
 
     case Insert(sinkName, q) =>
       val sink = catalog.getOrElse(sinkName,
@@ -71,7 +71,7 @@ class Pipeline(spark: SparkSession, streaming: Boolean = false) {
       rejectUnsupportedStatements(q)
       rejectUnsupportedStreaming(q)
       checkMemoryReads(q)
-      val df = spark.sql(rewriteWindows(q))
+      val df = sql(rewriteWindows(rewriteDialect(q)))
       if (streaming) checkStreamingGuards(df, Some(sink))
       if (sink.connector == "memory_table") {
         if (writtenMemoryTables(sink.name))
@@ -87,7 +87,7 @@ class Pipeline(spark: SparkSession, streaming: Boolean = false) {
     case Query(q) =>
       rejectUnsupportedStatements(q)
       checkMemoryReads(q)
-      val df = spark.sql(rewriteWindows(q))
+      val df = sql(rewriteWindows(rewriteDialect(q)))
       if (streaming) checkStreamingGuards(df, None)
       lastResult = Some(df)
 
@@ -97,6 +97,67 @@ class Pipeline(spark: SparkSession, streaming: Boolean = false) {
         updatingTtlArmed = true
       case k => sys.error(s"unsupported SET option: $k (reference supports only updating_ttl)")
     }
+  }
+
+  /** spark.sql with the reference's leftmost-wins resolution for an
+    * unqualified `window.` field access that is ambiguous across joined
+    * windowed subqueries (DataFusion resolves to the first matching
+    * relation; Spark refuses — offset_impulse_join.sql golden). On an
+    * ambiguous-`window` analysis error, qualify `window.` with the first
+    * subquery alias and retry once.
+    */
+  private def sql(q: String): DataFrame =
+    try spark.sql(q)
+    catch {
+      case e: org.apache.spark.sql.AnalysisException
+          if e.getMessage.contains("AMBIGUOUS") && e.getMessage.contains("window") =>
+        val kw = Set("from", "join", "where", "group", "order", "on", "as", "select",
+          "having", "union", "left", "right", "full", "inner", "outer", "cross", "and", "or")
+        val firstAlias = """\)\s+(?:[aA][sS]\s+)?([A-Za-z_]\w*)""".r
+          .findAllMatchIn(q).map(_.group(1))
+          .find(a => !kw(a.toLowerCase))
+        firstAlias match {
+          case Some(a) =>
+            spark.sql("""(?i)(?<![\w.`])window\s*\.""".r.replaceAllIn(q, s"$a.window."))
+          case None => throw e
+        }
+    }
+
+  /** SQL-dialect bridges: the reference accepts DataFusion's function
+    * surface; rewrite the calls Spark names differently (or lacks) onto
+    * Spark equivalents. Approximate aggregates map to their exact Spark
+    * counterparts — the approximation algorithms are engine-specific
+    * (t-digest/HLL there, QuantileSummaries/HLL++ here) so "approximate
+    * parity" is best expressed as the exact value our engine can compute
+    * in one pass anyway.
+    */
+  def rewriteDialect(q0: String): String = {
+    var q = q0
+    // json access operator `expr->'field'` → raw-JSON-text accessor
+    // (DataFusion -> returns the JSON representation; json_operators.sql)
+    q = """([A-Za-z_][\w.]*)\s*->\s*'([^']+)'""".r
+      .replaceAllIn(q, m => s"json_get_json(${m.group(1)}, '${m.group(2)}')")
+    // unnest → explode (same lateral semantics in a SELECT list)
+    q = """(?i)\bunnest\s*\(""".r.replaceAllIn(q, "explode(")
+    // var → var_samp (DataFusion alias Spark lacks)
+    q = """(?i)\bvar\s*\(""".r.replaceAllIn(q, "var_samp(")
+    // extract(epoch from ts) → fractional seconds since epoch as double
+    q = """(?i)\bextract\s*\(\s*epoch\s+from\s+([^)]+)\)""".r
+      .replaceAllIn(q, m => s"(unix_micros(${m.group(1)}) / 1000000.0)")
+    // approx_percentile_cont_with_weight(w, p) WITHIN GROUP (ORDER BY x)
+    //   → 3-arg UDAF with the reference's row-count threshold semantics
+    q = """(?i)\bapprox_percentile_cont_with_weight\s*\((.+?),\s*([0-9.]+)\s*\)\s*WITHIN\s+GROUP\s*\(\s*ORDER\s+BY\s+([^)]+)\)""".r
+      .replaceAllIn(q, m =>
+        s"approx_percentile_cont_with_weight(${m.group(3)}, ${m.group(1)}, ${m.group(2)})")
+    // approx_percentile_cont(p) WITHIN GROUP (ORDER BY x) → percentile(x, p)
+    q = """(?i)\bapprox_percentile_cont\s*\(\s*([0-9.]+)\s*\)\s*WITHIN\s+GROUP\s*\(\s*ORDER\s+BY\s+([^)]+)\)""".r
+      .replaceAllIn(q, m => s"percentile(${m.group(2)}, ${m.group(1)})")
+    // approx_median(x) → percentile(x, 0.5)
+    q = """(?i)\bapprox_median\s*\(\s*([^()]+?)\s*\)""".r
+      .replaceAllIn(q, m => s"percentile(${m.group(1)}, 0.5)")
+    // approx_distinct(x) → count(distinct x) (exact; see scaladoc)
+    q = """(?i)\bapprox_distinct\s*\(""".r.replaceAllIn(q, "count(distinct ")
+    q
   }
 
   /** EXPLAIN/ANALYZE/COPY/DESCRIBE are rejected like the reference planner
@@ -220,6 +281,12 @@ class Pipeline(spark: SparkSession, streaming: Boolean = false) {
           } else
             spark.read.schema(schema).format(fmt).options(opts).load(path)
         t.format match {
+          case "json" if t.options.get("json.unstructured").contains("true") =>
+            // unstructured json (formats.rs JsonFormat.unstructured): each
+            // line is one opaque JSON value in a single declared column
+            val colName = t.columns.headOption.map(_.name).getOrElse("value")
+            val raw = if (streaming) spark.readStream.text(path) else spark.read.text(path)
+            raw.select(col("value").as(colName))
           case "json" =>
             // BadData::{Fail,Drop} (formats.rs:461-497) → FAILFAST /
             // DROPMALFORMED on Spark's json reader
@@ -247,9 +314,18 @@ class Pipeline(spark: SparkSession, streaming: Boolean = false) {
             graft.formats.Formats.readProtoFiles(spark, path, t.schema, streaming, t.options)
           case "debezium_json" =>
             // CDC envelope {before, after, op} → flat rows + _is_retract
-            // (reference DebeziumUnrollingExec; formats.rs:69-180)
-            val raw = if (streaming) spark.readStream.text(path) else spark.read.text(path)
-            graft.streaming.Debezium.unroll(raw, "value", t.schema)
+            // (reference DebeziumUnrollingExec; formats.rs:69-180). A
+            // bounded batch read converges to the stream's final state:
+            // merge by the declared PRIMARY KEY so downstream queries see
+            // the current table, exactly like the reference's updating
+            // operators after consuming the whole stream.
+            if (streaming) {
+              val raw = spark.readStream.text(path)
+              graft.streaming.Debezium.unroll(raw, "value", t.schema)
+            } else {
+              val raw = spark.read.text(path)
+              graft.streaming.Debezium.mergedState(raw, "value", t.schema, t.pkColumns)
+            }
           case f => sys.error(s"unsupported format $f")
         }
       case "impulse" => Generators.renameTo(Generators.impulse(spark, t, streaming), t)
@@ -524,7 +600,7 @@ class Pipeline(spark: SparkSession, streaming: Boolean = false) {
         "window in group by does not match input window: can't mix session with tumble/hop " +
           "in one statement (reference parity, error_mismatched_nested_windows.sql)")
 
-    var out = q
+    var out = rewriteNestedWindows(q)
     out = s"""(?si)\\btumble\\s*\\(\\s*$interval\\s*\\)""".r
       .replaceAllIn(out, m => s"window($need, '${iv(m.group(1), m.group(2))}')")
     out = s"""(?si)\\btumble\\s*\\(\\s*([A-Za-z_][A-Za-z0-9_.]*)\\s*,\\s*$interval\\s*\\)""".r
@@ -555,6 +631,77 @@ class Pipeline(spark: SparkSession, streaming: Boolean = false) {
     // row_time() → the event-time column (reference RowTimeRewriter)
     out = """(?i)\brow_time\s*\(\s*\)""".r.replaceAllIn(out, _ => et.getOrElse("row_time()"))
     out
+  }
+
+  /** Re-windowing over an already-windowed subquery whose SELECT list does
+    * NOT expose its window (reinvoke_window_function.sql): the reference
+    * carries each aggregate row's event time implicitly (window.end − 1ns),
+    * so an outer `tumble('1 hour')` over hourly inner windows re-groups
+    * rows into the SAME windows. Spark has no implicit row time — rewrite
+    * by exposing the inner window as `__rw` and substituting the outer
+    * tumble call with `__rw` (valid because the widths are equal; unequal
+    * widths would need a real row-time column and are rejected).
+    *
+    * Triggers only when tumble/hop occur at two paren depths AND the
+    * deepest one is not already aliased/selected — sibling windowed
+    * subqueries (nexmark_q5, windowed joins) are untouched.
+    */
+  private def rewriteNestedWindows(q: String): String = {
+    val winRe = """(?i)\b(tumble|hop)\s*\(""".r
+    // paren depth at each position (quote-aware)
+    val depths = new Array[Int](q.length)
+    var d = 0; var inS = false
+    for (i <- q.indices) {
+      val c = q.charAt(i)
+      if (c == '\'') inS = !inS
+      else if (!inS && c == '(') d += 1
+      else if (!inS && c == ')') d -= 1
+      depths(i) = d
+    }
+    val occ = winRe.findAllMatchIn(q).map(m => (m.start, depths(m.start))).toSeq
+    if (occ.map(_._2).distinct.size < 2) return q
+    val (innerPos, innerDepth) = occ.maxBy(_._2)
+    val (outerPos, _) = occ.minBy(_._2)
+    // the subquery block containing the inner occurrence: last '(' before it
+    // at depth innerDepth (its open paren), matched forward to its close
+    val open = (innerPos to 0 by -1).find(i => q.charAt(i) == '(' && depths(i) == innerDepth)
+      .getOrElse(return q)
+    val close = (innerPos until q.length).find(i => q.charAt(i) == ')' && depths(i) == innerDepth - 1)
+      .getOrElse(return q)
+    val inner = q.substring(open + 1, close)
+    // already exposed? (aliased `as window` or any alias) → leave alone
+    val innerCallRe = """(?is)\b(?:tumble|hop)\s*\([^()]*\)\s+as\s+\w+""".r
+    if (innerCallRe.findFirstIn(inner).isDefined) return q
+    // equal-width check: outer call text must equal the inner call text
+    def callText(p: Int): String = {
+      val end = (p until q.length).find(i => q.charAt(i) == ')' && depths(i) == depths(p)).get
+      q.substring(p, end + 1)
+    }
+    val innerCall = callText(innerPos)
+    val outerCall = callText(outerPos)
+    if (innerCall.replaceAll("\\s+", "").toLowerCase !=
+        outerCall.replaceAll("\\s+", "").toLowerCase)
+      throw new IllegalArgumentException(
+        "window in group by does not match input window (reference parity: " +
+          "re-windowing an aggregate needs the same window width)")
+    // splice: expose the inner window, reuse it in the outer call
+    val fromRe = """(?i)\bfrom\b""".r
+    val fromInInner = fromRe.findAllMatchIn(inner)
+      .find(m => { // top-level FROM within the inner block
+        var dd = 0; var s = false
+        inner.take(m.start).foreach { c =>
+          if (c == '\'') s = !s else if (!s && c == '(') dd += 1 else if (!s && c == ')') dd -= 1 }
+        dd == 0
+      })
+      .getOrElse(return q)
+    val newInner = inner.take(fromInInner.start) + s", $innerCall as __rw " +
+      inner.drop(fromInInner.start)
+    val q2 = q.substring(0, open + 1) + newInner + q.substring(close)
+    // outer call position shifted if it came after the splice
+    val shift = newInner.length - inner.length
+    val outerStart = if (outerPos > open) outerPos + shift else outerPos
+    val outerLen = outerCall.length
+    q2.substring(0, outerStart) + "__rw" + q2.substring(outerStart + outerLen)
   }
 
   /** Interval string ('3 minute', '90 seconds', '1 hour') → seconds. */

@@ -41,8 +41,31 @@ class GoldenSpec extends SparkSpec {
     case _ => s
   }
 
+  /** Canonical number text: engines disagree on integer-vs-float JSON
+    * rendering for the same value (DataFusion writes `regr_count` as
+    * 1781.0 and large doubles in scientific notation; Spark writes long
+    * aggregates as 1781) — normalize through BigDecimal.
+    */
+  /** When non-zero, numbers compare at this many significant digits.
+    * Used ONLY by every_aggregate: regr_sxx/regr_sxy accumulate thousands
+    * of f64 operations whose result depends on summation order — DataFusion
+    * (sequential) and Spark (32-partition merge) agree to ~10 significant
+    * digits and diverge beyond, which is floating-point reality, not a
+    * semantic difference. Every other golden compares exactly.
+    */
+  private var numSigDigits: Int = 0
+
+  private def canonNum(n: JsonNode): String = {
+    var bd = n.decimalValue()
+    if (numSigDigits > 0)
+      bd = bd.round(new java.math.MathContext(numSigDigits))
+    if (bd.compareTo(java.math.BigDecimal.ZERO) == 0) "0"
+    else bd.stripTrailingZeros.toPlainString
+  }
+
   /** Canonical JSON: sorted keys, null fields dropped (json writers differ
-    * on null-vs-absent), timestamps normalized (zone + trailing zeros).
+    * on null-vs-absent), timestamps normalized (zone + trailing zeros),
+    * numbers normalized (int/float/scientific renderings unified).
     */
   private def canon(n: JsonNode): JsonNode = n match {
     case o: ObjectNode =>
@@ -56,6 +79,7 @@ class GoldenSpec extends SparkSpec {
       a.asScala.foreach(x => out.add(canon(x)))
       out
     case t: TextNode => new TextNode(normTs(t.asText()))
+    case num if num.isNumber => new TextNode(canonNum(num))
     case other => other
   }
 
@@ -117,6 +141,12 @@ class GoldenSpec extends SparkSpec {
         def outputEncoder: Encoder[java.lang.Double] = Encoders.DOUBLE
       }
     spark.udf.register("none_udf", org.apache.spark.sql.functions.udaf(noneAgg))
+    // the reference harness's scalar udf (udfs.rs double_negative): -2x.
+    // async_double_negative computes the same value; the async machinery is
+    // covered by OperatorsSpec/q_async_udf, so the SQL name maps to the
+    // same scalar here.
+    spark.udf.register("double_negative", (x: Long) => -2L * x)
+    spark.udf.register("async_double_negative", (x: Long) => -2L * x)
   }
 
   /** Run queries/<name>.sql with fixture substitution; returns (output
@@ -178,6 +208,108 @@ class GoldenSpec extends SparkSpec {
   test("golden batch: aggregates (debezium sink)") { checkExact("aggregates") }
   test("golden batch: grouped_aggregates (debezium merge by pk)") { checkExact("grouped_aggregates") }
   test("golden batch: udaf (my_median / none_udf / max_product)") { checkExact("udaf") }
+
+  test("golden batch: select_star via memory table") { checkExact("memory_table") }
+  test("golden batch: test_merge_sink (two INSERTs, one sink)") { checkExact("test_merge_sink") }
+  test("golden batch: cast_to_sink_type (sink DDL casts the SELECT)") {
+    checkExact("cast_to_sink_type")
+  }
+  test("golden batch: double_negative_udf") { checkExact("double_negative_udf") }
+  test("golden batch: async_udf") { checkExact("async_udf") }
+  test("golden batch: json_operators (unstructured source, -> access)") {
+    checkExact("json_operators")
+  }
+  test("golden batch: tight_watermark (tumble through a view)") { checkExact("tight_watermark") }
+  test("golden batch: global_session_window") { checkExact("global_session_window") }
+  test("golden batch: unnest_in_view (array_agg + unnest)") { checkExact("unnest_in_view") }
+  test("golden batch: offset_impulse_join (two tumbled aggregates joined)") {
+    checkExact("offset_impulse_join")
+  }
+  test("golden batch: windowed_outer_join (full outer on window.start)") {
+    checkExact("windowed_outer_join")
+  }
+  test("golden batch: nexmark_q5 shape (hop + per-window max join)") {
+    // the reference repo ships no nexmark_bids.json fixture (the committed
+    // golden can't be reproduced from its inputs dir) — generate a bids
+    // fixture, run the reference's own nexmark_q5.sql through the pipeline,
+    // and verify against an independently-computed expected result
+    import org.apache.spark.sql.functions.{col, window, max, count}
+    val dir = tmp()
+    val base = java.time.Instant.parse("2024-01-01T00:00:00Z")
+    val lines = (0 until 2000).map { i =>
+      val ts = base.plusMillis(i * 37L)
+      s"""{"datetime":"$ts","auction":${(i * 7919) % 13}}"""
+    }
+    Files.write(Paths.get(s"$dir/nexmark_bids.json"), lines.asJava)
+    val raw = new String(Files.readAllBytes(
+      Paths.get(s"$refDir/src/test/queries/nexmark_q5.sql")))
+    val outPath = s"${tmp()}/out"
+    registerTestUdfs()
+    new Pipeline(spark, streaming = false)
+      .run(raw.replace("$input_dir", dir).replace("$output_path", outPath))
+    val out = readJsonLines(Paths.get(outPath))
+      .map(n => (n.get("auction").asLong, n.get("count").asLong))
+      .groupBy(identity).view.mapValues(_.size).toMap
+    val bids = spark.read
+      .schema("datetime TIMESTAMP, auction BIGINT").json(s"$dir/nexmark_bids.json")
+    val ab = bids.groupBy(window(col("datetime"), "10 seconds", "2 seconds").as("w"),
+      col("auction")).agg(count("*").as("num"))
+    val mx = ab.groupBy("w").agg(max("num").as("maxn"))
+    val expected = ab.join(mx, "w").filter(col("num") >= col("maxn"))
+      .select("auction", "num").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+      .groupBy(identity).view.mapValues(_.size).toMap
+    assert(out.nonEmpty && out == expected)
+  }
+  test("golden batch: reinvoke_window_function (re-windowed aggregate)") {
+    checkExact("reinvoke_window_function")
+  }
+  test("golden batch: active_drivers (nested updating aggregate)") {
+    checkExact("active_drivers")
+  }
+  test("golden batch: filter_updating_aggregates") { checkExact("filter_updating_aggregates") }
+  test("golden batch: every_aggregate (full aggregate battery)") {
+    numSigDigits = 8 // see the field's scaladoc: regr_sxx/sxy fp noise
+    try checkExact("every_aggregate")
+    finally numSigDigits = 0
+  }
+  test("golden batch: debezium_coercion (json source → debezium sink)") {
+    checkExact("debezium_coercion")
+  }
+  test("golden batch: debezium_pass_through (debezium source → sink)") {
+    checkExact("debezium_pass_through")
+  }
+  test("golden batch: debezium_agg (aggregate over a CDC stream)") {
+    checkExact("debezium_agg")
+  }
+  test("golden batch: updating_inner_join (non-windowed inner join → debezium)") {
+    checkExact("updating_inner_join")
+  }
+
+  // ── the reference's --fail corpus: same scripts must be rejected ──────
+
+  private def checkFails(name: String): Unit = {
+    val raw = new String(Files.readAllBytes(Paths.get(s"$refDir/src/test/queries/$name.sql")))
+    assert(raw.startsWith("--fail"), s"$name is not a --fail golden")
+    val script = raw
+      .replace("$input_dir", s"$refDir/inputs")
+      .replace("$output_path", s"${tmp()}/out")
+    registerTestUdfs()
+    val e = intercept[Exception] {
+      new Pipeline(spark, streaming = true).run(script)
+    }
+    info(s"$name rejected: ${e.getMessage.linesIterator.next()}")
+  }
+
+  test("golden fail: most_active_driver_last_hour_unaligned (hop multiple)") {
+    checkFails("most_active_driver_last_hour_unaligned")
+  }
+  test("golden fail: updating_full_join") { checkFails("updating_full_join") }
+  test("golden fail: updating_left_join") { checkFails("updating_left_join") }
+  test("golden fail: updating_right_join") { checkFails("updating_right_join") }
+  test("golden fail: updating_inner_join_with_updating") {
+    checkFails("updating_inner_join_with_updating")
+  }
 
   // ── streaming (AvailableNow): exact for stateless + updating sinks ────
 
