@@ -7,10 +7,14 @@ package graft
   * Each query is forced with a full-result count() (materializes every
   * operator, no collect to driver). One warm-up of the flagship join primes
   * the JVM/codegen so per-query numbers reflect steady-state throughput.
+  * Per-query time is the MEDIAN of SPARK_GRAFT_BENCH_RUNS runs (default 3)
+  * — single-run numbers at this scale carry ±20-30% GC/JIT noise, which
+  * round 2 mistook for regressions.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt.max(1)
     val spark = GraftSession.builder("graft-bench").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
@@ -26,10 +30,17 @@ object Bench {
       docSample.unpersist()
     } catch { case _: Throwable => }
 
-    val results = SparkEntry.headline.map { name =>
+    def once(name: String): Double = {
       val t0 = System.nanoTime()
       try { qmap(name)(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      (System.nanoTime() - t0) / 1e9
+    }
+    // interleave rounds (run the whole battery `runs` times) so one query's
+    // GC debt doesn't land on its own repeat
+    val samples = (1 to runs).map(_ => SparkEntry.headline.map(n => n -> once(n)).toMap)
+    val results = SparkEntry.headline.map { name =>
+      val xs = samples.map(_(name)).sorted
+      name -> xs(xs.length / 2)
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")

@@ -57,6 +57,61 @@ object AvroCodec {
     recordJson(schema, name)
   }
 
+  /** Inverse of [[avroSchemaJson]]: an Avro record schema (as fetched from
+    * a schema registry) → the StructType this codec decodes with. Handles
+    * the types the wire format covers: primitives, `["null", T]` unions,
+    * timestamp-micros / date logical types, arrays, maps, nested records.
+    */
+  def parseAvroSchema(json: String): StructType = {
+    import com.fasterxml.jackson.databind.JsonNode
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+
+    def dataTypeOf(n: JsonNode): DataType = {
+      if (n.isTextual) primitiveOf(n.asText())
+      else if (n.isArray) {
+        // union: drop the "null" branch (nullability rides the StructField)
+        val branches = (0 until n.size).map(n.get)
+          .filterNot(b => b.isTextual && b.asText() == "null")
+        if (branches.size != 1)
+          throw new IllegalArgumentException(s"avro: unsupported union $n")
+        dataTypeOf(branches.head)
+      } else {
+        val t = n.get("type").asText()
+        val logical = Option(n.get("logicalType")).map(_.asText())
+        (t, logical) match {
+          case ("long", Some("timestamp-micros")) => TimestampType
+          case ("long", Some("timestamp-millis")) => TimestampType
+          case ("int", Some("date")) => DateType
+          case ("array", _) => ArrayType(dataTypeOf(n.get("items")))
+          case ("map", _) => MapType(StringType, dataTypeOf(n.get("values")))
+          case ("record", _) => recordOf(n)
+          case _ => primitiveOf(t)
+        }
+      }
+    }
+    def primitiveOf(t: String): DataType = t match {
+      case "boolean" => BooleanType
+      case "int" => IntegerType
+      case "long" => LongType
+      case "float" => FloatType
+      case "double" => DoubleType
+      case "string" => StringType
+      case "bytes" => BinaryType
+      case other => throw new IllegalArgumentException(s"avro: unsupported primitive $other")
+    }
+    def recordOf(n: JsonNode): StructType = {
+      val fields = n.get("fields")
+      StructType((0 until fields.size).map { i =>
+        val f = fields.get(i)
+        val t = f.get("type")
+        // nullable ⟺ the writer wrapped the type in a ["null", T] union —
+        // the binary decoder must only read a branch index for unions
+        StructField(f.get("name").asText(), dataTypeOf(t), nullable = t.isArray)
+      })
+    }
+    recordOf(mapper.readTree(json))
+  }
+
   // ── primitive encoding ────────────────────────────────────────────────
 
   private def writeVarLong(out: OutputStream, v0: Long): Unit = {
@@ -222,7 +277,10 @@ object AvroCodec {
     }
 
   private def readRecord(in: InputStream, schema: StructType): Row =
-    Row.fromSeq(schema.fields.toIndexedSeq.map(f => readNullable(in, f.dataType)))
+    // nullable=false fields (registry schemas without a ["null",T] union)
+    // carry no branch index on the wire
+    Row.fromSeq(schema.fields.toIndexedSeq.map(f =>
+      if (f.nullable) readNullable(in, f.dataType) else readValue(in, f.dataType)))
 
   /** Encode one row as a raw Avro datum (`avro.raw_datums = true`). */
   def encodeRow(row: Row, schema: StructType): Array[Byte] = {

@@ -68,9 +68,28 @@ object Formats {
         df.select((Seq(col("value")) ++ passthroughCols(df)): _*)
       case "avro" =>
         val confluent = options.get("avro.confluent_schema_registry").contains("true")
+        val registry = if (confluent) SchemaRegistry.confOf(options) else None
         decodeWith(df, schema, bad) { bytes =>
-          val datum = if (confluent) AvroCodec.unframeConfluent(bytes)._2 else bytes
-          AvroCodec.decodeRow(datum, schema)
+          registry match {
+            case Some(conf) =>
+              // schema-registry read path: each message names its writer
+              // schema by framed id — fetch it (cached per executor JVM),
+              // decode with the WRITER's shape, align to the declared
+              // columns by name (schema evolution: reordered/added writer
+              // fields don't break the reader)
+              val (id, datum) = AvroCodec.unframeConfluent(bytes)
+              val writer = SchemaRegistry.structTypeForId(conf, id)
+              val wrow = AvroCodec.decodeRow(datum, writer)
+              Row.fromSeq(schema.fields.toIndexedSeq.map { f =>
+                writer.getFieldIndex(f.name) match {
+                  case Some(i) => promote(wrow.get(i), writer.fields(i).dataType, f.dataType)
+                  case None => null
+                }
+              })
+            case None =>
+              val datum = if (confluent) AvroCodec.unframeConfluent(bytes)._2 else bytes
+              AvroCodec.decodeRow(datum, schema)
+          }
         }
       case "protobuf" =>
         decodeWith(df, schema, bad)(bytes => ProtobufCodec.decodeRow(bytes, schema))
@@ -123,7 +142,15 @@ object Formats {
         df.select(col(df.columns.head).cast("binary").as("value"))
       case "avro" =>
         val confluent = options.get("avro.confluent_schema_registry").contains("true")
-        val schemaId = options.getOrElse("avro.schema_id", "1").toInt
+        // registry write path: register this sink's schema under the
+        // reference's `{topic}-value` subject ONCE (driver-side, at plan
+        // build) and frame every message with the returned id
+        val schemaId = SchemaRegistry.confOf(options).filter(_ => confluent) match {
+          case Some(conf) =>
+            SchemaRegistry.register(conf, SchemaRegistry.valueSubject(options),
+              AvroCodec.avroSchemaJson(schema, "sink"))
+          case None => options.getOrElse("avro.schema_id", "1").toInt
+        }
         encodeWith(df) { row =>
           val datum = AvroCodec.encodeRow(row, schema)
           if (confluent) AvroCodec.frameConfluent(datum, schemaId) else datum

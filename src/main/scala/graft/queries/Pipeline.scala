@@ -288,7 +288,10 @@ object Pipeline {
       (s, dir) => {
         val queries = emb(s, dir).filter(col("vec_id") % 50 === 0)
           .select(col("vec_id").as("query_id"), col("embedding").as("query_vec"))
-        Similarity.ivfTopK(emb(s, dir), queries, k = 5, nCentroids = 16, nProbe = 4)
+        // 8/64 probe fraction: each query scores ~12.5% of the corpus —
+        // finer cells beat 4/16's 25% at the same recall level now that
+        // cell assignment is a zero-shuffle row-local argmax
+        Similarity.ivfTopK(emb(s, dir), queries, k = 5, nCentroids = 64, nProbe = 8)
           .select(col("query_id"), col("vec_id"), col("rank"))
       },
       None)
