@@ -3,7 +3,7 @@ package graft.formats
 import org.apache.spark.sql.{DataFrame, Encoder, Row, SparkSession}
 import org.apache.spark.sql.catalyst.encoders.RowEncoder
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{BinaryType, StructField, StructType}
+import org.apache.spark.sql.types._
 
 /** Format layer glue — maps the reference's Format enum
   * (crates/arroyo-rpc/src/formats.rs:396-459) onto DataFrames, plus the
@@ -80,8 +80,9 @@ object Formats {
               val (id, datum) = AvroCodec.unframeConfluent(bytes)
               val writer = SchemaRegistry.structTypeForId(conf, id)
               val wrow = AvroCodec.decodeRow(datum, writer)
+              val widx = writer.fieldNames.zipWithIndex.toMap
               Row.fromSeq(schema.fields.toIndexedSeq.map { f =>
-                writer.getFieldIndex(f.name) match {
+                widx.get(f.name) match {
                   case Some(i) => promote(wrow.get(i), writer.fields(i).dataType, f.dataType)
                   case None => null
                 }
@@ -96,6 +97,25 @@ object Formats {
       case f => throw new IllegalArgumentException(s"unsupported value format '$f'")
     }
   }
+
+  /** Avro schema-evolution numeric/byte promotions (Avro spec "Schema
+    * Resolution"): int→long/float/double, long→float/double, float→double,
+    * string↔bytes. Identity when writer and reader types already agree.
+    */
+  private def promote(v: Any, from: DataType, to: DataType): Any =
+    if (v == null || from == to) v
+    else (from, to) match {
+      case (IntegerType, LongType)   => v.asInstanceOf[Int].toLong
+      case (IntegerType, FloatType)  => v.asInstanceOf[Int].toFloat
+      case (IntegerType, DoubleType) => v.asInstanceOf[Int].toDouble
+      case (LongType, FloatType)     => v.asInstanceOf[Long].toFloat
+      case (LongType, DoubleType)    => v.asInstanceOf[Long].toDouble
+      case (FloatType, DoubleType)   => v.asInstanceOf[Float].toDouble
+      case (BinaryType, StringType)  => new String(v.asInstanceOf[Array[Byte]], "UTF-8")
+      case (StringType, BinaryType)  => v.asInstanceOf[String].getBytes("UTF-8")
+      case _ => throw new IllegalArgumentException(
+        s"cannot promote writer type $from to reader type $to")
+    }
 
   private def passthroughCols(df: DataFrame) =
     df.columns.filter(_ != "value").map(c => col(s"`$c`")).toSeq
