@@ -7,7 +7,6 @@ import java.net.URI
 import java.net.http.{HttpClient, HttpRequest, HttpResponse}
 import java.nio.charset.StandardCharsets.UTF_8
 import java.util.Base64
-import scala.collection.concurrent.TrieMap
 
 /** Confluent Schema Registry client over the registry's public REST surface
   * (reference crates/arroyo-rpc/src/schema_resolver.rs:240-460 and
@@ -39,9 +38,12 @@ object SchemaRegistry {
   @transient private lazy val mapper = new ObjectMapper()
 
   /** (endpoint, id) → parsed writer StructType; registry ids are immutable
-    * so the cache never invalidates.
+    * so the cache never invalidates. ConcurrentHashMap.computeIfAbsent is
+    * single-flight per key: when 32 tasks hit a cold executor at once, the
+    * registry sees ONE fetch, not a thundering herd.
     */
-  private val byIdCache = TrieMap.empty[(String, Int), StructType]
+  private val byIdCache =
+    new java.util.concurrent.ConcurrentHashMap[(String, Int), StructType]()
 
   private def request(conf: Conf, path: String): HttpRequest.Builder = {
     val b = HttpRequest.newBuilder(URI.create(s"${conf.endpoint}/$path"))
@@ -79,8 +81,8 @@ object SchemaRegistry {
 
   /** Cached writer schema for a framed id, as a Spark StructType. */
   def structTypeForId(conf: Conf, id: Int): StructType =
-    byIdCache.getOrElseUpdate((conf.endpoint, id),
-      AvroCodec.parseAvroSchema(schemaById(conf, id)))
+    byIdCache.computeIfAbsent((conf.endpoint, id),
+      _ => AvroCodec.parseAvroSchema(schemaById(conf, id)))
 
   /** Latest (id, schema) for a subject. */
   def latest(conf: Conf, subject: String): (Int, String) = {

@@ -330,14 +330,24 @@ class Pipeline(spark: SparkSession, streaming: Boolean = false) {
         }
       case "impulse" => Generators.renameTo(Generators.impulse(spark, t, streaming), t)
       case "nexmark" => Generators.renameTo(Generators.nexmarkBids(spark, t, streaming), t)
-      case "kafka" =>
+      case "kafka" | "confluent" =>
+        // confluent = kafka + mandatory schema registry (reference
+        // crates/arroyo-connectors/src/confluent/mod.rs:26-54): validate
+        // the registry at plan time, then ride the kafka path with
+        // confluent framing on by default
+        val t2 = if (t.connector == "confluent") {
+          val conf = graft.formats.SchemaRegistry.confOf(t.options).getOrElse(
+            sys.error("confluent connector requires 'schema_registry.endpoint' (reference confluent/mod.rs:38)"))
+          graft.formats.SchemaRegistry.testConnection(conf)
+          t.copy(options = Map("avro.confluent_schema_registry" -> "true") ++ t.options)
+        } else t
         val reader = if (streaming) spark.readStream else sys.error("kafka requires streaming mode")
         val raw = reader.format("kafka")
-          .options(t.options.collect {
+          .options(t2.options.collect {
             case (k, v) if k.startsWith("kafka.") || k == "subscribe" || k == "startingoffsets" => k -> v
           })
           .load()
-        decodeKafka(raw, t)
+        decodeKafka(raw, t2)
       case "sse" =>
         if (!streaming) sys.error("sse requires streaming mode")
         spark.readStream.format("graft-sse")
@@ -403,7 +413,7 @@ class Pipeline(spark: SparkSession, streaming: Boolean = false) {
     val re = """(?i)metadata\s*\(\s*'([A-Za-z_]+)'\s*\)""".r
     re.replaceAllIn(e, m => {
       val key = m.group(1)
-      if (t.connector != "kafka")
+      if (t.connector != "kafka" && t.connector != "confluent")
         sys.error(s"metadata('$key') is only available on kafka tables (reference tables.rs:626-660)")
       key match {
         case "offset_id" => "offset"
@@ -536,17 +546,23 @@ class Pipeline(spark: SparkSession, streaming: Boolean = false) {
         case "stdout" | "preview" => ws.format("console").option("truncate", "false").start()
         case "blackhole" => ws.format("noop").start()
         case "memory" => ws.format("memory").queryName(s"${sink.name}_result").start()
-        case "kafka" =>
+        case "kafka" | "confluent" =>
           // payload encode per the declared format (debezium_json already
           // rolled into a string `value` above). At-least-once: Spark's
           // kafka sink has no transactional exactly_once — see decodeKafka
-          // note on the reference's sink.commit_mode divergence.
+          // note on the reference's sink.commit_mode divergence. confluent
+          // sinks register the schema and frame with the registry id
+          // (encodeValue's registry write path).
+          val sinkOpts =
+            if (sink.connector == "confluent")
+              Map("avro.confluent_schema_registry" -> "true") ++ sink.options
+            else sink.options
           val enc =
             if (sink.format == "debezium_json") out0
-            else graft.formats.Formats.encodeValue(out0, sink.format, sink.options)
+            else graft.formats.Formats.encodeValue(out0, sink.format, sinkOpts)
           enc.writeStream.outputMode(mode).option("checkpointLocation", cp)
             .trigger(Trigger.AvailableNow())
-            .format("kafka").options(sink.options.filter(_._1.startsWith("kafka."))).start()
+            .format("kafka").options(sinkOpts.filter(_._1.startsWith("kafka."))).start()
         case "webhook" =>
           val endpoint = sink.options("endpoint")
           val headers = graft.sources.HttpConf.headers(sink.options)
