@@ -328,6 +328,14 @@ class Pipeline(spark: SparkSession, streaming: Boolean = false) {
             }
           case f => sys.error(s"unsupported format $f")
         }
+      case "delta" | "iceberg" =>
+        // snapshot read of the transactional table's committed files only
+        // (uncommitted/orphaned data dirs are invisible — ACID isolation)
+        if (streaming)
+          sys.error(s"${t.connector} source is batch-only (snapshot reads); " +
+            "stream the downstream pipeline from a message connector instead")
+        graft.sinks.TxnLog.read(spark,
+          t.path.getOrElse(sys.error(s"table ${t.name}: path required")))
       case "impulse" => Generators.renameTo(Generators.impulse(spark, t, streaming), t)
       case "nexmark" => Generators.renameTo(Generators.nexmarkBids(spark, t, streaming), t)
       case "kafka" | "confluent" =>
@@ -432,12 +440,13 @@ class Pipeline(spark: SparkSession, streaming: Boolean = false) {
     * `metadata('…')` virtual columns. Broker-independent (takes the raw
     * kafka-shaped frame), so specs can drive it with crafted binary rows.
     *
-    * Exactly-once note: the reference's kafka sink supports
+    * Exactly-once: the reference's kafka sink supports
     * `sink.commit_mode = exactly_once` via Kafka transactions
-    * (crates/arroyo-connectors/src/kafka/mod.rs:128-142). Spark's kafka
-    * sink is at-least-once; end-to-end exactly-once here means idempotent
-    * downstream consumption (keyed upserts) or foreachBatch with
-    * transactional writes — documented divergence.
+    * (crates/arroyo-connectors/src/kafka/mod.rs:128-142). Here the same
+    * option routes the sink through a foreachBatch writer guarded by a
+    * durable batch-id ledger ([[graft.sinks.ExactlyOnce]]): a replayed
+    * micro-batch that already committed is skipped, closing the duplicate
+    * window Spark's plain at-least-once kafka sink leaves open.
     */
   def decodeKafka(raw: DataFrame, t: ConnectorTable): DataFrame = {
     val frame = raw.select(col("value"), col("topic"), col("partition"), col("offset"),
@@ -505,6 +514,12 @@ class Pipeline(spark: SparkSession, streaming: Boolean = false) {
             case "protobuf" => graft.formats.Formats.writeProtoFiles(out0, sink.path.get)
             case f => sys.error(s"unsupported sink format $f")
           }
+        case "delta" | "iceberg" =>
+          // transactional table append: one ACID commit for the whole
+          // batch (reference filesystem/delta.rs, iceberg.rs — semantics
+          // re-expressed in TxnLog, no format jars in this container)
+          graft.sinks.TxnLog.writeBatch(out0, sink.path.get,
+            sink.options.getOrElse("txn_id", java.util.UUID.randomUUID().toString))
         case "stdout" | "preview" => out0.show(100, truncate = false)
         case "blackhole" => out0.write.format("noop").mode("overwrite").save()
         case "memory" => out0.createOrReplaceTempView(s"${sink.name}_result")
@@ -543,6 +558,14 @@ class Pipeline(spark: SparkSession, streaming: Boolean = false) {
         case "filesystem" | "single_file" =>
           val fmt = if (sink.format == "debezium_json") "text" else sink.format
           ws.outputMode("append").format(fmt).option("path", sink.path.get).start()
+        case "delta" | "iceberg" =>
+          // streaming transactional append: txnId = (query, batchId), so a
+          // micro-batch replayed after a crash commits exactly once
+          val table = sink.path.get
+          val qn = sink.name
+          ws.foreachBatch((b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) => {
+            graft.sinks.TxnLog.writeBatch(b.toDF(), table, s"$qn-$id"); ()
+          }).start()
         case "stdout" | "preview" => ws.format("console").option("truncate", "false").start()
         case "blackhole" => ws.format("noop").start()
         case "memory" => ws.format("memory").queryName(s"${sink.name}_result").start()
@@ -560,9 +583,28 @@ class Pipeline(spark: SparkSession, streaming: Boolean = false) {
           val enc =
             if (sink.format == "debezium_json") out0
             else graft.formats.Formats.encodeValue(out0, sink.format, sinkOpts)
-          enc.writeStream.outputMode(mode).option("checkpointLocation", cp)
-            .trigger(Trigger.AvailableNow())
-            .format("kafka").options(sinkOpts.filter(_._1.startsWith("kafka."))).start()
+          val kafkaOpts = sinkOpts.filter(_._1.startsWith("kafka."))
+          sinkOpts.get("sink.commit_mode") match {
+            case Some("exactly_once") =>
+              // reference kafka/mod.rs:128-142 two-phase commit: produce
+              // the batch, then durably mark its txn id; a replayed
+              // micro-batch whose id is already in the ledger is skipped
+              val ledger = s"$cp/txn-ledger"
+              enc.writeStream.outputMode(mode).option("checkpointLocation", cp)
+                .trigger(Trigger.AvailableNow())
+                .foreachBatch((b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) => {
+                  graft.sinks.ExactlyOnce.run(ledger, s"batch-$id") {
+                    b.write.format("kafka").options(kafkaOpts).save()
+                  }
+                  ()
+                }).start()
+            case None | Some("at_least_once") =>
+              enc.writeStream.outputMode(mode).option("checkpointLocation", cp)
+                .trigger(Trigger.AvailableNow())
+                .format("kafka").options(kafkaOpts).start()
+            case Some(other) =>
+              sys.error(s"invalid value for commit_mode '$other' (reference kafka/mod.rs:142)")
+          }
         case "webhook" =>
           val endpoint = sink.options("endpoint")
           val headers = graft.sources.HttpConf.headers(sink.options)
