@@ -19,7 +19,7 @@ object Ddl {
     * their CDC stream by these (reference updating semantics).
     */
   final case class ColumnDef(name: String, sqlType: String, virtualExpr: Option[String],
-      primaryKey: Boolean = false) {
+      primaryKey: Boolean = false, metadataFrom: Option[String] = None) {
     def ddl: String = s"`$name` $sqlType"
   }
 
@@ -42,7 +42,7 @@ object Ddl {
   }
 
   private val CreateTableRe =
-    """(?is)^\s*CREATE\s+TABLE\s+(?:IF\s+NOT\s+EXISTS\s+)?([A-Za-z_][A-Za-z0-9_]*)\s*(\(.*\))?\s*WITH\s*\((.*)\)\s*$""".r
+    """(?is)^\s*CREATE\s+(TEMPORARY\s+)?TABLE\s+(?:IF\s+NOT\s+EXISTS\s+)?([A-Za-z_][A-Za-z0-9_]*)\s*(\(.*\))?\s*WITH\s*\((.*)\)\s*$""".r
   /** `CREATE TABLE name (cols)` with no WITH clause — a memory table
     * (reference Table::MemoryTable: one INSERT materializes it).
     */
@@ -97,8 +97,17 @@ object Ddl {
   }
 
   def parse(statement: String): Stmt = statement match {
-    case CreateTableRe(name, cols, opts) =>
-      val options = parseOptions(opts)
+    case CreateTableRe(temp, name, cols, opts) =>
+      val options0 = parseOptions(opts)
+      // reference tables.rs:286-290: TEMPORARY tables are the lookup-table
+      // syntax — type defaults to 'lookup' and must not be anything else
+      val options =
+        if (temp == null) options0
+        else options0.get("type") match {
+          case Some(t) if t != "lookup" => throw new IllegalArgumentException(
+            s"Cannot have a temporary table with type '$t'; temporary tables must be type 'lookup'")
+          case _ => options0 + ("type" -> "lookup")
+        }
       val (columns, wmField, wmDelay) =
         if (cols == null || cols.trim.isEmpty) (Seq.empty[ColumnDef], None, None)
         else parseColumns(cols.trim.stripPrefix("(").stripSuffix(")"))
@@ -169,7 +178,12 @@ object Ddl {
         Some(ColumnDef(name, normalizeType(tpe), Some(expr)))
       case ColRe(name, tpe) =>
         val pk = """(?i)\bPRIMARY\s+KEY\b""".r.findFirstIn(tpe).isDefined
-        Some(ColumnDef(name, normalizeType(tpe), None, primaryKey = pk))
+        // `METADATA FROM 'key'` (reference tables.rs metadata columns; the
+        // redis lookup key rides this, lookup.rs:63-77)
+        val MetaRe = """(?i)\bMETADATA\s+FROM\s+'([A-Za-z_]+)'""".r
+        val meta = MetaRe.findFirstMatchIn(tpe).map(_.group(1))
+        Some(ColumnDef(name, normalizeType(MetaRe.replaceAllIn(tpe, "")), None,
+          primaryKey = pk, metadataFrom = meta))
       case other =>
         throw new IllegalArgumentException(s"cannot parse column def: '$other'")
     }

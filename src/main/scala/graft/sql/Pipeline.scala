@@ -72,6 +72,7 @@ class Pipeline(spark: SparkSession, streaming: Boolean = false) {
       rejectUnsupportedStreaming(q)
       checkMemoryReads(q)
       val df = sql(rewriteWindows(rewriteDialect(q)))
+      checkLookupJoins(df)
       if (streaming) checkStreamingGuards(df, Some(sink))
       if (sink.connector == "memory_table") {
         if (writtenMemoryTables(sink.name))
@@ -88,6 +89,7 @@ class Pipeline(spark: SparkSession, streaming: Boolean = false) {
       rejectUnsupportedStatements(q)
       checkMemoryReads(q)
       val df = sql(rewriteWindows(rewriteDialect(q)))
+      checkLookupJoins(df)
       if (streaming) checkStreamingGuards(df, None)
       lastResult = Some(df)
 
@@ -184,6 +186,43 @@ class Pipeline(spark: SparkSession, streaming: Boolean = false) {
           throw new IllegalArgumentException(
             s"Can't query from memory table ${t.name} without first inserting into it.")
       }
+
+  /** Lookup-join parity guards (reference plan/join.rs:247-256 +
+    * error_lookup_join_non_primary_key.sql): a join against a lookup table
+    * must be INNER or LEFT, and its equi-condition must include the lookup
+    * table's PRIMARY KEY column(s).
+    */
+  private def checkLookupJoins(df: DataFrame): Unit = {
+    import org.apache.spark.sql.catalyst.expressions.AttributeReference
+    import org.apache.spark.sql.catalyst.plans.logical.{Join, SubqueryAlias}
+    val lookups = catalog.values.filter(_.options.get("type").contains("lookup")).toSeq
+    if (lookups.isEmpty) return
+    df.queryExecution.analyzed.foreach {
+      case j: Join =>
+        lookups.foreach { t =>
+          val lookupSide = Seq(j.left, j.right).find(_.collectFirst {
+            case sa: SubqueryAlias if sa.identifier.name.equalsIgnoreCase(t.name) => sa
+          }.isDefined)
+          lookupSide.foreach { side =>
+            val jt = j.joinType.sql.toLowerCase
+            if (!(jt.startsWith("inner") || jt.startsWith("left outer")))
+              throw new IllegalArgumentException(
+                s"lookup joins must be inner or left (reference plan/join.rs:247-256), got $jt")
+            val sideAttrs = side.output.map(_.exprId).toSet
+            val condAttrs = j.condition.toSeq.flatMap(_.collect {
+              case a: AttributeReference if sideAttrs(a.exprId) => a.name.toLowerCase
+            }).toSet
+            val pk = t.pkColumns.map(_.toLowerCase)
+            if (pk.isEmpty || !pk.forall(condAttrs))
+              throw new IllegalArgumentException(
+                s"can't perform a lookup join on non-primary key field; " +
+                s"join ${t.name} on PRIMARY KEY (${t.pkColumns.mkString(", ")}) " +
+                "(reference error_lookup_join_non_primary_key.sql)")
+          }
+        }
+      case _ =>
+    }
+  }
 
   /** Source tables whose rows carry retractions (debezium format) — the
     * "is_updating" trait of the reference's Format (formats.rs:449-458).
@@ -328,6 +367,13 @@ class Pipeline(spark: SparkSession, streaming: Boolean = false) {
             }
           case f => sys.error(s"unsupported format $f")
         }
+      case "redis" =>
+        // lookup tables only on the source side (reference redis/mod.rs:315
+        // TableType::Lookup; sinks dispatch in writeTo)
+        if (!t.options.get("type").contains("lookup"))
+          sys.error(s"table ${t.name}: redis source tables must be lookup tables " +
+            "(CREATE TEMPORARY TABLE, or type='lookup')")
+        graft.sources.RedisLookupSource.frame(spark, t)
       case "delta" | "iceberg" =>
         // snapshot read of the transactional table's committed files only
         // (uncommitted/orphaned data dirs are invisible — ACID isolation)
@@ -514,6 +560,7 @@ class Pipeline(spark: SparkSession, streaming: Boolean = false) {
             case "protobuf" => graft.formats.Formats.writeProtoFiles(out0, sink.path.get)
             case f => sys.error(s"unsupported sink format $f")
           }
+        case "redis" => graft.sinks.RedisSink.write(out0, sink)
         case "delta" | "iceberg" =>
           // transactional table append: one ACID commit for the whole
           // batch (reference filesystem/delta.rs, iceberg.rs — semantics
@@ -558,6 +605,9 @@ class Pipeline(spark: SparkSession, streaming: Boolean = false) {
         case "filesystem" | "single_file" =>
           val fmt = if (sink.format == "debezium_json") "text" else sink.format
           ws.outputMode("append").format(fmt).option("path", sink.path.get).start()
+        case "redis" =>
+          ws.foreachBatch((b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+            graft.sinks.RedisSink.write(b.toDF(), sink)).start()
         case "delta" | "iceberg" =>
           // streaming transactional append: txnId = (query, batchId), so a
           // micro-batch replayed after a crash commits exactly once
