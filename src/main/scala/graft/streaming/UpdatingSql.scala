@@ -3,7 +3,7 @@ package graft.streaming
 import org.apache.spark.sql.{DataFrame, Encoder, Encoders, GraftSqlBridge, Row}
 import org.apache.spark.sql.catalyst.encoders.RowEncoder
 import org.apache.spark.sql.catalyst.expressions.{Alias, Attribute, AttributeReference, Cast, Expression, Literal, NamedExpression}
-import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Average, Count, Max, Min, Sum}
+import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Average, Count, Max, Min, StddevPop, StddevSamp, Sum, VariancePop, VarianceSamp}
 import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Project}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
@@ -18,9 +18,10 @@ import org.apache.spark.sql.types._
   *
   * Generalizes round-1's fixed (String key, Double value, 5 aggs) shape:
   * composite keys of any type, arbitrary grouping EXPRESSIONS, any number
-  * of count(* )/count/sum/min/max/avg aggregates over arbitrary input
-  * expressions. Plans outside that shape (distinct aggs, UDAFs, HAVING over
-  * non-members) return None and fall back to Spark's plain update mode.
+  * of count(* )/count/sum/min/max/avg/var_pop/var_samp/stddev_pop/
+  * stddev_samp aggregates over arbitrary input expressions. Plans outside
+  * that shape (distinct aggs, UDAFs, HAVING over non-members) return None
+  * and fall back to Spark's plain update mode.
   */
 object UpdatingSql {
 
@@ -45,6 +46,13 @@ object UpdatingSql {
   case object KMin extends Kind
   case object KMax extends Kind
   case object KAvg extends Kind
+  // variance family rides (count, sum, sum-of-squares) — the same
+  // retractable-accumulator shape the reference gets from DataFusion's
+  // sliding accumulators (incremental_aggregator.rs:117-119)
+  case object KVarPop extends Kind
+  case object KVarSamp extends Kind
+  case object KStddevPop extends Kind
+  case object KStddevSamp extends Kind
 
   /** One output column: either the i-th grouping key or an aggregate. */
   private sealed trait OutCol { def name: String }
@@ -55,7 +63,7 @@ object UpdatingSql {
     * Fixed-width per key ⇒ state scales with distinct keys only.
     */
   case class AccG(rows: Long, cnt: Array[Long], sum: Array[Double],
-      lo: Array[Double], hi: Array[Double])
+      lo: Array[Double], hi: Array[Double], sq: Array[Double])
 
   private val accEncoder = Encoders.product[AccG]
 
@@ -111,6 +119,10 @@ object UpdatingSql {
             case Min(e) => Some((KMin, e))
             case Max(e) => Some((KMax, e))
             case Average(e, _) => Some((KAvg, e))
+            case VariancePop(e, _) => Some((KVarPop, e))
+            case VarianceSamp(e, _) => Some((KVarSamp, e))
+            case StddevPop(e, _) => Some((KStddevPop, e))
+            case StddevSamp(e, _) => Some((KStddevSamp, e))
             case _ => None
           }
           kindInput match {
@@ -182,6 +194,13 @@ object UpdatingSql {
     val timeout =
       if (ttl.isDefined) GroupStateTimeout.ProcessingTimeTimeout else GroupStateTimeout.NoTimeout
 
+    // population variance from (n, Σx, Σx²); clamped at 0 against
+    // floating-point cancellation
+    def varPop(acc: AccG, j: Int): Double = {
+      val n = acc.cnt(j).toDouble
+      val m = acc.sum(j) / n
+      math.max(0.0, acc.sq(j) / n - m * m)
+    }
     def value(acc: AccG, j: Int): Any = kinds(j) match {
       case KCountStar => acc.rows
       case KCount => acc.cnt(j)
@@ -189,6 +208,14 @@ object UpdatingSql {
       case KMin => if (acc.cnt(j) == 0) null else acc.lo(j)
       case KMax => if (acc.cnt(j) == 0) null else acc.hi(j)
       case KAvg => if (acc.cnt(j) == 0) null else acc.sum(j) / acc.cnt(j)
+      case KVarPop => if (acc.cnt(j) == 0) null else varPop(acc, j)
+      case KStddevPop => if (acc.cnt(j) == 0) null else math.sqrt(varPop(acc, j))
+      case KVarSamp =>
+        val n = acc.cnt(j)
+        if (n < 2) null else varPop(acc, j) * n / (n - 1).toDouble
+      case KStddevSamp =>
+        val n = acc.cnt(j)
+        if (n < 2) null else math.sqrt(varPop(acc, j) * n / (n - 1).toDouble)
     }
     def emit(key: Row, acc: AccG, isRetract: Boolean): Row = {
       // retraction streams emit 2 rows per state change — reuse a
@@ -208,11 +235,12 @@ object UpdatingSql {
           } else {
             val prev = state.getOption
             val acc = prev.map(a => AccG(a.rows, a.cnt.clone(), a.sum.clone(),
-                a.lo.clone(), a.hi.clone()))
+                a.lo.clone(), a.hi.clone(), a.sq.clone()))
               .getOrElse(AccG(0L, new Array[Long](nSpecs),
                 new Array[Double](nSpecs),
                 Array.fill(nSpecs)(Double.PositiveInfinity),
-                Array.fill(nSpecs)(Double.NegativeInfinity)))
+                Array.fill(nSpecs)(Double.NegativeInfinity),
+                new Array[Double](nSpecs)))
             var rowsSeen = acc.rows
             var any = false
             rows.foreach { r =>
@@ -224,6 +252,7 @@ object UpdatingSql {
                   val v = r.getDouble(numKeys + j)
                   acc.cnt(j) += 1
                   acc.sum(j) += v
+                  acc.sq(j) += v * v
                   if (v < acc.lo(j)) acc.lo(j) = v
                   if (v > acc.hi(j)) acc.hi(j) = v
                 }
@@ -232,7 +261,7 @@ object UpdatingSql {
             }
             if (!any) Iterator.empty
             else {
-              val next = AccG(rowsSeen, acc.cnt, acc.sum, acc.lo, acc.hi)
+              val next = AccG(rowsSeen, acc.cnt, acc.sum, acc.lo, acc.hi, acc.sq)
               state.update(next)
               ttl.foreach(d => state.setTimeoutDuration(d.toMillis))
               prev.map(p => emit(key, p, isRetract = true)).iterator ++

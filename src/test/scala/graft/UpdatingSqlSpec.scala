@@ -75,6 +75,54 @@ class UpdatingSqlSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("translate: variance family matches Spark's own batch results") {
+    import spark.implicits._
+    Seq(("a", 1.0), ("a", 3.0), ("a", 5.0), ("b", 10.0), ("b", 20.0), ("c", 7.0))
+      .toDF("k", "v").createOrReplaceTempView("us_t4")
+    val q = """SELECT k, var_pop(v) AS vp, var_samp(v) AS vs,
+              |  stddev_pop(v) AS sp, stddev_samp(v) AS ss
+              |FROM us_t4 GROUP BY k""".stripMargin
+    val translated = UpdatingSql.translate(spark.sql(q), None)
+    assert(translated.isDefined, "variance family should translate")
+    def grab(r: org.apache.spark.sql.Row, i: Int): Option[Double] =
+      if (r.isNullAt(i)) None else Some(math.round(r.getDouble(i) * 1e9) / 1e9)
+    val got = translated.get.collect()
+      .map(r => (r.getString(0), grab(r, 1), grab(r, 2), grab(r, 3), grab(r, 4))).toSet
+    val want = spark.sql(q).collect()
+      .map(r => (r.getString(0), grab(r, 1), grab(r, 2), grab(r, 3), grab(r, 4))).toSet
+    assert(got == want, s"got $got want $want")
+    // single-row group: sample variants are null, population variants 0
+    assert(got.exists(t => t._1 == "c" && t._2.contains(0.0) && t._3.isEmpty && t._5.isEmpty))
+  }
+
+  test("streaming: stddev retract+append across micro-batches") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    val input = MemoryStream[(String, Double)]
+    val df = input.toDF().toDF("k", "v")
+      .selectExpr("k AS __k_0", "CAST(v AS DOUBLE) AS __v_0")
+    val updates = UpdatingSql.updatingAggRows(df, numKeys = 1,
+      kinds = Seq(UpdatingSql.KStddevSamp), ttl = None)
+    val q = updates.writeStream.format("memory").queryName("us_stddev")
+      .outputMode("update").start()
+    try {
+      input.addData(("a", 2.0), ("a", 4.0))
+      q.processAllAvailable()
+      input.addData(("a", 6.0))
+      q.processAllAvailable()
+      val rows = spark.table("us_stddev")
+        .select(col("__k_0"), col("__a_0"), col("_updating_meta.is_retract"))
+        .collect().map(r => (r.getString(0),
+          Option(r.get(1)).map(_ => math.round(r.getDouble(1) * 1e6) / 1e6),
+          r.getBoolean(2)))
+      // batch 1: append stddev{2,4}=√2. batch 2: retract √2, append stddev{2,4,6}=2
+      val s2 = math.round(math.sqrt(2.0) * 1e6) / 1e6
+      assert(rows.toSet == Set(
+        ("a", Some(s2), false), ("a", Some(s2), true), ("a", Some(2.0), false)),
+        s"got ${rows.toSet}")
+    } finally q.stop()
+  }
+
   test("SQL pipeline e2e: debezium sink carries retractable envelope with sink names") {
     import graft.sql.{Ddl, Pipeline}
     val dir = java.nio.file.Files.createTempDirectory("graft-us").toString
