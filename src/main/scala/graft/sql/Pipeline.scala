@@ -233,7 +233,9 @@ class Pipeline(spark: SparkSession, streaming: Boolean = false) {
 
   private def isNonWindowedAgg(a: org.apache.spark.sql.catalyst.plans.logical.Aggregate): Boolean =
     !a.groupingExpressions.exists(_.references.exists(r =>
-      r.name == "window" || r.name == "session_window"))
+      // `__rw` = the inner window re-exposed by rewriteNestedWindows
+      // (reinvoke_window_function.sql) — still a time-window grouping
+      r.name == "window" || r.name == "session_window" || r.name == "__rw"))
 
   /** True if the sub-plan produces an updating stream: it reads a debezium
     * source or contains a non-windowed aggregate (reference plan/mod.rs's
@@ -506,6 +508,23 @@ class Pipeline(spark: SparkSession, streaming: Boolean = false) {
   // ── sinks ────────────────────────────────────────────────────────────
 
   def writeTo(sink: ConnectorTable, dfIn: DataFrame): Unit = {
+    // window-functions-on-close (reference window_fn.rs): plans with an
+    // OVER or a re-aggregation above the streaming windowed aggregate
+    // stream the bottom aggregate (append mode) and run everything above
+    // as batch operators per micro-batch of closed windows, writing
+    // through the batch sink dispatch
+    if (streaming) {
+      graft.streaming.WindowFnOnClose.split(spark, dfIn).foreach { case (child, rest) =>
+        val cp = sink.options.getOrElse("checkpoint",
+          java.nio.file.Files.createTempDirectory(s"graft-cp-${sink.name}").toString)
+        val q = child.writeStream.outputMode("append")
+          .option("checkpointLocation", cp).trigger(Trigger.AvailableNow())
+          .foreachBatch((b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+            new Pipeline(spark, streaming = false).writeTo(sink, rest(b.toDF()))).start()
+        queries ::= q
+        return
+      }
+    }
     // debezium sinks on streaming non-windowed aggregates: route through
     // the generalized retraction operator so the envelope carries true
     // retract+append pairs (reference UpdatingAggregate), not re-emits

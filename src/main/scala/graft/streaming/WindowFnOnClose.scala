@@ -1,0 +1,76 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, GraftSqlBridge, SparkSession}
+import org.apache.spark.sql.catalyst.expressions.{Attribute, AttributeReference}
+import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, LogicalPlan, Window}
+
+/** Window-functions-on-close — the reference's WindowFunction operator
+  * (crates/arroyo-worker/src/arrow/window_fn.rs): an OVER whose PARTITION
+  * BY includes the time window runs once per CLOSED window, after the
+  * watermark seals it. Ditto re-aggregation of closed windows
+  * (reinvoke_window_function.sql).
+  *
+  * Spark-first shape: Structured Streaming supports neither row-window
+  * functions nor chained aggregations in a streaming query, but an
+  * append-mode windowed aggregate already emits ALL rows of a window in
+  * the micro-batch where the watermark closes it. So the plan splits at
+  * the first (bottom-most) streaming Aggregate:
+  *
+  *   - below: runs as a normal streaming windowed aggregation (append
+  *     mode, emit-on-close)
+  *   - above (window functions, outer aggregates, filters): re-executed
+  *     per micro-batch as plain BATCH operators over the closed-window
+  *     rows — correct because each emitted window partition is complete
+  *     within its batch, which is exactly the reference's
+  *     fire-on-window-close contract
+  *
+  * The guard mirrors the reference planner: the OVER must partition by
+  * the window column, otherwise batch-local evaluation would be wrong and
+  * the query is rejected.
+  */
+object WindowFnOnClose {
+
+  /** Split the analyzed plan if it needs (and supports) the
+    * on-close pattern. Returns (streaming child, per-batch rest).
+    * None = the plain streaming path handles this plan.
+    */
+  def split(spark: SparkSession, df: DataFrame): Option[(DataFrame, DataFrame => DataFrame)] = {
+    if (!df.isStreaming) return None
+    val plan = df.queryExecution.analyzed
+    val aggs = plan.collect { case a: Aggregate => a }
+    val wins = plan.collect { case w: Window => w }
+    if (aggs.isEmpty) return None
+    // a single aggregate and no window functions: Spark streams it natively
+    if (wins.isEmpty && aggs.length <= 1) return None
+    // pre-order collect ⇒ last Aggregate is the bottom-most of a chain
+    val bottom = aggs.last
+    // the split is only sound when every batch-side operator sits ABOVE the
+    // streamed aggregate (a linear chain) — parallel aggregation branches
+    // (e.g. join of two aggregates) keep the native path
+    val others: Seq[LogicalPlan] = (aggs.dropRight(1): Seq[LogicalPlan]) ++ wins
+    if (!others.forall(_.collectFirst { case n if n eq bottom => n }.isDefined)) return None
+    // reference parity (window_fn.rs): OVER must partition by the window
+    wins.foreach { w =>
+      val ok = w.partitionSpec.exists(_.references.exists(r =>
+        r.name == "window" || r.name == "session_window"))
+      if (!ok) throw new IllegalArgumentException(
+        "window functions in streaming queries must PARTITION BY the time window " +
+          "(reference window_fn.rs fires per closed window)")
+    }
+    val childOut = bottom.output
+    val child = GraftSqlBridge.ofRows(spark, bottom)
+    val rest = (batch: DataFrame) => {
+      val bplan = batch.queryExecution.analyzed
+      // the batch frame carries the child's schema in order: remap the
+      // upper plan's references onto the batch's fresh exprIds
+      val mapping: Map[Long, Attribute] =
+        childOut.map(_.exprId.id).zip(bplan.output).toMap
+      val swapped = plan.transformUp { case n if n eq bottom => bplan }
+        .transformAllExpressions {
+          case a: AttributeReference => mapping.getOrElse(a.exprId.id, a)
+        }
+      GraftSqlBridge.ofRows(spark, swapped)
+    }
+    Some((child, rest))
+  }
+}

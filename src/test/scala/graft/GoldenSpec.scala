@@ -333,4 +333,44 @@ class GoldenSpec extends SparkSpec {
   test("golden streaming: sliding_window_end emits only golden rows") {
     checkSubset("sliding_window_end")
   }
+
+  // ── streaming: window-functions-on-close (reference window_fn.rs) ─────
+
+  test("golden streaming: most_active_driver_last_hour (OVER per closed window)") {
+    val (out, golden, _) = runGolden("most_active_driver_last_hour", streaming = true)
+    val (o, g) = (multiset(out), multiset(golden))
+    val bogus = o.keySet.diff(g.keySet).take(3)
+    assert(bogus.isEmpty, s"streaming emitted rows not in golden: $bogus")
+    // the split path must actually fire — closed windows produce ranked rows
+    assert(out.nonEmpty, "window-function-on-close pipeline emitted nothing")
+  }
+
+  test("golden streaming: reinvoke_window_function (re-aggregation per closed window)") {
+    val (out, golden, _) = runGolden("reinvoke_window_function", streaming = true)
+    val (o, g) = (multiset(out), multiset(golden))
+    val bogus = o.keySet.diff(g.keySet).take(3)
+    assert(bogus.isEmpty, s"streaming emitted rows not in golden: $bogus")
+    assert(out.nonEmpty, "re-aggregation-on-close pipeline emitted nothing")
+  }
+
+  test("streaming window function NOT partitioned by the window is rejected") {
+    val dir = Files.createTempDirectory("wf_bad")
+    Files.write(dir.resolve("d.json"),
+      "{\"ts\": \"2024-01-01T00:00:00Z\", \"k\": \"a\", \"v\": 1}\n".getBytes)
+    val e = intercept[IllegalArgumentException] {
+      new Pipeline(spark, streaming = true).run(
+        s"""CREATE TABLE src (ts TIMESTAMP, k TEXT, v BIGINT) WITH (
+           |  connector='filesystem', path='$dir', format='json', type='source',
+           |  event_time_field='ts');
+           |CREATE TABLE out WITH (connector='blackhole', type='sink');
+           |INSERT INTO out
+           |SELECT * FROM (
+           |  SELECT k, window.start AS s, cnt,
+           |         row_number() OVER (PARTITION BY k ORDER BY cnt DESC) AS rn
+           |  FROM (SELECT k, tumble(interval '1 minute') AS window, count(*) AS cnt
+           |        FROM src GROUP BY 1, 2)
+           |) WHERE rn = 1;""".stripMargin)
+    }
+    assert(e.getMessage.contains("PARTITION BY the time window"))
+  }
 }
