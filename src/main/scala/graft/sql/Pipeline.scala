@@ -421,6 +421,21 @@ class Pipeline(spark: SparkSession, streaming: Boolean = false) {
           .options(t.options.filter { case (k, _) =>
             k == "endpoint" || k == "headers" || k.startsWith("subscription_message") })
           .load()
+      case c if graft.sources.MessagingProfiles.connectors(c) =>
+        // kinesis/fluvio/nats/mqtt/rabbitmq: one shared envelope shape
+        // (key, value, topic, offset, timestamp) over the in-process
+        // broker; payload decodes by the declared format like kafka
+        val (address, topic) = graft.sources.MessagingProfiles.resolve(t)
+        val raw =
+          if (streaming)
+            spark.readStream.format("graft-mq")
+              .option("address", address).option("topic", topic).load()
+          else
+            spark.read.format("graft-mq")
+              .option("address", address).option("topic", topic).load()
+        graft.formats.Formats.decodeValue(
+          raw.select(col("value"), col("topic"), col("offset"), col("timestamp")),
+          t.schema, t.format, t.options)
       case c => sys.error(s"unsupported connector $c")
     }
     applyColumns(t, base)
@@ -592,6 +607,8 @@ class Pipeline(spark: SparkSession, streaming: Boolean = false) {
         case "webhook" =>
           graft.sinks.WebhookSink.writeBatch(out0, sink.options("endpoint"),
             graft.sources.HttpConf.headers(sink.options))
+        case c if graft.sources.MessagingProfiles.connectors(c) =>
+          graft.sources.MqSink.publish(out0, sink)
         case c => sys.error(s"unsupported sink connector $c")
       }
     } else {
@@ -679,6 +696,9 @@ class Pipeline(spark: SparkSession, streaming: Boolean = false) {
           val headers = graft.sources.HttpConf.headers(sink.options)
           ws.foreachBatch((b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
             graft.sinks.WebhookSink.writeBatch(b.toDF(), endpoint, headers)).start()
+        case c if graft.sources.MessagingProfiles.connectors(c) =>
+          ws.foreachBatch((b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+            graft.sources.MqSink.publish(b.toDF(), sink)).start()
         case c => sys.error(s"unsupported sink connector $c")
       }
       queries ::= q
