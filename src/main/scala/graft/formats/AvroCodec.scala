@@ -50,8 +50,12 @@ object AvroCodec {
     }
     def unionJson(dt: DataType): String = s"""["null", ${typeJson(dt)}]"""
     def recordJson(st: StructType, recName: String): String = {
+      // union ⟺ nullable, mirroring parseAvroSchema and the binary codec:
+      // non-nullable fields carry no branch index on the wire
       val fields = st.fields.map(f =>
-        s"""{"name": ${quote(f.name)}, "type": ${unionJson(f.dataType)}, "default": null}""")
+        if (f.nullable)
+          s"""{"name": ${quote(f.name)}, "type": ${unionJson(f.dataType)}, "default": null}"""
+        else s"""{"name": ${quote(f.name)}, "type": ${typeJson(f.dataType)}}""")
       s"""{"type": "record", "name": ${quote(recName)}, "fields": [${fields.mkString(", ")}]}"""
     }
     recordJson(schema, name)
@@ -218,7 +222,13 @@ object AvroCodec {
 
   private def writeRecord(out: OutputStream, row: Row, schema: StructType): Unit =
     schema.fields.zipWithIndex.foreach { case (f, i) =>
-      writeNullable(out, if (row.isNullAt(i)) null else row.get(i), f.dataType)
+      val v = if (row.isNullAt(i)) null else row.get(i)
+      // branch index iff nullable — must mirror readRecord exactly, or a
+      // registry schema without unions round-trips corrupted
+      if (f.nullable) writeNullable(out, v, f.dataType)
+      else if (v == null)
+        throw new IllegalArgumentException(s"avro: null value in non-nullable field ${f.name}")
+      else writeValue(out, v, f.dataType)
     }
 
   private def readValue(in: InputStream, dt: DataType): Any = dt match {
