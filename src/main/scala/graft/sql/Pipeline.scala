@@ -83,7 +83,7 @@ class Pipeline(spark: SparkSession, streaming: Boolean = false) {
         val declared = sink.columns.map(_.name)
         val renamed = if (declared.nonEmpty) df.toDF(declared: _*) else df
         renamed.createOrReplaceTempView(sink.name)
-      } else writeTo(sink, df)
+      } else writeTo(sink, patchStreamingPlan(df))
 
     case Query(q) =>
       rejectUnsupportedStatements(q)
@@ -236,6 +236,73 @@ class Pipeline(spark: SparkSession, streaming: Boolean = false) {
       // `__rw` = the inner window re-exposed by rewriteNestedWindows
       // (reinvoke_window_function.sql) — still a time-window grouping
       r.name == "window" || r.name == "session_window" || r.name == "__rw"))
+
+  /** Streaming-only analyzed-plan patches bridging two Spark stateful-op
+    * limitations to semantics the reference supports natively:
+    *
+    *   1. GLOBAL session windows ("Global aggregation with session window
+    *      in streaming query is not supported", global_session_window.sql):
+    *      append a constant-but-non-foldable grouping key
+    *      `pmod(xxhash64(session_window), 1)` (always 0, survives
+    *      RemoveLiteralFromGroupExpressions) so Spark plans the keyed
+    *      session-merge path; group cardinality and output are unchanged.
+    *
+    *   2. DISTINCT aggregates over a time-windowed grouping ("Distinct
+    *      aggregations are not supported on streaming DataFrames",
+    *      windowed_inner_join.sql count(distinct driver_id)): rewrite to
+    *      the two-phase form — an inner dedup aggregate on
+    *      (window, distinct-col) and an outer non-distinct aggregate over
+    *      it. Spark 4 runs chained windowed aggregations natively; plans
+    *      with operators above the chain take the on-close split in
+    *      [[writeTo]]. Applied only when every aggregate in the node is a
+    *      filterless distinct over one shared column — mixed
+    *      distinct/non-distinct stays on the native path (and Spark's
+    *      clear error).
+    */
+  private def patchStreamingPlan(df: DataFrame): DataFrame = {
+    if (!streaming || !df.isStreaming) return df
+    import org.apache.spark.sql.catalyst.expressions.{Attribute, AttributeReference, NamedExpression}
+    import org.apache.spark.sql.catalyst.expressions.aggregate.AggregateExpression
+    import org.apache.spark.sql.catalyst.plans.logical.Aggregate
+
+    def isWindowAttr(e: org.apache.spark.sql.catalyst.expressions.Expression): Boolean =
+      e match {
+        case ar: AttributeReference =>
+          ar.name == "window" || ar.name == "session_window" || ar.name == "__rw"
+        case _ => false
+      }
+
+    val plan0 = df.queryExecution.analyzed
+    val plan = plan0.transformUp {
+      // (1) global session window → synthetic constant key
+      case a @ Aggregate(Seq(g: AttributeReference), _, _, _) if g.name == "session_window" =>
+        val synth = new org.apache.spark.sql.catalyst.expressions.Pmod(
+          new org.apache.spark.sql.catalyst.expressions.XxHash64(Seq(g)),
+          org.apache.spark.sql.catalyst.expressions.Literal(1L))
+        a.copy(groupingExpressions = Seq(g, synth))
+
+      // (2) distinct aggs over a windowed grouping → two-phase
+      case a @ Aggregate(g, aggs, child, _)
+          if g.nonEmpty && g.exists(isWindowAttr) && g.forall(_.isInstanceOf[Attribute]) && {
+            val all = aggs.flatMap(_.collect { case ae: AggregateExpression => ae })
+            all.nonEmpty && all.forall(ae => ae.isDistinct && ae.filter.isEmpty &&
+              ae.aggregateFunction.children.sizeIs == 1 &&
+              ae.aggregateFunction.children.head.isInstanceOf[AttributeReference]) &&
+              all.map(ae => ae.aggregateFunction.children.head
+                .asInstanceOf[AttributeReference].exprId).distinct.sizeIs == 1
+          } =>
+        val dcol = aggs.flatMap(_.collect { case ae: AggregateExpression =>
+          ae.aggregateFunction.children.head.asInstanceOf[AttributeReference] }).head
+        val innerOut = (g.map(_.asInstanceOf[NamedExpression]) :+ dcol).distinct
+        val inner = a.copy(groupingExpressions = g :+ dcol,
+          aggregateExpressions = innerOut)
+        val outerAggs = aggs.map(_.transform {
+          case ae: AggregateExpression if ae.isDistinct => ae.copy(isDistinct = false)
+        }.asInstanceOf[NamedExpression])
+        a.copy(aggregateExpressions = outerAggs, child = inner)
+    }
+    if (plan eq plan0) df else org.apache.spark.sql.GraftSqlBridge.ofRows(spark, plan)
+  }
 
   /** True if the sub-plan produces an updating stream: it reads a debezium
     * source or contains a non-windowed aggregate (reference plan/mod.rs's

@@ -333,6 +333,18 @@ class GoldenSpec extends SparkSpec {
   test("golden streaming: sliding_window_end emits only golden rows") {
     checkSubset("sliding_window_end")
   }
+  test("golden streaming: windowed_inner_join emits only golden rows") {
+    checkSubset("windowed_inner_join")
+  }
+  test("golden streaming: tight_watermark emits only golden rows") {
+    checkSubset("tight_watermark")
+  }
+  test("golden streaming: global_session_window emits only golden rows") {
+    checkSubset("global_session_window")
+  }
+  test("golden streaming: month_loose_watermark emits only golden rows") {
+    checkSubset("month_loose_watermark")
+  }
 
   // ── streaming: window-functions-on-close (reference window_fn.rs) ─────
 
