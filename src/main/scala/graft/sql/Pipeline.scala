@@ -377,24 +377,31 @@ class Pipeline(spark: SparkSession, streaming: Boolean = false) {
     val base = t.connector match {
       case "filesystem" | "single_file" =>
         val path = t.path.getOrElse(sys.error(s"table ${t.name}: path required"))
+        // Spark's file stream source requires a directory; single_file
+        // tables point at one file → stream the parent dir filtered to it
+        def fileStreamTarget: (String, Map[String, String]) = {
+          val f = new java.io.File(path)
+          if (f.isFile) (f.getParent, Map("pathGlobFilter" -> f.getName))
+          else (path, Map.empty)
+        }
         def load(fmt: String, opts: Map[String, String] = Map.empty,
             schema: StructType = t.schema): DataFrame =
           if (streaming) {
-            // Spark's file stream source requires a directory; single_file
-            // tables point at one file → stream the parent dir filtered to it
-            val f = new java.io.File(path)
-            val (dir, extra) =
-              if (f.isFile) (f.getParent, Map("pathGlobFilter" -> f.getName)) else (path, Map.empty)
+            val (dir, extra) = fileStreamTarget
             spark.readStream.schema(schema).format(fmt).options(opts ++ extra).load(dir)
           } else
             spark.read.schema(schema).format(fmt).options(opts).load(path)
+        def loadText(): DataFrame =
+          if (streaming) {
+            val (dir, extra) = fileStreamTarget
+            spark.readStream.options(extra).text(dir)
+          } else spark.read.text(path)
         t.format match {
           case "json" if t.options.get("json.unstructured").contains("true") =>
             // unstructured json (formats.rs JsonFormat.unstructured): each
             // line is one opaque JSON value in a single declared column
             val colName = t.columns.headOption.map(_.name).getOrElse("value")
-            val raw = if (streaming) spark.readStream.text(path) else spark.read.text(path)
-            raw.select(col("value").as(colName))
+            loadText().select(col("value").as(colName))
           case "json" =>
             // BadData::{Fail,Drop} (formats.rs:461-497) → FAILFAST /
             // DROPMALFORMED on Spark's json reader
@@ -407,7 +414,7 @@ class Pipeline(spark: SparkSession, streaming: Boolean = false) {
             load("parquet", schema = spark.read.parquet(path).schema)
           case "csv" => load("csv", Map("header" -> "true"))
           case "raw_string" =>
-            if (streaming) spark.readStream.text(path) else spark.read.text(path)
+            loadText()
           case "raw_bytes" =>
             val bf = if (streaming)
               spark.readStream.format("binaryFile")
@@ -427,13 +434,11 @@ class Pipeline(spark: SparkSession, streaming: Boolean = false) {
             // merge by the declared PRIMARY KEY so downstream queries see
             // the current table, exactly like the reference's updating
             // operators after consuming the whole stream.
-            if (streaming) {
-              val raw = spark.readStream.text(path)
-              graft.streaming.Debezium.unroll(raw, "value", t.schema)
-            } else {
-              val raw = spark.read.text(path)
-              graft.streaming.Debezium.mergedState(raw, "value", t.schema, t.pkColumns)
-            }
+            if (streaming)
+              graft.streaming.Debezium.unroll(loadText(), "value", t.schema)
+            else
+              graft.streaming.Debezium.mergedState(
+                spark.read.text(path), "value", t.schema, t.pkColumns)
           case f => sys.error(s"unsupported format $f")
         }
       case "redis" =>
@@ -538,6 +543,16 @@ class Pipeline(spark: SparkSession, streaming: Boolean = false) {
     t.eventTimeField match {
       case Some(f) if streaming =>
         projected.withWatermark(f, t.watermarkDelay.getOrElse("1 second"))
+      case None if streaming &&
+          projected.schema.fields.exists(f =>
+            f.name.equalsIgnoreCase("timestamp") &&
+              f.dataType == org.apache.spark.sql.types.TimestampType) =>
+        // the reference watermarks EVERY source by default (_timestamp - 1s,
+        // rewriters.rs:48-85); mirror it on the same `timestamp` fallback
+        // column the window rewrite uses (udaf.sql has no event_time_field)
+        val f = projected.schema.fields
+          .find(_.name.equalsIgnoreCase("timestamp")).get.name
+        projected.withWatermark(f, "1 second")
       case _ => projected
     }
   }

@@ -345,6 +345,31 @@ class GoldenSpec extends SparkSpec {
   test("golden streaming: month_loose_watermark emits only golden rows") {
     checkSubset("month_loose_watermark")
   }
+  test("golden streaming: udaf emits only golden rows") {
+    checkSubset("udaf")
+  }
+  test("golden streaming: unnest_in_view emits only golden rows") {
+    checkSubset("unnest_in_view")
+  }
+  // windowed_outer_join stays batch-only: Spark rejects a FULL OUTER
+  // stream-stream join whose inputs are aggregate outputs (the window
+  // struct after aggregation no longer counts as a watermarked join key) —
+  // documented divergence; the inner-join variant streams above
+  test("golden streaming: offset_impulse_join emits only golden rows") {
+    checkSubset("offset_impulse_join")
+  }
+
+  // ── streaming: stateless pipelines run exact ──────────────────────────
+
+  test("golden streaming: json_operators") {
+    checkExact("json_operators", streaming = true)
+  }
+  test("golden streaming: double_negative_udf") {
+    checkExact("double_negative_udf", streaming = true)
+  }
+  test("golden streaming: async_udf") {
+    checkExact("async_udf", streaming = true)
+  }
 
   // ── streaming: window-functions-on-close (reference window_fn.rs) ─────
 
