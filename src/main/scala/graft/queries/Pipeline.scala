@@ -261,7 +261,11 @@ object Pipeline {
       None),
 
     // ── brute-force cosine top-k ANN (codegen'd dot product, broadcast
-    //    query side; float math not bit-portable → SimilaritySpec oracle)
+    //    query side). The oracle compares RANKS only: DuckDB's
+    //    list_cosine_similarity and our double-accumulated cosine agree on
+    //    ordering whenever adjacent top-k sims differ by more than FP noise
+    //    (measured min gap ≥ 2e-5 across sf0.001..0.1 — 10 orders of
+    //    magnitude above the engines' disagreement).
     Q("q_ann_bruteforce",
       (s, dir) => {
         val queries = emb(s, dir).filter(col("vec_id") % 50 === 0)
@@ -269,7 +273,18 @@ object Pipeline {
         Similarity.bruteForceTopK(emb(s, dir), queries, k = 5)
           .select(col("query_id"), col("vec_id"), col("rank"))
       },
-      None),
+      Some("""WITH q AS (SELECT vec_id AS query_id, embedding AS query_vec
+             |           FROM embeddings WHERE vec_id % 50 = 0),
+             |scored AS (
+             |  SELECT q.query_id, c.vec_id,
+             |         list_cosine_similarity(c.embedding, q.query_vec) AS sim
+             |  FROM embeddings c CROSS JOIN q),
+             |ranked AS (
+             |  SELECT query_id, vec_id,
+             |         CAST(row_number() OVER (PARTITION BY query_id
+             |           ORDER BY sim DESC, vec_id) AS INTEGER) AS rank
+             |  FROM scored)
+             |SELECT query_id, vec_id, rank FROM ranked WHERE rank <= 5""".stripMargin)),
 
     // ── LSH-bucketed ANN (the 100 TB-scale path: only colliding buckets
     //    are scanned)
