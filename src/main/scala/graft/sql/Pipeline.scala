@@ -42,9 +42,21 @@ class Pipeline(spark: SparkSession, streaming: Boolean = false) {
   var updatingTtl: String = "24 hours"
   private var updatingTtlArmed = false
 
+  /** Remaining INSERT count per sink that receives more than one INSERT in
+    * the current script — populated by [[run]] so the Insert handler can
+    * merge them into a single union'd write (reference rewrite_sinks,
+    * lib.rs:768-788). Required in streaming: two writeStream queries can't
+    * share one output path's _spark_metadata log.
+    */
+  private var multiInsertRemaining = Map.empty[String, Int]
+  private var multiInsertPending = Map.empty[String, List[DataFrame]]
+
   /** Run a full SQL script; returns the last bare-SELECT's DataFrame. */
   def run(script: String): Option[DataFrame] = {
-    splitStatements(script).foreach(s => runStatement(parse(s)))
+    val stmts = splitStatements(script).map(parse)
+    multiInsertRemaining = stmts.collect { case Insert(s, _) => s }
+      .groupBy(identity).view.mapValues(_.size).filter(_._2 > 1).toMap
+    stmts.foreach(runStatement)
     queries.foreach(_.awaitTermination())
     lastResult
   }
@@ -83,6 +95,20 @@ class Pipeline(spark: SparkSession, streaming: Boolean = false) {
         val declared = sink.columns.map(_.name)
         val renamed = if (declared.nonEmpty) df.toDF(declared: _*) else df
         renamed.createOrReplaceTempView(sink.name)
+      } else if (multiInsertRemaining.contains(sink.name)) {
+        // sink-merge (reference rewrite_sinks): buffer each INSERT's frame,
+        // write one union when the script's last INSERT for this sink lands
+        val patched = patchStreamingPlan(df)
+        multiInsertPending += sink.name ->
+          (multiInsertPending.getOrElse(sink.name, Nil) :+ patched)
+        val left = multiInsertRemaining(sink.name) - 1
+        if (left > 0) multiInsertRemaining += sink.name -> left
+        else {
+          multiInsertRemaining -= sink.name
+          val parts = multiInsertPending(sink.name)
+          multiInsertPending -= sink.name
+          writeTo(sink, parts.reduce(_.union(_)))
+        }
       } else writeTo(sink, patchStreamingPlan(df))
 
     case Query(q) =>
@@ -435,7 +461,7 @@ class Pipeline(spark: SparkSession, streaming: Boolean = false) {
             // the current table, exactly like the reference's updating
             // operators after consuming the whole stream.
             if (streaming)
-              graft.streaming.Debezium.unroll(loadText(), "value", t.schema)
+              graft.streaming.Debezium.unroll(loadText(), "value", t.schema, t.pkColumns)
             else
               graft.streaming.Debezium.mergedState(
                 spark.read.text(path), "value", t.schema, t.pkColumns)
@@ -536,9 +562,16 @@ class Pipeline(spark: SparkSession, streaming: Boolean = false) {
     // the DDL is the user surface: project to exactly the declared columns
     // (kafka-style envelope frames keep their raw shape — payload columns
     // appear only after format decoding)
+    // `_updating_meta` (unrolled CDC sources) is engine metadata riding
+    // OUTSIDE the declared surface — keep it trailing, like the reference
+    // auto-propagates its hidden _updating_meta column (plan/mod.rs:266-305)
+    val metaTail =
+      if (withVirtual.columns.contains("_updating_meta")) Seq(col("_updating_meta"))
+      else Nil
     val projected =
       if (t.columns.nonEmpty && t.columns.forall(c => withVirtual.columns.contains(c.name)))
-        withVirtual.select(t.columns.map(c => col(c.name)).toIndexedSeq: _*)
+        withVirtual.select(
+          (t.columns.map(c => col(c.name)) ++ metaTail).toIndexedSeq: _*)
       else withVirtual
     t.eventTimeField match {
       case Some(f) if streaming =>
@@ -598,7 +631,8 @@ class Pipeline(spark: SparkSession, streaming: Boolean = false) {
       col("timestamp").as("_kafka_timestamp"), col("key").as("_kafka_key"))
     if (t.format == "debezium_json")
       graft.streaming.Debezium.unroll(
-        frame.select(col("value").cast("string").as("value")), "value", t.schema)
+        frame.select(col("value").cast("string").as("value")), "value", t.schema,
+        t.pkColumns)
     else graft.formats.Formats.decodeValue(frame, t.schema, t.format, t.options)
   }
 
@@ -650,18 +684,21 @@ class Pipeline(spark: SparkSession, streaming: Boolean = false) {
         renamed.select((if (hasMeta) cast :+ col("_updating_meta") else cast).toIndexedSeq: _*)
       } else df0
     // debezium_json sinks: wrap rows in the CDC envelope first (reference
-    // ToDebeziumExec). Rows carrying `_updating_meta` (updating aggregates)
-    // encode retract/append as d/c ops; plain appends become op=c.
+    // ToDebeziumExec). Rows carrying `_updating_meta` (updating aggregates
+    // and unrolled CDC sources) encode retract/append; plain appends become
+    // op=c. Streaming file sinks pair retract+append per micro-batch into
+    // canonical `u` records via Debezium.rollBatch (physical.rs:1100-1182).
+    val isDbz = sink.format == "debezium_json"
+    val withMeta =
+      if (!isDbz) df
+      else if (df.columns.contains("_updating_meta")) df
+      else df.withColumn("_updating_meta",
+        org.apache.spark.sql.functions.struct(
+          org.apache.spark.sql.functions.lit(false).as("is_retract"),
+          org.apache.spark.sql.functions.lit("").as("id")))
     val out0 =
-      if (sink.format == "debezium_json") {
-        val withMeta =
-          if (df.columns.contains("_updating_meta")) df
-          else df.withColumn("_updating_meta",
-            org.apache.spark.sql.functions.struct(
-              org.apache.spark.sql.functions.lit(false).as("is_retract"),
-              org.apache.spark.sql.functions.lit("").as("id")))
-        withMeta.select(graft.streaming.Debezium.roll(withMeta).as("value"))
-      } else df
+      if (isDbz) withMeta.select(graft.streaming.Debezium.roll(withMeta).as("value"))
+      else df
 
     if (!streaming) {
       sink.connector match {
@@ -706,12 +743,24 @@ class Pipeline(spark: SparkSession, streaming: Boolean = false) {
       val ws = out0.writeStream.outputMode(mode).option("checkpointLocation", cp)
         .trigger(Trigger.AvailableNow())
       val q = sink.connector match {
-        case "filesystem" | "single_file" if sink.format == "debezium_json" =>
+        case "filesystem" | "single_file" if isDbz =>
           // file sinks are append-only in Spark; updating (debezium) output
-          // needs update mode → foreachBatch append of the rolled envelope
+          // needs update mode → foreachBatch. Frames carrying REAL updating
+          // metadata are rolled with retract+append PAIRING (one c/u/d
+          // record per key per batch) so consumers replaying the file in
+          // any intra-batch order converge to the same state; plain append
+          // frames (synthetic meta, constant id) roll per-row as op=c.
           val path = sink.path.get
-          ws.foreachBatch((b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
-            b.toDF().write.mode("append").text(path)).start()
+          val hadRealMeta = df.columns.contains("_updating_meta")
+          withMeta.writeStream.outputMode(mode).option("checkpointLocation", cp)
+            .trigger(Trigger.AvailableNow())
+            .foreachBatch((b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) => {
+              val bdf = b.toDF()
+              val rolled =
+                if (hadRealMeta) graft.streaming.Debezium.rollBatch(bdf)
+                else bdf.select(graft.streaming.Debezium.roll(bdf).as("value"))
+              rolled.write.mode("append").text(path)
+            }).start()
         case "filesystem" | "single_file" if sink.format == "avro" =>
           val path = sink.path.get
           ws.foreachBatch((b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>

@@ -39,18 +39,37 @@ object Debezium {
   /** Decode a JSON debezium stream into flat rows: `c`/`u`/`r` emit the
     * `after` image as an append, `u`/`d` emit the `before` image as a
     * retract — the reference maps op `r` (snapshot read) to create
-    * (lib.rs:300-307). Output = payload columns + `_is_retract`.
+    * (lib.rs:300-307). Output = payload columns + a trailing
+    * `_updating_meta{is_retract, id}` (reference DebeziumUnrollingExec,
+    * physical.rs:884-948): `id` hashes the row's PRIMARY KEY values so a
+    * downstream [[rollBatch]] can re-pair retract+append into `u` records.
     */
-  def unroll(df: DataFrame, jsonCol: String, payload: StructType): DataFrame = {
-    val env = from_json(col(jsonCol), envelopeSchema(parseSchema(payload))).as("env")
-    val withEnv = df.select(env)
-    val appends = withEnv
-      .filter(col("env.op").isin("c", "u", "r") && col("env.after").isNotNull)
-      .select(col("env.after.*")).withColumn("_is_retract", lit(false))
-    val retracts = withEnv
-      .filter(col("env.op").isin("u", "d") && col("env.before").isNotNull)
-      .select(col("env.before.*")).withColumn("_is_retract", lit(true))
-    restoreTimestamps(appends.unionByName(retracts), payload)
+  def unroll(df: DataFrame, jsonCol: String, payload: StructType,
+      pkCols: Seq[String] = Nil): DataFrame = {
+    val env = from_json(col(jsonCol), envelopeSchema(parseSchema(payload)))
+    // one ARRAY of (image, is_retract) events per record, exploded in
+    // place: row order stays file order within each partition and a `u`
+    // record's retract lands immediately before its append — the same
+    // adjacency DebeziumUnrollingExec produces (physical.rs:905-912).
+    // (A union of two filtered branches would lose that interleaving,
+    // and streaming plans allow neither monotonically_increasing_id nor
+    // window functions to recover it.)
+    val retractEv = when(
+      env.getField("op").isin("u", "d") && env.getField("before").isNotNull,
+      struct(env.getField("before").as("img"), lit(true).as("r")))
+    val appendEv = when(
+      env.getField("op").isin("c", "u", "r") && env.getField("after").isNotNull,
+      struct(env.getField("after").as("img"), lit(false).as("r")))
+    val events = filter(array(retractEv, appendEv), x => x.isNotNull)
+    val exploded = df.select(explode(events).as("ev"))
+      .select(col("ev.img.*"), col("ev.r").as("_r"))
+    val keys = if (pkCols.nonEmpty) pkCols else payload.fieldNames.toSeq
+    restoreTimestamps(exploded, payload).select(
+      payload.fieldNames.map(n => col(s"`$n`")).toIndexedSeq :+
+        struct(
+          col("_r").as("is_retract"),
+          md5(to_json(struct(keys.map(k => col(s"`$k`")): _*))).as("id"))
+          .as("_updating_meta"): _*)
   }
 
   /** Batch view of a bounded debezium stream: the CURRENT state after
@@ -93,17 +112,65 @@ object Debezium {
     * (Pairing u-ops from retract+append of the same key is a sink-side
     * cosmetic; final-state semantics are identical.)
     */
+  /** Debezium sinks serialize TIMESTAMP as unix millis (reference default
+    * TimestampFormat::UnixMillis, formats.rs:429).
+    */
+  private def payloadStruct(df: DataFrame, metaCol: String,
+      drop: Set[String] = Set.empty): Column = {
+    val payloadCols = df.schema.fields
+      .filter(f => f.name != metaCol && !drop(f.name)).map {
+        case StructField(n, TimestampType, _, _) => unix_millis(col(s"`$n`")).as(n)
+        case f => col(s"`${f.name}`")
+      }
+    struct(payloadCols.toIndexedSeq: _*)
+  }
+
   def roll(df: DataFrame, metaCol: String = "_updating_meta"): Column = {
-    // debezium sinks serialize TIMESTAMP as unix millis (reference default
-    // TimestampFormat::UnixMillis, formats.rs:429)
-    val payloadCols = df.schema.fields.filter(_.name != metaCol).map {
-      case StructField(n, TimestampType, _, _) => unix_millis(col(s"`$n`")).as(n)
-      case f => col(s"`${f.name}`")
-    }
-    val payload = struct(payloadCols.toIndexedSeq: _*)
+    val payload = payloadStruct(df, metaCol)
     to_json(struct(
       when(col(s"$metaCol.is_retract"), payload).otherwise(lit(null)).as("before"),
       when(!col(s"$metaCol.is_retract"), payload).otherwise(lit(null)).as("after"),
       when(col(s"$metaCol.is_retract"), "d").otherwise("c").as("op")))
+  }
+
+  /** Batch-local retract/append pairing (reference ToDebeziumExec,
+    * physical.rs:1100-1182): group a micro-batch's rows by
+    * `_updating_meta.id` (= key hash), order each group's events (by the
+    * unroll `seq` when present, else retract-before-append — both match
+    * the reference's in-batch emission order), then emit ONE envelope
+    * record per key from the (first, last) events:
+    *
+    *   create…create → `c` (after = last), retract…retract → `d`
+    *   (before = first), retract…create → `u` {before=first, after=last},
+    *   create…retract → net no-op, dropped.
+    *
+    * Output: a single `value` JSON string column. One batch-local shuffle
+    * on the key hash — the same partitioning the upstream stateful
+    * operator already produced, and the price of emitting canonical `u`
+    * records instead of unordered d/c pairs (file order downstream is not
+    * guaranteed, so unpaired emission can replay out of order).
+    */
+  def rollBatch(df: DataFrame, metaCol: String = "_updating_meta"): DataFrame = {
+    // batch-local order id: rollBatch runs inside foreachBatch, where the
+    // frame is a plain batch plan whose narrow ops preserved partition row
+    // order — monotonically_increasing_id reconstructs (partition, row)
+    // order, i.e. file/emission order
+    val seqd = df.withColumn("__ord", monotonically_increasing_id())
+    val ev = struct(col("__ord").as("o"), col(s"$metaCol.is_retract").as("r"),
+      payloadStruct(df, metaCol, drop = Set("__ord")).as("p"))
+    val grouped = seqd
+      .groupBy(col(s"$metaCol.id").as("_id"))
+      .agg(sort_array(collect_list(ev)).as("evs"))
+    val first = col("evs").getItem(0)
+    val last = element_at(col("evs"), -1)
+    val firstR = first.getField("r")
+    val lastR = last.getField("r")
+    grouped
+      .filter(firstR || !lastR) // create…retract = net no-op
+      .select(to_json(struct(
+        when(firstR, first.getField("p")).otherwise(lit(null)).as("before"),
+        when(!lastR, last.getField("p")).otherwise(lit(null)).as("after"),
+        when(firstR && lastR, "d").otherwise(when(firstR, "u").otherwise("c")).as("op")))
+        .as("value"))
   }
 }

@@ -94,6 +94,6 @@ object UpdatingAggregate {
       .select(col("key"), col("n"), col("total").as("sum"), col("lo").as("min"),
         col("hi").as("max"), col("mean").as("avg"),
         struct(col("is_retract"),
-          md5(concat_ws("§", col("key"), col("n").cast("string"))).as("id")).as("_updating_meta"))
+          md5(col("key")).as("id")).as("_updating_meta"))
   }
 }

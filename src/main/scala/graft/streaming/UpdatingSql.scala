@@ -219,8 +219,11 @@ object UpdatingSql {
     }
     def emit(key: Row, acc: AccG, isRetract: Boolean): Row = {
       // retraction streams emit 2 rows per state change — reuse a
-      // thread-local digest instead of allocating one per emitted row
-      val id = UpdatingSql.md5Hex(s"${key.toString}§${acc.rows}")
+      // thread-local digest instead of allocating one per emitted row.
+      // The id hashes the KEY only (reference multi_hash of the primary
+      // keys, physical.rs:930-940) so sink-side pairing can merge a state
+      // change's retract+append into one debezium `u` record.
+      val id = UpdatingSql.md5Hex(key.toString)
       Row.fromSeq(key.toSeq ++ (0 until nSpecs).map(value(acc, _)) :+ Row(isRetract, id))
     }
 

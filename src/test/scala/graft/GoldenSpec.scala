@@ -321,6 +321,24 @@ class GoldenSpec extends SparkSpec {
   test("golden streaming: grouped_aggregates") {
     checkExact("grouped_aggregates", streaming = true)
   }
+  test("golden streaming: memory_table") {
+    checkExact("memory_table", streaming = true)
+  }
+  test("golden streaming: cast_to_sink_type") {
+    checkExact("cast_to_sink_type", streaming = true)
+  }
+  test("golden streaming: debezium_coercion") {
+    checkExact("debezium_coercion", streaming = true)
+  }
+  test("golden streaming: debezium_pass_through (merged state)") {
+    checkExact("debezium_pass_through", streaming = true)
+  }
+  test("golden streaming: updating_inner_join") {
+    checkExact("updating_inner_join", streaming = true)
+  }
+  test("golden streaming: test_merge_sink (sink-merge rewrite)") {
+    checkExact("test_merge_sink", streaming = true)
+  }
 
   // ── streaming: windowed append pipelines (subset semantics) ───────────
 

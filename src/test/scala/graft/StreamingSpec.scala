@@ -120,7 +120,8 @@ class StreamingSpec extends SparkSpec {
         struct(col("is_retract"), lit("x").as("id")).as("_updating_meta"))
     val json = updating.select(Debezium.roll(updating).as("value"))
     val back = Debezium.unroll(json, "value", payload)
-      .collect().map(r => (r.getString(0), r.getLong(1), r.getBoolean(2))).toSet
+      .collect().map(r => (r.getString(0), r.getLong(1),
+        r.getStruct(2).getBoolean(0))).toSet
     assert(back == Set(("a", 10L, false), ("a", 9L, true)))
   }
 
