@@ -44,6 +44,12 @@ object WindowFnOnClose {
     if (wins.isEmpty && aggs.length <= 1) return None
     // pre-order collect ⇒ last Aggregate is the bottom-most of a chain
     val bottom = aggs.last
+    // emit-on-close only exists for TIME-WINDOWED aggregates (append mode
+    // fires when the watermark seals a window). A non-windowed bottom
+    // aggregate is an updating stream — UpdatingSql's retraction chain
+    // owns that shape (e.g. active_drivers.sql's nested updating agg)
+    if (!bottom.groupingExpressions.exists(_.references.exists(r =>
+        r.name == "window" || r.name == "session_window"))) return None
     // the split is only sound when every batch-side operator sits ABOVE the
     // streamed aggregate (a linear chain) — parallel aggregation branches
     // (e.g. join of two aggregates) keep the native path

@@ -10,4 +10,11 @@ import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
 object GraftSqlBridge {
   def ofRows(spark: SparkSession, plan: LogicalPlan): DataFrame =
     classic.Dataset.ofRows(spark.asInstanceOf[classic.SparkSession], plan)
+
+  /** Wrap a Catalyst expression (resolved or not) as a user-facing Column —
+    * the updating-aggregate rewrite rebuilds post-aggregation expressions
+    * over its emitted `__k_*`/`__a_*` columns this way.
+    */
+  def colOf(e: org.apache.spark.sql.catalyst.expressions.Expression): Column =
+    classic.ExpressionUtils.column(e)
 }

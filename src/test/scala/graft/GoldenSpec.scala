@@ -339,6 +339,15 @@ class GoldenSpec extends SparkSpec {
   test("golden streaming: test_merge_sink (sink-merge rewrite)") {
     checkExact("test_merge_sink", streaming = true)
   }
+  test("golden streaming: debezium_agg (retractable agg over CDC input)") {
+    checkExact("debezium_agg", streaming = true)
+  }
+  test("golden streaming: filter_updating_aggregates (global distinct + filter)") {
+    checkExact("filter_updating_aggregates", streaming = true)
+  }
+  test("golden streaming: active_drivers (nested updating aggregate)") {
+    checkExact("active_drivers", streaming = true)
+  }
 
   // ── streaming: windowed append pipelines (subset semantics) ───────────
 

@@ -40,13 +40,39 @@ class UpdatingSqlSpec extends SparkSpec {
     assert(rows == Set((1L, 0L, 6.0), (1L, 1L, 20.0), (2L, 0L, 1.0)), s"got $rows")
   }
 
-  test("translate: unsupported shapes fall back (distinct agg, windowed)") {
+  test("translate: unsupported shapes fall back (non-agg, median)") {
     import spark.implicits._
     Seq(("a", 1.0)).toDF("k", "v").createOrReplaceTempView("us_t3")
-    val distinctAgg = spark.sql("SELECT k, count(DISTINCT v) FROM us_t3 GROUP BY k")
-    assert(UpdatingSql.translate(distinctAgg, None).isEmpty)
     val nonAgg = spark.sql("SELECT k FROM us_t3")
     assert(UpdatingSql.translate(nonAgg, None).isEmpty)
+    val median = spark.sql("SELECT k, median(v) FROM us_t3 GROUP BY k")
+    assert(UpdatingSql.translate(median, None).isEmpty)
+  }
+
+  test("translate: count(distinct), post-agg expressions and HAVING") {
+    import spark.implicits._
+    Seq(("a", "x", 1L), ("a", "x", 2L), ("a", "y", 3L), ("b", "z", 4L))
+      .toDF("k", "c", "q").createOrReplaceTempView("us_t5")
+    val q = """SELECT * FROM (
+              |  SELECT concat('p_', k) AS pk, count(*) AS n,
+              |         count(distinct c) AS d, sum(q + 5) + 10 AS s
+              |  FROM us_t5 GROUP BY concat('p_', k)
+              |) WHERE n >= 1""".stripMargin
+    val translated = UpdatingSql.translate(spark.sql(q), None)
+    assert(translated.isDefined, "expected distinct+expr+filter shape to translate")
+    val rows = translated.get.collect().map(r =>
+      (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSet
+    assert(rows == Set(("p_a", 3L, 2L, 31.0), ("p_b", 1L, 1L, 19.0)), s"got $rows")
+  }
+
+  test("translate: global aggregate with count(distinct) and filter") {
+    import spark.implicits._
+    Seq(1L, 2L, 2L, 3L).toDF("s").createOrReplaceTempView("us_t6")
+    val q = "SELECT * FROM (SELECT count(distinct s) AS subtasks FROM us_t6) WHERE subtasks >= 1"
+    val translated = UpdatingSql.translate(spark.sql(q), None)
+    assert(translated.isDefined, "expected global distinct shape to translate")
+    val rows = translated.get.collect().map(r => r.getLong(0)).toSet
+    assert(rows == Set(3L), s"got $rows")
   }
 
   test("streaming: second micro-batch emits retract of the published row") {
