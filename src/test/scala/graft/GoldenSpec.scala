@@ -348,6 +348,11 @@ class GoldenSpec extends SparkSpec {
   test("golden streaming: active_drivers (nested updating aggregate)") {
     checkExact("active_drivers", streaming = true)
   }
+  test("golden streaming: every_aggregate (full retractable battery)") {
+    numSigDigits = 8 // same fp-noise bound as the batch run
+    try checkExact("every_aggregate", streaming = true)
+    finally numSigDigits = 0
+  }
 
   // ── streaming: windowed append pipelines (subset semantics) ───────────
 
