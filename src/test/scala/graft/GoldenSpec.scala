@@ -264,6 +264,40 @@ class GoldenSpec extends SparkSpec {
   test("golden batch: reinvoke_window_function (re-windowed aggregate)") {
     checkExact("reinvoke_window_function")
   }
+  test("golden streaming: nexmark_q5 shape emits only expected rows") {
+    // same generated fixture as the batch test; streaming must emit a
+    // subset of the batch-computed expected multiset (final-watermark
+    // windows may be missing — no end-of-stream flush)
+    import org.apache.spark.sql.functions.{col, window, max, count}
+    val dir = tmp()
+    val base = java.time.Instant.parse("2024-01-01T00:00:00Z")
+    val lines = (0 until 2000).map { i =>
+      val ts = base.plusMillis(i * 37L)
+      s"""{"datetime":"$ts","auction":${(i * 7919) % 13}}"""
+    }
+    Files.write(Paths.get(s"$dir/nexmark_bids.json"), lines.asJava)
+    val raw = new String(Files.readAllBytes(
+      Paths.get(s"$refDir/src/test/queries/nexmark_q5.sql")))
+    val outPath = s"${tmp()}/out"
+    registerTestUdfs()
+    new Pipeline(spark, streaming = true)
+      .run(raw.replace("$input_dir", dir).replace("$output_path", outPath))
+    val out = readJsonLines(Paths.get(outPath))
+      .map(n => (n.get("auction").asLong, n.get("count").asLong))
+      .groupBy(identity).view.mapValues(_.size).toMap
+    val bids = spark.read
+      .schema("datetime TIMESTAMP, auction BIGINT").json(s"$dir/nexmark_bids.json")
+    val ab = bids.groupBy(window(col("datetime"), "10 seconds", "2 seconds").as("w"),
+      col("auction")).agg(count("*").as("num"))
+    val mx = ab.groupBy("w").agg(max("num").as("maxn"))
+    val expected = ab.join(mx, "w").filter(col("num") >= col("maxn"))
+      .select("auction", "num").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+      .groupBy(identity).view.mapValues(_.size).toMap
+    assert(out.nonEmpty, "streaming nexmark_q5 emitted nothing")
+    val bogus = out.filter { case (k, n) => expected.getOrElse(k, 0) < n }
+    assert(bogus.isEmpty, s"streaming emitted rows beyond expected: $bogus")
+  }
   test("golden batch: active_drivers (nested updating aggregate)") {
     checkExact("active_drivers")
   }
