@@ -87,10 +87,16 @@ object TextAnalysis {
     * sequence modulo collisions; unlike minhash/simhash this is
     * order-sensitive.
     */
-  def fingerprint(text: Column): Column = {
+  def fingerprint(text: Column): Column = fingerprintTokens(Dedup.tokens(text))
+
+  /** The same rolling fingerprint over an explicit token-array column —
+    * lets callers fingerprint a slice (e.g. the first N tokens for
+    * title-style prefix dedup).
+    */
+  def fingerprintTokens(tokens: Column): Column = {
     val m = 2147483647L // 2^31 - 1
     val packed = aggregate(
-      Dedup.tokens(text),
+      tokens,
       struct(lit(7L).as("a"), lit(13L).as("b")),
       (acc, t) => struct(
         pmod(acc.getField("a") * 1000003L + pmod(xxhash64(t), lit(m)), lit(m)).as("a"),

@@ -260,6 +260,29 @@ object Pipeline {
         TextAnalysis.fingerprint(col("text")).as("fingerprint")),
       None),
 
+    // ── fingerprint EQUALITY CLASSES are oracle-checkable even though the
+    //    hash values aren't: equal fingerprint ⇔ identical token sequence
+    //    (modulo 2⁶²-collisions, absent at these scales). Fingerprint the
+    //    first 5 tokens (title-style prefix dedup — full texts are unique
+    //    in the corpus); the DuckDB twin joins on the token slice itself.
+    Q("q_fingerprint_dups",
+      (s, dir) => {
+        val fp = docs(s, dir).select(col("doc_id"),
+          TextAnalysis.fingerprintTokens(
+            slice(graft.operators.Dedup.tokens(col("text")), 1, 5)).as("fp"))
+        fp.as("a").join(fp.as("b"),
+            col("a.fp") === col("b.fp") && col("a.doc_id") < col("b.doc_id"))
+          .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+      },
+      Some("""WITH toks AS (
+             |  SELECT doc_id,
+             |         list_filter(string_split_regex(lower(text), '\s+'),
+             |                     t -> t <> '')[:5] AS tk
+             |  FROM documents)
+             |SELECT a.doc_id AS id_a, b.doc_id AS id_b
+             |FROM toks a JOIN toks b
+             |  ON a.tk = b.tk AND a.doc_id < b.doc_id""".stripMargin)),
+
     // ── brute-force cosine top-k ANN (codegen'd dot product, broadcast
     //    query side). The oracle compares RANKS only: DuckDB's
     //    list_cosine_similarity and our double-accumulated cosine agree on
