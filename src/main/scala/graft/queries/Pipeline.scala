@@ -283,6 +283,51 @@ object Pipeline {
              |FROM toks a JOIN toks b
              |  ON a.tk = b.tk AND a.doc_id < b.doc_id""".stripMargin)),
 
+    // ── sliding-window token chunking (doc → training sequences); exact
+    //    DuckDB twin over the same token slices
+    Q("q_chunks",
+      (s, dir) => graft.operators.Chunking.chunkTokens(
+        docs(s, dir), "doc_id", "text", chunkSize = 64, overlap = 16),
+      Some("""WITH toks AS (
+             |  SELECT doc_id,
+             |         list_filter(string_split_regex(lower(text), '\s+'),
+             |                     t -> t <> '') AS tk
+             |  FROM documents),
+             |sized AS (
+             |  SELECT doc_id, tk, len(tk) AS n,
+             |         greatest(1, CAST(ceil((len(tk) - 16) / 48.0) AS INT)) AS nc
+             |  FROM toks WHERE len(tk) > 0),
+             |e AS (
+             |  SELECT doc_id, tk, n, unnest(range(nc)) AS chunk_idx FROM sized)
+             |SELECT doc_id, CAST(chunk_idx AS INT) AS chunk_idx,
+             |       CAST(least(64, n - chunk_idx * 48) AS INT) AS chunk_tokens,
+             |       array_to_string(tk[chunk_idx * 48 + 1 : chunk_idx * 48 + 64], ' ')
+             |         AS chunk_text
+             |FROM e""".stripMargin)),
+
+    // ── budgeted sequence packing (concat-and-split shaping for context
+    //    windows), sharded by id % 32 so each shard packs in parallel;
+    //    deterministic ⇒ exact DuckDB twin
+    Q("q_pack",
+      (s, dir) => graft.operators.Chunking.packSequences(
+        docs(s, dir), "doc_id", "text", budget = 512, shards = 32),
+      Some("""WITH toks AS (
+             |  SELECT doc_id,
+             |         CAST(len(list_filter(string_split_regex(lower(text), '\s+'),
+             |                              t -> t <> '')) AS BIGINT) AS n_tokens,
+             |         CAST(doc_id % 32 AS INT) AS shard
+             |  FROM documents),
+             |c AS (
+             |  SELECT doc_id, n_tokens, shard,
+             |         sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id)
+             |           - n_tokens AS cum_before
+             |  FROM toks)
+             |SELECT doc_id, n_tokens, shard,
+             |       CAST(shard AS BIGINT) * 4294967296 + CAST(floor(cum_before / 512) AS BIGINT)
+             |         AS pack_id,
+             |       CAST(cum_before % 512 AS BIGINT) AS pack_pos
+             |FROM c""".stripMargin)),
+
     // ── brute-force cosine top-k ANN (codegen'd dot product, broadcast
     //    query side). The oracle compares RANKS only: DuckDB's
     //    list_cosine_similarity and our double-accumulated cosine agree on
