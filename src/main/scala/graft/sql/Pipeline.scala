@@ -285,7 +285,7 @@ class Pipeline(spark: SparkSession, streaming: Boolean = false) {
     *      distinct/non-distinct stays on the native path (and Spark's
     *      clear error).
     */
-  private def patchStreamingPlan(df: DataFrame): DataFrame = {
+  private[graft] def patchStreamingPlan(df: DataFrame): DataFrame = {
     if (!streaming || !df.isStreaming) return df
     import org.apache.spark.sql.catalyst.expressions.{Attribute, AttributeReference, NamedExpression}
     import org.apache.spark.sql.catalyst.expressions.aggregate.AggregateExpression
@@ -742,6 +742,7 @@ class Pipeline(spark: SparkSession, streaming: Boolean = false) {
         java.nio.file.Files.createTempDirectory(s"graft-cp-${sink.name}").toString)
       val ws = out0.writeStream.outputMode(mode).option("checkpointLocation", cp)
         .trigger(Trigger.AvailableNow())
+      try {
       val q = sink.connector match {
         case "filesystem" | "single_file" if isDbz =>
           // file sinks are append-only in Spark; updating (debezium) output
@@ -833,6 +834,19 @@ class Pipeline(spark: SparkSession, streaming: Boolean = false) {
         case c => sys.error(s"unsupported sink connector $c")
       }
       queries ::= q
+      } catch {
+        // parallel stateful branches Spark can't chain in one streaming
+        // query (e.g. a FULL OUTER join of two windowed aggregates):
+        // spool each windowed aggregate to parquet (append mode,
+        // emit-on-close) and run the rest — join included — as a batch
+        // over the closed windows (WindowFnOnClose.spoolBranches)
+        case e: org.apache.spark.sql.AnalysisException =>
+          graft.streaming.WindowFnOnClose.spoolBranches(spark, dfIn) match {
+            case Some(batchFrame) =>
+              new Pipeline(spark, streaming = false).writeTo(sink, batchFrame)
+            case None => throw e
+          }
+      }
     }
   }
 

@@ -79,4 +79,88 @@ object WindowFnOnClose {
     }
     Some((child, rest))
   }
+
+  /** PARALLEL stateful branches Spark can't chain in one streaming query
+    * (e.g. windowed_outer_join.sql: a FULL OUTER join of two windowed
+    * aggregates — Spark rejects outer stream-stream joins whose keys are
+    * aggregate outputs). The reference wires such branches with shuffle
+    * edges; our durable analogue: stream each bottom-most windowed
+    * aggregate to its own parquet spool (append mode, emit-on-close),
+    * then run everything above the spools — the join included — as one
+    * BATCH over the closed windows. Every emitted window is sealed by
+    * the watermark, so batch evaluation over the spool is exactly the
+    * reference's fire-on-close semantics; with AvailableNow triggers the
+    * spools are complete when the batch runs.
+    *
+    * Returns the rebuilt BATCH frame, or None when the plan has no
+    * windowed bottom aggregates or something streaming remains outside
+    * them (then the native error stands).
+    */
+  def spoolBranches(spark: SparkSession, df: DataFrame): Option[DataFrame] = {
+    if (!df.isStreaming) return None
+    val plan = df.queryExecution.analyzed
+    val bottoms = plan.collect {
+      case a: Aggregate if a.groupingExpressions.exists(_.references.exists(r =>
+          r.name == "window" || r.name == "session_window")) &&
+        a.child.collectFirst { case x: Aggregate => x }.isEmpty => a
+    }
+    if (bottoms.isEmpty) return None
+    // each replacement re-exposes the ORIGINAL output attribute ids via an
+    // aliasing Project, so nothing above needs rewriting. (A global
+    // id→new-attr map would cross-wire branches: grouping attributes keep
+    // their source exprIds, and parallel branches over the same source
+    // share those ids — the probe case had both join legs emitting
+    // driver_id#1.)
+    val spooled: Seq[(Aggregate, org.apache.spark.sql.DataFrame, Option[String])] =
+      bottoms.map { bottom =>
+        val dir = java.nio.file.Files.createTempDirectory("graft-spool").toString
+        val child = GraftSqlBridge.ofRows(spark, bottom)
+        val q = child.writeStream.outputMode("append")
+          .option("checkpointLocation", s"$dir/cp")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .format("parquet").option("path", s"$dir/data").start()
+        q.awaitTermination()
+        val back = spark.read.schema(child.schema).parquet(s"$dir/data")
+        val winCol = bottom.output.find(o =>
+          o.name == "window" || o.name == "session_window").map(_.name)
+        (bottom, back, winCol)
+      }
+    // each spool closed windows up to ITS leg's watermark; the reference
+    // propagates the MIN watermark across a node's inputs
+    // (WatermarkHolder, crates/arroyo-operator/src/context.rs:36-90), so
+    // joining legs with different frontiers would fabricate half-null
+    // rows for windows one leg hasn't closed. Align every spool to the
+    // minimum common closed frontier first.
+    val frontiers = spooled.flatMap { case (_, back, winCol) =>
+      winCol.map { w =>
+        val r = back.agg(org.apache.spark.sql.functions.max(
+          org.apache.spark.sql.functions.col(s"$w.end"))).head()
+        if (r.isNullAt(0)) java.sql.Timestamp.from(java.time.Instant.EPOCH)
+        else r.getTimestamp(0)
+      }
+    }
+    val common =
+      if (frontiers.isEmpty) None
+      else Some(frontiers.minBy(_.getTime))
+    val replaced: Seq[(Aggregate, LogicalPlan)] = spooled.map { case (bottom, back, winCol) =>
+      val aligned = (winCol, common) match {
+        case (Some(w), Some(f)) if spooled.length > 1 =>
+          back.filter(org.apache.spark.sql.functions.col(s"$w.end") <=
+            org.apache.spark.sql.functions.lit(f))
+        case _ => back
+      }
+      val bplan = aligned.queryExecution.analyzed
+      val restored = org.apache.spark.sql.catalyst.plans.logical.Project(
+        bplan.output.zip(bottom.output).map { case (nw, old) =>
+          org.apache.spark.sql.catalyst.expressions.Alias(nw, old.name)(
+            exprId = old.exprId, qualifier = old.qualifier)
+        }, bplan)
+      bottom -> restored
+    }
+    val rebuilt = plan.transformUp {
+      case n if replaced.exists(_._1 eq n) => replaced.find(_._1 eq n).get._2
+    }
+    val out = GraftSqlBridge.ofRows(spark, rebuilt)
+    if (out.isStreaming) None else Some(out)
+  }
 }

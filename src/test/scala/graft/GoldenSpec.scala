@@ -417,12 +417,15 @@ class GoldenSpec extends SparkSpec {
   test("golden streaming: unnest_in_view emits only golden rows") {
     checkSubset("unnest_in_view")
   }
-  // windowed_outer_join stays batch-only: Spark rejects a FULL OUTER
-  // stream-stream join whose inputs are aggregate outputs (the window
-  // struct after aggregation no longer counts as a watermarked join key) —
-  // documented divergence; the inner-join variant streams above
   test("golden streaming: offset_impulse_join emits only golden rows") {
     checkSubset("offset_impulse_join")
+  }
+  // Spark rejects a FULL OUTER stream-stream join whose inputs are
+  // aggregate outputs — the pipeline falls back to spooling each windowed
+  // aggregate (append mode, emit-on-close) and joining the closed windows
+  // as a batch (WindowFnOnClose.spoolBranches)
+  test("golden streaming: windowed_outer_join emits only golden rows") {
+    checkSubset("windowed_outer_join")
   }
 
   // ── streaming: stateless pipelines run exact ──────────────────────────
