@@ -38,6 +38,12 @@ object RedisLookupSource {
     t.columns.find(c => c.metadataFrom.exists(_ != "key")).foreach(c =>
       sys.error(s"Invalid metadata key '${c.metadataFrom.get}' for redis " +
         "(only 'key' is available, reference redis/lookup.rs:70-77)"))
+    // reference error_missing_redis_key.sql: the PRIMARY KEY must be the
+    // 'key' metadata column
+    if (!t.columns.exists(c => c.primaryKey && c.metadataFrom.contains("key")))
+      throw new IllegalArgumentException(
+        "Redis lookup tables must have a PRIMARY KEY field defined as " +
+          "`field_name TEXT METADATA FROM 'key'` (reference parity, error_missing_redis_key.sql)")
 
     val kvSchema = StructType(Seq(
       StructField("_redis_key", StringType), StructField("_redis_value", StringType)))

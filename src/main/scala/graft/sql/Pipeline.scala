@@ -75,15 +75,23 @@ class Pipeline(spark: SparkSession, streaming: Boolean = false) {
     case CreateView(name, q) =>
       rejectUnsupportedStatements(q)
       checkMemoryReads(q)
-      sql(rewriteWindows(rewriteDialect(q))).createOrReplaceTempView(name)
+      val rewrittenV = rewriteWindows(rewriteDialect(q))
+      checkMisplacedWindows(rewrittenV)
+      sql(rewrittenV).createOrReplaceTempView(name)
 
     case Insert(sinkName, q) =>
       val sink = catalog.getOrElse(sinkName,
         throw new IllegalArgumentException(s"unknown sink table $sinkName"))
+      // reference extension/sink.rs:51-55 (insert_into_source.sql)
+      if (!sink.isSink && sink.connector != "memory_table")
+        throw new IllegalArgumentException(
+          s"attempted to insert into table '${sink.name}', but it is a source")
       rejectUnsupportedStatements(q)
       rejectUnsupportedStreaming(q)
       checkMemoryReads(q)
-      val df = sql(rewriteWindows(rewriteDialect(q)))
+      val rewritten = rewriteWindows(rewriteDialect(q))
+      checkMisplacedWindows(rewritten)
+      val df = sql(rewritten)
       checkLookupJoins(df)
       if (streaming) checkStreamingGuards(df, Some(sink))
       if (sink.connector == "memory_table") {
@@ -114,7 +122,9 @@ class Pipeline(spark: SparkSession, streaming: Boolean = false) {
     case Query(q) =>
       rejectUnsupportedStatements(q)
       checkMemoryReads(q)
-      val df = sql(rewriteWindows(rewriteDialect(q)))
+      val rewritten = rewriteWindows(rewriteDialect(q))
+      checkMisplacedWindows(rewritten)
+      val df = sql(rewritten)
       checkLookupJoins(df)
       if (streaming) checkStreamingGuards(df, None)
       lastResult = Some(df)
@@ -126,6 +136,18 @@ class Pipeline(spark: SparkSession, streaming: Boolean = false) {
       case k => sys.error(s"unsupported SET option: $k (reference supports only updating_ttl)")
     }
   }
+
+  /** A tumble/hop/session call surviving [[rewriteWindows]] was used
+    * outside a GROUP BY — the reference's planner error (misplaced_hop.sql).
+    */
+  private def checkMisplacedWindows(rewritten: String): Unit =
+    """(?i)(?<![\w_.])(tumble|hop|session)\s*\(""".r.findFirstMatchIn(rewritten)
+      .foreach { m =>
+        throw new IllegalArgumentException(
+          s"Error during planning: time window function ${m.group(1).toLowerCase} " +
+            "is not allowed in this context. Are you missing a GROUP BY clause? " +
+            "(reference parity, misplaced_hop.sql)")
+      }
 
   /** spark.sql with the reference's leftmost-wins resolution for an
     * unqualified `window.` field access that is ambiguous across joined
@@ -205,13 +227,21 @@ class Pipeline(spark: SparkSession, streaming: Boolean = false) {
   /** Reading a memory table that nothing inserted into yet is a plan error
     * in the reference (error_read_from_unwritten_memory_table.sql).
     */
-  private def checkMemoryReads(q: String): Unit =
+  private def checkMemoryReads(q: String): Unit = {
     catalog.values.filter(t => t.connector == "memory_table" && !writtenMemoryTables(t.name))
       .foreach { t =>
         if (s"""(?i)\\b${t.name}\\b""".r.findFirstIn(q).isDefined)
           throw new IllegalArgumentException(
             s"Can't query from memory table ${t.name} without first inserting into it.")
       }
+    // reference extension/sink.rs (select_from_sink.sql): sinks are write-only
+    catalog.values.filter(t => t.isSink && t.connector != "memory_table")
+      .foreach { t =>
+        if (s"""(?i)\\b${t.name}\\b""".r.findFirstIn(q).isDefined)
+          throw new IllegalArgumentException(
+            s"attempted to read from table '${t.name}', but it is a sink")
+      }
+  }
 
   /** Lookup-join parity guards (reference plan/join.rs:247-256 +
     * error_lookup_join_non_primary_key.sql): a join against a lookup table
@@ -356,8 +386,22 @@ class Pipeline(spark: SparkSession, streaming: Boolean = false) {
     */
   private def checkStreamingGuards(df: DataFrame, sink: Option[ConnectorTable]): Unit = {
     val plan = df.queryExecution.analyzed
+    def isWindowedAgg(a: org.apache.spark.sql.catalyst.plans.logical.Aggregate): Boolean =
+      a.groupingExpressions.exists(_.references.exists(r =>
+        // __rw = rewriteNestedWindows' alias for a re-used inner window
+        r.name == "window" || r.name == "session_window" || r.name == "__rw"))
     plan.foreach {
       case j: org.apache.spark.sql.catalyst.plans.logical.Join =>
+        val updating = isUpdatingPlan(j.left) || isUpdatingPlan(j.right)
+        // reference plan/join.rs + updating_filter_join.sql: an updating
+        // join without an equi-condition gets the equijoin error first
+        if (updating && !j.condition.exists(_.exists {
+            case _: org.apache.spark.sql.catalyst.expressions.EqualTo => true
+            case _ => false
+          }))
+          throw new IllegalArgumentException(
+            "Updating joins must include an equijoin condition " +
+              "(reference parity, updating_filter_join.sql)")
         if (isUpdatingPlan(j.left))
           throw new IllegalArgumentException(
             "can't handle updating left side of join (reference parity, plan/join.rs:71-86)")
@@ -368,6 +412,19 @@ class Pipeline(spark: SparkSession, streaming: Boolean = false) {
         if (isUpdatingPlan(w.child))
           throw new IllegalArgumentException(
             "Window functions require already windowed input (reference parity, no_updating_window_functions.sql)")
+      case a: org.apache.spark.sql.catalyst.plans.logical.Aggregate
+          if !isWindowedAgg(a) &&
+            a.child.collectFirst {
+              case x: org.apache.spark.sql.catalyst.plans.logical.Aggregate
+                  if isWindowedAgg(x) => x
+            }.isDefined =>
+        // reference error_second_aggregate_missing_window.sql: an aggregate
+        // OVER a windowed aggregate must itself be windowed (group by a
+        // window function or the input's window field)
+        throw new IllegalArgumentException(
+          "must have window in aggregate. Make sure you are calling one of the " +
+            "windowing functions (hop, tumble, session) or using the window field " +
+            "of the input (reference parity, error_second_aggregate_missing_window.sql)")
       case _ =>
     }
     sink.foreach { s =>
@@ -556,7 +613,32 @@ class Pipeline(spark: SparkSession, streaming: Boolean = false) {
         df.withColumn(cd.name, timestamp_micros(expr(s"`${cd.name}` div 1000")))
       else df
     }
-    val withVirtual = t.columns.filter(_.virtualExpr.isDefined).foldLeft(nsFixed) {
+    // `METADATA FROM 'field'` columns: validate the declared type against
+    // the connector's metadata type (reference tables.rs metadata checks,
+    // metadata_error.sql) and project from the envelope passthrough column
+    val withMetaFields = t.columns.filter(_.metadataFrom.isDefined)
+      .filter(_ => t.connector != "redis") // redis handles its own 'key'
+      .foldLeft(nsFixed) { (df, cd) =>
+        val key = cd.metadataFrom.get
+        val declared = org.apache.spark.sql.types.DataType.fromDDL(cd.sqlType)
+        val expected: Option[org.apache.spark.sql.types.DataType] = key match {
+          case "topic" => Some(org.apache.spark.sql.types.StringType)
+          case "partition" => Some(org.apache.spark.sql.types.IntegerType)
+          case "offset" | "offset_id" => Some(org.apache.spark.sql.types.LongType)
+          case "timestamp" => Some(org.apache.spark.sql.types.TimestampType)
+          case _ => None
+        }
+        expected.foreach { want =>
+          if (declared != want) throw new IllegalArgumentException(
+            s"Failed to create table ${t.name} caused by Error during planning: " +
+              s"incorrect data type for metadata field '$key'; expected " +
+              s"${want.sql}, but found ${cd.sqlType.toUpperCase} " +
+              "(reference parity, metadata_error.sql)")
+        }
+        if (df.columns.contains(key)) df.withColumn(cd.name, col(key).cast(declared))
+        else df
+      }
+    val withVirtual = t.columns.filter(_.virtualExpr.isDefined).foldLeft(withMetaFields) {
       case (df, cd) => df.withColumn(cd.name, expr(substituteMetadata(cd.virtualExpr.get, t)))
     }
     // the DDL is the user surface: project to exactly the declared columns
@@ -891,6 +973,16 @@ class Pipeline(spark: SparkSession, streaming: Boolean = false) {
       throw new IllegalArgumentException(
         "window in group by does not match input window: can't mix session with tumble/hop " +
           "in one statement (reference parity, error_mismatched_nested_windows.sql)")
+    // window functions are GROUP BY expressions (misplaced_hop.sql)
+    if (hasSessionFn || hasTumbleHopFn) {
+      if ("""(?i)group\s+by""".r.findFirstIn(q).isEmpty) {
+        val fn = """(?i)\b(tumble|hop|session)\s*\(""".r
+          .findFirstMatchIn(q).map(_.group(1).toLowerCase).getOrElse("window")
+        throw new IllegalArgumentException(
+          s"Error during planning: time window function $fn is not allowed in this " +
+            "context. Are you missing a GROUP BY clause? (reference parity, misplaced_hop.sql)")
+      }
+    }
 
     var out = rewriteNestedWindows(q)
     out = s"""(?si)\\btumble\\s*\\(\\s*$interval\\s*\\)""".r

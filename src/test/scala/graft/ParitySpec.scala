@@ -156,6 +156,96 @@ class ParitySpec extends SparkSpec {
     }
   }
 
+  test("insert_into_source: inserting into a source table is rejected") {
+    val p = new Pipeline(spark)
+    val dir = jsonSourceDir()
+    p.runStatement(Ddl.parse(
+      s"CREATE TABLE src_i (id BIGINT, k TEXT, v DOUBLE) WITH (connector='filesystem', path='$dir', format='json', type='source')"))
+    failsWith("but it is a source") {
+      p.runStatement(Ddl.parse("INSERT INTO src_i SELECT * FROM src_i"))
+    }
+  }
+
+  test("select_from_sink: reading a sink table is rejected") {
+    val p = new Pipeline(spark)
+    val dir = jsonSourceDir()
+    p.runStatement(Ddl.parse(
+      s"CREATE TABLE src_s (id BIGINT, k TEXT, v DOUBLE) WITH (connector='filesystem', path='$dir', format='json', type='source')"))
+    p.runStatement(Ddl.parse(
+      s"CREATE TABLE out_s (id BIGINT) WITH (connector='filesystem', path='${tmp()}/o', format='json', type='sink')"))
+    failsWith("but it is a sink") {
+      p.runStatement(Ddl.parse("SELECT * FROM out_s"))
+    }
+  }
+
+  test("misplaced_hop: window function outside GROUP BY is rejected") {
+    val p = new Pipeline(spark)
+    val dir = jsonSourceDir()
+    p.runStatement(Ddl.parse(
+      s"CREATE TABLE src_h (id BIGINT, k TEXT, v DOUBLE) WITH (connector='filesystem', path='$dir', format='json', type='source')"))
+    failsWith("Are you missing a GROUP BY clause") {
+      p.runStatement(Ddl.parse(
+        "SELECT hop(interval '1 second', interval '10 second') AS window, count(*) FROM src_h"))
+    }
+  }
+
+  test("error_second_aggregate_missing_window: re-agg must keep a window") {
+    val p = new Pipeline(spark, streaming = true)
+    val dir = tmp()
+    java.nio.file.Files.write(java.nio.file.Paths.get(s"$dir/d.json"),
+      "{\"ts\": \"2024-01-01T00:00:00Z\", \"k\": \"a\"}\n".getBytes)
+    p.runStatement(Ddl.parse(
+      s"CREATE TABLE ev (ts TIMESTAMP, k TEXT) WITH (connector='filesystem', path='$dir', format='json', type='source', event_time_field='ts')"))
+    p.runStatement(Ddl.parse("CREATE TABLE outw WITH (connector='blackhole', type='sink')"))
+    failsWith("must have window in aggregate") {
+      p.runStatement(Ddl.parse(
+        """INSERT INTO outw SELECT count(*) FROM (
+          |  SELECT k, tumble(interval '1 minute') AS window, count(*) AS c
+          |  FROM ev GROUP BY 1, 2)""".stripMargin))
+    }
+  }
+
+  test("updating_filter_join: updating join without equi-condition gets the equijoin error") {
+    val p = new Pipeline(spark, streaming = true)
+    val dir = debeziumSourceDir()
+    p.runStatement(Ddl.parse(
+      s"CREATE TABLE du (id BIGINT, v TEXT) WITH (connector='filesystem', path='$dir', format='debezium_json', type='source')"))
+    p.runStatement(Ddl.parse("CREATE TABLE outj WITH (connector='blackhole', type='sink')"))
+    failsWith("Updating joins must include an equijoin condition") {
+      p.runStatement(Ddl.parse(
+        "INSERT INTO outj SELECT a.id FROM du a JOIN du b ON a.id < b.id"))
+    }
+  }
+
+  test("error_missing_redis_key: redis lookup PK must be the key metadata column") {
+    val p = new Pipeline(spark)
+    failsWith("METADATA FROM 'key'") {
+      p.runStatement(Ddl.parse(
+        """CREATE TEMPORARY TABLE lk (key TEXT PRIMARY KEY, value TEXT) WITH (
+          |  connector='redis', format='json', address='redis://localhost:6379')""".stripMargin))
+    }
+  }
+
+  test("metadata_error: metadata field with the wrong declared type is rejected") {
+    val p = new Pipeline(spark)
+    failsWith("incorrect data type for metadata field 'topic'") {
+      p.runStatement(Ddl.parse(
+        """CREATE TABLE mq (name TEXT, value INT, topic INT METADATA FROM 'topic') WITH (
+          |  connector='mqtt', url='tcp://localhost:1883', topic='plant/#',
+          |  type='source', format='json')""".stripMargin))
+    }
+  }
+
+  test("virtual_bad_schema: generated column referencing a missing field is rejected") {
+    val p = new Pipeline(spark)
+    val dir = jsonSourceDir()
+    failsWith("notfield") {
+      p.runStatement(Ddl.parse(
+        s"""CREATE TABLE vb (id BIGINT, diff INT GENERATED ALWAYS AS (notfield) STORED)
+           |WITH (connector='filesystem', path='$dir', format='json', type='source')""".stripMargin))
+    }
+  }
+
   test("memory table feeds a downstream select with declared column names") {
     val p = new Pipeline(spark)
     val dir = jsonSourceDir()
