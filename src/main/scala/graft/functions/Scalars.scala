@@ -87,6 +87,45 @@ object Scalars {
         if (v == null) "null" else v.toString
       }
     })
+    // json_get(text, key): same union-ish accessor surface — alias of the
+    // raw-JSON form (release_post_json.sql)
+    spark.udf.register("json_get", (t: String, f: String) => {
+      if (t == null) "null"
+      else {
+        val node =
+          try JsonPathAll.rootNode(t) catch { case _: Exception => null }
+        val v = if (node == null) null else node.get(f)
+        if (v == null) "null" else v.toString
+      }
+    })
+    // DataFusion names the 256-bit digest `sha256(x)`; Spark spells it
+    // sha2(x, 256) (crypto_function.sql)
+    spark.udf.register("sha256", (s: String) =>
+      if (s == null) null
+      else java.security.MessageDigest.getInstance("SHA-256")
+        .digest(s.getBytes("UTF-8")).map(b => f"$b%02x").mkString)
+    // `expr ? 'field'`: field PRESENCE (an explicit null field is present)
+    spark.udf.register("json_has", (t: String, f: String) => {
+      if (t == null) false
+      else {
+        val node =
+          try JsonPathAll.rootNode(t) catch { case _: Exception => null }
+        node != null && node.has(f)
+      }
+    })
+    // DataFusion's `->>` operator: the field as plain TEXT (strings
+    // unquoted, missing/null → SQL NULL)
+    spark.udf.register("json_get_str", (t: String, f: String) => {
+      if (t == null) null
+      else {
+        val node =
+          try JsonPathAll.rootNode(t) catch { case _: Exception => null }
+        val v = if (node == null) null else node.get(f)
+        if (v == null || v.isNull) null
+        else if (v.isTextual) v.asText()
+        else v.toString
+      }
+    })
   }
 
   private val extractJsonUdf = udf((t: String, p: String) => JsonPathAll.all(t, p))

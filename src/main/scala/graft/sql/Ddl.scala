@@ -39,6 +39,14 @@ object Ddl {
     def pkColumns: Seq[String] = columns.filter(_.primaryKey).map(_.name)
     def schema: StructType =
       StructType.fromDDL(columns.filter(_.virtualExpr.isEmpty).map(_.ddl).mkString(", "))
+
+    /** Columns decoded from the payload: declared minus virtual minus
+      * `METADATA FROM` (metadata comes from the connector envelope, not
+      * the serialized value — kafka_metadata_udf.sql).
+      */
+    def payloadSchema: StructType =
+      StructType.fromDDL(columns.filter(c =>
+        c.virtualExpr.isEmpty && c.metadataFrom.isEmpty).map(_.ddl).mkString(", "))
   }
 
   private val CreateTableRe =
@@ -166,7 +174,7 @@ object Ddl {
     val WatermarkRe =
       """(?is)^\s*WATERMARK\s+FOR\s+([A-Za-z_][A-Za-z0-9_]*)(?:\s+AS\s+.*?(?:INTERVAL\s+'([^']+)'(?:\s+(\w+))?).*)?$""".r
     val VirtualRe =
-      """(?is)^\s*([A-Za-z_][A-Za-z0-9_]*)\s+(.+?)\s+(?:GENERATED\s+ALWAYS\s+)?AS\s*\((.*)\)\s*$""".r
+      """(?is)^\s*([A-Za-z_][A-Za-z0-9_]*)\s+(.+?)\s+(?:GENERATED\s+ALWAYS\s+)?AS\s*\((.*)\)\s*(?:STORED|VIRTUAL)?\s*$""".r
     val ColRe = """(?is)^\s*([A-Za-z_][A-Za-z0-9_]*)\s+(.+?)\s*$""".r
 
     val cols = splitTop(s, ',').flatMap {
@@ -200,6 +208,10 @@ object Ddl {
       case '\'' => inS = !inS; cur += '\''
       case '(' if !inS => depth += 1; cur += '('
       case ')' if !inS => depth -= 1; cur += ')'
+      // generic angle brackets: STRUCT<a INT, x STRUCT<b TEXT>> column
+      // types must not split at their inner commas (struct_ddl.sql)
+      case '<' if !inS => depth += 1; cur += '<'
+      case '>' if !inS => depth -= 1; cur += '>'
       case c if c == sep && depth == 0 && !inS => out += cur.toString; cur.clear()
       case c => cur += c
     }
@@ -219,6 +231,35 @@ object Ddl {
       .replaceAll("(?i)\\s+PRIMARY\\s+KEY$", "")
       .trim
     val up = t.toUpperCase
+    // `T[]` array suffix (reference types.rs:18-31)
+    if (up.endsWith("[]"))
+      return s"ARRAY<${normalizeType(t.dropRight(2))}>"
+    // recurse into STRUCT<name type, …> / ARRAY<T> element types so
+    // TEXT/JSON/unsigned mappings apply at any nesting depth
+    // (struct_ddl.sql: struct<a int, x struct<b text>>)
+    if (up.startsWith("STRUCT<") && up.endsWith(">")) {
+      val inner = t.substring(t.indexOf('<') + 1, t.length - 1)
+      // angle-bracket-aware top-level comma split (splitTop only tracks parens)
+      val fields = Seq.newBuilder[String]
+      val cur = new StringBuilder
+      var depth = 0
+      inner.foreach {
+        case '<' => depth += 1; cur += '<'
+        case '>' => depth -= 1; cur += '>'
+        case ',' if depth == 0 => fields += cur.toString; cur.clear()
+        case c => cur += c
+      }
+      fields += cur.toString
+      val normed = fields.result().map(_.trim).filter(_.nonEmpty).map { f =>
+        f.split("\\s+", 2) match {
+          case Array(n, tp) => s"$n ${normalizeType(tp)}"
+          case _ => f
+        }
+      }
+      return s"STRUCT<${normed.mkString(", ")}>"
+    }
+    if (up.startsWith("ARRAY<") && up.endsWith(">"))
+      return s"ARRAY<${normalizeType(t.substring(t.indexOf('<') + 1, t.length - 1))}>"
     up match {
       case "TEXT" | "VARCHAR" | "CHAR" | "JSON" => "STRING"
       case s if s.startsWith("VARCHAR(") || s.startsWith("CHAR(") => "STRING"

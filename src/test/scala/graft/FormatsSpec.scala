@@ -137,7 +137,9 @@ class FormatsSpec extends SparkSpec {
 
     val p = new sql.Pipeline(spark)
     val decoded = p.applyColumns(t, p.decodeKafka(raw, t))
-    assert(decoded.columns.toSeq == Seq("id", "v", "off", "part", "top"))
+    // trailing `_timestamp` = the hidden per-source event time the
+    // reference appends to every stream (message time for kafka)
+    assert(decoded.columns.toSeq == Seq("id", "v", "off", "part", "top", "_timestamp"))
     val rows = decoded.collect().sortBy(_.getLong(0))
     assert(rows.map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getInt(3), r.getString(4))).toSeq ==
       Seq((10L, "x", 5L, 0, "t1"), (11L, "y", 6L, 1, "t1")))

