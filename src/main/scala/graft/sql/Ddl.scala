@@ -198,6 +198,105 @@ object Ddl {
     (cols, wmField, wmDelay)
   }
 
+  /** Append `colName` to the SELECT list of every parenthesized
+    * non-aggregating subquery/CTE body that doesn't already project it —
+    * the text-level analogue of the reference's hidden `_timestamp`
+    * propagation (ArroyoRewriter injects it into every projection,
+    * plan/mod.rs:266-284), so `tumble(...)` above a subquery still finds
+    * its event-time column. Aggregating segments (top-level GROUP BY)
+    * stop the propagation, matching the scope we support.
+    *
+    * Only invoked as an analysis-failure retry (Pipeline.sql), so plans
+    * that resolve without it are never touched.
+    */
+  def injectColumnIntoSubqueries(q: String, colName: String): String = {
+    val sb = new StringBuilder
+    var i = 0
+    while (i < q.length) {
+      val c = q.charAt(i)
+      if (c == '\'') { // skip string literals
+        val end = q.indexOf('\'', i + 1)
+        val stop = if (end < 0) q.length - 1 else end
+        sb.append(q.substring(i, stop + 1)); i = stop + 1
+      } else if (c == '(') {
+        val close = matchParen(q, i)
+        val inner = q.substring(i + 1, close)
+        if ("""(?is)^\s*SELECT\b""".r.findFirstIn(inner).isDefined)
+          sb.append('(').append(injectIntoSelect(injectColumnIntoSubqueries(inner, colName), colName)).append(')')
+        else
+          sb.append('(').append(injectColumnIntoSubqueries(inner, colName)).append(')')
+        i = close + 1
+      } else { sb.append(c); i += 1 }
+    }
+    sb.toString
+  }
+
+  private def matchParen(s: String, open: Int): Int = {
+    var depth = 0
+    var i = open
+    var inS = false
+    while (i < s.length) {
+      s.charAt(i) match {
+        case '\'' => inS = !inS
+        case '(' if !inS => depth += 1
+        case ')' if !inS =>
+          depth -= 1
+          if (depth == 0) return i
+        case _ =>
+      }
+      i += 1
+    }
+    s.length - 1
+  }
+
+  /** `SELECT xs FROM rest` → `SELECT xs, col FROM rest` when the segment
+    * has no top-level GROUP BY and xs doesn't already include col.
+    */
+  private def injectIntoSelect(seg: String, colName: String): String = {
+    if (s"""(?is)\\bGROUP\\s+BY\\b""".r.findFirstIn(stripParenRegions(seg)).isDefined) return seg
+    // top-level FROM position
+    var depth = 0
+    var inS = false
+    var i = 0
+    var fromAt = -1
+    while (i < seg.length && fromAt < 0) {
+      seg.charAt(i) match {
+        case '\'' => inS = !inS
+        case '(' if !inS => depth += 1
+        case ')' if !inS => depth -= 1
+        case 'f' | 'F' if !inS && depth == 0 &&
+            seg.regionMatches(true, i, "FROM", 0, 4) &&
+            (i == 0 || !Character.isLetterOrDigit(seg.charAt(i - 1))) &&
+            (i + 4 >= seg.length || !Character.isLetterOrDigit(seg.charAt(i + 4))) =>
+          fromAt = i
+        case _ =>
+      }
+      i += 1
+    }
+    if (fromAt < 0) return seg
+    val selectList = seg.substring(0, fromAt)
+    if (s"""(?i)\\b${java.util.regex.Pattern.quote(colName)}\\b""".r
+        .findFirstIn(selectList).isDefined) return seg
+    if ("""(?is)\bSELECT\s+\*""".r.findFirstIn(selectList).isDefined) return seg
+    s"${selectList.stripTrailing()}, $colName ${seg.substring(fromAt)}"
+  }
+
+  /** Blank out parenthesized regions so top-level keyword scans don't see
+    * nested queries' GROUP BYs.
+    */
+  private def stripParenRegions(s: String): String = {
+    val sb = new StringBuilder
+    var depth = 0
+    var inS = false
+    s.foreach {
+      case '\'' => inS = !inS; sb.append(' ')
+      case '(' if !inS => depth += 1; sb.append(' ')
+      case ')' if !inS => depth -= 1; sb.append(' ')
+      case c => sb.append(if (depth == 0) c else ' ')
+    }
+    sb.toString
+  }
+
   /** Split on a separator at paren/quote depth 0. */
   def splitTop(s: String, sep: Char): Seq[String] = {
     val out = Seq.newBuilder[String]

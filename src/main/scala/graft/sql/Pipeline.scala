@@ -186,6 +186,20 @@ class Pipeline(spark: SparkSession, streaming: Boolean = false) {
             spark.sql("""(?i)(?<![\w.`])window\s*\.""".r.replaceAllIn(q, s"$a.window."))
           case None => throw e
         }
+      case e: org.apache.spark.sql.AnalysisException
+          if e.getMessage.contains("UNRESOLVED_COLUMN") &&
+            (e.getMessage.contains("`timestamp`") || e.getMessage.contains("`_timestamp`")) =>
+        // hidden event-time propagation (reference plan/mod.rs:266-284):
+        // the window rewrite referenced the source's (possibly hidden)
+        // event-time column, but an intermediate subquery didn't project
+        // it — inject it through non-aggregating subquery select lists
+        // and retry once
+        val colName =
+          if (e.getMessage.contains("`_timestamp`")) "_timestamp" else "timestamp"
+        val injected = Ddl.injectColumnIntoSubqueries(q, colName)
+        if (injected == q) throw e
+        try spark.sql(injected)
+        catch { case _: Exception => throw e }
     }
 
   /** SQL-dialect bridges: the reference accepts DataFusion's function

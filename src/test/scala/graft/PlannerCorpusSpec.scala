@@ -10,26 +10,24 @@ import java.nio.file.{Files, Paths}
   * nexmark table and the src/test/udfs Rust UDFs (test/mod.rs:14-33);
   * planning stand-ins with the same names/signatures are registered here.
   *
-  * 36 of 46 positives plan. The skip map documents the rest — all hang on
-  * two planner features the reference implements as plan rewrites we
-  * don't: hidden `_timestamp` propagation through arbitrary projections
-  * and subqueries (ArroyoRewriter injects it into every node,
-  * plan/mod.rs:266-284), and generator hoisting for unnest nested inside
-  * scalar expressions (UnnestRewriter, rewriters.rs:331-488).
+  * 39 of 46 positives plan (hidden `_timestamp` propagates through plain
+  * subquery projections via the analysis-retry injection). The skip map
+  * documents the rest: propagation through CREATE VIEW chains and
+  * aggregate outputs (the reference stamps agg output rows with the
+  * window time, plan/mod.rs:266-284), generator hoisting for unnest
+  * nested inside scalar expressions (UnnestRewriter,
+  * rewriters.rs:331-488), and DataFusion's unordered row_number.
   */
 class PlannerCorpusSpec extends SparkSpec {
 
   private val corpusDir = "/root/reference/crates/arroyo-planner/src/test/queries"
 
   private val skip: Map[String, String] = Map(
-    "async_udf_subquery" -> "hidden _timestamp through subquery projections",
-    "bluesky_trends" -> "hidden _timestamp through subquery projections",
-    "mastodon_trends" -> "hidden _timestamp through subquery projections",
-    "parse" -> "hidden _timestamp through CTE projections",
-    "program_compilation" -> "hidden _timestamp through subquery projections",
-    "prometheus" -> "hidden _timestamp through subquery projections",
-    "second_aggregate_recall_window" -> "aggregate-output _timestamp (window end) re-windowing",
-    "test_no_aggregates_in_window" -> "hidden _timestamp through subquery projections",
+    "bluesky_trends" -> "hidden _timestamp through CREATE VIEW chains",
+    "mastodon_trends" -> "hidden _timestamp through CREATE VIEW chains",
+    "program_compilation" -> "aggregate-output _timestamp (window time) re-windowing",
+    "prometheus" -> "hidden _timestamp through aggregating subqueries",
+    "second_aggregate_recall_window" -> "aggregate-output _timestamp (window time) re-windowing",
     "unnest" -> "unnest nested in a scalar expression (UnnestRewriter hoisting)",
     "window_with_expression" -> "row_number without ORDER BY (DataFusion allows unordered)")
 
