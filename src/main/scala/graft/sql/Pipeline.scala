@@ -51,6 +51,12 @@ class Pipeline(spark: SparkSession, streaming: Boolean = false) {
   private var multiInsertRemaining = Map.empty[String, Int]
   private var multiInsertPending = Map.empty[String, List[DataFrame]]
 
+  /** event-time column carried by each CREATE VIEW (lowercased name) —
+    * consulted by [[defaultEventTime]] so windowing over view chains
+    * still finds its column (reference hidden-_timestamp propagation).
+    */
+  private var viewEventTimes = Map.empty[String, String]
+
   /** Plan-only mode: INSERTs run every validation and build their frames
     * but never start sinks — the reference's plan-test harness contract
     * (plan_tests.rs: parse_and_get_program without scheduling).
@@ -90,7 +96,28 @@ class Pipeline(spark: SparkSession, streaming: Boolean = false) {
       checkMemoryReads(q)
       val rewrittenV = rewriteWindows(rewriteDialect(q))
       checkMisplacedWindows(rewrittenV)
-      sql(rewrittenV).createOrReplaceTempView(name)
+      val df0 = sql(rewrittenV)
+      // hidden event time THROUGH views (plan/mod.rs:266-284): a
+      // non-aggregating view over event-timed sources keeps their
+      // (possibly hidden) event-time column so downstream windowing works
+      val etOpt = defaultEventTime(q)
+      val df = etOpt match {
+        case Some(c) if !df0.columns.exists(_.equalsIgnoreCase(c)) =>
+          val inj = Ddl.injectColumnIntoSubqueries(s"( $rewrittenV )", c)
+            .trim.stripPrefix("(").stripSuffix(")")
+          try {
+            val d = sql(inj)
+            if (d.columns.exists(_.equalsIgnoreCase(c))) {
+              viewEventTimes += name.toLowerCase -> c
+              d
+            } else df0
+          } catch { case _: Exception => df0 }
+        case Some(c) =>
+          viewEventTimes += name.toLowerCase -> c
+          df0
+        case None => df0
+      }
+      df.createOrReplaceTempView(name)
 
     case Insert(sinkName, q) =>
       val sink = catalog.getOrElse(sinkName,
@@ -243,6 +270,14 @@ class Pipeline(spark: SparkSession, streaming: Boolean = false) {
     // Anchored on the closing paren so column aliases named `text` survive.
     q = """(?i)\bAS\s+(TEXT|JSON)\s*\)""".r.replaceAllIn(q, "AS STRING)")
     q = """(?i)\bAS\s+TIMESTAMP\s*\(\s*\d+\s*\)\s*\)""".r.replaceAllIn(q, "AS TIMESTAMP)")
+    // DataFusion allows unordered ranking windows; Spark demands ORDER BY —
+    // an arbitrary-but-deterministic constant ordering matches the
+    // reference's unspecified tie order (window_with_expression.sql)
+    q = """(?i)\b(row_number|rank|dense_rank)\s*\(\s*\)\s*over\s*\(\s*(partition\s+by\s+(?:[^()']|\([^()]*\)|'[^']*')*?)\)""".r
+      .replaceAllIn(q, m =>
+        if ("""(?i)\border\s+by\b""".r.findFirstIn(m.group(2)).isDefined) m.matched
+        else java.util.regex.Matcher.quoteReplacement(
+          s"${m.group(1)}() OVER (${m.group(2)} ORDER BY 1)"))
     // unnest → explode (same lateral semantics in a SELECT list)
     q = """(?i)\bunnest\s*\(""".r.replaceAllIn(q, "explode(")
     // var → var_samp (DataFusion alias Spark lacks)
@@ -1154,14 +1189,46 @@ class Pipeline(spark: SparkSession, streaming: Boolean = false) {
     val close = (innerPos until q.length).find(i => q.charAt(i) == ')' && depths(i) == innerDepth - 1)
       .getOrElse(return q)
     val inner = q.substring(open + 1, close)
-    // already exposed? (aliased `as window` or any alias) → leave alone
-    val innerCallRe = """(?is)\b(?:tumble|hop)\s*\([^()]*\)\s+as\s+\w+""".r
-    if (innerCallRe.findFirstIn(inner).isDefined) return q
-    // equal-width check: outer call text must equal the inner call text
     def callText(p: Int): String = {
       val end = (p until q.length).find(i => q.charAt(i) == ')' && depths(i) == depths(p)).get
       q.substring(p, end + 1)
     }
+    def sameCall(a: String, b: String): Boolean =
+      a.replaceAll("\\s+", "").toLowerCase == b.replaceAll("\\s+", "").toLowerCase
+    // inner window already ALIASED (`tumble(…) as window`): an equal-width
+    // outer call re-uses the exposed column — the reference's
+    // second-aggregate-recalls-window shape (WindowDetectingVisitor lets a
+    // re-aggregation group by the input's window field)
+    val innerAliasRe = """(?is)\b((?:tumble|hop)\s*\([^()]*\))\s+as\s+(\w+)""".r
+    innerAliasRe.findFirstMatchIn(inner) match {
+      case Some(am) =>
+        val outerCall0 = callText(outerPos)
+        // the outer occurrence must be OUTSIDE the inner block (otherwise
+        // this is the same call we just matched)
+        if (outerPos >= open && outerPos <= close) return q
+        // …and an ANCESTOR of it: its own enclosing subquery block must
+        // contain the inner block. Parallel sibling branches (nexmark_q5's
+        // two hop aggregates feeding a join) each keep their own call.
+        val enclosingOpen = (outerPos to 0 by -1).find(i =>
+          q.charAt(i) == '(' && depths(i) == depths(outerPos))
+        val ancestor = enclosingOpen match {
+          case None => true
+          case Some(eo) =>
+            val ec = (outerPos until q.length).find(i =>
+              q.charAt(i) == ')' && depths(i) == depths(outerPos) - 1)
+              .getOrElse(q.length - 1)
+            eo < open && close < ec
+        }
+        if (!ancestor) return q
+        if (!sameCall(am.group(1), outerCall0))
+          throw new IllegalArgumentException(
+            "window in group by does not match input window (reference parity: " +
+              "re-windowing an aggregate needs the same window width)")
+        return q.substring(0, outerPos) + am.group(2) +
+          q.substring(outerPos + outerCall0.length)
+      case None =>
+    }
+    // equal-width check: outer call text must equal the inner call text
     val innerCall = callText(innerPos)
     val outerCall = callText(outerPos)
     if (innerCall.replaceAll("\\s+", "").toLowerCase !=
@@ -1210,7 +1277,10 @@ class Pipeline(spark: SparkSession, streaming: Boolean = false) {
   private def defaultEventTime(q: String): Option[String] = {
     val referenced = catalog.values.filter(t => !t.isSink)
       .filter(t => s"""(?i)\\b${t.name}\\b""".r.findFirstIn(q).isDefined).toSeq
-    val names = referenced.flatMap(_.eventTimeField).distinct
+    val viewEts = viewEventTimes.collect {
+      case (n, c) if s"""(?i)\\b$n\\b""".r.findFirstIn(q).isDefined => c
+    }.toSeq
+    val names = (referenced.flatMap(_.eventTimeField) ++ viewEts).distinct
     names match {
       case Seq(one) => Some(one)
       case Seq() =>

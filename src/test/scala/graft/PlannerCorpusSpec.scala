@@ -10,26 +10,23 @@ import java.nio.file.{Files, Paths}
   * nexmark table and the src/test/udfs Rust UDFs (test/mod.rs:14-33);
   * planning stand-ins with the same names/signatures are registered here.
   *
-  * 39 of 46 positives plan (hidden `_timestamp` propagates through plain
-  * subquery projections via the analysis-retry injection). The skip map
-  * documents the rest: propagation through CREATE VIEW chains and
-  * aggregate outputs (the reference stamps agg output rows with the
-  * window time, plan/mod.rs:266-284), generator hoisting for unnest
-  * nested inside scalar expressions (UnnestRewriter,
-  * rewriters.rs:331-488), and DataFusion's unordered row_number.
+  * 43 of 46 positives plan (hidden `_timestamp` propagates through plain
+  * subquery projections and CREATE VIEW chains via the analysis-retry
+  * injection; equal-width re-windowing reuses the input's window column;
+  * unordered ranking windows get a constant ORDER BY). The skip map
+  * documents the rest: aggregate-output event times (the reference stamps
+  * agg output rows with the window time, plan/mod.rs:266-284) and
+  * generator hoisting for unnest nested inside scalar expressions
+  * (UnnestRewriter, rewriters.rs:331-488).
   */
 class PlannerCorpusSpec extends SparkSpec {
 
   private val corpusDir = "/root/reference/crates/arroyo-planner/src/test/queries"
 
   private val skip: Map[String, String] = Map(
-    "bluesky_trends" -> "hidden _timestamp through CREATE VIEW chains",
-    "mastodon_trends" -> "hidden _timestamp through CREATE VIEW chains",
     "program_compilation" -> "aggregate-output _timestamp (window time) re-windowing",
-    "prometheus" -> "hidden _timestamp through aggregating subqueries",
-    "second_aggregate_recall_window" -> "aggregate-output _timestamp (window time) re-windowing",
-    "unnest" -> "unnest nested in a scalar expression (UnnestRewriter hoisting)",
-    "window_with_expression" -> "row_number without ORDER BY (DataFusion allows unordered)")
+    "prometheus" -> "aggregate-output _timestamp through aggregating subqueries",
+    "unnest" -> "unnest nested in a scalar expression (UnnestRewriter hoisting)")
 
   private def registerHarness(p: Pipeline): Unit = {
     p.runStatement(graft.sql.Ddl.parse(
