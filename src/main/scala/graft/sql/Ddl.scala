@@ -209,7 +209,26 @@ object Ddl {
     * Only invoked as an analysis-failure retry (Pipeline.sql), so plans
     * that resolve without it are never touched.
     */
-  def injectColumnIntoSubqueries(q: String, colName: String): String = {
+  def injectColumnIntoSubqueries(q: String, colName: String): String =
+    process(q, colName, mustProvide = false)
+
+  /** Like [[injectColumnIntoSubqueries]] but also injects into the
+    * OUTERMOST select list — CREATE VIEW propagation, where the view
+    * itself must carry the column.
+    */
+  def injectColumnThroughQuery(q: String, colName: String): String =
+    process(q, colName, mustProvide = true)
+
+  /** Demand-driven walk: a segment's FROM-subqueries must provide the
+    * column only when the segment itself references it OUTSIDE nested
+    * subqueries (e.g. its window call or `mustProvide` from above) —
+    * injecting everywhere would hand unrelated intermediate projections a
+    * column their own FROM can't supply.
+    */
+  private def process(q: String, colName: String, mustProvide: Boolean): String = {
+    val selfNeeds = mustProvide ||
+      s"""(?i)\\b${java.util.regex.Pattern.quote(colName)}\\b""".r
+        .findFirstIn(blankSubqueries(q)).isDefined
     val sb = new StringBuilder
     var i = 0
     while (i < q.length) {
@@ -221,10 +240,44 @@ object Ddl {
       } else if (c == '(') {
         val close = matchParen(q, i)
         val inner = q.substring(i + 1, close)
+        if ("""(?is)^\s*SELECT\b""".r.findFirstIn(inner).isDefined) {
+          // CTE bodies (`WITH name AS ( SELECT …`) are referenced by NAME,
+          // outside the paren-child demand chain — they must provide the
+          // column whenever this retry runs at all
+          val isCte = """(?is)\bAS\s*$""".r.findFirstIn(q.substring(0, i)).isDefined
+          // mustProvide handles the child's own select-list injection
+          sb.append('(')
+            .append(process(inner, colName, mustProvide = selfNeeds || isCte))
+            .append(')')
+        } else
+          sb.append('(').append(process(inner, colName, mustProvide = false)).append(')')
+        i = close + 1
+      } else { sb.append(c); i += 1 }
+    }
+    val out = sb.toString
+    if (mustProvide) injectIntoSelect(out, colName) else out
+  }
+
+  /** Blank only parenthesized SUBQUERY regions (content starting with
+    * SELECT), keeping scalar-function arguments — `window(ts, …)` must
+    * stay visible to the demand test.
+    */
+  private def blankSubqueries(s: String): String = {
+    val sb = new StringBuilder
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (c == '\'') {
+        val end = s.indexOf('\'', i + 1)
+        val stop = if (end < 0) s.length - 1 else end
+        sb.append(s.substring(i, stop + 1)); i = stop + 1
+      } else if (c == '(') {
+        val close = matchParen(s, i)
+        val inner = s.substring(i + 1, close)
         if ("""(?is)^\s*SELECT\b""".r.findFirstIn(inner).isDefined)
-          sb.append('(').append(injectIntoSelect(injectColumnIntoSubqueries(inner, colName), colName)).append(')')
+          sb.append('(').append(" " * inner.length).append(')')
         else
-          sb.append('(').append(injectColumnIntoSubqueries(inner, colName)).append(')')
+          sb.append('(').append(blankSubqueries(inner)).append(')')
         i = close + 1
       } else { sb.append(c); i += 1 }
     }

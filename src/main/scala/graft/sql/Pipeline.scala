@@ -103,8 +103,7 @@ class Pipeline(spark: SparkSession, streaming: Boolean = false) {
       val etOpt = defaultEventTime(q)
       val df = etOpt match {
         case Some(c) if !df0.columns.exists(_.equalsIgnoreCase(c)) =>
-          val inj = Ddl.injectColumnIntoSubqueries(s"( $rewrittenV )", c)
-            .trim.stripPrefix("(").stripSuffix(")")
+          val inj = Ddl.injectColumnThroughQuery(rewrittenV, c)
           try {
             val d = sql(inj)
             if (d.columns.exists(_.equalsIgnoreCase(c))) {

@@ -10,22 +10,18 @@ import java.nio.file.{Files, Paths}
   * nexmark table and the src/test/udfs Rust UDFs (test/mod.rs:14-33);
   * planning stand-ins with the same names/signatures are registered here.
   *
-  * 43 of 46 positives plan (hidden `_timestamp` propagates through plain
-  * subquery projections and CREATE VIEW chains via the analysis-retry
-  * injection; equal-width re-windowing reuses the input's window column;
-  * unordered ranking windows get a constant ORDER BY). The skip map
-  * documents the rest: aggregate-output event times (the reference stamps
-  * agg output rows with the window time, plan/mod.rs:266-284) and
-  * generator hoisting for unnest nested inside scalar expressions
-  * (UnnestRewriter, rewriters.rs:331-488).
+  * 45 of 46 positives plan (hidden `_timestamp` propagates demand-driven
+  * through subquery projections and CREATE VIEW chains via the
+  * analysis-retry injection; equal-width re-windowing reuses the input's
+  * window column; unordered ranking windows get a constant ORDER BY).
+  * The one skip: generator hoisting for unnest nested inside scalar
+  * expressions (UnnestRewriter, rewriters.rs:331-488).
   */
 class PlannerCorpusSpec extends SparkSpec {
 
   private val corpusDir = "/root/reference/crates/arroyo-planner/src/test/queries"
 
   private val skip: Map[String, String] = Map(
-    "program_compilation" -> "aggregate-output _timestamp (window time) re-windowing",
-    "prometheus" -> "aggregate-output _timestamp through aggregating subqueries",
     "unnest" -> "unnest nested in a scalar expression (UnnestRewriter hoisting)")
 
   private def registerHarness(p: Pipeline): Unit = {
@@ -33,7 +29,20 @@ class PlannerCorpusSpec extends SparkSpec {
       "CREATE TABLE nexmark WITH (connector='nexmark', event_rate='10', type='source')"))
     spark.udf.register("cbor_to_json", (_: Array[Byte]) => "{}")
     spark.udf.register("get_city", (_: String) => "city")
-    spark.udf.register("irate", (_: Seq[Float]) => 0.0f)
+    // irate(values: Vec<f32>) — a Vec arg makes a reference UDF a UDAF
+    // (arroyo-udf parse.rs); stand-in aggregator with the same signature
+    val irateAgg: org.apache.spark.sql.expressions.Aggregator[Float, Float, Float] =
+      new org.apache.spark.sql.expressions.Aggregator[Float, Float, Float] {
+        def zero: Float = 0f
+        def reduce(b: Float, a: Float): Float = a
+        def merge(a: Float, b: Float): Float = a
+        def finish(b: Float): Float = b
+        def bufferEncoder: org.apache.spark.sql.Encoder[Float] =
+          org.apache.spark.sql.Encoders.scalaFloat
+        def outputEncoder: org.apache.spark.sql.Encoder[Float] =
+          org.apache.spark.sql.Encoders.scalaFloat
+      }
+    spark.udf.register("irate", org.apache.spark.sql.functions.udaf(irateAgg))
     spark.udf.register("parse_log", (_: String) => "{}")
     spark.udf.register("parse_prom", (_: String) => "{}")
   }
