@@ -258,6 +258,51 @@ object Ddl {
     if (mustProvide) injectIntoSelect(out, colName) else out
   }
 
+  /** Hoist the first `explode(...)` call that sits NESTED inside a scalar
+    * expression out into a subquery (`SELECT f(explode(x)) FROM src` →
+    * `SELECT f(__un) FROM (SELECT explode(x) AS __un, * FROM src)`) — the
+    * reference's UnnestRewriter (rewriters.rs:331-488) does the same plan
+    * surgery for `unnest(a)->'name'`-style expressions Spark rejects as
+    * nested generators. Retry-only, like the event-time injection.
+    */
+  def hoistNestedExplode(q: String): Option[String] = {
+    val m = """(?i)\bexplode\s*\(""".r.findFirstMatchIn(q).getOrElse(return None)
+    val open = q.indexOf('(', m.start)
+    val close = matchParen(q, open)
+    val call = q.substring(m.start, close + 1)
+    // paren depth of the call = depth of its segment
+    var d = 0; var inS = false
+    val depths = new Array[Int](q.length)
+    for (i <- q.indices) {
+      val c = q.charAt(i)
+      if (c == '\'') inS = !inS
+      else if (!inS && c == '(') d += 1
+      else if (!inS && c == ')') d -= 1
+      depths(i) = d
+    }
+    val segDepth = depths(m.start) - 1 // depth outside the call's own paren
+    // the segment's top-level FROM after the call
+    val fromRe = """(?i)\bfrom\b""".r
+    val from = fromRe.findAllMatchIn(q)
+      .find(f => f.start > close && depths(f.start) == segDepth)
+      .getOrElse(return None)
+    // FROM sources extend to the next top-level clause keyword or the
+    // segment's end (its closing paren at segDepth-1, or end of string)
+    val stopRe = """(?i)\b(where|group\s+by|order\s+by|having|limit|union)\b""".r
+    val segEnd = (from.end until q.length)
+      .find(i => q.charAt(i) == ')' && depths(i) == segDepth - 1)
+      .getOrElse(q.length)
+    val stop = stopRe.findAllMatchIn(q)
+      .find(s => s.start > from.end && s.start < segEnd && depths(s.start) == segDepth)
+      .map(_.start).getOrElse(segEnd)
+    val sources = q.substring(from.end, stop).trim
+    if (sources.isEmpty) return None
+    val rewritten = q.substring(0, m.start) + "__un" +
+      q.substring(close + 1, from.end) +
+      s" (SELECT $call AS __un, * FROM $sources) " + q.substring(stop)
+    Some(rewritten)
+  }
+
   /** Blank only parenthesized SUBQUERY regions (content starting with
     * SELECT), keeping scalar-function arguments — `window(ts, …)` must
     * stay visible to the demand test.

@@ -226,6 +226,16 @@ class Pipeline(spark: SparkSession, streaming: Boolean = false) {
         if (injected == q) throw e
         try spark.sql(injected)
         catch { case _: Exception => throw e }
+      case e: org.apache.spark.sql.AnalysisException
+          if e.getMessage.contains("UNSUPPORTED_GENERATOR") =>
+        // unnest nested inside a scalar expression: hoist it into a
+        // subquery like the reference's UnnestRewriter (rewriters.rs:331)
+        Ddl.hoistNestedExplode(q) match {
+          case Some(hoisted) =>
+            try sql(hoisted) // recurse: more than one nested generator
+            catch { case _: Exception => throw e }
+          case None => throw e
+        }
     }
 
   /** SQL-dialect bridges: the reference accepts DataFusion's function

@@ -10,19 +10,18 @@ import java.nio.file.{Files, Paths}
   * nexmark table and the src/test/udfs Rust UDFs (test/mod.rs:14-33);
   * planning stand-ins with the same names/signatures are registered here.
   *
-  * 45 of 46 positives plan (hidden `_timestamp` propagates demand-driven
+  * All 46 positives plan: hidden `_timestamp` propagates demand-driven
   * through subquery projections and CREATE VIEW chains via the
-  * analysis-retry injection; equal-width re-windowing reuses the input's
-  * window column; unordered ranking windows get a constant ORDER BY).
-  * The one skip: generator hoisting for unnest nested inside scalar
-  * expressions (UnnestRewriter, rewriters.rs:331-488).
+  * analysis-retry injection, equal-width re-windowing reuses the input's
+  * window column, unordered ranking windows get a constant ORDER BY, and
+  * unnest nested in a scalar expression hoists into a subquery like the
+  * reference's UnnestRewriter.
   */
 class PlannerCorpusSpec extends SparkSpec {
 
   private val corpusDir = "/root/reference/crates/arroyo-planner/src/test/queries"
 
-  private val skip: Map[String, String] = Map(
-    "unnest" -> "unnest nested in a scalar expression (UnnestRewriter hoisting)")
+  private val skip: Map[String, String] = Map.empty
 
   private def registerHarness(p: Pipeline): Unit = {
     p.runStatement(graft.sql.Ddl.parse(
