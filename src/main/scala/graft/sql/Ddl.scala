@@ -409,6 +409,9 @@ object Ddl {
       // types must not split at their inner commas (struct_ddl.sql)
       case '<' if !inS => depth += 1; cur += '<'
       case '>' if !inS => depth -= 1; cur += '>'
+      // bracket lists: 'partitioning.fields' = [a, b] (filesystem_partition.sql)
+      case '[' if !inS => depth += 1; cur += '['
+      case ']' if !inS => depth -= 1; cur += ']'
       case c if c == sep && depth == 0 && !inS => out += cur.toString; cur.clear()
       case c => cur += c
     }

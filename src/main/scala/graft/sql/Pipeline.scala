@@ -87,6 +87,15 @@ class Pipeline(spark: SparkSession, streaming: Boolean = false) {
       if (t.format == "debezium_json" && t.columns.exists(_.virtualExpr.isDefined))
         throw new IllegalArgumentException(
           s"Failed to create table ${t.name}: can't use virtual fields with debezium format")
+      // partition fields must exist in the declared schema (reference
+      // filesystem/mod.rs partition_fields; filesystem_invalid_partition.sql)
+      partitionFields(t).foreach { f =>
+        if (t.columns.nonEmpty && !t.columns.exists(_.name == f))
+          throw new IllegalArgumentException(
+            s"Failed to create table ${t.name} caused by Error during planning: " +
+              s"""Unable to get field named "$f". Valid fields: """ +
+              t.columns.map(c => s""""${c.name}"""").mkString("[", ", ", "]"))
+      }
       catalog += t.name -> t
       if (t.connector != "memory_table" && !t.isSink)
         sourceFrame(t).createOrReplaceTempView(t.name)
@@ -923,7 +932,11 @@ class Pipeline(spark: SparkSession, streaming: Boolean = false) {
     if (!streaming) {
       sink.connector match {
         case "filesystem" | "single_file" =>
-          val w = out0.write.mode("append")
+          val w0 = out0.write.mode("append")
+          val w = partitionFields(sink) match {
+            case Seq() => w0
+            case fs => w0.partitionBy(fs: _*)
+          }
           sink.format match {
             case "json" => w.json(sink.path.get)
             case "debezium_json" => w.text(sink.path.get)
@@ -992,7 +1005,11 @@ class Pipeline(spark: SparkSession, streaming: Boolean = false) {
             graft.formats.Formats.writeProtoFiles(b.toDF(), path, s"batch$id")).start()
         case "filesystem" | "single_file" =>
           val fmt = if (sink.format == "debezium_json") "text" else sink.format
-          ws.outputMode("append").format(fmt).option("path", sink.path.get).start()
+          val ws1 = partitionFields(sink) match {
+            case Seq() => ws
+            case fs => ws.partitionBy(fs: _*)
+          }
+          ws1.outputMode("append").format(fmt).option("path", sink.path.get).start()
         case "redis" =>
           ws.foreachBatch((b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
             graft.sinks.RedisSink.write(b.toDF(), sink)).start()
@@ -1069,6 +1086,15 @@ class Pipeline(spark: SparkSession, streaming: Boolean = false) {
       }
     }
   }
+
+  /** `'partitioning.fields' = [a, b]` (reference filesystem sink
+    * partition_fields, filesystem/mod.rs:215-262) → hive-style
+    * `partitionBy` on the file writer.
+    */
+  private def partitionFields(t: ConnectorTable): Seq[String] =
+    t.options.get("partitioning.fields").toSeq.flatMap(
+      _.stripPrefix("[").stripSuffix("]").split(",").map(_.trim)
+        .filter(_.nonEmpty).toSeq)
 
   private def hasAggregation(df: DataFrame): Boolean =
     df.queryExecution.analyzed.collectFirst {

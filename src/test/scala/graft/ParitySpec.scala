@@ -246,6 +246,29 @@ class ParitySpec extends SparkSpec {
     }
   }
 
+  test("filesystem_invalid_partition: partition field must exist in the schema") {
+    val p = new Pipeline(spark)
+    failsWith("Unable to get field named \"not_a_real_field\"") {
+      p.runStatement(Ddl.parse(
+        s"""CREATE TABLE psink (id TEXT, type TEXT) WITH (
+           |  connector='filesystem', path='${tmp()}/o', format='parquet', type='sink',
+           |  'partitioning.fields' = [type, not_a_real_field])""".stripMargin))
+    }
+  }
+
+  test("filesystem sink partitions output by partitioning.fields") {
+    val p = new Pipeline(spark)
+    val dir = jsonSourceDir()
+    val out = tmp() + "/o"
+    p.run(
+      s"""CREATE TABLE srcp (id BIGINT, k TEXT, v DOUBLE) WITH (connector='filesystem', path='$dir', format='json', type='source');
+         |CREATE TABLE outp (id BIGINT, k TEXT, v DOUBLE) WITH (connector='filesystem', path='$out', format='parquet', type='sink', 'partitioning.fields' = [k]);
+         |INSERT INTO outp SELECT id, k, v FROM srcp""".stripMargin)
+    val parts = new java.io.File(out).listFiles().map(_.getName).filter(_.startsWith("k="))
+    assert(parts.toSet == Set("k=a", "k=b"), s"got ${parts.toSet}")
+    assert(spark.read.parquet(out).count() == 2)
+  }
+
   test("memory table feeds a downstream select with declared column names") {
     val p = new Pipeline(spark)
     val dir = jsonSourceDir()
