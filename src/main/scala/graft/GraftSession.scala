@@ -29,6 +29,10 @@ object GraftSession {
       .config("spark.sql.files.maxPartitionBytes", (128L * 1024 * 1024).toString)
       // testdata events.parquet stores TIMESTAMP(NANOS); Spark has no ns type.
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // min-of-inputs watermark propagation across multiple sources —
+      // Spark's default, pinned because it's load-bearing reference parity
+      // (WatermarkHolder min across inputs, arroyo-operator/context.rs:36-90)
+      .config("spark.sql.streaming.multipleWatermarkPolicy", "min")
       // keep managed tables (bucketing) out of the working directory
       .config("spark.sql.warehouse.dir",
         s"${System.getProperty("java.io.tmpdir")}/graft-warehouse")

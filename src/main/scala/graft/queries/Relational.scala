@@ -475,6 +475,29 @@ object Relational {
           percentile_approx(col("l_extendedprice"), lit(0.95), lit(10000)).as("approx_p95")),
       None),
 
+    // ── approximate-aggregate ACCURACY, oracle-checked: the sketch values
+    //    themselves are algorithm-specific (HLL++/GK here, HLL/t-digest in
+    //    DataFusion/DuckDB), but their error CONTRACTS are not — emit
+    //    booleans asserting each approximation lands within its published
+    //    bound of the exact value, and let the oracle demand all-true.
+    Q("q_approx_bounds",
+      (s, dir) => t(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(
+          approx_count_distinct(col("l_partkey")).as("ad"),
+          countDistinct(col("l_partkey")).as("ed"),
+          percentile_approx(col("l_extendedprice"), lit(0.5), lit(10000)).as("am"),
+          expr("percentile(l_extendedprice, 0.5)").as("em"))
+        .select(
+          col("l_returnflag"),
+          // HLL++ default rsd = 5%; allow 3 rsd
+          (abs(col("ad") - col("ed")) <= col("ed") * 0.15 + lit(1)).as("distinct_ok"),
+          // GK sketch at accuracy 10000: rank error ≤ n/10000 ⇒ value
+          // stays within 1% of the exact median for this distribution
+          (abs(col("am") - col("em")) <= abs(col("em")) * 0.01 + lit(1)).as("median_ok")),
+      Some("""SELECT l_returnflag, true AS distinct_ok, true AS median_ok
+             |FROM lineitem GROUP BY l_returnflag""".stripMargin)),
+
     // ── JSON path extraction (reference: datafusion-functions-json +
     //    get_first_json_object custom scalar, functions.rs:55-97)
     Q("q_json_fns",

@@ -55,6 +55,19 @@ class ChunkingSpec extends SparkSpec {
     assert(out.toSeq == Seq((0L, 0, 0L), (1L, 1, 0L), (32L, 0, 3L)), s"got ${out.toSeq}")
   }
 
+  test("plan quality: chunking is shuffle-free; packing shuffles once on the shard") {
+    val chunkPlan = Chunking.chunkTokens(docsDf, "doc_id", "text", 64, 16)
+      .queryExecution.executedPlan.toString
+    assert(!chunkPlan.contains("Exchange"),
+      s"row-local chunking must not shuffle:\n$chunkPlan")
+    val packPlan = Chunking.packSequences(docsDf, "doc_id", "text", 512, 32)
+      .queryExecution.executedPlan.toString
+    // exactly one exchange: hashpartitioning on the shard for the
+    // per-shard ordered cumsum — never a single global ordering
+    assert("Exchange".r.findAllIn(packPlan).size == 1, s"got:\n$packPlan")
+    assert(packPlan.contains("hashpartitioning(shard"), s"got:\n$packPlan")
+  }
+
   test("chunkChars: character windows") {
     import spark.implicits._
     val df = Seq((7L, "abcdefgh")).toDF("doc_id", "text")

@@ -101,6 +101,61 @@ class UpdatingSqlSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("retract-aware input: counts, sums and distinct maps subtract") {
+    import spark.implicits._
+    // (key, value, distinct-string, is_retract): insert 3 rows for key a,
+    // then retract one — net state must reflect the subtraction, and
+    // distinct multiplicity must only drop a value at count zero
+    val rows = Seq(
+      ("a", 1.0, "x", false),
+      ("a", 2.0, "x", false),
+      ("a", 3.0, "y", false),
+      ("a", 2.0, "x", true))
+    val child = rows.toDF("k", "v", "c", "r")
+      .selectExpr("k AS __k_0", "CAST(v AS DOUBLE) AS __v_0",
+        "CAST(v AS DOUBLE) AS __v_1", "CAST(c AS STRING) AS __v_2", "r AS __r")
+    val out = UpdatingSql.updatingAggRows(child, numKeys = 1,
+      kinds = Seq(UpdatingSql.KCountStar, UpdatingSql.KSum, UpdatingSql.KDistinct),
+      ttl = None)
+      .filter(!org.apache.spark.sql.functions.col("_updating_meta.is_retract"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2), r.getLong(3)))
+    // net: 2 rows (3 inserts − 1 retract), sum 1+3=4, distinct {x,y}=2
+    // (x still present: multiplicity 2−1=1)
+    assert(out.toSeq == Seq(("a", 2L, 4.0, 2L)), s"got ${out.toSeq}")
+  }
+
+  test("retract-aware input: a fully-retracted key emits only the retract") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    val input = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(String, Double, Boolean)]
+    val child = input.toDF().toDF("k", "v", "r")
+      .selectExpr("k AS __k_0", "CAST(v AS DOUBLE) AS __v_0", "r AS __r")
+    val updates = UpdatingSql.updatingAggRows(child, numKeys = 1,
+      kinds = Seq(UpdatingSql.KSum), ttl = None)
+    val q = updates.writeStream.format("memory").queryName("us_retract")
+      .outputMode("update").start()
+    try {
+      input.addData(("a", 5.0, false))
+      q.processAllAvailable()
+      input.addData(("a", 5.0, true)) // retract the only row
+      q.processAllAvailable()
+      val rows = spark.table("us_retract")
+        .select(col("__k_0"), col("__a_0"), col("_updating_meta.is_retract"))
+        .collect().map(r => (r.getString(0), r.getDouble(1), r.getBoolean(2)))
+      // batch 1: append (a,5). batch 2: retract (a,5) and NOTHING else —
+      // the group disappeared (debezium d) and its state was dropped
+      assert(rows.toSet == Set(("a", 5.0, false), ("a", 5.0, true)), s"got ${rows.toSet}")
+      // state dropped ⇒ re-inserting starts fresh (a create, not an update)
+      input.addData(("a", 7.0, false))
+      q.processAllAvailable()
+      val all = spark.table("us_retract")
+        .select(col("__a_0"), col("_updating_meta.is_retract"))
+        .collect().map(r => (r.getDouble(0), r.getBoolean(1)))
+      assert(all.count(t => t._1 == 7.0 && !t._2) == 1 &&
+        !all.exists(t => t._1 == 7.0 && t._2), s"got ${all.toSeq}")
+    } finally q.stop()
+  }
+
   test("translate: variance family matches Spark's own batch results") {
     import spark.implicits._
     Seq(("a", 1.0), ("a", 3.0), ("a", 5.0), ("b", 10.0), ("b", 20.0), ("c", 7.0))
