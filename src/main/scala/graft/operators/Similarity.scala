@@ -95,7 +95,12 @@ object Similarity {
       nCentroids: Int = 16, nProbe: Int = 4, kmeansSweeps: Int = 0,
       idCol: String = "vec_id", vecCol: String = "embedding",
       queryIdCol: String = "query_id", queryVecCol: String = "query_vec"): DataFrame = {
+    // centroid seeding reads a BOUNDED corpus prefix (LocalLimit touches
+    // ~one partition at scale — a 100 TB corpus is never full-scanned for
+    // 64 seed vectors), hash-shuffled within it for spread; kmeansSweeps
+    // refine against the full corpus afterwards
     var centroidMat: Array[Array[Float]] = corpus
+      .select(col(idCol), col(vecCol)).limit(nCentroids * 64)
       .withColumn("r", pmod(xxhash64(col(idCol)), lit(1000000)))
       .orderBy(col("r"), col(idCol)).limit(nCentroids)
       .select(col(vecCol))
