@@ -204,6 +204,53 @@ class UpdatingSqlSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("fuzz: full accumulator battery matches Spark batch on random data") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(0xC0FFEE)
+    // groups of size 1..40, values spanning negatives/zeros/duplicates,
+    // nullable second column, epoch-scale third column (cancellation probe)
+    val rows = (0 until 400).map { i =>
+      val k = s"g${rnd.nextInt(12)}"
+      val v: java.lang.Double =
+        if (rnd.nextInt(10) == 0) null else rnd.nextInt(200) - 100 + rnd.nextDouble()
+      val w: java.lang.Double = 1.7e9 + rnd.nextInt(100000)
+      val b = rnd.nextInt(64).toLong
+      val s = s"s${rnd.nextInt(6)}"
+      (k, v, w, b, s, rnd.nextBoolean())
+    }
+    rows.toDF("k", "v", "w", "b", "s", "fl").createOrReplaceTempView("us_fz")
+    val q = """SELECT k,
+              |  count(*) AS c0, count(v) AS c1, count(distinct s) AS cd,
+              |  sum(v) AS sm, avg(v) AS av, min(v) AS mn, max(v) AS mx,
+              |  var_samp(v) AS vs, stddev_pop(v) AS sp,
+              |  median(v) AS md, percentile(v, 0.25) AS p25,
+              |  corr(v, w) AS cr, covar_pop(v, w) AS cp, covar_samp(v, w) AS cs,
+              |  regr_slope(v, w) AS rs, regr_intercept(v, w) AS ri,
+              |  regr_r2(v, w) AS r2, regr_count(v, w) AS rc,
+              |  regr_avgx(v, w) AS rx, regr_avgy(v, w) AS ry,
+              |  regr_sxx(v, w) AS sxx, regr_syy(v, w) AS syy, regr_sxy(v, w) AS sxy,
+              |  bit_and(b) AS ba, bit_or(b) AS bo, bit_xor(b) AS bx,
+              |  bool_and(fl) AS fa, bool_or(fl) AS fo
+              |FROM us_fz GROUP BY k""".stripMargin
+    val translated = UpdatingSql.translate(spark.sql(q), None)
+    assert(translated.isDefined, "battery should translate")
+    def canon(r: org.apache.spark.sql.Row): (String, Seq[Any]) =
+      (r.getString(0), (1 until 29).map { i =>
+        if (r.isNullAt(i)) null
+        else r.get(i) match {
+          // 1e-9 relative: double paths accumulate in different orders
+          case d: Double => BigDecimal(d).round(new java.math.MathContext(9))
+          case x => x
+        }
+      })
+    val got = translated.get.drop("_updating_meta").collect().map(canon).toMap
+    val want = spark.sql(q).collect().map(canon).toMap
+    assert(got.keySet == want.keySet, s"group sets differ")
+    want.foreach { case (k, w) =>
+      assert(got(k) == w, s"group $k:\n  got  ${got(k)}\n  want $w")
+    }
+  }
+
   test("SQL pipeline e2e: debezium sink carries retractable envelope with sink names") {
     import graft.sql.{Ddl, Pipeline}
     val dir = java.nio.file.Files.createTempDirectory("graft-us").toString
