@@ -1,0 +1,69 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Corpus curation ops for training-data mixing and benchmark hygiene.
+  * Deterministic end to end (hash orderings use md5-of-id, portable to
+  * the DuckDB oracle), pure column expressions — no UDFs, no collect.
+  */
+object Sampling {
+
+  /** Deterministic stratified sample: up to `perStratum` rows per stratum,
+    * chosen by a pseudo-random-but-stable hash order over ids — the data
+    * mixing primitive ("N docs per language/domain"). Replayable across
+    * runs and engines (md5 is md5 everywhere).
+    *
+    * Scale: one shuffle on the stratum key; Spark 4's window-group-limit
+    * turns the rank filter into a partial top-k (no full per-stratum sort
+    * materialization).
+    */
+  def stratifiedSample(df: DataFrame, idCol: String, stratumCol: String,
+      perStratum: Int): DataFrame = {
+    require(perStratum > 0)
+    val w = Window.partitionBy(col(stratumCol))
+      .orderBy(md5(col(idCol).cast("string")), col(idCol))
+    df.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= perStratum)
+      .drop("__rn")
+  }
+
+  /** Benchmark decontamination: for every train document, the n-gram
+    * CONTAINMENT of each eval document — |shingles(train) ∩
+    * shingles(eval)| / |shingles(eval)| — the standard leakage metric
+    * (an eval item fully quoted inside a long train doc scores 1.0 where
+    * symmetric Jaccard would dilute it).
+    *
+    * Scale: inverted-index join keyed on the shingle, exactly the
+    * ngram-Jaccard shape but cross-corpus; `maxDocFreq` caps hot
+    * shingles (stopword runs) before the join. The eval side is
+    * typically tiny next to 100 TB of train data — the join carries
+    * (shingle, doc) pairs only, never documents.
+    *
+    * Returns (train_id, eval_id, containment) ≥ threshold.
+    */
+  def contaminationPairs(train: DataFrame, eval_ : DataFrame,
+      idCol: String, textCol: String, shingleSize: Int = 3,
+      threshold: Double = 0.5, maxDocFreq: Int = 1000): DataFrame = {
+    val trainSh = Dedup.shingles(train, idCol, textCol, shingleSize)
+      .withColumnRenamed("doc", "train_id")
+    val evalSh = Dedup.shingles(eval_, idCol, textCol, shingleSize)
+      .withColumnRenamed("doc", "eval_id")
+    // hot-shingle cap measured on the TRAIN side (the big one)
+    val okShingles = trainSh.groupBy("shingle").agg(count(lit(1)).as("df"))
+      .filter(col("df") <= maxDocFreq)
+      .select("shingle")
+    val evalOk = evalSh.join(okShingles, "shingle")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val evalSizes = evalOk.groupBy("eval_id").agg(count(lit(1)).as("n_eval"))
+    val inter = trainSh.join(okShingles, "shingle")
+      .join(evalOk, "shingle")
+      .groupBy(col("train_id"), col("eval_id"))
+      .agg(count(lit(1)).as("inter"))
+    inter.join(evalSizes, "eval_id")
+      .withColumn("containment", col("inter").cast("double") / col("n_eval"))
+      .filter(col("containment") >= threshold)
+      .select(col("train_id"), col("eval_id"), col("containment"))
+  }
+}

@@ -283,6 +283,49 @@ object Pipeline {
              |FROM toks a JOIN toks b
              |  ON a.tk = b.tk AND a.doc_id < b.doc_id""".stripMargin)),
 
+    // ── deterministic stratified sampling (data mixing: N docs per
+    //    language); md5-of-id ordering is engine-portable → exact twin
+    Q("q_stratified_sample",
+      (s, dir) => graft.operators.Sampling.stratifiedSample(
+        docs(s, dir).select(col("doc_id"), col("lang")), "doc_id", "lang", 25),
+      Some("""WITH r AS (
+             |  SELECT doc_id, lang,
+             |         row_number() OVER (PARTITION BY lang
+             |           ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+             |  FROM documents)
+             |SELECT doc_id, lang FROM r WHERE rn <= 25""".stripMargin)),
+
+    // ── benchmark decontamination: train↔eval n-gram CONTAINMENT
+    //    (|∩| / |eval shingles| — the leakage metric); eval = doc_id % 20
+    //    = 0 as the held-out slice. Same inverted-index shape as
+    //    q_ngram_jaccard, cross-corpus.
+    Q("q_decontaminate",
+      (s, dir) => {
+        val d = docs(s, dir)
+        graft.operators.Sampling.contaminationPairs(
+          d.filter(col("doc_id") % 20 =!= 0), d.filter(col("doc_id") % 20 === 0),
+          "doc_id", "text", shingleSize = 2, threshold = 0.2, maxDocFreq = 100)
+          .select(col("train_id"), col("eval_id"),
+            round(col("containment"), 6).as("containment"))
+      },
+      Some(s"""WITH t AS (SELECT doc_id, ${oTokens("text")} AS toks FROM documents),
+              |sh0 AS (SELECT doc_id AS doc, unnest(list_distinct(CASE WHEN len(toks) >= 2
+              |         THEN list_transform(range(1, len(toks)), i -> array_to_string(toks[i:i+1], ' '))
+              |         ELSE [array_to_string(toks, ' ')] END)) AS shingle FROM t),
+              |tr AS (SELECT doc AS train_id, shingle FROM sh0 WHERE train_id % 20 <> 0),
+              |ev AS (SELECT doc AS eval_id, shingle FROM sh0 WHERE eval_id % 20 = 0),
+              |ok AS (SELECT shingle FROM tr GROUP BY shingle HAVING COUNT(*) <= 100),
+              |evf AS (SELECT eval_id, ev.shingle FROM ev JOIN ok ON ev.shingle = ok.shingle),
+              |sizes AS (SELECT eval_id, COUNT(*) AS n_eval FROM evf GROUP BY eval_id),
+              |inter AS (SELECT trf.train_id, evf.eval_id, COUNT(*) AS i
+              |          FROM (SELECT train_id, tr.shingle FROM tr JOIN ok ON tr.shingle = ok.shingle) trf
+              |          JOIN evf ON trf.shingle = evf.shingle
+              |          GROUP BY trf.train_id, evf.eval_id)
+              |SELECT inter.train_id, inter.eval_id,
+              |  round(CAST(i AS DOUBLE) / n_eval, 6) AS containment
+              |FROM inter JOIN sizes ON sizes.eval_id = inter.eval_id
+              |WHERE CAST(i AS DOUBLE) / n_eval >= 0.2""".stripMargin)),
+
     // ── sliding-window token chunking (doc → training sequences); exact
     //    DuckDB twin over the same token slices
     Q("q_chunks",

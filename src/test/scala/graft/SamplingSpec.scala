@@ -1,0 +1,50 @@
+package graft
+
+import graft.operators.Sampling
+import org.apache.spark.sql.functions._
+
+class SamplingSpec extends SparkSpec {
+
+  test("stratifiedSample: quota per stratum, short strata intact, deterministic") {
+    import spark.implicits._
+    val df = ((1L to 50L).map(i => (i, "big")) ++ Seq((100L, "tiny"), (101L, "tiny")))
+      .toDF("doc_id", "lang")
+    val take = Sampling.stratifiedSample(df, "doc_id", "lang", 10)
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    assert(take.count(_._2 == "big") == 10)
+    assert(take.count(_._2 == "tiny") == 2, "strata below quota keep every row")
+    val again = Sampling.stratifiedSample(df, "doc_id", "lang", 10)
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    assert(take.toSet == again.toSet, "hash ordering must be stable across runs")
+  }
+
+  test("contaminationPairs: a quoted eval doc scores containment 1.0") {
+    import spark.implicits._
+    val evalDf = Seq((1000L, "the quick brown fox jumps")).toDF("doc_id", "text")
+    val train = Seq(
+      (1L, "prefix words then the quick brown fox jumps and a long suffix tail"),
+      (2L, "entirely unrelated content about databases and streams"),
+      (3L, "the quick red fox sleeps")) // partial overlap
+      .toDF("doc_id", "text")
+    val out = Sampling.contaminationPairs(train, evalDf, "doc_id", "text",
+        shingleSize = 2, threshold = 0.3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toList
+    // doc 1 contains the eval verbatim: every eval 2-shingle appears → 1.0
+    assert(out.contains((1L, 1000L, 1.0)), s"got $out")
+    assert(!out.exists(_._1 == 2L), "unrelated doc must not pair")
+    // containment is asymmetric: doc 1 is long, so Jaccard would dilute —
+    // the metric must not
+    out.foreach { case (_, _, c) => assert(c >= 0.3 && c <= 1.0) }
+  }
+
+  test("contaminationPairs: hot-shingle cap bounds the join") {
+    import spark.implicits._
+    // 50 train docs all sharing one hot shingle; cap 10 kills it, so no
+    // pair can form through it
+    val train = (1L to 50L).map(i => (i, s"common shingle here unique$i")).toDF("doc_id", "text")
+    val evalDf = Seq((99L, "common shingle here")).toDF("doc_id", "text")
+    val out = Sampling.contaminationPairs(train, evalDf, "doc_id", "text",
+      shingleSize = 2, threshold = 0.1, maxDocFreq = 10)
+    assert(out.count() == 0, "capped shingles must not generate pairs")
+  }
+}
