@@ -80,6 +80,47 @@ class CheckpointRestoreSpec extends SparkSpec {
       s"restored keys re-created: $lines")
   }
 
+  test("stream-stream join buffers survive a restart (left arrives before the restart)") {
+    val lsrc = Files.createTempDirectory("crj-l").toString
+    val rsrc = Files.createTempDirectory("crj-r").toString
+    val out = Files.createTempDirectory("crj-out").toString + "/out"
+    val cp = Files.createTempDirectory("crj-cp").toString
+    val script =
+      s"""CREATE TABLE l (lts TIMESTAMP, k BIGINT) WITH (
+         |  connector='filesystem', path='$lsrc', format='json', type='source',
+         |  event_time_field='lts');
+         |CREATE TABLE r (rts TIMESTAMP, k BIGINT, v TEXT) WITH (
+         |  connector='filesystem', path='$rsrc', format='json', type='source',
+         |  event_time_field='rts');
+         |CREATE TABLE jout (k BIGINT, v TEXT) WITH (
+         |  connector='filesystem', path='$out', format='json', type='sink',
+         |  checkpoint='$cp');
+         |INSERT INTO jout
+         |SELECT l.k, r.v FROM l JOIN r
+         |ON l.k = r.k AND rts BETWEEN lts - interval '1 minute' AND lts + interval '1 minute'
+         |""".stripMargin
+    // run 1: only the LEFT side has rows — they go into join state
+    Files.write(Paths.get(s"$lsrc/f0.json"),
+      ("""{"lts":"2024-01-01T00:00:10Z","k":1}""" + "\n" +
+        """{"lts":"2024-01-01T00:00:20Z","k":2}""" + "\n").getBytes)
+    Files.write(Paths.get(s"$rsrc/f0.json"),
+      ("""{"rts":"2024-01-01T00:00:05Z","k":9,"v":"no-match"}""" + "\n").getBytes)
+    new Pipeline(spark, streaming = true).run(script)
+    assert(jsonLines(Paths.get(out)).isEmpty, "nothing should match in run 1")
+
+    // run 2: matching RIGHT rows arrive — they can only join against
+    // RESTORED left-side buffers
+    Files.write(Paths.get(s"$rsrc/f1.json"),
+      ("""{"rts":"2024-01-01T00:00:15Z","k":1,"v":"a"}""" + "\n" +
+        """{"rts":"2024-01-01T00:00:25Z","k":2,"v":"b"}""" + "\n").getBytes)
+    new Pipeline(spark, streaming = true).run(script)
+
+    val rows = jsonLines(Paths.get(out))
+      .map(n => (n.get("k").asLong, n.get("v").asText)).toSet
+    assert(rows == Set((1L, "a"), (2L, "b")),
+      s"restored join state did not produce the cross-restart matches: $rows")
+  }
+
   test("tumbling window spanning a restart emits the combined aggregate") {
     val src = Files.createTempDirectory("crw-src").toString
     val out = Files.createTempDirectory("crw-out").toString + "/out"
