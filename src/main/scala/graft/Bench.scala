@@ -36,8 +36,15 @@ object Bench {
       (System.nanoTime() - t0) / 1e9
     }
     // interleave rounds (run the whole battery `runs` times) so one query's
-    // GC debt doesn't land on its own repeat
-    val samples = (1 to runs).map(_ => SparkEntry.headline.map(n => n -> once(n)).toMap)
+    // GC debt doesn't land on its own repeat; clear SQL caches + nudge the
+    // ContextCleaner between rounds so blocks pinned by one round can't tax
+    // the next one's timings (the round-3 bench confound)
+    val samples = (1 to runs).map { _ =>
+      val round = SparkEntry.headline.map(n => n -> once(n)).toMap
+      spark.catalog.clearCache()
+      System.gc()
+      round
+    }
     val results = SparkEntry.headline.map { name =>
       val xs = samples.map(_(name)).sorted
       name -> xs(xs.length / 2)

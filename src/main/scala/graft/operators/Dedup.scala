@@ -16,6 +16,25 @@ import org.apache.spark.sql.functions._
   */
 object Dedup {
 
+  /** Materialize `result` eagerly and RELEASE the pinned intermediates.
+    *
+    * The candidate-pair operators cache a large intermediate (signatures /
+    * filtered inverted index) that several plan branches consume. A bare
+    * persist() leaks those blocks for the life of the session — the caller
+    * never sees the handle, so in a long-lived session or foreachBatch loop
+    * the leak is unbounded. localCheckpoint(eager = true) computes the
+    * (small) pair output once, truncating lineage so the returned frame no
+    * longer references the caches, which are then unpersisted synchronously
+    * before returning. Pinned cost after return: the output rows only,
+    * reclaimed by the ContextCleaner once the frame is unreferenced.
+    * (`keeperAssignment` manages its own loop-carried caches the same way.)
+    */
+  private[operators] def materializeAndRelease(result: DataFrame, pinned: DataFrame*): DataFrame = {
+    val out = result.localCheckpoint(true)
+    pinned.foreach(_.unpersist())
+    out
+  }
+
   /** Exact dedup by content hash: one shuffle on md5(text).
     * Returns one row per distinct content: the surviving (minimum) id, the
     * duplicate count, and the hash. Map-side partial aggregation makes the
@@ -153,7 +172,7 @@ object Dedup {
       .select(col("a.doc").as("doc_a"), col("b.doc").as("doc_b"))
       .dropDuplicates("doc_a", "doc_b")
 
-    rawPairs
+    val scored = rawPairs
       .join(sigArr.select(col("doc").as("doc_a"), col("sig").as("sig_a")), "doc_a")
       .join(sigArr.select(col("doc").as("doc_b"), col("sig").as("sig_b")), "doc_b")
       .withColumn("est_jaccard",
@@ -161,6 +180,7 @@ object Dedup {
           .cast("double") / numHashes.toDouble)
       .filter(col("est_jaccard") >= threshold)
       .select(col("doc_a"), col("doc_b"), col("est_jaccard"))
+    materializeAndRelease(scored, sigArr)
   }
 
   /** Cluster assignment from candidate pairs: connected components to
@@ -244,13 +264,14 @@ object Dedup {
       .groupBy(col("x.doc").as("doc_a"), col("y.doc").as("doc_b"))
       .agg(count(lit(1)).as("inter"))
 
-    inter
+    val scored = inter
       .join(sizes.withColumnRenamed("doc", "doc_a").withColumnRenamed("n_sh", "size_a"), "doc_a")
       .join(sizes.withColumnRenamed("doc", "doc_b").withColumnRenamed("n_sh", "size_b"), "doc_b")
       .withColumn("jaccard",
         col("inter").cast("double") / (col("size_a") + col("size_b") - col("inter")))
       .filter(col("jaccard") >= threshold)
       .select("doc_a", "doc_b", "jaccard")
+    materializeAndRelease(scored, filtered)
   }
 
   /** SimHash: 64-bit locality-sensitive fingerprint. Tokens are hashed to

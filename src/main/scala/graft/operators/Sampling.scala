@@ -54,16 +54,21 @@ object Sampling {
     val okShingles = trainSh.groupBy("shingle").agg(count(lit(1)).as("df"))
       .filter(col("df") <= maxDocFreq)
       .select("shingle")
+    // persisted: feeds per-eval sizes and the cross-corpus join; released
+    // by materializeAndRelease once the pair output is computed
     val evalOk = evalSh.join(okShingles, "shingle")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val evalSizes = evalOk.groupBy("eval_id").agg(count(lit(1)).as("n_eval"))
-    val inter = trainSh.join(okShingles, "shingle")
-      .join(evalOk, "shingle")
+    // evalOk is already capped, so joining the (100 TB) train side straight
+    // against it applies the hot-shingle filter implicitly — no separate
+    // trainSh×okShingles pass over the big side
+    val inter = trainSh.join(evalOk, "shingle")
       .groupBy(col("train_id"), col("eval_id"))
       .agg(count(lit(1)).as("inter"))
-    inter.join(evalSizes, "eval_id")
+    val scored = inter.join(evalSizes, "eval_id")
       .withColumn("containment", col("inter").cast("double") / col("n_eval"))
       .filter(col("containment") >= threshold)
       .select(col("train_id"), col("eval_id"), col("containment"))
+    Dedup.materializeAndRelease(scored, evalOk)
   }
 }

@@ -95,15 +95,26 @@ object Similarity {
       nCentroids: Int = 16, nProbe: Int = 4, kmeansSweeps: Int = 0,
       idCol: String = "vec_id", vecCol: String = "embedding",
       queryIdCol: String = "query_id", queryVecCol: String = "query_vec"): DataFrame = {
-    // centroid seeding reads a BOUNDED corpus prefix (LocalLimit touches
-    // ~one partition at scale — a 100 TB corpus is never full-scanned for
-    // 64 seed vectors), hash-shuffled within it for spread; kmeansSweeps
-    // refine against the full corpus afterwards
-    var centroidMat: Array[Array[Float]] = corpus
-      .select(col(idCol), col(vecCol)).limit(nCentroids * 64)
-      .withColumn("r", pmod(xxhash64(col(idCol)), lit(1000000)))
-      .orderBy(col("r"), col(idCol)).limit(nCentroids)
-      .select(col(vecCol))
+    // Centroid seeding: a BOUNDED per-partition take — each task reads at
+    // most nCentroids rows, so seeding stays O(seed work per partition)
+    // and never full-scans the corpus. Deliberately NOT a LocalLimit
+    // prefix: real corpora are ordered (source, crawl date, shard), so a
+    // prefix draws every centroid from one pocket of the distribution →
+    // unbalanced cells and skewed probe joins at scale. The pooled rows
+    // (≤ nCentroids per partition) are hash-ordered for a deterministic,
+    // spread-out pick; the top-k merge moves ≤ partitions × nCentroids
+    // small rows through one task, a one-off. kmeansSweeps refine against
+    // the full corpus afterwards.
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val seedPool = corpus
+      .select(col(idCol).cast("string").as("sid"), col(vecCol).as("v"))
+      .as[(String, Seq[Float])]
+      .mapPartitions(it => it.take(nCentroids))
+      .toDF("sid", "v")
+    var centroidMat: Array[Array[Float]] = seedPool
+      .orderBy(xxhash64(col("sid")), col("sid")).limit(nCentroids)
+      .select(col("v"))
       .collect().map(_.getSeq[Float](0).toArray)
 
     for (_ <- 0 until kmeansSweeps) {
@@ -126,8 +137,6 @@ object Similarity {
 
     // query side is tiny (queries ≪ corpus): rank centroids per query with
     // a window over queries × nCentroids rows
-    val spark = corpus.sparkSession
-    import spark.implicits._
     val centroidsDf = broadcast(
       centroidMat.zipWithIndex.map { case (v, i) => (i, v.toSeq) }
         .toSeq.toDF("cell", "cvec"))

@@ -96,6 +96,62 @@ class SimilaritySpec extends SparkSpec {
     assert(recall >= 0.4, s"recall@5 with sweeps = $recall")
   }
 
+  test("ivf seeding is unbiased on a SORTED corpus: cells stay balanced") {
+    import spark.implicits._
+    // 4 well-separated clusters, corpus ORDERED by cluster and
+    // range-partitioned so each partition holds one cluster — the layout
+    // real crawls have (sorted by source/date). A prefix-seeded IVF would
+    // draw every centroid from cluster 0 and collapse 75% of the corpus
+    // into one cell; per-partition seeding must keep cells balanced.
+    val dim = 8
+    def vec(cluster: Int, i: Int): Array[Float] =
+      Array.tabulate(dim)(d =>
+        (if (d == cluster * 2) 10.0f else 0.0f) +
+          // injective per-row component so no two vectors are identical
+          // (self-retrieval must be unambiguous at rank 1)
+          (if (d == (cluster * 2 + 1) % dim) 0.5f + i * 0.001f
+           else ((i * 31 + d * 7) % 97) * 0.005f))
+    val rows = for (c <- 0 until 4; i <- 0 until 250)
+      yield (c * 250L + i, vec(c, i))
+    val corpus = rows.toDF("vec_id", "embedding")
+      .repartitionByRange(4, col("vec_id"))
+      .sortWithinPartitions("vec_id")
+
+    val queries = corpus.filter(col("vec_id") % 125 === 0)
+      .select(col("vec_id").as("query_id"), col("embedding").as("query_vec"))
+    val ivf = Similarity.ivfTopK(corpus, queries, k = 5, nCentroids = 8, nProbe = 3)
+      .collect().map(r => (r.getLong(0), r.getInt(3)) -> r.getLong(1)).toMap
+    ivf.keys.map(_._1).toSeq.distinct.foreach(q => assert(ivf((q, 1)) == q))
+
+    // cell balance: with seeds drawn from every partition no single cell
+    // may swallow the majority of the corpus
+    val mat = {
+      // reproduce the seeding exactly as ivfTopK does
+      val pool = corpus.select(col("vec_id").cast("string").as("sid"),
+          col("embedding").as("v"))
+        .as[(String, Seq[Float])].mapPartitions(_.take(8)).toDF("sid", "v")
+      pool.orderBy(xxhash64(col("sid")), col("sid")).limit(8)
+        .select("v").collect().map(_.getSeq[Float](0).toArray)
+    }
+    val cellSizes = corpus
+      .withColumn("cell", Similarity.nearestCentroid(col("embedding"), mat))
+      .groupBy("cell").count().collect().map(_.getLong(1))
+    assert(cellSizes.length >= 4, s"want seeds spanning clusters, got ${cellSizes.length} cells")
+    assert(cellSizes.max <= 600,
+      s"one cell swallowed ${cellSizes.max}/1000 rows — seeding is biased")
+
+    // recall vs exact stays high even though the corpus is sorted
+    val exact = Similarity.bruteForceTopK(corpus, queries, k = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).groupBy(_._1)
+      .view.mapValues(_.map(_._2).toSet).toMap
+    val hits = exact.keys.toSeq.map { q =>
+      val got = (1 to 5).flatMap(rk => ivf.get((q, rk))).toSet
+      (got intersect exact(q)).size.toDouble / 5.0
+    }
+    val recall = hits.sum / hits.size
+    assert(recall >= 0.6, s"recall@5 on sorted corpus = $recall")
+  }
+
   test("cosineDupPairs finds injected duplicate embeddings") {
     import spark.implicits._
     val v1 = Array.tabulate(8)(i => (i + 1).toFloat)
