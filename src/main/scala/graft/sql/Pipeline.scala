@@ -6,6 +6,19 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
 import org.apache.spark.sql.types.StructType
 
+import scala.jdk.CollectionConverters._
+
+/** Constants for the end-of-input watermark flush (see
+  * [[Pipeline.eodField]]): the sentinel's event time and the threshold
+  * below which rows are real data. Any event time at/after the threshold
+  * is by definition a sentinel and is filtered right after the watermark
+  * node.
+  */
+object Pipeline {
+  private[sql] val EodSentinelTs = "9999-01-01T00:00:00Z"
+  private[sql] val EodThresholdTs = "9000-01-01T00:00:00Z"
+}
+
 /** SQL pipeline runner: the reference's only entry point is a SQL script
   * (`CREATE TABLE … WITH(…); INSERT INTO sink SELECT …`) compiled to a
   * dataflow (crates/arroyo-planner/src/lib.rs:821+). Here the same script
@@ -68,6 +81,15 @@ class Pipeline(spark: SparkSession, streaming: Boolean = false) {
     val stmts = splitStatements(script).map(parse)
     multiInsertRemaining = stmts.collect { case Insert(s, _) => s }
       .groupBy(identity).view.mapValues(_.size).filter(_._2 > 1).toMap
+    // a script that pins a durable checkpoint intends to RESUME later —
+    // end of input there is a pause, not the stream's end, so the
+    // EndOfData flush must not fire (a far-future watermark persisted in
+    // the checkpoint would drop every post-restart row as late). SET
+    // end_of_input_flush overrides either way.
+    if (stmts.exists {
+        case CreateTbl(t) => t.isSink && t.options.contains("checkpoint")
+        case _ => false
+      }) eodFlushEnabled = false
     stmts.foreach(runStatement)
     queries.foreach(_.awaitTermination())
     lastResult
@@ -183,7 +205,13 @@ class Pipeline(spark: SparkSession, streaming: Boolean = false) {
       case "updating_ttl" =>
         updatingTtl = value.replaceAll("(?i)^interval\\s+", "").stripPrefix("'").stripSuffix("'")
         updatingTtlArmed = true
-      case k => sys.error(s"unsupported SET option: $k (reference supports only updating_ttl)")
+      case "end_of_input_flush" =>
+        // explicit override of the EndOfData flush (see eodField); place
+        // the SET before the CREATE TABLEs — sources capture the flag at
+        // creation
+        eodFlushEnabled = value.stripPrefix("'").stripSuffix("'").trim.toBoolean
+      case k => sys.error(s"unsupported SET option: $k " +
+        "(supported: updating_ttl, end_of_input_flush)")
     }
   }
 
@@ -560,6 +588,78 @@ class Pipeline(spark: SparkSession, streaming: Boolean = false) {
 
   // ── sources ──────────────────────────────────────────────────────────
 
+  /** End-of-input watermark flush (reference EndOfData,
+    * crates/arroyo-types/src/lib.rs:188-193): the reference's bounded
+    * sources emit EndOfData, which advances the watermark to +∞ and closes
+    * every open window before the pipeline finishes. Spark has no
+    * end-of-stream watermark, so bounded streaming file sources get one
+    * synthetic far-future row overlaid on the input (temp dir of symlinks
+    * + one sentinel file). The sentinel advances the watermark through the
+    * EventTimeWatermark node and is filtered out IMMEDIATELY after it, so
+    * it can never reach an aggregate or join — the final no-data
+    * micro-batch then emits every remaining window, exactly like EndOfData.
+    *
+    * Participates: structured json filesystem/single_file sources whose
+    * event-time column is a declared physical TIMESTAMP column. Everything
+    * else (generators flush natively, unstructured/CDC have no event-time
+    * column) keeps the plain path.
+    */
+  /** Pushdown barrier for the sentinel-drop filter: Catalyst pushes
+    * deterministic predicates through EventTimeWatermark into the scan,
+    * which would evaluate user predicates on the sentinel row (null
+    * payload fields → dropped) BELOW the watermark node and kill the
+    * flush. An opaque non-deterministic conjunct pins the sentinel-drop
+    * filter — and every user filter above it — above the watermark node.
+    * (A `rand() < -1` disjunct is NOT enough: the optimizer knows rand's
+    * bounds and folds it away.) Cost: scan-level predicate pushdown is
+    * forfeited on flush-enabled sources — bounded test/backfill runs only.
+    */
+  private val eodBarrier = udf(() => true).asNondeterministic()
+
+  /** Whether bounded streaming file sources flush at end of input
+    * (reference EndOfData). Defaults on; auto-disabled for scripts with a
+    * durable sink checkpoint (resume semantics), overridable via
+    * `SET end_of_input_flush = true|false`.
+    */
+  var eodFlushEnabled: Boolean = true
+
+  private def eodField(t: ConnectorTable): Option[String] =
+    if (!streaming || planOnly || !eodFlushEnabled) None
+    else if (t.connector != "filesystem" && t.connector != "single_file") None
+    else if (t.format != "json" || t.options.get("json.unstructured").contains("true")) None
+    else t.eventTimeField
+      // no declared event time → the default-watermark fallback column
+      // (applyColumns watermarks a declared `timestamp` column by default,
+      // mirroring the reference's `_timestamp - 1s`)
+      .orElse(t.columns.find(_.name.equalsIgnoreCase("timestamp")).map(_.name))
+      .filter { f =>
+        t.columns.exists(c => c.name.equalsIgnoreCase(f) && c.virtualExpr.isEmpty &&
+          c.metadataFrom.isEmpty && c.sqlType.toUpperCase.startsWith("TIMESTAMP"))
+      }
+
+  /** Overlay dir for the sentinel: symlinks to the source file(s) plus one
+    * far-future row. Symlinks, not copies — the input may be arbitrarily
+    * large; only the sentinel file is new bytes.
+    */
+  private def eodOverlayDir(path: String, tsField: String): String = {
+    import java.nio.file.{Files, Paths}
+    val dir = Files.createTempDirectory("graft-eod")
+    val src = Paths.get(path)
+    val files =
+      if (Files.isRegularFile(src)) Seq(src)
+      else Files.list(src).iterator().asScala
+        .filter(Files.isRegularFile(_))
+        .filterNot(_.getFileName.toString.startsWith(".")).toSeq
+    files.foreach { f =>
+      val link = dir.resolve(f.getFileName)
+      try Files.createSymbolicLink(link, f.toAbsolutePath)
+      catch { case _: Exception => Files.copy(f, link) }
+    }
+    Files.write(dir.resolve("zz-graft-eod.json"),
+      s"""{"$tsField":"${Pipeline.EodSentinelTs}"}""".getBytes("UTF-8"))
+    dir.toString
+  }
+
   /** Build the DataFrame for a source table per its connector (SURVEY
     * §2.2 mapping). Virtual columns project after the scan; event-time
     * column gets a watermark in streaming mode (default delay 1s, the
@@ -603,8 +703,16 @@ class Pipeline(spark: SparkSession, streaming: Boolean = false) {
           case "json" =>
             // BadData::{Fail,Drop} (formats.rs:461-497) → FAILFAST /
             // DROPMALFORMED on Spark's json reader
-            load("json", Map("mode" -> graft.formats.Formats.jsonMode(
-              graft.formats.Formats.badDataOf(t.options))))
+            val jsonOpts = Map("mode" -> graft.formats.Formats.jsonMode(
+              graft.formats.Formats.badDataOf(t.options)))
+            eodField(t) match {
+              case Some(f) if streaming =>
+                // bounded streaming: overlay the end-of-input sentinel so
+                // final windows flush (see eodField's scaladoc)
+                spark.readStream.schema(t.schema).format("json").options(jsonOpts)
+                  .load(eodOverlayDir(path, f))
+              case _ => load("json", jsonOpts)
+            }
           case "parquet" =>
             // parquet is self-describing: read the file's own schema (the
             // declared one may disagree on physical types, e.g.
@@ -804,7 +912,12 @@ class Pipeline(spark: SparkSession, streaming: Boolean = false) {
       else withVirtual
     t.eventTimeField match {
       case Some(f) if streaming =>
-        projected.withWatermark(f, t.watermarkDelay.getOrElse("1 second"))
+        val wm = projected.withWatermark(f, t.watermarkDelay.getOrElse("1 second"))
+        // drop end-of-input sentinels right above the watermark node: they
+        // exist only to advance the watermark, never to be data
+        if (eodField(t).isDefined)
+          wm.filter(col(s"`$f`") < to_timestamp(lit(Pipeline.EodThresholdTs)) && eodBarrier())
+        else wm
       case None if streaming &&
           projected.schema.fields.exists(f =>
             (f.name.equalsIgnoreCase("timestamp") || f.name == "_timestamp") &&
@@ -814,7 +927,10 @@ class Pipeline(spark: SparkSession, streaming: Boolean = false) {
         // `_timestamp` fallback column the window rewrite uses
         val f = projected.schema.fields
           .find(f => f.name.equalsIgnoreCase("timestamp") || f.name == "_timestamp").get.name
-        projected.withWatermark(f, "1 second")
+        val wm = projected.withWatermark(f, "1 second")
+        if (eodField(t).isDefined)
+          wm.filter(col(s"`$f`") < to_timestamp(lit(Pipeline.EodThresholdTs)) && eodBarrier())
+        else wm
       case _ => projected
     }
   }
@@ -1078,7 +1194,11 @@ class Pipeline(spark: SparkSession, streaming: Boolean = false) {
         // emit-on-close) and run the rest — join included — as a batch
         // over the closed windows (WindowFnOnClose.spoolBranches)
         case e: org.apache.spark.sql.AnalysisException =>
-          graft.streaming.WindowFnOnClose.spoolBranches(spark, dfIn) match {
+          // frontier alignment is only needed when some source can't flush
+          // at end of input (its legs stop at different watermarks); with
+          // every source flush-enabled the spools are complete
+          val align = !catalog.values.filter(!_.isSink).forall(t => eodField(t).isDefined)
+          graft.streaming.WindowFnOnClose.spoolBranches(spark, dfIn, align) match {
             case Some(batchFrame) =>
               new Pipeline(spark, streaming = false).writeTo(sink, batchFrame)
             case None => throw e

@@ -96,7 +96,16 @@ object WindowFnOnClose {
     * windowed bottom aggregates or something streaming remains outside
     * them (then the native error stands).
     */
-  def spoolBranches(spark: SparkSession, df: DataFrame): Option[DataFrame] = {
+  /** @param alignFrontiers when true, truncate every spool to the minimum
+    *   common closed-window frontier (reference min-watermark semantics for
+    *   legs whose watermarks stopped at different points). Pass false when
+    *   every source flushed at end of input (Pipeline's EndOfData sentinel):
+    *   all legs are then COMPLETE, and truncating to min(max(window.end))
+    *   would drop legitimate final windows on legs that simply have no data
+    *   in them (e.g. the outer-join leg with the last lonely window).
+    */
+  def spoolBranches(spark: SparkSession, df: DataFrame,
+      alignFrontiers: Boolean = true): Option[DataFrame] = {
     if (!df.isStreaming) return None
     val plan = df.queryExecution.analyzed
     val bottoms = plan.collect {
@@ -131,14 +140,16 @@ object WindowFnOnClose {
     // joining legs with different frontiers would fabricate half-null
     // rows for windows one leg hasn't closed. Align every spool to the
     // minimum common closed frontier first.
-    val frontiers = spooled.flatMap { case (_, back, winCol) =>
-      winCol.map { w =>
-        val r = back.agg(org.apache.spark.sql.functions.max(
-          org.apache.spark.sql.functions.col(s"$w.end"))).head()
-        if (r.isNullAt(0)) java.sql.Timestamp.from(java.time.Instant.EPOCH)
-        else r.getTimestamp(0)
+    val frontiers =
+      if (!alignFrontiers) Seq.empty
+      else spooled.flatMap { case (_, back, winCol) =>
+        winCol.map { w =>
+          val r = back.agg(org.apache.spark.sql.functions.max(
+            org.apache.spark.sql.functions.col(s"$w.end"))).head()
+          if (r.isNullAt(0)) java.sql.Timestamp.from(java.time.Instant.EPOCH)
+          else r.getTimestamp(0)
+        }
       }
-    }
     val common =
       if (frontiers.isEmpty) None
       else Some(frontiers.minBy(_.getTime))

@@ -16,11 +16,12 @@ import scala.jdk.CollectionConverters._
   * with the same debezium merge-by-PK semantics as smoke_tests.rs:560-700.
   *
   * Batch mode must match EXACTLY. Streaming (AvailableNow) runs the same
-  * scripts; stateless/updating pipelines match exactly, while append-mode
-  * windowed pipelines satisfy streamed ⊆ golden with only final-watermark
-  * windows missing (Spark has no end-of-stream watermark flush — the
-  * reference's bounded sources emit EndOfData which closes every window;
-  * documented divergence).
+  * scripts and ALSO matches exactly: the pipeline overlays an end-of-input
+  * sentinel on every bounded json file source (Pipeline.eodField), which
+  * advances the watermark past every open window when input ends — the
+  * Spark analogue of the reference's EndOfData
+  * (crates/arroyo-types/src/lib.rs:188-193), so append-mode windowed
+  * pipelines flush their final windows instead of leaving them open.
   */
 class GoldenSpec extends SparkSpec {
 
@@ -182,17 +183,6 @@ class GoldenSpec extends SparkSpec {
     }
   }
 
-  /** Streaming append-mode windowed pipelines: all emitted rows must be in
-    * the golden set; rows may be missing only near the final watermark.
-    */
-  private def checkSubset(name: String): Unit = {
-    val (out, golden, _) = runGolden(name, streaming = true)
-    assert(golden.nonEmpty, s"golden output missing for $name")
-    val (o, g) = (multiset(out), multiset(golden))
-    val bogus = o.keySet.diff(g.keySet).take(3)
-    assert(bogus.isEmpty, s"$name: streaming emitted rows not in golden: $bogus")
-  }
-
   // ── batch: exact golden match ─────────────────────────────────────────
 
   test("golden batch: select_star") { checkExact("select_star") }
@@ -264,10 +254,10 @@ class GoldenSpec extends SparkSpec {
   test("golden batch: reinvoke_window_function (re-windowed aggregate)") {
     checkExact("reinvoke_window_function")
   }
-  test("golden streaming: nexmark_q5 shape emits only expected rows") {
-    // same generated fixture as the batch test; streaming must emit a
-    // subset of the batch-computed expected multiset (final-watermark
-    // windows may be missing — no end-of-stream flush)
+  test("golden streaming: nexmark_q5 shape matches batch exactly") {
+    // same generated fixture as the batch test; with the end-of-input
+    // flush the streaming run must emit the COMPLETE batch-computed
+    // multiset, final windows included
     import org.apache.spark.sql.functions.{col, window, max, count}
     val dir = tmp()
     val base = java.time.Instant.parse("2024-01-01T00:00:00Z")
@@ -295,8 +285,9 @@ class GoldenSpec extends SparkSpec {
       .map(r => (r.getLong(0), r.getLong(1)))
       .groupBy(identity).view.mapValues(_.size).toMap
     assert(out.nonEmpty, "streaming nexmark_q5 emitted nothing")
-    val bogus = out.filter { case (k, n) => expected.getOrElse(k, 0) < n }
-    assert(bogus.isEmpty, s"streaming emitted rows beyond expected: $bogus")
+    assert(out == expected, s"streaming differs from batch: " +
+      s"extra=${out.toSet.diff(expected.toSet).take(3)} " +
+      s"missing=${expected.toSet.diff(out.toSet).take(3)}")
   }
   test("golden batch: active_drivers (nested updating aggregate)") {
     checkExact("active_drivers")
@@ -388,44 +379,49 @@ class GoldenSpec extends SparkSpec {
     finally numSigDigits = 0
   }
 
-  // ── streaming: windowed append pipelines (subset semantics) ───────────
+  // ── streaming: windowed append pipelines (EXACT — end-of-input flush) ─
+  // The pipeline overlays a far-future sentinel row on each bounded json
+  // file source (Pipeline.eodField), which advances the watermark past
+  // every open window at end of input — the Spark analogue of the
+  // reference's EndOfData (arroyo-types/src/lib.rs:188-193). Streaming
+  // output is therefore the COMPLETE golden multiset, not a subset.
 
-  test("golden streaming: hourly_by_event_type emits only golden rows") {
-    checkSubset("hourly_by_event_type")
+  test("golden streaming: hourly_by_event_type matches golden exactly") {
+    checkExact("hourly_by_event_type", streaming = true)
   }
-  test("golden streaming: session_window emits only golden rows") {
-    checkSubset("session_window")
+  test("golden streaming: session_window matches golden exactly") {
+    checkExact("session_window", streaming = true)
   }
-  test("golden streaming: sliding_window_end emits only golden rows") {
-    checkSubset("sliding_window_end")
+  test("golden streaming: sliding_window_end matches golden exactly") {
+    checkExact("sliding_window_end", streaming = true)
   }
-  test("golden streaming: windowed_inner_join emits only golden rows") {
-    checkSubset("windowed_inner_join")
+  test("golden streaming: windowed_inner_join matches golden exactly") {
+    checkExact("windowed_inner_join", streaming = true)
   }
-  test("golden streaming: tight_watermark emits only golden rows") {
-    checkSubset("tight_watermark")
+  test("golden streaming: tight_watermark matches golden exactly") {
+    checkExact("tight_watermark", streaming = true)
   }
-  test("golden streaming: global_session_window emits only golden rows") {
-    checkSubset("global_session_window")
+  test("golden streaming: global_session_window matches golden exactly") {
+    checkExact("global_session_window", streaming = true)
   }
-  test("golden streaming: month_loose_watermark emits only golden rows") {
-    checkSubset("month_loose_watermark")
+  test("golden streaming: month_loose_watermark matches golden exactly") {
+    checkExact("month_loose_watermark", streaming = true)
   }
-  test("golden streaming: udaf emits only golden rows") {
-    checkSubset("udaf")
+  test("golden streaming: udaf matches golden exactly") {
+    checkExact("udaf", streaming = true)
   }
-  test("golden streaming: unnest_in_view emits only golden rows") {
-    checkSubset("unnest_in_view")
+  test("golden streaming: unnest_in_view matches golden exactly") {
+    checkExact("unnest_in_view", streaming = true)
   }
-  test("golden streaming: offset_impulse_join emits only golden rows") {
-    checkSubset("offset_impulse_join")
+  test("golden streaming: offset_impulse_join matches golden exactly") {
+    checkExact("offset_impulse_join", streaming = true)
   }
   // Spark rejects a FULL OUTER stream-stream join whose inputs are
   // aggregate outputs — the pipeline falls back to spooling each windowed
   // aggregate (append mode, emit-on-close) and joining the closed windows
   // as a batch (WindowFnOnClose.spoolBranches)
-  test("golden streaming: windowed_outer_join emits only golden rows") {
-    checkSubset("windowed_outer_join")
+  test("golden streaming: windowed_outer_join matches golden exactly") {
+    checkExact("windowed_outer_join", streaming = true)
   }
 
   // ── streaming: stateless pipelines run exact ──────────────────────────

@@ -98,12 +98,14 @@ class SqlPipelineSpec extends SparkSpec {
          |FROM cars GROUP BY tumble(interval '1 hour'), event_type""".stripMargin)
     val got = spark.table("sink_result")
       .collect().map(r => (r.getTimestamp(0).toString, r.getString(1), r.getLong(2))).toSet
-    // closed windows only (append mode): the 16:00 window stays open at EOF
+    // the end-of-input flush (Pipeline.eodField) closes the final 16:00
+    // window too — streaming equals the batch result exactly
     assert(got == Set(
       ("2023-09-18 14:00:00.0", "pickup", 2L),
       ("2023-09-18 14:00:00.0", "dropoff", 1L),
       ("2023-09-18 15:00:00.0", "pickup", 1L),
-      ("2023-09-18 15:00:00.0", "dropoff", 1L)), s"got $got")
+      ("2023-09-18 15:00:00.0", "dropoff", 1L),
+      ("2023-09-18 16:00:00.0", "pickup", 1L)), s"got $got")
   }
 
   test("hop and session rewrite to window()/session_window()") {
