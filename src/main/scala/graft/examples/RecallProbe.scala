@@ -1,0 +1,31 @@
+package graft.examples
+
+import graft.{GraftSession, Tables}
+import graft.operators.Similarity
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Prints recall@5 of the approximate ANN paths vs exact brute force at
+  * each test scale — used to pick the floors q_ann_recall enforces.
+  */
+object RecallProbe {
+  def main(args: Array[String]): Unit = {
+    val spark = GraftSession.builder("graft-recall-probe").getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    for (dir <- Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01", "/root/testdata/sf0.1")) {
+      val e = Tables.load(spark, dir, "embeddings")
+      val q = e.filter(col("vec_id") % 50 === 0)
+        .select(col("vec_id").as("query_id"), col("embedding").as("query_vec"))
+      val exact = Similarity.bruteForceTopK(e, q, k = 5).select("query_id", "vec_id")
+      val total = exact.count()
+      def rec(df: DataFrame): Double =
+        df.select("query_id", "vec_id").join(exact, Seq("query_id", "vec_id"))
+          .count().toDouble / total
+      val lsh1 = rec(Similarity.lshTopK(e, q, k = 5, nPlanes = 6))
+      val lsh4 = rec(Similarity.lshTopK(e, q, k = 5, nPlanes = 6, nTables = 4))
+      val ivf = rec(Similarity.ivfTopK(e, q, k = 5, nCentroids = 64, nProbe = 8))
+      println(f"[recall] $dir total=$total lsh1=$lsh1%.3f lsh4=$lsh4%.3f ivf=$ivf%.3f")
+    }
+    spark.stop()
+  }
+}

@@ -28,8 +28,13 @@ object SignLshMath {
   * nPlanes × dim intermediate arrays PER ROW (the dominant cost of
   * q_ann_lsh / q_ann_ivf flagged in round 1). This compiles to a tight
   * two-level loop with zero allocation, same shape as [[DotProductF]].
+  *
+  * `planeOffset` shifts the hyperplane family: multi-table LSH uses
+  * offset = tableIndex * nPlanes so each table hashes with independent
+  * planes.
   */
-case class SignLshF(child: Expression, nPlanes: Int) extends UnaryExpression {
+case class SignLshF(child: Expression, nPlanes: Int, planeOffset: Int = 0)
+    extends UnaryExpression {
 
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
     case ArrayType(FloatType, _) => TypeCheckResult.TypeCheckSuccess
@@ -46,7 +51,7 @@ case class SignLshF(child: Expression, nPlanes: Int) extends UnaryExpression {
       var dot = 0.0
       var i = 0
       while (i < n) {
-        dot += v.getFloat(i).toDouble * SignLshMath.component(p, i)
+        dot += v.getFloat(i).toDouble * SignLshMath.component(planeOffset + p, i)
         i += 1
       }
       sig = (sig << 1) | (if (dot >= 0) 1L else 0L)
@@ -68,7 +73,8 @@ case class SignLshF(child: Expression, nPlanes: Int) extends UnaryExpression {
         for (int $p = 0; $p < $nPlanes; $p++) {
           double $dot = 0.0;
           for (int $i = 0; $i < $n; $i++) {
-            $dot += ((double) $v.getFloat($i)) * graft.functions.SignLshMath.component($p, $i);
+            $dot += ((double) $v.getFloat($i)) *
+              graft.functions.SignLshMath.component($planeOffset + $p, $i);
           }
           $sig = ($sig << 1) | ($dot >= 0 ? 1L : 0L);
         }

@@ -13,9 +13,11 @@ import org.apache.spark.sql.types._
   * `mapPartitions` over rows (the Scala analogue of `mapInPandas` — one
   * iterator per partition, vectorizable per chunk), deterministic outputs.
   * Image decode is REAL (JDK-native `javax.imageio`: png/jpeg/bmp/gif →
-  * BT.601 luma + nearest-neighbor resample, see [[Codec]]); only audio and
-  * video remain a clearly-marked deterministic fake ([[Codec.decodeFake]])
-  * because this container ships no audio/video codec libraries.
+  * BT.601 luma + nearest-neighbor resample) and PCM WAV audio decode is
+  * REAL (JDK-native `javax.sound.sampled` → mono float samples, see
+  * [[Codec.decodeWav]]); only video and compressed audio (mp3/ogg/aac)
+  * remain a clearly-marked deterministic fake ([[Codec.decodeFake]])
+  * because this container ships no codec libraries for those.
   */
 object Multimodal {
 
@@ -32,14 +34,20 @@ object Multimodal {
   final case class Frame(width: Int, height: Int, pixels: Array[Float])
 
   /** Codec boundary: images decode for REAL via JDK-native `javax.imageio`
-    * (png/jpeg/bmp/gif need no external jar); audio/video remain stubbed
-    * behind [[decodeFake]] (no codec libraries in this container).
+    * (png/jpeg/bmp/gif need no external jar) and PCM WAV decodes for REAL
+    * via JDK-native `javax.sound.sampled`; video and compressed audio
+    * remain stubbed behind [[decodeFake]] (no codec libraries for those in
+    * this container).
     */
   object Codec {
     private val imageFormats = Set("png", "jpeg", "jpg", "bmp", "gif")
+    private val audioFormats = Set("wav", "wave")
 
     def canDecode(format: String): Boolean =
       format != null && imageFormats(format.toLowerCase)
+
+    def canDecodeAudio(format: String): Boolean =
+      format != null && audioFormats(format.toLowerCase)
 
     /** Real image decode: bytes → row-major grayscale f32 (ITU-R BT.601
       * luma). Deterministic across executors — pure function of the bytes.
@@ -83,11 +91,61 @@ object Multimodal {
       Frame(w, h, px)
     }
 
-    /** Dispatch: real decode for images, deterministic fake otherwise. */
+    /** Real PCM WAV decode via the JDK's `javax.sound.sampled` — the same
+      * no-external-jar move as `javax.imageio` for images. Bytes → the
+      * header's sample rate plus mono float samples in [-1, 1] (channels
+      * averaged). Supports the PCM encodings the WAV container actually
+      * carries: 8-bit unsigned and 16-bit signed, either endianness.
+      * Pure function of the bytes — deterministic across executors.
+      */
+    def decodeWav(bytes: Array[Byte]): (Int, Array[Float]) = {
+      val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(bytes))
+      try {
+        val fmt = in.getFormat
+        val enc = fmt.getEncoding
+        val bits = fmt.getSampleSizeInBits
+        require((enc == javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED && bits == 16) ||
+            (enc == javax.sound.sampled.AudioFormat.Encoding.PCM_UNSIGNED && bits == 8),
+          s"native wav decode covers PCM 16-bit signed / 8-bit unsigned, got $enc $bits-bit")
+        val ch = fmt.getChannels
+        val bytesPerSample = bits / 8
+        val raw = in.readAllBytes()
+        val nFrames = raw.length / (bytesPerSample * ch)
+        val out = new Array[Float](nFrames)
+        var f = 0
+        while (f < nFrames) {
+          var acc = 0.0f
+          var c = 0
+          while (c < ch) {
+            val off = (f * ch + c) * bytesPerSample
+            acc +=
+              (if (bits == 8) ((raw(off) & 0xff) - 128) / 128.0f
+               else {
+                 val (lo, hi) = if (fmt.isBigEndian) (off + 1, off) else (off, off + 1)
+                 ((raw(hi) << 8) | (raw(lo) & 0xff)).toShort / 32768.0f
+               })
+            c += 1
+          }
+          out(f) = acc / ch
+          f += 1
+        }
+        (fmt.getSampleRate.toInt, out)
+      } finally in.close()
+    }
+
+    /** Dispatch: real decode for images and PCM WAV, deterministic fake
+      * otherwise (video, compressed audio). Audio surfaces as a 1×n frame
+      * so the shared feature-pooling path applies unchanged.
+      */
     def decode(bytes: Array[Byte], meta: Row): Frame = {
       val mediaType = meta.getString(0)
       val format = meta.getString(1)
       if (mediaType == "image" && canDecode(format)) decodeReal(bytes, format)
+      else if (mediaType == "audio" && canDecodeAudio(format)) {
+        val (_, samples) = decodeWav(bytes)
+        Frame(samples.length, 1, samples)
+      }
       else decodeFake(bytes, meta.getInt(2), meta.getInt(3))
     }
 
@@ -165,6 +223,39 @@ object Multimodal {
           val f = if (f0.width == w && f0.height == h) f0 else Codec.resample(f0, w, h)
           Row.fromSeq(r.toSeq :+ Row(f.width, f.height, f.pixels.toSeq))
         }
+      }
+    }
+  }
+
+  /** Audio analysis: PCM WAV bytes → content-derived columns
+    * (sample_rate, n_frames, rms, peak) via the REAL JDK decode — the
+    * audio analogue of the image feature path. Null bytes (or non-wav
+    * payloads) yield null stats rather than failing the partition.
+    */
+  def audioStats(df: DataFrame, bytesCol: String): DataFrame = {
+    val outSchema = StructType(df.schema.fields ++ Seq(
+      StructField("sample_rate", IntegerType), StructField("n_frames", IntegerType),
+      StructField("rms", FloatType), StructField("peak", FloatType)))
+    implicit val enc: Encoder[Row] = RowEncoder.encoderFor(outSchema)
+    val bytesIdx = df.schema.fieldIndex(bytesCol)
+    df.mapPartitions { rows =>
+      rows.map { r =>
+        val bytes = r.getAs[Array[Byte]](bytesIdx)
+        val stats: Seq[Any] =
+          if (bytes == null) Seq(null, null, null, null)
+          else try {
+            val (sr, samples) = Codec.decodeWav(bytes)
+            var sum2 = 0.0
+            var peak = 0.0f
+            samples.foreach { s =>
+              sum2 += s.toDouble * s
+              if (math.abs(s) > peak) peak = math.abs(s)
+            }
+            val rms = if (samples.isEmpty) 0.0f
+              else math.sqrt(sum2 / samples.length).toFloat
+            Seq[Any](sr, samples.length, rms, peak)
+          } catch { case _: Exception => Seq(null, null, null, null) }
+        Row.fromSeq(r.toSeq ++ stats)
       }
     }
   }

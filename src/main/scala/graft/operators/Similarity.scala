@@ -46,21 +46,34 @@ object Similarity {
     * aggregate(zip_with(transform(...))) version allocated nPlanes × dim
     * arrays per row.
     */
-  def lshSignature(vec: org.apache.spark.sql.Column, nPlanes: Int): org.apache.spark.sql.Column =
+  def lshSignature(vec: org.apache.spark.sql.Column, nPlanes: Int,
+      planeOffset: Int = 0): org.apache.spark.sql.Column =
     org.apache.spark.sql.GraftShim.column(
-      graft.functions.SignLshF(org.apache.spark.sql.GraftShim.expression(vec), nPlanes))
+      graft.functions.SignLshF(
+        org.apache.spark.sql.GraftShim.expression(vec), nPlanes, planeOffset))
 
   /** Approximate top-k: candidates limited to vectors sharing the query's
-    * LSH bucket (exact cosine re-rank inside the bucket). Trades recall for
-    * touching ~1/2^bits of the corpus per query. Output schema matches
+    * LSH bucket (exact cosine re-rank inside the bucket), with standard
+    * MULTI-TABLE banding: `nTables` independent hyperplane families, a
+    * pair is a candidate if it collides in ANY table — recall compounds
+    * as 1-(1-p)^T while each table's join still touches only ~1/2^nPlanes
+    * of the corpus. Candidates are deduped before the (exact) re-rank so
+    * multi-table collisions rank once. Output schema matches
     * [[bruteForceTopK]].
     */
   def lshTopK(corpus: DataFrame, queries: DataFrame, k: Int, nPlanes: Int = 8,
+      nTables: Int = 1,
       idCol: String = "vec_id", vecCol: String = "embedding",
       queryIdCol: String = "query_id", queryVecCol: String = "query_vec"): DataFrame = {
-    val cb = corpus.withColumn("bucket", lshSignature(col(vecCol), nPlanes))
-    val qb = queries.withColumn("bucket", lshSignature(col(queryVecCol), nPlanes))
-    val scored = cb.join(broadcast(qb), "bucket")
+    def buckets(vec: Column) =
+      array((0 until nTables).map(t => lshSignature(vec, nPlanes, t * nPlanes)): _*)
+    val cb = corpus.select(col(idCol), col(vecCol),
+      posexplode(buckets(col(vecCol))).as(Seq("tbl", "bucket")))
+    val qb = queries.select(col(queryIdCol), col(queryVecCol),
+      posexplode(buckets(col(queryVecCol))).as(Seq("tbl", "bucket")))
+    val cand = cb.join(broadcast(qb), Seq("tbl", "bucket"))
+      .dropDuplicates(queryIdCol, idCol)
+    val scored = cand
       .withColumn("sim", VectorOps.cosineF(col(vecCol), col(queryVecCol)))
     val w = Window.partitionBy(col(queryIdCol)).orderBy(col("sim").desc, col(idCol))
     scored.withColumn("rank", row_number().over(w))

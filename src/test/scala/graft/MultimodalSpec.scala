@@ -61,6 +61,57 @@ class MultimodalSpec extends SparkSpec {
     assert(px.grouped(4).forall(row => row(0) < 0.1f && row(3) > 0.9f), s"got $px")
   }
 
+  test("real PCM WAV decode via javax.sound.sampled: stats reflect actual samples") {
+    import spark.implicits._
+    // 0.1 s of a 440 Hz sine at 8 kHz, 16-bit mono, amplitude 0.5 —
+    // written with the same JDK API users would, then decoded back
+    def wav(amplitude: Double): Array[Byte] = {
+      val sr = 8000
+      val n = 800
+      val pcm = new Array[Byte](n * 2)
+      for (i <- 0 until n) {
+        val v = (amplitude * math.sin(2 * math.Pi * 440.0 * i / sr) * 32767).toInt
+        pcm(2 * i) = (v & 0xff).toByte
+        pcm(2 * i + 1) = ((v >> 8) & 0xff).toByte
+      }
+      val fmt = new javax.sound.sampled.AudioFormat(sr.toFloat, 16, 1, true, false)
+      val ais = new javax.sound.sampled.AudioInputStream(
+        new java.io.ByteArrayInputStream(pcm), fmt, n.toLong)
+      val out = new java.io.ByteArrayOutputStream()
+      javax.sound.sampled.AudioSystem.write(ais,
+        javax.sound.sampled.AudioFileFormat.Type.WAVE, out)
+      out.toByteArray
+    }
+    val df = Seq((1L, wav(0.5)), (2L, wav(0.5)), (3L, wav(0.1)))
+      .toDF("id", "bytes")
+    val stats = Multimodal.audioStats(df, "bytes")
+      .select("id", "sample_rate", "n_frames", "rms", "peak")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getInt(1), r.getInt(2), r.getFloat(3), r.getFloat(4)))).toMap
+    // header fields come from the real WAV header
+    assert(stats(1L)._1 == 8000 && stats(1L)._2 == 800, s"got ${stats(1L)}")
+    // a sine's RMS is amplitude/sqrt(2); peak is the amplitude — both are
+    // content-derived, impossible to fake from the byte hash
+    assert(math.abs(stats(1L)._3 - 0.5 / math.sqrt(2)) < 0.01, s"rms ${stats(1L)._3}")
+    assert(math.abs(stats(1L)._4 - 0.5) < 0.01, s"peak ${stats(1L)._4}")
+    assert(stats(1L) == stats(2L), "identical bytes, identical stats")
+    assert(math.abs(stats(3L)._3 - 0.1 / math.sqrt(2)) < 0.01, s"rms ${stats(3L)._3}")
+
+    // the shared feature path decodes audio for real too: amplitude pools
+    // track the waveform (each bucket of a symmetric sine means ≈ 0)
+    val feats = Multimodal.withMeta(df, "bytes", "audio", "wav", 0, 0)
+    val pooled = Multimodal.extractFeatures(feats, "bytes", dim = 4)
+      .select("id", "features").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1)).toMap
+    assert(pooled(1L).forall(v => math.abs(v) < 0.05), s"got ${pooled(1L)}")
+
+    // non-wav bytes degrade to null stats, not a task failure
+    val junk = Multimodal.audioStats(
+      Seq((9L, Array[Byte](1, 2, 3))).toDF("id", "bytes"), "bytes")
+      .select("sample_rate").collect()(0)
+    assert(junk.isNullAt(0))
+  }
+
   test("resize produces target geometry; frame sampling explodes indices") {
     val df = Multimodal.withMeta(media, "bytes", "video", "mp4", 4, 4)
       .withColumn("media_meta", col("media_meta").withField("n_frames", lit(10)))
