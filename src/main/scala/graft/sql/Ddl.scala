@@ -395,25 +395,42 @@ object Ddl {
     sb.toString
   }
 
-  /** Split on a separator at paren/quote depth 0. */
+  /** Split on a separator at paren/quote depth 0.
+    *
+    * Angle brackets are tracked SEPARATELY and only in type position:
+    * a '<' counts as generic-type nesting (STRUCT<a INT, …>, ARRAY<T>,
+    * MAP<K,V> — struct_ddl.sql) only when glued to an identifier character
+    * and not forming a comparison operator (<=, <>). A bare comparison in
+    * a generated-column expression (`flag BOOLEAN GENERATED ALWAYS AS
+    * (a > b), x INT`) must NOT count as nesting — the old
+    * count-every-angle version drove depth negative there and merged or
+    * lost column defs. A stray '>' with no open generic is likewise inert.
+    */
   def splitTop(s: String, sep: Char): Seq[String] = {
     val out = Seq.newBuilder[String]
     val cur = new StringBuilder
-    var depth = 0
+    var depth = 0 // parens + bracket lists ('partitioning.fields' = [a, b])
+    var angle = 0 // generic type parameters only
     var inS = false
-    s.foreach {
-      case '\'' => inS = !inS; cur += '\''
-      case '(' if !inS => depth += 1; cur += '('
-      case ')' if !inS => depth -= 1; cur += ')'
-      // generic angle brackets: STRUCT<a INT, x STRUCT<b TEXT>> column
-      // types must not split at their inner commas (struct_ddl.sql)
-      case '<' if !inS => depth += 1; cur += '<'
-      case '>' if !inS => depth -= 1; cur += '>'
-      // bracket lists: 'partitioning.fields' = [a, b] (filesystem_partition.sql)
-      case '[' if !inS => depth += 1; cur += '['
-      case ']' if !inS => depth -= 1; cur += ']'
-      case c if c == sep && depth == 0 && !inS => out += cur.toString; cur.clear()
-      case c => cur += c
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      c match {
+        case '\'' => inS = !inS; cur += c
+        case '(' if !inS => depth += 1; cur += c
+        case ')' if !inS => depth -= 1; cur += c
+        case '[' if !inS => depth += 1; cur += c
+        case ']' if !inS => depth -= 1; cur += c
+        case '<' if !inS &&
+            i > 0 && (s.charAt(i - 1).isLetterOrDigit || s.charAt(i - 1) == '_') &&
+            (i + 1 >= s.length || (s.charAt(i + 1) != '=' && s.charAt(i + 1) != '>')) =>
+          angle += 1; cur += c
+        case '>' if !inS && angle > 0 => angle -= 1; cur += c
+        case c2 if c2 == sep && depth == 0 && angle == 0 && !inS =>
+          out += cur.toString; cur.clear()
+        case _ => cur += c
+      }
+      i += 1
     }
     out += cur.toString
     out.result().map(_.trim).filter(_.nonEmpty)

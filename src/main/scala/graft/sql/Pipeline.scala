@@ -283,8 +283,46 @@ class Pipeline(spark: SparkSession, streaming: Boolean = false) {
     * parity" is best expressed as the exact value our engine can compute
     * in one pass anyway.
     */
+  /** Mask string-literal CONTENTS with `\u0001<idx>\u0001` placeholders
+    * (quotes stay in place, so literal operands still look like literals
+    * to the operator regexes) and return the contents for splicing back.
+    * Without this the dialect rewrites match INSIDE literals — e.g.
+    * `SELECT 'std::map'` would become `CAST('std' AS MAP)'`. Handles the
+    * '' escape.
+    */
+  private def maskLiteralContents(s: String): (String, IndexedSeq[String]) = {
+    val contents = IndexedSeq.newBuilder[String]
+    val sb = new StringBuilder
+    var i = 0
+    var idx = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (c == '\'') {
+        var j = i + 1
+        var done = false
+        val content = new StringBuilder
+        while (j < s.length && !done) {
+          if (s.charAt(j) == '\'') {
+            if (j + 1 < s.length && s.charAt(j + 1) == '\'') { content.append("''"); j += 2 }
+            else done = true
+          } else { content.append(s.charAt(j)); j += 1 }
+        }
+        contents += content.toString
+        sb.append('\'').append('\u0001').append(idx).append('\u0001').append('\'')
+        idx += 1
+        i = j + 1
+      } else { sb.append(c); i += 1 }
+    }
+    (sb.toString, contents.result())
+  }
+
+  private def unmaskLiteralContents(s: String, contents: IndexedSeq[String]): String =
+    "\u0001(\\d+)\u0001".r.replaceAllIn(s, m =>
+      java.util.regex.Matcher.quoteReplacement(contents(m.group(1).toInt)))
+
   def rewriteDialect(q0: String): String = {
-    var q = q0
+    val (masked, lits) = maskLiteralContents(q0)
+    var q = masked
     // json access operators: `expr->'field'` (raw JSON text) and
     // `expr->>'field'` (unquoted text) — DataFusion's datafusion-functions-
     // json surface (json_operators.sql). Iterated to a fixpoint so chains
@@ -344,7 +382,7 @@ class Pipeline(spark: SparkSession, streaming: Boolean = false) {
       .replaceAllIn(q, m => s"percentile(${m.group(1)}, 0.5)")
     // approx_distinct(x) → count(distinct x) (exact; see scaladoc)
     q = """(?i)\bapprox_distinct\s*\(""".r.replaceAllIn(q, "count(distinct ")
-    q
+    unmaskLiteralContents(q, lits)
   }
 
   /** EXPLAIN/ANALYZE/COPY/DESCRIBE are rejected like the reference planner

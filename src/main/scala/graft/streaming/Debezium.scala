@@ -43,6 +43,14 @@ object Debezium {
     * `_updating_meta{is_retract, id}` (reference DebeziumUnrollingExec,
     * physical.rs:884-948): `id` hashes the row's PRIMARY KEY values so a
     * downstream [[rollBatch]] can re-pair retract+append into `u` records.
+    *
+    * NO-PK DEGRADATION (documented divergence): with no declared PRIMARY
+    * KEY, `id` hashes ALL payload columns, so an update's before/after
+    * images get DIFFERENT ids and [[rollBatch]] can never pair them into
+    * a `u` — they emit as separate d+c envelopes. Final merged state is
+    * identical; only the changelog shape differs. The reference instead
+    * errors on updating sinks without keys — declare a PRIMARY KEY on
+    * sources feeding debezium sinks to get true `u` records.
     */
   def unroll(df: DataFrame, jsonCol: String, payload: StructType,
       pkCols: Seq[String] = Nil): DataFrame = {
@@ -149,6 +157,22 @@ object Debezium {
     * operator already produced, and the price of emitting canonical `u`
     * records instead of unordered d/c pairs (file order downstream is not
     * guaranteed, so unpaired emission can replay out of order).
+    *
+    * INTENTIONAL DIVERGENCES from ToDebeziumExec (both verified by
+    * GoldenSpec's merged-state comparison, which is order- and
+    * cardinality-insensitive by construction):
+    *   - PER-BATCH COMPACTION: one envelope per key per micro-batch from
+    *     the (first, last) events — intermediate state changes within a
+    *     batch are elided, so changelog cardinality is ≤ the reference's
+    *     one-record-per-retract/append-pair. Consumers see the same final
+    *     state with fewer transitions.
+    *   - ORDERING: `monotonically_increasing_id` orders events by
+    *     (partition, row) — exact within a partition; ACROSS partitions it
+    *     follows partition index, which matches emission order for the
+    *     narrow plans foreachBatch hands us but is an assumption, not a
+    *     guarantee. A cross-partition key whose events interleave adversely
+    *     could pick first/last from partition order rather than true
+    *     emission order.
     */
   def rollBatch(df: DataFrame, metaCol: String = "_updating_meta"): DataFrame = {
     // batch-local order id: rollBatch runs inside foreachBatch, where the

@@ -50,6 +50,28 @@ object UpdatingSql extends Serializable {
     d.digest(s.getBytes("UTF-8")).map(b => f"$b%02x").mkString
   }
 
+  /** Unambiguous rendering of a composite key for the pairing id.
+    * Row.toString joins fields with ',' and no escaping, so keys
+    * ("a,b") and ("a","b") would collide — and Debezium.rollBatch groups
+    * envelopes by this id, so a collision merges two keys' events into
+    * one `u` record. Length-prefix every field (with a distinct marker
+    * for NULL vs the string "null"), mirroring the reference's multi_hash
+    * over primary-key values (physical.rs:930-940).
+    */
+  private[graft] def frameKey(key: Row): String = {
+    val sb = new StringBuilder
+    var i = 0
+    while (i < key.length) {
+      if (key.isNullAt(i)) sb.append("n;")
+      else {
+        val s = String.valueOf(key.get(i))
+        sb.append(s.length).append(':').append(s)
+      }
+      i += 1
+    }
+    sb.toString
+  }
+
   sealed trait Kind extends Serializable
   case object KCountStar extends Kind
   case object KCount extends Kind
@@ -517,8 +539,9 @@ object UpdatingSql extends Serializable {
       // thread-local digest instead of allocating one per emitted row.
       // The id hashes the KEY only (reference multi_hash of the primary
       // keys, physical.rs:930-940) so sink-side pairing can merge a state
-      // change's retract+append into one debezium `u` record.
-      val id = UpdatingSql.md5Hex(key.toString)
+      // change's retract+append into one debezium `u` record; frameKey
+      // length-prefixes fields so composite keys can't alias.
+      val id = UpdatingSql.md5Hex(UpdatingSql.frameKey(key))
       Row.fromSeq(key.toSeq ++ (0 until nSpecs).map(value(acc, _)) :+ Row(isRetract, id))
     }
 

@@ -52,6 +52,36 @@ class SqlPipelineSpec extends SparkSpec {
     assert(t.schema("driver_id").dataType.typeName == "long") // unsigned widened
   }
 
+  test("splitTop: comparisons in generated-column exprs are not type brackets") {
+    import graft.sql.Ddl
+    // the old angle counter treated a bare `>`/`<` as nesting, so column
+    // defs after a comparison merged or vanished (round-3 ADVICE)
+    val cols = Ddl.splitTop(
+      "flag BOOLEAN GENERATED ALWAYS AS (a > b), x INT, " +
+        "y STRUCT<a INT, x STRUCT<b TEXT>>, z INT", ',')
+    assert(cols == Seq(
+      "flag BOOLEAN GENERATED ALWAYS AS (a > b)", "x INT",
+      "y STRUCT<a INT, x STRUCT<b TEXT>>", "z INT"), s"got $cols")
+    // comparison operators with angle chars stay inert
+    val c2 = Ddl.splitTop("a INT GENERATED ALWAYS AS (b <= 3), c TEXT", ',')
+    assert(c2 == Seq("a INT GENERATED ALWAYS AS (b <= 3)", "c TEXT"), s"got $c2")
+    val c3 = Ddl.splitTop("a INT GENERATED ALWAYS AS (b <> 3), c TEXT", ',')
+    assert(c3 == Seq("a INT GENERATED ALWAYS AS (b <> 3)", "c TEXT"), s"got $c3")
+  }
+
+  test("rewriteDialect: operator sugar inside string literals is inert") {
+    val p = new Pipeline(spark)
+    // `::` cast sugar, `->` json access and `? 'field'` all match only
+    // OUTSIDE literals (round-3 ADVICE: 'std::map' became CAST(std AS MAP))
+    assert(p.rewriteDialect("SELECT 'std::map' AS t") == "SELECT 'std::map' AS t")
+    assert(p.rewriteDialect("SELECT 'a->b' AS t") == "SELECT 'a->b' AS t")
+    assert(p.rewriteDialect("SELECT 'x ? ''y''' AS t") == "SELECT 'x ? ''y''' AS t")
+    // while real operators around literals still rewrite
+    assert(p.rewriteDialect("SELECT '123'::INT AS n") == "SELECT CAST('123' AS INT) AS n")
+    assert(p.rewriteDialect("SELECT v->>'k' FROM t")
+      == "SELECT json_get_str(v, 'k') FROM t")
+  }
+
   test("hourly_by_event_type: tumble + count over cars fixture (batch)") {
     val cars = writeCarsFixture()
     val out = tmp()

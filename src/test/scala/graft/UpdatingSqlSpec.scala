@@ -10,6 +10,18 @@ import org.apache.spark.sql.functions._
   */
 class UpdatingSqlSpec extends SparkSpec {
 
+  test("frameKey: composite keys cannot alias (length-prefixed framing)") {
+    import org.apache.spark.sql.Row
+    import graft.streaming.UpdatingSql
+    // Row.toString would render both of these as "[a,b]" (round-3 ADVICE:
+    // colliding ids merged two keys' events into one debezium envelope)
+    assert(UpdatingSql.frameKey(Row("a,b")) != UpdatingSql.frameKey(Row("a", "b")))
+    // NULL vs the string "null" differ too
+    assert(UpdatingSql.frameKey(Row(null)) != UpdatingSql.frameKey(Row("null")))
+    // equal keys frame identically (the pairing contract)
+    assert(UpdatingSql.frameKey(Row("a", 1L)) == UpdatingSql.frameKey(Row("a", 1L)))
+  }
+
   test("translate: multi-agg grouped query matches plain aggregation in batch") {
     import spark.implicits._
     Seq(("a", 1.0), ("a", 3.0), ("b", 10.0), ("b", 20.0), ("b", 30.0))
