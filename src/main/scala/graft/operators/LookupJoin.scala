@@ -45,6 +45,20 @@ object LookupJoin {
     def put(k: K, v: V): Unit = map.put(k, (v, System.currentTimeMillis()))
   }
 
+  /** JVM-wide cache registry: the cache must OUTLIVE a task so the TTL
+    * contract is real — the reference's moka cache is per-worker and
+    * persists across batches (lookup_join.rs:36-270). A cache created
+    * inside `mapPartitions` would die with each task, silently turning
+    * every micro-batch into a cold fetch (TTL never observable).
+    */
+  object TtlCache {
+    private val registry = new java.util.concurrent.ConcurrentHashMap[String, AnyRef]()
+    def of[K, V](name: String, maxEntries: Int, ttlMs: Long): TtlCache[K, V] =
+      registry.computeIfAbsent(name, _ => new TtlCache[K, V](maxEntries, ttlMs))
+        .asInstanceOf[TtlCache[K, V]]
+    private[graft] def drop(name: String): Unit = registry.remove(name)
+  }
+
   /** Enrich with `fetch` (a batched remote getter) through a per-partition
     * TTL cache. `project` turns (row, lookedUpValue) into the output row
     * values; nulls pass through for misses (LEFT semantics).
@@ -57,11 +71,15 @@ object LookupJoin {
       project: (org.apache.spark.sql.Row, Option[V]) => org.apache.spark.sql.Row,
       maxEntries: Int = 100000,
       ttlMs: Long = 60000,
-      fetchBatch: Int = 1000): DataFrame = {
+      fetchBatch: Int = 1000,
+      cacheName: String = java.util.UUID.randomUUID().toString): DataFrame = {
     implicit val enc: org.apache.spark.sql.Encoder[org.apache.spark.sql.Row] =
       org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(outSchema)
+    // cacheName is fixed at CALL time, so every task/micro-batch of this
+    // lookup shares one executor-resident cache — stale values serve for
+    // at most ttlMs, then the next miss refetches (moka semantics)
     stream.mapPartitions { rows =>
-      val cache = new TtlCache[K, V](maxEntries, ttlMs)
+      val cache = TtlCache.of[K, V](cacheName, maxEntries, ttlMs)
       rows.grouped(fetchBatch).flatMap { chunk =>
         val keys = chunk.map(keyOf)
         val misses = keys.filter(cache.get(_).isEmpty).toSet

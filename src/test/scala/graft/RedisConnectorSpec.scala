@@ -117,6 +117,44 @@ class RedisConnectorSpec extends SparkSpec {
     assert(out.count(_._2) == 3) // c1 ×2 + c2 enrich; 'nope' stays null (LEFT)
   }
 
+  test("TTL freshness: a store mutation mid-stream is visible within one expiry") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    val addr = freshAddr()
+    val store = graft.sources.RedisStore.at(addr)
+    store.set("k1", "v1")
+    val outSchema = StructType(Seq(
+      StructField("k", StringType), StructField("v", StringType)))
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val input = MemoryStream[String]
+    val ttlMs = 400L
+    val out = LookupJoin.perPartition[String, String](
+      input.toDF().select(col("value").as("k")).repartition(1),
+      r => r.getString(0),
+      RedisLookupSource.mgetFetcher(addr),
+      outSchema,
+      (r, v) => Row(r.getString(0), v.orNull),
+      ttlMs = ttlMs,
+      cacheName = "ttl-freshness-spec")
+    try {
+      val seen = scala.collection.mutable.ArrayBuffer.empty[String]
+      val q = out.writeStream.outputMode("append")
+        .foreachBatch((b: org.apache.spark.sql.Dataset[Row], _: Long) => {
+          seen.synchronized { seen ++= b.collect().map(_.getString(1)) }
+          ()
+        })
+        .start()
+      input.addData("k1"); q.processAllAvailable()         // cold fetch → v1
+      store.set("k1", "v2")                                // MID-STREAM mutation
+      input.addData("k1"); q.processAllAvailable()         // within TTL → stale v1
+      Thread.sleep(ttlMs + 200)                            // let the entry expire
+      input.addData("k1"); q.processAllAvailable()         // after expiry → v2
+      q.stop()
+      assert(seen.toList == List("v1", "v1", "v2"),
+        s"expected stale-within-ttl then refresh, got $seen")
+    } finally graft.operators.LookupJoin.TtlCache.drop("ttl-freshness-spec")
+  }
+
   test("cacheConf parses the reference's lookup.cache.* option names") {
     val t = sql.Ddl.parse(customersDdl.format("redis://x"))
       .asInstanceOf[sql.Ddl.CreateTbl].table
