@@ -68,11 +68,25 @@ private object ImpulseConf {
     p.get("start_ts").map(java.sql.Timestamp.valueOf(_).getTime * 1000L)
       .getOrElse(ImpulseTable.DefaultStartMicros)
   def parallelism(p: Map[String, String]): Int = p.getOrElse("parallelism", "4").toInt
+  /** `eod=true`: after the bounded counter range, emit ONE sentinel row at
+    * a far-future event time — the stream-level analogue of the
+    * reference's EndOfData, so the consumer's watermark passes every open
+    * window (the SQL pipeline filters the sentinel right above its
+    * watermark node).
+    */
+  def eod(p: Map[String, String]): Boolean = p.get("eod").contains("true")
+  /** Offset horizon: counter range plus the optional sentinel slot. */
+  def totalEnd(p: Map[String, String]): Long = count(p) + (if (eod(p)) 1L else 0L)
+
+  val EodMicros: Long = 253370764800000000L // 9999-01-01T00:00:00Z
 }
 
-/** One counter range assigned to one task (= one reference subtask). */
+/** One counter range assigned to one task (= one reference subtask).
+  * `eodAt` marks the counter index that emits the end-of-data sentinel
+  * (-1 = none in this range).
+  */
 case class ImpulseRange(start: Long, end: Long, subtask: Long,
-    rate: Double, startMicros: Long) extends InputPartition
+    rate: Double, startMicros: Long, eodAt: Long = -1L) extends InputPartition
 
 class ImpulseBatch(props: Map[String, String]) extends Batch {
   override def planInputPartitions(): Array[InputPartition] =
@@ -85,11 +99,12 @@ object ImpulseSplits {
     val n = math.max(1, ImpulseConf.parallelism(props))
     val total = math.max(0L, end - start)
     val step = math.max(1L, (total + n - 1) / n)
+    val eodAt = if (ImpulseConf.eod(props)) ImpulseConf.count(props) else -1L
     (0 until n).iterator
       .map(i => (start + i * step, math.min(end, start + (i + 1) * step), i.toLong))
       .filter { case (s, e, _) => s < e }
       .map { case (s, e, i) =>
-        ImpulseRange(s, e, i, ImpulseConf.rate(props), ImpulseConf.startMicros(props)) }
+        ImpulseRange(s, e, i, ImpulseConf.rate(props), ImpulseConf.startMicros(props), eodAt) }
       .toArray
   }
 }
@@ -101,8 +116,11 @@ object ImpulseReaderFactory extends PartitionReaderFactory {
       private var i = r.start - 1
       override def next(): Boolean = { i += 1; i < r.end }
       override def get(): InternalRow = {
-        val micros = r.startMicros + (i * 1000000.0 / r.rate).toLong
-        InternalRow(micros, i, r.subtask)
+        if (i == r.eodAt) InternalRow(ImpulseConf.EodMicros, i, r.subtask)
+        else {
+          val micros = r.startMicros + (i * 1000000.0 / r.rate).toLong
+          InternalRow(micros, i, r.subtask)
+        }
       }
       override def close(): Unit = ()
     }
@@ -116,15 +134,34 @@ case class ImpulseOffset(pos: Long) extends Offset {
 
 /** Micro-batch stream: the available offset advances with wall-clock ×
   * event_rate, capped at message_count (a bounded impulse ends — the
-  * reference's bounded sources emit EndOfData the same way).
+  * reference's bounded sources emit EndOfData the same way). Under
+  * Trigger.AvailableNow the full bounded range (sentinel included when
+  * `eod=true`) is available immediately: the event RATE spaces event
+  * time, it is not a wall-clock delivery contract for a bounded run —
+  * matching the reference's smoke tests, which drain bounded impulse
+  * sources without real-time pacing.
   */
-class ImpulseMicroBatchStream(props: Map[String, String]) extends MicroBatchStream {
+class ImpulseMicroBatchStream(props: Map[String, String]) extends MicroBatchStream
+    with org.apache.spark.sql.connector.read.streaming.SupportsTriggerAvailableNow {
   private val startWall = System.currentTimeMillis()
+  @volatile private var availableNow = false
+  override def prepareForTriggerAvailableNow(): Unit = availableNow = true
+  // SupportsAdmissionControl variant: impulse ignores read limits (a
+  // bounded counter range is already its own admission control)
+  override def latestOffset(start: Offset,
+      limit: org.apache.spark.sql.connector.read.streaming.ReadLimit): Offset =
+    latestOffset()
   override def initialOffset(): Offset = ImpulseOffset(0L)
   override def latestOffset(): Offset = {
-    val elapsed = (System.currentTimeMillis() - startWall) / 1000.0
-    val available = (elapsed * ImpulseConf.rate(props)).toLong
-    ImpulseOffset(math.min(ImpulseConf.count(props), available))
+    if (availableNow) ImpulseOffset(ImpulseConf.totalEnd(props))
+    else {
+      val elapsed = (System.currentTimeMillis() - startWall) / 1000.0
+      val available = (elapsed * ImpulseConf.rate(props)).toLong
+      // the sentinel becomes available only once the whole range has
+      val capped = math.min(ImpulseConf.count(props), available)
+      ImpulseOffset(
+        if (capped == ImpulseConf.count(props)) ImpulseConf.totalEnd(props) else capped)
+    }
   }
   override def deserializeOffset(json: String): Offset = ImpulseOffset(json.toLong)
   override def commit(end: Offset): Unit = ()

@@ -661,10 +661,14 @@ class Pipeline(spark: SparkSession, streaming: Boolean = false) {
     */
   var eodFlushEnabled: Boolean = true
 
-  private def eodField(t: ConnectorTable): Option[String] =
-    if (!streaming || planOnly || !eodFlushEnabled) None
-    else if (t.connector != "filesystem" && t.connector != "single_file") None
-    else if (t.format != "json" || t.options.get("json.unstructured").contains("true")) None
+  private def eodField(t: ConnectorTable): Option[String] = {
+    // file overlay for structured json; the impulse generator emits its
+    // own sentinel row natively (ImpulseSource `eod=true`)
+    val connectorOk =
+      ((t.connector == "filesystem" || t.connector == "single_file") &&
+        t.format == "json" && !t.options.get("json.unstructured").contains("true")) ||
+      t.connector == "impulse"
+    if (!streaming || planOnly || !eodFlushEnabled || !connectorOk) None
     else t.eventTimeField
       // no declared event time → the default-watermark fallback column
       // (applyColumns watermarks a declared `timestamp` column by default,
@@ -674,6 +678,7 @@ class Pipeline(spark: SparkSession, streaming: Boolean = false) {
         t.columns.exists(c => c.name.equalsIgnoreCase(f) && c.virtualExpr.isEmpty &&
           c.metadataFrom.isEmpty && c.sqlType.toUpperCase.startsWith("TIMESTAMP"))
       }
+  }
 
   /** Overlay dir for the sentinel: symlinks to the source file(s) plus one
     * far-future row. Symlinks, not copies — the input may be arbitrarily
@@ -800,7 +805,9 @@ class Pipeline(spark: SparkSession, streaming: Boolean = false) {
             "stream the downstream pipeline from a message connector instead")
         graft.sinks.TxnLog.read(spark,
           t.path.getOrElse(sys.error(s"table ${t.name}: path required")))
-      case "impulse" => Generators.renameTo(Generators.impulse(spark, t, streaming), t)
+      case "impulse" =>
+        Generators.renameTo(
+          Generators.impulse(spark, t, streaming, eod = eodField(t).isDefined), t)
       case "nexmark" => Generators.renameTo(Generators.nexmark(spark, t, streaming), t)
       case "kafka" | "confluent" =>
         // confluent = kafka + mandatory schema registry (reference
@@ -1527,9 +1534,11 @@ object Generators {
     * deterministic event times, bounded by message_count, exactly-once
     * offsets in streaming.
     */
-  def impulse(spark: SparkSession, t: ConnectorTable, streaming: Boolean): DataFrame = {
+  def impulse(spark: SparkSession, t: ConnectorTable, streaming: Boolean,
+      eod: Boolean = false): DataFrame = {
     val opts = t.options.filter { case (k, _) =>
-      Set("event_rate", "message_count", "start_ts", "parallelism")(k) }
+      Set("event_rate", "message_count", "start_ts", "parallelism")(k) } ++
+      (if (eod && streaming) Map("eod" -> "true") else Map.empty)
     if (streaming) spark.readStream.format("graft-impulse").options(opts).load()
     else spark.read.format("graft-impulse").options(opts).load()
   }

@@ -37,6 +37,28 @@ class ImpulseSourceSpec extends SparkSpec {
     assert(counters.toSeq == (0L until 500L)) // exactly once, no gaps/dups
   }
 
+  test("streaming SQL pipeline over the impulse GENERATOR flushes all windows (AvailableNow)") {
+    // AvailableNow makes the full bounded range available immediately
+    // (SupportsTriggerAvailableNow) and eod=true appends the EndOfData
+    // sentinel — so the generator-backed streaming pipeline matches the
+    // batch result exactly, final window included
+    val script =
+      """CREATE TABLE impulse_source (
+        |  timestamp TIMESTAMP, counter BIGINT NOT NULL, subtask_index BIGINT NOT NULL
+        |) WITH (connector = 'impulse', event_rate = '10', message_count = '600',
+        |        type = 'source', event_time_field = 'timestamp');
+        |CREATE TABLE sink WITH (connector = 'memory', type = 'sink');
+        |INSERT INTO sink
+        |SELECT window.start AS s, count(*) AS n
+        |FROM impulse_source GROUP BY tumble(interval '10 seconds')""".stripMargin
+    new graft.sql.Pipeline(spark, streaming = true).run(script)
+    val got = spark.table("sink_result")
+      .collect().map(r => r.getTimestamp(0).toString -> r.getLong(1)).toMap
+    // 600 events at 10/s = 60 s of event time → six 10 s windows × 100
+    assert(got.size == 6, s"expected all 6 windows (final one flushed), got $got")
+    assert(got.values.forall(_ == 100L), s"got $got")
+  }
+
   test("works as tumbling-window input end-to-end") {
     val df = spark.read.format("graft-impulse")
       .option("message_count", "600").option("event_rate", "10").load()

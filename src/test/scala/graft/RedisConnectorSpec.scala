@@ -127,7 +127,9 @@ class RedisConnectorSpec extends SparkSpec {
       StructField("k", StringType), StructField("v", StringType)))
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     val input = MemoryStream[String]
-    val ttlMs = 400L
+    // generous TTL: micro-batches under full-suite load can take hundreds
+    // of ms, and the stale-read assertion needs the entry alive across one
+    val ttlMs = 5000L
     val out = LookupJoin.perPartition[String, String](
       input.toDF().select(col("value").as("k")).repartition(1),
       r => r.getString(0),
@@ -147,7 +149,7 @@ class RedisConnectorSpec extends SparkSpec {
       input.addData("k1"); q.processAllAvailable()         // cold fetch → v1
       store.set("k1", "v2")                                // MID-STREAM mutation
       input.addData("k1"); q.processAllAvailable()         // within TTL → stale v1
-      Thread.sleep(ttlMs + 200)                            // let the entry expire
+      Thread.sleep(ttlMs + 300)                            // let the entry expire
       input.addData("k1"); q.processAllAvailable()         // after expiry → v2
       q.stop()
       assert(seen.toList == List("v1", "v1", "v2"),
