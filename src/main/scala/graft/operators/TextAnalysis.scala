@@ -104,6 +104,53 @@ object TextAnalysis {
     packed.getField("a") * 2147483648L + packed.getField("b")
   }
 
+  /** PII patterns for scrubbing — RE2-safe (no backrefs/lookaround) so the
+    * same pattern text runs identically in Spark (java.util.regex) and in
+    * engines on RE2 (the DuckDB oracle). The usual pretraining-pipeline
+    * redaction pass: emails, IPv4s, simple phone shapes.
+    */
+  object Pii {
+    val email = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+    val ipv4 = "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b"
+    val phone = "\\+?[0-9]{1,3}[-. ][0-9]{3}[-. ][0-9]{3,4}[-. ]?[0-9]{0,4}\\b"
+    val all: Seq[(String, String)] =
+      Seq(email -> "<EMAIL>", ipv4 -> "<IP>", phone -> "<PHONE>")
+  }
+
+  /** Scrub PII: replace each pattern with its tag, left to right (emails
+    * first so user@host never half-matches as a phone). Pure codegen'd
+    * regexp_replace chain — runs at scan speed over 100 TB.
+    */
+  def scrubPii(text: Column): Column =
+    Pii.all.foldLeft(text) { case (c, (pat, tag)) => regexp_replace(c, pat, tag) }
+
+  /** Count of PII matches per category (pre-scrub evidence columns). */
+  def piiCounts(text: Column): Seq[Column] = Seq(
+    regexp_count(text, lit(Pii.email)).as("n_emails"),
+    regexp_count(text, lit(Pii.ipv4)).as("n_ips"),
+    regexp_count(text, lit(Pii.phone)).as("n_phones"))
+
+  /** Within-document repetition profile over token n-grams (NOT distinct —
+    * repetition is the signal): max single-gram frequency, number of
+    * repeated occurrences (total − distinct), and the distinct count.
+    * High repeated_grams/max_gram_freq flags boilerplate/spam docs — the
+    * standard intra-doc quality gate next to [[qualityScore]]'s
+    * surface stats. One shuffle on (doc, gram) with map-side partials.
+    */
+  def repetition(df: DataFrame, idCol: String, textCol: String, n: Int = 3): DataFrame = {
+    val toks = Dedup.tokens(col(textCol))
+    val grams = df
+      .filter(size(toks) >= n)
+      .select(col(idCol).as("doc"),
+        explode(transform(sequence(lit(0), size(toks) - n),
+          i => concat_ws(" ", slice(toks, i + 1, lit(n))))).as("gram"))
+    grams.groupBy("doc", "gram").agg(count(lit(1)).as("cnt"))
+      .groupBy("doc")
+      .agg(max(col("cnt")).as("max_gram_freq"),
+        (sum(col("cnt")) - count(lit(1))).as("repeated_grams"),
+        count(lit(1)).as("distinct_grams"))
+  }
+
   /** Full per-document feature frame used by quality filtering. */
   def features(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     val t = col(textCol)

@@ -125,6 +125,62 @@ object Pipeline {
               |  SELECT unnest(${oTokens("text")}) AS word FROM documents)
               |GROUP BY word HAVING COUNT(*) >= 10""".stripMargin)),
 
+    // ── PII scrubbing (pretraining redaction pass). The synthetic corpus
+    //    carries no natural PII, so the query INJECTS a deterministic PII
+    //    suffix derived from doc_id — identically in Spark and the DuckDB
+    //    oracle — then counts and scrubs it. The md5 of the scrubbed text
+    //    pins the regex semantics (all-occurrence replace, chain order,
+    //    greediness) across engines.
+    Q("q_pii_scrub",
+      (s, dir) => {
+        val withPii = docs(s, dir).select(col("doc_id"),
+          concat(col("text"),
+            lit(" contact user"), col("doc_id"), lit("@example.com via 10.0."),
+            pmod(col("doc_id"), lit(256)), lit(".7 or +1 555-01"),
+            pmod(col("doc_id"), lit(80)) + 10, lit(" today")).as("text"))
+        withPii.select(
+          (col("doc_id") +: TextAnalysis.piiCounts(col("text"))) :+
+            md5(TextAnalysis.scrubPii(col("text"))).as("scrub_hash"): _*)
+      },
+      Some {
+        val email = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+        val ipv4 = "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b"
+        val phone = "\\+?[0-9]{1,3}[-. ][0-9]{3}[-. ][0-9]{3,4}[-. ]?[0-9]{0,4}\\b"
+        s"""WITH p AS (
+           |  SELECT doc_id,
+           |         text || ' contact user' || doc_id || '@example.com via 10.0.' ||
+           |         (doc_id % 256) || '.7 or +1 555-01' || (doc_id % 80 + 10) ||
+           |         ' today' AS text
+           |  FROM documents)
+           |SELECT doc_id,
+           |  CAST(len(regexp_extract_all(text, '$email')) AS INTEGER) AS n_emails,
+           |  CAST(len(regexp_extract_all(text, '$ipv4')) AS INTEGER) AS n_ips,
+           |  CAST(len(regexp_extract_all(text, '$phone')) AS INTEGER) AS n_phones,
+           |  md5(regexp_replace(regexp_replace(regexp_replace(text,
+           |        '$email', '<EMAIL>', 'g'),
+           |        '$ipv4', '<IP>', 'g'),
+           |        '$phone', '<PHONE>', 'g')) AS scrub_hash
+           |FROM p""".stripMargin
+      }),
+
+    // ── within-doc repetition profile (boilerplate/spam gate): n-gram
+    //    counts WITHOUT distinct — repetition is the signal
+    Q("q_repetition",
+      (s, dir) => TextAnalysis.repetition(docs(s, dir), "doc_id", "text", n = 3)
+        .select(col("doc").as("doc_id"), col("max_gram_freq"),
+          col("repeated_grams"), col("distinct_grams")),
+      Some(s"""WITH toks AS (
+              |  SELECT doc_id, ${oTokens("text")} AS tk FROM documents),
+              |g AS (
+              |  SELECT doc_id, array_to_string(tk[i : i + 2], ' ') AS gram
+              |  FROM toks, unnest(range(1, len(tk) - 1)) AS u(i)
+              |  WHERE len(tk) >= 3),
+              |c AS (SELECT doc_id, gram, COUNT(*) AS cnt FROM g GROUP BY 1, 2)
+              |SELECT doc_id, max(cnt) AS max_gram_freq,
+              |       CAST(sum(cnt) - COUNT(*) AS BIGINT) AS repeated_grams,
+              |       COUNT(*) AS distinct_grams
+              |FROM c GROUP BY doc_id""".stripMargin)),
+
     // ── embedding column stats (vector plumbing check: element access,
     //    norm via codegen'd dot product; exact decimal aggregation)
     Q("q_embed_stats",

@@ -52,6 +52,37 @@ class TextAnalysisSpec extends SparkSpec {
     assert(rows(5L) == "und")
   }
 
+  test("scrubPii replaces emails, IPs and phones with tags; clean text intact") {
+    import spark.implicits._
+    val rows = Seq(
+      (1L, "mail alice.smith+dev@sub.example.org now"),
+      (2L, "server at 192.168.1.254 is down"),
+      (3L, "call +1 555-0123 or 44 020 7946 0958"),
+      (4L, "no pii here, just words and 42 numbers")
+    ).toDF("doc_id", "text")
+      .select(col("doc_id"), TextAnalysis.scrubPii(col("text")).as("t"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(rows(1L) == "mail <EMAIL> now")
+    assert(rows(2L) == "server at <IP> is down")
+    assert(rows(3L).contains("<PHONE>") && !rows(3L).exists(_.isDigit), s"got ${rows(3L)}")
+    assert(rows(4L) == "no pii here, just words and 42 numbers")
+  }
+
+  test("repetition profile flags boilerplate docs") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "buy now buy now buy now buy now"),          // one 3-gram repeated
+      (2L, "the quick brown fox jumps over fences")     // all distinct
+    ).toDF("doc_id", "text")
+    val r = TextAnalysis.repetition(docs, "doc_id", "text", n = 3)
+      .collect().map(x => x.getLong(0) -> ((x.getLong(1), x.getLong(2), x.getLong(3)))).toMap
+    // doc 1: grams of "buy now buy now ..." (8 tokens → 6 grams, 2 distinct:
+    // "buy now buy" ×3 and "now buy now" ×3)
+    assert(r(1L) == ((3L, 4L, 2L)), s"got ${r(1L)}")
+    // doc 2: 5 grams, all distinct → no repetition
+    assert(r(2L) == ((1L, 0L, 5L)), s"got ${r(2L)}")
+  }
+
   test("features frame computes all columns without nulls") {
     val docs = Tables.load(spark, sfDir, "documents")
     val f = TextAnalysis.features(docs, "doc_id", "text")
