@@ -662,11 +662,12 @@ class Pipeline(spark: SparkSession, streaming: Boolean = false) {
   var eodFlushEnabled: Boolean = true
 
   private def eodField(t: ConnectorTable): Option[String] = {
-    // file overlay for structured json; the impulse generator emits its
-    // own sentinel row natively (ImpulseSource `eod=true`)
+    // file overlay for structured json/csv/parquet; the impulse generator
+    // emits its own sentinel row natively (ImpulseSource `eod=true`)
     val connectorOk =
       ((t.connector == "filesystem" || t.connector == "single_file") &&
-        t.format == "json" && !t.options.get("json.unstructured").contains("true")) ||
+        Set("json", "csv", "parquet")(t.format) &&
+        !t.options.get("json.unstructured").contains("true")) ||
       t.connector == "impulse"
     if (!streaming || planOnly || !eodFlushEnabled || !connectorOk) None
     else t.eventTimeField
@@ -681,10 +682,12 @@ class Pipeline(spark: SparkSession, streaming: Boolean = false) {
   }
 
   /** Overlay dir for the sentinel: symlinks to the source file(s) plus one
-    * far-future row. Symlinks, not copies — the input may be arbitrarily
-    * large; only the sentinel file is new bytes.
+    * far-future row written in the source's own format. Symlinks, not
+    * copies — the input may be arbitrarily large; only the sentinel file
+    * is new bytes.
     */
-  private def eodOverlayDir(path: String, tsField: String): String = {
+  private def eodOverlayDir(path: String, tsField: String,
+      writeSentinel: java.nio.file.Path => Unit): String = {
     import java.nio.file.{Files, Paths}
     val dir = Files.createTempDirectory("graft-eod")
     val src = Paths.get(path)
@@ -698,9 +701,42 @@ class Pipeline(spark: SparkSession, streaming: Boolean = false) {
       try Files.createSymbolicLink(link, f.toAbsolutePath)
       catch { case _: Exception => Files.copy(f, link) }
     }
-    Files.write(dir.resolve("zz-graft-eod.json"),
-      s"""{"$tsField":"${Pipeline.EodSentinelTs}"}""".getBytes("UTF-8"))
+    writeSentinel(dir)
     dir.toString
+  }
+
+  private def eodJsonSentinel(tsField: String)(dir: java.nio.file.Path): Unit =
+    java.nio.file.Files.write(dir.resolve("zz-graft-eod.json"),
+      s"""{"$tsField":"${Pipeline.EodSentinelTs}"}""".getBytes("UTF-8"))
+
+  /** CSV sentinel: header + one positional row with only the event-time
+    * column populated (declared schema is positional under header=true).
+    */
+  private def eodCsvSentinel(tsField: String, schema: StructType)(
+      dir: java.nio.file.Path): Unit = {
+    val header = schema.fieldNames.mkString(",")
+    val row = schema.fieldNames.map(n =>
+      if (n.equalsIgnoreCase(tsField)) Pipeline.EodSentinelTs else "").mkString(",")
+    java.nio.file.Files.write(dir.resolve("zz-graft-eod.csv"),
+      s"$header\n$row\n".getBytes("UTF-8"))
+  }
+
+  /** Parquet sentinel: a one-row, one-column (the event-time field)
+    * parquet file — the reader null-fills the other declared columns.
+    */
+  private def eodParquetSentinel(tsField: String)(dir: java.nio.file.Path): Unit = {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-eod-pq")
+    val schema = StructType(Seq(
+      org.apache.spark.sql.types.StructField(tsField,
+        org.apache.spark.sql.types.TimestampType)))
+    val row = org.apache.spark.sql.Row(
+      java.sql.Timestamp.from(java.time.Instant.parse(Pipeline.EodSentinelTs)))
+    spark.createDataFrame(java.util.List.of(row), schema)
+      .coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+    val part = java.nio.file.Files.list(tmp).iterator().asScala
+      .find(_.getFileName.toString.endsWith(".parquet"))
+      .getOrElse(sys.error("sentinel parquet write produced no part file"))
+    java.nio.file.Files.copy(part, dir.resolve("zz-graft-eod.parquet"))
   }
 
   /** Build the DataFrame for a source table per its connector (SURVEY
@@ -753,15 +789,34 @@ class Pipeline(spark: SparkSession, streaming: Boolean = false) {
                 // bounded streaming: overlay the end-of-input sentinel so
                 // final windows flush (see eodField's scaladoc)
                 spark.readStream.schema(t.schema).format("json").options(jsonOpts)
-                  .load(eodOverlayDir(path, f))
+                  .load(eodOverlayDir(path, f, eodJsonSentinel(f)))
               case _ => load("json", jsonOpts)
             }
           case "parquet" =>
             // parquet is self-describing: read the file's own schema (the
             // declared one may disagree on physical types, e.g.
             // TIMESTAMP(NANOS) surfacing as LONG) and align to DDL below
-            load("parquet", schema = spark.read.parquet(path).schema)
-          case "csv" => load("csv", Map("header" -> "true"))
+            val fileSchema = spark.read.parquet(path).schema
+            eodField(t) match {
+              case Some(f) if streaming &&
+                  fileSchema.fields.exists(fd => fd.name.equalsIgnoreCase(f) &&
+                    fd.dataType == org.apache.spark.sql.types.TimestampType) =>
+                // overlay only when the file's column is a REAL µs
+                // timestamp: a TIMESTAMP(NANOS)-as-LONG column cannot
+                // carry a year-9999 sentinel (ns-since-epoch overflows
+                // Long past ~2262) — those sources keep the plain path
+                spark.readStream.schema(fileSchema).format("parquet")
+                  .load(eodOverlayDir(path, f, eodParquetSentinel(f)))
+              case _ => load("parquet", schema = fileSchema)
+            }
+          case "csv" =>
+            eodField(t) match {
+              case Some(f) if streaming =>
+                spark.readStream.schema(t.schema).format("csv")
+                  .option("header", "true")
+                  .load(eodOverlayDir(path, f, eodCsvSentinel(f, t.schema)))
+              case _ => load("csv", Map("header" -> "true"))
+            }
           case "raw_string" =>
             loadText()
           case "raw_bytes" =>

@@ -138,6 +138,37 @@ class SqlPipelineSpec extends SparkSpec {
       ("2023-09-18 16:00:00.0", "pickup", 1L)), s"got $got")
   }
 
+  test("csv and parquet streaming sources flush final windows too (EndOfData)") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("eodfmt").toString
+    val rows = Seq(
+      ("2024-01-01 00:00:30", "a"), ("2024-01-01 00:01:10", "b"),
+      ("2024-01-01 00:02:40", "a")) // 3 one-minute windows; the last only
+                                    // closes via the end-of-input flush
+    // csv fixture
+    java.nio.file.Files.write(java.nio.file.Paths.get(s"$dir/d.csv"),
+      ("ts,k\n" + rows.map { case (t, k) => s"$t,$k" }.mkString("\n") + "\n").getBytes)
+    // parquet fixture (real µs timestamps)
+    rows.toDF("s", "k").select(to_timestamp(col("s")).as("ts"), col("k"))
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/pq")
+    for ((fmt, path) <- Seq("csv" -> s"$dir/d.csv", "parquet" -> s"$dir/pq")) {
+      val sink = s"eod_${fmt}_result"
+      new Pipeline(spark, streaming = true).run(
+        s"""CREATE TABLE src (ts TIMESTAMP, k TEXT) WITH (
+           |  connector = '${if (fmt == "csv") "single_file" else "filesystem"}',
+           |  path = '$path', format = '$fmt', type = 'source',
+           |  event_time_field = 'ts');
+           |CREATE TABLE eod_$fmt WITH (connector = 'memory', type = 'sink');
+           |INSERT INTO eod_$fmt
+           |SELECT window.start AS s, count(*) AS n
+           |FROM src GROUP BY tumble(interval '1 minute')""".stripMargin)
+      val got = spark.table(sink).collect()
+        .map(r => r.getTimestamp(0).toString -> r.getLong(1)).toMap
+      assert(got.size == 3, s"$fmt: expected all 3 windows flushed, got $got")
+      assert(got.values.forall(_ == 1L), s"$fmt: got $got")
+    }
+  }
+
   test("hop and session rewrite to window()/session_window()") {
     val p = new Pipeline(spark)
     p.runStatement(Ddl.parse(
