@@ -33,6 +33,17 @@ object GraftSession {
       // Spark's default, pinned because it's load-bearing reference parity
       // (WatermarkHolder min across inputs, arroyo-operator/context.rs:36-90)
       .config("spark.sql.streaming.multipleWatermarkPolicy", "min")
+      // RocksDB state store: streaming state at 100 TB-class key
+      // cardinality cannot live on the executor heap (the default
+      // HDFS-backed provider keeps the full map in memory per partition);
+      // RocksDB spills to local disk with bounded memory, the same
+      // LSM-on-local-disk shape as the reference's state backend
+      // (crates/arroyo-state). Changelog checkpointing keeps commits
+      // incremental instead of re-uploading full SSTs per batch.
+      .config("spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      .config("spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled",
+        "true")
       // keep managed tables (bucketing) out of the working directory
       .config("spark.sql.warehouse.dir",
         s"${System.getProperty("java.io.tmpdir")}/graft-warehouse")
