@@ -274,6 +274,38 @@ object Dedup {
     materializeAndRelease(scored, filtered)
   }
 
+  /** C4-style corpus-level LINE dedup: a line (or sentence) that appears in
+    * more than one document keeps exactly ONE occurrence — the first by
+    * (doc, position) order — and every other occurrence is dropped. This is
+    * the classic boilerplate killer (nav bars, cookie banners, license
+    * headers repeat verbatim across millions of pages).
+    *
+    * Returns per-doc stats: (doc, n_lines, n_kept). `n_lines − n_kept` is
+    * the number of lines this doc loses to cross-corpus duplication.
+    *
+    * Scale: explode to (line-hash, ord) pairs — one shuffle keyed on the
+    * 128-bit line hash with map-side partials, then an equi-join of the
+    * pairs against the per-hash minimum. No text moves after the hash
+    * projection; cost is O(total lines), never pairwise. The keep-first
+    * rule is a deterministic min over ord = doc·2²⁰ + position, so reruns
+    * and engines agree on which occurrence survives.
+    */
+  def lineDedupStats(df: DataFrame, idCol: String, textCol: String,
+      sep: String = "\n"): DataFrame = {
+    val lines = spreadForCompute(df).select(
+        col(idCol).as("doc"),
+        posexplode(split(col(textCol), java.util.regex.Pattern.quote(sep)))
+          .as(Seq("pos", "line")))
+      .filter(trim(col("line")) =!= "")
+      .select(col("doc"), (col("doc") * 1048576L + col("pos")).as("ord"),
+        md5(trim(col("line"))).as("lh"))
+    val firsts = lines.groupBy("lh").agg(min(col("ord")).as("first_ord"))
+    lines.join(firsts, "lh")
+      .groupBy(col("doc"))
+      .agg(count(lit(1)).as("n_lines"),
+        sum(when(col("ord") === col("first_ord"), 1L).otherwise(0L)).as("n_kept"))
+  }
+
   /** SimHash: 64-bit locality-sensitive fingerprint. Tokens are hashed to
     * 64 bits; each bit position accumulates +w/−w across tokens; the sign
     * pattern is the fingerprint. Near-dups differ in few bits (small

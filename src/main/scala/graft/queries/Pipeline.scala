@@ -125,6 +125,28 @@ object Pipeline {
               |  SELECT unnest(${oTokens("text")}) AS word FROM documents)
               |GROUP BY word HAVING COUNT(*) >= 10""".stripMargin)),
 
+    // ── C4-style corpus line dedup: a sentence appearing in several docs
+    //    keeps one occurrence (first by doc·2²⁰+pos); per-doc stats below.
+    //    '. ' splitting plays the line boundary on the sentence-structured
+    //    synthetic corpus.
+    Q("q_line_dedup",
+      (s, dir) => graft.operators.Dedup.lineDedupStats(
+          docs(s, dir), "doc_id", "text", sep = ". ")
+        .select(col("doc").as("doc_id"), col("n_lines"), col("n_kept")),
+      Some("""WITH l0 AS (
+             |  SELECT doc_id, tk, unnest(range(len(tk))) AS pos
+             |  FROM (SELECT doc_id, string_split(text, '. ') AS tk FROM documents)),
+             |l AS (
+             |  SELECT doc_id,
+             |         doc_id * 1048576 + pos AS ord,
+             |         md5(trim(tk[CAST(pos AS INTEGER) + 1])) AS lh
+             |  FROM l0 WHERE trim(tk[CAST(pos AS INTEGER) + 1]) <> ''),
+             |k AS (SELECT lh, min(ord) AS first_ord FROM l GROUP BY lh)
+             |SELECT doc_id, COUNT(*) AS n_lines,
+             |       CAST(sum(CASE WHEN l.ord = k.first_ord THEN 1 ELSE 0 END)
+             |         AS BIGINT) AS n_kept
+             |FROM l JOIN k USING (lh) GROUP BY doc_id""".stripMargin)),
+
     // ── PII scrubbing (pretraining redaction pass). The synthetic corpus
     //    carries no natural PII, so the query INJECTS a deterministic PII
     //    suffix derived from doc_id — identically in Spark and the DuckDB

@@ -69,6 +69,20 @@ class DedupSpec extends SparkSpec {
     assert(math.abs(pairs(((1L, 3L))) - 15.0 / 17.0) < 1e-9)
   }
 
+  test("lineDedupStats: cross-doc duplicated lines keep exactly the first occurrence") {
+    import spark.implicits._
+    val d = Seq(
+      (1L, "shared cookie banner\nunique alpha\nunique beta"),
+      (2L, "shared cookie banner\nunique gamma"),
+      (3L, "entirely original content")
+    ).toDF("doc_id", "text")
+    val r = Dedup.lineDedupStats(d, "doc_id", "text", sep = "\n")
+      .collect().map(x => x.getLong(0) -> ((x.getLong(1), x.getLong(2)))).toMap
+    assert(r(1L) == ((3L, 3L)), s"doc1 owns the first banner occurrence: ${r(1L)}")
+    assert(r(2L) == ((2L, 1L)), s"doc2 loses its banner copy: ${r(2L)}")
+    assert(r(3L) == ((1L, 1L)), s"unique doc untouched: ${r(3L)}")
+  }
+
   test("simhash: identical docs share fingerprint; near dups closer than unrelated") {
     val fp = Dedup.simhash(docs, "doc_id", "text")
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
