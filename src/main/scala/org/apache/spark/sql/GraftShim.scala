@@ -11,4 +11,11 @@ import org.apache.spark.sql.catalyst.expressions.Expression
 object GraftShim {
   def column(e: Expression): Column = classic.ExpressionUtils.column(e)
   def expression(c: Column): Expression = classic.ExpressionUtils.expression(c)
+
+  /** True when the session's SQL cache holds no entries — the observable
+    * for persist-lifecycle regression tests (operators must release their
+    * cached intermediates; round-3 verdict item #1).
+    */
+  def sqlCacheIsEmpty(spark: SparkSession): Boolean =
+    spark.sharedState.cacheManager.isEmpty
 }

@@ -69,6 +69,22 @@ class DedupSpec extends SparkSpec {
     assert(math.abs(pairs(((1L, 3L))) - 15.0 / 17.0) < 1e-9)
   }
 
+  test("pair operators release every cached intermediate (persist lifecycle)") {
+    import spark.implicits._
+    spark.catalog.clearCache()
+    Dedup.minhashLshPairs(docs, "doc_id", "text",
+      shingleSize = 2, numHashes = 64, bands = 16, threshold = 0.5).count()
+    Dedup.ngramJaccardPairs(docs, "doc_id", "text",
+      shingleSize = 2, threshold = 0.3, maxDocFreq = 100).count()
+    val evalDf = Seq((1000L, "the quick brown fox jumps")).toDF("doc_id", "text")
+    graft.operators.Sampling.contaminationPairs(docs, evalDf, "doc_id", "text",
+      shingleSize = 2, threshold = 0.3).count()
+    // a leak here pins MEMORY_AND_DISK blocks for the life of the session
+    // (unbounded in foreachBatch loops) — the round-3 bench confound
+    assert(org.apache.spark.sql.GraftShim.sqlCacheIsEmpty(spark),
+      "pair operators must unpersist their intermediates after materializing")
+  }
+
   test("lineDedupStats: cross-doc duplicated lines keep exactly the first occurrence") {
     import spark.implicits._
     val d = Seq(
