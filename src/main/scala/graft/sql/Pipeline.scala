@@ -84,12 +84,26 @@ class Pipeline(spark: SparkSession, streaming: Boolean = false) {
     // a script that pins a durable checkpoint intends to RESUME later —
     // end of input there is a pause, not the stream's end, so the
     // EndOfData flush must not fire (a far-future watermark persisted in
-    // the checkpoint would drop every post-restart row as late). SET
-    // end_of_input_flush overrides either way.
-    if (stmts.exists {
-        case CreateTbl(t) => t.isSink && t.options.contains("checkpoint")
-        case _ => false
-      }) eodFlushEnabled = false
+    // the checkpoint would drop every post-restart row as late).
+    val checkpointed = stmts.exists {
+      case CreateTbl(t) => t.isSink && t.options.contains("checkpoint")
+      case _ => false
+    }
+    if (checkpointed) {
+      // ...and combining them can never work for file sources: the flush
+      // streams from a per-run overlay dir, so the file-source checkpoint
+      // would treat every (re-linked) input file as new and reprocess it
+      if (stmts.exists {
+          case SetOption("end_of_input_flush", v)
+            if v.stripPrefix("'").stripSuffix("'").trim.equalsIgnoreCase("true") => true
+          case _ => false
+        })
+        throw new IllegalArgumentException(
+          "end_of_input_flush cannot be combined with a durable sink checkpoint: " +
+            "the flush overlays the input per run, which breaks file identity in " +
+            "the source log. Run the final (flushing) pass without a checkpoint.")
+      eodFlushEnabled = false
+    }
     stmts.foreach(runStatement)
     queries.foreach(_.awaitTermination())
     lastResult

@@ -169,6 +169,35 @@ class SqlPipelineSpec extends SparkSpec {
     }
   }
 
+  test("end_of_input_flush knob: auto-off for checkpointed scripts, error if forced") {
+    val cars = writeCarsFixture()
+    val cp = java.nio.file.Files.createTempDirectory("eodcp").toString
+    def script(set: String) =
+      s"""${set}CREATE TABLE cars (
+         |  timestamp TIMESTAMP, driver_id BIGINT, event_type TEXT, location TEXT
+         |) WITH (connector = 'single_file', path = '$cars', format = 'json',
+         |        type = 'source', event_time_field = 'timestamp');
+         |CREATE TABLE snk WITH (connector = 'memory', type = 'sink',
+         |                       checkpoint = '$cp');
+         |INSERT INTO snk
+         |SELECT window.start AS s, count(*) AS n
+         |FROM cars GROUP BY tumble(interval '1 hour')""".stripMargin
+    // checkpointed: flush auto-disables → the final (16:00) window stays
+    // open, exactly the resumable-pause semantics
+    new Pipeline(spark, streaming = true).run(script(""))
+    val got = spark.table("snk_result").collect()
+      .map(_.getTimestamp(0).toString).toSet
+    assert(!got.contains("2023-09-18 16:00:00.0"),
+      s"checkpointed run must not flush the final window, got $got")
+    // forcing the flush onto a checkpointed script is a planning error
+    // (per-run input overlays would break file identity in the source log)
+    val e = intercept[IllegalArgumentException] {
+      new Pipeline(spark, streaming = true)
+        .run(script("SET end_of_input_flush = true;\n"))
+    }
+    assert(e.getMessage.contains("durable sink checkpoint"))
+  }
+
   test("hop and session rewrite to window()/session_window()") {
     val p = new Pipeline(spark)
     p.runStatement(Ddl.parse(
