@@ -501,6 +501,40 @@ object Pipeline {
       None)
     ,
 
+    // ── MinHash quality as an ORACLE-CHECKED contract: the LSH candidate
+    //    pipeline vs EXACT n-gram Jaccard ground truth on the same corpus.
+    //    Floors sit far under the measured values (MinhashQualityProbe:
+    //    recall 1.000 and MAE 0.012-0.015 across sf0.001-0.1) — the hash
+    //    pipeline is deterministic, so only data scale varies them. This
+    //    quantifies the formerly no_oracle q_minhash_lsh the same way
+    //    q_ann_recall quantifies the ANN paths.
+    Q("q_minhash_quality",
+      (s, dir) => {
+        val d = docs(s, dir)
+        val exact = graft.operators.Dedup.ngramJaccardPairs(d, "doc_id", "text",
+          shingleSize = 3, threshold = 0.5, maxDocFreq = 1000)
+        val mh = graft.operators.Dedup.minhashLshPairs(d, "doc_id", "text",
+          shingleSize = 3, numHashes = 64, bands = 16, threshold = 0.5)
+        val strong = exact.filter(col("jaccard") >= 0.7)
+        val recall = strong.join(mh, Seq("doc_a", "doc_b"))
+          .agg(count(lit(1)).as("found"))
+          .crossJoin(strong.agg(count(lit(1)).as("total")))
+          .select((col("found").cast("double") /
+            greatest(col("total"), lit(1L))).as("v"))
+          .withColumn("metric", lit("recall_j70"))
+          .withColumn("floor", lit(0.9))
+          .select(col("metric"), col("floor"), (col("v") >= col("floor")).as("ok"))
+        val mae = exact.join(mh, Seq("doc_a", "doc_b"))
+          .agg(avg(abs(col("est_jaccard") - col("jaccard"))).as("v"))
+          .withColumn("metric", lit("est_mae"))
+          .withColumn("floor", lit(0.05))
+          .select(col("metric"), col("floor"), (col("v") <= col("floor")).as("ok"))
+        recall.unionAll(mae)
+      },
+      Some("""SELECT 'recall_j70' AS metric, CAST(0.9 AS DOUBLE) AS floor, true AS ok
+             |UNION ALL
+             |SELECT 'est_mae', CAST(0.05 AS DOUBLE), true""".stripMargin)),
+
     // ── ANN quality as an ORACLE-CHECKED contract: recall@5 of each
     //    approximate method against the exact brute-force result, floored.
     //    The hash compare forces the Spark side to actually achieve each
