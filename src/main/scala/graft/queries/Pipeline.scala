@@ -535,6 +535,36 @@ object Pipeline {
              |UNION ALL
              |SELECT 'est_mae', CAST(0.05 AS DOUBLE), true""".stripMargin)),
 
+    // ── SimHash quality contract: the hamming-blocked candidate pairs vs
+    //    exact Jaccard ground truth. Two floors (SimhashQualityProbe:
+    //    meanJ 0.35-0.87, exact-dup recall 8/8 at sf0.1): identical docs
+    //    share a fingerprint so EVERY exact duplicate pair must surface,
+    //    and flagged pairs must average well above corpus-random Jaccard.
+    //    (Mean dilutes as the corpus grows — 64-bit simhash at hamming<=3
+    //    picks up background collisions, which is why production pipelines
+    //    chain a verify step; the floor encodes that reality.)
+    Q("q_simhash_quality",
+      (s, dir) => {
+        val d = docs(s, dir)
+        val exact = graft.operators.Dedup.ngramJaccardPairs(d, "doc_id", "text",
+          shingleSize = 3, threshold = 0.5, maxDocFreq = 1000)
+        val sh = graft.operators.Dedup.simhashPairs(d, "doc_id", "text", maxHamming = 3)
+        val dups = exact.filter(col("jaccard") >= 0.999)
+        val dupRecall = dups.join(sh, Seq("doc_a", "doc_b"))
+          .agg(count(lit(1)).as("found"))
+          .crossJoin(dups.agg(count(lit(1)).as("total")))
+          .select(lit("exact_dups_found").as("metric"), lit(1.0).as("floor"),
+            (col("found") === col("total")).as("ok"))
+        val meanJ = sh.join(exact, Seq("doc_a", "doc_b"), "left")
+          .agg(avg(coalesce(col("jaccard"), lit(0.0))).as("v"))
+          .select(lit("mean_jaccard").as("metric"), lit(0.3).as("floor"),
+            (col("v") >= lit(0.3)).as("ok"))
+        dupRecall.unionAll(meanJ)
+      },
+      Some("""SELECT 'exact_dups_found' AS metric, CAST(1.0 AS DOUBLE) AS floor, true AS ok
+             |UNION ALL
+             |SELECT 'mean_jaccard', CAST(0.3 AS DOUBLE), true""".stripMargin)),
+
     // ── ANN quality as an ORACLE-CHECKED contract: recall@5 of each
     //    approximate method against the exact brute-force result, floored.
     //    The hash compare forces the Spark side to actually achieve each
