@@ -147,6 +147,30 @@ object Pipeline {
              |         AS BIGINT) AS n_kept
              |FROM l JOIN k USING (lh) GROUP BY doc_id""".stripMargin)),
 
+    // ── incremental cross-shard dedup: bloom prune + exact verify. The
+    //    synthetic corpus has no exact dups at this sf, so the shard
+    //    deterministically re-crawls every 10th even doc (id+1000000, same
+    //    text) — those must drop; odd docs are new content and survive.
+    //    The bloom is an internal accelerator: final semantics are a plain
+    //    anti-join on md5(text), which is exactly what the oracle runs.
+    Q("q_bloom_dedup",
+      (s, dir) => {
+        val d = docs(s, dir)
+        val ref = d.filter(col("doc_id") % 2 === 0).select(col("doc_id"), col("text"))
+        val shard = d.filter(col("doc_id") % 2 === 1).select(col("doc_id"), col("text"))
+          .unionAll(d.filter(col("doc_id") % 10 === 0)
+            .select((col("doc_id") + 1000000L).as("doc_id"), col("text")))
+        graft.operators.Dedup.bloomIncremental(ref, shard, "doc_id", "text")
+      },
+      Some("""WITH ref AS (
+             |  SELECT md5(text) AS content_hash FROM documents WHERE doc_id % 2 = 0),
+             |shard AS (
+             |  SELECT doc_id, text FROM documents WHERE doc_id % 2 = 1
+             |  UNION ALL
+             |  SELECT doc_id + 1000000 AS doc_id, text FROM documents WHERE doc_id % 10 = 0)
+             |SELECT doc_id, md5(text) AS content_hash FROM shard
+             |WHERE md5(text) NOT IN (SELECT content_hash FROM ref)""".stripMargin)),
+
     // ── PII scrubbing (pretraining redaction pass). The synthetic corpus
     //    carries no natural PII, so the query INJECTS a deterministic PII
     //    suffix derived from doc_id — identically in Spark and the DuckDB

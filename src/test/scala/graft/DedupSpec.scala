@@ -85,6 +85,33 @@ class DedupSpec extends SparkSpec {
       "pair operators must unpersist their intermediates after materializing")
   }
 
+  test("bloomIncremental keeps exactly the shard rows whose content is absent from ref") {
+    import spark.implicits._
+    val ref = Seq((2L, base), (4L, other)).toDF("doc_id", "text")
+    val shard = Seq(
+      (11L, base),      // exact dup of ref:2 → drop
+      (13L, nearDup),   // near-dup only → keep (exact semantics)
+      (15L, other),     // exact dup of ref:4 → drop
+      (17L, "entirely novel shard content never crawled before")
+    ).toDF("doc_id", "text")
+    val out = Dedup.bloomIncremental(ref, shard, "doc_id", "text")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(out == Set(13L, 17L), s"got $out")
+  }
+
+  test("bloomIncremental verify pass scrubs bloom false positives (tiny, saturated bloom)") {
+    import spark.implicits._
+    val ref = (1L to 50L).map(i => (i, s"ref document number $i unique payload"))
+      .toDF("doc_id", "text")
+    val shard = (1L to 50L).map(i => (100L + i, s"shard document number $i distinct payload"))
+      .toDF("doc_id", "text")
+    // 50 items forced into a bloom sized for 2 at fpp 0.5 → nearly every
+    // probe is a false positive; exactness must survive on the verify join
+    val out = Dedup.bloomIncremental(ref, shard, "doc_id", "text",
+      expectedItems = 2, fpp = 0.5)
+    assert(out.count() == 50L)
+  }
+
   test("lineDedupStats: cross-doc duplicated lines keep exactly the first occurrence") {
     import spark.implicits._
     val d = Seq(
