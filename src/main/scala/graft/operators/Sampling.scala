@@ -29,6 +29,26 @@ object Sampling {
       .drop("__rn")
   }
 
+  /** Per-group cap with an explicit priority: keep the top `k` rows of
+    * each group by `priority` DESC (ties broken by `idCol` ASC so both
+    * engines and reruns agree) — the "cap over-represented domains, keep
+    * the best documents" mixing primitive (FineWeb-style domain caps).
+    * [[stratifiedSample]] is the hash-priority special case of this.
+    *
+    * Scale: identical to stratifiedSample — one shuffle on the group key,
+    * and Spark 4's window-group-limit rewrites the rank filter into a
+    * partial top-k on the map side, so a domain with 10⁹ pages never
+    * materializes a full sort.
+    */
+  def capPerGroup(df: DataFrame, groupCol: String, priority: org.apache.spark.sql.Column,
+      idCol: String, k: Int): DataFrame = {
+    require(k > 0)
+    val w = Window.partitionBy(col(groupCol)).orderBy(priority.desc, col(idCol))
+    df.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= k)
+      .drop("__rn")
+  }
+
   /** Benchmark decontamination: for every train document, the n-gram
     * CONTAINMENT of each eval document — |shingles(train) ∩
     * shingles(eval)| / |shingles(eval)| — the standard leakage metric

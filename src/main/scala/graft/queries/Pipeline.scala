@@ -397,6 +397,56 @@ object Pipeline {
              |  FROM documents)
              |SELECT doc_id, lang FROM r WHERE rn <= 25""".stripMargin)),
 
+    // ── per-domain cap with an explicit priority (FineWeb-style): keep
+    //    the 25 LONGEST docs per source, ties by doc_id — bigint
+    //    ordering is exact in both engines, so the oracle is a plain
+    //    window rank.
+    Q("q_source_cap",
+      (s, dir) => graft.operators.Sampling.capPerGroup(
+        docs(s, dir).select(col("doc_id"), col("source"), col("n_chars")),
+        "source", col("n_chars"), "doc_id", 25),
+      Some("""WITH r AS (
+             |  SELECT doc_id, source, n_chars,
+             |         row_number() OVER (PARTITION BY source
+             |           ORDER BY n_chars DESC, doc_id) AS rn
+             |  FROM documents)
+             |SELECT doc_id, source, n_chars FROM r WHERE rn <= 25""".stripMargin)),
+
+    // ── embedding near-dup QUALITY as an oracle-checked contract: the
+    //    corpus carries no natural 0.95-cosine pairs (measured max ≈
+    //    0.51), so the query injects a perturbed copy of every 10th
+    //    vector (id+100000, per-coord ±10% modulation → cosine ≈ 0.997).
+    //    Ground truth is exactly the injected pairs; the multi-table LSH
+    //    op must find ≥ 85% of them (measured 0.965-0.98 at T=2) and
+    //    emit NOTHING else (threshold 0.95 excludes every natural pair).
+    Q("q_embed_neardup",
+      (s, dir) => {
+        val e = emb(s, dir)
+        val dup = e.filter(col("vec_id") % 10 === 0).select(
+          (col("vec_id") + 100000L).as("vec_id"),
+          transform(col("embedding"),
+            (x, i) => x * (lit(1.0f) + lit(0.1f) * sin(col("vec_id") + i).cast("float")))
+            .as("embedding"))
+        val corpus = e.select("vec_id", "embedding").unionAll(dup)
+        val truth = e.filter(col("vec_id") % 10 === 0)
+          .select(col("vec_id").as("id_a"), (col("vec_id") + 100000L).as("id_b"))
+        val got = graft.operators.Similarity.cosineDupPairs(corpus, 0.95, nPlanes = 8, nTables = 2)
+          .select("id_a", "id_b")
+        val recall = got.join(truth, Seq("id_a", "id_b")).agg(count(lit(1)).as("hits"))
+          .crossJoin(truth.agg(count(lit(1)).as("total")))
+          .select((col("hits").cast("double") / col("total")).as("v"))
+          .withColumn("metric", lit("recall")).withColumn("floor", lit(0.85))
+          .select(col("metric"), col("floor"), (col("v") >= col("floor")).as("meets_floor"))
+        val noFalse = got.join(truth, Seq("id_a", "id_b"), "left_anti")
+          .agg(count(lit(1)).as("extras"))
+          .select(lit("false_pairs").as("metric"), lit(0.0).as("floor"),
+            (col("extras") <= 0).as("meets_floor"))
+        recall.unionAll(noFalse)
+      },
+      Some("""SELECT 'recall' AS metric, CAST(0.85 AS DOUBLE) AS floor, true AS meets_floor
+             |UNION ALL
+             |SELECT 'false_pairs', CAST(0.0 AS DOUBLE), true""".stripMargin)),
+
     // ── benchmark decontamination: train↔eval n-gram CONTAINMENT
     //    (|∩| / |eval shingles| — the leakage metric); eval = doc_id % 20
     //    = 0 as the held-out slice. Same inverted-index shape as

@@ -18,6 +18,19 @@ class SamplingSpec extends SparkSpec {
     assert(take.toSet == again.toSet, "hash ordering must be stable across runs")
   }
 
+  test("capPerGroup keeps the top-k rows per group by priority desc, deterministic ties") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "a", 100L), (2L, "a", 300L), (3L, "a", 200L), (4L, "a", 300L),
+      (5L, "b", 50L)
+    ).toDF("doc_id", "source", "n_chars")
+    val out = Sampling.capPerGroup(df, "source", col("n_chars"), "doc_id", 2)
+      .collect().map(_.getLong(0)).toSet
+    // group a: n_chars 300 (doc 2), 300 (doc 4) — tie broken by doc_id,
+    // so docs 2 and 4 survive; group b below quota keeps its row
+    assert(out == Set(2L, 4L, 5L), s"got $out")
+  }
+
   test("contaminationPairs: a quoted eval doc scores containment 1.0") {
     import spark.implicits._
     val evalDf = Seq((1000L, "the quick brown fox jumps")).toDF("doc_id", "text")

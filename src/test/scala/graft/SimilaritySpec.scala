@@ -163,4 +163,28 @@ class SimilaritySpec extends SparkSpec {
     assert(pairs.contains((1L, 2L)))
     assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L))
   }
+
+  test("cosineDupPairs multi-table recall beats single-table on perturbed near-dups") {
+    import spark.implicits._
+    // 200 deterministic pseudo-random base vectors + a slightly perturbed
+    // copy of each (cosine ≈ 0.997) — single-table sign-LSH misses the
+    // pairs where one of 8 planes separates the copy; a second table must
+    // recover most of those misses (1-(1-p)² compounding).
+    def vec(seed: Long): Array[Float] =
+      Array.tabulate(16)(i => math.sin(seed * 37.0 + i * 13.0).toFloat)
+    val base = (1L to 200L).map(s => (s, vec(s)))
+    val dups = base.map { case (s, v) =>
+      (s + 10000L, v.zipWithIndex.map { case (x, i) => x * (1.0f + 0.1f * math.sin(s + i).toFloat) })
+    }
+    val d = (base ++ dups).toDF("vec_id", "embedding")
+    def recall(tables: Int): Double = {
+      val got = Similarity.cosineDupPairs(d, threshold = 0.95, nPlanes = 8, nTables = tables)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      base.count { case (s, _) => got.contains((s, s + 10000L)) }.toDouble / base.size
+    }
+    val r1 = recall(1)
+    val r2 = recall(2)
+    assert(r2 >= r1, s"multi-table recall regressed: T1=$r1 T2=$r2")
+    assert(r2 >= 0.9, s"T=2 recall too low: $r2")
+  }
 }
