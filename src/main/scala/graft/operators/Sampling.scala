@@ -49,6 +49,35 @@ object Sampling {
       .drop("__rn")
   }
 
+  /** Deterministic mixture sampling: keep each row of stratum `s` with
+    * probability `fractions(s)` (falling back to `defaultFraction`) — the
+    * Dolma/Pile "mixing weights" primitive ("50% web, 100% books, 20%
+    * code"). No RNG: the keep/drop decision is a stable hash of
+    * (stratum, id), so reruns, task retries, and engines agree
+    * row-for-row — a 100 TB mixing job is idempotent and resumable.
+    *
+    * Mechanism: the first 8 hex chars of md5("stratum|id") are uniform in
+    * [0, 16⁸); comparing them LEXICOGRAPHICALLY against the zero-padded
+    * hex of floor(fraction·16⁸) keeps exactly that share. Hex-string
+    * compare is identical in Spark and DuckDB, which is what makes the
+    * oracle exact. A fraction ≥ 1.0 maps to threshold "g" (sorts above
+    * every hex digit → keep all).
+    *
+    * Scale: a pure projection + filter — no shuffle, no state, pushes
+    * into the scan stage and fuses with whole-stage codegen.
+    */
+  def mixtureSample(df: DataFrame, stratumCol: String, idCol: String,
+      fractions: Map[String, Double], defaultFraction: Double = 1.0): DataFrame = {
+    def thresholdHex(f: Double): String =
+      if (f >= 1.0) "g"
+      else f"${math.max(0L, math.floor(f * 4294967296.0).toLong)}%08x"
+    val thr = fractions.foldLeft(lit(thresholdHex(defaultFraction))) {
+      case (acc, (s, f)) => when(col(stratumCol) === s, lit(thresholdHex(f))).otherwise(acc)
+    }
+    df.filter(
+      substring(md5(concat(col(stratumCol), lit("|"), col(idCol).cast("string"))), 1, 8) < thr)
+  }
+
   /** Benchmark decontamination: for every train document, the n-gram
     * CONTAINMENT of each eval document — |shingles(train) ∩
     * shingles(eval)| / |shingles(eval)| — the standard leakage metric

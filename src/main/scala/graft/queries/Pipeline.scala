@@ -412,6 +412,25 @@ object Pipeline {
              |  FROM documents)
              |SELECT doc_id, source, n_chars FROM r WHERE rn <= 25""".stripMargin)),
 
+    // ── deterministic mixture sampling (per-source mixing weights):
+    //    sources 0-4 keep 20%, 5-9 keep 50%, 10-14 keep 80%, the rest
+    //    100%. The md5-hex-prefix decision is replayed verbatim in the
+    //    oracle, so membership matches row-for-row.
+    Q("q_mixture_sample",
+      (s, dir) => graft.operators.Sampling.mixtureSample(
+        docs(s, dir).select(col("doc_id"), col("source")),
+        "source", "doc_id",
+        (0 to 4).map(i => s"src$i" -> 0.2).toMap ++
+          (5 to 9).map(i => s"src$i" -> 0.5).toMap ++
+          (10 to 14).map(i => s"src$i" -> 0.8).toMap),
+      Some("""SELECT doc_id, source FROM documents
+             |WHERE substring(md5(source || '|' || CAST(doc_id AS VARCHAR)), 1, 8) <
+             |  CASE
+             |    WHEN source IN ('src0','src1','src2','src3','src4') THEN '33333333'
+             |    WHEN source IN ('src5','src6','src7','src8','src9') THEN '80000000'
+             |    WHEN source IN ('src10','src11','src12','src13','src14') THEN 'cccccccc'
+             |    ELSE 'g' END""".stripMargin)),
+
     // ── embedding near-dup QUALITY as an oracle-checked contract: the
     //    corpus carries no natural 0.95-cosine pairs (measured max ≈
     //    0.51), so the query injects a perturbed copy of every 10th

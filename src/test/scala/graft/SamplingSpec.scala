@@ -31,6 +31,25 @@ class SamplingSpec extends SparkSpec {
     assert(out == Set(2L, 4L, 5L), s"got $out")
   }
 
+  test("mixtureSample: deterministic, rate-accurate per stratum, 0/1 edges exact") {
+    import spark.implicits._
+    val df = (1L to 2000L).map(i => (i, if (i <= 1000) "web" else "books"))
+      .toDF("doc_id", "source")
+    val out = Sampling.mixtureSample(df, "source", "doc_id",
+      Map("web" -> 0.3, "books" -> 1.0))
+    val counts = out.groupBy("source").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(counts("books") == 1000L, "fraction 1.0 keeps every row")
+    assert(counts("web") > 200 && counts("web") < 400,
+      s"fraction 0.3 of 1000 should land near 300, got ${counts("web")}")
+    val again = Sampling.mixtureSample(df, "source", "doc_id",
+      Map("web" -> 0.3, "books" -> 1.0)).collect().map(_.getLong(0)).toSet
+    assert(again == out.collect().map(_.getLong(0)).toSet, "must be replayable")
+    val none = Sampling.mixtureSample(df, "source", "doc_id",
+      Map("web" -> 0.0), defaultFraction = 0.0)
+    assert(none.count() == 0L, "fraction 0.0 drops every row")
+  }
+
   test("contaminationPairs: a quoted eval doc scores containment 1.0") {
     import spark.implicits._
     val evalDf = Seq((1000L, "the quick brown fox jumps")).toDF("doc_id", "text")
