@@ -333,12 +333,15 @@ object Dedup {
     * Returns per-doc stats: (doc, n_lines, n_kept). `n_lines − n_kept` is
     * the number of lines this doc loses to cross-corpus duplication.
     *
-    * Scale: explode to (line-hash, ord) pairs — one shuffle keyed on the
-    * 128-bit line hash with map-side partials, then an equi-join of the
-    * pairs against the per-hash minimum. No text moves after the hash
-    * projection; cost is O(total lines), never pairwise. The keep-first
-    * rule is a deterministic min over ord = doc·2²⁰ + position, so reruns
-    * and engines agree on which occurrence survives.
+    * Scale: explode to (line-hash, doc, pos) triples — one shuffle keyed
+    * on the 128-bit line hash with map-side partials, then an equi-join of
+    * the triples against the per-hash minimum. No text moves after the
+    * hash projection; cost is O(total lines), never pairwise. The
+    * keep-first rule is a lexicographic min over the (doc, position)
+    * struct — NOT a packed `doc·K + pos` ordinal, which would collide
+    * across docs once a document exceeds K lines (million-line
+    * concatenated files exist in real corpora) — so reruns and engines
+    * agree on which occurrence survives at any doc size.
     */
   def lineDedupStats(df: DataFrame, idCol: String, textCol: String,
       sep: String = "\n"): DataFrame = {
@@ -347,13 +350,14 @@ object Dedup {
         posexplode(split(col(textCol), java.util.regex.Pattern.quote(sep)))
           .as(Seq("pos", "line")))
       .filter(trim(col("line")) =!= "")
-      .select(col("doc"), (col("doc") * 1048576L + col("pos")).as("ord"),
-        md5(trim(col("line"))).as("lh"))
-    val firsts = lines.groupBy("lh").agg(min(col("ord")).as("first_ord"))
+      .select(col("doc"), col("pos"), md5(trim(col("line"))).as("lh"))
+    val firsts = lines.groupBy("lh")
+      .agg(min(struct(col("doc"), col("pos"))).as("first"))
     lines.join(firsts, "lh")
       .groupBy(col("doc"))
       .agg(count(lit(1)).as("n_lines"),
-        sum(when(col("ord") === col("first_ord"), 1L).otherwise(0L)).as("n_kept"))
+        sum(when(col("doc") === col("first.doc") && col("pos") === col("first.pos"),
+          1L).otherwise(0L)).as("n_kept"))
   }
 
   /** SimHash: 64-bit locality-sensitive fingerprint. Tokens are hashed to

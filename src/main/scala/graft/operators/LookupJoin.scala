@@ -39,8 +39,16 @@ object LookupJoin {
         override def removeEldestEntry(e: java.util.Map.Entry[K, (V, Long)]): Boolean =
           size() > maxEntries
       })
-    def get(k: K): Option[V] = Option(map.get(k)).collect {
-      case (v, t) if System.currentTimeMillis() - t < ttlMs => v
+    def get(k: K): Option[V] = {
+      val e = map.get(k)
+      if (e == null) None
+      else if (System.currentTimeMillis() - e._2 < ttlMs) Some(e._1)
+      else {
+        // evict on expiry, don't just filter the read — a cache whose
+        // stream went idle must not retain maxEntries dead values
+        map.remove(k)
+        None
+      }
     }
     def put(k: K, v: V): Unit = map.put(k, (v, System.currentTimeMillis()))
   }
@@ -52,11 +60,29 @@ object LookupJoin {
     * every micro-batch into a cold fetch (TTL never observable).
     */
   object TtlCache {
-    private val registry = new java.util.concurrent.ConcurrentHashMap[String, AnyRef]()
-    def of[K, V](name: String, maxEntries: Int, ttlMs: Long): TtlCache[K, V] =
-      registry.computeIfAbsent(name, _ => new TtlCache[K, V](maxEntries, ttlMs))
-        .asInstanceOf[TtlCache[K, V]]
+    private final class Holder(val cache: AnyRef, val idleLimitMs: Long) {
+      @volatile var lastUse: Long = System.currentTimeMillis()
+    }
+    private val registry = new java.util.concurrent.ConcurrentHashMap[String, Holder]()
+    def of[K, V](name: String, maxEntries: Int, ttlMs: Long): TtlCache[K, V] = {
+      val now = System.currentTimeMillis()
+      // reclaim caches idle for 10× their TTL (≥ 10 min): a lookup whose
+      // query stopped must not pin its entries in every executor for the
+      // life of the JVM (each perPartition call registers one cache — an
+      // unswept registry is the same unbounded-leak shape as a bare
+      // persist). A reclaimed-then-reused cache just refetches cold.
+      val it = registry.entrySet().iterator()
+      while (it.hasNext) {
+        val e = it.next()
+        if (now - e.getValue.lastUse > e.getValue.idleLimitMs) it.remove()
+      }
+      val h = registry.computeIfAbsent(name, _ =>
+        new Holder(new TtlCache[K, V](maxEntries, ttlMs), math.max(ttlMs * 10, 600000L)))
+      h.lastUse = now
+      h.cache.asInstanceOf[TtlCache[K, V]]
+    }
     private[graft] def drop(name: String): Unit = registry.remove(name)
+    private[graft] def registrySize: Int = registry.size()
   }
 
   /** Enrich with `fetch` (a batched remote getter) through a per-partition

@@ -137,16 +137,25 @@ object Multimodal {
     /** Dispatch: real decode for images and PCM WAV, deterministic fake
       * otherwise (video, compressed audio). Audio surfaces as a 1×n frame
       * so the shared feature-pooling path applies unchanged.
+      *
+      * Corrupt or exotic-variant bytes (truncated file, 24-bit/float/A-law
+      * WAV, malformed PNG) fall back to the fake rather than throw: in a
+      * 100 TB corpus a handful of bad files is certain, and one unguarded
+      * exception here would fail the task 4 times and abort the whole job.
       */
     def decode(bytes: Array[Byte], meta: Row): Frame = {
       val mediaType = meta.getString(0)
       val format = meta.getString(1)
-      if (mediaType == "image" && canDecode(format)) decodeReal(bytes, format)
-      else if (mediaType == "audio" && canDecodeAudio(format)) {
-        val (_, samples) = decodeWav(bytes)
-        Frame(samples.length, 1, samples)
-      }
-      else decodeFake(bytes, meta.getInt(2), meta.getInt(3))
+      val real: Option[Frame] =
+        if (mediaType == "image" && canDecode(format))
+          scala.util.Try(decodeReal(bytes, format)).toOption
+        else if (mediaType == "audio" && canDecodeAudio(format))
+          scala.util.Try {
+            val (_, samples) = decodeWav(bytes)
+            Frame(samples.length, 1, samples)
+          }.toOption
+        else None
+      real.getOrElse(decodeFake(bytes, meta.getInt(2), meta.getInt(3)))
     }
 
     /** Deterministic fake: pixels derived from a rolling hash of the bytes —

@@ -137,15 +137,15 @@ object Pipeline {
              |  SELECT doc_id, tk, unnest(range(len(tk))) AS pos
              |  FROM (SELECT doc_id, string_split(text, '. ') AS tk FROM documents)),
              |l AS (
-             |  SELECT doc_id,
-             |         doc_id * 1048576 + pos AS ord,
+             |  SELECT doc_id, pos,
              |         md5(trim(tk[CAST(pos AS INTEGER) + 1])) AS lh
              |  FROM l0 WHERE trim(tk[CAST(pos AS INTEGER) + 1]) <> ''),
-             |k AS (SELECT lh, min(ord) AS first_ord FROM l GROUP BY lh)
+             |r AS (SELECT doc_id, lh,
+             |        row_number() OVER (PARTITION BY lh ORDER BY doc_id, pos) AS rn
+             |      FROM l)
              |SELECT doc_id, COUNT(*) AS n_lines,
-             |       CAST(sum(CASE WHEN l.ord = k.first_ord THEN 1 ELSE 0 END)
-             |         AS BIGINT) AS n_kept
-             |FROM l JOIN k USING (lh) GROUP BY doc_id""".stripMargin)),
+             |       CAST(sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+             |FROM r GROUP BY doc_id""".stripMargin)),
 
     // ── incremental cross-shard dedup: bloom prune + exact verify. The
     //    synthetic corpus has no exact dups at this sf, so the shard

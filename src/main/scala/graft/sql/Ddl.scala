@@ -421,9 +421,16 @@ object Ddl {
         case ')' if !inS => depth -= 1; cur += c
         case '[' if !inS => depth += 1; cur += c
         case ']' if !inS => depth -= 1; cur += c
-        case '<' if !inS &&
-            i > 0 && (s.charAt(i - 1).isLetterOrDigit || s.charAt(i - 1) == '_') &&
-            (i + 1 >= s.length || (s.charAt(i + 1) != '=' && s.charAt(i + 1) != '>')) =>
+        case '<' if !inS && {
+            // generic-type position ONLY: '<' glued to a generic keyword
+            // (STRUCT<...>, ARRAY<...>, …). A glued comparison like (a<b)
+            // must NOT open an angle — it would never close and every
+            // later top-level comma would stop splitting.
+            var j = i - 1
+            while (j >= 0 && (s.charAt(j).isLetterOrDigit || s.charAt(j) == '_')) j -= 1
+            val word = s.substring(j + 1, i).toUpperCase
+            word == "STRUCT" || word == "ARRAY" || word == "MAP" || word == "LIST"
+          } =>
           angle += 1; cur += c
         case '>' if !inS && angle > 0 => angle -= 1; cur += c
         case c2 if c2 == sep && depth == 0 && angle == 0 && !inS =>

@@ -321,10 +321,19 @@ class Pipeline(spark: SparkSession, streaming: Boolean = false) {
             else done = true
           } else { content.append(s.charAt(j)); j += 1 }
         }
-        contents += content.toString
-        sb.append('\'').append('\u0001').append(idx).append('\u0001').append('\'')
-        idx += 1
-        i = j + 1
+        if (!done) {
+          // unterminated literal: masking it would fabricate a closing
+          // quote and hide the user's typo behind a differently-shaped
+          // query — pass the tail through untouched so the SQL parser
+          // reports the real unbalanced-quote error
+          sb.append(s.substring(i))
+          i = s.length
+        } else {
+          contents += content.toString
+          sb.append('\'').append('\u0001').append(idx).append('\u0001').append('\'')
+          idx += 1
+          i = j + 1
+        }
       } else { sb.append(c); i += 1 }
     }
     (sb.toString, contents.result())
@@ -675,6 +684,16 @@ class Pipeline(spark: SparkSession, streaming: Boolean = false) {
     */
   var eodFlushEnabled: Boolean = true
 
+  /** Tables whose source ACTUALLY carries an end-of-input sentinel this
+    * run. `eodField` says a sentinel is *wanted*; the source branch can
+    * still skip the overlay (e.g. a parquet file whose physical event-time
+    * column is TIMESTAMP(NANOS)-as-LONG can't hold the year-9999 row).
+    * Everything downstream — the sentinel-dropping filter and the
+    * spool-frontier alignment decision — must key off what happened, not
+    * what was wanted, or an unflushed leg gets treated as complete.
+    */
+  private val eodApplied = scala.collection.mutable.Set[String]()
+
   private def eodField(t: ConnectorTable): Option[String] = {
     // file overlay for structured json/csv/parquet; the impulse generator
     // emits its own sentinel row natively (ImpulseSource `eod=true`)
@@ -707,15 +726,28 @@ class Pipeline(spark: SparkSession, streaming: Boolean = false) {
     val src = Paths.get(path)
     val files =
       if (Files.isRegularFile(src)) Seq(src)
-      else Files.list(src).iterator().asScala
-        .filter(Files.isRegularFile(_))
-        .filterNot(_.getFileName.toString.startsWith(".")).toSeq
+      else {
+        // Files.list holds an open directory fd until closed — a driver
+        // that runs many bounded pipelines would exhaust ulimit otherwise
+        val listing = Files.list(src)
+        try listing.iterator().asScala
+          .filter(Files.isRegularFile(_))
+          .filterNot(_.getFileName.toString.startsWith(".")).toSeq
+        finally listing.close()
+      }
     files.foreach { f =>
       val link = dir.resolve(f.getFileName)
       try Files.createSymbolicLink(link, f.toAbsolutePath)
       catch { case _: Exception => Files.copy(f, link) }
     }
     writeSentinel(dir)
+    // the overlay must outlive the (arbitrarily long) streaming query, so
+    // reclaim at JVM exit: dir registered first → deleted last (reverse
+    // registration order), children first
+    dir.toFile.deleteOnExit()
+    val children = Files.list(dir)
+    try children.iterator().asScala.foreach(_.toFile.deleteOnExit())
+    finally children.close()
     dir.toString
   }
 
@@ -747,10 +779,18 @@ class Pipeline(spark: SparkSession, streaming: Boolean = false) {
       java.sql.Timestamp.from(java.time.Instant.parse(Pipeline.EodSentinelTs)))
     spark.createDataFrame(java.util.List.of(row), schema)
       .coalesce(1).write.mode("overwrite").parquet(tmp.toString)
-    val part = java.nio.file.Files.list(tmp).iterator().asScala
-      .find(_.getFileName.toString.endsWith(".parquet"))
-      .getOrElse(sys.error("sentinel parquet write produced no part file"))
+    val listing = java.nio.file.Files.list(tmp)
+    val part =
+      try listing.iterator().asScala
+        .find(_.getFileName.toString.endsWith(".parquet"))
+        .getOrElse(sys.error("sentinel parquet write produced no part file"))
+      finally listing.close()
     java.nio.file.Files.copy(part, dir.resolve("zz-graft-eod.parquet"))
+    // the scratch write dir is transient — reclaim it now, not at exit
+    val walk = java.nio.file.Files.walk(tmp)
+    try walk.sorted(java.util.Comparator.reverseOrder())
+      .iterator().asScala.foreach(p => java.nio.file.Files.deleteIfExists(p))
+    finally walk.close()
   }
 
   /** Build the DataFrame for a source table per its connector (SURVEY
@@ -802,6 +842,7 @@ class Pipeline(spark: SparkSession, streaming: Boolean = false) {
               case Some(f) if streaming =>
                 // bounded streaming: overlay the end-of-input sentinel so
                 // final windows flush (see eodField's scaladoc)
+                eodApplied += t.name
                 spark.readStream.schema(t.schema).format("json").options(jsonOpts)
                   .load(eodOverlayDir(path, f, eodJsonSentinel(f)))
               case _ => load("json", jsonOpts)
@@ -819,6 +860,7 @@ class Pipeline(spark: SparkSession, streaming: Boolean = false) {
                 // timestamp: a TIMESTAMP(NANOS)-as-LONG column cannot
                 // carry a year-9999 sentinel (ns-since-epoch overflows
                 // Long past ~2262) — those sources keep the plain path
+                eodApplied += t.name
                 spark.readStream.schema(fileSchema).format("parquet")
                   .load(eodOverlayDir(path, f, eodParquetSentinel(f)))
               case _ => load("parquet", schema = fileSchema)
@@ -826,6 +868,7 @@ class Pipeline(spark: SparkSession, streaming: Boolean = false) {
           case "csv" =>
             eodField(t) match {
               case Some(f) if streaming =>
+                eodApplied += t.name
                 spark.readStream.schema(t.schema).format("csv")
                   .option("header", "true")
                   .load(eodOverlayDir(path, f, eodCsvSentinel(f, t.schema)))
@@ -875,8 +918,10 @@ class Pipeline(spark: SparkSession, streaming: Boolean = false) {
         graft.sinks.TxnLog.read(spark,
           t.path.getOrElse(sys.error(s"table ${t.name}: path required")))
       case "impulse" =>
+        val eod = eodField(t).isDefined
+        if (eod) eodApplied += t.name
         Generators.renameTo(
-          Generators.impulse(spark, t, streaming, eod = eodField(t).isDefined), t)
+          Generators.impulse(spark, t, streaming, eod = eod), t)
       case "nexmark" => Generators.renameTo(Generators.nexmark(spark, t, streaming), t)
       case "kafka" | "confluent" =>
         // confluent = kafka + mandatory schema registry (reference
@@ -1028,8 +1073,11 @@ class Pipeline(spark: SparkSession, streaming: Boolean = false) {
       case Some(f) if streaming =>
         val wm = projected.withWatermark(f, t.watermarkDelay.getOrElse("1 second"))
         // drop end-of-input sentinels right above the watermark node: they
-        // exist only to advance the watermark, never to be data
-        if (eodField(t).isDefined)
+        // exist only to advance the watermark, never to be data. Keyed on
+        // eodApplied (the overlay actually happened), not eodField (it was
+        // wanted): a skipped overlay has no sentinel to drop, and the
+        // non-deterministic barrier would forfeit pushdown for nothing.
+        if (eodApplied.contains(t.name))
           wm.filter(col(s"`$f`") < to_timestamp(lit(Pipeline.EodThresholdTs)) && eodBarrier())
         else wm
       case None if streaming &&
@@ -1042,7 +1090,7 @@ class Pipeline(spark: SparkSession, streaming: Boolean = false) {
         val f = projected.schema.fields
           .find(f => f.name.equalsIgnoreCase("timestamp") || f.name == "_timestamp").get.name
         val wm = projected.withWatermark(f, "1 second")
-        if (eodField(t).isDefined)
+        if (eodApplied.contains(t.name))
           wm.filter(col(s"`$f`") < to_timestamp(lit(Pipeline.EodThresholdTs)) && eodBarrier())
         else wm
       case _ => projected
@@ -1310,8 +1358,11 @@ class Pipeline(spark: SparkSession, streaming: Boolean = false) {
         case e: org.apache.spark.sql.AnalysisException =>
           // frontier alignment is only needed when some source can't flush
           // at end of input (its legs stop at different watermarks); with
-          // every source flush-enabled the spools are complete
-          val align = !catalog.values.filter(!_.isSink).forall(t => eodField(t).isDefined)
+          // every source flush-enabled the spools are complete. Checked
+          // against eodApplied — a source whose overlay was SKIPPED (e.g.
+          // parquet NANOS-as-LONG) never flushes even though eodField
+          // wanted it to, and its leg must still be frontier-truncated.
+          val align = !catalog.values.filter(!_.isSink).forall(t => eodApplied.contains(t.name))
           graft.streaming.WindowFnOnClose.spoolBranches(spark, dfIn, align) match {
             case Some(batchFrame) =>
               new Pipeline(spark, streaming = false).writeTo(sink, batchFrame)

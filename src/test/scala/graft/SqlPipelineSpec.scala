@@ -67,6 +67,12 @@ class SqlPipelineSpec extends SparkSpec {
     assert(c2 == Seq("a INT GENERATED ALWAYS AS (b <= 3)", "c TEXT"), s"got $c2")
     val c3 = Ddl.splitTop("a INT GENERATED ALWAYS AS (b <> 3), c TEXT", ',')
     assert(c3 == Seq("a INT GENERATED ALWAYS AS (b <> 3)", "c TEXT"), s"got $c3")
+    // GLUED comparison (no spaces): must not open a phantom type bracket
+    // that swallows every later comma
+    val c4 = Ddl.splitTop("flag BOOLEAN GENERATED ALWAYS AS (a<b), x INT, y INT", ',')
+    assert(c4 == Seq("flag BOOLEAN GENERATED ALWAYS AS (a<b)", "x INT", "y INT"), s"got $c4")
+    val c5 = Ddl.splitTop("a INT GENERATED ALWAYS AS (b>c AND d<e), f TEXT", ',')
+    assert(c5 == Seq("a INT GENERATED ALWAYS AS (b>c AND d<e)", "f TEXT"), s"got $c5")
   }
 
   test("rewriteDialect: operator sugar inside string literals is inert") {
@@ -80,6 +86,9 @@ class SqlPipelineSpec extends SparkSpec {
     assert(p.rewriteDialect("SELECT '123'::INT AS n") == "SELECT CAST('123' AS INT) AS n")
     assert(p.rewriteDialect("SELECT v->>'k' FROM t")
       == "SELECT json_get_str(v, 'k') FROM t")
+    // an UNTERMINATED literal passes through untouched — masking it would
+    // fabricate a closing quote and hide the unbalanced-quote error
+    assert(p.rewriteDialect("SELECT 'abc FROM t") == "SELECT 'abc FROM t")
   }
 
   test("hourly_by_event_type: tumble + count over cars fixture (batch)") {
