@@ -174,8 +174,20 @@ object Similarity {
     * families, a pair is compared if it collides in ANY table — recall
     * compounds as 1-(1-p)^T (measured: 0.80 single-table → 0.96+ at T=2
     * on 0.95-cosine pairs) while each table's self-join still stays
-    * within ~1/2^nPlanes buckets. Pairs dedupe before the exact cosine,
-    * so multi-table collisions score once.
+    * within ~1/2^nPlanes buckets.
+    *
+    * Order of operations matters at scale: the cosine + threshold run
+    * INSIDE the join stage (codegen'd, no shuffle), and only the
+    * surviving near-dup pairs — output-bounded, tiny — reach the
+    * dropDuplicates shuffle. Deduping candidates first would shuffle
+    * every bucket collision with both vectors attached: measured 20×
+    * cost at 10× corpus (candidates grow quadratically with per-bucket
+    * occupancy; a pair scores at most nTables times, so re-scoring
+    * duplicates is the cheap side of that trade).
+    *
+    * Size `nPlanes` ≈ log₂(corpus / desired-bucket-size): buckets are
+    * fixed at 2^nPlanes, so occupancy — and candidate count — grows
+    * linearly with corpus at a fixed plane count.
     */
   def cosineDupPairs(corpus: DataFrame, threshold: Double, nPlanes: Int = 8,
       nTables: Int = 2,
@@ -187,10 +199,8 @@ object Similarity {
         col("a.tbl") === col("b.tbl") && col("a.bucket") === col("b.bucket") &&
           col(s"a.$idCol") < col(s"b.$idCol"))
       .select(col(s"a.$idCol").as("id_a"), col(s"b.$idCol").as("id_b"),
-        col(s"a.$vecCol").as("vec_a"), col(s"b.$vecCol").as("vec_b"))
-      .dropDuplicates("id_a", "id_b")
-      .withColumn("sim", VectorOps.cosineF(col("vec_a"), col("vec_b")))
+        VectorOps.cosineF(col(s"a.$vecCol"), col(s"b.$vecCol")).as("sim"))
       .filter(col("sim") >= threshold)
-      .select(col("id_a"), col("id_b"), col("sim"))
+      .dropDuplicates("id_a", "id_b")
   }
 }
