@@ -91,6 +91,40 @@ class SqlPipelineSpec extends SparkSpec {
     assert(p.rewriteDialect("SELECT 'abc FROM t") == "SELECT 'abc FROM t")
   }
 
+  test("eod sentinel tracks what HAPPENED: µs parquet gets it, nanos-as-long parquet skips it") {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    // (a) a normal Spark-written parquet: event-time column is a real µs
+    // TIMESTAMP → the streaming source overlays the sentinel dir and the
+    // view's plan carries the sentinel-drop filter (threshold literal)
+    val usDir = tmp()
+    spark.createDataFrame(
+      java.util.List.of(Row(java.sql.Timestamp.valueOf("2024-01-01 00:00:00"), 1L)),
+      StructType(Seq(StructField("ts", TimestampType), StructField("v", LongType))))
+      .coalesce(1).write.mode("overwrite").parquet(usDir)
+    val p1 = new Pipeline(spark, streaming = true)
+    p1.run(s"CREATE TABLE us_src (ts TIMESTAMP NOT NULL, v BIGINT) " +
+      s"WITH (connector = 'filesystem', path = '$usDir', format = 'parquet', event_time_field = 'ts');")
+    val usPlan = spark.table("us_src").queryExecution.analyzed.toString
+    assert(usPlan.contains("9000-01-01") && usPlan.contains("graft-eod"),
+      s"µs parquet source must carry the sentinel overlay:\n$usPlan")
+    // (b) the driver's events.parquet stores TIMESTAMP(NANOS) surfacing as
+    // LONG — the overlay is impossible (year-9999 overflows ns-epoch), so
+    // the plan must carry NEITHER the overlay NOR the pushdown-forfeiting
+    // barrier filter (round-4 review: keying the filter and the spool
+    // alignment off eodField instead of the applied overlay treated the
+    // unflushed leg as complete)
+    val p2 = new Pipeline(spark, streaming = true)
+    p2.run(s"CREATE TABLE ns_src (ts TIMESTAMP NOT NULL, user_id BIGINT) " +
+      s"WITH (connector = 'filesystem', path = '/root/testdata/sf0.001/events.parquet', " +
+      s"format = 'parquet', event_time_field = 'ts');")
+    val nsPlan = spark.table("ns_src").queryExecution.analyzed.toString
+    assert(!nsPlan.contains("graft-eod"),
+      s"nanos-as-long parquet source must not get an overlay:\n$nsPlan")
+    assert(!nsPlan.contains("9000-01-01"),
+      s"skipped overlay must not add the sentinel-drop filter:\n$nsPlan")
+  }
+
   test("hourly_by_event_type: tumble + count over cars fixture (batch)") {
     val cars = writeCarsFixture()
     val out = tmp()
