@@ -76,8 +76,13 @@ object LookupJoin {
         val e = it.next()
         if (now - e.getValue.lastUse > e.getValue.idleLimitMs) it.remove()
       }
+      // saturating ×10: a never-expire TTL (Long.MaxValue) must not wrap
+      // negative and get swept after the 10-minute floor
+      val idleLimit =
+        if (ttlMs > Long.MaxValue / 10) Long.MaxValue
+        else math.max(ttlMs * 10, 600000L)
       val h = registry.computeIfAbsent(name, _ =>
-        new Holder(new TtlCache[K, V](maxEntries, ttlMs), math.max(ttlMs * 10, 600000L)))
+        new Holder(new TtlCache[K, V](maxEntries, ttlMs), idleLimit))
       h.lastUse = now
       h.cache.asInstanceOf[TtlCache[K, V]]
     }

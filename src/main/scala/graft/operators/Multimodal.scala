@@ -225,10 +225,12 @@ object Multimodal {
         if (bytes == null) Row.fromSeq(r.toSeq :+ null)
         else {
           val meta = r.getStruct(metaIdx)
+          // same corrupt-bytes fallback as Codec.decode: one truncated
+          // image must not abort the resize job
           val f0 =
-            if (meta.getString(0) == "image" && Codec.canDecode(meta.getString(1)))
-              Codec.decodeReal(bytes, meta.getString(1))
-            else Codec.decodeFake(bytes, w, h)
+            (if (meta.getString(0) == "image" && Codec.canDecode(meta.getString(1)))
+              scala.util.Try(Codec.decodeReal(bytes, meta.getString(1))).toOption
+            else None).getOrElse(Codec.decodeFake(bytes, w, h))
           val f = if (f0.width == w && f0.height == h) f0 else Codec.resample(f0, w, h)
           Row.fromSeq(r.toSeq :+ Row(f.width, f.height, f.pixels.toSeq))
         }

@@ -126,7 +126,8 @@ object Pipeline {
               |GROUP BY word HAVING COUNT(*) >= 10""".stripMargin)),
 
     // ── C4-style corpus line dedup: a sentence appearing in several docs
-    //    keeps one occurrence (first by doc·2²⁰+pos); per-doc stats below.
+    //    keeps one occurrence (first by lexicographic (doc, pos) order);
+    //    per-doc stats below.
     //    '. ' splitting plays the line boundary on the sentence-structured
     //    synthetic corpus.
     Q("q_line_dedup",

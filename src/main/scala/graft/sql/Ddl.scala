@@ -406,6 +406,29 @@ object Ddl {
     * count-every-angle version drove depth negative there and merged or
     * lost column defs. A stray '>' with no open generic is likewise inert.
     */
+  /** Does the '<' at index `i` close as a generic type list? Forward scan:
+    * identifier-glued '<' nests; a matching '>' at nesting zero closes; a
+    * ')' outside an inner paren pair (DECIMAL(10,2) is fine), a string
+    * quote, or end-of-input means this was an expression comparison.
+    */
+  private def closesAsGeneric(s: String, i: Int): Boolean = {
+    var depth = 1
+    var paren = 0
+    var j = i + 1
+    while (j < s.length && depth > 0) {
+      s.charAt(j) match {
+        case '(' => paren += 1
+        case ')' => if (paren == 0) return false else paren -= 1
+        case '\'' => return false
+        case '<' if s.charAt(j - 1).isLetterOrDigit || s.charAt(j - 1) == '_' => depth += 1
+        case '>' => depth -= 1
+        case _ =>
+      }
+      j += 1
+    }
+    depth == 0
+  }
+
   def splitTop(s: String, sep: Char): Seq[String] = {
     val out = Seq.newBuilder[String]
     val cur = new StringBuilder
@@ -423,13 +446,15 @@ object Ddl {
         case ']' if !inS => depth -= 1; cur += c
         case '<' if !inS && {
             // generic-type position ONLY: '<' glued to a generic keyword
-            // (STRUCT<...>, ARRAY<...>, …). A glued comparison like (a<b)
-            // must NOT open an angle — it would never close and every
-            // later top-level comma would stop splitting.
+            // (STRUCT<...>, ARRAY<...>, …) AND closing as a type list. A
+            // glued comparison like (a<b) — or (list<3) on a column named
+            // list — must NOT open an angle: it would never close and
+            // every later top-level comma would stop splitting.
             var j = i - 1
             while (j >= 0 && (s.charAt(j).isLetterOrDigit || s.charAt(j) == '_')) j -= 1
             val word = s.substring(j + 1, i).toUpperCase
-            word == "STRUCT" || word == "ARRAY" || word == "MAP" || word == "LIST"
+            (word == "STRUCT" || word == "ARRAY" || word == "MAP" || word == "LIST") &&
+              closesAsGeneric(s, i)
           } =>
           angle += 1; cur += c
         case '>' if !inS && angle > 0 => angle -= 1; cur += c

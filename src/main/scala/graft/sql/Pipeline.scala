@@ -17,6 +17,12 @@ import scala.jdk.CollectionConverters._
 object Pipeline {
   private[sql] val EodSentinelTs = "9999-01-01T00:00:00Z"
   private[sql] val EodThresholdTs = "9000-01-01T00:00:00Z"
+  /** JVM-wide overlay-dir reuse (see eodOverlayDir): keyed on source
+    * content + ts field + sentinel shape, so repeated bounded runs over
+    * an unchanged source share one temp dir.
+    */
+  private[sql] val overlayCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
 }
 
 /** SQL pipeline runner: the reference's only entry point is a SQL script
@@ -720,9 +726,9 @@ class Pipeline(spark: SparkSession, streaming: Boolean = false) {
     * is new bytes.
     */
   private def eodOverlayDir(path: String, tsField: String,
-      writeSentinel: java.nio.file.Path => Unit): String = {
+      writeSentinel: java.nio.file.Path => Unit,
+      sentinelKind: String): String = {
     import java.nio.file.{Files, Paths}
-    val dir = Files.createTempDirectory("graft-eod")
     val src = Paths.get(path)
     val files =
       if (Files.isRegularFile(src)) Seq(src)
@@ -735,20 +741,32 @@ class Pipeline(spark: SparkSession, streaming: Boolean = false) {
           .filterNot(_.getFileName.toString.startsWith(".")).toSeq
         finally listing.close()
       }
-    files.foreach { f =>
-      val link = dir.resolve(f.getFileName)
-      try Files.createSymbolicLink(link, f.toAbsolutePath)
-      catch { case _: Exception => Files.copy(f, link) }
-    }
-    writeSentinel(dir)
-    // the overlay must outlive the (arbitrarily long) streaming query, so
-    // reclaim at JVM exit: dir registered first → deleted last (reverse
-    // registration order), children first
-    dir.toFile.deleteOnExit()
-    val children = Files.list(dir)
-    try children.iterator().asScala.foreach(_.toFile.deleteOnExit())
-    finally children.close()
-    dir.toString
+    // one overlay per (source content, ts field, sentinel shape) per JVM:
+    // a driver that runs the same bounded pipeline repeatedly reuses the
+    // overlay instead of accumulating temp dirs and deleteOnExit entries
+    // without bound. A source whose files changed (name/size/mtime) gets
+    // a fresh overlay — growth is bounded by distinct source states.
+    val sig = files.map(f =>
+        s"${f.getFileName}:${Files.size(f)}:${Files.getLastModifiedTime(f).toMillis}")
+      .sorted.mkString(",")
+    val key = s"$sentinelKind|$tsField|$path|${sig.hashCode}"
+    Pipeline.overlayCache.computeIfAbsent(key, _ => {
+      val dir = Files.createTempDirectory("graft-eod")
+      files.foreach { f =>
+        val link = dir.resolve(f.getFileName)
+        try Files.createSymbolicLink(link, f.toAbsolutePath)
+        catch { case _: Exception => Files.copy(f, link) }
+      }
+      writeSentinel(dir)
+      // the overlay must outlive the (arbitrarily long) streaming query,
+      // so reclaim at JVM exit: dir registered first → deleted last
+      // (reverse registration order), children first
+      dir.toFile.deleteOnExit()
+      val children = Files.list(dir)
+      try children.iterator().asScala.foreach(_.toFile.deleteOnExit())
+      finally children.close()
+      dir.toString
+    })
   }
 
   private def eodJsonSentinel(tsField: String)(dir: java.nio.file.Path): Unit =
@@ -799,6 +817,10 @@ class Pipeline(spark: SparkSession, streaming: Boolean = false) {
     * reference's `ts - 1s` default).
     */
   def sourceFrame(t: ConnectorTable): DataFrame = {
+    // a re-created table must not inherit the previous definition's
+    // applied-sentinel state (e.g. same name re-pointed from a µs parquet
+    // to a nanos-as-long one): clear first, the branch below re-registers
+    eodApplied -= t.name
     val base = t.connector match {
       case "filesystem" | "single_file"
           if planOnly && t.columns.nonEmpty &&
@@ -844,7 +866,7 @@ class Pipeline(spark: SparkSession, streaming: Boolean = false) {
                 // final windows flush (see eodField's scaladoc)
                 eodApplied += t.name
                 spark.readStream.schema(t.schema).format("json").options(jsonOpts)
-                  .load(eodOverlayDir(path, f, eodJsonSentinel(f)))
+                  .load(eodOverlayDir(path, f, eodJsonSentinel(f), "json"))
               case _ => load("json", jsonOpts)
             }
           case "parquet" =>
@@ -862,7 +884,7 @@ class Pipeline(spark: SparkSession, streaming: Boolean = false) {
                 // Long past ~2262) — those sources keep the plain path
                 eodApplied += t.name
                 spark.readStream.schema(fileSchema).format("parquet")
-                  .load(eodOverlayDir(path, f, eodParquetSentinel(f)))
+                  .load(eodOverlayDir(path, f, eodParquetSentinel(f), "parquet"))
               case _ => load("parquet", schema = fileSchema)
             }
           case "csv" =>
@@ -871,7 +893,7 @@ class Pipeline(spark: SparkSession, streaming: Boolean = false) {
                 eodApplied += t.name
                 spark.readStream.schema(t.schema).format("csv")
                   .option("header", "true")
-                  .load(eodOverlayDir(path, f, eodCsvSentinel(f, t.schema)))
+                  .load(eodOverlayDir(path, f, eodCsvSentinel(f, t.schema), s"csv:${t.schema.catalogString}"))
               case _ => load("csv", Map("header" -> "true"))
             }
           case "raw_string" =>

@@ -73,6 +73,15 @@ class SqlPipelineSpec extends SparkSpec {
     assert(c4 == Seq("flag BOOLEAN GENERATED ALWAYS AS (a<b)", "x INT", "y INT"), s"got $c4")
     val c5 = Ddl.splitTop("a INT GENERATED ALWAYS AS (b>c AND d<e), f TEXT", ',')
     assert(c5 == Seq("a INT GENERATED ALWAYS AS (b>c AND d<e)", "f TEXT"), s"got $c5")
+    // a COLUMN named like a generic keyword in a glued comparison: the
+    // forward scan sees no closing '>' before the ')' and stays inert
+    val c6 = Ddl.splitTop("a INT GENERATED ALWAYS AS (list<3), x INT, y INT", ',')
+    assert(c6 == Seq("a INT GENERATED ALWAYS AS (list<3)", "x INT", "y INT"), s"got $c6")
+    // while real generics — including parens inside the type list — nest
+    val c7 = Ddl.splitTop("d STRUCT<a DECIMAL(10,2), b INT>, e INT", ',')
+    assert(c7 == Seq("d STRUCT<a DECIMAL(10,2), b INT>", "e INT"), s"got $c7")
+    val c8 = Ddl.splitTop("m MAP<STRING, ARRAY<INT>>, n INT", ',')
+    assert(c8 == Seq("m MAP<STRING, ARRAY<INT>>", "n INT"), s"got $c8")
   }
 
   test("rewriteDialect: operator sugar inside string literals is inert") {
