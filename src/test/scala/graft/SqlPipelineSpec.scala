@@ -117,6 +117,16 @@ class SqlPipelineSpec extends SparkSpec {
     val usPlan = spark.table("us_src").queryExecution.analyzed.toString
     assert(usPlan.contains("9000-01-01") && usPlan.contains("graft-eod"),
       s"µs parquet source must carry the sentinel overlay:\n$usPlan")
+    // a second run over the UNCHANGED source reuses the same overlay dir
+    // (bounded temp growth) instead of minting a new one per run
+    def overlayOf(plan: String): String =
+      "graft-eod[^/\\]]*".r.findFirstIn(plan).get
+    val p1b = new Pipeline(spark, streaming = true)
+    p1b.run(s"CREATE TABLE us_src (ts TIMESTAMP NOT NULL, v BIGINT) " +
+      s"WITH (connector = 'filesystem', path = '$usDir', format = 'parquet', event_time_field = 'ts');")
+    val usPlan2 = spark.table("us_src").queryExecution.analyzed.toString
+    assert(overlayOf(usPlan2) == overlayOf(usPlan),
+      s"unchanged source must reuse its overlay: ${overlayOf(usPlan)} vs ${overlayOf(usPlan2)}")
     // (b) the driver's events.parquet stores TIMESTAMP(NANOS) surfacing as
     // LONG — the overlay is impossible (year-9999 overflows ns-epoch), so
     // the plan must carry NEITHER the overlay NOR the pushdown-forfeiting
