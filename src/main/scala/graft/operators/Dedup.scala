@@ -360,6 +360,58 @@ object Dedup {
           1L).otherwise(0L)).as("n_kept"))
   }
 
+  /** Exact-substring duplication stats (the "dedupe exact substrings ≥ L
+    * tokens" signal from suffix-array corpus dedup, re-expressed with
+    * rolling grams): for every document, how many of its tokens are
+    * covered by some L-token substring that occurs MORE THAN ONCE in the
+    * corpus (cross-doc or repeated within a doc).
+    *
+    * Returns (doc, n_tokens, dup_tokens, dup_fraction) for every doc.
+    *
+    * Mechanics: explode every position's L-token gram → (doc, pos,
+    * md5(gram)); grams occurring > 1 time form the duplicated set; a
+    * LEFT SEMI join keeps each doc's duplicated positions (no row
+    * expansion — hot grams can't blow the join up); covered tokens =
+    * union of the [pos, pos+L) intervals, computed with one lead()
+    * window per doc: min(next−pos, L), last interval counts L.
+    *
+    * Scale: gram explode is row-local and scan-fused; then one
+    * partial-aggregated shuffle on the gram hash, one semi-join keyed the
+    * same way, one per-doc window. Everything is linear in total tokens;
+    * there is no pairwise term at all (the classic suffix-array approach
+    * needs a global sort — this trades exact maximal-match boundaries for
+    * gram granularity and keeps the shuffle shapes Spark is good at).
+    */
+  def duplicatedSpanStats(df: DataFrame, idCol: String, textCol: String,
+      L: Int = 5): DataFrame = {
+    val toks = tokens(col(textCol))
+    val base = spreadForCompute(df).select(
+      col(idCol).as("doc"), toks.as("toks"))
+    val grams = base.select(col("doc"), size(col("toks")).as("n_tokens"),
+        posexplode(
+          when(size(col("toks")) >= L,
+            transform(sequence(lit(0), size(col("toks")) - L),
+              i => md5(concat_ws(" ", slice(col("toks"), i + 1, lit(L))))))
+            .otherwise(typedLit(Array.empty[String]))).as(Seq("pos", "gh")))
+    val dupGrams = grams.groupBy("gh").agg(count(lit(1)).as("n"))
+      .filter(col("n") > 1).select("gh")
+    val dupPos = grams.join(dupGrams, Seq("gh"), "left_semi")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc")).orderBy(col("pos"))
+    val covered = dupPos
+      .withColumn("nxt", lead(col("pos"), 1).over(w))
+      .withColumn("cov",
+        when(col("nxt").isNotNull, least(col("nxt") - col("pos"), lit(L)))
+          .otherwise(lit(L)))
+      .groupBy(col("doc")).agg(sum(col("cov")).as("dup_tokens"))
+    base.select(col("doc"), size(col("toks")).as("n_tokens"))
+      .join(covered, Seq("doc"), "left")
+      .select(col("doc"), col("n_tokens"),
+        coalesce(col("dup_tokens"), lit(0L)).as("dup_tokens"),
+        (coalesce(col("dup_tokens"), lit(0L)).cast("double") /
+          greatest(col("n_tokens"), lit(1)).cast("double")).as("dup_fraction"))
+  }
+
   /** SimHash: 64-bit locality-sensitive fingerprint. Tokens are hashed to
     * 64 bits; each bit position accumulates +w/−w across tokens; the sign
     * pattern is the fingerprint. Near-dups differ in few bits (small

@@ -148,6 +148,37 @@ object Pipeline {
              |       CAST(sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
              |FROM r GROUP BY doc_id""".stripMargin)),
 
+    // ── exact-substring duplication stats: per doc, the fraction of
+    //    tokens covered by some 5-token substring occurring >1 time in
+    //    the corpus (suffix-array-style dedup signal at gram granularity).
+    Q("q_dup_spans",
+      (s, dir) => graft.operators.Dedup.duplicatedSpanStats(
+          docs(s, dir), "doc_id", "text", L = 5)
+        .select(col("doc").as("doc_id"), col("n_tokens"), col("dup_tokens"),
+          col("dup_fraction")),
+      Some(s"""WITH t AS (SELECT doc_id, ${oTokens("text")} AS toks FROM documents),
+              |l0 AS (SELECT doc_id, toks, unnest(range(len(toks) - 4)) AS pos
+              |       FROM t WHERE len(toks) >= 5),
+              |g AS (SELECT doc_id, pos,
+              |        md5(array_to_string(
+              |          toks[CAST(pos AS INTEGER)+1:CAST(pos AS INTEGER)+5], ' ')) AS gh
+              |      FROM l0),
+              |d AS (SELECT gh FROM g GROUP BY gh HAVING COUNT(*) > 1),
+              |p AS (SELECT doc_id, pos FROM g WHERE gh IN (SELECT gh FROM d)),
+              |c AS (SELECT doc_id,
+              |        CAST(SUM(CASE WHEN nxt IS NULL THEN 5
+              |                 ELSE LEAST(nxt - pos, 5) END) AS BIGINT) AS dup_tokens
+              |      FROM (SELECT doc_id, pos,
+              |              lead(pos) OVER (PARTITION BY doc_id ORDER BY pos) AS nxt
+              |            FROM p)
+              |      GROUP BY doc_id),
+              |n AS (SELECT doc_id, CAST(len(toks) AS INTEGER) AS n_tokens FROM t)
+              |SELECT n.doc_id, n.n_tokens,
+              |       COALESCE(c.dup_tokens, 0) AS dup_tokens,
+              |       CAST(COALESCE(c.dup_tokens, 0) AS DOUBLE) /
+              |         GREATEST(n.n_tokens, 1) AS dup_fraction
+              |FROM n LEFT JOIN c USING (doc_id)""".stripMargin)),
+
     // ── incremental cross-shard dedup: bloom prune + exact verify. The
     //    synthetic corpus has no exact dups at this sf, so the shard
     //    deterministically re-crawls every 10th even doc (id+1000000, same

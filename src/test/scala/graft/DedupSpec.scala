@@ -112,6 +112,33 @@ class DedupSpec extends SparkSpec {
     assert(out.count() == 50L)
   }
 
+  test("duplicatedSpanStats: covered-token union over duplicated 5-grams, hand-checked") {
+    import spark.implicits._
+    // doc 1 and doc 2 share the 8-token prefix "a b c d e f g h":
+    // positions 0..3 carry duplicated 5-grams → covered = [0, 8) = 8 tokens.
+    // doc 3 is 10 unique tokens → 0 duplicated. doc 4 is short (< 5 tokens).
+    val d = Seq(
+      (1L, "a b c d e f g h x1 y1 z1"),
+      (2L, "a b c d e f g h x2 y2 z2"),
+      (3L, "p q r s t u v w p2 q2"),
+      (4L, "tiny doc")
+    ).toDF("doc_id", "text")
+    val r = Dedup.duplicatedSpanStats(d, "doc_id", "text", L = 5)
+      .collect().map(x => x.getLong(0) -> ((x.getInt(1), x.getLong(2), x.getDouble(3)))).toMap
+    assert(r(1L) == ((11, 8L, 8.0 / 11)), s"got ${r(1L)}")
+    assert(r(2L) == ((11, 8L, 8.0 / 11)), s"got ${r(2L)}")
+    assert(r(3L) == ((10, 0L, 0.0)), s"got ${r(3L)}")
+    assert(r(4L) == ((2, 0L, 0.0)), s"got ${r(4L)}")
+    // within-doc repetition also counts as duplication (corpus-wide > 1)
+    val rep = Seq((9L, "m n o p q r m n o p q r")).toDF("doc_id", "text")
+    val rr = Dedup.duplicatedSpanStats(rep, "doc_id", "text", L = 5)
+      .collect().map(x => x.getLong(0) -> x.getLong(2)).toMap
+    // grams at positions 0,1 repeat at 6,7 ("m n o p q", "n o p q r");
+    // union covers [0,6) ∪ [6,12) = 12 tokens... positions 0,1,6,7 with
+    // L=5: [0,5)∪[1,6)∪[6,11)∪[7,12) = [0,12) = 12
+    assert(rr(9L) == 12L, s"got ${rr(9L)}")
+  }
+
   test("lineDedupStats: cross-doc duplicated lines keep exactly the first occurrence") {
     import spark.implicits._
     val d = Seq(
