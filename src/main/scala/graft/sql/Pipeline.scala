@@ -749,8 +749,14 @@ class Pipeline(spark: SparkSession, streaming: Boolean = false) {
     val sig = files.map(f =>
         s"${f.getFileName}:${Files.size(f)}:${Files.getLastModifiedTime(f).toMillis}")
       .sorted.mkString(",")
-    val key = s"$sentinelKind|$tsField|$path|${sig.hashCode}"
-    Pipeline.overlayCache.computeIfAbsent(key, _ => {
+    // full signature in the key (not a 32-bit hashCode): a collision would
+    // silently reuse an overlay missing a newly-added file
+    val key = s"$sentinelKind|$tsField|$path|$sig"
+    // revalidate a hit — an external /tmp sweeper may have purged the dir
+    // in a long-lived driver; rebuild instead of handing out a dead path
+    Pipeline.overlayCache.compute(key, (_, cached) =>
+      if (cached != null && Files.isDirectory(Paths.get(cached))) cached
+      else {
       val dir = Files.createTempDirectory("graft-eod")
       files.foreach { f =>
         val link = dir.resolve(f.getFileName)
@@ -819,8 +825,21 @@ class Pipeline(spark: SparkSession, streaming: Boolean = false) {
   def sourceFrame(t: ConnectorTable): DataFrame = {
     // a re-created table must not inherit the previous definition's
     // applied-sentinel state (e.g. same name re-pointed from a µs parquet
-    // to a nanos-as-long one): clear first, the branch below re-registers
+    // to a nanos-as-long one): clear first, the branch below re-registers.
+    // If the branch THROWS, restore the prior state — the old overlay-
+    // bearing view is still the registered one, and clearing its flag
+    // would make the spool frontier-alignment truncate a leg that flushes.
+    val wasApplied = eodApplied.contains(t.name)
     eodApplied -= t.name
+    try sourceFrameInner(t)
+    catch {
+      case e: Throwable =>
+        if (wasApplied) eodApplied += t.name
+        throw e
+    }
+  }
+
+  private def sourceFrameInner(t: ConnectorTable): DataFrame = {
     val base = t.connector match {
       case "filesystem" | "single_file"
           if planOnly && t.columns.nonEmpty &&
