@@ -50,6 +50,28 @@ class SamplingSpec extends SparkSpec {
     assert(none.count() == 0L, "fraction 0.0 drops every row")
   }
 
+  test("mixtureSample under Structured Streaming keeps exactly the batch keep-set") {
+    import spark.implicits._
+    val df = (1L to 400L).map(i => (i, if (i % 2 == 0) "web" else "books"))
+      .toDF("doc_id", "source")
+    val src = java.nio.file.Files.createTempDirectory("graft-mix").toString
+    df.write.mode("overwrite").parquet(src)
+    val fractions = Map("web" -> 0.4, "books" -> 0.7)
+    val batchKeep = Sampling.mixtureSample(df, "source", "doc_id", fractions)
+      .collect().map(_.getLong(0)).toSet
+    // stateless projection+filter → streams unchanged, no watermark needed
+    val stream = spark.readStream.schema(df.schema).parquet(src)
+    val q = Sampling.mixtureSample(stream, "source", "doc_id", fractions)
+      .writeStream.format("memory").queryName("mix_stream")
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000)
+    val streamKeep = spark.table("mix_stream").collect().map(_.getLong(0)).toSet
+    assert(streamKeep == batchKeep,
+      s"stream/batch keep-set diverged: ${streamKeep.diff(batchKeep).take(5)} / ${batchKeep.diff(streamKeep).take(5)}")
+  }
+
   test("contaminationPairs: a quoted eval doc scores containment 1.0") {
     import spark.implicits._
     val evalDf = Seq((1000L, "the quick brown fox jumps")).toDF("doc_id", "text")
