@@ -381,6 +381,11 @@ object Dedup {
     * there is no pairwise term at all (the classic suffix-array approach
     * needs a global sort — this trades exact maximal-match boundaries for
     * gram granularity and keeps the shuffle shapes Spark is good at).
+    *
+    * The gram explode is deliberately traversed twice (once under the
+    * count, once under the semi-join) rather than persisted: the exploded
+    * form is ~L× the corpus text — at 100 TB caching it would evict
+    * everything else, while re-deriving it is a scan-fused projection.
     */
   def duplicatedSpanStats(df: DataFrame, idCol: String, textCol: String,
       L: Int = 5): DataFrame = {
