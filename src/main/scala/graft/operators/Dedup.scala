@@ -206,12 +206,22 @@ object Dedup {
     * (~1.2 GB per 10⁹ distinct contents at 1% fpp). Past that, partition
     * the hash space (pmod(xxhash64, P)) and build one bloom per bucket
     * over co-partitioned sides; prune and verify are unchanged per bucket.
+    * The bloom rides the plan as a binary literal — the task binary is
+    * torrent-broadcast once per stage (the same transport Spark's own
+    * runtime row-level filters use), not re-sent per task; plan
+    * stringification truncates literals, so explain() stays readable.
     */
   def bloomIncremental(ref: DataFrame, shard: DataFrame, idCol: String,
       textCol: String, expectedItems: Long = 1L << 20,
       fpp: Double = 0.01): DataFrame = {
     import org.apache.spark.sql.GraftShim
     import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal}
+    // empty reference = first-ever incremental run: everything is new.
+    // (Also required for correctness — Spark's stat.bloomFilter NPEs on
+    // zero rows.) isEmpty short-circuits at the first row, so this probe
+    // is O(1) even on a 100 TB reference.
+    if (ref.isEmpty)
+      return shard.select(col(idCol), md5(col(textCol)).as("content_hash"))
     val bf = ref.select(xxhash64(col(textCol)).as("bk"))
       .stat.bloomFilter("bk", expectedItems, fpp)
     val bytes = {

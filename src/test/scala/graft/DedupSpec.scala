@@ -99,6 +99,13 @@ class DedupSpec extends SparkSpec {
     assert(out == Set(13L, 17L), s"got $out")
   }
 
+  test("bloomIncremental with an empty reference keeps the whole shard") {
+    import spark.implicits._
+    val ref = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    val shard = Seq((1L, base), (2L, other)).toDF("doc_id", "text")
+    assert(Dedup.bloomIncremental(ref, shard, "doc_id", "text").count() == 2L)
+  }
+
   test("bloomIncremental verify pass scrubs bloom false positives (tiny, saturated bloom)") {
     import spark.implicits._
     val ref = (1L to 50L).map(i => (i, s"ref document number $i unique payload"))
