@@ -128,7 +128,8 @@ class DedupSpec extends SparkSpec {
       (1L, "a b c d e f g h x1 y1 z1"),
       (2L, "a b c d e f g h x2 y2 z2"),
       (3L, "p q r s t u v w p2 q2"),
-      (4L, "tiny doc")
+      (4L, "tiny doc"),
+      (5L, "")                 // empty text: zero tokens, no grams, no NPE
     ).toDF("doc_id", "text")
     val r = Dedup.duplicatedSpanStats(d, "doc_id", "text", L = 5)
       .collect().map(x => x.getLong(0) -> ((x.getInt(1), x.getLong(2), x.getDouble(3)))).toMap
@@ -136,6 +137,7 @@ class DedupSpec extends SparkSpec {
     assert(r(2L) == ((11, 8L, 8.0 / 11)), s"got ${r(2L)}")
     assert(r(3L) == ((10, 0L, 0.0)), s"got ${r(3L)}")
     assert(r(4L) == ((2, 0L, 0.0)), s"got ${r(4L)}")
+    assert(r(5L) == ((0, 0L, 0.0)), s"got ${r(5L)}")
     // within-doc repetition also counts as duplication (corpus-wide > 1)
     val rep = Seq((9L, "m n o p q r m n o p q r")).toDF("doc_id", "text")
     val rr = Dedup.duplicatedSpanStats(rep, "doc_id", "text", L = 5)
