@@ -272,26 +272,30 @@ object Dedup {
       val nbrMin = edges
         .join(labels.select(col("doc").as("dst"), col("keep_as").as("dst_label")), "dst")
         .groupBy(col("src").as("doc")).agg(min("dst_label").as("nbr_min"))
+      // the pre-hop label rides along as `prev`, so the convergence probe
+      // below is a scan of the cached round output (early-exit isEmpty) —
+      // not a second shuffle join of next vs labels per round
       val hopped = labels.join(nbrMin, Seq("doc"), "left")
-        .select(col("doc"),
+        .select(col("doc"), col("keep_as").as("prev"),
           least(col("keep_as"), coalesce(col("nbr_min"), col("keep_as"))).as("keep_as"))
       // path-halving: keep_as := label(keep_as)
       val jumped = hopped.as("l")
         .join(hopped.select(col("doc").as("p_doc"), col("keep_as").as("p_label")),
           col("l.keep_as") === col("p_doc"), "left")
-        .select(col("l.doc").as("doc"),
+        .select(col("l.doc").as("doc"), col("l.prev").as("prev"),
           least(col("l.keep_as"), coalesce(col("p_label"), col("l.keep_as"))).as("keep_as"))
       val next =
         if (iter % 4 == 3) jumped.localCheckpoint() // eager, truncates lineage
         else jumped.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      converged = next.join(labels.withColumnRenamed("keep_as", "prev"), "doc")
-        .filter(col("keep_as") =!= col("prev")).isEmpty
+      converged = next.filter(col("keep_as") =!= col("prev")).isEmpty
       labels.unpersist()
       labels = next
       iter += 1
     }
     edges.unpersist()
-    labels
+    // release the last round's cache too — the output is re-materialized
+    // from the (cheap, already-computed) checkpoint, not recomputed
+    materializeAndRelease(labels.select(col("doc"), col("keep_as")), labels)
   }
 
   /** Exact n-gram Jaccard similarity via inverted index join.
