@@ -151,6 +151,57 @@ object TextAnalysis {
         count(lit(1)).as("distinct_grams"))
   }
 
+  /** Corpus bigram-LM scoring — the statistical quality gate next to the
+    * surface heuristics in [[qualityScore]] (the CCNet/RefinedWeb-style
+    * perplexity filter): score each document by the average log-probability
+    * of its token bigrams under an MLE bigram model fitted on the corpus
+    * itself, p(w2|w1) = c(w1,w2) / c(w1,·) with c(w1,·) = Σ_w2 c(w1,w2).
+    * Gibberish and shuffled-boilerplate docs score low (high perplexity)
+    * even when their length/punctuation stats look like prose.
+    *
+    * Returns (doc, n_bigrams, sum_bigram_c, sum_context_c, avg_logprob,
+    * perplexity); docs with < 2 tokens keep n_bigrams = 0 and NULL scores.
+    * The integer sufficient statistics pin the whole heavy plan for the
+    * engine-portable oracle; the log/exp step is row-local on top of them
+    * (cross-engine doubles differ in last ulps, so the oracle checks the
+    * exact integers instead — see q_lm_score).
+    *
+    * Scale shape: bigram counts are one shuffle with map-side partials
+    * (output bounded by distinct bigrams, not corpus size); context counts
+    * derive from the bigram table — a second, vocab-sized aggregation, NOT
+    * a second corpus pass; scoring is ONE corpus-side equi-join against
+    * the (bigram → (c12, c1)) table, where every bigram occurrence matches
+    * exactly one row — hot stopword bigrams are 1:1 matches, not fan-outs,
+    * so output stays linear in corpus tokens.
+    */
+  def lmScore(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val toks = Dedup.tokens(col(textCol))
+    val pairs = df.filter(size(toks) >= 2).select(
+        col(idCol).as("doc"),
+        explode(transform(sequence(lit(0), size(toks) - 2),
+          i => struct(
+            element_at(toks, i + 1).as("w1"),
+            element_at(toks, i + 2).as("w2")))).as("bg"))
+      .select(col("doc"), col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+    val bigramCounts = pairs.groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
+    val contextCounts = bigramCounts.groupBy("w1").agg(sum("c12").as("c1"))
+    val bc = bigramCounts.join(contextCounts, "w1")
+    val scored = pairs.join(bc, Seq("w1", "w2"))
+      .groupBy("doc")
+      .agg(count(lit(1)).as("n_bigrams"),
+        sum("c12").as("sum_bigram_c"),
+        sum("c1").as("sum_context_c"),
+        avg(log(col("c12").cast("double") / col("c1"))).as("avg_logprob"))
+    df.select(col(idCol).as("doc")).join(scored, Seq("doc"), "left")
+      .select(col("doc"),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        coalesce(col("sum_bigram_c"), lit(0L)).as("sum_bigram_c"),
+        coalesce(col("sum_context_c"), lit(0L)).as("sum_context_c"),
+        col("avg_logprob"),
+        when(col("avg_logprob").isNotNull, exp(-col("avg_logprob")))
+          .as("perplexity"))
+  }
+
   /** Full per-document feature frame used by quality filtering. */
   def features(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     val t = col(textCol)

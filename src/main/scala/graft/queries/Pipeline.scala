@@ -90,6 +90,34 @@ object Pipeline {
            |FROM documents""".stripMargin
       }),
 
+    // ── corpus bigram-LM scoring (CCNet-style perplexity quality gate).
+    //    The oracle checks the integer sufficient statistics (n bigrams,
+    //    Σ bigram count, Σ context count) that pin the whole count+join
+    //    plan; the final log/exp is row-local double math on top of them
+    //    and cross-engine doubles differ in last ulps, so it stays out of
+    //    the hash gate (the spec hand-checks it on a constructed corpus).
+    Q("q_lm_score",
+      (s, dir) => TextAnalysis.lmScore(docs(s, dir), "doc_id", "text")
+        .select(col("doc"), col("n_bigrams"), col("sum_bigram_c"),
+          col("sum_context_c")),
+      Some(s"""WITH t AS (SELECT doc_id, ${oTokens("text")} AS toks FROM documents),
+              |p AS (SELECT doc_id,
+              |        unnest(list_transform(range(1, len(toks)),
+              |          i -> {'w1': toks[i], 'w2': toks[i+1]})) AS bg
+              |      FROM t WHERE len(toks) >= 2),
+              |pr AS (SELECT doc_id, bg.w1 AS w1, bg.w2 AS w2 FROM p),
+              |bc AS (SELECT w1, w2, COUNT(*) AS c12 FROM pr GROUP BY w1, w2),
+              |cc AS (SELECT w1, SUM(c12) AS c1 FROM bc GROUP BY w1),
+              |sc AS (SELECT doc_id, COUNT(*) AS n_bigrams,
+              |         SUM(bc.c12) AS s12, SUM(cc.c1) AS s1
+              |       FROM pr JOIN bc USING (w1, w2) JOIN cc USING (w1)
+              |       GROUP BY doc_id)
+              |SELECT d.doc_id AS doc,
+              |  CAST(COALESCE(sc.n_bigrams, 0) AS BIGINT) AS n_bigrams,
+              |  CAST(COALESCE(sc.s12, 0) AS BIGINT) AS sum_bigram_c,
+              |  CAST(COALESCE(sc.s1, 0) AS BIGINT) AS sum_context_c
+              |FROM documents d LEFT JOIN sc ON d.doc_id = sc.doc_id""".stripMargin)),
+
     // ── language ID (stopword-evidence argmax; tie-break = max lang code,
     //    mirroring Spark's struct-compare in TextAnalysis.languageId)
     Q("q_lang_id",

@@ -83,6 +83,28 @@ class TextAnalysisSpec extends SparkSpec {
     assert(r(2L) == ((1L, 0L, 5L)), s"got ${r(2L)}")
   }
 
+  test("bigram LM score: hand-computed MLE log-probs; short docs get null scores") {
+    import spark.implicits._
+    // corpus bigrams: d1 = (a,b),(b,a),(a,b); d2 = (a,b),(b,c)
+    // counts: c(a,b)=3, c(b,a)=1, c(b,c)=1; contexts: c(a,·)=3, c(b,·)=2
+    val docs = Seq((1L, "a b a b"), (2L, "a b c"), (3L, "solo"), (4L, ""))
+      .toDF("doc_id", "text")
+    val r = TextAnalysis.lmScore(docs, "doc_id", "text")
+      .collect().map(x => x.getLong(0) -> x).toMap
+    assert(r.size == 4)
+    // d1: logs = ln(3/3), ln(1/2), ln(3/3) → avg = -ln2/3; Σc12 = 7, Σc1 = 8
+    assert(r(1L).getLong(1) == 3L && r(1L).getLong(2) == 7L && r(1L).getLong(3) == 8L)
+    assert(math.abs(r(1L).getDouble(4) - (-math.log(2) / 3)) < 1e-12)
+    assert(math.abs(r(1L).getDouble(5) - math.exp(math.log(2) / 3)) < 1e-12)
+    // d2: logs = ln(3/3), ln(1/2) → avg = -ln2/2 → worse (higher perplexity)
+    assert(math.abs(r(2L).getDouble(4) - (-math.log(2) / 2)) < 1e-12)
+    assert(r(2L).getDouble(5) > r(1L).getDouble(5))
+    // < 2 tokens → zero bigrams, null scores
+    Seq(3L, 4L).foreach { d =>
+      assert(r(d).getLong(1) == 0L && r(d).isNullAt(4) && r(d).isNullAt(5))
+    }
+  }
+
   test("features frame computes all columns without nulls") {
     val docs = Tables.load(spark, sfDir, "documents")
     val f = TextAnalysis.features(docs, "doc_id", "text")
