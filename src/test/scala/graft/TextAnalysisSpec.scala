@@ -105,6 +105,44 @@ class TextAnalysisSpec extends SparkSpec {
     }
   }
 
+  test("bigram LM score matches a brute-force reference on random corpora") {
+    import spark.implicits._
+    val rng = new scala.util.Random(42)
+    val vocab = Vector("a", "b", "c", "dd", "ee")
+    (1 to 5).foreach { trial =>
+      val docs = (1L to 20L).map { id =>
+        val n = rng.nextInt(8) // 0..7 tokens
+        (id, Seq.fill(n)(vocab(rng.nextInt(vocab.size))).mkString(" "))
+      }
+      // brute force: MLE bigram counts over the whole corpus
+      val allPairs = docs.flatMap { case (id, t) =>
+        val w = t.split("\\s+").filter(_.nonEmpty)
+        w.zip(w.drop(1)).map(p => (id, p))
+      }
+      val c12 = allPairs.groupBy(_._2).view.mapValues(_.size.toLong).toMap
+      val c1 = allPairs.groupBy(_._2._1).view.mapValues(_.size.toLong).toMap
+      val expected = docs.map { case (id, _) =>
+        val ps = allPairs.filter(_._1 == id).map(_._2)
+        val logs = ps.map(p => math.log(c12(p).toDouble / c1(p._1)))
+        (id, ps.size.toLong, ps.map(c12).sum, ps.map(p => c1(p._1)).sum,
+          if (ps.isEmpty) None else Some(logs.sum / logs.size))
+      }.map(e => e._1 -> e).toMap
+      val got = TextAnalysis.lmScore(docs.toDF("doc_id", "text"), "doc_id", "text")
+        .collect().map(r => r.getLong(0) -> r).toMap
+      assert(got.size == docs.size, s"trial $trial: row count")
+      expected.foreach { case (id, (_, n, s12, s1, avg)) =>
+        val r = got(id)
+        assert(r.getLong(1) == n && r.getLong(2) == s12 && r.getLong(3) == s1,
+          s"trial $trial doc $id: stats ${(r.getLong(1), r.getLong(2), r.getLong(3))} != ${(n, s12, s1)}")
+        avg match {
+          case None => assert(r.isNullAt(4), s"trial $trial doc $id: expected null score")
+          case Some(a) => assert(math.abs(r.getDouble(4) - a) < 1e-9,
+            s"trial $trial doc $id: avg_logprob ${r.getDouble(4)} != $a")
+        }
+      }
+    }
+  }
+
   test("features frame computes all columns without nulls") {
     val docs = Tables.load(spark, sfDir, "documents")
     val f = TextAnalysis.features(docs, "doc_id", "text")
