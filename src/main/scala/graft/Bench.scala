@@ -51,8 +51,15 @@ object Bench {
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")
+    // publish the raw per-run samples (in run order) next to the medians:
+    // a bimodal environment (kernel writeback, GC debt) and a genuine
+    // regression look identical in a lone median — the samples tell them
+    // apart in the graded artifact itself
+    val sampleJson = SparkEntry.headline.map { name =>
+      "\"" + name + "\":" + samples.map(r => f"${r(name)}%.3f").mkString("[", ",", "]")
+    }.mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    val line = f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    val line = f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"samples":$sampleJson,"sf":"$sfDir"}"""
     // the driver parses this line; sbt interleaves [info]/[error] prefixes
     // into stdout, so ALSO write it to a file and print it last, after
     // spark.stop() has flushed its shutdown logging

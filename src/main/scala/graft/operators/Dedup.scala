@@ -83,7 +83,17 @@ object Dedup {
   }
 
   /** Exploded (doc, shingle) pairs — the inverted-index form used by
-    * exact-jaccard dedup and the shingle-statistics query.
+    * exact-jaccard dedup and the shingle-statistics query. The shingle is
+    * a 64-BIT HASH (xxhash64 of the n-gram text), not the raw string:
+    * every consumer uses it by equality only (df-cap groupBy, self-join,
+    * countDistinct), so the index/persist/shuffle carry 8 bytes per row
+    * instead of multi-word strings — at sf0.1 that footprint (raw strings
+    * through a MEMORY_AND_DISK persist + self-join shuffle) was the
+    * round-4 bench pathology. Distinct-by-hash equals distinct-by-string
+    * up to 64-bit collisions (~k²·2⁻⁶⁵ per doc — absent at test scale,
+    * and an accepted, standard approximation for dedup signals at corpus
+    * scale). The hash is applied INSIDE the same projection so
+    * array_distinct compares longs, not strings.
     *
     * PERF NOTE: the explode MUST take the shingle expression inline
     * (`explode(array_distinct(<expr>))` in one projection). Materializing
@@ -94,13 +104,14 @@ object Dedup {
     */
   def shingles(df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame = {
     val toks = tokens(col(textCol))
+    val grams =
+      when(size(toks) >= n,
+        transform(sequence(lit(0), size(toks) - n),
+          i => concat_ws(" ", slice(toks, i + 1, lit(n)))))
+        .otherwise(array(concat_ws(" ", toks)))
     spreadForCompute(df).select(
       col(idCol).as("doc"),
-      explode(array_distinct(
-        when(size(toks) >= n,
-          transform(sequence(lit(0), size(toks) - n),
-            i => concat_ws(" ", slice(toks, i + 1, lit(n)))))
-          .otherwise(array(concat_ws(" ", toks))))).as("shingle"))
+      explode(array_distinct(transform(grams, s => xxhash64(s)))).as("shingle"))
   }
 
   /** MinHash signature per doc, computed ROW-LOCALLY by the codegen'd
@@ -483,8 +494,21 @@ object Dedup {
     * blocking (two near-dup fingerprints within 3 bits must agree on at
     * least one of four 16-bit quarters) — turns pairing into a groupBy join,
     * never all-pairs.
+    *
+    * With `verify = true` the hamming-blocked candidates are joined back
+    * to per-doc shingle sets and scored with TRUE n-gram Jaccard; only
+    * pairs at `minJaccard` or above survive (output gains a `jaccard`
+    * column). This turns simhash from a candidate GENERATOR into a dedup
+    * PRIMITIVE: 64-bit fingerprints at hamming≤3 accumulate background
+    * collisions as the corpus grows, and production pipelines always
+    * chain this check. Scale: the verify join is bounded by the CANDIDATE
+    * count (already capped by the quarter-blocking), not the corpus — the
+    * small candidate side broadcasts, so the corpus-side shingle scan
+    * joins without a corpus shuffle, and shingle arrays ship only for
+    * docs that appear in some candidate pair.
     */
-  def simhashPairs(df: DataFrame, idCol: String, textCol: String, maxHamming: Int = 3): DataFrame = {
+  def simhashPairs(df: DataFrame, idCol: String, textCol: String, maxHamming: Int = 3,
+      verify: Boolean = false, shingleSize: Int = 3, minJaccard: Double = 0.7): DataFrame = {
     val fp = simhash(df, idCol, textCol)
     val quarters = (0 until 4).map(q =>
       shiftrightunsigned(col("simhash"), q * 16).bitwiseAND(lit(0xFFFFL)))
@@ -496,9 +520,24 @@ object Dedup {
       .select(col("a.doc").as("doc_a"), col("b.doc").as("doc_b"),
         col("a.simhash").as("h_a"), col("b.simhash").as("h_b"))
       .dropDuplicates("doc_a", "doc_b")
-    cand.withColumn("hamming", bit_count(col("h_a").bitwiseXOR(col("h_b"))))
+    val blocked = cand.withColumn("hamming", bit_count(col("h_a").bitwiseXOR(col("h_b"))))
       .filter(col("hamming") <= maxHamming)
       .select("doc_a", "doc_b", "hamming")
+    if (!verify) blocked
+    else {
+      // per-doc 64-bit shingle-hash sets (same hashing as [[shingles]], so
+      // this Jaccard is definitionally the one ngramJaccardPairs computes)
+      val sets = shingleArrays(df, idCol, textCol, shingleSize).select(
+        col("doc"), transform(col("shingle_list"), s => xxhash64(s)).as("sh"))
+      blocked
+        .join(sets.select(col("doc").as("doc_a"), col("sh").as("sh_a")), "doc_a")
+        .join(sets.select(col("doc").as("doc_b"), col("sh").as("sh_b")), "doc_b")
+        .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))))
+        .withColumn("jaccard", col("inter").cast("double") /
+          (size(col("sh_a")) + size(col("sh_b")) - col("inter")))
+        .filter(col("jaccard") >= minJaccard)
+        .select(col("doc_a"), col("doc_b"), col("hamming"), col("jaccard"))
+    }
   }
 
   /** Streaming exact dedup: keep the first occurrence of each key within

@@ -34,7 +34,11 @@ object Pipeline {
              |FROM documents GROUP BY md5(text)""".stripMargin)),
 
     // ── tokenizer + shingle pipeline check (the exploded (doc, shingle)
-    //    form every dedup strategy shares)
+    //    form every dedup strategy shares). The Spark side emits 64-bit
+    //    HASHED shingle ids; the oracle counts the raw n-gram strings —
+    //    deliberately NOT hashed the same way, so a hash-gate match also
+    //    proves the hashing is count/equality-preserving (no collisions
+    //    at this scale, none dropped or merged by the transform).
     Q("q_doc_shingles",
       (s, dir) => Dedup.shingles(docs(s, dir), "doc_id", "text", 3)
         .groupBy(col("doc"))
@@ -688,20 +692,23 @@ object Pipeline {
              |UNION ALL
              |SELECT 'est_mae', CAST(0.05 AS DOUBLE), true""".stripMargin)),
 
-    // ── SimHash quality contract: the hamming-blocked candidate pairs vs
-    //    exact Jaccard ground truth. Two floors (SimhashQualityProbe:
-    //    meanJ 0.35-0.87, exact-dup recall 8/8 at sf0.1): identical docs
-    //    share a fingerprint so EVERY exact duplicate pair must surface,
-    //    and flagged pairs must average well above corpus-random Jaccard.
-    //    (Mean dilutes as the corpus grows — 64-bit simhash at hamming<=3
-    //    picks up background collisions, which is why production pipelines
-    //    chain a verify step; the floor encodes that reality.)
+    // ── SimHash quality contract: the hamming-blocked pipeline WITH the
+    //    exact-verify stage vs exact Jaccard ground truth. Two floors:
+    //    identical docs share a fingerprint and survive verify at J=1.0,
+    //    so EVERY exact duplicate pair must surface; and because verify
+    //    re-scores candidates with true shingle Jaccard and drops
+    //    everything under 0.7, the emitted pairs must average ≥ 0.7 —
+    //    the background-collision dilution that capped the unverified
+    //    floor at 0.3 (round-4 verdict item #2) is filtered out by
+    //    construction, making simhash a dedup primitive, not just a
+    //    candidate generator.
     Q("q_simhash_quality",
       (s, dir) => {
         val d = docs(s, dir)
         val exact = graft.operators.Dedup.ngramJaccardPairs(d, "doc_id", "text",
           shingleSize = 3, threshold = 0.5, maxDocFreq = 1000)
-        val sh = graft.operators.Dedup.simhashPairs(d, "doc_id", "text", maxHamming = 3)
+        val sh = graft.operators.Dedup.simhashPairs(d, "doc_id", "text", maxHamming = 3,
+          verify = true, shingleSize = 3, minJaccard = 0.7)
         val dups = exact.filter(col("jaccard") >= 0.999)
         val dupRecall = dups.join(sh, Seq("doc_a", "doc_b"))
           .agg(count(lit(1)).as("found"))
@@ -709,14 +716,14 @@ object Pipeline {
           .select(lit("exact_dups_found").as("metric"), lit(1.0).as("floor"),
             (col("found") === col("total")).as("ok"))
         val meanJ = sh.join(exact, Seq("doc_a", "doc_b"), "left")
-          .agg(avg(coalesce(col("jaccard"), lit(0.0))).as("v"))
-          .select(lit("mean_jaccard").as("metric"), lit(0.3).as("floor"),
-            (col("v") >= lit(0.3)).as("ok"))
+          .agg(avg(coalesce(exact("jaccard"), lit(0.0))).as("v"))
+          .select(lit("mean_jaccard").as("metric"), lit(0.7).as("floor"),
+            (col("v") >= lit(0.7)).as("ok"))
         dupRecall.unionAll(meanJ)
       },
       Some("""SELECT 'exact_dups_found' AS metric, CAST(1.0 AS DOUBLE) AS floor, true AS ok
              |UNION ALL
-             |SELECT 'mean_jaccard', CAST(0.3 AS DOUBLE), true""".stripMargin)),
+             |SELECT 'mean_jaccard', CAST(0.7 AS DOUBLE), true""".stripMargin)),
 
     // ── ANN quality as an ORACLE-CHECKED contract: recall@5 of each
     //    approximate method against the exact brute-force result, floored.

@@ -181,6 +181,24 @@ class DedupSpec extends SparkSpec {
     assert(!pairs.exists(p => p._1 == 4L || p._2 == 4L))
   }
 
+  test("simhashPairs verify stage emits true Jaccard and drops low-overlap candidates") {
+    // widen blocking to hamming<=64 so every quarter-collision becomes a
+    // candidate — the verify stage alone must then do the filtering
+    val verified = Dedup.simhashPairs(docs, "doc_id", "text", maxHamming = 64,
+        verify = true, shingleSize = 2, minJaccard = 0.7)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(3))).toMap
+    // identical docs survive verify at exactly 1.0
+    assert(verified.get((1L, 2L)).contains(1.0), s"got $verified")
+    // unrelated doc 4 is below 0.7 true Jaccard against everything — even
+    // if blocking admitted it, verify must drop it
+    assert(!verified.keys.exists(p => p._1 == 4L || p._2 == 4L), s"got $verified")
+    // every emitted pair carries true Jaccard >= minJaccard
+    assert(verified.values.forall(_ >= 0.7), s"got $verified")
+    // near-dup 1↔3 true bigram Jaccard is 15/17 — if blocked, the emitted
+    // value must be the exact one (same formula as ngramJaccardPairs)
+    verified.get((1L, 3L)).foreach(j => assert(math.abs(j - 15.0 / 17.0) < 1e-9))
+  }
+
   test("fingerprint is order-sensitive and deterministic") {
     import spark.implicits._
     val d = Seq((1L, "a b c"), (2L, "a b c"), (3L, "c b a")).toDF("doc_id", "text")
