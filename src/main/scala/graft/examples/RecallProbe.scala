@@ -23,8 +23,10 @@ object RecallProbe {
           .count().toDouble / total
       val lsh1 = rec(Similarity.lshTopK(e, q, k = 5, nPlanes = 6))
       val lsh4 = rec(Similarity.lshTopK(e, q, k = 5, nPlanes = 6, nTables = 4))
+      val lsh4mp = rec(Similarity.lshTopK(e, q, k = 5, nPlanes = 6, nTables = 4,
+        multiProbe = true))
       val ivf = rec(Similarity.ivfTopK(e, q, k = 5, nCentroids = 64, nProbe = 8))
-      println(f"[recall] $dir total=$total lsh1=$lsh1%.3f lsh4=$lsh4%.3f ivf=$ivf%.3f")
+      println(f"[recall] $dir total=$total lsh1=$lsh1%.3f lsh4=$lsh4%.3f lsh4mp=$lsh4mp%.3f ivf=$ivf%.3f")
     }
     spark.stop()
   }

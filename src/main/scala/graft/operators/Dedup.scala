@@ -213,6 +213,14 @@ object Dedup {
     * the result is EXACTLY "shard rows whose content does not occur in
     * ref" — which is why q_bloom_dedup carries a plain anti-join oracle.
     *
+    * NULL text carries no content to dedup: null-text rows are DROPPED
+    * from both sides up front. This keeps the semantics aligned with the
+    * documented `NOT IN` formulation (where a null key on either side
+    * would otherwise silently diverge between engines: a null left_anti
+    * join key never matches in Spark and survives, while SQL `NOT IN`
+    * filters it — and a null IN the reference set would make `NOT IN`
+    * drop EVERY row).
+    *
     * Scale regime: the serialized bloom must fit in a task broadcast
     * (~1.2 GB per 10⁹ distinct contents at 1% fpp). Past that, partition
     * the hash space (pmod(xxhash64, P)) and build one bloom per bucket
@@ -222,11 +230,14 @@ object Dedup {
     * runtime row-level filters use), not re-sent per task; plan
     * stringification truncates literals, so explain() stays readable.
     */
-  def bloomIncremental(ref: DataFrame, shard: DataFrame, idCol: String,
+  def bloomIncremental(ref0: DataFrame, shard0: DataFrame, idCol: String,
       textCol: String, expectedItems: Long = 1L << 20,
       fpp: Double = 0.01): DataFrame = {
     import org.apache.spark.sql.GraftShim
     import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal}
+    // NULL text = no content (see scaladoc): out of scope on both sides
+    val ref = ref0.filter(col(textCol).isNotNull)
+    val shard = shard0.filter(col(textCol).isNotNull)
     // empty reference = first-ever incremental run: everything is new.
     // (Also required for correctness — Spark's stat.bloomFilter NPEs on
     // zero rows.) isEmpty short-circuits at the first row, so this probe

@@ -45,8 +45,13 @@ object LookupJoin {
       else if (System.currentTimeMillis() - e._2 < ttlMs) Some(e._1)
       else {
         // evict on expiry, don't just filter the read — a cache whose
-        // stream went idle must not retain maxEntries dead values
-        map.remove(k)
+        // stream went idle must not retain maxEntries dead values.
+        // CONDITIONAL removal (key AND the observed stale entry): the
+        // cache is JVM-shared, so a plain remove(k) could race a
+        // concurrent put and delete a freshly refreshed value, forcing a
+        // spurious cold fetch. synchronizedMap's remove(k, v) override
+        // runs under the map mutex, so only the stale tuple is evicted.
+        map.remove(k, e)
         None
       }
     }

@@ -60,17 +60,34 @@ object Similarity {
     * of the corpus. Candidates are deduped before the (exact) re-rank so
     * multi-table collisions rank once. Output schema matches
     * [[bruteForceTopK]].
+    *
+    * `multiProbe = true` additionally probes, per table, every bucket at
+    * HAMMING DISTANCE 1 from the query's signature (flip one of the
+    * nPlanes sign bits) — the classic multi-probe LSH recall lever: a
+    * near neighbor that fell on the far side of exactly one hyperplane
+    * is recovered without any extra table. Cost lands ENTIRELY on the
+    * tiny broadcast query side (×(nPlanes+1) probe rows and a
+    * proportionally larger candidate set); the corpus is still bucketed
+    * once, never re-scanned or re-shuffled — which is what makes this
+    * the preferred recall dial at 100 TB (an extra TABLE would re-hash
+    * and re-explode the corpus instead).
     */
   def lshTopK(corpus: DataFrame, queries: DataFrame, k: Int, nPlanes: Int = 8,
-      nTables: Int = 1,
+      nTables: Int = 1, multiProbe: Boolean = false,
       idCol: String = "vec_id", vecCol: String = "embedding",
       queryIdCol: String = "query_id", queryVecCol: String = "query_vec"): DataFrame = {
     def buckets(vec: Column) =
       array((0 until nTables).map(t => lshSignature(vec, nPlanes, t * nPlanes)): _*)
     val cb = corpus.select(col(idCol), col(vecCol),
       posexplode(buckets(col(vecCol))).as(Seq("tbl", "bucket")))
-    val qb = queries.select(col(queryIdCol), col(queryVecCol),
+    val qb0 = queries.select(col(queryIdCol), col(queryVecCol),
       posexplode(buckets(col(queryVecCol))).as(Seq("tbl", "bucket")))
+    val qb =
+      if (!multiProbe) qb0
+      else qb0.select(col(queryIdCol), col(queryVecCol), col("tbl"),
+        explode(array(col("bucket") +:
+          (0 until nPlanes).map(i => col("bucket").bitwiseXOR(lit(1L << i))): _*))
+          .as("bucket"))
     val cand = cb.join(broadcast(qb), Seq("tbl", "bucket"))
       .dropDuplicates(queryIdCol, idCol)
     val scored = cand

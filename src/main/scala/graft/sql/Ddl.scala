@@ -445,14 +445,17 @@ object Ddl {
         case '[' if !inS => depth += 1; cur += c
         case ']' if !inS => depth -= 1; cur += c
         case '<' if !inS && {
-            // generic-type position ONLY: '<' glued to a generic keyword
-            // (STRUCT<...>, ARRAY<...>, …) AND closing as a type list. A
-            // glued comparison like (a<b) — or (list<3) on a column named
-            // list — must NOT open an angle: it would never close and
-            // every later top-level comma would stop splitting.
+            // generic-type position ONLY: '<' preceded (optionally across
+            // whitespace — 'STRUCT <a INT>' is legal DDL) by a generic
+            // keyword (STRUCT<...>, ARRAY<...>, …) AND closing as a type
+            // list. A comparison like (a<b) or (a < b) — or (list<3) on a
+            // column named list — must NOT open an angle: it would never
+            // close and every later top-level comma would stop splitting.
             var j = i - 1
+            while (j >= 0 && s.charAt(j).isWhitespace) j -= 1
+            val wordEnd = j + 1
             while (j >= 0 && (s.charAt(j).isLetterOrDigit || s.charAt(j) == '_')) j -= 1
-            val word = s.substring(j + 1, i).toUpperCase
+            val word = s.substring(j + 1, wordEnd).toUpperCase
             (word == "STRUCT" || word == "ARRAY" || word == "MAP" || word == "LIST") &&
               closesAsGeneric(s, i)
           } =>

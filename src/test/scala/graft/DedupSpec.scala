@@ -106,6 +106,19 @@ class DedupSpec extends SparkSpec {
     assert(Dedup.bloomIncremental(ref, shard, "doc_id", "text").count() == 2L)
   }
 
+  test("bloomIncremental drops NULL-text rows on both sides (NOT IN alignment)") {
+    import spark.implicits._
+    val ref = Seq((1L, Some(base)), (2L, None)).toDF("doc_id", "text")
+    val shard = Seq(
+      (11L, Some(base)),   // dup of ref:1 → drop
+      (12L, None),         // null content → out of scope, dropped
+      (13L, Some(other))   // novel → keep
+    ).toDF("doc_id", "text")
+    val out = Dedup.bloomIncremental(ref, shard, "doc_id", "text")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(out == Set(13L), s"got $out")
+  }
+
   test("bloomIncremental verify pass scrubs bloom false positives (tiny, saturated bloom)") {
     import spark.implicits._
     val ref = (1L to 50L).map(i => (i, s"ref document number $i unique payload"))

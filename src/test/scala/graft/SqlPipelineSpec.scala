@@ -82,6 +82,13 @@ class SqlPipelineSpec extends SparkSpec {
     assert(c7 == Seq("d STRUCT<a DECIMAL(10,2), b INT>", "e INT"), s"got $c7")
     val c8 = Ddl.splitTop("m MAP<STRING, ARRAY<INT>>, n INT", ',')
     assert(c8 == Seq("m MAP<STRING, ARRAY<INT>>", "n INT"), s"got $c8")
+    // SPACED generics ('STRUCT <a INT, b INT>' is legal DDL) still open a
+    // type bracket — the round-4 ADVICE regression from the glued-only scan
+    val c9 = Ddl.splitTop("y STRUCT <a INT, b INT>, z INT", ',')
+    assert(c9 == Seq("y STRUCT <a INT, b INT>", "z INT"), s"got $c9")
+    // but a SPACED comparison after a keyword-named column stays inert
+    val c10 = Ddl.splitTop("a INT GENERATED ALWAYS AS (list < 3), x INT, y INT", ',')
+    assert(c10 == Seq("a INT GENERATED ALWAYS AS (list < 3)", "x INT", "y INT"), s"got $c10")
   }
 
   test("rewriteDialect: operator sugar inside string literals is inert") {
