@@ -233,19 +233,34 @@ object Dedup {
   def bloomIncremental(ref0: DataFrame, shard0: DataFrame, idCol: String,
       textCol: String, expectedItems: Long = 1L << 20,
       fpp: Double = 0.01): DataFrame = {
-    import org.apache.spark.sql.GraftShim
-    import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal}
     // NULL text = no content (see scaladoc): out of scope on both sides
     val ref = ref0.filter(col(textCol).isNotNull)
-    val shard = shard0.filter(col(textCol).isNotNull)
+    val refKeys = ref.select(xxhash64(col(textCol)).as("bk"),
+      md5(col(textCol)).as("content_hash"))
+    bloomIncrementalKeyed(refKeys, shard0.filter(col(textCol).isNotNull),
+      idCol, textCol, expectedItems, fpp)
+      .select(col(idCol), col("content_hash"))
+  }
+
+  /** Keyed core of [[bloomIncremental]]: the reference arrives as
+    * precomputed `(bk = xxhash64(text), content_hash = md5(text))` rows —
+    * the LEDGER form a streaming pipeline persists between batches, so
+    * later batches rebuild the bloom without re-reading any text. Returns
+    * surviving shard rows as (idCol, content_hash, bk).
+    */
+  private[graft] def bloomIncrementalKeyed(refKeys: DataFrame, shard: DataFrame,
+      idCol: String, textCol: String, expectedItems: Long,
+      fpp: Double): DataFrame = {
+    import org.apache.spark.sql.GraftShim
+    import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal}
+    val keyed = shard.select(col(idCol),
+      md5(col(textCol)).as("content_hash"), xxhash64(col(textCol)).as("bk"))
     // empty reference = first-ever incremental run: everything is new.
     // (Also required for correctness — Spark's stat.bloomFilter NPEs on
     // zero rows.) isEmpty short-circuits at the first row, so this probe
     // is O(1) even on a 100 TB reference.
-    if (ref.isEmpty)
-      return shard.select(col(idCol), md5(col(textCol)).as("content_hash"))
-    val bf = ref.select(xxhash64(col(textCol)).as("bk"))
-      .stat.bloomFilter("bk", expectedItems, fpp)
+    if (refKeys.isEmpty) return keyed
+    val bf = refKeys.select(col("bk")).stat.bloomFilter("bk", expectedItems, fpp)
     val bytes = {
       val bos = new java.io.ByteArrayOutputStream()
       bf.writeTo(bos)
@@ -253,16 +268,88 @@ object Dedup {
     }
     val mightContain = GraftShim.column(BloomFilterMightContain(
       Literal.create(bytes, org.apache.spark.sql.types.BinaryType),
-      GraftShim.expression(xxhash64(col(textCol)))))
-    val candidates = shard.filter(mightContain)
-      .select(md5(col(textCol)).as("content_hash")).distinct()
+      GraftShim.expression(col("bk"))))
+    val candidates = keyed.filter(mightContain)
+      .select(col("content_hash")).distinct()
     // ref is the streamed side of a broadcast join — the candidate set is
     // what ships, never the reference
-    val confirmed = ref.select(md5(col(textCol)).as("content_hash"))
+    val confirmed = refKeys.select(col("content_hash"))
       .join(broadcast(candidates), "content_hash")
       .distinct()
-    shard.select(col(idCol), md5(col(textCol)).as("content_hash"))
-      .join(broadcast(confirmed), Seq("content_hash"), "left_anti")
+    keyed.join(broadcast(confirmed), Seq("content_hash"), "left_anti")
+  }
+
+  /** STREAMING incremental dedup — the op whose whole point is
+    * incrementality: each micro-batch is deduped against everything the
+    * pipeline has ever accepted, via [[bloomIncrementalKeyed]] over a
+    * parquet LEDGER of (bk, content_hash) keys that the pipeline itself
+    * maintains.
+    *
+    * Per batch: (1) read the ledger partitions of earlier batches and
+    * rebuild the bloom (keys only — text is never re-read); (2) prune +
+    * verify the batch against them; (3) collapse within-batch copies
+    * (min id per content, as [[exact]] does); (4) write survivors to
+    * `outDir/batch=N` and their keys to `ledgerDir/batch=N`.
+    *
+    * Exactly-once across restarts WITHOUT a transactional store: both
+    * writes are scoped to the batch id and OVERWRITE, and the reference
+    * reads only ledger partitions with id < N — so a batch replayed
+    * after a crash sees exactly the reference its failed attempt saw,
+    * rewrites the same outputs, and converges. (The same recipe Spark's
+    * own foreachBatch + idempotent-sink guidance prescribes.)
+    *
+    * Scale: the ledger carries ~48 bytes per distinct accepted content —
+    * the 100 TB corpus never re-shuffles; each batch pays one ledger
+    * key-scan (bloom build) plus the batch-sized prune/verify. Past
+    * broadcast size, partition the bloom as documented on
+    * [[bloomIncremental]].
+    */
+  def bloomIncrementalStream(stream: DataFrame, idCol: String, textCol: String,
+      ledgerDir: String, outDir: String, checkpointDir: String,
+      expectedItems: Long = 1L << 20, fpp: Double = 0.01)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    stream.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch0: DataFrame, batchId: Long) =>
+        val spark = batch0.sparkSession
+        val batch = batch0.filter(col(textCol).isNotNull)
+        val prior = readLedgerBefore(spark, ledgerDir, batchId)
+        val fresh = bloomIncrementalKeyed(prior, batch, idCol, textCol,
+          expectedItems, fpp)
+        // one survivor per distinct new content: min id keeps, like exact()
+        val kept = fresh.groupBy(col("content_hash"))
+          .agg(min(col(idCol)).as(idCol), first(col("bk")).as("bk"))
+          .localCheckpoint(true) // computed once, feeds both writes
+        kept.select(col(idCol), col("content_hash"))
+          .write.mode("overwrite").parquet(s"$outDir/batch=$batchId")
+        kept.select(col("bk"), col("content_hash"))
+          .write.mode("overwrite").parquet(s"$ledgerDir/batch=$batchId")
+        ()
+      }
+      .start()
+  }
+
+  /** Ledger partitions committed strictly before `batchId`, via the Hadoop
+    * FileSystem API (portable to HDFS/S3 paths, not just local disk).
+    */
+  private def readLedgerBefore(spark: org.apache.spark.sql.SparkSession,
+      ledgerDir: String, batchId: Long): DataFrame = {
+    val path = new org.apache.hadoop.fs.Path(ledgerDir)
+    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val parts =
+      if (!fs.exists(path)) Array.empty[String]
+      else fs.listStatus(path).map(_.getPath)
+        .filter(_.getName.startsWith("batch="))
+        .filter(_.getName.stripPrefix("batch=").toLong < batchId)
+        .map(_.toString)
+    if (parts.isEmpty)
+      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("bk",
+            org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("content_hash",
+            org.apache.spark.sql.types.StringType))))
+    else spark.read.parquet(parts.toIndexedSeq: _*)
   }
 
   /** Cluster assignment from candidate pairs: connected components to

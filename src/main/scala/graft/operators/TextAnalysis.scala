@@ -173,6 +173,13 @@ object TextAnalysis {
     * the (bigram → (c12, c1)) table, where every bigram occurrence matches
     * exactly one row — hot stopword bigrams are 1:1 matches, not fan-outs,
     * so output stays linear in corpus tokens.
+    *
+    * The `pairs` explode is deliberately traversed TWICE (once under the
+    * count tables, once under the scoring join) rather than persisted —
+    * the same recompute-over-cache trade [[Dedup.duplicatedSpanStats]]
+    * documents: the exploded bigram form is ~token-count × the corpus,
+    * so caching it at 100 TB would evict everything else, while
+    * re-deriving it is a scan-fused projection.
     */
   def lmScore(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     val toks = Dedup.tokens(col(textCol))

@@ -132,6 +132,50 @@ class DedupSpec extends SparkSpec {
     assert(out.count() == 50L)
   }
 
+  test("bloomIncrementalStream: each micro-batch dedups against the ledger; restart converges") {
+    import java.nio.file.Files
+    val src = Files.createTempDirectory("bis-src").toString
+    val out = Files.createTempDirectory("bis-out").toString + "/out"
+    val ledger = Files.createTempDirectory("bis-led").toString + "/ledger"
+    val cp = Files.createTempDirectory("bis-cp").toString
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("doc_id", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("text", org.apache.spark.sql.types.StringType)))
+    def streamDf = spark.readStream.schema(schema).json(src)
+    def outIds(batch: Long): Set[Long] =
+      spark.read.parquet(s"$out/batch=$batch").select("doc_id")
+        .collect().map(_.getLong(0)).toSet
+
+    Files.write(java.nio.file.Paths.get(s"$src/f0.json"),
+      ("""{"doc_id":1,"text":"alpha content"}""" + "\n" +
+        """{"doc_id":2,"text":"beta content"}""" + "\n").getBytes)
+    val q = graft.operators.Dedup.bloomIncrementalStream(
+      streamDf, "doc_id", "text", ledger, out, cp)
+    q.processAllAvailable()
+    assert(outIds(0) == Set(1L, 2L), "first batch: everything is new")
+
+    // batch 1: a re-crawl of alpha (drop), a new doc, and a within-batch
+    // duplicate pair (min id keeps)
+    Files.write(java.nio.file.Paths.get(s"$src/f1.json"),
+      ("""{"doc_id":11,"text":"alpha content"}""" + "\n" +
+        """{"doc_id":12,"text":"gamma content"}""" + "\n" +
+        """{"doc_id":13,"text":"gamma content"}""" + "\n").getBytes)
+    q.processAllAvailable()
+    q.stop()
+    assert(outIds(1) == Set(12L), s"cross-batch + within-batch dedup: ${outIds(1)}")
+
+    // restart from the same checkpoint: the ledger must cover BOTH prior
+    // batches — a re-crawl of batch-1 content drops, novel content lands
+    Files.write(java.nio.file.Paths.get(s"$src/f2.json"),
+      ("""{"doc_id":21,"text":"gamma content"}""" + "\n" +
+        """{"doc_id":22,"text":"delta content"}""" + "\n").getBytes)
+    val q2 = graft.operators.Dedup.bloomIncrementalStream(
+      streamDf, "doc_id", "text", ledger, out, cp)
+    q2.processAllAvailable()
+    q2.stop()
+    assert(outIds(2) == Set(22L), s"post-restart dedup against full ledger: ${outIds(2)}")
+  }
+
   test("duplicatedSpanStats: covered-token union over duplicated 5-grams, hand-checked") {
     import spark.implicits._
     // doc 1 and doc 2 share the 8-token prefix "a b c d e f g h":
