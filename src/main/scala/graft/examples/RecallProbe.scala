@@ -25,8 +25,15 @@ object RecallProbe {
       val lsh4 = rec(Similarity.lshTopK(e, q, k = 5, nPlanes = 6, nTables = 4))
       val lsh4mp = rec(Similarity.lshTopK(e, q, k = 5, nPlanes = 6, nTables = 4,
         multiProbe = true))
+      // plane-count sweep under multi-probe: probe fraction ≈ T(P+1)/2^P
+      // of the corpus (6→44%, 7→25%, 8→14%) — the recall/cost dial
+      val lsh7mp = rec(Similarity.lshTopK(e, q, k = 5, nPlanes = 7, nTables = 4,
+        multiProbe = true))
+      val lsh8mp = rec(Similarity.lshTopK(e, q, k = 5, nPlanes = 8, nTables = 4,
+        multiProbe = true))
       val ivf = rec(Similarity.ivfTopK(e, q, k = 5, nCentroids = 64, nProbe = 8))
-      println(f"[recall] $dir total=$total lsh1=$lsh1%.3f lsh4=$lsh4%.3f lsh4mp=$lsh4mp%.3f ivf=$ivf%.3f")
+      println(f"[recall] $dir total=$total lsh1=$lsh1%.3f lsh4=$lsh4%.3f lsh4mp=$lsh4mp%.3f " +
+        f"lsh7mp=$lsh7mp%.3f lsh8mp=$lsh8mp%.3f ivf=$ivf%.3f")
     }
     spark.stop()
   }

@@ -634,13 +634,16 @@ object Pipeline {
 
     // ── LSH-bucketed ANN (the 100 TB-scale path: only colliding buckets
     //    are scanned). Multi-probe: each query also probes the hamming-1
-    //    neighbor buckets of its signature — recall 0.34 → 0.76 at sf0.1
-    //    for pure query-side cost (the corpus is bucketed once).
+    //    neighbor buckets of its signature — recall 0.34 → 0.64 at sf0.1
+    //    for pure query-side cost (the corpus is bucketed once). Probe
+    //    fraction ≈ T·(P+1)/2^P of the corpus: P=7, T=4 ⇒ ~25% at these
+    //    toy corpus sizes; at real scale P grows with log₂(corpus/bucket)
+    //    and the fraction collapses (P=20, T=4 ⇒ 0.008%).
     Q("q_ann_lsh",
       (s, dir) => {
         val queries = emb(s, dir).filter(col("vec_id") % 50 === 0)
           .select(col("vec_id").as("query_id"), col("embedding").as("query_vec"))
-        Similarity.lshTopK(emb(s, dir), queries, k = 5, nPlanes = 6, nTables = 4,
+        Similarity.lshTopK(emb(s, dir), queries, k = 5, nPlanes = 7, nTables = 4,
             multiProbe = true)
           .select(col("query_id"), col("vec_id"), col("rank"))
       },
@@ -742,10 +745,10 @@ object Pipeline {
         val exact = Similarity.bruteForceTopK(emb(s, dir), queries, k = 5)
           .select(col("query_id"), col("vec_id"))
         // floors sit below the measured minimum across sf0.001-0.1
-        // (RecallProbe: lsh 4-table multi-probe 0.72-0.78, ivf 0.49-0.64)
-        // — deterministic hashing means the only variance source is the
-        // data scale itself
-        val floors = Seq("bruteforce" -> 1.0, "ivf" -> 0.4, "lsh" -> 0.6)
+        // (RecallProbe: lsh 4-table 7-plane multi-probe 0.60-0.635 at
+        // ~25% probe fraction, ivf 0.49-0.64) — deterministic hashing
+        // means the only variance source is the data scale itself
+        val floors = Seq("bruteforce" -> 1.0, "ivf" -> 0.4, "lsh" -> 0.5)
         def tagged(name: String, df: org.apache.spark.sql.DataFrame) =
           df.select(col("query_id"), col("vec_id")).withColumn("method", lit(name))
         val approx =
@@ -753,7 +756,7 @@ object Pipeline {
             .unionAll(tagged("ivf", Similarity.ivfTopK(
               emb(s, dir), queries, k = 5, nCentroids = 64, nProbe = 8)))
             .unionAll(tagged("lsh", Similarity.lshTopK(
-              emb(s, dir), queries, k = 5, nPlanes = 6, nTables = 4,
+              emb(s, dir), queries, k = 5, nPlanes = 7, nTables = 4,
               multiProbe = true)))
         val hits = approx.join(exact, Seq("query_id", "vec_id"))
           .groupBy("method").agg(count(lit(1)).as("hits"))
@@ -772,6 +775,6 @@ object Pipeline {
              |UNION ALL
              |SELECT 'ivf', CAST(0.4 AS DOUBLE), true
              |UNION ALL
-             |SELECT 'lsh', CAST(0.6 AS DOUBLE), true""".stripMargin))
+             |SELECT 'lsh', CAST(0.5 AS DOUBLE), true""".stripMargin))
   )
 }
