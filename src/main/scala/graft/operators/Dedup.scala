@@ -279,6 +279,66 @@ object Dedup {
     keyed.join(broadcast(confirmed), Seq("content_hash"), "left_anti")
   }
 
+  /** PARTITIONED-bloom incremental dedup — the >10⁹-distinct-items regime
+    * where one monolithic bloom outgrows a task broadcast (~1.2 GB per
+    * 10⁹ items at 1% fpp). The hash space is split into `numBuckets` by
+    * `pmod(xxhash64(text), numBuckets)` and one bloom is built PER BUCKET
+    * in a single distributed pass (codegen'd partial-merge aggregate —
+    * the reference side is scanned once, exactly like the monolithic
+    * build; the driver collects numBuckets bit-arrays, each 1/numBuckets
+    * the monolithic size). The prune is one scan of the shard through a
+    * bucket-dispatched CASE over per-bucket `BloomFilterMightContain`
+    * literals — still row-local, still codegen'd, no join. Verify is the
+    * same broadcast-candidates pass as [[bloomIncremental]], so results
+    * are IDENTICAL to the plain anti-join semantics (fpp only affects
+    * how much the verify join sees).
+    *
+    * At cluster scale each executor only needs the buckets its rows hash
+    * to; the CASE ships all of them, so size the bucket count so that
+    * numBuckets × bloomBytes stays within task-binary comfort — the point
+    * of partitioning is that bloomBytes shrinks by the same factor, so
+    * the TOTAL stays the monolithic size and the per-bucket build
+    * aggregation never funnels through one task or one driver collect of
+    * unbounded size.
+    */
+  def bloomIncrementalPartitioned(ref0: DataFrame, shard0: DataFrame,
+      idCol: String, textCol: String, numBuckets: Int = 16,
+      expectedItems: Long = 1L << 20, fpp: Double = 0.01): DataFrame = {
+    require(numBuckets > 0)
+    import org.apache.spark.sql.GraftShim
+    import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal}
+    import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
+    val ref = ref0.filter(col(textCol).isNotNull)
+    val shard = shard0.filter(col(textCol).isNotNull)
+    val bucketOf = pmod(xxhash64(col(textCol)), lit(numBuckets))
+    // ONE reference pass: per-bucket partial-merged bloom aggregates; the
+    // driver holds numBuckets × (monolithic/numBuckets) bytes total
+    val perBucketItems = math.max(1L, expectedItems / numBuckets)
+    val numBits = org.apache.spark.util.sketch.BloomFilter
+      .optimalNumOfBits(perBucketItems, fpp)
+    val bloomAgg = GraftShim.column(new BloomFilterAggregate(
+      GraftShim.expression(xxhash64(col(textCol))),
+      Literal(perBucketItems), Literal(numBits)).toAggregateExpression())
+    val blooms = ref.groupBy(bucketOf.as("bucket")).agg(bloomAgg.as("bf"))
+      .collect().map(r => r.getLong(0) -> r.getAs[Array[Byte]]("bf")).toMap
+    if (blooms.isEmpty)
+      return shard.select(col(idCol), md5(col(textCol)).as("content_hash"))
+    // bucket-dispatched prune: CASE over per-bucket might_contain literals;
+    // buckets absent from the reference are definite-new
+    val mightContain = blooms.foldLeft(lit(false)) { case (acc, (b, bytes)) =>
+      when(bucketOf === b, GraftShim.column(BloomFilterMightContain(
+        Literal.create(bytes, org.apache.spark.sql.types.BinaryType),
+        GraftShim.expression(xxhash64(col(textCol)))))).otherwise(acc)
+    }
+    val candidates = shard.filter(mightContain)
+      .select(md5(col(textCol)).as("content_hash")).distinct()
+    val confirmed = ref.select(md5(col(textCol)).as("content_hash"))
+      .join(broadcast(candidates), "content_hash")
+      .distinct()
+    shard.select(col(idCol), md5(col(textCol)).as("content_hash"))
+      .join(broadcast(confirmed), Seq("content_hash"), "left_anti")
+  }
+
   /** STREAMING incremental dedup — the op whose whole point is
     * incrementality: each micro-batch is deduped against everything the
     * pipeline has ever accepted, via [[bloomIncrementalKeyed]] over a

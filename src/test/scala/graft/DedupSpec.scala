@@ -132,6 +132,31 @@ class DedupSpec extends SparkSpec {
     assert(out.count() == 50L)
   }
 
+  test("bloomIncrementalPartitioned equals the monolithic path (incl. saturated blooms)") {
+    import spark.implicits._
+    val ref = (1L to 60L).map(i => (i, s"ref corpus document $i payload"))
+      .toDF("doc_id", "text")
+    val shard = ((1L to 30L).map(i => (200L + i, s"ref corpus document ${i * 2} payload")) ++ // dups of even refs
+      (1L to 30L).map(i => (300L + i, s"novel shard document $i payload")) :+
+      ((400L, null.asInstanceOf[String]))).toDF("doc_id", "text")
+    val mono = Dedup.bloomIncremental(ref, shard, "doc_id", "text")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val part = Dedup.bloomIncrementalPartitioned(ref, shard, "doc_id", "text",
+      numBuckets = 8).select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(part == mono, s"partitioned=$part monolithic=$mono")
+    assert(part == (301L to 330L).toSet, s"got $part")
+    // saturated per-bucket blooms (sized for ~1 item each at fpp 0.5):
+    // exactness must survive purely on the verify join
+    val sat = Dedup.bloomIncrementalPartitioned(ref, shard, "doc_id", "text",
+      numBuckets = 4, expectedItems = 4, fpp = 0.5)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(sat == mono, s"saturated=$sat monolithic=$mono")
+    // empty reference: everything (non-null-text) is new
+    val empty = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    assert(Dedup.bloomIncrementalPartitioned(empty, shard, "doc_id", "text")
+      .count() == 60L)
+  }
+
   test("bloomIncrementalStream: each micro-batch dedups against the ledger; restart converges") {
     import java.nio.file.Files
     val src = Files.createTempDirectory("bis-src").toString
