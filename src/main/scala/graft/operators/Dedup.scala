@@ -507,6 +507,72 @@ object Dedup {
     materializeAndRelease(scored, filtered)
   }
 
+  /** TF-IDF weighted cosine near-dup pairs — the frequency-aware sibling of
+    * [[ngramJaccardPairs]]: two documents that share RARE vocabulary score
+    * high even when their common-word overlap is thin, and boilerplate
+    * overlap (stopwords, template words) is discounted by the idf weight
+    * instead of a hard doc-frequency cut. The standard second opinion next
+    * to set-Jaccard in near-dup review queues.
+    *
+    * Weights are INTEGERS by construction — w = tf · round(ln(N/df)·10⁶) —
+    * so every dot product and norm is an exact scale-0 decimal sum,
+    * order-independent and bit-identical across engines (the q_tfidf oracle
+    * replays the formula in DuckDB; only the final cosine division is
+    * row-local double math). The doc-frequency cap bounds the self-join
+    * (Σ df² cost) exactly like the Jaccard op's, but is RELATIVE —
+    * `maxDocFreqRatio` of the corpus — because template vocabulary's df
+    * grows with N: an absolute cap tuned at 500 docs starves the
+    * vocabulary at 5 000 and does nothing at 5 million, while "drop terms
+    * in > 20% of documents" names the same linguistic phenomenon at every
+    * scale. idf handles the soft end of the spectrum below the cap.
+    *
+    * Scale shape: tf is one (doc, term)-keyed shuffle with map-side
+    * partials; df/idf derive from the tf table (vocab-bounded, NOT a second
+    * corpus pass); terms ride as xxhash64 ids (equality-only downstream, 8
+    * bytes through every shuffle — the round-4 ngram lesson); the pair join
+    * is the same inverted-index shape as [[ngramJaccardPairs]] with the
+    * same release discipline.
+    */
+  def tfidfCosinePairs(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      threshold: Double = 0.5,
+      maxDocFreqRatio: Double = 0.2): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val nDocs = df.count() // one scan; the oracle replays COUNT(*)
+    val cap = math.max(1L, math.ceil(maxDocFreqRatio * nDocs).toLong)
+    val tf = spreadForCompute(df)
+      .select(col(idCol).as("doc"),
+        explode(tokens(col(textCol))).as("term"))
+      .select(col("doc"), xxhash64(col("term")).as("term_h"))
+      .groupBy("doc", "term_h").agg(count(lit(1)).as("tf"))
+    // df from the tf table (one row per doc×term already): vocab-bounded
+    val idf = tf.groupBy("term_h").agg(count(lit(1)).as("df"))
+      .filter(col("df") <= cap)
+      .select(col("term_h"),
+        round(log(lit(nDocs.toDouble) / col("df")) * 1e6).cast("long").as("idf6"))
+    // persisted: feeds norms and both sides of the self-join
+    val w = tf.join(idf, "term_h")
+      .select(col("doc"), col("term_h"), (col("tf") * col("idf6")).as("w"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val dec = DecimalType(38, 0)
+    val norms = w.groupBy("doc")
+      .agg(sum(col("w").cast(dec) * col("w")).as("n2"))
+    val dots = w.as("a").join(w.as("b"),
+        col("a.term_h") === col("b.term_h") && col("a.doc") < col("b.doc"))
+      .groupBy(col("a.doc").as("doc_a"), col("b.doc").as("doc_b"))
+      .agg(sum(col("a.w").cast(dec) * col("b.w")).as("dot"))
+    val scored = dots
+      .join(norms.select(col("doc").as("doc_a"), col("n2").as("n2_a")), "doc_a")
+      .join(norms.select(col("doc").as("doc_b"), col("n2").as("n2_b")), "doc_b")
+      .withColumn("cosine", col("dot").cast("double") /
+        sqrt(col("n2_a").cast("double") * col("n2_b").cast("double")))
+      .filter(col("cosine") >= threshold)
+      .select(col("doc_a"), col("doc_b"), col("cosine"))
+    materializeAndRelease(scored, w)
+  }
+
   /** C4-style corpus-level LINE dedup: a line (or sentence) that appears in
     * more than one document keeps exactly ONE occurrence — the first by
     * (doc, position) order — and every other occurrence is dropped. This is

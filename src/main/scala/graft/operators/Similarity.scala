@@ -125,27 +125,9 @@ object Similarity {
       nCentroids: Int = 16, nProbe: Int = 4, kmeansSweeps: Int = 0,
       idCol: String = "vec_id", vecCol: String = "embedding",
       queryIdCol: String = "query_id", queryVecCol: String = "query_vec"): DataFrame = {
-    // Centroid seeding: a BOUNDED per-partition take — each task reads at
-    // most nCentroids rows, so seeding stays O(seed work per partition)
-    // and never full-scans the corpus. Deliberately NOT a LocalLimit
-    // prefix: real corpora are ordered (source, crawl date, shard), so a
-    // prefix draws every centroid from one pocket of the distribution →
-    // unbalanced cells and skewed probe joins at scale. The pooled rows
-    // (≤ nCentroids per partition) are hash-ordered for a deterministic,
-    // spread-out pick; the top-k merge moves ≤ partitions × nCentroids
-    // small rows through one task, a one-off. kmeansSweeps refine against
-    // the full corpus afterwards.
     val spark = corpus.sparkSession
     import spark.implicits._
-    val seedPool = corpus
-      .select(col(idCol).cast("string").as("sid"), col(vecCol).as("v"))
-      .as[(String, Seq[Float])]
-      .mapPartitions(it => it.take(nCentroids))
-      .toDF("sid", "v")
-    var centroidMat: Array[Array[Float]] = seedPool
-      .orderBy(xxhash64(col("sid")), col("sid")).limit(nCentroids)
-      .select(col("v"))
-      .collect().map(_.getSeq[Float](0).toArray)
+    var centroidMat: Array[Array[Float]] = seedCentroids(corpus, nCentroids, idCol, vecCol)
 
     for (_ <- 0 until kmeansSweeps) {
       val means = corpus
@@ -183,6 +165,76 @@ object Similarity {
     scored.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col(queryIdCol), col(idCol), col("sim"), col("rank"))
+  }
+
+  /** Centroid seeding shared by [[ivfTopK]] and [[semanticDedup]]: a
+    * BOUNDED per-partition take — each task reads at most nCentroids rows,
+    * so seeding stays O(seed work per partition) and never full-scans the
+    * corpus. Deliberately NOT a LocalLimit prefix: real corpora are ordered
+    * (source, crawl date, shard), so a prefix draws every centroid from one
+    * pocket of the distribution → unbalanced cells and skewed probe joins
+    * at scale. The pooled rows (≤ nCentroids per partition) are
+    * hash-ordered for a deterministic, spread-out pick; the top-k merge
+    * moves ≤ partitions × nCentroids small rows through one task, a
+    * one-off.
+    */
+  private[operators] def seedCentroids(corpus: DataFrame, nCentroids: Int,
+      idCol: String, vecCol: String): Array[Array[Float]] = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val seedPool = corpus
+      .select(col(idCol).cast("string").as("sid"), col(vecCol).as("v"))
+      .as[(String, Seq[Float])]
+      .mapPartitions(it => it.take(nCentroids))
+      .toDF("sid", "v")
+    seedPool
+      .orderBy(xxhash64(col("sid")), col("sid")).limit(nCentroids)
+      .select(col("v"))
+      .collect().map(_.getSeq[Float](0).toArray)
+  }
+
+  /** SemDeDup-style SEMANTIC dedup: cluster the corpus around `nCentroids`
+    * sampled centroids (row-local argmax assignment — the same zero-shuffle
+    * cell machinery as [[ivfTopK]]), compare vectors ONLY within their
+    * cluster, and collapse every connected group of ≥`threshold`-cosine
+    * vectors to its minimum id. This is the embedding-space analogue of
+    * minhash-LSH dedup for the "different words, same meaning" duplicates
+    * that text fingerprints can't see — paraphrased boilerplate, templated
+    * rewrites, machine-translated copies.
+    *
+    * Returns (idCol, keep_as): keep_as == id for survivors; filtering
+    * `keep_as =!= id` drops the semantic duplicates. Transitive chains
+    * (a≈b, b≈c) collapse to one keeper via the same CC fixpoint
+    * [[Dedup.keeperAssignment]] runs for text dedup.
+    *
+    * Scale: clustering bounds the pairwise term to Σ cell² — size
+    * `nCentroids` ≈ corpus / desired-cell-size so cells stay comparable
+    * (the published recipe runs ~50k clusters for billions of embeddings).
+    * The cosine + threshold run INSIDE the self-join stage and only
+    * surviving pairs reach a shuffle ([[cosineDupPairs]]' order-of-
+    * operations lesson: filter-then-dedupe, never materialize raw
+    * candidates). Cluster assignment never shuffles the corpus; the only
+    * driver materialization is the nCentroids-row seed sample.
+    *
+    * vs [[cosineDupPairs]]: LSH buckets overlap (multi-table, recall
+    * compounds) while cells partition the space — cells trade a little
+    * boundary recall for a HARD per-cell cost bound and a reusable cluster
+    * id column, which is why the published pipelines at corpus scale
+    * cluster first.
+    */
+  def semanticDedup(corpus: DataFrame, threshold: Double, nCentroids: Int = 64,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val centroids = seedCentroids(corpus, nCentroids, idCol, vecCol)
+    val cells = corpus.select(col(idCol), col(vecCol),
+      nearestCentroid(col(vecCol), centroids).as("cell"))
+    val pairs = cells.as("a").join(cells.as("b"),
+        col("a.cell") === col("b.cell") && col(s"a.$idCol") < col(s"b.$idCol"))
+      .select(col(s"a.$idCol").as("doc_a"), col(s"b.$idCol").as("doc_b"),
+        VectorOps.cosineF(col(s"a.$vecCol"), col(s"b.$vecCol")).as("sim"))
+      .filter(col("sim") >= threshold)
+      .select("doc_a", "doc_b")
+    Dedup.keeperAssignment(corpus.select(col(idCol)), idCol, pairs)
+      .select(col("doc").as(idCol), col("keep_as"))
   }
 
   /** All near-duplicate pairs by embedding cosine ≥ threshold, LSH-bucketed

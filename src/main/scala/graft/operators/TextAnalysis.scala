@@ -209,6 +209,66 @@ object TextAnalysis {
           .as("perplexity"))
   }
 
+  /** Data-selection importance scoring (the hashed-n-gram importance-
+    * resampling recipe): score every document by how much more likely its
+    * tokens are under a TARGET distribution (a trusted high-quality slice —
+    * curated sources, a reference corpus) than under the RAW corpus
+    * distribution. Documents that "sound like" the target get high scores;
+    * sampling ∝ exp(score) tilts a 100 TB crawl toward the target domain
+    * without training a classifier.
+    *
+    *   score(doc) = Σ_tokens [ ln((ct+1)/(Tt+V)) − ln((cr+1)/(Tr+V)) ]
+    *
+    * with ct/cr = target/raw corpus counts of the token (add-one smoothed),
+    * Tt/Tr the corpus token totals and V the shared vocabulary size.
+    * Returns (doc, n_tokens, sum_target_c, sum_raw_c, score, avg_llr);
+    * the integer sufficient statistics (Σ ct, Σ cr over the doc's tokens,
+    * un-smoothed) pin the count tables and the scoring join for the
+    * engine-portable oracle — the log-space score is row-local double math
+    * on top of them (same split as [[lmScore]] / q_lm_score).
+    *
+    * Scale shape: both unigram tables are one map-side-combined shuffle
+    * each, output bounded by VOCAB, not corpus; V/Tt/Tr are three scalar
+    * aggregates of those tables (broadcast back as a 1-row cross join, no
+    * driver round-trip in the plan); scoring is ONE corpus-side equi-join
+    * of token occurrences against the merged count table — every occurrence
+    * matches exactly one row (hot stopwords are 1:1 matches, not fan-outs).
+    * The token explode is traversed once per count table and once for
+    * scoring — the recompute-over-cache trade documented on
+    * [[Dedup.duplicatedSpanStats]]: the exploded form is ~tokens × corpus,
+    * re-deriving it is a scan-fused projection.
+    */
+  def importanceScore(df: DataFrame, targetFilter: Column, idCol: String,
+      textCol: String): DataFrame = {
+    val occ = df.select(col(idCol).as("doc"), targetFilter.as("is_target"),
+        explode(Dedup.tokens(col(textCol))).as("term"))
+      .select(col("doc"), col("is_target"), xxhash64(col("term")).as("term_h"))
+    // one vocab-bounded table carrying both distributions (raw = ALL docs,
+    // the denominator the resampling literature uses; target ⊆ raw)
+    val counts = occ.groupBy("term_h")
+      .agg(sum(when(col("is_target"), 1L).otherwise(0L)).as("ct"),
+        count(lit(1)).as("cr"))
+    val totals = counts.agg(count(lit(1)).as("vocab"),
+      sum("ct").as("tt"), sum("cr").as("tr"))
+    val scored = occ.select(col("doc"), col("term_h"))
+      .join(counts, "term_h")
+      .crossJoin(broadcast(totals))
+      .groupBy("doc")
+      .agg(count(lit(1)).as("n_tokens"),
+        sum("ct").as("sum_target_c"),
+        sum("cr").as("sum_raw_c"),
+        sum(log((col("ct") + 1).cast("double") / (col("tt") + col("vocab"))) -
+          log((col("cr") + 1).cast("double") / (col("tr") + col("vocab"))))
+          .as("score"))
+    df.select(col(idCol).as("doc")).join(scored, Seq("doc"), "left")
+      .select(col("doc"),
+        coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
+        coalesce(col("sum_target_c"), lit(0L)).as("sum_target_c"),
+        coalesce(col("sum_raw_c"), lit(0L)).as("sum_raw_c"),
+        col("score"),
+        (col("score") / col("n_tokens")).as("avg_llr"))
+  }
+
   /** Full per-document feature frame used by quality filtering. */
   def features(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     val t = col(textCol)

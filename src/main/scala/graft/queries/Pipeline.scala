@@ -339,6 +339,95 @@ object Pipeline {
               |JOIN sizes sb ON sb.doc = doc_b
               |WHERE CAST(i AS DOUBLE) / (sa.n_sh + sb.n_sh - i) >= 0.2""".stripMargin)),
 
+    // ── TF-IDF weighted cosine near-dup pairs: integer weights by
+    //    construction (w = tf · round(ln(N/df)·10⁶)), so dots and norms
+    //    are exact scale-0 decimal/HUGEINT sums in both engines and the
+    //    oracle is EXACT — only the final cosine division is row-local
+    //    double math, rounded to 6.
+    Q("q_tfidf",
+      (s, dir) => Dedup.tfidfCosinePairs(docs(s, dir), "doc_id", "text",
+          threshold = 0.3, maxDocFreqRatio = 0.2)
+        .select(col("doc_a"), col("doc_b"), round(col("cosine"), 6).as("cosine")),
+      Some(s"""WITH t AS (SELECT doc_id, ${oTokens("text")} AS toks FROM documents),
+              |occ AS (SELECT doc_id AS doc, unnest(toks) AS term FROM t),
+              |tf AS (SELECT doc, term, COUNT(*) AS tf FROM occ GROUP BY doc, term),
+              |n AS (SELECT COUNT(*) AS n FROM documents),
+              |dfx AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term
+              |        HAVING COUNT(*) <= CEIL(0.2 * (SELECT n FROM n))),
+              |w AS (SELECT doc, tf.term,
+              |        tf * CAST(round(ln(CAST(n.n AS DOUBLE) / dfx.df) * 1e6) AS BIGINT) AS w
+              |      FROM tf JOIN dfx ON tf.term = dfx.term CROSS JOIN n),
+              |norms AS (SELECT doc, SUM(CAST(w AS HUGEINT) * w) AS n2 FROM w GROUP BY doc),
+              |dots AS (SELECT a.doc AS doc_a, b.doc AS doc_b,
+              |           SUM(CAST(a.w AS HUGEINT) * b.w) AS dot
+              |         FROM w a JOIN w b ON a.term = b.term AND a.doc < b.doc
+              |         GROUP BY a.doc, b.doc)
+              |SELECT doc_a, doc_b,
+              |  round(CAST(dot AS DOUBLE) / sqrt(CAST(na.n2 AS DOUBLE) * CAST(nb.n2 AS DOUBLE)), 6) AS cosine
+              |FROM dots JOIN norms na ON na.doc = doc_a JOIN norms nb ON nb.doc = doc_b
+              |WHERE CAST(dot AS DOUBLE) / sqrt(CAST(na.n2 AS DOUBLE) * CAST(nb.n2 AS DOUBLE)) >= 0.3""".stripMargin)),
+
+    // ── data-selection importance scoring (hashed-unigram log-likelihood
+    //    ratio vs a target slice — lang='en' plays the trusted domain).
+    //    Oracle checks the integer sufficient statistics that pin both
+    //    count tables and the scoring join (same split as q_lm_score);
+    //    the log-space score is spec-checked on a constructed corpus.
+    Q("q_importance",
+      (s, dir) => TextAnalysis.importanceScore(docs(s, dir),
+          col("lang") === "en", "doc_id", "text")
+        .select(col("doc"), col("n_tokens"), col("sum_target_c"), col("sum_raw_c")),
+      Some(s"""WITH occ AS (SELECT doc_id AS doc, lang = 'en' AS is_t,
+              |         unnest(${oTokens("text")}) AS term FROM documents),
+              |counts AS (SELECT term, SUM(CASE WHEN is_t THEN 1 ELSE 0 END) AS ct,
+              |             COUNT(*) AS cr
+              |           FROM occ GROUP BY term),
+              |sc AS (SELECT doc, COUNT(*) AS n_tokens, SUM(ct) AS sum_target_c,
+              |         SUM(cr) AS sum_raw_c
+              |       FROM occ JOIN counts USING (term) GROUP BY doc)
+              |SELECT d.doc_id AS doc,
+              |  CAST(COALESCE(n_tokens, 0) AS BIGINT) AS n_tokens,
+              |  CAST(COALESCE(sum_target_c, 0) AS BIGINT) AS sum_target_c,
+              |  CAST(COALESCE(sum_raw_c, 0) AS BIGINT) AS sum_raw_c
+              |FROM documents d LEFT JOIN sc ON d.doc_id = sc.doc""".stripMargin)),
+
+    // ── SemDeDup-style semantic dedup QUALITY as an oracle-checked
+    //    contract (same harness shape as q_embed_neardup): inject a
+    //    perturbed copy of every 10th vector (cosine ≈ 0.997 to its
+    //    original; the corpus has no natural 0.95-cosine pairs), cluster-
+    //    dedup at 0.95, and require (a) ≥ 85% of the copies collapse onto
+    //    their original (cell assignment can split a pair only when the
+    //    two near-identical vectors straddle a cell boundary) and (b) NO
+    //    natural vector is dropped.
+    Q("q_semdedup",
+      (s, dir) => {
+        val e = emb(s, dir)
+        val dup = e.filter(col("vec_id") % 10 === 0).select(
+          (col("vec_id") + 100000L).as("vec_id"),
+          transform(col("embedding"),
+            (x, i) => x * (lit(1.0f) + lit(0.1f) * sin(col("vec_id") + i).cast("float")))
+            .as("embedding"))
+        val corpus = e.select("vec_id", "embedding").unionAll(dup)
+        val keep = graft.operators.Similarity.semanticDedup(corpus, 0.95, nCentroids = 64)
+        val injected = e.filter(col("vec_id") % 10 === 0)
+          .select(col("vec_id").as("orig_id"), (col("vec_id") + 100000L).as("copy_id"))
+        val collapsed = keep.join(injected, keep("vec_id") === injected("copy_id"))
+          .filter(col("keep_as") === col("orig_id"))
+          .agg(count(lit(1)).as("hits"))
+        val recall = collapsed.crossJoin(injected.agg(count(lit(1)).as("total")))
+          .select(lit("dedup_recall").as("metric"), lit(0.85).as("floor"),
+            (col("hits").cast("double") / col("total") >= 0.85).as("ok"))
+        val falseDrops = keep.join(injected.select(col("copy_id").as("vec_id")),
+            Seq("vec_id"), "left_anti")
+          .filter(col("keep_as") =!= col("vec_id"))
+          .agg(count(lit(1)).as("extras"))
+          .select(lit("false_drops").as("metric"), lit(0.0).as("floor"),
+            (col("extras") <= 0).as("ok"))
+        recall.unionAll(falseDrops)
+      },
+      Some("""SELECT 'dedup_recall' AS metric, CAST(0.85 AS DOUBLE) AS floor, true AS ok
+             |UNION ALL
+             |SELECT 'false_drops', CAST(0.0 AS DOUBLE), true""".stripMargin)),
+
     // ── MinHash + LSH near-dup pairs (xxhash64 signatures — not DuckDB-
     //    portable; verified by DedupSpec against constructed near-dups)
     Q("q_minhash_lsh",

@@ -69,6 +69,37 @@ class DedupSpec extends SparkSpec {
     assert(math.abs(pairs(((1L, 3L))) - 15.0 / 17.0) < 1e-9)
   }
 
+  test("tfidf cosine: hand-computed weights; capped template terms create no pairs") {
+    import spark.implicits._
+    // N=4, ratio 0.75 ⇒ cap 3: "common" (df 4) is dropped as template
+    // vocabulary; x,y (df 2) get idf ln 2; z,w,q (df 1) get idf ln 4.
+    val d = Seq(
+      (1L, "x x y common"),
+      (2L, "x y common"),
+      (3L, "z common"),
+      (4L, "w common q")).toDF("doc_id", "text")
+    val pairs = Dedup.tfidfCosinePairs(d, "doc_id", "text",
+        threshold = 0.3, maxDocFreqRatio = 0.75)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    // only 1↔2 share surviving vocabulary; with a = round(ln2·1e6):
+    // w1 = (2a, a), w2 = (a, a) ⇒ cos = 3a²/(a√5 · a√2) = 3/√10
+    assert(pairs.keySet == Set((1L, 2L)), s"got ${pairs.keySet}")
+    assert(math.abs(pairs((1L, 2L)) - 3.0 / math.sqrt(10.0)) < 1e-6)
+  }
+
+  test("tfidf cosine: identical docs score 1.0; disjoint rare vocab scores nothing") {
+    import spark.implicits._
+    val d = Seq(
+      (1L, "alpha beta gamma"),
+      (2L, "alpha beta gamma"),
+      (3L, "delta epsilon zeta")).toDF("doc_id", "text")
+    val pairs = Dedup.tfidfCosinePairs(d, "doc_id", "text",
+        threshold = 0.3, maxDocFreqRatio = 0.99)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    assert(pairs.keySet == Set((1L, 2L)))
+    assert(math.abs(pairs((1L, 2L)) - 1.0) < 1e-9)
+  }
+
   test("pair operators release every cached intermediate (persist lifecycle)") {
     import spark.implicits._
     spark.catalog.clearCache()
@@ -76,6 +107,8 @@ class DedupSpec extends SparkSpec {
       shingleSize = 2, numHashes = 64, bands = 16, threshold = 0.5).count()
     Dedup.ngramJaccardPairs(docs, "doc_id", "text",
       shingleSize = 2, threshold = 0.3, maxDocFreq = 100).count()
+    Dedup.tfidfCosinePairs(docs, "doc_id", "text",
+      threshold = 0.3, maxDocFreqRatio = 0.75).count()
     val evalDf = Seq((1000L, "the quick brown fox jumps")).toDF("doc_id", "text")
     graft.operators.Sampling.contaminationPairs(docs, evalDf, "doc_id", "text",
       shingleSize = 2, threshold = 0.3).count()

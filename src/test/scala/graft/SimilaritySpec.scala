@@ -206,4 +206,39 @@ class SimilaritySpec extends SparkSpec {
     assert(r2 >= r1, s"multi-table recall regressed: T1=$r1 T2=$r2")
     assert(r2 >= 0.9, s"T=2 recall too low: $r2")
   }
+
+  test("semanticDedup collapses within-cluster duplicate groups to the min id") {
+    import spark.implicits._
+    // cluster around e1: ids 1,2,3 nearly identical; cluster around e2:
+    // ids 10,11 identical; 20 and 21 are singletons near e3/e4
+    def unit(axis: Int, jitter: Float = 0f): Array[Float] =
+      Array.tabulate(8)(i => (if (i == axis) 1f else 0f) + (if (i == (axis + 1) % 8) jitter else 0f))
+    val d = Seq(
+      (1L, unit(0)), (2L, unit(0, 0.01f)), (3L, unit(0, 0.02f)),
+      (10L, unit(1)), (11L, unit(1)),
+      (20L, unit(2)), (21L, unit(3))).toDF("vec_id", "embedding")
+    val keep = Similarity.semanticDedup(d, threshold = 0.99, nCentroids = 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(keep == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L, 11L -> 10L,
+      20L -> 20L, 21L -> 21L), s"got $keep")
+  }
+
+  test("semanticDedup collapses transitive chains through the CC fixpoint") {
+    import spark.implicits._
+    // a≈b (cos ≈ 0.9996) and b≈c pass the 0.999 threshold; a–c (≈ 0.9985)
+    // does NOT — c must still fold into a through b
+    def rot(theta: Double): Array[Float] = {
+      val v = new Array[Float](8)
+      v(0) = math.cos(theta).toFloat; v(1) = math.sin(theta).toFloat; v
+    }
+    val d = Seq((1L, rot(0)), (2L, rot(0.028)), (3L, rot(0.056)),
+      (50L, { val v = new Array[Float](8); v(7) = 1f; v })).toDF("vec_id", "embedding")
+    val cosAdj = math.cos(0.028); val cosFar = math.cos(0.056)
+    assert(cosAdj > 0.999 && cosFar < 0.999) // the chain premise
+    // one cell: the chain must fold through CC, not through cell geometry
+    val keep = Similarity.semanticDedup(d, threshold = 0.999, nCentroids = 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(keep(2L) == 1L && keep(3L) == 1L, s"got $keep")
+    assert(keep(1L) == 1L && keep(50L) == 50L)
+  }
 }

@@ -143,6 +143,39 @@ class TextAnalysisSpec extends SparkSpec {
     }
   }
 
+  test("importance score: hand-computed LLR against a target slice") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    // target = lang 'en' (docs 1, 2). Unigram tables:
+    //   good:  ct=2 cr=3   clean: ct=2 cr=2   prose: ct=1 cr=1
+    //   text:  ct=1 cr=2   spam:  ct=0 cr=2   junk:  ct=0 cr=1
+    // V = 6, Tt = 6, Tr = 11
+    val docs = Seq(
+      (1L, "en", "good clean prose"),
+      (2L, "en", "good clean text"),
+      (3L, "xx", "spam junk text"),
+      (4L, "xx", "good spam"),
+      (5L, "xx", "")).toDF("doc_id", "lang", "text")
+    val r = TextAnalysis.importanceScore(docs, col("lang") === "en", "doc_id", "text")
+      .collect().map(x => x.getLong(0) -> x).toMap
+    assert(r.size == 5)
+    def llr(ct: Long, cr: Long): Double =
+      math.log((ct + 1).toDouble / (6 + 6)) - math.log((cr + 1).toDouble / (11 + 6))
+    // exact integer sufficient statistics
+    assert(r(1L).getLong(1) == 3L && r(1L).getLong(2) == 5L && r(1L).getLong(3) == 6L)
+    assert(r(3L).getLong(1) == 3L && r(3L).getLong(2) == 1L && r(3L).getLong(3) == 5L)
+    // log-space scores match the formula
+    val s1 = llr(2, 3) + llr(2, 2) + llr(1, 1)
+    val s3 = llr(0, 2) + llr(0, 1) + llr(1, 2)
+    assert(math.abs(r(1L).getDouble(4) - s1) < 1e-9)
+    assert(math.abs(r(3L).getDouble(4) - s3) < 1e-9)
+    // target-like docs outrank off-domain docs
+    assert(r(1L).getDouble(4) > r(3L).getDouble(4))
+    assert(r(2L).getDouble(4) > r(3L).getDouble(4))
+    // empty doc: zero stats, null score
+    assert(r(5L).getLong(1) == 0L && r(5L).isNullAt(4))
+  }
+
   test("features frame computes all columns without nulls") {
     val docs = Tables.load(spark, sfDir, "documents")
     val f = TextAnalysis.features(docs, "doc_id", "text")
