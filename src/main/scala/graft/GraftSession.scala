@@ -29,6 +29,12 @@ object GraftSession {
       .config("spark.sql.files.maxPartitionBytes", (128L * 1024 * 1024).toString)
       // testdata events.parquet stores TIMESTAMP(NANOS); Spark has no ns type.
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // parquet TIMESTAMP(µs, isAdjustedToUTC=false) must read as TimestampType,
+      // not TIMESTAMP_NTZ: event-time watermarks reject NTZ, and the DuckDB
+      // oracle treats naive parquet timestamps as the same instants this
+      // UTC-pinned session does. (The driver's round-5 testdata switched
+      // events.ts from TIMESTAMP(NANOS) to naive µs, surfacing the default.)
+      .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
       // min-of-inputs watermark propagation across multiple sources —
       // Spark's default, pinned because it's load-bearing reference parity
       // (WatermarkHolder min across inputs, arroyo-operator/context.rs:36-90)
@@ -88,6 +94,11 @@ object Tables {
       case LongType =>
         // `div` (integer division) — a double-typed `/` would be lossy past 2^53
         df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case TimestampNTZType =>
+        // naive µs parquet read by a session without the inferTimestampNTZ
+        // override (GraftSession sets it, foreign sessions may not): with the
+        // session pinned to UTC this cast relabels the same instant
+        df.withColumn("ts", col("ts").cast(TimestampType))
       case _ => df
     }
   }

@@ -1050,6 +1050,12 @@ class Pipeline(spark: SparkSession, streaming: Boolean = false) {
       if (declared == org.apache.spark.sql.types.TimestampType &&
           actual.contains(org.apache.spark.sql.types.LongType))
         df.withColumn(cd.name, timestamp_micros(expr(s"`${cd.name}` div 1000")))
+      else if (declared == org.apache.spark.sql.types.TimestampType &&
+          actual.contains(org.apache.spark.sql.types.TimestampNTZType))
+        // naive-µs parquet surfacing as NTZ (session without the
+        // inferTimestampNTZ override): same instant under the UTC session
+        df.withColumn(cd.name,
+          col(cd.name).cast(org.apache.spark.sql.types.TimestampType))
       else df
     }
     // `METADATA FROM 'field'` columns: validate the declared type against

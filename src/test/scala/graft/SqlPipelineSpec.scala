@@ -134,15 +134,23 @@ class SqlPipelineSpec extends SparkSpec {
     val usPlan2 = spark.table("us_src").queryExecution.analyzed.toString
     assert(overlayOf(usPlan2) == overlayOf(usPlan),
       s"unchanged source must reuse its overlay: ${overlayOf(usPlan)} vs ${overlayOf(usPlan2)}")
-    // (b) the driver's events.parquet stores TIMESTAMP(NANOS) surfacing as
-    // LONG — the overlay is impossible (year-9999 overflows ns-epoch), so
-    // the plan must carry NEITHER the overlay NOR the pushdown-forfeiting
-    // barrier filter (round-4 review: keying the filter and the spool
-    // alignment off eodField instead of the applied overlay treated the
-    // unflushed leg as complete)
+    // (b) a TIMESTAMP(NANOS) parquet surfaces as LONG under nanosAsLong —
+    // physically indistinguishable from a long column at read time, so the
+    // fixture writes ts as a raw ns-epoch LONG. The overlay is impossible
+    // (year-9999 overflows ns-epoch), so the plan must carry NEITHER the
+    // overlay NOR the pushdown-forfeiting barrier filter (round-4 review:
+    // keying the filter and the spool alignment off eodField instead of the
+    // applied overlay treated the unflushed leg as complete). The driver's
+    // events.parquet used to be this shape; round-5 testdata is naive µs,
+    // so the suite now carries its own ns-as-long fixture.
+    val nsDir = tmp()
+    spark.createDataFrame(
+      java.util.List.of(Row(1704067200000000000L, 1L)),
+      StructType(Seq(StructField("ts", LongType), StructField("user_id", LongType))))
+      .coalesce(1).write.mode("overwrite").parquet(nsDir)
     val p2 = new Pipeline(spark, streaming = true)
     p2.run(s"CREATE TABLE ns_src (ts TIMESTAMP NOT NULL, user_id BIGINT) " +
-      s"WITH (connector = 'filesystem', path = '/root/testdata/sf0.001/events.parquet', " +
+      s"WITH (connector = 'filesystem', path = '$nsDir', " +
       s"format = 'parquet', event_time_field = 'ts');")
     val nsPlan = spark.table("ns_src").queryExecution.analyzed.toString
     assert(!nsPlan.contains("graft-eod"),
