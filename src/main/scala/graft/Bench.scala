@@ -5,44 +5,50 @@ package graft
   * driver's BENCH_r{N}.json.
   *
   * Each query is forced with a full-result count() (materializes every
-  * operator, no collect to driver). One warm-up of the flagship join primes
-  * the JVM/codegen so per-query numbers reflect steady-state throughput.
-  * Per-query time is the MEDIAN of SPARK_GRAFT_BENCH_RUNS runs (default 3)
-  * — single-run numbers at this scale carry ±20-30% GC/JIT noise, which
-  * round 2 mistook for regressions.
+  * operator, no collect to driver). Timed numbers are STEADY-STATE:
+  *   - one untimed-for-scoring WARM-UP execution of every headline query
+  *     runs first (its times are still published under "warmup" so the
+  *     artifact stays honest) — the first run of a query otherwise eats a
+  *     one-time whole-stage-codegen + JIT + kernel-writeback tax of up to
+  *     6× (see SCALE.md's round-4/5 writeback analysis);
+  *   - shuffle/spill dirs go to tmpfs when one is writable
+  *     (SPARK_GRAFT_LOCAL_DIR overrides; /dev/shm autodetected): the
+  *     box's kernel-writeback bursts made disk shuffle dirs swing
+  *     identical code 6.6× run-to-run, which a median over 3 runs cannot
+  *     reject. tmpfs is the SCALE.md controlled-probe method.
+  * Per-query time is the MEDIAN of SPARK_GRAFT_BENCH_RUNS runs (default 3).
   */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt.max(1)
-    val spark = GraftSession.builder("graft-bench").getOrCreate()
+    val builder = GraftSession.builder("graft-bench")
+    tmpfsLocalDir().foreach(d => builder.config("spark.local.dir", d))
+    val spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
     val qmap = SparkEntry.queries
-    // JVM/codegen warm-up (not timed): one relational query plus the text
-    // pipelines on a tiny sample — the shingle/minhash expressions cost
-    // several seconds of one-time whole-stage-codegen + JIT otherwise
-    try {
-      qmap("q_agg")(spark, sfDir).count()
-      val docSample = Tables.load(spark, sfDir, "documents").limit(64).cache()
-      graft.operators.Dedup.minhashLshPairs(docSample, "doc_id", "text", 2, 64, 16, 0.5).count()
-      graft.operators.Dedup.ngramJaccardPairs(docSample, "doc_id", "text", 2, 0.2, 100).count()
-      docSample.unpersist()
-    } catch { case _: Throwable => }
 
     def once(name: String): Double = {
       val t0 = System.nanoTime()
       try { qmap(name)(spark, sfDir).count() } catch { case _: Throwable => -1L }
       (System.nanoTime() - t0) / 1e9
     }
+    def clearBetween(): Unit = { spark.catalog.clearCache(); System.gc() }
+
+    // full warm-up battery (published, not scored): pays the one-time
+    // codegen/JIT/page-cache cost per query so the timed rounds measure
+    // the operators, not the environment
+    val warmup = SparkEntry.headline.map(n => n -> once(n)).toMap
+    clearBetween()
+
     // interleave rounds (run the whole battery `runs` times) so one query's
     // GC debt doesn't land on its own repeat; clear SQL caches + nudge the
     // ContextCleaner between rounds so blocks pinned by one round can't tax
     // the next one's timings (the round-3 bench confound)
     val samples = (1 to runs).map { _ =>
       val round = SparkEntry.headline.map(n => n -> once(n)).toMap
-      spark.catalog.clearCache()
-      System.gc()
+      clearBetween()
       round
     }
     val results = SparkEntry.headline.map { name =>
@@ -58,8 +64,14 @@ object Bench {
     val sampleJson = SparkEntry.headline.map { name =>
       "\"" + name + "\":" + samples.map(r => f"${r(name)}%.3f").mkString("[", ",", "]")
     }.mkString("{", ",", "}")
+    val warmupJson = SparkEntry.headline.map { name =>
+      "\"" + name + "\":" + f"${warmup(name)}%.3f"
+    }.mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    val line = f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"samples":$sampleJson,"sf":"$sfDir"}"""
+    // "sf" names the data directory: totals are only comparable between
+    // runs over the SAME directory (an sf0.001 total vs an sf0.1 total is
+    // a scale change, not a speedup — ADVICE r5)
+    val line = f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"samples":$sampleJson,"warmup":$warmupJson,"sf":"$sfDir"}"""
     // the driver parses this line; sbt interleaves [info]/[error] prefixes
     // into stdout, so ALSO write it to a file and print it last, after
     // spark.stop() has flushed its shutdown logging
@@ -70,4 +82,22 @@ object Bench {
     spark.stop()
     println(line)
   }
+
+  /** A writable tmpfs dir for spark.local.dir, if the box has one.
+    * SPARK_GRAFT_LOCAL_DIR wins (set it to "" to force default disk).
+    */
+  private[graft] def tmpfsLocalDir(): Option[String] =
+    sys.env.get("SPARK_GRAFT_LOCAL_DIR").map(_.trim).map {
+      case "" => None
+      case d => Some(d)
+    }.getOrElse {
+      val shm = java.nio.file.Paths.get("/dev/shm")
+      if (java.nio.file.Files.isDirectory(shm) && java.nio.file.Files.isWritable(shm)) {
+        val d = shm.resolve("graft-bench-local")
+        try {
+          java.nio.file.Files.createDirectories(d)
+          Some(d.toString)
+        } catch { case _: Exception => None }
+      } else None
+    }
 }

@@ -68,6 +68,33 @@ object GraftSession {
     graft.functions.Scalars.register(spark)
     graft.functions.Udafs.register(spark)
   }
+
+  /** True iff the session renders timestamps at UTC (fixed zero offset —
+    * "UTC", "Etc/UTC", "GMT", "+00:00" all qualify). This is the
+    * precondition for relabeling a TIMESTAMP_NTZ column (naive-µs parquet)
+    * as TimestampType: the cast interprets the naive wall-clock in the
+    * SESSION zone, so it is instant-preserving only at UTC.
+    */
+  def sessionIsUtc(spark: SparkSession): Boolean = {
+    val rules = java.time.ZoneId
+      .of(spark.conf.get("spark.sql.session.timeZone")).getRules
+    rules.isFixedOffset &&
+      rules.getOffset(java.time.Instant.EPOCH).getTotalSeconds == 0
+  }
+
+  /** Fail LOUDLY instead of silently shifting instants: a foreign session
+    * (one not built by [[builder]], which pins UTC) running in another zone
+    * would relabel every naive-µs event time to a different instant.
+    */
+  def requireUtcForNtzRelabel(spark: SparkSession, what: String): Unit =
+    if (!sessionIsUtc(spark))
+      throw new IllegalStateException(
+        s"$what is TIMESTAMP_NTZ (naive-µs parquet) and the session time " +
+          s"zone is '${spark.conf.get("spark.sql.session.timeZone")}': " +
+          "relabeling NTZ as TIMESTAMP is only instant-preserving at UTC. " +
+          "Set spark.sql.session.timeZone=UTC (GraftSession.builder does), " +
+          "or disable spark.sql.parquet.inferTimestampNTZ.enabled so the " +
+          "file reads as TIMESTAMP directly.")
 }
 
 /** Loaders for the driver's TPC-H-ish testdata directory layout:
@@ -96,8 +123,10 @@ object Tables {
         df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
       case TimestampNTZType =>
         // naive µs parquet read by a session without the inferTimestampNTZ
-        // override (GraftSession sets it, foreign sessions may not): with the
-        // session pinned to UTC this cast relabels the same instant
+        // override (GraftSession sets it, foreign sessions may not): at UTC
+        // this cast relabels the same instant; anywhere else it would
+        // silently shift every event time, so fail loudly instead
+        GraftSession.requireUtcForNtzRelabel(df.sparkSession, "events.ts")
         df.withColumn("ts", col("ts").cast(TimestampType))
       case _ => df
     }

@@ -38,5 +38,9 @@ object SparkEntry {
     "q_agg", "q_join_shuffle", "q_multi_join", "q_window_fn",
     "q_tumble", "q_hop", "q_session", "q_interval_join",
     "q_dedup_exact", "q_minhash_lsh", "q_ngram_jaccard", "q_quality",
-    "q_ann_bruteforce", "q_ann_lsh", "q_ann_ivf")
+    "q_ann_bruteforce", "q_ann_lsh", "q_ann_ivf",
+    // round-6: the two round-5 pair-generating ops, tracked round-over-
+    // round like q_ngram_jaccard (their Σdf²/Σcell² terms are the costs
+    // that move at scale)
+    "q_tfidf", "q_semdedup")
 }

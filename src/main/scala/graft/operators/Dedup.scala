@@ -286,57 +286,70 @@ object Dedup {
     * in a single distributed pass (codegen'd partial-merge aggregate —
     * the reference side is scanned once, exactly like the monolithic
     * build; the driver collects numBuckets bit-arrays, each 1/numBuckets
-    * the monolithic size). The prune is one scan of the shard through a
-    * bucket-dispatched CASE over per-bucket `BloomFilterMightContain`
-    * literals — still row-local, still codegen'd, no join. Verify is the
-    * same broadcast-candidates pass as [[bloomIncremental]], so results
-    * are IDENTICAL to the plain anti-join semantics (fpp only affects
-    * how much the verify join sees).
+    * the monolithic size). The prune is one scan of the shard through ONE
+    * codegen'd bucket-dispatch expression
+    * ([[graft.functions.BloomBucketMightContainF]]) whose bit arrays live
+    * in a Spark BROADCAST VARIABLE — still row-local, no join, and the
+    * blooms stay OUT of the plan tree, so large bucket counts neither
+    * blow codegen limits nor re-serialize every bloom into every task
+    * binary (they ship once per executor via torrent broadcast). Verify
+    * is the same broadcast-candidates pass as [[bloomIncremental]], so
+    * results are IDENTICAL to the plain anti-join semantics (fpp only
+    * affects how much the verify join sees).
     *
-    * At cluster scale each executor only needs the buckets its rows hash
-    * to; the CASE ships all of them, so size the bucket count so that
-    * numBuckets × bloomBytes stays within task-binary comfort — the point
-    * of partitioning is that bloomBytes shrinks by the same factor, so
-    * the TOTAL stays the monolithic size and the per-bucket build
-    * aggregation never funnels through one task or one driver collect of
-    * unbounded size.
+    * Shares [[bloomIncrementalPartitionedKeyed]] with the streaming
+    * ledger form: a pipeline that persists (bk, content_hash) keys feeds
+    * them directly and never re-reads reference text.
     */
   def bloomIncrementalPartitioned(ref0: DataFrame, shard0: DataFrame,
       idCol: String, textCol: String, numBuckets: Int = 16,
       expectedItems: Long = 1L << 20, fpp: Double = 0.01): DataFrame = {
+    val ref = ref0.filter(col(textCol).isNotNull)
+    val refKeys = ref.select(xxhash64(col(textCol)).as("bk"),
+      md5(col(textCol)).as("content_hash"))
+    bloomIncrementalPartitionedKeyed(refKeys, shard0.filter(col(textCol).isNotNull),
+      idCol, textCol, numBuckets, expectedItems, fpp)
+      .select(col(idCol), col("content_hash"))
+  }
+
+  /** Keyed core of [[bloomIncrementalPartitioned]] — the partitioned
+    * sibling of [[bloomIncrementalKeyed]]: the reference arrives as
+    * precomputed `(bk, content_hash)` LEDGER rows, so the verify stage
+    * reuses the same keys the bloom build scanned (no second pass over
+    * reference text — parity with the monolithic keyed path).
+    */
+  private[graft] def bloomIncrementalPartitionedKeyed(refKeys: DataFrame,
+      shard: DataFrame, idCol: String, textCol: String, numBuckets: Int,
+      expectedItems: Long, fpp: Double): DataFrame = {
     require(numBuckets > 0)
     import org.apache.spark.sql.GraftShim
-    import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal}
+    import org.apache.spark.sql.catalyst.expressions.Literal
     import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
-    val ref = ref0.filter(col(textCol).isNotNull)
-    val shard = shard0.filter(col(textCol).isNotNull)
-    val bucketOf = pmod(xxhash64(col(textCol)), lit(numBuckets))
-    // ONE reference pass: per-bucket partial-merged bloom aggregates; the
-    // driver holds numBuckets × (monolithic/numBuckets) bytes total
+    val keyed = shard.select(col(idCol),
+      md5(col(textCol)).as("content_hash"), xxhash64(col(textCol)).as("bk"))
+    if (refKeys.isEmpty) return keyed
+    // ONE reference-keys pass: per-bucket partial-merged bloom aggregates;
+    // the driver holds numBuckets × (monolithic/numBuckets) bytes total
     val perBucketItems = math.max(1L, expectedItems / numBuckets)
     val numBits = org.apache.spark.util.sketch.BloomFilter
       .optimalNumOfBits(perBucketItems, fpp)
     val bloomAgg = GraftShim.column(new BloomFilterAggregate(
-      GraftShim.expression(xxhash64(col(textCol))),
+      GraftShim.expression(col("bk")),
       Literal(perBucketItems), Literal(numBits)).toAggregateExpression())
-    val blooms = ref.groupBy(bucketOf.as("bucket")).agg(bloomAgg.as("bf"))
-      .collect().map(r => r.getLong(0) -> r.getAs[Array[Byte]]("bf")).toMap
-    if (blooms.isEmpty)
-      return shard.select(col(idCol), md5(col(textCol)).as("content_hash"))
-    // bucket-dispatched prune: CASE over per-bucket might_contain literals;
-    // buckets absent from the reference are definite-new
-    val mightContain = blooms.foldLeft(lit(false)) { case (acc, (b, bytes)) =>
-      when(bucketOf === b, GraftShim.column(BloomFilterMightContain(
-        Literal.create(bytes, org.apache.spark.sql.types.BinaryType),
-        GraftShim.expression(xxhash64(col(textCol)))))).otherwise(acc)
-    }
-    val candidates = shard.filter(mightContain)
-      .select(md5(col(textCol)).as("content_hash")).distinct()
-    val confirmed = ref.select(md5(col(textCol)).as("content_hash"))
+    val arr = new Array[Array[Byte]](numBuckets)
+    refKeys.groupBy(pmod(col("bk"), lit(numBuckets.toLong)).as("bucket"))
+      .agg(bloomAgg.as("bf"))
+      .collect()
+      .foreach(r => arr(r.getLong(0).toInt) = r.getAs[Array[Byte]]("bf"))
+    val bcast = shard.sparkSession.sparkContext.broadcast(arr)
+    val mightContain = GraftShim.column(graft.functions.BloomBucketMightContainF(
+      GraftShim.expression(col("bk")), bcast))
+    val candidates = keyed.filter(mightContain)
+      .select(col("content_hash")).distinct()
+    val confirmed = refKeys.select(col("content_hash"))
       .join(broadcast(candidates), "content_hash")
       .distinct()
-    shard.select(col(idCol), md5(col(textCol)).as("content_hash"))
-      .join(broadcast(confirmed), Seq("content_hash"), "left_anti")
+    keyed.join(broadcast(confirmed), Seq("content_hash"), "left_anti")
   }
 
   /** STREAMING incremental dedup — the op whose whole point is
@@ -540,8 +553,10 @@ object Dedup {
       threshold: Double = 0.5,
       maxDocFreqRatio: Double = 0.2): DataFrame = {
     import org.apache.spark.sql.types.DecimalType
-    val nDocs = df.count() // one scan; the oracle replays COUNT(*)
-    val cap = math.max(1L, math.ceil(maxDocFreqRatio * nDocs).toLong)
+    // N rides the plan as a 1-row broadcast aggregate (the importanceScore
+    // totals pattern) — no driver-side count() action, no corpus pass
+    // before the pipeline runs; the oracle replays COUNT(*) identically
+    val totals = df.agg(count(lit(1)).as("n_docs"))
     val tf = spreadForCompute(df)
       .select(col(idCol).as("doc"),
         explode(tokens(col(textCol))).as("term"))
@@ -549,9 +564,12 @@ object Dedup {
       .groupBy("doc", "term_h").agg(count(lit(1)).as("tf"))
     // df from the tf table (one row per doc×term already): vocab-bounded
     val idf = tf.groupBy("term_h").agg(count(lit(1)).as("df"))
-      .filter(col("df") <= cap)
+      .crossJoin(broadcast(totals))
+      .filter(col("df") <=
+        greatest(lit(1L), ceil(lit(maxDocFreqRatio) * col("n_docs"))))
       .select(col("term_h"),
-        round(log(lit(nDocs.toDouble) / col("df")) * 1e6).cast("long").as("idf6"))
+        round(log(col("n_docs").cast("double") / col("df")) * 1e6)
+          .cast("long").as("idf6"))
     // persisted: feeds norms and both sides of the self-join
     val w = tf.join(idf, "term_h")
       .select(col("doc"), col("term_h"), (col("tf") * col("idf6")).as("w"))
@@ -727,9 +745,10 @@ object Dedup {
     * collisions as the corpus grows, and production pipelines always
     * chain this check. Scale: the verify join is bounded by the CANDIDATE
     * count (already capped by the quarter-blocking), not the corpus — the
-    * small candidate side broadcasts, so the corpus-side shingle scan
-    * joins without a corpus shuffle, and shingle arrays ship only for
-    * docs that appear in some candidate pair.
+    * small candidate side broadcasts (enforced `broadcast()` hints, not an
+    * AQE runtime choice), so the corpus-side shingle scan joins without a
+    * corpus shuffle, and shingle arrays ship only for docs that appear in
+    * some candidate pair.
     */
   def simhashPairs(df: DataFrame, idCol: String, textCol: String, maxHamming: Int = 3,
       verify: Boolean = false, shingleSize: Int = 3, minJaccard: Double = 0.7): DataFrame = {
@@ -753,14 +772,26 @@ object Dedup {
       // this Jaccard is definitionally the one ngramJaccardPairs computes)
       val sets = shingleArrays(df, idCol, textCol, shingleSize).select(
         col("doc"), transform(col("shingle_list"), s => xxhash64(s)).as("sh"))
-      blocked
-        .join(sets.select(col("doc").as("doc_a"), col("sh").as("sh_a")), "doc_a")
-        .join(sets.select(col("doc").as("doc_b"), col("sh").as("sh_b")), "doc_b")
+      // ENFORCED no-corpus-shuffle shape (not AQE-dependent): the corpus
+      // shingle scan is filtered to candidate docs by a BROADCAST semi-join
+      // on the (ids-only, candidate-bounded) doc set — the corpus streams
+      // through one stage and never shuffles — and the surviving
+      // (doc, shingles) rows, bounded by distinct candidate docs, are
+      // materialized once and broadcast to BOTH verify joins.
+      val blockedP = blocked.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val candDocs = blockedP.select(col("doc_a").as("doc"))
+        .union(blockedP.select(col("doc_b").as("doc"))).distinct()
+      val needed = sets.join(broadcast(candDocs), Seq("doc"), "left_semi")
+        .localCheckpoint(true)
+      val scored = blockedP
+        .join(broadcast(needed.select(col("doc").as("doc_a"), col("sh").as("sh_a"))), "doc_a")
+        .join(broadcast(needed.select(col("doc").as("doc_b"), col("sh").as("sh_b"))), "doc_b")
         .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))))
         .withColumn("jaccard", col("inter").cast("double") /
           (size(col("sh_a")) + size(col("sh_b")) - col("inter")))
         .filter(col("jaccard") >= minJaccard)
         .select(col("doc_a"), col("doc_b"), col("hamming"), col("jaccard"))
+      materializeAndRelease(scored, blockedP)
     }
   }
 

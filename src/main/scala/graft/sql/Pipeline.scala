@@ -793,14 +793,21 @@ class Pipeline(spark: SparkSession, streaming: Boolean = false) {
 
   /** Parquet sentinel: a one-row, one-column (the event-time field)
     * parquet file — the reader null-fills the other declared columns.
+    * `ntz = true` writes the sentinel as TIMESTAMP_NTZ (naive-µs, UTC
+    * wall-clock) to match a source file surfacing as NTZ — the overlaid
+    * stream's schema must agree with the source's physical shape.
     */
-  private def eodParquetSentinel(tsField: String)(dir: java.nio.file.Path): Unit = {
+  private def eodParquetSentinel(tsField: String, ntz: Boolean = false)(
+      dir: java.nio.file.Path): Unit = {
     val tmp = java.nio.file.Files.createTempDirectory("graft-eod-pq")
     val schema = StructType(Seq(
       org.apache.spark.sql.types.StructField(tsField,
-        org.apache.spark.sql.types.TimestampType)))
+        if (ntz) org.apache.spark.sql.types.TimestampNTZType
+        else org.apache.spark.sql.types.TimestampType)))
+    val inst = java.time.Instant.parse(Pipeline.EodSentinelTs)
     val row = org.apache.spark.sql.Row(
-      java.sql.Timestamp.from(java.time.Instant.parse(Pipeline.EodSentinelTs)))
+      if (ntz) java.time.LocalDateTime.ofInstant(inst, java.time.ZoneOffset.UTC)
+      else java.sql.Timestamp.from(inst))
     spark.createDataFrame(java.util.List.of(row), schema)
       .coalesce(1).write.mode("overwrite").parquet(tmp.toString)
     val listing = java.nio.file.Files.list(tmp)
@@ -893,17 +900,27 @@ class Pipeline(spark: SparkSession, streaming: Boolean = false) {
             // declared one may disagree on physical types, e.g.
             // TIMESTAMP(NANOS) surfacing as LONG) and align to DDL below
             val fileSchema = spark.read.parquet(path).schema
-            eodField(t) match {
-              case Some(f) if streaming &&
-                  fileSchema.fields.exists(fd => fd.name.equalsIgnoreCase(f) &&
-                    fd.dataType == org.apache.spark.sql.types.TimestampType) =>
+            val eodTsType: Option[org.apache.spark.sql.types.DataType] =
+              eodField(t).flatMap(f => fileSchema.fields
+                .find(fd => fd.name.equalsIgnoreCase(f))
+                .map(_.dataType)
+                .filter(dt => dt == org.apache.spark.sql.types.TimestampType ||
+                  dt == org.apache.spark.sql.types.TimestampNTZType))
+            (eodField(t), eodTsType) match {
+              case (Some(f), Some(dt)) if streaming =>
                 // overlay only when the file's column is a REAL µs
-                // timestamp: a TIMESTAMP(NANOS)-as-LONG column cannot
-                // carry a year-9999 sentinel (ns-since-epoch overflows
-                // Long past ~2262) — those sources keep the plain path
+                // timestamp — TIMESTAMP, or naive-µs NTZ (a session
+                // without the inferTimestampNTZ override), whose sentinel
+                // is written in the matching physical shape so bounded
+                // streaming still flushes final windows. A
+                // TIMESTAMP(NANOS)-as-LONG column cannot carry a year-9999
+                // sentinel (ns-since-epoch overflows Long past ~2262) —
+                // those sources keep the plain path
+                val ntz = dt == org.apache.spark.sql.types.TimestampNTZType
                 eodApplied += t.name
                 spark.readStream.schema(fileSchema).format("parquet")
-                  .load(eodOverlayDir(path, f, eodParquetSentinel(f), "parquet"))
+                  .load(eodOverlayDir(path, f, eodParquetSentinel(f, ntz),
+                    if (ntz) "parquet:ntz" else "parquet"))
               case _ => load("parquet", schema = fileSchema)
             }
           case "csv" =>
@@ -1051,11 +1068,15 @@ class Pipeline(spark: SparkSession, streaming: Boolean = false) {
           actual.contains(org.apache.spark.sql.types.LongType))
         df.withColumn(cd.name, timestamp_micros(expr(s"`${cd.name}` div 1000")))
       else if (declared == org.apache.spark.sql.types.TimestampType &&
-          actual.contains(org.apache.spark.sql.types.TimestampNTZType))
+          actual.contains(org.apache.spark.sql.types.TimestampNTZType)) {
         // naive-µs parquet surfacing as NTZ (session without the
-        // inferTimestampNTZ override): same instant under the UTC session
+        // inferTimestampNTZ override): same instant under a UTC session;
+        // fail loudly in any other zone instead of shifting instants
+        graft.GraftSession.requireUtcForNtzRelabel(df.sparkSession,
+          s"${t.name}.${cd.name}")
         df.withColumn(cd.name,
           col(cd.name).cast(org.apache.spark.sql.types.TimestampType))
+      }
       else df
     }
     // `METADATA FROM 'field'` columns: validate the declared type against

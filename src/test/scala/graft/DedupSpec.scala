@@ -184,6 +184,13 @@ class DedupSpec extends SparkSpec {
       numBuckets = 4, expectedItems = 4, fpp = 0.5)
       .select("doc_id").collect().map(_.getLong(0)).toSet
     assert(sat == mono, s"saturated=$sat monolithic=$mono")
+    // high bucket count — MORE buckets than distinct reference contents,
+    // so most bloom slots are null ("definite new") and the broadcast-
+    // variable dispatch (not a CASE chain) is exercised at the scale the
+    // op exists for
+    val wide = Dedup.bloomIncrementalPartitioned(ref, shard, "doc_id", "text",
+      numBuckets = 256).select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(wide == mono, s"numBuckets=256=$wide monolithic=$mono")
     // empty reference: everything (non-null-text) is new
     val empty = Seq.empty[(Long, String)].toDF("doc_id", "text")
     assert(Dedup.bloomIncrementalPartitioned(empty, shard, "doc_id", "text")
