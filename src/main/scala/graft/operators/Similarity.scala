@@ -237,6 +237,116 @@ object Similarity {
       .select(col("doc").as(idCol), col("keep_as"))
   }
 
+  /** STREAMING semantic dedup — the incremental face of [[semanticDedup]]:
+    * each micro-batch of (id, embedding) rows is deduped against every
+    * KEEPER the pipeline has ever accepted, via a parquet LEDGER of
+    * (id, cell, embedding) keeper rows the pipeline itself maintains —
+    * the same batch-scoped-overwrite ledger recipe as
+    * [[Dedup.bloomIncrementalStream]], so a batch replayed after a crash
+    * sees exactly the reference its failed attempt saw and converges.
+    *
+    * Per batch: (1) assign vectors to cells (centroids are seeded from the
+    * FIRST non-empty batch and persisted under `ledgerDir/_centroids`, so
+    * cell geometry — and therefore keeper identity — is stable across
+    * batches and restarts; re-seeding on a batch-0 replay is deterministic
+    * via [[seedCentroids]]); (2) collapse each new vector onto the
+    * smallest ≥`threshold`-cosine prior keeper in its cell; (3) dedup the
+    * survivors within-batch with the same cell-bounded pair join + CC
+    * fixpoint as the batch op; (4) write (id, keep_as) to
+    * `outDir/batch=N` and the batch's NEW keepers to `ledgerDir/batch=N`.
+    *
+    * Scale: the ledger carries keepers only (the deduped corpus — the
+    * small side by construction); the cross-batch join is cell-bucketed,
+    * so each batch pays one keeper-ledger scan plus Σ cell-collision
+    * comparisons, and the corpus never re-shuffles. Like all incremental
+    * dedup, transitive chains that SPAN batches collapse per-batch onto
+    * the earliest keeper rather than re-clustering history — the standard
+    * incremental approximation.
+    */
+  def semanticDedupStream(stream: DataFrame, threshold: Double,
+      nCentroids: Int, ledgerDir: String, outDir: String,
+      checkpointDir: String, idCol: String = "vec_id",
+      vecCol: String = "embedding"): org.apache.spark.sql.streaming.StreamingQuery = {
+    stream.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch0: DataFrame, batchId: Long) =>
+        val spark = batch0.sparkSession
+        val batch = batch0.filter(col(vecCol).isNotNull)
+        if (!batch.isEmpty) {
+          val centroids = loadOrSeedCentroids(spark, batch, nCentroids,
+            ledgerDir, idCol, vecCol)
+          // computed once, feeds the cross-batch join, the within-batch
+          // pair join (both sides), and the ledger write
+          val cells = batch.select(col(idCol), col(vecCol),
+              nearestCentroid(col(vecCol), centroids).as("cell"))
+            .localCheckpoint(true)
+          val prior = readKeeperLedger(spark, ledgerDir, batchId, cells)
+          val matched = cells.as("n").join(prior.as("p"),
+              col("n.cell") === col("p.cell"))
+            .filter(VectorOps.cosineF(col(s"n.$vecCol"), col(s"p.$vecCol")) >= threshold)
+            .groupBy(col(s"n.$idCol").as(idCol))
+            .agg(min(col(s"p.$idCol")).as("keep_as"))
+          val fresh = cells.join(matched.select(col(idCol)), Seq(idCol), "left_anti")
+          val pairs = fresh.as("a").join(fresh.as("b"),
+              col("a.cell") === col("b.cell") && col(s"a.$idCol") < col(s"b.$idCol"))
+            .select(col(s"a.$idCol").as("doc_a"), col(s"b.$idCol").as("doc_b"),
+              VectorOps.cosineF(col(s"a.$vecCol"), col(s"b.$vecCol")).as("sim"))
+            .filter(col("sim") >= threshold)
+            .select("doc_a", "doc_b")
+          val within = Dedup.keeperAssignment(fresh.select(col(idCol)), idCol, pairs)
+            .select(col("doc").as(idCol), col("keep_as"))
+          val out = matched.unionByName(within).localCheckpoint(true)
+          out.write.mode("overwrite").parquet(s"$outDir/batch=$batchId")
+          fresh.join(out.filter(col("keep_as") === col(idCol)).select(col(idCol)),
+              Seq(idCol))
+            .select(col(idCol), col("cell"), col(vecCol))
+            .write.mode("overwrite").parquet(s"$ledgerDir/batch=$batchId")
+        }
+        ()
+      }
+      .start()
+  }
+
+  /** Centroids for the streaming form: read `ledgerDir/_centroids` if
+    * present, else seed deterministically from this batch and persist.
+    * The collect is ≤ nCentroids rows; the write is a one-off.
+    */
+  private def loadOrSeedCentroids(spark: org.apache.spark.sql.SparkSession,
+      batch: DataFrame, nCentroids: Int, ledgerDir: String,
+      idCol: String, vecCol: String): Array[Array[Float]] = {
+    val path = new org.apache.hadoop.fs.Path(s"$ledgerDir/_centroids")
+    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(path))
+      spark.read.parquet(path.toString).orderBy("cell").select("cvec")
+        .collect().map(_.getSeq[Float](0).toArray)
+    else {
+      val c = seedCentroids(batch, nCentroids, idCol, vecCol)
+      import spark.implicits._
+      c.zipWithIndex.map { case (v, i) => (i, v.toSeq) }.toSeq
+        .toDF("cell", "cvec")
+        .coalesce(1).write.mode("overwrite").parquet(path.toString)
+      c
+    }
+  }
+
+  /** Keeper-ledger partitions committed strictly before `batchId`
+    * (batch-scoped dirs only — `_centroids` is not a ledger partition).
+    * `like` supplies the (id, vec, cell) schema for the empty first-batch
+    * case.
+    */
+  private def readKeeperLedger(spark: org.apache.spark.sql.SparkSession,
+      ledgerDir: String, batchId: Long, like: DataFrame): DataFrame = {
+    val path = new org.apache.hadoop.fs.Path(ledgerDir)
+    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val parts =
+      if (!fs.exists(path)) Array.empty[String]
+      else fs.listStatus(path).map(_.getPath)
+        .filter(_.getName.startsWith("batch="))
+        .filter(_.getName.stripPrefix("batch=").toLong < batchId)
+        .map(_.toString)
+    if (parts.isEmpty) like.limit(0) else spark.read.parquet(parts.toIndexedSeq: _*)
+  }
+
   /** All near-duplicate pairs by embedding cosine ≥ threshold, LSH-bucketed
     * so comparisons stay within buckets (embedding-space near-dup dedup).
     * Multi-table like [[lshTopK]]: `nTables` independent hyperplane

@@ -241,4 +241,57 @@ class SimilaritySpec extends SparkSpec {
     assert(keep(2L) == 1L && keep(3L) == 1L, s"got $keep")
     assert(keep(1L) == 1L && keep(50L) == 50L)
   }
+
+  test("semanticDedupStream: batches dedup against the keeper ledger; restart converges") {
+    import java.nio.file.Files
+    val src = Files.createTempDirectory("sds-src").toString
+    val out = Files.createTempDirectory("sds-out").toString + "/out"
+    val ledger = Files.createTempDirectory("sds-led").toString + "/ledger"
+    val cp = Files.createTempDirectory("sds-cp").toString
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("vec_id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("embedding",
+        org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.FloatType))))
+    def streamDf = spark.readStream.schema(schema).json(src)
+    def keepMap(batch: Long): Map[Long, Long] =
+      spark.read.parquet(s"$out/batch=$batch")
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+    // batch 0: 1=[1,0], 2=[0,1], 3≈1 (cos ≈ 0.99995) — within-batch collapse
+    Files.write(java.nio.file.Paths.get(s"$src/f0.json"),
+      ("""{"vec_id":1,"embedding":[1.0,0.0]}""" + "\n" +
+        """{"vec_id":2,"embedding":[0.0,1.0]}""" + "\n" +
+        """{"vec_id":3,"embedding":[0.99,0.01]}""" + "\n").getBytes)
+    val q = Similarity.semanticDedupStream(streamDf, threshold = 0.95,
+      nCentroids = 1, ledger, out, cp)
+    q.processAllAvailable()
+    assert(keepMap(0) == Map(1L -> 1L, 2L -> 2L, 3L -> 1L), s"got ${keepMap(0)}")
+
+    // batch 1: 11 ≈ keeper 1 (cross-batch collapse onto the LEDGER, not the
+    // batch); 12/13 a fresh within-batch near-dup pair far from all keepers
+    Files.write(java.nio.file.Paths.get(s"$src/f1.json"),
+      ("""{"vec_id":11,"embedding":[1.0,0.001]}""" + "\n" +
+        """{"vec_id":12,"embedding":[0.5,0.866]}""" + "\n" +
+        """{"vec_id":13,"embedding":[0.51,0.86]}""" + "\n").getBytes)
+    q.processAllAvailable()
+    q.stop()
+    assert(keepMap(1) == Map(11L -> 1L, 12L -> 12L, 13L -> 12L), s"got ${keepMap(1)}")
+
+    // restart from the same checkpoint: the ledger (and the persisted
+    // centroids) must cover BOTH prior batches — a copy of keeper 2
+    // collapses, a genuinely novel direction survives
+    Files.write(java.nio.file.Paths.get(s"$src/f2.json"),
+      ("""{"vec_id":21,"embedding":[0.001,1.0]}""" + "\n" +
+        """{"vec_id":22,"embedding":[-1.0,0.2]}""" + "\n").getBytes)
+    val q2 = Similarity.semanticDedupStream(streamDf, threshold = 0.95,
+      nCentroids = 1, ledger, out, cp)
+    q2.processAllAvailable()
+    q2.stop()
+    assert(keepMap(2) == Map(21L -> 2L, 22L -> 22L), s"got ${keepMap(2)}")
+    // the ledger holds exactly the keepers, with their cells and vectors
+    val led = spark.read.parquet(s"$ledger/batch=0", s"$ledger/batch=1", s"$ledger/batch=2")
+    assert(led.select("vec_id").collect().map(_.getLong(0)).toSet ==
+      Set(1L, 2L, 12L, 22L))
+  }
 }
