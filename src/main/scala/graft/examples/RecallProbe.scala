@@ -32,8 +32,18 @@ object RecallProbe {
       val lsh8mp = rec(Similarity.lshTopK(e, q, k = 5, nPlanes = 8, nTables = 4,
         multiProbe = true))
       val ivf = rec(Similarity.ivfTopK(e, q, k = 5, nCentroids = 64, nProbe = 8))
+      // PQ rerank sweep at the default m=16 subspaces (the tuning run also
+      // swept m=8 and nCodes=32/64: m=16/K=16/rerank=64 dominated — finer
+      // subspaces beat more codewords at equal index bytes: measured
+      // m8/K16/rr64 0.605 vs m16/K16/rr64 0.875 at sf0.1). rerank depth is
+      // the recall dial on top (ADC ordering is approximate; the exact
+      // re-rank recovers what survives the cut).
+      val pq32 = rec(Similarity.pqTopK(e, q, k = 5, rerank = 32))
+      val pq64 = rec(Similarity.pqTopK(e, q, k = 5, rerank = 64))
+      val pq96 = rec(Similarity.pqTopK(e, q, k = 5, rerank = 96))
       println(f"[recall] $dir total=$total lsh1=$lsh1%.3f lsh4=$lsh4%.3f lsh4mp=$lsh4mp%.3f " +
-        f"lsh7mp=$lsh7mp%.3f lsh8mp=$lsh8mp%.3f ivf=$ivf%.3f")
+        f"lsh7mp=$lsh7mp%.3f lsh8mp=$lsh8mp%.3f ivf=$ivf%.3f " +
+        f"pq32=$pq32%.3f pq64=$pq64%.3f pq96=$pq96%.3f")
     }
     spark.stop()
   }

@@ -98,6 +98,111 @@ object Similarity {
       .select(col(queryIdCol), col(idCol), col("sim"), col("rank"))
   }
 
+  /** Row-local PQ encode: vector → M nearest-codeword indices
+    * ([[graft.functions.PqEncodeF]], codegen'd).
+    */
+  def pqEncode(vec: Column, codebooks: Array[Array[Array[Float]]]): Column =
+    org.apache.spark.sql.GraftShim.column(
+      graft.functions.PqEncodeF(
+        org.apache.spark.sql.GraftShim.expression(vec), codebooks))
+
+  /** Row-local ADC cosine: (codes, exact query vector) → approximate
+    * cosine ([[graft.functions.PqCosineF]], codegen'd).
+    */
+  def pqCosine(codes: Column, queryVec: Column,
+      codebooks: Array[Array[Array[Float]]]): Column =
+    org.apache.spark.sql.GraftShim.column(
+      graft.functions.PqCosineF(
+        org.apache.spark.sql.GraftShim.expression(codes),
+        org.apache.spark.sql.GraftShim.expression(queryVec), codebooks))
+
+  /** Train per-subspace PQ codebooks on a bounded, deterministic sample:
+    * `sampleSize` hash-spread corpus vectors ([[seedCentroids]]' pooled
+    * sampling — no ordered-corpus prefix bias), split into `nSubspaces`
+    * contiguous slices, then driver-local Lloyd iterations per subspace
+    * (the sample is ≤ sampleSize × dim floats — k-means on it is
+    * microseconds, so spending `sweeps` = 10 driver-side costs nothing
+    * at any corpus scale). Codewords init evenly through the hash-ordered
+    * sample; empty clusters keep their previous codeword, ties break to
+    * the lowest index — fully deterministic, no stored model.
+    *
+    * Requires dim % nSubspaces == 0 (standard PQ constraint).
+    */
+  def trainPqCodebooks(corpus: DataFrame, nSubspaces: Int, nCodes: Int,
+      sampleSize: Int = 256, sweeps: Int = 10,
+      idCol: String = "vec_id", vecCol: String = "embedding"): Array[Array[Array[Float]]] = {
+    val sample = seedCentroids(corpus, sampleSize, idCol, vecCol)
+    require(sample.nonEmpty, "pq training: empty corpus")
+    val dim = sample.head.length
+    require(dim % nSubspaces == 0,
+      s"pq training: dim $dim not divisible by nSubspaces $nSubspaces")
+    val dsub = dim / nSubspaces
+    Array.tabulate(nSubspaces) { s =>
+      val sub = sample.map(v => java.util.Arrays.copyOfRange(v, s * dsub, (s + 1) * dsub))
+      val k = math.min(nCodes, sub.length)
+      var words = Array.tabulate(k)(i => sub(i.toLong.toInt * sub.length / k).clone())
+      for (_ <- 0 until sweeps) {
+        val sums = Array.fill(k)(new Array[Double](dsub))
+        val cnts = new Array[Int](k)
+        sub.foreach { v =>
+          var best = 0; var bestD = Double.MaxValue
+          var c = 0
+          while (c < k) {
+            var d = 0.0; var i = 0
+            while (i < dsub) { val t = v(i) - words(c)(i); d += t.toDouble * t; i += 1 }
+            if (d < bestD) { bestD = d; best = c }
+            c += 1
+          }
+          var i = 0
+          while (i < dsub) { sums(best)(i) += v(i); i += 1 }
+          cnts(best) += 1
+        }
+        words = Array.tabulate(k) { c =>
+          if (cnts(c) == 0) words(c)
+          else Array.tabulate(dsub)(i => (sums(c)(i) / cnts(c)).toFloat)
+        }
+      }
+      words
+    }
+  }
+
+  /** PQ ANN: encode the corpus once as `nSubspaces` codebook indices
+    * (e.g. 64 floats / 256 B → 8 ints, the FAISS IVFADC compression trick),
+    * scan the COMPRESSED index with ADC cosine per query, then exactly
+    * re-rank the top `rerank` ADC candidates from the raw vectors.
+    *
+    * Scale shape: the full-corpus scan touches only the ~32×-smaller code
+    * column (at 100 TB of vectors that is the difference between scanning
+    * 3 TB and 100 TB per query batch); queries broadcast both times; the
+    * exact re-rank join ships ≤ |queries| × rerank (id, query) pairs as a
+    * broadcast against the corpus, so raw vectors are fetched for
+    * candidates only and the corpus never shuffles. Codebook training is
+    * a bounded driver-side sample ([[trainPqCodebooks]]).
+    *
+    * Output schema matches [[bruteForceTopK]]: (query_id, vec_id, sim,
+    * rank) with exact cosine sims after re-rank.
+    */
+  def pqTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+      nSubspaces: Int = 16, nCodes: Int = 16, rerank: Int = 64,
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      queryIdCol: String = "query_id", queryVecCol: String = "query_vec"): DataFrame = {
+    val cb = trainPqCodebooks(corpus, nSubspaces, nCodes, idCol = idCol, vecCol = vecCol)
+    val encoded = corpus.select(col(idCol), pqEncode(col(vecCol), cb).as("pq_codes"))
+    val r = math.max(k, rerank)
+    val aw = Window.partitionBy(col(queryIdCol)).orderBy(col("sim_adc").desc, col(idCol))
+    val cand = encoded.crossJoin(broadcast(queries))
+      .withColumn("sim_adc", pqCosine(col("pq_codes"), col(queryVecCol), cb))
+      .withColumn("arank", row_number().over(aw))
+      .filter(col("arank") <= r)
+      .select(col(queryIdCol), col(queryVecCol), col(idCol))
+    val w = Window.partitionBy(col(queryIdCol)).orderBy(col("sim").desc, col(idCol))
+    corpus.join(broadcast(cand), idCol)
+      .withColumn("sim", VectorOps.cosineF(col(vecCol), col(queryVecCol)))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col(queryIdCol), col(idCol), col("sim"), col("rank"))
+  }
+
   /** Row-local cell assignment: cosine-argmax over the driver-side centroid
     * matrix, compiled into one projection ([[graft.functions.NearestCentroidF]]).
     */

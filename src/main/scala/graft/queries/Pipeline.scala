@@ -753,6 +753,20 @@ object Pipeline {
       None)
     ,
 
+    // ── PQ ANN (product-quantized compressed-index scan + exact re-rank —
+    //    the IVFADC-family architecture: the full scan touches ~16-byte
+    //    codes instead of 256-byte vectors). no_oracle: results depend on
+    //    the trained codebooks; q_ann_recall enforces its floor.
+    Q("q_ann_pq",
+      (s, dir) => {
+        val queries = emb(s, dir).filter(col("vec_id") % 50 === 0)
+          .select(col("vec_id").as("query_id"), col("embedding").as("query_vec"))
+        Similarity.pqTopK(emb(s, dir), queries, k = 5)
+          .select(col("query_id"), col("vec_id"), col("rank"))
+      },
+      None)
+    ,
+
     // ── MinHash quality as an ORACLE-CHECKED contract: the LSH candidate
     //    pipeline vs EXACT n-gram Jaccard ground truth on the same corpus.
     //    Floors sit far under the measured values (MinhashQualityProbe:
@@ -835,9 +849,11 @@ object Pipeline {
           .select(col("query_id"), col("vec_id"))
         // floors sit below the measured minimum across sf0.001-0.1
         // (RecallProbe: lsh 4-table 7-plane multi-probe 0.60-0.635 at
-        // ~25% probe fraction, ivf 0.49-0.64) — deterministic hashing
-        // means the only variance source is the data scale itself
-        val floors = Seq("bruteforce" -> 1.0, "ivf" -> 0.4, "lsh" -> 0.5)
+        // ~25% probe fraction, ivf 0.49-0.64, pq m16/K16/rerank64
+        // 0.875-1.0) — deterministic hashing/training means the only
+        // variance source is the data scale itself
+        val floors = Seq("bruteforce" -> 1.0, "ivf" -> 0.4, "lsh" -> 0.5,
+          "pq" -> 0.7)
         def tagged(name: String, df: org.apache.spark.sql.DataFrame) =
           df.select(col("query_id"), col("vec_id")).withColumn("method", lit(name))
         val approx =
@@ -847,6 +863,7 @@ object Pipeline {
             .unionAll(tagged("lsh", Similarity.lshTopK(
               emb(s, dir), queries, k = 5, nPlanes = 7, nTables = 4,
               multiProbe = true)))
+            .unionAll(tagged("pq", Similarity.pqTopK(emb(s, dir), queries, k = 5)))
         val hits = approx.join(exact, Seq("query_id", "vec_id"))
           .groupBy("method").agg(count(lit(1)).as("hits"))
         val total = exact.agg(count(lit(1)).as("total"))
@@ -864,6 +881,8 @@ object Pipeline {
              |UNION ALL
              |SELECT 'ivf', CAST(0.4 AS DOUBLE), true
              |UNION ALL
-             |SELECT 'lsh', CAST(0.5 AS DOUBLE), true""".stripMargin))
+             |SELECT 'lsh', CAST(0.5 AS DOUBLE), true
+             |UNION ALL
+             |SELECT 'pq', CAST(0.7 AS DOUBLE), true""".stripMargin))
   )
 }

@@ -40,6 +40,37 @@ class SimilaritySpec extends SparkSpec {
     rank1.foreach { case (q, top) => assert(top == q, s"query $q top-1 is $top") }
   }
 
+  test("pqTopK: compressed-scan + exact-rerank meets the recall contract and is deterministic") {
+    val corpus = Tables.load(spark, sfDir, "embeddings")
+    val q2 = corpus.filter(col("vec_id") % 100 === 0)
+      .select(col("vec_id").as("query_id"), col("embedding").as("query_vec"))
+    val exact = Similarity.bruteForceTopK(corpus, q2, k = 5).select("query_id", "vec_id")
+    val total = exact.count().toDouble
+    val got = Similarity.pqTopK(corpus, q2, k = 5)
+    val recall = got.select("query_id", "vec_id")
+      .join(exact, Seq("query_id", "vec_id")).count() / total
+    assert(recall >= 0.7, s"pq recall@5 = $recall") // floor q_ann_recall enforces
+    // rank-1 self-match: a query drawn from the corpus must find itself
+    got.filter(col("rank") === 1).collect()
+      .foreach(r => assert(r.getLong(1) == r.getLong(0),
+        s"query ${r.getLong(0)} top-1 is ${r.getLong(1)}"))
+    // training + encoding are deterministic (no stored model needed)
+    val again = Similarity.pqTopK(corpus, q2, k = 5)
+    assert(got.collect().toSeq == again.collect().toSeq)
+  }
+
+  test("pqEncode emits one in-range code per subspace") {
+    val corpus = Tables.load(spark, sfDir, "embeddings")
+    val cb = Similarity.trainPqCodebooks(corpus, nSubspaces = 16, nCodes = 16)
+    assert(cb.length == 16 && cb.forall(_.length == 16) && cb.forall(_.forall(_.length == 4)))
+    val codes = corpus.select(Similarity.pqEncode(col("embedding"), cb).as("c"))
+      .collect().map(_.getSeq[Int](0))
+    assert(codes.forall(c => c.length == 16 && c.forall(x => x >= 0 && x < 16)))
+    // deterministic training: byte-identical codebooks across calls
+    val cb2 = Similarity.trainPqCodebooks(corpus, nSubspaces = 16, nCodes = 16)
+    assert(cb.flatten.flatten.toSeq == cb2.flatten.flatten.toSeq)
+  }
+
   test("lshTopK multi-probe recovers neighbors lost to single-bit signature misses") {
     val corpus = Tables.load(spark, sfDir, "embeddings")
     val queries = corpus.filter(col("vec_id") % 100 === 0)
