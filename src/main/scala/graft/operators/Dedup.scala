@@ -402,6 +402,113 @@ object Dedup {
       .start()
   }
 
+  /** STREAMING MinHash near-dup dedup — the incremental face of
+    * [[minhashLshPairs]] + [[keeperAssignment]], completing the ledger
+    * family: [[bloomIncrementalStream]] dedups exact content,
+    * [[graft.operators.Similarity.semanticDedupStream]] dedups embeddings,
+    * this dedups near-duplicate TEXT against every keeper the pipeline has
+    * ever accepted.
+    *
+    * Ledger: parquet (doc, sig) keeper rows under `ledgerDir/batch=N` —
+    * signatures only (numHashes ints per keeper); band hashes are
+    * re-derived per batch by one row-local projection, so the ledger
+    * stays minimal and the corpus text is never re-read. Per batch:
+    * (1) row-local signatures for the new docs; (2) LSH band join new →
+    * prior keepers, estimated-Jaccard filter, collapse each matched doc
+    * onto its smallest prior keeper; (3) survivors dedup within-batch
+    * via the same band join + CC fixpoint as the batch op; (4) write
+    * (doc, keep_as) to `outDir/batch=N` and new keepers' (doc, sig) to
+    * `ledgerDir/batch=N`. Batch-scoped OVERWRITE of both writes + a
+    * strictly-before ledger read = idempotent crash replay, exactly the
+    * [[bloomIncrementalStream]] recipe.
+    *
+    * Scale: the cross-batch join is band-bucketed (never all-pairs) and
+    * its prior side carries keepers only — the deduped corpus, the small
+    * side by construction; oversized buckets cap at `maxBucket` on both
+    * sides. Like all incremental dedup, chains that SPAN batches collapse
+    * per-batch onto the earliest keeper rather than re-clustering history.
+    */
+  def minhashDedupStream(stream: DataFrame, idCol: String, textCol: String,
+      ledgerDir: String, outDir: String, checkpointDir: String,
+      shingleSize: Int = 3, numHashes: Int = 64, bands: Int = 16,
+      threshold: Double = 0.7, maxBucket: Int = 1000)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    require(numHashes % bands == 0, s"numHashes ($numHashes) must divide into bands ($bands)")
+    val rowsPerBand = numHashes / bands
+    def bandCols = (0 until bands).map { b =>
+      xxhash64(lit(b), slice(col("sig"), b * rowsPerBand + 1, rowsPerBand))
+    }
+    def banded(sigs: DataFrame): DataFrame = {
+      val b = sigs.select(col("doc"), col("sig"), posexplode(array(bandCols: _*)))
+        .withColumnRenamed("pos", "band").withColumnRenamed("col", "band_hash")
+      val ok = b.groupBy(col("band"), col("band_hash"))
+        .agg(count(lit(1)).as("bn")).filter(col("bn") <= maxBucket)
+        .select(col("band"), col("band_hash"))
+      b.join(ok, Seq("band", "band_hash"))
+    }
+    def estJ(a: Column, b: Column): Column =
+      size(filter(zip_with(a, b, (x, y) => x === y), v => v))
+        .cast("double") / numHashes.toDouble
+
+    stream.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch0: DataFrame, batchId: Long) =>
+        val spark = batch0.sparkSession
+        val batch = batch0.filter(col(textCol).isNotNull)
+        if (!batch.isEmpty) {
+          // computed once, feeds the cross-batch join, the within-batch
+          // join and the ledger write
+          val sigs = minhashSignatures(batch, idCol, textCol, shingleSize, numHashes)
+            .localCheckpoint(true)
+          val prior = readSigLedger(spark, ledgerDir, batchId, sigs)
+          val matched = banded(sigs).as("n")
+            .join(banded(prior).as("p"),
+              col("n.band") === col("p.band") && col("n.band_hash") === col("p.band_hash"))
+            .select(col("n.doc").as("doc"), col("p.doc").as("keeper"),
+              col("n.sig").as("sig_n"), col("p.sig").as("sig_p"))
+            .dropDuplicates("doc", "keeper")
+            .filter(estJ(col("sig_n"), col("sig_p")) >= threshold)
+            .groupBy(col("doc")).agg(min(col("keeper")).as("keep_as"))
+          val fresh = sigs.join(matched.select("doc"), Seq("doc"), "left_anti")
+          val fb = banded(fresh)
+          val pairs = fb.as("a").join(fb.as("b"),
+              col("a.band") === col("b.band") &&
+                col("a.band_hash") === col("b.band_hash") &&
+                col("a.doc") < col("b.doc"))
+            .select(col("a.doc").as("doc_a"), col("b.doc").as("doc_b"),
+              col("a.sig").as("sig_a"), col("b.sig").as("sig_b"))
+            .dropDuplicates("doc_a", "doc_b")
+            .filter(estJ(col("sig_a"), col("sig_b")) >= threshold)
+            .select("doc_a", "doc_b")
+          val within = keeperAssignment(fresh.select(col("doc")), "doc", pairs)
+          val out = matched.unionByName(within).localCheckpoint(true)
+          out.select(col("doc").as(idCol), col("keep_as"))
+            .write.mode("overwrite").parquet(s"$outDir/batch=$batchId")
+          fresh.join(out.filter(col("keep_as") === col("doc")).select("doc"), Seq("doc"))
+            .select(col("doc"), col("sig"))
+            .write.mode("overwrite").parquet(s"$ledgerDir/batch=$batchId")
+        }
+        ()
+      }
+      .start()
+  }
+
+  /** Signature-ledger partitions committed strictly before `batchId`;
+    * `like` supplies the (doc, sig) schema for the empty first batch.
+    */
+  private def readSigLedger(spark: org.apache.spark.sql.SparkSession,
+      ledgerDir: String, batchId: Long, like: DataFrame): DataFrame = {
+    val path = new org.apache.hadoop.fs.Path(ledgerDir)
+    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val parts =
+      if (!fs.exists(path)) Array.empty[String]
+      else fs.listStatus(path).map(_.getPath)
+        .filter(_.getName.startsWith("batch="))
+        .filter(_.getName.stripPrefix("batch=").toLong < batchId)
+        .map(_.toString)
+    if (parts.isEmpty) like.limit(0) else spark.read.parquet(parts.toIndexedSeq: _*)
+  }
+
   /** Ledger partitions committed strictly before `batchId`, via the Hadoop
     * FileSystem API (portable to HDFS/S3 paths, not just local disk).
     */
@@ -532,12 +639,17 @@ object Dedup {
     * order-independent and bit-identical across engines (the q_tfidf oracle
     * replays the formula in DuckDB; only the final cosine division is
     * row-local double math). The doc-frequency cap bounds the self-join
-    * (Σ df² cost) exactly like the Jaccard op's, but is RELATIVE —
-    * `maxDocFreqRatio` of the corpus — because template vocabulary's df
-    * grows with N: an absolute cap tuned at 500 docs starves the
-    * vocabulary at 5 000 and does nothing at 5 million, while "drop terms
-    * in > 20% of documents" names the same linguistic phenomenon at every
-    * scale. idf handles the soft end of the spectrum below the cap.
+    * (Σ df² cost) and is DUAL: df ≤ min(maxDocFreqRatio·N, maxDocFreqAbs).
+    * The relative term names the linguistic phenomenon ("drop terms in
+    * > 20% of documents") at every corpus size without starving small
+    * ones; the absolute term is the scale guard the relative cap alone
+    * lacks — in a MULTI-DOMAIN corpus (languages, sources, crawls), each
+    * domain's template vocabulary has df ∝ domain size, not corpus size,
+    * so growing N keeps re-admitting per-domain stopwords under a purely
+    * relative cap and Σ df² explodes quadratically in domain size
+    * (measured: the round-6 sf1 probe's vocabulary-fragmented decade-up
+    * ran > 300× sf0.1 before the absolute cap, ~linear after). idf
+    * handles the soft end of the spectrum below the caps.
     *
     * Scale shape: tf is one (doc, term)-keyed shuffle with map-side
     * partials; df/idf derive from the tf table (vocab-bounded, NOT a second
@@ -551,7 +663,8 @@ object Dedup {
       idCol: String,
       textCol: String,
       threshold: Double = 0.5,
-      maxDocFreqRatio: Double = 0.2): DataFrame = {
+      maxDocFreqRatio: Double = 0.2,
+      maxDocFreqAbs: Long = 1000L): DataFrame = {
     import org.apache.spark.sql.types.DecimalType
     // N rides the plan as a 1-row broadcast aggregate (the importanceScore
     // totals pattern) — no driver-side count() action, no corpus pass
@@ -566,7 +679,8 @@ object Dedup {
     val idf = tf.groupBy("term_h").agg(count(lit(1)).as("df"))
       .crossJoin(broadcast(totals))
       .filter(col("df") <=
-        greatest(lit(1L), ceil(lit(maxDocFreqRatio) * col("n_docs"))))
+        greatest(lit(1L),
+          least(ceil(lit(maxDocFreqRatio) * col("n_docs")), lit(maxDocFreqAbs))))
       .select(col("term_h"),
         round(log(col("n_docs").cast("double") / col("df")) * 1e6)
           .cast("long").as("idf6"))
@@ -682,6 +796,49 @@ object Dedup {
         coalesce(col("dup_tokens"), lit(0L)).as("dup_tokens"),
         (coalesce(col("dup_tokens"), lit(0L)).cast("double") /
           greatest(col("n_tokens"), lit(1)).cast("double")).as("dup_fraction"))
+  }
+
+  /** Exact-substring span REMOVAL — the rewrite face of
+    * [[duplicatedSpanStats]] (the "deduplicating training data" recipe of
+    * excising every ≥L-token span that occurs more than once in the
+    * corpus, rather than dropping whole documents): tokens covered by any
+    * corpus-duplicated L-gram are cut and the remaining tokens are
+    * rejoined. Returns (doc, n_tokens, kept_tokens, clean_text); the
+    * rewritten text is in the shared tokenizer's normal form (lowercased,
+    * single-spaced) — span removal operates on token streams, not raw
+    * bytes, exactly like the stats op it mirrors.
+    *
+    * Scale shape: same as the stats op — one scan-fused gram explode, one
+    * map-side-combined gram count (bounded by distinct grams), a semi-join
+    * back, then ONE per-doc shuffle that collects each doc's duplicated
+    * start positions (≤ n_tokens, typically far fewer) into an array; the cut
+    * itself is a row-local higher-order filter over (token, index) against
+    * that sorted array, fused into the final projection. Nothing quadratic;
+    * the only per-doc state is the dup-start array.
+    */
+  def removeDuplicatedSpans(df: DataFrame, idCol: String, textCol: String,
+      L: Int = 5): DataFrame = {
+    val toks = tokens(col(textCol))
+    val base = spreadForCompute(df).select(col(idCol).as("doc"), toks.as("toks"))
+    val grams = base.select(col("doc"),
+        posexplode(
+          when(size(col("toks")) >= L,
+            transform(sequence(lit(0), size(col("toks")) - L),
+              i => md5(concat_ws(" ", slice(col("toks"), i + 1, lit(L))))))
+            .otherwise(typedLit(Array.empty[String]))).as(Seq("pos", "gh")))
+    val dupGrams = grams.groupBy("gh").agg(count(lit(1)).as("n"))
+      .filter(col("n") > 1).select("gh")
+    val dupStarts = grams.join(dupGrams, Seq("gh"), "left_semi")
+      .groupBy("doc").agg(sort_array(collect_list(col("pos"))).as("starts"))
+    base.join(dupStarts, Seq("doc"), "left")
+      .select(col("doc"), col("toks"),
+        coalesce(col("starts"), typedLit(Array.empty[Int])).as("starts"))
+      .select(col("doc"),
+        size(col("toks")).as("n_tokens"),
+        filter(col("toks"), (_, i) =>
+          !exists(col("starts"), s => s <= i && i < s + L)).as("kept"))
+      .select(col("doc"), col("n_tokens"), size(col("kept")).as("kept_tokens"),
+        concat_ws(" ", col("kept")).as("clean_text"))
   }
 
   /** SimHash: 64-bit locality-sensitive fingerprint. Tokens are hashed to

@@ -269,6 +269,112 @@ object TextAnalysis {
         (col("score") / col("n_tokens")).as("avg_llr"))
   }
 
+  /** The stop set the Gopher rules check for minimum-evidence-of-prose
+    * (Rae et al. 2021, §A1.1.1 — public recipe).
+    */
+  val gopherStopWords: Seq[String] =
+    Seq("the", "be", "to", "of", "and", "that", "have", "with")
+
+  /** Gopher-style rule-based quality filter (Rae et al. 2021, "Scaling
+    * Language Models: ... Gopher", appendix A1.1.1 — the standard
+    * pretraining heuristic gate next to the model-based scores): per-doc
+    * evidence columns plus one conjunctive `keep` flag.
+    *
+    *   - word count in [minWords, maxWords] (paper: 50..100 000)
+    *   - mean word length in [3, 10]
+    *   - symbol-to-word ratio ('#' or '...') ≤ 0.1
+    *   - ≤ 90% of lines start with a bullet, ≤ 30% end with '...'
+    *   - ≥ 80% of words contain an alphabetic character
+    *   - ≥ 2 DISTINCT words from the 8-word stop set
+    *
+    * Pure codegen'd column expressions — runs at scan speed, and the
+    * `keep` flag it feeds survives Catalyst pushdown like every other
+    * filter here. All ratios are single int/int IEEE divisions, so the
+    * DuckDB oracle reproduces them bit-exactly (q_gopher).
+    */
+  def gopherRules(df: DataFrame, idCol: String, textCol: String,
+      minWords: Int = 50, maxWords: Int = 100000): DataFrame = {
+    val t = col(textCol)
+    val toks = Dedup.tokens(t)
+    val nWords = size(toks)
+    val nwD = greatest(nWords, lit(1)).cast("double")
+    val meanLen =
+      aggregate(toks, lit(0L), (a, x) => a + length(x)).cast("double") / nwD
+    val symbolRatio =
+      (regexp_count(t, lit("#")) + regexp_count(t, lit("\\.\\.\\."))).cast("double") / nwD
+    val lines = split(t, "\n")
+    val nlD = greatest(size(lines), lit(1)).cast("double")
+    val bulletRatio =
+      size(filter(lines, l => ltrim(l).rlike("^[-*•]"))).cast("double") / nlD
+    val ellipsisRatio =
+      size(filter(lines, l => rtrim(l).rlike("\\.\\.\\.$"))).cast("double") / nlD
+    val alphaRatio =
+      size(filter(toks, x => x.rlike("[a-z]"))).cast("double") / nwD
+    val stopHits =
+      size(array_intersect(array_distinct(toks),
+        array(gopherStopWords.map(lit): _*)))
+    df.select(
+      col(idCol),
+      nWords.as("n_words"),
+      meanLen.as("mean_word_len"),
+      symbolRatio.as("symbol_ratio"),
+      bulletRatio.as("bullet_line_ratio"),
+      ellipsisRatio.as("ellipsis_line_ratio"),
+      alphaRatio.as("alpha_word_ratio"),
+      stopHits.as("stop_hits"),
+      (nWords.between(minWords, maxWords) &&
+        meanLen.between(3.0, 10.0) &&
+        symbolRatio <= 0.1 &&
+        bulletRatio <= 0.9 &&
+        ellipsisRatio <= 0.3 &&
+        alphaRatio >= 0.8 &&
+        stopHits >= 2).as("keep"))
+  }
+
+  /** Substrings whose presence disqualifies a line under the C4 cleaning
+    * rules (Raffel et al. 2020 §2.2 — public recipe; boilerplate/code
+    * markers).
+    */
+  val c4LineBlocklist: Seq[String] =
+    Seq("javascript", "lorem ipsum", "terms of use", "privacy policy",
+      "cookie policy", "{")
+
+  /** C4-style line-level cleaning (Raffel et al. 2020 §2.2): keep only
+    * lines that end in terminal punctuation (optionally followed by a
+    * closing quote), carry ≥ `minLineWords` words, and contain none of the
+    * boilerplate blocklist markers; then gate the whole doc on having ≥
+    * `minSentences` sentences left. The line-level complement to the
+    * doc-level [[gopherRules]] gate — published pipelines run both.
+    *
+    * Returns (idCol, n_lines, kept_lines, n_sentences, keep, clean_text);
+    * `clean_text` is the kept lines rejoined with newlines (original
+    * casing and spacing preserved — cleaning drops lines, it does not
+    * re-tokenize). Pure codegen'd column expressions, zero shuffle.
+    */
+  def c4Clean(df: DataFrame, idCol: String, textCol: String,
+      minLineWords: Int = 5, minSentences: Int = 3): DataFrame = {
+    val lines = split(col(textCol), "\n")
+    val keptCol = filter(lines, l => {
+      val words = size(filter(split(l, "\\s+"), t => t =!= ""))
+      val terminal = rtrim(l).rlike("[.!?][\"']?$")
+      val blocked = c4LineBlocklist
+        .map(m => lower(l).contains(m))
+        .reduce(_ || _)
+      terminal && words >= minLineWords && !blocked
+    })
+    df.select(col(idCol), lines.as("lines"), keptCol.as("kept"))
+      .select(col(idCol),
+        size(col("lines")).as("n_lines"),
+        size(col("kept")).as("kept_lines"),
+        concat_ws("\n", col("kept")).as("clean_text"))
+      .select(col(idCol), col("n_lines"), col("kept_lines"),
+        regexp_count(col("clean_text"), lit("[.!?]")).as("n_sentences"),
+        col("clean_text"))
+      .select(col(idCol), col("n_lines"), col("kept_lines"), col("n_sentences"),
+        (col("kept_lines") > 0 && col("n_sentences") >= minSentences).as("keep"),
+        col("clean_text"))
+  }
+
   /** Full per-document feature frame used by quality filtering. */
   def features(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     val t = col(textCol)

@@ -94,6 +94,71 @@ object Pipeline {
            |FROM documents""".stripMargin
       }),
 
+    // ── Gopher rule-based quality gate (Rae et al. 2021 A1.1.1): evidence
+    //    columns + conjunctive keep flag. All ratios are single int/int
+    //    IEEE divisions so the full frame is hash-exact cross-engine; the
+    //    corpus is single-line so the line rules are exercised by the
+    //    constructed docs in TextAnalysisSpec instead.
+    Q("q_gopher",
+      (s, dir) => TextAnalysis.gopherRules(docs(s, dir), "doc_id", "text"),
+      Some {
+        val toks = oTokens("text")
+        s"""WITH t AS (SELECT doc_id, text, $toks AS toks,
+           |             string_split(text, chr(10)) AS lines FROM documents),
+           |m AS (SELECT doc_id,
+           |  CAST(len(toks) AS INTEGER) AS n_words,
+           |  CAST(COALESCE(list_sum(list_transform(toks, x -> length(x))), 0) AS DOUBLE)
+           |    / GREATEST(len(toks), 1) AS mean_word_len,
+           |  CAST(len(regexp_extract_all(text, '#'))
+           |    + len(regexp_extract_all(text, '\\.\\.\\.')) AS DOUBLE)
+           |    / GREATEST(len(toks), 1) AS symbol_ratio,
+           |  CAST(len(list_filter(lines, l -> regexp_matches(ltrim(l), '^[-*•]'))) AS DOUBLE)
+           |    / GREATEST(len(lines), 1) AS bullet_line_ratio,
+           |  CAST(len(list_filter(lines, l -> regexp_matches(rtrim(l), '\\.\\.\\.$$'))) AS DOUBLE)
+           |    / GREATEST(len(lines), 1) AS ellipsis_line_ratio,
+           |  CAST(len(list_filter(toks, x -> regexp_matches(x, '[a-z]'))) AS DOUBLE)
+           |    / GREATEST(len(toks), 1) AS alpha_word_ratio,
+           |  CAST(len(list_intersect(list_distinct(toks),
+           |    ${olist(TextAnalysis.gopherStopWords)})) AS INTEGER) AS stop_hits
+           | FROM t)
+           |SELECT doc_id, n_words, mean_word_len, symbol_ratio, bullet_line_ratio,
+           |  ellipsis_line_ratio, alpha_word_ratio, stop_hits,
+           |  (n_words BETWEEN 50 AND 100000 AND mean_word_len BETWEEN 3.0 AND 10.0
+           |   AND symbol_ratio <= 0.1 AND bullet_line_ratio <= 0.9
+           |   AND ellipsis_line_ratio <= 0.3 AND alpha_word_ratio >= 0.8
+           |   AND stop_hits >= 2) AS keep
+           |FROM m""".stripMargin
+      }),
+
+    // ── C4 line-level cleaning (Raffel et al. 2020 §2.2): terminal-
+    //    punctuation / min-words / boilerplate-blocklist line filter +
+    //    min-sentences doc gate. The synthetic corpus is unpunctuated
+    //    single-line word soup, so it (correctly) cleans to empty — the
+    //    rule branches are exercised on constructed prose in
+    //    TextAnalysisSpec; the oracle still pins every column hash-exactly.
+    Q("q_c4_clean",
+      (s, dir) => TextAnalysis.c4Clean(docs(s, dir), "doc_id", "text"),
+      Some {
+        val blocked = TextAnalysis.c4LineBlocklist
+          .map(m => s"contains(lower(l), '$m')").mkString(" OR ")
+        s"""WITH t AS (SELECT doc_id, string_split(text, chr(10)) AS lines FROM documents),
+           |k AS (SELECT doc_id, lines,
+           |        list_filter(lines, l ->
+           |          regexp_matches(rtrim(l), '[.!?]["'']?$$')
+           |          AND len(list_filter(string_split_regex(l, '\\s+'), t -> t <> '')) >= 5
+           |          AND NOT ($blocked)) AS kept
+           |      FROM t),
+           |c AS (SELECT doc_id, lines, kept,
+           |        COALESCE(array_to_string(kept, chr(10)), '') AS clean_text
+           |      FROM k)
+           |SELECT doc_id, CAST(len(lines) AS INTEGER) AS n_lines,
+           |  CAST(len(kept) AS INTEGER) AS kept_lines,
+           |  CAST(len(regexp_extract_all(clean_text, '[.!?]')) AS INTEGER) AS n_sentences,
+           |  (len(kept) > 0 AND len(regexp_extract_all(clean_text, '[.!?]')) >= 3) AS keep,
+           |  clean_text
+           |FROM c""".stripMargin
+      }),
+
     // ── corpus bigram-LM scoring (CCNet-style perplexity quality gate).
     //    The oracle checks the integer sufficient statistics (n bigrams,
     //    Σ bigram count, Σ context count) that pin the whole count+join
@@ -210,6 +275,36 @@ object Pipeline {
               |       CAST(COALESCE(c.dup_tokens, 0) AS DOUBLE) /
               |         GREATEST(n.n_tokens, 1) AS dup_fraction
               |FROM n LEFT JOIN c USING (doc_id)""".stripMargin)),
+
+    // ── exact-substring span REMOVAL (the rewrite face of q_dup_spans —
+    //    Lee et al. 2022's dedup-the-substrings recipe): tokens covered by
+    //    any corpus-duplicated 5-gram are excised and the doc is rejoined
+    //    in tokenizer normal form. Hash-exact oracle incl. the rewritten
+    //    string itself.
+    Q("q_remove_spans",
+      (s, dir) => graft.operators.Dedup.removeDuplicatedSpans(
+          docs(s, dir), "doc_id", "text", L = 5),
+      Some(s"""WITH t AS (SELECT doc_id, ${oTokens("text")} AS toks FROM documents),
+              |l0 AS (SELECT doc_id, toks, unnest(range(len(toks) - 4)) AS pos
+              |       FROM t WHERE len(toks) >= 5),
+              |g AS (SELECT doc_id, pos,
+              |        md5(array_to_string(
+              |          toks[CAST(pos AS INTEGER)+1:CAST(pos AS INTEGER)+5], ' ')) AS gh
+              |      FROM l0),
+              |d AS (SELECT gh FROM g GROUP BY gh HAVING COUNT(*) > 1),
+              |p AS (SELECT doc_id, pos FROM g WHERE gh IN (SELECT gh FROM d)),
+              |tok AS (SELECT doc_id, unnest(range(len(toks))) AS i,
+              |          unnest(toks) AS tk FROM t),
+              |k AS (SELECT tok.doc_id, i, tk FROM tok
+              |      WHERE NOT EXISTS (SELECT 1 FROM p
+              |        WHERE p.doc_id = tok.doc_id AND p.pos <= i AND i < p.pos + 5)),
+              |o AS (SELECT doc_id, COUNT(*) AS kept_tokens,
+              |        string_agg(tk, ' ' ORDER BY i) AS clean_text
+              |      FROM k GROUP BY doc_id)
+              |SELECT t.doc_id AS doc, CAST(len(t.toks) AS INTEGER) AS n_tokens,
+              |  CAST(COALESCE(o.kept_tokens, 0) AS INTEGER) AS kept_tokens,
+              |  COALESCE(o.clean_text, '') AS clean_text
+              |FROM t LEFT JOIN o USING (doc_id)""".stripMargin)),
 
     // ── incremental cross-shard dedup: bloom prune + exact verify. The
     //    synthetic corpus has no exact dups at this sf, so the shard
@@ -353,7 +448,8 @@ object Pipeline {
               |tf AS (SELECT doc, term, COUNT(*) AS tf FROM occ GROUP BY doc, term),
               |n AS (SELECT COUNT(*) AS n FROM documents),
               |dfx AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term
-              |        HAVING COUNT(*) <= CEIL(0.2 * (SELECT n FROM n))),
+              |        HAVING COUNT(*) <= GREATEST(1,
+              |          LEAST(CEIL(0.2 * (SELECT n FROM n)), 1000))),
               |w AS (SELECT doc, tf.term,
               |        tf * CAST(round(ln(CAST(n.n AS DOUBLE) / dfx.df) * 1e6) AS BIGINT) AS w
               |      FROM tf JOIN dfx ON tf.term = dfx.term CROSS JOIN n),

@@ -241,6 +241,50 @@ class DedupSpec extends SparkSpec {
     assert(outIds(2) == Set(22L), s"post-restart dedup against full ledger: ${outIds(2)}")
   }
 
+  test("minhashDedupStream: near-dup collapse onto ledger keepers; restart converges") {
+    import java.nio.file.Files
+    val src = Files.createTempDirectory("mds-src").toString
+    val out = Files.createTempDirectory("mds-out").toString + "/out"
+    val ledger = Files.createTempDirectory("mds-led").toString + "/ledger"
+    val cp = Files.createTempDirectory("mds-cp").toString
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("doc_id", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("text", org.apache.spark.sql.types.StringType)))
+    def streamDf = spark.readStream.schema(schema).json(src)
+    def keepers(batch: Long): Map[Long, Long] =
+      spark.read.parquet(s"$out/batch=$batch")
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+    val textA = ("the quick brown fox jumps over the lazy dog while seven " +
+      "wizards brew strong coffee before the long winter night begins again")
+    val textANear = textA.replace("coffee", "tea") // one word off: J ≈ 0.9
+    val textB = "completely different content about spark catalyst plans and shuffles"
+    val textC = "a third distinct document mentioning parquet files and bloom filters"
+
+    def j(id: Long, t: String) = s"""{"doc_id":$id,"text":"$t"}"""
+    Files.write(java.nio.file.Paths.get(s"$src/f0.json"),
+      (j(1, textA) + "\n" + j(2, textB) + "\n").getBytes)
+    val q = Dedup.minhashDedupStream(streamDf, "doc_id", "text", ledger, out, cp)
+    q.processAllAvailable()
+    assert(keepers(0) == Map(1L -> 1L, 2L -> 2L), s"batch 0: ${keepers(0)}")
+
+    // batch 1: near-copy of A collapses cross-batch; C + its identical
+    // twin dedup within-batch (min id keeps)
+    Files.write(java.nio.file.Paths.get(s"$src/f1.json"),
+      (j(11, textANear) + "\n" + j(12, textC) + "\n" + j(13, textC) + "\n").getBytes)
+    q.processAllAvailable()
+    q.stop()
+    assert(keepers(1) == Map(11L -> 1L, 12L -> 12L, 13L -> 12L), s"batch 1: ${keepers(1)}")
+
+    // restart from the same checkpoint: ledger spans both prior batches
+    Files.write(java.nio.file.Paths.get(s"$src/f2.json"),
+      (j(21, textC) + "\n" + j(22, "novel closing document about watermarks") + "\n").getBytes)
+    val q2 = Dedup.minhashDedupStream(streamDf, "doc_id", "text", ledger, out, cp)
+    q2.processAllAvailable()
+    q2.stop()
+    assert(keepers(2) == Map(21L -> 12L, 22L -> 22L), s"batch 2: ${keepers(2)}")
+  }
+
   test("duplicatedSpanStats: covered-token union over duplicated 5-grams, hand-checked") {
     import spark.implicits._
     // doc 1 and doc 2 share the 8-token prefix "a b c d e f g h":
@@ -268,6 +312,32 @@ class DedupSpec extends SparkSpec {
     // union covers [0,6) ∪ [6,12) = 12 tokens... positions 0,1,6,7 with
     // L=5: [0,5)∪[1,6)∪[6,11)∪[7,12) = [0,12) = 12
     assert(rr(9L) == 12L, s"got ${rr(9L)}")
+  }
+
+  test("removeDuplicatedSpans: excises exactly the covered tokens, rejoins the rest") {
+    import spark.implicits._
+    // same corpus as the stats test: docs 1/2 share the 8-token prefix →
+    // those 8 tokens are cut from BOTH (substring removal, not doc drop);
+    // the unique tails survive verbatim.
+    val d = Seq(
+      (1L, "a b c d e f g h x1 y1 z1"),
+      (2L, "a b c d e f g h x2 y2 z2"),
+      (3L, "p q r s t u v w p2 q2"),
+      (4L, "tiny doc"),
+      (5L, "")
+    ).toDF("doc_id", "text")
+    val r = Dedup.removeDuplicatedSpans(d, "doc_id", "text", L = 5)
+      .collect().map(x => x.getLong(0) -> ((x.getInt(1), x.getInt(2), x.getString(3)))).toMap
+    assert(r(1L) == ((11, 3, "x1 y1 z1")), s"got ${r(1L)}")
+    assert(r(2L) == ((11, 3, "x2 y2 z2")), s"got ${r(2L)}")
+    assert(r(3L) == ((10, 10, "p q r s t u v w p2 q2")), s"got ${r(3L)}")
+    assert(r(4L) == ((2, 2, "tiny doc")), s"got ${r(4L)}")
+    assert(r(5L) == ((0, 0, "")), s"got ${r(5L)}")
+    // a doc that is ONE big duplicated span vanishes entirely
+    val rep = Seq((9L, "m n o p q r m n o p q r")).toDF("doc_id", "text")
+    val rr = Dedup.removeDuplicatedSpans(rep, "doc_id", "text", L = 5)
+      .collect().map(x => x.getLong(0) -> x.getString(3)).toMap
+    assert(rr(9L) == "", s"got '${rr(9L)}'")
   }
 
   test("lineDedupStats: cross-doc duplicated lines keep exactly the first occurrence") {

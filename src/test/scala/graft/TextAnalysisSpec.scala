@@ -176,6 +176,59 @@ class TextAnalysisSpec extends SparkSpec {
     assert(r(5L).getLong(1) == 0L && r(5L).isNullAt(4))
   }
 
+  test("gopher rules: each rule trips independently; clean prose passes") {
+    import spark.implicits._
+    val prose = ("the results be known to most of the readers and that " +
+      "should have been clear with the first figures we published ") * 3
+    val docs = Seq(
+      1L -> prose,                                   // passes every rule
+      2L -> "the of and short",                      // too few words
+      3L -> ("# " * 60 + prose),                     // symbol ratio > 0.1
+      4L -> (1 to 60).map(i => s"- bullet $i line").mkString("\n"), // bullets
+      5L -> (1 to 60).map(i => s"a line number $i trails off...").mkString("\n"), // ellipsis
+      6L -> ("the " + "12 34 " * 40 + "of that be"), // alpha ratio < 0.8
+      7L -> ("zebra quartz " * 40)                   // no stop-set evidence
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.gopherRules(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(got(1L).getAs[Boolean]("keep"))
+    assert(!got(2L).getAs[Boolean]("keep") && got(2L).getAs[Int]("n_words") < 50)
+    assert(!got(3L).getAs[Boolean]("keep") && got(3L).getAs[Double]("symbol_ratio") > 0.1)
+    assert(!got(4L).getAs[Boolean]("keep") && got(4L).getAs[Double]("bullet_line_ratio") > 0.9)
+    assert(!got(5L).getAs[Boolean]("keep") && got(5L).getAs[Double]("ellipsis_line_ratio") > 0.3)
+    assert(!got(6L).getAs[Boolean]("keep") && got(6L).getAs[Double]("alpha_word_ratio") < 0.8)
+    assert(!got(7L).getAs[Boolean]("keep") && got(7L).getAs[Int]("stop_hits") < 2)
+  }
+
+  test("c4 cleaning: line rules and the min-sentences doc gate, hand-checked") {
+    import spark.implicits._
+    val docs = Seq(
+      // three clean sentences → all kept, doc passes
+      1L -> ("This is a good long sentence here.\n" +
+        "Another fine long sentence follows here!\n" +
+        "And a third one to pass the gate."),
+      // line 1 too few words; line 2 blocklisted; line 3 no terminal punct
+      2L -> ("short line.\n" +
+        "please enable javascript in your browser to continue now.\n" +
+        "a trailing line without any terminal punctuation at all"),
+      // two clean sentences only → lines kept but doc fails min-sentences
+      3L -> ("One perfectly fine sentence right here.\n" +
+        "And then just a second one follows?"),
+      // quote after terminal punctuation still terminates (C4 rule)
+      4L -> ("\"A quoted sentence can end with a quote mark.\"\n" +
+        "He said the rest would follow shortly after that.\n" +
+        "It did arrive the very next morning.")
+    ).toDF("doc_id", "text")
+    val r = TextAnalysis.c4Clean(docs, "doc_id", "text")
+      .collect().map(x => x.getLong(0) ->
+        ((x.getInt(1), x.getInt(2), x.getInt(3), x.getBoolean(4), x.getString(5)))).toMap
+    assert(r(1L)._4 && r(1L)._2 == 3 && r(1L)._3 == 3, s"got ${r(1L)}")
+    assert(!r(2L)._4 && r(2L)._2 == 0 && r(2L)._5 == "", s"got ${r(2L)}")
+    assert(!r(3L)._4 && r(3L)._2 == 2 && r(3L)._3 == 2, s"got ${r(3L)}")
+    assert(r(4L)._4 && r(4L)._2 == 3, s"got ${r(4L)}")
+    assert(r(1L)._5.split("\n").length == 3)
+  }
+
   test("features frame computes all columns without nulls") {
     val docs = Tables.load(spark, sfDir, "documents")
     val f = TextAnalysis.features(docs, "doc_id", "text")
