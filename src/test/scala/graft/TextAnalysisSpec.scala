@@ -200,6 +200,29 @@ class TextAnalysisSpec extends SparkSpec {
     assert(!got(7L).getAs[Boolean]("keep") && got(7L).getAs[Int]("stop_hits") < 2)
   }
 
+  test("gopher repetition rules: line, top-gram and dup-gram gates trip independently") {
+    import spark.implicits._
+    val clean = (1 to 60).map(i => s"tok$i").mkString(" ")
+    val dupLines = "alpha beta gamma\nalpha beta gamma\ndelta epsilon zeta"
+    val spam = Seq.fill(30)("spam ham").mkString(" ")
+    val span = "purple quantum rocket silver tango"
+    val dupSpan = ((1 to 25).map(i => s"f$i") ++ span.split(" ") ++
+      (26 to 50).map(i => s"f$i") ++ span.split(" ")).mkString(" ")
+    val docs = Seq(1L -> clean, 2L -> dupLines, 3L -> spam, 4L -> dupSpan)
+      .toDF("doc_id", "text")
+    val r = TextAnalysis.gopherRepetitionRules(docs, "doc_id", "text")
+      .collect().map(x => x.getLong(0) -> x).toMap
+    assert(r(1L).getAs[Boolean]("keep"), s"clean doc: ${r(1L)}")
+    assert(!r(2L).getAs[Boolean]("keep") &&
+      math.abs(r(2L).getAs[Double]("dup_line_frac") - 1.0 / 3) < 1e-12, s"got ${r(2L)}")
+    assert(!r(3L).getAs[Boolean]("keep") &&
+      r(3L).getAs[Double]("top_2gram_char_frac") > 0.2, s"got ${r(3L)}")
+    assert(!r(4L).getAs[Boolean]("keep") &&
+      r(4L).getAs[Double]("dup_5gram_char_frac") > 0.15, s"got ${r(4L)}")
+    // overlap union, not double counting: spam doc's dup coverage ≤ 1.0
+    assert(r(3L).getAs[Double]("dup_5gram_char_frac") <= 1.0 + 1e-12)
+  }
+
   test("c4 cleaning: line rules and the min-sentences doc gate, hand-checked") {
     import spark.implicits._
     val docs = Seq(
