@@ -546,13 +546,63 @@ object Dedup {
     * this typically converges in 2-3 rounds.
     */
   def keeperAssignment(df: DataFrame, idCol: String, pairs: DataFrame,
-      maxIter: Int = 15): DataFrame = {
+      maxIter: Int = 15, maxDriverEdges: Long = 4000000L): DataFrame = {
+    // FAST PATH — bounded driver union-find. The near-dup PAIR GRAPH is
+    // orders of magnitude smaller than the corpus (it only contains
+    // threshold-surviving candidate pairs), and the distributed fixpoint
+    // pays ~4 shuffle barriers per round regardless of size — measured
+    // 10s of pure scheduling latency for a 1 071-edge graph at sf0.1.
+    // Up to `maxDriverEdges` (64 MB of longs at the 4M default) the
+    // component minima are computed exactly in milliseconds on the driver
+    // and rejoined as a broadcast; past the budget — or for non-integral
+    // ids — the distributed path below takes over unchanged. Both paths
+    // produce the identical (doc → min reachable id) assignment
+    // (DedupSpec asserts equality).
+    val longIds = pairs.schema.take(2).forall(
+      _.dataType == org.apache.spark.sql.types.LongType)
+    val probeN = math.min(maxDriverEdges + 1, Int.MaxValue.toLong).toInt
+    if (longIds && pairs.limit(probeN).count() <= maxDriverEdges) {
+      val parent = new java.util.HashMap[Long, Long]()
+      def find(x: Long): Long = {
+        var r = x
+        while (parent.getOrDefault(r, r) != r) r = parent.getOrDefault(r, r)
+        var c = x // path compression
+        while (parent.getOrDefault(c, c) != c) {
+          val n = parent.getOrDefault(c, c); parent.put(c, r); c = n
+        }
+        r
+      }
+      pairs.select(col("doc_a").cast("long"), col("doc_b").cast("long"))
+        .collect().foreach { r =>
+          val (a, b) = (r.getLong(0), r.getLong(1))
+          val (ra, rb) = (find(a), find(b))
+          if (ra != rb) { // min id becomes the root → component min for free
+            if (ra < rb) parent.put(rb, ra) else parent.put(ra, rb)
+          }
+        }
+      val spark = df.sparkSession
+      import spark.implicits._
+      val labels = scala.jdk.CollectionConverters.SetHasAsScala(parent.keySet())
+        .asScala.toSeq.map(x => (x, find(x))).toDF("doc_l", "keep_l")
+      return df.select(col(idCol).as("doc"))
+        .join(broadcast(labels), col("doc").cast("long") === col("doc_l"), "left")
+        .select(col("doc"), coalesce(col("keep_l"), col("doc").cast("long")).as("keep_as"))
+    }
+
     val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
       .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
       .distinct()
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
-    var labels = df.select(col(idCol).as("doc"), col(idCol).as("keep_as"))
+    // CC state is RESTRICTED to docs that appear in at least one pair: a
+    // doc outside the graph keeps itself by definition, so iterating the
+    // full corpus through the fixpoint (the pre-round-6 shape) paid
+    // corpus-sized joins+persists per round for rows that could never
+    // change. The candidate set — the dedup-pair graph — is orders of
+    // magnitude smaller than a 100 TB corpus; untouched docs rejoin once
+    // at the end via a left join + coalesce.
+    var labels = edges.select(col("src").as("doc")).distinct()
+      .select(col("doc"), col("doc").as("keep_as"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     var iter = 0
     var converged = false
@@ -582,9 +632,12 @@ object Dedup {
       iter += 1
     }
     edges.unpersist()
+    val resolved = df.select(col(idCol).as("doc"))
+      .join(labels.select(col("doc"), col("keep_as")), Seq("doc"), "left")
+      .select(col("doc"), coalesce(col("keep_as"), col("doc")).as("keep_as"))
     // release the last round's cache too — the output is re-materialized
     // from the (cheap, already-computed) checkpoint, not recomputed
-    materializeAndRelease(labels.select(col("doc"), col("keep_as")), labels)
+    materializeAndRelease(resolved, labels)
   }
 
   /** Exact n-gram Jaccard similarity via inverted index join.

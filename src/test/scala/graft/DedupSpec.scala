@@ -241,6 +241,22 @@ class DedupSpec extends SparkSpec {
     assert(outIds(2) == Set(22L), s"post-restart dedup against full ledger: ${outIds(2)}")
   }
 
+  test("keeperAssignment: driver union-find fast path equals the distributed fixpoint") {
+    import spark.implicits._
+    val docs = (1L to 30L).toDF("doc_id")
+    // transitive chain, a reversed-order pair, and untouched nodes
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 20L), (4L, 5L), (5L, 6L),
+      (6L, 7L), (25L, 24L)).toDF("doc_a", "doc_b")
+    def run(budget: Long): Map[Long, Long] =
+      Dedup.keeperAssignment(docs, "doc_id", pairs, maxDriverEdges = budget)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val fast = run(4000000L) // 7 edges → driver union-find
+    val dist = run(0L)       // forced distributed fixpoint
+    assert(fast == dist, s"fast=$fast dist=$dist")
+    assert(fast(3L) == 1L && fast(7L) == 4L && fast(20L) == 10L &&
+      fast(25L) == 24L && fast(24L) == 24L && fast(15L) == 15L)
+  }
+
   test("minhashDedupStream: near-dup collapse onto ledger keepers; restart converges") {
     import java.nio.file.Files
     val src = Files.createTempDirectory("mds-src").toString
