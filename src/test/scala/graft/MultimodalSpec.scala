@@ -112,6 +112,170 @@ class MultimodalSpec extends SparkSpec {
     assert(junk.isNullAt(0))
   }
 
+  // ── real video: MJPEG-in-AVI round-trip through our RIFF writer/parser ──
+
+  private def jpegOf(seed: Int, w: Int = 16, h: Int = 12): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until h; x <- 0 until w)
+      img.setRGB(x, y, (((x * 16 + seed * 40) & 0xff) << 16) | (((y * 20) & 0xff) << 8) | ((x * y + seed) & 0xff))
+    val out = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "jpg", out)
+    out.toByteArray
+  }
+
+  test("real MJPEG-AVI decode: container round-trip matches per-still JPEG decode") {
+    import graft.operators.Multimodal.{Avi, Codec}
+    val jpegs = (0 until 3).map(jpegOf(_))
+    val avi = Avi.encode(jpegs, 16, 12, compression = "MJPG")
+    val parsed = Avi.parse(avi)
+    assert(parsed.width == 16 && parsed.height == 12 && parsed.compression == "MJPG")
+    assert(parsed.frames.length == 3)
+    val frames = Codec.decodeVideo(avi)
+    assert(frames.length == 3)
+    // each container frame decodes EXACTLY like the standalone JPEG —
+    // same bytes, same ImageIO path
+    frames.zip(jpegs).foreach { case (f, j) =>
+      val still = Codec.decodeReal(j, "jpeg")
+      assert(f.width == 16 && f.height == 12)
+      assert(f.pixels.sameElements(still.pixels))
+    }
+    // frames are genuinely distinct images
+    assert(!frames(0).pixels.sameElements(frames(1).pixels))
+  }
+
+  test("AVI1 repair: DHT-stripped MJPEG frames decode via the standard Annex K tables") {
+    import graft.operators.Multimodal.{Avi, Codec}
+    // strip every DHT segment, as real motion-JPEG streams do ("AVI1")
+    def stripDht(j: Array[Byte]): Array[Byte] = {
+      val out = new java.io.ByteArrayOutputStream()
+      out.write(j, 0, 2)
+      var i = 2
+      var done = false
+      while (!done && i + 4 <= j.length) {
+        val m = j(i + 1) & 0xff
+        if (m == 0xDA) { out.write(j, i, j.length - i); done = true }
+        else {
+          val len = 2 + (((j(i + 2) & 0xff) << 8) | (j(i + 3) & 0xff))
+          if (m != 0xC4) out.write(j, i, len)
+          i += len
+        }
+      }
+      out.toByteArray
+    }
+    val jpegs = (0 until 2).map(jpegOf(_))
+    val stripped = jpegs.map(stripDht)
+    assert(stripped(0).length < jpegs(0).length) // tables really came out
+    def hasDht(j: Array[Byte]): Boolean =
+      j.sliding(2).exists(p => (p(0) & 0xff) == 0xff && (p(1) & 0xff) == 0xc4)
+    assert(!hasDht(stripped(0)))
+    // the MJPEG path splices the standard Annex K tables back in (the
+    // AVI1 convention; not every JPEG decoder is as forgiving as the
+    // JDK's), and since the JDK encoder writes exactly those tables,
+    // decode is bit-identical to the original
+    assert(hasDht(Codec.ensureDht(stripped(0))))
+    assert(Codec.ensureDht(jpegs(0)).eq(jpegs(0)), "tables present → pass-through untouched")
+    val avi = Avi.encode(stripped, 16, 12, compression = "MJPG")
+    val frames = Codec.decodeVideo(avi)
+    frames.zip(jpegs).foreach { case (f, orig) =>
+      assert(f.pixels.sameElements(Codec.decodeReal(orig, "jpeg").pixels))
+    }
+  }
+
+  test("real uncompressed-DIB AVI decode: bottom-up BGR with row padding") {
+    import graft.operators.Multimodal.{Avi, Codec}
+    val w = 3; val h = 2 // stride 3*3=9 → padded to 12
+    // top row red, bottom row blue, stored bottom-up
+    val stride = 12
+    val dib = new Array[Byte](stride * h)
+    for (x <- 0 until w) {
+      dib(0 * stride + x * 3) = 0xff.toByte     // file row 0 = image bottom: B=255
+      dib(1 * stride + x * 3 + 2) = 0xff.toByte // file row 1 = image top: R=255
+    }
+    val avi = Avi.encode(Seq(dib, dib), w, h, compression = "", bitCount = 24)
+    val frames = Codec.decodeVideo(avi)
+    assert(frames.length == 2)
+    val f = frames(0)
+    assert(f.width == w && f.height == h)
+    // BT.601: red → 0.299, blue → 0.114
+    assert(f.pixels.take(w).forall(v => math.abs(v - 0.299f) < 1e-3), s"top ${f.pixels.toSeq}")
+    assert(f.pixels.drop(w).forall(v => math.abs(v - 0.114f) < 1e-3), s"bottom ${f.pixels.toSeq}")
+  }
+
+  test("videoFrameFeatures: per-frame rows with real decoded features; corrupt bytes degrade") {
+    import spark.implicits._
+    import graft.operators.Multimodal.{Avi, Codec}
+    val jpegs = (0 until 4).map(jpegOf(_))
+    val avi = Avi.encode(jpegs, 16, 12)
+    val df = Multimodal.withVideoMeta(
+      Seq((1L, avi), (2L, Array[Byte](1, 2, 3)), (3L, null.asInstanceOf[Array[Byte]]))
+        .toDF("id", "bytes"), "bytes")
+    // header probe fills n_frames without decoding
+    val metas = df.select($"id", $"media_meta.n_frames", $"media_meta.width").collect()
+      .map(r => r.getLong(0) -> ((r.getInt(1), r.getInt(2)))).toMap
+    assert(metas(1L) == ((4, 16)) && metas(2L) == ((0, 0)))
+    val rows = Multimodal.videoFrameFeatures(df, "bytes", everyN = 2, dim = 4)
+      .select("id", "frame_idx", "frame_w", "features").collect()
+    val byId = rows.groupBy(_.getLong(0))
+    // 4 frames sampled every 2 → idx 0 and 2, real geometry
+    assert(byId(1L).map(_.getInt(1)).sorted.toSeq == Seq(0, 2))
+    assert(byId(1L).forall(_.getInt(2) == 16))
+    // features match the shared still-image pooling of the same frame
+    val f0 = byId(1L).find(_.getInt(1) == 0).get.getSeq[Float](3)
+    val still = Codec.decodeReal(jpegs(0), "jpeg")
+    val pooledDf = Multimodal.extractFeatures(
+      Multimodal.withMeta(Seq((1L, jpegs(0))).toDF("id", "bytes"), "bytes", "image", "jpeg", 16, 12),
+      "bytes", dim = 4).select("features").collect()(0).getSeq[Float](0)
+    assert(f0 == pooledDf, s"$f0 vs $pooledDf")
+    assert(still.width == 16)
+    // corrupt bytes → one fake frame at idx 0, not a task failure
+    assert(byId(2L).map(_.getInt(1)).toSeq == Seq(0))
+    // null bytes → zero rows
+    assert(!byId.contains(3L))
+  }
+
+  test("real G.711 µ-law and A-law WAV decode via javax.sound.sampled") {
+    import spark.implicits._
+    import graft.operators.Multimodal.Codec
+    import javax.sound.sampled.{AudioFormat, AudioInputStream, AudioSystem, AudioFileFormat}
+    val sr = 8000f
+    val n = 800
+    val pcm = new Array[Byte](n * 2)
+    for (i <- 0 until n) {
+      val v = (0.5 * math.sin(2 * math.Pi * 440.0 * i / sr) * 32767).toInt
+      pcm(2 * i) = (v & 0xff).toByte
+      pcm(2 * i + 1) = ((v >> 8) & 0xff).toByte
+    }
+    def g711(enc: AudioFormat.Encoding): Array[Byte] = {
+      val pcmFmt = new AudioFormat(AudioFormat.Encoding.PCM_SIGNED, sr, 16, 1, 2, sr, false)
+      val src = new AudioInputStream(new java.io.ByteArrayInputStream(pcm), pcmFmt, n.toLong)
+      val out = new java.io.ByteArrayOutputStream()
+      AudioSystem.write(
+        AudioSystem.getAudioInputStream(new AudioFormat(enc, sr, 8, 1, 1, sr, false), src),
+        AudioFileFormat.Type.WAVE, out)
+      out.toByteArray
+    }
+    for (enc <- Seq(AudioFormat.Encoding.ULAW, AudioFormat.Encoding.ALAW)) {
+      val wavBytes = g711(enc)
+      // the compressed payload is half the PCM size — it really is G.711
+      assert(wavBytes.length < n * 2 - 100, s"$enc not compressed: ${wavBytes.length}")
+      val (rate, samples) = Codec.decodeWav(wavBytes)
+      assert(rate == 8000 && samples.length == n)
+      // G.711 companding at half scale: segment step ≈ 3% of full scale
+      // near the peak → |err| ≤ ~1.6%; far tighter than any fake could be
+      val maxErr = samples.indices.map { i =>
+        val orig = ((pcm(2 * i) & 0xff) | (pcm(2 * i + 1) << 8)).toShort / 32768.0f
+        math.abs(samples(i) - orig)
+      }.max
+      assert(maxErr < 0.02f, s"$enc max err $maxErr")
+    }
+    // audioStats rides the same path: G.711 payloads produce real stats
+    val stats = Multimodal.audioStats(
+      Seq((1L, g711(AudioFormat.Encoding.ULAW))).toDF("id", "bytes"), "bytes")
+      .select("sample_rate", "n_frames", "rms").collect()(0)
+    assert(stats.getInt(0) == 8000 && stats.getInt(1) == n)
+    assert(math.abs(stats.getFloat(2) - 0.5 / math.sqrt(2)) < 0.01)
+  }
+
   test("resize produces target geometry; frame sampling explodes indices") {
     val df = Multimodal.withMeta(media, "bytes", "video", "mp4", 4, 4)
       .withColumn("media_meta", col("media_meta").withField("n_frames", lit(10)))
