@@ -12,6 +12,39 @@ import org.apache.spark.sql.functions._
   */
 object TextAnalysis {
 
+  /** Unicode NFC composition as a codegen'd column (Spark ships none);
+    * see [[graft.functions.NfcNormalizeF]].
+    */
+  def nfc(text: Column): Column =
+    org.apache.spark.sql.GraftShim.column(
+      graft.functions.NfcNormalizeF(org.apache.spark.sql.GraftShim.expression(text)))
+
+  /** Canonical text normalization — the cleanup pass every training-data
+    * pipeline runs before dedup/quality/tokenization so that visually
+    * identical text hashes identically:
+    *
+    *   1. Unicode NFC (é vs e+U+0301 unify; [[nfc]])
+    *   2. line endings → `\n` (`\r\n` and bare `\r`)
+    *   3. control characters stripped (C0 except tab/newline, DEL, C1)
+    *   4. horizontal whitespace runs → one space
+    *   5. spaces hugging newlines dropped (no trailing-line blanks)
+    *   6. leading/trailing whitespace trimmed
+    *
+    * Newlines survive deliberately: the line-level operators (C4 line
+    * dedup, Gopher line rules) need them. Every step is a builtin
+    * `regexp_replace` around the custom NFC expression — the whole chain
+    * stays inside whole-stage codegen, zero shuffles, and is portable to
+    * the DuckDB oracle operation-for-operation (q_normalize).
+    */
+  def normalizeText(text: Column): Column = {
+    val s1 = nfc(text)
+    val s2 = regexp_replace(s1, "\\r\\n|\\r", "\n")
+    val s3 = regexp_replace(s2, "[\\x00-\\x08\\x0b\\x0c\\x0e-\\x1f\\x7f-\\x9f]", "")
+    val s4 = regexp_replace(s3, "[ \\t]+", " ")
+    val s5 = regexp_replace(s4, " *\\n *", "\n")
+    regexp_replace(s5, "^[ \\n]+|[ \\n]+$", "")
+  }
+
   /** Whitespace token count. */
   def tokenCount(text: Column): Column = size(Dedup.tokens(text))
 

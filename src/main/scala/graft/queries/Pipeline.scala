@@ -51,6 +51,32 @@ object Pipeline {
               |SELECT doc_id AS doc, COUNT(*) AS n_shingles, COUNT(DISTINCT shingle) AS n_distinct
               |FROM sh GROUP BY doc_id""".stripMargin)),
 
+    // ── canonical text normalization: NFC + line endings + control strip +
+    //    whitespace collapse + trim. The corpus is clean ASCII, so the query
+    //    first dirties every row the same way in both engines (decomposed
+    //    é via combining U+0301, BEL, tabs, CR/CRLF, a C1 control) — the
+    //    hash gate then proves each cleanup step is byte-identical
+    //    cross-engine, including the JDK-vs-utf8proc NFC composition.
+    Q("q_normalize",
+      (s, dir) => docs(s, dir).select(
+        col("doc_id"),
+        TextAnalysis.normalizeText(concat(
+          lit("  cafe\u0301 \u0007\tx\t"), col("text"),
+          lit("  \r\nline2\rline3  \u009f "))).as("norm_text"))
+        .withColumn("n_chars_norm", length(col("norm_text"))),
+      Some("""WITH d AS (
+             |  SELECT doc_id,
+             |    '  cafe' || chr(769) || ' ' || chr(7) || chr(9) || 'x' || chr(9) || text ||
+             |    '  ' || chr(13) || chr(10) || 'line2' || chr(13) || 'line3  ' || chr(159) || ' ' AS dirty
+             |  FROM documents),
+             |n1 AS (SELECT doc_id, nfc_normalize(dirty) AS s FROM d),
+             |n2 AS (SELECT doc_id, regexp_replace(s, '\r\n|\r', chr(10), 'g') AS s FROM n1),
+             |n3 AS (SELECT doc_id, regexp_replace(s, '[\x00-\x08\x0b\x0c\x0e-\x1f\x7f-\x9f]', '', 'g') AS s FROM n2),
+             |n4 AS (SELECT doc_id, regexp_replace(s, '[ \t]+', ' ', 'g') AS s FROM n3),
+             |n5 AS (SELECT doc_id, regexp_replace(s, ' *\n *', chr(10), 'g') AS s FROM n4),
+             |n6 AS (SELECT doc_id, regexp_replace(s, '^[ \n]+|[ \n]+$', '', 'g') AS s FROM n5)
+             |SELECT doc_id, s AS norm_text, CAST(length(s) AS INTEGER) AS n_chars_norm FROM n6""".stripMargin)),
+
     // ── token counting: whitespace + BPE-ish pre-tokenizer regex counts
     Q("q_token_count",
       (s, dir) => docs(s, dir).select(

@@ -260,4 +260,25 @@ class TextAnalysisSpec extends SparkSpec {
       .collect()(0)
     f.columns.indices.foreach(i => assert(nulls.getLong(i) == 0L, s"nulls in ${f.columns(i)}"))
   }
+  test("normalizeText: NFC + control strip + whitespace discipline") {
+    import org.apache.spark.sql.functions.col
+    def norm(s: String): String =
+      one(s).select(TextAnalysis.normalizeText(col("text")).as("n"))
+        .collect()(0).getString(0)
+    // decomposed e + U+0301 composes to the single-codepoint form
+    assert(norm("cafe\u0301") == "caf\u00e9")
+    assert(norm("caf\u00e9") == "caf\u00e9") // already-NFC passes through
+    // CRLF / CR become LF; spaces hugging newlines drop; runs collapse
+    assert(norm("a  b\t\tc") == "a b c")
+    assert(norm("l1 \r\n l2\rl3") == "l1\nl2\nl3")
+    // C0 (BEL) + DEL + C1 stripped, tab/newline survive as whitespace
+    assert(norm("x\u0007y\u007fz\u009b!") == "xyz!")
+    // trim both ends, including newline runs
+    assert(norm(" \n a \n ") == "a")
+    // empty and all-junk inputs degrade to empty, not null
+    assert(norm("\u0000\u0001  \t") == "")
+    // idempotent: normalizing twice is a no-op
+    val once = norm("  A\u0301  b  ")
+    assert(norm(once) == once)
+  }
 }
