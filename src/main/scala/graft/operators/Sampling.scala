@@ -120,4 +120,40 @@ object Sampling {
       .select(col("train_id"), col("eval_id"), col("containment"))
     Dedup.materializeAndRelease(scored, evalOk)
   }
+
+  /** Exact n-gram-collision decontamination — the GPT-3/PaLM recipe: a
+    * train document is contaminated if it shares ANY exact n-gram (n
+    * large, typically 8-13 words) with the benchmark set; no similarity
+    * score, just collision. Complements [[contaminationPairs]] (which
+    * quantifies WHICH eval item leaked and how much): the collision form
+    * is the cheap corpus-wide gate, the containment form the audit.
+    *
+    * Returns every train row's verdict: (train_id, n_collisions
+    * = distinct colliding n-grams, contaminated).
+    *
+    * Scale shape: the benchmark n-gram set is tiny next to a 100 TB
+    * train corpus (millions of grams ≈ tens of MB as 8-byte hashes), so
+    * it is distinct-ed and explicitly `broadcast()` — the train side's
+    * exploded grams meet it in a broadcast hash join fused with the
+    * scan-side explode, are filtered to hits immediately, and only hit
+    * rows (rare by construction) reach the per-doc count shuffle. The
+    * final verdict join is again broadcast (hit docs ≪ corpus). The big
+    * side is never shuffled.
+    */
+  def ngramCollisions(train: DataFrame, eval_ : DataFrame,
+      idCol: String, textCol: String, n: Int = 13): DataFrame = {
+    val trainGrams = Dedup.shingles(train, idCol, textCol, n)
+      .withColumnRenamed("doc", "train_id")
+    val benchGrams = Dedup.shingles(eval_, idCol, textCol, n)
+      .select(col("shingle")).distinct()
+    val hits = trainGrams
+      .join(broadcast(benchGrams), "shingle")
+      .groupBy(col("train_id"))
+      .agg(count(lit(1)).as("n_collisions")) // shingles are distinct per doc
+    train.select(col(idCol).as("train_id"))
+      .join(broadcast(hits), Seq("train_id"), "left")
+      .select(col("train_id"),
+        coalesce(col("n_collisions"), lit(0L)).as("n_collisions"),
+        (coalesce(col("n_collisions"), lit(0L)) > 0).as("contaminated"))
+  }
 }

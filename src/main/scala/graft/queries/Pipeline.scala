@@ -823,6 +823,62 @@ object Pipeline {
     //    (|∩| / |eval shingles| — the leakage metric); eval = doc_id % 20
     //    = 0 as the held-out slice. Same inverted-index shape as
     //    q_ngram_jaccard, cross-corpus.
+    // ── corpus "data card": the composition report published next to a
+    //    training set — docs/tokens/chars/unique-content per (lang, source)
+    //    plus ROLLUP subtotals and the corpus-wide row. All-integer
+    //    evidence (sums/counts/min/max), so the frame is hash-exact
+    //    cross-engine. One pass, map-side partials; countDistinct(md5)
+    //    is the only exact-distinct term and shuffles 16-byte hashes, not
+    //    text.
+    Q("q_data_card",
+      (s, dir) => docs(s, dir)
+        .rollup(col("lang"), col("source"))
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum(TextAnalysis.tokenCount(col("text")).cast("long")).as("n_tokens"),
+          sum(length(col("text")).cast("long")).as("n_chars"),
+          countDistinct(md5(col("text"))).as("n_unique"),
+          min(length(col("text"))).as("min_chars"),
+          max(length(col("text"))).as("max_chars"))
+        .select(
+          coalesce(col("lang"), lit("ALL")).as("lang"),
+          coalesce(col("source"), lit("ALL")).as("source"),
+          col("n_docs"), col("n_tokens"), col("n_chars"),
+          col("n_unique"), col("min_chars"), col("max_chars")),
+      Some(s"""SELECT COALESCE(lang, 'ALL') AS lang, COALESCE(source, 'ALL') AS source,
+              |  COUNT(*) AS n_docs,
+              |  CAST(SUM(len(${oTokens("text")})) AS BIGINT) AS n_tokens,
+              |  CAST(SUM(length(text)) AS BIGINT) AS n_chars,
+              |  COUNT(DISTINCT md5(text)) AS n_unique,
+              |  CAST(MIN(length(text)) AS INTEGER) AS min_chars,
+              |  CAST(MAX(length(text)) AS INTEGER) AS max_chars
+              |FROM documents GROUP BY ROLLUP(lang, source)""".stripMargin)),
+
+    // ── exact n-gram-collision decontamination (the GPT-3/PaLM gate):
+    //    every train doc's verdict against the benchmark slice's 5-gram
+    //    set. Spark collides 64-bit hashed grams; the oracle collides the
+    //    raw strings — a hash match therefore also re-proves
+    //    collision-freeness on this corpus (the q_doc_shingles trick).
+    Q("q_ngram_collide",
+      (s, dir) => {
+        val d = docs(s, dir)
+        graft.operators.Sampling.ngramCollisions(
+          d.filter(col("doc_id") % 20 =!= 0), d.filter(col("doc_id") % 20 === 0),
+          "doc_id", "text", n = 5)
+      },
+      Some(s"""WITH t AS (SELECT doc_id, ${oTokens("text")} AS toks FROM documents),
+              |g AS (SELECT doc_id, unnest(list_distinct(CASE WHEN len(toks) >= 5
+              |       THEN list_transform(range(1, len(toks) - 3), i -> array_to_string(toks[i:i+4], ' '))
+              |       ELSE [array_to_string(toks, ' ')] END)) AS gram FROM t),
+              |ev AS (SELECT DISTINCT gram FROM g WHERE doc_id % 20 = 0),
+              |hits AS (SELECT doc_id AS train_id, COUNT(*) AS n_collisions
+              |         FROM g JOIN ev USING (gram) WHERE doc_id % 20 <> 0 GROUP BY doc_id)
+              |SELECT d.doc_id AS train_id,
+              |  CAST(COALESCE(h.n_collisions, 0) AS BIGINT) AS n_collisions,
+              |  COALESCE(h.n_collisions, 0) > 0 AS contaminated
+              |FROM documents d LEFT JOIN hits h ON h.train_id = d.doc_id
+              |WHERE d.doc_id % 20 <> 0""".stripMargin)),
+
     Q("q_decontaminate",
       (s, dir) => {
         val d = docs(s, dir)

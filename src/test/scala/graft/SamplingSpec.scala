@@ -101,4 +101,32 @@ class SamplingSpec extends SparkSpec {
       shingleSize = 2, threshold = 0.1, maxDocFreq = 10)
     assert(out.count() == 0, "capped shingles must not generate pairs")
   }
+
+  test("ngramCollisions: any shared exact n-gram flags the doc; clean docs report zero") {
+    import spark.implicits._
+    val bench = Seq(
+      (1000L, "what is the capital of france"),
+      (1001L, "two plus two equals four exactly")).toDF("doc_id", "text")
+    val train = Seq(
+      // quotes a full benchmark 4-gram → contaminated
+      (1L, "quiz night asked what is the capital of france and more"),
+      // shares words but never 4 consecutive ones → clean
+      (2L, "the capital city of a country is where france keeps its what"),
+      // quotes TWO distinct benchmark 4-grams (one from each eval doc)
+      (3L, "is the capital of padding padding two plus two equals"),
+      // short doc (< n tokens) that is NOT a benchmark doc → clean
+      (4L, "tiny doc")).toDF("doc_id", "text")
+    val out = Sampling.ngramCollisions(train, bench, "doc_id", "text", n = 4)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getBoolean(2)))).toMap
+    assert(out.size == 4, "one verdict row per train doc")
+    assert(out(1L)._2 && out(1L)._1 >= 1, s"got ${out(1L)}")
+    assert(out(2L) == ((0L, false)), s"got ${out(2L)}")
+    assert(out(3L)._2 && out(3L)._1 == 2L, s"got ${out(3L)}")
+    assert(out(4L) == ((0L, false)))
+    // whole-corpus gate: the keep set is exactly the clean docs
+    val kept = Sampling.ngramCollisions(train, bench, "doc_id", "text", n = 4)
+      .filter(!col("contaminated")).select("train_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(kept == Set(2L, 4L))
+  }
 }
