@@ -823,6 +823,50 @@ object Pipeline {
     //    (|∩| / |eval shingles| — the leakage metric); eval = doc_id % 20
     //    = 0 as the held-out slice. Same inverted-index shape as
     //    q_ngram_jaccard, cross-corpus.
+    // ── URL canonicalization (the RefinedWeb/C4 web-pipeline step): the
+    //    corpus has no url column, so the query synthesizes per-row crawl
+    //    URLs with every pathology — mixed-case scheme/host, www, ports,
+    //    trailing slashes, unordered+tracking query params, fragments —
+    //    identically in both engines, then normalizes. The hash gate pins
+    //    every regex/sort/filter step byte-exactly.
+    Q("q_url_normalize",
+      (s, dir) => {
+        val raw = docs(s, dir).withColumn("url", concat(
+          when(col("doc_id") % 2 === 0, "https://WWW.").otherwise("http://"),
+          col("source"), lit(".Example.COM"),
+          when(col("doc_id") % 5 === 0, ":8080").otherwise(""),
+          lit("/Docs/"), (col("doc_id") % 100).cast("string"),
+          when(col("doc_id") % 3 === 0, "/").otherwise(""),
+          lit("?utm_source=feed&b=2&a=1"),
+          when(col("doc_id") % 4 === 0, "&fbclid=XYZ").otherwise(""),
+          when(col("doc_id") % 7 === 0, "#frag").otherwise("")))
+        raw.select(col("doc_id"),
+          graft.operators.Urls.normalize(col("url")).as("url_norm"),
+          graft.operators.Urls.domainOf(col("url")).as("domain"))
+      },
+      Some("""WITH u AS (SELECT doc_id,
+             |  (CASE WHEN doc_id % 2 = 0 THEN 'https://WWW.' ELSE 'http://' END) || source || '.Example.COM' ||
+             |  (CASE WHEN doc_id % 5 = 0 THEN ':8080' ELSE '' END) || '/Docs/' || CAST(doc_id % 100 AS VARCHAR) ||
+             |  (CASE WHEN doc_id % 3 = 0 THEN '/' ELSE '' END) || '?utm_source=feed&b=2&a=1' ||
+             |  (CASE WHEN doc_id % 4 = 0 THEN '&fbclid=XYZ' ELSE '' END) ||
+             |  (CASE WHEN doc_id % 7 = 0 THEN '#frag' ELSE '' END) AS url FROM documents),
+             |s AS (SELECT doc_id, regexp_replace(regexp_replace(regexp_replace(url,
+             |       '^[Hh][Tt][Tt][Pp][Ss]?://', ''), '^[Ww][Ww][Ww]\.', ''), '#.*$', '') AS su FROM u),
+             |parts AS (SELECT doc_id,
+             |   lower(regexp_replace(regexp_extract(su, '^([^/?]+)', 1), ':[0-9]+$', '')) AS host,
+             |   regexp_extract(su, '^[^/?]+(.*)$', 1) AS rest FROM s),
+             |pq AS (SELECT doc_id, host,
+             |   regexp_replace(regexp_extract(rest, '^([^?]*)', 1), '/+$', '') AS path,
+             |   regexp_extract(rest, '\?(.*)$', 1) AS query FROM parts),
+             |norm AS (SELECT doc_id, host, path,
+             |   array_to_string(list_sort(list_filter(string_split(query, '&'),
+             |      p -> NOT (regexp_matches(p, '^(utm_[^=]*|fbclid|gclid|msclkid|ref|mc_cid|mc_eid)=') OR p = ''))), '&') AS q2
+             |   FROM pq)
+             |SELECT doc_id,
+             |  host || path || CASE WHEN q2 = '' THEN '' ELSE '?' || q2 END AS url_norm,
+             |  host AS domain
+             |FROM norm""".stripMargin)),
+
     // ── corpus "data card": the composition report published next to a
     //    training set — docs/tokens/chars/unique-content per (lang, source)
     //    plus ROLLUP subtotals and the corpus-wide row. All-integer

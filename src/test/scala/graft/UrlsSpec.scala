@@ -1,0 +1,48 @@
+package graft
+
+import graft.operators.Urls
+import org.apache.spark.sql.functions._
+
+class UrlsSpec extends SparkSpec {
+
+  private def norm(url: String): String = {
+    import spark.implicits._
+    Seq(Tuple1(url)).toDF("url").select(Urls.normalize(col("url"))).collect()(0).getString(0)
+  }
+
+  test("normalize collapses the crawl pathologies to one canonical form") {
+    val canonical = "example.com/A/b?a=1&b=2"
+    // scheme case/variant, www, port, param order, tracking params,
+    // fragment, trailing slash — all collapse
+    assert(norm("https://WWW.Example.COM/A/b?b=2&a=1") == canonical)
+    assert(norm("HTTP://example.com:8080/A/b/?a=1&utm_source=x&b=2#frag") == canonical)
+    assert(norm("http://www.example.com/A/b?fbclid=zzz&a=1&b=2") == canonical)
+    // path case is preserved (RFC 3986: only scheme+host are case-insensitive)
+    assert(norm("http://example.com/A/b?a=1&b=2") != norm("http://example.com/a/B?a=1&b=2"))
+    // no query → no '?'; root path trims away
+    assert(norm("https://example.com/") == "example.com")
+    assert(norm("https://example.com/x?utm_campaign=c") == "example.com/x")
+  }
+
+  test("domainOf strips scheme/www/port and lowercases") {
+    import spark.implicits._
+    val d = Seq(
+      "https://WWW.News.Example.ORG:8443/a/b?q=1",
+      "http://news.example.org/c").toDF("url")
+      .select(Urls.domainOf(col("url"))).collect().map(_.getString(0))
+    assert(d.toSet == Set("news.example.org"))
+  }
+
+  test("dedupByUrl groups by canonical form: one shuffle, min-id keeper") {
+    import spark.implicits._
+    val crawl = Seq(
+      (1L, "https://www.shop.example.com/item/7?utm_source=a"),
+      (2L, "http://shop.example.com/item/7/"),
+      (3L, "https://shop.example.com/item/7#reviews"),
+      (4L, "https://shop.example.com/item/8")).toDF("id", "url")
+    val out = Urls.dedupByUrl(crawl, "id", "url")
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(out("shop.example.com/item/7") == ((1L, 3L)))
+    assert(out("shop.example.com/item/8") == ((4L, 1L)))
+  }
+}
