@@ -8,17 +8,22 @@ import org.apache.spark.sql.functions._
   * operators — the "a user of the reference could run their whole
   * workflow here" demonstration, and the composition PipelineSpec pins:
   *
-  *   1. line-level cleaning          (C4 rules — [[TextAnalysis.c4Clean]]
+  *   1. text normalization           ([[TextAnalysis.normalizeText]]:
+  *      NFC + control strip + whitespace discipline — before anything
+  *      hashes or tokenizes)
+  *   2. line-level cleaning          (C4 rules — [[TextAnalysis.c4Clean]]
   *      in lenient mode for the unpunctuated demo corpus)
-  *   2. doc-level quality gates      ([[TextAnalysis.gopherRules]] surface
+  *   3. doc-level quality gates      ([[TextAnalysis.gopherRules]] surface
   *      battery + [[TextAnalysis.gopherRepetitionRules]] repetition battery)
-  *   3. language filter              ([[TextAnalysis.languageId]])
-  *   4. exact dedup                  ([[Dedup.exact]])
-  *   5. near-dup dedup               ([[Dedup.minhashLshPairs]] →
+  *   4. language filter              ([[TextAnalysis.languageId]])
+  *   5. exact dedup                  ([[Dedup.exact]])
+  *   6. near-dup dedup               ([[Dedup.minhashLshPairs]] →
   *      [[Dedup.keeperAssignment]])
-  *   6. benchmark decontamination    ([[Sampling.contaminationPairs]])
-  *   7. domain capping               ([[Sampling.capPerGroup]] by quality)
-  *   8. sequence packing             ([[Chunking.packSequences]])
+  *   7. benchmark decontamination    (both gates: containment audit via
+  *      [[Sampling.contaminationPairs]] + exact n-gram collision via
+  *      [[Sampling.ngramCollisions]])
+  *   8. domain capping               ([[Sampling.capPerGroup]] by quality)
+  *   9. sequence packing             ([[Chunking.packSequences]])
   *
   * Every stage is a DataFrame → DataFrame transform, so the whole
   * pipeline is ONE lazy Catalyst plan per materialization boundary (the
@@ -41,17 +46,23 @@ object PretrainPipeline {
     val raw = mark("raw", docs.select(col("doc_id"), col("text"),
       coalesce(col("source"), lit("unknown")).as("source")))
 
-    // 1. C4 line cleaning. strict=false keeps docs whose cleaned text is
+    // 1. canonical normalization: NFC + controls + whitespace, BEFORE any
+    // stage hashes, shingles, or tokenizes (dedup misses dups otherwise).
+    // Not a filter — the count marks the stage boundary, not a drop.
+    val normalized = mark("normalize", raw.withColumn("text",
+      TextAnalysis.normalizeText(col("text"))))
+
+    // 2. C4 line cleaning. strict=false keeps docs whose cleaned text is
     // empty-but-was-single-line (the synthetic corpus has no terminal
     // punctuation; real crawls run strict=true and drop them).
-    val c4 = TextAnalysis.c4Clean(raw, "doc_id", "text")
+    val c4 = TextAnalysis.c4Clean(normalized, "doc_id", "text")
     val cleaned = mark("c4_clean",
       if (strict)
-        raw.join(c4.filter(col("keep")).select("doc_id", "clean_text"), "doc_id")
+        normalized.join(c4.filter(col("keep")).select("doc_id", "clean_text"), "doc_id")
           .select(col("doc_id"), col("clean_text").as("text"), col("source"))
-      else raw)
+      else normalized)
 
-    // 2. quality gates: surface battery (relaxed to the corpus' word-count
+    // 3. quality gates: surface battery (relaxed to the corpus' word-count
     // band when lenient) + repetition battery at paper thresholds
     val surface = TextAnalysis.gopherRules(cleaned, "doc_id", "text",
       minWords = if (strict) 50 else 20)
@@ -63,16 +74,16 @@ object PretrainPipeline {
       .join(rep.filter(col("keep")).select(col("doc").as("doc_id")), "doc_id")
     val gated = mark("quality_gates", cleaned.join(keepIds, "doc_id"))
 
-    // 3. language filter (stopword-evidence id; keep en + unknown)
+    // 4. language filter (stopword-evidence id; keep en + unknown)
     val lang = mark("lang_filter", gated.filter(
       TextAnalysis.languageId(col("text")).isin("en", "und")))
 
-    // 4. exact dedup: min id per distinct content survives
+    // 5. exact dedup: min id per distinct content survives
     val exactKeep = Dedup.exact(lang, "doc_id", "text")
       .select(col("keep_id").as("doc_id"))
     val exact = mark("exact_dedup", lang.join(exactKeep, "doc_id"))
 
-    // 5. near-dup dedup: minhash-LSH pairs → CC keepers
+    // 6. near-dup dedup: minhash-LSH pairs → CC keepers
     val pairs = Dedup.minhashLshPairs(exact, "doc_id", "text",
       shingleSize = 3, numHashes = 64, bands = 16, threshold = 0.7)
     val keepers = Dedup.keeperAssignment(exact.select(col("doc_id")), "doc_id", pairs)
@@ -80,14 +91,19 @@ object PretrainPipeline {
       .select(col("doc").as("doc_id"))
     val neardup = mark("neardup_dedup", exact.join(keepers, "doc_id"))
 
-    // 6. decontamination against the eval set (containment ≥ 0.5)
+    // 7. decontamination against the eval set, both gates: the containment
+    // audit (which eval item leaked, how much) AND the cheap exact
+    // n-gram-collision sweep (any shared 8-gram disqualifies)
     val contaminated = Sampling.contaminationPairs(neardup, evalSet,
       "doc_id", "text", shingleSize = 3, threshold = 0.5)
       .select(col("train_id").as("doc_id")).distinct()
+    val collided = Sampling.ngramCollisions(neardup, evalSet,
+      "doc_id", "text", n = 8)
+      .filter(col("contaminated")).select(col("train_id").as("doc_id"))
     val decon = mark("decontaminate",
-      neardup.join(contaminated, Seq("doc_id"), "left_anti"))
+      neardup.join(contaminated.union(collided).distinct(), Seq("doc_id"), "left_anti"))
 
-    // 7. cap each source domain at its best-quality 80% (FineWeb-style)
+    // 8. cap each source domain at its best-quality 80% (FineWeb-style)
     val scored = decon.withColumn("quality",
       TextAnalysis.qualityScore(col("text")))
     val capN = math.max(1,
@@ -95,7 +111,7 @@ object PretrainPipeline {
     val capped = mark("domain_cap", Sampling.capPerGroup(
       scored, "source", col("quality"), "doc_id", capN))
 
-    // 8. pack into fixed token budgets for training
+    // 9. pack into fixed token budgets for training
     val packed = Chunking.packSequences(capped, "doc_id", "text", budget = packBudget)
     Result(stages.toSeq :+ ("packed" -> packed.count()), packed)
   }

@@ -16,11 +16,12 @@ import org.apache.spark.sql.types._
   * BT.601 luma + nearest-neighbor resample), audio decode is REAL for both
   * PCM WAV and G.711 µ-law/A-law compressed WAV (JDK-native
   * `javax.sound.sampled` → mono float samples, see [[Codec.decodeWav]]),
-  * and video decode is REAL for the two intra-frame AVI payloads the JDK
-  * can carry — MJPEG (each `00dc` chunk is a baseline JPEG, including the
-  * AVI1 variant that omits Huffman tables) and uncompressed bottom-up
-  * BGR DIB (`00db`) — via a pure-JDK RIFF parser ([[Avi.parse]]) +
-  * `javax.imageio` per frame. Only inter-frame video codecs (h264/vp9/…)
+  * and video decode is REAL for the intra-frame formats the JDK can
+  * carry — the two AVI payloads, MJPEG (each `00dc` chunk is a baseline
+  * JPEG, including the AVI1 variant that omits Huffman tables) and
+  * uncompressed bottom-up BGR DIB (`00db`), via a pure-JDK RIFF parser
+  * ([[Avi.parse]]) + `javax.imageio` per frame — plus animated GIF via
+  * the JDK's multi-image reader. Only inter-frame video codecs (h264/vp9/…)
   * and perceptual audio (mp3/ogg/aac) remain a clearly-marked
   * deterministic fake ([[Codec.decodeFake]]) because this container ships
   * no codec libraries for those.
@@ -199,7 +200,7 @@ object Multimodal {
   object Codec {
     private val imageFormats = Set("png", "jpeg", "jpg", "bmp", "gif")
     private val audioFormats = Set("wav", "wave")
-    private val videoFormats = Set("avi", "mjpeg")
+    private val videoFormats = Set("avi", "mjpeg", "gif")
 
     def canDecode(format: String): Boolean =
       format != null && imageFormats(format.toLowerCase)
@@ -277,14 +278,24 @@ object Multimodal {
       }
     }
 
-    /** Real video decode: AVI bytes → all frames as grayscale f32, in
-      * stream order. MJPEG payloads (anything opening with the JPEG SOI
+    /** Real video decode, dispatched on the container magic: RIFF → AVI
+      * (MJPEG / raw DIB frames), `GIF8` → animated GIF. All frames as
+      * grayscale f32, in stream order. Pure function of the bytes —
+      * deterministic across executors.
+      */
+    def decodeVideo(bytes: Array[Byte]): Vector[Frame] =
+      if (bytes.length >= 4 && bytes(0) == 'R' && bytes(1) == 'I' && bytes(2) == 'F' && bytes(3) == 'F')
+        decodeAviFrames(bytes)
+      else if (bytes.length >= 4 && bytes(0) == 'G' && bytes(1) == 'I' && bytes(2) == 'F' && bytes(3) == '8')
+        decodeGifFrames(bytes)
+      else throw new IllegalArgumentException("not an AVI or animated-GIF payload")
+
+    /** AVI frames: MJPEG payloads (anything opening with the JPEG SOI
       * marker) go through [[ensureDht]] + `javax.imageio`; uncompressed
       * payloads are decoded as bottom-up BGR DIBs with 4-byte row padding
-      * (the BI_RGB layout `00db` chunks carry). Pure function of the
-      * bytes — deterministic across executors.
+      * (the BI_RGB layout `00db` chunks carry).
       */
-    def decodeVideo(bytes: Array[Byte]): Vector[Frame] = {
+    private def decodeAviFrames(bytes: Array[Byte]): Vector[Frame] = {
       val v = Avi.parse(bytes)
       v.frames.map { payload =>
         if (payload.length >= 2 && (payload(0) & 0xff) == 0xff && (payload(1) & 0xff) == 0xd8) {
@@ -293,6 +304,25 @@ object Multimodal {
           lumaOf(img)
         } else
           decodeDib(payload, v.width, v.height, math.max(v.bitCount, 24))
+      }
+    }
+
+    /** Animated-GIF frames via the JDK's multi-image GIF reader. Frames
+      * are decoded as stored (no inter-frame compositing: an optimized
+      * GIF whose later frames are partial-screen deltas yields the raw
+      * delta rasters — full-frame GIFs, the common case for ML media
+      * corpora, decode exactly).
+      */
+    def decodeGifFrames(bytes: Array[Byte]): Vector[Frame] = {
+      val reader = javax.imageio.ImageIO.getImageReadersByFormatName("gif").next()
+      val iis = javax.imageio.ImageIO.createImageInputStream(new java.io.ByteArrayInputStream(bytes))
+      try {
+        reader.setInput(iis)
+        val n = reader.getNumImages(true)
+        (0 until n).map(i => lumaOf(reader.read(i))).toVector
+      } finally {
+        reader.dispose()
+        iis.close()
       }
     }
 
@@ -471,8 +501,13 @@ object Multimodal {
     val probe = udf { (bytes: Array[Byte]) =>
       if (bytes == null) (0, 0, 0)
       else scala.util.Try {
-        val v = Avi.parse(bytes)
-        (v.width, v.height, v.frames.length)
+        if (bytes.length >= 4 && bytes(0) == 'G' && bytes(1) == 'I' && bytes(2) == 'F') {
+          val fs = Codec.decodeGifFrames(bytes)
+          (fs.headOption.map(_.width).getOrElse(0), fs.headOption.map(_.height).getOrElse(0), fs.length)
+        } else {
+          val v = Avi.parse(bytes)
+          (v.width, v.height, v.frames.length)
+        }
       }.getOrElse((0, 0, 0))
     }
     df.withColumn("_p", probe(col(bytesCol)))

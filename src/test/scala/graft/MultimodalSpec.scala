@@ -233,6 +233,41 @@ class MultimodalSpec extends SparkSpec {
     assert(!byId.contains(3L))
   }
 
+  test("real animated-GIF decode: frame count, geometry, and palette-exact pixels") {
+    import spark.implicits._
+    import graft.operators.Multimodal.Codec
+    // 3 solid-gray frames: ≤256 colors → GIF encodes them exactly
+    val grays = Seq(40, 120, 200)
+    val bos = new java.io.ByteArrayOutputStream()
+    val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+    val w = javax.imageio.ImageIO.getImageWritersByFormatName("gif").next()
+    w.setOutput(ios)
+    w.prepareWriteSequence(null)
+    grays.foreach { g =>
+      val img = new java.awt.image.BufferedImage(10, 8, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until 8; x <- 0 until 10) img.setRGB(x, y, (g << 16) | (g << 8) | g)
+      w.writeToSequence(new javax.imageio.IIOImage(img, null, null), null)
+    }
+    w.endWriteSequence(); ios.close()
+    val gif = bos.toByteArray
+    val frames = Codec.decodeVideo(gif)
+    assert(frames.length == 3)
+    frames.zip(grays).foreach { case (f, g) =>
+      assert(f.width == 10 && f.height == 8)
+      // gray luma: 0.299g + 0.587g + 0.114g = g (exact for solid gray)
+      assert(f.pixels.forall(p => math.abs(p - g / 255f) < 1e-6), s"gray $g got ${f.pixels(0)}")
+    }
+    // the DataFrame path: meta probe + per-frame features work for gif too
+    val df = Multimodal.withVideoMeta(Seq((1L, gif)).toDF("id", "bytes"), "bytes", format = "gif")
+    assert(df.select($"media_meta.n_frames").collect()(0).getInt(0) == 3)
+    val rows = Multimodal.videoFrameFeatures(df, "bytes", everyN = 1, dim = 2)
+      .select("frame_idx", "features").collect()
+    assert(rows.length == 3)
+    assert(rows.map(_.getSeq[Float](1)(0)).sorted.zip(grays.map(_ / 255f)).forall {
+      case (a, b) => math.abs(a - b) < 1e-6
+    })
+  }
+
   test("real G.711 µ-law and A-law WAV decode via javax.sound.sampled") {
     import spark.implicits._
     import graft.operators.Multimodal.Codec

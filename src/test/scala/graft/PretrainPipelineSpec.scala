@@ -17,7 +17,7 @@ class PretrainPipelineSpec extends SparkSpec {
     val r = PretrainPipeline.run(docs, evalSet)
     val counts = r.stages.toMap
     val order = r.stages.map(_._1)
-    assert(order == Seq("raw", "c4_clean", "quality_gates", "lang_filter",
+    assert(order == Seq("raw", "normalize", "c4_clean", "quality_gates", "lang_filter",
       "exact_dedup", "neardup_dedup", "decontaminate", "domain_cap", "packed"))
     // every filter stage is non-increasing
     r.stages.sliding(2).foreach { case Seq((a, ca), (b, cb)) =>
