@@ -126,6 +126,23 @@ object Scalars {
         else v.toString
       }
     })
+
+    // ── training-data scalar surface: the same Column expressions the
+    // operator API uses, exposed by SQL name. Registered as expression
+    // builders (the Column tree is grafted in whole), NOT Scala UDFs —
+    // SQL callers get identical values and stay in whole-stage codegen.
+    def col1(name: String, f: Column => Column): Unit =
+      registry.createOrReplaceTempFunction(name,
+        (args: Seq[Expression]) => org.apache.spark.sql.GraftShim.catalystExpression(
+          f(org.apache.spark.sql.GraftShim.column(args.head))), "built-in")
+    col1("nfc_normalize", graft.operators.TextAnalysis.nfc)
+    col1("normalize_text", graft.operators.TextAnalysis.normalizeText)
+    col1("token_count", graft.operators.TextAnalysis.tokenCount)
+    col1("token_count_bpe", graft.operators.TextAnalysis.tokenCountBpe)
+    col1("quality_score", graft.operators.TextAnalysis.qualityScore)
+    col1("lang_id", c => graft.operators.TextAnalysis.languageId(c))
+    col1("url_normalize", graft.operators.Urls.normalize)
+    col1("url_domain", graft.operators.Urls.domainOf)
   }
 
   private val extractJsonUdf = udf((t: String, p: String) => JsonPathAll.all(t, p))

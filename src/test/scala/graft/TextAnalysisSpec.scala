@@ -281,4 +281,37 @@ class TextAnalysisSpec extends SparkSpec {
     val once = norm("  A\u0301  b  ")
     assert(norm(once) == once)
   }
+  test("training-data scalars are SQL-callable and value-identical to the Column API") {
+    GraftSession.registerFunctions(spark)
+    val r = spark.sql(
+      """SELECT normalize_text('  a  b ') AS n,
+        |       nfc_normalize('cafe\u0301') AS nfc,
+        |       token_count('one two three') AS tc,
+        |       token_count_bpe('ab, cd!') AS tb,
+        |       lang_id('the quick brown fox and the lazy dog') AS lang,
+        |       url_normalize('https://www.Ex.COM/a/?b=2&a=1&utm_source=x') AS u,
+        |       url_domain('https://www.Ex.COM:8080/a') AS d
+        |""".stripMargin).collect()(0)
+    assert(r.getString(0) == "a b")
+    assert(r.getString(1) == "caf\u00e9")
+    assert(r.getInt(2) == 3)
+    assert(r.getInt(3) == 4)
+    assert(r.getString(4) == "en")
+    assert(r.getString(5) == "ex.com/a?a=1&b=2")
+    assert(r.getString(6) == "ex.com")
+    // value-identical to the Column surface (same expression tree)
+    import org.apache.spark.sql.functions.col
+    val viaCol = one("  a  b ")
+      .select(TextAnalysis.normalizeText(col("text"))).collect()(0).getString(0)
+    assert(viaCol == r.getString(0))
+    // and SQL quality_score matches the Column quality_score on real rows
+    val d = Tables.load(spark, sfDir, "documents").limit(50).cache()
+    d.createOrReplaceTempView("ta_docs")
+    val sqlScores = spark.sql("SELECT doc_id, quality_score(text) AS q FROM ta_docs")
+      .collect().map(r2 => r2.getLong(0) -> r2.getDouble(1)).toMap
+    val colScores = d.select(col("doc_id"), TextAnalysis.qualityScore(col("text")).as("q"))
+      .collect().map(r2 => r2.getLong(0) -> r2.getDouble(1)).toMap
+    assert(sqlScores == colScores)
+    d.unpersist()
+  }
 }
