@@ -183,4 +183,34 @@ class StreamingSpec extends SparkSpec {
     assert(rows.get("2024-01-01 10:00:00.0").contains(1L), s"got $rows")
     q.stop()
   }
+  test("text scalar surface is streaming-stateless: normalize/quality/url/bpe match batch") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import graft.operators.{Bpe, TextAnalysis, Urls}
+    val rows = Seq(
+      (1L, "  caf\u00e9  NOISY\ttext  ", "https://www.A.Example.com/x/?b=2&a=1&utm_source=s"),
+      (2L, "plain words here", "http://a.example.com/x?a=1&b=2"),
+      (3L, "hug pug pun hugs", "https://b.example.com/y"))
+    val merges = Bpe.trainDriver(Seq("hug" -> 10L, "pug" -> 5L, "pun" -> 12L), 3)
+    def shape(df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+      Bpe.encode(df, "text", merges)
+        .select(col("id"),
+          TextAnalysis.normalizeText(col("text")).as("norm"),
+          TextAnalysis.qualityScore(col("text")).as("q"),
+          Urls.normalize(col("url")).as("u"),
+          col("n_bpe_tokens"))
+    val batch = shape(rows.toDF("id", "text", "url")).collect().map(_.toSeq).toSet
+
+    val input = MemoryStream[(Long, String, String)]
+    val q = shape(input.toDF().toDF("id", "text", "url"))
+      .writeStream.format("memory").queryName("scalar_stream")
+      .outputMode("append").start()
+    input.addData(rows.head)
+    q.processAllAvailable()
+    input.addData(rows.tail: _*)
+    q.processAllAvailable()
+    val streamed = spark.table("scalar_stream").collect().map(_.toSeq).toSet
+    assert(streamed == batch, s"stream $streamed != batch $batch")
+    q.stop()
+  }
 }
