@@ -86,10 +86,12 @@ object Multimodal {
           val dataEnd = math.min(dataStart + size, to)
           if (size < 0 || dataStart > to) return // truncated/corrupt tail
           id match {
-            case "LIST" if size >= 4 => walk(dataStart + 4, dataEnd)
-            case "avih" if size >= 40 =>
+            // guards check dataEnd (bytes actually present), not the declared
+            // size — a truncated file may declare 40 and carry 20
+            case "LIST" if dataEnd - dataStart >= 4 => walk(dataStart + 4, dataEnd)
+            case "avih" if dataEnd - dataStart >= 40 =>
               if (width == 0) { width = le32(bytes, dataStart + 32); height = le32(bytes, dataStart + 36) }
-            case "strf" if size >= 20 && le32(bytes, dataStart) >= 40 =>
+            case "strf" if dataEnd - dataStart >= 20 && le32(bytes, dataStart) >= 40 =>
               // BITMAPINFOHEADER (biSize first) => this strf belongs to a video stream
               width = le32(bytes, dataStart + 4)
               height = math.abs(le32(bytes, dataStart + 8))
@@ -104,7 +106,9 @@ object Multimodal {
               if (dataEnd > dataStart) frames += java.util.Arrays.copyOfRange(bytes, dataStart, dataEnd)
             case _ => () // idx1, JUNK, strh, vendor chunks: skip
           }
-          pos = dataStart + size + (size & 1) // chunks are word-aligned
+          val next = dataStart + size + (size & 1) // chunks are word-aligned
+          if (next <= pos) return // declared size overflowed Int — corrupt
+          pos = next
         }
       }
       walk(12, bytes.length)

@@ -311,6 +311,42 @@ class MultimodalSpec extends SparkSpec {
     assert(math.abs(stats.getFloat(2) - 0.5 / math.sqrt(2)) < 0.01)
   }
 
+  test("AVI parser survives fuzzed and truncated containers (100 TB bad-file policy)") {
+    import graft.operators.Multimodal.{Avi, Codec}
+    val rnd = new scala.util.Random(42)
+    // pure garbage: must throw cleanly (caller wraps in Try), never hang
+    (0 until 200).foreach { _ =>
+      val junk = Array.fill(rnd.nextInt(512))(rnd.nextInt.toByte)
+      scala.util.Try(Codec.decodeVideo(junk)) // must return promptly
+    }
+    // RIFF-framed garbage: magic passes, body is noise — parse must not
+    // throw (lenient walk) and decode must fail cleanly or produce frames
+    (0 until 200).foreach { _ =>
+      val junk = Array.fill(64 + rnd.nextInt(512))(rnd.nextInt.toByte)
+      "RIFF".getBytes.copyToArray(junk, 0)
+      "AVI ".getBytes.copyToArray(junk, 8)
+      val parsed = scala.util.Try(Avi.parse(junk))
+      assert(parsed.isSuccess, "lenient walk must tolerate garbage bodies")
+      scala.util.Try(Codec.decodeVideo(junk))
+    }
+    // every truncation prefix of a VALID container parses without throwing
+    // and yields at most the full frame count
+    val jpegs = (0 until 3).map(jpegOf(_))
+    val avi = Avi.encode(jpegs, 16, 12)
+    (12 to avi.length by 7).foreach { n =>
+      val v = Avi.parse(java.util.Arrays.copyOfRange(avi, 0, n))
+      assert(v.frames.length <= 3)
+    }
+    // random single-byte corruptions: parse stays graceful (decode may
+    // legitimately fail on a corrupted JPEG payload — cleanly)
+    (0 until 100).foreach { _ =>
+      val mut = avi.clone()
+      mut(12 + rnd.nextInt(mut.length - 12)) = rnd.nextInt.toByte
+      scala.util.Try(Avi.parse(mut)).foreach(v => assert(v.frames.length <= 3))
+      scala.util.Try(Codec.decodeVideo(mut))
+    }
+  }
+
   test("resize produces target geometry; frame sampling explodes indices") {
     val df = Multimodal.withMeta(media, "bytes", "video", "mp4", 4, 4)
       .withColumn("media_meta", col("media_meta").withField("n_frames", lit(10)))
