@@ -1,0 +1,127 @@
+package graft
+
+import graft.sources.{MessageBroker, MqttBridge, MqttClient, MqttServer, MqttWire, NatsBridge, NatsClient, NatsServer}
+import org.apache.spark.sql.functions._
+
+import java.nio.charset.StandardCharsets.UTF_8
+import java.util.concurrent.{CountDownLatch, TimeUnit}
+
+/** Real-socket integration specs for the NATS and MQTT 3.1.1 wire
+  * clients: every frame crosses an actual TCP loopback connection between
+  * the client under test and a minimal broker speaking the public
+  * protocol — then the bridge lands deliveries in the MessageBroker seam
+  * and Spark reads them through the graft-mq DSv2 table.
+  */
+class WireProtocolsSpec extends SparkSpec {
+
+  private def awaitCount(latch: CountDownLatch, what: String): Unit =
+    assert(latch.await(10, TimeUnit.SECONDS), s"timed out waiting for $what")
+
+  test("NATS: publish/subscribe round-trip over real sockets, fan-out, ping") {
+    val server = new NatsServer
+    try {
+      val sub1 = new NatsClient("127.0.0.1", server.port, "sub1")
+      val sub2 = new NatsClient("127.0.0.1", server.port, "sub2")
+      val pub = new NatsClient("127.0.0.1", server.port, "pub")
+      try {
+        val got1 = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+        val got2 = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+        val latch = new CountDownLatch(6)
+        sub1.subscribe("orders.created") { (_, p) => got1.add(new String(p, UTF_8)); latch.countDown() }
+        sub2.subscribe("orders.created") { (_, p) => got2.add(new String(p, UTF_8)); latch.countDown() }
+        sub2.subscribe("other.subject") { (_, p) => got2.add("OTHER:" + new String(p, UTF_8)) }
+        Thread.sleep(50) // SUBs registered server-side (same-conn ordering holds; cross-conn needs a beat)
+        (1 to 3).foreach(i => pub.publish("orders.created", s"msg$i".getBytes(UTF_8)))
+        pub.flush()
+        awaitCount(latch, "6 deliveries")
+        // both subscribers got all three, in publish order
+        assert(got1.toArray.toSeq == Seq("msg1", "msg2", "msg3"))
+        assert(got2.toArray.toSeq == Seq("msg1", "msg2", "msg3"))
+      } finally { sub1.close(); sub2.close(); pub.close() }
+    } finally server.close()
+  }
+
+  test("NATS → seam → Spark: a wire subscription becomes a graft-mq batch table") {
+    val server = new NatsServer
+    val addr = "nats-wire-test"
+    MessageBroker.at(addr).clear()
+    try {
+      val consumer = new NatsClient("127.0.0.1", server.port, "consumer")
+      val producer = new NatsClient("127.0.0.1", server.port, "producer")
+      try {
+        NatsBridge.subscribeInto(consumer, "events.wire", addr, "events")
+        Thread.sleep(50)
+        (1 to 5).foreach(i => producer.publish("events.wire", s"""{"n":$i}""".getBytes(UTF_8)))
+        producer.flush()
+        val deadline = System.currentTimeMillis() + 10000
+        while (MessageBroker.at(addr).size("events") < 5 && System.currentTimeMillis() < deadline)
+          Thread.sleep(20)
+        val rows = spark.read.format("graft-mq")
+          .option("address", addr).option("topic", "events").load()
+          .select(col("value").cast("string")).collect().map(_.getString(0)).toSeq
+        assert(rows == (1 to 5).map(i => s"""{"n":$i}"""))
+        // and the sink direction: seam topic → wire → a raw subscriber
+        val got = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+        val latch = new CountDownLatch(5)
+        consumer.subscribe("events.out") { (_, p) => got.add(new String(p, UTF_8)); latch.countDown() }
+        Thread.sleep(50)
+        val sent = NatsBridge.publishFrom(producer, "events.out", addr, "events")
+        assert(sent == 5)
+        awaitCount(latch, "5 outbound deliveries")
+        assert(got.toArray.toSeq == (1 to 5).map(i => s"""{"n":$i}"""))
+      } finally { consumer.close(); producer.close() }
+    } finally server.close()
+  }
+
+  test("MQTT 3.1.1: QoS-1 publish/subscribe with PUBACK flow; varint lengths") {
+    // varint edge cases first: 1-4 byte encodings round-trip
+    for (n <- Seq(0, 1, 127, 128, 16383, 16384, 2097151, 2097152, 268435455)) {
+      val bos = new java.io.ByteArrayOutputStream()
+      MqttWire.writeVarint(bos, n)
+      val expectBytes = if (n < 128) 1 else if (n < 16384) 2 else if (n < 2097152) 3 else 4
+      assert(bos.size == expectBytes, s"varint($n) used ${bos.size} bytes")
+      val back = MqttWire.readVarint(new java.io.ByteArrayInputStream(bos.toByteArray))
+      assert(back == n)
+    }
+    val server = new MqttServer
+    try {
+      val sub = new MqttClient("127.0.0.1", server.port, "subscriber")
+      val pub = new MqttClient("127.0.0.1", server.port, "publisher")
+      try {
+        val got = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+        val latch = new CountDownLatch(3)
+        sub.subscribe("sensors/temp") { (_, p) => got.add(new String(p, UTF_8)); latch.countDown() }
+        Thread.sleep(50)
+        // publish() blocks on PUBACK — the QoS-1 handshake is exercised on
+        // every message; a >127-byte payload exercises multi-byte varints
+        pub.publish("sensors/temp", "a".getBytes(UTF_8))
+        pub.publish("sensors/temp", ("b" * 200).getBytes(UTF_8))
+        pub.publish("sensors/temp", "c".getBytes(UTF_8))
+        awaitCount(latch, "3 QoS-1 deliveries")
+        assert(got.toArray.toSeq == Seq("a", "b" * 200, "c"))
+      } finally { sub.close(); pub.close() }
+    } finally server.close()
+  }
+
+  test("MQTT → seam → Spark round-trip") {
+    val server = new MqttServer
+    val addr = "mqtt-wire-test"
+    MessageBroker.at(addr).clear()
+    try {
+      val consumer = new MqttClient("127.0.0.1", server.port, "bridge")
+      val producer = new MqttClient("127.0.0.1", server.port, "device")
+      try {
+        MqttBridge.subscribeInto(consumer, "telemetry/ingest", addr, "telemetry")
+        Thread.sleep(50)
+        (1 to 4).foreach(i => producer.publish("telemetry/ingest", s"reading-$i".getBytes(UTF_8)))
+        val deadline = System.currentTimeMillis() + 10000
+        while (MessageBroker.at(addr).size("telemetry") < 4 && System.currentTimeMillis() < deadline)
+          Thread.sleep(20)
+        val rows = spark.read.format("graft-mq")
+          .option("address", addr).option("topic", "telemetry").load()
+          .select(col("value").cast("string")).collect().map(_.getString(0)).toSeq
+        assert(rows == (1 to 4).map(i => s"reading-$i"))
+      } finally { consumer.close(); producer.close() }
+    } finally server.close()
+  }
+}
