@@ -103,6 +103,59 @@ class WireProtocolsSpec extends SparkSpec {
     } finally server.close()
   }
 
+  test("AMQP 0-9-1: negotiation, declare, publish/consume, chunked bodies") {
+    import graft.sources.{AmqpClient, AmqpServer}
+    val server = new AmqpServer
+    try {
+      // full connection negotiation happens inside the constructor: start →
+      // start-ok(PLAIN) → tune → tune-ok → open → open-ok → channel.open
+      val consumer = new AmqpClient("127.0.0.1", server.port)
+      val consumer2 = new AmqpClient("127.0.0.1", server.port)
+      val producer = new AmqpClient("127.0.0.1", server.port)
+      try {
+        assert(consumer.declareQueue("jobs") == "jobs")
+        val got = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+        val got2 = new java.util.concurrent.ConcurrentLinkedQueue[Int]()
+        val latch = new CountDownLatch(3)
+        val big = new CountDownLatch(1)
+        assert(consumer.consume("jobs") { (_, p) => got.add(new String(p, UTF_8)); latch.countDown() } == "ctag")
+        consumer2.declareQueue("bulk")
+        consumer2.consume("bulk") { (_, p) => got2.add(p.length); big.countDown() }
+        Thread.sleep(50)
+        (1 to 3).foreach(i => producer.publish("jobs", s"job-$i".getBytes(UTF_8)))
+        awaitCount(latch, "3 AMQP deliveries")
+        assert(got.toArray.toSeq == Seq("job-1", "job-2", "job-3"))
+        // a 150 KiB body crosses as multiple BODY frames and reassembles
+        producer.publish("bulk", Array.fill(150 * 1024)('x'.toByte))
+        awaitCount(big, "chunked delivery")
+        assert(got2.toArray.toSeq == Seq(150 * 1024))
+      } finally { consumer.close(); consumer2.close(); producer.close() }
+    } finally server.close()
+  }
+
+  test("AMQP → seam → Spark round-trip") {
+    import graft.sources.{AmqpBridge, AmqpClient, AmqpServer}
+    val server = new AmqpServer
+    val addr = "amqp-wire-test"
+    MessageBroker.at(addr).clear()
+    try {
+      val consumer = new AmqpClient("127.0.0.1", server.port)
+      val producer = new AmqpClient("127.0.0.1", server.port)
+      try {
+        AmqpBridge.consumeInto(consumer, "ingest", addr, "ingest")
+        Thread.sleep(50)
+        (1 to 4).foreach(i => producer.publish("ingest", s"evt-$i".getBytes(UTF_8)))
+        val deadline = System.currentTimeMillis() + 10000
+        while (MessageBroker.at(addr).size("ingest") < 4 && System.currentTimeMillis() < deadline)
+          Thread.sleep(20)
+        val rows = spark.read.format("graft-mq")
+          .option("address", addr).option("topic", "ingest").load()
+          .select(col("value").cast("string")).collect().map(_.getString(0)).toSeq
+        assert(rows == (1 to 4).map(i => s"evt-$i"))
+      } finally { consumer.close(); producer.close() }
+    } finally server.close()
+  }
+
   test("MQTT → seam → Spark round-trip") {
     val server = new MqttServer
     val addr = "mqtt-wire-test"
