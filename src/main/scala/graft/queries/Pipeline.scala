@@ -120,6 +120,46 @@ object Pipeline {
            |FROM documents""".stripMargin
       }),
 
+    // ── quality-distribution diagnostics: the histogram a pipeline
+    //    operator reads before choosing a quality threshold. Deciles are
+    //    VALUE bins (floor(q·10)), not ntile — ntile needs a global sort,
+    //    value bins are scan-fused with one map-side-partial groupBy, the
+    //    100 TB-correct shape. The bin arithmetic runs on the SAME rounded
+    //    double both engines already hash-match in q_quality, so binning
+    //    is deterministic cross-engine.
+    Q("q_quality_bins",
+      (s, dir) => docs(s, dir)
+        .select(col("doc_id"),
+          TextAnalysis.qualityScore(col("text")).as("quality"),
+          length(col("text")).as("n_chars"))
+        .withColumn("q_bin", least(floor(col("quality") * 10), lit(9.0)).cast("int"))
+        .groupBy("q_bin")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_chars").cast("long")).as("sum_chars"),
+          round(min(col("quality")), 4).as("min_q"),
+          round(max(col("quality")), 4).as("max_q")),
+      Some {
+        val toks = oTokens("text")
+        val sw = olist(graft.operators.StopWords.en)
+        val punct = s"CASE WHEN length(text) > 0 THEN CAST(length(regexp_replace(text, '[^.,;:!?]', '', 'g')) AS DOUBLE) / length(text) ELSE 0.0 END"
+        val digit = s"CASE WHEN length(text) > 0 THEN CAST(length(regexp_replace(text, '[^0-9]', '', 'g')) AS DOUBLE) / length(text) ELSE 0.0 END"
+        val mwl = s"CASE WHEN len($toks) > 0 THEN CAST(list_sum(list_transform($toks, t -> length(t))) AS DOUBLE) / len($toks) ELSE 0.0 END"
+        val stop = s"CASE WHEN len($toks) > 0 THEN CAST(len(list_filter($toks, t -> list_contains($sw, t))) AS DOUBLE) / len($toks) ELSE 0.0 END"
+        s"""WITH sc AS (SELECT doc_id, length(text) AS n_chars,
+           |  round(
+           |    least(CAST(length(text) AS DOUBLE) / 500.0, 1.0) * 0.25
+           |    + least(($stop) * 3.0, 1.0) * 0.35
+           |    + (CASE WHEN ($mwl) BETWEEN 3.0 AND 8.0 THEN 1.0 ELSE 0.5 END) * 0.2
+           |    + greatest(0.0, 1.0 - (($punct) + ($digit)) * 2.0) * 0.2, 4) AS quality
+           |  FROM documents)
+           |SELECT CAST(least(floor(quality * 10), 9) AS INTEGER) AS q_bin,
+           |  COUNT(*) AS n_docs,
+           |  CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+           |  round(MIN(quality), 4) AS min_q,
+           |  round(MAX(quality), 4) AS max_q
+           |FROM sc GROUP BY 1""".stripMargin
+      }),
+
     // ── Gopher rule-based quality gate (Rae et al. 2021 A1.1.1): evidence
     //    columns + conjunctive keep flag. All ratios are single int/int
     //    IEEE divisions so the full frame is hash-exact cross-engine; the
