@@ -1,0 +1,88 @@
+package graft.sources
+
+import graft.sql.Ddl.ConnectorTable
+
+import scala.collection.concurrent.TrieMap
+
+/** Opt-in live wiring for the messaging connector family: when a DDL
+  * table carries `wire = 'true'`, the source setup establishes a REAL
+  * protocol subscription (NATS / MQTT 3.1.1 / AMQP 0-9-1 / Kinesis — the
+  * clients in `{Nats,Mqtt,Amqp,Kinesis}Wire.scala`) that lands every
+  * delivery in the [[MessageBroker]] topic the `graft-mq` DSv2 table
+  * reads. One bridge per (connector, address, topic) per JVM — repeated
+  * plan construction and micro-batches reuse the live subscription.
+  * Without the option, behavior is unchanged (pipelines stay runnable
+  * broker-free; the seam IS the test double).
+  *
+  * Endpoint options reuse each reference profile's surface: nats
+  * `servers` (host:port), mqtt `url` (tcp://host:port), rabbitmq
+  * `host:port`, kinesis `endpoint` + `aws_access_key`/`aws_secret_key`
+  * (+ `aws_region`).
+  */
+object WireBridges {
+
+  private val active = TrieMap.empty[String, AutoCloseable]
+
+  private def hostPort(s: String, defaultPort: Int): (String, Int) = {
+    val clean = s.stripPrefix("tcp://").stripPrefix("nats://").stripPrefix("amqp://")
+    clean.split(":", 2) match {
+      case Array(h, p) => (h, p.toInt)
+      case Array(h) => (h, defaultPort)
+    }
+  }
+
+  /** Establish (once) the live bridge for a `wire = 'true'` table. */
+  def ensure(t: ConnectorTable, address: String, topic: String): Unit = {
+    if (!t.options.get("wire").contains("true")) return
+    val key = s"${t.connector}|$address|$topic"
+    active.getOrElseUpdate(key, t.connector match {
+      case "nats" =>
+        val (h, p) = hostPort(t.options("servers"), 4222)
+        val client = new NatsClient(h, p, s"graft-${t.name}")
+        NatsBridge.subscribeInto(client, topic, address, topic)
+        client
+      case "mqtt" =>
+        val (h, p) = hostPort(t.options("url"), 1883)
+        val client = new MqttClient(h, p, s"graft-${t.name}")
+        MqttBridge.subscribeInto(client, topic, address, topic)
+        client
+      case "rabbitmq" =>
+        val (h, p) = hostPort(t.options.getOrElse("host", "localhost"), 5672)
+        val client = new AmqpClient(h, p,
+          t.options.getOrElse("auth.username", "guest"),
+          t.options.getOrElse("auth.password", "guest"))
+        AmqpBridge.consumeInto(client, topic, address, topic)
+        client
+      case "kinesis" =>
+        val client = new KinesisClient(
+          t.options.getOrElse("endpoint",
+            s"https://kinesis.${t.options.getOrElse("aws_region", "us-east-1")}.amazonaws.com/"),
+          t.options.getOrElse("aws_region", "us-east-1"),
+          t.options.getOrElse("aws_access_key", "anonymous"),
+          t.options.getOrElse("aws_secret_key", "anonymous"))
+        // kinesis is pull-based: a daemon poller drains new records into
+        // the seam (the other protocols push on their reader threads)
+        val stop = new java.util.concurrent.atomic.AtomicBoolean(false)
+        val poller = new Thread(() => {
+          var it: Option[String] = None
+          while (!stop.get()) {
+            try it = Some(KinesisBridge.drainInto(client, topic, address, topic, it))
+            catch { case _: Exception => () } // endpoint hiccup: retry next tick
+            Thread.sleep(200)
+          }
+        }, s"kinesis-poller-${t.name}")
+        poller.setDaemon(true)
+        poller.start()
+        () => { stop.set(true); client.close() }
+      case other =>
+        sys.error(s"connector '$other' has no wire client (fluvio is seam-only)")
+    })
+    ()
+  }
+
+  /** Close every live bridge (test teardown). */
+  def closeAll(): Unit = {
+    active.values.foreach(c => try c.close() catch { case _: Exception => () })
+    active.clear()
+  }
+}

@@ -1035,8 +1035,11 @@ class Pipeline(spark: SparkSession, streaming: Boolean = false) {
       case c if graft.sources.MessagingProfiles.connectors(c) =>
         // kinesis/fluvio/nats/mqtt/rabbitmq: one shared envelope shape
         // (key, value, topic, offset, timestamp) over the in-process
-        // broker; payload decodes by the declared format like kafka
+        // broker; payload decodes by the declared format like kafka.
+        // With `wire = 'true'`, a REAL protocol subscription feeds the
+        // broker topic live (WireBridges) — same plan either way.
         val (address, topic) = graft.sources.MessagingProfiles.resolve(t)
+        graft.sources.WireBridges.ensure(t, address, topic)
         val raw =
           if (streaming)
             spark.readStream.format("graft-mq")

@@ -207,6 +207,68 @@ class WireProtocolsSpec extends SparkSpec {
     } finally server.close()
   }
 
+  test("SQL DDL with wire='true': a real NATS subscription feeds the pipeline") {
+    import graft.sources.{NatsClient, NatsServer}
+    val server = new NatsServer
+    try {
+      val producer = new NatsClient("127.0.0.1", server.port, "producer")
+      try {
+        val subj = s"wire-${java.util.UUID.randomUUID()}"
+        val p = new sql.Pipeline(spark, streaming = false)
+        // plan construction establishes the live wire bridge…
+        val res = p.run(
+          s"""CREATE TABLE src (n BIGINT) WITH (
+             |  connector='nats', servers='127.0.0.1:${server.port}', subject='$subj',
+             |  wire='true', format='json', type='source');
+             |SELECT sum(n) AS total, count(*) AS cnt FROM src;""".stripMargin)
+        // …so wire publishes land in the seam topic the table reads
+        producer.publish(subj, """{"n": 40}""".getBytes(UTF_8))
+        producer.publish(subj, """{"n": 2}""".getBytes(UTF_8))
+        producer.flush()
+        val deadline = System.currentTimeMillis() + 10000
+        while (MessageBroker.at(s"nats://127.0.0.1:${server.port}").size(subj) < 2 &&
+            System.currentTimeMillis() < deadline) Thread.sleep(20)
+        val r = res.get.collect()(0)
+        assert(r.getLong(0) == 42 && r.getLong(1) == 2, r.toString)
+      } finally producer.close()
+    } finally { graft.sources.WireBridges.closeAll(); server.close() }
+  }
+
+  test("SQL DDL with wire='true': MQTT publishes arrive across micro-batches") {
+    import graft.sources.{MqttClient, MqttServer}
+    import org.apache.spark.sql.streaming.Trigger
+    val server = new MqttServer
+    try {
+      val device = new MqttClient("127.0.0.1", server.port, "device")
+      try {
+        val topic = s"wt-${java.util.UUID.randomUUID()}"
+        val addr = s"tcp://127.0.0.1:${server.port}"
+        val p = new sql.Pipeline(spark, streaming = true)
+        val src = p.sourceFrame(graft.sql.Ddl.parse(
+          s"""CREATE TABLE src (x BIGINT) WITH (
+             |  connector='mqtt', url='$addr', topic='$topic',
+             |  wire='true', format='json', type='source')""".stripMargin)
+          .asInstanceOf[sql.Ddl.CreateTbl].table)
+        val q = src.writeStream.format("memory").queryName("wire_mqtt")
+          .trigger(Trigger.AvailableNow()).start()
+        device.publish(topic, """{"x": 7}""".getBytes(UTF_8))
+        val deadline = System.currentTimeMillis() + 10000
+        while (MessageBroker.at(addr).size(topic) < 1 && System.currentTimeMillis() < deadline)
+          Thread.sleep(20)
+        q.awaitTermination(15000)
+        // second batch: a later publish is picked up by a fresh run
+        device.publish(topic, """{"x": 35}""".getBytes(UTF_8))
+        while (MessageBroker.at(addr).size(topic) < 2 && System.currentTimeMillis() < deadline + 10000)
+          Thread.sleep(20)
+        val q2 = src.writeStream.format("memory").queryName("wire_mqtt2")
+          .trigger(Trigger.AvailableNow()).start()
+        q2.awaitTermination(15000)
+        val total = spark.table("wire_mqtt2").agg(sum(col("x"))).collect()(0).getLong(0)
+        assert(total == 42, s"got $total")
+      } finally device.close()
+    } finally { graft.sources.WireBridges.closeAll(); server.close() }
+  }
+
   test("MQTT → seam → Spark round-trip") {
     val server = new MqttServer
     val addr = "mqtt-wire-test"
