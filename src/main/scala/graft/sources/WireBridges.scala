@@ -18,6 +18,15 @@ import scala.collection.concurrent.TrieMap
   * `servers` (host:port), mqtt `url` (tcp://host:port), rabbitmq
   * `host:port`, kinesis `endpoint` + `aws_access_key`/`aws_secret_key`
   * (+ `aws_region`).
+  *
+  * SCALE NOTE: the bridge subscribes DRIVER-side and the MessageBroker
+  * registry is per-JVM, which is exactly right for local[n] and for
+  * single-consumer protocols (core NATS / MQTT deliveries are not
+  * partition-parallel anyway). On a multi-executor cluster the same wire
+  * clients would move inside a DSv2 `PartitionReader` (one subscription
+  * per input partition, offsets in the checkpoint log — the kafka-source
+  * shape); the protocol code is deliberately free of driver-side
+  * assumptions so that lift is mechanical.
   */
 object WireBridges {
 
