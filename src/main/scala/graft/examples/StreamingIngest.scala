@@ -1,0 +1,42 @@
+package graft.examples
+
+import graft.operators.{Dedup, TextAnalysis}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.StreamingQuery
+
+/** The streaming counterpart to [[PretrainPipeline]]: a live ingestion
+  * pipeline from a messaging topic to a deduped, quality-gated corpus —
+  * the shape a continuously-crawled training set runs 24/7.
+  *
+  *   1. source     — any `graft-mq` topic (a `wire='true'` table makes
+  *      that a REAL NATS/MQTT/AMQP/Kinesis subscription)
+  *   2. normalize  — [[TextAnalysis.normalizeText]], stateless
+  *   3. gates      — quality floor + language filter, stateless
+  *   4. dedup      — [[Dedup.bloomIncrementalStream]]: every batch dedups
+  *      against the ledger of ALL previously accepted content, with
+  *      idempotent crash replay
+  *
+  * Stages 2-3 are scan-fused column expressions (zero state); stage 4's
+  * state is the ~48-byte-per-content ledger — the pipeline never
+  * re-shuffles accepted history.
+  */
+object StreamingIngest {
+
+  /** Columns out of the raw envelope → (doc_id, text). */
+  def prepared(raw: DataFrame, minQuality: Double = 0.35,
+      langs: Seq[String] = Seq("en", "und")): DataFrame =
+    raw.select(col("offset").as("doc_id"),
+        TextAnalysis.normalizeText(col("value").cast("string")).as("text"))
+      .filter(TextAnalysis.qualityScore(col("text")) >= minQuality)
+      .filter(TextAnalysis.languageId(col("text")).isin(langs: _*))
+
+  def start(spark: SparkSession, address: String, topic: String,
+      outDir: String, ledgerDir: String, checkpointDir: String,
+      minQuality: Double = 0.35): StreamingQuery = {
+    val raw = spark.readStream.format("graft-mq")
+      .option("address", address).option("topic", topic).load()
+    Dedup.bloomIncrementalStream(prepared(raw, minQuality), "doc_id", "text",
+      ledgerDir, outDir, checkpointDir)
+  }
+}
