@@ -103,13 +103,19 @@ object PretrainPipeline {
     val decon = mark("decontaminate",
       neardup.join(contaminated.union(collided).distinct(), Seq("doc_id"), "left_anti"))
 
-    // 8. cap each source domain at its best-quality 80% (FineWeb-style)
+    // 8. cap EACH source domain at its own best-quality 80% (FineWeb-style):
+    // rank within the source by quality and keep the top ceil(0.8·n) —
+    // a per-group fraction, unlike the fixed-k Sampling.capPerGroup
+    // (which remains the right op when the budget is absolute)
     val scored = decon.withColumn("quality",
       TextAnalysis.qualityScore(col("text")))
-    val capN = math.max(1,
-      (decon.groupBy("source").count().agg(max("count")).head.getLong(0) * 0.8).toInt)
-    val capped = mark("domain_cap", Sampling.capPerGroup(
-      scored, "source", col("quality"), "doc_id", capN))
+    val bySource = org.apache.spark.sql.expressions.Window.partitionBy("source")
+    val capped = mark("domain_cap", scored
+      .withColumn("rk", row_number().over(
+        bySource.orderBy(col("quality").desc, col("doc_id"))))
+      .withColumn("grp_n", count(lit(1)).over(bySource))
+      .filter(col("rk") <= greatest(ceil(col("grp_n") * 0.8), lit(1)))
+      .drop("rk", "grp_n"))
 
     // 9. pack into fixed token budgets for training
     val packed = Chunking.packSequences(capped, "doc_id", "text", budget = packBudget)

@@ -133,8 +133,12 @@ object Scalars {
     // SQL callers get identical values and stay in whole-stage codegen.
     def col1(name: String, f: Column => Column): Unit =
       registry.createOrReplaceTempFunction(name,
-        (args: Seq[Expression]) => org.apache.spark.sql.GraftShim.catalystExpression(
-          f(org.apache.spark.sql.GraftShim.column(args.head))), "built-in")
+        (args: Seq[Expression]) => {
+          require(args.length == 1,
+            s"$name expects exactly 1 argument, got ${args.length}")
+          org.apache.spark.sql.GraftShim.catalystExpression(
+            f(org.apache.spark.sql.GraftShim.column(args.head)))
+        }, "built-in")
     col1("nfc_normalize", graft.operators.TextAnalysis.nfc)
     col1("normalize_text", graft.operators.TextAnalysis.normalizeText)
     col1("token_count", graft.operators.TextAnalysis.tokenCount)

@@ -561,7 +561,17 @@ object Dedup {
     val longIds = pairs.schema.take(2).forall(
       _.dataType == org.apache.spark.sql.types.LongType)
     val probeN = math.min(maxDriverEdges + 1, Int.MaxValue.toLong).toInt
-    if (longIds && pairs.limit(probeN).count() <= maxDriverEdges) {
+    // ONE pass over the (possibly expensive — LSH joins) pair pipeline:
+    // collect up to the budget + 1; an overflow row means the graph is too
+    // big for the driver and the rows are discarded for the distributed
+    // path. (A separate limit-count probe would execute the pipeline twice
+    // — once for the count, once for the collect — on every fast-path hit.)
+    val probed: Option[Array[org.apache.spark.sql.Row]] =
+      if (longIds)
+        Some(pairs.select(col("doc_a").cast("long"), col("doc_b").cast("long"))
+          .limit(probeN).collect())
+      else None
+    if (probed.exists(_.length <= maxDriverEdges)) {
       val parent = new java.util.HashMap[Long, Long]()
       def find(x: Long): Long = {
         var r = x
@@ -572,8 +582,7 @@ object Dedup {
         }
         r
       }
-      pairs.select(col("doc_a").cast("long"), col("doc_b").cast("long"))
-        .collect().foreach { r =>
+      probed.get.foreach { r =>
           val (a, b) = (r.getLong(0), r.getLong(1))
           val (ra, rb) = (find(a), find(b))
           if (ra != rb) { // min id becomes the root → component min for free

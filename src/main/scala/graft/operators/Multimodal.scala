@@ -76,6 +76,7 @@ object Multimodal {
       require(bytes.length >= 12 && fourcc(bytes, 0) == "RIFF" && fourcc(bytes, 8) == "AVI ",
         "not a RIFF/AVI payload")
       var width = 0; var height = 0; var compression = ""; var bitCount = 0
+      var lastStreamType = "" // fccType of the most recent strh (vids/auds/…)
       val frames = Vector.newBuilder[Array[Byte]]
       def walk(from: Int, to: Int): Unit = {
         var pos = from
@@ -91,7 +92,14 @@ object Multimodal {
             case "LIST" if dataEnd - dataStart >= 4 => walk(dataStart + 4, dataEnd)
             case "avih" if dataEnd - dataStart >= 40 =>
               if (width == 0) { width = le32(bytes, dataStart + 32); height = le32(bytes, dataStart + 36) }
-            case "strf" if dataEnd - dataStart >= 20 && le32(bytes, dataStart) >= 40 =>
+            case "strh" if dataEnd - dataStart >= 4 =>
+              lastStreamType = fourcc(bytes, dataStart)
+            // the strf's layout depends on which stream owns it: only a
+            // 'vids' stream's strf is a BITMAPINFOHEADER (an audio track's
+            // WAVEFORMATEX would alias the geometry fields — e.g. mono PCM
+            // puts 44100 where biWidth sits)
+            case "strf" if lastStreamType == "vids" &&
+                dataEnd - dataStart >= 20 && le32(bytes, dataStart) >= 40 =>
               // BITMAPINFOHEADER (biSize first) => this strf belongs to a video stream
               width = le32(bytes, dataStart + 4)
               height = math.abs(le32(bytes, dataStart + 8))
@@ -104,7 +112,7 @@ object Multimodal {
             case _ if id.length == 4 && id(0).isDigit && id(1).isDigit &&
                 (id.substring(2) == "dc" || id.substring(2) == "db") =>
               if (dataEnd > dataStart) frames += java.util.Arrays.copyOfRange(bytes, dataStart, dataEnd)
-            case _ => () // idx1, JUNK, strh, vendor chunks: skip
+            case _ => () // idx1, JUNK, vendor chunks: skip
           }
           val next = dataStart + size + (size & 1) // chunks are word-aligned
           if (next <= pos) return // declared size overflowed Int — corrupt

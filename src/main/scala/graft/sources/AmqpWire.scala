@@ -220,18 +220,23 @@ final class AmqpClient(host: String, port: Int,
   /** Publish to the default exchange with the queue name as routing key.
     * Bodies are chunked at 64 KiB, under every broker's frame-max.
     */
-  def publish(queue: String, payload: Array[Byte]): Unit = {
-    writeFrame(out, FrameMethod, 1, method(60, 40) { a => // basic.publish
-      a.u16(0).shortstr("").shortstr(queue).u8(0)
-    })
-    writeFrame(out, FrameHeader, 1, contentHeader(payload.length.toLong))
-    var off = 0
-    while (off < payload.length || (payload.length == 0 && off == 0)) {
-      val n = math.min(65536, payload.length - off)
-      if (n > 0) writeFrame(out, FrameBody, 1, java.util.Arrays.copyOfRange(payload, off, off + n))
-      off += math.max(n, 1)
+  def publish(queue: String, payload: Array[Byte]): Unit =
+    // ONE lock over the whole method+header+body sequence: AMQP requires
+    // content frames to immediately follow basic.publish on the channel,
+    // so concurrent publishers must not interleave (writeFrame's own
+    // per-frame lock is reentrant under this one)
+    out.synchronized {
+      writeFrame(out, FrameMethod, 1, method(60, 40) { a => // basic.publish
+        a.u16(0).shortstr("").shortstr(queue).u8(0)
+      })
+      writeFrame(out, FrameHeader, 1, contentHeader(payload.length.toLong))
+      var off = 0
+      while (off < payload.length) { // empty body: header only, no body frame
+        val n = math.min(65536, payload.length - off)
+        writeFrame(out, FrameBody, 1, java.util.Arrays.copyOfRange(payload, off, off + n))
+        off += n
+      }
     }
-  }
 
   /** no-ack consume; `handler(routingKey, body)` on the reader thread. */
   def consume(queue: String)(handler: (String, Array[Byte]) => Unit): String = {

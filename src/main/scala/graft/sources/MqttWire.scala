@@ -153,24 +153,36 @@ final class MqttClient(host: String, port: Int, clientId: String = "graft") exte
   reader.setDaemon(true)
   reader.start()
 
+  /** Non-zero u16 packet id (MQTT-2.3.1-1 forbids id 0 in every packet
+    * that carries one — SUBSCRIBE included; conforming brokers close the
+    * connection on 0, which the shared counter would emit at wrap).
+    */
+  private def nextPid(): Int = {
+    var p = nextId.getAndIncrement() & 0xffff
+    while (p == 0) p = nextId.getAndIncrement() & 0xffff
+    p
+  }
+
   /** Exact-topic subscription at QoS 1 (the subset the connector uses). */
   def subscribe(topic: String)(handler: (String, Array[Byte]) => Unit): Unit = {
     handlers.put(topic, handler)
     val b = new ByteArrayOutputStream()
-    putU16(b, nextId.getAndIncrement() & 0xffff)
+    putU16(b, nextPid())
     putStr(b, topic); b.write(1) // requested QoS 1
     writePacket(out, SUBSCRIBE, 0x2, b.toByteArray)
   }
 
   /** QoS-1 publish: blocks until the broker's PUBACK. */
   def publish(topic: String, payload: Array[Byte]): Unit = {
-    val pid = { var p = nextId.getAndIncrement() & 0xffff; if (p == 0) p = 1; p }
+    val pid = nextPid()
     val latch = new CountDownLatch(1)
     pendingAcks.put(pid, latch)
-    val b = new ByteArrayOutputStream()
-    putStr(b, topic); putU16(b, pid); b.write(payload, 0, payload.length)
-    writePacket(out, PUBLISH, 0x2 /* QoS 1 */, b.toByteArray)
-    require(latch.await(5, TimeUnit.SECONDS), s"no PUBACK for pid=$pid within 5s")
+    try {
+      val b = new ByteArrayOutputStream()
+      putStr(b, topic); putU16(b, pid); b.write(payload, 0, payload.length)
+      writePacket(out, PUBLISH, 0x2 /* QoS 1 */, b.toByteArray)
+      require(latch.await(5, TimeUnit.SECONDS), s"no PUBACK for pid=$pid within 5s")
+    } finally pendingAcks.remove(pid) // no leak when the await times out
   }
 
   override def close(): Unit = {

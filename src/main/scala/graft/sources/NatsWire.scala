@@ -67,6 +67,7 @@ final class NatsClient(host: String, port: Int, name: String = "graft") extends 
   private val out = new BufferedOutputStream(socket.getOutputStream)
   private val handlers = new ConcurrentHashMap[String, (String, Array[Byte]) => Unit]()
   private val closed = new AtomicBoolean(false)
+  private val pongs = new java.util.concurrent.LinkedBlockingQueue[Unit]()
   private var sid = 0
 
   // handshake: server speaks first
@@ -94,7 +95,9 @@ final class NatsClient(host: String, port: Int, name: String = "graft") extends 
           if (h != null) h(subject, payload)
         } else if (line == "PING") {
           out.synchronized { writeLine(out, "PONG"); out.flush() }
-        } // PONG / +OK / -ERR: nothing to do for this client
+        } else if (line == "PONG") {
+          pongs.put(()) // completes a pending flush()
+        } // +OK / -ERR: nothing to do for this client
         line = readLine(in)
       }
     } catch { case _: Exception if closed.get() => () }
@@ -117,10 +120,15 @@ final class NatsClient(host: String, port: Int, name: String = "graft") extends 
       out.flush()
     }
 
-  /** Round-trip a PING so all prior publishes are known server-processed. */
+  /** Round-trip a PING so all prior publishes are known server-processed:
+    * the protocol guarantees in-order processing per connection, so the
+    * PONG arriving means every earlier PUB was handled. Blocks on the
+    * actual PONG (5 s timeout), not a sleep.
+    */
   def flush(): Unit = {
     out.synchronized { writeLine(out, "PING"); out.flush() }
-    Thread.sleep(20) // PONG handled by reader; ordering per connection
+    require(pongs.poll(5, java.util.concurrent.TimeUnit.SECONDS) != null,
+      "no PONG within 5s")
   }
 
   override def close(): Unit = {

@@ -32,11 +32,22 @@ object WireBridges {
 
   private val active = TrieMap.empty[String, AutoCloseable]
 
-  private def hostPort(s: String, defaultPort: Int): (String, Int) = {
-    val clean = s.stripPrefix("tcp://").stripPrefix("nats://").stripPrefix("amqp://")
-    clean.split(":", 2) match {
-      case Array(h, p) => (h, p.toInt)
-      case Array(h) => (h, defaultPort)
+  /** First endpoint of a (possibly comma-separated) server list —
+    * `servers='h1:4222,h2:4222'` is the NATS profile's documented plural
+    * form. Handles bracketed IPv6 (`[::1]:4222`) and bare hosts.
+    */
+  private[graft] def hostPort(s: String, defaultPort: Int): (String, Int) = {
+    val first = s.split(",")(0).trim
+      .stripPrefix("tcp://").stripPrefix("nats://").stripPrefix("amqp://")
+    if (first.startsWith("[")) { // [ipv6]:port
+      val close = first.indexOf(']')
+      require(close > 0, s"malformed IPv6 endpoint: $first")
+      val rest = first.substring(close + 1)
+      (first.substring(1, close),
+        if (rest.startsWith(":")) rest.drop(1).toInt else defaultPort)
+    } else first.lastIndexOf(':') match {
+      case -1 => (first, defaultPort)
+      case i => (first.substring(0, i), first.substring(i + 1).toInt)
     }
   }
 

@@ -311,6 +311,44 @@ class MultimodalSpec extends SparkSpec {
     assert(math.abs(stats.getFloat(2) - 0.5 / math.sqrt(2)) < 0.01)
   }
 
+  test("AVI with an audio track: the auds strf (WAVEFORMATEX) must not claim the geometry") {
+    import graft.operators.Multimodal.{Avi, Codec}
+    // hand-build a two-stream AVI: auds strl FIRST (the layout real muxers
+    // emit), then vids — an audio WAVEFORMATEX aliasing the BITMAPINFOHEADER
+    // fields (44100 where biWidth sits) must not overwrite width/height
+    def le32(v: Int): Array[Byte] =
+      Array[Byte](v.toByte, (v >> 8).toByte, (v >> 16).toByte, (v >> 24).toByte)
+    def cc(s: String): Array[Byte] = s.getBytes("US-ASCII")
+    def chunk(id: String, body: Array[Byte]): Array[Byte] =
+      cc(id) ++ le32(body.length) ++ body ++ (if ((body.length & 1) == 1) Array[Byte](0) else Array.emptyByteArray)
+    def list(kind: String, body: Array[Byte]): Array[Byte] =
+      cc("LIST") ++ le32(body.length + 4) ++ cc(kind) ++ body
+    val w = 3; val h = 2
+    val audStrh = cc("auds") ++ cc("    ") ++ Array.fill(48)(0.toByte)
+    // WAVEFORMATEX: wFormatTag=1|nChannels=1 (first u32 = 65537 ≥ 40!),
+    // nSamplesPerSec=44100 — would become "width" without the vids guard
+    val audStrf = le32(1 | (1 << 16)) ++ le32(44100) ++ le32(88200) ++ le32(2 | (16 << 16))
+    val vidStrh = cc("vids") ++ cc("DIB ") ++ Array.fill(48)(0.toByte)
+    val vidStrf = le32(40) ++ le32(w) ++ le32(h) ++ le32(1 | (24 << 16)) ++ le32(0) ++
+      le32(w * h * 3) ++ Array.fill(16)(0.toByte)
+    val stride = 12 // 3*3 padded to 4
+    val dib = new Array[Byte](stride * h)
+    val hdrl = list("hdrl",
+      chunk("avih", le32(0) ++ le32(0) ++ le32(0) ++ le32(0) ++ le32(1) ++ le32(0) ++
+        le32(2) ++ le32(0) ++ le32(w) ++ le32(h) ++ Array.fill(16)(0.toByte)) ++
+      list("strl", chunk("strh", audStrh) ++ chunk("strf", audStrf)) ++
+      list("strl", chunk("strh", vidStrh) ++ chunk("strf", vidStrf)))
+    val movi = list("movi", chunk("01db", dib)) // video is stream 01 here
+    val body = hdrl ++ movi
+    val avi = cc("RIFF") ++ le32(body.length + 4) ++ cc("AVI ") ++ body
+    val parsed = Avi.parse(avi)
+    assert(parsed.width == w && parsed.height == h,
+      s"audio strf leaked into geometry: ${parsed.width}x${parsed.height}")
+    assert(parsed.bitCount == 24 && parsed.frames.length == 1)
+    val frames = Codec.decodeVideo(avi)
+    assert(frames.head.width == w && frames.head.height == h)
+  }
+
   test("AVI parser survives fuzzed and truncated containers (100 TB bad-file policy)") {
     import graft.operators.Multimodal.{Avi, Codec}
     val rnd = new scala.util.Random(42)

@@ -207,6 +207,15 @@ class WireProtocolsSpec extends SparkSpec {
     } finally server.close()
   }
 
+  test("wire endpoint parsing: server lists, IPv6, schemes, defaults") {
+    import graft.sources.WireBridges.hostPort
+    assert(hostPort("h1:4222,h2:4222", 4222) == (("h1", 4222)))
+    assert(hostPort("nats://h1:9000, h2:9001", 4222) == (("h1", 9000)))
+    assert(hostPort("tcp://broker", 1883) == (("broker", 1883)))
+    assert(hostPort("[::1]:5672", 5672) == (("::1", 5672)))
+    assert(hostPort("[2001:db8::1]", 5672) == (("2001:db8::1", 5672)))
+  }
+
   test("SQL DDL with wire='true': a real NATS subscription feeds the pipeline") {
     import graft.sources.{NatsClient, NatsServer}
     val server = new NatsServer
