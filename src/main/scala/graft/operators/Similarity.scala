@@ -543,4 +543,97 @@ object Similarity {
       .filter(col("sim") >= threshold)
       .dropDuplicates("id_a", "id_b")
   }
+
+  // ── persistable IVF+PQ index: build once, query many ──────────────────
+
+  /** Build the IVF+PQ index ONCE and persist it: production similarity
+    * search amortizes index construction across many query jobs, where
+    * [[ivfPqTopK]] rebuilds centroids + codebooks + codes inline per call.
+    *
+    * Layout under `indexDir`:
+    *   - `cells/` — (id, pq_codes, vec) parquet PARTITIONED BY cell, so a
+    *     query's nProbe cell pruning becomes parquet PARTITION PRUNING:
+    *     unprobed cells are never read from storage (the raw vector rides
+    *     along for the exact re-rank — the IVFFlat trade: ~code_size/dim
+    *     overhead buys rerank without a second source join)
+    *   - `centroids/` — (cell, cvec), nCentroids rows
+    *   - `codebooks/` — (subspace, code, cvec), nSubspaces·nCodes rows
+    *
+    * Deterministic: seeding and codebook training are hash-based, so
+    * building twice from the same corpus yields the identical index (and
+    * [[queryIvfPqIndex]] returns exactly what the inline op would).
+    */
+  def buildIvfPqIndex(corpus: DataFrame, indexDir: String,
+      nCentroids: Int = 64, nSubspaces: Int = 16, nCodes: Int = 16,
+      idCol: String = "vec_id", vecCol: String = "embedding"): Unit = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val centroids = seedCentroids(corpus, nCentroids, idCol, vecCol)
+    val cb = trainPqCodebooks(corpus, nSubspaces, nCodes, idCol = idCol, vecCol = vecCol)
+    corpus.select(col(idCol),
+        nearestCentroid(col(vecCol), centroids).as("cell"),
+        pqEncode(col(vecCol), cb).as("pq_codes"),
+        col(vecCol).as("vec"))
+      .write.mode("overwrite").partitionBy("cell").parquet(s"$indexDir/cells")
+    centroids.zipWithIndex.map { case (v, i) => (i, v.toSeq) }.toSeq
+      .toDF("cell", "cvec")
+      .write.mode("overwrite").parquet(s"$indexDir/centroids")
+    cb.zipWithIndex.flatMap { case (codes, s) =>
+      codes.zipWithIndex.map { case (v, c) => (s, c, v.toSeq) }
+    }.toSeq.toDF("subspace", "code", "cvec")
+      .write.mode("overwrite").parquet(s"$indexDir/codebooks")
+  }
+
+  /** Query a persisted IVF+PQ index: probe each query's `nProbe` nearest
+    * cells (centroids are a bounded driver read), push `cell IN (probed)`
+    * into the partitioned scan — only probed cells' files are read — ADC
+    * over the compressed codes, exact cosine re-rank of the top `rerank`
+    * from the stored raw vectors. Output schema matches [[ivfPqTopK]]:
+    * (query_id, vec_id, sim, rank).
+    */
+  def queryIvfPqIndex(spark: org.apache.spark.sql.SparkSession, indexDir: String,
+      queries: DataFrame, k: Int, nProbe: Int = 8, rerank: Int = 64,
+      idCol: String = "vec_id",
+      queryIdCol: String = "query_id", queryVecCol: String = "query_vec"): DataFrame = {
+    import spark.implicits._
+    val centroidRows = spark.read.parquet(s"$indexDir/centroids")
+      .collect().map(r => r.getInt(0) -> r.getSeq[Float](1).toArray)
+    val cb: Array[Array[Array[Float]]] = {
+      val rows = spark.read.parquet(s"$indexDir/codebooks")
+        .collect().map(r => (r.getInt(0), r.getInt(1), r.getSeq[Float](2).toArray))
+      val nS = rows.map(_._1).max + 1
+      val nC = rows.map(_._2).max + 1
+      val out = Array.ofDim[Array[Float]](nS, nC)
+      rows.foreach { case (s, c, v) => out(s)(c) = v }
+      out.map(_.toArray)
+    }
+    val centroidsDf = broadcast(
+      centroidRows.map { case (i, v) => (i, v.toSeq) }.toSeq.toDF("cell", "cvec"))
+    val pw = Window.partitionBy(col(queryIdCol)).orderBy(col("csim").desc, col("cell"))
+    val probes = queries.crossJoin(centroidsDf)
+      .withColumn("csim", VectorOps.cosineF(col(queryVecCol), col("cvec")))
+      .withColumn("crn", row_number().over(pw))
+      .filter(col("crn") <= nProbe)
+      .select(col(queryIdCol), col(queryVecCol), col("cell"))
+    // the probed-cell set is ≤ nCentroids values: pushing it as an IN
+    // filter turns cell pruning into parquet partition pruning
+    val probedCells = probes.select("cell").distinct()
+      .collect().map(_.getInt(0)).toSeq
+    val cells = spark.read.parquet(s"$indexDir/cells")
+      .filter(col("cell").isin(probedCells: _*))
+    val r = math.max(k, rerank)
+    val aw = Window.partitionBy(col(queryIdCol)).orderBy(col("sim_adc").desc, col(idCol))
+    val cand = cells.join(broadcast(probes), "cell")
+      .withColumn("sim_adc", pqCosine(col("pq_codes"), col(queryVecCol), cb))
+      .withColumn("arank", row_number().over(aw))
+      .filter(col("arank") <= r)
+      .select(col(queryIdCol), col(queryVecCol), col(idCol))
+    val w = Window.partitionBy(col(queryIdCol)).orderBy(col("sim").desc, col(idCol))
+    spark.read.parquet(s"$indexDir/cells")
+      .join(broadcast(cand), idCol)
+      .withColumn("sim", VectorOps.cosineF(col("vec"), col(queryVecCol)))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col(queryIdCol), col(idCol), col("sim"), col("rank"))
+  }
 }

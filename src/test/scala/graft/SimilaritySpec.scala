@@ -77,6 +77,37 @@ class SimilaritySpec extends SparkSpec {
       .foreach(r => assert(r.getLong(1) == r.getLong(0)))
   }
 
+  test("persisted IVF+PQ index: build→save→query equals the inline op; probes prune partitions") {
+    val corpus = Tables.load(spark, sfDir, "embeddings")
+    val q = corpus.filter(col("vec_id") % 100 === 0)
+      .select(col("vec_id").as("query_id"), col("embedding").as("query_vec"))
+    val dir = java.nio.file.Files.createTempDirectory("annidx").toString
+    try {
+      Similarity.buildIvfPqIndex(corpus, dir)
+      // the persisted index answers EXACTLY what the inline op computes
+      // (deterministic seeding/training → identical centroids and codes)
+      val fromIndex = Similarity.queryIvfPqIndex(spark, dir, q, k = 5)
+        .collect().map(r => (r.getLong(0), r.getInt(3)) -> r.getLong(1)).toMap
+      val inline = Similarity.ivfPqTopK(corpus, q, k = 5)
+        .collect().map(r => (r.getLong(0), r.getInt(3)) -> r.getLong(1)).toMap
+      assert(fromIndex == inline, "index path diverged from inline op")
+      // cell pruning reaches the STORAGE layer: the probed-cell IN filter
+      // appears as a parquet PartitionFilter, not a post-scan filter
+      val plan = Similarity.queryIvfPqIndex(spark, dir, q.limit(1), k = 5)
+        .queryExecution.executedPlan.toString
+      assert(plan.contains("PartitionFilters: [cell"), "probe filter must partition-prune")
+      // the layout is genuinely partitioned by cell on disk
+      val cellDirs = new java.io.File(s"$dir/cells").listFiles()
+        .filter(_.getName.startsWith("cell=")).map(_.getName)
+      assert(cellDirs.nonEmpty)
+      // a fresh "session" (nothing cached) reads the same index back
+      spark.catalog.clearCache()
+      val again = Similarity.queryIvfPqIndex(spark, dir, q, k = 5)
+        .collect().map(r => (r.getLong(0), r.getInt(3)) -> r.getLong(1)).toMap
+      assert(again == inline)
+    } finally org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+  }
+
   test("pqEncode emits one in-range code per subspace") {
     val corpus = Tables.load(spark, sfDir, "embeddings")
     val cb = Similarity.trainPqCodebooks(corpus, nSubspaces = 16, nCodes = 16)
