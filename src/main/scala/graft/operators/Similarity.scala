@@ -584,6 +584,46 @@ object Similarity {
       .write.mode("overwrite").parquet(s"$indexDir/codebooks")
   }
 
+  /** Bounded driver read of a persisted index's model: (centroid rows,
+    * codebooks). Shared by query and append.
+    */
+  private def loadIndexModel(spark: org.apache.spark.sql.SparkSession,
+      indexDir: String): (Array[(Int, Array[Float])], Array[Array[Array[Float]]]) = {
+    val centroidRows = spark.read.parquet(s"$indexDir/centroids")
+      .collect().map(r => r.getInt(0) -> r.getSeq[Float](1).toArray)
+    val cb: Array[Array[Array[Float]]] = {
+      val rows = spark.read.parquet(s"$indexDir/codebooks")
+        .collect().map(r => (r.getInt(0), r.getInt(1), r.getSeq[Float](2).toArray))
+      val nS = rows.map(_._1).max + 1
+      val nC = rows.map(_._2).max + 1
+      val out = Array.ofDim[Array[Float]](nS, nC)
+      rows.foreach { case (s, c, v) => out(s)(c) = v }
+      out.map(_.toArray)
+    }
+    (centroidRows, cb)
+  }
+
+  /** Incrementally ADD vectors to a persisted index: assign each to its
+    * nearest EXISTING centroid, encode with the EXISTING codebooks, and
+    * append to the cell-partitioned store — one row-local pass over the
+    * new batch, no retraining, no touch of prior data (parquet append
+    * writes new files into the matching `cell=` directories). This is how
+    * a streaming embedding pipeline keeps the search index current; the
+    * standard caveat applies (heavy drift in the vector distribution
+    * eventually wants a rebuild, since cells/codebooks stay frozen).
+    */
+  def appendToIvfPqIndex(newVectors: DataFrame, indexDir: String,
+      idCol: String = "vec_id", vecCol: String = "embedding"): Unit = {
+    val spark = newVectors.sparkSession
+    val (centroidRows, cb) = loadIndexModel(spark, indexDir)
+    val centroids = centroidRows.sortBy(_._1).map(_._2)
+    newVectors.select(col(idCol),
+        nearestCentroid(col(vecCol), centroids).as("cell"),
+        pqEncode(col(vecCol), cb).as("pq_codes"),
+        col(vecCol).as("vec"))
+      .write.mode("append").partitionBy("cell").parquet(s"$indexDir/cells")
+  }
+
   /** Query a persisted IVF+PQ index: probe each query's `nProbe` nearest
     * cells (centroids are a bounded driver read), push `cell IN (probed)`
     * into the partitioned scan — only probed cells' files are read — ADC
@@ -596,17 +636,7 @@ object Similarity {
       idCol: String = "vec_id",
       queryIdCol: String = "query_id", queryVecCol: String = "query_vec"): DataFrame = {
     import spark.implicits._
-    val centroidRows = spark.read.parquet(s"$indexDir/centroids")
-      .collect().map(r => r.getInt(0) -> r.getSeq[Float](1).toArray)
-    val cb: Array[Array[Array[Float]]] = {
-      val rows = spark.read.parquet(s"$indexDir/codebooks")
-        .collect().map(r => (r.getInt(0), r.getInt(1), r.getSeq[Float](2).toArray))
-      val nS = rows.map(_._1).max + 1
-      val nC = rows.map(_._2).max + 1
-      val out = Array.ofDim[Array[Float]](nS, nC)
-      rows.foreach { case (s, c, v) => out(s)(c) = v }
-      out.map(_.toArray)
-    }
+    val (centroidRows, cb) = loadIndexModel(spark, indexDir)
     val centroidsDf = broadcast(
       centroidRows.map { case (i, v) => (i, v.toSeq) }.toSeq.toDF("cell", "cvec"))
     val pw = Window.partitionBy(col(queryIdCol)).orderBy(col("csim").desc, col("cell"))

@@ -108,6 +108,33 @@ class SimilaritySpec extends SparkSpec {
     } finally org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
   }
 
+  test("index append: new vectors join the persisted index without retraining") {
+    import spark.implicits._
+    val corpus = Tables.load(spark, sfDir, "embeddings")
+    val dir = java.nio.file.Files.createTempDirectory("annidx2").toString
+    try {
+      Similarity.buildIvfPqIndex(corpus, dir)
+      val n0 = spark.read.parquet(s"$dir/cells").count()
+      // new vectors: exact copies of two corpus vectors under fresh ids
+      // (guaranteed findable: they land in their twins' cells)
+      val twins = corpus.filter(col("vec_id").isin(0L, 7L))
+        .select((col("vec_id") + 900000L).as("vec_id"), col("embedding"))
+      Similarity.appendToIvfPqIndex(twins, dir)
+      assert(spark.read.parquet(s"$dir/cells").count() == n0 + 2)
+      // querying WITH the new vectors' own embeddings: each appended
+      // vector is retrieved (itself or its exact twin at sim 1.0)
+      val q = twins.select(col("vec_id").as("query_id"), col("embedding").as("query_vec"))
+      val top = Similarity.queryIvfPqIndex(spark, dir, q, k = 2)
+        .filter(col("rank") === 1)
+        .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+      assert(top.size == 2)
+      top.foreach { case (qid, (hit, sim)) =>
+        assert(sim > 0.9999, s"query $qid rank-1 sim $sim")
+        assert(hit == qid || hit == qid - 900000L, s"query $qid hit $hit")
+      }
+    } finally org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+  }
+
   test("pqEncode emits one in-range code per subspace") {
     val corpus = Tables.load(spark, sfDir, "embeddings")
     val cb = Similarity.trainPqCodebooks(corpus, nSubspaces = 16, nCodes = 16)
