@@ -561,17 +561,26 @@ object Dedup {
     val longIds = pairs.schema.take(2).forall(
       _.dataType == org.apache.spark.sql.types.LongType)
     val probeN = math.min(maxDriverEdges + 1, Int.MaxValue.toLong).toInt
-    // ONE pass over the (possibly expensive — LSH joins) pair pipeline:
-    // collect up to the budget + 1; an overflow row means the graph is too
-    // big for the driver and the rows are discarded for the distributed
-    // path. (A separate limit-count probe would execute the pipeline twice
-    // — once for the count, once for the collect — on every fast-path hit.)
-    val probed: Option[Array[org.apache.spark.sql.Row]] =
+    // ONE pass over the (possibly expensive — LSH joins) pair pipeline,
+    // WITHOUT collecting an over-budget graph to the driver: the limited
+    // frame is persisted executor-side, the count reads the cache, and
+    // only a within-budget graph is then collected (also from cache). An
+    // overflow (count > budget) ships nothing to the driver and falls
+    // through to the distributed path. (A bare limit-count probe ran the
+    // pipeline twice on every fast-path hit; a bare collect-first put
+    // probeN boxed rows on the driver precisely when the graph was too
+    // big for it.)
+    val limited =
       if (longIds)
         Some(pairs.select(col("doc_a").cast("long"), col("doc_b").cast("long"))
-          .limit(probeN).collect())
+          .limit(probeN)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
       else None
-    if (probed.exists(_.length <= maxDriverEdges)) {
+    val smallGraph = limited.exists(_.count() <= maxDriverEdges)
+    val probed: Option[Array[org.apache.spark.sql.Row]] =
+      if (smallGraph) limited.map(_.collect()) else None
+    limited.foreach(_.unpersist())
+    if (probed.isDefined) {
       val parent = new java.util.HashMap[Long, Long]()
       def find(x: Long): Long = {
         var r = x

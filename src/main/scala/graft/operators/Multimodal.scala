@@ -97,8 +97,10 @@ object Multimodal {
             // the strf's layout depends on which stream owns it: only a
             // 'vids' stream's strf is a BITMAPINFOHEADER (an audio track's
             // WAVEFORMATEX would alias the geometry fields — e.g. mono PCM
-            // puts 44100 where biWidth sits)
-            case "strf" if lastStreamType == "vids" &&
+            // puts 44100 where biWidth sits). When NO strh was parseable
+            // (corrupt/truncated header), fall back to the lenient
+            // biSize-shaped heuristic so a lone intact strf still counts.
+            case "strf" if (lastStreamType == "vids" || lastStreamType.isEmpty) &&
                 dataEnd - dataStart >= 20 && le32(bytes, dataStart) >= 40 =>
               // BITMAPINFOHEADER (biSize first) => this strf belongs to a video stream
               width = le32(bytes, dataStart + 4)

@@ -640,15 +640,29 @@ object Similarity {
     val centroidsDf = broadcast(
       centroidRows.map { case (i, v) => (i, v.toSeq) }.toSeq.toDF("cell", "cvec"))
     val pw = Window.partitionBy(col(queryIdCol)).orderBy(col("csim").desc, col("cell"))
-    val probes = queries.crossJoin(centroidsDf)
+    // probes are collected ONCE (bounded: queries × nProbe rows) and both
+    // the partition-pruning IN list and the join input derive from the
+    // same materialized set — re-evaluating the probe pipeline for the
+    // join would run the queries lineage twice and, for a
+    // non-deterministic queries frame, could disagree with the IN list
+    val probeRows = queries.crossJoin(centroidsDf)
       .withColumn("csim", VectorOps.cosineF(col(queryVecCol), col("cvec")))
       .withColumn("crn", row_number().over(pw))
       .filter(col("crn") <= nProbe)
       .select(col(queryIdCol), col(queryVecCol), col("cell"))
+      .collect()
+    val probes = spark.createDataFrame(
+      spark.sparkContext.parallelize(probeRows.toIndexedSeq, 1),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField(queryIdCol,
+          queries.schema(queryIdCol).dataType),
+        org.apache.spark.sql.types.StructField(queryVecCol,
+          queries.schema(queryVecCol).dataType),
+        org.apache.spark.sql.types.StructField("cell",
+          org.apache.spark.sql.types.IntegerType))))
     // the probed-cell set is ≤ nCentroids values: pushing it as an IN
     // filter turns cell pruning into parquet partition pruning
-    val probedCells = probes.select("cell").distinct()
-      .collect().map(_.getInt(0)).toSeq
+    val probedCells = probeRows.map(_.getInt(2)).distinct.toSeq
     val cells = spark.read.parquet(s"$indexDir/cells")
       .filter(col("cell").isin(probedCells: _*))
     val r = math.max(k, rerank)
@@ -659,7 +673,10 @@ object Similarity {
       .filter(col("arank") <= r)
       .select(col(queryIdCol), col(queryVecCol), col(idCol))
     val w = Window.partitionBy(col(queryIdCol)).orderBy(col("sim").desc, col(idCol))
-    spark.read.parquet(s"$indexDir/cells")
+    // rerank from the SAME pruned cells frame (it carries the raw vec):
+    // every candidate lives in a probed cell, so re-reading the whole
+    // store here would defeat the partition pruning the index provides
+    cells.select(col(idCol), col("vec"))
       .join(broadcast(cand), idCol)
       .withColumn("sim", VectorOps.cosineF(col("vec"), col(queryVecCol)))
       .withColumn("rank", row_number().over(w))

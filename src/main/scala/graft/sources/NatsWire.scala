@@ -120,12 +120,17 @@ final class NatsClient(host: String, port: Int, name: String = "graft") extends 
       out.flush()
     }
 
+  private val flushLock = new Object
+
   /** Round-trip a PING so all prior publishes are known server-processed:
     * the protocol guarantees in-order processing per connection, so the
     * PONG arriving means every earlier PUB was handled. Blocks on the
-    * actual PONG (5 s timeout), not a sleep.
+    * actual PONG (5 s timeout), not a sleep. Serialized, and stale PONGs
+    * (from a previous timed-out flush) are drained first so a retry
+    * cannot be satisfied by its predecessor's late answer.
     */
-  def flush(): Unit = {
+  def flush(): Unit = flushLock.synchronized {
+    pongs.clear()
     out.synchronized { writeLine(out, "PING"); out.flush() }
     require(pongs.poll(5, java.util.concurrent.TimeUnit.SECONDS) != null,
       "no PONG within 5s")
