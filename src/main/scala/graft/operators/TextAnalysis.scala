@@ -45,6 +45,23 @@ object TextAnalysis {
     regexp_replace(s5, "^[ \\n]+|[ \\n]+$", "")
   }
 
+  /** Flesch reading-ease (Flesch 1948): 206.835 − 1.015·(words/sentences)
+    * − 84.6·(syllables/word) — the classic readability signal curation
+    * pipelines use to bias toward educational prose. Sentences are
+    * terminal-punctuation runs (min 1); syllables are vowel-group counts
+    * (the standard regex proxy — exact syllabification needs a
+    * dictionary, and the score is a monotone filter signal, not prosody).
+    * One scan-fused expression; deterministic double math, so the value
+    * is hash-exact cross-engine.
+    */
+  def fleschReadingEase(text: Column): Column = {
+    val words = tokenCount(text).cast("double")
+    val sentences = greatest(regexp_count(text, lit("[.!?]+")), lit(1)).cast("double")
+    val syllables = regexp_count(lower(text), lit("[aeiouy]+")).cast("double")
+    round(lit(206.835) - lit(1.015) * words / sentences
+      - lit(84.6) * syllables / greatest(words, lit(1.0)), 4)
+  }
+
   /** Whitespace token count. */
   def tokenCount(text: Column): Column = size(Dedup.tokens(text))
 

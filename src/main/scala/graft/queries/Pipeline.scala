@@ -120,6 +120,30 @@ object Pipeline {
            |FROM documents""".stripMargin
       }),
 
+    // ── Flesch reading-ease (the classic educational-prose signal): the
+    //    formula's three counts (tokens, terminal-punctuation runs,
+    //    vowel-group "syllables") replay exactly in DuckDB, and the
+    //    arithmetic is one deterministic double expression — hash-exact.
+    //    The synthetic corpus has no sentence punctuation, so the query
+    //    dirties half the rows with injected sentence breaks (identically
+    //    in both engines) to exercise the sentences term.
+    Q("q_readability",
+      (s, dir) => docs(s, dir).select(col("doc_id"),
+        TextAnalysis.fleschReadingEase(
+          when(col("doc_id") % 2 === 0,
+            regexp_replace(col("text"), " a ", ". A "))
+            .otherwise(col("text"))).as("flesch")),
+      Some(s"""WITH d AS (SELECT doc_id,
+              |  CASE WHEN doc_id % 2 = 0 THEN regexp_replace(text, ' a ', '. A ', 'g')
+              |       ELSE text END AS t FROM documents)
+              |SELECT doc_id,
+              |  round(206.835
+              |    - 1.015 * CAST(len(${oTokens("t")}) AS DOUBLE)
+              |      / greatest(CAST(len(regexp_extract_all(t, '[.!?]+')) AS DOUBLE), 1.0)
+              |    - 84.6 * CAST(len(regexp_extract_all(lower(t), '[aeiouy]+')) AS DOUBLE)
+              |      / greatest(CAST(len(${oTokens("t")}) AS DOUBLE), 1.0), 4) AS flesch
+              |FROM d""".stripMargin)),
+
     // ── quality-distribution diagnostics: the histogram a pipeline
     //    operator reads before choosing a quality threshold. Deciles are
     //    VALUE bins (floor(q·10)), not ntile — ntile needs a global sort,
