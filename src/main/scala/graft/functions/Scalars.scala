@@ -144,6 +144,7 @@ object Scalars {
     col1("token_count", graft.operators.TextAnalysis.tokenCount)
     col1("token_count_bpe", graft.operators.TextAnalysis.tokenCountBpe)
     col1("quality_score", graft.operators.TextAnalysis.qualityScore)
+    col1("flesch_reading_ease", graft.operators.TextAnalysis.fleschReadingEase)
     col1("lang_id", c => graft.operators.TextAnalysis.languageId(c))
     col1("url_normalize", graft.operators.Urls.normalize)
     col1("url_domain", graft.operators.Urls.domainOf)

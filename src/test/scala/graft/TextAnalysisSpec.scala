@@ -289,6 +289,7 @@ class TextAnalysisSpec extends SparkSpec {
         |       token_count('one two three') AS tc,
         |       token_count_bpe('ab, cd!') AS tb,
         |       lang_id('the quick brown fox and the lazy dog') AS lang,
+        |       flesch_reading_ease('one two. three four.') AS fre,
         |       url_normalize('https://www.Ex.COM/a/?b=2&a=1&utm_source=x') AS u,
         |       url_domain('https://www.Ex.COM:8080/a') AS d
         |""".stripMargin).collect()(0)
@@ -297,8 +298,11 @@ class TextAnalysisSpec extends SparkSpec {
     assert(r.getInt(2) == 3)
     assert(r.getInt(3) == 4)
     assert(r.getString(4) == "en")
-    assert(r.getString(5) == "ex.com/a?a=1&b=2")
-    assert(r.getString(6) == "ex.com")
+    // 4 words / 2 sentences, 5 vowel groups ("o","e","o","ee","ou"):
+    // 206.835 - 1.015*2 - 84.6*(5/4) = 99.055
+    assert(math.abs(r.getDouble(5) - 99.055) < 1e-9)
+    assert(r.getString(6) == "ex.com/a?a=1&b=2")
+    assert(r.getString(7) == "ex.com")
     // value-identical to the Column surface (same expression tree)
     import org.apache.spark.sql.functions.col
     val viaCol = one("  a  b ")
