@@ -1,5 +1,7 @@
 package graft
 
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
 /** Benchmark main: runs the headline queries on SPARK_GRAFT_SF_DIR and
   * prints one JSON line {"metric":…,"value":…,"queries":{…}} for the
   * driver's BENCH_r{N}.json.
@@ -17,6 +19,11 @@ package graft
   *     identical code 6.6× run-to-run, which a median over 3 runs cannot
   *     reject. tmpfs is the SCALE.md controlled-probe method.
   * Per-query time is the MEDIAN of SPARK_GRAFT_BENCH_RUNS runs (default 3).
+  *
+  * FAIL-LOUD contract (round-7): a query that THROWS is recorded in the
+  * JSON line's "errors" object (query → exception message) and its timing
+  * is excluded from "value" — a regression that breaks a query can only
+  * make the artifact worse, never faster. Any error ⇒ exit code 1.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -27,51 +34,9 @@ object Bench {
     val spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    val qmap = SparkEntry.queries
+    val (line, errors) =
+      runBattery(spark, sfDir, runs, SparkEntry.queries, SparkEntry.headline)
 
-    def once(name: String): Double = {
-      val t0 = System.nanoTime()
-      try { qmap(name)(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      (System.nanoTime() - t0) / 1e9
-    }
-    def clearBetween(): Unit = { spark.catalog.clearCache(); System.gc() }
-
-    // full warm-up battery (published, not scored): pays the one-time
-    // codegen/JIT/page-cache cost per query so the timed rounds measure
-    // the operators, not the environment
-    val warmup = SparkEntry.headline.map(n => n -> once(n)).toMap
-    clearBetween()
-
-    // interleave rounds (run the whole battery `runs` times) so one query's
-    // GC debt doesn't land on its own repeat; clear SQL caches + nudge the
-    // ContextCleaner between rounds so blocks pinned by one round can't tax
-    // the next one's timings (the round-3 bench confound)
-    val samples = (1 to runs).map { _ =>
-      val round = SparkEntry.headline.map(n => n -> once(n)).toMap
-      clearBetween()
-      round
-    }
-    val results = SparkEntry.headline.map { name =>
-      val xs = samples.map(_(name)).sorted
-      name -> xs(xs.length / 2)
-    }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
-      .mkString("{", ",", "}")
-    // publish the raw per-run samples (in run order) next to the medians:
-    // a bimodal environment (kernel writeback, GC debt) and a genuine
-    // regression look identical in a lone median — the samples tell them
-    // apart in the graded artifact itself
-    val sampleJson = SparkEntry.headline.map { name =>
-      "\"" + name + "\":" + samples.map(r => f"${r(name)}%.3f").mkString("[", ",", "]")
-    }.mkString("{", ",", "}")
-    val warmupJson = SparkEntry.headline.map { name =>
-      "\"" + name + "\":" + f"${warmup(name)}%.3f"
-    }.mkString("{", ",", "}")
-    val total = results.map(_._2).sum
-    // "sf" names the data directory: totals are only comparable between
-    // runs over the SAME directory (an sf0.001 total vs an sf0.1 total is
-    // a scale change, not a speedup — ADVICE r5)
-    val line = f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"samples":$sampleJson,"warmup":$warmupJson,"sf":"$sfDir"}"""
     // the driver parses this line; sbt interleaves [info]/[error] prefixes
     // into stdout, so ALSO write it to a file and print it last, after
     // spark.stop() has flushed its shutdown logging
@@ -81,7 +46,94 @@ object Bench {
     catch { case _: Exception => }
     spark.stop()
     println(line)
+    if (errors.nonEmpty) {
+      System.err.println(s"BENCH FAILED: ${errors.size} query(ies) threw: " +
+        errors.map(_._1).mkString(", "))
+      sys.exit(1)
+    }
   }
+
+  /** Runs the warm-up + `runs` timed rounds of `headline` against `qmap`
+    * and renders the one-line JSON artifact. Returns (jsonLine, errors).
+    * Factored out of main so a spec can prove a broken query surfaces in
+    * "errors" (and would exit nonzero) instead of polluting the medians.
+    */
+  private[graft] def runBattery(spark: SparkSession, sfDir: String, runs: Int,
+      qmap: Map[String, (SparkSession, String) => DataFrame],
+      headline: Seq[String]): (String, Seq[(String, String)]) = {
+    val failed = scala.collection.mutable.LinkedHashMap[String, String]()
+
+    // elapsed seconds, or None on a throw (recorded once per query; the
+    // throw itself must NOT enter any timing aggregate)
+    def once(name: String): Option[Double] = {
+      val t0 = System.nanoTime()
+      try {
+        qmap(name)(spark, sfDir).count()
+        Some((System.nanoTime() - t0) / 1e9)
+      } catch {
+        case e: Throwable =>
+          failed.getOrElseUpdate(name,
+            Option(e.getMessage).getOrElse(e.getClass.getName).take(300))
+          None
+      }
+    }
+    def clearBetween(): Unit = { spark.catalog.clearCache(); System.gc() }
+
+    // full warm-up battery (published, not scored): pays the one-time
+    // codegen/JIT/page-cache cost per query so the timed rounds measure
+    // the operators, not the environment
+    val warmup = headline.map(n => n -> once(n)).toMap
+    clearBetween()
+
+    // interleave rounds (run the whole battery `runs` times) so one query's
+    // GC debt doesn't land on its own repeat; clear SQL caches + nudge the
+    // ContextCleaner between rounds so blocks pinned by one round can't tax
+    // the next one's timings (the round-3 bench confound)
+    val samples = (1 to runs).map { _ =>
+      val round = headline.map(n => n -> once(n)).toMap
+      clearBetween()
+      round
+    }
+    // median over SUCCESSFUL samples only; a query with zero successes is
+    // an error entry, not a timing
+    val results = headline.flatMap { name =>
+      val xs = samples.flatMap(_(name)).sorted
+      if (xs.isEmpty) None else Some(name -> xs(xs.length / 2))
+    }
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
+      .mkString("{", ",", "}")
+    // publish the raw per-run samples (in run order) next to the medians:
+    // a bimodal environment (kernel writeback, GC debt) and a genuine
+    // regression look identical in a lone median — the samples tell them
+    // apart in the graded artifact itself
+    val sampleJson = headline.map { name =>
+      "\"" + name + "\":" + samples.map(r =>
+        r(name).map(v => f"$v%.3f").getOrElse("null")).mkString("[", ",", "]")
+    }.mkString("{", ",", "}")
+    val warmupJson = headline.map { name =>
+      "\"" + name + "\":" + warmup(name).map(v => f"$v%.3f").getOrElse("null")
+    }.mkString("{", ",", "}")
+    val errJson = failed.map { case (k, msg) =>
+      "\"" + k + "\":\"" + jsonEscape(msg) + "\""
+    }.mkString("{", ",", "}")
+    val total = results.map(_._2).sum
+    // "sf" names the data directory: totals are only comparable between
+    // runs over the SAME directory (an sf0.001 total vs an sf0.1 total is
+    // a scale change, not a speedup — ADVICE r5)
+    val line = f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"samples":$sampleJson,"warmup":$warmupJson,"errors":$errJson,"sf":"$sfDir"}"""
+    (line, failed.toSeq)
+  }
+
+  private def jsonEscape(s: String): String =
+    s.flatMap {
+      case '"' => "\\\""
+      case '\\' => "\\\\"
+      case '\n' => "\\n"
+      case '\r' => "\\r"
+      case '\t' => "\\t"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    }
 
   /** A writable tmpfs dir for spark.local.dir, if the box has one.
     * SPARK_GRAFT_LOCAL_DIR wins (set it to "" to force default disk).

@@ -42,5 +42,8 @@ object SparkEntry {
     // round-6: the two round-5 pair-generating ops, tracked round-over-
     // round like q_ngram_jaccard (their Σdf²/Σcell² terms are the costs
     // that move at scale)
-    "q_tfidf", "q_semdedup")
+    "q_tfidf", "q_semdedup",
+    // round-7: the designed-for-scale ANN paths (PQ ADC scan + IVF+PQ
+    // composed) — their compression/pruning claims deserve a tracked cost
+    "q_ann_pq", "q_ann_ivfpq")
 }

@@ -182,22 +182,44 @@ object Bpe {
     syms
   }
 
+  /** Hard cap on the per-executor word→tokens memo in [[encode]]. Natural-
+    * language vocabulary is ~10⁶–10⁷ distinct words, but a 100 TB crawl's
+    * long tail (URLs-in-text, hex hashes, code identifiers) is NOT
+    * vocab-bounded — an uncapped memo would grow for the life of the
+    * executor. Memory envelope at the cap: ~1M entries × (word + token
+    * array + map overhead ≈ 200 B) ≈ 200 MB worst case per executor,
+    * typically far less. The memo is an optimization, not semantics:
+    * clear-on-full keeps output byte-identical (spec-proven with cap=2).
+    */
+  val defaultMemoCap: Int = 1 << 20
+
   /** Corpus-wide encode: adds `tokens` (array<string>) and `n_bpe_tokens`.
     * Row-local — merge ranks ride a broadcast map, and a per-partition
     * word→tokens memo turns repeated words into lookups. This is the one
     * operator here that touches the full corpus; it parallelizes
     * embarrassingly and preserves partitioning.
+    *
+    * Null text null-propagates (the 100 TB bad-row policy: a malformed
+    * row degrades, it never aborts the job). The memo is bounded by
+    * `memoCap` ([[defaultMemoCap]]) with clear-on-full.
     */
-  def encode(df: DataFrame, textCol: String, merges: Seq[Merge]): DataFrame = {
+  def encode(df: DataFrame, textCol: String, merges: Seq[Merge],
+      memoCap: Int = defaultMemoCap): DataFrame = {
     val spark = df.sparkSession
     val ranksB = spark.sparkContext.broadcast(
       merges.map(m => (m.left, m.right) -> m.rank).toMap)
+    val cap = memoCap.max(1)
     val encodeUdf = udf(new (Seq[String] => Seq[String]) with Serializable {
       @transient private lazy val memo =
         new java.util.concurrent.ConcurrentHashMap[String, Array[String]]()
       def apply(words: Seq[String]): Seq[String] =
-        words.flatMap(w =>
-          memo.computeIfAbsent(w, (k: String) => encodeWord(k, ranksB.value)))
+        if (words == null) null
+        else words.flatMap { w =>
+          // bound BEFORE insert so the map never exceeds cap; clearing is
+          // safe (pure cache) and cheaper than LRU bookkeeping in the hot path
+          if (memo.size >= cap) memo.clear()
+          memo.computeIfAbsent(w, (k: String) => encodeWord(k, ranksB.value))
+        }
     })
     df.withColumn("tokens", encodeUdf(preTokens(col(textCol))))
       .withColumn("n_bpe_tokens", size(col("tokens")))

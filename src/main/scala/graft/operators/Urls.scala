@@ -20,11 +20,17 @@ object Urls {
     */
   val trackingParamPattern = "^(utm_[^=]*|fbclid|gclid|msclkid|ref|mc_cid|mc_eid)="
 
-  /** scheme + `www.` stripped, fragment dropped. */
+  /** scheme + userinfo + `www.` stripped, fragment dropped. The userinfo
+    * strip (`user:pw@host` → `host`) keeps URL dedup and per-domain caps
+    * from treating `http://user@example.com/x` and `http://example.com/x`
+    * as different pages; `[^/?#]*` confines the match to the authority
+    * component so an `@` in path/query/fragment is untouched.
+    */
   private def stripShell(url: Column): Column = {
     val s1 = regexp_replace(url, "^[Hh][Tt][Tt][Pp][Ss]?://", "")
-    val s2 = regexp_replace(s1, "^[Ww][Ww][Ww]\\.", "")
-    regexp_replace(s2, "#.*$", "")
+    val s2 = regexp_replace(s1, "^[^/?#]*@", "")
+    val s3 = regexp_replace(s2, "^[Ww][Ww][Ww]\\.", "")
+    regexp_replace(s3, "#.*$", "")
   }
 
   /** Lowercased registrable host (no scheme/www/port). */

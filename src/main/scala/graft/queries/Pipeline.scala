@@ -896,7 +896,9 @@ object Pipeline {
     Q("q_url_normalize",
       (s, dir) => {
         val raw = docs(s, dir).withColumn("url", concat(
-          when(col("doc_id") % 2 === 0, "https://WWW.").otherwise("http://"),
+          when(col("doc_id") % 2 === 0, "https://").otherwise("http://"),
+          when(col("doc_id") % 11 === 0, "User:Pw@").otherwise(""),
+          when(col("doc_id") % 2 === 0, "WWW.").otherwise(""),
           col("source"), lit(".Example.COM"),
           when(col("doc_id") % 5 === 0, ":8080").otherwise(""),
           lit("/Docs/"), (col("doc_id") % 100).cast("string"),
@@ -909,13 +911,15 @@ object Pipeline {
           graft.operators.Urls.domainOf(col("url")).as("domain"))
       },
       Some("""WITH u AS (SELECT doc_id,
-             |  (CASE WHEN doc_id % 2 = 0 THEN 'https://WWW.' ELSE 'http://' END) || source || '.Example.COM' ||
+             |  (CASE WHEN doc_id % 2 = 0 THEN 'https://' ELSE 'http://' END) ||
+             |  (CASE WHEN doc_id % 11 = 0 THEN 'User:Pw@' ELSE '' END) ||
+             |  (CASE WHEN doc_id % 2 = 0 THEN 'WWW.' ELSE '' END) || source || '.Example.COM' ||
              |  (CASE WHEN doc_id % 5 = 0 THEN ':8080' ELSE '' END) || '/Docs/' || CAST(doc_id % 100 AS VARCHAR) ||
              |  (CASE WHEN doc_id % 3 = 0 THEN '/' ELSE '' END) || '?utm_source=feed&b=2&a=1' ||
              |  (CASE WHEN doc_id % 4 = 0 THEN '&fbclid=XYZ' ELSE '' END) ||
              |  (CASE WHEN doc_id % 7 = 0 THEN '#frag' ELSE '' END) AS url FROM documents),
-             |s AS (SELECT doc_id, regexp_replace(regexp_replace(regexp_replace(url,
-             |       '^[Hh][Tt][Tt][Pp][Ss]?://', ''), '^[Ww][Ww][Ww]\.', ''), '#.*$', '') AS su FROM u),
+             |s AS (SELECT doc_id, regexp_replace(regexp_replace(regexp_replace(regexp_replace(url,
+             |       '^[Hh][Tt][Tt][Pp][Ss]?://', ''), '^[^/?#]*@', ''), '^[Ww][Ww][Ww]\.', ''), '#.*$', '') AS su FROM u),
              |parts AS (SELECT doc_id,
              |   lower(regexp_replace(regexp_extract(su, '^([^/?]+)', 1), ':[0-9]+$', '')) AS host,
              |   regexp_extract(su, '^[^/?]+(.*)$', 1) AS rest FROM s),

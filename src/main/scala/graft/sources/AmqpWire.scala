@@ -276,7 +276,16 @@ final class AmqpServer extends AutoCloseable {
               a.shortstr("ctag").u64(1L).u8(0).shortstr("").shortstr(queue)
             })
             writeFrame(cout, FrameHeader, 1, contentHeader(payload.length.toLong))
-            writeFrame(cout, FrameBody, 1, payload)
+            // chunk at 64 KiB like AmqpClient.publish: the tune we sent
+            // advertised frame-max 131072, and a spec-conforming client
+            // rejects any frame over the negotiated max (ADVICE r6)
+            var off = 0
+            while (off < payload.length) { // empty body: header only
+              val n = math.min(65536, payload.length - off)
+              writeFrame(cout, FrameBody, 1,
+                java.util.Arrays.copyOfRange(payload, off, off + n))
+              off += n
+            }
           } catch { case _: Exception => () }
         }
       }

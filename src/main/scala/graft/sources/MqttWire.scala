@@ -141,11 +141,13 @@ final class MqttClient(host: String, port: Int, clientId: String = "graft") exte
             }
             val h = handlers.get(topic)
             if (h != null) h(topic, payload)
-          case PUBACK =>
+          case PUBACK | SUBACK =>
+            // both carry a u16 packet id first; SUBACK additionally has
+            // return codes, ignored here (QoS-1-only subset)
             val l = pendingAcks.remove(u16(body, 0))
             if (l != null) l.countDown()
           case PINGREQ => writePacket(out, PINGRESP, 0, Array.emptyByteArray)
-          case _ => () // SUBACK / PINGRESP: nothing pending on them here
+          case _ => () // PINGRESP: nothing pending on it here
         }
       }
     } catch { case _: Exception if closed.get() => () }
@@ -163,13 +165,24 @@ final class MqttClient(host: String, port: Int, clientId: String = "graft") exte
     p
   }
 
-  /** Exact-topic subscription at QoS 1 (the subset the connector uses). */
+  /** Exact-topic subscription at QoS 1 (the subset the connector uses).
+    * Blocks until the broker's SUBACK (same latch pattern as the QoS-1
+    * publish/PUBACK flow): returning earlier would let a `wire='true'`
+    * DDL bridge silently lose messages published immediately after
+    * WireBridges.ensure (ADVICE r6).
+    */
   def subscribe(topic: String)(handler: (String, Array[Byte]) => Unit): Unit = {
     handlers.put(topic, handler)
-    val b = new ByteArrayOutputStream()
-    putU16(b, nextPid())
-    putStr(b, topic); b.write(1) // requested QoS 1
-    writePacket(out, SUBSCRIBE, 0x2, b.toByteArray)
+    val pid = nextPid()
+    val latch = new CountDownLatch(1)
+    pendingAcks.put(pid, latch)
+    try {
+      val b = new ByteArrayOutputStream()
+      putU16(b, pid)
+      putStr(b, topic); b.write(1) // requested QoS 1
+      writePacket(out, SUBSCRIBE, 0x2, b.toByteArray)
+      require(latch.await(5, TimeUnit.SECONDS), s"no SUBACK for pid=$pid within 5s")
+    } finally pendingAcks.remove(pid)
   }
 
   /** QoS-1 publish: blocks until the broker's PUBACK. */

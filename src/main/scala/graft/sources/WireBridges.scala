@@ -54,8 +54,18 @@ object WireBridges {
     }
   }
 
-  /** Establish (once) the live bridge for a `wire = 'true'` table. */
-  def ensure(t: ConnectorTable, address: String, topic: String): Unit = {
+  /** Establish (once) the live bridge for a `wire = 'true'` table.
+    *
+    * The whole check-and-construct runs under one lock: TrieMap's
+    * `getOrElseUpdate` is not atomic over a side-effecting thunk, so two
+    * threads constructing plans for the same table concurrently could
+    * each open a live subscription — the loser would never be closed and
+    * every delivery would land twice in the seam topic (ADVICE r6).
+    * Bridge setup is rare (plan-construction time) and fast, so a coarse
+    * lock is the right trade vs. optimistic build-then-putIfAbsent, which
+    * would let the losing client publish duplicates before being closed.
+    */
+  def ensure(t: ConnectorTable, address: String, topic: String): Unit = active.synchronized {
     if (!t.options.get("wire").contains("true")) return
     val key = s"${t.connector}|$address|$topic"
     active.getOrElseUpdate(key, t.connector match {
@@ -123,7 +133,7 @@ object WireBridges {
   }
 
   /** Close every live bridge (test teardown). */
-  def closeAll(): Unit = {
+  def closeAll(): Unit = active.synchronized {
     active.values.foreach(c => try c.close() catch { case _: Exception => () })
     active.clear()
   }

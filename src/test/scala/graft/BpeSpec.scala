@@ -68,6 +68,24 @@ class BpeSpec extends SparkSpec {
     assert(raw == charTotal)
   }
 
+  test("encode null-propagates on null text and survives a tiny memo cap") {
+    import spark.implicits._
+    val merges = Bpe.trainDriver(classicFreqs, 3)
+    val docs = Seq((1L, "hugs pun"), (2L, null), (3L, "bun")).toDF("doc_id", "text")
+    // null text must yield null tokens, not an aborted task (100 TB bad-row policy)
+    val rows = Bpe.encode(docs, "text", merges).orderBy("doc_id")
+      .select("tokens", "n_bpe_tokens").collect()
+    assert(rows(0).getSeq[String](0) == Seq("hug", "s", "p", "un"))
+    assert(rows(1).isNullAt(0) && rows(1).isNullAt(1))
+    assert(rows(2).getSeq[String](0) == Seq("b", "un"))
+    // memo is a pure cache: forcing clear-on-full at cap=2 changes nothing
+    val full = Bpe.encode(classicDocs, "text", merges).orderBy("doc_id")
+      .select("doc_id", "tokens").collect().toSeq
+    val capped = Bpe.encode(classicDocs, "text", merges, memoCap = 2)
+      .orderBy("doc_id").select("doc_id", "tokens").collect().toSeq
+    assert(capped == full)
+  }
+
   test("training on the real corpus compresses it and is deterministic") {
     val docs = Tables.load(spark, sfDir, "documents").limit(200).cache()
     val merges = Bpe.train(docs, "text", numMerges = 30)

@@ -90,8 +90,9 @@ class WireProtocolsSpec extends SparkSpec {
       try {
         val got = new java.util.concurrent.ConcurrentLinkedQueue[String]()
         val latch = new CountDownLatch(3)
+        // subscribe() blocks on SUBACK (r7): a publish immediately after it
+        // cannot race the broker-side registration — no settle sleep needed
         sub.subscribe("sensors/temp") { (_, p) => got.add(new String(p, UTF_8)); latch.countDown() }
-        Thread.sleep(50)
         // publish() blocks on PUBACK — the QoS-1 handshake is exercised on
         // every message; a >127-byte payload exercises multi-byte varints
         pub.publish("sensors/temp", "a".getBytes(UTF_8))
