@@ -1,7 +1,6 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.expressions.Aggregator
 import org.apache.spark.sql.functions._
 
 /** Document-deduplication operators for training-data pipelines.
@@ -917,48 +916,22 @@ object Dedup {
     * pattern is the fingerprint. Near-dups differ in few bits (small
     * Hamming distance).
     *
-    * Implemented as a typed Aggregator (partial-merge friendly — Spark
-    * runs it map-side first, so the shuffle carries one 64-int vector per
-    * doc per partition, not the tokens).
+    * Per-doc 64-bit SimHash fingerprints: (doc, simhash). Computed
+    * ROW-LOCALLY by the codegen'd [[graft.functions.SimHashF]]
+    * expression: the fingerprint is a pure function of one document's
+    * tokens, so the previous explode → groupBy(doc).agg(UDAF)
+    * formulation paid a structural (doc, token-hash) shuffle plus a
+    * 256 B/doc partial-merge aggregate shuffle for nothing — this pays
+    * none (the [[minhashSignatures]] move, r7). Output is value-identical
+    * (same xxhash64 seed-42 token hashing, same ±1 vote/sign rule,
+    * tokenless docs drop like the exploded shape dropped them).
     */
-  // unsafe-array encoder (not java serialization) for the shuffle-crossing
-  // partial buffers; derived once per JVM
-  private val intArrayEncoder: org.apache.spark.sql.Encoder[Array[Int]] =
-    org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Int]]()
-
-  val simhashAgg: Aggregator[Long, Array[Int], Long] = new Aggregator[Long, Array[Int], Long] {
-    def zero: Array[Int] = new Array[Int](64)
-    def reduce(acc: Array[Int], tokenHash: Long): Array[Int] = {
-      var i = 0
-      while (i < 64) {
-        if (((tokenHash >>> i) & 1L) == 1L) acc(i) += 1 else acc(i) -= 1
-        i += 1
-      }
-      acc
-    }
-    def merge(a: Array[Int], b: Array[Int]): Array[Int] = {
-      var i = 0
-      while (i < 64) { a(i) += b(i); i += 1 }
-      a
-    }
-    def finish(acc: Array[Int]): Long = {
-      var r = 0L
-      var i = 0
-      while (i < 64) { if (acc(i) > 0) r |= (1L << i); i += 1 }
-      r
-    }
-    def bufferEncoder: org.apache.spark.sql.Encoder[Array[Int]] = intArrayEncoder
-    def outputEncoder: org.apache.spark.sql.Encoder[Long] =
-      org.apache.spark.sql.Encoders.scalaLong
-  }
-
-  /** Per-doc 64-bit SimHash fingerprints: (doc, simhash). */
-  def simhash(df: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val sh = udaf(simhashAgg)
-    df.select(col(idCol).as("doc"), explode(tokens(col(textCol))).as("tok"))
-      .select(col("doc"), xxhash64(col("tok")).as("h"))
-      .groupBy("doc").agg(sh(col("h")).as("simhash"))
-  }
+  def simhash(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(col(idCol).as("doc"), tokens(col(textCol)).as("toks"))
+      .filter(size(col("toks")) > 0)
+      .select(col("doc"),
+        org.apache.spark.sql.GraftShim.column(graft.functions.SimHashF(
+          org.apache.spark.sql.GraftShim.expression(col("toks")))).as("simhash"))
 
   /** SimHash near-dup pairs within `maxHamming` bits, using 4-way band
     * blocking (two near-dup fingerprints within 3 bits must agree on at

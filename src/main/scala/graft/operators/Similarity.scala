@@ -667,18 +667,19 @@ object Similarity {
       .filter(col("cell").isin(probedCells: _*))
     val r = math.max(k, rerank)
     val aw = Window.partitionBy(col(queryIdCol)).orderBy(col("sim_adc").desc, col(idCol))
+    // ONE scan of the probed partitions (r7): the raw `vec` rides the ADC
+    // projection through the rank shuffle, so the exact re-rank is a
+    // row-local cosine over the ≤ queries×rerank survivors — no second
+    // parquet read of the cells, no join back. The shuffle pays one extra
+    // vec per ADC row (the query vec already crossed it); the old shape
+    // paid a whole second scan + broadcast join for the same bytes.
     val cand = cells.join(broadcast(probes), "cell")
       .withColumn("sim_adc", pqCosine(col("pq_codes"), col(queryVecCol), cb))
       .withColumn("arank", row_number().over(aw))
       .filter(col("arank") <= r)
-      .select(col(queryIdCol), col(queryVecCol), col(idCol))
+      .select(col(queryIdCol), col(queryVecCol), col(idCol), col("vec"))
     val w = Window.partitionBy(col(queryIdCol)).orderBy(col("sim").desc, col(idCol))
-    // rerank from the SAME pruned cells frame (it carries the raw vec):
-    // every candidate lives in a probed cell, so re-reading the whole
-    // store here would defeat the partition pruning the index provides
-    cells.select(col(idCol), col("vec"))
-      .join(broadcast(cand), idCol)
-      .withColumn("sim", VectorOps.cosineF(col("vec"), col(queryVecCol)))
+    cand.withColumn("sim", VectorOps.cosineF(col("vec"), col(queryVecCol)))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col(queryIdCol), col(idCol), col("sim"), col("rank"))

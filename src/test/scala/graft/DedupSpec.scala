@@ -371,6 +371,10 @@ class DedupSpec extends SparkSpec {
   }
 
   test("simhash: identical docs share fingerprint; near dups closer than unrelated") {
+    // r7: the fingerprint is row-local (SimHashF) — the whole (doc, simhash)
+    // frame must plan without a single shuffle
+    val plan = Dedup.simhash(docs, "doc_id", "text").queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"simhash must be shuffle-free:\n$plan")
     val fp = Dedup.simhash(docs, "doc_id", "text")
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(fp(1L) == fp(2L))

@@ -96,6 +96,11 @@ class SimilaritySpec extends SparkSpec {
       val plan = Similarity.queryIvfPqIndex(spark, dir, q.limit(1), k = 5)
         .queryExecution.executedPlan.toString
       assert(plan.contains("PartitionFilters: [cell"), "probe filter must partition-prune")
+      // r7: the raw vec rides the ADC projection — the probed partitions
+      // are scanned exactly once per query batch
+      val cellScans = plan.split("\n").count(l =>
+        l.contains("FileScan parquet") && l.contains("/cells"))
+      assert(cellScans == 1, s"expected one cells scan, got $cellScans:\n$plan")
       // the layout is genuinely partitioned by cell on disk
       val cellDirs = new java.io.File(s"$dir/cells").listFiles()
         .filter(_.getName.startsWith("cell=")).map(_.getName)
