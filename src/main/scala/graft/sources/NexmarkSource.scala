@@ -92,6 +92,17 @@ object NexmarkTable {
     }
     row
   }
+
+  /** End-of-data sentinel: a bid at the year-9999 event time. Consumers
+    * (the SQL pipeline's eod filter) drop it above the watermark node; it
+    * exists only to advance the watermark past every open window.
+    */
+  def eodEvent: InternalRow = {
+    val row = new GenericInternalRow(3)
+    row.update(2, new GenericInternalRow(Array[Any](
+      0L, 0L, 0L, s("eod"), s("eod"), ImpulseConfAccess.eodMicros, s(""))))
+    row
+  }
 }
 
 class NexmarkTable(props: Map[String, String]) extends Table with SupportsRead {
@@ -120,6 +131,7 @@ class NexmarkTable(props: Map[String, String]) extends Table with SupportsRead {
 /** Re-exposes ImpulseConf (kept private to its file) for the nexmark table. */
 private[sources] object ImpulseConfAccess {
   def count(p: Map[String, String]): Long = p.getOrElse("message_count", "1000").toLong
+  def eodMicros: Long = ImpulseConf.EodMicros
 }
 
 object NexmarkReaderFactory extends PartitionReaderFactory {
@@ -129,7 +141,13 @@ object NexmarkReaderFactory extends PartitionReaderFactory {
       private var i = r.start - 1
       override def next(): Boolean = { i += 1; i < r.end }
       override def get(): InternalRow =
-        NexmarkTable.event(i, r.startMicros + (i * 1000000.0 / r.rate).toLong)
+        // `eod=true` (streaming): one sentinel BID at the far-future
+        // EodMicros after the bounded range — the reference's bounded
+        // nexmark source emits EndOfData the same way; the SQL pipeline
+        // drops the row right above the watermark node so it only
+        // advances the watermark past every open window
+        if (i == r.eodAt) NexmarkTable.eodEvent
+        else NexmarkTable.event(i, r.startMicros + (i * 1000000.0 / r.rate).toLong)
       override def close(): Unit = ()
     }
   }

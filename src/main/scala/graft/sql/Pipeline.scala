@@ -707,8 +707,14 @@ class Pipeline(spark: SparkSession, streaming: Boolean = false) {
       ((t.connector == "filesystem" || t.connector == "single_file") &&
         Set("json", "csv", "parquet")(t.format) &&
         !t.options.get("json.unstructured").contains("true")) ||
-      t.connector == "impulse"
+      t.connector == "impulse" ||
+      (t.connector == "nexmark" && t.columns.isEmpty)
     if (!streaming || planOnly || !eodFlushEnabled || !connectorOk) None
+    // the schemaless nexmark generator synthesizes its `timestamp`
+    // event-time column (coalesced branch datetimes) and emits the
+    // sentinel natively — there are no declared columns to validate
+    else if (t.connector == "nexmark" && t.columns.isEmpty)
+      Some(t.eventTimeField.getOrElse("timestamp"))
     else t.eventTimeField
       // no declared event time → the default-watermark fallback column
       // (applyColumns watermarks a declared `timestamp` column by default,
@@ -980,7 +986,13 @@ class Pipeline(spark: SparkSession, streaming: Boolean = false) {
         if (eod) eodApplied += t.name
         Generators.renameTo(
           Generators.impulse(spark, t, streaming, eod = eod), t)
-      case "nexmark" => Generators.renameTo(Generators.nexmark(spark, t, streaming), t)
+      case "nexmark" =>
+        // schemaless (full-event) nexmark emits its own EndOfData sentinel
+        // natively, like impulse; declared-column DDLs ride the unbounded
+        // rate source where a flush sentinel is meaningless
+        val eod = eodField(t).isDefined
+        if (eod) eodApplied += t.name
+        Generators.renameTo(Generators.nexmark(spark, t, streaming, eod = eod), t)
       case "kafka" | "confluent" =>
         // confluent = kafka + mandatory schema registry (reference
         // crates/arroyo-connectors/src/confluent/mod.rs:26-54): validate
@@ -1233,6 +1245,22 @@ class Pipeline(spark: SparkSession, streaming: Boolean = false) {
         queries ::= q
         return
       }
+      // A JOIN of two windowed streaming aggregates (nexmark_q5's shape):
+      // Spark sometimes ACCEPTS this as chained stateful operators, but in
+      // append mode under AvailableNow the join state downstream of the
+      // aggregates never emits the final-watermark flush — the query runs
+      // and silently produces nothing (observed over the nexmark
+      // generator; the file-source shape reaches the fallback below via
+      // AnalysisException instead). Detect the shape up front and spool
+      // both aggregate legs deterministically — same machinery, same
+      // frontier-alignment rule as the exception path.
+      if (joinsTwoWindowedAggs(dfIn)) {
+        val align = !catalog.values.filter(!_.isSink).forall(t => eodApplied.contains(t.name))
+        graft.streaming.WindowFnOnClose.spoolBranches(spark, dfIn, align).foreach { batchFrame =>
+          new Pipeline(spark, streaming = false).writeTo(sink, batchFrame)
+          return
+        }
+      }
     }
     // debezium sinks on streaming non-windowed aggregates: route through
     // the generalized retraction operator so the envelope carries true
@@ -1451,6 +1479,23 @@ class Pipeline(spark: SparkSession, streaming: Boolean = false) {
     t.options.get("partitioning.fields").toSeq.flatMap(
       _.stripPrefix("[").stripSuffix("]").split(",").map(_.trim)
         .filter(_.nonEmpty).toSeq)
+
+  /** True when the analyzed plan joins two legs that EACH contain a
+    * time-windowed streaming aggregate — the shape [[graft.streaming
+    * .WindowFnOnClose.spoolBranches]] exists for. A join of one windowed
+    * aggregate with a static/lookup side is fine in a single streaming
+    * query and must not spool.
+    */
+  private def joinsTwoWindowedAggs(df: DataFrame): Boolean = {
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Join, LogicalPlan}
+    def hasWinAgg(p: LogicalPlan): Boolean = p.collectFirst {
+      case a: Aggregate if a.groupingExpressions.exists(_.references.exists(r =>
+          r.name == "window" || r.name == "session_window")) => a
+    }.isDefined
+    df.isStreaming && df.queryExecution.analyzed.collectFirst {
+      case j: Join if hasWinAgg(j.left) && hasWinAgg(j.right) => j
+    }.isDefined
+  }
 
   private def hasAggregation(df: DataFrame): Boolean =
     df.queryExecution.analyzed.collectFirst {
@@ -1744,11 +1789,13 @@ object Generators {
     * reference's hidden _timestamp). A DDL that declares columns keeps the
     * flat bids generator (positional mapping, nexmark-q5-style setups).
     */
-  def nexmark(spark: SparkSession, t: ConnectorTable, streaming: Boolean): DataFrame =
+  def nexmark(spark: SparkSession, t: ConnectorTable, streaming: Boolean,
+      eod: Boolean = false): DataFrame =
     if (t.columns.nonEmpty) nexmarkBids(spark, t, streaming)
     else {
       val opts = t.options.filter { case (k, _) =>
-        Set("event_rate", "message_count", "start_ts", "parallelism")(k) }
+        Set("event_rate", "message_count", "start_ts", "parallelism")(k) } ++
+        (if (eod && streaming) Map("eod" -> "true") else Map.empty)
       val base =
         if (streaming) spark.readStream.format("graft-nexmark").options(opts).load()
         else spark.read.format("graft-nexmark").options(opts).load()

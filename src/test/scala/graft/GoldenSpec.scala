@@ -289,6 +289,78 @@ class GoldenSpec extends SparkSpec {
       s"extra=${out.toSet.diff(expected.toSet).take(3)} " +
       s"missing=${expected.toSet.diff(out.toSet).take(3)}")
   }
+  test("golden streaming: nexmark_q5 over the nexmark CONNECTOR matches batch") {
+    // the reference's flagship workload on its own generator source: the
+    // schemaless nexmark connector (full {person, auction, bid} events,
+    // native EndOfData sentinel) streamed through the q5 shape must emit
+    // exactly what the batch run of the same script computes, final
+    // windows included — and both must match an independently-computed
+    // DataFrame expectation over the same deterministic event stream
+    import org.apache.spark.sql.functions.{col, window, max, count}
+    val script = (outPath: String) => s"""
+      |CREATE TABLE nexmark WITH (
+      |  connector = 'nexmark',
+      |  event_rate = '1000',
+      |  message_count = '20000'
+      |);
+      |CREATE TABLE top_auctions (
+      |  auction BIGINT,
+      |  count INT
+      |) WITH (
+      |  connector = 'single_file',
+      |  path = '$outPath',
+      |  format = 'json',
+      |  type = 'sink'
+      |);
+      |INSERT INTO top_auctions
+      |SELECT AuctionBids.auction, AuctionBids.num
+      | FROM (
+      |   SELECT bid.auction AS auction, count(*) AS num,
+      |     hop(interval '2 second', interval '10 seconds') as window
+      |   FROM nexmark WHERE bid IS NOT NULL
+      |   GROUP BY bid.auction, window
+      | ) AS AuctionBids
+      | JOIN (
+      |   SELECT max(CountBids.num) AS maxn, CountBids.window
+      |   FROM (
+      |     SELECT count(*) AS num,
+      |       hop(interval '2 second', interval '10 seconds') as window
+      |     FROM nexmark WHERE bid IS NOT NULL
+      |     GROUP BY bid.auction, window
+      |   ) AS CountBids
+      |   GROUP BY CountBids.window
+      | ) AS MaxBids
+      | ON AuctionBids.window = MaxBids.window AND AuctionBids.num >= MaxBids.maxn
+      |""".stripMargin
+    def runAndRead(streaming: Boolean): Map[(Long, Long), Int] = {
+      val outPath = s"${tmp()}/out"
+      new Pipeline(spark, streaming = streaming).run(script(outPath))
+      readJsonLines(Paths.get(outPath))
+        .map(n => (n.get("auction").asLong, n.get("count").asLong))
+        .groupBy(identity).view.mapValues(_.size).toMap
+    }
+    val batch = runAndRead(streaming = false)
+    val stream = runAndRead(streaming = true)
+    val bids = spark.read.format("graft-nexmark")
+      .option("message_count", "20000").option("event_rate", "1000").load()
+      .filter(col("bid").isNotNull)
+      .select(col("bid.auction").as("auction"), col("bid.datetime").as("datetime"))
+    val ab = bids.groupBy(window(col("datetime"), "10 seconds", "2 seconds").as("w"),
+      col("auction")).agg(count("*").as("num"))
+    val mx = ab.groupBy("w").agg(max("num").as("maxn"))
+    val expected = ab.join(mx, "w").filter(col("num") >= col("maxn"))
+      .select("auction", "num").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+      .groupBy(identity).view.mapValues(_.size).toMap
+    assert(batch.nonEmpty, "batch q5 over the connector emitted nothing")
+    assert(batch == expected, s"batch differs from DataFrame expectation: " +
+      s"extra=${batch.toSet.diff(expected.toSet).take(3)} " +
+      s"missing=${expected.toSet.diff(batch.toSet).take(3)}")
+    assert(stream == batch, s"streaming differs from batch: " +
+      s"extra=${stream.toSet.diff(batch.toSet).take(3)} " +
+      s"missing=${batch.toSet.diff(stream.toSet).take(3)}")
+  }
+
   test("golden batch: active_drivers (nested updating aggregate)") {
     checkExact("active_drivers")
   }
