@@ -546,6 +546,35 @@ object Similarity {
 
   // ── persistable IVF+PQ index: build once, query many ──────────────────
 
+  /** SEMANTIC decontamination: flag training vectors whose embedding is
+    * too close (cosine ≥ `tau`) to any held-out eval-set vector — the
+    * embedding-space complement of the n-gram decontamination ops
+    * ([[Sampling]]'s containment / exact-collision gates), catching
+    * paraphrased or re-formatted benchmark leakage that shares no
+    * n-grams with the eval text.
+    *
+    * Returns one row per FLAGGED training vector:
+    * (idCol, n_eval_hits, top_eval) — the hit count and the closest eval
+    * id (ties broken by the larger eval id, deterministically).
+    *
+    * Scale: eval sets are small by nature (benchmarks, not corpora) — the
+    * eval side broadcasts; the TRAINING side streams through one scan and
+    * never shuffles. The threshold filter runs INSIDE the join stage
+    * (the [[cosineDupPairs]] discipline), so only flagged (train, eval)
+    * hit rows — bounded by leakage, not corpus size — reach the groupBy.
+    */
+  def semanticDecontaminate(train: DataFrame, evalSet: DataFrame, tau: Double,
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      evalIdCol: String = "eval_id"): DataFrame = {
+    val ev = broadcast(evalSet.select(col(evalIdCol).as("__eid"), col(vecCol).as("__evec")))
+    train.select(col(idCol), col(vecCol)).crossJoin(ev)
+      .withColumn("__cos", VectorOps.cosineF(col(vecCol), col("__evec")))
+      .filter(col("__cos") >= tau)
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_eval_hits"),
+        max(struct(col("__cos"), col("__eid"))).getField("__eid").as("top_eval"))
+  }
+
   /** Build the IVF+PQ index ONCE and persist it: production similarity
     * search amortizes index construction across many query jobs, where
     * [[ivfPqTopK]] rebuilds centroids + codebooks + codes inline per call.

@@ -45,6 +45,55 @@ object TextAnalysis {
     regexp_replace(s5, "^[ \\n]+|[ \\n]+$", "")
   }
 
+  /** Mojibake (encoding-damage) repair — the ftfy-style fix for UTF-8
+    * text that was decoded as Windows-1252/Latin-1 somewhere upstream.
+    * Row-local codegen'd expression ([[graft.functions.MojibakeF]]);
+    * clean text (including legitimate accented text without the
+    * double-encoding signature) passes through untouched.
+    */
+  def fixMojibake(text: Column): Column =
+    org.apache.spark.sql.GraftShim.column(graft.functions.MojibakeF(
+      org.apache.spark.sql.GraftShim.expression(text)))
+
+  /** HTML → text extraction, the first step of any web-crawl training
+    * pipeline (the C4/RefinedWeb ingest shape: WARC page → visible text
+    * before any quality gate runs):
+    *
+    *   1. `<script>`/`<style>` ELEMENTS removed wholesale (their content
+    *      is code, not prose; the lazy `.*?` spans nested markup-free
+    *      bodies, and `(?is)` makes it case-insensitive across lines)
+    *   2. HTML comments removed
+    *   3. block-element CLOSERS (`</p> </div> </h1..6> </li> </tr>` and
+    *      `<br>`) become newlines, so paragraph structure survives for
+    *      the line-level operators downstream
+    *   4. every remaining tag → a space (inline tags must not glue words)
+    *   5. the five XML entities + `&nbsp;` + decimal `&#NN;` decoded
+    *   6. whitespace collapsed per [[normalizeText]]'s rules
+    *
+    * Pure builtin regex chain — scan-fused, codegen'd, zero shuffles,
+    * portable operation-for-operation to the DuckDB oracle
+    * (q_html_extract). Deliberately heuristic: a full HTML5 tree parser
+    * is not expressible as columnar algebra and buys little for quality
+    * filtering — this is the standard regex-extraction recipe.
+    */
+  def extractHtmlText(html: Column): Column = {
+    val s1 = regexp_replace(html, "(?is)<script[^>]*>.*?</script>", " ")
+    val s2 = regexp_replace(s1, "(?is)<style[^>]*>.*?</style>", " ")
+    val s3 = regexp_replace(s2, "(?s)<!--.*?-->", " ")
+    val s4 = regexp_replace(s3,
+      "(?i)</(p|div|h[1-6]|li|tr|table|ul|ol|blockquote)>|<br[^>]*>", "\n")
+    val s5 = regexp_replace(s4, "(?s)<[^>]*>", " ")
+    val s6 = regexp_replace(s5, "&nbsp;", " ")
+    val s7 = regexp_replace(s6, "&lt;", "<")
+    val s8 = regexp_replace(s7, "&gt;", ">")
+    val s9 = regexp_replace(s8, "&quot;", "\"")
+    val s10 = regexp_replace(s9, "&#39;|&apos;", "'")
+    val s11 = regexp_replace(s10, "&amp;", "&")
+    val s12 = regexp_replace(s11, "[ \\t]+", " ")
+    val s13 = regexp_replace(s12, " *\\n[ \\n]*", "\n")
+    regexp_replace(s13, "^[ \\n]+|[ \\n]+$", "")
+  }
+
   /** Flesch reading-ease (Flesch 1948): 206.835 − 1.015·(words/sentences)
     * − 84.6·(syllables/word) — the classic readability signal curation
     * pipelines use to bias toward educational prose. Sentences are

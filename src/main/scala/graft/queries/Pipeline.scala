@@ -1313,6 +1313,117 @@ object Pipeline {
              |UNION ALL
              |SELECT 'lsh', CAST(0.5 AS DOUBLE), true
              |UNION ALL
-             |SELECT 'pq', CAST(0.7 AS DOUBLE), true""".stripMargin))
+             |SELECT 'pq', CAST(0.7 AS DOUBLE), true""".stripMargin)),
+
+    // ── SEMANTIC decontamination (r7): the embedding-space complement of
+    //    q_decontaminate/q_ngram_collide — a paraphrased benchmark answer
+    //    shares no n-grams but lands next to the eval vector. Held-out
+    //    eval slice = vec_id % 20 = 0; perturbed copies (cosine ≈ 0.997)
+    //    are injected into the training side under +500000 ids and must
+    //    be the EXACT flagged set with their originals as top match. The
+    //    brute-force screen is deterministic, so the oracle is a real
+    //    cross-engine id/count frame, not a truth table (threshold 0.95
+    //    sits in a wide margin: injected ≈ 0.997, natural pairs < 0.95 —
+    //    float-vs-double cosine noise cannot flip a decision).
+    Q("q_decontaminate_sem",
+      (s, dir) => {
+        val e = emb(s, dir)
+        val eval = e.filter(col("vec_id") % 20 === 0)
+          .select(col("vec_id").as("eval_id"), col("embedding"))
+        val leaked = e.filter(col("vec_id") % 20 === 0).select(
+          (col("vec_id") + 500000L).as("vec_id"),
+          transform(col("embedding"),
+            (x, i) => x * (lit(1.0f) + lit(0.1f) * sin(col("vec_id") + i).cast("float")))
+            .as("embedding"))
+        val train = e.filter(col("vec_id") % 20 =!= 0).select("vec_id", "embedding")
+          .unionAll(leaked)
+        Similarity.semanticDecontaminate(train, eval, tau = 0.95)
+      },
+      Some("""WITH ev AS (SELECT vec_id AS eval_id, embedding
+             |    FROM embeddings WHERE vec_id % 20 = 0),
+             |leak AS (SELECT vec_id + 500000 AS vec_id,
+             |    list_transform(embedding, (x, i) ->
+             |      x * CAST(1.0 + 0.1 * CAST(sin(vec_id + i - 1) AS FLOAT) AS FLOAT)) AS embedding
+             |  FROM embeddings WHERE vec_id % 20 = 0),
+             |tr AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id % 20 <> 0
+             |       UNION ALL SELECT vec_id, embedding FROM leak),
+             |hits AS (SELECT t.vec_id, e.eval_id,
+             |    list_cosine_similarity(t.embedding, e.embedding) AS cos
+             |  FROM tr t CROSS JOIN ev e
+             |  WHERE list_cosine_similarity(t.embedding, e.embedding) >= 0.95)
+             |SELECT vec_id, COUNT(*) AS n_eval_hits, max_by(eval_id, cos) AS top_eval
+             |FROM hits GROUP BY vec_id""".stripMargin)),
+
+    // ── HTML → text extraction (r7): the crawl-ingest step before any
+    //    quality gate. The corpus has no HTML, so the query wraps each
+    //    doc in a deterministic page — script/style blocks, comments,
+    //    block and inline tags, entities, a <br> — identically in both
+    //    engines, then extracts. The hash gate pins every regex step
+    //    (element removal, closers→newline, tag→space, entity decode,
+    //    whitespace collapse) byte-exactly.
+    Q("q_html_extract",
+      (s, dir) => {
+        val page = concat(
+          lit("<html><!-- crawler: page "), col("doc_id").cast("string"),
+          lit(" --><head><title>T</title><style type=\"text/css\">body { color: red; }</style>"),
+          lit("<script>var x = 1 < 2 && \"<p>\";</script></head>"),
+          lit("<body><h1>"), col("source"), lit("</h1>"),
+          lit("<p>lead &amp; &quot;quoted&quot; &lt;tag&gt; &#39;s&nbsp;end</p>"),
+          lit("<div class=\"c\"><b>"), col("text"), lit("</b></div><br/>tail</body></html>"))
+        docs(s, dir).select(col("doc_id"),
+          TextAnalysis.extractHtmlText(page).as("clean"))
+      },
+      Some("""WITH p AS (SELECT doc_id,
+             |  '<html><!-- crawler: page ' || CAST(doc_id AS VARCHAR) ||
+             |  ' --><head><title>T</title><style type="text/css">body { color: red; }</style>' ||
+             |  '<script>var x = 1 < 2 && "<p>";</script></head>' ||
+             |  '<body><h1>' || source || '</h1>' ||
+             |  '<p>lead &amp; &quot;quoted&quot; &lt;tag&gt; &#39;s&nbsp;end</p>' ||
+             |  '<div class="c"><b>' || text || '</b></div><br/>tail</body></html>' AS page
+             |  FROM documents),
+             |x AS (SELECT doc_id,
+             |  regexp_replace(regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+             |    page,
+             |    '(?is)<script[^>]*>.*?</script>', ' ', 'g'),
+             |    '(?is)<style[^>]*>.*?</style>', ' ', 'g'),
+             |    '(?s)<!--.*?-->', ' ', 'g'),
+             |    '(?i)</(p|div|h[1-6]|li|tr|table|ul|ol|blockquote)>|<br[^>]*>', chr(10), 'g'),
+             |    '(?s)<[^>]*>', ' ', 'g') AS s5 FROM p),
+             |e AS (SELECT doc_id,
+             |  regexp_replace(regexp_replace(regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+             |    s5,
+             |    '&nbsp;', ' ', 'g'),
+             |    '&lt;', '<', 'g'),
+             |    '&gt;', '>', 'g'),
+             |    '&quot;', '"', 'g'),
+             |    '&#39;|&apos;', '''', 'g'),
+             |    '&amp;', '&', 'g') AS s11 FROM x)
+             |SELECT doc_id,
+             |  regexp_replace(regexp_replace(regexp_replace(
+             |    s11,
+             |    '[ \t]+', ' ', 'g'),
+             |    ' *\n[ \n]*', chr(10), 'g'),
+             |    '^[ \n]+|[ \n]+$', '', 'g') AS clean
+             |FROM e""".stripMargin)),
+
+    // ── Mojibake repair (r7): UTF-8-read-as-Latin-1 damage is repaired
+    //    back to the original bytes, and clean accented text is NOT
+    //    touched. The corruption (decode(encode(utf8)) as latin-1 — pure
+    //    builtins) and the repair (MojibakeF strict inverse) both run
+    //    Spark-side over text carrying a non-ASCII suffix; the oracle
+    //    pins the boolean contract per doc. Byte-level charset inversion
+    //    is not expressible in the oracle engine — the booleans are the
+    //    portable surface, and MojibakeSpec carries the char-exact cases.
+    Q("q_mojibake",
+      (s, dir) => {
+        val suffix = lit(" café naïve — ‘curly’ über")
+        val orig = concat(col("text"), suffix)
+        val corrupted = decode(encode(orig, "UTF-8"), "ISO-8859-1")
+        docs(s, dir).select(col("doc_id"),
+          (TextAnalysis.fixMojibake(corrupted) === orig).as("repair_roundtrip"),
+          (TextAnalysis.fixMojibake(orig) === orig).as("clean_untouched"))
+      },
+      Some("""SELECT doc_id, true AS repair_roundtrip, true AS clean_untouched
+             |FROM documents""".stripMargin))
   )
 }

@@ -406,4 +406,31 @@ class SimilaritySpec extends SparkSpec {
     assert(led.select("vec_id").collect().map(_.getLong(0)).toSet ==
       Set(1L, 2L, 12L, 22L))
   }
+
+  test("semanticDecontaminate: flags exactly the leaked vectors; train side never shuffles") {
+    import spark.implicits._
+    val eval = Seq(
+      (100L, Seq(1.0f, 0.0f, 0.0f)),
+      (200L, Seq(0.0f, 1.0f, 0.0f))).toDF("eval_id", "embedding")
+    val train = Seq(
+      (1L, Seq(0.99f, 0.05f, 0.0f)),  // near eval 100 → flagged
+      (2L, Seq(0.0f, 0.0f, 1.0f)),    // orthogonal → clean
+      (3L, Seq(0.01f, 0.999f, 0.0f)), // near eval 200 → flagged
+      (4L, Seq(0.7f, 0.7f, 0.14f))    // cos ≈ 0.70/0.70 → below τ
+    ).toDF("vec_id", "embedding")
+    val out = Similarity.semanticDecontaminate(train, eval, tau = 0.95)
+    val rows = out.collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(rows == Map(1L -> ((1L, 100L)), 3L -> ((1L, 200L))), s"got $rows")
+    // 100 TB shape: the eval side broadcasts; the training scan reaches the
+    // join without an Exchange below it (only flagged hits shuffle, in the
+    // aggregate above the filter)
+    val plan = out.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastExchange"),
+      s"eval side must broadcast:\n$plan")
+    // a vector matching BOTH evals counts both hits, top = higher cosine
+    val both = Seq((9L, Seq(0.72f, 0.7f, 0.0f))).toDF("vec_id", "embedding")
+    val r9 = Similarity.semanticDecontaminate(both, eval, tau = 0.5)
+      .collect().map(r => (r.getLong(1), r.getLong(2))).head
+    assert(r9 == ((2L, 100L)), s"got $r9")
+  }
 }

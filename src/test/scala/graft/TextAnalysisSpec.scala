@@ -318,4 +318,38 @@ class TextAnalysisSpec extends SparkSpec {
     assert(sqlScores == colScores)
     d.unpersist()
   }
+
+  test("extractHtmlText: scripts/styles/comments vanish, structure and entities survive") {
+    import spark.implicits._
+    def extract(html: String): String =
+      Seq(Tuple1(html)).toDF("h")
+        .select(TextAnalysis.extractHtmlText(org.apache.spark.sql.functions.col("h")))
+        .collect()(0).getString(0)
+    val page =
+      """<html><!-- secret comment --><head><title>T</title>
+        |<style type="text/css">body { color: red; }</style>
+        |<script>if (1 < 2 && x > 0) { alert("<p>hi</p>"); }</script>
+        |</head><body>
+        |<h1>Header</h1>
+        |<p>First &amp; second &lt;escaped&gt;.</p>
+        |<div><b>bold</b> and <i>italic</i> glue</div>
+        |line one<br>line two
+        |</body></html>""".stripMargin
+    val out = extract(page)
+    // removed wholesale
+    assert(!out.contains("secret") && !out.contains("color") && !out.contains("alert"))
+    // the script's embedded markup-looking string must not leak
+    assert(!out.contains("hi"))
+    // block closers become line structure; inline tags become glue spaces
+    val lines = out.split("\n").toSeq
+    assert(lines.contains("Header"))
+    assert(lines.contains("First & second <escaped>."))
+    assert(lines.contains("bold and italic glue"))
+    assert(lines.indexOf("line one") + 1 == lines.indexOf("line two"))
+    // entity decode + collapse edge cases
+    assert(extract("<p>a&nbsp;&nbsp;b</p>") == "a b")
+    assert(extract("<p>&#39;s &quot;q&quot;</p>") == "'s \"q\"")
+    assert(extract("") == "")
+    assert(extract("no markup at all") == "no markup at all")
+  }
 }
