@@ -23,11 +23,17 @@ import org.apache.spark.sql.streaming.StreamingQuery
   */
 object StreamingIngest {
 
-  /** Columns out of the raw envelope → (doc_id, text). */
+  /** Columns out of the raw envelope → (doc_id, text). Mojibake repair
+    * runs BEFORE normalization (r7): crawl feeds carry double-encoded
+    * text whose junk chars would otherwise fail the quality gate — and
+    * NFC normalization first could perturb the damaged byte echo the
+    * repair inverts.
+    */
   def prepared(raw: DataFrame, minQuality: Double = 0.35,
       langs: Seq[String] = Seq("en", "und")): DataFrame =
     raw.select(col("offset").as("doc_id"),
-        TextAnalysis.normalizeText(col("value").cast("string")).as("text"))
+        TextAnalysis.normalizeText(
+          TextAnalysis.fixMojibake(col("value").cast("string"))).as("text"))
       .filter(TextAnalysis.qualityScore(col("text")) >= minQuality)
       .filter(TextAnalysis.languageId(col("text")).isin(langs: _*))
 

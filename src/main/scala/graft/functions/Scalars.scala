@@ -148,6 +148,8 @@ object Scalars {
     col1("lang_id", c => graft.operators.TextAnalysis.languageId(c))
     col1("url_normalize", graft.operators.Urls.normalize)
     col1("url_domain", graft.operators.Urls.domainOf)
+    col1("extract_html_text", graft.operators.TextAnalysis.extractHtmlText)
+    col1("fix_mojibake", graft.operators.TextAnalysis.fixMojibake)
   }
 
   private val extractJsonUdf = udf((t: String, p: String) => JsonPathAll.all(t, p))

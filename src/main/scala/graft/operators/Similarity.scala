@@ -575,6 +575,32 @@ object Similarity {
         max(struct(col("__cos"), col("__eid"))).getField("__eid").as("top_eval"))
   }
 
+  /** The 100 TB face of [[semanticDecontaminate]]: screen the eval set
+    * against a PERSISTED IVF+PQ index of the training corpus
+    * ([[buildIvfPqIndex]]) instead of brute-forcing train × eval — the
+    * probe set prunes to ~nProbe/nCentroids of the store per eval vector
+    * and the corpus is never rescanned per job. Re-rank similarities are
+    * EXACT cosine, so every flagged row here is also flagged by the
+    * brute-force screen (indexed ⊆ exact); recall is the ANN probe
+    * recall (raise `nProbe` to close it). `rerank` caps how many
+    * training vectors one eval vector can flag per call.
+    *
+    * Output schema matches [[semanticDecontaminate]]:
+    * (vec_id, n_eval_hits, top_eval).
+    */
+  def semanticDecontaminateIndexed(spark: org.apache.spark.sql.SparkSession,
+      indexDir: String, evalSet: DataFrame, tau: Double,
+      nProbe: Int = 8, rerank: Int = 64,
+      evalIdCol: String = "eval_id", vecCol: String = "embedding"): DataFrame = {
+    val hits = queryIvfPqIndex(spark, indexDir,
+        evalSet.select(col(evalIdCol).as("query_id"), col(vecCol).as("query_vec")),
+        k = rerank, nProbe = nProbe, rerank = rerank)
+      .filter(col("sim") >= tau)
+    hits.groupBy(col("vec_id"))
+      .agg(count(lit(1)).as("n_eval_hits"),
+        max(struct(col("sim"), col("query_id"))).getField("query_id").as("top_eval"))
+  }
+
   /** Build the IVF+PQ index ONCE and persist it: production similarity
     * search amortizes index construction across many query jobs, where
     * [[ivfPqTopK]] rebuilds centroids + codebooks + codes inline per call.

@@ -433,4 +433,32 @@ class SimilaritySpec extends SparkSpec {
       .collect().map(r => (r.getLong(1), r.getLong(2))).head
     assert(r9 == ((2L, 100L)), s"got $r9")
   }
+
+  test("semanticDecontaminateIndexed: indexed flags ⊆ exact flags, recall holds") {
+    val e = Tables.load(spark, sfDir, "embeddings")
+    val eval = e.filter(col("vec_id") % 20 === 0)
+      .select(col("vec_id").as("eval_id"), col("embedding"))
+    val leaked = e.filter(col("vec_id") % 20 === 0).select(
+      (col("vec_id") + 500000L).as("vec_id"),
+      transform(col("embedding"),
+        (x, i) => x * (lit(1.0f) + lit(0.1f) * sin(col("vec_id") + i).cast("float")))
+        .as("embedding"))
+    val train = e.filter(col("vec_id") % 20 =!= 0).select("vec_id", "embedding")
+      .unionAll(leaked)
+    val exactFlags = Similarity.semanticDecontaminate(train, eval, tau = 0.95)
+      .collect().map(_.getLong(0)).toSet
+    val dir = java.nio.file.Files.createTempDirectory("decon-idx").toString
+    try {
+      Similarity.buildIvfPqIndex(train, dir)
+      val viaIndex = Similarity.semanticDecontaminateIndexed(
+          spark, dir, eval, tau = 0.95)
+        .collect().map(_.getLong(0)).toSet
+      // exact rerank cosines ⇒ no false flags ever
+      assert(viaIndex.subsetOf(exactFlags), s"extras: ${viaIndex.diff(exactFlags)}")
+      // probe recall: every leaked twin sits ~0.997 from its eval original
+      assert(exactFlags.nonEmpty)
+      assert(viaIndex.size >= (exactFlags.size * 8) / 10,
+        s"indexed recall ${viaIndex.size}/${exactFlags.size}")
+    } finally org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+  }
 }

@@ -351,5 +351,10 @@ class TextAnalysisSpec extends SparkSpec {
     assert(extract("<p>&#39;s &quot;q&quot;</p>") == "'s \"q\"")
     assert(extract("") == "")
     assert(extract("no markup at all") == "no markup at all")
+    // SQL surface parity for the two round-7 scalars
+    val viaSql = spark.sql(
+      "SELECT extract_html_text('<p>a&amp;b</p>'), fix_mojibake('plain')")
+      .collect()(0)
+    assert(viaSql.getString(0) == "a&b" && viaSql.getString(1) == "plain")
   }
 }
