@@ -46,11 +46,13 @@ object PretrainPipeline {
     val raw = mark("raw", docs.select(col("doc_id"), col("text"),
       coalesce(col("source"), lit("unknown")).as("source")))
 
-    // 1. canonical normalization: NFC + controls + whitespace, BEFORE any
-    // stage hashes, shingles, or tokenizes (dedup misses dups otherwise).
+    // 1. encoding repair + canonical normalization: fixMojibake inverts
+    // UTF-8-as-cp1252/latin-1 damage FIRST (NFC could perturb the damaged
+    // byte echo), then NFC + controls + whitespace — all BEFORE any stage
+    // hashes, shingles, or tokenizes (dedup misses dups otherwise).
     // Not a filter — the count marks the stage boundary, not a drop.
     val normalized = mark("normalize", raw.withColumn("text",
-      TextAnalysis.normalizeText(col("text"))))
+      TextAnalysis.normalizeText(TextAnalysis.fixMojibake(col("text")))))
 
     // 2. C4 line cleaning. strict=false keeps docs whose cleaned text is
     // empty-but-was-single-line (the synthetic corpus has no terminal
