@@ -44,6 +44,8 @@ object SparkEntry {
     // that move at scale)
     "q_tfidf", "q_semdedup",
     // round-7: the designed-for-scale ANN paths (PQ ADC scan + IVF+PQ
-    // composed) — their compression/pruning claims deserve a tracked cost
-    "q_ann_pq", "q_ann_ivfpq")
+    // composed) — their compression/pruning claims deserve a tracked cost —
+    // and the new brute-force semantic-decontamination screen (its
+    // eval×train product is the cost that moves at scale)
+    "q_ann_pq", "q_ann_ivfpq", "q_decontaminate_sem")
 }

@@ -63,4 +63,22 @@ object Urls {
       : org.apache.spark.sql.DataFrame =
     df.groupBy(normalize(col(urlCol)).as("url_norm"))
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_copies"))
+
+  /** STREAMING URL-level dedup — the crawl-frontier face of [[dedupByUrl]]:
+    * every micro-batch keeps only rows whose CANONICAL URL was never
+    * accepted before, against the ledger of all previously accepted URLs
+    * (idempotent crash replay, batch-scoped overwrite — the
+    * [[Dedup.bloomIncrementalStream]] ledger recipe, with the canonical
+    * URL string as the content key). This is how a continuously-running
+    * crawler avoids refetching `http://`/`www.`/`?utm_…` variants of
+    * pages it already holds; state is the ~48-byte-per-URL ledger, the
+    * accepted history is never re-shuffled.
+    */
+  def dedupByUrlStream(stream: org.apache.spark.sql.DataFrame, idCol: String,
+      urlCol: String, ledgerDir: String, outDir: String, checkpointDir: String,
+      expectedItems: Long = 1L << 20, fpp: Double = 0.01)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    graft.operators.Dedup.bloomIncrementalStream(
+      stream.withColumn("url_norm", normalize(col(urlCol))),
+      idCol, "url_norm", ledgerDir, outDir, checkpointDir, expectedItems, fpp)
 }

@@ -46,6 +46,38 @@ class UrlsSpec extends SparkSpec {
     assert(d.toSet == Set("news.example.org"))
   }
 
+  test("dedupByUrlStream: micro-batches dedup canonical URLs against the ledger") {
+    import java.nio.file.Files
+    val src = Files.createTempDirectory("uds-src").toString
+    val out = Files.createTempDirectory("uds-out").toString + "/out"
+    val ledger = Files.createTempDirectory("uds-led").toString + "/ledger"
+    val cp = Files.createTempDirectory("uds-cp").toString
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("id", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("url", org.apache.spark.sql.types.StringType)))
+    def streamDf = spark.readStream.schema(schema).json(src)
+    def outIds(batch: Long): Set[Long] =
+      spark.read.parquet(s"$out/batch=$batch").select("id")
+        .collect().map(_.getLong(0)).toSet
+
+    Files.write(java.nio.file.Paths.get(s"$src/f0.json"),
+      ("""{"id":1,"url":"https://www.shop.example.com/item/7?utm_source=a"}""" + "\n" +
+        """{"id":2,"url":"https://shop.example.com/item/8"}""" + "\n").getBytes)
+    val q = Urls.dedupByUrlStream(streamDf, "id", "url", ledger, out, cp)
+    q.processAllAvailable()
+    assert(outIds(0) == Set(1L, 2L))
+    // batch 1: three VARIANTS of item/7 (scheme/trailing-slash/fragment —
+    // all collapse onto batch 0's canonical form) + one genuinely new URL
+    Files.write(java.nio.file.Paths.get(s"$src/f1.json"),
+      ("""{"id":11,"url":"http://shop.example.com/item/7/"}""" + "\n" +
+        """{"id":12,"url":"https://shop.example.com/item/7#reviews"}""" + "\n" +
+        """{"id":13,"url":"https://shop.example.com/item/7?fbclid=x"}""" + "\n" +
+        """{"id":14,"url":"https://shop.example.com/item/9"}""" + "\n").getBytes)
+    q.processAllAvailable()
+    q.stop()
+    assert(outIds(1) == Set(14L), s"url variants must collapse: ${outIds(1)}")
+  }
+
   test("dedupByUrl groups by canonical form: one shuffle, min-id keeper") {
     import spark.implicits._
     val crawl = Seq(
