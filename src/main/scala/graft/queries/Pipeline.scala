@@ -1424,6 +1424,43 @@ object Pipeline {
           (TextAnalysis.fixMojibake(orig) === orig).as("clean_untouched"))
       },
       Some("""SELECT doc_id, true AS repair_roundtrip, true AS clean_untouched
-             |FROM documents""".stripMargin))
+             |FROM documents""".stripMargin)),
+
+    // ── MODEL-BASED quality gate (r7): the FineWeb-Edu/DCLM shape — a
+    //    linear classifier over hashed token features, trained on a
+    //    labeled slice, scored row-locally over the corpus. The trainer
+    //    (L-BFGS) is not oracle-portable, so the contract is quantified:
+    //    positives carry an injected lexical signal (the separable
+    //    stand-in for LLM judgments); trained on doc_id % 3 != 0, the
+    //    model must classify the held-out % 3 == 0 slice at ≥ 0.95
+    //    accuracy AND order every held-out positive above every held-out
+    //    negative by probability. Determinism is spec-asserted
+    //    (QualityModelSpec trains twice → identical coefficients).
+    Q("q_quality_model",
+      (s, dir) => {
+        val labeled = docs(s, dir).select(col("doc_id"), col("text"))
+          .withColumn("label", when(col("doc_id") % 4 === 0, 1.0).otherwise(0.0))
+          .withColumn("text",
+            when(col("label") === 1.0, concat(col("text"), lit(" eduhallmark gem")))
+              .otherwise(col("text")))
+        val model = graft.operators.QualityModel.train(
+          labeled.filter(col("doc_id") % 3 =!= 0), "text", "label",
+          numFeatures = 1 << 16)
+        val heldout = graft.operators.QualityModel.score(
+          labeled.filter(col("doc_id") % 3 === 0), model, "text")
+        val acc = heldout.agg(avg(
+            (col("quality_keep") === (col("label") === 1.0)).cast("double")).as("acc"))
+          .select(lit("heldout_accuracy").as("metric"), lit(0.95).as("floor"),
+            (col("acc") >= 0.95).as("meets_floor"))
+        val sep = heldout.agg(
+            min(when(col("label") === 1.0, col("quality_prob"))).as("minPos"),
+            max(when(col("label") === 0.0, col("quality_prob"))).as("maxNeg"))
+          .select(lit("prob_separation").as("metric"), lit(0.0).as("floor"),
+            (col("minPos") > col("maxNeg")).as("meets_floor"))
+        acc.unionAll(sep)
+      },
+      Some("""SELECT 'heldout_accuracy' AS metric, CAST(0.95 AS DOUBLE) AS floor, true AS meets_floor
+             |UNION ALL
+             |SELECT 'prob_separation', CAST(0.0 AS DOUBLE), true""".stripMargin))
   )
 }

@@ -1,0 +1,76 @@
+package graft
+
+import graft.operators.{QualityModel, TextAnalysis}
+import org.apache.spark.sql.functions._
+
+class QualityModelSpec extends SparkSpec {
+
+  private def corpus = Tables.load(spark, sfDir, "documents")
+
+  test("classifier learns an injected lexical signal and generalizes to held-out docs") {
+    // positives carry a marker token (the separable stand-in for whatever
+    // the labels encode — LLM educational judgments, curated positives)
+    val labeled = corpus.select(col("doc_id"), col("text"))
+      .withColumn("label", when(col("doc_id") % 4 === 0, 1.0).otherwise(0.0))
+      .withColumn("text",
+        when(col("label") === 1.0, concat(col("text"), lit(" eduhallmark gem")))
+          .otherwise(col("text")))
+    val train = labeled.filter(col("doc_id") % 3 =!= 0)
+    val heldout = labeled.filter(col("doc_id") % 3 === 0)
+    val model = QualityModel.train(train, "text", "label", numFeatures = 1 << 16)
+    val scored = QualityModel.score(heldout, model, "text")
+    val acc = scored.agg(avg(
+      (col("quality_keep") === (col("label") === 1.0)).cast("double")))
+      .collect()(0).getDouble(0)
+    assert(acc >= 0.95, s"held-out accuracy $acc")
+    // the probability column orders the classes, not just the verdict bit
+    val sep = scored.agg(
+      min(when(col("label") === 1.0, col("quality_prob"))).as("minPos"),
+      max(when(col("label") === 0.0, col("quality_prob"))).as("maxNeg"))
+      .collect()(0)
+    assert(sep.getDouble(0) > sep.getDouble(1),
+      s"positives must score above negatives: $sep")
+  }
+
+  test("training is deterministic: same data, same coefficients") {
+    val labeled = corpus.limit(200).select(col("doc_id"), col("text"))
+      .withColumn("label", when(col("doc_id") % 4 === 0, 1.0).otherwise(0.0))
+      .withColumn("text",
+        when(col("label") === 1.0, concat(col("text"), lit(" eduhallmark")))
+          .otherwise(col("text")))
+    val a = QualityModel.train(labeled, "text", "label", numFeatures = 1 << 14)
+    val b = QualityModel.train(labeled, "text", "label", numFeatures = 1 << 14)
+    val da = a.coefficients.toArray
+    val db = b.coefficients.toArray
+    assert(da.length == db.length)
+    da.zip(db).foreach { case (x, y) => assert(math.abs(x - y) < 1e-8) }
+  }
+
+  test("classifier mimics the rule-based quality score it is trained on") {
+    // labels from the heuristic gate: the classifier must recover the
+    // rule's verdict from token counts alone (the distillation shape:
+    // expensive judge → cheap linear gate)
+    val scoredRule = corpus.select(col("doc_id"), col("text"))
+      .withColumn("q", TextAnalysis.qualityScore(col("text")))
+    val median = scoredRule.stat.approxQuantile("q", Array(0.5), 0.0)(0)
+    val labeled = scoredRule
+      .withColumn("label", (col("q") >= median).cast("double")).drop("q")
+    val train = labeled.filter(col("doc_id") % 3 =!= 0)
+    val heldout = labeled.filter(col("doc_id") % 3 === 0)
+    val model = QualityModel.train(train, "text", "label", numFeatures = 1 << 16)
+    val acc = QualityModel.score(heldout, model, "text").agg(avg(
+      (col("quality_keep") === (col("label") === 1.0)).cast("double")))
+      .collect()(0).getDouble(0)
+    info(f"rule-mimic held-out accuracy: $acc%.3f")
+    assert(acc >= 0.7, s"rule-mimic accuracy $acc")
+  }
+
+  test("scoring is row-local: no Exchange in the scored plan") {
+    val labeled = corpus.limit(100).select(col("doc_id"), col("text"))
+      .withColumn("label", when(col("doc_id") % 4 === 0, 1.0).otherwise(0.0))
+    val model = QualityModel.train(labeled, "text", "label", numFeatures = 1 << 14)
+    val plan = QualityModel.score(corpus, model, "text")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"scoring must not shuffle:\n$plan")
+  }
+}
