@@ -78,6 +78,55 @@ object Chunking {
         pmod(col("cum_before"), lit(budget.toLong)).as("pack_pos"))
   }
 
+  /** TOKEN-BALANCED shard assignment — the "write N equal shards" step
+    * between a filtered corpus and the training filesystem: every output
+    * shard holds ~`targetTokens` tokens (±1 document), so data loaders
+    * stream uniform files instead of whatever skew the upstream
+    * partitioning left behind.
+    *
+    * Deterministic global order without a global sort: documents order by
+    * (md5(id), id) — md5's first two hex chars ARE the 256-way bucket
+    * prefix, so per-bucket token sums (one tiny aggregate, 256 rows to
+    * the driver) plus a per-bucket window cumsum reproduce the exact
+    * global running total: shard = ⌊cumulative-tokens-before / target⌋.
+    * The corpus shuffles ONCE (on the bucket key, for the windows); the
+    * driver holds 256 longs, never data. The same arithmetic is
+    * expressible as one SQL window, so the assignment is hash-exact
+    * cross-engine (q_balanced_shards).
+    *
+    * Output: (idCol, n_tokens, shard).
+    */
+  def balancedShards(df: DataFrame, idCol: String, textCol: String,
+      targetTokens: Long): DataFrame = {
+    require(targetTokens > 0)
+    val hkey = md5(col(idCol).cast("string"))
+    val base = df.select(col(idCol),
+      size(Dedup.tokens(col(textCol))).cast("long").as("n_tokens"),
+      hkey.as("__hkey"), substring(hkey, 1, 2).as("__bucket"))
+    val bucketSums = base.groupBy(col("__bucket"))
+      .agg(sum(col("n_tokens")).as("bt"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // prefix offsets over the (≤256, lexicographically ordered) buckets:
+    // bucket -> tokens in all lexicographically-earlier buckets
+    val prefixes = {
+      var acc = 0L
+      bucketSums.toSeq.sortBy(_._1).map { case (b, t) =>
+        val p = acc; acc += t; b -> p
+      }.toMap
+    }
+    val prefixCol = prefixes.foldLeft(lit(0L)) {
+      case (acc, (b, p)) => when(col("__bucket") === b, lit(p)).otherwise(acc)
+    }
+    val w = Window.partitionBy(col("__bucket"))
+      .orderBy(col("__hkey"), col(idCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    base
+      .withColumn("__cum_before",
+        prefixCol + sum(col("n_tokens")).over(w) - col("n_tokens"))
+      .select(col(idCol), col("n_tokens"),
+        floor(col("__cum_before") / targetTokens).as("shard"))
+  }
+
   /** Convenience: chunk text directly by a character budget (no token
     * array), e.g. for byte-level models. Row-local substring explode.
     */

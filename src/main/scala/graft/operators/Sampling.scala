@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -155,5 +155,43 @@ object Sampling {
       .select(col("train_id"),
         coalesce(col("n_collisions"), lit(0L)).as("n_collisions"),
         (coalesce(col("n_collisions"), lit(0L)) > 0).as("contaminated"))
+  }
+
+  /** EPOCH replication — the upsampling half of domain mixing
+    * ([[mixtureSample]] is the downsampling half): DoReMi/Pile-style
+    * domain weights are fractional EPOCH counts (wikipedia 3.2 epochs,
+    * commoncrawl 0.8), and a weight above 1 means replicating the
+    * domain's documents. Each row is emitted `floor(w)` times plus one
+    * more with probability `frac(w)`, decided by the SAME deterministic
+    * md5-fraction device as [[mixtureSample]] — so a fixed corpus +
+    * weights yields a byte-identical mixture on any cluster, any run.
+    *
+    * Output = input columns + `epoch` (1-based copy index). Weights
+    * below 1 degrade to hash-fraction sampling (epoch 1 kept with
+    * probability w), making this a strict superset of [[mixtureSample]]
+    * semantics for positive weights. Row-local: the weight lookup is a
+    * literal CASE chain, the replication an explode of a ≤⌈w⌉-element
+    * sequence — no shuffle, no state.
+    */
+  def epochReplicate(df: DataFrame, stratumCol: String, idCol: String,
+      weights: Map[String, Double], defaultWeight: Double = 1.0): DataFrame = {
+    require((defaultWeight +: weights.values.toSeq).forall(_ >= 0.0),
+      "epoch weights must be non-negative")
+    def thresholdHex(f: Double): String =
+      if (f >= 1.0) "g"
+      else f"${math.max(0L, math.floor(f * 4294967296.0).toLong)}%08x"
+    def caseChain[T](f: Double => T, lift: T => Column): Column =
+      weights.foldLeft(lift(f(defaultWeight))) {
+        case (acc, (s, w)) => when(col(stratumCol) === s, lift(f(w))).otherwise(acc)
+      }
+    val wholeEpochs = caseChain[Int](w => math.floor(w).toInt, lit(_))
+    val fracThr = caseChain[String](w => thresholdHex(w - math.floor(w)), lit(_))
+    val extra = (substring(
+      md5(concat(col(stratumCol), lit("|"), col(idCol).cast("string"))), 1, 8)
+      < fracThr).cast("int")
+    val n = (wholeEpochs + extra).as("__n")
+    df.withColumn("epoch",
+      explode(when(n >= 1, sequence(lit(1), n))
+        .otherwise(array().cast("array<int>"))))
   }
 }

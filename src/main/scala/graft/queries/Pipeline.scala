@@ -1461,6 +1461,49 @@ object Pipeline {
       },
       Some("""SELECT 'heldout_accuracy' AS metric, CAST(0.95 AS DOUBLE) AS floor, true AS meets_floor
              |UNION ALL
-             |SELECT 'prob_separation', CAST(0.0 AS DOUBLE), true""".stripMargin))
+             |SELECT 'prob_separation', CAST(0.0 AS DOUBLE), true""".stripMargin)),
+
+    // ── EPOCH replication (r7): the upsampling half of domain mixing —
+    //    fractional DoReMi-style epoch weights (src0 ×2.5, src2 ×3,
+    //    src1 ×0.25, rest ×1) replicate or thin each domain's rows with
+    //    the q_mixture_sample md5-fraction device deciding the
+    //    fractional copy. Fully deterministic → hash-exact oracle on
+    //    (doc_id, source, epoch).
+    Q("q_epoch_replicate",
+      (s, dir) => graft.operators.Sampling.epochReplicate(
+          docs(s, dir).select(col("doc_id"), col("source")),
+          "source", "doc_id",
+          Map("src0" -> 2.5, "src1" -> 0.25, "src2" -> 3.0)),
+      Some("""WITH d AS (SELECT doc_id, source,
+             |    CASE source WHEN 'src0' THEN 2 WHEN 'src1' THEN 0
+             |                WHEN 'src2' THEN 3 ELSE 1 END AS whole,
+             |    CASE source WHEN 'src0' THEN '80000000' WHEN 'src1' THEN '40000000'
+             |                WHEN 'src2' THEN '00000000' ELSE '00000000' END AS thr
+             |  FROM documents),
+             |n AS (SELECT doc_id, source,
+             |    whole + CASE WHEN substr(md5(source || '|' || CAST(doc_id AS VARCHAR)), 1, 8) < thr
+             |                 THEN 1 ELSE 0 END AS n
+             |  FROM d)
+             |SELECT doc_id, source, CAST(unnest(generate_series(1, n)) AS INT) AS epoch
+             |FROM n WHERE n >= 1""".stripMargin)),
+
+    // ── token-balanced shard assignment (r7): every output shard holds
+    //    ~targetTokens tokens under a deterministic md5 global order.
+    //    The Spark side computes the running total as 256 bucket sums +
+    //    per-bucket window (one shuffle, 256 longs to the driver); the
+    //    oracle as ONE global window — the md5-prefix bucketing makes
+    //    them arithmetically identical, which the hash gate pins.
+    Q("q_balanced_shards",
+      (s, dir) => graft.operators.Chunking.balancedShards(
+          docs(s, dir), "doc_id", "text", targetTokens = 2000L),
+      Some(s"""WITH t AS (SELECT doc_id,
+              |    CAST(len(${oTokens("text")}) AS BIGINT) AS n_tokens,
+              |    md5(CAST(doc_id AS VARCHAR)) AS hkey
+              |  FROM documents)
+              |SELECT doc_id, n_tokens,
+              |  CAST(floor((SUM(n_tokens) OVER (ORDER BY hkey, doc_id
+              |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens)
+              |    / 2000.0) AS BIGINT) AS shard
+              |FROM t""".stripMargin))
   )
 }

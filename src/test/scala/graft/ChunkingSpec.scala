@@ -75,4 +75,29 @@ class ChunkingSpec extends SparkSpec {
       .collect().map(r => (r.getInt(1), r.getString(2))).sortBy(_._1)
     assert(out.toSeq == Seq((0, "abc"), (1, "def"), (2, "gh")))
   }
+
+  test("balancedShards: every shard lands within one document of the token target") {
+    val docs = Tables.load(spark, sfDir, "documents")
+    val target = 2000L
+    val out = Chunking.balancedShards(docs, "doc_id", "text", target)
+    val shardSums = out.groupBy("shard")
+      .agg(org.apache.spark.sql.functions.sum("n_tokens").as("t"),
+        org.apache.spark.sql.functions.max("n_tokens").as("m"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(shardSums.length > 1, "corpus must span multiple shards")
+    val maxDoc = shardSums.map(_._3).max
+    // contiguous cumsum assignment: a shard can only exceed the target by
+    // the one document that crossed the boundary; all but the last shard
+    // must reach it
+    shardSums.foreach { case (sh, t, _) =>
+      assert(t <= target + maxDoc, s"shard $sh overfull: $t")
+    }
+    val lastShard = shardSums.map(_._1).max
+    shardSums.filter(_._1 != lastShard).foreach { case (sh, t, _) =>
+      assert(t >= target - maxDoc, s"shard $sh underfull: $t")
+    }
+    // every doc appears exactly once
+    assert(out.count() == docs.count())
+    assert(out.select("doc_id").distinct().count() == docs.count())
+  }
 }

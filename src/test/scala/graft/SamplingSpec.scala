@@ -129,4 +129,28 @@ class SamplingSpec extends SparkSpec {
       .collect().map(_.getLong(0)).toSet
     assert(kept == Set(2L, 4L))
   }
+
+  test("epochReplicate: whole epochs replicate, fractional epochs hash-sample, epoch column is 1..n") {
+    import spark.implicits._
+    val df = (1L to 400L).map(i => (i, s"dom${i % 4}")).toDF("doc_id", "source")
+    val out = Sampling.epochReplicate(df, "source", "doc_id",
+      Map("dom0" -> 3.0, "dom1" -> 1.5, "dom2" -> 0.4))
+    val counts = out.groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(counts("dom0") == 300L, s"exactly 3 epochs: $counts") // 100 docs x 3
+    assert(counts("dom3") == 100L, "default weight 1.0 is identity")
+    // fractional parts are hash-decided: within a generous band around 1.5/0.4
+    assert(counts("dom1") >= 120L && counts("dom1") <= 180L, s"~1.5x: $counts")
+    assert(counts("dom2") >= 20L && counts("dom2") <= 60L, s"~0.4x: $counts")
+    // epoch indices are dense 1..n per doc
+    val perDoc = out.filter($"source" === "dom0").groupBy("doc_id")
+      .agg(org.apache.spark.sql.functions.collect_set("epoch").as("es"))
+      .collect().map(_.getSeq[Int](1).toSet).toSet
+    assert(perDoc == Set(Set(1, 2, 3)))
+    // deterministic: same input -> byte-identical mixture
+    val again = Sampling.epochReplicate(df, "source", "doc_id",
+      Map("dom0" -> 3.0, "dom1" -> 1.5, "dom2" -> 0.4))
+      .collect().map(_.toString).sorted.toSeq
+    assert(again == out.collect().map(_.toString).sorted.toSeq)
+  }
 }
