@@ -361,6 +361,132 @@ class GoldenSpec extends SparkSpec {
       s"missing=${batch.toSet.diff(stream.toSet).take(3)}")
   }
 
+  test("golden streaming: nexmark_q8 shape (persons × sellers per tumble) matches batch") {
+    // nexmark q8: persons who opened auctions in the same 10s tumble —
+    // a JOIN of two tumbling aggregates over DIFFERENT branches of the
+    // same generator stream (person × auction), exercising the spool
+    // machinery across heterogeneous legs
+    import org.apache.spark.sql.functions.{col, window}
+    val script = (outPath: String) => s"""
+      |CREATE TABLE nexmark WITH (
+      |  connector = 'nexmark',
+      |  event_rate = '1000',
+      |  message_count = '20000'
+      |);
+      |CREATE TABLE joined (
+      |  id BIGINT
+      |) WITH (
+      |  connector = 'single_file',
+      |  path = '$outPath',
+      |  format = 'json',
+      |  type = 'sink'
+      |);
+      |INSERT INTO joined
+      |SELECT P.id
+      | FROM (
+      |   SELECT person.id AS id, tumble(interval '10 seconds') AS window
+      |   FROM nexmark WHERE person IS NOT NULL
+      |   GROUP BY person.id, window
+      | ) AS P
+      | JOIN (
+      |   SELECT auction.seller AS seller, tumble(interval '10 seconds') AS window
+      |   FROM nexmark WHERE auction IS NOT NULL
+      |   GROUP BY auction.seller, window
+      | ) AS A
+      | ON P.id = A.seller AND P.window = A.window
+      |""".stripMargin
+    def runAndRead(streaming: Boolean): Map[Long, Int] = {
+      val outPath = s"${tmp()}/out"
+      new Pipeline(spark, streaming = streaming).run(script(outPath))
+      readJsonLines(Paths.get(outPath)).map(_.get("id").asLong)
+        .groupBy(identity).view.mapValues(_.size).toMap
+    }
+    val batch = runAndRead(streaming = false)
+    val stream = runAndRead(streaming = true)
+    val ev = spark.read.format("graft-nexmark")
+      .option("message_count", "20000").option("event_rate", "1000").load()
+    val p = ev.filter(col("person").isNotNull)
+      .groupBy(window(col("person.datetime"), "10 seconds").as("w"),
+        col("person.id").as("id")).count().select("id", "w")
+    val a = ev.filter(col("auction").isNotNull)
+      .groupBy(window(col("auction.datetime"), "10 seconds").as("w"),
+        col("auction.seller").as("seller")).count().select("seller", "w")
+    val expected = p.join(a, p("id") === a("seller") && p("w") === a("w"))
+      .select("id").collect().map(_.getLong(0))
+      .groupBy(identity).view.mapValues(_.size).toMap
+    assert(batch.nonEmpty && batch == expected,
+      s"batch vs expectation: extra=${batch.toSet.diff(expected.toSet).take(3)} " +
+        s"missing=${expected.toSet.diff(batch.toSet).take(3)}")
+    assert(stream == batch, s"stream vs batch: " +
+      s"extra=${stream.toSet.diff(batch.toSet).take(3)} " +
+      s"missing=${batch.toSet.diff(stream.toSet).take(3)}")
+  }
+
+  test("golden streaming: nexmark_q7 shape (raw stream × windowed max) matches batch") {
+    // nexmark q7: the highest-priced bid of every 10s tumble — a RAW
+    // stream joined to a windowed aggregate with window-containment band
+    // conditions (a different shape from q5/q8's agg×agg joins: one leg
+    // is unaggregated)
+    import org.apache.spark.sql.functions.{col, max, window}
+    val script = (outPath: String) => s"""
+      |CREATE TABLE nexmark WITH (
+      |  connector = 'nexmark',
+      |  event_rate = '1000',
+      |  message_count = '20000'
+      |);
+      |CREATE TABLE top_bids (
+      |  auction BIGINT,
+      |  price BIGINT
+      |) WITH (
+      |  connector = 'single_file',
+      |  path = '$outPath',
+      |  format = 'json',
+      |  type = 'sink'
+      |);
+      |INSERT INTO top_bids
+      |SELECT B.auction, B.price
+      | FROM (SELECT bid.auction AS auction, bid.price AS price,
+      |              timestamp AS datetime
+      |       FROM nexmark WHERE bid IS NOT NULL) AS B
+      | JOIN (
+      |   SELECT max(bid.price) AS maxprice,
+      |          tumble(interval '10 seconds') AS window
+      |   FROM nexmark WHERE bid IS NOT NULL
+      |   GROUP BY window
+      | ) AS M
+      | ON B.price = M.maxprice
+      |  AND B.datetime >= M.window.start AND B.datetime < M.window.end
+      |""".stripMargin
+    def runAndRead(streaming: Boolean): Map[(Long, Long), Int] = {
+      val outPath = s"${tmp()}/out"
+      new Pipeline(spark, streaming = streaming).run(script(outPath))
+      readJsonLines(Paths.get(outPath))
+        .map(n => (n.get("auction").asLong, n.get("price").asLong))
+        .groupBy(identity).view.mapValues(_.size).toMap
+    }
+    val batch = runAndRead(streaming = false)
+    val stream = runAndRead(streaming = true)
+    val bids = spark.read.format("graft-nexmark")
+      .option("message_count", "20000").option("event_rate", "1000").load()
+      .filter(col("bid").isNotNull)
+      .select(col("bid.auction").as("auction"), col("bid.price").as("price"),
+        col("bid.datetime").as("datetime"))
+    val mx = bids.groupBy(window(col("datetime"), "10 seconds").as("w"))
+      .agg(max("price").as("maxprice"))
+    val expected = bids.join(mx,
+        bids("price") === mx("maxprice") &&
+          bids("datetime") >= mx("w.start") && bids("datetime") < mx("w.end"))
+      .select("auction", "price").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+      .groupBy(identity).view.mapValues(_.size).toMap
+    assert(batch.nonEmpty && batch == expected,
+      s"batch vs expectation: extra=${batch.toSet.diff(expected.toSet).take(3)} " +
+        s"missing=${expected.toSet.diff(batch.toSet).take(3)}")
+    assert(stream == batch, s"stream vs batch: " +
+      s"extra=${stream.toSet.diff(batch.toSet).take(3)} " +
+      s"missing=${batch.toSet.diff(stream.toSet).take(3)}")
+  }
+
   test("golden batch: active_drivers (nested updating aggregate)") {
     checkExact("active_drivers")
   }
