@@ -65,6 +65,36 @@ class QualityModelSpec extends SparkSpec {
     assert(acc >= 0.7, s"rule-mimic accuracy $acc")
   }
 
+  test("scoring works on a STREAM: the gate drops low-quality rows per micro-batch") {
+    import java.nio.file.Files
+    // train batch-side on the injected signal, then score a stream with it
+    val labeled = corpus.limit(400).select(col("doc_id"), col("text"))
+      .withColumn("label", when(col("doc_id") % 4 === 0, 1.0).otherwise(0.0))
+      .withColumn("text",
+        when(col("label") === 1.0, concat(col("text"), lit(" eduhallmark")))
+          .otherwise(col("text")))
+    val model = QualityModel.train(labeled, "text", "label", numFeatures = 1 << 14)
+    val src = Files.createTempDirectory("qm-src").toString
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("doc_id", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("text", org.apache.spark.sql.types.StringType)))
+    Files.write(java.nio.file.Paths.get(s"$src/f0.json"),
+      ("""{"doc_id":1,"text":"plain web filler words eduhallmark"}""" + "\n" +
+        """{"doc_id":2,"text":"plain web filler words"}""" + "\n").getBytes)
+    val got = scala.collection.mutable.Map[Long, Boolean]()
+    val q = QualityModel.score(
+        spark.readStream.schema(schema).json(src), model, "text")
+      .writeStream.outputMode("append")
+      .foreachBatch { (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        b.select("doc_id", "quality_keep").collect()
+          .foreach(r => got.synchronized { got(r.getLong(0)) = r.getBoolean(1) })
+        ()
+      }.start()
+    q.processAllAvailable()
+    q.stop()
+    assert(got(1L) && !got(2L), s"marker row keeps, plain row drops: $got")
+  }
+
   test("scoring is row-local: no Exchange in the scored plan") {
     val labeled = corpus.limit(100).select(col("doc_id"), col("text"))
       .withColumn("label", when(col("doc_id") % 4 === 0, 1.0).otherwise(0.0))
