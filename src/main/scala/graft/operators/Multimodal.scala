@@ -212,7 +212,9 @@ object Multimodal {
     * container).
     */
   object Codec {
-    private val imageFormats = Set("png", "jpeg", "jpg", "bmp", "gif")
+    // tiff: JDK 9+ ships com.sun.imageio.plugins.tiff natively — scanned
+    // documents in crawl data arrive as TIFF routinely (r7)
+    private val imageFormats = Set("png", "jpeg", "jpg", "bmp", "gif", "tiff", "tif")
     private val audioFormats = Set("wav", "wave")
     private val videoFormats = Set("avi", "mjpeg", "gif")
 

@@ -61,6 +61,29 @@ class MultimodalSpec extends SparkSpec {
     assert(px.grouped(4).forall(row => row(0) < 0.1f && row(3) > 0.9f), s"got $px")
   }
 
+  test("real TIFF decode via the JDK-native plugin (scanned-document format)") {
+    import spark.implicits._
+    // same half-black/half-white 8x8, but TIFF-encoded: the decode path
+    // must treat it exactly like the PNG case (JDK 9+ ships the plugin)
+    def tiff(): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(8, 8, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until 8; x <- 0 until 8)
+        img.setRGB(x, y, if (x < 4) 0x000000 else 0xFFFFFF)
+      val out = new java.io.ByteArrayOutputStream()
+      assert(javax.imageio.ImageIO.write(img, "tiff", out), "JDK must carry a TIFF writer")
+      out.toByteArray
+    }
+    val df = Multimodal.withMeta(
+      Seq((1L, tiff())).toDF("id", "bytes"), "bytes", "image", "tiff", 8, 8)
+    val feats = Multimodal.extractFeatures(df, "bytes", dim = 2)
+      .select(col("features")).collect()(0).getSeq[Float](0)
+    assert(feats.forall(v => v > 0.4f && v < 0.6f), s"got $feats")
+    val frame = Multimodal.resize(df, "bytes", 4, 4).select("frame.*").collect()(0)
+    assert(frame.getInt(0) == 4 && frame.getInt(1) == 4)
+    val px = frame.getSeq[Float](2)
+    assert(px.grouped(4).forall(row => row(0) < 0.1f && row(3) > 0.9f), s"got $px")
+  }
+
   test("real PCM WAV decode via javax.sound.sampled: stats reflect actual samples") {
     import spark.implicits._
     // 0.1 s of a 440 Hz sine at 8 kHz, 16-bit mono, amplitude 0.5 —
