@@ -190,13 +190,19 @@ object Similarity {
     val encoded = corpus.select(col(idCol), pqEncode(col(vecCol), cb).as("pq_codes"))
     val r = math.max(k, rerank)
     val aw = Window.partitionBy(col(queryIdCol)).orderBy(col("sim_adc").desc, col(idCol))
-    val cand = encoded.crossJoin(broadcast(queries))
+    // the ADC rank shuffle carries (query_id, id, sim_adc) ONLY — the
+    // query vector is re-attached to the ≤ queries×rerank survivors by a
+    // broadcast join instead of riding every corpus×queries row through
+    // the window exchange (~dim×4 B/row × |corpus|×|queries| saved, r7)
+    val cand = encoded.crossJoin(broadcast(queries.select(col(queryIdCol), col(queryVecCol))))
       .withColumn("sim_adc", pqCosine(col("pq_codes"), col(queryVecCol), cb))
+      .select(col(queryIdCol), col(idCol), col("sim_adc"))
       .withColumn("arank", row_number().over(aw))
       .filter(col("arank") <= r)
-      .select(col(queryIdCol), col(queryVecCol), col(idCol))
+      .select(col(queryIdCol), col(idCol))
     val w = Window.partitionBy(col(queryIdCol)).orderBy(col("sim").desc, col(idCol))
     corpus.join(broadcast(cand), idCol)
+      .join(broadcast(queries.select(col(queryIdCol), col(queryVecCol))), queryIdCol)
       .withColumn("sim", VectorOps.cosineF(col(vecCol), col(queryVecCol)))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
@@ -246,13 +252,17 @@ object Similarity {
       .select(col(queryIdCol), col(queryVecCol), col("cell"))
     val r = math.max(k, rerank)
     val aw = Window.partitionBy(col(queryIdCol)).orderBy(col("sim_adc").desc, col(idCol))
+    // slim ADC rank shuffle (see pqTopK): query vectors re-attach to the
+    // survivors via broadcast, never riding the per-candidate exchange
     val cand = index.join(broadcast(probes), "cell")
       .withColumn("sim_adc", pqCosine(col("pq_codes"), col(queryVecCol), cb))
+      .select(col(queryIdCol), col(idCol), col("sim_adc"))
       .withColumn("arank", row_number().over(aw))
       .filter(col("arank") <= r)
-      .select(col(queryIdCol), col(queryVecCol), col(idCol))
+      .select(col(queryIdCol), col(idCol))
     val w = Window.partitionBy(col(queryIdCol)).orderBy(col("sim").desc, col(idCol))
     corpus.join(broadcast(cand), idCol)
+      .join(broadcast(queries.select(col(queryIdCol), col(queryVecCol))), queryIdCol)
       .withColumn("sim", VectorOps.cosineF(col(vecCol), col(queryVecCol)))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
@@ -725,16 +735,19 @@ object Similarity {
     // ONE scan of the probed partitions (r7): the raw `vec` rides the ADC
     // projection through the rank shuffle, so the exact re-rank is a
     // row-local cosine over the ≤ queries×rerank survivors — no second
-    // parquet read of the cells, no join back. The shuffle pays one extra
-    // vec per ADC row (the query vec already crossed it); the old shape
-    // paid a whole second scan + broadcast join for the same bytes.
+    // parquet read of the cells, no join back. The QUERY vector does NOT
+    // ride that shuffle (it would double the bytes): it re-attaches to
+    // the bounded survivor set by a broadcast join on the query id.
+    val queryVecs = broadcast(probes.select(col(queryIdCol), col(queryVecCol)).distinct())
     val cand = cells.join(broadcast(probes), "cell")
       .withColumn("sim_adc", pqCosine(col("pq_codes"), col(queryVecCol), cb))
+      .select(col(queryIdCol), col(idCol), col("sim_adc"), col("vec"))
       .withColumn("arank", row_number().over(aw))
       .filter(col("arank") <= r)
-      .select(col(queryIdCol), col(queryVecCol), col(idCol), col("vec"))
+      .select(col(queryIdCol), col(idCol), col("vec"))
     val w = Window.partitionBy(col(queryIdCol)).orderBy(col("sim").desc, col(idCol))
-    cand.withColumn("sim", VectorOps.cosineF(col("vec"), col(queryVecCol)))
+    cand.join(queryVecs, queryIdCol)
+      .withColumn("sim", VectorOps.cosineF(col("vec"), col(queryVecCol)))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col(queryIdCol), col(idCol), col("sim"), col("rank"))
