@@ -32,9 +32,12 @@ object QualityModel {
 
   /** Lowercased word-ish tokens as an array column — [[Dedup.tokens]],
     * shared so the classifier sees the same tokenization as every other
-    * text operator.
+    * text operator. Null text degrades to an empty token set (HashingTF
+    * NPEs on null input, which would abort the task — the 100 TB bad-row
+    * policy says a malformed row scores as empty instead).
     */
-  private def tokensCol(textCol: String): Column = Dedup.tokens(col(textCol))
+  private def tokensCol(textCol: String): Column =
+    coalesce(Dedup.tokens(col(textCol)), array().cast("array<string>"))
 
   /** Train a quality classifier on `labeled` (`labelCol` ∈ {0.0, 1.0}).
     * Returns the fitted model (coefficients live on the driver; ~8 B ×

@@ -103,4 +103,16 @@ class QualityModelSpec extends SparkSpec {
       .queryExecution.executedPlan.toString
     assert(!plan.contains("Exchange"), s"scoring must not shuffle:\n$plan")
   }
+
+  test("null text scores as empty instead of aborting the task") {
+    import spark.implicits._
+    val labeled = corpus.limit(100).select(col("doc_id"), col("text"))
+      .withColumn("label", when(col("doc_id") % 4 === 0, 1.0).otherwise(0.0))
+    val model = QualityModel.train(labeled, "text", "label", numFeatures = 1 << 14)
+    val rows = QualityModel.score(
+        Seq((1L, "some text"), (2L, null)).toDF("doc_id", "text"), model, "text")
+      .select("doc_id", "quality_prob").collect()
+    assert(rows.length == 2)
+    assert(!rows.exists(_.isNullAt(1)), "every row gets a probability")
+  }
 }
