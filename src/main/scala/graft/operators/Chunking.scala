@@ -100,8 +100,10 @@ object Chunking {
       targetTokens: Long): DataFrame = {
     require(targetTokens > 0)
     val hkey = md5(col(idCol).cast("string"))
+    // null text counts 0 tokens (a null would poison every cumulative sum
+    // after it — the 100 TB bad-row policy: degrade, don't propagate)
     val base = df.select(col(idCol),
-      size(Dedup.tokens(col(textCol))).cast("long").as("n_tokens"),
+      coalesce(size(Dedup.tokens(col(textCol))).cast("long"), lit(0L)).as("n_tokens"),
       hkey.as("__hkey"), substring(hkey, 1, 2).as("__bucket"))
     val bucketSums = base.groupBy(col("__bucket"))
       .agg(sum(col("n_tokens")).as("bt"))

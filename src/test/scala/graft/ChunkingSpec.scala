@@ -99,5 +99,13 @@ class ChunkingSpec extends SparkSpec {
     // every doc appears exactly once
     assert(out.count() == docs.count())
     assert(out.select("doc_id").distinct().count() == docs.count())
+    // null text counts 0 tokens and must not poison downstream cumsums
+    import spark.implicits._
+    val withNull = Seq((1L, "three token doc"), (2L, null), (3L, "two tokens"))
+      .toDF("doc_id", "text")
+    val nulled = Chunking.balancedShards(withNull, "doc_id", "text", 100L)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(nulled(2L)._1 == 0L)
+    assert(nulled.values.forall(_._2 == 0L), s"all fit one shard: $nulled")
   }
 }
