@@ -487,6 +487,113 @@ class GoldenSpec extends SparkSpec {
       s"missing=${batch.toSet.diff(stream.toSet).take(3)}")
   }
 
+  test("golden streaming: nexmark q1/q2 shapes (stateless map + filter) match batch") {
+    import org.apache.spark.sql.functions.col
+    // q1 currency conversion (projection), q2 auction filter — the
+    // stateless end of the nexmark family over the generator connector
+    val script = (outPath: String) => s"""
+      |CREATE TABLE nexmark WITH (
+      |  connector = 'nexmark',
+      |  event_rate = '1000',
+      |  message_count = '20000'
+      |);
+      |CREATE TABLE converted (
+      |  auction BIGINT,
+      |  bidder BIGINT,
+      |  price_eur DOUBLE
+      |) WITH (
+      |  connector = 'single_file',
+      |  path = '$outPath',
+      |  format = 'json',
+      |  type = 'sink'
+      |);
+      |INSERT INTO converted
+      |SELECT bid.auction, bid.bidder,
+      |       CAST(0.908 AS DOUBLE) * bid.price AS price_eur
+      | FROM nexmark WHERE bid IS NOT NULL AND bid.auction % 7 = 0
+      |""".stripMargin
+    def runAndRead(streaming: Boolean): Map[(Long, Long, Double), Int] = {
+      val outPath = s"${tmp()}/out"
+      new Pipeline(spark, streaming = streaming).run(script(outPath))
+      readJsonLines(Paths.get(outPath))
+        .map(n => (n.get("auction").asLong, n.get("bidder").asLong,
+          n.get("price_eur").asDouble))
+        .groupBy(identity).view.mapValues(_.size).toMap
+    }
+    val batch = runAndRead(streaming = false)
+    val stream = runAndRead(streaming = true)
+    val expected = spark.read.format("graft-nexmark")
+      .option("message_count", "20000").option("event_rate", "1000").load()
+      .filter(col("bid").isNotNull && col("bid.auction") % 7 === 0)
+      .select(col("bid.auction"), col("bid.bidder"),
+        (col("bid.price") * 0.908).as("price_eur"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .groupBy(identity).view.mapValues(_.size).toMap
+    assert(batch.nonEmpty && batch == expected)
+    assert(stream == batch, s"stream vs batch: " +
+      s"extra=${stream.toSet.diff(batch.toSet).take(3)} " +
+      s"missing=${batch.toSet.diff(stream.toSet).take(3)}")
+  }
+
+  test("golden streaming: nexmark_q3 shape (person × auction branch join) matches batch") {
+    import org.apache.spark.sql.functions.col
+    // q3: sellers in selected states with auctions in one category — an
+    // INNER join of two RAW event branches (no windows, no aggregates):
+    // Spark's stream-stream inner join in append mode
+    val script = (outPath: String) => s"""
+      |CREATE TABLE nexmark WITH (
+      |  connector = 'nexmark',
+      |  event_rate = '1000',
+      |  message_count = '20000'
+      |);
+      |CREATE TABLE sellers (
+      |  name VARCHAR,
+      |  city VARCHAR,
+      |  auction_id BIGINT
+      |) WITH (
+      |  connector = 'single_file',
+      |  path = '$outPath',
+      |  format = 'json',
+      |  type = 'sink'
+      |);
+      |INSERT INTO sellers
+      |SELECT P.name, P.city, A.id AS auction_id
+      | FROM (SELECT auction.id AS id, auction.seller AS seller
+      |       FROM nexmark WHERE auction IS NOT NULL AND auction.category = 3) AS A
+      | JOIN (SELECT person.id AS id, person.name AS name, person.city AS city
+      |       FROM nexmark WHERE person IS NOT NULL
+      |         AND person.state IN ('state-1', 'state-5', 'state-7')) AS P
+      | ON A.seller = P.id
+      |""".stripMargin
+    def runAndRead(streaming: Boolean): Map[(String, String, Long), Int] = {
+      val outPath = s"${tmp()}/out"
+      new Pipeline(spark, streaming = streaming).run(script(outPath))
+      readJsonLines(Paths.get(outPath))
+        .map(n => (n.get("name").asText, n.get("city").asText,
+          n.get("auction_id").asLong))
+        .groupBy(identity).view.mapValues(_.size).toMap
+    }
+    val batch = runAndRead(streaming = false)
+    val stream = runAndRead(streaming = true)
+    val ev = spark.read.format("graft-nexmark")
+      .option("message_count", "20000").option("event_rate", "1000").load()
+    val a = ev.filter(col("auction").isNotNull && col("auction.category") === 3)
+      .select(col("auction.id").as("aid"), col("auction.seller").as("seller"))
+    val p = ev.filter(col("person").isNotNull &&
+        col("person.state").isin("state-1", "state-5", "state-7"))
+      .select(col("person.id").as("pid"), col("person.name"), col("person.city"))
+    val expected = a.join(p, a("seller") === p("pid"))
+      .select("name", "city", "aid").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+      .groupBy(identity).view.mapValues(_.size).toMap
+    assert(batch.nonEmpty && batch == expected,
+      s"batch vs expectation: extra=${batch.toSet.diff(expected.toSet).take(3)} " +
+        s"missing=${expected.toSet.diff(batch.toSet).take(3)}")
+    assert(stream == batch, s"stream vs batch: " +
+      s"extra=${stream.toSet.diff(batch.toSet).take(3)} " +
+      s"missing=${batch.toSet.diff(stream.toSet).take(3)}")
+  }
+
   test("golden batch: active_drivers (nested updating aggregate)") {
     checkExact("active_drivers")
   }
