@@ -27,22 +27,34 @@ object StreamingIngest {
     * runs BEFORE normalization (r7): crawl feeds carry double-encoded
     * text whose junk chars would otherwise fail the quality gate — and
     * NFC normalization first could perturb the damaged byte echo the
-    * repair inverts.
+    * repair inverts. With `model` set, the trained classifier gate
+    * ([[graft.operators.QualityModel]]) runs AFTER the cheap rule gates
+    * — rules discard the obvious garbage free, the model (broadcast
+    * coefficients, row-local) adjudicates what rules can't express.
     */
   def prepared(raw: DataFrame, minQuality: Double = 0.35,
-      langs: Seq[String] = Seq("en", "und")): DataFrame =
-    raw.select(col("offset").as("doc_id"),
+      langs: Seq[String] = Seq("en", "und"),
+      model: Option[org.apache.spark.ml.classification.LogisticRegressionModel] = None,
+      modelThreshold: Double = 0.5): DataFrame = {
+    val gated = raw.select(col("offset").as("doc_id"),
         TextAnalysis.normalizeText(
           TextAnalysis.fixMojibake(col("value").cast("string"))).as("text"))
       .filter(TextAnalysis.qualityScore(col("text")) >= minQuality)
       .filter(TextAnalysis.languageId(col("text")).isin(langs: _*))
+    model.fold(gated) { m =>
+      graft.operators.QualityModel.score(gated, m, "text", modelThreshold)
+        .filter(col("quality_keep")).select("doc_id", "text")
+    }
+  }
 
   def start(spark: SparkSession, address: String, topic: String,
       outDir: String, ledgerDir: String, checkpointDir: String,
-      minQuality: Double = 0.35): StreamingQuery = {
+      minQuality: Double = 0.35,
+      model: Option[org.apache.spark.ml.classification.LogisticRegressionModel] = None)
+      : StreamingQuery = {
     val raw = spark.readStream.format("graft-mq")
       .option("address", address).option("topic", topic).load()
-    Dedup.bloomIncrementalStream(prepared(raw, minQuality), "doc_id", "text",
-      ledgerDir, outDir, checkpointDir)
+    Dedup.bloomIncrementalStream(prepared(raw, minQuality, model = model),
+      "doc_id", "text", ledgerDir, outDir, checkpointDir)
   }
 }

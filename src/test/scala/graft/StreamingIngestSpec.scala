@@ -61,4 +61,35 @@ class StreamingIngestSpec extends SparkSpec {
       org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(tmp))
     }
   }
+
+  test("ingest with the trained classifier gate: the model vetoes what rules passed") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // train on the injected marker signal (the stand-in for LLM labels)
+    val corpus = Tables.load(spark, sfDir, "documents").limit(300)
+      .select(col("doc_id"), col("text"))
+      .withColumn("label", when(col("doc_id") % 4 === 0, 1.0).otherwise(0.0))
+      .withColumn("text",
+        when(col("label") === 1.0, concat(col("text"), lit(" eduhallmark")))
+          .otherwise(col("text")))
+    val model = graft.operators.QualityModel.train(corpus, "text", "label",
+      numFeatures = 1 << 14)
+    val addr = s"ingest-model-${java.util.UUID.randomUUID()}"
+    MessageBroker.at(addr).clear()
+    val tmp = java.nio.file.Files.createTempDirectory("ingest-m").toString
+    // both docs pass the RULE gates (quality + language); only the marked
+    // one passes the MODEL gate
+    val marked = "the quick brown fox jumps over the lazy dog eduhallmark and keeps going for a while"
+    val plain = "the quick brown fox jumps over the lazy dog and keeps going for quite a while longer"
+    Seq(marked, plain).foreach(d =>
+      MessageBroker.at(addr).publish("docs", null, d.getBytes(UTF_8)))
+    val q = StreamingIngest.start(spark, addr, "docs",
+      s"$tmp/out", s"$tmp/ledger", s"$tmp/ckpt", model = Some(model))
+    q.processAllAvailable()
+    q.stop()
+    try {
+      val kept = spark.read.parquet(s"$tmp/out").count()
+      assert(kept == 1, s"only the marker doc passes the model gate, got $kept")
+    } finally org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(tmp))
+  }
 }
