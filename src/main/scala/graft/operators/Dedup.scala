@@ -1003,6 +1003,29 @@ object Dedup {
   def streamingExact(df: DataFrame, tsCol: String, delay: String, keyCols: String*): DataFrame =
     df.withWatermark(tsCol, delay).dropDuplicatesWithinWatermark(keyCols.toSeq)
 
+  /** Corpus SNAPSHOT DIFF — the audit between two curation runs: which
+    * documents were added, removed, or changed content between `oldDf`
+    * and `newDf`. Incremental pipelines publish this next to the data
+    * card (what did this re-crawl/refilter actually do?); it is also the
+    * cheap precondition check before incremental dedup ("nothing
+    * changed → skip the run").
+    *
+    * One full-outer shuffle join on the id, comparing 16-byte content
+    * hashes — text never crosses the shuffle. Returns every id with
+    * status ∈ {added, removed, changed, unchanged}.
+    */
+  def corpusDiff(oldDf: DataFrame, newDf: DataFrame,
+      idCol: String, textCol: String): DataFrame = {
+    val o = oldDf.select(col(idCol).as("id"), md5(col(textCol)).as("old_hash"))
+    val n = newDf.select(col(idCol).as("id"), md5(col(textCol)).as("new_hash"))
+    o.join(n, Seq("id"), "full_outer")
+      .select(col("id").as(idCol),
+        when(col("old_hash").isNull, "added")
+          .when(col("new_hash").isNull, "removed")
+          .when(col("old_hash") =!= col("new_hash"), "changed")
+          .otherwise("unchanged").as("status"))
+  }
+
   /** Lowercased whitespace tokens with empties removed — the shared
     * tokenizer for all text operators (kept trivially SQL-portable so
     * DuckDB oracles can reproduce it).

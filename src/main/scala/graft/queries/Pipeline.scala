@@ -1504,6 +1504,41 @@ object Pipeline {
               |  CAST(floor((SUM(n_tokens) OVER (ORDER BY hkey, doc_id
               |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens)
               |    / 2000.0) AS BIGINT) AS shard
-              |FROM t""".stripMargin))
+              |FROM t""".stripMargin)),
+
+    // ── corpus snapshot diff (r7): the audit between two curation runs.
+    //    The "new" snapshot is synthesized from the old one identically
+    //    in both engines — every 7th doc dropped, every 10th (surviving)
+    //    doc's text modified, a fresh doc per 13th id — and the diff must
+    //    label every id exactly. One full-outer join on 16-byte hashes;
+    //    text never crosses the shuffle.
+    Q("q_corpus_diff",
+      (s, dir) => {
+        val old = docs(s, dir).select(col("doc_id"), col("text"))
+        val survived = old.filter(col("doc_id") % 7 =!= 0)
+          .select(col("doc_id"),
+            when(col("doc_id") % 10 === 0, concat(col("text"), lit(" [rev2]")))
+              .otherwise(col("text")).as("text"))
+        val added = old.filter(col("doc_id") % 13 === 0)
+          .select((col("doc_id") + 100000L).as("doc_id"),
+            concat(lit("fresh crawl: "), col("text")).as("text"))
+        graft.operators.Dedup.corpusDiff(old, survived.unionAll(added),
+          "doc_id", "text")
+      },
+      Some("""WITH old AS (SELECT doc_id, text FROM documents),
+             |surv AS (SELECT doc_id,
+             |    CASE WHEN doc_id % 10 = 0 THEN text || ' [rev2]' ELSE text END AS text
+             |  FROM old WHERE doc_id % 7 <> 0),
+             |added AS (SELECT doc_id + 100000 AS doc_id, 'fresh crawl: ' || text AS text
+             |  FROM old WHERE doc_id % 13 = 0),
+             |new_snap AS (SELECT * FROM surv UNION ALL SELECT * FROM added),
+             |o AS (SELECT doc_id AS id, md5(text) AS old_hash FROM old),
+             |n AS (SELECT doc_id AS id, md5(text) AS new_hash FROM new_snap)
+             |SELECT COALESCE(o.id, n.id) AS doc_id,
+             |  CASE WHEN o.id IS NULL THEN 'added'
+             |       WHEN n.id IS NULL THEN 'removed'
+             |       WHEN o.old_hash <> n.new_hash THEN 'changed'
+             |       ELSE 'unchanged' END AS status
+             |FROM o FULL OUTER JOIN n ON o.id = n.id""".stripMargin))
   )
 }
