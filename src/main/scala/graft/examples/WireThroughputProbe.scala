@@ -48,9 +48,10 @@ object WireThroughputProbe {
     }
     println(s"[wire-probe] nats  wire->seam: $n msgs in ${f(natsSecs)} = ${rate(n, natsSecs)}")
 
-    // ── MQTT QoS-1: publish blocks on PUBACK (one RTT per message) ─────
-    val mqttN = n / 10 // RTT-bound: smaller batch, same signal
-    val mqttSecs = {
+    // ── MQTT QoS-1: serial publish (one PUBACK RTT per message) vs the
+    //    r7 pipelined publishAll (32 in flight)
+    val mqttN = n / 10 // serial is RTT-bound: smaller batch, same signal
+    val (mqttSecs, mqttPipeSecs) = {
       val server = new MqttServer
       val addr = "wire-probe-mqtt"
       MessageBroker.at(addr).clear()
@@ -61,10 +62,15 @@ object WireThroughputProbe {
         val t0 = System.nanoTime()
         (0 until mqttN).foreach(i => pub.publish("probe/docs", payload(i)))
         while (MessageBroker.at(addr).size("docs") < mqttN) Thread.sleep(5)
-        (System.nanoTime() - t0) / 1e9
+        val serial = (System.nanoTime() - t0) / 1e9
+        val t1 = System.nanoTime()
+        pub.publishAll("probe/docs", (0 until n).iterator.map(payload))
+        while (MessageBroker.at(addr).size("docs") < mqttN + n) Thread.sleep(5)
+        (serial, (System.nanoTime() - t1) / 1e9)
       } finally { sub.close(); pub.close(); server.close() }
     }
-    println(s"[wire-probe] mqtt  wire->seam: $mqttN msgs in ${f(mqttSecs)} = ${rate(mqttN, mqttSecs)}")
+    println(s"[wire-probe] mqtt  wire->seam (serial):    $mqttN msgs in ${f(mqttSecs)} = ${rate(mqttN, mqttSecs)}")
+    println(s"[wire-probe] mqtt  wire->seam (pipelined): $n msgs in ${f(mqttPipeSecs)} = ${rate(n, mqttPipeSecs)}")
 
     // ── AMQP 0-9-1: async basic.publish (3 frames per message) ─────────
     val amqpSecs = {

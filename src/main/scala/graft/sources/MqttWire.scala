@@ -198,6 +198,39 @@ final class MqttClient(host: String, port: Int, clientId: String = "graft") exte
     } finally pendingAcks.remove(pid) // no leak when the await times out
   }
 
+  /** PIPELINED QoS-1 publish: up to `maxInFlight` messages outstanding
+    * before blocking on the oldest PUBACK — MQTT 3.1.1 explicitly allows
+    * multiple in-flight QoS-1 packets (the receive-maximum notion 5.0
+    * formalizes); one-RTT-per-message is a CLIENT limitation, not a
+    * protocol one. Still at-least-once: the method returns only after
+    * EVERY payload is acknowledged. `maxInFlight` < 65535 keeps pids
+    * unambiguous within the window.
+    */
+  def publishAll(topic: String, payloads: Iterator[Array[Byte]],
+      maxInFlight: Int = 32): Long = {
+    require(maxInFlight > 0 && maxInFlight < 0xffff)
+    val inFlight = new java.util.ArrayDeque[(Int, CountDownLatch)]()
+    def awaitOldest(): Unit = {
+      val (pid, latch) = inFlight.removeFirst()
+      try require(latch.await(5, TimeUnit.SECONDS), s"no PUBACK for pid=$pid within 5s")
+      finally pendingAcks.remove(pid)
+    }
+    var n = 0L
+    payloads.foreach { payload =>
+      if (inFlight.size >= maxInFlight) awaitOldest()
+      val pid = nextPid()
+      val latch = new CountDownLatch(1)
+      pendingAcks.put(pid, latch)
+      val b = new ByteArrayOutputStream()
+      putStr(b, topic); putU16(b, pid); b.write(payload, 0, payload.length)
+      writePacket(out, PUBLISH, 0x2 /* QoS 1 */, b.toByteArray)
+      inFlight.addLast(pid -> latch)
+      n += 1
+    }
+    while (!inFlight.isEmpty) awaitOldest()
+    n
+  }
+
   override def close(): Unit = {
     closed.set(true)
     try writePacket(out, MqttWire.DISCONNECT, 0, Array.emptyByteArray)
@@ -310,7 +343,7 @@ object MqttBridge {
       address: String, topic: String, from: Long = 0L): Long = {
     val broker = MessageBroker.at(address)
     val msgs = broker.fetch(topic, from, broker.size(topic))
-    msgs.foreach { case (_, m) => client.publish(wireTopic, m.value) }
+    client.publishAll(wireTopic, msgs.iterator.map(_._2.value))
     from + msgs.length
   }
 }

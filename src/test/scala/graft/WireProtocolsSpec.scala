@@ -100,6 +100,16 @@ class WireProtocolsSpec extends SparkSpec {
         pub.publish("sensors/temp", "c".getBytes(UTF_8))
         awaitCount(latch, "3 QoS-1 deliveries")
         assert(got.toArray.toSeq == Seq("a", "b" * 200, "c"))
+        // pipelined publishAll: 100 messages with 8 in flight — every one
+        // acked, delivered exactly once, in publish order
+        got.clear()
+        val latch2 = new CountDownLatch(100)
+        sub.subscribe("sensors/bulk") { (_, p) => got.add(new String(p, UTF_8)); latch2.countDown() }
+        val sent = pub.publishAll("sensors/bulk",
+          (0 until 100).iterator.map(i => s"m$i".getBytes(UTF_8)), maxInFlight = 8)
+        assert(sent == 100L)
+        awaitCount(latch2, "100 pipelined deliveries")
+        assert(got.toArray.toSeq == (0 until 100).map(i => s"m$i"))
       } finally { sub.close(); pub.close() }
     } finally server.close()
   }
