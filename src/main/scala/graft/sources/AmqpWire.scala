@@ -124,6 +124,12 @@ final class AmqpClient(host: String, port: Int,
   // synchronous method replies during setup/declare/consume (unbounded so
   // the reader thread never blocks on an unawaited reply)
   private val replies = new java.util.concurrent.LinkedBlockingQueue[(Int, Int, Reader)]()
+  // publisher-confirm state (class 85): publish sequence numbers are
+  // delivery tags; `outstanding` holds unacked tags, drained by the
+  // reader on basic.ack (single or cumulative `multiple`)
+  private val confirmsOn = new AtomicBoolean(false)
+  private var publishSeq = 0L // guarded by out.synchronized
+  private val outstanding = new java.util.TreeSet[Long]()
 
   // ── connection negotiation (synchronous, before the reader starts) ──
   locally {
@@ -178,6 +184,14 @@ final class AmqpClient(host: String, port: Int,
               r.shortstr() // exchange
               pendingKey = r.shortstr() // routing key = queue
               pendingBody.reset()
+            } else if (c == 60 && m == 80) { // basic.ack (publisher confirm)
+              val tag = r.u64()
+              val multiple = (r.u8() & 1) != 0
+              outstanding.synchronized {
+                if (multiple) { outstanding.headSet(tag, true).clear(); () }
+                else { outstanding.remove(tag); () }
+                outstanding.notifyAll()
+              }
             } else replies.put((c, m, r))
           case FrameHeader =>
             val r = new Reader(f.payload)
@@ -226,6 +240,9 @@ final class AmqpClient(host: String, port: Int,
     // so concurrent publishers must not interleave (writeFrame's own
     // per-frame lock is reentrant under this one)
     out.synchronized {
+      // in confirm mode EVERY publish consumes a delivery tag (spec), so
+      // fire-and-forget publishes after enableConfirms keep tags aligned
+      if (confirmsOn.get) publishSeq += 1
       writeFrame(out, FrameMethod, 1, method(60, 40) { a => // basic.publish
         a.u16(0).shortstr("").shortstr(queue).u8(0)
       })
@@ -237,6 +254,39 @@ final class AmqpClient(host: String, port: Int,
         off += n
       }
     }
+
+  /** Enable PUBLISHER CONFIRMS (class 85, the RabbitMQ extension every
+    * 0-9-1 broker ships): after confirm.select/select-ok, the broker
+    * basic.ack's every publish by its sequence-number delivery tag —
+    * the at-least-once handshake fire-and-forget publish lacks.
+    */
+  def enableConfirms(): Unit = {
+    writeFrame(out, FrameMethod, 1, method(85, 10)(_.u8(0))) // confirm.select
+    awaitReply(85, 11) // select-ok
+    confirmsOn.set(true)
+  }
+
+  /** Publish and block until the broker's basic.ack for THIS message
+    * (single or cumulative `multiple` acks both count it). Requires
+    * [[enableConfirms]].
+    */
+  def publishConfirmed(queue: String, payload: Array[Byte]): Unit = {
+    require(confirmsOn.get, "publishConfirmed requires enableConfirms() first")
+    val tag = out.synchronized { // same lock as publish: tags == wire order
+      val t = publishSeq + 1 // publish() itself advances the counter
+      outstanding.synchronized { outstanding.add(t); () }
+      publish(queue, payload)
+      t
+    }
+    val deadline = System.nanoTime() + 5000000000L
+    outstanding.synchronized {
+      while (outstanding.contains(tag)) {
+        val remainMs = (deadline - System.nanoTime()) / 1000000L
+        require(remainMs > 0, s"no basic.ack for tag=$tag within 5s")
+        outstanding.wait(remainMs)
+      }
+    }
+  }
 
   /** no-ack consume; `handler(routingKey, body)` on the reader thread. */
   def consume(queue: String)(handler: (String, Array[Byte]) => Unit): String = {
@@ -317,6 +367,14 @@ final class AmqpServer extends AutoCloseable {
       var pendingQueue: String = null
       var pendingSize = 0L
       val pendingBody = new ByteArrayOutputStream()
+      // publisher confirms (class 85): once selected, every completed
+      // publish on this connection is basic.ack'd with its delivery tag
+      var confirmMode = false
+      var confirmTag = 0L
+      def ackIfConfirming(): Unit = if (confirmMode) {
+        confirmTag += 1
+        writeFrame(out, FrameMethod, 1, method(60, 80)(_.u64(confirmTag).u8(0)))
+      }
       var continue = true
       while (continue && !closed.get()) {
         val f = readFrame(in)
@@ -344,6 +402,9 @@ final class AmqpServer extends AutoCloseable {
                 r.u16(); r.shortstr() // exchange ("")
                 pendingQueue = r.shortstr()
                 pendingBody.reset()
+              case (85, 10) => // confirm.select
+                confirmMode = true
+                writeFrame(out, FrameMethod, f.channel, method(85, 11)(a => a))
               case (10, 50) | (20, 40) => continue = false // close
               case _ => ()
             }
@@ -351,10 +412,13 @@ final class AmqpServer extends AutoCloseable {
             val r = new Reader(f.payload)
             r.u16(); r.u16()
             pendingSize = r.u64()
-            if (pendingSize == 0) deliver(pendingQueue, Array.emptyByteArray)
+            if (pendingSize == 0) { deliver(pendingQueue, Array.emptyByteArray); ackIfConfirming() }
           case FrameBody =>
             pendingBody.write(f.payload, 0, f.payload.length)
-            if (pendingBody.size >= pendingSize) deliver(pendingQueue, pendingBody.toByteArray)
+            if (pendingBody.size >= pendingSize) {
+              deliver(pendingQueue, pendingBody.toByteArray)
+              ackIfConfirming()
+            }
           case _ => () // heartbeat
         }
       }

@@ -144,6 +144,31 @@ class WireProtocolsSpec extends SparkSpec {
     } finally server.close()
   }
 
+  test("AMQP publisher confirms: every publishConfirmed blocks on its basic.ack") {
+    import graft.sources.{AmqpClient, AmqpServer}
+    val server = new AmqpServer
+    try {
+      val consumer = new AmqpClient("127.0.0.1", server.port)
+      val producer = new AmqpClient("127.0.0.1", server.port)
+      try {
+        consumer.declareQueue("confirmed")
+        val got = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+        val latch = new CountDownLatch(5)
+        consumer.consume("confirmed") { (_, p) => got.add(new String(p, UTF_8)); latch.countDown() }
+        producer.enableConfirms()
+        // confirmed and fire-and-forget publishes interleave: tags stay
+        // aligned because every publish consumes one in confirm mode
+        producer.publishConfirmed("confirmed", "c1".getBytes(UTF_8))
+        producer.publish("confirmed", "f1".getBytes(UTF_8))
+        producer.publishConfirmed("confirmed", "c2".getBytes(UTF_8))
+        producer.publish("confirmed", "f2".getBytes(UTF_8))
+        producer.publishConfirmed("confirmed", "c3".getBytes(UTF_8))
+        awaitCount(latch, "5 deliveries")
+        assert(got.toArray.toSeq == Seq("c1", "f1", "c2", "f2", "c3"))
+      } finally { consumer.close(); producer.close() }
+    } finally server.close()
+  }
+
   test("AMQP → seam → Spark round-trip") {
     import graft.sources.{AmqpBridge, AmqpClient, AmqpServer}
     val server = new AmqpServer
