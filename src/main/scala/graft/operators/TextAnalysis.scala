@@ -212,8 +212,20 @@ object TextAnalysis {
     val email = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
     val ipv4 = "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b"
     val phone = "\\+?[0-9]{1,3}[-. ][0-9]{3}[-. ][0-9]{3,4}[-. ]?[0-9]{0,4}\\b"
+    // r7 additions: SSN shape, card-number digit runs (13-19 digits with
+    // optional space/dash separators — aggressively scrubbed WITHOUT a
+    // Luhn gate: for training data a false positive costs a token, a
+    // false negative leaks a card), simplified IPv6, IBAN shape
+    val ssn = "\\b[0-9]{3}-[0-9]{2}-[0-9]{4}\\b"
+    val card = "\\b(?:[0-9][ -]?){12,18}[0-9]\\b"
+    val ipv6 = "\\b(?:[0-9A-Fa-f]{1,4}:){2,7}[0-9A-Fa-f]{1,4}\\b"
+    val iban = "\\b[A-Z]{2}[0-9]{2}[A-Z0-9]{10,30}\\b"
+    // chain order is load-bearing: email first (user@host digits must not
+    // half-match as phone), ssn before card before ipv4/phone (the wider
+    // digit-run patterns must not eat the narrower shapes' remnants)
     val all: Seq[(String, String)] =
-      Seq(email -> "<EMAIL>", ipv4 -> "<IP>", phone -> "<PHONE>")
+      Seq(email -> "<EMAIL>", ssn -> "<SSN>", card -> "<CARD>",
+        ipv4 -> "<IP>", ipv6 -> "<IP6>", phone -> "<PHONE>", iban -> "<IBAN>")
   }
 
   /** Scrub PII: replace each pattern with its tag, left to right (emails
@@ -227,7 +239,9 @@ object TextAnalysis {
   def piiCounts(text: Column): Seq[Column] = Seq(
     regexp_count(text, lit(Pii.email)).as("n_emails"),
     regexp_count(text, lit(Pii.ipv4)).as("n_ips"),
-    regexp_count(text, lit(Pii.phone)).as("n_phones"))
+    regexp_count(text, lit(Pii.phone)).as("n_phones"),
+    regexp_count(text, lit(Pii.ssn)).as("n_ssns"),
+    regexp_count(text, lit(Pii.card)).as("n_cards"))
 
   /** Within-document repetition profile over token n-grams (NOT distinct —
     * repetition is the signal): max single-gram frequency, number of

@@ -510,7 +510,11 @@ object Pipeline {
           concat(col("text"),
             lit(" contact user"), col("doc_id"), lit("@example.com via 10.0."),
             pmod(col("doc_id"), lit(256)), lit(".7 or +1 555-01"),
-            pmod(col("doc_id"), lit(80)) + 10, lit(" today")).as("text"))
+            pmod(col("doc_id"), lit(80)) + 10,
+            lit(" card 4111 1111 1111 1"), pmod(col("doc_id"), lit(900)) + 100,
+            lit(" ssn 123-45-"), pmod(col("doc_id"), lit(9000)) + 1000,
+            lit(" net fe80:0:0:0:202:b3ff:fe1e:8329 acct DE4450010517540732493"),
+            pmod(col("doc_id"), lit(10)), lit(" today")).as("text"))
         withPii.select(
           (col("doc_id") +: TextAnalysis.piiCounts(col("text"))) :+
             md5(TextAnalysis.scrubPii(col("text"))).as("scrub_hash"): _*)
@@ -519,20 +523,34 @@ object Pipeline {
         val email = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
         val ipv4 = "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b"
         val phone = "\\+?[0-9]{1,3}[-. ][0-9]{3}[-. ][0-9]{3,4}[-. ]?[0-9]{0,4}\\b"
+        val ssn = "\\b[0-9]{3}-[0-9]{2}-[0-9]{4}\\b"
+        val card = "\\b(?:[0-9][ -]?){12,18}[0-9]\\b"
+        val ipv6 = "\\b(?:[0-9A-Fa-f]{1,4}:){2,7}[0-9A-Fa-f]{1,4}\\b"
+        val iban = "\\b[A-Z]{2}[0-9]{2}[A-Z0-9]{10,30}\\b"
         s"""WITH p AS (
            |  SELECT doc_id,
            |         text || ' contact user' || doc_id || '@example.com via 10.0.' ||
            |         (doc_id % 256) || '.7 or +1 555-01' || (doc_id % 80 + 10) ||
-           |         ' today' AS text
+           |         ' card 4111 1111 1111 1' || (doc_id % 900 + 100) ||
+           |         ' ssn 123-45-' || (doc_id % 9000 + 1000) ||
+           |         ' net fe80:0:0:0:202:b3ff:fe1e:8329 acct DE4450010517540732493' ||
+           |         (doc_id % 10) || ' today' AS text
            |  FROM documents)
            |SELECT doc_id,
            |  CAST(len(regexp_extract_all(text, '$email')) AS INTEGER) AS n_emails,
            |  CAST(len(regexp_extract_all(text, '$ipv4')) AS INTEGER) AS n_ips,
            |  CAST(len(regexp_extract_all(text, '$phone')) AS INTEGER) AS n_phones,
-           |  md5(regexp_replace(regexp_replace(regexp_replace(text,
+           |  CAST(len(regexp_extract_all(text, '$ssn')) AS INTEGER) AS n_ssns,
+           |  CAST(len(regexp_extract_all(text, '$card')) AS INTEGER) AS n_cards,
+           |  md5(regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+           |      regexp_replace(regexp_replace(regexp_replace(text,
            |        '$email', '<EMAIL>', 'g'),
+           |        '$ssn', '<SSN>', 'g'),
+           |        '$card', '<CARD>', 'g'),
            |        '$ipv4', '<IP>', 'g'),
-           |        '$phone', '<PHONE>', 'g')) AS scrub_hash
+           |        '$ipv6', '<IP6>', 'g'),
+           |        '$phone', '<PHONE>', 'g'),
+           |        '$iban', '<IBAN>', 'g')) AS scrub_hash
            |FROM p""".stripMargin
       }),
 

@@ -68,6 +68,24 @@ class TextAnalysisSpec extends SparkSpec {
     assert(rows(4L) == "no pii here, just words and 42 numbers")
   }
 
+  test("scrubPii r7 categories: SSN, card numbers, IPv6, IBAN") {
+    import spark.implicits._
+    val rows = Seq(
+      (1L, "ssn 123-45-6789 on file"),
+      (2L, "pay 4111 1111 1111 1234 or 4111-1111-1111-1234 or 4111111111111234"),
+      (3L, "host fe80:0:0:0:202:b3ff:fe1e:8329 up"),
+      (4L, "wire to DE44500105175407324931 today"),
+      (5L, "year 2024 had 365 days and 12 months") // short digit runs untouched
+    ).toDF("doc_id", "text")
+      .select(col("doc_id"), TextAnalysis.scrubPii(col("text")).as("t"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(rows(1L) == "ssn <SSN> on file")
+    assert(rows(2L) == "pay <CARD> or <CARD> or <CARD>", s"got ${rows(2L)}")
+    assert(rows(3L) == "host <IP6> up")
+    assert(rows(4L) == "wire to <IBAN> today")
+    assert(rows(5L) == "year 2024 had 365 days and 12 months")
+  }
+
   test("repetition profile flags boilerplate docs") {
     import spark.implicits._
     val docs = Seq(
