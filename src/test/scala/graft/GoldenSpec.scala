@@ -594,6 +594,66 @@ class GoldenSpec extends SparkSpec {
       s"missing=${batch.toSet.diff(stream.toSet).take(3)}")
   }
 
+  test("golden batch: nexmark_q4 shape (winning bid per auction → avg per category)") {
+    // q4: average CLOSING price per category — an interval join (bids
+    // within [auction.datetime, auction.expires]) under a per-auction max
+    // under a per-category average. Batch face only: the unwindowed
+    // nested aggregate over a stream-stream interval join has no
+    // append-mode streaming form (the reference runs q4 as an updating
+    // query; our updating surface covers that family separately).
+    import org.apache.spark.sql.functions.{avg, col, max}
+    val outPath = s"${tmp()}/out"
+    val script = s"""
+      |CREATE TABLE nexmark WITH (
+      |  connector = 'nexmark',
+      |  event_rate = '1000',
+      |  message_count = '20000'
+      |);
+      |CREATE TABLE category_price (
+      |  category BIGINT,
+      |  avg_final DOUBLE
+      |) WITH (
+      |  connector = 'single_file',
+      |  path = '$outPath',
+      |  format = 'json',
+      |  type = 'sink'
+      |);
+      |INSERT INTO category_price
+      |SELECT Q.category, AVG(Q.final) AS avg_final
+      | FROM (
+      |   SELECT MAX(B.price) AS final, A.category AS category
+      |   FROM (SELECT auction.id AS id, auction.category AS category,
+      |                auction.datetime AS dt, auction.expires AS expires
+      |         FROM nexmark WHERE auction IS NOT NULL) AS A
+      |   JOIN (SELECT bid.auction AS auction, bid.price AS price,
+      |                bid.datetime AS dt
+      |         FROM nexmark WHERE bid IS NOT NULL) AS B
+      |   ON A.id = B.auction AND B.dt >= A.dt AND B.dt <= A.expires
+      |   GROUP BY A.id, A.category
+      | ) AS Q
+      | GROUP BY Q.category
+      |""".stripMargin
+    new Pipeline(spark, streaming = false).run(script)
+    val got = readJsonLines(Paths.get(outPath))
+      .map(n => n.get("category").asLong -> n.get("avg_final").asDouble).toMap
+    val ev = spark.read.format("graft-nexmark")
+      .option("message_count", "20000").option("event_rate", "1000").load()
+    val a = ev.filter(col("auction").isNotNull).select(
+      col("auction.id").as("aid"), col("auction.category").as("category"),
+      col("auction.datetime").as("adt"), col("auction.expires").as("expires"))
+    val b = ev.filter(col("bid").isNotNull).select(
+      col("bid.auction").as("auction"), col("bid.price").as("price"),
+      col("bid.datetime").as("bdt"))
+    val expected = a.join(b, a("aid") === b("auction") &&
+        b("bdt") >= a("adt") && b("bdt") <= a("expires"))
+      .groupBy("aid", "category").agg(max("price").as("final"))
+      .groupBy("category").agg(avg("final").as("avg_final"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(got.nonEmpty && got == expected,
+      s"extra=${got.toSet.diff(expected.toSet).take(3)} " +
+        s"missing=${expected.toSet.diff(got.toSet).take(3)}")
+  }
+
   test("golden batch: active_drivers (nested updating aggregate)") {
     checkExact("active_drivers")
   }
