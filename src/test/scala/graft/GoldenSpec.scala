@@ -654,6 +654,73 @@ class GoldenSpec extends SparkSpec {
         s"missing=${expected.toSet.diff(got.toSet).take(3)}")
   }
 
+  test("golden batch: nexmark_q6 shape (avg of each seller's last-10 winning bids)") {
+    // q6: per-seller average over the 10 most recent winning bids — the
+    // q4 winner derivation under a per-key ordered window (ROW_NUMBER
+    // OVER PARTITION BY) under a final aggregate
+    import org.apache.spark.sql.expressions.{Window => W}
+    import org.apache.spark.sql.functions.{avg, col, max, row_number}
+    val outPath = s"${tmp()}/out"
+    val script = s"""
+      |CREATE TABLE nexmark WITH (
+      |  connector = 'nexmark',
+      |  event_rate = '1000',
+      |  message_count = '20000'
+      |);
+      |CREATE TABLE seller_avg (
+      |  seller BIGINT,
+      |  avg_last10 DOUBLE
+      |) WITH (
+      |  connector = 'single_file',
+      |  path = '$outPath',
+      |  format = 'json',
+      |  type = 'sink'
+      |);
+      |INSERT INTO seller_avg
+      |SELECT W.seller, AVG(W.final) AS avg_last10
+      | FROM (
+      |   SELECT seller, final,
+      |          ROW_NUMBER() OVER (PARTITION BY seller ORDER BY dt DESC, id DESC) AS rn
+      |   FROM (
+      |     SELECT A.id AS id, A.seller AS seller, A.dt AS dt, MAX(B.price) AS final
+      |     FROM (SELECT auction.id AS id, auction.seller AS seller,
+      |                  auction.datetime AS dt, auction.expires AS expires
+      |           FROM nexmark WHERE auction IS NOT NULL) AS A
+      |     JOIN (SELECT bid.auction AS auction, bid.price AS price,
+      |                  bid.datetime AS bdt
+      |           FROM nexmark WHERE bid IS NOT NULL) AS B
+      |     ON A.id = B.auction AND B.bdt >= A.dt AND B.bdt <= A.expires
+      |     GROUP BY A.id, A.seller, A.dt
+      |   ) AS winners
+      | ) AS W
+      | WHERE W.rn <= 10
+      | GROUP BY W.seller
+      |""".stripMargin
+    new Pipeline(spark, streaming = false).run(script)
+    val got = readJsonLines(Paths.get(outPath))
+      .map(n => n.get("seller").asLong -> n.get("avg_last10").asDouble).toMap
+    val ev = spark.read.format("graft-nexmark")
+      .option("message_count", "20000").option("event_rate", "1000").load()
+    val a = ev.filter(col("auction").isNotNull).select(
+      col("auction.id").as("aid"), col("auction.seller").as("seller"),
+      col("auction.datetime").as("adt"), col("auction.expires").as("expires"))
+    val b = ev.filter(col("bid").isNotNull).select(
+      col("bid.auction").as("auction"), col("bid.price").as("price"),
+      col("bid.datetime").as("bdt"))
+    val winners = a.join(b, a("aid") === b("auction") &&
+        b("bdt") >= a("adt") && b("bdt") <= a("expires"))
+      .groupBy("aid", "seller", "adt").agg(max("price").as("final"))
+    val expected = winners
+      .withColumn("rn", row_number().over(
+        W.partitionBy("seller").orderBy(col("adt").desc, col("aid").desc)))
+      .filter(col("rn") <= 10)
+      .groupBy("seller").agg(avg("final").as("avg_last10"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(got.nonEmpty && got == expected,
+      s"extra=${got.toSet.diff(expected.toSet).take(3)} " +
+        s"missing=${expected.toSet.diff(got.toSet).take(3)}")
+  }
+
   test("golden batch: active_drivers (nested updating aggregate)") {
     checkExact("active_drivers")
   }
