@@ -175,8 +175,9 @@ object Sampling {
     */
   def epochReplicate(df: DataFrame, stratumCol: String, idCol: String,
       weights: Map[String, Double], defaultWeight: Double = 1.0): DataFrame = {
-    require((defaultWeight +: weights.values.toSeq).forall(_ >= 0.0),
-      "epoch weights must be non-negative")
+    require((defaultWeight +: weights.values.toSeq).forall(w => w >= 0.0 && w <= 100.0),
+      "epoch weights must be in [0, 100] — a larger weight is almost " +
+        "certainly a unit error, and would explode the corpus that many times")
     def thresholdHex(f: Double): String =
       if (f >= 1.0) "g"
       else f"${math.max(0L, math.floor(f * 4294967296.0).toLong)}%08x"
