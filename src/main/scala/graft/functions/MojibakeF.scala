@@ -57,7 +57,11 @@ object MojibakeMath {
 
   private def isLead(c: Char): Boolean = {
     val ci = c.toInt
-    ci == 0xc2 || ci == 0xc3 || ci == 0xce || ci == 0xd0 || ci == 0xe2
+    // 0xC2/0xC3 Latin-1 supplement, 0xCE/0xCF Greek (0xCF covers π-ω),
+    // 0xD0/0xD1 Cyrillic (0xD1 leads ALL lowercase р-я — a purely
+    // lowercase Russian word is invisible without it), 0xE2 punctuation
+    ci == 0xc2 || ci == 0xc3 || ci == 0xce || ci == 0xcf ||
+      ci == 0xd0 || ci == 0xd1 || ci == 0xe2
   }
 
   private def isContinuationEcho(c: Char): Boolean = {

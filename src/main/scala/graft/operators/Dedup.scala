@@ -1012,17 +1012,22 @@ object Dedup {
     *
     * One full-outer shuffle join on the id, comparing 16-byte content
     * hashes — text never crosses the shuffle. Returns every id with
-    * status ∈ {added, removed, changed, unchanged}.
+    * status ∈ {added, removed, changed, unchanged}. Presence is carried
+    * by explicit side markers (NOT hash nullity), so a document with
+    * NULL text still classifies by id presence — null-vs-null text is
+    * `unchanged`, null-vs-text is `changed` (null-safe hash compare).
     */
   def corpusDiff(oldDf: DataFrame, newDf: DataFrame,
       idCol: String, textCol: String): DataFrame = {
-    val o = oldDf.select(col(idCol).as("id"), md5(col(textCol)).as("old_hash"))
-    val n = newDf.select(col(idCol).as("id"), md5(col(textCol)).as("new_hash"))
+    val o = oldDf.select(col(idCol).as("id"), md5(col(textCol)).as("old_hash"),
+      lit(true).as("in_old"))
+    val n = newDf.select(col(idCol).as("id"), md5(col(textCol)).as("new_hash"),
+      lit(true).as("in_new"))
     o.join(n, Seq("id"), "full_outer")
       .select(col("id").as(idCol),
-        when(col("old_hash").isNull, "added")
-          .when(col("new_hash").isNull, "removed")
-          .when(col("old_hash") =!= col("new_hash"), "changed")
+        when(col("in_old").isNull, "added")
+          .when(col("in_new").isNull, "removed")
+          .when(!(col("old_hash") <=> col("new_hash")), "changed")
           .otherwise("unchanged").as("status"))
   }
 

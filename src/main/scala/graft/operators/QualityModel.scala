@@ -2,7 +2,6 @@ package graft.operators
 
 import org.apache.spark.ml.classification.{LogisticRegression, LogisticRegressionModel}
 import org.apache.spark.ml.feature.HashingTF
-import org.apache.spark.ml.linalg.Vector
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
@@ -58,20 +57,48 @@ object QualityModel {
   }
 
   /** Score a corpus: adds `quality_prob` (P(label=1)) and `quality_keep`
-    * (prob ≥ threshold). Row-local — the model's coefficient vector is
-    * broadcast inside the ML transform; no shuffle, no vocabulary join.
+    * (prob ≥ threshold).
+    *
+    * Pure codegen'd EXPRESSION chain, no ML transform and no Scala UDF:
+    * the margin is `intercept + Σ_tokens coef[hashBucket(tok)]` where
+    * [[graft.functions.HashBucketF]] reproduces HashingTF's V2 murmur3
+    * bucket exactly, and the coefficient array rides the plan as ONE
+    * 8·n-byte literal (2 MiB at the default 2¹⁸; shipped once per stage,
+    * not per row). The whole scoring path fuses into the surrounding
+    * scan's WholeStageCodegen — no shuffle, no ScalaUDF node,
+    * spec-asserted both ways, and spec-pinned bit-equal to the
+    * ML-transform path ([[scoreMl]]).
     */
   def score(df: DataFrame, model: LogisticRegressionModel, textCol: String,
       threshold: Double = 0.5): DataFrame = {
+    import org.apache.spark.sql.GraftShim
+    val n = model.numFeatures
+    val coefs = lit(model.coefficients.toArray)
+    def bucket(t: Column): Column =
+      GraftShim.column(graft.functions.HashBucketF(GraftShim.expression(t), n))
+    val margin = aggregate(tokensCol(textCol), lit(model.intercept),
+      (acc, t) => acc + element_at(coefs, bucket(t) + 1))
+    df.withColumn("quality_prob", lit(1.0) / (lit(1.0) + exp(-margin)))
+      .withColumn("quality_keep", col("quality_prob") >= threshold)
+  }
+
+  /** The same scoring through Spark ML's transformer stack (HashingTF →
+    * LogisticRegressionModel.transform → `vector_to_array`). Kept as the
+    * reference implementation the expression path is spec-tested
+    * against; the UDFs inside the ML transform make it non-fusable, so
+    * [[score]] is the production path.
+    */
+  private[graft] def scoreMl(df: DataFrame, model: LogisticRegressionModel,
+      textCol: String, threshold: Double = 0.5): DataFrame = {
     val tf = new HashingTF().setInputCol("__toks").setOutputCol("__features")
       .setNumFeatures(model.numFeatures)
-    val prob = udf((v: Vector) => v(1))
     val scored = model
       .setFeaturesCol("__features").setProbabilityCol("__prob")
       .setPredictionCol("__pred").setRawPredictionCol("__raw")
       .transform(tf.transform(df.withColumn("__toks", tokensCol(textCol))))
     scored
-      .withColumn("quality_prob", prob(col("__prob")))
+      .withColumn("quality_prob",
+        org.apache.spark.ml.functions.vector_to_array(col("__prob"))(1))
       .withColumn("quality_keep", col("quality_prob") >= threshold)
       .drop("__toks", "__features", "__prob", "__pred", "__raw")
   }

@@ -67,7 +67,10 @@ object TextAnalysis {
     *      `<br>`) become newlines, so paragraph structure survives for
     *      the line-level operators downstream
     *   4. every remaining tag → a space (inline tags must not glue words)
-    *   5. the five XML entities + `&nbsp;` + decimal `&#NN;` decoded
+    *   5. the five XML entities + `&nbsp;` decoded (of the decimal
+    *      `&#NN;` forms only `&#39;` — the ubiquitous apostrophe — is
+    *      handled; a general numeric decode needs a char-code
+    *      conversion no portable regex chain can express)
     *   6. whitespace collapsed per [[normalizeText]]'s rules
     *
     * Pure builtin regex chain — scan-fused, codegen'd, zero shuffles,
@@ -218,7 +221,9 @@ object TextAnalysis {
     // false negative leaks a card), simplified IPv6, IBAN shape
     val ssn = "\\b[0-9]{3}-[0-9]{2}-[0-9]{4}\\b"
     val card = "\\b(?:[0-9][ -]?){12,18}[0-9]\\b"
-    val ipv6 = "\\b(?:[0-9A-Fa-f]{1,4}:){2,7}[0-9A-Fa-f]{1,4}\\b"
+    // ≥5 segments (4+ colon groups): clock times (12:30:45), scores and
+    // ratios stay unscrubbed; real uncompressed IPv6 always has 8
+    val ipv6 = "\\b(?:[0-9A-Fa-f]{1,4}:){4,7}[0-9A-Fa-f]{1,4}\\b"
     val iban = "\\b[A-Z]{2}[0-9]{2}[A-Z0-9]{10,30}\\b"
     // chain order is load-bearing: email first (user@host digits must not
     // half-match as phone), ssn before card before ipv4/phone (the wider
@@ -241,7 +246,9 @@ object TextAnalysis {
     regexp_count(text, lit(Pii.ipv4)).as("n_ips"),
     regexp_count(text, lit(Pii.phone)).as("n_phones"),
     regexp_count(text, lit(Pii.ssn)).as("n_ssns"),
-    regexp_count(text, lit(Pii.card)).as("n_cards"))
+    regexp_count(text, lit(Pii.card)).as("n_cards"),
+    regexp_count(text, lit(Pii.ipv6)).as("n_ip6s"),
+    regexp_count(text, lit(Pii.iban)).as("n_ibans"))
 
   /** Within-document repetition profile over token n-grams (NOT distinct —
     * repetition is the signal): max single-gram frequency, number of

@@ -525,7 +525,7 @@ object Pipeline {
         val phone = "\\+?[0-9]{1,3}[-. ][0-9]{3}[-. ][0-9]{3,4}[-. ]?[0-9]{0,4}\\b"
         val ssn = "\\b[0-9]{3}-[0-9]{2}-[0-9]{4}\\b"
         val card = "\\b(?:[0-9][ -]?){12,18}[0-9]\\b"
-        val ipv6 = "\\b(?:[0-9A-Fa-f]{1,4}:){2,7}[0-9A-Fa-f]{1,4}\\b"
+        val ipv6 = "\\b(?:[0-9A-Fa-f]{1,4}:){4,7}[0-9A-Fa-f]{1,4}\\b"
         val iban = "\\b[A-Z]{2}[0-9]{2}[A-Z0-9]{10,30}\\b"
         s"""WITH p AS (
            |  SELECT doc_id,
@@ -542,6 +542,8 @@ object Pipeline {
            |  CAST(len(regexp_extract_all(text, '$phone')) AS INTEGER) AS n_phones,
            |  CAST(len(regexp_extract_all(text, '$ssn')) AS INTEGER) AS n_ssns,
            |  CAST(len(regexp_extract_all(text, '$card')) AS INTEGER) AS n_cards,
+           |  CAST(len(regexp_extract_all(text, '$ipv6')) AS INTEGER) AS n_ip6s,
+           |  CAST(len(regexp_extract_all(text, '$iban')) AS INTEGER) AS n_ibans,
            |  md5(regexp_replace(regexp_replace(regexp_replace(regexp_replace(
            |      regexp_replace(regexp_replace(regexp_replace(text,
            |        '$email', '<EMAIL>', 'g'),

@@ -1481,14 +1481,15 @@ class Pipeline(spark: SparkSession, streaming: Boolean = false) {
         .filter(_.nonEmpty).toSeq)
 
   /** True when the analyzed plan joins two legs that EACH contain a
-    * time-windowed streaming aggregate — the shape [[graft.streaming
+    * time-windowed STREAMING aggregate — the shape [[graft.streaming
     * .WindowFnOnClose.spoolBranches]] exists for. A join of one windowed
     * aggregate with a static/lookup side is fine in a single streaming
-    * query and must not spool.
+    * query and must not spool — hence each leg must itself be streaming
+    * (`LogicalPlan.isStreaming`), not just contain a window grouping.
     */
   private def joinsTwoWindowedAggs(df: DataFrame): Boolean = {
     import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Join, LogicalPlan}
-    def hasWinAgg(p: LogicalPlan): Boolean = p.collectFirst {
+    def hasWinAgg(p: LogicalPlan): Boolean = p.isStreaming && p.collectFirst {
       case a: Aggregate if a.groupingExpressions.exists(_.references.exists(r =>
           r.name == "window" || r.name == "session_window")) => a
     }.isDefined

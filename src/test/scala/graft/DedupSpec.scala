@@ -411,6 +411,24 @@ class DedupSpec extends SparkSpec {
     verified.get((1L, 3L)).foreach(j => assert(math.abs(j - 15.0 / 17.0) < 1e-9))
   }
 
+  test("corpusDiff classifies NULL-text docs by id presence, not hash nullity (r8)") {
+    import spark.implicits._
+    val old = Seq((1L, "alpha"), (2L, null), (3L, "gone"), (4L, null), (5L, "flip"))
+      .toDF("doc_id", "text")
+    val nw = Seq((1L, "alpha"), (2L, null), (4L, "now text"), (5L, null), (6L, null))
+      .toDF("doc_id", "text")
+    val got = graft.operators.Dedup.corpusDiff(old, nw, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got == Map(
+      1L -> "unchanged", // same text
+      2L -> "unchanged", // null -> null: same (absent) content
+      3L -> "removed",   // id absent from new — NOT 'changed'
+      4L -> "changed",   // null -> text
+      5L -> "changed",   // text -> null
+      6L -> "added"),    // new id with null text — NOT 'unchanged'
+      s"got $got")
+  }
+
   test("fingerprint is order-sensitive and deterministic") {
     import spark.implicits._
     val d = Seq((1L, "a b c"), (2L, "a b c"), (3L, "c b a")).toDF("doc_id", "text")

@@ -67,6 +67,19 @@ class MojibakeSpec extends SparkSpec {
     assert(fix(junk) == junk)
   }
 
+  test("purely lowercase Cyrillic and Greek mojibake repairs (0xD1/0xCF leads, r8)") {
+    // 'тут' is all U+0442-range → every UTF-8 lead byte is 0xD1; lowercase
+    // Greek π-ω (U+03C0+) leads with 0xCF. Before r8 the marker gate
+    // skipped both and the damage passed through unrepaired.
+    val cyr = cp(0x0442) + cp(0x0443) + cp(0x0442) // тут
+    val grk = cp(0x3c0) + cp(0x3c9)                // πω
+    for (orig <- Seq(cyr, grk, "say " + cyr + " ok")) {
+      val damaged = new String(orig.getBytes(UTF_8), cp1252)
+      assert(damaged != orig, "damage must actually corrupt")
+      assert(fix(damaged) == orig, s"lowercase repair of '$damaged'")
+    }
+  }
+
   test("double-encoded text repairs one layer per application") {
     val once = new String(accents.getBytes(UTF_8), cp1252)
     val twice = new String(once.getBytes(UTF_8), cp1252)

@@ -95,13 +95,40 @@ class QualityModelSpec extends SparkSpec {
     assert(got(1L) && !got(2L), s"marker row keeps, plain row drops: $got")
   }
 
-  test("scoring is row-local: no Exchange in the scored plan") {
+  test("scoring is row-local and fusable: no Exchange, no ScalaUDF in the scored plan") {
     val labeled = corpus.limit(100).select(col("doc_id"), col("text"))
       .withColumn("label", when(col("doc_id") % 4 === 0, 1.0).otherwise(0.0))
     val model = QualityModel.train(labeled, "text", "label", numFeatures = 1 << 14)
-    val plan = QualityModel.score(corpus, model, "text")
-      .queryExecution.executedPlan.toString
+    val scored = QualityModel.score(corpus, model, "text")
+    val plan = scored.queryExecution.executedPlan.toString
     assert(!plan.contains("Exchange"), s"scoring must not shuffle:\n$plan")
+    val udfs = scored.queryExecution.analyzed.expressions.flatMap(_.collect {
+      case u: org.apache.spark.sql.catalyst.expressions.ScalaUDF => u
+    })
+    assert(udfs.isEmpty, s"scoring must be a pure expression chain, found UDFs: $udfs")
+  }
+
+  test("expression scoring path equals the ML-transform path bit-for-bit") {
+    // the production path re-derives HashingTF's murmur3 bucket as
+    // pmod(hash(tok), n) — this test pins that identity (same hash fn,
+    // same seed, same nonNegativeMod) against the real ML stack
+    val labeled = corpus.limit(300).select(col("doc_id"), col("text"))
+      .withColumn("label", when(col("doc_id") % 4 === 0, 1.0).otherwise(0.0))
+      .withColumn("text",
+        when(col("label") === 1.0, concat(col("text"), lit(" eduhallmark")))
+          .otherwise(col("text")))
+    val model = QualityModel.train(labeled, "text", "label", numFeatures = 1 << 14)
+    val expr = QualityModel.score(corpus.limit(500), model, "text")
+      .select("doc_id", "quality_prob", "quality_keep").collect()
+      .map(r => r.getLong(0) -> (r.getDouble(1), r.getBoolean(2))).toMap
+    val ml = QualityModel.scoreMl(corpus.limit(500), model, "text")
+      .select("doc_id", "quality_prob", "quality_keep").collect()
+      .map(r => r.getLong(0) -> (r.getDouble(1), r.getBoolean(2))).toMap
+    assert(expr.keySet == ml.keySet)
+    expr.foreach { case (id, (p, k)) =>
+      assert(math.abs(p - ml(id)._1) < 1e-12, s"doc $id prob $p vs ${ml(id)._1}")
+      assert(k == ml(id)._2, s"doc $id keep bit")
+    }
   }
 
   test("null text scores as empty instead of aborting the task") {

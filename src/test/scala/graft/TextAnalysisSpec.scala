@@ -75,7 +75,10 @@ class TextAnalysisSpec extends SparkSpec {
       (2L, "pay 4111 1111 1111 1234 or 4111-1111-1111-1234 or 4111111111111234"),
       (3L, "host fe80:0:0:0:202:b3ff:fe1e:8329 up"),
       (4L, "wire to DE44500105175407324931 today"),
-      (5L, "year 2024 had 365 days and 12 months") // short digit runs untouched
+      (5L, "year 2024 had 365 days and 12 months"), // short digit runs untouched
+      // r8: clock times / scores / short colon runs must NOT read as IPv6
+      (6L, "meet at 12:30:45 or score 3:2:1 vs 10:0"),
+      (7L, "uptime 1:02:33:45:59 logged") // 5 segments: IPv6-shaped, scrubbed
     ).toDF("doc_id", "text")
       .select(col("doc_id"), TextAnalysis.scrubPii(col("text")).as("t"))
       .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
@@ -84,6 +87,8 @@ class TextAnalysisSpec extends SparkSpec {
     assert(rows(3L) == "host <IP6> up")
     assert(rows(4L) == "wire to <IBAN> today")
     assert(rows(5L) == "year 2024 had 365 days and 12 months")
+    assert(rows(6L) == "meet at 12:30:45 or score 3:2:1 vs 10:0", s"got ${rows(6L)}")
+    assert(rows(7L) == "uptime <IP6> logged", s"got ${rows(7L)}")
   }
 
   test("repetition profile flags boilerplate docs") {
