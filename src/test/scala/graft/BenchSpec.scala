@@ -37,6 +37,21 @@ class BenchSpec extends SparkSpec {
     assert(total > 0.0)
   }
 
+  test("artifact carries environment telemetry (loadavg + dirty pages, r8)") {
+    val qmap = Map("q_ok" -> okQuery)
+    val (line, _) = Bench.runBattery(spark, sfDir, runs = 1, qmap, Seq("q_ok"))
+    // the graded JSON line must let a reader distinguish a contaminated
+    // box from a regression without a re-run
+    assert(line.contains(""""env":{"loadavg_before":""""), line)
+    assert(line.contains(""""dirty_kb_before":"""), line)
+    assert(line.contains(""""loadavg_after":""""), line)
+    assert(line.contains(""""dirty_kb_after":"""), line)
+    // on this Linux box the readings are real, not the fallback
+    val (load, dirty) = Bench.envTelemetry()
+    assert(load != "unknown" && load.split(" ").length == 3, load)
+    assert(dirty >= 0L, s"Dirty: $dirty")
+  }
+
   test("headline tracks the designed-for-scale ANN paths") {
     assert(SparkEntry.headline.contains("q_ann_pq"))
     assert(SparkEntry.headline.contains("q_ann_ivfpq"))
