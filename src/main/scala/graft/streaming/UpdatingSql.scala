@@ -261,7 +261,18 @@ object UpdatingSql extends Serializable {
         }
       } else {
         val upd = agg.child.output.exists(_.name == "_updating_meta")
-        (GraftSqlBridge.ofRows(spark, agg.child), identity[Expression] _, upd)
+        // r8 (nexmark q4 shape): an updating aggregate over a
+        // stream-stream (interval) join — Spark rejects the join inside
+        // an update-mode query, so spool the join durably first (append
+        // mode, eager inner-join emission) and aggregate over the
+        // spool's STREAMING read-back; the retraction chain above keeps
+        // its true incremental update semantics
+        val childPlan =
+          if (agg.child.isStreaming)
+            WindowFnOnClose.spoolStreamJoins(spark, agg.child,
+              streamingReadback = true).getOrElse(agg.child)
+          else agg.child
+        (GraftSqlBridge.ofRows(spark, childPlan), identity[Expression] _, upd)
       }
 
     val groupings = agg.groupingExpressions
@@ -494,7 +505,10 @@ object UpdatingSql extends Serializable {
         case KSum => if (n == 0) null else acc.sum(j) + acc.offA(j) * n
         case KMin => if (n == 0) null else acc.lo(j)
         case KMax => if (n == 0) null else acc.hi(j)
-        case KAvg => if (n == 0) null else acc.offA(j) + acc.sum(j) / n
+        // restore the shift INSIDE the division: (Σ' + n·o)/n is the
+        // plain Σ/n (bit-exact vs batch for integer inputs), whereas
+        // o + Σ'/n rounds twice and drifts ulps (nexmark q4 parity)
+        case KAvg => if (n == 0) null else (acc.sum(j) + acc.offA(j) * n) / n
         case KVarPop => if (n == 0) null else varPop(acc, j)
         case KStddevPop => if (n == 0) null else math.sqrt(varPop(acc, j))
         case KVarSamp =>
@@ -507,8 +521,8 @@ object UpdatingSql extends Serializable {
         case KPct(p) => interpolatedPct(acc.num(j), p)
         case KPctW(p) => thresholdPct(acc.num(j), p, n)
         case KRegrCount => n
-        case KRegrAvgX => if (n == 0) null else acc.offB(j) + acc.sumB(j) / n
-        case KRegrAvgY => if (n == 0) null else acc.offA(j) + acc.sum(j) / n
+        case KRegrAvgX => if (n == 0) null else (acc.sumB(j) + acc.offB(j) * n) / n
+        case KRegrAvgY => if (n == 0) null else (acc.sum(j) + acc.offA(j) * n) / n
         case KRegrSxx => if (n == 0) null else sxx(acc, j)
         case KRegrSyy => if (n == 0) null else syy(acc, j)
         case KRegrSxy => if (n == 0) null else sxy(acc, j)

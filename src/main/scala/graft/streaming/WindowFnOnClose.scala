@@ -1,8 +1,8 @@
 package graft.streaming
 
 import org.apache.spark.sql.{DataFrame, GraftSqlBridge, SparkSession}
-import org.apache.spark.sql.catalyst.expressions.{Attribute, AttributeReference}
-import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, LogicalPlan, Window}
+import org.apache.spark.sql.catalyst.expressions.{Alias, Attribute, AttributeReference}
+import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Join, LogicalPlan, Project, Window}
 
 /** Window-functions-on-close — the reference's WindowFunction operator
   * (crates/arroyo-worker/src/arrow/window_fn.rs): an OVER whose PARTITION
@@ -92,9 +92,10 @@ object WindowFnOnClose {
     * reference's fire-on-close semantics; with AvailableNow triggers the
     * spools are complete when the batch runs.
     *
-    * Returns the rebuilt BATCH frame, or None when the plan has no
-    * windowed bottom aggregates or something streaming remains outside
-    * them (then the native error stands).
+    * Returns the rebuilt BATCH frame, or None when the plan has neither
+    * windowed bottom aggregates nor spoolable bottom joins (r8 — see the
+    * join fallback inside), or something streaming remains outside them
+    * (then the native error stands).
     */
   /** @param alignFrontiers when true, truncate every spool to the minimum
     *   common closed-window frontier (reference min-watermark semantics for
@@ -108,30 +109,49 @@ object WindowFnOnClose {
       alignFrontiers: Boolean = true): Option[DataFrame] = {
     if (!df.isStreaming) return None
     val plan = df.queryExecution.analyzed
-    val bottoms = plan.collect {
+    val aggBottoms: Seq[LogicalPlan] = plan.collect {
       case a: Aggregate if a.groupingExpressions.exists(_.references.exists(r =>
           r.name == "window" || r.name == "session_window")) &&
         a.child.collectFirst { case x: Aggregate => x }.isEmpty => a
     }
-    if (bottoms.isEmpty) return None
+    // r8 (nexmark q6 shape): an interval join under NESTED UNWINDOWED
+    // aggregates / window functions has no windowed aggregate to spool,
+    // but the bottom-most stream-stream JOIN itself streams natively in
+    // append mode. Spool the join output and run everything above it as
+    // one batch — the same fire-on-close contract, keyed on the join
+    // instead of a window.
+    if (aggBottoms.isEmpty) {
+      return spoolStreamJoins(spark, plan, streamingReadback = false)
+        .map(p => GraftSqlBridge.ofRows(spark, p))
+        .filterNot(_.isStreaming)
+    }
+    val bottoms: Seq[LogicalPlan] = aggBottoms
     // each replacement re-exposes the ORIGINAL output attribute ids via an
     // aliasing Project, so nothing above needs rewriting. (A global
     // id→new-attr map would cross-wire branches: grouping attributes keep
     // their source exprIds, and parallel branches over the same source
     // share those ids — the probe case had both join legs emitting
     // driver_id#1.)
-    val spooled: Seq[(Aggregate, org.apache.spark.sql.DataFrame, Option[String])] =
+    val spooled: Seq[(LogicalPlan, org.apache.spark.sql.DataFrame, Option[String])] =
       bottoms.map { bottom =>
         val dir = java.nio.file.Files.createTempDirectory("graft-spool").toString
-        val child = GraftSqlBridge.ofRows(spark, bottom)
+        // spool under POSITIONAL names: a join's legs can both emit the
+        // same column name (q4's A.dt/B.dt), which the parquet writer
+        // rejects; the restore Project below aliases everything back to
+        // the original names and exprIds, so nothing above notices
+        val renamed = Project(bottom.output.zipWithIndex.map {
+          case (a, i) => Alias(a, s"__spool_$i")()
+        }, bottom)
+        val child = GraftSqlBridge.ofRows(spark, renamed)
         val q = child.writeStream.outputMode("append")
           .option("checkpointLocation", s"$dir/cp")
           .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
           .format("parquet").option("path", s"$dir/data").start()
         q.awaitTermination()
         val back = spark.read.schema(child.schema).parquet(s"$dir/data")
-        val winCol = bottom.output.find(o =>
-          o.name == "window" || o.name == "session_window").map(_.name)
+        val winIdx = bottom.output.indexWhere(o =>
+          o.name == "window" || o.name == "session_window")
+        val winCol = if (winIdx >= 0) Some(s"__spool_$winIdx") else None
         (bottom, back, winCol)
       }
     // each spool closed windows up to ITS leg's watermark; the reference
@@ -153,7 +173,7 @@ object WindowFnOnClose {
     val common =
       if (frontiers.isEmpty) None
       else Some(frontiers.minBy(_.getTime))
-    val replaced: Seq[(Aggregate, LogicalPlan)] = spooled.map { case (bottom, back, winCol) =>
+    val replaced: Seq[(LogicalPlan, LogicalPlan)] = spooled.map { case (bottom, back, winCol) =>
       val aligned = (winCol, common) match {
         case (Some(w), Some(f)) if spooled.length > 1 =>
           back.filter(org.apache.spark.sql.functions.col(s"$w.end") <=
@@ -161,10 +181,9 @@ object WindowFnOnClose {
         case _ => back
       }
       val bplan = aligned.queryExecution.analyzed
-      val restored = org.apache.spark.sql.catalyst.plans.logical.Project(
+      val restored = Project(
         bplan.output.zip(bottom.output).map { case (nw, old) =>
-          org.apache.spark.sql.catalyst.expressions.Alias(nw, old.name)(
-            exprId = old.exprId, qualifier = old.qualifier)
+          Alias(nw, old.name)(exprId = old.exprId, qualifier = old.qualifier)
         }, bplan)
       bottom -> restored
     }
@@ -173,5 +192,61 @@ object WindowFnOnClose {
     }
     val out = GraftSqlBridge.ofRows(spark, rebuilt)
     if (out.isStreaming) None else Some(out)
+  }
+
+  /** Durable JOIN edge (r8): spool every bottom-most stream-stream join
+    * of `plan` to parquet (append mode — inner joins emit eagerly on
+    * match, so under AvailableNow the spool is complete at end of input
+    * regardless of watermark) and replace it with a read of the spool:
+    * a BATCH read (`streamingReadback = false`, the q6-shape path — the
+    * rest of the plan evaluates as one batch over the closed join) or a
+    * STREAMING file-source read (`streamingReadback = true` — the
+    * nexmark-q4 shape, where [[UpdatingSql]]'s retraction chain must
+    * keep running in update mode ABOVE the join Spark won't allow inside
+    * an update-mode query). The spark-native analogue of the reference's
+    * shuffle edge between a join operator and downstream updating
+    * aggregates. Returns None when the plan has no qualifying join.
+    */
+  private[graft] def spoolStreamJoins(spark: SparkSession, plan: LogicalPlan,
+      streamingReadback: Boolean): Option[LogicalPlan] = {
+    val joins = plan.collect {
+      case j: Join if j.left.isStreaming && j.right.isStreaming &&
+        j.collectFirst { case a: Aggregate => a }.isEmpty &&
+        j.collectFirst { case w: Window => w }.isEmpty => j
+    }
+    // keep only OUTERMOST qualifying joins (pre-order collect lists outer
+    // before inner; a nested join is spooled via its ancestor)
+    val outer = joins.foldLeft(Seq.empty[LogicalPlan]) { (kept, j) =>
+      if (kept.exists(_.collectFirst { case n if n eq j => n }.isDefined)) kept
+      else kept :+ j
+    }
+    if (outer.isEmpty) return None
+    val replaced: Seq[(LogicalPlan, LogicalPlan)] = outer.map { bottom =>
+      val dir = java.nio.file.Files.createTempDirectory("graft-join-spool").toString
+      // positional spool names: a join's legs can both emit the same
+      // column name (q4's A.dt/B.dt), which the parquet writer rejects
+      val renamed = Project(bottom.output.zipWithIndex.map {
+        case (a, i) => Alias(a, s"__spool_$i")()
+      }, bottom)
+      val child = GraftSqlBridge.ofRows(spark, renamed)
+      val q = child.writeStream.outputMode("append")
+        .option("checkpointLocation", s"$dir/cp")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .format("parquet").option("path", s"$dir/data").start()
+      q.awaitTermination()
+      val back =
+        if (streamingReadback)
+          spark.readStream.schema(child.schema).parquet(s"$dir/data")
+        else spark.read.schema(child.schema).parquet(s"$dir/data")
+      val bplan = back.queryExecution.analyzed
+      val restored = Project(
+        bplan.output.zip(bottom.output).map { case (nw, old) =>
+          Alias(nw, old.name)(exprId = old.exprId, qualifier = old.qualifier)
+        }, bplan)
+      bottom -> restored
+    }
+    Some(plan.transformUp {
+      case n if replaced.exists(_._1 eq n) => replaced.find(_._1 eq n).get._2
+    })
   }
 }

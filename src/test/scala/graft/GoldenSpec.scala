@@ -594,16 +594,16 @@ class GoldenSpec extends SparkSpec {
       s"missing=${batch.toSet.diff(stream.toSet).take(3)}")
   }
 
-  test("golden batch: nexmark_q4 shape (winning bid per auction → avg per category)") {
+  test("golden: nexmark_q4 shape (winning bid per auction → avg per category), batch AND streaming") {
     // q4: average CLOSING price per category — an interval join (bids
     // within [auction.datetime, auction.expires]) under a per-auction max
-    // under a per-category average. Batch face only: the unwindowed
-    // nested aggregate over a stream-stream interval join has no
-    // append-mode streaming form (the reference runs q4 as an updating
-    // query; our updating surface covers that family separately).
+    // under a per-category average. The unwindowed nested aggregate is an
+    // UPDATING query (reference parity: the planner rejects it into a
+    // plain json sink — asserted below), so the legal streaming face is a
+    // debezium_json sink whose retract+append envelope, replayed to final
+    // state, must converge to the batch result exactly.
     import org.apache.spark.sql.functions.{avg, col, max}
-    val outPath = s"${tmp()}/out"
-    val script = s"""
+    def script(outPath: String, fmt: String) = s"""
       |CREATE TABLE nexmark WITH (
       |  connector = 'nexmark',
       |  event_rate = '1000',
@@ -615,7 +615,7 @@ class GoldenSpec extends SparkSpec {
       |) WITH (
       |  connector = 'single_file',
       |  path = '$outPath',
-      |  format = 'json',
+      |  format = '$fmt',
       |  type = 'sink'
       |);
       |INSERT INTO category_price
@@ -633,9 +633,33 @@ class GoldenSpec extends SparkSpec {
       | ) AS Q
       | GROUP BY Q.category
       |""".stripMargin
-    new Pipeline(spark, streaming = false).run(script)
-    val got = readJsonLines(Paths.get(outPath))
+    val batchOut = s"${tmp()}/out"
+    new Pipeline(spark, streaming = false).run(script(batchOut, "json"))
+    val got = readJsonLines(Paths.get(batchOut))
       .map(n => n.get("category").asLong -> n.get("avg_final").asDouble).toMap
+    // reference parity: the updating query must NOT insert into a plain
+    // json sink in streaming mode (no_inserting_updates_into_non_updating)
+    val err = intercept[IllegalArgumentException] {
+      new Pipeline(spark, streaming = true).run(script(s"${tmp()}/rejected", "json"))
+    }
+    assert(err.getMessage.contains("non-updating sink"), err.getMessage)
+    // the legal streaming face: debezium envelope, replayed to final state
+    val streamOut = s"${tmp()}/out"
+    new Pipeline(spark, streaming = true).run(script(streamOut, "debezium_json"))
+    val state = scala.collection.mutable.LinkedHashMap.empty[Long, Double]
+    readJsonLines(Paths.get(streamOut)).foreach { l =>
+      val before = Option(l.get("before")).filterNot(_.isNull)
+      val after = Option(l.get("after")).filterNot(_.isNull)
+      l.get("op").asText() match {
+        case "c" => after.foreach(a => state(a.get("category").asLong) = a.get("avg_final").asDouble)
+        case "u" =>
+          before.foreach(b => state.remove(b.get("category").asLong))
+          after.foreach(a => state(a.get("category").asLong) = a.get("avg_final").asDouble)
+        case "d" => before.foreach(b => state.remove(b.get("category").asLong))
+        case other => fail(s"unknown debezium op $other")
+      }
+    }
+    val stream = state.toMap
     val ev = spark.read.format("graft-nexmark")
       .option("message_count", "20000").option("event_rate", "1000").load()
     val a = ev.filter(col("auction").isNotNull).select(
@@ -652,16 +676,25 @@ class GoldenSpec extends SparkSpec {
     assert(got.nonEmpty && got == expected,
       s"extra=${got.toSet.diff(expected.toSet).take(3)} " +
         s"missing=${expected.toSet.diff(got.toSet).take(3)}")
+    assert(stream == got, s"stream vs batch: " +
+      s"extra=${stream.toSet.diff(got.toSet).take(3)} " +
+      s"missing=${got.toSet.diff(stream.toSet).take(3)}")
   }
 
-  test("golden batch: nexmark_q6 shape (avg of each seller's last-10 winning bids)") {
+  test("golden: nexmark_q6 shape (avg of each seller's last-10 winning bids), batch AND streaming") {
     // q6: per-seller average over the 10 most recent winning bids — the
     // q4 winner derivation under a per-key ordered window (ROW_NUMBER
-    // OVER PARTITION BY) under a final aggregate
+    // OVER PARTITION BY) under a final aggregate. The SQL face is
+    // batch-only BY REFERENCE PARITY: a window function over updating
+    // (non-windowed-aggregate) input is rejected by the planner exactly
+    // like the reference's no_updating_window_functions.sql — asserted
+    // below. The streaming face runs at the DataFrame level through the
+    // r8 join-spool (WindowFnOnClose.spoolBranches): the interval join
+    // streams natively, winners/window/avg evaluate as one batch over
+    // the closed join — byte-exact vs batch.
     import org.apache.spark.sql.expressions.{Window => W}
     import org.apache.spark.sql.functions.{avg, col, max, row_number}
-    val outPath = s"${tmp()}/out"
-    val script = s"""
+    def script(outPath: String) = s"""
       |CREATE TABLE nexmark WITH (
       |  connector = 'nexmark',
       |  event_rate = '1000',
@@ -696,9 +729,39 @@ class GoldenSpec extends SparkSpec {
       | WHERE W.rn <= 10
       | GROUP BY W.seller
       |""".stripMargin
-    new Pipeline(spark, streaming = false).run(script)
+    val outPath = s"${tmp()}/out"
+    new Pipeline(spark, streaming = false).run(script(outPath))
     val got = readJsonLines(Paths.get(outPath))
       .map(n => n.get("seller").asLong -> n.get("avg_last10").asDouble).toMap
+    // reference parity: ROW_NUMBER over updating input is rejected
+    // (no_updating_window_functions.sql) — q6's SQL face cannot stream
+    val err = intercept[IllegalArgumentException] {
+      new Pipeline(spark, streaming = true).run(script(s"${tmp()}/rejected"))
+    }
+    assert(err.getMessage.contains("windowed input"), err.getMessage)
+    // streaming DataFrame face: spool the interval join, batch the rest
+    def q6plan(ev: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+      val a = ev.filter(col("auction").isNotNull).select(
+        col("auction.id").as("aid"), col("auction.seller").as("seller"),
+        col("auction.datetime").as("adt"), col("auction.expires").as("expires"))
+      val b = ev.filter(col("bid").isNotNull).select(
+        col("bid.auction").as("auction"), col("bid.price").as("price"),
+        col("bid.datetime").as("bdt"))
+      a.join(b, a("aid") === b("auction") &&
+          b("bdt") >= a("adt") && b("bdt") <= a("expires"))
+        .groupBy("aid", "seller", "adt").agg(max("price").as("final"))
+        .withColumn("rn", row_number().over(
+          W.partitionBy("seller").orderBy(col("adt").desc, col("aid").desc)))
+        .filter(col("rn") <= 10)
+        .groupBy("seller").agg(avg("final").as("avg_last10"))
+    }
+    val streamEv = spark.readStream.format("graft-nexmark")
+      .option("message_count", "20000").option("event_rate", "1000").load()
+    val spooled = graft.streaming.WindowFnOnClose.spoolBranches(
+      spark, q6plan(streamEv), alignFrontiers = false)
+    assert(spooled.isDefined, "join-spool must accept the q6 shape")
+    val stream = spooled.get.collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
     val ev = spark.read.format("graft-nexmark")
       .option("message_count", "20000").option("event_rate", "1000").load()
     val a = ev.filter(col("auction").isNotNull).select(
@@ -719,6 +782,9 @@ class GoldenSpec extends SparkSpec {
     assert(got.nonEmpty && got == expected,
       s"extra=${got.toSet.diff(expected.toSet).take(3)} " +
         s"missing=${expected.toSet.diff(got.toSet).take(3)}")
+    assert(stream == got, s"stream vs batch: " +
+      s"extra=${stream.toSet.diff(got.toSet).take(3)} " +
+      s"missing=${got.toSet.diff(stream.toSet).take(3)}")
   }
 
   test("golden batch: active_drivers (nested updating aggregate)") {
