@@ -689,17 +689,45 @@ object Similarity {
       .write.mode("append").partitionBy("cell").parquet(s"$indexDir/cells")
   }
 
+  /** Above this embedding dimension [[queryIvfPqIndex]] switches from the
+    * one-scan plan (raw `vec` rides the ADC rank exchange) to the
+    * slim-exchange plan (16-byte exchange rows + a second partition-pruned
+    * read for the ≤ queries×rerank survivors). Threshold set on probe
+    * evidence (WideDimProbe, SCALE.md r8): at dim 64 the vec-through
+    * exchange carries ~0.3 KB/row and beats a second read of the probed
+    * partitions; at dim 768 it carries 3 KB/row — more bytes than the
+    * whole ADC-relevant store — while the slim plan's second read fetches
+    * only (id, vec) columns and its exchange stays flat at 24 B/row.
+    */
+  val VecThroughShuffleMaxDim = 256
+
   /** Query a persisted IVF+PQ index: probe each query's `nProbe` nearest
     * cells (centroids are a bounded driver read), push `cell IN (probed)`
     * into the partitioned scan — only probed cells' files are read — ADC
     * over the compressed codes, exact cosine re-rank of the top `rerank`
     * from the stored raw vectors. Output schema matches [[ivfPqTopK]]:
     * (query_id, vec_id, sim, rank).
+    *
+    * `vecThroughShuffle` picks the re-rank plan; None (default) dispatches
+    * on the embedding dimension at [[VecThroughShuffleMaxDim]]:
+    *   - `true` — ONE scan of the probed partitions: the raw `vec` rides
+    *     the ADC rank exchange, the exact re-rank is row-local on the
+    *     survivors. Exchange bytes grow linearly with dim (dim×4 B per
+    *     CANDIDATE row ≈ nProbe/nCentroids of the corpus per query) —
+    *     the winner at narrow dims where that is ~0.3 KB/row.
+    *   - `false` — slim exchange: the rank shuffle carries only
+    *     (query_id, id, sim_adc); the bounded survivor ids (≤
+    *     queries×rerank, a driver-side collect like the probe set) prune
+    *     a SECOND read of the probed partitions down to the (id, vec)
+    *     columns. Exchange bytes are dimension-independent — the winner
+    *     at production dims (768+) where a 3-16 KB vec per candidate row
+    *     would dominate the shuffle.
     */
   def queryIvfPqIndex(spark: org.apache.spark.sql.SparkSession, indexDir: String,
       queries: DataFrame, k: Int, nProbe: Int = 8, rerank: Int = 64,
       idCol: String = "vec_id",
-      queryIdCol: String = "query_id", queryVecCol: String = "query_vec"): DataFrame = {
+      queryIdCol: String = "query_id", queryVecCol: String = "query_vec",
+      vecThroughShuffle: Option[Boolean] = None): DataFrame = {
     import spark.implicits._
     val (centroidRows, cb) = loadIndexModel(spark, indexDir)
     val centroidsDf = broadcast(
@@ -732,24 +760,60 @@ object Similarity {
       .filter(col("cell").isin(probedCells: _*))
     val r = math.max(k, rerank)
     val aw = Window.partitionBy(col(queryIdCol)).orderBy(col("sim_adc").desc, col(idCol))
-    // ONE scan of the probed partitions (r7): the raw `vec` rides the ADC
-    // projection through the rank shuffle, so the exact re-rank is a
-    // row-local cosine over the ≤ queries×rerank survivors — no second
-    // parquet read of the cells, no join back. The QUERY vector does NOT
-    // ride that shuffle (it would double the bytes): it re-attaches to
-    // the bounded survivor set by a broadcast join on the query id.
     val queryVecs = broadcast(probes.select(col(queryIdCol), col(queryVecCol)).distinct())
-    val cand = cells.join(broadcast(probes), "cell")
-      .withColumn("sim_adc", pqCosine(col("pq_codes"), col(queryVecCol), cb))
-      .select(col(queryIdCol), col(idCol), col("sim_adc"), col("vec"))
-      .withColumn("arank", row_number().over(aw))
-      .filter(col("arank") <= r)
-      .select(col(queryIdCol), col(idCol), col("vec"))
+    val dim = probeRows.headOption
+      .map(_.getSeq[Any](1).length).getOrElse(0)
+    val oneScan = vecThroughShuffle.getOrElse(dim <= VecThroughShuffleMaxDim)
     val w = Window.partitionBy(col(queryIdCol)).orderBy(col("sim").desc, col(idCol))
-    cand.join(queryVecs, queryIdCol)
-      .withColumn("sim", VectorOps.cosineF(col("vec"), col(queryVecCol)))
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col(queryIdCol), col(idCol), col("sim"), col("rank"))
+    if (oneScan) {
+      // ONE scan of the probed partitions (r7): the raw `vec` rides the
+      // ADC projection through the rank shuffle, so the exact re-rank is
+      // a row-local cosine over the ≤ queries×rerank survivors — no
+      // second parquet read of the cells, no join back. The QUERY vector
+      // does NOT ride that shuffle (it would double the bytes): it
+      // re-attaches to the bounded survivor set by broadcast join.
+      val cand = cells.join(broadcast(probes), "cell")
+        .withColumn("sim_adc", pqCosine(col("pq_codes"), col(queryVecCol), cb))
+        .select(col(queryIdCol), col(idCol), col("sim_adc"), col("vec"))
+        .withColumn("arank", row_number().over(aw))
+        .filter(col("arank") <= r)
+        .select(col(queryIdCol), col(idCol), col("vec"))
+      cand.join(queryVecs, queryIdCol)
+        .withColumn("sim", VectorOps.cosineF(col("vec"), col(queryVecCol)))
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= k)
+        .select(col(queryIdCol), col(idCol), col("sim"), col("rank"))
+    } else {
+      // SLIM exchange (wide dims): the rank shuffle carries 16-byte rows;
+      // the survivor set — bounded like the probe set at ≤ queries×rerank
+      // rows — is materialized on the driver, and a SECOND
+      // partition-pruned read fetches only the (id, vec) columns of the
+      // probed cells for the broadcast-joined survivors. The vec column
+      // never crosses an exchange at any dimension.
+      val survRows = cells.join(broadcast(probes), "cell")
+        .withColumn("sim_adc", pqCosine(col("pq_codes"), col(queryVecCol), cb))
+        .select(col(queryIdCol), col(idCol), col("sim_adc"))
+        .withColumn("arank", row_number().over(aw))
+        .filter(col("arank") <= r)
+        .select(col(queryIdCol), col(idCol))
+        .collect()
+      val survivors = spark.createDataFrame(
+        spark.sparkContext.parallelize(survRows.toIndexedSeq, 1),
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField(queryIdCol,
+            queries.schema(queryIdCol).dataType),
+          org.apache.spark.sql.types.StructField(idCol,
+            cells.schema(idCol).dataType))))
+      val vecs = spark.read.parquet(s"$indexDir/cells")
+        .filter(col("cell").isin(probedCells: _*))
+        .join(broadcast(survivors.select(col(idCol)).distinct()), idCol)
+        .select(col(idCol), col("vec"))
+      broadcast(survivors).join(vecs, idCol)
+        .join(queryVecs, queryIdCol)
+        .withColumn("sim", VectorOps.cosineF(col("vec"), col(queryVecCol)))
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= k)
+        .select(col(queryIdCol), col(idCol), col("sim"), col("rank"))
+    }
   }
 }

@@ -110,6 +110,15 @@ class SimilaritySpec extends SparkSpec {
       val again = Similarity.queryIvfPqIndex(spark, dir, q, k = 5)
         .collect().map(r => (r.getLong(0), r.getInt(3)) -> r.getLong(1)).toMap
       assert(again == inline)
+      // r8: BOTH re-rank plans — vec-through-exchange and slim-exchange
+      // (the wide-dim path; 16-byte rank shuffle + second pruned read) —
+      // answer identically; the dimension dispatch is a pure plan choice
+      for (through <- Seq(true, false)) {
+        val forced = Similarity.queryIvfPqIndex(spark, dir, q, k = 5,
+            vecThroughShuffle = Some(through))
+          .collect().map(r => (r.getLong(0), r.getInt(3)) -> r.getLong(1)).toMap
+        assert(forced == inline, s"vecThroughShuffle=$through diverged")
+      }
     } finally org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
   }
 
