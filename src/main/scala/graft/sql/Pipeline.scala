@@ -142,6 +142,22 @@ class Pipeline(spark: SparkSession, streaming: Boolean = false) {
       if (t.connector != "memory_table" && !t.isSink)
         sourceFrame(t).createOrReplaceTempView(t.name)
 
+    case CreateView(name, q) if PipelineOpRe.findFirstIn(q).isDefined =>
+      // SQL face for the table-level training-data operators (r8):
+      //   CREATE TABLE deduped AS PIPELINE dedup_minhash(documents,
+      //     id => 'doc_id', text => 'text', threshold => '0.7');
+      // The body dispatches to the Scala operator and registers the
+      // result as a view — downstream statements (including INSERT INTO
+      // a connector sink) compose over it in plain SQL, so a reference
+      // user's SELECT-in → pipeline-out workflow reaches the dedup /
+      // shard / sampling operators without writing Scala.
+      val PipelineOpRe(op, opArgs) = q
+      if (streaming)
+        throw new IllegalArgumentException(
+          s"PIPELINE $op is a batch table operator; the streaming faces are the " +
+            "dedicated operators (Dedup.streamingExact, minhashDedupStream, ...)")
+      runPipelineOp(op, opArgs).createOrReplaceTempView(name)
+
     case CreateView(name, q) =>
       rejectUnsupportedStatements(q)
       checkMemoryReads(q)
@@ -1224,6 +1240,76 @@ class Pipeline(spark: SparkSession, streaming: Boolean = false) {
         frame.select(col("value").cast("string").as("value")), "value", t.payloadSchema,
         t.pkColumns)
     else graft.formats.Formats.decodeValue(frame, t.payloadSchema, t.format, t.options)
+  }
+
+  // ── PIPELINE table operators (r8) ────────────────────────────────────
+
+  /** `PIPELINE <op>(<source> [, key => 'value', ...])` — the CREATE
+    * TABLE/VIEW AS body that dispatches to a table-level training-data
+    * operator. First argument is an existing table/view name; the rest
+    * are `key => 'value'` options. The dedup faces return the SURVIVING
+    * CORPUS ROWS (original columns, one doc per content/cluster), not
+    * the internal hash/keeper tables — that is what the next pipeline
+    * stage consumes.
+    */
+  private val PipelineOpRe =
+    """(?is)^\s*PIPELINE\s+([A-Za-z_][A-Za-z0-9_]*)\s*\((.*)\)\s*$""".r
+
+  private def runPipelineOp(op: String, argsStr: String): DataFrame = {
+    val parts = Ddl.splitTop(argsStr, ',').map(_.trim).filter(_.nonEmpty)
+    if (parts.isEmpty)
+      throw new IllegalArgumentException(s"PIPELINE $op needs a source table argument")
+    val src = spark.table(parts.head)
+    val kv: Map[String, String] = parts.tail.map { p =>
+      p.split("=>", 2) match {
+        case Array(k, v) => k.trim.toLowerCase -> v.trim.stripPrefix("'").stripSuffix("'")
+        case _ => throw new IllegalArgumentException(
+          s"PIPELINE $op: argument '$p' is not `key => 'value'`")
+      }
+    }.toMap
+    val id = kv.getOrElse("id", "doc_id")
+    val text = kv.getOrElse("text", "text")
+    // 'src0:2.5,src1:0.25' → Map — the per-stratum fraction/weight syntax
+    def strata(s: String): Map[String, Double] =
+      s.split(",").map(_.trim).filter(_.nonEmpty).map { e =>
+        e.split(":", 2) match {
+          case Array(k, v) => k.trim -> v.trim.toDouble
+          case _ => throw new IllegalArgumentException(
+            s"PIPELINE $op: stratum entry '$e' is not `name:value`")
+        }
+      }.toMap
+    op.toLowerCase match {
+      case "dedup_exact" =>
+        val keep = graft.operators.Dedup.exact(src, id, text)
+          .select(col("keep_id").as(id))
+        src.join(keep, Seq(id), "left_semi")
+      case "dedup_minhash" =>
+        val pairs = graft.operators.Dedup.minhashLshPairs(src, id, text,
+          shingleSize = kv.get("shingle_size").map(_.toInt).getOrElse(3),
+          numHashes = kv.get("num_hashes").map(_.toInt).getOrElse(64),
+          bands = kv.get("bands").map(_.toInt).getOrElse(16),
+          threshold = kv.get("threshold").map(_.toDouble).getOrElse(0.7))
+        val keepers = graft.operators.Dedup.keeperAssignment(
+          src.select(col(id)), id, pairs)
+        src.join(keepers.filter(col("doc") === col("keep_as"))
+          .select(col("doc").as(id)), Seq(id), "left_semi")
+      case "balanced_shards" =>
+        graft.operators.Chunking.balancedShards(src, id, text,
+          kv.getOrElse("target_tokens", "2000").toLong)
+      case "mixture_sample" =>
+        graft.operators.Sampling.mixtureSample(src,
+          kv.getOrElse("stratum", "source"), id,
+          strata(kv.getOrElse("fractions", "")),
+          kv.get("default_fraction").map(_.toDouble).getOrElse(1.0))
+      case "epoch_replicate" =>
+        graft.operators.Sampling.epochReplicate(src,
+          kv.getOrElse("stratum", "source"), id,
+          strata(kv.getOrElse("weights", "")),
+          kv.get("default_weight").map(_.toDouble).getOrElse(1.0))
+      case other => throw new IllegalArgumentException(
+        s"unknown PIPELINE operator '$other' (supported: dedup_exact, " +
+          "dedup_minhash, balanced_shards, mixture_sample, epoch_replicate)")
+    }
   }
 
   // ── sinks ────────────────────────────────────────────────────────────

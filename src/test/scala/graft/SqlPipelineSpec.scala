@@ -321,6 +321,74 @@ class SqlPipelineSpec extends SparkSpec {
     assert(rows.map(_.getLong(1)).sum == Tables.load(spark, sfDir, "events").count())
   }
 
+  test("PIPELINE table operators: full dedup→shard pipeline from SQL text alone (r8)") {
+    import graft.operators.{Chunking, Dedup}
+    // the SELECT-in → pipeline-out face: minhash dedup → exact dedup →
+    // token-balanced shards, composed purely in SQL over the real corpus
+    val res = new Pipeline(spark, streaming = false).run(
+      s"""CREATE TABLE docs WITH (connector = 'single_file',
+         |  path = '$sfDir/documents.parquet', format = 'parquet', type = 'source');
+         |CREATE TABLE kept AS PIPELINE dedup_minhash(docs,
+         |  id => 'doc_id', text => 'text', threshold => '0.7');
+         |CREATE TABLE uniq AS PIPELINE dedup_exact(kept, id => 'doc_id', text => 'text');
+         |CREATE TABLE shards AS PIPELINE balanced_shards(uniq,
+         |  id => 'doc_id', text => 'text', target_tokens => '2000');
+         |SELECT doc_id, n_tokens, shard FROM shards""".stripMargin).get
+    val got = res.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    // the Scala-built equivalent, operator for operator
+    val docs = Tables.load(spark, sfDir, "documents")
+    val pairs = Dedup.minhashLshPairs(docs, "doc_id", "text", threshold = 0.7)
+    val keepers = Dedup.keeperAssignment(docs.select(col("doc_id")), "doc_id", pairs)
+    val kept = docs.join(keepers.filter(col("doc") === col("keep_as"))
+      .select(col("doc").as("doc_id")), Seq("doc_id"), "left_semi")
+    val uniq = kept.join(Dedup.exact(kept, "doc_id", "text")
+      .select(col("keep_id").as("doc_id")), Seq("doc_id"), "left_semi")
+    val expected = Chunking.balancedShards(uniq, "doc_id", "text", 2000L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got.nonEmpty && got.size < docs.count() && got == expected,
+      s"SQL face diverged: extra=${got.diff(expected).take(3)} missing=${expected.diff(got).take(3)}")
+  }
+
+  test("PIPELINE sampling faces: mixture_sample and epoch_replicate from SQL (r8)") {
+    import graft.operators.Sampling
+    val docs = Tables.load(spark, sfDir, "documents")
+    val mixed = new Pipeline(spark, streaming = false).run(
+      s"""CREATE TABLE docs WITH (connector = 'single_file',
+         |  path = '$sfDir/documents.parquet', format = 'parquet', type = 'source');
+         |CREATE TABLE mixed AS PIPELINE mixture_sample(docs, stratum => 'source',
+         |  id => 'doc_id', fractions => 'src0:0.5,src1:1.0', default_fraction => '0.25');
+         |SELECT doc_id FROM mixed""".stripMargin).get
+      .collect().map(_.getLong(0)).toSet
+    val expMixed = Sampling.mixtureSample(docs, "source", "doc_id",
+        Map("src0" -> 0.5, "src1" -> 1.0), 0.25)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(mixed.nonEmpty && mixed == expMixed)
+    val epochs = new Pipeline(spark, streaming = false).run(
+      s"""CREATE TABLE docs WITH (connector = 'single_file',
+         |  path = '$sfDir/documents.parquet', format = 'parquet', type = 'source');
+         |CREATE TABLE rep AS PIPELINE epoch_replicate(docs, stratum => 'source',
+         |  id => 'doc_id', weights => 'src0:2.5', default_weight => '1');
+         |SELECT doc_id, epoch FROM rep""".stripMargin).get
+      .collect().map(r => (r.getLong(0), r.getInt(1))).toSet
+    val expEpochs = Sampling.epochReplicate(docs, "source", "doc_id",
+        Map("src0" -> 2.5), 1.0)
+      .select("doc_id", "epoch").collect().map(r => (r.getLong(0), r.getInt(1))).toSet
+    assert(epochs.nonEmpty && epochs == expEpochs)
+    // unknown operators and streaming mode fail loudly
+    intercept[IllegalArgumentException] {
+      new Pipeline(spark, streaming = false).run(
+        s"""CREATE TABLE docs WITH (connector = 'single_file',
+           |  path = '$sfDir/documents.parquet', format = 'parquet', type = 'source');
+           |CREATE TABLE x AS PIPELINE no_such_op(docs)""".stripMargin)
+    }
+    intercept[IllegalArgumentException] {
+      new Pipeline(spark, streaming = true).run(
+        s"""CREATE TABLE docs WITH (connector = 'single_file',
+           |  path = '$sfDir/documents.parquet', format = 'parquet', type = 'source');
+           |CREATE TABLE x AS PIPELINE dedup_exact(docs)""".stripMargin)
+    }
+  }
+
   test("SET updating_ttl and streaming ORDER BY/LIMIT rejection (reference parity)") {
     val p = new Pipeline(spark, streaming = true)
     p.runStatement(Ddl.parse("SET updating_ttl = INTERVAL '1 hour'"))
