@@ -78,6 +78,33 @@ object IndexProbe {
     println(f"[index-probe] pruning (single query, 8 probes): " +
       f"read $oneFiles/$allFiles files, ${oneBytes / 1024}%d/${allBytes / 1024}%d KiB " +
       f"(${100.0 * oneBytes / math.max(1, allBytes)}%.1f%% of the store)")
+
+    // r8 (r7 verdict item 7): the INDEXED decontamination path — the
+    // declared 100 TB swap-in for q_decontaminate_sem's brute-force
+    // screen — tracked round-over-round against the same store. Eval set
+    // mirrors the q_decontaminate_sem shape (vec_id % 20), tau relaxed to
+    // the ANN probe's regime so the timing includes a non-empty hit
+    // aggregation.
+    val evalSet = corpus.filter(col("vec_id") % 20 === 0)
+      .select(col("vec_id").as("eval_id"), col("embedding"))
+    def decontOnce(): Double = {
+      val df = Similarity.semanticDecontaminateIndexed(
+        spark, idxDir, evalSet, tau = 0.8)
+      val t0 = System.nanoTime()
+      df.queryExecution.toRdd.count()
+      (System.nanoTime() - t0) / 1e9
+    }
+    decontOnce()
+    spark.catalog.clearCache(); System.gc()
+    val dts = (1 to runs).map { _ =>
+      val t = decontOnce(); spark.catalog.clearCache(); System.gc(); t
+    }
+    val nFlagged = Similarity.semanticDecontaminateIndexed(
+      spark, idxDir, evalSet, tau = 0.8).count()
+    println(f"[index-probe] decontaminate-indexed (${evalSet.count()}%d eval vecs, tau=0.8): " +
+      f"median=${dts.sorted.apply(runs / 2)}%.2fs samples=" +
+      dts.map(t => f"$t%.2f").mkString("[", ",", "]") +
+      f" flagged=$nFlagged%d train rows")
     org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(idxDir))
     spark.stop()
   }
