@@ -413,7 +413,7 @@ object TextAnalysis {
     * DuckDB oracle reproduces them bit-exactly (q_gopher).
     */
   def gopherRules(df: DataFrame, idCol: String, textCol: String,
-      minWords: Int = 50, maxWords: Int = 100000): DataFrame = {
+      minWords: Int = 50, maxWords: Int = 100000, minStopHits: Int = 2): DataFrame = {
     val t = col(textCol)
     val toks = Dedup.tokens(t)
     val nWords = size(toks)
@@ -448,7 +448,7 @@ object TextAnalysis {
         bulletRatio <= 0.9 &&
         ellipsisRatio <= 0.3 &&
         alphaRatio >= 0.8 &&
-        stopHits >= 2).as("keep"))
+        stopHits >= minStopHits).as("keep"))
   }
 
   /** Substrings whose presence disqualifies a line under the C4 cleaning

@@ -1306,9 +1306,29 @@ class Pipeline(spark: SparkSession, streaming: Boolean = false) {
           kv.getOrElse("stratum", "source"), id,
           strata(kv.getOrElse("weights", "")),
           kv.get("default_weight").map(_.toDouble).getOrElse(1.0))
+      case "quality_gate" =>
+        // Gopher rule battery (A1.1.1): surviving rows only
+        val g = graft.operators.TextAnalysis.gopherRules(src, id, text,
+          minWords = kv.get("min_words").map(_.toInt).getOrElse(50),
+          maxWords = kv.get("max_words").map(_.toInt).getOrElse(100000),
+          minStopHits = kv.get("min_stop_hits").map(_.toInt).getOrElse(2))
+        src.join(g.filter(col("keep")).select(col(id)), Seq(id), "left_semi")
+      case "decontaminate" =>
+        // n-gram containment screen against an eval table: training rows
+        // that leak any eval doc above the threshold are DROPPED
+        val evalTbl = kv.getOrElse("eval", throw new IllegalArgumentException(
+          s"PIPELINE $op needs eval => '<table>'"))
+        val flagged = graft.operators.Sampling.contaminationPairs(
+            src, spark.table(evalTbl), id, text,
+            shingleSize = kv.get("shingle_size").map(_.toInt).getOrElse(3),
+            threshold = kv.get("threshold").map(_.toDouble).getOrElse(0.5),
+            maxDocFreq = kv.get("max_doc_freq").map(_.toInt).getOrElse(1000))
+          .select(col("train_id").as(id))
+        src.join(flagged, Seq(id), "left_anti")
       case other => throw new IllegalArgumentException(
         s"unknown PIPELINE operator '$other' (supported: dedup_exact, " +
-          "dedup_minhash, balanced_shards, mixture_sample, epoch_replicate)")
+          "dedup_minhash, quality_gate, decontaminate, balanced_shards, " +
+          "mixture_sample, epoch_replicate)")
     }
   }
 

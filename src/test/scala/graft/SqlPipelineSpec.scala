@@ -321,29 +321,47 @@ class SqlPipelineSpec extends SparkSpec {
     assert(rows.map(_.getLong(1)).sum == Tables.load(spark, sfDir, "events").count())
   }
 
-  test("PIPELINE table operators: full dedup→shard pipeline from SQL text alone (r8)") {
-    import graft.operators.{Chunking, Dedup}
+  test("PIPELINE table operators: full dedup→gate→decontaminate→shard pipeline from SQL text alone (r8)") {
+    import graft.operators.{Chunking, Dedup, Sampling, TextAnalysis}
     // the SELECT-in → pipeline-out face: minhash dedup → exact dedup →
-    // token-balanced shards, composed purely in SQL over the real corpus
+    // Gopher quality gate → benchmark decontamination → token-balanced
+    // shards, composed purely in SQL over the real corpus (the eval set
+    // is a plain SQL view — pipeline stages and ordinary SQL compose)
     val res = new Pipeline(spark, streaming = false).run(
       s"""CREATE TABLE docs WITH (connector = 'single_file',
          |  path = '$sfDir/documents.parquet', format = 'parquet', type = 'source');
-         |CREATE TABLE kept AS PIPELINE dedup_minhash(docs,
+         |CREATE VIEW evalset AS SELECT doc_id, text FROM docs WHERE doc_id % 20 = 0;
+         |CREATE VIEW trainset AS SELECT * FROM docs WHERE doc_id % 20 <> 0;
+         |CREATE TABLE kept AS PIPELINE dedup_minhash(trainset,
          |  id => 'doc_id', text => 'text', threshold => '0.7');
          |CREATE TABLE uniq AS PIPELINE dedup_exact(kept, id => 'doc_id', text => 'text');
-         |CREATE TABLE shards AS PIPELINE balanced_shards(uniq,
+         |CREATE TABLE gated AS PIPELINE quality_gate(uniq,
+         |  id => 'doc_id', text => 'text', min_words => '10', min_stop_hits => '1');
+         |CREATE TABLE clean AS PIPELINE decontaminate(gated, eval => 'evalset',
+         |  id => 'doc_id', text => 'text', shingle_size => '2', threshold => '0.2',
+         |  max_doc_freq => '100');
+         |CREATE TABLE shards AS PIPELINE balanced_shards(clean,
          |  id => 'doc_id', text => 'text', target_tokens => '2000');
          |SELECT doc_id, n_tokens, shard FROM shards""".stripMargin).get
     val got = res.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
     // the Scala-built equivalent, operator for operator
     val docs = Tables.load(spark, sfDir, "documents")
-    val pairs = Dedup.minhashLshPairs(docs, "doc_id", "text", threshold = 0.7)
-    val keepers = Dedup.keeperAssignment(docs.select(col("doc_id")), "doc_id", pairs)
-    val kept = docs.join(keepers.filter(col("doc") === col("keep_as"))
+    val evalSet = docs.filter(col("doc_id") % 20 === 0).select("doc_id", "text")
+    val train = docs.filter(col("doc_id") % 20 =!= 0)
+    val pairs = Dedup.minhashLshPairs(train, "doc_id", "text", threshold = 0.7)
+    val keepers = Dedup.keeperAssignment(train.select(col("doc_id")), "doc_id", pairs)
+    val kept = train.join(keepers.filter(col("doc") === col("keep_as"))
       .select(col("doc").as("doc_id")), Seq("doc_id"), "left_semi")
     val uniq = kept.join(Dedup.exact(kept, "doc_id", "text")
       .select(col("keep_id").as("doc_id")), Seq("doc_id"), "left_semi")
-    val expected = Chunking.balancedShards(uniq, "doc_id", "text", 2000L)
+    val gated = uniq.join(
+      TextAnalysis.gopherRules(uniq, "doc_id", "text", minWords = 10, minStopHits = 1)
+        .filter(col("keep")).select("doc_id"), Seq("doc_id"), "left_semi")
+    val clean = gated.join(
+      Sampling.contaminationPairs(gated, evalSet, "doc_id", "text",
+          shingleSize = 2, threshold = 0.2, maxDocFreq = 100)
+        .select(col("train_id").as("doc_id")), Seq("doc_id"), "left_anti")
+    val expected = Chunking.balancedShards(clean, "doc_id", "text", 2000L)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
     assert(got.nonEmpty && got.size < docs.count() && got == expected,
       s"SQL face diverged: extra=${got.diff(expected).take(3)} missing=${expected.diff(got).take(3)}")
