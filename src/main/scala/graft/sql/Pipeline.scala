@@ -1325,10 +1325,41 @@ class Pipeline(spark: SparkSession, streaming: Boolean = false) {
             maxDocFreq = kv.get("max_doc_freq").map(_.toInt).getOrElse(1000))
           .select(col("train_id").as(id))
         src.join(flagged, Seq(id), "left_anti")
+      case "ann_topk" =>
+        // similarity search over an embedding table: queries come from a
+        // second table; method picks the scale path (bruteforce = exact
+        // baseline, ivfpq = the 100 TB architecture)
+        val vec = kv.getOrElse("vec", "embedding")
+        val vid = kv.getOrElse("id", "vec_id")
+        val qTbl = kv.getOrElse("queries", throw new IllegalArgumentException(
+          s"PIPELINE $op needs queries => '<table>'"))
+        val qs = spark.table(qTbl)
+          .select(col(kv.getOrElse("query_id", "query_id")).as("query_id"),
+            col(kv.getOrElse("query_vec", "query_vec")).as("query_vec"))
+        val k = kv.getOrElse("k", "10").toInt
+        kv.getOrElse("method", "ivfpq") match {
+          case "bruteforce" => graft.operators.Similarity.bruteForceTopK(
+            src, qs, k, idCol = vid, vecCol = vec)
+          case "ivfpq" => graft.operators.Similarity.ivfPqTopK(
+            src, qs, k, idCol = vid, vecCol = vec)
+          case m => throw new IllegalArgumentException(
+            s"PIPELINE ann_topk: unknown method '$m' (bruteforce, ivfpq)")
+        }
+      case "semdedup" =>
+        // SemDeDup: keep one embedding per semantic cluster — surviving
+        // rows out, like the text-dedup faces
+        val vec = kv.getOrElse("vec", "embedding")
+        val vid = kv.getOrElse("id", "vec_id")
+        val keep = graft.operators.Similarity.semanticDedup(src,
+            kv.getOrElse("tau", "0.95").toDouble,
+            nCentroids = kv.get("n_centroids").map(_.toInt).getOrElse(64),
+            idCol = vid, vecCol = vec)
+          .filter(col(vid) === col("keep_as")).select(col(vid))
+        src.join(keep, Seq(vid), "left_semi")
       case other => throw new IllegalArgumentException(
         s"unknown PIPELINE operator '$other' (supported: dedup_exact, " +
           "dedup_minhash, quality_gate, decontaminate, balanced_shards, " +
-          "mixture_sample, epoch_replicate)")
+          "mixture_sample, epoch_replicate, ann_topk, semdedup)")
     }
   }
 

@@ -407,6 +407,38 @@ class SqlPipelineSpec extends SparkSpec {
     }
   }
 
+  test("PIPELINE similarity faces: ann_topk and semdedup from SQL (r8)") {
+    import graft.operators.Similarity
+    val emb = Tables.load(spark, sfDir, "embeddings")
+    val hits = new Pipeline(spark, streaming = false).run(
+      s"""CREATE TABLE emb WITH (connector = 'single_file',
+         |  path = '$sfDir/embeddings.parquet', format = 'parquet', type = 'source');
+         |CREATE VIEW qs AS SELECT vec_id AS query_id, embedding AS query_vec
+         |  FROM emb WHERE vec_id % 50 = 0;
+         |CREATE TABLE hits AS PIPELINE ann_topk(emb, queries => 'qs',
+         |  k => '5', method => 'bruteforce');
+         |SELECT query_id, vec_id, rank FROM hits""".stripMargin).get
+      .collect().map(r => (r.getLong(0), r.getInt(2)) -> r.getLong(1)).toMap
+    val qs = emb.filter(col("vec_id") % 50 === 0)
+      .select(col("vec_id").as("query_id"), col("embedding").as("query_vec"))
+    val expected = Similarity.bruteForceTopK(emb, qs, 5)
+      .collect().map(r => (r.getLong(0), r.getInt(3)) -> r.getLong(1)).toMap
+    assert(hits.nonEmpty && hits == expected)
+    val kept = new Pipeline(spark, streaming = false).run(
+      s"""CREATE TABLE emb WITH (connector = 'single_file',
+         |  path = '$sfDir/embeddings.parquet', format = 'parquet', type = 'source');
+         |CREATE TABLE uniqv AS PIPELINE semdedup(emb, tau => '0.95');
+         |SELECT vec_id FROM uniqv""".stripMargin).get
+      .collect().map(_.getLong(0)).toSet
+    val expKept = {
+      val keep = Similarity.semanticDedup(emb, 0.95)
+        .filter(col("vec_id") === col("keep_as")).select("vec_id")
+      emb.join(keep, Seq("vec_id"), "left_semi")
+        .select("vec_id").collect().map(_.getLong(0)).toSet
+    }
+    assert(kept.nonEmpty && kept == expKept)
+  }
+
   test("SET updating_ttl and streaming ORDER BY/LIMIT rejection (reference parity)") {
     val p = new Pipeline(spark, streaming = true)
     p.runStatement(Ddl.parse("SET updating_ttl = INTERVAL '1 hour'"))
