@@ -74,6 +74,22 @@ object WideDimProbe {
       val (_, storeBytes) = diskTotals(s"$idxDir/cells")
       println(f"[wide-dim] dim=$dim corpus=${corpus.count()} queries=${queries.count()} " +
         f"build=${tBuild}%.2fs store=${storeBytes / 1024}%d KiB")
+      // recall across the dimension axis: does ADC with the FIXED
+      // nSubspaces=16 default (subvector width dim/16) still rank well
+      // enough that the exact re-rank recovers the true top-k? Ground
+      // truth from brute force over a bounded query subset.
+      locally {
+        val rq = queries.limit(50).cache()
+        val gt = Similarity.bruteForceTopK(corpus, rq, k = 10)
+          .select(col("query_id"), col("vec_id")).collect()
+          .map(r => (r.getLong(0), r.getLong(1))).toSet
+        val ann = Similarity.queryIvfPqIndex(spark, idxDir, rq, k = 10)
+          .select(col("query_id"), col("vec_id")).collect()
+          .map(r => (r.getLong(0), r.getLong(1))).toSet
+        println(f"[wide-dim] dim=$dim recall@10 (50 queries, nProbe=8/64 cells, " +
+          f"nSubspaces=16): ${ann.intersect(gt).size.toDouble / gt.size}%.3f")
+        rq.unpersist()
+      }
       for ((label, through) <- Seq("vec-through-exchange" -> true, "slim-exchange" -> false)) {
         // end-to-end: DataFrame construction included (the slim plan's
         // survivor collect runs eagerly inside queryIvfPqIndex)
