@@ -991,12 +991,16 @@ class Pipeline(spark: SparkSession, streaming: Boolean = false) {
         graft.sources.RedisLookupSource.frame(spark, t)
       case "delta" | "iceberg" =>
         // snapshot read of the transactional table's committed files only
-        // (uncommitted/orphaned data dirs are invisible — ACID isolation)
+        // (uncommitted/orphaned data dirs are invisible — ACID isolation).
+        // delta reads the real _delta_log wire format (r8); iceberg keeps
+        // the manifest-semantics TxnLog (iceberg metadata is avro-manifest
+        // shaped — documented ceiling)
         if (streaming)
           sys.error(s"${t.connector} source is batch-only (snapshot reads); " +
             "stream the downstream pipeline from a message connector instead")
-        graft.sinks.TxnLog.read(spark,
-          t.path.getOrElse(sys.error(s"table ${t.name}: path required")))
+        val tPath = t.path.getOrElse(sys.error(s"table ${t.name}: path required"))
+        if (t.connector == "delta") graft.sinks.DeltaLog.read(spark, tPath)
+        else graft.sinks.TxnLog.read(spark, tPath)
       case "impulse" =>
         val eod = eodField(t).isDefined
         if (eod) eodApplied += t.name
@@ -1461,10 +1465,17 @@ class Pipeline(spark: SparkSession, streaming: Boolean = false) {
             case f => sys.error(s"unsupported sink format $f")
           }
         case "redis" => graft.sinks.RedisSink.write(out0, sink)
-        case "delta" | "iceberg" =>
+        case "delta" =>
+          // WIRE-FORMAT Delta append (r8): one atomic _delta_log commit,
+          // readable by any Delta reader — no format jars needed, the
+          // protocol is public NDJSON over parquet (DeltaLog)
+          graft.sinks.DeltaLog.writeBatch(out0, sink.path.get,
+            sink.options.get("txn_id").map(id => (id, 0L)))
+        case "iceberg" =>
           // transactional table append: one ACID commit for the whole
-          // batch (reference filesystem/delta.rs, iceberg.rs — semantics
-          // re-expressed in TxnLog, no format jars in this container)
+          // batch (reference iceberg.rs — two-phase semantics re-expressed
+          // in TxnLog; real iceberg metadata needs the avro manifest
+          // format jars absent from this container)
           graft.sinks.TxnLog.writeBatch(out0, sink.path.get,
             sink.options.getOrElse("txn_id", java.util.UUID.randomUUID().toString))
         case "stdout" | "preview" => out0.show(100, truncate = false)
@@ -1527,7 +1538,17 @@ class Pipeline(spark: SparkSession, streaming: Boolean = false) {
         case "redis" =>
           ws.foreachBatch((b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
             graft.sinks.RedisSink.write(b.toDF(), sink)).start()
-        case "delta" | "iceberg" =>
+        case "delta" =>
+          // streaming WIRE-FORMAT Delta append (r8): the `txn` action
+          // carries (appId = query name, version = batchId), so a
+          // micro-batch replayed after a crash commits exactly once —
+          // Delta's own idempotent-writer contract
+          val table = sink.path.get
+          val qn = sink.name
+          ws.foreachBatch((b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) => {
+            graft.sinks.DeltaLog.writeBatch(b.toDF(), table, Some((qn, id))); ()
+          }).start()
+        case "iceberg" =>
           // streaming transactional append: txnId = (query, batchId), so a
           // micro-batch replayed after a crash commits exactly once
           val table = sink.path.get

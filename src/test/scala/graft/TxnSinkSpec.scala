@@ -56,7 +56,8 @@ class TxnSinkSpec extends SparkSpec {
     assert(TxnLog.commits(table).map(_.txnId).toSet == (0 until 8).map(i => s"txn-$i").toSet)
   }
 
-  test("streaming SQL pipeline into a delta sink commits per micro-batch, replay-safe") {
+  test("streaming SQL pipeline into a delta sink writes the WIRE _delta_log, replay-safe") {
+    import graft.sinks.DeltaLog
     import spark.implicits._
     val table = tmpTable()
     val srcDir = Files.createTempDirectory("delta_src")
@@ -70,19 +71,42 @@ class TxnSinkSpec extends SparkSpec {
          |INSERT INTO tbl SELECT id, v FROM src;""".stripMargin
     val p = new sql.Pipeline(spark, streaming = true)
     p.run(sqlText)
-    val out = TxnLog.read(spark, table).as[(Long, String)].collect().toSet
+    val out = DeltaLog.read(spark, table).as[(Long, String)].collect().toSet
     assert(out == Set((1L, "x"), (2L, "y")))
-    // every commit carries the (query, batchId) txn key
-    assert(TxnLog.commits(table).forall(_.txnId.startsWith("tbl-")))
+    // the streaming query's txn action landed (appId = sink name)
+    val snap = DeltaLog.snapshot(table).get
+    assert(snap.appVersions.contains("tbl"), snap.appVersions)
 
-    // batch SQL read back through the iceberg/delta source connector
+    // batch SQL read back through the delta source connector
     val p2 = new sql.Pipeline(spark, streaming = false)
     val back = p2.run(
       s"""CREATE TABLE tbl (id BIGINT, v TEXT) WITH (
-         |  connector='iceberg', path='$table', format='parquet', type='source');
+         |  connector='delta', path='$table', format='parquet', type='source');
          |SELECT count(*) AS n, sum(id) AS s FROM tbl;""".stripMargin)
     val r = back.get.collect()(0)
     assert(r.getLong(0) == 2 && r.getLong(1) == 3)
+  }
+
+  test("streaming SQL pipeline into an iceberg sink keeps the TxnLog commit protocol") {
+    import spark.implicits._
+    val table = tmpTable()
+    val srcDir = Files.createTempDirectory("ice_src")
+    Files.write(srcDir.resolve("f0.json"), "{\"id\": 5, \"v\": \"z\"}\n".getBytes)
+    val p = new sql.Pipeline(spark, streaming = true)
+    p.run(
+      s"""CREATE TABLE src (id BIGINT, v TEXT) WITH (
+         |  connector='filesystem', path='$srcDir', format='json', type='source');
+         |CREATE TABLE tbl (id BIGINT, v TEXT) WITH (
+         |  connector='iceberg', path='$table', format='parquet', type='sink');
+         |INSERT INTO tbl SELECT id, v FROM src;""".stripMargin)
+    assert(TxnLog.read(spark, table).as[(Long, String)].collect().toSet == Set((5L, "z")))
+    assert(TxnLog.commits(table).forall(_.txnId.startsWith("tbl-")))
+    // batch SQL read back through the iceberg source connector
+    val back = new sql.Pipeline(spark, streaming = false).run(
+      s"""CREATE TABLE tbl (id BIGINT, v TEXT) WITH (
+         |  connector='iceberg', path='$table', format='parquet', type='source');
+         |SELECT count(*) AS n FROM tbl;""".stripMargin)
+    assert(back.get.collect()(0).getLong(0) == 1)
   }
 
   test("ExactlyOnce ledger: a replayed batch id is skipped, a new one runs") {
