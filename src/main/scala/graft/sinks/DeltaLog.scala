@@ -47,12 +47,12 @@ object DeltaLog {
   private def logDir(table: String): Path = Paths.get(table, "_delta_log")
   private val VersionRe = """(\d{20})\.json""".r
 
-  final case class Snapshot(schema: StructType, files: Seq[String],
-      version: Long, appVersions: Map[String, Long])
+  final case class Snapshot(schema: StructType, partitionColumns: Seq[String],
+      files: Seq[String], version: Long, appVersions: Map[String, Long])
 
   /** Replay the log: active files = adds minus removes, latest metaData
-    * schema, latest txn version per appId. Returns None for a
-    * nonexistent/empty log.
+    * schema + partitioning, latest txn version per appId. Returns None
+    * for a nonexistent/empty log.
     */
   def snapshot(table: String): Option[Snapshot] = {
     val dir = logDir(table)
@@ -64,12 +64,18 @@ object DeltaLog {
       }).toSeq.sortBy(_._1)
     if (versions.isEmpty) return None
     var schemaJson: String = null
+    var partCols: Seq[String] = Seq.empty
     val adds = scala.collection.mutable.LinkedHashMap.empty[String, Unit]
     val appVersions = scala.collection.mutable.Map.empty[String, Long]
     versions.foreach { case (_, p) =>
       Files.readAllLines(p).asScala.filter(_.nonEmpty).foreach { line =>
         val n = mapper.readTree(line)
-        if (n.has("metaData")) schemaJson = n.get("metaData").get("schemaString").asText()
+        if (n.has("metaData")) {
+          val m = n.get("metaData")
+          schemaJson = m.get("schemaString").asText()
+          partCols = (0 until m.get("partitionColumns").size())
+            .map(i => m.get("partitionColumns").get(i).asText())
+        }
         if (n.has("add")) adds += decodePath(n.get("add").get("path").asText()) -> (())
         if (n.has("remove")) adds -= decodePath(n.get("remove").get("path").asText())
         if (n.has("txn")) {
@@ -80,57 +86,88 @@ object DeltaLog {
     }
     require(schemaJson != null, s"$table: no metaData action in _delta_log")
     Some(Snapshot(DataType.fromJson(schemaJson).asInstanceOf[StructType],
-      adds.keys.toSeq, versions.last._1, appVersions.toMap))
+      partCols, adds.keys.toSeq, versions.last._1, appVersions.toMap))
   }
 
   /** Snapshot read: the add-listed files only (orphans and uncommitted
-    * data are invisible — ACID isolation), latest committed schema.
+    * data are invisible — ACID isolation), latest committed schema. For
+    * a partitioned table the files sit in hive-style `col=val/` dirs
+    * below the table root; reading them with `basePath` re-derives the
+    * partition columns, so partition-predicate pushdown (PartitionFilters
+    * in the scan) works exactly as on a native Delta table.
     */
   def read(spark: SparkSession, table: String): DataFrame = {
     val s = snapshot(table).getOrElse(sys.error(s"$table is not a Delta table (no _delta_log)"))
     if (s.files.isEmpty)
       spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], s.schema)
-    else spark.read.schema(s.schema)
+    else spark.read.schema(s.schema).option("basePath", table)
       .parquet(s.files.map(f => Paths.get(table, f).toString): _*)
+      // partition discovery appends partition columns last; restore the
+      // metaData-declared column order
+      .select(s.schema.fieldNames.map(org.apache.spark.sql.functions.col).toIndexedSeq: _*)
   }
 
   /** Append `df` as one atomic Delta commit. `txn` = (appId, batchId)
-    * arms the idempotent-replay guard. Returns the committed version, or
-    * None when the txn was already committed (the batch is NOT
-    * rewritten).
+    * arms the idempotent-replay guard; `partitionBy` writes hive-style
+    * `col=val/` data paths with the values recorded in each add action's
+    * `partitionValues` (the Delta layout for partitioned tables — at
+    * 100 TB this is what makes reads partition-prunable). Returns the
+    * committed version, or None when the txn was already committed (the
+    * batch is NOT rewritten).
     */
   def writeBatch(df: DataFrame, table: String,
-      txn: Option[(String, Long)] = None): Option[Long] = {
+      txn: Option[(String, Long)] = None,
+      partitionBy: Seq[String] = Seq.empty): Option[Long] = {
     txn.foreach { case (app, v) =>
       if (snapshot(table).exists(_.appVersions.get(app).exists(_ >= v)))
         return None // cheap pre-check; the commit loop re-checks under race
     }
     Files.createDirectories(Paths.get(table))
     val scratch = Paths.get(table, s".graft-write-${UUID.randomUUID()}")
-    df.write.mode("overwrite").parquet(scratch.toString)
+    val w = df.write.mode("overwrite")
+    (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w)
+      .parquet(scratch.toString)
     // link each part file into the table root under its (already unique:
-    // Spark embeds the job UUID) name; fall back to move on filesystems
-    // without hard links
-    val parts = Files.list(scratch).iterator().asScala
-      .filter(_.getFileName.toString.endsWith(".parquet")).toSeq
-      .sortBy(_.getFileName.toString)
-    val added = parts.map { p =>
-      val dest = Paths.get(table, p.getFileName.toString)
+    // Spark embeds the job UUID) name, PRESERVING the hive partition
+    // subdirs; fall back to move on filesystems without hard links
+    val parts = Files.walk(scratch).iterator().asScala
+      .filter(p => Files.isRegularFile(p) &&
+        p.getFileName.toString.endsWith(".parquet")).toSeq
+      .map(p => (scratch.relativize(p).toString, p))
+      .sortBy(_._1)
+    val added = parts.map { case (rel, p) =>
+      val dest = Paths.get(table, rel)
+      Files.createDirectories(dest.getParent)
       try Files.createLink(dest, p)
       catch { case _: UnsupportedOperationException =>
         Files.move(p, dest, StandardCopyOption.ATOMIC_MOVE) }
-      (p.getFileName.toString, Files.size(dest), Files.getLastModifiedTime(dest).toMillis)
+      (rel, Files.size(dest), Files.getLastModifiedTime(dest).toMillis,
+        partitionValuesOf(rel))
     }
-    val committed = commit(table, df.schema, added, txn)
+    // data files exclude the partition columns (they live in the path and
+    // in partitionValues), matching Delta's physical layout
+    val committed = commit(table, df.schema, partitionBy, added, txn)
     // scratch cleanup (links live on in the table root)
     Files.walk(scratch).iterator().asScala.toSeq.reverse.foreach(Files.deleteIfExists(_))
     if (committed.isEmpty) // lost to a concurrent replay: remove orphaned parts
-      added.foreach { case (name, _, _) => Files.deleteIfExists(Paths.get(table, name)) }
+      added.foreach { case (rel, _, _, _) => Files.deleteIfExists(Paths.get(table, rel)) }
     committed
   }
 
-  private def commit(table: String, schema: StructType,
-      added: Seq[(String, Long, Long)], txn: Option[(String, Long)]): Option[Long] = {
+  /** `src=web/part-0.parquet` → Map(src -> web): hive dir segments become
+    * the add action's partitionValues (hive-encoding decoded).
+    */
+  private def partitionValuesOf(rel: String): Seq[(String, String)] =
+    rel.split('/').dropRight(1).toSeq.flatMap { seg =>
+      seg.split("=", 2) match {
+        case Array(k, v) => Some(k -> decodePath(v))
+        case _ => None
+      }
+    }
+
+  private def commit(table: String, schema: StructType, partitionBy: Seq[String],
+      added: Seq[(String, Long, Long, Seq[(String, String)])],
+      txn: Option[(String, Long)]): Option[Long] = {
     val dir = logDir(table)
     Files.createDirectories(dir)
     var attempt = 0
@@ -157,8 +194,9 @@ object DeltaLog {
         prBody.put("minWriterVersion", 2)
         line(pr)
       }
-      val schemaChanged = snap.forall(_.schema.json != schema.json)
-      if (schemaChanged) {
+      val metaChanged = snap.forall(s =>
+        s.schema.json != schema.json || s.partitionColumns != partitionBy)
+      if (metaChanged) {
         val md = mapper.createObjectNode()
         val m = md.putObject("metaData")
         m.put("id", UUID.randomUUID().toString)
@@ -166,7 +204,8 @@ object DeltaLog {
         fmt.put("provider", "parquet")
         fmt.putObject("options")
         m.put("schemaString", schema.json)
-        m.putArray("partitionColumns")
+        val pc = m.putArray("partitionColumns")
+        partitionBy.foreach(pc.add)
         m.putObject("configuration")
         m.put("createdTime", System.currentTimeMillis())
         line(md)
@@ -178,11 +217,12 @@ object DeltaLog {
         t.put("version", v)
         line(tn)
       }
-      added.foreach { case (name, size, mtime) =>
+      added.foreach { case (name, size, mtime, partVals) =>
         val an = mapper.createObjectNode()
         val a = an.putObject("add")
         a.put("path", encodePath(name))
-        a.putObject("partitionValues")
+        val pv = a.putObject("partitionValues")
+        partVals.foreach { case (k, v) => pv.put(k, v) }
         a.put("size", size)
         a.put("modificationTime", mtime)
         a.put("dataChange", true)
@@ -204,9 +244,11 @@ object DeltaLog {
     sys.error(s"delta commit lost $attempt version races; giving up")
   }
 
-  // Delta paths are URI-encoded relative paths (PROTOCOL.md "path")
+  // Delta paths are URI-encoded relative paths (PROTOCOL.md "path") —
+  // encoded per segment so the '/' separators stay literal
   private def encodePath(p: String): String =
-    java.net.URLEncoder.encode(p, "UTF-8").replace("+", "%20")
+    p.split('/').map(seg =>
+      java.net.URLEncoder.encode(seg, "UTF-8").replace("+", "%20")).mkString("/")
   private def decodePath(p: String): String =
-    java.net.URLDecoder.decode(p, "UTF-8")
+    p.split('/').map(java.net.URLDecoder.decode(_, "UTF-8")).mkString("/")
 }

@@ -1470,7 +1470,8 @@ class Pipeline(spark: SparkSession, streaming: Boolean = false) {
           // readable by any Delta reader — no format jars needed, the
           // protocol is public NDJSON over parquet (DeltaLog)
           graft.sinks.DeltaLog.writeBatch(out0, sink.path.get,
-            sink.options.get("txn_id").map(id => (id, 0L)))
+            sink.options.get("txn_id").map(id => (id, 0L)),
+            partitionBy = partitionFields(sink))
         case "iceberg" =>
           // transactional table append: one ACID commit for the whole
           // batch (reference iceberg.rs — two-phase semantics re-expressed
@@ -1545,8 +1546,10 @@ class Pipeline(spark: SparkSession, streaming: Boolean = false) {
           // Delta's own idempotent-writer contract
           val table = sink.path.get
           val qn = sink.name
+          val pf = partitionFields(sink)
           ws.foreachBatch((b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) => {
-            graft.sinks.DeltaLog.writeBatch(b.toDF(), table, Some((qn, id))); ()
+            graft.sinks.DeltaLog.writeBatch(b.toDF(), table, Some((qn, id)),
+              partitionBy = pf); ()
           }).start()
         case "iceberg" =>
           // streaming transactional append: txnId = (query, batchId), so a

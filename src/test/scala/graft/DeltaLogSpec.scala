@@ -107,6 +107,39 @@ class DeltaLogSpec extends SparkSpec {
     assert(DeltaLog.read(spark, table).count() == 6)
   }
 
+  test("partitioned table: hive paths, partitionValues in adds, prunable reads") {
+    import spark.implicits._
+    val table = tmpTable()
+    val df = Seq((1L, "web", "a"), (2L, "web", "b"), (3L, "books", "c"))
+      .toDF("id", "src", "v")
+    assert(DeltaLog.writeBatch(df, table, partitionBy = Seq("src")).contains(0L))
+    // metaData declares the partitioning; adds carry per-file values and
+    // hive-style relative paths
+    val lines = logLines(table, 0L)
+    val m = lines.find(_.has("metaData")).get.get("metaData")
+    assert((0 until m.get("partitionColumns").size())
+      .map(m.get("partitionColumns").get(_).asText) == Seq("src"))
+    val adds = lines.filter(_.has("add")).map(_.get("add"))
+    assert(adds.nonEmpty)
+    adds.foreach { a =>
+      val rel = java.net.URLDecoder.decode(a.get("path").asText, "UTF-8")
+      assert(rel.startsWith("src="), rel)
+      val pv = a.get("partitionValues")
+      assert(Set("web", "books")(pv.get("src").asText), pv)
+      assert(rel.startsWith(s"src=${pv.get("src").asText}/"), s"$rel vs $pv")
+    }
+    // full read-back includes the partition column
+    assert(DeltaLog.read(spark, table).as[(Long, String, String)].collect().toSet ==
+      Set((1L, "web", "a"), (2L, "web", "b"), (3L, "books", "c")))
+    // a partition predicate prunes at the scan (PartitionFilters), like a
+    // native Delta table
+    val pruned = DeltaLog.read(spark, table).filter(col("src") === "web")
+    val plan = pruned.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("src"),
+      s"partition predicate must reach the scan:\n$plan")
+    assert(pruned.count() == 2)
+  }
+
   test("empty-batch commit keeps the schema readable; snapshot tracks the last version") {
     import spark.implicits._
     val table = tmpTable()
