@@ -1,7 +1,7 @@
 package graft.sinks
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.types.{DataType, StructType}
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.types._
 
 import java.nio.file.{Files, Path, Paths, StandardCopyOption}
 import java.util.UUID
@@ -24,7 +24,7 @@ import scala.jdk.CollectionConverters._
   *     Spark's own StructType JSON serialization — partitionColumns,
   *     configuration, createdTime)
   *   - every commit carries `commitInfo` (operation) + one `add` per
-  *     data file (relative path, partitionValues, size,
+  *     data file (relative URI-encoded path, partitionValues, size,
   *     modificationTime, dataChange) and, for streaming exactly-once,
   *     the `txn` action (appId, version): a replayed micro-batch whose
   *     (appId, version) is already in the log is a NO-OP — Delta's
@@ -35,48 +35,108 @@ import scala.jdk.CollectionConverters._
   *     recipe; a lost race re-reads the log and retries at the next
   *     version — optimistic concurrency, O(1) per commit regardless of
   *     data size
+  *   - every `checkpointInterval` commits the writer drops a PARQUET
+  *     CHECKPOINT (`<version>%020d.checkpoint.parquet`, one row per
+  *     live action: protocol/metaData/txn/add) plus the
+  *     `_last_checkpoint` pointer — the protocol's log-compaction
+  *     device. Readers start from the newest checkpoint and replay only
+  *     the JSON commits after it, so a month-old streaming sink's
+  *     snapshot costs O(active files + tail), not O(every micro-batch
+  *     ever committed); JSON commits at-or-before a checkpoint can be
+  *     aged out entirely (spec-proven).
   *
   * Data files are written DISTRIBUTED by executors into a scratch dir,
   * then hard-linked (fallback: moved) into the table root under their
-  * unique part names; nothing is visible until the commit lands, so a
-  * crash mid-write leaves only ignorable orphans.
+  * unique part names (hive `col=val/` subdirs preserved for partitioned
+  * tables); nothing is visible until the commit lands, so a crash
+  * mid-write leaves only ignorable orphans.
   */
 object DeltaLog {
 
   private val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
   private def logDir(table: String): Path = Paths.get(table, "_delta_log")
   private val VersionRe = """(\d{20})\.json""".r
+  private val CheckpointRe = """(\d{20})\.checkpoint\.parquet""".r
+
+  final case class AddInfo(size: Long, modificationTime: Long,
+      partitionValues: Seq[(String, String)])
 
   final case class Snapshot(schema: StructType, partitionColumns: Seq[String],
-      files: Seq[String], version: Long, appVersions: Map[String, Long])
+      adds: Seq[(String, AddInfo)], version: Long,
+      appVersions: Map[String, Long], metaId: String, createdTime: Long) {
+    def files: Seq[String] = adds.map(_._1)
+  }
 
-  /** Replay the log: active files = adds minus removes, latest metaData
-    * schema + partitioning, latest txn version per appId. Returns None
-    * for a nonexistent/empty log.
+  /** Replay the log from the newest checkpoint (if any) plus the JSON
+    * commits after it: active files = adds minus removes, latest
+    * metaData schema + partitioning, latest txn version per appId.
+    * Returns None for a nonexistent/empty log.
     */
-  def snapshot(table: String): Option[Snapshot] = {
+  def snapshot(spark: SparkSession, table: String): Option[Snapshot] = {
     val dir = logDir(table)
     if (!Files.isDirectory(dir)) return None
-    val versions = Files.list(dir).iterator().asScala
-      .flatMap(p => p.getFileName.toString match {
-        case VersionRe(v) => Some((v.toLong, p))
-        case _ => None
-      }).toSeq.sortBy(_._1)
-    if (versions.isEmpty) return None
+    val entries = Files.list(dir).iterator().asScala.toSeq
+    val jsons = entries.flatMap(p => p.getFileName.toString match {
+      case VersionRe(v) => Some((v.toLong, p))
+      case _ => None
+    }).sortBy(_._1)
+    val checkpoints = entries.flatMap(p => p.getFileName.toString match {
+      case CheckpointRe(v) => Some((v.toLong, p))
+      case _ => None
+    }).sortBy(_._1)
+    if (jsons.isEmpty && checkpoints.isEmpty) return None
+
     var schemaJson: String = null
     var partCols: Seq[String] = Seq.empty
-    val adds = scala.collection.mutable.LinkedHashMap.empty[String, Unit]
+    var metaId: String = UUID.randomUUID().toString
+    var createdTime: Long = 0L
+    val adds = scala.collection.mutable.LinkedHashMap.empty[String, AddInfo]
     val appVersions = scala.collection.mutable.Map.empty[String, Long]
-    versions.foreach { case (_, p) =>
+
+    val cpVersion: Long = checkpoints.lastOption match {
+      case Some((v, p)) =>
+        spark.read.parquet(p.toString).collect().foreach { r =>
+          val i = r.fieldIndex _
+          if (!r.isNullAt(i("metaData"))) {
+            val m = r.getStruct(i("metaData"))
+            metaId = m.getAs[String]("id")
+            schemaJson = m.getAs[String]("schemaString")
+            partCols = m.getAs[scala.collection.Seq[String]]("partitionColumns").toSeq
+            createdTime = m.getAs[Long]("createdTime")
+          }
+          if (!r.isNullAt(i("txn"))) {
+            val t = r.getStruct(i("txn"))
+            appVersions += t.getAs[String]("appId") -> t.getAs[Long]("version")
+          }
+          if (!r.isNullAt(i("add"))) {
+            val a = r.getStruct(i("add"))
+            adds += decodePath(a.getAs[String]("path")) -> AddInfo(
+              a.getAs[Long]("size"), a.getAs[Long]("modificationTime"),
+              a.getAs[scala.collection.Map[String, String]]("partitionValues").toSeq.sorted)
+          }
+        }
+        v
+      case None => -1L
+    }
+
+    jsons.filter(_._1 > cpVersion).foreach { case (_, p) =>
       Files.readAllLines(p).asScala.filter(_.nonEmpty).foreach { line =>
         val n = mapper.readTree(line)
         if (n.has("metaData")) {
           val m = n.get("metaData")
+          metaId = m.get("id").asText()
           schemaJson = m.get("schemaString").asText()
           partCols = (0 until m.get("partitionColumns").size())
             .map(i => m.get("partitionColumns").get(i).asText())
+          createdTime = m.get("createdTime").asLong()
         }
-        if (n.has("add")) adds += decodePath(n.get("add").get("path").asText()) -> (())
+        if (n.has("add")) {
+          val a = n.get("add")
+          val pv = a.get("partitionValues")
+          adds += decodePath(a.get("path").asText()) -> AddInfo(
+            a.get("size").asLong(), a.get("modificationTime").asLong(),
+            pv.properties().asScala.map(e => e.getKey -> e.getValue.asText()).toSeq.sorted)
+        }
         if (n.has("remove")) adds -= decodePath(n.get("remove").get("path").asText())
         if (n.has("txn")) {
           val t = n.get("txn")
@@ -85,8 +145,9 @@ object DeltaLog {
       }
     }
     require(schemaJson != null, s"$table: no metaData action in _delta_log")
+    val version = (jsons.map(_._1) ++ checkpoints.map(_._1)).max
     Some(Snapshot(DataType.fromJson(schemaJson).asInstanceOf[StructType],
-      partCols, adds.keys.toSeq, versions.last._1, appVersions.toMap))
+      partCols, adds.toSeq, version, appVersions.toMap, metaId, createdTime))
   }
 
   /** Snapshot read: the add-listed files only (orphans and uncommitted
@@ -97,9 +158,10 @@ object DeltaLog {
     * in the scan) works exactly as on a native Delta table.
     */
   def read(spark: SparkSession, table: String): DataFrame = {
-    val s = snapshot(table).getOrElse(sys.error(s"$table is not a Delta table (no _delta_log)"))
+    val s = snapshot(spark, table)
+      .getOrElse(sys.error(s"$table is not a Delta table (no _delta_log)"))
     if (s.files.isEmpty)
-      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], s.schema)
+      spark.createDataFrame(spark.sparkContext.emptyRDD[Row], s.schema)
     else spark.read.schema(s.schema).option("basePath", table)
       .parquet(s.files.map(f => Paths.get(table, f).toString): _*)
       // partition discovery appends partition columns last; restore the
@@ -111,15 +173,18 @@ object DeltaLog {
     * arms the idempotent-replay guard; `partitionBy` writes hive-style
     * `col=val/` data paths with the values recorded in each add action's
     * `partitionValues` (the Delta layout for partitioned tables — at
-    * 100 TB this is what makes reads partition-prunable). Returns the
-    * committed version, or None when the txn was already committed (the
-    * batch is NOT rewritten).
+    * 100 TB this is what makes reads partition-prunable). Every
+    * `checkpointInterval` commits a parquet checkpoint compacts the log.
+    * Returns the committed version, or None when the txn was already
+    * committed (the batch is NOT rewritten).
     */
   def writeBatch(df: DataFrame, table: String,
       txn: Option[(String, Long)] = None,
-      partitionBy: Seq[String] = Seq.empty): Option[Long] = {
+      partitionBy: Seq[String] = Seq.empty,
+      checkpointInterval: Int = 10): Option[Long] = {
+    val spark = df.sparkSession
     txn.foreach { case (app, v) =>
-      if (snapshot(table).exists(_.appVersions.get(app).exists(_ >= v)))
+      if (snapshot(spark, table).exists(_.appVersions.get(app).exists(_ >= v)))
         return None // cheap pre-check; the commit loop re-checks under race
     }
     Files.createDirectories(Paths.get(table))
@@ -141,20 +206,25 @@ object DeltaLog {
       try Files.createLink(dest, p)
       catch { case _: UnsupportedOperationException =>
         Files.move(p, dest, StandardCopyOption.ATOMIC_MOVE) }
-      (rel, Files.size(dest), Files.getLastModifiedTime(dest).toMillis,
-        partitionValuesOf(rel))
+      (rel, AddInfo(Files.size(dest), Files.getLastModifiedTime(dest).toMillis,
+        partitionValuesOf(rel)))
     }
     // data files exclude the partition columns (they live in the path and
     // in partitionValues), matching Delta's physical layout
-    val committed = commit(table, df.schema, partitionBy, added, txn)
+    val committed = commit(spark, table, df.schema, partitionBy, added, txn)
     // scratch cleanup (links live on in the table root)
     Files.walk(scratch).iterator().asScala.toSeq.reverse.foreach(Files.deleteIfExists(_))
-    if (committed.isEmpty) // lost to a concurrent replay: remove orphaned parts
-      added.foreach { case (rel, _, _, _) => Files.deleteIfExists(Paths.get(table, rel)) }
+    committed match {
+      case None => // lost to a concurrent replay: remove orphaned parts
+        added.foreach { case (rel, _) => Files.deleteIfExists(Paths.get(table, rel)) }
+      case Some(v) if checkpointInterval > 0 && (v + 1) % checkpointInterval == 0 =>
+        writeCheckpoint(spark, table, v)
+      case _ =>
+    }
     committed
   }
 
-  /** `src=web/part-0.parquet` → Map(src -> web): hive dir segments become
+  /** `src=web/part-0.parquet` → (src -> web): hive dir segments become
     * the add action's partitionValues (hive-encoding decoded).
     */
   private def partitionValuesOf(rel: String): Seq[(String, String)] =
@@ -163,16 +233,16 @@ object DeltaLog {
         case Array(k, v) => Some(k -> decodePath(v))
         case _ => None
       }
-    }
+    }.sorted
 
-  private def commit(table: String, schema: StructType, partitionBy: Seq[String],
-      added: Seq[(String, Long, Long, Seq[(String, String)])],
+  private def commit(spark: SparkSession, table: String, schema: StructType,
+      partitionBy: Seq[String], added: Seq[(String, AddInfo)],
       txn: Option[(String, Long)]): Option[Long] = {
     val dir = logDir(table)
     Files.createDirectories(dir)
     var attempt = 0
     while (attempt < 1000) {
-      val snap = snapshot(table)
+      val snap = snapshot(spark, table)
       txn.foreach { case (app, v) =>
         if (snap.exists(_.appVersions.get(app).exists(_ >= v))) return None
       }
@@ -217,14 +287,14 @@ object DeltaLog {
         t.put("version", v)
         line(tn)
       }
-      added.foreach { case (name, size, mtime, partVals) =>
+      added.foreach { case (name, info) =>
         val an = mapper.createObjectNode()
         val a = an.putObject("add")
         a.put("path", encodePath(name))
         val pv = a.putObject("partitionValues")
-        partVals.foreach { case (k, v) => pv.put(k, v) }
-        a.put("size", size)
-        a.put("modificationTime", mtime)
+        info.partitionValues.foreach { case (k, v) => pv.put(k, v) }
+        a.put("size", info.size)
+        a.put("modificationTime", info.modificationTime)
         a.put("dataChange", true)
         line(an)
       }
@@ -242,6 +312,71 @@ object DeltaLog {
       attempt += 1
     }
     sys.error(s"delta commit lost $attempt version races; giving up")
+  }
+
+  // checkpoint rows: one live action per row, exactly one non-null column
+  private val checkpointSchema = StructType(Seq(
+    StructField("txn", StructType(Seq(
+      StructField("appId", StringType), StructField("version", LongType)))),
+    StructField("add", StructType(Seq(
+      StructField("path", StringType),
+      StructField("partitionValues", MapType(StringType, StringType)),
+      StructField("size", LongType),
+      StructField("modificationTime", LongType),
+      StructField("dataChange", BooleanType)))),
+    StructField("remove", StructType(Seq(
+      StructField("path", StringType),
+      StructField("deletionTimestamp", LongType),
+      StructField("dataChange", BooleanType)))),
+    StructField("metaData", StructType(Seq(
+      StructField("id", StringType),
+      StructField("format", StructType(Seq(
+        StructField("provider", StringType),
+        StructField("options", MapType(StringType, StringType))))),
+      StructField("schemaString", StringType),
+      StructField("partitionColumns", ArrayType(StringType)),
+      StructField("configuration", MapType(StringType, StringType)),
+      StructField("createdTime", LongType)))),
+    StructField("protocol", StructType(Seq(
+      StructField("minReaderVersion", IntegerType),
+      StructField("minWriterVersion", IntegerType))))))
+
+  /** Compact the log state at `version` into
+    * `<version>%020d.checkpoint.parquet` + the `_last_checkpoint`
+    * pointer. One parquet file (the protocol's classic single-file
+    * checkpoint form), one row per live action.
+    */
+  private[graft] def writeCheckpoint(spark: SparkSession, table: String,
+      version: Long): Unit = {
+    val s = snapshot(spark, table).getOrElse(return)
+    val rows = Seq(
+      Row(null, null, null, null, Row(1, 2)),
+      Row(null, null, null,
+        Row(s.metaId, Row("parquet", Map.empty[String, String]), s.schema.json,
+          s.partitionColumns, Map.empty[String, String], s.createdTime), null)) ++
+      s.appVersions.toSeq.sortBy(_._1).map { case (app, v) =>
+        Row(Row(app, v), null, null, null, null)
+      } ++
+      s.adds.map { case (path, info) =>
+        Row(null, Row(encodePath(path), info.partitionValues.toMap, info.size,
+          info.modificationTime, true), null, null, null)
+      }
+    val scratch = Files.createTempDirectory("delta-cp")
+    spark.createDataFrame(rows.asJava, checkpointSchema)
+      .coalesce(1).write.mode("overwrite").parquet(scratch.toString)
+    val part = Files.list(scratch).iterator().asScala
+      .find(_.getFileName.toString.endsWith(".parquet"))
+      .getOrElse(sys.error("checkpoint write produced no parquet part"))
+    val dest = logDir(table).resolve(f"$version%020d.checkpoint.parquet")
+    Files.move(part, dest, StandardCopyOption.REPLACE_EXISTING)
+    Files.walk(scratch).iterator().asScala.toSeq.reverse.foreach(Files.deleteIfExists(_))
+    val lc = mapper.createObjectNode()
+    lc.put("version", version)
+    lc.put("size", rows.size.toLong)
+    // _last_checkpoint is a HINT (PROTOCOL.md): readers fall back to
+    // listing, so a plain overwrite is allowed here
+    Files.write(logDir(table).resolve("_last_checkpoint"),
+      (lc.toString + "\n").getBytes("UTF-8"))
   }
 
   // Delta paths are URI-encoded relative paths (PROTOCOL.md "path") —

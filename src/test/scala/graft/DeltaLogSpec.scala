@@ -140,6 +140,39 @@ class DeltaLogSpec extends SparkSpec {
     assert(pruned.count() == 2)
   }
 
+  test("parquet checkpoints: written every interval, readable after the JSON tail is aged out") {
+    import spark.implicits._
+    val table = tmpTable()
+    // 12 commits at interval 5 → checkpoints at versions 4 and 9
+    (0 until 12).foreach { i =>
+      assert(DeltaLog.writeBatch(Seq((i.toLong, s"v$i")).toDF("id", "v"), table,
+        txn = Some(("cpq", i.toLong)), checkpointInterval = 5).contains(i.toLong))
+    }
+    val logd = Paths.get(table, "_delta_log")
+    for (v <- Seq(4L, 9L))
+      assert(Files.exists(logd.resolve(f"$v%020d.checkpoint.parquet")), s"checkpoint $v")
+    // _last_checkpoint points at the newest one
+    val lc = mapper.readTree(Files.readAllBytes(logd.resolve("_last_checkpoint")))
+    assert(lc.get("version").asLong == 9L && lc.get("size").asLong > 0)
+    // checkpoint rows: exactly one non-null action column per row; state complete
+    val cp = spark.read.parquet(logd.resolve(f"${9L}%020d.checkpoint.parquet").toString)
+    assert(cp.columns.toSeq == Seq("txn", "add", "remove", "metaData", "protocol"))
+    cp.collect().foreach { r =>
+      assert((0 until r.length).count(!r.isNullAt(_)) == 1, r)
+    }
+    // the log-compaction contract: JSON commits AT OR BEFORE the
+    // checkpoint can be aged out; the reader recovers full state from the
+    // checkpoint + the JSON tail
+    (0L to 9L).foreach(v => Files.delete(logd.resolve(f"$v%020d.json")))
+    val out = DeltaLog.read(spark, table).as[(Long, String)].collect().toSet
+    assert(out == (0 until 12).map(i => (i.toLong, s"v$i")).toSet)
+    val snap = DeltaLog.snapshot(spark, table).get
+    assert(snap.version == 11L && snap.appVersions("cpq") == 11L)
+    // the replay guard still works from checkpointed txn state
+    assert(DeltaLog.writeBatch(Seq((99L, "dup")).toDF("id", "v"), table,
+      txn = Some(("cpq", 5L))).isEmpty)
+  }
+
   test("empty-batch commit keeps the schema readable; snapshot tracks the last version") {
     import spark.implicits._
     val table = tmpTable()
@@ -147,7 +180,7 @@ class DeltaLogSpec extends SparkSpec {
     val out = DeltaLog.read(spark, table)
     assert(out.count() == 0 && out.schema.fieldNames.toSeq == Seq("id", "v"))
     DeltaLog.writeBatch(Seq((7L, "x")).toDF("id", "v"), table)
-    assert(DeltaLog.snapshot(table).get.version == 1L)
+    assert(DeltaLog.snapshot(spark, table).get.version == 1L)
     assert(DeltaLog.read(spark, table).count() == 1)
   }
 }

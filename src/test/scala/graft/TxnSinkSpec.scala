@@ -74,7 +74,7 @@ class TxnSinkSpec extends SparkSpec {
     val out = DeltaLog.read(spark, table).as[(Long, String)].collect().toSet
     assert(out == Set((1L, "x"), (2L, "y")))
     // the streaming query's txn action landed (appId = sink name)
-    val snap = DeltaLog.snapshot(table).get
+    val snap = DeltaLog.snapshot(spark, table).get
     assert(snap.appVersions.contains("tbl"), snap.appVersions)
 
     // batch SQL read back through the delta source connector
