@@ -1,0 +1,62 @@
+package graft.examples
+
+import graft.sinks.DeltaLog
+import org.apache.spark.sql.functions._
+
+/** SCALE.md probe for the wire-format Delta sink: (a) the data-size
+  * axis — commit overhead must stay O(1) while the data write scales
+  * with rows; (b) the commit-count axis — snapshot cost after many
+  * micro-batch commits, with and without parquet checkpoints (the
+  * protocol's log-compaction device).
+  *
+  * Usage: runMain graft.examples.DeltaProbe <dataDir> [commits]
+  */
+object DeltaProbe {
+  def main(args: Array[String]): Unit = {
+    val dir = args(0)
+    val nCommits = if (args.length > 1) args(1).toInt else 60
+    val builder = graft.GraftSession.builder("delta-probe")
+    graft.Bench.tmpfsLocalDir().foreach(d => builder.config("spark.local.dir", d))
+    val spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    def timed[T](f: => T): (T, Double) = {
+      val t0 = System.nanoTime()
+      val r = f
+      (r, (System.nanoTime() - t0) / 1e9)
+    }
+
+    // (a) data-size axis: one big append, then read-back
+    val li = graft.Tables.load(spark, dir, "lineitem")
+      .select("l_orderkey", "l_partkey", "l_quantity", "l_shipdate")
+    val rows = li.count()
+    val table = java.nio.file.Files.createTempDirectory("delta-probe").toString
+    val (_, tWrite) = timed(DeltaLog.writeBatch(li, table))
+    val (_, tRead) = timed(DeltaLog.read(spark, table).count())
+    val nFiles = DeltaLog.snapshot(spark, table).get.files.size
+    println(f"[delta-probe] dir=$dir rows=$rows write=${tWrite}%.2fs " +
+      f"read=${tRead}%.2fs files=$nFiles")
+
+    // (b) commit-count axis: many tiny streaming-style commits
+    import spark.implicits._
+    def manyCommits(cpInterval: Int): (String, Double, Double) = {
+      val t = java.nio.file.Files.createTempDirectory(s"delta-cp$cpInterval").toString
+      val one = Seq((1L, "x")).toDF("id", "v")
+      val (_, tc) = timed((0 until nCommits).foreach { i =>
+        DeltaLog.writeBatch(one, t, txn = Some(("q", i.toLong)),
+          checkpointInterval = cpInterval)
+      })
+      // steady-state snapshot cost (what EVERY later commit and read pays)
+      val (_, ts) = timed((0 until 5).foreach(_ => DeltaLog.snapshot(spark, t)))
+      (t, tc, ts / 5)
+    }
+    val (_, tcOff, tsOff) = manyCommits(0)
+    val (tOn, tcOn, tsOn) = manyCommits(10)
+    val logFiles = java.nio.file.Files.list(
+      java.nio.file.Paths.get(tOn, "_delta_log")).count()
+    println(f"[delta-probe] $nCommits commits: no-checkpoint total=${tcOff}%.2fs " +
+      f"snapshot=${tsOff * 1000}%.0fms | checkpoint@10 total=${tcOn}%.2fs " +
+      f"snapshot=${tsOn * 1000}%.0fms log_entries=$logFiles")
+    spark.stop()
+  }
+}
