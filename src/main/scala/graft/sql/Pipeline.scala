@@ -1329,6 +1329,19 @@ class Pipeline(spark: SparkSession, streaming: Boolean = false) {
             maxDocFreq = kv.get("max_doc_freq").map(_.toInt).getOrElse(1000))
           .select(col("train_id").as(id))
         src.join(flagged, Seq(id), "left_anti")
+      case "quality_model_gate" =>
+        // FineWeb-Edu/DCLM shape from SQL: train the hashed-feature
+        // classifier on a labeled table, score the source row-locally
+        // (pure expression chain), keep rows above the threshold
+        val labeledTbl = kv.getOrElse("labeled", throw new IllegalArgumentException(
+          s"PIPELINE $op needs labeled => '<table>' (text + 0/1 label column)"))
+        val model = graft.operators.QualityModel.train(
+          spark.table(labeledTbl), text, kv.getOrElse("label", "label"),
+          numFeatures = kv.get("num_features").map(_.toInt).getOrElse(1 << 18))
+        graft.operators.QualityModel.score(src, model, text,
+            threshold = kv.get("threshold").map(_.toDouble).getOrElse(0.5))
+          .filter(col("quality_keep"))
+          .drop("quality_prob", "quality_keep")
       case "ann_topk" =>
         // similarity search over an embedding table: queries come from a
         // second table; method picks the scale path (bruteforce = exact
@@ -1362,8 +1375,8 @@ class Pipeline(spark: SparkSession, streaming: Boolean = false) {
         src.join(keep, Seq(vid), "left_semi")
       case other => throw new IllegalArgumentException(
         s"unknown PIPELINE operator '$other' (supported: dedup_exact, " +
-          "dedup_minhash, quality_gate, decontaminate, balanced_shards, " +
-          "mixture_sample, epoch_replicate, ann_topk, semdedup)")
+          "dedup_minhash, quality_gate, quality_model_gate, decontaminate, " +
+          "balanced_shards, mixture_sample, epoch_replicate, ann_topk, semdedup)")
     }
   }
 

@@ -407,6 +407,33 @@ class SqlPipelineSpec extends SparkSpec {
     }
   }
 
+  test("PIPELINE quality_model_gate: classifier trained and applied from SQL (r8)") {
+    import graft.operators.QualityModel
+    val docs = Tables.load(spark, sfDir, "documents")
+    // a labeled view with an injected separable signal, like the
+    // q_quality_model contract
+    val kept = new Pipeline(spark, streaming = false).run(
+      s"""CREATE TABLE docs WITH (connector = 'single_file',
+         |  path = '$sfDir/documents.parquet', format = 'parquet', type = 'source');
+         |CREATE VIEW labeled AS SELECT doc_id,
+         |  CASE WHEN doc_id % 4 = 0 THEN text || ' eduhallmark gem' ELSE text END AS text,
+         |  CASE WHEN doc_id % 4 = 0 THEN 1.0 ELSE 0.0 END AS label
+         |FROM docs;
+         |CREATE TABLE gated AS PIPELINE quality_model_gate(docs,
+         |  labeled => 'labeled', label => 'label', num_features => '16384');
+         |SELECT doc_id FROM gated""".stripMargin).get
+      .collect().map(_.getLong(0)).toSet
+    val labeled = docs.select(col("doc_id"),
+        when(col("doc_id") % 4 === 0, concat(col("text"), lit(" eduhallmark gem")))
+          .otherwise(col("text")).as("text"),
+        when(col("doc_id") % 4 === 0, 1.0).otherwise(0.0).as("label"))
+    val model = QualityModel.train(labeled, "text", "label", numFeatures = 1 << 14)
+    val expected = QualityModel.score(docs, model, "text")
+      .filter(col("quality_keep")).select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(kept == expected, s"SQL face diverged (${kept.size} vs ${expected.size})")
+  }
+
   test("PIPELINE similarity faces: ann_topk and semdedup from SQL (r8)") {
     import graft.operators.Similarity
     val emb = Tables.load(spark, sfDir, "embeddings")
