@@ -224,6 +224,85 @@ object DeltaLog {
     committed
   }
 
+  /** OPTIMIZE: bin-pack small data files into bigger ones — the
+    * operational fix for what a micro-batch streaming sink does to a
+    * table (one small file per batch; at 100 TB the file-count, not the
+    * bytes, is what kills scan planning). Reads only the active files
+    * below `smallFileBytes`, rewrites them coalesced per partition, and
+    * commits the swap as ONE atomic version whose add AND remove actions
+    * carry `dataChange: false` — the protocol's signal to streaming
+    * readers that no rows were logically added or removed. Returns the
+    * committed version, or None when fewer than two small files exist
+    * (nothing to compact). Safe under concurrent appends: only files
+    * this call actually read are removed, and the commit loop re-reads
+    * the log on version races.
+    */
+  def optimize(spark: SparkSession, table: String,
+      smallFileBytes: Long = 128L * 1024 * 1024): Option[Long] = {
+    val s = snapshot(spark, table).getOrElse(return None)
+    val small = s.adds.filter(_._2.size < smallFileBytes)
+    if (small.size < 2) return None
+    val smallPaths = small.map { case (p, _) => Paths.get(table, p).toString }
+    val df = spark.read.schema(s.schema).option("basePath", table)
+      .parquet(smallPaths: _*)
+      .select(s.schema.fieldNames.map(org.apache.spark.sql.functions.col).toIndexedSeq: _*)
+    val scratch = Paths.get(table, s".graft-optimize-${UUID.randomUUID()}")
+    val w = df.coalesce(math.max(1,
+        (small.map(_._2.size).sum / math.max(1L, smallFileBytes)).toInt + 1))
+      .write.mode("overwrite")
+    (if (s.partitionColumns.nonEmpty) w.partitionBy(s.partitionColumns: _*) else w)
+      .parquet(scratch.toString)
+    val parts = Files.walk(scratch).iterator().asScala
+      .filter(p => Files.isRegularFile(p) &&
+        p.getFileName.toString.endsWith(".parquet")).toSeq
+      .map(p => (scratch.relativize(p).toString, p)).sortBy(_._1)
+    val added = parts.map { case (rel, p) =>
+      val dest = Paths.get(table, rel)
+      Files.createDirectories(dest.getParent)
+      try Files.createLink(dest, p)
+      catch { case _: UnsupportedOperationException =>
+        Files.move(p, dest, StandardCopyOption.ATOMIC_MOVE) }
+      (rel, AddInfo(Files.size(dest), Files.getLastModifiedTime(dest).toMillis,
+        partitionValuesOf(rel)))
+    }
+    val committed = commit(spark, table, s.schema, s.partitionColumns, added,
+      txn = None, removed = small.map(_._1), dataChange = false)
+    Files.walk(scratch).iterator().asScala.toSeq.reverse.foreach(Files.deleteIfExists(_))
+    committed match {
+      case Some(_) =>
+        // tombstoned files STAY on disk (a concurrent reader may be
+        // mid-scan; real Delta keeps them for the retention window) —
+        // [[vacuum]] reclaims them later
+      case None =>
+        added.foreach { case (rel, _) => Files.deleteIfExists(Paths.get(table, rel)) }
+    }
+    committed
+  }
+
+  /** VACUUM: physically delete data files no active add references and
+    * whose mtime is older than `retentionMs` (Delta's default is 7 days —
+    * long enough that no concurrent reader still holds a snapshot that
+    * references them). Returns the number of files reclaimed.
+    */
+  def vacuum(spark: SparkSession, table: String,
+      retentionMs: Long = 7L * 24 * 3600 * 1000): Int = {
+    val s = snapshot(spark, table).getOrElse(return 0)
+    val active = s.files.toSet
+    val horizon = System.currentTimeMillis() - retentionMs
+    val root = Paths.get(table)
+    val candidates = Files.walk(root).iterator().asScala
+      .filter(p => Files.isRegularFile(p) &&
+        p.getFileName.toString.endsWith(".parquet") &&
+        !p.startsWith(logDir(table)) &&
+        !root.relativize(p).toString.startsWith(".")).toSeq
+    val dead = candidates.filter { p =>
+      !active(root.relativize(p).toString) &&
+        Files.getLastModifiedTime(p).toMillis < horizon
+    }
+    dead.foreach(Files.deleteIfExists(_))
+    dead.size
+  }
+
   /** `src=web/part-0.parquet` → (src -> web): hive dir segments become
     * the add action's partitionValues (hive-encoding decoded).
     */
@@ -237,7 +316,8 @@ object DeltaLog {
 
   private def commit(spark: SparkSession, table: String, schema: StructType,
       partitionBy: Seq[String], added: Seq[(String, AddInfo)],
-      txn: Option[(String, Long)]): Option[Long] = {
+      txn: Option[(String, Long)], removed: Seq[String] = Seq.empty,
+      dataChange: Boolean = true): Option[Long] = {
     val dir = logDir(table)
     Files.createDirectories(dir)
     var attempt = 0
@@ -254,7 +334,9 @@ object DeltaLog {
       val ci = mapper.createObjectNode()
       val ciBody = ci.putObject("commitInfo")
       ciBody.put("timestamp", System.currentTimeMillis())
-      ciBody.put("operation", if (version == 0L) "CREATE TABLE AS SELECT" else "WRITE")
+      ciBody.put("operation",
+        if (!dataChange) "OPTIMIZE"
+        else if (version == 0L) "CREATE TABLE AS SELECT" else "WRITE")
       ciBody.putObject("operationParameters").put("mode", "Append")
       line(ci)
       if (version == 0L) {
@@ -287,6 +369,16 @@ object DeltaLog {
         t.put("version", v)
         line(tn)
       }
+      removed.foreach { name =>
+        val rn = mapper.createObjectNode()
+        val r = rn.putObject("remove")
+        r.put("path", encodePath(name))
+        r.put("deletionTimestamp", System.currentTimeMillis())
+        // compaction rewrites the same rows: dataChange=false tells
+        // streaming readers no data was logically added or removed
+        r.put("dataChange", dataChange)
+        line(rn)
+      }
       added.foreach { case (name, info) =>
         val an = mapper.createObjectNode()
         val a = an.putObject("add")
@@ -295,7 +387,7 @@ object DeltaLog {
         info.partitionValues.foreach { case (k, v) => pv.put(k, v) }
         a.put("size", info.size)
         a.put("modificationTime", info.modificationTime)
-        a.put("dataChange", true)
+        a.put("dataChange", dataChange)
         line(an)
       }
       val tmp = dir.resolve(s".${UUID.randomUUID()}.tmp")

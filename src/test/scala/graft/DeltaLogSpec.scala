@@ -173,6 +173,47 @@ class DeltaLogSpec extends SparkSpec {
       txn = Some(("cpq", 5L))).isEmpty)
   }
 
+  test("OPTIMIZE bin-packs small files with dataChange=false; VACUUM reclaims tombstones") {
+    import spark.implicits._
+    val table = tmpTable()
+    // four micro-batch-sized commits → four small files
+    (0 until 4).foreach { i =>
+      DeltaLog.writeBatch(Seq((i.toLong, s"v$i")).toDF("id", "v").coalesce(1), table)
+    }
+    val before = DeltaLog.snapshot(spark, table).get
+    assert(before.files.size == 4)
+    val v = DeltaLog.optimize(spark, table)
+    assert(v.contains(4L), v)
+    // the swap is one commit: removes for every old file, adds for the
+    // compacted one(s), BOTH with dataChange=false (streaming readers
+    // must see no logical change)
+    val lines = logLines(table, 4L)
+    val removes = lines.filter(_.has("remove")).map(_.get("remove"))
+    val adds = lines.filter(_.has("add")).map(_.get("add"))
+    assert(removes.map(r => java.net.URLDecoder.decode(r.get("path").asText, "UTF-8"))
+      .toSet == before.files.toSet)
+    assert(removes.forall(!_.get("dataChange").asBoolean))
+    assert(adds.nonEmpty && adds.size < 4 && adds.forall(!_.get("dataChange").asBoolean))
+    assert(lines.find(_.has("commitInfo")).get
+      .get("commitInfo").get("operation").asText == "OPTIMIZE")
+    // rows identical; active file count dropped
+    assert(DeltaLog.read(spark, table).as[(Long, String)].collect().toSet ==
+      (0 until 4).map(i => (i.toLong, s"v$i")).toSet)
+    assert(DeltaLog.snapshot(spark, table).get.files.size == adds.size)
+    // tombstoned files are still ON DISK (a concurrent reader may hold
+    // the old snapshot) until VACUUM's retention passes
+    before.files.foreach(f => assert(Files.exists(Paths.get(table, f)), f))
+    assert(DeltaLog.vacuum(spark, table) == 0) // default 7-day retention: nothing yet
+    val reclaimed = DeltaLog.vacuum(spark, table, retentionMs = -1000)
+    assert(reclaimed == 4, s"reclaimed $reclaimed")
+    before.files.foreach(f => assert(!Files.exists(Paths.get(table, f)), f))
+    // the table still reads exactly after the vacuum
+    assert(DeltaLog.read(spark, table).count() == 4)
+    // nothing left to compact → None
+    assert(DeltaLog.optimize(spark, table).isEmpty ||
+      DeltaLog.snapshot(spark, table).get.files.size == 1)
+  }
+
   test("empty-batch commit keeps the schema readable; snapshot tracks the last version") {
     import spark.implicits._
     val table = tmpTable()
