@@ -75,8 +75,16 @@ object Ddl {
     * (crates/arroyo-planner/src/lib.rs:790-819).
     */
   final case class SetOption(key: String, value: String) extends Stmt
+  /** `OPTIMIZE t` / `VACUUM t [RETAIN n HOURS]` — Delta's own table
+    * maintenance verbs, for delta-connector tables (r8).
+    */
+  final case class Maintain(op: String, table: String,
+      retainHours: Option[Long]) extends Stmt
 
   private val SetRe = """(?is)^\s*SET\s+([A-Za-z_][A-Za-z0-9_.]*)\s*=\s*(.+?)\s*$""".r
+  private val OptimizeRe = """(?is)^\s*OPTIMIZE\s+([A-Za-z_][A-Za-z0-9_]*)\s*$""".r
+  private val VacuumRe =
+    """(?is)^\s*VACUUM\s+([A-Za-z_][A-Za-z0-9_]*)(?:\s+RETAIN\s+(\d+)\s+HOURS)?\s*$""".r
 
   /** Split a script into statements on top-level semicolons. Quote-aware
     * AND comment-aware in one scanner pass: a `;` or `'` inside a `--` line
@@ -134,6 +142,9 @@ object Ddl {
     case CreateViewRe(name, q) => CreateView(name, q)
     case InsertRe(sink, q) => Insert(sink, q)
     case SetRe(k, v) => SetOption(k.toLowerCase, v.stripPrefix("'").stripSuffix("'"))
+    case OptimizeRe(name) => Maintain("optimize", name, None)
+    case VacuumRe(name, hours) =>
+      Maintain("vacuum", name, Option(hours).map(_.toLong))
     case q => Query(q)
   }
 

@@ -237,6 +237,21 @@ class Pipeline(spark: SparkSession, streaming: Boolean = false) {
       if (streaming) checkStreamingGuards(df, None)
       lastResult = Some(df)
 
+    case Maintain(op, name, retainHours) =>
+      val t = catalog.getOrElse(name,
+        throw new IllegalArgumentException(s"unknown table $name"))
+      if (t.connector != "delta")
+        throw new IllegalArgumentException(
+          s"$op is only supported on delta tables (got connector '${t.connector}')")
+      val tPath = t.path.getOrElse(sys.error(s"table $name: path required"))
+      op match {
+        case "optimize" => graft.sinks.DeltaLog.optimize(spark, tPath)
+        case "vacuum" => graft.sinks.DeltaLog.vacuum(spark, tPath,
+          retainHours.map(_ * 3600 * 1000L)
+            .getOrElse(7L * 24 * 3600 * 1000))
+      }
+      ()
+
     case SetOption(key, value) => key match {
       case "updating_ttl" =>
         updatingTtl = value.replaceAll("(?i)^interval\\s+", "").stripPrefix("'").stripSuffix("'")

@@ -109,6 +109,31 @@ class TxnSinkSpec extends SparkSpec {
     assert(back.get.collect()(0).getLong(0) == 1)
   }
 
+  test("OPTIMIZE / VACUUM SQL verbs run against a delta table (r8)") {
+    import graft.sinks.DeltaLog
+    import spark.implicits._
+    val table = tmpTable()
+    (0 until 3).foreach { i =>
+      DeltaLog.writeBatch(Seq((i.toLong, s"v$i")).toDF("id", "v").coalesce(1), table)
+    }
+    val p = new sql.Pipeline(spark, streaming = false)
+    p.run(
+      s"""CREATE TABLE tbl (id BIGINT, v TEXT) WITH (
+         |  connector='delta', path='$table', format='parquet', type='sink');
+         |OPTIMIZE tbl;
+         |VACUUM tbl RETAIN 168 HOURS;""".stripMargin)
+    val s = DeltaLog.snapshot(spark, table).get
+    assert(s.files.size < 3, s"expected compaction, got ${s.files}")
+    assert(DeltaLog.read(spark, table).count() == 3)
+    // non-delta tables reject the verbs
+    val e = intercept[IllegalArgumentException] {
+      new sql.Pipeline(spark, streaming = false).run(
+        s"""CREATE TABLE x (id BIGINT) WITH (connector='blackhole', type='sink');
+           |OPTIMIZE x;""".stripMargin)
+    }
+    assert(e.getMessage.contains("delta"))
+  }
+
   test("ExactlyOnce ledger: a replayed batch id is skipped, a new one runs") {
     val ledger = Files.createTempDirectory("ledger").toString
     val writes = new AtomicInteger(0)
