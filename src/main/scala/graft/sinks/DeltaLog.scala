@@ -70,21 +70,30 @@ object DeltaLog {
   /** Replay the log from the newest checkpoint (if any) plus the JSON
     * commits after it: active files = adds minus removes, latest
     * metaData schema + partitioning, latest txn version per appId.
-    * Returns None for a nonexistent/empty log.
+    * `asOf` = TIME TRAVEL: replay only commits ≤ that version (`VERSION
+    * AS OF`), using the newest checkpoint at-or-before it — the reason
+    * [[optimize]]'s tombstoned files stay on disk until [[vacuum]]'s
+    * retention passes. Returns None for a nonexistent/empty log.
     */
-  def snapshot(spark: SparkSession, table: String): Option[Snapshot] = {
+  def snapshot(spark: SparkSession, table: String,
+      asOf: Option[Long] = None): Option[Snapshot] = {
     val dir = logDir(table)
     if (!Files.isDirectory(dir)) return None
     val entries = Files.list(dir).iterator().asScala.toSeq
+    val horizon = asOf.getOrElse(Long.MaxValue)
     val jsons = entries.flatMap(p => p.getFileName.toString match {
-      case VersionRe(v) => Some((v.toLong, p))
+      case VersionRe(v) if v.toLong <= horizon => Some((v.toLong, p))
       case _ => None
     }).sortBy(_._1)
     val checkpoints = entries.flatMap(p => p.getFileName.toString match {
-      case CheckpointRe(v) => Some((v.toLong, p))
+      case CheckpointRe(v) if v.toLong <= horizon => Some((v.toLong, p))
       case _ => None
     }).sortBy(_._1)
     if (jsons.isEmpty && checkpoints.isEmpty) return None
+    asOf.foreach { v =>
+      require((jsons.map(_._1) ++ checkpoints.map(_._1)).max == v,
+        s"$table has no version $v (log ends earlier or was checkpoint-truncated past it)")
+    }
 
     var schemaJson: String = null
     var partCols: Seq[String] = Seq.empty
@@ -157,8 +166,9 @@ object DeltaLog {
     * partition columns, so partition-predicate pushdown (PartitionFilters
     * in the scan) works exactly as on a native Delta table.
     */
-  def read(spark: SparkSession, table: String): DataFrame = {
-    val s = snapshot(spark, table)
+  def read(spark: SparkSession, table: String,
+      asOf: Option[Long] = None): DataFrame = {
+    val s = snapshot(spark, table, asOf)
       .getOrElse(sys.error(s"$table is not a Delta table (no _delta_log)"))
     if (s.files.isEmpty)
       spark.createDataFrame(spark.sparkContext.emptyRDD[Row], s.schema)

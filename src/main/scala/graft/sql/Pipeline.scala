@@ -1014,7 +1014,11 @@ class Pipeline(spark: SparkSession, streaming: Boolean = false) {
           sys.error(s"${t.connector} source is batch-only (snapshot reads); " +
             "stream the downstream pipeline from a message connector instead")
         val tPath = t.path.getOrElse(sys.error(s"table ${t.name}: path required"))
-        if (t.connector == "delta") graft.sinks.DeltaLog.read(spark, tPath)
+        if (t.connector == "delta")
+          // time travel: version_as_of = 'n' reads the table AS OF that
+          // committed version (tombstoned files serve it until VACUUM)
+          graft.sinks.DeltaLog.read(spark, tPath,
+            t.options.get("version_as_of").map(_.toLong))
         else graft.sinks.TxnLog.read(spark, tPath)
       case "impulse" =>
         val eod = eodField(t).isDefined

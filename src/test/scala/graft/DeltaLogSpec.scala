@@ -214,6 +214,34 @@ class DeltaLogSpec extends SparkSpec {
       DeltaLog.snapshot(spark, table).get.files.size == 1)
   }
 
+  test("time travel: VERSION AS OF reads historical snapshots, incl. pre-OPTIMIZE") {
+    import spark.implicits._
+    val table = tmpTable()
+    (0 until 3).foreach { i =>
+      DeltaLog.writeBatch(Seq((i.toLong, s"v$i")).toDF("id", "v").coalesce(1), table)
+    }
+    // each historical version shows exactly its prefix of the appends
+    for (v <- 0 until 3)
+      assert(DeltaLog.read(spark, table, asOf = Some(v.toLong))
+        .as[(Long, String)].collect().toSet ==
+        (0 to v).map(i => (i.toLong, s"v$i")).toSet, s"as of $v")
+    // OPTIMIZE rewrites files but old versions still read from tombstones
+    DeltaLog.optimize(spark, table)
+    assert(DeltaLog.read(spark, table, asOf = Some(1L))
+      .as[(Long, String)].collect().toSet == Set((0L, "v0"), (1L, "v1")))
+    // the SQL source face: version_as_of option
+    val back = new sql.Pipeline(spark, streaming = false).run(
+      s"""CREATE TABLE tbl (id BIGINT, v TEXT) WITH (
+         |  connector='delta', path='$table', format='parquet', type='source',
+         |  version_as_of='0');
+         |SELECT count(*) AS n FROM tbl;""".stripMargin)
+    assert(back.get.collect()(0).getLong(0) == 1)
+    // a version that never existed fails loudly
+    intercept[IllegalArgumentException] {
+      DeltaLog.read(spark, table, asOf = Some(99L))
+    }
+  }
+
   test("empty-batch commit keeps the schema readable; snapshot tracks the last version") {
     import spark.implicits._
     val table = tmpTable()
