@@ -392,10 +392,20 @@ object Similarity {
     * boundary recall for a HARD per-cell cost bound and a reusable cluster
     * id column, which is why the published pipelines at corpus scale
     * cluster first.
+    *
+    * `nCentroids <= 0` (the DEFAULT) auto-scales cells with the corpus:
+    * `max(64, N / 512)`. The Σ cell² bound is only a bound if cells grow
+    * with N — the r8 sf10 probe measured a FIXED 64 cells going 111× at
+    * 10× docs (avg cell 3.1k ⇒ ~100× more in-cell pairs), vs ~linear
+    * with cells ∝ N. Callers pinning an explicit nCentroids (the oracle
+    * query does, for cross-engine determinism) keep exact behavior.
     */
-  def semanticDedup(corpus: DataFrame, threshold: Double, nCentroids: Int = 64,
+  def semanticDedup(corpus: DataFrame, threshold: Double, nCentroids: Int = 0,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    val centroids = seedCentroids(corpus, nCentroids, idCol, vecCol)
+    val cellsWanted =
+      if (nCentroids > 0) nCentroids
+      else math.max(64L, corpus.count() / 512L).toInt
+    val centroids = seedCentroids(corpus, cellsWanted, idCol, vecCol)
     val cells = corpus.select(col(idCol), col(vecCol),
       nearestCentroid(col(vecCol), centroids).as("cell"))
     val pairs = cells.as("a").join(cells.as("b"),

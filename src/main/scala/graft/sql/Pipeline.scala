@@ -1388,7 +1388,8 @@ class Pipeline(spark: SparkSession, streaming: Boolean = false) {
         val vid = kv.getOrElse("id", "vec_id")
         val keep = graft.operators.Similarity.semanticDedup(src,
             kv.getOrElse("tau", "0.95").toDouble,
-            nCentroids = kv.get("n_centroids").map(_.toInt).getOrElse(64),
+            // 0 = auto: cells scale with the corpus (max(64, N/512))
+            nCentroids = kv.get("n_centroids").map(_.toInt).getOrElse(0),
             idCol = vid, vecCol = vec)
           .filter(col(vid) === col("keep_as")).select(col(vid))
         src.join(keep, Seq(vid), "left_semi")

@@ -344,6 +344,19 @@ class SimilaritySpec extends SparkSpec {
       20L -> 20L, 21L -> 21L), s"got $keep")
   }
 
+  test("semanticDedup auto cell count: default scales with the corpus, floors at 64 (r8)") {
+    // at small N the auto default (max(64, N/512)) floors at 64 — the
+    // result must be identical to an explicit nCentroids = 64. (The
+    // scale half is probe territory: SCALE.md r8 measured fixed-64 cells
+    // going 111× at 10× docs — Σcell² is only a bound when cells ∝ N.)
+    val emb = Tables.load(spark, sfDir, "embeddings")
+    val auto = Similarity.semanticDedup(emb, 0.95)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val explicit = Similarity.semanticDedup(emb, 0.95, nCentroids = 64)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(auto.nonEmpty && auto == explicit)
+  }
+
   test("semanticDedup collapses transitive chains through the CC fixpoint") {
     import spark.implicits._
     // a≈b (cos ≈ 0.9996) and b≈c pass the 0.999 threshold; a–c (≈ 0.9985)
