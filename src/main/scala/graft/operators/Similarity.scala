@@ -229,6 +229,14 @@ object Similarity {
     * Output schema matches [[bruteForceTopK]]: (query_id, vec_id, sim,
     * rank) with exact cosine sims after re-rank.
     */
+  /* Sizing at corpus scale (FAISS guidance, applies to every IVF-family
+   * op here): nCentroids ≈ √N to N/1000 keeps the per-query scan
+   * (nProbe/nCentroids × N) flat-ish as N grows — the probe-set cost is
+   * LINEAR in N at fixed cells (not quadratic like semanticDedup's
+   * pair term), so the default stays fixed and the dial is the caller's;
+   * nSubspaces should grow with dimension so subvectors stay ≤ ~64
+   * floats (dim 768 → 16 subspaces of 48 is fine; dim 3072 wants 48-64).
+   */
   def ivfPqTopK(corpus: DataFrame, queries: DataFrame, k: Int,
       nCentroids: Int = 64, nProbe: Int = 8,
       nSubspaces: Int = 16, nCodes: Int = 16, rerank: Int = 64,
