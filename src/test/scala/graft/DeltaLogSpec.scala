@@ -107,6 +107,29 @@ class DeltaLogSpec extends SparkSpec {
     assert(DeltaLog.read(spark, table).count() == 6)
   }
 
+  test("concurrent replay of the SAME (appId, version): exactly one commit, no stray files") {
+    import spark.implicits._
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.ExecutionContext.Implicits.global
+    import scala.concurrent.duration._
+    val table = tmpTable()
+    // the crash-recovery race: several workers replay one micro-batch
+    val fs = (0 until 4).map(_ => Future {
+      DeltaLog.writeBatch(Seq((1L, "x")).toDF("id", "v"), table, txn = Some(("q", 0L)))
+    })
+    val results = Await.result(Future.sequence(fs), 120.seconds)
+    assert(results.flatten == Seq(0L), s"exactly one commit: $results")
+    assert(DeltaLog.read(spark, table).count() == 1)
+    // losers cleaned their orphaned parts: every on-disk parquet is
+    // add-listed
+    val active = DeltaLog.snapshot(spark, table).get.files.toSet
+    val onDisk = Files.walk(Paths.get(table)).iterator().asScala
+      .filter(p => Files.isRegularFile(p) && p.toString.endsWith(".parquet") &&
+        !p.toString.contains("_delta_log"))
+      .map(p => Paths.get(table).relativize(p).toString).toSet
+    assert(onDisk == active, s"stray files: ${onDisk.diff(active)}")
+  }
+
   test("partitioned table: hive paths, partitionValues in adds, prunable reads") {
     import spark.implicits._
     val table = tmpTable()
