@@ -229,15 +229,25 @@ object Dedup {
     * runtime row-level filters use), not re-sent per task; plan
     * stringification truncates literals, so explain() stays readable.
     */
+  /** `expectedItems <= 0` (the default) auto-sizes the bloom from a
+    * count of the reference side — results are sizing-INVARIANT (the
+    * exact verify re-checks every probe hit), but an under-sized bloom
+    * saturates and forfeits its pruning power silently at scale, so the
+    * safe default is to pay one count. Callers with a known cardinality
+    * pass it and skip the pass.
+    */
   def bloomIncremental(ref0: DataFrame, shard0: DataFrame, idCol: String,
-      textCol: String, expectedItems: Long = 1L << 20,
+      textCol: String, expectedItems: Long = 0L,
       fpp: Double = 0.01): DataFrame = {
     // NULL text = no content (see scaladoc): out of scope on both sides
     val ref = ref0.filter(col(textCol).isNotNull)
+    val items =
+      if (expectedItems > 0) expectedItems
+      else math.max(1024L, ref.count())
     val refKeys = ref.select(xxhash64(col(textCol)).as("bk"),
       md5(col(textCol)).as("content_hash"))
     bloomIncrementalKeyed(refKeys, shard0.filter(col(textCol).isNotNull),
-      idCol, textCol, expectedItems, fpp)
+      idCol, textCol, items, fpp)
       .select(col(idCol), col("content_hash"))
   }
 
@@ -302,12 +312,17 @@ object Dedup {
     */
   def bloomIncrementalPartitioned(ref0: DataFrame, shard0: DataFrame,
       idCol: String, textCol: String, numBuckets: Int = 16,
-      expectedItems: Long = 1L << 20, fpp: Double = 0.01): DataFrame = {
+      expectedItems: Long = 0L, fpp: Double = 0.01): DataFrame = {
     val ref = ref0.filter(col(textCol).isNotNull)
+    // auto-size like [[bloomIncremental]]: expectedItems here is TOTAL
+    // across buckets (each bucket bloom gets its pmod share)
+    val items =
+      if (expectedItems > 0) expectedItems
+      else math.max(1024L, ref.count())
     val refKeys = ref.select(xxhash64(col(textCol)).as("bk"),
       md5(col(textCol)).as("content_hash"))
     bloomIncrementalPartitionedKeyed(refKeys, shard0.filter(col(textCol).isNotNull),
-      idCol, textCol, numBuckets, expectedItems, fpp)
+      idCol, textCol, numBuckets, items, fpp)
       .select(col(idCol), col("content_hash"))
   }
 
