@@ -481,11 +481,15 @@ object DeltaLog {
       (lc.toString + "\n").getBytes("UTF-8"))
   }
 
-  // Delta paths are URI-encoded relative paths (PROTOCOL.md "path") —
-  // encoded per segment so the '/' separators stay literal
+  // Delta paths are URI-encoded relative paths (PROTOCOL.md "path").
+  // MINIMAL percent-encoding via java.net.URI (spaces, '%', non-ASCII),
+  // keeping '/', '=' (hive partition dirs!) and other legal path chars
+  // literal — what canonical Delta writers emit; the decoder accepts any
+  // valid percent-encoding either way.
   private def encodePath(p: String): String =
-    p.split('/').map(seg =>
-      java.net.URLEncoder.encode(seg, "UTF-8").replace("+", "%20")).mkString("/")
+    new java.net.URI(null, null, p, null).getRawPath
   private def decodePath(p: String): String =
-    p.split('/').map(java.net.URLDecoder.decode(_, "UTF-8")).mkString("/")
+    // percent-decode ONLY: URLDecoder would turn a literal '+' (legal in
+    // a path, means plus) into a space — pre-escape it to round-trip
+    java.net.URLDecoder.decode(p.replace("+", "%2B"), "UTF-8")
 }

@@ -145,6 +145,9 @@ class DeltaLogSpec extends SparkSpec {
     val adds = lines.filter(_.has("add")).map(_.get("add"))
     assert(adds.nonEmpty)
     adds.foreach { a =>
+      // canonical minimal encoding: the hive '=' stays LITERAL in the
+      // logged path (delta-spark/delta-rs emit it unescaped)
+      assert(a.get("path").asText.startsWith("src="), a.get("path").asText)
       val rel = java.net.URLDecoder.decode(a.get("path").asText, "UTF-8")
       assert(rel.startsWith("src="), rel)
       val pv = a.get("partitionValues")
