@@ -244,13 +244,13 @@ class Pipeline(spark: SparkSession, streaming: Boolean = false) {
         throw new IllegalArgumentException(
           s"$op is only supported on delta tables (got connector '${t.connector}')")
       val tPath = t.path.getOrElse(sys.error(s"table $name: path required"))
-      op match {
-        case "optimize" => graft.sinks.DeltaLog.optimize(spark, tPath)
+      // plan() must VALIDATE maintenance statements, never run them
+      if (!planOnly) op match {
+        case "optimize" => graft.sinks.DeltaLog.optimize(spark, tPath); ()
         case "vacuum" => graft.sinks.DeltaLog.vacuum(spark, tPath,
           retainHours.map(_ * 3600 * 1000L)
-            .getOrElse(7L * 24 * 3600 * 1000))
+            .getOrElse(7L * 24 * 3600 * 1000)); ()
       }
-      ()
 
     case SetOption(key, value) => key match {
       case "updating_ttl" =>

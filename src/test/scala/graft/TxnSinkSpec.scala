@@ -125,6 +125,14 @@ class TxnSinkSpec extends SparkSpec {
     val s = DeltaLog.snapshot(spark, table).get
     assert(s.files.size < 3, s"expected compaction, got ${s.files}")
     assert(DeltaLog.read(spark, table).count() == 3)
+    // plan() validates but does NOT execute maintenance
+    val nFilesAfter = DeltaLog.snapshot(spark, table).get.files.size
+    new sql.Pipeline(spark, streaming = false).plan(
+      s"""CREATE TABLE tbl (id BIGINT, v TEXT) WITH (
+         |  connector='delta', path='$table', format='parquet', type='sink');
+         |OPTIMIZE tbl;""".stripMargin)
+    assert(DeltaLog.snapshot(spark, table).get.files.size == nFilesAfter,
+      "plan() must not run OPTIMIZE")
     // non-delta tables reject the verbs
     val e = intercept[IllegalArgumentException] {
       new sql.Pipeline(spark, streaming = false).run(
