@@ -74,9 +74,10 @@ object WideDimProbe {
       val (_, storeBytes) = diskTotals(s"$idxDir/cells")
       println(f"[wide-dim] dim=$dim corpus=${corpus.count()} queries=${queries.count()} " +
         f"build=${tBuild}%.2fs store=${storeBytes / 1024}%d KiB")
-      // recall across the dimension axis: does ADC with the FIXED
-      // nSubspaces=16 default (subvector width dim/16) still rank well
-      // enough that the exact re-rank recovers the true top-k? Ground
+      // recall across the dimension axis: does ADC rank well enough that
+      // the exact re-rank recovers the true top-k? This is what caught
+      // the fixed-nSubspaces=16 collapse at dim 3072 (recall 0.246, r8)
+      // and what proves the auto-scaled default restores 1.000. Ground
       // truth from brute force over a bounded query subset.
       locally {
         val rq = queries.limit(50).cache()
@@ -87,7 +88,7 @@ object WideDimProbe {
           .select(col("query_id"), col("vec_id")).collect()
           .map(r => (r.getLong(0), r.getLong(1))).toSet
         println(f"[wide-dim] dim=$dim recall@10 (50 queries, nProbe=8/64 cells, " +
-          f"nSubspaces=16): ${ann.intersect(gt).size.toDouble / gt.size}%.3f")
+          f"auto nSubspaces): ${ann.intersect(gt).size.toDouble / gt.size}%.3f")
         rq.unpersist()
       }
       for ((label, through) <- Seq("vec-through-exchange" -> true, "slim-exchange" -> false)) {

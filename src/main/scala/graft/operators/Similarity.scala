@@ -128,16 +128,32 @@ object Similarity {
     *
     * Requires dim % nSubspaces == 0 (standard PQ constraint).
     */
+  /** Auto subspace count for PQ at a given dimension: the smallest
+    * divisor of `dim` giving subvectors ≤ ~48 floats, floored at 16.
+    * Fixed 16 subspaces quantize 48-float subvectors at dim 768 (fine)
+    * but 192-float subvectors at dim 3072 — measured recall@10 collapse
+    * 1.000 → 0.246 (WideDimProbe, SCALE.md r8): ADC so coarse the true
+    * neighbors miss the rerank set entirely. dim 64 → 16 (unchanged
+    * behavior for every committed number); 768 → 16; 3072 → 64.
+    */
+  private[operators] def autoSubspaces(dim: Int): Int = {
+    val target = math.max(16, (dim + 47) / 48)
+    (target to dim).find(dim % _ == 0).getOrElse(dim)
+  }
+
   def trainPqCodebooks(corpus: DataFrame, nSubspaces: Int, nCodes: Int,
       sampleSize: Int = 256, sweeps: Int = 10,
       idCol: String = "vec_id", vecCol: String = "embedding"): Array[Array[Array[Float]]] = {
     val sample = seedCentroids(corpus, sampleSize, idCol, vecCol)
     require(sample.nonEmpty, "pq training: empty corpus")
     val dim = sample.head.length
-    require(dim % nSubspaces == 0,
-      s"pq training: dim $dim not divisible by nSubspaces $nSubspaces")
-    val dsub = dim / nSubspaces
-    Array.tabulate(nSubspaces) { s =>
+    // nSubspaces <= 0 = auto ([[autoSubspaces]]): scale with dimension so
+    // subvectors stay ≤ ~48 floats — ADC precision collapses otherwise
+    val nSub = if (nSubspaces > 0) nSubspaces else autoSubspaces(dim)
+    require(dim % nSub == 0,
+      s"pq training: dim $dim not divisible by nSubspaces $nSub")
+    val dsub = dim / nSub
+    Array.tabulate(nSub) { s =>
       val sub = sample.map(v => java.util.Arrays.copyOfRange(v, s * dsub, (s + 1) * dsub))
       val k = math.min(nCodes, sub.length)
       var words = Array.tabulate(k)(i => sub(i.toLong.toInt * sub.length / k).clone())
@@ -183,7 +199,7 @@ object Similarity {
     * rank) with exact cosine sims after re-rank.
     */
   def pqTopK(corpus: DataFrame, queries: DataFrame, k: Int,
-      nSubspaces: Int = 16, nCodes: Int = 16, rerank: Int = 64,
+      nSubspaces: Int = 0, nCodes: Int = 16, rerank: Int = 64,
       idCol: String = "vec_id", vecCol: String = "embedding",
       queryIdCol: String = "query_id", queryVecCol: String = "query_vec"): DataFrame = {
     val cb = trainPqCodebooks(corpus, nSubspaces, nCodes, idCol = idCol, vecCol = vecCol)
@@ -239,7 +255,7 @@ object Similarity {
    */
   def ivfPqTopK(corpus: DataFrame, queries: DataFrame, k: Int,
       nCentroids: Int = 64, nProbe: Int = 8,
-      nSubspaces: Int = 16, nCodes: Int = 16, rerank: Int = 64,
+      nSubspaces: Int = 0, nCodes: Int = 16, rerank: Int = 64,
       idCol: String = "vec_id", vecCol: String = "embedding",
       queryIdCol: String = "query_id", queryVecCol: String = "query_vec"): DataFrame = {
     val spark = corpus.sparkSession
@@ -647,7 +663,7 @@ object Similarity {
     * [[queryIvfPqIndex]] returns exactly what the inline op would).
     */
   def buildIvfPqIndex(corpus: DataFrame, indexDir: String,
-      nCentroids: Int = 64, nSubspaces: Int = 16, nCodes: Int = 16,
+      nCentroids: Int = 64, nSubspaces: Int = 0, nCodes: Int = 16,
       idCol: String = "vec_id", vecCol: String = "embedding"): Unit = {
     val spark = corpus.sparkSession
     import spark.implicits._
