@@ -57,6 +57,42 @@ object DeltaProbe {
     println(f"[delta-probe] $nCommits commits: no-checkpoint total=${tcOff}%.2fs " +
       f"snapshot=${tsOff * 1000}%.0fms | checkpoint@10 total=${tcOn}%.2fs " +
       f"snapshot=${tsOn * 1000}%.0fms log_entries=$logFiles")
+
+    // (c) FILE-COUNT axis: per-commit cost on a table with many active
+    // files (100 TB / 128 MB ≈ 10⁶ files — the axis the data-size probe
+    // can't reach with real writes). Synthetic add actions stand in for
+    // the data files: snapshot replay and commit never open them. Cold =
+    // full checkpoint/log replay (what every commit paid before the
+    // incremental snapshot cache); warm = replay of the new tail only.
+    def fileCountAxis(nFiles: Int): Unit = {
+      import java.nio.file.{Files => JF, Paths => JP}
+      val one = Seq((1L, "x")).toDF("id", "v").coalesce(1)
+      val t = JF.createTempDirectory(s"delta-files").toString
+      DeltaLog.writeBatch(one, t, checkpointInterval = 0)
+      var v = 1L
+      var written = 0
+      while (written < nFiles) {
+        val n = math.min(20000, nFiles - written)
+        val sb = new StringBuilder
+        (0 until n).foreach { i =>
+          sb.append(s"""{"add":{"path":"part-synth-$v-$i.parquet","partitionValues":{},"size":134217728,"modificationTime":1,"dataChange":true}}""").append('\n')
+        }
+        JF.write(JP.get(t, "_delta_log", f"$v%020d.json"),
+          sb.toString.getBytes("UTF-8"))
+        v += 1; written += n
+      }
+      DeltaLog.clearSnapshotCache()
+      val (_, tCold) = timed(DeltaLog.writeBatch(one, t, checkpointInterval = 0))
+      val (_, tWarm1) = timed(DeltaLog.writeBatch(one, t, checkpointInterval = 0))
+      val (_, tWarm2) = timed(DeltaLog.writeBatch(one, t, checkpointInterval = 0))
+      DeltaLog.clearSnapshotCache()
+      val (_, tSnapCold) = timed(DeltaLog.snapshot(spark, t))
+      val (_, tSnapWarm) = timed(DeltaLog.snapshot(spark, t))
+      println(f"[delta-probe] files=$nFiles%7d commit cold=${tCold * 1000}%.0fms " +
+        f"warm=${math.min(tWarm1, tWarm2) * 1000}%.0fms | snapshot " +
+        f"cold=${tSnapCold * 1000}%.0fms warm=${tSnapWarm * 1000}%.0fms")
+    }
+    Seq(10000, 100000).foreach(fileCountAxis)
     spark.stop()
   }
 }

@@ -58,6 +58,31 @@ object DeltaLog {
   private val VersionRe = """(\d{20})\.json""".r
   private val CheckpointRe = """(\d{20})\.checkpoint\.parquet""".r
 
+  // Files.list/Files.walk return streams backed by an open directory fd;
+  // materialize-and-close so a long-lived streaming sink (snapshot runs
+  // per micro-batch) can't exhaust fds waiting on GC finalizers.
+  private def listDir(p: Path): Seq[Path] = {
+    val s = Files.list(p)
+    try s.iterator().asScala.toSeq finally s.close()
+  }
+  private def walkDir(p: Path): Seq[Path] = {
+    val s = Files.walk(p)
+    try s.iterator().asScala.toSeq finally s.close()
+  }
+
+  // Latest-snapshot cache per table: a streaming sink committing every few
+  // seconds must not re-collect the full checkpoint add-set (O(active
+  // files), driver-side) per batch — replay only the JSON commits since
+  // the cached version. At 100 TB / ~10⁶ files this turns the per-commit
+  // log cost from O(files) into O(new commits).
+  private val snapCache = new java.util.concurrent.ConcurrentHashMap[String, Snapshot]()
+
+  /** Test/probe hook: forget cached snapshots (forces a cold full replay). */
+  private[graft] def clearSnapshotCache(): Unit = snapCache.clear()
+
+  private def cacheKey(table: String): String =
+    Paths.get(table).toAbsolutePath.normalize.toString
+
   final case class AddInfo(size: Long, modificationTime: Long,
       partitionValues: Seq[(String, String)])
 
@@ -79,7 +104,7 @@ object DeltaLog {
       asOf: Option[Long] = None): Option[Snapshot] = {
     val dir = logDir(table)
     if (!Files.isDirectory(dir)) return None
-    val entries = Files.list(dir).iterator().asScala.toSeq
+    val entries = listDir(dir)
     val horizon = asOf.getOrElse(Long.MaxValue)
     val jsons = entries.flatMap(p => p.getFileName.toString match {
       case VersionRe(v) if v.toLong <= horizon => Some((v.toLong, p))
@@ -94,6 +119,7 @@ object DeltaLog {
       require((jsons.map(_._1) ++ checkpoints.map(_._1)).max == v,
         s"$table has no version $v (log ends earlier or was checkpoint-truncated past it)")
     }
+    val target = (jsons.map(_._1) ++ checkpoints.map(_._1)).max
 
     var schemaJson: String = null
     var partCols: Seq[String] = Seq.empty
@@ -102,33 +128,7 @@ object DeltaLog {
     val adds = scala.collection.mutable.LinkedHashMap.empty[String, AddInfo]
     val appVersions = scala.collection.mutable.Map.empty[String, Long]
 
-    val cpVersion: Long = checkpoints.lastOption match {
-      case Some((v, p)) =>
-        spark.read.parquet(p.toString).collect().foreach { r =>
-          val i = r.fieldIndex _
-          if (!r.isNullAt(i("metaData"))) {
-            val m = r.getStruct(i("metaData"))
-            metaId = m.getAs[String]("id")
-            schemaJson = m.getAs[String]("schemaString")
-            partCols = m.getAs[scala.collection.Seq[String]]("partitionColumns").toSeq
-            createdTime = m.getAs[Long]("createdTime")
-          }
-          if (!r.isNullAt(i("txn"))) {
-            val t = r.getStruct(i("txn"))
-            appVersions += t.getAs[String]("appId") -> t.getAs[Long]("version")
-          }
-          if (!r.isNullAt(i("add"))) {
-            val a = r.getStruct(i("add"))
-            adds += decodePath(a.getAs[String]("path")) -> AddInfo(
-              a.getAs[Long]("size"), a.getAs[Long]("modificationTime"),
-              a.getAs[scala.collection.Map[String, String]]("partitionValues").toSeq.sorted)
-          }
-        }
-        v
-      case None => -1L
-    }
-
-    jsons.filter(_._1 > cpVersion).foreach { case (_, p) =>
+    def applyJson(p: Path): Unit =
       Files.readAllLines(p).asScala.filter(_.nonEmpty).foreach { line =>
         val n = mapper.readTree(line)
         if (n.has("metaData")) {
@@ -152,11 +152,63 @@ object DeltaLog {
           appVersions += t.get("appId").asText() -> t.get("version").asLong()
         }
       }
+
+    // INCREMENTAL fast path: a cached snapshot at c ≤ target whose JSON
+    // tail (c, target] is fully present — seed state from the cache and
+    // replay only the tail; no checkpoint parquet collect, no full-log
+    // replay. Falls back cold when the tail was aged out past a
+    // checkpoint or the table was recreated (cache version ahead of log).
+    val cached = Option(snapCache.get(cacheKey(table))).filter { c =>
+      c.version <= target &&
+        jsons.view.map(_._1).filter(v => v > c.version).toSeq == (c.version + 1 to target)
+    }
+
+    cached match {
+      case Some(c) if c.version == target => return Some(c) // nothing new
+      case Some(c) =>
+        schemaJson = c.schema.json
+        partCols = c.partitionColumns
+        metaId = c.metaId
+        createdTime = c.createdTime
+        adds ++= c.adds
+        appVersions ++= c.appVersions
+        jsons.filter(_._1 > c.version).foreach { case (_, p) => applyJson(p) }
+      case None =>
+        val cpVersion: Long = checkpoints.lastOption match {
+          case Some((v, p)) =>
+            spark.read.parquet(p.toString).collect().foreach { r =>
+              val i = r.fieldIndex _
+              if (!r.isNullAt(i("metaData"))) {
+                val m = r.getStruct(i("metaData"))
+                metaId = m.getAs[String]("id")
+                schemaJson = m.getAs[String]("schemaString")
+                partCols = m.getAs[scala.collection.Seq[String]]("partitionColumns").toSeq
+                createdTime = m.getAs[Long]("createdTime")
+              }
+              if (!r.isNullAt(i("txn"))) {
+                val t = r.getStruct(i("txn"))
+                appVersions += t.getAs[String]("appId") -> t.getAs[Long]("version")
+              }
+              if (!r.isNullAt(i("add"))) {
+                val a = r.getStruct(i("add"))
+                adds += decodePath(a.getAs[String]("path")) -> AddInfo(
+                  a.getAs[Long]("size"), a.getAs[Long]("modificationTime"),
+                  a.getAs[scala.collection.Map[String, String]]("partitionValues").toSeq.sorted)
+              }
+            }
+            v
+          case None => -1L
+        }
+        jsons.filter(_._1 > cpVersion).foreach { case (_, p) => applyJson(p) }
     }
     require(schemaJson != null, s"$table: no metaData action in _delta_log")
-    val version = (jsons.map(_._1) ++ checkpoints.map(_._1)).max
-    Some(Snapshot(DataType.fromJson(schemaJson).asInstanceOf[StructType],
-      partCols, adds.toSeq, version, appVersions.toMap, metaId, createdTime))
+    val snap = Snapshot(DataType.fromJson(schemaJson).asInstanceOf[StructType],
+      partCols, adds.toSeq, target, appVersions.toMap, metaId, createdTime)
+    // only the true latest state may overwrite the cache (asOf snapshots
+    // are historical); an unconditional put also self-heals a recreated
+    // table whose cache entry is ahead of the new log
+    if (asOf.isEmpty) snapCache.put(cacheKey(table), snap)
+    Some(snap)
   }
 
   /** Snapshot read: the add-listed files only (orphans and uncommitted
@@ -205,9 +257,9 @@ object DeltaLog {
     // link each part file into the table root under its (already unique:
     // Spark embeds the job UUID) name, PRESERVING the hive partition
     // subdirs; fall back to move on filesystems without hard links
-    val parts = Files.walk(scratch).iterator().asScala
+    val parts = walkDir(scratch)
       .filter(p => Files.isRegularFile(p) &&
-        p.getFileName.toString.endsWith(".parquet")).toSeq
+        p.getFileName.toString.endsWith(".parquet"))
       .map(p => (scratch.relativize(p).toString, p))
       .sortBy(_._1)
     val added = parts.map { case (rel, p) =>
@@ -223,7 +275,7 @@ object DeltaLog {
     // in partitionValues), matching Delta's physical layout
     val committed = commit(spark, table, df.schema, partitionBy, added, txn)
     // scratch cleanup (links live on in the table root)
-    Files.walk(scratch).iterator().asScala.toSeq.reverse.foreach(Files.deleteIfExists(_))
+    walkDir(scratch).reverse.foreach(Files.deleteIfExists(_))
     committed match {
       case None => // lost to a concurrent replay: remove orphaned parts
         added.foreach { case (rel, _) => Files.deleteIfExists(Paths.get(table, rel)) }
@@ -245,7 +297,11 @@ object DeltaLog {
     * committed version, or None when fewer than two small files exist
     * (nothing to compact). Safe under concurrent appends: only files
     * this call actually read are removed, and the commit loop re-reads
-    * the log on version races.
+    * the log on version races. Safe under concurrent OPTIMIZE too: if a
+    * racing compaction already removed any file this call read, the
+    * commit aborts (delta-spark's ConcurrentDeleteReadException) and the
+    * loser's files are deleted — committing anyway would resurrect the
+    * winner's removed rows as duplicates.
     */
   def optimize(spark: SparkSession, table: String,
       smallFileBytes: Long = 128L * 1024 * 1024): Option[Long] = {
@@ -262,9 +318,9 @@ object DeltaLog {
       .write.mode("overwrite")
     (if (s.partitionColumns.nonEmpty) w.partitionBy(s.partitionColumns: _*) else w)
       .parquet(scratch.toString)
-    val parts = Files.walk(scratch).iterator().asScala
+    val parts = walkDir(scratch)
       .filter(p => Files.isRegularFile(p) &&
-        p.getFileName.toString.endsWith(".parquet")).toSeq
+        p.getFileName.toString.endsWith(".parquet"))
       .map(p => (scratch.relativize(p).toString, p)).sortBy(_._1)
     val added = parts.map { case (rel, p) =>
       val dest = Paths.get(table, rel)
@@ -277,7 +333,7 @@ object DeltaLog {
     }
     val committed = commit(spark, table, s.schema, s.partitionColumns, added,
       txn = None, removed = small.map(_._1), dataChange = false)
-    Files.walk(scratch).iterator().asScala.toSeq.reverse.foreach(Files.deleteIfExists(_))
+    walkDir(scratch).reverse.foreach(Files.deleteIfExists(_))
     committed match {
       case Some(_) =>
         // tombstoned files STAY on disk (a concurrent reader may be
@@ -300,7 +356,7 @@ object DeltaLog {
     val active = s.files.toSet
     val horizon = System.currentTimeMillis() - retentionMs
     val root = Paths.get(table)
-    val candidates = Files.walk(root).iterator().asScala
+    val candidates = walkDir(root)
       .filter(p => Files.isRegularFile(p) &&
         p.getFileName.toString.endsWith(".parquet") &&
         !p.startsWith(logDir(table)) &&
@@ -324,7 +380,7 @@ object DeltaLog {
       }
     }.sorted
 
-  private def commit(spark: SparkSession, table: String, schema: StructType,
+  private[graft] def commit(spark: SparkSession, table: String, schema: StructType,
       partitionBy: Seq[String], added: Seq[(String, AddInfo)],
       txn: Option[(String, Long)], removed: Seq[String] = Seq.empty,
       dataChange: Boolean = true): Option[Long] = {
@@ -335,6 +391,14 @@ object DeltaLog {
       val snap = snapshot(spark, table)
       txn.foreach { case (app, v) =>
         if (snap.exists(_.appVersions.get(app).exists(_ >= v))) return None
+      }
+      if (removed.nonEmpty) {
+        // ConcurrentDeleteRead (delta-spark's exception of the same name):
+        // a concurrent OPTIMIZE already removed one of the files this
+        // commit read — landing our swap would resurrect its rows as
+        // duplicates. Abort; the caller deletes the files it wrote.
+        val active = snap.map(_.files.toSet).getOrElse(Set.empty[String])
+        if (!removed.forall(active)) return None
       }
       val version = snap.map(_.version + 1).getOrElse(0L)
       val sb = new StringBuilder
@@ -400,10 +464,17 @@ object DeltaLog {
         a.put("dataChange", dataChange)
         line(an)
       }
+      val bytes = sb.toString.getBytes("UTF-8")
       val tmp = dir.resolve(s".${UUID.randomUUID()}.tmp")
-      Files.write(tmp, sb.toString.getBytes("UTF-8"))
+      Files.write(tmp, bytes)
       try {
-        Files.createLink(dir.resolve(f"$version%020d.json"), tmp)
+        try Files.createLink(dir.resolve(f"$version%020d.json"), tmp)
+        catch { case _: UnsupportedOperationException =>
+          // no hard links (e.g. some network filesystems): CREATE_NEW is
+          // the same put-if-absent contract, atomic on POSIX open(O_EXCL)
+          Files.write(dir.resolve(f"$version%020d.json"), bytes,
+            java.nio.file.StandardOpenOption.CREATE_NEW)
+        }
         Files.deleteIfExists(tmp)
         return Some(version)
       } catch {
@@ -450,7 +521,11 @@ object DeltaLog {
     */
   private[graft] def writeCheckpoint(spark: SparkSession, table: String,
       version: Long): Unit = {
-    val s = snapshot(spark, table).getOrElse(return)
+    // pin the state to the version the file is NAMED for: a concurrent
+    // commit can land version+1 between our commit and this checkpoint,
+    // and a checkpoint that embeds it would make `VERSION AS OF version`
+    // return rows from the future
+    val s = snapshot(spark, table, asOf = Some(version)).getOrElse(return)
     val rows = Seq(
       Row(null, null, null, null, Row(1, 2)),
       Row(null, null, null,
@@ -466,12 +541,12 @@ object DeltaLog {
     val scratch = Files.createTempDirectory("delta-cp")
     spark.createDataFrame(rows.asJava, checkpointSchema)
       .coalesce(1).write.mode("overwrite").parquet(scratch.toString)
-    val part = Files.list(scratch).iterator().asScala
+    val part = listDir(scratch)
       .find(_.getFileName.toString.endsWith(".parquet"))
       .getOrElse(sys.error("checkpoint write produced no parquet part"))
     val dest = logDir(table).resolve(f"$version%020d.checkpoint.parquet")
     Files.move(part, dest, StandardCopyOption.REPLACE_EXISTING)
-    Files.walk(scratch).iterator().asScala.toSeq.reverse.foreach(Files.deleteIfExists(_))
+    walkDir(scratch).reverse.foreach(Files.deleteIfExists(_))
     val lc = mapper.createObjectNode()
     lc.put("version", version)
     lc.put("size", rows.size.toLong)

@@ -268,6 +268,78 @@ class DeltaLogSpec extends SparkSpec {
     }
   }
 
+  test("checkpoint written AFTER a concurrent commit stays pinned to its named version") {
+    import spark.implicits._
+    val table = tmpTable()
+    // three commits, no auto-checkpoint
+    (0 until 3).foreach { i =>
+      DeltaLog.writeBatch(Seq((i.toLong, s"v$i")).toDF("id", "v").coalesce(1),
+        table, checkpointInterval = 0)
+    }
+    // the race: the checkpoint for version 1 runs only after version 2
+    // landed (writeBatch commits, ANOTHER writer commits, then the first
+    // writer's checkpoint executes). It must embed version 1's state, not
+    // the latest.
+    DeltaLog.writeCheckpoint(spark, table, 1L)
+    val cp = spark.read.parquet(
+      Paths.get(table, "_delta_log", f"${1L}%020d.checkpoint.parquet").toString)
+    val addPaths = cp.filter(col("add").isNotNull).select("add.path").as[String]
+      .collect().map(p => java.net.URLDecoder.decode(p, "UTF-8")).toSet
+    val v1Files = DeltaLog.snapshot(spark, table, asOf = Some(1L)).get.files.toSet
+    assert(addPaths == v1Files, s"checkpoint 1 embeds future adds: ${addPaths.diff(v1Files)}")
+    // time travel THROUGH the checkpoint: age out the covered JSON tail
+    // and verify VERSION AS OF 1 still excludes version 2's row
+    (0L to 1L).foreach(v => Files.delete(Paths.get(table, "_delta_log", f"$v%020d.json")))
+    DeltaLog.clearSnapshotCache()
+    assert(DeltaLog.read(spark, table, asOf = Some(1L))
+      .as[(Long, String)].collect().toSet == Set((0L, "v0"), (1L, "v1")))
+    assert(DeltaLog.read(spark, table).count() == 3)
+  }
+
+  test("concurrent OPTIMIZE: the loser's stale remove-commit aborts (ConcurrentDeleteRead)") {
+    import spark.implicits._
+    val table = tmpTable()
+    (0 until 4).foreach { i =>
+      DeltaLog.writeBatch(Seq((i.toLong, s"v$i")).toDF("id", "v").coalesce(1), table)
+    }
+    val stale = DeltaLog.snapshot(spark, table).get // both optimizers read this
+    assert(DeltaLog.optimize(spark, table).isDefined) // winner compacts + removes
+    // the loser read `stale`, wrote its own compacted file, and now tries
+    // to commit remove actions for files the winner already removed
+    val loser = DeltaLog.commit(spark, table, stale.schema, stale.partitionColumns,
+      added = Seq(("part-loser.snappy.parquet",
+        DeltaLog.AddInfo(100L, System.currentTimeMillis(), Seq.empty))),
+      txn = None, removed = stale.files, dataChange = false)
+    assert(loser.isEmpty, "stale OPTIMIZE commit must abort, not duplicate rows")
+    // table unchanged: same rows, loser's file never became active
+    assert(DeltaLog.read(spark, table).as[(Long, String)].collect().toSet ==
+      (0 until 4).map(i => (i.toLong, s"v$i")).toSet)
+    assert(!DeltaLog.snapshot(spark, table).get.files.contains("part-loser.snappy.parquet"))
+  }
+
+  test("incremental snapshot (warm cache) is identical to a cold full replay") {
+    import spark.implicits._
+    val table = tmpTable()
+    (0 until 8).foreach { i =>
+      DeltaLog.writeBatch(Seq((i.toLong, s"v$i")).toDF("id", "v").coalesce(1), table,
+        txn = Some(("inc", i.toLong)), checkpointInterval = 3)
+    }
+    val warm = DeltaLog.snapshot(spark, table).get // built incrementally across commits
+    DeltaLog.clearSnapshotCache()
+    val cold = DeltaLog.snapshot(spark, table).get // full checkpoint + tail replay
+    assert(warm.version == cold.version && warm.version == 7L)
+    assert(warm.adds.toMap == cold.adds.toMap)
+    assert(warm.appVersions == cold.appVersions && warm.appVersions("inc") == 7L)
+    assert(warm.schema == cold.schema && warm.partitionColumns == cold.partitionColumns)
+    // OPTIMIZE's removes flow through the incremental path too
+    DeltaLog.optimize(spark, table)
+    val warm2 = DeltaLog.snapshot(spark, table).get
+    DeltaLog.clearSnapshotCache()
+    val cold2 = DeltaLog.snapshot(spark, table).get
+    assert(warm2.adds.toMap == cold2.adds.toMap && warm2.version == cold2.version)
+    assert(DeltaLog.read(spark, table).count() == 8)
+  }
+
   test("empty-batch commit keeps the schema readable; snapshot tracks the last version") {
     import spark.implicits._
     val table = tmpTable()
