@@ -110,9 +110,15 @@ class Pipeline(spark: SparkSession, streaming: Boolean = false) {
             "the source log. Run the final (flushing) pass without a checkpoint.")
       eodFlushEnabled = false
     }
-    stmts.foreach(runStatement)
-    queries.foreach(_.awaitTermination())
-    lastResult
+    // spool dirs created during this run (q4-shape streaming read-backs
+    // included) are safe to reclaim once every query has terminated
+    val (res, spools) = graft.streaming.SpoolDirs.track {
+      stmts.foreach(runStatement)
+      queries.foreach(_.awaitTermination())
+      lastResult
+    }
+    graft.streaming.SpoolDirs.release(spools)
+    res
   }
 
   /** Parse, validate and plan a script without executing any sink write. */
@@ -1430,8 +1436,14 @@ class Pipeline(spark: SparkSession, streaming: Boolean = false) {
       // frontier-alignment rule as the exception path.
       if (joinsTwoWindowedAggs(dfIn)) {
         val align = !catalog.values.filter(!_.isSink).forall(t => eodApplied.contains(t.name))
-        graft.streaming.WindowFnOnClose.spoolBranches(spark, dfIn, align).foreach { batchFrame =>
-          new Pipeline(spark, streaming = false).writeTo(sink, batchFrame)
+        val (res, spools) = graft.streaming.SpoolDirs.track {
+          graft.streaming.WindowFnOnClose.spoolBranches(spark, dfIn, align)
+        }
+        res.foreach { batchFrame =>
+          // the sink write drains the batch frame completely — the spool
+          // dirs backing it can be reclaimed immediately
+          try new Pipeline(spark, streaming = false).writeTo(sink, batchFrame)
+          finally graft.streaming.SpoolDirs.release(spools)
           return
         }
       }
@@ -1656,9 +1668,13 @@ class Pipeline(spark: SparkSession, streaming: Boolean = false) {
           // parquet NANOS-as-LONG) never flushes even though eodField
           // wanted it to, and its leg must still be frontier-truncated.
           val align = !catalog.values.filter(!_.isSink).forall(t => eodApplied.contains(t.name))
-          graft.streaming.WindowFnOnClose.spoolBranches(spark, dfIn, align) match {
+          val (res, spools) = graft.streaming.SpoolDirs.track {
+            graft.streaming.WindowFnOnClose.spoolBranches(spark, dfIn, align)
+          }
+          res match {
             case Some(batchFrame) =>
-              new Pipeline(spark, streaming = false).writeTo(sink, batchFrame)
+              try new Pipeline(spark, streaming = false).writeTo(sink, batchFrame)
+              finally graft.streaming.SpoolDirs.release(spools)
             case None => throw e
           }
       }

@@ -134,7 +134,7 @@ object WindowFnOnClose {
     // driver_id#1.)
     val spooled: Seq[(LogicalPlan, org.apache.spark.sql.DataFrame, Option[String])] =
       bottoms.map { bottom =>
-        val dir = java.nio.file.Files.createTempDirectory("graft-spool").toString
+        val dir = SpoolDirs.create("graft-spool").toString
         // spool under POSITIONAL names: a join's legs can both emit the
         // same column name (q4's A.dt/B.dt), which the parquet writer
         // rejects; the restore Project below aliases everything back to
@@ -222,7 +222,7 @@ object WindowFnOnClose {
     }
     if (outer.isEmpty) return None
     val replaced: Seq[(LogicalPlan, LogicalPlan)] = outer.map { bottom =>
-      val dir = java.nio.file.Files.createTempDirectory("graft-join-spool").toString
+      val dir = SpoolDirs.create("graft-join-spool").toString
       // positional spool names: a join's legs can both emit the same
       // column name (q4's A.dt/B.dt), which the parquet writer rejects
       val renamed = Project(bottom.output.zipWithIndex.map {

@@ -757,11 +757,17 @@ class GoldenSpec extends SparkSpec {
     }
     val streamEv = spark.readStream.format("graft-nexmark")
       .option("message_count", "20000").option("event_rate", "1000").load()
-    val spooled = graft.streaming.WindowFnOnClose.spoolBranches(
-      spark, q6plan(streamEv), alignFrontiers = false)
+    val (spooled, q6spools) = graft.streaming.SpoolDirs.track {
+      graft.streaming.WindowFnOnClose.spoolBranches(
+        spark, q6plan(streamEv), alignFrontiers = false)
+    }
     assert(spooled.isDefined, "join-spool must accept the q6 shape")
     val stream = spooled.get.collect()
       .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    // r9 spool lifecycle: a direct-API consumer releases after draining
+    assert(q6spools.nonEmpty)
+    graft.streaming.SpoolDirs.release(q6spools)
+    q6spools.foreach(d => assert(!Files.exists(d), s"spool dir leaked: $d"))
     val ev = spark.read.format("graft-nexmark")
       .option("message_count", "20000").option("event_rate", "1000").load()
     val a = ev.filter(col("auction").isNotNull).select(
@@ -919,7 +925,13 @@ class GoldenSpec extends SparkSpec {
   // aggregate (append mode, emit-on-close) and joining the closed windows
   // as a batch (WindowFnOnClose.spoolBranches)
   test("golden streaming: windowed_outer_join matches golden exactly") {
-    checkExact("windowed_outer_join", streaming = true)
+    // r9: spool lifecycle — the parquet spool dirs backing the batch
+    // rebuild must be reclaimed once the pipeline has drained the frame
+    val (_, spools) = graft.streaming.SpoolDirs.track {
+      checkExact("windowed_outer_join", streaming = true)
+    }
+    assert(spools.nonEmpty, "expected the spool fallback to be exercised")
+    spools.foreach(d => assert(!Files.exists(d), s"spool dir leaked: $d"))
   }
 
   // ── streaming: stateless pipelines run exact ──────────────────────────
