@@ -1399,10 +1399,40 @@ class Pipeline(spark: SparkSession, streaming: Boolean = false) {
             idCol = vid, vecCol = vec)
           .filter(col(vid) === col("keep_as")).select(col(vid))
         src.join(keep, Seq(vid), "left_semi")
+      case "c4_clean" =>
+        // C4 line-level cleaning as a stage: surviving docs with the
+        // cleaned text REPLACING the text column (same shape in, shape out
+        // as the dedup/gate faces, so stages keep composing)
+        val c = graft.operators.TextAnalysis.c4Clean(src, id, text,
+            minLineWords = kv.get("min_line_words").map(_.toInt).getOrElse(5),
+            minSentences = kv.get("min_sentences").map(_.toInt).getOrElse(3))
+          .filter(col("keep")).select(col(id), col("clean_text"))
+        src.drop(text).join(c, Seq(id))
+          .select(src.columns.map(n =>
+            if (n == text) col("clean_text").as(text) else col(n)).toIndexedSeq: _*)
+      case "pii_scrub" =>
+        // redaction pass: every row kept, text scrubbed in place
+        src.withColumn(text, graft.operators.TextAnalysis.scrubPii(col(text)))
+      case "dedup_urls" =>
+        // crawl dedup on the CANONICAL url (scheme/www/tracking-params
+        // variants collapse); keeps the lowest id per canonical form
+        val urlCol = kv.getOrElse("url", "url")
+        val keep = graft.operators.Urls.dedupByUrl(src, id, urlCol)
+          .select(col("keep_id").as(id))
+        src.join(keep, Seq(id), "left_semi")
+      case "chunk_tokens" =>
+        graft.operators.Chunking.chunkTokens(src, id, text,
+          chunkSize = kv.getOrElse("chunk_size", "512").toInt,
+          overlap = kv.getOrElse("overlap", "0").toInt)
+      case "pack_sequences" =>
+        graft.operators.Chunking.packSequences(src, id, text,
+          budget = kv.getOrElse("budget", "4096").toInt,
+          shards = kv.getOrElse("shards", "32").toInt)
       case other => throw new IllegalArgumentException(
         s"unknown PIPELINE operator '$other' (supported: dedup_exact, " +
           "dedup_minhash, quality_gate, quality_model_gate, decontaminate, " +
-          "balanced_shards, mixture_sample, epoch_replicate, ann_topk, semdedup)")
+          "balanced_shards, mixture_sample, epoch_replicate, ann_topk, semdedup, " +
+          "c4_clean, pii_scrub, dedup_urls, chunk_tokens, pack_sequences)")
     }
   }
 

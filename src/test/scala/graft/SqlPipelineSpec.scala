@@ -466,6 +466,100 @@ class SqlPipelineSpec extends SparkSpec {
     assert(kept.nonEmpty && kept == expKept)
   }
 
+  test("PIPELINE curation faces second tranche: c4_clean, pii_scrub, dedup_urls, chunk_tokens, pack_sequences (r9)") {
+    import graft.operators.{Chunking, TextAnalysis, Urls}
+    val docs = Tables.load(spark, sfDir, "documents")
+    val ddl =
+      s"""CREATE TABLE docs WITH (connector = 'single_file',
+         |  path = '$sfDir/documents.parquet', format = 'parquet', type = 'source');""".stripMargin
+
+    // c4_clean: corpus is unpunctuated word soup, so plant prose on
+    // doc_id % 3 = 0 — only those survive, with text REPLACED by the
+    // cleaned lines (blocklisted cookie line dropped)
+    val prose = "This line has enough words to pass muster.\n" +
+      "Our cookie policy applies to everything you read here.\n" +
+      "Another good sentence appears right here now.\n" +
+      "And a third sentence rounds everything out nicely."
+    val cleaned = new Pipeline(spark, streaming = false).run(
+      s"""$ddl
+         |CREATE VIEW prose AS SELECT doc_id,
+         |  CASE WHEN doc_id % 3 = 0 THEN '${prose.replace("\n", "' || chr(10) || '")}'
+         |       ELSE text END AS text, source FROM docs;
+         |CREATE TABLE clean AS PIPELINE c4_clean(prose, id => 'doc_id', text => 'text');
+         |SELECT doc_id, text, source FROM clean""".stripMargin).get
+    val proseDf = docs.select(col("doc_id"),
+      when(col("doc_id") % 3 === 0, lit(prose)).otherwise(col("text")).as("text"),
+      col("source"))
+    val expClean = {
+      val c = TextAnalysis.c4Clean(proseDf, "doc_id", "text")
+        .filter(col("keep")).select(col("doc_id"), col("clean_text").as("text"))
+      proseDf.drop("text").join(c, Seq("doc_id"))
+        .select("doc_id", "text", "source")
+    }
+    val gotClean = cleaned.collect().map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSet
+    assert(gotClean.nonEmpty && gotClean ==
+      expClean.collect().map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSet)
+    assert(gotClean.forall { case (id, t, _) => id % 3 == 0 && !t.toLowerCase.contains("cookie policy") })
+    // face output keeps the source shape (id, text, source) → stages compose
+    assert(cleaned.columns.toSeq == Seq("doc_id", "text", "source"))
+
+    // pii_scrub: injected PII is redacted in place, every row kept
+    val scrubbed = new Pipeline(spark, streaming = false).run(
+      s"""$ddl
+         |CREATE VIEW leaky AS SELECT doc_id,
+         |  text || ' contact bob@example.com via 10.0.0.7 today' AS text FROM docs;
+         |CREATE TABLE safe AS PIPELINE pii_scrub(leaky, text => 'text');
+         |SELECT doc_id, text FROM safe""".stripMargin).get
+    val gotScrub = scrubbed.collect().map(r => (r.getLong(0), r.getString(1))).toMap
+    val expScrub = docs.select(col("doc_id"),
+        TextAnalysis.scrubPii(concat(col("text"),
+          lit(" contact bob@example.com via 10.0.0.7 today"))).as("text"))
+      .collect().map(r => (r.getLong(0), r.getString(1))).toMap
+    assert(gotScrub.size == docs.count() && gotScrub == expScrub)
+    assert(gotScrub.values.forall(t =>
+      !t.contains("bob@example.com") && !t.contains("10.0.0.7")))
+
+    // dedup_urls: scheme/www/tracking-param variants of the same page
+    // collapse onto one canonical URL; lowest doc_id survives
+    val urlExpr =
+      "(CASE WHEN doc_id % 2 = 0 THEN 'https://WWW.' ELSE 'http://' END) || " +
+      "'Example.COM/p/' || CAST(doc_id % 50 AS STRING) || " +
+      "(CASE WHEN doc_id % 3 = 0 THEN '?utm_source=x' ELSE '' END)"
+    val uniq = new Pipeline(spark, streaming = false).run(
+      s"""$ddl
+         |CREATE VIEW crawl AS SELECT doc_id, $urlExpr AS url, text FROM docs;
+         |CREATE TABLE uniqurl AS PIPELINE dedup_urls(crawl, id => 'doc_id', url => 'url');
+         |SELECT doc_id FROM uniqurl""".stripMargin).get
+      .collect().map(_.getLong(0)).toSet
+    val crawlDf = docs.select(col("doc_id"), concat(
+      when(col("doc_id") % 2 === 0, "https://WWW.").otherwise("http://"),
+      lit("Example.COM/p/"), (col("doc_id") % 50).cast("string"),
+      when(col("doc_id") % 3 === 0, "?utm_source=x").otherwise("")).as("url"))
+    val expUniq = Urls.dedupByUrl(crawlDf, "doc_id", "url")
+      .select(col("keep_id")).collect().map(_.getLong(0)).toSet
+    assert(uniq.size == 50 && uniq == expUniq)
+
+    // chunk_tokens / pack_sequences: training-sequence shaping from SQL
+    val chunks = new Pipeline(spark, streaming = false).run(
+      s"""$ddl
+         |CREATE TABLE ch AS PIPELINE chunk_tokens(docs, id => 'doc_id',
+         |  text => 'text', chunk_size => '64', overlap => '16');
+         |SELECT doc_id, chunk_idx, chunk_tokens, chunk_text FROM ch""".stripMargin).get
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getString(3))).toSet
+    val expChunks = Chunking.chunkTokens(docs, "doc_id", "text", 64, 16)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getString(3))).toSet
+    assert(chunks.nonEmpty && chunks == expChunks)
+    val packs = new Pipeline(spark, streaming = false).run(
+      s"""$ddl
+         |CREATE TABLE pk AS PIPELINE pack_sequences(docs, id => 'doc_id',
+         |  text => 'text', budget => '4096', shards => '8');
+         |SELECT doc_id, n_tokens, shard, pack_id, pack_pos FROM pk""".stripMargin).get
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getLong(3), r.getLong(4))).toSet
+    val expPacks = Chunking.packSequences(docs, "doc_id", "text", 4096, 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getLong(3), r.getLong(4))).toSet
+    assert(packs.nonEmpty && packs == expPacks)
+  }
+
   test("SET updating_ttl and streaming ORDER BY/LIMIT rejection (reference parity)") {
     val p = new Pipeline(spark, streaming = true)
     p.runStatement(Ddl.parse("SET updating_ttl = INTERVAL '1 hour'"))
