@@ -1,0 +1,156 @@
+package graft.sources
+
+import graft.sinks.DeltaLog
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import java.nio.file.{Files, Path, Paths}
+import scala.jdk.CollectionConverters._
+
+/** STREAMING source over a wire-format Delta table (reference recovery
+  * contract: crates/arroyo-connectors/src/filesystem/delta.rs — the delta
+  * connector's exactly-once source side): tail the `_delta_log`
+  * incrementally, emitting each logically-added row exactly once.
+  *
+  * Spark-first shape: instead of a custom partition reader, reuse
+  * Spark's own battle-tested file streaming source (distributed parquet
+  * reads, per-file commit log in the query checkpoint, maxFilesPerTrigger
+  * backpressure). The delta-specific part is a VIEW directory of hard
+  * links kept in sync with the log:
+  *
+  *   - the initial sync links the current snapshot's ACTIVE files (each
+  *     logical row exactly once, however many OPTIMIZE passes produced it)
+  *   - every later sync applies only NEW log versions, linking adds with
+  *     `dataChange=true`. OPTIMIZE's compaction adds carry
+  *     `dataChange=false` — honored, so compaction mid-stream re-emits
+  *     NOTHING; its removes are ignored (append-only source contract)
+  *   - links survive VACUUM (the view holds its own directory entries),
+  *     so a slow reader never loses data to retention
+  *
+  * Offsets/exactly-once ride the file source's own checkpoint: view file
+  * paths are stable (same relative name as in the table), so a restarted
+  * query resumes from its processed-files log exactly — the Spark-native
+  * analogue of the reference's two-phase source recovery.
+  *
+  * `sync()` is manual (tests, bounded AvailableNow runs); `open(...,
+  * pollMs = Some(ms))` starts a daemon that keeps the view current for
+  * continuous triggers.
+  */
+object DeltaStreamSource {
+
+  private val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+  private val VersionRe = """(\d{20})\.json""".r
+  private val views = java.util.concurrent.ConcurrentHashMap.newKeySet[View]()
+
+  Runtime.getRuntime.addShutdownHook(new Thread(() => {
+    views.asScala.foreach(_.close())
+  }, "graft-delta-view-cleanup"))
+
+  final class View private[DeltaStreamSource] (val table: String, val dir: Path) {
+    @volatile private[DeltaStreamSource] var lastVersion: Long = -1L
+    @volatile private var closed = false
+    private[DeltaStreamSource] var poller: Option[Thread] = None
+
+    /** Apply log versions > lastVersion to the view: link every add with
+      * dataChange=true, skip dataChange=false (OPTIMIZE), ignore removes.
+      * Returns the number of files newly linked. Thread-safe (the poller
+      * and a manual caller may race).
+      */
+    def sync(): Int = synchronized {
+      if (closed) return 0
+      val logDir = Paths.get(table, "_delta_log")
+      if (!Files.isDirectory(logDir)) return 0
+      val s = Files.list(logDir)
+      val entries = try s.iterator().asScala.toSeq finally s.close()
+      val jsons = entries.flatMap(p => p.getFileName.toString match {
+        case VersionRe(v) if v.toLong > lastVersion => Some((v.toLong, p))
+        case _ => None
+      }).sortBy(_._1)
+      var linked = 0
+      jsons.foreach { case (v, p) =>
+        // commits are dense; a gap means the JSON tail was aged out past a
+        // checkpoint UNDER the running stream — fail loudly rather than
+        // guess (re-linking from a snapshot could double-emit compacted rows)
+        require(v == lastVersion + 1,
+          s"$table: log versions ${lastVersion + 1}..${v - 1} missing under a " +
+            "running stream (aged out past a checkpoint?)")
+        Files.readAllLines(p).asScala.filter(_.nonEmpty).foreach { line =>
+          val n = mapper.readTree(line)
+          if (n.has("add") && n.get("add").get("dataChange").asBoolean()) {
+            if (link(decodePath(n.get("add").get("path").asText()))) linked += 1
+          }
+        }
+        lastVersion = v
+      }
+      linked
+    }
+
+    /** Hard-link `rel` from the table into the view (preserving hive
+      * partition subdirs); true when newly linked.
+      */
+    private[DeltaStreamSource] def link(rel: String): Boolean = {
+      val dest = dir.resolve(rel)
+      if (Files.exists(dest)) false
+      else {
+        Files.createDirectories(dest.getParent)
+        try Files.createLink(dest, Paths.get(table, rel))
+        catch {
+          case _: java.nio.file.FileAlreadyExistsException => return false
+          case _: UnsupportedOperationException =>
+            Files.copy(Paths.get(table, rel), dest)
+        }
+        true
+      }
+    }
+
+    /** Stop the poller (if any) and delete the view directory. The
+      * streaming query reading it must be stopped first.
+      */
+    def close(): Unit = {
+      closed = true
+      poller.foreach(_.interrupt())
+      views.remove(this)
+      if (Files.exists(dir)) {
+        val s = Files.walk(dir)
+        val paths = try s.iterator().asScala.toSeq finally s.close()
+        paths.reverse.foreach(p => try Files.deleteIfExists(p) catch { case _: Exception => })
+      }
+    }
+  }
+
+  /** Open a streaming read of `table`. Returns the streaming frame
+    * (schema + column order exactly as the table's metaData declares) and
+    * the [[View]] handle (manual [[View.sync]] for bounded runs,
+    * [[View.close]] when the query is done). `pollMs` starts a daemon
+    * that syncs continuously — the continuous-trigger mode.
+    */
+  def open(spark: SparkSession, table: String,
+      pollMs: Option[Long] = None): (DataFrame, View) = {
+    val snap = DeltaLog.snapshot(spark, table)
+      .getOrElse(sys.error(s"$table is not a Delta table (no _delta_log)"))
+    val view = new View(table, Files.createTempDirectory("graft-delta-view"))
+    views.add(view)
+    // initial state: the active snapshot IS each logical row exactly once
+    snap.files.foreach(view.link)
+    view.lastVersion = snap.version
+    val df = spark.readStream.schema(snap.schema)
+      .option("basePath", view.dir.toString)
+      .parquet(view.dir.toString)
+      // partition discovery appends partition columns last; restore the
+      // metaData-declared order (same rule as the batch read)
+      .select(snap.schema.fieldNames.map(org.apache.spark.sql.functions.col).toIndexedSeq: _*)
+    pollMs.foreach { ms =>
+      val t = new Thread(() => {
+        try while (true) { view.sync(); Thread.sleep(ms) }
+        catch { case _: InterruptedException => }
+      }, s"graft-delta-poll-${view.dir.getFileName}")
+      t.setDaemon(true)
+      view.poller = Some(t)
+      t.start()
+    }
+    (df, view)
+  }
+
+  // percent-decode ONLY (same rule as DeltaLog.decodePath)
+  private def decodePath(p: String): String =
+    java.net.URLDecoder.decode(p.replace("+", "%2B"), "UTF-8")
+}

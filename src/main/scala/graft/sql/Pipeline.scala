@@ -1016,16 +1016,29 @@ class Pipeline(spark: SparkSession, streaming: Boolean = false) {
         // delta reads the real _delta_log wire format (r8); iceberg keeps
         // the manifest-semantics TxnLog (iceberg metadata is avro-manifest
         // shaped — documented ceiling)
-        if (streaming)
-          sys.error(s"${t.connector} source is batch-only (snapshot reads); " +
-            "stream the downstream pipeline from a message connector instead")
         val tPath = t.path.getOrElse(sys.error(s"table ${t.name}: path required"))
-        if (t.connector == "delta")
-          // time travel: version_as_of = 'n' reads the table AS OF that
-          // committed version (tombstoned files serve it until VACUUM)
-          graft.sinks.DeltaLog.read(spark, tPath,
-            t.options.get("version_as_of").map(_.toLong))
-        else graft.sinks.TxnLog.read(spark, tPath)
+        if (t.connector == "delta") {
+          if (streaming) {
+            // r9: incremental tail of the _delta_log (adds with
+            // dataChange=true only — OPTIMIZE mid-stream re-emits nothing);
+            // rides Spark's file streaming source for offsets/exactly-once
+            if (t.options.contains("version_as_of"))
+              sys.error("version_as_of is a batch (snapshot) option; " +
+                "a streaming delta source always tails from the current snapshot")
+            val (df, _) = graft.sources.DeltaStreamSource.open(spark, tPath,
+              pollMs = Some(t.options.getOrElse("poll_ms", "500").toLong))
+            df
+          } else
+            // time travel: version_as_of = 'n' reads the table AS OF that
+            // committed version (tombstoned files serve it until VACUUM)
+            graft.sinks.DeltaLog.read(spark, tPath,
+              t.options.get("version_as_of").map(_.toLong))
+        } else {
+          if (streaming)
+            sys.error("iceberg source is batch-only (snapshot reads); " +
+              "stream the downstream pipeline from a message connector instead")
+          graft.sinks.TxnLog.read(spark, tPath)
+        }
       case "impulse" =>
         val eod = eodField(t).isDefined
         if (eod) eodApplied += t.name

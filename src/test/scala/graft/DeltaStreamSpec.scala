@@ -1,0 +1,136 @@
+package graft
+
+import graft.sinks.DeltaLog
+import graft.sources.DeltaStreamSource
+import graft.sql.Pipeline
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+import java.nio.file.Files
+
+/** Streaming reads of the wire-format Delta table (round-9): the source
+  * tails `_delta_log` incrementally via a hard-link view over Spark's
+  * file streaming source — appends arrive exactly once, OPTIMIZE's
+  * dataChange=false compaction re-emits nothing, VACUUM can't starve a
+  * slow reader, and the SQL face streams the connector end-to-end.
+  */
+class DeltaStreamSpec extends SparkSpec {
+
+  test("delta source tails appends exactly once; OPTIMIZE mid-stream re-emits nothing") {
+    import spark.implicits._
+    val table = Files.createTempDirectory("delta_stream").toString
+    (0 until 3).foreach { i =>
+      DeltaLog.writeBatch(Seq((i.toLong, s"v$i")).toDF("id", "v").coalesce(1), table)
+    }
+    val (df, view) = DeltaStreamSource.open(spark, table)
+    val q = df.writeStream.format("memory").queryName("dstream")
+      .outputMode("append").trigger(Trigger.ProcessingTime(100)).start()
+    def got: Set[(Long, String)] =
+      spark.table("dstream").as[(Long, String)].collect().toSet
+    try {
+      q.processAllAvailable()
+      assert(got == Set((0L, "v0"), (1L, "v1"), (2L, "v2")))
+      // an append lands incrementally (only the new file is read)
+      DeltaLog.writeBatch(Seq((3L, "v3")).toDF("id", "v").coalesce(1), table)
+      view.sync()
+      q.processAllAvailable()
+      assert(got == Set((0L, "v0"), (1L, "v1"), (2L, "v2"), (3L, "v3")))
+      // OPTIMIZE compacts all four small files — dataChange=false adds
+      // must NOT re-emit their rows
+      assert(DeltaLog.optimize(spark, table).isDefined)
+      view.sync()
+      q.processAllAvailable()
+      assert(got.size == 4, s"OPTIMIZE re-emitted rows: $got")
+      // appends after the compaction still flow
+      DeltaLog.writeBatch(Seq((4L, "v4")).toDF("id", "v").coalesce(1), table)
+      view.sync()
+      q.processAllAvailable()
+      assert(got.size == 5 && got.contains((4L, "v4")))
+      // VACUUM reclaims the compacted originals; the view's hard links
+      // keep a slow reader safe, and new appends keep arriving
+      DeltaLog.vacuum(spark, table, retentionMs = -1000)
+      DeltaLog.writeBatch(Seq((5L, "v5")).toDF("id", "v").coalesce(1), table)
+      view.sync()
+      q.processAllAvailable()
+      assert(got.size == 6 && got.contains((5L, "v5")))
+    } finally {
+      q.stop()
+      view.close()
+    }
+    assert(!Files.exists(view.dir), "view dir must be deleted on close")
+  }
+
+  test("poller keeps a continuous stream current without manual sync") {
+    import spark.implicits._
+    val table = Files.createTempDirectory("delta_poll").toString
+    DeltaLog.writeBatch(Seq((1L, "a")).toDF("id", "v").coalesce(1), table)
+    val (df, view) = DeltaStreamSource.open(spark, table, pollMs = Some(50))
+    val q = df.writeStream.format("memory").queryName("dpoll")
+      .outputMode("append").trigger(Trigger.ProcessingTime(100)).start()
+    try {
+      q.processAllAvailable()
+      assert(spark.table("dpoll").count() == 1)
+      DeltaLog.writeBatch(Seq((2L, "b")).toDF("id", "v").coalesce(1), table)
+      // no manual sync: the poller must pick the commit up
+      val deadline = System.currentTimeMillis() + 30000
+      while (spark.table("dpoll").count() < 2 && System.currentTimeMillis() < deadline) {
+        q.processAllAvailable()
+        Thread.sleep(100)
+      }
+      assert(spark.table("dpoll").as[(Long, String)].collect().toSet ==
+        Set((1L, "a"), (2L, "b")))
+    } finally {
+      q.stop()
+      view.close()
+    }
+  }
+
+  test("partitioned delta table streams with partition columns in declared order") {
+    import spark.implicits._
+    val table = Files.createTempDirectory("delta_stream_part").toString
+    DeltaLog.writeBatch(
+      Seq((1L, "web", "a"), (2L, "books", "b")).toDF("id", "src", "v"),
+      table, partitionBy = Seq("src"))
+    val (df, view) = DeltaStreamSource.open(spark, table)
+    assert(df.schema.fieldNames.toSeq == Seq("id", "src", "v"))
+    val q = df.writeStream.format("memory").queryName("dpart")
+      .outputMode("append").trigger(Trigger.ProcessingTime(100)).start()
+    try {
+      q.processAllAvailable()
+      assert(spark.table("dpart").as[(Long, String, String)].collect().toSet ==
+        Set((1L, "web", "a"), (2L, "books", "b")))
+      DeltaLog.writeBatch(Seq((3L, "web", "c")).toDF("id", "src", "v"), table,
+        partitionBy = Seq("src"))
+      view.sync()
+      q.processAllAvailable()
+      assert(spark.table("dpart").count() == 3)
+    } finally {
+      q.stop()
+      view.close()
+    }
+  }
+
+  test("SQL face: a streaming pipeline reads connector='delta' (snapshot + tail)") {
+    import spark.implicits._
+    val table = Files.createTempDirectory("delta_sql_stream").toString
+    DeltaLog.writeBatch(
+      Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("id", "v").coalesce(1), table)
+    new Pipeline(spark, streaming = true).run(
+      s"""CREATE TABLE src (id BIGINT, v TEXT) WITH (
+         |  connector = 'delta', path = '$table', format = 'parquet', type = 'source');
+         |CREATE TABLE out WITH (connector = 'memory', type = 'sink');
+         |INSERT INTO out SELECT id, v FROM src WHERE id <> 2""".stripMargin)
+    val got = spark.table("out_result").as[(Long, String)].collect().toSet
+    assert(got == Set((1L, "a"), (3L, "c")), s"got $got")
+    // version_as_of is a snapshot-only option — rejected in streaming mode
+    val err = intercept[RuntimeException] {
+      new Pipeline(spark, streaming = true).run(
+        s"""CREATE TABLE src (id BIGINT, v TEXT) WITH (
+           |  connector = 'delta', path = '$table', format = 'parquet',
+           |  type = 'source', version_as_of = '0');
+           |CREATE TABLE out2 WITH (connector = 'memory', type = 'sink');
+           |INSERT INTO out2 SELECT id, v FROM src""".stripMargin)
+    }
+    assert(err.getMessage.contains("version_as_of"))
+  }
+}
