@@ -326,24 +326,37 @@ object AvroCodec {
 
   private val OcfMagic = Array[Byte]('O', 'b', 'j', 1)
 
-  /** Write rows as one Avro OCF stream (null codec, single block). */
+  /** Write rows as one Avro OCF stream (null codec, single block).
+    * `schemaJsonOverride` replaces the auto-derived `avro.schema` header
+    * with an explicit writer schema — the encoding is still driven by
+    * `schema`, so the override must describe the SAME wire shape (field
+    * order, `["null", T]` unions exactly where fields are nullable); this
+    * is how Iceberg manifests carry their spec-mandated `field-id` props.
+    * `extraMeta` adds file-metadata entries (e.g. Iceberg's
+    * `format-version`, `partition-spec`).
+    */
   def writeOcf(out: OutputStream, schema: StructType, rows: Iterator[Row],
-      recordName: String = "graft_record"): Unit = {
+      recordName: String = "graft_record",
+      schemaJsonOverride: Option[String] = None,
+      extraMeta: Seq[(String, String)] = Nil): Unit = {
     val sync = new Array[Byte](16)
     // deterministic sync marker from the schema (re-runs produce identical
     // files — handy for idempotent sinks)
-    val schemaJson = avroSchemaJson(schema, recordName)
+    val schemaJson = schemaJsonOverride.getOrElse(avroSchemaJson(schema, recordName))
     val digest = java.security.MessageDigest.getInstance("MD5")
       .digest(schemaJson.getBytes(StandardCharsets.UTF_8))
     System.arraycopy(digest, 0, sync, 0, 16)
 
     out.write(OcfMagic)
-    // metadata map: 2 entries
-    writeVarLong(out, 2L)
+    writeVarLong(out, (2 + extraMeta.size).toLong)
     writeBytes(out, "avro.schema".getBytes(StandardCharsets.UTF_8))
     writeBytes(out, schemaJson.getBytes(StandardCharsets.UTF_8))
     writeBytes(out, "avro.codec".getBytes(StandardCharsets.UTF_8))
     writeBytes(out, "null".getBytes(StandardCharsets.UTF_8))
+    extraMeta.foreach { case (k, v) =>
+      writeBytes(out, k.getBytes(StandardCharsets.UTF_8))
+      writeBytes(out, v.getBytes(StandardCharsets.UTF_8))
+    }
     writeVarLong(out, 0L) // end of map
     out.write(sync)
 

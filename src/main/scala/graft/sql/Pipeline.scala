@@ -1013,9 +1013,8 @@ class Pipeline(spark: SparkSession, streaming: Boolean = false) {
       case "delta" | "iceberg" =>
         // snapshot read of the transactional table's committed files only
         // (uncommitted/orphaned data dirs are invisible — ACID isolation).
-        // delta reads the real _delta_log wire format (r8); iceberg keeps
-        // the manifest-semantics TxnLog (iceberg metadata is avro-manifest
-        // shaped — documented ceiling)
+        // delta reads the real _delta_log wire format (r8); iceberg reads
+        // the real v2 metadata.json + avro manifests (r9)
         val tPath = t.path.getOrElse(sys.error(s"table ${t.name}: path required"))
         if (t.connector == "delta") {
           if (streaming) {
@@ -1037,7 +1036,9 @@ class Pipeline(spark: SparkSession, streaming: Boolean = false) {
           if (streaming)
             sys.error("iceberg source is batch-only (snapshot reads); " +
               "stream the downstream pipeline from a message connector instead")
-          graft.sinks.TxnLog.read(spark, tPath)
+          // snapshot_id = 'n' reads any retained snapshot (time travel)
+          graft.sinks.IcebergLog.read(spark, tPath,
+            t.options.get("snapshot_id").map(_.toLong))
         }
       case "impulse" =>
         val eod = eodField(t).isDefined
@@ -1561,12 +1562,12 @@ class Pipeline(spark: SparkSession, streaming: Boolean = false) {
             sink.options.get("txn_id").map(id => (id, 0L)),
             partitionBy = partitionFields(sink))
         case "iceberg" =>
-          // transactional table append: one ACID commit for the whole
-          // batch (reference iceberg.rs — two-phase semantics re-expressed
-          // in TxnLog; real iceberg metadata needs the avro manifest
-          // format jars absent from this container)
-          graft.sinks.TxnLog.writeBatch(out0, sink.path.get,
-            sink.options.getOrElse("txn_id", java.util.UUID.randomUUID().toString))
+          // WIRE-FORMAT Iceberg fast-append (r9): one snapshot commit with
+          // real v2 metadata.json + avro manifests via the in-repo Avro
+          // codec — no format jars (IcebergLog)
+          graft.sinks.IcebergLog.writeBatch(out0, sink.path.get,
+            sink.options.get("txn_id").map(id => (id, 0L)),
+            partitionBy = partitionFields(sink))
         case "stdout" | "preview" => out0.show(100, truncate = false)
         case "blackhole" => out0.write.format("noop").mode("overwrite").save()
         case "memory" => out0.createOrReplaceTempView(s"${sink.name}_result")
@@ -1640,12 +1641,16 @@ class Pipeline(spark: SparkSession, streaming: Boolean = false) {
               partitionBy = pf); ()
           }).start()
         case "iceberg" =>
-          // streaming transactional append: txnId = (query, batchId), so a
-          // micro-batch replayed after a crash commits exactly once
+          // streaming WIRE-FORMAT Iceberg fast-append (r9): the snapshot
+          // summary carries (appId = query name, version = batchId) — the
+          // reference's per-epoch transaction id (iceberg/mod.rs:67) — so
+          // a micro-batch replayed after a crash commits exactly once
           val table = sink.path.get
           val qn = sink.name
+          val pf = partitionFields(sink)
           ws.foreachBatch((b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) => {
-            graft.sinks.TxnLog.writeBatch(b.toDF(), table, s"$qn-$id"); ()
+            graft.sinks.IcebergLog.writeBatch(b.toDF(), table, Some((qn, id)),
+              partitionBy = pf); ()
           }).start()
         case "stdout" | "preview" => ws.format("console").option("truncate", "false").start()
         case "blackhole" => ws.format("noop").start()

@@ -87,7 +87,8 @@ class TxnSinkSpec extends SparkSpec {
     assert(r.getLong(0) == 2 && r.getLong(1) == 3)
   }
 
-  test("streaming SQL pipeline into an iceberg sink keeps the TxnLog commit protocol") {
+  test("streaming SQL pipeline into an iceberg sink writes real v2 metadata (r9)") {
+    import graft.sinks.IcebergLog
     import spark.implicits._
     val table = tmpTable()
     val srcDir = Files.createTempDirectory("ice_src")
@@ -99,8 +100,12 @@ class TxnSinkSpec extends SparkSpec {
          |CREATE TABLE tbl (id BIGINT, v TEXT) WITH (
          |  connector='iceberg', path='$table', format='parquet', type='sink');
          |INSERT INTO tbl SELECT id, v FROM src;""".stripMargin)
-    assert(TxnLog.read(spark, table).as[(Long, String)].collect().toSet == Set((5L, "z")))
-    assert(TxnLog.commits(table).forall(_.txnId.startsWith("tbl-")))
+    assert(IcebergLog.read(spark, table).as[(Long, String)].collect().toSet ==
+      Set((5L, "z")))
+    // the per-epoch txn id (appId = sink name) rides the snapshot summary
+    val m = IcebergLog.current(table).get
+    assert(m.appVersions.contains("tbl"), m.appVersions)
+    assert(Files.exists(java.nio.file.Paths.get(table, "metadata", "version-hint.text")))
     // batch SQL read back through the iceberg source connector
     val back = new sql.Pipeline(spark, streaming = false).run(
       s"""CREATE TABLE tbl (id BIGINT, v TEXT) WITH (
