@@ -129,15 +129,22 @@ object Similarity {
     * Requires dim % nSubspaces == 0 (standard PQ constraint).
     */
   /** Auto subspace count for PQ at a given dimension: the smallest
-    * divisor of `dim` giving subvectors ≤ ~48 floats, floored at 16.
-    * Fixed 16 subspaces quantize 48-float subvectors at dim 768 (fine)
-    * but 192-float subvectors at dim 3072 — measured recall@10 collapse
-    * 1.000 → 0.246 (WideDimProbe, SCALE.md r8): ADC so coarse the true
-    * neighbors miss the rerank set entirely. dim 64 → 16 (unchanged
-    * behavior for every committed number); 768 → 16; 3072 → 64.
+    * divisor of `dim` giving subvectors ≤ ~16 floats, floored at 16
+    * subspaces. Fixed 16 subspaces quantize 48-float subvectors at dim
+    * 768 (tolerable on low-intrinsic-dim data) but 192-float subvectors
+    * at dim 3072 — measured recall@10 collapse 1.000 → 0.246
+    * (WideDimProbe, SCALE.md r8). The r9 NATIVE high-intrinsic-dim probe
+    * (NativeDimProbe: full-rank Gaussian clusters, planted near-dups at
+    * cosine ≈ 0.97 vs siblings ≈ 0.8) moved the floor again: 48-float
+    * subvectors recall only 0.788 (dim 768) / 0.940 (dim 3072), while
+    * ≤16-float subvectors restore ≥ 0.995 at both — so the target is 16
+    * floats. Codes stay 16-64× smaller than raw vectors and ADC stays
+    * ≥16× cheaper than exact dot products. dim 64 → 16 subspaces
+    * (4-float subvectors — unchanged behavior for every committed
+    * number); 768 → 48; 3072 → 192.
     */
   private[operators] def autoSubspaces(dim: Int): Int = {
-    val target = math.max(16, (dim + 47) / 48)
+    val target = math.max(16, (dim + 15) / 16)
     (target to dim).find(dim % _ == 0).getOrElse(dim)
   }
 
