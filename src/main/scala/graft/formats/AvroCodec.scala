@@ -43,8 +43,10 @@ object AvroCodec {
       case BinaryType => quote("bytes")
       case TimestampType => """{"type": "long", "logicalType": "timestamp-micros"}"""
       case DateType => """{"type": "int", "logicalType": "date"}"""
-      case ArrayType(et, _) => s"""{"type": "array", "items": ${unionJson(et)}}"""
-      case MapType(StringType, vt, _) => s"""{"type": "map", "values": ${unionJson(vt)}}"""
+      case ArrayType(et, cn) =>
+        s"""{"type": "array", "items": ${if (cn) unionJson(et) else typeJson(et)}}"""
+      case MapType(StringType, vt, vcn) =>
+        s"""{"type": "map", "values": ${if (vcn) unionJson(vt) else typeJson(vt)}}"""
       case st: StructType => recordJson(st, name + "_rec" + st.hashCode.abs)
       case other => throw new IllegalArgumentException(s"avro: unsupported type $other")
     }
@@ -59,6 +61,24 @@ object AvroCodec {
       s"""{"type": "record", "name": ${quote(recName)}, "fields": [${fields.mkString(", ")}]}"""
     }
     recordJson(schema, name)
+  }
+
+  /** Recursively force `containsNull`/`valueContainsNull` to true — the
+    * historical wire shape of every array/map this codec wrote before
+    * non-null items were representable. Sink paths that serialize a
+    * FRAME-derived schema (where e.g. `split()` yields containsNull=false)
+    * canonicalize through this so their wire bytes stay byte-identical to
+    * what a DDL-declared reader (`array<string>` parses containsNull=true)
+    * expects. Writers that NEED spec-exact non-null items (Iceberg
+    * manifests) pass their StructType uncanonicalized.
+    */
+  def canonicalNullable(dt: DataType): DataType = dt match {
+    case ArrayType(et, _) => ArrayType(canonicalNullable(et), containsNull = true)
+    case MapType(kt, vt, _) =>
+      MapType(kt, canonicalNullable(vt), valueContainsNull = true)
+    case st: StructType => StructType(st.fields.map(f =>
+      f.copy(dataType = canonicalNullable(f.dataType))))
+    case other => other
   }
 
   /** Inverse of [[avroSchemaJson]]: an Avro record schema (as fetched from
@@ -86,8 +106,13 @@ object AvroCodec {
           case ("long", Some("timestamp-micros")) => TimestampType
           case ("long", Some("timestamp-millis")) => TimestampType
           case ("int", Some("date")) => DateType
-          case ("array", _) => ArrayType(dataTypeOf(n.get("items")))
-          case ("map", _) => MapType(StringType, dataTypeOf(n.get("values")))
+          // containsNull ⟺ the items/values type is a ["null", T] union —
+          // the binary codec only reads a branch index for unions
+          case ("array", _) =>
+            ArrayType(dataTypeOf(n.get("items")), containsNull = n.get("items").isArray)
+          case ("map", _) =>
+            MapType(StringType, dataTypeOf(n.get("values")),
+              valueContainsNull = n.get("values").isArray)
           case ("record", _) => recordOf(n)
           case _ => primitiveOf(t)
         }
@@ -192,20 +217,21 @@ object AvroCodec {
         case i: Int => i.toLong
       }
       writeVarLong(out, days)
-    case ArrayType(et, _) =>
+    case ArrayType(et, cn) =>
       val items = v.asInstanceOf[scala.collection.Seq[Any]]
       if (items.nonEmpty) {
         writeVarLong(out, items.size.toLong)
-        items.foreach(i => writeNullable(out, i, et))
+        // branch index iff containsNull — mirrors the schema JSON and reader
+        items.foreach(i => if (cn) writeNullable(out, i, et) else writeValue(out, i, et))
       }
       writeVarLong(out, 0L) // end of blocks
-    case MapType(StringType, vt, _) =>
+    case MapType(StringType, vt, vcn) =>
       val m = v.asInstanceOf[scala.collection.Map[String, Any]]
       if (m.nonEmpty) {
         writeVarLong(out, m.size.toLong)
         m.foreach { case (k, mv) =>
           writeBytes(out, k.getBytes(StandardCharsets.UTF_8))
-          writeNullable(out, mv, vt)
+          if (vcn) writeNullable(out, mv, vt) else writeValue(out, mv, vt)
         }
       }
       writeVarLong(out, 0L)
@@ -251,17 +277,20 @@ object AvroCodec {
       ts.setNanos((Math.floorMod(micros, 1000000L) * 1000L).toInt)
       ts
     case DateType => java.sql.Date.valueOf(java.time.LocalDate.ofEpochDay(readVarLong(in)))
-    case ArrayType(et, _) =>
+    case ArrayType(et, cn) =>
       val buf = scala.collection.mutable.ArrayBuffer.empty[Any]
       var n = readVarLong(in)
       while (n != 0) {
         if (n < 0) { readVarLong(in); n = -n } // block with byte-size prefix
         var i = 0L
-        while (i < n) { buf += readNullable(in, et); i += 1 }
+        while (i < n) {
+          buf += (if (cn) readNullable(in, et) else readValue(in, et))
+          i += 1
+        }
         n = readVarLong(in)
       }
       buf.toSeq
-    case MapType(StringType, vt, _) =>
+    case MapType(StringType, vt, vcn) =>
       val buf = scala.collection.mutable.LinkedHashMap.empty[String, Any]
       var n = readVarLong(in)
       while (n != 0) {
@@ -269,7 +298,7 @@ object AvroCodec {
         var i = 0L
         while (i < n) {
           val k = new String(readBytes(in), StandardCharsets.UTF_8)
-          buf(k) = readNullable(in, vt)
+          buf(k) = (if (vcn) readNullable(in, vt) else readValue(in, vt))
           i += 1
         }
         n = readVarLong(in)

@@ -150,7 +150,9 @@ object Formats {
 
   /** Encode rows into a single binary `value` column for message sinks. */
   def encodeValue(df: DataFrame, format: String, options: Map[String, String]): DataFrame = {
-    val schema = df.schema
+    // canonicalize frame-derived nullability so wire bytes stay identical
+    // to what DDL-declared reader schemas (containsNull=true) decode
+    val schema = AvroCodec.canonicalNullable(df.schema).asInstanceOf[StructType]
     format match {
       case "json" => df.select(to_json(struct(df.columns.map(col).toIndexedSeq: _*))
         .cast("binary").as("value"))
@@ -242,7 +244,7 @@ object Formats {
     * executor-side, scales with partition count.
     */
   def writeAvroFiles(df: DataFrame, path: String, prefix: String = "part"): Unit = {
-    val schema = df.schema
+    val schema = AvroCodec.canonicalNullable(df.schema).asInstanceOf[StructType]
     java.nio.file.Files.createDirectories(java.nio.file.Paths.get(path))
     df.foreachPartition { (rows: Iterator[Row]) =>
       if (rows.hasNext) {

@@ -24,20 +24,43 @@ import scala.jdk.CollectionConverters._
   * partitioned tables; columns stay in the files, per Iceberg's data
   * layout).
   *
-  * Protocol subset (append-only fast-append sink, like the reference's):
-  *   - every commit appends ONE snapshot: new `snapshot-id`,
+  * Protocol subset (append-only fast-append sink, like the reference's,
+  * plus the two maintenance commits):
+  *   - every append commits ONE snapshot: new `snapshot-id`,
   *     `sequence-number` = last-sequence-number + 1, a NEW manifest
   *     (avro `manifest_entry` records, spec field-ids, status=1 ADDED,
   *     explicit sequence numbers) and a manifest LIST
   *     (`snap-<id>-1-<uuid>.avro`, spec `manifest_file` schema) carrying
   *     every prior manifest forward — the fast-append shape
+  *   - manifest entries carry the spec's per-column METRICS maps
+  *     (`value_counts` 109, `null_value_counts` 110, `lower_bounds` 125,
+  *     `upper_bounds` 128 — avro key/value-array maps with spec
+  *     field-ids), harvested free from the parquet footers; the read
+  *     path prunes files against them (`scanFilter`), the 100 TB
+  *     file-skipping that is Iceberg's point
+  *   - small manifests MERGE on append once the list exceeds
+  *     `mergeMinCount` (Iceberg's `commit.manifest.min-count-to-merge`):
+  *     sub-`mergeTargetBytes` manifests coalesce into one EXISTING
+  *     manifest, so the manifest list stays O(large manifests), not
+  *     O(commits) — amortized geometric, same trick as compacting log
+  *     checkpoints
   *   - exactly-once: the snapshot `summary` carries the writer's
   *     transaction id (`graft.txn.app`/`graft.txn.version`, the
   *     reference's `arroyo.commit-id` contract at mod.rs:40); a replayed
-  *     (app, version) is a NO-OP
+  *     (app, version) is a NO-OP. [[expireSnapshots]] preserves expired
+  *     snapshots' high-water marks in table `properties`, so replay
+  *     stays a no-op across retention
   *   - commit races: losers re-read `v<N>.metadata.json`, rebuild their
   *     snapshot at the next sequence number, retry — optimistic
   *     concurrency, O(1) in data size per commit
+  *   - [[rewriteDataFiles]] (the OPTIMIZE verb) compacts small data
+  *     files per partition and commits a `replace` snapshot
+  *     (added + surviving EXISTING entries, one fresh manifest list);
+  *     concurrent-replace losers abort when any replaced file is no
+  *     longer live (delta-spark's ConcurrentDeleteReadException shape)
+  *   - [[expireSnapshots]] (the VACUUM verb) drops snapshots past
+  *     retention from the metadata and deletes the manifest lists,
+  *     manifests and data files ONLY they referenced
   *   - time travel: `snapshot_id` reads any retained snapshot (its
   *     manifest list is immutable once written)
   *
@@ -49,6 +72,18 @@ object IcebergLog {
 
   private val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
   private val MetaRe = """v(\d+)\.metadata\.json""".r
+
+  /** Merge small manifests once the list is this long (Iceberg's
+    * `commit.manifest.min-count-to-merge` default is 100; ours is lower
+    * because fast-append manifests here are one-per-micro-batch small).
+    */
+  private val mergeMinCount = 8
+
+  /** Manifests at or above this size are "large" and never rewritten by
+    * the append-path merge (Iceberg's `commit.manifest.target-size-bytes`
+    * is 8 MiB).
+    */
+  private val mergeTargetBytes = 8L * 1024 * 1024
 
   private def metaDir(table: String): Path = Paths.get(table, "metadata")
 
@@ -81,6 +116,12 @@ object IcebergLog {
 
   private val manifestFileIds = Seq(500, 501, 502, 517, 515, 516, 503, 504, 505, 506, 512, 513, 514)
 
+  // spec maps ride avro as key/value record arrays (logicalType "map");
+  // items are NON-NULL records, per the spec's k*_v* shape
+  private def kvMapType(vt: DataType): ArrayType = ArrayType(StructType(Seq(
+    StructField("key", IntegerType, nullable = false),
+    StructField("value", vt, nullable = false))), containsNull = false)
+
   private def manifestEntryType(partType: StructType): StructType = StructType(Seq(
     StructField("status", IntegerType, nullable = false),
     StructField("snapshot_id", LongType, nullable = true),
@@ -92,7 +133,11 @@ object IcebergLog {
       StructField("file_format", StringType, nullable = false),
       StructField("partition", partType, nullable = false),
       StructField("record_count", LongType, nullable = false),
-      StructField("file_size_in_bytes", LongType, nullable = false))),
+      StructField("file_size_in_bytes", LongType, nullable = false),
+      StructField("value_counts", kvMapType(LongType), nullable = true),
+      StructField("null_value_counts", kvMapType(LongType), nullable = true),
+      StructField("lower_bounds", kvMapType(BinaryType), nullable = true),
+      StructField("upper_bounds", kvMapType(BinaryType), nullable = true))),
       nullable = false)))
 
   private def avroPrim(dt: DataType): String = dt match {
@@ -118,6 +163,15 @@ object IcebergLog {
     s"""{"type":"record","name":"manifest_file","fields":[${fields.mkString(",")}]}"""
   }
 
+  // spec map field: ["null", array<record{key,value}>] with k/v field-ids
+  private def kvMapSchemaJson(name: String, fieldId: Int, kId: Int, vId: Int,
+      vType: String): String =
+    s"""{"name":"$name","type":["null",{"type":"array","logicalType":"map",
+       |"items":{"type":"record","name":"k${kId}_v$vId","fields":[
+       |{"name":"key","type":"int","field-id":$kId},
+       |{"name":"value","type":$vType,"field-id":$vId}]}}],
+       |"default":null,"field-id":$fieldId}""".stripMargin.replace("\n", "")
+
   private def manifestEntrySchemaJson(partType: StructType): String = {
     val partFields = partType.fields.zipWithIndex.map { case (f, i) =>
       s"""{"name":"${f.name}","type":["null",${avroPrim(f.dataType)}],"default":null,"field-id":${1000 + i}}"""
@@ -133,7 +187,11 @@ object IcebergLog {
        |{"name":"file_format","type":"string","field-id":101},
        |{"name":"partition","type":{"type":"record","name":"r102","fields":[${partFields.mkString(",")}]},"field-id":102},
        |{"name":"record_count","type":"long","field-id":103},
-       |{"name":"file_size_in_bytes","type":"long","field-id":104}
+       |{"name":"file_size_in_bytes","type":"long","field-id":104},
+       |${kvMapSchemaJson("value_counts", 109, 119, 120, "\"long\"")},
+       |${kvMapSchemaJson("null_value_counts", 110, 121, 122, "\"long\"")},
+       |${kvMapSchemaJson("lower_bounds", 125, 126, 127, "\"bytes\"")},
+       |${kvMapSchemaJson("upper_bounds", 128, 129, 130, "\"bytes\"")}
        |]},"field-id":2}]}""".stripMargin.replace("\n", "")
   }
 
@@ -197,13 +255,28 @@ object IcebergLog {
     def currentSnapshotId: Long = node.get("current-snapshot-id").asLong()
     def snapshots: Seq[com.fasterxml.jackson.databind.JsonNode] =
       (0 until node.get("snapshots").size()).map(node.get("snapshots").get(_))
-    /** (appId → max committed version) from every snapshot summary. */
-    def appVersions: Map[String, Long] = snapshots.flatMap { s =>
-      val sum = s.get("summary")
-      if (sum != null && sum.has("graft.txn.app"))
-        Some(sum.get("graft.txn.app").asText() -> sum.get("graft.txn.version").asLong())
-      else None
-    }.groupBy(_._1).view.mapValues(_.map(_._2).max).toMap
+    def properties: Map[String, String] = {
+      val p = node.get("properties")
+      if (p == null) Map.empty
+      else p.properties().asScala.map(e => e.getKey -> e.getValue.asText()).toMap
+    }
+    /** (appId → max committed version), from every retained snapshot
+      * summary AND the `graft.txn.<app>` properties [[expireSnapshots]]
+      * leaves behind for expired ones.
+      */
+    def appVersions: Map[String, Long] = {
+      val fromSnaps = snapshots.flatMap { s =>
+        val sum = s.get("summary")
+        if (sum != null && sum.has("graft.txn.app"))
+          Some(sum.get("graft.txn.app").asText() -> sum.get("graft.txn.version").asLong())
+        else None
+      }
+      val fromProps = properties.collect {
+        case (k, v) if k.startsWith("graft.txn.") =>
+          k.stripPrefix("graft.txn.") -> v.toLong
+      }
+      (fromSnaps ++ fromProps).groupBy(_._1).view.mapValues(_.map(_._2).max).toMap
+    }
   }
 
   /** Newest committed metadata: version-hint first (a hint — spec allows
@@ -221,10 +294,136 @@ object IcebergLog {
     Some(Meta(v, mapper.readTree(Files.readAllBytes(dir.resolve(s"v$v.metadata.json")))))
   }
 
+  // ── column metrics (parquet footer → spec maps) ──────────────────────
+
+  /** Iceberg single-value binary serialization (spec Appendix D):
+    * little-endian fixed-width numerics, UTF-8 strings, raw binary.
+    */
+  private[graft] def boundBytes(v: Any, dt: DataType): Option[Array[Byte]] = {
+    def le(n: Int, f: java.nio.ByteBuffer => Unit): Array[Byte] = {
+      val b = java.nio.ByteBuffer.allocate(n).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      f(b); b.array()
+    }
+    (v, dt) match {
+      case (null, _) => None
+      case (b: Boolean, BooleanType) => Some(Array[Byte](if (b) 1 else 0))
+      case (i: Int, IntegerType) => Some(le(4, _.putInt(i)))
+      case (l: Long, LongType) => Some(le(8, _.putLong(l)))
+      case (f: Float, FloatType) if !f.isNaN => Some(le(4, _.putFloat(f)))
+      case (d: Double, DoubleType) if !d.isNaN => Some(le(8, _.putDouble(d)))
+      case (s: String, StringType) => Some(s.getBytes("UTF-8"))
+      case (b: Array[Byte], BinaryType) => Some(b)
+      case (days: Int, DateType) => Some(le(4, _.putInt(days)))
+      case (micros: Long, TimestampType) => Some(le(8, _.putLong(micros)))
+      case _ => None
+    }
+  }
+
+  private[graft] def boundValue(b: Array[Byte], dt: DataType): Any = {
+    def buf = java.nio.ByteBuffer.wrap(b).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    dt match {
+      case BooleanType => b(0) == 1.toByte
+      case IntegerType | DateType => buf.getInt
+      case LongType | TimestampType => buf.getLong
+      case FloatType => buf.getFloat
+      case DoubleType => buf.getDouble
+      case StringType => new String(b, "UTF-8")
+      case BinaryType => b
+      case other => throw new IllegalArgumentException(s"iceberg bound: $other")
+    }
+  }
+
+  private final case class ColMetrics(valueCounts: Map[Int, Long],
+      nullCounts: Map[Int, Long], lower: Map[Int, Array[Byte]],
+      upper: Map[Int, Array[Byte]])
+
+  /** Harvest per-column metrics from an already-open parquet footer:
+    * value/null counts always; bounds only where the chunk statistics are
+    * present and the type has an exact spec serialization (INT96
+    * timestamps and NaN-tainted float stats are skipped — pruning must be
+    * conservative, never clever).
+    */
+  private def footerMetrics(
+      footer: org.apache.parquet.hadoop.metadata.ParquetMetadata,
+      schema: StructType): ColMetrics = {
+    val byName = schema.fields.zipWithIndex.map { case (f, i) => f.name -> (i + 1, f.dataType) }.toMap
+    val vc = scala.collection.mutable.Map.empty[Int, Long]
+    val nc = scala.collection.mutable.Map.empty[Int, Long]
+    val lo = scala.collection.mutable.Map.empty[Int, Any]
+    val hi = scala.collection.mutable.Map.empty[Int, Any]
+    val statsOk = scala.collection.mutable.Map.empty[Int, Boolean]
+    val nullsOk = scala.collection.mutable.Map.empty[Int, Boolean]
+    footer.getBlocks.asScala.foreach { block =>
+      block.getColumns.asScala.foreach { chunk =>
+        val name = chunk.getPath.toDotString
+        byName.get(name).foreach { case (fieldId, dt) =>
+          vc(fieldId) = vc.getOrElse(fieldId, 0L) + chunk.getValueCount
+          val st = chunk.getStatistics
+          if (st == null || st.isEmpty || !st.isNumNullsSet)
+            nullsOk(fieldId) = false
+          else {
+            nullsOk.getOrElseUpdate(fieldId, true)
+            if (nullsOk(fieldId)) nc(fieldId) = nc.getOrElse(fieldId, 0L) + st.getNumNulls
+          }
+          if (st == null || st.isEmpty || !st.hasNonNullValue)
+            statsOk(fieldId) = false
+          else {
+            statsOk.getOrElseUpdate(fieldId, true)
+            if (statsOk(fieldId)) {
+              val (mn, mx) = (parquetStatValue(st.genericGetMin.asInstanceOf[AnyRef], dt),
+                parquetStatValue(st.genericGetMax.asInstanceOf[AnyRef], dt))
+              if (mn == null || mx == null) statsOk(fieldId) = false
+              else {
+                if (!lo.contains(fieldId) || compareValues(mn, lo(fieldId), dt) < 0) lo(fieldId) = mn
+                if (!hi.contains(fieldId) || compareValues(mx, hi(fieldId), dt) > 0) hi(fieldId) = mx
+              }
+            }
+          }
+        }
+      }
+    }
+    def bounds(m: scala.collection.Map[Int, Any]): Map[Int, Array[Byte]] =
+      m.toMap.collect { case (id, v) if statsOk.getOrElse(id, false) =>
+        val dt = schema.fields(id - 1).dataType
+        boundBytes(v, dt).map(id -> _)
+      }.flatten.toMap
+    ColMetrics(vc.toMap,
+      nc.toMap.filter { case (id, _) => nullsOk.getOrElse(id, false) },
+      bounds(lo), bounds(hi))
+  }
+
+  /** Parquet statistics value → the plain JVM value [[boundBytes]]
+    * serializes (null = unusable for this column type).
+    */
+  private def parquetStatValue(v: AnyRef, dt: DataType): Any = (v, dt) match {
+    case (i: java.lang.Integer, IntegerType | DateType) => i.intValue()
+    case (l: java.lang.Long, LongType | TimestampType) => l.longValue()
+    case (f: java.lang.Float, FloatType) if !f.isNaN => f.floatValue()
+    case (d: java.lang.Double, DoubleType) if !d.isNaN => d.doubleValue()
+    case (b: org.apache.parquet.io.api.Binary, StringType) => b.toStringUsingUTF8
+    case (b: org.apache.parquet.io.api.Binary, BinaryType) => b.getBytes
+    case (b: java.lang.Boolean, BooleanType) => b.booleanValue()
+    case _ => null
+  }
+
+  /** Total order used for both footer aggregation and scan pruning.
+    * Values are the plain JVM forms produced by [[parquetStatValue]] /
+    * [[boundValue]].
+    */
+  private def compareValues(a: Any, b: Any, dt: DataType): Int = dt match {
+    case IntegerType | DateType => a.asInstanceOf[Int] compare b.asInstanceOf[Int]
+    case LongType | TimestampType => a.asInstanceOf[Long] compare b.asInstanceOf[Long]
+    case FloatType => java.lang.Float.compare(a.asInstanceOf[Float], b.asInstanceOf[Float])
+    case DoubleType => java.lang.Double.compare(a.asInstanceOf[Double], b.asInstanceOf[Double])
+    case StringType => a.asInstanceOf[String] compareTo b.asInstanceOf[String]
+    case BooleanType => a.asInstanceOf[Boolean] compare b.asInstanceOf[Boolean]
+    case other => throw new IllegalArgumentException(s"iceberg prune: no order for $other")
+  }
+
   // ── write path ───────────────────────────────────────────────────────
 
   private final case class DataFileInfo(path: String, size: Long, records: Long,
-      partitionValues: Seq[(String, String)])
+      partitionValues: Seq[(String, String)], metrics: ColMetrics)
 
   /** Append `df` as one fast-append snapshot. `txn` = (appId, version)
     * arms the idempotent-replay guard (reference transaction_id,
@@ -248,19 +447,13 @@ object IcebergLog {
       .filter(p => Files.isRegularFile(p) &&
         p.getFileName.toString.endsWith(".parquet"))
       .map(p => (scratch.relativize(p).toString, p)).sortBy(_._1)
-    val conf = spark.sessionState.newHadoopConf()
     val added = parts.map { case (rel, p) =>
       val dest = Paths.get(table, "data", rel)
       Files.createDirectories(dest.getParent)
       try Files.createLink(dest, p)
       catch { case _: UnsupportedOperationException =>
         Files.move(p, dest, StandardCopyOption.ATOMIC_MOVE) }
-      val reader = org.apache.parquet.hadoop.ParquetFileReader.open(
-        org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
-          new org.apache.hadoop.fs.Path(dest.toAbsolutePath.toString), conf))
-      val records = try reader.getRecordCount finally reader.close()
-      DataFileInfo(dest.toAbsolutePath.toString, Files.size(dest), records,
-        partitionValuesOf(rel))
+      statFile(spark, table, dest, df.schema)
     }
     val committed = commit(spark, table, df.schema, partitionBy, added, txn)
     walkDir(scratch).reverse.foreach(Files.deleteIfExists(_))
@@ -269,10 +462,29 @@ object IcebergLog {
     committed
   }
 
+  /** One footer read per fresh data file: record count (the only part a
+    * commit NEEDS) plus the per-column metrics maps.
+    */
+  private def statFile(spark: SparkSession, table: String, dest: Path,
+      schema: StructType): DataFileInfo = {
+    val conf = spark.sessionState.newHadoopConf()
+    val reader = org.apache.parquet.hadoop.ParquetFileReader.open(
+      org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+        new org.apache.hadoop.fs.Path(dest.toAbsolutePath.toString), conf))
+    val (records, metrics) =
+      try (reader.getRecordCount, footerMetrics(reader.getFooter, schema))
+      finally reader.close()
+    DataFileInfo(dest.toAbsolutePath.toString, Files.size(dest), records,
+      partitionValuesOf(Paths.get(table, "data").relativize(dest).toString), metrics)
+  }
+
   private def partitionValuesOf(rel: String): Seq[(String, String)] =
     rel.split('/').dropRight(1).toSeq.flatMap { seg =>
       seg.split("=", 2) match {
-        case Array(k, v) => Some(k -> java.net.URLDecoder.decode(v, "UTF-8"))
+        // %XX-only decode: a literal '+' in a hive dir name is a '+',
+        // not a space (URLDecoder's form-encoding rule doesn't apply)
+        case Array(k, v) =>
+          Some(k -> java.net.URLDecoder.decode(v.replace("+", "%2B"), "UTF-8"))
         case _ => None
       }
     }
@@ -287,13 +499,43 @@ object IcebergLog {
       s"iceberg: unsupported partition column type $other")
   }
 
+  private def kvRows(m: Map[Int, Any]): Seq[Row] =
+    m.toSeq.sortBy(_._1).map { case (k, v) => Row(k, v) }
+
+  /** The `data_file` struct Row for a freshly-written file. */
+  private def dataFileRow(a: DataFileInfo, partType: StructType): Row = {
+    val pv = a.partitionValues.toMap
+    val partRow = Row(partType.fields.map(f =>
+      pv.get(f.name).map(typedPartitionValue(_, f.dataType)).orNull).toIndexedSeq: _*)
+    Row(0, a.path, "PARQUET", partRow, a.records, a.size,
+      kvRows(a.metrics.valueCounts.asInstanceOf[Map[Int, Any]]),
+      kvRows(a.metrics.nullCounts.asInstanceOf[Map[Int, Any]]),
+      kvRows(a.metrics.lower.asInstanceOf[Map[Int, Any]]),
+      kvRows(a.metrics.upper.asInstanceOf[Map[Int, Any]]))
+  }
+
   private def commit(spark: SparkSession, table: String, schema: StructType,
       partitionBy: Seq[String], added: Seq[DataFileInfo],
-      txn: Option[(String, Long)]): Option[Int] = {
+      txn: Option[(String, Long)]): Option[Int] =
+    commitSnapshot(spark, table, schema, partitionBy, added, txn,
+      operation = "append", replaced = Set.empty, survivors = None)
+
+  /** The one commit loop behind append ([[writeBatch]]) and replace
+    * ([[rewriteDataFiles]]). For `append`, the new manifest list carries
+    * every prior manifest forward, merging small ones past
+    * [[mergeMinCount]]. For `replace`, `survivors` (live entries NOT
+    * being replaced, as decoded manifest-entry Rows keeping their own
+    * sequence numbers) plus the new ADDED manifest form a FRESH two-
+    * manifest list, and the loop aborts (returns None) if any `replaced`
+    * path is no longer live in the freshly-read snapshot — the
+    * concurrent-replace conflict rule.
+    */
+  private def commitSnapshot(spark: SparkSession, table: String, schema0: StructType,
+      partitionBy0: Seq[String], added: Seq[DataFileInfo],
+      txn: Option[(String, Long)], operation: String,
+      replaced: Set[String], survivors: Option[Seq[Row]]): Option[Int] = {
     val dir = metaDir(table)
     Files.createDirectories(dir)
-    val partType = StructType(partitionBy.map(c =>
-      StructField(c, schema(schema.fieldIndex(c)).dataType, nullable = true)))
     var attempt = 0
     while (attempt < 1000) {
       attempt += 1
@@ -301,149 +543,212 @@ object IcebergLog {
       txn.foreach { case (app, v) =>
         if (cur.exists(_.appVersions.get(app).exists(_ >= v))) return None
       }
-      cur.foreach { m =>
-        require(m.schema.json == schema.json && m.partitionColumns == partitionBy,
+      val schema = cur.map(_.schema).getOrElse(schema0)
+      val partitionBy = cur.map(_.partitionColumns).getOrElse(partitionBy0)
+      if (operation == "append") cur.foreach { m =>
+        require(m.schema.json == schema0.json && m.partitionColumns == partitionBy0,
           s"iceberg append: schema/partitioning must match the table " +
             s"(have ${m.schema.simpleString} / ${m.partitionColumns})")
       }
+      if (replaced.nonEmpty) {
+        // concurrent-replace conflict detection: every file this commit
+        // removes must still be live; a concurrent replace that beat us
+        // already rewrote some of them — abort, never duplicate rows
+        val live: Set[String] =
+          if (cur.isDefined) liveFiles(table, None).filter(_.status != 2).map(_.path).toSet
+          else Set.empty
+        if (!replaced.forall(live.contains)) return None
+      }
+      val partType = StructType(partitionBy.map(c =>
+        StructField(c, schema(schema.fieldIndex(c)).dataType, nullable = true)))
       val newVersion = cur.map(_.version + 1).getOrElse(1)
       val seq = cur.map(_.lastSeq + 1).getOrElse(1L)
       val snapshotId = math.abs(UUID.randomUUID().getLeastSignificantBits) | 1L
       val parentId = cur.map(_.currentSnapshotId).filter(_ > 0)
       val now = System.currentTimeMillis()
       val tableUuid = cur.map(_.uuid).getOrElse(UUID.randomUUID().toString)
+      val cleanup = scala.collection.mutable.ArrayBuffer.empty[Path]
 
-      // 1) the new manifest: one ADDED entry per data file, explicit
-      //    sequence numbers (spec allows inheriting; explicit is exact)
-      val entryType = manifestEntryType(partType)
-      val entryRows = added.map { a =>
-        val pv = a.partitionValues.toMap
-        val partRow = Row(partType.fields.map(f =>
-          pv.get(f.name).map(typedPartitionValue(_, f.dataType)).orNull).toIndexedSeq: _*)
-        Row(1, snapshotId, seq, seq,
-          Row(0, a.path, "PARQUET", partRow, a.records, a.size))
+      def writeManifest(rows: Seq[Row]): (Path, Long) = {
+        val entryType = manifestEntryType(partType)
+        val p = dir.resolve(s"${UUID.randomUUID()}-m0.avro")
+        val out = Files.newOutputStream(p)
+        try AvroCodec.writeOcf(out, entryType, rows.iterator,
+          schemaJsonOverride = Some(manifestEntrySchemaJson(partType)),
+          extraMeta = Seq(
+            "schema" -> schemaJson(schema),
+            "schema-id" -> "0",
+            "partition-spec" -> partitionSpecFieldsJson(schema, partitionBy),
+            "partition-spec-id" -> "0",
+            "format-version" -> "2",
+            "content" -> "data"))
+        finally out.close()
+        cleanup += p
+        (p, Files.size(p))
       }
-      val manifestPath = dir.resolve(s"${UUID.randomUUID()}-m0.avro")
-      val mOut = Files.newOutputStream(manifestPath)
-      try AvroCodec.writeOcf(mOut, entryType, entryRows.iterator,
-        schemaJsonOverride = Some(manifestEntrySchemaJson(partType)),
-        extraMeta = Seq(
-          "schema" -> schemaJson(schema),
-          "schema-id" -> "0",
-          "partition-spec" -> partitionSpecFieldsJson(schema, partitionBy),
-          "partition-spec-id" -> "0",
-          "format-version" -> "2",
-          "content" -> "data"))
-      finally mOut.close()
 
-      // 2) the manifest LIST: every prior manifest carried forward + ours
-      //    (fast append; prior entries are copied verbatim from the
-      //    current snapshot's list, preserving their min sequence numbers)
-      val prior: Seq[Row] = cur.flatMap { m =>
-        m.snapshots.find(_.get("snapshot-id").asLong() == m.currentSnapshotId)
-          .map(s => readManifestList(s.get("manifest-list").asText()))
-      }.getOrElse(Seq.empty)
-      val newEntry = Row(manifestPath.toAbsolutePath.toString,
-        Files.size(manifestPath), 0, 0, seq, seq, snapshotId,
-        added.size, 0, 0, added.map(_.records).sum, 0L, 0L)
-      val listPath = dir.resolve(s"snap-$snapshotId-1-${UUID.randomUUID()}.avro")
-      val lOut = Files.newOutputStream(listPath)
-      try AvroCodec.writeOcf(lOut, manifestFileType, (prior :+ newEntry).iterator,
-        schemaJsonOverride = Some(manifestFileSchemaJson),
-        extraMeta = Seq(
-          "format-version" -> "2",
-          "snapshot-id" -> snapshotId.toString,
-          "sequence-number" -> seq.toString,
-          "parent-snapshot-id" -> parentId.map(_.toString).getOrElse("null")))
-      finally lOut.close()
-
-      // 3) the new table metadata
-      val root = mapper.createObjectNode()
-      root.put("format-version", 2)
-      root.put("table-uuid", tableUuid)
-      root.put("location", Paths.get(table).toAbsolutePath.toString)
-      root.put("last-sequence-number", seq)
-      root.put("last-updated-ms", now)
-      root.put("last-column-id", schema.fields.length)
-      root.put("current-schema-id", 0)
-      root.set[com.fasterxml.jackson.databind.JsonNode]("schemas",
-        mapper.createArrayNode().add(mapper.readTree(schemaJson(schema))))
-      root.put("default-spec-id", 0)
-      val spec = mapper.createObjectNode()
-      spec.put("spec-id", 0)
-      spec.set[com.fasterxml.jackson.databind.JsonNode]("fields",
-        mapper.readTree(partitionSpecFieldsJson(schema, partitionBy)))
-      root.set[com.fasterxml.jackson.databind.JsonNode]("partition-specs",
-        mapper.createArrayNode().add(spec))
-      root.put("last-partition-id", 999 + partitionBy.size)
-      root.put("default-sort-order-id", 0)
-      val order = mapper.createObjectNode()
-      order.put("order-id", 0)
-      order.set[com.fasterxml.jackson.databind.JsonNode]("fields", mapper.createArrayNode())
-      root.set[com.fasterxml.jackson.databind.JsonNode]("sort-orders",
-        mapper.createArrayNode().add(order))
-      root.set[com.fasterxml.jackson.databind.JsonNode]("properties", mapper.createObjectNode())
-      root.put("current-snapshot-id", snapshotId)
-      val refs = mapper.createObjectNode()
-      val main = refs.putObject("main")
-      main.put("snapshot-id", snapshotId)
-      main.put("type", "branch")
-      root.set[com.fasterxml.jackson.databind.JsonNode]("refs", refs)
-      val snaps = mapper.createArrayNode()
-      cur.foreach(_.snapshots.foreach(snaps.add))
-      val snap = mapper.createObjectNode()
-      snap.put("snapshot-id", snapshotId)
-      parentId.foreach(snap.put("parent-snapshot-id", _))
-      snap.put("sequence-number", seq)
-      snap.put("timestamp-ms", now)
-      snap.put("manifest-list", listPath.toAbsolutePath.toString)
-      snap.put("schema-id", 0)
-      val summary = snap.putObject("summary")
-      summary.put("operation", "append")
-      summary.put("added-data-files", added.size.toString)
-      summary.put("added-records", added.map(_.records).sum.toString)
-      txn.foreach { case (app, v) =>
-        summary.put("graft.txn.app", app)
-        summary.put("graft.txn.version", v.toString)
-      }
-      snaps.add(snap)
-      root.set[com.fasterxml.jackson.databind.JsonNode]("snapshots", snaps)
-      val slog = mapper.createArrayNode()
-      cur.foreach { m =>
-        val prevLog = m.node.get("snapshot-log")
-        if (prevLog != null) (0 until prevLog.size()).foreach(i => slog.add(prevLog.get(i)))
-      }
-      val sle = mapper.createObjectNode()
-      sle.put("timestamp-ms", now)
-      sle.put("snapshot-id", snapshotId)
-      slog.add(sle)
-      root.set[com.fasterxml.jackson.databind.JsonNode]("snapshot-log", slog)
-      root.set[com.fasterxml.jackson.databind.JsonNode]("metadata-log", mapper.createArrayNode())
-
-      // 4) atomic claim of v<N+1>.metadata.json
-      val bytes = root.toString.getBytes("UTF-8")
-      val tmp = dir.resolve(s".${UUID.randomUUID()}.tmp")
-      Files.write(tmp, bytes)
-      val target = dir.resolve(s"v$newVersion.metadata.json")
       try {
-        try Files.createLink(target, tmp)
-        catch { case _: UnsupportedOperationException =>
-          Files.write(target, bytes, java.nio.file.StandardOpenOption.CREATE_NEW)
+        // 1) the new manifest: one ADDED entry per data file, explicit
+        //    sequence numbers (spec allows inheriting; explicit is exact)
+        val entryRows = added.map(a => Row(1, snapshotId, seq, seq, dataFileRow(a, partType)))
+        val (manifestPath, manifestLen) = writeManifest(entryRows)
+        val addedManifestRow = Row(manifestPath.toAbsolutePath.toString,
+          manifestLen, 0, 0, seq, seq, snapshotId,
+          added.size, 0, 0, added.map(_.records).sum, 0L, 0L)
+
+        // 2) the manifest LIST
+        val listRows: Seq[Row] = survivors match {
+          case Some(rows) =>
+            // replace: a fresh list — survivors (EXISTING, keeping their
+            // own sequence numbers) + the added manifest
+            if (rows.isEmpty) Seq(addedManifestRow)
+            else {
+              val (p, len) = writeManifest(rows.map(e =>
+                Row(0, e.get(1), e.get(2), e.get(3), e.get(4))))
+              val minSeq = rows.map(e => e.getLong(2)).min
+              Seq(addedManifestRow,
+                Row(p.toAbsolutePath.toString, len, 0, 0, seq, minSeq, snapshotId,
+                  0, rows.size, 0, 0L,
+                  rows.map(_.getStruct(4).getLong(4)).sum, 0L))
+            }
+          case None =>
+            // fast append: carry every prior manifest forward, merging the
+            // small ones once the list passes mergeMinCount — the manifest
+            // list stays O(large manifests), not O(commits)
+            val prior: Seq[Row] = cur.flatMap { m =>
+              m.snapshots.find(_.get("snapshot-id").asLong() == m.currentSnapshotId)
+                .map(s => readManifestList(s.get("manifest-list").asText()))
+            }.getOrElse(Seq.empty)
+            if (prior.size + 1 <= mergeMinCount) prior :+ addedManifestRow
+            else {
+              val (small, large) = prior.partition(_.getLong(1) < mergeTargetBytes)
+              if (small.size < 2) prior :+ addedManifestRow
+              else {
+                val entryType = manifestEntryType(partType)
+                val merged = small.flatMap { mf =>
+                  val in = Files.newInputStream(Paths.get(mf.getString(0)))
+                  try AvroCodec.readOcf(in, entryType).toSeq finally in.close()
+                }.filter(_.getInt(0) != 2) // drop tombstones; ADDED → EXISTING
+                  .map(e => Row(0, e.get(1), e.get(2), e.get(3), e.get(4)))
+                if (merged.isEmpty) large :+ addedManifestRow
+                else {
+                  val (p, len) = writeManifest(merged)
+                  val minSeq = merged.map(_.getLong(2)).min
+                  val mergedRow = Row(p.toAbsolutePath.toString, len, 0, 0,
+                    seq, minSeq, snapshotId, 0, merged.size, 0, 0L,
+                    merged.map(_.getStruct(4).getLong(4)).sum, 0L)
+                  (large :+ mergedRow) :+ addedManifestRow
+                }
+              }
+            }
         }
-        Files.deleteIfExists(tmp)
-        // the hint may lag behind (spec: readers fall back to listing)
-        Files.write(dir.resolve("version-hint.text"),
-          newVersion.toString.getBytes("UTF-8"))
-        return Some(newVersion)
-      } catch {
-        case _: java.nio.file.FileAlreadyExistsException =>
-          // lost the version race: discard this attempt's avro files and retry
+        val listPath = dir.resolve(s"snap-$snapshotId-1-${UUID.randomUUID()}.avro")
+        val lOut = Files.newOutputStream(listPath)
+        try AvroCodec.writeOcf(lOut, manifestFileType, listRows.iterator,
+          schemaJsonOverride = Some(manifestFileSchemaJson),
+          extraMeta = Seq(
+            "format-version" -> "2",
+            "snapshot-id" -> snapshotId.toString,
+            "sequence-number" -> seq.toString,
+            "parent-snapshot-id" -> parentId.map(_.toString).getOrElse("null")))
+        finally lOut.close()
+        cleanup += listPath
+
+        // 3) the new table metadata
+        val root = mapper.createObjectNode()
+        root.put("format-version", 2)
+        root.put("table-uuid", tableUuid)
+        root.put("location", Paths.get(table).toAbsolutePath.toString)
+        root.put("last-sequence-number", seq)
+        root.put("last-updated-ms", now)
+        root.put("last-column-id", schema.fields.length)
+        root.put("current-schema-id", 0)
+        root.set[com.fasterxml.jackson.databind.JsonNode]("schemas",
+          mapper.createArrayNode().add(mapper.readTree(schemaJson(schema))))
+        root.put("default-spec-id", 0)
+        val spec = mapper.createObjectNode()
+        spec.put("spec-id", 0)
+        spec.set[com.fasterxml.jackson.databind.JsonNode]("fields",
+          mapper.readTree(partitionSpecFieldsJson(schema, partitionBy)))
+        root.set[com.fasterxml.jackson.databind.JsonNode]("partition-specs",
+          mapper.createArrayNode().add(spec))
+        root.put("last-partition-id", 999 + partitionBy.size)
+        root.put("default-sort-order-id", 0)
+        val order = mapper.createObjectNode()
+        order.put("order-id", 0)
+        order.set[com.fasterxml.jackson.databind.JsonNode]("fields", mapper.createArrayNode())
+        root.set[com.fasterxml.jackson.databind.JsonNode]("sort-orders",
+          mapper.createArrayNode().add(order))
+        // properties carry forward (expireSnapshots parks txn high-water
+        // marks there; dropping them would re-open the replay window)
+        val props = mapper.createObjectNode()
+        cur.foreach(_.properties.foreach { case (k, v) => props.put(k, v) })
+        root.set[com.fasterxml.jackson.databind.JsonNode]("properties", props)
+        root.put("current-snapshot-id", snapshotId)
+        val refs = mapper.createObjectNode()
+        val main = refs.putObject("main")
+        main.put("snapshot-id", snapshotId)
+        main.put("type", "branch")
+        root.set[com.fasterxml.jackson.databind.JsonNode]("refs", refs)
+        val snaps = mapper.createArrayNode()
+        cur.foreach(_.snapshots.foreach(snaps.add))
+        val snap = mapper.createObjectNode()
+        snap.put("snapshot-id", snapshotId)
+        parentId.foreach(snap.put("parent-snapshot-id", _))
+        snap.put("sequence-number", seq)
+        snap.put("timestamp-ms", now)
+        snap.put("manifest-list", listPath.toAbsolutePath.toString)
+        snap.put("schema-id", 0)
+        val summary = snap.putObject("summary")
+        summary.put("operation", operation)
+        summary.put("added-data-files", added.size.toString)
+        summary.put("added-records", added.map(_.records).sum.toString)
+        if (replaced.nonEmpty)
+          summary.put("deleted-data-files", replaced.size.toString)
+        txn.foreach { case (app, v) =>
+          summary.put("graft.txn.app", app)
+          summary.put("graft.txn.version", v.toString)
+        }
+        snaps.add(snap)
+        root.set[com.fasterxml.jackson.databind.JsonNode]("snapshots", snaps)
+        val slog = mapper.createArrayNode()
+        cur.foreach { m =>
+          val prevLog = m.node.get("snapshot-log")
+          if (prevLog != null) (0 until prevLog.size()).foreach(i => slog.add(prevLog.get(i)))
+        }
+        val sle = mapper.createObjectNode()
+        sle.put("timestamp-ms", now)
+        sle.put("snapshot-id", snapshotId)
+        slog.add(sle)
+        root.set[com.fasterxml.jackson.databind.JsonNode]("snapshot-log", slog)
+        root.set[com.fasterxml.jackson.databind.JsonNode]("metadata-log", mapper.createArrayNode())
+
+        // 4) atomic claim of v<N+1>.metadata.json
+        val bytes = root.toString.getBytes("UTF-8")
+        val tmp = dir.resolve(s".${UUID.randomUUID()}.tmp")
+        Files.write(tmp, bytes)
+        val target = dir.resolve(s"v$newVersion.metadata.json")
+        try {
+          try Files.createLink(target, tmp)
+          catch { case _: UnsupportedOperationException =>
+            Files.write(target, bytes, java.nio.file.StandardOpenOption.CREATE_NEW)
+          }
           Files.deleteIfExists(tmp)
-          Files.deleteIfExists(manifestPath)
-          Files.deleteIfExists(listPath)
+          // the hint may lag behind (spec: readers fall back to listing)
+          Files.write(dir.resolve("version-hint.text"),
+            newVersion.toString.getBytes("UTF-8"))
+          return Some(newVersion)
+        } catch {
+          case _: java.nio.file.FileAlreadyExistsException =>
+            // lost the version race: discard this attempt's avro files and retry
+            Files.deleteIfExists(tmp)
+            cleanup.foreach(Files.deleteIfExists(_))
+            cleanup.clear()
+        }
+      } catch {
         case e: Throwable =>
-          Files.deleteIfExists(tmp); Files.deleteIfExists(manifestPath)
-          Files.deleteIfExists(listPath); throw e
+          cleanup.foreach(Files.deleteIfExists(_))
+          throw e
       }
     }
     sys.error(s"iceberg commit lost $attempt version races; giving up")
@@ -458,16 +763,26 @@ object IcebergLog {
 
   // ── read path ────────────────────────────────────────────────────────
 
-  private def readManifestList(path: String): Seq[Row] = {
+  private[graft] def readManifestList(path: String): Seq[Row] = {
     val in = Files.newInputStream(Paths.get(path))
     try AvroCodec.readOcf(in, manifestFileType).toSeq finally in.close()
   }
 
-  /** Manifest entries of a snapshot (spec/debug surface): (status,
-    * file_path, record_count, file_size, partitionValues).
-    */
-  private[graft] def entries(table: String, snapshotId: Option[Long] = None)
-      : Seq[(Int, String, Long, Long, Map[String, Any])] = {
+  /** A manifest entry's pruning-relevant projection. */
+  private[graft] final case class LiveFile(status: Int, path: String,
+      records: Long, size: Long, partitionValues: Map[String, Any],
+      valueCounts: Map[Int, Long], nullCounts: Map[Int, Long],
+      lowerBounds: Map[Int, Array[Byte]], upperBounds: Map[Int, Array[Byte]],
+      entryRow: Row)
+
+  private def kvMap[T](v: Any): Map[Int, T] = v match {
+    case null => Map.empty
+    case s: scala.collection.Seq[_] =>
+      s.map { case r: Row => r.getInt(0) -> r.get(1).asInstanceOf[T] }.toMap
+  }
+
+  private[graft] def liveFiles(table: String, snapshotId: Option[Long])
+      : Seq[LiveFile] = {
     val m = current(table).getOrElse(return Seq.empty)
     val sid = snapshotId.getOrElse(m.currentSnapshotId)
     val snap = m.snapshots.find(_.get("snapshot-id").asLong() == sid)
@@ -480,29 +795,380 @@ object IcebergLog {
       try AvroCodec.readOcf(in, entryType).toSeq.map { e =>
         val df = e.getStruct(4)
         val part = df.getStruct(3)
-        (e.getInt(0), df.getString(1), df.getLong(4), df.getLong(5),
-          m.partitionColumns.zipWithIndex.map { case (c, i) => c -> part.get(i) }.toMap)
+        LiveFile(e.getInt(0), df.getString(1), df.getLong(4), df.getLong(5),
+          m.partitionColumns.zipWithIndex.map { case (c, i) => c -> part.get(i) }.toMap,
+          kvMap[Long](df.get(6)), kvMap[Long](df.get(7)),
+          kvMap[Array[Byte]](df.get(8)), kvMap[Array[Byte]](df.get(9)),
+          e)
       } finally in.close()
+    }
+  }
+
+  /** Manifest entries of a snapshot (spec/debug surface): (status,
+    * file_path, record_count, file_size, partitionValues).
+    */
+  private[graft] def entries(table: String, snapshotId: Option[Long] = None)
+      : Seq[(Int, String, Long, Long, Map[String, Any])] =
+    liveFiles(table, snapshotId).map(f =>
+      (f.status, f.path, f.records, f.size, f.partitionValues))
+
+  /** Live files of a snapshot that MAY satisfy `scanFilter`, judged
+    * against the manifest metrics (partition values + column bounds +
+    * null counts). Conservative: a file is dropped only when a conjunct
+    * is provably unsatisfiable on it. Returns (kept, totalLive) so
+    * callers can report skip ratios.
+    */
+  private[graft] def planFiles(spark: SparkSession, table: String,
+      snapshotId: Option[Long], scanFilter: Option[String])
+      : (Seq[LiveFile], Int) = {
+    val live = liveFiles(table, snapshotId).filter(_.status != 2)
+    scanFilter.map(_.trim).filter(_.nonEmpty) match {
+      case None => (live, live.size)
+      case Some(f) =>
+        val m = current(table).get
+        val conj = conjunctsOf(spark, f)
+        (live.filter(file => conj.forall(c => mayMatch(file, c, m.schema))), live.size)
+    }
+  }
+
+  import org.apache.spark.sql.catalyst.expressions.{And, EqualTo, Expression,
+    GreaterThan, GreaterThanOrEqual, In, IsNotNull, IsNull, LessThan,
+    LessThanOrEqual, Literal}
+  import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
+
+  private def conjunctsOf(spark: SparkSession, filterSql: String): Seq[Expression] = {
+    def split(e: Expression): Seq[Expression] = e match {
+      case And(l, r) => split(l) ++ split(r)
+      case other => Seq(other)
+    }
+    split(spark.sessionState.sqlParser.parseExpression(filterSql))
+  }
+
+  /** Catalyst literal → the plain JVM value [[compareValues]] orders,
+    * coerced to the column's type (null = not comparable → keep file).
+    */
+  private def litValue(l: Literal, dt: DataType): Any = {
+    val v = l.value
+    if (v == null) return null
+    (dt, v) match {
+      case (IntegerType, n: Number) => n.intValue()
+      case (LongType, n: Number) => n.longValue()
+      case (FloatType, n: Number) => n.floatValue()
+      case (DoubleType, n: Number) => n.doubleValue()
+      case (DoubleType, d: Decimal) => d.toDouble
+      case (FloatType, d: Decimal) => d.toFloat
+      case (IntegerType, d: Decimal) if d.toBigDecimal.isValidInt => d.toInt
+      case (LongType, d: Decimal) if d.toBigDecimal.isValidLong => d.toLong
+      case (StringType, s) => s.toString
+      case (BooleanType, b: Boolean) => b
+      // catalyst internals: DateType = Int days, TimestampType = Long micros
+      case (DateType, n: Number) if l.dataType == DateType => n.intValue()
+      case (TimestampType, n: Number) if l.dataType == TimestampType => n.longValue()
+      case _ => null
+    }
+  }
+
+  /** Partition values decode from hive path strings; align them with the
+    * column type for comparison.
+    */
+  private def partValue(v: Any, dt: DataType): Any = (v, dt) match {
+    case (null, _) => null
+    case (s: String, StringType) => s
+    case (n: Number, IntegerType) => n.intValue()
+    case (n: Number, LongType) => n.longValue()
+    case (n: Number, DoubleType) => n.doubleValue()
+    case (b: Boolean, BooleanType) => b
+    case _ => v
+  }
+
+  private def mayMatch(file: LiveFile, c: Expression, schema: StructType): Boolean = {
+    def colOf(e: Expression): Option[(String, DataType)] = e match {
+      case a: UnresolvedAttribute if schema.fieldNames.contains(a.name) =>
+        Some(a.name -> schema(schema.fieldIndex(a.name)).dataType)
+      case _ => None
+    }
+    // Iceberg's containsNullsOnly: every value in this file's column is
+    // null, so no comparison/equality conjunct can match any row
+    def allNull(name: String): Boolean =
+      !file.partitionValues.contains(name) && {
+        val id = schema.fieldIndex(name) + 1
+        (file.valueCounts.get(id), file.nullCounts.get(id)) match {
+          case (Some(v), Some(n)) => v > 0 && v == n
+          case _ => false
+        }
+      }
+    // the file's value range for a column: partition cols are single-
+    // valued; data cols read the bounds maps (absent → unknown → keep)
+    def range(name: String, dt: DataType): Option[(Any, Any)] =
+      if (file.partitionValues.contains(name)) {
+        val v = partValue(file.partitionValues(name), dt)
+        if (v == null) None else Some((v, v))
+      } else {
+        val id = schema.fieldIndex(name) + 1
+        for {
+          lo <- file.lowerBounds.get(id)
+          hi <- file.upperBounds.get(id)
+        } yield (boundValue(lo, dt), boundValue(hi, dt))
+      }
+    def cmp(col: (String, DataType), lit: Literal, test: Int => Boolean,
+        flip: Boolean = false): Boolean = {
+      val (name, dt) = col
+      if (allNull(name)) return false
+      val lv = litValue(lit, dt)
+      if (lv == null) return true
+      range(name, dt) match {
+        case None => true
+        case Some((lo, hi)) =>
+          try {
+            // test receives cmp(bound, lit) for the bound that decides it
+            if (!flip) test(compareValues(lo, lv, dt)) || test(compareValues(hi, lv, dt)) ||
+              (compareValues(lo, lv, dt) <= 0 && compareValues(hi, lv, dt) >= 0 && test(0))
+            else test(compareValues(lo, lv, dt)) || test(compareValues(hi, lv, dt))
+          } catch { case _: IllegalArgumentException => true }
+      }
+    }
+    def inRange(col: (String, DataType), lit: Literal): Boolean = {
+      val (name, dt) = col
+      if (allNull(name)) return false
+      val lv = litValue(lit, dt)
+      if (lv == null) return true
+      range(name, dt) match {
+        case None => true
+        case Some((lo, hi)) =>
+          try compareValues(lo, lv, dt) <= 0 && compareValues(hi, lv, dt) >= 0
+          catch { case _: IllegalArgumentException => true }
+      }
+    }
+    c match {
+      case EqualTo(a, l: Literal) => colOf(a).forall(inRange(_, l))
+      case EqualTo(l: Literal, a) => colOf(a).forall(inRange(_, l))
+      // some value < lit ⟺ lo < lit; etc. — one bound decides each
+      case LessThan(a, l: Literal) => colOf(a).forall(cmp(_, l, _ < 0, flip = true))
+      case LessThan(l: Literal, a) => colOf(a).forall(cmp(_, l, _ > 0, flip = true))
+      case LessThanOrEqual(a, l: Literal) => colOf(a).forall(cmp(_, l, _ <= 0, flip = true))
+      case LessThanOrEqual(l: Literal, a) => colOf(a).forall(cmp(_, l, _ >= 0, flip = true))
+      case GreaterThan(a, l: Literal) => colOf(a).forall(cmp(_, l, _ > 0, flip = true))
+      case GreaterThan(l: Literal, a) => colOf(a).forall(cmp(_, l, _ < 0, flip = true))
+      case GreaterThanOrEqual(a, l: Literal) => colOf(a).forall(cmp(_, l, _ >= 0, flip = true))
+      case GreaterThanOrEqual(l: Literal, a) => colOf(a).forall(cmp(_, l, _ <= 0, flip = true))
+      case In(a, lits) if lits.forall(_.isInstanceOf[Literal]) =>
+        colOf(a).forall(col => lits.exists(l => inRange(col, l.asInstanceOf[Literal])))
+      case IsNull(a) => colOf(a).forall { case (name, _) =>
+        if (file.partitionValues.contains(name)) file.partitionValues(name) == null
+        else {
+          val id = schema.fieldIndex(name) + 1
+          file.nullCounts.get(id).forall(_ > 0)
+        }
+      }
+      case IsNotNull(a) => colOf(a).forall { case (name, _) =>
+        if (file.partitionValues.contains(name)) file.partitionValues(name) != null
+        else {
+          val id = schema.fieldIndex(name) + 1
+          (file.valueCounts.get(id), file.nullCounts.get(id)) match {
+            case (Some(v), Some(n)) => v > n
+            case _ => true
+          }
+        }
+      }
+      case _ => true // unknown shape: no pruning by this conjunct
     }
   }
 
   /** Snapshot read: current (or `snapshotId`) manifests' live data files
     * only — uncommitted/orphaned parquet is invisible (ACID isolation).
+    * `scanFilter` (a SQL boolean over the table's columns) prunes whole
+    * FILES against the manifest metrics before Spark ever lists them —
+    * Iceberg's 100 TB scan story — then re-applies exactly as a normal
+    * filter (bounds pruning is conservative, never a substitute).
     * Identity-partition values are restored from the hive `col=val/`
     * layout (`basePath` discovery — partition predicates prune at the
     * scan), then reordered to the declared schema, same rule as the
     * Delta read.
     */
   def read(spark: SparkSession, table: String,
-      snapshotId: Option[Long] = None): DataFrame = {
+      snapshotId: Option[Long] = None,
+      scanFilter: Option[String] = None): DataFrame = {
     val m = current(table).getOrElse(
       sys.error(s"$table is not an Iceberg table (no metadata/v*.metadata.json)"))
-    val files = entries(table, snapshotId).filter(_._1 != 2).map(_._2)
-    if (files.isEmpty)
-      spark.createDataFrame(spark.sparkContext.emptyRDD[Row], m.schema)
-    else spark.read.schema(m.schema)
-      .option("basePath", Paths.get(table, "data").toAbsolutePath.toString)
-      .parquet(files: _*)
-      .select(m.schema.fieldNames.map(org.apache.spark.sql.functions.col).toIndexedSeq: _*)
+    val (kept, _) = planFiles(spark, table, snapshotId, scanFilter)
+    val files = kept.map(_.path)
+    val base =
+      if (files.isEmpty)
+        spark.createDataFrame(spark.sparkContext.emptyRDD[Row], m.schema)
+      else spark.read.schema(m.schema)
+        .option("basePath", Paths.get(table, "data").toAbsolutePath.toString)
+        .parquet(files: _*)
+        .select(m.schema.fieldNames.map(org.apache.spark.sql.functions.col).toIndexedSeq: _*)
+    scanFilter.map(_.trim).filter(_.nonEmpty)
+      .map(f => base.filter(org.apache.spark.sql.functions.expr(f)))
+      .getOrElse(base)
+  }
+
+  // ── maintenance ──────────────────────────────────────────────────────
+
+  /** Compact small data files per partition (Iceberg's
+    * `rewrite_data_files`, surfaced as the OPTIMIZE verb): partitions
+    * with ≥2 live files under `smallBytes` get their small files
+    * coalesced toward `targetBytes` and committed as ONE `replace`
+    * snapshot — added entries for the compacted files, EXISTING entries
+    * (original sequence numbers) for every untouched live file, and a
+    * fresh two-manifest list. Readers of any prior snapshot still see
+    * the old files (time travel keeps them until [[expireSnapshots]]).
+    * Returns the committed metadata version, or None when there was
+    * nothing to compact or a concurrent replace removed one of the
+    * victims first (the conflict rule — never duplicate rows).
+    */
+  def rewriteDataFiles(spark: SparkSession, table: String,
+      targetBytes: Long = 128L * 1024 * 1024,
+      smallBytes: Option[Long] = None): Option[Int] = {
+    val m = current(table).getOrElse(
+      sys.error(s"$table is not an Iceberg table"))
+    val threshold = smallBytes.getOrElse(targetBytes / 2)
+    val live = liveFiles(table, None).filter(_.status != 2)
+    val byPart = live.groupBy(_.partitionValues)
+    val victims = byPart.values.flatMap { files =>
+      val small = files.filter(_.size < threshold)
+      if (small.size >= 2) small else Seq.empty
+    }.toSeq
+    if (victims.isEmpty) return None
+    val dataSchema = StructType(m.schema.filterNot(f => m.partitionColumns.contains(f.name)))
+    val scratchFiles = scala.collection.mutable.ArrayBuffer.empty[DataFileInfo]
+    val scratchDirs = scala.collection.mutable.ArrayBuffer.empty[Path]
+    victims.groupBy(_.partitionValues).foreach { case (pv, files) =>
+      val scratch = Paths.get(table, s".graft-iceberg-${UUID.randomUUID()}")
+      scratchDirs += scratch
+      val n = math.max(1, math.ceil(files.map(_.size).sum.toDouble / targetBytes).toInt)
+      spark.read.schema(dataSchema).parquet(files.map(_.path): _*)
+        .coalesce(n).write.mode("overwrite").parquet(scratch.toString)
+      // hive partition dir for this group (identity transform)
+      val partDir = m.partitionColumns.map { c =>
+        val v = pv.getOrElse(c, null)
+        // %XX escapes only ('+' means '+'; space is %20), matching the
+        // decoder in partitionValuesOf and Spark's own hive-dir escaping
+        s"$c=${java.net.URLEncoder.encode(String.valueOf(v), "UTF-8").replace("+", "%20")}"
+      }.foldLeft(Paths.get(table, "data"))(_.resolve(_))
+      Files.createDirectories(partDir)
+      walkDir(scratch).filter(p => Files.isRegularFile(p) &&
+        p.getFileName.toString.endsWith(".parquet")).foreach { p =>
+        val dest = partDir.resolve(p.getFileName.toString)
+        try Files.createLink(dest, p)
+        catch { case _: UnsupportedOperationException =>
+          Files.move(p, dest, StandardCopyOption.ATOMIC_MOVE) }
+        // metrics field-ids come from TABLE schema positions (partition
+        // columns absent from the footer are simply not matched)
+        scratchFiles += statFile(spark, table, dest, m.schema)
+      }
+    }
+    scratchDirs.foreach(d => walkDir(d).reverse.foreach(Files.deleteIfExists(_)))
+    val victimPaths = victims.map(_.path).toSet
+    val survivors = live.filterNot(f => victimPaths.contains(f.path)).map(_.entryRow)
+    val committed = commitSnapshot(spark, table, m.schema, m.partitionColumns,
+      scratchFiles.toSeq, txn = None, operation = "replace",
+      replaced = victimPaths, survivors = Some(survivors))
+    if (committed.isEmpty)
+      scratchFiles.foreach(a => Files.deleteIfExists(Paths.get(a.path)))
+    committed
+  }
+
+  /** Drop snapshots older than `olderThanMs` (always keeping the current
+    * one) from the table metadata and DELETE the manifest lists,
+    * manifests and data files only they referenced — Iceberg's
+    * `expire_snapshots`, surfaced as the VACUUM verb. Every expired
+    * snapshot's transaction high-water mark is parked in table
+    * `properties` first, so exactly-once replay stays a no-op across
+    * retention. Returns (expired snapshots, deleted files).
+    */
+  def expireSnapshots(spark: SparkSession, table: String,
+      olderThanMs: Long): (Int, Int) = {
+    val dir = metaDir(table)
+    var attempt = 0
+    while (attempt < 1000) {
+      attempt += 1
+      val m = current(table).getOrElse(sys.error(s"$table is not an Iceberg table"))
+      val cutoff = System.currentTimeMillis() - olderThanMs
+      val (expired, retained) = m.snapshots.partition(s =>
+        s.get("snapshot-id").asLong() != m.currentSnapshotId &&
+          s.get("timestamp-ms").asLong() < cutoff)
+      if (expired.isEmpty) return (0, 0)
+
+      // park expired txn high-water marks in properties (replay guard)
+      val expiredTxns = expired.flatMap { s =>
+        val sum = s.get("summary")
+        if (sum != null && sum.has("graft.txn.app"))
+          Some(sum.get("graft.txn.app").asText() -> sum.get("graft.txn.version").asLong())
+        else None
+      }.groupBy(_._1).view.mapValues(_.map(_._2).max).toMap
+      val props = m.properties ++ expiredTxns.map { case (app, v) =>
+        val k = s"graft.txn.$app"
+        k -> math.max(v, m.properties.get(k).map(_.toLong).getOrElse(Long.MinValue)).toString
+      }
+
+      val root = m.node.deepCopy[com.fasterxml.jackson.databind.node.ObjectNode]()
+      val snaps = mapper.createArrayNode()
+      retained.foreach(snaps.add)
+      root.set[com.fasterxml.jackson.databind.JsonNode]("snapshots", snaps)
+      val keepIds = retained.map(_.get("snapshot-id").asLong()).toSet
+      val slog = mapper.createArrayNode()
+      val prevLog = m.node.get("snapshot-log")
+      if (prevLog != null) (0 until prevLog.size()).map(prevLog.get)
+        .filter(e => keepIds.contains(e.get("snapshot-id").asLong()))
+        .foreach(slog.add)
+      root.set[com.fasterxml.jackson.databind.JsonNode]("snapshot-log", slog)
+      val propsNode = mapper.createObjectNode()
+      props.foreach { case (k, v) => propsNode.put(k, v) }
+      root.set[com.fasterxml.jackson.databind.JsonNode]("properties", propsNode)
+      root.put("last-updated-ms", System.currentTimeMillis())
+
+      val newVersion = m.version + 1
+      val bytes = root.toString.getBytes("UTF-8")
+      val tmp = dir.resolve(s".${UUID.randomUUID()}.tmp")
+      Files.write(tmp, bytes)
+      val target = dir.resolve(s"v$newVersion.metadata.json")
+      val claimed =
+        try {
+          try { Files.createLink(target, tmp); true }
+          catch { case _: UnsupportedOperationException =>
+            Files.write(target, bytes, java.nio.file.StandardOpenOption.CREATE_NEW); true }
+        } catch { case _: java.nio.file.FileAlreadyExistsException => false }
+        finally Files.deleteIfExists(tmp)
+      if (claimed) {
+        Files.write(dir.resolve("version-hint.text"),
+          newVersion.toString.getBytes("UTF-8"))
+        // GC: delete what ONLY expired snapshots referenced — retained
+        // references (incl. the current snapshot) always win; data files
+        // are only touched under the table's own data/ dir
+        def refsOf(ss: Seq[com.fasterxml.jackson.databind.JsonNode])
+            : (Set[String], Set[String], Set[String]) = {
+          val lists = ss.map(_.get("manifest-list").asText()).toSet
+          val manifests = lists.flatMap(l =>
+            try readManifestList(l).map(_.getString(0)) catch { case _: Exception => Seq.empty })
+          val partType = StructType(m.partitionColumns.map(c =>
+            StructField(c, m.schema(m.schema.fieldIndex(c)).dataType, nullable = true)))
+          val entryType = manifestEntryType(partType)
+          val data = manifests.flatMap { mf =>
+            val p = Paths.get(mf)
+            if (!Files.exists(p)) Seq.empty
+            else {
+              val in = Files.newInputStream(p)
+              try AvroCodec.readOcf(in, entryType).toSeq.map(_.getStruct(4).getString(1))
+              finally in.close()
+            }
+          }
+          (lists, manifests, data)
+        }
+        val (keepLists, keepManifests, keepData) = refsOf(retained)
+        val (expLists, expManifests, expData) = refsOf(expired)
+        val dataRoot = Paths.get(table, "data").toAbsolutePath
+        var deleted = 0
+        (expLists -- keepLists).foreach { p => if (Files.deleteIfExists(Paths.get(p))) deleted += 1 }
+        (expManifests -- keepManifests).foreach { p => if (Files.deleteIfExists(Paths.get(p))) deleted += 1 }
+        (expData -- keepData).foreach { p =>
+          val abs = Paths.get(p).toAbsolutePath
+          if (abs.startsWith(dataRoot) && Files.deleteIfExists(abs)) deleted += 1
+        }
+        return (expired.size, deleted)
+      }
+    }
+    sys.error(s"iceberg expire lost $attempt version races; giving up")
   }
 }

@@ -75,8 +75,9 @@ object Ddl {
     * (crates/arroyo-planner/src/lib.rs:790-819).
     */
   final case class SetOption(key: String, value: String) extends Stmt
-  /** `OPTIMIZE t` / `VACUUM t [RETAIN n HOURS]` — Delta's own table
-    * maintenance verbs, for delta-connector tables (r8).
+  /** `OPTIMIZE t` / `VACUUM t [RETAIN n HOURS]` — table maintenance
+    * verbs for delta (r8) and iceberg (r9: rewrite_data_files /
+    * expire_snapshots) connector tables.
     */
   final case class Maintain(op: String, table: String,
       retainHours: Option[Long]) extends Stmt

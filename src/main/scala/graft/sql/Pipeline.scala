@@ -246,16 +246,19 @@ class Pipeline(spark: SparkSession, streaming: Boolean = false) {
     case Maintain(op, name, retainHours) =>
       val t = catalog.getOrElse(name,
         throw new IllegalArgumentException(s"unknown table $name"))
-      if (t.connector != "delta")
+      if (t.connector != "delta" && t.connector != "iceberg")
         throw new IllegalArgumentException(
-          s"$op is only supported on delta tables (got connector '${t.connector}')")
+          s"$op is only supported on delta/iceberg tables (got connector '${t.connector}')")
       val tPath = t.path.getOrElse(sys.error(s"table $name: path required"))
+      val retainMs = retainHours.map(_ * 3600 * 1000L)
+        .getOrElse(7L * 24 * 3600 * 1000)
       // plan() must VALIDATE maintenance statements, never run them
-      if (!planOnly) op match {
-        case "optimize" => graft.sinks.DeltaLog.optimize(spark, tPath); ()
-        case "vacuum" => graft.sinks.DeltaLog.vacuum(spark, tPath,
-          retainHours.map(_ * 3600 * 1000L)
-            .getOrElse(7L * 24 * 3600 * 1000)); ()
+      if (!planOnly) (op, t.connector) match {
+        case ("optimize", "delta") => graft.sinks.DeltaLog.optimize(spark, tPath); ()
+        case ("vacuum", "delta") => graft.sinks.DeltaLog.vacuum(spark, tPath, retainMs); ()
+        // iceberg's equivalents: rewrite_data_files / expire_snapshots
+        case ("optimize", _) => graft.sinks.IcebergLog.rewriteDataFiles(spark, tPath); ()
+        case ("vacuum", _) => graft.sinks.IcebergLog.expireSnapshots(spark, tPath, retainMs); ()
       }
 
     case SetOption(key, value) => key match {
@@ -1036,9 +1039,13 @@ class Pipeline(spark: SparkSession, streaming: Boolean = false) {
           if (streaming)
             sys.error("iceberg source is batch-only (snapshot reads); " +
               "stream the downstream pipeline from a message connector instead")
-          // snapshot_id = 'n' reads any retained snapshot (time travel)
+          // snapshot_id = 'n' reads any retained snapshot (time travel);
+          // scan_filter = '<sql bool>' prunes whole FILES against the
+          // manifest metrics before Spark lists them (then re-applies
+          // as a normal filter — pruning is conservative)
           graft.sinks.IcebergLog.read(spark, tPath,
-            t.options.get("snapshot_id").map(_.toLong))
+            t.options.get("snapshot_id").map(_.toLong),
+            t.options.get("scan_filter"))
         }
       case "impulse" =>
         val eod = eodField(t).isDefined

@@ -213,4 +213,160 @@ class IcebergLogSpec extends SparkSpec {
     assert(IcebergLog.current(table).get.version == 2)
     assert(IcebergLog.read(spark, table).count() == 1)
   }
+
+  test("manifest metrics prune whole files: column bounds, strings, null counts (r9)") {
+    import spark.implicits._
+    val table = tmpTable()
+    // two one-file appends with disjoint id ranges and string prefixes
+    IcebergLog.writeBatch((1L to 100L).map(i => (i, s"a$i"))
+      .toDF("id", "v").coalesce(1), table)
+    IcebergLog.writeBatch((200L to 300L).map(i => (i, s"z$i"))
+      .toDF("id", "v").coalesce(1), table)
+    // a third file whose v column is ALL NULL
+    IcebergLog.writeBatch(Seq((400L, null: String), (401L, null: String))
+      .toDF("id", "v").coalesce(1), table)
+    def kept(f: String): Int =
+      IcebergLog.planFiles(spark, table, None, Some(f))._1.size
+    assert(IcebergLog.planFiles(spark, table, None, None)._2 == 3)
+    assert(kept("id < 50") == 1)                       // long bounds
+    assert(kept("id >= 250 AND id <= 260") == 1)
+    assert(kept("id = 150") == 0)                      // gap between files
+    assert(kept("id IN (5, 250)") == 2)
+    assert(kept("v >= 'z'") == 1)                      // string bounds
+    assert(kept("v IS NULL") == 1)                     // only the null file
+    assert(kept("v IS NOT NULL") == 2)                 // all-null file dropped
+    assert(kept("id < 50 OR id > 250") == 3)           // OR: no pruning, conservative
+    // the pruned read still returns exactly the right rows
+    assert(IcebergLog.read(spark, table, scanFilter = Some("id < 50")).count() == 49)
+    assert(IcebergLog.read(spark, table, scanFilter = Some("v IS NULL"))
+      .as[(Long, String)].collect().map(_._1).toSet == Set(400L, 401L))
+    // and the manifest really carries the bounds (spec field-ids 125/128)
+    val live = IcebergLog.planFiles(spark, table, None, None)._1
+    assert(live.forall(f => f.valueCounts.nonEmpty))
+    assert(live.count(_.lowerBounds.nonEmpty) == 3)
+  }
+
+  test("small manifests merge past min-count: list stays bounded, rows intact (r9)") {
+    import spark.implicits._
+    val table = tmpTable()
+    val n = 14
+    (1 to n).foreach { i =>
+      IcebergLog.writeBatch(Seq((i.toLong, s"v$i")).toDF("id", "v").coalesce(1), table)
+    }
+    val m = IcebergLog.current(table).get
+    val snap = m.snapshots.find(_.get("snapshot-id").asLong == m.currentSnapshotId).get
+    // count manifests in the current list by reading the avro list file
+    val mfCount = IcebergLog.readManifestList(snap.get("manifest-list").asText).size
+    assert(mfCount < n, s"manifest list must merge below one-per-commit ($mfCount vs $n)")
+    // every row still reads; entry count = data file count
+    assert(IcebergLog.read(spark, table).count() == n.toLong)
+    assert(IcebergLog.entries(table).size == n)
+    // merged entries became EXISTING (status 0), latest stays ADDED (1)
+    assert(IcebergLog.entries(table).map(_._1).toSet == Set(0, 1))
+  }
+
+  test("rewriteDataFiles compacts small files as a replace snapshot; time travel keeps the old view (r9)") {
+    import spark.implicits._
+    val table = tmpTable()
+    (1 to 4).foreach { i =>
+      IcebergLog.writeBatch(Seq((i.toLong, s"v$i")).toDF("id", "v").coalesce(1), table)
+    }
+    val before = IcebergLog.current(table).get
+    val preSnapshot = before.currentSnapshotId
+    assert(IcebergLog.entries(table).size == 4)
+    val v = IcebergLog.rewriteDataFiles(spark, table)
+    assert(v.contains(5))
+    // one compacted live file now; rows identical
+    val live = IcebergLog.planFiles(spark, table, None, None)._1
+    assert(live.size == 1, s"expected 1 compacted file, got ${live.map(_.path)}")
+    assert(IcebergLog.read(spark, table).as[(Long, String)].collect().toSet ==
+      (1 to 4).map(i => (i.toLong, s"v$i")).toSet)
+    // the replace snapshot says so
+    val m = IcebergLog.current(table).get
+    val snap = m.snapshots.find(_.get("snapshot-id").asLong == m.currentSnapshotId).get
+    assert(snap.get("summary").get("operation").asText == "replace")
+    assert(snap.get("summary").get("deleted-data-files").asInt == 4)
+    // pre-compaction snapshot still reads its own four files
+    assert(IcebergLog.read(spark, table, snapshotId = Some(preSnapshot)).count() == 4)
+    // nothing left to compact → None
+    assert(IcebergLog.rewriteDataFiles(spark, table).isEmpty)
+  }
+
+  test("rewrite on a partitioned table: table-schema field ids in metrics, hive values round-trip (r9)") {
+    import spark.implicits._
+    val table = tmpTable()
+    // partition col in the MIDDLE so data-file column ids shift without care
+    (1 to 3).foreach { i =>
+      IcebergLog.writeBatch(
+        Seq((i.toLong, "us east", s"v$i"), (i.toLong + 10, "eu+west", s"w$i"))
+          .toDF("id", "region", "v").coalesce(1),
+        table, partitionBy = Seq("region"))
+    }
+    assert(IcebergLog.rewriteDataFiles(spark, table).nonEmpty)
+    val live = IcebergLog.planFiles(spark, table, None, None)._1
+    assert(live.size == 2) // one compacted file per partition
+    // metrics keyed by TABLE schema position: id=1, v=3 (region=2 absent)
+    assert(live.forall(f => f.lowerBounds.contains(1) && f.lowerBounds.contains(3)
+      && !f.lowerBounds.contains(2)), live.map(_.lowerBounds.keySet))
+    // bounds prune on the post-partition column
+    assert(IcebergLog.planFiles(spark, table, None, Some("v >= 'w'"))._1.size <= 2)
+    // partition values with a space / '+' survived the hive dir round-trip
+    assert(live.flatMap(_.partitionValues.get("region")).toSet ==
+      Set("us east", "eu+west"))
+    assert(IcebergLog.read(spark, table).as[(Long, String, String)].collect().toSet ==
+      (1 to 3).flatMap(i => Seq((i.toLong, "us east", s"v$i"),
+        (i.toLong + 10, "eu+west", s"w$i"))).toSet)
+  }
+
+  test("concurrent rewrites never duplicate rows (replace conflict rule, r9)") {
+    import spark.implicits._
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.ExecutionContext.Implicits.global
+    import scala.concurrent.duration._
+    val table = tmpTable()
+    (1 to 6).foreach { i =>
+      IcebergLog.writeBatch(Seq((i.toLong, s"v$i")).toDF("id", "v").coalesce(1), table)
+    }
+    val fs = (0 until 2).map(_ => Future(IcebergLog.rewriteDataFiles(spark, table)))
+    val results = Await.result(Future.sequence(fs), 120.seconds)
+    // at least one won; the loser either aborted (None) or found nothing
+    assert(results.flatten.nonEmpty)
+    assert(IcebergLog.read(spark, table).as[(Long, String)].collect().toSeq.sorted ==
+      (1 to 6).map(i => (i.toLong, s"v$i")).sorted, "replace conflict must never duplicate rows")
+  }
+
+  test("expireSnapshots GCs unreferenced manifests+data and parks txn marks (r9)") {
+    import spark.implicits._
+    val table = tmpTable()
+    (0 until 4).foreach { i =>
+      IcebergLog.writeBatch(Seq((i.toLong, s"v$i")).toDF("id", "v").coalesce(1), table,
+        txn = Some(("app", i.toLong)))
+    }
+    IcebergLog.rewriteDataFiles(spark, table) // old data files now only in old snapshots
+    val preIds = IcebergLog.current(table).get.snapshots.map(_.get("snapshot-id").asLong)
+    val (expired, deleted) = IcebergLog.expireSnapshots(spark, table, olderThanMs = 0L)
+    assert(expired == 4 && deleted > 0, s"($expired, $deleted)")
+    val m = IcebergLog.current(table).get
+    assert(m.snapshots.size == 1 && m.snapshots.head.get("snapshot-id").asLong == m.currentSnapshotId)
+    // current snapshot reads fine; expired ones fail loudly
+    assert(IcebergLog.read(spark, table).count() == 4)
+    intercept[RuntimeException] {
+      IcebergLog.read(spark, table, snapshotId = Some(preIds.head))
+    }
+    // replay of an EXPIRED txn is still a no-op (high-water parked in properties)
+    assert(m.properties.get("graft.txn.app").contains("3"))
+    assert(IcebergLog.writeBatch(Seq((99L, "dup")).toDF("id", "v"), table,
+      txn = Some(("app", 2L))).isEmpty)
+    assert(IcebergLog.read(spark, table).count() == 4)
+    // a NEW txn version still commits
+    assert(IcebergLog.writeBatch(Seq((100L, "new")).toDF("id", "v"), table,
+      txn = Some(("app", 4L))).nonEmpty)
+    assert(IcebergLog.read(spark, table).count() == 5)
+    // no orphan parquet left beyond the live set + the still-retained current snapshot
+    val active = IcebergLog.entries(table).map(_._2).toSet
+    val onDisk = Files.walk(Paths.get(table, "data")).iterator().asScala
+      .filter(p => Files.isRegularFile(p) && p.toString.endsWith(".parquet"))
+      .map(_.toAbsolutePath.toString).toSet
+    assert(onDisk == active, s"stray files: ${onDisk.diff(active)}")
+  }
 }

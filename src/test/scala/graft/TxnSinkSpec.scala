@@ -147,6 +147,32 @@ class TxnSinkSpec extends SparkSpec {
     assert(e.getMessage.contains("delta"))
   }
 
+  test("OPTIMIZE / VACUUM SQL verbs run against an iceberg table; scan_filter prunes files (r9)") {
+    import graft.sinks.IcebergLog
+    import spark.implicits._
+    val table = tmpTable()
+    (0 until 3).foreach { i =>
+      IcebergLog.writeBatch(
+        Seq((i.toLong * 100, s"v$i")).toDF("id", "v").coalesce(1), table)
+    }
+    new sql.Pipeline(spark, streaming = false).run(
+      s"""CREATE TABLE tbl (id BIGINT, v TEXT) WITH (
+         |  connector='iceberg', path='$table', format='parquet', type='sink');
+         |OPTIMIZE tbl;
+         |VACUUM tbl RETAIN 0 HOURS;""".stripMargin)
+    // compacted to one live file, expired snapshots GC'd, rows intact
+    assert(IcebergLog.planFiles(spark, table, None, None)._2 == 1)
+    assert(IcebergLog.current(table).get.snapshots.size == 1)
+    assert(IcebergLog.read(spark, table).count() == 3)
+    // scan_filter source option prunes against the manifest metrics
+    val filtered = new sql.Pipeline(spark, streaming = false).run(
+      s"""CREATE TABLE tbl (id BIGINT, v TEXT) WITH (
+         |  connector='iceberg', path='$table', format='parquet',
+         |  type='source', scan_filter='id >= 100');
+         |SELECT count(*) AS n FROM tbl;""".stripMargin)
+    assert(filtered.get.collect()(0).getLong(0) == 2)
+  }
+
   test("ExactlyOnce ledger: a replayed batch id is skipped, a new one runs") {
     val ledger = Files.createTempDirectory("ledger").toString
     val writes = new AtomicInteger(0)
