@@ -302,20 +302,37 @@ object DeltaLog {
     * commit aborts (delta-spark's ConcurrentDeleteReadException) and the
     * loser's files are deleted — committing anyway would resurrect the
     * winner's removed rows as duplicates.
+    *
+    * `zorderBy` (OPTIMIZE t ZORDER BY (c1, …)) re-clusters EVERY active
+    * file along the Morton curve of the named columns
+    * ([[graft.operators.ZOrder]]) — the layout that makes parquet
+    * row-group min/max skipping work on all the named dimensions at
+    * once — still as one dataChange=false swap.
     */
   def optimize(spark: SparkSession, table: String,
-      smallFileBytes: Long = 128L * 1024 * 1024): Option[Long] = {
+      smallFileBytes: Long = 128L * 1024 * 1024,
+      zorderBy: Seq[String] = Seq.empty): Option[Long] = {
     val s = snapshot(spark, table).getOrElse(return None)
-    val small = s.adds.filter(_._2.size < smallFileBytes)
-    if (small.size < 2) return None
+    zorderBy.foreach { c =>
+      require(s.schema.fieldNames.contains(c), s"zorder: no column $c")
+      require(!s.partitionColumns.contains(c),
+        s"zorder: $c is a partition column (already file-disjoint)")
+    }
+    val small =
+      if (zorderBy.nonEmpty) s.adds // layout rewrite: every active file
+      else s.adds.filter(_._2.size < smallFileBytes)
+    if (small.size < (if (zorderBy.nonEmpty) 1 else 2)) return None
     val smallPaths = small.map { case (p, _) => Paths.get(table, p).toString }
     val df = spark.read.schema(s.schema).option("basePath", table)
       .parquet(smallPaths: _*)
       .select(s.schema.fieldNames.map(org.apache.spark.sql.functions.col).toIndexedSeq: _*)
     val scratch = Paths.get(table, s".graft-optimize-${UUID.randomUUID()}")
-    val w = df.coalesce(math.max(1,
-        (small.map(_._2.size).sum / math.max(1L, smallFileBytes)).toInt + 1))
-      .write.mode("overwrite")
+    val nOut = math.max(1,
+      (small.map(_._2.size).sum / math.max(1L, smallFileBytes)).toInt + 1)
+    val out =
+      if (zorderBy.isEmpty) df.coalesce(nOut)
+      else graft.operators.ZOrder.cluster(df, zorderBy, nOut)
+    val w = out.write.mode("overwrite")
     (if (s.partitionColumns.nonEmpty) w.partitionBy(s.partitionColumns: _*) else w)
       .parquet(scratch.toString)
     val parts = walkDir(scratch)

@@ -1017,18 +1017,36 @@ object IcebergLog {
     * Returns the committed metadata version, or None when there was
     * nothing to compact or a concurrent replace removed one of the
     * victims first (the conflict rule — never duplicate rows).
+    *
+    * `zorderBy` re-clusters EVERY live file along the Morton curve of
+    * the named data columns ([[graft.operators.ZOrder]]) instead of
+    * size-compacting — afterwards the manifest bounds are narrow in
+    * all the named dimensions, so [[planFiles]] prunes multi-column
+    * filters (Iceberg tables pair this with `rewrite_data_files`'
+    * sort strategy; Delta calls it OPTIMIZE ZORDER BY).
     */
   def rewriteDataFiles(spark: SparkSession, table: String,
       targetBytes: Long = 128L * 1024 * 1024,
-      smallBytes: Option[Long] = None): Option[Int] = {
+      smallBytes: Option[Long] = None,
+      zorderBy: Seq[String] = Seq.empty): Option[Int] = {
     val m = current(table).getOrElse(
       sys.error(s"$table is not an Iceberg table"))
+    zorderBy.foreach { c =>
+      require(m.schema.fieldNames.contains(c), s"zorder: no column $c")
+      require(!m.partitionColumns.contains(c),
+        s"zorder: $c is a partition column (already file-disjoint)")
+    }
     val threshold = smallBytes.getOrElse(targetBytes / 2)
     val live = liveFiles(table, None).filter(_.status != 2)
     val byPart = live.groupBy(_.partitionValues)
     val victims = byPart.values.flatMap { files =>
-      val small = files.filter(_.size < threshold)
-      if (small.size >= 2) small else Seq.empty
+      // ZORDER re-clusters EVERY live file (layout, not just size);
+      // plain compaction only coalesces partitions with ≥2 small files
+      if (zorderBy.nonEmpty) files
+      else {
+        val small = files.filter(_.size < threshold)
+        if (small.size >= 2) small else Seq.empty
+      }
     }.toSeq
     if (victims.isEmpty) return None
     val dataSchema = StructType(m.schema.filterNot(f => m.partitionColumns.contains(f.name)))
@@ -1038,8 +1056,11 @@ object IcebergLog {
       val scratch = Paths.get(table, s".graft-iceberg-${UUID.randomUUID()}")
       scratchDirs += scratch
       val n = math.max(1, math.ceil(files.map(_.size).sum.toDouble / targetBytes).toInt)
-      spark.read.schema(dataSchema).parquet(files.map(_.path): _*)
-        .coalesce(n).write.mode("overwrite").parquet(scratch.toString)
+      val in = spark.read.schema(dataSchema).parquet(files.map(_.path): _*)
+      val out =
+        if (zorderBy.isEmpty) in.coalesce(n)
+        else graft.operators.ZOrder.cluster(in, zorderBy, n)
+      out.write.mode("overwrite").parquet(scratch.toString)
       // hive partition dir for this group (identity transform)
       val partDir = m.partitionColumns.map { c =>
         val v = pv.getOrElse(c, null)

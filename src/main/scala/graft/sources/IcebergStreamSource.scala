@@ -1,0 +1,143 @@
+package graft.sources
+
+import graft.sinks.IcebergLog
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import java.nio.file.{Files, Path, Paths}
+import scala.jdk.CollectionConverters._
+
+/** STREAMING source over a wire-format Iceberg table — the iceberg twin
+  * of [[DeltaStreamSource]] (same reference recovery contract,
+  * crates/arroyo-connectors/src/filesystem/source.rs): tail the table's
+  * snapshot log incrementally, emitting each logically-appended row
+  * exactly once.
+  *
+  * Same Spark-first shape: a hard-link VIEW directory over Spark's own
+  * file streaming source (distributed reads, per-file offset log in the
+  * query checkpoint, backpressure). The iceberg-specific part is which
+  * files enter the view:
+  *
+  *   - the initial sync links the CURRENT snapshot's live data files
+  *     (each logical row exactly once, however many rewrites produced it)
+  *   - every later sync applies only NEW snapshots, in sequence-number
+  *     order, linking the ADDED entries of `operation=append` snapshots.
+  *     `operation=replace` (rewrite_data_files / OPTIMIZE, including
+  *     ZORDER) adds NO logical rows — its snapshots are skipped whole,
+  *     the iceberg analogue of Delta's dataChange=false
+  *   - sequence numbers are dense by construction, so a gap means the
+  *     unseen snapshots were EXPIRED under the running stream — fail
+  *     loudly rather than re-link from a snapshot (which could
+  *     double-emit rewritten rows)
+  *   - hard links survive expire_snapshots' file GC: a slow reader
+  *     never loses data to retention
+  */
+object IcebergStreamSource {
+
+  private val views = java.util.concurrent.ConcurrentHashMap.newKeySet[View]()
+
+  Runtime.getRuntime.addShutdownHook(new Thread(() => {
+    views.asScala.foreach(_.close())
+  }, "graft-iceberg-view-cleanup"))
+
+  final class View private[IcebergStreamSource] (val table: String, val dir: Path) {
+    @volatile private[IcebergStreamSource] var lastSeq: Long = -1L
+    @volatile private var closed = false
+    private[IcebergStreamSource] var poller: Option[Thread] = None
+    private val tableRoot = Paths.get(table).toAbsolutePath
+
+    /** Apply snapshots with sequence-number > lastSeq: link the added
+      * files of append snapshots, skip replace snapshots. Returns the
+      * number of files newly linked. Thread-safe.
+      */
+    def sync(): Int = synchronized {
+      if (closed) return 0
+      val m = IcebergLog.current(table).getOrElse(return 0)
+      val news = m.snapshots
+        .filter(_.get("sequence-number").asLong() > lastSeq)
+        .sortBy(_.get("sequence-number").asLong())
+      var linked = 0
+      news.foreach { s =>
+        val seq = s.get("sequence-number").asLong()
+        require(seq == lastSeq + 1,
+          s"$table: snapshots at sequence ${lastSeq + 1}..${seq - 1} were " +
+            "expired under a running stream (slow reader past retention?)")
+        val sid = s.get("snapshot-id").asLong()
+        val op = Option(s.get("summary")).map(_.get("operation").asText()).getOrElse("append")
+        if (op == "append") {
+          IcebergLog.liveFiles(table, Some(sid))
+            .filter(f => f.status == 1 && f.entryRow.get(1) == sid)
+            .foreach(f => if (link(f.path)) linked += 1)
+        } // replace: a layout rewrite adds no logical rows — skip whole
+        lastSeq = seq
+      }
+      linked
+    }
+
+    /** Hard-link the table-absolute data `path` into the view, keeping
+      * its `data/…` (hive) relative layout; true when newly linked.
+      */
+    private[IcebergStreamSource] def link(path: String): Boolean = {
+      val src = Paths.get(path).toAbsolutePath
+      val dest = dir.resolve(tableRoot.relativize(src).toString)
+      if (Files.exists(dest)) false
+      else {
+        Files.createDirectories(dest.getParent)
+        try Files.createLink(dest, src)
+        catch {
+          case _: java.nio.file.FileAlreadyExistsException => return false
+          case _: UnsupportedOperationException => Files.copy(src, dest)
+        }
+        true
+      }
+    }
+
+    /** Stop the poller (if any) and delete the view directory. The
+      * streaming query reading it must be stopped first.
+      */
+    def close(): Unit = {
+      closed = true
+      poller.foreach(_.interrupt())
+      views.remove(this)
+      if (Files.exists(dir)) {
+        val s = Files.walk(dir)
+        val paths = try s.iterator().asScala.toSeq finally s.close()
+        paths.reverse.foreach(p => try Files.deleteIfExists(p) catch { case _: Exception => })
+      }
+    }
+  }
+
+  /** Open a streaming read of `table`: the streaming frame (schema +
+    * column order exactly as the table metadata declares) and the
+    * [[View]] handle. `pollMs` starts a daemon that keeps the view
+    * current for continuous triggers.
+    */
+  def open(spark: SparkSession, table: String,
+      pollMs: Option[Long] = None): (DataFrame, View) = {
+    val m = IcebergLog.current(table).getOrElse(
+      sys.error(s"$table is not an Iceberg table (no metadata/v*.metadata.json)"))
+    val view = new View(table, Files.createTempDirectory("graft-iceberg-view"))
+    views.add(view)
+    // initial state: the current snapshot IS each logical row exactly once
+    IcebergLog.liveFiles(table, None).filter(_.status != 2)
+      .foreach(f => view.link(f.path))
+    view.lastSeq = m.lastSeq
+    val dataDir = view.dir.resolve("data")
+    Files.createDirectories(dataDir)
+    val df = spark.readStream.schema(m.schema)
+      .option("basePath", dataDir.toString)
+      .parquet(dataDir.toString)
+      // partition discovery appends partition columns last; restore the
+      // declared order (same rule as the batch read)
+      .select(m.schema.fieldNames.map(org.apache.spark.sql.functions.col).toIndexedSeq: _*)
+    pollMs.foreach { ms =>
+      val t = new Thread(() => {
+        try while (true) { view.sync(); Thread.sleep(ms) }
+        catch { case _: InterruptedException => }
+      }, s"graft-iceberg-poll-${view.dir.getFileName}")
+      t.setDaemon(true)
+      view.poller = Some(t)
+      t.start()
+    }
+    (df, view)
+  }
+}

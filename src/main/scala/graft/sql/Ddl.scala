@@ -75,15 +75,18 @@ object Ddl {
     * (crates/arroyo-planner/src/lib.rs:790-819).
     */
   final case class SetOption(key: String, value: String) extends Stmt
-  /** `OPTIMIZE t` / `VACUUM t [RETAIN n HOURS]` — table maintenance
-    * verbs for delta (r8) and iceberg (r9: rewrite_data_files /
-    * expire_snapshots) connector tables.
+  /** `OPTIMIZE t [ZORDER BY (c1, …)]` / `VACUUM t [RETAIN n HOURS]` —
+    * table maintenance verbs for delta (r8) and iceberg (r9:
+    * rewrite_data_files / expire_snapshots) connector tables. ZORDER BY
+    * re-clusters every active file along the Morton curve of the named
+    * columns (r9, [[graft.operators.ZOrder]]).
     */
   final case class Maintain(op: String, table: String,
-      retainHours: Option[Long]) extends Stmt
+      retainHours: Option[Long], zorderBy: Seq[String] = Seq.empty) extends Stmt
 
   private val SetRe = """(?is)^\s*SET\s+([A-Za-z_][A-Za-z0-9_.]*)\s*=\s*(.+?)\s*$""".r
-  private val OptimizeRe = """(?is)^\s*OPTIMIZE\s+([A-Za-z_][A-Za-z0-9_]*)\s*$""".r
+  private val OptimizeRe =
+    """(?is)^\s*OPTIMIZE\s+([A-Za-z_][A-Za-z0-9_]*)(?:\s+ZORDER\s+BY\s*\(([^)]+)\))?\s*$""".r
   private val VacuumRe =
     """(?is)^\s*VACUUM\s+([A-Za-z_][A-Za-z0-9_]*)(?:\s+RETAIN\s+(\d+)\s+HOURS)?\s*$""".r
 
@@ -143,7 +146,8 @@ object Ddl {
     case CreateViewRe(name, q) => CreateView(name, q)
     case InsertRe(sink, q) => Insert(sink, q)
     case SetRe(k, v) => SetOption(k.toLowerCase, v.stripPrefix("'").stripSuffix("'"))
-    case OptimizeRe(name) => Maintain("optimize", name, None)
+    case OptimizeRe(name, zcols) => Maintain("optimize", name, None,
+      Option(zcols).toSeq.flatMap(_.split(',')).map(_.trim).filter(_.nonEmpty))
     case VacuumRe(name, hours) =>
       Maintain("vacuum", name, Option(hours).map(_.toLong))
     case q => Query(q)

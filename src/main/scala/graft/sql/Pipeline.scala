@@ -243,7 +243,7 @@ class Pipeline(spark: SparkSession, streaming: Boolean = false) {
       if (streaming) checkStreamingGuards(df, None)
       lastResult = Some(df)
 
-    case Maintain(op, name, retainHours) =>
+    case Maintain(op, name, retainHours, zorderBy) =>
       val t = catalog.getOrElse(name,
         throw new IllegalArgumentException(s"unknown table $name"))
       if (t.connector != "delta" && t.connector != "iceberg")
@@ -252,12 +252,16 @@ class Pipeline(spark: SparkSession, streaming: Boolean = false) {
       val tPath = t.path.getOrElse(sys.error(s"table $name: path required"))
       val retainMs = retainHours.map(_ * 3600 * 1000L)
         .getOrElse(7L * 24 * 3600 * 1000)
+      zorderBy.foreach(c => if (!t.schema.fieldNames.contains(c))
+        throw new IllegalArgumentException(s"zorder: no column $c in table $name"))
       // plan() must VALIDATE maintenance statements, never run them
       if (!planOnly) (op, t.connector) match {
-        case ("optimize", "delta") => graft.sinks.DeltaLog.optimize(spark, tPath); ()
+        case ("optimize", "delta") =>
+          graft.sinks.DeltaLog.optimize(spark, tPath, zorderBy = zorderBy); ()
         case ("vacuum", "delta") => graft.sinks.DeltaLog.vacuum(spark, tPath, retainMs); ()
         // iceberg's equivalents: rewrite_data_files / expire_snapshots
-        case ("optimize", _) => graft.sinks.IcebergLog.rewriteDataFiles(spark, tPath); ()
+        case ("optimize", _) =>
+          graft.sinks.IcebergLog.rewriteDataFiles(spark, tPath, zorderBy = zorderBy); ()
         case ("vacuum", _) => graft.sinks.IcebergLog.expireSnapshots(spark, tPath, retainMs); ()
       }
 
@@ -1036,16 +1040,24 @@ class Pipeline(spark: SparkSession, streaming: Boolean = false) {
             graft.sinks.DeltaLog.read(spark, tPath,
               t.options.get("version_as_of").map(_.toLong))
         } else {
-          if (streaming)
-            sys.error("iceberg source is batch-only (snapshot reads); " +
-              "stream the downstream pipeline from a message connector instead")
-          // snapshot_id = 'n' reads any retained snapshot (time travel);
-          // scan_filter = '<sql bool>' prunes whole FILES against the
-          // manifest metrics before Spark lists them (then re-applies
-          // as a normal filter — pruning is conservative)
-          graft.sinks.IcebergLog.read(spark, tPath,
-            t.options.get("snapshot_id").map(_.toLong),
-            t.options.get("scan_filter"))
+          if (streaming) {
+            // r9: incremental tail of the snapshot log (added files of
+            // append snapshots only — a replace/OPTIMIZE mid-stream
+            // re-emits nothing); rides Spark's file streaming source
+            if (t.options.contains("snapshot_id"))
+              sys.error("snapshot_id is a batch (time travel) option; " +
+                "a streaming iceberg source always tails from the current snapshot")
+            val (df, _) = graft.sources.IcebergStreamSource.open(spark, tPath,
+              pollMs = Some(t.options.getOrElse("poll_ms", "500").toLong))
+            df
+          } else
+            // snapshot_id = 'n' reads any retained snapshot (time travel);
+            // scan_filter = '<sql bool>' prunes whole FILES against the
+            // manifest metrics before Spark lists them (then re-applies
+            // as a normal filter — pruning is conservative)
+            graft.sinks.IcebergLog.read(spark, tPath,
+              t.options.get("snapshot_id").map(_.toLong),
+              t.options.get("scan_filter"))
         }
       case "impulse" =>
         val eod = eodField(t).isDefined
