@@ -23,10 +23,22 @@ import org.apache.spark.sql.types._
   *      255-literal array, whole-stage codegen), nulls → bucket 0;
   *   3. the 8-bit bucket ids interleave into one LONG z-value with
   *      shiftleft/bitwise-or terms;
-  *   4. `repartitionByRange(nFiles, zval)` + `sortWithinPartitions`
-  *      lay rows out along the curve (one shuffle — the rewrite's
-  *      unavoidable cost), and the helper column is dropped before
-  *      the write.
+  *   4. a DETERMINISTIC curve-cell-aligned split (not sampled range
+  *      partitioning) lays rows out along the curve: pick the finest
+  *      Morton level with ≤ nFiles whole cells, give each cell its own
+  *      file(s), and split multi-file cells internally by curve
+  *      position. One shuffle — the rewrite's unavoidable cost — and
+  *      the helper columns are dropped before the write.
+  *
+  * Why not `repartitionByRange(nFiles, zval)`: range partitioning
+  * SAMPLES its cut points, and a cut landing mid-cell hands one file a
+  * sliver of the curve-adjacent neighbor cell. Morton curves jump —
+  * the cell after (x-hi, y-lo) is (x-lo, y-hi) — so that sliver can
+  * sit at the far corner of the space and the file's bounding box
+  * inflates to full width in BOTH dimensions, which defeats the min/max
+  * pruning the rewrite exists to enable. Aligning every file boundary
+  * to a cell boundary bounds each file's box by one cell (≤ 1/2^level
+  * of the space per dimension), deterministically.
   *
   * At 100 TB this is the difference between "point query opens every
   * file" and "point query opens O(1) files" for multi-dimension
@@ -58,10 +70,15 @@ object ZOrder {
       s"zorder: unsupported clustering column type $other")
   }
 
-  /** `df` with rows laid out along the z-curve of `cols`, range-split
-    * into `nFiles` partitions (one output file each when written). The
-    * returned frame is write-ready; writing it per hive-partition group
-    * (the caller's job) keeps clustering within partitions.
+  private val pidCol = "__graft_zpid"
+
+  /** `df` with rows laid out along the z-curve of `cols`, split into
+    * `nFiles` partitions (one output file each when written) whose
+    * boundaries are ALIGNED to Morton-cell boundaries — no file ever
+    * contains rows from two cells, so every file's bounding box is at
+    * most one cell wide per clustered dimension. The returned frame is
+    * write-ready; writing it per hive-partition group (the caller's
+    * job) keeps clustering within partitions.
     */
   def cluster(df: DataFrame, cols: Seq[String], nFiles: Int): DataFrame = {
     require(cols.nonEmpty && cols.size <= maxColumns,
@@ -69,10 +86,41 @@ object ZOrder {
     cols.foreach(c => require(df.schema.fieldNames.contains(c),
       s"zorder: no column $c in ${df.schema.fieldNames.mkString(", ")}"))
     val n = math.max(1, nFiles)
+    val ncols = cols.size
+    // finest Morton level whose whole-cell count fits in nFiles: each
+    // cell owns >= 1 file, the first (n % nCells) cells own one extra,
+    // and multi-file cells split internally by curve position — a
+    // within-cell cut can never widen a box past the cell itself.
+    val level = (0 to 8).takeWhile(l => (1L << (ncols * l)) <= n).last
+    val nCells = 1L << (ncols * level)
+    val cellShift = ncols * (8 - level)
+    val cellStride = 1L << cellShift
+    val base = n / nCells
+    val rem = n % nCells
     val withZ = df.withColumn(zCol, zValue(df, cols))
-    withZ.repartitionByRange(n, col(zCol))
+    val cell = shiftright(col(zCol), cellShift)
+    val filesHere = when(cell < rem, lit(base + 1)).otherwise(lit(base))
+    val firstFile = cell * base + least(cell, lit(rem))
+    val within = least(
+      floor(col(zCol).bitwiseAND(lit(cellStride - 1)).cast(DoubleType)
+        * filesHere / cellStride.toDouble),
+      filesHere - 1L)
+    val staged = withZ.withColumn(pidCol, (firstFile + within).cast(IntegerType))
+    val schema = staged.schema
+    val pidIdx = schema.fieldIndex(pidCol)
+    // exact partition-id placement (no sampling): a one-line RDD
+    // Partitioner; the z computation above stays codegen'd and this is
+    // the rewrite's one shuffle either way
+    val exact = staged.rdd
+      .map(r => (r.getInt(pidIdx), r))
+      .partitionBy(new org.apache.spark.Partitioner {
+        override def numPartitions: Int = n
+        override def getPartition(key: Any): Int = key.asInstanceOf[Int]
+      })
+      .values
+    df.sparkSession.createDataFrame(exact, schema)
       .sortWithinPartitions(zCol)
-      .drop(zCol)
+      .drop(pidCol, zCol)
   }
 
   /** The LONG z-value column for `cols` of `df` (exposed for specs). */

@@ -41,14 +41,11 @@ class ZOrderSpec extends SparkSpec {
     assert(linear.map(_._2).min > n * 0.8, "baseline must be y-unclustered")
     val zBoxes = boxes(ZOrder.cluster(grid, Seq("x", "y"), nFiles))
     assert(zBoxes.size == nFiles)
-    // 16 files ⟹ 4×4 curve cells of n/4 × n/4; a range cut straddling a
-    // quadrant boundary may legally widen one box toward n/2, so: every
-    // box well under full-width, and the TYPICAL box near the n/4 ideal
-    def median(s: Seq[Double]) = s.sorted.apply(s.size / 2)
-    assert(zBoxes.forall { case (dx, dy) => dx < n * 0.55 && dy < n * 0.55 },
-      s"boxes too wide: $zBoxes")
-    assert(median(zBoxes.map(_._1)) < n * 0.35 && median(zBoxes.map(_._2)) < n * 0.35,
-      s"typical box must be ~n/4: $zBoxes")
+    // 16 files ⟹ 4×4 curve cells of n/4 × n/4, and cluster() aligns
+    // every file boundary to a cell boundary — so EVERY box is at most
+    // one cell (n/4) plus quantile-sketch slack, in BOTH dimensions
+    assert(zBoxes.forall { case (dx, dy) => dx < n * 0.30 && dy < n * 0.30 },
+      s"every box must fit one n/4 curve cell: $zBoxes")
     // rows survive the shuffle exactly
     assert(ZOrder.cluster(grid, Seq("x", "y"), nFiles).count() == n.toLong)
   }
