@@ -75,7 +75,18 @@ object DeltaLog {
   // files), driver-side) per batch — replay only the JSON commits since
   // the cached version. At 100 TB / ~10⁶ files this turns the per-commit
   // log cost from O(files) into O(new commits).
-  private val snapCache = new java.util.concurrent.ConcurrentHashMap[String, Snapshot]()
+  // Each entry remembers the log file that BACKED its version (path +
+  // size + mtime): a table deleted and recreated at the same path grows
+  // a log whose version-N file differs from the cached one, and the
+  // identity mismatch forces a cold replay instead of seeding stale
+  // adds/schema from the dead incarnation.
+  private final case class LogFileId(name: String, size: Long, mtime: Long)
+  private val snapCache =
+    new java.util.concurrent.ConcurrentHashMap[String, (Snapshot, LogFileId)]()
+
+  private def logFileId(p: Path): LogFileId =
+    LogFileId(p.getFileName.toString, Files.size(p),
+      Files.getLastModifiedTime(p).toMillis)
 
   /** Test/probe hook: forget cached snapshots (forces a cold full replay). */
   private[graft] def clearSnapshotCache(): Unit = snapCache.clear()
@@ -144,7 +155,8 @@ object DeltaLog {
           val pv = a.get("partitionValues")
           adds += decodePath(a.get("path").asText()) -> AddInfo(
             a.get("size").asLong(), a.get("modificationTime").asLong(),
-            pv.properties().asScala.map(e => e.getKey -> e.getValue.asText()).toSeq.sorted)
+            pv.properties().asScala.map(e => e.getKey ->
+              (if (e.getValue.isNull) null else e.getValue.asText())).toSeq.sorted)
         }
         if (n.has("remove")) adds -= decodePath(n.get("remove").get("path").asText())
         if (n.has("txn")) {
@@ -158,9 +170,15 @@ object DeltaLog {
     // replay only the tail; no checkpoint parquet collect, no full-log
     // replay. Falls back cold when the tail was aged out past a
     // checkpoint or the table was recreated (cache version ahead of log).
-    val cached = Option(snapCache.get(cacheKey(table))).filter { c =>
-      c.version <= target &&
-        jsons.view.map(_._1).filter(v => v > c.version).toSeq == (c.version + 1 to target)
+    val cached = Option(snapCache.get(cacheKey(table))).collect {
+      case (c, id) if c.version <= target &&
+        jsons.view.map(_._1).filter(v => v > c.version).toSeq == (c.version + 1 to target) &&
+        // identity: the log file that backed the cached version must still
+        // be the SAME file — a recreated table at this path fails here
+        (jsons.find(_._1 == c.version).map(_._2) orElse
+          checkpoints.find(_._1 == c.version).map(_._2))
+          .exists(p => try logFileId(p) == id catch { case _: java.io.IOException => false }) =>
+        c
     }
 
     cached match {
@@ -207,7 +225,13 @@ object DeltaLog {
     // only the true latest state may overwrite the cache (asOf snapshots
     // are historical); an unconditional put also self-heals a recreated
     // table whose cache entry is ahead of the new log
-    if (asOf.isEmpty) snapCache.put(cacheKey(table), snap)
+    if (asOf.isEmpty) {
+      val backing = jsons.find(_._1 == target).map(_._2)
+        .orElse(checkpoints.find(_._1 == target).map(_._2))
+      backing.foreach(p =>
+        try snapCache.put(cacheKey(table), (snap, logFileId(p)))
+        catch { case _: java.io.IOException => /* raced a cleanup: skip */ })
+    }
     Some(snap)
   }
 
@@ -392,6 +416,10 @@ object DeltaLog {
   private def partitionValuesOf(rel: String): Seq[(String, String)] =
     rel.split('/').dropRight(1).toSeq.flatMap { seg =>
       seg.split("=", 2) match {
+        // Spark's null-partition sentinel dir → a REAL null, which the
+        // protocol serializes as a JSON null partitionValues entry
+        case Array(k, v) if v == IcebergLog.hiveNullDir =>
+          Some(k -> (null: String))
         case Array(k, v) => Some(k -> decodePath(v))
         case _ => None
       }
@@ -487,10 +515,11 @@ object DeltaLog {
       try {
         try Files.createLink(dir.resolve(f"$version%020d.json"), tmp)
         catch { case _: UnsupportedOperationException =>
-          // no hard links (e.g. some network filesystems): CREATE_NEW is
-          // the same put-if-absent contract, atomic on POSIX open(O_EXCL)
-          Files.write(dir.resolve(f"$version%020d.json"), bytes,
-            java.nio.file.StandardOpenOption.CREATE_NEW)
+          // no hard links (e.g. some network filesystems): same-dir rename
+          // WITHOUT REPLACE_EXISTING keeps put-if-absent semantics AND
+          // full-content visibility (a CREATE_NEW content write is not
+          // atomic — a concurrent snapshot() could read a torn file)
+          Files.move(tmp, dir.resolve(f"$version%020d.json"))
         }
         Files.deleteIfExists(tmp)
         return Some(version)

@@ -478,11 +478,17 @@ object IcebergLog {
       partitionValuesOf(Paths.get(table, "data").relativize(dest).toString), metrics)
   }
 
+  /** Spark's hive-dir sentinel for a null partition value. */
+  private[graft] val hiveNullDir = "__HIVE_DEFAULT_PARTITION__"
+
   private def partitionValuesOf(rel: String): Seq[(String, String)] =
     rel.split('/').dropRight(1).toSeq.flatMap { seg =>
       seg.split("=", 2) match {
         // %XX-only decode: a literal '+' in a hive dir name is a '+',
-        // not a space (URLDecoder's form-encoding rule doesn't apply)
+        // not a space (URLDecoder's form-encoding rule doesn't apply);
+        // Spark's null sentinel becomes a REAL null so the manifest
+        // carries it and IS NULL pruning judges it correctly
+        case Array(k, v) if v == hiveNullDir => Some(k -> (null: String))
         case Array(k, v) =>
           Some(k -> java.net.URLDecoder.decode(v.replace("+", "%2B"), "UTF-8"))
         case _ => None
@@ -506,7 +512,8 @@ object IcebergLog {
   private def dataFileRow(a: DataFileInfo, partType: StructType): Row = {
     val pv = a.partitionValues.toMap
     val partRow = Row(partType.fields.map(f =>
-      pv.get(f.name).map(typedPartitionValue(_, f.dataType)).orNull).toIndexedSeq: _*)
+      pv.get(f.name).flatMap(Option(_))
+        .map(typedPartitionValue(_, f.dataType)).orNull).toIndexedSeq: _*)
     Row(0, a.path, "PARQUET", partRow, a.records, a.size,
       kvRows(a.metrics.valueCounts.asInstanceOf[Map[Int, Any]]),
       kvRows(a.metrics.nullCounts.asInstanceOf[Map[Int, Any]]),
@@ -518,22 +525,24 @@ object IcebergLog {
       partitionBy: Seq[String], added: Seq[DataFileInfo],
       txn: Option[(String, Long)]): Option[Int] =
     commitSnapshot(spark, table, schema, partitionBy, added, txn,
-      operation = "append", replaced = Set.empty, survivors = None)
+      operation = "append", replaced = Set.empty)
 
   /** The one commit loop behind append ([[writeBatch]]) and replace
     * ([[rewriteDataFiles]]). For `append`, the new manifest list carries
     * every prior manifest forward, merging small ones past
-    * [[mergeMinCount]]. For `replace`, `survivors` (live entries NOT
-    * being replaced, as decoded manifest-entry Rows keeping their own
-    * sequence numbers) plus the new ADDED manifest form a FRESH two-
-    * manifest list, and the loop aborts (returns None) if any `replaced`
-    * path is no longer live in the freshly-read snapshot — the
-    * concurrent-replace conflict rule.
+    * [[mergeMinCount]]. For `replace`, the survivors (live entries NOT
+    * being replaced, keeping their own sequence numbers) plus the new
+    * ADDED manifest form a FRESH two-manifest list. Survivors are
+    * RE-DERIVED from the freshly-read snapshot on every attempt — a
+    * concurrent append landing between the caller's planning read and
+    * this commit is carried forward, never dropped — and the loop
+    * aborts (returns None) if any `replaced` path is no longer live in
+    * that snapshot — the concurrent-replace conflict rule.
     */
   private def commitSnapshot(spark: SparkSession, table: String, schema0: StructType,
       partitionBy0: Seq[String], added: Seq[DataFileInfo],
       txn: Option[(String, Long)], operation: String,
-      replaced: Set[String], survivors: Option[Seq[Row]]): Option[Int] = {
+      replaced: Set[String]): Option[Int] = {
     val dir = metaDir(table)
     Files.createDirectories(dir)
     var attempt = 0
@@ -550,15 +559,22 @@ object IcebergLog {
           s"iceberg append: schema/partitioning must match the table " +
             s"(have ${m.schema.simpleString} / ${m.partitionColumns})")
       }
-      if (replaced.nonEmpty) {
-        // concurrent-replace conflict detection: every file this commit
-        // removes must still be live; a concurrent replace that beat us
-        // already rewrote some of them — abort, never duplicate rows
-        val live: Set[String] =
-          if (cur.isDefined) liveFiles(table, None).filter(_.status != 2).map(_.path).toSet
-          else Set.empty
-        if (!replaced.forall(live.contains)) return None
-      }
+      val survivors: Option[Seq[Row]] =
+        if (operation != "replace") None
+        else {
+          // concurrent-replace conflict detection + survivor derivation,
+          // BOTH against this attempt's fresh snapshot: every file this
+          // commit removes must still be live (a concurrent replace that
+          // beat us already rewrote some — abort, never duplicate rows),
+          // and everything live that we are NOT replacing is carried
+          // forward (a concurrent append that beat us is kept, never
+          // silently dropped from the fresh manifest list)
+          val liveNow =
+            if (cur.isDefined) liveFiles(table, None).filter(_.status != 2)
+            else Seq.empty
+          if (!replaced.forall(liveNow.map(_.path).toSet.contains)) return None
+          Some(liveNow.filterNot(f => replaced.contains(f.path)).map(_.entryRow))
+        }
       val partType = StructType(partitionBy.map(c =>
         StructField(c, schema(schema.fieldIndex(c)).dataType, nullable = true)))
       val newVersion = cur.map(_.version + 1).getOrElse(1)
@@ -731,7 +747,9 @@ object IcebergLog {
         try {
           try Files.createLink(target, tmp)
           catch { case _: UnsupportedOperationException =>
-            Files.write(target, bytes, java.nio.file.StandardOpenOption.CREATE_NEW)
+            // same-dir rename, no REPLACE_EXISTING: put-if-absent with
+            // full-content visibility (CREATE_NEW content writes tear)
+            Files.move(tmp, target)
           }
           Files.deleteIfExists(tmp)
           // the hint may lag behind (spec: readers fall back to listing)
@@ -1025,6 +1043,12 @@ object IcebergLog {
     * filters (Iceberg tables pair this with `rewrite_data_files`'
     * sort strategy; Delta calls it OPTIMIZE ZORDER BY).
     */
+  /** Test seam: runs after a replace has planned its victims and written
+    * replacement files, before the commit loop — lets specs land a
+    * concurrent append in the planning→commit window deterministically.
+    */
+  private[graft] var onReplaceCommit: () => Unit = () => ()
+
   def rewriteDataFiles(spark: SparkSession, table: String,
       targetBytes: Long = 128L * 1024 * 1024,
       smallBytes: Option[Long] = None,
@@ -1063,10 +1087,15 @@ object IcebergLog {
       out.write.mode("overwrite").parquet(scratch.toString)
       // hive partition dir for this group (identity transform)
       val partDir = m.partitionColumns.map { c =>
-        val v = pv.getOrElse(c, null)
-        // %XX escapes only ('+' means '+'; space is %20), matching the
-        // decoder in partitionValuesOf and Spark's own hive-dir escaping
-        s"$c=${java.net.URLEncoder.encode(String.valueOf(v), "UTF-8").replace("+", "%20")}"
+        pv.getOrElse(c, null) match {
+          // null partition value → Spark's sentinel dir, round-tripping
+          // through partitionValuesOf back to a real null
+          case null => s"$c=$hiveNullDir"
+          // %XX escapes only ('+' means '+'; space is %20), matching the
+          // decoder in partitionValuesOf and Spark's own hive-dir escaping
+          case v =>
+            s"$c=${java.net.URLEncoder.encode(String.valueOf(v), "UTF-8").replace("+", "%20")}"
+        }
       }.foldLeft(Paths.get(table, "data"))(_.resolve(_))
       Files.createDirectories(partDir)
       walkDir(scratch).filter(p => Files.isRegularFile(p) &&
@@ -1082,10 +1111,12 @@ object IcebergLog {
     }
     scratchDirs.foreach(d => walkDir(d).reverse.foreach(Files.deleteIfExists(_)))
     val victimPaths = victims.map(_.path).toSet
-    val survivors = live.filterNot(f => victimPaths.contains(f.path)).map(_.entryRow)
+    onReplaceCommit()
+    // survivors are derived INSIDE the commit loop from each attempt's
+    // fresh snapshot (not here) so a concurrent append is never lost
     val committed = commitSnapshot(spark, table, m.schema, m.partitionColumns,
       scratchFiles.toSeq, txn = None, operation = "replace",
-      replaced = victimPaths, survivors = Some(survivors))
+      replaced = victimPaths)
     if (committed.isEmpty)
       scratchFiles.foreach(a => Files.deleteIfExists(Paths.get(a.path)))
     committed
@@ -1149,7 +1180,8 @@ object IcebergLog {
         try {
           try { Files.createLink(target, tmp); true }
           catch { case _: UnsupportedOperationException =>
-            Files.write(target, bytes, java.nio.file.StandardOpenOption.CREATE_NEW); true }
+            // rename, no REPLACE_EXISTING: atomic put-if-absent, never torn
+            Files.move(tmp, target); true }
         } catch { case _: java.nio.file.FileAlreadyExistsException => false }
         finally Files.deleteIfExists(tmp)
       if (claimed) {

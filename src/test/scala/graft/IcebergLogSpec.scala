@@ -369,4 +369,64 @@ class IcebergLogSpec extends SparkSpec {
       .map(_.toAbsolutePath.toString).toSet
     assert(onDisk == active, s"stray files: ${onDisk.diff(active)}")
   }
+
+  test("rewrite keeps a concurrent append landing between planning and commit (r10)") {
+    import spark.implicits._
+    val table = tmpTable()
+    (1 to 4).foreach { i =>
+      IcebergLog.writeBatch(Seq((i.toLong, s"v$i")).toDF("id", "v").coalesce(1), table)
+    }
+    // land an append in the planning→commit window: the commit loop must
+    // re-derive survivors from the FRESH snapshot and carry it forward
+    IcebergLog.onReplaceCommit = () =>
+      assert(IcebergLog.writeBatch(
+        Seq((99L, "late")).toDF("id", "v").coalesce(1), table).nonEmpty)
+    try assert(IcebergLog.rewriteDataFiles(spark, table).nonEmpty)
+    finally IcebergLog.onReplaceCommit = () => ()
+    assert(IcebergLog.read(spark, table).as[(Long, String)].collect().toSet ==
+      ((1 to 4).map(i => (i.toLong, s"v$i")).toSet + ((99L, "late"))),
+      "the concurrently appended row must survive the replace commit")
+  }
+
+  test("null partition values: real nulls in manifests, IS NULL pruning, compaction round-trip (r10)") {
+    import spark.implicits._
+    val table = tmpTable()
+    // LONG partition column with nulls — pre-fix this threw in
+    // typedPartitionValue on the __HIVE_DEFAULT_PARTITION__ sentinel
+    (0 until 2).foreach { b =>
+      IcebergLog.writeBatch(
+        Seq((b * 10 + 1L, Option(10L), s"a$b"), (b * 10 + 2L, None, s"b$b"))
+          .toDF("id", "bucket", "v").repartition(2, col("bucket")),
+        table, partitionBy = Seq("bucket"))
+    }
+    assert(IcebergLog.read(spark, table).count() == 4)
+    // the manifest carries a REAL null, so IS NULL keeps exactly the
+    // null-partition files and IS NOT NULL drops them
+    val (nullKept, total) = IcebergLog.planFiles(spark, table, None, Some("bucket IS NULL"))
+    assert(nullKept.nonEmpty && nullKept.size < total,
+      s"IS NULL must keep only null-partition files (${nullKept.size}/$total)")
+    assert(nullKept.forall(_.partitionValues("bucket") == null))
+    val (notNullKept, _) = IcebergLog.planFiles(spark, table, None, Some("bucket IS NOT NULL"))
+    assert(notNullKept.forall(_.partitionValues("bucket") != null))
+    assert(IcebergLog.read(spark, table, scanFilter = Some("bucket IS NULL"))
+      .select("id").as[Long].collect().toSet == Set(2L, 12L))
+    // compaction re-encodes the null partition dir via the sentinel and
+    // round-trips it back to a real null
+    assert(IcebergLog.rewriteDataFiles(spark, table, targetBytes = 1L << 30).nonEmpty)
+    assert(IcebergLog.read(spark, table).count() == 4)
+    assert(IcebergLog.read(spark, table, scanFilter = Some("bucket IS NULL"))
+      .select("id").as[Long].collect().toSet == Set(2L, 12L))
+    val (afterNull, afterTotal) = IcebergLog.planFiles(spark, table, None, Some("bucket IS NULL"))
+    assert(afterNull.size < afterTotal && afterNull.forall(_.partitionValues("bucket") == null))
+    // string partition column: the sentinel must NOT surface as a literal
+    val sTable = tmpTable()
+    IcebergLog.writeBatch(
+      Seq((1L, Option("us"), "x"), (2L, Option.empty[String], "y"))
+        .toDF("id", "region", "v").repartition(2, col("region")),
+      sTable, partitionBy = Seq("region"))
+    val (sNull, sTotal) = IcebergLog.planFiles(spark, sTable, None, Some("region IS NULL"))
+    assert(sNull.nonEmpty && sNull.size < sTotal && sNull.forall(_.partitionValues("region") == null))
+    assert(IcebergLog.read(spark, sTable, scanFilter = Some("region IS NULL"))
+      .select("id").as[Long].collect().toSet == Set(2L))
+  }
 }
