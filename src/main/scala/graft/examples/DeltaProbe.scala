@@ -93,6 +93,42 @@ object DeltaProbe {
         f"cold=${tSnapCold * 1000}%.0fms warm=${tSnapWarm * 1000}%.0fms")
     }
     Seq(10000, 100000).foreach(fileCountAxis)
+
+    // (d) STREAMING-OPEN axis: DeltaStreamSource.open hard-links every
+    // ACTIVE file into the view dir on the driver (one-time), and each
+    // later sync links only the new tail. Synthetic adds again, but with
+    // real (empty) files on disk so the links can be made — the probe
+    // measures the link loop itself, which is the O(active files) piece.
+    def streamOpenAxis(nFiles: Int): Unit = {
+      import java.nio.file.{Files => JF, Paths => JP}
+      val one = Seq((1L, "x")).toDF("id", "v").coalesce(1)
+      val t = JF.createTempDirectory("delta-sopen").toString
+      DeltaLog.writeBatch(one, t, checkpointInterval = 0)
+      var v = 1L
+      var written = 0
+      while (written < nFiles) {
+        val n = math.min(20000, nFiles - written)
+        val sb = new StringBuilder
+        (0 until n).foreach { i =>
+          val name = s"part-synth-$v-$i.parquet"
+          JF.createFile(JP.get(t, name))
+          sb.append(s"""{"add":{"path":"$name","partitionValues":{},"size":1,"modificationTime":1,"dataChange":true}}""").append('\n')
+        }
+        JF.write(JP.get(t, "_delta_log", f"$v%020d.json"),
+          sb.toString.getBytes("UTF-8"))
+        v += 1; written += n
+      }
+      DeltaLog.clearSnapshotCache()
+      val ((_, view), tOpen) =
+        timed(graft.sources.DeltaStreamSource.open(spark, t))
+      DeltaLog.writeBatch(one, t, checkpointInterval = 0)
+      val (linked, tSync) = timed(view.sync())
+      val (_, tClose) = timed(view.close())
+      println(f"[delta-probe] stream-open files=$nFiles%7d " +
+        f"open=${tOpen * 1000}%.0fms incr-sync(+$linked)=${tSync * 1000}%.0fms " +
+        f"close=${tClose * 1000}%.0fms")
+    }
+    Seq(10000, 100000).foreach(streamOpenAxis)
     spark.stop()
   }
 }

@@ -95,7 +95,8 @@ object DeltaLog {
     Paths.get(table).toAbsolutePath.normalize.toString
 
   final case class AddInfo(size: Long, modificationTime: Long,
-      partitionValues: Seq[(String, String)])
+      partitionValues: Seq[(String, String)],
+      stats: Option[String] = None)
 
   final case class Snapshot(schema: StructType, partitionColumns: Seq[String],
       adds: Seq[(String, AddInfo)], version: Long,
@@ -156,7 +157,8 @@ object DeltaLog {
           adds += decodePath(a.get("path").asText()) -> AddInfo(
             a.get("size").asLong(), a.get("modificationTime").asLong(),
             pv.properties().asScala.map(e => e.getKey ->
-              (if (e.getValue.isNull) null else e.getValue.asText())).toSeq.sorted)
+              (if (e.getValue.isNull) null else e.getValue.asText())).toSeq.sorted,
+            Option(a.get("stats")).filterNot(_.isNull).map(_.asText()))
         }
         if (n.has("remove")) adds -= decodePath(n.get("remove").get("path").asText())
         if (n.has("txn")) {
@@ -211,7 +213,11 @@ object DeltaLog {
                 val a = r.getStruct(i("add"))
                 adds += decodePath(a.getAs[String]("path")) -> AddInfo(
                   a.getAs[Long]("size"), a.getAs[Long]("modificationTime"),
-                  a.getAs[scala.collection.Map[String, String]]("partitionValues").toSeq.sorted)
+                  a.getAs[scala.collection.Map[String, String]]("partitionValues").toSeq.sorted,
+                  // pre-r10 checkpoints have no stats column
+                  if (a.schema.fieldNames.contains("stats"))
+                    Option(a.getAs[String]("stats"))
+                  else None)
               }
             }
             v
@@ -241,18 +247,186 @@ object DeltaLog {
     * below the table root; reading them with `basePath` re-derives the
     * partition columns, so partition-predicate pushdown (PartitionFilters
     * in the scan) works exactly as on a native Delta table.
+    *
+    * `scanFilter` (a SQL boolean over the table's columns) prunes whole
+    * FILES against the add actions' `stats` (min/max/nullCount, the
+    * protocol's file-skipping device) plus partitionValues before Spark
+    * ever lists them, then re-applies exactly as a normal filter —
+    * with [[optimize]]'s ZORDER this is the delta 100 TB scan story,
+    * same engine as the Iceberg manifest-metrics path.
     */
   def read(spark: SparkSession, table: String,
-      asOf: Option[Long] = None): DataFrame = {
+      asOf: Option[Long] = None,
+      scanFilter: Option[String] = None): DataFrame = {
     val s = snapshot(spark, table, asOf)
       .getOrElse(sys.error(s"$table is not a Delta table (no _delta_log)"))
-    if (s.files.isEmpty)
-      spark.createDataFrame(spark.sparkContext.emptyRDD[Row], s.schema)
-    else spark.read.schema(s.schema).option("basePath", table)
-      .parquet(s.files.map(f => Paths.get(table, f).toString): _*)
-      // partition discovery appends partition columns last; restore the
-      // metaData-declared column order
-      .select(s.schema.fieldNames.map(org.apache.spark.sql.functions.col).toIndexedSeq: _*)
+    val (kept, _) = prune(spark, s, scanFilter)
+    val base =
+      if (kept.isEmpty)
+        spark.createDataFrame(spark.sparkContext.emptyRDD[Row], s.schema)
+      else spark.read.schema(s.schema).option("basePath", table)
+        .parquet(kept.map(f => Paths.get(table, f).toString): _*)
+        // partition discovery appends partition columns last; restore the
+        // metaData-declared column order
+        .select(s.schema.fieldNames.map(org.apache.spark.sql.functions.col).toIndexedSeq: _*)
+    scanFilter.map(_.trim).filter(_.nonEmpty)
+      .map(f => base.filter(org.apache.spark.sql.functions.expr(f)))
+      .getOrElse(base)
+  }
+
+  /** Active files that MAY satisfy `scanFilter` (rel paths), judged
+    * against add-action stats + partition values; (kept, totalActive)
+    * so callers can report skip ratios. Conservative — see
+    * [[StatsPruning]].
+    */
+  private[graft] def planFiles(spark: SparkSession, table: String,
+      asOf: Option[Long] = None, scanFilter: Option[String] = None)
+      : (Seq[String], Int) = {
+    val s = snapshot(spark, table, asOf)
+      .getOrElse(sys.error(s"$table is not a Delta table (no _delta_log)"))
+    prune(spark, s, scanFilter)
+  }
+
+  private def prune(spark: SparkSession, s: Snapshot,
+      scanFilter: Option[String]): (Seq[String], Int) =
+    scanFilter.map(_.trim).filter(_.nonEmpty) match {
+      case None => (s.files, s.adds.size)
+      case Some(f) =>
+        val conj = StatsPruning.conjunctsOf(spark, f)
+        (s.adds.filter { case (_, info) =>
+          val fs = addFileStats(info)
+          conj.forall(c => StatsPruning.mayMatch(fs, c, s.schema))
+        }.map(_._1), s.adds.size)
+    }
+
+  /** [[StatsPruning.FileStats]] view of one add action: bounds and
+    * counts parse lazily from the `stats` JSON, partition values stay
+    * hive strings ([[StatsPruning.partValue]] types them).
+    */
+  private def addFileStats(info: AddInfo): StatsPruning.FileStats =
+    new StatsPruning.FileStats {
+      private val pv = info.partitionValues.toMap
+      private lazy val statsNode = info.stats.flatMap(s =>
+        try Some(mapper.readTree(s)) catch { case _: Exception => None })
+      private def field(section: String, name: String) =
+        statsNode.flatMap(n => Option(n.get(section)))
+          .flatMap(sec => Option(sec.get(name))).filterNot(_.isNull)
+      def partitionValue(name: String): Option[Any] =
+        if (pv.contains(name)) Some(pv(name)) else None
+      def bounds(name: String, dt: DataType): Option[(Any, Any)] =
+        for {
+          lo <- field("minValues", name).flatMap(jsonStatValue(_, dt))
+          hi <- field("maxValues", name).flatMap(jsonStatValue(_, dt))
+        } yield (lo, hi)
+      def valueCount(name: String): Option[Long] =
+        if (pv.contains(name)) None
+        else statsNode.flatMap(n => Option(n.get("numRecords"))).map(_.asLong)
+      def nullCount(name: String): Option[Long] =
+        field("nullCount", name).map(_.asLong)
+    }
+
+  /** JSON stats value → the plain JVM value [[StatsPruning.compareValues]]
+    * orders (dates/timestamps serialize as ISO strings, the protocol
+    * shape; None = unusable → keep the file).
+    */
+  private def jsonStatValue(v: com.fasterxml.jackson.databind.JsonNode,
+      dt: DataType): Option[Any] =
+    try dt match {
+      case IntegerType if v.isNumber => Some(v.asInt)
+      case LongType if v.isNumber => Some(v.asLong)
+      case FloatType if v.isNumber => Some(v.asDouble.toFloat)
+      case DoubleType if v.isNumber => Some(v.asDouble)
+      case BooleanType if v.isBoolean => Some(v.asBoolean)
+      case StringType if v.isTextual => Some(v.asText)
+      case DateType if v.isTextual =>
+        Some(java.time.LocalDate.parse(v.asText).toEpochDay.toInt)
+      case TimestampType if v.isTextual =>
+        val i = java.time.Instant.parse(v.asText)
+        Some(i.getEpochSecond * 1000000L + i.getNano / 1000L)
+      case _ => None
+    } catch { case _: Exception => None }
+
+  /** Harvest one fresh data file's `stats` JSON from its parquet footer
+    * (numRecords always; min/max/nullCount per column where the chunk
+    * statistics are present and exact — conservative, like the Iceberg
+    * metrics pass). Stats are an OPTIONAL protocol field: any failure
+    * degrades to None, never fails the write.
+    */
+  private def fileStatsJson(spark: SparkSession, dest: Path,
+      dataSchema: StructType): Option[String] =
+    try {
+      val conf = spark.sessionState.newHadoopConf()
+      val reader = org.apache.parquet.hadoop.ParquetFileReader.open(
+        org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+          new org.apache.hadoop.fs.Path(dest.toAbsolutePath.toString), conf))
+      try {
+        val byName = dataSchema.fields.map(f => f.name -> f.dataType).toMap
+        val nc = scala.collection.mutable.Map.empty[String, Long]
+        val lo = scala.collection.mutable.Map.empty[String, Any]
+        val hi = scala.collection.mutable.Map.empty[String, Any]
+        val statsOk = scala.collection.mutable.Map.empty[String, Boolean]
+        val nullsOk = scala.collection.mutable.Map.empty[String, Boolean]
+        reader.getFooter.getBlocks.asScala.foreach { block =>
+          block.getColumns.asScala.foreach { chunk =>
+            val name = chunk.getPath.toDotString
+            byName.get(name).foreach { dt =>
+              val st = chunk.getStatistics
+              if (st == null || st.isEmpty || !st.isNumNullsSet)
+                nullsOk(name) = false
+              else {
+                nullsOk.getOrElseUpdate(name, true)
+                if (nullsOk(name)) nc(name) = nc.getOrElse(name, 0L) + st.getNumNulls
+              }
+              if (st == null || st.isEmpty || !st.hasNonNullValue)
+                statsOk(name) = false
+              else {
+                statsOk.getOrElseUpdate(name, true)
+                if (statsOk(name)) {
+                  val mn = IcebergLog.parquetStatValue(st.genericGetMin.asInstanceOf[AnyRef], dt)
+                  val mx = IcebergLog.parquetStatValue(st.genericGetMax.asInstanceOf[AnyRef], dt)
+                  if (mn == null || mx == null) statsOk(name) = false
+                  else {
+                    if (!lo.contains(name) || StatsPruning.compareValues(mn, lo(name), dt) < 0)
+                      lo(name) = mn
+                    if (!hi.contains(name) || StatsPruning.compareValues(mx, hi(name), dt) > 0)
+                      hi(name) = mx
+                  }
+                }
+              }
+            }
+          }
+        }
+        val root = mapper.createObjectNode()
+        root.put("numRecords", reader.getRecordCount)
+        val minO = root.putObject("minValues")
+        val maxO = root.putObject("maxValues")
+        val nullO = root.putObject("nullCount")
+        dataSchema.fields.foreach { f =>
+          if (statsOk.getOrElse(f.name, false)) {
+            putStatValue(minO, f.name, lo(f.name), f.dataType)
+            putStatValue(maxO, f.name, hi(f.name), f.dataType)
+          }
+          if (nullsOk.getOrElse(f.name, false)) nullO.put(f.name, nc(f.name))
+        }
+        Some(root.toString)
+      } finally reader.close()
+    } catch { case _: Exception => None }
+
+  private def putStatValue(o: com.fasterxml.jackson.databind.node.ObjectNode,
+      name: String, v: Any, dt: DataType): Unit = dt match {
+    case IntegerType => o.put(name, v.asInstanceOf[Int])
+    case LongType => o.put(name, v.asInstanceOf[Long])
+    case FloatType => o.put(name, v.asInstanceOf[Float])
+    case DoubleType => o.put(name, v.asInstanceOf[Double])
+    case BooleanType => o.put(name, v.asInstanceOf[Boolean])
+    case StringType => o.put(name, v.asInstanceOf[String])
+    case DateType =>
+      o.put(name, java.time.LocalDate.ofEpochDay(v.asInstanceOf[Int].toLong).toString)
+    case TimestampType =>
+      val us = v.asInstanceOf[Long]
+      o.put(name, java.time.Instant.ofEpochSecond(
+        Math.floorDiv(us, 1000000L), Math.floorMod(us, 1000000L) * 1000L).toString)
+    case _ => ()
   }
 
   /** Append `df` as one atomic Delta commit. `txn` = (appId, batchId)
@@ -286,6 +460,7 @@ object DeltaLog {
         p.getFileName.toString.endsWith(".parquet"))
       .map(p => (scratch.relativize(p).toString, p))
       .sortBy(_._1)
+    val dataSchema = StructType(df.schema.filterNot(f => partitionBy.contains(f.name)))
     val added = parts.map { case (rel, p) =>
       val dest = Paths.get(table, rel)
       Files.createDirectories(dest.getParent)
@@ -293,7 +468,7 @@ object DeltaLog {
       catch { case _: UnsupportedOperationException =>
         Files.move(p, dest, StandardCopyOption.ATOMIC_MOVE) }
       (rel, AddInfo(Files.size(dest), Files.getLastModifiedTime(dest).toMillis,
-        partitionValuesOf(rel)))
+        partitionValuesOf(rel), fileStatsJson(spark, dest, dataSchema)))
     }
     // data files exclude the partition columns (they live in the path and
     // in partitionValues), matching Delta's physical layout
@@ -363,6 +538,8 @@ object DeltaLog {
       .filter(p => Files.isRegularFile(p) &&
         p.getFileName.toString.endsWith(".parquet"))
       .map(p => (scratch.relativize(p).toString, p)).sortBy(_._1)
+    val dataSchema = StructType(
+      s.schema.filterNot(f => s.partitionColumns.contains(f.name)))
     val added = parts.map { case (rel, p) =>
       val dest = Paths.get(table, rel)
       Files.createDirectories(dest.getParent)
@@ -370,7 +547,7 @@ object DeltaLog {
       catch { case _: UnsupportedOperationException =>
         Files.move(p, dest, StandardCopyOption.ATOMIC_MOVE) }
       (rel, AddInfo(Files.size(dest), Files.getLastModifiedTime(dest).toMillis,
-        partitionValuesOf(rel)))
+        partitionValuesOf(rel), fileStatsJson(spark, dest, dataSchema)))
     }
     val committed = commit(spark, table, s.schema, s.partitionColumns, added,
       txn = None, removed = small.map(_._1), dataChange = false)
@@ -507,6 +684,7 @@ object DeltaLog {
         a.put("size", info.size)
         a.put("modificationTime", info.modificationTime)
         a.put("dataChange", dataChange)
+        info.stats.foreach(s => a.put("stats", s))
         line(an)
       }
       val bytes = sb.toString.getBytes("UTF-8")
@@ -542,7 +720,8 @@ object DeltaLog {
       StructField("partitionValues", MapType(StringType, StringType)),
       StructField("size", LongType),
       StructField("modificationTime", LongType),
-      StructField("dataChange", BooleanType)))),
+      StructField("dataChange", BooleanType),
+      StructField("stats", StringType)))),
     StructField("remove", StructType(Seq(
       StructField("path", StringType),
       StructField("deletionTimestamp", LongType),
@@ -582,7 +761,7 @@ object DeltaLog {
       } ++
       s.adds.map { case (path, info) =>
         Row(null, Row(encodePath(path), info.partitionValues.toMap, info.size,
-          info.modificationTime, true), null, null, null)
+          info.modificationTime, true, info.stats.orNull), null, null, null)
       }
     val scratch = Files.createTempDirectory("delta-cp")
     spark.createDataFrame(rows.asJava, checkpointSchema)

@@ -395,7 +395,7 @@ object IcebergLog {
   /** Parquet statistics value → the plain JVM value [[boundBytes]]
     * serializes (null = unusable for this column type).
     */
-  private def parquetStatValue(v: AnyRef, dt: DataType): Any = (v, dt) match {
+  private[graft] def parquetStatValue(v: AnyRef, dt: DataType): Any = (v, dt) match {
     case (i: java.lang.Integer, IntegerType | DateType) => i.intValue()
     case (l: java.lang.Long, LongType | TimestampType) => l.longValue()
     case (f: java.lang.Float, FloatType) if !f.isNaN => f.floatValue()
@@ -406,19 +406,11 @@ object IcebergLog {
     case _ => null
   }
 
-  /** Total order used for both footer aggregation and scan pruning.
-    * Values are the plain JVM forms produced by [[parquetStatValue]] /
-    * [[boundValue]].
+  /** Total order used for both footer aggregation and scan pruning
+    * ([[StatsPruning.compareValues]] — shared with the Delta path).
     */
-  private def compareValues(a: Any, b: Any, dt: DataType): Int = dt match {
-    case IntegerType | DateType => a.asInstanceOf[Int] compare b.asInstanceOf[Int]
-    case LongType | TimestampType => a.asInstanceOf[Long] compare b.asInstanceOf[Long]
-    case FloatType => java.lang.Float.compare(a.asInstanceOf[Float], b.asInstanceOf[Float])
-    case DoubleType => java.lang.Double.compare(a.asInstanceOf[Double], b.asInstanceOf[Double])
-    case StringType => a.asInstanceOf[String] compareTo b.asInstanceOf[String]
-    case BooleanType => a.asInstanceOf[Boolean] compare b.asInstanceOf[Boolean]
-    case other => throw new IllegalArgumentException(s"iceberg prune: no order for $other")
-  }
+  private def compareValues(a: Any, b: Any, dt: DataType): Int =
+    StatsPruning.compareValues(a, b, dt)
 
   // ── write path ───────────────────────────────────────────────────────
 
@@ -809,9 +801,24 @@ object IcebergLog {
       StructField(c, m.schema(m.schema.fieldIndex(c)).dataType, nullable = true)))
     val entryType = manifestEntryType(partType)
     readManifestList(snap.get("manifest-list").asText()).flatMap { mf =>
+      // merge-on-read guard: this reader understands append/replace
+      // content only (the reference's filesystem sink is fast-append —
+      // delete files never arise from it). A third-party writer's
+      // position/equality deletes (manifest content=1, or data_file
+      // content=1/2) would silently OVER-RETURN rows if ignored — fail
+      // loudly instead of returning wrong results.
+      require(mf.getInt(3) == 0,
+        s"$table: manifest ${mf.getString(0)} has content=${mf.getInt(3)} " +
+          "(a DELETES manifest). This reader does not apply merge-on-read " +
+          "delete files; refusing to return over-counted rows. Rewrite the " +
+          "table with a writer that compacts deletes first.")
       val in = Files.newInputStream(Paths.get(mf.getString(0)))
       try AvroCodec.readOcf(in, entryType).toSeq.map { e =>
         val df = e.getStruct(4)
+        require(df.getInt(0) == 0,
+          s"$table: data file ${df.getString(1)} has content=${df.getInt(0)} " +
+            "(position/equality deletes). This reader does not apply " +
+            "merge-on-read delete files; refusing to return over-counted rows.")
         val part = df.getStruct(3)
         LiveFile(e.getInt(0), df.getString(1), df.getLong(4), df.getLong(5),
           m.partitionColumns.zipWithIndex.map { case (c, i) => c -> part.get(i) }.toMap,
@@ -844,153 +851,31 @@ object IcebergLog {
       case None => (live, live.size)
       case Some(f) =>
         val m = current(table).get
-        val conj = conjunctsOf(spark, f)
-        (live.filter(file => conj.forall(c => mayMatch(file, c, m.schema))), live.size)
+        val conj = StatsPruning.conjunctsOf(spark, f)
+        (live.filter(file =>
+          conj.forall(c => StatsPruning.mayMatch(fileStats(file, m.schema), c, m.schema))),
+          live.size)
     }
   }
 
-  import org.apache.spark.sql.catalyst.expressions.{And, EqualTo, Expression,
-    GreaterThan, GreaterThanOrEqual, In, IsNotNull, IsNull, LessThan,
-    LessThanOrEqual, Literal}
-  import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
-
-  private def conjunctsOf(spark: SparkSession, filterSql: String): Seq[Expression] = {
-    def split(e: Expression): Seq[Expression] = e match {
-      case And(l, r) => split(l) ++ split(r)
-      case other => Seq(other)
-    }
-    split(spark.sessionState.sqlParser.parseExpression(filterSql))
-  }
-
-  /** Catalyst literal → the plain JVM value [[compareValues]] orders,
-    * coerced to the column's type (null = not comparable → keep file).
+  /** [[StatsPruning.FileStats]] view of a manifest entry: bounds and
+    * counts are keyed by iceberg field id (schema position + 1), byte
+    * bounds decode per the spec's single-value serialization.
     */
-  private def litValue(l: Literal, dt: DataType): Any = {
-    val v = l.value
-    if (v == null) return null
-    (dt, v) match {
-      case (IntegerType, n: Number) => n.intValue()
-      case (LongType, n: Number) => n.longValue()
-      case (FloatType, n: Number) => n.floatValue()
-      case (DoubleType, n: Number) => n.doubleValue()
-      case (DoubleType, d: Decimal) => d.toDouble
-      case (FloatType, d: Decimal) => d.toFloat
-      case (IntegerType, d: Decimal) if d.toBigDecimal.isValidInt => d.toInt
-      case (LongType, d: Decimal) if d.toBigDecimal.isValidLong => d.toLong
-      case (StringType, s) => s.toString
-      case (BooleanType, b: Boolean) => b
-      // catalyst internals: DateType = Int days, TimestampType = Long micros
-      case (DateType, n: Number) if l.dataType == DateType => n.intValue()
-      case (TimestampType, n: Number) if l.dataType == TimestampType => n.longValue()
-      case _ => null
-    }
-  }
-
-  /** Partition values decode from hive path strings; align them with the
-    * column type for comparison.
-    */
-  private def partValue(v: Any, dt: DataType): Any = (v, dt) match {
-    case (null, _) => null
-    case (s: String, StringType) => s
-    case (n: Number, IntegerType) => n.intValue()
-    case (n: Number, LongType) => n.longValue()
-    case (n: Number, DoubleType) => n.doubleValue()
-    case (b: Boolean, BooleanType) => b
-    case _ => v
-  }
-
-  private def mayMatch(file: LiveFile, c: Expression, schema: StructType): Boolean = {
-    def colOf(e: Expression): Option[(String, DataType)] = e match {
-      case a: UnresolvedAttribute if schema.fieldNames.contains(a.name) =>
-        Some(a.name -> schema(schema.fieldIndex(a.name)).dataType)
-      case _ => None
-    }
-    // Iceberg's containsNullsOnly: every value in this file's column is
-    // null, so no comparison/equality conjunct can match any row
-    def allNull(name: String): Boolean =
-      !file.partitionValues.contains(name) && {
-        val id = schema.fieldIndex(name) + 1
-        (file.valueCounts.get(id), file.nullCounts.get(id)) match {
-          case (Some(v), Some(n)) => v > 0 && v == n
-          case _ => false
-        }
-      }
-    // the file's value range for a column: partition cols are single-
-    // valued; data cols read the bounds maps (absent → unknown → keep)
-    def range(name: String, dt: DataType): Option[(Any, Any)] =
-      if (file.partitionValues.contains(name)) {
-        val v = partValue(file.partitionValues(name), dt)
-        if (v == null) None else Some((v, v))
-      } else {
-        val id = schema.fieldIndex(name) + 1
+  private def fileStats(file: LiveFile, schema: StructType): StatsPruning.FileStats =
+    new StatsPruning.FileStats {
+      private def id(name: String) = schema.fieldIndex(name) + 1
+      def partitionValue(name: String): Option[Any] =
+        if (file.partitionValues.contains(name)) Some(file.partitionValues(name)) else None
+      def bounds(name: String, dt: DataType): Option[(Any, Any)] =
         for {
-          lo <- file.lowerBounds.get(id)
-          hi <- file.upperBounds.get(id)
+          lo <- file.lowerBounds.get(id(name))
+          hi <- file.upperBounds.get(id(name))
         } yield (boundValue(lo, dt), boundValue(hi, dt))
-      }
-    def cmp(col: (String, DataType), lit: Literal, test: Int => Boolean,
-        flip: Boolean = false): Boolean = {
-      val (name, dt) = col
-      if (allNull(name)) return false
-      val lv = litValue(lit, dt)
-      if (lv == null) return true
-      range(name, dt) match {
-        case None => true
-        case Some((lo, hi)) =>
-          try {
-            // test receives cmp(bound, lit) for the bound that decides it
-            if (!flip) test(compareValues(lo, lv, dt)) || test(compareValues(hi, lv, dt)) ||
-              (compareValues(lo, lv, dt) <= 0 && compareValues(hi, lv, dt) >= 0 && test(0))
-            else test(compareValues(lo, lv, dt)) || test(compareValues(hi, lv, dt))
-          } catch { case _: IllegalArgumentException => true }
-      }
+      def valueCount(name: String): Option[Long] = file.valueCounts.get(id(name))
+      def nullCount(name: String): Option[Long] = file.nullCounts.get(id(name))
     }
-    def inRange(col: (String, DataType), lit: Literal): Boolean = {
-      val (name, dt) = col
-      if (allNull(name)) return false
-      val lv = litValue(lit, dt)
-      if (lv == null) return true
-      range(name, dt) match {
-        case None => true
-        case Some((lo, hi)) =>
-          try compareValues(lo, lv, dt) <= 0 && compareValues(hi, lv, dt) >= 0
-          catch { case _: IllegalArgumentException => true }
-      }
-    }
-    c match {
-      case EqualTo(a, l: Literal) => colOf(a).forall(inRange(_, l))
-      case EqualTo(l: Literal, a) => colOf(a).forall(inRange(_, l))
-      // some value < lit ⟺ lo < lit; etc. — one bound decides each
-      case LessThan(a, l: Literal) => colOf(a).forall(cmp(_, l, _ < 0, flip = true))
-      case LessThan(l: Literal, a) => colOf(a).forall(cmp(_, l, _ > 0, flip = true))
-      case LessThanOrEqual(a, l: Literal) => colOf(a).forall(cmp(_, l, _ <= 0, flip = true))
-      case LessThanOrEqual(l: Literal, a) => colOf(a).forall(cmp(_, l, _ >= 0, flip = true))
-      case GreaterThan(a, l: Literal) => colOf(a).forall(cmp(_, l, _ > 0, flip = true))
-      case GreaterThan(l: Literal, a) => colOf(a).forall(cmp(_, l, _ < 0, flip = true))
-      case GreaterThanOrEqual(a, l: Literal) => colOf(a).forall(cmp(_, l, _ >= 0, flip = true))
-      case GreaterThanOrEqual(l: Literal, a) => colOf(a).forall(cmp(_, l, _ <= 0, flip = true))
-      case In(a, lits) if lits.forall(_.isInstanceOf[Literal]) =>
-        colOf(a).forall(col => lits.exists(l => inRange(col, l.asInstanceOf[Literal])))
-      case IsNull(a) => colOf(a).forall { case (name, _) =>
-        if (file.partitionValues.contains(name)) file.partitionValues(name) == null
-        else {
-          val id = schema.fieldIndex(name) + 1
-          file.nullCounts.get(id).forall(_ > 0)
-        }
-      }
-      case IsNotNull(a) => colOf(a).forall { case (name, _) =>
-        if (file.partitionValues.contains(name)) file.partitionValues(name) != null
-        else {
-          val id = schema.fieldIndex(name) + 1
-          (file.valueCounts.get(id), file.nullCounts.get(id)) match {
-            case (Some(v), Some(n)) => v > n
-            case _ => true
-          }
-        }
-      }
-      case _ => true // unknown shape: no pruning by this conjunct
-    }
-  }
+
 
   /** Snapshot read: current (or `snapshotId`) manifests' live data files
     * only — uncommitted/orphaned parquet is invisible (ACID isolation).

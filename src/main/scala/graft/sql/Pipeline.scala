@@ -82,6 +82,13 @@ class Pipeline(spark: SparkSession, streaming: Boolean = false) {
     */
   private var planOnly = false
 
+  /** Closers for streaming delta/iceberg table views opened by this run
+    * (poller thread + hard-link dir each) — invoked by [[run]] once every
+    * query has terminated, so a long-lived session doesn't accumulate a
+    * 500 ms poller and a view dir per streaming run.
+    */
+  private val tableViews = scala.collection.mutable.ArrayBuffer.empty[() => Unit]
+
   /** Run a full SQL script; returns the last bare-SELECT's DataFrame. */
   def run(script: String): Option[DataFrame] = {
     val stmts = splitStatements(script).map(parse)
@@ -112,13 +119,20 @@ class Pipeline(spark: SparkSession, streaming: Boolean = false) {
     }
     // spool dirs created during this run (q4-shape streaming read-backs
     // included) are safe to reclaim once every query has terminated
-    val (res, spools) = graft.streaming.SpoolDirs.track {
-      stmts.foreach(runStatement)
-      queries.foreach(_.awaitTermination())
-      lastResult
+    try {
+      val (res, spools) = graft.streaming.SpoolDirs.track {
+        stmts.foreach(runStatement)
+        queries.foreach(_.awaitTermination())
+        lastResult
+      }
+      graft.streaming.SpoolDirs.release(spools)
+      res
+    } finally {
+      // streaming delta/iceberg table views (hard-link dir + poller
+      // thread) die with the run, not with the JVM
+      tableViews.foreach(c => try c() catch { case _: Exception => })
+      tableViews.clear()
     }
-    graft.streaming.SpoolDirs.release(spools)
-    res
   }
 
   /** Parse, validate and plan a script without executing any sink write. */
@@ -1031,14 +1045,19 @@ class Pipeline(spark: SparkSession, streaming: Boolean = false) {
             if (t.options.contains("version_as_of"))
               sys.error("version_as_of is a batch (snapshot) option; " +
                 "a streaming delta source always tails from the current snapshot")
-            val (df, _) = graft.sources.DeltaStreamSource.open(spark, tPath,
+            val (df, view) = graft.sources.DeltaStreamSource.open(spark, tPath,
               pollMs = Some(t.options.getOrElse("poll_ms", "500").toLong))
+            tableViews += (() => view.close())
             df
           } else
             // time travel: version_as_of = 'n' reads the table AS OF that
-            // committed version (tombstoned files serve it until VACUUM)
+            // committed version (tombstoned files serve it until VACUUM);
+            // scan_filter = '<sql bool>' prunes whole FILES against the
+            // add actions' stats before Spark lists them (r10 — same
+            // device as the iceberg manifest-metrics path)
             graft.sinks.DeltaLog.read(spark, tPath,
-              t.options.get("version_as_of").map(_.toLong))
+              t.options.get("version_as_of").map(_.toLong),
+              t.options.get("scan_filter"))
         } else {
           if (streaming) {
             // r9: incremental tail of the snapshot log (added files of
@@ -1047,8 +1066,9 @@ class Pipeline(spark: SparkSession, streaming: Boolean = false) {
             if (t.options.contains("snapshot_id"))
               sys.error("snapshot_id is a batch (time travel) option; " +
                 "a streaming iceberg source always tails from the current snapshot")
-            val (df, _) = graft.sources.IcebergStreamSource.open(spark, tPath,
+            val (df, view) = graft.sources.IcebergStreamSource.open(spark, tPath,
               pollMs = Some(t.options.getOrElse("poll_ms", "500").toLong))
+            tableViews += (() => view.close())
             df
           } else
             // snapshot_id = 'n' reads any retained snapshot (time travel);

@@ -6,7 +6,8 @@ import graft.sql.Pipeline
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.Trigger
 
-import java.nio.file.Files
+import java.nio.file.{Files, Paths}
+import scala.jdk.CollectionConverters._
 
 /** Streaming reads of the wire-format Delta table (round-9): the source
   * tails `_delta_log` incrementally via a hard-link view over Spark's
@@ -132,5 +133,47 @@ class DeltaStreamSpec extends SparkSpec {
            |INSERT INTO out2 SELECT id, v FROM src""".stripMargin)
     }
     assert(err.getMessage.contains("version_as_of"))
+  }
+
+  test("run() closes streaming table views: poller threads and link dirs die with the run (r10)") {
+    import spark.implicits._
+    val tmp = Paths.get(System.getProperty("java.io.tmpdir"))
+    def viewDirs: Set[String] = {
+      val s = Files.list(tmp)
+      try s.iterator().asScala.map(_.getFileName.toString)
+        .filter(n => n.startsWith("graft-delta-view") || n.startsWith("graft-iceberg-view"))
+        .toSet
+      finally s.close()
+    }
+    def pollers: Set[Thread] = Thread.getAllStackTraces.keySet.asScala
+      .filter(t => t.getName.startsWith("graft-delta-poll") ||
+        t.getName.startsWith("graft-iceberg-poll")).toSet
+    val dirsBefore = viewDirs
+    val dTable = Files.createTempDirectory("delta_view_lc").toString
+    DeltaLog.writeBatch(Seq((1L, "a"), (2L, "b")).toDF("id", "v").coalesce(1), dTable)
+    new Pipeline(spark, streaming = true).run(
+      s"""CREATE TABLE src (id BIGINT, v TEXT) WITH (
+         |  connector = 'delta', path = '$dTable', format = 'parquet', type = 'source');
+         |CREATE TABLE lc_out WITH (connector = 'memory', type = 'sink');
+         |INSERT INTO lc_out SELECT id, v FROM src""".stripMargin)
+    val iTable = Files.createTempDirectory("iceberg_view_lc").toString
+    graft.sinks.IcebergLog.writeBatch(
+      Seq((1L, "a"), (2L, "b")).toDF("id", "v").coalesce(1), iTable)
+    new Pipeline(spark, streaming = true).run(
+      s"""CREATE TABLE isrc (id BIGINT, v TEXT) WITH (
+         |  connector = 'iceberg', path = '$iTable', format = 'parquet', type = 'source');
+         |CREATE TABLE lc_iout WITH (connector = 'memory', type = 'sink');
+         |INSERT INTO lc_iout SELECT id, v FROM isrc""".stripMargin)
+    assert(spark.table("lc_out_result").count() == 2)
+    assert(spark.table("lc_iout_result").count() == 2)
+    // both runs are over: their view dirs are deleted and their pollers
+    // interrupted (allow the interrupt a moment to land) — a long-lived
+    // session must not accumulate one of each per streaming run
+    val deadline = System.currentTimeMillis() + 10000
+    while (pollers.exists(_.isAlive) && System.currentTimeMillis() < deadline)
+      Thread.sleep(50)
+    assert(pollers.isEmpty, s"leaked pollers: ${pollers.map(_.getName)}")
+    assert(viewDirs == dirsBefore,
+      s"leaked view dirs: ${viewDirs.diff(dirsBefore)}")
   }
 }

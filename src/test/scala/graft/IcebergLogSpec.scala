@@ -429,4 +429,50 @@ class IcebergLogSpec extends SparkSpec {
     assert(IcebergLog.read(spark, sTable, scanFilter = Some("region IS NULL"))
       .select("id").as[Long].collect().toSet == Set(2L))
   }
+
+  test("a deletes manifest from a third-party writer is rejected loudly, never over-returned (r10)") {
+    import spark.implicits._
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val table = tmpTable()
+    IcebergLog.writeBatch(Seq((1L, "a"), (2L, "b")).toDF("id", "v").coalesce(1), table)
+    assert(IcebergLog.read(spark, table).count() == 2) // sane before surgery
+    // hand-craft a merge-on-read table: flip the manifest-list entry's
+    // `content` field to 1 (a DELETES manifest), as a position/equality-
+    // delete writer would produce
+    val meta = IcebergLog.current(table).get
+    val listPath = Paths.get(meta.snapshots
+      .find(_.get("snapshot-id").asLong == meta.currentSnapshotId).get
+      .get("manifest-list").asText())
+    val mfType = StructType(Seq(
+      StructField("manifest_path", StringType, nullable = false),
+      StructField("manifest_length", LongType, nullable = false),
+      StructField("partition_spec_id", IntegerType, nullable = false),
+      StructField("content", IntegerType, nullable = false),
+      StructField("sequence_number", LongType, nullable = false),
+      StructField("min_sequence_number", LongType, nullable = false),
+      StructField("added_snapshot_id", LongType, nullable = false),
+      StructField("added_files_count", IntegerType, nullable = false),
+      StructField("existing_files_count", IntegerType, nullable = false),
+      StructField("deleted_files_count", IntegerType, nullable = false),
+      StructField("added_rows_count", LongType, nullable = false),
+      StructField("existing_rows_count", LongType, nullable = false),
+      StructField("deleted_rows_count", LongType, nullable = false)))
+    val rows = {
+      val in = Files.newInputStream(listPath)
+      try graft.formats.AvroCodec.readOcf(in, mfType).toSeq finally in.close()
+    }
+    assert(rows.nonEmpty && rows.forall(_.getInt(3) == 0))
+    val doctored = rows.zipWithIndex.map { case (r, i) =>
+      if (i == 0) Row.fromSeq(r.toSeq.updated(3, 1)) else r
+    }
+    val out = Files.newOutputStream(listPath)
+    try graft.formats.AvroCodec.writeOcf(out, mfType, doctored.iterator)
+    finally out.close()
+    // every read surface refuses rather than returning over-counted rows
+    val e = intercept[IllegalArgumentException] { IcebergLog.read(spark, table).count() }
+    assert(e.getMessage.contains("DELETES manifest"), e.getMessage)
+    intercept[IllegalArgumentException] { IcebergLog.planFiles(spark, table, None, None) }
+    intercept[IllegalArgumentException] { IcebergLog.entries(table) }
+  }
 }

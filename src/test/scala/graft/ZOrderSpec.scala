@@ -113,6 +113,59 @@ class ZOrderSpec extends SparkSpec {
     assert(e.getMessage.contains("nope"))
   }
 
+  test("delta stats skipping: ZORDER'd table + point filter opens O(1) files (r10)") {
+    import spark.implicits._
+    val table = Files.createTempDirectory("delta_stats_z").toString
+    // 8 x-disjoint appends, each y full-width — the streaming-sink shape
+    (0 until 8).foreach { b =>
+      val rows = (0 until 500).map { i =>
+        (b * 500L + i, (i * 997 % 4000).toLong, s"d$b-$i")
+      }
+      DeltaLog.writeBatch(rows.toDF("x", "y", "v").coalesce(1), table)
+    }
+    // stats landed on every add action
+    val s0 = DeltaLog.snapshot(spark, table).get
+    assert(s0.adds.forall(_._2.stats.exists(_.contains("numRecords"))),
+      "every add must carry stats JSON")
+    // before: y-band prunes nothing (every file spans y), x-point prunes to 1
+    val (yBefore, total) = DeltaLog.planFiles(spark, table,
+      scanFilter = Some("y >= 100 AND y < 600"))
+    assert(total == 8 && yBefore.size == 8, "y must be unclustered before")
+    assert(DeltaLog.planFiles(spark, table, scanFilter = Some("x = 42"))._1.size == 1,
+      "x-point filter must open exactly 1 of the x-disjoint files")
+    // ZORDER rewrite, then BOTH dimensions skip
+    assert(DeltaLog.optimize(spark, table, smallFileBytes = 4 * 1024,
+      zorderBy = Seq("x", "y")).nonEmpty)
+    val (yAfter, totalAfter) = DeltaLog.planFiles(spark, table,
+      scanFilter = Some("y >= 100 AND y < 600"))
+    assert(totalAfter >= 4, s"zorder rewrite should split into several files ($totalAfter)")
+    assert(yAfter.size < totalAfter,
+      s"y-band must prune after zorder (${yAfter.size}/$totalAfter)")
+    val (xAfter, _) = DeltaLog.planFiles(spark, table, scanFilter = Some("x < 500"))
+    assert(xAfter.size < totalAfter)
+    // pruned reads stay exact (filter re-applied after the skip)
+    assert(DeltaLog.read(spark, table).count() == 4000)
+    val expectBand = (0 until 500).count { i =>
+      val y = i * 997 % 4000; y >= 100 && y < 600
+    } * 8L
+    assert(DeltaLog.read(spark, table, scanFilter = Some("y >= 100 AND y < 600"))
+      .count() == expectBand)
+    // the SQL face: scan_filter option on a delta source table
+    val viaSql = new sql.Pipeline(spark, streaming = false).run(
+      s"""CREATE TABLE dz (x BIGINT, y BIGINT, v TEXT) WITH (
+         |  connector='delta', path='$table', format='parquet', type='source',
+         |  scan_filter='y >= 100 AND y < 600');
+         |SELECT count(*) AS n FROM dz""".stripMargin).get
+    assert(viaSql.as[Long].collect().head == expectBand)
+    // stats survive a checkpoint round-trip (pruning still works cold)
+    DeltaLog.writeCheckpoint(spark, table,
+      DeltaLog.snapshot(spark, table).get.version)
+    DeltaLog.clearSnapshotCache()
+    val (yCold, totalCold) = DeltaLog.planFiles(spark, table,
+      scanFilter = Some("y >= 100 AND y < 600"))
+    assert(yCold.size < totalCold, "stats must survive the checkpoint round-trip")
+  }
+
   test("string and timestamp proxies preserve order through the curve") {
     import spark.implicits._
     val df = Seq("apple", "banana", "cherry", "kiwi", "zebra", "aardvark")
