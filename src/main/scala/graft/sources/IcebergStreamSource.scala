@@ -75,19 +75,18 @@ object IcebergStreamSource {
 
     /** Hard-link the table-absolute data `path` into the view, keeping
       * its `data/…` (hive) relative layout; true when newly linked.
+      * Link-first (no exists pre-check) — see DeltaStreamSource.link.
       */
-    private[IcebergStreamSource] def link(path: String): Boolean = {
+    private[sources] def link(path: String): Boolean = {
       val src = Paths.get(path).toAbsolutePath
       val dest = dir.resolve(tableRoot.relativize(src).toString)
-      if (Files.exists(dest)) false
-      else {
-        Files.createDirectories(dest.getParent)
-        try Files.createLink(dest, src)
-        catch {
-          case _: java.nio.file.FileAlreadyExistsException => return false
-          case _: UnsupportedOperationException => Files.copy(src, dest)
-        }
-        true
+      Files.createDirectories(dest.getParent)
+      try { Files.createLink(dest, src); true }
+      catch {
+        case _: java.nio.file.FileAlreadyExistsException => false
+        case _: UnsupportedOperationException =>
+          try { Files.copy(src, dest); true }
+          catch { case _: java.nio.file.FileAlreadyExistsException => false }
       }
     }
 
@@ -117,9 +116,12 @@ object IcebergStreamSource {
       sys.error(s"$table is not an Iceberg table (no metadata/v*.metadata.json)"))
     val view = new View(table, Files.createTempDirectory("graft-iceberg-view"))
     views.add(view)
-    // initial state: the current snapshot IS each logical row exactly once
-    IcebergLog.liveFiles(table, None).filter(_.status != 2)
-      .foreach(f => view.link(f.path))
+    // initial state: the current snapshot IS each logical row exactly
+    // once; the bulk link is the one O(active files) driver-side moment,
+    // parallelized (SpoolLink) for high-file-count tables
+    SpoolLink.parallel(
+      IcebergLog.liveFiles(table, None).filter(_.status != 2).map(_.path),
+      view.link)
     view.lastSeq = m.lastSeq
     val dataDir = view.dir.resolve("data")
     Files.createDirectories(dataDir)
