@@ -143,6 +143,7 @@ object DeltaLog {
     def applyJson(p: Path): Unit =
       Files.readAllLines(p).asScala.filter(_.nonEmpty).foreach { line =>
         val n = mapper.readTree(line)
+        if (n.has("protocol")) checkProtocol(table, n.get("protocol"))
         if (n.has("metaData")) {
           val m = n.get("metaData")
           metaId = m.get("id").asText()
@@ -198,6 +199,20 @@ object DeltaLog {
           case Some((v, p)) =>
             spark.read.parquet(p.toString).collect().foreach { r =>
               val i = r.fieldIndex _
+              if (r.schema.fieldNames.contains("protocol") && !r.isNullAt(i("protocol"))) {
+                val pr = r.getStruct(i("protocol"))
+                val node = mapper.createObjectNode()
+                node.put("minReaderVersion",
+                  Option(pr.getAs[Any]("minReaderVersion"))
+                    .collect { case n: Number => n.intValue() }.getOrElse(1))
+                if (pr.schema.fieldNames.contains("readerFeatures") &&
+                    pr.getAs[Any]("readerFeatures") != null) {
+                  val arr = node.putArray("readerFeatures")
+                  pr.getAs[scala.collection.Seq[String]]("readerFeatures")
+                    .foreach(arr.add)
+                }
+                checkProtocol(table, node)
+              }
               if (!r.isNullAt(i("metaData"))) {
                 val m = r.getStruct(i("metaData"))
                 metaId = m.getAs[String]("id")
@@ -239,6 +254,58 @@ object DeltaLog {
         catch { case _: java.io.IOException => /* raced a cleanup: skip */ })
     }
     Some(snap)
+  }
+
+  /** Latest committed version whose commit timestamp ≤ `tsMillis` —
+    * `TIMESTAMP AS OF` resolution. Uses each commit's `commitInfo`
+    * timestamp (what this writer records), falling back to the commit
+    * file's mtime for third-party commits without one; None when the
+    * earliest available commit is already later (or the log was
+    * checkpoint-truncated past the asked-for time).
+    */
+  private[graft] def versionAt(table: String, tsMillis: Long): Option[Long] = {
+    val dir = logDir(table)
+    if (!Files.isDirectory(dir)) return None
+    val versions = listDir(dir).flatMap(p => p.getFileName.toString match {
+      case VersionRe(v) => Some((v.toLong, p))
+      case _ => None
+    }).sortBy(_._1)
+    versions.map { case (v, p) =>
+      val ci = Files.readAllLines(p).asScala.view.filter(_.nonEmpty)
+        .map(mapper.readTree)
+        .flatMap(n => Option(n.get("commitInfo")))
+        .flatMap(c => Option(c.get("timestamp")).map(_.asLong()))
+        .headOption
+      (v, ci.getOrElse(Files.getLastModifiedTime(p).toMillis))
+    }.filter(_._2 <= tsMillis).map(_._1).maxOption
+  }
+
+  /** Reader features this implementation actually honors beyond base
+    * protocol 1. `timestampNtz`/`v2Checkpoint`-style WRITER-side
+    * features never appear here; anything that changes what rows a
+    * reader must return (deletionVectors, columnMapping, …) MUST be
+    * rejected — ignoring a deletion vector silently over-returns rows.
+    */
+  private val supportedReaderFeatures = Set("timestampNtz")
+
+  private def checkProtocol(table: String,
+      p: com.fasterxml.jackson.databind.JsonNode): Unit = {
+    val minReader = Option(p.get("minReaderVersion")).map(_.asInt()).getOrElse(1)
+    val features: Set[String] = Option(p.get("readerFeatures")) match {
+      case Some(f) if f.isArray =>
+        (0 until f.size()).map(i => f.get(i).asText()).toSet
+      case _ => Set.empty
+    }
+    if (minReader >= 3) {
+      val unsupported = features -- supportedReaderFeatures
+      require(unsupported.isEmpty,
+        s"$table requires reader features ${unsupported.mkString(", ")} " +
+          "this reader does not implement (e.g. a deletion vector ignored " +
+          "would silently over-return rows); refusing to read")
+    } else require(minReader <= 1,
+      s"$table requires minReaderVersion=$minReader (column mapping); " +
+        "this reader implements protocol 1 — refusing to return " +
+        "mis-mapped columns")
   }
 
   /** Snapshot read: the add-listed files only (orphans and uncommitted

@@ -282,6 +282,19 @@ object IcebergLog {
   /** Newest committed metadata: version-hint first (a hint — spec allows
     * it to lag), then the definitive v*.metadata.json listing.
     */
+  /** Latest retained snapshot whose `timestamp-ms` ≤ `tsMillis` —
+    * `TIMESTAMP AS OF` resolution (None when the earliest retained
+    * snapshot is already later, or past expire_snapshots retention).
+    */
+  private[graft] def snapshotIdAt(table: String, tsMillis: Long): Option[Long] =
+    current(table).flatMap { m =>
+      m.snapshots
+        .flatMap(s => Option(s.get("timestamp-ms"))
+          .map(t => (t.asLong(), s.get("snapshot-id").asLong())))
+        .filter(_._1 <= tsMillis)
+        .maxByOption(_._1).map(_._2)
+    }
+
   def current(table: String): Option[Meta] = {
     val dir = metaDir(table)
     if (!Files.isDirectory(dir)) return None

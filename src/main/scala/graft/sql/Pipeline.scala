@@ -82,6 +82,26 @@ class Pipeline(spark: SparkSession, streaming: Boolean = false) {
     */
   private var planOnly = false
 
+  /** `timestamp_as_of` accepts epoch millis, an ISO-8601 instant, or a
+    * UTC wall time (`yyyy-MM-dd[ HH:mm:ss]`).
+    */
+  private def parseTsMillis(s: String): Long = {
+    val v = s.trim
+    if (v.forall(_.isDigit)) v.toLong
+    else try java.time.Instant.parse(v).toEpochMilli
+    catch {
+      case _: java.time.format.DateTimeParseException =>
+        try java.time.LocalDateTime
+          .parse(v.replace(' ', 'T'))
+          .toInstant(java.time.ZoneOffset.UTC).toEpochMilli
+        catch {
+          case _: java.time.format.DateTimeParseException =>
+            java.time.LocalDate.parse(v).atStartOfDay
+              .toInstant(java.time.ZoneOffset.UTC).toEpochMilli
+        }
+    }
+  }
+
   /** Closers for streaming delta/iceberg table views opened by this run
     * (poller thread + hard-link dir each) — invoked by [[run]] once every
     * query has terminated, so a long-lived session doesn't accumulate a
@@ -1037,47 +1057,70 @@ class Pipeline(spark: SparkSession, streaming: Boolean = false) {
         // delta reads the real _delta_log wire format (r8); iceberg reads
         // the real v2 metadata.json + avro manifests (r9)
         val tPath = t.path.getOrElse(sys.error(s"table ${t.name}: path required"))
+        val batchOnly = Seq("version_as_of", "snapshot_id", "timestamp_as_of")
         if (t.connector == "delta") {
           if (streaming) {
             // r9: incremental tail of the _delta_log (adds with
             // dataChange=true only — OPTIMIZE mid-stream re-emits nothing);
             // rides Spark's file streaming source for offsets/exactly-once
-            if (t.options.contains("version_as_of"))
-              sys.error("version_as_of is a batch (snapshot) option; " +
-                "a streaming delta source always tails from the current snapshot")
+            batchOnly.filter(t.options.contains).foreach(o =>
+              sys.error(s"$o is a batch (snapshot) option; " +
+                "a streaming delta source always tails from the current snapshot"))
             val (df, view) = graft.sources.DeltaStreamSource.open(spark, tPath,
               pollMs = Some(t.options.getOrElse("poll_ms", "500").toLong))
             tableViews += (() => view.close())
             df
-          } else
+          } else {
             // time travel: version_as_of = 'n' reads the table AS OF that
-            // committed version (tombstoned files serve it until VACUUM);
-            // scan_filter = '<sql bool>' prunes whole FILES against the
-            // add actions' stats before Spark lists them (r10 — same
-            // device as the iceberg manifest-metrics path)
-            graft.sinks.DeltaLog.read(spark, tPath,
-              t.options.get("version_as_of").map(_.toLong),
+            // committed version, timestamp_as_of = '<epoch ms | ISO>' the
+            // latest version committed at-or-before that instant
+            // (tombstoned files serve either until VACUUM); scan_filter =
+            // '<sql bool>' prunes whole FILES against the add actions'
+            // stats before Spark lists them (r10 — same device as the
+            // iceberg manifest-metrics path)
+            require(!(t.options.contains("version_as_of") &&
+              t.options.contains("timestamp_as_of")),
+              s"table ${t.name}: version_as_of and timestamp_as_of are exclusive")
+            val asOf = t.options.get("version_as_of").map(_.toLong)
+              .orElse(t.options.get("timestamp_as_of").map { s =>
+                val ts = parseTsMillis(s)
+                graft.sinks.DeltaLog.versionAt(tPath, ts).getOrElse(
+                  sys.error(s"table ${t.name}: no commit at or before $s"))
+              })
+            graft.sinks.DeltaLog.read(spark, tPath, asOf,
               t.options.get("scan_filter"))
+          }
         } else {
           if (streaming) {
             // r9: incremental tail of the snapshot log (added files of
             // append snapshots only — a replace/OPTIMIZE mid-stream
             // re-emits nothing); rides Spark's file streaming source
-            if (t.options.contains("snapshot_id"))
-              sys.error("snapshot_id is a batch (time travel) option; " +
-                "a streaming iceberg source always tails from the current snapshot")
+            batchOnly.filter(t.options.contains).foreach(o =>
+              sys.error(s"$o is a batch (time travel) option; " +
+                "a streaming iceberg source always tails from the current snapshot"))
             val (df, view) = graft.sources.IcebergStreamSource.open(spark, tPath,
               pollMs = Some(t.options.getOrElse("poll_ms", "500").toLong))
             tableViews += (() => view.close())
             df
-          } else
-            // snapshot_id = 'n' reads any retained snapshot (time travel);
+          } else {
+            // snapshot_id = 'n' reads any retained snapshot, timestamp_as_of
+            // the latest snapshot at-or-before that instant (time travel);
             // scan_filter = '<sql bool>' prunes whole FILES against the
             // manifest metrics before Spark lists them (then re-applies
             // as a normal filter — pruning is conservative)
-            graft.sinks.IcebergLog.read(spark, tPath,
-              t.options.get("snapshot_id").map(_.toLong),
+            require(!(t.options.contains("snapshot_id") &&
+              t.options.contains("timestamp_as_of")),
+              s"table ${t.name}: snapshot_id and timestamp_as_of are exclusive")
+            val sid = t.options.get("snapshot_id").map(_.toLong)
+              .orElse(t.options.get("timestamp_as_of").map { s =>
+                val ts = parseTsMillis(s)
+                graft.sinks.IcebergLog.snapshotIdAt(tPath, ts).getOrElse(
+                  sys.error(s"table ${t.name}: no snapshot at or before $s " +
+                    "(earlier ones may have been expired)"))
+              })
+            graft.sinks.IcebergLog.read(spark, tPath, sid,
               t.options.get("scan_filter"))
+          }
         }
       case "impulse" =>
         val eod = eodField(t).isDefined

@@ -372,6 +372,66 @@ class DeltaLogSpec extends SparkSpec {
       "stale adds from the dead incarnation must not survive")
   }
 
+  test("reader-changing protocol features are rejected loudly (r10)") {
+    import spark.implicits._
+    val table = tmpTable()
+    DeltaLog.writeBatch(Seq((1L, "a")).toDF("id", "v"), table)
+    assert(DeltaLog.read(spark, table).count() == 1)
+    // a third-party writer upgrades the table to deletion vectors:
+    // ignoring them would silently over-return rows — refuse instead
+    val log = Paths.get(table, "_delta_log")
+    Files.write(log.resolve(f"${1L}%020d.json"),
+      ("""{"protocol":{"minReaderVersion":3,"minWriterVersion":7,""" +
+        """"readerFeatures":["deletionVectors"],"writerFeatures":["deletionVectors"]}}""" +
+        "\n").getBytes("UTF-8"))
+    DeltaLog.clearSnapshotCache()
+    val e = intercept[IllegalArgumentException] { DeltaLog.read(spark, table).count() }
+    assert(e.getMessage.contains("deletionVectors"), e.getMessage)
+    // column mapping (minReaderVersion 2) is refused too
+    val t2 = tmpTable()
+    DeltaLog.writeBatch(Seq((1L, "a")).toDF("id", "v"), t2)
+    Files.write(Paths.get(t2, "_delta_log", f"${1L}%020d.json"),
+      """{"protocol":{"minReaderVersion":2,"minWriterVersion":5}}""".getBytes("UTF-8"))
+    DeltaLog.clearSnapshotCache()
+    intercept[IllegalArgumentException] { DeltaLog.snapshot(spark, t2) }
+    // harmless reader features (timestampNtz) pass
+    val t3 = tmpTable()
+    DeltaLog.writeBatch(Seq((1L, "a")).toDF("id", "v"), t3)
+    Files.write(Paths.get(t3, "_delta_log", f"${1L}%020d.json"),
+      ("""{"protocol":{"minReaderVersion":3,"minWriterVersion":7,""" +
+        """"readerFeatures":["timestampNtz"]}}""").getBytes("UTF-8"))
+    DeltaLog.clearSnapshotCache()
+    assert(DeltaLog.read(spark, t3).count() == 1)
+  }
+
+  test("TIMESTAMP AS OF resolves the latest version at-or-before the instant (r10)") {
+    import spark.implicits._
+    val table = tmpTable()
+    DeltaLog.writeBatch(Seq((1L, "a")).toDF("id", "v").coalesce(1), table)
+    Thread.sleep(20)
+    val between = System.currentTimeMillis()
+    Thread.sleep(20)
+    DeltaLog.writeBatch(Seq((2L, "b")).toDF("id", "v").coalesce(1), table)
+    assert(DeltaLog.versionAt(table, between).contains(0L))
+    assert(DeltaLog.versionAt(table, System.currentTimeMillis()).contains(1L))
+    assert(DeltaLog.versionAt(table, 1000L).isEmpty, "before the first commit")
+    // the SQL face: timestamp_as_of on a delta source table
+    val got = new sql.Pipeline(spark, streaming = false).run(
+      s"""CREATE TABLE tt (id BIGINT, v TEXT) WITH (
+         |  connector='delta', path='$table', format='parquet', type='source',
+         |  timestamp_as_of='$between');
+         |SELECT id, v FROM tt""".stripMargin).get
+    assert(got.as[(Long, String)].collect().toSeq == Seq((1L, "a")))
+    // exclusive with version_as_of
+    intercept[Exception] {
+      new sql.Pipeline(spark, streaming = false).run(
+        s"""CREATE TABLE tt2 (id BIGINT, v TEXT) WITH (
+           |  connector='delta', path='$table', format='parquet', type='source',
+           |  timestamp_as_of='$between', version_as_of='1');
+           |SELECT id, v FROM tt2""".stripMargin)
+    }
+  }
+
   test("null partition values round-trip as protocol nulls (r10)") {
     import spark.implicits._
     val table = tmpTable()

@@ -430,6 +430,30 @@ class IcebergLogSpec extends SparkSpec {
       .select("id").as[Long].collect().toSet == Set(2L))
   }
 
+  test("TIMESTAMP AS OF resolves the latest snapshot at-or-before the instant (r10)") {
+    import spark.implicits._
+    val table = tmpTable()
+    IcebergLog.writeBatch(Seq((1L, "a")).toDF("id", "v").coalesce(1), table)
+    Thread.sleep(20)
+    val between = System.currentTimeMillis()
+    Thread.sleep(20)
+    IcebergLog.writeBatch(Seq((2L, "b")).toDF("id", "v").coalesce(1), table)
+    val m = IcebergLog.current(table).get
+    val firstSid = m.snapshots.minBy(_.get("timestamp-ms").asLong)
+      .get("snapshot-id").asLong
+    assert(IcebergLog.snapshotIdAt(table, between).contains(firstSid))
+    assert(IcebergLog.snapshotIdAt(table, System.currentTimeMillis())
+      .contains(m.currentSnapshotId))
+    assert(IcebergLog.snapshotIdAt(table, 1000L).isEmpty)
+    // the SQL face: timestamp_as_of on an iceberg source table
+    val got = new sql.Pipeline(spark, streaming = false).run(
+      s"""CREATE TABLE it (id BIGINT, v TEXT) WITH (
+         |  connector='iceberg', path='$table', format='parquet', type='source',
+         |  timestamp_as_of='$between');
+         |SELECT id, v FROM it""".stripMargin).get
+    assert(got.as[(Long, String)].collect().toSeq == Seq((1L, "a")))
+  }
+
   test("a deletes manifest from a third-party writer is rejected loudly, never over-returned (r10)") {
     import spark.implicits._
     import org.apache.spark.sql.Row
