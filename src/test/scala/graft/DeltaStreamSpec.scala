@@ -135,6 +135,27 @@ class DeltaStreamSpec extends SparkSpec {
     assert(err.getMessage.contains("version_as_of"))
   }
 
+  test("bulk link at high file count takes the parallel path, exactly once per file (r10)") {
+    import spark.implicits._
+    // >256 files (the sequential cutoff) — exercises SpoolLink's pool
+    val table = Files.createTempDirectory("delta_bulk").toString
+    DeltaLog.writeBatch((0 until 1200).map(i => (i.toLong, s"v$i"))
+      .toDF("id", "v").repartition(300), table)
+    val active = DeltaLog.snapshot(spark, table).get.files.size
+    assert(active >= 256, s"need enough part files for the parallel path ($active)")
+    val (df, view) = DeltaStreamSource.open(spark, table)
+    try {
+      val q = df.writeStream.format("memory").queryName("bulk_stream")
+        .outputMode("append").trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      // every row exactly once through the parallel initial link
+      assert(spark.table("bulk_stream").as[(Long, String)].collect().toSet ==
+        (0 until 1200).map(i => (i.toLong, s"v$i")).toSet)
+      // re-sync links nothing new (link-first + exists-catch is idempotent)
+      assert(view.sync() == 0)
+    } finally view.close()
+  }
+
   test("run() closes streaming table views: poller threads and link dirs die with the run (r10)") {
     import spark.implicits._
     val tmp = Paths.get(System.getProperty("java.io.tmpdir"))

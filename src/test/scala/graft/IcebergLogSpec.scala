@@ -498,5 +498,57 @@ class IcebergLogSpec extends SparkSpec {
     assert(e.getMessage.contains("DELETES manifest"), e.getMessage)
     intercept[IllegalArgumentException] { IcebergLog.planFiles(spark, table, None, None) }
     intercept[IllegalArgumentException] { IcebergLog.entries(table) }
+
+    // entry-level guard too: a data_file with content=1 (position deletes)
+    // inside a normal manifest is also refused
+    val t2 = tmpTable()
+    IcebergLog.writeBatch(Seq((1L, "a")).toDF("id", "v").coalesce(1), t2)
+    val m2 = IcebergLog.current(t2).get
+    val list2 = Paths.get(m2.snapshots
+      .find(_.get("snapshot-id").asLong == m2.currentSnapshotId).get
+      .get("manifest-list").asText())
+    val manifestPath = {
+      val in = Files.newInputStream(list2)
+      try graft.formats.AvroCodec.readOcf(in, mfType).toSeq.head.getString(0)
+      finally in.close()
+    }
+    val entryType = StructType(Seq(
+      StructField("status", IntegerType, nullable = false),
+      StructField("snapshot_id", LongType, nullable = true),
+      StructField("sequence_number", LongType, nullable = true),
+      StructField("file_sequence_number", LongType, nullable = true),
+      StructField("data_file", StructType(Seq(
+        StructField("content", IntegerType, nullable = false),
+        StructField("file_path", StringType, nullable = false),
+        StructField("file_format", StringType, nullable = false),
+        StructField("partition", StructType(Seq.empty), nullable = false),
+        StructField("record_count", LongType, nullable = false),
+        StructField("file_size_in_bytes", LongType, nullable = false),
+        StructField("value_counts", ArrayType(StructType(Seq(
+          StructField("key", IntegerType, nullable = false),
+          StructField("value", LongType, nullable = false))), containsNull = false), nullable = true),
+        StructField("null_value_counts", ArrayType(StructType(Seq(
+          StructField("key", IntegerType, nullable = false),
+          StructField("value", LongType, nullable = false))), containsNull = false), nullable = true),
+        StructField("lower_bounds", ArrayType(StructType(Seq(
+          StructField("key", IntegerType, nullable = false),
+          StructField("value", BinaryType, nullable = false))), containsNull = false), nullable = true),
+        StructField("upper_bounds", ArrayType(StructType(Seq(
+          StructField("key", IntegerType, nullable = false),
+          StructField("value", BinaryType, nullable = false))), containsNull = false), nullable = true))),
+        nullable = false)))
+    val entries2 = {
+      val in = Files.newInputStream(Paths.get(manifestPath))
+      try graft.formats.AvroCodec.readOcf(in, entryType).toSeq finally in.close()
+    }
+    val doctored2 = entries2.map { en =>
+      val df = en.getStruct(4)
+      Row.fromSeq(en.toSeq.updated(4, Row.fromSeq(df.toSeq.updated(0, 1))))
+    }
+    val out2 = Files.newOutputStream(Paths.get(manifestPath))
+    try graft.formats.AvroCodec.writeOcf(out2, entryType, doctored2.iterator)
+    finally out2.close()
+    val e2 = intercept[IllegalArgumentException] { IcebergLog.read(spark, t2).count() }
+    assert(e2.getMessage.contains("position/equality deletes"), e2.getMessage)
   }
 }
