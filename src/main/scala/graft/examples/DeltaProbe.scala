@@ -75,7 +75,9 @@ object DeltaProbe {
         val n = math.min(20000, nFiles - written)
         val sb = new StringBuilder
         (0 until n).foreach { i =>
-          sb.append(s"""{"add":{"path":"part-synth-$v-$i.parquet","partitionValues":{},"size":134217728,"modificationTime":1,"dataChange":true}}""").append('\n')
+          // disjoint id ranges in the stats: a point filter keeps 1 file
+          val lo = (written + i) * 1000L
+          sb.append(s"""{"add":{"path":"part-synth-$v-$i.parquet","partitionValues":{},"size":134217728,"modificationTime":1,"dataChange":true,"stats":"{\\"numRecords\\":1000,\\"minValues\\":{\\"id\\":$lo},\\"maxValues\\":{\\"id\\":${lo + 999}},\\"nullCount\\":{\\"id\\":0}}"}}""").append('\n')
         }
         JF.write(JP.get(t, "_delta_log", f"$v%020d.json"),
           sb.toString.getBytes("UTF-8"))
@@ -88,9 +90,16 @@ object DeltaProbe {
       DeltaLog.clearSnapshotCache()
       val (_, tSnapCold) = timed(DeltaLog.snapshot(spark, t))
       val (_, tSnapWarm) = timed(DeltaLog.snapshot(spark, t))
+      // the r10 skipping path: per-query driver cost of judging every
+      // add's stats JSON against a point filter (warm snapshot)
+      val ((kept, total), tPlan1) =
+        timed(DeltaLog.planFiles(spark, t, scanFilter = Some("id = 123456")))
+      val (_, tPlan2) =
+        timed(DeltaLog.planFiles(spark, t, scanFilter = Some("id = 123456")))
       println(f"[delta-probe] files=$nFiles%7d commit cold=${tCold * 1000}%.0fms " +
         f"warm=${math.min(tWarm1, tWarm2) * 1000}%.0fms | snapshot " +
-        f"cold=${tSnapCold * 1000}%.0fms warm=${tSnapWarm * 1000}%.0fms")
+        f"cold=${tSnapCold * 1000}%.0fms warm=${tSnapWarm * 1000}%.0fms | " +
+        f"planFiles(point)=${math.min(tPlan1, tPlan2) * 1000}%.0fms kept=${kept.size}/$total")
     }
     Seq(10000, 100000).foreach(fileCountAxis)
 
