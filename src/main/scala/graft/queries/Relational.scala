@@ -514,6 +514,60 @@ object Relational {
              |  CAST(SUM(k) AS DOUBLE) / COUNT(k) AS avg_k,
              |  COUNT(CASE WHEN k > 50 THEN 1 END) AS n_gt50
              |FROM (SELECT event_type, CAST(json_extract_string(props, '$.k') AS INTEGER) AS k FROM events)
-             |GROUP BY event_type""".stripMargin))
+             |GROUP BY event_type""".stripMargin)),
+
+    // ── copy-on-write DML on the wire-format Delta log (r10): write
+    //    lineitem into a fresh table, DELETE the high-quantity rows,
+    //    UPDATE the returned rows' price, read the table back and
+    //    aggregate. The oracle replays the same DML algebraically over
+    //    the source parquet, so a hash match proves delete + update +
+    //    snapshot-read end-to-end (stats pruning, touched-file rewrite,
+    //    remove/add commit) — not just the operators in isolation.
+    Q("q_delta_dml",
+      (s, dir) => {
+        val li = t(s, dir, "lineitem").select(
+          col("l_orderkey"), col("l_linenumber"), col("l_returnflag"),
+          col("l_quantity"), col("l_extendedprice"))
+        val table = java.nio.file.Files
+          .createTempDirectory("graft-delta-dml").resolve("t").toString
+        graft.sinks.DeltaLog.writeBatch(li, table)
+        graft.sinks.DeltaLog.deleteWhere(s, table, "l_quantity > 45")
+        graft.sinks.DeltaLog.updateWhere(s, table,
+          Seq("l_extendedprice" -> "l_extendedprice * 2"),
+          Some("l_returnflag = 'R'"))
+        graft.sinks.DeltaLog.read(s, table)
+          .groupBy(col("l_returnflag"))
+          .agg(count(lit(1)).as("n"), dsum(col("l_quantity")).as("sum_qty"),
+            dsum(col("l_extendedprice")).as("sum_price"))
+      },
+      Some(s"""SELECT l_returnflag, COUNT(*) AS n, ${oSum("l_quantity")} AS sum_qty,
+              |  ${oSum("CASE WHEN l_returnflag = 'R' THEN l_extendedprice * 2 ELSE l_extendedprice END")} AS sum_price
+              |FROM lineitem WHERE NOT (l_quantity > 45) GROUP BY 1""".stripMargin)),
+
+    // ── the iceberg twin, on a PARTITIONED table: the UPDATE's partition
+    //    predicate prunes the rewrite to the one matching partition via
+    //    the manifest metrics; the overwrite snapshot + manifest-entry
+    //    carry-through round-trips through the v2 avro metadata
+    Q("q_iceberg_dml",
+      (s, dir) => {
+        val li = t(s, dir, "lineitem").select(
+          col("l_orderkey"), col("l_linenumber"), col("l_returnflag"),
+          col("l_quantity"), col("l_extendedprice"))
+        val table = java.nio.file.Files
+          .createTempDirectory("graft-iceberg-dml").resolve("t").toString
+        graft.sinks.IcebergLog.writeBatch(li, table,
+          partitionBy = Seq("l_returnflag"))
+        graft.sinks.IcebergLog.deleteWhere(s, table, "l_quantity > 45")
+        graft.sinks.IcebergLog.updateWhere(s, table,
+          Seq("l_extendedprice" -> "l_extendedprice * 2"),
+          Some("l_returnflag = 'R'"))
+        graft.sinks.IcebergLog.read(s, table)
+          .groupBy(col("l_returnflag"))
+          .agg(count(lit(1)).as("n"), dsum(col("l_quantity")).as("sum_qty"),
+            dsum(col("l_extendedprice")).as("sum_price"))
+      },
+      Some(s"""SELECT l_returnflag, COUNT(*) AS n, ${oSum("l_quantity")} AS sum_qty,
+              |  ${oSum("CASE WHEN l_returnflag = 'R' THEN l_extendedprice * 2 ELSE l_extendedprice END")} AS sum_price
+              |FROM lineitem WHERE NOT (l_quantity > 45) GROUP BY 1""".stripMargin))
   )
 }

@@ -654,6 +654,143 @@ object DeltaLog {
     dead.size
   }
 
+  /** Copy-on-write `DELETE FROM … WHERE predicate`: rewrite ONLY the
+    * files holding matching rows (stats-pruned, then row-verified), as
+    * one atomic remove+add version with `dataChange=true`. At 100 TB
+    * this is the whole point of the stats/ZORDER machinery on the WRITE
+    * path too: a point delete on a clustered table rewrites O(1) files,
+    * judged on the driver against metadata only. Returns the committed
+    * version, or None when no row matched (no commit — the protocol
+    * needs no empty versions). Serializable vs concurrent writers: the
+    * commit aborts both when a touched file was concurrently removed
+    * (ConcurrentDeleteRead) and when a concurrently-added file may hold
+    * matching rows (ConcurrentAppend); either way the whole
+    * plan-rewrite-commit cycle retries from the fresh snapshot.
+    */
+  def deleteWhere(spark: SparkSession, table: String,
+      predicate: String): Option[Long] = {
+    import org.apache.spark.sql.functions.{coalesce, expr, lit, not}
+    val p = predicate.trim
+    require(p.nonEmpty, "DELETE: empty predicate (use 'true' to delete all rows)")
+    dmlRewrite(spark, table, Some(p)) { (touched, _) =>
+      touched.filter(not(coalesce(expr(p), lit(false))))
+    }
+  }
+
+  /** Copy-on-write `UPDATE … SET col = expr, … [WHERE predicate]`:
+    * rewrite only the files holding matching rows, applying each
+    * assignment (cast to the column's declared type) to the matching
+    * rows and carrying every other row through unchanged. Rows whose
+    * updated PARTITION column changes migrate to their new hive
+    * directory (the rewrite re-partitions on write). Returns the
+    * committed version, or None when no row matched. Same conflict
+    * rules as [[deleteWhere]].
+    */
+  def updateWhere(spark: SparkSession, table: String,
+      sets: Seq[(String, String)], predicate: Option[String]): Option[Long] = {
+    import org.apache.spark.sql.functions.{coalesce, col, expr, lit, when}
+    require(sets.nonEmpty, "UPDATE: no SET assignments")
+    val byCol = sets.toMap
+    require(byCol.size == sets.size, "UPDATE: duplicate SET column")
+    dmlRewrite(spark, table, predicate.map(_.trim).filter(_.nonEmpty)) {
+      (touched, s) =>
+        sets.foreach { case (c, _) =>
+          require(s.schema.fieldNames.contains(c), s"UPDATE: no column $c") }
+        val cond = coalesce(
+          predicate.map(_.trim).filter(_.nonEmpty).map(expr).getOrElse(lit(true)),
+          lit(false))
+        touched.select(s.schema.fields.toIndexedSeq.map { f =>
+          byCol.get(f.name) match {
+            case Some(e) =>
+              when(cond, expr(e).cast(f.dataType)).otherwise(col(f.name)).as(f.name)
+            case None => col(f.name)
+          }
+        }: _*)
+    }
+  }
+
+  /** The plan → touch-detect → rewrite → commit cycle behind
+    * [[deleteWhere]]/[[updateWhere]]. `predicate=None` means every row
+    * (predicate-less UPDATE). `transform` maps the touched files' rows
+    * to their replacement rows. Retried whole on commit conflicts.
+    */
+  private def dmlRewrite(spark: SparkSession, table: String,
+      predicate: Option[String], checkpointInterval: Int = 10)
+      (transform: (DataFrame, Snapshot) => DataFrame): Option[Long] = {
+    import org.apache.spark.sql.functions.{coalesce, expr, input_file_name, lit}
+    var round = 0
+    while (round < 5) {
+      round += 1
+      val s = snapshot(spark, table)
+        .getOrElse(sys.error(s"$table is not a Delta table (no _delta_log)"))
+      // 1. plan: stats-pruned candidates (driver-side, metadata only)
+      val (candidates, _) = prune(spark, s, predicate)
+      if (candidates.isEmpty) return None
+      // 2. touch-detect: which candidates really hold a matching row —
+      //    parquet row-group pushdown makes this a cheap scan; files are
+      //    matched by URI-decoded absolute path (input_file_name returns
+      //    a percent-encoded file: URI)
+      val byAbs = candidates.map(rel =>
+        Paths.get(table, rel).toAbsolutePath.normalize.toString -> rel).toMap
+      val predCol = predicate.map(expr).getOrElse(lit(true))
+      val candDf = spark.read.schema(s.schema).option("basePath", table)
+        .parquet(candidates.map(rel => Paths.get(table, rel).toString): _*)
+      val touched = candDf.filter(coalesce(predCol, lit(false)))
+        .select(input_file_name()).distinct().collect()
+        .map(r => byAbs(decodeFileUri(r.getString(0)))).toSeq.sorted
+      if (touched.isEmpty) return None
+      // 3. rewrite the touched files' rows
+      val touchedDf = spark.read.schema(s.schema).option("basePath", table)
+        .parquet(touched.map(rel => Paths.get(table, rel).toString): _*)
+        .select(s.schema.fieldNames.map(org.apache.spark.sql.functions.col).toIndexedSeq: _*)
+      val out = transform(touchedDf, s)
+      val scratch = Paths.get(table, s".graft-dml-${UUID.randomUUID()}")
+      val targetBytes = 128L * 1024 * 1024
+      val touchedSet = touched.toSet
+      val touchedBytes = s.adds.filter(a => touchedSet(a._1)).map(_._2.size).sum
+      val nOut = math.max(1, (touchedBytes / targetBytes).toInt + 1)
+      val w = out.coalesce(nOut).write.mode("overwrite")
+      (if (s.partitionColumns.nonEmpty) w.partitionBy(s.partitionColumns: _*) else w)
+        .parquet(scratch.toString)
+      val parts = walkDir(scratch)
+        .filter(p => Files.isRegularFile(p) &&
+          p.getFileName.toString.endsWith(".parquet"))
+        .map(p => (scratch.relativize(p).toString, p)).sortBy(_._1)
+      val dataSchema = StructType(
+        s.schema.filterNot(f => s.partitionColumns.contains(f.name)))
+      val added0 = parts.map { case (rel, p) =>
+        val dest = Paths.get(table, rel)
+        Files.createDirectories(dest.getParent)
+        try Files.createLink(dest, p)
+        catch { case _: UnsupportedOperationException =>
+          Files.move(p, dest, StandardCopyOption.ATOMIC_MOVE) }
+        (rel, AddInfo(Files.size(dest), Files.getLastModifiedTime(dest).toMillis,
+          partitionValuesOf(rel), fileStatsJson(spark, dest, dataSchema)))
+      }
+      // a file whose every row matched a DELETE rewrites to zero rows —
+      // drop the empty part instead of committing a row-less add
+      val (added, empties) = added0.partition(_._2.stats.forall(st =>
+        try mapper.readTree(st).get("numRecords").asLong() > 0
+        catch { case _: Exception => true }))
+      empties.foreach { case (rel, _) => Files.deleteIfExists(Paths.get(table, rel)) }
+      walkDir(scratch).reverse.foreach(Files.deleteIfExists(_))
+      // 4. one atomic version: removes + adds, guarded against both
+      //    conflict classes; a loss cleans up and re-plans
+      val committed = commit(spark, table, s.schema, s.partitionColumns, added,
+        txn = None, removed = touched, dataChange = true,
+        conflict = Some((s.files.toSet, predicate)))
+      committed match {
+        case Some(v) =>
+          if (checkpointInterval > 0 && (v + 1) % checkpointInterval == 0)
+            writeCheckpoint(spark, table, v)
+          return committed
+        case None =>
+          added.foreach { case (rel, _) => Files.deleteIfExists(Paths.get(table, rel)) }
+      }
+    }
+    sys.error(s"$table: DML lost 5 concurrent-write races; giving up")
+  }
+
   /** `src=web/part-0.parquet` → (src -> web): hive dir segments become
     * the add action's partitionValues (hive-encoding decoded).
     */
@@ -672,7 +809,8 @@ object DeltaLog {
   private[graft] def commit(spark: SparkSession, table: String, schema: StructType,
       partitionBy: Seq[String], added: Seq[(String, AddInfo)],
       txn: Option[(String, Long)], removed: Seq[String] = Seq.empty,
-      dataChange: Boolean = true): Option[Long] = {
+      dataChange: Boolean = true,
+      conflict: Option[(Set[String], Option[String])] = None): Option[Long] = {
     val dir = logDir(table)
     Files.createDirectories(dir)
     var attempt = 0
@@ -688,6 +826,28 @@ object DeltaLog {
         // duplicates. Abort; the caller deletes the files it wrote.
         val active = snap.map(_.files.toSet).getOrElse(Set.empty[String])
         if (!removed.forall(active)) return None
+      }
+      conflict.foreach { case (baseFiles, predSql) =>
+        // ConcurrentAppend (delta-spark's serializable-isolation rule for
+        // DELETE/UPDATE): a file added since the caller planned may hold
+        // rows the predicate should have touched — landing this commit
+        // would silently skip them. Abort when any such file MAY match
+        // (stats-judged, conservative); the caller re-plans from the
+        // fresh snapshot.
+        val newAdds = snap.map(_.adds.filterNot { case (p, _) => baseFiles(p) })
+          .getOrElse(Seq.empty)
+        if (newAdds.nonEmpty) {
+          val conflicting = predSql match {
+            case None => true // predicate-less DML touches every row
+            case Some(p) =>
+              val conj = StatsPruning.conjunctsOf(spark, p)
+              newAdds.exists { case (_, info) =>
+                val fs = addFileStats(info)
+                conj.forall(c => StatsPruning.mayMatch(fs, c, snap.get.schema))
+              }
+          }
+          if (conflicting) return None
+        }
       }
       val version = snap.map(_.version + 1).getOrElse(0L)
       val sb = new StringBuilder
@@ -847,6 +1007,13 @@ object DeltaLog {
     Files.write(logDir(table).resolve("_last_checkpoint"),
       (lc.toString + "\n").getBytes("UTF-8"))
   }
+
+  /** `input_file_name()`'s percent-encoded `file:` URI → the plain
+    * filesystem path ([[dmlRewrite]] keys its touched-file map on it;
+    * shared with IcebergLog's twin).
+    */
+  private[sinks] def decodeFileUri(uri: String): String =
+    try new java.net.URI(uri).getPath catch { case _: Exception => uri }
 
   // Delta paths are URI-encoded relative paths (PROTOCOL.md "path").
   // MINIMAL percent-encoding via java.net.URI (spaces, '%', non-ASCII),

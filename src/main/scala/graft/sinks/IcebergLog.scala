@@ -547,9 +547,14 @@ object IcebergLog {
   private def commitSnapshot(spark: SparkSession, table: String, schema0: StructType,
       partitionBy0: Seq[String], added: Seq[DataFileInfo],
       txn: Option[(String, Long)], operation: String,
-      replaced: Set[String]): Option[Int] = {
+      replaced: Set[String],
+      conflict: Option[(Set[String], Option[String])] = None): Option[Int] = {
     val dir = metaDir(table)
     Files.createDirectories(dir)
+    // `replace` = layout rewrite (same rows), `overwrite` = DML rewrite
+    // (rows logically removed/changed) — identical survivor mechanics,
+    // different snapshot summary + streaming-source semantics
+    val isRewrite = operation == "replace" || operation == "overwrite"
     var attempt = 0
     while (attempt < 1000) {
       attempt += 1
@@ -565,7 +570,7 @@ object IcebergLog {
             s"(have ${m.schema.simpleString} / ${m.partitionColumns})")
       }
       val survivors: Option[Seq[Row]] =
-        if (operation != "replace") None
+        if (!isRewrite) None
         else {
           // concurrent-replace conflict detection + survivor derivation,
           // BOTH against this attempt's fresh snapshot: every file this
@@ -578,6 +583,23 @@ object IcebergLog {
             if (cur.isDefined) liveFiles(table, None).filter(_.status != 2)
             else Seq.empty
           if (!replaced.forall(liveNow.map(_.path).toSet.contains)) return None
+          conflict.foreach { case (baseFiles, predSql) =>
+            // ConcurrentAppend rule for DML (see DeltaLog.commit): a file
+            // added since the caller planned may hold rows the predicate
+            // should have touched — abort when any such file MAY match
+            // (manifest-metrics-judged, conservative); the caller re-plans
+            val newFiles = liveNow.filterNot(f => baseFiles.contains(f.path))
+            if (newFiles.nonEmpty) {
+              val conflicting = predSql match {
+                case None => true // predicate-less DML touches every row
+                case Some(p) =>
+                  val conj = StatsPruning.conjunctsOf(spark, p)
+                  newFiles.exists(f => conj.forall(c =>
+                    StatsPruning.mayMatch(fileStats(f, schema), c, schema)))
+              }
+              if (conflicting) return None
+            }
+          }
           Some(liveNow.filterNot(f => replaced.contains(f.path)).map(_.entryRow))
         }
       val partType = StructType(partitionBy.map(c =>
@@ -1018,6 +1040,136 @@ object IcebergLog {
     if (committed.isEmpty)
       scratchFiles.foreach(a => Files.deleteIfExists(Paths.get(a.path)))
     committed
+  }
+
+  /** Copy-on-write `DELETE FROM … WHERE predicate` — the iceberg twin of
+    * [[DeltaLog.deleteWhere]]: only the files holding matching rows
+    * (manifest-metrics-pruned, then row-verified) are rewritten, and the
+    * swap lands as ONE `overwrite` snapshot (added entries for the
+    * rewritten files, EXISTING entries for everything untouched). Prior
+    * snapshots still see the old rows — time travel until
+    * [[expireSnapshots]]. Returns the committed metadata version, or
+    * None when no row matched. Conflict rules: aborts-and-replans when a
+    * touched file was concurrently replaced OR a concurrently-appended
+    * file may hold matching rows (serializable, like delta-spark's
+    * DELETE).
+    */
+  def deleteWhere(spark: SparkSession, table: String,
+      predicate: String): Option[Int] = {
+    import org.apache.spark.sql.functions.{coalesce, expr, lit, not}
+    val p = predicate.trim
+    require(p.nonEmpty, "DELETE: empty predicate (use 'true' to delete all rows)")
+    dmlRewrite(spark, table, Some(p)) { (touched, _) =>
+      touched.filter(not(coalesce(expr(p), lit(false))))
+    }
+  }
+
+  /** Copy-on-write `UPDATE … SET col = expr, … [WHERE predicate]` — the
+    * iceberg twin of [[DeltaLog.updateWhere]]. Rows whose updated
+    * identity-partition column changes migrate to their new partition
+    * directory (the rewrite re-partitions on write). Returns the
+    * committed metadata version, or None when no row matched.
+    */
+  def updateWhere(spark: SparkSession, table: String,
+      sets: Seq[(String, String)], predicate: Option[String]): Option[Int] = {
+    import org.apache.spark.sql.functions.{coalesce, col, expr, lit, when}
+    require(sets.nonEmpty, "UPDATE: no SET assignments")
+    val byCol = sets.toMap
+    require(byCol.size == sets.size, "UPDATE: duplicate SET column")
+    dmlRewrite(spark, table, predicate.map(_.trim).filter(_.nonEmpty)) {
+      (touched, m) =>
+        sets.foreach { case (c, _) =>
+          require(m.schema.fieldNames.contains(c), s"UPDATE: no column $c") }
+        val cond = coalesce(
+          predicate.map(_.trim).filter(_.nonEmpty).map(expr).getOrElse(lit(true)),
+          lit(false))
+        touched.select(m.schema.fields.toIndexedSeq.map { f =>
+          byCol.get(f.name) match {
+            case Some(e) =>
+              when(cond, expr(e).cast(f.dataType)).otherwise(col(f.name)).as(f.name)
+            case None => col(f.name)
+          }
+        }: _*)
+    }
+  }
+
+  /** Plan → touch-detect → rewrite → `overwrite`-commit cycle behind
+    * [[deleteWhere]]/[[updateWhere]]; retried whole on commit conflicts.
+    * `predicate=None` means every row (predicate-less UPDATE).
+    */
+  private def dmlRewrite(spark: SparkSession, table: String,
+      predicate: Option[String])
+      (transform: (DataFrame, Meta) => DataFrame): Option[Int] = {
+    import org.apache.spark.sql.functions.{coalesce, expr, input_file_name, lit}
+    var round = 0
+    while (round < 5) {
+      round += 1
+      val m = current(table).getOrElse(
+        sys.error(s"$table is not an Iceberg table (no metadata/v*.metadata.json)"))
+      val basePath = Paths.get(table, "data").toAbsolutePath.toString
+      // plan-time live set: anything appearing after this is a potential
+      // ConcurrentAppend conflict the commit must judge
+      val baseLive = liveFiles(table, None).filter(_.status != 2).map(_.path).toSet
+      // 1. plan: manifest-metrics-pruned candidates (driver, metadata only)
+      val (candidates, _) = planFiles(spark, table, None, predicate)
+      if (candidates.isEmpty) return None
+      // 2. touch-detect by URI-decoded absolute path (input_file_name
+      //    returns a percent-encoded file: URI; leaf names REPEAT across
+      //    hive partition dirs of one write job, so they can't key this).
+      //    basePath restores partition columns so partition predicates
+      //    evaluate row-side too; parquet pushdown keeps the scan cheap
+      val byAbs = candidates.map(f =>
+        Paths.get(f.path).toAbsolutePath.normalize.toString -> f).toMap
+      val predCol = predicate.map(expr).getOrElse(lit(true))
+      val candDf = spark.read.schema(m.schema).option("basePath", basePath)
+        .parquet(candidates.map(_.path): _*)
+      val touched = candDf.filter(coalesce(predCol, lit(false)))
+        .select(input_file_name()).distinct().collect()
+        .map(r => byAbs(DeltaLog.decodeFileUri(r.getString(0))))
+        .sortBy(_.path).toSeq
+      if (touched.isEmpty) return None
+      // 3. rewrite the touched files' rows (hive re-partitioning lets
+      //    updated partition values migrate directories)
+      val touchedDf = spark.read.schema(m.schema).option("basePath", basePath)
+        .parquet(touched.map(_.path): _*)
+        .select(m.schema.fieldNames.map(org.apache.spark.sql.functions.col).toIndexedSeq: _*)
+      val out = transform(touchedDf, m)
+      val scratch = Paths.get(table, s".graft-iceberg-dml-${UUID.randomUUID()}")
+      val targetBytes = 128L * 1024 * 1024
+      val nOut = math.max(1, (touched.map(_.size).sum / targetBytes).toInt + 1)
+      val w = out.coalesce(nOut).write.mode("overwrite")
+      (if (m.partitionColumns.nonEmpty) w.partitionBy(m.partitionColumns: _*) else w)
+        .parquet(scratch.toString)
+      val parts = walkDir(scratch)
+        .filter(p => Files.isRegularFile(p) &&
+          p.getFileName.toString.endsWith(".parquet"))
+        .map(p => (scratch.relativize(p).toString, p)).sortBy(_._1)
+      val added = parts.flatMap { case (rel, p) =>
+        val dest = Paths.get(table, "data", rel)
+        Files.createDirectories(dest.getParent)
+        try Files.createLink(dest, p)
+        catch { case _: UnsupportedOperationException =>
+          Files.move(p, dest, StandardCopyOption.ATOMIC_MOVE) }
+        val info = statFile(spark, table, dest, m.schema)
+        // a file whose every row matched a DELETE rewrites to zero rows —
+        // drop the empty part instead of committing a row-less entry
+        if (info.records > 0) Some(info)
+        else { Files.deleteIfExists(dest); None }
+      }
+      walkDir(scratch).reverse.foreach(Files.deleteIfExists(_))
+      // 4. one atomic overwrite snapshot, guarded against both conflict
+      //    classes; a loss cleans up and re-plans
+      val committed = commitSnapshot(spark, table, m.schema, m.partitionColumns,
+        added, txn = None, operation = "overwrite",
+        replaced = touched.map(_.path).toSet,
+        conflict = Some((baseLive, predicate)))
+      committed match {
+        case Some(_) => return committed
+        case None =>
+          added.foreach(a => Files.deleteIfExists(Paths.get(a.path)))
+      }
+    }
+    sys.error(s"$table: DML lost 5 concurrent-write races; giving up")
   }
 
   /** Drop snapshots older than `olderThanMs` (always keeping the current

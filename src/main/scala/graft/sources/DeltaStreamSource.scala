@@ -45,18 +45,29 @@ object DeltaStreamSource {
     views.asScala.foreach(_.close())
   }, "graft-delta-view-cleanup"))
 
-  final class View private[DeltaStreamSource] (val table: String, val dir: Path) {
+  final class View private[DeltaStreamSource] (val table: String, val dir: Path,
+      val ignoreDeletes: Boolean = false) {
     @volatile private[DeltaStreamSource] var lastVersion: Long = -1L
     @volatile private var closed = false
     private[DeltaStreamSource] var poller: Option[Thread] = None
+    @volatile private[DeltaStreamSource] var pollerFailure: Option[Throwable] = None
 
     /** Apply log versions > lastVersion to the view: link every add with
-      * dataChange=true, skip dataChange=false (OPTIMIZE), ignore removes.
+      * dataChange=true, skip dataChange=false (OPTIMIZE), ignore
+      * dataChange=false removes. A remove with `dataChange=true` (a
+      * DELETE/UPDATE rewrote live rows) BREAKS the append-only source
+      * contract — this stream has already emitted rows the table no
+      * longer holds and cannot retract them — so sync FAILS loudly
+      * (delta-spark's rule) unless the source was opened with
+      * `ignore_deletes`; then the WHOLE change commit is skipped, adds
+      * included (they rewrite already-emitted rows — linking them would
+      * double-emit the survivors): delta-spark's skipChangeCommits shape.
       * Returns the number of files newly linked. Thread-safe (the poller
       * and a manual caller may race).
       */
     def sync(): Int = synchronized {
       if (closed) return 0
+      pollerFailure.foreach(throw _)
       val logDir = Paths.get(table, "_delta_log")
       if (!Files.isDirectory(logDir)) return 0
       val s = Files.list(logDir)
@@ -73,12 +84,22 @@ object DeltaStreamSource {
         require(v == lastVersion + 1,
           s"$table: log versions ${lastVersion + 1}..${v - 1} missing under a " +
             "running stream (aged out past a checkpoint?)")
-        Files.readAllLines(p).asScala.filter(_.nonEmpty).foreach { line =>
-          val n = mapper.readTree(line)
+        val actions = Files.readAllLines(p).asScala.filter(_.nonEmpty)
+          .map(mapper.readTree).toSeq
+        val changeCommit = actions.exists(n =>
+          n.has("remove") && n.get("remove").get("dataChange").asBoolean())
+        if (changeCommit && !ignoreDeletes)
+          throw new IllegalStateException(
+            s"$table: version $v deleted or updated live rows under a running " +
+              "append-only stream (this source cannot retract emitted rows). " +
+              "Restart from a fresh snapshot, or open the source with " +
+              "ignore_deletes=true to skip change commits whole.")
+        if (!changeCommit) actions.foreach { n =>
           if (n.has("add") && n.get("add").get("dataChange").asBoolean()) {
             if (link(decodePath(n.get("add").get("path").asText()))) linked += 1
           }
-        }
+        } // change commit + ignore_deletes: skip whole (adds rewrite
+          // already-emitted survivors — linking them would double-emit)
         lastVersion = v
       }
       linked
@@ -133,10 +154,12 @@ object DeltaStreamSource {
     * that syncs continuously — the continuous-trigger mode.
     */
   def open(spark: SparkSession, table: String,
-      pollMs: Option[Long] = None): (DataFrame, View) = {
+      pollMs: Option[Long] = None,
+      ignoreDeletes: Boolean = false): (DataFrame, View) = {
     val snap = DeltaLog.snapshot(spark, table)
       .getOrElse(sys.error(s"$table is not a Delta table (no _delta_log)"))
-    val view = new View(table, Files.createTempDirectory("graft-delta-view"))
+    val view = new View(table, Files.createTempDirectory("graft-delta-view"),
+      ignoreDeletes)
     views.add(view)
     // initial state: the active snapshot IS each logical row exactly once
     view.linkAll(snap.files)
@@ -150,7 +173,13 @@ object DeltaStreamSource {
     pollMs.foreach { ms =>
       val t = new Thread(() => {
         try while (true) { view.sync(); Thread.sleep(ms) }
-        catch { case _: InterruptedException => }
+        catch {
+          case _: InterruptedException =>
+          case e: Throwable =>
+            // surface the failure to the next manual sync() caller
+            // instead of dying silently on a daemon thread
+            view.pollerFailure = Some(e)
+        }
       }, s"graft-delta-poll-${view.dir.getFileName}")
       t.setDaemon(true)
       view.poller = Some(t)

@@ -39,18 +39,28 @@ object IcebergStreamSource {
     views.asScala.foreach(_.close())
   }, "graft-iceberg-view-cleanup"))
 
-  final class View private[IcebergStreamSource] (val table: String, val dir: Path) {
+  final class View private[IcebergStreamSource] (val table: String, val dir: Path,
+      val ignoreDeletes: Boolean = false) {
     @volatile private[IcebergStreamSource] var lastSeq: Long = -1L
     @volatile private var closed = false
     private[IcebergStreamSource] var poller: Option[Thread] = None
+    @volatile private[IcebergStreamSource] var pollerFailure: Option[Throwable] = None
     private val tableRoot = Paths.get(table).toAbsolutePath
 
     /** Apply snapshots with sequence-number > lastSeq: link the added
-      * files of append snapshots, skip replace snapshots. Returns the
-      * number of files newly linked. Thread-safe.
+      * files of `append` snapshots, skip `replace` (layout rewrite, no
+      * logical rows) whole. An `overwrite` snapshot (DELETE/UPDATE
+      * rewrote live rows) BREAKS the append-only source contract — the
+      * stream has already emitted rows the table no longer holds and
+      * cannot retract them — so sync FAILS loudly unless the source was
+      * opened with `ignore_deletes`; then the overwrite snapshot is
+      * skipped whole, adds included (they rewrite already-emitted
+      * survivors — linking them would double-emit). Returns the number
+      * of files newly linked. Thread-safe.
       */
     def sync(): Int = synchronized {
       if (closed) return 0
+      pollerFailure.foreach(throw _)
       val m = IcebergLog.current(table).getOrElse(return 0)
       val news = m.snapshots
         .filter(_.get("sequence-number").asLong() > lastSeq)
@@ -63,11 +73,24 @@ object IcebergStreamSource {
             "expired under a running stream (slow reader past retention?)")
         val sid = s.get("snapshot-id").asLong()
         val op = Option(s.get("summary")).map(_.get("operation").asText()).getOrElse("append")
-        if (op == "append") {
-          IcebergLog.liveFiles(table, Some(sid))
-            .filter(f => f.status == 1 && f.entryRow.get(1) == sid)
-            .foreach(f => if (link(f.path)) linked += 1)
-        } // replace: a layout rewrite adds no logical rows — skip whole
+        op match {
+          case "append" =>
+            IcebergLog.liveFiles(table, Some(sid))
+              .filter(f => f.status == 1 && f.entryRow.get(1) == sid)
+              .foreach(f => if (link(f.path)) linked += 1)
+          case "replace" => // layout rewrite adds no logical rows — skip whole
+          case "overwrite" =>
+            if (!ignoreDeletes) throw new IllegalStateException(
+              s"$table: snapshot $sid deleted or updated live rows under a " +
+                "running append-only stream (this source cannot retract " +
+                "emitted rows). Restart from a fresh snapshot, or open the " +
+                "source with ignore_deletes=true to skip overwrite snapshots " +
+                "whole.")
+          // ignore_deletes: skip whole (see scaladoc)
+          case other => throw new IllegalStateException(
+            s"$table: snapshot $sid has unknown operation '$other'; refusing " +
+              "to guess its append-only semantics")
+        }
         lastSeq = seq
       }
       linked
@@ -111,10 +134,12 @@ object IcebergStreamSource {
     * current for continuous triggers.
     */
   def open(spark: SparkSession, table: String,
-      pollMs: Option[Long] = None): (DataFrame, View) = {
+      pollMs: Option[Long] = None,
+      ignoreDeletes: Boolean = false): (DataFrame, View) = {
     val m = IcebergLog.current(table).getOrElse(
       sys.error(s"$table is not an Iceberg table (no metadata/v*.metadata.json)"))
-    val view = new View(table, Files.createTempDirectory("graft-iceberg-view"))
+    val view = new View(table, Files.createTempDirectory("graft-iceberg-view"),
+      ignoreDeletes)
     views.add(view)
     // initial state: the current snapshot IS each logical row exactly
     // once; the bulk link is the one O(active files) driver-side moment,
@@ -134,7 +159,13 @@ object IcebergStreamSource {
     pollMs.foreach { ms =>
       val t = new Thread(() => {
         try while (true) { view.sync(); Thread.sleep(ms) }
-        catch { case _: InterruptedException => }
+        catch {
+          case _: InterruptedException =>
+          case e: Throwable =>
+            // surface the failure to the next manual sync() caller
+            // instead of dying silently on a daemon thread
+            view.pollerFailure = Some(e)
+        }
       }, s"graft-iceberg-poll-${view.dir.getFileName}")
       t.setDaemon(true)
       view.poller = Some(t)

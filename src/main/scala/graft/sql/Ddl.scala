@@ -84,11 +84,47 @@ object Ddl {
   final case class Maintain(op: String, table: String,
       retainHours: Option[Long], zorderBy: Seq[String] = Seq.empty) extends Stmt
 
+  /** `DELETE FROM t [WHERE pred]` / `UPDATE t SET c = expr, … [WHERE
+    * pred]` — copy-on-write DML verbs for delta and iceberg connector
+    * tables (r10): only the files holding matching rows are rewritten,
+    * as one atomic remove+add version / overwrite snapshot.
+    * `op` ∈ {"delete", "update"}; `sets` empty for delete.
+    */
+  final case class Dml(op: String, table: String, where: Option[String],
+      sets: Seq[(String, String)] = Seq.empty) extends Stmt
+
   private val SetRe = """(?is)^\s*SET\s+([A-Za-z_][A-Za-z0-9_.]*)\s*=\s*(.+?)\s*$""".r
   private val OptimizeRe =
     """(?is)^\s*OPTIMIZE\s+([A-Za-z_][A-Za-z0-9_]*)(?:\s+ZORDER\s+BY\s*\(([^)]+)\))?\s*$""".r
   private val VacuumRe =
     """(?is)^\s*VACUUM\s+([A-Za-z_][A-Za-z0-9_]*)(?:\s+RETAIN\s+(\d+)\s+HOURS)?\s*$""".r
+  private val DeleteRe =
+    """(?is)^\s*DELETE\s+FROM\s+([A-Za-z_][A-Za-z0-9_]*)(\s+WHERE\s+.+)?\s*$""".r
+  private val UpdateRe =
+    """(?is)^\s*UPDATE\s+([A-Za-z_][A-Za-z0-9_]*)\s+SET\s+(.+)$""".r
+
+  /** Split `body` at its first top-level (outside quotes/parens) WHERE:
+    * (before, Some(predicate)) — or (body, None) when there is none.
+    */
+  private def splitAtWhere(body: String): (String, Option[String]) = {
+    var depth = 0
+    var inS = false
+    var i = 0
+    while (i < body.length) {
+      val c = body.charAt(i)
+      if (c == '\'') inS = !inS
+      else if (!inS && c == '(') depth += 1
+      else if (!inS && c == ')') depth -= 1
+      else if (!inS && depth == 0 && (c == 'w' || c == 'W') &&
+        body.regionMatches(true, i, "WHERE", 0, 5) &&
+        (i == 0 || body.charAt(i - 1).isWhitespace) &&
+        (i + 5 >= body.length || body.charAt(i + 5).isWhitespace))
+        return (body.substring(0, i).trim,
+          Some(body.substring(i + 5).trim).filter(_.nonEmpty))
+      i += 1
+    }
+    (body.trim, None)
+  }
 
   /** Split a script into statements on top-level semicolons. Quote-aware
     * AND comment-aware in one scanner pass: a `;` or `'` inside a `--` line
@@ -150,6 +186,24 @@ object Ddl {
       Option(zcols).toSeq.flatMap(_.split(',')).map(_.trim).filter(_.nonEmpty))
     case VacuumRe(name, hours) =>
       Maintain("vacuum", name, Option(hours).map(_.toLong))
+    case DeleteRe(name, whereTail) =>
+      val where = Option(whereTail)
+        .map(_.trim.replaceFirst("(?is)^WHERE\\s+", "").trim)
+        .filter(_.nonEmpty)
+      Dml("delete", name, where)
+    case UpdateRe(name, body) =>
+      val (setsStr, where) = splitAtWhere(body)
+      val sets = splitTop(setsStr, ',').map(_.trim).filter(_.nonEmpty).map { a =>
+        a.split("=", 2) match {
+          case Array(c, e) if c.trim.matches("[A-Za-z_][A-Za-z0-9_]*") && e.trim.nonEmpty =>
+            (c.trim, e.trim)
+          case _ => throw new IllegalArgumentException(
+            s"UPDATE $name: malformed SET assignment '$a' (expected col = expr)")
+        }
+      }
+      if (sets.isEmpty) throw new IllegalArgumentException(
+        s"UPDATE $name: no SET assignments")
+      Dml("update", name, where, sets)
     case q => Query(q)
   }
 

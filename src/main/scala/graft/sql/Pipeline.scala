@@ -299,6 +299,28 @@ class Pipeline(spark: SparkSession, streaming: Boolean = false) {
         case ("vacuum", _) => graft.sinks.IcebergLog.expireSnapshots(spark, tPath, retainMs); ()
       }
 
+    case Dml(op, name, where, sets) =>
+      val t = catalog.getOrElse(name,
+        throw new IllegalArgumentException(s"unknown table $name"))
+      if (t.connector != "delta" && t.connector != "iceberg")
+        throw new IllegalArgumentException(
+          s"$op is only supported on delta/iceberg tables (got connector '${t.connector}')")
+      val tPath = t.path.getOrElse(sys.error(s"table $name: path required"))
+      if (t.schema.fields.nonEmpty) sets.foreach { case (c, _) =>
+        if (!t.schema.fieldNames.contains(c)) throw new IllegalArgumentException(
+          s"UPDATE $name: no column $c") }
+      // plan() must VALIDATE DML statements, never run them
+      if (!planOnly) (op, t.connector) match {
+        case ("delete", "delta") =>
+          graft.sinks.DeltaLog.deleteWhere(spark, tPath, where.getOrElse("true")); ()
+        case ("delete", _) =>
+          graft.sinks.IcebergLog.deleteWhere(spark, tPath, where.getOrElse("true")); ()
+        case ("update", "delta") =>
+          graft.sinks.DeltaLog.updateWhere(spark, tPath, sets, where); ()
+        case ("update", _) =>
+          graft.sinks.IcebergLog.updateWhere(spark, tPath, sets, where); ()
+      }
+
     case SetOption(key, value) => key match {
       case "updating_ttl" =>
         updatingTtl = value.replaceAll("(?i)^interval\\s+", "").stripPrefix("'").stripSuffix("'")
@@ -1067,7 +1089,8 @@ class Pipeline(spark: SparkSession, streaming: Boolean = false) {
               sys.error(s"$o is a batch (snapshot) option; " +
                 "a streaming delta source always tails from the current snapshot"))
             val (df, view) = graft.sources.DeltaStreamSource.open(spark, tPath,
-              pollMs = Some(t.options.getOrElse("poll_ms", "500").toLong))
+              pollMs = Some(t.options.getOrElse("poll_ms", "500").toLong),
+              ignoreDeletes = t.options.get("ignore_deletes").exists(_.toBoolean))
             tableViews += (() => view.close())
             df
           } else {
@@ -1099,7 +1122,8 @@ class Pipeline(spark: SparkSession, streaming: Boolean = false) {
               sys.error(s"$o is a batch (time travel) option; " +
                 "a streaming iceberg source always tails from the current snapshot"))
             val (df, view) = graft.sources.IcebergStreamSource.open(spark, tPath,
-              pollMs = Some(t.options.getOrElse("poll_ms", "500").toLong))
+              pollMs = Some(t.options.getOrElse("poll_ms", "500").toLong),
+              ignoreDeletes = t.options.get("ignore_deletes").exists(_.toBoolean))
             tableViews += (() => view.close())
             df
           } else {
