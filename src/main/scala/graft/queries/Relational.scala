@@ -568,6 +568,47 @@ object Relational {
       },
       Some(s"""SELECT l_returnflag, COUNT(*) AS n, ${oSum("l_quantity")} AS sum_qty,
               |  ${oSum("CASE WHEN l_returnflag = 'R' THEN l_extendedprice * 2 ELSE l_extendedprice END")} AS sum_price
-              |FROM lineitem WHERE NOT (l_quantity > 45) GROUP BY 1""".stripMargin))
+              |FROM lineitem WHERE NOT (l_quantity > 45) GROUP BY 1""".stripMargin)),
+
+    // ── MERGE INTO (copy-on-write upsert, r10): write orders into a
+    //    fresh delta table, merge a CDC-shaped source (price corrections
+    //    for every 10th order + brand-new negated-key orders), read back
+    //    and aggregate. The oracle replays the same upsert as
+    //    left-join ∪ anti-join algebra over the source parquet, so a
+    //    hash match proves matched-update, not-matched-insert, the
+    //    key-bounds file pruning, and the one-version swap end-to-end.
+    Q("q_delta_merge",
+      (s, dir) => {
+        val o = t(s, dir, "orders")
+          .select(col("o_orderkey").as("k"), col("o_totalprice").as("p"))
+        val table = java.nio.file.Files
+          .createTempDirectory("graft-delta-merge").resolve("t").toString
+        graft.sinks.DeltaLog.writeBatch(o, table)
+        // the insert branch excludes key 0: -0 = 0 would collide with the
+        // update branch's key 0 (two source rows for one target row = the
+        // multiple-source-rows error, correctly)
+        val source = o.filter(col("k") % 10 === 0)
+          .select(col("k"), (col("p") + 1000d).as("p"))
+          .unionAll(o.filter(col("k") % 3 === 0 && col("k") > 0)
+            .select((-col("k")).as("k"), col("p")))
+        graft.sinks.DeltaLog.merge(s, table, source,
+          graft.sinks.Merge.Clauses("t", "s", "t.k = s.k",
+            Seq(graft.sinks.Merge.MatchedClause(None, Left(Seq("p" -> "s.p")))),
+            Some((None, Seq.empty))))
+        graft.sinks.DeltaLog.read(s, table)
+          .groupBy((col("k") < 0).as("inserted"))
+          .agg(count(lit(1)).as("n"), dsum(col("p")).as("sum_p"))
+      },
+      Some(s"""WITH t AS (SELECT o_orderkey AS k, o_totalprice AS p FROM orders),
+              |src AS (SELECT o_orderkey AS k, o_totalprice + 1000 AS p FROM orders WHERE o_orderkey % 10 = 0
+              |        UNION ALL
+              |        SELECT -o_orderkey, o_totalprice FROM orders WHERE o_orderkey % 3 = 0 AND o_orderkey > 0),
+              |merged AS (SELECT t.k, COALESCE(src.p, t.p) AS p
+              |           FROM t LEFT JOIN src ON t.k = src.k
+              |           UNION ALL
+              |           SELECT src.k, src.p FROM src
+              |           WHERE NOT EXISTS (SELECT 1 FROM t WHERE t.k = src.k))
+              |SELECT k < 0 AS inserted, COUNT(*) AS n, ${oSum("p")} AS sum_p
+              |FROM merged GROUP BY 1""".stripMargin))
   )
 }

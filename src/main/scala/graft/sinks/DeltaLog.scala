@@ -508,7 +508,8 @@ object DeltaLog {
   def writeBatch(df: DataFrame, table: String,
       txn: Option[(String, Long)] = None,
       partitionBy: Seq[String] = Seq.empty,
-      checkpointInterval: Int = 10): Option[Long] = {
+      checkpointInterval: Int = 10,
+      mergeSchema: Boolean = false): Option[Long] = {
     val spark = df.sparkSession
     txn.foreach { case (app, v) =>
       if (snapshot(spark, table).exists(_.appVersions.get(app).exists(_ >= v)))
@@ -539,7 +540,8 @@ object DeltaLog {
     }
     // data files exclude the partition columns (they live in the path and
     // in partitionValues), matching Delta's physical layout
-    val committed = commit(spark, table, df.schema, partitionBy, added, txn)
+    val committed = commit(spark, table, df.schema, partitionBy, added, txn,
+      mergeSchema = mergeSchema)
     // scratch cleanup (links live on in the table root)
     walkDir(scratch).reverse.foreach(Files.deleteIfExists(_))
     committed match {
@@ -654,6 +656,27 @@ object DeltaLog {
     dead.size
   }
 
+  /** `ALTER TABLE … ADD COLUMNS`: append nullable columns to the table
+    * schema as one metaData-only version (no data files touched — old
+    * AND new files simply read null until something writes the column).
+    * Duplicate names are rejected. Returns the committed version.
+    */
+  def addColumns(spark: SparkSession, table: String,
+      cols: Seq[(String, DataType)]): Option[Long] = {
+    require(cols.nonEmpty, "ADD COLUMNS: no columns")
+    val s = snapshot(spark, table)
+      .getOrElse(sys.error(s"$table is not a Delta table (no _delta_log)"))
+    cols.foreach { case (n, _) =>
+      require(!s.schema.fieldNames.contains(n),
+        s"ADD COLUMNS: column $n already exists in $table") }
+    require(cols.map(_._1).distinct.size == cols.size,
+      "ADD COLUMNS: duplicate column name")
+    val evolved = StructType(s.schema.fields ++
+      cols.map { case (n, dt) => StructField(n, dt, nullable = true) })
+    commit(spark, table, evolved, s.partitionColumns, added = Seq.empty,
+      txn = None, mergeSchema = true)
+  }
+
   /** Copy-on-write `DELETE FROM … WHERE predicate`: rewrite ONLY the
     * files holding matching rows (stats-pruned, then row-verified), as
     * one atomic remove+add version with `dataChange=true`. At 100 TB
@@ -672,7 +695,8 @@ object DeltaLog {
     import org.apache.spark.sql.functions.{coalesce, expr, lit, not}
     val p = predicate.trim
     require(p.nonEmpty, "DELETE: empty predicate (use 'true' to delete all rows)")
-    dmlRewrite(spark, table, Some(p)) { (touched, _) =>
+    dmlRewrite(spark, table, scanFilter = Some(p), conflictPred = Some(p),
+      matcher = df => df.filter(coalesce(expr(p), lit(false)))) { (touched, _) =>
       touched.filter(not(coalesce(expr(p), lit(false))))
     }
   }
@@ -692,7 +716,10 @@ object DeltaLog {
     require(sets.nonEmpty, "UPDATE: no SET assignments")
     val byCol = sets.toMap
     require(byCol.size == sets.size, "UPDATE: duplicate SET column")
-    dmlRewrite(spark, table, predicate.map(_.trim).filter(_.nonEmpty)) {
+    val p = predicate.map(_.trim).filter(_.nonEmpty)
+    dmlRewrite(spark, table, scanFilter = p, conflictPred = p,
+      matcher = df => p.map(pp => df.filter(coalesce(expr(pp), lit(false))))
+        .getOrElse(df)) {
       (touched, s) =>
         sets.foreach { case (c, _) =>
           require(s.schema.fieldNames.contains(c), s"UPDATE: no column $c") }
@@ -709,40 +736,92 @@ object DeltaLog {
     }
   }
 
+  /** `MERGE INTO … USING … ON …` — copy-on-write upsert (the verb a CDC
+    * feed or incremental refresh lands with). File mechanics are
+    * [[deleteWhere]]'s: only files holding MATCHED rows are rewritten
+    * (pruned first by [[Merge.keyBoundsFilter]] — the source batch's
+    * actual key bounds — so a small batch against a huge table plans
+    * O(overlapping files)); not-matched source rows land as fresh adds
+    * in the SAME atomic version. Row semantics (clause order, the
+    * multiple-source-rows error, INSERT *) are [[Merge.rewrite]]'s.
+    * Conflict rule is maximal: ANY concurrently-added file aborts and
+    * re-plans (a new file may hold rows the merge should have matched).
+    * Returns the committed version, or None when the merge was a no-op.
+    */
+  def merge(spark: SparkSession, table: String, source: DataFrame,
+      clauses: Merge.Clauses): Option[Long] = {
+    import org.apache.spark.sql.functions.expr
+    val s0 = snapshot(spark, table)
+      .getOrElse(sys.error(s"$table is not a Delta table (no _delta_log)"))
+    clauses.updateCols.foreach(cname =>
+      require(s0.schema.fieldNames.contains(cname),
+        s"MERGE: no column $cname in $table"))
+    source.persist()
+    try {
+      val scanFilter = Merge.keyBoundsFilter(spark, clauses, source, s0.schema)
+      dmlRewrite(spark, table, scanFilter, conflictPred = None,
+        matcher = df => df.alias(clauses.targetAlias)
+          .join(source.alias(clauses.sourceAlias), expr(clauses.cond), "left_semi"),
+        commitWhenUntouched = clauses.notMatchedInsert.isDefined) {
+        (touched, snap) => Merge.rewrite(touched, source, snap.schema, clauses)
+      }
+    } finally { source.unpersist(); () }
+  }
+
   /** The plan → touch-detect → rewrite → commit cycle behind
-    * [[deleteWhere]]/[[updateWhere]]. `predicate=None` means every row
-    * (predicate-less UPDATE). `transform` maps the touched files' rows
-    * to their replacement rows. Retried whole on commit conflicts.
+    * [[deleteWhere]]/[[updateWhere]]/[[merge]]. `scanFilter` prunes
+    * candidate files against their stats (metadata-only); `matcher`
+    * narrows the candidate rows to the MATCHING ones (its input-file set
+    * is the rewrite set); `transform` maps the touched files' rows to
+    * their replacement rows (it may union in brand-new rows — MERGE's
+    * inserts). `conflictPred=None` aborts on ANY concurrently-added
+    * file. `commitWhenUntouched` makes a zero-touched plan still commit
+    * transform(empty) as pure adds (MERGE with no matches = insert-only)
+    * instead of returning None. Retried whole on commit conflicts.
     */
   private def dmlRewrite(spark: SparkSession, table: String,
-      predicate: Option[String], checkpointInterval: Int = 10)
+      scanFilter: Option[String], conflictPred: Option[String],
+      matcher: DataFrame => DataFrame,
+      commitWhenUntouched: Boolean = false,
+      checkpointInterval: Int = 10)
       (transform: (DataFrame, Snapshot) => DataFrame): Option[Long] = {
-    import org.apache.spark.sql.functions.{coalesce, expr, input_file_name, lit}
+    import org.apache.spark.sql.functions.input_file_name
     var round = 0
     while (round < 5) {
       round += 1
       val s = snapshot(spark, table)
         .getOrElse(sys.error(s"$table is not a Delta table (no _delta_log)"))
       // 1. plan: stats-pruned candidates (driver-side, metadata only)
-      val (candidates, _) = prune(spark, s, predicate)
-      if (candidates.isEmpty) return None
+      val (candidates, _) = prune(spark, s, scanFilter)
+      if (candidates.isEmpty && !commitWhenUntouched) return None
       // 2. touch-detect: which candidates really hold a matching row —
       //    parquet row-group pushdown makes this a cheap scan; files are
       //    matched by URI-decoded absolute path (input_file_name returns
       //    a percent-encoded file: URI)
       val byAbs = candidates.map(rel =>
         Paths.get(table, rel).toAbsolutePath.normalize.toString -> rel).toMap
-      val predCol = predicate.map(expr).getOrElse(lit(true))
-      val candDf = spark.read.schema(s.schema).option("basePath", table)
-        .parquet(candidates.map(rel => Paths.get(table, rel).toString): _*)
-      val touched = candDf.filter(coalesce(predCol, lit(false)))
-        .select(input_file_name()).distinct().collect()
+      val emptyDf =
+        spark.createDataFrame(spark.sparkContext.emptyRDD[Row], s.schema)
+      // capture the file name BEFORE matcher runs: a MERGE matcher joins
+      // against the source frame, and input_file_name() inside a
+      // multi-file-source plan is an analysis error
+      val fileCol = "__graft_input_file"
+      val candDf =
+        if (candidates.isEmpty) emptyDf.withColumn(fileCol,
+          org.apache.spark.sql.functions.lit(""))
+        else spark.read.schema(s.schema).option("basePath", table)
+          .parquet(candidates.map(rel => Paths.get(table, rel).toString): _*)
+          .withColumn(fileCol, input_file_name())
+      val touched = matcher(candDf)
+        .select(org.apache.spark.sql.functions.col(fileCol)).distinct().collect()
         .map(r => byAbs(decodeFileUri(r.getString(0)))).toSeq.sorted
-      if (touched.isEmpty) return None
+      if (touched.isEmpty && !commitWhenUntouched) return None
       // 3. rewrite the touched files' rows
-      val touchedDf = spark.read.schema(s.schema).option("basePath", table)
-        .parquet(touched.map(rel => Paths.get(table, rel).toString): _*)
-        .select(s.schema.fieldNames.map(org.apache.spark.sql.functions.col).toIndexedSeq: _*)
+      val touchedDf =
+        if (touched.isEmpty) emptyDf
+        else spark.read.schema(s.schema).option("basePath", table)
+          .parquet(touched.map(rel => Paths.get(table, rel).toString): _*)
+          .select(s.schema.fieldNames.map(org.apache.spark.sql.functions.col).toIndexedSeq: _*)
       val out = transform(touchedDf, s)
       val scratch = Paths.get(table, s".graft-dml-${UUID.randomUUID()}")
       val targetBytes = 128L * 1024 * 1024
@@ -774,11 +853,12 @@ object DeltaLog {
         catch { case _: Exception => true }))
       empties.foreach { case (rel, _) => Files.deleteIfExists(Paths.get(table, rel)) }
       walkDir(scratch).reverse.foreach(Files.deleteIfExists(_))
+      if (touched.isEmpty && added.isEmpty) return None // true no-op
       // 4. one atomic version: removes + adds, guarded against both
       //    conflict classes; a loss cleans up and re-plans
       val committed = commit(spark, table, s.schema, s.partitionColumns, added,
         txn = None, removed = touched, dataChange = true,
-        conflict = Some((s.files.toSet, predicate)))
+        conflict = Some((s.files.toSet, conflictPred)))
       committed match {
         case Some(v) =>
           if (checkpointInterval > 0 && (v + 1) % checkpointInterval == 0)
@@ -810,7 +890,8 @@ object DeltaLog {
       partitionBy: Seq[String], added: Seq[(String, AddInfo)],
       txn: Option[(String, Long)], removed: Seq[String] = Seq.empty,
       dataChange: Boolean = true,
-      conflict: Option[(Set[String], Option[String])] = None): Option[Long] = {
+      conflict: Option[(Set[String], Option[String])] = None,
+      mergeSchema: Boolean = false): Option[Long] = {
     val dir = logDir(table)
     Files.createDirectories(dir)
     var attempt = 0
@@ -849,6 +930,17 @@ object DeltaLog {
           if (conflicting) return None
         }
       }
+      // the schema this version commits under: exact match or sanctioned
+      // evolution — NEVER a silent replace (SchemaEvolution); changing
+      // the partitioning of an existing table is always an error
+      snap.foreach { s0 =>
+        if (s0.partitionColumns != partitionBy) throw new IllegalArgumentException(
+          s"$table is partitioned by (${s0.partitionColumns.mkString(", ")}); " +
+            s"this write declares (${partitionBy.mkString(", ")}) — " +
+            "repartitioning an existing table requires a rewrite, not an append")
+      }
+      val tableSchema = snap.map(s0 =>
+        SchemaEvolution.resolve(s0.schema, schema, mergeSchema, table)).getOrElse(schema)
       val version = snap.map(_.version + 1).getOrElse(0L)
       val sb = new StringBuilder
       def line(n: com.fasterxml.jackson.databind.node.ObjectNode): Unit = {
@@ -869,20 +961,23 @@ object DeltaLog {
         prBody.put("minWriterVersion", 2)
         line(pr)
       }
-      val metaChanged = snap.forall(s =>
-        s.schema.json != schema.json || s.partitionColumns != partitionBy)
+      val metaChanged = snap.forall(_.schema.json != tableSchema.json)
       if (metaChanged) {
         val md = mapper.createObjectNode()
         val m = md.putObject("metaData")
-        m.put("id", UUID.randomUUID().toString)
+        // metaData.id is TABLE identity — stable across schema evolution
+        // (a fresh id only at creation; the snapshot cache's identity
+        // check relies on this)
+        m.put("id", snap.map(_.metaId).getOrElse(UUID.randomUUID().toString))
         val fmt = m.putObject("format")
         fmt.put("provider", "parquet")
         fmt.putObject("options")
-        m.put("schemaString", schema.json)
+        m.put("schemaString", tableSchema.json)
         val pc = m.putArray("partitionColumns")
         partitionBy.foreach(pc.add)
         m.putObject("configuration")
-        m.put("createdTime", System.currentTimeMillis())
+        m.put("createdTime",
+          snap.map(_.createdTime).filter(_ > 0).getOrElse(System.currentTimeMillis()))
         line(md)
       }
       txn.foreach { case (app, v) =>

@@ -228,11 +228,11 @@ object IcebergLog {
     case other => throw new IllegalArgumentException(s"iceberg: unsupported type $other")
   }
 
-  private def schemaJson(schema: StructType): String = {
+  private def schemaJson(schema: StructType, schemaId: Int = 0): String = {
     val fields = schema.fields.zipWithIndex.map { case (f, i) =>
       s"""{"id":${i + 1},"name":"${f.name}","required":${!f.nullable},"type":"${icebergType(f.dataType)}"}"""
     }
-    s"""{"type":"struct","schema-id":0,"fields":[${fields.mkString(",")}]}"""
+    s"""{"type":"struct","schema-id":$schemaId,"fields":[${fields.mkString(",")}]}"""
   }
 
   private def schemaOf(n: com.fasterxml.jackson.databind.JsonNode): StructType =
@@ -247,7 +247,18 @@ object IcebergLog {
   final case class Meta(version: Int, node: com.fasterxml.jackson.databind.JsonNode) {
     def uuid: String = node.get("table-uuid").asText()
     def lastSeq: Long = node.get("last-sequence-number").asLong()
-    def schema: StructType = schemaOf(node.get("schemas").get(0))
+    def currentSchemaId: Int =
+      Option(node.get("current-schema-id")).map(_.asInt()).getOrElse(0)
+    /** The CURRENT schema — `schemas` is an append-only history after
+      * r10 evolution, selected by `current-schema-id`.
+      */
+    def schema: StructType = {
+      val arr = node.get("schemas")
+      val cur = currentSchemaId
+      val n = (0 until arr.size()).map(arr.get)
+        .find(s => s.get("schema-id").asInt() == cur).getOrElse(arr.get(0))
+      schemaOf(n)
+    }
     def partitionColumns: Seq[String] = {
       val spec = node.get("partition-specs").get(0).get("fields")
       (0 until spec.size()).map(i => spec.get(i).get("name").asText())
@@ -437,13 +448,20 @@ object IcebergLog {
     */
   def writeBatch(df: DataFrame, table: String,
       txn: Option[(String, Long)] = None,
-      partitionBy: Seq[String] = Seq.empty): Option[Int] = {
+      partitionBy: Seq[String] = Seq.empty,
+      mergeSchema: Boolean = false): Option[Int] = {
     val spark = df.sparkSession
     txn.foreach { case (app, v) =>
       if (current(table).exists(_.appVersions.get(app).exists(_ >= v)))
         return None
     }
     Files.createDirectories(Paths.get(table, "data"))
+    // field ids are TABLE-schema positions: under evolution the batch's
+    // column order may differ, so metrics must key off the schema the
+    // commit will land under (fresh table: the batch's own schema)
+    val statSchema = current(table)
+      .map(m => SchemaEvolution.resolve(m.schema, df.schema, mergeSchema, table))
+      .getOrElse(df.schema)
     val scratch = Paths.get(table, s".graft-iceberg-${UUID.randomUUID()}")
     val w = df.write.mode("overwrite")
     (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w)
@@ -458,9 +476,10 @@ object IcebergLog {
       try Files.createLink(dest, p)
       catch { case _: UnsupportedOperationException =>
         Files.move(p, dest, StandardCopyOption.ATOMIC_MOVE) }
-      statFile(spark, table, dest, df.schema)
+      statFile(spark, table, dest, statSchema)
     }
-    val committed = commit(spark, table, df.schema, partitionBy, added, txn)
+    val committed = commit(spark, table, df.schema, partitionBy, added, txn,
+      mergeSchema)
     walkDir(scratch).reverse.foreach(Files.deleteIfExists(_))
     if (committed.isEmpty)
       added.foreach(a => Files.deleteIfExists(Paths.get(a.path)))
@@ -528,9 +547,9 @@ object IcebergLog {
 
   private def commit(spark: SparkSession, table: String, schema: StructType,
       partitionBy: Seq[String], added: Seq[DataFileInfo],
-      txn: Option[(String, Long)]): Option[Int] =
+      txn: Option[(String, Long)], mergeSchema: Boolean = false): Option[Int] =
     commitSnapshot(spark, table, schema, partitionBy, added, txn,
-      operation = "append", replaced = Set.empty)
+      operation = "append", replaced = Set.empty, mergeSchema = mergeSchema)
 
   /** The one commit loop behind append ([[writeBatch]]) and replace
     * ([[rewriteDataFiles]]). For `append`, the new manifest list carries
@@ -548,7 +567,8 @@ object IcebergLog {
       partitionBy0: Seq[String], added: Seq[DataFileInfo],
       txn: Option[(String, Long)], operation: String,
       replaced: Set[String],
-      conflict: Option[(Set[String], Option[String])] = None): Option[Int] = {
+      conflict: Option[(Set[String], Option[String])] = None,
+      mergeSchema: Boolean = false): Option[Int] = {
     val dir = metaDir(table)
     Files.createDirectories(dir)
     // `replace` = layout rewrite (same rows), `overwrite` = DML rewrite
@@ -562,12 +582,35 @@ object IcebergLog {
       txn.foreach { case (app, v) =>
         if (cur.exists(_.appVersions.get(app).exists(_ >= v))) return None
       }
-      val schema = cur.map(_.schema).getOrElse(schema0)
+      // the schema this snapshot commits under: for appends, exact match
+      // or sanctioned append-only evolution (SchemaEvolution — existing
+      // positions never move, keeping position-derived field ids stable);
+      // rewrites always commit under the table's own schema
+      val schema = cur match {
+        case Some(m) if operation == "append" =>
+          require(m.partitionColumns == partitionBy0,
+            s"$table is partitioned by (${m.partitionColumns.mkString(", ")}); " +
+              s"this write declares (${partitionBy0.mkString(", ")}) — " +
+              "repartitioning an existing table requires a rewrite, not an append")
+          SchemaEvolution.resolve(m.schema, schema0, mergeSchema, table)
+        case Some(m) => m.schema
+        case None => schema0
+      }
       val partitionBy = cur.map(_.partitionColumns).getOrElse(partitionBy0)
-      if (operation == "append") cur.foreach { m =>
-        require(m.schema.json == schema0.json && m.partitionColumns == partitionBy0,
-          s"iceberg append: schema/partitioning must match the table " +
-            s"(have ${m.schema.simpleString} / ${m.partitionColumns})")
+      // schemas is an append-only HISTORY (evolution appends a new entry
+      // with the next schema-id); current-schema-id selects
+      val priorSchemas: Seq[com.fasterxml.jackson.databind.JsonNode] =
+        cur.map { m =>
+          val arr = m.node.get("schemas")
+          (0 until arr.size()).map(arr.get)
+        }.getOrElse(Seq.empty)
+      val (schemaId, allSchemas) = cur match {
+        case Some(m) if m.schema.json == schema.json =>
+          (m.currentSchemaId, priorSchemas)
+        case Some(_) =>
+          val next = priorSchemas.map(_.get("schema-id").asInt()).max + 1
+          (next, priorSchemas :+ mapper.readTree(schemaJson(schema, next)))
+        case None => (0, Seq(mapper.readTree(schemaJson(schema))))
       }
       val survivors: Option[Seq[Row]] =
         if (!isRewrite) None
@@ -619,7 +662,7 @@ object IcebergLog {
         try AvroCodec.writeOcf(out, entryType, rows.iterator,
           schemaJsonOverride = Some(manifestEntrySchemaJson(partType)),
           extraMeta = Seq(
-            "schema" -> schemaJson(schema),
+            "schema" -> schemaJson(schema, schemaId),
             "schema-id" -> "0",
             "partition-spec" -> partitionSpecFieldsJson(schema, partitionBy),
             "partition-spec-id" -> "0",
@@ -705,9 +748,10 @@ object IcebergLog {
         root.put("last-sequence-number", seq)
         root.put("last-updated-ms", now)
         root.put("last-column-id", schema.fields.length)
-        root.put("current-schema-id", 0)
-        root.set[com.fasterxml.jackson.databind.JsonNode]("schemas",
-          mapper.createArrayNode().add(mapper.readTree(schemaJson(schema))))
+        root.put("current-schema-id", schemaId)
+        val schemasArr = mapper.createArrayNode()
+        allSchemas.foreach(schemasArr.add)
+        root.set[com.fasterxml.jackson.databind.JsonNode]("schemas", schemasArr)
         root.put("default-spec-id", 0)
         val spec = mapper.createObjectNode()
         spec.put("spec-id", 0)
@@ -741,7 +785,7 @@ object IcebergLog {
         snap.put("sequence-number", seq)
         snap.put("timestamp-ms", now)
         snap.put("manifest-list", listPath.toAbsolutePath.toString)
-        snap.put("schema-id", 0)
+        snap.put("schema-id", schemaId)
         val summary = snap.putObject("summary")
         summary.put("operation", operation)
         summary.put("added-data-files", added.size.toString)
@@ -1042,6 +1086,28 @@ object IcebergLog {
     committed
   }
 
+  /** `ALTER TABLE … ADD COLUMNS`: append nullable columns to the table
+    * schema — a new metadata version whose `schemas` history grows one
+    * entry (`current-schema-id` advances; existing field ids never move).
+    * Lands as an empty fast-append snapshot (no data files; streaming
+    * tails link nothing). Returns the committed metadata version.
+    */
+  def addColumns(spark: SparkSession, table: String,
+      cols: Seq[(String, DataType)]): Option[Int] = {
+    require(cols.nonEmpty, "ADD COLUMNS: no columns")
+    val m = current(table).getOrElse(
+      sys.error(s"$table is not an Iceberg table (no metadata/v*.metadata.json)"))
+    cols.foreach { case (n, _) =>
+      require(!m.schema.fieldNames.contains(n),
+        s"ADD COLUMNS: column $n already exists in $table") }
+    require(cols.map(_._1).distinct.size == cols.size,
+      "ADD COLUMNS: duplicate column name")
+    val evolved = StructType(m.schema.fields ++
+      cols.map { case (n, dt) => StructField(n, dt, nullable = true) })
+    commitSnapshot(spark, table, evolved, m.partitionColumns, Seq.empty,
+      txn = None, operation = "append", replaced = Set.empty, mergeSchema = true)
+  }
+
   /** Copy-on-write `DELETE FROM … WHERE predicate` — the iceberg twin of
     * [[DeltaLog.deleteWhere]]: only the files holding matching rows
     * (manifest-metrics-pruned, then row-verified) are rewritten, and the
@@ -1059,7 +1125,8 @@ object IcebergLog {
     import org.apache.spark.sql.functions.{coalesce, expr, lit, not}
     val p = predicate.trim
     require(p.nonEmpty, "DELETE: empty predicate (use 'true' to delete all rows)")
-    dmlRewrite(spark, table, Some(p)) { (touched, _) =>
+    dmlRewrite(spark, table, scanFilter = Some(p), conflictPred = Some(p),
+      matcher = df => df.filter(coalesce(expr(p), lit(false)))) { (touched, _) =>
       touched.filter(not(coalesce(expr(p), lit(false))))
     }
   }
@@ -1076,7 +1143,10 @@ object IcebergLog {
     require(sets.nonEmpty, "UPDATE: no SET assignments")
     val byCol = sets.toMap
     require(byCol.size == sets.size, "UPDATE: duplicate SET column")
-    dmlRewrite(spark, table, predicate.map(_.trim).filter(_.nonEmpty)) {
+    val p = predicate.map(_.trim).filter(_.nonEmpty)
+    dmlRewrite(spark, table, scanFilter = p, conflictPred = p,
+      matcher = df => p.map(pp => df.filter(coalesce(expr(pp), lit(false))))
+        .getOrElse(df)) {
       (touched, m) =>
         sets.foreach { case (c, _) =>
           require(m.schema.fieldNames.contains(c), s"UPDATE: no column $c") }
@@ -1093,14 +1163,42 @@ object IcebergLog {
     }
   }
 
+  /** `MERGE INTO … USING … ON …` — copy-on-write upsert, the iceberg
+    * twin of [[DeltaLog.merge]] (same [[Merge.rewrite]] row semantics,
+    * same [[Merge.keyBoundsFilter]] pruning; lands as ONE `overwrite`
+    * snapshot with not-matched inserts in the same swap). Returns the
+    * committed metadata version, or None when the merge was a no-op.
+    */
+  def merge(spark: SparkSession, table: String, source: DataFrame,
+      clauses: Merge.Clauses): Option[Int] = {
+    import org.apache.spark.sql.functions.expr
+    val m0 = current(table).getOrElse(
+      sys.error(s"$table is not an Iceberg table (no metadata/v*.metadata.json)"))
+    clauses.updateCols.foreach(cname =>
+      require(m0.schema.fieldNames.contains(cname),
+        s"MERGE: no column $cname in $table"))
+    source.persist()
+    try {
+      val scanFilter = Merge.keyBoundsFilter(spark, clauses, source, m0.schema)
+      dmlRewrite(spark, table, scanFilter, conflictPred = None,
+        matcher = df => df.alias(clauses.targetAlias)
+          .join(source.alias(clauses.sourceAlias), expr(clauses.cond), "left_semi"),
+        commitWhenUntouched = clauses.notMatchedInsert.isDefined) {
+        (touched, m) => Merge.rewrite(touched, source, m.schema, clauses)
+      }
+    } finally { source.unpersist(); () }
+  }
+
   /** Plan → touch-detect → rewrite → `overwrite`-commit cycle behind
-    * [[deleteWhere]]/[[updateWhere]]; retried whole on commit conflicts.
-    * `predicate=None` means every row (predicate-less UPDATE).
+    * [[deleteWhere]]/[[updateWhere]]/[[merge]] — parameter semantics as
+    * [[DeltaLog]]'s twin; retried whole on commit conflicts.
     */
   private def dmlRewrite(spark: SparkSession, table: String,
-      predicate: Option[String])
+      scanFilter: Option[String], conflictPred: Option[String],
+      matcher: DataFrame => DataFrame,
+      commitWhenUntouched: Boolean = false)
       (transform: (DataFrame, Meta) => DataFrame): Option[Int] = {
-    import org.apache.spark.sql.functions.{coalesce, expr, input_file_name, lit}
+    import org.apache.spark.sql.functions.input_file_name
     var round = 0
     while (round < 5) {
       round += 1
@@ -1111,8 +1209,8 @@ object IcebergLog {
       // ConcurrentAppend conflict the commit must judge
       val baseLive = liveFiles(table, None).filter(_.status != 2).map(_.path).toSet
       // 1. plan: manifest-metrics-pruned candidates (driver, metadata only)
-      val (candidates, _) = planFiles(spark, table, None, predicate)
-      if (candidates.isEmpty) return None
+      val (candidates, _) = planFiles(spark, table, None, scanFilter)
+      if (candidates.isEmpty && !commitWhenUntouched) return None
       // 2. touch-detect by URI-decoded absolute path (input_file_name
       //    returns a percent-encoded file: URI; leaf names REPEAT across
       //    hive partition dirs of one write job, so they can't key this).
@@ -1120,19 +1218,29 @@ object IcebergLog {
       //    evaluate row-side too; parquet pushdown keeps the scan cheap
       val byAbs = candidates.map(f =>
         Paths.get(f.path).toAbsolutePath.normalize.toString -> f).toMap
-      val predCol = predicate.map(expr).getOrElse(lit(true))
-      val candDf = spark.read.schema(m.schema).option("basePath", basePath)
-        .parquet(candidates.map(_.path): _*)
-      val touched = candDf.filter(coalesce(predCol, lit(false)))
-        .select(input_file_name()).distinct().collect()
+      val emptyDf =
+        spark.createDataFrame(spark.sparkContext.emptyRDD[Row], m.schema)
+      // capture the file name BEFORE matcher runs (see DeltaLog's twin:
+      // a MERGE matcher's join would make input_file_name ambiguous)
+      val fileCol = "__graft_input_file"
+      val candDf =
+        if (candidates.isEmpty) emptyDf.withColumn(fileCol,
+          org.apache.spark.sql.functions.lit(""))
+        else spark.read.schema(m.schema).option("basePath", basePath)
+          .parquet(candidates.map(_.path): _*)
+          .withColumn(fileCol, input_file_name())
+      val touched = matcher(candDf)
+        .select(org.apache.spark.sql.functions.col(fileCol)).distinct().collect()
         .map(r => byAbs(DeltaLog.decodeFileUri(r.getString(0))))
         .sortBy(_.path).toSeq
-      if (touched.isEmpty) return None
+      if (touched.isEmpty && !commitWhenUntouched) return None
       // 3. rewrite the touched files' rows (hive re-partitioning lets
       //    updated partition values migrate directories)
-      val touchedDf = spark.read.schema(m.schema).option("basePath", basePath)
-        .parquet(touched.map(_.path): _*)
-        .select(m.schema.fieldNames.map(org.apache.spark.sql.functions.col).toIndexedSeq: _*)
+      val touchedDf =
+        if (touched.isEmpty) emptyDf
+        else spark.read.schema(m.schema).option("basePath", basePath)
+          .parquet(touched.map(_.path): _*)
+          .select(m.schema.fieldNames.map(org.apache.spark.sql.functions.col).toIndexedSeq: _*)
       val out = transform(touchedDf, m)
       val scratch = Paths.get(table, s".graft-iceberg-dml-${UUID.randomUUID()}")
       val targetBytes = 128L * 1024 * 1024
@@ -1157,12 +1265,13 @@ object IcebergLog {
         else { Files.deleteIfExists(dest); None }
       }
       walkDir(scratch).reverse.foreach(Files.deleteIfExists(_))
+      if (touched.isEmpty && added.isEmpty) return None // true no-op
       // 4. one atomic overwrite snapshot, guarded against both conflict
       //    classes; a loss cleans up and re-plans
       val committed = commitSnapshot(spark, table, m.schema, m.partitionColumns,
         added, txn = None, operation = "overwrite",
         replaced = touched.map(_.path).toSet,
-        conflict = Some((baseLive, predicate)))
+        conflict = Some((baseLive, conflictPred)))
       committed match {
         case Some(_) => return committed
         case None =>

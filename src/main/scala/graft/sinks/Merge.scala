@@ -1,0 +1,159 @@
+package graft.sinks
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
+import org.apache.spark.sql.catalyst.expressions.{EqualTo, Expression}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** The row-level engine behind `MERGE INTO` on both table formats
+  * (upsert — the verb a CDC feed or incremental training-data refresh
+  * lands with). The file-level machinery (touch-detect, copy-on-write
+  * swap, conflict rules) is each log's `dmlRewrite`; this object owns
+  * what happens to the ROWS of the touched files:
+  *
+  *   - matched rows take the FIRST matched clause (statement order)
+  *     whose AND-condition holds: UPDATE SET rewrites them, DELETE
+  *     drops them; rows matching no clause carry through unchanged
+  *   - a target row matched by MORE THAN ONE source row is an ERROR
+  *     (delta-spark's multiple-source-rows rule: applying both updates
+  *     would be order-dependent)
+  *   - source rows matching NO target row become INSERTs (explicit
+  *     column list, or `INSERT *` by name; absent columns → null)
+  *
+  * And the scale device: [[keyBoundsFilter]] turns the ON condition's
+  * equi-conjuncts into target-side bounds of the ACTUAL source keys, so
+  * the touched-file scan opens only files whose stats overlap the
+  * source batch — a small CDC batch against a 100 TB table plans
+  * O(files-overlapping-the-batch), not O(table).
+  */
+private[graft] object Merge {
+
+  /** One WHEN MATCHED clause: optional AND-condition plus its action —
+    * Left(sets) = UPDATE SET, Right(()) = DELETE.
+    */
+  final case class MatchedClause(and: Option[String],
+      action: Either[Seq[(String, String)], Unit])
+
+  final case class Clauses(
+      targetAlias: String,
+      sourceAlias: String,
+      cond: String,
+      matched: Seq[MatchedClause],
+      /** (AND-condition, target-col → expr); empty sets = `INSERT *`. */
+      notMatchedInsert: Option[(Option[String], Seq[(String, String)])]) {
+    def updateCols: Seq[String] =
+      matched.flatMap(_.action.left.toSeq).flatten.map(_._1) ++
+        notMatchedInsert.toSeq.flatMap(_._2.map(_._1))
+  }
+
+  private val matchFlag = "__graft_s_matched"
+  private val uidCol = "__graft_t_uid"
+
+  /** Rows of the touched target files × source → their replacements
+    * (survivors + updates) UNION the inserts, in target-schema order.
+    * Runs the multiple-source-rows guard eagerly (one job).
+    */
+  def rewrite(touched: DataFrame, source: DataFrame, schema: StructType,
+      c: Clauses): DataFrame = {
+    val t = touched.withColumn(uidCol, monotonically_increasing_id())
+      .alias(c.targetAlias)
+    val s = source.withColumn(matchFlag, lit(true)).alias(c.sourceAlias)
+    val joined = t.join(s, expr(c.cond), "left")
+    // multiple-source-rows rule: >1 joined row for one target uid means
+    // two source rows claimed the same target row — order-dependent,
+    // refuse (delta-spark's DELTA_MULTIPLE_SOURCE_ROW_MATCHING error)
+    val dup = joined.filter(col(matchFlag))
+      .groupBy(col(uidCol)).count().filter(col("count") > 1).limit(1).count()
+    if (dup > 0) throw new IllegalStateException(
+      "MERGE: a target row matched more than one source row; applying " +
+        "both would be order-dependent. Deduplicate the source on the " +
+        "merge keys first.")
+    val isMatched = coalesce(col(matchFlag), lit(false))
+    // first-holding-clause index, -1 = no clause (carry through)
+    val clauseConds = c.matched.map(mc =>
+      isMatched && mc.and.map(expr).getOrElse(lit(true)))
+    val firstIdx = clauseConds.zipWithIndex
+      .foldRight(lit(-1): Column) { case ((cd, i), acc) =>
+        when(cd, lit(i)).otherwise(acc) }
+    val deleteIdxs = c.matched.zipWithIndex.collect {
+      case (MatchedClause(_, Right(_)), i) => i }
+    val withIdx = joined.withColumn("__graft_clause", firstIdx)
+    val kept =
+      if (deleteIdxs.isEmpty) withIdx
+      else withIdx.filter(!col("__graft_clause").isin(deleteIdxs.map(Integer.valueOf): _*))
+    val survivors = kept.select(schema.fields.toIndexedSeq.map { f =>
+      val base = col(s"${c.targetAlias}.${f.name}")
+      c.matched.zipWithIndex.foldRight(base) {
+        case ((MatchedClause(_, Left(sets)), i), acc) =>
+          sets.toMap.get(f.name) match {
+            case Some(e) => when(col("__graft_clause") === i,
+              expr(e).cast(f.dataType)).otherwise(acc)
+            case None => acc
+          }
+        case (_, acc) => acc
+      }.as(f.name)
+    }: _*)
+    val inserts = c.notMatchedInsert.map { case (and, sets) =>
+      val unmatched0 = source.alias(c.sourceAlias)
+        .join(touched.alias(c.targetAlias), expr(c.cond), "left_anti")
+      val unmatched = and.map(a => unmatched0.filter(expr(a))).getOrElse(unmatched0)
+      val bySet = sets.toMap
+      val srcCols = source.schema.fieldNames.toSet
+      unmatched.select(schema.fields.toIndexedSeq.map { f =>
+        (if (sets.isEmpty) // INSERT *: by name, absent → null
+          (if (srcCols.contains(f.name)) col(f.name) else lit(null))
+        else bySet.get(f.name).map(expr).getOrElse(lit(null)))
+          .cast(f.dataType).as(f.name)
+      }: _*)
+    }
+    inserts.map(survivors.unionAll).getOrElse(survivors)
+  }
+
+  /** Target-side file-pruning filter from the ON condition's
+    * equi-conjuncts: for each `t.col = s.col`, the ACTUAL min/max of the
+    * source keys become `col BETWEEN lo AND hi`. Conservative and
+    * optional — any shape it can't prove is simply not pruned on.
+    */
+  def keyBoundsFilter(spark: SparkSession, c: Clauses, source: DataFrame,
+      schema: StructType): Option[String] = {
+    def attr(e: Expression, alias: String): Option[String] = e match {
+      case UnresolvedAttribute(Seq(q, n)) if q.equalsIgnoreCase(alias) => Some(n)
+      case _ => None
+    }
+    val pairs = StatsPruning.conjunctsOf(spark, c.cond).flatMap {
+      case EqualTo(l, r) =>
+        attr(l, c.targetAlias).flatMap(tc => attr(r, c.sourceAlias).map(tc -> _))
+          .orElse(attr(r, c.targetAlias).flatMap(tc => attr(l, c.sourceAlias).map(tc -> _)))
+      case _ => None
+    }.filter { case (tc, sc) =>
+      schema.fieldNames.contains(tc) && source.schema.fieldNames.contains(sc) }
+    if (pairs.isEmpty) return None
+    val aggs = pairs.flatMap { case (_, sc) => Seq(min(col(sc)), max(col(sc))) }
+    val row = source.agg(aggs.head, aggs.tail: _*).head()
+    val conjuncts = pairs.zipWithIndex.flatMap { case ((tc, _), i) =>
+      val (lo, hi) = (row.get(2 * i), row.get(2 * i + 1))
+      for {
+        l <- Option(lo).flatMap(litSql)
+        h <- Option(hi).flatMap(litSql)
+      } yield s"$tc >= $l AND $tc <= $h"
+    }
+    Some(conjuncts.mkString(" AND ")).filter(_.nonEmpty)
+  }
+
+  /** SQL literal for a bound value; None for types we won't render. */
+  private def litSql(v: Any): Option[String] = v match {
+    case n: Byte => Some(n.toString)
+    case n: Short => Some(n.toString)
+    case n: Int => Some(n.toString)
+    case n: Long => Some(n.toString)
+    case n: Float => Some(s"CAST('$n' AS FLOAT)")
+    case n: Double => Some(s"CAST('$n' AS DOUBLE)")
+    case d: java.math.BigDecimal => Some(d.toPlainString)
+    case s: String => Some("'" + s.replace("'", "''") + "'")
+    case b: Boolean => Some(b.toString)
+    case d: java.sql.Date => Some(s"DATE '$d'")
+    case t: java.sql.Timestamp => Some(s"TIMESTAMP '$t'")
+    case _ => None
+  }
+}

@@ -93,20 +93,140 @@ object Ddl {
   final case class Dml(op: String, table: String, where: Option[String],
       sets: Seq[(String, String)] = Seq.empty) extends Stmt
 
+  /** `MERGE INTO t [AS ta] USING (src | (subquery)) [AS sa] ON cond
+    * WHEN MATCHED [AND c] THEN UPDATE SET … | DELETE
+    * WHEN NOT MATCHED [AND c] THEN INSERT (cols) VALUES (exprs) | INSERT *`
+    * — copy-on-write upsert for delta and iceberg connector tables
+    * (r10). `matched` keeps statement order (first holding clause wins);
+    * `insert` None = no NOT MATCHED clause, empty sets = `INSERT *`.
+    */
+  final case class MergeInto(target: String, targetAlias: String,
+      sourceSql: Either[String, String], // Left = table name, Right = subquery
+      sourceAlias: String, cond: String,
+      matched: Seq[(Option[String], Either[Seq[(String, String)], Unit])],
+      insert: Option[(Option[String], Seq[(String, String)])]) extends Stmt
+
+  /** `ALTER TABLE t ADD COLUMN[S] (name type, …)` — append-only schema
+    * evolution for delta and iceberg connector tables (r10): nullable
+    * columns appended to the table schema as a metaData-only commit /
+    * schemas-history entry; existing files read them as null.
+    */
+  final case class AlterAdd(table: String, cols: Seq[ColumnDef]) extends Stmt
+
   private val SetRe = """(?is)^\s*SET\s+([A-Za-z_][A-Za-z0-9_.]*)\s*=\s*(.+?)\s*$""".r
   private val OptimizeRe =
     """(?is)^\s*OPTIMIZE\s+([A-Za-z_][A-Za-z0-9_]*)(?:\s+ZORDER\s+BY\s*\(([^)]+)\))?\s*$""".r
   private val VacuumRe =
     """(?is)^\s*VACUUM\s+([A-Za-z_][A-Za-z0-9_]*)(?:\s+RETAIN\s+(\d+)\s+HOURS)?\s*$""".r
+  private val AlterAddRe =
+    """(?is)^\s*ALTER\s+TABLE\s+([A-Za-z_][A-Za-z0-9_]*)\s+ADD\s+COLUMNS?\s+(.+?)\s*$""".r
+  private val MergeHeadRe =
+    """(?is)^\s*MERGE\s+INTO\s+([A-Za-z_][A-Za-z0-9_]*)(?:\s+AS\s+([A-Za-z_][A-Za-z0-9_]*))?\s+USING\s+(.+)$""".r
+
+  /** Parse the tail of a MERGE statement after USING. */
+  private def parseMerge(target: String, tAlias: String, rest0: String): MergeInto = {
+    def bad(msg: String): Nothing =
+      throw new IllegalArgumentException(s"MERGE INTO $target: $msg")
+    var rest = rest0.trim
+    // source: (subquery) or table name
+    val source: Either[String, String] =
+      if (rest.startsWith("(")) {
+        var depth = 0; var inS = false; var i = 0; var end = -1
+        while (i < rest.length && end < 0) {
+          val c = rest.charAt(i)
+          if (c == '\'') inS = !inS
+          else if (!inS && c == '(') depth += 1
+          else if (!inS && c == ')') { depth -= 1; if (depth == 0) end = i }
+          i += 1
+        }
+        if (end < 0) bad("unbalanced parens in USING source")
+        val q = rest.substring(1, end).trim
+        rest = rest.substring(end + 1).trim
+        Right(q)
+      } else {
+        val m = """^([A-Za-z_][A-Za-z0-9_]*)""".r.findFirstMatchIn(rest)
+          .getOrElse(bad("expected a table name or (subquery) after USING"))
+        rest = rest.substring(m.end).trim
+        Left(m.group(1))
+      }
+    // optional [AS] alias
+    val aliasRe = """(?is)^(?:AS\s+)?([A-Za-z_][A-Za-z0-9_]*)\s+(?=ON\b)""".r
+    val sAlias = aliasRe.findFirstMatchIn(rest) match {
+      case Some(m) => rest = rest.substring(m.end).trim; Some(m.group(1))
+      case None => None
+    }
+    if (!rest.matches("(?is)^ON\\b.*"))
+      bad("expected ON <condition> after the USING source")
+    rest = rest.replaceFirst("(?is)^ON\\s*", "")
+    val (cond, clausesTail) = splitAtKeyword(rest, "WHEN")
+    if (cond.isEmpty) bad("empty ON condition")
+    val clauses = scala.collection.mutable.ArrayBuffer.empty[String]
+    var tail = clausesTail
+    while (tail.isDefined) {
+      val (clause, next) = splitAtKeyword(tail.get, "WHEN")
+      clauses += clause
+      tail = next
+    }
+    if (clauses.isEmpty) bad("at least one WHEN clause is required")
+    val MatchedUpd =
+      """(?is)^MATCHED(?:\s+AND\s+(.+?))?\s+THEN\s+UPDATE\s+SET\s+(.+)$""".r
+    val MatchedDel = """(?is)^MATCHED(?:\s+AND\s+(.+?))?\s+THEN\s+DELETE\s*$""".r
+    val NotMatchedIns =
+      """(?is)^NOT\s+MATCHED(?:\s+AND\s+(.+?))?\s+THEN\s+INSERT\s+(.+)$""".r
+    val matched = scala.collection.mutable.ArrayBuffer
+      .empty[(Option[String], Either[Seq[(String, String)], Unit])]
+    var insert: Option[(Option[String], Seq[(String, String)])] = None
+    def parseSets(s: String): Seq[(String, String)] =
+      splitTop(s, ',').map(_.trim).filter(_.nonEmpty).map { a =>
+        a.split("=", 2) match {
+          case Array(c, e) if c.trim.matches("[A-Za-z_][A-Za-z0-9_]*") && e.trim.nonEmpty =>
+            (c.trim, e.trim)
+          case _ => bad(s"malformed SET assignment '$a' (expected col = expr)")
+        }
+      }
+    clauses.foreach {
+      case MatchedUpd(and, sets) =>
+        matched += ((Option(and).map(_.trim), Left(parseSets(sets))))
+      case MatchedDel(and) =>
+        matched += ((Option(and).map(_.trim), Right(())))
+      case NotMatchedIns(and, body0) =>
+        if (insert.isDefined) bad("at most one WHEN NOT MATCHED clause")
+        val body = body0.trim
+        val sets: Seq[(String, String)] =
+          if (body == "*") Seq.empty
+          else {
+            val ColsVals =
+              """(?is)^\(([^)]*)\)\s*VALUES\s*\((.*)\)\s*$""".r
+            body match {
+              case ColsVals(cols, vals) =>
+                val cs = splitTop(cols, ',').map(_.trim).filter(_.nonEmpty)
+                val vs = splitTop(vals, ',').map(_.trim).filter(_.nonEmpty)
+                if (cs.size != vs.size)
+                  bad(s"INSERT has ${cs.size} columns but ${vs.size} values")
+                if (cs.isEmpty) bad("INSERT needs at least one column")
+                cs.zip(vs)
+              case _ => bad(
+                "expected INSERT * or INSERT (cols) VALUES (exprs)")
+            }
+          }
+        insert = Some((Option(and).map(_.trim), sets))
+      case other => bad(s"cannot parse WHEN clause: 'WHEN $other'")
+    }
+    if (matched.isEmpty && insert.isEmpty) bad("no actionable WHEN clause")
+    MergeInto(target, if (tAlias == null) target else tAlias,
+      source, sAlias.getOrElse(source.left.toOption.getOrElse(
+        bad("a (subquery) source needs an alias: USING (…) AS s"))),
+      cond, matched.toSeq, insert)
+  }
   private val DeleteRe =
     """(?is)^\s*DELETE\s+FROM\s+([A-Za-z_][A-Za-z0-9_]*)(\s+WHERE\s+.+)?\s*$""".r
   private val UpdateRe =
     """(?is)^\s*UPDATE\s+([A-Za-z_][A-Za-z0-9_]*)\s+SET\s+(.+)$""".r
 
-  /** Split `body` at its first top-level (outside quotes/parens) WHERE:
-    * (before, Some(predicate)) — or (body, None) when there is none.
+  /** Index of the first top-level (outside quotes/parens) occurrence of
+    * keyword `kw` in `body`, from `from`; -1 when absent. Word-bounded.
     */
-  private def splitAtWhere(body: String): (String, Option[String]) = {
+  private def topLevelKeyword(body: String, kw: String, from: Int = 0): Int = {
     var depth = 0
     var inS = false
     var i = 0
@@ -115,16 +235,30 @@ object Ddl {
       if (c == '\'') inS = !inS
       else if (!inS && c == '(') depth += 1
       else if (!inS && c == ')') depth -= 1
-      else if (!inS && depth == 0 && (c == 'w' || c == 'W') &&
-        body.regionMatches(true, i, "WHERE", 0, 5) &&
-        (i == 0 || body.charAt(i - 1).isWhitespace) &&
-        (i + 5 >= body.length || body.charAt(i + 5).isWhitespace))
-        return (body.substring(0, i).trim,
-          Some(body.substring(i + 5).trim).filter(_.nonEmpty))
+      else if (i >= from && !inS && depth == 0 &&
+        Character.toUpperCase(c) == kw.charAt(0) &&
+        body.regionMatches(true, i, kw, 0, kw.length) &&
+        (i == 0 || !Character.isLetterOrDigit(body.charAt(i - 1))) &&
+        (i + kw.length >= body.length ||
+          !Character.isLetterOrDigit(body.charAt(i + kw.length))))
+        return i
       i += 1
     }
-    (body.trim, None)
+    -1
   }
+
+  /** Split `body` at its first top-level keyword `kw`:
+    * (before, Some(after)) — or (body, None) when there is none.
+    */
+  private def splitAtKeyword(body: String, kw: String): (String, Option[String]) =
+    topLevelKeyword(body, kw) match {
+      case -1 => (body.trim, None)
+      case i => (body.substring(0, i).trim,
+        Some(body.substring(i + kw.length).trim).filter(_.nonEmpty))
+    }
+
+  private def splitAtWhere(body: String): (String, Option[String]) =
+    splitAtKeyword(body, "WHERE")
 
   /** Split a script into statements on top-level semicolons. Quote-aware
     * AND comment-aware in one scanner pass: a `;` or `'` inside a `--` line
@@ -186,6 +320,18 @@ object Ddl {
       Option(zcols).toSeq.flatMap(_.split(',')).map(_.trim).filter(_.nonEmpty))
     case VacuumRe(name, hours) =>
       Maintain("vacuum", name, Option(hours).map(_.toLong))
+    case MergeHeadRe(name, alias, rest) => parseMerge(name, alias, rest)
+    case AlterAddRe(name, colsStr) =>
+      val body = colsStr.trim
+      val unwrapped =
+        if (body.startsWith("(") && body.endsWith(")")) body.substring(1, body.length - 1)
+        else body
+      val (cols, _, _) = parseColumns(unwrapped)
+      if (cols.isEmpty) throw new IllegalArgumentException(
+        s"ALTER TABLE $name ADD COLUMNS: no columns")
+      if (cols.exists(_.virtualExpr.isDefined)) throw new IllegalArgumentException(
+        s"ALTER TABLE $name ADD COLUMNS: generated columns are not supported here")
+      AlterAdd(name, cols)
     case DeleteRe(name, whereTail) =>
       val where = Option(whereTail)
         .map(_.trim.replaceFirst("(?is)^WHERE\\s+", "").trim)

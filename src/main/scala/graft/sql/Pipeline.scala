@@ -299,6 +299,55 @@ class Pipeline(spark: SparkSession, streaming: Boolean = false) {
         case ("vacuum", _) => graft.sinks.IcebergLog.expireSnapshots(spark, tPath, retainMs); ()
       }
 
+    case MergeInto(name, tAlias, sourceSql, sAlias, cond, matched, insert) =>
+      val t = catalog.getOrElse(name,
+        throw new IllegalArgumentException(s"unknown table $name"))
+      if (t.connector != "delta" && t.connector != "iceberg")
+        throw new IllegalArgumentException(
+          s"MERGE INTO is only supported on delta/iceberg tables " +
+            s"(got connector '${t.connector}')")
+      val tPath = t.path.getOrElse(sys.error(s"table $name: path required"))
+      if (t.schema.fields.nonEmpty) {
+        val cols = matched.flatMap(_._2.left.toSeq).flatten.map(_._1) ++
+          insert.toSeq.flatMap(_._2.map(_._1))
+        cols.foreach(cname => if (!t.schema.fieldNames.contains(cname))
+          throw new IllegalArgumentException(s"MERGE INTO $name: no column $cname"))
+      }
+      val clauses = graft.sinks.Merge.Clauses(tAlias, sAlias, cond,
+        matched.map { case (and, a) =>
+          graft.sinks.Merge.MatchedClause(and, a) }, insert)
+      val srcQuery = sourceSql.fold(n => s"SELECT * FROM $n", q => q)
+      // plan() must VALIDATE the merge (clauses + source query), never run
+      val srcDf = sql(rewriteWindows(rewriteDialect(srcQuery)))
+      if (!planOnly) {
+        if (t.connector == "delta")
+          graft.sinks.DeltaLog.merge(spark, tPath, srcDf, clauses)
+        else graft.sinks.IcebergLog.merge(spark, tPath, srcDf, clauses)
+        ()
+      }
+
+    case AlterAdd(name, cols) =>
+      val t = catalog.getOrElse(name,
+        throw new IllegalArgumentException(s"unknown table $name"))
+      if (t.connector != "delta" && t.connector != "iceberg")
+        throw new IllegalArgumentException(
+          s"ALTER TABLE ADD COLUMNS is only supported on delta/iceberg tables " +
+            s"(got connector '${t.connector}')")
+      val tPath = t.path.getOrElse(sys.error(s"table $name: path required"))
+      cols.foreach { cd =>
+        if (t.schema.fieldNames.contains(cd.name)) throw new IllegalArgumentException(
+          s"ALTER TABLE $name: column ${cd.name} already exists") }
+      val typed = cols.map(cd =>
+        cd.name -> org.apache.spark.sql.types.DataType.fromDDL(cd.sqlType))
+      // later statements in this run see the evolved schema
+      catalog += name -> t.copy(columns = t.columns ++ cols)
+      // plan() must VALIDATE schema changes, never run them
+      if (!planOnly) {
+        if (t.connector == "delta") graft.sinks.DeltaLog.addColumns(spark, tPath, typed)
+        else graft.sinks.IcebergLog.addColumns(spark, tPath, typed)
+        ()
+      }
+
     case Dml(op, name, where, sets) =>
       val t = catalog.getOrElse(name,
         throw new IllegalArgumentException(s"unknown table $name"))
@@ -1666,14 +1715,16 @@ class Pipeline(spark: SparkSession, streaming: Boolean = false) {
           // protocol is public NDJSON over parquet (DeltaLog)
           graft.sinks.DeltaLog.writeBatch(out0, sink.path.get,
             sink.options.get("txn_id").map(id => (id, 0L)),
-            partitionBy = partitionFields(sink))
+            partitionBy = partitionFields(sink),
+            mergeSchema = sink.options.get("merge_schema").exists(_.toBoolean))
         case "iceberg" =>
           // WIRE-FORMAT Iceberg fast-append (r9): one snapshot commit with
           // real v2 metadata.json + avro manifests via the in-repo Avro
           // codec — no format jars (IcebergLog)
           graft.sinks.IcebergLog.writeBatch(out0, sink.path.get,
             sink.options.get("txn_id").map(id => (id, 0L)),
-            partitionBy = partitionFields(sink))
+            partitionBy = partitionFields(sink),
+            mergeSchema = sink.options.get("merge_schema").exists(_.toBoolean))
         case "stdout" | "preview" => out0.show(100, truncate = false)
         case "blackhole" => out0.write.format("noop").mode("overwrite").save()
         case "memory" => out0.createOrReplaceTempView(s"${sink.name}_result")
@@ -1742,9 +1793,10 @@ class Pipeline(spark: SparkSession, streaming: Boolean = false) {
           val table = sink.path.get
           val qn = sink.name
           val pf = partitionFields(sink)
+          val ms = sink.options.get("merge_schema").exists(_.toBoolean)
           ws.foreachBatch((b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) => {
             graft.sinks.DeltaLog.writeBatch(b.toDF(), table, Some((qn, id)),
-              partitionBy = pf); ()
+              partitionBy = pf, mergeSchema = ms); ()
           }).start()
         case "iceberg" =>
           // streaming WIRE-FORMAT Iceberg fast-append (r9): the snapshot
@@ -1754,9 +1806,10 @@ class Pipeline(spark: SparkSession, streaming: Boolean = false) {
           val table = sink.path.get
           val qn = sink.name
           val pf = partitionFields(sink)
+          val ms = sink.options.get("merge_schema").exists(_.toBoolean)
           ws.foreachBatch((b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) => {
             graft.sinks.IcebergLog.writeBatch(b.toDF(), table, Some((qn, id)),
-              partitionBy = pf); ()
+              partitionBy = pf, mergeSchema = ms); ()
           }).start()
         case "stdout" | "preview" => ws.format("console").option("truncate", "false").start()
         case "blackhole" => ws.format("noop").start()

@@ -1,0 +1,150 @@
+package graft
+
+import graft.sinks.{DeltaLog, IcebergLog, Merge}
+import org.apache.spark.sql.functions._
+
+import java.nio.file.Files
+
+/** `MERGE INTO` (copy-on-write upsert) on both table formats: clause
+  * semantics (statement order, AND-conditions, INSERT * / explicit,
+  * the multiple-source-rows error), file mechanics (only key-range-
+  * overlapping files rewritten — the source batch's actual bounds prune
+  * the plan), one atomic commit carrying updates AND inserts, and the
+  * SQL face.
+  */
+class MergeSpec extends SparkSpec {
+
+  private def tmpTable(name: String): String =
+    Files.createTempDirectory(name).toString
+
+  private def upsertClauses(extraInsertCond: Option[String] = None) = Merge.Clauses(
+    "t", "s", "t.id = s.id",
+    Seq(Merge.MatchedClause(None, Left(Seq("v" -> "s.v")))),
+    Some((extraInsertCond, Seq.empty)))
+
+  test("delta MERGE upserts in ONE version; files outside the source key bounds survive untouched") {
+    import spark.implicits._
+    val table = tmpTable("delta_merge")
+    DeltaLog.writeBatch((1L to 100L).map(i => (i, s"old$i")).toDF("id", "v").coalesce(1), table)
+    DeltaLog.writeBatch((1000L to 1100L).map(i => (i, s"old$i")).toDF("id", "v").coalesce(1), table)
+    val before = DeltaLog.snapshot(spark, table).get
+    val untouched = before.adds.find(_._2.stats.exists(_.contains("1000"))).get
+    // source touches ids 50-60 (file 1's range) and inserts 200-205
+    val source = ((50L to 60L) ++ (200L to 205L)).map(i => (i, s"new$i")).toDF("id", "v")
+    assert(DeltaLog.merge(spark, table, source, upsertClauses()).contains(2L))
+    val after = DeltaLog.snapshot(spark, table).get
+    assert(after.adds.exists { case (p, info) =>
+      p == untouched._1 && info.modificationTime == untouched._2.modificationTime },
+      "file outside the source key bounds must survive the merge untouched")
+    val rows = DeltaLog.read(spark, table).as[(Long, String)].collect().toMap
+    assert(rows.size == 207)
+    (50L to 60L).foreach(i => assert(rows(i) == s"new$i"))
+    (200L to 205L).foreach(i => assert(rows(i) == s"new$i"))
+    assert(rows(49L) == "old49" && rows(1000L) == "old1000")
+  }
+
+  test("delta MERGE clause order: first holding clause wins; DELETE clause drops rows") {
+    import spark.implicits._
+    val table = tmpTable("delta_merge_del")
+    DeltaLog.writeBatch(
+      (1L to 10L).map(i => (i, i * 10L)).toDF("id", "score").coalesce(1), table)
+    val source = (1L to 10L).map(i => (i, i % 2 == 0)).toDF("id", "dead")
+    val clauses = Merge.Clauses("t", "s", "t.id = s.id",
+      Seq(
+        Merge.MatchedClause(Some("s.dead"), Right(())),
+        Merge.MatchedClause(None, Left(Seq("score" -> "t.score + 1")))),
+      None)
+    assert(DeltaLog.merge(spark, table, source, clauses).isDefined)
+    val rows = DeltaLog.read(spark, table).as[(Long, Long)].collect().toMap
+    assert(rows.keySet == (1L to 10L by 2).toSet, "even ids deleted")
+    assert(rows(1L) == 11L && rows(9L) == 91L, "odd ids updated by the later clause")
+  }
+
+  test("delta MERGE: a target row matched by two source rows is an ERROR; no-op and insert-only paths") {
+    import spark.implicits._
+    val table = tmpTable("delta_merge_dup")
+    DeltaLog.writeBatch(Seq((1L, "a")).toDF("id", "v").coalesce(1), table)
+    val dup = Seq((1L, "x"), (1L, "y")).toDF("id", "v")
+    val e = intercept[IllegalStateException] {
+      DeltaLog.merge(spark, table, dup, upsertClauses()) }
+    assert(e.getMessage.contains("more than one source row"))
+    assert(DeltaLog.snapshot(spark, table).get.version == 0L)
+    // no matches + no NOT MATCHED clause = no commit
+    val noInsert = upsertClauses().copy(notMatchedInsert = None)
+    assert(DeltaLog.merge(spark, table,
+      Seq((99L, "z")).toDF("id", "v"), noInsert).isEmpty)
+    // no matches + INSERT * = pure append (zero files rewritten)
+    assert(DeltaLog.merge(spark, table,
+      Seq((99L, "z")).toDF("id", "v"), upsertClauses()).contains(1L))
+    assert(DeltaLog.read(spark, table).count() == 2)
+    // the insert-only version removed nothing
+    assert(DeltaLog.snapshot(spark, table).get.adds.size == 2)
+  }
+
+  test("iceberg MERGE upserts as ONE overwrite snapshot; prior snapshot time-travels") {
+    import spark.implicits._
+    val table = tmpTable("ice_merge")
+    IcebergLog.writeBatch((1L to 100L).map(i => (i, s"old$i")).toDF("id", "v").coalesce(1), table)
+    val preSid = IcebergLog.current(table).get.currentSnapshotId
+    val source = ((50L to 60L) ++ (200L to 205L)).map(i => (i, s"new$i")).toDF("id", "v")
+    assert(IcebergLog.merge(spark, table, source, upsertClauses()).isDefined)
+    val m = IcebergLog.current(table).get
+    val snap = m.snapshots.find(_.get("snapshot-id").asLong == m.currentSnapshotId).get
+    assert(snap.get("summary").get("operation").asText == "overwrite")
+    val rows = IcebergLog.read(spark, table).as[(Long, String)].collect().toMap
+    assert(rows.size == 106 && rows(50L) == "new50" && rows(200L) == "new200" &&
+      rows(49L) == "old49")
+    assert(IcebergLog.read(spark, table, snapshotId = Some(preSid)).count() == 100)
+    // conditioned INSERT: only some unmatched source rows land
+    val cond = upsertClauses(extraInsertCond = Some("s.id < 300"))
+    assert(IcebergLog.merge(spark, table,
+      Seq((250L, "in"), (350L, "out")).toDF("id", "v"), cond).isDefined)
+    val rows2 = IcebergLog.read(spark, table).as[(Long, String)].collect().toMap
+    assert(rows2.contains(250L) && !rows2.contains(350L))
+  }
+
+  test("MERGE INTO SQL verb runs against delta and iceberg; subquery source; plan() validates only") {
+    import spark.implicits._
+    val dt = tmpTable("sql_merge_delta")
+    val it = tmpTable("sql_merge_ice")
+    val srcDir = tmpTable("sql_merge_src")
+    DeltaLog.writeBatch((1L to 5L).map(i => (i, i * 10L)).toDF("id", "score").coalesce(1), dt)
+    IcebergLog.writeBatch((1L to 5L).map(i => (i, i * 10L)).toDF("id", "score").coalesce(1), it)
+    Seq((2L, 999L), (7L, 70L)).toDF("id", "score").write.mode("overwrite").parquet(srcDir)
+    new sql.Pipeline(spark, streaming = false).run(
+      s"""CREATE TABLE d (id BIGINT, score BIGINT) WITH (
+         |  connector='delta', path='$dt', format='parquet', type='sink');
+         |CREATE TABLE i (id BIGINT, score BIGINT) WITH (
+         |  connector='iceberg', path='$it', format='parquet', type='sink');
+         |CREATE TABLE src (id BIGINT, score BIGINT) WITH (
+         |  connector='filesystem', path='$srcDir', format='parquet', type='source');
+         |MERGE INTO d AS t USING src AS s ON t.id = s.id
+         |  WHEN MATCHED THEN UPDATE SET score = s.score
+         |  WHEN NOT MATCHED THEN INSERT *;
+         |MERGE INTO i AS t USING (SELECT id, score + 1 AS score FROM src) AS s
+         |  ON t.id = s.id
+         |  WHEN MATCHED THEN UPDATE SET score = s.score
+         |  WHEN NOT MATCHED THEN INSERT (id, score) VALUES (s.id, s.score);""".stripMargin)
+    val drows = DeltaLog.read(spark, dt).as[(Long, Long)].collect().toMap
+    assert(drows == Map(1L -> 10L, 2L -> 999L, 3L -> 30L, 4L -> 40L, 5L -> 50L, 7L -> 70L))
+    val irows = IcebergLog.read(spark, it).as[(Long, Long)].collect().toMap
+    assert(irows == Map(1L -> 10L, 2L -> 1000L, 3L -> 30L, 4L -> 40L, 5L -> 50L, 7L -> 71L))
+    // plan() validates but does not run
+    val n = DeltaLog.snapshot(spark, dt).get.version
+    new sql.Pipeline(spark, streaming = false).plan(
+      s"""CREATE TABLE d (id BIGINT, score BIGINT) WITH (
+         |  connector='delta', path='$dt', format='parquet', type='sink');
+         |CREATE TABLE src (id BIGINT, score BIGINT) WITH (
+         |  connector='filesystem', path='$srcDir', format='parquet', type='source');
+         |MERGE INTO d AS t USING src AS s ON t.id = s.id
+         |  WHEN MATCHED THEN DELETE;""".stripMargin)
+    assert(DeltaLog.snapshot(spark, dt).get.version == n, "plan() must not run MERGE")
+    // bad clauses are parse/validation errors
+    assert(intercept[IllegalArgumentException] {
+      sql.Ddl.parse("MERGE INTO d USING s ON a = b") // no WHEN clause
+    }.getMessage.contains("WHEN"))
+    assert(intercept[IllegalArgumentException] {
+      sql.Ddl.parse("MERGE INTO d USING (SELECT 1) ON a = b WHEN MATCHED THEN DELETE")
+    }.getMessage.contains("alias"))
+  }
+}
