@@ -750,7 +750,6 @@ object DeltaLog {
     */
   def merge(spark: SparkSession, table: String, source: DataFrame,
       clauses: Merge.Clauses): Option[Long] = {
-    import org.apache.spark.sql.functions.expr
     val s0 = snapshot(spark, table)
       .getOrElse(sys.error(s"$table is not a Delta table (no _delta_log)"))
     clauses.updateCols.foreach(cname =>
@@ -758,10 +757,12 @@ object DeltaLog {
         s"MERGE: no column $cname in $table"))
     source.persist()
     try {
-      val scanFilter = Merge.keyBoundsFilter(spark, clauses, source, s0.schema)
+      // NOT MATCHED BY SOURCE must see every target row absent from the
+      // source, so those clauses disable source-key-bounds pruning
+      val scanFilter = if (Merge.pruneBySourceKeys(clauses))
+        Merge.keyBoundsFilter(spark, clauses, source, s0.schema) else None
       dmlRewrite(spark, table, scanFilter, conflictPred = None,
-        matcher = df => df.alias(clauses.targetAlias)
-          .join(source.alias(clauses.sourceAlias), expr(clauses.cond), "left_semi"),
+        matcher = Merge.matcher(source, clauses),
         commitWhenUntouched = clauses.notMatchedInsert.isDefined) {
         (touched, snap) => Merge.rewrite(touched, source, snap.schema, clauses)
       }

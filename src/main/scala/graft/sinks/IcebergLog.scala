@@ -1171,7 +1171,6 @@ object IcebergLog {
     */
   def merge(spark: SparkSession, table: String, source: DataFrame,
       clauses: Merge.Clauses): Option[Int] = {
-    import org.apache.spark.sql.functions.expr
     val m0 = current(table).getOrElse(
       sys.error(s"$table is not an Iceberg table (no metadata/v*.metadata.json)"))
     clauses.updateCols.foreach(cname =>
@@ -1179,10 +1178,12 @@ object IcebergLog {
         s"MERGE: no column $cname in $table"))
     source.persist()
     try {
-      val scanFilter = Merge.keyBoundsFilter(spark, clauses, source, m0.schema)
+      // NOT MATCHED BY SOURCE must see every target row absent from the
+      // source, so those clauses disable source-key-bounds pruning
+      val scanFilter = if (Merge.pruneBySourceKeys(clauses))
+        Merge.keyBoundsFilter(spark, clauses, source, m0.schema) else None
       dmlRewrite(spark, table, scanFilter, conflictPred = None,
-        matcher = df => df.alias(clauses.targetAlias)
-          .join(source.alias(clauses.sourceAlias), expr(clauses.cond), "left_semi"),
+        matcher = Merge.matcher(source, clauses),
         commitWhenUntouched = clauses.notMatchedInsert.isDefined) {
         (touched, m) => Merge.rewrite(touched, source, m.schema, clauses)
       }

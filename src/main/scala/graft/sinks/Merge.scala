@@ -29,8 +29,9 @@ import org.apache.spark.sql.types._
   */
 private[graft] object Merge {
 
-  /** One WHEN MATCHED clause: optional AND-condition plus its action —
-    * Left(sets) = UPDATE SET, Right(()) = DELETE.
+  /** One WHEN MATCHED / NOT MATCHED BY SOURCE clause: optional
+    * AND-condition plus its action — Left(sets) = UPDATE SET,
+    * Right(()) = DELETE.
     */
   final case class MatchedClause(and: Option[String],
       action: Either[Seq[(String, String)], Unit])
@@ -41,9 +42,15 @@ private[graft] object Merge {
       cond: String,
       matched: Seq[MatchedClause],
       /** (AND-condition, target-col → expr); empty sets = `INSERT *`. */
-      notMatchedInsert: Option[(Option[String], Seq[(String, String)])]) {
+      notMatchedInsert: Option[(Option[String], Seq[(String, String)])],
+      /** WHEN NOT MATCHED BY SOURCE clauses (snapshot reconciliation:
+        * UPDATE/DELETE target rows the source no longer carries). Their
+        * conditions and SET expressions may reference only the TARGET —
+        * source columns are all-null on these rows by construction.
+        */
+      notBySource: Seq[MatchedClause] = Seq.empty) {
     def updateCols: Seq[String] =
-      matched.flatMap(_.action.left.toSeq).flatten.map(_._1) ++
+      (matched ++ notBySource).flatMap(_.action.left.toSeq).flatten.map(_._1) ++
         notMatchedInsert.toSeq.flatMap(_._2.map(_._1))
   }
 
@@ -70,22 +77,28 @@ private[graft] object Merge {
         "both would be order-dependent. Deduplicate the source on the " +
         "merge keys first.")
     val isMatched = coalesce(col(matchFlag), lit(false))
+    // unified clause list: MATCHED clauses fire on matched rows, NOT
+    // MATCHED BY SOURCE on unmatched ones — within each family the
+    // first-holding-clause rule applies, and the two families are
+    // disjoint by their guards so one index column serves both
+    val allClauses = c.matched.map((_, true)) ++ c.notBySource.map((_, false))
     // first-holding-clause index, -1 = no clause (carry through)
-    val clauseConds = c.matched.map(mc =>
-      isMatched && mc.and.map(expr).getOrElse(lit(true)))
+    val clauseConds = allClauses.map { case (mc, onMatched) =>
+      (if (onMatched) isMatched else !isMatched) &&
+        mc.and.map(expr).getOrElse(lit(true)) }
     val firstIdx = clauseConds.zipWithIndex
       .foldRight(lit(-1): Column) { case ((cd, i), acc) =>
         when(cd, lit(i)).otherwise(acc) }
-    val deleteIdxs = c.matched.zipWithIndex.collect {
-      case (MatchedClause(_, Right(_)), i) => i }
+    val deleteIdxs = allClauses.zipWithIndex.collect {
+      case ((MatchedClause(_, Right(_)), _), i) => i }
     val withIdx = joined.withColumn("__graft_clause", firstIdx)
     val kept =
       if (deleteIdxs.isEmpty) withIdx
       else withIdx.filter(!col("__graft_clause").isin(deleteIdxs.map(Integer.valueOf): _*))
     val survivors = kept.select(schema.fields.toIndexedSeq.map { f =>
       val base = col(s"${c.targetAlias}.${f.name}")
-      c.matched.zipWithIndex.foldRight(base) {
-        case ((MatchedClause(_, Left(sets)), i), acc) =>
+      allClauses.zipWithIndex.foldRight(base) {
+        case (((MatchedClause(_, Left(sets)), _), i), acc) =>
           sets.toMap.get(f.name) match {
             case Some(e) => when(col("__graft_clause") === i,
               expr(e).cast(f.dataType)).otherwise(acc)
@@ -109,6 +122,34 @@ private[graft] object Merge {
     }
     inserts.map(survivors.unionAll).getOrElse(survivors)
   }
+
+  /** Touch-detect matcher for [[rewrite]]'s file plan: which candidate
+    * rows would a clause act on? Matched-family clauses touch the rows
+    * the source semi-joins to; NOT MATCHED BY SOURCE clauses touch the
+    * anti-join side — the whole candidate set when any such clause is
+    * unconditional (a full reconcile IS a full-table verb), else only
+    * rows satisfying some clause condition.
+    */
+  def matcher(source: DataFrame, c: Clauses): DataFrame => DataFrame = df => {
+    import org.apache.spark.sql.functions.{coalesce => cl}
+    val t = df.alias(c.targetAlias)
+    val s = source.alias(c.sourceAlias)
+    val matchedRows = t.join(s, expr(c.cond), "left_semi")
+    if (c.notBySource.isEmpty) matchedRows
+    else if (c.notBySource.exists(_.and.isEmpty)) df
+    else {
+      val anti = t.join(s, expr(c.cond), "left_anti")
+      val orCond = c.notBySource.flatMap(_.and)
+        .map(a => cl(expr(a), lit(false))).reduce(_ || _)
+      matchedRows.unionByName(anti.filter(orCond))
+    }
+  }
+
+  /** Whether [[keyBoundsFilter]] pruning is sound for these clauses:
+    * NOT MATCHED BY SOURCE must see every target row that is NOT in the
+    * source, so any such clause disables source-bounds file pruning.
+    */
+  def pruneBySourceKeys(c: Clauses): Boolean = c.notBySource.isEmpty
 
   /** Target-side file-pruning filter from the ON condition's
     * equi-conjuncts: for each `t.col = s.col`, the ACTUAL min/max of the

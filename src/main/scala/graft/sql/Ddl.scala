@@ -95,16 +95,20 @@ object Ddl {
 
   /** `MERGE INTO t [AS ta] USING (src | (subquery)) [AS sa] ON cond
     * WHEN MATCHED [AND c] THEN UPDATE SET … | DELETE
-    * WHEN NOT MATCHED [AND c] THEN INSERT (cols) VALUES (exprs) | INSERT *`
+    * WHEN NOT MATCHED [BY TARGET] [AND c] THEN INSERT (cols) VALUES (exprs) | INSERT *
+    * WHEN NOT MATCHED BY SOURCE [AND c] THEN UPDATE SET … | DELETE`
     * — copy-on-write upsert for delta and iceberg connector tables
-    * (r10). `matched` keeps statement order (first holding clause wins);
-    * `insert` None = no NOT MATCHED clause, empty sets = `INSERT *`.
+    * (r10). `matched`/`notBySource` keep statement order (first holding
+    * clause wins within each family); `insert` None = no NOT MATCHED
+    * clause, empty sets = `INSERT *`.
     */
   final case class MergeInto(target: String, targetAlias: String,
       sourceSql: Either[String, String], // Left = table name, Right = subquery
       sourceAlias: String, cond: String,
       matched: Seq[(Option[String], Either[Seq[(String, String)], Unit])],
-      insert: Option[(Option[String], Seq[(String, String)])]) extends Stmt
+      insert: Option[(Option[String], Seq[(String, String)])],
+      notBySource: Seq[(Option[String], Either[Seq[(String, String)], Unit])] =
+        Seq.empty) extends Stmt
 
   /** `ALTER TABLE t ADD COLUMN[S] (name type, …)` — append-only schema
     * evolution for delta and iceberg connector tables (r10): nullable
@@ -172,8 +176,14 @@ object Ddl {
       """(?is)^MATCHED(?:\s+AND\s+(.+?))?\s+THEN\s+UPDATE\s+SET\s+(.+)$""".r
     val MatchedDel = """(?is)^MATCHED(?:\s+AND\s+(.+?))?\s+THEN\s+DELETE\s*$""".r
     val NotMatchedIns =
-      """(?is)^NOT\s+MATCHED(?:\s+AND\s+(.+?))?\s+THEN\s+INSERT\s+(.+)$""".r
+      """(?is)^NOT\s+MATCHED(?:\s+BY\s+TARGET)?(?:\s+AND\s+(.+?))?\s+THEN\s+INSERT\s+(.+)$""".r
+    val NotBySrcUpd =
+      """(?is)^NOT\s+MATCHED\s+BY\s+SOURCE(?:\s+AND\s+(.+?))?\s+THEN\s+UPDATE\s+SET\s+(.+)$""".r
+    val NotBySrcDel =
+      """(?is)^NOT\s+MATCHED\s+BY\s+SOURCE(?:\s+AND\s+(.+?))?\s+THEN\s+DELETE\s*$""".r
     val matched = scala.collection.mutable.ArrayBuffer
+      .empty[(Option[String], Either[Seq[(String, String)], Unit])]
+    val notBySource = scala.collection.mutable.ArrayBuffer
       .empty[(Option[String], Either[Seq[(String, String)], Unit])]
     var insert: Option[(Option[String], Seq[(String, String)])] = None
     def parseSets(s: String): Seq[(String, String)] =
@@ -185,6 +195,10 @@ object Ddl {
         }
       }
     clauses.foreach {
+      case NotBySrcUpd(and, sets) =>
+        notBySource += ((Option(and).map(_.trim), Left(parseSets(sets))))
+      case NotBySrcDel(and) =>
+        notBySource += ((Option(and).map(_.trim), Right(())))
       case MatchedUpd(and, sets) =>
         matched += ((Option(and).map(_.trim), Left(parseSets(sets))))
       case MatchedDel(and) =>
@@ -212,11 +226,12 @@ object Ddl {
         insert = Some((Option(and).map(_.trim), sets))
       case other => bad(s"cannot parse WHEN clause: 'WHEN $other'")
     }
-    if (matched.isEmpty && insert.isEmpty) bad("no actionable WHEN clause")
+    if (matched.isEmpty && insert.isEmpty && notBySource.isEmpty)
+      bad("no actionable WHEN clause")
     MergeInto(target, if (tAlias == null) target else tAlias,
       source, sAlias.getOrElse(source.left.toOption.getOrElse(
         bad("a (subquery) source needs an alias: USING (…) AS s"))),
-      cond, matched.toSeq, insert)
+      cond, matched.toSeq, insert, notBySource.toSeq)
   }
   private val DeleteRe =
     """(?is)^\s*DELETE\s+FROM\s+([A-Za-z_][A-Za-z0-9_]*)(\s+WHERE\s+.+)?\s*$""".r

@@ -299,7 +299,7 @@ class Pipeline(spark: SparkSession, streaming: Boolean = false) {
         case ("vacuum", _) => graft.sinks.IcebergLog.expireSnapshots(spark, tPath, retainMs); ()
       }
 
-    case MergeInto(name, tAlias, sourceSql, sAlias, cond, matched, insert) =>
+    case MergeInto(name, tAlias, sourceSql, sAlias, cond, matched, insert, notBySrc) =>
       val t = catalog.getOrElse(name,
         throw new IllegalArgumentException(s"unknown table $name"))
       if (t.connector != "delta" && t.connector != "iceberg")
@@ -308,14 +308,16 @@ class Pipeline(spark: SparkSession, streaming: Boolean = false) {
             s"(got connector '${t.connector}')")
       val tPath = t.path.getOrElse(sys.error(s"table $name: path required"))
       if (t.schema.fields.nonEmpty) {
-        val cols = matched.flatMap(_._2.left.toSeq).flatten.map(_._1) ++
+        val cols = (matched ++ notBySrc).flatMap(_._2.left.toSeq).flatten.map(_._1) ++
           insert.toSeq.flatMap(_._2.map(_._1))
         cols.foreach(cname => if (!t.schema.fieldNames.contains(cname))
           throw new IllegalArgumentException(s"MERGE INTO $name: no column $cname"))
       }
       val clauses = graft.sinks.Merge.Clauses(tAlias, sAlias, cond,
         matched.map { case (and, a) =>
-          graft.sinks.Merge.MatchedClause(and, a) }, insert)
+          graft.sinks.Merge.MatchedClause(and, a) }, insert,
+        notBySrc.map { case (and, a) =>
+          graft.sinks.Merge.MatchedClause(and, a) })
       val srcQuery = sourceSql.fold(n => s"SELECT * FROM $n", q => q)
       // plan() must VALIDATE the merge (clauses + source query), never run
       val srcDf = sql(rewriteWindows(rewriteDialect(srcQuery)))

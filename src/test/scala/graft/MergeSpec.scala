@@ -103,6 +103,46 @@ class MergeSpec extends SparkSpec {
     assert(rows2.contains(250L) && !rows2.contains(350L))
   }
 
+  test("NOT MATCHED BY SOURCE reconciles a snapshot: delete/flag target rows the source dropped") {
+    import spark.implicits._
+    val table = tmpTable("delta_merge_nmbs")
+    DeltaLog.writeBatch(
+      (1L to 10L).map(i => (i, s"v$i", "live")).toDF("id", "v", "status").coalesce(1), table)
+    // the new snapshot keeps ids 1-5 (id 3 gets a new value), drops 6-10
+    val source = ((1L to 5L).map(i => (i, if (i == 3) "v3b" else s"v$i"))).toDF("id", "v")
+    val clauses = Merge.Clauses("t", "s", "t.id = s.id",
+      Seq(Merge.MatchedClause(None, Left(Seq("v" -> "s.v")))),
+      Some((None, Seq("id" -> "s.id", "v" -> "s.v", "status" -> "'live'"))),
+      notBySource = Seq(
+        Merge.MatchedClause(Some("t.id >= 9"), Right(())),
+        Merge.MatchedClause(None, Left(Seq("status" -> "'retired'")))))
+    assert(DeltaLog.merge(spark, table, source, clauses).isDefined)
+    val rows = DeltaLog.read(spark, table).as[(Long, String, String)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(rows.keySet == (1L to 8L).toSet, "ids 9-10 deleted by the first NMBS clause")
+    assert(rows(3L) == (("v3b", "live")), "matched row updated")
+    (6L to 8L).foreach(i => assert(rows(i) == ((s"v$i", "retired")),
+      s"id $i retired by the second NMBS clause"))
+    (1L to 5L).foreach(i => assert(rows(i)._2 == "live"))
+  }
+
+  test("NOT MATCHED BY SOURCE disables source-key-bounds pruning (files outside the bounds ARE touched)") {
+    import spark.implicits._
+    val table = tmpTable("ice_merge_nmbs")
+    IcebergLog.writeBatch((1L to 10L).map(i => (i, s"v$i")).toDF("id", "v").coalesce(1), table)
+    IcebergLog.writeBatch((1000L to 1010L).map(i => (i, s"v$i")).toDF("id", "v").coalesce(1), table)
+    // source only overlaps the low file's key range — a bounds-pruned
+    // plan would never see the 1000s, but NMBS must delete them
+    val source = (1L to 10L).map(i => (i, s"n$i")).toDF("id", "v")
+    val clauses = Merge.Clauses("t", "s", "t.id = s.id",
+      Seq(Merge.MatchedClause(None, Left(Seq("v" -> "s.v")))), None,
+      notBySource = Seq(Merge.MatchedClause(None, Right(()))))
+    assert(IcebergLog.merge(spark, table, source, clauses).isDefined)
+    val rows = IcebergLog.read(spark, table).as[(Long, String)].collect().toMap
+    assert(rows.keySet == (1L to 10L).toSet, "rows absent from the source deleted")
+    assert(rows(1L) == "n1")
+  }
+
   test("MERGE INTO SQL verb runs against delta and iceberg; subquery source; plan() validates only") {
     import spark.implicits._
     val dt = tmpTable("sql_merge_delta")
@@ -146,5 +186,37 @@ class MergeSpec extends SparkSpec {
     assert(intercept[IllegalArgumentException] {
       sql.Ddl.parse("MERGE INTO d USING (SELECT 1) ON a = b WHEN MATCHED THEN DELETE")
     }.getMessage.contains("alias"))
+  }
+
+  test("NOT MATCHED BY SOURCE SQL face: full snapshot sync in one statement") {
+    import spark.implicits._
+    val dt = tmpTable("sql_merge_nmbs")
+    val srcDir = tmpTable("sql_merge_nmbs_src")
+    DeltaLog.writeBatch((1L to 6L).map(i => (i, i * 10L)).toDF("id", "score").coalesce(1), dt)
+    Seq((2L, 999L), (7L, 70L)).toDF("id", "score").write.mode("overwrite").parquet(srcDir)
+    new sql.Pipeline(spark, streaming = false).run(
+      s"""CREATE TABLE d (id BIGINT, score BIGINT) WITH (
+         |  connector='delta', path='$dt', format='parquet', type='sink');
+         |CREATE TABLE src (id BIGINT, score BIGINT) WITH (
+         |  connector='filesystem', path='$srcDir', format='parquet', type='source');
+         |MERGE INTO d AS t USING src AS s ON t.id = s.id
+         |  WHEN MATCHED THEN UPDATE SET score = s.score
+         |  WHEN NOT MATCHED BY TARGET THEN INSERT *
+         |  WHEN NOT MATCHED BY SOURCE AND t.id > 4 THEN DELETE
+         |  WHEN NOT MATCHED BY SOURCE THEN UPDATE SET score = -1;""".stripMargin)
+    val rows = DeltaLog.read(spark, dt).as[(Long, Long)].collect().toMap
+    // 2 updated, 7 inserted, 5-6 deleted (unmatched, id>4), 1/3/4 → -1
+    assert(rows == Map(1L -> -1L, 2L -> 999L, 3L -> -1L, 4L -> -1L, 7L -> 70L))
+    // parse shape: NMBS clauses keep statement order and conditions
+    sql.Ddl.parse(
+      """MERGE INTO d USING s ON d.a = s.a
+        |WHEN NOT MATCHED BY SOURCE AND x THEN UPDATE SET a = 1
+        |WHEN NOT MATCHED BY SOURCE THEN DELETE""".stripMargin) match {
+      case m: sql.Ddl.MergeInto =>
+        assert(m.matched.isEmpty && m.insert.isEmpty)
+        assert(m.notBySource == Seq(
+          (Some("x"), Left(Seq("a" -> "1"))), (None, Right(()))))
+      case other => fail(s"unexpected parse: $other")
+    }
   }
 }
