@@ -609,6 +609,36 @@ object Relational {
               |           SELECT src.k, src.p FROM src
               |           WHERE NOT EXISTS (SELECT 1 FROM t WHERE t.k = src.k))
               |SELECT k < 0 AS inserted, COUNT(*) AS n, ${oSum("p")} AS sum_p
-              |FROM merged GROUP BY 1""".stripMargin))
+              |FROM merged GROUP BY 1""".stripMargin)),
+
+    // ── MERGE-backed upsert sink (r10): bootstrap a delta table from
+    //    orders, then land a CDC batch carrying TWO versions of every
+    //    7th key (merge_order_by keeps the newest) — the final state is
+    //    deterministic algebra the oracle computes directly, so a hash
+    //    match proves the bootstrap, the last-wins dedupe, and the
+    //    in-place update path end-to-end.
+    Q("q_delta_upsert",
+      (s, dir) => {
+        val o = t(s, dir, "orders")
+          .select(col("o_orderkey").as("k"), col("o_totalprice").as("p"),
+            lit(0L).as("ver"))
+        val table = java.nio.file.Files
+          .createTempDirectory("graft-delta-upsert").resolve("t").toString
+        graft.sinks.Merge.upsertBatch(s, "delta", table, o, Seq("k"))
+        val cdc = o.filter(col("k") % 7 === 0)
+          .select(col("k"), (col("p") + 100d).as("p"), lit(1L).as("ver"))
+          .unionAll(o.filter(col("k") % 7 === 0)
+            .select(col("k"), (col("p") + 200d).as("p"), lit(2L).as("ver")))
+        graft.sinks.Merge.upsertBatch(s, "delta", table, cdc, Seq("k"),
+          orderBy = Some("ver"))
+        graft.sinks.DeltaLog.read(s, table)
+          .groupBy((col("k") % 7 === 0).as("touched"))
+          .agg(count(lit(1)).as("n"), dsum(col("p")).as("sum_p"),
+            sum(col("ver")).as("sum_ver"))
+      },
+      Some(s"""SELECT o_orderkey % 7 = 0 AS touched, COUNT(*) AS n,
+              |  ${oSum("CASE WHEN o_orderkey % 7 = 0 THEN o_totalprice + 200 ELSE o_totalprice END")} AS sum_p,
+              |  CAST(SUM(CASE WHEN o_orderkey % 7 = 0 THEN 2 ELSE 0 END) AS BIGINT) AS sum_ver
+              |FROM orders GROUP BY 1""".stripMargin))
   )
 }

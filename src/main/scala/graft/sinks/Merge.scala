@@ -2,7 +2,7 @@ package graft.sinks
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
-import org.apache.spark.sql.catalyst.expressions.{EqualTo, Expression}
+import org.apache.spark.sql.catalyst.expressions.{EqualNullSafe, EqualTo, Expression}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -152,8 +152,10 @@ private[graft] object Merge {
   def pruneBySourceKeys(c: Clauses): Boolean = c.notBySource.isEmpty
 
   /** Target-side file-pruning filter from the ON condition's
-    * equi-conjuncts: for each `t.col = s.col`, the ACTUAL min/max of the
-    * source keys become `col BETWEEN lo AND hi`. Conservative and
+    * equi-conjuncts: for each `t.col = s.col` (or `<=>`), the ACTUAL
+    * min/max of the source keys become `col BETWEEN lo AND hi` — for
+    * null-safe equality with null source keys, OR'd with `col IS NULL`
+    * so null-keyed target files stay in the plan. Conservative and
     * optional — any shape it can't prove is simply not pruned on.
     */
   def keyBoundsFilter(spark: SparkSession, c: Clauses, source: DataFrame,
@@ -162,24 +164,106 @@ private[graft] object Merge {
       case UnresolvedAttribute(Seq(q, n)) if q.equalsIgnoreCase(alias) => Some(n)
       case _ => None
     }
+    def pairOf(l: Expression, r: Expression): Option[(String, String)] =
+      attr(l, c.targetAlias).flatMap(tc => attr(r, c.sourceAlias).map(tc -> _))
+        .orElse(attr(r, c.targetAlias).flatMap(tc => attr(l, c.sourceAlias).map(tc -> _)))
+    // (targetCol, sourceCol, nullSafe)
     val pairs = StatsPruning.conjunctsOf(spark, c.cond).flatMap {
-      case EqualTo(l, r) =>
-        attr(l, c.targetAlias).flatMap(tc => attr(r, c.sourceAlias).map(tc -> _))
-          .orElse(attr(r, c.targetAlias).flatMap(tc => attr(l, c.sourceAlias).map(tc -> _)))
+      case EqualTo(l, r) => pairOf(l, r).map { case (tc, sc) => (tc, sc, false) }
+      case EqualNullSafe(l, r) => pairOf(l, r).map { case (tc, sc) => (tc, sc, true) }
       case _ => None
-    }.filter { case (tc, sc) =>
+    }.filter { case (tc, sc, _) =>
       schema.fieldNames.contains(tc) && source.schema.fieldNames.contains(sc) }
     if (pairs.isEmpty) return None
-    val aggs = pairs.flatMap { case (_, sc) => Seq(min(col(sc)), max(col(sc))) }
+    val aggs = pairs.flatMap { case (_, sc, _) => Seq(min(col(sc)), max(col(sc)),
+      sum(when(col(sc).isNull, 1L).otherwise(0L))) }
     val row = source.agg(aggs.head, aggs.tail: _*).head()
-    val conjuncts = pairs.zipWithIndex.flatMap { case ((tc, _), i) =>
-      val (lo, hi) = (row.get(2 * i), row.get(2 * i + 1))
-      for {
+    val conjuncts = pairs.zipWithIndex.flatMap { case ((tc, _, nullSafe), i) =>
+      val (lo, hi) = (row.get(3 * i), row.get(3 * i + 1))
+      val hasNullKey = nullSafe && !row.isNullAt(3 * i + 2) && row.getLong(3 * i + 2) > 0
+      val range = for {
         l <- Option(lo).flatMap(litSql)
         h <- Option(hi).flatMap(litSql)
       } yield s"$tc >= $l AND $tc <= $h"
+      (range, hasNullKey) match {
+        case (Some(r), true) => Some(s"(($r) OR $tc IS NULL)")
+        case (Some(r), false) => Some(r)
+        case (None, true) => Some(s"$tc IS NULL") // every source key is null
+        case (None, false) => None
+      }
     }
     Some(conjuncts.mkString(" AND ")).filter(_.nonEmpty)
+  }
+
+  /** MERGE clauses for a key-based upsert batch carrying
+    * `__graft_deleted` ([[graft.streaming.Debezium.netBatch]]'s shape,
+    * or any append batch with the flag columned in): deleted keys drop,
+    * live matched keys update every non-key column, live unmatched keys
+    * insert. Key equality is null-safe (group-by keys may be null).
+    */
+  def upsertClauses(keys: Seq[String], dataCols: Seq[String]): Clauses = {
+    val cond = keys.map(k => s"t.`$k` <=> s.`$k`").mkString(" AND ")
+    val nonKey = dataCols.filterNot(keys.contains)
+    Clauses("t", "s", cond,
+      MatchedClause(Some("s.`__graft_deleted`"), Right(())) +:
+        (if (nonKey.isEmpty) Seq.empty
+         else Seq(MatchedClause(None, Left(nonKey.map(c => c -> s"s.`$c`"))))),
+      Some((Some("NOT s.`__graft_deleted`"), dataCols.map(c => c -> s"s.`$c`"))))
+  }
+
+  /** One (micro-)batch of a MERGE-backed table sink (`merge_keys` on a
+    * delta/iceberg sink): normalize the frame to net changes plus
+    * `__graft_deleted` — retract/append streams via
+    * [[graft.streaming.Debezium.netBatch]], append streams optionally
+    * last-wins-deduped on `orderBy` — bootstrap the table on first
+    * contact, then upsert. Replay-idempotent by construction (re-merging
+    * the same net batch updates rows to the values they already hold and
+    * re-deletes nothing), which is what makes it safe under
+    * foreachBatch's at-least-once redelivery without a txn action.
+    */
+  def upsertBatch(spark: SparkSession, fmt: String, table: String,
+      b: DataFrame, keys: Seq[String], orderBy: Option[String] = None,
+      partitionBy: Seq[String] = Seq.empty): Unit = {
+    require(keys.nonEmpty, "merge_keys: at least one key column")
+    val hasMeta = b.columns.contains("_updating_meta")
+    val net0 =
+      if (hasMeta) graft.streaming.Debezium.netBatch(b)
+      else b.withColumn("__graft_deleted", lit(false))
+    val net = orderBy match {
+      case Some(ob) if !hasMeta =>
+        // CDC-shaped append batch: keep the newest row per key so one
+        // batch carrying several versions of a key can't trip the
+        // multiple-source-rows error
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(keys.map(col): _*).orderBy(col(ob).desc)
+        net0.withColumn("__graft_rn", row_number().over(w))
+          .filter(col("__graft_rn") === 1).drop("__graft_rn")
+      case _ => net0 // netBatch is one-row-per-key by construction
+    }
+    val dataCols = net.columns.filterNot(_ == "__graft_deleted").toSeq
+    keys.foreach(k => require(dataCols.contains(k),
+      s"merge_keys: no column $k in the batch (have: ${dataCols.mkString(", ")})"))
+    val clauses = upsertClauses(keys, dataCols)
+    val exists = fmt match {
+      case "delta" => DeltaLog.snapshot(spark, table).isDefined
+      case "iceberg" => IcebergLog.current(table).isDefined
+      case other => throw new IllegalArgumentException(
+        s"merge_keys: unsupported table format $other")
+    }
+    if (!exists) {
+      val alive = net.filter(!col("__graft_deleted")).drop("__graft_deleted")
+      fmt match {
+        case "delta" => DeltaLog.writeBatch(alive, table, partitionBy = partitionBy)
+        case _ => IcebergLog.writeBatch(alive, table, partitionBy = partitionBy)
+      }
+      ()
+    } else {
+      fmt match {
+        case "delta" => DeltaLog.merge(spark, table, net, clauses)
+        case _ => IcebergLog.merge(spark, table, net, clauses)
+      }
+      ()
+    }
   }
 
   /** SQL literal for a bound value; None for types we won't render. */

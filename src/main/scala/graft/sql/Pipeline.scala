@@ -788,6 +788,14 @@ class Pipeline(spark: SparkSession, streaming: Boolean = false) {
         throw new IllegalArgumentException(
           s"can't insert an updating query into non-updating sink ${s.name} " +
             "(use format='debezium_json'; reference parity, no_inserting_updates_into_non_updating.sql)")
+      // table-format sinks are append-only unless merge_keys turns them
+      // into upsert sinks — silently appending retract/append pairs would
+      // double-count every update in the materialized table
+      if (Set("delta", "iceberg")(s.connector) && isUpdatingPlan(plan) &&
+          !s.options.contains("merge_keys"))
+        throw new IllegalArgumentException(
+          s"can't insert an updating query into append-only table sink ${s.name} " +
+            "(set merge_keys='<key cols>' on the sink to upsert by key)")
     }
   }
 
@@ -1652,6 +1660,12 @@ class Pipeline(spark: SparkSession, streaming: Boolean = false) {
     // debezium sinks on streaming non-windowed aggregates: route through
     // the generalized retraction operator so the envelope carries true
     // retract+append pairs (reference UpdatingAggregate), not re-emits
+    // merge_keys table sinks need the retract flags too — but NOT the
+    // aggregate translation (plain update-mode aggregation already emits
+    // the changed rows per batch, and aggregates can't produce deletes
+    // without retractable input, which would carry meta already)
+    val isMergeSink = (sink.connector == "delta" || sink.connector == "iceberg") &&
+      sink.options.contains("merge_keys")
     val df0 =
       if (streaming && sink.format == "debezium_json" &&
           !dfIn.columns.contains("_updating_meta")) {
@@ -1659,8 +1673,15 @@ class Pipeline(spark: SparkSession, streaming: Boolean = false) {
           if (updatingTtlArmed)
             Some(java.time.Duration.ofSeconds(math.max(1L, intervalSeconds(updatingTtl))))
           else None
-        graft.streaming.UpdatingSql.translate(dfIn, ttl).getOrElse(dfIn)
-      } else dfIn
+        // aggregates route through the retraction operator; plain
+        // projections over an unrolled CDC source re-attach the meta the
+        // SELECT dropped, so d-envelopes survive a passthrough re-emit
+        graft.streaming.UpdatingSql.translate(dfIn, ttl)
+          .orElse(graft.streaming.UpdatingSql.propagateMeta(dfIn))
+          .getOrElse(dfIn)
+      } else if (streaming && isMergeSink && !dfIn.columns.contains("_updating_meta"))
+        graft.streaming.UpdatingSql.propagateMeta(dfIn).getOrElse(dfIn)
+      else dfIn
     // positional rename + cast onto the sink's declared schema (reference
     // cast_to_sink_type.sql: the sink DDL decides the output shape, not the
     // SELECT's auto-generated names/types). `_updating_meta` rides along
@@ -1711,6 +1732,16 @@ class Pipeline(spark: SparkSession, streaming: Boolean = false) {
             case f => sys.error(s"unsupported sink format $f")
           }
         case "redis" => graft.sinks.RedisSink.write(out0, sink)
+        case "delta" if sink.options.contains("merge_keys") =>
+          // MERGE-backed upsert sink (r10): the batch nets to per-key
+          // changes and lands as one copy-on-write MERGE version
+          graft.sinks.Merge.upsertBatch(spark, "delta", sink.path.get, out0,
+            sink.options("merge_keys").split(",").map(_.trim).toSeq,
+            sink.options.get("merge_order_by"), partitionFields(sink))
+        case "iceberg" if sink.options.contains("merge_keys") =>
+          graft.sinks.Merge.upsertBatch(spark, "iceberg", sink.path.get, out0,
+            sink.options("merge_keys").split(",").map(_.trim).toSeq,
+            sink.options.get("merge_order_by"), partitionFields(sink))
         case "delta" =>
           // WIRE-FORMAT Delta append (r8): one atomic _delta_log commit,
           // readable by any Delta reader — no format jars needed, the
@@ -1787,6 +1818,21 @@ class Pipeline(spark: SparkSession, streaming: Boolean = false) {
         case "redis" =>
           ws.foreachBatch((b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
             graft.sinks.RedisSink.write(b.toDF(), sink)).start()
+        case fmt @ ("delta" | "iceberg") if sink.options.contains("merge_keys") =>
+          // streaming MERGE-backed upsert sink (r10): each micro-batch
+          // nets to per-key changes (retract/append streams via
+          // Debezium.netBatch — deletes included) and lands as ONE
+          // copy-on-write MERGE version; replay-idempotent, so
+          // at-least-once redelivery converges without a txn action.
+          // This is how an updating aggregate MATERIALIZES into a table
+          // a training pipeline can snapshot-read
+          val table = sink.path.get
+          val keys = sink.options("merge_keys").split(",").map(_.trim).toSeq
+          val ob = sink.options.get("merge_order_by")
+          val pf = partitionFields(sink)
+          ws.foreachBatch((b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) => {
+            graft.sinks.Merge.upsertBatch(spark, fmt, table, b.toDF(), keys, ob, pf)
+          }).start()
         case "delta" =>
           // streaming WIRE-FORMAT Delta append (r8): the `txn` action
           // carries (appId = query name, version = batchId), so a

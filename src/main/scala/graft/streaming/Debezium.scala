@@ -174,6 +174,36 @@ object Debezium {
     *     could pick first/last from partition order rather than true
     *     emission order.
     */
+  /** [[rollBatch]]'s structured twin for MERGE-backed table sinks: net
+    * change per key this micro-batch as PLAIN COLUMNS (native types — no
+    * JSON, no millis conversion) plus `__graft_deleted`. create…retract
+    * within one batch nets to nothing; a trailing retract nets to a
+    * delete carrying the retracted state (the key survives for the MERGE
+    * condition); anything else nets to the final state. One row per key
+    * by construction (grouped on the key hash), so the upsert can never
+    * trip MERGE's multiple-source-rows error.
+    */
+  def netBatch(df: DataFrame, metaCol: String = "_updating_meta"): DataFrame = {
+    val seqd = df.withColumn("__ord", monotonically_increasing_id())
+    val payloadCols = df.schema.fields.filter(_.name != metaCol)
+      .map(f => col(s"`${f.name}`")).toIndexedSeq
+    val ev = struct(col("__ord").as("o"), col(s"$metaCol.is_retract").as("r"),
+      struct(payloadCols: _*).as("p"))
+    val grouped = seqd
+      .groupBy(col(s"$metaCol.id").as("_id"))
+      .agg(sort_array(collect_list(ev)).as("evs"))
+    val first = col("evs").getItem(0)
+    val last = element_at(col("evs"), -1)
+    val firstR = first.getField("r")
+    val lastR = last.getField("r")
+    grouped
+      .filter(firstR || !lastR) // create…retract = net no-op
+      .select(
+        when(lastR, first.getField("p")).otherwise(last.getField("p")).as("p"),
+        (firstR && lastR).as("__graft_deleted"))
+      .select(col("p.*"), col("__graft_deleted"))
+  }
+
   def rollBatch(df: DataFrame, metaCol: String = "_updating_meta"): DataFrame = {
     // batch-local order id: rollBatch runs inside foreachBatch, where the
     // frame is a plain batch plan whose narrow ops preserved partition row

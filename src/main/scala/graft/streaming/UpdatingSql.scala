@@ -161,6 +161,34 @@ object UpdatingSql extends Serializable {
     }
   }
 
+  /** Re-attach `_updating_meta` after a user projection dropped it: a
+    * `SELECT id, v FROM cdc` over an unrolled CDC source projects only
+    * the named columns, but a MERGE-backed table sink (and a faithful
+    * debezium re-emit) needs the retract flags. Rebuilds a
+    * Project/Filter/SubqueryAlias stack over a meta-carrying child with
+    * the meta column appended — the reference auto-propagates its hidden
+    * column through these nodes (plan/mod.rs:266-305). None when some
+    * deeper node (aggregate, join) severed the lineage.
+    */
+  def propagateMeta(df: DataFrame): Option[DataFrame] = {
+    val spark = df.sparkSession
+    def rec(plan: LogicalPlan): Option[DataFrame] =
+      if (plan.output.exists(_.name == "_updating_meta"))
+        Some(GraftSqlBridge.ofRows(spark, plan))
+      else plan match {
+        case SubqueryAlias(_, child) => rec(child)
+        case Project(pl, child) => rec(child).map { cdf =>
+          val outs = pl.map(ne => GraftSqlBridge.colOf(ne).as(ne.name))
+          cdf.select(outs :+ col("_updating_meta"): _*)
+        }
+        case Filter(cond, child) =>
+          rec(child).map(_.filter(GraftSqlBridge.colOf(cond)))
+        case _ => None
+      }
+    if (df.columns.contains("_updating_meta")) Some(df)
+    else rec(df.queryExecution.analyzed)
+  }
+
   /** Recursively translate a SubqueryAlias/Project/Filter stack over one
     * or more nested Aggregates into an updating frame whose data columns
     * are named `__e_<exprId>` (one per plan-output attribute) plus a
