@@ -48,7 +48,13 @@ private[graft] object Merge {
         * conditions and SET expressions may reference only the TARGET —
         * source columns are all-null on these rows by construction.
         */
-      notBySource: Seq[MatchedClause] = Seq.empty) {
+      notBySource: Seq[MatchedClause] = Seq.empty,
+      /** The caller GUARANTEES the source is unique on the merge keys
+        * (netBatch output, an orderBy-deduped batch), so [[rewrite]] may
+        * skip the multiple-source-rows guard — one fewer Spark job per
+        * upsert micro-batch. Never set this for user-supplied sources.
+        */
+      sourceUniqueByKey: Boolean = false) {
     def updateCols: Seq[String] =
       (matched ++ notBySource).flatMap(_.action.left.toSeq).flatten.map(_._1) ++
         notMatchedInsert.toSeq.flatMap(_._2.map(_._1))
@@ -70,7 +76,7 @@ private[graft] object Merge {
     // multiple-source-rows rule: >1 joined row for one target uid means
     // two source rows claimed the same target row — order-dependent,
     // refuse (delta-spark's DELTA_MULTIPLE_SOURCE_ROW_MATCHING error)
-    val dup = joined.filter(col(matchFlag))
+    val dup = if (c.sourceUniqueByKey) 0L else joined.filter(col(matchFlag))
       .groupBy(col(uidCol)).count().filter(col("count") > 1).limit(1).count()
     if (dup > 0) throw new IllegalStateException(
       "MERGE: a target row matched more than one source row; applying " +
@@ -201,14 +207,16 @@ private[graft] object Merge {
     * live matched keys update every non-key column, live unmatched keys
     * insert. Key equality is null-safe (group-by keys may be null).
     */
-  def upsertClauses(keys: Seq[String], dataCols: Seq[String]): Clauses = {
+  def upsertClauses(keys: Seq[String], dataCols: Seq[String],
+      uniqueByKey: Boolean = false): Clauses = {
     val cond = keys.map(k => s"t.`$k` <=> s.`$k`").mkString(" AND ")
     val nonKey = dataCols.filterNot(keys.contains)
     Clauses("t", "s", cond,
       MatchedClause(Some("s.`__graft_deleted`"), Right(())) +:
         (if (nonKey.isEmpty) Seq.empty
          else Seq(MatchedClause(None, Left(nonKey.map(c => c -> s"s.`$c`"))))),
-      Some((Some("NOT s.`__graft_deleted`"), dataCols.map(c => c -> s"s.`$c`"))))
+      Some((Some("NOT s.`__graft_deleted`"), dataCols.map(c => c -> s"s.`$c`"))),
+      sourceUniqueByKey = uniqueByKey)
   }
 
   /** One (micro-)batch of a MERGE-backed table sink (`merge_keys` on a
@@ -243,7 +251,12 @@ private[graft] object Merge {
     val dataCols = net.columns.filterNot(_ == "__graft_deleted").toSeq
     keys.foreach(k => require(dataCols.contains(k),
       s"merge_keys: no column $k in the batch (have: ${dataCols.mkString(", ")})"))
-    val clauses = upsertClauses(keys, dataCols)
+    // the orderBy path keeps row 1 per window over EXACTLY these keys —
+    // provably unique, skip the dup-guard job. netBatch is one row per
+    // META id (PK/group-key hash), which only coincides with merge_keys
+    // when the user picked the full key set — not provable here, so the
+    // guard stays (it is what catches merge_keys ⊂ group keys loudly).
+    val clauses = upsertClauses(keys, dataCols, uniqueByKey = orderBy.isDefined)
     val exists = fmt match {
       case "delta" => DeltaLog.snapshot(spark, table).isDefined
       case "iceberg" => IcebergLog.current(table).isDefined

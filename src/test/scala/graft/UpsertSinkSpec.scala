@@ -116,6 +116,38 @@ class UpsertSinkSpec extends SparkSpec {
       Map(1L -> "x2"), "u must rewrite in place; d must remove the row")
   }
 
+  test("partitioned upsert table: bootstrap partitions, updates stay in their partition dirs") {
+    import spark.implicits._
+    val table = Files.createTempDirectory("upsert-part").toString + "/t"
+    Merge.upsertBatch(spark, "delta", table,
+      Seq((1L, "us", 10L), (2L, "us", 20L), (3L, "eu", 30L)).toDF("id", "region", "score"),
+      Seq("id"), partitionBy = Seq("region"))
+    assert(DeltaLog.snapshot(spark, table).get.partitionColumns == Seq("region"))
+    Merge.upsertBatch(spark, "delta", table,
+      Seq((2L, "us", 99L), (4L, "eu", 40L)).toDF("id", "region", "score"), Seq("id"))
+    val rows = DeltaLog.read(spark, table).as[(Long, String, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(rows == Map(1L -> (("us", 10L)), 2L -> (("us", 99L)),
+      3L -> (("eu", 30L)), 4L -> (("eu", 40L))))
+    // partition layout survives the merge rewrite
+    import scala.jdk.CollectionConverters._
+    val dirs = Files.list(Paths.get(table)).iterator().asScala
+      .filter(Files.isDirectory(_)).map(_.getFileName.toString).toSet
+    assert(dirs.exists(_.startsWith("region=us")) && dirs.exists(_.startsWith("region=eu")))
+  }
+
+  test("a batch with duplicate merge keys still trips the guard (no orderBy, no meta)") {
+    import spark.implicits._
+    val table = Files.createTempDirectory("upsert-dup").toString + "/t"
+    Merge.upsertBatch(spark, "delta", table,
+      Seq((1L, "a")).toDF("id", "v"), Seq("id"))
+    val e = intercept[IllegalStateException] {
+      Merge.upsertBatch(spark, "delta", table,
+        Seq((1L, "x"), (1L, "y")).toDF("id", "v"), Seq("id"))
+    }
+    assert(e.getMessage.contains("more than one source row"))
+  }
+
   test("updating plan into a table sink WITHOUT merge_keys is rejected") {
     val src = Files.createTempDirectory("upsert-gate-src").toString
     Files.write(Paths.get(s"$src/f0.json"), """{"k":"a","v":1.0}""".getBytes)
