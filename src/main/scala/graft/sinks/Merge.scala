@@ -231,7 +231,8 @@ private[graft] object Merge {
     */
   def upsertBatch(spark: SparkSession, fmt: String, table: String,
       b: DataFrame, keys: Seq[String], orderBy: Option[String] = None,
-      partitionBy: Seq[String] = Seq.empty): Unit = {
+      partitionBy: Seq[String] = Seq.empty,
+      mergeSchema: Boolean = false): Unit = {
     require(keys.nonEmpty, "merge_keys: at least one key column")
     val hasMeta = b.columns.contains("_updating_meta")
     val net0 =
@@ -271,6 +272,25 @@ private[graft] object Merge {
       }
       ()
     } else {
+      // CDC feeds evolve: under merge_schema, columns the batch carries
+      // that the table lacks are APPENDED (nullable, existing rows read
+      // null) before the upsert — the same append-only evolution the
+      // append sinks run, composed with MERGE. Without the flag the
+      // merge's own no-such-column validation rejects the drift loudly.
+      if (mergeSchema) {
+        val tableSchema = fmt match {
+          case "delta" => DeltaLog.snapshot(spark, table).get.schema
+          case _ => IcebergLog.current(table).get.schema
+        }
+        val newCols = net.schema.fields.toSeq
+          .filter(f => f.name != "__graft_deleted" &&
+            !tableSchema.fieldNames.contains(f.name))
+          .map(f => f.name -> f.dataType)
+        if (newCols.nonEmpty) fmt match {
+          case "delta" => DeltaLog.addColumns(spark, table, newCols)
+          case _ => IcebergLog.addColumns(spark, table, newCols)
+        }
+      }
       fmt match {
         case "delta" => DeltaLog.merge(spark, table, net, clauses)
         case _ => IcebergLog.merge(spark, table, net, clauses)

@@ -1732,16 +1732,13 @@ class Pipeline(spark: SparkSession, streaming: Boolean = false) {
             case f => sys.error(s"unsupported sink format $f")
           }
         case "redis" => graft.sinks.RedisSink.write(out0, sink)
-        case "delta" if sink.options.contains("merge_keys") =>
+        case fmt @ ("delta" | "iceberg") if sink.options.contains("merge_keys") =>
           // MERGE-backed upsert sink (r10): the batch nets to per-key
           // changes and lands as one copy-on-write MERGE version
-          graft.sinks.Merge.upsertBatch(spark, "delta", sink.path.get, out0,
+          graft.sinks.Merge.upsertBatch(spark, fmt, sink.path.get, out0,
             sink.options("merge_keys").split(",").map(_.trim).toSeq,
-            sink.options.get("merge_order_by"), partitionFields(sink))
-        case "iceberg" if sink.options.contains("merge_keys") =>
-          graft.sinks.Merge.upsertBatch(spark, "iceberg", sink.path.get, out0,
-            sink.options("merge_keys").split(",").map(_.trim).toSeq,
-            sink.options.get("merge_order_by"), partitionFields(sink))
+            sink.options.get("merge_order_by"), partitionFields(sink),
+            mergeSchema = sink.options.get("merge_schema").exists(_.toBoolean))
         case "delta" =>
           // WIRE-FORMAT Delta append (r8): one atomic _delta_log commit,
           // readable by any Delta reader — no format jars needed, the
@@ -1830,8 +1827,10 @@ class Pipeline(spark: SparkSession, streaming: Boolean = false) {
           val keys = sink.options("merge_keys").split(",").map(_.trim).toSeq
           val ob = sink.options.get("merge_order_by")
           val pf = partitionFields(sink)
+          val ms = sink.options.get("merge_schema").exists(_.toBoolean)
           ws.foreachBatch((b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) => {
-            graft.sinks.Merge.upsertBatch(spark, fmt, table, b.toDF(), keys, ob, pf)
+            graft.sinks.Merge.upsertBatch(spark, fmt, table, b.toDF(), keys, ob, pf,
+              mergeSchema = ms)
           }).start()
         case "delta" =>
           // streaming WIRE-FORMAT Delta append (r8): the `txn` action

@@ -148,6 +148,33 @@ class UpsertSinkSpec extends SparkSpec {
     assert(e.getMessage.contains("more than one source row"))
   }
 
+  test("upsert schema evolution: a new CDC column evolves the table under merge_schema") {
+    import spark.implicits._
+    val table = Files.createTempDirectory("upsert-evolve").toString + "/t"
+    Merge.upsertBatch(spark, "delta", table,
+      Seq((1L, "a")).toDF("id", "v"), Seq("id"))
+    // without the flag the drift is a loud error
+    val e = intercept[IllegalArgumentException] {
+      Merge.upsertBatch(spark, "delta", table,
+        Seq((2L, "b", "extra")).toDF("id", "v", "note"), Seq("id"))
+    }
+    assert(e.getMessage.contains("note"))
+    // with it, the column appends nullable and the upsert lands
+    Merge.upsertBatch(spark, "delta", table,
+      Seq((1L, "a2", "hi"), (2L, "b", "yo")).toDF("id", "v", "note"), Seq("id"),
+      mergeSchema = true)
+    val rows = DeltaLog.read(spark, table).as[(Long, String, Option[String])].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(rows == Map(1L -> (("a2", Some("hi"))), 2L -> (("b", Some("yo")))))
+    // same composition on iceberg (field ids stay position-stable)
+    val it = Files.createTempDirectory("upsert-evolve-ice").toString + "/t"
+    Merge.upsertBatch(spark, "iceberg", it, Seq((1L, "a")).toDF("id", "v"), Seq("id"))
+    Merge.upsertBatch(spark, "iceberg", it,
+      Seq((1L, "a2", 9L)).toDF("id", "v", "n"), Seq("id"), mergeSchema = true)
+    val ir = IcebergLog.read(spark, it).as[(Long, String, Option[Long])].collect()
+    assert(ir.toSeq == Seq((1L, "a2", Some(9L))))
+  }
+
   test("updating plan into a table sink WITHOUT merge_keys is rejected") {
     val src = Files.createTempDirectory("upsert-gate-src").toString
     Files.write(Paths.get(s"$src/f0.json"), """{"k":"a","v":1.0}""".getBytes)
