@@ -270,14 +270,44 @@ object DeltaLog {
       case VersionRe(v) => Some((v.toLong, p))
       case _ => None
     }).sortBy(_._1)
-    versions.map { case (v, p) =>
-      val ci = Files.readAllLines(p).asScala.view.filter(_.nonEmpty)
-        .map(mapper.readTree)
-        .flatMap(n => Option(n.get("commitInfo")))
-        .flatMap(c => Option(c.get("timestamp")).map(_.asLong()))
-        .headOption
-      (v, ci.getOrElse(Files.getLastModifiedTime(p).toMillis))
-    }.filter(_._2 <= tsMillis).map(_._1).maxOption
+    if (versions.isEmpty) return None
+    // commit timestamps are monotone non-decreasing in version (this
+    // writer stamps commit wall time under the claim; delta-spark makes
+    // the same assumption for timestamp resolution), so the latest
+    // version at-or-before the instant binary-searches in O(log n) file
+    // opens — a linear scan would read the WHOLE log per time travel
+    var lo = 0
+    var hi = versions.length - 1
+    var ans = -1
+    while (lo <= hi) {
+      val mid = (lo + hi) >>> 1
+      if (commitTs(versions(mid)._2) <= tsMillis) { ans = mid; lo = mid + 1 }
+      else hi = mid - 1
+    }
+    if (ans < 0) None else Some(versions(ans)._1)
+  }
+
+  /** One commit's timestamp: the first `commitInfo` line's stamp (read
+    * lazily — large DML commits carry full add lists this lookup must
+    * not parse), the file mtime for third-party commits without one.
+    */
+  private def commitTs(p: Path): Long = {
+    val s = Files.lines(p)
+    try {
+      val it = s.iterator()
+      while (it.hasNext) {
+        val line = it.next()
+        if (line.nonEmpty) {
+          val n = mapper.readTree(line)
+          val ci = n.get("commitInfo")
+          if (ci != null) {
+            val t = ci.get("timestamp")
+            if (t != null) return t.asLong()
+          }
+        }
+      }
+      Files.getLastModifiedTime(p).toMillis
+    } finally s.close()
   }
 
   /** Reader features this implementation actually honors beyond base

@@ -1267,10 +1267,14 @@ object IcebergLog {
       }
       walkDir(scratch).reverse.foreach(Files.deleteIfExists(_))
       if (touched.isEmpty && added.isEmpty) return None // true no-op
-      // 4. one atomic overwrite snapshot, guarded against both conflict
-      //    classes; a loss cleans up and re-plans
+      // 4. one atomic snapshot, guarded against both conflict classes; a
+      //    loss cleans up and re-plans. An insert-only merge (zero files
+      //    replaced) is an APPEND — calling it overwrite would make a
+      //    running stream refuse (or, under ignore_deletes, silently
+      //    skip) rows a plain append delivers
       val committed = commitSnapshot(spark, table, m.schema, m.partitionColumns,
-        added, txn = None, operation = "overwrite",
+        added, txn = None,
+        operation = if (touched.isEmpty) "append" else "overwrite",
         replaced = touched.map(_.path).toSet,
         conflict = Some((baseLive, conflictPred)))
       committed match {

@@ -256,8 +256,11 @@ private[graft] object Merge {
     // provably unique, skip the dup-guard job. netBatch is one row per
     // META id (PK/group-key hash), which only coincides with merge_keys
     // when the user picked the full key set — not provable here, so the
-    // guard stays (it is what catches merge_keys ⊂ group keys loudly).
-    val clauses = upsertClauses(keys, dataCols, uniqueByKey = orderBy.isDefined)
+    // guard stays (it is what catches merge_keys ⊂ group keys loudly);
+    // NOTE the window dedup never runs on meta-carrying batches, so
+    // orderBy certifies nothing there.
+    val clauses = upsertClauses(keys, dataCols,
+      uniqueByKey = orderBy.isDefined && !hasMeta)
     val exists = fmt match {
       case "delta" => DeltaLog.snapshot(spark, table).isDefined
       case "iceberg" => IcebergLog.current(table).isDefined
@@ -275,21 +278,21 @@ private[graft] object Merge {
       // CDC feeds evolve: under merge_schema, columns the batch carries
       // that the table lacks are APPENDED (nullable, existing rows read
       // null) before the upsert — the same append-only evolution the
-      // append sinks run, composed with MERGE. Without the flag the
-      // merge's own no-such-column validation rejects the drift loudly.
-      if (mergeSchema) {
-        val tableSchema = fmt match {
-          case "delta" => DeltaLog.snapshot(spark, table).get.schema
-          case _ => IcebergLog.current(table).get.schema
-        }
-        val newCols = net.schema.fields.toSeq
-          .filter(f => f.name != "__graft_deleted" &&
-            !tableSchema.fieldNames.contains(f.name))
-          .map(f => f.name -> f.dataType)
-        if (newCols.nonEmpty) fmt match {
-          case "delta" => DeltaLog.addColumns(spark, table, newCols)
-          case _ => IcebergLog.addColumns(spark, table, newCols)
-        }
+      // append sinks run, composed with MERGE. Shared-column TYPE drift
+      // and case-variant collisions are errors in BOTH flag states (the
+      // merge would otherwise cast drifted values to null silently);
+      // batch-only columns without the flag are a loud drift error.
+      val tableSchema = fmt match {
+        case "delta" => DeltaLog.snapshot(spark, table).get.schema
+        case _ => IcebergLog.current(table).get.schema
+      }
+      val batchSchema = org.apache.spark.sql.types.StructType(
+        net.schema.fields.filterNot(_.name == "__graft_deleted"))
+      val newCols = SchemaEvolution.resolveNewColumns(
+        tableSchema, batchSchema, mergeSchema, table)
+      if (newCols.nonEmpty) fmt match {
+        case "delta" => DeltaLog.addColumns(spark, table, newCols)
+        case _ => IcebergLog.addColumns(spark, table, newCols)
       }
       fmt match {
         case "delta" => DeltaLog.merge(spark, table, net, clauses)
@@ -311,7 +314,15 @@ private[graft] object Merge {
     case s: String => Some("'" + s.replace("'", "''") + "'")
     case b: Boolean => Some(b.toString)
     case d: java.sql.Date => Some(s"DATE '$d'")
-    case t: java.sql.Timestamp => Some(s"TIMESTAMP '$t'")
+    case t: java.sql.Timestamp =>
+      // Timestamp.toString renders JVM-default-zone wall time, but the
+      // literal parses in spark.sql.session.timeZone (GraftSession pins
+      // UTC) — render the instant in UTC explicitly or the bounds shift
+      // by the zone offset and pruning turns unsound
+      val s = java.time.LocalDateTime
+        .ofInstant(t.toInstant, java.time.ZoneOffset.UTC)
+        .toString.replace('T', ' ')
+      Some(s"TIMESTAMP '$s'")
     case _ => None
   }
 }

@@ -1,6 +1,6 @@
 package graft.sinks
 
-import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.types.{DataType, StructType}
 
 /** Append-time schema resolution shared by the Delta and Iceberg logs.
   *
@@ -11,6 +11,9 @@ import org.apache.spark.sql.types.StructType
   * only the append-only evolution both formats define is allowed:
   *
   *   - columns shared with the table must keep their exact type
+  *   - a column differing from a table column ONLY IN CASE is an error:
+  *     Spark analysis is case-insensitive by default, so evolving `ID`
+  *     next to `id` would make every later read ambiguous
   *   - columns only in the DataFrame are APPENDED to the table schema,
   *     forced nullable (old files simply lack them → read as null)
   *   - columns only in the table stay (the new files lack them → null);
@@ -19,11 +22,14 @@ import org.apache.spark.sql.types.StructType
   */
 private[graft] object SchemaEvolution {
 
-  /** The TABLE schema this append commits under, or throw. */
-  def resolve(tableSchema: StructType, dfSchema: StructType,
-      mergeSchema: Boolean, what: String): StructType = {
+  /** The shared-column checks every evolution path runs: exact-type
+    * match on same-named columns, no case-variant collisions. Returns
+    * the DataFrame-only fields (genuinely new columns).
+    */
+  private def checkShared(tableSchema: StructType, dfSchema: StructType,
+      what: String) = {
     val tableByName = tableSchema.fields.map(f => f.name -> f).toMap
-    val dfByName = dfSchema.fields.map(f => f.name -> f).toMap
+    val tableByLower = tableSchema.fields.map(f => f.name.toLowerCase -> f).toMap
     val clashes = dfSchema.fields.toSeq
       .flatMap(f => tableByName.get(f.name).map(t => (f, t)))
       .filter { case (f, t) => f.dataType != t.dataType }
@@ -32,7 +38,23 @@ private[graft] object SchemaEvolution {
         s"${f.name} is ${t.dataType.simpleString} in the table but " +
           s"${f.dataType.simpleString} in the batch" }.mkString("; ") +
         " (schema evolution never changes an existing column's type)")
-    val dfOnly = dfSchema.fields.toSeq.filterNot(f => tableByName.contains(f.name))
+    val caseVariants = dfSchema.fields.toSeq
+      .filterNot(f => tableByName.contains(f.name))
+      .flatMap(f => tableByLower.get(f.name.toLowerCase).map(t => (f, t)))
+    if (caseVariants.nonEmpty) throw new IllegalArgumentException(
+      s"$what: " + caseVariants.map { case (f, t) =>
+        s"batch column ${f.name} differs only in case from table column " +
+          s"${t.name}" }.mkString("; ") +
+        " (Spark analysis is case-insensitive — evolving both would make " +
+        "every later read ambiguous; rename the batch column)")
+    dfSchema.fields.toSeq.filterNot(f => tableByName.contains(f.name))
+  }
+
+  /** The TABLE schema this append commits under, or throw. */
+  def resolve(tableSchema: StructType, dfSchema: StructType,
+      mergeSchema: Boolean, what: String): StructType = {
+    val dfOnly = checkShared(tableSchema, dfSchema, what)
+    val dfByName = dfSchema.fields.map(f => f.name -> f).toMap
     val tableOnly = tableSchema.fields.toSeq.filterNot(f => dfByName.contains(f.name))
     if (dfOnly.isEmpty && tableOnly.isEmpty) tableSchema
     else if (!mergeSchema) throw new IllegalArgumentException(
@@ -42,5 +64,22 @@ private[graft] object SchemaEvolution {
         "— set merge_schema=true to evolve the table (new columns append " +
         "as nullable; missing ones read as null), or fix the writer")
     else StructType(tableSchema.fields ++ dfOnly.map(_.copy(nullable = true)))
+  }
+
+  /** Upsert-batch variant: a MERGE source may legitimately carry a
+    * SUBSET of the table's columns (update just those), so table-only
+    * columns are never an error here — but shared-column type drift and
+    * case collisions still are, and batch-only columns still need the
+    * `mergeSchema` opt-in. Returns the columns to append.
+    */
+  def resolveNewColumns(tableSchema: StructType, dfSchema: StructType,
+      mergeSchema: Boolean, what: String): Seq[(String, DataType)] = {
+    val dfOnly = checkShared(tableSchema, dfSchema, what)
+    if (dfOnly.nonEmpty && !mergeSchema) throw new IllegalArgumentException(
+      s"$what: batch carries columns the table lacks: " +
+        dfOnly.map(_.name).mkString(", ") +
+        " — set merge_schema=true to evolve the table (new columns append " +
+        "as nullable), or fix the writer")
+    dfOnly.map(f => f.name -> f.dataType)
   }
 }

@@ -97,10 +97,21 @@ private[graft] object StatsPruning {
     case (s: String, DateType) =>
       try java.time.LocalDate.parse(s).toEpochDay.toInt
       catch { case _: java.time.format.DateTimeParseException => null }
+    case (s: String, TimestampType) =>
+      // hive path format "yyyy-MM-dd HH:mm:ss[.f…]"; compared against
+      // Catalyst literal micros, which GraftSession pins to UTC
+      try {
+        val ldt = java.time.LocalDateTime.parse(s.replace(' ', 'T'))
+        ldt.toEpochSecond(java.time.ZoneOffset.UTC) * 1000000L +
+          ldt.getNano / 1000L
+      } catch { case _: java.time.format.DateTimeParseException => null }
     case (n: Number, IntegerType) => n.intValue()
     case (n: Number, LongType) => n.longValue()
     case (n: Number, DoubleType) => n.doubleValue()
     case (b: Boolean, BooleanType) => b
+    // an unconverted string for any other column type would CCE inside
+    // compareValues — unknown (null) is the conservative reading
+    case (_: String, _) => null
     case _ => v
   }
 

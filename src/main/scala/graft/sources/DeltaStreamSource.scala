@@ -86,8 +86,12 @@ object DeltaStreamSource {
             "running stream (aged out past a checkpoint?)")
         val actions = Files.readAllLines(p).asScala.filter(_.nonEmpty)
           .map(mapper.readTree).toSeq
+        // a remove without the dataChange key (third-party writers may
+        // omit it) defaults to TRUE per the protocol — treating it as a
+        // data change is the safe reading for an append-only stream
         val changeCommit = actions.exists(n =>
-          n.has("remove") && n.get("remove").get("dataChange").asBoolean())
+          n.has("remove") && Option(n.get("remove").get("dataChange"))
+            .forall(_.asBoolean(true)))
         if (changeCommit && !ignoreDeletes)
           throw new IllegalStateException(
             s"$table: version $v deleted or updated live rows under a running " +

@@ -238,11 +238,22 @@ object Ddl {
   private val UpdateRe =
     """(?is)^\s*UPDATE\s+([A-Za-z_][A-Za-z0-9_]*)\s+SET\s+(.+)$""".r
 
-  /** Index of the first top-level (outside quotes/parens) occurrence of
-    * keyword `kw` in `body`, from `from`; -1 when absent. Word-bounded.
+  /** Index of the first top-level (outside quotes/parens/CASE…END)
+    * occurrence of keyword `kw` in `body`, from `from`; -1 when absent.
+    * Word-bounded. CASE expressions nest their own WHEN/THEN/ELSE
+    * keywords, so the scanner tracks CASE depth like paren depth — a
+    * `CASE WHEN s.x > 0 THEN … END` inside a MERGE clause must not
+    * split the statement's WHEN clauses.
     */
   private def topLevelKeyword(body: String, kw: String, from: Int = 0): Int = {
+    def word(at: Int, w: String): Boolean =
+      body.regionMatches(true, at, w, 0, w.length) &&
+        (at == 0 || { val p = body.charAt(at - 1)
+          !Character.isLetterOrDigit(p) && p != '_' }) &&
+        (at + w.length >= body.length || { val n = body.charAt(at + w.length)
+          !Character.isLetterOrDigit(n) && n != '_' })
     var depth = 0
+    var caseDepth = 0
     var inS = false
     var i = 0
     while (i < body.length) {
@@ -250,12 +261,11 @@ object Ddl {
       if (c == '\'') inS = !inS
       else if (!inS && c == '(') depth += 1
       else if (!inS && c == ')') depth -= 1
-      else if (i >= from && !inS && depth == 0 &&
-        Character.toUpperCase(c) == kw.charAt(0) &&
-        body.regionMatches(true, i, kw, 0, kw.length) &&
-        (i == 0 || !Character.isLetterOrDigit(body.charAt(i - 1))) &&
-        (i + kw.length >= body.length ||
-          !Character.isLetterOrDigit(body.charAt(i + kw.length))))
+      else if (!inS && (c == 'c' || c == 'C') && word(i, "CASE")) caseDepth += 1
+      else if (!inS && caseDepth > 0 && (c == 'e' || c == 'E') &&
+        word(i, "END")) caseDepth -= 1
+      else if (i >= from && !inS && depth == 0 && caseDepth == 0 &&
+        Character.toUpperCase(c) == kw.charAt(0) && word(i, kw))
         return i
       i += 1
     }

@@ -219,4 +219,30 @@ class MergeSpec extends SparkSpec {
       case other => fail(s"unexpected parse: $other")
     }
   }
+
+  test("a CASE WHEN inside a merge clause does not split the statement's WHEN clauses") {
+    sql.Ddl.parse(
+      """MERGE INTO d USING s ON d.k = s.k
+        |WHEN MATCHED THEN UPDATE SET p = CASE WHEN s.x > 0 THEN s.p ELSE d.p END
+        |WHEN NOT MATCHED THEN INSERT *""".stripMargin) match {
+      case m: sql.Ddl.MergeInto =>
+        assert(m.matched == Seq((None,
+          Left(Seq("p" -> "CASE WHEN s.x > 0 THEN s.p ELSE d.p END")))))
+        assert(m.insert.contains((None, Seq.empty)))
+      case other => fail(s"unexpected parse: $other")
+    }
+  }
+
+  test("insert-only iceberg MERGE commits as append, not overwrite (streams keep flowing)") {
+    import spark.implicits._
+    val table = tmpTable("ice_merge_insonly")
+    IcebergLog.writeBatch(Seq((1L, "a")).toDF("id", "v").coalesce(1), table)
+    assert(IcebergLog.merge(spark, table,
+      Seq((9L, "z")).toDF("id", "v"), upsertClauses()).isDefined)
+    val m = IcebergLog.current(table).get
+    val snap = m.snapshots.find(_.get("snapshot-id").asLong == m.currentSnapshotId).get
+    assert(snap.get("summary").get("operation").asText == "append",
+      "zero files replaced = an append snapshot")
+    assert(IcebergLog.read(spark, table).count() == 2)
+  }
 }

@@ -175,6 +175,35 @@ class UpsertSinkSpec extends SparkSpec {
     assert(ir.toSeq == Seq((1L, "a2", Some(9L))))
   }
 
+  test("upsert type drift and case-variant columns are loud errors, never silent casts") {
+    import spark.implicits._
+    val table = Files.createTempDirectory("upsert-drift").toString + "/t"
+    Merge.upsertBatch(spark, "delta", table,
+      Seq((1L, 1.5)).toDF("id", "amount"), Seq("id"))
+    // type drift: amount arrives as STRING — merge would cast bad values
+    // to null silently, so the drift must reject in BOTH flag states
+    val e1 = intercept[IllegalArgumentException] {
+      Merge.upsertBatch(spark, "delta", table,
+        Seq((1L, "oops")).toDF("id", "amount"), Seq("id"))
+    }
+    assert(e1.getMessage.contains("type drift"), e1.getMessage)
+    val e2 = intercept[IllegalArgumentException] {
+      Merge.upsertBatch(spark, "delta", table,
+        Seq((1L, "oops")).toDF("id", "amount"), Seq("id"), mergeSchema = true)
+    }
+    assert(e2.getMessage.contains("type drift"), e2.getMessage)
+    // case variant: evolving AMOUNT next to amount would make every later
+    // read ambiguous under Spark's case-insensitive analysis
+    val e3 = intercept[IllegalArgumentException] {
+      Merge.upsertBatch(spark, "delta", table,
+        Seq((1L, 2.5)).toDF("id", "AMOUNT"), Seq("id"), mergeSchema = true)
+    }
+    assert(e3.getMessage.contains("case"), e3.getMessage)
+    // a SUBSET batch (missing non-key columns) stays legal without any flag
+    Merge.upsertBatch(spark, "delta", table, Seq(Tuple1(1L)).toDF("id"), Seq("id"))
+    assert(DeltaLog.read(spark, table).count() == 1)
+  }
+
   test("updating plan into a table sink WITHOUT merge_keys is rejected") {
     val src = Files.createTempDirectory("upsert-gate-src").toString
     Files.write(Paths.get(s"$src/f0.json"), """{"k":"a","v":1.0}""".getBytes)
