@@ -233,6 +233,27 @@ class MergeSpec extends SparkSpec {
     }
   }
 
+  test("timestamp-keyed MERGE: bounds render in UTC and prune correctly") {
+    import spark.implicits._
+    val table = tmpTable("delta_merge_ts")
+    def ts(h: Int) = java.sql.Timestamp.valueOf(f"2024-03-01 $h%02d:00:00")
+    // two files with disjoint hour ranges
+    DeltaLog.writeBatch((0 to 5).map(h => (ts(h), s"old$h")).toDF("t", "v").coalesce(1), table)
+    DeltaLog.writeBatch((12 to 17).map(h => (ts(h), s"old$h")).toDF("t", "v").coalesce(1), table)
+    val before = DeltaLog.snapshot(spark, table).get.adds
+    val source = Seq((ts(13), "new13"), (ts(14), "new14")).toDF("t", "v")
+    val clauses = Merge.Clauses("x", "s", "x.t = s.t",
+      Seq(Merge.MatchedClause(None, Left(Seq("v" -> "s.v")))), None)
+    assert(DeltaLog.merge(spark, table, source, clauses).isDefined)
+    val after = DeltaLog.snapshot(spark, table).get
+    val survivors = after.adds.map(_._1).toSet intersect before.map(_._1).toSet
+    assert(survivors.size == 1,
+      s"the 00-05h file must survive untouched (bounds pruned); got $survivors")
+    val rows = DeltaLog.read(spark, table).as[(java.sql.Timestamp, String)].collect().toMap
+    assert(rows.size == 12 && rows(ts(13)) == "new13" && rows(ts(14)) == "new14" &&
+      rows(ts(0)) == "old0" && rows(ts(17)) == "old17")
+  }
+
   test("insert-only iceberg MERGE commits as append, not overwrite (streams keep flowing)") {
     import spark.implicits._
     val table = tmpTable("ice_merge_insonly")
