@@ -275,23 +275,49 @@ object DeltaLog {
     // writer stamps commit wall time under the claim; delta-spark makes
     // the same assumption for timestamp resolution), so the latest
     // version at-or-before the instant binary-searches in O(log n) file
-    // opens — a linear scan would read the WHOLE log per time travel
+    // opens — a linear scan would read the WHOLE log per time travel.
+    // The monotone assumption only holds for commitInfo stamps: a probe
+    // that fell back to file MTIME (third-party commit; copied/restored
+    // logs reorder mtimes arbitrarily) abandons the binary search for a
+    // full linear scan with delta-spark's non-decreasing clamp
     var lo = 0
     var hi = versions.length - 1
     var ans = -1
     while (lo <= hi) {
       val mid = (lo + hi) >>> 1
-      if (commitTs(versions(mid)._2) <= tsMillis) { ans = mid; lo = mid + 1 }
+      val (ts, fromCommitInfo) = commitTs(versions(mid)._2)
+      if (!fromCommitInfo) return versionAtLinear(versions, tsMillis)
+      if (ts <= tsMillis) { ans = mid; lo = mid + 1 }
       else hi = mid - 1
     }
     if (ans < 0) None else Some(versions(ans)._1)
   }
 
+  /** Linear fallback: clamp each commit's effective timestamp to be
+    * non-decreasing (delta-spark's adjustment), answer = the last version
+    * whose CLAMPED timestamp ≤ `tsMillis`. Once the clamped stamp passes
+    * the instant it never comes back, so the scan stops early.
+    */
+  private def versionAtLinear(versions: Seq[(Long, Path)],
+      tsMillis: Long): Option[Long] = {
+    var running = Long.MinValue
+    var ans = -1L
+    val it = versions.iterator
+    var done = false
+    while (it.hasNext && !done) {
+      val (v, p) = it.next()
+      running = math.max(running, commitTs(p)._1)
+      if (running <= tsMillis) ans = v else done = true
+    }
+    if (ans < 0) None else Some(ans)
+  }
+
   /** One commit's timestamp: the first `commitInfo` line's stamp (read
     * lazily — large DML commits carry full add lists this lookup must
-    * not parse), the file mtime for third-party commits without one.
+    * not parse), the file mtime for third-party commits without one;
+    * the Boolean is true when commitInfo supplied it.
     */
-  private def commitTs(p: Path): Long = {
+  private def commitTs(p: Path): (Long, Boolean) = {
     val s = Files.lines(p)
     try {
       val it = s.iterator()
@@ -302,11 +328,11 @@ object DeltaLog {
           val ci = n.get("commitInfo")
           if (ci != null) {
             val t = ci.get("timestamp")
-            if (t != null) return t.asLong()
+            if (t != null) return (t.asLong(), true)
           }
         }
       }
-      Files.getLastModifiedTime(p).toMillis
+      (Files.getLastModifiedTime(p).toMillis, false)
     } finally s.close()
   }
 
@@ -970,8 +996,14 @@ object DeltaLog {
             s"this write declares (${partitionBy.mkString(", ")}) — " +
             "repartitioning an existing table requires a rewrite, not an append")
       }
-      val tableSchema = snap.map(s0 =>
-        SchemaEvolution.resolve(s0.schema, schema, mergeSchema, table)).getOrElse(schema)
+      val tableSchema = snap.map { s0 =>
+        // a conflict-guarded (DML) commit carries its PLAN-time snapshot's
+        // schema: drift here means a concurrent ADD COLUMNS landed after
+        // planning — that's a concurrency LOSS (re-plan from the fresh
+        // snapshot picks up the evolved schema), not a schema error
+        try SchemaEvolution.resolve(s0.schema, schema, mergeSchema, table)
+        catch { case _: IllegalArgumentException if conflict.isDefined => return None }
+      }.getOrElse(schema)
       val version = snap.map(_.version + 1).getOrElse(0L)
       val sb = new StringBuilder
       def line(n: com.fasterxml.jackson.databind.node.ObjectNode): Unit = {

@@ -663,7 +663,11 @@ object IcebergLog {
           schemaJsonOverride = Some(manifestEntrySchemaJson(partType)),
           extraMeta = Seq(
             "schema" -> schemaJson(schema, schemaId),
-            "schema-id" -> "0",
+            // must agree with the embedded schema's own schema-id (and
+            // metadata.json's current-schema-id) — readers that resolve
+            // the manifest schema by id would otherwise bind the
+            // pre-evolution schema
+            "schema-id" -> schemaId.toString,
             "partition-spec" -> partitionSpecFieldsJson(schema, partitionBy),
             "partition-spec-id" -> "0",
             "format-version" -> "2",

@@ -75,8 +75,11 @@ private[graft] object Merge {
     val joined = t.join(s, expr(c.cond), "left")
     // multiple-source-rows rule: >1 joined row for one target uid means
     // two source rows claimed the same target row — order-dependent,
-    // refuse (delta-spark's DELTA_MULTIPLE_SOURCE_ROW_MATCHING error)
-    val dup = if (c.sourceUniqueByKey) 0L else joined.filter(col(matchFlag))
+    // refuse (delta-spark's DELTA_MULTIPLE_SOURCE_ROW_MATCHING error).
+    // Insert-only merges (no MATCHED / NOT MATCHED BY SOURCE clauses) skip
+    // the check like delta-spark does: nothing order-dependent can happen
+    val dup = if (c.sourceUniqueByKey || (c.matched.isEmpty && c.notBySource.isEmpty)) 0L
+    else joined.filter(col(matchFlag))
       .groupBy(col(uidCol)).count().filter(col("count") > 1).limit(1).count()
     if (dup > 0) throw new IllegalStateException(
       "MERGE: a target row matched more than one source row; applying " +
@@ -187,6 +190,12 @@ private[graft] object Merge {
     val conjuncts = pairs.zipWithIndex.flatMap { case ((tc, _, nullSafe), i) =>
       val (lo, hi) = (row.get(3 * i), row.get(3 * i + 1))
       val hasNullKey = nullSafe && !row.isNullAt(3 * i + 2) && row.getLong(3 * i + 2) > 0
+      // min/max are null ⟺ EVERY source key is null (aggregates skip
+      // nulls); only then may the conjunct collapse to IS NULL. A
+      // renderable-type failure (litSql → None on a NON-null bound) must
+      // emit NO conjunct instead — conflating the two would prune files
+      // holding genuinely matching non-null keys (silent data loss)
+      val allNull = row.isNullAt(3 * i) && row.isNullAt(3 * i + 1)
       val range = for {
         l <- Option(lo).flatMap(litSql)
         h <- Option(hi).flatMap(litSql)
@@ -194,8 +203,8 @@ private[graft] object Merge {
       (range, hasNullKey) match {
         case (Some(r), true) => Some(s"(($r) OR $tc IS NULL)")
         case (Some(r), false) => Some(r)
-        case (None, true) => Some(s"$tc IS NULL") // every source key is null
-        case (None, false) => None
+        case (None, true) if allNull => Some(s"$tc IS NULL")
+        case (None, _) => None // unrenderable bound type: don't prune on this pair
       }
     }
     Some(conjuncts.mkString(" AND ")).filter(_.nonEmpty)

@@ -432,6 +432,48 @@ class DeltaLogSpec extends SparkSpec {
     }
   }
 
+  test("TIMESTAMP AS OF falls back to a clamped linear scan for commits without commitInfo") {
+    import spark.implicits._
+    val table = tmpTable()
+    (0 to 2).foreach(i => DeltaLog.writeBatch(Seq((i.toLong, "x")).toDF("id", "v"), table))
+    val log = Paths.get(table, "_delta_log")
+    // strip commitInfo (third-party writer shape) and give the files
+    // NON-MONOTONE mtimes: v0=5000, v1=1000, v2=6000. The clamped scan
+    // sees 5000, 5000, 6000 — at t=2000 no version qualifies. A naive
+    // binary search would probe v1 (1000 ≤ 2000) and wrongly answer v1.
+    Seq(5000L, 1000L, 6000L).zipWithIndex.foreach { case (mt, v) =>
+      val p = log.resolve(f"${v.toLong}%020d.json")
+      val kept = Files.readAllLines(p).asScala
+        .filter(l => l.nonEmpty && !l.contains("commitInfo"))
+      Files.write(p, kept.mkString("", "\n", "\n").getBytes("UTF-8"))
+      Files.setLastModifiedTime(p, java.nio.file.attribute.FileTime.fromMillis(mt))
+    }
+    assert(DeltaLog.versionAt(table, 2000L).isEmpty,
+      "clamped scan: v0's 5000 dominates — nothing committed at-or-before t=2000")
+    assert(DeltaLog.versionAt(table, 5500L).contains(1L),
+      "clamped stamps are 5000,5000,6000 — the last ≤5500 is v1")
+    assert(DeltaLog.versionAt(table, 7000L).contains(2L))
+  }
+
+  test("DML commit racing a concurrent ADD COLUMNS loses cleanly (returns None) instead of throwing") {
+    import spark.implicits._
+    val table = tmpTable()
+    DeltaLog.writeBatch(Seq((1L, "a")).toDF("id", "v").coalesce(1), table)
+    val stale = DeltaLog.snapshot(spark, table).get // plan-time snapshot
+    DeltaLog.addColumns(spark, table, Seq("extra" -> org.apache.spark.sql.types.LongType))
+    // a conflict-guarded commit carrying the PLAN-time schema: the
+    // evolved table schema is drift, which under a DML commit means a
+    // concurrency loss (re-plan), never an IllegalArgumentException
+    assert(DeltaLog.commit(spark, table, stale.schema, Seq.empty,
+      added = Seq.empty, txn = None, removed = stale.files,
+      conflict = Some((stale.files.toSet, None))).isEmpty)
+    // and a plain (unguarded) append with the stale schema still fails loudly
+    intercept[IllegalArgumentException] {
+      DeltaLog.commit(spark, table, stale.schema, Seq.empty,
+        added = Seq.empty, txn = None)
+    }
+  }
+
   test("null partition values round-trip as protocol nulls (r10)") {
     import spark.implicits._
     val table = tmpTable()

@@ -254,6 +254,40 @@ class MergeSpec extends SparkSpec {
       rows(ts(0)) == "old0" && rows(ts(17)) == "old17")
   }
 
+  test("keyBoundsFilter: unrenderable bound type with one null key must NOT collapse to IS NULL") {
+    import org.apache.spark.sql.types._
+    import spark.implicits._
+    // TIMESTAMP_NTZ has no litSql rendering; a null-safe key with one
+    // null plus real values used to degenerate the filter to `k IS NULL`,
+    // pruning files that hold genuinely matching non-null keys
+    val d = java.time.LocalDateTime.of(2024, 3, 1, 12, 0)
+    val source = Seq(Some(d), None, Some(d.plusHours(2))).toDF("k")
+    val schema = StructType(Seq(StructField("k", TimestampNTZType)))
+    val clauses = Merge.Clauses("t", "s", "t.k <=> s.k",
+      Seq(Merge.MatchedClause(None, Left(Seq("k" -> "s.k")))), None)
+    assert(Merge.keyBoundsFilter(spark, clauses, source, schema).isEmpty,
+      "unrenderable bounds must emit NO conjunct (no pruning), never IS NULL")
+    // all-null keys: the IS NULL collapse is correct and stays
+    val allNull = Seq[Option[java.time.LocalDateTime]](None, None).toDF("k")
+    assert(Merge.keyBoundsFilter(spark, clauses, allNull, schema)
+      .contains("k IS NULL"))
+  }
+
+  test("insert-only MERGE skips the multiple-source-rows guard (delta-spark rule)") {
+    import spark.implicits._
+    val table = tmpTable("delta_merge_insonly_dup")
+    DeltaLog.writeBatch(Seq((1L, "a")).toDF("id", "v").coalesce(1), table)
+    // two source rows match target id 1 — an updating merge must refuse,
+    // but an insert-only merge has nothing order-dependent to do: both
+    // matching rows are simply NOT inserted
+    val source = Seq((1L, "x"), (1L, "y"), (2L, "z")).toDF("id", "v")
+    val insertOnly = Merge.Clauses("t", "s", "t.id = s.id",
+      matched = Seq.empty, notMatchedInsert = Some((None, Seq.empty)))
+    assert(DeltaLog.merge(spark, table, source, insertOnly).isDefined)
+    val rows = DeltaLog.read(spark, table).as[(Long, String)].collect().toMap
+    assert(rows == Map(1L -> "a", 2L -> "z"))
+  }
+
   test("insert-only iceberg MERGE commits as append, not overwrite (streams keep flowing)") {
     import spark.implicits._
     val table = tmpTable("ice_merge_insonly")

@@ -139,6 +139,62 @@ class SchemaEvolutionSpec extends SparkSpec {
       .toSeq == Seq((1L, "a", None), (2L, "b", Some(7L))))
   }
 
+  test("post-evolution iceberg manifests stamp the CURRENT schema-id in their avro metadata") {
+    import spark.implicits._
+    val table = tmpTable("ice_manifest_schemaid")
+    IcebergLog.writeBatch(Seq((1L, "a")).toDF("id", "v"), table)
+    IcebergLog.writeBatch(Seq((2L, "b", 9L)).toDF("id", "v", "extra"), table,
+      mergeSchema = true)
+    val m = IcebergLog.current(table).get
+    assert(m.currentSchemaId == 1)
+    val listPath = m.snapshots
+      .find(_.get("snapshot-id").asLong == m.currentSnapshotId).get
+      .get("manifest-list").asText
+    // the newest ADDED manifest rides last in the fast-append list; its
+    // OCF "schema-id" metadata must agree with the embedded "schema"
+    // entry (and metadata.json's current-schema-id) — a reader resolving
+    // the manifest schema BY ID would otherwise bind the pre-evolution one
+    val manifest = IcebergLog.readManifestList(listPath).last.getString(0)
+    val meta = ocfMeta(java.nio.file.Paths.get(manifest))
+    assert(meta("schema-id") == "1", s"manifest stamped ${meta("schema-id")}")
+    val embedded = new com.fasterxml.jackson.databind.ObjectMapper()
+      .readTree(meta("schema"))
+    assert(embedded.get("schema-id").asInt == 1)
+  }
+
+  /** Minimal avro OCF header reader: the file-metadata string map. */
+  private def ocfMeta(p: java.nio.file.Path): Map[String, String] = {
+    val in = Files.newInputStream(p)
+    try {
+      def readVar(): Long = {
+        var acc = 0L; var shift = 0; var b = in.read()
+        while ((b & 0x80) != 0) { acc |= (b & 0x7fL) << shift; shift += 7; b = in.read() }
+        acc |= (b & 0x7fL) << shift
+        (acc >>> 1) ^ -(acc & 1)
+      }
+      def readBytes(): Array[Byte] = {
+        val n = readVar().toInt
+        val a = new Array[Byte](n)
+        var off = 0
+        while (off < n) {
+          val r = in.read(a, off, n - off); require(r > 0, "EOF in OCF meta"); off += r
+        }
+        a
+      }
+      require(in.skip(4) == 4)
+      val out = Map.newBuilder[String, String]
+      var n = readVar()
+      while (n != 0) {
+        if (n < 0) { readVar(); n = -n }
+        (0L until n).foreach { _ =>
+          out += (new String(readBytes(), "UTF-8") -> new String(readBytes(), "UTF-8"))
+        }
+        n = readVar()
+      }
+      out.result()
+    } finally in.close()
+  }
+
   test("ALTER TABLE ADD COLUMNS SQL verb evolves both formats; later statements see the new schema") {
     import spark.implicits._
     val dt = tmpTable("sql_alter_delta")
