@@ -100,7 +100,8 @@ object DeltaLog {
 
   final case class Snapshot(schema: StructType, partitionColumns: Seq[String],
       adds: Seq[(String, AddInfo)], version: Long,
-      appVersions: Map[String, Long], metaId: String, createdTime: Long) {
+      appVersions: Map[String, Long], metaId: String, createdTime: Long,
+      configuration: Map[String, String] = Map.empty) {
     def files: Seq[String] = adds.map(_._1)
   }
 
@@ -137,6 +138,7 @@ object DeltaLog {
     var partCols: Seq[String] = Seq.empty
     var metaId: String = UUID.randomUUID().toString
     var createdTime: Long = 0L
+    var config: Map[String, String] = Map.empty
     val adds = scala.collection.mutable.LinkedHashMap.empty[String, AddInfo]
     val appVersions = scala.collection.mutable.Map.empty[String, Long]
 
@@ -151,6 +153,9 @@ object DeltaLog {
           partCols = (0 until m.get("partitionColumns").size())
             .map(i => m.get("partitionColumns").get(i).asText())
           createdTime = m.get("createdTime").asLong()
+          config = Option(m.get("configuration")).map(c =>
+            c.properties().asScala.map(e => e.getKey -> e.getValue.asText()).toMap)
+            .getOrElse(Map.empty)
         }
         if (n.has("add")) {
           val a = n.get("add")
@@ -191,6 +196,7 @@ object DeltaLog {
         partCols = c.partitionColumns
         metaId = c.metaId
         createdTime = c.createdTime
+        config = c.configuration
         adds ++= c.adds
         appVersions ++= c.appVersions
         jsons.filter(_._1 > c.version).foreach { case (_, p) => applyJson(p) }
@@ -219,6 +225,8 @@ object DeltaLog {
                 schemaJson = m.getAs[String]("schemaString")
                 partCols = m.getAs[scala.collection.Seq[String]]("partitionColumns").toSeq
                 createdTime = m.getAs[Long]("createdTime")
+                config = Option(m.getAs[scala.collection.Map[String, String]]("configuration"))
+                  .map(_.toMap).getOrElse(Map.empty)
               }
               if (!r.isNullAt(i("txn"))) {
                 val t = r.getStruct(i("txn"))
@@ -242,7 +250,8 @@ object DeltaLog {
     }
     require(schemaJson != null, s"$table: no metaData action in _delta_log")
     val snap = Snapshot(DataType.fromJson(schemaJson).asInstanceOf[StructType],
-      partCols, adds.toSeq, target, appVersions.toMap, metaId, createdTime)
+      partCols, adds.toSeq, target, appVersions.toMap, metaId, createdTime,
+      config)
     // only the true latest state may overwrite the cache (asOf snapshots
     // are historical); an unconditional put also self-heals a recreated
     // table whose cache entry is ahead of the new log
@@ -395,6 +404,84 @@ object DeltaLog {
     scanFilter.map(_.trim).filter(_.nonEmpty)
       .map(f => base.filter(org.apache.spark.sql.functions.expr(f)))
       .getOrElse(base)
+  }
+
+  /** CHANGE DATA FEED batch read (delta-spark's `table_changes`): the
+    * change rows of versions `fromVersion..toVersion` (default: current)
+    * as table columns + `_change_type` + `_commit_version` +
+    * `_commit_timestamp`. Per commit:
+    *
+    *   - commits carrying `cdc` actions read ONLY their `_change_data/`
+    *     files (the protocol rule — their adds/removes describe the file
+    *     swap, not the logical change)
+    *   - pure appends (dataChange adds, no cdc) read the added files as
+    *     `insert` rows — no cdc write amplification on the append path
+    *   - a commit with dataChange REMOVES but no cdc action predates
+    *     `delta.enableChangeDataFeed` → ERROR (the change rows were
+    *     never recorded and cannot be reconstructed)
+    *   - dataChange=false commits (OPTIMIZE/ZORDER) contribute nothing
+    *
+    * Reads the latest table schema (evolution is append-only, so older
+    * files surface null for later columns). The per-version commit JSON
+    * must still exist — a version aged out past a checkpoint is an
+    * ERROR, not silently-missing changes.
+    */
+  def readChanges(spark: SparkSession, table: String, fromVersion: Long,
+      toVersion: Option[Long] = None): DataFrame = {
+    import org.apache.spark.sql.functions.{col, lit}
+    val s = snapshot(spark, table)
+      .getOrElse(sys.error(s"$table is not a Delta table (no _delta_log)"))
+    val hi = toVersion.getOrElse(s.version)
+    require(fromVersion >= 0 && fromVersion <= hi,
+      s"readChanges: bad version range $fromVersion..$hi")
+    require(hi <= s.version, s"$table has no version $hi yet")
+    val dir = logDir(table)
+    val schema = s.schema
+    val schemaCols = schema.fieldNames.map(col).toIndexedSeq
+    val frames = (fromVersion to hi).flatMap { v =>
+      val p = dir.resolve(f"$v%020d.json")
+      require(Files.exists(p),
+        s"$table: version $v was aged out past a checkpoint; its change " +
+          "rows cannot be reconstructed")
+      val actions = Files.readAllLines(p).asScala.filter(_.nonEmpty)
+        .map(mapper.readTree).toSeq
+      val ts = actions.iterator.flatMap(n => Option(n.get("commitInfo")))
+        .flatMap(n => Option(n.get("timestamp"))).map(_.asLong())
+        .nextOption().getOrElse(Files.getLastModifiedTime(p).toMillis)
+      val cdcFiles = actions.filter(_.has("cdc"))
+        .map(n => decodePath(n.get("cdc").get("path").asText()))
+      val dcAdds = actions
+        .filter(n => n.has("add") &&
+          Option(n.get("add").get("dataChange")).forall(_.asBoolean(true)))
+        .map(n => decodePath(n.get("add").get("path").asText()))
+      val hasDcRemove = actions.exists(n => n.has("remove") &&
+        Option(n.get("remove").get("dataChange")).forall(_.asBoolean(true)))
+      val base: Option[DataFrame] =
+        if (cdcFiles.nonEmpty)
+          Some(spark.read.schema(Cdf.changeSchema(schema))
+            .option("basePath", Paths.get(table, Cdf.changeDataDir).toString)
+            .parquet(cdcFiles.map(f => Paths.get(table, f).toString): _*)
+            .select(schemaCols :+ col(Cdf.changeTypeCol): _*))
+        else if (hasDcRemove) sys.error(
+          s"$table: version $v deleted or updated rows without a change " +
+            s"data feed — set ${Cdf.enableProp}=true before running DML " +
+            "to record change rows")
+        else if (dcAdds.nonEmpty)
+          Some(spark.read.schema(schema)
+            .option("basePath", Paths.get(table).toAbsolutePath.normalize.toString)
+            .parquet(dcAdds.map(f => Paths.get(table, f).toString): _*)
+            .select(schemaCols: _*)
+            .withColumn(Cdf.changeTypeCol, lit("insert")))
+        else None // metaData-only / OPTIMIZE commit
+      base.map(_.withColumn(Cdf.commitVersionCol, lit(v))
+        .withColumn(Cdf.commitTimestampCol, lit(new java.sql.Timestamp(ts))))
+    }
+    frames.reduceOption(_ unionAll _).getOrElse {
+      val empty = StructType(Cdf.changeSchema(schema).fields ++ Seq(
+        StructField(Cdf.commitVersionCol, LongType),
+        StructField(Cdf.commitTimestampCol, TimestampType)))
+      spark.createDataFrame(spark.sparkContext.emptyRDD[Row], empty)
+    }
   }
 
   /** Active files that MAY satisfy `scanFilter` (rel paths), judged
@@ -565,7 +652,8 @@ object DeltaLog {
       txn: Option[(String, Long)] = None,
       partitionBy: Seq[String] = Seq.empty,
       checkpointInterval: Int = 10,
-      mergeSchema: Boolean = false): Option[Long] = {
+      mergeSchema: Boolean = false,
+      tableConf: Map[String, String] = Map.empty): Option[Long] = {
     val spark = df.sparkSession
     txn.foreach { case (app, v) =>
       if (snapshot(spark, table).exists(_.appVersions.get(app).exists(_ >= v)))
@@ -597,7 +685,7 @@ object DeltaLog {
     // data files exclude the partition columns (they live in the path and
     // in partitionValues), matching Delta's physical layout
     val committed = commit(spark, table, df.schema, partitionBy, added, txn,
-      mergeSchema = mergeSchema)
+      mergeSchema = mergeSchema, tableConf = tableConf)
     // scratch cleanup (links live on in the table root)
     walkDir(scratch).reverse.foreach(Files.deleteIfExists(_))
     committed match {
@@ -751,9 +839,13 @@ object DeltaLog {
     import org.apache.spark.sql.functions.{coalesce, expr, lit, not}
     val p = predicate.trim
     require(p.nonEmpty, "DELETE: empty predicate (use 'true' to delete all rows)")
-    dmlRewrite(spark, table, scanFilter = Some(p), conflictPred = Some(p),
-      matcher = df => df.filter(coalesce(expr(p), lit(false)))) { (touched, _) =>
-      touched.filter(not(coalesce(expr(p), lit(false))))
+    DmlRewrite.run(spark, new DmlFormat(spark, table), scanFilter = Some(p),
+      conflictPred = Some(p),
+      matcher = df => df.filter(coalesce(expr(p), lit(false))),
+      changes = Some((touched, _, _) =>
+        touched.filter(coalesce(expr(p), lit(false)))
+          .withColumn(Cdf.changeTypeCol, lit("delete")))) {
+      (touched, _, _) => touched.filter(not(coalesce(expr(p), lit(false))))
     }
   }
 
@@ -773,22 +865,31 @@ object DeltaLog {
     val byCol = sets.toMap
     require(byCol.size == sets.size, "UPDATE: duplicate SET column")
     val p = predicate.map(_.trim).filter(_.nonEmpty)
-    dmlRewrite(spark, table, scanFilter = p, conflictPred = p,
+    val cond = coalesce(p.map(expr).getOrElse(lit(true)), lit(false))
+    // post-image projection, shared by the rewrite and the change feed
+    def applySets(df: DataFrame, schema: StructType, onlyMatching: Boolean) =
+      df.select(schema.fields.toIndexedSeq.map { f =>
+        byCol.get(f.name) match {
+          case Some(e) if onlyMatching => expr(e).cast(f.dataType).as(f.name)
+          case Some(e) =>
+            when(cond, expr(e).cast(f.dataType)).otherwise(col(f.name)).as(f.name)
+          case None => col(f.name)
+        }
+      }: _*)
+    DmlRewrite.run(spark, new DmlFormat(spark, table), scanFilter = p,
+      conflictPred = p,
       matcher = df => p.map(pp => df.filter(coalesce(expr(pp), lit(false))))
-        .getOrElse(df)) {
-      (touched, s) =>
+        .getOrElse(df),
+      changes = Some { (touched, _, schema) =>
+        val pre = touched.filter(cond)
+        pre.withColumn(Cdf.changeTypeCol, lit("update_preimage"))
+          .unionAll(applySets(pre, schema, onlyMatching = true)
+            .withColumn(Cdf.changeTypeCol, lit("update_postimage")))
+      }) {
+      (touched, _, schema) =>
         sets.foreach { case (c, _) =>
-          require(s.schema.fieldNames.contains(c), s"UPDATE: no column $c") }
-        val cond = coalesce(
-          predicate.map(_.trim).filter(_.nonEmpty).map(expr).getOrElse(lit(true)),
-          lit(false))
-        touched.select(s.schema.fields.toIndexedSeq.map { f =>
-          byCol.get(f.name) match {
-            case Some(e) =>
-              when(cond, expr(e).cast(f.dataType)).otherwise(col(f.name)).as(f.name)
-            case None => col(f.name)
-          }
-        }: _*)
+          require(schema.fieldNames.contains(c), s"UPDATE: no column $c") }
+        applySets(touched, schema, onlyMatching = false)
     }
   }
 
@@ -800,9 +901,13 @@ object DeltaLog {
     * O(overlapping files)); not-matched source rows land as fresh adds
     * in the SAME atomic version. Row semantics (clause order, the
     * multiple-source-rows error, INSERT *) are [[Merge.rewrite]]'s.
-    * Conflict rule is maximal: ANY concurrently-added file aborts and
-    * re-plans (a new file may hold rows the merge should have matched).
-    * Returns the committed version, or None when the merge was a no-op.
+    * An INSERT-ONLY merge (no MATCHED / NOT MATCHED BY SOURCE clauses)
+    * rewrites NOTHING: the unmatched source rows anti-join the pruned
+    * candidate files directly and land as a pure append — no remove
+    * actions, so downstream streams keep flowing. Conflict rule is
+    * maximal: ANY concurrently-added file aborts and re-plans (a new
+    * file may hold rows the merge should have matched). Returns the
+    * committed version, or None when the merge was a no-op.
     */
   def merge(spark: SparkSession, table: String, source: DataFrame,
       clauses: Merge.Clauses): Option[Long] = {
@@ -817,115 +922,113 @@ object DeltaLog {
       // source, so those clauses disable source-key-bounds pruning
       val scanFilter = if (Merge.pruneBySourceKeys(clauses))
         Merge.keyBoundsFilter(spark, clauses, source, s0.schema) else None
-      dmlRewrite(spark, table, scanFilter, conflictPred = None,
-        matcher = Merge.matcher(source, clauses),
-        commitWhenUntouched = clauses.notMatchedInsert.isDefined) {
-        (touched, snap) => Merge.rewrite(touched, source, snap.schema, clauses)
-      }
+      val fmt = new DmlFormat(spark, table)
+      if (clauses.matched.isEmpty && clauses.notBySource.isEmpty)
+        DmlRewrite.run(spark, fmt, scanFilter, conflictPred = None,
+          matcher = identity, touchDetect = false,
+          commitWhenUntouched = clauses.notMatchedInsert.isDefined,
+          changes = Merge.changesFor(source, clauses)) {
+          (_, cands, schema) => Merge.insertRows(cands, source, schema, clauses)
+        }
+      else
+        DmlRewrite.run(spark, fmt, scanFilter, conflictPred = None,
+          matcher = Merge.matcher(source, clauses),
+          commitWhenUntouched = clauses.notMatchedInsert.isDefined,
+          changes = Merge.changesFor(source, clauses)) {
+          (touched, _, schema) => Merge.rewrite(touched, source, schema, clauses)
+        }
     } finally { source.unpersist(); () }
   }
 
-  /** The plan → touch-detect → rewrite → commit cycle behind
-    * [[deleteWhere]]/[[updateWhere]]/[[merge]]. `scanFilter` prunes
-    * candidate files against their stats (metadata-only); `matcher`
-    * narrows the candidate rows to the MATCHING ones (its input-file set
-    * is the rewrite set); `transform` maps the touched files' rows to
-    * their replacement rows (it may union in brand-new rows — MERGE's
-    * inserts). `conflictPred=None` aborts on ANY concurrently-added
-    * file. `commitWhenUntouched` makes a zero-touched plan still commit
-    * transform(empty) as pure adds (MERGE with no matches = insert-only)
-    * instead of returning None. Retried whole on commit conflicts.
+  /** [[DmlRewrite.Format]] adapter — the delta side of the shared DML
+    * cycle: snapshot/prune planning, footer-stats harvest into protocol
+    * `stats`, and the remove+add commit with the checkpoint cadence
+    * appends also follow.
     */
-  private def dmlRewrite(spark: SparkSession, table: String,
-      scanFilter: Option[String], conflictPred: Option[String],
-      matcher: DataFrame => DataFrame,
-      commitWhenUntouched: Boolean = false,
-      checkpointInterval: Int = 10)
-      (transform: (DataFrame, Snapshot) => DataFrame): Option[Long] = {
-    import org.apache.spark.sql.functions.input_file_name
-    var round = 0
-    while (round < 5) {
-      round += 1
+  private final class DmlFormat(spark: SparkSession, val table: String)
+      extends DmlRewrite.Format[(String, AddInfo), Long] {
+    private val root = Paths.get(table).toAbsolutePath.normalize
+
+    def plan(scanFilter: Option[String]): DmlRewrite.Plan = {
       val s = snapshot(spark, table)
         .getOrElse(sys.error(s"$table is not a Delta table (no _delta_log)"))
-      // 1. plan: stats-pruned candidates (driver-side, metadata only)
+      val bySize = s.adds.toMap
       val (candidates, _) = prune(spark, s, scanFilter)
-      if (candidates.isEmpty && !commitWhenUntouched) return None
-      // 2. touch-detect: which candidates really hold a matching row —
-      //    parquet row-group pushdown makes this a cheap scan; files are
-      //    matched by URI-decoded absolute path (input_file_name returns
-      //    a percent-encoded file: URI)
-      val byAbs = candidates.map(rel =>
-        Paths.get(table, rel).toAbsolutePath.normalize.toString -> rel).toMap
-      val emptyDf =
-        spark.createDataFrame(spark.sparkContext.emptyRDD[Row], s.schema)
-      // capture the file name BEFORE matcher runs: a MERGE matcher joins
-      // against the source frame, and input_file_name() inside a
-      // multi-file-source plan is an analysis error
-      val fileCol = "__graft_input_file"
-      val candDf =
-        if (candidates.isEmpty) emptyDf.withColumn(fileCol,
-          org.apache.spark.sql.functions.lit(""))
-        else spark.read.schema(s.schema).option("basePath", table)
-          .parquet(candidates.map(rel => Paths.get(table, rel).toString): _*)
-          .withColumn(fileCol, input_file_name())
-      val touched = matcher(candDf)
-        .select(org.apache.spark.sql.functions.col(fileCol)).distinct().collect()
-        .map(r => byAbs(decodeFileUri(r.getString(0)))).toSeq.sorted
-      if (touched.isEmpty && !commitWhenUntouched) return None
-      // 3. rewrite the touched files' rows
-      val touchedDf =
-        if (touched.isEmpty) emptyDf
-        else spark.read.schema(s.schema).option("basePath", table)
-          .parquet(touched.map(rel => Paths.get(table, rel).toString): _*)
-          .select(s.schema.fieldNames.map(org.apache.spark.sql.functions.col).toIndexedSeq: _*)
-      val out = transform(touchedDf, s)
-      val scratch = Paths.get(table, s".graft-dml-${UUID.randomUUID()}")
-      val targetBytes = 128L * 1024 * 1024
-      val touchedSet = touched.toSet
-      val touchedBytes = s.adds.filter(a => touchedSet(a._1)).map(_._2.size).sum
-      val nOut = math.max(1, (touchedBytes / targetBytes).toInt + 1)
-      val w = out.coalesce(nOut).write.mode("overwrite")
-      (if (s.partitionColumns.nonEmpty) w.partitionBy(s.partitionColumns: _*) else w)
-        .parquet(scratch.toString)
-      val parts = walkDir(scratch)
-        .filter(p => Files.isRegularFile(p) &&
-          p.getFileName.toString.endsWith(".parquet"))
-        .map(p => (scratch.relativize(p).toString, p)).sortBy(_._1)
-      val dataSchema = StructType(
-        s.schema.filterNot(f => s.partitionColumns.contains(f.name)))
-      val added0 = parts.map { case (rel, p) =>
-        val dest = Paths.get(table, rel)
-        Files.createDirectories(dest.getParent)
-        try Files.createLink(dest, p)
-        catch { case _: UnsupportedOperationException =>
-          Files.move(p, dest, StandardCopyOption.ATOMIC_MOVE) }
-        (rel, AddInfo(Files.size(dest), Files.getLastModifiedTime(dest).toMillis,
-          partitionValuesOf(rel), fileStatsJson(spark, dest, dataSchema)))
-      }
-      // a file whose every row matched a DELETE rewrites to zero rows —
-      // drop the empty part instead of committing a row-less add
-      val (added, empties) = added0.partition(_._2.stats.forall(st =>
-        try mapper.readTree(st).get("numRecords").asLong() > 0
-        catch { case _: Exception => true }))
-      empties.foreach { case (rel, _) => Files.deleteIfExists(Paths.get(table, rel)) }
-      walkDir(scratch).reverse.foreach(Files.deleteIfExists(_))
-      if (touched.isEmpty && added.isEmpty) return None // true no-op
-      // 4. one atomic version: removes + adds, guarded against both
-      //    conflict classes; a loss cleans up and re-plans
-      val committed = commit(spark, table, s.schema, s.partitionColumns, added,
-        txn = None, removed = touched, dataChange = true,
-        conflict = Some((s.files.toSet, conflictPred)))
-      committed match {
-        case Some(v) =>
-          if (checkpointInterval > 0 && (v + 1) % checkpointInterval == 0)
-            writeCheckpoint(spark, table, v)
-          return committed
-        case None =>
-          added.foreach { case (rel, _) => Files.deleteIfExists(Paths.get(table, rel)) }
-      }
+      DmlRewrite.Plan(s.schema, s.partitionColumns,
+        candidates.map(rel => DmlRewrite.Cand(
+          root.resolve(rel).normalize.toString, rel, bySize(rel).size)),
+        s.files.toSet)
     }
-    sys.error(s"$table: DML lost 5 concurrent-write races; giving up")
+    def basePath: String = root.toString
+    def dataRoot: Path = root
+    def scratchPrefix: String = ".graft-dml-"
+    def harvest(dest: Path, plan: DmlRewrite.Plan): ((String, AddInfo), Long) = {
+      val rel = root.relativize(dest.toAbsolutePath.normalize).toString
+      val dataSchema = StructType(
+        plan.schema.filterNot(f => plan.partitionColumns.contains(f.name)))
+      val stats = fileStatsJson(spark, dest, dataSchema)
+      val records = stats.flatMap(st =>
+        try Some(mapper.readTree(st).get("numRecords").asLong())
+        catch { case _: Exception => None }).getOrElse(Long.MaxValue)
+      ((rel, AddInfo(Files.size(dest), Files.getLastModifiedTime(dest).toMillis,
+        partitionValuesOf(rel), stats)), records)
+    }
+    def deletePlaced(a: (String, AddInfo)): Unit =
+      Files.deleteIfExists(root.resolve(a._1))
+    override def changeFeedEnabled: Boolean =
+      snapshot(spark, table).exists(s => Cdf.isEnabled(s.configuration))
+    def commit(plan: DmlRewrite.Plan, added: Seq[(String, AddInfo)],
+        touchedTokens: Seq[String], conflictPred: Option[String],
+        changes: Option[DataFrame]): Option[Long] = {
+      // change data files (PROTOCOL.md): written only when the commit
+      // removes live rows — a pure append's changes are derivable from
+      // its add actions (readers map dataChange adds → inserts), so
+      // insert-only merges pay no cdc write
+      val cdcFiles: Seq[(String, AddInfo)] = changes match {
+        case Some(chg) if touchedTokens.nonEmpty =>
+          def place(df: DataFrame, partitioned: Boolean): Seq[(String, AddInfo)] = {
+            val scratch = Paths.get(table, s".graft-cdc-${UUID.randomUUID()}")
+            val w0 = df.write.mode("overwrite")
+            val w = if (partitioned && plan.partitionColumns.nonEmpty)
+              w0.partitionBy(plan.partitionColumns: _*) else w0
+            w.parquet(scratch.toString)
+            val parts = walkDir(scratch)
+              .filter(p => Files.isRegularFile(p) &&
+                p.getFileName.toString.endsWith(".parquet"))
+              .map(p => (scratch.relativize(p).toString, p)).sortBy(_._1)
+            val placed = parts.map { case (rel, p) =>
+              val dest = root.resolve(Cdf.changeDataDir).resolve(rel)
+              Files.createDirectories(dest.getParent)
+              try Files.createLink(dest, p)
+              catch { case _: UnsupportedOperationException =>
+                Files.move(p, dest, StandardCopyOption.ATOMIC_MOVE) }
+              (s"${Cdf.changeDataDir}/$rel",
+                AddInfo(Files.size(dest), Files.getLastModifiedTime(dest).toMillis,
+                  partitionValuesOf(rel), None))
+            }
+            walkDir(scratch).reverse.foreach(Files.deleteIfExists(_))
+            placed
+          }
+          val n = math.max(1, math.min(touchedTokens.size, 32))
+          val placed = place(chg.coalesce(n), partitioned = true)
+          if (placed.nonEmpty) placed
+          // zero change rows but live removes (e.g. a MERGE whose clause
+          // conditions all missed): a partitioned write emits no parts,
+          // but the commit still needs its cdc marker or a change reader
+          // would refuse the data-change removes — land one empty file
+          else place(chg.limit(0).coalesce(1), partitioned = false)
+        case _ => Seq.empty
+      }
+      val committed = DeltaLog.commit(spark, table, plan.schema,
+        plan.partitionColumns, added, txn = None, removed = touchedTokens,
+        dataChange = true, conflict = Some((plan.conflictBase, conflictPred)),
+        cdc = cdcFiles)
+      committed.foreach { v =>
+        if ((v + 1) % 10 == 0) writeCheckpoint(spark, table, v) }
+      if (committed.isEmpty)
+        cdcFiles.foreach { case (rel, _) => Files.deleteIfExists(root.resolve(rel)) }
+      committed
+    }
   }
 
   /** `src=web/part-0.parquet` → (src -> web): hive dir segments become
@@ -948,7 +1051,9 @@ object DeltaLog {
       txn: Option[(String, Long)], removed: Seq[String] = Seq.empty,
       dataChange: Boolean = true,
       conflict: Option[(Set[String], Option[String])] = None,
-      mergeSchema: Boolean = false): Option[Long] = {
+      mergeSchema: Boolean = false,
+      tableConf: Map[String, String] = Map.empty,
+      cdc: Seq[(String, AddInfo)] = Seq.empty): Option[Long] = {
     val dir = logDir(table)
     Files.createDirectories(dir)
     var attempt = 0
@@ -1005,6 +1110,10 @@ object DeltaLog {
         catch { case _: IllegalArgumentException if conflict.isDefined => return None }
       }.getOrElse(schema)
       val version = snap.map(_.version + 1).getOrElse(0L)
+      // configuration carries forward; tableConf entries overlay it (a
+      // CREATE with change_feed='true' lands delta.enableChangeDataFeed
+      // here, and enabling it later is a metaData-only commit)
+      val configuration = snap.map(_.configuration).getOrElse(Map.empty) ++ tableConf
       val sb = new StringBuilder
       def line(n: com.fasterxml.jackson.databind.node.ObjectNode): Unit = {
         sb.append(n.toString).append('\n'); ()
@@ -1017,14 +1126,19 @@ object DeltaLog {
         else if (version == 0L) "CREATE TABLE AS SELECT" else "WRITE")
       ciBody.putObject("operationParameters").put("mode", "Append")
       line(ci)
-      if (version == 0L) {
+      // protocol: CDF is a WRITER feature (legacy minWriterVersion 4);
+      // declare it at creation, or when a later commit first enables it
+      val cdfOn = Cdf.isEnabled(configuration)
+      val cdfWasOn = snap.exists(s0 => Cdf.isEnabled(s0.configuration))
+      if (version == 0L || (cdfOn && !cdfWasOn)) {
         val pr = mapper.createObjectNode()
         val prBody = pr.putObject("protocol")
         prBody.put("minReaderVersion", 1)
-        prBody.put("minWriterVersion", 2)
+        prBody.put("minWriterVersion", if (cdfOn) 4 else 2)
         line(pr)
       }
-      val metaChanged = snap.forall(_.schema.json != tableSchema.json)
+      val metaChanged = snap.forall(s0 =>
+        s0.schema.json != tableSchema.json || s0.configuration != configuration)
       if (metaChanged) {
         val md = mapper.createObjectNode()
         val m = md.putObject("metaData")
@@ -1038,7 +1152,8 @@ object DeltaLog {
         m.put("schemaString", tableSchema.json)
         val pc = m.putArray("partitionColumns")
         partitionBy.foreach(pc.add)
-        m.putObject("configuration")
+        val cfg = m.putObject("configuration")
+        configuration.toSeq.sortBy(_._1).foreach { case (k, v) => cfg.put(k, v) }
         m.put("createdTime",
           snap.map(_.createdTime).filter(_ > 0).getOrElse(System.currentTimeMillis()))
         line(md)
@@ -1071,6 +1186,19 @@ object DeltaLog {
         a.put("dataChange", dataChange)
         info.stats.foreach(s => a.put("stats", s))
         line(an)
+      }
+      cdc.foreach { case (name, info) =>
+        // change data files (PROTOCOL.md "cdc" action): the commit's
+        // change rows under _change_data/, dataChange=false always —
+        // they describe the change, they don't add table rows
+        val cn = mapper.createObjectNode()
+        val a = cn.putObject("cdc")
+        a.put("path", encodePath(name))
+        val pv = a.putObject("partitionValues")
+        info.partitionValues.foreach { case (k, v) => pv.put(k, v) }
+        a.put("size", info.size)
+        a.put("dataChange", false)
+        line(cn)
       }
       val bytes = sb.toString.getBytes("UTF-8")
       val tmp = dir.resolve(s".${UUID.randomUUID()}.tmp")
@@ -1140,7 +1268,7 @@ object DeltaLog {
       Row(null, null, null, null, Row(1, 2)),
       Row(null, null, null,
         Row(s.metaId, Row("parquet", Map.empty[String, String]), s.schema.json,
-          s.partitionColumns, Map.empty[String, String], s.createdTime), null)) ++
+          s.partitionColumns, s.configuration, s.createdTime), null)) ++
       s.appVersions.toSeq.sortBy(_._1).map { case (app, v) =>
         Row(Row(app, v), null, null, null, null)
       } ++

@@ -593,7 +593,13 @@ object IcebergLog {
               s"this write declares (${partitionBy0.mkString(", ")}) — " +
               "repartitioning an existing table requires a rewrite, not an append")
           SchemaEvolution.resolve(m.schema, schema0, mergeSchema, table)
-        case Some(m) => m.schema
+        case Some(m) =>
+          // a conflict-guarded (DML) rewrite planned under schema0: the
+          // table evolving since then (concurrent ADD COLUMNS) is a
+          // concurrency LOSS — re-plan from the fresh snapshot, mirroring
+          // the delta twin — never a silent commit under a drifted schema
+          if (conflict.isDefined && m.schema.json != schema0.json) return None
+          m.schema
         case None => schema0
       }
       val partitionBy = cur.map(_.partitionColumns).getOrElse(partitionBy0)
@@ -1129,9 +1135,10 @@ object IcebergLog {
     import org.apache.spark.sql.functions.{coalesce, expr, lit, not}
     val p = predicate.trim
     require(p.nonEmpty, "DELETE: empty predicate (use 'true' to delete all rows)")
-    dmlRewrite(spark, table, scanFilter = Some(p), conflictPred = Some(p),
-      matcher = df => df.filter(coalesce(expr(p), lit(false)))) { (touched, _) =>
-      touched.filter(not(coalesce(expr(p), lit(false))))
+    DmlRewrite.run(spark, new DmlFormat(spark, table), scanFilter = Some(p),
+      conflictPred = Some(p),
+      matcher = df => df.filter(coalesce(expr(p), lit(false)))) {
+      (touched, _, _) => touched.filter(not(coalesce(expr(p), lit(false))))
     }
   }
 
@@ -1148,16 +1155,15 @@ object IcebergLog {
     val byCol = sets.toMap
     require(byCol.size == sets.size, "UPDATE: duplicate SET column")
     val p = predicate.map(_.trim).filter(_.nonEmpty)
-    dmlRewrite(spark, table, scanFilter = p, conflictPred = p,
+    DmlRewrite.run(spark, new DmlFormat(spark, table), scanFilter = p,
+      conflictPred = p,
       matcher = df => p.map(pp => df.filter(coalesce(expr(pp), lit(false))))
         .getOrElse(df)) {
-      (touched, m) =>
+      (touched, _, schema) =>
         sets.foreach { case (c, _) =>
-          require(m.schema.fieldNames.contains(c), s"UPDATE: no column $c") }
-        val cond = coalesce(
-          predicate.map(_.trim).filter(_.nonEmpty).map(expr).getOrElse(lit(true)),
-          lit(false))
-        touched.select(m.schema.fields.toIndexedSeq.map { f =>
+          require(schema.fieldNames.contains(c), s"UPDATE: no column $c") }
+        val cond = coalesce(p.map(expr).getOrElse(lit(true)), lit(false))
+        touched.select(schema.fields.toIndexedSeq.map { f =>
           byCol.get(f.name) match {
             case Some(e) =>
               when(cond, expr(e).cast(f.dataType)).otherwise(col(f.name)).as(f.name)
@@ -1169,9 +1175,11 @@ object IcebergLog {
 
   /** `MERGE INTO … USING … ON …` — copy-on-write upsert, the iceberg
     * twin of [[DeltaLog.merge]] (same [[Merge.rewrite]] row semantics,
-    * same [[Merge.keyBoundsFilter]] pruning; lands as ONE `overwrite`
-    * snapshot with not-matched inserts in the same swap). Returns the
-    * committed metadata version, or None when the merge was a no-op.
+    * same [[Merge.keyBoundsFilter]] pruning, same shared [[DmlRewrite]]
+    * cycle; lands as ONE `overwrite` snapshot with not-matched inserts
+    * in the same swap — or an `append` snapshot for insert-only merges,
+    * which rewrite nothing). Returns the committed metadata version, or
+    * None when the merge was a no-op.
     */
   def merge(spark: SparkSession, table: String, source: DataFrame,
       clauses: Merge.Clauses): Option[Int] = {
@@ -1186,108 +1194,60 @@ object IcebergLog {
       // source, so those clauses disable source-key-bounds pruning
       val scanFilter = if (Merge.pruneBySourceKeys(clauses))
         Merge.keyBoundsFilter(spark, clauses, source, m0.schema) else None
-      dmlRewrite(spark, table, scanFilter, conflictPred = None,
-        matcher = Merge.matcher(source, clauses),
-        commitWhenUntouched = clauses.notMatchedInsert.isDefined) {
-        (touched, m) => Merge.rewrite(touched, source, m.schema, clauses)
-      }
+      val fmt = new DmlFormat(spark, table)
+      if (clauses.matched.isEmpty && clauses.notBySource.isEmpty)
+        DmlRewrite.run(spark, fmt, scanFilter, conflictPred = None,
+          matcher = identity, touchDetect = false,
+          commitWhenUntouched = clauses.notMatchedInsert.isDefined) {
+          (_, cands, schema) => Merge.insertRows(cands, source, schema, clauses)
+        }
+      else
+        DmlRewrite.run(spark, fmt, scanFilter, conflictPred = None,
+          matcher = Merge.matcher(source, clauses),
+          commitWhenUntouched = clauses.notMatchedInsert.isDefined) {
+          (touched, _, schema) => Merge.rewrite(touched, source, schema, clauses)
+        }
     } finally { source.unpersist(); () }
   }
 
-  /** Plan → touch-detect → rewrite → `overwrite`-commit cycle behind
-    * [[deleteWhere]]/[[updateWhere]]/[[merge]] — parameter semantics as
-    * [[DeltaLog]]'s twin; retried whole on commit conflicts.
+  /** [[DmlRewrite.Format]] adapter — the iceberg side of the shared DML
+    * cycle: manifest-metrics planning, footer-metrics harvest, and the
+    * overwrite/append snapshot commit. An insert-only merge (zero files
+    * replaced) commits as an APPEND — calling it overwrite would make a
+    * running stream refuse (or, under ignore_deletes, silently skip)
+    * rows a plain append delivers.
     */
-  private def dmlRewrite(spark: SparkSession, table: String,
-      scanFilter: Option[String], conflictPred: Option[String],
-      matcher: DataFrame => DataFrame,
-      commitWhenUntouched: Boolean = false)
-      (transform: (DataFrame, Meta) => DataFrame): Option[Int] = {
-    import org.apache.spark.sql.functions.input_file_name
-    var round = 0
-    while (round < 5) {
-      round += 1
+  private final class DmlFormat(spark: SparkSession, val table: String)
+      extends DmlRewrite.Format[DataFileInfo, Int] {
+    def plan(scanFilter: Option[String]): DmlRewrite.Plan = {
       val m = current(table).getOrElse(
         sys.error(s"$table is not an Iceberg table (no metadata/v*.metadata.json)"))
-      val basePath = Paths.get(table, "data").toAbsolutePath.toString
       // plan-time live set: anything appearing after this is a potential
       // ConcurrentAppend conflict the commit must judge
       val baseLive = liveFiles(table, None).filter(_.status != 2).map(_.path).toSet
-      // 1. plan: manifest-metrics-pruned candidates (driver, metadata only)
       val (candidates, _) = planFiles(spark, table, None, scanFilter)
-      if (candidates.isEmpty && !commitWhenUntouched) return None
-      // 2. touch-detect by URI-decoded absolute path (input_file_name
-      //    returns a percent-encoded file: URI; leaf names REPEAT across
-      //    hive partition dirs of one write job, so they can't key this).
-      //    basePath restores partition columns so partition predicates
-      //    evaluate row-side too; parquet pushdown keeps the scan cheap
-      val byAbs = candidates.map(f =>
-        Paths.get(f.path).toAbsolutePath.normalize.toString -> f).toMap
-      val emptyDf =
-        spark.createDataFrame(spark.sparkContext.emptyRDD[Row], m.schema)
-      // capture the file name BEFORE matcher runs (see DeltaLog's twin:
-      // a MERGE matcher's join would make input_file_name ambiguous)
-      val fileCol = "__graft_input_file"
-      val candDf =
-        if (candidates.isEmpty) emptyDf.withColumn(fileCol,
-          org.apache.spark.sql.functions.lit(""))
-        else spark.read.schema(m.schema).option("basePath", basePath)
-          .parquet(candidates.map(_.path): _*)
-          .withColumn(fileCol, input_file_name())
-      val touched = matcher(candDf)
-        .select(org.apache.spark.sql.functions.col(fileCol)).distinct().collect()
-        .map(r => byAbs(DeltaLog.decodeFileUri(r.getString(0))))
-        .sortBy(_.path).toSeq
-      if (touched.isEmpty && !commitWhenUntouched) return None
-      // 3. rewrite the touched files' rows (hive re-partitioning lets
-      //    updated partition values migrate directories)
-      val touchedDf =
-        if (touched.isEmpty) emptyDf
-        else spark.read.schema(m.schema).option("basePath", basePath)
-          .parquet(touched.map(_.path): _*)
-          .select(m.schema.fieldNames.map(org.apache.spark.sql.functions.col).toIndexedSeq: _*)
-      val out = transform(touchedDf, m)
-      val scratch = Paths.get(table, s".graft-iceberg-dml-${UUID.randomUUID()}")
-      val targetBytes = 128L * 1024 * 1024
-      val nOut = math.max(1, (touched.map(_.size).sum / targetBytes).toInt + 1)
-      val w = out.coalesce(nOut).write.mode("overwrite")
-      (if (m.partitionColumns.nonEmpty) w.partitionBy(m.partitionColumns: _*) else w)
-        .parquet(scratch.toString)
-      val parts = walkDir(scratch)
-        .filter(p => Files.isRegularFile(p) &&
-          p.getFileName.toString.endsWith(".parquet"))
-        .map(p => (scratch.relativize(p).toString, p)).sortBy(_._1)
-      val added = parts.flatMap { case (rel, p) =>
-        val dest = Paths.get(table, "data", rel)
-        Files.createDirectories(dest.getParent)
-        try Files.createLink(dest, p)
-        catch { case _: UnsupportedOperationException =>
-          Files.move(p, dest, StandardCopyOption.ATOMIC_MOVE) }
-        val info = statFile(spark, table, dest, m.schema)
-        // a file whose every row matched a DELETE rewrites to zero rows —
-        // drop the empty part instead of committing a row-less entry
-        if (info.records > 0) Some(info)
-        else { Files.deleteIfExists(dest); None }
-      }
-      walkDir(scratch).reverse.foreach(Files.deleteIfExists(_))
-      if (touched.isEmpty && added.isEmpty) return None // true no-op
-      // 4. one atomic snapshot, guarded against both conflict classes; a
-      //    loss cleans up and re-plans. An insert-only merge (zero files
-      //    replaced) is an APPEND — calling it overwrite would make a
-      //    running stream refuse (or, under ignore_deletes, silently
-      //    skip) rows a plain append delivers
-      val committed = commitSnapshot(spark, table, m.schema, m.partitionColumns,
-        added, txn = None,
-        operation = if (touched.isEmpty) "append" else "overwrite",
-        replaced = touched.map(_.path).toSet,
-        conflict = Some((baseLive, conflictPred)))
-      committed match {
-        case Some(_) => return committed
-        case None =>
-          added.foreach(a => Files.deleteIfExists(Paths.get(a.path)))
-      }
+      DmlRewrite.Plan(m.schema, m.partitionColumns,
+        candidates.map(f => DmlRewrite.Cand(
+          Paths.get(f.path).toAbsolutePath.normalize.toString, f.path, f.size)),
+        baseLive)
     }
-    sys.error(s"$table: DML lost 5 concurrent-write races; giving up")
+    def basePath: String = Paths.get(table, "data").toAbsolutePath.toString
+    def dataRoot: Path = Paths.get(table, "data")
+    def scratchPrefix: String = ".graft-iceberg-dml-"
+    def harvest(dest: Path, plan: DmlRewrite.Plan): (DataFileInfo, Long) = {
+      val info = statFile(spark, table, dest, plan.schema)
+      (info, info.records)
+    }
+    def deletePlaced(a: DataFileInfo): Unit =
+      Files.deleteIfExists(Paths.get(a.path))
+    def commit(plan: DmlRewrite.Plan, added: Seq[DataFileInfo],
+        touchedTokens: Seq[String], conflictPred: Option[String],
+        changes: Option[DataFrame]): Option[Int] =
+      commitSnapshot(spark, table, plan.schema, plan.partitionColumns,
+        added, txn = None,
+        operation = if (touchedTokens.isEmpty) "append" else "overwrite",
+        replaced = touchedTokens.toSet,
+        conflict = Some((plan.conflictBase, conflictPred)))
   }
 
   /** Drop snapshots older than `olderThanMs` (always keeping the current

@@ -116,21 +116,98 @@ private[graft] object Merge {
         case (_, acc) => acc
       }.as(f.name)
     }: _*)
-    val inserts = c.notMatchedInsert.map { case (and, sets) =>
-      val unmatched0 = source.alias(c.sourceAlias)
-        .join(touched.alias(c.targetAlias), expr(c.cond), "left_anti")
-      val unmatched = and.map(a => unmatched0.filter(expr(a))).getOrElse(unmatched0)
-      val bySet = sets.toMap
-      val srcCols = source.schema.fieldNames.toSet
-      unmatched.select(schema.fields.toIndexedSeq.map { f =>
-        (if (sets.isEmpty) // INSERT *: by name, absent → null
-          (if (srcCols.contains(f.name)) col(f.name) else lit(null))
-        else bySet.get(f.name).map(expr).getOrElse(lit(null)))
-          .cast(f.dataType).as(f.name)
-      }: _*)
-    }
+    val inserts = c.notMatchedInsert.map(_ => insertRows(touched, source, schema, c))
     inserts.map(survivors.unionAll).getOrElse(survivors)
   }
+
+  /** The NOT MATCHED → INSERT rows of a merge, in target-schema order:
+    * source rows matching NO row of `base`. `base` may be the touched
+    * files' rows (the general path — a file holding any matched row is
+    * touched by construction, so the anti-join is exact) or the whole
+    * pruned candidate frame (the insert-only fast path, which rewrites
+    * nothing — candidates are every file that could hold a matching key,
+    * equally exact).
+    */
+  def insertRows(base: DataFrame, source: DataFrame, schema: StructType,
+      c: Clauses): DataFrame = {
+    val (and, sets) = c.notMatchedInsert.getOrElse(
+      throw new IllegalArgumentException("MERGE: no NOT MATCHED clause"))
+    val unmatched0 = source.alias(c.sourceAlias)
+      .join(base.alias(c.targetAlias), expr(c.cond), "left_anti")
+    val unmatched = and.map(a => unmatched0.filter(expr(a))).getOrElse(unmatched0)
+    val bySet = sets.toMap
+    val srcCols = source.schema.fieldNames.toSet
+    unmatched.select(schema.fields.toIndexedSeq.map { f =>
+      (if (sets.isEmpty) // INSERT *: by name, absent → null
+        (if (srcCols.contains(f.name)) col(f.name) else lit(null))
+      else bySet.get(f.name).map(expr).getOrElse(lit(null)))
+        .cast(f.dataType).as(f.name)
+    }: _*)
+  }
+
+  /** Change-feed rows for a merge, computed only when the target table
+    * records one ([[Cdf]]): per matched row taking a clause, a `delete`
+    * image or an `update_preimage`+`update_postimage` pair; per
+    * not-matched source row, an `insert` image. Inserts anti-join the
+    * CANDIDATE frame (see [[insertRows]]) so the insert-only fast path —
+    * where nothing is touched — still records them.
+    */
+  def changesFor(source: DataFrame, c: Clauses)
+      : Option[(DataFrame, DataFrame, StructType) => DataFrame] =
+    Some { (touched, cands, schema) =>
+      val inserts = c.notMatchedInsert.map(_ =>
+        insertRows(cands, source, schema, c)
+          .withColumn(Cdf.changeTypeCol, lit("insert")))
+      val spark = touched.sparkSession
+      val emptyChanges = spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        Cdf.changeSchema(schema))
+      if (c.matched.isEmpty && c.notBySource.isEmpty)
+        inserts.getOrElse(emptyChanges)
+      else {
+        // same clause-selection join as [[rewrite]] (the dup guard ran
+        // there; change rows are a pure projection of the same plan)
+        val t = touched.alias(c.targetAlias)
+        val s = source.withColumn(matchFlag, lit(true)).alias(c.sourceAlias)
+        val joined = t.join(s, expr(c.cond), "left")
+        val isMatched = coalesce(col(matchFlag), lit(false))
+        val allClauses = c.matched.map((_, true)) ++ c.notBySource.map((_, false))
+        val clauseConds = allClauses.map { case (mc, onMatched) =>
+          (if (onMatched) isMatched else !isMatched) &&
+            mc.and.map(expr).getOrElse(lit(true)) }
+        val firstIdx = clauseConds.zipWithIndex
+          .foldRight(lit(-1): Column) { case ((cd, i), acc) =>
+            when(cd, lit(i)).otherwise(acc) }
+        val deleteIdxs = allClauses.zipWithIndex.collect {
+          case ((MatchedClause(_, Right(_)), _), i) => i }
+        val isDelete =
+          if (deleteIdxs.isEmpty) lit(false)
+          else col("__graft_clause").isin(deleteIdxs.map(Integer.valueOf): _*)
+        val withIdx = joined.withColumn("__graft_clause", firstIdx)
+          .filter(col("__graft_clause") >= 0)
+        val targetImage = schema.fields.toIndexedSeq.map(f =>
+          col(s"${c.targetAlias}.${f.name}").as(f.name))
+        val pre = withIdx.select(targetImage :+
+          when(isDelete, lit("delete")).otherwise(lit("update_preimage"))
+            .as(Cdf.changeTypeCol): _*)
+        val post = withIdx
+          .filter(!isDelete)
+          .select(schema.fields.toIndexedSeq.map { f =>
+            val base = col(s"${c.targetAlias}.${f.name}")
+            allClauses.zipWithIndex.foldRight(base) {
+              case (((MatchedClause(_, Left(sets)), _), i), acc) =>
+                sets.toMap.get(f.name) match {
+                  case Some(e) => when(col("__graft_clause") === i,
+                    expr(e).cast(f.dataType)).otherwise(acc)
+                  case None => acc
+                }
+              case (_, acc) => acc
+            }.as(f.name)
+          } :+ lit("update_postimage").as(Cdf.changeTypeCol): _*)
+        val matchedChanges = pre.unionAll(post)
+        inserts.map(matchedChanges.unionAll).getOrElse(matchedChanges)
+      }
+    }
 
   /** Touch-detect matcher for [[rewrite]]'s file plan: which candidate
     * rows would a clause act on? Matched-family clauses touch the rows
@@ -241,7 +318,8 @@ private[graft] object Merge {
   def upsertBatch(spark: SparkSession, fmt: String, table: String,
       b: DataFrame, keys: Seq[String], orderBy: Option[String] = None,
       partitionBy: Seq[String] = Seq.empty,
-      mergeSchema: Boolean = false): Unit = {
+      mergeSchema: Boolean = false,
+      tableConf: Map[String, String] = Map.empty): Unit = {
     require(keys.nonEmpty, "merge_keys: at least one key column")
     val hasMeta = b.columns.contains("_updating_meta")
     val net0 =
@@ -279,7 +357,8 @@ private[graft] object Merge {
     if (!exists) {
       val alive = net.filter(!col("__graft_deleted")).drop("__graft_deleted")
       fmt match {
-        case "delta" => DeltaLog.writeBatch(alive, table, partitionBy = partitionBy)
+        case "delta" => DeltaLog.writeBatch(alive, table, partitionBy = partitionBy,
+          tableConf = tableConf)
         case _ => IcebergLog.writeBatch(alive, table, partitionBy = partitionBy)
       }
       ()

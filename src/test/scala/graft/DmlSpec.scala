@@ -101,6 +101,40 @@ class DmlSpec extends SparkSpec {
     assert(DeltaLog.read(spark, table).count() == 3)
   }
 
+  test("delta DML keeps the checkpoint cadence; iceberg DML compacts to a fresh two-manifest list instead") {
+    import spark.implicits._
+    val table = tmpTable("delta_dml_cp")
+    DeltaLog.writeBatch((1L to 50L).map(i => (i, 0L)).toDF("id", "v").coalesce(1), table)
+    // nine DML commits on top of the create: version 9 is the 10th
+    // commit and must drop a parquet checkpoint exactly like appends do
+    (1 to 9).foreach(i => assert(DeltaLog.updateWhere(spark, table,
+      Seq("v" -> i.toString), Some(s"id = $i")).contains(i.toLong)))
+    assert(Files.exists(Paths.get(table, "_delta_log",
+      f"${9L}%020d.checkpoint.parquet")),
+      "the 10th commit (version 9, a DML rewrite) must drop a checkpoint")
+    // the checkpoint alone serves snapshots: age out every JSON commit
+    // at-or-before it and re-read
+    DeltaLog.clearSnapshotCache()
+    (0L to 9L).foreach(v =>
+      Files.deleteIfExists(Paths.get(table, "_delta_log", f"$v%020d.json")))
+    val rows = DeltaLog.read(spark, table).as[(Long, Long)].collect().toMap
+    assert(rows.size == 50)
+    (1L to 9L).foreach(i => assert(rows(i) == i))
+    // iceberg: no checkpoints — each DML overwrite snapshot writes a
+    // FRESH survivors+added manifest list, so the list stays O(1) in the
+    // number of DML commits rather than growing per commit
+    val it = tmpTable("ice_dml_cp")
+    IcebergLog.writeBatch((1L to 20L).map(i => (i, 0L)).toDF("id", "v").coalesce(1), it)
+    (1 to 3).foreach(i => assert(IcebergLog.updateWhere(spark, it,
+      Seq("v" -> i.toString), Some(s"id = $i")).isDefined))
+    val m = IcebergLog.current(it).get
+    assert(m.version == 4, "create + three DML snapshots")
+    val list = IcebergLog.readManifestList(m.snapshots
+      .find(_.get("snapshot-id").asLong == m.currentSnapshotId).get
+      .get("manifest-list").asText)
+    assert(list.size <= 2, s"DML manifest list must stay bounded, got ${list.size}")
+  }
+
   test("delta ConcurrentAppend rule: a commit whose predicate MAY match a concurrently-added file aborts") {
     import spark.implicits._
     val table = tmpTable("delta_conflict")
