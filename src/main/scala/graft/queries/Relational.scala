@@ -639,6 +639,70 @@ object Relational {
       Some(s"""SELECT o_orderkey % 7 = 0 AS touched, COUNT(*) AS n,
               |  ${oSum("CASE WHEN o_orderkey % 7 = 0 THEN o_totalprice + 200 ELSE o_totalprice END")} AS sum_p,
               |  CAST(SUM(CASE WHEN o_orderkey % 7 = 0 THEN 2 ELSE 0 END) AS BIGINT) AS sum_ver
-              |FROM orders GROUP BY 1""".stripMargin))
+              |FROM orders GROUP BY 1""".stripMargin)),
+
+    // ── CHANGE DATA FEED (r11): with delta.enableChangeDataFeed set,
+    //    DELETE/UPDATE record their change rows (_change_data files + cdc
+    //    actions) and readChanges replays them. The oracle recomputes the
+    //    change sets algebraically from the source parquet, so a hash
+    //    match proves the recorded images (delete rows, update pre/post
+    //    pairs) — the contract downstream updating streams consume.
+    Q("q_delta_cdf",
+      (s, dir) => {
+        val li = t(s, dir, "lineitem").select(
+          col("l_orderkey"), col("l_linenumber"), col("l_returnflag"),
+          col("l_quantity"), col("l_extendedprice"))
+        val table = java.nio.file.Files
+          .createTempDirectory("graft-delta-cdf").resolve("t").toString
+        graft.sinks.DeltaLog.writeBatch(li, table,
+          tableConf = Map(graft.sinks.Cdf.enableProp -> "true"))
+        graft.sinks.DeltaLog.deleteWhere(s, table, "l_quantity > 45")
+        graft.sinks.DeltaLog.updateWhere(s, table,
+          Seq("l_extendedprice" -> "l_extendedprice * 2"),
+          Some("l_returnflag = 'R'"))
+        graft.sinks.DeltaLog.readChanges(s, table, 1L)
+          .groupBy(col("_change_type"))
+          .agg(count(lit(1)).as("n"), dsum(col("l_quantity")).as("sum_qty"),
+            dsum(col("l_extendedprice")).as("sum_price"))
+      },
+      Some(s"""SELECT 'delete' AS _change_type, COUNT(*) AS n,
+              |  ${oSum("l_quantity")} AS sum_qty, ${oSum("l_extendedprice")} AS sum_price
+              |FROM lineitem WHERE l_quantity > 45
+              |UNION ALL
+              |SELECT 'update_preimage', COUNT(*), ${oSum("l_quantity")},
+              |  ${oSum("l_extendedprice")}
+              |FROM lineitem WHERE NOT (l_quantity > 45) AND l_returnflag = 'R'
+              |UNION ALL
+              |SELECT 'update_postimage', COUNT(*), ${oSum("l_quantity")},
+              |  ${oSum("l_extendedprice * 2")}
+              |FROM lineitem WHERE NOT (l_quantity > 45) AND l_returnflag = 'R'""".stripMargin)),
+
+    // ── the iceberg changelog twin: the manifest-diff changelog emits the
+    //    DELETE's net change at FILE granularity (removed files retract,
+    //    surviving rows re-insert), so the verified quantity is the NET
+    //    per-key change — retract minus re-insert — which equals the
+    //    deleted rows exactly; the oracle computes that set directly.
+    Q("q_iceberg_cdf",
+      (s, dir) => {
+        val li = t(s, dir, "lineitem").select(
+          col("l_orderkey"), col("l_linenumber"), col("l_returnflag"),
+          col("l_quantity"), col("l_extendedprice"))
+        val table = java.nio.file.Files
+          .createTempDirectory("graft-iceberg-cdf").resolve("t").toString
+        graft.sinks.IcebergLog.writeBatch(li, table,
+          partitionBy = Seq("l_returnflag"))
+        graft.sinks.IcebergLog.deleteWhere(s, table, "l_quantity > 45")
+        // net change per row image: +1 for insert, -1 for delete; carried
+        // survivors cancel, leaving exactly the deleted rows at weight -1
+        graft.sinks.IcebergLog.readChanges(s, table, 2L)
+          .withColumn("w", when(col("_change_type") === "delete", -1L).otherwise(1L))
+          .groupBy(col("l_returnflag"))
+          .agg(sum(col("w")).as("net_rows"),
+            dsum(col("l_quantity") * col("w")).as("net_qty"))
+          .filter(col("net_rows") =!= 0)
+      },
+      Some(s"""SELECT l_returnflag, CAST(-COUNT(*) AS BIGINT) AS net_rows,
+              |  ${oSum("-l_quantity")} AS net_qty
+              |FROM lineitem WHERE l_quantity > 45 GROUP BY 1""".stripMargin))
   )
 }

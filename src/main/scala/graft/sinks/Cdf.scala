@@ -37,4 +37,94 @@ object Cdf {
   def changeSchema(schema: StructType): StructType =
     StructType(schema.fields :+
       StructField(changeTypeCol, StringType, nullable = true))
+
+  /** In-file ORDER column of materialized change files: commit version
+    * ×2 + 0 for retract images / 1 for append images, so a key's
+    * retract sorts before its replacement REGARDLESS of which file
+    * split Spark reads first (FilePartition packs splits by size, not
+    * name — arrival order across files is meaningless). Null = the
+    * initial snapshot links, which logically precede every change.
+    */
+  val changeSeqCol = "_change_seq"
+
+  /** What a change-feed VIEW's files carry. */
+  def streamSchema(schema: StructType): StructType =
+    StructType(changeSchema(schema).fields :+
+      StructField(changeSeqCol, org.apache.spark.sql.types.LongType,
+        nullable = true))
+
+  /** Stamp a readChanges frame with [[changeSeqCol]] and drop the
+    * commit columns — the shape change-feed views materialize.
+    */
+  def changeSeq(df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions._
+    df.withColumn(changeSeqCol, col(commitVersionCol) * 2 +
+      when(col(changeTypeCol).isin("delete", "update_preimage"), 0L)
+        .otherwise(1L))
+      .drop(commitVersionCol, commitTimestampCol)
+  }
+
+  /** Write one commit's change rows into a view directory as parquet
+    * (hive-partitioned like the raw snapshot links, `_change_type` +
+    * `_change_seq` in-file), via a scratch dir + hard links so files
+    * appear atomically under the running file stream. Returns files
+    * added. The copy is bounded by the commit's change rows, never the
+    * table.
+    */
+  private[graft] def materializeInto(viewDataDir: java.nio.file.Path,
+      chg: org.apache.spark.sql.DataFrame, partCols: Seq[String]): Int = {
+    import java.nio.file.{Files, StandardCopyOption}
+    import scala.jdk.CollectionConverters._
+    val scratch = Files.createTempDirectory("graft-cdf-mat")
+    val w = chg.write.mode("overwrite")
+    (if (partCols.nonEmpty) w.partitionBy(partCols: _*) else w)
+      .parquet(scratch.toString)
+    def walk(p: java.nio.file.Path): Seq[java.nio.file.Path] = {
+      val s = Files.walk(p)
+      try s.iterator().asScala.toSeq finally s.close()
+    }
+    var n = 0
+    walk(scratch).filter(p => Files.isRegularFile(p) &&
+      p.getFileName.toString.endsWith(".parquet")).foreach { p =>
+      val dest = viewDataDir.resolve(scratch.relativize(p).toString)
+      Files.createDirectories(dest.getParent)
+      try { Files.createLink(dest, p); n += 1 }
+      catch { case _: UnsupportedOperationException =>
+        Files.move(p, dest, StandardCopyOption.ATOMIC_MOVE); n += 1 }
+    }
+    walk(scratch).reverse.foreach(p =>
+      try Files.deleteIfExists(p) catch { case _: Exception => () })
+    n
+  }
+
+  /** Change rows → the engine's updating-stream shape: payload columns
+    * + `_updating_meta{is_retract, id}` ([[graft.streaming.Debezium]]'s
+    * contract). `delete`/`update_preimage` retract, `insert`/
+    * `update_postimage`/absent (a raw-linked append file) append; `id`
+    * hashes the declared key columns so a downstream
+    * [[graft.streaming.Debezium.netBatch]] / updating aggregate can
+    * pair an update's images. With no keys declared the id hashes ALL
+    * payload columns — the same documented no-PK degradation as
+    * [[graft.streaming.Debezium.unroll]]: update pairs then emit as
+    * separate d+c events; merged state is identical.
+    */
+  def updatingStream(df: org.apache.spark.sql.DataFrame,
+      schema: StructType, keys: Seq[String]): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions._
+    keys.foreach(k => require(schema.fieldNames.contains(k),
+      s"change feed: no key column $k in the table schema"))
+    val keyCols = if (keys.nonEmpty) keys else schema.fieldNames.toSeq
+    val ct = coalesce(col(changeTypeCol), lit("insert"))
+    val seq =
+      if (df.columns.contains(changeSeqCol)) col(changeSeqCol)
+      else lit(null).cast("long")
+    df.select(schema.fieldNames.map(n => col(s"`$n`")).toIndexedSeq :+
+      struct(
+        ct.isin("delete", "update_preimage").as("is_retract"),
+        md5(to_json(struct(keyCols.map(k => col(s"`$k`")): _*))).as("id"),
+        // within-batch commit order (see changeSeqCol) — netBatch nets a
+        // key's events by it; null = the initial snapshot, always first
+        seq.as("seq"))
+        .as("_updating_meta"): _*)
+  }
 }

@@ -46,7 +46,9 @@ object DeltaStreamSource {
   }, "graft-delta-view-cleanup"))
 
   final class View private[DeltaStreamSource] (val table: String, val dir: Path,
-      val ignoreDeletes: Boolean = false) {
+      val ignoreDeletes: Boolean = false,
+      val changeFeed: Boolean = false,
+      spark: Option[SparkSession] = None) {
     @volatile private[DeltaStreamSource] var lastVersion: Long = -1L
     @volatile private var closed = false
     private[DeltaStreamSource] var poller: Option[Thread] = None
@@ -92,13 +94,42 @@ object DeltaStreamSource {
         val changeCommit = actions.exists(n =>
           n.has("remove") && Option(n.get("remove").get("dataChange"))
             .forall(_.asBoolean(true)))
-        if (changeCommit && !ignoreDeletes)
+        val hasCdc = actions.exists(_.has("cdc"))
+        val hasDcAdd = actions.exists(n =>
+          n.has("add") && n.get("add").get("dataChange").asBoolean())
+        if (changeFeed && (hasCdc || changeCommit || hasDcAdd)) {
+          if (changeCommit && !hasCdc)
+            throw new IllegalStateException(
+              s"$table: version $v deleted or updated live rows WITHOUT " +
+                s"change data (set ${graft.sinks.Cdf.enableProp}=true on " +
+                "the table before running DML) — a change-feed stream " +
+                "cannot reconstruct the retractions.")
+          // CHANGE FEED: materialize the commit's change rows (cdc files
+          // for DML commits, adds→insert for appends — readChanges'
+          // single-version frame) into the view with the in-file
+          // _change_type + _change_seq columns. Materializing rather
+          // than linking stamps COMMIT order into every row: Spark packs
+          // file splits by size, so arrival order across files means
+          // nothing, and a key's retract must still net before its
+          // replacement. Cost: one copy of the commit's change rows —
+          // bounded by the change, never the table; the append-only
+          // source (changeFeed=false) remains the zero-copy path.
+          linked += materialize(v)
+        } else if (changeFeed && changeCommit)
+          throw new IllegalStateException(
+            s"$table: version $v deleted or updated live rows WITHOUT " +
+              s"change data (set ${graft.sinks.Cdf.enableProp}=true on the " +
+              "table before running DML) — a change-feed stream cannot " +
+              "reconstruct the retractions.")
+        else if (changeCommit && !ignoreDeletes)
           throw new IllegalStateException(
             s"$table: version $v deleted or updated live rows under a running " +
               "append-only stream (this source cannot retract emitted rows). " +
-              "Restart from a fresh snapshot, or open the source with " +
-              "ignore_deletes=true to skip change commits whole.")
-        if (!changeCommit) actions.foreach { n =>
+              "Restart from a fresh snapshot, open the source with " +
+              "ignore_deletes=true to skip change commits whole, or enable " +
+              s"${graft.sinks.Cdf.enableProp} and open with change_feed=true " +
+              "to stream the changes as retractions.")
+        else if (!changeCommit) actions.foreach { n =>
           if (n.has("add") && n.get("add").get("dataChange").asBoolean()) {
             if (link(decodePath(n.get("add").get("path").asText()))) linked += 1
           }
@@ -107,6 +138,20 @@ object DeltaStreamSource {
         lastVersion = v
       }
       linked
+    }
+
+    /** Materialize one version's change rows into the view — payload +
+      * `_change_type` + `_change_seq`, hive-partitioned like the raw
+      * links. Returns files added.
+      */
+    private def materialize(v: Long): Int = {
+      val sp = spark.getOrElse(throw new IllegalStateException(
+        s"$table: change_feed view opened without a SparkSession"))
+      val partCols = DeltaLog.snapshot(sp, table)
+        .map(_.partitionColumns).getOrElse(Seq.empty)
+      val chg = graft.sinks.Cdf.changeSeq(
+        DeltaLog.readChanges(sp, table, v, Some(v)))
+      graft.sinks.Cdf.materializeInto(dir, chg, partCols)
     }
 
     /** Hard-link `rel` from the table into the view (preserving hive
@@ -155,25 +200,53 @@ object DeltaStreamSource {
     * (schema + column order exactly as the table's metaData declares) and
     * the [[View]] handle (manual [[View.sync]] for bounded runs,
     * [[View.close]] when the query is done). `pollMs` starts a daemon
-    * that syncs continuously — the continuous-trigger mode.
+    * that keeps the view current for continuous triggers.
+    *
+    * `changeFeed=true` (r11) tails the table as an UPDATING stream
+    * instead of refusing DML commits: the current snapshot emits as
+    * inserts, appends keep emitting as inserts, and every change commit
+    * emits its recorded `_change_data` rows — the frame then carries
+    * payload + `_updating_meta{is_retract, id}`
+    * ([[graft.sinks.Cdf.updatingStream]]; `keys` declares the id hash
+    * columns, typically the table's merge keys), so the output of a
+    * `merge_keys` upsert sink feeds straight into updating aggregates /
+    * another upsert sink. Requires `delta.enableChangeDataFeed` on the
+    * table for any commit that deletes or updates rows.
     */
   def open(spark: SparkSession, table: String,
       pollMs: Option[Long] = None,
-      ignoreDeletes: Boolean = false): (DataFrame, View) = {
+      ignoreDeletes: Boolean = false,
+      changeFeed: Boolean = false,
+      keys: Seq[String] = Seq.empty): (DataFrame, View) = {
+    require(!(changeFeed && ignoreDeletes),
+      "change_feed and ignore_deletes are mutually exclusive (the change " +
+        "feed streams exactly the commits ignore_deletes would drop)")
     val snap = DeltaLog.snapshot(spark, table)
       .getOrElse(sys.error(s"$table is not a Delta table (no _delta_log)"))
     val view = new View(table, Files.createTempDirectory("graft-delta-view"),
-      ignoreDeletes)
+      ignoreDeletes, changeFeed, Some(spark))
     views.add(view)
     // initial state: the active snapshot IS each logical row exactly once
     view.linkAll(snap.files)
     view.lastVersion = snap.version
-    val df = spark.readStream.schema(snap.schema)
+    val readSchema =
+      if (changeFeed) graft.sinks.Cdf.streamSchema(snap.schema) else snap.schema
+    val df0 = spark.readStream.schema(readSchema)
       .option("basePath", view.dir.toString)
       .parquet(view.dir.toString)
       // partition discovery appends partition columns last; restore the
-      // metaData-declared order (same rule as the batch read)
-      .select(snap.schema.fieldNames.map(org.apache.spark.sql.functions.col).toIndexedSeq: _*)
+      // metaData-declared order (same rule as the batch read).
+      // Raw-linked snapshot files have no _change_type/_change_seq
+      // columns → null → insert, ordered first; materialized change
+      // files carry theirs.
+    val df =
+      if (changeFeed) graft.sinks.Cdf.updatingStream(
+        df0.select((snap.schema.fieldNames.toIndexedSeq :+
+          graft.sinks.Cdf.changeTypeCol :+ graft.sinks.Cdf.changeSeqCol)
+          .map(org.apache.spark.sql.functions.col): _*),
+        snap.schema, keys)
+      else df0.select(
+        snap.schema.fieldNames.map(org.apache.spark.sql.functions.col).toIndexedSeq: _*)
     pollMs.foreach { ms =>
       val t = new Thread(() => {
         try while (true) { view.sync(); Thread.sleep(ms) }

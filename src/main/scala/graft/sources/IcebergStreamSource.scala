@@ -40,7 +40,9 @@ object IcebergStreamSource {
   }, "graft-iceberg-view-cleanup"))
 
   final class View private[IcebergStreamSource] (val table: String, val dir: Path,
-      val ignoreDeletes: Boolean = false) {
+      val ignoreDeletes: Boolean = false,
+      val changeFeed: Boolean = false,
+      spark: Option[SparkSession] = None) {
     @volatile private[IcebergStreamSource] var lastSeq: Long = -1L
     @volatile private var closed = false
     private[IcebergStreamSource] var poller: Option[Thread] = None
@@ -74,18 +76,33 @@ object IcebergStreamSource {
         val sid = s.get("snapshot-id").asLong()
         val op = Option(s.get("summary")).map(_.get("operation").asText()).getOrElse("append")
         op match {
+          case "append" if changeFeed =>
+            // CHANGE FEED: materialize rather than link, so every row
+            // carries its _change_seq (commit order — Spark packs file
+            // splits by size, so arrival order across files means
+            // nothing to a downstream netting consumer)
+            linked += materializeChanges(seq)
           case "append" =>
             IcebergLog.liveFiles(table, Some(sid))
               .filter(f => f.status == 1 && f.entryRow.get(1) == sid)
               .foreach(f => if (link(f.path)) linked += 1)
           case "replace" => // layout rewrite adds no logical rows — skip whole
+          case "overwrite" if changeFeed =>
+            // CHANGE FEED: materialize the snapshot's manifest-diff rows
+            // (removed files → delete, added files → insert — the public
+            // changelog-scan shape, same frame as IcebergLog.readChanges)
+            // into the view as fresh parquet carrying _change_type +
+            // _change_seq. The copy is bounded by the overwrite's
+            // touched files, not the table.
+            linked += materializeChanges(seq)
           case "overwrite" =>
             if (!ignoreDeletes) throw new IllegalStateException(
               s"$table: snapshot $sid deleted or updated live rows under a " +
                 "running append-only stream (this source cannot retract " +
-                "emitted rows). Restart from a fresh snapshot, or open the " +
+                "emitted rows). Restart from a fresh snapshot, open the " +
                 "source with ignore_deletes=true to skip overwrite snapshots " +
-                "whole.")
+                "whole, or open with change_feed=true to stream the changes " +
+                "as retractions.")
           // ignore_deletes: skip whole (see scaladoc)
           case other => throw new IllegalStateException(
             s"$table: snapshot $sid has unknown operation '$other'; refusing " +
@@ -94,6 +111,19 @@ object IcebergStreamSource {
         lastSeq = seq
       }
       linked
+    }
+
+    /** Materialize one snapshot's change rows into the view under
+      * `data/` (hive-partitioned like the raw links, `_change_type` +
+      * `_change_seq` in-file). Returns files added.
+      */
+    private def materializeChanges(seq: Long): Int = {
+      val sp = spark.getOrElse(throw new IllegalStateException(
+        s"$table: change_feed view opened without a SparkSession"))
+      val m = IcebergLog.current(table).get
+      val chg = graft.sinks.Cdf.changeSeq(
+        IcebergLog.readChanges(sp, table, seq, Some(seq)))
+      graft.sinks.Cdf.materializeInto(dir.resolve("data"), chg, m.partitionColumns)
     }
 
     /** Hard-link the table-absolute data `path` into the view, keeping
@@ -132,14 +162,27 @@ object IcebergStreamSource {
     * column order exactly as the table metadata declares) and the
     * [[View]] handle. `pollMs` starts a daemon that keeps the view
     * current for continuous triggers.
+    *
+    * `changeFeed=true` (r11) tails the table as an UPDATING stream
+    * instead of refusing overwrite snapshots: appends keep emitting as
+    * inserts, and each overwrite emits its manifest-diff rows (removed
+    * files retract, added files append — rows carried unchanged through
+    * a rewrite cancel downstream). The frame then carries payload +
+    * `_updating_meta{is_retract, id}` with `keys` driving the id hash —
+    * the same contract as the delta change-feed source.
     */
   def open(spark: SparkSession, table: String,
       pollMs: Option[Long] = None,
-      ignoreDeletes: Boolean = false): (DataFrame, View) = {
+      ignoreDeletes: Boolean = false,
+      changeFeed: Boolean = false,
+      keys: Seq[String] = Seq.empty): (DataFrame, View) = {
+    require(!(changeFeed && ignoreDeletes),
+      "change_feed and ignore_deletes are mutually exclusive (the change " +
+        "feed streams exactly the snapshots ignore_deletes would drop)")
     val m = IcebergLog.current(table).getOrElse(
       sys.error(s"$table is not an Iceberg table (no metadata/v*.metadata.json)"))
     val view = new View(table, Files.createTempDirectory("graft-iceberg-view"),
-      ignoreDeletes)
+      ignoreDeletes, changeFeed, Some(spark))
     views.add(view)
     // initial state: the current snapshot IS each logical row exactly
     // once; the bulk link is the one O(active files) driver-side moment,
@@ -150,12 +193,23 @@ object IcebergStreamSource {
     view.lastSeq = m.lastSeq
     val dataDir = view.dir.resolve("data")
     Files.createDirectories(dataDir)
-    val df = spark.readStream.schema(m.schema)
+    val readSchema =
+      if (changeFeed) graft.sinks.Cdf.streamSchema(m.schema) else m.schema
+    val df0 = spark.readStream.schema(readSchema)
       .option("basePath", dataDir.toString)
       .parquet(dataDir.toString)
       // partition discovery appends partition columns last; restore the
-      // declared order (same rule as the batch read)
-      .select(m.schema.fieldNames.map(org.apache.spark.sql.functions.col).toIndexedSeq: _*)
+      // declared order (same rule as the batch read). Raw-linked
+      // snapshot files have no _change_type/_change_seq columns → null →
+      // insert, ordered first; materialized change files carry theirs.
+    val df =
+      if (changeFeed) graft.sinks.Cdf.updatingStream(
+        df0.select((m.schema.fieldNames.toIndexedSeq :+
+          graft.sinks.Cdf.changeTypeCol :+ graft.sinks.Cdf.changeSeqCol)
+          .map(org.apache.spark.sql.functions.col): _*),
+        m.schema, keys)
+      else df0.select(
+        m.schema.fieldNames.map(org.apache.spark.sql.functions.col).toIndexedSeq: _*)
     pollMs.foreach { ms =>
       val t = new Thread(() => {
         try while (true) { view.sync(); Thread.sleep(ms) }

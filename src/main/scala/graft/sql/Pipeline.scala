@@ -1147,9 +1147,19 @@ class Pipeline(spark: SparkSession, streaming: Boolean = false) {
             batchOnly.filter(t.options.contains).foreach(o =>
               sys.error(s"$o is a batch (snapshot) option; " +
                 "a streaming delta source always tails from the current snapshot"))
+            // change_feed = 'true' (r11): tail the table as an UPDATING
+            // stream (payload + _updating_meta) — DML/MERGE commits emit
+            // their recorded change rows as retract/append instead of
+            // hitting the refusal path, so a merge_keys upsert table can
+            // feed downstream updating aggregates / further upsert sinks.
+            // The id hash keys come from merge_keys (or PRIMARY KEY cols).
             val (df, view) = graft.sources.DeltaStreamSource.open(spark, tPath,
               pollMs = Some(t.options.getOrElse("poll_ms", "500").toLong),
-              ignoreDeletes = t.options.get("ignore_deletes").exists(_.toBoolean))
+              ignoreDeletes = t.options.get("ignore_deletes").exists(_.toBoolean),
+              changeFeed = t.options.get("change_feed").exists(_.toBoolean),
+              keys = t.options.get("merge_keys")
+                .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+                .getOrElse(t.pkColumns))
             tableViews += (() => view.close())
             df
           } else {
@@ -1180,9 +1190,15 @@ class Pipeline(spark: SparkSession, streaming: Boolean = false) {
             batchOnly.filter(t.options.contains).foreach(o =>
               sys.error(s"$o is a batch (time travel) option; " +
                 "a streaming iceberg source always tails from the current snapshot"))
+            // change_feed = 'true' (r11): manifest-diff updating stream —
+            // same contract as the delta change feed source
             val (df, view) = graft.sources.IcebergStreamSource.open(spark, tPath,
               pollMs = Some(t.options.getOrElse("poll_ms", "500").toLong),
-              ignoreDeletes = t.options.get("ignore_deletes").exists(_.toBoolean))
+              ignoreDeletes = t.options.get("ignore_deletes").exists(_.toBoolean),
+              changeFeed = t.options.get("change_feed").exists(_.toBoolean),
+              keys = t.options.get("merge_keys")
+                .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+                .getOrElse(t.pkColumns))
             tableViews += (() => view.close())
             df
           } else {
@@ -1738,7 +1754,8 @@ class Pipeline(spark: SparkSession, streaming: Boolean = false) {
           graft.sinks.Merge.upsertBatch(spark, fmt, sink.path.get, out0,
             sink.options("merge_keys").split(",").map(_.trim).toSeq,
             sink.options.get("merge_order_by"), partitionFields(sink),
-            mergeSchema = sink.options.get("merge_schema").exists(_.toBoolean))
+            mergeSchema = sink.options.get("merge_schema").exists(_.toBoolean),
+            tableConf = deltaTableConf(sink))
         case "delta" =>
           // WIRE-FORMAT Delta append (r8): one atomic _delta_log commit,
           // readable by any Delta reader — no format jars needed, the
@@ -1746,7 +1763,8 @@ class Pipeline(spark: SparkSession, streaming: Boolean = false) {
           graft.sinks.DeltaLog.writeBatch(out0, sink.path.get,
             sink.options.get("txn_id").map(id => (id, 0L)),
             partitionBy = partitionFields(sink),
-            mergeSchema = sink.options.get("merge_schema").exists(_.toBoolean))
+            mergeSchema = sink.options.get("merge_schema").exists(_.toBoolean),
+            tableConf = deltaTableConf(sink))
         case "iceberg" =>
           // WIRE-FORMAT Iceberg fast-append (r9): one snapshot commit with
           // real v2 metadata.json + avro manifests via the in-repo Avro
@@ -1828,9 +1846,10 @@ class Pipeline(spark: SparkSession, streaming: Boolean = false) {
           val ob = sink.options.get("merge_order_by")
           val pf = partitionFields(sink)
           val ms = sink.options.get("merge_schema").exists(_.toBoolean)
+          val tc = deltaTableConf(sink)
           ws.foreachBatch((b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) => {
             graft.sinks.Merge.upsertBatch(spark, fmt, table, b.toDF(), keys, ob, pf,
-              mergeSchema = ms)
+              mergeSchema = ms, tableConf = tc)
           }).start()
         case "delta" =>
           // streaming WIRE-FORMAT Delta append (r8): the `txn` action
@@ -1841,9 +1860,10 @@ class Pipeline(spark: SparkSession, streaming: Boolean = false) {
           val qn = sink.name
           val pf = partitionFields(sink)
           val ms = sink.options.get("merge_schema").exists(_.toBoolean)
+          val tc = deltaTableConf(sink)
           ws.foreachBatch((b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) => {
             graft.sinks.DeltaLog.writeBatch(b.toDF(), table, Some((qn, id)),
-              partitionBy = pf, mergeSchema = ms); ()
+              partitionBy = pf, mergeSchema = ms, tableConf = tc); ()
           }).start()
         case "iceberg" =>
           // streaming WIRE-FORMAT Iceberg fast-append (r9): the snapshot
@@ -1943,6 +1963,17 @@ class Pipeline(spark: SparkSession, streaming: Boolean = false) {
     t.options.get("partitioning.fields").toSeq.flatMap(
       _.stripPrefix("[").stripSuffix("]").split(",").map(_.trim)
         .filter(_.nonEmpty).toSeq)
+
+  /** `change_feed = 'true'` on a delta sink stamps the table with
+    * `delta.enableChangeDataFeed` so DML/MERGE commits record their
+    * change rows — the property downstream `change_feed` source tables
+    * need. Iceberg tables derive their changelog from manifests and
+    * need no property.
+    */
+  private def deltaTableConf(t: ConnectorTable): Map[String, String] =
+    if (t.options.get("change_feed").exists(_.toBoolean))
+      Map(graft.sinks.Cdf.enableProp -> "true")
+    else Map.empty
 
   /** True when the analyzed plan joins two legs that EACH contain a
     * time-windowed STREAMING aggregate — the shape [[graft.streaming

@@ -184,7 +184,21 @@ object Debezium {
     * trip MERGE's multiple-source-rows error.
     */
   def netBatch(df: DataFrame, metaCol: String = "_updating_meta"): DataFrame = {
-    val seqd = df.withColumn("__ord", monotonically_increasing_id())
+    // a meta struct carrying `seq` (a change-feed source,
+    // [[graft.sinks.Cdf.updatingStream]]) orders a key's events by
+    // COMMIT order, not arrival order — Spark packs file splits by size,
+    // so a key's retract can arrive after its replacement within one
+    // micro-batch and arrival-order netting would wrongly drop the key.
+    // Null seq (the stream's initial snapshot) sorts first; the
+    // monotonic id stays as the tie-break for same-seq events.
+    val metaType = df.schema(df.schema.fieldIndex(metaCol)).dataType
+      .asInstanceOf[StructType]
+    val seqCol =
+      if (metaType.fieldNames.contains("seq"))
+        coalesce(col(s"$metaCol.seq"), lit(Long.MinValue))
+      else lit(0L)
+    val seqd = df.withColumn("__ord",
+      struct(seqCol.as("s"), monotonically_increasing_id().as("m")))
     val payloadCols = df.schema.fields.filter(_.name != metaCol)
       .map(f => col(s"`${f.name}`")).toIndexedSeq
     val ev = struct(col("__ord").as("o"), col(s"$metaCol.is_retract").as("r"),
@@ -208,8 +222,16 @@ object Debezium {
     // batch-local order id: rollBatch runs inside foreachBatch, where the
     // frame is a plain batch plan whose narrow ops preserved partition row
     // order — monotonically_increasing_id reconstructs (partition, row)
-    // order, i.e. file/emission order
-    val seqd = df.withColumn("__ord", monotonically_increasing_id())
+    // order, i.e. file/emission order. A meta struct carrying `seq` (a
+    // change-feed source) overrides with COMMIT order — see netBatch.
+    val metaType = df.schema(df.schema.fieldIndex(metaCol)).dataType
+      .asInstanceOf[StructType]
+    val seqCol =
+      if (metaType.fieldNames.contains("seq"))
+        coalesce(col(s"$metaCol.seq"), lit(Long.MinValue))
+      else lit(0L)
+    val seqd = df.withColumn("__ord",
+      struct(seqCol.as("s"), monotonically_increasing_id().as("m")))
     val ev = struct(col("__ord").as("o"), col(s"$metaCol.is_retract").as("r"),
       payloadStruct(df, metaCol, drop = Set("__ord")).as("p"))
     val grouped = seqd

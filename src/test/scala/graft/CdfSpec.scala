@@ -1,0 +1,328 @@
+package graft
+
+import graft.sinks.{Cdf, DeltaLog, IcebergLog, Merge}
+import org.apache.spark.sql.functions._
+
+import java.nio.file.{Files, Paths}
+import scala.jdk.CollectionConverters._
+
+/** The change data feed (r11): with `delta.enableChangeDataFeed` set,
+  * every DML verb records its change rows — `insert` / `delete` /
+  * `update_preimage` / `update_postimage` — as `_change_data/` files +
+  * `cdc` actions in the same commit (the public Delta CDF shape), and
+  * [[DeltaLog.readChanges]] replays any version range. Iceberg derives
+  * the same row shape from manifest diffs ([[IcebergLog.readChanges]]):
+  * file-granularity delete+insert per overwrite snapshot, the public
+  * changelog-scan semantics. This is what lets a downstream STREAM tail
+  * an upserted table instead of hitting the refusal path.
+  */
+class CdfSpec extends SparkSpec {
+
+  private val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+
+  private def tmpTable(name: String): String =
+    Files.createTempDirectory(name).toString
+
+  private val cdfConf = Map(Cdf.enableProp -> "true")
+
+  private def changeCounts(df: org.apache.spark.sql.DataFrame): Map[(Long, String), Long] =
+    df.groupBy(col(Cdf.commitVersionCol), col(Cdf.changeTypeCol)).count()
+      .collect().map(r => (r.getLong(0), r.getString(1)) -> r.getLong(2)).toMap
+
+  test("delta DELETE/UPDATE record change rows as _change_data files + cdc actions") {
+    import spark.implicits._
+    val table = tmpTable("delta_cdf")
+    DeltaLog.writeBatch((1L to 10L).map(i => (i, i * 10L)).toDF("id", "v").coalesce(1),
+      table, tableConf = cdfConf)
+    assert(DeltaLog.deleteWhere(spark, table, "id > 8").contains(1L))
+    assert(DeltaLog.updateWhere(spark, table,
+      Seq("v" -> "v + 1"), Some("id <= 2")).contains(2L))
+    // protocol shape: cdc actions point under _change_data/, dataChange=false
+    val v1 = Files.readAllLines(Paths.get(table, "_delta_log", f"${1L}%020d.json"))
+      .asScala.filter(_.nonEmpty).map(mapper.readTree)
+    val cdcActions = v1.filter(_.has("cdc"))
+    assert(cdcActions.nonEmpty, "DML on a CDF table must write cdc actions")
+    cdcActions.foreach { n =>
+      assert(n.get("cdc").get("path").asText.startsWith(s"${Cdf.changeDataDir}/"))
+      assert(!n.get("cdc").get("dataChange").asBoolean)
+    }
+    // v0 create reads back as inserts; v1 deletes; v2 update pre+post
+    val counts = changeCounts(DeltaLog.readChanges(spark, table, 0L))
+    assert(counts((0L, "insert")) == 10L)
+    assert(counts((1L, "delete")) == 2L)
+    assert(counts((2L, "update_preimage")) == 2L)
+    assert(counts((2L, "update_postimage")) == 2L)
+    // image content: the update pair carries old and new values per key
+    val upd = DeltaLog.readChanges(spark, table, 2L, Some(2L))
+      .select(col("id"), col("v"), col(Cdf.changeTypeCol))
+      .as[(Long, Long, String)].collect().toSet
+    assert(upd == Set((1L, 10L, "update_preimage"), (1L, 11L, "update_postimage"),
+      (2L, 20L, "update_preimage"), (2L, 21L, "update_postimage")))
+    // normal snapshot reads are unaffected by cdc actions
+    assert(DeltaLog.read(spark, table).count() == 8)
+    // bounded range excludes later versions
+    assert(DeltaLog.readChanges(spark, table, 0L, Some(0L))
+      .select(Cdf.changeTypeCol).distinct().as[String].collect().toSeq == Seq("insert"))
+  }
+
+  test("delta MERGE records delete / update pair / insert change rows; insert-only appends need no cdc") {
+    import spark.implicits._
+    val table = tmpTable("delta_cdf_merge")
+    DeltaLog.writeBatch((1L to 6L).map(i => (i, s"v$i")).toDF("id", "v").coalesce(1),
+      table, tableConf = cdfConf)
+    val source = Seq((1L, "dead"), (2L, "n2"), (9L, "n9")).toDF("id", "v")
+    val clauses = Merge.Clauses("t", "s", "t.id = s.id",
+      Seq(
+        Merge.MatchedClause(Some("s.v = 'dead'"), Right(())),
+        Merge.MatchedClause(None, Left(Seq("v" -> "s.v")))),
+      Some((None, Seq.empty)))
+    assert(DeltaLog.merge(spark, table, source, clauses).contains(1L))
+    val ch = DeltaLog.readChanges(spark, table, 1L, Some(1L))
+      .select(col("id"), col("v"), col(Cdf.changeTypeCol))
+      .as[(Long, String, String)].collect().toSet
+    assert(ch == Set(
+      (1L, "v1", "delete"),
+      (2L, "v2", "update_preimage"), (2L, "n2", "update_postimage"),
+      (9L, "n9", "insert")))
+    // insert-only merge: a pure append commit, NO cdc actions (readers
+    // map its dataChange adds to inserts) — and no files rewritten
+    assert(DeltaLog.merge(spark, table,
+      Seq((20L, "n20")).toDF("id", "v"),
+      Merge.Clauses("t", "s", "t.id = s.id", Seq.empty,
+        Some((None, Seq.empty)))).contains(2L))
+    val v2 = Files.readAllLines(Paths.get(table, "_delta_log", f"${2L}%020d.json"))
+      .asScala.filter(_.nonEmpty).map(mapper.readTree)
+    assert(!v2.exists(_.has("cdc")) && !v2.exists(_.has("remove")))
+    val counts = changeCounts(DeltaLog.readChanges(spark, table, 2L))
+    assert(counts == Map((2L, "insert") -> 1L))
+  }
+
+  test("a pre-CDF change commit cannot be replayed: readChanges fails loudly, not silently short") {
+    import spark.implicits._
+    val table = tmpTable("delta_cdf_off")
+    DeltaLog.writeBatch((1L to 5L).map(i => (i, i)).toDF("id", "v").coalesce(1), table)
+    assert(DeltaLog.deleteWhere(spark, table, "id = 1").contains(1L)) // no CDF yet
+    val e = intercept[RuntimeException] {
+      DeltaLog.readChanges(spark, table, 0L).count() }
+    assert(e.getMessage.contains(Cdf.enableProp))
+    // enabling CDF later is a metaData commit; DML after it replays fine
+    DeltaLog.writeBatch(Seq((6L, 6L)).toDF("id", "v"), table, tableConf = cdfConf)
+    assert(DeltaLog.snapshot(spark, table).exists(s => Cdf.isEnabled(s.configuration)))
+    assert(DeltaLog.deleteWhere(spark, table, "id = 2").contains(3L))
+    val counts = changeCounts(DeltaLog.readChanges(spark, table, 2L))
+    assert(counts((2L, "insert")) == 1L && counts((3L, "delete")) == 1L)
+  }
+
+  test("iceberg readChanges: manifest-diff changelog — append→insert, overwrite→delete+insert, replace→nothing") {
+    import spark.implicits._
+    val table = tmpTable("ice_cdf")
+    IcebergLog.writeBatch((1L to 6L).map(i => (i, i * 10L)).toDF("id", "v").coalesce(1), table) // seq 1
+    IcebergLog.writeBatch(Seq((7L, 70L)).toDF("id", "v").coalesce(1), table) // seq 2
+    assert(IcebergLog.rewriteDataFiles(spark, table, smallBytes = Some(1L << 20)).isDefined) // seq 3 replace
+    assert(IcebergLog.deleteWhere(spark, table, "id = 3").isDefined) // seq 4 overwrite
+    val ch = IcebergLog.readChanges(spark, table, 1L)
+      .select(col("id"), col("v"), col(Cdf.changeTypeCol), col(Cdf.commitVersionCol))
+      .as[(Long, Long, String, Long)].collect()
+    val bySeq = ch.groupBy(_._4)
+    assert(bySeq(1L).forall(_._3 == "insert") && bySeq(1L).length == 6)
+    assert(bySeq(2L).toSet == Set((7L, 70L, "insert", 2L)))
+    assert(!bySeq.contains(3L), "replace (OPTIMIZE) emits nothing")
+    // overwrite at file granularity: the rewritten file's 7 rows retract,
+    // its 6 survivors re-insert; carried-through pairs cancel downstream
+    val dels = bySeq(4L).filter(_._3 == "delete").map(r => (r._1, r._2)).toSet
+    val ins = bySeq(4L).filter(_._3 == "insert").map(r => (r._1, r._2)).toSet
+    assert(dels -- ins == Set((3L, 30L)), "the net change is the deleted row")
+    assert(ins.subsetOf(dels), "re-inserted survivors all appeared in the retracts")
+    // expired snapshots refuse loudly
+    IcebergLog.expireSnapshots(spark, table, olderThanMs = -1000)
+    val e = intercept[IllegalArgumentException] {
+      IcebergLog.readChanges(spark, table, 1L) }
+    assert(e.getMessage.contains("expired"))
+  }
+
+  test("the chain: upsert sink → delta change-feed stream → downstream upsert mirror converges") {
+    import org.apache.spark.sql.streaming.Trigger
+    import spark.implicits._
+    val src = tmpTable("cdf_chain_src")
+    val mirror = tmpTable("cdf_chain_mirror")
+    DeltaLog.writeBatch((1L to 8L).map(i => (i, i * 10L)).toDF("id", "v").coalesce(1),
+      src, tableConf = cdfConf)
+    val (df, view) = graft.sources.DeltaStreamSource.open(spark, src,
+      changeFeed = true, keys = Seq("id"))
+    // the stream frame is payload + _updating_meta — exactly what the
+    // merge_keys upsert sink consumes (netBatch nets it per key)
+    val q = df.writeStream
+      .foreachBatch((b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) => {
+        if (!b.isEmpty) Merge.upsertBatch(spark, "delta", mirror, b.toDF(), Seq("id"))
+      })
+      .trigger(Trigger.ProcessingTime(100)).start()
+    def mirrorRows: Map[Long, Long] =
+      DeltaLog.read(spark, mirror).as[(Long, Long)].collect().toMap
+    try {
+      q.processAllAvailable()
+      assert(mirrorRows == (1L to 8L).map(i => i -> i * 10L).toMap,
+        "initial snapshot lands as inserts")
+      // an update + a delete + a merge (update/insert) on the source
+      assert(DeltaLog.updateWhere(spark, src,
+        Seq("v" -> "v + 1"), Some("id <= 2")).isDefined)
+      assert(DeltaLog.deleteWhere(spark, src, "id >= 7").isDefined)
+      assert(DeltaLog.merge(spark, src,
+        Seq((3L, 999L), (20L, 2000L)).toDF("id", "v"),
+        Merge.Clauses("t", "s", "t.id = s.id",
+          Seq(Merge.MatchedClause(None, Left(Seq("v" -> "s.v")))),
+          Some((None, Seq.empty)))).isDefined)
+      view.sync()
+      q.processAllAvailable()
+      val want = DeltaLog.read(spark, src).as[(Long, Long)].collect().toMap
+      assert(want == Map(1L -> 11L, 2L -> 21L, 3L -> 999L, 4L -> 40L,
+        5L -> 50L, 6L -> 60L, 20L -> 2000L))
+      assert(mirrorRows == want, "the mirror table converges to the source")
+    } finally {
+      q.stop()
+      view.close()
+    }
+  }
+
+  test("the chain on iceberg: upsert sink → change-feed stream → mirror (file-granularity diffs cancel)") {
+    import org.apache.spark.sql.streaming.Trigger
+    import spark.implicits._
+    val src = tmpTable("ice_cdf_chain_src")
+    val mirror = tmpTable("ice_cdf_chain_mirror")
+    // bootstrap via the upsert sink itself
+    Merge.upsertBatch(spark, "iceberg", src,
+      (1L to 6L).map(i => (i, i * 10L)).toDF("id", "v"), Seq("id"))
+    val (df, view) = graft.sources.IcebergStreamSource.open(spark, src,
+      changeFeed = true, keys = Seq("id"))
+    val q = df.writeStream
+      .foreachBatch((b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) => {
+        if (!b.isEmpty) Merge.upsertBatch(spark, "iceberg", mirror, b.toDF(), Seq("id"))
+      })
+      .trigger(Trigger.ProcessingTime(100)).start()
+    def mirrorRows: Map[Long, Long] =
+      IcebergLog.read(spark, mirror).as[(Long, Long)].collect().toMap
+    try {
+      q.processAllAvailable()
+      assert(mirrorRows.keySet == (1L to 6L).toSet)
+      // a CDC batch (update 2 keys, insert 1) + a DELETE — each an
+      // overwrite snapshot; the stream emits the file-granularity diffs
+      // whose carried-through pairs cancel in netBatch
+      Merge.upsertBatch(spark, "iceberg", src,
+        Seq((1L, 11L), (2L, 21L), (9L, 90L)).toDF("id", "v"), Seq("id"))
+      assert(IcebergLog.deleteWhere(spark, src, "id = 6").isDefined)
+      view.sync()
+      q.processAllAvailable()
+      val want = IcebergLog.read(spark, src).as[(Long, Long)].collect().toMap
+      assert(want == Map(1L -> 11L, 2L -> 21L, 3L -> 30L, 4L -> 40L,
+        5L -> 50L, 9L -> 90L))
+      assert(mirrorRows == want, "the mirror table converges to the source")
+    } finally {
+      q.stop()
+      view.close()
+    }
+  }
+
+  test("change feed drives a retraction-aware aggregate: per-key sums follow updates and deletes") {
+    import org.apache.spark.sql.streaming.Trigger
+    import spark.implicits._
+    val src = tmpTable("cdf_agg_src")
+    DeltaLog.writeBatch(
+      Seq((1L, "a", 10.0), (2L, "a", 20.0), (3L, "b", 30.0), (4L, "b", 40.0))
+        .toDF("id", "grp", "v").coalesce(1),
+      src, tableConf = cdfConf)
+    val (df, view) = graft.sources.DeltaStreamSource.open(spark, src,
+      changeFeed = true, keys = Seq("id"))
+    val child = df.select(col("grp").as("__k_0"),
+      col("v").cast("double").as("__v_0"),
+      col("_updating_meta.is_retract").as("__r"))
+    val updates = graft.streaming.UpdatingSql.updatingAggRows(child,
+      numKeys = 1, kinds = Seq(graft.streaming.UpdatingSql.KSum), ttl = None)
+    val q = updates.writeStream.format("memory").queryName("cdf_agg")
+      .outputMode("update").trigger(Trigger.ProcessingTime(100)).start()
+    def events: Set[(String, Double, Boolean)] =
+      spark.table("cdf_agg")
+        .select(col("__k_0"), col("__a_0"), col("_updating_meta.is_retract"))
+        .collect().map(r => (r.getString(0), r.getDouble(1), r.getBoolean(2))).toSet
+    try {
+      q.processAllAvailable()
+      assert(events == Set(("a", 30.0, false), ("b", 70.0, false)),
+        "initial snapshot aggregates as inserts")
+      assert(DeltaLog.updateWhere(spark, src,
+        Seq("v" -> "v + 5"), Some("id = 1")).isDefined)
+      assert(DeltaLog.deleteWhere(spark, src, "id = 3").isDefined)
+      view.sync()
+      q.processAllAvailable()
+      // the update retracts a's 30 → 35; the delete retracts b's 70 → 40
+      assert(events == Set(
+        ("a", 30.0, false), ("a", 30.0, true), ("a", 35.0, false),
+        ("b", 70.0, false), ("b", 70.0, true), ("b", 40.0, false)),
+        s"got $events")
+    } finally {
+      q.stop()
+      view.close()
+    }
+  }
+
+  test("SQL face: change_feed source feeds an updating aggregate into a merge_keys sink") {
+    import spark.implicits._
+    val src = tmpTable("cdf_sql_src")
+    val out = tmpTable("cdf_sql_out") + "/t"
+    val cp = tmpTable("cdf_sql_cp")
+    // a table with DML history — the current snapshot is what streams
+    DeltaLog.writeBatch(
+      Seq((1L, "a", 10.0), (2L, "a", 20.0), (3L, "b", 30.0))
+        .toDF("id", "grp", "v").coalesce(1),
+      src, tableConf = cdfConf)
+    DeltaLog.updateWhere(spark, src, Seq("v" -> "v * 2"), Some("grp = 'a'"))
+    DeltaLog.deleteWhere(spark, src, "id = 3")
+    new graft.sql.Pipeline(spark, streaming = true).run(
+      s"""CREATE TABLE cdc (id BIGINT, grp TEXT, v DOUBLE) WITH (
+         |  connector='delta', path='$src', format='parquet', type='source',
+         |  change_feed='true', merge_keys='id');
+         |CREATE TABLE agg (grp TEXT, n BIGINT, total DOUBLE) WITH (
+         |  connector='delta', path='$out', format='parquet', type='sink',
+         |  merge_keys='grp', checkpoint='$cp');
+         |INSERT INTO agg SELECT grp, count(*), sum(v) FROM cdc GROUP BY grp""".stripMargin)
+    val rows = DeltaLog.read(spark, out).as[(String, Long, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(rows == Map("a" -> ((2L, 60.0))), s"got $rows")
+  }
+
+  test("change-feed stream on a table WITHOUT the property fails loudly at the change commit") {
+    import spark.implicits._
+    val src = tmpTable("cdf_stream_off")
+    DeltaLog.writeBatch(Seq((1L, 10L)).toDF("id", "v").coalesce(1), src) // no CDF
+    val (df, view) = graft.sources.DeltaStreamSource.open(spark, src,
+      changeFeed = true, keys = Seq("id"))
+    val q = df.writeStream.format("memory").queryName("cdf_off")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      assert(DeltaLog.deleteWhere(spark, src, "id = 1").isDefined)
+      val e = intercept[IllegalStateException] { view.sync() }
+      assert(e.getMessage.contains(Cdf.enableProp))
+      // appends still flow on a CDF-less table (pure inserts)
+    } finally {
+      q.stop()
+      view.close()
+    }
+    // and change_feed + ignore_deletes refuse together
+    intercept[IllegalArgumentException] {
+      graft.sources.DeltaStreamSource.open(spark, src,
+        changeFeed = true, ignoreDeletes = true)
+    }
+  }
+
+  test("CDF on a PARTITIONED delta table: change files keep hive partition values") {
+    import spark.implicits._
+    val table = tmpTable("delta_cdf_part")
+    DeltaLog.writeBatch(
+      (1L to 8L).map(i => (i, if (i % 2 == 0) "even" else "odd")).toDF("id", "p"),
+      table, partitionBy = Seq("p"), tableConf = cdfConf)
+    assert(DeltaLog.deleteWhere(spark, table, "id >= 7").isDefined)
+    val ch = DeltaLog.readChanges(spark, table, 1L)
+      .select(col("id"), col("p"), col(Cdf.changeTypeCol))
+      .as[(Long, String, String)].collect().toSet
+    assert(ch == Set((7L, "odd", "delete"), (8L, "even", "delete")),
+      "partition values must survive into the change rows")
+  }
+}
