@@ -103,6 +103,26 @@ object DeltaProbe {
     }
     Seq(10000, 100000).foreach(fileCountAxis)
 
+    // (e) BULK-COMMIT harvest axis (r11): a bulk initial load committing
+    // 10⁴ parts pays 10⁴ parquet-footer opens for its add-action stats.
+    // They ride the SpoolLink pool since r11 — this row pins the serial
+    // vs pooled cost over the SAME real footers (probeHarvest re-runs
+    // the exact per-file work writeBatch does at commit time).
+    def harvestAxis(nParts: Int): Unit = {
+      import java.nio.file.{Files => JF}
+      val t = JF.createTempDirectory("delta-harvest").toString
+      val df = spark.range(nParts * 20L)
+        .select(col("id"), (col("id") % 97).as("k"), (col("id") * 7).as("v"))
+        .repartition(nParts)
+      val (_, tWrite) = timed(DeltaLog.writeBatch(df.toDF(), t))
+      val (_, tSerial) = timed(DeltaLog.probeHarvest(spark, t, parallel = false))
+      val (_, tPooled) = timed(DeltaLog.probeHarvest(spark, t, parallel = true))
+      println(f"[delta-probe] bulk-commit parts=$nParts%6d " +
+        f"writeBatch=${tWrite}%.2fs harvest serial=${tSerial}%.2fs " +
+        f"pooled=${tPooled}%.2fs speedup=${tSerial / tPooled}%.1fx")
+    }
+    harvestAxis(10000)
+
     // (d) STREAMING-OPEN axis: DeltaStreamSource.open hard-links every
     // ACTIVE file into the view dir on the driver (one-time), and each
     // later sync links only the new tail. Synthetic adds again, but with

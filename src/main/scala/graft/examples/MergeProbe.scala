@@ -78,6 +78,53 @@ object MergeProbe {
     val f4 = files
     println(f"[merge-probe] (d) NMBS full reconcile: removed=${(f3 -- f4).size} " +
       f"of ${f3.size} t=${tHot}%.2fs (full-table verb by semantics)")
+
+    // the r11 skew axes run against FRESH range-partitioned tables —
+    // (d)'s full reconcile coalesced the table to one file, which would
+    // make every later "removed of N" row meaningless
+    def freshTable(): String = {
+      val t = java.nio.file.Files.createTempDirectory("merge-probe").toString
+      DeltaLog.writeBatch(base, t)
+      t
+    }
+    def filesOf(t: String) = DeltaLog.snapshot(spark, t).get.files.toSet
+
+    // (e) SKEW axis (r11): a batch whose keys ALL land in ONE hot target
+    //     file — the adversarial case for key-bounds pruning (bounds
+    //     cover one file exactly) and for the rewrite (one task rewrites
+    //     the hot file while the rest of the cluster idles; bounded by
+    //     one file's rows, so acceptable by construction)
+    val tHotTable = freshTable()
+    val e0 = filesOf(tHotTable)
+    val hotLo = 5 * rowsPerFile // inside one mid-table file
+    val hot = spark.range(hotLo, hotLo + rowsPerFile / 2)
+      .select(col("id").as("k"), lit(-4.0).as("v"))
+    val (_, tSkew) = timed(DeltaLog.merge(spark, tHotTable, hot, clauses))
+    println(f"[merge-probe] (e) hot-file skew merge: " +
+      f"removed=${(e0 -- filesOf(tHotTable)).size} of ${e0.size} " +
+      f"t=${tSkew}%.2fs (expect 1-2 files — cost bounded by the hot file)")
+
+    // (f) SPREAD axis (r11): the same batch SIZE spread across every
+    //     file (k ≡ 0 mod rowsPerFile) — bounds cover the whole table,
+    //     pruning keeps everything, every file rewrites: the honest
+    //     worst case, equivalent to a full-table UPDATE; the rewrite
+    //     parallelizes and re-coalesces toward the 128 MB target
+    val tSpreadTable = freshTable()
+    val s0 = filesOf(tSpreadTable)
+    val spread = spark.range(nFiles.toLong)
+      .select((col("id") * rowsPerFile).as("k"), lit(-5.0).as("v"))
+    val (_, tSpread) = timed(DeltaLog.merge(spark, tSpreadTable, spread, clauses))
+    println(f"[merge-probe] (f) all-files spread merge: " +
+      f"removed=${(s0 -- filesOf(tSpreadTable)).size} of ${s0.size} t=${tSpread}%.2fs")
+
+    // (g) full-table UPDATE (r11): every file touched; exercises the
+    //     coalesce-sized rewrite + pooled stats harvest end-to-end
+    val tFullTable = freshTable()
+    val g0 = filesOf(tFullTable)
+    val (_, tFull) = timed(DeltaLog.updateWhere(spark, tFullTable,
+      Seq("v" -> "v + 1"), None))
+    println(f"[merge-probe] (g) full-table UPDATE: " +
+      f"removed=${(g0 -- filesOf(tFullTable)).size} of ${g0.size} t=${tFull}%.2fs")
     spark.stop()
   }
 }

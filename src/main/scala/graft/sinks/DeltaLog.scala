@@ -639,6 +639,25 @@ object DeltaLog {
     case _ => ()
   }
 
+  /** Probe seam (SCALE.md): re-harvest every active file's footer stats,
+    * serially or on the SpoolLink pool — isolates the commit path's
+    * per-added-file cost at bulk-load file counts. Returns (files,
+    * seconds).
+    */
+  private[graft] def probeHarvest(spark: SparkSession, table: String,
+      parallel: Boolean): (Int, Double) = {
+    val s = snapshot(spark, table)
+      .getOrElse(sys.error(s"$table is not a Delta table"))
+    val dataSchema = StructType(
+      s.schema.filterNot(f => s.partitionColumns.contains(f.name)))
+    val paths = s.files.map(f => Paths.get(table, f))
+    val t0 = System.nanoTime()
+    if (parallel)
+      graft.sources.SpoolLink.parMap(paths)(p => fileStatsJson(spark, p, dataSchema))
+    else paths.map(p => fileStatsJson(spark, p, dataSchema))
+    (paths.size, (System.nanoTime() - t0) / 1e9)
+  }
+
   /** Append `df` as one atomic Delta commit. `txn` = (appId, batchId)
     * arms the idempotent-replay guard; `partitionBy` writes hive-style
     * `col=val/` data paths with the values recorded in each add action's
@@ -673,7 +692,10 @@ object DeltaLog {
       .map(p => (scratch.relativize(p).toString, p))
       .sortBy(_._1)
     val dataSchema = StructType(df.schema.filterNot(f => partitionBy.contains(f.name)))
-    val added = parts.map { case (rel, p) =>
+    // link + footer-stats harvest per part: independent per-file work, so
+    // a BULK initial load (10⁴-10⁵ parts in one commit) rides the shared
+    // pool instead of paying serial footer opens in the commit path
+    val added = graft.sources.SpoolLink.parMap(parts) { case (rel, p) =>
       val dest = Paths.get(table, rel)
       Files.createDirectories(dest.getParent)
       try Files.createLink(dest, p)

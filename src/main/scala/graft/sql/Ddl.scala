@@ -172,15 +172,6 @@ object Ddl {
       tail = next
     }
     if (clauses.isEmpty) bad("at least one WHEN clause is required")
-    val MatchedUpd =
-      """(?is)^MATCHED(?:\s+AND\s+(.+?))?\s+THEN\s+UPDATE\s+SET\s+(.+)$""".r
-    val MatchedDel = """(?is)^MATCHED(?:\s+AND\s+(.+?))?\s+THEN\s+DELETE\s*$""".r
-    val NotMatchedIns =
-      """(?is)^NOT\s+MATCHED(?:\s+BY\s+TARGET)?(?:\s+AND\s+(.+?))?\s+THEN\s+INSERT\s+(.+)$""".r
-    val NotBySrcUpd =
-      """(?is)^NOT\s+MATCHED\s+BY\s+SOURCE(?:\s+AND\s+(.+?))?\s+THEN\s+UPDATE\s+SET\s+(.+)$""".r
-    val NotBySrcDel =
-      """(?is)^NOT\s+MATCHED\s+BY\s+SOURCE(?:\s+AND\s+(.+?))?\s+THEN\s+DELETE\s*$""".r
     val matched = scala.collection.mutable.ArrayBuffer
       .empty[(Option[String], Either[Seq[(String, String)], Unit])]
     val notBySource = scala.collection.mutable.ArrayBuffer
@@ -194,37 +185,80 @@ object Ddl {
           case _ => bad(s"malformed SET assignment '$a' (expected col = expr)")
         }
       }
-    clauses.foreach {
-      case NotBySrcUpd(and, sets) =>
-        notBySource += ((Option(and).map(_.trim), Left(parseSets(sets))))
-      case NotBySrcDel(and) =>
-        notBySource += ((Option(and).map(_.trim), Right(())))
-      case MatchedUpd(and, sets) =>
-        matched += ((Option(and).map(_.trim), Left(parseSets(sets))))
-      case MatchedDel(and) =>
-        matched += ((Option(and).map(_.trim), Right(())))
-      case NotMatchedIns(and, body0) =>
-        if (insert.isDefined) bad("at most one WHEN NOT MATCHED clause")
-        val body = body0.trim
-        val sets: Seq[(String, String)] =
-          if (body == "*") Seq.empty
-          else {
-            val ColsVals =
-              """(?is)^\(([^)]*)\)\s*VALUES\s*\((.*)\)\s*$""".r
-            body match {
-              case ColsVals(cols, vals) =>
-                val cs = splitTop(cols, ',').map(_.trim).filter(_.nonEmpty)
-                val vs = splitTop(vals, ',').map(_.trim).filter(_.nonEmpty)
-                if (cs.size != vs.size)
-                  bad(s"INSERT has ${cs.size} columns but ${vs.size} values")
-                if (cs.isEmpty) bad("INSERT needs at least one column")
-                cs.zip(vs)
-              case _ => bad(
-                "expected INSERT * or INSERT (cols) VALUES (exprs)")
+    // Tokenizer-based clause parse (r11): the clause's THEN is found by
+    // the SAME top-level scanner that split the WHEN clauses (paren /
+    // quote / backquote / CASE-depth aware), so a THEN nested inside a
+    // subquery, function call, string literal or CASE expression in the
+    // clause's AND-condition can never mis-split — the lazy
+    // `AND (.+?) THEN` regexes this replaces matched the FIRST textual
+    // THEN regardless of nesting.
+    clauses.foreach { clause0 =>
+      val clause = clause0.trim
+      val thenAt = topLevelKeyword(clause, "THEN")
+      if (thenAt < 0)
+        bad(s"cannot parse WHEN clause (no top-level THEN): 'WHEN $clause'")
+      val head = clause.substring(0, thenAt).trim
+      val action = clause.substring(thenAt + "THEN".length).trim
+      // clause family: longest prefix first, word-bounded
+      val families = Seq(
+        "NOT MATCHED BY SOURCE" -> "source",
+        "NOT MATCHED BY TARGET" -> "insert",
+        "NOT MATCHED" -> "insert",
+        "MATCHED" -> "matched")
+      val (prefix, family) = families.find { case (p, _) =>
+        head.matches("(?is)^" + p.replace(" ", "\\s+") + "(\\s.*|$)")
+      }.getOrElse(bad(s"cannot parse WHEN clause: 'WHEN $clause'"))
+      val rest = ("(?is)^" + prefix.replace(" ", "\\s+")).r
+        .replaceFirstIn(head, "").trim
+      val and: Option[String] =
+        if (rest.isEmpty) None
+        else if (rest.matches("(?is)^AND\\s.*")) {
+          val c = rest.replaceFirst("(?is)^AND\\s+", "").trim
+          if (c.isEmpty) bad(s"empty AND condition in 'WHEN $clause'")
+          Some(c)
+        } else bad(s"expected AND <condition> or THEN after $prefix, " +
+          s"got '$rest'")
+      val UpdateAct = """(?is)^UPDATE\s+SET\s+(.+)$""".r
+      val InsertAct = """(?is)^INSERT\s+(.+)$""".r
+      (family, action) match {
+        case ("matched", UpdateAct(sets)) =>
+          matched += ((and, Left(parseSets(sets))))
+        case ("matched", a) if a.matches("(?is)^DELETE$") =>
+          matched += ((and, Right(())))
+        case ("matched", a) =>
+          bad(s"WHEN MATCHED supports UPDATE SET … or DELETE, got '$a'")
+        case ("source", UpdateAct(sets)) =>
+          notBySource += ((and, Left(parseSets(sets))))
+        case ("source", a) if a.matches("(?is)^DELETE$") =>
+          notBySource += ((and, Right(())))
+        case ("source", a) =>
+          bad(s"WHEN NOT MATCHED BY SOURCE supports UPDATE SET … or " +
+            s"DELETE, got '$a'")
+        case ("insert", InsertAct(body0)) =>
+          if (insert.isDefined) bad("at most one WHEN NOT MATCHED clause")
+          val body = body0.trim
+          val sets: Seq[(String, String)] =
+            if (body == "*") Seq.empty
+            else {
+              val ColsVals =
+                """(?is)^\(([^)]*)\)\s*VALUES\s*\((.*)\)\s*$""".r
+              body match {
+                case ColsVals(cols, vals) =>
+                  val cs = splitTop(cols, ',').map(_.trim).filter(_.nonEmpty)
+                  val vs = splitTop(vals, ',').map(_.trim).filter(_.nonEmpty)
+                  if (cs.size != vs.size)
+                    bad(s"INSERT has ${cs.size} columns but ${vs.size} values")
+                  if (cs.isEmpty) bad("INSERT needs at least one column")
+                  cs.zip(vs)
+                case _ => bad(
+                  "expected INSERT * or INSERT (cols) VALUES (exprs)")
+              }
             }
-          }
-        insert = Some((Option(and).map(_.trim), sets))
-      case other => bad(s"cannot parse WHEN clause: 'WHEN $other'")
+          insert = Some((and, sets))
+        case ("insert", a) =>
+          bad(s"WHEN NOT MATCHED supports only INSERT, got '$a'")
+        case _ => bad(s"cannot parse WHEN clause: 'WHEN $clause'")
+      }
     }
     if (matched.isEmpty && insert.isEmpty && notBySource.isEmpty)
       bad("no actionable WHEN clause")
@@ -238,12 +272,13 @@ object Ddl {
   private val UpdateRe =
     """(?is)^\s*UPDATE\s+([A-Za-z_][A-Za-z0-9_]*)\s+SET\s+(.+)$""".r
 
-  /** Index of the first top-level (outside quotes/parens/CASE…END)
-    * occurrence of keyword `kw` in `body`, from `from`; -1 when absent.
-    * Word-bounded. CASE expressions nest their own WHEN/THEN/ELSE
-    * keywords, so the scanner tracks CASE depth like paren depth — a
-    * `CASE WHEN s.x > 0 THEN … END` inside a MERGE clause must not
-    * split the statement's WHEN clauses.
+  /** Index of the first top-level (outside quotes/backquotes/parens/
+    * CASE…END) occurrence of keyword `kw` in `body`, from `from`; -1
+    * when absent. Word-bounded. CASE expressions nest their own
+    * WHEN/THEN/ELSE keywords, so the scanner tracks CASE depth like
+    * paren depth — a `CASE WHEN s.x > 0 THEN … END` inside a MERGE
+    * clause must not split the statement's WHEN clauses; nor may a
+    * backquoted identifier like `` `then` `` look like a keyword.
     */
   private def topLevelKeyword(body: String, kw: String, from: Int = 0): Int = {
     def word(at: Int, w: String): Boolean =
@@ -255,16 +290,18 @@ object Ddl {
     var depth = 0
     var caseDepth = 0
     var inS = false
+    var inBq = false
     var i = 0
     while (i < body.length) {
       val c = body.charAt(i)
-      if (c == '\'') inS = !inS
-      else if (!inS && c == '(') depth += 1
-      else if (!inS && c == ')') depth -= 1
-      else if (!inS && (c == 'c' || c == 'C') && word(i, "CASE")) caseDepth += 1
-      else if (!inS && caseDepth > 0 && (c == 'e' || c == 'E') &&
+      if (!inBq && c == '\'') inS = !inS
+      else if (!inS && c == '`') inBq = !inBq
+      else if (!inS && !inBq && c == '(') depth += 1
+      else if (!inS && !inBq && c == ')') depth -= 1
+      else if (!inS && !inBq && (c == 'c' || c == 'C') && word(i, "CASE")) caseDepth += 1
+      else if (!inS && !inBq && caseDepth > 0 && (c == 'e' || c == 'E') &&
         word(i, "END")) caseDepth -= 1
-      else if (i >= from && !inS && depth == 0 && caseDepth == 0 &&
+      else if (i >= from && !inS && !inBq && depth == 0 && caseDepth == 0 &&
         Character.toUpperCase(c) == kw.charAt(0) && word(i, kw))
         return i
       i += 1

@@ -220,6 +220,65 @@ class MergeSpec extends SparkSpec {
     }
   }
 
+  test("MERGE tokenizer: nested THEN/WHEN in conditions, string literals and backquotes never mis-split") {
+    def mergeOf(stmt: String): graft.sql.Ddl.MergeInto =
+      graft.sql.Ddl.parse(stmt).asInstanceOf[graft.sql.Ddl.MergeInto]
+    // THEN inside a nested SUBQUERY in a clause AND-condition
+    val m1 = mergeOf(
+      """MERGE INTO d USING s ON d.k = s.k
+        |WHEN MATCHED AND d.k IN (SELECT CASE WHEN x > 0 THEN 1 ELSE 2 END FROM u) THEN DELETE
+        |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+    assert(m1.matched == Seq((Some(
+      "d.k IN (SELECT CASE WHEN x > 0 THEN 1 ELSE 2 END FROM u)"), Right(()))))
+    assert(m1.insert.contains((None, Seq.empty)))
+    // THEN inside a function call's CASE argument (non-paren CASE is
+    // covered by CASE-depth; here both nestings stack)
+    val m2 = mergeOf(
+      """MERGE INTO d USING s ON d.k = s.k
+        |WHEN MATCHED AND coalesce(CASE WHEN s.a THEN s.b END, 0) > 1
+        |THEN UPDATE SET v = s.v""".stripMargin)
+    assert(m2.matched == Seq((Some(
+      "coalesce(CASE WHEN s.a THEN s.b END, 0) > 1"),
+      Left(Seq("v" -> "s.v")))))
+    // WHEN / THEN inside STRING LITERALS are inert
+    val m3 = mergeOf(
+      """MERGE INTO d USING s ON d.k = s.k
+        |WHEN MATCHED AND s.note = 'WHEN x THEN y' THEN UPDATE SET note = 'THEN'
+        |WHEN NOT MATCHED THEN INSERT (k, note) VALUES (s.k, 'WHEN')""".stripMargin)
+    assert(m3.matched == Seq((Some("s.note = 'WHEN x THEN y'"),
+      Left(Seq("note" -> "'THEN'")))))
+    assert(m3.insert.contains((None, Seq("k" -> "s.k", "note" -> "'WHEN'"))))
+    // a BACKQUOTED column named `then` is an identifier, not a keyword
+    val m4 = mergeOf(
+      """MERGE INTO d USING s ON d.k = s.k
+        |WHEN MATCHED AND s.`then` > 0 THEN DELETE""".stripMargin)
+    assert(m4.matched == Seq((Some("s.`then` > 0"), Right(()))))
+    // pathological clause ORDER: NMBS first, MATCHED in the middle,
+    // NOT MATCHED last — families keep statement order within each list
+    val m5 = mergeOf(
+      """MERGE INTO d USING s ON d.k = s.k
+        |WHEN NOT MATCHED BY SOURCE AND d.v > 9 THEN DELETE
+        |WHEN MATCHED AND s.dead THEN DELETE
+        |WHEN NOT MATCHED BY TARGET THEN INSERT *
+        |WHEN MATCHED THEN UPDATE SET v = s.v
+        |WHEN NOT MATCHED BY SOURCE THEN UPDATE SET v = -1""".stripMargin)
+    assert(m5.matched == Seq(
+      (Some("s.dead"), Right(())), (None, Left(Seq("v" -> "s.v")))))
+    assert(m5.notBySource == Seq(
+      (Some("d.v > 9"), Right(())), (None, Left(Seq("v" -> "-1")))))
+    assert(m5.insert.contains((None, Seq.empty)))
+    // malformed shapes are loud: missing THEN, bad action per family
+    assert(intercept[IllegalArgumentException] { graft.sql.Ddl.parse(
+      "MERGE INTO d USING s ON a = b WHEN MATCHED UPDATE SET v = 1")
+    }.getMessage.contains("THEN"))
+    assert(intercept[IllegalArgumentException] { graft.sql.Ddl.parse(
+      "MERGE INTO d USING s ON a = b WHEN NOT MATCHED THEN DELETE")
+    }.getMessage.contains("INSERT"))
+    assert(intercept[IllegalArgumentException] { graft.sql.Ddl.parse(
+      "MERGE INTO d USING s ON a = b WHEN MATCHED THEN INSERT *")
+    }.getMessage.contains("UPDATE SET"))
+  }
+
   test("a CASE WHEN inside a merge clause does not split the statement's WHEN clauses") {
     sql.Ddl.parse(
       """MERGE INTO d USING s ON d.k = s.k
