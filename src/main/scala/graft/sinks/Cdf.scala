@@ -67,12 +67,17 @@ object Cdf {
   /** Write one commit's change rows into a view directory as parquet
     * (hive-partitioned like the raw snapshot links, `_change_type` +
     * `_change_seq` in-file), via a scratch dir + hard links so files
-    * appear atomically under the running file stream. Returns files
-    * added. The copy is bounded by the commit's change rows, never the
-    * table.
+    * appear atomically under the running file stream. File names are
+    * DETERMINISTIC per commit (`<namePrefix>-<i>.parquet` over the
+    * sorted scratch parts) so re-materializing the same version after a
+    * crash — or a persistent view resuming behind its state file — hits
+    * FileAlreadyExists instead of minting duplicate rows under fresh
+    * names. Returns files newly added; the copy is bounded by the
+    * commit's change rows, never the table.
     */
   private[graft] def materializeInto(viewDataDir: java.nio.file.Path,
-      chg: org.apache.spark.sql.DataFrame, partCols: Seq[String]): Int = {
+      chg: org.apache.spark.sql.DataFrame, partCols: Seq[String],
+      namePrefix: String): Int = {
     import java.nio.file.{Files, StandardCopyOption}
     import scala.jdk.CollectionConverters._
     val scratch = Files.createTempDirectory("graft-cdf-mat")
@@ -85,13 +90,22 @@ object Cdf {
     }
     var n = 0
     walk(scratch).filter(p => Files.isRegularFile(p) &&
-      p.getFileName.toString.endsWith(".parquet")).foreach { p =>
-      val dest = viewDataDir.resolve(scratch.relativize(p).toString)
-      Files.createDirectories(dest.getParent)
-      try { Files.createLink(dest, p); n += 1 }
-      catch { case _: UnsupportedOperationException =>
-        Files.move(p, dest, StandardCopyOption.ATOMIC_MOVE); n += 1 }
-    }
+      p.getFileName.toString.endsWith(".parquet"))
+      .map(p => (scratch.relativize(p).toString, p)).sortBy(_._1)
+      .zipWithIndex.foreach { case ((rel, p), i) =>
+        val relDir = Option(java.nio.file.Paths.get(rel).getParent)
+        val destDir = relDir.map(d => viewDataDir.resolve(d.toString))
+          .getOrElse(viewDataDir)
+        val dest = destDir.resolve(s"$namePrefix-$i.parquet")
+        Files.createDirectories(destDir)
+        try { Files.createLink(dest, p); n += 1 }
+        catch {
+          case _: java.nio.file.FileAlreadyExistsException => // replayed
+          case _: UnsupportedOperationException =>
+            try { Files.move(p, dest, StandardCopyOption.ATOMIC_MOVE); n += 1 }
+            catch { case _: java.nio.file.FileAlreadyExistsException => () }
+        }
+      }
     walk(scratch).reverse.foreach(p =>
       try Files.deleteIfExists(p) catch { case _: Exception => () })
     n

@@ -26,10 +26,16 @@ import scala.jdk.CollectionConverters._
   *   - links survive VACUUM (the view holds its own directory entries),
   *     so a slow reader never loses data to retention
   *
-  * Offsets/exactly-once ride the file source's own checkpoint: view file
-  * paths are stable (same relative name as in the table), so a restarted
-  * query resumes from its processed-files log exactly — the Spark-native
-  * analogue of the reference's two-phase source recovery.
+  * Offsets/exactly-once ride the file source's own checkpoint. Within
+  * one query run that is automatic; ACROSS RESTARTS it needs the SAME
+  * view directory (the checkpoint records absolute paths into it) —
+  * pass `viewDir` (SQL: `view_dir`) to make the view persistent: a
+  * state dot-file records the last applied log version, a reopened
+  * view resumes the tail (links are idempotent by name, materialized
+  * change files deterministically named per version), and `close()`
+  * keeps the directory. Without `viewDir` the view is a temp dir for
+  * the lifetime of one query — the Spark-native analogue of the
+  * reference's two-phase source recovery either way.
   *
   * `sync()` is manual (tests, bounded AvailableNow runs); `open(...,
   * pollMs = Some(ms))` starts a daemon that keeps the view current for
@@ -48,11 +54,26 @@ object DeltaStreamSource {
   final class View private[DeltaStreamSource] (val table: String, val dir: Path,
       val ignoreDeletes: Boolean = false,
       val changeFeed: Boolean = false,
-      spark: Option[SparkSession] = None) {
+      spark: Option[SparkSession] = None,
+      val persistent: Boolean = false) {
     @volatile private[DeltaStreamSource] var lastVersion: Long = -1L
     @volatile private var closed = false
     private[DeltaStreamSource] var poller: Option[Thread] = None
     @volatile private[DeltaStreamSource] var pollerFailure: Option[Throwable] = None
+
+    /** Persistent views record the last APPLIED log version in a
+      * dot-file (invisible to the file stream) so a reopened view
+      * resumes the tail instead of re-linking the snapshot. Written
+      * AFTER the version's files land: a crash between replays the
+      * version, whose links/materializations are idempotent by name.
+      */
+    private[DeltaStreamSource] val stateFile = dir.resolve(".graft-view-state")
+    private[DeltaStreamSource] def saveState(): Unit = if (persistent) {
+      val tmp = dir.resolve(s".graft-view-state.${java.util.UUID.randomUUID()}")
+      Files.write(tmp, lastVersion.toString.getBytes("UTF-8"))
+      Files.move(tmp, stateFile, java.nio.file.StandardCopyOption.REPLACE_EXISTING,
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    }
 
     /** Apply log versions > lastVersion to the view: link every add with
       * dataChange=true, skip dataChange=false (OPTIMIZE), ignore
@@ -137,6 +158,7 @@ object DeltaStreamSource {
           // already-emitted survivors — linking them would double-emit)
         lastVersion = v
       }
+      if (jsons.nonEmpty) saveState()
       linked
     }
 
@@ -151,7 +173,7 @@ object DeltaStreamSource {
         .map(_.partitionColumns).getOrElse(Seq.empty)
       val chg = graft.sinks.Cdf.changeSeq(
         DeltaLog.readChanges(sp, table, v, Some(v)))
-      graft.sinks.Cdf.materializeInto(dir, chg, partCols)
+      graft.sinks.Cdf.materializeInto(dir, chg, partCols, s"cdf-$v")
     }
 
     /** Hard-link `rel` from the table into the view (preserving hive
@@ -181,14 +203,17 @@ object DeltaStreamSource {
     private[sources] def linkAll(rels: Seq[String]): Unit =
       SpoolLink.parallel(rels, link)
 
-    /** Stop the poller (if any) and delete the view directory. The
-      * streaming query reading it must be stopped first.
+    /** Stop the poller (if any) and delete the view directory — unless
+      * the view is PERSISTENT (caller-supplied dir): those survive for
+      * the next open to resume from, so a restarted query's file-source
+      * checkpoint (absolute paths into this dir) stays valid. The
+      * streaming query reading the view must be stopped first.
       */
     def close(): Unit = {
       closed = true
       poller.foreach(_.interrupt())
       views.remove(this)
-      if (Files.exists(dir)) {
+      if (!persistent && Files.exists(dir)) {
         val s = Files.walk(dir)
         val paths = try s.iterator().asScala.toSeq finally s.close()
         paths.reverse.foreach(p => try Files.deleteIfExists(p) catch { case _: Exception => })
@@ -217,18 +242,34 @@ object DeltaStreamSource {
       pollMs: Option[Long] = None,
       ignoreDeletes: Boolean = false,
       changeFeed: Boolean = false,
-      keys: Seq[String] = Seq.empty): (DataFrame, View) = {
+      keys: Seq[String] = Seq.empty,
+      viewDir: Option[Path] = None): (DataFrame, View) = {
     require(!(changeFeed && ignoreDeletes),
       "change_feed and ignore_deletes are mutually exclusive (the change " +
         "feed streams exactly the commits ignore_deletes would drop)")
     val snap = DeltaLog.snapshot(spark, table)
       .getOrElse(sys.error(s"$table is not a Delta table (no _delta_log)"))
-    val view = new View(table, Files.createTempDirectory("graft-delta-view"),
-      ignoreDeletes, changeFeed, Some(spark))
+    // `viewDir` makes the view PERSISTENT: the same directory (and so
+    // the same absolute file paths the query's file-source checkpoint
+    // recorded) serves across restarts — a reopened view reads its
+    // state file and resumes the log tail instead of re-linking the
+    // snapshot, which under a fresh temp dir would re-emit every row
+    val dir = viewDir.map { d => Files.createDirectories(d); d }
+      .getOrElse(Files.createTempDirectory("graft-delta-view"))
+    val view = new View(table, dir, ignoreDeletes, changeFeed, Some(spark),
+      persistent = viewDir.isDefined)
     views.add(view)
-    // initial state: the active snapshot IS each logical row exactly once
-    view.linkAll(snap.files)
-    view.lastVersion = snap.version
+    val resumed = view.persistent && Files.exists(view.stateFile)
+    if (resumed) {
+      view.lastVersion =
+        new String(Files.readAllBytes(view.stateFile), "UTF-8").trim.toLong
+      view.sync() // catch up on commits landed while the view was closed
+    } else {
+      // initial state: the active snapshot IS each logical row exactly once
+      view.linkAll(snap.files)
+      view.lastVersion = snap.version
+      view.saveState()
+    }
     val readSchema =
       if (changeFeed) graft.sinks.Cdf.streamSchema(snap.schema) else snap.schema
     val df0 = spark.readStream.schema(readSchema)

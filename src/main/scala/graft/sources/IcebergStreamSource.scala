@@ -42,12 +42,26 @@ object IcebergStreamSource {
   final class View private[IcebergStreamSource] (val table: String, val dir: Path,
       val ignoreDeletes: Boolean = false,
       val changeFeed: Boolean = false,
-      spark: Option[SparkSession] = None) {
+      spark: Option[SparkSession] = None,
+      val persistent: Boolean = false) {
     @volatile private[IcebergStreamSource] var lastSeq: Long = -1L
     @volatile private var closed = false
     private[IcebergStreamSource] var poller: Option[Thread] = None
     @volatile private[IcebergStreamSource] var pollerFailure: Option[Throwable] = None
     private val tableRoot = Paths.get(table).toAbsolutePath
+
+    /** Persistent views record the last APPLIED sequence number in a
+      * dot-file so a reopened view resumes the tail — see the delta
+      * twin's state-file contract (written after the files land;
+      * replays are idempotent by name).
+      */
+    private[IcebergStreamSource] val stateFile = dir.resolve(".graft-view-state")
+    private[IcebergStreamSource] def saveState(): Unit = if (persistent) {
+      val tmp = dir.resolve(s".graft-view-state.${java.util.UUID.randomUUID()}")
+      Files.write(tmp, lastSeq.toString.getBytes("UTF-8"))
+      Files.move(tmp, stateFile, java.nio.file.StandardCopyOption.REPLACE_EXISTING,
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    }
 
     /** Apply snapshots with sequence-number > lastSeq: link the added
       * files of `append` snapshots, skip `replace` (layout rewrite, no
@@ -110,6 +124,7 @@ object IcebergStreamSource {
         }
         lastSeq = seq
       }
+      if (news.nonEmpty) saveState()
       linked
     }
 
@@ -123,7 +138,8 @@ object IcebergStreamSource {
       val m = IcebergLog.current(table).get
       val chg = graft.sinks.Cdf.changeSeq(
         IcebergLog.readChanges(sp, table, seq, Some(seq)))
-      graft.sinks.Cdf.materializeInto(dir.resolve("data"), chg, m.partitionColumns)
+      graft.sinks.Cdf.materializeInto(dir.resolve("data"), chg,
+        m.partitionColumns, s"cdf-$seq")
     }
 
     /** Hard-link the table-absolute data `path` into the view, keeping
@@ -143,14 +159,15 @@ object IcebergStreamSource {
       }
     }
 
-    /** Stop the poller (if any) and delete the view directory. The
-      * streaming query reading it must be stopped first.
+    /** Stop the poller (if any) and delete the view directory — unless
+      * the view is PERSISTENT (caller-supplied dir; see the delta twin).
+      * The streaming query reading it must be stopped first.
       */
     def close(): Unit = {
       closed = true
       poller.foreach(_.interrupt())
       views.remove(this)
-      if (Files.exists(dir)) {
+      if (!persistent && Files.exists(dir)) {
         val s = Files.walk(dir)
         val paths = try s.iterator().asScala.toSeq finally s.close()
         paths.reverse.foreach(p => try Files.deleteIfExists(p) catch { case _: Exception => })
@@ -175,22 +192,35 @@ object IcebergStreamSource {
       pollMs: Option[Long] = None,
       ignoreDeletes: Boolean = false,
       changeFeed: Boolean = false,
-      keys: Seq[String] = Seq.empty): (DataFrame, View) = {
+      keys: Seq[String] = Seq.empty,
+      viewDir: Option[Path] = None): (DataFrame, View) = {
     require(!(changeFeed && ignoreDeletes),
       "change_feed and ignore_deletes are mutually exclusive (the change " +
         "feed streams exactly the snapshots ignore_deletes would drop)")
     val m = IcebergLog.current(table).getOrElse(
       sys.error(s"$table is not an Iceberg table (no metadata/v*.metadata.json)"))
-    val view = new View(table, Files.createTempDirectory("graft-iceberg-view"),
-      ignoreDeletes, changeFeed, Some(spark))
+    // persistent view (caller-supplied dir): resumes across restarts —
+    // see the delta twin
+    val dir = viewDir.map { d => Files.createDirectories(d); d }
+      .getOrElse(Files.createTempDirectory("graft-iceberg-view"))
+    val view = new View(table, dir, ignoreDeletes, changeFeed, Some(spark),
+      persistent = viewDir.isDefined)
     views.add(view)
-    // initial state: the current snapshot IS each logical row exactly
-    // once; the bulk link is the one O(active files) driver-side moment,
-    // parallelized (SpoolLink) for high-file-count tables
-    SpoolLink.parallel(
-      IcebergLog.liveFiles(table, None).filter(_.status != 2).map(_.path),
-      view.link)
-    view.lastSeq = m.lastSeq
+    val resumed = view.persistent && Files.exists(view.stateFile)
+    if (resumed) {
+      view.lastSeq =
+        new String(Files.readAllBytes(view.stateFile), "UTF-8").trim.toLong
+      view.sync() // catch up on snapshots landed while the view was closed
+    } else {
+      // initial state: the current snapshot IS each logical row exactly
+      // once; the bulk link is the one O(active files) driver-side moment,
+      // parallelized (SpoolLink) for high-file-count tables
+      SpoolLink.parallel(
+        IcebergLog.liveFiles(table, None).filter(_.status != 2).map(_.path),
+        view.link)
+      view.lastSeq = m.lastSeq
+      view.saveState()
+    }
     val dataDir = view.dir.resolve("data")
     Files.createDirectories(dataDir)
     val readSchema =

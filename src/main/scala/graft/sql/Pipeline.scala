@@ -1153,13 +1153,19 @@ class Pipeline(spark: SparkSession, streaming: Boolean = false) {
             // hitting the refusal path, so a merge_keys upsert table can
             // feed downstream updating aggregates / further upsert sinks.
             // The id hash keys come from merge_keys (or PRIMARY KEY cols).
+            // view_dir = '<path>' (r11) makes the link view PERSISTENT:
+            // a restarted query's file-source checkpoint references the
+            // same absolute paths, so the stream resumes exactly instead
+            // of re-emitting the snapshot from a fresh temp dir
             val (df, view) = graft.sources.DeltaStreamSource.open(spark, tPath,
               pollMs = Some(t.options.getOrElse("poll_ms", "500").toLong),
               ignoreDeletes = t.options.get("ignore_deletes").exists(_.toBoolean),
               changeFeed = t.options.get("change_feed").exists(_.toBoolean),
               keys = t.options.get("merge_keys")
                 .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
-                .getOrElse(t.pkColumns))
+                .getOrElse(t.pkColumns),
+              viewDir = t.options.get("view_dir")
+                .map(java.nio.file.Paths.get(_)))
             tableViews += (() => view.close())
             df
           } else {
@@ -1198,7 +1204,9 @@ class Pipeline(spark: SparkSession, streaming: Boolean = false) {
               changeFeed = t.options.get("change_feed").exists(_.toBoolean),
               keys = t.options.get("merge_keys")
                 .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
-                .getOrElse(t.pkColumns))
+                .getOrElse(t.pkColumns),
+              viewDir = t.options.get("view_dir")
+                .map(java.nio.file.Paths.get(_))) // persistent view (r11)
             tableViews += (() => view.close())
             df
           } else {

@@ -312,6 +312,87 @@ class CdfSpec extends SparkSpec {
     }
   }
 
+  test("persistent view: a RESTARTED checkpointed query resumes without re-emitting the snapshot") {
+    import org.apache.spark.sql.streaming.Trigger
+    import spark.implicits._
+    val table = tmpTable("delta_pview_src")
+    val vdir = Paths.get(tmpTable("delta_pview_dir"), "view")
+    val out = tmpTable("delta_pview_out")
+    val cp = tmpTable("delta_pview_cp")
+    DeltaLog.writeBatch((1L to 5L).map(i => (i, s"v$i")).toDF("id", "v").coalesce(1), table)
+    def runOnce(): Unit = {
+      val (df, view) = graft.sources.DeltaStreamSource.open(spark, table,
+        viewDir = Some(vdir))
+      val q = df.writeStream.format("parquet")
+        .option("path", out).option("checkpointLocation", cp)
+        .trigger(Trigger.AvailableNow()).start()
+      try q.awaitTermination() finally { q.stop(); view.close() }
+    }
+    runOnce()
+    assert(spark.read.parquet(out).count() == 5)
+    assert(Files.exists(vdir), "persistent view survives close")
+    // appends + an OPTIMIZE while the query is DOWN
+    DeltaLog.writeBatch(Seq((6L, "v6")).toDF("id", "v").coalesce(1), table)
+    assert(DeltaLog.optimize(spark, table).isDefined)
+    DeltaLog.writeBatch(Seq((7L, "v7")).toDF("id", "v").coalesce(1), table)
+    runOnce()
+    val rows = spark.read.parquet(out).as[(Long, String)].collect().toSeq
+    assert(rows.size == 7, s"restart must emit ONLY the new rows, got ${rows.size}")
+    assert(rows.toSet == (1L to 7L).map(i => (i, s"v$i")).toSet)
+  }
+
+  test("persistent CHANGE-FEED view: restart replays only new change commits; crash-replay is name-idempotent") {
+    import org.apache.spark.sql.streaming.Trigger
+    import spark.implicits._
+    val table = tmpTable("ice_pview_src")
+    val vdir = Paths.get(tmpTable("ice_pview_dir"), "view")
+    val mirror = tmpTable("ice_pview_mirror")
+    val cp = tmpTable("ice_pview_cp")
+    IcebergLog.writeBatch((1L to 4L).map(i => (i, i * 10L)).toDF("id", "v").coalesce(1), table)
+    def runOnce(): Unit = {
+      val (df, view) = graft.sources.IcebergStreamSource.open(spark, table,
+        changeFeed = true, keys = Seq("id"), viewDir = Some(vdir))
+      val q = df.writeStream
+        .option("checkpointLocation", cp)
+        .foreachBatch((b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) => {
+          if (!b.isEmpty) Merge.upsertBatch(spark, "iceberg", mirror, b.toDF(), Seq("id"))
+        })
+        .trigger(Trigger.AvailableNow()).start()
+      try q.awaitTermination() finally { q.stop(); view.close() }
+    }
+    runOnce()
+    def mirrorRows = IcebergLog.read(spark, mirror).as[(Long, Long)].collect().toMap
+    assert(mirrorRows.keySet == (1L to 4L).toSet)
+    // DML while the query is down: update + delete land as overwrites
+    Merge.upsertBatch(spark, "iceberg", table,
+      Seq((1L, 11L), (9L, 90L)).toDF("id", "v"), Seq("id"))
+    assert(IcebergLog.deleteWhere(spark, table, "id = 4").isDefined)
+    runOnce()
+    val want = IcebergLog.read(spark, table).as[(Long, Long)].collect().toMap
+    assert(want == Map(1L -> 11L, 2L -> 20L, 3L -> 30L, 9L -> 90L))
+    assert(mirrorRows == want, "restarted change-feed stream converges the mirror")
+    // crash-replay idempotence: roll the state file back one snapshot
+    // and REOPEN — resuming re-materializes the last (already-applied)
+    // snapshot, whose deterministic cdf-<seq> names hit
+    // FileAlreadyExists → the view gains NO files, the checkpointed
+    // query re-emits nothing
+    def viewParquet: Int = {
+      val s = Files.walk(vdir)
+      try s.iterator().asScala.count(p => Files.isRegularFile(p) &&
+        p.getFileName.toString.endsWith(".parquet"))
+      finally s.close()
+    }
+    val before = viewParquet
+    val m = IcebergLog.current(table).get
+    Files.write(vdir.resolve(".graft-view-state"),
+      (m.lastSeq - 1).toString.getBytes("UTF-8"))
+    val (_, view3) = graft.sources.IcebergStreamSource.open(spark, table,
+      changeFeed = true, keys = Seq("id"), viewDir = Some(vdir))
+    try assert(viewParquet == before,
+      "replaying an applied snapshot must add no files (idempotent names)")
+    finally view3.close()
+  }
+
   test("CDF on a PARTITIONED delta table: change files keep hive partition values") {
     import spark.implicits._
     val table = tmpTable("delta_cdf_part")
