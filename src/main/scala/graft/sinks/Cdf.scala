@@ -76,11 +76,23 @@ object Cdf {
     * commit's change rows, never the table.
     */
   private[graft] def materializeInto(viewDataDir: java.nio.file.Path,
-      chg: org.apache.spark.sql.DataFrame, partCols: Seq[String],
+      chg0: org.apache.spark.sql.DataFrame, partCols: Seq[String],
       namePrefix: String): Int = {
     import java.nio.file.{Files, StandardCopyOption}
     import scala.jdk.CollectionConverters._
-    val scratch = Files.createTempDirectory("graft-cdf-mat")
+    // scratch lives INSIDE the view dir (dot-prefixed → invisible to the
+    // file stream): a persistent view_dir may sit on a different
+    // filesystem than the system temp dir, where a cross-device hard
+    // link would fail with EXDEV
+    Files.createDirectories(viewDataDir)
+    val scratch = Files.createTempDirectory(viewDataDir, ".graft-cdf-mat")
+    // deterministic CHUNKING, not just names: replaying a partially
+    // materialized version must re-create identical parts, and Spark's
+    // default split packing depends on runtime parallelism — hash
+    // repartitioning on the row content pins each row to its part
+    // index regardless of how the change frame was read
+    val chg = chg0.repartition(32,
+      chg0.columns.map(org.apache.spark.sql.functions.col).toIndexedSeq: _*)
     val w = chg.write.mode("overwrite")
     (if (partCols.nonEmpty) w.partitionBy(partCols: _*) else w)
       .parquet(scratch.toString)

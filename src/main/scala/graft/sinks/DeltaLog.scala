@@ -280,32 +280,22 @@ object DeltaLog {
       case _ => None
     }).sortBy(_._1)
     if (versions.isEmpty) return None
-    // commit timestamps are monotone non-decreasing in version (this
-    // writer stamps commit wall time under the claim; delta-spark makes
-    // the same assumption for timestamp resolution), so the latest
-    // version at-or-before the instant binary-searches in O(log n) file
-    // opens — a linear scan would read the WHOLE log per time travel.
-    // The monotone assumption only holds for commitInfo stamps: a probe
-    // that fell back to file MTIME (third-party commit; copied/restored
-    // logs reorder mtimes arbitrarily) abandons the binary search for a
-    // full linear scan with delta-spark's non-decreasing clamp
-    var lo = 0
-    var hi = versions.length - 1
-    var ans = -1
-    while (lo <= hi) {
-      val mid = (lo + hi) >>> 1
-      val (ts, fromCommitInfo) = commitTs(versions(mid)._2)
-      if (!fromCommitInfo) return versionAtLinear(versions, tsMillis)
-      if (ts <= tsMillis) { ans = mid; lo = mid + 1 }
-      else hi = mid - 1
-    }
-    if (ans < 0) None else Some(versions(ans)._1)
+    // a LINEAR clamped scan, always: the answer under delta-spark's
+    // non-decreasing-clamp semantics depends on the PREFIX MAXIMUM of
+    // every commit's timestamp, so any probe-based (binary) search is
+    // only correct if every earlier commit is monotone — which an
+    // UN-probed third-party commit falling back to file mtime can
+    // silently violate (copied/restored logs reorder mtimes). The scan
+    // stops at the first commit whose clamped stamp passes the instant
+    // (it never comes back), reads each commit's FIRST line lazily, and
+    // operates on the present files only — checkpoint aging keeps that
+    // set bounded, so time travel stays tens of µs per present commit.
+    versionAtLinear(versions, tsMillis)
   }
 
-  /** Linear fallback: clamp each commit's effective timestamp to be
-    * non-decreasing (delta-spark's adjustment), answer = the last version
-    * whose CLAMPED timestamp ≤ `tsMillis`. Once the clamped stamp passes
-    * the instant it never comes back, so the scan stops early.
+  /** Clamp each commit's effective timestamp to be non-decreasing
+    * (delta-spark's adjustment), answer = the last version whose
+    * CLAMPED timestamp ≤ `tsMillis`.
     */
   private def versionAtLinear(versions: Seq[(Long, Path)],
       tsMillis: Long): Option[Long] = {
@@ -315,7 +305,7 @@ object DeltaLog {
     var done = false
     while (it.hasNext && !done) {
       val (v, p) = it.next()
-      running = math.max(running, commitTs(p)._1)
+      running = math.max(running, commitTs(p))
       if (running <= tsMillis) ans = v else done = true
     }
     if (ans < 0) None else Some(ans)
@@ -323,10 +313,9 @@ object DeltaLog {
 
   /** One commit's timestamp: the first `commitInfo` line's stamp (read
     * lazily — large DML commits carry full add lists this lookup must
-    * not parse), the file mtime for third-party commits without one;
-    * the Boolean is true when commitInfo supplied it.
+    * not parse), the file mtime for third-party commits without one.
     */
-  private def commitTs(p: Path): (Long, Boolean) = {
+  private def commitTs(p: Path): Long = {
     val s = Files.lines(p)
     try {
       val it = s.iterator()
@@ -337,11 +326,11 @@ object DeltaLog {
           val ci = n.get("commitInfo")
           if (ci != null) {
             val t = ci.get("timestamp")
-            if (t != null) return (t.asLong(), true)
+            if (t != null) return t.asLong()
           }
         }
       }
-      (Files.getLastModifiedTime(p).toMillis, false)
+      Files.getLastModifiedTime(p).toMillis
     } finally s.close()
   }
 
@@ -841,6 +830,21 @@ object DeltaLog {
       cols.map { case (n, dt) => StructField(n, dt, nullable = true) })
     commit(spark, table, evolved, s.partitionColumns, added = Seq.empty,
       txn = None, mergeSchema = true)
+  }
+
+  /** Set/merge table properties as a metaData-only commit (the
+    * `ALTER TABLE SET TBLPROPERTIES` shape — what lands
+    * `delta.enableChangeDataFeed` on an EXISTING table). No-op (None)
+    * when every entry already holds.
+    */
+  def setTableProperties(spark: SparkSession, table: String,
+      props: Map[String, String]): Option[Long] = {
+    require(props.nonEmpty, "SET TBLPROPERTIES: no properties")
+    val s = snapshot(spark, table)
+      .getOrElse(sys.error(s"$table is not a Delta table (no _delta_log)"))
+    if (props.forall { case (k, v) => s.configuration.get(k).contains(v) }) None
+    else commit(spark, table, s.schema, s.partitionColumns, added = Seq.empty,
+      txn = None, tableConf = props)
   }
 
   /** Copy-on-write `DELETE FROM … WHERE predicate`: rewrite ONLY the

@@ -62,6 +62,60 @@ private[graft] object Merge {
 
   private val matchFlag = "__graft_s_matched"
   private val uidCol = "__graft_t_uid"
+  private val clauseCol = "__graft_clause"
+
+  /** The ONE clause-selection machine [[rewrite]] and [[changesFor]]
+    * both project from — kept single so the committed rows and the
+    * recorded change images can never drift (the same twin-divergence
+    * hazard [[DmlRewrite]] was extracted to kill).
+    *
+    * Unified clause list: MATCHED clauses fire on matched rows, NOT
+    * MATCHED BY SOURCE on unmatched ones — within each family the
+    * first-holding-clause rule applies, and the two families are
+    * disjoint by their guards so one index column serves both.
+    */
+  private final class ClausePlan(touched: DataFrame, source: DataFrame,
+      schema: StructType, c: Clauses, withUid: Boolean) {
+    val allClauses: Seq[(MatchedClause, Boolean)] =
+      c.matched.map((_, true)) ++ c.notBySource.map((_, false))
+    private val t0 = if (withUid)
+      touched.withColumn(uidCol, monotonically_increasing_id()) else touched
+    private val joined0 = t0.alias(c.targetAlias)
+      .join(source.withColumn(matchFlag, lit(true)).alias(c.sourceAlias),
+        expr(c.cond), "left")
+    private val isMatched = coalesce(col(matchFlag), lit(false))
+    // first-holding-clause index, -1 = no clause (carry through)
+    private val firstIdx = allClauses.map { case (mc, onMatched) =>
+      (if (onMatched) isMatched else !isMatched) &&
+        mc.and.map(expr).getOrElse(lit(true))
+    }.zipWithIndex.foldRight(lit(-1): Column) { case ((cd, i), acc) =>
+      when(cd, lit(i)).otherwise(acc) }
+    /** Joined frame carrying [[clauseCol]]. */
+    val withIdx: DataFrame = joined0.withColumn(clauseCol, firstIdx)
+    private val deleteIdxs = allClauses.zipWithIndex.collect {
+      case ((MatchedClause(_, Right(_)), _), i) => i }
+    val isDelete: Column =
+      if (deleteIdxs.isEmpty) lit(false)
+      else col(clauseCol).isin(deleteIdxs.map(Integer.valueOf): _*)
+    /** Target-image columns, unchanged. */
+    def targetImage: Seq[Column] = schema.fields.toIndexedSeq.map(f =>
+      col(s"${c.targetAlias}.${f.name}").as(f.name))
+    /** Post-image columns: each field with its selected clause's SET
+      * expression applied (cast to the declared type), else carried.
+      */
+    def postImage: Seq[Column] = schema.fields.toIndexedSeq.map { f =>
+      val base = col(s"${c.targetAlias}.${f.name}")
+      allClauses.zipWithIndex.foldRight(base) {
+        case (((MatchedClause(_, Left(sets)), _), i), acc) =>
+          sets.toMap.get(f.name) match {
+            case Some(e) => when(col(clauseCol) === i,
+              expr(e).cast(f.dataType)).otherwise(acc)
+            case None => acc
+          }
+        case (_, acc) => acc
+      }.as(f.name)
+    }
+  }
 
   /** Rows of the touched target files × source → their replacements
     * (survivors + updates) UNION the inserts, in target-schema order.
@@ -69,53 +123,21 @@ private[graft] object Merge {
     */
   def rewrite(touched: DataFrame, source: DataFrame, schema: StructType,
       c: Clauses): DataFrame = {
-    val t = touched.withColumn(uidCol, monotonically_increasing_id())
-      .alias(c.targetAlias)
-    val s = source.withColumn(matchFlag, lit(true)).alias(c.sourceAlias)
-    val joined = t.join(s, expr(c.cond), "left")
+    val plan = new ClausePlan(touched, source, schema, c, withUid = true)
     // multiple-source-rows rule: >1 joined row for one target uid means
     // two source rows claimed the same target row — order-dependent,
     // refuse (delta-spark's DELTA_MULTIPLE_SOURCE_ROW_MATCHING error).
     // Insert-only merges (no MATCHED / NOT MATCHED BY SOURCE clauses) skip
     // the check like delta-spark does: nothing order-dependent can happen
     val dup = if (c.sourceUniqueByKey || (c.matched.isEmpty && c.notBySource.isEmpty)) 0L
-    else joined.filter(col(matchFlag))
+    else plan.withIdx.filter(col(matchFlag))
       .groupBy(col(uidCol)).count().filter(col("count") > 1).limit(1).count()
     if (dup > 0) throw new IllegalStateException(
       "MERGE: a target row matched more than one source row; applying " +
         "both would be order-dependent. Deduplicate the source on the " +
         "merge keys first.")
-    val isMatched = coalesce(col(matchFlag), lit(false))
-    // unified clause list: MATCHED clauses fire on matched rows, NOT
-    // MATCHED BY SOURCE on unmatched ones — within each family the
-    // first-holding-clause rule applies, and the two families are
-    // disjoint by their guards so one index column serves both
-    val allClauses = c.matched.map((_, true)) ++ c.notBySource.map((_, false))
-    // first-holding-clause index, -1 = no clause (carry through)
-    val clauseConds = allClauses.map { case (mc, onMatched) =>
-      (if (onMatched) isMatched else !isMatched) &&
-        mc.and.map(expr).getOrElse(lit(true)) }
-    val firstIdx = clauseConds.zipWithIndex
-      .foldRight(lit(-1): Column) { case ((cd, i), acc) =>
-        when(cd, lit(i)).otherwise(acc) }
-    val deleteIdxs = allClauses.zipWithIndex.collect {
-      case ((MatchedClause(_, Right(_)), _), i) => i }
-    val withIdx = joined.withColumn("__graft_clause", firstIdx)
-    val kept =
-      if (deleteIdxs.isEmpty) withIdx
-      else withIdx.filter(!col("__graft_clause").isin(deleteIdxs.map(Integer.valueOf): _*))
-    val survivors = kept.select(schema.fields.toIndexedSeq.map { f =>
-      val base = col(s"${c.targetAlias}.${f.name}")
-      allClauses.zipWithIndex.foldRight(base) {
-        case (((MatchedClause(_, Left(sets)), _), i), acc) =>
-          sets.toMap.get(f.name) match {
-            case Some(e) => when(col("__graft_clause") === i,
-              expr(e).cast(f.dataType)).otherwise(acc)
-            case None => acc
-          }
-        case (_, acc) => acc
-      }.as(f.name)
-    }: _*)
+    val survivors = plan.withIdx.filter(!plan.isDelete)
+      .select(plan.postImage: _*)
     val inserts = c.notMatchedInsert.map(_ => insertRows(touched, source, schema, c))
     inserts.map(survivors.unionAll).getOrElse(survivors)
   }
@@ -165,45 +187,17 @@ private[graft] object Merge {
       if (c.matched.isEmpty && c.notBySource.isEmpty)
         inserts.getOrElse(emptyChanges)
       else {
-        // same clause-selection join as [[rewrite]] (the dup guard ran
-        // there; change rows are a pure projection of the same plan)
-        val t = touched.alias(c.targetAlias)
-        val s = source.withColumn(matchFlag, lit(true)).alias(c.sourceAlias)
-        val joined = t.join(s, expr(c.cond), "left")
-        val isMatched = coalesce(col(matchFlag), lit(false))
-        val allClauses = c.matched.map((_, true)) ++ c.notBySource.map((_, false))
-        val clauseConds = allClauses.map { case (mc, onMatched) =>
-          (if (onMatched) isMatched else !isMatched) &&
-            mc.and.map(expr).getOrElse(lit(true)) }
-        val firstIdx = clauseConds.zipWithIndex
-          .foldRight(lit(-1): Column) { case ((cd, i), acc) =>
-            when(cd, lit(i)).otherwise(acc) }
-        val deleteIdxs = allClauses.zipWithIndex.collect {
-          case ((MatchedClause(_, Right(_)), _), i) => i }
-        val isDelete =
-          if (deleteIdxs.isEmpty) lit(false)
-          else col("__graft_clause").isin(deleteIdxs.map(Integer.valueOf): _*)
-        val withIdx = joined.withColumn("__graft_clause", firstIdx)
-          .filter(col("__graft_clause") >= 0)
-        val targetImage = schema.fields.toIndexedSeq.map(f =>
-          col(s"${c.targetAlias}.${f.name}").as(f.name))
-        val pre = withIdx.select(targetImage :+
-          when(isDelete, lit("delete")).otherwise(lit("update_preimage"))
+        // the SAME ClausePlan projection rewrite commits from — change
+        // rows are definitionally the pre/post views of that plan, so
+        // the two can't drift (the dup guard already ran in rewrite)
+        val plan = new ClausePlan(touched, source, schema, c, withUid = false)
+        val acting = plan.withIdx.filter(col(clauseCol) >= 0)
+        val pre = acting.select(plan.targetImage :+
+          when(plan.isDelete, lit("delete")).otherwise(lit("update_preimage"))
             .as(Cdf.changeTypeCol): _*)
-        val post = withIdx
-          .filter(!isDelete)
-          .select(schema.fields.toIndexedSeq.map { f =>
-            val base = col(s"${c.targetAlias}.${f.name}")
-            allClauses.zipWithIndex.foldRight(base) {
-              case (((MatchedClause(_, Left(sets)), _), i), acc) =>
-                sets.toMap.get(f.name) match {
-                  case Some(e) => when(col("__graft_clause") === i,
-                    expr(e).cast(f.dataType)).otherwise(acc)
-                  case None => acc
-                }
-              case (_, acc) => acc
-            }.as(f.name)
-          } :+ lit("update_postimage").as(Cdf.changeTypeCol): _*)
+        val post = acting.filter(!plan.isDelete)
+          .select(plan.postImage :+
+            lit("update_postimage").as(Cdf.changeTypeCol): _*)
         val matchedChanges = pre.unionAll(post)
         inserts.map(matchedChanges.unionAll).getOrElse(matchedChanges)
       }
@@ -363,6 +357,11 @@ private[graft] object Merge {
       }
       ()
     } else {
+      // table properties the sink declares (change_feed='true') must
+      // land on an EXISTING table too — a metaData-only commit, exactly
+      // once; without this only bootstrap-created tables got them
+      if (fmt == "delta" && tableConf.nonEmpty)
+        DeltaLog.setTableProperties(spark, table, tableConf)
       // CDC feeds evolve: under merge_schema, columns the batch carries
       // that the table lacks are APPENDED (nullable, existing rows read
       // null) before the upsert — the same append-only evolution the

@@ -116,8 +116,10 @@ object DeltaStreamSource {
           n.has("remove") && Option(n.get("remove").get("dataChange"))
             .forall(_.asBoolean(true)))
         val hasCdc = actions.exists(_.has("cdc"))
-        val hasDcAdd = actions.exists(n =>
-          n.has("add") && n.get("add").get("dataChange").asBoolean())
+        // an add without the dataChange key defaults to TRUE like the
+        // remove reading above (third-party writers may omit it)
+        val hasDcAdd = actions.exists(n => n.has("add") &&
+          Option(n.get("add").get("dataChange")).forall(_.asBoolean(true)))
         if (changeFeed && (hasCdc || changeCommit || hasDcAdd)) {
           if (changeCommit && !hasCdc)
             throw new IllegalStateException(
@@ -136,13 +138,7 @@ object DeltaStreamSource {
           // bounded by the change, never the table; the append-only
           // source (changeFeed=false) remains the zero-copy path.
           linked += materialize(v)
-        } else if (changeFeed && changeCommit)
-          throw new IllegalStateException(
-            s"$table: version $v deleted or updated live rows WITHOUT " +
-              s"change data (set ${graft.sinks.Cdf.enableProp}=true on the " +
-              "table before running DML) — a change-feed stream cannot " +
-              "reconstruct the retractions.")
-        else if (changeCommit && !ignoreDeletes)
+        } else if (changeCommit && !ignoreDeletes)
           throw new IllegalStateException(
             s"$table: version $v deleted or updated live rows under a running " +
               "append-only stream (this source cannot retract emitted rows). " +

@@ -14,15 +14,7 @@ private[graft] object SpoolLink {
   private val poolSize = 8
 
   def parallel(rels: Seq[String], op: String => Boolean): Unit = {
-    if (rels.isEmpty) return
-    if (rels.size < 256) { rels.foreach(op); return }
-    val pool = java.util.concurrent.Executors.newFixedThreadPool(poolSize)
-    try {
-      val chunk = math.max(1, rels.size / (poolSize * 4) + 1)
-      rels.grouped(chunk).toSeq.map { c =>
-        pool.submit(new Runnable { override def run(): Unit = c.foreach(op) })
-      }.foreach(_.get())
-    } finally pool.shutdown()
+    parMap(rels, threshold = 256)(op); ()
   }
 
   /** Order-preserving parallel map. Below `threshold` items it runs

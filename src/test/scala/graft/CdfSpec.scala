@@ -312,6 +312,27 @@ class CdfSpec extends SparkSpec {
     }
   }
 
+  test("change_feed on an upsert sink upgrades an EXISTING table, not just bootstraps") {
+    import spark.implicits._
+    val table = tmpTable("cdf_upgrade")
+    // table created WITHOUT the property (e.g. by an older pipeline)
+    Merge.upsertBatch(spark, "delta", table,
+      Seq((1L, 10L), (2L, 20L)).toDF("id", "v"), Seq("id"))
+    assert(!DeltaLog.snapshot(spark, table).exists(s => Cdf.isEnabled(s.configuration)))
+    // the first batch through a change_feed-enabled sink lands the
+    // property as a metaData-only commit BEFORE its merge, so the merge
+    // itself already records change rows
+    Merge.upsertBatch(spark, "delta", table,
+      Seq((1L, 11L), (3L, 30L)).toDF("id", "v"), Seq("id"),
+      tableConf = cdfConf)
+    assert(DeltaLog.snapshot(spark, table).exists(s => Cdf.isEnabled(s.configuration)))
+    val fromEnable = DeltaLog.snapshot(spark, table).get.version - 1
+    val counts = changeCounts(DeltaLog.readChanges(spark, table, fromEnable))
+    assert(counts((fromEnable + 1, "update_preimage")) == 1L)
+    assert(counts((fromEnable + 1, "update_postimage")) == 1L)
+    assert(counts((fromEnable + 1, "insert")) == 1L)
+  }
+
   test("persistent view: a RESTARTED checkpointed query resumes without re-emitting the snapshot") {
     import org.apache.spark.sql.streaming.Trigger
     import spark.implicits._
