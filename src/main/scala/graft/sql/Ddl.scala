@@ -117,6 +117,13 @@ object Ddl {
     */
   final case class AlterAdd(table: String, cols: Seq[ColumnDef]) extends Stmt
 
+  /** `ALTER TABLE t SET TBLPROPERTIES ('k' = 'v', …)` — table
+    * properties as a metaData-only commit (r11; delta tables only —
+    * how `delta.enableChangeDataFeed` lands on an EXISTING table).
+    */
+  final case class AlterSetProps(table: String,
+      props: Map[String, String]) extends Stmt
+
   private val SetRe = """(?is)^\s*SET\s+([A-Za-z_][A-Za-z0-9_.]*)\s*=\s*(.+?)\s*$""".r
   private val OptimizeRe =
     """(?is)^\s*OPTIMIZE\s+([A-Za-z_][A-Za-z0-9_]*)(?:\s+ZORDER\s+BY\s*\(([^)]+)\))?\s*$""".r
@@ -124,6 +131,8 @@ object Ddl {
     """(?is)^\s*VACUUM\s+([A-Za-z_][A-Za-z0-9_]*)(?:\s+RETAIN\s+(\d+)\s+HOURS)?\s*$""".r
   private val AlterAddRe =
     """(?is)^\s*ALTER\s+TABLE\s+([A-Za-z_][A-Za-z0-9_]*)\s+ADD\s+COLUMNS?\s+(.+?)\s*$""".r
+  private val AlterSetPropsRe =
+    """(?is)^\s*ALTER\s+TABLE\s+([A-Za-z_][A-Za-z0-9_]*)\s+SET\s+TBLPROPERTIES\s*\((.*)\)\s*$""".r
   private val MergeHeadRe =
     """(?is)^\s*MERGE\s+INTO\s+([A-Za-z_][A-Za-z0-9_]*)(?:\s+AS\s+([A-Za-z_][A-Za-z0-9_]*))?\s+USING\s+(.+)$""".r
 
@@ -383,6 +392,20 @@ object Ddl {
     case VacuumRe(name, hours) =>
       Maintain("vacuum", name, Option(hours).map(_.toLong))
     case MergeHeadRe(name, alias, rest) => parseMerge(name, alias, rest)
+    case AlterSetPropsRe(name, propsStr) =>
+      // keys stay CASE-SENSITIVE ('delta.enableChangeDataFeed'), unlike
+      // the lowercased WITH-options path
+      val props = splitTop(propsStr, ',').flatMap { kv =>
+        kv.split("=", 2) match {
+          case Array(k, v) =>
+            Some(k.trim.stripPrefix("'").stripSuffix("'") ->
+              v.trim.stripPrefix("'").stripSuffix("'"))
+          case _ => None
+        }
+      }.toMap
+      if (props.isEmpty) throw new IllegalArgumentException(
+        s"ALTER TABLE $name SET TBLPROPERTIES: no properties")
+      AlterSetProps(name, props)
     case AlterAddRe(name, colsStr) =>
       val body = colsStr.trim
       val unwrapped =

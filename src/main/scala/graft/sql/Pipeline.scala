@@ -350,6 +350,21 @@ class Pipeline(spark: SparkSession, streaming: Boolean = false) {
         ()
       }
 
+    case AlterSetProps(name, props) =>
+      val t = catalog.getOrElse(name,
+        throw new IllegalArgumentException(s"unknown table $name"))
+      if (t.connector != "delta")
+        throw new IllegalArgumentException(
+          "ALTER TABLE SET TBLPROPERTIES is only supported on delta tables " +
+            s"(got connector '${t.connector}' — iceberg's changelog needs " +
+            "no property)")
+      val tPath = t.path.getOrElse(sys.error(s"table $name: path required"))
+      // plan() must VALIDATE, never run
+      if (!planOnly) {
+        graft.sinks.DeltaLog.setTableProperties(spark, tPath, props)
+        ()
+      }
+
     case Dml(op, name, where, sets) =>
       val t = catalog.getOrElse(name,
         throw new IllegalArgumentException(s"unknown table $name"))

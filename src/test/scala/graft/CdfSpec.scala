@@ -312,6 +312,58 @@ class CdfSpec extends SparkSpec {
     }
   }
 
+  test("netBatch orders by meta.seq when present: reversed arrival order still nets correctly") {
+    import spark.implicits._
+    def meta(r: Boolean, id: String, seq: Option[Long]) = (r, id, seq)
+    // arrival order is ADVERSARIAL (appends before their retracts —
+    // what size-ordered file-split packing can produce); seq carries
+    // the true commit order
+    val rows = Seq(
+      // key A: update pair arrives post-image FIRST
+      (("a", 20L), meta(r = false, "A", Some(7L))), // update_postimage, commit 3
+      (("a", 10L), meta(r = true, "A", Some(6L))),  // update_preimage, commit 3
+      // key B: re-insert (commit 5) arrives BEFORE its delete (commit 4)
+      (("b", 99L), meta(r = false, "B", Some(11L))),
+      (("b", 90L), meta(r = true, "B", Some(8L))),
+      // key C: initial-snapshot insert (null seq = first) then deleted —
+      // create…retract within one batch nets to NOTHING (a downstream
+      // mirror never needs to see the key); the delete arriving FIRST
+      // would instead have wrongly netted to a live insert without seq
+      (("c", 1L), meta(r = true, "C", Some(9L))),
+      (("c", 1L), meta(r = false, "C", None)))
+    val df = rows.toDF("p", "m").select(
+      col("p._1").as("k"), col("p._2").as("v"),
+      struct(col("m._1").as("is_retract"), col("m._2").as("id"),
+        col("m._3").as("seq")).as("_updating_meta"))
+    val net = graft.streaming.Debezium.netBatch(df)
+      .select(col("k"), col("v"), col("__graft_deleted"))
+      .as[(String, Long, Boolean)].collect().toSet
+    assert(net == Set(
+      ("a", 20L, false),   // pre(6) then post(7) → update to 20
+      ("b", 99L, false)),  // delete(8) then re-insert(11) → lives at 99
+      s"got $net")         // c: create…retract → net no-op, dropped
+  }
+
+  test("ALTER TABLE SET TBLPROPERTIES enables the change feed on an existing table from SQL") {
+    import spark.implicits._
+    val table = tmpTable("cdf_alter_props")
+    DeltaLog.writeBatch(Seq((1L, 10L), (2L, 20L)).toDF("id", "v").coalesce(1), table)
+    new graft.sql.Pipeline(spark, streaming = false).run(
+      s"""CREATE TABLE t (id BIGINT, v BIGINT) WITH (
+         |  connector='delta', path='$table', format='parquet', type='sink');
+         |ALTER TABLE t SET TBLPROPERTIES ('${Cdf.enableProp}' = 'true');
+         |DELETE FROM t WHERE id = 2;""".stripMargin)
+    assert(DeltaLog.snapshot(spark, table).exists(s => Cdf.isEnabled(s.configuration)))
+    val counts = changeCounts(DeltaLog.readChanges(spark, table, 1L))
+    assert(counts == Map((2L, "delete") -> 1L), s"got $counts")
+    // non-delta tables refuse
+    assert(intercept[IllegalArgumentException] {
+      new graft.sql.Pipeline(spark, streaming = false).plan(
+        s"""CREATE TABLE x (id BIGINT) WITH (connector='blackhole', type='sink');
+           |ALTER TABLE x SET TBLPROPERTIES ('a' = 'b');""".stripMargin)
+    }.getMessage.contains("delta"))
+  }
+
   test("change_feed on an upsert sink upgrades an EXISTING table, not just bootstraps") {
     import spark.implicits._
     val table = tmpTable("cdf_upgrade")
