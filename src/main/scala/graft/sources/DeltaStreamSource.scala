@@ -239,7 +239,8 @@ object DeltaStreamSource {
       ignoreDeletes: Boolean = false,
       changeFeed: Boolean = false,
       keys: Seq[String] = Seq.empty,
-      viewDir: Option[Path] = None): (DataFrame, View) = {
+      viewDir: Option[Path] = None,
+      startingVersion: Option[Long] = None): (DataFrame, View) = {
     require(!(changeFeed && ignoreDeletes),
       "change_feed and ignore_deletes are mutually exclusive (the change " +
         "feed streams exactly the commits ignore_deletes would drop)")
@@ -257,14 +258,26 @@ object DeltaStreamSource {
     views.add(view)
     val resumed = view.persistent && Files.exists(view.stateFile)
     if (resumed) {
+      // the state file wins over starting_version: the query already
+      // consumed up to it
       view.lastVersion =
         new String(Files.readAllBytes(view.stateFile), "UTF-8").trim.toLong
       view.sync() // catch up on commits landed while the view was closed
-    } else {
-      // initial state: the active snapshot IS each logical row exactly once
-      view.linkAll(snap.files)
-      view.lastVersion = snap.version
-      view.saveState()
+    } else startingVersion match {
+      case Some(sv) =>
+        // delta-spark's startingVersion: replay the log FROM a version
+        // instead of starting at the current snapshot — the sync applies
+        // versions sv..current (each must still exist; aged-out tails
+        // fail loudly inside sync)
+        require(sv >= 0 && sv <= snap.version + 1,
+          s"$table: starting_version $sv is past the log (${snap.version})")
+        view.lastVersion = sv - 1
+        view.sync()
+      case None =>
+        // initial state: the active snapshot IS each logical row exactly once
+        view.linkAll(snap.files)
+        view.lastVersion = snap.version
+        view.saveState()
     }
     val readSchema =
       if (changeFeed) graft.sinks.Cdf.streamSchema(snap.schema) else snap.schema

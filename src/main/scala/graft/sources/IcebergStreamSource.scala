@@ -193,7 +193,8 @@ object IcebergStreamSource {
       ignoreDeletes: Boolean = false,
       changeFeed: Boolean = false,
       keys: Seq[String] = Seq.empty,
-      viewDir: Option[Path] = None): (DataFrame, View) = {
+      viewDir: Option[Path] = None,
+      startingVersion: Option[Long] = None): (DataFrame, View) = {
     require(!(changeFeed && ignoreDeletes),
       "change_feed and ignore_deletes are mutually exclusive (the change " +
         "feed streams exactly the snapshots ignore_deletes would drop)")
@@ -208,18 +209,27 @@ object IcebergStreamSource {
     views.add(view)
     val resumed = view.persistent && Files.exists(view.stateFile)
     if (resumed) {
+      // the state file wins over starting_version: already consumed to it
       view.lastSeq =
         new String(Files.readAllBytes(view.stateFile), "UTF-8").trim.toLong
       view.sync() // catch up on snapshots landed while the view was closed
-    } else {
-      // initial state: the current snapshot IS each logical row exactly
-      // once; the bulk link is the one O(active files) driver-side moment,
-      // parallelized (SpoolLink) for high-file-count tables
-      SpoolLink.parallel(
-        IcebergLog.liveFiles(table, None).filter(_.status != 2).map(_.path),
-        view.link)
-      view.lastSeq = m.lastSeq
-      view.saveState()
+    } else startingVersion match {
+      case Some(sv) =>
+        // replay from sequence number sv instead of the current snapshot
+        // (sv..current must all be retained; expiry fails loudly in sync)
+        require(sv >= 1 && sv <= m.lastSeq + 1,
+          s"$table: starting_version $sv is past the log (${m.lastSeq})")
+        view.lastSeq = sv - 1
+        view.sync()
+      case None =>
+        // initial state: the current snapshot IS each logical row exactly
+        // once; the bulk link is the one O(active files) driver-side moment,
+        // parallelized (SpoolLink) for high-file-count tables
+        SpoolLink.parallel(
+          IcebergLog.liveFiles(table, None).filter(_.status != 2).map(_.path),
+          view.link)
+        view.lastSeq = m.lastSeq
+        view.saveState()
     }
     val dataDir = view.dir.resolve("data")
     Files.createDirectories(dataDir)

@@ -1153,7 +1153,8 @@ class Pipeline(spark: SparkSession, streaming: Boolean = false) {
         // delta reads the real _delta_log wire format (r8); iceberg reads
         // the real v2 metadata.json + avro manifests (r9)
         val tPath = t.path.getOrElse(sys.error(s"table ${t.name}: path required"))
-        val batchOnly = Seq("version_as_of", "snapshot_id", "timestamp_as_of")
+        val batchOnly = Seq("version_as_of", "snapshot_id", "timestamp_as_of",
+          "changes_from_version", "changes_to_version")
         if (t.connector == "delta") {
           if (streaming) {
             // r9: incremental tail of the _delta_log (adds with
@@ -1180,7 +1181,10 @@ class Pipeline(spark: SparkSession, streaming: Boolean = false) {
                 .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
                 .getOrElse(t.pkColumns),
               viewDir = t.options.get("view_dir")
-                .map(java.nio.file.Paths.get(_)))
+                .map(java.nio.file.Paths.get(_)),
+              // starting_version = 'n' (r11): replay the log from that
+              // version instead of starting at the current snapshot
+              startingVersion = t.options.get("starting_version").map(_.toLong))
             tableViews += (() => view.close())
             df
           } else {
@@ -1194,14 +1198,23 @@ class Pipeline(spark: SparkSession, streaming: Boolean = false) {
             require(!(t.options.contains("version_as_of") &&
               t.options.contains("timestamp_as_of")),
               s"table ${t.name}: version_as_of and timestamp_as_of are exclusive")
-            val asOf = t.options.get("version_as_of").map(_.toLong)
-              .orElse(t.options.get("timestamp_as_of").map { s =>
-                val ts = parseTsMillis(s)
-                graft.sinks.DeltaLog.versionAt(tPath, ts).getOrElse(
-                  sys.error(s"table ${t.name}: no commit at or before $s"))
-              })
-            graft.sinks.DeltaLog.read(spark, tPath, asOf,
-              t.options.get("scan_filter"))
+            // changes_from_version [+ changes_to_version] (r11): the
+            // batch CHANGE DATA FEED read (delta-spark's table_changes)
+            // — rows + _change_type/_commit_version/_commit_timestamp
+            if (t.options.contains("changes_from_version"))
+              graft.sinks.DeltaLog.readChanges(spark, tPath,
+                t.options("changes_from_version").toLong,
+                t.options.get("changes_to_version").map(_.toLong))
+            else {
+              val asOf = t.options.get("version_as_of").map(_.toLong)
+                .orElse(t.options.get("timestamp_as_of").map { s =>
+                  val ts = parseTsMillis(s)
+                  graft.sinks.DeltaLog.versionAt(tPath, ts).getOrElse(
+                    sys.error(s"table ${t.name}: no commit at or before $s"))
+                })
+              graft.sinks.DeltaLog.read(spark, tPath, asOf,
+                t.options.get("scan_filter"))
+            }
           }
         } else {
           if (streaming) {
@@ -1221,7 +1234,8 @@ class Pipeline(spark: SparkSession, streaming: Boolean = false) {
                 .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
                 .getOrElse(t.pkColumns),
               viewDir = t.options.get("view_dir")
-                .map(java.nio.file.Paths.get(_))) // persistent view (r11)
+                .map(java.nio.file.Paths.get(_)), // persistent view (r11)
+              startingVersion = t.options.get("starting_version").map(_.toLong))
             tableViews += (() => view.close())
             df
           } else {
@@ -1233,15 +1247,24 @@ class Pipeline(spark: SparkSession, streaming: Boolean = false) {
             require(!(t.options.contains("snapshot_id") &&
               t.options.contains("timestamp_as_of")),
               s"table ${t.name}: snapshot_id and timestamp_as_of are exclusive")
-            val sid = t.options.get("snapshot_id").map(_.toLong)
-              .orElse(t.options.get("timestamp_as_of").map { s =>
-                val ts = parseTsMillis(s)
-                graft.sinks.IcebergLog.snapshotIdAt(tPath, ts).getOrElse(
-                  sys.error(s"table ${t.name}: no snapshot at or before $s " +
-                    "(earlier ones may have been expired)"))
-              })
-            graft.sinks.IcebergLog.read(spark, tPath, sid,
-              t.options.get("scan_filter"))
+            // changes_from_version [+ changes_to_version] (r11): the
+            // batch CHANGELOG read — sequence numbers, same column
+            // contract as the delta change feed
+            if (t.options.contains("changes_from_version"))
+              graft.sinks.IcebergLog.readChanges(spark, tPath,
+                t.options("changes_from_version").toLong,
+                t.options.get("changes_to_version").map(_.toLong))
+            else {
+              val sid = t.options.get("snapshot_id").map(_.toLong)
+                .orElse(t.options.get("timestamp_as_of").map { s =>
+                  val ts = parseTsMillis(s)
+                  graft.sinks.IcebergLog.snapshotIdAt(tPath, ts).getOrElse(
+                    sys.error(s"table ${t.name}: no snapshot at or before $s " +
+                      "(earlier ones may have been expired)"))
+                })
+              graft.sinks.IcebergLog.read(spark, tPath, sid,
+                t.options.get("scan_filter"))
+            }
           }
         }
       case "impulse" =>
@@ -1396,9 +1419,12 @@ class Pipeline(spark: SparkSession, streaming: Boolean = false) {
     // `_updating_meta` (unrolled CDC sources) is engine metadata riding
     // OUTSIDE the declared surface — keep it trailing, like the reference
     // auto-propagates its hidden _updating_meta column (plan/mod.rs:266-305)
+    // batch change reads (changes_from_version) ride their CDF columns
+    // the same way — queryable by name without being declared
     val metaTail =
-      if (withVirtual.columns.contains("_updating_meta")) Seq(col("_updating_meta"))
-      else Nil
+      Seq("_updating_meta", graft.sinks.Cdf.changeTypeCol,
+        graft.sinks.Cdf.commitVersionCol, graft.sinks.Cdf.commitTimestampCol)
+        .filter(withVirtual.columns.contains).map(c => col(s"`$c`"))
     // the reference appends a hidden `_timestamp` to EVERY stream
     // (TIMESTAMP_FIELD, rpc/src/lib.rs:330); when a declared-column source
     // has no event_time_field but its connector envelope carries an

@@ -364,6 +364,75 @@ class CdfSpec extends SparkSpec {
     }.getMessage.contains("delta"))
   }
 
+  test("batch SQL change reads: changes_from_version on delta and iceberg source tables") {
+    import spark.implicits._
+    val dt = tmpTable("cdf_sql_batch_d")
+    val it = tmpTable("cdf_sql_batch_i")
+    DeltaLog.writeBatch((1L to 4L).map(i => (i, i * 10L)).toDF("id", "v").coalesce(1),
+      dt, tableConf = cdfConf)
+    DeltaLog.deleteWhere(spark, dt, "id = 4")
+    DeltaLog.updateWhere(spark, dt, Seq("v" -> "v + 1"), Some("id = 1"))
+    IcebergLog.writeBatch((1L to 4L).map(i => (i, i * 10L)).toDF("id", "v").coalesce(1), it)
+    IcebergLog.deleteWhere(spark, it, "id = 4")
+    val got = new graft.sql.Pipeline(spark, streaming = false).run(
+      s"""CREATE TABLE dchg (id BIGINT, v BIGINT) WITH (
+         |  connector='delta', path='$dt', format='parquet', type='source',
+         |  changes_from_version='1', changes_to_version='2');
+         |SELECT _change_type, count(*) AS n FROM dchg GROUP BY 1""".stripMargin).get
+      .as[(String, Long)].collect().toMap
+    assert(got == Map("delete" -> 1L, "update_preimage" -> 1L,
+      "update_postimage" -> 1L), s"got $got")
+    val gotI = new graft.sql.Pipeline(spark, streaming = false).run(
+      s"""CREATE TABLE ichg (id BIGINT, v BIGINT) WITH (
+         |  connector='iceberg', path='$it', format='parquet', type='source',
+         |  changes_from_version='2');
+         |SELECT id, _change_type FROM ichg""".stripMargin).get
+      .as[(Long, String)].collect().toSet
+    // file-granularity: the touched file's 4 rows retract, 3 survivors re-insert
+    assert(gotI.filter(_._2 == "delete").map(_._1) == Set(1L, 2L, 3L, 4L))
+    assert(gotI.filter(_._2 == "insert").map(_._1) == Set(1L, 2L, 3L))
+    // batch-only on a streaming source
+    assert(intercept[Exception] {
+      new graft.sql.Pipeline(spark, streaming = true).plan(
+        s"""CREATE TABLE s (id BIGINT, v BIGINT) WITH (
+           |  connector='delta', path='$dt', format='parquet', type='source',
+           |  changes_from_version='0');
+           |CREATE TABLE out (id BIGINT, v BIGINT) WITH (connector='blackhole', type='sink');
+           |INSERT INTO out SELECT * FROM s""".stripMargin)
+    }.getMessage.contains("batch"))
+  }
+
+  test("starting_version replays a change-feed stream from table history") {
+    import org.apache.spark.sql.streaming.Trigger
+    import spark.implicits._
+    val table = tmpTable("cdf_startver")
+    DeltaLog.writeBatch((1L to 3L).map(i => (i, i * 10L)).toDF("id", "v").coalesce(1),
+      table, tableConf = cdfConf)
+    assert(DeltaLog.updateWhere(spark, table, Seq("v" -> "v + 1"), Some("id = 2")).isDefined)
+    assert(DeltaLog.deleteWhere(spark, table, "id = 3").isDefined)
+    // replay EVERYTHING from version 0 — the v0 inserts arrive as
+    // inserts, then the update pair and the delete, in commit order
+    val (df, view) = graft.sources.DeltaStreamSource.open(spark, table,
+      changeFeed = true, keys = Seq("id"), startingVersion = Some(0L))
+    val q = df.writeStream.format("memory").queryName("cdf_startver")
+      .outputMode("append").trigger(Trigger.ProcessingTime(100)).start()
+    try {
+      q.processAllAvailable()
+      val evs = spark.table("cdf_startver")
+        .select(col("id"), col("v"), col("_updating_meta.is_retract"),
+          col("_updating_meta.seq"))
+        .as[(Long, Long, Boolean, Option[Long])].collect().toSet
+      assert(evs == Set(
+        (1L, 10L, false, Some(1L)), (2L, 20L, false, Some(1L)),
+        (3L, 30L, false, Some(1L)),
+        (2L, 20L, true, Some(2L)), (2L, 21L, false, Some(3L)),
+        (3L, 30L, true, Some(4L))), s"got $evs")
+    } finally {
+      q.stop()
+      view.close()
+    }
+  }
+
   test("change_feed on an upsert sink upgrades an EXISTING table, not just bootstraps") {
     import spark.implicits._
     val table = tmpTable("cdf_upgrade")
