@@ -90,8 +90,16 @@ object Cdf {
     // materialized version must re-create identical parts, and Spark's
     // default split packing depends on runtime parallelism — hash
     // repartitioning on the row content pins each row to its part
-    // index regardless of how the change frame was read
-    val chg = chg0.repartition(32,
+    // index regardless of how the change frame was read. The part COUNT
+    // is derived from the change-row count (a pure function of the
+    // table state at that version, so equally replay-stable): one file
+    // per ~500k rows, capped — a small CDC commit materializes ONE view
+    // file instead of fanning tiny files into the stream listing.
+    chg0.persist()
+    val nParts = try math.max(1L, math.min(32L,
+      (chg0.count() + 499999L) / 500000L)).toInt
+    catch { case e: Throwable => chg0.unpersist(); throw e }
+    val chg = chg0.repartition(nParts,
       chg0.columns.map(org.apache.spark.sql.functions.col).toIndexedSeq: _*)
     val w = chg.write.mode("overwrite")
     (if (partCols.nonEmpty) w.partitionBy(partCols: _*) else w)
@@ -120,6 +128,7 @@ object Cdf {
       }
     walk(scratch).reverse.foreach(p =>
       try Files.deleteIfExists(p) catch { case _: Exception => () })
+    chg0.unpersist()
     n
   }
 
