@@ -75,6 +75,14 @@ object DeltaStreamSource {
         java.nio.file.StandardCopyOption.ATOMIC_MOVE)
     }
 
+    /** The metaData schema the stream was OPENED under: Spark pins a
+      * file-stream's schema per query, so a table evolving beneath a
+      * running stream would silently never surface its new columns —
+      * sync fails loudly instead (delta-spark's schema-change rule) and
+      * a restart (cheap with a persistent `view_dir`) picks them up.
+      */
+    @volatile private[DeltaStreamSource] var openSchemaJson: String = null
+
     /** Apply log versions > lastVersion to the view: link every add with
       * dataChange=true, skip dataChange=false (OPTIMIZE), ignore
       * dataChange=false removes. A remove with `dataChange=true` (a
@@ -109,6 +117,22 @@ object DeltaStreamSource {
             "running stream (aged out past a checkpoint?)")
         val actions = Files.readAllLines(p).asScala.filter(_.nonEmpty)
           .map(mapper.readTree).toSeq
+        // schema-change guard, from the commit's own metaData action (no
+        // extra log replay — sync stays O(new versions)): normalize both
+        // sides through StructType.json so a TBLPROPERTIES-only metaData
+        // rewrite (same schema) passes. Thrown BEFORE the version applies,
+        // so a restarted view resumes exactly here under the new schema.
+        if (openSchemaJson != null) actions.find(_.has("metaData")).foreach { n =>
+          val sj = org.apache.spark.sql.types.DataType.fromJson(
+            n.get("metaData").get("schemaString").asText()).json
+          if (sj != openSchemaJson)
+            throw new IllegalStateException(
+              s"$table: schema changed under a running stream at version $v " +
+                "(the file source pins its schema per query, so new columns " +
+                "would silently never surface). Restart the stream to pick " +
+                "up the evolved schema — a persistent view_dir resumes " +
+                "without re-emitting.")
+        }
         // a remove without the dataChange key (third-party writers may
         // omit it) defaults to TRUE per the protocol — treating it as a
         // data change is the safe reading for an append-only stream
@@ -279,8 +303,14 @@ object DeltaStreamSource {
         view.lastVersion = snap.version
         view.saveState()
     }
+    // arm the schema-change guard AFTER any catch-up sync, and build the
+    // stream frame from the POST-catch-up schema: resuming ACROSS an
+    // evolution is legal (this open reads the evolved schema); evolving
+    // UNDER the running stream is not (sync fails loudly)
+    val schemaNow = DeltaLog.snapshot(spark, table).get.schema
+    view.openSchemaJson = schemaNow.json
     val readSchema =
-      if (changeFeed) graft.sinks.Cdf.streamSchema(snap.schema) else snap.schema
+      if (changeFeed) graft.sinks.Cdf.streamSchema(schemaNow) else schemaNow
     val df0 = spark.readStream.schema(readSchema)
       .option("basePath", view.dir.toString)
       .parquet(view.dir.toString)
@@ -291,12 +321,12 @@ object DeltaStreamSource {
       // files carry theirs.
     val df =
       if (changeFeed) graft.sinks.Cdf.updatingStream(
-        df0.select((snap.schema.fieldNames.toIndexedSeq :+
+        df0.select((schemaNow.fieldNames.toIndexedSeq :+
           graft.sinks.Cdf.changeTypeCol :+ graft.sinks.Cdf.changeSeqCol)
           .map(org.apache.spark.sql.functions.col): _*),
-        snap.schema, keys)
+        schemaNow, keys)
       else df0.select(
-        snap.schema.fieldNames.map(org.apache.spark.sql.functions.col).toIndexedSeq: _*)
+        schemaNow.fieldNames.map(org.apache.spark.sql.functions.col).toIndexedSeq: _*)
     pollMs.foreach { ms =>
       val t = new Thread(() => {
         try while (true) { view.sync(); Thread.sleep(ms) }

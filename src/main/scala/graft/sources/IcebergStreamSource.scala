@@ -55,6 +55,7 @@ object IcebergStreamSource {
       * twin's state-file contract (written after the files land;
       * replays are idempotent by name).
       */
+    @volatile private[IcebergStreamSource] var openSchemaJson: String = null
     private[IcebergStreamSource] val stateFile = dir.resolve(".graft-view-state")
     private[IcebergStreamSource] def saveState(): Unit = if (persistent) {
       val tmp = dir.resolve(s".graft-view-state.${java.util.UUID.randomUUID()}")
@@ -78,6 +79,16 @@ object IcebergStreamSource {
       if (closed) return 0
       pollerFailure.foreach(throw _)
       val m = IcebergLog.current(table).getOrElse(return 0)
+      // schema-change guard — see the delta twin: a stream's schema is
+      // pinned per query; evolving under it would silently hide new
+      // columns, so fail loudly and let a restart pick them up
+      if (openSchemaJson != null && m.schema.json != openSchemaJson)
+        throw new IllegalStateException(
+          s"$table: schema changed under a running stream (the file " +
+            "source pins its schema per query, so new columns would " +
+            "silently never surface). Restart the stream to pick up the " +
+            "evolved schema — a persistent view_dir resumes without " +
+            "re-emitting.")
       val news = m.snapshots
         .filter(_.get("sequence-number").asLong() > lastSeq)
         .sortBy(_.get("sequence-number").asLong())
@@ -233,8 +244,12 @@ object IcebergStreamSource {
     }
     val dataDir = view.dir.resolve("data")
     Files.createDirectories(dataDir)
+    // arm the schema-change guard AFTER any catch-up sync and build the
+    // frame from the post-catch-up schema — see the delta twin
+    val schemaNow = IcebergLog.current(table).get.schema
+    view.openSchemaJson = schemaNow.json
     val readSchema =
-      if (changeFeed) graft.sinks.Cdf.streamSchema(m.schema) else m.schema
+      if (changeFeed) graft.sinks.Cdf.streamSchema(schemaNow) else schemaNow
     val df0 = spark.readStream.schema(readSchema)
       .option("basePath", dataDir.toString)
       .parquet(dataDir.toString)
@@ -244,12 +259,12 @@ object IcebergStreamSource {
       // insert, ordered first; materialized change files carry theirs.
     val df =
       if (changeFeed) graft.sinks.Cdf.updatingStream(
-        df0.select((m.schema.fieldNames.toIndexedSeq :+
+        df0.select((schemaNow.fieldNames.toIndexedSeq :+
           graft.sinks.Cdf.changeTypeCol :+ graft.sinks.Cdf.changeSeqCol)
           .map(org.apache.spark.sql.functions.col): _*),
-        m.schema, keys)
+        schemaNow, keys)
       else df0.select(
-        m.schema.fieldNames.map(org.apache.spark.sql.functions.col).toIndexedSeq: _*)
+        schemaNow.fieldNames.map(org.apache.spark.sql.functions.col).toIndexedSeq: _*)
     pollMs.foreach { ms =>
       val t = new Thread(() => {
         try while (true) { view.sync(); Thread.sleep(ms) }

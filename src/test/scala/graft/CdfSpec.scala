@@ -535,6 +535,92 @@ class CdfSpec extends SparkSpec {
     finally view3.close()
   }
 
+  test("schema evolution under a running stream fails loudly; a restarted view picks it up") {
+    import org.apache.spark.sql.streaming.Trigger
+    import spark.implicits._
+    val table = tmpTable("cdf_schema_guard")
+    val vdir = Paths.get(tmpTable("cdf_schema_guard_dir"), "view")
+    DeltaLog.writeBatch(Seq((1L, 10L)).toDF("id", "v").coalesce(1), table,
+      tableConf = cdfConf)
+    val (df, view) = graft.sources.DeltaStreamSource.open(spark, table,
+      changeFeed = true, keys = Seq("id"), viewDir = Some(vdir))
+    val q = df.writeStream.format("memory").queryName("cdf_guard")
+      .outputMode("append").trigger(Trigger.ProcessingTime(100)).start()
+    try {
+      q.processAllAvailable()
+      // the stream's schema is pinned per query: evolving beneath it
+      // would silently hide the new column, so sync refuses
+      DeltaLog.addColumns(spark, table,
+        Seq("note" -> org.apache.spark.sql.types.StringType))
+      val e = intercept[IllegalStateException] { view.sync() }
+      assert(e.getMessage.contains("schema changed"))
+    } finally {
+      q.stop()
+      view.close()
+    }
+    // a REOPENED view resumes across the evolution: the new frame
+    // carries the evolved column and new commits flow
+    DeltaLog.writeBatch(Seq((2L, 20L, "hi")).toDF("id", "v", "note").coalesce(1),
+      table, mergeSchema = true)
+    val (df2, view2) = graft.sources.DeltaStreamSource.open(spark, table,
+      changeFeed = true, keys = Seq("id"), viewDir = Some(vdir))
+    val q2 = df2.writeStream.format("memory").queryName("cdf_guard2")
+      .outputMode("append").trigger(Trigger.ProcessingTime(100)).start()
+    try {
+      q2.processAllAvailable()
+      assert(df2.schema.fieldNames.contains("note"))
+      val rows = spark.table("cdf_guard2")
+        .select(col("id"), col("note")).as[(Long, Option[String])]
+        .collect().toSet
+      assert(rows.contains((2L, Some("hi"))), s"got $rows")
+    } finally {
+      q2.stop()
+      view2.close()
+    }
+  }
+
+  test("iceberg: schema evolution under a running stream fails loudly; a reopened view resumes across it") {
+    import org.apache.spark.sql.streaming.Trigger
+    import spark.implicits._
+    val table = tmpTable("ice_cdf_schema_guard")
+    val vdir = Paths.get(tmpTable("ice_cdf_schema_guard_dir"), "view")
+    Merge.upsertBatch(spark, "iceberg", table,
+      Seq((1L, 10L)).toDF("id", "v"), Seq("id"))
+    val (df, view) = graft.sources.IcebergStreamSource.open(spark, table,
+      changeFeed = true, keys = Seq("id"), viewDir = Some(vdir))
+    val q = df.writeStream.format("memory").queryName("ice_cdf_guard")
+      .outputMode("append").trigger(Trigger.ProcessingTime(100)).start()
+    try {
+      q.processAllAvailable()
+      IcebergLog.addColumns(spark, table,
+        Seq("note" -> org.apache.spark.sql.types.StringType))
+      val e = intercept[IllegalStateException] { view.sync() }
+      assert(e.getMessage.contains("schema changed"))
+    } finally {
+      q.stop()
+      view.close()
+    }
+    // a REOPENED persistent view resumes ACROSS the evolution: the new
+    // frame carries the evolved column and new commits flow
+    IcebergLog.writeBatch(Seq((2L, 20L, "hi")).toDF("id", "v", "note").coalesce(1),
+      table, mergeSchema = true)
+    val (df2, view2) = graft.sources.IcebergStreamSource.open(spark, table,
+      changeFeed = true, keys = Seq("id"), viewDir = Some(vdir))
+    val q2 = df2.writeStream.format("memory").queryName("ice_cdf_guard2")
+      .outputMode("append").trigger(Trigger.ProcessingTime(100)).start()
+    try {
+      q2.processAllAvailable()
+      assert(df2.schema.fieldNames.contains("note"))
+      val rows = spark.table("ice_cdf_guard2")
+        .select(col("id"), col("note")).as[(Long, Option[String])]
+        .collect().toSet
+      assert(rows.contains((2L, Some("hi"))), s"got $rows")
+    } finally {
+      q2.stop()
+      view2.close()
+    }
+  }
+
   test("CDF on a PARTITIONED delta table: change files keep hive partition values") {
     import spark.implicits._
     val table = tmpTable("delta_cdf_part")
