@@ -89,6 +89,21 @@ private[sinks] object DmlRewrite {
       * computation so non-CDF tables pay nothing).
       */
     def changeFeedEnabled: Boolean = false
+    /** Read `paths` as this format's LIVE rows (hive partition recovery
+      * via `basePath`); `fileCol` additionally captures each row's
+      * source file as an absolute path/URI that
+      * [[DeltaLog.decodeFileUri]] maps back to the plan's absolute
+      * path. Default: a plain parquet scan. A format with merge-on-read
+      * deletes overrides it so a copy-on-write rewrite can never
+      * resurrect position-deleted rows.
+      */
+    def readFiles(spark: SparkSession, schema: StructType, paths: Seq[String],
+        fileCol: Option[String]): DataFrame = {
+      val df0 = spark.read.schema(schema).option("basePath", basePath)
+        .parquet(paths: _*)
+      fileCol.map(c => df0.withColumn(c,
+        org.apache.spark.sql.functions.input_file_name())).getOrElse(df0)
+    }
   }
 
   /** Run the cycle. `matcher` narrows candidate rows to matching ones
@@ -109,7 +124,7 @@ private[sinks] object DmlRewrite {
       touchDetect: Boolean = true,
       changes: Option[(DataFrame, DataFrame, StructType) => DataFrame] = None)
       (transform: (DataFrame, DataFrame, StructType) => DataFrame): Option[V] = {
-    import org.apache.spark.sql.functions.{col, input_file_name, lit}
+    import org.apache.spark.sql.functions.{col, lit}
     var round = 0
     while (round < 5) {
       round += 1
@@ -123,9 +138,8 @@ private[sinks] object DmlRewrite {
       val fileCol = "__graft_input_file"
       val candDf0 =
         if (candidates.isEmpty) emptyDf.withColumn(fileCol, lit(""))
-        else spark.read.schema(plan.schema).option("basePath", fmt.basePath)
-          .parquet(candidates.map(_.absPath): _*)
-          .withColumn(fileCol, input_file_name())
+        else fmt.readFiles(spark, plan.schema, candidates.map(_.absPath),
+          Some(fileCol))
       val touched: Seq[Cand] =
         if (!touchDetect) Seq.empty
         else matcher(candDf0).select(col(fileCol)).distinct().collect()
@@ -134,8 +148,8 @@ private[sinks] object DmlRewrite {
       if (touched.isEmpty && !commitWhenUntouched) return None
       val touchedDf =
         if (touched.isEmpty) emptyDf
-        else spark.read.schema(plan.schema).option("basePath", fmt.basePath)
-          .parquet(touched.map(_.absPath): _*).select(schemaCols: _*)
+        else fmt.readFiles(spark, plan.schema, touched.map(_.absPath), None)
+          .select(schemaCols: _*)
       val candDf = candDf0.select(schemaCols: _*)
       val out = transform(touchedDf, candDf, plan.schema)
       val scratch = Paths.get(fmt.table, s"${fmt.scratchPrefix}${UUID.randomUUID()}")

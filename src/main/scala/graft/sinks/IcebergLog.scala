@@ -455,13 +455,32 @@ object IcebergLog {
       if (current(table).exists(_.appVersions.get(app).exists(_ >= v)))
         return None
     }
-    Files.createDirectories(Paths.get(table, "data"))
     // field ids are TABLE-schema positions: under evolution the batch's
     // column order may differ, so metrics must key off the schema the
     // commit will land under (fresh table: the batch's own schema)
     val statSchema = current(table)
       .map(m => SchemaEvolution.resolve(m.schema, df.schema, mergeSchema, table))
       .getOrElse(df.schema)
+    val added = writeDataFiles(spark, table, df, partitionBy, statSchema)
+    val committed = commit(spark, table, df.schema, partitionBy, added, txn,
+      mergeSchema)
+    if (committed.isEmpty)
+      added.foreach(a => Files.deleteIfExists(Paths.get(a.path)))
+    committed
+  }
+
+  /** Write `df`'s rows as fresh table data files: scratch write, then
+    * link under `data/` preserving hive partition dirs — each file under
+    * a FRESH UUID NAME (two partition dirs of one Spark job share part
+    * file names; the unique-name invariant is what position deletes key
+    * on). Footer metrics harvest on the shared pool (bulk initial loads
+    * commit 10⁴+ parts; serial footer opens would dominate the commit
+    * path). Returns the added-file infos; the caller commits and deletes
+    * them on a lost race.
+    */
+  private def writeDataFiles(spark: SparkSession, table: String, df: DataFrame,
+      partitionBy: Seq[String], statSchema: StructType): Seq[DataFileInfo] = {
+    Files.createDirectories(Paths.get(table, "data"))
     val scratch = Paths.get(table, s".graft-iceberg-${UUID.randomUUID()}")
     val w = df.write.mode("overwrite")
     (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w)
@@ -470,23 +489,19 @@ object IcebergLog {
       .filter(p => Files.isRegularFile(p) &&
         p.getFileName.toString.endsWith(".parquet"))
       .map(p => (scratch.relativize(p).toString, p)).sortBy(_._1)
-    // link + footer-metrics harvest per part on the shared pool (bulk
-    // initial loads commit 10⁴+ parts; serial footer opens would
-    // dominate the commit path)
+    val dataRoot = Paths.get(table, "data")
     val added = graft.sources.SpoolLink.parMap(parts) { case (rel, p) =>
-      val dest = Paths.get(table, "data", rel)
-      Files.createDirectories(dest.getParent)
+      val destDir = Option(Paths.get(rel).getParent)
+        .map(d => dataRoot.resolve(d)).getOrElse(dataRoot)
+      Files.createDirectories(destDir)
+      val dest = destDir.resolve(s"part-${UUID.randomUUID()}.parquet")
       try Files.createLink(dest, p)
       catch { case _: UnsupportedOperationException =>
         Files.move(p, dest, StandardCopyOption.ATOMIC_MOVE) }
       statFile(spark, table, dest, statSchema)
     }
-    val committed = commit(spark, table, df.schema, partitionBy, added, txn,
-      mergeSchema)
     walkDir(scratch).reverse.foreach(Files.deleteIfExists(_))
-    if (committed.isEmpty)
-      added.foreach(a => Files.deleteIfExists(Paths.get(a.path)))
-    committed
+    added
   }
 
   /** One footer read per fresh data file: record count (the only part a
@@ -535,13 +550,19 @@ object IcebergLog {
   private def kvRows(m: Map[Int, Any]): Seq[Row] =
     m.toSeq.sortBy(_._1).map { case (k, v) => Row(k, v) }
 
-  /** The `data_file` struct Row for a freshly-written file. */
-  private def dataFileRow(a: DataFileInfo, partType: StructType): Row = {
+  /** The `data_file` struct Row for a freshly-written file.
+    * `content` 0 = data, 1 = position deletes (whose metrics maps are
+    * keyed by the spec-reserved file_path/pos field ids and whose
+    * partition values are null — our delete files are path-targeted,
+    * not partition-scoped).
+    */
+  private def dataFileRow(a: DataFileInfo, partType: StructType,
+      content: Int = 0): Row = {
     val pv = a.partitionValues.toMap
     val partRow = Row(partType.fields.map(f =>
       pv.get(f.name).flatMap(Option(_))
         .map(typedPartitionValue(_, f.dataType)).orNull).toIndexedSeq: _*)
-    Row(0, a.path, "PARQUET", partRow, a.records, a.size,
+    Row(content, a.path, "PARQUET", partRow, a.records, a.size,
       kvRows(a.metrics.valueCounts.asInstanceOf[Map[Int, Any]]),
       kvRows(a.metrics.nullCounts.asInstanceOf[Map[Int, Any]]),
       kvRows(a.metrics.lower.asInstanceOf[Map[Int, Any]]),
@@ -571,7 +592,23 @@ object IcebergLog {
       txn: Option[(String, Long)], operation: String,
       replaced: Set[String],
       conflict: Option[(Set[String], Option[String])] = None,
-      mergeSchema: Boolean = false): Option[Int] = {
+      mergeSchema: Boolean = false,
+      /** Position-delete files this commit ADDS (merge-on-read DML):
+        * they land as one content=1 DELETES manifest in the list. */
+      deleteAdded: Seq[DataFileInfo] = Seq.empty,
+      /** Data files this commit's delete rows REFERENCE: a concurrent
+        * replace removing one carried its rows to a fresh file our
+        * positions don't bind to — conflict, re-plan. */
+      mustBeLive: Set[String] = Set.empty,
+      /** Delete-file paths the caller PLANNED against: a delete file
+        * appearing since (concurrent MoR DML) holds retractions this
+        * commit's reads never applied — conflict, re-plan. None = this
+        * commit's semantics don't depend on the delete set. */
+      baseDeletes: Option[Set[String]] = None,
+      /** Purge every prior DELETES manifest from the new list — sound
+        * only when the caller rewrote every live file the delete rows
+        * could bind to (OPTIMIZE does, under `baseDeletes`' guard). */
+      dropDeletes: Boolean = false): Option[Int] = {
     val dir = metaDir(table)
     Files.createDirectories(dir)
     // `replace` = layout rewrite (same rows), `overwrite` = DML rewrite
@@ -621,39 +658,48 @@ object IcebergLog {
           (next, priorSchemas :+ mapper.readTree(schemaJson(schema, next)))
         case None => (0, Seq(mapper.readTree(schemaJson(schema))))
       }
-      val survivors: Option[Seq[Row]] =
-        if (!isRewrite) None
-        else {
-          // concurrent-replace conflict detection + survivor derivation,
-          // BOTH against this attempt's fresh snapshot: every file this
-          // commit removes must still be live (a concurrent replace that
-          // beat us already rewrote some — abort, never duplicate rows),
-          // and everything live that we are NOT replacing is carried
-          // forward (a concurrent append that beat us is kept, never
-          // silently dropped from the fresh manifest list)
-          val liveNow =
-            if (cur.isDefined) liveFiles(table, None).filter(_.status != 2)
-            else Seq.empty
-          if (!replaced.forall(liveNow.map(_.path).toSet.contains)) return None
-          conflict.foreach { case (baseFiles, predSql) =>
-            // ConcurrentAppend rule for DML (see DeltaLog.commit): a file
-            // added since the caller planned may hold rows the predicate
-            // should have touched — abort when any such file MAY match
-            // (manifest-metrics-judged, conservative); the caller re-plans
-            val newFiles = liveNow.filterNot(f => baseFiles.contains(f.path))
-            if (newFiles.nonEmpty) {
-              val conflicting = predSql match {
-                case None => true // predicate-less DML touches every row
-                case Some(p) =>
-                  val conj = StatsPruning.conjunctsOf(spark, p)
-                  newFiles.exists(f => conj.forall(c =>
-                    StatsPruning.mayMatch(fileStats(f, schema), c, schema)))
-              }
-              if (conflicting) return None
-            }
-          }
-          Some(liveNow.filterNot(f => replaced.contains(f.path)).map(_.entryRow))
+      // conflict detection against this attempt's FRESH snapshot: every
+      // file this commit removes — and every file its delete rows
+      // reference — must still be live (a concurrent replace that beat
+      // us already rewrote some: abort, never duplicate or resurrect
+      // rows), a concurrently-added file that MAY match the predicate
+      // aborts (ConcurrentAppend, see DeltaLog.commit), and a delete
+      // file landed since planning means retractions our reads never
+      // applied — abort on all three; the caller re-plans
+      val needLive = isRewrite || mustBeLive.nonEmpty || baseDeletes.isDefined
+      val liveNow: Seq[LiveFile] =
+        if (needLive && cur.isDefined) liveFiles(table, None).filter(_.status != 2)
+        else Seq.empty
+      if (needLive) {
+        val liveSet = liveNow.map(_.path).toSet
+        if (!replaced.forall(liveSet.contains)) return None
+        if (!mustBeLive.forall(liveSet.contains)) return None
+        baseDeletes.foreach { base =>
+          if ((deleteFiles(table, None).map(_.path).toSet -- base).nonEmpty)
+            return None
         }
+        conflict.foreach { case (baseFiles, predSql) =>
+          val newFiles = liveNow.filterNot(f => baseFiles.contains(f.path))
+          if (newFiles.nonEmpty) {
+            val conflicting = predSql match {
+              case None => true // predicate-less DML touches every row
+              case Some(p) =>
+                val conj = StatsPruning.conjunctsOf(spark, p)
+                newFiles.exists(f => conj.forall(c =>
+                  StatsPruning.mayMatch(fileStats(f, schema), c, schema)))
+            }
+            if (conflicting) return None
+          }
+        }
+      }
+      // survivor derivation engages only for a genuine file REWRITE
+      // (replace/overwrite removing files, or a delete purge): the fresh
+      // two-manifest list. A merge-on-read row-delta (replaced empty)
+      // carries prior manifests forward like an append instead — its
+      // list cost is O(1), not O(live files), which is the point of MoR
+      val survivors: Option[Seq[Row]] =
+        if (!(isRewrite && (replaced.nonEmpty || dropDeletes))) None
+        else Some(liveNow.filterNot(f => replaced.contains(f.path)).map(_.entryRow))
       val partType = StructType(partitionBy.map(c =>
         StructField(c, schema(schema.fieldIndex(c)).dataType, nullable = true)))
       val newVersion = cur.map(_.version + 1).getOrElse(1)
@@ -664,7 +710,7 @@ object IcebergLog {
       val tableUuid = cur.map(_.uuid).getOrElse(UUID.randomUUID().toString)
       val cleanup = scala.collection.mutable.ArrayBuffer.empty[Path]
 
-      def writeManifest(rows: Seq[Row]): (Path, Long) = {
+      def writeManifest(rows: Seq[Row], content: String = "data"): (Path, Long) = {
         val entryType = manifestEntryType(partType)
         val p = dir.resolve(s"${UUID.randomUUID()}-m0.avro")
         val out = Files.newOutputStream(p)
@@ -680,48 +726,67 @@ object IcebergLog {
             "partition-spec" -> partitionSpecFieldsJson(schema, partitionBy),
             "partition-spec-id" -> "0",
             "format-version" -> "2",
-            "content" -> "data"))
+            "content" -> content))
         finally out.close()
         cleanup += p
         (p, Files.size(p))
       }
 
       try {
-        // 1) the new manifest: one ADDED entry per data file, explicit
-        //    sequence numbers (spec allows inheriting; explicit is exact)
-        val entryRows = added.map(a => Row(1, snapshotId, seq, seq, dataFileRow(a, partType)))
-        val (manifestPath, manifestLen) = writeManifest(entryRows)
-        val addedManifestRow = Row(manifestPath.toAbsolutePath.toString,
-          manifestLen, 0, 0, seq, seq, snapshotId,
-          added.size, 0, 0, added.map(_.records).sum, 0L, 0L)
+        // 1) the new manifests: one ADDED entry per data file, explicit
+        //    sequence numbers (spec allows inheriting; explicit is exact);
+        //    position-delete files land in their own content=1 manifest
+        val addedManifestRow: Option[Row] =
+          if (added.isEmpty) None
+          else {
+            val entryRows = added.map(a =>
+              Row(1, snapshotId, seq, seq, dataFileRow(a, partType)))
+            val (manifestPath, manifestLen) = writeManifest(entryRows)
+            Some(Row(manifestPath.toAbsolutePath.toString,
+              manifestLen, 0, 0, seq, seq, snapshotId,
+              added.size, 0, 0, added.map(_.records).sum, 0L, 0L))
+          }
+        val deleteManifestRow: Option[Row] =
+          if (deleteAdded.isEmpty) None
+          else {
+            val rows = deleteAdded.map(a =>
+              Row(1, snapshotId, seq, seq, dataFileRow(a, partType, content = 1)))
+            val (p, len) = writeManifest(rows, "deletes")
+            Some(Row(p.toAbsolutePath.toString, len, 0, 1, seq, seq, snapshotId,
+              deleteAdded.size, 0, 0, deleteAdded.map(_.records).sum, 0L, 0L))
+          }
 
-        // 2) the manifest LIST
-        val listRows: Seq[Row] = survivors match {
+        // 2) the manifest LIST. Prior DELETES manifests always carry
+        //    forward unmerged (mixing contents in one manifest is a spec
+        //    violation) unless this commit purges them (dropDeletes)
+        val prior: Seq[Row] = cur.flatMap { m =>
+          m.snapshots.find(_.get("snapshot-id").asLong() == m.currentSnapshotId)
+            .map(s => readManifestList(s.get("manifest-list").asText()))
+        }.getOrElse(Seq.empty)
+        val (priorDeletes, priorData) = prior.partition(_.getInt(3) == 1)
+        val carriedDeletes = if (dropDeletes) Seq.empty else priorDeletes
+        val listRows: Seq[Row] = (survivors match {
           case Some(rows) =>
             // replace: a fresh list — survivors (EXISTING, keeping their
             // own sequence numbers) + the added manifest
-            if (rows.isEmpty) Seq(addedManifestRow)
+            if (rows.isEmpty) addedManifestRow.toSeq
             else {
               val (p, len) = writeManifest(rows.map(e =>
                 Row(0, e.get(1), e.get(2), e.get(3), e.get(4))))
               val minSeq = rows.map(e => e.getLong(2)).min
-              Seq(addedManifestRow,
+              addedManifestRow.toSeq :+
                 Row(p.toAbsolutePath.toString, len, 0, 0, seq, minSeq, snapshotId,
                   0, rows.size, 0, 0L,
-                  rows.map(_.getStruct(4).getLong(4)).sum, 0L))
+                  rows.map(_.getStruct(4).getLong(4)).sum, 0L)
             }
           case None =>
             // fast append: carry every prior manifest forward, merging the
-            // small ones once the list passes mergeMinCount — the manifest
-            // list stays O(large manifests), not O(commits)
-            val prior: Seq[Row] = cur.flatMap { m =>
-              m.snapshots.find(_.get("snapshot-id").asLong() == m.currentSnapshotId)
-                .map(s => readManifestList(s.get("manifest-list").asText()))
-            }.getOrElse(Seq.empty)
-            if (prior.size + 1 <= mergeMinCount) prior :+ addedManifestRow
+            // small DATA ones once the list passes mergeMinCount — the
+            // manifest list stays O(large manifests), not O(commits)
+            if (priorData.size + 1 <= mergeMinCount) priorData ++ addedManifestRow
             else {
-              val (small, large) = prior.partition(_.getLong(1) < mergeTargetBytes)
-              if (small.size < 2) prior :+ addedManifestRow
+              val (small, large) = priorData.partition(_.getLong(1) < mergeTargetBytes)
+              if (small.size < 2) priorData ++ addedManifestRow
               else {
                 val entryType = manifestEntryType(partType)
                 val merged = small.flatMap { mf =>
@@ -729,18 +794,18 @@ object IcebergLog {
                   try AvroCodec.readOcf(in, entryType).toSeq finally in.close()
                 }.filter(_.getInt(0) != 2) // drop tombstones; ADDED → EXISTING
                   .map(e => Row(0, e.get(1), e.get(2), e.get(3), e.get(4)))
-                if (merged.isEmpty) large :+ addedManifestRow
+                if (merged.isEmpty) large ++ addedManifestRow
                 else {
                   val (p, len) = writeManifest(merged)
                   val minSeq = merged.map(_.getLong(2)).min
                   val mergedRow = Row(p.toAbsolutePath.toString, len, 0, 0,
                     seq, minSeq, snapshotId, 0, merged.size, 0, 0L,
                     merged.map(_.getStruct(4).getLong(4)).sum, 0L)
-                  (large :+ mergedRow) :+ addedManifestRow
+                  (large :+ mergedRow) ++ addedManifestRow
                 }
               }
             }
-        }
+        }) ++ carriedDeletes ++ deleteManifestRow
         val listPath = dir.resolve(s"snap-$snapshotId-1-${UUID.randomUUID()}.avro")
         val lOut = Files.newOutputStream(listPath)
         try AvroCodec.writeOcf(lOut, manifestFileType, listRows.iterator,
@@ -805,6 +870,11 @@ object IcebergLog {
         summary.put("added-records", added.map(_.records).sum.toString)
         if (replaced.nonEmpty)
           summary.put("deleted-data-files", replaced.size.toString)
+        if (deleteAdded.nonEmpty) {
+          summary.put("added-delete-files", deleteAdded.size.toString)
+          summary.put("added-position-deletes",
+            deleteAdded.map(_.records).sum.toString)
+        }
         txn.foreach { case (app, v) =>
           summary.put("graft.txn.app", app)
           summary.put("graft.txn.version", v.toString)
@@ -870,6 +940,168 @@ object IcebergLog {
     try AvroCodec.readOcf(in, manifestFileType).toSeq finally in.close()
   }
 
+  // ── merge-on-read position deletes (format v2) ──────────────────────
+  // Spec shape: a DELETES manifest (manifest-list content=1) lists
+  // position-delete files (data_file content=1) whose rows are
+  // (file_path: string, pos: long) — field ids 2147483546/2147483545,
+  // reserved by the spec — sorted by (file_path, pos). A table row is
+  // live iff no delete file names its (file, position). Path-targeted
+  // deletes make the v2 sequence-number applicability rule vacuous here:
+  // data file names are UNIQUE BY CONSTRUCTION (fresh UUID name per
+  // linked file), so a delete row can never bind to a file created
+  // after it — asserted loudly wherever the name is used as a join key.
+
+  private[graft] val deletePathFieldId = 2147483546
+  private[graft] val deletePosFieldId = 2147483545
+  private[graft] val deleteFileSchema: StructType = StructType(Seq(
+    StructField("file_path", StringType, nullable = false),
+    StructField("pos", LongType, nullable = false)))
+
+  /** One position-delete file of a snapshot: record count for
+    * broadcast sizing, file_path bounds for skipping clean data files.
+    */
+  private[graft] final case class DeleteFile(path: String, size: Long,
+    records: Long, pathLo: Option[String], pathHi: Option[String],
+    addedSnapshotId: Long, entryRow: Row)
+
+  /** The snapshot's position-delete files (manifest-list content=1).
+    * Equality deletes (data_file content=2) are a third-party-only
+    * shape this engine never writes — rejected loudly, same contract
+    * as the pre-MoR reader.
+    */
+  private[graft] def deleteFiles(table: String, snapshotId: Option[Long])
+      : Seq[DeleteFile] = {
+    val m = current(table).getOrElse(return Seq.empty)
+    val sid = snapshotId.getOrElse(m.currentSnapshotId)
+    if (sid <= 0) return Seq.empty
+    val snap = m.snapshots.find(_.get("snapshot-id").asLong() == sid)
+      .getOrElse(sys.error(s"$table has no snapshot $sid"))
+    val partType = StructType(m.partitionColumns.map(c =>
+      StructField(c, m.schema(m.schema.fieldIndex(c)).dataType, nullable = true)))
+    val entryType = manifestEntryType(partType)
+    readManifestList(snap.get("manifest-list").asText())
+      .filter(_.getInt(3) == 1).flatMap { mf =>
+        val in = Files.newInputStream(Paths.get(mf.getString(0)))
+        try AvroCodec.readOcf(in, entryType).toSeq
+          .filter(_.getInt(0) != 2).map { e =>
+            val df = e.getStruct(4)
+            require(df.getInt(0) == 1,
+              s"$table: DELETES manifest entry ${df.getString(1)} has " +
+                s"content=${df.getInt(0)} (" +
+                (if (df.getInt(0) == 2) "equality deletes — this reader " +
+                  "applies position deletes only"
+                 else "a data file inside a DELETES manifest") +
+                "); refusing to return over-counted rows.")
+            val lo = kvMap[Array[Byte]](df.get(8)).get(deletePathFieldId)
+              .map(b => boundValue(b, StringType).asInstanceOf[String])
+            val hi = kvMap[Array[Byte]](df.get(9)).get(deletePathFieldId)
+              .map(b => boundValue(b, StringType).asInstanceOf[String])
+            DeleteFile(df.getString(1), df.getLong(5), df.getLong(4), lo, hi,
+              e.get(1) match { case l: java.lang.Long => l; case _ => 0L }, e)
+          }
+        finally in.close()
+      }
+  }
+
+  /** Split data files into (clean, dirty) against the delete files'
+    * file_path bounds — only dirty files pay the anti-join; a delete
+    * file missing bounds dirties everything (conservative).
+    */
+  private[graft] def splitByDeletes(files: Seq[LiveFile], dels: Seq[DeleteFile])
+      : (Seq[LiveFile], Seq[LiveFile]) =
+    if (dels.isEmpty) (files, Seq.empty)
+    else files.partition { f =>
+      !dels.exists(d => (d.pathLo, d.pathHi) match {
+        case (Some(lo), Some(hi)) => f.path >= lo && f.path <= hi
+        case _ => true
+      })
+    }
+
+  private def fileNameOf(p: String): String =
+    p.substring(p.lastIndexOf('/') + 1)
+
+  /** The name-as-join-key soundness guard: every file entering a
+    * name-keyed delete join must have a distinct file name. New files
+    * get fresh UUID names at link time, so this only trips on tables
+    * hand-assembled from foreign parts — fail loudly, never mis-delete.
+    */
+  private def requireUniqueNames(table: String, paths: Seq[String],
+      what: String): Unit = {
+    val dup = paths.groupBy(fileNameOf).find(_._2.size > 1)
+    dup.foreach { case (n, ps) => sys.error(
+      s"$table: $what share the file name $n (${ps.mkString(", ")}); " +
+        "position deletes key on unique names. Rewrite the table " +
+        "(OPTIMIZE) before mixing in merge-on-read deletes.") }
+  }
+
+  private val posNameCol = "__graft_pos_name"
+  private[graft] val posFileCol = "__graft_file"
+  private[graft] val posPosCol = "__graft_pos"
+
+  /** Read `dirty` data files with position deletes applied: each row
+    * keyed by (file name, `_metadata.row_index`) and anti-joined
+    * against the delete rows — broadcast when the delete set is small.
+    * Returns schema-ordered columns (plus, when `withMeta`, the
+    * manifest-form absolute path `__graft_file` and position
+    * `__graft_pos` — what a MoR writer needs to target rows).
+    */
+  private[graft] def readWithDeletes(spark: SparkSession, table: String,
+      schema: StructType, basePath: Option[String], dirty: Seq[String],
+      dels: Seq[DeleteFile], withMeta: Boolean = false): DataFrame = {
+    import org.apache.spark.sql.functions.{broadcast, col, substring_index}
+    requireUniqueNames(table, dirty, "live data files")
+    val r0 = spark.read.schema(schema)
+    val r = basePath.map(r0.option("basePath", _)).getOrElse(r0)
+    val d0 = r.parquet(dirty: _*)
+      .withColumn(posNameCol,
+        substring_index(col("_metadata.file_path"), "/", -1))
+      .withColumn(posPosCol, col("_metadata.row_index"))
+    val d1 =
+      if (dels.isEmpty) d0
+      else {
+        val delDf0 = spark.read.schema(deleteFileSchema)
+          .parquet(dels.map(_.path): _*)
+          .select(substring_index(col("file_path"), "/", -1).as(posNameCol),
+            col("pos").as(posPosCol))
+        // ~24B a row: 4M rows ≈ 100MB broadcast, the autoBroadcast ceiling
+        val delDf = if (dels.map(_.records).sum <= 4000000L)
+          broadcast(delDf0) else delDf0
+        d0.join(delDf, Seq(posNameCol, posPosCol), "left_anti")
+      }
+    if (!withMeta) d1.select(schema.fieldNames.map(col).toIndexedSeq: _*)
+    else {
+      // name → manifest-form absolute path, driver-built from the plan
+      // (bounded by the pruned candidate count, metadata scale)
+      import spark.implicits._
+      val lookup = broadcast(dirty.map(p => (fileNameOf(p), p))
+        .toDF(posNameCol, posFileCol))
+      d1.join(lookup, posNameCol)
+        .select((schema.fieldNames.toIndexedSeq :+ posFileCol :+ posPosCol)
+          .map(col): _*)
+    }
+  }
+
+  /** The rows a set of position-delete files RETRACT, read from the
+    * data files they reference (semi-join on name+pos), schema order —
+    * the per-row changelog of a merge-on-read snapshot.
+    */
+  private def positionDeleteRows(spark: SparkSession, table: String,
+      schema: StructType, basePath: String, dirty: Seq[String],
+      dels: Seq[DeleteFile]): Option[DataFrame] = {
+    import org.apache.spark.sql.functions.{broadcast, col, substring_index}
+    if (dirty.isEmpty || dels.isEmpty) return None
+    requireUniqueNames(table, dirty, "live data files")
+    val delDf0 = spark.read.schema(deleteFileSchema).parquet(dels.map(_.path): _*)
+      .select(substring_index(col("file_path"), "/", -1).as(posNameCol),
+        col("pos").as(posPosCol))
+    val delDf = if (dels.map(_.records).sum <= 4000000L) broadcast(delDf0) else delDf0
+    Some(spark.read.schema(schema).option("basePath", basePath).parquet(dirty: _*)
+      .withColumn(posNameCol, substring_index(col("_metadata.file_path"), "/", -1))
+      .withColumn(posPosCol, col("_metadata.row_index"))
+      .join(delDf, Seq(posNameCol, posPosCol), "left_semi")
+      .select(schema.fieldNames.map(col).toIndexedSeq: _*))
+  }
+
   /** A manifest entry's pruning-relevant projection. */
   private[graft] final case class LiveFile(status: Int, path: String,
       records: Long, size: Long, partitionValues: Map[String, Any],
@@ -892,25 +1124,18 @@ object IcebergLog {
     val partType = StructType(m.partitionColumns.map(c =>
       StructField(c, m.schema(m.schema.fieldIndex(c)).dataType, nullable = true)))
     val entryType = manifestEntryType(partType)
-    readManifestList(snap.get("manifest-list").asText()).flatMap { mf =>
-      // merge-on-read guard: this reader understands append/replace
-      // content only (the reference's filesystem sink is fast-append —
-      // delete files never arise from it). A third-party writer's
-      // position/equality deletes (manifest content=1, or data_file
-      // content=1/2) would silently OVER-RETURN rows if ignored — fail
-      // loudly instead of returning wrong results.
-      require(mf.getInt(3) == 0,
-        s"$table: manifest ${mf.getString(0)} has content=${mf.getInt(3)} " +
-          "(a DELETES manifest). This reader does not apply merge-on-read " +
-          "delete files; refusing to return over-counted rows. Rewrite the " +
-          "table with a writer that compacts deletes first.")
+    // DELETES manifests (content=1) carry no data entries — they are
+    // read by [[deleteFiles]] and applied by [[readWithDeletes]]
+    readManifestList(snap.get("manifest-list").asText())
+      .filter(_.getInt(3) == 0).flatMap { mf =>
       val in = Files.newInputStream(Paths.get(mf.getString(0)))
       try AvroCodec.readOcf(in, entryType).toSeq.map { e =>
         val df = e.getStruct(4)
         require(df.getInt(0) == 0,
-          s"$table: data file ${df.getString(1)} has content=${df.getInt(0)} " +
-            "(position/equality deletes). This reader does not apply " +
-            "merge-on-read delete files; refusing to return over-counted rows.")
+          s"$table: data manifest ${mf.getString(0)} lists " +
+            s"${df.getString(1)} with content=${df.getInt(0)} — delete " +
+            "files belong in a DELETES manifest (spec); refusing to " +
+            "guess this writer's semantics.")
         val part = df.getStruct(3)
         LiveFile(e.getInt(0), df.getString(1), df.getLong(4), df.getLong(5),
           m.partitionColumns.zipWithIndex.map { case (c, i) => c -> part.get(i) }.toMap,
@@ -986,14 +1211,22 @@ object IcebergLog {
     val m = current(table).getOrElse(
       sys.error(s"$table is not an Iceberg table (no metadata/v*.metadata.json)"))
     val (kept, _) = planFiles(spark, table, snapshotId, scanFilter)
-    val files = kept.map(_.path)
-    val base =
-      if (files.isEmpty)
-        spark.createDataFrame(spark.sparkContext.emptyRDD[Row], m.schema)
-      else spark.read.schema(m.schema)
-        .option("basePath", Paths.get(table, "data").toAbsolutePath.toString)
-        .parquet(files: _*)
-        .select(m.schema.fieldNames.map(org.apache.spark.sql.functions.col).toIndexedSeq: _*)
+    // merge-on-read: only files within some delete file's path bounds
+    // pay the position anti-join; everything else stays a plain scan
+    val dels = deleteFiles(table, snapshotId)
+    val (clean, dirty) = splitByDeletes(kept, dels)
+    val basePath = Paths.get(table, "data").toAbsolutePath.toString
+    val schemaCols = m.schema.fieldNames.map(org.apache.spark.sql.functions.col).toIndexedSeq
+    val cleanDf =
+      if (clean.isEmpty) None
+      else Some(spark.read.schema(m.schema).option("basePath", basePath)
+        .parquet(clean.map(_.path): _*).select(schemaCols: _*))
+    val dirtyDf =
+      if (dirty.isEmpty) None
+      else Some(readWithDeletes(spark, table, m.schema, Some(basePath),
+        dirty.map(_.path), dels))
+    val base = (cleanDf ++ dirtyDf).reduceOption(_ unionAll _).getOrElse(
+      spark.createDataFrame(spark.sparkContext.emptyRDD[Row], m.schema))
     scanFilter.map(_.trim).filter(_.nonEmpty)
       .map(f => base.filter(org.apache.spark.sql.functions.expr(f)))
       .getOrElse(base)
@@ -1048,18 +1281,38 @@ object IcebergLog {
           readFiles(liveFiles(table, Some(sid))
             .filter(f => f.status == 1 && f.entryRow.get(1) == sid)
             .map(_.path), "insert")
-        case "overwrite" =>
+        case "overwrite" | "delete" =>
           val live = liveFiles(table, Some(sid)).filter(_.status != 2)
           val added = live.filter(f => f.status == 1 && f.entryRow.get(1) == sid)
             .map(_.path)
           val parentId = Option(s.get("parent-snapshot-id")).map(_.asLong())
             .getOrElse(sys.error(
-              s"$table: overwrite snapshot $sid has no parent; cannot diff"))
-          val removed = liveFiles(table, Some(parentId)).filter(_.status != 2)
-            .map(_.path).toSet -- live.map(_.path)
-          val dels = readFiles(removed.toSeq.sorted, "delete")
+              s"$table: $op snapshot $sid has no parent; cannot diff"))
+          val parentLive = liveFiles(table, Some(parentId)).filter(_.status != 2)
+          val removed = parentLive.map(_.path).toSet -- live.map(_.path)
+          // CoW-removed files replay with the PARENT's deletes applied:
+          // rows position deletes already retracted must not retract twice
+          val parentDels = deleteFiles(table, Some(parentId))
+          val rm = removed.toSeq.sorted
+          val fileDels =
+            if (rm.isEmpty) None
+            else if (parentDels.isEmpty) readFiles(rm, "delete")
+            else Some(readWithDeletes(spark, table, schema, Some(basePath),
+              rm, parentDels).withColumn(Cdf.changeTypeCol, lit("delete")))
+          // merge-on-read: delete files ADDED by this snapshot retract the
+          // exact rows they list — per-row changelog, not file-diff
+          val delsNew = deleteFiles(table, Some(sid))
+            .filter(d => d.addedSnapshotId == sid && d.entryRow.getInt(0) == 1)
+          val posDels =
+            if (delsNew.isEmpty) None
+            else {
+              val (_, dirtyP) = splitByDeletes(parentLive, delsNew)
+              positionDeleteRows(spark, table, schema, basePath,
+                dirtyP.map(_.path), delsNew)
+                .map(_.withColumn(Cdf.changeTypeCol, lit("delete")))
+            }
           val ins = readFiles(added, "insert")
-          (dels ++ ins).reduceOption(_ unionAll _)
+          (fileDels ++ posDels ++ ins).reduceOption(_ unionAll _)
         case other => sys.error(
           s"$table: snapshot $sid has unknown operation '$other'; refusing " +
             "to guess its changelog semantics")
@@ -1116,7 +1369,13 @@ object IcebergLog {
     val threshold = smallBytes.getOrElse(targetBytes / 2)
     val live = liveFiles(table, None).filter(_.status != 2)
     val byPart = live.groupBy(_.partitionValues)
-    val victims = byPart.values.flatMap { files =>
+    // merge-on-read deletes: every live file a delete could bind to is a
+    // victim too — rewriting them (deletes applied) is what lets the
+    // commit PURGE the delete manifests (iceberg's
+    // rewrite_position_delete_files folded into rewrite_data_files)
+    val dels = deleteFiles(table, None)
+    val dirtySet = splitByDeletes(live, dels)._2.map(_.path).toSet
+    val victims0 = byPart.values.flatMap { files =>
       // ZORDER re-clusters EVERY live file (layout, not just size);
       // plain compaction only coalesces partitions with ≥2 small files
       if (zorderBy.nonEmpty) files
@@ -1125,7 +1384,14 @@ object IcebergLog {
         if (small.size >= 2) small else Seq.empty
       }
     }.toSeq
-    if (victims.isEmpty) return None
+    val victims = (victims0 ++ live.filter(f => dirtySet.contains(f.path)))
+      .groupBy(_.path).map(_._2.head).toSeq
+    if (victims.isEmpty && dels.isEmpty) return None
+    // name-join soundness across ALL groups: every victim enters a read
+    // that anti-joins the full delete set, so a name collision anywhere
+    // among them could mis-apply a delete row — fail loudly
+    if (dels.nonEmpty) requireUniqueNames(table, victims.map(_.path),
+      "rewrite victims")
     val dataSchema = StructType(m.schema.filterNot(f => m.partitionColumns.contains(f.name)))
     val scratchFiles = scala.collection.mutable.ArrayBuffer.empty[DataFileInfo]
     val scratchDirs = scala.collection.mutable.ArrayBuffer.empty[Path]
@@ -1133,7 +1399,11 @@ object IcebergLog {
       val scratch = Paths.get(table, s".graft-iceberg-${UUID.randomUUID()}")
       scratchDirs += scratch
       val n = math.max(1, math.ceil(files.map(_.size).sum.toDouble / targetBytes).toInt)
-      val in = spark.read.schema(dataSchema).parquet(files.map(_.path): _*)
+      // rewrites must read LIVE rows — applying the position deletes here
+      // is exactly what makes the purge below sound
+      val in =
+        if (dels.isEmpty) spark.read.schema(dataSchema).parquet(files.map(_.path): _*)
+        else readWithDeletes(spark, table, dataSchema, None, files.map(_.path), dels)
       val out =
         if (zorderBy.isEmpty) in.coalesce(n)
         else graft.operators.ZOrder.cluster(in, zorderBy, n)
@@ -1169,7 +1439,12 @@ object IcebergLog {
     // fresh snapshot (not here) so a concurrent append is never lost
     val committed = commitSnapshot(spark, table, m.schema, m.partitionColumns,
       scratchFiles.toSeq, txn = None, operation = "replace",
-      replaced = victimPaths)
+      replaced = victimPaths,
+      // purge the delete manifests: every live file they could bind to
+      // was just rewritten with the deletes applied — guarded against a
+      // concurrent MoR DML landing NEW deletes (baseDeletes growth check)
+      baseDeletes = if (dels.isEmpty) None else Some(dels.map(_.path).toSet),
+      dropDeletes = dels.nonEmpty)
     if (committed.isEmpty)
       scratchFiles.foreach(a => Files.deleteIfExists(Paths.get(a.path)))
     committed
@@ -1197,6 +1472,183 @@ object IcebergLog {
       txn = None, operation = "append", replaced = Set.empty, mergeSchema = true)
   }
 
+  // ── merge-on-read DML (format v2 row deltas) ─────────────────────────
+
+  /** Which write path a verb takes: the PUBLIC Iceberg table properties
+    * `write.{delete,update,merge}.mode`; copy-on-write (the full-file
+    * rewrite) unless the table opts into merge-on-read.
+    */
+  private def morMode(m: Meta, verb: String): Boolean =
+    m.properties.getOrElse(s"write.$verb.mode", "copy-on-write") match {
+      case "merge-on-read" => true
+      case "copy-on-write" => false
+      case other => sys.error(s"write.$verb.mode=$other is not a write " +
+        "mode (merge-on-read | copy-on-write)")
+    }
+
+  /** The merge-on-read plan → row-delta → commit cycle. Candidates are
+    * stats-pruned and read WITH prior deletes applied, each row carrying
+    * its (file, position); `delta` turns them into positions to retract
+    * plus rows to append. The positions land as sorted position-delete
+    * files and the appends as ordinary data files, in ONE snapshot that
+    * rewrites nothing — cost scales with the rows changed, never the
+    * files they live in (the 100 TB DML story: a 1k-row DELETE against a
+    * 10⁵-file table writes one tiny delete file and touches no data
+    * file). Conflict rules, judged inside the commit against the fresh
+    * snapshot: every file the delete rows reference must still be live
+    * (a concurrent replace carried those rows to new positions), a
+    * concurrently-added file that may match re-plans (ConcurrentAppend),
+    * and a concurrently-added DELETE file re-plans (its retractions were
+    * invisible to this cycle's reads).
+    */
+  private def morRun(spark: SparkSession, table: String,
+      scanFilter: Option[String], conflictPred: Option[String],
+      commitWhenUntouched: Boolean = false)
+      (delta: (DataFrame, StructType) => (DataFrame, Option[DataFrame]))
+      : Option[Int] = {
+    import org.apache.spark.sql.functions.col
+    val basePath = Paths.get(table, "data").toAbsolutePath.toString
+    var round = 0
+    while (round < 5) {
+      round += 1
+      val m = current(table).getOrElse(
+        sys.error(s"$table is not an Iceberg table (no metadata/v*.metadata.json)"))
+      val baseLive = liveFiles(table, None).filter(_.status != 2).map(_.path).toSet
+      val dels = deleteFiles(table, None)
+      val (cands, _) = planFiles(spark, table, None, scanFilter)
+      if (cands.isEmpty && !commitWhenUntouched) return None
+      val candDf =
+        if (cands.isEmpty)
+          spark.createDataFrame(spark.sparkContext.emptyRDD[Row],
+            StructType(m.schema.fields ++ Seq(
+              StructField(posFileCol, StringType),
+              StructField(posPosCol, LongType))))
+        else readWithDeletes(spark, table, m.schema, Some(basePath),
+          cands.map(_.path), dels, withMeta = true)
+      val (posDf0, appends) = delta(candDf, m.schema)
+      val posDf = posDf0.select(col(posFileCol), col(posPosCol)).persist()
+      try {
+        val nPos = posDf.count()
+        if (nPos == 0 && appends.isEmpty && !commitWhenUntouched) return None
+        // distinct REFERENCED files — metadata-scale by construction
+        // (bounded by the pruned candidate count)
+        val touchedFiles =
+          if (nPos == 0) Set.empty[String]
+          else posDf.select(col(posFileCol)).distinct()
+            .collect().map(_.getString(0)).toSet
+        val deleteAdded =
+          if (nPos == 0) Seq.empty[DataFileInfo]
+          else writeDeleteFiles(spark, table, posDf, nPos)
+        val added = appends.map(a =>
+          writeDataFiles(spark, table, a, m.partitionColumns, m.schema))
+          .getOrElse(Seq.empty)
+        if (deleteAdded.isEmpty && added.isEmpty) return None // true no-op
+        val op =
+          if (deleteAdded.isEmpty) "append" // insert-only: streams keep flowing
+          else if (added.isEmpty) "delete"
+          else "overwrite"
+        val committed = commitSnapshot(spark, table, m.schema,
+          m.partitionColumns, added, txn = None, operation = op,
+          replaced = Set.empty,
+          conflict = Some((baseLive, conflictPred)),
+          deleteAdded = deleteAdded,
+          mustBeLive = touchedFiles,
+          baseDeletes = Some(dels.map(_.path).toSet))
+        committed match {
+          case Some(_) => return committed
+          case None => (deleteAdded ++ added).foreach(a =>
+            Files.deleteIfExists(Paths.get(a.path)))
+        }
+      } finally { posDf.unpersist(); () }
+    }
+    sys.error(s"$table: merge-on-read DML lost 5 concurrent-write races; giving up")
+  }
+
+  /** Write sorted position-delete files from a (`__graft_file`,
+    * `__graft_pos`) frame: range-partitioned then sorted on
+    * (file_path, pos) so the set is globally in spec order, ~20M
+    * positions per file. Linked under `data/` as
+    * `delete-<uuid>.parquet` (same GC root as data files —
+    * [[expireSnapshots]] reclaims them by the same manifest walk).
+    */
+  private def writeDeleteFiles(spark: SparkSession, table: String,
+      posDf: DataFrame, nPos: Long): Seq[DataFileInfo] = {
+    import org.apache.spark.sql.functions.col
+    val dataRoot = Paths.get(table, "data")
+    Files.createDirectories(dataRoot)
+    val scratch = Paths.get(table, s".graft-iceberg-del-${UUID.randomUUID()}")
+    val n = math.max(1L, math.min(128L, (nPos + 19999999L) / 20000000L)).toInt
+    posDf.select(col(posFileCol).as("file_path"), col(posPosCol).as("pos"))
+      .repartitionByRange(n, col("file_path"), col("pos"))
+      .sortWithinPartitions("file_path", "pos")
+      .write.mode("overwrite").parquet(scratch.toString)
+    val parts = walkDir(scratch).filter(p => Files.isRegularFile(p) &&
+      p.getFileName.toString.endsWith(".parquet")).sortBy(_.toString)
+    val added = parts.map { p =>
+      val dest = dataRoot.resolve(s"delete-${UUID.randomUUID()}.parquet")
+      try Files.createLink(dest, p)
+      catch { case _: UnsupportedOperationException =>
+        Files.move(p, dest, StandardCopyOption.ATOMIC_MOVE) }
+      deleteFileStats(spark, table, dest)
+    }
+    walkDir(scratch).reverse.foreach(Files.deleteIfExists(_))
+    added
+  }
+
+  /** Footer harvest for a position-delete file: metrics re-keyed from
+    * schema positions to the spec-reserved field ids, so the manifest's
+    * file_path bounds let readers skip clean data files.
+    */
+  private def deleteFileStats(spark: SparkSession, table: String,
+      dest: Path): DataFileInfo = {
+    val info = statFile(spark, table, dest, deleteFileSchema)
+    def rekey[T](mm: Map[Int, T]): Map[Int, T] = mm.map { case (k, v) =>
+      (if (k == 1) deletePathFieldId else deletePosFieldId) -> v }
+    DataFileInfo(info.path, info.size, info.records, Seq.empty,
+      ColMetrics(rekey(info.metrics.valueCounts), rekey(info.metrics.nullCounts),
+        rekey(info.metrics.lower), rekey(info.metrics.upper)))
+  }
+
+  /** `ALTER TABLE … SET TBLPROPERTIES`: a metadata-only version bump
+    * merging `props` into the table properties (no snapshot — streaming
+    * tails link nothing). Returns the committed metadata version
+    * (idempotent: re-setting current values commits nothing).
+    */
+  def setTableProperties(spark: SparkSession, table: String,
+      props: Map[String, String]): Int = {
+    val dir = metaDir(table)
+    var attempt = 0
+    while (attempt < 1000) {
+      attempt += 1
+      val m = current(table).getOrElse(
+        sys.error(s"$table is not an Iceberg table (no metadata/v*.metadata.json)"))
+      if (props.forall { case (k, v) => m.properties.get(k).contains(v) })
+        return m.version
+      val root = m.node.deepCopy[com.fasterxml.jackson.databind.node.ObjectNode]()
+      val propsNode = mapper.createObjectNode()
+      (m.properties ++ props).foreach { case (k, v) => propsNode.put(k, v) }
+      root.set[com.fasterxml.jackson.databind.JsonNode]("properties", propsNode)
+      root.put("last-updated-ms", System.currentTimeMillis())
+      val newVersion = m.version + 1
+      val tmp = dir.resolve(s".${UUID.randomUUID()}.tmp")
+      Files.write(tmp, root.toString.getBytes("UTF-8"))
+      val target = dir.resolve(s"v$newVersion.metadata.json")
+      val claimed =
+        try {
+          try { Files.createLink(target, tmp); true }
+          catch { case _: UnsupportedOperationException =>
+            Files.move(tmp, target); true }
+        } catch { case _: java.nio.file.FileAlreadyExistsException => false }
+        finally Files.deleteIfExists(tmp)
+      if (claimed) {
+        Files.write(dir.resolve("version-hint.text"),
+          newVersion.toString.getBytes("UTF-8"))
+        return newVersion
+      }
+    }
+    sys.error(s"iceberg SET TBLPROPERTIES lost $attempt version races; giving up")
+  }
+
   /** Copy-on-write `DELETE FROM … WHERE predicate` — the iceberg twin of
     * [[DeltaLog.deleteWhere]]: only the files holding matching rows
     * (manifest-metrics-pruned, then row-verified) are rewritten, and the
@@ -1211,10 +1663,18 @@ object IcebergLog {
     */
   def deleteWhere(spark: SparkSession, table: String,
       predicate: String): Option[Int] = {
-    import org.apache.spark.sql.functions.{coalesce, expr, lit, not}
+    import org.apache.spark.sql.functions.{coalesce, col, expr, lit, not}
     val p = predicate.trim
     require(p.nonEmpty, "DELETE: empty predicate (use 'true' to delete all rows)")
-    DmlRewrite.run(spark, new DmlFormat(spark, table), scanFilter = Some(p),
+    val m = current(table).getOrElse(
+      sys.error(s"$table is not an Iceberg table (no metadata/v*.metadata.json)"))
+    if (morMode(m, "delete"))
+      // merge-on-read: retract the matching POSITIONS, rewrite nothing
+      morRun(spark, table, scanFilter = Some(p), conflictPred = Some(p)) {
+        (cand, _) => (cand.filter(coalesce(expr(p), lit(false)))
+          .select(col(posFileCol), col(posPosCol)), None)
+      }
+    else DmlRewrite.run(spark, new DmlFormat(spark, table), scanFilter = Some(p),
       conflictPred = Some(p),
       matcher = df => df.filter(coalesce(expr(p), lit(false)))) {
       (touched, _, _) => touched.filter(not(coalesce(expr(p), lit(false))))
@@ -1234,6 +1694,24 @@ object IcebergLog {
     val byCol = sets.toMap
     require(byCol.size == sets.size, "UPDATE: duplicate SET column")
     val p = predicate.map(_.trim).filter(_.nonEmpty)
+    val m = current(table).getOrElse(
+      sys.error(s"$table is not an Iceberg table (no metadata/v*.metadata.json)"))
+    if (morMode(m, "update"))
+      // merge-on-read row delta: retract matching positions, append the
+      // postimages (rows whose identity-partition value changed migrate
+      // with the partitioned append write)
+      return morRun(spark, table, scanFilter = p, conflictPred = p) {
+        (cand, schema) =>
+          sets.foreach { case (c, _) =>
+            require(schema.fieldNames.contains(c), s"UPDATE: no column $c") }
+          val matched = p.map(pp => cand.filter(coalesce(expr(pp), lit(false))))
+            .getOrElse(cand)
+          val post = matched.select(schema.fields.toIndexedSeq.map { f =>
+            byCol.get(f.name).map(e => expr(e).cast(f.dataType).as(f.name))
+              .getOrElse(col(f.name))
+          }: _*)
+          (matched.select(col(posFileCol), col(posPosCol)), Some(post))
+      }
     DmlRewrite.run(spark, new DmlFormat(spark, table), scanFilter = p,
       conflictPred = p,
       matcher = df => p.map(pp => df.filter(coalesce(expr(pp), lit(false))))
@@ -1273,6 +1751,17 @@ object IcebergLog {
       // source, so those clauses disable source-key-bounds pruning
       val scanFilter = if (Merge.pruneBySourceKeys(clauses))
         Merge.keyBoundsFilter(spark, clauses, source, m0.schema) else None
+      if (morMode(m0, "merge"))
+        // merge-on-read row delta: matched rows taking a clause retract
+        // by position; updates' postimages + not-matched inserts append
+        return morRun(spark, table, scanFilter, conflictPred = None,
+          commitWhenUntouched = clauses.notMatchedInsert.isDefined) {
+          (cand, schema) => {
+            val (positions, appends) =
+              Merge.rowDelta(cand, source, schema, clauses, posFileCol, posPosCol)
+            (positions, Some(appends))
+          }
+        }
       val fmt = new DmlFormat(spark, table)
       if (clauses.matched.isEmpty && clauses.notBySource.isEmpty)
         DmlRewrite.run(spark, fmt, scanFilter, conflictPred = None,
@@ -1298,12 +1787,18 @@ object IcebergLog {
     */
   private final class DmlFormat(spark: SparkSession, val table: String)
       extends DmlRewrite.Format[DataFileInfo, Int] {
+    // the delete files the current planning round saw: candidate reads
+    // apply them (a copy-on-write rewrite must NOT resurrect
+    // position-deleted rows) and the commit aborts if the set GREW
+    // (a concurrent MoR DML's retractions were invisible to our reads)
+    @volatile private var plannedDeletes: Seq[DeleteFile] = Seq.empty
     def plan(scanFilter: Option[String]): DmlRewrite.Plan = {
       val m = current(table).getOrElse(
         sys.error(s"$table is not an Iceberg table (no metadata/v*.metadata.json)"))
       // plan-time live set: anything appearing after this is a potential
       // ConcurrentAppend conflict the commit must judge
       val baseLive = liveFiles(table, None).filter(_.status != 2).map(_.path).toSet
+      plannedDeletes = deleteFiles(table, None)
       val (candidates, _) = planFiles(spark, table, None, scanFilter)
       DmlRewrite.Plan(m.schema, m.partitionColumns,
         candidates.map(f => DmlRewrite.Cand(
@@ -1313,6 +1808,16 @@ object IcebergLog {
     def basePath: String = Paths.get(table, "data").toAbsolutePath.toString
     def dataRoot: Path = Paths.get(table, "data")
     def scratchPrefix: String = ".graft-iceberg-dml-"
+    override def readFiles(spark: SparkSession, schema: StructType,
+        paths: Seq[String], fileCol: Option[String]): DataFrame =
+      if (plannedDeletes.isEmpty)
+        super.readFiles(spark, schema, paths, fileCol)
+      else {
+        val df = readWithDeletes(spark, table, schema, Some(basePath),
+          paths, plannedDeletes, withMeta = fileCol.isDefined)
+        fileCol.map(c => df.withColumnRenamed(posFileCol, c).drop(posPosCol))
+          .getOrElse(df)
+      }
     def harvest(dest: Path, plan: DmlRewrite.Plan): (DataFileInfo, Long) = {
       val info = statFile(spark, table, dest, plan.schema)
       (info, info.records)
@@ -1326,7 +1831,8 @@ object IcebergLog {
         added, txn = None,
         operation = if (touchedTokens.isEmpty) "append" else "overwrite",
         replaced = touchedTokens.toSet,
-        conflict = Some((plan.conflictBase, conflictPred)))
+        conflict = Some((plan.conflictBase, conflictPred)),
+        baseDeletes = Some(plannedDeletes.map(_.path).toSet))
   }
 
   /** Drop snapshots older than `olderThanMs` (always keeping the current

@@ -142,6 +142,38 @@ private[graft] object Merge {
     inserts.map(survivors.unionAll).getOrElse(survivors)
   }
 
+  /** The MERGE as a merge-on-read ROW DELTA instead of a file rewrite:
+    * (positions of target rows a clause retracts, rows to append). The
+    * candidate frame carries each row's file/position in `fileCol`/
+    * `posCol`; rows where a MATCHED or NOT-MATCHED-BY-SOURCE clause
+    * fires are retracted by position — update clauses additionally
+    * append their postimage, NOT MATCHED inserts append as-is. Same
+    * [[ClausePlan]] the copy-on-write [[rewrite]] projects from, same
+    * multiple-source-rows guard.
+    */
+  def rowDelta(cands: DataFrame, source: DataFrame, schema: StructType,
+      c: Clauses, fileCol: String, posCol: String): (DataFrame, DataFrame) = {
+    Seq(fileCol, posCol).foreach(mc => require(!source.columns.contains(mc),
+      s"MERGE: source column $mc collides with the row-position metadata"))
+    val plan = new ClausePlan(cands, source, schema, c, withUid = true)
+    val dup = if (c.sourceUniqueByKey || (c.matched.isEmpty && c.notBySource.isEmpty)) 0L
+    else plan.withIdx.filter(col(matchFlag))
+      .groupBy(col(uidCol)).count().filter(col("count") > 1).limit(1).count()
+    if (dup > 0) throw new IllegalStateException(
+      "MERGE: a target row matched more than one source row; applying " +
+        "both would be order-dependent. Deduplicate the source on the " +
+        "merge keys first.")
+    val fired = plan.withIdx.filter(col(clauseCol) >= 0)
+    val positions = fired.select(
+      col(s"${c.targetAlias}.$fileCol").as(fileCol),
+      col(s"${c.targetAlias}.$posCol").as(posCol))
+    val posts = fired.filter(!plan.isDelete).select(plan.postImage: _*)
+    val appends = c.notMatchedInsert
+      .map(_ => posts.unionAll(insertRows(cands, source, schema, c)))
+      .getOrElse(posts)
+    (positions, appends)
+  }
+
   /** The NOT MATCHED → INSERT rows of a merge, in target-schema order:
     * source rows matching NO row of `base`. `base` may be the touched
     * files' rows (the general path — a file holding any matched row is

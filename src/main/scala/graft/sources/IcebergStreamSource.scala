@@ -120,14 +120,18 @@ object IcebergStreamSource {
             // _change_seq. The copy is bounded by the overwrite's
             // touched files, not the table.
             linked += materializeChanges(seq)
-          case "overwrite" =>
+          case "delete" if changeFeed =>
+            // merge-on-read row retraction: readChanges emits the EXACT
+            // deleted rows (per-row, not file-diff) — materialize them
+            linked += materializeChanges(seq)
+          case "overwrite" | "delete" =>
             if (!ignoreDeletes) throw new IllegalStateException(
               s"$table: snapshot $sid deleted or updated live rows under a " +
                 "running append-only stream (this source cannot retract " +
                 "emitted rows). Restart from a fresh snapshot, open the " +
-                "source with ignore_deletes=true to skip overwrite snapshots " +
-                "whole, or open with change_feed=true to stream the changes " +
-                "as retractions.")
+                "source with ignore_deletes=true to skip data-changing " +
+                "snapshots whole, or open with change_feed=true to stream " +
+                "the changes as retractions.")
           // ignore_deletes: skip whole (see scaladoc)
           case other => throw new IllegalStateException(
             s"$table: snapshot $sid has unknown operation '$other'; refusing " +
@@ -235,10 +239,21 @@ object IcebergStreamSource {
       case None =>
         // initial state: the current snapshot IS each logical row exactly
         // once; the bulk link is the one O(active files) driver-side moment,
-        // parallelized (SpoolLink) for high-file-count tables
-        SpoolLink.parallel(
-          IcebergLog.liveFiles(table, None).filter(_.status != 2).map(_.path),
-          view.link)
+        // parallelized (SpoolLink) for high-file-count tables. Files with
+        // merge-on-read position deletes can't be hard-linked (the raw
+        // file would re-emit retracted rows): their LIVE rows materialize
+        // instead — a copy bounded by the delete-dirty files, never the
+        // table, under deterministic names (crash replay is idempotent)
+        val live = IcebergLog.liveFiles(table, None).filter(_.status != 2)
+        val dels = IcebergLog.deleteFiles(table, None)
+        val (clean, dirty) = IcebergLog.splitByDeletes(live, dels)
+        SpoolLink.parallel(clean.map(_.path), view.link)
+        if (dirty.nonEmpty)
+          graft.sinks.Cdf.materializeInto(dir.resolve("data"),
+            IcebergLog.readWithDeletes(spark, table, m.schema,
+              Some(Paths.get(table, "data").toAbsolutePath.toString),
+              dirty.map(_.path), dels),
+            m.partitionColumns, s"mor-${m.lastSeq}")
         view.lastSeq = m.lastSeq
         view.saveState()
     }

@@ -353,15 +353,17 @@ class Pipeline(spark: SparkSession, streaming: Boolean = false) {
     case AlterSetProps(name, props) =>
       val t = catalog.getOrElse(name,
         throw new IllegalArgumentException(s"unknown table $name"))
-      if (t.connector != "delta")
+      if (t.connector != "delta" && t.connector != "iceberg")
         throw new IllegalArgumentException(
-          "ALTER TABLE SET TBLPROPERTIES is only supported on delta tables " +
-            s"(got connector '${t.connector}' — iceberg's changelog needs " +
-            "no property)")
+          "ALTER TABLE SET TBLPROPERTIES is only supported on delta/iceberg " +
+            s"tables (got connector '${t.connector}')")
       val tPath = t.path.getOrElse(sys.error(s"table $name: path required"))
       // plan() must VALIDATE, never run
       if (!planOnly) {
-        graft.sinks.DeltaLog.setTableProperties(spark, tPath, props)
+        if (t.connector == "delta")
+          graft.sinks.DeltaLog.setTableProperties(spark, tPath, props)
+        else
+          graft.sinks.IcebergLog.setTableProperties(spark, tPath, props)
         ()
       }
 

@@ -454,7 +454,7 @@ class IcebergLogSpec extends SparkSpec {
     assert(got.as[(Long, String)].collect().toSeq == Seq((1L, "a")))
   }
 
-  test("a deletes manifest from a third-party writer is rejected loudly, never over-returned (r10)") {
+  test("third-party delete content this reader can't apply is rejected loudly, never over-returned") {
     import spark.implicits._
     import org.apache.spark.sql.Row
     import org.apache.spark.sql.types._
@@ -493,14 +493,14 @@ class IcebergLogSpec extends SparkSpec {
     val out = Files.newOutputStream(listPath)
     try graft.formats.AvroCodec.writeOcf(out, mfType, doctored.iterator)
     finally out.close()
-    // every read surface refuses rather than returning over-counted rows
+    // r11 narrowed the refusal: POSITION deletes are applied (MorSpec);
+    // what remains rejected is delete content this reader can't apply —
+    // here a DATA entry masquerading inside a DELETES manifest
     val e = intercept[IllegalArgumentException] { IcebergLog.read(spark, table).count() }
     assert(e.getMessage.contains("DELETES manifest"), e.getMessage)
-    intercept[IllegalArgumentException] { IcebergLog.planFiles(spark, table, None, None) }
-    intercept[IllegalArgumentException] { IcebergLog.entries(table) }
 
     // entry-level guard too: a data_file with content=1 (position deletes)
-    // inside a normal manifest is also refused
+    // inside a normal DATA manifest is also refused
     val t2 = tmpTable()
     IcebergLog.writeBatch(Seq((1L, "a")).toDF("id", "v").coalesce(1), t2)
     val m2 = IcebergLog.current(t2).get
@@ -549,6 +549,6 @@ class IcebergLogSpec extends SparkSpec {
     try graft.formats.AvroCodec.writeOcf(out2, entryType, doctored2.iterator)
     finally out2.close()
     val e2 = intercept[IllegalArgumentException] { IcebergLog.read(spark, t2).count() }
-    assert(e2.getMessage.contains("position/equality deletes"), e2.getMessage)
+    assert(e2.getMessage.contains("DELETES manifest"), e2.getMessage)
   }
 }

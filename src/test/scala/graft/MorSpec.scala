@@ -1,0 +1,293 @@
+package graft
+
+import graft.sinks.{IcebergLog, Merge}
+import org.apache.spark.sql.functions._
+
+import java.nio.file.{Files, Paths}
+import scala.jdk.CollectionConverters._
+
+/** Iceberg format-v2 MERGE-ON-READ (public spec: position-delete files,
+  * content=1 DELETES manifests, the reserved 2147483545/6 field ids,
+  * `write.{delete,update,merge}.mode` table properties): DML cost scales
+  * with the rows changed instead of the files they live in. Asserted
+  * against the bytes on disk and against copy-on-write twins.
+  */
+class MorSpec extends SparkSpec {
+
+  private val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+
+  private def tmpTable(): String =
+    Files.createTempDirectory("iceberg_mor").toString
+
+  private def metaJson(table: String, v: Int): com.fasterxml.jackson.databind.JsonNode =
+    mapper.readTree(Files.readAllBytes(
+      Paths.get(table, "metadata", s"v$v.metadata.json")))
+
+  private def currentSnapshot(table: String, v: Int): com.fasterxml.jackson.databind.JsonNode = {
+    val m = metaJson(table, v)
+    val cur = m.get("current-snapshot-id").asLong()
+    (0 until m.get("snapshots").size()).map(m.get("snapshots").get)
+      .find(_.get("snapshot-id").asLong() == cur).get
+  }
+
+  private def morTable(rows: Seq[(Long, Long)], modes: Seq[String],
+      nFiles: Int = 2): String = {
+    import spark.implicits._
+    val table = tmpTable()
+    IcebergLog.writeBatch(rows.toDF("id", "v").repartitionByRange(nFiles, col("id")),
+      table)
+    IcebergLog.setTableProperties(spark, table,
+      modes.map(m => s"write.$m.mode" -> "merge-on-read").toMap)
+    table
+  }
+
+  private def readMap(table: String): Map[Long, Long] = {
+    import spark.implicits._
+    IcebergLog.read(spark, table).as[(Long, Long)].collect().toMap
+  }
+
+  test("MoR DELETE writes a position-delete file and rewrites NO data file") {
+    val table = morTable((1L to 100L).map(i => (i, i * 10)), Seq("delete"))
+    val dataBefore = IcebergLog.liveFiles(table, None).filter(_.status != 2)
+      .map(_.path).toSet
+    val v = IcebergLog.deleteWhere(spark, table, "id <= 10 OR id = 55")
+    assert(v.contains(3)) // v1 write, v2 properties, v3 delete
+    // the data files are UNTOUCHED — only a delete file was added
+    val dataAfter = IcebergLog.liveFiles(table, None).filter(_.status != 2)
+      .map(_.path).toSet
+    assert(dataAfter == dataBefore)
+    val dels = IcebergLog.deleteFiles(table, None)
+    assert(dels.nonEmpty && dels.forall(d => Files.exists(Paths.get(d.path))))
+    assert(dels.map(_.records).sum == 11L)
+    // file_path bounds present in the manifest → clean files skip the join
+    assert(dels.forall(d => d.pathLo.isDefined && d.pathHi.isDefined))
+    // snapshot: operation=delete, delete-file counts in the summary
+    val snap = currentSnapshot(table, 3)
+    assert(snap.get("summary").get("operation").asText == "delete")
+    assert(snap.get("summary").get("added-delete-files").asInt == 1)
+    assert(snap.get("summary").get("added-position-deletes").asLong == 11L)
+    // the manifest LIST carries a content=1 row
+    val list = IcebergLog.readManifestList(snap.get("manifest-list").asText())
+    assert(list.exists(_.getInt(3) == 1) && list.exists(_.getInt(3) == 0))
+    // reads exclude exactly the deleted rows
+    assert(readMap(table).keySet == ((11L to 100L).toSet - 55L))
+    // time travel BEFORE the delete still sees every row
+    val prevSid = currentSnapshot(table, 1).get("snapshot-id").asLong()
+    assert(IcebergLog.read(spark, table, Some(prevSid)).count() == 100L)
+  }
+
+  test("MoR DELETE scales with rows deleted: one snapshot, list cost O(1), clean files stay clean") {
+    val table = morTable((1L to 1000L).map(i => (i, i)), Seq("delete"), nFiles = 8)
+    IcebergLog.deleteWhere(spark, table, "id = 400")
+    val dels = IcebergLog.deleteFiles(table, None)
+    assert(dels.map(_.records).sum == 1L)
+    val live = IcebergLog.liveFiles(table, None).filter(_.status != 2)
+    // bounds confine the anti-join to the ONE file holding id=400
+    val (clean, dirty) = IcebergLog.splitByDeletes(live, dels)
+    assert(dirty.size == 1 && clean.size == 7)
+    assert(readMap(table).size == 999)
+  }
+
+  test("MoR UPDATE on a PARTITIONED table: retract + postimage append, partition migration included") {
+    import spark.implicits._
+    val table = tmpTable()
+    IcebergLog.writeBatch(
+      Seq((1L, "a", 10L), (2L, "a", 20L), (3L, "b", 30L)).toDF("id", "p", "v"),
+      table, partitionBy = Seq("p"))
+    IcebergLog.setTableProperties(spark, table,
+      Map("write.update.mode" -> "merge-on-read"))
+    // migrate id=2 to partition c and bump v
+    val v = IcebergLog.updateWhere(spark, table,
+      Seq("p" -> "'c'", "v" -> "v + 1"), Some("id = 2"))
+    assert(v.isDefined)
+    val snap = currentSnapshot(table, v.get)
+    assert(snap.get("summary").get("operation").asText == "overwrite")
+    assert(snap.get("summary").get("added-delete-files").asInt == 1)
+    val got = IcebergLog.read(spark, table).as[(Long, String, Long)]
+      .collect().toSet
+    assert(got == Set((1L, "a", 10L), (2L, "c", 21L), (3L, "b", 30L)))
+    // the postimage landed under the NEW partition dir
+    assert(IcebergLog.liveFiles(table, None).filter(_.status != 2)
+      .exists(_.partitionValues.get("p").contains("c")))
+  }
+
+  test("MoR MERGE matches its copy-on-write twin row for row") {
+    import spark.implicits._
+    val rows = (1L to 50L).map(i => (i, i * 10))
+    val mor = morTable(rows, Seq("merge"))
+    val cow = morTable(rows, Seq.empty) // same shape, default copy-on-write
+    val source = Seq((1L, 11L, false), (2L, 21L, false), (30L, -1L, true),
+      (99L, 990L, false)).toDF("id", "v", "__graft_deleted")
+    val clauses = Merge.upsertClauses(Seq("id"), Seq("id", "v"))
+    assert(IcebergLog.merge(spark, mor, source, clauses).isDefined)
+    assert(IcebergLog.merge(spark, cow, source, clauses).isDefined)
+    assert(readMap(mor) == readMap(cow))
+    assert(readMap(mor).get(1L).contains(11L) && !readMap(mor).contains(30L)
+      && readMap(mor).get(99L).contains(990L))
+    // the MoR side wrote deletes instead of rewriting; the CoW side did not
+    assert(IcebergLog.deleteFiles(mor, None).nonEmpty)
+    assert(IcebergLog.deleteFiles(cow, None).isEmpty)
+  }
+
+  test("insert-only MoR MERGE commits an APPEND snapshot (streams keep flowing)") {
+    import spark.implicits._
+    val table = morTable((1L to 5L).map(i => (i, i)), Seq("merge"))
+    val source = Seq((6L, 60L)).toDF("id", "v")
+    val clauses = Merge.Clauses("t", "s", "t.id = s.id", Seq.empty,
+      Some((None, Seq.empty))) // INSERT * only
+    val v = IcebergLog.merge(spark, table, source, clauses)
+    assert(v.isDefined)
+    assert(currentSnapshot(table, v.get).get("summary")
+      .get("operation").asText == "append")
+    assert(IcebergLog.deleteFiles(table, None).isEmpty)
+    assert(readMap(table).get(6L).contains(60L))
+  }
+
+  test("copy-on-write DML on a table CARRYING deletes never resurrects deleted rows") {
+    val table = morTable((1L to 100L).map(i => (i, i)), Seq("delete"))
+    IcebergLog.deleteWhere(spark, table, "id <= 20")
+    // back to copy-on-write for the UPDATE: it rewrites whole files and
+    // must read them WITH the deletes applied
+    IcebergLog.setTableProperties(spark, table,
+      Map("write.update.mode" -> "copy-on-write"))
+    assert(IcebergLog.updateWhere(spark, table,
+      Seq("v" -> "v + 1000"), Some("id = 30")).isDefined)
+    val got = readMap(table)
+    assert(got.get(30L).contains(1030L))
+    assert(!(1L to 20L).exists(got.contains), s"resurrected: ${got.keySet.filter(_ <= 20)}")
+    assert(got.size == 80)
+  }
+
+  test("OPTIMIZE applies and PURGES position deletes; reads unchanged; clean files after") {
+    val table = morTable((1L to 100L).map(i => (i, i)), Seq("delete"))
+    IcebergLog.deleteWhere(spark, table, "id % 10 = 0")
+    val before = readMap(table)
+    assert(before.size == 90)
+    assert(IcebergLog.rewriteDataFiles(spark, table, smallBytes = Some(1L)).isDefined
+      || IcebergLog.deleteFiles(table, None).isEmpty)
+    assert(IcebergLog.deleteFiles(table, None).isEmpty,
+      "delete manifests must be purged by the rewrite")
+    assert(readMap(table) == before)
+    // the dirty files were rewritten: re-deleting the same predicate is a no-op
+    assert(IcebergLog.deleteWhere(spark, table, "id % 10 = 0").isEmpty)
+  }
+
+  test("readChanges on MoR snapshots: per-row deletes, not file-granularity diffs") {
+    import spark.implicits._
+    val table = morTable((1L to 100L).map(i => (i, i)), Seq("delete", "update"))
+    IcebergLog.deleteWhere(spark, table, "id = 7 OR id = 70") // seq 2
+    IcebergLog.updateWhere(spark, table, Seq("v" -> "0"), Some("id = 9")) // seq 3
+    val chg = IcebergLog.readChanges(spark, table, 2)
+      .select(col("id"), col("v"), col(graft.sinks.Cdf.changeTypeCol),
+        col(graft.sinks.Cdf.commitVersionCol))
+      .as[(Long, Long, String, Long)].collect().toSet
+    // EXACTLY the touched rows — a file-diff would have replayed whole files
+    assert(chg == Set((7L, 7L, "delete", 2L), (70L, 70L, "delete", 2L),
+      (9L, 9L, "delete", 3L), (9L, 0L, "insert", 3L)), s"got $chg")
+  }
+
+  test("change-feed stream tails a MoR table; append-only refuses; ignore_deletes skips whole") {
+    import org.apache.spark.sql.streaming.Trigger
+    import spark.implicits._
+    val table = morTable((1L to 6L).map(i => (i, i * 10)), Seq("delete", "update"))
+    // change-feed consumer mirrors into a map via netting
+    val (df, view) = graft.sources.IcebergStreamSource.open(spark, table,
+      changeFeed = true, keys = Seq("id"))
+    val state = scala.collection.concurrent.TrieMap.empty[Long, Long]
+    val q = df.writeStream.foreachBatch(
+      (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) => {
+        graft.streaming.Debezium.netBatch(b)
+          .select(col("id"), col("v"), col("__graft_deleted"))
+          .collect().foreach { r =>
+            if (r.getBoolean(2)) state.remove(r.getLong(0))
+            else state(r.getLong(0)) = r.getLong(1)
+          }
+      }).trigger(Trigger.ProcessingTime(100)).start()
+    try {
+      q.processAllAvailable()
+      assert(state.toMap == (1L to 6L).map(i => i -> i * 10).toMap)
+      IcebergLog.deleteWhere(spark, table, "id = 3")
+      IcebergLog.updateWhere(spark, table, Seq("v" -> "v + 1"), Some("id = 5"))
+      view.sync()
+      q.processAllAvailable()
+      assert(state.toMap == readMap(table), s"mirror=${state.toMap}")
+    } finally { q.stop(); view.close() }
+    // append-only stream refuses the MoR delete snapshot
+    val table2 = morTable(Seq((1L, 1L)), Seq("delete"))
+    val (df2, view2) = graft.sources.IcebergStreamSource.open(spark, table2)
+    try {
+      IcebergLog.deleteWhere(spark, table2, "id = 1")
+      val e = intercept[IllegalStateException] { view2.sync() }
+      assert(e.getMessage.contains("deleted or updated live rows"))
+    } finally view2.close()
+    // ignore_deletes skips the delete snapshot whole
+    val (df3, view3) = graft.sources.IcebergStreamSource.open(spark, table2,
+      ignoreDeletes = true)
+    try assert(view3.sync() == 0)
+    finally view3.close()
+  }
+
+  test("stream OPEN on a table with existing deletes emits live rows only") {
+    import org.apache.spark.sql.streaming.Trigger
+    import spark.implicits._
+    val table = morTable((1L to 20L).map(i => (i, i)), Seq("delete"), nFiles = 4)
+    IcebergLog.deleteWhere(spark, table, "id <= 5")
+    val (df, view) = graft.sources.IcebergStreamSource.open(spark, table)
+    val q = df.writeStream.format("memory").queryName("mor_open")
+      .outputMode("append").trigger(Trigger.ProcessingTime(100)).start()
+    try {
+      q.processAllAvailable()
+      val ids = spark.table("mor_open").select(col("id"))
+        .as[Long].collect().toSet
+      assert(ids == (6L to 20L).toSet, s"got $ids")
+    } finally { q.stop(); view.close() }
+  }
+
+  test("expireSnapshots reclaims delete files once no retained snapshot references them") {
+    val table = morTable((1L to 50L).map(i => (i, i)), Seq("delete"))
+    IcebergLog.deleteWhere(spark, table, "id <= 10")
+    val delPath = IcebergLog.deleteFiles(table, None).head.path
+    // purge via rewrite, then expire everything but current
+    assert(IcebergLog.rewriteDataFiles(spark, table, smallBytes = Some(1L)).isDefined)
+    assert(Files.exists(Paths.get(delPath)), "retained history still references it")
+    val (expired, deleted) = IcebergLog.expireSnapshots(spark, table, olderThanMs = -1000L)
+    assert(expired > 0 && deleted > 0)
+    assert(!Files.exists(Paths.get(delPath)),
+      "the delete file must be GC'd with its last referencing snapshot")
+    assert(readMap(table).size == 40)
+  }
+
+  test("SQL face: ALTER TABLE SET TBLPROPERTIES flips iceberg DML to merge-on-read") {
+    import spark.implicits._
+    val table = tmpTable()
+    IcebergLog.writeBatch((1L to 30L).map(i => (i, i * 10)).toDF("id", "v")
+      .coalesce(2), table)
+    val dataBefore = IcebergLog.liveFiles(table, None).filter(_.status != 2)
+      .map(_.path).toSet
+    new graft.sql.Pipeline(spark, streaming = false).run(
+      s"""CREATE TABLE t (id BIGINT, v BIGINT) WITH (
+         |  connector='iceberg', path='$table', format='parquet', type='sink');
+         |ALTER TABLE t SET TBLPROPERTIES (
+         |  'write.delete.mode' = 'merge-on-read',
+         |  'write.update.mode' = 'merge-on-read');
+         |DELETE FROM t WHERE id <= 5;
+         |UPDATE t SET v = v + 1 WHERE id = 30;""".stripMargin)
+    assert(IcebergLog.current(table).get.properties
+      .get("write.delete.mode").contains("merge-on-read"))
+    // both verbs ran merge-on-read: the original data files are untouched
+    val live = IcebergLog.liveFiles(table, None).filter(_.status != 2).map(_.path).toSet
+    assert(dataBefore.subsetOf(live), "MoR DML must not rewrite data files")
+    assert(IcebergLog.deleteFiles(table, None).size == 2)
+    val got = readMap(table)
+    assert(got.size == 25 && got.get(30L).contains(301L))
+  }
+
+  test("unsupported write-mode value and third-party equality deletes fail loudly") {
+    val table = morTable(Seq((1L, 1L)), Seq.empty)
+    IcebergLog.setTableProperties(spark, table,
+      Map("write.delete.mode" -> "sideways"))
+    val e = intercept[RuntimeException] {
+      IcebergLog.deleteWhere(spark, table, "id = 1") }
+    assert(e.getMessage.contains("not a write mode"))
+  }
+}
