@@ -1,0 +1,103 @@
+package graft.examples
+
+import graft.sinks.IcebergLog
+import org.apache.spark.sql.functions._
+
+/** SCALE.md probe for iceberg merge-on-read: the 100 TB question is
+  * whether row-level DML cost scales with the ROWS CHANGED instead of
+  * the files they live in. Each axis contrasts a copy-on-write table
+  * with a merge-on-read twin (same rows, same layout):
+  *
+  *   (a) narrow DELETE (1k contiguous keys, one file's range)
+  *   (b) spread DELETE (1 key per file — every file touched: CoW's
+  *       honest worst case, MoR's flat case)
+  *   (c) full-scan read AFTER the spread delete — what the position
+  *       anti-join costs when EVERY file is dirty (the worst read case;
+  *       bounds confine the narrow case to one file)
+  *   (d) OPTIMIZE: applies + purges the deletes, restoring clean reads
+  *
+  * Usage: runMain graft.examples.MorProbe [nFiles] [rowsPerFile]
+  */
+object MorProbe {
+  def main(args: Array[String]): Unit = {
+    val nFiles = if (args.length > 0) args(0).toInt else 200
+    val rowsPerFile = if (args.length > 1) args(1).toLong else 50000L
+    val builder = graft.GraftSession.builder("mor-probe")
+    graft.Bench.tmpfsLocalDir().foreach(d => builder.config("spark.local.dir", d))
+    val spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    def timed[T](f: => T): (T, Double) = {
+      val t0 = System.nanoTime()
+      val r = f
+      (r, (System.nanoTime() - t0) / 1e9)
+    }
+    val n = nFiles * rowsPerFile
+    def mkTable(mor: Boolean): String = {
+      val t = java.nio.file.Files.createTempDirectory("mor-probe").toString
+      IcebergLog.writeBatch(spark.range(n)
+        .select(col("id").as("k"), (col("id") % 997 * 1.0).as("v"))
+        .repartitionByRange(nFiles, col("k")), t)
+      if (mor) IcebergLog.setTableProperties(spark, t, Map(
+        "write.delete.mode" -> "merge-on-read",
+        "write.update.mode" -> "merge-on-read",
+        "write.merge.mode" -> "merge-on-read"))
+      t
+    }
+    def live(t: String) = IcebergLog.liveFiles(t, None).filter(_.status != 2)
+    def dels(t: String) = IcebergLog.deleteFiles(t, None)
+
+    val cow = mkTable(false)
+    val mor = mkTable(true)
+    println(s"[mor-probe] rows=$n files=$nFiles " +
+      f"tableBytes=${live(cow).map(_.size).sum / 1e6}%.1f MB")
+
+    // (a) narrow DELETE: 1k contiguous keys inside one file's range
+    val f0c = live(cow).map(_.path).toSet
+    val (_, taCow) = timed(IcebergLog.deleteWhere(spark, cow,
+      s"k >= ${5 * rowsPerFile} AND k < ${5 * rowsPerFile + 1000}"))
+    val rewroteA = (f0c -- live(cow).map(_.path).toSet).size
+    val bytesA = live(cow).filterNot(f => f0c.contains(f.path)).map(_.size).sum
+    val (_, taMor) = timed(IcebergLog.deleteWhere(spark, mor,
+      s"k >= ${5 * rowsPerFile} AND k < ${5 * rowsPerFile + 1000}"))
+    val dA = dels(mor)
+    println(f"[mor-probe] (a) narrow 1k-row DELETE: CoW rewrote $rewroteA " +
+      f"files (${bytesA / 1e3}%.0f kB) in ${taCow}%.2fs; MoR wrote " +
+      f"${dA.size} delete file (${dA.map(_.size).sum / 1e3}%.0f kB, " +
+      f"${dA.map(_.records).sum} positions) in ${taMor}%.2fs, rewrote 0")
+
+    // (b) spread DELETE: one key per file — every file touched
+    val f1c = live(cow).map(_.path).toSet
+    val (_, tbCow) = timed(IcebergLog.deleteWhere(spark, cow,
+      s"k % $rowsPerFile = 1"))
+    val rewroteB = (f1c -- live(cow).map(_.path).toSet).size
+    val bytesB = live(cow).filterNot(f => f1c.contains(f.path)).map(_.size).sum
+    val (_, tbMor) = timed(IcebergLog.deleteWhere(spark, mor,
+      s"k % $rowsPerFile = 1"))
+    val dB = dels(mor)
+    println(f"[mor-probe] (b) spread $nFiles-row DELETE (every file hit): " +
+      f"CoW rewrote $rewroteB files (${bytesB / 1e6}%.1f MB) in ${tbCow}%.2fs; " +
+      f"MoR wrote ${dB.map(_.size).sum - dA.map(_.size).sum} delete bytes in " +
+      f"${tbMor}%.2fs, rewrote 0")
+
+    // (c) read cost with every file dirty vs the compacted CoW table
+    val (cntCow, tcCow) = timed(IcebergLog.read(spark, cow)
+      .agg(sum(col("v"))).collect()(0))
+    val (cntMor, tcMor) = timed(IcebergLog.read(spark, mor)
+      .agg(sum(col("v"))).collect()(0))
+    require(cntCow == cntMor, s"$cntCow != $cntMor")
+    println(f"[mor-probe] (c) full-scan agg, all files dirty: " +
+      f"CoW(clean) ${tcCow}%.2fs vs MoR(anti-join) ${tcMor}%.2fs " +
+      f"(${tcMor / tcCow}%.2fx)")
+
+    // (d) OPTIMIZE applies + purges; reads return to clean-scan cost
+    val (_, td) = timed(IcebergLog.rewriteDataFiles(spark, mor,
+      smallBytes = Some(1L)))
+    require(dels(mor).isEmpty)
+    val (_, tcAfter) = timed(IcebergLog.read(spark, mor)
+      .agg(sum(col("v"))).collect()(0))
+    println(f"[mor-probe] (d) OPTIMIZE purge: ${td}%.2fs; clean re-scan " +
+      f"${tcAfter}%.2fs; deleteFiles=0")
+    spark.stop()
+  }
+}

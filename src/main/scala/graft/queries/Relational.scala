@@ -570,6 +570,40 @@ object Relational {
               |  ${oSum("CASE WHEN l_returnflag = 'R' THEN l_extendedprice * 2 ELSE l_extendedprice END")} AS sum_price
               |FROM lineitem WHERE NOT (l_quantity > 45) GROUP BY 1""".stripMargin)),
 
+    // ── merge-on-read DML (r11, the iceberg v2 row-delta path): the same
+    //    verbs as q_iceberg_dml but under write.{delete,update}.mode =
+    //    merge-on-read — the DELETE lands as position-delete files
+    //    (nothing rewritten) and the UPDATE as retract + postimage
+    //    append. The read back exercises the position anti-join on the
+    //    delete-dirty files and plain scans on the clean ones; the oracle
+    //    replays the algebra, so a hash match proves delete-file write,
+    //    bounds-confined delete application, and postimage append
+    //    end-to-end against an exact engine.
+    Q("q_iceberg_mor",
+      (s, dir) => {
+        val li = t(s, dir, "lineitem").select(
+          col("l_orderkey"), col("l_linenumber"), col("l_returnflag"),
+          col("l_quantity"), col("l_extendedprice"))
+        val table = java.nio.file.Files
+          .createTempDirectory("graft-iceberg-mor").resolve("t").toString
+        graft.sinks.IcebergLog.writeBatch(li, table,
+          partitionBy = Seq("l_returnflag"))
+        graft.sinks.IcebergLog.setTableProperties(s, table, Map(
+          "write.delete.mode" -> "merge-on-read",
+          "write.update.mode" -> "merge-on-read"))
+        graft.sinks.IcebergLog.deleteWhere(s, table, "l_quantity > 45")
+        graft.sinks.IcebergLog.updateWhere(s, table,
+          Seq("l_extendedprice" -> "l_extendedprice * 2"),
+          Some("l_returnflag = 'R'"))
+        graft.sinks.IcebergLog.read(s, table)
+          .groupBy(col("l_returnflag"))
+          .agg(count(lit(1)).as("n"), dsum(col("l_quantity")).as("sum_qty"),
+            dsum(col("l_extendedprice")).as("sum_price"))
+      },
+      Some(s"""SELECT l_returnflag, COUNT(*) AS n, ${oSum("l_quantity")} AS sum_qty,
+              |  ${oSum("CASE WHEN l_returnflag = 'R' THEN l_extendedprice * 2 ELSE l_extendedprice END")} AS sum_price
+              |FROM lineitem WHERE NOT (l_quantity > 45) GROUP BY 1""".stripMargin)),
+
     // ── MERGE INTO (copy-on-write upsert, r10): write orders into a
     //    fresh delta table, merge a CDC-shaped source (price corrections
     //    for every 10th order + brand-new negated-key orders), read back
