@@ -98,6 +98,35 @@ object MorProbe {
       .agg(sum(col("v"))).collect()(0))
     println(f"[mor-probe] (d) OPTIMIZE purge: ${td}%.2fs; clean re-scan " +
       f"${tcAfter}%.2fs; deleteFiles=0")
+
+    // (e) landing a 1k-key spread CDC batch, three ways: copy-on-write
+    //     MERGE (rewrites every key-hit file), merge-on-read MERGE
+    //     (position deletes — still READS the pruned candidates), and
+    //     the write.upsert.enabled equality path (reads NOTHING)
+    import spark.implicits._
+    def cdcBatch = spark.range(1000)
+      .select((col("id") * (n / 1000)).as("k"), lit(-9.0).as("v"),
+        lit(false).as("__graft_deleted"))
+    val keys = Seq("k")
+    val clauses = graft.sinks.Merge.upsertClauses(keys, Seq("k", "v"),
+      uniqueByKey = true)
+    val tCowM = mkTable(false)
+    val (_, teCow) = timed(IcebergLog.merge(spark, tCowM, cdcBatch, clauses))
+    val rewroteE = live(tCowM).count(_.dataSeq > 1L)
+    val tMorM = mkTable(true)
+    val (_, teMor) = timed(IcebergLog.merge(spark, tMorM, cdcBatch, clauses))
+    val tEq = mkTable(false)
+    IcebergLog.setTableProperties(spark, tEq, Map("write.upsert.enabled" -> "true"))
+    val (_, teEq) = timed(graft.sinks.Merge.upsertBatch(spark, "iceberg", tEq,
+      cdcBatch.drop("__graft_deleted"), keys, orderBy = Some("v")))
+    println(f"[mor-probe] (e) 1k-key spread CDC batch: CoW MERGE ${teCow}%.2fs " +
+      f"(rewrote+added $rewroteE files), MoR MERGE ${teMor}%.2fs " +
+      f"(pos-deletes, reads candidates), equality upsert ${teEq}%.2fs " +
+      f"(reads NOTHING — O(batch) whatever the table size)")
+    val (ce, teRead) = timed(IcebergLog.read(spark, tEq).count())
+    require(ce == n + 0L, s"$ce != $n") // 1000 keys updated in place
+    println(f"[mor-probe] (e) read after equality upsert: ${teRead}%.2fs, " +
+      f"rows=$ce")
     spark.stop()
   }
 }

@@ -645,6 +645,45 @@ object Relational {
               |SELECT k < 0 AS inserted, COUNT(*) AS n, ${oSum("p")} AS sum_p
               |FROM merged GROUP BY 1""".stripMargin)),
 
+    // ── zero-read equality upsert (r11, iceberg v2 equality deletes +
+    //    the public write.upsert.enabled property): the same CDC batch
+    //    as q_delta_merge lands as ONE equality-delete file + appends —
+    //    the target is never read — and the read back resolves
+    //    last-writer-wins through the v2 sequence rule (the commit's own
+    //    appends are exempt; older versions of the keys anti-join away).
+    //    Same oracle algebra: a hash match proves eq-delete write, the
+    //    seq-scoped equality anti-join, and key-bounds file skipping.
+    Q("q_iceberg_upsert",
+      (s, dir) => {
+        val o = t(s, dir, "orders")
+          .select(col("o_orderkey").as("k"), col("o_totalprice").as("p"))
+        val table = java.nio.file.Files
+          .createTempDirectory("graft-iceberg-upsert").resolve("t").toString
+        graft.sinks.Merge.upsertBatch(s, "iceberg", table, o, Seq("k"))
+        graft.sinks.IcebergLog.setTableProperties(s, table,
+          Map("write.upsert.enabled" -> "true"))
+        val cdc = o.filter(col("k") % 10 === 0)
+          .select(col("k"), (col("p") + 1000d).as("p"))
+          .unionAll(o.filter(col("k") % 3 === 0 && col("k") > 0)
+            .select((-col("k")).as("k"), col("p")))
+        graft.sinks.Merge.upsertBatch(s, "iceberg", table, cdc, Seq("k"),
+          orderBy = Some("p"))
+        graft.sinks.IcebergLog.read(s, table)
+          .groupBy((col("k") < 0).as("inserted"))
+          .agg(count(lit(1)).as("n"), dsum(col("p")).as("sum_p"))
+      },
+      Some(s"""WITH t AS (SELECT o_orderkey AS k, o_totalprice AS p FROM orders),
+              |src AS (SELECT o_orderkey AS k, o_totalprice + 1000 AS p FROM orders WHERE o_orderkey % 10 = 0
+              |        UNION ALL
+              |        SELECT -o_orderkey, o_totalprice FROM orders WHERE o_orderkey % 3 = 0 AND o_orderkey > 0),
+              |merged AS (SELECT t.k, COALESCE(src.p, t.p) AS p
+              |           FROM t LEFT JOIN src ON t.k = src.k
+              |           UNION ALL
+              |           SELECT src.k, src.p FROM src
+              |           WHERE NOT EXISTS (SELECT 1 FROM t WHERE t.k = src.k))
+              |SELECT k < 0 AS inserted, COUNT(*) AS n, ${oSum("p")} AS sum_p
+              |FROM merged GROUP BY 1""".stripMargin)),
+
     // ── MERGE-backed upsert sink (r10): bootstrap a delta table from
     //    orders, then land a CDC batch carrying TWO versions of every
     //    7th key (merge_order_by keeps the newest) — the final state is

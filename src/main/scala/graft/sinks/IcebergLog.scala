@@ -593,9 +593,11 @@ object IcebergLog {
       replaced: Set[String],
       conflict: Option[(Set[String], Option[String])] = None,
       mergeSchema: Boolean = false,
-      /** Position-delete files this commit ADDS (merge-on-read DML):
-        * they land as one content=1 DELETES manifest in the list. */
+      /** Delete files this commit ADDS (merge-on-read DML): they land
+        * as one DELETES manifest in the list, each entry stamped
+        * `deleteContent` (1 = position deletes, 2 = equality deletes). */
       deleteAdded: Seq[DataFileInfo] = Seq.empty,
+      deleteContent: Int = 1,
       /** Data files this commit's delete rows REFERENCE: a concurrent
         * replace removing one carried its rows to a fresh file our
         * positions don't bind to — conflict, re-plan. */
@@ -750,7 +752,8 @@ object IcebergLog {
           if (deleteAdded.isEmpty) None
           else {
             val rows = deleteAdded.map(a =>
-              Row(1, snapshotId, seq, seq, dataFileRow(a, partType, content = 1)))
+              Row(1, snapshotId, seq, seq,
+                dataFileRow(a, partType, content = deleteContent)))
             val (p, len) = writeManifest(rows, "deletes")
             Some(Row(p.toAbsolutePath.toString, len, 0, 1, seq, seq, snapshotId,
               deleteAdded.size, 0, 0, deleteAdded.map(_.records).sum, 0L, 0L))
@@ -940,16 +943,24 @@ object IcebergLog {
     try AvroCodec.readOcf(in, manifestFileType).toSeq finally in.close()
   }
 
-  // ── merge-on-read position deletes (format v2) ──────────────────────
+  // ── merge-on-read deletes (format v2) ──────────────────────────────────
   // Spec shape: a DELETES manifest (manifest-list content=1) lists
-  // position-delete files (data_file content=1) whose rows are
-  // (file_path: string, pos: long) — field ids 2147483546/2147483545,
-  // reserved by the spec — sorted by (file_path, pos). A table row is
-  // live iff no delete file names its (file, position). Path-targeted
-  // deletes make the v2 sequence-number applicability rule vacuous here:
+  // delete files. POSITION deletes (data_file content=1) carry
+  // (file_path: string, pos: long) rows — field ids 2147483546/
+  // 2147483545, reserved by the spec — sorted by (file_path, pos); a
+  // row is live iff no delete file names its (file, position).
+  // Path-targeted deletes make the v2 sequence rule vacuous for them:
   // data file names are UNIQUE BY CONSTRUCTION (fresh UUID name per
   // linked file), so a delete row can never bind to a file created
-  // after it — asserted loudly wherever the name is used as a join key.
+  // after it — asserted loudly wherever the name is a join key.
+  // EQUALITY deletes (content=2) carry the VALUES of their equality
+  // columns and retract every matching row in data files with a
+  // STRICTLY SMALLER data sequence number — the rule that lets a
+  // streaming upsert commit without reading the target at all
+  // ([[upsertAppend]]): the same commit's own appends are exempt by
+  // sequence. This reader derives a delete file's equality columns
+  // from its manifest entry's value_counts keys (the columns the file
+  // carries, harvested at write under the table-schema field ids).
 
   private[graft] val deletePathFieldId = 2147483546
   private[graft] val deletePosFieldId = 2147483545
@@ -957,17 +968,27 @@ object IcebergLog {
     StructField("file_path", StringType, nullable = false),
     StructField("pos", LongType, nullable = false)))
 
-  /** One position-delete file of a snapshot: record count for
-    * broadcast sizing, file_path bounds for skipping clean data files.
+  /** One delete file of a snapshot: `content` 1 = position, 2 =
+    * equality. Bounds drive clean-file skipping (file_path bounds for
+    * position deletes, equality-column bounds for equality deletes);
+    * `seq` drives the v2 applicability rule for equality deletes.
     */
-  private[graft] final case class DeleteFile(path: String, size: Long,
-    records: Long, pathLo: Option[String], pathHi: Option[String],
-    addedSnapshotId: Long, entryRow: Row)
+  private[graft] final case class DeleteFile(content: Int, path: String,
+      size: Long, records: Long, seq: Long, addedSnapshotId: Long,
+      valueCounts: Map[Int, Long],
+      lower: Map[Int, Array[Byte]], upper: Map[Int, Array[Byte]],
+      entryRow: Row) {
+    def pathLo: Option[String] = lower.get(deletePathFieldId)
+      .map(b => boundValue(b, StringType).asInstanceOf[String])
+    def pathHi: Option[String] = upper.get(deletePathFieldId)
+      .map(b => boundValue(b, StringType).asInstanceOf[String])
+    /** Equality-column field ids = the columns the file carries. */
+    def eqFieldIds: Seq[Int] = valueCounts.keys.toSeq.sorted
+  }
 
-  /** The snapshot's position-delete files (manifest-list content=1).
-    * Equality deletes (data_file content=2) are a third-party-only
-    * shape this engine never writes — rejected loudly, same contract
-    * as the pre-MoR reader.
+  /** The snapshot's delete files (manifest-list content=1): position
+    * (content=1) and equality (content=2). Anything else inside a
+    * DELETES manifest is rejected loudly, never over-returned.
     */
   private[graft] def deleteFiles(table: String, snapshotId: Option[Long])
       : Seq[DeleteFile] = {
@@ -985,36 +1006,59 @@ object IcebergLog {
         try AvroCodec.readOcf(in, entryType).toSeq
           .filter(_.getInt(0) != 2).map { e =>
             val df = e.getStruct(4)
-            require(df.getInt(0) == 1,
+            require(df.getInt(0) == 1 || df.getInt(0) == 2,
               s"$table: DELETES manifest entry ${df.getString(1)} has " +
-                s"content=${df.getInt(0)} (" +
-                (if (df.getInt(0) == 2) "equality deletes — this reader " +
-                  "applies position deletes only"
-                 else "a data file inside a DELETES manifest") +
-                "); refusing to return over-counted rows.")
-            val lo = kvMap[Array[Byte]](df.get(8)).get(deletePathFieldId)
-              .map(b => boundValue(b, StringType).asInstanceOf[String])
-            val hi = kvMap[Array[Byte]](df.get(9)).get(deletePathFieldId)
-              .map(b => boundValue(b, StringType).asInstanceOf[String])
-            DeleteFile(df.getString(1), df.getLong(5), df.getLong(4), lo, hi,
-              e.get(1) match { case l: java.lang.Long => l; case _ => 0L }, e)
+                s"content=${df.getInt(0)} (a data file inside a DELETES " +
+                "manifest); refusing to return over-counted rows.")
+            DeleteFile(df.getInt(0), df.getString(1), df.getLong(5),
+              df.getLong(4),
+              e.get(2) match { case l: java.lang.Long => l; case _ => 0L },
+              e.get(1) match { case l: java.lang.Long => l; case _ => 0L },
+              kvMap[Long](df.get(6)),
+              kvMap[Array[Byte]](df.get(8)), kvMap[Array[Byte]](df.get(9)),
+              e)
           }
         finally in.close()
       }
   }
 
-  /** Split data files into (clean, dirty) against the delete files'
-    * file_path bounds — only dirty files pay the anti-join; a delete
-    * file missing bounds dirties everything (conservative).
+  /** Does equality-delete `d` possibly apply to data file `f`? The v2
+    * sequence rule (strictly-older data only) plus per-column bounds
+    * overlap — a column PROVABLY disjoint exonerates the file; any
+    * unknown is conservative.
     */
-  private[graft] def splitByDeletes(files: Seq[LiveFile], dels: Seq[DeleteFile])
-      : (Seq[LiveFile], Seq[LiveFile]) =
+  private def eqApplies(f: LiveFile, d: DeleteFile, schema: StructType): Boolean =
+    d.seq > f.dataSeq && d.eqFieldIds.forall { id =>
+      if (id < 1 || id > schema.fields.length) true // unknown column: conservative
+      else {
+        val dt = schema.fields(id - 1).dataType
+        val overlap = for {
+          dlo <- d.lower.get(id); dhi <- d.upper.get(id)
+          flo <- f.lowerBounds.get(id); fhi <- f.upperBounds.get(id)
+        } yield StatsPruning.compareValues(boundValue(dlo, dt), boundValue(fhi, dt), dt) <= 0 &&
+          StatsPruning.compareValues(boundValue(flo, dt), boundValue(dhi, dt), dt) <= 0
+        // missing bounds (e.g. null-keyed delete rows collapse the
+        // stats) cannot exonerate — matches <=> null-key semantics
+        overlap.getOrElse(true)
+      }
+    }
+
+  /** Split data files into (clean, dirty) against the delete files —
+    * position deletes by file_path bounds, equality deletes by the
+    * sequence rule + equality-column bounds overlap. Only dirty files
+    * pay an anti-join; missing bounds dirty everything (conservative).
+    */
+  private[graft] def splitByDeletes(files: Seq[LiveFile], dels: Seq[DeleteFile],
+      schema: StructType): (Seq[LiveFile], Seq[LiveFile]) =
     if (dels.isEmpty) (files, Seq.empty)
     else files.partition { f =>
-      !dels.exists(d => (d.pathLo, d.pathHi) match {
-        case (Some(lo), Some(hi)) => f.path >= lo && f.path <= hi
-        case _ => true
-      })
+      !dels.exists {
+        case d if d.content == 1 => (d.pathLo, d.pathHi) match {
+          case (Some(lo), Some(hi)) => f.path >= lo && f.path <= hi
+          case _ => true
+        }
+        case d => eqApplies(f, d, schema)
+      }
     }
 
   private def fileNameOf(p: String): String =
@@ -1038,44 +1082,69 @@ object IcebergLog {
   private[graft] val posFileCol = "__graft_file"
   private[graft] val posPosCol = "__graft_pos"
 
-  /** Read `dirty` data files with position deletes applied: each row
-    * keyed by (file name, `_metadata.row_index`) and anti-joined
-    * against the delete rows — broadcast when the delete set is small.
-    * Returns schema-ordered columns (plus, when `withMeta`, the
-    * manifest-form absolute path `__graft_file` and position
-    * `__graft_pos` — what a MoR writer needs to target rows).
+  private val dataSeqCol = "__graft_data_seq"
+  private val eqSeqCol = "__graft_eq_seq"
+
+  /** Read `dirty` data files with their applicable deletes applied:
+    * POSITION deletes anti-join on (file name, `_metadata.row_index`);
+    * EQUALITY deletes anti-join per equality-column group on null-safe
+    * key equality UNDER the v2 sequence rule (`del.seq > data.seq`,
+    * both attached via broadcast name→seq lookups) — each side
+    * broadcast when small. Returns schema-ordered columns (plus, when
+    * `withMeta`, the manifest-form absolute path `__graft_file` and
+    * position `__graft_pos` — what a MoR writer needs to target rows).
     */
   private[graft] def readWithDeletes(spark: SparkSession, table: String,
-      schema: StructType, basePath: Option[String], dirty: Seq[String],
+      schema: StructType, basePath: Option[String], dirty: Seq[LiveFile],
       dels: Seq[DeleteFile], withMeta: Boolean = false): DataFrame = {
     import org.apache.spark.sql.functions.{broadcast, col, substring_index}
-    requireUniqueNames(table, dirty, "live data files")
+    import spark.implicits._
+    requireUniqueNames(table, dirty.map(_.path), "live data files")
+    val posDels = dels.filter(_.content == 1)
+    val eqGroups = dels.filter(_.content == 2).groupBy(_.eqFieldIds).toSeq
     val r0 = spark.read.schema(schema)
     val r = basePath.map(r0.option("basePath", _)).getOrElse(r0)
-    val d0 = r.parquet(dirty: _*)
+    var d = r.parquet(dirty.map(_.path): _*)
       .withColumn(posNameCol,
         substring_index(col("_metadata.file_path"), "/", -1))
       .withColumn(posPosCol, col("_metadata.row_index"))
-    val d1 =
-      if (dels.isEmpty) d0
-      else {
-        val delDf0 = spark.read.schema(deleteFileSchema)
-          .parquet(dels.map(_.path): _*)
-          .select(substring_index(col("file_path"), "/", -1).as(posNameCol),
-            col("pos").as(posPosCol))
-        // ~24B a row: 4M rows ≈ 100MB broadcast, the autoBroadcast ceiling
-        val delDf = if (dels.map(_.records).sum <= 4000000L)
-          broadcast(delDf0) else delDf0
-        d0.join(delDf, Seq(posNameCol, posPosCol), "left_anti")
-      }
-    if (!withMeta) d1.select(schema.fieldNames.map(col).toIndexedSeq: _*)
+    if (eqGroups.nonEmpty)
+      // each row's own data sequence number, for the eq applicability rule
+      d = d.join(broadcast(dirty.map(f => (fileNameOf(f.path), f.dataSeq))
+        .toDF(posNameCol, dataSeqCol)), posNameCol)
+    if (posDels.nonEmpty) {
+      val delDf0 = spark.read.schema(deleteFileSchema)
+        .parquet(posDels.map(_.path): _*)
+        .select(substring_index(col("file_path"), "/", -1).as(posNameCol),
+          col("pos").as(posPosCol))
+      // ~24B a row: 4M rows ≈ 100MB broadcast, the autoBroadcast ceiling
+      val delDf = if (posDels.map(_.records).sum <= 4000000L)
+        broadcast(delDf0) else delDf0
+      d = d.join(delDf, Seq(posNameCol, posPosCol), "left_anti")
+    }
+    eqGroups.foreach { case (ids, files) =>
+      val names = ids.map(id => schema.fields(id - 1).name)
+      requireUniqueNames(table, files.map(_.path), "equality-delete files")
+      val eqSchema = StructType(ids.map(id =>
+        schema.fields(id - 1).copy(nullable = true)))
+      val eq0 = spark.read.schema(eqSchema).parquet(files.map(_.path): _*)
+        .withColumn(posNameCol,
+          substring_index(col("_metadata.file_path"), "/", -1))
+        .join(broadcast(files.map(f => (fileNameOf(f.path), f.seq))
+          .toDF(posNameCol, eqSeqCol)), posNameCol)
+        .select((names.map(n => col(n).as(s"__graft_eq_$n")) :+ col(eqSeqCol)): _*)
+      val eq = if (files.map(_.records).sum <= 4000000L) broadcast(eq0) else eq0
+      val cond = names.map(n => d(n) <=> eq(s"__graft_eq_$n")).reduce(_ && _) &&
+        eq(eqSeqCol) > d(dataSeqCol)
+      d = d.join(eq, cond, "left_anti")
+    }
+    if (!withMeta) d.select(schema.fieldNames.map(col).toIndexedSeq: _*)
     else {
       // name → manifest-form absolute path, driver-built from the plan
       // (bounded by the pruned candidate count, metadata scale)
-      import spark.implicits._
-      val lookup = broadcast(dirty.map(p => (fileNameOf(p), p))
+      val lookup = broadcast(dirty.map(f => (fileNameOf(f.path), f.path))
         .toDF(posNameCol, posFileCol))
-      d1.join(lookup, posNameCol)
+      d.join(lookup, posNameCol)
         .select((schema.fieldNames.toIndexedSeq :+ posFileCol :+ posPosCol)
           .map(col): _*)
     }
@@ -1102,9 +1171,42 @@ object IcebergLog {
       .select(schema.fieldNames.map(col).toIndexedSeq: _*))
   }
 
-  /** A manifest entry's pruning-relevant projection. */
+  /** The rows a set of EQUALITY-delete files retract: the parent
+    * snapshot's LIVE rows (parent deletes applied — a key's already-
+    * dead versions must not re-retract) whose key columns null-safe
+    * match any delete row — per-equality-group semi-join, schema order.
+    */
+  private def equalityDeleteRows(spark: SparkSession, table: String,
+      schema: StructType, basePath: String, parentLive: Seq[LiveFile],
+      parentDels: Seq[DeleteFile], eqNew: Seq[DeleteFile]): Seq[DataFrame] = {
+    import org.apache.spark.sql.functions.{broadcast, col}
+    eqNew.groupBy(_.eqFieldIds).toSeq.flatMap { case (ids, files) =>
+      val (_, dirty) = splitByDeletes(parentLive, files, schema)
+      if (dirty.isEmpty) None
+      else {
+        val names = ids.map(id => schema.fields(id - 1).name)
+        val eqSchema = StructType(ids.map(id =>
+          schema.fields(id - 1).copy(nullable = true)))
+        val keys0 = spark.read.schema(eqSchema).parquet(files.map(_.path): _*)
+          .select(names.map(n => col(n).as(s"__graft_eq_$n")): _*).distinct()
+        val keys = if (files.map(_.records).sum <= 4000000L) broadcast(keys0)
+          else keys0
+        val liveRows = readWithDeletes(spark, table, schema, Some(basePath),
+          dirty, parentDels)
+        val cond = names.map(n => liveRows(n) <=> keys(s"__graft_eq_$n"))
+          .reduce(_ && _)
+        Some(liveRows.join(keys, cond, "left_semi"))
+      }
+    }
+  }
+
+  /** A manifest entry's pruning-relevant projection. `dataSeq` is the
+    * entry's data sequence number — what the equality-delete
+    * applicability rule compares against.
+    */
   private[graft] final case class LiveFile(status: Int, path: String,
-      records: Long, size: Long, partitionValues: Map[String, Any],
+      records: Long, size: Long, dataSeq: Long,
+      partitionValues: Map[String, Any],
       valueCounts: Map[Int, Long], nullCounts: Map[Int, Long],
       lowerBounds: Map[Int, Array[Byte]], upperBounds: Map[Int, Array[Byte]],
       entryRow: Row)
@@ -1138,6 +1240,7 @@ object IcebergLog {
             "guess this writer's semantics.")
         val part = df.getStruct(3)
         LiveFile(e.getInt(0), df.getString(1), df.getLong(4), df.getLong(5),
+          e.get(2) match { case l: java.lang.Long => l; case _ => 0L },
           m.partitionColumns.zipWithIndex.map { case (c, i) => c -> part.get(i) }.toMap,
           kvMap[Long](df.get(6)), kvMap[Long](df.get(7)),
           kvMap[Array[Byte]](df.get(8)), kvMap[Array[Byte]](df.get(9)),
@@ -1214,7 +1317,7 @@ object IcebergLog {
     // merge-on-read: only files within some delete file's path bounds
     // pay the position anti-join; everything else stays a plain scan
     val dels = deleteFiles(table, snapshotId)
-    val (clean, dirty) = splitByDeletes(kept, dels)
+    val (clean, dirty) = splitByDeletes(kept, dels, m.schema)
     val basePath = Paths.get(table, "data").toAbsolutePath.toString
     val schemaCols = m.schema.fieldNames.map(org.apache.spark.sql.functions.col).toIndexedSeq
     val cleanDf =
@@ -1224,7 +1327,7 @@ object IcebergLog {
     val dirtyDf =
       if (dirty.isEmpty) None
       else Some(readWithDeletes(spark, table, m.schema, Some(basePath),
-        dirty.map(_.path), dels))
+        dirty, dels))
     val base = (cleanDf ++ dirtyDf).reduceOption(_ unionAll _).getOrElse(
       spark.createDataFrame(spark.sparkContext.emptyRDD[Row], m.schema))
     scanFilter.map(_.trim).filter(_.nonEmpty)
@@ -1291,28 +1394,34 @@ object IcebergLog {
           val parentLive = liveFiles(table, Some(parentId)).filter(_.status != 2)
           val removed = parentLive.map(_.path).toSet -- live.map(_.path)
           // CoW-removed files replay with the PARENT's deletes applied:
-          // rows position deletes already retracted must not retract twice
+          // rows merge-on-read already retracted must not retract twice
           val parentDels = deleteFiles(table, Some(parentId))
-          val rm = removed.toSeq.sorted
+          val rm = parentLive.filter(f => removed.contains(f.path)).sortBy(_.path)
           val fileDels =
             if (rm.isEmpty) None
-            else if (parentDels.isEmpty) readFiles(rm, "delete")
+            else if (parentDels.isEmpty) readFiles(rm.map(_.path), "delete")
             else Some(readWithDeletes(spark, table, schema, Some(basePath),
               rm, parentDels).withColumn(Cdf.changeTypeCol, lit("delete")))
-          // merge-on-read: delete files ADDED by this snapshot retract the
-          // exact rows they list — per-row changelog, not file-diff
+          // merge-on-read: delete files ADDED by this snapshot retract
+          // exact rows — per-row changelog, not file-diff. Position
+          // deletes name their rows; equality deletes match the parent's
+          // LIVE rows by key
           val delsNew = deleteFiles(table, Some(sid))
             .filter(d => d.addedSnapshotId == sid && d.entryRow.getInt(0) == 1)
+          val posNew = delsNew.filter(_.content == 1)
           val posDels =
-            if (delsNew.isEmpty) None
+            if (posNew.isEmpty) None
             else {
-              val (_, dirtyP) = splitByDeletes(parentLive, delsNew)
+              val (_, dirtyP) = splitByDeletes(parentLive, posNew, schema)
               positionDeleteRows(spark, table, schema, basePath,
-                dirtyP.map(_.path), delsNew)
+                dirtyP.map(_.path), posNew)
                 .map(_.withColumn(Cdf.changeTypeCol, lit("delete")))
             }
+          val eqDels = equalityDeleteRows(spark, table, schema, basePath,
+            parentLive, parentDels, delsNew.filter(_.content == 2))
+            .map(_.withColumn(Cdf.changeTypeCol, lit("delete")))
           val ins = readFiles(added, "insert")
-          (fileDels ++ posDels ++ ins).reduceOption(_ unionAll _)
+          (fileDels ++ posDels ++ eqDels ++ ins).reduceOption(_ unionAll _)
         case other => sys.error(
           s"$table: snapshot $sid has unknown operation '$other'; refusing " +
             "to guess its changelog semantics")
@@ -1374,7 +1483,7 @@ object IcebergLog {
     // commit PURGE the delete manifests (iceberg's
     // rewrite_position_delete_files folded into rewrite_data_files)
     val dels = deleteFiles(table, None)
-    val dirtySet = splitByDeletes(live, dels)._2.map(_.path).toSet
+    val dirtySet = splitByDeletes(live, dels, m.schema)._2.map(_.path).toSet
     val victims0 = byPart.values.flatMap { files =>
       // ZORDER re-clusters EVERY live file (layout, not just size);
       // plain compaction only coalesces partitions with ≥2 small files
@@ -1399,11 +1508,17 @@ object IcebergLog {
       val scratch = Paths.get(table, s".graft-iceberg-${UUID.randomUUID()}")
       scratchDirs += scratch
       val n = math.max(1, math.ceil(files.map(_.size).sum.toDouble / targetBytes).toInt)
-      // rewrites must read LIVE rows — applying the position deletes here
-      // is exactly what makes the purge below sound
+      // rewrites must read LIVE rows — applying the deletes here is
+      // exactly what makes the purge below sound. The delete-aware read
+      // uses the FULL table schema (equality columns may be partition
+      // columns, and delete-column ids are table-schema positions), then
+      // projects back down to the data columns
       val in =
         if (dels.isEmpty) spark.read.schema(dataSchema).parquet(files.map(_.path): _*)
-        else readWithDeletes(spark, table, dataSchema, None, files.map(_.path), dels)
+        else readWithDeletes(spark, table, m.schema,
+          Some(Paths.get(table, "data").toAbsolutePath.toString), files.toSeq, dels)
+          .select(dataSchema.fieldNames.map(org.apache.spark.sql.functions.col)
+            .toIndexedSeq: _*)
       val out =
         if (zorderBy.isEmpty) in.coalesce(n)
         else graft.operators.ZOrder.cluster(in, zorderBy, n)
@@ -1524,7 +1639,7 @@ object IcebergLog {
               StructField(posFileCol, StringType),
               StructField(posPosCol, LongType))))
         else readWithDeletes(spark, table, m.schema, Some(basePath),
-          cands.map(_.path), dels, withMeta = true)
+          cands, dels, withMeta = true)
       val (posDf0, appends) = delta(candDf, m.schema)
       val posDf = posDf0.select(col(posFileCol), col(posPosCol)).persist()
       try {
@@ -1607,6 +1722,81 @@ object IcebergLog {
     DataFileInfo(info.path, info.size, info.records, Seq.empty,
       ColMetrics(rekey(info.metrics.valueCounts), rekey(info.metrics.nullCounts),
         rekey(info.metrics.lower), rekey(info.metrics.upper)))
+  }
+
+  /** Streaming-upsert row delta (the public `write.upsert.enabled`
+    * shape; format-v2 EQUALITY deletes): commit ONE snapshot carrying an
+    * equality-delete file over the batch's keys plus data files for the
+    * batch's live rows — WITHOUT reading the target at all. The v2
+    * sequence rule scopes the delete to strictly-older data files, so
+    * the same commit's own appends are exempt and last-writer-wins per
+    * key falls out of snapshot ordering. Cost per commit: O(batch),
+    * whatever the table size — the zero-read CDC landing path (reads pay
+    * the equality anti-join until OPTIMIZE folds the deletes in).
+    *
+    * `batch` = the table's data columns + `__graft_deleted`; it must be
+    * unique per key (checkUnique=true enforces it with one small agg
+    * when the caller can't prove it — two rows per key would make
+    * last-writer-wins order-dependent). Returns the committed metadata
+    * version, or None for an empty batch.
+    */
+  def upsertAppend(spark: SparkSession, table: String, batch: DataFrame,
+      keys: Seq[String], checkUnique: Boolean = false): Option[Int] = {
+    import org.apache.spark.sql.functions.col
+    require(keys.nonEmpty, "upsert append: at least one key column")
+    val m = current(table).getOrElse(
+      sys.error(s"$table is not an Iceberg table (no metadata/v*.metadata.json)"))
+    keys.foreach(k => require(m.schema.fieldNames.contains(k),
+      s"upsert append: no key column $k in $table"))
+    batch.persist()
+    try {
+      if (checkUnique) {
+        val dup = batch.groupBy(keys.map(col): _*).count()
+          .filter(col("count") > 1).limit(1).count()
+        if (dup > 0) throw new IllegalStateException(
+          "upsert append: the batch carries more than one row per key; " +
+            "last-writer-wins would be order-dependent. Deduplicate the " +
+            "batch on the keys first (orderBy on the sink does this).")
+      }
+      if (batch.isEmpty) return None
+      val eqAdded = writeEqualityDeleteFiles(spark, table,
+        batch.select(keys.map(col): _*), m.schema)
+      val alive = batch.filter(!col("__graft_deleted"))
+        .select(m.schema.fieldNames.map(col).toIndexedSeq: _*)
+      val added = writeDataFiles(spark, table, alive, m.partitionColumns, m.schema)
+      val committed = commitSnapshot(spark, table, m.schema, m.partitionColumns,
+        added, txn = None, operation = "overwrite", replaced = Set.empty,
+        deleteAdded = eqAdded, deleteContent = 2)
+      if (committed.isEmpty)
+        (eqAdded ++ added).foreach(a => Files.deleteIfExists(Paths.get(a.path)))
+      committed
+    } finally { batch.unpersist(); () }
+  }
+
+  /** Write the batch's key values as an equality-delete file. The
+    * footer harvest runs under the TABLE schema, so the bounds/counts
+    * land under the table field ids — which is both the spec's
+    * identification of the equality columns and how the reader skips
+    * clean data files by key bounds.
+    */
+  private def writeEqualityDeleteFiles(spark: SparkSession, table: String,
+      keysDf: DataFrame, tableSchema: StructType): Seq[DataFileInfo] = {
+    val dataRoot = Paths.get(table, "data")
+    Files.createDirectories(dataRoot)
+    val scratch = Paths.get(table, s".graft-iceberg-eqdel-${UUID.randomUUID()}")
+    // one file per commit: the key set is micro-batch-sized by contract
+    keysDf.coalesce(1).write.mode("overwrite").parquet(scratch.toString)
+    val parts = walkDir(scratch).filter(p => Files.isRegularFile(p) &&
+      p.getFileName.toString.endsWith(".parquet")).sortBy(_.toString)
+    val added = parts.map { p =>
+      val dest = dataRoot.resolve(s"eqdelete-${UUID.randomUUID()}.parquet")
+      try Files.createLink(dest, p)
+      catch { case _: UnsupportedOperationException =>
+        Files.move(p, dest, StandardCopyOption.ATOMIC_MOVE) }
+      statFile(spark, table, dest, tableSchema).copy(partitionValues = Seq.empty)
+    }
+    walkDir(scratch).reverse.foreach(Files.deleteIfExists(_))
+    added
   }
 
   /** `ALTER TABLE … SET TBLPROPERTIES`: a metadata-only version bump
@@ -1789,16 +1979,20 @@ object IcebergLog {
       extends DmlRewrite.Format[DataFileInfo, Int] {
     // the delete files the current planning round saw: candidate reads
     // apply them (a copy-on-write rewrite must NOT resurrect
-    // position-deleted rows) and the commit aborts if the set GREW
+    // merge-on-read-deleted rows) and the commit aborts if the set GREW
     // (a concurrent MoR DML's retractions were invisible to our reads)
     @volatile private var plannedDeletes: Seq[DeleteFile] = Seq.empty
+    @volatile private var plannedLive: Map[String, LiveFile] = Map.empty
     def plan(scanFilter: Option[String]): DmlRewrite.Plan = {
       val m = current(table).getOrElse(
         sys.error(s"$table is not an Iceberg table (no metadata/v*.metadata.json)"))
       // plan-time live set: anything appearing after this is a potential
       // ConcurrentAppend conflict the commit must judge
-      val baseLive = liveFiles(table, None).filter(_.status != 2).map(_.path).toSet
+      val liveNow = liveFiles(table, None).filter(_.status != 2)
+      val baseLive = liveNow.map(_.path).toSet
       plannedDeletes = deleteFiles(table, None)
+      plannedLive = liveNow.map(f =>
+        Paths.get(f.path).toAbsolutePath.normalize.toString -> f).toMap
       val (candidates, _) = planFiles(spark, table, None, scanFilter)
       DmlRewrite.Plan(m.schema, m.partitionColumns,
         candidates.map(f => DmlRewrite.Cand(
@@ -1813,8 +2007,13 @@ object IcebergLog {
       if (plannedDeletes.isEmpty)
         super.readFiles(spark, schema, paths, fileCol)
       else {
+        // carry the CALLER's path form in the meta column (DmlRewrite
+        // keys its candidates by normalized absolute path)
+        val lf = paths.map(p => plannedLive.getOrElse(p, sys.error(
+          s"$table: $p is not in the planning snapshot's live set"))
+          .copy(path = p))
         val df = readWithDeletes(spark, table, schema, Some(basePath),
-          paths, plannedDeletes, withMeta = fileCol.isDefined)
+          lf, plannedDeletes, withMeta = fileCol.isDefined)
         fileCol.map(c => df.withColumnRenamed(posFileCol, c).drop(posPosCol))
           .getOrElse(df)
       }

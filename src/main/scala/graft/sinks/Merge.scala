@@ -415,7 +415,17 @@ private[graft] object Merge {
       }
       fmt match {
         case "delta" => DeltaLog.merge(spark, table, net, clauses)
-        case _ => IcebergLog.merge(spark, table, net, clauses)
+        case _ =>
+          // `write.upsert.enabled` (the public Flink-iceberg property):
+          // land the batch as equality-delete + append WITHOUT reading
+          // the target — O(batch) per commit whatever the table size.
+          // The provably-unique cases skip the dup check exactly like
+          // the MERGE path's guard.
+          if (IcebergLog.current(table).exists(_.properties
+              .get("write.upsert.enabled").exists(_.equalsIgnoreCase("true"))))
+            IcebergLog.upsertAppend(spark, table, net, keys,
+              checkUnique = !clauses.sourceUniqueByKey)
+          else IcebergLog.merge(spark, table, net, clauses)
       }
       ()
     }

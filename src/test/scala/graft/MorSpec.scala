@@ -83,7 +83,8 @@ class MorSpec extends SparkSpec {
     assert(dels.map(_.records).sum == 1L)
     val live = IcebergLog.liveFiles(table, None).filter(_.status != 2)
     // bounds confine the anti-join to the ONE file holding id=400
-    val (clean, dirty) = IcebergLog.splitByDeletes(live, dels)
+    val (clean, dirty) = IcebergLog.splitByDeletes(live, dels,
+      IcebergLog.current(table).get.schema)
     assert(dirty.size == 1 && clean.size == 7)
     assert(readMap(table).size == 999)
   }
@@ -255,6 +256,149 @@ class MorSpec extends SparkSpec {
     assert(!Files.exists(Paths.get(delPath)),
       "the delete file must be GC'd with its last referencing snapshot")
     assert(readMap(table).size == 40)
+  }
+
+  test("write.upsert.enabled: the sink lands equality-delete + append WITHOUT reading the target") {
+    import spark.implicits._
+    val table = tmpTable()
+    IcebergLog.writeBatch((1L to 100L).map(i => (i, i * 10)).toDF("id", "v")
+      .repartitionByRange(4, col("id")), table)
+    IcebergLog.setTableProperties(spark, table,
+      Map("write.upsert.enabled" -> "true"))
+    val dataBefore = IcebergLog.liveFiles(table, None).filter(_.status != 2)
+      .map(_.path).toSet
+    // mixed batch: update 2 keys, delete 1, insert 1
+    val batch = Seq((1L, 11L, false), (2L, 21L, false), (50L, 0L, true),
+      (200L, 2000L, false)).toDF("id", "v", "__graft_deleted")
+    IcebergLog.upsertAppend(spark, table, batch, Seq("id"), checkUnique = true)
+    // zero data files rewritten; one equality-delete file (content=2)
+    val live = IcebergLog.liveFiles(table, None).filter(_.status != 2)
+    assert(dataBefore.subsetOf(live.map(_.path).toSet))
+    val dels = IcebergLog.deleteFiles(table, None)
+    assert(dels.size == 1 && dels.head.content == 2 && dels.head.records == 4)
+    // the equality columns round-trip through the manifest entry metrics
+    assert(dels.head.eqFieldIds ==
+      Seq(IcebergLog.current(table).get.schema.fieldIndex("id") + 1))
+    // the v2 sequence rule exempts the SAME commit's appends: updated
+    // keys live at their new values, not deleted by their own eq-delete
+    val got = readMap(table)
+    assert(got.get(1L).contains(11L) && got.get(2L).contains(21L)
+      && !got.contains(50L) && got.get(200L).contains(2000L)
+      && got.size == 100, s"got size ${got.size}")
+    // stacked upserts: last writer wins per key
+    IcebergLog.upsertAppend(spark, table,
+      Seq((1L, 12L, false), (200L, 0L, true)).toDF("id", "v", "__graft_deleted"),
+      Seq("id"), checkUnique = true)
+    val got2 = readMap(table)
+    // 100 original − 50(deleted) + 200(inserted, then deleted) = 99
+    assert(got2.get(1L).contains(12L) && !got2.contains(200L) && got2.size == 99)
+    // time travel before the upserts still sees the original rows
+    val sid0 = currentSnapshot(table, 1).get("snapshot-id").asLong()
+    assert(IcebergLog.read(spark, table, Some(sid0)).count() == 100L)
+  }
+
+  test("equality-delete bounds confine the anti-join; OPTIMIZE purges; CoW never resurrects") {
+    import spark.implicits._
+    val table = tmpTable()
+    IcebergLog.writeBatch((1L to 1000L).map(i => (i, i)).toDF("id", "v")
+      .repartitionByRange(8, col("id")), table)
+    IcebergLog.setTableProperties(spark, table,
+      Map("write.upsert.enabled" -> "true"))
+    // a narrow-key batch: only the file holding its range is dirty
+    IcebergLog.upsertAppend(spark, table,
+      Seq((400L, -4L, false), (401L, 0L, true)).toDF("id", "v", "__graft_deleted"),
+      Seq("id"), checkUnique = true)
+    val m = IcebergLog.current(table).get
+    val base = IcebergLog.liveFiles(table, None)
+      .filter(f => f.status != 2 && f.dataSeq == 1L) // the original 8 files
+    val (clean, dirty) = IcebergLog.splitByDeletes(base,
+      IcebergLog.deleteFiles(table, None), m.schema)
+    assert(dirty.size == 1 && clean.size == 7,
+      s"clean=${clean.size} dirty=${dirty.size}")
+    val before = readMap(table)
+    assert(before.get(400L).contains(-4L) && !before.contains(401L)
+      && before.size == 999)
+    // CoW UPDATE on the eq-carrying table reads through the deletes
+    assert(IcebergLog.updateWhere(spark, table,
+      Seq("v" -> "v + 10000"), Some("id = 402")).isDefined)
+    val afterUpd = readMap(table)
+    assert(afterUpd.get(402L).contains(10402L) && !afterUpd.contains(401L)
+      && afterUpd.get(400L).contains(-4L))
+    // OPTIMIZE folds the eq-deletes in and purges them
+    assert(IcebergLog.rewriteDataFiles(spark, table, smallBytes = Some(1L)).isDefined)
+    assert(IcebergLog.deleteFiles(table, None).isEmpty)
+    assert(readMap(table) == afterUpd)
+  }
+
+  test("readChanges on an equality-delete snapshot: per-row retract of the LIVE preimages only") {
+    import spark.implicits._
+    val table = tmpTable()
+    IcebergLog.writeBatch((1L to 20L).map(i => (i, i)).toDF("id", "v")
+      .coalesce(2), table)
+    IcebergLog.setTableProperties(spark, table,
+      Map("write.upsert.enabled" -> "true"))
+    // seq2: update key 5 (retract 5@5, insert 5@-5); delete key 7
+    IcebergLog.upsertAppend(spark, table,
+      Seq((5L, -5L, false), (7L, 0L, true)).toDF("id", "v", "__graft_deleted"),
+      Seq("id"), checkUnique = true)
+    // seq3: update key 5 AGAIN — its preimage must be the LIVE -5, once,
+    // and key 7 (already dead) must not re-retract
+    IcebergLog.upsertAppend(spark, table,
+      Seq((5L, 55L, false), (7L, 0L, true)).toDF("id", "v", "__graft_deleted"),
+      Seq("id"), checkUnique = true)
+    val chg = IcebergLog.readChanges(spark, table, 2)
+      .select(col("id"), col("v"), col(graft.sinks.Cdf.changeTypeCol),
+        col(graft.sinks.Cdf.commitVersionCol))
+      .as[(Long, Long, String, Long)].collect().toSet
+    assert(chg == Set(
+      (5L, 5L, "delete", 2L), (5L, -5L, "insert", 2L), (7L, 7L, "delete", 2L),
+      (5L, -5L, "delete", 3L), (5L, 55L, "insert", 3L)), s"got $chg")
+  }
+
+  test("change-feed stream tails a write.upsert.enabled table; mirror converges") {
+    import org.apache.spark.sql.streaming.Trigger
+    import spark.implicits._
+    val src = tmpTable()
+    val mirror = tmpTable()
+    IcebergLog.writeBatch((1L to 6L).map(i => (i, i * 10)).toDF("id", "v")
+      .coalesce(1), src)
+    IcebergLog.setTableProperties(spark, src, Map("write.upsert.enabled" -> "true"))
+    val (df, view) = graft.sources.IcebergStreamSource.open(spark, src,
+      changeFeed = true, keys = Seq("id"))
+    val q = df.writeStream.foreachBatch(
+      (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) => {
+        if (!b.isEmpty) Merge.upsertBatch(spark, "iceberg", mirror, b.toDF(), Seq("id"))
+      }).trigger(Trigger.ProcessingTime(100)).start()
+    try {
+      q.processAllAvailable()
+      // the MIRROR sink routes through write.upsert.enabled too: its
+      // netted change-feed batches land as eq-delete + append
+      IcebergLog.setTableProperties(spark, mirror,
+        Map("write.upsert.enabled" -> "true"))
+      IcebergLog.upsertAppend(spark, src,
+        Seq((1L, 11L, false), (6L, 0L, true), (9L, 90L, false))
+          .toDF("id", "v", "__graft_deleted"), Seq("id"), checkUnique = true)
+      view.sync()
+      q.processAllAvailable()
+      val want = readMap(src)
+      assert(want == Map(1L -> 11L, 2L -> 20L, 3L -> 30L, 4L -> 40L,
+        5L -> 50L, 9L -> 90L))
+      assert(readMap(mirror) == want, s"mirror=${readMap(mirror)}")
+      assert(IcebergLog.deleteFiles(mirror, None).exists(_.content == 2),
+        "the mirror's sink batches must have landed as equality deletes")
+    } finally { q.stop(); view.close() }
+  }
+
+  test("upsert append refuses a batch with duplicate keys (order-dependent)") {
+    import spark.implicits._
+    val table = tmpTable()
+    IcebergLog.writeBatch(Seq((1L, 1L)).toDF("id", "v"), table)
+    val e = intercept[IllegalStateException] {
+      IcebergLog.upsertAppend(spark, table,
+        Seq((1L, 2L, false), (1L, 3L, false)).toDF("id", "v", "__graft_deleted"),
+        Seq("id"), checkUnique = true)
+    }
+    assert(e.getMessage.contains("more than one row per key"))
   }
 
   test("SQL face: ALTER TABLE SET TBLPROPERTIES flips iceberg DML to merge-on-read") {
