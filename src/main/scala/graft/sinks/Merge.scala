@@ -385,15 +385,21 @@ private[graft] object Merge {
       fmt match {
         case "delta" => DeltaLog.writeBatch(alive, table, partitionBy = partitionBy,
           tableConf = tableConf)
-        case _ => IcebergLog.writeBatch(alive, table, partitionBy = partitionBy)
+        case _ =>
+          IcebergLog.writeBatch(alive, table, partitionBy = partitionBy)
+          if (tableConf.nonEmpty)
+            IcebergLog.setTableProperties(spark, table, tableConf)
       }
       ()
     } else {
-      // table properties the sink declares (change_feed='true') must
-      // land on an EXISTING table too — a metaData-only commit, exactly
-      // once; without this only bootstrap-created tables got them
-      if (fmt == "delta" && tableConf.nonEmpty)
-        DeltaLog.setTableProperties(spark, table, tableConf)
+      // table properties the sink declares (change_feed='true',
+      // upsert_enabled='true') must land on an EXISTING table too — a
+      // metadata-only commit, exactly once; without this only
+      // bootstrap-created tables got them
+      if (tableConf.nonEmpty) fmt match {
+        case "delta" => DeltaLog.setTableProperties(spark, table, tableConf)
+        case _ => IcebergLog.setTableProperties(spark, table, tableConf); ()
+      }
       // CDC feeds evolve: under merge_schema, columns the batch carries
       // that the table lacks are APPENDED (nullable, existing rows read
       // null) before the upsert — the same append-only evolution the

@@ -178,6 +178,14 @@ class Pipeline(spark: SparkSession, streaming: Boolean = false) {
               s"""Unable to get field named "$f". Valid fields: """ +
               t.columns.map(c => s""""${c.name}"""").mkString("[", ", ", "]"))
       }
+      // upsert_enabled selects the equality-delete landing path of the
+      // UPSERT sink — meaningless without merge_keys (and deltaTableConf
+      // rejects non-iceberg connectors), so refuse rather than no-op
+      if (t.options.get("upsert_enabled").exists(_.toBoolean) &&
+          !t.options.contains("merge_keys"))
+        throw new IllegalArgumentException(
+          s"table ${t.name}: upsert_enabled needs merge_keys (it selects the " +
+            "equality-delete landing path for the upsert sink's batches)")
       catalog += t.name -> t
       if (t.connector != "memory_table" && !t.isSink)
         sourceFrame(t).createOrReplaceTempView(t.name)
@@ -2021,10 +2029,23 @@ class Pipeline(spark: SparkSession, streaming: Boolean = false) {
     * need. Iceberg tables derive their changelog from manifests and
     * need no property.
     */
-  private def deltaTableConf(t: ConnectorTable): Map[String, String] =
-    if (t.options.get("change_feed").exists(_.toBoolean))
-      Map(graft.sinks.Cdf.enableProp -> "true")
-    else Map.empty
+  private def deltaTableConf(t: ConnectorTable): Map[String, String] = {
+    val cdf =
+      if (t.options.get("change_feed").exists(_.toBoolean))
+        Map(graft.sinks.Cdf.enableProp -> "true")
+      else Map.empty[String, String]
+    // upsert_enabled='true' (iceberg only): the sink's netted batches
+    // land as equality-delete + append without reading the target —
+    // the public write.upsert.enabled table property
+    val upsert =
+      if (t.options.get("upsert_enabled").exists(_.toBoolean)) {
+        if (t.connector != "iceberg") throw new IllegalArgumentException(
+          "upsert_enabled is an iceberg-sink option (format-v2 equality " +
+            s"deletes); connector '${t.connector}' has no zero-read upsert path")
+        Map("write.upsert.enabled" -> "true")
+      } else Map.empty[String, String]
+    cdf ++ upsert
+  }
 
   /** True when the analyzed plan joins two legs that EACH contain a
     * time-windowed STREAMING aggregate — the shape [[graft.streaming

@@ -426,6 +426,46 @@ class MorSpec extends SparkSpec {
     assert(got.size == 25 && got.get(30L).contains(301L))
   }
 
+  test("SQL face: upsert_enabled iceberg sink lands batches as equality deletes") {
+    import spark.implicits._
+    val src = Files.createTempDirectory("mor_upsert_src").toString
+    val table = tmpTable() + "/t"
+    (1L to 10L).map(i => (i, i)).toDF("id", "v")
+      .write.mode("overwrite").parquet(src)
+    def land(sel: String): Unit =
+      new graft.sql.Pipeline(spark, streaming = false).run(
+        s"""CREATE TABLE src (id BIGINT, v BIGINT) WITH (
+           |  connector='filesystem', path='$src', format='parquet', type='source');
+           |CREATE TABLE d (id BIGINT, v BIGINT) WITH (
+           |  connector='iceberg', path='$table', format='parquet', type='sink',
+           |  merge_keys='id', upsert_enabled='true');
+           |INSERT INTO d $sel""".stripMargin)
+    land("SELECT id, v FROM src")
+    // bootstrap stamped the property on the fresh table
+    assert(IcebergLog.current(table).get.properties
+      .get("write.upsert.enabled").contains("true"))
+    // the second batch lands zero-read: eq-delete + append, no rewrite
+    val before = IcebergLog.liveFiles(table, None).filter(_.status != 2)
+      .map(_.path).toSet
+    land("SELECT id, v + 100 FROM src WHERE id <= 3")
+    assert(before.subsetOf(IcebergLog.liveFiles(table, None)
+      .filter(_.status != 2).map(_.path).toSet))
+    assert(IcebergLog.deleteFiles(table, None).exists(_.content == 2))
+    assert(readMap(table) ==
+      (1L to 10L).map(i => i -> (if (i <= 3) i + 100 else i)).toMap)
+    // upsert_enabled without merge_keys is refused at plan time
+    val e = intercept[IllegalArgumentException] {
+      new graft.sql.Pipeline(spark, streaming = false).plan(
+        s"""CREATE TABLE src2 (id BIGINT) WITH (
+           |  connector='filesystem', path='$src', format='parquet', type='source');
+           |CREATE TABLE x (id BIGINT) WITH (
+           |  connector='iceberg', path='${tmpTable()}/x', format='parquet',
+           |  type='sink', upsert_enabled='true');
+           |INSERT INTO x SELECT id FROM src2""".stripMargin)
+    }
+    assert(e.getMessage.contains("needs merge_keys"))
+  }
+
   test("unsupported write-mode value and third-party equality deletes fail loudly") {
     val table = morTable(Seq((1L, 1L)), Seq.empty)
     IcebergLog.setTableProperties(spark, table,
