@@ -127,6 +127,48 @@ object MorProbe {
     require(ce == n + 0L, s"$ce != $n") // 1000 keys updated in place
     println(f"[mor-probe] (e) read after equality upsert: ${teRead}%.2fs, " +
       f"rows=$ce")
+
+    // (f) the DELTA twin — deletion vectors: the same spread DELETE
+    //     (one key per file) as axis (b), CoW vs DV
+    import graft.sinks.DeltaLog
+    def mkDelta(dv: Boolean): String = {
+      val t = java.nio.file.Files.createTempDirectory("mor-probe-delta")
+        .resolve("t").toString
+      DeltaLog.writeBatch(spark.range(n)
+        .select(col("id").as("k"), (col("id") % 997 * 1.0).as("v"))
+        .repartitionByRange(nFiles, col("k")), t,
+        tableConf = if (dv) Map("delta.enableDeletionVectors" -> "true")
+          else Map.empty)
+      t
+    }
+    val dCow = mkDelta(false)
+    val dDv = mkDelta(true)
+    val c0 = DeltaLog.snapshot(spark, dCow).get.files.toSet
+    val (_, tfCow) = timed(DeltaLog.deleteWhere(spark, dCow,
+      s"k % $rowsPerFile = 1"))
+    val sCow = DeltaLog.snapshot(spark, dCow).get
+    val rewroteF = (c0 -- sCow.files.toSet).size
+    val bytesF = sCow.adds.filterNot { case (p, _) => c0.contains(p) }
+      .map(_._2.size).sum
+    val (_, tfDv) = timed(DeltaLog.deleteWhere(spark, dDv,
+      s"k % $rowsPerFile = 1"))
+    val sDv = DeltaLog.snapshot(spark, dDv).get
+    val dvBytes = sDv.adds.flatMap(_._2.dv).map(_.sizeInBytes.toLong).sum
+    println(f"[mor-probe] (f) delta spread $nFiles-row DELETE: CoW rewrote " +
+      f"$rewroteF files (${bytesF / 1e6}%.1f MB) in ${tfCow}%.2fs; DV wrote " +
+      f"$dvBytes bitmap bytes across ${sDv.adds.count(_._2.dv.isDefined)} " +
+      f"vectors in ${tfDv}%.2fs, rewrote 0")
+    val (cfCow, tgCow) = timed(DeltaLog.read(spark, dCow)
+      .agg(sum(col("v"))).collect()(0))
+    val (cfDv, tgDv) = timed(DeltaLog.read(spark, dDv)
+      .agg(sum(col("v"))).collect()(0))
+    require(cfCow == cfDv, s"$cfCow != $cfDv")
+    println(f"[mor-probe] (f) full-scan agg, all files DV-dirty: " +
+      f"CoW(clean) ${tgCow}%.2fs vs DV(bitmap filter) ${tgDv}%.2fs " +
+      f"(${tgDv / tgCow}%.2fx)")
+    val (_, th) = timed(DeltaLog.optimize(spark, dDv, smallFileBytes = 1L))
+    require(DeltaLog.snapshot(spark, dDv).get.adds.forall(_._2.dv.isEmpty))
+    println(f"[mor-probe] (f) delta OPTIMIZE purge: ${th}%.2fs; DVs=0")
     spark.stop()
   }
 }

@@ -570,6 +570,37 @@ object Relational {
               |  ${oSum("CASE WHEN l_returnflag = 'R' THEN l_extendedprice * 2 ELSE l_extendedprice END")} AS sum_price
               |FROM lineitem WHERE NOT (l_quantity > 45) GROUP BY 1""".stripMargin)),
 
+    // ── merge-on-read DML on delta (r11, DELETION VECTORS — the public
+    //    protocol 3/7 feature gated by delta.enableDeletionVectors): the
+    //    q_delta_dml verbs, but the DELETE folds positions into roaring
+    //    deletion vectors (nothing rewritten) and the UPDATE retracts by
+    //    position + appends postimages. The read back resolves the DV'd
+    //    files through the broadcast-bitmap filter and clean files
+    //    through plain scans; the oracle replays the algebra, proving
+    //    the bitmap wire format, the sidecar store, and the position
+    //    filter end-to-end against an exact engine.
+    Q("q_delta_dv",
+      (s, dir) => {
+        val li = t(s, dir, "lineitem").select(
+          col("l_orderkey"), col("l_linenumber"), col("l_returnflag"),
+          col("l_quantity"), col("l_extendedprice"))
+        val table = java.nio.file.Files
+          .createTempDirectory("graft-delta-dv").resolve("t").toString
+        graft.sinks.DeltaLog.writeBatch(li, table,
+          tableConf = Map("delta.enableDeletionVectors" -> "true"))
+        graft.sinks.DeltaLog.deleteWhere(s, table, "l_quantity > 45")
+        graft.sinks.DeltaLog.updateWhere(s, table,
+          Seq("l_extendedprice" -> "l_extendedprice * 2"),
+          Some("l_returnflag = 'R'"))
+        graft.sinks.DeltaLog.read(s, table)
+          .groupBy(col("l_returnflag"))
+          .agg(count(lit(1)).as("n"), dsum(col("l_quantity")).as("sum_qty"),
+            dsum(col("l_extendedprice")).as("sum_price"))
+      },
+      Some(s"""SELECT l_returnflag, COUNT(*) AS n, ${oSum("l_quantity")} AS sum_qty,
+              |  ${oSum("CASE WHEN l_returnflag = 'R' THEN l_extendedprice * 2 ELSE l_extendedprice END")} AS sum_price
+              |FROM lineitem WHERE NOT (l_quantity > 45) GROUP BY 1""".stripMargin)),
+
     // ── merge-on-read DML (r11, the iceberg v2 row-delta path): the same
     //    verbs as q_iceberg_dml but under write.{delete,update}.mode =
     //    merge-on-read — the DELETE lands as position-delete files

@@ -96,7 +96,28 @@ object DeltaLog {
 
   final case class AddInfo(size: Long, modificationTime: Long,
       partitionValues: Seq[(String, String)],
-      stats: Option[String] = None)
+      stats: Option[String] = None,
+      /** Merge-on-read deletion vector ([[DeletionVectors]]): the add's
+        * rows minus the DV's row indexes are the file's LIVE rows.
+        */
+      dv: Option[DeletionVectors.Descriptor] = None) {
+    /** Concurrency identity of the DV state — a DML commit must abort
+      * when a file it read got a different DV underneath it.
+      */
+    def dvId: String = dv.map(d =>
+      s"${d.storageType}:${d.pathOrInlineDv}:${d.offset.getOrElse(0)}").getOrElse("")
+  }
+
+  private def parseDv(n: com.fasterxml.jackson.databind.JsonNode)
+      : Option[DeletionVectors.Descriptor] =
+    Option(n.get("deletionVector")).filterNot(_.isNull).map { d =>
+      DeletionVectors.Descriptor(
+        d.get("storageType").asText(),
+        d.get("pathOrInlineDv").asText(),
+        Option(d.get("offset")).filterNot(_.isNull).map(_.asInt()),
+        d.get("sizeInBytes").asInt(),
+        d.get("cardinality").asLong())
+    }
 
   final case class Snapshot(schema: StructType, partitionColumns: Seq[String],
       adds: Seq[(String, AddInfo)], version: Long,
@@ -164,7 +185,8 @@ object DeltaLog {
             a.get("size").asLong(), a.get("modificationTime").asLong(),
             pv.properties().asScala.map(e => e.getKey ->
               (if (e.getValue.isNull) null else e.getValue.asText())).toSeq.sorted,
-            Option(a.get("stats")).filterNot(_.isNull).map(_.asText()))
+            Option(a.get("stats")).filterNot(_.isNull).map(_.asText()),
+            parseDv(a))
         }
         if (n.has("remove")) adds -= decodePath(n.get("remove").get("path").asText())
         if (n.has("txn")) {
@@ -234,13 +256,26 @@ object DeltaLog {
               }
               if (!r.isNullAt(i("add"))) {
                 val a = r.getStruct(i("add"))
+                val dv =
+                  if (a.schema.fieldNames.contains("deletionVector") &&
+                      a.getAs[Any]("deletionVector") != null) {
+                    val d = a.getStruct(a.fieldIndex("deletionVector"))
+                    Some(DeletionVectors.Descriptor(
+                      d.getAs[String]("storageType"),
+                      d.getAs[String]("pathOrInlineDv"),
+                      Option(d.getAs[Any]("offset"))
+                        .collect { case n: Number => n.intValue() },
+                      d.getAs[Int]("sizeInBytes"),
+                      d.getAs[Long]("cardinality")))
+                  } else None
                 adds += decodePath(a.getAs[String]("path")) -> AddInfo(
                   a.getAs[Long]("size"), a.getAs[Long]("modificationTime"),
                   a.getAs[scala.collection.Map[String, String]]("partitionValues").toSeq.sorted,
                   // pre-r10 checkpoints have no stats column
                   if (a.schema.fieldNames.contains("stats"))
                     Option(a.getAs[String]("stats"))
-                  else None)
+                  else None,
+                  dv)
               }
             }
             v
@@ -340,7 +375,12 @@ object DeltaLog {
     * reader must return (deletionVectors, columnMapping, …) MUST be
     * rejected — ignoring a deletion vector silently over-returns rows.
     */
-  private val supportedReaderFeatures = Set("timestampNtz")
+  private val supportedReaderFeatures = Set("timestampNtz", "deletionVectors")
+
+  /** The public gating property for merge-on-read DML. */
+  private[graft] def dvEnabled(configuration: Map[String, String]): Boolean =
+    configuration.get("delta.enableDeletionVectors")
+      .exists(_.equalsIgnoreCase("true"))
 
   private def checkProtocol(table: String,
       p: com.fasterxml.jackson.databind.JsonNode): Unit = {
@@ -382,17 +422,80 @@ object DeltaLog {
     val s = snapshot(spark, table, asOf)
       .getOrElse(sys.error(s"$table is not a Delta table (no _delta_log)"))
     val (kept, _) = prune(spark, s, scanFilter)
-    val base =
-      if (kept.isEmpty)
-        spark.createDataFrame(spark.sparkContext.emptyRDD[Row], s.schema)
-      else spark.read.schema(s.schema).option("basePath", table)
-        .parquet(kept.map(f => Paths.get(table, f).toString): _*)
-        // partition discovery appends partition columns last; restore the
-        // metaData-declared column order
-        .select(s.schema.fieldNames.map(org.apache.spark.sql.functions.col).toIndexedSeq: _*)
+    val base = readKept(spark, table, s, kept)
     scanFilter.map(_.trim).filter(_.nonEmpty)
       .map(f => base.filter(org.apache.spark.sql.functions.expr(f)))
       .getOrElse(base)
+  }
+
+  private val dvNameCol = "__graft_dv_name"
+  private[graft] val dvFileCol = "__graft_file"
+  private[graft] val dvPosCol = "__graft_pos"
+
+  private def fileNameOf(p: String): String =
+    p.substring(p.lastIndexOf('/') + 1)
+
+  /** Read `kept` active files (rel paths) of snapshot `s` with DELETION
+    * VECTORS applied: files carrying a DV filter through a broadcast
+    * name→bitmap O(1)-contains UDF over `_metadata.row_index` (bitmap
+    * bytes are roaring-compressed — bounded by the DVs, never the
+    * rows); clean files stay a plain whole-stage-codegen scan.
+    * `withMeta` adds each row's rel path (`__graft_file`) + position
+    * (`__graft_pos`) — what the DV writer needs to target rows. Both
+    * the bitmap map and the name→rel lookup key on FILE NAMES, which
+    * are unique by construction (fresh UUID per linked file) and
+    * asserted loudly here.
+    */
+  private[graft] def readKept(spark: SparkSession, table: String, s: Snapshot,
+      kept: Seq[String], withMeta: Boolean = false): DataFrame = {
+    import org.apache.spark.sql.functions.{broadcast, col, substring_index, udf}
+    val byRel = s.adds.toMap
+    val root = Paths.get(table).toAbsolutePath.normalize
+    val schemaCols = s.schema.fieldNames.map(col).toIndexedSeq
+    if (kept.isEmpty) {
+      val sch = if (!withMeta) s.schema else StructType(s.schema.fields ++ Seq(
+        StructField(dvFileCol, StringType), StructField(dvPosCol, LongType)))
+      return spark.createDataFrame(spark.sparkContext.emptyRDD[Row], sch)
+    }
+    val (dirty, clean) = kept.partition(rel =>
+      byRel(rel).dv.exists(_.cardinality > 0))
+    val checkSet = if (withMeta) kept else dirty
+    checkSet.groupBy(fileNameOf).find(_._2.size > 1).foreach { case (n, ps) =>
+      sys.error(s"$table: active files share the name $n (${ps.mkString(", ")}); " +
+        "deletion vectors key on unique names — OPTIMIZE the table first.")
+    }
+    def metaRead(rels: Seq[String]): DataFrame =
+      spark.read.schema(s.schema).option("basePath", table)
+        .parquet(rels.map(r => root.resolve(r).toString): _*)
+        .withColumn(dvNameCol,
+          substring_index(col("_metadata.file_path"), "/", -1))
+        .withColumn(dvPosCol, col("_metadata.row_index"))
+    val dirtyDf =
+      if (dirty.isEmpty) None
+      else {
+        val bitmaps: Map[String, DeletionVectors.Bitmap] =
+          dirty.map(rel => fileNameOf(rel) -> byRel(rel).dv.get.load(root)).toMap
+        val bc = spark.sparkContext.broadcast(bitmaps)
+        val alive = udf((name: String, pos: Long) =>
+          !bc.value.get(name).exists(_.contains(pos)))
+        Some(metaRead(dirty).filter(alive(col(dvNameCol), col(dvPosCol))))
+      }
+    if (!withMeta) {
+      val cleanDf =
+        if (clean.isEmpty) None
+        else Some(spark.read.schema(s.schema).option("basePath", table)
+          .parquet(clean.map(r => root.resolve(r).toString): _*)
+          .select(schemaCols: _*))
+      (cleanDf ++ dirtyDf.map(_.select(schemaCols: _*))).reduce(_ unionAll _)
+    } else {
+      val all = ((if (clean.isEmpty) None else Some(metaRead(clean))) ++ dirtyDf)
+        .reduce(_ unionAll _)
+      import spark.implicits._
+      val lookup = broadcast(kept.map(r => (fileNameOf(r), r))
+        .toDF(dvNameCol, dvFileCol))
+      all.join(lookup, dvNameCol)
+        .select(schemaCols :+ col(dvFileCol) :+ col(dvPosCol): _*)
+    }
   }
 
   /** CHANGE DATA FEED batch read (delta-spark's `table_changes`): the
@@ -672,24 +775,30 @@ object DeltaLog {
     val w = df.write.mode("overwrite")
     (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w)
       .parquet(scratch.toString)
-    // link each part file into the table root under its (already unique:
-    // Spark embeds the job UUID) name, PRESERVING the hive partition
-    // subdirs; fall back to move on filesystems without hard links
+    // link each part file into the table root under a FRESH UUID NAME
+    // (one Spark job reuses its part names across partition dirs, and
+    // unique names are the invariant deletion vectors key on),
+    // PRESERVING the hive partition subdirs; fall back to move on
+    // filesystems without hard links
     val parts = walkDir(scratch)
       .filter(p => Files.isRegularFile(p) &&
         p.getFileName.toString.endsWith(".parquet"))
       .map(p => (scratch.relativize(p).toString, p))
       .sortBy(_._1)
     val dataSchema = StructType(df.schema.filterNot(f => partitionBy.contains(f.name)))
+    val tableRoot = Paths.get(table).toAbsolutePath.normalize
     // link + footer-stats harvest per part: independent per-file work, so
     // a BULK initial load (10⁴-10⁵ parts in one commit) rides the shared
     // pool instead of paying serial footer opens in the commit path
-    val added = graft.sources.SpoolLink.parMap(parts) { case (rel, p) =>
-      val dest = Paths.get(table, rel)
-      Files.createDirectories(dest.getParent)
+    val added = graft.sources.SpoolLink.parMap(parts) { case (rel0, p) =>
+      val destDir = Option(Paths.get(rel0).getParent)
+        .map(d => tableRoot.resolve(d)).getOrElse(tableRoot)
+      Files.createDirectories(destDir)
+      val dest = destDir.resolve(s"part-${UUID.randomUUID()}.parquet")
       try Files.createLink(dest, p)
       catch { case _: UnsupportedOperationException =>
         Files.move(p, dest, StandardCopyOption.ATOMIC_MOVE) }
+      val rel = tableRoot.relativize(dest.toAbsolutePath.normalize).toString
       (rel, AddInfo(Files.size(dest), Files.getLastModifiedTime(dest).toMillis,
         partitionValuesOf(rel), fileStatsJson(spark, dest, dataSchema)))
     }
@@ -741,14 +850,18 @@ object DeltaLog {
       require(!s.partitionColumns.contains(c),
         s"zorder: $c is a partition column (already file-disjoint)")
     }
+    // files carrying a DELETION VECTOR are always victims: rewriting
+    // them with the DV applied is what PURGES the vector (delta's
+    // purge/REORG shape) and returns reads to a clean codegen scan
+    val dvDirty = s.adds.filter(_._2.dv.exists(_.cardinality > 0))
     val small =
       if (zorderBy.nonEmpty) s.adds // layout rewrite: every active file
-      else s.adds.filter(_._2.size < smallFileBytes)
-    if (small.size < (if (zorderBy.nonEmpty) 1 else 2)) return None
-    val smallPaths = small.map { case (p, _) => Paths.get(table, p).toString }
-    val df = spark.read.schema(s.schema).option("basePath", table)
-      .parquet(smallPaths: _*)
-      .select(s.schema.fieldNames.map(org.apache.spark.sql.functions.col).toIndexedSeq: _*)
+      else (s.adds.filter(_._2.size < smallFileBytes) ++ dvDirty)
+        .groupBy(_._1).map(_._2.head).toSeq
+    if (small.size < (if (zorderBy.nonEmpty) 1 else 2) && dvDirty.isEmpty)
+      return None
+    if (small.isEmpty) return None
+    val df = readKept(spark, table, s, small.map(_._1))
     val scratch = Paths.get(table, s".graft-optimize-${UUID.randomUUID()}")
     val nOut = math.max(1,
       (small.map(_._2.size).sum / math.max(1L, smallFileBytes)).toInt + 1)
@@ -764,17 +877,27 @@ object DeltaLog {
       .map(p => (scratch.relativize(p).toString, p)).sortBy(_._1)
     val dataSchema = StructType(
       s.schema.filterNot(f => s.partitionColumns.contains(f.name)))
-    val added = parts.map { case (rel, p) =>
-      val dest = Paths.get(table, rel)
-      Files.createDirectories(dest.getParent)
+    val root = Paths.get(table).toAbsolutePath.normalize
+    val added = parts.map { case (rel0, p) =>
+      // fresh UUID name per file (one job reuses part names across
+      // partition dirs; unique names are the DV join-key invariant)
+      val destDir = Option(Paths.get(rel0).getParent)
+        .map(d => root.resolve(d)).getOrElse(root)
+      Files.createDirectories(destDir)
+      val dest = destDir.resolve(s"part-${UUID.randomUUID()}.parquet")
       try Files.createLink(dest, p)
       catch { case _: UnsupportedOperationException =>
         Files.move(p, dest, StandardCopyOption.ATOMIC_MOVE) }
+      val rel = root.relativize(dest.toAbsolutePath.normalize).toString
       (rel, AddInfo(Files.size(dest), Files.getLastModifiedTime(dest).toMillis,
         partitionValuesOf(rel), fileStatsJson(spark, dest, dataSchema)))
     }
     val committed = commit(spark, table, s.schema, s.partitionColumns, added,
-      txn = None, removed = small.map(_._1), dataChange = false)
+      txn = None, removed = small.map(_._1), dataChange = false,
+      // a concurrent DV landing on a victim between plan and commit
+      // would be silently dropped by this rewrite — abort instead
+      dvBase = if (dvDirty.isEmpty) None
+        else Some(small.map { case (rel, info) => rel -> info.dvId }.toMap))
     walkDir(scratch).reverse.foreach(Files.deleteIfExists(_))
     committed match {
       case Some(_) =>
@@ -807,8 +930,22 @@ object DeltaLog {
       !active(root.relativize(p).toString) &&
         Files.getLastModifiedTime(p).toMillis < horizon
     }
-    dead.foreach(Files.deleteIfExists(_))
-    dead.size
+    // deletion-vector sidecars: reclaim the ones no ACTIVE add
+    // references, under the same retention horizon (a concurrent
+    // reader's snapshot keeps working until the window passes)
+    val referencedDv = s.adds.flatMap { case (_, info) =>
+      info.dv.flatMap(d => DeletionVectors.referencedFile(
+        root.toAbsolutePath.normalize, d))
+    }.map(_.toAbsolutePath.normalize).toSet
+    val deadDv = walkDir(root).filter { p =>
+      val n = p.getFileName.toString
+      Files.isRegularFile(p) && n.startsWith("deletion_vector_") &&
+        n.endsWith(".bin") && !p.startsWith(logDir(table)) &&
+        !referencedDv(p.toAbsolutePath.normalize) &&
+        Files.getLastModifiedTime(p).toMillis < horizon
+    }
+    (dead ++ deadDv).foreach(Files.deleteIfExists(_))
+    dead.size + deadDv.size
   }
 
   /** `ALTER TABLE … ADD COLUMNS`: append nullable columns to the table
@@ -862,17 +999,166 @@ object DeltaLog {
     */
   def deleteWhere(spark: SparkSession, table: String,
       predicate: String): Option[Long] = {
-    import org.apache.spark.sql.functions.{coalesce, expr, lit, not}
+    import org.apache.spark.sql.functions.{coalesce, col, expr, lit, not}
     val p = predicate.trim
     require(p.nonEmpty, "DELETE: empty predicate (use 'true' to delete all rows)")
-    DmlRewrite.run(spark, new DmlFormat(spark, table), scanFilter = Some(p),
+    val s0 = snapshot(spark, table)
+      .getOrElse(sys.error(s"$table is not a Delta table (no _delta_log)"))
+    val changes: Option[(DataFrame, DataFrame, StructType) => DataFrame] =
+      Some((touched, _, _) =>
+        touched.filter(coalesce(expr(p), lit(false)))
+          .withColumn(Cdf.changeTypeCol, lit("delete")))
+    if (dvEnabled(s0.configuration))
+      // merge-on-read: fold the matching POSITIONS into each file's
+      // deletion vector, rewrite nothing
+      dvRun(spark, table, scanFilter = Some(p), conflictPred = Some(p),
+        changes = changes) {
+        (cand, _) => (cand.filter(coalesce(expr(p), lit(false)))
+          .select(col(dvFileCol), col(dvPosCol)), None)
+      }
+    else DmlRewrite.run(spark, new DmlFormat(spark, table), scanFilter = Some(p),
       conflictPred = Some(p),
       matcher = df => df.filter(coalesce(expr(p), lit(false))),
-      changes = Some((touched, _, _) =>
-        touched.filter(coalesce(expr(p), lit(false)))
-          .withColumn(Cdf.changeTypeCol, lit("delete")))) {
+      changes = changes) {
       (touched, _, _) => touched.filter(not(coalesce(expr(p), lit(false))))
     }
+  }
+
+  /** The delta merge-on-read DML cycle ([[DeletionVectors]];
+    * `delta.enableDeletionVectors`): instead of rewriting touched
+    * files, the matched row positions FOLD INTO each file's deletion
+    * vector — the commit removes and re-adds the same data file with
+    * the fattened DV (delta-spark's MoR shape; a file whose every row
+    * is now deleted drops instead), plus ordinary adds for postimages
+    * and inserts. Cost scales with the rows changed, never the file
+    * bytes they live in. Per-file bitmaps build EXECUTOR-side — the
+    * driver receives roaring-compressed bytes, never raw positions.
+    * Conflict rules: ConcurrentDeleteRead via the removes,
+    * ConcurrentAppend via `conflictPred`, and the dvBase guard (a
+    * concurrent DV landing on any candidate re-plans); change rows
+    * land as `_change_data` + cdc actions when the table records a
+    * change feed, exactly like the copy-on-write path.
+    */
+  private def dvRun(spark: SparkSession, table: String,
+      scanFilter: Option[String], conflictPred: Option[String],
+      commitWhenUntouched: Boolean = false,
+      changes: Option[(DataFrame, DataFrame, StructType) => DataFrame] = None)
+      (delta: (DataFrame, StructType) => (DataFrame, Option[DataFrame]))
+      : Option[Long] = {
+    import org.apache.spark.sql.functions.col
+    val root = Paths.get(table).toAbsolutePath.normalize
+    var round = 0
+    while (round < 5) {
+      round += 1
+      val s = snapshot(spark, table).getOrElse(
+        sys.error(s"$table is not a Delta table (no _delta_log)"))
+      val byRel = s.adds.toMap
+      val (kept, _) = prune(spark, s, scanFilter)
+      if (kept.isEmpty && !commitWhenUntouched) return None
+      val candDf = readKept(spark, table, s, kept, withMeta = true)
+      val candPlain = candDf.select(s.schema.fieldNames.map(col).toIndexedSeq: _*)
+      val (posDf0, appends) = delta(candDf, s.schema)
+      val posDf = posDf0.select(col(dvFileCol), col(dvPosCol)).persist()
+      try {
+        val nPos = posDf.count()
+        if (nPos == 0 && appends.isEmpty && !commitWhenUntouched) return None
+        import spark.implicits._
+        val newBitmaps: Seq[(String, Array[Byte])] =
+          if (nPos == 0) Seq.empty
+          else posDf.as[(String, Long)].groupByKey(_._1)
+            .mapGroups((rel, it) =>
+              (rel, DeletionVectors.bitmapOf(it.map(_._2)).serialize()))
+            .collect().toSeq.sortBy(_._1)
+        val mergedBitmaps = newBitmaps.map { case (rel, bytes) =>
+          val nb = DeletionVectors.deserialize(bytes)
+          val bm = byRel.getOrElse(rel, sys.error(s"$table: $rel is not active"))
+            .dv match {
+            case Some(d) => DeletionVectors.union(d.load(root), nb.positions)
+            case None => nb
+          }
+          (rel, bm)
+        }
+        def numRecords(info: AddInfo): Option[Long] = info.stats.flatMap(st =>
+          try Some(mapper.readTree(st).get("numRecords").asLong())
+          catch { case _: Exception => None })
+        // a file whose EVERY row is now deleted drops outright — no
+        // point re-adding a fully-dead file behind a full DV
+        val (fullDead, dvUpdates) = mergedBitmaps.partition { case (rel, bm) =>
+          numRecords(byRel(rel)).contains(bm.cardinality) }
+        val descriptors =
+          if (dvUpdates.isEmpty) Seq.empty
+          else DeletionVectors.writeFile(root, dvUpdates.map(_._2))
+        val reAdds = dvUpdates.zip(descriptors).map { case ((rel, _), d) =>
+          rel -> byRel(rel).copy(dv = Some(d)) }
+        val removedRels = mergedBitmaps.map(_._1)
+        val placedAppends = appends.map(a =>
+          placeDataFiles(spark, table, s.schema, s.partitionColumns, a))
+          .getOrElse(Seq.empty)
+        if (removedRels.isEmpty && placedAppends.isEmpty) return None
+        val cdcFiles: Seq[(String, AddInfo)] =
+          if (removedRels.nonEmpty && Cdf.isEnabled(s.configuration))
+            changes.map(f => placeCdc(spark, table, s.partitionColumns,
+              f(candPlain, candPlain, s.schema), removedRels.size))
+              .getOrElse(Seq.empty)
+          else Seq.empty
+        val committed = commit(spark, table, s.schema, s.partitionColumns,
+          added = reAdds ++ placedAppends, txn = None, removed = removedRels,
+          dataChange = true,
+          conflict = Some((s.files.toSet, conflictPred)),
+          cdc = cdcFiles,
+          dvBase = Some(kept.map(rel => rel -> byRel(rel).dvId).toMap))
+        committed match {
+          case Some(v) =>
+            if ((v + 1) % 10 == 0) writeCheckpoint(spark, table, v)
+            return committed
+          case None => // lost the race: clean up everything this round placed
+            placedAppends.foreach { case (rel, _) =>
+              Files.deleteIfExists(root.resolve(rel)) }
+            cdcFiles.foreach { case (rel, _) =>
+              Files.deleteIfExists(root.resolve(rel)) }
+            descriptors.headOption.foreach(d =>
+              DeletionVectors.referencedFile(root, d)
+                .foreach(Files.deleteIfExists(_)))
+        }
+        fullDead.foreach(_ => ()) // paths stay on disk for time travel; vacuum reclaims
+      } finally { posDf.unpersist(); () }
+    }
+    sys.error(s"$table: merge-on-read DML lost 5 concurrent-write races; giving up")
+  }
+
+  /** Write `df`'s rows as fresh table data files: scratch write, link
+    * under the table root preserving hive partition dirs — each under a
+    * FRESH UUID NAME (the unique-name invariant deletion vectors key
+    * on) — footer stats harvested on the shared pool.
+    */
+  private def placeDataFiles(spark: SparkSession, table: String,
+      schema: StructType, partitionColumns: Seq[String],
+      df: DataFrame): Seq[(String, AddInfo)] = {
+    val root = Paths.get(table).toAbsolutePath.normalize
+    val scratch = Paths.get(table, s".graft-dv-append-${UUID.randomUUID()}")
+    val w = df.write.mode("overwrite")
+    (if (partitionColumns.nonEmpty) w.partitionBy(partitionColumns: _*) else w)
+      .parquet(scratch.toString)
+    val parts = walkDir(scratch)
+      .filter(p => Files.isRegularFile(p) &&
+        p.getFileName.toString.endsWith(".parquet"))
+      .map(p => (scratch.relativize(p).toString, p)).sortBy(_._1)
+    val dataSchema = StructType(
+      schema.filterNot(f => partitionColumns.contains(f.name)))
+    val placed = graft.sources.SpoolLink.parMap(parts) { case (rel, p) =>
+      val destDir = Option(Paths.get(rel).getParent)
+        .map(d => root.resolve(d)).getOrElse(root)
+      Files.createDirectories(destDir)
+      val dest = destDir.resolve(s"part-${UUID.randomUUID()}.parquet")
+      try Files.createLink(dest, p)
+      catch { case _: UnsupportedOperationException =>
+        Files.move(p, dest, StandardCopyOption.ATOMIC_MOVE) }
+      val r = root.relativize(dest.toAbsolutePath.normalize).toString
+      (r, AddInfo(Files.size(dest), Files.getLastModifiedTime(dest).toMillis,
+        partitionValuesOf(r), fileStatsJson(spark, dest, dataSchema)))
+    }
+    walkDir(scratch).reverse.foreach(Files.deleteIfExists(_))
+    placed
   }
 
   /** Copy-on-write `UPDATE … SET col = expr, … [WHERE predicate]`:
@@ -902,6 +1188,25 @@ object DeltaLog {
           case None => col(f.name)
         }
       }: _*)
+    val s0 = snapshot(spark, table)
+      .getOrElse(sys.error(s"$table is not a Delta table (no _delta_log)"))
+    if (dvEnabled(s0.configuration))
+      // merge-on-read row delta: retract matching positions into the
+      // deletion vectors, append the postimages
+      return dvRun(spark, table, scanFilter = p, conflictPred = p,
+        changes = Some { (cand, _, schema) =>
+          val pre = cand.filter(cond)
+          pre.withColumn(Cdf.changeTypeCol, lit("update_preimage"))
+            .unionAll(applySets(pre, schema, onlyMatching = true)
+              .withColumn(Cdf.changeTypeCol, lit("update_postimage")))
+        }) { (cand, schema) =>
+        sets.foreach { case (c, _) =>
+          require(schema.fieldNames.contains(c), s"UPDATE: no column $c") }
+        val matched = p.map(pp => cand.filter(coalesce(expr(pp), lit(false))))
+          .getOrElse(cand)
+        (matched.select(col(dvFileCol), col(dvPosCol)),
+          Some(applySets(matched, schema, onlyMatching = true)))
+      }
     DmlRewrite.run(spark, new DmlFormat(spark, table), scanFilter = p,
       conflictPred = p,
       matcher = df => p.map(pp => df.filter(coalesce(expr(pp), lit(false))))
@@ -948,6 +1253,16 @@ object DeltaLog {
       // source, so those clauses disable source-key-bounds pruning
       val scanFilter = if (Merge.pruneBySourceKeys(clauses))
         Merge.keyBoundsFilter(spark, clauses, source, s0.schema) else None
+      if (dvEnabled(s0.configuration))
+        // merge-on-read row delta: matched rows taking a clause retract
+        // into the deletion vectors; postimages + inserts append
+        return dvRun(spark, table, scanFilter, conflictPred = None,
+          commitWhenUntouched = clauses.notMatchedInsert.isDefined,
+          changes = Merge.changesFor(source, clauses)) { (cand, schema) =>
+          val (positions, appends) =
+            Merge.rowDelta(cand, source, schema, clauses, dvFileCol, dvPosCol)
+          (positions, Some(appends))
+        }
       val fmt = new DmlFormat(spark, table)
       if (clauses.matched.isEmpty && clauses.notBySource.isEmpty)
         DmlRewrite.run(spark, fmt, scanFilter, conflictPred = None,
@@ -975,9 +1290,15 @@ object DeltaLog {
       extends DmlRewrite.Format[(String, AddInfo), Long] {
     private val root = Paths.get(table).toAbsolutePath.normalize
 
+    // the snapshot the current planning round read: candidate reads
+    // apply its deletion vectors (a copy-on-write rewrite must never
+    // resurrect DV-deleted rows) and the commit aborts when any
+    // candidate's DV changed underneath (dvBase guard)
+    @volatile private var planned: Option[Snapshot] = None
     def plan(scanFilter: Option[String]): DmlRewrite.Plan = {
       val s = snapshot(spark, table)
         .getOrElse(sys.error(s"$table is not a Delta table (no _delta_log)"))
+      planned = Some(s)
       val bySize = s.adds.toMap
       val (candidates, _) = prune(spark, s, scanFilter)
       DmlRewrite.Plan(s.schema, s.partitionColumns,
@@ -988,6 +1309,22 @@ object DeltaLog {
     def basePath: String = root.toString
     def dataRoot: Path = root
     def scratchPrefix: String = ".graft-dml-"
+    override def readFiles(spark: SparkSession, schema: StructType,
+        paths: Seq[String], fileCol: Option[String]): DataFrame = {
+      import org.apache.spark.sql.functions.{col, concat, lit}
+      val s = planned.get
+      val byRel = s.adds.toMap
+      val rels = paths.map(p => root.relativize(
+        Paths.get(p).toAbsolutePath.normalize).toString)
+      if (!rels.exists(r => byRel.get(r).exists(_.dv.exists(_.cardinality > 0))))
+        super.readFiles(spark, schema, paths, fileCol)
+      else {
+        val df = readKept(spark, table, s, rels, withMeta = fileCol.isDefined)
+        fileCol.map(c => df
+          .withColumn(c, concat(lit(root.toString + "/"), col(dvFileCol)))
+          .drop(dvFileCol, dvPosCol)).getOrElse(df)
+      }
+    }
     def harvest(dest: Path, plan: DmlRewrite.Plan): ((String, AddInfo), Long) = {
       val rel = root.relativize(dest.toAbsolutePath.normalize).toString
       val dataSchema = StructType(
@@ -1012,49 +1349,62 @@ object DeltaLog {
       // insert-only merges pay no cdc write
       val cdcFiles: Seq[(String, AddInfo)] = changes match {
         case Some(chg) if touchedTokens.nonEmpty =>
-          def place(df: DataFrame, partitioned: Boolean): Seq[(String, AddInfo)] = {
-            val scratch = Paths.get(table, s".graft-cdc-${UUID.randomUUID()}")
-            val w0 = df.write.mode("overwrite")
-            val w = if (partitioned && plan.partitionColumns.nonEmpty)
-              w0.partitionBy(plan.partitionColumns: _*) else w0
-            w.parquet(scratch.toString)
-            val parts = walkDir(scratch)
-              .filter(p => Files.isRegularFile(p) &&
-                p.getFileName.toString.endsWith(".parquet"))
-              .map(p => (scratch.relativize(p).toString, p)).sortBy(_._1)
-            val placed = parts.map { case (rel, p) =>
-              val dest = root.resolve(Cdf.changeDataDir).resolve(rel)
-              Files.createDirectories(dest.getParent)
-              try Files.createLink(dest, p)
-              catch { case _: UnsupportedOperationException =>
-                Files.move(p, dest, StandardCopyOption.ATOMIC_MOVE) }
-              (s"${Cdf.changeDataDir}/$rel",
-                AddInfo(Files.size(dest), Files.getLastModifiedTime(dest).toMillis,
-                  partitionValuesOf(rel), None))
-            }
-            walkDir(scratch).reverse.foreach(Files.deleteIfExists(_))
-            placed
-          }
-          val n = math.max(1, math.min(touchedTokens.size, 32))
-          val placed = place(chg.coalesce(n), partitioned = true)
-          if (placed.nonEmpty) placed
-          // zero change rows but live removes (e.g. a MERGE whose clause
-          // conditions all missed): a partitioned write emits no parts,
-          // but the commit still needs its cdc marker or a change reader
-          // would refuse the data-change removes — land one empty file
-          else place(chg.limit(0).coalesce(1), partitioned = false)
+          placeCdc(spark, table, plan.partitionColumns, chg, touchedTokens.size)
         case _ => Seq.empty
       }
       val committed = DeltaLog.commit(spark, table, plan.schema,
         plan.partitionColumns, added, txn = None, removed = touchedTokens,
         dataChange = true, conflict = Some((plan.conflictBase, conflictPred)),
-        cdc = cdcFiles)
+        cdc = cdcFiles,
+        dvBase = planned.map(s => {
+          val byRel = s.adds.toMap
+          plan.candidates.map(c => c.token -> byRel(c.token).dvId).toMap
+        }))
       committed.foreach { v =>
         if ((v + 1) % 10 == 0) writeCheckpoint(spark, table, v) }
       if (committed.isEmpty)
         cdcFiles.foreach { case (rel, _) => Files.deleteIfExists(root.resolve(rel)) }
       committed
     }
+  }
+
+  /** Write one commit's change rows into `_change_data/` (hive
+    * partition dirs preserved) and return their cdc actions. When the
+    * change frame is EMPTY but the commit removes live rows, one empty
+    * marker file still lands — a change reader would otherwise refuse
+    * the data-change removes.
+    */
+  private def placeCdc(spark: SparkSession, table: String,
+      partitionColumns: Seq[String], chg: DataFrame,
+      nTouched: Int): Seq[(String, AddInfo)] = {
+    val root = Paths.get(table).toAbsolutePath.normalize
+    def place(df: DataFrame, partitioned: Boolean): Seq[(String, AddInfo)] = {
+      val scratch = Paths.get(table, s".graft-cdc-${UUID.randomUUID()}")
+      val w0 = df.write.mode("overwrite")
+      val w = if (partitioned && partitionColumns.nonEmpty)
+        w0.partitionBy(partitionColumns: _*) else w0
+      w.parquet(scratch.toString)
+      val parts = walkDir(scratch)
+        .filter(p => Files.isRegularFile(p) &&
+          p.getFileName.toString.endsWith(".parquet"))
+        .map(p => (scratch.relativize(p).toString, p)).sortBy(_._1)
+      val placed = parts.map { case (rel, p) =>
+        val dest = root.resolve(Cdf.changeDataDir).resolve(rel)
+        Files.createDirectories(dest.getParent)
+        try Files.createLink(dest, p)
+        catch { case _: UnsupportedOperationException =>
+          Files.move(p, dest, StandardCopyOption.ATOMIC_MOVE) }
+        (s"${Cdf.changeDataDir}/$rel",
+          AddInfo(Files.size(dest), Files.getLastModifiedTime(dest).toMillis,
+            partitionValuesOf(rel), None))
+      }
+      walkDir(scratch).reverse.foreach(Files.deleteIfExists(_))
+      placed
+    }
+    val n = math.max(1, math.min(nTouched, 32))
+    val placed = place(chg.coalesce(n), partitioned = true)
+    if (placed.nonEmpty) placed
+    else place(chg.limit(0).coalesce(1), partitioned = false)
   }
 
   /** `src=web/part-0.parquet` → (src -> web): hive dir segments become
@@ -1079,7 +1429,14 @@ object DeltaLog {
       conflict: Option[(Set[String], Option[String])] = None,
       mergeSchema: Boolean = false,
       tableConf: Map[String, String] = Map.empty,
-      cdc: Seq[(String, AddInfo)] = Seq.empty): Option[Long] = {
+      cdc: Seq[(String, AddInfo)] = Seq.empty,
+      /** DV-state guard (merge-on-read concurrency): rel path → the
+        * [[AddInfo.dvId]] the caller PLANNED against. A file whose DV
+        * changed underneath (a concurrent DV commit) or that vanished
+        * holds retractions/rows this commit's reads never saw — abort,
+        * the caller re-plans.
+        */
+      dvBase: Option[Map[String, String]] = None): Option[Long] = {
     val dir = logDir(table)
     Files.createDirectories(dir)
     var attempt = 0
@@ -1087,6 +1444,11 @@ object DeltaLog {
       val snap = snapshot(spark, table)
       txn.foreach { case (app, v) =>
         if (snap.exists(_.appVersions.get(app).exists(_ >= v))) return None
+      }
+      dvBase.foreach { base =>
+        val now = snap.map(_.adds.toMap).getOrElse(Map.empty)
+        if (!base.forall { case (rel, id) => now.get(rel).exists(_.dvId == id) })
+          return None
       }
       if (removed.nonEmpty) {
         // ConcurrentDeleteRead (delta-spark's exception of the same name):
@@ -1153,14 +1515,29 @@ object DeltaLog {
       ciBody.putObject("operationParameters").put("mode", "Append")
       line(ci)
       // protocol: CDF is a WRITER feature (legacy minWriterVersion 4);
-      // declare it at creation, or when a later commit first enables it
+      // deletion vectors are a READER+WRITER table feature (protocol
+      // 3/7 with explicit feature lists — DV-unaware readers must
+      // refuse, or they would silently over-return deleted rows).
+      // Declared at creation or when a later commit first enables either
       val cdfOn = Cdf.isEnabled(configuration)
       val cdfWasOn = snap.exists(s0 => Cdf.isEnabled(s0.configuration))
-      if (version == 0L || (cdfOn && !cdfWasOn)) {
+      val dvOn = dvEnabled(configuration) || added.exists(_._2.dv.isDefined)
+      val dvWasOn = snap.exists(s0 => dvEnabled(s0.configuration) ||
+        s0.adds.exists(_._2.dv.isDefined))
+      if (version == 0L || (cdfOn && !cdfWasOn) || (dvOn && !dvWasOn)) {
         val pr = mapper.createObjectNode()
         val prBody = pr.putObject("protocol")
-        prBody.put("minReaderVersion", 1)
-        prBody.put("minWriterVersion", if (cdfOn) 4 else 2)
+        if (dvOn || dvWasOn) {
+          prBody.put("minReaderVersion", 3)
+          prBody.put("minWriterVersion", 7)
+          prBody.putArray("readerFeatures").add("deletionVectors")
+          val wf = prBody.putArray("writerFeatures")
+          wf.add("deletionVectors")
+          if (cdfOn) wf.add("changeDataFeed")
+        } else {
+          prBody.put("minReaderVersion", 1)
+          prBody.put("minWriterVersion", if (cdfOn) 4 else 2)
+        }
         line(pr)
       }
       val metaChanged = snap.forall(s0 =>
@@ -1211,6 +1588,14 @@ object DeltaLog {
         a.put("modificationTime", info.modificationTime)
         a.put("dataChange", dataChange)
         info.stats.foreach(s => a.put("stats", s))
+        info.dv.foreach { d =>
+          val dn = a.putObject("deletionVector")
+          dn.put("storageType", d.storageType)
+          dn.put("pathOrInlineDv", d.pathOrInlineDv)
+          d.offset.foreach(o => { dn.put("offset", o); () })
+          dn.put("sizeInBytes", d.sizeInBytes)
+          dn.put("cardinality", d.cardinality)
+        }
         line(an)
       }
       cdc.foreach { case (name, info) =>
@@ -1260,7 +1645,13 @@ object DeltaLog {
       StructField("size", LongType),
       StructField("modificationTime", LongType),
       StructField("dataChange", BooleanType),
-      StructField("stats", StringType)))),
+      StructField("stats", StringType),
+      StructField("deletionVector", StructType(Seq(
+        StructField("storageType", StringType),
+        StructField("pathOrInlineDv", StringType),
+        StructField("offset", IntegerType),
+        StructField("sizeInBytes", IntegerType),
+        StructField("cardinality", LongType))))))),
     StructField("remove", StructType(Seq(
       StructField("path", StringType),
       StructField("deletionTimestamp", LongType),
@@ -1276,7 +1667,9 @@ object DeltaLog {
       StructField("createdTime", LongType)))),
     StructField("protocol", StructType(Seq(
       StructField("minReaderVersion", IntegerType),
-      StructField("minWriterVersion", IntegerType))))))
+      StructField("minWriterVersion", IntegerType),
+      StructField("readerFeatures", ArrayType(StringType)),
+      StructField("writerFeatures", ArrayType(StringType)))))))
 
   /** Compact the log state at `version` into
     * `<version>%020d.checkpoint.parquet` + the `_last_checkpoint`
@@ -1290,8 +1683,14 @@ object DeltaLog {
     // and a checkpoint that embeds it would make `VERSION AS OF version`
     // return rows from the future
     val s = snapshot(spark, table, asOf = Some(version)).getOrElse(return)
+    val dvOn = dvEnabled(s.configuration) || s.adds.exists(_._2.dv.isDefined)
+    val cdfOn = Cdf.isEnabled(s.configuration)
+    val protoRow =
+      if (dvOn) Row(3, 7, Seq("deletionVectors"),
+        Seq("deletionVectors") ++ (if (cdfOn) Seq("changeDataFeed") else Nil))
+      else Row(1, if (cdfOn) 4 else 2, null, null)
     val rows = Seq(
-      Row(null, null, null, null, Row(1, 2)),
+      Row(null, null, null, null, protoRow),
       Row(null, null, null,
         Row(s.metaId, Row("parquet", Map.empty[String, String]), s.schema.json,
           s.partitionColumns, s.configuration, s.createdTime), null)) ++
@@ -1300,7 +1699,10 @@ object DeltaLog {
       } ++
       s.adds.map { case (path, info) =>
         Row(null, Row(encodePath(path), info.partitionValues.toMap, info.size,
-          info.modificationTime, true, info.stats.orNull), null, null, null)
+          info.modificationTime, true, info.stats.orNull,
+          info.dv.map(d => Row(d.storageType, d.pathOrInlineDv,
+            d.offset.map(Integer.valueOf).orNull, d.sizeInBytes,
+            d.cardinality)).orNull), null, null, null)
       }
     val scratch = Files.createTempDirectory("delta-cp")
     spark.createDataFrame(rows.asJava, checkpointSchema)

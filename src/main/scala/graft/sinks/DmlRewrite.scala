@@ -163,9 +163,14 @@ private[sinks] object DmlRewrite {
           p.getFileName.toString.endsWith(".parquet"))
         .map(p => (scratch.relativize(p).toString, p)).sortBy(_._1)
       // link + stats-harvest per part on the shared pool (a full-table
-      // UPDATE rewrites every file; serial footer opens would dominate)
+      // UPDATE rewrites every file; serial footer opens would dominate).
+      // Each file lands under a FRESH UUID NAME: one Spark job reuses its
+      // part names across partition dirs, and unique names are the
+      // invariant merge-on-read position deletes key on
       val added = graft.sources.SpoolLink.parMap(parts) { case (rel, p) =>
-        val dest = fmt.dataRoot.resolve(rel)
+        val destDir = Option(Paths.get(rel).getParent)
+          .map(d => fmt.dataRoot.resolve(d)).getOrElse(fmt.dataRoot)
+        val dest = destDir.resolve(s"part-${UUID.randomUUID()}.parquet")
         Files.createDirectories(dest.getParent)
         try Files.createLink(dest, p)
         catch { case _: UnsupportedOperationException =>

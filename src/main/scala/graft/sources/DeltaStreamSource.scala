@@ -298,8 +298,19 @@ object DeltaStreamSource {
         view.lastVersion = sv - 1
         view.sync()
       case None =>
-        // initial state: the active snapshot IS each logical row exactly once
-        view.linkAll(snap.files)
+        // initial state: the active snapshot IS each logical row exactly
+        // once. Files carrying a deletion vector can't be hard-linked
+        // (the raw file would re-emit DV-deleted rows): their LIVE rows
+        // materialize instead — a copy bounded by the DV-dirty files,
+        // never the table, deterministically named (replay-idempotent)
+        val byRel = snap.adds.toMap
+        val (dirty, clean) = snap.files.partition(rel =>
+          byRel(rel).dv.exists(_.cardinality > 0))
+        view.linkAll(clean)
+        if (dirty.nonEmpty)
+          graft.sinks.Cdf.materializeInto(view.dir,
+            DeltaLog.readKept(spark, table, snap, dirty),
+            snap.partitionColumns, s"dv-${snap.version}")
         view.lastVersion = snap.version
         view.saveState()
     }

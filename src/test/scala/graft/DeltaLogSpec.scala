@@ -377,16 +377,25 @@ class DeltaLogSpec extends SparkSpec {
     val table = tmpTable()
     DeltaLog.writeBatch(Seq((1L, "a")).toDF("id", "v"), table)
     assert(DeltaLog.read(spark, table).count() == 1)
-    // a third-party writer upgrades the table to deletion vectors:
-    // ignoring them would silently over-return rows — refuse instead
+    // a third-party writer upgrades the table to a reader feature this
+    // engine doesn't implement (v2 checkpoints here — deletion vectors
+    // ARE implemented since r11, DeletionVectorSpec): ignoring it could
+    // silently misread — refuse instead
     val log = Paths.get(table, "_delta_log")
     Files.write(log.resolve(f"${1L}%020d.json"),
       ("""{"protocol":{"minReaderVersion":3,"minWriterVersion":7,""" +
-        """"readerFeatures":["deletionVectors"],"writerFeatures":["deletionVectors"]}}""" +
+        """"readerFeatures":["v2Checkpoint"],"writerFeatures":["v2Checkpoint"]}}""" +
         "\n").getBytes("UTF-8"))
     DeltaLog.clearSnapshotCache()
     val e = intercept[IllegalArgumentException] { DeltaLog.read(spark, table).count() }
-    assert(e.getMessage.contains("deletionVectors"), e.getMessage)
+    assert(e.getMessage.contains("v2Checkpoint"), e.getMessage)
+    // deletionVectors, in contrast, is an IMPLEMENTED reader feature now
+    Files.write(log.resolve(f"${1L}%020d.json"),
+      ("""{"protocol":{"minReaderVersion":3,"minWriterVersion":7,""" +
+        """"readerFeatures":["deletionVectors"],"writerFeatures":["deletionVectors"]}}""" +
+        "\n").getBytes("UTF-8"), java.nio.file.StandardOpenOption.TRUNCATE_EXISTING)
+    DeltaLog.clearSnapshotCache()
+    assert(DeltaLog.read(spark, table).count() == 1)
     // column mapping (minReaderVersion 2) is refused too
     val t2 = tmpTable()
     DeltaLog.writeBatch(Seq((1L, "a")).toDF("id", "v"), t2)
