@@ -186,6 +186,12 @@ class Pipeline(spark: SparkSession, streaming: Boolean = false) {
         throw new IllegalArgumentException(
           s"table ${t.name}: upsert_enabled needs merge_keys (it selects the " +
             "equality-delete landing path for the upsert sink's batches)")
+      if (t.options.get("deletion_vectors").exists(_.toBoolean) &&
+          t.connector != "delta")
+        throw new IllegalArgumentException(
+          s"table ${t.name}: deletion_vectors is a delta option (protocol " +
+            s"3/7 deletion vectors); connector '${t.connector}' uses " +
+            "write.<verb>.mode='merge-on-read' table properties instead")
       catalog += t.name -> t
       if (t.connector != "memory_table" && !t.isSink)
         sourceFrame(t).createOrReplaceTempView(t.name)
@@ -2044,7 +2050,17 @@ class Pipeline(spark: SparkSession, streaming: Boolean = false) {
             s"deletes); connector '${t.connector}' has no zero-read upsert path")
         Map("write.upsert.enabled" -> "true")
       } else Map.empty[String, String]
-    cdf ++ upsert
+    // deletion_vectors='true' (delta only): DML on the table runs
+    // merge-on-read — the public delta.enableDeletionVectors property
+    val dv =
+      if (t.options.get("deletion_vectors").exists(_.toBoolean)) {
+        if (t.connector != "delta") throw new IllegalArgumentException(
+          "deletion_vectors is a delta option (protocol 3/7 deletion " +
+            s"vectors); connector '${t.connector}' uses " +
+            "write.<verb>.mode='merge-on-read' table properties instead")
+        Map("delta.enableDeletionVectors" -> "true")
+      } else Map.empty[String, String]
+    cdf ++ upsert ++ dv
   }
 
   /** True when the analyzed plan joins two legs that EACH contain a

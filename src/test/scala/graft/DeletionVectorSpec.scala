@@ -249,6 +249,34 @@ class DeletionVectorSpec extends SparkSpec {
     } finally { q.stop(); view.close() }
   }
 
+  test("SQL face: deletion_vectors sink option + DELETE runs merge-on-read") {
+    import spark.implicits._
+    val src = Files.createTempDirectory("dv_sql_src").toString
+    val table = tmpTable()
+    (1L to 20L).map(i => (i, i)).toDF("id", "v").coalesce(1)
+      .write.mode("overwrite").parquet(src)
+    new graft.sql.Pipeline(spark, streaming = false).run(
+      s"""CREATE TABLE src (id BIGINT, v BIGINT) WITH (
+         |  connector='filesystem', path='$src', format='parquet', type='source');
+         |CREATE TABLE d (id BIGINT, v BIGINT) WITH (
+         |  connector='delta', path='$table', format='parquet', type='sink',
+         |  deletion_vectors='true');
+         |INSERT INTO d SELECT id, v FROM src;
+         |DELETE FROM d WHERE id <= 5;""".stripMargin)
+    val s = DeltaLog.snapshot(spark, table).get
+    assert(DeltaLog.dvEnabled(s.configuration))
+    assert(s.adds.exists(_._2.dv.exists(_.cardinality == 5L)))
+    assert(readMap(table).keySet == (6L to 20L).toSet)
+    // non-delta connectors refuse the option
+    val e = intercept[IllegalArgumentException] {
+      new graft.sql.Pipeline(spark, streaming = false).plan(
+        s"""CREATE TABLE x (id BIGINT) WITH (connector='iceberg',
+           |  path='${tmpTable()}', format='parquet', type='sink',
+           |  deletion_vectors='true');""".stripMargin)
+    }
+    assert(e.getMessage.contains("delta option"))
+  }
+
   test("append-only stream refuses a DV commit; ignore_deletes skips it whole") {
     import spark.implicits._
     val table = tmpTable()
