@@ -771,43 +771,11 @@ object DeltaLog {
         return None // cheap pre-check; the commit loop re-checks under race
     }
     Files.createDirectories(Paths.get(table))
-    val scratch = Paths.get(table, s".graft-write-${UUID.randomUUID()}")
-    val w = df.write.mode("overwrite")
-    (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w)
-      .parquet(scratch.toString)
-    // link each part file into the table root under a FRESH UUID NAME
-    // (one Spark job reuses its part names across partition dirs, and
-    // unique names are the invariant deletion vectors key on),
-    // PRESERVING the hive partition subdirs; fall back to move on
-    // filesystems without hard links
-    val parts = walkDir(scratch)
-      .filter(p => Files.isRegularFile(p) &&
-        p.getFileName.toString.endsWith(".parquet"))
-      .map(p => (scratch.relativize(p).toString, p))
-      .sortBy(_._1)
-    val dataSchema = StructType(df.schema.filterNot(f => partitionBy.contains(f.name)))
-    val tableRoot = Paths.get(table).toAbsolutePath.normalize
-    // link + footer-stats harvest per part: independent per-file work, so
-    // a BULK initial load (10⁴-10⁵ parts in one commit) rides the shared
-    // pool instead of paying serial footer opens in the commit path
-    val added = graft.sources.SpoolLink.parMap(parts) { case (rel0, p) =>
-      val destDir = Option(Paths.get(rel0).getParent)
-        .map(d => tableRoot.resolve(d)).getOrElse(tableRoot)
-      Files.createDirectories(destDir)
-      val dest = destDir.resolve(s"part-${UUID.randomUUID()}.parquet")
-      try Files.createLink(dest, p)
-      catch { case _: UnsupportedOperationException =>
-        Files.move(p, dest, StandardCopyOption.ATOMIC_MOVE) }
-      val rel = tableRoot.relativize(dest.toAbsolutePath.normalize).toString
-      (rel, AddInfo(Files.size(dest), Files.getLastModifiedTime(dest).toMillis,
-        partitionValuesOf(rel), fileStatsJson(spark, dest, dataSchema)))
-    }
     // data files exclude the partition columns (they live in the path and
     // in partitionValues), matching Delta's physical layout
+    val added = placeDataFiles(spark, table, df.schema, partitionBy, df)
     val committed = commit(spark, table, df.schema, partitionBy, added, txn,
       mergeSchema = mergeSchema, tableConf = tableConf)
-    // scratch cleanup (links live on in the table root)
-    walkDir(scratch).reverse.foreach(Files.deleteIfExists(_))
     committed match {
       case None => // lost to a concurrent replay: remove orphaned parts
         added.foreach { case (rel, _) => Files.deleteIfExists(Paths.get(table, rel)) }
@@ -862,43 +830,18 @@ object DeltaLog {
       return None
     if (small.isEmpty) return None
     val df = readKept(spark, table, s, small.map(_._1))
-    val scratch = Paths.get(table, s".graft-optimize-${UUID.randomUUID()}")
     val nOut = math.max(1,
       (small.map(_._2.size).sum / math.max(1L, smallFileBytes)).toInt + 1)
     val out =
       if (zorderBy.isEmpty) df.coalesce(nOut)
       else graft.operators.ZOrder.cluster(df, zorderBy, nOut)
-    val w = out.write.mode("overwrite")
-    (if (s.partitionColumns.nonEmpty) w.partitionBy(s.partitionColumns: _*) else w)
-      .parquet(scratch.toString)
-    val parts = walkDir(scratch)
-      .filter(p => Files.isRegularFile(p) &&
-        p.getFileName.toString.endsWith(".parquet"))
-      .map(p => (scratch.relativize(p).toString, p)).sortBy(_._1)
-    val dataSchema = StructType(
-      s.schema.filterNot(f => s.partitionColumns.contains(f.name)))
-    val root = Paths.get(table).toAbsolutePath.normalize
-    val added = parts.map { case (rel0, p) =>
-      // fresh UUID name per file (one job reuses part names across
-      // partition dirs; unique names are the DV join-key invariant)
-      val destDir = Option(Paths.get(rel0).getParent)
-        .map(d => root.resolve(d)).getOrElse(root)
-      Files.createDirectories(destDir)
-      val dest = destDir.resolve(s"part-${UUID.randomUUID()}.parquet")
-      try Files.createLink(dest, p)
-      catch { case _: UnsupportedOperationException =>
-        Files.move(p, dest, StandardCopyOption.ATOMIC_MOVE) }
-      val rel = root.relativize(dest.toAbsolutePath.normalize).toString
-      (rel, AddInfo(Files.size(dest), Files.getLastModifiedTime(dest).toMillis,
-        partitionValuesOf(rel), fileStatsJson(spark, dest, dataSchema)))
-    }
+    val added = placeDataFiles(spark, table, s.schema, s.partitionColumns, out)
     val committed = commit(spark, table, s.schema, s.partitionColumns, added,
       txn = None, removed = small.map(_._1), dataChange = false,
       // a concurrent DV landing on a victim between plan and commit
       // would be silently dropped by this rewrite — abort instead
       dvBase = if (dvDirty.isEmpty) None
         else Some(small.map { case (rel, info) => rel -> info.dvId }.toMap))
-    walkDir(scratch).reverse.foreach(Files.deleteIfExists(_))
     committed match {
       case Some(_) =>
         // tombstoned files STAY on disk (a concurrent reader may be
@@ -1126,16 +1069,19 @@ object DeltaLog {
     sys.error(s"$table: merge-on-read DML lost 5 concurrent-write races; giving up")
   }
 
-  /** Write `df`'s rows as fresh table data files: scratch write, link
-    * under the table root preserving hive partition dirs — each under a
-    * FRESH UUID NAME (the unique-name invariant deletion vectors key
-    * on) — footer stats harvested on the shared pool.
+  /** THE data-file placement path — [[writeBatch]], [[optimize]] and
+    * [[dvRun]] all land files through here: scratch write, link under
+    * the table root preserving hive partition dirs — each under a FRESH
+    * UUID NAME (the unique-name invariant deletion vectors key on; one
+    * Spark job reuses part names across partition dirs) — footer stats
+    * harvested on the shared pool (bulk initial loads commit 10⁴+
+    * parts; serial footer opens would dominate the commit path).
     */
   private def placeDataFiles(spark: SparkSession, table: String,
       schema: StructType, partitionColumns: Seq[String],
       df: DataFrame): Seq[(String, AddInfo)] = {
     val root = Paths.get(table).toAbsolutePath.normalize
-    val scratch = Paths.get(table, s".graft-dv-append-${UUID.randomUUID()}")
+    val scratch = Paths.get(table, s".graft-place-${UUID.randomUUID()}")
     val w = df.write.mode("overwrite")
     (if (partitionColumns.nonEmpty) w.partitionBy(partitionColumns: _*) else w)
       .parquet(scratch.toString)

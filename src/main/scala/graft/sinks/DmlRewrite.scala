@@ -143,7 +143,14 @@ private[sinks] object DmlRewrite {
       val touched: Seq[Cand] =
         if (!touchDetect) Seq.empty
         else matcher(candDf0).select(col(fileCol)).distinct().collect()
-          .map(r => byAbs(DeltaLog.decodeFileUri(r.getString(0))))
+          .map { r =>
+            // a format's readFiles override may emit the LITERAL path
+            // (not a percent-encoded URI): try it raw first —
+            // decodeFileUri on a literal hive dir like p=a%20b would
+            // percent-decode it into a path that exists nowhere
+            val v = r.getString(0)
+            byAbs.getOrElse(v, byAbs(DeltaLog.decodeFileUri(v)))
+          }
           .sortBy(_.token).toSeq
       if (touched.isEmpty && !commitWhenUntouched) return None
       val touchedDf =

@@ -1010,10 +1010,16 @@ object IcebergLog {
               s"$table: DELETES manifest entry ${df.getString(1)} has " +
                 s"content=${df.getInt(0)} (a data file inside a DELETES " +
                 "manifest); refusing to return over-counted rows.")
+            // null sequence/snapshot numbers INHERIT from the manifest
+            // list (the v2 inheritance rule third-party writers rely
+            // on); coercing to 0 would exempt every data file from the
+            // delete — silent over-return
             DeleteFile(df.getInt(0), df.getString(1), df.getLong(5),
               df.getLong(4),
-              e.get(2) match { case l: java.lang.Long => l; case _ => 0L },
-              e.get(1) match { case l: java.lang.Long => l; case _ => 0L },
+              e.get(2) match { case l: java.lang.Long => l
+                case _ => mf.getLong(4) },
+              e.get(1) match { case l: java.lang.Long => l
+                case _ => mf.getLong(6) },
               kvMap[Long](df.get(6)),
               kvMap[Array[Byte]](df.get(8)), kvMap[Array[Byte]](df.get(9)),
               e)
@@ -1240,7 +1246,11 @@ object IcebergLog {
             "guess this writer's semantics.")
         val part = df.getStruct(3)
         LiveFile(e.getInt(0), df.getString(1), df.getLong(4), df.getLong(5),
-          e.get(2) match { case l: java.lang.Long => l; case _ => 0L },
+          // null sequence number INHERITS from the manifest list (the
+          // v2 rule; 0 would wrongly subject the file to every
+          // equality delete — or exempt third-party deletes entirely)
+          e.get(2) match { case l: java.lang.Long => l
+            case _ => mf.getLong(4) },
           m.partitionColumns.zipWithIndex.map { case (c, i) => c -> part.get(i) }.toMap,
           kvMap[Long](df.get(6)), kvMap[Long](df.get(7)),
           kvMap[Array[Byte]](df.get(8)), kvMap[Array[Byte]](df.get(9)),
@@ -1628,9 +1638,19 @@ object IcebergLog {
       round += 1
       val m = current(table).getOrElse(
         sys.error(s"$table is not an Iceberg table (no metadata/v*.metadata.json)"))
-      val baseLive = liveFiles(table, None).filter(_.status != 2).map(_.path).toSet
+      // ONE manifest walk per round: live set, delete files, and the
+      // stats-pruned candidates all derive from it (the commit-time
+      // guards re-judge against a fresh snapshot anyway)
+      val live = liveFiles(table, None).filter(_.status != 2)
+      val baseLive = live.map(_.path).toSet
       val dels = deleteFiles(table, None)
-      val (cands, _) = planFiles(spark, table, None, scanFilter)
+      val cands = scanFilter.map(_.trim).filter(_.nonEmpty) match {
+        case None => live
+        case Some(f) =>
+          val conj = StatsPruning.conjunctsOf(spark, f)
+          live.filter(file => conj.forall(c =>
+            StatsPruning.mayMatch(fileStats(file, m.schema), c, m.schema)))
+      }
       if (cands.isEmpty && !commitWhenUntouched) return None
       val candDf =
         if (cands.isEmpty)
@@ -2003,20 +2023,33 @@ object IcebergLog {
     def dataRoot: Path = Paths.get(table, "data")
     def scratchPrefix: String = ".graft-iceberg-dml-"
     override def readFiles(spark: SparkSession, schema: StructType,
-        paths: Seq[String], fileCol: Option[String]): DataFrame =
+        paths: Seq[String], fileCol: Option[String]): DataFrame = {
+      import org.apache.spark.sql.functions.col
       if (plannedDeletes.isEmpty)
-        super.readFiles(spark, schema, paths, fileCol)
+        return super.readFiles(spark, schema, paths, fileCol)
+      // carry the CALLER's path form in the meta column (DmlRewrite
+      // keys its candidates by normalized absolute path)
+      val lf = paths.map(p => plannedLive.getOrElse(p, sys.error(
+        s"$table: $p is not in the planning snapshot's live set"))
+        .copy(path = p))
+      // only files a delete can bind to pay the anti-join; the clean
+      // side keeps the plain whole-stage-codegen scan
+      val (clean, dirty) = splitByDeletes(lf, plannedDeletes, schema)
+      if (dirty.isEmpty)
+        return super.readFiles(spark, schema, paths, fileCol)
+      val dirtyDf0 = readWithDeletes(spark, table, schema, Some(basePath),
+        dirty, plannedDeletes, withMeta = fileCol.isDefined)
+      val dirtyDf = fileCol.map(c =>
+        dirtyDf0.withColumnRenamed(posFileCol, c).drop(posPosCol))
+        .getOrElse(dirtyDf0)
+      if (clean.isEmpty) dirtyDf
       else {
-        // carry the CALLER's path form in the meta column (DmlRewrite
-        // keys its candidates by normalized absolute path)
-        val lf = paths.map(p => plannedLive.getOrElse(p, sys.error(
-          s"$table: $p is not in the planning snapshot's live set"))
-          .copy(path = p))
-        val df = readWithDeletes(spark, table, schema, Some(basePath),
-          lf, plannedDeletes, withMeta = fileCol.isDefined)
-        fileCol.map(c => df.withColumnRenamed(posFileCol, c).drop(posPosCol))
-          .getOrElse(df)
+        val cols = schema.fieldNames.map(col).toIndexedSeq
+        val sel = fileCol.map(c => cols :+ col(c)).getOrElse(cols)
+        super.readFiles(spark, schema, clean.map(_.path), fileCol)
+          .select(sel: _*).unionAll(dirtyDf.select(sel: _*))
       }
+    }
     def harvest(dest: Path, plan: DmlRewrite.Plan): (DataFileInfo, Long) = {
       val info = statFile(spark, table, dest, plan.schema)
       (info, info.records)

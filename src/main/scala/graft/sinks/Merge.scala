@@ -92,6 +92,25 @@ private[graft] object Merge {
       when(cd, lit(i)).otherwise(acc) }
     /** Joined frame carrying [[clauseCol]]. */
     val withIdx: DataFrame = joined0.withColumn(clauseCol, firstIdx)
+    /** The multiple-source-rows rule: >1 joined row for one target uid
+      * means two source rows claimed the same target row —
+      * order-dependent, refuse (delta-spark's
+      * DELTA_MULTIPLE_SOURCE_ROW_MATCHING error). Insert-only merges
+      * skip the check like delta-spark does (nothing order-dependent
+      * can happen), as do provably key-unique sources. ONE guard shared
+      * by the copy-on-write [[rewrite]] and the merge-on-read
+      * [[rowDelta]] so the rule can never drift between them.
+      */
+    def requireSingleSourceRow(): Unit = {
+      val dup = if (c.sourceUniqueByKey ||
+          (c.matched.isEmpty && c.notBySource.isEmpty)) 0L
+        else withIdx.filter(col(matchFlag))
+          .groupBy(col(uidCol)).count().filter(col("count") > 1).limit(1).count()
+      if (dup > 0) throw new IllegalStateException(
+        "MERGE: a target row matched more than one source row; applying " +
+          "both would be order-dependent. Deduplicate the source on the " +
+          "merge keys first.")
+    }
     private val deleteIdxs = allClauses.zipWithIndex.collect {
       case ((MatchedClause(_, Right(_)), _), i) => i }
     val isDelete: Column =
@@ -124,18 +143,7 @@ private[graft] object Merge {
   def rewrite(touched: DataFrame, source: DataFrame, schema: StructType,
       c: Clauses): DataFrame = {
     val plan = new ClausePlan(touched, source, schema, c, withUid = true)
-    // multiple-source-rows rule: >1 joined row for one target uid means
-    // two source rows claimed the same target row — order-dependent,
-    // refuse (delta-spark's DELTA_MULTIPLE_SOURCE_ROW_MATCHING error).
-    // Insert-only merges (no MATCHED / NOT MATCHED BY SOURCE clauses) skip
-    // the check like delta-spark does: nothing order-dependent can happen
-    val dup = if (c.sourceUniqueByKey || (c.matched.isEmpty && c.notBySource.isEmpty)) 0L
-    else plan.withIdx.filter(col(matchFlag))
-      .groupBy(col(uidCol)).count().filter(col("count") > 1).limit(1).count()
-    if (dup > 0) throw new IllegalStateException(
-      "MERGE: a target row matched more than one source row; applying " +
-        "both would be order-dependent. Deduplicate the source on the " +
-        "merge keys first.")
+    plan.requireSingleSourceRow()
     val survivors = plan.withIdx.filter(!plan.isDelete)
       .select(plan.postImage: _*)
     val inserts = c.notMatchedInsert.map(_ => insertRows(touched, source, schema, c))
@@ -156,13 +164,7 @@ private[graft] object Merge {
     Seq(fileCol, posCol).foreach(mc => require(!source.columns.contains(mc),
       s"MERGE: source column $mc collides with the row-position metadata"))
     val plan = new ClausePlan(cands, source, schema, c, withUid = true)
-    val dup = if (c.sourceUniqueByKey || (c.matched.isEmpty && c.notBySource.isEmpty)) 0L
-    else plan.withIdx.filter(col(matchFlag))
-      .groupBy(col(uidCol)).count().filter(col("count") > 1).limit(1).count()
-    if (dup > 0) throw new IllegalStateException(
-      "MERGE: a target row matched more than one source row; applying " +
-        "both would be order-dependent. Deduplicate the source on the " +
-        "merge keys first.")
+    plan.requireSingleSourceRow()
     val fired = plan.withIdx.filter(col(clauseCol) >= 0)
     val positions = fired.select(
       col(s"${c.targetAlias}.$fileCol").as(fileCol),

@@ -466,6 +466,96 @@ class MorSpec extends SparkSpec {
     assert(e.getMessage.contains("needs merge_keys"))
   }
 
+  test("third-party NULL entry sequence numbers inherit from the manifest list (v2 rule)") {
+    import spark.implicits._
+    val table = morTable((1L to 20L).map(i => (i, i)), Seq.empty)
+    IcebergLog.setTableProperties(spark, table,
+      Map("write.upsert.enabled" -> "true"))
+    IcebergLog.upsertAppend(spark, table,
+      Seq((5L, -5L, false), (7L, 0L, true)).toDF("id", "v", "__graft_deleted"),
+      Seq("id"), checkUnique = true)
+    assert(readMap(table).size == 19 && readMap(table)(5L) == -5L)
+    // simulate a third-party writer: null out every entry's explicit
+    // sequence numbers (they then INHERIT from the manifest list; a
+    // reader coercing them to 0 would exempt all data from the deletes
+    // and silently resurrect id=7 / the old id=5)
+    val m = IcebergLog.current(table).get
+    m.snapshots.foreach { s =>
+      val listPath = Paths.get(s.get("manifest-list").asText())
+      IcebergLog.readManifestList(listPath.toString).foreach { mf =>
+        val mPath = Paths.get(mf.getString(0))
+        val entryType = manifestEntryTypeOf(m)
+        val rows = {
+          val in = Files.newInputStream(mPath)
+          try graft.formats.AvroCodec.readOcf(in, entryType).toSeq
+          finally in.close()
+        }
+        val nulled = rows.map(r => org.apache.spark.sql.Row.fromSeq(
+          r.toSeq.updated(2, null).updated(3, null)))
+        val out = Files.newOutputStream(mPath)
+        try graft.formats.AvroCodec.writeOcf(out, entryType, nulled.iterator)
+        finally out.close()
+      }
+    }
+    assert(readMap(table).size == 19, "inherited sequence numbers must " +
+      "keep the equality deletes applying to strictly-older files")
+    assert(readMap(table)(5L) == -5L && !readMap(table).contains(7L))
+  }
+
+  private def manifestEntryTypeOf(m: IcebergLog.Meta)
+      : org.apache.spark.sql.types.StructType = {
+    import org.apache.spark.sql.types._
+    val partType = StructType(m.partitionColumns.map(c =>
+      StructField(c, m.schema(m.schema.fieldIndex(c)).dataType, nullable = true)))
+    StructType(Seq(
+      StructField("status", IntegerType, nullable = false),
+      StructField("snapshot_id", LongType, nullable = true),
+      StructField("sequence_number", LongType, nullable = true),
+      StructField("file_sequence_number", LongType, nullable = true),
+      StructField("data_file", StructType(Seq(
+        StructField("content", IntegerType, nullable = false),
+        StructField("file_path", StringType, nullable = false),
+        StructField("file_format", StringType, nullable = false),
+        StructField("partition", partType, nullable = false),
+        StructField("record_count", LongType, nullable = false),
+        StructField("file_size_in_bytes", LongType, nullable = false),
+        StructField("value_counts", ArrayType(StructType(Seq(
+          StructField("key", IntegerType, nullable = false),
+          StructField("value", LongType, nullable = false))), containsNull = false), nullable = true),
+        StructField("null_value_counts", ArrayType(StructType(Seq(
+          StructField("key", IntegerType, nullable = false),
+          StructField("value", LongType, nullable = false))), containsNull = false), nullable = true),
+        StructField("lower_bounds", ArrayType(StructType(Seq(
+          StructField("key", IntegerType, nullable = false),
+          StructField("value", BinaryType, nullable = false))), containsNull = false), nullable = true),
+        StructField("upper_bounds", ArrayType(StructType(Seq(
+          StructField("key", IntegerType, nullable = false),
+          StructField("value", BinaryType, nullable = false))), containsNull = false), nullable = true))),
+        nullable = false)))
+  }
+
+  test("hive-encoded partition values survive mixed-mode DML (CoW reading through deletes)") {
+    import spark.implicits._
+    val table = tmpTable()
+    // partition value with a space: the hive dir is 'p=a%20b', which a
+    // URI-decoding file-column lookup would corrupt
+    IcebergLog.writeBatch(
+      Seq((1L, "a b", 10L), (2L, "a b", 20L), (3L, "c", 30L))
+        .toDF("id", "p", "v").coalesce(1),
+      table, partitionBy = Seq("p"))
+    IcebergLog.setTableProperties(spark, table,
+      Map("write.delete.mode" -> "merge-on-read"))
+    assert(IcebergLog.deleteWhere(spark, table, "id = 1").isDefined)
+    // copy-on-write UPDATE on the delete-carrying table: the candidate
+    // read goes through the delete-aware override, whose file column is
+    // a LITERAL path that must round-trip the %20 directory
+    assert(IcebergLog.updateWhere(spark, table,
+      Seq("v" -> "v + 1"), Some("id = 2")).isDefined)
+    val got = IcebergLog.read(spark, table).as[(Long, String, Long)]
+      .collect().toSet
+    assert(got == Set((2L, "a b", 21L), (3L, "c", 30L)), s"got $got")
+  }
+
   test("unsupported write-mode value and third-party equality deletes fail loudly") {
     val table = morTable(Seq((1L, 1L)), Seq.empty)
     IcebergLog.setTableProperties(spark, table,
