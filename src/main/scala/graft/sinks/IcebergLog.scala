@@ -759,15 +759,53 @@ object IcebergLog {
               deleteAdded.size, 0, 0, deleteAdded.map(_.records).sum, 0L, 0L))
           }
 
-        // 2) the manifest LIST. Prior DELETES manifests always carry
-        //    forward unmerged (mixing contents in one manifest is a spec
-        //    violation) unless this commit purges them (dropDeletes)
+        // 2) the manifest LIST. Prior DELETES manifests carry forward in
+        //    their own content=1 manifests (mixing contents in one
+        //    manifest is a spec violation) unless this commit purges
+        //    them (dropDeletes) — and like the data side, the SMALL ones
+        //    coalesce once they pile up, so a long run of MoR commits
+        //    between OPTIMIZE passes keeps the list (and deleteFiles'
+        //    per-read avro opens) O(large manifests), not O(commits)
         val prior: Seq[Row] = cur.flatMap { m =>
           m.snapshots.find(_.get("snapshot-id").asLong() == m.currentSnapshotId)
             .map(s => readManifestList(s.get("manifest-list").asText()))
         }.getOrElse(Seq.empty)
         val (priorDeletes, priorData) = prior.partition(_.getInt(3) == 1)
-        val carriedDeletes = if (dropDeletes) Seq.empty else priorDeletes
+        val carriedDeletes: Seq[Row] =
+          if (dropDeletes) Seq.empty
+          else if (priorDeletes.size +
+              (if (deleteAdded.isEmpty) 0 else 1) <= mergeMinCount) priorDeletes
+          else {
+            val (small, large) = priorDeletes.partition(_.getLong(1) < mergeTargetBytes)
+            if (small.size < 2) priorDeletes
+            else {
+              val entryType = manifestEntryType(partType)
+              val merged = small.flatMap { mf =>
+                val in = Files.newInputStream(Paths.get(mf.getString(0)))
+                try AvroCodec.readOcf(in, entryType).toSeq
+                  .filter(_.getInt(0) != 2) // drop tombstones; ADDED → EXISTING
+                  .map { e =>
+                    // inherited (null) numbers MATERIALIZE from the list
+                    // row — the merged manifest loses the original
+                    // inheritance context
+                    val sq = e.get(2) match { case l: java.lang.Long => l
+                      case _ => java.lang.Long.valueOf(mf.getLong(4)) }
+                    val sn = e.get(1) match { case l: java.lang.Long => l
+                      case _ => java.lang.Long.valueOf(mf.getLong(6)) }
+                    Row(0, sn, sq, e.get(3), e.get(4))
+                  }
+                finally in.close()
+              }
+              if (merged.isEmpty) large
+              else {
+                val (p, len) = writeManifest(merged, "deletes")
+                val minSeq = merged.map(_.getLong(2)).min
+                large :+ Row(p.toAbsolutePath.toString, len, 0, 1,
+                  seq, minSeq, snapshotId, 0, merged.size, 0, 0L,
+                  merged.map(_.getStruct(4).getLong(4)).sum, 0L)
+              }
+            }
+          }
         val listRows: Seq[Row] = (survivors match {
           case Some(rows) =>
             // replace: a fresh list — survivors (EXISTING, keeping their
@@ -1010,6 +1048,14 @@ object IcebergLog {
               s"$table: DELETES manifest entry ${df.getString(1)} has " +
                 s"content=${df.getInt(0)} (a data file inside a DELETES " +
                 "manifest); refusing to return over-counted rows.")
+            // this reader derives an equality delete's columns from its
+            // entry's value_counts keys; an entry without them (a
+            // third-party writer that omitted metrics) is unusable —
+            // ignoring it would silently over-return rows
+            require(df.getInt(0) != 2 || kvMap[Long](df.get(6)).nonEmpty,
+              s"$table: equality-delete file ${df.getString(1)} carries no " +
+                "value_counts metrics, so its equality columns cannot be " +
+                "derived; refusing to return over-counted rows.")
             // null sequence/snapshot numbers INHERIT from the manifest
             // list (the v2 inheritance rule third-party writers rely
             // on); coercing to 0 would exempt every data file from the

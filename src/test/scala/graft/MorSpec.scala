@@ -466,6 +466,36 @@ class MorSpec extends SparkSpec {
     assert(e.getMessage.contains("needs merge_keys"))
   }
 
+  test("delete manifests coalesce under a long run of MoR commits (list stays O(large))") {
+    import spark.implicits._
+    val table = morTable((1L to 40L).map(i => (i, i)), Seq.empty)
+    IcebergLog.setTableProperties(spark, table,
+      Map("write.upsert.enabled" -> "true"))
+    (1 to 12).foreach { k =>
+      IcebergLog.upsertAppend(spark, table,
+        Seq((k.toLong, -k.toLong, false)).toDF("id", "v", "__graft_deleted"),
+        Seq("id"), checkUnique = true)
+    }
+    val m = IcebergLog.current(table).get
+    val list = IcebergLog.readManifestList(m.snapshots
+      .find(_.get("snapshot-id").asLong() == m.currentSnapshotId).get
+      .get("manifest-list").asText())
+    val delManifests = list.count(_.getInt(3) == 1)
+    assert(delManifests <= 9,
+      s"$delManifests delete manifests after 12 MoR commits — the small " +
+        "ones must coalesce like the data side")
+    // entries survive the merges with EXPLICIT sequence numbers: every
+    // updated key reads at its newest value (the v2 rule still scopes
+    // each delete to strictly-older files)
+    val got = readMap(table)
+    assert(got.size == 40)
+    (1 to 12).foreach(k => assert(got(k.toLong) == -k.toLong, s"key $k"))
+    // and OPTIMIZE still purges the merged manifests
+    assert(IcebergLog.rewriteDataFiles(spark, table, smallBytes = Some(1L)).isDefined)
+    assert(IcebergLog.deleteFiles(table, None).isEmpty)
+    assert(readMap(table) == got)
+  }
+
   test("third-party NULL entry sequence numbers inherit from the manifest list (v2 rule)") {
     import spark.implicits._
     val table = morTable((1L to 20L).map(i => (i, i)), Seq.empty)
