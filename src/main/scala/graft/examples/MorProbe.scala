@@ -169,6 +169,30 @@ object MorProbe {
     val (_, th) = timed(DeltaLog.optimize(spark, dDv, smallFileBytes = 1L))
     require(DeltaLog.snapshot(spark, dDv).get.adds.forall(_._2.dv.isEmpty))
     println(f"[mor-probe] (f) delta OPTIMIZE purge: ${th}%.2fs; DVs=0")
+
+    // (g) the CDC landing CURVE: 16 consecutive 1k-key micro-batches
+    //     through the merge_keys sink, copy-on-write MERGE vs the
+    //     equality-upsert path — the claim under test is that eq commits
+    //     stay FLAT while MERGE keeps paying the target read
+    def landCurve(upsert: Boolean): Seq[Double] = {
+      val t = mkTable(false)
+      if (upsert) IcebergLog.setTableProperties(spark, t,
+        Map("write.upsert.enabled" -> "true"))
+      (0 until 16).map { b =>
+        val batch = spark.range(1000)
+          .select((col("id") * (n / 1000) + b).as("k"),
+            lit(-100.0 - b).as("v"))
+        val (_, dt) = timed(graft.sinks.Merge.upsertBatch(spark, "iceberg",
+          t, batch, Seq("k"), orderBy = Some("v")))
+        dt
+      }
+    }
+    val mergeCurve = landCurve(upsert = false)
+    val eqCurve = landCurve(upsert = true)
+    def fmtC(c: Seq[Double]) =
+      f"first=${c.head}%.2fs last=${c.last}%.2fs total=${c.sum}%.1fs"
+    println(s"[mor-probe] (g) 16x 1k-key batches: MERGE ${fmtC(mergeCurve)}; " +
+      s"equality upsert ${fmtC(eqCurve)}")
     spark.stop()
   }
 }

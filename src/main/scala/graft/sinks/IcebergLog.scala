@@ -1099,19 +1099,54 @@ object IcebergLog {
     * position deletes by file_path bounds, equality deletes by the
     * sequence rule + equality-column bounds overlap. Only dirty files
     * pay an anti-join; missing bounds dirty everything (conservative).
+    *
+    * Position deletes judge via a path-sorted binary search —
+    * O(D log F + dirty), not O(D × F): a delete file's rows all name
+    * paths inside its own bounds, so at the 10⁶-file ceiling a linear
+    * judge would burn 10⁹ string compares per read plan for 10³ delete
+    * files. Equality deletes stay a per-pair bounds check (their count
+    * is kept small by the delete-manifest coalescing + OPTIMIZE purge).
     */
   private[graft] def splitByDeletes(files: Seq[LiveFile], dels: Seq[DeleteFile],
-      schema: StructType): (Seq[LiveFile], Seq[LiveFile]) =
-    if (dels.isEmpty) (files, Seq.empty)
-    else files.partition { f =>
-      !dels.exists {
-        case d if d.content == 1 => (d.pathLo, d.pathHi) match {
-          case (Some(lo), Some(hi)) => f.path >= lo && f.path <= hi
-          case _ => true
+      schema: StructType): (Seq[LiveFile], Seq[LiveFile]) = {
+    if (dels.isEmpty) return (files, Seq.empty)
+    val (posDels, eqDels) = dels.partition(_.content == 1)
+    val dirty = new Array[Boolean](files.length)
+    if (posDels.nonEmpty) {
+      val byPath = files.zipWithIndex.sortBy(_._1.path).toArray
+      val paths = byPath.map(_._1.path)
+      posDels.foreach { d =>
+        (d.pathLo, d.pathHi) match {
+          case (Some(lo), Some(hi)) =>
+            var i = lowerBound(paths, lo)
+            while (i < paths.length && paths(i) <= hi) {
+              dirty(byPath(i)._2) = true
+              i += 1
+            }
+          case _ => // boundless delete file: conservative, all dirty
+            byPath.foreach { case (_, idx) => dirty(idx) = true }
         }
-        case d => eqApplies(f, d, schema)
       }
     }
+    if (eqDels.nonEmpty)
+      files.zipWithIndex.foreach { case (f, i) =>
+        if (!dirty(i) && eqDels.exists(d => eqApplies(f, d, schema)))
+          dirty(i) = true
+      }
+    val (d, c) = files.zipWithIndex.partition { case (_, i) => dirty(i) }
+    (c.map(_._1), d.map(_._1))
+  }
+
+  /** First index in sorted `a` with a(i) >= key. */
+  private def lowerBound(a: Array[String], key: String): Int = {
+    var lo = 0
+    var hi = a.length
+    while (lo < hi) {
+      val mid = (lo + hi) >>> 1
+      if (a(mid) < key) lo = mid + 1 else hi = mid
+    }
+    lo
+  }
 
   private def fileNameOf(p: String): String =
     p.substring(p.lastIndexOf('/') + 1)
