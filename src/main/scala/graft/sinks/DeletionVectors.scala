@@ -307,6 +307,28 @@ private[graft] object DeletionVectors {
     }
   }
 
+  /** Serialized size under which a DV inlines into the log (`i`) rather
+    * than paying a sidecar entry — a narrow DELETE's descriptor stays a
+    * one-line log affair; reads skip the file open entirely.
+    */
+  val inlineMaxBytes = 512
+
+  /** Persist one commit's DVs: each bitmap at or under
+    * [[inlineMaxBytes]] inlines into its descriptor (`i`, Z85-encoded);
+    * the rest land together in one fresh sidecar (`u`). One descriptor
+    * per input, in order.
+    */
+  def write(tableRoot: Path, bitmaps: Seq[Bitmap]): Seq[Descriptor] = {
+    val serialized = bitmaps.map(bm => (bm, bm.serialize()))
+    val big = serialized.collect { case (bm, b) if b.length > inlineMaxBytes => bm }
+    val fileDescs = if (big.isEmpty) Iterator.empty else writeFile(tableRoot, big).iterator
+    serialized.map { case (bm, b) =>
+      if (b.length <= inlineMaxBytes)
+        Descriptor("i", z85Encode(b), None, b.length, bm.cardinality)
+      else fileDescs.next()
+    }
+  }
+
   /** Write one commit's DVs into a fresh sidecar file under the table
     * root (format version 1; each DV framed [size BE][data][crc32 BE]).
     * Returns the shared pathOrInlineDv plus one descriptor per input, in

@@ -1030,7 +1030,7 @@ object DeltaLog {
           numRecords(byRel(rel)).contains(bm.cardinality) }
         val descriptors =
           if (dvUpdates.isEmpty) Seq.empty
-          else DeletionVectors.writeFile(root, dvUpdates.map(_._2))
+          else DeletionVectors.write(root, dvUpdates.map(_._2))
         val reAdds = dvUpdates.zip(descriptors).map { case ((rel, _), d) =>
           rel -> byRel(rel).copy(dv = Some(d)) }
         val removedRels = mergedBitmaps.map(_._1)
@@ -1059,9 +1059,8 @@ object DeltaLog {
               Files.deleteIfExists(root.resolve(rel)) }
             cdcFiles.foreach { case (rel, _) =>
               Files.deleteIfExists(root.resolve(rel)) }
-            descriptors.headOption.foreach(d =>
-              DeletionVectors.referencedFile(root, d)
-                .foreach(Files.deleteIfExists(_)))
+            descriptors.flatMap(d => DeletionVectors.referencedFile(root, d))
+              .distinct.foreach(Files.deleteIfExists(_))
         }
         fullDead.foreach(_ => ()) // paths stay on disk for time travel; vacuum reclaims
       } finally { posDf.unpersist(); () }

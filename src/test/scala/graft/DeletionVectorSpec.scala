@@ -102,7 +102,9 @@ class DeletionVectorSpec extends SparkSpec {
     assert(s.files.toSet == filesBefore)
     val dvs = s.adds.flatMap(_._2.dv)
     assert(dvs.map(_.cardinality).sum == 11L)
-    assert(dvs.forall(_.storageType == "u"))
+    // a tiny DV INLINES into the log (storageType i, Z85 bytes, no
+    // offset) — no sidecar file for a narrow DELETE
+    assert(dvs.forall(d => d.storageType == "i" && d.offset.isEmpty))
     assert(readMap(table).keySet == ((11L to 100L).toSet - 55L))
     // time travel BEFORE the delete sees every row
     assert(DeltaLog.read(spark, table, asOf = Some(0L)).count() == 100L)
@@ -120,7 +122,7 @@ class DeletionVectorSpec extends SparkSpec {
     val addDv = lines.map(mapper.readTree).filter(_.has("add"))
       .flatMap(n => Option(n.get("add").get("deletionVector"))).headOption
     assert(addDv.isDefined)
-    assert(addDv.get.get("storageType").asText == "u")
+    assert(addDv.get.get("storageType").asText == "i")
     assert(addDv.get.get("cardinality").asLong > 0)
     // a second DELETE folds into the existing DV (union, one DV per file)
     DeltaLog.deleteWhere(spark, table, "id = 12")
@@ -179,19 +181,22 @@ class DeletionVectorSpec extends SparkSpec {
   test("copy-on-write DML on a table CARRYING DVs never resurrects; OPTIMIZE purges") {
     import spark.implicits._
     val table = tmpTable()
-    DeltaLog.writeBatch((1L to 100L).map(i => (i, i)).toDF("id", "v")
+    DeltaLog.writeBatch((1L to 40000L).map(i => (i, i)).toDF("id", "v")
       .repartitionByRange(2, col("id")), table, tableConf = dvConf)
-    DeltaLog.deleteWhere(spark, table, "id <= 20")
+    // a 15k-position DV is too big to inline → sidecar (storageType u)
+    DeltaLog.deleteWhere(spark, table, "id <= 15000")
+    assert(DeltaLog.snapshot(spark, table).get.adds
+      .flatMap(_._2.dv).exists(_.storageType == "u"))
     // flip the property off: the UPDATE takes the copy-on-write path and
-    // must read THROUGH the existing DVs. It targets id=70 — the file
+    // must read THROUGH the existing DVs. It targets id=30000 — the file
     // WITHOUT the DV — so the DV'd file survives for OPTIMIZE to purge
     DeltaLog.setTableProperties(spark, table,
       Map("delta.enableDeletionVectors" -> "false"))
     assert(DeltaLog.updateWhere(spark, table,
-      Seq("v" -> "v + 1000"), Some("id = 70")).isDefined)
+      Seq("v" -> "v + 1000"), Some("id = 30000")).isDefined)
     val got = readMap(table)
-    assert(got.get(70L).contains(1070L) && got.size == 80)
-    assert(!(1L to 20L).exists(got.contains))
+    assert(got.get(30000L).contains(31000L) && got.size == 25000)
+    assert(!got.contains(15000L) && !got.contains(1L))
     // OPTIMIZE rewrites DV'd files with the vector applied and drops it
     assert(DeltaLog.optimize(spark, table, smallFileBytes = 1L).isDefined)
     val s = DeltaLog.snapshot(spark, table).get
