@@ -282,6 +282,53 @@ class DeletionVectorSpec extends SparkSpec {
     assert(e.getMessage.contains("delta option"))
   }
 
+  test("the chain on a DV table: upsert sink → change-feed stream → mirror converges") {
+    import org.apache.spark.sql.streaming.Trigger
+    import spark.implicits._
+    val src = tmpTable()
+    val mirror = tmpTable()
+    // source table runs BOTH merge-on-read modes: deletion vectors for
+    // the DML and the change feed for the downstream stream
+    DeltaLog.writeBatch((1L to 8L).map(i => (i, i * 10L)).toDF("id", "v")
+      .coalesce(1), src, tableConf = dvConf ++ Map(Cdf.enableProp -> "true"))
+    val (df, view) = graft.sources.DeltaStreamSource.open(spark, src,
+      changeFeed = true, keys = Seq("id"))
+    val q = df.writeStream
+      .foreachBatch((b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) => {
+        if (!b.isEmpty) Merge.upsertBatch(spark, "delta", mirror, b.toDF(), Seq("id"))
+      })
+      .trigger(Trigger.ProcessingTime(100)).start()
+    def mirrorRows: Map[Long, Long] =
+      DeltaLog.read(spark, mirror).as[(Long, Long)].collect().toMap
+    try {
+      q.processAllAvailable()
+      assert(mirrorRows == (1L to 8L).map(i => i -> i * 10L).toMap)
+      // UPDATE + DELETE + MERGE all land as DV row deltas (no file
+      // rewritten) with cdc change rows; the stream replays them as
+      // retraction pairs and the mirror converges
+      val filesBefore = DeltaLog.snapshot(spark, src).get.files.toSet
+      assert(DeltaLog.updateWhere(spark, src,
+        Seq("v" -> "v + 1"), Some("id <= 2")).isDefined)
+      assert(DeltaLog.deleteWhere(spark, src, "id >= 7").isDefined)
+      assert(DeltaLog.merge(spark, src,
+        Seq((3L, 999L), (20L, 2000L)).toDF("id", "v"),
+        Merge.Clauses("t", "s", "t.id = s.id",
+          Seq(Merge.MatchedClause(None, Left(Seq("v" -> "s.v")))),
+          Some((None, Seq.empty)))).isDefined)
+      assert(filesBefore.subsetOf(DeltaLog.snapshot(spark, src).get.files.toSet),
+        "merge-on-read: the original data files all kept their bytes")
+      view.sync()
+      q.processAllAvailable()
+      val want = DeltaLog.read(spark, src).as[(Long, Long)].collect().toMap
+      assert(want == Map(1L -> 11L, 2L -> 21L, 3L -> 999L, 4L -> 40L,
+        5L -> 50L, 6L -> 60L, 20L -> 2000L))
+      assert(mirrorRows == want, "the mirror table converges to the source")
+    } finally {
+      q.stop()
+      view.close()
+    }
+  }
+
   test("append-only stream refuses a DV commit; ignore_deletes skips it whole") {
     import spark.implicits._
     val table = tmpTable()
