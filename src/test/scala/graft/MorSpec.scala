@@ -586,6 +586,41 @@ class MorSpec extends SparkSpec {
     assert(got == Set((2L, "a b", 21L), (3L, "c", 30L)), s"got $got")
   }
 
+  test("SQL OPTIMIZE purges merge-on-read deletes on both formats") {
+    import spark.implicits._
+    // iceberg: position deletes land, OPTIMIZE via SQL purges them
+    val it = tmpTable()
+    IcebergLog.writeBatch((1L to 50L).map(i => (i, i)).toDF("id", "v")
+      .coalesce(2), it)
+    IcebergLog.setTableProperties(spark, it,
+      Map("write.delete.mode" -> "merge-on-read"))
+    IcebergLog.deleteWhere(spark, it, "id <= 5")
+    assert(IcebergLog.deleteFiles(it, None).nonEmpty)
+    // delta: a deletion vector lands, OPTIMIZE via SQL purges it
+    val dt = tmpTable()
+    graft.sinks.DeltaLog.writeBatch((1L to 50L).map(i => (i, i)).toDF("id", "v")
+      .coalesce(2), dt, tableConf = Map("delta.enableDeletionVectors" -> "true"))
+    graft.sinks.DeltaLog.deleteWhere(spark, dt, "id <= 5")
+    assert(graft.sinks.DeltaLog.snapshot(spark, dt).get.adds
+      .exists(_._2.dv.isDefined))
+    new graft.sql.Pipeline(spark, streaming = false).run(
+      s"""CREATE TABLE ti (id BIGINT, v BIGINT) WITH (
+         |  connector='iceberg', path='$it', format='parquet', type='sink');
+         |CREATE TABLE td (id BIGINT, v BIGINT) WITH (
+         |  connector='delta', path='$dt', format='parquet', type='sink');
+         |OPTIMIZE ti;
+         |OPTIMIZE td;""".stripMargin)
+    assert(IcebergLog.deleteFiles(it, None).isEmpty,
+      "SQL OPTIMIZE must fold in and purge the position deletes")
+    assert(graft.sinks.DeltaLog.snapshot(spark, dt).get.adds
+      .forall(_._2.dv.isEmpty),
+      "SQL OPTIMIZE must rewrite DV'd files and drop the vectors")
+    assert(readMap(it).size == 45)
+    import spark.implicits._
+    assert(graft.sinks.DeltaLog.read(spark, dt).as[(Long, Long)]
+      .collect().toMap.size == 45)
+  }
+
   test("unsupported write-mode value and third-party equality deletes fail loudly") {
     val table = morTable(Seq((1L, 1L)), Seq.empty)
     IcebergLog.setTableProperties(spark, table,
