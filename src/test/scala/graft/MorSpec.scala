@@ -586,6 +586,35 @@ class MorSpec extends SparkSpec {
     assert(got == Set((2L, "a b", 21L), (3L, "c", 30L)), s"got $got")
   }
 
+  test("equality deletes survive schema evolution: key field ids stay positional") {
+    import spark.implicits._
+    val table = tmpTable()
+    Merge.upsertBatch(spark, "iceberg", table,
+      (1L to 10L).map(i => (i, i * 10)).toDF("id", "v"), Seq("id"))
+    IcebergLog.setTableProperties(spark, table,
+      Map("write.upsert.enabled" -> "true"))
+    // upsert #1 under the ORIGINAL schema: eq-delete file carries id
+    // values keyed by field id 1
+    IcebergLog.upsertAppend(spark, table,
+      Seq((3L, 33L, false)).toDF("id", "v", "__graft_deleted"),
+      Seq("id"), checkUnique = true)
+    // evolve: append a column (existing field ids never move), then
+    // upsert under the EVOLVED schema via the sink's merge_schema path
+    Merge.upsertBatch(spark, "iceberg", table,
+      Seq((5L, 55L, "n5")).toDF("id", "v", "note"), Seq("id"),
+      orderBy = Some("v"), mergeSchema = true)
+    val got = IcebergLog.read(spark, table)
+      .select(col("id"), col("v"), col("note"))
+      .as[(Long, Long, Option[String])].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(got.size == 10, s"got ${got.size}")
+    // the PRE-evolution eq-delete still retracts the original row 3
+    assert(got(3L) == ((33L, None)), s"got ${got(3L)}")
+    // the post-evolution upsert's delete + append both resolve
+    assert(got(5L) == ((55L, Some("n5"))), s"got ${got(5L)}")
+    assert(got(1L) == ((10L, None)))
+  }
+
   test("SQL OPTIMIZE purges merge-on-read deletes on both formats") {
     import spark.implicits._
     // iceberg: position deletes land, OPTIMIZE via SQL purges them
