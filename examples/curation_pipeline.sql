@@ -57,6 +57,34 @@ FROM clean c JOIN shards s ON c.doc_id = s.doc_id;
 OPTIMIZE curated;
 VACUUM curated RETAIN 168 HOURS;
 
+-- continuous refresh (r11): the same corpus as an ICEBERG table keyed by
+-- doc_id with the ZERO-READ landing path — upsert_enabled makes every
+-- later batch commit as one equality-delete file + appends without ever
+-- reading the target, so refresh cost stays O(batch) at any corpus size
+CREATE TABLE corpus (
+  doc_id BIGINT,
+  text TEXT,
+  shard BIGINT
+) WITH (
+  connector = 'iceberg',
+  path = '/tmp/graft_curated_iceberg',
+  format = 'parquet',
+  type = 'sink',
+  merge_keys = 'doc_id',
+  upsert_enabled = 'true'
+);
+
+INSERT INTO corpus
+SELECT c.doc_id, c.text, s.shard
+FROM clean c JOIN shards s ON c.doc_id = s.doc_id;
+
+-- row-level retention on the published table, merge-on-read: the DELETE
+-- writes position-delete files instead of rewriting data, and OPTIMIZE
+-- later folds them in and purges
+ALTER TABLE corpus SET TBLPROPERTIES ('write.delete.mode' = 'merge-on-read');
+DELETE FROM corpus WHERE shard = 0;
+OPTIMIZE corpus;
+
 -- the data card: what survived each stage
 SELECT 'input' AS stage, count(*) AS docs FROM docs
 UNION ALL SELECT 'train', count(*) FROM trainset
