@@ -476,9 +476,13 @@ object DeltaLog {
         val bitmaps: Map[String, DeletionVectors.Bitmap] =
           dirty.map(rel => fileNameOf(rel) -> byRel(rel).dv.get.load(root)).toMap
         val bc = spark.sparkContext.broadcast(bitmaps)
-        val alive = udf((name: String, pos: Long) =>
-          !bc.value.get(name).exists(_.contains(pos)))
-        Some(metaRead(dirty).filter(alive(col(dvNameCol), col(dvPosCol))))
+        // codegen'd predicate (DvAliveF) — the DV'd scan stays inside
+        // whole-stage codegen instead of paying a UDF boxing boundary
+        val alive = org.apache.spark.sql.GraftShim.column(
+          graft.functions.DvAliveF(
+            org.apache.spark.sql.GraftShim.expression(col(dvNameCol)),
+            org.apache.spark.sql.GraftShim.expression(col(dvPosCol)), bc))
+        Some(metaRead(dirty).filter(alive))
       }
     if (!withMeta) {
       val cleanDf =
