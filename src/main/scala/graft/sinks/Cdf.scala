@@ -75,6 +75,13 @@ object Cdf {
     * names. Returns files newly added; the copy is bounded by the
     * commit's change rows, never the table.
     */
+  /** Scratch dirs currently owned by a live [[materializeInto]] call in
+    * this JVM — anything else matching the scratch prefix is an orphan
+    * from a failed/crashed materialization and is swept on the next call.
+    */
+  private val activeScratch =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[java.nio.file.Path]()
+
   private[graft] def materializeInto(viewDataDir: java.nio.file.Path,
       chg0: org.apache.spark.sql.DataFrame, partCols: Seq[String],
       namePrefix: String): Int = {
@@ -85,7 +92,26 @@ object Cdf {
     // filesystem than the system temp dir, where a cross-device hard
     // link would fail with EXDEV
     Files.createDirectories(viewDataDir)
+    // sweep ORPHANED scratch dirs first: a failed write's straggler
+    // tasks can re-create scratch paths briefly after the driver
+    // rethrows, so the failure-path sweep below is best-effort — this
+    // is what guarantees repeated failures never ACCUMULATE leftovers
+    locally {
+      val l = Files.list(viewDataDir)
+      try l.iterator().asScala
+        .filter(p => Files.isDirectory(p) &&
+          p.getFileName.toString.startsWith(".graft-cdf-mat") &&
+          !activeScratch.contains(p.toAbsolutePath.normalize))
+        .toSeq.foreach { orphan =>
+          val w = Files.walk(orphan)
+          val paths = try w.iterator().asScala.toSeq finally w.close()
+          paths.reverse.foreach(x =>
+            try Files.deleteIfExists(x) catch { case _: Exception => () })
+        }
+      finally l.close()
+    }
     val scratch = Files.createTempDirectory(viewDataDir, ".graft-cdf-mat")
+    activeScratch.add(scratch.toAbsolutePath.normalize)
     // deterministic CHUNKING, not just names: replaying a partially
     // materialized version must re-create identical parts, and Spark's
     // default split packing depends on runtime parallelism — hash
@@ -95,41 +121,61 @@ object Cdf {
     // table state at that version, so equally replay-stable): one file
     // per ~500k rows, capped — a small CDC commit materializes ONE view
     // file instead of fanning tiny files into the stream listing.
-    chg0.persist()
-    val nParts = try math.max(1L, math.min(32L,
-      (chg0.count() + 499999L) / 500000L)).toInt
-    catch { case e: Throwable => chg0.unpersist(); throw e }
-    val chg = chg0.repartition(nParts,
-      chg0.columns.map(org.apache.spark.sql.functions.col).toIndexedSeq: _*)
-    val w = chg.write.mode("overwrite")
-    (if (partCols.nonEmpty) w.partitionBy(partCols: _*) else w)
-      .parquet(scratch.toString)
     def walk(p: java.nio.file.Path): Seq[java.nio.file.Path] = {
       val s = Files.walk(p)
       try s.iterator().asScala.toSeq finally s.close()
     }
-    var n = 0
-    walk(scratch).filter(p => Files.isRegularFile(p) &&
-      p.getFileName.toString.endsWith(".parquet"))
-      .map(p => (scratch.relativize(p).toString, p)).sortBy(_._1)
-      .zipWithIndex.foreach { case ((rel, p), i) =>
-        val relDir = Option(java.nio.file.Paths.get(rel).getParent)
-        val destDir = relDir.map(d => viewDataDir.resolve(d.toString))
-          .getOrElse(viewDataDir)
-        val dest = destDir.resolve(s"$namePrefix-$i.parquet")
-        Files.createDirectories(destDir)
-        try { Files.createLink(dest, p); n += 1 }
-        catch {
-          case _: java.nio.file.FileAlreadyExistsException => // replayed
-          case _: UnsupportedOperationException =>
-            try { Files.move(p, dest, StandardCopyOption.ATOMIC_MOVE); n += 1 }
-            catch { case _: java.nio.file.FileAlreadyExistsException => () }
+    // EVERYTHING from persist() on runs under the try: even persist can
+    // throw driver-side (planning evaluates projections over local
+    // relations), and a throw outside the try would leave scratch both
+    // on disk and registered active — invisible to the orphan sweep
+    try {
+      chg0.persist()
+      val nParts = math.max(1L, math.min(32L,
+        (chg0.count() + 499999L) / 500000L)).toInt
+      val chg = chg0.repartition(nParts,
+        chg0.columns.map(org.apache.spark.sql.functions.col).toIndexedSeq: _*)
+      val w = chg.write.mode("overwrite")
+      (if (partCols.nonEmpty) w.partitionBy(partCols: _*) else w)
+        .parquet(scratch.toString)
+      var n = 0
+      walk(scratch).filter(p => Files.isRegularFile(p) &&
+        p.getFileName.toString.endsWith(".parquet"))
+        .map(p => (scratch.relativize(p).toString, p)).sortBy(_._1)
+        .zipWithIndex.foreach { case ((rel, p), i) =>
+          val relDir = Option(java.nio.file.Paths.get(rel).getParent)
+          val destDir = relDir.map(d => viewDataDir.resolve(d.toString))
+            .getOrElse(viewDataDir)
+          val dest = destDir.resolve(s"$namePrefix-$i.parquet")
+          Files.createDirectories(destDir)
+          try { Files.createLink(dest, p); n += 1 }
+          catch {
+            case _: java.nio.file.FileAlreadyExistsException => // replayed
+            case _: UnsupportedOperationException =>
+              try { Files.move(p, dest, StandardCopyOption.ATOMIC_MOVE); n += 1 }
+              catch { case _: java.nio.file.FileAlreadyExistsException => () }
+          }
         }
+      n
+    } finally {
+      // deregister FIRST and guard every step: unpersist of a frame whose
+      // cache materialization failed can itself throw, and an aborted
+      // finally here is exactly what would leave the scratch dir both
+      // on disk and marked active (invisible to the orphan sweep)
+      activeScratch.remove(scratch.toAbsolutePath.normalize)
+      try chg0.unpersist() catch { case _: Exception => () }
+      // best-effort immediate sweep (a failed job's straggler tasks may
+      // re-create paths for a moment — the orphan sweep at the NEXT
+      // call's open is the accumulation guarantee)
+      var tries = 0
+      while (Files.exists(scratch) && tries < 5) {
+        tries += 1
+        try walk(scratch).reverse.foreach(p =>
+          try Files.deleteIfExists(p) catch { case _: Exception => () })
+        catch { case _: Exception => () } // files vanishing mid-walk
+        if (Files.exists(scratch)) Thread.sleep(50L * tries)
       }
-    walk(scratch).reverse.foreach(p =>
-      try Files.deleteIfExists(p) catch { case _: Exception => () })
-    chg0.unpersist()
-    n
+    }
   }
 
   /** Change rows → the engine's updating-stream shape: payload columns

@@ -367,7 +367,13 @@ private[graft] object DeletionVectors {
       s"deletion vector: '$pathOrInlineDv' is shorter than an encoded UUID")
     val enc = pathOrInlineDv.substring(pathOrInlineDv.length - 20)
     val prefix = pathOrInlineDv.substring(0, pathOrInlineDv.length - 20)
-    tableRoot.resolve(s"${prefix}deletion_vector_${z85DecodeUuid(enc)}.bin")
+    // the prefix is a SUBDIRECTORY, not a file-name fragment: the
+    // protocol's own example "ab^-aqEH.-t@S}K{vb[*k^" resolves to
+    // <table>/ab/deletion_vector_<uuid>.bin — delta-spark writes such
+    // random prefixes by default at scale, so concatenating would make
+    // every third-party prefixed DV a NoSuchFileException
+    val dir = if (prefix.isEmpty) tableRoot else tableRoot.resolve(prefix)
+    dir.resolve(s"deletion_vector_${z85DecodeUuid(enc)}.bin")
   }
 
   /** The sidecar file a `u`-descriptor references (vacuum must treat it

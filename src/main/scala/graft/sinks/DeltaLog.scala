@@ -813,6 +813,12 @@ object DeltaLog {
     * row-group min/max skipping work on all the named dimensions at
     * once — still as one dataChange=false swap.
     */
+  /** Test seam: runs after OPTIMIZE has planned its victims and placed
+    * replacement files, before the commit — lets specs land a concurrent
+    * DV/DML commit in the planning→commit window deterministically.
+    */
+  private[graft] var onOptimizeCommit: () => Unit = () => ()
+
   def optimize(spark: SparkSession, table: String,
       smallFileBytes: Long = 128L * 1024 * 1024,
       zorderBy: Seq[String] = Seq.empty): Option[Long] = {
@@ -840,12 +846,16 @@ object DeltaLog {
       if (zorderBy.isEmpty) df.coalesce(nOut)
       else graft.operators.ZOrder.cluster(df, zorderBy, nOut)
     val added = placeDataFiles(spark, table, s.schema, s.partitionColumns, out)
+    onOptimizeCommit()
     val committed = commit(spark, table, s.schema, s.partitionColumns, added,
       txn = None, removed = small.map(_._1), dataChange = false,
       // a concurrent DV landing on a victim between plan and commit
-      // would be silently dropped by this rewrite — abort instead
-      dvBase = if (dvDirty.isEmpty) None
-        else Some(small.map { case (rel, info) => rel -> info.dvId }.toMap))
+      // would be silently dropped by this rewrite — abort instead.
+      // UNCONDITIONAL: dvId is "" for DV-less victims, so a first DV
+      // appearing on a clean victim trips the guard too (guarding only
+      // when the planning snapshot was already dirty would let that
+      // commit resurrect the freshly deleted rows)
+      dvBase = Some(small.map { case (rel, info) => rel -> info.dvId }.toMap))
     committed match {
       case Some(_) =>
         // tombstoned files STAY on disk (a concurrent reader may be

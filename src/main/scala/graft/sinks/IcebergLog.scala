@@ -1648,8 +1648,12 @@ object IcebergLog {
       replaced = victimPaths,
       // purge the delete manifests: every live file they could bind to
       // was just rewritten with the deletes applied — guarded against a
-      // concurrent MoR DML landing NEW deletes (baseDeletes growth check)
-      baseDeletes = if (dels.isEmpty) None else Some(dels.map(_.path).toSet),
+      // concurrent MoR DML landing NEW deletes (baseDeletes growth
+      // check). UNCONDITIONAL (empty set when the planning snapshot had
+      // none): a first delete file landing on a victim in the
+      // plan→commit window must abort too, or the compaction rewrites
+      // the victim from raw bytes and resurrects the deleted rows
+      baseDeletes = Some(dels.map(_.path).toSet),
       dropDeletes = dels.nonEmpty)
     if (committed.isEmpty)
       scratchFiles.foreach(a => Files.deleteIfExists(Paths.get(a.path)))

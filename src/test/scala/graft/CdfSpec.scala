@@ -634,4 +634,29 @@ class CdfSpec extends SparkSpec {
     assert(ch == Set((7L, "odd", "delete"), (8L, "even", "delete")),
       "partition values must survive into the change rows")
   }
+
+  test("materializeInto unpersists and removes its scratch dir when the write fails") {
+    import spark.implicits._
+    import scala.jdk.CollectionConverters._
+    val dir = java.nio.file.Files.createTempDirectory("cdf_mat_fail")
+    val boom = org.apache.spark.sql.functions.udf((i: Long) =>
+      if (i > 0) throw new RuntimeException("boom") else i)
+    val df = (1L to 10L).toDF("id").withColumn("id", boom(col("id")))
+    val persistedBefore = spark.sparkContext.getPersistentRDDs.size
+    intercept[Exception] { Cdf.materializeInto(dir, df, Seq.empty, "c0") }
+    assert(spark.sparkContext.getPersistentRDDs.size == persistedBefore,
+      "the failed materialization left its change frame persisted")
+    // the failure-path sweep is best-effort (straggler tasks can
+    // re-create scratch paths); the NEXT call's orphan sweep is the
+    // accumulation guarantee — after it, no scratch dir may remain.
+    // (settle: in production the next call is the next commit, not
+    // microseconds after the failed job's tasks were cancelled)
+    val deadline = System.currentTimeMillis() + 10000
+    while (spark.sparkContext.statusTracker.getActiveJobIds().nonEmpty &&
+        System.currentTimeMillis() < deadline) Thread.sleep(50)
+    assert(Cdf.materializeInto(dir, (1L to 3L).toDF("id"), Seq.empty, "c1") > 0)
+    val scratches = java.nio.file.Files.list(dir).iterator().asScala
+      .filter(_.getFileName.toString.startsWith(".graft-cdf-mat")).toSeq
+    assert(scratches.isEmpty, s"scratch leaked into the view dir: $scratches")
+  }
 }

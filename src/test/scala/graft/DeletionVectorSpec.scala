@@ -345,4 +345,51 @@ class DeletionVectorSpec extends SparkSpec {
     try assert(view2.sync() == 0)
     finally view2.close()
   }
+
+  test("OPTIMIZE aborts when a concurrent DV lands on a CLEAN victim (plan\u2192commit race)") {
+    import spark.implicits._
+    val table = tmpTable()
+    DeltaLog.writeBatch((1L to 100L).map(i => (i, i)).toDF("id", "v")
+      .repartitionByRange(2, col("id")), table, tableConf = dvConf)
+    // no DVs at plan time: the guard must arm anyway (dvId "" for clean
+    // victims), or this commit silently drops the fresh deletion vector
+    DeltaLog.onOptimizeCommit = () =>
+      assert(DeltaLog.deleteWhere(spark, table, "id = 7").isDefined)
+    try assert(DeltaLog.optimize(spark, table,
+      smallFileBytes = Long.MaxValue).isEmpty, "must abort, never resurrect")
+    finally DeltaLog.onOptimizeCommit = () => ()
+    val got = readMap(table)
+    assert(!got.contains(7L) && got.size == 99, "the concurrent DELETE holds")
+    // quiet retry purges the DV by rewriting with it applied
+    assert(DeltaLog.optimize(spark, table, smallFileBytes = Long.MaxValue).isDefined)
+    assert(DeltaLog.snapshot(spark, table).get.adds.forall(_._2.dv.isEmpty))
+    val after = readMap(table)
+    assert(!after.contains(7L) && after.size == 99)
+  }
+
+  test("prefixed DV descriptors resolve the prefix as a SUBDIRECTORY (protocol layout)") {
+    // PROTOCOL.md's example pathOrInlineDv "ab^-aqEH.-t@S}K{vb[*k^" is
+    // <table>/ab/deletion_vector_<uuid>.bin \u2014 the 2-char random prefix
+    // delta-spark writes at scale is a directory, not a name fragment
+    val root = Files.createTempDirectory("dv_prefix")
+    val bm = DV.bitmapOf(Iterator(1L, 5L, 9L))
+    val data = bm.serialize()
+    val uuid = java.util.UUID.randomUUID()
+    val dir = root.resolve("ab")
+    Files.createDirectories(dir)
+    val sidecar = dir.resolve(s"deletion_vector_$uuid.bin")
+    val out = new java.io.DataOutputStream(Files.newOutputStream(sidecar))
+    try {
+      out.writeByte(1) // format version
+      out.writeInt(data.length); out.write(data)
+      val crc = new java.util.zip.CRC32; crc.update(data)
+      out.writeInt(crc.getValue.toInt)
+    } finally out.close()
+    val d = DV.Descriptor("u", "ab" + DV.z85EncodeUuid(uuid), Some(1),
+      data.length, 3L)
+    assert(d.load(root).positions.toSeq == Seq(1L, 5L, 9L))
+    // vacuum's liveness tracking must see the same subdirectory path
+    assert(DV.referencedFile(root, d).map(_.toAbsolutePath.normalize)
+      .contains(sidecar.toAbsolutePath.normalize))
+  }
 }

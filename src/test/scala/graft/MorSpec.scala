@@ -658,4 +658,27 @@ class MorSpec extends SparkSpec {
       IcebergLog.deleteWhere(spark, table, "id = 1") }
     assert(e.getMessage.contains("not a write mode"))
   }
+
+  test("OPTIMIZE aborts when a MoR DELETE lands in its plan\u2192commit window (clean planning snapshot)") {
+    // the planning snapshot carries NO delete files, so a conditional
+    // baseDeletes guard would never arm \u2014 and the compaction would
+    // rewrite the victim from its raw bytes, resurrecting the rows a
+    // concurrent merge-on-read DELETE just retracted
+    val table = morTable((1L to 100L).map(i => (i, i)), Seq("delete"))
+    IcebergLog.onReplaceCommit = () =>
+      assert(IcebergLog.deleteWhere(spark, table, "id = 7").isDefined)
+    try {
+      val v = IcebergLog.rewriteDataFiles(spark, table,
+        smallBytes = Some(Long.MaxValue))
+      assert(v.isEmpty, "compaction must abort, never resurrect")
+    } finally IcebergLog.onReplaceCommit = () => ()
+    val got = readMap(table)
+    assert(!got.contains(7L) && got.size == 99, "the concurrent DELETE holds")
+    // the retry (quiet window) applies the delete and purges it
+    assert(IcebergLog.rewriteDataFiles(spark, table,
+      smallBytes = Some(Long.MaxValue)).isDefined)
+    assert(IcebergLog.deleteFiles(table, None).isEmpty, "deletes purged")
+    val after = readMap(table)
+    assert(!after.contains(7L) && after.size == 99)
+  }
 }
