@@ -404,10 +404,22 @@ object AvroCodec {
   /** Read an Avro OCF stream written with [[writeOcf]] (or any null-codec
     * OCF whose writer schema matches the declared StructType).
     */
-  def readOcf(in: InputStream, schema: StructType): Iterator[Row] = {
+  def readOcf(in: InputStream, schema: StructType): Iterator[Row] =
+    readOcfResolving(in, _ => schema)
+
+  /** Like [[readOcf]], but the reader StructType is chosen AFTER the
+    * header: `pick` receives the file-metadata map (notably the embedded
+    * `avro.schema` writer-schema JSON) and must return the exact wire
+    * shape the WRITER used — the decode is positional, so this is how a
+    * reader handles a format that grew a field (e.g. Iceberg manifests
+    * written before/after `equality_ids` existed).
+    */
+  def readOcfResolving(in: InputStream,
+      pick: Map[String, String] => StructType): Iterator[Row] = {
     val magic = readNBytes(in, 4)
     require(java.util.Arrays.equals(magic, OcfMagic), "avro: not an OCF (bad magic)")
-    // metadata map (validate codec, skip the rest)
+    // metadata map (validate codec, surface the rest to `pick`)
+    val meta = scala.collection.mutable.Map.empty[String, String]
     var n = readVarLong(in)
     while (n != 0) {
       if (n < 0) { readVarLong(in); n = -n }
@@ -415,8 +427,9 @@ object AvroCodec {
       while (i < n) {
         val key = new String(readBytes(in), StandardCharsets.UTF_8)
         val value = readBytes(in)
+        meta(key) = new String(value, StandardCharsets.UTF_8)
         if (key == "avro.codec") {
-          val codec = new String(value, StandardCharsets.UTF_8)
+          val codec = meta(key)
           require(codec == "null", s"avro: unsupported codec '$codec' (only null)")
         }
         i += 1
@@ -424,6 +437,7 @@ object AvroCodec {
       n = readVarLong(in)
     }
     readNBytes(in, 16) // sync marker
+    val schema = pick(meta.toMap)
 
     new Iterator[Row] {
       private var remainingInBlock = 0L

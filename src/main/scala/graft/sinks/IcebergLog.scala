@@ -122,7 +122,13 @@ object IcebergLog {
     StructField("key", IntegerType, nullable = false),
     StructField("value", vt, nullable = false))), containsNull = false)
 
-  private def manifestEntryType(partType: StructType): StructType = StructType(Seq(
+  /** `withEqIds = false` is the pre-r12 wire shape (no `equality_ids`);
+    * [[readEntries]] picks it when decoding a manifest whose embedded
+    * writer schema lacks the field, then pads — every caller above the
+    * decode sees the current 11-field `data_file` struct.
+    */
+  private[graft] def manifestEntryType(partType: StructType,
+      withEqIds: Boolean = true): StructType = StructType(Seq(
     StructField("status", IntegerType, nullable = false),
     StructField("snapshot_id", LongType, nullable = true),
     StructField("sequence_number", LongType, nullable = true),
@@ -137,7 +143,12 @@ object IcebergLog {
       StructField("value_counts", kvMapType(LongType), nullable = true),
       StructField("null_value_counts", kvMapType(LongType), nullable = true),
       StructField("lower_bounds", kvMapType(BinaryType), nullable = true),
-      StructField("upper_bounds", kvMapType(BinaryType), nullable = true))),
+      StructField("upper_bounds", kvMapType(BinaryType), nullable = true)) ++
+      // spec data_file field 135: REQUIRED on content=2 (equality
+      // delete) entries — the field ids the delete matches on
+      (if (withEqIds) Seq(StructField("equality_ids",
+        ArrayType(IntegerType, containsNull = false), nullable = true))
+       else Seq.empty)),
       nullable = false)))
 
   private def avroPrim(dt: DataType): String = dt match {
@@ -172,7 +183,10 @@ object IcebergLog {
        |{"name":"value","type":$vType,"field-id":$vId}]}}],
        |"default":null,"field-id":$fieldId}""".stripMargin.replace("\n", "")
 
-  private def manifestEntrySchemaJson(partType: StructType): String = {
+  private[graft] def manifestEntrySchemaJson(partType: StructType,
+      withEqIds: Boolean = true): String = {
+    val eqIdsField = if (!withEqIds) "" else
+      """,{"name":"equality_ids","type":["null",{"type":"array","items":"int","element-id":136}],"default":null,"field-id":135}"""
     val partFields = partType.fields.zipWithIndex.map { case (f, i) =>
       s"""{"name":"${f.name}","type":["null",${avroPrim(f.dataType)}],"default":null,"field-id":${1000 + i}}"""
     }
@@ -191,7 +205,7 @@ object IcebergLog {
        |${kvMapSchemaJson("value_counts", 109, 119, 120, "\"long\"")},
        |${kvMapSchemaJson("null_value_counts", 110, 121, 122, "\"long\"")},
        |${kvMapSchemaJson("lower_bounds", 125, 126, 127, "\"bytes\"")},
-       |${kvMapSchemaJson("upper_bounds", 128, 129, 130, "\"bytes\"")}
+       |${kvMapSchemaJson("upper_bounds", 128, 129, 130, "\"bytes\"")}$eqIdsField
        |]},"field-id":2}]}""".stripMargin.replace("\n", "")
   }
 
@@ -439,7 +453,42 @@ object IcebergLog {
   // ── write path ───────────────────────────────────────────────────────
 
   private final case class DataFileInfo(path: String, size: Long, records: Long,
-      partitionValues: Seq[(String, String)], metrics: ColMetrics)
+      partitionValues: Seq[(String, String)], metrics: ColMetrics,
+      /** content=2 entries: the table field ids the delete matches on
+        * (spec data_file field 135, required for equality deletes). */
+      equalityIds: Option[Seq[Int]] = None)
+
+  /** Decode one manifest's entries. The writer's wire shape is resolved
+    * from the embedded `avro.schema` (pre-r12 manifests lack
+    * `equality_ids`; their `data_file` structs are padded with a null),
+    * so every caller sees the current 11-field shape. `partType` must
+    * match the manifest's own partition-spec-id (spec 0 = the table
+    * spec; spec 1 = unpartitioned, what global delete files land under).
+    */
+  private[graft] def readEntries(path: String, partType: StructType): Seq[Row] = {
+    val in = Files.newInputStream(Paths.get(path))
+    try {
+      var legacy = false
+      val rows = AvroCodec.readOcfResolving(in, meta => {
+        legacy = !meta.get("avro.schema").exists(_.contains("\"equality_ids\""))
+        manifestEntryType(partType, withEqIds = !legacy)
+      }).toSeq
+      if (!legacy) rows
+      else rows.map { e =>
+        val df = e.getStruct(4)
+        Row(e.get(0), e.get(1), e.get(2), e.get(3), Row.fromSeq(df.toSeq :+ null))
+      }
+    } finally in.close()
+  }
+
+  /** The partition struct a manifest's entries were written under:
+    * spec 0 = the table's identity spec, spec 1 = the UNPARTITIONED
+    * spec global delete files use (per the Iceberg spec, a global
+    * equality delete must not carry partition values a spec-conformant
+    * reader would prune by).
+    */
+  private def partTypeOfSpec(specId: Int, tablePartType: StructType): StructType =
+    if (specId == 0) tablePartType else StructType(Seq.empty[StructField])
 
   /** Append `df` as one fast-append snapshot. `txn` = (appId, version)
     * arms the idempotent-replay guard (reference transaction_id,
@@ -566,7 +615,8 @@ object IcebergLog {
       kvRows(a.metrics.valueCounts.asInstanceOf[Map[Int, Any]]),
       kvRows(a.metrics.nullCounts.asInstanceOf[Map[Int, Any]]),
       kvRows(a.metrics.lower.asInstanceOf[Map[Int, Any]]),
-      kvRows(a.metrics.upper.asInstanceOf[Map[Int, Any]]))
+      kvRows(a.metrics.upper.asInstanceOf[Map[Int, Any]]),
+      a.equalityIds.map(_.toSeq).orNull)
   }
 
   private def commit(spark: SparkSession, table: String, schema: StructType,
@@ -712,12 +762,14 @@ object IcebergLog {
       val tableUuid = cur.map(_.uuid).getOrElse(UUID.randomUUID().toString)
       val cleanup = scala.collection.mutable.ArrayBuffer.empty[Path]
 
-      def writeManifest(rows: Seq[Row], content: String = "data"): (Path, Long) = {
-        val entryType = manifestEntryType(partType)
+      def writeManifest(rows: Seq[Row], content: String = "data",
+          specId: Int = 0): (Path, Long) = {
+        val mPartType = partTypeOfSpec(specId, partType)
+        val entryType = manifestEntryType(mPartType)
         val p = dir.resolve(s"${UUID.randomUUID()}-m0.avro")
         val out = Files.newOutputStream(p)
         try AvroCodec.writeOcf(out, entryType, rows.iterator,
-          schemaJsonOverride = Some(manifestEntrySchemaJson(partType)),
+          schemaJsonOverride = Some(manifestEntrySchemaJson(mPartType)),
           extraMeta = Seq(
             "schema" -> schemaJson(schema, schemaId),
             // must agree with the embedded schema's own schema-id (and
@@ -725,14 +777,21 @@ object IcebergLog {
             // the manifest schema by id would otherwise bind the
             // pre-evolution schema
             "schema-id" -> schemaId.toString,
-            "partition-spec" -> partitionSpecFieldsJson(schema, partitionBy),
-            "partition-spec-id" -> "0",
+            "partition-spec" -> (if (specId == 0)
+              partitionSpecFieldsJson(schema, partitionBy) else "[]"),
+            "partition-spec-id" -> specId.toString,
             "format-version" -> "2",
             "content" -> content))
         finally out.close()
         cleanup += p
         (p, Files.size(p))
       }
+      // global delete files (path-targeted position deletes, key-scoped
+      // equality deletes) land under the UNPARTITIONED spec on a
+      // partitioned table — a spec-conformant external reader prunes
+      // delete files by partition, and all-null identity values under
+      // the table spec would exclude them from every partition
+      val delSpecId = if (partitionBy.nonEmpty) 1 else 0
 
       try {
         // 1) the new manifests: one ADDED entry per data file, explicit
@@ -753,9 +812,11 @@ object IcebergLog {
           else {
             val rows = deleteAdded.map(a =>
               Row(1, snapshotId, seq, seq,
-                dataFileRow(a, partType, content = deleteContent)))
-            val (p, len) = writeManifest(rows, "deletes")
-            Some(Row(p.toAbsolutePath.toString, len, 0, 1, seq, seq, snapshotId,
+                dataFileRow(a, partTypeOfSpec(delSpecId, partType),
+                  content = deleteContent)))
+            val (p, len) = writeManifest(rows, "deletes", specId = delSpecId)
+            Some(Row(p.toAbsolutePath.toString, len, delSpecId, 1, seq, seq,
+              snapshotId,
               deleteAdded.size, 0, 0, deleteAdded.map(_.records).sum, 0L, 0L))
           }
 
@@ -775,14 +836,16 @@ object IcebergLog {
           if (dropDeletes) Seq.empty
           else if (priorDeletes.size +
               (if (deleteAdded.isEmpty) 0 else 1) <= mergeMinCount) priorDeletes
-          else {
-            val (small, large) = priorDeletes.partition(_.getLong(1) < mergeTargetBytes)
-            if (small.size < 2) priorDeletes
+          else priorDeletes.groupBy(_.getInt(2)).toSeq.flatMap {
+            // a manifest has ONE partition spec — coalesce within each
+            // spec group (pre-r12 delete manifests rode spec 0; fresh
+            // global delete manifests ride the unpartitioned spec)
+            case (mSpecId, group) =>
+            val (small, large) = group.partition(_.getLong(1) < mergeTargetBytes)
+            if (small.size < 2) group
             else {
-              val entryType = manifestEntryType(partType)
               val merged = small.flatMap { mf =>
-                val in = Files.newInputStream(Paths.get(mf.getString(0)))
-                try AvroCodec.readOcf(in, entryType).toSeq
+                readEntries(mf.getString(0), partTypeOfSpec(mSpecId, partType))
                   .filter(_.getInt(0) != 2) // drop tombstones; ADDED → EXISTING
                   .map { e =>
                     // inherited (null) numbers MATERIALIZE from the list
@@ -794,13 +857,12 @@ object IcebergLog {
                       case _ => java.lang.Long.valueOf(mf.getLong(6)) }
                     Row(0, sn, sq, e.get(3), e.get(4))
                   }
-                finally in.close()
               }
               if (merged.isEmpty) large
               else {
-                val (p, len) = writeManifest(merged, "deletes")
+                val (p, len) = writeManifest(merged, "deletes", specId = mSpecId)
                 val minSeq = merged.map(_.getLong(2)).min
-                large :+ Row(p.toAbsolutePath.toString, len, 0, 1,
+                large :+ Row(p.toAbsolutePath.toString, len, mSpecId, 1,
                   seq, minSeq, snapshotId, 0, merged.size, 0, 0L,
                   merged.map(_.getStruct(4).getLong(4)).sum, 0L)
               }
@@ -829,11 +891,9 @@ object IcebergLog {
               val (small, large) = priorData.partition(_.getLong(1) < mergeTargetBytes)
               if (small.size < 2) priorData ++ addedManifestRow
               else {
-                val entryType = manifestEntryType(partType)
-                val merged = small.flatMap { mf =>
-                  val in = Files.newInputStream(Paths.get(mf.getString(0)))
-                  try AvroCodec.readOcf(in, entryType).toSeq finally in.close()
-                }.filter(_.getInt(0) != 2) // drop tombstones; ADDED → EXISTING
+                val merged = small.flatMap(mf =>
+                  readEntries(mf.getString(0), partType))
+                  .filter(_.getInt(0) != 2) // drop tombstones; ADDED → EXISTING
                   .map(e => Row(0, e.get(1), e.get(2), e.get(3), e.get(4)))
                 if (merged.isEmpty) large ++ addedManifestRow
                 else {
@@ -876,8 +936,18 @@ object IcebergLog {
         spec.put("spec-id", 0)
         spec.set[com.fasterxml.jackson.databind.JsonNode]("fields",
           mapper.readTree(partitionSpecFieldsJson(schema, partitionBy)))
+        val specsArr = mapper.createArrayNode().add(spec)
+        if (partitionBy.nonEmpty) {
+          // spec 1: the UNPARTITIONED spec global delete manifests ride
+          // (readers resolve a manifest's partition struct by this id)
+          val uspec = mapper.createObjectNode()
+          uspec.put("spec-id", 1)
+          uspec.set[com.fasterxml.jackson.databind.JsonNode]("fields",
+            mapper.createArrayNode())
+          specsArr.add(uspec)
+        }
         root.set[com.fasterxml.jackson.databind.JsonNode]("partition-specs",
-          mapper.createArrayNode().add(spec))
+          specsArr)
         root.put("last-partition-id", 999 + partitionBy.size)
         root.put("default-sort-order-id", 0)
         val order = mapper.createObjectNode()
@@ -1015,13 +1085,19 @@ object IcebergLog {
       size: Long, records: Long, seq: Long, addedSnapshotId: Long,
       valueCounts: Map[Int, Long],
       lower: Map[Int, Array[Byte]], upper: Map[Int, Array[Byte]],
+      equalityIds: Option[Seq[Int]],
       entryRow: Row) {
     def pathLo: Option[String] = lower.get(deletePathFieldId)
       .map(b => boundValue(b, StringType).asInstanceOf[String])
     def pathHi: Option[String] = upper.get(deletePathFieldId)
       .map(b => boundValue(b, StringType).asInstanceOf[String])
-    /** Equality-column field ids = the columns the file carries. */
-    def eqFieldIds: Seq[Int] = valueCounts.keys.toSeq.sorted
+    /** Equality-column field ids: the entry's `equality_ids` (the spec's
+      * REQUIRED identification — a third-party delete file may carry
+      * MORE columns than it matches on), falling back to the columns
+      * the file carries per value_counts for pre-r12 manifests.
+      */
+    def eqFieldIds: Seq[Int] = equalityIds.filter(_.nonEmpty)
+      .map(_.sorted).getOrElse(valueCounts.keys.toSeq.sorted)
   }
 
   /** The snapshot's delete files (manifest-list content=1): position
@@ -1037,25 +1113,36 @@ object IcebergLog {
       .getOrElse(sys.error(s"$table has no snapshot $sid"))
     val partType = StructType(m.partitionColumns.map(c =>
       StructField(c, m.schema(m.schema.fieldIndex(c)).dataType, nullable = true)))
-    val entryType = manifestEntryType(partType)
     readManifestList(snap.get("manifest-list").asText())
       .filter(_.getInt(3) == 1).flatMap { mf =>
-        val in = Files.newInputStream(Paths.get(mf.getString(0)))
-        try AvroCodec.readOcf(in, entryType).toSeq
+        readEntries(mf.getString(0), partTypeOfSpec(mf.getInt(2), partType))
           .filter(_.getInt(0) != 2).map { e =>
             val df = e.getStruct(4)
             require(df.getInt(0) == 1 || df.getInt(0) == 2,
               s"$table: DELETES manifest entry ${df.getString(1)} has " +
                 s"content=${df.getInt(0)} (a data file inside a DELETES " +
                 "manifest); refusing to return over-counted rows.")
-            // this reader derives an equality delete's columns from its
-            // entry's value_counts keys; an entry without them (a
-            // third-party writer that omitted metrics) is unusable —
-            // ignoring it would silently over-return rows
-            require(df.getInt(0) != 2 || kvMap[Long](df.get(6)).nonEmpty,
-              s"$table: equality-delete file ${df.getString(1)} carries no " +
-                "value_counts metrics, so its equality columns cannot be " +
-                "derived; refusing to return over-counted rows.")
+            // the spec's REQUIRED identification of an equality delete's
+            // columns is data_file.equality_ids (field 135); the
+            // value_counts derivation survives only as a loudly-logged
+            // fallback for pre-r12 manifests / metrics-only writers. An
+            // entry carrying neither is unusable — ignoring it would
+            // silently over-return rows
+            val eqIds: Option[Seq[Int]] = Option(df.get(10)).map(
+              _.asInstanceOf[scala.collection.Seq[Any]]
+                .map(_.asInstanceOf[Int]).toSeq)
+            require(df.getInt(0) != 2 ||
+              eqIds.exists(_.nonEmpty) || kvMap[Long](df.get(6)).nonEmpty,
+              s"$table: equality-delete file ${df.getString(1)} carries " +
+                "neither equality_ids nor value_counts metrics, so its " +
+                "equality columns cannot be determined; refusing to " +
+                "return over-counted rows.")
+            if (df.getInt(0) == 2 && !eqIds.exists(_.nonEmpty))
+              Console.err.println(s"[iceberg] $table: equality-delete " +
+                s"file ${df.getString(1)} has no equality_ids (pre-r12 " +
+                "writer?); deriving its equality columns from " +
+                "value_counts keys — a third-party file with metrics " +
+                "for non-key columns would be misread by this fallback")
             // null sequence/snapshot numbers INHERIT from the manifest
             // list (the v2 inheritance rule third-party writers rely
             // on); coercing to 0 would exempt every data file from the
@@ -1068,9 +1155,9 @@ object IcebergLog {
                 case _ => mf.getLong(6) },
               kvMap[Long](df.get(6)),
               kvMap[Array[Byte]](df.get(8)), kvMap[Array[Byte]](df.get(9)),
+              eqIds,
               e)
           }
-        finally in.close()
       }
   }
 
@@ -1312,13 +1399,11 @@ object IcebergLog {
       .getOrElse(sys.error(s"$table has no snapshot $sid"))
     val partType = StructType(m.partitionColumns.map(c =>
       StructField(c, m.schema(m.schema.fieldIndex(c)).dataType, nullable = true)))
-    val entryType = manifestEntryType(partType)
     // DELETES manifests (content=1) carry no data entries — they are
     // read by [[deleteFiles]] and applied by [[readWithDeletes]]
     readManifestList(snap.get("manifest-list").asText())
       .filter(_.getInt(3) == 0).flatMap { mf =>
-      val in = Files.newInputStream(Paths.get(mf.getString(0)))
-      try AvroCodec.readOcf(in, entryType).toSeq.map { e =>
+      readEntries(mf.getString(0), partTypeOfSpec(mf.getInt(2), partType)).map { e =>
         val df = e.getStruct(4)
         require(df.getInt(0) == 0,
           s"$table: data manifest ${mf.getString(0)} lists " +
@@ -1336,7 +1421,7 @@ object IcebergLog {
           kvMap[Long](df.get(6)), kvMap[Long](df.get(7)),
           kvMap[Array[Byte]](df.get(8)), kvMap[Array[Byte]](df.get(9)),
           e)
-      } finally in.close()
+      }
     }
   }
 
@@ -1863,9 +1948,10 @@ object IcebergLog {
             "last-writer-wins would be order-dependent. Deduplicate the " +
             "batch on the keys first (orderBy on the sink does this).")
       }
-      if (batch.isEmpty) return None
+      val nRows = batch.count()
+      if (nRows == 0) return None
       val eqAdded = writeEqualityDeleteFiles(spark, table,
-        batch.select(keys.map(col): _*), m.schema)
+        batch.select(keys.map(col): _*), m.schema, nKeys = nRows)
       val alive = batch.filter(!col("__graft_deleted"))
         .select(m.schema.fieldNames.map(col).toIndexedSeq: _*)
       val added = writeDataFiles(spark, table, alive, m.partitionColumns, m.schema)
@@ -1878,19 +1964,29 @@ object IcebergLog {
     } finally { batch.unpersist(); () }
   }
 
-  /** Write the batch's key values as an equality-delete file. The
-    * footer harvest runs under the TABLE schema, so the bounds/counts
-    * land under the table field ids — which is both the spec's
-    * identification of the equality columns and how the reader skips
-    * clean data files by key bounds.
+  /** Write the batch's key values as equality-delete files, each entry
+    * stamped with the spec's `equality_ids` (the table field ids of the
+    * key columns — the REQUIRED identification of the columns a
+    * content=2 file matches on). The footer harvest runs under the
+    * TABLE schema, so the bounds/counts land under the table field ids
+    * — how the reader skips clean data files by key bounds. The part
+    * count scales with the key-set size (a micro-batch lands ONE file;
+    * a bulk backfill through the upsert path fans out instead of
+    * funnelling every key through one task).
     */
   private def writeEqualityDeleteFiles(spark: SparkSession, table: String,
-      keysDf: DataFrame, tableSchema: StructType): Seq[DataFileInfo] = {
+      keysDf: DataFrame, tableSchema: StructType, nKeys: Long,
+      idsOverride: Option[Seq[Int]] = None): Seq[DataFileInfo] = {
     val dataRoot = Paths.get(table, "data")
     Files.createDirectories(dataRoot)
+    val keyIds = idsOverride.getOrElse(
+      keysDf.columns.toSeq.map(c => tableSchema.fieldIndex(c) + 1))
     val scratch = Paths.get(table, s".graft-iceberg-eqdel-${UUID.randomUUID()}")
-    // one file per commit: the key set is micro-batch-sized by contract
-    keysDf.coalesce(1).write.mode("overwrite").parquet(scratch.toString)
+    // ~4M keys per file keeps each within a comfortable broadcast share
+    // on read; hash repartition only when the set genuinely needs >1
+    val n = math.max(1L, math.min(64L, (nKeys + 3999999L) / 4000000L)).toInt
+    (if (n == 1) keysDf.coalesce(1) else keysDf.repartition(n))
+      .write.mode("overwrite").parquet(scratch.toString)
     val parts = walkDir(scratch).filter(p => Files.isRegularFile(p) &&
       p.getFileName.toString.endsWith(".parquet")).sortBy(_.toString)
     val added = parts.map { p =>
@@ -1898,10 +1994,35 @@ object IcebergLog {
       try Files.createLink(dest, p)
       catch { case _: UnsupportedOperationException =>
         Files.move(p, dest, StandardCopyOption.ATOMIC_MOVE) }
-      statFile(spark, table, dest, tableSchema).copy(partitionValues = Seq.empty)
+      statFile(spark, table, dest, tableSchema)
+        .copy(partitionValues = Seq.empty, equalityIds = Some(keyIds))
     }
     walkDir(scratch).reverse.foreach(Files.deleteIfExists(_))
     added
+  }
+
+  /** Commit a pre-shaped EQUALITY-delete frame: every `df` column is
+    * written into the delete file (with metrics), but the delete
+    * matches ONLY on `equalityIds` — the third-party shape where a
+    * delete file carries more columns than it keys on. Test/ingestion
+    * seam for spec conformance; the engine's own upserts go through
+    * [[upsertAppend]].
+    */
+  private[graft] def addEqualityDeleteFile(spark: SparkSession, table: String,
+      df: DataFrame, equalityIds: Seq[Int]): Option[Int] = {
+    val m = current(table).getOrElse(
+      sys.error(s"$table is not an Iceberg table (no metadata/v*.metadata.json)"))
+    require(equalityIds.nonEmpty &&
+      equalityIds.forall(id => id >= 1 && id <= m.schema.fields.length),
+      s"addEqualityDeleteFile: bad equality ids $equalityIds")
+    val added = writeEqualityDeleteFiles(spark, table, df, m.schema,
+      nKeys = df.count(), idsOverride = Some(equalityIds))
+    val committed = commitSnapshot(spark, table, m.schema, m.partitionColumns,
+      Seq.empty, txn = None, operation = "delete", replaced = Set.empty,
+      deleteAdded = added, deleteContent = 2)
+    if (committed.isEmpty)
+      added.foreach(a => Files.deleteIfExists(Paths.get(a.path)))
+    committed
   }
 
   /** `ALTER TABLE … SET TBLPROPERTIES`: a metadata-only version bump
@@ -2223,21 +2344,19 @@ object IcebergLog {
         def refsOf(ss: Seq[com.fasterxml.jackson.databind.JsonNode])
             : (Set[String], Set[String], Set[String]) = {
           val lists = ss.map(_.get("manifest-list").asText()).toSet
+          // (path, partition-spec-id): the spec id picks each manifest's
+          // entry wire shape (delete manifests ride the unpartitioned one)
           val manifests = lists.flatMap(l =>
-            try readManifestList(l).map(_.getString(0)) catch { case _: Exception => Seq.empty })
+            try readManifestList(l).map(r => (r.getString(0), r.getInt(2)))
+            catch { case _: Exception => Seq.empty })
           val partType = StructType(m.partitionColumns.map(c =>
             StructField(c, m.schema(m.schema.fieldIndex(c)).dataType, nullable = true)))
-          val entryType = manifestEntryType(partType)
-          val data = manifests.flatMap { mf =>
-            val p = Paths.get(mf)
-            if (!Files.exists(p)) Seq.empty
-            else {
-              val in = Files.newInputStream(p)
-              try AvroCodec.readOcf(in, entryType).toSeq.map(_.getStruct(4).getString(1))
-              finally in.close()
-            }
+          val data = manifests.flatMap { case (mf, specId) =>
+            if (!Files.exists(Paths.get(mf))) Seq.empty
+            else readEntries(mf, partTypeOfSpec(specId, partType))
+              .map(_.getStruct(4).getString(1))
           }
-          (lists, manifests, data)
+          (lists, manifests.map(_._1), data)
         }
         val (keepLists, keepManifests, keepData) = refsOf(retained)
         val (expLists, expManifests, expData) = refsOf(expired)

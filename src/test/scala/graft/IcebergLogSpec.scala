@@ -512,35 +512,9 @@ class IcebergLogSpec extends SparkSpec {
       try graft.formats.AvroCodec.readOcf(in, mfType).toSeq.head.getString(0)
       finally in.close()
     }
-    val entryType = StructType(Seq(
-      StructField("status", IntegerType, nullable = false),
-      StructField("snapshot_id", LongType, nullable = true),
-      StructField("sequence_number", LongType, nullable = true),
-      StructField("file_sequence_number", LongType, nullable = true),
-      StructField("data_file", StructType(Seq(
-        StructField("content", IntegerType, nullable = false),
-        StructField("file_path", StringType, nullable = false),
-        StructField("file_format", StringType, nullable = false),
-        StructField("partition", StructType(Seq.empty), nullable = false),
-        StructField("record_count", LongType, nullable = false),
-        StructField("file_size_in_bytes", LongType, nullable = false),
-        StructField("value_counts", ArrayType(StructType(Seq(
-          StructField("key", IntegerType, nullable = false),
-          StructField("value", LongType, nullable = false))), containsNull = false), nullable = true),
-        StructField("null_value_counts", ArrayType(StructType(Seq(
-          StructField("key", IntegerType, nullable = false),
-          StructField("value", LongType, nullable = false))), containsNull = false), nullable = true),
-        StructField("lower_bounds", ArrayType(StructType(Seq(
-          StructField("key", IntegerType, nullable = false),
-          StructField("value", BinaryType, nullable = false))), containsNull = false), nullable = true),
-        StructField("upper_bounds", ArrayType(StructType(Seq(
-          StructField("key", IntegerType, nullable = false),
-          StructField("value", BinaryType, nullable = false))), containsNull = false), nullable = true))),
-        nullable = false)))
-    val entries2 = {
-      val in = Files.newInputStream(Paths.get(manifestPath))
-      try graft.formats.AvroCodec.readOcf(in, entryType).toSeq finally in.close()
-    }
+    val entryType = IcebergLog.manifestEntryType(StructType(Seq.empty))
+    val entries2 =
+      IcebergLog.readEntries(manifestPath, StructType(Seq.empty))
     val doctored2 = entries2.map { en =>
       val df = en.getStruct(4)
       Row.fromSeq(en.toSeq.updated(4, Row.fromSeq(df.toSeq.updated(0, 1))))

@@ -514,12 +514,11 @@ class MorSpec extends SparkSpec {
       val listPath = Paths.get(s.get("manifest-list").asText())
       IcebergLog.readManifestList(listPath.toString).foreach { mf =>
         val mPath = Paths.get(mf.getString(0))
-        val entryType = manifestEntryTypeOf(m)
-        val rows = {
-          val in = Files.newInputStream(mPath)
-          try graft.formats.AvroCodec.readOcf(in, entryType).toSeq
-          finally in.close()
-        }
+        // the table is unpartitioned, so both specs decode with an
+        // empty partition struct; readEntries normalizes legacy shapes
+        val partType = org.apache.spark.sql.types.StructType(Seq.empty)
+        val entryType = IcebergLog.manifestEntryType(partType)
+        val rows = IcebergLog.readEntries(mPath.toString, partType)
         val nulled = rows.map(r => org.apache.spark.sql.Row.fromSeq(
           r.toSeq.updated(2, null).updated(3, null)))
         val out = Files.newOutputStream(mPath)
@@ -530,38 +529,6 @@ class MorSpec extends SparkSpec {
     assert(readMap(table).size == 19, "inherited sequence numbers must " +
       "keep the equality deletes applying to strictly-older files")
     assert(readMap(table)(5L) == -5L && !readMap(table).contains(7L))
-  }
-
-  private def manifestEntryTypeOf(m: IcebergLog.Meta)
-      : org.apache.spark.sql.types.StructType = {
-    import org.apache.spark.sql.types._
-    val partType = StructType(m.partitionColumns.map(c =>
-      StructField(c, m.schema(m.schema.fieldIndex(c)).dataType, nullable = true)))
-    StructType(Seq(
-      StructField("status", IntegerType, nullable = false),
-      StructField("snapshot_id", LongType, nullable = true),
-      StructField("sequence_number", LongType, nullable = true),
-      StructField("file_sequence_number", LongType, nullable = true),
-      StructField("data_file", StructType(Seq(
-        StructField("content", IntegerType, nullable = false),
-        StructField("file_path", StringType, nullable = false),
-        StructField("file_format", StringType, nullable = false),
-        StructField("partition", partType, nullable = false),
-        StructField("record_count", LongType, nullable = false),
-        StructField("file_size_in_bytes", LongType, nullable = false),
-        StructField("value_counts", ArrayType(StructType(Seq(
-          StructField("key", IntegerType, nullable = false),
-          StructField("value", LongType, nullable = false))), containsNull = false), nullable = true),
-        StructField("null_value_counts", ArrayType(StructType(Seq(
-          StructField("key", IntegerType, nullable = false),
-          StructField("value", LongType, nullable = false))), containsNull = false), nullable = true),
-        StructField("lower_bounds", ArrayType(StructType(Seq(
-          StructField("key", IntegerType, nullable = false),
-          StructField("value", BinaryType, nullable = false))), containsNull = false), nullable = true),
-        StructField("upper_bounds", ArrayType(StructType(Seq(
-          StructField("key", IntegerType, nullable = false),
-          StructField("value", BinaryType, nullable = false))), containsNull = false), nullable = true))),
-        nullable = false)))
   }
 
   test("hive-encoded partition values survive mixed-mode DML (CoW reading through deletes)") {
@@ -680,5 +647,58 @@ class MorSpec extends SparkSpec {
     assert(IcebergLog.deleteFiles(table, None).isEmpty, "deletes purged")
     val after = readMap(table)
     assert(!after.contains(7L) && after.size == 99)
+  }
+
+  test("equality_ids rides the manifest entry (spec field 135); delete manifests ride the unpartitioned spec") {
+    import spark.implicits._
+    val table = tmpTable()
+    IcebergLog.writeBatch(
+      Seq((1L, 10L, 0L), (2L, 20L, 1L), (3L, 30L, 0L)).toDF("id", "v", "p"),
+      table, partitionBy = Seq("p"))
+    IcebergLog.setTableProperties(spark, table,
+      Map("write.upsert.enabled" -> "true"))
+    IcebergLog.upsertAppend(spark, table,
+      Seq((2L, 21L, 1L, false), (4L, 40L, 0L, false))
+        .toDF("id", "v", "p", "__graft_deleted"), Seq("id"), checkUnique = true)
+    val dels = IcebergLog.deleteFiles(table, None)
+    assert(dels.size == 1 && dels.head.content == 2)
+    // the EXPLICIT spec field carries the key ids (not a derivation)
+    assert(dels.head.equalityIds.contains(Seq(1)), s"got ${dels.head.equalityIds}")
+    assert(dels.head.eqFieldIds == Seq(1))
+    // the DELETES manifest rides the UNPARTITIONED spec (id 1) \u2014 a
+    // spec-conformant external reader must treat a global equality
+    // delete as partition-unscoped, never prune it away
+    val m = IcebergLog.current(table).get
+    val snap = m.snapshots.find(_.get("snapshot-id").asLong() == m.currentSnapshotId).get
+    val delRows = IcebergLog.readManifestList(snap.get("manifest-list").asText())
+      .filter(_.getInt(3) == 1)
+    assert(delRows.nonEmpty && delRows.forall(_.getInt(2) == 1),
+      s"delete manifests must carry partition_spec_id=1, got ${delRows.map(_.getInt(2))}")
+    // metadata lists BOTH specs (readers resolve the struct by id)
+    val specs = m.node.get("partition-specs")
+    assert(specs.size == 2 && specs.get(1).get("spec-id").asInt() == 1 &&
+      specs.get(1).get("fields").size() == 0)
+    // and the table still reads correctly through it all
+    val got = IcebergLog.read(spark, table).select("id", "v")
+      .as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 10L, 2L -> 21L, 3L -> 30L, 4L -> 40L), s"got $got")
+  }
+
+  test("third-party equality delete matching on a SUBSET of its columns retracts on equality_ids only") {
+    import spark.implicits._
+    // the file carries metrics for BOTH columns (what spec-conformant
+    // writers stamp) but matches only on id: the r11 value_counts
+    // derivation would anti-join on (id AND v), miss (1,10) vs (1,999),
+    // and silently over-return the row the delete retracts
+    val table = morTable(Seq((1L, 10L), (2L, 20L)), Seq.empty, nFiles = 1)
+    assert(IcebergLog.addEqualityDeleteFile(spark, table,
+      Seq((1L, 999L)).toDF("id", "v"), equalityIds = Seq(1)).isDefined)
+    assert(readMap(table) == Map(2L -> 20L), s"got ${readMap(table)}")
+    // the changelog sees the retraction of the LIVE preimage
+    val chg = IcebergLog.readChanges(spark, table,
+      IcebergLog.current(table).get.lastSeq)
+      .select(col("id"), col("v"), col(graft.sinks.Cdf.changeTypeCol))
+      .as[(Long, Long, String)].collect().toSet
+    assert(chg == Set((1L, 10L, "delete")), s"got $chg")
   }
 }

@@ -1,0 +1,174 @@
+package graft
+
+import graft.formats.AvroCodec
+import graft.sinks.IcebergLog
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import java.nio.file.{Files, Paths}
+import scala.jdk.CollectionConverters._
+
+/** Protocol-conformance pins: the exact wire fields third-party readers
+  * are known to require, asserted against the BYTES on disk (not our own
+  * reader's view of them). The container has no external Delta/Iceberg
+  * reader (zero egress), so these specs are the stand-in for interop
+  * evidence: each row pins a field a real reader resolves by name/id.
+  *
+  * First members (Iceberg v2 spec, "Manifests" + "Equality Delete
+  * Files"): `data_file.equality_ids` (field 135, REQUIRED for content=2
+  * entries), global delete manifests under an unpartitioned spec, and
+  * decode compatibility with pre-r12 manifests that lack field 135.
+  */
+class ProtocolConformanceSpec extends SparkSpec {
+
+  private def tmpTable(): String =
+    Files.createTempDirectory("iceberg_conf").toString
+
+  /** OCF header metadata of an avro file (schema JSON and friends). */
+  private def ocfMeta(path: java.nio.file.Path): Map[String, String] = {
+    var captured = Map.empty[String, String]
+    val in = Files.newInputStream(path)
+    try AvroCodec.readOcfResolving(in, m => { captured = m; StructType(Nil) })
+    finally in.close()
+    captured
+  }
+
+  test("equality-delete manifest bytes carry the spec's field ids (135/136) and ride spec 1") {
+    import spark.implicits._
+    val table = tmpTable()
+    IcebergLog.writeBatch(
+      Seq((1L, 10L, 0L), (2L, 20L, 1L)).toDF("id", "v", "p"),
+      table, partitionBy = Seq("p"))
+    IcebergLog.setTableProperties(spark, table,
+      Map("write.upsert.enabled" -> "true"))
+    IcebergLog.upsertAppend(spark, table,
+      Seq((1L, 11L, 0L, false)).toDF("id", "v", "p", "__graft_deleted"),
+      Seq("id"), checkUnique = true)
+    val m = IcebergLog.current(table).get
+    val snap = m.snapshots.find(_.get("snapshot-id").asLong() == m.currentSnapshotId).get
+    val delManifest = IcebergLog.readManifestList(snap.get("manifest-list").asText())
+      .filter(_.getInt(3) == 1).map(_.getString(0))
+    assert(delManifest.size == 1)
+    val meta = ocfMeta(Paths.get(delManifest.head))
+    val schemaJson = meta("avro.schema")
+    // the ids a spec-conformant reader resolves BY NUMBER
+    for (pin <- Seq(
+        "\"name\":\"equality_ids\"", "\"field-id\":135", "\"element-id\":136",
+        "\"field-id\":134" /* content */, "\"field-id\":100" /* file_path */,
+        "\"field-id\":109" /* value_counts */, "\"field-id\":125", "\"field-id\":128"))
+      assert(schemaJson.contains(pin), s"manifest schema missing $pin")
+    // a manifest has ONE partition spec; global deletes ride the
+    // unpartitioned one — and its embedded spec says so
+    assert(meta("partition-spec-id") == "1")
+    assert(meta("partition-spec") == "[]")
+    assert(meta("content") == "deletes")
+    assert(meta("format-version") == "2")
+    // the DATA manifests still ride the table's identity spec
+    val dataManifest = IcebergLog.readManifestList(snap.get("manifest-list").asText())
+      .filter(_.getInt(3) == 0).map(_.getString(0))
+    assert(dataManifest.nonEmpty)
+    val dMeta = ocfMeta(Paths.get(dataManifest.head))
+    assert(dMeta("partition-spec-id") == "0")
+    assert(dMeta("partition-spec").contains("\"name\":\"p\""))
+    // metadata.json lists both specs, default stays 0
+    assert(m.node.get("default-spec-id").asInt() == 0)
+    val specs = m.node.get("partition-specs")
+    assert(specs.size() == 2 && specs.get(1).get("spec-id").asInt() == 1)
+  }
+
+  test("pre-r12 manifests (no equality_ids on the wire) decode and normalize to the current shape") {
+    val partType = StructType(Seq(StructField("p", LongType, nullable = true)))
+    val legacyType = IcebergLog.manifestEntryType(partType, withEqIds = false)
+    val legacyJson = IcebergLog.manifestEntrySchemaJson(partType, withEqIds = false)
+    assert(!legacyJson.contains("equality_ids"))
+    val entry = Row(1, 7L, 3L, 3L,
+      Row(0, "/t/data/p=0/x.parquet", "PARQUET", Row(0L), 5L, 100L,
+        Seq(Row(1, 5L), Row(2, 5L)), null, null, null))
+    val p = Files.createTempFile("legacy_manifest", ".avro")
+    val out = Files.newOutputStream(p)
+    try AvroCodec.writeOcf(out, legacyType, Iterator(entry),
+      schemaJsonOverride = Some(legacyJson),
+      extraMeta = Seq("partition-spec-id" -> "0", "format-version" -> "2",
+        "content" -> "data"))
+    finally out.close()
+    // the reader resolves the WRITER's 10-field shape from the embedded
+    // schema and pads — callers always see the 11-field struct
+    val rows = IcebergLog.readEntries(p.toString, partType)
+    assert(rows.size == 1)
+    val df = rows.head.getStruct(4)
+    assert(df.size == 11, s"expected padded 11-field data_file, got ${df.size}")
+    assert(df.get(10) == null, "legacy entries carry null equality_ids")
+    assert(df.getString(1) == "/t/data/p=0/x.parquet" && df.getLong(4) == 5L)
+    // and a CURRENT manifest round-trips the field intact
+    val freshType = IcebergLog.manifestEntryType(partType)
+    val fresh = Row(1, 7L, 3L, 3L,
+      Row(2, "/t/data/eqdelete-y.parquet", "PARQUET", Row(null), 2L, 50L,
+        Seq(Row(1, 2L)), null, null, null, Seq(1)))
+    val p2 = Files.createTempFile("fresh_manifest", ".avro")
+    val out2 = Files.newOutputStream(p2)
+    try AvroCodec.writeOcf(out2, freshType, Iterator(fresh),
+      schemaJsonOverride = Some(IcebergLog.manifestEntrySchemaJson(partType)),
+      extraMeta = Seq("partition-spec-id" -> "0", "format-version" -> "2",
+        "content" -> "deletes"))
+    finally out2.close()
+    val back = IcebergLog.readEntries(p2.toString, partType).head.getStruct(4)
+    assert(back.get(10) == Seq(1), s"equality_ids round-trip, got ${back.get(10)}")
+  }
+
+  test("a mixed table (pre-r12 delete manifest alongside current ones) reads correctly") {
+    import spark.implicits._
+    // simulate an r11-written table: rewrite the CURRENT eq-delete
+    // manifest in the legacy 10-field shape in place, then keep using
+    // the table — reads must fall back to the value_counts derivation
+    // (loudly) and later commits must carry the legacy manifest forward
+    val table = tmpTable()
+    IcebergLog.writeBatch(Seq((1L, 10L), (2L, 20L), (3L, 30L)).toDF("id", "v"),
+      table)
+    IcebergLog.setTableProperties(spark, table,
+      Map("write.upsert.enabled" -> "true"))
+    IcebergLog.upsertAppend(spark, table,
+      Seq((2L, 21L, false)).toDF("id", "v", "__graft_deleted"),
+      Seq("id"), checkUnique = true)
+    val m = IcebergLog.current(table).get
+    val snap = m.snapshots.find(_.get("snapshot-id").asLong() == m.currentSnapshotId).get
+    val delManifests = IcebergLog.readManifestList(snap.get("manifest-list").asText())
+      .filter(_.getInt(3) == 1)
+    assert(delManifests.size == 1)
+    val mfPath = Paths.get(delManifests.head.getString(0))
+    val partType = StructType(Seq.empty[StructField]) // spec 1 (unpartitioned... table has no partitions so spec 0 is empty too)
+    val entries = IcebergLog.readEntries(mfPath.toString, partType)
+    // strip the 11th field back off and rewrite under the LEGACY schema
+    val legacy = entries.map(e =>
+      Row(e.get(0), e.get(1), e.get(2), e.get(3),
+        Row.fromSeq(e.getStruct(4).toSeq.dropRight(1))))
+    val tmp = Files.createTempFile(mfPath.getParent, "legacy", ".avro")
+    val out = Files.newOutputStream(tmp)
+    try AvroCodec.writeOcf(out,
+      IcebergLog.manifestEntryType(partType, withEqIds = false),
+      legacy.iterator,
+      schemaJsonOverride =
+        Some(IcebergLog.manifestEntrySchemaJson(partType, withEqIds = false)),
+      extraMeta = Seq("partition-spec-id" -> "0", "format-version" -> "2",
+        "content" -> "deletes"))
+    finally out.close()
+    Files.move(tmp, mfPath, java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    // NOTE: the manifest LIST records the old length; our reader streams
+    // sequentially and ignores manifest_length, matching real readers'
+    // tolerance. The derivation fallback must land on the key column.
+    val dels = IcebergLog.deleteFiles(table, None)
+    assert(dels.head.equalityIds.isEmpty && dels.head.eqFieldIds == Seq(1))
+    val got = IcebergLog.read(spark, table).as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 10L, 2L -> 21L, 3L -> 30L), s"got $got")
+    // a follow-up upsert commits a CURRENT manifest next to the legacy
+    // one; both apply
+    IcebergLog.upsertAppend(spark, table,
+      Seq((3L, 0L, true)).toDF("id", "v", "__graft_deleted"),
+      Seq("id"), checkUnique = true)
+    val got2 = IcebergLog.read(spark, table).as[(Long, Long)].collect().toMap
+    assert(got2 == Map(1L -> 10L, 2L -> 21L), s"got $got2")
+    val dels2 = IcebergLog.deleteFiles(table, None)
+    assert(dels2.exists(_.equalityIds.contains(Seq(1))) &&
+      dels2.exists(_.equalityIds.isEmpty))
+  }
+}
