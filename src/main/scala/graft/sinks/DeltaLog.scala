@@ -821,7 +821,11 @@ object DeltaLog {
 
   def optimize(spark: SparkSession, table: String,
       smallFileBytes: Long = 128L * 1024 * 1024,
-      zorderBy: Seq[String] = Seq.empty): Option[Long] = {
+      zorderBy: Seq[String] = Seq.empty,
+      /** Output sizing target — separate from the victim THRESHOLD so a
+        * dirty-only pass (smallFileBytes = 0, auto-compact) still bins
+        * its rewrites toward real file sizes. */
+      targetFileBytes: Long = 128L * 1024 * 1024): Option[Long] = {
     val s = snapshot(spark, table).getOrElse(return None)
     zorderBy.foreach { c =>
       require(s.schema.fieldNames.contains(c), s"zorder: no column $c")
@@ -841,7 +845,7 @@ object DeltaLog {
     if (small.isEmpty) return None
     val df = readKept(spark, table, s, small.map(_._1))
     val nOut = math.max(1,
-      (small.map(_._2.size).sum / math.max(1L, smallFileBytes)).toInt + 1)
+      (small.map(_._2.size).sum / math.max(1L, targetFileBytes)).toInt + 1)
     val out =
       if (zorderBy.isEmpty) df.coalesce(nOut)
       else graft.operators.ZOrder.cluster(df, zorderBy, nOut)
@@ -981,6 +985,42 @@ object DeltaLog {
     }
   }
 
+  /** Table property arming the commit-path maintenance trigger on BOTH
+    * formats: after a merge-on-read commit, when deleted-rows/live-rows
+    * reaches the ratio, the bounded dirty-file OPTIMIZE runs right away
+    * — nothing else ever nudges a table back to clean, and the all-dirty
+    * scan rent grows with the dirty-file count (SCALE.md) until it does.
+    */
+  val autoOptimizeProp = "graft.auto-optimize.deleted-ratio"
+
+  /** Metadata-only check + the bounded purge: DV cardinalities and
+    * per-add numRecords both ride the log, so the ratio costs no data
+    * read; the OPTIMIZE it triggers rewrites ONLY the DV-carrying files
+    * (smallFileBytes = 0 matches no clean file). A lost race just waits
+    * for the next commit's trigger.
+    */
+  private def maybeAutoOptimize(spark: SparkSession, table: String): Unit = {
+    val s = snapshot(spark, table).getOrElse(return)
+    val ratio = s.configuration.get(autoOptimizeProp) match {
+      case None => return
+      case Some(v) => try v.toDouble catch {
+        case _: NumberFormatException =>
+          sys.error(s"$table: $autoOptimizeProp='$v' is not a number")
+      }
+    }
+    require(ratio > 0, s"$table: $autoOptimizeProp must be > 0")
+    val deleted = s.adds.flatMap(_._2.dv).map(_.cardinality).sum
+    if (deleted == 0) return
+    val total = s.adds.flatMap { case (_, info) => info.stats.flatMap(st =>
+      try Some(mapper.readTree(st).get("numRecords").asLong())
+      catch { case _: Exception => None }) }.sum
+    val live = math.max(1L, total - deleted)
+    if (deleted.toDouble / live >= ratio) {
+      optimize(spark, table, smallFileBytes = 0L)
+      ()
+    }
+  }
+
   /** The delta merge-on-read DML cycle ([[DeletionVectors]];
     * `delta.enableDeletionVectors`): instead of rewriting touched
     * files, the matched row positions FOLD INTO each file's deletion
@@ -1067,6 +1107,7 @@ object DeltaLog {
         committed match {
           case Some(v) =>
             if ((v + 1) % 10 == 0) writeCheckpoint(spark, table, v)
+            maybeAutoOptimize(spark, table)
             return committed
           case None => // lost the race: clean up everything this round placed
             placedAppends.foreach { case (rel, _) =>

@@ -1860,7 +1860,9 @@ object IcebergLog {
           mustBeLive = touchedFiles,
           baseDeletes = Some(dels.map(_.path).toSet))
         committed match {
-          case Some(_) => return committed
+          case Some(_) =>
+            maybeAutoOptimize(spark, table)
+            return committed
           case None => (deleteAdded ++ added).foreach(a =>
             Files.deleteIfExists(Paths.get(a.path)))
         }
@@ -1914,6 +1916,38 @@ object IcebergLog {
         rekey(info.metrics.lower), rekey(info.metrics.upper)))
   }
 
+  /** [[DeltaLog.autoOptimizeProp]]'s iceberg twin — same property name,
+    * same semantics: a merge-on-read commit whose deleted-rows/live-rows
+    * ratio reaches the threshold triggers the bounded dirty-file
+    * compaction (smallBytes = 0 matches no clean file; the delete
+    * manifests purge with it). Metadata-only: both sums ride the
+    * manifests. Equality-delete records count KEYS, not matched rows —
+    * a conservative-enough proxy (each key retracts ≥ 0 rows; a key
+    * that retracts many pushes the real ratio higher, never lower than
+    * the trigger sees... the proxy can UNDER-count, so the threshold is
+    * a floor on responsiveness, not a ceiling on rent — documented).
+    */
+  private def maybeAutoOptimize(spark: SparkSession, table: String): Unit = {
+    val m = current(table).getOrElse(return)
+    val ratio = m.properties.get(DeltaLog.autoOptimizeProp) match {
+      case None => return
+      case Some(v) => try v.toDouble catch {
+        case _: NumberFormatException =>
+          sys.error(s"$table: ${DeltaLog.autoOptimizeProp}='$v' is not a number")
+      }
+    }
+    require(ratio > 0, s"$table: ${DeltaLog.autoOptimizeProp} must be > 0")
+    val dels = deleteFiles(table, None)
+    if (dels.isEmpty) return
+    val deleted = dels.map(_.records).sum
+    val live = math.max(1L,
+      liveFiles(table, None).filter(_.status != 2).map(_.records).sum - deleted)
+    if (deleted.toDouble / live >= ratio) {
+      rewriteDataFiles(spark, table, smallBytes = Some(0L))
+      ()
+    }
+  }
+
   /** Streaming-upsert row delta (the public `write.upsert.enabled`
     * shape; format-v2 EQUALITY deletes): commit ONE snapshot carrying an
     * equality-delete file over the batch's keys plus data files for the
@@ -1960,6 +1994,7 @@ object IcebergLog {
         deleteAdded = eqAdded, deleteContent = 2)
       if (committed.isEmpty)
         (eqAdded ++ added).foreach(a => Files.deleteIfExists(Paths.get(a.path)))
+      else maybeAutoOptimize(spark, table)
       committed
     } finally { batch.unpersist(); () }
   }

@@ -1747,6 +1747,20 @@ class Pipeline(spark: SparkSession, streaming: Boolean = false) {
     // without retractable input, which would carry meta already)
     val isMergeSink = (sink.connector == "delta" || sink.connector == "iceberg") &&
       sink.options.contains("merge_keys")
+    // does the SELECT aggregate an UPDATING lineage (a change-feed /
+    // unrolled-CDC source below an Aggregate)? Plain update-mode
+    // aggregation would count each RETRACT row as one more input row —
+    // the exact silent over-count the change feed exists to prevent —
+    // so such plans must route through the retraction operator for
+    // merge_keys sinks too, not just debezium ones (r12: found by the
+    // two-hop all-SQL chain golden).
+    def aggregatesUpdatingInput(df: DataFrame): Boolean = {
+      import org.apache.spark.sql.catalyst.plans.logical.{Aggregate => LAgg, LogicalPlan => LPlan}
+      def metaBelow(p: LPlan): Boolean =
+        p.output.exists(_.name == "_updating_meta") || p.children.exists(metaBelow)
+      df.queryExecution.analyzed.collectFirst {
+        case a: LAgg if metaBelow(a) => a }.isDefined
+    }
     val df0 =
       if (streaming && sink.format == "debezium_json" &&
           !dfIn.columns.contains("_updating_meta")) {
@@ -1760,9 +1774,19 @@ class Pipeline(spark: SparkSession, streaming: Boolean = false) {
         graft.streaming.UpdatingSql.translate(dfIn, ttl)
           .orElse(graft.streaming.UpdatingSql.propagateMeta(dfIn))
           .getOrElse(dfIn)
-      } else if (streaming && isMergeSink && !dfIn.columns.contains("_updating_meta"))
-        graft.streaming.UpdatingSql.propagateMeta(dfIn).getOrElse(dfIn)
-      else dfIn
+      } else if (streaming && isMergeSink && !dfIn.columns.contains("_updating_meta")) {
+        if (aggregatesUpdatingInput(dfIn)) {
+          val ttl =
+            if (updatingTtlArmed)
+              Some(java.time.Duration.ofSeconds(math.max(1L, intervalSeconds(updatingTtl))))
+            else None
+          graft.streaming.UpdatingSql.translate(dfIn, ttl).getOrElse(sys.error(
+            "this aggregate over an updating (change-feed / CDC) source has " +
+              "a shape the retraction operator doesn't support; plain " +
+              "aggregation into a merge_keys sink would silently count " +
+              "retractions as insertions — rewrite the query"))
+        } else graft.streaming.UpdatingSql.propagateMeta(dfIn).getOrElse(dfIn)
+      } else dfIn
     // positional rename + cast onto the sink's declared schema (reference
     // cast_to_sink_type.sql: the sink DDL decides the output shape, not the
     // SELECT's auto-generated names/types). `_updating_meta` rides along

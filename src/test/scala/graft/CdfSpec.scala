@@ -659,4 +659,69 @@ class CdfSpec extends SparkSpec {
       .filter(_.getFileName.toString.startsWith(".graft-cdf-mat")).toSeq
     assert(scratches.isEmpty, s"scratch leaked into the view dir: $scratches")
   }
+
+  test("all-SQL Debezium chain: files \u2192 upsert table \u2192 change feed \u2192 updating agg \u2192 mirror, resumable") {
+    import spark.implicits._
+    // the reference's Debezium-chain shape a SQL-only user writes
+    // (arroyo-types updating streams): hop 1 lands raw rows as a
+    // merge_keys UPSERT table with the change feed on; hop 2 tails that
+    // table's change feed into an updating aggregate mirrored to a
+    // SECOND merge_keys table. Both hops checkpoint, so round 2 resumes
+    // \u2014 only new input files and only new change commits are consumed.
+    val in = tmpTable("cdf2_in")
+    val tableA = tmpTable("cdf2_users")
+    val tableB = tmpTable("cdf2_totals")
+    val cp1 = tmpTable("cdf2_cp1")
+    val cp2 = tmpTable("cdf2_cp2")
+    val vdir = tmpTable("cdf2_view") + "/view"
+    val hop1 =
+      s"""CREATE TABLE src (id BIGINT, grp TEXT, v DOUBLE) WITH (
+         |  connector='filesystem', path='$in', format='json', type='source');
+         |CREATE TABLE users (id BIGINT, grp TEXT, v DOUBLE) WITH (
+         |  connector='delta', path='$tableA', format='parquet', type='sink',
+         |  merge_keys='id', change_feed='true', checkpoint='$cp1');
+         |INSERT INTO users SELECT id, grp, v FROM src""".stripMargin
+    val hop2 =
+      s"""CREATE TABLE users_cdc (id BIGINT, grp TEXT, v DOUBLE) WITH (
+         |  connector='delta', path='$tableA', format='parquet', type='source',
+         |  change_feed='true', merge_keys='id', view_dir='$vdir');
+         |CREATE TABLE grp_totals (grp TEXT, n BIGINT, total DOUBLE) WITH (
+         |  connector='delta', path='$tableB', format='parquet', type='sink',
+         |  merge_keys='grp', checkpoint='$cp2');
+         |INSERT INTO grp_totals SELECT grp, count(*) AS n, sum(v) AS total
+         |FROM users_cdc GROUP BY grp""".stripMargin
+    def mirror(): Map[String, (Long, Double)] =
+      DeltaLog.read(spark, tableB).as[(String, Long, Double)].collect()
+        .map(r => r._1 -> ((r._2, r._3))).toMap
+    // round 1
+    Files.write(Paths.get(s"$in/f0.json"),
+      ("""{"id":1,"grp":"a","v":10.0}""" + "\n" +
+        """{"id":2,"grp":"a","v":20.0}""" + "\n" +
+        """{"id":3,"grp":"b","v":30.0}""" + "\n").getBytes)
+    new graft.sql.Pipeline(spark, streaming = true).run(hop1)
+    new graft.sql.Pipeline(spark, streaming = true).run(hop2)
+    assert(mirror() == Map("a" -> ((2L, 30.0)), "b" -> ((1L, 30.0))),
+      s"round 1 mirror: ${mirror()}")
+    // round 2: an upsert + an insert through hop 1, a SQL DELETE on the
+    // upsert table itself, then both hops RESUME
+    Files.write(Paths.get(s"$in/f1.json"),
+      ("""{"id":1,"grp":"a","v":11.0}""" + "\n" +
+        """{"id":4,"grp":"b","v":40.0}""" + "\n").getBytes)
+    new graft.sql.Pipeline(spark, streaming = true).run(hop1)
+    new graft.sql.Pipeline(spark, streaming = false).run(
+      s"""CREATE TABLE users (id BIGINT, grp TEXT, v DOUBLE) WITH (
+         |  connector='delta', path='$tableA', format='parquet', type='sink');
+         |DELETE FROM users WHERE id = 3""".stripMargin)
+    new graft.sql.Pipeline(spark, streaming = true).run(hop2)
+    // hop-1 table state: last writer per key, id=3 deleted
+    val users = DeltaLog.read(spark, tableA).as[(Long, String, Double)]
+      .collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(users == Map(1L -> (("a", 11.0)), 2L -> (("a", 20.0)),
+      4L -> (("b", 40.0))), s"users: $users")
+    // hop-2 mirror CONVERGES to the aggregate of the live rows \u2014 the
+    // update retracted (1,a,10) and re-added (1,a,11), the delete
+    // retracted (3,b,30), the insert added (4,b,40)
+    assert(mirror() == Map("a" -> ((2L, 31.0)), "b" -> ((1L, 40.0))),
+      s"round 2 mirror: ${mirror()}")
+  }
 }
