@@ -89,6 +89,11 @@ private[sinks] object DmlRewrite {
       * computation so non-CDF tables pay nothing).
       */
     def changeFeedEnabled: Boolean = false
+    /** Format hook over the rewrite output right before the scratch
+      * write — iceberg stamps its parquet field ids here; delta (whose
+      * protocol resolves columns by name) keeps the identity.
+      */
+    def stampOutput(df: DataFrame, plan: Plan): DataFrame = df
     /** Read `paths` as this format's LIVE rows (hive partition recovery
       * via `basePath`); `fileCol` additionally captures each row's
       * source file as an absolute path/URI that
@@ -158,7 +163,7 @@ private[sinks] object DmlRewrite {
         else fmt.readFiles(spark, plan.schema, touched.map(_.absPath), None)
           .select(schemaCols: _*)
       val candDf = candDf0.select(schemaCols: _*)
-      val out = transform(touchedDf, candDf, plan.schema)
+      val out = fmt.stampOutput(transform(touchedDf, candDf, plan.schema), plan)
       val scratch = Paths.get(fmt.table, s"${fmt.scratchPrefix}${UUID.randomUUID()}")
       val targetBytes = 128L * 1024 * 1024
       val nOut = math.max(1, (touched.map(_.size).sum / targetBytes).toInt + 1)

@@ -518,6 +518,37 @@ object IcebergLog {
     committed
   }
 
+  /** Stamp Iceberg field ids into the parquet footers Spark writes
+    * (`parquet.field.id` column metadata; honored when
+    * `spark.sql.parquet.fieldId.write.enabled` is on, its default).
+    * Per the spec, readers resolve parquet columns BY FIELD ID — name
+    * mapping is only the fallback — so data files carry the table ids
+    * and delete files the reserved ids; a third-party reader binds our
+    * columns without relying on the name-mapping property.
+    */
+  private def withFieldIds(df: DataFrame, ids: Map[String, Int]): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    df.select(df.columns.map { c =>
+      ids.get(c) match {
+        case Some(id) => col(s"`$c`").as(c,
+          new MetadataBuilder().putLong("parquet.field.id", id.toLong).build())
+        case None => col(s"`$c`")
+      }
+    }.toIndexedSeq: _*)
+  }
+
+  private def tableFieldIds(schema: StructType): Map[String, Int] =
+    schema.fieldNames.zipWithIndex.map { case (n, i) => n -> (i + 1) }.toMap
+
+  /** The `schema.name-mapping.default` table property (spec: Column
+    * Projection fallback for files WITHOUT parquet field ids — e.g.
+    * files this engine wrote before r12, or third-party imports).
+    */
+  private def nameMappingJson(schema: StructType): String =
+    schema.fieldNames.zipWithIndex.map { case (n, i) =>
+      s"""{"field-id":${i + 1},"names":["$n"]}"""
+    }.mkString("[", ",", "]")
+
   /** Write `df`'s rows as fresh table data files: scratch write, then
     * link under `data/` preserving hive partition dirs — each file under
     * a FRESH UUID NAME (two partition dirs of one Spark job share part
@@ -531,7 +562,7 @@ object IcebergLog {
       partitionBy: Seq[String], statSchema: StructType): Seq[DataFileInfo] = {
     Files.createDirectories(Paths.get(table, "data"))
     val scratch = Paths.get(table, s".graft-iceberg-${UUID.randomUUID()}")
-    val w = df.write.mode("overwrite")
+    val w = withFieldIds(df, tableFieldIds(statSchema)).write.mode("overwrite")
     (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w)
       .parquet(scratch.toString)
     val parts = walkDir(scratch)
@@ -959,6 +990,10 @@ object IcebergLog {
         // marks there; dropping them would re-open the replay window)
         val props = mapper.createObjectNode()
         cur.foreach(_.properties.foreach { case (k, v) => props.put(k, v) })
+        // column-projection fallback for files WITHOUT parquet field ids
+        // (pre-r12 files, third-party imports): the spec's name-mapping
+        // property, refreshed so it always matches the commit schema
+        props.put("schema.name-mapping.default", nameMappingJson(schema))
         root.set[com.fasterxml.jackson.databind.JsonNode]("properties", props)
         root.put("current-snapshot-id", snapshotId)
         val refs = mapper.createObjectNode()
@@ -1698,7 +1733,8 @@ object IcebergLog {
       val out =
         if (zorderBy.isEmpty) in.coalesce(n)
         else graft.operators.ZOrder.cluster(in, zorderBy, n)
-      out.write.mode("overwrite").parquet(scratch.toString)
+      withFieldIds(out, tableFieldIds(m.schema))
+        .write.mode("overwrite").parquet(scratch.toString)
       // hive partition dir for this group (identity transform)
       val partDir = m.partitionColumns.map { c =>
         pv.getOrElse(c, null) match {
@@ -1885,7 +1921,9 @@ object IcebergLog {
     Files.createDirectories(dataRoot)
     val scratch = Paths.get(table, s".graft-iceberg-del-${UUID.randomUUID()}")
     val n = math.max(1L, math.min(128L, (nPos + 19999999L) / 20000000L)).toInt
-    posDf.select(col(posFileCol).as("file_path"), col(posPosCol).as("pos"))
+    withFieldIds(
+      posDf.select(col(posFileCol).as("file_path"), col(posPosCol).as("pos")),
+      Map("file_path" -> deletePathFieldId, "pos" -> deletePosFieldId))
       .repartitionByRange(n, col("file_path"), col("pos"))
       .sortWithinPartitions("file_path", "pos")
       .write.mode("overwrite").parquet(scratch.toString)
@@ -2020,7 +2058,8 @@ object IcebergLog {
     // ~4M keys per file keeps each within a comfortable broadcast share
     // on read; hash repartition only when the set genuinely needs >1
     val n = math.max(1L, math.min(64L, (nKeys + 3999999L) / 4000000L)).toInt
-    (if (n == 1) keysDf.coalesce(1) else keysDf.repartition(n))
+    val stamped = withFieldIds(keysDf, tableFieldIds(tableSchema))
+    (if (n == 1) stamped.coalesce(1) else stamped.repartition(n))
       .write.mode("overwrite").parquet(scratch.toString)
     val parts = walkDir(scratch).filter(p => Files.isRegularFile(p) &&
       p.getFileName.toString.endsWith(".parquet")).sortBy(_.toString)
@@ -2291,6 +2330,8 @@ object IcebergLog {
           .select(sel: _*).unionAll(dirtyDf.select(sel: _*))
       }
     }
+    override def stampOutput(df: DataFrame, plan: DmlRewrite.Plan): DataFrame =
+      withFieldIds(df, tableFieldIds(plan.schema))
     def harvest(dest: Path, plan: DmlRewrite.Plan): (DataFileInfo, Long) = {
       val info = statFile(spark, table, dest, plan.schema)
       (info, info.records)

@@ -171,4 +171,43 @@ class ProtocolConformanceSpec extends SparkSpec {
     assert(dels2.exists(_.equalityIds.contains(Seq(1))) &&
       dels2.exists(_.equalityIds.isEmpty))
   }
+
+  test("iceberg parquet footers carry field ids; metadata carries the name mapping") {
+    import spark.implicits._
+    def footerIds(path: String): Map[String, Integer] = {
+      val conf = spark.sessionState.newHadoopConf()
+      val r = org.apache.parquet.hadoop.ParquetFileReader.open(
+        org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+          new org.apache.hadoop.fs.Path(path), conf))
+      try r.getFooter.getFileMetaData.getSchema.getFields.asScala
+        .map(f => f.getName -> (if (f.getId == null) null else
+          Integer.valueOf(f.getId.intValue()))).toMap
+      finally r.close()
+    }
+    val table = tmpTable()
+    IcebergLog.writeBatch(Seq((1L, 10L), (2L, 20L)).toDF("id", "v"), table)
+    IcebergLog.setTableProperties(spark, table, Map(
+      "write.delete.mode" -> "merge-on-read", "write.upsert.enabled" -> "true"))
+    // DATA files: table field ids (spec: readers resolve columns BY id)
+    val dataFile = IcebergLog.liveFiles(table, None).head.path
+    assert(footerIds(dataFile) == Map("id" -> 1, "v" -> 2),
+      s"data footer: ${footerIds(dataFile)}")
+    // POSITION-delete files: the spec-reserved ids 2147483546/2147483545
+    IcebergLog.deleteWhere(spark, table, "id = 1")
+    val posFile = IcebergLog.deleteFiles(table, None).find(_.content == 1).get.path
+    assert(footerIds(posFile) == Map(
+      "file_path" -> 2147483546, "pos" -> 2147483545),
+      s"pos-delete footer: ${footerIds(posFile)}")
+    // EQUALITY-delete files: the key columns' table ids
+    IcebergLog.upsertAppend(spark, table,
+      Seq((2L, 21L, false)).toDF("id", "v", "__graft_deleted"), Seq("id"))
+    val eqFile = IcebergLog.deleteFiles(table, None).find(_.content == 2).get.path
+    assert(footerIds(eqFile) == Map("id" -> 1), s"eq-delete footer: ${footerIds(eqFile)}")
+    // and the name-mapping property backs files that LACK ids
+    val nm = IcebergLog.current(table).get.properties("schema.name-mapping.default")
+    assert(nm == """[{"field-id":1,"names":["id"]},{"field-id":2,"names":["v"]}]""", nm)
+    // reads unaffected by the stamped metadata
+    assert(IcebergLog.read(spark, table).as[(Long, Long)].collect().toMap ==
+      Map(2L -> 21L))
+  }
 }
