@@ -1,7 +1,7 @@
 package graft
 
 import graft.formats.AvroCodec
-import graft.sinks.IcebergLog
+import graft.sinks.{Cdf, DeltaLog, IcebergLog}
 import org.apache.spark.sql.Row
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
@@ -209,5 +209,47 @@ class ProtocolConformanceSpec extends SparkSpec {
     // reads unaffected by the stamped metadata
     assert(IcebergLog.read(spark, table).as[(Long, Long)].collect().toMap ==
       Map(2L -> 21L))
+  }
+
+  test("delta log bytes: protocol features, DV descriptor keys, cdc path shape") {
+    import spark.implicits._
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val table = Files.createTempDirectory("delta_conf").resolve("t").toString
+    DeltaLog.writeBatch(Seq((1L, 10L), (2L, 20L), (3L, 30L)).toDF("id", "v")
+      .coalesce(1), table, tableConf = Map(
+      "delta.enableDeletionVectors" -> "true", Cdf.enableProp -> "true"))
+    DeltaLog.deleteWhere(spark, table, "id = 2")
+    def actions(v: Long): Seq[com.fasterxml.jackson.databind.JsonNode] =
+      Files.readAllLines(Paths.get(table, "_delta_log", f"$v%020d.json"))
+        .asScala.filter(_.nonEmpty).map(mapper.readTree).toSeq
+    // commit 0: the protocol action third-party readers gate on —
+    // table features (3/7) with BOTH feature lists naming the features
+    val pr = actions(0L).find(_.has("protocol")).get.get("protocol")
+    assert(pr.get("minReaderVersion").asInt() == 3 &&
+      pr.get("minWriterVersion").asInt() == 7, pr.toString)
+    def feats(k: String): Set[String] =
+      (0 until pr.get(k).size()).map(pr.get(k).get(_).asText()).toSet
+    assert(feats("readerFeatures") == Set("deletionVectors"), pr.toString)
+    assert(feats("writerFeatures") == Set("deletionVectors", "changeDataFeed"),
+      pr.toString)
+    // commit 1 (the DV delete): the add's deletionVector descriptor
+    // carries exactly the protocol's five keys, and the cdc action's
+    // path lives under _change_data/
+    val a1 = actions(1L)
+    val dv = a1.find(_.has("add")).map(_.get("add").get("deletionVector")).get
+    for (k <- Seq("storageType", "pathOrInlineDv", "sizeInBytes", "cardinality"))
+      assert(dv.has(k), s"descriptor missing $k: $dv")
+    assert(dv.get("cardinality").asLong() == 1L)
+    assert(Seq("u", "i", "p").contains(dv.get("storageType").asText()))
+    val cdc = a1.find(_.has("cdc")).map(_.get("cdc")).get
+    assert(cdc.get("path").asText().startsWith(Cdf.changeDataDir + "/"),
+      cdc.toString)
+    assert(!cdc.get("dataChange").asBoolean(),
+      "cdc actions must carry dataChange=false (protocol: readers that " +
+        "do not understand cdc must not double-count)")
+    // the remove/add pair of a DV commit: same path, dataChange=true
+    val addPath = a1.find(_.has("add")).get.get("add").get("path").asText()
+    val rmPath = a1.find(_.has("remove")).get.get("remove").get("path").asText()
+    assert(addPath == rmPath, "a DV commit re-adds the SAME data file")
   }
 }

@@ -135,7 +135,7 @@ class ZOrderSpec extends SparkSpec {
       "x-point filter must open exactly 1 of the x-disjoint files")
     // ZORDER rewrite, then BOTH dimensions skip
     assert(DeltaLog.optimize(spark, table, smallFileBytes = 4 * 1024,
-      zorderBy = Seq("x", "y")).nonEmpty)
+      zorderBy = Seq("x", "y"), targetFileBytes = 4 * 1024).nonEmpty)
     val (yAfter, totalAfter) = DeltaLog.planFiles(spark, table,
       scanFilter = Some("y >= 100 AND y < 600"))
     assert(totalAfter >= 4, s"zorder rewrite should split into several files ($totalAfter)")
