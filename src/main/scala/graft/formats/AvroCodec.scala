@@ -415,10 +415,22 @@ object AvroCodec {
     * written before/after `equality_ids` existed).
     */
   def readOcfResolving(in: InputStream,
-      pick: Map[String, String] => StructType): Iterator[Row] = {
+      pick: Map[String, String] => StructType): Iterator[Row] =
+    readOcfResolvingRows(in, meta => Left(pick(meta)))
+
+  /** The general resolving read: after the header, `choose` returns
+    * either `Left(writerShape)` — POSITIONAL decode, when the caller
+    * recognizes the writer schema as one of its own shapes (fast path:
+    * no per-record name lookup) — or `Right(target)` — decode by the
+    * EMBEDDED writer schema itself (any conformant writer: any field
+    * order, unknown fields skipped, missing nullable fields null) and
+    * project each record onto `target` by FIELD NAME.
+    */
+  def readOcfResolvingRows(in: InputStream,
+      choose: Map[String, String] => Either[StructType, StructType]): Iterator[Row] = {
     val magic = readNBytes(in, 4)
     require(java.util.Arrays.equals(magic, OcfMagic), "avro: not an OCF (bad magic)")
-    // metadata map (validate codec, surface the rest to `pick`)
+    // metadata map (validate codec, surface the rest to `choose`)
     val meta = scala.collection.mutable.Map.empty[String, String]
     var n = readVarLong(in)
     while (n != 0) {
@@ -437,7 +449,15 @@ object AvroCodec {
       n = readVarLong(in)
     }
     readNBytes(in, 16) // sync marker
-    val schema = pick(meta.toMap)
+    val readOne: () => Row = choose(meta.toMap) match {
+      case Left(positional) => () => readRecord(in, positional)
+      case Right(target) =>
+        val writerJson = meta.getOrElse("avro.schema", throw new IllegalArgumentException(
+          "avro: no embedded writer schema — cannot resolve by name"))
+        val tree = parseAvTree(writerJson)
+        () => projectValue(readGeneric(in, tree), target, "<root>")
+          .asInstanceOf[Row]
+    }
 
     new Iterator[Row] {
       private var remainingInBlock = 0L
@@ -469,7 +489,7 @@ object AvroCodec {
       }
       override def next(): Row = {
         if (!hasNext) throw new NoSuchElementException
-        val r = readRecord(in, schema)
+        val r = readOne()
         remainingInBlock -= 1
         if (remainingInBlock == 0) {
           readNBytes(in, 16) // block-trailing sync marker
@@ -477,5 +497,167 @@ object AvroCodec {
         r
       }
     }
+  }
+
+  // ── writer-schema-driven (name-resolving) decode ─────────────────────
+  // The positional codec above requires the reader to KNOW the writer's
+  // exact wire shape. Conformant third-party writers (Iceberg manifests
+  // from iceberg-java/pyiceberg) write MORE fields, in their own order —
+  // this decoder walks the file's own embedded schema, so any field
+  // order decodes, unknown fields are read-and-skipped, and records
+  // project onto the requested StructType by field name.
+
+  private sealed trait Av
+  private case object AvNull extends Av
+  private case object AvBool extends Av
+  private case object AvInt extends Av
+  private case object AvLong extends Av
+  private case object AvFloat extends Av
+  private case object AvDouble extends Av
+  private case object AvString extends Av
+  private case object AvBytes extends Av
+  private final case class AvFixed(size: Int) extends Av
+  private final case class AvEnum(symbols: IndexedSeq[String]) extends Av
+  private final case class AvArray(item: Av) extends Av
+  private final case class AvMap(value: Av) extends Av
+  private final case class AvUnion(branches: IndexedSeq[Av]) extends Av
+  private final case class AvRecord(fields: IndexedSeq[(String, Av)]) extends Av
+
+  private[graft] def parseAvTree(json: String): AnyRef = {
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val reg = scala.collection.mutable.Map.empty[String, Av]
+    def parse(n: com.fasterxml.jackson.databind.JsonNode): Av =
+      if (n.isTextual) n.asText() match {
+        case "null" => AvNull
+        case "boolean" => AvBool
+        case "int" => AvInt
+        case "long" => AvLong
+        case "float" => AvFloat
+        case "double" => AvDouble
+        case "string" => AvString
+        case "bytes" => AvBytes
+        case ref => reg.getOrElse(ref, throw new IllegalArgumentException(
+          s"avro: unresolved named-type reference '$ref'"))
+      }
+      else if (n.isArray)
+        AvUnion((0 until n.size()).map(i => parse(n.get(i))).toIndexedSeq)
+      else n.get("type").asText() match {
+        case "record" =>
+          val fieldsNode = n.get("fields")
+          val fs = (0 until fieldsNode.size()).map { i =>
+            val f = fieldsNode.get(i)
+            (f.get("name").asText(), parse(f.get("type")))
+          }.toIndexedSeq
+          val rec = AvRecord(fs)
+          register(n, rec)
+          rec
+        case "array" => AvArray(parse(n.get("items")))
+        case "map" => AvMap(parse(n.get("values")))
+        case "fixed" =>
+          val fx = AvFixed(n.get("size").asInt()); register(n, fx); fx
+        case "enum" =>
+          val syms = n.get("symbols")
+          val e = AvEnum((0 until syms.size()).map(syms.get(_).asText()).toIndexedSeq)
+          register(n, e); e
+        case prim =>
+          // {"type":"long","logicalType":"timestamp-micros"} and friends
+          parse(n.get("type"))
+      }
+    def register(n: com.fasterxml.jackson.databind.JsonNode, t: Av): Unit =
+      Option(n.get("name")).map(_.asText()).foreach { nm =>
+        reg(nm) = t
+        Option(n.get("namespace")).map(_.asText())
+          .foreach(ns => reg(s"$ns.$nm") = t)
+      }
+    parse(mapper.readTree(json))
+  }
+
+  /** Decode one value per the writer tree: records become
+    * name→value LinkedHashMaps, arrays Seqs, maps Maps, unions their
+    * branch's value, enums their symbol string.
+    */
+  private[graft] def readGeneric(in: InputStream, t: AnyRef): Any = t match {
+    case AvNull => null
+    case AvBool => in.read() == 1
+    case AvInt => readVarLong(in).toInt
+    case AvLong => readVarLong(in)
+    case AvFloat =>
+      java.lang.Float.intBitsToFloat(
+        ByteBuffer.wrap(readNBytes(in, 4)).order(java.nio.ByteOrder.LITTLE_ENDIAN).getInt)
+    case AvDouble =>
+      java.lang.Double.longBitsToDouble(
+        ByteBuffer.wrap(readNBytes(in, 8)).order(java.nio.ByteOrder.LITTLE_ENDIAN).getLong)
+    case AvString => new String(readBytes(in), StandardCharsets.UTF_8)
+    case AvBytes => readBytes(in)
+    case AvFixed(sz) => readNBytes(in, sz)
+    case AvEnum(symbols) => symbols(readVarLong(in).toInt)
+    case AvArray(item) =>
+      val buf = scala.collection.mutable.ArrayBuffer.empty[Any]
+      var n = readVarLong(in)
+      while (n != 0) {
+        if (n < 0) { readVarLong(in); n = -n }
+        var i = 0L
+        while (i < n) { buf += readGeneric(in, item); i += 1 }
+        n = readVarLong(in)
+      }
+      buf.toSeq
+    case AvMap(value) =>
+      val buf = scala.collection.mutable.LinkedHashMap.empty[String, Any]
+      var n = readVarLong(in)
+      while (n != 0) {
+        if (n < 0) { readVarLong(in); n = -n }
+        var i = 0L
+        while (i < n) {
+          val k = new String(readBytes(in), StandardCharsets.UTF_8)
+          buf(k) = readGeneric(in, value)
+          i += 1
+        }
+        n = readVarLong(in)
+      }
+      buf
+    case AvUnion(branches) =>
+      val b = readVarLong(in).toInt
+      require(b >= 0 && b < branches.length, s"avro: bad union branch $b")
+      readGeneric(in, branches(b))
+    case AvRecord(fields) =>
+      val m = scala.collection.mutable.LinkedHashMap.empty[String, Any]
+      fields.foreach { case (name, ft) => m(name) = readGeneric(in, ft) }
+      m
+    case other => throw new IllegalArgumentException(s"avro: bad decode tree $other")
+  }
+
+  /** Project a generically-decoded value onto a Spark type: records map
+    * to Rows BY FIELD NAME (extra writer fields dropped; a missing
+    * nullable target is null; a missing NON-nullable target fails
+    * loudly — guessing a required field would corrupt silently).
+    */
+  private[graft] def projectValue(v: Any, dt: DataType, where: String): Any = (v, dt) match {
+    case (null, _) => null
+    case (m: scala.collection.Map[_, _], st: StructType) =>
+      val mm = m.asInstanceOf[scala.collection.Map[String, Any]]
+      Row.fromSeq(st.fields.toIndexedSeq.map { f =>
+        mm.get(f.name) match {
+          case Some(x) => projectValue(x, f.dataType, s"$where.${f.name}")
+          case None if f.nullable => null
+          case None => throw new IllegalArgumentException(
+            s"avro: writer schema has no field '$where.${f.name}' and the " +
+              "reader requires it (non-nullable)")
+        }
+      })
+    case (s: scala.collection.Seq[_], ArrayType(et, _)) =>
+      s.map(projectValue(_, et, where))
+    case (m: scala.collection.Map[_, _], MapType(StringType, vt, _)) =>
+      m.asInstanceOf[scala.collection.Map[String, Any]].toMap
+        .map { case (k, x) => k -> projectValue(x, vt, where) }
+    case (i: Int, LongType) => i.toLong // spec resolution: int promotes
+    case (l: Long, IntegerType)
+      if l >= Int.MinValue && l <= Int.MaxValue => l.toInt
+    case (ts: Long, TimestampType) =>
+      val t = new java.sql.Timestamp(Math.floorDiv(ts, 1000L))
+      t.setNanos((Math.floorMod(ts, 1000000L) * 1000L).toInt)
+      t
+    case (days: Int, DateType) =>
+      java.sql.Date.valueOf(java.time.LocalDate.ofEpochDay(days.toLong))
+    case (x, _) => x
   }
 }

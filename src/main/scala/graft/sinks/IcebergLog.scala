@@ -469,9 +469,20 @@ object IcebergLog {
     val in = Files.newInputStream(Paths.get(path))
     try {
       var legacy = false
-      val rows = AvroCodec.readOcfResolving(in, meta => {
-        legacy = !meta.get("avro.schema").exists(_.contains("\"equality_ids\""))
-        manifestEntryType(partType, withEqIds = !legacy)
+      val rows = AvroCodec.readOcfResolvingRows(in, meta => {
+        val ws = meta.getOrElse("avro.schema", "")
+        // our own wire shapes decode POSITIONALLY (no per-record name
+        // lookup on the metadata hot path); anything else — a manifest
+        // from iceberg-java/pyiceberg with the full spec field set in
+        // its own order — decodes by the embedded writer schema and
+        // projects onto our shape BY NAME (spec field names are
+        // normative), unknown fields skipped
+        if (ws == manifestEntrySchemaJson(partType))
+          Left(manifestEntryType(partType))
+        else if (ws == manifestEntrySchemaJson(partType, withEqIds = false)) {
+          legacy = true
+          Left(manifestEntryType(partType, withEqIds = false))
+        } else Right(manifestEntryType(partType))
       }).toSeq
       if (!legacy) rows
       else rows.map { e =>
@@ -1083,7 +1094,13 @@ object IcebergLog {
 
   private[graft] def readManifestList(path: String): Seq[Row] = {
     val in = Files.newInputStream(Paths.get(path))
-    try AvroCodec.readOcf(in, manifestFileType).toSeq finally in.close()
+    // own shape → positional; third-party lists (extra fields like
+    // partitions 507 / key_metadata 519, any order) → name-resolved
+    try AvroCodec.readOcfResolvingRows(in, meta =>
+      if (meta.getOrElse("avro.schema", "") == manifestFileSchemaJson)
+        Left(manifestFileType)
+      else Right(manifestFileType)).toSeq
+    finally in.close()
   }
 
   // ── merge-on-read deletes (format v2) ──────────────────────────────────

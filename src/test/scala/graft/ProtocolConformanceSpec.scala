@@ -252,4 +252,120 @@ class ProtocolConformanceSpec extends SparkSpec {
     val rmPath = a1.find(_.has("remove")).get.get("remove").get("path").asText()
     assert(addPath == rmPath, "a DV commit re-adds the SAME data file")
   }
+
+  test("THIRD-PARTY manifests (full spec field set, own order) read by name resolution") {
+    import spark.implicits._
+    // the real v2 data_file layout iceberg-java/pyiceberg write: fields
+    // we do not model are INTERLEAVED with ours (column_sizes 108 sits
+    // between file_size_in_bytes 104 and value_counts 109;
+    // nan_value_counts 137 between null_value_counts and lower_bounds;
+    // key_metadata/split_offsets/sort_order_id after the bounds) — the
+    // exact shape positional decode corrupts on and name resolution
+    // must handle
+    def kv(vt: DataType) = ArrayType(StructType(Seq(
+      StructField("key", IntegerType, nullable = false),
+      StructField("value", vt, nullable = false))), containsNull = false)
+    val tpDataFile = StructType(Seq(
+      StructField("content", IntegerType, nullable = false),
+      StructField("file_path", StringType, nullable = false),
+      StructField("file_format", StringType, nullable = false),
+      StructField("partition", StructType(Seq.empty), nullable = false),
+      StructField("record_count", LongType, nullable = false),
+      StructField("file_size_in_bytes", LongType, nullable = false),
+      StructField("column_sizes", kv(LongType), nullable = true),
+      StructField("value_counts", kv(LongType), nullable = true),
+      StructField("null_value_counts", kv(LongType), nullable = true),
+      StructField("nan_value_counts", kv(LongType), nullable = true),
+      StructField("lower_bounds", kv(BinaryType), nullable = true),
+      StructField("upper_bounds", kv(BinaryType), nullable = true),
+      StructField("key_metadata", BinaryType, nullable = true),
+      StructField("split_offsets", ArrayType(LongType, containsNull = false), nullable = true),
+      StructField("equality_ids", ArrayType(IntegerType, containsNull = false), nullable = true),
+      StructField("sort_order_id", IntegerType, nullable = true)))
+    val tpEntry = StructType(Seq(
+      StructField("status", IntegerType, nullable = false),
+      StructField("snapshot_id", LongType, nullable = true),
+      StructField("sequence_number", LongType, nullable = true),
+      StructField("file_sequence_number", LongType, nullable = true),
+      StructField("data_file", tpDataFile, nullable = false)))
+
+    // graft a third-party-shaped EQUALITY-delete manifest into a REAL
+    // table and read THROUGH it: build the table + upsert, then rewrite
+    // its delete manifest in the foreign shape carrying the same facts
+    val table = tmpTable()
+    IcebergLog.writeBatch(Seq((1L, 10L), (2L, 20L), (3L, 30L)).toDF("id", "v"),
+      table)
+    IcebergLog.setTableProperties(spark, table,
+      Map("write.upsert.enabled" -> "true"))
+    IcebergLog.upsertAppend(spark, table,
+      Seq((2L, 21L, false)).toDF("id", "v", "__graft_deleted"), Seq("id"))
+    val m = IcebergLog.current(table).get
+    val snap = m.snapshots.find(_.get("snapshot-id").asLong() == m.currentSnapshotId).get
+    val mfRow = IcebergLog.readManifestList(snap.get("manifest-list").asText())
+      .filter(_.getInt(3) == 1).head
+    val mfPath = Paths.get(mfRow.getString(0))
+    val partType = StructType(Seq.empty[StructField])
+    val ours = IcebergLog.readEntries(mfPath.toString, partType)
+    val foreign = ours.map { e =>
+      val df = e.getStruct(4)
+      Row(e.get(0), e.get(1), e.get(2), e.get(3),
+        Row(df.get(0), df.get(1), df.get(2), df.get(3), df.get(4), df.get(5),
+          Seq(Row(1, 8L), Row(2, 8L)) /* column_sizes */,
+          df.get(6), df.get(7),
+          Seq(Row(2, 0L)) /* nan_value_counts */,
+          df.get(8), df.get(9),
+          Array[Byte](1, 2, 3) /* key_metadata */,
+          Seq(4L) /* split_offsets */,
+          df.get(10) /* equality_ids */,
+          0 /* sort_order_id */))
+    }
+    val tmp = Files.createTempFile(mfPath.getParent, "foreign", ".avro")
+    val out = Files.newOutputStream(tmp)
+    // auto-derived schema (field names intact, no field-id props —
+    // name resolution must not depend on them)
+    try AvroCodec.writeOcf(out, tpEntry, foreign.iterator)
+    finally out.close()
+    Files.move(tmp, mfPath, java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    // the equality delete still reads: explicit equality_ids honored,
+    // extra fields skipped, and the table returns the upserted state
+    val dels = IcebergLog.deleteFiles(table, None)
+    assert(dels.size == 1 && dels.head.content == 2 &&
+      dels.head.equalityIds.contains(Seq(1)), s"got $dels")
+    val got = IcebergLog.read(spark, table).as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 10L, 2L -> 21L, 3L -> 30L), s"got $got")
+
+    // third-party manifest LIST: extra nullable fields + foreign order
+    val tpList = StructType(Seq(
+      StructField("manifest_path", StringType, nullable = false),
+      StructField("manifest_length", LongType, nullable = false),
+      StructField("partition_spec_id", IntegerType, nullable = false),
+      StructField("content", IntegerType, nullable = false),
+      StructField("sequence_number", LongType, nullable = false),
+      StructField("min_sequence_number", LongType, nullable = false),
+      StructField("added_snapshot_id", LongType, nullable = false),
+      StructField("added_files_count", IntegerType, nullable = false),
+      StructField("existing_files_count", IntegerType, nullable = false),
+      StructField("deleted_files_count", IntegerType, nullable = false),
+      StructField("added_rows_count", LongType, nullable = false),
+      StructField("existing_rows_count", LongType, nullable = false),
+      StructField("deleted_rows_count", LongType, nullable = false),
+      StructField("partitions", ArrayType(StructType(Seq(
+        StructField("contains_null", BooleanType, nullable = false),
+        StructField("contains_nan", BooleanType, nullable = true),
+        StructField("lower_bound", BinaryType, nullable = true),
+        StructField("upper_bound", BinaryType, nullable = true))),
+        containsNull = false), nullable = true),
+      StructField("key_metadata", BinaryType, nullable = true)))
+    val listPath = Paths.get(snap.get("manifest-list").asText())
+    val listRows = IcebergLog.readManifestList(listPath.toString)
+    val foreignList = listRows.map(r => Row.fromSeq(r.toSeq ++ Seq(
+      Seq(Row(false, null, null, null)), null)))
+    val tmpL = Files.createTempFile(listPath.getParent, "foreignL", ".avro")
+    val outL = Files.newOutputStream(tmpL)
+    try AvroCodec.writeOcf(outL, tpList, foreignList.iterator)
+    finally outL.close()
+    Files.move(tmpL, listPath, java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    val got2 = IcebergLog.read(spark, table).as[(Long, Long)].collect().toMap
+    assert(got2 == Map(1L -> 10L, 2L -> 21L, 3L -> 30L), s"got $got2")
+  }
 }
