@@ -87,6 +87,24 @@ object IcebergLog {
 
   private def metaDir(table: String): Path = Paths.get(table, "metadata")
 
+  /** Metadata path strings from third-party writers are absolute
+    * `file:` URIs (iceberg-java records fully-qualified locations);
+    * ours are plain absolute paths. Resolve either to a local Path —
+    * %XX-decoded, '+' literal (the same rule as hive dir decoding).
+    */
+  private[graft] def localPath(p: String): Path = {
+    if (!p.startsWith("file:")) return Paths.get(p)
+    val rest0 = p.stripPrefix("file:")
+    // file:///abs and file:/abs both mean local /abs; a non-empty
+    // authority (file://host/...) is not a local path — fail loudly
+    val rest =
+      if (rest0.startsWith("///")) rest0.stripPrefix("//")
+      else if (rest0.startsWith("//")) sys.error(
+        s"iceberg: $p has a remote authority; this engine reads local tables")
+      else rest0
+    Paths.get(java.net.URLDecoder.decode(rest.replace("+", "%2B"), "UTF-8"))
+  }
+
   private def listDir(p: Path): Seq[Path] = {
     val s = Files.list(p)
     try s.iterator().asScala.toSeq finally s.close()
@@ -274,8 +292,15 @@ object IcebergLog {
       schemaOf(n)
     }
     def partitionColumns: Seq[String] = {
-      val spec = node.get("partition-specs").get(0).get("fields")
-      (0 until spec.size()).map(i => spec.get(i).get("name").asText())
+      // select by default-spec-id, not position — r12 metadata lists the
+      // unpartitioned delete spec alongside, and third-party metadata
+      // orders its spec history arbitrarily
+      val specs = node.get("partition-specs")
+      val defId = Option(node.get("default-spec-id")).map(_.asInt()).getOrElse(0)
+      val spec = (0 until specs.size()).map(specs.get)
+        .find(_.get("spec-id").asInt() == defId).getOrElse(specs.get(0))
+      val fields = spec.get("fields")
+      (0 until fields.size()).map(i => fields.get(i).get("name").asText())
     }
     def currentSnapshotId: Long = node.get("current-snapshot-id").asLong()
     def snapshots: Seq[com.fasterxml.jackson.databind.JsonNode] =
@@ -466,7 +491,7 @@ object IcebergLog {
     * spec; spec 1 = unpartitioned, what global delete files land under).
     */
   private[graft] def readEntries(path: String, partType: StructType): Seq[Row] = {
-    val in = Files.newInputStream(Paths.get(path))
+    val in = Files.newInputStream(localPath(path))
     try {
       var legacy = false
       val rows = AvroCodec.readOcfResolvingRows(in, meta => {
@@ -1093,7 +1118,7 @@ object IcebergLog {
   // ── read path ────────────────────────────────────────────────────────
 
   private[graft] def readManifestList(path: String): Seq[Row] = {
-    val in = Files.newInputStream(Paths.get(path))
+    val in = Files.newInputStream(localPath(path))
     // own shape → positional; third-party lists (extra fields like
     // partitions 507 / key_metadata 519, any order) → name-resolved
     try AvroCodec.readOcfResolvingRows(in, meta =>
@@ -2445,7 +2470,7 @@ object IcebergLog {
           val partType = StructType(m.partitionColumns.map(c =>
             StructField(c, m.schema(m.schema.fieldIndex(c)).dataType, nullable = true)))
           val data = manifests.flatMap { case (mf, specId) =>
-            if (!Files.exists(Paths.get(mf))) Seq.empty
+            if (!Files.exists(localPath(mf))) Seq.empty
             else readEntries(mf, partTypeOfSpec(specId, partType))
               .map(_.getStruct(4).getString(1))
           }
@@ -2455,10 +2480,10 @@ object IcebergLog {
         val (expLists, expManifests, expData) = refsOf(expired)
         val dataRoot = Paths.get(table, "data").toAbsolutePath
         var deleted = 0
-        (expLists -- keepLists).foreach { p => if (Files.deleteIfExists(Paths.get(p))) deleted += 1 }
-        (expManifests -- keepManifests).foreach { p => if (Files.deleteIfExists(Paths.get(p))) deleted += 1 }
+        (expLists -- keepLists).foreach { p => if (Files.deleteIfExists(localPath(p))) deleted += 1 }
+        (expManifests -- keepManifests).foreach { p => if (Files.deleteIfExists(localPath(p))) deleted += 1 }
         (expData -- keepData).foreach { p =>
-          val abs = Paths.get(p).toAbsolutePath
+          val abs = localPath(p).toAbsolutePath
           if (abs.startsWith(dataRoot) && Files.deleteIfExists(abs)) deleted += 1
         }
         return (expired.size, deleted)

@@ -368,4 +368,61 @@ class ProtocolConformanceSpec extends SparkSpec {
     val got2 = IcebergLog.read(spark, table).as[(Long, Long)].collect().toMap
     assert(got2 == Map(1L -> 10L, 2L -> 21L, 3L -> 30L), s"got $got2")
   }
+
+  test("file: URI metadata paths (third-party writers) resolve; %XX decodes; remote authority refuses") {
+    import spark.implicits._
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val table = tmpTable()
+    IcebergLog.writeBatch(Seq((1L, 10L), (2L, 20L)).toDF("id", "v"), table)
+    IcebergLog.setTableProperties(spark, table,
+      Map("write.delete.mode" -> "merge-on-read"))
+    IcebergLog.deleteWhere(spark, table, "id = 1")
+    // rewrite metadata.json + the manifest list with file:// URIs for
+    // every manifest-list/manifest path — the form iceberg-java records
+    val m = IcebergLog.current(table).get
+    val metaPath = Paths.get(table, "metadata", s"v${m.version}.metadata.json")
+    val root = mapper.readTree(Files.readAllBytes(metaPath))
+      .deepCopy[com.fasterxml.jackson.databind.node.ObjectNode]()
+    val snaps = root.get("snapshots")
+    (0 until snaps.size()).foreach { i =>
+      val sn = snaps.get(i).asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode]
+      val lp = sn.get("manifest-list").asText()
+      sn.put("manifest-list", "file://" + lp)
+      // and inside each list, manifest paths become file: URIs too
+      val rows = IcebergLog.readManifestList(lp)
+      val uri = rows.map(r => org.apache.spark.sql.Row.fromSeq(
+        ("file://" + r.getString(0)) +: r.toSeq.drop(1)))
+      val tmp = Files.createTempFile(Paths.get(lp).getParent, "urilist", ".avro")
+      val out = Files.newOutputStream(tmp)
+      try graft.formats.AvroCodec.writeOcf(out,
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("manifest_path",
+            org.apache.spark.sql.types.StringType, nullable = false)) ++
+          Seq("manifest_length" -> "long", "partition_spec_id" -> "int",
+            "content" -> "int", "sequence_number" -> "long",
+            "min_sequence_number" -> "long", "added_snapshot_id" -> "long",
+            "added_files_count" -> "int", "existing_files_count" -> "int",
+            "deleted_files_count" -> "int", "added_rows_count" -> "long",
+            "existing_rows_count" -> "long", "deleted_rows_count" -> "long")
+            .map { case (n, t) => org.apache.spark.sql.types.StructField(n,
+              if (t == "long") org.apache.spark.sql.types.LongType
+              else org.apache.spark.sql.types.IntegerType, nullable = false) }),
+        uri.iterator)
+      finally out.close()
+      Files.move(tmp, Paths.get(lp), java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    }
+    Files.write(metaPath, root.toString.getBytes("UTF-8"))
+    // the merge-on-read table reads THROUGH the URI forms
+    val got = IcebergLog.read(spark, table).as[(Long, Long)].collect().toMap
+    assert(got == Map(2L -> 20L), s"got $got")
+    // remote authorities refuse loudly rather than misread
+    val e = intercept[RuntimeException] {
+      IcebergLog.readManifestList("file://otherhost/x.avro") }
+    assert(e.getMessage.contains("remote authority"), e.getMessage)
+    // %20 decodes (URI-encoded space in a path)
+    val spaced = Files.createTempDirectory("uri dir")
+    val f = spaced.resolve("x.txt"); Files.write(f, "hi".getBytes)
+    assert(Files.exists(IcebergLog.localPath(
+      "file://" + f.toString.replace(" ", "%20"))))
+  }
 }
