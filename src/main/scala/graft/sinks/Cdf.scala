@@ -84,7 +84,14 @@ object Cdf {
 
   private[graft] def materializeInto(viewDataDir: java.nio.file.Path,
       chg0: org.apache.spark.sql.DataFrame, partCols: Seq[String],
-      namePrefix: String): Int = {
+      namePrefix: String,
+      /** Change-row count derived from COMMIT METADATA (log stats /
+        * manifest record counts — a pure function of the table state at
+        * that version, so replay-stable like the count it replaces).
+        * When present, the persist+count() pre-pass is skipped: the
+        * sync pays ONE evaluation of the change frame instead of two —
+        * the r11-VERDICT-recorded per-commit cost of the feed. */
+      rowCountHint: Option[Long] = None): Int = {
     import java.nio.file.{Files, StandardCopyOption}
     import scala.jdk.CollectionConverters._
     // scratch lives INSIDE the view dir (dot-prefixed → invisible to the
@@ -130,9 +137,10 @@ object Cdf {
     // relations), and a throw outside the try would leave scratch both
     // on disk and registered active — invisible to the orphan sweep
     try {
-      chg0.persist()
-      val nParts = math.max(1L, math.min(32L,
-        (chg0.count() + 499999L) / 500000L)).toInt
+      val nParts = math.max(1L, math.min(32L, (rowCountHint.getOrElse {
+        chg0.persist()
+        chg0.count()
+      } + 499999L) / 500000L)).toInt
       val chg = chg0.repartition(nParts,
         chg0.columns.map(org.apache.spark.sql.functions.col).toIndexedSeq: _*)
       val w = chg.write.mode("overwrite")

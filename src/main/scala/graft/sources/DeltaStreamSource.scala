@@ -161,7 +161,7 @@ object DeltaStreamSource {
           // replacement. Cost: one copy of the commit's change rows —
           // bounded by the change, never the table; the append-only
           // source (changeFeed=false) remains the zero-copy path.
-          linked += materialize(v)
+          linked += materialize(v, actions)
         } else if (changeCommit && !ignoreDeletes)
           throw new IllegalStateException(
             s"$table: version $v deleted or updated live rows under a running " +
@@ -186,14 +186,46 @@ object DeltaStreamSource {
       * `_change_type` + `_change_seq`, hive-partitioned like the raw
       * links. Returns files added.
       */
-    private def materialize(v: Long): Int = {
+    private def materialize(v: Long,
+        actions: Seq[com.fasterxml.jackson.databind.JsonNode]): Int = {
       val sp = spark.getOrElse(throw new IllegalStateException(
         s"$table: change_feed view opened without a SparkSession"))
       val partCols = DeltaLog.snapshot(sp, table)
         .map(_.partitionColumns).getOrElse(Seq.empty)
       val chg = graft.sinks.Cdf.changeSeq(
         DeltaLog.readChanges(sp, table, v, Some(v)))
-      graft.sinks.Cdf.materializeInto(dir, chg, partCols, s"cdf-$v")
+      // change-row count from the commit itself, so the materializer
+      // skips its persist+count pre-pass: cdc files (DML commits) give
+      // exact counts from their local footers — the protocol's cdc
+      // action carries no stats — and append commits from add stats
+      // DETERMINISM: the hint must be a pure function of the log — a
+      // transient failure silently falling back to count() could chunk
+      // a crash-replay differently and break name-idempotence, so any
+      // failure here propagates loudly instead
+      val hint: Option[Long] = {
+        val cdc = actions.filter(_.has("cdc"))
+          .map(n => decodePath(n.get("cdc").get("path").asText()))
+        if (cdc.nonEmpty) {
+          val conf = sp.sessionState.newHadoopConf()
+          Some(cdc.map { rel =>
+            val r = org.apache.parquet.hadoop.ParquetFileReader.open(
+              org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+                new org.apache.hadoop.fs.Path(
+                  Paths.get(table, rel).toAbsolutePath.toString), conf))
+            try r.getRecordCount finally r.close()
+          }.sum)
+        } else {
+          val adds = actions.filter(n => n.has("add") &&
+            Option(n.get("add").get("dataChange")).forall(_.asBoolean(true)))
+          val counts = adds.map(n => Option(n.get("add").get("stats"))
+            .filterNot(_.isNull)
+            .map(st => mapper.readTree(st.asText()).get("numRecords").asLong()))
+          if (counts.nonEmpty && counts.forall(_.isDefined))
+            Some(counts.flatten.sum)
+          else None // third-party add without stats: fall back to count()
+        }
+      }
+      graft.sinks.Cdf.materializeInto(dir, chg, partCols, s"cdf-$v", hint)
     }
 
     /** Hard-link `rel` from the table into the view (preserving hive

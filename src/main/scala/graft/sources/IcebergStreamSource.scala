@@ -153,8 +153,38 @@ object IcebergStreamSource {
       val m = IcebergLog.current(table).get
       val chg = graft.sinks.Cdf.changeSeq(
         IcebergLog.readChanges(sp, table, seq, Some(seq)))
+      // change-row count from the MANIFEST record counts (a pure
+      // function of table state at this sequence — replay-stable), so
+      // the materializer skips its persist+count pre-pass. Appends are
+      // exact; overwrites bound by removed+added+delete-file records
+      // (MoR retracts can be slightly fewer — sizing only, never
+      // correctness)
+      // DETERMINISM: pure function of the manifests — failures propagate
+      // (a silent count() fallback could chunk a crash-replay differently)
+      val hint: Option[Long] =
+        m.snapshots.find(_.get("sequence-number").asLong() == seq).flatMap { snap =>
+          val sid = snap.get("snapshot-id").asLong()
+          val op = Option(snap.get("summary")).map(_.get("operation").asText())
+            .getOrElse("append")
+          val live = IcebergLog.liveFiles(table, Some(sid)).filter(_.status != 2)
+          val added = live.filter(f => f.status == 1 && f.entryRow.get(1) == sid)
+            .map(_.records).sum
+          op match {
+            case "append" => Some(added)
+            case "overwrite" | "delete" =>
+              val livePaths = live.map(_.path).toSet
+              val removed = Option(snap.get("parent-snapshot-id")).map(_.asLong())
+                .map(p => IcebergLog.liveFiles(table, Some(p))
+                  .filter(f => f.status != 2 && !livePaths.contains(f.path))
+                  .map(_.records).sum).getOrElse(0L)
+              val newDels = IcebergLog.deleteFiles(table, Some(sid))
+                .filter(_.addedSnapshotId == sid).map(_.records).sum
+              Some(added + removed + newDels)
+            case _ => None
+          }
+        }
       graft.sinks.Cdf.materializeInto(dir.resolve("data"), chg,
-        m.partitionColumns, s"cdf-$seq")
+        m.partitionColumns, s"cdf-$seq", hint)
     }
 
     /** Hard-link the table-absolute data `path` into the view, keeping
