@@ -79,9 +79,15 @@ SELECT c.doc_id, c.text, s.shard
 FROM clean c JOIN shards s ON c.doc_id = s.doc_id;
 
 -- row-level retention on the published table, merge-on-read: the DELETE
--- writes position-delete files instead of rewriting data, and OPTIMIZE
--- later folds them in and purges
-ALTER TABLE corpus SET TBLPROPERTIES ('write.delete.mode' = 'merge-on-read');
+-- writes position-delete files instead of rewriting data. The
+-- auto-optimize policy (r12) makes the cleanup AUTOMATIC: any
+-- merge-on-read commit that pushes deleted/live rows past the ratio
+-- runs the bounded dirty-file compaction on the commit path, so a
+-- long-running refresh loop never accumulates scan rent — the manual
+-- OPTIMIZE below remains for an immediate fold-in.
+ALTER TABLE corpus SET TBLPROPERTIES (
+  'write.delete.mode' = 'merge-on-read',
+  'graft.auto-optimize.deleted-ratio' = '0.2');
 DELETE FROM corpus WHERE shard = 0;
 OPTIMIZE corpus;
 

@@ -354,7 +354,17 @@ object IcebergLog {
     })
     if (versions.isEmpty) return None
     val v = versions.max
-    Some(Meta(v, mapper.readTree(Files.readAllBytes(dir.resolve(s"v$v.metadata.json")))))
+    val node = mapper.readTree(Files.readAllBytes(dir.resolve(s"v$v.metadata.json")))
+    // this engine implements format-version 2 (row-level deletes,
+    // sequence numbers). A v1 table has NO sequence numbers — reading it
+    // with v2 rules would mis-order equality-delete applicability;
+    // refuse loudly rather than over- or under-return rows
+    val fv = Option(node.get("format-version")).map(_.asInt()).getOrElse(1)
+    require(fv == 2,
+      s"$table is Iceberg format-version $fv; this engine implements " +
+        "format-version 2 (sequence numbers, row-level deletes) — " +
+        "refusing to guess v1 semantics")
+    Some(Meta(v, node))
   }
 
   // ── column metrics (parquet footer → spec maps) ──────────────────────
