@@ -48,11 +48,16 @@ object CdfMorProbe {
       t
     }
 
-    // (a) DV DELETE, CDF off vs on — identical predicate, fresh tables
+    // (a) DV DELETE, CDF off vs on — identical predicate, fresh tables;
+    // each table takes a WARM-UP delete first so the measured pair
+    // compares like for like (the first delete on a cold table pays
+    // page-cache population, not CDF)
     val dvOff = freshDelta(Map("delta.enableDeletionVectors" -> "true"))
+    DeltaLog.deleteWhere(spark, dvOff, "k >= 2000 AND k < 2010")
     val (_, tOff) = timed(DeltaLog.deleteWhere(spark, dvOff, "k < 1000"))
     val dvOn = freshDelta(Map("delta.enableDeletionVectors" -> "true",
       Cdf.enableProp -> "true"))
+    DeltaLog.deleteWhere(spark, dvOn, "k >= 2000 AND k < 2010")
     val (_, tOn) = timed(DeltaLog.deleteWhere(spark, dvOn, "k < 1000"))
     val cdcBytes = {
       val p = java.nio.file.Paths.get(dvOn, Cdf.changeDataDir)
