@@ -425,4 +425,65 @@ class ProtocolConformanceSpec extends SparkSpec {
     assert(Files.exists(IcebergLog.localPath(
       "file://" + f.toString.replace(" ", "%20"))))
   }
+
+  test("generic avro decode: enum, fixed, real maps, unions, named-type reuse") {
+    // a foreign writer schema exercising every branch of the resolving
+    // decoder that iceberg manifests do NOT use — hand-encoded bytes,
+    // so the decode is pinned against the avro spec, not our writer
+    def vint(n: Long): Array[Byte] = {
+      var z = (n << 1) ^ (n >> 63)
+      val b = scala.collection.mutable.ArrayBuffer.empty[Byte]
+      while ((z & ~0x7fL) != 0) { b += ((z & 0x7f) | 0x80).toByte; z >>>= 7 }
+      b += z.toByte
+      b.toArray
+    }
+    def str(s0: String): Array[Byte] = vint(s0.length.toLong) ++ s0.getBytes("UTF-8")
+    val writerSchema =
+      """{"type":"record","name":"R","fields":[
+        |{"name":"e","type":{"type":"enum","name":"E","symbols":["A","B","C"]}},
+        |{"name":"f","type":{"type":"fixed","name":"F","size":4}},
+        |{"name":"m","type":{"type":"map","values":"long"}},
+        |{"name":"u","type":["null","string"]},
+        |{"name":"ref","type":{"type":"record","name":"R2","fields":[{"name":"x","type":"int"}]}},
+        |{"name":"ref2","type":"R2"}
+        |]}""".stripMargin.replace("\n", "")
+    val datum: Array[Byte] =
+      vint(1) ++                       // enum index 1 = "B"
+      Array[Byte](9, 8, 7, 6) ++       // fixed(4)
+      vint(1) ++ str("k") ++ vint(5L) ++ vint(0) ++ // map {k: 5}
+      vint(1) ++ str("hi") ++          // union branch 1 (string)
+      vint(7) ++                       // ref.x
+      vint(8)                          // ref2.x (named-type REUSE)
+    val out = new java.io.ByteArrayOutputStream()
+    out.write(Array[Byte]('O', 'b', 'j', 1))
+    out.write(vint(1)) // one metadata entry
+    out.write(str("avro.schema"))
+    out.write(vint(writerSchema.getBytes("UTF-8").length.toLong))
+    out.write(writerSchema.getBytes("UTF-8"))
+    out.write(vint(0)) // end of metadata map
+    val sync = new Array[Byte](16)
+    out.write(sync)
+    out.write(vint(1)) // one record in the block
+    out.write(vint(datum.length.toLong))
+    out.write(datum)
+    out.write(sync)
+    val target = StructType(Seq(
+      StructField("e", StringType),
+      StructField("f", BinaryType),
+      StructField("m", org.apache.spark.sql.types.MapType(StringType, LongType)),
+      StructField("u", StringType),
+      StructField("ref", StructType(Seq(StructField("x", IntegerType)))),
+      StructField("ref2", StructType(Seq(StructField("x", IntegerType)))),
+      StructField("missing_ok", StringType, nullable = true)))
+    val rows = AvroCodec.readOcfResolvingRows(
+      new java.io.ByteArrayInputStream(out.toByteArray), _ => Right(target)).toSeq
+    assert(rows.size == 1)
+    val r = rows.head
+    assert(r.getString(0) == "B")
+    assert(r.getAs[Array[Byte]](1).toSeq == Seq[Byte](9, 8, 7, 6))
+    assert(r.getAs[Map[String, Long]](2) == Map("k" -> 5L))
+    assert(r.getString(3) == "hi")
+    assert(r.getStruct(4).getInt(0) == 7 && r.getStruct(5).getInt(0) == 8)
+    assert(r.get(6) == null, "missing writer field projects to null")
+  }
 }
