@@ -1736,8 +1736,18 @@ object DeltaLog {
   // valid percent-encoding either way.
   private def encodePath(p: String): String =
     new java.net.URI(null, null, p, null).getRawPath
-  private def decodePath(p: String): String =
+  private def decodePath(p: String): String = {
+    // the protocol allows ABSOLUTE add/remove paths (shallow clones);
+    // this engine keys its active set, vacuum liveness and view links
+    // by TABLE-RELATIVE paths, so an absolute path must refuse loudly —
+    // resolving it "works" for reads but vacuum would judge the file
+    // unreferenced and reclaim LIVE data after retention
+    require(!p.startsWith("/") && !p.contains("://") && !p.startsWith("file:"),
+      s"delta: absolute data-file path '$p' (a shallow-clone-style " +
+        "table); this engine supports table-relative paths only — " +
+        "refusing rather than mis-track liveness")
     // percent-decode ONLY: URLDecoder would turn a literal '+' (legal in
     // a path, means plus) into a space — pre-escape it to round-trip
     java.net.URLDecoder.decode(p.replace("+", "%2B"), "UTF-8")
+  }
 }

@@ -486,4 +486,21 @@ class ProtocolConformanceSpec extends SparkSpec {
     assert(r.getStruct(4).getInt(0) == 7 && r.getStruct(5).getInt(0) == 8)
     assert(r.get(6) == null, "missing writer field projects to null")
   }
+
+  test("delta: absolute (shallow-clone) add paths refuse loudly, never mis-track liveness") {
+    import spark.implicits._
+    val table = Files.createTempDirectory("delta_abs").resolve("t").toString
+    DeltaLog.writeBatch(Seq((1L, 10L)).toDF("id", "v").coalesce(1), table)
+    // append a commit whose add names an ABSOLUTE path (the protocol's
+    // shallow-clone form): vacuum keys liveness by relative path, so
+    // silently resolving this would reclaim live data after retention
+    val logDir = Paths.get(table, "_delta_log")
+    val v1 = logDir.resolve(f"${1L}%020d.json")
+    Files.write(v1,
+      ("""{"add":{"path":"/elsewhere/part-x.parquet","partitionValues":{},""" +
+        """"size":10,"modificationTime":0,"dataChange":true}}""" + "\n").getBytes)
+    DeltaLog.clearSnapshotCache()
+    val e = intercept[IllegalArgumentException] { DeltaLog.read(spark, table).count() }
+    assert(e.getMessage.contains("absolute data-file path"), e.getMessage)
+  }
 }
