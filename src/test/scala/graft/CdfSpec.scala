@@ -724,4 +724,62 @@ class CdfSpec extends SparkSpec {
     assert(mirror() == Map("a" -> ((2L, 31.0)), "b" -> ((1L, 40.0))),
       s"round 2 mirror: ${mirror()}")
   }
+
+  test("all-SQL Debezium chain on ICEBERG: upsert table \u2192 manifest changelog \u2192 agg \u2192 mirror, resumable") {
+    import spark.implicits._
+    // the iceberg twin of the delta two-hop golden: iceberg derives its
+    // change feed from manifests (no sink property needed), hop 1 uses
+    // the zero-read upsert_enabled landing path, and both hops resume
+    val in = tmpTable("icdf2_in")
+    val tableA = tmpTable("icdf2_users")
+    val tableB = tmpTable("icdf2_totals")
+    val cp1 = tmpTable("icdf2_cp1")
+    val cp2 = tmpTable("icdf2_cp2")
+    val vdir = tmpTable("icdf2_view") + "/view"
+    val hop1 =
+      s"""CREATE TABLE src (id BIGINT, grp TEXT, v DOUBLE) WITH (
+         |  connector='filesystem', path='$in', format='json', type='source');
+         |CREATE TABLE users (id BIGINT, grp TEXT, v DOUBLE) WITH (
+         |  connector='iceberg', path='$tableA', format='parquet', type='sink',
+         |  merge_keys='id', upsert_enabled='true', checkpoint='$cp1');
+         |INSERT INTO users SELECT id, grp, v FROM src""".stripMargin
+    val hop2 =
+      s"""CREATE TABLE users_cdc (id BIGINT, grp TEXT, v DOUBLE) WITH (
+         |  connector='iceberg', path='$tableA', format='parquet', type='source',
+         |  change_feed='true', merge_keys='id', view_dir='$vdir');
+         |CREATE TABLE grp_totals (grp TEXT, n BIGINT, total DOUBLE) WITH (
+         |  connector='iceberg', path='$tableB', format='parquet', type='sink',
+         |  merge_keys='grp', checkpoint='$cp2');
+         |INSERT INTO grp_totals SELECT grp, count(*) AS n, sum(v) AS total
+         |FROM users_cdc GROUP BY grp""".stripMargin
+    def mirror(): Map[String, (Long, Double)] =
+      IcebergLog.read(spark, tableB).as[(String, Long, Double)].collect()
+        .map(r => r._1 -> ((r._2, r._3))).toMap
+    Files.write(Paths.get(s"$in/f0.json"),
+      ("""{"id":1,"grp":"a","v":10.0}""" + "\n" +
+        """{"id":2,"grp":"a","v":20.0}""" + "\n" +
+        """{"id":3,"grp":"b","v":30.0}""" + "\n").getBytes)
+    new graft.sql.Pipeline(spark, streaming = true).run(hop1)
+    new graft.sql.Pipeline(spark, streaming = true).run(hop2)
+    assert(mirror() == Map("a" -> ((2L, 30.0)), "b" -> ((1L, 30.0))),
+      s"round 1 mirror: ${mirror()}")
+    // round 2: upsert + insert through the zero-read path, a MoR SQL
+    // DELETE on the mid table, then both hops resume
+    Files.write(Paths.get(s"$in/f1.json"),
+      ("""{"id":1,"grp":"a","v":11.0}""" + "\n" +
+        """{"id":4,"grp":"b","v":40.0}""" + "\n").getBytes)
+    new graft.sql.Pipeline(spark, streaming = true).run(hop1)
+    new graft.sql.Pipeline(spark, streaming = false).run(
+      s"""CREATE TABLE users (id BIGINT, grp TEXT, v DOUBLE) WITH (
+         |  connector='iceberg', path='$tableA', format='parquet', type='sink');
+         |ALTER TABLE users SET TBLPROPERTIES ('write.delete.mode' = 'merge-on-read');
+         |DELETE FROM users WHERE id = 3""".stripMargin)
+    new graft.sql.Pipeline(spark, streaming = true).run(hop2)
+    val users = IcebergLog.read(spark, tableA).as[(Long, String, Double)]
+      .collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(users == Map(1L -> (("a", 11.0)), 2L -> (("a", 20.0)),
+      4L -> (("b", 40.0))), s"users: $users")
+    assert(mirror() == Map("a" -> ((2L, 31.0)), "b" -> ((1L, 40.0))),
+      s"round 2 mirror: ${mirror()}")
+  }
 }
