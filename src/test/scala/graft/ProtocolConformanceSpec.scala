@@ -503,4 +503,54 @@ class ProtocolConformanceSpec extends SparkSpec {
     val e = intercept[IllegalArgumentException] { DeltaLog.read(spark, table).count() }
     assert(e.getMessage.contains("absolute data-file path"), e.getMessage)
   }
+
+  test("delta checkpoint parquet schema: the column structure third-party readers bind") {
+    import spark.implicits._
+    val table = Files.createTempDirectory("delta_cp_conf").resolve("t").toString
+    DeltaLog.writeBatch(Seq((1L, 10L), (2L, 20L)).toDF("id", "v").coalesce(1),
+      table, tableConf = Map("delta.enableDeletionVectors" -> "true",
+        graft.sinks.Cdf.enableProp -> "true"))
+    DeltaLog.deleteWhere(spark, table, "id = 1") // a DV to round-trip
+    val v = DeltaLog.snapshot(spark, table).get.version
+    DeltaLog.writeCheckpoint(spark, table, v)
+    val cp = Paths.get(table, "_delta_log", f"$v%020d.checkpoint.parquet")
+    assert(Files.exists(cp))
+    val sch = spark.read.parquet(cp.toString).schema
+    def sub(name: String): StructType =
+      sch(name).dataType.asInstanceOf[StructType]
+    assert(sch.fieldNames.toSet == Set("txn", "add", "remove", "metaData", "protocol") ||
+      sch.fieldNames.toSet == Set("txn", "add", "metaData", "protocol"),
+      sch.fieldNames.mkString(","))
+    assert(sub("txn").fieldNames.toSeq == Seq("appId", "version"))
+    val add = sub("add")
+    for (f <- Seq("path", "partitionValues", "size", "modificationTime",
+        "dataChange", "stats", "deletionVector"))
+      assert(add.fieldNames.contains(f), s"add.$f missing")
+    assert(add("partitionValues").dataType ==
+      org.apache.spark.sql.types.MapType(StringType, StringType, true) ||
+      add("partitionValues").dataType ==
+      org.apache.spark.sql.types.MapType(StringType, StringType, false),
+      "partitionValues must be a map<string,string> (readers bind it so)")
+    assert(add("deletionVector").dataType.asInstanceOf[StructType].fieldNames.toSeq ==
+      Seq("storageType", "pathOrInlineDv", "offset", "sizeInBytes", "cardinality"))
+    val md = sub("metaData")
+    for (f <- Seq("id", "format", "schemaString", "partitionColumns",
+        "configuration", "createdTime"))
+      assert(md.fieldNames.contains(f), s"metaData.$f missing")
+    assert(md("format").dataType.asInstanceOf[StructType].fieldNames.toSeq ==
+      Seq("provider", "options"))
+    assert(sub("protocol").fieldNames.toSeq ==
+      Seq("minReaderVersion", "minWriterVersion", "readerFeatures", "writerFeatures"))
+    // the rows themselves: one protocol, one metaData, the DV descriptor intact
+    val rows = spark.read.parquet(cp.toString)
+    assert(rows.filter(col("protocol").isNotNull).count() == 1)
+    assert(rows.filter(col("metaData").isNotNull).count() == 1)
+    val dvRows = rows.filter(col("add.deletionVector").isNotNull)
+    assert(dvRows.count() == 1 &&
+      dvRows.select(col("add.deletionVector.cardinality")).as[Long].head() == 1L)
+    // _last_checkpoint hint names this version
+    val lc = new com.fasterxml.jackson.databind.ObjectMapper().readTree(
+      Files.readAllBytes(Paths.get(table, "_delta_log", "_last_checkpoint")))
+    assert(lc.get("version").asLong() == v)
+  }
 }
