@@ -2084,7 +2084,15 @@ class Pipeline(spark: SparkSession, streaming: Boolean = false) {
             "write.<verb>.mode='merge-on-read' table properties instead")
         Map("delta.enableDeletionVectors" -> "true")
       } else Map.empty[String, String]
-    cdf ++ upsert ++ dv
+    // auto_optimize_ratio='0.2' (both formats): the commit-path
+    // maintenance trigger — merge-on-read commits crossing
+    // deleted/live rows ≥ ratio run the bounded dirty-file compaction
+    val autoOpt = t.options.get("auto_optimize_ratio").map { r =>
+      require(try r.toDouble > 0 catch { case _: NumberFormatException => false },
+        s"auto_optimize_ratio='$r' is not a positive number")
+      Map(graft.sinks.DeltaLog.autoOptimizeProp -> r)
+    }.getOrElse(Map.empty[String, String])
+    cdf ++ upsert ++ dv ++ autoOpt
   }
 
   /** True when the analyzed plan joins two legs that EACH contain a

@@ -101,4 +101,45 @@ class AutoOptimizeSpec extends SparkSpec {
     val e = intercept[RuntimeException] { DeltaLog.deleteWhere(spark, table, "id = 1") }
     assert(e.getMessage.contains("not a number"), e.getMessage)
   }
+
+  test("SQL face: auto_optimize_ratio sink option arms the trigger at CREATE time") {
+    import spark.implicits._
+    val src = Files.createTempDirectory("auto_sql_src").toString
+    val table = Files.createTempDirectory("auto_sql_t").toString
+    val cp = Files.createTempDirectory("auto_sql_cp").toString
+    (1 to 4).foreach { r =>
+      val rows = (1L to 50L).map(k =>
+        s"""{"id":$k,"v":${k * 100 + r}}""").mkString("", "\n", "\n")
+      java.nio.file.Files.write(java.nio.file.Paths.get(s"$src/f$r.json"),
+        rows.getBytes)
+      new graft.sql.Pipeline(spark, streaming = true).run(
+        s"""CREATE TABLE src (id BIGINT, v BIGINT) WITH (
+           |  connector='filesystem', path='$src', format='json', type='source');
+           |CREATE TABLE t (id BIGINT, v BIGINT) WITH (
+           |  connector='iceberg', path='$table', format='parquet', type='sink',
+           |  merge_keys='id', upsert_enabled='true',
+           |  auto_optimize_ratio='0.3', checkpoint='$cp');
+           |INSERT INTO t SELECT id, v FROM src""".stripMargin)
+    }
+    // the property landed and the trigger kept the delete backlog bounded
+    val m = IcebergLog.current(table).get
+    assert(m.properties.get(DeltaLog.autoOptimizeProp).contains("0.3"))
+    val dels = IcebergLog.deleteFiles(table, None)
+    assert(dels.size < 4, s"4 upsert rounds left ${dels.size} delete files " +
+      "— the trigger never fired")
+    val got = IcebergLog.read(spark, table).as[(Long, Long)].collect().toMap
+    assert(got.size == 50 && got(1L) == 104L, s"got(1)=${got.get(1L)}")
+    // a bad value refuses before anything writes
+    val bad = Files.createTempDirectory("auto_sql_bad").resolve("x").toString
+    val e = intercept[IllegalArgumentException] {
+      new graft.sql.Pipeline(spark, streaming = false).run(
+        s"""CREATE TABLE x (id BIGINT) WITH (connector='delta', path='$bad',
+           |  format='parquet', type='sink', merge_keys='id',
+           |  auto_optimize_ratio='lots');
+           |INSERT INTO x SELECT CAST(1 AS BIGINT)""".stripMargin)
+    }
+    assert(e.getMessage.contains("auto_optimize_ratio"), e.getMessage)
+    assert(!Files.exists(java.nio.file.Paths.get(bad, "_delta_log")),
+      "nothing may land under a refused sink")
+  }
 }
