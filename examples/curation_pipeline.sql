@@ -71,7 +71,8 @@ CREATE TABLE corpus (
   format = 'parquet',
   type = 'sink',
   merge_keys = 'doc_id',
-  upsert_enabled = 'true'
+  upsert_enabled = 'true',
+  auto_optimize_ratio = '0.2'
 );
 
 INSERT INTO corpus
@@ -85,9 +86,7 @@ FROM clean c JOIN shards s ON c.doc_id = s.doc_id;
 -- runs the bounded dirty-file compaction on the commit path, so a
 -- long-running refresh loop never accumulates scan rent — the manual
 -- OPTIMIZE below remains for an immediate fold-in.
-ALTER TABLE corpus SET TBLPROPERTIES (
-  'write.delete.mode' = 'merge-on-read',
-  'graft.auto-optimize.deleted-ratio' = '0.2');
+ALTER TABLE corpus SET TBLPROPERTIES ('write.delete.mode' = 'merge-on-read');
 DELETE FROM corpus WHERE shard = 0;
 OPTIMIZE corpus;
 
