@@ -442,26 +442,36 @@ object AvroCodec {
         meta(key) = new String(value, StandardCharsets.UTF_8)
         if (key == "avro.codec") {
           val codec = meta(key)
-          require(codec == "null", s"avro: unsupported codec '$codec' (only null)")
+          // deflate is iceberg-java's DEFAULT for manifests/manifest
+          // lists (write.metadata.compression-codec=gzip), so a reader
+          // refusing it rejects most real third-party tables at the
+          // header; this engine keeps WRITING null-codec files
+          require(codec == "null" || codec == "deflate",
+            s"avro: unsupported codec '$codec' (null and deflate)")
         }
         i += 1
       }
       n = readVarLong(in)
     }
     readNBytes(in, 16) // sync marker
-    val readOne: () => Row = choose(meta.toMap) match {
-      case Left(positional) => () => readRecord(in, positional)
+    val readOne: InputStream => Row = choose(meta.toMap) match {
+      case Left(positional) => s => readRecord(s, positional)
       case Right(target) =>
         val writerJson = meta.getOrElse("avro.schema", throw new IllegalArgumentException(
           "avro: no embedded writer schema — cannot resolve by name"))
         val tree = parseAvTree(writerJson)
-        () => projectValue(readGeneric(in, tree), target, "<root>")
+        s => projectValue(readGeneric(s, tree), target, "<root>")
           .asInstanceOf[Row]
     }
+    val deflate = meta.get("avro.codec").contains("deflate")
 
     new Iterator[Row] {
       private var remainingInBlock = 0L
       private var exhausted = false
+      // null codec decodes straight off `in`; a deflate block inflates
+      // whole (blocks are writer-bounded — iceberg manifests use ~the
+      // default 64k sync interval) and decodes from the buffer
+      private var blockIn: InputStream = in
       private def advanceBlock(): Unit = {
         val first = in.read()
         if (first < 0) { exhausted = true; return }
@@ -477,7 +487,25 @@ object AvroCodec {
         acc |= (b & 0x7fL) << shift
         var count = (acc >>> 1) ^ -(acc & 1)
         if (count < 0) count = -count
-        readVarLong(in) // block byte size (unused — we decode sequentially)
+        val byteSize = readVarLong(in)
+        if (deflate) {
+          // spec: the payload is one RAW (nowrap — no zlib header)
+          // DEFLATE stream per block, sync marker after it
+          val comp = readNBytes(in, byteSize.toInt)
+          val inf = new java.util.zip.Inflater(true)
+          inf.setInput(comp)
+          val out = new java.io.ByteArrayOutputStream(math.max(64, comp.length * 3))
+          val buf = new Array[Byte](8192)
+          while (!inf.finished()) {
+            val k = inf.inflate(buf)
+            if (k > 0) out.write(buf, 0, k)
+            else if (!inf.finished())
+              throw new EOFException("avro: truncated deflate block")
+          }
+          inf.end()
+          blockIn = new java.io.ByteArrayInputStream(out.toByteArray)
+          readNBytes(in, 16) // block-trailing sync marker
+        }
         remainingInBlock = count
       }
       override def hasNext: Boolean = {
@@ -489,9 +517,9 @@ object AvroCodec {
       }
       override def next(): Row = {
         if (!hasNext) throw new NoSuchElementException
-        val r = readOne()
+        val r = readOne(blockIn)
         remainingInBlock -= 1
-        if (remainingInBlock == 0) {
+        if (remainingInBlock == 0 && !deflate) {
           readNBytes(in, 16) // block-trailing sync marker
         }
         r
@@ -521,7 +549,15 @@ object AvroCodec {
   private final case class AvArray(item: Av) extends Av
   private final case class AvMap(value: Av) extends Av
   private final case class AvUnion(branches: IndexedSeq[Av]) extends Av
-  private final case class AvRecord(fields: IndexedSeq[(String, Av)]) extends Av
+  /** `ids(i)` is field i's `field-id` attribute, -1 when the writer
+    * schema carries none. Iceberg's avro schemas tag every field — the
+    * STABLE identity across the spec's renames (e.g. manifest-list
+    * field 504 is `added_data_files_count` from iceberg-java,
+    * `added_files_count` in the spec) — so projection matches by id
+    * first, name second.
+    */
+  private final case class AvRecord(fields: IndexedSeq[(String, Av)],
+      ids: IndexedSeq[Int]) extends Av
 
   private[graft] def parseAvTree(json: String): AnyRef = {
     val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
@@ -548,7 +584,11 @@ object AvroCodec {
             val f = fieldsNode.get(i)
             (f.get("name").asText(), parse(f.get("type")))
           }.toIndexedSeq
-          val rec = AvRecord(fs)
+          val ids = (0 until fieldsNode.size()).map { i =>
+            Option(fieldsNode.get(i).get("field-id"))
+              .filter(_.isNumber).map(_.asInt()).getOrElse(-1)
+          }.toIndexedSeq
+          val rec = AvRecord(fs, ids)
           register(n, rec)
           rec
         case "array" => AvArray(parse(n.get("items")))
@@ -619,24 +659,46 @@ object AvroCodec {
       val b = readVarLong(in).toInt
       require(b >= 0 && b < branches.length, s"avro: bad union branch $b")
       readGeneric(in, branches(b))
-    case AvRecord(fields) =>
+    case AvRecord(fields, ids) =>
       val m = scala.collection.mutable.LinkedHashMap.empty[String, Any]
-      fields.foreach { case (name, ft) => m(name) = readGeneric(in, ft) }
+      var i = 0
+      while (i < fields.length) {
+        val v = readGeneric(in, fields(i)._2)
+        m(fields(i)._1) = v
+        // id-keyed twin entry ('#' cannot start an avro field name) —
+        // what projectValue's field-id lookup binds
+        if (ids(i) >= 0) m("#" + ids(i)) = v
+        i += 1
+      }
       m
     case other => throw new IllegalArgumentException(s"avro: bad decode tree $other")
   }
 
   /** Project a generically-decoded value onto a Spark type: records map
-    * to Rows BY FIELD NAME (extra writer fields dropped; a missing
-    * nullable target is null; a missing NON-nullable target fails
-    * loudly — guessing a required field would corrupt silently).
+    * to Rows by FIELD ID first (the target StructField's `field-id`
+    * metadata vs the writer schema's `field-id` attributes — the stable
+    * identity across the iceberg spec's field renames), then exact
+    * name, then any names in the target's `aliases` metadata (known
+    * historical spellings for writers that tag no ids). Extra writer
+    * fields drop; a missing nullable target is null; a missing
+    * NON-nullable target fails loudly — guessing a required field would
+    * corrupt silently.
     */
   private[graft] def projectValue(v: Any, dt: DataType, where: String): Any = (v, dt) match {
     case (null, _) => null
     case (m: scala.collection.Map[_, _], st: StructType) =>
       val mm = m.asInstanceOf[scala.collection.Map[String, Any]]
       Row.fromSeq(st.fields.toIndexedSeq.map { f =>
-        mm.get(f.name) match {
+        val byId =
+          if (f.metadata.contains("field-id"))
+            mm.get("#" + f.metadata.getLong("field-id"))
+          else None
+        val byAlias =
+          if (f.metadata.contains("aliases"))
+            f.metadata.getStringArray("aliases").iterator
+              .map(mm.get).collectFirst { case Some(x) => x }
+          else None
+        byId.orElse(mm.get(f.name)).orElse(byAlias) match {
           case Some(x) => projectValue(x, f.dataType, s"$where.${f.name}")
           case None if f.nullable => null
           case None => throw new IllegalArgumentException(

@@ -68,9 +68,11 @@ object Cdf {
     * (hive-partitioned like the raw snapshot links, `_change_type` +
     * `_change_seq` in-file), via a scratch dir + hard links so files
     * appear atomically under the running file stream. File names are
-    * DETERMINISTIC per commit (`<namePrefix>-<i>.parquet` over the
-    * sorted scratch parts) so re-materializing the same version after a
-    * crash — or a persistent view resuming behind its state file — hits
+    * DETERMINISTIC per commit (`<namePrefix>-<i>of<n>.parquet` over the
+    * sorted scratch parts — the `of<n>` total makes an existing part
+    * set self-describing, so a replay pins the first attempt's
+    * chunking) and re-materializing the same version after a crash — or
+    * a persistent view resuming behind its state file — hits
     * FileAlreadyExists instead of minting duplicate rows under fresh
     * names. Returns files newly added; the copy is bounded by the
     * commit's change rows, never the table.
@@ -81,6 +83,23 @@ object Cdf {
     */
   private val activeScratch =
     java.util.concurrent.ConcurrentHashMap.newKeySet[java.nio.file.Path]()
+
+  /** Scratch dirs a FINISHED call in this JVM owned — sweep-on-sight at
+    * the next open, whatever their age (a failed job's straggler tasks
+    * can re-create paths after the owner's own cleanup). Entries whose
+    * dir is confirmed gone are pruned during the sweep, so the set stays
+    * bounded by the actual leftovers.
+    */
+  private val retiredScratch =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[java.nio.file.Path]()
+
+  /** Scratch this JVM never owned (another process's materialization
+    * into the same view dir) is swept only past this age — yanking a
+    * LIVE foreign scratch mid-write would fail or corrupt that
+    * process's materialization. Far above any real change-commit write
+    * (bounded by one commit's rows, seconds).
+    */
+  private val foreignOrphanAgeMs = 15L * 60 * 1000
 
   private[graft] def materializeInto(viewDataDir: java.nio.file.Path,
       chg0: org.apache.spark.sql.DataFrame, partCols: Seq[String],
@@ -104,21 +123,44 @@ object Cdf {
     // rethrows, so the failure-path sweep below is best-effort — this
     // is what guarantees repeated failures never ACCUMULATE leftovers
     locally {
+      val now = System.currentTimeMillis()
       val l = Files.list(viewDataDir)
       try l.iterator().asScala
-        .filter(p => Files.isDirectory(p) &&
-          p.getFileName.toString.startsWith(".graft-cdf-mat") &&
-          !activeScratch.contains(p.toAbsolutePath.normalize))
+        .filter { p =>
+          val ap = p.toAbsolutePath.normalize
+          Files.isDirectory(p) &&
+            p.getFileName.toString.startsWith(".graft-cdf-mat") &&
+            !activeScratch.contains(ap) &&
+            // this JVM's leftovers sweep on sight; a scratch we never
+            // owned may be a LIVE cross-process materialization — only
+            // sweep it once stale by mtime
+            (retiredScratch.contains(ap) ||
+              (try Files.getLastModifiedTime(p).toMillis < now - foreignOrphanAgeMs
+               catch { case _: Exception => false }))
+        }
         .toSeq.foreach { orphan =>
           val w = Files.walk(orphan)
           val paths = try w.iterator().asScala.toSeq finally w.close()
           paths.reverse.foreach(x =>
             try Files.deleteIfExists(x) catch { case _: Exception => () })
+          if (!Files.exists(orphan))
+            retiredScratch.remove(orphan.toAbsolutePath.normalize)
         }
       finally l.close()
+      // prune retired entries already gone from disk (bounds the set)
+      retiredScratch.asScala.filter(p =>
+        p.startsWith(viewDataDir.toAbsolutePath.normalize) && !Files.exists(p))
+        .toSeq.foreach(retiredScratch.remove)
     }
-    val scratch = Files.createTempDirectory(viewDataDir, ".graft-cdf-mat")
-    activeScratch.add(scratch.toAbsolutePath.normalize)
+    // register BEFORE the directory exists: a concurrent call's orphan
+    // sweep between mkdir and a later registration could yank a live
+    // scratch — with this order anything on disk but unregistered is
+    // genuinely dead (this JVM's) or foreign (age-gated above)
+    val scratch = viewDataDir.toAbsolutePath.normalize.resolve(
+      ".graft-cdf-mat" + java.util.UUID.randomUUID().toString.replace("-", ""))
+    activeScratch.add(scratch)
+    try Files.createDirectory(scratch)
+    catch { case e: Throwable => activeScratch.remove(scratch); throw e }
     // deterministic CHUNKING, not just names: replaying a partially
     // materialized version must re-create identical parts, and Spark's
     // default split packing depends on runtime parallelism — hash
@@ -137,10 +179,41 @@ object Cdf {
     // relations), and a throw outside the try would leave scratch both
     // on disk and registered active — invisible to the orphan sweep
     try {
-      val nParts = math.max(1L, math.min(32L, (rowCountHint.getOrElse {
-        chg0.persist()
-        chg0.count()
-      } + 499999L) / 500000L)).toInt
+      // files already materialized for THIS prefix are the authoritative
+      // part set: part names carry their total (`<prefix>-<i>of<n>`), so
+      // a replay re-uses the FIRST attempt's chunking even if the
+      // row-count derivation changed across engine versions (an
+      // interrupted materialization resumed under a different hint would
+      // otherwise re-chunk and hard-link extra parts beside the old
+      // ones — duplicated change rows). A complete set short-circuits;
+      // a partial one (crash mid-link) pins nParts and fills in — the
+      // content-hash repartition reproduces identical parts. Legacy
+      // `<prefix>-<i>` names (no `of<n>`) can't reveal their total:
+      // their presence means the set is authoritative-as-is.
+      val ExistingRe = (java.util.regex.Pattern.quote(namePrefix) +
+        """-(\d+)(?:of(\d+))?\.parquet""").r
+      val existing = walk(viewDataDir)
+        .filter(p => Files.isRegularFile(p))
+        .flatMap(p => p.getFileName.toString match {
+          case ExistingRe(i, n) => Some((i.toInt, Option(n).map(_.toInt)))
+          case _ => None
+        })
+      val pinnedParts: Option[Int] =
+        if (existing.isEmpty) None
+        else existing.head._2 match {
+          case None => return 0 // legacy names: set is authoritative
+          case Some(n0) =>
+            require(existing.forall(_._2.contains(n0)),
+              s"view dir holds $namePrefix parts with conflicting totals " +
+                s"(${existing.flatMap(_._2).distinct.sorted.mkString(",")})")
+            if (existing.map(_._1).distinct.size >= n0) return 0 // complete
+            Some(n0)
+        }
+      val nParts = pinnedParts.getOrElse(
+        math.max(1L, math.min(32L, (rowCountHint.getOrElse {
+          chg0.persist()
+          chg0.count()
+        } + 499999L) / 500000L)).toInt)
       val chg = chg0.repartition(nParts,
         chg0.columns.map(org.apache.spark.sql.functions.col).toIndexedSeq: _*)
       val w = chg.write.mode("overwrite")
@@ -154,7 +227,7 @@ object Cdf {
           val relDir = Option(java.nio.file.Paths.get(rel).getParent)
           val destDir = relDir.map(d => viewDataDir.resolve(d.toString))
             .getOrElse(viewDataDir)
-          val dest = destDir.resolve(s"$namePrefix-$i.parquet")
+          val dest = destDir.resolve(s"$namePrefix-${i}of$nParts.parquet")
           Files.createDirectories(destDir)
           try { Files.createLink(dest, p); n += 1 }
           catch {
@@ -170,7 +243,11 @@ object Cdf {
       // cache materialization failed can itself throw, and an aborted
       // finally here is exactly what would leave the scratch dir both
       // on disk and marked active (invisible to the orphan sweep)
-      activeScratch.remove(scratch.toAbsolutePath.normalize)
+      activeScratch.remove(scratch)
+      // retire UNCONDITIONALLY: even a confirmed-deleted scratch can be
+      // re-created moments later by a cancelled job's straggler tasks —
+      // on sight at the next open is the accumulation guarantee
+      retiredScratch.add(scratch)
       try chg0.unpersist() catch { case _: Exception => () }
       // best-effort immediate sweep (a failed job's straggler tasks may
       // re-create paths for a moment — the orphan sweep at the NEXT

@@ -993,11 +993,24 @@ object DeltaLog {
     */
   val autoOptimizeProp = "graft.auto-optimize.deleted-ratio"
 
+  /** `true` makes a FAILED auto-OPTIMIZE propagate to the committing
+    * caller. Default is catch-and-log: the trigger runs AFTER the data
+    * commit has landed, so by default its failure must not fail (and
+    * re-play) a caller's already-succeeded batch — maintenance gets the
+    * same treatment the policy already gives a lost compaction race:
+    * the next qualifying commit retries.
+    */
+  val autoOptimizeStrictProp = "graft.auto-optimize.strict"
+
+  private[sinks] def isStrict(configuration: Map[String, String]): Boolean =
+    configuration.get(autoOptimizeStrictProp).exists(_.equalsIgnoreCase("true"))
+
   /** Metadata-only check + the bounded purge: DV cardinalities and
     * per-add numRecords both ride the log, so the ratio costs no data
     * read; the OPTIMIZE it triggers rewrites ONLY the DV-carrying files
     * (smallFileBytes = 0 matches no clean file). A lost race just waits
-    * for the next commit's trigger.
+    * for the next commit's trigger — and (r13) so does ANY compaction
+    * failure, unless [[autoOptimizeStrictProp]] opts into propagation.
     */
   private def maybeAutoOptimize(spark: SparkSession, table: String): Unit = {
     val s = snapshot(spark, table).getOrElse(return)
@@ -1011,13 +1024,35 @@ object DeltaLog {
     require(ratio > 0, s"$table: $autoOptimizeProp must be > 0")
     val deleted = s.adds.flatMap(_._2.dv).map(_.cardinality).sum
     if (deleted == 0) return
-    val total = s.adds.flatMap { case (_, info) => info.stats.flatMap(st =>
+    // the ratio needs numRecords from EVERY active add: an add without
+    // stats (third-party writers may omit them) would silently vanish
+    // from the live count, INFLATING deleted/live and compacting far too
+    // eagerly — skip the trigger loudly instead (conservative: rent
+    // keeps accruing until a manual OPTIMIZE, never a wrong rewrite)
+    val counts = s.adds.map { case (rel, info) => rel -> info.stats.flatMap(st =>
       try Some(mapper.readTree(st).get("numRecords").asLong())
-      catch { case _: Exception => None }) }.sum
+      catch { case _: Exception => None }) }
+    counts.collectFirst { case (rel, None) => rel } match {
+      case Some(rel) =>
+        Console.err.println(s"[delta] $table: $autoOptimizeProp is set but " +
+          s"active file $rel carries no numRecords stats (third-party " +
+          "write?) — the deleted/live ratio would over-trigger; skipping " +
+          "the auto-OPTIMIZE check this commit. Run OPTIMIZE manually or " +
+          "rewrite the stats-less files.")
+        return
+      case None =>
+    }
+    val total = counts.flatMap(_._2).sum
     val live = math.max(1L, total - deleted)
     if (deleted.toDouble / live >= ratio) {
-      optimize(spark, table, smallFileBytes = 0L)
-      ()
+      try { optimize(spark, table, smallFileBytes = 0L); () }
+      catch { case scala.util.control.NonFatal(e) =>
+        if (isStrict(s.configuration)) throw e
+        Console.err.println(s"[delta] $table: auto-OPTIMIZE after a landed " +
+          s"commit failed (${e.getMessage}); the data commit stands — the " +
+          "next qualifying commit retries. Set " +
+          s"$autoOptimizeStrictProp=true to propagate instead.")
+      }
     }
   }
 

@@ -116,21 +116,38 @@ object IcebergLog {
 
   // ── spec schemas (avro wire shape ⟺ StructType drives the codec) ─────
 
-  // manifest_file (the manifest LIST's entry record), v2 required fields
+  /** `field-id` (+ optional alias names) as StructField metadata — what
+    * [[AvroCodec.projectValue]]'s name-resolving decode binds by: the
+    * id is the spec's STABLE identity for a field; aliases cover known
+    * historical spellings from writers that tag no ids.
+    */
+  private def idMeta(id: Int, aliases: Seq[String] = Seq.empty): Metadata = {
+    val b = new MetadataBuilder().putLong("field-id", id.toLong)
+    if (aliases.nonEmpty) b.putStringArray("aliases", aliases.toArray)
+    b.build()
+  }
+
+  // manifest_file (the manifest LIST's entry record), v2 required
+  // fields. Fields 504-506 carry iceberg-java's spellings as aliases:
+  // the spec RENAMED added_data_files_count → added_files_count (etc.)
+  // but the java writer kept the old names — the ids are the identity.
   private val manifestFileType = StructType(Seq(
-    StructField("manifest_path", StringType, nullable = false),
-    StructField("manifest_length", LongType, nullable = false),
-    StructField("partition_spec_id", IntegerType, nullable = false),
-    StructField("content", IntegerType, nullable = false),
-    StructField("sequence_number", LongType, nullable = false),
-    StructField("min_sequence_number", LongType, nullable = false),
-    StructField("added_snapshot_id", LongType, nullable = false),
-    StructField("added_files_count", IntegerType, nullable = false),
-    StructField("existing_files_count", IntegerType, nullable = false),
-    StructField("deleted_files_count", IntegerType, nullable = false),
-    StructField("added_rows_count", LongType, nullable = false),
-    StructField("existing_rows_count", LongType, nullable = false),
-    StructField("deleted_rows_count", LongType, nullable = false)))
+    StructField("manifest_path", StringType, nullable = false, idMeta(500)),
+    StructField("manifest_length", LongType, nullable = false, idMeta(501)),
+    StructField("partition_spec_id", IntegerType, nullable = false, idMeta(502)),
+    StructField("content", IntegerType, nullable = false, idMeta(517)),
+    StructField("sequence_number", LongType, nullable = false, idMeta(515)),
+    StructField("min_sequence_number", LongType, nullable = false, idMeta(516)),
+    StructField("added_snapshot_id", LongType, nullable = false, idMeta(503)),
+    StructField("added_files_count", IntegerType, nullable = false,
+      idMeta(504, Seq("added_data_files_count"))),
+    StructField("existing_files_count", IntegerType, nullable = false,
+      idMeta(505, Seq("existing_data_files_count"))),
+    StructField("deleted_files_count", IntegerType, nullable = false,
+      idMeta(506, Seq("deleted_data_files_count"))),
+    StructField("added_rows_count", LongType, nullable = false, idMeta(512)),
+    StructField("existing_rows_count", LongType, nullable = false, idMeta(513)),
+    StructField("deleted_rows_count", LongType, nullable = false, idMeta(514))))
 
   private val manifestFileIds = Seq(500, 501, 502, 517, 515, 516, 503, 504, 505, 506, 512, 513, 514)
 
@@ -147,27 +164,27 @@ object IcebergLog {
     */
   private[graft] def manifestEntryType(partType: StructType,
       withEqIds: Boolean = true): StructType = StructType(Seq(
-    StructField("status", IntegerType, nullable = false),
-    StructField("snapshot_id", LongType, nullable = true),
-    StructField("sequence_number", LongType, nullable = true),
-    StructField("file_sequence_number", LongType, nullable = true),
+    StructField("status", IntegerType, nullable = false, idMeta(0)),
+    StructField("snapshot_id", LongType, nullable = true, idMeta(1)),
+    StructField("sequence_number", LongType, nullable = true, idMeta(3)),
+    StructField("file_sequence_number", LongType, nullable = true, idMeta(4)),
     StructField("data_file", StructType(Seq(
-      StructField("content", IntegerType, nullable = false),
-      StructField("file_path", StringType, nullable = false),
-      StructField("file_format", StringType, nullable = false),
-      StructField("partition", partType, nullable = false),
-      StructField("record_count", LongType, nullable = false),
-      StructField("file_size_in_bytes", LongType, nullable = false),
-      StructField("value_counts", kvMapType(LongType), nullable = true),
-      StructField("null_value_counts", kvMapType(LongType), nullable = true),
-      StructField("lower_bounds", kvMapType(BinaryType), nullable = true),
-      StructField("upper_bounds", kvMapType(BinaryType), nullable = true)) ++
+      StructField("content", IntegerType, nullable = false, idMeta(134)),
+      StructField("file_path", StringType, nullable = false, idMeta(100)),
+      StructField("file_format", StringType, nullable = false, idMeta(101)),
+      StructField("partition", partType, nullable = false, idMeta(102)),
+      StructField("record_count", LongType, nullable = false, idMeta(103)),
+      StructField("file_size_in_bytes", LongType, nullable = false, idMeta(104)),
+      StructField("value_counts", kvMapType(LongType), nullable = true, idMeta(109)),
+      StructField("null_value_counts", kvMapType(LongType), nullable = true, idMeta(110)),
+      StructField("lower_bounds", kvMapType(BinaryType), nullable = true, idMeta(125)),
+      StructField("upper_bounds", kvMapType(BinaryType), nullable = true, idMeta(128))) ++
       // spec data_file field 135: REQUIRED on content=2 (equality
       // delete) entries — the field ids the delete matches on
       (if (withEqIds) Seq(StructField("equality_ids",
-        ArrayType(IntegerType, containsNull = false), nullable = true))
+        ArrayType(IntegerType, containsNull = false), nullable = true, idMeta(135)))
        else Seq.empty)),
-      nullable = false)))
+      nullable = false, idMeta(2))))
 
   private def avroPrim(dt: DataType): String = dt match {
     case BooleanType => "\"boolean\""
@@ -301,6 +318,20 @@ object IcebergLog {
         .find(_.get("spec-id").asInt() == defId).getOrElse(specs.get(0))
       val fields = spec.get("fields")
       (0 until fields.size()).map(i => fields.get(i).get("name").asText())
+    }
+    /** The CURRENT schema's field type by the schema's own `id`
+      * attribute (positional for this engine's schemas, arbitrary for
+      * third-party ones) — what partition-spec `source-id`s reference.
+      */
+    def schemaFieldTypeById(id: Int): Option[DataType] = {
+      val arr = node.get("schemas")
+      val cur = currentSchemaId
+      val n = (0 until arr.size()).map(arr.get)
+        .find(s => s.get("schema-id").asInt() == cur).getOrElse(arr.get(0))
+      val fields = n.get("fields")
+      (0 until fields.size()).map(fields.get)
+        .find(f => Option(f.get("id")).exists(_.asInt() == id))
+        .map(f => sparkType(f.get("type").asText()))
     }
     def currentSnapshotId: Long = node.get("current-snapshot-id").asLong()
     def snapshots: Seq[com.fasterxml.jackson.databind.JsonNode] =
@@ -493,14 +524,66 @@ object IcebergLog {
         * (spec data_file field 135, required for equality deletes). */
       equalityIds: Option[Seq[Int]] = None)
 
+  // ── decoded-manifest cache ───────────────────────────────────────────
+  // Manifests and manifest lists are IMMUTABLE once written (the spec's
+  // core invariant), so a decode keyed by (path, size, inode) is
+  // reusable across plans. The name-resolving walk over a FOREIGN
+  // manifest costs ~30 µs/entry (ManifestDecodeProbe) — at the
+  // 10⁶-file ceiling that re-paid ~30 s on EVERY plan before this
+  // cache. Bounded by total cached entry rows, LRU; table recreation
+  // (same path, new bytes) misses via the inode/size stamp.
+
+  private val manifestCacheMaxRows = 262144L
+  private val manifestCache =
+    new java.util.LinkedHashMap[(String, Long, String, String), Seq[Row]](64, 0.75f, true)
+  private var manifestCacheRows = 0L
+  private[graft] val manifestCacheHits = new java.util.concurrent.atomic.AtomicLong
+  private[graft] val manifestCacheMisses = new java.util.concurrent.atomic.AtomicLong
+
+  private[graft] def clearManifestCache(): Unit = manifestCache.synchronized {
+    manifestCache.clear(); manifestCacheRows = 0L
+  }
+
+  private def cachedDecode(path: String, shape: String)(decode: => Seq[Row]): Seq[Row] = {
+    val p = localPath(path).toAbsolutePath.normalize
+    val attrs =
+      try Files.readAttributes(p, classOf[java.nio.file.attribute.BasicFileAttributes])
+      catch { case _: Exception => return decode }
+    // fileKey = (device, inode) on POSIX — a recreated file at the same
+    // path is a NEW inode, so stale entries can never be served even
+    // within one mtime-resolution tick
+    val key = (p.toString, attrs.size(),
+      Option(attrs.fileKey).map(_.toString)
+        .getOrElse(attrs.lastModifiedTime().toString), shape)
+    manifestCache.synchronized {
+      val hit = manifestCache.get(key)
+      if (hit != null) { manifestCacheHits.incrementAndGet(); return hit }
+    }
+    manifestCacheMisses.incrementAndGet()
+    val rows = decode
+    manifestCache.synchronized {
+      if (manifestCache.put(key, rows) == null) manifestCacheRows += rows.size
+      val it = manifestCache.entrySet().iterator()
+      while (manifestCacheRows > manifestCacheMaxRows && it.hasNext) {
+        val e = it.next() // access-ordered: eldest first
+        if (e.getKey != key) { manifestCacheRows -= e.getValue.size; it.remove() }
+      }
+    }
+    rows
+  }
+
   /** Decode one manifest's entries. The writer's wire shape is resolved
     * from the embedded `avro.schema` (pre-r12 manifests lack
     * `equality_ids`; their `data_file` structs are padded with a null),
     * so every caller sees the current 11-field shape. `partType` must
-    * match the manifest's own partition-spec-id (spec 0 = the table
-    * spec; spec 1 = unpartitioned, what global delete files land under).
+    * match the manifest's own partition-spec-id — [[partTypeOfSpec]].
+    * Decodes are served from the immutable-manifest cache when the
+    * (path, size, inode, shape) matches a prior read.
     */
-  private[graft] def readEntries(path: String, partType: StructType): Seq[Row] = {
+  private[graft] def readEntries(path: String, partType: StructType): Seq[Row] =
+    cachedDecode(path, "entries:" + partType.json)(readEntriesUncached(path, partType))
+
+  private def readEntriesUncached(path: String, partType: StructType): Seq[Row] = {
     val in = Files.newInputStream(localPath(path))
     try {
       var legacy = false
@@ -527,14 +610,58 @@ object IcebergLog {
     } finally in.close()
   }
 
-  /** The partition struct a manifest's entries were written under:
-    * spec 0 = the table's identity spec, spec 1 = the UNPARTITIONED
-    * spec global delete files use (per the Iceberg spec, a global
-    * equality delete must not carry partition values a spec-conformant
-    * reader would prune by).
+  /** The partition struct a manifest's entries were written under,
+    * resolved from metadata.json's `partition-specs` by the manifest's
+    * spec id — names, value types (per transform result type), and
+    * `field-id`s (stamped as StructField metadata, what the
+    * name-resolving avro decode binds). An unknown spec id or transform
+    * fails LOUDLY: projecting a third-party manifest onto a guessed
+    * struct would silently drop its partition values.
     */
-  private def partTypeOfSpec(specId: Int, tablePartType: StructType): StructType =
-    if (specId == 0) tablePartType else StructType(Seq.empty[StructField])
+  private[graft] def partTypeOfSpec(m: Meta, specId: Int): StructType = {
+    val specs = m.node.get("partition-specs")
+    val spec = (0 until specs.size()).map(specs.get)
+      .find(_.get("spec-id").asInt() == specId)
+      .getOrElse(sys.error(s"iceberg: a manifest references partition-spec " +
+        s"$specId, which metadata.json's partition-specs does not define; " +
+        "refusing to silently drop its partition values"))
+    val fields = spec.get("fields")
+    StructType((0 until fields.size()).map { i =>
+      val f = fields.get(i)
+      val name = f.get("name").asText()
+      val transform = f.get("transform").asText()
+      val fid = Option(f.get("field-id")).map(_.asInt()).getOrElse(1000 + i)
+      def srcType: DataType = {
+        val srcId = f.get("source-id").asInt()
+        m.schemaFieldTypeById(srcId).getOrElse(sys.error(
+          s"iceberg: partition-spec $specId field '$name' references " +
+            s"source column id $srcId, absent from the current schema"))
+      }
+      // spec "Partition Transforms" result types
+      val dt = transform match {
+        case "identity" | "void" => srcType
+        case t if t.startsWith("truncate") => srcType
+        case t if t.startsWith("bucket") => IntegerType
+        case "year" | "month" | "hour" => IntegerType
+        case "day" => DateType
+        case other => sys.error(s"iceberg: partition-spec $specId field " +
+          s"'$name' uses unsupported transform '$other'")
+      }
+      StructField(name, dt, nullable = true, idMeta(fid))
+    })
+  }
+
+  /** The write path's spec resolution: [[commitSnapshot]] itself defines
+    * spec 0 (the table's identity spec) and spec 1 (the unpartitioned
+    * spec global delete files ride — per the Iceberg spec, a global
+    * equality delete must not carry partition values a spec-conformant
+    * reader would prune by), so no metadata lookup is involved. Any
+    * other id on the write path is a bug.
+    */
+  private def writePartTypeOfSpec(specId: Int, tablePartType: StructType): StructType =
+    if (specId == 0) tablePartType
+    else if (specId == 1) StructType(Seq.empty[StructField])
+    else sys.error(s"iceberg: the write path only mints specs 0 and 1, got $specId")
 
   /** Append `df` as one fast-append snapshot. `txn` = (appId, version)
     * arms the idempotent-replay guard (reference transaction_id,
@@ -841,7 +968,7 @@ object IcebergLog {
 
       def writeManifest(rows: Seq[Row], content: String = "data",
           specId: Int = 0): (Path, Long) = {
-        val mPartType = partTypeOfSpec(specId, partType)
+        val mPartType = writePartTypeOfSpec(specId, partType)
         val entryType = manifestEntryType(mPartType)
         val p = dir.resolve(s"${UUID.randomUUID()}-m0.avro")
         val out = Files.newOutputStream(p)
@@ -889,7 +1016,7 @@ object IcebergLog {
           else {
             val rows = deleteAdded.map(a =>
               Row(1, snapshotId, seq, seq,
-                dataFileRow(a, partTypeOfSpec(delSpecId, partType),
+                dataFileRow(a, writePartTypeOfSpec(delSpecId, partType),
                   content = deleteContent)))
             val (p, len) = writeManifest(rows, "deletes", specId = delSpecId)
             Some(Row(p.toAbsolutePath.toString, len, delSpecId, 1, seq, seq,
@@ -919,10 +1046,16 @@ object IcebergLog {
             // global delete manifests ride the unpartitioned spec)
             case (mSpecId, group) =>
             val (small, large) = group.partition(_.getLong(1) < mergeTargetBytes)
-            if (small.size < 2) group
+            // manifests under a FOREIGN spec (an adopted third-party
+            // table's history) carry forward unmerged: writeManifest can
+            // only re-mint the two specs this engine defines, and a
+            // rewritten manifest must keep its spec's partition struct
+            if (small.size < 2 || mSpecId > 1) group
             else {
               val merged = small.flatMap { mf =>
-                readEntries(mf.getString(0), partTypeOfSpec(mSpecId, partType))
+                readEntries(mf.getString(0),
+                  cur.map(partTypeOfSpec(_, mSpecId))
+                    .getOrElse(writePartTypeOfSpec(mSpecId, partType)))
                   .filter(_.getInt(0) != 2) // drop tombstones; ADDED → EXISTING
                   .map { e =>
                     // inherited (null) numbers MATERIALIZE from the list
@@ -965,7 +1098,11 @@ object IcebergLog {
             // manifest list stays O(large manifests), not O(commits)
             if (priorData.size + 1 <= mergeMinCount) priorData ++ addedManifestRow
             else {
-              val (small, large) = priorData.partition(_.getLong(1) < mergeTargetBytes)
+              // only spec-0 manifests merge — a foreign-spec data
+              // manifest (adopted third-party history) carries forward
+              // unmerged, same rule as the delete side
+              val (small, large) = priorData.partition(r =>
+                r.getLong(1) < mergeTargetBytes && r.getInt(2) == 0)
               if (small.size < 2) priorData ++ addedManifestRow
               else {
                 val merged = small.flatMap(mf =>
@@ -1127,16 +1264,18 @@ object IcebergLog {
 
   // ── read path ────────────────────────────────────────────────────────
 
-  private[graft] def readManifestList(path: String): Seq[Row] = {
-    val in = Files.newInputStream(localPath(path))
-    // own shape → positional; third-party lists (extra fields like
-    // partitions 507 / key_metadata 519, any order) → name-resolved
-    try AvroCodec.readOcfResolvingRows(in, meta =>
-      if (meta.getOrElse("avro.schema", "") == manifestFileSchemaJson)
-        Left(manifestFileType)
-      else Right(manifestFileType)).toSeq
-    finally in.close()
-  }
+  private[graft] def readManifestList(path: String): Seq[Row] =
+    cachedDecode(path, "list") {
+      val in = Files.newInputStream(localPath(path))
+      // own shape → positional; third-party lists (extra fields like
+      // partitions 507 / key_metadata 519, java's renamed count fields,
+      // any order) → name-resolved, binding by field id
+      try AvroCodec.readOcfResolvingRows(in, meta =>
+        if (meta.getOrElse("avro.schema", "") == manifestFileSchemaJson)
+          Left(manifestFileType)
+        else Right(manifestFileType)).toSeq
+      finally in.close()
+    }
 
   // ── merge-on-read deletes (format v2) ──────────────────────────────────
   // Spec shape: a DELETES manifest (manifest-list content=1) lists
@@ -1198,11 +1337,9 @@ object IcebergLog {
     if (sid <= 0) return Seq.empty
     val snap = m.snapshots.find(_.get("snapshot-id").asLong() == sid)
       .getOrElse(sys.error(s"$table has no snapshot $sid"))
-    val partType = StructType(m.partitionColumns.map(c =>
-      StructField(c, m.schema(m.schema.fieldIndex(c)).dataType, nullable = true)))
     readManifestList(snap.get("manifest-list").asText())
       .filter(_.getInt(3) == 1).flatMap { mf =>
-        readEntries(mf.getString(0), partTypeOfSpec(mf.getInt(2), partType))
+        readEntries(mf.getString(0), partTypeOfSpec(m, mf.getInt(2)))
           .filter(_.getInt(0) != 2).map { e =>
             val df = e.getStruct(4)
             require(df.getInt(0) == 1 || df.getInt(0) == 2,
@@ -1484,13 +1621,12 @@ object IcebergLog {
     val sid = snapshotId.getOrElse(m.currentSnapshotId)
     val snap = m.snapshots.find(_.get("snapshot-id").asLong() == sid)
       .getOrElse(sys.error(s"$table has no snapshot $sid"))
-    val partType = StructType(m.partitionColumns.map(c =>
-      StructField(c, m.schema(m.schema.fieldIndex(c)).dataType, nullable = true)))
     // DELETES manifests (content=1) carry no data entries — they are
     // read by [[deleteFiles]] and applied by [[readWithDeletes]]
     readManifestList(snap.get("manifest-list").asText())
       .filter(_.getInt(3) == 0).flatMap { mf =>
-      readEntries(mf.getString(0), partTypeOfSpec(mf.getInt(2), partType)).map { e =>
+      val mPartType = partTypeOfSpec(m, mf.getInt(2))
+      readEntries(mf.getString(0), mPartType).map { e =>
         val df = e.getStruct(4)
         require(df.getInt(0) == 0,
           s"$table: data manifest ${mf.getString(0)} lists " +
@@ -1504,7 +1640,11 @@ object IcebergLog {
           // equality delete — or exempt third-party deletes entirely)
           e.get(2) match { case l: java.lang.Long => l
             case _ => mf.getLong(4) },
-          m.partitionColumns.zipWithIndex.map { case (c, i) => c -> part.get(i) }.toMap,
+          // keyed by the MANIFEST's spec fields (identical to the table
+          // partition columns for this engine's manifests; a foreign
+          // non-default spec keeps its own names rather than
+          // mis-associating values positionally)
+          mPartType.fieldNames.zipWithIndex.map { case (c, i) => c -> part.get(i) }.toMap,
           kvMap[Long](df.get(6)), kvMap[Long](df.get(7)),
           kvMap[Array[Byte]](df.get(8)), kvMap[Array[Byte]](df.get(9)),
           e)
@@ -2033,8 +2173,17 @@ object IcebergLog {
     val live = math.max(1L,
       liveFiles(table, None).filter(_.status != 2).map(_.records).sum - deleted)
     if (deleted.toDouble / live >= ratio) {
-      rewriteDataFiles(spark, table, smallBytes = Some(0L))
-      ()
+      // runs AFTER the data commit landed: a compaction failure must not
+      // fail/replay the caller's already-succeeded batch — same default
+      // as the delta twin, with the same strict opt-in
+      try { rewriteDataFiles(spark, table, smallBytes = Some(0L)); () }
+      catch { case scala.util.control.NonFatal(e) =>
+        if (DeltaLog.isStrict(m.properties)) throw e
+        Console.err.println(s"[iceberg] $table: auto-OPTIMIZE after a " +
+          s"landed commit failed (${e.getMessage}); the data commit " +
+          "stands — the next qualifying commit retries. Set " +
+          s"${DeltaLog.autoOptimizeStrictProp}=true to propagate instead.")
+      }
     }
   }
 
@@ -2477,11 +2626,9 @@ object IcebergLog {
           val manifests = lists.flatMap(l =>
             try readManifestList(l).map(r => (r.getString(0), r.getInt(2)))
             catch { case _: Exception => Seq.empty })
-          val partType = StructType(m.partitionColumns.map(c =>
-            StructField(c, m.schema(m.schema.fieldIndex(c)).dataType, nullable = true)))
           val data = manifests.flatMap { case (mf, specId) =>
             if (!Files.exists(localPath(mf))) Seq.empty
-            else readEntries(mf, partTypeOfSpec(specId, partType))
+            else readEntries(mf, partTypeOfSpec(m, specId))
               .map(_.getStruct(4).getString(1))
           }
           (lists, manifests.map(_._1), data)

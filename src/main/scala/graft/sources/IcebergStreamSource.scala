@@ -99,7 +99,11 @@ object IcebergStreamSource {
           s"$table: snapshots at sequence ${lastSeq + 1}..${seq - 1} were " +
             "expired under a running stream (slow reader past retention?)")
         val sid = s.get("snapshot-id").asLong()
-        val op = Option(s.get("summary")).map(_.get("operation").asText()).getOrElse("append")
+        // summary and its operation key are both OPTIONAL in the spec —
+        // an unlabelled snapshot reads as this engine's own default verb
+        val op = Option(s.get("summary"))
+          .flatMap(sm => Option(sm.get("operation"))).map(_.asText())
+          .getOrElse("append")
         op match {
           case "append" if changeFeed =>
             // CHANGE FEED: materialize rather than link, so every row
@@ -164,7 +168,8 @@ object IcebergStreamSource {
       val hint: Option[Long] =
         m.snapshots.find(_.get("sequence-number").asLong() == seq).flatMap { snap =>
           val sid = snap.get("snapshot-id").asLong()
-          val op = Option(snap.get("summary")).map(_.get("operation").asText())
+          val op = Option(snap.get("summary"))
+            .flatMap(sm => Option(sm.get("operation"))).map(_.asText())
             .getOrElse("append")
           val live = IcebergLog.liveFiles(table, Some(sid)).filter(_.status != 2)
           val added = live.filter(f => f.status == 1 && f.entryRow.get(1) == sid)
