@@ -4,6 +4,7 @@ import graft.sinks.{DeltaLog, IcebergLog}
 import org.apache.spark.sql.functions._
 
 import java.nio.file.Files
+import scala.jdk.CollectionConverters._
 
 /** The commit-path maintenance trigger (`graft.auto-optimize.
   * deleted-ratio`, both formats): merge-on-read tables accumulate
@@ -100,6 +101,102 @@ class AutoOptimizeSpec extends SparkSpec {
         DeltaLog.autoOptimizeProp -> "lots"))
     val e = intercept[RuntimeException] { DeltaLog.deleteWhere(spark, table, "id = 1") }
     assert(e.getMessage.contains("not a number"), e.getMessage)
+  }
+
+  test("a failed auto-OPTIMIZE never fails the landed commit; strict mode propagates (both formats)") {
+    import spark.implicits._
+    // the trigger runs AFTER the data commit lands: a compaction failure
+    // by default must not fail (and replay) the caller's succeeded batch
+    val dt = Files.createTempDirectory("delta_auto_decouple").resolve("t").toString
+    DeltaLog.writeBatch((1L to 100L).map(i => (i, i)).toDF("id", "v")
+      .repartition(2), dt,
+      tableConf = Map("delta.enableDeletionVectors" -> "true",
+        DeltaLog.autoOptimizeProp -> "0.05"))
+    DeltaLog.onOptimizeCommit =
+      () => throw new RuntimeException("induced maintenance failure")
+    IcebergLog.onReplaceCommit =
+      () => throw new RuntimeException("induced maintenance failure")
+    try {
+      val v = DeltaLog.deleteWhere(spark, dt, "id <= 20")
+      assert(v.isDefined,
+        "the data commit must stand when the triggered compaction fails")
+      val s = DeltaLog.snapshot(spark, dt).get
+      assert(s.adds.flatMap(_._2.dv).map(_.cardinality).sum == 20L,
+        "the failed compaction leaves the DVs for the next trigger")
+      val got = DeltaLog.read(spark, dt).as[(Long, Long)].collect().toMap
+      assert(got.keySet == (21L to 100L).toSet)
+      // strict opt-in: the same failure propagates (the data commit has
+      // still landed — strict only changes WHO hears about maintenance)
+      DeltaLog.setTableProperties(spark, dt,
+        Map(DeltaLog.autoOptimizeStrictProp -> "true"))
+      val e = intercept[RuntimeException] {
+        DeltaLog.deleteWhere(spark, dt, "id = 21") }
+      assert(e.getMessage.contains("induced"), e.getMessage)
+      assert(!DeltaLog.read(spark, dt).as[(Long, Long)].collect().toMap
+        .contains(21L), "strict failure still reports a LANDED delete")
+
+      // iceberg twin
+      val it = Files.createTempDirectory("iceberg_auto_decouple").toString
+      IcebergLog.writeBatch((1L to 100L).map(i => (i, i)).toDF("id", "v")
+        .repartitionByRange(2, col("id")), it)
+      IcebergLog.setTableProperties(spark, it, Map(
+        "write.upsert.enabled" -> "true",
+        DeltaLog.autoOptimizeProp -> "0.05"))
+      val batch = (1L to 20L).map(k => (k, k + 1000L, false))
+        .toDF("id", "v", "__graft_deleted")
+      assert(IcebergLog.upsertAppend(spark, it, batch, Seq("id")).isDefined,
+        "the iceberg data commit must stand when the compaction fails")
+      assert(IcebergLog.deleteFiles(it, None).nonEmpty,
+        "the failed compaction leaves the delete files for the next trigger")
+      val got2 = IcebergLog.read(spark, it).as[(Long, Long)].collect().toMap
+      assert(got2.size == 100 && got2(1L) == 1001L, s"got(1)=${got2.get(1L)}")
+      IcebergLog.setTableProperties(spark, it,
+        Map(DeltaLog.autoOptimizeStrictProp -> "true"))
+      val e2 = intercept[RuntimeException] {
+        IcebergLog.upsertAppend(spark, it,
+          Seq((2L, 2002L, false)).toDF("id", "v", "__graft_deleted"), Seq("id"))
+      }
+      assert(e2.getMessage.contains("induced"), e2.getMessage)
+    } finally {
+      DeltaLog.onOptimizeCommit = () => ()
+      IcebergLog.onReplaceCommit = () => ()
+    }
+  }
+
+  test("delta: a stats-less add (third-party write) skips the ratio check instead of over-compacting") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("delta_auto_nostats")
+    val table = dir.resolve("t").toString
+    DeltaLog.writeBatch((1L to 100L).map(i => (i, i)).toDF("id", "v")
+      .repartition(2), table,
+      tableConf = Map("delta.enableDeletionVectors" -> "true",
+        DeltaLog.autoOptimizeProp -> "0.05"))
+    // graft a STATS-LESS add — the shape a third-party writer may
+    // commit: a real parquet file plus a hand-written add action with
+    // no 'stats' field
+    val scratch = dir.resolve("scratch").toString
+    (1000L to 1009L).map(i => (i, i)).toDF("id", "v").coalesce(1)
+      .write.parquet(scratch)
+    val part = Files.list(java.nio.file.Paths.get(scratch)).iterator()
+      .asScala.find(_.getFileName.toString.endsWith(".parquet")).get
+    val dest = java.nio.file.Paths.get(table, "extra.parquet")
+    Files.copy(part, dest)
+    val v1 = DeltaLog.snapshot(spark, table).get.version
+    val entry = s"""{"add":{"path":"extra.parquet","partitionValues":{},""" +
+      s""""size":${Files.size(dest)},""" +
+      s""""modificationTime":${Files.getLastModifiedTime(dest).toMillis},""" +
+      """"dataChange":true}}"""
+    Files.write(java.nio.file.Paths.get(table, "_delta_log",
+      f"${v1 + 1}%020d.json"), (entry + "\n").getBytes("UTF-8"))
+    // a MoR delete far past the ratio: the trigger must SKIP (the live
+    // denominator is under-counted without extra.parquet's numRecords —
+    // compacting on it would be over-eager), never fail the commit
+    assert(DeltaLog.deleteWhere(spark, table, "id <= 30").isDefined)
+    val s = DeltaLog.snapshot(spark, table).get
+    assert(s.adds.flatMap(_._2.dv).map(_.cardinality).sum == 30L,
+      "ratio must not fire while any active add lacks numRecords stats")
+    val got = DeltaLog.read(spark, table).as[(Long, Long)].collect().toMap
+    assert(got.keySet == ((31L to 100L) ++ (1000L to 1009L)).toSet)
   }
 
   test("SQL face: auto_optimize_ratio sink option arms the trigger at CREATE time") {

@@ -660,6 +660,53 @@ class CdfSpec extends SparkSpec {
     assert(scratches.isEmpty, s"scratch leaked into the view dir: $scratches")
   }
 
+  test("materializeInto pins replay chunking to the existing part set (of<n> names)") {
+    import spark.implicits._
+    import scala.jdk.CollectionConverters._
+    val dir = java.nio.file.Files.createTempDirectory("cdf_pin")
+    def parts(prefix: String): Seq[String] = {
+      val s = java.nio.file.Files.list(dir)
+      try s.iterator().asScala.map(_.getFileName.toString)
+        .filter(n => n.startsWith(prefix + "-") && n.endsWith(".parquet")).toSeq
+      finally s.close()
+    }
+    // first attempt: the hint sizes THREE parts
+    val df = (1L to 30L).toDF("id")
+    assert(Cdf.materializeInto(dir, df, Seq.empty, "c7",
+      rowCountHint = Some(1500000L)) == 3)
+    assert(parts("c7").toSet ==
+      Set("c7-0of3.parquet", "c7-1of3.parquet", "c7-2of3.parquet"))
+    // crash-mid-link simulation: one part missing, then a REPLAY whose
+    // hint now says ONE part (e.g. the derivation changed across engine
+    // versions) \u2014 the existing names pin n=3; only the gap re-links
+    java.nio.file.Files.delete(dir.resolve("c7-1of3.parquet"))
+    assert(Cdf.materializeInto(dir, df, Seq.empty, "c7",
+      rowCountHint = Some(1L)) == 1,
+      "replay must fill exactly the missing part under the PINNED chunking")
+    assert(parts("c7").size == 3)
+    // the rows round-trip exactly once through the mixed-replay set
+    val got = spark.read.parquet(dir.toString + "/c7-*.parquet")
+      .select(col("id")).as[Long].collect().sorted.toSeq
+    assert(got == (1L to 30L).toSeq, s"got ${got.size} rows")
+    // a COMPLETE set short-circuits: no new files, no re-chunking
+    assert(Cdf.materializeInto(dir, df, Seq.empty, "c7",
+      rowCountHint = Some(1L)) == 0)
+    // legacy names (pre-r13, no of<n>) are authoritative as-is
+    val legacyDir = java.nio.file.Files.createTempDirectory("cdf_pin_legacy")
+    assert(Cdf.materializeInto(legacyDir, (1L to 5L).toDF("id"),
+      Seq.empty, "c9") > 0)
+    val renamed = {
+      val s = java.nio.file.Files.list(legacyDir)
+      try s.iterator().asScala.filter(_.getFileName.toString.endsWith(".parquet")).toSeq
+      finally s.close()
+    }
+    renamed.zipWithIndex.foreach { case (p, i) =>
+      java.nio.file.Files.move(p, legacyDir.resolve(s"c9-$i.parquet")) }
+    assert(Cdf.materializeInto(legacyDir, (1L to 50L).toDF("id"),
+      Seq.empty, "c9") == 0,
+      "a legacy-named part set must be treated as authoritative")
+  }
+
   test("all-SQL Debezium chain: files \u2192 upsert table \u2192 change feed \u2192 updating agg \u2192 mirror, resumable") {
     import spark.implicits._
     // the reference's Debezium-chain shape a SQL-only user writes

@@ -553,4 +553,205 @@ class ProtocolConformanceSpec extends SparkSpec {
       Files.readAllBytes(Paths.get(table, "_delta_log", "_last_checkpoint")))
     assert(lc.get("version").asLong() == v)
   }
+
+  /** Hand-assembled OCF with `avro.codec=deflate` — iceberg-java's
+    * DEFAULT manifest compression (write.metadata.compression-codec=
+    * gzip), one raw-DEFLATE block per the avro spec.
+    */
+  private def writeDeflateOcf(path: java.nio.file.Path, schemaJson: String,
+      wire: StructType, rows: Seq[Row]): Unit = {
+    def vint(out: java.io.OutputStream, v0: Long): Unit = {
+      var v = (v0 << 1) ^ (v0 >> 63) // zigzag
+      while ((v & ~0x7fL) != 0) { out.write(((v & 0x7fL) | 0x80L).toInt); v >>>= 7 }
+      out.write(v.toInt)
+    }
+    val payload = new java.io.ByteArrayOutputStream()
+    rows.foreach(r => payload.write(AvroCodec.encodeRow(r, wire)))
+    val defl = new java.util.zip.Deflater(
+      java.util.zip.Deflater.DEFAULT_COMPRESSION, true /* raw, no zlib header */)
+    defl.setInput(payload.toByteArray); defl.finish()
+    val comp = new java.io.ByteArrayOutputStream()
+    val buf = new Array[Byte](8192)
+    while (!defl.finished()) comp.write(buf, 0, defl.deflate(buf))
+    defl.end()
+    val tmp = Files.createTempFile(path.getParent, "deflate", ".avro")
+    val out = Files.newOutputStream(tmp)
+    try {
+      out.write(Array[Byte]('O', 'b', 'j', 1))
+      def b(s: Array[Byte]): Unit = { vint(out, s.length.toLong); out.write(s) }
+      vint(out, 2L)
+      b("avro.schema".getBytes("UTF-8")); b(schemaJson.getBytes("UTF-8"))
+      b("avro.codec".getBytes("UTF-8")); b("deflate".getBytes("UTF-8"))
+      vint(out, 0L)
+      val sync = Array.fill[Byte](16)(7)
+      out.write(sync)
+      vint(out, rows.size.toLong)
+      vint(out, comp.size.toLong)
+      comp.writeTo(out)
+      out.write(sync)
+    } finally out.close()
+    Files.move(tmp, path, java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+  }
+
+  test("iceberg-java manifest list: DEFLATE blocks + renamed count fields bind by field id, then alias") {
+    import spark.implicits._
+    val table = tmpTable()
+    IcebergLog.writeBatch(Seq((1L, 10L), (2L, 20L), (3L, 30L)).toDF("id", "v"),
+      table)
+    IcebergLog.setTableProperties(spark, table,
+      Map("write.upsert.enabled" -> "true"))
+    IcebergLog.upsertAppend(spark, table,
+      Seq((2L, 21L, false)).toDF("id", "v", "__graft_deleted"), Seq("id"))
+    val m = IcebergLog.current(table).get
+    val snap = m.snapshots.find(_.get("snapshot-id").asLong() == m.currentSnapshotId).get
+    val listPath = Paths.get(snap.get("manifest-list").asText())
+    val orig = IcebergLog.readManifestList(listPath.toString)
+    assert(orig.exists(_.getInt(3) == 1), "need a deletes row for the pin")
+
+    // iceberg-java's wire: the three *files_count fields carry the
+    // PRE-RENAME names AND sit after the rows counts — neither name nor
+    // position matches ours, only field-ids 504-506 identify them;
+    // partitions 507 interleaved; whole file deflate-compressed
+    val javaJson = """{"type":"record","name":"manifest_file","fields":[""" +
+      """{"name":"manifest_path","type":"string","field-id":500},""" +
+      """{"name":"manifest_length","type":"long","field-id":501},""" +
+      """{"name":"partition_spec_id","type":"int","field-id":502},""" +
+      """{"name":"content","type":"int","field-id":517},""" +
+      """{"name":"sequence_number","type":"long","field-id":515},""" +
+      """{"name":"min_sequence_number","type":"long","field-id":516},""" +
+      """{"name":"added_snapshot_id","type":"long","field-id":503},""" +
+      """{"name":"added_rows_count","type":"long","field-id":512},""" +
+      """{"name":"existing_rows_count","type":"long","field-id":513},""" +
+      """{"name":"deleted_rows_count","type":"long","field-id":514},""" +
+      """{"name":"partitions","type":["null",{"type":"array","items":{"type":"record","name":"r508","fields":[{"name":"contains_null","type":"boolean","field-id":509}]}}],"default":null,"field-id":507},""" +
+      """{"name":"added_data_files_count","type":"int","field-id":504},""" +
+      """{"name":"existing_data_files_count","type":"int","field-id":505},""" +
+      """{"name":"deleted_data_files_count","type":"int","field-id":506}]}"""
+    val wire = StructType(Seq(
+      StructField("manifest_path", StringType, nullable = false),
+      StructField("manifest_length", LongType, nullable = false),
+      StructField("partition_spec_id", IntegerType, nullable = false),
+      StructField("content", IntegerType, nullable = false),
+      StructField("sequence_number", LongType, nullable = false),
+      StructField("min_sequence_number", LongType, nullable = false),
+      StructField("added_snapshot_id", LongType, nullable = false),
+      StructField("added_rows_count", LongType, nullable = false),
+      StructField("existing_rows_count", LongType, nullable = false),
+      StructField("deleted_rows_count", LongType, nullable = false),
+      StructField("partitions", ArrayType(StructType(Seq(
+        StructField("contains_null", BooleanType, nullable = false))),
+        containsNull = false), nullable = true),
+      StructField("added_data_files_count", IntegerType, nullable = false),
+      StructField("existing_data_files_count", IntegerType, nullable = false),
+      StructField("deleted_data_files_count", IntegerType, nullable = false)))
+    val foreign = orig.map(r => Row(
+      r.get(0), r.get(1), r.get(2), r.get(3), r.get(4), r.get(5), r.get(6),
+      r.get(10), r.get(11), r.get(12),
+      Seq(Row(false)),
+      r.get(7), r.get(8), r.get(9)))
+
+    // (a) field-id binding (java tags ids)
+    writeDeflateOcf(listPath, javaJson, wire, foreign)
+    val byId = IcebergLog.readManifestList(listPath.toString)
+    assert(byId.size == orig.size)
+    orig.zip(byId).foreach { case (o, g) =>
+      assert(g.toSeq == o.toSeq, s"field-id decode mismatch: $g vs $o") }
+    val got = IcebergLog.read(spark, table).as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 10L, 2L -> 21L, 3L -> 30L), s"got $got")
+
+    // (b) alias fallback (a writer that tags NO ids still resolves the
+    // renamed fields through the declared aliases; rows counts by name)
+    val noIdsJson = javaJson.replaceAll(""","field-id":\d+""", "")
+    assert(!noIdsJson.contains("field-id"))
+    writeDeflateOcf(listPath, noIdsJson, wire, foreign)
+    val byAlias = IcebergLog.readManifestList(listPath.toString)
+    orig.zip(byAlias).foreach { case (o, g) =>
+      assert(g.toSeq == o.toSeq, s"alias decode mismatch: $g vs $o") }
+    val got2 = IcebergLog.read(spark, table).as[(Long, Long)].collect().toMap
+    assert(got2 == Map(1L -> 10L, 2L -> 21L, 3L -> 30L), s"got $got2")
+  }
+
+  test("foreign partition specs resolve by id from metadata; unknown spec ids refuse") {
+    import spark.implicits._
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val table = tmpTable()
+    IcebergLog.writeBatch(Seq((1L, 10L, 0L)).toDF("id", "v", "p"), table,
+      partitionBy = Seq("p"))
+    // graft a third-party EVOLVED spec (id 2, bucket transform) into the
+    // metadata, the shape the old spec-0-or-unpartitioned assumption
+    // silently projected onto an empty struct
+    val m0 = IcebergLog.current(table).get
+    val metaPath = Paths.get(table, "metadata", s"v${m0.version}.metadata.json")
+    val root = mapper.readTree(Files.readAllBytes(metaPath))
+      .deepCopy[com.fasterxml.jackson.databind.node.ObjectNode]()
+    val sp2 = mapper.createObjectNode()
+    sp2.put("spec-id", 2)
+    val f = mapper.createObjectNode()
+    f.put("name", "id_bucket"); f.put("transform", "bucket[4]")
+    f.put("source-id", 1); f.put("field-id", 1001)
+    sp2.set[com.fasterxml.jackson.databind.JsonNode]("fields",
+      mapper.createArrayNode().add(f))
+    root.get("partition-specs")
+      .asInstanceOf[com.fasterxml.jackson.databind.node.ArrayNode].add(sp2)
+    Files.write(metaPath, root.toString.getBytes("UTF-8"))
+    val m = IcebergLog.current(table).get
+    // spec 0 = table identity spec, spec 1 = unpartitioned delete spec,
+    // spec 2 = the foreign bucket spec (int result type, its OWN id)
+    assert(IcebergLog.partTypeOfSpec(m, 0).fieldNames.toSeq == Seq("p"))
+    assert(IcebergLog.partTypeOfSpec(m, 1).isEmpty)
+    val pt2 = IcebergLog.partTypeOfSpec(m, 2)
+    assert(pt2.fieldNames.toSeq == Seq("id_bucket"))
+    assert(pt2.fields.head.dataType == IntegerType)
+    assert(pt2.fields.head.metadata.getLong("field-id") == 1001L)
+    val e = intercept[RuntimeException] { IcebergLog.partTypeOfSpec(m, 9) }
+    assert(e.getMessage.contains("partition-spec 9"), e.getMessage)
+    // a manifest written UNDER spec 2 keeps its partition values
+    val entry = Row(1, 7L, 3L, 3L,
+      Row(0, s"$table/data/x.parquet", "PARQUET", Row(2), 5L, 100L,
+        null, null, null, null, null))
+    val mp = Files.createTempFile("spec2_manifest", ".avro")
+    val out = Files.newOutputStream(mp)
+    try AvroCodec.writeOcf(out, IcebergLog.manifestEntryType(pt2),
+      Iterator(entry),
+      schemaJsonOverride = Some(IcebergLog.manifestEntrySchemaJson(pt2)),
+      extraMeta = Seq("partition-spec-id" -> "2", "format-version" -> "2",
+        "content" -> "data"))
+    finally out.close()
+    val back = IcebergLog.readEntries(mp.toString, pt2)
+    assert(back.head.getStruct(4).getStruct(3).getInt(0) == 2,
+      "spec-2 partition value dropped")
+  }
+
+  test("decoded-manifest cache: hit on re-read, invalidated by recreation at the same path") {
+    val partType = StructType(Seq.empty[StructField])
+    val entryType = IcebergLog.manifestEntryType(partType)
+    def entry(path: String) = Row(1, 7L, 3L, 3L,
+      Row(0, path, "PARQUET", Row(), 5L, 100L, null, null, null, null, null))
+    val p = Files.createTempFile("cache_manifest", ".avro")
+    def writeEntries(rows: Seq[Row]): Unit = {
+      val tmp = Files.createTempFile(p.getParent, "cache_tmp", ".avro")
+      val out = Files.newOutputStream(tmp)
+      try AvroCodec.writeOcf(out, entryType, rows.iterator,
+        schemaJsonOverride = Some(IcebergLog.manifestEntrySchemaJson(partType)),
+        extraMeta = Seq("partition-spec-id" -> "0", "format-version" -> "2",
+          "content" -> "data"))
+      finally out.close()
+      Files.move(tmp, p, java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    }
+    writeEntries(Seq(entry("/t/data/a.parquet")))
+    val h0 = IcebergLog.manifestCacheHits.get()
+    val r1 = IcebergLog.readEntries(p.toString, partType)
+    val r2 = IcebergLog.readEntries(p.toString, partType)
+    assert(r1.size == 1 && r2 == r1)
+    assert(IcebergLog.manifestCacheHits.get() >= h0 + 1,
+      "second identical read must be a cache hit")
+    // recreation at the SAME path (new inode) must MISS — serving the
+    // stale decode would resurrect a dropped table's files
+    writeEntries(Seq(entry("/t/data/b.parquet"), entry("/t/data/c.parquet")))
+    val r3 = IcebergLog.readEntries(p.toString, partType)
+    assert(r3.size == 2 &&
+      r3.map(_.getStruct(4).getString(1)).toSet ==
+        Set("/t/data/b.parquet", "/t/data/c.parquet"),
+      s"stale cached decode served after recreation: $r3")
+  }
 }
