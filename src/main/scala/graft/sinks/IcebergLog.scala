@@ -990,12 +990,17 @@ object IcebergLog {
         cleanup += p
         (p, Files.size(p))
       }
-      // global delete files (path-targeted position deletes, key-scoped
+      // GLOBAL delete files (path-targeted position deletes, unscoped
       // equality deletes) land under the UNPARTITIONED spec on a
       // partitioned table — a spec-conformant external reader prunes
       // delete files by partition, and all-null identity values under
-      // the table spec would exclude them from every partition
-      val delSpecId = if (partitionBy.nonEmpty) 1 else 0
+      // the table spec would exclude them from every partition.
+      // PARTITION-SCOPED equality deletes (each file's partition values
+      // cover the partition columns) ride the TABLE spec instead, so
+      // that same pruning CONFINES them to their dirty partition.
+      val delScoped = deleteAdded.nonEmpty && partitionBy.nonEmpty &&
+        deleteAdded.forall(_.partitionValues.map(_._1) == partitionBy)
+      val delSpecId = if (partitionBy.nonEmpty && !delScoped) 1 else 0
 
       try {
         // 1) the new manifests: one ADDED entry per data file, explicit
@@ -1312,7 +1317,13 @@ object IcebergLog {
       valueCounts: Map[Int, Long],
       lower: Map[Int, Array[Byte]], upper: Map[Int, Array[Byte]],
       equalityIds: Option[Seq[Int]],
-      entryRow: Row) {
+      entryRow: Row,
+      /** The manifest entry's partition values (empty for GLOBAL
+        * deletes on the unpartitioned spec): a PARTITION-SCOPED delete
+        * applies only to data files in the same partition — the spec's
+        * pruning rule, what confines the anti-join rent.
+        */
+      partition: Seq[(String, Any)] = Seq.empty) {
     def pathLo: Option[String] = lower.get(deletePathFieldId)
       .map(b => boundValue(b, StringType).asInstanceOf[String])
     def pathHi: Option[String] = upper.get(deletePathFieldId)
@@ -1339,7 +1350,8 @@ object IcebergLog {
       .getOrElse(sys.error(s"$table has no snapshot $sid"))
     readManifestList(snap.get("manifest-list").asText())
       .filter(_.getInt(3) == 1).flatMap { mf =>
-        readEntries(mf.getString(0), partTypeOfSpec(m, mf.getInt(2)))
+        val mPartType = partTypeOfSpec(m, mf.getInt(2))
+        readEntries(mf.getString(0), mPartType)
           .filter(_.getInt(0) != 2).map { e =>
             val df = e.getStruct(4)
             require(df.getInt(0) == 1 || df.getInt(0) == 2,
@@ -1380,18 +1392,27 @@ object IcebergLog {
               kvMap[Long](df.get(6)),
               kvMap[Array[Byte]](df.get(8)), kvMap[Array[Byte]](df.get(9)),
               eqIds,
-              e)
+              e,
+              partition = mPartType.fieldNames.toSeq
+                .zip(df.getStruct(3).toSeq))
           }
       }
   }
 
   /** Does equality-delete `d` possibly apply to data file `f`? The v2
-    * sequence rule (strictly-older data only) plus per-column bounds
-    * overlap — a column PROVABLY disjoint exonerates the file; any
-    * unknown is conservative.
+    * sequence rule (strictly-older data only), the partition rule (a
+    * PARTITION-SCOPED delete applies only inside its own partition —
+    * the spec's pruning contract), plus per-column bounds overlap — a
+    * column PROVABLY disjoint exonerates the file; any unknown is
+    * conservative.
     */
   private def eqApplies(f: LiveFile, d: DeleteFile, schema: StructType): Boolean =
-    d.seq > f.dataSeq && d.eqFieldIds.forall { id =>
+    d.seq > f.dataSeq &&
+    d.partition.forall { case (c, v) =>
+      f.partitionValues.get(c).forall(fv =>
+        if (fv == null || v == null) fv == null && v == null else fv == v)
+    } &&
+    d.eqFieldIds.forall { id =>
       if (id < 1 || id > schema.fields.length) true // unknown column: conservative
       else {
         val dt = schema.fields(id - 1).dataType
@@ -2223,8 +2244,23 @@ object IcebergLog {
       }
       val nRows = batch.count()
       if (nRows == 0) return None
+      // PARTITION-SCOPED deletes when the merge keys cover the partition
+      // columns: every key equality implies a partition equality, so the
+      // delete can legally carry partition values under the table spec —
+      // scans of untouched partitions then skip the anti-join rent
+      // entirely. Capped by dirty-partition count: a backfill touching
+      // thousands of partitions would mint a delete file per partition
+      // (metadata bloat the global file avoids).
+      val scope: Seq[String] =
+        if (m.partitionColumns.nonEmpty &&
+            m.partitionColumns.forall(keys.contains) &&
+            batch.select(m.partitionColumns.map(col): _*)
+              .distinct().limit(1025).count() <= 1024L)
+          m.partitionColumns
+        else Seq.empty
       val eqAdded = writeEqualityDeleteFiles(spark, table,
-        batch.select(keys.map(col): _*), m.schema, nKeys = nRows)
+        batch.select(keys.map(col): _*), m.schema, nKeys = nRows,
+        partitionScope = scope)
       val alive = batch.filter(!col("__graft_deleted"))
         .select(m.schema.fieldNames.map(col).toIndexedSeq: _*)
       val added = writeDataFiles(spark, table, alive, m.partitionColumns, m.schema)
@@ -2250,27 +2286,60 @@ object IcebergLog {
     */
   private def writeEqualityDeleteFiles(spark: SparkSession, table: String,
       keysDf: DataFrame, tableSchema: StructType, nKeys: Long,
-      idsOverride: Option[Seq[Int]] = None): Seq[DataFileInfo] = {
+      idsOverride: Option[Seq[Int]] = None,
+      /** Non-empty = PARTITION-SCOPED deletes (the merge keys cover the
+        * partition columns, [[upsertAppend]]): one delete file per dirty
+        * partition, manifest entries under the TABLE spec with real
+        * partition values — a spec-conformant reader (and [[eqApplies]])
+        * confines the anti-join rent to the dirty partitions instead of
+        * taxing every partition until OPTIMIZE. Files still carry ALL
+        * key columns in content (the equality columns must be readable
+        * from the file itself). */
+      partitionScope: Seq[String] = Seq.empty): Seq[DataFileInfo] = {
+    import org.apache.spark.sql.functions.col
     val dataRoot = Paths.get(table, "data")
     Files.createDirectories(dataRoot)
     val keyIds = idsOverride.getOrElse(
       keysDf.columns.toSeq.map(c => tableSchema.fieldIndex(c) + 1))
     val scratch = Paths.get(table, s".graft-iceberg-eqdel-${UUID.randomUUID()}")
-    // ~4M keys per file keeps each within a comfortable broadcast share
-    // on read; hash repartition only when the set genuinely needs >1
-    val n = math.max(1L, math.min(64L, (nKeys + 3999999L) / 4000000L)).toInt
     val stamped = withFieldIds(keysDf, tableFieldIds(tableSchema))
-    (if (n == 1) stamped.coalesce(1) else stamped.repartition(n))
-      .write.mode("overwrite").parquet(scratch.toString)
+    if (partitionScope.isEmpty) {
+      // ~4M keys per file keeps each within a comfortable broadcast share
+      // on read; hash repartition only when the set genuinely needs >1
+      val n = math.max(1L, math.min(64L, (nKeys + 3999999L) / 4000000L)).toInt
+      (if (n == 1) stamped.coalesce(1) else stamped.repartition(n))
+        .write.mode("overwrite").parquet(scratch.toString)
+    } else {
+      // SHADOW partition columns drive the hive split so the real key
+      // columns stay IN the file content (partitionBy drops its dirs'
+      // columns); repartition first so each dirty partition lands whole
+      // in one task → exactly one delete file per dirty partition
+      val shadows = partitionScope.map(c => col(s"`$c`").as(s"__gpart_$c"))
+      stamped.select((stamped.columns.map(c => col(s"`$c`")) ++ shadows)
+          .toIndexedSeq: _*)
+        .repartition(partitionScope.map(c => col(s"`$c`")): _*)
+        .write.mode("overwrite")
+        .partitionBy(partitionScope.map("__gpart_" + _): _*)
+        .parquet(scratch.toString)
+    }
     val parts = walkDir(scratch).filter(p => Files.isRegularFile(p) &&
       p.getFileName.toString.endsWith(".parquet")).sortBy(_.toString)
     val added = parts.map { p =>
-      val dest = dataRoot.resolve(s"eqdelete-${UUID.randomUUID()}.parquet")
+      // __gpart_c=v scratch dirs become the table's own c=v hive dirs, so
+      // statFile's partitionValuesOf harvest reads them like data files
+      val hiveRel = Option(scratch.relativize(p).getParent)
+        .map(_.toString.split('/').map(_.stripPrefix("__gpart_")).mkString("/"))
+        .getOrElse("")
+      val destDir =
+        if (hiveRel.isEmpty) dataRoot else dataRoot.resolve(hiveRel)
+      Files.createDirectories(destDir)
+      val dest = destDir.resolve(s"eqdelete-${UUID.randomUUID()}.parquet")
       try Files.createLink(dest, p)
       catch { case _: UnsupportedOperationException =>
         Files.move(p, dest, StandardCopyOption.ATOMIC_MOVE) }
-      statFile(spark, table, dest, tableSchema)
-        .copy(partitionValues = Seq.empty, equalityIds = Some(keyIds))
+      val st = statFile(spark, table, dest, tableSchema)
+      (if (partitionScope.isEmpty) st.copy(partitionValues = Seq.empty) else st)
+        .copy(equalityIds = Some(keyIds))
     }
     walkDir(scratch).reverse.foreach(Files.deleteIfExists(_))
     added

@@ -701,4 +701,66 @@ class MorSpec extends SparkSpec {
       .as[(Long, Long, String)].collect().toSet
     assert(chg == Set((1L, 10L, "delete")), s"got $chg")
   }
+
+  test("partition-scoped equality deletes: keys covering partition columns confine the rent") {
+    import spark.implicits._
+    val table = Files.createTempDirectory("iceberg_scoped_eq").toString
+    // 4 partitions × 25 rows
+    IcebergLog.writeBatch((1L to 100L).map(i => (i, i, i % 4))
+      .toDF("id", "v", "p"), table, partitionBy = Seq("p"))
+    IcebergLog.setTableProperties(spark, table,
+      Map("write.upsert.enabled" -> "true"))
+    // keys (p, id) COVER the partition column; the batch dirties ONLY
+    // partitions 1 and 2 → one delete file per dirty partition, under
+    // the TABLE spec with real partition values
+    val batch = Seq((5L, 500L, 1L, false), (9L, 900L, 1L, false),
+      (6L, 600L, 2L, true)).toDF("id", "v", "p", "__graft_deleted")
+    assert(IcebergLog.upsertAppend(spark, table, batch, Seq("p", "id")).isDefined)
+    val dels = IcebergLog.deleteFiles(table, None)
+    assert(dels.size == 2 && dels.forall(_.content == 2), s"got $dels")
+    assert(dels.map(_.partition).toSet ==
+      Set(Seq("p" -> 1L), Seq("p" -> 2L)),
+      s"got ${dels.map(_.partition)}")
+    val m = IcebergLog.current(table).get
+    val snap = m.snapshots.find(_.get("snapshot-id").asLong() == m.currentSnapshotId).get
+    val delMf = IcebergLog.readManifestList(snap.get("manifest-list").asText())
+      .filter(_.getInt(3) == 1)
+    assert(delMf.nonEmpty && delMf.forall(_.getInt(2) == 0),
+      "scoped delete manifests must ride the table spec (0), not the " +
+        "unpartitioned global spec")
+    // the rent is CONFINED: splitByDeletes dirties only p∈{1,2} files
+    val live = IcebergLog.liveFiles(table, None).filter(_.status != 2)
+    val (clean, dirty) = IcebergLog.splitByDeletes(live, dels, m.schema)
+    assert(dirty.nonEmpty &&
+      dirty.forall(f => Set[Any](1L, 2L).contains(f.partitionValues("p"))),
+      s"dirty leaked outside the scoped partitions: ${dirty.map(_.partitionValues)}")
+    assert(clean.exists(f => f.partitionValues("p") == 0L) &&
+      clean.exists(f => f.partitionValues("p") == 3L),
+      "untouched partitions must stay clean")
+    // correctness through it: upserts landed, the delete-marked row gone
+    val got = IcebergLog.read(spark, table).as[(Long, Long, Long)].collect()
+      .map(r => r._1 -> r._2).toMap
+    assert(got.size == 99 && got(5L) == 500L && got(9L) == 900L &&
+      !got.contains(6L), s"size=${got.size} got(5)=${got.get(5L)}")
+    // and a SECOND scoped upsert composes (last-writer-wins per key)
+    assert(IcebergLog.upsertAppend(spark, table,
+      Seq((5L, 501L, 1L, false)).toDF("id", "v", "p", "__graft_deleted"),
+      Seq("p", "id")).isDefined)
+    val got2 = IcebergLog.read(spark, table).as[(Long, Long, Long)].collect()
+      .map(r => r._1 -> r._2).toMap
+    assert(got2(5L) == 501L && got2.size == 99)
+
+    // keys NOT covering the partition column keep the global shape
+    val t2 = Files.createTempDirectory("iceberg_global_eq").toString
+    IcebergLog.writeBatch((1L to 20L).map(i => (i, i, i % 2))
+      .toDF("id", "v", "p"), t2, partitionBy = Seq("p"))
+    IcebergLog.setTableProperties(spark, t2,
+      Map("write.upsert.enabled" -> "true"))
+    assert(IcebergLog.upsertAppend(spark, t2,
+      Seq((3L, 33L, 1L, false)).toDF("id", "v", "p", "__graft_deleted"),
+      Seq("id")).isDefined)
+    val dels2 = IcebergLog.deleteFiles(t2, None)
+    assert(dels2.size == 1 && dels2.head.partition.isEmpty,
+      "uncovered keys must keep the GLOBAL unpartitioned-spec delete")
+  }
 }
