@@ -139,17 +139,66 @@ object CdfMorProbe {
       .trigger(org.apache.spark.sql.streaming.Trigger.ProcessingTime(100)).start()
     try {
       qA.processAllAvailable()
-      val lat = (1 to 5).map { i =>
-        timed {
+      // r13 DECOMPOSITION: where the per-batch seconds go — the upsert
+      // commit, the change-feed sync (materialize + link), and the
+      // streaming drain (micro-batch planning + agg state + collect) —
+      // and does the floor move with batch size (machinery vs data)
+      def hop(i: Int, rows: Long): (Double, Double, Double) = {
+        val (_, tUp) = timed {
           Merge.upsertBatch(spark, "delta", hopA,
+            spark.range(rows).select((col("id") * 777 + i).as("k"),
+              lit(i * 1.0).as("v")), Seq("k"))
+        }
+        val (_, tSync) = timed(viewA.sync())
+        val (_, tDrain) = timed(qA.processAllAvailable())
+        (tUp, tSync, tDrain)
+      }
+      val lat = (1 to 5).map(i => hop(i, 1000L))
+      val tot = lat.map(t => t._1 + t._2 + t._3)
+      println(f"[cdf-mor] (d) two-hop upsert→feed→agg→mirror, 5×1k batches: " +
+        f"min=${tot.min}%.2fs max=${tot.max}%.2fs avg=${tot.sum / 5}%.2fs | " +
+        f"decomposed avg: upsert=${lat.map(_._1).sum / 5}%.2fs " +
+        f"sync=${lat.map(_._2).sum / 5}%.2fs drain=${lat.map(_._3).sum / 5}%.2fs")
+      val big = (6 to 8).map(i => hop(i, 50000L))
+      val bigTot = big.map(t => t._1 + t._2 + t._3)
+      println(f"[cdf-mor] (d') same chain, 3×50k batches (50× the rows): " +
+        f"avg=${bigTot.sum / 3}%.2fs (upsert=${big.map(_._1).sum / 3}%.2fs " +
+        f"sync=${big.map(_._2).sum / 3}%.2fs drain=${big.map(_._3).sum / 3}%.2fs) " +
+        "— a flat total vs (d) means the floor is trigger machinery, not data")
+    } finally { qA.stop(); viewA.close() }
+
+    // (d'') the win the decomposition reveals: hop 1 dominates via the
+    // COPY-ON-WRITE MERGE (rewrites every key-hit file of the 10M-row
+    // target); the same chain over a merge-on-read (deletion-vector)
+    // table folds matches into bitmaps instead
+    val hopB = freshDelta(Map(Cdf.enableProp -> "true",
+      "delta.enableDeletionVectors" -> "true"))
+    val (dfB, viewB) = graft.sources.DeltaStreamSource.open(spark, hopB,
+      changeFeed = true, keys = Seq("k"))
+    val qB = dfB
+      .groupBy((col("k") % 100).as("g")).agg(sum("v").as("s"))
+      .writeStream.outputMode("update")
+      .foreachBatch { (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        b.collect(); () }
+      .trigger(org.apache.spark.sql.streaming.Trigger.ProcessingTime(100)).start()
+    try {
+      qB.processAllAvailable()
+      def hopDv(i: Int): (Double, Double, Double) = {
+        val (_, tUp) = timed {
+          Merge.upsertBatch(spark, "delta", hopB,
             spark.range(1000).select((col("id") * 777 + i).as("k"),
               lit(i * 1.0).as("v")), Seq("k"))
-          viewA.sync(); qA.processAllAvailable()
-        }._2
+        }
+        val (_, tSync) = timed(viewB.sync())
+        val (_, tDrain) = timed(qB.processAllAvailable())
+        (tUp, tSync, tDrain)
       }
-      println(f"[cdf-mor] (d) two-hop upsert→feed→agg→mirror, 5×1k batches: " +
-        f"min=${lat.min}%.2fs max=${lat.max}%.2fs avg=${lat.sum / 5}%.2fs")
-    } finally { qA.stop(); viewA.close() }
+      val dv = (1 to 5).map(hopDv)
+      val dvTot = dv.map(t => t._1 + t._2 + t._3)
+      println(f"[cdf-mor] (d'') same chain, hop 1 on a DELETION-VECTOR table, " +
+        f"5×1k: avg=${dvTot.sum / 5}%.2fs (upsert=${dv.map(_._1).sum / 5}%.2fs " +
+        f"sync=${dv.map(_._2).sum / 5}%.2fs drain=${dv.map(_._3).sum / 5}%.2fs)")
+    } finally { qB.stop(); viewB.close() }
 
     spark.stop()
   }

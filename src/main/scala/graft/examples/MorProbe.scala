@@ -193,6 +193,49 @@ object MorProbe {
       f"first=${c.head}%.2fs last=${c.last}%.2fs total=${c.sum}%.1fs"
     println(s"[mor-probe] (g) 16x 1k-key batches: MERGE ${fmtC(mergeCurve)}; " +
       s"equality upsert ${fmtC(eqCurve)}")
+
+    // (h) r13 PARTITION-SCOPED equality deletes: a partitioned table
+    //     upserted by keys that COVER the partition column confines the
+    //     anti-join rent to the dirty partition (delete manifests ride
+    //     the table spec with real partition values); the global form
+    //     taxes EVERY partition until OPTIMIZE
+    def mkPart(): String = {
+      val t = java.nio.file.Files.createTempDirectory("mor-probe-part").toString
+      IcebergLog.writeBatch(spark.range(n)
+        .select(col("id").as("k"), (col("id") % 997 * 1.0).as("v"),
+          (col("id") % 16).as("p")), t, partitionBy = Seq("p"))
+      IcebergLog.setTableProperties(spark, t,
+        Map("write.upsert.enabled" -> "true"))
+      t
+    }
+    def dirtyBatch = spark.range(1000).select(
+      (col("id") * 16 + 3).as("k"), // every key lives in partition p=3
+      lit(-5.0).as("v"), lit(3L).as("p"), lit(false).as("__graft_deleted"))
+    val tScoped = mkPart()
+    val (_, thS) = timed(IcebergLog.upsertAppend(spark, tScoped, dirtyBatch,
+      Seq("p", "k")))
+    val tGlobal = mkPart()
+    val (_, thG) = timed(IcebergLog.upsertAppend(spark, tGlobal, dirtyBatch,
+      Seq("k")))
+    def cleanDirty(t: String): (Int, Int) = {
+      val m = IcebergLog.current(t).get
+      val liveF = IcebergLog.liveFiles(t, None).filter(_.status != 2)
+      val (c, d) = IcebergLog.splitByDeletes(liveF,
+        IcebergLog.deleteFiles(t, None), m.schema)
+      (c.size, d.size)
+    }
+    val (cS, dS) = cleanDirty(tScoped)
+    val (cG, dG) = cleanDirty(tGlobal)
+    val (sumS, trS) = timed(IcebergLog.read(spark, tScoped)
+      .filter(col("p") === 7).agg(sum(col("v"))).collect()(0).getDouble(0))
+    val (sumG, trG) = timed(IcebergLog.read(spark, tGlobal)
+      .filter(col("p") === 7).agg(sum(col("v"))).collect()(0).getDouble(0))
+    require(sumS == sumG, s"$sumS != $sumG")
+    println(f"[mor-probe] (h) partitioned upsert (16 partitions, batch dirties 1): " +
+      f"SCOPED keys=(p,k): commit=${thS}%.2fs clean/dirty=$cS/$dS " +
+      f"untouched-partition scan=${trS}%.2fs | GLOBAL keys=(k): " +
+      f"commit=${thG}%.2fs clean/dirty=$cG/$dG " +
+      f"untouched-partition scan=${trG}%.2fs")
     spark.stop()
   }
 }

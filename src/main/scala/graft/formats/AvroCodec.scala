@@ -443,11 +443,12 @@ object AvroCodec {
         if (key == "avro.codec") {
           val codec = meta(key)
           // deflate is iceberg-java's DEFAULT for manifests/manifest
-          // lists (write.metadata.compression-codec=gzip), so a reader
-          // refusing it rejects most real third-party tables at the
-          // header; this engine keeps WRITING null-codec files
-          require(codec == "null" || codec == "deflate",
-            s"avro: unsupported codec '$codec' (null and deflate)")
+          // lists (write.metadata.compression-codec=gzip) and snappy the
+          // common Kafka-ecosystem OCF codec — a reader refusing them
+          // rejects most real third-party files at the header; this
+          // engine keeps WRITING null-codec files
+          require(codec == "null" || codec == "deflate" || codec == "snappy",
+            s"avro: unsupported codec '$codec' (null, deflate, snappy)")
         }
         i += 1
       }
@@ -463,14 +464,16 @@ object AvroCodec {
         s => projectValue(readGeneric(s, tree), target, "<root>")
           .asInstanceOf[Row]
     }
-    val deflate = meta.get("avro.codec").contains("deflate")
+    val codec = meta.getOrElse("avro.codec", "null")
+    val compressed = codec != "null"
 
     new Iterator[Row] {
       private var remainingInBlock = 0L
       private var exhausted = false
-      // null codec decodes straight off `in`; a deflate block inflates
-      // whole (blocks are writer-bounded — iceberg manifests use ~the
-      // default 64k sync interval) and decodes from the buffer
+      // null codec decodes straight off `in`; a compressed block
+      // decompresses whole (blocks are writer-bounded — iceberg
+      // manifests use ~the default 64k sync interval) and decodes from
+      // the buffer
       private var blockIn: InputStream = in
       private def advanceBlock(): Unit = {
         val first = in.read()
@@ -488,22 +491,41 @@ object AvroCodec {
         var count = (acc >>> 1) ^ -(acc & 1)
         if (count < 0) count = -count
         val byteSize = readVarLong(in)
-        if (deflate) {
-          // spec: the payload is one RAW (nowrap — no zlib header)
-          // DEFLATE stream per block, sync marker after it
-          val comp = readNBytes(in, byteSize.toInt)
-          val inf = new java.util.zip.Inflater(true)
-          inf.setInput(comp)
-          val out = new java.io.ByteArrayOutputStream(math.max(64, comp.length * 3))
-          val buf = new Array[Byte](8192)
-          while (!inf.finished()) {
-            val k = inf.inflate(buf)
-            if (k > 0) out.write(buf, 0, k)
-            else if (!inf.finished())
-              throw new EOFException("avro: truncated deflate block")
+        if (compressed) {
+          val raw = codec match {
+            case "deflate" =>
+              // spec: the payload is one RAW (nowrap — no zlib header)
+              // DEFLATE stream per block
+              val comp = readNBytes(in, byteSize.toInt)
+              val inf = new java.util.zip.Inflater(true)
+              inf.setInput(comp)
+              val out = new java.io.ByteArrayOutputStream(math.max(64, comp.length * 3))
+              val buf = new Array[Byte](8192)
+              while (!inf.finished()) {
+                val k = inf.inflate(buf)
+                if (k > 0) out.write(buf, 0, k)
+                else if (!inf.finished())
+                  throw new EOFException("avro: truncated deflate block")
+              }
+              inf.end()
+              out.toByteArray
+            case "snappy" =>
+              // spec: snappy-compressed payload + big-endian CRC32 of
+              // the UNCOMPRESSED bytes
+              require(byteSize > 4, s"avro: snappy block of $byteSize bytes")
+              val comp = readNBytes(in, byteSize.toInt - 4)
+              val crcBytes = readNBytes(in, 4)
+              val out = org.xerial.snappy.Snappy.uncompress(comp)
+              val crc = new java.util.zip.CRC32()
+              crc.update(out)
+              val want = ByteBuffer.wrap(crcBytes).getInt & 0xffffffffL
+              require(crc.getValue == want,
+                "avro: snappy block CRC mismatch (corrupt block)")
+              out
+            case other => throw new IllegalArgumentException(
+              s"avro: unsupported codec '$other'")
           }
-          inf.end()
-          blockIn = new java.io.ByteArrayInputStream(out.toByteArray)
+          blockIn = new java.io.ByteArrayInputStream(raw)
           readNBytes(in, 16) // block-trailing sync marker
         }
         remainingInBlock = count
@@ -519,7 +541,7 @@ object AvroCodec {
         if (!hasNext) throw new NoSuchElementException
         val r = readOne(blockIn)
         remainingInBlock -= 1
-        if (remainingInBlock == 0 && !deflate) {
+        if (remainingInBlock == 0 && !compressed) {
           readNBytes(in, 16) // block-trailing sync marker
         }
         r

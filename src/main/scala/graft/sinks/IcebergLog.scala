@@ -2254,8 +2254,11 @@ object IcebergLog {
       val scope: Seq[String] =
         if (m.partitionColumns.nonEmpty &&
             m.partitionColumns.forall(keys.contains) &&
-            batch.select(m.partitionColumns.map(col): _*)
-              .distinct().limit(1025).count() <= 1024L)
+            // a micro-batch of ≤1024 rows bounds its partition count for
+            // free; only a bulk batch pays the distinct-count probe
+            (nRows <= 1024L ||
+              batch.select(m.partitionColumns.map(col): _*)
+                .distinct().limit(1025).count() <= 1024L))
           m.partitionColumns
         else Seq.empty
       val eqAdded = writeEqualityDeleteFiles(spark, table,

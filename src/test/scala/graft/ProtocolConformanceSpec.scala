@@ -559,7 +559,11 @@ class ProtocolConformanceSpec extends SparkSpec {
     * gzip), one raw-DEFLATE block per the avro spec.
     */
   private def writeDeflateOcf(path: java.nio.file.Path, schemaJson: String,
-      wire: StructType, rows: Seq[Row]): Unit = {
+      wire: StructType, rows: Seq[Row]): Unit =
+    writeCompressedOcf(path, schemaJson, wire, rows, "deflate")
+
+  private def writeCompressedOcf(path: java.nio.file.Path, schemaJson: String,
+      wire: StructType, rows: Seq[Row], codec: String): Unit = {
     def vint(out: java.io.OutputStream, v0: Long): Unit = {
       var v = (v0 << 1) ^ (v0 >> 63) // zigzag
       while ((v & ~0x7fL) != 0) { out.write(((v & 0x7fL) | 0x80L).toInt); v >>>= 7 }
@@ -567,21 +571,31 @@ class ProtocolConformanceSpec extends SparkSpec {
     }
     val payload = new java.io.ByteArrayOutputStream()
     rows.foreach(r => payload.write(AvroCodec.encodeRow(r, wire)))
-    val defl = new java.util.zip.Deflater(
-      java.util.zip.Deflater.DEFAULT_COMPRESSION, true /* raw, no zlib header */)
-    defl.setInput(payload.toByteArray); defl.finish()
     val comp = new java.io.ByteArrayOutputStream()
-    val buf = new Array[Byte](8192)
-    while (!defl.finished()) comp.write(buf, 0, defl.deflate(buf))
-    defl.end()
-    val tmp = Files.createTempFile(path.getParent, "deflate", ".avro")
+    codec match {
+      case "deflate" =>
+        val defl = new java.util.zip.Deflater(
+          java.util.zip.Deflater.DEFAULT_COMPRESSION, true /* raw, no zlib header */)
+        defl.setInput(payload.toByteArray); defl.finish()
+        val buf = new Array[Byte](8192)
+        while (!defl.finished()) comp.write(buf, 0, defl.deflate(buf))
+        defl.end()
+      case "snappy" =>
+        // spec: snappy payload + big-endian CRC32 of the UNCOMPRESSED bytes
+        comp.write(org.xerial.snappy.Snappy.compress(payload.toByteArray))
+        val crc = new java.util.zip.CRC32()
+        crc.update(payload.toByteArray)
+        comp.write(java.nio.ByteBuffer.allocate(4)
+          .putInt(crc.getValue.toInt).array())
+    }
+    val tmp = Files.createTempFile(path.getParent, codec, ".avro")
     val out = Files.newOutputStream(tmp)
     try {
       out.write(Array[Byte]('O', 'b', 'j', 1))
       def b(s: Array[Byte]): Unit = { vint(out, s.length.toLong); out.write(s) }
       vint(out, 2L)
       b("avro.schema".getBytes("UTF-8")); b(schemaJson.getBytes("UTF-8"))
-      b("avro.codec".getBytes("UTF-8")); b("deflate".getBytes("UTF-8"))
+      b("avro.codec".getBytes("UTF-8")); b(codec.getBytes("UTF-8"))
       vint(out, 0L)
       val sync = Array.fill[Byte](16)(7)
       out.write(sync)
@@ -591,6 +605,26 @@ class ProtocolConformanceSpec extends SparkSpec {
       out.write(sync)
     } finally out.close()
     Files.move(tmp, path, java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+  }
+
+  test("avro snappy-codec OCF reads (Kafka-ecosystem writers): payload + CRC32 verified") {
+    val wire = StructType(Seq(
+      StructField("id", LongType, nullable = false),
+      StructField("name", StringType, nullable = true)))
+    val rows = (1L to 500L).map(i => Row(i, if (i % 7 == 0) null else s"n$i"))
+    val p = Files.createTempFile("snappy_ocf", ".avro")
+    writeCompressedOcf(p, AvroCodec.avroSchemaJson(wire, "r"), wire, rows, "snappy")
+    val in = Files.newInputStream(p)
+    val back = try AvroCodec.readOcf(in, wire).toSeq finally in.close()
+    assert(back == rows, s"snappy round-trip mismatch: ${back.take(3)}")
+    // a corrupted block fails the CRC loudly, never returns wrong rows
+    val bytes = Files.readAllBytes(p)
+    bytes(bytes.length - 25) = (bytes(bytes.length - 25) ^ 0x1).toByte
+    val pBad = Files.createTempFile("snappy_bad", ".avro")
+    Files.write(pBad, bytes)
+    val inB = Files.newInputStream(pBad)
+    try intercept[Exception] { AvroCodec.readOcf(inB, wire).toSeq }
+    finally inB.close()
   }
 
   test("iceberg-java manifest list: DEFLATE blocks + renamed count fields bind by field id, then alias") {
