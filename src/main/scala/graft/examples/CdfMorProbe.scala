@@ -200,6 +200,43 @@ object CdfMorProbe {
         f"sync=${dv.map(_._2).sum / 5}%.2fs drain=${dv.map(_._3).sum / 5}%.2fs)")
     } finally { qB.stop(); viewB.close() }
 
+    // (d''') the flat-landing variant: hop 1 on an ICEBERG
+    // write.upsert.enabled table — the zero-read equality commit is the
+    // engine's latency-sensitive CDC answer; this makes the whole-chain
+    // number a measurement, not an inference from (b)
+    val hopC = java.nio.file.Files.createTempDirectory("cmp-hop-ice").toString
+    IcebergLog.writeBatch(spark.range(n).select(col("id").as("k"),
+      (col("id") % 997 * 1.0).as("v")).repartitionByRange(nFiles, col("k")), hopC)
+    IcebergLog.setTableProperties(spark, hopC,
+      Map("write.upsert.enabled" -> "true"))
+    val (dfC, viewC) = graft.sources.IcebergStreamSource.open(spark, hopC,
+      changeFeed = true, keys = Seq("k"))
+    val qC = dfC
+      .groupBy((col("k") % 100).as("g")).agg(sum("v").as("s"))
+      .writeStream.outputMode("update")
+      .foreachBatch { (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        b.collect(); () }
+      .trigger(org.apache.spark.sql.streaming.Trigger.ProcessingTime(100)).start()
+    try {
+      qC.processAllAvailable()
+      def hopIce(i: Int): (Double, Double, Double) = {
+        val (_, tUp) = timed {
+          Merge.upsertBatch(spark, "iceberg", hopC,
+            spark.range(1000).select((col("id") * 777 + i).as("k"),
+              lit(i * 1.0).as("v")), Seq("k"), orderBy = Some("v"))
+        }
+        val (_, tSync) = timed(viewC.sync())
+        val (_, tDrain) = timed(qC.processAllAvailable())
+        (tUp, tSync, tDrain)
+      }
+      val ic = (1 to 5).map(hopIce)
+      val icTot = ic.map(t => t._1 + t._2 + t._3)
+      println(f"[cdf-mor] (d''') same chain, hop 1 = ICEBERG equality upsert " +
+        f"(zero-read), 5×1k: avg=${icTot.sum / 5}%.2fs " +
+        f"(upsert=${ic.map(_._1).sum / 5}%.2fs sync=${ic.map(_._2).sum / 5}%.2fs " +
+        f"drain=${ic.map(_._3).sum / 5}%.2fs)")
+    } finally { qC.stop(); viewC.close() }
+
     spark.stop()
   }
 }

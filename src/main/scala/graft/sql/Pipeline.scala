@@ -2092,7 +2092,15 @@ class Pipeline(spark: SparkSession, streaming: Boolean = false) {
         s"auto_optimize_ratio='$r' is not a positive number")
       Map(graft.sinks.DeltaLog.autoOptimizeProp -> r)
     }.getOrElse(Map.empty[String, String])
-    cdf ++ upsert ++ dv ++ autoOpt
+    // auto_optimize_strict='true': a FAILED triggered compaction
+    // propagates to (and fails) the committing batch instead of the
+    // default catch-and-log-and-retry-next-commit
+    val autoStrict = t.options.get("auto_optimize_strict").map { r =>
+      require(r.equalsIgnoreCase("true") || r.equalsIgnoreCase("false"),
+        s"auto_optimize_strict='$r' is not a boolean")
+      Map(graft.sinks.DeltaLog.autoOptimizeStrictProp -> r.toLowerCase)
+    }.getOrElse(Map.empty[String, String])
+    cdf ++ upsert ++ dv ++ autoOpt ++ autoStrict
   }
 
   /** True when the analyzed plan joins two legs that EACH contain a

@@ -215,12 +215,14 @@ class AutoOptimizeSpec extends SparkSpec {
            |CREATE TABLE t (id BIGINT, v BIGINT) WITH (
            |  connector='iceberg', path='$table', format='parquet', type='sink',
            |  merge_keys='id', upsert_enabled='true',
-           |  auto_optimize_ratio='0.3', checkpoint='$cp');
+           |  auto_optimize_ratio='0.3', auto_optimize_strict='false',
+           |  checkpoint='$cp');
            |INSERT INTO t SELECT id, v FROM src""".stripMargin)
     }
     // the property landed and the trigger kept the delete backlog bounded
     val m = IcebergLog.current(table).get
     assert(m.properties.get(DeltaLog.autoOptimizeProp).contains("0.3"))
+    assert(m.properties.get(DeltaLog.autoOptimizeStrictProp).contains("false"))
     val dels = IcebergLog.deleteFiles(table, None)
     assert(dels.size < 4, s"4 upsert rounds left ${dels.size} delete files " +
       "— the trigger never fired")
