@@ -371,11 +371,124 @@ object DeltaLog {
 
   /** Reader features this implementation actually honors beyond base
     * protocol 1. `timestampNtz`/`v2Checkpoint`-style WRITER-side
-    * features never appear here; anything that changes what rows a
-    * reader must return (deletionVectors, columnMapping, …) MUST be
-    * rejected — ignoring a deletion vector silently over-returns rows.
+    * features never appear here; anything ELSE that changes what rows a
+    * reader must return MUST be rejected — ignoring a deletion vector
+    * would silently over-return rows, ignoring a column mapping would
+    * silently return nulls for every mapped column.
     */
-  private val supportedReaderFeatures = Set("timestampNtz", "deletionVectors")
+  private val supportedReaderFeatures =
+    Set("timestampNtz", "deletionVectors", "columnMapping")
+
+  // ── column mapping (PROTOCOL.md "Column Mapping") — read-side interop ──
+  //
+  // Mapped tables (`delta.columnMapping.mode` = name|id) store every
+  // column under a stable PHYSICAL name (`delta.columnMapping.
+  // physicalName`, typically `col-<uuid>`) so logical renames/drops are
+  // metadata-only; `id` mode additionally makes the parquet FIELD ID
+  // (`delta.columnMapping.id`) the authoritative resolution key. The
+  // mapping is carried per-field in schemaString's metadata, which
+  // `DataType.fromJson` preserves — Snapshot.schema stays LOGICAL and
+  // these helpers translate at the file boundary. Partition values come
+  // from the add actions (keyed by physical name): the protocol makes
+  // the log authoritative, and mapped writers do not guarantee hive
+  // directory layout. This engine READS mapped tables; writes refuse
+  // loudly (this writer emits protocol-1 logical-named files — landing
+  // one in a mapped table would corrupt it).
+
+  private val CmModeProp = "delta.columnMapping.mode"
+  private val CmPhysKey = "delta.columnMapping.physicalName"
+  private val CmIdKey = "delta.columnMapping.id"
+  /** Spark's parquet field-id resolution key (ParquetUtils). */
+  private val ParquetFieldIdKey = "parquet.field.id"
+
+  private[graft] def mappingMode(config: Map[String, String]): String =
+    config.getOrElse(CmModeProp, "none") match {
+      case m @ ("none" | "name" | "id") => m
+      case other => sys.error(
+        s"unknown $CmModeProp '$other'; this reader implements none|name|id")
+    }
+
+  private def physName(f: StructField): String =
+    if (f.metadata.contains(CmPhysKey)) f.metadata.getString(CmPhysKey)
+    else f.name
+
+  private def cmFieldId(f: StructField): Option[Long] =
+    if (f.metadata.contains(CmIdKey))
+      try Some(f.metadata.getLong(CmIdKey)) catch { case _: Exception => None }
+    else None
+
+  /** Does any field at-or-below `dt` read under a different physical
+    * name? (When false the logical frame needs no rebuild.)
+    */
+  private def needsRemap(dt: DataType): Boolean = dt match {
+    case st: StructType =>
+      st.fields.exists(f => physName(f) != f.name || needsRemap(f.dataType))
+    case at: ArrayType => needsRemap(at.elementType)
+    case mt: MapType => needsRemap(mt.keyType) || needsRemap(mt.valueType)
+    case _ => false
+  }
+
+  /** The parquet-facing shape of a logical schema: every (nested) field
+    * renamed to its physical name; `withIds` additionally stamps
+    * `parquet.field.id` so Spark's reader resolves by FIELD ID (`id`
+    * mode's contract — the file's column names may be anything).
+    */
+  private[graft] def physicalReadType(dt: DataType, withIds: Boolean): DataType =
+    dt match {
+      case st: StructType => StructType(st.fields.map { f =>
+        val mb = new org.apache.spark.sql.types.MetadataBuilder()
+        if (withIds) cmFieldId(f).foreach(mb.putLong(ParquetFieldIdKey, _))
+        StructField(physName(f), physicalReadType(f.dataType, withIds),
+          f.nullable, mb.build())
+      })
+      case at: ArrayType =>
+        at.copy(elementType = physicalReadType(at.elementType, withIds))
+      case mt: MapType => mt.copy(
+        keyType = physicalReadType(mt.keyType, withIds),
+        valueType = physicalReadType(mt.valueType, withIds))
+      case other => other
+    }
+
+  /** Physically-named column → the logical value, rebuilding nested
+    * structs/arrays/maps only where a name below actually differs.
+    */
+  private def remapExpr(c: org.apache.spark.sql.Column, logical: DataType)
+      : org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.functions.{struct, transform, transform_keys, transform_values, when}
+    logical match {
+      case st: StructType if needsRemap(st) =>
+        val rebuilt = struct(st.fields.toIndexedSeq.map(f =>
+          remapExpr(c.getField(physName(f)), f.dataType).as(f.name)): _*)
+        when(c.isNotNull, rebuilt) // keep null structs null, not struct-of-nulls
+      case at: ArrayType if needsRemap(at) =>
+        transform(c, x => remapExpr(x, at.elementType))
+      case mt: MapType if needsRemap(mt) =>
+        val vs =
+          if (needsRemap(mt.valueType))
+            transform_values(c, (_, v) => remapExpr(v, mt.valueType))
+          else c
+        if (needsRemap(mt.keyType))
+          transform_keys(vs, (k, _) => remapExpr(k, mt.keyType))
+        else vs
+      case _ => c
+    }
+  }
+
+  private def quoted(name: String): String =
+    "`" + name.replace("`", "``") + "`"
+
+  /** Entry guard for every mutating surface: a column-mapped table is
+    * READ-ONLY here. Checked before any DML plans — a logical-named scan
+    * of physical files yields nulls, so an unguarded DML would silently
+    * match nothing (or rewrite wrongly) rather than fail.
+    */
+  private def requireWritable(table: String, configuration: Map[String, String]): Unit = {
+    val m = mappingMode(configuration)
+    require(m == "none",
+      s"$table uses delta.columnMapping.mode=$m; this engine reads mapped " +
+        "tables (read/readChanges/time travel) but does not write them — " +
+        "rewrite the table unmapped to take writes")
+  }
 
   /** The public gating property for merge-on-read DML. */
   private[graft] def dvEnabled(configuration: Map[String, String]): Boolean =
@@ -396,10 +509,9 @@ object DeltaLog {
         s"$table requires reader features ${unsupported.mkString(", ")} " +
           "this reader does not implement (e.g. a deletion vector ignored " +
           "would silently over-return rows); refusing to read")
-    } else require(minReader <= 1,
-      s"$table requires minReaderVersion=$minReader (column mapping); " +
-        "this reader implements protocol 1 — refusing to return " +
-        "mis-mapped columns")
+    } else require(minReader <= 2, // 2 = legacy column mapping (honored)
+      s"$table requires minReaderVersion=$minReader, which this reader " +
+        "does not implement; refusing to read")
   }
 
   /** Snapshot read: the add-listed files only (orphans and uncommitted
@@ -449,6 +561,16 @@ object DeltaLog {
   private[graft] def readKept(spark: SparkSession, table: String, s: Snapshot,
       kept: Seq[String], withMeta: Boolean = false): DataFrame = {
     import org.apache.spark.sql.functions.{broadcast, col, substring_index, udf}
+    if (mappingMode(s.configuration) != "none") {
+      // mapped tables are read-only here; withMeta feeds DML writers,
+      // which commit() refuses before ever planning a read
+      require(!withMeta, s"$table is column-mapped; DML is not supported")
+      val infoOf = s.adds.toMap
+      return readMappedFiles(spark, table, s,
+        kept.map { rel =>
+          val i = infoOf(rel); (rel, i.partitionValues, i.dv)
+        })
+    }
     val byRel = s.adds.toMap
     val root = Paths.get(table).toAbsolutePath.normalize
     val schemaCols = s.schema.fieldNames.map(col).toIndexedSeq
@@ -502,6 +624,79 @@ object DeltaLog {
     }
   }
 
+  /** Scan files of a COLUMN-MAPPED table: physical-schema read (by
+    * parquet FIELD ID in `id` mode — file column names may be
+    * arbitrary), deletion vectors applied, partition columns attached
+    * from the log's `partitionValues` (keyed by PHYSICAL name — the
+    * protocol's authoritative source; mapped writers guarantee no hive
+    * layout), then the physical→logical remap. `files` = (rel path,
+    * partitionValues as recorded, DV). `extraPhys` = unmapped columns
+    * physically present beyond the data schema (the cdc files'
+    * `_change_type`), passed through under their own names.
+    *
+    * One scan covers clean and DV'd files alike — [[graft.functions
+    * .DvAliveF]] passes names without a bitmap, so clean files pay one
+    * codegen'd hash probe per row instead of a second scan+union; fine
+    * for a read-only interop path.
+    */
+  private def readMappedFiles(spark: SparkSession, table: String, s: Snapshot,
+      files: Seq[(String, Seq[(String, String)], Option[DeletionVectors.Descriptor])],
+      extraPhys: Seq[StructField] = Seq.empty): DataFrame = {
+    import org.apache.spark.sql.functions.{broadcast, col, substring_index}
+    val mode = mappingMode(s.configuration)
+    // session-scoped but inert elsewhere: it only changes resolution for
+    // read schemas that CARRY parquet.field.id metadata, which only this
+    // path builds (the iceberg sink stamps ids on its write frames only)
+    if (mode == "id")
+      spark.conf.set("spark.sql.parquet.fieldId.read.enabled", "true")
+    val outSchema = StructType(s.schema.fields ++ extraPhys)
+    if (files.isEmpty)
+      return spark.createDataFrame(spark.sparkContext.emptyRDD[Row], outSchema)
+    val root = Paths.get(table).toAbsolutePath.normalize
+    // both the DV bitmaps and the partition attach key on FILE NAME
+    files.map(_._1).groupBy(fileNameOf).find(_._2.size > 1).foreach { case (n, ps) =>
+      sys.error(s"$table: files share the name $n (${ps.mkString(", ")}); " +
+        "mapped reads key on unique names")
+    }
+    val dataFields = s.schema.fields.filterNot(f => s.partitionColumns.contains(f.name))
+    val physSchema = StructType(
+      physicalReadType(StructType(dataFields), mode == "id")
+        .asInstanceOf[StructType].fields ++ extraPhys)
+    var df = spark.read.schema(physSchema)
+      .parquet(files.map(f => root.resolve(f._1).toString): _*)
+      .withColumn(dvNameCol, substring_index(col("_metadata.file_path"), "/", -1))
+    val bitmaps: Map[String, DeletionVectors.Bitmap] = files.collect {
+      case (rel, _, Some(dv)) if dv.cardinality > 0 => fileNameOf(rel) -> dv.load(root)
+    }.toMap
+    if (bitmaps.nonEmpty) {
+      val bc = spark.sparkContext.broadcast(bitmaps)
+      df = df.withColumn(dvPosCol, col("_metadata.row_index"))
+        .filter(org.apache.spark.sql.GraftShim.column(graft.functions.DvAliveF(
+          org.apache.spark.sql.GraftShim.expression(col(dvNameCol)),
+          org.apache.spark.sql.GraftShim.expression(col(dvPosCol)), bc)))
+    }
+    if (s.partitionColumns.nonEmpty) {
+      val partFields = s.partitionColumns.map(pc => s.schema(s.schema.fieldIndex(pc)))
+      val raw = files.map { case (rel, pvs, _) =>
+        val pv = pvs.toMap
+        Row.fromSeq(fileNameOf(rel) +:
+          partFields.map(f => pv.getOrElse(physName(f), null)))
+      }
+      val rawSchema = StructType(StructField(dvNameCol, StringType) +:
+        partFields.map(f => StructField(f.name, StringType)))
+      // hive-string values cast to the declared types (dates/timestamps/
+      // numerics all serialize castably per the protocol)
+      val lookup = partFields.foldLeft(
+        spark.createDataFrame(raw.asJava, rawSchema))(
+        (d, f) => d.withColumn(f.name, col(quoted(f.name)).cast(f.dataType)))
+      df = df.join(broadcast(lookup), dvNameCol)
+    }
+    df.select(s.schema.fields.toIndexedSeq.map { f =>
+      if (s.partitionColumns.contains(f.name)) col(quoted(f.name))
+      else remapExpr(col(quoted(physName(f))), f.dataType).as(f.name)
+    } ++ extraPhys.map(f => col(quoted(f.name))): _*)
+  }
+
   /** CHANGE DATA FEED batch read (delta-spark's `table_changes`): the
     * change rows of versions `fromVersion..toVersion` (default: current)
     * as table columns + `_change_type` + `_commit_version` +
@@ -534,6 +729,11 @@ object DeltaLog {
     val dir = logDir(table)
     val schema = s.schema
     val schemaCols = schema.fieldNames.map(col).toIndexedSeq
+    val mapped = mappingMode(s.configuration) != "none"
+    def pvOf(a: com.fasterxml.jackson.databind.JsonNode): Seq[(String, String)] =
+      Option(a.get("partitionValues")).map(_.properties().asScala.map(e =>
+        e.getKey -> (if (e.getValue.isNull) null else e.getValue.asText()))
+        .toSeq.sorted).getOrElse(Seq.empty)
     val frames = (fromVersion to hi).flatMap { v =>
       val p = dir.resolve(f"$v%020d.json")
       require(Files.exists(p),
@@ -544,28 +744,36 @@ object DeltaLog {
       val ts = actions.iterator.flatMap(n => Option(n.get("commitInfo")))
         .flatMap(n => Option(n.get("timestamp"))).map(_.asLong())
         .nextOption().getOrElse(Files.getLastModifiedTime(p).toMillis)
-      val cdcFiles = actions.filter(_.has("cdc"))
-        .map(n => decodePath(n.get("cdc").get("path").asText()))
+      val cdcFiles = actions.filter(_.has("cdc")).map(n =>
+        (decodePath(n.get("cdc").get("path").asText()), pvOf(n.get("cdc"))))
       val dcAdds = actions
         .filter(n => n.has("add") &&
           Option(n.get("add").get("dataChange")).forall(_.asBoolean(true)))
-        .map(n => decodePath(n.get("add").get("path").asText()))
+        .map(n => (decodePath(n.get("add").get("path").asText()), pvOf(n.get("add"))))
       val hasDcRemove = actions.exists(n => n.has("remove") &&
         Option(n.get("remove").get("dataChange")).forall(_.asBoolean(true)))
       val base: Option[DataFrame] =
         if (cdcFiles.nonEmpty)
-          Some(spark.read.schema(Cdf.changeSchema(schema))
+          if (mapped)
+            Some(readMappedFiles(spark, table, s,
+              cdcFiles.map { case (f, pv) => (f, pv, None) },
+              Seq(StructField(Cdf.changeTypeCol, StringType))))
+          else Some(spark.read.schema(Cdf.changeSchema(schema))
             .option("basePath", Paths.get(table, Cdf.changeDataDir).toString)
-            .parquet(cdcFiles.map(f => Paths.get(table, f).toString): _*)
+            .parquet(cdcFiles.map(f => Paths.get(table, f._1).toString): _*)
             .select(schemaCols :+ col(Cdf.changeTypeCol): _*))
         else if (hasDcRemove) sys.error(
           s"$table: version $v deleted or updated rows without a change " +
             s"data feed — set ${Cdf.enableProp}=true before running DML " +
             "to record change rows")
         else if (dcAdds.nonEmpty)
-          Some(spark.read.schema(schema)
+          if (mapped)
+            Some(readMappedFiles(spark, table, s,
+              dcAdds.map { case (f, pv) => (f, pv, None) })
+              .withColumn(Cdf.changeTypeCol, lit("insert")))
+          else Some(spark.read.schema(schema)
             .option("basePath", Paths.get(table).toAbsolutePath.normalize.toString)
-            .parquet(dcAdds.map(f => Paths.get(table, f).toString): _*)
+            .parquet(dcAdds.map(f => Paths.get(table, f._1).toString): _*)
             .select(schemaCols: _*)
             .withColumn(Cdf.changeTypeCol, lit("insert")))
         else None // metaData-only / OPTIMIZE commit
@@ -599,33 +807,41 @@ object DeltaLog {
       case None => (s.files, s.adds.size)
       case Some(f) =>
         val conj = StatsPruning.conjunctsOf(spark, f)
+        // mapped tables key stats and partitionValues by PHYSICAL name
+        val physOf: Map[String, String] =
+          if (mappingMode(s.configuration) == "none") Map.empty
+          else s.schema.fields.map(f => f.name -> physName(f)).toMap
         (s.adds.filter { case (_, info) =>
-          val fs = addFileStats(info)
+          val fs = addFileStats(info, physOf)
           conj.forall(c => StatsPruning.mayMatch(fs, c, s.schema))
         }.map(_._1), s.adds.size)
     }
 
   /** [[StatsPruning.FileStats]] view of one add action: bounds and
     * counts parse lazily from the `stats` JSON, partition values stay
-    * hive strings ([[StatsPruning.partValue]] types them).
+    * hive strings ([[StatsPruning.partValue]] types them). `physOf`
+    * translates the caller's logical names to the physical keys a
+    * column-mapped table's stats/partitionValues record.
     */
-  private def addFileStats(info: AddInfo): StatsPruning.FileStats =
+  private def addFileStats(info: AddInfo,
+      physOf: Map[String, String] = Map.empty): StatsPruning.FileStats =
     new StatsPruning.FileStats {
+      private def phys(name: String): String = physOf.getOrElse(name, name)
       private val pv = info.partitionValues.toMap
       private lazy val statsNode = info.stats.flatMap(s =>
         try Some(mapper.readTree(s)) catch { case _: Exception => None })
       private def field(section: String, name: String) =
         statsNode.flatMap(n => Option(n.get(section)))
-          .flatMap(sec => Option(sec.get(name))).filterNot(_.isNull)
+          .flatMap(sec => Option(sec.get(phys(name)))).filterNot(_.isNull)
       def partitionValue(name: String): Option[Any] =
-        if (pv.contains(name)) Some(pv(name)) else None
+        if (pv.contains(phys(name))) Some(pv(phys(name))) else None
       def bounds(name: String, dt: DataType): Option[(Any, Any)] =
         for {
           lo <- field("minValues", name).flatMap(jsonStatValue(_, dt))
           hi <- field("maxValues", name).flatMap(jsonStatValue(_, dt))
         } yield (lo, hi)
       def valueCount(name: String): Option[Long] =
-        if (pv.contains(name)) None
+        if (pv.contains(phys(name))) None
         else statsNode.flatMap(n => Option(n.get("numRecords"))).map(_.asLong)
       def nullCount(name: String): Option[Long] =
         field("nullCount", name).map(_.asLong)
@@ -827,6 +1043,7 @@ object DeltaLog {
         * its rewrites toward real file sizes. */
       targetFileBytes: Long = 128L * 1024 * 1024): Option[Long] = {
     val s = snapshot(spark, table).getOrElse(return None)
+    requireWritable(table, s.configuration)
     zorderBy.foreach { c =>
       require(s.schema.fieldNames.contains(c), s"zorder: no column $c")
       require(!s.partitionColumns.contains(c),
@@ -965,6 +1182,7 @@ object DeltaLog {
     require(p.nonEmpty, "DELETE: empty predicate (use 'true' to delete all rows)")
     val s0 = snapshot(spark, table)
       .getOrElse(sys.error(s"$table is not a Delta table (no _delta_log)"))
+    requireWritable(table, s0.configuration)
     val changes: Option[(DataFrame, DataFrame, StructType) => DataFrame] =
       Some((touched, _, _) =>
         touched.filter(coalesce(expr(p), lit(false)))
@@ -1225,6 +1443,7 @@ object DeltaLog {
       }: _*)
     val s0 = snapshot(spark, table)
       .getOrElse(sys.error(s"$table is not a Delta table (no _delta_log)"))
+    requireWritable(table, s0.configuration)
     if (dvEnabled(s0.configuration))
       // merge-on-read row delta: retract matching positions into the
       // deletion vectors, append the postimages
@@ -1279,6 +1498,7 @@ object DeltaLog {
       clauses: Merge.Clauses): Option[Long] = {
     val s0 = snapshot(spark, table)
       .getOrElse(sys.error(s"$table is not a Delta table (no _delta_log)"))
+    requireWritable(table, s0.configuration)
     clauses.updateCols.foreach(cname =>
       require(s0.schema.fieldNames.contains(cname),
         s"MERGE: no column $cname in $table"))
@@ -1477,6 +1697,14 @@ object DeltaLog {
     var attempt = 0
     while (attempt < 1000) {
       val snap = snapshot(spark, table)
+      // column-mapped tables are READ-ONLY interop (backstop — DML entry
+      // points check earlier, before planning): this writer emits
+      // protocol-1 logical-named files and logical-keyed stats — landing
+      // one in a mapped table would silently null out every mapped
+      // column for conformant readers. Checked on the overlaid config
+      // too, so a CREATE can't arm the mode either.
+      requireWritable(table,
+        snap.map(_.configuration).getOrElse(Map.empty) ++ tableConf)
       txn.foreach { case (app, v) =>
         if (snap.exists(_.appVersions.get(app).exists(_ >= v))) return None
       }

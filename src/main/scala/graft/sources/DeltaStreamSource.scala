@@ -302,6 +302,10 @@ object DeltaStreamSource {
         "feed streams exactly the commits ignore_deletes would drop)")
     val snap = DeltaLog.snapshot(spark, table)
       .getOrElse(sys.error(s"$table is not a Delta table (no _delta_log)"))
+    require(DeltaLog.mappingMode(snap.configuration) == "none",
+      s"$table uses delta.columnMapping: the streaming view hard-links raw " +
+        "physical-named files; read the table in BATCH (DeltaLog.read/" +
+        "readChanges handle the mapping) or rewrite it unmapped to stream")
     // `viewDir` makes the view PERSISTENT: the same directory (and so
     // the same absolute file paths the query's file-source checkpoint
     // recorded) serves across restarts — a reopened view reads its

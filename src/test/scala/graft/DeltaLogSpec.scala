@@ -396,13 +396,14 @@ class DeltaLogSpec extends SparkSpec {
         "\n").getBytes("UTF-8"), java.nio.file.StandardOpenOption.TRUNCATE_EXISTING)
     DeltaLog.clearSnapshotCache()
     assert(DeltaLog.read(spark, table).count() == 1)
-    // column mapping (minReaderVersion 2) is refused too
+    // column mapping (minReaderVersion 2) is an IMPLEMENTED protocol
+    // since r13 (ColumnMappingSpec); a bare protocol-2 upgrade reads fine
     val t2 = tmpTable()
     DeltaLog.writeBatch(Seq((1L, "a")).toDF("id", "v"), t2)
     Files.write(Paths.get(t2, "_delta_log", f"${1L}%020d.json"),
       """{"protocol":{"minReaderVersion":2,"minWriterVersion":5}}""".getBytes("UTF-8"))
     DeltaLog.clearSnapshotCache()
-    intercept[IllegalArgumentException] { DeltaLog.snapshot(spark, t2) }
+    assert(DeltaLog.read(spark, t2).count() == 1)
     // harmless reader features (timestampNtz) pass
     val t3 = tmpTable()
     DeltaLog.writeBatch(Seq((1L, "a")).toDF("id", "v"), t3)
