@@ -57,6 +57,15 @@ object DeltaLog {
   private def logDir(table: String): Path = Paths.get(table, "_delta_log")
   private val VersionRe = """(\d{20})\.json""".r
   private val CheckpointRe = """(\d{20})\.checkpoint\.parquet""".r
+  // third-party checkpoint forms (PROTOCOL.md "Checkpoints"): classic
+  // multi-part (…checkpoint.<part>.<nParts>.parquet, usable only when
+  // every part is present) and V2 (…checkpoint.<uuid>.{parquet,json},
+  // a manifest whose `sidecar` actions name the files holding the
+  // add/remove actions — or inlining them when it has no sidecars)
+  private val CheckpointPartRe =
+    """(\d{20})\.checkpoint\.(\d{10})\.(\d{10})\.parquet""".r
+  private val CheckpointV2Re =
+    """(\d{20})\.checkpoint\.([^.]+)\.(parquet|json)""".r
 
   // Files.list/Files.walk return streams backed by an open directory fd;
   // materialize-and-close so a long-lived streaming sink (snapshot runs
@@ -144,10 +153,31 @@ object DeltaLog {
       case VersionRe(v) if v.toLong <= horizon => Some((v.toLong, p))
       case _ => None
     }).sortBy(_._1)
-    val checkpoints = entries.flatMap(p => p.getFileName.toString match {
-      case CheckpointRe(v) if v.toLong <= horizon => Some((v.toLong, p))
+    // (version, files, isV2) per USABLE checkpoint; a multi-part set
+    // missing any part is unusable (a crashed writer's leftovers) and
+    // simply doesn't participate — the coverage guard below refuses
+    // loudly if the JSON chain can't stand without it
+    val classicCps = entries.flatMap(p => p.getFileName.toString match {
+      case CheckpointRe(v) if v.toLong <= horizon => Some((v.toLong, Seq(p), false))
       case _ => None
-    }).sortBy(_._1)
+    })
+    val multiCps = entries.flatMap(p => p.getFileName.toString match {
+      case CheckpointPartRe(v, i, n) if v.toLong <= horizon =>
+        Some((v.toLong, n.toInt, i.toInt, p))
+      case _ => None
+    }).groupBy(t => (t._1, t._2)).collect {
+      case ((v, n), ps) if ps.map(_._3).toSet == (1 to n).toSet =>
+        (v, ps.sortBy(_._3).map(_._4), false)
+    }
+    val v2Cps = entries.flatMap(p => p.getFileName.toString match {
+      case CheckpointV2Re(v, _, _) if v.toLong <= horizon =>
+        Some((v.toLong, Seq(p), true))
+      case _ => None
+    })
+    // one form per version, classic/multi-part preferred (no sidecar hop)
+    val checkpoints = (classicCps ++ multiCps ++ v2Cps).groupBy(_._1)
+      .map { case (_, forms) => forms.find(!_._3).getOrElse(forms.head) }
+      .toSeq.sortBy(_._1)
     if (jsons.isEmpty && checkpoints.isEmpty) return None
     asOf.foreach { v =>
       require((jsons.map(_._1) ++ checkpoints.map(_._1)).max == v,
@@ -163,8 +193,7 @@ object DeltaLog {
     val adds = scala.collection.mutable.LinkedHashMap.empty[String, AddInfo]
     val appVersions = scala.collection.mutable.Map.empty[String, Long]
 
-    def applyJson(p: Path): Unit =
-      Files.readAllLines(p).asScala.filter(_.nonEmpty).foreach { line =>
+    def applyJsonLine(line: String): Unit = {
         val n = mapper.readTree(line)
         if (n.has("protocol")) checkProtocol(table, n.get("protocol"))
         if (n.has("metaData")) {
@@ -195,6 +224,100 @@ object DeltaLog {
         }
       }
 
+    def applyJson(p: Path): Unit =
+      Files.readAllLines(p).asScala.filter(_.nonEmpty).foreach(applyJsonLine)
+
+    /** One checkpoint parquet row (classic part, v2 manifest, or v2
+      * sidecar — every section presence-guarded; sidecar rows are
+      * handled by the caller). Removes are tombstones (vacuum fodder):
+      * state reconstruction applies adds only.
+      */
+    def applyCheckpointRow(r: Row): Unit = {
+      val i = r.fieldIndex _
+      if (r.schema.fieldNames.contains("protocol") && !r.isNullAt(i("protocol"))) {
+        val pr = r.getStruct(i("protocol"))
+        val node = mapper.createObjectNode()
+        node.put("minReaderVersion",
+          Option(pr.getAs[Any]("minReaderVersion"))
+            .collect { case n: Number => n.intValue() }.getOrElse(1))
+        if (pr.schema.fieldNames.contains("readerFeatures") &&
+            pr.getAs[Any]("readerFeatures") != null) {
+          val arr = node.putArray("readerFeatures")
+          pr.getAs[scala.collection.Seq[String]]("readerFeatures")
+            .foreach(arr.add)
+        }
+        checkProtocol(table, node)
+      }
+      if (r.schema.fieldNames.contains("metaData") && !r.isNullAt(i("metaData"))) {
+        val m = r.getStruct(i("metaData"))
+        metaId = m.getAs[String]("id")
+        schemaJson = m.getAs[String]("schemaString")
+        partCols = m.getAs[scala.collection.Seq[String]]("partitionColumns").toSeq
+        createdTime = m.getAs[Long]("createdTime")
+        config = Option(m.getAs[scala.collection.Map[String, String]]("configuration"))
+          .map(_.toMap).getOrElse(Map.empty)
+      }
+      if (r.schema.fieldNames.contains("txn") && !r.isNullAt(i("txn"))) {
+        val t = r.getStruct(i("txn"))
+        appVersions += t.getAs[String]("appId") -> t.getAs[Long]("version")
+      }
+      if (r.schema.fieldNames.contains("add") && !r.isNullAt(i("add"))) {
+        val a = r.getStruct(i("add"))
+        val dv =
+          if (a.schema.fieldNames.contains("deletionVector") &&
+              a.getAs[Any]("deletionVector") != null) {
+            val d = a.getStruct(a.fieldIndex("deletionVector"))
+            Some(DeletionVectors.Descriptor(
+              d.getAs[String]("storageType"),
+              d.getAs[String]("pathOrInlineDv"),
+              Option(d.getAs[Any]("offset"))
+                .collect { case n: Number => n.intValue() },
+              d.getAs[Int]("sizeInBytes"),
+              d.getAs[Long]("cardinality")))
+          } else None
+        adds += decodePath(a.getAs[String]("path")) -> AddInfo(
+          a.getAs[Long]("size"), a.getAs[Long]("modificationTime"),
+          a.getAs[scala.collection.Map[String, String]]("partitionValues").toSeq.sorted,
+          // pre-r10 checkpoints have no stats column
+          if (a.schema.fieldNames.contains("stats"))
+            Option(a.getAs[String]("stats"))
+          else None,
+          dv)
+      }
+    }
+
+    /** V2 checkpoint: apply the manifest's non-file actions, collect its
+      * `sidecar` actions, then apply every sidecar file's add/remove
+      * rows. Sidecar paths are file names under _delta_log/_sidecars/
+      * (the spec's relative form); absolute paths refuse loudly like
+      * shallow-clone adds do.
+      */
+    def applyV2Checkpoint(manifest: Path): Unit = {
+      val sidecars = scala.collection.mutable.Buffer.empty[String]
+      if (manifest.getFileName.toString.endsWith(".json"))
+        Files.readAllLines(manifest).asScala.filter(_.nonEmpty).foreach { line =>
+          val n = mapper.readTree(line)
+          if (n.has("sidecar")) sidecars += n.get("sidecar").get("path").asText()
+          else if (!n.has("checkpointMetadata")) applyJsonLine(line)
+        }
+      else spark.read.parquet(manifest.toString).collect().foreach { r =>
+        if (r.schema.fieldNames.contains("sidecar") &&
+            !r.isNullAt(r.fieldIndex("sidecar")))
+          sidecars += r.getStruct(r.fieldIndex("sidecar")).getAs[String]("path")
+        else applyCheckpointRow(r)
+      }
+      if (sidecars.nonEmpty) {
+        val dir = logDir(table).resolve("_sidecars")
+        val paths = sidecars.map { s =>
+          require(!s.contains("://") && !s.startsWith("/"),
+            s"$table: v2 checkpoint sidecar '$s' is absolute; this reader " +
+              "resolves sidecars under _delta_log/_sidecars/ only")
+          dir.resolve(decodePath(s)).toString
+        }
+        spark.read.parquet(paths.toSeq: _*).collect().foreach(applyCheckpointRow)
+      }
+    }
+
     // INCREMENTAL fast path: a cached snapshot at c ≤ target whose JSON
     // tail (c, target] is fully present — seed state from the cache and
     // replay only the tail; no checkpoint parquet collect, no full-log
@@ -206,7 +329,7 @@ object DeltaLog {
         // identity: the log file that backed the cached version must still
         // be the SAME file — a recreated table at this path fails here
         (jsons.find(_._1 == c.version).map(_._2) orElse
-          checkpoints.find(_._1 == c.version).map(_._2))
+          checkpoints.find(_._1 == c.version).map(_._2.head))
           .exists(p => try logFileId(p) == id catch { case _: java.io.IOException => false }) =>
         c
     }
@@ -224,63 +347,22 @@ object DeltaLog {
         jsons.filter(_._1 > c.version).foreach { case (_, p) => applyJson(p) }
       case None =>
         val cpVersion: Long = checkpoints.lastOption match {
-          case Some((v, p)) =>
-            spark.read.parquet(p.toString).collect().foreach { r =>
-              val i = r.fieldIndex _
-              if (r.schema.fieldNames.contains("protocol") && !r.isNullAt(i("protocol"))) {
-                val pr = r.getStruct(i("protocol"))
-                val node = mapper.createObjectNode()
-                node.put("minReaderVersion",
-                  Option(pr.getAs[Any]("minReaderVersion"))
-                    .collect { case n: Number => n.intValue() }.getOrElse(1))
-                if (pr.schema.fieldNames.contains("readerFeatures") &&
-                    pr.getAs[Any]("readerFeatures") != null) {
-                  val arr = node.putArray("readerFeatures")
-                  pr.getAs[scala.collection.Seq[String]]("readerFeatures")
-                    .foreach(arr.add)
-                }
-                checkProtocol(table, node)
-              }
-              if (!r.isNullAt(i("metaData"))) {
-                val m = r.getStruct(i("metaData"))
-                metaId = m.getAs[String]("id")
-                schemaJson = m.getAs[String]("schemaString")
-                partCols = m.getAs[scala.collection.Seq[String]]("partitionColumns").toSeq
-                createdTime = m.getAs[Long]("createdTime")
-                config = Option(m.getAs[scala.collection.Map[String, String]]("configuration"))
-                  .map(_.toMap).getOrElse(Map.empty)
-              }
-              if (!r.isNullAt(i("txn"))) {
-                val t = r.getStruct(i("txn"))
-                appVersions += t.getAs[String]("appId") -> t.getAs[Long]("version")
-              }
-              if (!r.isNullAt(i("add"))) {
-                val a = r.getStruct(i("add"))
-                val dv =
-                  if (a.schema.fieldNames.contains("deletionVector") &&
-                      a.getAs[Any]("deletionVector") != null) {
-                    val d = a.getStruct(a.fieldIndex("deletionVector"))
-                    Some(DeletionVectors.Descriptor(
-                      d.getAs[String]("storageType"),
-                      d.getAs[String]("pathOrInlineDv"),
-                      Option(d.getAs[Any]("offset"))
-                        .collect { case n: Number => n.intValue() },
-                      d.getAs[Int]("sizeInBytes"),
-                      d.getAs[Long]("cardinality")))
-                  } else None
-                adds += decodePath(a.getAs[String]("path")) -> AddInfo(
-                  a.getAs[Long]("size"), a.getAs[Long]("modificationTime"),
-                  a.getAs[scala.collection.Map[String, String]]("partitionValues").toSeq.sorted,
-                  // pre-r10 checkpoints have no stats column
-                  if (a.schema.fieldNames.contains("stats"))
-                    Option(a.getAs[String]("stats"))
-                  else None,
-                  dv)
-              }
-            }
+          case Some((v, paths, isV2)) =>
+            if (isV2) applyV2Checkpoint(paths.head)
+            else spark.read.parquet(paths.map(_.toString): _*)
+              .collect().foreach(applyCheckpointRow)
             v
           case None => -1L
         }
+        // COVERAGE guard: the replay base (version 0, or the newest
+        // usable checkpoint) plus the JSON tail must cover every commit
+        // up to the target — a log whose head was aged out past an
+        // incomplete/unreadable checkpoint must refuse, not silently
+        // return the tail's files as the whole table
+        require(jsons.map(_._1).filter(_ > cpVersion) == (cpVersion + 1 to target),
+          s"$table: _delta_log does not cover versions ${cpVersion + 1}..$target " +
+            "contiguously (commits aged out past a missing, incomplete-multipart, " +
+            "or unreadable checkpoint); refusing to return a partial table")
         jsons.filter(_._1 > cpVersion).foreach { case (_, p) => applyJson(p) }
     }
     require(schemaJson != null, s"$table: no metaData action in _delta_log")
@@ -292,7 +374,7 @@ object DeltaLog {
     // table whose cache entry is ahead of the new log
     if (asOf.isEmpty) {
       val backing = jsons.find(_._1 == target).map(_._2)
-        .orElse(checkpoints.find(_._1 == target).map(_._2))
+        .orElse(checkpoints.find(_._1 == target).map(_._2.head))
       backing.foreach(p =>
         try snapCache.put(cacheKey(table), (snap, logFileId(p)))
         catch { case _: java.io.IOException => /* raced a cleanup: skip */ })
@@ -377,7 +459,7 @@ object DeltaLog {
     * silently return nulls for every mapped column.
     */
   private val supportedReaderFeatures =
-    Set("timestampNtz", "deletionVectors", "columnMapping")
+    Set("timestampNtz", "deletionVectors", "columnMapping", "v2Checkpoint")
 
   // ── column mapping (PROTOCOL.md "Column Mapping") — read-side interop ──
   //

@@ -1,0 +1,145 @@
+package graft
+
+import graft.sinks.DeltaLog
+import org.apache.spark.sql.Row
+
+import java.nio.file.{Files, Path, Paths, StandardCopyOption}
+import scala.jdk.CollectionConverters._
+
+/** Third-party delta CHECKPOINT forms (PROTOCOL.md "Checkpoints"):
+  * multi-part classic checkpoints (`…checkpoint.<part>.<n>.parquet` —
+  * what delta-spark writes for large tables), V2 checkpoints
+  * (`…checkpoint.<uuid>.{parquet,json}` manifests with `sidecar`
+  * actions under `_delta_log/_sidecars/`, the `v2Checkpoint` reader
+  * feature), and the COVERAGE guard: a log whose head was aged out
+  * past a missing/incomplete checkpoint must refuse loudly instead of
+  * silently returning the JSON tail's files as the whole table.
+  */
+class CheckpointInteropSpec extends SparkSpec {
+
+  private def tmpTable(): String =
+    Files.createTempDirectory("delta_cp_interop").resolve("t").toString
+
+  private def logDir(table: String): Path = Paths.get(table, "_delta_log")
+
+  /** Two single-file commits (versions 0 and 1, one row each) plus a
+    * classic checkpoint at v1. Returns (table, classic checkpoint path).
+    */
+  private def tableWithCheckpoint(): (String, Path) = {
+    import spark.implicits._
+    val table = tmpTable()
+    DeltaLog.writeBatch(Seq((1L, "a")).toDF("id", "v").coalesce(1), table)
+    DeltaLog.writeBatch(Seq((2L, "b")).toDF("id", "v").coalesce(1), table)
+    DeltaLog.writeCheckpoint(spark, table, 1L)
+    (table, logDir(table).resolve(f"${1L}%020d.checkpoint.parquet"))
+  }
+
+  private def deleteJsons(table: String): Unit =
+    Seq(0L, 1L).foreach(v =>
+      Files.delete(logDir(table).resolve(f"$v%020d.json")))
+
+  /** Write `rows` (schema `sch`) as ONE parquet file at `dest`. */
+  private def oneFile(rows: Seq[Row], sch: org.apache.spark.sql.types.StructType,
+      dest: Path): Unit = {
+    val scratch = Files.createTempDirectory("cp_part")
+    spark.createDataFrame(rows.asJava, sch).coalesce(1)
+      .write.mode("overwrite").parquet(scratch.resolve("w").toString)
+    val part = Files.list(scratch.resolve("w")).iterator().asScala
+      .find(_.getFileName.toString.endsWith(".parquet")).get
+    Files.move(part, dest, StandardCopyOption.REPLACE_EXISTING)
+  }
+
+  test("multi-part classic checkpoints read (all parts unioned); incomplete sets refuse") {
+    val (table, cp) = tableWithCheckpoint()
+    val df = spark.read.parquet(cp.toString)
+    val all = df.collect().toSeq
+    val iAdd = df.schema.fieldIndex("add")
+    val (addRows, metaRows) = all.partition(r => !r.isNullAt(iAdd))
+    assert(addRows.size == 2 && metaRows.nonEmpty)
+    // the multi-part layout delta-spark writes for big tables: actions
+    // spread across parts in no particular order
+    oneFile(metaRows ++ addRows.take(1), df.schema,
+      logDir(table).resolve(f"${1L}%020d.checkpoint.${1}%010d.${2}%010d.parquet"))
+    oneFile(addRows.drop(1), df.schema,
+      logDir(table).resolve(f"${1L}%020d.checkpoint.${2}%010d.${2}%010d.parquet"))
+    Files.delete(cp)
+    // age out v0 only: v1's JSON survives, so the incomplete-set case
+    // below exercises the coverage guard, not the empty-log path
+    Files.delete(logDir(table).resolve(f"${0L}%020d.json"))
+    DeltaLog.clearSnapshotCache()
+    val got = DeltaLog.read(spark, table).collect().map(_.getLong(0)).sorted
+    assert(got.toSeq == Seq(1L, 2L))
+    // a part goes missing (crashed writer / partial copy): the set is
+    // unusable and the aged log can no longer stand — refuse loudly
+    Files.delete(logDir(table)
+      .resolve(f"${1L}%020d.checkpoint.${2}%010d.${2}%010d.parquet"))
+    DeltaLog.clearSnapshotCache()
+    val e = intercept[IllegalArgumentException] { DeltaLog.read(spark, table) }
+    assert(e.getMessage.contains("does not cover"), e.getMessage)
+  }
+
+  test("v2 checkpoint, parquet manifest with inline file actions") {
+    val (table, cp) = tableWithCheckpoint()
+    // a classic checkpoint's rows ARE the v2 inline shape (no sidecars);
+    // only the name differs — pins that v2 naming alone doesn't derail
+    Files.copy(cp, logDir(table).resolve(
+      f"${1L}%020d.checkpoint.3a0c9f44-1111-2222-3333-444455556666.parquet"))
+    Files.delete(cp)
+    deleteJsons(table)
+    DeltaLog.clearSnapshotCache()
+    val got = DeltaLog.read(spark, table).collect().map(_.getLong(0)).sorted
+    assert(got.toSeq == Seq(1L, 2L))
+  }
+
+  test("v2 checkpoint, json manifest + parquet sidecar; v2Checkpoint reader feature accepted") {
+    val (table, cp) = tableWithCheckpoint()
+    val df = spark.read.parquet(cp.toString)
+    // sidecar: the add actions only, under _delta_log/_sidecars/
+    val addDf = df.select("add").where(df.col("add").isNotNull)
+    val sidecarDir = logDir(table).resolve("_sidecars")
+    Files.createDirectories(sidecarDir)
+    oneFile(addDf.collect().toSeq, addDf.schema,
+      sidecarDir.resolve("00000000-aaaa-bbbb-cccc-000000000001.parquet"))
+    // manifest: protocol (with the v2Checkpoint feature), the original
+    // metaData line, checkpointMetadata, and the sidecar pointer
+    val v0 = Files.readAllLines(logDir(table).resolve(f"${0L}%020d.json")).asScala
+    val metaLine = v0.find(_.contains("\"metaData\"")).get
+    val manifest =
+      """{"protocol":{"minReaderVersion":3,"minWriterVersion":7,""" +
+        """"readerFeatures":["v2Checkpoint"],"writerFeatures":["v2Checkpoint"]}}""" + "\n" +
+      metaLine + "\n" +
+      """{"checkpointMetadata":{"version":1}}""" + "\n" +
+      """{"sidecar":{"path":"00000000-aaaa-bbbb-cccc-000000000001.parquet",""" +
+        """"sizeInBytes":1024,"modificationTime":0}}""" + "\n"
+    Files.write(logDir(table).resolve(
+      f"${1L}%020d.checkpoint.bb00c1e4-0b57-4c14-9f44-000000000002.json"),
+      manifest.getBytes("UTF-8"))
+    Files.delete(cp)
+    deleteJsons(table)
+    DeltaLog.clearSnapshotCache()
+    val snap = DeltaLog.snapshot(spark, table).get
+    assert(snap.version == 1L && snap.adds.size == 2)
+    val got = DeltaLog.read(spark, table).collect().map(_.getLong(0)).sorted
+    assert(got.toSeq == Seq(1L, 2L))
+    // absolute sidecar paths refuse (consistent with shallow-clone adds)
+    Files.write(logDir(table).resolve(
+      f"${1L}%020d.checkpoint.bb00c1e4-0b57-4c14-9f44-000000000002.json"),
+      manifest.replace(
+        "\"path\":\"00000000-aaaa-bbbb-cccc-000000000001.parquet\"",
+        "\"path\":\"/elsewhere/sidecar.parquet\"").getBytes("UTF-8"))
+    DeltaLog.clearSnapshotCache()
+    val e = intercept[IllegalArgumentException] { DeltaLog.read(spark, table) }
+    assert(e.getMessage.contains("sidecar"), e.getMessage)
+  }
+
+  test("aged log with NO usable checkpoint refuses — never a silent partial table") {
+    import spark.implicits._
+    val table = tmpTable()
+    DeltaLog.writeBatch(Seq((1L, "a")).toDF("id", "v").coalesce(1), table)
+    DeltaLog.writeBatch(Seq((2L, "b")).toDF("id", "v").coalesce(1), table)
+    Files.delete(logDir(table).resolve(f"${0L}%020d.json"))
+    DeltaLog.clearSnapshotCache()
+    val e = intercept[IllegalArgumentException] { DeltaLog.read(spark, table) }
+    assert(e.getMessage.contains("does not cover"), e.getMessage)
+  }
+}

@@ -378,17 +378,17 @@ class DeltaLogSpec extends SparkSpec {
     DeltaLog.writeBatch(Seq((1L, "a")).toDF("id", "v"), table)
     assert(DeltaLog.read(spark, table).count() == 1)
     // a third-party writer upgrades the table to a reader feature this
-    // engine doesn't implement (v2 checkpoints here — deletion vectors
-    // ARE implemented since r11, DeletionVectorSpec): ignoring it could
-    // silently misread — refuse instead
+    // engine doesn't implement (type widening here — deletion vectors,
+    // column mapping, and v2 checkpoints ARE implemented now): ignoring
+    // it could silently misread — refuse instead
     val log = Paths.get(table, "_delta_log")
     Files.write(log.resolve(f"${1L}%020d.json"),
       ("""{"protocol":{"minReaderVersion":3,"minWriterVersion":7,""" +
-        """"readerFeatures":["v2Checkpoint"],"writerFeatures":["v2Checkpoint"]}}""" +
+        """"readerFeatures":["typeWidening"],"writerFeatures":["typeWidening"]}}""" +
         "\n").getBytes("UTF-8"))
     DeltaLog.clearSnapshotCache()
     val e = intercept[IllegalArgumentException] { DeltaLog.read(spark, table).count() }
-    assert(e.getMessage.contains("v2Checkpoint"), e.getMessage)
+    assert(e.getMessage.contains("typeWidening"), e.getMessage)
     // deletionVectors, in contrast, is an IMPLEMENTED reader feature now
     Files.write(log.resolve(f"${1L}%020d.json"),
       ("""{"protocol":{"minReaderVersion":3,"minWriterVersion":7,""" +
