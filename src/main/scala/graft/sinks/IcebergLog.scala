@@ -163,7 +163,11 @@ object IcebergLog {
     * decode sees the current 11-field `data_file` struct.
     */
   private[graft] def manifestEntryType(partType: StructType,
-      withEqIds: Boolean = true): StructType = StructType(Seq(
+      withEqIds: Boolean = true,
+      /** v3 deletion-vector fields (143-145) — projection-only: this
+        * writer never emits them, but a v3 reader must bind them.
+        */
+      withDv: Boolean = false): StructType = StructType(Seq(
     StructField("status", IntegerType, nullable = false, idMeta(0)),
     StructField("snapshot_id", LongType, nullable = true, idMeta(1)),
     StructField("sequence_number", LongType, nullable = true, idMeta(3)),
@@ -183,6 +187,11 @@ object IcebergLog {
       // delete) entries — the field ids the delete matches on
       (if (withEqIds) Seq(StructField("equality_ids",
         ArrayType(IntegerType, containsNull = false), nullable = true, idMeta(135)))
+       else Seq.empty) ++
+      (if (withDv) Seq(
+        StructField("referenced_data_file", StringType, nullable = true, idMeta(143)),
+        StructField("content_offset", LongType, nullable = true, idMeta(144)),
+        StructField("content_size_in_bytes", LongType, nullable = true, idMeta(145)))
        else Seq.empty)),
       nullable = false, idMeta(2))))
 
@@ -333,6 +342,8 @@ object IcebergLog {
         .find(f => Option(f.get("id")).exists(_.asInt() == id))
         .map(f => sparkType(f.get("type").asText()))
     }
+    def formatVersion: Int =
+      Option(node.get("format-version")).map(_.asInt()).getOrElse(1)
     def currentSnapshotId: Long = node.get("current-snapshot-id").asLong()
     def snapshots: Seq[com.fasterxml.jackson.databind.JsonNode] =
       (0 until node.get("snapshots").size()).map(node.get("snapshots").get(_))
@@ -386,15 +397,31 @@ object IcebergLog {
     if (versions.isEmpty) return None
     val v = versions.max
     val node = mapper.readTree(Files.readAllBytes(dir.resolve(s"v$v.metadata.json")))
-    // this engine implements format-version 2 (row-level deletes,
-    // sequence numbers). A v1 table has NO sequence numbers — reading it
-    // with v2 rules would mis-order equality-delete applicability;
-    // refuse loudly rather than over- or under-return rows
+    // this engine WRITES format-version 2 and READS 2 and 3 (r13: v3
+    // differs on the read side by puffin deletion vectors, which
+    // [[deleteFiles]]/[[readWithDeletes]] implement). A v1 table has NO
+    // sequence numbers — reading it with v2 rules would mis-order
+    // equality-delete applicability; refuse loudly rather than guess
     val fv = Option(node.get("format-version")).map(_.asInt()).getOrElse(1)
-    require(fv == 2,
-      s"$table is Iceberg format-version $fv; this engine implements " +
-        "format-version 2 (sequence numbers, row-level deletes) — " +
-        "refusing to guess v1 semantics")
+    require(fv == 2 || fv == 3,
+      s"$table is Iceberg format-version $fv; this engine reads " +
+        "format-versions 2 and 3 (sequence numbers, row-level deletes, " +
+        "v3 deletion vectors) — refusing to guess other semantics")
+    if (fv == 3) {
+      // v3 READ features this engine does not implement must refuse,
+      // not silently change returned rows: a field's initial-default
+      // fills the column for files written BEFORE the field existed —
+      // returning null there instead would be a silent wrong answer
+      val schemas = node.get("schemas")
+      for (si <- 0 until schemas.size(); f = schemas.get(si).get("fields");
+           fi <- 0 until f.size()) {
+        val fld = f.get(fi)
+        require(!fld.has("initial-default") || fld.get("initial-default").isNull,
+          s"$table: v3 schema field '${fld.get("name").asText()}' carries " +
+            "initial-default, which this reader does not implement; " +
+            "refusing to return nulls where the default applies")
+      }
+    }
     Some(Meta(v, node))
   }
 
@@ -586,7 +613,6 @@ object IcebergLog {
   private def readEntriesUncached(path: String, partType: StructType): Seq[Row] = {
     val in = Files.newInputStream(localPath(path))
     try {
-      var legacy = false
       val rows = AvroCodec.readOcfResolvingRows(in, meta => {
         val ws = meta.getOrElse("avro.schema", "")
         // our own wire shapes decode POSITIONALLY (no per-record name
@@ -594,18 +620,25 @@ object IcebergLog {
         // from iceberg-java/pyiceberg with the full spec field set in
         // its own order — decodes by the embedded writer schema and
         // projects onto our shape BY NAME (spec field names are
-        // normative), unknown fields skipped
+        // normative), unknown fields skipped. The foreign projection
+        // includes the v3 deletion-vector fields (143-145)
         if (ws == manifestEntrySchemaJson(partType))
           Left(manifestEntryType(partType))
-        else if (ws == manifestEntrySchemaJson(partType, withEqIds = false)) {
-          legacy = true
+        else if (ws == manifestEntrySchemaJson(partType, withEqIds = false))
           Left(manifestEntryType(partType, withEqIds = false))
-        } else Right(manifestEntryType(partType))
+        else Right(manifestEntryType(partType, withDv = true))
       }).toSeq
-      if (!legacy) rows
-      else rows.map { e =>
+      // normalize every data_file struct to the WIDEST shape (eq_ids +
+      // dv fields, 14) so consumers index one layout; re-serialization
+      // of survivor entries is unaffected (the avro writer walks its
+      // 11-field schema, trailing row fields ignored)
+      val width = manifestEntryType(partType, withDv = true)
+        .fields(4).dataType.asInstanceOf[StructType].size
+      rows.map { e =>
         val df = e.getStruct(4)
-        Row(e.get(0), e.get(1), e.get(2), e.get(3), Row.fromSeq(df.toSeq :+ null))
+        if (df.size == width) e
+        else Row(e.get(0), e.get(1), e.get(2), e.get(3),
+          Row.fromSeq(df.toSeq ++ Seq.fill(width - df.size)(null)))
       }
     } finally in.close()
   }
@@ -875,6 +908,13 @@ object IcebergLog {
     while (attempt < 1000) {
       attempt += 1
       val cur = current(table)
+      // v3 tables are READ-ONLY interop: this writer emits v2 metadata
+      // and manifests — a v2 snapshot appended to a v3 log would strand
+      // the table between versions (and silently drop v3 row lineage)
+      cur.foreach(m => require(m.formatVersion == 2,
+        s"$table is Iceberg format-version ${m.formatVersion}; this " +
+          "engine writes format-version 2 only — the table stays " +
+          "readable (read/scan/time travel), rewrite it as v2 to take writes"))
       txn.foreach { case (app, v) =>
         if (cur.exists(_.appVersions.get(app).exists(_ >= v))) return None
       }
@@ -1323,7 +1363,16 @@ object IcebergLog {
         * applies only to data files in the same partition — the spec's
         * pruning rule, what confines the anti-join rent.
         */
-      partition: Seq[(String, Any)] = Seq.empty) {
+      partition: Seq[(String, Any)] = Seq.empty,
+      /** v3 DELETION VECTOR triple (manifest fields 143-145): `path`
+        * then names a puffin file and the blob reads at
+        * [contentOffset, +contentSize) — one DV per referenced data
+        * file, superseding position-delete rows for it.
+        */
+      referencedDataFile: Option[String] = None,
+      contentOffset: Option[Long] = None,
+      contentSize: Option[Long] = None) {
+    def isDv: Boolean = contentOffset.isDefined
     def pathLo: Option[String] = lower.get(deletePathFieldId)
       .map(b => boundValue(b, StringType).asInstanceOf[String])
     def pathHi: Option[String] = upper.get(deletePathFieldId)
@@ -1383,6 +1432,25 @@ object IcebergLog {
             // list (the v2 inheritance rule third-party writers rely
             // on); coercing to 0 would exempt every data file from the
             // delete — silent over-return
+            // v3 deletion vectors: file_format=puffin position deletes
+            // MUST carry the blob triple (spec fields 143-145); a
+            // puffin entry without it is unreadable — refuse, never
+            // over-return the rows it would have deleted
+            val isPuffin = df.getString(2) != null &&
+              df.getString(2).equalsIgnoreCase("puffin")
+            val refFile = Option(df.get(11)).map(_.asInstanceOf[String])
+            val cOff = Option(df.get(12)).map(_.asInstanceOf[Long])
+            val cSize = Option(df.get(13)).map(_.asInstanceOf[Long])
+            if (isPuffin) {
+              require(df.getInt(0) == 1,
+                s"$table: puffin delete file ${df.getString(1)} has " +
+                  s"content=${df.getInt(0)}; deletion vectors are position " +
+                  "deletes (content=1) — refusing to guess")
+              require(refFile.isDefined && cOff.isDefined && cSize.isDefined,
+                s"$table: puffin deletion vector ${df.getString(1)} lacks " +
+                  "referenced_data_file/content_offset/content_size_in_bytes " +
+                  "(manifest fields 143-145); refusing to over-return its rows")
+            }
             DeleteFile(df.getInt(0), df.getString(1), df.getLong(5),
               df.getLong(4),
               e.get(2) match { case l: java.lang.Long => l
@@ -1394,7 +1462,10 @@ object IcebergLog {
               eqIds,
               e,
               partition = mPartType.fieldNames.toSeq
-                .zip(df.getStruct(3).toSeq))
+                .zip(df.getStruct(3).toSeq),
+              referencedDataFile = if (isPuffin) refFile else None,
+              contentOffset = if (isPuffin) cOff else None,
+              contentSize = if (isPuffin) cSize else None)
           }
       }
   }
@@ -1442,8 +1513,17 @@ object IcebergLog {
   private[graft] def splitByDeletes(files: Seq[LiveFile], dels: Seq[DeleteFile],
       schema: StructType): (Seq[LiveFile], Seq[LiveFile]) = {
     if (dels.isEmpty) return (files, Seq.empty)
-    val (posDels, eqDels) = dels.partition(_.content == 1)
+    val (posDels0, eqDels) = dels.partition(_.content == 1)
+    val (dvDels, posDels) = posDels0.partition(_.isDv)
     val dirty = new Array[Boolean](files.length)
+    if (dvDels.nonEmpty) {
+      // a DV names its data file exactly (field 143): only that file is
+      // dirty. A DV whose referenced file is no longer live is inert
+      // (the file was rewritten/removed after the DV landed)
+      val idxByPath = files.zipWithIndex.map { case (f, i) => f.path -> i }.toMap
+      dvDels.foreach(d =>
+        d.referencedDataFile.flatMap(idxByPath.get).foreach(dirty(_) = true))
+    }
     if (posDels.nonEmpty) {
       val byPath = files.zipWithIndex.sortBy(_._1.path).toArray
       val paths = byPath.map(_._1.path)
@@ -1519,7 +1599,7 @@ object IcebergLog {
     import org.apache.spark.sql.functions.{broadcast, col, substring_index}
     import spark.implicits._
     requireUniqueNames(table, dirty.map(_.path), "live data files")
-    val posDels = dels.filter(_.content == 1)
+    val (dvDels, posDels) = dels.filter(_.content == 1).partition(_.isDv)
     val eqGroups = dels.filter(_.content == 2).groupBy(_.eqFieldIds).toSeq
     val r0 = spark.read.schema(schema)
     val r = basePath.map(r0.option("basePath", _)).getOrElse(r0)
@@ -1527,6 +1607,24 @@ object IcebergLog {
       .withColumn(posNameCol,
         substring_index(col("_metadata.file_path"), "/", -1))
       .withColumn(posPosCol, col("_metadata.row_index"))
+    if (dvDels.nonEmpty) {
+      // v3 DELETION VECTORS: one roaring bitmap per referenced data
+      // file, loaded driver-side (bounded by the DV count) and filtered
+      // via the same codegen'd broadcast probe the delta DV read uses —
+      // no anti-join, clean rows pay one hash probe. v3 writers keep at
+      // most one DV per file; a duplicate unions conservatively
+      val byName: Map[String, DeletionVectors.Bitmap] = dvDels
+        .groupBy(d0 => fileNameOf(d0.referencedDataFile.get))
+        .map { case (n, ds) =>
+          n -> ds.map(d0 => DeletionVectors.loadIcebergDv(
+              localPath(d0.path), d0.contentOffset.get, d0.contentSize.get))
+            .reduce((a, b) => DeletionVectors.union(a, b.positions))
+        }
+      val bc = spark.sparkContext.broadcast(byName)
+      d = d.filter(org.apache.spark.sql.GraftShim.column(graft.functions.DvAliveF(
+        org.apache.spark.sql.GraftShim.expression(col(posNameCol)),
+        org.apache.spark.sql.GraftShim.expression(col(posPosCol)), bc)))
+    }
     if (eqGroups.nonEmpty)
       // each row's own data sequence number, for the eq applicability rule
       d = d.join(broadcast(dirty.map(f => (fileNameOf(f.path), f.dataSeq))
@@ -1578,16 +1676,71 @@ object IcebergLog {
       dels: Seq[DeleteFile]): Option[DataFrame] = {
     import org.apache.spark.sql.functions.{broadcast, col, substring_index}
     if (dirty.isEmpty || dels.isEmpty) return None
-    requireUniqueNames(table, dirty, "live data files")
     val delDf0 = spark.read.schema(deleteFileSchema).parquet(dels.map(_.path): _*)
       .select(substring_index(col("file_path"), "/", -1).as(posNameCol),
         col("pos").as(posPosCol))
     val delDf = if (dels.map(_.records).sum <= 4000000L) broadcast(delDf0) else delDf0
+    retractedAt(spark, table, schema, basePath, dirty, delDf)
+  }
+
+  /** Semi-join core of the retraction changelog: the rows of `dirty`
+    * whose (file name, row index) appear in `positions`.
+    */
+  private def retractedAt(spark: SparkSession, table: String,
+      schema: StructType, basePath: String, dirty: Seq[String],
+      positions: DataFrame): Option[DataFrame] = {
+    import org.apache.spark.sql.functions.{col, substring_index}
+    if (dirty.isEmpty) return None
+    requireUniqueNames(table, dirty, "live data files")
     Some(spark.read.schema(schema).option("basePath", basePath).parquet(dirty: _*)
       .withColumn(posNameCol, substring_index(col("_metadata.file_path"), "/", -1))
       .withColumn(posPosCol, col("_metadata.row_index"))
-      .join(delDf, Seq(posNameCol, posPosCol), "left_semi")
+      .join(positions, Seq(posNameCol, posPosCol), "left_semi")
       .select(schema.fieldNames.map(col).toIndexedSeq: _*))
+  }
+
+  /** The rows newly retracted by this snapshot's DELETION VECTORS: each
+    * DV supersedes the referenced file's PARENT DV, so the delta is
+    * (new bitmap) minus (parent bitmap) — materialized driver-side
+    * (bounded by the commit's own deleted-row count, like any change
+    * frame) and semi-joined against the referenced files. A parquet
+    * position delete in the parent possibly covering the same file
+    * makes the diff ambiguous (pre-upgrade leftovers) — refuse loudly.
+    */
+  private def dvDeleteRows(spark: SparkSession, table: String,
+      schema: StructType, basePath: String, parentLive: Seq[LiveFile],
+      parentDels: Seq[DeleteFile], dvNew: Seq[DeleteFile]): Option[DataFrame] = {
+    import org.apache.spark.sql.functions.broadcast
+    import spark.implicits._
+    if (dvNew.isEmpty) return None
+    val liveByPath = parentLive.map(_.path).toSet
+    val parentByRef: Map[String, DeleteFile] = parentDels
+      .filter(d => d.isDv && d.referencedDataFile.isDefined)
+      .map(d => d.referencedDataFile.get -> d).toMap
+    val parentPlainPos = parentDels.filter(d => d.content == 1 && !d.isDv)
+    val pairs: Seq[(String, Long)] = dvNew.flatMap { d =>
+      val ref = d.referencedDataFile.get
+      require(!parentPlainPos.exists(p => (p.pathLo, p.pathHi) match {
+        case (Some(lo), Some(hi)) => lo <= ref && ref <= hi
+        case _ => true // boundless: cannot exonerate
+      }), s"$table: changelog for a deletion vector on $ref while the " +
+        "parent snapshot still carries parquet position deletes that may " +
+        "cover it is ambiguous; OPTIMIZE the table first")
+      if (!liveByPath.contains(ref)) Seq.empty // file rewritten: DV inert
+      else {
+        val nb = DeletionVectors.loadIcebergDv(
+          localPath(d.path), d.contentOffset.get, d.contentSize.get)
+        val pb = parentByRef.get(ref).map(p => DeletionVectors.loadIcebergDv(
+          localPath(p.path), p.contentOffset.get, p.contentSize.get))
+        val name = fileNameOf(ref)
+        nb.positions.filter(pos => pb.forall(!_.contains(pos)))
+          .map(name -> _).toSeq
+      }
+    }
+    if (pairs.isEmpty) return None
+    val dirty = dvNew.map(_.referencedDataFile.get).distinct.filter(liveByPath)
+    retractedAt(spark, table, schema, basePath, dirty,
+      broadcast(pairs.toDF(posNameCol, posPosCol)))
   }
 
   /** The rows a set of EQUALITY-delete files retract: the parent
@@ -1832,7 +1985,7 @@ object IcebergLog {
           // LIVE rows by key
           val delsNew = deleteFiles(table, Some(sid))
             .filter(d => d.addedSnapshotId == sid && d.entryRow.getInt(0) == 1)
-          val posNew = delsNew.filter(_.content == 1)
+          val (dvNew, posNew) = delsNew.filter(_.content == 1).partition(_.isDv)
           val posDels =
             if (posNew.isEmpty) None
             else {
@@ -1841,11 +1994,14 @@ object IcebergLog {
                 dirtyP.map(_.path), posNew)
                 .map(_.withColumn(Cdf.changeTypeCol, lit("delete")))
             }
+          val dvDels = dvDeleteRows(spark, table, schema, basePath,
+            parentLive, parentDels, dvNew)
+            .map(_.withColumn(Cdf.changeTypeCol, lit("delete")))
           val eqDels = equalityDeleteRows(spark, table, schema, basePath,
             parentLive, parentDels, delsNew.filter(_.content == 2))
             .map(_.withColumn(Cdf.changeTypeCol, lit("delete")))
           val ins = readFiles(added, "insert")
-          (fileDels ++ posDels ++ eqDels ++ ins).reduceOption(_ unionAll _)
+          (fileDels ++ posDels ++ dvDels ++ eqDels ++ ins).reduceOption(_ unionAll _)
         case other => sys.error(
           s"$table: snapshot $sid has unknown operation '$other'; refusing " +
             "to guess its changelog semantics")

@@ -93,12 +93,15 @@ class ProtocolConformanceSpec extends SparkSpec {
         "content" -> "data"))
     finally out.close()
     // the reader resolves the WRITER's 10-field shape from the embedded
-    // schema and pads — callers always see the 11-field struct
+    // schema and pads — callers always see the widest (14-field: eq_ids
+    // + the r13 v3 deletion-vector triple) struct
     val rows = IcebergLog.readEntries(p.toString, partType)
     assert(rows.size == 1)
     val df = rows.head.getStruct(4)
-    assert(df.size == 11, s"expected padded 11-field data_file, got ${df.size}")
+    assert(df.size == 14, s"expected padded 14-field data_file, got ${df.size}")
     assert(df.get(10) == null, "legacy entries carry null equality_ids")
+    assert(df.get(11) == null && df.get(12) == null && df.get(13) == null,
+      "non-v3 entries carry null DV fields")
     assert(df.getString(1) == "/t/data/p=0/x.parquet" && df.getLong(4) == 5L)
     // and a CURRENT manifest round-trips the field intact
     val freshType = IcebergLog.manifestEntryType(partType)
