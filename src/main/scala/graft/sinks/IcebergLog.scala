@@ -72,6 +72,11 @@ object IcebergLog {
 
   private val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
   private val MetaRe = """v(\d+)\.metadata\.json""".r
+  // catalog-managed metadata naming (iceberg-java / pyiceberg under
+  // REST/hive/glue catalogs): `NNNNN-<uuid>.metadata.json` — the
+  // authoritative "current" pointer lives in the CATALOG; a filesystem
+  // reader takes the highest version and refuses ambiguity loudly
+  private val MetaCatalogRe = """(\d+)-[0-9a-fA-F-]+\.metadata\.json""".r
 
   /** Merge small manifests once the list is this long (Iceberg's
     * `commit.manifest.min-count-to-merge` default is 100; ours is lower
@@ -302,7 +307,15 @@ object IcebergLog {
 
   // ── table metadata ───────────────────────────────────────────────────
 
-  final case class Meta(version: Int, node: com.fasterxml.jackson.databind.JsonNode) {
+  final case class Meta(version: Int, node: com.fasterxml.jackson.databind.JsonNode,
+      /** The metadata FILE NAME this state was read from: `vN` form =
+        * HadoopCatalog filesystem table (this engine's own layout),
+        * `NNNNN-<uuid>` form = a catalog-managed third-party table
+        * whose authoritative pointer lives in that catalog.
+        */
+      metaFileName: String = "") {
+    def catalogManaged: Boolean =
+      metaFileName.nonEmpty && !metaFileName.startsWith("v")
     def uuid: String = node.get("table-uuid").asText()
     def lastSeq: Long = node.get("last-sequence-number").asLong()
     def currentSchemaId: Int =
@@ -390,13 +403,22 @@ object IcebergLog {
   def current(table: String): Option[Meta] = {
     val dir = metaDir(table)
     if (!Files.isDirectory(dir)) return None
-    val versions = listDir(dir).flatMap(p => p.getFileName.toString match {
-      case MetaRe(v) => Some(v.toInt)
+    val cands = listDir(dir).flatMap(p => p.getFileName.toString match {
+      case MetaRe(v) => Some((v.toInt, p))
+      case MetaCatalogRe(v) => Some((v.toInt, p))
       case _ => None
     })
-    if (versions.isEmpty) return None
-    val v = versions.max
-    val node = mapper.readTree(Files.readAllBytes(dir.resolve(s"v$v.metadata.json")))
+    if (cands.isEmpty) return None
+    val v = cands.map(_._1).max
+    val atMax = cands.filter(_._1 == v)
+    // two files claiming the same version = a CAS race only the catalog
+    // adjudicated; picking one here could silently diverge from it
+    require(atMax.size == 1,
+      s"$table: multiple metadata files claim version $v " +
+        s"(${atMax.map(_._2.getFileName).mkString(", ")}); the current " +
+        "state is ambiguous without the owning catalog — remove the losers")
+    val metaFile = atMax.head._2
+    val node = mapper.readTree(Files.readAllBytes(metaFile))
     // this engine WRITES format-version 2 and READS 2 and 3 (r13: v3
     // differs on the read side by puffin deletion vectors, which
     // [[deleteFiles]]/[[readWithDeletes]] implement). A v1 table has NO
@@ -422,7 +444,7 @@ object IcebergLog {
             "refusing to return nulls where the default applies")
       }
     }
-    Some(Meta(v, node))
+    Some(Meta(v, node, metaFile.getFileName.toString))
   }
 
   // ── column metrics (parquet footer → spec maps) ──────────────────────
@@ -915,6 +937,13 @@ object IcebergLog {
         s"$table is Iceberg format-version ${m.formatVersion}; this " +
           "engine writes format-version 2 only — the table stays " +
           "readable (read/scan/time travel), rewrite it as v2 to take writes"))
+      // catalog-managed metadata naming: the authoritative pointer lives
+      // in the owning catalog — a filesystem-claimed vN commit here would
+      // be invisible to it (and its next commit would silently drop ours)
+      cur.foreach(m => require(!m.catalogManaged,
+        s"$table uses catalog-managed metadata naming (${m.metaFileName}); " +
+          "this engine commits the HadoopCatalog filesystem form only — " +
+          "the table stays readable, route writes through its catalog"))
       txn.foreach { case (app, v) =>
         if (cur.exists(_.appVersions.get(app).exists(_ >= v))) return None
       }
@@ -2541,6 +2570,9 @@ object IcebergLog {
       attempt += 1
       val m = current(table).getOrElse(
         sys.error(s"$table is not an Iceberg table (no metadata/v*.metadata.json)"))
+      require(!m.catalogManaged,
+        s"$table uses catalog-managed metadata naming (${m.metaFileName}); " +
+          "route property changes through its catalog")
       if (props.forall { case (k, v) => m.properties.get(k).contains(v) })
         return m.version
       val root = m.node.deepCopy[com.fasterxml.jackson.databind.node.ObjectNode]()
@@ -2793,6 +2825,9 @@ object IcebergLog {
     while (attempt < 1000) {
       attempt += 1
       val m = current(table).getOrElse(sys.error(s"$table is not an Iceberg table"))
+      require(!m.catalogManaged,
+        s"$table uses catalog-managed metadata naming (${m.metaFileName}); " +
+          "route maintenance through its catalog")
       val cutoff = System.currentTimeMillis() - olderThanMs
       val (expired, retained) = m.snapshots.partition(s =>
         s.get("snapshot-id").asLong() != m.currentSnapshotId &&

@@ -791,4 +791,38 @@ class ProtocolConformanceSpec extends SparkSpec {
         Set("/t/data/b.parquet", "/t/data/c.parquet"),
       s"stale cached decode served after recreation: $r3")
   }
+
+  test("catalog-managed metadata naming (NNNNN-uuid.metadata.json) reads; writes route to the catalog") {
+    import spark.implicits._
+    val table = tmpTable()
+    IcebergLog.writeBatch(Seq((1L, 10L)).toDF("id", "v"), table)
+    IcebergLog.writeBatch(Seq((2L, 20L)).toDF("id", "v"), table)
+    val dir = Paths.get(table, "metadata")
+    // re-shape into the pyiceberg/REST layout: uuid-named files, no
+    // vN forms, no version-hint (the catalog holds the pointer)
+    Files.move(dir.resolve("v1.metadata.json"),
+      dir.resolve("00001-8c30794b-aaaa-bbbb-cccc-7b33e32d7e09.metadata.json"))
+    Files.move(dir.resolve("v2.metadata.json"),
+      dir.resolve("00002-8c30794b-aaaa-bbbb-cccc-7b33e32d7e0a.metadata.json"))
+    Files.deleteIfExists(dir.resolve("version-hint.text"))
+    val m = IcebergLog.current(table).get
+    assert(m.version == 2 && m.catalogManaged)
+    val got = IcebergLog.read(spark, table).as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 10L, 2L -> 20L), s"got $got")
+    // writes/maintenance must route through the owning catalog
+    val e = intercept[IllegalArgumentException] {
+      IcebergLog.writeBatch(Seq((3L, 30L)).toDF("id", "v"), table)
+    }
+    assert(e.getMessage.contains("catalog-managed"), e.getMessage)
+    val e2 = intercept[IllegalArgumentException] {
+      IcebergLog.setTableProperties(spark, table, Map("k" -> "v"))
+    }
+    assert(e2.getMessage.contains("catalog-managed"), e2.getMessage)
+    // a CAS race only the catalog adjudicated: two files claim one
+    // version — ambiguous without it, refuse loudly
+    Files.copy(dir.resolve("00002-8c30794b-aaaa-bbbb-cccc-7b33e32d7e0a.metadata.json"),
+      dir.resolve("00002-8c30794b-aaaa-bbbb-cccc-7b33e32d7e0b.metadata.json"))
+    val e3 = intercept[IllegalArgumentException] { IcebergLog.current(table) }
+    assert(e3.getMessage.contains("ambiguous"), e3.getMessage)
+  }
 }
