@@ -431,6 +431,9 @@ object DeltaLog {
   /** One commit's timestamp: the first `commitInfo` line's stamp (read
     * lazily — large DML commits carry full add lists this lookup must
     * not parse), the file mtime for third-party commits without one.
+    * Tables with the `inCommitTimestamp` writer feature make THAT field
+    * authoritative (the protocol's clock-skew fix — monotonic by
+    * construction, unlike file timestamps a log copy can reorder).
     */
   private def commitTs(p: Path): Long = {
     val s = Files.lines(p)
@@ -442,6 +445,8 @@ object DeltaLog {
           val n = mapper.readTree(line)
           val ci = n.get("commitInfo")
           if (ci != null) {
+            val ict = ci.get("inCommitTimestamp")
+            if (ict != null && !ict.isNull) return ict.asLong()
             val t = ci.get("timestamp")
             if (t != null) return t.asLong()
           }
@@ -824,7 +829,8 @@ object DeltaLog {
       val actions = Files.readAllLines(p).asScala.filter(_.nonEmpty)
         .map(mapper.readTree).toSeq
       val ts = actions.iterator.flatMap(n => Option(n.get("commitInfo")))
-        .flatMap(n => Option(n.get("timestamp"))).map(_.asLong())
+        .flatMap(ci => Option(ci.get("inCommitTimestamp")).filterNot(_.isNull)
+          .orElse(Option(ci.get("timestamp")))).map(_.asLong())
         .nextOption().getOrElse(Files.getLastModifiedTime(p).toMillis)
       val cdcFiles = actions.filter(_.has("cdc")).map(n =>
         (decodePath(n.get("cdc").get("path").asText()), pvOf(n.get("cdc"))))

@@ -358,6 +358,16 @@ object IcebergLog {
     def formatVersion: Int =
       Option(node.get("format-version")).map(_.asInt()).getOrElse(1)
     def currentSnapshotId: Long = node.get("current-snapshot-id").asLong()
+    /** Snapshot REFS (spec: branches and tags): name → (snapshot-id,
+      * type). `main` is the current branch; third-party tags/branches
+      * ride along and resolve for time travel by name.
+      */
+    def refs: Map[String, (Long, String)] =
+      Option(node.get("refs")).map(r =>
+        r.properties().asScala.map(e => e.getKey -> (
+          e.getValue.get("snapshot-id").asLong(),
+          Option(e.getValue.get("type")).map(_.asText()).getOrElse("branch")))
+          .toMap).getOrElse(Map.empty)
     def snapshots: Seq[com.fasterxml.jackson.databind.JsonNode] =
       (0 until node.get("snapshots").size()).map(node.get("snapshots").get(_))
     def properties: Map[String, String] = {
@@ -391,6 +401,16 @@ object IcebergLog {
     * `TIMESTAMP AS OF` resolution (None when the earliest retained
     * snapshot is already later, or past expire_snapshots retention).
     */
+  /** Resolve a snapshot REF (tag or branch) by name — the `AS OF
+    * 'tagname'` form. Unknown names list what exists, loudly.
+    */
+  private[graft] def snapshotIdOfRef(table: String, ref: String): Long = {
+    val m = current(table).getOrElse(
+      sys.error(s"$table is not an Iceberg table (no metadata/v*.metadata.json)"))
+    m.refs.get(ref).map(_._1).getOrElse(sys.error(
+      s"$table has no ref '$ref' (refs: ${m.refs.keys.toSeq.sorted.mkString(", ")})"))
+  }
+
   private[graft] def snapshotIdAt(table: String, tsMillis: Long): Option[Long] =
     current(table).flatMap { m =>
       m.snapshots
@@ -1254,6 +1274,14 @@ object IcebergLog {
         root.set[com.fasterxml.jackson.databind.JsonNode]("properties", props)
         root.put("current-snapshot-id", snapshotId)
         val refs = mapper.createObjectNode()
+        // foreign refs carry FORWARD (a third-party tag dropped on our
+        // commit would silently break its time travel); main advances
+        cur.foreach(m => Option(m.node.get("refs")).foreach(r =>
+          r.properties().asScala.foreach { e =>
+            if (e.getKey != "main")
+              refs.set[com.fasterxml.jackson.databind.JsonNode](
+                e.getKey, e.getValue.deepCopy[com.fasterxml.jackson.databind.JsonNode]())
+          }))
         val main = refs.putObject("main")
         main.put("snapshot-id", snapshotId)
         main.put("type", "branch")
@@ -2829,8 +2857,12 @@ object IcebergLog {
         s"$table uses catalog-managed metadata naming (${m.metaFileName}); " +
           "route maintenance through its catalog")
       val cutoff = System.currentTimeMillis() - olderThanMs
+      // ref'd snapshots (tags, branch heads) are PINNED: expiring a
+      // tag's snapshot would leave the ref dangling and silently break
+      // its time travel (the spec gives refs their own retention)
+      val pinned = m.refs.values.map(_._1).toSet + m.currentSnapshotId
       val (expired, retained) = m.snapshots.partition(s =>
-        s.get("snapshot-id").asLong() != m.currentSnapshotId &&
+        !pinned.contains(s.get("snapshot-id").asLong()) &&
           s.get("timestamp-ms").asLong() < cutoff)
       if (expired.isEmpty) return (0, 0)
 

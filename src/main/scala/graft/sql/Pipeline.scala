@@ -1170,7 +1170,7 @@ class Pipeline(spark: SparkSession, streaming: Boolean = false) {
         // the real v2 metadata.json + avro manifests (r9)
         val tPath = t.path.getOrElse(sys.error(s"table ${t.name}: path required"))
         val batchOnly = Seq("version_as_of", "snapshot_id", "timestamp_as_of",
-          "changes_from_version", "changes_to_version")
+          "ref", "changes_from_version", "changes_to_version")
         if (t.connector == "delta") {
           if (streaming) {
             // r9: incremental tail of the _delta_log (adds with
@@ -1260,9 +1260,9 @@ class Pipeline(spark: SparkSession, streaming: Boolean = false) {
             // scan_filter = '<sql bool>' prunes whole FILES against the
             // manifest metrics before Spark lists them (then re-applies
             // as a normal filter — pruning is conservative)
-            require(!(t.options.contains("snapshot_id") &&
-              t.options.contains("timestamp_as_of")),
-              s"table ${t.name}: snapshot_id and timestamp_as_of are exclusive")
+            require(Seq("snapshot_id", "timestamp_as_of", "ref")
+              .count(t.options.contains) <= 1,
+              s"table ${t.name}: snapshot_id, timestamp_as_of, and ref are exclusive")
             // changes_from_version [+ changes_to_version] (r11): the
             // batch CHANGELOG read — sequence numbers, same column
             // contract as the delta change feed
@@ -1278,6 +1278,10 @@ class Pipeline(spark: SparkSession, streaming: Boolean = false) {
                     sys.error(s"table ${t.name}: no snapshot at or before $s " +
                       "(earlier ones may have been expired)"))
                 })
+                // ref = '<tag or branch name>': time travel by snapshot
+                // ref (spec `refs`) — third-party tags resolve too
+                .orElse(t.options.get("ref").map(
+                  graft.sinks.IcebergLog.snapshotIdOfRef(tPath, _)))
               graft.sinks.IcebergLog.read(spark, tPath, sid,
                 t.options.get("scan_filter"))
             }

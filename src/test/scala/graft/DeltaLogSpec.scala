@@ -442,6 +442,36 @@ class DeltaLogSpec extends SparkSpec {
     }
   }
 
+  test("inCommitTimestamp (ICT writer feature) is authoritative for TIMESTAMP AS OF") {
+    import spark.implicits._
+    val table = tmpTable()
+    DeltaLog.writeBatch(Seq((1L, "a")).toDF("id", "v"), table)
+    DeltaLog.writeBatch(Seq((2L, "b")).toDF("id", "v"), table)
+    val log = Paths.get(table, "_delta_log")
+    // an ICT writer's shape: commitInfo carries BOTH a (possibly skewed)
+    // wall-clock timestamp and the monotonic inCommitTimestamp — the
+    // protocol makes the latter authoritative for time travel
+    Seq((0L, 1000L, 5000L), (1L, 2000L, 6000L)).foreach { case (v, wall, ict) =>
+      val p = log.resolve(f"$v%020d.json")
+      val lines = Files.readAllLines(p).asScala.map { l =>
+        if (!l.contains("commitInfo")) l
+        else l.replaceFirst(""""timestamp":\d+""",
+          s""""timestamp":$wall,"inCommitTimestamp":$ict""")
+      }
+      Files.write(p, lines.mkString("", "\n", "\n").getBytes("UTF-8"))
+    }
+    // under wall clocks 5500 would be past BOTH commits; under ICT it
+    // sits between them — v0 is the correct answer
+    assert(DeltaLog.versionAt(table, 5500L).contains(0L))
+    assert(DeltaLog.versionAt(table, 4000L).isEmpty)
+    assert(DeltaLog.versionAt(table, 6000L).contains(1L))
+    // readChanges stamps change rows with the ICT too
+    val ts = DeltaLog.readChanges(spark, table, 1L, Some(1L))
+      .select(graft.sinks.Cdf.commitTimestampCol)
+      .collect().map(_.getTimestamp(0).getTime).distinct
+    assert(ts.toSeq == Seq(6000L), s"got ${ts.toSeq}")
+  }
+
   test("TIMESTAMP AS OF falls back to a clamped linear scan for commits without commitInfo") {
     import spark.implicits._
     val table = tmpTable()

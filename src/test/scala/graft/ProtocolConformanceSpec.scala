@@ -792,6 +792,49 @@ class ProtocolConformanceSpec extends SparkSpec {
       s"stale cached decode served after recreation: $r3")
   }
 
+  test("snapshot refs: tags resolve for time travel, survive commits, and pin expiry") {
+    import spark.implicits._
+    val table = tmpTable()
+    IcebergLog.writeBatch(Seq((1L, 10L)).toDF("id", "v"), table)
+    val m1 = IcebergLog.current(table).get
+    val firstSid = m1.currentSnapshotId
+    // a third-party writer tags the first snapshot
+    val dir = Paths.get(table, "metadata")
+    val p = dir.resolve(s"v${m1.version}.metadata.json")
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val node = mapper.readTree(Files.readAllBytes(p))
+      .asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode]
+    val tag = node.get("refs")
+      .asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode]
+      .putObject("rev-1")
+    tag.put("snapshot-id", firstSid)
+    tag.put("type", "tag")
+    Files.write(p, node.toString.getBytes("UTF-8"))
+    assert(IcebergLog.snapshotIdOfRef(table, "rev-1") == firstSid)
+    // the tag SURVIVES this engine's next commit (foreign refs carry
+    // forward; only main advances)
+    IcebergLog.writeBatch(Seq((2L, 20L)).toDF("id", "v"), table)
+    val m2 = IcebergLog.current(table).get
+    assert(m2.refs.get("rev-1").map(_._1).contains(firstSid), s"refs: ${m2.refs}")
+    assert(m2.refs("main")._1 == m2.currentSnapshotId)
+    val old = IcebergLog.read(spark, table,
+      Some(IcebergLog.snapshotIdOfRef(table, "rev-1")))
+      .as[(Long, Long)].collect().toMap
+    assert(old == Map(1L -> 10L), s"got $old")
+    // expiry PINS ref'd snapshots: expiring everything older than now
+    // must keep the tagged one (a dangling tag breaks its time travel)
+    IcebergLog.expireSnapshots(spark, table, olderThanMs = 0L)
+    val m3 = IcebergLog.current(table).get
+    assert(m3.snapshots.exists(_.get("snapshot-id").asLong() == firstSid),
+      "tagged snapshot expired out from under its ref")
+    assert(IcebergLog.read(spark, table, Some(firstSid))
+      .as[(Long, Long)].collect().toMap == Map(1L -> 10L))
+    val e = intercept[RuntimeException] {
+      IcebergLog.snapshotIdOfRef(table, "nope")
+    }
+    assert(e.getMessage.contains("rev-1"), e.getMessage)
+  }
+
   test("catalog-managed metadata naming (NNNNN-uuid.metadata.json) reads; writes route to the catalog") {
     import spark.implicits._
     val table = tmpTable()
