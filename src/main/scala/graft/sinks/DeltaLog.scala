@@ -564,17 +564,45 @@ object DeltaLog {
   private def quoted(name: String): String =
     "`" + name.replace("`", "``") + "`"
 
-  /** Entry guard for every mutating surface: a column-mapped table is
-    * READ-ONLY here. Checked before any DML plans — a logical-named scan
-    * of physical files yields nulls, so an unguarded DML would silently
+  /** Logical column → its physical write shape (the inverse of
+    * [[remapExpr]]): nested structs/arrays/maps rebuild under physical
+    * names wherever one differs.
+    */
+  private def toPhysExpr(c: org.apache.spark.sql.Column, logical: DataType)
+      : org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.functions.{struct, transform, transform_keys, transform_values, when}
+    logical match {
+      case st: StructType if needsRemap(st) =>
+        val rebuilt = struct(st.fields.toIndexedSeq.map(f =>
+          toPhysExpr(c.getField(f.name), f.dataType).as(physName(f))): _*)
+        when(c.isNotNull, rebuilt)
+      case at: ArrayType if needsRemap(at) =>
+        transform(c, x => toPhysExpr(x, at.elementType))
+      case mt: MapType if needsRemap(mt) =>
+        val vs =
+          if (needsRemap(mt.valueType))
+            transform_values(c, (_, v) => toPhysExpr(v, mt.valueType))
+          else c
+        if (needsRemap(mt.keyType))
+          transform_keys(vs, (k, _) => toPhysExpr(k, mt.keyType))
+        else vs
+      case _ => c
+    }
+  }
+
+  /** Entry guard for the DML/maintenance surfaces: a column-mapped
+    * table takes APPENDS here ([[writeBatch]]'s mapped path writes
+    * physical-named, field-id-stamped files) but never a rewrite —
+    * checked before any DML plans, because a logical-named scan of
+    * physical files yields nulls, so an unguarded DML would silently
     * match nothing (or rewrite wrongly) rather than fail.
     */
   private def requireWritable(table: String, configuration: Map[String, String]): Unit = {
     val m = mappingMode(configuration)
     require(m == "none",
-      s"$table uses delta.columnMapping.mode=$m; this engine reads mapped " +
-        "tables (read/readChanges/time travel) but does not write them — " +
-        "rewrite the table unmapped to take writes")
+      s"$table uses delta.columnMapping.mode=$m; this engine reads and " +
+        "APPENDS to mapped tables but does not rewrite them (DML/OPTIMIZE) — " +
+        "rewrite the table unmapped for row-level writes")
   }
 
   /** The public gating property for merge-on-read DML. */
@@ -1078,6 +1106,15 @@ object DeltaLog {
       if (snapshot(spark, table).exists(_.appVersions.get(app).exists(_ >= v)))
         return None // cheap pre-check; the commit loop re-checks under race
     }
+    val snap0 = snapshot(spark, table)
+    if (mappingMode(snap0.map(_.configuration).getOrElse(Map.empty) ++ tableConf) != "none") {
+      snap0.foreach(s0 => require(
+        partitionBy.isEmpty || partitionBy == s0.partitionColumns,
+        s"$table is partitioned by (${s0.partitionColumns.mkString(", ")}); " +
+          s"this write declares (${partitionBy.mkString(", ")})"))
+      return writeBatchMapped(df, table, snap0, txn, checkpointInterval,
+        mergeSchema, tableConf)
+    }
     Files.createDirectories(Paths.get(table))
     // data files exclude the partition columns (they live in the path and
     // in partitionValues), matching Delta's physical layout
@@ -1086,6 +1123,92 @@ object DeltaLog {
       mergeSchema = mergeSchema, tableConf = tableConf)
     committed match {
       case None => // lost to a concurrent replay: remove orphaned parts
+        added.foreach { case (rel, _) => Files.deleteIfExists(Paths.get(table, rel)) }
+      case Some(v) if checkpointInterval > 0 && (v + 1) % checkpointInterval == 0 =>
+        writeCheckpoint(spark, table, v)
+      case _ =>
+    }
+    committed
+  }
+
+  /** APPEND into a COLUMN-MAPPED table (the CDC-landing shape: a
+    * streaming sink feeding a table Databricks created with
+    * columnMapping on): the batch writes under PHYSICAL names with
+    * `parquet.field.id` stamped recursively (`id` mode's contract;
+    * delta-spark stamps them in `name` mode too), hive dirs use the
+    * physical partition names, and the add actions carry phys-keyed
+    * partitionValues and stats — exactly what a conformant mapped
+    * reader binds. Appends ONLY: no CREATE (minting a mapping needs id
+    * allocation this writer doesn't own), no schema evolution (a new
+    * column needs a fresh physicalName + maxColumnId bump), and DML
+    * stays refused at its own entry points.
+    */
+  private def writeBatchMapped(df: DataFrame, table: String,
+      snap0: Option[Snapshot], txn: Option[(String, Long)],
+      checkpointInterval: Int, mergeSchema: Boolean,
+      tableConf: Map[String, String]): Option[Long] = {
+    import org.apache.spark.sql.functions.col
+    val spark = df.sparkSession
+    val s0 = snap0.getOrElse(sys.error(
+      s"$table: CREATE with delta.columnMapping is not supported — this " +
+        "engine appends into EXISTING mapped tables only (minting the " +
+        "mapping needs column-id allocation owned by the table's creator)"))
+    require(!mergeSchema,
+      s"$table: merge_schema on a column-mapped table is not supported " +
+        "(a new column needs a fresh physicalName and a maxColumnId bump)")
+    // structural type equality: the table schema carries columnMapping
+    // metadata (and exact nullability) the caller's batch never has
+    def shape(dt: DataType): DataType = dt match {
+      case st: StructType => StructType(st.fields.map(f =>
+        StructField(f.name, shape(f.dataType), nullable = true)))
+      case at: ArrayType => ArrayType(shape(at.elementType), containsNull = true)
+      case mt: MapType =>
+        MapType(shape(mt.keyType), shape(mt.valueType), valueContainsNull = true)
+      case other => other
+    }
+    require(df.schema.fields.map(f => f.name).toSeq ==
+        s0.schema.fields.map(_.name).toSeq &&
+      df.schema.fields.zip(s0.schema.fields).forall { case (a, b) =>
+        shape(a.dataType) == shape(b.dataType) },
+      s"$table (column-mapped) takes exact-schema appends; batch " +
+        s"(${df.schema.fieldNames.mkString(", ")}) != table " +
+        s"(${s0.schema.fieldNames.mkString(", ")})")
+    // physical frame: every (nested) field under its physical name,
+    // TOP-LEVEL parquet field ids stamped via alias metadata (Catalyst
+    // expressions cannot carry NESTED field metadata, so an id-mode
+    // table whose nested fields are id-mapped must refuse — its
+    // conformant readers bind nested columns by id, which this writer
+    // cannot stamp below the top level)
+    def nestedIds(dt: DataType): Boolean = dt match {
+      case st: StructType =>
+        st.fields.exists(f => cmFieldId(f).isDefined || nestedIds(f.dataType))
+      case at: ArrayType => nestedIds(at.elementType)
+      case mt: MapType => nestedIds(mt.keyType) || nestedIds(mt.valueType)
+      case _ => false
+    }
+    require(mappingMode(s0.configuration ++ tableConf) != "id" ||
+      s0.schema.fields.forall(f => !nestedIds(f.dataType)),
+      s"$table: id-mode appends support top-level column mappings only " +
+        "(nested parquet field ids cannot be stamped through this writer)")
+    val physSchema = physicalReadType(s0.schema, withIds = true)
+      .asInstanceOf[StructType]
+    spark.conf.set("spark.sql.parquet.fieldId.write.enabled", "true")
+    val physDf = df.select(s0.schema.fields.toIndexedSeq.map { f =>
+      val mb = new org.apache.spark.sql.types.MetadataBuilder()
+      cmFieldId(f).foreach(mb.putLong(ParquetFieldIdKey, _))
+      toPhysExpr(col(quoted(f.name)), f.dataType).as(physName(f), mb.build())
+    }: _*)
+    val physPartCols = s0.partitionColumns.map(pc =>
+      physName(s0.schema(s0.schema.fieldIndex(pc))))
+    Files.createDirectories(Paths.get(table))
+    // placeDataFiles on the PHYSICAL shape: hive dirs named by physical
+    // partition columns → partitionValues keys, and footer stats keys,
+    // both land physical (what prune() translates back to)
+    val added = placeDataFiles(spark, table, physSchema, physPartCols, physDf)
+    val committed = commit(spark, table, s0.schema, s0.partitionColumns,
+      added, txn, tableConf = tableConf, allowMapped = true)
+    committed match {
+      case None =>
         added.foreach { case (rel, _) => Files.deleteIfExists(Paths.get(table, rel)) }
       case Some(v) if checkpointInterval > 0 && (v + 1) % checkpointInterval == 0 =>
         writeCheckpoint(spark, table, v)
@@ -1779,19 +1902,23 @@ object DeltaLog {
         * holds retractions/rows this commit's reads never saw — abort,
         * the caller re-plans.
         */
-      dvBase: Option[Map[String, String]] = None): Option[Long] = {
+      dvBase: Option[Map[String, String]] = None,
+      /** Set ONLY by [[writeBatch]]'s mapped-append path, whose adds
+        * already carry physical names/ids/stats — everything else
+        * through here writes logical-named files a mapped table must
+        * refuse.
+        */
+      allowMapped: Boolean = false): Option[Long] = {
     val dir = logDir(table)
     Files.createDirectories(dir)
     var attempt = 0
     while (attempt < 1000) {
       val snap = snapshot(spark, table)
-      // column-mapped tables are READ-ONLY interop (backstop — DML entry
-      // points check earlier, before planning): this writer emits
-      // protocol-1 logical-named files and logical-keyed stats — landing
-      // one in a mapped table would silently null out every mapped
-      // column for conformant readers. Checked on the overlaid config
-      // too, so a CREATE can't arm the mode either.
-      requireWritable(table,
+      // backstop (DML entry points check earlier, before planning): a
+      // logical-named rewrite landing in a mapped table would silently
+      // null out every mapped column for conformant readers. Checked on
+      // the overlaid config too, so a CREATE can't arm the mode.
+      if (!allowMapped) requireWritable(table,
         snap.map(_.configuration).getOrElse(Map.empty) ++ tableConf)
       txn.foreach { case (app, v) =>
         if (snap.exists(_.appVersions.get(app).exists(_ >= v))) return None

@@ -243,20 +243,24 @@ class ColumnMappingSpec extends SparkSpec {
       (2L, 20L, "a", "update_preimage"), (2L, 21L, "a", "update_postimage")))
   }
 
-  test("writes and streaming refuse loudly; reads stay open") {
+  test("DML/CREATE/streaming refuse loudly; reads stay open") {
     import spark.implicits._
     val table = nameModeTable()
-    val e1 = intercept[IllegalArgumentException] {
-      DeltaLog.writeBatch(Seq((9L, 90L, "c")).toDF("id", "v", "cat"), table,
-        partitionBy = Seq("cat"))
-    }
-    assert(e1.getMessage.contains("columnMapping"), e1.getMessage)
     val e2 = intercept[IllegalArgumentException] {
       DeltaLog.deleteWhere(spark, table, "id = 1")
     }
     assert(e2.getMessage.contains("columnMapping"), e2.getMessage)
-    // a CREATE must not arm the mode either (the writer can't honor it)
-    val e3 = intercept[IllegalArgumentException] {
+    val e2b = intercept[IllegalArgumentException] {
+      DeltaLog.updateWhere(spark, table, Seq("v" -> "v + 1"), Some("id = 1"))
+    }
+    assert(e2b.getMessage.contains("columnMapping"), e2b.getMessage)
+    val e2c = intercept[IllegalArgumentException] {
+      DeltaLog.optimize(spark, table)
+    }
+    assert(e2c.getMessage.contains("columnMapping"), e2c.getMessage)
+    // a CREATE must not arm the mode either (minting the mapping needs
+    // column-id allocation this writer doesn't own)
+    val e3 = intercept[RuntimeException] {
       DeltaLog.writeBatch(Seq((1L, 1L)).toDF("a", "b"), tmpTable(),
         tableConf = Map("delta.columnMapping.mode" -> "name"))
     }
@@ -266,5 +270,119 @@ class ColumnMappingSpec extends SparkSpec {
     }
     assert(e4.getMessage.contains("columnMapping"), e4.getMessage)
     assert(DeltaLog.read(spark, table).count() == 4) // reads unaffected
+  }
+
+  test("APPENDS land physical: names, field ids, phys-keyed partitionValues and stats") {
+    import spark.implicits._
+    val table = nameModeTable()
+    val v = DeltaLog.writeBatch(
+      Seq((9L, 90L, "c"), (10L, 100L, "a")).toDF("id", "v", "cat"), table,
+      txn = Some(("cm-app", 1L)))
+    assert(v.contains(1L))
+    // replayed (appId, version): a no-op, like any delta sink batch
+    assert(DeltaLog.writeBatch(
+      Seq((9L, 90L, "c")).toDF("id", "v", "cat"), table,
+      txn = Some(("cm-app", 1L))).isEmpty)
+    val got = DeltaLog.read(spark, table).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2))).sorted
+    assert(got.toSeq == Seq((1L, 10L, "a"), (2L, 20L, "a"), (3L, 30L, "b"),
+      (4L, 40L, "b"), (9L, 90L, "c"), (10L, 100L, "a")))
+    // the bytes a CONFORMANT mapped reader binds: physical parquet
+    // column names, phys-keyed partitionValues and stats in the add
+    val s = DeltaLog.snapshot(spark, table).get
+    val newAdds = s.adds.filterNot(a =>
+      Seq("part-a.parquet", "part-b.parquet").contains(a._1))
+    assert(newAdds.size == 2, s"got ${newAdds.map(_._1)}")
+    newAdds.foreach { case (rel, info) =>
+      assert(info.partitionValues.map(_._1) == Seq("col-p1"), s"$rel: ${info.partitionValues}")
+      assert(info.stats.exists(_.contains("col-9f3a")), s"$rel: ${info.stats}")
+      val fileCols = spark.read.parquet(
+        java.nio.file.Paths.get(table, rel).toString).schema.fieldNames.toSet
+      assert(fileCols == Set("col-9f3a", "col-77bb"), s"$rel: $fileCols")
+    }
+    // hive dirs use the PHYSICAL partition name
+    assert(newAdds.forall(_._1.startsWith("col-p1=")), newAdds.map(_._1))
+    // file pruning serves the appended files' phys-keyed stats too
+    val (kept, total) = DeltaLog.planFiles(spark, table, None, Some("id >= 9"))
+    assert(total == 4 && kept.toSet == newAdds.map(_._1).toSet)
+    // schema drift / evolution refuse (fresh physical names needed)
+    val eDrift = intercept[IllegalArgumentException] {
+      DeltaLog.writeBatch(Seq((1L, "x")).toDF("id", "extra"), table)
+    }
+    assert(eDrift.getMessage.contains("exact-schema"), eDrift.getMessage)
+    val eMerge = intercept[IllegalArgumentException] {
+      DeltaLog.writeBatch(Seq((1L, 1L, "a", "x")).toDF("id", "v", "cat", "nc"),
+        table, mergeSchema = true)
+    }
+    assert(eMerge.getMessage.contains("merge_schema"), eMerge.getMessage)
+  }
+
+  test("appends into an id-mode table stamp parquet field ids the id-resolving read binds") {
+    import spark.implicits._
+    // the id-mode fixture from above: file names unrelated to physical
+    // names, ids authoritative — an appended file WITHOUT ids would
+    // fail this read
+    val table = tmpTable()
+    val root = Paths.get(table)
+    spark.conf.set("spark.sql.parquet.fieldId.write.enabled", "true")
+    val idMeta = (id: Long) => new MetadataBuilder().putLong("parquet.field.id", id).build()
+    onePhysFile(Seq((7L, "x")).toDF("a", "b")
+      .select(col("a").as("weird_1", idMeta(1)), col("b").as("weird_2", idMeta(2))),
+      root, "part-0.parquet")
+    val schema = schemaJson(
+      fieldJson("id", "\"long\"", 1, "col-zz1"),
+      fieldJson("name", "\"string\"", 2, "col-zz2"))
+    val log = root.resolve("_delta_log")
+    Files.createDirectories(log)
+    Files.write(log.resolve(f"${0L}%020d.json"),
+      (metaLines(schema, "id", Seq.empty, legacy = false) +
+        addLine("part-0.parquet", Map.empty)).getBytes("UTF-8"))
+    DeltaLog.clearSnapshotCache()
+    assert(DeltaLog.writeBatch(Seq((8L, "y")).toDF("id", "name"), table).contains(1L))
+    val got = DeltaLog.read(spark, table).collect()
+      .map(r => (r.getLong(0), r.getString(1))).sorted
+    assert(got.toSeq == Seq((7L, "x"), (8L, "y")))
+  }
+
+  test("nested structs append under physical names and read back") {
+    import spark.implicits._
+    val table = tmpTable()
+    val root = Paths.get(table)
+    val physSchema = StructType(Seq(
+      StructField("col-k", LongType),
+      StructField("col-s", StructType(Seq(
+        StructField("col-sa", LongType), StructField("col-sb", StringType))))))
+    onePhysFile(spark.createDataFrame(
+      Seq(Row(1L, Row(11L, "p"))).asJava, physSchema), root, "part-0.parquet")
+    val inner =
+      s"""{"type":"struct","fields":[${fieldJson("a", "\"long\"", 3, "col-sa")},""" +
+        s"""${fieldJson("b", "\"string\"", 4, "col-sb")}]}"""
+    val schema = schemaJson(
+      fieldJson("k", "\"long\"", 1, "col-k"),
+      fieldJson("s", inner, 2, "col-s"))
+    val log = root.resolve("_delta_log")
+    Files.createDirectories(log)
+    Files.write(log.resolve(f"${0L}%020d.json"),
+      (metaLines(schema, "name", Seq.empty, legacy = true) +
+        addLine("part-0.parquet", Map.empty)).getBytes("UTF-8"))
+    DeltaLog.clearSnapshotCache()
+    val logicalSchema = StructType(Seq(
+      StructField("k", LongType),
+      StructField("s", StructType(Seq(
+        StructField("a", LongType), StructField("b", StringType))))))
+    val batch = spark.createDataFrame(
+      Seq(Row(2L, Row(22L, "q")), Row(3L, null)).asJava, logicalSchema)
+    assert(DeltaLog.writeBatch(batch, table).contains(1L))
+    val df = DeltaLog.read(spark, table)
+    val got = df.select("k", "s.a").collect()
+      .map(r => (r.getLong(0), if (r.isNullAt(1)) -1L else r.getLong(1))).sorted
+    assert(got.toSeq == Seq((1L, 11L), (2L, 22L), (3L, -1L)))
+    // the appended file's NESTED columns are physical on disk
+    val newRel = DeltaLog.snapshot(spark, table).get.adds
+      .map(_._1).filterNot(_ == "part-0.parquet").head
+    val fileSchema = spark.read.parquet(Paths.get(table, newRel).toString).schema
+    assert(fileSchema.fieldNames.toSet == Set("col-k", "col-s"))
+    assert(fileSchema("col-s").dataType.asInstanceOf[StructType]
+      .fieldNames.toSet == Set("col-sa", "col-sb"), fileSchema.treeString)
   }
 }
