@@ -305,6 +305,43 @@ object IcebergLog {
         nullable = !f.get("required").asBoolean())
     })
 
+  /** The data-file READ schema for `m`: when the schema history shows
+    * any field id under more than one name — a third-party `RENAME
+    * COLUMN` (metadata-only; old files keep the old parquet name) —
+    * Spark must resolve columns BY FIELD ID (the spec's Column
+    * Projection rule), or every pre-rename file silently reads null in
+    * the renamed column. Ids are stamped (and the field-id read conf
+    * armed) ONLY then: un-renamed tables keep the plain by-name read,
+    * which also serves id-less files (the name-mapping fallback case).
+    * An id-less file under a renamed schema fails loudly instead —
+    * without per-file ids the old name is unknowable.
+    */
+  private[graft] def dataReadSchema(spark: SparkSession, m: Meta): StructType = {
+    val arr = m.node.get("schemas")
+    val seen = scala.collection.mutable.Map.empty[Int, String]
+    var renamed = false
+    for (si <- 0 until arr.size(); f = arr.get(si).get("fields");
+         fi <- 0 until f.size()) {
+      val fld = f.get(fi)
+      val id = fld.get("id").asInt()
+      val name = fld.get("name").asText()
+      if (seen.getOrElse(id, name) != name) renamed = true
+      seen(id) = name
+    }
+    if (!renamed) m.schema
+    else {
+      spark.conf.set("spark.sql.parquet.fieldId.read.enabled", "true")
+      val cur = (0 until arr.size()).map(arr.get)
+        .find(_.get("schema-id").asInt() == m.currentSchemaId).getOrElse(arr.get(0))
+      val ids = (0 until cur.get("fields").size()).map { i =>
+        val f = cur.get("fields").get(i)
+        f.get("name").asText() -> f.get("id").asLong()
+      }.toMap
+      StructType(m.schema.fields.map(f => f.copy(metadata =
+        new MetadataBuilder().putLong("parquet.field.id", ids(f.name)).build())))
+    }
+  }
+
   // ── table metadata ───────────────────────────────────────────────────
 
   final case class Meta(version: Int, node: com.fasterxml.jackson.databind.JsonNode,
@@ -1954,13 +1991,15 @@ object IcebergLog {
     val (clean, dirty) = splitByDeletes(kept, dels, m.schema)
     val basePath = Paths.get(table, "data").toAbsolutePath.toString
     val schemaCols = m.schema.fieldNames.map(org.apache.spark.sql.functions.col).toIndexedSeq
+    // field-id-stamped iff the schema history shows a rename
+    val readSchema = dataReadSchema(spark, m)
     val cleanDf =
       if (clean.isEmpty) None
-      else Some(spark.read.schema(m.schema).option("basePath", basePath)
+      else Some(spark.read.schema(readSchema).option("basePath", basePath)
         .parquet(clean.map(_.path): _*).select(schemaCols: _*))
     val dirtyDf =
       if (dirty.isEmpty) None
-      else Some(readWithDeletes(spark, table, m.schema, Some(basePath),
+      else Some(readWithDeletes(spark, table, readSchema, Some(basePath),
         dirty, dels))
     val base = (cleanDf ++ dirtyDf).reduceOption(_ unionAll _).getOrElse(
       spark.createDataFrame(spark.sparkContext.emptyRDD[Row], m.schema))
@@ -1999,7 +2038,9 @@ object IcebergLog {
     require(snaps.map(_._1) == (fromSeq to hi),
       s"$table: sequences $fromSeq..$hi include expired snapshots; their " +
         "change rows cannot be reconstructed")
-    val schema = m.schema
+    // field-id-stamped iff the schema history shows a rename (the
+    // changelog replays OLD files, where the pre-rename name lives)
+    val schema = dataReadSchema(spark, m)
     val schemaCols = schema.fieldNames.map(col).toIndexedSeq
     val basePath = Paths.get(table, "data").toAbsolutePath.toString
     def readFiles(paths: Seq[String], changeType: String): Option[DataFrame] =

@@ -792,6 +792,44 @@ class ProtocolConformanceSpec extends SparkSpec {
       s"stale cached decode served after recreation: $r3")
   }
 
+  test("third-party RENAME COLUMN resolves pre-rename files by FIELD ID, not name") {
+    import spark.implicits._
+    val table = tmpTable()
+    IcebergLog.writeBatch(Seq((1L, 10L), (2L, 20L)).toDF("id", "v"), table)
+    // a third-party ALTER TABLE RENAME COLUMN v TO amount: metadata-only
+    // — the data files on disk keep parquet column name 'v' (field id 2);
+    // the spec's Column Projection rule says readers select BY FIELD ID,
+    // so a by-name read would silently return NULL amounts
+    val m0 = IcebergLog.current(table).get
+    val dir = Paths.get(table, "metadata")
+    val p = dir.resolve(s"v${m0.version}.metadata.json")
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val node = mapper.readTree(Files.readAllBytes(p))
+      .asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode]
+    val schemas = node.get("schemas")
+      .asInstanceOf[com.fasterxml.jackson.databind.node.ArrayNode]
+    val renamed = schemas.get(0).deepCopy[com.fasterxml.jackson.databind.node.ObjectNode]()
+    renamed.put("schema-id", 1)
+    renamed.get("fields").get(1)
+      .asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode]
+      .put("name", "amount")
+    schemas.add(renamed)
+    node.put("current-schema-id", 1)
+    Files.write(p, node.toString.getBytes("UTF-8"))
+    val df = IcebergLog.read(spark, table)
+    assert(df.schema.fieldNames.toSeq == Seq("id", "amount"))
+    val got = df.as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 10L, 2L -> 20L),
+      s"renamed column must resolve by field id, got $got")
+    // the changelog replays the PRE-RENAME files too
+    val ch = IcebergLog.readChanges(spark, table, 1L, Some(1L))
+      .select("id", "amount").as[(Long, Long)].collect().toMap
+    assert(ch == Map(1L -> 10L, 2L -> 20L), s"got $ch")
+    // manifest-metric pruning keys on field ids — unaffected by renames
+    val (kept, total) = IcebergLog.planFiles(spark, table, None, Some("amount >= 5"))
+    assert(total == kept.size)
+  }
+
   test("snapshot refs: tags resolve for time travel, survive commits, and pin expiry") {
     import spark.implicits._
     val table = tmpTable()
