@@ -812,6 +812,18 @@ object DeltaLog {
     } ++ extraPhys.map(f => col(quoted(f.name))): _*)
   }
 
+  /** One commit's ADDED files of a column-mapped table, logical shape —
+    * what the streaming view materializes instead of hard-linking raw
+    * physical-named files. `adds` = (rel path, partitionValues as the
+    * add action records them, phys-keyed).
+    */
+  private[graft] def readMappedAdds(spark: SparkSession, table: String,
+      adds: Seq[(String, Seq[(String, String)])]): DataFrame = {
+    val s = snapshot(spark, table)
+      .getOrElse(sys.error(s"$table is not a Delta table (no _delta_log)"))
+    readMappedFiles(spark, table, s, adds.map { case (r, pv) => (r, pv, None) })
+  }
+
   /** CHANGE DATA FEED batch read (delta-spark's `table_changes`): the
     * change rows of versions `fromVersion..toVersion` (default: current)
     * as table columns + `_change_type` + `_commit_version` +

@@ -55,7 +55,13 @@ object DeltaStreamSource {
       val ignoreDeletes: Boolean = false,
       val changeFeed: Boolean = false,
       spark: Option[SparkSession] = None,
-      val persistent: Boolean = false) {
+      val persistent: Boolean = false,
+      /** Column-mapped table: raw files are physical-named, so the view
+        * MATERIALIZES each commit's added rows in logical shape instead
+        * of hard-linking — one copy of the appended rows, never the
+        * table; deterministically named per version (replay-idempotent).
+        */
+      val mapped: Boolean = false) {
     @volatile private[DeltaStreamSource] var lastVersion: Long = -1L
     @volatile private var closed = false
     private[DeltaStreamSource] var poller: Option[Thread] = None
@@ -170,6 +176,22 @@ object DeltaStreamSource {
               "ignore_deletes=true to skip change commits whole, or enable " +
               s"${graft.sinks.Cdf.enableProp} and open with change_feed=true " +
               "to stream the changes as retractions.")
+        else if (!changeCommit && mapped) {
+          // mapped tables: the raw files are physical-named — materialize
+          // the commit's added rows in logical shape instead of linking
+          val adds = actions.filter(n => n.has("add") &&
+            Option(n.get("add").get("dataChange")).forall(_.asBoolean(true)))
+            .map { n =>
+              val a = n.get("add")
+              (decodePath(a.get("path").asText()),
+                Option(a.get("partitionValues")).map(_.properties().asScala
+                  .map(e => e.getKey -> (if (e.getValue.isNull) null
+                    else e.getValue.asText())).toSeq.sorted)
+                  .getOrElse(Seq.empty),
+                Option(a.get("stats")).filterNot(_.isNull).map(_.asText()))
+            }
+          if (adds.nonEmpty) linked += materializeAdds(v, adds)
+        }
         else if (!changeCommit) actions.foreach { n =>
           if (n.has("add") && n.get("add").get("dataChange").asBoolean()) {
             if (link(decodePath(n.get("add").get("path").asText()))) linked += 1
@@ -226,6 +248,28 @@ object DeltaStreamSource {
         }
       }
       graft.sinks.Cdf.materializeInto(dir, chg, partCols, s"cdf-$v", hint)
+    }
+
+    /** Materialize one version's ADDED rows (mapped tables) in logical
+      * shape. Hint = Σ add-stats numRecords when every add carries
+      * stats (the commit's own lines — a pure function of the log, so
+      * replay-stable); else the materializer's count pre-pass, whose
+      * chunking drift a replay absorbs via the pinned-parts rule.
+      */
+    private def materializeAdds(v: Long,
+        adds: Seq[(String, Seq[(String, String)], Option[String])]): Int = {
+      val sp = spark.getOrElse(throw new IllegalStateException(
+        s"$table: mapped view opened without a SparkSession"))
+      val partCols = DeltaLog.snapshot(sp, table)
+        .map(_.partitionColumns).getOrElse(Seq.empty)
+      val counts = adds.map(_._3.flatMap(st =>
+        try Some(mapper.readTree(st).get("numRecords").asLong())
+        catch { case _: Exception => None }))
+      val hint = if (counts.nonEmpty && counts.forall(_.isDefined))
+        Some(counts.flatten.sum) else None
+      graft.sinks.Cdf.materializeInto(dir,
+        DeltaLog.readMappedAdds(sp, table, adds.map(a => (a._1, a._2))),
+        partCols, s"add-$v", hint)
     }
 
     /** Hard-link `rel` from the table into the view (preserving hive
@@ -302,10 +346,11 @@ object DeltaStreamSource {
         "feed streams exactly the commits ignore_deletes would drop)")
     val snap = DeltaLog.snapshot(spark, table)
       .getOrElse(sys.error(s"$table is not a Delta table (no _delta_log)"))
-    require(DeltaLog.mappingMode(snap.configuration) == "none",
-      s"$table uses delta.columnMapping: the streaming view hard-links raw " +
-        "physical-named files; read the table in BATCH (DeltaLog.read/" +
-        "readChanges handle the mapping) or rewrite it unmapped to stream")
+    // column-mapped tables: raw files are physical-named, so the view
+    // MATERIALIZES (initial snapshot once, then each commit's added
+    // rows) instead of hard-linking — logical-shaped copies, bounded by
+    // the rows appended, deterministically named per version
+    val mapped = DeltaLog.mappingMode(snap.configuration) != "none"
     // `viewDir` makes the view PERSISTENT: the same directory (and so
     // the same absolute file paths the query's file-source checkpoint
     // recorded) serves across restarts — a reopened view reads its
@@ -314,7 +359,7 @@ object DeltaStreamSource {
     val dir = viewDir.map { d => Files.createDirectories(d); d }
       .getOrElse(Files.createTempDirectory("graft-delta-view"))
     val view = new View(table, dir, ignoreDeletes, changeFeed, Some(spark),
-      persistent = viewDir.isDefined)
+      persistent = viewDir.isDefined, mapped = mapped)
     views.add(view)
     val resumed = view.persistent && Files.exists(view.stateFile)
     if (resumed) {
@@ -333,6 +378,15 @@ object DeltaStreamSource {
           s"$table: starting_version $sv is past the log (${snap.version})")
         view.lastVersion = sv - 1
         view.sync()
+      case None if mapped =>
+        // mapped initial state: ONE logical-shaped materialization of the
+        // whole snapshot (readKept's mapped path handles partitions + DVs)
+        if (snap.files.nonEmpty)
+          graft.sinks.Cdf.materializeInto(view.dir,
+            DeltaLog.readKept(spark, table, snap, snap.files),
+            snap.partitionColumns, s"map-${snap.version}")
+        view.lastVersion = snap.version
+        view.saveState()
       case None =>
         // initial state: the active snapshot IS each logical row exactly
         // once. Files carrying a deletion vector can't be hard-linked

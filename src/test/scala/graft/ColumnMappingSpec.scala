@@ -265,11 +265,30 @@ class ColumnMappingSpec extends SparkSpec {
         tableConf = Map("delta.columnMapping.mode" -> "name"))
     }
     assert(e3.getMessage.contains("columnMapping"), e3.getMessage)
-    val e4 = intercept[IllegalArgumentException] {
-      graft.sources.DeltaStreamSource.open(spark, table)
-    }
-    assert(e4.getMessage.contains("columnMapping"), e4.getMessage)
     assert(DeltaLog.read(spark, table).count() == 4) // reads unaffected
+  }
+
+  test("streaming source materializes mapped tables: snapshot, then each append, logical shape") {
+    import spark.implicits._
+    val table = nameModeTable()
+    val (df, view) = graft.sources.DeltaStreamSource.open(spark, table)
+    val q = df.writeStream.format("memory").queryName("cm_stream")
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.ProcessingTime(100)).start()
+    def got: Set[(Long, Long, String)] = spark.table("cm_stream")
+      .as[(Long, Long, String)].collect().toSet
+    try {
+      q.processAllAvailable()
+      assert(got == Set((1L, 10L, "a"), (2L, 20L, "a"), (3L, 30L, "b"), (4L, 40L, "b")),
+        s"got $got")
+      // a mapped APPEND lands physical; the view materializes it logical
+      DeltaLog.writeBatch(Seq((9L, 90L, "c")).toDF("id", "v", "cat"), table)
+      view.sync()
+      q.processAllAvailable()
+      assert(got.size == 5 && got.contains((9L, 90L, "c")), s"got $got")
+      // a replayed sync is a no-op (deterministic materialization names)
+      assert(view.sync() == 0)
+    } finally { q.stop(); view.close() }
   }
 
   test("APPENDS land physical: names, field ids, phys-keyed partitionValues and stats") {

@@ -828,6 +828,11 @@ class ProtocolConformanceSpec extends SparkSpec {
     // manifest-metric pruning keys on field ids — unaffected by renames
     val (kept, total) = IcebergLog.planFiles(spark, table, None, Some("amount >= 5"))
     assert(total == kept.size)
+    // the streaming view links RAW files (read by name) — must refuse
+    val eS = intercept[IllegalArgumentException] {
+      graft.sources.IcebergStreamSource.open(spark, table)
+    }
+    assert(eS.getMessage.contains("renamed"), eS.getMessage)
   }
 
   test("snapshot refs: tags resolve for time travel, survive commits, and pin expiry") {
