@@ -129,6 +129,13 @@ class ColumnMappingSpec extends SparkSpec {
     assert(got.toSeq == Seq((1L, 10L, "a"), (2L, 20L, "a"), (3L, 30L, "b"), (4L, 40L, "b")))
     // logical-named filters work end-to-end (remap before the filter)
     assert(df.filter("cat = 'b' and id > 3").collect().map(_.getLong(1)).toSeq == Seq(40L))
+    // the SQL face reads mapped tables through the same path
+    val sqlGot = new sql.Pipeline(spark, streaming = false).run(
+      s"""CREATE TABLE mt (id BIGINT, v BIGINT, cat TEXT) WITH (
+         |  connector='delta', path='$table', format='parquet', type='source');
+         |SELECT id, v FROM mt WHERE cat = 'a'""".stripMargin).get
+    assert(sqlGot.collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq ==
+      Seq((1L, 10L), (2L, 20L)))
   }
 
   test("name mode: file pruning binds phys-keyed stats AND partitionValues to logical predicates") {

@@ -876,6 +876,13 @@ class ProtocolConformanceSpec extends SparkSpec {
       IcebergLog.snapshotIdOfRef(table, "nope")
     }
     assert(e.getMessage.contains("rev-1"), e.getMessage)
+    // the SQL face: ref = '<tag>' time travel
+    val sqlGot = new graft.sql.Pipeline(spark, streaming = false).run(
+      s"""CREATE TABLE rt (id BIGINT, v BIGINT) WITH (
+         |  connector='iceberg', path='$table', format='parquet',
+         |  type='source', ref='rev-1');
+         |SELECT id, v FROM rt""".stripMargin).get
+    assert(sqlGot.as[(Long, Long)].collect().toMap == Map(1L -> 10L))
   }
 
   test("catalog-managed metadata naming (NNNNN-uuid.metadata.json) reads; writes route to the catalog") {
