@@ -570,6 +570,53 @@ object Relational {
               |  ${oSum("CASE WHEN l_returnflag = 'R' THEN l_extendedprice * 2 ELSE l_extendedprice END")} AS sum_price
               |FROM lineitem WHERE NOT (l_quantity > 45) GROUP BY 1""".stripMargin)),
 
+    // ── COLUMN-MAPPED delta interop (r13): author the metaData of a
+    //    mapped table (protocol 2/5, physicalName/id per field — the
+    //    usual Databricks-written shape), APPEND lineitem through the
+    //    mapped write path (physical-named files, field ids, phys-keyed
+    //    stats/partitionValues), then read back with a scan_filter. A
+    //    hash match proves the whole mapping round trip — physical
+    //    write, partition attach from the log, phys-keyed stats
+    //    pruning, logical remap — against an exact engine.
+    Q("q_delta_mapped",
+      (s, dir) => {
+        import org.apache.spark.sql.types.{MetadataBuilder, StructType}
+        val li = t(s, dir, "lineitem").select(
+          col("l_orderkey"), col("l_returnflag"), col("l_quantity"))
+        val table = java.nio.file.Files
+          .createTempDirectory("graft-delta-cm").resolve("t").toString
+        val mapped = StructType(li.schema.fields.zipWithIndex.map {
+          case (f, i) => f.copy(metadata = new MetadataBuilder()
+            .putLong("delta.columnMapping.id", i + 1L)
+            .putString("delta.columnMapping.physicalName", s"col-p${i + 1}")
+            .build())
+        })
+        val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+        val md = mapper.createObjectNode()
+        val m = md.putObject("metaData")
+        m.put("id", java.util.UUID.randomUUID().toString)
+        m.putObject("format").put("provider", "parquet")
+        m.set[com.fasterxml.jackson.databind.JsonNode]("schemaString",
+          mapper.getNodeFactory.textNode(mapped.json))
+        m.putArray("partitionColumns").add("l_returnflag")
+        m.putObject("configuration")
+          .put("delta.columnMapping.mode", "name")
+          .put("delta.columnMapping.maxColumnId", "3")
+        m.put("createdTime", 1700000000000L)
+        val log = java.nio.file.Paths.get(table, "_delta_log")
+        java.nio.file.Files.createDirectories(log)
+        java.nio.file.Files.write(log.resolve(f"${0L}%020d.json"),
+          ("""{"protocol":{"minReaderVersion":2,"minWriterVersion":5}}""" +
+            "\n" + md.toString + "\n").getBytes("UTF-8"))
+        graft.sinks.DeltaLog.writeBatch(li, table)
+        graft.sinks.DeltaLog.read(s, table,
+            scanFilter = Some("l_quantity <= 25"))
+          .groupBy(col("l_returnflag"))
+          .agg(count(lit(1)).as("n"), dsum(col("l_quantity")).as("sum_qty"))
+      },
+      Some(s"""SELECT l_returnflag, COUNT(*) AS n, ${oSum("l_quantity")} AS sum_qty
+              |FROM lineitem WHERE l_quantity <= 25 GROUP BY 1""".stripMargin)),
+
     // ── merge-on-read DML on delta (r11, DELETION VECTORS — the public
     //    protocol 3/7 feature gated by delta.enableDeletionVectors): the
     //    q_delta_dml verbs, but the DELETE folds positions into roaring
