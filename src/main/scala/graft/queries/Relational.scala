@@ -617,6 +617,88 @@ object Relational {
       Some(s"""SELECT l_returnflag, COUNT(*) AS n, ${oSum("l_quantity")} AS sum_qty
               |FROM lineitem WHERE l_quantity <= 25 GROUP BY 1""".stripMargin)),
 
+    // ── iceberg FORMAT-VERSION 3 interop (r13): run a merge-on-read
+    //    DELETE, then re-shape the table the way a v3 writer leaves it —
+    //    each position-delete parquet becomes a puffin DELETION VECTOR
+    //    (fields 143-145 on a foreign-shaped manifest), metadata bumps
+    //    to format-version 3 — and read back through the DV bitmap
+    //    probe. The oracle replays the delete algebraically: a hash
+    //    match proves the puffin blob framing, the manifest binding,
+    //    and the v3 read path end-to-end.
+    Q("q_iceberg_v3",
+      (s, dir) => {
+        import org.apache.spark.sql.types.{LongType, StringType, IntegerType, StructField, StructType}
+        val li = t(s, dir, "lineitem").select(
+          col("l_orderkey"), col("l_returnflag"), col("l_quantity"))
+        val table = java.nio.file.Files
+          .createTempDirectory("graft-iceberg-v3").toString
+        graft.sinks.IcebergLog.writeBatch(li.repartition(4), table)
+        graft.sinks.IcebergLog.setTableProperties(s, table,
+          Map("write.delete.mode" -> "merge-on-read"))
+        graft.sinks.IcebergLog.deleteWhere(s, table, "l_quantity > 45")
+        // → the v3 shape
+        val m = graft.sinks.IcebergLog.current(table).get
+        val snap = m.snapshots
+          .find(_.get("snapshot-id").asLong() == m.currentSnapshotId).get
+        val partType = StructType(Seq.empty[StructField])
+        val v3Entry = StructType(Seq(
+          StructField("status", IntegerType, nullable = false),
+          StructField("snapshot_id", LongType, nullable = true),
+          StructField("sequence_number", LongType, nullable = true),
+          StructField("file_sequence_number", LongType, nullable = true),
+          StructField("data_file", StructType(Seq(
+            StructField("content", IntegerType, nullable = false),
+            StructField("file_path", StringType, nullable = false),
+            StructField("file_format", StringType, nullable = false),
+            StructField("partition", StructType(Seq.empty), nullable = false),
+            StructField("record_count", LongType, nullable = false),
+            StructField("file_size_in_bytes", LongType, nullable = false),
+            StructField("referenced_data_file", StringType, nullable = true),
+            StructField("content_offset", LongType, nullable = true),
+            StructField("content_size_in_bytes", LongType, nullable = true))),
+            nullable = false)))
+        graft.sinks.IcebergLog.readManifestList(snap.get("manifest-list").asText())
+          .filter(_.getInt(3) == 1).foreach { mf =>
+            val mfPath = java.nio.file.Paths.get(mf.getString(0))
+            val entries = graft.sinks.IcebergLog.readEntries(mfPath.toString, partType)
+            val delParquets = entries.map(_.getStruct(4).getString(1))
+            val byRef = s.read
+              .schema(StructType(Seq(StructField("file_path", StringType),
+                StructField("pos", LongType))))
+              .parquet(delParquets: _*).collect()
+              .map(r => (r.getString(0), r.getLong(1)))
+              .groupBy(_._1).view.mapValues(_.map(_._2).toSeq).toSeq.sortBy(_._1)
+            val (puffin, at) = graft.formats.Puffin.writeDvFile(
+              mfPath.getParent, byRef)
+            val e0 = entries.head
+            val rows = byRef.map { case (ref, ps) =>
+              val (off, size) = at(ref)
+              org.apache.spark.sql.Row(e0.get(0), e0.get(1), e0.get(2), e0.get(3),
+                org.apache.spark.sql.Row(1, puffin.toAbsolutePath.toString,
+                  "PUFFIN", org.apache.spark.sql.Row(), ps.size.toLong,
+                  java.nio.file.Files.size(puffin), ref, off, size))
+            }
+            val tmp = java.nio.file.Files.createTempFile(mfPath.getParent, "v3", ".avro")
+            val out = java.nio.file.Files.newOutputStream(tmp)
+            try graft.formats.AvroCodec.writeOcf(out, v3Entry, rows.iterator)
+            finally out.close()
+            java.nio.file.Files.move(tmp, mfPath,
+              java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+          }
+        val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+        val mp = java.nio.file.Paths.get(table, "metadata",
+          s"v${m.version}.metadata.json")
+        val node = mapper.readTree(java.nio.file.Files.readAllBytes(mp))
+          .asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode]
+        node.put("format-version", 3)
+        java.nio.file.Files.write(mp, node.toString.getBytes("UTF-8"))
+        graft.sinks.IcebergLog.read(s, table)
+          .groupBy(col("l_returnflag"))
+          .agg(count(lit(1)).as("n"), dsum(col("l_quantity")).as("sum_qty"))
+      },
+      Some(s"""SELECT l_returnflag, COUNT(*) AS n, ${oSum("l_quantity")} AS sum_qty
+              |FROM lineitem WHERE NOT (l_quantity > 45) GROUP BY 1""".stripMargin)),
+
     // ── merge-on-read DML on delta (r11, DELETION VECTORS — the public
     //    protocol 3/7 feature gated by delta.enableDeletionVectors): the
     //    q_delta_dml verbs, but the DELETE folds positions into roaring
