@@ -131,7 +131,13 @@ object DeltaLog {
   final case class Snapshot(schema: StructType, partitionColumns: Seq[String],
       adds: Seq[(String, AddInfo)], version: Long,
       appVersions: Map[String, Long], metaId: String, createdTime: Long,
-      configuration: Map[String, String] = Map.empty) {
+      configuration: Map[String, String] = Map.empty,
+      /** The last-seen `protocol` action, verbatim JSON — what a
+        * checkpoint must ROUND-TRIP: re-deriving it would downgrade a
+        * third-party table's protocol (columnMapping, inCommitTimestamp,
+        * …) and let feature-unaware readers silently misread.
+        */
+      protocolJson: Option[String] = None) {
     def files: Seq[String] = adds.map(_._1)
   }
 
@@ -190,12 +196,16 @@ object DeltaLog {
     var metaId: String = UUID.randomUUID().toString
     var createdTime: Long = 0L
     var config: Map[String, String] = Map.empty
+    var protocolJson: Option[String] = None
     val adds = scala.collection.mutable.LinkedHashMap.empty[String, AddInfo]
     val appVersions = scala.collection.mutable.Map.empty[String, Long]
 
     def applyJsonLine(line: String): Unit = {
         val n = mapper.readTree(line)
-        if (n.has("protocol")) checkProtocol(table, n.get("protocol"))
+        if (n.has("protocol")) {
+          checkProtocol(table, n.get("protocol"))
+          protocolJson = Some(n.get("protocol").toString)
+        }
         if (n.has("metaData")) {
           val m = n.get("metaData")
           metaId = m.get("id").asText()
@@ -240,13 +250,18 @@ object DeltaLog {
         node.put("minReaderVersion",
           Option(pr.getAs[Any]("minReaderVersion"))
             .collect { case n: Number => n.intValue() }.getOrElse(1))
-        if (pr.schema.fieldNames.contains("readerFeatures") &&
-            pr.getAs[Any]("readerFeatures") != null) {
-          val arr = node.putArray("readerFeatures")
-          pr.getAs[scala.collection.Seq[String]]("readerFeatures")
-            .foreach(arr.add)
-        }
+        // capture the FULL protocol (writer side too): snapshots must
+        // round-trip it into the next checkpoint verbatim
+        Option(pr.getAs[Any]("minWriterVersion"))
+          .collect { case n: Number => n.intValue() }
+          .foreach(node.put("minWriterVersion", _))
+        for (side <- Seq("readerFeatures", "writerFeatures"))
+          if (pr.schema.fieldNames.contains(side) && pr.getAs[Any](side) != null) {
+            val arr = node.putArray(side)
+            pr.getAs[scala.collection.Seq[String]](side).foreach(arr.add)
+          }
         checkProtocol(table, node)
+        protocolJson = Some(node.toString)
       }
       if (r.schema.fieldNames.contains("metaData") && !r.isNullAt(i("metaData"))) {
         val m = r.getStruct(i("metaData"))
@@ -342,6 +357,7 @@ object DeltaLog {
         metaId = c.metaId
         createdTime = c.createdTime
         config = c.configuration
+        protocolJson = c.protocolJson
         adds ++= c.adds
         appVersions ++= c.appVersions
         jsons.filter(_._1 > c.version).foreach { case (_, p) => applyJson(p) }
@@ -368,7 +384,7 @@ object DeltaLog {
     require(schemaJson != null, s"$table: no metaData action in _delta_log")
     val snap = Snapshot(DataType.fromJson(schemaJson).asInstanceOf[StructType],
       partCols, adds.toSeq, target, appVersions.toMap, metaId, createdTime,
-      config)
+      config, protocolJson)
     // only the true latest state may overwrite the cache (asOf snapshots
     // are historical); an unconditional put also self-heals a recreated
     // table whose cache entry is ahead of the new log
@@ -2173,12 +2189,30 @@ object DeltaLog {
     // and a checkpoint that embeds it would make `VERSION AS OF version`
     // return rows from the future
     val s = snapshot(spark, table, asOf = Some(version)).getOrElse(return)
-    val dvOn = dvEnabled(s.configuration) || s.adds.exists(_._2.dv.isDefined)
-    val cdfOn = Cdf.isEnabled(s.configuration)
-    val protoRow =
+    // ROUND-TRIP the table's protocol verbatim: re-deriving it here
+    // would DOWNGRADE a third-party table's protocol in the checkpoint
+    // (columnMapping, inCommitTimestamp, …) — a conformant reader
+    // starting from that checkpoint would then silently misread the
+    // very files the features govern. The derived fallback serves only
+    // logs whose protocol action predates this field (none in practice:
+    // commit 0 always writes one).
+    val protoRow = s.protocolJson.map { pj =>
+      val n = mapper.readTree(pj)
+      def features(side: String): Seq[String] =
+        Option(n.get(side)).filterNot(_.isNull)
+          .map(a => (0 until a.size()).map(a.get(_).asText()): Seq[String])
+          .orNull
+      Row(
+        Option(n.get("minReaderVersion")).map(_.asInt()).getOrElse(1),
+        Option(n.get("minWriterVersion")).map(_.asInt()).getOrElse(2),
+        features("readerFeatures"), features("writerFeatures"))
+    }.getOrElse {
+      val dvOn = dvEnabled(s.configuration) || s.adds.exists(_._2.dv.isDefined)
+      val cdfOn = Cdf.isEnabled(s.configuration)
       if (dvOn) Row(3, 7, Seq("deletionVectors"),
         Seq("deletionVectors") ++ (if (cdfOn) Seq("changeDataFeed") else Nil))
       else Row(1, if (cdfOn) 4 else 2, null, null)
+    }
     val rows = Seq(
       Row(null, null, null, null, protoRow),
       Row(null, null, null,

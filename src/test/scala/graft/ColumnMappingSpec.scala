@@ -343,6 +343,30 @@ class ColumnMappingSpec extends SparkSpec {
     assert(eMerge.getMessage.contains("merge_schema"), eMerge.getMessage)
   }
 
+  test("checkpoints round-trip the mapped protocol; cold replay from one still maps") {
+    import spark.implicits._
+    val table = nameModeTable()
+    DeltaLog.writeBatch(Seq((9L, 90L, "c")).toDF("id", "v", "cat"), table) // v1
+    DeltaLog.writeCheckpoint(spark, table, 1L)
+    val cpPath = Paths.get(table, "_delta_log", f"${1L}%020d.checkpoint.parquet")
+    // the protocol must survive VERBATIM (2/5, the legacy mapping form):
+    // a re-derived 1/2 protocol here would let feature-unaware readers
+    // start from this checkpoint and silently misread physical names
+    val pr = spark.read.parquet(cpPath.toString)
+      .filter(col("protocol").isNotNull).select("protocol.*").head()
+    assert(pr.getInt(0) == 2 && pr.getInt(1) == 5, pr.toString)
+    // cold replay FROM the checkpoint (jsons aged out) still maps
+    Seq(0L, 1L).foreach(v =>
+      Files.delete(Paths.get(table, "_delta_log", f"$v%020d.json")))
+    DeltaLog.clearSnapshotCache()
+    val got = DeltaLog.read(spark, table).collect().map(_.getLong(0)).sorted
+    assert(got.toSeq == Seq(1L, 2L, 3L, 4L, 9L))
+    // and the checkpoint-sourced snapshot still takes mapped appends
+    assert(DeltaLog.writeBatch(
+      Seq((11L, 110L, "a")).toDF("id", "v", "cat"), table).contains(2L))
+    assert(DeltaLog.read(spark, table).count() == 6)
+  }
+
   test("appends into an id-mode table stamp parquet field ids the id-resolving read binds") {
     import spark.implicits._
     // the id-mode fixture from above: file names unrelated to physical
