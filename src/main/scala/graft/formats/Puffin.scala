@@ -20,8 +20,15 @@ object Puffin {
     * (row indexes within one data file always do).
     */
   def dvBlob(positions: Iterator[Long]): Array[Byte] = {
-    val r32 = graft.sinks.DeletionVectors.bitmapOf(positions)
-      .serialize().drop(12) // delta container header off; same 32-bit wire
+    val bm = graft.sinks.DeletionVectors.bitmapOf(positions)
+    val ser = bm.serialize()
+    // single-bucket frame: a position ≥ 2^32 would serialize a second
+    // 32-bit map this framing silently truncates — refuse instead
+    require(java.nio.ByteBuffer.wrap(ser, 4, 8)
+        .order(ByteOrder.LITTLE_ENDIAN).getLong <= 1L,
+      "puffin dvBlob: positions must fit one 32-bit bucket (row indexes " +
+        "within a single data file always do)")
+    val r32 = ser.drop(12) // delta container header off; same 32-bit wire
     val vec = ByteBuffer.allocate(12 + r32.length).order(ByteOrder.LITTLE_ENDIAN)
     vec.putLong(1L).putInt(0)
     vec.put(r32)
