@@ -22,17 +22,27 @@ object Puffin {
   def dvBlob(positions: Iterator[Long]): Array[Byte] = {
     val bm = graft.sinks.DeletionVectors.bitmapOf(positions)
     val ser = bm.serialize()
+    val buckets = java.nio.ByteBuffer.wrap(ser, 4, 8)
+      .order(ByteOrder.LITTLE_ENDIAN).getLong
     // single-bucket frame: a position ≥ 2^32 would serialize a second
-    // 32-bit map this framing silently truncates — refuse instead
-    require(java.nio.ByteBuffer.wrap(ser, 4, 8)
-        .order(ByteOrder.LITTLE_ENDIAN).getLong <= 1L,
+    // 32-bit map this framing silently truncates — refuse instead. An
+    // EMPTY bitmap frames as zero buckets (claiming one with no payload
+    // would make the blob unreadable)
+    require(buckets <= 1L,
       "puffin dvBlob: positions must fit one 32-bit bucket (row indexes " +
         "within a single data file always do)")
     val r32 = ser.drop(12) // delta container header off; same 32-bit wire
-    val vec = ByteBuffer.allocate(12 + r32.length).order(ByteOrder.LITTLE_ENDIAN)
-    vec.putLong(1L).putInt(0)
-    vec.put(r32)
-    val v = vec.array()
+    val v =
+      if (buckets == 0L)
+        ByteBuffer.allocate(8).order(ByteOrder.LITTLE_ENDIAN)
+          .putLong(0L).array()
+      else {
+        val vec = ByteBuffer.allocate(12 + r32.length)
+          .order(ByteOrder.LITTLE_ENDIAN)
+        vec.putLong(1L).putInt(0)
+        vec.put(r32)
+        vec.array()
+      }
     val b = ByteBuffer.allocate(4 + 4 + v.length + 4) // big-endian
     b.putInt(4 + v.length)
     b.put(Array(0xD1.toByte, 0xD3.toByte, 0x39.toByte, 0x64.toByte))

@@ -179,37 +179,53 @@ object Cdf {
     // relations), and a throw outside the try would leave scratch both
     // on disk and registered active — invisible to the orphan sweep
     try {
+      // a completed materialization leaves a dot-marker (invisible to
+      // the file stream): the steady-state sync of version N+1 costs
+      // one exists() probe instead of a full view-dir walk — which
+      // grows with every prior version and would make cumulative sync
+      // cost quadratic in view size
+      val doneMarker = viewDataDir.resolve(s".$namePrefix.done")
+      if (Files.exists(doneMarker)) return 0
       // files already materialized for THIS prefix are the authoritative
-      // part set: part names carry their total (`<prefix>-<i>of<n>`), so
-      // a replay re-uses the FIRST attempt's chunking even if the
-      // row-count derivation changed across engine versions (an
-      // interrupted materialization resumed under a different hint would
-      // otherwise re-chunk and hard-link extra parts beside the old
-      // ones — duplicated change rows). A complete set short-circuits;
-      // a partial one (crash mid-link) pins nParts and fills in — the
-      // content-hash repartition reproduces identical parts. Legacy
-      // `<prefix>-<i>` names (no `of<n>`) can't reveal their total:
-      // their presence means the set is authoritative-as-is.
+      // part set. Part names carry the FILE TOTAL and the repartition
+      // count (`<prefix>-<i>of<M>p<K>`): under hive partitioning the
+      // file count M exceeds the chunk count K (one file per task ×
+      // partition value), and completeness must be judged against M —
+      // judging against K would declare a crash-mid-link replay
+      // complete after K of M files and silently drop the rest. A
+      // partial set pins K so the content-hash repartition reproduces
+      // the identical file set and the replay fills in the missing
+      // names. Pre-fix names (`<prefix>-<i>` and `<prefix>-<i>of<n>`)
+      // carry no file total: their presence means authoritative-as-is
+      // (the historical contract for legacy sets).
       val ExistingRe = (java.util.regex.Pattern.quote(namePrefix) +
+        """-(\d+)of(\d+)p(\d+)\.parquet""").r
+      val LegacyRe = (java.util.regex.Pattern.quote(namePrefix) +
         """-(\d+)(?:of(\d+))?\.parquet""").r
+      var legacy = false
       val existing = walk(viewDataDir)
         .filter(p => Files.isRegularFile(p))
         .flatMap(p => p.getFileName.toString match {
-          case ExistingRe(i, n) => Some((i.toInt, Option(n).map(_.toInt)))
+          case ExistingRe(i, m, k) => Some((i.toInt, m.toInt, k.toInt))
+          case LegacyRe(_, _) => legacy = true; None
           case _ => None
         })
-      val pinnedParts: Option[Int] =
+      if (legacy) return 0 // pre-fix names: set is authoritative
+      val pinned: Option[(Int, Int)] =
         if (existing.isEmpty) None
-        else existing.head._2 match {
-          case None => return 0 // legacy names: set is authoritative
-          case Some(n0) =>
-            require(existing.forall(_._2.contains(n0)),
-              s"view dir holds $namePrefix parts with conflicting totals " +
-                s"(${existing.flatMap(_._2).distinct.sorted.mkString(",")})")
-            if (existing.map(_._1).distinct.size >= n0) return 0 // complete
-            Some(n0)
+        else {
+          val (m0, k0) = (existing.head._2, existing.head._3)
+          require(existing.forall(e => e._2 == m0 && e._3 == k0),
+            s"view dir holds $namePrefix parts with conflicting totals " +
+              s"(${existing.map(e => s"${e._2}p${e._3}").distinct.sorted.mkString(",")})")
+          if (existing.map(_._1).distinct.size >= m0) {
+            try Files.write(doneMarker, Array.emptyByteArray)
+            catch { case _: Exception => () }
+            return 0 // complete
+          }
+          Some((m0, k0))
         }
-      val nParts = pinnedParts.getOrElse(
+      val nParts = pinned.map(_._2).getOrElse(
         math.max(1L, math.min(32L, (rowCountHint.getOrElse {
           chg0.persist()
           chg0.count()
@@ -219,15 +235,22 @@ object Cdf {
       val w = chg.write.mode("overwrite")
       (if (partCols.nonEmpty) w.partitionBy(partCols: _*) else w)
         .parquet(scratch.toString)
-      var n = 0
-      walk(scratch).filter(p => Files.isRegularFile(p) &&
+      val placed = walk(scratch).filter(p => Files.isRegularFile(p) &&
         p.getFileName.toString.endsWith(".parquet"))
         .map(p => (scratch.relativize(p).toString, p)).sortBy(_._1)
-        .zipWithIndex.foreach { case ((rel, p), i) =>
+      val total = placed.size
+      // a pinned replay must reproduce the first attempt's file set
+      // exactly (same K + content-hash chunking + sorted rel order ⇒
+      // same M); anything else means the view dir is inconsistent
+      pinned.foreach { case (m0, _) => require(total == m0,
+        s"$namePrefix replay produced $total parts where the first " +
+          s"attempt recorded $m0; refusing to mix the sets") }
+      var n = 0
+      placed.zipWithIndex.foreach { case ((rel, p), i) =>
           val relDir = Option(java.nio.file.Paths.get(rel).getParent)
           val destDir = relDir.map(d => viewDataDir.resolve(d.toString))
             .getOrElse(viewDataDir)
-          val dest = destDir.resolve(s"$namePrefix-${i}of$nParts.parquet")
+          val dest = destDir.resolve(s"$namePrefix-${i}of${total}p$nParts.parquet")
           Files.createDirectories(destDir)
           try { Files.createLink(dest, p); n += 1 }
           catch {
@@ -237,6 +260,9 @@ object Cdf {
               catch { case _: java.nio.file.FileAlreadyExistsException => () }
           }
         }
+      // marker LAST: its presence asserts every link above landed
+      try Files.write(doneMarker, Array.emptyByteArray)
+      catch { case _: Exception => () }
       n
     } finally {
       // deregister FIRST and guard every step: unpersist of a frame whose

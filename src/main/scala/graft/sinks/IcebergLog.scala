@@ -316,19 +316,35 @@ object IcebergLog {
     * An id-less file under a renamed schema fails loudly instead —
     * without per-file ids the old name is unknowable.
     */
-  private[graft] def dataReadSchema(spark: SparkSession, m: Meta): StructType = {
+  /** Does the schema history make by-NAME parquet binding unsafe?
+    * Either direction does: a field id under more than one name (a
+    * rename — old files carry the old name), or a NAME under more than
+    * one id (drop + re-add — old files carry a same-named column whose
+    * values belong to the DEAD field and must read as null). Pure —
+    * [[dataReadSchema]] stamps ids only when this is true, and the
+    * streaming source uses it as a refusal predicate.
+    */
+  private[graft] def renameInHistory(m: Meta): Boolean = {
     val arr = m.node.get("schemas")
-    val seen = scala.collection.mutable.Map.empty[Int, String]
-    var renamed = false
+    val nameOfId = scala.collection.mutable.Map.empty[Int, String]
+    val idOfName = scala.collection.mutable.Map.empty[String, Int]
+    var unsafe = false
     for (si <- 0 until arr.size(); f = arr.get(si).get("fields");
          fi <- 0 until f.size()) {
       val fld = f.get(fi)
       val id = fld.get("id").asInt()
       val name = fld.get("name").asText()
-      if (seen.getOrElse(id, name) != name) renamed = true
-      seen(id) = name
+      if (nameOfId.getOrElse(id, name) != name) unsafe = true
+      if (idOfName.getOrElse(name, id) != id) unsafe = true
+      nameOfId(id) = name
+      idOfName(name) = id
     }
-    if (!renamed) m.schema
+    unsafe
+  }
+
+  private[graft] def dataReadSchema(spark: SparkSession, m: Meta): StructType = {
+    val arr = m.node.get("schemas")
+    if (!renameInHistory(m)) m.schema
     else {
       spark.conf.set("spark.sql.parquet.fieldId.read.enabled", "true")
       val cur = (0 until arr.size()).map(arr.get)
@@ -763,6 +779,37 @@ object IcebergLog {
     })
   }
 
+  /** Is `m`'s spec/field-id topology exactly what THIS writer mints —
+    * specs ⊆ {0 = identity table spec, 1 = empty delete spec},
+    * default-spec-id 0, identity transforms only, and the current
+    * schema's field ids positional (1..n)? Anything else means the
+    * metadata rebuild and the positional metrics harvest would corrupt
+    * structures a conformant reader resolves by id.
+    */
+  private def writerMintedTopology(m: Meta): Boolean = {
+    val specs = Option(m.node.get("partition-specs")).getOrElse(return false)
+    val byId = (0 until specs.size()).map(specs.get)
+      .map(s => s.get("spec-id").asInt() -> s).toMap
+    val defaultId =
+      Option(m.node.get("default-spec-id")).map(_.asInt()).getOrElse(0)
+    def allIdentity(s: com.fasterxml.jackson.databind.JsonNode): Boolean = {
+      val f = s.get("fields")
+      (0 until f.size()).forall(i =>
+        f.get(i).get("transform").asText() == "identity")
+    }
+    val schemas = m.node.get("schemas")
+    val curSchema = (0 until schemas.size()).map(schemas.get)
+      .find(_.get("schema-id").asInt() == m.currentSchemaId)
+      .getOrElse(schemas.get(0))
+    val sf = curSchema.get("fields")
+    val positionalIds = (0 until sf.size()).forall(i =>
+      Option(sf.get(i).get("id")).exists(_.asInt() == i + 1))
+    byId.keySet.subsetOf(Set(0, 1)) && defaultId == 0 &&
+      byId.get(0).forall(allIdentity) &&
+      byId.get(1).forall(_.get("fields").size() == 0) &&
+      positionalIds
+  }
+
   /** The write path's spec resolution: [[commitSnapshot]] itself defines
     * spec 0 (the table's identity spec) and spec 1 (the unpartitioned
     * spec global delete files ride — per the Iceberg spec, a global
@@ -1001,6 +1048,18 @@ object IcebergLog {
         s"$table uses catalog-managed metadata naming (${m.metaFileName}); " +
           "this engine commits the HadoopCatalog filesystem form only — " +
           "the table stays readable, route writes through its catalog"))
+      // spec/id topology this writer didn't mint: the metadata rebuild
+      // re-mints specs 0/1 and keys metrics by POSITIONAL field ids, so
+      // committing into a table with evolved/foreign specs, non-identity
+      // transforms, a non-zero default spec, or non-positional schema
+      // ids would silently corrupt what a conformant reader resolves —
+      // refuse loudly; such tables stay fully readable
+      cur.foreach(m => require(writerMintedTopology(m),
+        s"$table carries a partition-spec/field-id topology this writer " +
+          "didn't mint (evolved or foreign specs, non-identity transforms, " +
+          "non-zero default-spec-id, or non-positional schema field ids); " +
+          "the table stays readable — route writes through the writer " +
+          "that owns its history"))
       txn.foreach { case (app, v) =>
         if (cur.exists(_.appVersions.get(app).exists(_ >= v))) return None
       }
@@ -1571,11 +1630,21 @@ object IcebergLog {
     * column PROVABLY disjoint exonerates the file; any unknown is
     * conservative.
     */
+  /** Decoded-value equality for partition comparison: Array[Byte]
+    * (binary identity partitions) compares by CONTENT — universal ==
+    * is reference equality there, which would silently exonerate every
+    * binary-partitioned delete (over-returning its rows).
+    */
+  private def pvEq(a: Any, b: Any): Boolean = (a, b) match {
+    case (x: Array[Byte], y: Array[Byte]) => java.util.Arrays.equals(x, y)
+    case _ => a == b
+  }
+
   private def eqApplies(f: LiveFile, d: DeleteFile, schema: StructType): Boolean =
     d.seq > f.dataSeq &&
     d.partition.forall { case (c, v) =>
       f.partitionValues.get(c).forall(fv =>
-        if (fv == null || v == null) fv == null && v == null else fv == v)
+        if (fv == null || v == null) fv == null && v == null else pvEq(fv, v))
     } &&
     d.eqFieldIds.forall { id =>
       if (id < 1 || id > schema.fields.length) true // unknown column: conservative

@@ -254,11 +254,12 @@ object IcebergStreamSource {
     // name (field ids are the identity); the view hard-links raw files
     // and reads them by NAME, which would silently null the renamed
     // column — refuse, the batch read resolves by field id
-    require(IcebergLog.dataReadSchema(spark, m) == m.schema,
-      s"$table: the schema history shows a renamed column; the streaming " +
-        "view links raw files and cannot resolve pre-rename files by field " +
-        "id — read the table in BATCH (IcebergLog.read/readChanges), or " +
-        "OPTIMIZE to rewrite files under the current names before streaming")
+    require(!IcebergLog.renameInHistory(m),
+      s"$table: the schema history shows a renamed (or dropped-and-readded) " +
+        "column; the streaming view links raw files and cannot resolve " +
+        "pre-rename files by field id — read the table in BATCH " +
+        "(IcebergLog.read/readChanges), or OPTIMIZE to rewrite files under " +
+        "the current names before streaming")
     // persistent view (caller-supplied dir): resumes across restarts —
     // see the delta twin
     val dir = viewDir.map { d => Files.createDirectories(d); d }

@@ -670,16 +670,18 @@ class CdfSpec extends SparkSpec {
         .filter(n => n.startsWith(prefix + "-") && n.endsWith(".parquet")).toSeq
       finally s.close()
     }
-    // first attempt: the hint sizes THREE parts
+    // first attempt: the hint sizes THREE chunks (M=3 files, K=3)
     val df = (1L to 30L).toDF("id")
     assert(Cdf.materializeInto(dir, df, Seq.empty, "c7",
       rowCountHint = Some(1500000L)) == 3)
     assert(parts("c7").toSet ==
-      Set("c7-0of3.parquet", "c7-1of3.parquet", "c7-2of3.parquet"))
-    // crash-mid-link simulation: one part missing, then a REPLAY whose
-    // hint now says ONE part (e.g. the derivation changed across engine
-    // versions) \u2014 the existing names pin n=3; only the gap re-links
-    java.nio.file.Files.delete(dir.resolve("c7-1of3.parquet"))
+      Set("c7-0of3p3.parquet", "c7-1of3p3.parquet", "c7-2of3p3.parquet"))
+    // crash-mid-link simulation: one part missing AND no completion
+    // marker (a real crash never wrote it), then a REPLAY whose hint
+    // now says ONE chunk (e.g. the derivation changed across engine
+    // versions) \u2014 the existing names pin K=3; only the gap re-links
+    java.nio.file.Files.delete(dir.resolve("c7-1of3p3.parquet"))
+    java.nio.file.Files.deleteIfExists(dir.resolve(".c7.done"))
     assert(Cdf.materializeInto(dir, df, Seq.empty, "c7",
       rowCountHint = Some(1L)) == 1,
       "replay must fill exactly the missing part under the PINNED chunking")
@@ -691,6 +693,30 @@ class CdfSpec extends SparkSpec {
     // a COMPLETE set short-circuits: no new files, no re-chunking
     assert(Cdf.materializeInto(dir, df, Seq.empty, "c7",
       rowCountHint = Some(1L)) == 0)
+    // HIVE-PARTITIONED crash replay: K=1 chunk but THREE partition-value
+    // files (M=3 > K) \u2014 completeness must judge against M, or a replay
+    // with K files linked would silently drop the remaining partitions
+    val pdir = java.nio.file.Files.createTempDirectory("cdf_pin_part")
+    val pdf = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("id", "p")
+    assert(Cdf.materializeInto(pdir, pdf, Seq("p"), "c8",
+      rowCountHint = Some(1L)) == 3)
+    def pparts(): Seq[java.nio.file.Path] = {
+      val s = java.nio.file.Files.walk(pdir)
+      try s.iterator().asScala.filter(p =>
+        p.getFileName.toString.startsWith("c8-") &&
+        p.getFileName.toString.endsWith(".parquet")).toSeq
+      finally s.close()
+    }
+    assert(pparts().map(_.getFileName.toString).toSet ==
+      Set("c8-0of3p1.parquet", "c8-1of3p1.parquet", "c8-2of3p1.parquet"))
+    java.nio.file.Files.delete(pparts().maxBy(_.getFileName.toString))
+    java.nio.file.Files.deleteIfExists(pdir.resolve(".c8.done"))
+    assert(Cdf.materializeInto(pdir, pdf, Seq("p"), "c8",
+      rowCountHint = Some(1L)) == 1,
+      "partitioned replay must fill the dropped partition's part")
+    val pgot = spark.read.option("basePath", pdir.toString)
+      .parquet(pdir.toString).select(col("id")).as[Long].collect().sorted.toSeq
+    assert(pgot == Seq(1L, 2L, 3L), s"got $pgot")
     // legacy names (pre-r13, no of<n>) are authoritative as-is
     val legacyDir = java.nio.file.Files.createTempDirectory("cdf_pin_legacy")
     assert(Cdf.materializeInto(legacyDir, (1L to 5L).toDF("id"),
