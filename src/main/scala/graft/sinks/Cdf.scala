@@ -186,6 +186,24 @@ object Cdf {
       // cost quadratic in view size
       val doneMarker = viewDataDir.resolve(s".$namePrefix.done")
       if (Files.exists(doneMarker)) return 0
+      // …and a STARTED marker (written before the first link) bounds the
+      // other direction: a brand-new prefix — every commit's common case
+      // — skips the full view-dir walk below entirely, because no part
+      // of this naming era can exist without the marker. Without this,
+      // each commit's sync would walk every prior version's files just
+      // to learn nothing is there (quadratic cumulative cost).
+      val startedMarker = viewDataDir.resolve(s".$namePrefix.started")
+      val neverStarted = !Files.exists(startedMarker) && {
+        // cheap top-level probe backs the marker: pre-marker (legacy)
+        // sets carry no markers, and unpartitioned parts live at the
+        // root — any same-prefix hit falls back to the full walk.
+        // (Partitioned PRE-marker sets are the one shape this can miss;
+        // marker-era sets always have their marker.)
+        val l = Files.list(viewDataDir)
+        try !l.iterator().asScala.exists(
+          _.getFileName.toString.startsWith(namePrefix + "-"))
+        finally l.close()
+      }
       // files already materialized for THIS prefix are the authoritative
       // part set. Part names carry the FILE TOTAL and the repartition
       // count (`<prefix>-<i>of<M>p<K>`): under hive partitioning the
@@ -203,13 +221,15 @@ object Cdf {
       val LegacyRe = (java.util.regex.Pattern.quote(namePrefix) +
         """-(\d+)(?:of(\d+))?\.parquet""").r
       var legacy = false
-      val existing = walk(viewDataDir)
-        .filter(p => Files.isRegularFile(p))
-        .flatMap(p => p.getFileName.toString match {
-          case ExistingRe(i, m, k) => Some((i.toInt, m.toInt, k.toInt))
-          case LegacyRe(_, _) => legacy = true; None
-          case _ => None
-        })
+      val existing =
+        if (neverStarted) Seq.empty // nothing of this era can exist
+        else walk(viewDataDir)
+          .filter(p => Files.isRegularFile(p))
+          .flatMap(p => p.getFileName.toString match {
+            case ExistingRe(i, m, k) => Some((i.toInt, m.toInt, k.toInt))
+            case LegacyRe(_, _) => legacy = true; None
+            case _ => None
+          })
       if (legacy) return 0 // pre-fix names: set is authoritative
       val pinned: Option[(Int, Int)] =
         if (existing.isEmpty) None
@@ -245,6 +265,11 @@ object Cdf {
       pinned.foreach { case (m0, _) => require(total == m0,
         s"$namePrefix replay produced $total parts where the first " +
           s"attempt recorded $m0; refusing to mix the sets") }
+      // started marker BEFORE the first link: its absence is what lets
+      // a later attempt skip the walk, so it must cover every crash
+      // window in which a dest file could exist
+      try Files.write(startedMarker, Array.emptyByteArray)
+      catch { case _: Exception => () }
       var n = 0
       placed.zipWithIndex.foreach { case ((rel, p), i) =>
           val relDir = Option(java.nio.file.Paths.get(rel).getParent)

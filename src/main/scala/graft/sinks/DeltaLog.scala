@@ -606,6 +606,59 @@ object DeltaLog {
     }
   }
 
+  /** WRITER features whose contracts this engine's commits honor.
+    * Everything else enabled on a table makes commits refuse: the
+    * protocol binds every writer to every enabled writer feature
+    * (rowTracking's baseRowId, inCommitTimestamp's commitInfo field,
+    * domainMetadata preservation, …) — appending while ignoring one
+    * corrupts what conformant readers rely on, even though the append
+    * itself "works". Conditionally-vacuous features (invariants,
+    * checkConstraints, generatedColumns, identityColumns) pass exactly
+    * when the table defines none of the constructs they'd govern.
+    */
+  private val supportedWriterFeatures = Set(
+    "appendOnly", "columnMapping", "deletionVectors", "changeDataFeed",
+    "timestampNtz", "v2Checkpoint", "vacuumProtocolCheck")
+
+  private def checkWriterFeatures(table: String, snap: Snapshot,
+      removesData: Boolean): Unit = {
+    val (minWriter, explicit) = snap.protocolJson.map { pj =>
+      val n = mapper.readTree(pj)
+      val mw = Option(n.get("minWriterVersion")).map(_.asInt()).getOrElse(2)
+      val f = Option(n.get("writerFeatures")).filterNot(_.isNull)
+        .map(a => (0 until a.size()).map(a.get(_).asText()).toSet)
+        .getOrElse(Set.empty[String])
+      (mw, f)
+    }.getOrElse((2, Set.empty[String]))
+    // legacy minWriterVersion implies features (PROTOCOL.md table)
+    val implied =
+      (if (minWriter >= 2 && minWriter < 7) Set("appendOnly", "invariants") else Set.empty[String]) ++
+      (if (minWriter >= 3 && minWriter < 7) Set("checkConstraints") else Set.empty[String]) ++
+      (if (minWriter >= 4 && minWriter < 7) Set("changeDataFeed", "generatedColumns") else Set.empty[String]) ++
+      (if (minWriter >= 5 && minWriter < 7) Set("columnMapping") else Set.empty[String]) ++
+      (if (minWriter >= 6 && minWriter < 7) Set("identityColumns") else Set.empty[String])
+    val enabled = explicit ++ implied
+    def fieldMeta(key: String): Boolean =
+      snap.schema.fields.exists(_.metadata.contains(key))
+    val vacuous = Set(
+      "invariants" -> !fieldMeta("delta.invariants"),
+      "checkConstraints" -> !snap.configuration.keys.exists(_.startsWith("delta.constraints.")),
+      "generatedColumns" -> !fieldMeta("delta.generationExpression"),
+      "identityColumns" -> !fieldMeta("delta.identity.start"))
+      .collect { case (f, true) => f }
+    val unsupported = enabled -- supportedWriterFeatures -- vacuous
+    require(unsupported.isEmpty,
+      s"$table enables writer features ${unsupported.toSeq.sorted.mkString(", ")} " +
+        "whose contracts this engine's commits do not honor (ignoring one " +
+        "corrupts what conformant readers rely on); the table stays " +
+        "readable — route writes through a writer that implements them")
+    // appendOnly binds data-changing removes, not OPTIMIZE swaps
+    if (removesData && (enabled.contains("appendOnly") &&
+        snap.configuration.get("delta.appendOnly").exists(_.equalsIgnoreCase("true"))))
+      sys.error(s"$table is append-only (delta.appendOnly=true); " +
+        "refusing a commit that removes live rows")
+  }
+
   /** Entry guard for the DML/maintenance surfaces: a column-mapped
     * table takes APPENDS here ([[writeBatch]]'s mapped path writes
     * physical-named, field-id-stamped files) but never a rewrite —
@@ -1948,6 +2001,11 @@ object DeltaLog {
       // the overlaid config too, so a CREATE can't arm the mode.
       if (!allowMapped) requireWritable(table,
         snap.map(_.configuration).getOrElse(Map.empty) ++ tableConf)
+      // every enabled writer feature binds this commit (third-party
+      // tables: rowTracking, inCommitTimestamp, … — contracts this
+      // engine doesn't emit must refuse, never silently violate)
+      snap.foreach(checkWriterFeatures(table, _,
+        removesData = removed.nonEmpty && dataChange))
       txn.foreach { case (app, v) =>
         if (snap.exists(_.appVersions.get(app).exists(_ >= v))) return None
       }
@@ -2189,6 +2247,16 @@ object DeltaLog {
     // and a checkpoint that embeds it would make `VERSION AS OF version`
     // return rows from the future
     val s = snapshot(spark, table, asOf = Some(version)).getOrElse(return)
+    // a v2Checkpoint-enabled table requires classic-NAMED checkpoints to
+    // be V2-compatibility checkpoints (checkpointMetadata action et al.);
+    // checkpoints are OPTIONAL, so the compliant cheap move is to write
+    // none — the JSON log alone stays fully readable
+    if (s.protocolJson.exists(_.contains("\"v2Checkpoint\""))) {
+      Console.err.println(s"[delta] $table enables v2Checkpoint; skipping " +
+        "the classic checkpoint this writer would emit (the log tail " +
+        "remains the source of truth)")
+      return
+    }
     // ROUND-TRIP the table's protocol verbatim: re-deriving it here
     // would DOWNGRADE a third-party table's protocol in the checkpoint
     // (columnMapping, inCommitTimestamp, …) — a conformant reader

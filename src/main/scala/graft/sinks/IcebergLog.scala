@@ -716,10 +716,17 @@ object IcebergLog {
         // its own order — decodes by the embedded writer schema and
         // projects onto our shape BY NAME (spec field names are
         // normative), unknown fields skipped. The foreign projection
-        // includes the v3 deletion-vector fields (143-145)
-        if (ws == manifestEntrySchemaJson(partType))
+        // includes the v3 deletion-vector fields (143-145). Building
+        // the OWN-shape json can itself fail on partition types this
+        // writer never emits (a foreign decimal-partitioned spec) —
+        // that must fall through to the resolving branch, not crash
+        // before it runs
+        def ownJson(withEq: Boolean): Option[String] =
+          try Some(manifestEntrySchemaJson(partType, withEqIds = withEq))
+          catch { case _: IllegalArgumentException => None }
+        if (ownJson(true).contains(ws))
           Left(manifestEntryType(partType))
-        else if (ws == manifestEntrySchemaJson(partType, withEqIds = false))
+        else if (ownJson(false).contains(ws))
           Left(manifestEntryType(partType, withEqIds = false))
         else Right(manifestEntryType(partType, withDv = true))
       }).toSeq
@@ -1640,12 +1647,23 @@ object IcebergLog {
     case _ => a == b
   }
 
-  private def eqApplies(f: LiveFile, d: DeleteFile, schema: StructType): Boolean =
-    d.seq > f.dataSeq &&
-    d.partition.forall { case (c, v) =>
+  /** The spec's partition rule: a PARTITION-SCOPED delete applies only
+    * to data files in the same partition. Shared by the file-level
+    * pruning AND the join-level scoping — enforcing it only at file
+    * level would let one partition's delete rows kill matching keys in
+    * a file made dirty by ANOTHER partition's delete (silent
+    * under-return).
+    */
+  private def partitionScopeMatches(f: LiveFile,
+      scope: Seq[(String, Any)]): Boolean =
+    scope.forall { case (c, v) =>
       f.partitionValues.get(c).forall(fv =>
         if (fv == null || v == null) fv == null && v == null else pvEq(fv, v))
-    } &&
+    }
+
+  private def eqApplies(f: LiveFile, d: DeleteFile, schema: StructType): Boolean =
+    d.seq > f.dataSeq &&
+    partitionScopeMatches(f, d.partition) &&
     d.eqFieldIds.forall { id =>
       if (id < 1 || id > schema.fields.length) true // unknown column: conservative
       else {
@@ -1680,12 +1698,18 @@ object IcebergLog {
     val (dvDels, posDels) = posDels0.partition(_.isDv)
     val dirty = new Array[Boolean](files.length)
     if (dvDels.nonEmpty) {
-      // a DV names its data file exactly (field 143): only that file is
-      // dirty. A DV whose referenced file is no longer live is inert
-      // (the file was rewritten/removed after the DV landed)
-      val idxByPath = files.zipWithIndex.map { case (f, i) => f.path -> i }.toMap
+      // a DV names its data file (field 143): only that file is dirty.
+      // Keyed by FILE NAME, the same association the read applies —
+      // keying one stage by full path and the other by name would let a
+      // path-form mismatch (file: URI vs plain, a rewriting tool's
+      // normalization) silently skip the DV and re-return deleted rows.
+      // A DV whose referenced file is no longer live is inert (the file
+      // was rewritten/removed after the DV landed)
+      val idxByName = files.zipWithIndex
+        .map { case (f, i) => fileNameOf(f.path) -> i }.toMap
       dvDels.foreach(d =>
-        d.referencedDataFile.flatMap(idxByPath.get).foreach(dirty(_) = true))
+        d.referencedDataFile.map(fileNameOf).flatMap(idxByName.get)
+          .foreach(dirty(_) = true))
     }
     if (posDels.nonEmpty) {
       val byPath = files.zipWithIndex.sortBy(_._1.path).toArray
@@ -1763,7 +1787,12 @@ object IcebergLog {
     import spark.implicits._
     requireUniqueNames(table, dirty.map(_.path), "live data files")
     val (dvDels, posDels) = dels.filter(_.content == 1).partition(_.isDv)
-    val eqGroups = dels.filter(_.content == 2).groupBy(_.eqFieldIds).toSeq
+    // grouped by (equality columns, PARTITION SCOPE): each group's
+    // anti-join is restricted to the files its scope covers, so a
+    // scoped delete can never retract matching keys from a file another
+    // partition's delete dirtied
+    val eqGroups = dels.filter(_.content == 2)
+      .groupBy(d => (d.eqFieldIds, d.partition)).toSeq
     val r0 = spark.read.schema(schema)
     val r = basePath.map(r0.option("basePath", _)).getOrElse(r0)
     var d = r.parquet(dirty.map(_.path): _*)
@@ -1802,21 +1831,34 @@ object IcebergLog {
         broadcast(delDf0) else delDf0
       d = d.join(delDf, Seq(posNameCol, posPosCol), "left_anti")
     }
-    eqGroups.foreach { case (ids, files) =>
-      val names = ids.map(id => schema.fields(id - 1).name)
-      requireUniqueNames(table, files.map(_.path), "equality-delete files")
-      val eqSchema = StructType(ids.map(id =>
-        schema.fields(id - 1).copy(nullable = true)))
-      val eq0 = spark.read.schema(eqSchema).parquet(files.map(_.path): _*)
-        .withColumn(posNameCol,
-          substring_index(col("_metadata.file_path"), "/", -1))
-        .join(broadcast(files.map(f => (fileNameOf(f.path), f.seq))
-          .toDF(posNameCol, eqSeqCol)), posNameCol)
-        .select((names.map(n => col(n).as(s"__graft_eq_$n")) :+ col(eqSeqCol)): _*)
-      val eq = if (files.map(_.records).sum <= 4000000L) broadcast(eq0) else eq0
-      val cond = names.map(n => d(n) <=> eq(s"__graft_eq_$n")).reduce(_ && _) &&
-        eq(eqSeqCol) > d(dataSeqCol)
-      d = d.join(eq, cond, "left_anti")
+    eqGroups.foreach { case ((ids, scope), files) =>
+      // the scope confines the anti-join to ITS partition's files —
+      // every row of a file shares the file's partition, so file-name
+      // granularity is exact. A scoped group whose partition holds no
+      // dirty file contributes nothing.
+      val applicable: Seq[String] =
+        if (scope.isEmpty) Seq.empty // unscoped: every dirty file
+        else dirty.filter(partitionScopeMatches(_, scope))
+          .map(f => fileNameOf(f.path))
+      if (scope.isEmpty || applicable.nonEmpty) {
+        val names = ids.map(id => schema.fields(id - 1).name)
+        requireUniqueNames(table, files.map(_.path), "equality-delete files")
+        val eqSchema = StructType(ids.map(id =>
+          schema.fields(id - 1).copy(nullable = true)))
+        val eq0 = spark.read.schema(eqSchema).parquet(files.map(_.path): _*)
+          .withColumn(posNameCol,
+            substring_index(col("_metadata.file_path"), "/", -1))
+          .join(broadcast(files.map(f => (fileNameOf(f.path), f.seq))
+            .toDF(posNameCol, eqSeqCol)), posNameCol)
+          .select((names.map(n => col(n).as(s"__graft_eq_$n")) :+ col(eqSeqCol)): _*)
+        val eq = if (files.map(_.records).sum <= 4000000L) broadcast(eq0) else eq0
+        val scopeCond =
+          if (scope.isEmpty) org.apache.spark.sql.functions.lit(true)
+          else d(posNameCol).isin(applicable: _*)
+        val cond = names.map(n => d(n) <=> eq(s"__graft_eq_$n")).reduce(_ && _) &&
+          eq(eqSeqCol) > d(dataSeqCol) && scopeCond
+        d = d.join(eq, cond, "left_anti")
+      }
     }
     if (!withMeta) d.select(schema.fieldNames.map(col).toIndexedSeq: _*)
     else {
@@ -1876,32 +1918,35 @@ object IcebergLog {
     import org.apache.spark.sql.functions.broadcast
     import spark.implicits._
     if (dvNew.isEmpty) return None
-    val liveByPath = parentLive.map(_.path).toSet
+    // file-NAME keyed throughout (names are unique by invariant): a
+    // path-form mismatch between manifests must not orphan the diff
+    val liveByName = parentLive.map(f => fileNameOf(f.path) -> f.path).toMap
     val parentByRef: Map[String, DeleteFile] = parentDels
       .filter(d => d.isDv && d.referencedDataFile.isDefined)
-      .map(d => d.referencedDataFile.get -> d).toMap
+      .map(d => fileNameOf(d.referencedDataFile.get) -> d).toMap
     val parentPlainPos = parentDels.filter(d => d.content == 1 && !d.isDv)
     val pairs: Seq[(String, Long)] = dvNew.flatMap { d =>
       val ref = d.referencedDataFile.get
+      val name = fileNameOf(ref)
       require(!parentPlainPos.exists(p => (p.pathLo, p.pathHi) match {
         case (Some(lo), Some(hi)) => lo <= ref && ref <= hi
         case _ => true // boundless: cannot exonerate
       }), s"$table: changelog for a deletion vector on $ref while the " +
         "parent snapshot still carries parquet position deletes that may " +
         "cover it is ambiguous; OPTIMIZE the table first")
-      if (!liveByPath.contains(ref)) Seq.empty // file rewritten: DV inert
+      if (!liveByName.contains(name)) Seq.empty // file rewritten: DV inert
       else {
         val nb = DeletionVectors.loadIcebergDv(
           localPath(d.path), d.contentOffset.get, d.contentSize.get)
-        val pb = parentByRef.get(ref).map(p => DeletionVectors.loadIcebergDv(
+        val pb = parentByRef.get(name).map(p => DeletionVectors.loadIcebergDv(
           localPath(p.path), p.contentOffset.get, p.contentSize.get))
-        val name = fileNameOf(ref)
         nb.positions.filter(pos => pb.forall(!_.contains(pos)))
           .map(name -> _).toSeq
       }
     }
     if (pairs.isEmpty) return None
-    val dirty = dvNew.map(_.referencedDataFile.get).distinct.filter(liveByPath)
+    val dirty = dvNew.map(d => fileNameOf(d.referencedDataFile.get)).distinct
+      .flatMap(liveByName.get)
     retractedAt(spark, table, schema, basePath, dirty,
       broadcast(pairs.toDF(posNameCol, posPosCol)))
   }
@@ -1915,7 +1960,11 @@ object IcebergLog {
       schema: StructType, basePath: String, parentLive: Seq[LiveFile],
       parentDels: Seq[DeleteFile], eqNew: Seq[DeleteFile]): Seq[DataFrame] = {
     import org.apache.spark.sql.functions.{broadcast, col}
-    eqNew.groupBy(_.eqFieldIds).toSeq.flatMap { case (ids, files) =>
+    // grouped by (equality columns, PARTITION SCOPE): splitByDeletes'
+    // per-file partition rule then confines each group's dirty set to
+    // exactly its own partition (one scope per group)
+    eqNew.groupBy(d => (d.eqFieldIds, d.partition)).toSeq
+      .flatMap { case ((ids, _), files) =>
       val (_, dirty) = splitByDeletes(parentLive, files, schema)
       if (dirty.isEmpty) None
       else {

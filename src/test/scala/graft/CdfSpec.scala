@@ -728,6 +728,9 @@ class CdfSpec extends SparkSpec {
     }
     renamed.zipWithIndex.foreach { case (p, i) =>
       java.nio.file.Files.move(p, legacyDir.resolve(s"c9-$i.parquet")) }
+    // a true pre-marker set carries no markers either
+    java.nio.file.Files.deleteIfExists(legacyDir.resolve(".c9.done"))
+    java.nio.file.Files.deleteIfExists(legacyDir.resolve(".c9.started"))
     assert(Cdf.materializeInto(legacyDir, (1L to 50L).toDF("id"),
       Seq.empty, "c9") == 0,
       "a legacy-named part set must be treated as authoritative")

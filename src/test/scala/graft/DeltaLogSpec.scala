@@ -414,6 +414,37 @@ class DeltaLogSpec extends SparkSpec {
     assert(DeltaLog.read(spark, t3).count() == 1)
   }
 
+  test("enabled writer features this engine can't honor refuse commits; vacuous ones pass") {
+    import spark.implicits._
+    val table = tmpTable()
+    DeltaLog.writeBatch(Seq((1L, "a")).toDF("id", "v"), table)
+    val log = Paths.get(table, "_delta_log")
+    // a third-party upgrade enables rowTracking: every commit must
+    // materialize baseRowId, which this writer doesn't — refuse, the
+    // table stays readable
+    Files.write(log.resolve(f"${1L}%020d.json"),
+      ("""{"protocol":{"minReaderVersion":3,"minWriterVersion":7,""" +
+        """"readerFeatures":["deletionVectors"],""" +
+        """"writerFeatures":["deletionVectors","rowTracking","invariants"]}}""" +
+        "\n").getBytes("UTF-8"))
+    DeltaLog.clearSnapshotCache()
+    assert(DeltaLog.read(spark, table).count() == 1)
+    val e = intercept[IllegalArgumentException] {
+      DeltaLog.writeBatch(Seq((2L, "b")).toDF("id", "v"), table)
+    }
+    assert(e.getMessage.contains("rowTracking"), e.getMessage)
+    assert(!e.getMessage.contains("invariants"),
+      "invariants is vacuous here (no delta.invariants in the schema)")
+    // constraint-class features the table doesn't actually use pass
+    Files.write(log.resolve(f"${1L}%020d.json"),
+      ("""{"protocol":{"minReaderVersion":1,"minWriterVersion":7,""" +
+        """"writerFeatures":["appendOnly","invariants","checkConstraints",""" +
+        """"generatedColumns","changeDataFeed"]}}""" + "\n").getBytes("UTF-8"),
+      java.nio.file.StandardOpenOption.TRUNCATE_EXISTING)
+    DeltaLog.clearSnapshotCache()
+    assert(DeltaLog.writeBatch(Seq((2L, "b")).toDF("id", "v"), table).contains(2L))
+  }
+
   test("TIMESTAMP AS OF resolves the latest version at-or-before the instant (r10)") {
     import spark.implicits._
     val table = tmpTable()

@@ -835,6 +835,95 @@ class ProtocolConformanceSpec extends SparkSpec {
     assert(eS.getMessage.contains("renamed"), eS.getMessage)
   }
 
+  test("partition-scoped equality deletes confine to their partition even when keys omit it") {
+    import spark.implicits._
+    // the spec allows a partition-scoped delete whose equality_ids do
+    // NOT include the partition column: it applies ONLY inside its own
+    // partition. Two scoped deletes sharing equality columns must not
+    // cross-kill — file-level pruning alone would let partition 1's
+    // delete retract a matching key from a file partition 2's delete
+    // made dirty (silent under-return)
+    val table = tmpTable()
+    IcebergLog.writeBatch(
+      Seq((7L, 10L, 1L), (8L, 20L, 1L), (7L, 30L, 2L), (9L, 40L, 2L))
+        .toDF("id", "v", "p"),
+      table, partitionBy = Seq("p"))
+    val m = IcebergLog.current(table).get
+    val snap = m.snapshots.find(_.get("snapshot-id").asLong() == m.currentSnapshotId).get
+    val sid = m.currentSnapshotId
+    val dataDir = Paths.get(table, "data")
+    // two single-column delete files: D1 retracts id=7 SCOPED p=1,
+    // D2 retracts id=9 SCOPED p=2
+    def delFile(ids: Seq[Long]): java.nio.file.Path = {
+      val scratch = Files.createTempDirectory("eqdel")
+      ids.toDF("id").coalesce(1).write.mode("overwrite")
+        .parquet(scratch.resolve("w").toString)
+      val part = Files.list(scratch.resolve("w")).iterator().asScala
+        .find(_.getFileName.toString.endsWith(".parquet")).get
+      val dest = dataDir.resolve(s"eq-${java.util.UUID.randomUUID()}.parquet")
+      Files.move(part, dest)
+      dest
+    }
+    val d1 = delFile(Seq(7L))
+    val d2 = delFile(Seq(9L))
+    // a foreign-shaped DELETES manifest under the TABLE spec carrying
+    // the partition values (the scope) and equality_ids = [1] (id)
+    val entryType = StructType(Seq(
+      StructField("status", IntegerType, nullable = false),
+      StructField("snapshot_id", LongType, nullable = true),
+      StructField("sequence_number", LongType, nullable = true),
+      StructField("file_sequence_number", LongType, nullable = true),
+      StructField("data_file", StructType(Seq(
+        StructField("content", IntegerType, nullable = false),
+        StructField("file_path", StringType, nullable = false),
+        StructField("file_format", StringType, nullable = false),
+        StructField("partition", StructType(Seq(
+          StructField("p", LongType, nullable = true))), nullable = false),
+        StructField("record_count", LongType, nullable = false),
+        StructField("file_size_in_bytes", LongType, nullable = false),
+        StructField("equality_ids",
+          ArrayType(IntegerType, containsNull = false), nullable = true))),
+        nullable = false)))
+    val entries = Seq(
+      Row(1, sid, 2L, 2L, Row(2, d1.toAbsolutePath.toString, "PARQUET",
+        Row(1L), 1L, Files.size(d1), Seq(1))),
+      Row(1, sid, 2L, 2L, Row(2, d2.toAbsolutePath.toString, "PARQUET",
+        Row(2L), 1L, Files.size(d2), Seq(1))))
+    val mfPath = Paths.get(table, "metadata",
+      s"del-${java.util.UUID.randomUUID()}.avro")
+    val out = Files.newOutputStream(mfPath)
+    try AvroCodec.writeOcf(out, entryType, entries.iterator)
+    finally out.close()
+    // splice a content=1 row into the manifest list
+    val listType = StructType(Seq(
+      StructField("manifest_path", StringType, nullable = false),
+      StructField("manifest_length", LongType, nullable = false),
+      StructField("partition_spec_id", IntegerType, nullable = false),
+      StructField("content", IntegerType, nullable = false),
+      StructField("sequence_number", LongType, nullable = false),
+      StructField("min_sequence_number", LongType, nullable = false),
+      StructField("added_snapshot_id", LongType, nullable = false),
+      StructField("added_files_count", IntegerType, nullable = false),
+      StructField("existing_files_count", IntegerType, nullable = false),
+      StructField("deleted_files_count", IntegerType, nullable = false),
+      StructField("added_rows_count", LongType, nullable = false),
+      StructField("existing_rows_count", LongType, nullable = false),
+      StructField("deleted_rows_count", LongType, nullable = false)))
+    val listPath = Paths.get(snap.get("manifest-list").asText())
+    val listRows = IcebergLog.readManifestList(listPath.toString) :+
+      Row(mfPath.toAbsolutePath.toString, Files.size(mfPath), 0, 1,
+        2L, 2L, sid, 2, 0, 0, 2L, 0L, 0L)
+    val tmpL = Files.createTempFile(listPath.getParent, "list", ".avro")
+    val outL = Files.newOutputStream(tmpL)
+    try AvroCodec.writeOcf(outL, listType, listRows.iterator)
+    finally outL.close()
+    Files.move(tmpL, listPath, java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    val got = IcebergLog.read(spark, table).as[(Long, Long, Long)]
+      .collect().map(r => (r._1, r._3)).toSet
+    // id=7 dies ONLY in p=1; id=9 only in p=2; p=2's id=7 SURVIVES
+    assert(got == Set((8L, 1L), (7L, 2L)), s"got $got")
+  }
+
   test("snapshot refs: tags resolve for time travel, survive commits, and pin expiry") {
     import spark.implicits._
     val table = tmpTable()
