@@ -618,7 +618,10 @@ object DeltaLog {
     */
   private val supportedWriterFeatures = Set(
     "appendOnly", "columnMapping", "deletionVectors", "changeDataFeed",
-    "timestampNtz", "v2Checkpoint", "vacuumProtocolCheck")
+    "timestampNtz", "v2Checkpoint", "vacuumProtocolCheck",
+    // commits stamp a monotonic commitInfo.inCommitTimestamp when the
+    // table enables it (see commit())
+    "inCommitTimestamp")
 
   private def checkWriterFeatures(table: String, snap: Snapshot,
       removesData: Boolean): Unit = {
@@ -2073,6 +2076,29 @@ object DeltaLog {
       val ci = mapper.createObjectNode()
       val ciBody = ci.putObject("commitInfo")
       ciBody.put("timestamp", System.currentTimeMillis())
+      // IN-COMMIT TIMESTAMPS (the ICT writer feature, default-on in
+      // newer third-party tables): once enabled, every commit must
+      // carry a commitInfo.inCommitTimestamp strictly GREATER than the
+      // parent's — max(parent+1, wall clock), recomputed per commit
+      // attempt so a lost version race re-derives against the winner.
+      // A parent whose commit json was aged out can't prove
+      // monotonicity — refuse rather than guess backwards in time.
+      val ictOn = configuration.get("delta.enableInCommitTimestamps")
+        .exists(_.equalsIgnoreCase("true")) ||
+        snap.flatMap(_.protocolJson).exists(_.contains("\"inCommitTimestamp\""))
+      if (ictOn) {
+        val parentIct: Option[Long] = snap.map { s0 =>
+          val p = dir.resolve(f"${s0.version}%020d.json")
+          require(Files.exists(p),
+            s"$table: inCommitTimestamp is enabled but version ${s0.version}'s " +
+              "commit was aged out — the monotonic parent timestamp is " +
+              "unknowable; refusing to write a possibly-regressing one")
+          commitTs(p)
+        }
+        ciBody.put("inCommitTimestamp",
+          math.max(System.currentTimeMillis(),
+            parentIct.map(_ + 1).getOrElse(Long.MinValue)))
+      }
       ciBody.put("operation",
         if (!dataChange) "OPTIMIZE"
         else if (version == 0L) "CREATE TABLE AS SELECT" else "WRITE")

@@ -501,6 +501,21 @@ class DeltaLogSpec extends SparkSpec {
       .select(graft.sinks.Cdf.commitTimestampCol)
       .collect().map(_.getTimestamp(0).getTime).distinct
     assert(ts.toSeq == Seq(6000L), s"got ${ts.toSeq}")
+    // WRITES: once the feature is armed, every commit stamps a
+    // MONOTONIC inCommitTimestamp — a far-future parent pins the
+    // parent+1 branch (wall clock would regress)
+    Files.write(log.resolve(f"${2L}%020d.json"),
+      ("""{"protocol":{"minReaderVersion":1,"minWriterVersion":7,""" +
+        """"writerFeatures":["inCommitTimestamp"]}}""" + "\n" +
+        """{"commitInfo":{"timestamp":3000,"inCommitTimestamp":9000000000000000}}""" +
+        "\n").getBytes("UTF-8"))
+    DeltaLog.clearSnapshotCache()
+    assert(DeltaLog.writeBatch(Seq((3L, "c")).toDF("id", "v"), table).contains(3L))
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val ict3 = Files.readAllLines(log.resolve(f"${3L}%020d.json")).asScala
+      .map(mapper.readTree).find(_.has("commitInfo"))
+      .map(_.get("commitInfo").get("inCommitTimestamp").asLong()).get
+    assert(ict3 == 9000000000000001L, s"got $ict3")
   }
 
   test("TIMESTAMP AS OF falls back to a clamped linear scan for commits without commitInfo") {
