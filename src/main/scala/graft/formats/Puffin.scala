@@ -53,10 +53,25 @@ object Puffin {
     b.array()
   }
 
+  private val Magic = Array(0x50.toByte, 0x46.toByte, 0x41.toByte, 0x31.toByte) // "PFA1"
+
   /** Write one puffin file holding a DV blob per entry of `positions`
     * (keyed by referenced data file). Returns (file, per-key
     * (content_offset, content_size_in_bytes)) — what the manifest's
     * fields 143-145 record.
+    *
+    * The file is SPEC-COMPLIANT end to end: `Magic  Blob₁…Blobₙ
+    * Magic FooterPayload FooterPayloadSize(LE4) Flags(4) Magic`, with
+    * FooterPayload the uncompressed UTF-8 FileMetadata JSON listing
+    * each blob as `deletion-vector-v1` with `fields:[]`,
+    * `snapshot-id`/`sequence-number` −1 (the iceberg v3 convention —
+    * the commit that adopts the DV is created AFTER the file, so the
+    * writer cannot know them), `offset`/`length` spanning the full
+    * framed blob (len prefix through CRC — what `content_offset`/
+    * `content_size_in_bytes` must equal), and the required
+    * `referenced-data-file` + `cardinality` string properties. A
+    * conformant third-party reader (iceberg-java/pyiceberg) can open
+    * these files from the footer alone.
     */
   def writeDvFile(dir: Path, positions: Seq[(String, Seq[Long])])
       : (Path, Map[String, (Long, Long)]) = {
@@ -64,16 +79,64 @@ object Puffin {
     val out = Files.newOutputStream(file)
     var offset = 4L
     val at = Map.newBuilder[String, (Long, Long)]
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val meta = mapper.createObjectNode()
+    val blobsArr = meta.putArray("blobs")
     try {
-      out.write("PFA1".getBytes("UTF-8"))
+      out.write(Magic)
       positions.foreach { case (ref, ps) =>
         val b = dvBlob(ps.iterator)
         at += ref -> (offset, b.length.toLong)
+        val bm = blobsArr.addObject()
+        bm.put("type", "deletion-vector-v1")
+        bm.putArray("fields")
+        bm.put("snapshot-id", -1L)
+        bm.put("sequence-number", -1L)
+        bm.put("offset", offset)
+        bm.put("length", b.length.toLong)
+        val props = bm.putObject("properties")
+        props.put("referenced-data-file", ref)
+        props.put("cardinality", ps.distinct.length.toString)
         out.write(b)
         offset += b.length
       }
-      out.write("PFA1".getBytes("UTF-8")) // stand-in footer section
+      meta.putObject("properties").put("created-by", "graft")
+      val payload = mapper.writeValueAsBytes(meta)
+      out.write(Magic)
+      out.write(payload)
+      val tail = ByteBuffer.allocate(8).order(ByteOrder.LITTLE_ENDIAN)
+      tail.putInt(payload.length)
+      tail.putInt(0) // flags: footer payload NOT compressed
+      out.write(tail.array())
+      out.write(Magic)
     } finally out.close()
     (file, at.result())
+  }
+
+  /** Parse a puffin file's footer into its FileMetadata JSON — the
+    * conformant read path (offset-free): seek the trailing magic, read
+    * FooterPayloadSize + Flags, decode the payload. Refuses compressed
+    * footers (this writer never emits them) and any magic mismatch.
+    */
+  def readFileMetadata(file: Path): com.fasterxml.jackson.databind.JsonNode = {
+    val bytes = Files.readAllBytes(file)
+    require(bytes.length >= 20 &&
+      bytes.take(4).sameElements(Magic) &&
+      bytes.takeRight(4).sameElements(Magic),
+      s"$file: not a puffin file (magic mismatch)")
+    val tail = ByteBuffer.wrap(bytes, bytes.length - 12, 8)
+      .order(ByteOrder.LITTLE_ENDIAN)
+    val payloadSize = tail.getInt
+    val flags = tail.getInt
+    require((flags & 1) == 0,
+      s"$file: puffin footer payload is compressed; this reader handles " +
+        "uncompressed footers only")
+    val payloadStart = bytes.length - 12 - payloadSize
+    require(payloadStart >= 8 &&
+      bytes.slice(payloadStart - 4, payloadStart).sameElements(Magic),
+      s"$file: puffin footer framing invalid (payload size $payloadSize " +
+        "does not land on the footer's opening magic)")
+    new com.fasterxml.jackson.databind.ObjectMapper()
+      .readTree(new String(bytes, payloadStart, payloadSize, "UTF-8"))
   }
 }

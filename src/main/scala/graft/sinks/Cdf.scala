@@ -196,12 +196,19 @@ object Cdf {
       val neverStarted = !Files.exists(startedMarker) && {
         // cheap top-level probe backs the marker: pre-marker (legacy)
         // sets carry no markers, and unpartitioned parts live at the
-        // root — any same-prefix hit falls back to the full walk.
-        // (Partitioned PRE-marker sets are the one shape this can miss;
-        // marker-era sets always have their marker.)
+        // root — any same-prefix hit falls back to the full walk. A
+        // PARTITIONED pre-marker set hides its parts inside hive
+        // subdirectories, invisible to a top-level listing — so the
+        // probe is only trusted when the view dir has no data
+        // subdirectories at all (scratch dirs excepted); any subdir
+        // forces the full walk rather than risk re-materializing a
+        // legacy set and duplicating its change rows.
         val l = Files.list(viewDataDir)
-        try !l.iterator().asScala.exists(
-          _.getFileName.toString.startsWith(namePrefix + "-"))
+        try !l.iterator().asScala.exists { p =>
+          p.getFileName.toString.startsWith(namePrefix + "-") ||
+            (Files.isDirectory(p) &&
+              !p.getFileName.toString.startsWith(".graft-cdf-mat"))
+        }
         finally l.close()
       }
       // files already materialized for THIS prefix are the authoritative

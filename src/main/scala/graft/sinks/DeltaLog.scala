@@ -301,26 +301,27 @@ object DeltaLog {
       }
     }
 
-    /** V2 checkpoint: apply the manifest's non-file actions, collect its
-      * `sidecar` actions, then apply every sidecar file's add/remove
-      * rows. Sidecar paths are file names under _delta_log/_sidecars/
-      * (the spec's relative form); absolute paths refuse loudly like
-      * shallow-clone adds do.
+    /** Read checkpoint parquet part(s), applying every row and
+      * collecting any `sidecar` actions for the caller. A V2-spec
+      * "compatibility" checkpoint carries the CLASSIC file name but
+      * stores its file actions in sidecars — so the classic branch must
+      * route through here too, or sidecar-stored adds silently vanish
+      * from the snapshot.
       */
-    def applyV2Checkpoint(manifest: Path): Unit = {
-      val sidecars = scala.collection.mutable.Buffer.empty[String]
-      if (manifest.getFileName.toString.endsWith(".json"))
-        Files.readAllLines(manifest).asScala.filter(_.nonEmpty).foreach { line =>
-          val n = mapper.readTree(line)
-          if (n.has("sidecar")) sidecars += n.get("sidecar").get("path").asText()
-          else if (!n.has("checkpointMetadata")) applyJsonLine(line)
-        }
-      else spark.read.parquet(manifest.toString).collect().foreach { r =>
+    def applyCheckpointParquet(paths: Seq[String],
+                               sidecars: scala.collection.mutable.Buffer[String]): Unit =
+      spark.read.parquet(paths: _*).collect().foreach { r =>
         if (r.schema.fieldNames.contains("sidecar") &&
             !r.isNullAt(r.fieldIndex("sidecar")))
           sidecars += r.getStruct(r.fieldIndex("sidecar")).getAs[String]("path")
         else applyCheckpointRow(r)
       }
+
+    /** Resolve collected sidecar names under _delta_log/_sidecars/ and
+      * apply their add/remove rows. Absolute paths refuse loudly like
+      * shallow-clone adds do.
+      */
+    def applySidecars(sidecars: scala.collection.Seq[String]): Unit =
       if (sidecars.nonEmpty) {
         val dir = logDir(table).resolve("_sidecars")
         val paths = sidecars.map { s =>
@@ -331,6 +332,21 @@ object DeltaLog {
         }
         spark.read.parquet(paths.toSeq: _*).collect().foreach(applyCheckpointRow)
       }
+
+    /** V2 checkpoint: apply the manifest's non-file actions, collect its
+      * `sidecar` actions, then apply every sidecar file's add/remove
+      * rows via [[applySidecars]].
+      */
+    def applyV2Checkpoint(manifest: Path): Unit = {
+      val sidecars = scala.collection.mutable.Buffer.empty[String]
+      if (manifest.getFileName.toString.endsWith(".json"))
+        Files.readAllLines(manifest).asScala.filter(_.nonEmpty).foreach { line =>
+          val n = mapper.readTree(line)
+          if (n.has("sidecar")) sidecars += n.get("sidecar").get("path").asText()
+          else if (!n.has("checkpointMetadata")) applyJsonLine(line)
+        }
+      else applyCheckpointParquet(Seq(manifest.toString), sidecars)
+      applySidecars(sidecars)
     }
 
     // INCREMENTAL fast path: a cached snapshot at c ≤ target whose JSON
@@ -365,8 +381,14 @@ object DeltaLog {
         val cpVersion: Long = checkpoints.lastOption match {
           case Some((v, paths, isV2)) =>
             if (isV2) applyV2Checkpoint(paths.head)
-            else spark.read.parquet(paths.map(_.toString): _*)
-              .collect().foreach(applyCheckpointRow)
+            else {
+              // a classic-NAMED file can still be a V2 "compatibility"
+              // checkpoint whose adds live in sidecars — collect and
+              // resolve them rather than silently dropping those rows
+              val sidecars = scala.collection.mutable.Buffer.empty[String]
+              applyCheckpointParquet(paths.map(_.toString), sidecars)
+              applySidecars(sidecars)
+            }
             v
           case None => -1L
         }
@@ -641,8 +663,17 @@ object DeltaLog {
       (if (minWriter >= 5 && minWriter < 7) Set("columnMapping") else Set.empty[String]) ++
       (if (minWriter >= 6 && minWriter < 7) Set("identityColumns") else Set.empty[String])
     val enabled = explicit ++ implied
-    def fieldMeta(key: String): Boolean =
-      snap.schema.fields.exists(_.metadata.contains(key))
+    // Delta allows invariants / generation expressions / identity
+    // metadata on NESTED struct fields too — probe the whole type tree,
+    // not just the top level, or a nested contract slips past the gate
+    def anyFieldMeta(dt: DataType, key: String): Boolean = dt match {
+      case st: StructType => st.fields.exists(f =>
+        f.metadata.contains(key) || anyFieldMeta(f.dataType, key))
+      case at: ArrayType => anyFieldMeta(at.elementType, key)
+      case mt: MapType => anyFieldMeta(mt.keyType, key) || anyFieldMeta(mt.valueType, key)
+      case _ => false
+    }
+    def fieldMeta(key: String): Boolean = anyFieldMeta(snap.schema, key)
     val vacuous = Set(
       "invariants" -> !fieldMeta("delta.invariants"),
       "checkConstraints" -> !snap.configuration.keys.exists(_.startsWith("delta.constraints.")),
@@ -2083,9 +2114,13 @@ object DeltaLog {
       // attempt so a lost version race re-derives against the winner.
       // A parent whose commit json was aged out can't prove
       // monotonicity — refuse rather than guess backwards in time.
+      // ICT is governed by the delta.enableInCommitTimestamps PROPERTY;
+      // a table can carry the writer feature with the property false
+      // (feature supported, not enabled) — stamping there is spurious,
+      // and refusing on an aged-out parent there is wrong. The feature
+      // bit alone never turns ICT on.
       val ictOn = configuration.get("delta.enableInCommitTimestamps")
-        .exists(_.equalsIgnoreCase("true")) ||
-        snap.flatMap(_.protocolJson).exists(_.contains("\"inCommitTimestamp\""))
+        .exists(_.equalsIgnoreCase("true"))
       if (ictOn) {
         val parentIct: Option[Long] = snap.map { s0 =>
           val p = dir.resolve(f"${s0.version}%020d.json")

@@ -734,6 +734,28 @@ class CdfSpec extends SparkSpec {
     assert(Cdf.materializeInto(legacyDir, (1L to 50L).toDF("id"),
       Seq.empty, "c9") == 0,
       "a legacy-named part set must be treated as authoritative")
+    // a PARTITIONED pre-marker set hides its parts in hive subdirs —
+    // invisible to the top-level neverStarted probe. The probe must not
+    // be trusted when subdirectories exist, or the replay would
+    // re-materialize beside the legacy set and duplicate change rows.
+    val plegacy = java.nio.file.Files.createTempDirectory("cdf_pin_plegacy")
+    assert(Cdf.materializeInto(plegacy,
+      Seq((1L, "a"), (2L, "b")).toDF("id", "p"), Seq("p"), "c10") > 0)
+    val pfiles = {
+      val s = java.nio.file.Files.walk(plegacy)
+      try s.iterator().asScala.filter(p =>
+        p.getFileName.toString.startsWith("c10-") &&
+        p.getFileName.toString.endsWith(".parquet")).toSeq
+      finally s.close()
+    }
+    pfiles.zipWithIndex.foreach { case (p, i) =>
+      java.nio.file.Files.move(p, p.getParent.resolve(s"c10-$i.parquet")) }
+    java.nio.file.Files.deleteIfExists(plegacy.resolve(".c10.done"))
+    java.nio.file.Files.deleteIfExists(plegacy.resolve(".c10.started"))
+    assert(Cdf.materializeInto(plegacy,
+      Seq((1L, "a"), (2L, "b")).toDF("id", "p"), Seq("p"), "c10") == 0,
+      "a partitioned legacy set must be found by the full walk, not " +
+        "re-materialized beside itself")
   }
 
   test("all-SQL Debezium chain: files \u2192 upsert table \u2192 change feed \u2192 updating agg \u2192 mirror, resumable") {

@@ -132,6 +132,39 @@ class CheckpointInteropSpec extends SparkSpec {
     assert(e.getMessage.contains("sidecar"), e.getMessage)
   }
 
+  test("classic-NAMED checkpoint with V2 'compatibility' sidecar rows reads completely") {
+    import org.apache.spark.sql.types._
+    val (table, cp) = tableWithCheckpoint()
+    val df = spark.read.parquet(cp.toString)
+    val all = df.collect().toSeq
+    val iAdd = df.schema.fieldIndex("add")
+    val (addRows, metaRows) = all.partition(r => !r.isNullAt(iAdd))
+    assert(addRows.size == 2)
+    // sidecar file: the add actions, under _delta_log/_sidecars/
+    val addDf = df.select("add").where(df.col("add").isNotNull)
+    val sidecarDir = logDir(table).resolve("_sidecars")
+    Files.createDirectories(sidecarDir)
+    val sidecarName = "00000000-aaaa-bbbb-cccc-000000000009.parquet"
+    oneFile(addDf.collect().toSeq, addDf.schema, sidecarDir.resolve(sidecarName))
+    // the classic-NAMED file keeps non-file actions + a `sidecar` row —
+    // the V2-spec compatibility form (same name, adds live elsewhere).
+    // A reader that applies rows blindly sees a table with ZERO files.
+    val sidecarType = StructType(Seq(
+      StructField("path", StringType), StructField("sizeInBytes", LongType),
+      StructField("modificationTime", LongType)))
+    val compatSchema = StructType(df.schema.fields :+ StructField("sidecar", sidecarType))
+    val compatRows =
+      metaRows.map(r => Row.fromSeq(r.toSeq :+ null)) :+
+        Row.fromSeq(Seq.fill(df.schema.size)(null) :+
+          Row(sidecarName, Files.size(sidecarDir.resolve(sidecarName)), 0L))
+    oneFile(compatRows, compatSchema, cp)
+    deleteJsons(table)
+    DeltaLog.clearSnapshotCache()
+    val got = DeltaLog.read(spark, table).collect().map(_.getLong(0)).sorted
+    assert(got.toSeq == Seq(1L, 2L),
+      s"sidecar-stored adds must survive the classic-named read; got ${got.toSeq}")
+  }
+
   test("aged log with NO usable checkpoint refuses — never a silent partial table") {
     import spark.implicits._
     val table = tmpTable()

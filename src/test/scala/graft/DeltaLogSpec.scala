@@ -443,6 +443,49 @@ class DeltaLogSpec extends SparkSpec {
       java.nio.file.StandardOpenOption.TRUNCATE_EXISTING)
     DeltaLog.clearSnapshotCache()
     assert(DeltaLog.writeBatch(Seq((2L, "b")).toDF("id", "v"), table).contains(2L))
+    // a NESTED invariant makes the feature non-vacuous: delta allows
+    // delta.invariants on struct members, so the probe must recurse —
+    // a top-level-only check would commit while silently ignoring it
+    val nested = tmpTable()
+    DeltaLog.writeBatch(
+      Seq((1L, "a")).toDF("id", "v")
+        .select($"id", org.apache.spark.sql.functions.struct($"v").as("s")),
+      nested)
+    val nlog = Paths.get(nested, "_delta_log")
+    val v0 = Files.readAllLines(nlog.resolve(f"${0L}%020d.json")).asScala
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val rewritten = v0.map { l =>
+      if (!l.contains("metaData")) l
+      else {
+        val n = mapper.readTree(l)
+        val md = n.get("metaData").asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode]
+        val sch = mapper.readTree(md.get("schemaString").asText())
+          .asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode]
+        val fields = sch.withArray("fields")
+        // attach an invariant to s.v — nested one level down
+        val sField = (0 until fields.size()).map(fields.get)
+          .find(_.get("name").asText() == "s").get
+        val inner = sField.get("type").asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode]
+          .withArray("fields").get(0).asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode]
+        inner.putObject("metadata").put("delta.invariants",
+          """{"expression":{"expression":"s.v IS NOT NULL"}}""")
+        md.put("schemaString", mapper.writeValueAsString(sch))
+        mapper.writeValueAsString(n)
+      }
+    }
+    Files.write(nlog.resolve(f"${0L}%020d.json"),
+      rewritten.mkString("", "\n", "\n").getBytes("UTF-8"))
+    Files.write(nlog.resolve(f"${1L}%020d.json"),
+      ("""{"protocol":{"minReaderVersion":1,"minWriterVersion":7,""" +
+        """"writerFeatures":["invariants"]}}""" + "\n").getBytes("UTF-8"))
+    DeltaLog.clearSnapshotCache()
+    val e2 = intercept[IllegalArgumentException] {
+      DeltaLog.writeBatch(
+        Seq((2L, "b")).toDF("id", "v")
+          .select($"id", org.apache.spark.sql.functions.struct($"v").as("s")),
+        nested)
+    }
+    assert(e2.getMessage.contains("invariants"), e2.getMessage)
   }
 
   test("TIMESTAMP AS OF resolves the latest version at-or-before the instant (r10)") {
@@ -501,9 +544,10 @@ class DeltaLogSpec extends SparkSpec {
       .select(graft.sinks.Cdf.commitTimestampCol)
       .collect().map(_.getTimestamp(0).getTime).distinct
     assert(ts.toSeq == Seq(6000L), s"got ${ts.toSeq}")
-    // WRITES: once the feature is armed, every commit stamps a
-    // MONOTONIC inCommitTimestamp — a far-future parent pins the
-    // parent+1 branch (wall clock would regress)
+    // WRITES: the feature bit ALONE does not arm stamping — per spec
+    // ICT is governed by the delta.enableInCommitTimestamps PROPERTY
+    // (a table can support the feature with it false). A commit on a
+    // feature-only table must neither stamp nor refuse.
     Files.write(log.resolve(f"${2L}%020d.json"),
       ("""{"protocol":{"minReaderVersion":1,"minWriterVersion":7,""" +
         """"writerFeatures":["inCommitTimestamp"]}}""" + "\n" +
@@ -512,10 +556,23 @@ class DeltaLogSpec extends SparkSpec {
     DeltaLog.clearSnapshotCache()
     assert(DeltaLog.writeBatch(Seq((3L, "c")).toDF("id", "v"), table).contains(3L))
     val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
-    val ict3 = Files.readAllLines(log.resolve(f"${3L}%020d.json")).asScala
-      .map(mapper.readTree).find(_.has("commitInfo"))
-      .map(_.get("commitInfo").get("inCommitTimestamp").asLong()).get
-    assert(ict3 == 9000000000000001L, s"got $ict3")
+    def commitIct(v: Long): Option[Long] =
+      Files.readAllLines(log.resolve(f"$v%020d.json")).asScala
+        .map(mapper.readTree).find(_.has("commitInfo"))
+        .flatMap(n => Option(n.get("commitInfo").get("inCommitTimestamp"))
+          .filterNot(_.isNull).map(_.asLong()))
+    assert(commitIct(3L).isEmpty,
+      s"feature-only table must not stamp ICT; got ${commitIct(3L)}")
+    // once the PROPERTY is set, commits stamp a MONOTONIC
+    // inCommitTimestamp: the property-flip commit (v4) stamps first
+    // (its parent v3 is unstamped, so wall clock wins), and v5 must
+    // land strictly above v4's stamp.
+    DeltaLog.setTableProperties(spark, table,
+      Map("delta.enableInCommitTimestamps" -> "true"))
+    assert(commitIct(4L).isDefined, "property flip commit itself stamps")
+    assert(DeltaLog.writeBatch(Seq((4L, "d")).toDF("id", "v"), table).contains(5L))
+    val ict5 = commitIct(5L).get
+    assert(ict5 > commitIct(4L).get, s"got $ict5 vs parent ${commitIct(4L).get}")
   }
 
   test("TIMESTAMP AS OF falls back to a clamped linear scan for commits without commitInfo") {

@@ -1007,4 +1007,54 @@ class ProtocolConformanceSpec extends SparkSpec {
     val e3 = intercept[IllegalArgumentException] { IcebergLog.current(table) }
     assert(e3.getMessage.contains("ambiguous"), e3.getMessage)
   }
+
+  test("puffin writer emits a spec-compliant footer: magic/payload/size/flags/magic") {
+    val dir = Files.createTempDirectory("puffin_footer")
+    val (file, at) = graft.formats.Puffin.writeDvFile(dir, Seq(
+      "s3://bucket/data/a.parquet" -> Seq(1L, 5L, 9L),
+      "s3://bucket/data/b.parquet" -> Seq(0L)))
+    val bytes = Files.readAllBytes(file)
+    val magic = "PFA1".getBytes("UTF-8")
+    // header magic and the footer's CLOSING magic (what a conformant
+    // reader seeks to first)
+    assert(bytes.take(4).sameElements(magic))
+    assert(bytes.takeRight(4).sameElements(magic))
+    // tail framing: FooterPayloadSize (LE4) + Flags (4, uncompressed=0)
+    val tail = java.nio.ByteBuffer.wrap(bytes, bytes.length - 12, 8)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    val size = tail.getInt; val flags = tail.getInt
+    assert(flags == 0, "footer payload must be flagged uncompressed")
+    val payloadStart = bytes.length - 12 - size
+    // the footer's OPENING magic sits immediately before the payload
+    assert(bytes.slice(payloadStart - 4, payloadStart).sameElements(magic))
+    val meta = new com.fasterxml.jackson.databind.ObjectMapper()
+      .readTree(new String(bytes, payloadStart, size, "UTF-8"))
+    val blobs = meta.get("blobs")
+    assert(blobs.size == 2)
+    (0 until 2).foreach { i =>
+      val b = blobs.get(i)
+      assert(b.get("type").asText == "deletion-vector-v1")
+      assert(b.get("fields").size == 0)
+      // v3 convention: the adopting snapshot is created AFTER the file
+      assert(b.get("snapshot-id").asLong == -1L)
+      assert(b.get("sequence-number").asLong == -1L)
+    }
+    // footer offset/length per blob EQUAL the returned manifest values
+    // (the v3 spec requires content_offset/content_size to match them)
+    val a = blobs.get(0)
+    assert((a.get("offset").asLong, a.get("length").asLong) ==
+      at("s3://bucket/data/a.parquet"))
+    assert(a.get("properties").get("referenced-data-file").asText ==
+      "s3://bucket/data/a.parquet")
+    assert(a.get("properties").get("cardinality").asText == "3")
+    // the footer-driven reader agrees with the raw-byte parse…
+    assert(graft.formats.Puffin.readFileMetadata(file) == meta)
+    // …and the blob region still decodes through the offset-based v3
+    // read path used when planning scans
+    val (off, len) = at("s3://bucket/data/a.parquet")
+    val bm = graft.sinks.DeletionVectors.loadIcebergDv(file, off, len)
+    assert(Seq(1L, 5L, 9L).forall(bm.contains))
+    assert(!bm.contains(2L))
+  }
+
 }
