@@ -570,19 +570,24 @@ object Relational {
               |  ${oSum("CASE WHEN l_returnflag = 'R' THEN l_extendedprice * 2 ELSE l_extendedprice END")} AS sum_price
               |FROM lineitem WHERE NOT (l_quantity > 45) GROUP BY 1""".stripMargin)),
 
-    // ── COLUMN-MAPPED delta interop (r13): author the metaData of a
-    //    mapped table (protocol 2/5, physicalName/id per field — the
-    //    usual Databricks-written shape), APPEND lineitem through the
-    //    mapped write path (physical-named files, field ids, phys-keyed
-    //    stats/partitionValues), then read back with a scan_filter. A
-    //    hash match proves the whole mapping round trip — physical
-    //    write, partition attach from the log, phys-keyed stats
-    //    pruning, logical remap — against an exact engine.
+    // ── COLUMN-MAPPED delta interop (r13, DML r14): author the metaData
+    //    of a mapped table (protocol 2/5, physicalName/id per field —
+    //    the usual Databricks-written shape), APPEND lineitem through
+    //    the mapped write path (physical-named files, field ids,
+    //    phys-keyed stats/partitionValues), then run the FULL DML cycle
+    //    on it — copy-on-write DELETE, an UPDATE, and a MERGE (matched
+    //    update + not-matched inserts into a NEW partition) — and read
+    //    back with a scan_filter. A hash match proves the whole mapping
+    //    round trip — physical write, logical→physical DML rewrite,
+    //    partition attach from the log, phys-keyed stats pruning,
+    //    logical remap — against an exact engine replaying the same DML
+    //    algebraically.
     Q("q_delta_mapped",
       (s, dir) => {
         import org.apache.spark.sql.types.{MetadataBuilder, StructType}
         val li = t(s, dir, "lineitem").select(
-          col("l_orderkey"), col("l_returnflag"), col("l_quantity"))
+          col("l_orderkey"), col("l_linenumber"), col("l_returnflag"),
+          col("l_quantity"))
         val table = java.nio.file.Files
           .createTempDirectory("graft-delta-cm").resolve("t").toString
         val mapped = StructType(li.schema.fields.zipWithIndex.map {
@@ -601,7 +606,7 @@ object Relational {
         m.putArray("partitionColumns").add("l_returnflag")
         m.putObject("configuration")
           .put("delta.columnMapping.mode", "name")
-          .put("delta.columnMapping.maxColumnId", "3")
+          .put("delta.columnMapping.maxColumnId", "4")
         m.put("createdTime", 1700000000000L)
         val log = java.nio.file.Paths.get(table, "_delta_log")
         java.nio.file.Files.createDirectories(log)
@@ -609,13 +614,52 @@ object Relational {
           ("""{"protocol":{"minReaderVersion":2,"minWriterVersion":5}}""" +
             "\n" + md.toString + "\n").getBytes("UTF-8"))
         graft.sinks.DeltaLog.writeBatch(li, table)
+        graft.sinks.DeltaLog.deleteWhere(s, table, "l_quantity > 45")
+        graft.sinks.DeltaLog.updateWhere(s, table,
+          Seq("l_quantity" -> "l_quantity * 2"), Some("l_returnflag = 'R'"))
+        // MERGE: rows whose key holds an original quantity ≤ 10 match
+        // on (l_orderkey, l_linenumber) and reset to min(q0)+100 (the
+        // synthetic lineitem is NOT key-unique, so the source dedupes
+        // by min — MERGE refuses multi-matching sources by design); a
+        // key-shifted copy inserts into a brand-new 'I' partition
+        val srcAgg = li.filter(col("l_quantity") <= 10)
+          .groupBy(col("l_orderkey"), col("l_linenumber"))
+          .agg(min(col("l_quantity")).as("l_quantity"))
+        val source = srcAgg
+          .select(col("l_orderkey"), col("l_linenumber"),
+            lit("Z").as("l_returnflag"), col("l_quantity"))
+          .unionByName(srcAgg.select(
+            (col("l_orderkey") + 1000000000L).as("l_orderkey"),
+            col("l_linenumber"), lit("I").as("l_returnflag"),
+            (col("l_quantity") + 1000).as("l_quantity")))
+        graft.sinks.DeltaLog.merge(s, table, source, graft.sinks.Merge.Clauses(
+          "t", "s", "t.l_orderkey = s.l_orderkey AND t.l_linenumber = s.l_linenumber",
+          Seq(graft.sinks.Merge.MatchedClause(None,
+            Left(Seq("l_quantity" -> "s.l_quantity + 100")))),
+          Some((None, Seq.empty))))
         graft.sinks.DeltaLog.read(s, table,
             scanFilter = Some("l_quantity <= 25"))
           .groupBy(col("l_returnflag"))
           .agg(count(lit(1)).as("n"), dsum(col("l_quantity")).as("sum_qty"))
       },
-      Some(s"""SELECT l_returnflag, COUNT(*) AS n, ${oSum("l_quantity")} AS sum_qty
-              |FROM lineitem WHERE l_quantity <= 25 GROUP BY 1""".stripMargin)),
+      Some(s"""WITH src AS (
+              |  SELECT l_orderkey, l_linenumber, MIN(l_quantity) AS sq
+              |  FROM lineitem WHERE l_quantity <= 10 GROUP BY 1, 2
+              |), base AS (
+              |  SELECT l.l_returnflag,
+              |    CASE WHEN s.l_orderkey IS NOT NULL THEN s.sq + 100
+              |         WHEN l.l_returnflag = 'R' THEN l.l_quantity * 2
+              |         ELSE l.l_quantity END AS q
+              |  FROM lineitem l LEFT JOIN src s
+              |    ON l.l_orderkey = s.l_orderkey AND l.l_linenumber = s.l_linenumber
+              |  WHERE NOT (l.l_quantity > 45)
+              |), merged AS (
+              |  SELECT l_returnflag, q FROM base
+              |  UNION ALL
+              |  SELECT 'I' AS l_returnflag, sq + 1000 AS q FROM src
+              |)
+              |SELECT l_returnflag, COUNT(*) AS n, ${oSum("q")} AS sum_qty
+              |FROM merged WHERE q <= 25 GROUP BY 1""".stripMargin)),
 
     // ── iceberg FORMAT-VERSION 3 interop (r13): run a merge-on-read
     //    DELETE, then re-shape the table the way a v3 writer leaves it —

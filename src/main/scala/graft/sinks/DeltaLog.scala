@@ -693,19 +693,78 @@ object DeltaLog {
         "refusing a commit that removes live rows")
   }
 
-  /** Entry guard for the DML/maintenance surfaces: a column-mapped
-    * table takes APPENDS here ([[writeBatch]]'s mapped path writes
-    * physical-named, field-id-stamped files) but never a rewrite —
-    * checked before any DML plans, because a logical-named scan of
-    * physical files yields nulls, so an unguarded DML would silently
-    * match nothing (or rewrite wrongly) rather than fail.
+  /** Any (nested) field at-or-below `dt` carrying a columnMapping id —
+    * the shape this writer cannot stamp below the top level (Catalyst
+    * expressions cannot carry NESTED field metadata).
+    */
+  private def nestedCmIds(dt: DataType): Boolean = dt match {
+    case st: StructType =>
+      st.fields.exists(f => cmFieldId(f).isDefined || nestedCmIds(f.dataType))
+    case at: ArrayType => nestedCmIds(at.elementType)
+    case mt: MapType => nestedCmIds(mt.keyType) || nestedCmIds(mt.valueType)
+    case _ => false
+  }
+
+  /** Gate for WRITE surfaces on a column-mapped table (appends, DML,
+    * OPTIMIZE): everything is supported except id-mode tables whose
+    * NESTED fields are id-mapped — conformant readers bind those nested
+    * columns by parquet field id, which this writer cannot stamp below
+    * the top level, so refuse BEFORE planning rather than land files a
+    * real reader nulls out.
+    */
+  private def requireMappedWritable(table: String, s: Snapshot): Unit = {
+    if (mappingMode(s.configuration) != "id") return
+    require(s.schema.fields.forall(f => !nestedCmIds(f.dataType)),
+      s"$table: id-mode writes support top-level column mappings only " +
+        "(nested parquet field ids cannot be stamped through this writer)")
+  }
+
+  /** LOGICAL frame → the physical write shape of a mapped table: every
+    * field under its physical name with the top-level parquet field id
+    * stamped via alias metadata; `passThrough` columns (the cdc
+    * `_change_type`) ride unchanged after the mapped columns.
+    */
+  private def toMappedPhysFrame(df: DataFrame, schema: StructType,
+      passThrough: Seq[String] = Seq.empty): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    df.sparkSession.conf.set("spark.sql.parquet.fieldId.write.enabled", "true")
+    df.select(schema.fields.toIndexedSeq.map { f =>
+      val mb = new org.apache.spark.sql.types.MetadataBuilder()
+      cmFieldId(f).foreach(mb.putLong(ParquetFieldIdKey, _))
+      toPhysExpr(col(quoted(f.name)), f.dataType).as(physName(f), mb.build())
+    } ++ passThrough.map(c => col(quoted(c))): _*)
+  }
+
+  /** Physical names of a snapshot's partition columns (what mapped hive
+    * dirs — and therefore the add actions' partitionValues keys — use).
+    */
+  private def mappedPartCols(s: Snapshot): Seq[String] =
+    s.partitionColumns.map(pc => physName(s.schema(s.schema.fieldIndex(pc))))
+
+  /** Land a LOGICAL frame as physical-shaped data files of a mapped
+    * table (phys names, field ids, phys-keyed hive dirs and stats) —
+    * the one placement path appends, DML postimages, and OPTIMIZE
+    * rewrites of mapped tables share.
+    */
+  private def placeMappedDataFiles(spark: SparkSession, table: String,
+      s0: Snapshot, df: DataFrame): Seq[(String, AddInfo)] = {
+    val physSchema = physicalReadType(s0.schema, withIds = true)
+      .asInstanceOf[StructType]
+    placeDataFiles(spark, table, physSchema, mappedPartCols(s0),
+      toMappedPhysFrame(df, s0.schema))
+  }
+
+  /** Backstop guard on [[commit]]: a LOGICAL-named data file landing in
+    * a mapped table would silently null out every mapped column for
+    * conformant readers — only the mapped placement paths (which pass
+    * `allowMapped`) may add files there.
     */
   private def requireWritable(table: String, configuration: Map[String, String]): Unit = {
     val m = mappingMode(configuration)
     require(m == "none",
-      s"$table uses delta.columnMapping.mode=$m; this engine reads and " +
-        "APPENDS to mapped tables but does not rewrite them (DML/OPTIMIZE) — " +
-        "rewrite the table unmapped for row-level writes")
+      s"$table uses delta.columnMapping.mode=$m; data files must land " +
+        "through the mapped placement path (physical names + field ids) — " +
+        "this commit carries logical-named files")
   }
 
   /** The public gating property for merge-on-read DML. */
@@ -780,14 +839,11 @@ object DeltaLog {
       kept: Seq[String], withMeta: Boolean = false): DataFrame = {
     import org.apache.spark.sql.functions.{broadcast, col, substring_index, udf}
     if (mappingMode(s.configuration) != "none") {
-      // mapped tables are read-only here; withMeta feeds DML writers,
-      // which commit() refuses before ever planning a read
-      require(!withMeta, s"$table is column-mapped; DML is not supported")
       val infoOf = s.adds.toMap
       return readMappedFiles(spark, table, s,
         kept.map { rel =>
           val i = infoOf(rel); (rel, i.partitionValues, i.dv)
-        })
+        }, withMeta = withMeta)
     }
     val byRel = s.adds.toMap
     val root = Paths.get(table).toAbsolutePath.normalize
@@ -859,7 +915,10 @@ object DeltaLog {
     */
   private def readMappedFiles(spark: SparkSession, table: String, s: Snapshot,
       files: Seq[(String, Seq[(String, String)], Option[DeletionVectors.Descriptor])],
-      extraPhys: Seq[StructField] = Seq.empty): DataFrame = {
+      extraPhys: Seq[StructField] = Seq.empty,
+      /** Adds `__graft_file` (rel path) + `__graft_pos` per row — what
+        * the DML writers target rows by, mirroring [[readKept]]. */
+      withMeta: Boolean = false): DataFrame = {
     import org.apache.spark.sql.functions.{broadcast, col, substring_index}
     val mode = mappingMode(s.configuration)
     // session-scoped but inert elsewhere: it only changes resolution for
@@ -867,7 +926,9 @@ object DeltaLog {
     // path builds (the iceberg sink stamps ids on its write frames only)
     if (mode == "id")
       spark.conf.set("spark.sql.parquet.fieldId.read.enabled", "true")
-    val outSchema = StructType(s.schema.fields ++ extraPhys)
+    val outSchema = StructType(s.schema.fields ++ extraPhys ++
+      (if (withMeta) Seq(StructField(dvFileCol, StringType),
+        StructField(dvPosCol, LongType)) else Seq.empty))
     if (files.isEmpty)
       return spark.createDataFrame(spark.sparkContext.emptyRDD[Row], outSchema)
     val root = Paths.get(table).toAbsolutePath.normalize
@@ -886,12 +947,13 @@ object DeltaLog {
     val bitmaps: Map[String, DeletionVectors.Bitmap] = files.collect {
       case (rel, _, Some(dv)) if dv.cardinality > 0 => fileNameOf(rel) -> dv.load(root)
     }.toMap
+    if (bitmaps.nonEmpty || withMeta)
+      df = df.withColumn(dvPosCol, col("_metadata.row_index"))
     if (bitmaps.nonEmpty) {
       val bc = spark.sparkContext.broadcast(bitmaps)
-      df = df.withColumn(dvPosCol, col("_metadata.row_index"))
-        .filter(org.apache.spark.sql.GraftShim.column(graft.functions.DvAliveF(
-          org.apache.spark.sql.GraftShim.expression(col(dvNameCol)),
-          org.apache.spark.sql.GraftShim.expression(col(dvPosCol)), bc)))
+      df = df.filter(org.apache.spark.sql.GraftShim.column(graft.functions.DvAliveF(
+        org.apache.spark.sql.GraftShim.expression(col(dvNameCol)),
+        org.apache.spark.sql.GraftShim.expression(col(dvPosCol)), bc)))
     }
     if (s.partitionColumns.nonEmpty) {
       val partFields = s.partitionColumns.map(pc => s.schema(s.schema.fieldIndex(pc)))
@@ -909,10 +971,17 @@ object DeltaLog {
         (d, f) => d.withColumn(f.name, col(quoted(f.name)).cast(f.dataType)))
       df = df.join(broadcast(lookup), dvNameCol)
     }
+    if (withMeta) {
+      import spark.implicits._
+      val lookup = broadcast(files.map(f => (fileNameOf(f._1), f._1))
+        .toDF(dvNameCol, dvFileCol))
+      df = df.join(lookup, dvNameCol)
+    }
     df.select(s.schema.fields.toIndexedSeq.map { f =>
       if (s.partitionColumns.contains(f.name)) col(quoted(f.name))
       else remapExpr(col(quoted(physName(f))), f.dataType).as(f.name)
-    } ++ extraPhys.map(f => col(quoted(f.name))): _*)
+    } ++ extraPhys.map(f => col(quoted(f.name))) ++
+      (if (withMeta) Seq(col(dvFileCol), col(dvPosCol)) else Seq.empty): _*)
   }
 
   /** One commit's ADDED files of a column-mapped table, logical shape —
@@ -1289,37 +1358,14 @@ object DeltaLog {
         s"(${df.schema.fieldNames.mkString(", ")}) != table " +
         s"(${s0.schema.fieldNames.mkString(", ")})")
     // physical frame: every (nested) field under its physical name,
-    // TOP-LEVEL parquet field ids stamped via alias metadata (Catalyst
-    // expressions cannot carry NESTED field metadata, so an id-mode
-    // table whose nested fields are id-mapped must refuse — its
-    // conformant readers bind nested columns by id, which this writer
-    // cannot stamp below the top level)
-    def nestedIds(dt: DataType): Boolean = dt match {
-      case st: StructType =>
-        st.fields.exists(f => cmFieldId(f).isDefined || nestedIds(f.dataType))
-      case at: ArrayType => nestedIds(at.elementType)
-      case mt: MapType => nestedIds(mt.keyType) || nestedIds(mt.valueType)
-      case _ => false
-    }
-    require(mappingMode(s0.configuration ++ tableConf) != "id" ||
-      s0.schema.fields.forall(f => !nestedIds(f.dataType)),
-      s"$table: id-mode appends support top-level column mappings only " +
-        "(nested parquet field ids cannot be stamped through this writer)")
-    val physSchema = physicalReadType(s0.schema, withIds = true)
-      .asInstanceOf[StructType]
-    spark.conf.set("spark.sql.parquet.fieldId.write.enabled", "true")
-    val physDf = df.select(s0.schema.fields.toIndexedSeq.map { f =>
-      val mb = new org.apache.spark.sql.types.MetadataBuilder()
-      cmFieldId(f).foreach(mb.putLong(ParquetFieldIdKey, _))
-      toPhysExpr(col(quoted(f.name)), f.dataType).as(physName(f), mb.build())
-    }: _*)
-    val physPartCols = s0.partitionColumns.map(pc =>
-      physName(s0.schema(s0.schema.fieldIndex(pc))))
+    // TOP-LEVEL parquet field ids stamped via alias metadata — id-mode
+    // tables with NESTED id mappings refuse ([[requireMappedWritable]])
+    requireMappedWritable(table, s0)
     Files.createDirectories(Paths.get(table))
-    // placeDataFiles on the PHYSICAL shape: hive dirs named by physical
+    // placement on the PHYSICAL shape: hive dirs named by physical
     // partition columns → partitionValues keys, and footer stats keys,
     // both land physical (what prune() translates back to)
-    val added = placeDataFiles(spark, table, physSchema, physPartCols, physDf)
+    val added = placeMappedDataFiles(spark, table, s0, df)
     val committed = commit(spark, table, s0.schema, s0.partitionColumns,
       added, txn, tableConf = tableConf, allowMapped = true)
     committed match {
@@ -1369,7 +1415,7 @@ object DeltaLog {
         * its rewrites toward real file sizes. */
       targetFileBytes: Long = 128L * 1024 * 1024): Option[Long] = {
     val s = snapshot(spark, table).getOrElse(return None)
-    requireWritable(table, s.configuration)
+    requireMappedWritable(table, s)
     zorderBy.foreach { c =>
       require(s.schema.fieldNames.contains(c), s"zorder: no column $c")
       require(!s.partitionColumns.contains(c),
@@ -1392,10 +1438,14 @@ object DeltaLog {
     val out =
       if (zorderBy.isEmpty) df.coalesce(nOut)
       else graft.operators.ZOrder.cluster(df, zorderBy, nOut)
-    val added = placeDataFiles(spark, table, s.schema, s.partitionColumns, out)
+    val mapped = mappingMode(s.configuration) != "none"
+    val added =
+      if (mapped) placeMappedDataFiles(spark, table, s, out)
+      else placeDataFiles(spark, table, s.schema, s.partitionColumns, out)
     onOptimizeCommit()
     val committed = commit(spark, table, s.schema, s.partitionColumns, added,
       txn = None, removed = small.map(_._1), dataChange = false,
+      allowMapped = mapped,
       // a concurrent DV landing on a victim between plan and commit
       // would be silently dropped by this rewrite — abort instead.
       // UNCONDITIONAL: dvId is "" for DV-less victims, so a first DV
@@ -1462,6 +1512,9 @@ object DeltaLog {
     require(cols.nonEmpty, "ADD COLUMNS: no columns")
     val s = snapshot(spark, table)
       .getOrElse(sys.error(s"$table is not a Delta table (no _delta_log)"))
+    require(mappingMode(s.configuration) == "none",
+      s"$table is column-mapped; ADD COLUMNS needs a fresh physicalName " +
+        "and a maxColumnId bump owned by the table's creator")
     cols.foreach { case (n, _) =>
       require(!s.schema.fieldNames.contains(n),
         s"ADD COLUMNS: column $n already exists in $table") }
@@ -1508,7 +1561,7 @@ object DeltaLog {
     require(p.nonEmpty, "DELETE: empty predicate (use 'true' to delete all rows)")
     val s0 = snapshot(spark, table)
       .getOrElse(sys.error(s"$table is not a Delta table (no _delta_log)"))
-    requireWritable(table, s0.configuration)
+    requireMappedWritable(table, s0)
     val changes: Option[(DataFrame, DataFrame, StructType) => DataFrame] =
       Some((touched, _, _) =>
         touched.filter(coalesce(expr(p), lit(false)))
@@ -1628,6 +1681,7 @@ object DeltaLog {
       round += 1
       val s = snapshot(spark, table).getOrElse(
         sys.error(s"$table is not a Delta table (no _delta_log)"))
+      val mapped = mappingMode(s.configuration) != "none"
       val byRel = s.adds.toMap
       val (kept, _) = prune(spark, s, scanFilter)
       if (kept.isEmpty && !commitWhenUntouched) return None
@@ -1668,20 +1722,22 @@ object DeltaLog {
           rel -> byRel(rel).copy(dv = Some(d)) }
         val removedRels = mergedBitmaps.map(_._1)
         val placedAppends = appends.map(a =>
-          placeDataFiles(spark, table, s.schema, s.partitionColumns, a))
+          if (mapped) placeMappedDataFiles(spark, table, s, a)
+          else placeDataFiles(spark, table, s.schema, s.partitionColumns, a))
           .getOrElse(Seq.empty)
         if (removedRels.isEmpty && placedAppends.isEmpty) return None
         val cdcFiles: Seq[(String, AddInfo)] =
           if (removedRels.nonEmpty && Cdf.isEnabled(s.configuration))
             changes.map(f => placeCdc(spark, table, s.partitionColumns,
-              f(candPlain, candPlain, s.schema), removedRels.size))
+              f(candPlain, candPlain, s.schema), removedRels.size,
+              mappedSnap = if (mapped) Some(s) else None))
               .getOrElse(Seq.empty)
           else Seq.empty
         val committed = commit(spark, table, s.schema, s.partitionColumns,
           added = reAdds ++ placedAppends, txn = None, removed = removedRels,
           dataChange = true,
           conflict = Some((s.files.toSet, conflictPred)),
-          cdc = cdcFiles,
+          cdc = cdcFiles, allowMapped = mapped,
           dvBase = Some(kept.map(rel => rel -> byRel(rel).dvId).toMap))
         committed match {
           case Some(v) =>
@@ -1769,7 +1825,7 @@ object DeltaLog {
       }: _*)
     val s0 = snapshot(spark, table)
       .getOrElse(sys.error(s"$table is not a Delta table (no _delta_log)"))
-    requireWritable(table, s0.configuration)
+    requireMappedWritable(table, s0)
     if (dvEnabled(s0.configuration))
       // merge-on-read row delta: retract matching positions into the
       // deletion vectors, append the postimages
@@ -1824,7 +1880,7 @@ object DeltaLog {
       clauses: Merge.Clauses): Option[Long] = {
     val s0 = snapshot(spark, table)
       .getOrElse(sys.error(s"$table is not a Delta table (no _delta_log)"))
-    requireWritable(table, s0.configuration)
+    requireMappedWritable(table, s0)
     clauses.updateCols.foreach(cname =>
       require(s0.schema.fieldNames.contains(cname),
         s"MERGE: no column $cname in $table"))
@@ -1876,6 +1932,8 @@ object DeltaLog {
     // resurrect DV-deleted rows) and the commit aborts when any
     // candidate's DV changed underneath (dvBase guard)
     @volatile private var planned: Option[Snapshot] = None
+    private def mapped: Boolean =
+      planned.exists(s => mappingMode(s.configuration) != "none")
     def plan(scanFilter: Option[String]): DmlRewrite.Plan = {
       val s = snapshot(spark, table)
         .getOrElse(sys.error(s"$table is not a Delta table (no _delta_log)"))
@@ -1897,7 +1955,11 @@ object DeltaLog {
       val byRel = s.adds.toMap
       val rels = paths.map(p => root.relativize(
         Paths.get(p).toAbsolutePath.normalize).toString)
-      if (!rels.exists(r => byRel.get(r).exists(_.dv.exists(_.cardinality > 0))))
+      // mapped tables ALWAYS route through readKept (physical-name /
+      // field-id resolution + log-sourced partition values); unmapped
+      // tables only when a candidate carries live deletion vectors
+      if (!mapped &&
+          !rels.exists(r => byRel.get(r).exists(_.dv.exists(_.cardinality > 0))))
         super.readFiles(spark, schema, paths, fileCol)
       else {
         val df = readKept(spark, table, s, rels, withMeta = fileCol.isDefined)
@@ -1906,10 +1968,22 @@ object DeltaLog {
           .drop(dvFileCol, dvPosCol)).getOrElse(df)
       }
     }
+    /** Mapped tables write replacement files in the PHYSICAL shape —
+      * same projection the append path uses.
+      */
+    override def stampOutput(df: DataFrame, plan: DmlRewrite.Plan): DataFrame =
+      if (!mapped) df else toMappedPhysFrame(df, plan.schema)
+    override def writePartitionColumns(plan: DmlRewrite.Plan): Seq[String] =
+      if (!mapped) plan.partitionColumns else mappedPartCols(planned.get)
     def harvest(dest: Path, plan: DmlRewrite.Plan): ((String, AddInfo), Long) = {
       val rel = root.relativize(dest.toAbsolutePath.normalize).toString
-      val dataSchema = StructType(
+      val logicalData = StructType(
         plan.schema.filterNot(f => plan.partitionColumns.contains(f.name)))
+      // mapped replacement files carry PHYSICAL column names — harvest
+      // stats under them so pruning's logical→phys translation matches
+      val dataSchema =
+        if (!mapped) logicalData
+        else physicalReadType(logicalData, withIds = false).asInstanceOf[StructType]
       val stats = fileStatsJson(spark, dest, dataSchema)
       val records = stats.flatMap(st =>
         try Some(mapper.readTree(st).get("numRecords").asLong())
@@ -1930,13 +2004,14 @@ object DeltaLog {
       // insert-only merges pay no cdc write
       val cdcFiles: Seq[(String, AddInfo)] = changes match {
         case Some(chg) if touchedTokens.nonEmpty =>
-          placeCdc(spark, table, plan.partitionColumns, chg, touchedTokens.size)
+          placeCdc(spark, table, plan.partitionColumns, chg, touchedTokens.size,
+            mappedSnap = planned.filter(_ => mapped))
         case _ => Seq.empty
       }
       val committed = DeltaLog.commit(spark, table, plan.schema,
         plan.partitionColumns, added, txn = None, removed = touchedTokens,
         dataChange = true, conflict = Some((plan.conflictBase, conflictPred)),
-        cdc = cdcFiles,
+        cdc = cdcFiles, allowMapped = mapped,
         dvBase = planned.map(s => {
           val byRel = s.adds.toMap
           plan.candidates.map(c => c.token -> byRel(c.token).dvId).toMap
@@ -1956,14 +2031,25 @@ object DeltaLog {
     * the data-change removes.
     */
   private def placeCdc(spark: SparkSession, table: String,
-      partitionColumns: Seq[String], chg: DataFrame,
-      nTouched: Int): Seq[(String, AddInfo)] = {
+      partitionColumns: Seq[String], chg0: DataFrame,
+      nTouched: Int,
+      /** Present for column-mapped tables: cdc files follow the same
+        * column mapping as data files (the protocol rule — a mapped
+        * reader resolves `_change_data/` columns by physicalName/id
+        * too), so the change frame projects physical with
+        * `_change_type` passing through, under phys hive dirs.
+        */
+      mappedSnap: Option[Snapshot] = None): Seq[(String, AddInfo)] = {
     val root = Paths.get(table).toAbsolutePath.normalize
+    val chg = mappedSnap.map(s =>
+      toMappedPhysFrame(chg0, s.schema, passThrough = Seq(Cdf.changeTypeCol)))
+      .getOrElse(chg0)
+    val partCols = mappedSnap.map(mappedPartCols).getOrElse(partitionColumns)
     def place(df: DataFrame, partitioned: Boolean): Seq[(String, AddInfo)] = {
       val scratch = Paths.get(table, s".graft-cdc-${UUID.randomUUID()}")
       val w0 = df.write.mode("overwrite")
-      val w = if (partitioned && partitionColumns.nonEmpty)
-        w0.partitionBy(partitionColumns: _*) else w0
+      val w = if (partitioned && partCols.nonEmpty)
+        w0.partitionBy(partCols: _*) else w0
       w.parquet(scratch.toString)
       val parts = walkDir(scratch)
         .filter(p => Files.isRegularFile(p) &&
@@ -2029,12 +2115,15 @@ object DeltaLog {
     var attempt = 0
     while (attempt < 1000) {
       val snap = snapshot(spark, table)
-      // backstop (DML entry points check earlier, before planning): a
-      // logical-named rewrite landing in a mapped table would silently
-      // null out every mapped column for conformant readers. Checked on
-      // the overlaid config too, so a CREATE can't arm the mode.
-      if (!allowMapped) requireWritable(table,
-        snap.map(_.configuration).getOrElse(Map.empty) ++ tableConf)
+      // backstop (write surfaces route through the mapped placement
+      // path and pass allowMapped): a logical-named data file landing
+      // in a mapped table would silently null out every mapped column
+      // for conformant readers. Checked on the overlaid config too, so
+      // a CREATE can't arm the mode. Metadata-only commits (property
+      // flips, ADD COLUMNS refusals aside) carry no files and are safe.
+      if (!allowMapped && (added.nonEmpty || cdc.nonEmpty))
+        requireWritable(table,
+          snap.map(_.configuration).getOrElse(Map.empty) ++ tableConf)
       // every enabled writer feature binds this commit (third-party
       // tables: rowTracking, inCommitTimestamp, … — contracts this
       // engine doesn't emit must refuse, never silently violate)
@@ -2070,8 +2159,15 @@ object DeltaLog {
             case None => true // predicate-less DML touches every row
             case Some(p) =>
               val conj = StatsPruning.conjunctsOf(spark, p)
+              // mapped tables key concurrent adds' stats physically —
+              // translate the logical predicate names like prune() does
+              val physOf: Map[String, String] = snap match {
+                case Some(s0) if mappingMode(s0.configuration) != "none" =>
+                  s0.schema.fields.map(f => f.name -> physName(f)).toMap
+                case _ => Map.empty
+              }
               newAdds.exists { case (_, info) =>
-                val fs = addFileStats(info)
+                val fs = addFileStats(info, physOf)
                 conj.forall(c => StatsPruning.mayMatch(fs, c, snap.get.schema))
               }
           }

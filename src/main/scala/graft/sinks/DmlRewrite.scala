@@ -90,10 +90,16 @@ private[sinks] object DmlRewrite {
       */
     def changeFeedEnabled: Boolean = false
     /** Format hook over the rewrite output right before the scratch
-      * write — iceberg stamps its parquet field ids here; delta (whose
-      * protocol resolves columns by name) keeps the identity.
+      * write — iceberg stamps its parquet field ids here; delta keeps
+      * the identity except on column-mapped tables (physical-shape
+      * projection).
       */
     def stampOutput(df: DataFrame, plan: Plan): DataFrame = df
+    /** Partition columns AS WRITTEN in the rewrite output — differs
+      * from the plan's logical names on delta column-mapped tables,
+      * where hive dirs (and so partitionValues keys) are physical.
+      */
+    def writePartitionColumns(plan: Plan): Seq[String] = plan.partitionColumns
     /** Read `paths` as this format's LIVE rows (hive partition recovery
       * via `basePath`); `fileCol` additionally captures each row's
       * source file as an absolute path/URI that
@@ -168,7 +174,8 @@ private[sinks] object DmlRewrite {
       val targetBytes = 128L * 1024 * 1024
       val nOut = math.max(1, (touched.map(_.size).sum / targetBytes).toInt + 1)
       val w = out.coalesce(nOut).write.mode("overwrite")
-      (if (plan.partitionColumns.nonEmpty) w.partitionBy(plan.partitionColumns: _*) else w)
+      val wpc = fmt.writePartitionColumns(plan)
+      (if (wpc.nonEmpty) w.partitionBy(wpc: _*) else w)
         .parquet(scratch.toString)
       val parts = walkDir(scratch)
         .filter(p => Files.isRegularFile(p) &&

@@ -250,29 +250,172 @@ class ColumnMappingSpec extends SparkSpec {
       (2L, 20L, "a", "update_preimage"), (2L, 21L, "a", "update_postimage")))
   }
 
-  test("DML/CREATE/streaming refuse loudly; reads stay open") {
+  test("CREATE/ADD COLUMNS refuse loudly (id allocation not owned); reads stay open") {
     import spark.implicits._
     val table = nameModeTable()
-    val e2 = intercept[IllegalArgumentException] {
-      DeltaLog.deleteWhere(spark, table, "id = 1")
-    }
-    assert(e2.getMessage.contains("columnMapping"), e2.getMessage)
-    val e2b = intercept[IllegalArgumentException] {
-      DeltaLog.updateWhere(spark, table, Seq("v" -> "v + 1"), Some("id = 1"))
-    }
-    assert(e2b.getMessage.contains("columnMapping"), e2b.getMessage)
-    val e2c = intercept[IllegalArgumentException] {
-      DeltaLog.optimize(spark, table)
-    }
-    assert(e2c.getMessage.contains("columnMapping"), e2c.getMessage)
-    // a CREATE must not arm the mode either (minting the mapping needs
+    // a CREATE must not arm the mode (minting the mapping needs
     // column-id allocation this writer doesn't own)
     val e3 = intercept[RuntimeException] {
       DeltaLog.writeBatch(Seq((1L, 1L)).toDF("a", "b"), tmpTable(),
         tableConf = Map("delta.columnMapping.mode" -> "name"))
     }
     assert(e3.getMessage.contains("columnMapping"), e3.getMessage)
+    // schema evolution needs a fresh physicalName + maxColumnId bump
+    val e4 = intercept[IllegalArgumentException] {
+      DeltaLog.addColumns(spark, table, Seq("extra" -> LongType))
+    }
+    assert(e4.getMessage.contains("column-mapped"), e4.getMessage)
     assert(DeltaLog.read(spark, table).count() == 4) // reads unaffected
+  }
+
+  test("DELETE on a mapped table rewrites physical-shape files with phys-keyed stats") {
+    val table = nameModeTable()
+    assert(DeltaLog.deleteWhere(spark, table, "id = 2").contains(1L))
+    val got = DeltaLog.read(spark, table).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2))).sorted
+    assert(got.toSeq == Seq((1L, 10L, "a"), (3L, 30L, "b"), (4L, 40L, "b")))
+    // the replacement file is CONFORMANT: physical parquet columns,
+    // phys-keyed partitionValues and stats, phys hive dir
+    val s = DeltaLog.snapshot(spark, table).get
+    val newAdds = s.adds.filterNot(a =>
+      Seq("part-a.parquet", "part-b.parquet").contains(a._1))
+    assert(newAdds.size == 1, s"got ${newAdds.map(_._1)}")
+    val (rel, info) = newAdds.head
+    assert(rel.startsWith("col-p1="), rel)
+    assert(info.partitionValues.map(_._1) == Seq("col-p1"), info.partitionValues)
+    assert(info.stats.exists(_.contains("col-9f3a")), info.stats)
+    val fileCols = spark.read.parquet(
+      Paths.get(table, rel).toString).schema.fieldNames.toSet
+    assert(fileCols == Set("col-9f3a", "col-77bb"), fileCols.toString)
+    // untouched partition's file survives as-is (stats-pruned rewrite)
+    assert(s.files.contains("part-b.parquet"), s.files.toString)
+    // a delete matching nothing is a no-op, not an empty commit
+    assert(DeltaLog.deleteWhere(spark, table, "id = 999").isEmpty)
+  }
+
+  test("UPDATE on a mapped table: partition migration re-lands under the phys hive dir") {
+    val table = nameModeTable()
+    // move id=1 from cat=a to cat=b AND bump v — the rewritten row must
+    // land in the col-p1=b hive dir with phys-keyed partitionValues
+    assert(DeltaLog.updateWhere(spark, table,
+      Seq("cat" -> "'b'", "v" -> "v + 1"), Some("id = 1")).contains(1L))
+    val got = DeltaLog.read(spark, table).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2))).sorted
+    assert(got.toSeq == Seq((1L, 11L, "b"), (2L, 20L, "a"), (3L, 30L, "b"), (4L, 40L, "b")))
+    val s = DeltaLog.snapshot(spark, table).get
+    val migrated = s.adds.filter(_._1.startsWith("col-p1=b"))
+    assert(migrated.nonEmpty, s.files.toString)
+    // partition pruning still binds after the DML (phys-keyed values)
+    val (kept, _) = DeltaLog.planFiles(spark, table, None, Some("cat = 'b'"))
+    assert(kept.forall(r => r == "part-b.parquet" || r.startsWith("col-p1=b")), kept.toString)
+    assert(DeltaLog.read(spark, table, None, Some("cat = 'a'"))
+      .collect().map(_.getLong(0)).toSeq == Seq(2L))
+  }
+
+  test("MERGE upserts a mapped table; inserts land physical in the same commit") {
+    import spark.implicits._
+    val table = nameModeTable()
+    val source = Seq((2L, 200L, "a"), (9L, 90L, "c")).toDF("id", "v", "cat")
+    val clauses = graft.sinks.Merge.Clauses(
+      "t", "s", "t.id = s.id",
+      Seq(graft.sinks.Merge.MatchedClause(None, Left(Seq("v" -> "s.v")))),
+      Some((None, Seq.empty))) // INSERT *
+    assert(DeltaLog.merge(spark, table, source, clauses).contains(1L))
+    val got = DeltaLog.read(spark, table).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2))).sorted
+    assert(got.toSeq == Seq((1L, 10L, "a"), (2L, 200L, "a"), (3L, 30L, "b"),
+      (4L, 40L, "b"), (9L, 90L, "c")))
+    // every new file (rewrite + insert) is physical-shape
+    val s = DeltaLog.snapshot(spark, table).get
+    s.adds.filterNot(a => Seq("part-a.parquet", "part-b.parquet").contains(a._1))
+      .foreach { case (rel, _) =>
+        val cols = spark.read.parquet(Paths.get(table, rel).toString)
+          .schema.fieldNames.toSet
+        assert(cols == Set("col-9f3a", "col-77bb"), s"$rel: $cols")
+      }
+  }
+
+  test("DML on an id-mode table stamps field ids the id-resolving read binds") {
+    import spark.implicits._
+    val table = tmpTable()
+    val root = Paths.get(table)
+    spark.conf.set("spark.sql.parquet.fieldId.write.enabled", "true")
+    val idMeta = (id: Long) => new MetadataBuilder().putLong("parquet.field.id", id).build()
+    onePhysFile(Seq((7L, "x"), (8L, "y"), (9L, "z")).toDF("a", "b")
+      .select(col("a").as("weird_1", idMeta(1)), col("b").as("weird_2", idMeta(2))),
+      root, "part-0.parquet")
+    val schema = schemaJson(
+      fieldJson("id", "\"long\"", 1, "col-zz1"),
+      fieldJson("name", "\"string\"", 2, "col-zz2"))
+    val log = root.resolve("_delta_log")
+    Files.createDirectories(log)
+    Files.write(log.resolve(f"${0L}%020d.json"),
+      (metaLines(schema, "id", Seq.empty, legacy = false) +
+        addLine("part-0.parquet", Map.empty)).getBytes("UTF-8"))
+    DeltaLog.clearSnapshotCache()
+    assert(DeltaLog.deleteWhere(spark, table, "id = 8").contains(1L))
+    assert(DeltaLog.updateWhere(spark, table,
+      Seq("name" -> "upper(name)"), Some("id = 9")).contains(2L))
+    val got = DeltaLog.read(spark, table).collect()
+      .map(r => (r.getLong(0), r.getString(1))).sorted
+    assert(got.toSeq == Seq((7L, "x"), (9L, "Z")))
+  }
+
+  test("CDF composes with mapped DML: cdc files land physical, change rows read logical") {
+    val table = nameModeTable()
+    assert(DeltaLog.setTableProperties(spark, table,
+      Map(graft.sinks.Cdf.enableProp -> "true")).contains(1L))
+    assert(DeltaLog.updateWhere(spark, table,
+      Seq("v" -> "v + 1"), Some("id = 3")).contains(2L))
+    // the cdc FILE on disk is physical-shape + _change_type (what a
+    // conformant mapped reader binds)
+    val root = Paths.get(table)
+    val cdcFiles = {
+      val s = Files.walk(root.resolve("_change_data"))
+      try s.iterator().asScala.filter(p =>
+        p.getFileName.toString.endsWith(".parquet")).toSeq
+      finally s.close()
+    }
+    assert(cdcFiles.nonEmpty)
+    val cdcCols = spark.read.parquet(cdcFiles.map(_.toString): _*).schema.fieldNames.toSet
+    assert(cdcCols == Set("col-9f3a", "col-77bb", "_change_type"), cdcCols.toString)
+    // …and the change feed reads them back LOGICAL
+    val ch = DeltaLog.readChanges(spark, table, 2L, Some(2L))
+      .select("id", "v", "cat", "_change_type").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getString(3))).sorted
+    assert(ch.toSeq == Seq(
+      (3L, 30L, "b", "update_preimage"), (3L, 31L, "b", "update_postimage")))
+  }
+
+  test("merge-on-read DML (deletion vectors) + OPTIMIZE purge on a mapped table") {
+    val table = nameModeTable()
+    assert(DeltaLog.setTableProperties(spark, table,
+      Map("delta.enableDeletionVectors" -> "true")).contains(1L))
+    // MoR delete: the data file is NOT rewritten — a DV lands on it
+    assert(DeltaLog.deleteWhere(spark, table, "id = 1").contains(2L))
+    val s = DeltaLog.snapshot(spark, table).get
+    assert(s.files.toSet == Set("part-a.parquet", "part-b.parquet"), s.files.toString)
+    assert(s.adds.exists(_._2.dv.exists(_.cardinality == 1)))
+    assert(DeltaLog.read(spark, table).collect().map(_.getLong(0)).sorted.toSeq ==
+      Seq(2L, 3L, 4L))
+    // MoR update: retraction into the DV + physical postimage append
+    assert(DeltaLog.updateWhere(spark, table,
+      Seq("v" -> "v * 10"), Some("id = 4")).contains(3L))
+    val got = DeltaLog.read(spark, table).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sorted
+    assert(got.toSeq == Seq((2L, 20L), (3L, 30L), (4L, 400L)))
+    // OPTIMIZE purges the DVs into clean physical rewrites
+    assert(DeltaLog.optimize(spark, table, smallFileBytes = 1024 * 1024).isDefined)
+    val s2 = DeltaLog.snapshot(spark, table).get
+    assert(s2.adds.forall(_._2.dv.isEmpty), "OPTIMIZE must purge DVs")
+    s2.adds.foreach { case (rel, _) =>
+      val cols = spark.read.parquet(Paths.get(table, rel).toString)
+        .schema.fieldNames.toSet
+      assert(cols == Set("col-9f3a", "col-77bb"), s"$rel: $cols")
+    }
+    assert(DeltaLog.read(spark, table).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq ==
+      Seq((2L, 20L), (3L, 30L), (4L, 400L)))
   }
 
   test("streaming source materializes mapped tables: snapshot, then each append, logical shape") {
