@@ -19,8 +19,14 @@ object Puffin {
     * `[crc32 BE4 over magic+vector]`. Positions must sit in bucket 0
     * (row indexes within one data file always do).
     */
-  def dvBlob(positions: Iterator[Long]): Array[Byte] = {
-    val bm = graft.sinks.DeletionVectors.bitmapOf(positions)
+  def dvBlob(positions: Iterator[Long]): Array[Byte] =
+    dvBlobOf(graft.sinks.DeletionVectors.bitmapOf(positions))
+
+  /** Same framing from an already-built bitmap — what the iceberg v3
+    * write path hands over (bitmaps build executor-side; the driver
+    * only ever sees roaring-compressed bytes).
+    */
+  def dvBlobOf(bm: graft.sinks.DeletionVectors.Bitmap): Array[Byte] = {
     val ser = bm.serialize()
     val buckets = java.nio.ByteBuffer.wrap(ser, 4, 8)
       .order(ByteOrder.LITTLE_ENDIAN).getLong
@@ -74,6 +80,12 @@ object Puffin {
     * these files from the footer alone.
     */
   def writeDvFile(dir: Path, positions: Seq[(String, Seq[Long])])
+      : (Path, Map[String, (Long, Long)]) =
+    writeDvFileOf(dir, positions.map { case (r, ps) =>
+      r -> graft.sinks.DeletionVectors.bitmapOf(ps.iterator) })
+
+  def writeDvFileOf(dir: Path,
+      dvs: Seq[(String, graft.sinks.DeletionVectors.Bitmap)])
       : (Path, Map[String, (Long, Long)]) = {
     val file = dir.resolve(s"dv-${java.util.UUID.randomUUID()}.puffin")
     val out = Files.newOutputStream(file)
@@ -84,8 +96,8 @@ object Puffin {
     val blobsArr = meta.putArray("blobs")
     try {
       out.write(Magic)
-      positions.foreach { case (ref, ps) =>
-        val b = dvBlob(ps.iterator)
+      dvs.foreach { case (ref, dv) =>
+        val b = dvBlobOf(dv)
         at += ref -> (offset, b.length.toLong)
         val bm = blobsArr.addObject()
         bm.put("type", "deletion-vector-v1")
@@ -96,7 +108,7 @@ object Puffin {
         bm.put("length", b.length.toLong)
         val props = bm.putObject("properties")
         props.put("referenced-data-file", ref)
-        props.put("cardinality", ps.distinct.length.toString)
+        props.put("cardinality", dv.cardinality.toString)
         out.write(b)
         offset += b.length
       }

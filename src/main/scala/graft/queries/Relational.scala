@@ -743,6 +743,38 @@ object Relational {
       Some(s"""SELECT l_returnflag, COUNT(*) AS n, ${oSum("l_quantity")} AS sum_qty
               |FROM lineitem WHERE NOT (l_quantity > 45) GROUP BY 1""".stripMargin)),
 
+    // ── iceberg v3 WRITE mode (r14): the table upgrades 2→3 through the
+    //    public format-version property, then merge-on-read DELETE and
+    //    UPDATE land puffin DELETION VECTORS natively (spec-compliant
+    //    footers, fields 143-145 on the wire, one-DV-per-file supersede
+    //    with prior-delete folding) and the read resolves them through
+    //    the same v3 bitmap path q_iceberg_v3 exercises on the foreign
+    //    shape. A hash match proves our OWN v3 writes round-trip the
+    //    whole stack against an exact engine.
+    Q("q_iceberg_v3_write",
+      (s, dir) => {
+        val li = t(s, dir, "lineitem").select(
+          col("l_orderkey"), col("l_returnflag"), col("l_quantity"))
+        val table = java.nio.file.Files
+          .createTempDirectory("graft-iceberg-v3w").toString
+        graft.sinks.IcebergLog.writeBatch(li.repartition(4), table)
+        graft.sinks.IcebergLog.setTableProperties(s, table, Map(
+          "format-version" -> "3",
+          "write.delete.mode" -> "merge-on-read",
+          "write.update.mode" -> "merge-on-read"))
+        graft.sinks.IcebergLog.deleteWhere(s, table, "l_quantity > 45")
+        // second DV wave on the same files: supersede + union in action
+        graft.sinks.IcebergLog.updateWhere(s, table,
+          Seq("l_quantity" -> "l_quantity * 2"),
+          Some("l_returnflag = 'R'"))
+        graft.sinks.IcebergLog.read(s, table)
+          .groupBy(col("l_returnflag"))
+          .agg(count(lit(1)).as("n"), dsum(col("l_quantity")).as("sum_qty"))
+      },
+      Some(s"""SELECT l_returnflag, COUNT(*) AS n,
+              |  ${oSum("CASE WHEN l_returnflag = 'R' THEN l_quantity * 2 ELSE l_quantity END")} AS sum_qty
+              |FROM lineitem WHERE NOT (l_quantity > 45) GROUP BY 1""".stripMargin)),
+
     // ── merge-on-read DML on delta (r11, DELETION VECTORS — the public
     //    protocol 3/7 feature gated by delta.enableDeletionVectors): the
     //    q_delta_dml verbs, but the DELETE folds positions into roaring

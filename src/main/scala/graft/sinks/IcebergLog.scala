@@ -233,9 +233,17 @@ object IcebergLog {
        |"default":null,"field-id":$fieldId}""".stripMargin.replace("\n", "")
 
   private[graft] def manifestEntrySchemaJson(partType: StructType,
-      withEqIds: Boolean = true): String = {
+      withEqIds: Boolean = true,
+      /** v3 deletion-vector triple (spec fields 143-145) — emitted on
+        * DELETES manifests of format-version-3 tables, whose position
+        * deletes are puffin DVs. */
+      withDv: Boolean = false): String = {
     val eqIdsField = if (!withEqIds) "" else
       """,{"name":"equality_ids","type":["null",{"type":"array","items":"int","element-id":136}],"default":null,"field-id":135}"""
+    val dvFields = if (!withDv) "" else
+      """,{"name":"referenced_data_file","type":["null","string"],"default":null,"field-id":143}""" +
+      ""","{"name":"content_offset","type":["null","long"],"default":null,"field-id":144}""" +
+      ""","{"name":"content_size_in_bytes","type":["null","long"],"default":null,"field-id":145}"""
     val partFields = partType.fields.zipWithIndex.map { case (f, i) =>
       s"""{"name":"${f.name}","type":["null",${avroPrim(f.dataType)}],"default":null,"field-id":${1000 + i}}"""
     }
@@ -254,7 +262,7 @@ object IcebergLog {
        |${kvMapSchemaJson("value_counts", 109, 119, 120, "\"long\"")},
        |${kvMapSchemaJson("null_value_counts", 110, 121, 122, "\"long\"")},
        |${kvMapSchemaJson("lower_bounds", 125, 126, 127, "\"bytes\"")},
-       |${kvMapSchemaJson("upper_bounds", 128, 129, 130, "\"bytes\"")}$eqIdsField
+       |${kvMapSchemaJson("upper_bounds", 128, 129, 130, "\"bytes\"")}$eqIdsField$dvFields
        |]},"field-id":2}]}""".stripMargin.replace("\n", "")
   }
 
@@ -410,6 +418,11 @@ object IcebergLog {
     }
     def formatVersion: Int =
       Option(node.get("format-version")).map(_.asInt()).getOrElse(1)
+    /** v3 row-lineage counter (`next-row-id`, required in v3 metadata):
+      * the first row id the NEXT snapshot's data files may claim.
+      */
+    def nextRowId: Long =
+      Option(node.get("next-row-id")).map(_.asLong()).getOrElse(0L)
     def currentSnapshotId: Long = node.get("current-snapshot-id").asLong()
     /** Snapshot REFS (spec: branches and tags): name → (snapshot-id,
       * type). `main` is the current branch; third-party tags/branches
@@ -644,7 +657,12 @@ object IcebergLog {
       partitionValues: Seq[(String, String)], metrics: ColMetrics,
       /** content=2 entries: the table field ids the delete matches on
         * (spec data_file field 135, required for equality deletes). */
-      equalityIds: Option[Seq[Int]] = None)
+      equalityIds: Option[Seq[Int]] = None,
+      /** v3 DELETION VECTOR entries: file_format PUFFIN + the blob
+        * triple (referenced data file path, content_offset,
+        * content_size_in_bytes — spec fields 143-145). */
+      fileFormat: String = "PARQUET",
+      dv: Option[(String, Long, Long)] = None)
 
   // ── decoded-manifest cache ───────────────────────────────────────────
   // Manifests and manifest lists are IMMUTABLE once written (the spec's
@@ -721,11 +739,14 @@ object IcebergLog {
         // writer never emits (a foreign decimal-partitioned spec) —
         // that must fall through to the resolving branch, not crash
         // before it runs
-        def ownJson(withEq: Boolean): Option[String] =
-          try Some(manifestEntrySchemaJson(partType, withEqIds = withEq))
+        def ownJson(withEq: Boolean, withDv: Boolean = false): Option[String] =
+          try Some(manifestEntrySchemaJson(partType, withEqIds = withEq,
+            withDv = withDv))
           catch { case _: IllegalArgumentException => None }
         if (ownJson(true).contains(ws))
           Left(manifestEntryType(partType))
+        else if (ownJson(true, withDv = true).contains(ws))
+          Left(manifestEntryType(partType, withDv = true))
         else if (ownJson(false).contains(ws))
           Left(manifestEntryType(partType, withEqIds = false))
         else Right(manifestEntryType(partType, withDv = true))
@@ -981,12 +1002,18 @@ object IcebergLog {
     val partRow = Row(partType.fields.map(f =>
       pv.get(f.name).flatMap(Option(_))
         .map(typedPartitionValue(_, f.dataType)).orNull).toIndexedSeq: _*)
-    Row(content, a.path, "PARQUET", partRow, a.records, a.size,
+    // always the FULL 14-field struct: the avro writer walks its own
+    // schema's fields, so an 11-field (v2) manifest simply ignores the
+    // trailing DV triple while a withDv (v3 DELETES) manifest emits it
+    Row(content, a.path, a.fileFormat, partRow, a.records, a.size,
       kvRows(a.metrics.valueCounts.asInstanceOf[Map[Int, Any]]),
       kvRows(a.metrics.nullCounts.asInstanceOf[Map[Int, Any]]),
       kvRows(a.metrics.lower.asInstanceOf[Map[Int, Any]]),
       kvRows(a.metrics.upper.asInstanceOf[Map[Int, Any]]),
-      a.equalityIds.map(_.toSeq).orNull)
+      a.equalityIds.map(_.toSeq).orNull,
+      a.dv.map(_._1).orNull,
+      a.dv.map(x => java.lang.Long.valueOf(x._2)).orNull,
+      a.dv.map(x => java.lang.Long.valueOf(x._3)).orNull)
   }
 
   private def commit(spark: SparkSession, table: String, schema: StructType,
@@ -1030,7 +1057,13 @@ object IcebergLog {
       /** Purge every prior DELETES manifest from the new list — sound
         * only when the caller rewrote every live file the delete rows
         * could bind to (OPTIMIZE does, under `baseDeletes`' guard). */
-      dropDeletes: Boolean = false): Option[Int] = {
+      dropDeletes: Boolean = false,
+      /** v3: data-file NAMES whose prior deletion vector this commit's
+        * `deleteAdded` SUPERSEDES (the new DV already unions the old
+        * positions). Prior DELETES manifests holding a superseded DV
+        * entry are rewritten without it — the spec allows at most one
+        * DV per data file. */
+      supersededDv: Set[String] = Set.empty): Option[Int] = {
     val dir = metaDir(table)
     Files.createDirectories(dir)
     // `replace` = layout rewrite (same rows), `overwrite` = DML rewrite
@@ -1041,13 +1074,16 @@ object IcebergLog {
     while (attempt < 1000) {
       attempt += 1
       val cur = current(table)
-      // v3 tables are READ-ONLY interop: this writer emits v2 metadata
-      // and manifests — a v2 snapshot appended to a v3 log would strand
-      // the table between versions (and silently drop v3 row lineage)
-      cur.foreach(m => require(m.formatVersion == 2,
+      // v2 is the native write shape; v3 tables (this engine's own
+      // `format-version=3` upgrade) also take writes — their position
+      // deletes land as puffin DELETION VECTORS and the metadata
+      // maintains `next-row-id`/`first-row-id`. v1 (or future versions)
+      // stay read-only
+      cur.foreach(m => require(m.formatVersion == 2 || m.formatVersion == 3,
         s"$table is Iceberg format-version ${m.formatVersion}; this " +
-          "engine writes format-version 2 only — the table stays " +
-          "readable (read/scan/time travel), rewrite it as v2 to take writes"))
+          "engine writes format-versions 2 and 3 only — the table stays " +
+          "readable (read/scan/time travel), rewrite it to take writes"))
+      val fv = cur.map(_.formatVersion).getOrElse(2)
       // catalog-managed metadata naming: the authoritative pointer lives
       // in the owning catalog — a filesystem-claimed vN commit here would
       // be invisible to it (and its next commit would silently drop ours)
@@ -1159,13 +1195,17 @@ object IcebergLog {
       val cleanup = scala.collection.mutable.ArrayBuffer.empty[Path]
 
       def writeManifest(rows: Seq[Row], content: String = "data",
-          specId: Int = 0): (Path, Long) = {
+          specId: Int = 0,
+          /** DELETES manifests of a v3 table carry the DV triple
+            * (fields 143-145) on the wire. */
+          withDv: Boolean = false): (Path, Long) = {
         val mPartType = writePartTypeOfSpec(specId, partType)
-        val entryType = manifestEntryType(mPartType)
+        val entryType = manifestEntryType(mPartType, withDv = withDv)
         val p = dir.resolve(s"${UUID.randomUUID()}-m0.avro")
         val out = Files.newOutputStream(p)
         try AvroCodec.writeOcf(out, entryType, rows.iterator,
-          schemaJsonOverride = Some(manifestEntrySchemaJson(mPartType)),
+          schemaJsonOverride = Some(
+            manifestEntrySchemaJson(mPartType, withDv = withDv)),
           extraMeta = Seq(
             "schema" -> schemaJson(schema, schemaId),
             // must agree with the embedded schema's own schema-id (and
@@ -1176,7 +1216,7 @@ object IcebergLog {
             "partition-spec" -> (if (specId == 0)
               partitionSpecFieldsJson(schema, partitionBy) else "[]"),
             "partition-spec-id" -> specId.toString,
-            "format-version" -> "2",
+            "format-version" -> fv.toString,
             "content" -> content))
         finally out.close()
         cleanup += p
@@ -1215,7 +1255,8 @@ object IcebergLog {
               Row(1, snapshotId, seq, seq,
                 dataFileRow(a, writePartTypeOfSpec(delSpecId, partType),
                   content = deleteContent)))
-            val (p, len) = writeManifest(rows, "deletes", specId = delSpecId)
+            val (p, len) = writeManifest(rows, "deletes", specId = delSpecId,
+              withDv = fv == 3)
             Some(Row(p.toAbsolutePath.toString, len, delSpecId, 1, seq, seq,
               snapshotId,
               deleteAdded.size, 0, 0, deleteAdded.map(_.records).sum, 0L, 0L))
@@ -1232,7 +1273,50 @@ object IcebergLog {
           m.snapshots.find(_.get("snapshot-id").asLong() == m.currentSnapshotId)
             .map(s => readManifestList(s.get("manifest-list").asText()))
         }.getOrElse(Seq.empty)
-        val (priorDeletes, priorData) = prior.partition(_.getInt(3) == 1)
+        val (priorDeletes0, priorData) = prior.partition(_.getInt(3) == 1)
+        // v3: a data file carries at most ONE deletion vector — prior
+        // DELETES manifests holding a DV this commit supersedes are
+        // rewritten without it (the new DV already unions those
+        // positions); a manifest emptied by the drop disappears
+        val priorDeletes: Seq[Row] =
+          if (supersededDv.isEmpty) priorDeletes0
+          else priorDeletes0.flatMap { mf =>
+            val mSpecId = mf.getInt(2)
+            val mPartType = cur.map(partTypeOfSpec(_, mSpecId))
+              .getOrElse(writePartTypeOfSpec(mSpecId, partType))
+            val entries = readEntries(mf.getString(0), mPartType)
+            def superseded(e: Row): Boolean = {
+              val df0 = e.getStruct(4)
+              df0.getInt(0) == 1 && df0.getString(2) != null &&
+                df0.getString(2).equalsIgnoreCase("puffin") &&
+                Option(df0.get(11)).exists(r =>
+                  supersededDv(fileNameOf(r.toString)))
+            }
+            if (!entries.exists(superseded)) Some(mf)
+            else {
+              require(mSpecId <= 1,
+                s"$table: a superseded deletion vector rides a foreign-spec " +
+                  s"manifest (spec $mSpecId) this writer cannot re-mint; " +
+                  "OPTIMIZE the table before further merge-on-read DML")
+              val kept = entries
+                .filter(e => e.getInt(0) != 2 && !superseded(e)).map { e =>
+                  val sq = e.get(2) match { case l: java.lang.Long => l
+                    case _ => java.lang.Long.valueOf(mf.getLong(4)) }
+                  val sn = e.get(1) match { case l: java.lang.Long => l
+                    case _ => java.lang.Long.valueOf(mf.getLong(6)) }
+                  Row(0, sn, sq, e.get(3), e.get(4))
+                }
+              if (kept.isEmpty) None
+              else {
+                val (p, len) = writeManifest(kept, "deletes",
+                  specId = mSpecId, withDv = true)
+                val minSeq = kept.map(_.getLong(2)).min
+                Some(Row(p.toAbsolutePath.toString, len, mSpecId, 1, seq,
+                  minSeq, snapshotId, 0, kept.size, 0, 0L,
+                  kept.map(_.getStruct(4).getLong(4)).sum, 0L))
+              }
+            }
+          }
         val carriedDeletes: Seq[Row] =
           if (dropDeletes) Seq.empty
           else if (priorDeletes.size +
@@ -1267,7 +1351,8 @@ object IcebergLog {
               }
               if (merged.isEmpty) large
               else {
-                val (p, len) = writeManifest(merged, "deletes", specId = mSpecId)
+                val (p, len) = writeManifest(merged, "deletes",
+                  specId = mSpecId, withDv = fv == 3)
                 val minSeq = merged.map(_.getLong(2)).min
                 large :+ Row(p.toAbsolutePath.toString, len, mSpecId, 1,
                   seq, minSeq, snapshotId, 0, merged.size, 0, 0L,
@@ -1323,7 +1408,7 @@ object IcebergLog {
         try AvroCodec.writeOcf(lOut, manifestFileType, listRows.iterator,
           schemaJsonOverride = Some(manifestFileSchemaJson),
           extraMeta = Seq(
-            "format-version" -> "2",
+            "format-version" -> fv.toString,
             "snapshot-id" -> snapshotId.toString,
             "sequence-number" -> seq.toString,
             "parent-snapshot-id" -> parentId.map(_.toString).getOrElse("null")))
@@ -1332,7 +1417,7 @@ object IcebergLog {
 
         // 3) the new table metadata
         val root = mapper.createObjectNode()
-        root.put("format-version", 2)
+        root.put("format-version", fv)
         root.put("table-uuid", tableUuid)
         root.put("location", Paths.get(table).toAbsolutePath.toString)
         root.put("last-sequence-number", seq)
@@ -1391,6 +1476,14 @@ object IcebergLog {
         root.set[com.fasterxml.jackson.databind.JsonNode]("refs", refs)
         val snaps = mapper.createArrayNode()
         cur.foreach(_.snapshots.foreach(snaps.add))
+        // v3 row lineage: `next-row-id` advances by the rows this
+        // snapshot adds; the snapshot records its assigned range start
+        // (`first-row-id`). This writer does not stamp per-file
+        // first_row_id (readers assign from the snapshot range).
+        if (fv == 3) {
+          val base = cur.map(_.nextRowId).getOrElse(0L)
+          root.put("next-row-id", base + added.map(_.records).sum)
+        }
         val snap = mapper.createObjectNode()
         snap.put("snapshot-id", snapshotId)
         parentId.foreach(snap.put("parent-snapshot-id", _))
@@ -1398,6 +1491,7 @@ object IcebergLog {
         snap.put("timestamp-ms", now)
         snap.put("manifest-list", listPath.toAbsolutePath.toString)
         snap.put("schema-id", schemaId)
+        if (fv == 3) snap.put("first-row-id", cur.map(_.nextRowId).getOrElse(0L))
         val summary = snap.putObject("summary")
         summary.put("operation", operation)
         summary.put("added-data-files", added.size.toString)
@@ -2462,9 +2556,15 @@ object IcebergLog {
           if (nPos == 0) Set.empty[String]
           else posDf.select(col(posFileCol)).distinct()
             .collect().map(_.getString(0)).toSet
-        val deleteAdded =
-          if (nPos == 0) Seq.empty[DataFileInfo]
-          else writeDeleteFiles(spark, table, posDf, nPos)
+        // v3 tables land position deletes as puffin DELETION VECTORS
+        // (the spec forbids ADDING position-delete parquets in v3);
+        // the new DV unions any prior DV / prior position-delete rows
+        // for its file, superseding the old DV entry
+        val useDv = m.formatVersion == 3
+        val (deleteAdded, superseded) =
+          if (nPos == 0) (Seq.empty[DataFileInfo], Set.empty[String])
+          else if (useDv) writeDvFiles(spark, table, posDf, dels)
+          else (writeDeleteFiles(spark, table, posDf, nPos), Set.empty[String])
         val added = appends.map(a =>
           writeDataFiles(spark, table, a, m.partitionColumns, m.schema))
           .getOrElse(Seq.empty)
@@ -2479,7 +2579,8 @@ object IcebergLog {
           conflict = Some((baseLive, conflictPred)),
           deleteAdded = deleteAdded,
           mustBeLive = touchedFiles,
-          baseDeletes = Some(dels.map(_.path).toSet))
+          baseDeletes = Some(dels.map(_.path).toSet),
+          supersededDv = superseded)
         committed match {
           case Some(_) =>
             maybeAutoOptimize(spark, table)
@@ -2523,6 +2624,68 @@ object IcebergLog {
     }
     walkDir(scratch).reverse.foreach(Files.deleteIfExists(_))
     added
+  }
+
+  /** v3 DELETION VECTORS for a (`__graft_file`, `__graft_pos`) frame:
+    * bitmaps build EXECUTOR-side (the driver only receives
+    * roaring-compressed bytes, never raw positions), each unioned with
+    * the file's PRIOR deletes — an existing DV (the spec allows at most
+    * one per data file; ours supersedes it) and any prior
+    * position-delete parquet rows naming the file (v3 writers must
+    * fold those in — the old parquet entry stays for its OTHER files;
+    * double-retraction is idempotent). One puffin file per commit
+    * holds every blob, with a spec-compliant footer
+    * ([[graft.formats.Puffin.writeDvFileOf]]). Returns (DV entries for
+    * the DELETES manifest, superseded data-file NAMES whose old DV
+    * entry the commit must drop).
+    */
+  private def writeDvFiles(spark: SparkSession, table: String,
+      posDf: DataFrame, dels: Seq[DeleteFile])
+      : (Seq[DataFileInfo], Set[String]) = {
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    val dataRoot = Paths.get(table, "data")
+    Files.createDirectories(dataRoot)
+    val newBitmaps: Seq[(String, Array[Byte])] =
+      posDf.as[(String, Long)].groupByKey(_._1)
+        .mapGroups((f, it) =>
+          (f, DeletionVectors.bitmapOf(it.map(_._2)).serialize()))
+        .collect().toSeq.sortBy(_._1)
+    val priorDvByName = dels
+      .filter(d => d.content == 1 && d.isDv)
+      .groupBy(d => fileNameOf(d.referencedDataFile.get))
+    val priorPos = dels.filter(d => d.content == 1 && !d.isDv)
+    val touchedPaths = newBitmaps.map(_._1)
+    val priorPosRows: Map[String, Seq[Long]] =
+      if (priorPos.isEmpty) Map.empty
+      else spark.read.schema(deleteFileSchema)
+        .parquet(priorPos.map(_.path): _*)
+        .filter(col("file_path").isin(touchedPaths: _*))
+        .as[(String, Long)].collect().toSeq
+        .groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    val merged: Seq[(String, DeletionVectors.Bitmap)] =
+      newBitmaps.map { case (path, bytes) =>
+        var bm = DeletionVectors.deserialize(bytes)
+        priorDvByName.getOrElse(fileNameOf(path), Seq.empty).foreach { d =>
+          bm = DeletionVectors.union(bm, DeletionVectors.loadIcebergDv(
+            localPath(d.path), d.contentOffset.get, d.contentSize.get)
+            .positions)
+        }
+        priorPosRows.get(path).foreach(ps =>
+          bm = DeletionVectors.union(bm, ps.iterator))
+        (path, bm)
+      }
+    val (file, at) = graft.formats.Puffin.writeDvFileOf(dataRoot, merged)
+    val abs = file.toAbsolutePath.toString
+    val size = Files.size(file)
+    val infos = merged.map { case (path, bm) =>
+      val (off, len) = at(path)
+      DataFileInfo(abs, size, bm.cardinality, Seq.empty,
+        ColMetrics(Map.empty, Map.empty, Map.empty, Map.empty),
+        fileFormat = "PUFFIN", dv = Some((path, off, len)))
+    }
+    (infos, touchedPaths.map(fileNameOf)
+      .filter(priorDvByName.contains).toSet)
   }
 
   /** Footer harvest for a position-delete file: metrics re-keyed from
@@ -2760,11 +2923,30 @@ object IcebergLog {
       require(!m.catalogManaged,
         s"$table uses catalog-managed metadata naming (${m.metaFileName}); " +
           "route property changes through its catalog")
-      if (props.forall { case (k, v) => m.properties.get(k).contains(v) })
+      // `format-version` is TOP-LEVEL metadata, not a property: a "3"
+      // here is the v2→v3 upgrade (iceberg-java's TableProperties
+      // FORMAT_VERSION shape) — subsequent position deletes land as
+      // puffin deletion vectors and the metadata maintains next-row-id
+      val fvReq = props.get("format-version").map(_.toInt)
+      fvReq.foreach { v =>
+        require(v == m.formatVersion || (m.formatVersion == 2 && v == 3),
+          s"$table: format-version ${m.formatVersion} → $v is not a " +
+            "supported upgrade (2 → 3 only; downgrades never)")
+      }
+      val plainProps = props - "format-version"
+      val fvChanges = fvReq.exists(_ != m.formatVersion)
+      if (!fvChanges &&
+          plainProps.forall { case (k, v) => m.properties.get(k).contains(v) })
         return m.version
       val root = m.node.deepCopy[com.fasterxml.jackson.databind.node.ObjectNode]()
+      if (fvChanges) {
+        root.put("format-version", 3)
+        // row-lineage counter starts fresh: nothing in the v2 history
+        // carries assigned row ids
+        if (!root.has("next-row-id")) root.put("next-row-id", 0L)
+      }
       val propsNode = mapper.createObjectNode()
-      (m.properties ++ props).foreach { case (k, v) => propsNode.put(k, v) }
+      (m.properties ++ plainProps).foreach { case (k, v) => propsNode.put(k, v) }
       root.set[com.fasterxml.jackson.databind.JsonNode]("properties", propsNode)
       root.put("last-updated-ms", System.currentTimeMillis())
       val newVersion = m.version + 1

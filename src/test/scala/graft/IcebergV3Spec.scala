@@ -187,22 +187,105 @@ class IcebergV3Spec extends SparkSpec {
 
   private val Cdf_changeType = graft.sinks.Cdf.changeTypeCol
 
-  test("v3 tables are read-only: writes refuse loudly; time travel still reads") {
+  test("v3 tables take writes (r14); time travel still reads prior snapshots") {
     import spark.implicits._
     val table = morTable()
     assert(IcebergLog.deleteWhere(spark, table, "id = 2").isDefined)
     toV3(table)
-    val e = intercept[IllegalArgumentException] {
-      IcebergLog.writeBatch(Seq((9L, 90L)).toDF("id", "v"), table)
-    }
-    assert(e.getMessage.contains("format-version 3"), e.getMessage)
-    // pre-delete snapshot still readable (snapshot_id time travel)
+    // a foreign-shaped v3 table (puffin DVs, foreign manifests) takes
+    // appends; the new metadata stays format-version 3
+    assert(IcebergLog.writeBatch(Seq((9L, 90L)).toDF("id", "v"), table).isDefined)
     val m = IcebergLog.current(table).get
+    assert(m.formatVersion == 3)
+    val got = IcebergLog.read(spark, table).as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 10L, 3L -> 30L, 4L -> 40L, 9L -> 90L), s"got $got")
+    // pre-delete snapshot still readable (snapshot_id time travel)
     val first = m.snapshots.minBy(_.get("sequence-number").asLong())
       .get("snapshot-id").asLong()
     val old = IcebergLog.read(spark, table, snapshotId = Some(first))
       .as[(Long, Long)].collect().toMap
     assert(old == Map(1L -> 10L, 2L -> 20L, 3L -> 30L, 4L -> 40L), s"got $old")
+  }
+
+  test("v3 WRITE mode: format-version upgrade lands position deletes as puffin DVs") {
+    import spark.implicits._
+    val table = morTable()
+    // the public upgrade shape (TableProperties FORMAT_VERSION)
+    IcebergLog.setTableProperties(spark, table, Map("format-version" -> "3"))
+    val m0 = IcebergLog.current(table).get
+    assert(m0.formatVersion == 3 && m0.nextRowId == 0L)
+    // downgrades refuse
+    val eDown = intercept[IllegalArgumentException] {
+      IcebergLog.setTableProperties(spark, table, Map("format-version" -> "2"))
+    }
+    assert(eDown.getMessage.contains("downgrade"), eDown.getMessage)
+    // a MoR delete now lands a puffin DELETION VECTOR, not a parquet
+    assert(IcebergLog.deleteWhere(spark, table, "id = 2 or id = 4").isDefined)
+    val dels = IcebergLog.deleteFiles(table, None)
+    assert(dels.size == 1 && dels.head.isDv, s"got $dels")
+    assert(dels.head.path.endsWith(".puffin"), dels.head.path)
+    assert(dels.head.records == 2L)
+    // …with a SPEC-COMPLIANT footer a conformant reader can open
+    val meta = graft.formats.Puffin.readFileMetadata(
+      java.nio.file.Paths.get(dels.head.path))
+    val blob = meta.get("blobs").get(0)
+    assert(blob.get("type").asText == "deletion-vector-v1")
+    assert(blob.get("properties").get("cardinality").asText == "2")
+    assert((blob.get("offset").asLong, blob.get("length").asLong) ==
+      (dels.head.contentOffset.get, dels.head.contentSize.get))
+    val got = IcebergLog.read(spark, table).as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 10L, 3L -> 30L), s"got $got")
+    // appends advance the v3 row-lineage counter
+    assert(IcebergLog.writeBatch(
+      Seq((9L, 90L), (10L, 100L)).toDF("id", "v"), table).isDefined)
+    val m1 = IcebergLog.current(table).get
+    assert(m1.nextRowId == 2L, s"got ${m1.nextRowId}")
+    val snap = m1.snapshots.maxBy(_.get("sequence-number").asLong())
+    assert(snap.get("first-row-id").asLong() == 0L)
+  }
+
+  test("v3 WRITE: a second DV on the same file SUPERSEDES (unions) the first") {
+    import spark.implicits._
+    val table = morTable()
+    IcebergLog.setTableProperties(spark, table, Map("format-version" -> "3"))
+    assert(IcebergLog.deleteWhere(spark, table, "id = 2").isDefined)
+    assert(IcebergLog.deleteWhere(spark, table, "id = 4").isDefined)
+    // exactly ONE DV per data file across every carried delete manifest
+    // (the spec's invariant) — the new one, carrying the union
+    val dels = IcebergLog.deleteFiles(table, None)
+    assert(dels.size == 1 && dels.head.isDv, s"got $dels")
+    assert(dels.head.records == 2L, s"got ${dels.head.records}")
+    val got = IcebergLog.read(spark, table).as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 10L, 3L -> 30L), s"got $got")
+    // per-snapshot changelog: the supersede DIFF, not the whole bitmap
+    val last = IcebergLog.current(table).get.lastSeq
+    val chB = IcebergLog.readChanges(spark, table, last, Some(last))
+      .select("id", Cdf_changeType).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(chB == Set((4L, "delete")), s"got $chB")
+  }
+
+  test("v3 WRITE: prior v2 position-delete parquet rows fold into the new DV") {
+    import spark.implicits._
+    val table = morTable()
+    // v2 history: a parquet position delete for id=2
+    assert(IcebergLog.deleteWhere(spark, table, "id = 2").isDefined)
+    assert(IcebergLog.deleteFiles(table, None).forall(!_.isDv))
+    IcebergLog.setTableProperties(spark, table, Map("format-version" -> "3"))
+    // v3 delete on the same file: the DV must carry BOTH positions (the
+    // old parquet entry stays — harmless idempotent double-retraction)
+    assert(IcebergLog.deleteWhere(spark, table, "id = 4").isDefined)
+    val dels = IcebergLog.deleteFiles(table, None)
+    val dv = dels.filter(_.isDv)
+    assert(dv.size == 1 && dv.head.records == 2L, s"got $dels")
+    val got = IcebergLog.read(spark, table).as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 10L, 3L -> 30L), s"got $got")
+    // OPTIMIZE purges DVs and parquet deletes alike into clean rewrites
+    assert(IcebergLog.rewriteDataFiles(spark, table,
+      smallBytes = Some(1024 * 1024)).isDefined)
+    assert(IcebergLog.deleteFiles(table, None).isEmpty)
+    val got2 = IcebergLog.read(spark, table).as[(Long, Long)].collect().toMap
+    assert(got2 == Map(1L -> 10L, 3L -> 30L), s"got $got2")
   }
 
   test("framing violations and unimplemented v3 features refuse loudly") {
