@@ -309,13 +309,21 @@ object DeltaLog {
       * from the snapshot.
       */
     def applyCheckpointParquet(paths: Seq[String],
-                               sidecars: scala.collection.mutable.Buffer[String]): Unit =
-      spark.read.parquet(paths: _*).collect().foreach { r =>
+                               sidecars: scala.collection.mutable.Buffer[String]): Unit = {
+      // STREAMING fold, not collect(): a 10⁶-add checkpoint's rows are
+      // ~1 GB materialized — toLocalIterator pulls one partition at a
+      // time, so replay heap is bounded by the fold's own adds map
+      // (the state we must hold anyway), not by a second full copy of
+      // every row object (CheckpointProbe pins the numbers)
+      val it = spark.read.parquet(paths: _*).toLocalIterator()
+      while (it.hasNext) {
+        val r = it.next()
         if (r.schema.fieldNames.contains("sidecar") &&
             !r.isNullAt(r.fieldIndex("sidecar")))
           sidecars += r.getStruct(r.fieldIndex("sidecar")).getAs[String]("path")
         else applyCheckpointRow(r)
       }
+    }
 
     /** Resolve collected sidecar names under _delta_log/_sidecars/ and
       * apply their add/remove rows. Absolute paths refuse loudly like
@@ -330,7 +338,8 @@ object DeltaLog {
               "resolves sidecars under _delta_log/_sidecars/ only")
           dir.resolve(decodePath(s)).toString
         }
-        spark.read.parquet(paths.toSeq: _*).collect().foreach(applyCheckpointRow)
+        val it = spark.read.parquet(paths.toSeq: _*).toLocalIterator()
+        while (it.hasNext) applyCheckpointRow(it.next())
       }
 
     /** V2 checkpoint: apply the manifest's non-file actions, collect its
@@ -2453,23 +2462,54 @@ object DeltaLog {
             d.offset.map(Integer.valueOf).orNull, d.sizeInBytes,
             d.cardinality)).orNull), null, null, null)
       }
+    // MULTI-PART classic checkpoint (PROTOCOL.md
+    // `<v>.checkpoint.<part>.<n>.parquet`) past the row threshold: one
+    // giant single-file checkpoint serializes its write AND forces
+    // every future replay through one unsplittable parquet; parts keep
+    // both sides parallel at the 10⁶-add ceiling. Readers (ours
+    // included) union all n parts and refuse incomplete sets.
+    val nParts = math.max(1L,
+      (rows.size + checkpointRowsPerPart - 1) / checkpointRowsPerPart).toInt
     val scratch = Files.createTempDirectory("delta-cp")
-    spark.createDataFrame(rows.asJava, checkpointSchema)
-      .coalesce(1).write.mode("overwrite").parquet(scratch.toString)
-    val part = listDir(scratch)
-      .find(_.getFileName.toString.endsWith(".parquet"))
-      .getOrElse(sys.error("checkpoint write produced no parquet part"))
-    val dest = logDir(table).resolve(f"$version%020d.checkpoint.parquet")
-    Files.move(part, dest, StandardCopyOption.REPLACE_EXISTING)
+    if (nParts == 1) {
+      spark.createDataFrame(rows.asJava, checkpointSchema)
+        .coalesce(1).write.mode("overwrite").parquet(scratch.toString)
+      val part = listDir(scratch)
+        .find(_.getFileName.toString.endsWith(".parquet"))
+        .getOrElse(sys.error("checkpoint write produced no parquet part"))
+      val dest = logDir(table).resolve(f"$version%020d.checkpoint.parquet")
+      Files.move(part, dest, StandardCopyOption.REPLACE_EXISTING)
+    } else {
+      rows.grouped(checkpointRowsPerPart.toInt).zipWithIndex.foreach {
+        case (group, i) =>
+          val sub = scratch.resolve(s"p$i")
+          spark.createDataFrame(group.asJava, checkpointSchema)
+            .coalesce(1).write.mode("overwrite").parquet(sub.toString)
+          val part = listDir(sub)
+            .find(_.getFileName.toString.endsWith(".parquet"))
+            .getOrElse(sys.error("checkpoint write produced no parquet part"))
+          Files.move(part,
+            logDir(table).resolve(
+              f"$version%020d.checkpoint.${i + 1}%010d.$nParts%010d.parquet"),
+            StandardCopyOption.REPLACE_EXISTING)
+      }
+    }
     walkDir(scratch).reverse.foreach(Files.deleteIfExists(_))
     val lc = mapper.createObjectNode()
     lc.put("version", version)
     lc.put("size", rows.size.toLong)
+    if (nParts > 1) lc.put("parts", nParts)
     // _last_checkpoint is a HINT (PROTOCOL.md): readers fall back to
     // listing, so a plain overwrite is allowed here
     Files.write(logDir(table).resolve("_last_checkpoint"),
       (lc.toString + "\n").getBytes("UTF-8"))
   }
+
+  /** Actions per classic-checkpoint part file — past this a checkpoint
+    * writes the PROTOCOL's multi-part form. Var: CheckpointProbe and
+    * the interop spec exercise the multi-part path at test scale.
+    */
+  private[graft] var checkpointRowsPerPart: Long = 500000L
 
   /** `input_file_name()`'s percent-encoded `file:` URI → the plain
     * filesystem path ([[dmlRewrite]] keys its touched-file map on it;

@@ -165,6 +165,37 @@ class CheckpointInteropSpec extends SparkSpec {
       s"sidecar-stored adds must survive the classic-named read; got ${got.toSeq}")
   }
 
+  test("multi-part checkpoint WRITES past the row threshold; set reads back complete") {
+    import spark.implicits._
+    val table = tmpTable()
+    DeltaLog.writeBatch((1L to 6L).map(i => (i, s"v$i")).toDF("id", "v")
+      .repartition(3), table)
+    DeltaLog.writeBatch(Seq((7L, "v7")).toDF("id", "v").coalesce(1), table)
+    val saved = DeltaLog.checkpointRowsPerPart
+    try {
+      DeltaLog.checkpointRowsPerPart = 2L // force the multi-part form
+      DeltaLog.writeCheckpoint(spark, table, 1L)
+    } finally DeltaLog.checkpointRowsPerPart = saved
+    // protocol + metaData + ≥4 adds = ≥6 rows → ≥3 parts, spec naming
+    val parts = Files.list(logDir(table)).iterator().asScala
+      .map(_.getFileName.toString).filter(_.contains(".checkpoint.")).toSeq
+    assert(parts.size >= 3, parts.toString)
+    val PartRe = """0*1\.checkpoint\.(\d{10})\.(\d{10})\.parquet""".r
+    parts.foreach(p => assert(PartRe.findFirstIn(p).isDefined, p))
+    val n = parts.map { case PartRe(_, total) => total.toInt }.distinct
+    assert(n == Seq(parts.size), s"part total mismatch: $n vs ${parts.size}")
+    // _last_checkpoint advertises the part count (the hint delta-spark
+    // reads before listing)
+    val lc = new com.fasterxml.jackson.databind.ObjectMapper()
+      .readTree(Files.readAllBytes(logDir(table).resolve("_last_checkpoint")))
+    assert(lc.get("parts").asInt() == parts.size)
+    // cold replay from the multi-part set alone
+    deleteJsons(table)
+    DeltaLog.clearSnapshotCache()
+    val got = DeltaLog.read(spark, table).collect().map(_.getLong(0)).sorted
+    assert(got.toSeq == (1L to 7L), s"got ${got.toSeq}")
+  }
+
   test("aged log with NO usable checkpoint refuses — never a silent partial table") {
     import spark.implicits._
     val table = tmpTable()
