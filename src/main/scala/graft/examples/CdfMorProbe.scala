@@ -237,6 +237,44 @@ object CdfMorProbe {
         f"drain=${ic.map(_._3).sum / 5}%.2fs)")
     } finally { qC.stop(); viewC.close() }
 
+    // (e) APPEND-ONLY iceberg change-feed sync: raw-link (r14, the
+    // retraction-free fast path) vs materialized copy (forced by one
+    // tiny warm-up DELETE that flips the view's retraction flag) —
+    // same appends, same view machinery, the delta-link economics
+    // question from the r13 verdict. 100k-row append commits.
+    def appendChain(forceMaterialize: Boolean): Double = {
+      val t = java.nio.file.Files.createTempDirectory("cmp-ice-app").toString
+      IcebergLog.writeBatch(spark.range(100000).select(col("id").as("k"),
+        (col("id") * 1.0).as("v")).coalesce(4), t)
+      IcebergLog.setTableProperties(spark, t,
+        Map("write.delete.mode" -> "merge-on-read"))
+      val (dfE, viewE) = graft.sources.IcebergStreamSource.open(spark, t,
+        changeFeed = true, keys = Seq("k"))
+      val qE = dfE.writeStream.format("noop")
+        .trigger(org.apache.spark.sql.streaming.Trigger.ProcessingTime(100)).start()
+      try {
+        qE.processAllAvailable()
+        if (forceMaterialize) {
+          IcebergLog.deleteWhere(spark, t, "k = 0")
+          viewE.sync(); qE.processAllAvailable()
+        }
+        val times = (1 to 5).map { i =>
+          IcebergLog.writeBatch(spark.range(100000)
+            .select((col("id") + i * 1000000L).as("k"), (col("id") * 1.0).as("v"))
+            .coalesce(4), t)
+          val (_, tSync) = timed(viewE.sync())
+          qE.processAllAvailable()
+          tSync
+        }
+        times.sum / times.size
+      } finally { qE.stop(); viewE.close() }
+    }
+    val linkSync = appendChain(forceMaterialize = false)
+    val matSync = appendChain(forceMaterialize = true)
+    println(f"[cdf-mor] (e) append-only iceberg change-feed sync, 5×100k-row " +
+      f"commits: raw-link=${linkSync}%.3fs/commit vs " +
+      f"materialized=${matSync}%.3fs/commit (${matSync / linkSync}%.1f×)")
+
     spark.stop()
   }
 }

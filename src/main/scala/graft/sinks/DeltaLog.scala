@@ -752,15 +752,52 @@ object DeltaLog {
 
   /** Land a LOGICAL frame as physical-shaped data files of a mapped
     * table (phys names, field ids, phys-keyed hive dirs and stats) —
-    * the one placement path appends, DML postimages, and OPTIMIZE
-    * rewrites of mapped tables share.
+    * the one placement path CREATE, appends, DML postimages, and
+    * OPTIMIZE rewrites of mapped tables share.
     */
   private def placeMappedDataFiles(spark: SparkSession, table: String,
-      s0: Snapshot, df: DataFrame): Seq[(String, AddInfo)] = {
-    val physSchema = physicalReadType(s0.schema, withIds = true)
+      s0: Snapshot, df: DataFrame): Seq[(String, AddInfo)] =
+    placeMappedDataFiles(spark, table, s0.schema, s0.partitionColumns, df)
+
+  private def placeMappedDataFiles(spark: SparkSession, table: String,
+      schema: StructType, partitionColumns: Seq[String],
+      df: DataFrame): Seq[(String, AddInfo)] = {
+    val physSchema = physicalReadType(schema, withIds = true)
       .asInstanceOf[StructType]
-    placeDataFiles(spark, table, physSchema, mappedPartCols(s0),
-      toMappedPhysFrame(df, s0.schema))
+    val physPartCols = partitionColumns.map(pc =>
+      physName(schema(schema.fieldIndex(pc))))
+    placeDataFiles(spark, table, physSchema, physPartCols,
+      toMappedPhysFrame(df, schema))
+  }
+
+  /** Mint a fresh column mapping over `schema` (mapped-table CREATE —
+    * this writer OWNS the id allocation for tables it creates): every
+    * struct field, at any depth, gets a sequential
+    * `delta.columnMapping.id` and a `col-<uuid>` physicalName — the
+    * shape delta-spark mints under `delta.columnMapping.mode=name`.
+    * Returns (mapped schema, maxColumnId).
+    */
+  private def mintMapping(schema: StructType): (StructType, Int) = {
+    var next = 0
+    def mint(dt: DataType): DataType = dt match {
+      case st: StructType => StructType(st.fields.map { f =>
+        next += 1
+        val id = next
+        val inner = mint(f.dataType)
+        f.copy(dataType = inner, metadata =
+          new org.apache.spark.sql.types.MetadataBuilder()
+            .withMetadata(f.metadata)
+            .putLong(CmIdKey, id.toLong)
+            .putString(CmPhysKey, s"col-${UUID.randomUUID()}")
+            .build())
+      })
+      case at: ArrayType => at.copy(elementType = mint(at.elementType))
+      case mt: MapType =>
+        mt.copy(keyType = mint(mt.keyType), valueType = mint(mt.valueType))
+      case other => other
+    }
+    val mapped = mint(schema).asInstanceOf[StructType]
+    (mapped, next)
   }
 
   /** Backstop guard on [[commit]]: a LOGICAL-named data file landing in
@@ -1305,8 +1342,8 @@ object DeltaLog {
         partitionBy.isEmpty || partitionBy == s0.partitionColumns,
         s"$table is partitioned by (${s0.partitionColumns.mkString(", ")}); " +
           s"this write declares (${partitionBy.mkString(", ")})"))
-      return writeBatchMapped(df, table, snap0, txn, checkpointInterval,
-        mergeSchema, tableConf)
+      return writeBatchMapped(df, table, snap0, txn, partitionBy,
+        checkpointInterval, mergeSchema, tableConf)
     }
     Files.createDirectories(Paths.get(table))
     // data files exclude the partition columns (they live in the path and
@@ -1324,28 +1361,28 @@ object DeltaLog {
     committed
   }
 
-  /** APPEND into a COLUMN-MAPPED table (the CDC-landing shape: a
-    * streaming sink feeding a table Databricks created with
-    * columnMapping on): the batch writes under PHYSICAL names with
-    * `parquet.field.id` stamped recursively (`id` mode's contract;
+  /** CREATE or APPEND a COLUMN-MAPPED table. CREATE (r14) mints the
+    * mapping this writer then owns: sequential `delta.columnMapping.id`
+    * + `col-<uuid>` physicalName on every (nested) field, maxColumnId
+    * in the configuration, legacy protocol 2/5 (or 3/7 + the
+    * columnMapping feature when DVs are also armed) — the shape
+    * delta-spark mints under `delta.columnMapping.mode=name`. APPENDS
+    * (the CDC-landing shape: a streaming sink feeding a table
+    * Databricks created with columnMapping on) write under PHYSICAL
+    * names with `parquet.field.id` stamped (`id` mode's contract;
     * delta-spark stamps them in `name` mode too), hive dirs use the
     * physical partition names, and the add actions carry phys-keyed
     * partitionValues and stats — exactly what a conformant mapped
-    * reader binds. Appends ONLY: no CREATE (minting a mapping needs id
-    * allocation this writer doesn't own), no schema evolution (a new
-    * column needs a fresh physicalName + maxColumnId bump), and DML
-    * stays refused at its own entry points.
+    * reader binds. No schema evolution (a new column needs a fresh
+    * physicalName + maxColumnId bump after creation).
     */
   private def writeBatchMapped(df: DataFrame, table: String,
       snap0: Option[Snapshot], txn: Option[(String, Long)],
+      partitionBy: Seq[String],
       checkpointInterval: Int, mergeSchema: Boolean,
       tableConf: Map[String, String]): Option[Long] = {
     import org.apache.spark.sql.functions.col
     val spark = df.sparkSession
-    val s0 = snap0.getOrElse(sys.error(
-      s"$table: CREATE with delta.columnMapping is not supported — this " +
-        "engine appends into EXISTING mapped tables only (minting the " +
-        "mapping needs column-id allocation owned by the table's creator)"))
     require(!mergeSchema,
       s"$table: merge_schema on a column-mapped table is not supported " +
         "(a new column needs a fresh physicalName and a maxColumnId bump)")
@@ -1359,24 +1396,38 @@ object DeltaLog {
         MapType(shape(mt.keyType), shape(mt.valueType), valueContainsNull = true)
       case other => other
     }
-    require(df.schema.fields.map(f => f.name).toSeq ==
-        s0.schema.fields.map(_.name).toSeq &&
-      df.schema.fields.zip(s0.schema.fields).forall { case (a, b) =>
-        shape(a.dataType) == shape(b.dataType) },
-      s"$table (column-mapped) takes exact-schema appends; batch " +
-        s"(${df.schema.fieldNames.mkString(", ")}) != table " +
-        s"(${s0.schema.fieldNames.mkString(", ")})")
-    // physical frame: every (nested) field under its physical name,
-    // TOP-LEVEL parquet field ids stamped via alias metadata — id-mode
-    // tables with NESTED id mappings refuse ([[requireMappedWritable]])
-    requireMappedWritable(table, s0)
+    val (tableSchema, partCols, conf) = snap0 match {
+      case Some(s0) =>
+        require(df.schema.fields.map(f => f.name).toSeq ==
+            s0.schema.fields.map(_.name).toSeq &&
+          df.schema.fields.zip(s0.schema.fields).forall { case (a, b) =>
+            shape(a.dataType) == shape(b.dataType) },
+          s"$table (column-mapped) takes exact-schema appends; batch " +
+            s"(${df.schema.fieldNames.mkString(", ")}) != table " +
+            s"(${s0.schema.fieldNames.mkString(", ")})")
+        requireMappedWritable(table, s0)
+        (s0.schema, s0.partitionColumns, tableConf)
+      case None =>
+        // CREATE: mint the mapping (this writer owns a table it creates)
+        val mode = mappingMode(tableConf)
+        val (mapped, maxId) = mintMapping(df.schema)
+        require(mode != "id" ||
+          mapped.fields.forall(f => !nestedCmIds(f.dataType)),
+          s"$table: id-mode CREATE supports flat schemas only (nested " +
+            "parquet field ids cannot be stamped through this writer); " +
+            "use mode=name for nested schemas")
+        partitionBy.foreach(pc => require(mapped.fieldNames.contains(pc),
+          s"$table: partition column $pc is not in the schema"))
+        (mapped, partitionBy, tableConf +
+          ("delta.columnMapping.maxColumnId" -> maxId.toString))
+    }
     Files.createDirectories(Paths.get(table))
     // placement on the PHYSICAL shape: hive dirs named by physical
     // partition columns → partitionValues keys, and footer stats keys,
     // both land physical (what prune() translates back to)
-    val added = placeMappedDataFiles(spark, table, s0, df)
-    val committed = commit(spark, table, s0.schema, s0.partitionColumns,
-      added, txn, tableConf = tableConf, allowMapped = true)
+    val added = placeMappedDataFiles(spark, table, tableSchema, partCols, df)
+    val committed = commit(spark, table, tableSchema, partCols,
+      added, txn, tableConf = conf, allowMapped = true)
     committed match {
       case None =>
         added.foreach { case (rel, _) => Files.deleteIfExists(Paths.get(table, rel)) }
@@ -2254,16 +2305,36 @@ object DeltaLog {
       val dvOn = dvEnabled(configuration) || added.exists(_._2.dv.isDefined)
       val dvWasOn = snap.exists(s0 => dvEnabled(s0.configuration) ||
         s0.adds.exists(_._2.dv.isDefined))
+      val cmOn = mappingMode(configuration) != "none"
+      // the mode can only be minted at CREATE: existing files are
+      // logical-named, so arming it later would make conformant readers
+      // resolve physicalNames that do not exist on disk
+      require(!cmOn || snap.isEmpty ||
+        snap.exists(s0 => mappingMode(s0.configuration) != "none"),
+        s"$table: delta.columnMapping.mode cannot be enabled on an " +
+          "existing table (its files are logical-named); create a new " +
+          "mapped table and copy the rows")
       if (version == 0L || (cdfOn && !cdfWasOn) || (dvOn && !dvWasOn)) {
         val pr = mapper.createObjectNode()
         val prBody = pr.putObject("protocol")
         if (dvOn || dvWasOn) {
           prBody.put("minReaderVersion", 3)
           prBody.put("minWriterVersion", 7)
-          prBody.putArray("readerFeatures").add("deletionVectors")
+          val rf = prBody.putArray("readerFeatures")
+          rf.add("deletionVectors")
+          // columnMapping is a READER+WRITER feature on 3/7 protocols —
+          // dropping it here would let mapping-unaware readers misread
+          // the physical names this table's files carry
+          if (cmOn) rf.add("columnMapping")
           val wf = prBody.putArray("writerFeatures")
           wf.add("deletionVectors")
+          if (cmOn) wf.add("columnMapping")
           if (cdfOn) wf.add("changeDataFeed")
+        } else if (cmOn) {
+          // legacy mapping protocol (2/5 implies columnMapping AND
+          // changeDataFeed per the PROTOCOL.md implication table)
+          prBody.put("minReaderVersion", 2)
+          prBody.put("minWriterVersion", 5)
         } else {
           prBody.put("minReaderVersion", 1)
           prBody.put("minWriterVersion", if (cdfOn) 4 else 2)

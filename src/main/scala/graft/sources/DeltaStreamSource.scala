@@ -63,6 +63,14 @@ object DeltaStreamSource {
         */
       val mapped: Boolean = false) {
     @volatile private[DeltaStreamSource] var lastVersion: Long = -1L
+    /** Has this view EVER emitted a retraction (materialized a change
+      * commit)? Until then, pure appends RAW-LINK even into a
+      * change-feed view: linked rows carry null `_change_seq`, which
+      * nets FIRST — sound exactly while the stream is retraction-free
+      * (every future retract has a higher commit seq). The first change
+      * commit flips this permanently (persisted with lastVersion).
+      */
+    @volatile private[DeltaStreamSource] var retractsSeen: Boolean = false
     @volatile private var closed = false
     private[DeltaStreamSource] var poller: Option[Thread] = None
     @volatile private[DeltaStreamSource] var pollerFailure: Option[Throwable] = None
@@ -76,9 +84,20 @@ object DeltaStreamSource {
     private[DeltaStreamSource] val stateFile = dir.resolve(".graft-view-state")
     private[DeltaStreamSource] def saveState(): Unit = if (persistent) {
       val tmp = dir.resolve(s".graft-view-state.${java.util.UUID.randomUUID()}")
-      Files.write(tmp, lastVersion.toString.getBytes("UTF-8"))
+      // line 2 records retractsSeen with the SAME atomicity as
+      // lastVersion, so crash replays re-derive link-vs-materialize
+      // decisions identically
+      Files.write(tmp, s"$lastVersion\n$retractsSeen".getBytes("UTF-8"))
       Files.move(tmp, stateFile, java.nio.file.StandardCopyOption.REPLACE_EXISTING,
         java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    }
+    private[DeltaStreamSource] def loadState(): Unit = {
+      val lines = new String(Files.readAllBytes(stateFile), "UTF-8")
+        .split("\n").toSeq.map(_.trim).filter(_.nonEmpty)
+      lastVersion = lines.head.toLong
+      // pre-r14 state files carry only lastVersion: assume retractions
+      // were seen (conservative -- appends materialize, never mis-order)
+      retractsSeen = lines.lift(1).map(_.toBoolean).getOrElse(true)
     }
 
     /** The metaData schema the stream was OPENED under: Spark pins a
@@ -150,7 +169,16 @@ object DeltaStreamSource {
         // remove reading above (third-party writers may omit it)
         val hasDcAdd = actions.exists(n => n.has("add") &&
           Option(n.get("add").get("dataChange")).forall(_.asBoolean(true)))
-        if (changeFeed && (hasCdc || changeCommit || hasDcAdd)) {
+        // pure appends (no cdc, no data-changing remove) RAW-LINK into a
+        // retraction-free change-feed stream instead of materializing --
+        // the zero-copy economics of the append-only path (SCALE.md
+        // chain probe); mapped tables always materialize (physical
+        // names), and the first retraction flips to materialization
+        val linkablePureAppend = changeFeed && hasDcAdd &&
+          !hasCdc && !changeCommit && !retractsSeen && !mapped
+        if (changeFeed && !linkablePureAppend &&
+            (hasCdc || changeCommit || hasDcAdd)) {
+          if (hasCdc || changeCommit) retractsSeen = true
           if (changeCommit && !hasCdc)
             throw new IllegalStateException(
               s"$table: version $v deleted or updated live rows WITHOUT " +
@@ -365,8 +393,7 @@ object DeltaStreamSource {
     if (resumed) {
       // the state file wins over starting_version: the query already
       // consumed up to it
-      view.lastVersion =
-        new String(Files.readAllBytes(view.stateFile), "UTF-8").trim.toLong
+      view.loadState()
       view.sync() // catch up on commits landed while the view was closed
     } else startingVersion match {
       case Some(sv) =>

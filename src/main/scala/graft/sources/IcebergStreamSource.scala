@@ -43,8 +43,25 @@ object IcebergStreamSource {
       val ignoreDeletes: Boolean = false,
       val changeFeed: Boolean = false,
       spark: Option[SparkSession] = None,
-      val persistent: Boolean = false) {
+      val persistent: Boolean = false,
+      /** Schema history shows a RENAME: pre-rename files carry the old
+        * parquet column names, so raw hard-links (read by name) would
+        * silently null the renamed column — every sync MATERIALIZES
+        * logical-shape rows via the field-id-stamped read schema
+        * instead (the delta mapped-view pattern). */
+      val renamed: Boolean = false) {
     @volatile private[IcebergStreamSource] var lastSeq: Long = -1L
+    /** Has this view EVER emitted a retraction (materialized an
+      * overwrite/delete snapshot)? Until then, pure appends RAW-LINK
+      * into a change-feed view: linked rows carry null `_change_seq`,
+      * which the netting contract orders FIRST — sound exactly when no
+      * lower-seq retract of the same key can exist in the stream, i.e.
+      * while the stream is retraction-free (every future retract has a
+      * higher commit seq and nets after). The first DML snapshot flips
+      * this permanently (persisted with lastSeq); later appends
+      * materialize with real seqs.
+      */
+    @volatile private[IcebergStreamSource] var retractsSeen: Boolean = false
     @volatile private var closed = false
     private[IcebergStreamSource] var poller: Option[Thread] = None
     @volatile private[IcebergStreamSource] var pollerFailure: Option[Throwable] = None
@@ -59,9 +76,20 @@ object IcebergStreamSource {
     private[IcebergStreamSource] val stateFile = dir.resolve(".graft-view-state")
     private[IcebergStreamSource] def saveState(): Unit = if (persistent) {
       val tmp = dir.resolve(s".graft-view-state.${java.util.UUID.randomUUID()}")
-      Files.write(tmp, lastSeq.toString.getBytes("UTF-8"))
+      // line 2 records retractsSeen with the SAME atomicity as lastSeq:
+      // a crash replays both together, so link-vs-materialize decisions
+      // re-derive identically
+      Files.write(tmp, s"$lastSeq\n$retractsSeen".getBytes("UTF-8"))
       Files.move(tmp, stateFile, java.nio.file.StandardCopyOption.REPLACE_EXISTING,
         java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    }
+    private[IcebergStreamSource] def loadState(): Unit = {
+      val lines = new String(Files.readAllBytes(stateFile), "UTF-8")
+        .split("\n").toSeq.map(_.trim).filter(_.nonEmpty)
+      lastSeq = lines.head.toLong
+      // pre-r14 state files carry only lastSeq: assume retractions were
+      // seen (conservative — appends materialize, never mis-order)
+      retractsSeen = lines.lift(1).map(_.toBoolean).getOrElse(true)
     }
 
     /** Apply snapshots with sequence-number > lastSeq: link the added
@@ -105,13 +133,31 @@ object IcebergStreamSource {
           .flatMap(sm => Option(sm.get("operation"))).map(_.asText())
           .getOrElse("append")
         op match {
-          case "append" if changeFeed =>
-            // CHANGE FEED: materialize rather than link, so every row
-            // carries its _change_seq (commit order — Spark packs file
-            // splits by size, so arrival order across files means
-            // nothing to a downstream netting consumer)
+          case "append" if renamed =>
+            // renamed table: links are unsound (name-resolved reads of
+            // pre-rename files) — materialize the snapshot's added rows
+            // through the field-id read schema instead (change-feed
+            // views included: the add-materialization carries no
+            // _change_seq, which is exactly the null-first contract a
+            // retraction-free stream relies on — and once retractions
+            // exist, materializeChanges takes this case)
+            if (changeFeed && retractsSeen) linked += materializeChanges(seq)
+            else linked += materializeAdds(seq, sid)
+          case "append" if changeFeed && retractsSeen =>
+            // CHANGE FEED past the first retraction: materialize rather
+            // than link, so every row carries its _change_seq (commit
+            // order — Spark packs file splits by size, so arrival order
+            // across files means nothing to a downstream netting
+            // consumer, and a key retracted at a LOWER seq must net
+            // before this append's re-insert)
             linked += materializeChanges(seq)
           case "append" =>
+            // pure append into a retraction-free stream (or a plain
+            // append-only view): RAW hard links — zero copy. Linked
+            // rows read with null _change_type/_change_seq → insert,
+            // ordered first; sound while no retract exists (see
+            // retractsSeen) — the delta raw-link economics (SCALE.md
+            // chain probe) for append-only iceberg chains
             IcebergLog.liveFiles(table, Some(sid))
               .filter(f => f.status == 1 && f.entryRow.get(1) == sid)
               .foreach(f => if (link(f.path)) linked += 1)
@@ -123,10 +169,12 @@ object IcebergStreamSource {
             // into the view as fresh parquet carrying _change_type +
             // _change_seq. The copy is bounded by the overwrite's
             // touched files, not the table.
+            retractsSeen = true
             linked += materializeChanges(seq)
           case "delete" if changeFeed =>
             // merge-on-read row retraction: readChanges emits the EXACT
             // deleted rows (per-row, not file-diff) — materialize them
+            retractsSeen = true
             linked += materializeChanges(seq)
           case "overwrite" | "delete" =>
             if (!ignoreDeletes) throw new IllegalStateException(
@@ -192,6 +240,29 @@ object IcebergStreamSource {
         m.partitionColumns, s"cdf-$seq", hint)
     }
 
+    /** Materialize one append snapshot's ADDED rows in logical shape
+      * (renamed tables — the field-id-stamped read schema resolves
+      * pre-rename files; hive partition recovery rides basePath like
+      * the batch read). Hint = Σ manifest record counts (pure function
+      * of the snapshot — replay-stable).
+      */
+    private def materializeAdds(seq: Long, sid: Long): Int = {
+      val sp = spark.getOrElse(throw new IllegalStateException(
+        s"$table: renamed-table view opened without a SparkSession"))
+      val m = IcebergLog.current(table).get
+      val added = IcebergLog.liveFiles(table, Some(sid))
+        .filter(f => f.status == 1 && f.entryRow.get(1) == sid)
+      if (added.isEmpty) return 0
+      val readSchema = IcebergLog.dataReadSchema(sp, m)
+      val basePath = Paths.get(table, "data").toAbsolutePath.toString
+      val df = sp.read.schema(readSchema).option("basePath", basePath)
+        .parquet(added.map(_.path): _*)
+        .select(m.schema.fieldNames.toIndexedSeq
+          .map(org.apache.spark.sql.functions.col): _*)
+      graft.sinks.Cdf.materializeInto(dir.resolve("data"), df,
+        m.partitionColumns, s"add-$seq", Some(added.map(_.records).sum))
+    }
+
     /** Hard-link the table-absolute data `path` into the view, keeping
       * its `data/…` (hive) relative layout; true when newly linked.
       * Link-first (no exists pre-check) — see DeltaStreamSource.link.
@@ -251,27 +322,22 @@ object IcebergStreamSource {
     val m = IcebergLog.current(table).getOrElse(
       sys.error(s"$table is not an Iceberg table (no metadata/v*.metadata.json)"))
     // a renamed table's pre-rename files carry the OLD parquet column
-    // name (field ids are the identity); the view hard-links raw files
-    // and reads them by NAME, which would silently null the renamed
-    // column — refuse, the batch read resolves by field id
-    require(!IcebergLog.renameInHistory(m),
-      s"$table: the schema history shows a renamed (or dropped-and-readded) " +
-        "column; the streaming view links raw files and cannot resolve " +
-        "pre-rename files by field id — read the table in BATCH " +
-        "(IcebergLog.read/readChanges), or OPTIMIZE to rewrite files under " +
-        "the current names before streaming")
+    // name (field ids are the identity): raw hard-links read by NAME
+    // would silently null the renamed column, so such views (r14)
+    // MATERIALIZE logical-shape rows through the field-id read schema —
+    // the same pattern the delta mapped view uses
+    val renamed = IcebergLog.renameInHistory(m)
     // persistent view (caller-supplied dir): resumes across restarts —
     // see the delta twin
     val dir = viewDir.map { d => Files.createDirectories(d); d }
       .getOrElse(Files.createTempDirectory("graft-iceberg-view"))
     val view = new View(table, dir, ignoreDeletes, changeFeed, Some(spark),
-      persistent = viewDir.isDefined)
+      persistent = viewDir.isDefined, renamed = renamed)
     views.add(view)
     val resumed = view.persistent && Files.exists(view.stateFile)
     if (resumed) {
       // the state file wins over starting_version: already consumed to it
-      view.lastSeq =
-        new String(Files.readAllBytes(view.stateFile), "UTF-8").trim.toLong
+      view.loadState()
       view.sync() // catch up on snapshots landed while the view was closed
     } else startingVersion match {
       case Some(sv) =>
@@ -281,6 +347,16 @@ object IcebergStreamSource {
           s"$table: starting_version $sv is past the log (${m.lastSeq})")
         view.lastSeq = sv - 1
         view.sync()
+      case None if renamed =>
+        // renamed initial state: ONE logical-shaped materialization of
+        // the whole snapshot (the batch read resolves pre-rename files
+        // by field id and applies deletes); deterministic prefix →
+        // crash replay is idempotent
+        graft.sinks.Cdf.materializeInto(dir.resolve("data"),
+          IcebergLog.read(spark, table),
+          m.partitionColumns, s"snap-${m.lastSeq}")
+        view.lastSeq = m.lastSeq
+        view.saveState()
       case None =>
         // initial state: the current snapshot IS each logical row exactly
         // once; the bulk link is the one O(active files) driver-side moment,

@@ -221,6 +221,63 @@ class CdfSpec extends SparkSpec {
     }
   }
 
+  test("iceberg change-feed view RAW-LINKS pure appends until the first retraction") {
+    import org.apache.spark.sql.streaming.Trigger
+    import spark.implicits._
+    val src = tmpTable("ice_cdf_link_src")
+    val mirror = tmpTable("ice_cdf_link_mirror")
+    IcebergLog.writeBatch(Seq((1L, 10L), (2L, 20L)).toDF("id", "v"), src)
+    val (df, view) = graft.sources.IcebergStreamSource.open(spark, src,
+      changeFeed = true, keys = Seq("id"))
+    val q = df.writeStream
+      .foreachBatch((b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) => {
+        if (!b.isEmpty) Merge.upsertBatch(spark, "iceberg", mirror, b.toDF(), Seq("id"))
+      })
+      .trigger(Trigger.ProcessingTime(100)).start()
+    def mirrorRows: Map[Long, Long] =
+      IcebergLog.read(spark, mirror).as[(Long, Long)].collect().toMap
+    def viewFiles: Set[String] = {
+      val s = java.nio.file.Files.walk(view.dir.resolve("data"))
+      try s.iterator().asScala.filter(p =>
+        p.getFileName.toString.endsWith(".parquet"))
+        .map(_.getFileName.toString).toSet
+      finally s.close()
+    }
+    def tableFiles: Set[String] =
+      IcebergLog.liveFiles(src, None).filter(_.status != 2)
+        .map(f => f.path.substring(f.path.lastIndexOf('/') + 1)).toSet
+    try {
+      q.processAllAvailable()
+      assert(mirrorRows == Map(1L -> 10L, 2L -> 20L))
+      // a pure append into the retraction-free stream: RAW hard links
+      // (zero copy) — every view file IS a table data file by name
+      IcebergLog.writeBatch(Seq((3L, 30L)).toDF("id", "v"), src)
+      view.sync()
+      q.processAllAvailable()
+      assert(viewFiles.subsetOf(tableFiles),
+        s"append must raw-link, not materialize: ${viewFiles -- tableFiles}")
+      assert(mirrorRows == Map(1L -> 10L, 2L -> 20L, 3L -> 30L))
+      // first retraction → the view flips to materialization for good
+      assert(IcebergLog.deleteWhere(spark, src, "id = 2").isDefined)
+      view.sync()
+      q.processAllAvailable()
+      assert(mirrorRows == Map(1L -> 10L, 3L -> 30L), s"got $mirrorRows")
+      // an append AFTER the delete RE-INSERTS a retracted key: must
+      // materialize with a real _change_seq (a raw link's null seq
+      // would net BEFORE the retract and resurrect the delete)
+      IcebergLog.writeBatch(Seq((2L, 22L)).toDF("id", "v"), src)
+      view.sync()
+      q.processAllAvailable()
+      val materialized = viewFiles -- tableFiles
+      assert(materialized.exists(_.startsWith("cdf-")),
+        s"post-retraction append must materialize; view files: $viewFiles")
+      assert(mirrorRows == Map(1L -> 10L, 2L -> 22L, 3L -> 30L), s"got $mirrorRows")
+    } finally {
+      q.stop()
+      view.close()
+    }
+  }
+
   test("change feed drives a retraction-aware aggregate: per-key sums follow updates and deletes") {
     import org.apache.spark.sql.streaming.Trigger
     import spark.implicits._
@@ -422,9 +479,13 @@ class CdfSpec extends SparkSpec {
         .select(col("id"), col("v"), col("_updating_meta.is_retract"),
           col("_updating_meta.seq"))
         .as[(Long, Long, Boolean, Option[Long])].collect().toSet
+      // v0 is a PURE APPEND into a (then) retraction-free stream: it
+      // raw-links (r14), so its rows carry null seq — the "always
+      // first" slot, which is exactly commit order here (the
+      // retractions at seqs 2/4 net after it)
       assert(evs == Set(
-        (1L, 10L, false, Some(1L)), (2L, 20L, false, Some(1L)),
-        (3L, 30L, false, Some(1L)),
+        (1L, 10L, false, None), (2L, 20L, false, None),
+        (3L, 30L, false, None),
         (2L, 20L, true, Some(2L)), (2L, 21L, false, Some(3L)),
         (3L, 30L, true, Some(4L))), s"got $evs")
     } finally {

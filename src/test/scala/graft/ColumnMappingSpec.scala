@@ -250,22 +250,79 @@ class ColumnMappingSpec extends SparkSpec {
       (2L, 20L, "a", "update_preimage"), (2L, 21L, "a", "update_postimage")))
   }
 
-  test("CREATE/ADD COLUMNS refuse loudly (id allocation not owned); reads stay open") {
+  test("CREATE mints a fresh mapping (r14); mode flips on existing tables refuse") {
     import spark.implicits._
-    val table = nameModeTable()
-    // a CREATE must not arm the mode (minting the mapping needs
-    // column-id allocation this writer doesn't own)
-    val e3 = intercept[RuntimeException] {
-      DeltaLog.writeBatch(Seq((1L, 1L)).toDF("a", "b"), tmpTable(),
-        tableConf = Map("delta.columnMapping.mode" -> "name"))
+    val table = tmpTable()
+    assert(DeltaLog.writeBatch(
+      Seq((1L, 10L, "a"), (2L, 20L, "b")).toDF("id", "v", "cat"), table,
+      partitionBy = Seq("cat"),
+      tableConf = Map("delta.columnMapping.mode" -> "name")).contains(0L))
+    val s = DeltaLog.snapshot(spark, table).get
+    // minted mapping: every field carries id + col-<uuid> physicalName;
+    // maxColumnId recorded; legacy mapping protocol 2/5
+    s.schema.fields.foreach { f =>
+      assert(f.metadata.contains("delta.columnMapping.id"), f.name)
+      assert(f.metadata.getString("delta.columnMapping.physicalName")
+        .startsWith("col-"), f.name)
     }
-    assert(e3.getMessage.contains("columnMapping"), e3.getMessage)
-    // schema evolution needs a fresh physicalName + maxColumnId bump
+    assert(s.configuration("delta.columnMapping.maxColumnId") == "3")
+    assert(s.protocolJson.exists(p =>
+      p.contains("\"minReaderVersion\":2") && p.contains("\"minWriterVersion\":5")),
+      s.protocolJson.toString)
+    // files on disk are PHYSICAL: col-* parquet columns, phys hive dirs
+    s.adds.foreach { case (rel, info) =>
+      assert(rel.startsWith("col-"), rel)
+      val cols = spark.read.parquet(Paths.get(table, rel).toString)
+        .schema.fieldNames
+      assert(cols.forall(_.startsWith("col-")), cols.mkString(","))
+      assert(info.partitionValues.forall(_._1.startsWith("col-")), rel)
+    }
+    // logical round trip + the full write surface on the minted table
+    assert(DeltaLog.read(spark, table).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2))).sorted.toSeq ==
+      Seq((1L, 10L, "a"), (2L, 20L, "b")))
+    assert(DeltaLog.writeBatch(
+      Seq((3L, 30L, "a")).toDF("id", "v", "cat"), table).contains(1L))
+    assert(DeltaLog.updateWhere(spark, table,
+      Seq("v" -> "v + 1"), Some("id = 1")).contains(2L))
+    assert(DeltaLog.read(spark, table).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq ==
+      Seq((1L, 11L), (2L, 20L), (3L, 30L)))
+    // NESTED schemas mint at every depth (name mode)
+    val nested = tmpTable()
+    assert(DeltaLog.writeBatch(
+      Seq((1L, (11L, "p"))).toDF("k", "s"), nested,
+      tableConf = Map("delta.columnMapping.mode" -> "name")).contains(0L))
+    val sn = DeltaLog.snapshot(spark, nested).get
+    val innerFields = sn.schema("s").dataType.asInstanceOf[StructType].fields
+    assert(innerFields.forall(_.metadata.contains("delta.columnMapping.physicalName")))
+    assert(sn.configuration("delta.columnMapping.maxColumnId") == "4")
+    assert(DeltaLog.read(spark, nested).select("k", "s._2")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq == Seq((1L, "p")))
+    // id-mode CREATE: flat works (field ids stamped), nested refuses
+    val idTable = tmpTable()
+    assert(DeltaLog.writeBatch(Seq((7L, "x")).toDF("id", "name"), idTable,
+      tableConf = Map("delta.columnMapping.mode" -> "id")).contains(0L))
+    assert(DeltaLog.read(spark, idTable).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq == Seq((7L, "x")))
+    val eNested = intercept[IllegalArgumentException] {
+      DeltaLog.writeBatch(Seq((1L, (2L, "y"))).toDF("k", "s"), tmpTable(),
+        tableConf = Map("delta.columnMapping.mode" -> "id"))
+    }
+    assert(eNested.getMessage.contains("flat"), eNested.getMessage)
+    // the mode can NOT be armed on an existing (logical-named) table
+    val plain = tmpTable()
+    DeltaLog.writeBatch(Seq((1L, 1L)).toDF("a", "b"), plain)
+    val eFlip = intercept[IllegalArgumentException] {
+      DeltaLog.setTableProperties(spark, plain,
+        Map("delta.columnMapping.mode" -> "name"))
+    }
+    assert(eFlip.getMessage.contains("existing"), eFlip.getMessage)
+    // schema evolution still needs a fresh physicalName + maxColumnId bump
     val e4 = intercept[IllegalArgumentException] {
       DeltaLog.addColumns(spark, table, Seq("extra" -> LongType))
     }
     assert(e4.getMessage.contains("column-mapped"), e4.getMessage)
-    assert(DeltaLog.read(spark, table).count() == 4) // reads unaffected
   }
 
   test("DELETE on a mapped table rewrites physical-shape files with phys-keyed stats") {

@@ -828,11 +828,27 @@ class ProtocolConformanceSpec extends SparkSpec {
     // manifest-metric pruning keys on field ids — unaffected by renames
     val (kept, total) = IcebergLog.planFiles(spark, table, None, Some("amount >= 5"))
     assert(total == kept.size)
-    // the streaming view links RAW files (read by name) — must refuse
-    val eS = intercept[IllegalArgumentException] {
-      graft.sources.IcebergStreamSource.open(spark, table)
-    }
-    assert(eS.getMessage.contains("renamed"), eS.getMessage)
+    // the streaming view (r14): raw links are unsound on renamed tables,
+    // so the view MATERIALIZES logical rows via the field-id read
+    // schema — snapshot AND per-commit adds both resolve pre-rename
+    // files correctly
+    val (sdf, view) = graft.sources.IcebergStreamSource.open(spark, table)
+    val q = sdf.writeStream.format("memory").queryName("renamed_stream")
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.ProcessingTime(100)).start()
+    def streamed: Map[Long, Long] = spark.table("renamed_stream")
+      .as[(Long, Long)].collect().toMap
+    try {
+      q.processAllAvailable()
+      assert(streamed == Map(1L -> 10L, 2L -> 20L), s"got $streamed")
+      // a post-rename append materializes too (logical shape)
+      IcebergLog.writeBatch(Seq((3L, 30L)).toDF("id", "amount"), table)
+      view.sync()
+      q.processAllAvailable()
+      assert(streamed == Map(1L -> 10L, 2L -> 20L, 3L -> 30L), s"got $streamed")
+      // a replayed sync is a no-op (deterministic materialization names)
+      assert(view.sync() == 0)
+    } finally { q.stop(); view.close() }
   }
 
   test("partition-scoped equality deletes confine to their partition even when keys omit it") {
