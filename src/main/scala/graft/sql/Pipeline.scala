@@ -1862,6 +1862,7 @@ class Pipeline(spark: SparkSession, streaming: Boolean = false) {
           // WIRE-FORMAT Iceberg fast-append (r9): one snapshot commit with
           // real v2 metadata.json + avro manifests via the in-repo Avro
           // codec — no format jars (IcebergLog)
+          locally { deltaTableConf(sink); () } // cross-connector option misuse refuses
           graft.sinks.IcebergLog.writeBatch(out0, sink.path.get,
             sink.options.get("txn_id").map(id => (id, 0L)),
             partitionBy = partitionFields(sink),
@@ -1967,6 +1968,7 @@ class Pipeline(spark: SparkSession, streaming: Boolean = false) {
           val qn = sink.name
           val pf = partitionFields(sink)
           val ms = sink.options.get("merge_schema").exists(_.toBoolean)
+          locally { deltaTableConf(sink); () } // cross-connector option misuse refuses
           ws.foreachBatch((b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) => {
             graft.sinks.IcebergLog.writeBatch(b.toDF(), table, Some((qn, id)),
               partitionBy = pf, mergeSchema = ms); ()
@@ -2104,7 +2106,18 @@ class Pipeline(spark: SparkSession, streaming: Boolean = false) {
         s"auto_optimize_strict='$r' is not a boolean")
       Map(graft.sinks.DeltaLog.autoOptimizeStrictProp -> r.toLowerCase)
     }.getOrElse(Map.empty[String, String])
-    cdf ++ upsert ++ dv ++ autoOpt ++ autoStrict
+    // column_mapping='name'|'id' (delta only): a CREATE through this
+    // sink mints the mapping (physical names + ids) — the
+    // delta.columnMapping.mode table property
+    val cm = t.options.get("column_mapping").map { m =>
+      if (t.connector != "delta") throw new IllegalArgumentException(
+        "column_mapping is a delta option (delta.columnMapping.mode); " +
+          s"connector '${t.connector}' resolves columns by field id natively")
+      require(m == "name" || m == "id",
+        s"column_mapping='$m' is not a mode (name | id)")
+      Map("delta.columnMapping.mode" -> m)
+    }.getOrElse(Map.empty[String, String])
+    cdf ++ upsert ++ dv ++ autoOpt ++ autoStrict ++ cm
   }
 
   /** True when the analyzed plan joins two legs that EACH contain a

@@ -325,6 +325,42 @@ class ColumnMappingSpec extends SparkSpec {
     assert(e4.getMessage.contains("column-mapped"), e4.getMessage)
   }
 
+  test("SQL face: column_mapping='name' sink CREATE mints a mapped table; DML composes") {
+    import spark.implicits._
+    val in = Files.createTempDirectory("cm_sql_in").toString
+    Seq((1L, 10L), (2L, 20L), (3L, 30L)).toDF("id", "v")
+      .write.mode("overwrite").json(in)
+    val out = tmpTable()
+    new sql.Pipeline(spark, streaming = false).run(
+      s"""CREATE TABLE src (id BIGINT, v BIGINT) WITH (
+         |  connector='filesystem', path='$in', format='json', type='source');
+         |CREATE TABLE dst (id BIGINT, v BIGINT) WITH (
+         |  connector='delta', path='$out', format='parquet', type='sink',
+         |  column_mapping='name');
+         |INSERT INTO dst SELECT id, v FROM src;
+         |DELETE FROM dst WHERE id = 2;""".stripMargin)
+    val s = DeltaLog.snapshot(spark, out).get
+    assert(DeltaLog.mappingMode(s.configuration) == "name")
+    assert(s.schema.fields.forall(
+      _.metadata.contains("delta.columnMapping.physicalName")))
+    s.adds.foreach { case (rel, _) =>
+      val cols = spark.read.parquet(Paths.get(out, rel).toString).schema.fieldNames
+      assert(cols.forall(_.startsWith("col-")), cols.mkString(","))
+    }
+    assert(DeltaLog.read(spark, out).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq ==
+      Seq((1L, 10L), (3L, 30L)))
+    // non-delta connectors refuse the option (at sink execution, where
+    // the table properties bind)
+    assert(intercept[IllegalArgumentException] {
+      new sql.Pipeline(spark, streaming = false).run(
+        s"""CREATE TABLE bad (id BIGINT) WITH (
+           |  connector='iceberg', path='${tmpTable()}', format='parquet',
+           |  type='sink', column_mapping='name');
+           |INSERT INTO bad SELECT CAST(1 AS BIGINT) AS id""".stripMargin)
+    }.getMessage.contains("delta option"))
+  }
+
   test("DELETE on a mapped table rewrites physical-shape files with phys-keyed stats") {
     val table = nameModeTable()
     assert(DeltaLog.deleteWhere(spark, table, "id = 2").contains(1L))
