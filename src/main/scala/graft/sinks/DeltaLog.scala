@@ -2551,18 +2551,23 @@ object DeltaLog {
       val dest = logDir(table).resolve(f"$version%020d.checkpoint.parquet")
       Files.move(part, dest, StandardCopyOption.REPLACE_EXISTING)
     } else {
-      rows.grouped(checkpointRowsPerPart.toInt).zipWithIndex.foreach {
-        case (group, i) =>
-          val sub = scratch.resolve(s"p$i")
-          spark.createDataFrame(group.asJava, checkpointSchema)
-            .coalesce(1).write.mode("overwrite").parquet(sub.toString)
-          val part = listDir(sub)
-            .find(_.getFileName.toString.endsWith(".parquet"))
-            .getOrElse(sys.error("checkpoint write produced no parquet part"))
-          Files.move(part,
-            logDir(table).resolve(
-              f"$version%020d.checkpoint.${i + 1}%010d.$nParts%010d.parquet"),
-            StandardCopyOption.REPLACE_EXISTING)
+      // ONE job, nParts concurrent tasks, NO shuffle: parallelize slices
+      // the action list directly into n partitions (any partition of
+      // the actions into parts is a valid multi-part checkpoint) — a
+      // repartition() here pays a full 10⁶-row exchange for nothing,
+      // and the sequential per-part form serialized the writes
+      spark.createDataFrame(
+        spark.sparkContext.parallelize(rows, nParts), checkpointSchema)
+        .write.mode("overwrite").parquet(scratch.toString)
+      val parts = listDir(scratch)
+        .filter(_.getFileName.toString.endsWith(".parquet")).sortBy(_.toString)
+      require(parts.size == nParts,
+        s"checkpoint write produced ${parts.size} parts, expected $nParts")
+      parts.zipWithIndex.foreach { case (part, i) =>
+        Files.move(part,
+          logDir(table).resolve(
+            f"$version%020d.checkpoint.${i + 1}%010d.$nParts%010d.parquet"),
+          StandardCopyOption.REPLACE_EXISTING)
       }
     }
     walkDir(scratch).reverse.foreach(Files.deleteIfExists(_))
