@@ -332,27 +332,36 @@ object IcebergLog {
     * [[dataReadSchema]] stamps ids only when this is true, and the
     * streaming source uses it as a refusal predicate.
     */
-  private[graft] def renameInHistory(m: Meta): Boolean = {
+  /** Field ids whose NAME binding changed anywhere in the schema
+    * history (a rename, or a name re-used for a different id after a
+    * drop-and-readd) — the fields a by-name read of pre-change files
+    * would silently misresolve.
+    */
+  private[graft] def renamedFieldIds(m: Meta): Set[Int] = {
     val arr = m.node.get("schemas")
     val nameOfId = scala.collection.mutable.Map.empty[Int, String]
     val idOfName = scala.collection.mutable.Map.empty[String, Int]
-    var unsafe = false
+    val bad = scala.collection.mutable.Set.empty[Int]
     for (si <- 0 until arr.size(); f = arr.get(si).get("fields");
          fi <- 0 until f.size()) {
       val fld = f.get(fi)
       val id = fld.get("id").asInt()
       val name = fld.get("name").asText()
-      if (nameOfId.getOrElse(id, name) != name) unsafe = true
-      if (idOfName.getOrElse(name, id) != id) unsafe = true
+      if (nameOfId.getOrElse(id, name) != name) bad += id
+      if (idOfName.getOrElse(name, id) != id) { bad += id; bad += idOfName(name) }
       nameOfId(id) = name
       idOfName(name) = id
     }
-    unsafe
+    bad.toSet
   }
+
+  private[graft] def renameInHistory(m: Meta): Boolean =
+    renamedFieldIds(m).nonEmpty
 
   private[graft] def dataReadSchema(spark: SparkSession, m: Meta): StructType = {
     val arr = m.node.get("schemas")
-    if (!renameInHistory(m)) m.schema
+    val renamed = renamedFieldIds(m)
+    if (renamed.isEmpty) m.schema
     else {
       spark.conf.set("spark.sql.parquet.fieldId.read.enabled", "true")
       val cur = (0 until arr.size()).map(arr.get)
@@ -364,6 +373,41 @@ object IcebergLog {
       StructType(m.schema.fields.map(f => f.copy(metadata =
         new MetadataBuilder().putLong("parquet.field.id", ids(f.name)).build())))
     }
+  }
+
+  /** Guard for hive-recovered partition reads of a RENAMED table
+    * (r14 self-review): partition VALUES are not stored in the data
+    * files — they recover from hive dir names, which field-id
+    * resolution cannot fix. A live file whose path predates a
+    * partition-column rename (its hive segment still carries the old
+    * name) would silently read null partitions — refuse loudly and
+    * point at the repair path: [[rewriteDataFiles]] re-lands every
+    * file under the CURRENT names (it reads data columns by field id
+    * and takes partition values from the manifests, not the paths).
+    */
+  private def requireResolvablePartitions(table: String, m: Meta,
+      files: Seq[LiveFile]): Unit = {
+    if (m.partitionColumns.isEmpty || files.isEmpty) return
+    val renamed = renamedFieldIds(m)
+    if (renamed.isEmpty) return
+    val arr = m.node.get("schemas")
+    val cur = (0 until arr.size()).map(arr.get)
+      .find(_.get("schema-id").asInt() == m.currentSchemaId).getOrElse(arr.get(0))
+    val idOf = (0 until cur.get("fields").size()).map { i =>
+      val f = cur.get("fields").get(i)
+      f.get("name").asText() -> f.get("id").asInt()
+    }.toMap
+    val renamedParts = m.partitionColumns.filter(pc =>
+      idOf.get(pc).exists(renamed.contains))
+    if (renamedParts.isEmpty) return
+    files.find(f => renamedParts.exists(pc => !f.path.contains(s"$pc=")))
+      .foreach { f => sys.error(
+        s"$table: partition column(s) ${renamedParts.mkString(", ")} were " +
+          s"renamed and live file ${f.path} predates the rename (its hive " +
+          "path carries the old name; partition values cannot be resolved " +
+          "by field id) — run OPTIMIZE (rewrite_data_files) to re-land " +
+          "files under the current names, then read")
+      }
   }
 
   // ── table metadata ───────────────────────────────────────────────────
@@ -394,13 +438,30 @@ object IcebergLog {
     def partitionColumns: Seq[String] = {
       // select by default-spec-id, not position — r12 metadata lists the
       // unpartitioned delete spec alongside, and third-party metadata
-      // orders its spec history arbitrarily
+      // orders its spec history arbitrarily. Each field resolves its
+      // source-id through the CURRENT schema (r14): a spec field's own
+      // `name` is frozen at spec creation, so after a column rename it
+      // still carries the OLD name — the spec's source-id is the
+      // identity, per the Iceberg spec's column-projection rule.
       val specs = node.get("partition-specs")
       val defId = Option(node.get("default-spec-id")).map(_.asInt()).getOrElse(0)
       val spec = (0 until specs.size()).map(specs.get)
         .find(_.get("spec-id").asInt() == defId).getOrElse(specs.get(0))
       val fields = spec.get("fields")
-      (0 until fields.size()).map(i => fields.get(i).get("name").asText())
+      lazy val nameById: Map[Int, String] = {
+        val arr = node.get("schemas")
+        val cur = (0 until arr.size()).map(arr.get)
+          .find(_.get("schema-id").asInt() == currentSchemaId)
+          .getOrElse(arr.get(0))
+        val sf = cur.get("fields")
+        (0 until sf.size()).map(i =>
+          sf.get(i).get("id").asInt() -> sf.get(i).get("name").asText()).toMap
+      }
+      (0 until fields.size()).map { i =>
+        val f = fields.get(i)
+        Option(f.get("source-id")).map(_.asInt()).flatMap(nameById.get)
+          .getOrElse(f.get("name").asText())
+      }
     }
     /** The CURRENT schema's field type by the schema's own `id`
       * attribute (positional for this engine's schemas, arbitrary for
@@ -2197,6 +2258,7 @@ object IcebergLog {
     val m = current(table).getOrElse(
       sys.error(s"$table is not an Iceberg table (no metadata/v*.metadata.json)"))
     val (kept, _) = planFiles(spark, table, snapshotId, scanFilter)
+    requireResolvablePartitions(table, m, kept)
     // merge-on-read: only files within some delete file's path bounds
     // pay the position anti-join; everything else stays a plain scan
     val dels = deleteFiles(table, snapshotId)
@@ -2268,17 +2330,20 @@ object IcebergLog {
       val base: Option[DataFrame] = op match {
         case "replace" => None // layout rewrite: no logical change
         case "append" =>
-          readFiles(liveFiles(table, Some(sid))
+          val added = liveFiles(table, Some(sid))
             .filter(f => f.status == 1 && f.entryRow.get(1) == sid)
-            .map(_.path), "insert")
+          requireResolvablePartitions(table, m, added)
+          readFiles(added.map(_.path), "insert")
         case "overwrite" | "delete" =>
           val live = liveFiles(table, Some(sid)).filter(_.status != 2)
+          requireResolvablePartitions(table, m, live)
           val added = live.filter(f => f.status == 1 && f.entryRow.get(1) == sid)
             .map(_.path)
           val parentId = Option(s.get("parent-snapshot-id")).map(_.asLong())
             .getOrElse(sys.error(
               s"$table: $op snapshot $sid has no parent; cannot diff"))
           val parentLive = liveFiles(table, Some(parentId)).filter(_.status != 2)
+          requireResolvablePartitions(table, m, parentLive)
           val removed = parentLive.map(_.path).toSet -- live.map(_.path)
           // CoW-removed files replay with the PARENT's deletes applied:
           // rows merge-on-read already retracted must not retract twice
@@ -2391,7 +2456,30 @@ object IcebergLog {
     // among them could mis-apply a delete row — fail loudly
     if (dels.nonEmpty) requireUniqueNames(table, victims.map(_.path),
       "rewrite victims")
-    val dataSchema = StructType(m.schema.filterNot(f => m.partitionColumns.contains(f.name)))
+    // RENAMED tables (r14 self-review): read data columns by FIELD ID —
+    // a by-name read would silently rewrite the renamed column as nulls
+    // for pre-rename files. Partition values come from the MANIFESTS
+    // (pv below), keyed by the SPEC field names (frozen at spec
+    // creation, i.e. pre-rename); output hive dirs use the CURRENT
+    // names — which is exactly what repairs a renamed table for the
+    // hive-recovering read paths.
+    val readSchemaAll = dataReadSchema(spark, m)
+    val dataSchema = StructType(
+      readSchemaAll.filterNot(f => m.partitionColumns.contains(f.name)))
+    val specNameOf: Map[String, String] = {
+      val specs = m.node.get("partition-specs")
+      val spec0 = (0 until specs.size()).map(specs.get)
+        .find(_.get("spec-id").asInt() == 0)
+      val srcName = m.partitionColumns.map(c =>
+        m.schema.fieldIndex(c) + 1 -> c).toMap // positional ids
+      spec0.map { s =>
+        val f = s.get("fields")
+        (0 until f.size()).flatMap { i =>
+          val sid = f.get(i).get("source-id").asInt()
+          srcName.get(sid).map(_ -> f.get(i).get("name").asText())
+        }.toMap
+      }.getOrElse(Map.empty)
+    }
     val scratchFiles = scala.collection.mutable.ArrayBuffer.empty[DataFileInfo]
     val scratchDirs = scala.collection.mutable.ArrayBuffer.empty[Path]
     victims.groupBy(_.partitionValues).foreach { case (pv, files) =>
@@ -2405,7 +2493,7 @@ object IcebergLog {
       // projects back down to the data columns
       val in =
         if (dels.isEmpty) spark.read.schema(dataSchema).parquet(files.map(_.path): _*)
-        else readWithDeletes(spark, table, m.schema,
+        else readWithDeletes(spark, table, readSchemaAll,
           Some(Paths.get(table, "data").toAbsolutePath.toString), files.toSeq, dels)
           .select(dataSchema.fieldNames.map(org.apache.spark.sql.functions.col)
             .toIndexedSeq: _*)
@@ -2416,7 +2504,7 @@ object IcebergLog {
         .write.mode("overwrite").parquet(scratch.toString)
       // hive partition dir for this group (identity transform)
       val partDir = m.partitionColumns.map { c =>
-        pv.getOrElse(c, null) match {
+        pv.getOrElse(specNameOf.getOrElse(c, c), null) match {
           // null partition value → Spark's sentinel dir, round-tripping
           // through partitionValuesOf back to a real null
           case null => s"$c=$hiveNullDir"

@@ -851,6 +851,47 @@ class ProtocolConformanceSpec extends SparkSpec {
     } finally { q.stop(); view.close() }
   }
 
+  test("renamed PARTITION column: reads refuse (hive recovery is name-bound); OPTIMIZE repairs") {
+    import spark.implicits._
+    val table = tmpTable()
+    IcebergLog.writeBatch(Seq((1L, "a"), (2L, "b")).toDF("id", "p"), table,
+      partitionBy = Seq("p"))
+    // third-party RENAME COLUMN p TO cat — metadata-only; the files'
+    // hive paths still read p=a / p=b
+    val m0 = IcebergLog.current(table).get
+    val dir = Paths.get(table, "metadata")
+    val p = dir.resolve(s"v${m0.version}.metadata.json")
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val node = mapper.readTree(Files.readAllBytes(p))
+      .asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode]
+    val schemas = node.get("schemas")
+      .asInstanceOf[com.fasterxml.jackson.databind.node.ArrayNode]
+    val renamed = schemas.get(0).deepCopy[com.fasterxml.jackson.databind.node.ObjectNode]()
+    renamed.put("schema-id", 1)
+    renamed.get("fields").get(1)
+      .asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode]
+      .put("name", "cat")
+    schemas.add(renamed)
+    node.put("current-schema-id", 1)
+    Files.write(p, node.toString.getBytes("UTF-8"))
+    IcebergLog.clearManifestCache()
+    // partition VALUES recover from hive dir names, which carry the OLD
+    // name — a silent null partition would be data corruption: refuse
+    val e = intercept[RuntimeException] { IcebergLog.read(spark, table).count() }
+    assert(e.getMessage.contains("renamed") && e.getMessage.contains("OPTIMIZE"),
+      e.getMessage)
+    // the repair path: OPTIMIZE reads data columns by FIELD ID, takes
+    // partition values from the MANIFESTS (spec-name keyed), and
+    // re-lands every file under the CURRENT hive names
+    assert(IcebergLog.rewriteDataFiles(spark, table,
+      zorderBy = Seq("id")).isDefined) // layout rewrite: EVERY live file
+    val got = IcebergLog.read(spark, table)
+      .as[(Long, String)].collect().toMap
+    assert(got == Map(1L -> "a", 2L -> "b"), s"got $got")
+    val live = IcebergLog.liveFiles(table, None).filter(_.status != 2)
+    assert(live.forall(_.path.contains("cat=")), live.map(_.path).toString)
+  }
+
   test("partition-scoped equality deletes confine to their partition even when keys omit it") {
     import spark.implicits._
     // the spec allows a partition-scoped delete whose equality_ids do
