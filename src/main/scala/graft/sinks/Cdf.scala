@@ -117,7 +117,18 @@ object Cdf {
     // file stream): a persistent view_dir may sit on a different
     // filesystem than the system temp dir, where a cross-device hard
     // link would fail with EXDEV
+    val freshDir = !Files.exists(viewDataDir)
     Files.createDirectories(viewDataDir)
+    // ERA STAMP (r14): a dir this engine CREATED can never hold
+    // pre-marker legacy part sets, so the neverStarted fast path may
+    // trust the .started markers unconditionally — without this, a
+    // PARTITIONED view (hive subdirs always present) would pay a full
+    // view-dir walk on EVERY commit just to rule out legacy layouts,
+    // the quadratic cumulative cost the markers exist to avoid.
+    val eraStamp = viewDataDir.resolve(".graft-view-era")
+    if (freshDir && !Files.exists(eraStamp))
+      try Files.createFile(eraStamp)
+      catch { case _: java.nio.file.FileAlreadyExistsException => () }
     // sweep ORPHANED scratch dirs first: a failed write's straggler
     // tasks can re-create scratch paths briefly after the driver
     // rethrows, so the failure-path sweep below is best-effort — this
@@ -193,24 +204,28 @@ object Cdf {
       // each commit's sync would walk every prior version's files just
       // to learn nothing is there (quadratic cumulative cost).
       val startedMarker = viewDataDir.resolve(s".$namePrefix.started")
-      val neverStarted = !Files.exists(startedMarker) && {
-        // cheap top-level probe backs the marker: pre-marker (legacy)
-        // sets carry no markers, and unpartitioned parts live at the
-        // root — any same-prefix hit falls back to the full walk. A
-        // PARTITIONED pre-marker set hides its parts inside hive
-        // subdirectories, invisible to a top-level listing — so the
-        // probe is only trusted when the view dir has no data
-        // subdirectories at all (scratch dirs excepted); any subdir
-        // forces the full walk rather than risk re-materializing a
-        // legacy set and duplicating its change rows.
-        val l = Files.list(viewDataDir)
-        try !l.iterator().asScala.exists { p =>
-          p.getFileName.toString.startsWith(namePrefix + "-") ||
-            (Files.isDirectory(p) &&
-              !p.getFileName.toString.startsWith(".graft-cdf-mat"))
-        }
-        finally l.close()
-      }
+      val neverStarted = !Files.exists(startedMarker) &&
+        // a dir THIS engine created (era stamp) can hold no pre-marker
+        // legacy sets: the absent .started marker alone proves nothing
+        // of this prefix exists — O(1), even for partitioned views
+        (Files.exists(eraStamp) || {
+          // legacy-created dir: cheap top-level probe — pre-marker sets
+          // carry no markers, and unpartitioned parts live at the root;
+          // any same-prefix hit falls back to the full walk. A
+          // PARTITIONED pre-marker set hides its parts inside hive
+          // subdirectories, invisible to a top-level listing — so the
+          // probe is only trusted when the view dir has no data
+          // subdirectories at all (scratch dirs excepted); any subdir
+          // forces the full walk rather than risk re-materializing a
+          // legacy set and duplicating its change rows.
+          val l = Files.list(viewDataDir)
+          try !l.iterator().asScala.exists { p =>
+            p.getFileName.toString.startsWith(namePrefix + "-") ||
+              (Files.isDirectory(p) &&
+                !p.getFileName.toString.startsWith(".graft-cdf-mat"))
+          }
+          finally l.close()
+        })
       // files already materialized for THIS prefix are the authoritative
       // part set. Part names carry the FILE TOTAL and the repartition
       // count (`<prefix>-<i>of<M>p<K>`): under hive partitioning the

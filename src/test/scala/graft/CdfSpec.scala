@@ -789,9 +789,11 @@ class CdfSpec extends SparkSpec {
     }
     renamed.zipWithIndex.foreach { case (p, i) =>
       java.nio.file.Files.move(p, legacyDir.resolve(s"c9-$i.parquet")) }
-    // a true pre-marker set carries no markers either
+    // a true pre-marker set carries no markers either — and a
+    // legacy-created dir has no era stamp
     java.nio.file.Files.deleteIfExists(legacyDir.resolve(".c9.done"))
     java.nio.file.Files.deleteIfExists(legacyDir.resolve(".c9.started"))
+    java.nio.file.Files.deleteIfExists(legacyDir.resolve(".graft-view-era"))
     assert(Cdf.materializeInto(legacyDir, (1L to 50L).toDF("id"),
       Seq.empty, "c9") == 0,
       "a legacy-named part set must be treated as authoritative")
@@ -813,6 +815,7 @@ class CdfSpec extends SparkSpec {
       java.nio.file.Files.move(p, p.getParent.resolve(s"c10-$i.parquet")) }
     java.nio.file.Files.deleteIfExists(plegacy.resolve(".c10.done"))
     java.nio.file.Files.deleteIfExists(plegacy.resolve(".c10.started"))
+    java.nio.file.Files.deleteIfExists(plegacy.resolve(".graft-view-era"))
     assert(Cdf.materializeInto(plegacy,
       Seq((1L, "a"), (2L, "b")).toDF("id", "p"), Seq("p"), "c10") == 0,
       "a partitioned legacy set must be found by the full walk, not " +
