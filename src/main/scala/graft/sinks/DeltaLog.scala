@@ -1383,9 +1383,6 @@ object DeltaLog {
       tableConf: Map[String, String]): Option[Long] = {
     import org.apache.spark.sql.functions.col
     val spark = df.sparkSession
-    require(!mergeSchema,
-      s"$table: merge_schema on a column-mapped table is not supported " +
-        "(a new column needs a fresh physicalName and a maxColumnId bump)")
     // structural type equality: the table schema carries columnMapping
     // metadata (and exact nullability) the caller's batch never has
     def shape(dt: DataType): DataType = dt match {
@@ -1396,17 +1393,45 @@ object DeltaLog {
         MapType(shape(mt.keyType), shape(mt.valueType), valueContainsNull = true)
       case other => other
     }
-    val (tableSchema, partCols, conf) = snap0 match {
-      case Some(s0) =>
-        require(df.schema.fields.map(f => f.name).toSeq ==
-            s0.schema.fields.map(_.name).toSeq &&
-          df.schema.fields.zip(s0.schema.fields).forall { case (a, b) =>
-            shape(a.dataType) == shape(b.dataType) },
+    val (tableSchema, partCols, conf, df1) = snap0 match {
+      case Some(s00) =>
+        // merge_schema (r14): NEW batch columns evolve the table first —
+        // scalar columns mint their id/physicalName through [[addColumns]]
+        // (the maxColumnId coordination mechanism), then the batch
+        // appends under the evolved schema; batch columns missing vs the
+        // table null-fill (the CDC-feed-grows-a-column shape)
+        val extra = df.schema.fields
+          .filterNot(f => s00.schema.fieldNames.contains(f.name))
+        val s0 =
+          if (extra.isEmpty) s00
+          else {
+            require(mergeSchema,
+              s"$table (column-mapped) takes exact-schema appends; batch " +
+                s"adds (${extra.map(_.name).mkString(", ")}) — set " +
+                "merge_schema to evolve")
+            addColumns(spark, table, extra.map(f => f.name -> f.dataType).toSeq)
+            snapshot(spark, table).get
+          }
+        // WITHOUT merge_schema the exact-schema contract stands: a batch
+        // missing (or reordering) table columns refuses rather than
+        // silently null-filling
+        require(mergeSchema ||
+          df.schema.fieldNames.toSeq == s0.schema.fieldNames.toSeq,
           s"$table (column-mapped) takes exact-schema appends; batch " +
             s"(${df.schema.fieldNames.mkString(", ")}) != table " +
             s"(${s0.schema.fieldNames.mkString(", ")})")
+        val aligned = df.select(s0.schema.fields.toIndexedSeq.map { f =>
+          if (df.schema.fieldNames.contains(f.name)) col(quoted(f.name))
+          else org.apache.spark.sql.functions.lit(null)
+            .cast(f.dataType).as(f.name)
+        }: _*)
+        require(aligned.schema.fields.zip(s0.schema.fields).forall {
+            case (a, b) => shape(a.dataType) == shape(b.dataType) },
+          s"$table (column-mapped) append type mismatch: batch " +
+            s"(${df.schema.map(f => s"${f.name}:${f.dataType.simpleString}").mkString(", ")}) vs table " +
+            s"(${s0.schema.map(f => s"${f.name}:${f.dataType.simpleString}").mkString(", ")})")
         requireMappedWritable(table, s0)
-        (s0.schema, s0.partitionColumns, tableConf)
+        (s0.schema, s0.partitionColumns, tableConf, aligned)
       case None =>
         // CREATE: mint the mapping (this writer owns a table it creates)
         val mode = mappingMode(tableConf)
@@ -1419,13 +1444,13 @@ object DeltaLog {
         partitionBy.foreach(pc => require(mapped.fieldNames.contains(pc),
           s"$table: partition column $pc is not in the schema"))
         (mapped, partitionBy, tableConf +
-          ("delta.columnMapping.maxColumnId" -> maxId.toString))
+          ("delta.columnMapping.maxColumnId" -> maxId.toString), df)
     }
     Files.createDirectories(Paths.get(table))
     // placement on the PHYSICAL shape: hive dirs named by physical
     // partition columns → partitionValues keys, and footer stats keys,
     // both land physical (what prune() translates back to)
-    val added = placeMappedDataFiles(spark, table, tableSchema, partCols, df)
+    val added = placeMappedDataFiles(spark, table, tableSchema, partCols, df1)
     val committed = commit(spark, table, tableSchema, partCols,
       added, txn, tableConf = conf, allowMapped = true)
     committed match {
@@ -1572,18 +1597,41 @@ object DeltaLog {
     require(cols.nonEmpty, "ADD COLUMNS: no columns")
     val s = snapshot(spark, table)
       .getOrElse(sys.error(s"$table is not a Delta table (no _delta_log)"))
-    require(mappingMode(s.configuration) == "none",
-      s"$table is column-mapped; ADD COLUMNS needs a fresh physicalName " +
-        "and a maxColumnId bump owned by the table's creator")
     cols.foreach { case (n, _) =>
       require(!s.schema.fieldNames.contains(n),
         s"ADD COLUMNS: column $n already exists in $table") }
     require(cols.map(_._1).distinct.size == cols.size,
       "ADD COLUMNS: duplicate column name")
-    val evolved = StructType(s.schema.fields ++
-      cols.map { case (n, dt) => StructField(n, dt, nullable = true) })
+    // column-mapped tables (r14): ANY writer may evolve — the protocol's
+    // delta.columnMapping.maxColumnId exists exactly to coordinate id
+    // allocation across writers (new id = maxColumnId+1, bump the
+    // property in the SAME metaData commit)
+    val mapped = mappingMode(s.configuration) != "none"
+    val (newFields, conf) =
+      if (!mapped)
+        (cols.map { case (n, dt) => StructField(n, dt, nullable = true) },
+          Map.empty[String, String])
+      else {
+        require(cols.forall(c => !c._2.isInstanceOf[StructType] &&
+          !c._2.isInstanceOf[ArrayType] && !c._2.isInstanceOf[MapType]),
+          s"$table: ADD COLUMNS on a column-mapped table supports scalar " +
+            "columns (nested types need per-subfield id minting)")
+        val base = s.configuration
+          .get("delta.columnMapping.maxColumnId").map(_.toLong)
+          .getOrElse(s.schema.fields.length.toLong)
+        val minted = cols.zipWithIndex.map { case ((n, dt), i) =>
+          StructField(n, dt, nullable = true,
+            new org.apache.spark.sql.types.MetadataBuilder()
+              .putLong(CmIdKey, base + i + 1)
+              .putString(CmPhysKey, s"col-${UUID.randomUUID()}")
+              .build())
+        }
+        (minted, Map("delta.columnMapping.maxColumnId" ->
+          (base + cols.size).toString))
+      }
+    val evolved = StructType(s.schema.fields ++ newFields)
     commit(spark, table, evolved, s.partitionColumns, added = Seq.empty,
-      txn = None, mergeSchema = true)
+      txn = None, mergeSchema = true, tableConf = conf, allowMapped = mapped)
   }
 
   /** Set/merge table properties as a metaData-only commit (the

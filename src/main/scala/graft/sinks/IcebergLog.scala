@@ -2748,7 +2748,10 @@ object IcebergLog {
       if (priorPos.isEmpty) Map.empty
       else spark.read.schema(deleteFileSchema)
         .parquet(priorPos.map(_.path): _*)
-        .filter(col("file_path").isin(touchedPaths: _*))
+        // broadcast semi-join, not isin(): a wide DML can touch 10⁴+
+        // files and a literal In-list that size breaks codegen
+        .join(org.apache.spark.sql.functions.broadcast(
+          touchedPaths.toDF("file_path")), Seq("file_path"))
         .as[(String, Long)].collect().toSeq
         .groupBy(_._1).view.mapValues(_.map(_._2)).toMap
     val merged: Seq[(String, DeletionVectors.Bitmap)] =

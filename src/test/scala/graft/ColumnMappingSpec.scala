@@ -17,8 +17,9 @@ import scala.jdk.CollectionConverters._
   * physical-named parquet in a FLAT directory (no hive layout; the log
   * is the authoritative partition source), phys-keyed stats and
   * partitionValues, protocol 2/5 (legacy) or 3/7 + columnMapping.
-  * Writes must refuse: this engine's writer emits protocol-1
-  * logical-named files, which would corrupt a mapped table.
+  * The full write surface works against them (r13 appends; r14 DML,
+  * OPTIMIZE, CREATE-with-minting, maxColumnId-coordinated evolution) —
+  * every write lands the conformant PHYSICAL shape.
   */
 class ColumnMappingSpec extends SparkSpec {
 
@@ -318,11 +319,11 @@ class ColumnMappingSpec extends SparkSpec {
         Map("delta.columnMapping.mode" -> "name"))
     }
     assert(eFlip.getMessage.contains("existing"), eFlip.getMessage)
-    // schema evolution still needs a fresh physicalName + maxColumnId bump
-    val e4 = intercept[IllegalArgumentException] {
-      DeltaLog.addColumns(spark, table, Seq("extra" -> LongType))
-    }
-    assert(e4.getMessage.contains("column-mapped"), e4.getMessage)
+    // schema evolution on the minted table mints the next id (r14)
+    assert(DeltaLog.addColumns(spark, table, Seq("extra" -> LongType)).isDefined)
+    val sE = DeltaLog.snapshot(spark, table).get
+    assert(sE.schema("extra").metadata.getLong("delta.columnMapping.id") == 4L)
+    assert(sE.configuration("delta.columnMapping.maxColumnId") == "4")
   }
 
   test("SQL face: column_mapping='name' sink CREATE mints a mapped table; DML composes") {
@@ -567,16 +568,45 @@ class ColumnMappingSpec extends SparkSpec {
     // file pruning serves the appended files' phys-keyed stats too
     val (kept, total) = DeltaLog.planFiles(spark, table, None, Some("id >= 9"))
     assert(total == 4 && kept.toSet == newAdds.map(_._1).toSet)
-    // schema drift / evolution refuse (fresh physical names needed)
+    // schema drift WITHOUT merge_schema refuses
     val eDrift = intercept[IllegalArgumentException] {
       DeltaLog.writeBatch(Seq((1L, "x")).toDF("id", "extra"), table)
     }
     assert(eDrift.getMessage.contains("exact-schema"), eDrift.getMessage)
-    val eMerge = intercept[IllegalArgumentException] {
-      DeltaLog.writeBatch(Seq((1L, 1L, "a", "x")).toDF("id", "v", "cat", "nc"),
-        table, mergeSchema = true)
+    // merge_schema (r14) EVOLVES the mapped table: the new column mints
+    // its id + physicalName via the maxColumnId coordination mechanism
+    assert(DeltaLog.writeBatch(
+      Seq((11L, 110L, "a", "x")).toDF("id", "v", "cat", "nc"),
+      table, mergeSchema = true).isDefined)
+    val s2 = DeltaLog.snapshot(spark, table).get
+    val nc = s2.schema("nc")
+    // the fixture DECLARES maxColumnId=10 (a Databricks table may hold
+    // ids above its current schema) — minting respects the watermark
+    assert(nc.metadata.getLong("delta.columnMapping.id") == 11L)
+    assert(nc.metadata.getString("delta.columnMapping.physicalName")
+      .startsWith("col-"), nc.metadata.toString)
+    assert(s2.configuration("delta.columnMapping.maxColumnId") == "11")
+    // old files read null for the new column; the new row carries it
+    val evolved = DeltaLog.read(spark, table)
+      .select("id", "nc").collect()
+      .map(r => (r.getLong(0), Option(r.getString(1)).getOrElse("-"))).toMap
+    assert(evolved(11L) == "x" && evolved(1L) == "-", evolved.toString)
+    // explicit ADD COLUMNS mints too; appends missing the column null-fill
+    assert(DeltaLog.addColumns(spark, table,
+      Seq("extra2" -> LongType)).isDefined)
+    assert(DeltaLog.snapshot(spark, table).get
+      .configuration("delta.columnMapping.maxColumnId") == "12")
+    assert(DeltaLog.writeBatch(
+      Seq((12L, 120L, "b", "y")).toDF("id", "v", "cat", "nc"),
+      table, mergeSchema = true).isDefined)
+    assert(DeltaLog.read(spark, table).filter("id = 12")
+      .select("extra2").collect().head.isNullAt(0))
+    // nested ADD COLUMNS on mapped tables still refuses (per-subfield ids)
+    val eNest = intercept[IllegalArgumentException] {
+      DeltaLog.addColumns(spark, table, Seq("s" ->
+        StructType(Seq(StructField("a", LongType)))))
     }
-    assert(eMerge.getMessage.contains("merge_schema"), eMerge.getMessage)
+    assert(eNest.getMessage.contains("scalar"), eNest.getMessage)
   }
 
   test("checkpoints round-trip the mapped protocol; cold replay from one still maps") {
