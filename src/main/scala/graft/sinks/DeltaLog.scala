@@ -2325,6 +2325,7 @@ object DeltaLog {
       // bit alone never turns ICT on.
       val ictOn = configuration.get("delta.enableInCommitTimestamps")
         .exists(_.equalsIgnoreCase("true"))
+      var ictValue: Option[Long] = None
       if (ictOn) {
         val parentIct: Option[Long] = snap.map { s0 =>
           val p = dir.resolve(f"${s0.version}%020d.json")
@@ -2334,9 +2335,10 @@ object DeltaLog {
               "unknowable; refusing to write a possibly-regressing one")
           commitTs(p)
         }
-        ciBody.put("inCommitTimestamp",
-          math.max(System.currentTimeMillis(),
-            parentIct.map(_ + 1).getOrElse(Long.MinValue)))
+        val v = math.max(System.currentTimeMillis(),
+          parentIct.map(_ + 1).getOrElse(Long.MinValue))
+        ictValue = Some(v)
+        ciBody.put("inCommitTimestamp", v)
       }
       ciBody.put("operation",
         if (!dataChange) "OPTIMIZE"
@@ -2362,22 +2364,57 @@ object DeltaLog {
         s"$table: delta.columnMapping.mode cannot be enabled on an " +
           "existing table (its files are logical-named); create a new " +
           "mapped table and copy the rows")
-      if (version == 0L || (cdfOn && !cdfWasOn) || (dvOn && !dvWasOn)) {
+      // ICT is a WRITER FEATURE: arming the property must also declare
+      // `inCommitTimestamp` in writerFeatures (spec), or conformant
+      // readers ignore the stamps this table now relies on
+      val ictWasOn = snap.exists(
+        _.configuration.get("delta.enableInCommitTimestamps")
+          .exists(_.equalsIgnoreCase("true")))
+      val ictFeatureMissing = ictOn &&
+        !snap.flatMap(_.protocolJson).exists(_.contains("\"inCommitTimestamp\""))
+      if (version == 0L || (cdfOn && !cdfWasOn) || (dvOn && !dvWasOn) ||
+          ictFeatureMissing) {
         val pr = mapper.createObjectNode()
         val prBody = pr.putObject("protocol")
-        if (dvOn || dvWasOn) {
-          prBody.put("minReaderVersion", 3)
+        if (dvOn || dvWasOn || ictOn) {
+          // TABLE-FEATURES form (3/7 when a reader feature rides along,
+          // 1/7 for writer-only ICT): explicit lists MUST carry every
+          // feature the replaced protocol implied — dropping one would
+          // un-bind writers from a contract the table still uses
+          val readerFeature = dvOn || dvWasOn || cmOn
+          prBody.put("minReaderVersion", if (readerFeature) 3 else 1)
+          if (readerFeature) {
+            val rf = prBody.putArray("readerFeatures")
+            if (dvOn || dvWasOn) rf.add("deletionVectors")
+            // columnMapping is a READER+WRITER feature on 3/7 protocols —
+            // dropping it here would let mapping-unaware readers misread
+            // the physical names this table's files carry
+            if (cmOn) rf.add("columnMapping")
+          }
           prBody.put("minWriterVersion", 7)
-          val rf = prBody.putArray("readerFeatures")
-          rf.add("deletionVectors")
-          // columnMapping is a READER+WRITER feature on 3/7 protocols —
-          // dropping it here would let mapping-unaware readers misread
-          // the physical names this table's files carry
-          if (cmOn) rf.add("columnMapping")
           val wf = prBody.putArray("writerFeatures")
-          wf.add("deletionVectors")
-          if (cmOn) wf.add("columnMapping")
-          if (cdfOn) wf.add("changeDataFeed")
+          val implied = scala.collection.mutable.LinkedHashSet.empty[String]
+          // legacy implications of the protocol being replaced
+          // (PROTOCOL.md's minWriterVersion table)
+          val prevMw = snap.flatMap(_.protocolJson).map(pj =>
+            Option(mapper.readTree(pj).get("minWriterVersion"))
+              .map(_.asInt()).getOrElse(2)).getOrElse(2)
+          if (prevMw >= 2 && prevMw < 7) implied ++= Seq("appendOnly", "invariants")
+          if (prevMw >= 3 && prevMw < 7) implied += "checkConstraints"
+          if (prevMw >= 4 && prevMw < 7) implied ++= Seq("changeDataFeed", "generatedColumns")
+          if (prevMw >= 5 && prevMw < 7) implied += "columnMapping"
+          if (prevMw >= 6 && prevMw < 7) implied += "identityColumns"
+          // explicit features of the replaced protocol carry forward
+          snap.flatMap(_.protocolJson).foreach { pj =>
+            Option(mapper.readTree(pj).get("writerFeatures"))
+              .filterNot(_.isNull).foreach(a =>
+                (0 until a.size()).foreach(i => implied += a.get(i).asText()))
+          }
+          if (dvOn || dvWasOn) implied += "deletionVectors"
+          if (cmOn) implied += "columnMapping"
+          if (cdfOn) implied += "changeDataFeed"
+          if (ictOn) implied += "inCommitTimestamp"
+          implied.foreach(wf.add)
         } else if (cmOn) {
           // legacy mapping protocol (2/5 implies columnMapping AND
           // changeDataFeed per the PROTOCOL.md implication table)
@@ -2389,8 +2426,18 @@ object DeltaLog {
         }
         line(pr)
       }
+      // spec: ENABLING ICT on an existing table records the enablement
+      // point (version + the first in-commit timestamp) so readers know
+      // where file-mtime history ends and ICT history begins
+      val configuration2 =
+        if (ictOn && !ictWasOn && snap.isDefined)
+          configuration +
+            ("delta.inCommitTimestampEnablementVersion" -> version.toString) ++
+            ictValue.map(v =>
+              "delta.inCommitTimestampEnablementTimestamp" -> v.toString)
+        else configuration
       val metaChanged = snap.forall(s0 =>
-        s0.schema.json != tableSchema.json || s0.configuration != configuration)
+        s0.schema.json != tableSchema.json || s0.configuration != configuration2)
       if (metaChanged) {
         val md = mapper.createObjectNode()
         val m = md.putObject("metaData")
@@ -2405,7 +2452,7 @@ object DeltaLog {
         val pc = m.putArray("partitionColumns")
         partitionBy.foreach(pc.add)
         val cfg = m.putObject("configuration")
-        configuration.toSeq.sortBy(_._1).foreach { case (k, v) => cfg.put(k, v) }
+        configuration2.toSeq.sortBy(_._1).foreach { case (k, v) => cfg.put(k, v) }
         m.put("createdTime",
           snap.map(_.createdTime).filter(_ > 0).getOrElse(System.currentTimeMillis()))
         line(md)

@@ -573,6 +573,25 @@ class DeltaLogSpec extends SparkSpec {
     assert(DeltaLog.writeBatch(Seq((4L, "d")).toDF("id", "v"), table).contains(5L))
     val ict5 = commitIct(5L).get
     assert(ict5 > commitIct(4L).get, s"got $ict5 vs parent ${commitIct(4L).get}")
+    // the spec's enablement point rides the metaData (readers know where
+    // mtime history ends and ICT history begins)
+    val cfg = DeltaLog.snapshot(spark, table).get.configuration
+    assert(cfg("delta.inCommitTimestampEnablementVersion") == "4")
+    assert(cfg("delta.inCommitTimestampEnablementTimestamp") ==
+      commitIct(4L).get.toString)
+    // arming ICT on a PLAIN (1/2) table upgrades the protocol to the
+    // writer-features form, carrying the implied legacy features
+    val plain = tmpTable()
+    DeltaLog.writeBatch(Seq((1L, "a")).toDF("id", "v"), plain)
+    DeltaLog.setTableProperties(spark, plain,
+      Map("delta.enableInCommitTimestamps" -> "true"))
+    val pj = DeltaLog.snapshot(spark, plain).get.protocolJson.get
+    val pn = mapper.readTree(pj)
+    assert(pn.get("minWriterVersion").asInt() == 7, pj)
+    val wf = (0 until pn.get("writerFeatures").size())
+      .map(pn.get("writerFeatures").get(_).asText()).toSet
+    assert(wf == Set("appendOnly", "invariants", "inCommitTimestamp"), pj)
+    assert(DeltaLog.writeBatch(Seq((2L, "b")).toDF("id", "v"), plain).contains(2L))
   }
 
   test("TIMESTAMP AS OF falls back to a clamped linear scan for commits without commitInfo") {
