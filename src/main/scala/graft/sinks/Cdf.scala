@@ -101,6 +101,34 @@ object Cdf {
     */
   private val foreignOrphanAgeMs = 15L * 60 * 1000
 
+  /** ERA STAMP (r14): claim `dir` for the marker era. A dir holding NO
+    * data (no parquet files, no non-scratch subdirs) cannot hold a
+    * pre-marker legacy part set, so the neverStarted fast path may
+    * trust the .started markers unconditionally — without the stamp, a
+    * PARTITIONED view (hive subdirs always present) would pay a full
+    * view-dir walk on EVERY commit just to rule out legacy layouts,
+    * the quadratic cumulative cost the markers exist to avoid. The
+    * stream sources call this at VIEW OPEN (before the first link —
+    * links land data outside [[materializeInto]], which would
+    * otherwise see a non-empty dir and never stamp).
+    */
+  private[graft] def stampViewEra(dir: java.nio.file.Path): Unit = {
+    import java.nio.file.Files
+    import scala.jdk.CollectionConverters._
+    Files.createDirectories(dir)
+    val stamp = dir.resolve(".graft-view-era")
+    if (Files.exists(stamp)) return
+    val l = Files.list(dir)
+    val clean = try !l.iterator().asScala.exists { p =>
+      (Files.isDirectory(p) &&
+        !p.getFileName.toString.startsWith(".graft-cdf-mat")) ||
+        p.getFileName.toString.endsWith(".parquet")
+    } finally l.close()
+    if (clean)
+      try { Files.createFile(stamp); () }
+      catch { case _: java.nio.file.FileAlreadyExistsException => () }
+  }
+
   private[graft] def materializeInto(viewDataDir: java.nio.file.Path,
       chg0: org.apache.spark.sql.DataFrame, partCols: Seq[String],
       namePrefix: String,
@@ -117,18 +145,8 @@ object Cdf {
     // file stream): a persistent view_dir may sit on a different
     // filesystem than the system temp dir, where a cross-device hard
     // link would fail with EXDEV
-    val freshDir = !Files.exists(viewDataDir)
-    Files.createDirectories(viewDataDir)
-    // ERA STAMP (r14): a dir this engine CREATED can never hold
-    // pre-marker legacy part sets, so the neverStarted fast path may
-    // trust the .started markers unconditionally — without this, a
-    // PARTITIONED view (hive subdirs always present) would pay a full
-    // view-dir walk on EVERY commit just to rule out legacy layouts,
-    // the quadratic cumulative cost the markers exist to avoid.
+    stampViewEra(viewDataDir)
     val eraStamp = viewDataDir.resolve(".graft-view-era")
-    if (freshDir && !Files.exists(eraStamp))
-      try Files.createFile(eraStamp)
-      catch { case _: java.nio.file.FileAlreadyExistsException => () }
     // sweep ORPHANED scratch dirs first: a failed write's straggler
     // tasks can re-create scratch paths briefly after the driver
     // rethrows, so the failure-path sweep below is best-effort — this

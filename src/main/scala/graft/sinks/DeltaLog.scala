@@ -654,6 +654,22 @@ object DeltaLog {
     // table enables it (see commit())
     "inCommitTimestamp")
 
+  /** PROTOCOL.md's legacy implication table: the writer features a
+    * pre-table-features `minWriterVersion` binds. ONE copy — both the
+    * write gate ([[checkWriterFeatures]]) and the protocol emitter
+    * ([[commit]]'s upgrade block) read it, so they can never
+    * desynchronize.
+    */
+  private def impliedWriterFeatures(minWriter: Int): Seq[String] =
+    if (minWriter >= 7) Seq.empty
+    else Seq(
+      2 -> Seq("appendOnly", "invariants"),
+      3 -> Seq("checkConstraints"),
+      4 -> Seq("changeDataFeed", "generatedColumns"),
+      5 -> Seq("columnMapping"),
+      6 -> Seq("identityColumns")).collect {
+        case (v, fs) if minWriter >= v => fs }.flatten
+
   private def checkWriterFeatures(table: String, snap: Snapshot,
       removesData: Boolean): Unit = {
     val (minWriter, explicit) = snap.protocolJson.map { pj =>
@@ -665,13 +681,7 @@ object DeltaLog {
       (mw, f)
     }.getOrElse((2, Set.empty[String]))
     // legacy minWriterVersion implies features (PROTOCOL.md table)
-    val implied =
-      (if (minWriter >= 2 && minWriter < 7) Set("appendOnly", "invariants") else Set.empty[String]) ++
-      (if (minWriter >= 3 && minWriter < 7) Set("checkConstraints") else Set.empty[String]) ++
-      (if (minWriter >= 4 && minWriter < 7) Set("changeDataFeed", "generatedColumns") else Set.empty[String]) ++
-      (if (minWriter >= 5 && minWriter < 7) Set("columnMapping") else Set.empty[String]) ++
-      (if (minWriter >= 6 && minWriter < 7) Set("identityColumns") else Set.empty[String])
-    val enabled = explicit ++ implied
+    val enabled = explicit ++ impliedWriterFeatures(minWriter)
     // Delta allows invariants / generation expressions / identity
     // metadata on NESTED struct fields too — probe the whole type tree,
     // not just the top level, or a nested contract slips past the gate
@@ -1595,43 +1605,69 @@ object DeltaLog {
   def addColumns(spark: SparkSession, table: String,
       cols: Seq[(String, DataType)]): Option[Long] = {
     require(cols.nonEmpty, "ADD COLUMNS: no columns")
-    val s = snapshot(spark, table)
-      .getOrElse(sys.error(s"$table is not a Delta table (no _delta_log)"))
-    cols.foreach { case (n, _) =>
-      require(!s.schema.fieldNames.contains(n),
-        s"ADD COLUMNS: column $n already exists in $table") }
     require(cols.map(_._1).distinct.size == cols.size,
       "ADD COLUMNS: duplicate column name")
-    // column-mapped tables (r14): ANY writer may evolve — the protocol's
-    // delta.columnMapping.maxColumnId exists exactly to coordinate id
-    // allocation across writers (new id = maxColumnId+1, bump the
-    // property in the SAME metaData commit)
-    val mapped = mappingMode(s.configuration) != "none"
-    val (newFields, conf) =
-      if (!mapped)
-        (cols.map { case (n, dt) => StructField(n, dt, nullable = true) },
-          Map.empty[String, String])
-      else {
-        require(cols.forall(c => !c._2.isInstanceOf[StructType] &&
-          !c._2.isInstanceOf[ArrayType] && !c._2.isInstanceOf[MapType]),
-          s"$table: ADD COLUMNS on a column-mapped table supports scalar " +
-            "columns (nested types need per-subfield id minting)")
-        val base = s.configuration
-          .get("delta.columnMapping.maxColumnId").map(_.toLong)
-          .getOrElse(s.schema.fields.length.toLong)
-        val minted = cols.zipWithIndex.map { case ((n, dt), i) =>
-          StructField(n, dt, nullable = true,
-            new org.apache.spark.sql.types.MetadataBuilder()
-              .putLong(CmIdKey, base + i + 1)
-              .putString(CmPhysKey, s"col-${UUID.randomUUID()}")
-              .build())
+    // the whole snapshot→mint→commit cycle RETRIES under the schemaBase
+    // guard: a concurrent ADD COLUMNS landing first would otherwise be
+    // clobbered (and, on mapped tables, its freshly-minted id DUPLICATED
+    // — two columns bound to one parquet field id)
+    var round = 0
+    while (round < 5) {
+      round += 1
+      val s = snapshot(spark, table)
+        .getOrElse(sys.error(s"$table is not a Delta table (no _delta_log)"))
+      cols.foreach { case (n, _) =>
+        require(!s.schema.fieldNames.contains(n),
+          s"ADD COLUMNS: column $n already exists in $table") }
+      // column-mapped tables (r14): ANY writer may evolve — the protocol's
+      // delta.columnMapping.maxColumnId exists exactly to coordinate id
+      // allocation across writers (new id = maxColumnId+1, bump the
+      // property in the SAME metaData commit)
+      val mapped = mappingMode(s.configuration) != "none"
+      val (newFields, conf) =
+        if (!mapped)
+          (cols.map { case (n, dt) => StructField(n, dt, nullable = true) },
+            Map.empty[String, String])
+        else {
+          require(cols.forall(c => !c._2.isInstanceOf[StructType] &&
+            !c._2.isInstanceOf[ArrayType] && !c._2.isInstanceOf[MapType]),
+            s"$table: ADD COLUMNS on a column-mapped table supports scalar " +
+              "columns (nested types need per-subfield id minting)")
+          // fallback when the property is absent: the max cm id across
+          // the WHOLE type tree (nested fields carry ids too — a
+          // top-level count would collide with them); when both exist,
+          // the larger wins (a lagging property must never re-mint a
+          // live id)
+          def maxCmId(dt: DataType): Long = dt match {
+            case st: StructType => st.fields.foldLeft(0L)((m, f) =>
+              math.max(m, math.max(cmFieldId(f).getOrElse(0L),
+                maxCmId(f.dataType))))
+            case at: ArrayType => maxCmId(at.elementType)
+            case mt: MapType =>
+              math.max(maxCmId(mt.keyType), maxCmId(mt.valueType))
+            case _ => 0L
+          }
+          val base = math.max(
+            s.configuration.get("delta.columnMapping.maxColumnId")
+              .map(_.toLong).getOrElse(0L),
+            maxCmId(s.schema))
+          val minted = cols.zipWithIndex.map { case ((n, dt), i) =>
+            StructField(n, dt, nullable = true,
+              new org.apache.spark.sql.types.MetadataBuilder()
+                .putLong(CmIdKey, base + i + 1)
+                .putString(CmPhysKey, s"col-${UUID.randomUUID()}")
+                .build())
+          }
+          (minted, Map("delta.columnMapping.maxColumnId" ->
+            (base + cols.size).toString))
         }
-        (minted, Map("delta.columnMapping.maxColumnId" ->
-          (base + cols.size).toString))
-      }
-    val evolved = StructType(s.schema.fields ++ newFields)
-    commit(spark, table, evolved, s.partitionColumns, added = Seq.empty,
-      txn = None, mergeSchema = true, tableConf = conf, allowMapped = mapped)
+      val evolved = StructType(s.schema.fields ++ newFields)
+      val committed = commit(spark, table, evolved, s.partitionColumns,
+        added = Seq.empty, txn = None, mergeSchema = true, tableConf = conf,
+        allowMapped = mapped, schemaBase = Some(s.schema.json))
+      if (committed.isDefined) return committed
+    }
+    sys.error(s"$table: ADD COLUMNS lost 5 concurrent-evolution races; giving up")
   }
 
   /** Set/merge table properties as a metaData-only commit (the
@@ -2217,7 +2253,12 @@ object DeltaLog {
         * through here writes logical-named files a mapped table must
         * refuse.
         */
-      allowMapped: Boolean = false): Option[Long] = {
+      allowMapped: Boolean = false,
+      /** The schema json the caller PLANNED against: a table whose
+        * schema moved underneath (concurrent evolution) aborts (None)
+        * so the caller re-plans instead of clobbering the other
+        * writer's columns — the mapped-id minting race guard. */
+      schemaBase: Option[String] = None): Option[Long] = {
     val dir = logDir(table)
     Files.createDirectories(dir)
     var attempt = 0
@@ -2239,6 +2280,9 @@ object DeltaLog {
         removesData = removed.nonEmpty && dataChange))
       txn.foreach { case (app, v) =>
         if (snap.exists(_.appVersions.get(app).exists(_ >= v))) return None
+      }
+      schemaBase.foreach { base =>
+        if (snap.exists(_.schema.json != base)) return None
       }
       dvBase.foreach { base =>
         val now = snap.map(_.adds.toMap).getOrElse(Map.empty)
@@ -2376,40 +2420,43 @@ object DeltaLog {
           ictFeatureMissing) {
         val pr = mapper.createObjectNode()
         val prBody = pr.putObject("protocol")
-        if (dvOn || dvWasOn || ictOn) {
-          // TABLE-FEATURES form (3/7 when a reader feature rides along,
-          // 1/7 for writer-only ICT): explicit lists MUST carry every
-          // feature the replaced protocol implied — dropping one would
-          // un-bind writers from a contract the table still uses
-          val readerFeature = dvOn || dvWasOn || cmOn
-          prBody.put("minReaderVersion", if (readerFeature) 3 else 1)
-          if (readerFeature) {
+        // the protocol being REPLACED: a rewrite must never downgrade it
+        // or drop a feature it declared — readers/writers the old
+        // protocol bound would silently unbind
+        val prevNode = snap.flatMap(_.protocolJson).map(mapper.readTree)
+        val prevMr = prevNode.flatMap(n => Option(n.get("minReaderVersion"))
+          .map(_.asInt())).getOrElse(1)
+        val prevMw = prevNode.flatMap(n => Option(n.get("minWriterVersion"))
+          .map(_.asInt())).getOrElse(2)
+        def prevFeatures(side: String): Seq[String] = prevNode.flatMap(n =>
+          Option(n.get(side)).filterNot(_.isNull).map(a =>
+            (0 until a.size()).map(a.get(_).asText()): Seq[String]))
+          .getOrElse(Seq.empty)
+        if (dvOn || dvWasOn || ictOn || prevMw >= 7) {
+          // TABLE-FEATURES form: explicit lists MUST carry every feature
+          // the replaced protocol declared or implied — and once a table
+          // is on the features form (prevMw 7) it never leaves it
+          val rFeat = scala.collection.mutable.LinkedHashSet.empty[String]
+          rFeat ++= prevFeatures("readerFeatures")
+          if (dvOn || dvWasOn) rFeat += "deletionVectors"
+          // columnMapping is a READER+WRITER feature on 3/7 protocols —
+          // dropping it here would let mapping-unaware readers misread
+          // the physical names this table's files carry
+          if (cmOn) rFeat += "columnMapping"
+          prBody.put("minReaderVersion",
+            math.max(prevMr, if (rFeat.nonEmpty) 3 else 1))
+          if (rFeat.nonEmpty) {
             val rf = prBody.putArray("readerFeatures")
-            if (dvOn || dvWasOn) rf.add("deletionVectors")
-            // columnMapping is a READER+WRITER feature on 3/7 protocols —
-            // dropping it here would let mapping-unaware readers misread
-            // the physical names this table's files carry
-            if (cmOn) rf.add("columnMapping")
+            rFeat.foreach(rf.add)
           }
           prBody.put("minWriterVersion", 7)
           val wf = prBody.putArray("writerFeatures")
           val implied = scala.collection.mutable.LinkedHashSet.empty[String]
           // legacy implications of the protocol being replaced
-          // (PROTOCOL.md's minWriterVersion table)
-          val prevMw = snap.flatMap(_.protocolJson).map(pj =>
-            Option(mapper.readTree(pj).get("minWriterVersion"))
-              .map(_.asInt()).getOrElse(2)).getOrElse(2)
-          if (prevMw >= 2 && prevMw < 7) implied ++= Seq("appendOnly", "invariants")
-          if (prevMw >= 3 && prevMw < 7) implied += "checkConstraints"
-          if (prevMw >= 4 && prevMw < 7) implied ++= Seq("changeDataFeed", "generatedColumns")
-          if (prevMw >= 5 && prevMw < 7) implied += "columnMapping"
-          if (prevMw >= 6 && prevMw < 7) implied += "identityColumns"
+          // (PROTOCOL.md's minWriterVersion table — the shared copy)
+          implied ++= impliedWriterFeatures(prevMw)
           // explicit features of the replaced protocol carry forward
-          snap.flatMap(_.protocolJson).foreach { pj =>
-            Option(mapper.readTree(pj).get("writerFeatures"))
-              .filterNot(_.isNull).foreach(a =>
-                (0 until a.size()).foreach(i => implied += a.get(i).asText()))
-          }
+          implied ++= prevFeatures("writerFeatures")
           if (dvOn || dvWasOn) implied += "deletionVectors"
           if (cmOn) implied += "columnMapping"
           if (cdfOn) implied += "changeDataFeed"
@@ -2418,11 +2465,12 @@ object DeltaLog {
         } else if (cmOn) {
           // legacy mapping protocol (2/5 implies columnMapping AND
           // changeDataFeed per the PROTOCOL.md implication table)
-          prBody.put("minReaderVersion", 2)
-          prBody.put("minWriterVersion", 5)
+          prBody.put("minReaderVersion", math.max(prevMr, 2))
+          prBody.put("minWriterVersion", math.max(prevMw, 5))
         } else {
-          prBody.put("minReaderVersion", 1)
-          prBody.put("minWriterVersion", if (cdfOn) 4 else 2)
+          prBody.put("minReaderVersion", prevMr)
+          prBody.put("minWriterVersion",
+            math.max(prevMw, if (cdfOn) 4 else 2))
         }
         line(pr)
       }

@@ -400,7 +400,11 @@ object IcebergLog {
     val renamedParts = m.partitionColumns.filter(pc =>
       idOf.get(pc).exists(renamed.contains))
     if (renamedParts.isEmpty) return
-    files.find(f => renamedParts.exists(pc => !f.path.contains(s"$pc=")))
+    // exact hive SEGMENT match — a substring test would falsely pass
+    // when the new name is a suffix of the old ("returnflag" -> "flag")
+    def hasSegment(path: String, pc: String): Boolean =
+      path.split('/').exists(_.startsWith(pc + "="))
+    files.find(f => renamedParts.exists(pc => !hasSegment(f.path, pc)))
       .foreach { f => sys.error(
         s"$table: partition column(s) ${renamedParts.mkString(", ")} were " +
           s"renamed and live file ${f.path} predates the rename (its hive " +
@@ -2742,6 +2746,15 @@ object IcebergLog {
     val priorDvByName = dels
       .filter(d => d.content == 1 && d.isDv)
       .groupBy(d => fileNameOf(d.referencedDataFile.get))
+    // the prior-DV union and the supersede set both key by FILE NAME —
+    // same-named files in different partitions would cross-contaminate
+    // (wrong rows deleted, live DVs dropped); guard like every other
+    // name-keyed path does
+    requireUniqueNames(table,
+      (newBitmaps.map(_._1) ++
+        dels.filter(d => d.content == 1 && d.isDv)
+          .flatMap(_.referencedDataFile)).distinct,
+      "DV-referenced data files")
     val priorPos = dels.filter(d => d.content == 1 && !d.isDv)
     val touchedPaths = newBitmaps.map(_._1)
     val priorPosRows: Map[String, Seq[Long]] =

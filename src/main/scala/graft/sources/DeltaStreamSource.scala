@@ -221,7 +221,11 @@ object DeltaStreamSource {
           if (adds.nonEmpty) linked += materializeAdds(v, adds)
         }
         else if (!changeCommit) actions.foreach { n =>
-          if (n.has("add") && n.get("add").get("dataChange").asBoolean()) {
+          // dataChange omitted (third-party writers) defaults TRUE, the
+          // same reading hasDcAdd uses — .asBoolean() on the absent key
+          // would NPE
+          if (n.has("add") && Option(n.get("add").get("dataChange"))
+              .forall(_.asBoolean(true))) {
             if (link(decodePath(n.get("add").get("path").asText()))) linked += 1
           }
         } // change commit + ignore_deletes: skip whole (adds rewrite
@@ -386,6 +390,9 @@ object DeltaStreamSource {
     // snapshot, which under a fresh temp dir would re-emit every row
     val dir = viewDir.map { d => Files.createDirectories(d); d }
       .getOrElse(Files.createTempDirectory("graft-delta-view"))
+    // claim the marker era BEFORE any link lands — keeps the O(1)
+    // change-feed sync probe on partitioned views (Cdf.stampViewEra)
+    graft.sinks.Cdf.stampViewEra(dir)
     val view = new View(table, dir, ignoreDeletes, changeFeed, Some(spark),
       persistent = viewDir.isDefined, mapped = mapped)
     views.add(view)

@@ -331,6 +331,9 @@ object IcebergStreamSource {
     // see the delta twin
     val dir = viewDir.map { d => Files.createDirectories(d); d }
       .getOrElse(Files.createTempDirectory("graft-iceberg-view"))
+    // claim the marker era BEFORE any link lands — keeps the O(1)
+    // change-feed sync probe on partitioned views (Cdf.stampViewEra)
+    graft.sinks.Cdf.stampViewEra(dir.resolve("data"))
     val view = new View(table, dir, ignoreDeletes, changeFeed, Some(spark),
       persistent = viewDir.isDefined, renamed = renamed)
     views.add(view)

@@ -592,6 +592,26 @@ class DeltaLogSpec extends SparkSpec {
       .map(pn.get("writerFeatures").get(_).asText()).toSet
     assert(wf == Set("appendOnly", "invariants", "inCommitTimestamp"), pj)
     assert(DeltaLog.writeBatch(Seq((2L, "b")).toDF("id", "v"), plain).contains(2L))
+    // a protocol rewrite must CARRY the replaced protocol's explicit
+    // reader AND writer features (and never downgrade minReaderVersion):
+    // a 3/7 timestampNtz table arming ICT keeps timestampNtz bound
+    val tz = tmpTable()
+    DeltaLog.writeBatch(Seq((1L, "a")).toDF("id", "v"), tz)
+    Files.write(Paths.get(tz, "_delta_log", f"${1L}%020d.json"),
+      ("""{"protocol":{"minReaderVersion":3,"minWriterVersion":7,""" +
+        """"readerFeatures":["timestampNtz"],""" +
+        """"writerFeatures":["timestampNtz"]}}""" + "\n").getBytes("UTF-8"))
+    DeltaLog.clearSnapshotCache()
+    DeltaLog.setTableProperties(spark, tz,
+      Map("delta.enableInCommitTimestamps" -> "true"))
+    val pn2 = mapper.readTree(DeltaLog.snapshot(spark, tz).get.protocolJson.get)
+    assert(pn2.get("minReaderVersion").asInt() == 3, pn2.toString)
+    val rf2 = (0 until pn2.get("readerFeatures").size())
+      .map(pn2.get("readerFeatures").get(_).asText()).toSet
+    val wf2 = (0 until pn2.get("writerFeatures").size())
+      .map(pn2.get("writerFeatures").get(_).asText()).toSet
+    assert(rf2 == Set("timestampNtz"), pn2.toString)
+    assert(wf2 == Set("timestampNtz", "inCommitTimestamp"), pn2.toString)
   }
 
   test("TIMESTAMP AS OF falls back to a clamped linear scan for commits without commitInfo") {
