@@ -2453,8 +2453,10 @@ object DeltaLog {
           val wf = prBody.putArray("writerFeatures")
           val implied = scala.collection.mutable.LinkedHashSet.empty[String]
           // legacy implications of the protocol being replaced
-          // (PROTOCOL.md's minWriterVersion table — the shared copy)
-          implied ++= impliedWriterFeatures(prevMw)
+          // (PROTOCOL.md's minWriterVersion table — the shared copy).
+          // Only a genuine UPGRADE carries them: a fresh v0 table
+          // replaces nothing and declares only what it uses
+          if (snap.isDefined) implied ++= impliedWriterFeatures(prevMw)
           // explicit features of the replaced protocol carry forward
           implied ++= prevFeatures("writerFeatures")
           if (dvOn || dvWasOn) implied += "deletionVectors"
