@@ -654,6 +654,16 @@ class DeltaLogSpec extends SparkSpec {
       DeltaLog.commit(spark, table, stale.schema, Seq.empty,
         added = Seq.empty, txn = None)
     }
+    // the schemaBase guard (r14): an evolution commit planned against a
+    // schema that moved underneath loses cleanly — what stops two
+    // concurrent ADD COLUMNS from clobbering each other (or, on mapped
+    // tables, minting the same column id twice)
+    assert(DeltaLog.commit(spark, table,
+      org.apache.spark.sql.types.StructType(stale.schema.fields :+
+        org.apache.spark.sql.types.StructField("mine",
+          org.apache.spark.sql.types.LongType)),
+      Seq.empty, added = Seq.empty, txn = None, mergeSchema = true,
+      schemaBase = Some(stale.schema.json)).isEmpty)
   }
 
   test("null partition values round-trip as protocol nulls (r10)") {
