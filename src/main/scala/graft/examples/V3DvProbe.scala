@@ -136,6 +136,29 @@ object V3DvProbe {
     println(f"[v3dv-probe] v3 puffin DV full scan (${blobAt.size} blobs, " +
       f"${Files.size(puffin) / 1e3}%.0f kB puffin): ${tDv1}%.2fs / ${tDv2}%.2fs")
     println(f"[v3dv-probe] anti-join/DV-probe ratio: ${tPos2 / tDv2}%.2fx")
+
+    // ── WRITE-side cost (r14, the native v3 write mode): the SAME
+    // spread delete landed as (a) v2 position-delete parquets vs
+    // (b) v3 puffin DVs (executor-built bitmaps, prior-delete folding,
+    // spec footer) — what the upgrade costs/buys on the commit path
+    def freshDeleteCost(v3: Boolean): Double = {
+      val t = Files.createTempDirectory("v3dv_w").toString
+      IcebergLog.writeBatch(spark.range(n)
+        .select(col("id").as("k"), (col("id") % 997 * 1.0).as("v"))
+        .repartitionByRange(nFiles, col("k")), t)
+      val props = Map("write.delete.mode" -> "merge-on-read") ++
+        (if (v3) Map("format-version" -> "3") else Map.empty)
+      IcebergLog.setTableProperties(spark, t, props)
+      val (_, sec) = timed(
+        IcebergLog.deleteWhere(spark, t, s"k % $rowsPerFile < $delPerFile"))
+      assert(IcebergLog.read(spark, t).count() == expect)
+      sec
+    }
+    val tV2w = freshDeleteCost(v3 = false)
+    val tV3w = freshDeleteCost(v3 = true)
+    println(f"[v3dv-probe] WRITE spread delete (${nFiles * delPerFile} rows " +
+      f"across $nFiles files): v2 pos-delete parquet ${tV2w}%.2fs vs " +
+      f"v3 puffin DV ${tV3w}%.2fs (${tV2w / tV3w}%.2fx)")
     spark.stop()
   }
 }

@@ -1629,10 +1629,15 @@ object DeltaLog {
           (cols.map { case (n, dt) => StructField(n, dt, nullable = true) },
             Map.empty[String, String])
         else {
-          require(cols.forall(c => !c._2.isInstanceOf[StructType] &&
-            !c._2.isInstanceOf[ArrayType] && !c._2.isInstanceOf[MapType]),
-            s"$table: ADD COLUMNS on a column-mapped table supports scalar " +
-              "columns (nested types need per-subfield id minting)")
+          // id-mode nested additions would need nested parquet field-id
+          // stamping on the write side — refuse like every other id-mode
+          // nested surface; name mode mints at every depth
+          require(mappingMode(s.configuration) != "id" ||
+            cols.forall(c => !c._2.isInstanceOf[StructType] &&
+              !c._2.isInstanceOf[ArrayType] && !c._2.isInstanceOf[MapType]),
+            s"$table: id-mode ADD COLUMNS supports scalar columns only " +
+              "(nested parquet field ids cannot be stamped through this " +
+              "writer); use mode=name for nested additions")
           // fallback when the property is absent: the max cm id across
           // the WHOLE type tree (nested fields carry ids too — a
           // top-level count would collide with them); when both exist,
@@ -1647,19 +1652,31 @@ object DeltaLog {
               math.max(maxCmId(mt.keyType), maxCmId(mt.valueType))
             case _ => 0L
           }
-          val base = math.max(
+          var next = math.max(
             s.configuration.get("delta.columnMapping.maxColumnId")
               .map(_.toLong).getOrElse(0L),
             maxCmId(s.schema))
-          val minted = cols.zipWithIndex.map { case ((n, dt), i) =>
-            StructField(n, dt, nullable = true,
-              new org.apache.spark.sql.types.MetadataBuilder()
-                .putLong(CmIdKey, base + i + 1)
-                .putString(CmPhysKey, s"col-${UUID.randomUUID()}")
-                .build())
+          // mint at EVERY depth (the mintMapping shape): struct members
+          // get their own id + physicalName, arrays/maps recurse
+          def mint(dt: DataType): DataType = dt match {
+            case st: StructType => StructType(st.fields.map { f =>
+              next += 1
+              val id = next
+              f.copy(dataType = mint(f.dataType), metadata =
+                new org.apache.spark.sql.types.MetadataBuilder()
+                  .withMetadata(f.metadata)
+                  .putLong(CmIdKey, id)
+                  .putString(CmPhysKey, s"col-${UUID.randomUUID()}")
+                  .build())
+            })
+            case at: ArrayType => at.copy(elementType = mint(at.elementType))
+            case mt: MapType =>
+              mt.copy(keyType = mint(mt.keyType), valueType = mint(mt.valueType))
+            case other => other
           }
-          (minted, Map("delta.columnMapping.maxColumnId" ->
-            (base + cols.size).toString))
+          val minted = mint(StructType(cols.map { case (n, dt) =>
+            StructField(n, dt, nullable = true) })).asInstanceOf[StructType].fields.toSeq
+          (minted, Map("delta.columnMapping.maxColumnId" -> next.toString))
         }
       val evolved = StructType(s.schema.fields ++ newFields)
       val committed = commit(spark, table, evolved, s.partitionColumns,

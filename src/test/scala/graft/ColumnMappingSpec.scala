@@ -601,9 +601,25 @@ class ColumnMappingSpec extends SparkSpec {
       table, mergeSchema = true).isDefined)
     assert(DeltaLog.read(spark, table).filter("id = 12")
       .select("extra2").collect().head.isNullAt(0))
-    // nested ADD COLUMNS on mapped tables still refuses (per-subfield ids)
+    // nested ADD COLUMNS (name mode) mints at every depth (r14)
+    assert(DeltaLog.addColumns(spark, table, Seq("s" ->
+      StructType(Seq(StructField("a", LongType))))).isDefined)
+    val sN = DeltaLog.snapshot(spark, table).get
+    val sField = sN.schema("s")
+    assert(sField.metadata.getLong("delta.columnMapping.id") == 13L)
+    val aField = sField.dataType.asInstanceOf[StructType]("a")
+    assert(aField.metadata.getLong("delta.columnMapping.id") == 14L)
+    assert(aField.metadata.getString("delta.columnMapping.physicalName")
+      .startsWith("col-"))
+    assert(sN.configuration("delta.columnMapping.maxColumnId") == "14")
+    // …but id mode still refuses nested additions (field ids cannot be
+    // stamped below the top level by this writer)
+    val idT = tmpTable()
+    assert(DeltaLog.writeBatch(
+      Seq((1L, "x")).toDF("id", "name"), idT,
+      tableConf = Map("delta.columnMapping.mode" -> "id")).isDefined)
     val eNest = intercept[IllegalArgumentException] {
-      DeltaLog.addColumns(spark, table, Seq("s" ->
+      DeltaLog.addColumns(spark, idT, Seq("s" ->
         StructType(Seq(StructField("a", LongType)))))
     }
     assert(eNest.getMessage.contains("scalar"), eNest.getMessage)
