@@ -265,6 +265,36 @@ class IcebergV3Spec extends SparkSpec {
     assert(chB == Set((4L, "delete")), s"got $chB")
   }
 
+  test("v3 WRITE on a PARTITIONED table: DVs ride the unpartitioned spec; supersede confined") {
+    import spark.implicits._
+    val table = tmpTable()
+    IcebergLog.writeBatch(
+      Seq((1L, 10L, "a"), (2L, 20L, "a"), (3L, 30L, "b"), (4L, 40L, "b"))
+        .toDF("id", "v", "p").repartition(2),
+      table, partitionBy = Seq("p"))
+    IcebergLog.setTableProperties(spark, table, Map(
+      "format-version" -> "3", "write.delete.mode" -> "merge-on-read"))
+    assert(IcebergLog.deleteWhere(spark, table, "id = 1").isDefined)
+    assert(IcebergLog.deleteWhere(spark, table, "id = 4").isDefined)
+    val dels = IcebergLog.deleteFiles(table, None)
+    assert(dels.forall(_.isDv), s"got $dels")
+    // one DV per touched data file (a's file and b's file), each under
+    // the UNPARTITIONED spec (path-targeted, like global pos deletes)
+    assert(dels.size == 2, s"got ${dels.map(d => (d.path, d.referencedDataFile))}")
+    assert(dels.flatMap(_.referencedDataFile).distinct.size == 2)
+    val got = IcebergLog.read(spark, table)
+      .select("id", "v").as[(Long, Long)].collect().toMap
+    assert(got == Map(2L -> 20L, 3L -> 30L), s"got $got")
+    // a second delete hitting partition a's file supersedes ONLY that DV
+    assert(IcebergLog.deleteWhere(spark, table, "id = 2").isDefined)
+    val dels2 = IcebergLog.deleteFiles(table, None)
+    assert(dels2.size == 2, s"got ${dels2.map(_.records)}")
+    assert(dels2.map(_.records).sorted == Seq(1L, 2L), s"got ${dels2.map(_.records)}")
+    val got2 = IcebergLog.read(spark, table)
+      .select("id", "v").as[(Long, Long)].collect().toMap
+    assert(got2 == Map(3L -> 30L), s"got $got2")
+  }
+
   test("v3 WRITE: prior v2 position-delete parquet rows fold into the new DV") {
     import spark.implicits._
     val table = morTable()
