@@ -67,7 +67,10 @@ final class NatsClient(host: String, port: Int, name: String = "graft") extends 
   private val out = new BufferedOutputStream(socket.getOutputStream)
   private val handlers = new ConcurrentHashMap[String, (String, Array[Byte]) => Unit]()
   private val closed = new AtomicBoolean(false)
-  private val pongs = new java.util.concurrent.LinkedBlockingQueue[Unit]()
+  // element type must be a REFERENCE type: with [Unit], poll's timeout
+  // null coerces to () and the flush require can never fail — a missing
+  // PONG would silently pass (caught by -feature's Unit!=null warning)
+  private val pongs = new java.util.concurrent.LinkedBlockingQueue[java.lang.Boolean]()
   private var sid = 0
 
   // handshake: server speaks first
@@ -96,7 +99,7 @@ final class NatsClient(host: String, port: Int, name: String = "graft") extends 
         } else if (line == "PING") {
           out.synchronized { writeLine(out, "PONG"); out.flush() }
         } else if (line == "PONG") {
-          pongs.put(()) // completes a pending flush()
+          pongs.put(java.lang.Boolean.TRUE) // completes a pending flush()
         } // +OK / -ERR: nothing to do for this client
         line = readLine(in)
       }
