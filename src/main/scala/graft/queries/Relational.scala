@@ -661,6 +661,84 @@ object Relational {
               |SELECT l_returnflag, COUNT(*) AS n, ${oSum("q")} AS sum_qty
               |FROM merged WHERE q <= 25 GROUP BY 1""".stripMargin)),
 
+    // ── RENAME/DROP COLUMN on a mapped delta table (r15): CREATE with
+    //    column mapping (the engine mints ids/physicalNames), append,
+    //    RENAME l_quantity→qty (metaData-only; the physicalName binding
+    //    keeps every existing file resolving), DML against the NEW name,
+    //    DROP l_extendedprice, then RE-ADD a column of the dropped name —
+    //    whose values must be all-null (fresh physicalName: old bytes
+    //    stay dead). The read goes through a scan_filter on the renamed
+    //    column, so phys-keyed stats pruning is exercised through the
+    //    rename. A hash match proves the whole evolution cycle against
+    //    DuckDB replaying the algebra.
+    Q("q_delta_rename_drop",
+      (s, dir) => {
+        val li = t(s, dir, "lineitem").select(
+          col("l_orderkey"), col("l_returnflag"), col("l_quantity"),
+          col("l_extendedprice"))
+        val table = java.nio.file.Files
+          .createTempDirectory("graft-delta-rd").resolve("t").toString
+        graft.sinks.DeltaLog.writeBatch(li, table,
+          partitionBy = Seq("l_returnflag"),
+          tableConf = Map("delta.columnMapping.mode" -> "name"))
+        graft.sinks.DeltaLog.renameColumn(s, table, "l_quantity", "qty")
+        graft.sinks.DeltaLog.deleteWhere(s, table, "qty > 45")
+        graft.sinks.DeltaLog.updateWhere(s, table,
+          Seq("qty" -> "qty * 2"), Some("l_returnflag = 'R'"))
+        graft.sinks.DeltaLog.dropColumns(s, table, Seq("l_extendedprice"))
+        graft.sinks.DeltaLog.addColumns(s, table,
+          Seq("l_extendedprice" -> org.apache.spark.sql.types.DoubleType))
+        graft.sinks.DeltaLog.read(s, table, scanFilter = Some("qty <= 60"))
+          .groupBy(col("l_returnflag"))
+          .agg(count(lit(1)).as("n"), dsum(col("qty")).as("sum_qty"),
+            count(col("l_extendedprice")).as("n_resurrected"))
+      },
+      Some(s"""WITH base AS (
+              |  SELECT l_returnflag,
+              |    CASE WHEN l_returnflag = 'R' THEN l_quantity * 2
+              |         ELSE l_quantity END AS qty
+              |  FROM lineitem WHERE NOT (l_quantity > 45)
+              |)
+              |SELECT l_returnflag, COUNT(*) AS n, ${oSum("qty")} AS sum_qty,
+              |  CAST(0 AS BIGINT) AS n_resurrected
+              |FROM base WHERE qty <= 60 GROUP BY 1""".stripMargin)),
+
+    // ── RENAME/DROP COLUMN on iceberg (r15): the twin cycle under
+    //    field-id identity — rename appends a schema-history entry with
+    //    the SAME id under the new name (pre-rename files resolve by
+    //    parquet field id, the spec's Column Projection rule), drop
+    //    retires the id (last-column-id high-water), and the re-added
+    //    same-named column gets a FRESH id so old files read null.
+    Q("q_iceberg_rename_drop",
+      (s, dir) => {
+        val li = t(s, dir, "lineitem").select(
+          col("l_orderkey"), col("l_returnflag"), col("l_quantity"),
+          col("l_extendedprice"))
+        val table = java.nio.file.Files
+          .createTempDirectory("graft-iceberg-rd").toString
+        graft.sinks.IcebergLog.writeBatch(li.repartition(4), table)
+        graft.sinks.IcebergLog.renameColumn(s, table, "l_quantity", "qty")
+        graft.sinks.IcebergLog.deleteWhere(s, table, "qty > 45")
+        graft.sinks.IcebergLog.updateWhere(s, table,
+          Seq("qty" -> "qty * 2"), Some("l_returnflag = 'R'"))
+        graft.sinks.IcebergLog.dropColumns(s, table, Seq("l_extendedprice"))
+        graft.sinks.IcebergLog.addColumns(s, table,
+          Seq("l_extendedprice" -> org.apache.spark.sql.types.DoubleType))
+        graft.sinks.IcebergLog.read(s, table, scanFilter = Some("qty <= 60"))
+          .groupBy(col("l_returnflag"))
+          .agg(count(lit(1)).as("n"), dsum(col("qty")).as("sum_qty"),
+            count(col("l_extendedprice")).as("n_resurrected"))
+      },
+      Some(s"""WITH base AS (
+              |  SELECT l_returnflag,
+              |    CASE WHEN l_returnflag = 'R' THEN l_quantity * 2
+              |         ELSE l_quantity END AS qty
+              |  FROM lineitem WHERE NOT (l_quantity > 45)
+              |)
+              |SELECT l_returnflag, COUNT(*) AS n, ${oSum("qty")} AS sum_qty,
+              |  CAST(0 AS BIGINT) AS n_resurrected
+              |FROM base WHERE qty <= 60 GROUP BY 1""".stripMargin)),
+
     // ── iceberg FORMAT-VERSION 3 interop (r13): run a merge-on-read
     //    DELETE, then re-shape the table the way a v3 writer leaves it —
     //    each position-delete parquet becomes a puffin DELETION VECTOR

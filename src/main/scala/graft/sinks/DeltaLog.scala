@@ -1687,6 +1687,88 @@ object DeltaLog {
     sys.error(s"$table: ADD COLUMNS lost 5 concurrent-evolution races; giving up")
   }
 
+  /** `ALTER TABLE … RENAME COLUMN from TO to` — the operation column
+    * mapping exists for (PROTOCOL.md "Column Mapping"): a metaData-only
+    * commit that changes the LOGICAL name while the
+    * `delta.columnMapping.physicalName`/`id` binding — and therefore
+    * every existing data file, stat key, partition dir, and DV — stays
+    * untouched. Unmapped tables refuse: their files carry logical
+    * column names, so a rename would orphan every existing file's data.
+    * Retries under the schemaBase guard like [[addColumns]].
+    */
+  def renameColumn(spark: SparkSession, table: String, from: String,
+      to: String): Option[Long] = {
+    require(from != to, s"RENAME COLUMN: '$from' to itself")
+    require(!from.contains(".") && !to.contains("."),
+      "RENAME COLUMN: top-level columns only (this writer does not " +
+        "rename nested fields; renamed nested fields written by others " +
+        "still READ correctly — resolution is physical)")
+    var round = 0
+    while (round < 5) {
+      round += 1
+      val s = snapshot(spark, table)
+        .getOrElse(sys.error(s"$table is not a Delta table (no _delta_log)"))
+      require(mappingMode(s.configuration) != "none",
+        s"$table: RENAME COLUMN requires column mapping " +
+          "(delta.columnMapping.mode=name|id); unmapped data files carry " +
+          "logical names, so the rename would null the column in every " +
+          "existing file — create the table with column mapping")
+      require(s.schema.fieldNames.contains(from),
+        s"RENAME COLUMN: no column $from in $table")
+      require(!s.schema.fieldNames.contains(to),
+        s"RENAME COLUMN: column $to already exists in $table")
+      val evolved = StructType(s.schema.fields.map(f =>
+        if (f.name == from) f.copy(name = to) else f))
+      val parts = s.partitionColumns.map(pc => if (pc == from) to else pc)
+      val committed = commit(spark, table, evolved, parts, added = Seq.empty,
+        txn = None, allowMapped = true, schemaBase = Some(s.schema.json),
+        schemaReplace = true)
+      if (committed.isDefined) return committed
+    }
+    sys.error(s"$table: RENAME COLUMN lost 5 concurrent-evolution races; giving up")
+  }
+
+  /** `ALTER TABLE … DROP COLUMN[S]` — the other mapping-only evolution:
+    * a metaData-only commit that removes the field from the table
+    * schema while its PHYSICAL data stays in every existing file
+    * (readers project mapped fields only, so the dead column simply
+    * stops resolving; VACUUM-style physical purge is a rewrite,
+    * deliberately not bundled here). Partition columns refuse — their
+    * values live in the log/dirs, not the files, and dropping one
+    * changes the table's layout contract.
+    */
+  def dropColumns(spark: SparkSession, table: String,
+      cols: Seq[String]): Option[Long] = {
+    require(cols.nonEmpty, "DROP COLUMN: no columns")
+    require(cols.distinct.size == cols.size, "DROP COLUMN: duplicate column name")
+    var round = 0
+    while (round < 5) {
+      round += 1
+      val s = snapshot(spark, table)
+        .getOrElse(sys.error(s"$table is not a Delta table (no _delta_log)"))
+      require(mappingMode(s.configuration) != "none",
+        s"$table: DROP COLUMN requires column mapping " +
+          "(delta.columnMapping.mode=name|id); without it readers resolve " +
+          "files by logical name and a re-added column of the same name " +
+          "would resurrect the dead values")
+      cols.foreach { c =>
+        require(s.schema.fieldNames.contains(c),
+          s"DROP COLUMN: no column $c in $table")
+        require(!s.partitionColumns.contains(c),
+          s"DROP COLUMN: $c is a partition column of $table — " +
+            "repartitioning requires a rewrite, not a schema commit")
+      }
+      val evolved = StructType(s.schema.fields.filterNot(f => cols.contains(f.name)))
+      require(evolved.fields.nonEmpty,
+        s"DROP COLUMN: cannot drop every column of $table")
+      val committed = commit(spark, table, evolved, s.partitionColumns,
+        added = Seq.empty, txn = None, allowMapped = true,
+        schemaBase = Some(s.schema.json), schemaReplace = true)
+      if (committed.isDefined) return committed
+    }
+    sys.error(s"$table: DROP COLUMN lost 5 concurrent-evolution races; giving up")
+  }
+
   /** Set/merge table properties as a metaData-only commit (the
     * `ALTER TABLE SET TBLPROPERTIES` shape — what lands
     * `delta.enableChangeDataFeed` on an EXISTING table). No-op (None)
@@ -2275,7 +2357,16 @@ object DeltaLog {
         * schema moved underneath (concurrent evolution) aborts (None)
         * so the caller re-plans instead of clobbering the other
         * writer's columns — the mapped-id minting race guard. */
-      schemaBase: Option[String] = None): Option[Long] = {
+      schemaBase: Option[String] = None,
+      /** Commit `schema` VERBATIM instead of through append-only
+        * [[SchemaEvolution]] — the RENAME/DROP COLUMN shape (a
+        * metaData-only commit whose new schema is not a superset of the
+        * old). Only sound under `schemaBase` (concurrent drift aborts)
+        * and with no files attached. */
+      schemaReplace: Boolean = false): Option[Long] = {
+    require(!schemaReplace || (added.isEmpty && cdc.isEmpty &&
+      removed.isEmpty && schemaBase.isDefined),
+      "schemaReplace commits must be metaData-only and schemaBase-guarded")
     val dir = logDir(table)
     Files.createDirectories(dir)
     var attempt = 0
@@ -2347,19 +2438,24 @@ object DeltaLog {
       // evolution — NEVER a silent replace (SchemaEvolution); changing
       // the partitioning of an existing table is always an error
       snap.foreach { s0 =>
-        if (s0.partitionColumns != partitionBy) throw new IllegalArgumentException(
-          s"$table is partitioned by (${s0.partitionColumns.mkString(", ")}); " +
-            s"this write declares (${partitionBy.mkString(", ")}) — " +
-            "repartitioning an existing table requires a rewrite, not an append")
+        // schemaReplace (RENAME COLUMN) may change a partition column's
+        // LOGICAL name; the physical layout is untouched either way
+        if (!schemaReplace && s0.partitionColumns != partitionBy)
+          throw new IllegalArgumentException(
+            s"$table is partitioned by (${s0.partitionColumns.mkString(", ")}); " +
+              s"this write declares (${partitionBy.mkString(", ")}) — " +
+              "repartitioning an existing table requires a rewrite, not an append")
       }
-      val tableSchema = snap.map { s0 =>
-        // a conflict-guarded (DML) commit carries its PLAN-time snapshot's
-        // schema: drift here means a concurrent ADD COLUMNS landed after
-        // planning — that's a concurrency LOSS (re-plan from the fresh
-        // snapshot picks up the evolved schema), not a schema error
-        try SchemaEvolution.resolve(s0.schema, schema, mergeSchema, table)
-        catch { case _: IllegalArgumentException if conflict.isDefined => return None }
-      }.getOrElse(schema)
+      val tableSchema =
+        if (schemaReplace) schema
+        else snap.map { s0 =>
+          // a conflict-guarded (DML) commit carries its PLAN-time snapshot's
+          // schema: drift here means a concurrent ADD COLUMNS landed after
+          // planning — that's a concurrency LOSS (re-plan from the fresh
+          // snapshot picks up the evolved schema), not a schema error
+          try SchemaEvolution.resolve(s0.schema, schema, mergeSchema, table)
+          catch { case _: IllegalArgumentException if conflict.isDefined => return None }
+        }.getOrElse(schema)
       val version = snap.map(_.version + 1).getOrElse(0L)
       // configuration carries forward; tableConf entries overlay it (a
       // CREATE with change_feed='true' lands delta.enableChangeDataFeed

@@ -299,12 +299,44 @@ object IcebergLog {
     case other => throw new IllegalArgumentException(s"iceberg: unsupported type $other")
   }
 
-  private def schemaJson(schema: StructType, schemaId: Int = 0): String = {
+  private def schemaJson(schema: StructType, schemaId: Int = 0,
+      ids: Map[String, Int] = Map.empty): String = {
     val fields = schema.fields.zipWithIndex.map { case (f, i) =>
-      s"""{"id":${i + 1},"name":"${f.name}","required":${!f.nullable},"type":"${icebergType(f.dataType)}"}"""
+      s"""{"id":${ids.getOrElse(f.name, i + 1)},"name":"${f.name}","required":${!f.nullable},"type":"${icebergType(f.dataType)}"}"""
     }
     s"""{"type":"struct","schema-id":$schemaId,"fields":[${fields.mkString(",")}]}"""
   }
+
+  /** id → field of `schema` through the DECLARED ids (positional for
+    * names outside them) — what equality-delete field ids resolve by.
+    * Positions stop equalling ids after a RENAME/DROP, and third-party
+    * layouts never promised they did.
+    */
+  private def fieldsById(schema: StructType,
+      ids: Map[String, Int]): Map[Int, StructField] =
+    schema.fields.zipWithIndex.map { case (f, i) =>
+      ids.getOrElse(f.name, i + 1) -> f }.toMap
+
+  /** The field ids `schema` commits/writes under: the table's DECLARED
+    * ids where the name is known; fresh names (append evolution) mint
+    * sequentially past `last-column-id`, never re-using a dropped id.
+    * Fresh tables mint positionally (1..n), the id shape this engine
+    * has always created.
+    */
+  private def fieldIdsFor(cur: Option[Meta], schema: StructType): Map[String, Int] =
+    cur match {
+      case None =>
+        schema.fieldNames.zipWithIndex.map { case (n, i) => n -> (i + 1) }.toMap
+      case Some(m) =>
+        val known = m.fieldIds
+        var next = m.lastColumnId
+        schema.fieldNames.map { n =>
+          known.get(n) match {
+            case Some(id) => n -> id
+            case None => next += 1; n -> next
+          }
+        }.toMap
+    }
 
   private def schemaOf(n: com.fasterxml.jackson.databind.JsonNode): StructType =
     StructType((0 until n.get("fields").size()).map { i =>
@@ -387,31 +419,35 @@ object IcebergLog {
     */
   private def requireResolvablePartitions(table: String, m: Meta,
       files: Seq[LiveFile]): Unit = {
-    if (m.partitionColumns.isEmpty || files.isEmpty) return
-    val renamed = renamedFieldIds(m)
-    if (renamed.isEmpty) return
-    val arr = m.node.get("schemas")
-    val cur = (0 until arr.size()).map(arr.get)
-      .find(_.get("schema-id").asInt() == m.currentSchemaId).getOrElse(arr.get(0))
-    val idOf = (0 until cur.get("fields").size()).map { i =>
-      val f = cur.get("fields").get(i)
-      f.get("name").asText() -> f.get("id").asInt()
-    }.toMap
-    val renamedParts = m.partitionColumns.filter(pc =>
-      idOf.get(pc).exists(renamed.contains))
-    if (renamedParts.isEmpty) return
-    // exact hive SEGMENT match — a substring test would falsely pass
-    // when the new name is a suffix of the old ("returnflag" -> "flag")
-    def hasSegment(path: String, pc: String): Boolean =
-      path.split('/').exists(_.startsWith(pc + "="))
-    files.find(f => renamedParts.exists(pc => !hasSegment(f.path, pc)))
+    stalePartitionNamed(m, files).headOption
       .foreach { f => sys.error(
-        s"$table: partition column(s) ${renamedParts.mkString(", ")} were " +
+        s"$table: a partition column was " +
           s"renamed and live file ${f.path} predates the rename (its hive " +
           "path carries the old name; partition values cannot be resolved " +
           "by field id) — run OPTIMIZE (rewrite_data_files) to re-land " +
           "files under the current names, then read")
       }
+  }
+
+  /** Live files whose hive path still carries a PRE-RENAME partition
+    * segment: partition values recover from dir names, which field-id
+    * resolution can't fix — these refuse reads and are OPTIMIZE's
+    * repair victims.
+    */
+  private def stalePartitionNamed(m: Meta,
+      files: Seq[LiveFile]): Seq[LiveFile] = {
+    if (m.partitionColumns.isEmpty || files.isEmpty) return Seq.empty
+    val renamed = renamedFieldIds(m)
+    if (renamed.isEmpty) return Seq.empty
+    val idOf = m.fieldIds
+    val renamedParts = m.partitionColumns.filter(pc =>
+      idOf.get(pc).exists(renamed.contains))
+    if (renamedParts.isEmpty) return Seq.empty
+    // exact hive SEGMENT match — a substring test would falsely pass
+    // when the new name is a suffix of the old ("returnflag" -> "flag")
+    def hasSegment(path: String, pc: String): Boolean =
+      path.split('/').exists(_.startsWith(pc + "="))
+    files.filter(f => renamedParts.exists(pc => !hasSegment(f.path, pc)))
   }
 
   // ── table metadata ───────────────────────────────────────────────────
@@ -481,6 +517,31 @@ object IcebergLog {
         .find(f => Option(f.get("id")).exists(_.asInt() == id))
         .map(f => sparkType(f.get("type").asText()))
     }
+    /** The CURRENT schema's declared field ids, name → id. These — not
+      * schema POSITIONS — are the spec's column identity: after a
+      * RENAME they persist under the new name, after a DROP the
+      * survivors keep their ids (leaving a gap positions can't see).
+      * Every id-keyed structure (parquet field ids, footer metrics,
+      * stats pruning, spec source-ids, name mapping) must key off this.
+      */
+    def fieldIds: Map[String, Int] = {
+      val arr = node.get("schemas")
+      val cur = currentSchemaId
+      val n = (0 until arr.size()).map(arr.get)
+        .find(s => s.get("schema-id").asInt() == cur).getOrElse(arr.get(0))
+      val fields = n.get("fields")
+      (0 until fields.size()).map { i =>
+        val f = fields.get(i)
+        f.get("name").asText() -> f.get("id").asInt()
+      }.toMap
+    }
+    /** High-water mark for field-id minting (`last-column-id`): a
+      * DROPPED column's id must never be re-minted — a reader would
+      * bind the dead column's parquet data to the new field.
+      */
+    def lastColumnId: Int = math.max(
+      Option(node.get("last-column-id")).map(_.asInt()).getOrElse(0),
+      fieldIds.values.foldLeft(0)(math.max))
     def formatVersion: Int =
       Option(node.get("format-version")).map(_.asInt()).getOrElse(1)
     /** v3 row-lineage counter (`next-row-id`, required in v3 metadata):
@@ -649,8 +710,9 @@ object IcebergLog {
     */
   private def footerMetrics(
       footer: org.apache.parquet.hadoop.metadata.ParquetMetadata,
-      schema: StructType): ColMetrics = {
-    val byName = schema.fields.zipWithIndex.map { case (f, i) => f.name -> (i + 1, f.dataType) }.toMap
+      schema: StructType, ids: Map[String, Int]): ColMetrics = {
+    val byName = schema.fields.zipWithIndex.map { case (f, i) =>
+      f.name -> (ids.getOrElse(f.name, i + 1), f.dataType) }.toMap
     val vc = scala.collection.mutable.Map.empty[Int, Long]
     val nc = scala.collection.mutable.Map.empty[Int, Long]
     val lo = scala.collection.mutable.Map.empty[Int, Any]
@@ -686,9 +748,11 @@ object IcebergLog {
         }
       }
     }
+    val dtById: Map[Int, DataType] =
+      byName.values.map { case (id, dt) => id -> dt }.toMap
     def bounds(m: scala.collection.Map[Int, Any]): Map[Int, Array[Byte]] =
       m.toMap.collect { case (id, v) if statsOk.getOrElse(id, false) =>
-        val dt = schema.fields(id - 1).dataType
+        val dt = dtById(id)
         boundBytes(v, dt).map(id -> _)
       }.flatten.toMap
     ColMetrics(vc.toMap,
@@ -895,12 +959,19 @@ object IcebergLog {
       .find(_.get("schema-id").asInt() == m.currentSchemaId)
       .getOrElse(schemas.get(0))
     val sf = curSchema.get("fields")
-    val positionalIds = (0 until sf.size()).forall(i =>
-      Option(sf.get(i).get("id")).exists(_.asInt() == i + 1))
+    // strictly-increasing distinct positive ids: the shape every
+    // descendant of this engine's sequential mint has — CREATE mints
+    // 1..n, appends mint past last-column-id, RENAME keeps ids, DROP
+    // leaves a gap but preserves order. Reorders or foreign re-numbered
+    // histories fall outside it and refuse (reads stay fine).
+    val idSeq = (0 until sf.size()).flatMap(i =>
+      Option(sf.get(i).get("id")).map(_.asInt()))
+    val mintedIds = idSeq.size == sf.size() && idSeq.forall(_ >= 1) &&
+      idSeq.zip(idSeq.drop(1)).forall { case (a, b) => a < b }
     byId.keySet.subsetOf(Set(0, 1)) && defaultId == 0 &&
       byId.get(0).forall(allIdentity) &&
       byId.get(1).forall(_.get("fields").size() == 0) &&
-      positionalIds
+      mintedIds
   }
 
   /** The write path's spec resolution: [[commitSnapshot]] itself defines
@@ -969,9 +1040,10 @@ object IcebergLog {
     * Projection fallback for files WITHOUT parquet field ids — e.g.
     * files this engine wrote before r12, or third-party imports).
     */
-  private def nameMappingJson(schema: StructType): String =
+  private def nameMappingJson(schema: StructType,
+      ids: Map[String, Int]): String =
     schema.fieldNames.zipWithIndex.map { case (n, i) =>
-      s"""{"field-id":${i + 1},"names":["$n"]}"""
+      s"""{"field-id":${ids.getOrElse(n, i + 1)},"names":["$n"]}"""
     }.mkString("[", ",", "]")
 
   /** Write `df`'s rows as fresh table data files: scratch write, then
@@ -986,8 +1058,11 @@ object IcebergLog {
   private def writeDataFiles(spark: SparkSession, table: String, df: DataFrame,
       partitionBy: Seq[String], statSchema: StructType): Seq[DataFileInfo] = {
     Files.createDirectories(Paths.get(table, "data"))
+    // DECLARED ids, hoisted once per write op (after a RENAME/DROP they
+    // are no longer positional; statFile below must key metrics the same)
+    val ids = fieldIdsFor(current(table), statSchema)
     val scratch = Paths.get(table, s".graft-iceberg-${UUID.randomUUID()}")
-    val w = withFieldIds(df, tableFieldIds(statSchema)).write.mode("overwrite")
+    val w = withFieldIds(df, ids).write.mode("overwrite")
     (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w)
       .parquet(scratch.toString)
     val parts = walkDir(scratch)
@@ -1003,23 +1078,24 @@ object IcebergLog {
       try Files.createLink(dest, p)
       catch { case _: UnsupportedOperationException =>
         Files.move(p, dest, StandardCopyOption.ATOMIC_MOVE) }
-      statFile(spark, table, dest, statSchema)
+      statFile(spark, table, dest, statSchema, ids)
     }
     walkDir(scratch).reverse.foreach(Files.deleteIfExists(_))
     added
   }
 
   /** One footer read per fresh data file: record count (the only part a
-    * commit NEEDS) plus the per-column metrics maps.
+    * commit NEEDS) plus the per-column metrics maps, keyed by `ids` —
+    * the table's DECLARED field ids (positional only for fresh tables).
     */
   private def statFile(spark: SparkSession, table: String, dest: Path,
-      schema: StructType): DataFileInfo = {
+      schema: StructType, ids: Map[String, Int]): DataFileInfo = {
     val conf = spark.sessionState.newHadoopConf()
     val reader = org.apache.parquet.hadoop.ParquetFileReader.open(
       org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
         new org.apache.hadoop.fs.Path(dest.toAbsolutePath.toString), conf))
     val (records, metrics) =
-      try (reader.getRecordCount, footerMetrics(reader.getFooter, schema))
+      try (reader.getRecordCount, footerMetrics(reader.getFooter, schema, ids))
       finally reader.close()
     DataFileInfo(dest.toAbsolutePath.toString, Files.size(dest), records,
       partitionValuesOf(Paths.get(table, "data").relativize(dest).toString), metrics)
@@ -1128,7 +1204,20 @@ object IcebergLog {
         * positions). Prior DELETES manifests holding a superseded DV
         * entry are rewritten without it — the spec allows at most one
         * DV per data file. */
-      supersededDv: Set[String] = Set.empty): Option[Int] = {
+      supersededDv: Set[String] = Set.empty,
+      /** Commit `schema0` VERBATIM instead of through append-only
+        * SchemaEvolution — the RENAME/DROP COLUMN shape. Only sound
+        * under `schemaBase` (drift aborts → caller re-plans) with no
+        * files attached, and the caller must supply `explicitIds`
+        * (rename keeps the old ids under the new name; drop keeps the
+        * survivors' ids — minting here would re-bind parquet data). */
+      schemaReplace: Boolean = false,
+      schemaBase: Option[String] = None,
+      explicitIds: Option[Map[String, Int]] = None): Option[Int] = {
+    require(!schemaReplace || (added.isEmpty && deleteAdded.isEmpty &&
+      replaced.isEmpty && schemaBase.isDefined && explicitIds.isDefined),
+      "schemaReplace commits must be metadata-only, schemaBase-guarded, " +
+        "and carry their explicit field ids")
     val dir = metaDir(table)
     Files.createDirectories(dir)
     // `replace` = layout rewrite (same rows), `overwrite` = DML rewrite
@@ -1176,6 +1265,11 @@ object IcebergLog {
       // positions never move, keeping position-derived field ids stable);
       // rewrites always commit under the table's own schema
       val schema = cur match {
+        case Some(m) if schemaReplace =>
+          // RENAME/DROP: the caller PLANNED against schemaBase — drift
+          // means a concurrent evolution won; abort, the caller retries
+          if (schemaBase.exists(b => m.schema.json != b)) return None
+          schema0
         case Some(m) if operation == "append" =>
           require(m.partitionColumns == partitionBy0,
             s"$table is partitioned by (${m.partitionColumns.mkString(", ")}); " +
@@ -1191,7 +1285,16 @@ object IcebergLog {
           m.schema
         case None => schema0
       }
-      val partitionBy = cur.map(_.partitionColumns).getOrElse(partitionBy0)
+      // a RENAME COLUMN on a partition column arrives with the NEW name;
+      // otherwise the table's own partitioning is authoritative
+      val partitionBy =
+        if (schemaReplace) partitionBy0
+        else cur.map(_.partitionColumns).getOrElse(partitionBy0)
+      // every id-keyed structure below (new schema entries, parquet
+      // stamps, metrics, spec source-ids, name mapping) keys off the
+      // DECLARED ids; rename/drop commits supply theirs explicitly
+      val fieldIdOf: Map[String, Int] =
+        explicitIds.getOrElse(fieldIdsFor(cur, schema))
       // schemas is an append-only HISTORY (evolution appends a new entry
       // with the next schema-id); current-schema-id selects
       val priorSchemas: Seq[com.fasterxml.jackson.databind.JsonNode] =
@@ -1204,8 +1307,8 @@ object IcebergLog {
           (m.currentSchemaId, priorSchemas)
         case Some(_) =>
           val next = priorSchemas.map(_.get("schema-id").asInt()).max + 1
-          (next, priorSchemas :+ mapper.readTree(schemaJson(schema, next)))
-        case None => (0, Seq(mapper.readTree(schemaJson(schema))))
+          (next, priorSchemas :+ mapper.readTree(schemaJson(schema, next, fieldIdOf)))
+        case None => (0, Seq(mapper.readTree(schemaJson(schema, 0, fieldIdOf))))
       }
       // conflict detection against this attempt's FRESH snapshot: every
       // file this commit removes — and every file its delete rows
@@ -1235,7 +1338,7 @@ object IcebergLog {
               case Some(p) =>
                 val conj = StatsPruning.conjunctsOf(spark, p)
                 newFiles.exists(f => conj.forall(c =>
-                  StatsPruning.mayMatch(fileStats(f, schema), c, schema)))
+                  StatsPruning.mayMatch(fileStats(f, schema, fieldIdOf), c, schema)))
             }
             if (conflicting) return None
           }
@@ -1272,14 +1375,14 @@ object IcebergLog {
           schemaJsonOverride = Some(
             manifestEntrySchemaJson(mPartType, withDv = withDv)),
           extraMeta = Seq(
-            "schema" -> schemaJson(schema, schemaId),
+            "schema" -> schemaJson(schema, schemaId, fieldIdOf),
             // must agree with the embedded schema's own schema-id (and
             // metadata.json's current-schema-id) — readers that resolve
             // the manifest schema by id would otherwise bind the
             // pre-evolution schema
             "schema-id" -> schemaId.toString,
             "partition-spec" -> (if (specId == 0)
-              partitionSpecFieldsJson(schema, partitionBy) else "[]"),
+              partitionSpecFieldsJson(schema, partitionBy, fieldIdOf) else "[]"),
             "partition-spec-id" -> specId.toString,
             "format-version" -> fv.toString,
             "content" -> content))
@@ -1487,7 +1590,11 @@ object IcebergLog {
         root.put("location", Paths.get(table).toAbsolutePath.toString)
         root.put("last-sequence-number", seq)
         root.put("last-updated-ms", now)
-        root.put("last-column-id", schema.fields.length)
+        // never decreases: a DROPPED column's id stays retired even
+        // though no current field carries it
+        root.put("last-column-id", math.max(
+          cur.map(_.lastColumnId).getOrElse(0),
+          fieldIdOf.values.foldLeft(0)(math.max)))
         root.put("current-schema-id", schemaId)
         val schemasArr = mapper.createArrayNode()
         allSchemas.foreach(schemasArr.add)
@@ -1496,7 +1603,7 @@ object IcebergLog {
         val spec = mapper.createObjectNode()
         spec.put("spec-id", 0)
         spec.set[com.fasterxml.jackson.databind.JsonNode]("fields",
-          mapper.readTree(partitionSpecFieldsJson(schema, partitionBy)))
+          mapper.readTree(partitionSpecFieldsJson(schema, partitionBy, fieldIdOf)))
         val specsArr = mapper.createArrayNode().add(spec)
         if (partitionBy.nonEmpty) {
           // spec 1: the UNPARTITIONED spec global delete manifests ride
@@ -1523,7 +1630,7 @@ object IcebergLog {
         // column-projection fallback for files WITHOUT parquet field ids
         // (pre-r12 files, third-party imports): the spec's name-mapping
         // property, refreshed so it always matches the commit schema
-        props.put("schema.name-mapping.default", nameMappingJson(schema))
+        props.put("schema.name-mapping.default", nameMappingJson(schema, fieldIdOf))
         root.set[com.fasterxml.jackson.databind.JsonNode]("properties", props)
         root.put("current-snapshot-id", snapshotId)
         val refs = mapper.createObjectNode()
@@ -1619,9 +1726,10 @@ object IcebergLog {
     sys.error(s"iceberg commit lost $attempt version races; giving up")
   }
 
-  private def partitionSpecFieldsJson(schema: StructType, partitionBy: Seq[String]): String = {
+  private def partitionSpecFieldsJson(schema: StructType,
+      partitionBy: Seq[String], ids: Map[String, Int]): String = {
     val fields = partitionBy.zipWithIndex.map { case (c, i) =>
-      s"""{"name":"$c","transform":"identity","source-id":${schema.fieldIndex(c) + 1},"field-id":${1000 + i}}"""
+      s"""{"name":"$c","transform":"identity","source-id":${ids.getOrElse(c, schema.fieldIndex(c) + 1)},"field-id":${1000 + i}}"""
     }
     s"[${fields.mkString(",")}]"
   }
@@ -1820,13 +1928,14 @@ object IcebergLog {
         if (fv == null || v == null) fv == null && v == null else pvEq(fv, v))
     }
 
-  private def eqApplies(f: LiveFile, d: DeleteFile, schema: StructType): Boolean =
+  private def eqApplies(f: LiveFile, d: DeleteFile,
+      byId: Map[Int, StructField]): Boolean =
     d.seq > f.dataSeq &&
     partitionScopeMatches(f, d.partition) &&
     d.eqFieldIds.forall { id =>
-      if (id < 1 || id > schema.fields.length) true // unknown column: conservative
+      if (!byId.contains(id)) true // unknown column: conservative
       else {
-        val dt = schema.fields(id - 1).dataType
+        val dt = byId(id).dataType
         val overlap = for {
           dlo <- d.lower.get(id); dhi <- d.upper.get(id)
           flo <- f.lowerBounds.get(id); fhi <- f.upperBounds.get(id)
@@ -1851,8 +1960,10 @@ object IcebergLog {
     * is kept small by the delete-manifest coalescing + OPTIMIZE purge).
     */
   private[graft] def splitByDeletes(files: Seq[LiveFile], dels: Seq[DeleteFile],
-      schema: StructType): (Seq[LiveFile], Seq[LiveFile]) = {
+      schema: StructType,
+      ids: Map[String, Int] = Map.empty): (Seq[LiveFile], Seq[LiveFile]) = {
     if (dels.isEmpty) return (files, Seq.empty)
+    val byId = fieldsById(schema, ids)
     val (posDels0, eqDels) = dels.partition(_.content == 1)
     val (dvDels, posDels) = posDels0.partition(_.isDv)
     val dirty = new Array[Boolean](files.length)
@@ -1888,7 +1999,7 @@ object IcebergLog {
     }
     if (eqDels.nonEmpty)
       files.zipWithIndex.foreach { case (f, i) =>
-        if (!dirty(i) && eqDels.exists(d => eqApplies(f, d, schema)))
+        if (!dirty(i) && eqDels.exists(d => eqApplies(f, d, byId)))
           dirty(i) = true
       }
     val (d, c) = files.zipWithIndex.partition { case (_, i) => dirty(i) }
@@ -1941,10 +2052,12 @@ object IcebergLog {
     */
   private[graft] def readWithDeletes(spark: SparkSession, table: String,
       schema: StructType, basePath: Option[String], dirty: Seq[LiveFile],
-      dels: Seq[DeleteFile], withMeta: Boolean = false): DataFrame = {
+      dels: Seq[DeleteFile], withMeta: Boolean = false,
+      ids: Map[String, Int] = Map.empty): DataFrame = {
     import org.apache.spark.sql.functions.{broadcast, col, substring_index}
     import spark.implicits._
     requireUniqueNames(table, dirty.map(_.path), "live data files")
+    val byId = fieldsById(schema, ids)
     val (dvDels, posDels) = dels.filter(_.content == 1).partition(_.isDv)
     // grouped by (equality columns, PARTITION SCOPE): each group's
     // anti-join is restricted to the files its scope covers, so a
@@ -1990,7 +2103,7 @@ object IcebergLog {
         broadcast(delDf0) else delDf0
       d = d.join(delDf, Seq(posNameCol, posPosCol), "left_anti")
     }
-    eqGroups.foreach { case ((ids, scope), files) =>
+    eqGroups.foreach { case ((eqIds, scope), files) =>
       // the scope confines the anti-join to ITS partition's files —
       // every row of a file shares the file's partition, so file-name
       // granularity is exact. A scoped group whose partition holds no
@@ -2000,10 +2113,16 @@ object IcebergLog {
         else dirty.filter(partitionScopeMatches(_, scope))
           .map(f => fileNameOf(f.path))
       if (scope.isEmpty || applicable.nonEmpty) {
-        val names = ids.map(id => schema.fields(id - 1).name)
+        // an eq id outside the current schema (its key column was since
+        // DROPPED) cannot be applied — refusing beats over-returning
+        def fieldOf(id: Int): StructField = byId.getOrElse(id, sys.error(
+          s"$table: equality-delete file keys on field id $id, which no " +
+            "current column carries (dropped?) — OPTIMIZE the table to " +
+            "purge stale deletes, then read"))
+        val names = eqIds.map(id => fieldOf(id).name)
         requireUniqueNames(table, files.map(_.path), "equality-delete files")
-        val eqSchema = StructType(ids.map(id =>
-          schema.fields(id - 1).copy(nullable = true)))
+        val eqSchema = StructType(eqIds.map(id =>
+          fieldOf(id).copy(nullable = true)))
         val eq0 = spark.read.schema(eqSchema).parquet(files.map(_.path): _*)
           .withColumn(posNameCol,
             substring_index(col("_metadata.file_path"), "/", -1))
@@ -2117,25 +2236,27 @@ object IcebergLog {
     */
   private def equalityDeleteRows(spark: SparkSession, table: String,
       schema: StructType, basePath: String, parentLive: Seq[LiveFile],
-      parentDels: Seq[DeleteFile], eqNew: Seq[DeleteFile]): Seq[DataFrame] = {
+      parentDels: Seq[DeleteFile], eqNew: Seq[DeleteFile],
+      fieldIds: Map[String, Int]): Seq[DataFrame] = {
     import org.apache.spark.sql.functions.{broadcast, col}
     // grouped by (equality columns, PARTITION SCOPE): splitByDeletes'
     // per-file partition rule then confines each group's dirty set to
     // exactly its own partition (one scope per group)
     eqNew.groupBy(d => (d.eqFieldIds, d.partition)).toSeq
       .flatMap { case ((ids, _), files) =>
-      val (_, dirty) = splitByDeletes(parentLive, files, schema)
+      val (_, dirty) = splitByDeletes(parentLive, files, schema, fieldIds)
       if (dirty.isEmpty) None
       else {
-        val names = ids.map(id => schema.fields(id - 1).name)
+        val byId = fieldsById(schema, fieldIds)
+        val names = ids.map(id => byId(id).name)
         val eqSchema = StructType(ids.map(id =>
-          schema.fields(id - 1).copy(nullable = true)))
+          byId(id).copy(nullable = true)))
         val keys0 = spark.read.schema(eqSchema).parquet(files.map(_.path): _*)
           .select(names.map(n => col(n).as(s"__graft_eq_$n")): _*).distinct()
         val keys = if (files.map(_.records).sum <= 4000000L) broadcast(keys0)
           else keys0
         val liveRows = readWithDeletes(spark, table, schema, Some(basePath),
-          dirty, parentDels)
+          dirty, parentDels, ids = fieldIds)
         val cond = names.map(n => liveRows(n) <=> keys(s"__graft_eq_$n"))
           .reduce(_ && _)
         Some(liveRows.join(keys, cond, "left_semi"))
@@ -2219,20 +2340,28 @@ object IcebergLog {
       case None => (live, live.size)
       case Some(f) =>
         val m = current(table).get
+        val ids = m.fieldIds
         val conj = StatsPruning.conjunctsOf(spark, f)
         (live.filter(file =>
-          conj.forall(c => StatsPruning.mayMatch(fileStats(file, m.schema), c, m.schema))),
+          conj.forall(c => StatsPruning.mayMatch(fileStats(file, m.schema, ids), c, m.schema))),
           live.size)
     }
   }
 
   /** [[StatsPruning.FileStats]] view of a manifest entry: bounds and
-    * counts are keyed by iceberg field id (schema position + 1), byte
-    * bounds decode per the spec's single-value serialization.
+    * counts are keyed by the table's DECLARED field ids (`ids`; falls
+    * back to schema position + 1 only for names outside it), byte
+    * bounds decode per the spec's single-value serialization. Declared
+    * ids matter twice: after this engine's own RENAME/DROP positions no
+    * longer equal ids, and third-party tables may carry any id layout —
+    * a positional lookup there reads ANOTHER column's bounds and can
+    * wrongly prune.
     */
-  private def fileStats(file: LiveFile, schema: StructType): StatsPruning.FileStats =
+  private def fileStats(file: LiveFile, schema: StructType,
+      ids: Map[String, Int]): StatsPruning.FileStats =
     new StatsPruning.FileStats {
-      private def id(name: String) = schema.fieldIndex(name) + 1
+      private def id(name: String) =
+        ids.getOrElse(name, schema.fieldIndex(name) + 1)
       def partitionValue(name: String): Option[Any] =
         if (file.partitionValues.contains(name)) Some(file.partitionValues(name)) else None
       def bounds(name: String, dt: DataType): Option[(Any, Any)] =
@@ -2266,7 +2395,7 @@ object IcebergLog {
     // merge-on-read: only files within some delete file's path bounds
     // pay the position anti-join; everything else stays a plain scan
     val dels = deleteFiles(table, snapshotId)
-    val (clean, dirty) = splitByDeletes(kept, dels, m.schema)
+    val (clean, dirty) = splitByDeletes(kept, dels, m.schema, m.fieldIds)
     val basePath = Paths.get(table, "data").toAbsolutePath.toString
     val schemaCols = m.schema.fieldNames.map(org.apache.spark.sql.functions.col).toIndexedSeq
     // field-id-stamped iff the schema history shows a rename
@@ -2278,7 +2407,7 @@ object IcebergLog {
     val dirtyDf =
       if (dirty.isEmpty) None
       else Some(readWithDeletes(spark, table, readSchema, Some(basePath),
-        dirty, dels))
+        dirty, dels, ids = m.fieldIds))
     val base = (cleanDf ++ dirtyDf).reduceOption(_ unionAll _).getOrElse(
       spark.createDataFrame(spark.sparkContext.emptyRDD[Row], m.schema))
     scanFilter.map(_.trim).filter(_.nonEmpty)
@@ -2357,7 +2486,8 @@ object IcebergLog {
             if (rm.isEmpty) None
             else if (parentDels.isEmpty) readFiles(rm.map(_.path), "delete")
             else Some(readWithDeletes(spark, table, schema, Some(basePath),
-              rm, parentDels).withColumn(Cdf.changeTypeCol, lit("delete")))
+              rm, parentDels, ids = m.fieldIds)
+              .withColumn(Cdf.changeTypeCol, lit("delete")))
           // merge-on-read: delete files ADDED by this snapshot retract
           // exact rows — per-row changelog, not file-diff. Position
           // deletes name their rows; equality deletes match the parent's
@@ -2368,7 +2498,8 @@ object IcebergLog {
           val posDels =
             if (posNew.isEmpty) None
             else {
-              val (_, dirtyP) = splitByDeletes(parentLive, posNew, schema)
+              val (_, dirtyP) = splitByDeletes(parentLive, posNew, schema,
+                m.fieldIds)
               positionDeleteRows(spark, table, schema, basePath,
                 dirtyP.map(_.path), posNew)
                 .map(_.withColumn(Cdf.changeTypeCol, lit("delete")))
@@ -2377,7 +2508,7 @@ object IcebergLog {
             parentLive, parentDels, dvNew)
             .map(_.withColumn(Cdf.changeTypeCol, lit("delete")))
           val eqDels = equalityDeleteRows(spark, table, schema, basePath,
-            parentLive, parentDels, delsNew.filter(_.content == 2))
+            parentLive, parentDels, delsNew.filter(_.content == 2), m.fieldIds)
             .map(_.withColumn(Cdf.changeTypeCol, lit("delete")))
           val ins = readFiles(added, "insert")
           (fileDels ++ posDels ++ dvDels ++ eqDels ++ ins).reduceOption(_ unionAll _)
@@ -2442,7 +2573,7 @@ object IcebergLog {
     // commit PURGE the delete manifests (iceberg's
     // rewrite_position_delete_files folded into rewrite_data_files)
     val dels = deleteFiles(table, None)
-    val dirtySet = splitByDeletes(live, dels, m.schema)._2.map(_.path).toSet
+    val dirtySet = splitByDeletes(live, dels, m.schema, m.fieldIds)._2.map(_.path).toSet
     val victims0 = byPart.values.flatMap { files =>
       // ZORDER re-clusters EVERY live file (layout, not just size);
       // plain compaction only coalesces partitions with ≥2 small files
@@ -2452,8 +2583,11 @@ object IcebergLog {
         if (small.size >= 2) small else Seq.empty
       }
     }.toSeq
-    val victims = (victims0 ++ live.filter(f => dirtySet.contains(f.path)))
-      .groupBy(_.path).map(_._2.head).toSeq
+    // PARTITION-RENAME repair: files stranded under pre-rename hive
+    // segment names refuse reads; re-landing them is this verb's job
+    val stale = stalePartitionNamed(m, live)
+    val victims = (victims0 ++ live.filter(f => dirtySet.contains(f.path)) ++
+      stale).groupBy(_.path).map(_._2.head).toSeq
     if (victims.isEmpty && dels.isEmpty) return None
     // name-join soundness across ALL groups: every victim enters a read
     // that anti-joins the full delete set, so a name collision anywhere
@@ -2475,7 +2609,7 @@ object IcebergLog {
       val spec0 = (0 until specs.size()).map(specs.get)
         .find(_.get("spec-id").asInt() == 0)
       val srcName = m.partitionColumns.map(c =>
-        m.schema.fieldIndex(c) + 1 -> c).toMap // positional ids
+        m.fieldIds.getOrElse(c, m.schema.fieldIndex(c) + 1) -> c).toMap // declared ids
       spec0.map { s =>
         val f = s.get("fields")
         (0 until f.size()).flatMap { i =>
@@ -2493,18 +2627,19 @@ object IcebergLog {
       // rewrites must read LIVE rows — applying the deletes here is
       // exactly what makes the purge below sound. The delete-aware read
       // uses the FULL table schema (equality columns may be partition
-      // columns, and delete-column ids are table-schema positions), then
-      // projects back down to the data columns
+      // columns, and delete-column ids are the table's DECLARED field
+      // ids), then projects back down to the data columns
       val in =
         if (dels.isEmpty) spark.read.schema(dataSchema).parquet(files.map(_.path): _*)
         else readWithDeletes(spark, table, readSchemaAll,
-          Some(Paths.get(table, "data").toAbsolutePath.toString), files.toSeq, dels)
+          Some(Paths.get(table, "data").toAbsolutePath.toString), files.toSeq,
+          dels, ids = m.fieldIds)
           .select(dataSchema.fieldNames.map(org.apache.spark.sql.functions.col)
             .toIndexedSeq: _*)
       val out =
         if (zorderBy.isEmpty) in.coalesce(n)
         else graft.operators.ZOrder.cluster(in, zorderBy, n)
-      withFieldIds(out, tableFieldIds(m.schema))
+      withFieldIds(out, fieldIdsFor(Some(m), m.schema))
         .write.mode("overwrite").parquet(scratch.toString)
       // hive partition dir for this group (identity transform)
       val partDir = m.partitionColumns.map { c =>
@@ -2525,9 +2660,9 @@ object IcebergLog {
         try Files.createLink(dest, p)
         catch { case _: UnsupportedOperationException =>
           Files.move(p, dest, StandardCopyOption.ATOMIC_MOVE) }
-        // metrics field-ids come from TABLE schema positions (partition
-        // columns absent from the footer are simply not matched)
-        scratchFiles += statFile(spark, table, dest, m.schema)
+        // metrics key by DECLARED field ids (partition columns absent
+        // from the footer are simply not matched)
+        scratchFiles += statFile(spark, table, dest, m.schema, m.fieldIds)
       }
     }
     scratchDirs.foreach(d => walkDir(d).reverse.foreach(Files.deleteIfExists(_)))
@@ -2572,6 +2707,82 @@ object IcebergLog {
       cols.map { case (n, dt) => StructField(n, dt, nullable = true) })
     commitSnapshot(spark, table, evolved, m.partitionColumns, Seq.empty,
       txn = None, operation = "append", replaced = Set.empty, mergeSchema = true)
+  }
+
+  /** `ALTER TABLE … RENAME COLUMN from TO to`: a metadata-only commit
+    * appending a schema-history entry that carries the SAME field id
+    * under the new name (the spec's column identity is the id — data
+    * files, stats, and partition-spec source-ids all keep resolving).
+    * Reads of pre-rename files switch to field-id resolution
+    * automatically ([[renamedFieldIds]]/[[dataReadSchema]] — the same
+    * machinery that serves third-party renames). Renaming a PARTITION
+    * column leaves live files' hive paths under the old segment name;
+    * reads refuse until OPTIMIZE re-lands them
+    * ([[requireResolvablePartitions]]) — pinned, not silent.
+    */
+  def renameColumn(spark: SparkSession, table: String, from: String,
+      to: String): Option[Int] = {
+    require(from != to, s"RENAME COLUMN: '$from' to itself")
+    var round = 0
+    while (round < 5) {
+      round += 1
+      val m = current(table).getOrElse(
+        sys.error(s"$table is not an Iceberg table (no metadata/v*.metadata.json)"))
+      require(m.schema.fieldNames.contains(from),
+        s"RENAME COLUMN: no column $from in $table")
+      require(!m.schema.fieldNames.contains(to),
+        s"RENAME COLUMN: column $to already exists in $table")
+      val evolved = StructType(m.schema.fields.map(f =>
+        if (f.name == from) f.copy(name = to) else f))
+      val ids = m.fieldIds
+      val newIds = (ids - from) + (to -> ids(from))
+      val parts = m.partitionColumns.map(pc => if (pc == from) to else pc)
+      val committed = commitSnapshot(spark, table, evolved, parts, Seq.empty,
+        txn = None, operation = "append", replaced = Set.empty,
+        schemaReplace = true, schemaBase = Some(m.schema.json),
+        explicitIds = Some(newIds))
+      if (committed.isDefined) return committed
+    }
+    sys.error(s"$table: RENAME COLUMN lost 5 concurrent-evolution races; giving up")
+  }
+
+  /** `ALTER TABLE … DROP COLUMN[S]`: a metadata-only commit whose new
+    * schema-history entry omits the field while every SURVIVOR keeps
+    * its id (a gap, not a re-numbering — `last-column-id` stays at its
+    * high-water mark so the dead id is never re-minted; a later same-
+    * named ADD COLUMNS gets a FRESH id and [[renamedFieldIds]] forces
+    * field-id reads, so old files' dead values stay dead). Physical
+    * data remains in existing files — readers project current fields
+    * only; purging bytes is a rewrite (OPTIMIZE), deliberately not
+    * bundled. Partition columns refuse — dropping one changes the
+    * table's layout contract, a rewrite.
+    */
+  def dropColumns(spark: SparkSession, table: String,
+      cols: Seq[String]): Option[Int] = {
+    require(cols.nonEmpty, "DROP COLUMN: no columns")
+    require(cols.distinct.size == cols.size, "DROP COLUMN: duplicate column name")
+    var round = 0
+    while (round < 5) {
+      round += 1
+      val m = current(table).getOrElse(
+        sys.error(s"$table is not an Iceberg table (no metadata/v*.metadata.json)"))
+      cols.foreach { c =>
+        require(m.schema.fieldNames.contains(c),
+          s"DROP COLUMN: no column $c in $table")
+        require(!m.partitionColumns.contains(c),
+          s"DROP COLUMN: $c is a partition column of $table — " +
+            "repartitioning requires a rewrite, not a schema commit")
+      }
+      val evolved = StructType(m.schema.fields.filterNot(f => cols.contains(f.name)))
+      require(evolved.fields.nonEmpty,
+        s"DROP COLUMN: cannot drop every column of $table")
+      val committed = commitSnapshot(spark, table, evolved, m.partitionColumns,
+        Seq.empty, txn = None, operation = "append", replaced = Set.empty,
+        schemaReplace = true, schemaBase = Some(m.schema.json),
+        explicitIds = Some(m.fieldIds -- cols))
+      if (committed.isDefined) return committed
+    }
+    sys.error(s"$table: DROP COLUMN lost 5 concurrent-evolution races; giving up")
   }
 
   // ── merge-on-read DML (format v2 row deltas) ─────────────────────────
@@ -2626,7 +2837,7 @@ object IcebergLog {
         case Some(f) =>
           val conj = StatsPruning.conjunctsOf(spark, f)
           live.filter(file => conj.forall(c =>
-            StatsPruning.mayMatch(fileStats(file, m.schema), c, m.schema)))
+            StatsPruning.mayMatch(fileStats(file, m.schema, m.fieldIds), c, m.schema)))
       }
       if (cands.isEmpty && !commitWhenUntouched) return None
       val candDf =
@@ -2635,8 +2846,8 @@ object IcebergLog {
             StructType(m.schema.fields ++ Seq(
               StructField(posFileCol, StringType),
               StructField(posPosCol, LongType))))
-        else readWithDeletes(spark, table, m.schema, Some(basePath),
-          cands, dels, withMeta = true)
+        else readWithDeletes(spark, table, dataReadSchema(spark, m),
+          Some(basePath), cands, dels, withMeta = true, ids = m.fieldIds)
       val (posDf0, appends) = delta(candDf, m.schema)
       val posDf = posDf0.select(col(posFileCol), col(posPosCol)).persist()
       try {
@@ -2798,7 +3009,8 @@ object IcebergLog {
     */
   private def deleteFileStats(spark: SparkSession, table: String,
       dest: Path): DataFileInfo = {
-    val info = statFile(spark, table, dest, deleteFileSchema)
+    val info = statFile(spark, table, dest, deleteFileSchema,
+      tableFieldIds(deleteFileSchema))
     def rekey[T](mm: Map[Int, T]): Map[Int, T] = mm.map { case (k, v) =>
       (if (k == 1) deletePathFieldId else deletePosFieldId) -> v }
     DataFileInfo(info.path, info.size, info.records, Seq.empty,
@@ -2941,10 +3153,12 @@ object IcebergLog {
     import org.apache.spark.sql.functions.col
     val dataRoot = Paths.get(table, "data")
     Files.createDirectories(dataRoot)
+    val declared = fieldIdsFor(current(table), tableSchema)
     val keyIds = idsOverride.getOrElse(
-      keysDf.columns.toSeq.map(c => tableSchema.fieldIndex(c) + 1))
+      keysDf.columns.toSeq.map(c =>
+        declared.getOrElse(c, tableSchema.fieldIndex(c) + 1)))
     val scratch = Paths.get(table, s".graft-iceberg-eqdel-${UUID.randomUUID()}")
-    val stamped = withFieldIds(keysDf, tableFieldIds(tableSchema))
+    val stamped = withFieldIds(keysDf, declared)
     if (partitionScope.isEmpty) {
       // ~4M keys per file keeps each within a comfortable broadcast share
       // on read; hash repartition only when the set genuinely needs >1
@@ -2979,7 +3193,7 @@ object IcebergLog {
       try Files.createLink(dest, p)
       catch { case _: UnsupportedOperationException =>
         Files.move(p, dest, StandardCopyOption.ATOMIC_MOVE) }
-      val st = statFile(spark, table, dest, tableSchema)
+      val st = statFile(spark, table, dest, tableSchema, declared)
       (if (partitionScope.isEmpty) st.copy(partitionValues = Seq.empty) else st)
         .copy(equalityIds = Some(keyIds))
     }
@@ -3217,9 +3431,17 @@ object IcebergLog {
     // (a concurrent MoR DML's retractions were invisible to our reads)
     @volatile private var plannedDeletes: Seq[DeleteFile] = Seq.empty
     @volatile private var plannedLive: Map[String, LiveFile] = Map.empty
+    // hoisted once per planning round: harvest runs per written file
+    @volatile private var plannedIds: Map[String, Int] = Map.empty
+    // field-id-stamped iff the schema history shows a rename: candidate
+    // reads must resolve pre-rename files by id, or the rewrite would
+    // null the renamed column in every row it carries forward
+    @volatile private var plannedReadSchema: StructType = new StructType()
     def plan(scanFilter: Option[String]): DmlRewrite.Plan = {
       val m = current(table).getOrElse(
         sys.error(s"$table is not an Iceberg table (no metadata/v*.metadata.json)"))
+      plannedIds = fieldIdsFor(Some(m), m.schema)
+      plannedReadSchema = dataReadSchema(spark, m)
       // plan-time live set: anything appearing after this is a potential
       // ConcurrentAppend conflict the commit must judge
       val liveNow = liveFiles(table, None).filter(_.status != 2)
@@ -3236,9 +3458,15 @@ object IcebergLog {
     def basePath: String = Paths.get(table, "data").toAbsolutePath.toString
     def dataRoot: Path = Paths.get(table, "data")
     def scratchPrefix: String = ".graft-iceberg-dml-"
-    override def readFiles(spark: SparkSession, schema: StructType,
+    override def readFiles(spark: SparkSession, schema0: StructType,
         paths: Seq[String], fileCol: Option[String]): DataFrame = {
       import org.apache.spark.sql.functions.col
+      // schema0 is always plan.schema (logical names); the stamped twin
+      // carries the same names plus parquet field ids where needed
+      val schema =
+        if (plannedReadSchema.fieldNames.sameElements(schema0.fieldNames))
+          plannedReadSchema
+        else schema0
       if (plannedDeletes.isEmpty)
         return super.readFiles(spark, schema, paths, fileCol)
       // carry the CALLER's path form in the meta column (DmlRewrite
@@ -3248,11 +3476,11 @@ object IcebergLog {
         .copy(path = p))
       // only files a delete can bind to pay the anti-join; the clean
       // side keeps the plain whole-stage-codegen scan
-      val (clean, dirty) = splitByDeletes(lf, plannedDeletes, schema)
+      val (clean, dirty) = splitByDeletes(lf, plannedDeletes, schema, plannedIds)
       if (dirty.isEmpty)
         return super.readFiles(spark, schema, paths, fileCol)
       val dirtyDf0 = readWithDeletes(spark, table, schema, Some(basePath),
-        dirty, plannedDeletes, withMeta = fileCol.isDefined)
+        dirty, plannedDeletes, withMeta = fileCol.isDefined, ids = plannedIds)
       val dirtyDf = fileCol.map(c =>
         dirtyDf0.withColumnRenamed(posFileCol, c).drop(posPosCol))
         .getOrElse(dirtyDf0)
@@ -3265,9 +3493,9 @@ object IcebergLog {
       }
     }
     override def stampOutput(df: DataFrame, plan: DmlRewrite.Plan): DataFrame =
-      withFieldIds(df, tableFieldIds(plan.schema))
+      withFieldIds(df, plannedIds)
     def harvest(dest: Path, plan: DmlRewrite.Plan): (DataFileInfo, Long) = {
-      val info = statFile(spark, table, dest, plan.schema)
+      val info = statFile(spark, table, dest, plan.schema, plannedIds)
       (info, info.records)
     }
     def deletePlaced(a: DataFileInfo): Unit =

@@ -370,13 +370,14 @@ object IcebergStreamSource {
         // table, under deterministic names (crash replay is idempotent)
         val live = IcebergLog.liveFiles(table, None).filter(_.status != 2)
         val dels = IcebergLog.deleteFiles(table, None)
-        val (clean, dirty) = IcebergLog.splitByDeletes(live, dels, m.schema)
+        val (clean, dirty) =
+          IcebergLog.splitByDeletes(live, dels, m.schema, m.fieldIds)
         SpoolLink.parallel(clean.map(_.path), view.link)
         if (dirty.nonEmpty)
           graft.sinks.Cdf.materializeInto(dir.resolve("data"),
             IcebergLog.readWithDeletes(spark, table, m.schema,
               Some(Paths.get(table, "data").toAbsolutePath.toString),
-              dirty, dels),
+              dirty, dels, ids = m.fieldIds),
             m.partitionColumns, s"mor-${m.lastSeq}")
         view.lastSeq = m.lastSeq
         view.saveState()

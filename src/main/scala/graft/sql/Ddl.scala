@@ -124,6 +124,20 @@ object Ddl {
   final case class AlterSetProps(table: String,
       props: Map[String, String]) extends Stmt
 
+  /** `ALTER TABLE t RENAME COLUMN a TO b` — a metaData-only logical
+    * rename (r15): delta requires column mapping (the physicalName/id
+    * binding is what keeps existing files resolving); iceberg renames
+    * by field id through a schema-history entry.
+    */
+  final case class AlterRename(table: String, from: String,
+      to: String) extends Stmt
+
+  /** `ALTER TABLE t DROP COLUMN[S] a [, b …]` — a metaData-only drop
+    * (r15): the field leaves the schema, its physical data stays in
+    * existing files until a rewrite purges it.
+    */
+  final case class AlterDrop(table: String, cols: Seq[String]) extends Stmt
+
   private val SetRe = """(?is)^\s*SET\s+([A-Za-z_][A-Za-z0-9_.]*)\s*=\s*(.+?)\s*$""".r
   private val OptimizeRe =
     """(?is)^\s*OPTIMIZE\s+([A-Za-z_][A-Za-z0-9_]*)(?:\s+ZORDER\s+BY\s*\(([^)]+)\))?\s*$""".r
@@ -133,6 +147,10 @@ object Ddl {
     """(?is)^\s*ALTER\s+TABLE\s+([A-Za-z_][A-Za-z0-9_]*)\s+ADD\s+COLUMNS?\s+(.+?)\s*$""".r
   private val AlterSetPropsRe =
     """(?is)^\s*ALTER\s+TABLE\s+([A-Za-z_][A-Za-z0-9_]*)\s+SET\s+TBLPROPERTIES\s*\((.*)\)\s*$""".r
+  private val AlterRenameRe =
+    """(?is)^\s*ALTER\s+TABLE\s+([A-Za-z_][A-Za-z0-9_]*)\s+RENAME\s+COLUMN\s+([A-Za-z_][A-Za-z0-9_]*)\s+TO\s+([A-Za-z_][A-Za-z0-9_]*)\s*$""".r
+  private val AlterDropRe =
+    """(?is)^\s*ALTER\s+TABLE\s+([A-Za-z_][A-Za-z0-9_]*)\s+DROP\s+COLUMNS?\s+(.+?)\s*$""".r
   private val MergeHeadRe =
     """(?is)^\s*MERGE\s+INTO\s+([A-Za-z_][A-Za-z0-9_]*)(?:\s+AS\s+([A-Za-z_][A-Za-z0-9_]*))?\s+USING\s+(.+)$""".r
 
@@ -406,6 +424,20 @@ object Ddl {
       if (props.isEmpty) throw new IllegalArgumentException(
         s"ALTER TABLE $name SET TBLPROPERTIES: no properties")
       AlterSetProps(name, props)
+    case AlterRenameRe(name, from, to) =>
+      AlterRename(name, from, to)
+    case AlterDropRe(name, colsStr) =>
+      val body = colsStr.trim
+      val unwrapped =
+        if (body.startsWith("(") && body.endsWith(")")) body.substring(1, body.length - 1)
+        else body
+      val cols = splitTop(unwrapped, ',').map(_.trim).filter(_.nonEmpty)
+      if (cols.isEmpty) throw new IllegalArgumentException(
+        s"ALTER TABLE $name DROP COLUMNS: no columns")
+      cols.foreach(c => if (!c.matches("[A-Za-z_][A-Za-z0-9_]*"))
+        throw new IllegalArgumentException(
+          s"ALTER TABLE $name DROP COLUMNS: malformed column name '$c'"))
+      AlterDrop(name, cols)
     case AlterAddRe(name, colsStr) =>
       val body = colsStr.trim
       val unwrapped =

@@ -364,6 +364,54 @@ class Pipeline(spark: SparkSession, streaming: Boolean = false) {
         ()
       }
 
+    case AlterRename(name, from, to) =>
+      val t = catalog.getOrElse(name,
+        throw new IllegalArgumentException(s"unknown table $name"))
+      if (t.connector != "delta" && t.connector != "iceberg")
+        throw new IllegalArgumentException(
+          s"ALTER TABLE RENAME COLUMN is only supported on delta/iceberg " +
+            s"tables (got connector '${t.connector}')")
+      val tPath = t.path.getOrElse(sys.error(s"table $name: path required"))
+      if (t.schema.fields.nonEmpty) {
+        if (!t.schema.fieldNames.contains(from)) throw new IllegalArgumentException(
+          s"ALTER TABLE $name: no column $from")
+        if (t.schema.fieldNames.contains(to)) throw new IllegalArgumentException(
+          s"ALTER TABLE $name: column $to already exists")
+      }
+      // later statements in this run see the renamed schema
+      catalog += name -> t.copy(columns = t.columns.map(c =>
+        if (c.name == from) c.copy(name = to) else c))
+      // plan() must VALIDATE renames, never run them
+      if (!planOnly) {
+        if (t.connector == "delta")
+          graft.sinks.DeltaLog.renameColumn(spark, tPath, from, to)
+        else graft.sinks.IcebergLog.renameColumn(spark, tPath, from, to)
+        ()
+      }
+
+    case AlterDrop(name, cols) =>
+      val t = catalog.getOrElse(name,
+        throw new IllegalArgumentException(s"unknown table $name"))
+      if (t.connector != "delta" && t.connector != "iceberg")
+        throw new IllegalArgumentException(
+          s"ALTER TABLE DROP COLUMNS is only supported on delta/iceberg " +
+            s"tables (got connector '${t.connector}')")
+      val tPath = t.path.getOrElse(sys.error(s"table $name: path required"))
+      if (t.schema.fields.nonEmpty) cols.foreach { c =>
+        if (!t.schema.fieldNames.contains(c)) throw new IllegalArgumentException(
+          s"ALTER TABLE $name: no column $c")
+      }
+      // later statements in this run see the narrowed schema
+      catalog += name -> t.copy(columns =
+        t.columns.filterNot(c => cols.contains(c.name)))
+      // plan() must VALIDATE drops, never run them
+      if (!planOnly) {
+        if (t.connector == "delta")
+          graft.sinks.DeltaLog.dropColumns(spark, tPath, cols)
+        else graft.sinks.IcebergLog.dropColumns(spark, tPath, cols)
+        ()
+      }
+
     case AlterSetProps(name, props) =>
       val t = catalog.getOrElse(name,
         throw new IllegalArgumentException(s"unknown table $name"))

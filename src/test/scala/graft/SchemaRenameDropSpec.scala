@@ -1,0 +1,238 @@
+package graft
+
+import graft.sinks.{DeltaLog, IcebergLog}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import java.nio.file.Files
+
+/** `ALTER TABLE … RENAME COLUMN / DROP COLUMN` (r15) — the metaData-only
+  * evolutions column mapping (delta) and field-id identity (iceberg)
+  * exist for. Pins: values survive a rename (old files resolve by
+  * physicalName / field id), DML binds the NEW name, dropped data never
+  * resurrects through a same-named re-add, partition-column renames
+  * behave per format (delta: transparent — hive dirs are physical;
+  * iceberg: reads refuse until OPTIMIZE re-lands old hive paths), and
+  * unmapped delta tables refuse.
+  */
+class SchemaRenameDropSpec extends SparkSpec {
+
+  private def tmp(prefix: String): String =
+    Files.createTempDirectory(prefix).resolve("t").toString
+
+  // ── delta ─────────────────────────────────────────────────────────────
+
+  test("delta: rename keeps values, DML binds the new name, drop stays dead") {
+    import spark.implicits._
+    val table = tmp("delta_ren")
+    assert(DeltaLog.writeBatch(
+      Seq((1L, 10L, "x"), (2L, 20L, "y")).toDF("id", "v", "note"), table,
+      tableConf = Map("delta.columnMapping.mode" -> "name")).contains(0L))
+    val physV = {
+      val f = DeltaLog.snapshot(spark, table).get.schema("v")
+      f.metadata.getString("delta.columnMapping.physicalName")
+    }
+
+    // rename v -> vol: metaData-only (no data file added or removed)
+    val beforeFiles = DeltaLog.snapshot(spark, table).get.files.toSet
+    assert(DeltaLog.renameColumn(spark, table, "v", "vol").contains(1L))
+    val s1 = DeltaLog.snapshot(spark, table).get
+    assert(s1.files.toSet == beforeFiles)
+    assert(s1.schema.fieldNames.toSeq == Seq("id", "vol", "note"))
+    // the physicalName/id binding is UNCHANGED — that's the whole point
+    assert(s1.schema("vol").metadata
+      .getString("delta.columnMapping.physicalName") == physV)
+    assert(DeltaLog.read(spark, table).select("id", "vol").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq ==
+      Seq((1L, 10L), (2L, 20L)))
+    // old name is gone; new name takes DML; stats pruning keys physically
+    intercept[Exception] {
+      DeltaLog.read(spark, table).select("v").collect() }
+    assert(DeltaLog.updateWhere(spark, table,
+      Seq("vol" -> "vol + 1"), Some("vol = 10")).isDefined)
+    assert(DeltaLog.read(spark, table, scanFilter = Some("vol = 11"))
+      .select("id").collect().map(_.getLong(0)).toSeq == Seq(1L))
+
+    // drop note; re-add a column of the SAME name: fresh physicalName,
+    // fresh id — old files' dead values must NOT resurrect
+    assert(DeltaLog.dropColumns(spark, table, Seq("note")).isDefined)
+    val s2 = DeltaLog.snapshot(spark, table).get
+    assert(s2.schema.fieldNames.toSeq == Seq("id", "vol"))
+    assert(DeltaLog.read(spark, table).columns.toSeq == Seq("id", "vol"))
+    assert(DeltaLog.addColumns(spark, table, Seq("note" -> StringType)).isDefined)
+    val s3 = DeltaLog.snapshot(spark, table).get
+    assert(s3.schema("note").metadata.getLong("delta.columnMapping.id") > 3L)
+    val notes = DeltaLog.read(spark, table).select("note").collect().map(_.isNullAt(0))
+    assert(notes.forall(identity), "dropped data resurrected through re-add")
+    // maxColumnId never regressed below the dead id
+    assert(s3.configuration("delta.columnMapping.maxColumnId").toLong >= 4L)
+
+    // appends post-rename land under the (stable) physical name
+    assert(DeltaLog.writeBatch(
+      Seq((3L, 30L, "z")).toDF("id", "vol", "note"), table).isDefined)
+    assert(DeltaLog.read(spark, table).select("id", "vol").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq ==
+      Seq((1L, 11L), (2L, 20L), (3L, 30L)))
+  }
+
+  test("delta: partition-column rename is transparent (hive dirs are physical)") {
+    import spark.implicits._
+    val table = tmp("delta_renp")
+    assert(DeltaLog.writeBatch(
+      Seq((1L, "a"), (2L, "b")).toDF("id", "cat"), table,
+      partitionBy = Seq("cat"),
+      tableConf = Map("delta.columnMapping.mode" -> "name")).contains(0L))
+    assert(DeltaLog.renameColumn(spark, table, "cat", "category").contains(1L))
+    val s = DeltaLog.snapshot(spark, table).get
+    assert(s.partitionColumns == Seq("category"))
+    assert(DeltaLog.read(spark, table, scanFilter = Some("category = 'a'"))
+      .select("id").collect().map(_.getLong(0)).toSeq == Seq(1L))
+    // appends + DML after a partition rename
+    assert(DeltaLog.writeBatch(
+      Seq((3L, "a")).toDF("id", "category"), table).isDefined)
+    assert(DeltaLog.deleteWhere(spark, table, "category = 'b'").isDefined)
+    assert(DeltaLog.read(spark, table).select("id").collect()
+      .map(_.getLong(0)).sorted.toSeq == Seq(1L, 3L))
+  }
+
+  test("delta: unmapped tables refuse rename/drop; partition drop refuses") {
+    import spark.implicits._
+    val plain = tmp("delta_plain")
+    DeltaLog.writeBatch(Seq((1L, 2L)).toDF("a", "b"), plain)
+    val e1 = intercept[IllegalArgumentException] {
+      DeltaLog.renameColumn(spark, plain, "a", "c") }
+    assert(e1.getMessage.contains("column mapping"), e1.getMessage)
+    val e2 = intercept[IllegalArgumentException] {
+      DeltaLog.dropColumns(spark, plain, Seq("b")) }
+    assert(e2.getMessage.contains("column mapping"), e2.getMessage)
+
+    val mapped = tmp("delta_mapped")
+    DeltaLog.writeBatch(Seq((1L, "a")).toDF("id", "cat"), mapped,
+      partitionBy = Seq("cat"),
+      tableConf = Map("delta.columnMapping.mode" -> "name"))
+    val e3 = intercept[IllegalArgumentException] {
+      DeltaLog.dropColumns(spark, mapped, Seq("cat")) }
+    assert(e3.getMessage.contains("partition column"), e3.getMessage)
+    val e4 = intercept[IllegalArgumentException] {
+      DeltaLog.dropColumns(spark, mapped, Seq("id", "cat")) }
+    assert(e4.getMessage.contains("partition column"), e4.getMessage)
+  }
+
+  // ── iceberg ───────────────────────────────────────────────────────────
+
+  test("iceberg: rename keeps field-id identity; pre-rename files read by id") {
+    import spark.implicits._
+    val table = tmp("ice_ren")
+    assert(IcebergLog.writeBatch(
+      Seq((1L, 10L, "x"), (2L, 20L, "y")).toDF("id", "v", "note"), table)
+      .contains(1))
+    assert(IcebergLog.renameColumn(spark, table, "v", "vol").contains(2))
+    val m = IcebergLog.current(table).get
+    assert(m.schema.fieldNames.toSeq == Seq("id", "vol", "note"))
+    // same field id under the new name; last-column-id unchanged
+    assert(m.fieldIds == Map("id" -> 1, "vol" -> 2, "note" -> 3))
+    assert(m.lastColumnId == 3)
+    // pre-rename files (parquet column "v") resolve BY FIELD ID
+    assert(IcebergLog.read(spark, table).select("id", "vol").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq ==
+      Seq((1L, 10L), (2L, 20L)))
+    // stats pruning binds the DECLARED id through the new name
+    assert(IcebergLog.read(spark, table, scanFilter = Some("vol = 20"))
+      .select("id").collect().map(_.getLong(0)).toSeq == Seq(2L))
+    // appends + DML post-rename
+    assert(IcebergLog.writeBatch(
+      Seq((3L, 30L, "z")).toDF("id", "vol", "note"), table).isDefined)
+    assert(IcebergLog.updateWhere(spark, table,
+      Seq("vol" -> "vol + 1"), Some("id = 1")).isDefined)
+    assert(IcebergLog.read(spark, table).select("id", "vol").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq ==
+      Seq((1L, 11L), (2L, 20L), (3L, 30L)))
+  }
+
+  test("iceberg: drop leaves an id gap; same-named re-add never resurrects") {
+    import spark.implicits._
+    val table = tmp("ice_drop")
+    assert(IcebergLog.writeBatch(
+      Seq((1L, 10L, "x"), (2L, 20L, "y")).toDF("id", "v", "note"), table)
+      .contains(1))
+    assert(IcebergLog.dropColumns(spark, table, Seq("v")).contains(2))
+    val m1 = IcebergLog.current(table).get
+    assert(m1.schema.fieldNames.toSeq == Seq("id", "note"))
+    assert(m1.fieldIds == Map("id" -> 1, "note" -> 3)) // gap at 2
+    assert(m1.lastColumnId == 3) // the dead id stays retired
+    assert(IcebergLog.read(spark, table).columns.toSeq == Seq("id", "note"))
+    // survivors' stats still prune correctly (ids, not positions)
+    assert(IcebergLog.read(spark, table, scanFilter = Some("note = 'y'"))
+      .select("id").collect().map(_.getLong(0)).toSeq == Seq(2L))
+    // re-add "v": FRESH id 4; old files' column (id 2) must read null
+    assert(IcebergLog.addColumns(spark, table, Seq("v" -> LongType)).isDefined)
+    val m2 = IcebergLog.current(table).get
+    assert(m2.fieldIds == Map("id" -> 1, "note" -> 3, "v" -> 4))
+    val vs = IcebergLog.read(spark, table).select("v").collect().map(_.isNullAt(0))
+    assert(vs.forall(identity), "dropped data resurrected through re-add")
+    // new writes fill the fresh field; old rows stay null
+    assert(IcebergLog.writeBatch(
+      Seq((3L, "z", 300L)).toDF("id", "note", "v"), table).isDefined)
+    assert(IcebergLog.read(spark, table).select("id", "v").collect()
+      .map(r => (r.getLong(0), if (r.isNullAt(1)) -1L else r.getLong(1)))
+      .sorted.toSeq == Seq((1L, -1L), (2L, -1L), (3L, 300L)))
+  }
+
+  test("iceberg: partition-column rename refuses reads until OPTIMIZE re-lands") {
+    import spark.implicits._
+    val table = tmp("ice_renp")
+    assert(IcebergLog.writeBatch(
+      Seq((1L, "a"), (2L, "b")).toDF("id", "cat"), table,
+      partitionBy = Seq("cat")).contains(1))
+    assert(IcebergLog.renameColumn(spark, table, "cat", "category").contains(2))
+    val m = IcebergLog.current(table).get
+    assert(m.partitionColumns == Seq("category"))
+    // live files' hive paths still carry cat=… — reads refuse loudly
+    val e = intercept[Exception] { IcebergLog.read(spark, table).collect() }
+    assert(e.getMessage.contains("OPTIMIZE"), e.getMessage)
+    // OPTIMIZE re-lands files under the current names; reads recover
+    assert(IcebergLog.rewriteDataFiles(spark, table).isDefined)
+    assert(IcebergLog.read(spark, table).select("id", "category").collect()
+      .map(r => (r.getLong(0), r.getString(1))).sorted.toSeq ==
+      Seq((1L, "a"), (2L, "b")))
+    assert(IcebergLog.read(spark, table, scanFilter = Some("category = 'b'"))
+      .select("id").collect().map(_.getLong(0)).toSeq == Seq(2L))
+  }
+
+  test("iceberg: drop refuses partition columns; writer topology survives gaps") {
+    import spark.implicits._
+    val table = tmp("ice_dropp")
+    assert(IcebergLog.writeBatch(
+      Seq((1L, 10L, "a")).toDF("id", "v", "cat"), table,
+      partitionBy = Seq("cat")).contains(1))
+    val e = intercept[IllegalArgumentException] {
+      IcebergLog.dropColumns(spark, table, Seq("cat")) }
+    assert(e.getMessage.contains("partition column"), e.getMessage)
+    // a drop of a NON-partition column keeps the table writable
+    assert(IcebergLog.dropColumns(spark, table, Seq("v")).isDefined)
+    assert(IcebergLog.writeBatch(
+      Seq((2L, "b")).toDF("id", "cat"), table, partitionBy = Seq("cat")).isDefined)
+    assert(IcebergLog.read(spark, table).select("id").collect()
+      .map(_.getLong(0)).sorted.toSeq == Seq(1L, 2L))
+  }
+
+  // ── SQL faces ─────────────────────────────────────────────────────────
+
+  test("SQL: ALTER TABLE RENAME COLUMN / DROP COLUMNS parse and dispatch") {
+    import graft.sql.Ddl
+    Ddl.parse("ALTER TABLE t RENAME COLUMN a TO b") match {
+      case Ddl.AlterRename("t", "a", "b") => ()
+      case other => fail(s"parsed $other")
+    }
+    Ddl.parse("ALTER TABLE t DROP COLUMN a") match {
+      case Ddl.AlterDrop("t", Seq("a")) => ()
+      case other => fail(s"parsed $other")
+    }
+    Ddl.parse("alter table t drop columns (a, b)") match {
+      case Ddl.AlterDrop("t", Seq("a", "b")) => ()
+      case other => fail(s"parsed $other")
+    }
+    intercept[IllegalArgumentException] {
+      Ddl.parse("ALTER TABLE t DROP COLUMNS (a, 1bad)") }
+  }
+}
