@@ -216,6 +216,71 @@ class SchemaRenameDropSpec extends SparkSpec {
       .map(_.getLong(0)).sorted.toSeq == Seq(1L, 2L))
   }
 
+  // ── streaming views under a mid-stream rename (pinned: REFUSE) ───────
+
+  test("delta: a mapped streaming view refuses loudly on a mid-stream rename") {
+    import spark.implicits._
+    import graft.sources.DeltaStreamSource
+    import org.apache.spark.sql.streaming.Trigger
+    val table = tmp("delta_renstream")
+    DeltaLog.writeBatch(Seq((1L, "a")).toDF("id", "v").coalesce(1), table,
+      tableConf = Map("delta.columnMapping.mode" -> "name"))
+    val (df, view) = DeltaStreamSource.open(spark, table)
+    val q = df.writeStream.format("memory").queryName("renstream")
+      .outputMode("append").trigger(Trigger.ProcessingTime(100)).start()
+    try {
+      q.processAllAvailable()
+      assert(spark.table("renstream").count() == 1)
+      // rename mid-stream: the file source pinned its schema at open —
+      // continuing would surface the old name forever; sync REFUSES
+      assert(DeltaLog.renameColumn(spark, table, "v", "val2").isDefined)
+      DeltaLog.writeBatch(Seq((2L, "b")).toDF("id", "val2").coalesce(1), table)
+      val e = intercept[IllegalStateException] { view.sync() }
+      assert(e.getMessage.contains("schema changed under a running stream"),
+        e.getMessage)
+    } finally { q.stop(); view.close() }
+    // a RESTART picks up the renamed schema and resumes
+    val (df2, view2) = DeltaStreamSource.open(spark, table)
+    val q2 = df2.writeStream.format("memory").queryName("renstream2")
+      .outputMode("append").trigger(Trigger.ProcessingTime(100)).start()
+    try {
+      q2.processAllAvailable()
+      assert(df2.schema.fieldNames.toSeq == Seq("id", "val2"))
+      assert(spark.table("renstream2").as[(Long, String)].collect().toSet ==
+        Set((1L, "a"), (2L, "b")))
+    } finally { q2.stop(); view2.close() }
+  }
+
+  test("iceberg: a streaming view refuses loudly on a mid-stream rename") {
+    import spark.implicits._
+    import graft.sources.IcebergStreamSource
+    import org.apache.spark.sql.streaming.Trigger
+    val table = tmp("ice_renstream")
+    IcebergLog.writeBatch(Seq((1L, "a")).toDF("id", "v").coalesce(1), table)
+    val (df, view) = IcebergStreamSource.open(spark, table)
+    val q = df.writeStream.format("memory").queryName("irenstream")
+      .outputMode("append").trigger(Trigger.ProcessingTime(100)).start()
+    try {
+      q.processAllAvailable()
+      assert(spark.table("irenstream").count() == 1)
+      assert(IcebergLog.renameColumn(spark, table, "v", "val2").isDefined)
+      IcebergLog.writeBatch(Seq((2L, "b")).toDF("id", "val2").coalesce(1), table)
+      val e = intercept[IllegalStateException] { view.sync() }
+      assert(e.getMessage.toLowerCase.contains("schema"), e.getMessage)
+    } finally { q.stop(); view.close() }
+    // restart resumes under the renamed schema (pre-rename file included:
+    // the materializing view reads it by field id)
+    val (df2, view2) = IcebergStreamSource.open(spark, table)
+    val q2 = df2.writeStream.format("memory").queryName("irenstream2")
+      .outputMode("append").trigger(Trigger.ProcessingTime(100)).start()
+    try {
+      q2.processAllAvailable()
+      assert(df2.schema.fieldNames.toSeq == Seq("id", "val2"))
+      assert(spark.table("irenstream2").as[(Long, String)].collect().toSet ==
+        Set((1L, "a"), (2L, "b")))
+    } finally { q2.stop(); view2.close() }
+  }
+
   // ── SQL faces ─────────────────────────────────────────────────────────
 
   test("SQL: ALTER TABLE RENAME COLUMN / DROP COLUMNS parse and dispatch") {
