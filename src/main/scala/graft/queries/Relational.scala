@@ -739,6 +739,71 @@ object Relational {
               |  CAST(0 AS BIGINT) AS n_resurrected
               |FROM base WHERE qty <= 60 GROUP BY 1""".stripMargin)),
 
+    // ── iceberg v3 INITIAL-DEFAULT reads (r15): files written BEFORE a
+    //    field existed return the field's `initial-default` (the spec's
+    //    column-projection rule), while post-field files keep their own
+    //    values — resolved per file from the adding snapshot's schema-id
+    //    plus the manifest column metrics, never a guess. Construction:
+    //    half of lineitem lands pre-field, the schema evolves, the other
+    //    half lands WITH the column, then the metadata is reshaped to the
+    //    iceberg-java-1.8 form (format-version 3 + initial-default on the
+    //    added field). A hash match proves the fill against DuckDB
+    //    computing the same split algebraically.
+    Q("q_iceberg_initial_default",
+      (s, dir) => {
+        val li = t(s, dir, "lineitem").select(
+          col("l_orderkey"), col("l_returnflag"), col("l_linenumber"))
+        val table = java.nio.file.Files
+          .createTempDirectory("graft-iceberg-idef").toString
+        graft.sinks.IcebergLog.writeBatch(
+          li.filter(col("l_orderkey") % 2 === 0), table)
+        graft.sinks.IcebergLog.addColumns(s, table,
+          Seq("bonus" -> org.apache.spark.sql.types.LongType))
+        graft.sinks.IcebergLog.writeBatch(
+          li.filter(col("l_orderkey") % 2 === 1)
+            .withColumn("bonus", col("l_linenumber").cast("long") * 10L), table)
+        // → the iceberg-java 1.8 shape: v3, initial-default on the field
+        val dirM = java.nio.file.Paths.get(table, "metadata")
+        val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+        val vf = {
+          val it = java.nio.file.Files.list(dirM).iterator()
+          var mx = -1
+          while (it.hasNext) {
+            val n = it.next().getFileName.toString
+            if (n.startsWith("v") && n.endsWith(".metadata.json"))
+              mx = math.max(mx,
+                n.stripPrefix("v").stripSuffix(".metadata.json").toInt)
+          }
+          mx
+        }
+        val p = dirM.resolve(s"v$vf.metadata.json")
+        val node = mapper.readTree(java.nio.file.Files.readAllBytes(p))
+          .asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode]
+        node.put("format-version", 3)
+        val curId = node.get("current-schema-id").asInt()
+        val schemas = node.get("schemas")
+        (0 until schemas.size()).map(schemas.get)
+          .find(_.get("schema-id").asInt() == curId).get.get("fields")
+          .forEach { f =>
+            if (f.get("name").asText() == "bonus") {
+              f.asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode]
+                .put("initial-default", 7)
+              ()
+            }
+          }
+        java.nio.file.Files.write(p, node.toString.getBytes("UTF-8"))
+        graft.sinks.IcebergLog.read(s, table, scanFilter = Some("bonus >= 7"))
+          .groupBy(col("l_returnflag"))
+          .agg(count(lit(1)).as("n"), sum(col("bonus")).as("sum_bonus"))
+      },
+      Some("""SELECT l_returnflag, COUNT(*) AS n,
+             |  CAST(SUM(CASE WHEN l_orderkey % 2 = 0 THEN 7
+             |               ELSE l_linenumber * 10 END) AS BIGINT) AS sum_bonus
+             |FROM lineitem
+             |WHERE (CASE WHEN l_orderkey % 2 = 0 THEN 7
+             |            ELSE l_linenumber * 10 END) >= 7
+             |GROUP BY 1""".stripMargin)),
+
     // ── iceberg FORMAT-VERSION 3 interop (r13): run a merge-on-read
     //    DELETE, then re-shape the table the way a v3 writer leaves it —
     //    each position-delete parquet becomes a puffin DELETION VECTOR

@@ -429,6 +429,94 @@ object IcebergLog {
       }
   }
 
+  /** CURRENT-schema fields carrying a non-null v3 `initial-default`
+    * (spec: the value a reader returns for files written BEFORE the
+    * field existed), each with the default decoded from the spec's
+    * JSON single-value serialization. Temporal/decimal defaults stay
+    * strings and cast at projection time.
+    */
+  private[graft] def initialDefaultFields(m: Meta): Seq[(StructField, Any)] = {
+    if (m.formatVersion < 3) return Seq.empty
+    val arr = m.node.get("schemas")
+    val cur = (0 until arr.size()).map(arr.get)
+      .find(_.get("schema-id").asInt() == m.currentSchemaId).getOrElse(arr.get(0))
+    val fields = cur.get("fields")
+    (0 until fields.size()).flatMap { i =>
+      val f = fields.get(i)
+      Option(f.get("initial-default")).filterNot(_.isNull).map { d =>
+        val name = f.get("name").asText()
+        val sf = m.schema(m.schema.fieldIndex(name))
+        val v: Any = sf.dataType match {
+          case BooleanType => d.asBoolean()
+          case IntegerType => d.asInt()
+          case LongType => d.asLong()
+          case FloatType => d.asDouble().toFloat
+          case DoubleType => d.asDouble()
+          case StringType => d.asText()
+          case _: DecimalType | DateType | TimestampType => d.asText()
+          case other => sys.error(
+            s"iceberg: initial-default on type $other is not implemented")
+        }
+        (sf, v)
+      }
+    }
+  }
+
+  /** Write-path gate: this engine's metadata rebuild would DROP the
+    * default attributes from an evolved schema entry, and a DML
+    * postimage of a pre-field file would null the default — so every
+    * commit surface refuses on a table carrying initial-defaults. The
+    * table stays fully readable ([[read]] fills the defaults).
+    */
+  private[graft] def requireNoInitialDefaults(table: String, m: Meta): Unit =
+    require(initialDefaultFields(m).isEmpty,
+      s"$table: v3 schema carries initial-default field(s) " +
+        s"(${initialDefaultFields(m).map(_._1.name).mkString(", ")}); this " +
+        "engine READS them (defaults fill for pre-field files) but does " +
+        "not write/DML/stream such tables — route writes through the " +
+        "writer that owns the defaults")
+
+  /** The default-carrying fields `file` must FILL on read, resolved
+    * with no silent wrong answer possible:
+    *   - the file's column metrics carry the field id → the column is
+    *     present in the file → no fill;
+    *   - its adding snapshot's schema LACKED the field → the file
+    *     cannot contain it → fill;
+    *   - otherwise (schema had the field but metrics are suppressed)
+    *     presence is unprovable from metadata → refuse loudly.
+    */
+  private def fillFieldsOf(table: String, m: Meta,
+      defaults: Seq[(StructField, Any)], ids: Map[String, Int],
+      file: LiveFile): Seq[(StructField, Any)] = {
+    lazy val snapSchemaFieldIds: Set[Int] = {
+      val sid = file.entryRow.get(1) match {
+        case l: java.lang.Long => l.longValue()
+        case _ => sys.error(s"$table: ${file.path} carries no snapshot id " +
+          "in its manifest entry; initial-default presence cannot be proven")
+      }
+      val schemaId = m.snapshots.find(_.get("snapshot-id").asLong() == sid)
+        .flatMap(s => Option(s.get("schema-id")).map(_.asInt()))
+        .getOrElse(sys.error(s"$table: snapshot $sid records no schema-id; " +
+          "initial-default presence cannot be proven"))
+      val arr = m.node.get("schemas")
+      val sn = (0 until arr.size()).map(arr.get)
+        .find(_.get("schema-id").asInt() == schemaId)
+        .getOrElse(sys.error(s"$table: schema $schemaId missing from history"))
+      val sf = sn.get("fields")
+      (0 until sf.size()).map(i => sf.get(i).get("id").asInt()).toSet
+    }
+    defaults.filter { case (sf, _) =>
+      val id = ids.getOrElse(sf.name, sys.error(
+        s"$table: no field id for default column ${sf.name}"))
+      if (file.valueCounts.contains(id) || file.nullCounts.contains(id)) false
+      else if (!snapSchemaFieldIds.contains(id)) true
+      else sys.error(s"$table: cannot prove whether ${file.path} contains " +
+        s"column '${sf.name}' (its snapshot's schema declares the field " +
+        "but the file's metrics omit it) — refusing to guess between the " +
+        "initial-default and the file's own values")
+    }
+  }
+
   /** Live files whose hive path still carries a PRE-RENAME partition
     * segment: partition values recover from dir names, which field-id
     * resolution can't fix — these refuse reads and are OPTIMIZE's
@@ -641,21 +729,11 @@ object IcebergLog {
       s"$table is Iceberg format-version $fv; this engine reads " +
         "format-versions 2 and 3 (sequence numbers, row-level deletes, " +
         "v3 deletion vectors) — refusing to guess other semantics")
-    if (fv == 3) {
-      // v3 READ features this engine does not implement must refuse,
-      // not silently change returned rows: a field's initial-default
-      // fills the column for files written BEFORE the field existed —
-      // returning null there instead would be a silent wrong answer
-      val schemas = node.get("schemas")
-      for (si <- 0 until schemas.size(); f = schemas.get(si).get("fields");
-           fi <- 0 until f.size()) {
-        val fld = f.get(fi)
-        require(!fld.has("initial-default") || fld.get("initial-default").isNull,
-          s"$table: v3 schema field '${fld.get("name").asText()}' carries " +
-            "initial-default, which this reader does not implement; " +
-            "refusing to return nulls where the default applies")
-      }
-    }
+    // v3 initial-default (r15): READS fill the default for files that
+    // predate the field ([[read]]); WRITES refuse
+    // ([[requireNoInitialDefaults]] in commitSnapshot) — this engine's
+    // metadata rebuild would drop the default attributes, and DML
+    // postimages of pre-field files would null them.
     Some(Meta(v, node, metaFile.getFileName.toString))
   }
 
@@ -1241,6 +1319,7 @@ object IcebergLog {
       // catalog-managed metadata naming: the authoritative pointer lives
       // in the owning catalog — a filesystem-claimed vN commit here would
       // be invisible to it (and its next commit would silently drop ours)
+      cur.foreach(m => requireNoInitialDefaults(table, m))
       cur.foreach(m => require(!m.catalogManaged,
         s"$table uses catalog-managed metadata naming (${m.metaFileName}); " +
           "this engine commits the HadoopCatalog filesystem form only — " +
@@ -2395,21 +2474,45 @@ object IcebergLog {
     // merge-on-read: only files within some delete file's path bounds
     // pay the position anti-join; everything else stays a plain scan
     val dels = deleteFiles(table, snapshotId)
-    val (clean, dirty) = splitByDeletes(kept, dels, m.schema, m.fieldIds)
     val basePath = Paths.get(table, "data").toAbsolutePath.toString
     val schemaCols = m.schema.fieldNames.map(org.apache.spark.sql.functions.col).toIndexedSeq
     // field-id-stamped iff the schema history shows a rename
     val readSchema = dataReadSchema(spark, m)
-    val cleanDf =
-      if (clean.isEmpty) None
-      else Some(spark.read.schema(readSchema).option("basePath", basePath)
-        .parquet(clean.map(_.path): _*).select(schemaCols: _*))
-    val dirtyDf =
-      if (dirty.isEmpty) None
-      else Some(readWithDeletes(spark, table, readSchema, Some(basePath),
-        dirty, dels, ids = m.fieldIds))
-    val base = (cleanDf ++ dirtyDf).reduceOption(_ unionAll _).getOrElse(
-      spark.createDataFrame(spark.sparkContext.emptyRDD[Row], m.schema))
+    def readGroup(files: Seq[LiveFile]): Option[DataFrame] = {
+      if (files.isEmpty) return None
+      val (clean, dirty) = splitByDeletes(files, dels, m.schema, m.fieldIds)
+      val cleanDf =
+        if (clean.isEmpty) None
+        else Some(spark.read.schema(readSchema).option("basePath", basePath)
+          .parquet(clean.map(_.path): _*).select(schemaCols: _*))
+      val dirtyDf =
+        if (dirty.isEmpty) None
+        else Some(readWithDeletes(spark, table, readSchema, Some(basePath),
+          dirty, dels, ids = m.fieldIds).select(schemaCols: _*))
+      (cleanDf ++ dirtyDf).reduceOption(_ unionAll _)
+    }
+    // v3 initial-default: group kept files by the default fields they
+    // must FILL (a file that predates the field returns the default,
+    // per the spec's column-projection rule). Grouping is metadata-only
+    // and the group count is bounded by 2^|default fields| — in
+    // practice 2 — so the plan stays a union of plain scans.
+    val defaults = initialDefaultFields(m)
+    val base: DataFrame = (
+      if (defaults.isEmpty) readGroup(kept)
+      else kept.groupBy(f =>
+          fillFieldsOf(table, m, defaults, m.fieldIds, f).map(_._1.name))
+        .toSeq.sortBy(_._1.mkString(","))
+        .flatMap { case (fillNames, files) =>
+          val fills = defaults.filter(d => fillNames.contains(d._1.name))
+          readGroup(files).map { df =>
+            fills.foldLeft(df) { case (d0, (sf, v)) =>
+              d0.withColumn(sf.name,
+                org.apache.spark.sql.functions.lit(v).cast(sf.dataType))
+            }.select(schemaCols: _*)
+          }
+        }.reduceOption(_ unionAll _)
+      ).getOrElse(
+        spark.createDataFrame(spark.sparkContext.emptyRDD[Row], m.schema))
     scanFilter.map(_.trim).filter(_.nonEmpty)
       .map(f => base.filter(org.apache.spark.sql.functions.expr(f)))
       .getOrElse(base)
@@ -2434,6 +2537,9 @@ object IcebergLog {
     import org.apache.spark.sql.functions.{col, lit}
     val m = current(table).getOrElse(
       sys.error(s"$table is not an Iceberg table (no metadata/v*.metadata.json)"))
+    // the changelog replays OLD files; per-file default filling is a
+    // [[read]]-path feature — refuse loudly rather than null defaults
+    requireNoInitialDefaults(table, m)
     val hi = toSeq.getOrElse(m.lastSeq)
     require(fromSeq >= 1 && fromSeq <= hi,
       s"readChanges: bad sequence range $fromSeq..$hi")
@@ -2826,6 +2932,7 @@ object IcebergLog {
       round += 1
       val m = current(table).getOrElse(
         sys.error(s"$table is not an Iceberg table (no metadata/v*.metadata.json)"))
+      requireNoInitialDefaults(table, m)
       // ONE manifest walk per round: live set, delete files, and the
       // stats-pruned candidates all derive from it (the commit-time
       // guards re-judge against a fresh snapshot anyway)
@@ -3440,6 +3547,7 @@ object IcebergLog {
     def plan(scanFilter: Option[String]): DmlRewrite.Plan = {
       val m = current(table).getOrElse(
         sys.error(s"$table is not an Iceberg table (no metadata/v*.metadata.json)"))
+      requireNoInitialDefaults(table, m)
       plannedIds = fieldIdsFor(Some(m), m.schema)
       plannedReadSchema = dataReadSchema(spark, m)
       // plan-time live set: anything appearing after this is a potential

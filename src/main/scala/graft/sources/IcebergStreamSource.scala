@@ -321,6 +321,9 @@ object IcebergStreamSource {
         "feed streams exactly the snapshots ignore_deletes would drop)")
     val m = IcebergLog.current(table).getOrElse(
       sys.error(s"$table is not an Iceberg table (no metadata/v*.metadata.json)"))
+    // raw links / materialized views can't fill v3 initial-defaults
+    // per file — the batch read path can; streams refuse loudly
+    IcebergLog.requireNoInitialDefaults(table, m)
     // a renamed table's pre-rename files carry the OLD parquet column
     // name (field ids are the identity): raw hard-links read by NAME
     // would silently null the renamed column, so such views (r14)

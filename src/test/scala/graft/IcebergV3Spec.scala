@@ -332,8 +332,9 @@ class IcebergV3Spec extends SparkSpec {
     val e1 = intercept[Exception] { IcebergLog.read(spark, table).count() }
     assert(e1.getMessage.contains("crc") || e1.getMessage.contains("roaring"),
       e1.getMessage)
-    // schema initial-default (a v3 READ feature this engine lacks):
-    // current() refuses rather than returning nulls where the default applies
+    // schema initial-default on a field whose files CONTAIN it (metrics
+    // prove presence): reads keep the file's own values — the default
+    // never overrides written data (r15; pre-r15 this refused at open)
     val t2 = tmpTable()
     IcebergLog.writeBatch(Seq((1L, 10L)).toDF("id", "v"), t2)
     val dir = Paths.get(t2, "metadata")
@@ -348,7 +349,62 @@ class IcebergV3Spec extends SparkSpec {
       .asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode]
       .put("initial-default", 7)
     Files.write(p, node.toString.getBytes("UTF-8"))
-    val e2 = intercept[IllegalArgumentException] { IcebergLog.current(t2) }
-    assert(e2.getMessage.contains("initial-default"), e2.getMessage)
+    assert(IcebergLog.read(spark, t2).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq == Seq((1L, 10L)))
+  }
+
+  test("v3 initial-default: pre-field files fill; post-field values (incl. null) keep; writes/streams refuse") {
+    import spark.implicits._
+    import org.apache.spark.sql.types.LongType
+    val table = tmpTable()
+    // file 1 under schema 0 (no bonus), then evolve, then file 2 WITH
+    // bonus — including an explicit null that must STAY null
+    IcebergLog.writeBatch(
+      Seq((1L, 10L), (2L, 20L)).toDF("id", "v").coalesce(1), table)
+    assert(IcebergLog.addColumns(spark, table, Seq("bonus" -> LongType)).isDefined)
+    IcebergLog.writeBatch(
+      Seq((3L, 30L, Some(300L)), (4L, 40L, None: Option[Long]))
+        .toDF("id", "v", "bonus").coalesce(1), table)
+    // → the iceberg-java 1.8 shape: v3 + initial-default/write-default
+    // on the added field of the CURRENT schema entry
+    val dir = Paths.get(table, "metadata")
+    val vf = Files.list(dir).iterator().asScala.map(_.getFileName.toString)
+      .filter(s => s.startsWith("v") && s.endsWith(".metadata.json"))
+      .map(s => s.stripPrefix("v").stripSuffix(".metadata.json").toInt).max
+    val p = dir.resolve(s"v$vf.metadata.json")
+    val node = mapper.readTree(Files.readAllBytes(p))
+      .asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode]
+    node.put("format-version", 3)
+    val curId = node.get("current-schema-id").asInt()
+    val schemas = node.get("schemas")
+    (0 until schemas.size()).map(schemas.get)
+      .find(_.get("schema-id").asInt() == curId).get.get("fields")
+      .forEach { f =>
+        if (f.get("name").asText() == "bonus") {
+          val o = f.asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode]
+          o.put("initial-default", 7)
+          o.put("write-default", 7)
+          ()
+        }
+      }
+    Files.write(p, node.toString.getBytes("UTF-8"))
+    // pre-field rows fill 7; post-field rows keep 300 and NULL
+    val got = IcebergLog.read(spark, table).collect()
+      .map(r => (r.getLong(0), if (r.isNullAt(2)) -1L else r.getLong(2)))
+      .sortBy(_._1).toSeq
+    assert(got == Seq((1L, 7L), (2L, 7L), (3L, 300L), (4L, -1L)), got)
+    // scan_filter composes AFTER the fill
+    assert(IcebergLog.read(spark, table, scanFilter = Some("bonus = 7"))
+      .collect().map(_.getLong(0)).sorted.toSeq == Seq(1L, 2L))
+    // every commit surface refuses; the table stays readable
+    val eW = intercept[IllegalArgumentException] {
+      IcebergLog.writeBatch(Seq((9L, 90L, Some(9L))).toDF("id", "v", "bonus"), table) }
+    assert(eW.getMessage.contains("initial-default"), eW.getMessage)
+    val eS = intercept[IllegalArgumentException] {
+      graft.sources.IcebergStreamSource.open(spark, table) }
+    assert(eS.getMessage.contains("initial-default"), eS.getMessage)
+    val eC = intercept[IllegalArgumentException] {
+      IcebergLog.readChanges(spark, table, 1L) }
+    assert(eC.getMessage.contains("initial-default"), eC.getMessage)
   }
 }
