@@ -661,6 +661,42 @@ object Relational {
               |SELECT l_returnflag, COUNT(*) AS n, ${oSum("q")} AS sum_qty
               |FROM merged WHERE q <= 25 GROUP BY 1""".stripMargin)),
 
+    // ── id-MODE mapped delta with a NESTED column (r15): CREATE under
+    //    delta.columnMapping.mode=id (readers bind every column — nested
+    //    leaves included — by parquet field id; the writer stamps ids at
+    //    every depth through the external-row pass), then the DML cycle:
+    //    a CoW DELETE, an UPDATE whose predicate reads a NESTED leaf,
+    //    and a pruned read. A hash match proves id-mode placement,
+    //    nested id stamping, id-resolved reads, and phys-keyed pruning.
+    Q("q_delta_mapped_id",
+      (s, dir) => {
+        val li = t(s, dir, "lineitem").select(
+          col("l_orderkey"), col("l_returnflag"), col("l_quantity"),
+          struct(col("l_linenumber").as("ln"),
+            col("l_extendedprice").as("price")).as("meta"))
+        val table = java.nio.file.Files
+          .createTempDirectory("graft-delta-cmid").resolve("t").toString
+        graft.sinks.DeltaLog.writeBatch(li, table,
+          partitionBy = Seq("l_returnflag"),
+          tableConf = Map("delta.columnMapping.mode" -> "id"))
+        graft.sinks.DeltaLog.deleteWhere(s, table, "l_quantity > 45")
+        graft.sinks.DeltaLog.updateWhere(s, table,
+          Seq("l_quantity" -> "l_quantity * 2"), Some("meta.ln >= 4"))
+        graft.sinks.DeltaLog.read(s, table, scanFilter = Some("l_quantity <= 30"))
+          .groupBy(col("l_returnflag"))
+          .agg(count(lit(1)).as("n"), dsum(col("l_quantity")).as("sum_qty"),
+            dsum(col("meta.price")).as("sum_price"))
+      },
+      Some(s"""WITH base AS (
+              |  SELECT l_returnflag, l_extendedprice,
+              |    CASE WHEN l_linenumber >= 4 THEN l_quantity * 2
+              |         ELSE l_quantity END AS q
+              |  FROM lineitem WHERE NOT (l_quantity > 45)
+              |)
+              |SELECT l_returnflag, COUNT(*) AS n, ${oSum("q")} AS sum_qty,
+              |  ${oSum("l_extendedprice")} AS sum_price
+              |FROM base WHERE q <= 30 GROUP BY 1""".stripMargin)),
+
     // ── RENAME/DROP COLUMN on a mapped delta table (r15): CREATE with
     //    column mapping (the engine mints ids/physicalNames), append,
     //    RENAME l_quantity→qty (metaData-only; the physicalName binding

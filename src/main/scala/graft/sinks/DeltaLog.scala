@@ -724,35 +724,46 @@ object DeltaLog {
     case _ => false
   }
 
-  /** Gate for WRITE surfaces on a column-mapped table (appends, DML,
-    * OPTIMIZE): everything is supported except id-mode tables whose
-    * NESTED fields are id-mapped — conformant readers bind those nested
-    * columns by parquet field id, which this writer cannot stamp below
-    * the top level, so refuse BEFORE planning rather than land files a
-    * real reader nulls out.
-    */
-  private def requireMappedWritable(table: String, s: Snapshot): Unit = {
-    if (mappingMode(s.configuration) != "id") return
-    require(s.schema.fields.forall(f => !nestedCmIds(f.dataType)),
-      s"$table: id-mode writes support top-level column mappings only " +
-        "(nested parquet field ids cannot be stamped through this writer)")
-  }
-
   /** LOGICAL frame → the physical write shape of a mapped table: every
     * field under its physical name with the top-level parquet field id
     * stamped via alias metadata; `passThrough` columns (the cdc
     * `_change_type`) ride unchanged after the mapped columns.
     */
   private def toMappedPhysFrame(df: DataFrame, schema: StructType,
-      passThrough: Seq[String] = Seq.empty): DataFrame = {
+      passThrough: Seq[String] = Seq.empty,
+      /** id-mode tables with NESTED mappings (r15): readers bind nested
+        * columns by parquet field id, which Catalyst aliases cannot
+        * stamp below the top level — the frame re-types through one
+        * external-row pass under the full physical schema (ids at every
+        * depth). Costs a codegen break; paid ONLY by id-mode nested
+        * tables (name-mode readers bind by physicalName at every depth,
+        * no per-leaf ids needed). */
+      stampNestedIds: Boolean = false): DataFrame = {
     import org.apache.spark.sql.functions.col
     df.sparkSession.conf.set("spark.sql.parquet.fieldId.write.enabled", "true")
-    df.select(schema.fields.toIndexedSeq.map { f =>
+    val sel = df.select(schema.fields.toIndexedSeq.map { f =>
       val mb = new org.apache.spark.sql.types.MetadataBuilder()
       cmFieldId(f).foreach(mb.putLong(ParquetFieldIdKey, _))
       toPhysExpr(col(quoted(f.name)), f.dataType).as(physName(f), mb.build())
     } ++ passThrough.map(c => col(quoted(c))): _*)
+    if (!stampNestedIds) sel
+    else {
+      val phys = physicalReadType(schema, withIds = true)
+        .asInstanceOf[StructType]
+      val full = StructType(phys.fields ++
+        passThrough.map(c => sel.schema(sel.schema.fieldIndex(c))))
+      sel.sparkSession.createDataFrame(sel.rdd, full)
+    }
   }
+
+  /** Does landing `schema`'s data files require the external-row
+    * nested-id pass? Only when the table is id-MODE and some mapping
+    * lives below the top level.
+    */
+  private def needsNestedIdStamp(configuration: Map[String, String],
+      schema: StructType): Boolean =
+    mappingMode(configuration) == "id" &&
+      schema.fields.exists(f => nestedCmIds(f.dataType))
 
   /** Physical names of a snapshot's partition columns (what mapped hive
     * dirs — and therefore the add actions' partitionValues keys — use).
@@ -767,17 +778,18 @@ object DeltaLog {
     */
   private def placeMappedDataFiles(spark: SparkSession, table: String,
       s0: Snapshot, df: DataFrame): Seq[(String, AddInfo)] =
-    placeMappedDataFiles(spark, table, s0.schema, s0.partitionColumns, df)
+    placeMappedDataFiles(spark, table, s0.schema, s0.partitionColumns, df,
+      needsNestedIdStamp(s0.configuration, s0.schema))
 
   private def placeMappedDataFiles(spark: SparkSession, table: String,
       schema: StructType, partitionColumns: Seq[String],
-      df: DataFrame): Seq[(String, AddInfo)] = {
+      df: DataFrame, stampNestedIds: Boolean): Seq[(String, AddInfo)] = {
     val physSchema = physicalReadType(schema, withIds = true)
       .asInstanceOf[StructType]
     val physPartCols = partitionColumns.map(pc =>
       physName(schema(schema.fieldIndex(pc))))
     placeDataFiles(spark, table, physSchema, physPartCols,
-      toMappedPhysFrame(df, schema))
+      toMappedPhysFrame(df, schema, stampNestedIds = stampNestedIds))
   }
 
   /** Mint a fresh column mapping over `schema` (mapped-table CREATE —
@@ -1440,17 +1452,11 @@ object DeltaLog {
           s"$table (column-mapped) append type mismatch: batch " +
             s"(${df.schema.map(f => s"${f.name}:${f.dataType.simpleString}").mkString(", ")}) vs table " +
             s"(${s0.schema.map(f => s"${f.name}:${f.dataType.simpleString}").mkString(", ")})")
-        requireMappedWritable(table, s0)
         (s0.schema, s0.partitionColumns, tableConf, aligned)
       case None =>
         // CREATE: mint the mapping (this writer owns a table it creates)
         val mode = mappingMode(tableConf)
         val (mapped, maxId) = mintMapping(df.schema)
-        require(mode != "id" ||
-          mapped.fields.forall(f => !nestedCmIds(f.dataType)),
-          s"$table: id-mode CREATE supports flat schemas only (nested " +
-            "parquet field ids cannot be stamped through this writer); " +
-            "use mode=name for nested schemas")
         partitionBy.foreach(pc => require(mapped.fieldNames.contains(pc),
           s"$table: partition column $pc is not in the schema"))
         (mapped, partitionBy, tableConf +
@@ -1460,7 +1466,12 @@ object DeltaLog {
     // placement on the PHYSICAL shape: hive dirs named by physical
     // partition columns → partitionValues keys, and footer stats keys,
     // both land physical (what prune() translates back to)
-    val added = placeMappedDataFiles(spark, table, tableSchema, partCols, df1)
+    // the MODE lives on the table (snapshot config) for appends; `conf`
+    // is only the caller's overlay (empty on a plain append)
+    val effectiveConf =
+      snap0.map(_.configuration).getOrElse(Map.empty) ++ conf
+    val added = placeMappedDataFiles(spark, table, tableSchema, partCols,
+      df1, needsNestedIdStamp(effectiveConf, tableSchema))
     val committed = commit(spark, table, tableSchema, partCols,
       added, txn, tableConf = conf, allowMapped = true)
     committed match {
@@ -1510,7 +1521,6 @@ object DeltaLog {
         * its rewrites toward real file sizes. */
       targetFileBytes: Long = 128L * 1024 * 1024): Option[Long] = {
     val s = snapshot(spark, table).getOrElse(return None)
-    requireMappedWritable(table, s)
     zorderBy.foreach { c =>
       require(s.schema.fieldNames.contains(c), s"zorder: no column $c")
       require(!s.partitionColumns.contains(c),
@@ -1629,15 +1639,6 @@ object DeltaLog {
           (cols.map { case (n, dt) => StructField(n, dt, nullable = true) },
             Map.empty[String, String])
         else {
-          // id-mode nested additions would need nested parquet field-id
-          // stamping on the write side — refuse like every other id-mode
-          // nested surface; name mode mints at every depth
-          require(mappingMode(s.configuration) != "id" ||
-            cols.forall(c => !c._2.isInstanceOf[StructType] &&
-              !c._2.isInstanceOf[ArrayType] && !c._2.isInstanceOf[MapType]),
-            s"$table: id-mode ADD COLUMNS supports scalar columns only " +
-              "(nested parquet field ids cannot be stamped through this " +
-              "writer); use mode=name for nested additions")
           // fallback when the property is absent: the max cm id across
           // the WHOLE type tree (nested fields carry ids too — a
           // top-level count would collide with them); when both exist,
@@ -1804,7 +1805,6 @@ object DeltaLog {
     require(p.nonEmpty, "DELETE: empty predicate (use 'true' to delete all rows)")
     val s0 = snapshot(spark, table)
       .getOrElse(sys.error(s"$table is not a Delta table (no _delta_log)"))
-    requireMappedWritable(table, s0)
     val changes: Option[(DataFrame, DataFrame, StructType) => DataFrame] =
       Some((touched, _, _) =>
         touched.filter(coalesce(expr(p), lit(false)))
@@ -2068,7 +2068,6 @@ object DeltaLog {
       }: _*)
     val s0 = snapshot(spark, table)
       .getOrElse(sys.error(s"$table is not a Delta table (no _delta_log)"))
-    requireMappedWritable(table, s0)
     if (dvEnabled(s0.configuration))
       // merge-on-read row delta: retract matching positions into the
       // deletion vectors, append the postimages
@@ -2123,7 +2122,6 @@ object DeltaLog {
       clauses: Merge.Clauses): Option[Long] = {
     val s0 = snapshot(spark, table)
       .getOrElse(sys.error(s"$table is not a Delta table (no _delta_log)"))
-    requireMappedWritable(table, s0)
     clauses.updateCols.foreach(cname =>
       require(s0.schema.fieldNames.contains(cname),
         s"MERGE: no column $cname in $table"))
@@ -2215,7 +2213,9 @@ object DeltaLog {
       * same projection the append path uses.
       */
     override def stampOutput(df: DataFrame, plan: DmlRewrite.Plan): DataFrame =
-      if (!mapped) df else toMappedPhysFrame(df, plan.schema)
+      if (!mapped) df
+      else toMappedPhysFrame(df, plan.schema, stampNestedIds =
+        planned.exists(s => needsNestedIdStamp(s.configuration, plan.schema)))
     override def writePartitionColumns(plan: DmlRewrite.Plan): Seq[String] =
       if (!mapped) plan.partitionColumns else mappedPartCols(planned.get)
     def harvest(dest: Path, plan: DmlRewrite.Plan): ((String, AddInfo), Long) = {
@@ -2285,7 +2285,8 @@ object DeltaLog {
       mappedSnap: Option[Snapshot] = None): Seq[(String, AddInfo)] = {
     val root = Paths.get(table).toAbsolutePath.normalize
     val chg = mappedSnap.map(s =>
-      toMappedPhysFrame(chg0, s.schema, passThrough = Seq(Cdf.changeTypeCol)))
+      toMappedPhysFrame(chg0, s.schema, passThrough = Seq(Cdf.changeTypeCol),
+        stampNestedIds = needsNestedIdStamp(s.configuration, s.schema)))
       .getOrElse(chg0)
     val partCols = mappedSnap.map(mappedPartCols).getOrElse(partitionColumns)
     def place(df: DataFrame, partitioned: Boolean): Seq[(String, AddInfo)] = {

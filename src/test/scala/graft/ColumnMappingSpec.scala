@@ -300,17 +300,52 @@ class ColumnMappingSpec extends SparkSpec {
     assert(sn.configuration("delta.columnMapping.maxColumnId") == "4")
     assert(DeltaLog.read(spark, nested).select("k", "s._2")
       .collect().map(r => (r.getLong(0), r.getString(1))).toSeq == Seq((1L, "p")))
-    // id-mode CREATE: flat works (field ids stamped), nested refuses
+    // id-mode CREATE: flat works (field ids stamped); NESTED works too
+    // (r15 — the external-row pass stamps parquet ids at every depth)
     val idTable = tmpTable()
     assert(DeltaLog.writeBatch(Seq((7L, "x")).toDF("id", "name"), idTable,
       tableConf = Map("delta.columnMapping.mode" -> "id")).contains(0L))
     assert(DeltaLog.read(spark, idTable).collect()
       .map(r => (r.getLong(0), r.getString(1))).toSeq == Seq((7L, "x")))
-    val eNested = intercept[IllegalArgumentException] {
-      DeltaLog.writeBatch(Seq((1L, (2L, "y"))).toDF("k", "s"), tmpTable(),
-        tableConf = Map("delta.columnMapping.mode" -> "id"))
+    val idNested = tmpTable()
+    assert(DeltaLog.writeBatch(Seq((1L, (2L, "y"))).toDF("k", "s"), idNested,
+      tableConf = Map("delta.columnMapping.mode" -> "id")).contains(0L))
+    // files on disk carry parquet field ids at EVERY depth — the id-mode
+    // reader contract (verified in the footer, not just the round trip)
+    locally {
+      val sNested = DeltaLog.snapshot(spark, idNested).get
+      val rel = sNested.adds.head._1
+      val conf = spark.sessionState.newHadoopConf()
+      val rd = org.apache.parquet.hadoop.ParquetFileReader.open(
+        org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+          new org.apache.hadoop.fs.Path(
+            Paths.get(idNested, rel).toString), conf))
+      val msg = try rd.getFooter.getFileMetaData.getSchema.toString
+        finally rd.close()
+      // "= <n>" after each leaf and the group line = a stamped field id
+      assert(msg.linesIterator.count(_.contains(" = ")) >= 4, msg)
     }
-    assert(eNested.getMessage.contains("flat"), eNested.getMessage)
+    assert(DeltaLog.read(spark, idNested).select("k", "s._2").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq == Seq((1L, "y")))
+    // id-mode nested DML + evolution (previously refused)
+    assert(DeltaLog.updateWhere(spark, idNested,
+      Seq("k" -> "k + 10"), Some("s._1 = 2")).isDefined)
+    assert(DeltaLog.read(spark, idNested).select("k").collect()
+      .map(_.getLong(0)).toSeq == Seq(11L))
+    assert(DeltaLog.addColumns(spark, idNested, Seq("extra" ->
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("a",
+          org.apache.spark.sql.types.LongType))))).isDefined)
+    assert(DeltaLog.writeBatch(
+      Seq((5L, (6L, "z"), 7L)).toDF("k", "s", "a_raw")
+        .select(org.apache.spark.sql.functions.col("k"),
+          org.apache.spark.sql.functions.col("s"),
+          org.apache.spark.sql.functions.struct(
+            org.apache.spark.sql.functions.col("a_raw").as("a")).as("extra")),
+      idNested).isDefined)
+    assert(DeltaLog.read(spark, idNested).select("k", "extra.a").collect()
+      .map(r => (r.getLong(0), if (r.isNullAt(1)) -1L else r.getLong(1)))
+      .sorted.toSeq == Seq((5L, 7L), (11L, -1L)))
     // the mode can NOT be armed on an existing (logical-named) table
     val plain = tmpTable()
     DeltaLog.writeBatch(Seq((1L, 1L)).toDF("a", "b"), plain)
@@ -612,17 +647,23 @@ class ColumnMappingSpec extends SparkSpec {
     assert(aField.metadata.getString("delta.columnMapping.physicalName")
       .startsWith("col-"))
     assert(sN.configuration("delta.columnMapping.maxColumnId") == "14")
-    // …but id mode still refuses nested additions (field ids cannot be
-    // stamped below the top level by this writer)
+    // id mode takes nested additions too (r15 — the external-row pass
+    // stamps nested parquet field ids on every subsequent write)
     val idT = tmpTable()
     assert(DeltaLog.writeBatch(
       Seq((1L, "x")).toDF("id", "name"), idT,
       tableConf = Map("delta.columnMapping.mode" -> "id")).isDefined)
-    val eNest = intercept[IllegalArgumentException] {
-      DeltaLog.addColumns(spark, idT, Seq("s" ->
-        StructType(Seq(StructField("a", LongType)))))
-    }
-    assert(eNest.getMessage.contains("scalar"), eNest.getMessage)
+    assert(DeltaLog.addColumns(spark, idT, Seq("s" ->
+      StructType(Seq(StructField("a", LongType))))).isDefined)
+    assert(DeltaLog.writeBatch(
+      Seq((2L, "y", 20L)).toDF("id", "name", "a")
+        .select(org.apache.spark.sql.functions.col("id"),
+          org.apache.spark.sql.functions.col("name"),
+          org.apache.spark.sql.functions.struct(
+            org.apache.spark.sql.functions.col("a")).as("s")), idT).isDefined)
+    assert(DeltaLog.read(spark, idT).selectExpr("id", "s.a").collect()
+      .map(r => (r.getLong(0), if (r.isNullAt(1)) -1L else r.getLong(1)))
+      .sorted.toSeq == Seq((1L, -1L), (2L, 20L)))
   }
 
   test("checkpoints round-trip the mapped protocol; cold replay from one still maps") {
