@@ -2743,16 +2743,6 @@ object DeltaLog {
     // and a checkpoint that embeds it would make `VERSION AS OF version`
     // return rows from the future
     val s = snapshot(spark, table, asOf = Some(version)).getOrElse(return)
-    // a v2Checkpoint-enabled table requires classic-NAMED checkpoints to
-    // be V2-compatibility checkpoints (checkpointMetadata action et al.);
-    // checkpoints are OPTIONAL, so the compliant cheap move is to write
-    // none — the JSON log alone stays fully readable
-    if (s.protocolJson.exists(_.contains("\"v2Checkpoint\""))) {
-      Console.err.println(s"[delta] $table enables v2Checkpoint; skipping " +
-        "the classic checkpoint this writer would emit (the log tail " +
-        "remains the source of truth)")
-      return
-    }
     // ROUND-TRIP the table's protocol verbatim: re-deriving it here
     // would DOWNGRADE a third-party table's protocol in the checkpoint
     // (columnMapping, inCommitTimestamp, …) — a conformant reader
@@ -2777,21 +2767,30 @@ object DeltaLog {
         Seq("deletionVectors") ++ (if (cdfOn) Seq("changeDataFeed") else Nil))
       else Row(1, if (cdfOn) 4 else 2, null, null)
     }
+    val metaRow = Row(s.metaId, Row("parquet", Map.empty[String, String]),
+      s.schema.json, s.partitionColumns, s.configuration, s.createdTime)
+    val txnRows = s.appVersions.toSeq.sortBy(_._1)
+    val addRows: Seq[Row] = s.adds.map { case (path, info) =>
+      Row(encodePath(path), info.partitionValues.toMap, info.size,
+        info.modificationTime, true, info.stats.orNull,
+        info.dv.map(d => Row(d.storageType, d.pathOrInlineDv,
+          d.offset.map(Integer.valueOf).orNull, d.sizeInBytes,
+          d.cardinality)).orNull)
+    }
+    // a v2Checkpoint-enabled table's checkpoints take the V2 form (r15):
+    // a UUID-named manifest holding the non-file actions +
+    // checkpointMetadata + `sidecar` pointers, with the add actions in
+    // UUID-named parquet files under _delta_log/_sidecars/
+    if (s.protocolJson.exists(_.contains("\"v2Checkpoint\""))) {
+      writeV2Checkpoint(spark, table, version, protoRow, metaRow,
+        txnRows, addRows)
+      return
+    }
     val rows = Seq(
       Row(null, null, null, null, protoRow),
-      Row(null, null, null,
-        Row(s.metaId, Row("parquet", Map.empty[String, String]), s.schema.json,
-          s.partitionColumns, s.configuration, s.createdTime), null)) ++
-      s.appVersions.toSeq.sortBy(_._1).map { case (app, v) =>
-        Row(Row(app, v), null, null, null, null)
-      } ++
-      s.adds.map { case (path, info) =>
-        Row(null, Row(encodePath(path), info.partitionValues.toMap, info.size,
-          info.modificationTime, true, info.stats.orNull,
-          info.dv.map(d => Row(d.storageType, d.pathOrInlineDv,
-            d.offset.map(Integer.valueOf).orNull, d.sizeInBytes,
-            d.cardinality)).orNull), null, null, null)
-      }
+      Row(null, null, null, metaRow, null)) ++
+      txnRows.map { case (app, v) => Row(Row(app, v), null, null, null, null) } ++
+      addRows.map(a => Row(null, a, null, null, null))
     // MULTI-PART classic checkpoint (PROTOCOL.md
     // `<v>.checkpoint.<part>.<n>.parquet`) past the row threshold: one
     // giant single-file checkpoint serializes its write AND forces
@@ -2845,6 +2844,95 @@ object DeltaLog {
     * the interop spec exercise the multi-part path at test scale.
     */
   private[graft] var checkpointRowsPerPart: Long = 500000L
+
+  /** Sidecar file shape (PROTOCOL.md "V2 Checkpoints": sidecars carry
+    * file actions only).
+    */
+  private lazy val sidecarFileSchema = StructType(Seq(
+    StructField("add", checkpointSchema("add").dataType),
+    StructField("remove", checkpointSchema("remove").dataType)))
+
+  /** V2 manifest shape: non-file actions + `checkpointMetadata` +
+    * `sidecar` pointers.
+    */
+  private lazy val v2ManifestSchema = StructType(Seq(
+    StructField("txn", checkpointSchema("txn").dataType),
+    StructField("metaData", checkpointSchema("metaData").dataType),
+    StructField("protocol", checkpointSchema("protocol").dataType),
+    StructField("checkpointMetadata", StructType(Seq(
+      StructField("version", LongType),
+      StructField("tags", MapType(StringType, StringType))))),
+    StructField("sidecar", StructType(Seq(
+      StructField("path", StringType),
+      StructField("sizeInBytes", LongType),
+      StructField("modificationTime", LongType),
+      StructField("tags", MapType(StringType, StringType)))))))
+
+  /** The V2 (UUID-manifest + sidecar) checkpoint WRITE
+    * (PROTOCOL.md "V2 Checkpoints") — symmetric with the r13/r14 read
+    * path: add actions land in UUID-named parquet sidecars under
+    * `_delta_log/_sidecars/` (multi-file past [[checkpointRowsPerPart]],
+    * one no-shuffle job like the classic multi-part form), the
+    * `<v>.checkpoint.<uuid>.parquet` manifest carries
+    * checkpointMetadata + protocol + metaData + txns + one `sidecar`
+    * pointer per file, and `_last_checkpoint` records the version.
+    */
+  private def writeV2Checkpoint(spark: SparkSession, table: String,
+      version: Long, protoRow: Row, metaRow: Row,
+      txnRows: Seq[(String, Long)], addRows: Seq[Row]): Unit = {
+    val log = logDir(table)
+    val scDir = log.resolve("_sidecars")
+    Files.createDirectories(scDir)
+    val sidecarRows = addRows.map(a => Row(a, null))
+    val nParts = math.max(1L,
+      (sidecarRows.size + checkpointRowsPerPart - 1) / checkpointRowsPerPart).toInt
+    val sidecars: Seq[(String, Long, Long)] =
+      if (sidecarRows.isEmpty) Seq.empty
+      else {
+        val scratch = Files.createTempDirectory("delta-cp-sc")
+        (if (nParts == 1)
+          spark.createDataFrame(sidecarRows.asJava, sidecarFileSchema).coalesce(1)
+        else spark.createDataFrame(
+          spark.sparkContext.parallelize(sidecarRows, nParts), sidecarFileSchema))
+          .write.mode("overwrite").parquet(scratch.toString)
+        val parts = listDir(scratch)
+          .filter(_.getFileName.toString.endsWith(".parquet")).sortBy(_.toString)
+        require(parts.size == nParts,
+          s"v2 sidecar write produced ${parts.size} parts, expected $nParts")
+        val moved = parts.map { part =>
+          val name = s"${UUID.randomUUID()}.parquet"
+          val dest = scDir.resolve(name)
+          Files.move(part, dest, StandardCopyOption.REPLACE_EXISTING)
+          (name, Files.size(dest),
+            Files.getLastModifiedTime(dest).toMillis)
+        }
+        walkDir(scratch).reverse.foreach(Files.deleteIfExists(_))
+        moved
+      }
+    val manifestRows: Seq[Row] =
+      Seq(
+        Row(null, null, null, Row(version, null), null),
+        Row(null, null, protoRow, null, null),
+        Row(null, metaRow, null, null, null)) ++
+      txnRows.map { case (app, v) => Row(Row(app, v), null, null, null, null) } ++
+      sidecars.map { case (name, size, mtime) =>
+        Row(null, null, null, null, Row(name, size, mtime, null)) }
+    val scratch = Files.createTempDirectory("delta-cp-v2")
+    spark.createDataFrame(manifestRows.asJava, v2ManifestSchema)
+      .coalesce(1).write.mode("overwrite").parquet(scratch.toString)
+    val part = listDir(scratch)
+      .find(_.getFileName.toString.endsWith(".parquet"))
+      .getOrElse(sys.error("v2 checkpoint write produced no parquet part"))
+    Files.move(part,
+      log.resolve(f"$version%020d.checkpoint.${UUID.randomUUID()}.parquet"),
+      StandardCopyOption.REPLACE_EXISTING)
+    walkDir(scratch).reverse.foreach(Files.deleteIfExists(_))
+    val lc = mapper.createObjectNode()
+    lc.put("version", version)
+    lc.put("size", (manifestRows.size + addRows.size).toLong)
+    Files.write(log.resolve("_last_checkpoint"),
+      (lc.toString + "\n").getBytes("UTF-8"))
+  }
 
   /** `input_file_name()`'s percent-encoded `file:` URI → the plain
     * filesystem path ([[dmlRewrite]] keys its touched-file map on it;

@@ -2518,6 +2518,101 @@ object IcebergLog {
       .getOrElse(base)
   }
 
+  /** v3 ROW LINEAGE read (spec "Row Lineage"): [[read]] plus the spec's
+    * two metadata columns — `_row_id` (the file's assigned
+    * `first_row_id` + the row's position) and
+    * `_last_updated_sequence_number` (the file's data sequence number).
+    * This writer stamps no per-file `first_row_id`, so each file's base
+    * reconstructs from the spec's ASSIGNMENT rule: within an appending
+    * snapshot, added files claim ids from the snapshot's
+    * `first-row-id` in manifest order, advancing by `record_count`.
+    * Sound exactly for append + merge-on-read histories (DV-surviving
+    * rows keep their positions, hence their ids); a live file added by
+    * a REWRITE snapshot (overwrite/replace) refuses loudly — this
+    * writer does not materialize `_row_id` into rewritten files, so
+    * the carried rows' original ids are unrecoverable. Files from
+    * pre-v3 snapshots (no `first-row-id`) return null ids, the
+    * upgrade-time rule.
+    */
+  def readWithLineage(spark: SparkSession, table: String): DataFrame = {
+    import org.apache.spark.sql.functions.{broadcast, col, substring_index}
+    import spark.implicits._
+    val m = current(table).getOrElse(
+      sys.error(s"$table is not an Iceberg table (no metadata/v*.metadata.json)"))
+    require(m.formatVersion == 3,
+      s"$table is format-version ${m.formatVersion}; row lineage is a v3 feature")
+    // file name → (first_row_id | null, data sequence number), replayed
+    // from the snapshot HISTORY (current manifests may have merged away
+    // the original entry order; each historic list preserves its own)
+    val livePaths = liveFiles(table, None).filter(_.status != 2)
+      .map(_.path).toSet
+    val bases = scala.collection.mutable.Map.empty[String, (java.lang.Long, Long)]
+    m.snapshots.sortBy(_.get("sequence-number").asLong()).foreach { snap =>
+      val sid = snap.get("snapshot-id").asLong()
+      val op = Option(snap.get("summary")).map(_.get("operation").asText())
+        .getOrElse("append")
+      val firstRowId: Option[Long] =
+        Option(snap.get("first-row-id")).filterNot(_.isNull).map(_.asLong())
+      var next = firstRowId.getOrElse(0L)
+      readManifestList(snap.get("manifest-list").asText())
+        .filter(_.getInt(3) == 0).foreach { mf =>
+        val mPartType = partTypeOfSpec(m, mf.getInt(2))
+        readEntries(mf.getString(0), mPartType).foreach { e =>
+          val df0 = e.getStruct(4)
+          val addedHere = e.getInt(0) == 1 && (e.get(1) match {
+            case l: java.lang.Long => l.longValue() == sid
+            case _ => false
+          })
+          if (addedHere) {
+            val path = df0.getString(1)
+            if (livePaths.contains(path)) {
+              require(op == "append",
+                s"$table: live file $path was added by a '$op' snapshot — " +
+                  "this writer does not materialize _row_id into rewritten " +
+                  "files, so the carried rows' lineage is unrecoverable; " +
+                  "refusing to mint fresh ids for old rows")
+              bases(fileNameOf(path)) =
+                (firstRowId.map(_ => java.lang.Long.valueOf(next)).orNull,
+                  e.get(2) match { case l: java.lang.Long => l.longValue()
+                    case _ => mf.getLong(4) })
+            }
+            next += df0.getLong(4) // record_count advances the range
+          }
+        }
+      }
+    }
+    val baseDf = broadcast(bases.toSeq
+      .map { case (n, (b, sq)) => (n, Option(b).map(_.longValue()), sq) }
+      .toDF(posNameCol, "__graft_first_row_id", "__graft_dseq"))
+    val dels = deleteFiles(table, None)
+    val kept = liveFiles(table, None).filter(_.status != 2)
+    val basePath = Paths.get(table, "data").toAbsolutePath.toString
+    val (clean, dirty) = splitByDeletes(kept, dels, m.schema, m.fieldIds)
+    val readSchema = dataReadSchema(spark, m)
+    val cleanDf =
+      if (clean.isEmpty) None
+      else Some(spark.read.schema(readSchema).option("basePath", basePath)
+        .parquet(clean.map(_.path): _*)
+        .withColumn(posNameCol,
+          substring_index(col("_metadata.file_path"), "/", -1))
+        .withColumn(posPosCol, col("_metadata.row_index")))
+    val dirtyDf =
+      if (dirty.isEmpty) None
+      else Some(readWithDeletes(spark, table, readSchema, Some(basePath),
+        dirty, dels, withMeta = true, ids = m.fieldIds)
+        .withColumn(posNameCol, substring_index(col(posFileCol), "/", -1)))
+    val cols = m.schema.fieldNames.map(col).toIndexedSeq :+
+      col(posNameCol) :+ col(posPosCol)
+    val rows = (cleanDf ++ dirtyDf).map(_.select(cols: _*))
+      .reduceOption(_ unionAll _)
+      .getOrElse(sys.error(s"$table has no live files"))
+    rows.join(baseDf, posNameCol)
+      .withColumn("_row_id", col("__graft_first_row_id") + col(posPosCol))
+      .withColumn("_last_updated_sequence_number", col("__graft_dseq"))
+      .select(m.schema.fieldNames.map(col).toIndexedSeq :+
+        col("_row_id") :+ col("_last_updated_sequence_number"): _*)
+  }
+
   /** Changelog batch read — the manifest-diff equivalent of Delta's CDF
     * (public Iceberg changelog-scan semantics; [[Cdf]] row shape): per
     * retained snapshot with sequence number in `fromSeq..toSeq`

@@ -206,4 +206,100 @@ class CheckpointInteropSpec extends SparkSpec {
     val e = intercept[IllegalArgumentException] { DeltaLog.read(spark, table) }
     assert(e.getMessage.contains("does not cover"), e.getMessage)
   }
+
+  /** A table whose protocol carries v2Checkpoint from birth: v0 is
+    * hand-authored (this engine never mints the feature), appends flow
+    * through the engine.
+    */
+  private def v2ProtocolTable(): String = {
+    import spark.implicits._
+    val table = tmpTable()
+    val log = logDir(table)
+    Files.createDirectories(log)
+    val schema = """{\"type\":\"struct\",\"fields\":[""" +
+      """{\"name\":\"id\",\"type\":\"long\",\"nullable\":true,\"metadata\":{}},""" +
+      """{\"name\":\"v\",\"type\":\"string\",\"nullable\":true,\"metadata\":{}}]}"""
+    Files.write(log.resolve(f"${0L}%020d.json"),
+      ("""{"protocol":{"minReaderVersion":3,"minWriterVersion":7,""" +
+        """"readerFeatures":["v2Checkpoint"],"writerFeatures":["v2Checkpoint"]}}""" + "\n" +
+        s"""{"metaData":{"id":"${java.util.UUID.randomUUID()}","format":{"provider":"parquet","options":{}},"schemaString":"$schema","partitionColumns":[],"configuration":{},"createdTime":1700000000000}}""" + "\n")
+        .getBytes("UTF-8"))
+    DeltaLog.clearSnapshotCache()
+    DeltaLog.writeBatch(Seq((1L, "a")).toDF("id", "v").coalesce(1), table)
+    DeltaLog.writeBatch(Seq((2L, "b")).toDF("id", "v").coalesce(1), table)
+    table
+  }
+
+  test("V2 checkpoint WRITES: UUID manifest + sidecar files; cold replay reads back") {
+    import spark.implicits._
+    val table = v2ProtocolTable()
+    DeltaLog.writeCheckpoint(spark, table, 2L)
+    // byte shape: no classic-named checkpoint; one UUID manifest; adds
+    // live in _sidecars/, NOT inline
+    val names = Files.list(logDir(table)).iterator().asScala
+      .map(_.getFileName.toString).toSeq
+    assert(!names.contains(f"${2L}%020d.checkpoint.parquet"), names)
+    val manifestName = names.find(n =>
+      n.matches(f"${2L}%020d" + """\.checkpoint\.[0-9a-f-]+\.parquet""")).get
+    val mdf = spark.read.parquet(logDir(table).resolve(manifestName).toString)
+    assert(mdf.columns.toSet ==
+      Set("txn", "metaData", "protocol", "checkpointMetadata", "sidecar"))
+    val rows = mdf.collect()
+    // exactly one checkpointMetadata row carrying the version
+    val cpMeta = rows.filter(r => !r.isNullAt(r.fieldIndex("checkpointMetadata")))
+    assert(cpMeta.length == 1 &&
+      cpMeta.head.getStruct(cpMeta.head.fieldIndex("checkpointMetadata"))
+        .getLong(0) == 2L)
+    // protocol round-trips VERBATIM (v2Checkpoint feature intact)
+    val pr = rows.filter(r => !r.isNullAt(r.fieldIndex("protocol")))
+    assert(pr.length == 1 && pr.head.getStruct(pr.head.fieldIndex("protocol"))
+      .getAs[scala.collection.Seq[String]]("readerFeatures").contains("v2Checkpoint"))
+    // no add actions inline — they ride the sidecar pointers
+    assert(!mdf.columns.contains("add"))
+    val sc = rows.filter(r => !r.isNullAt(r.fieldIndex("sidecar")))
+      .map(_.getStruct(rows.head.fieldIndex("sidecar")))
+    assert(sc.nonEmpty)
+    sc.foreach { p =>
+      val f = logDir(table).resolve("_sidecars").resolve(p.getAs[String]("path"))
+      assert(Files.exists(f), f)
+      assert(p.getAs[Long]("sizeInBytes") == Files.size(f))
+      val sdf = spark.read.parquet(f.toString)
+      assert(sdf.columns.toSet == Set("add", "remove"))
+      assert(sdf.where(sdf.col("add").isNotNull).count() > 0)
+    }
+    // cold replay FROM the v2 checkpoint alone (JSON head aged out)
+    Seq(0L, 1L, 2L).foreach(v =>
+      Files.delete(logDir(table).resolve(f"$v%020d.json")))
+    DeltaLog.clearSnapshotCache()
+    val snap = DeltaLog.snapshot(spark, table).get
+    assert(snap.version == 2L && snap.adds.size == 2)
+    assert(DeltaLog.read(spark, table).collect().map(_.getLong(0)).sorted.toSeq ==
+      Seq(1L, 2L))
+    // appends continue past the checkpoint; replay composes both
+    DeltaLog.writeBatch(Seq((3L, "c")).toDF("id", "v").coalesce(1), table)
+    DeltaLog.clearSnapshotCache()
+    assert(DeltaLog.read(spark, table).collect().map(_.getLong(0)).sorted.toSeq ==
+      Seq(1L, 2L, 3L))
+    // _last_checkpoint records the v2 checkpoint version
+    val lc = new com.fasterxml.jackson.databind.ObjectMapper()
+      .readTree(Files.readAllBytes(logDir(table).resolve("_last_checkpoint")))
+    assert(lc.get("version").asLong() == 2L && !lc.has("parts"))
+  }
+
+  test("V2 checkpoint WRITES split sidecars past the row threshold") {
+    import spark.implicits._
+    val table = v2ProtocolTable()
+    val saved = DeltaLog.checkpointRowsPerPart
+    DeltaLog.checkpointRowsPerPart = 1L
+    try DeltaLog.writeCheckpoint(spark, table, 2L)
+    finally DeltaLog.checkpointRowsPerPart = saved
+    val sidecarFiles = Files.list(logDir(table).resolve("_sidecars"))
+      .iterator().asScala.toSeq
+    assert(sidecarFiles.size == 2, sidecarFiles) // 2 adds, 1 row per file
+    Seq(0L, 1L, 2L).foreach(v =>
+      Files.delete(logDir(table).resolve(f"$v%020d.json")))
+    DeltaLog.clearSnapshotCache()
+    assert(DeltaLog.read(spark, table).collect().map(_.getLong(0)).sorted.toSeq ==
+      Seq(1L, 2L))
+  }
 }

@@ -407,4 +407,48 @@ class IcebergV3Spec extends SparkSpec {
       IcebergLog.readChanges(spark, table, 1L) }
     assert(eC.getMessage.contains("initial-default"), eC.getMessage)
   }
+
+  test("v3 row lineage: spec assignment on appends, DV survivors keep ids, rewrites refuse") {
+    import spark.implicits._
+    val table = tmpTable()
+    // pre-v3 file: its snapshot has no first-row-id — ids are NULL
+    IcebergLog.writeBatch(Seq((100L, "pre")).toDF("id", "v").coalesce(1), table)
+    IcebergLog.setTableProperties(spark, table, Map("format-version" -> "3",
+      "write.delete.mode" -> "merge-on-read"))
+    // post-upgrade appends claim ranges from each snapshot's first-row-id
+    IcebergLog.writeBatch(
+      Seq((0L, "a"), (1L, "b"), (2L, "c")).toDF("id", "v").coalesce(1), table)
+    IcebergLog.writeBatch(
+      Seq((3L, "d"), (4L, "e")).toDF("id", "v").coalesce(1), table)
+    def lineage(): Map[Long, (Option[Long], Long)] =
+      IcebergLog.readWithLineage(spark, table).collect().map { r =>
+        r.getLong(0) -> (
+          (if (r.isNullAt(2)) None else Some(r.getLong(2))),
+          r.getLong(3))
+      }.toMap
+    val l1 = lineage()
+    assert(l1(100L)._1.isEmpty, l1) // pre-v3 rows: null _row_id
+    // file2 rows: ids 0..2 (first post-upgrade range); file3: 3..4
+    assert(l1(0L)._1.contains(0L) && l1(1L)._1.contains(1L) &&
+      l1(2L)._1.contains(2L), l1)
+    assert(l1(3L)._1.contains(3L) && l1(4L)._1.contains(4L), l1)
+    // _last_updated_sequence_number = each file's data sequence number
+    assert(l1(0L)._2 < l1(3L)._2, l1)
+    // a merge-on-read DELETE (puffin DV): survivors KEEP their ids —
+    // positions are stable under DVs
+    assert(IcebergLog.deleteWhere(spark, table, "id = 1").isDefined)
+    val l2 = lineage()
+    assert(!l2.contains(1L) && l2(0L)._1.contains(0L) &&
+      l2(2L)._1.contains(2L), l2)
+    // a CoW rewrite's carried rows lose their recoverable lineage —
+    // refuse loudly, never mint fresh ids for old rows
+    IcebergLog.setTableProperties(spark, table,
+      Map("write.update.mode" -> "copy-on-write"))
+    assert(IcebergLog.updateWhere(spark, table,
+      Seq("v" -> "'z'"), Some("id = 3")).isDefined)
+    val e = intercept[IllegalArgumentException] { lineage() }
+    assert(e.getMessage.contains("lineage"), e.getMessage)
+    // the plain read is untouched by the refusal
+    assert(IcebergLog.read(spark, table).count() == 5)
+  }
 }
