@@ -2541,6 +2541,11 @@ object IcebergLog {
       sys.error(s"$table is not an Iceberg table (no metadata/v*.metadata.json)"))
     require(m.formatVersion == 3,
       s"$table is format-version ${m.formatVersion}; row lineage is a v3 feature")
+    // the lineage read builds its own scan (no default filling) — an
+    // initial-default table here would silently null the defaults
+    require(initialDefaultFields(m).isEmpty,
+      s"$table carries initial-default fields; the row-lineage read does " +
+        "not fill them — use read() for values, or drop the defaults")
     // file name → (first_row_id | null, data sequence number), replayed
     // from the snapshot HISTORY (current manifests may have merged away
     // the original entry order; each historic list preserves its own)
@@ -2580,6 +2585,16 @@ object IcebergLog {
           }
         }
       }
+    }
+    // every live file must have resolved a base: a live file whose
+    // adding snapshot was EXPIRED has no recoverable assignment — the
+    // inner join below would silently DROP its rows otherwise
+    locally {
+      val missing = livePaths.filterNot(p => bases.contains(fileNameOf(p)))
+      require(missing.isEmpty,
+        s"$table: live file(s) ${missing.take(3).mkString(", ")} were added " +
+          "by snapshots no longer in the metadata history (expired) — their " +
+          "row-id ranges are unrecoverable; refusing a partial lineage read")
     }
     val baseDf = broadcast(bases.toSeq
       .map { case (n, (b, sq)) => (n, Option(b).map(_.longValue()), sq) }
@@ -3665,10 +3680,16 @@ object IcebergLog {
         paths: Seq[String], fileCol: Option[String]): DataFrame = {
       import org.apache.spark.sql.functions.col
       // schema0 is always plan.schema (logical names); the stamped twin
-      // carries the same names plus parquet field ids where needed
+      // carries the same names plus parquet field ids where needed. A
+      // caller handing a DIFFERENT schema on a renamed-history table
+      // would silently read pre-rename files as nulls — refuse instead.
       val schema =
         if (plannedReadSchema.fieldNames.sameElements(schema0.fieldNames))
           plannedReadSchema
+        else if (plannedReadSchema.fields.exists(_.metadata.contains("parquet.field.id")))
+          sys.error(s"$table: DML read schema diverged from the plan on a " +
+            "renamed-history table; by-name binding would misread " +
+            "pre-rename files")
         else schema0
       if (plannedDeletes.isEmpty)
         return super.readFiles(spark, schema, paths, fileCol)

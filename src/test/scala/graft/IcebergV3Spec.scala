@@ -450,5 +450,18 @@ class IcebergV3Spec extends SparkSpec {
     assert(e.getMessage.contains("lineage"), e.getMessage)
     // the plain read is untouched by the refusal
     assert(IcebergLog.read(spark, table).count() == 5)
+
+    // EXPIRED adding snapshots make row-id ranges unrecoverable — the
+    // lineage read must refuse a partial answer, never drop rows
+    val t2 = tmpTable()
+    IcebergLog.writeBatch(Seq((1L, "a")).toDF("id", "v").coalesce(1), t2)
+    IcebergLog.setTableProperties(spark, t2, Map("format-version" -> "3"))
+    IcebergLog.writeBatch(Seq((2L, "b")).toDF("id", "v").coalesce(1), t2)
+    IcebergLog.writeBatch(Seq((3L, "c")).toDF("id", "v").coalesce(1), t2)
+    IcebergLog.expireSnapshots(spark, t2, olderThanMs = -1000L)
+    val e2 = intercept[IllegalArgumentException] {
+      IcebergLog.readWithLineage(spark, t2).collect() }
+    assert(e2.getMessage.contains("expired"), e2.getMessage)
+    assert(IcebergLog.read(spark, t2).count() == 3) // plain read untouched
   }
 }
