@@ -840,6 +840,52 @@ object Relational {
              |            ELSE l_linenumber * 10 END) >= 7
              |GROUP BY 1""".stripMargin)),
 
+    // ── iceberg v3 ROW LINEAGE (r15): _row_id assigns per the spec —
+    //    file first_row_id (from the adding snapshot's first-row-id)
+    //    + row position — so under a TOTAL sort into one file the ids
+    //    are exactly ROW_NUMBER()-1, which DuckDB can replay. Rows
+    //    landed BEFORE the v3 upgrade carry null ids (the upgrade
+    //    rule). OPTIMIZE then compacts the files, which MATERIALIZES
+    //    the ids into the rewritten parquet — the read afterwards takes
+    //    the materialized path, so the hash match proves assignment AND
+    //    rewrite preservation end-to-end.
+    Q("q_iceberg_row_lineage",
+      (s, dir) => {
+        val li = t(s, dir, "lineitem").select(
+          col("l_orderkey"), col("l_linenumber"), col("l_returnflag"),
+          col("l_quantity"))
+        val sortCols = Seq(col("l_orderkey"), col("l_linenumber"),
+          col("l_quantity"), col("l_returnflag"))
+        val table = java.nio.file.Files
+          .createTempDirectory("graft-iceberg-rl").toString
+        graft.sinks.IcebergLog.writeBatch(
+          li.filter(col("l_orderkey") % 2 === 0).repartition(1)
+            .sortWithinPartitions(sortCols: _*), table)
+        graft.sinks.IcebergLog.setTableProperties(s, table,
+          Map("format-version" -> "3"))
+        graft.sinks.IcebergLog.writeBatch(
+          li.filter(col("l_orderkey") % 2 === 1).repartition(1)
+            .sortWithinPartitions(sortCols: _*), table)
+        graft.sinks.IcebergLog.rewriteDataFiles(s, table)
+        graft.sinks.IcebergLog.readWithLineage(s, table)
+          .groupBy(col("l_returnflag"))
+          .agg(count(lit(1)).as("n"),
+            count(col("_row_id")).as("n_with_id"),
+            sum(col("_row_id")).as("sum_rid"))
+      },
+      Some("""WITH b AS (
+             |  SELECT l_returnflag,
+             |    ROW_NUMBER() OVER (ORDER BY l_orderkey, l_linenumber,
+             |      l_quantity, l_returnflag) - 1 AS rid
+             |  FROM lineitem WHERE l_orderkey % 2 = 1
+             |)
+             |SELECT l.l_returnflag, COUNT(*) AS n,
+             |  CAST(COUNT(CASE WHEN l.l_orderkey % 2 = 1 THEN 1 END) AS BIGINT)
+             |    AS n_with_id,
+             |  (SELECT CAST(SUM(rid) AS BIGINT) FROM b
+             |   WHERE b.l_returnflag = l.l_returnflag) AS sum_rid
+             |FROM lineitem l GROUP BY 1""".stripMargin)),
+
     // ── iceberg FORMAT-VERSION 3 interop (r13): run a merge-on-read
     //    DELETE, then re-shape the table the way a v3 writer leaves it —
     //    each position-delete parquet becomes a puffin DELETION VECTOR

@@ -2518,40 +2518,41 @@ object IcebergLog {
       .getOrElse(base)
   }
 
-  /** v3 ROW LINEAGE read (spec "Row Lineage"): [[read]] plus the spec's
-    * two metadata columns — `_row_id` (the file's assigned
-    * `first_row_id` + the row's position) and
-    * `_last_updated_sequence_number` (the file's data sequence number).
-    * This writer stamps no per-file `first_row_id`, so each file's base
-    * reconstructs from the spec's ASSIGNMENT rule: within an appending
-    * snapshot, added files claim ids from the snapshot's
-    * `first-row-id` in manifest order, advancing by `record_count`.
-    * Sound exactly for append + merge-on-read histories (DV-surviving
-    * rows keep their positions, hence their ids); a live file added by
-    * a REWRITE snapshot (overwrite/replace) refuses loudly — this
-    * writer does not materialize `_row_id` into rewritten files, so
-    * the carried rows' original ids are unrecoverable. Files from
-    * pre-v3 snapshots (no `first-row-id`) return null ids, the
-    * upgrade-time rule.
+  // v3 row lineage (spec "Row Lineage"): reserved field ids of the two
+  // materialized metadata columns
+  private[graft] val rowIdFieldId = 2147483540
+  private[graft] val lastUpdatedSeqFieldId = 2147483539
+
+  private[graft] sealed trait Lineage
+  /** Added by an APPENDING snapshot: ids assign from the snapshot's
+    * `first-row-id` in manifest order (None = a pre-v3 snapshot — its
+    * rows carry null ids, the upgrade rule). */
+  private[graft] final case class LinAssigned(first: Option[Long],
+      seq: Long) extends Lineage
+  /** Added by a REWRITE that materialized `_row_id` /
+    * `_last_updated_sequence_number` into the file (proven by the
+    * reserved field ids in its manifest metrics) — the columns are
+    * authoritative. */
+  private[graft] final case class LinMaterialized(seq: Long) extends Lineage
+
+  private def lineageFields: Seq[StructField] = Seq(
+    StructField("_row_id", LongType, nullable = true,
+      new MetadataBuilder().putLong("parquet.field.id", rowIdFieldId.toLong).build()),
+    StructField("_last_updated_sequence_number", LongType, nullable = true,
+      new MetadataBuilder().putLong("parquet.field.id", lastUpdatedSeqFieldId.toLong).build()))
+
+  /** Per-LIVE-file lineage resolution (file NAME → class), replayed
+    * from the snapshot HISTORY — current manifests may have merged away
+    * the original entry order; each historic list preserves its own.
+    * Files whose resolution is impossible (rewrite without materialized
+    * columns, or adding snapshot expired) are simply absent — callers
+    * decide whether absence refuses.
     */
-  def readWithLineage(spark: SparkSession, table: String): DataFrame = {
-    import org.apache.spark.sql.functions.{broadcast, col, substring_index}
-    import spark.implicits._
-    val m = current(table).getOrElse(
-      sys.error(s"$table is not an Iceberg table (no metadata/v*.metadata.json)"))
-    require(m.formatVersion == 3,
-      s"$table is format-version ${m.formatVersion}; row lineage is a v3 feature")
-    // the lineage read builds its own scan (no default filling) — an
-    // initial-default table here would silently null the defaults
-    require(initialDefaultFields(m).isEmpty,
-      s"$table carries initial-default fields; the row-lineage read does " +
-        "not fill them — use read() for values, or drop the defaults")
-    // file name → (first_row_id | null, data sequence number), replayed
-    // from the snapshot HISTORY (current manifests may have merged away
-    // the original entry order; each historic list preserves its own)
-    val livePaths = liveFiles(table, None).filter(_.status != 2)
-      .map(_.path).toSet
-    val bases = scala.collection.mutable.Map.empty[String, (java.lang.Long, Long)]
+  private def lineageOf(table: String, m: Meta): Map[String, Lineage] = {
+    val live = liveFiles(table, None).filter(_.status != 2)
+    val livePaths = live.map(_.path).toSet
+    val metricsByName = live.map(f => fileNameOf(f.path) -> f).toMap
+    val out = scala.collection.mutable.Map.empty[String, Lineage]
     m.snapshots.sortBy(_.get("sequence-number").asLong()).foreach { snap =>
       val sid = snap.get("snapshot-id").asLong()
       val op = Option(snap.get("summary")).map(_.get("operation").asText())
@@ -2571,39 +2572,76 @@ object IcebergLog {
           if (addedHere) {
             val path = df0.getString(1)
             if (livePaths.contains(path)) {
-              require(op == "append",
-                s"$table: live file $path was added by a '$op' snapshot — " +
-                  "this writer does not materialize _row_id into rewritten " +
-                  "files, so the carried rows' lineage is unrecoverable; " +
-                  "refusing to mint fresh ids for old rows")
-              bases(fileNameOf(path)) =
-                (firstRowId.map(_ => java.lang.Long.valueOf(next)).orNull,
-                  e.get(2) match { case l: java.lang.Long => l.longValue()
-                    case _ => mf.getLong(4) })
+              val name = fileNameOf(path)
+              val dseq = e.get(2) match { case l: java.lang.Long => l.longValue()
+                case _ => mf.getLong(4) }
+              if (op == "append")
+                out(name) = LinAssigned(
+                  firstRowId.map(_ => next), dseq)
+              else if (metricsByName.get(name)
+                  .exists(_.valueCounts.contains(rowIdFieldId)))
+                out(name) = LinMaterialized(dseq)
+              // else: unrecoverable — absent
             }
             next += df0.getLong(4) // record_count advances the range
           }
         }
       }
     }
-    // every live file must have resolved a base: a live file whose
-    // adding snapshot was EXPIRED has no recoverable assignment — the
-    // inner join below would silently DROP its rows otherwise
-    locally {
-      val missing = livePaths.filterNot(p => bases.contains(fileNameOf(p)))
-      require(missing.isEmpty,
-        s"$table: live file(s) ${missing.take(3).mkString(", ")} were added " +
-          "by snapshots no longer in the metadata history (expired) — their " +
-          "row-id ranges are unrecoverable; refusing a partial lineage read")
-    }
-    val baseDf = broadcast(bases.toSeq
-      .map { case (n, (b, sq)) => (n, Option(b).map(_.longValue()), sq) }
-      .toDF(posNameCol, "__graft_first_row_id", "__graft_dseq"))
-    val dels = deleteFiles(table, None)
+    out.toMap
+  }
+
+  /** v3 ROW LINEAGE read (spec "Row Lineage"): [[read]] plus the spec's
+    * two metadata columns — `_row_id` and
+    * `_last_updated_sequence_number`. Per file, either the MATERIALIZED
+    * columns are authoritative (files this engine's OPTIMIZE rewrote —
+    * presence proven by the reserved field ids in the manifest metrics)
+    * or the ids reconstruct from the spec's ASSIGNMENT rule: within an
+    * appending snapshot, added files claim ids from the snapshot's
+    * `first-row-id` in manifest order, advancing by `record_count`, and
+    * a row's id is base + position (DV-surviving rows keep their
+    * positions, hence their ids). Files from pre-v3 snapshots return
+    * null ids (the upgrade rule; their `_last_updated_sequence_number`
+    * stays the file's data sequence — truthful and documented). A live
+    * file with NEITHER resolution (rewritten without materialization,
+    * or its adding snapshot expired) refuses loudly — never a partial
+    * or freshly-minted answer.
+    */
+  def readWithLineage(spark: SparkSession, table: String): DataFrame = {
+    import org.apache.spark.sql.functions.{broadcast, coalesce, col, substring_index}
+    import spark.implicits._
+    val m = current(table).getOrElse(
+      sys.error(s"$table is not an Iceberg table (no metadata/v*.metadata.json)"))
+    require(m.formatVersion == 3,
+      s"$table is format-version ${m.formatVersion}; row lineage is a v3 feature")
+    // the lineage read builds its own scan (no default filling) — an
+    // initial-default table here would silently null the defaults
+    require(initialDefaultFields(m).isEmpty,
+      s"$table carries initial-default fields; the row-lineage read does " +
+        "not fill them — use read() for values, or drop the defaults")
+    val lin = lineageOf(table, m)
     val kept = liveFiles(table, None).filter(_.status != 2)
+    val missing = kept.map(_.path).filterNot(p => lin.contains(fileNameOf(p)))
+    require(missing.isEmpty,
+      s"$table: live file(s) ${missing.take(3).mkString(", ")} have " +
+        "unrecoverable row-id lineage (added by a rewrite that did not " +
+        "materialize _row_id, or by a snapshot expired out of the " +
+        "history) — refusing a partial lineage read; rewrites through " +
+        "this engine's OPTIMIZE materialize lineage going forward")
+    val baseDf = broadcast(lin.toSeq.map {
+      case (n, LinAssigned(first, seq)) => (n, first, Option(seq))
+      case (n, LinMaterialized(_)) => (n, None: Option[Long], None: Option[Long])
+    }.toDF(posNameCol, "__graft_first_row_id", "__graft_dseq"))
+    val dels = deleteFiles(table, None)
     val basePath = Paths.get(table, "data").toAbsolutePath.toString
     val (clean, dirty) = splitByDeletes(kept, dels, m.schema, m.fieldIds)
-    val readSchema = dataReadSchema(spark, m)
+    // materialized columns ride the read schema (reserved parquet field
+    // ids stamped); files without them read null and take the base path
+    val readSchema = StructType(
+      dataReadSchema(spark, m).fields ++ lineageFields)
+    val lineageIds = m.fieldIds +
+      ("_row_id" -> rowIdFieldId) +
+      ("_last_updated_sequence_number" -> lastUpdatedSeqFieldId)
     val cleanDf =
       if (clean.isEmpty) None
       else Some(spark.read.schema(readSchema).option("basePath", basePath)
@@ -2614,16 +2652,19 @@ object IcebergLog {
     val dirtyDf =
       if (dirty.isEmpty) None
       else Some(readWithDeletes(spark, table, readSchema, Some(basePath),
-        dirty, dels, withMeta = true, ids = m.fieldIds)
+        dirty, dels, withMeta = true, ids = lineageIds)
         .withColumn(posNameCol, substring_index(col(posFileCol), "/", -1)))
-    val cols = m.schema.fieldNames.map(col).toIndexedSeq :+
-      col(posNameCol) :+ col(posPosCol)
+    val cols = (m.schema.fieldNames.toIndexedSeq ++
+      Seq("_row_id", "_last_updated_sequence_number",
+        posNameCol, posPosCol)).map(col)
     val rows = (cleanDf ++ dirtyDf).map(_.select(cols: _*))
       .reduceOption(_ unionAll _)
       .getOrElse(sys.error(s"$table has no live files"))
     rows.join(baseDf, posNameCol)
-      .withColumn("_row_id", col("__graft_first_row_id") + col(posPosCol))
-      .withColumn("_last_updated_sequence_number", col("__graft_dseq"))
+      .withColumn("_row_id",
+        coalesce(col("_row_id"), col("__graft_first_row_id") + col(posPosCol)))
+      .withColumn("_last_updated_sequence_number",
+        coalesce(col("_last_updated_sequence_number"), col("__graft_dseq")))
       .select(m.schema.fieldNames.map(col).toIndexedSeq :+
         col("_row_id") :+ col("_last_updated_sequence_number"): _*)
   }
@@ -2834,6 +2875,23 @@ object IcebergLog {
         }.toMap
       }.getOrElse(Map.empty)
     }
+    // v3 ROW LINEAGE preservation (spec: rewrites must carry row ids):
+    // when every victim's lineage is resolvable, the rewritten files
+    // MATERIALIZE _row_id/_last_updated_sequence_number (reserved
+    // parquet field ids; the manifest metrics then prove presence for
+    // future lineage reads). Unresolvable victims (pre-r15 rewrites,
+    // expired history) fall back to the legacy rewrite — the lineage
+    // read refuses those files either way, so nothing regresses.
+    val lineage: Option[Map[String, Lineage]] =
+      if (m.formatVersion != 3) None
+      else {
+        val lin = lineageOf(table, m)
+        if (victims.forall(f => lin.contains(fileNameOf(f.path)))) Some(lin)
+        else None
+      }
+    val lineageIds = m.fieldIds +
+      ("_row_id" -> rowIdFieldId) +
+      ("_last_updated_sequence_number" -> lastUpdatedSeqFieldId)
     val scratchFiles = scala.collection.mutable.ArrayBuffer.empty[DataFileInfo]
     val scratchDirs = scala.collection.mutable.ArrayBuffer.empty[Path]
     victims.groupBy(_.partitionValues).foreach { case (pv, files) =>
@@ -2845,17 +2903,55 @@ object IcebergLog {
       // uses the FULL table schema (equality columns may be partition
       // columns, and delete-column ids are the table's DECLARED field
       // ids), then projects back down to the data columns
-      val in =
-        if (dels.isEmpty) spark.read.schema(dataSchema).parquet(files.map(_.path): _*)
-        else readWithDeletes(spark, table, readSchemaAll,
-          Some(Paths.get(table, "data").toAbsolutePath.toString), files.toSeq,
-          dels, ids = m.fieldIds)
-          .select(dataSchema.fieldNames.map(org.apache.spark.sql.functions.col)
-            .toIndexedSeq: _*)
+      val in = lineage match {
+        case None =>
+          if (dels.isEmpty) spark.read.schema(dataSchema).parquet(files.map(_.path): _*)
+          else readWithDeletes(spark, table, readSchemaAll,
+            Some(Paths.get(table, "data").toAbsolutePath.toString), files.toSeq,
+            dels, ids = m.fieldIds)
+            .select(dataSchema.fieldNames.map(org.apache.spark.sql.functions.col)
+              .toIndexedSeq: _*)
+        case Some(lin) =>
+          // lineage-preserving rewrite: each row carries its id forward
+          // (materialized column if the victim already has one, else the
+          // assignment base + the row's position in ITS OWN file)
+          import org.apache.spark.sql.functions.{broadcast, coalesce, col, substring_index}
+          import spark.implicits._
+          val baseDf = broadcast(files.map { f =>
+            lin(fileNameOf(f.path)) match {
+              case LinAssigned(first, seq) => (fileNameOf(f.path), first, Option(seq))
+              case LinMaterialized(_) =>
+                (fileNameOf(f.path), None: Option[Long], None: Option[Long])
+            }
+          }.toDF(posNameCol, "__graft_first_row_id", "__graft_dseq"))
+          val raw =
+            if (dels.isEmpty)
+              spark.read.schema(StructType(dataSchema.fields ++ lineageFields))
+                .parquet(files.map(_.path): _*)
+                .withColumn(posNameCol,
+                  substring_index(col("_metadata.file_path"), "/", -1))
+                .withColumn(posPosCol, col("_metadata.row_index"))
+            else readWithDeletes(spark, table,
+              StructType(readSchemaAll.fields ++ lineageFields),
+              Some(Paths.get(table, "data").toAbsolutePath.toString),
+              files.toSeq, dels, withMeta = true, ids = lineageIds)
+              .withColumn(posNameCol, substring_index(col(posFileCol), "/", -1))
+          raw.join(baseDf, posNameCol)
+            .withColumn("_row_id", coalesce(col("_row_id"),
+              col("__graft_first_row_id") + col(posPosCol)))
+            .withColumn("_last_updated_sequence_number",
+              coalesce(col("_last_updated_sequence_number"), col("__graft_dseq")))
+            .select((dataSchema.fieldNames.toIndexedSeq ++
+              Seq("_row_id", "_last_updated_sequence_number")).map(col): _*)
+      }
       val out =
         if (zorderBy.isEmpty) in.coalesce(n)
         else graft.operators.ZOrder.cluster(in, zorderBy, n)
-      withFieldIds(out, fieldIdsFor(Some(m), m.schema))
+      withFieldIds(out,
+        if (lineage.isEmpty) fieldIdsFor(Some(m), m.schema)
+        else fieldIdsFor(Some(m), m.schema) ++ Map(
+          "_row_id" -> rowIdFieldId,
+          "_last_updated_sequence_number" -> lastUpdatedSeqFieldId))
         .write.mode("overwrite").parquet(scratch.toString)
       // hive partition dir for this group (identity transform)
       val partDir = m.partitionColumns.map { c =>
@@ -2877,8 +2973,13 @@ object IcebergLog {
         catch { case _: UnsupportedOperationException =>
           Files.move(p, dest, StandardCopyOption.ATOMIC_MOVE) }
         // metrics key by DECLARED field ids (partition columns absent
-        // from the footer are simply not matched)
-        scratchFiles += statFile(spark, table, dest, m.schema, m.fieldIds)
+        // from the footer are simply not matched); lineage-preserving
+        // rewrites harvest the reserved-id columns too — that presence
+        // is exactly what future lineage reads verify
+        scratchFiles += statFile(spark, table, dest,
+          if (lineage.isEmpty) m.schema
+          else StructType(m.schema.fields ++ lineageFields),
+          if (lineage.isEmpty) m.fieldIds else lineageIds)
       }
     }
     scratchDirs.foreach(d => walkDir(d).reverse.foreach(Files.deleteIfExists(_)))

@@ -440,6 +440,12 @@ class IcebergV3Spec extends SparkSpec {
     val l2 = lineage()
     assert(!l2.contains(1L) && l2(0L)._1.contains(0L) &&
       l2(2L)._1.contains(2L), l2)
+    // OPTIMIZE MATERIALIZES lineage into the rewritten files (the
+    // spec's rewrite rule): every id — including the DV'd gap and the
+    // pre-v3 nulls — survives compaction byte-identically
+    assert(IcebergLog.rewriteDataFiles(spark, table).isDefined)
+    val l3 = lineage()
+    assert(l3 == l2, s"compaction changed lineage: $l2 -> $l3")
     // a CoW rewrite's carried rows lose their recoverable lineage —
     // refuse loudly, never mint fresh ids for old rows
     IcebergLog.setTableProperties(spark, table,
