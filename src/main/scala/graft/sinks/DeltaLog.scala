@@ -1688,22 +1688,52 @@ object DeltaLog {
     sys.error(s"$table: ADD COLUMNS lost 5 concurrent-evolution races; giving up")
   }
 
+  /** Rebuild `schema` with `leafOp` applied to the struct HOLDING the
+    * path's last segment — the shared navigation for nested RENAME/DROP.
+    * Prefix segments must be struct fields (renaming through
+    * arrays/maps is not supported by this writer); every untouched
+    * field's metadata (the columnMapping binding) carries verbatim.
+    */
+  private def rewriteAtPath(table: String, schema: StructType,
+      path: Seq[String])(leafOp: (StructType, String) => StructType)
+      : StructType = {
+    def walk(st: StructType, segs: Seq[String]): StructType = segs match {
+      case Seq(leaf) => leafOp(st, leaf)
+      case head +: rest =>
+        val i = st.fieldIndex(head)
+        st.fields(i).dataType match {
+          case inner: StructType =>
+            StructType(st.fields.updated(i,
+              st.fields(i).copy(dataType = walk(inner, rest))))
+          case other => throw new IllegalArgumentException(
+            s"$table: '$head' is ${other.simpleString}, not a struct — " +
+              "this writer evolves fields through struct nesting only")
+        }
+    }
+    try walk(schema, path)
+    catch { case e: IllegalArgumentException if e.getMessage != null &&
+        e.getMessage.contains("does not exist") =>
+      throw new IllegalArgumentException(
+        s"$table: no column ${path.mkString(".")}") }
+  }
+
   /** `ALTER TABLE … RENAME COLUMN from TO to` — the operation column
     * mapping exists for (PROTOCOL.md "Column Mapping"): a metaData-only
     * commit that changes the LOGICAL name while the
     * `delta.columnMapping.physicalName`/`id` binding — and therefore
     * every existing data file, stat key, partition dir, and DV — stays
-    * untouched. Unmapped tables refuse: their files carry logical
+    * untouched. `from` may be a dotted NESTED path (`s.a`); `to` is the
+    * new leaf name. Unmapped tables refuse: their files carry logical
     * column names, so a rename would orphan every existing file's data.
     * Retries under the schemaBase guard like [[addColumns]].
     */
   def renameColumn(spark: SparkSession, table: String, from: String,
       to: String): Option[Long] = {
     require(from != to, s"RENAME COLUMN: '$from' to itself")
-    require(!from.contains(".") && !to.contains("."),
-      "RENAME COLUMN: top-level columns only (this writer does not " +
-        "rename nested fields; renamed nested fields written by others " +
-        "still READ correctly — resolution is physical)")
+    require(!to.contains("."),
+      s"RENAME COLUMN: new name '$to' must be a plain leaf name " +
+        "(the field stays at its position; renames never move fields)")
+    val path = from.split('.').toSeq
     var round = 0
     while (round < 5) {
       round += 1
@@ -1714,13 +1744,17 @@ object DeltaLog {
           "(delta.columnMapping.mode=name|id); unmapped data files carry " +
           "logical names, so the rename would null the column in every " +
           "existing file — create the table with column mapping")
-      require(s.schema.fieldNames.contains(from),
-        s"RENAME COLUMN: no column $from in $table")
-      require(!s.schema.fieldNames.contains(to),
-        s"RENAME COLUMN: column $to already exists in $table")
-      val evolved = StructType(s.schema.fields.map(f =>
-        if (f.name == from) f.copy(name = to) else f))
-      val parts = s.partitionColumns.map(pc => if (pc == from) to else pc)
+      val evolved = rewriteAtPath(table, s.schema, path) { (st, leaf) =>
+        require(st.fieldNames.contains(leaf),
+          s"RENAME COLUMN: no column $from in $table")
+        require(!st.fieldNames.contains(to),
+          s"RENAME COLUMN: column $to already exists beside $from in $table")
+        StructType(st.fields.map(f =>
+          if (f.name == leaf) f.copy(name = to) else f))
+      }
+      val parts =
+        if (path.size > 1) s.partitionColumns
+        else s.partitionColumns.map(pc => if (pc == from) to else pc)
       val committed = commit(spark, table, evolved, parts, added = Seq.empty,
         txn = None, allowMapped = true, schemaBase = Some(s.schema.json),
         schemaReplace = true)
@@ -1753,13 +1787,22 @@ object DeltaLog {
           "files by logical name and a re-added column of the same name " +
           "would resurrect the dead values")
       cols.foreach { c =>
-        require(s.schema.fieldNames.contains(c),
-          s"DROP COLUMN: no column $c in $table")
         require(!s.partitionColumns.contains(c),
           s"DROP COLUMN: $c is a partition column of $table — " +
             "repartitioning requires a rewrite, not a schema commit")
       }
-      val evolved = StructType(s.schema.fields.filterNot(f => cols.contains(f.name)))
+      // each name may be a dotted NESTED path (`s.a`): the field leaves
+      // its struct, the struct (and its binding) stays
+      val evolved = cols.foldLeft(s.schema) { (sch, c) =>
+        rewriteAtPath(table, sch, c.split('.').toSeq) { (st, leaf) =>
+          require(st.fieldNames.contains(leaf),
+            s"DROP COLUMN: no column $c in $table")
+          val kept = StructType(st.fields.filterNot(_.name == leaf))
+          require(kept.fields.nonEmpty,
+            s"DROP COLUMN: $c would empty its struct — drop the struct itself")
+          kept
+        }
+      }
       require(evolved.fields.nonEmpty,
         s"DROP COLUMN: cannot drop every column of $table")
       val committed = commit(spark, table, evolved, s.partitionColumns,

@@ -148,7 +148,7 @@ object Ddl {
   private val AlterSetPropsRe =
     """(?is)^\s*ALTER\s+TABLE\s+([A-Za-z_][A-Za-z0-9_]*)\s+SET\s+TBLPROPERTIES\s*\((.*)\)\s*$""".r
   private val AlterRenameRe =
-    """(?is)^\s*ALTER\s+TABLE\s+([A-Za-z_][A-Za-z0-9_]*)\s+RENAME\s+COLUMN\s+([A-Za-z_][A-Za-z0-9_]*)\s+TO\s+([A-Za-z_][A-Za-z0-9_]*)\s*$""".r
+    """(?is)^\s*ALTER\s+TABLE\s+([A-Za-z_][A-Za-z0-9_]*)\s+RENAME\s+COLUMN\s+([A-Za-z_][A-Za-z0-9_.]*)\s+TO\s+([A-Za-z_][A-Za-z0-9_]*)\s*$""".r
   private val AlterDropRe =
     """(?is)^\s*ALTER\s+TABLE\s+([A-Za-z_][A-Za-z0-9_]*)\s+DROP\s+COLUMNS?\s+(.+?)\s*$""".r
   private val MergeHeadRe =
@@ -434,9 +434,10 @@ object Ddl {
       val cols = splitTop(unwrapped, ',').map(_.trim).filter(_.nonEmpty)
       if (cols.isEmpty) throw new IllegalArgumentException(
         s"ALTER TABLE $name DROP COLUMNS: no columns")
-      cols.foreach(c => if (!c.matches("[A-Za-z_][A-Za-z0-9_]*"))
-        throw new IllegalArgumentException(
-          s"ALTER TABLE $name DROP COLUMNS: malformed column name '$c'"))
+      cols.foreach(c =>
+        if (!c.matches("[A-Za-z_][A-Za-z0-9_]*(\\.[A-Za-z_][A-Za-z0-9_]*)*"))
+          throw new IllegalArgumentException(
+            s"ALTER TABLE $name DROP COLUMNS: malformed column name '$c'"))
       AlterDrop(name, cols)
     case AlterAddRe(name, colsStr) =>
       val body = colsStr.trim

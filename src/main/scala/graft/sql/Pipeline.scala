@@ -372,7 +372,9 @@ class Pipeline(spark: SparkSession, streaming: Boolean = false) {
           s"ALTER TABLE RENAME COLUMN is only supported on delta/iceberg " +
             s"tables (got connector '${t.connector}')")
       val tPath = t.path.getOrElse(sys.error(s"table $name: path required"))
-      if (t.schema.fields.nonEmpty) {
+      // nested (dotted) paths validate inside the sink against the real
+      // table schema; the catalog tracks top-level columns only
+      if (t.schema.fields.nonEmpty && !from.contains(".")) {
         if (!t.schema.fieldNames.contains(from)) throw new IllegalArgumentException(
           s"ALTER TABLE $name: no column $from")
         if (t.schema.fieldNames.contains(to)) throw new IllegalArgumentException(
@@ -397,11 +399,12 @@ class Pipeline(spark: SparkSession, streaming: Boolean = false) {
           s"ALTER TABLE DROP COLUMNS is only supported on delta/iceberg " +
             s"tables (got connector '${t.connector}')")
       val tPath = t.path.getOrElse(sys.error(s"table $name: path required"))
-      if (t.schema.fields.nonEmpty) cols.foreach { c =>
+      if (t.schema.fields.nonEmpty) cols.filterNot(_.contains(".")).foreach { c =>
         if (!t.schema.fieldNames.contains(c)) throw new IllegalArgumentException(
           s"ALTER TABLE $name: no column $c")
       }
-      // later statements in this run see the narrowed schema
+      // later statements in this run see the narrowed schema (nested
+      // drops leave the top-level catalog columns untouched)
       catalog += name -> t.copy(columns =
         t.columns.filterNot(c => cols.contains(c.name)))
       // plan() must VALIDATE drops, never run them
@@ -1318,6 +1321,13 @@ class Pipeline(spark: SparkSession, streaming: Boolean = false) {
               graft.sinks.IcebergLog.readChanges(spark, tPath,
                 t.options("changes_from_version").toLong,
                 t.options.get("changes_to_version").map(_.toLong))
+            // row_lineage = 'true' (r15): v3 row lineage — table columns
+            // + _row_id + _last_updated_sequence_number per the spec
+            else if (t.options.get("row_lineage").exists(_.toBoolean)) {
+              require(!batchOnly.exists(t.options.contains),
+                s"table ${t.name}: row_lineage reads the CURRENT snapshot")
+              graft.sinks.IcebergLog.readWithLineage(spark, tPath)
+            }
             else {
               val sid = t.options.get("snapshot_id").map(_.toLong)
                 .orElse(t.options.get("timestamp_as_of").map { s =>

@@ -118,6 +118,49 @@ class SchemaRenameDropSpec extends SparkSpec {
     assert(e4.getMessage.contains("partition column"), e4.getMessage)
   }
 
+  test("delta: NESTED field rename/drop (dotted paths) keep the binding") {
+    import spark.implicits._
+    val table = tmp("delta_nested_rd")
+    val df = Seq((1L, (10L, "x")), (2L, (20L, "y"))).toDF("id", "s")
+      .select(col("id"),
+        struct(col("s._1").as("a"), col("s._2").as("b")).as("s"))
+    assert(DeltaLog.writeBatch(df, table,
+      tableConf = Map("delta.columnMapping.mode" -> "name")).contains(0L))
+    // rename s.a -> qty: metaData-only; the nested physicalName binding
+    // keeps existing files resolving
+    assert(DeltaLog.renameColumn(spark, table, "s.a", "qty").contains(1L))
+    assert(DeltaLog.read(spark, table).selectExpr("id", "s.qty").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq ==
+      Seq((1L, 10L), (2L, 20L)))
+    // DML binds the renamed nested leaf
+    assert(DeltaLog.updateWhere(spark, table,
+      Seq("id" -> "id + 100"), Some("s.qty = 10")).isDefined)
+    assert(DeltaLog.read(spark, table).select("id").collect()
+      .map(_.getLong(0)).sorted.toSeq == Seq(2L, 101L))
+    // drop s.b; the struct (and its binding) stays
+    assert(DeltaLog.dropColumns(spark, table, Seq("s.b")).isDefined)
+    val sField = DeltaLog.snapshot(spark, table).get.schema("s")
+    assert(sField.dataType.asInstanceOf[StructType].fieldNames.toSeq ==
+      Seq("qty"))
+    assert(DeltaLog.read(spark, table).selectExpr("s.qty").collect()
+      .map(_.getLong(0)).sorted.toSeq == Seq(10L, 20L))
+    // guards: path through a non-struct; emptying a struct
+    val e1 = intercept[IllegalArgumentException] {
+      DeltaLog.renameColumn(spark, table, "id.x", "y") }
+    assert(e1.getMessage.contains("struct"), e1.getMessage)
+    val e2 = intercept[IllegalArgumentException] {
+      DeltaLog.dropColumns(spark, table, Seq("s.qty")) }
+    assert(e2.getMessage.contains("empty its struct"), e2.getMessage)
+    // id-mode twin: nested rename under field-id binding
+    val idT = tmp("delta_nested_rd_id")
+    assert(DeltaLog.writeBatch(df, idT,
+      tableConf = Map("delta.columnMapping.mode" -> "id")).contains(0L))
+    assert(DeltaLog.renameColumn(spark, idT, "s.b", "note").contains(1L))
+    assert(DeltaLog.read(spark, idT).selectExpr("id", "s.note").collect()
+      .map(r => (r.getLong(0), r.getString(1))).sorted.toSeq ==
+      Seq((1L, "x"), (2L, "y")))
+  }
+
   // ── iceberg ───────────────────────────────────────────────────────────
 
   test("iceberg: rename keeps field-id identity; pre-rename files read by id") {
