@@ -259,6 +259,49 @@ class SchemaRenameDropSpec extends SparkSpec {
       .map(_.getLong(0)).sorted.toSeq == Seq(1L, 2L))
   }
 
+  test("delta: checkpoint after rename/drop cold-replays the evolved mapping") {
+    import spark.implicits._
+    import java.nio.file.Paths
+    val table = tmp("delta_ren_cp")
+    DeltaLog.writeBatch(Seq((1L, 10L, "x")).toDF("id", "v", "note"), table,
+      tableConf = Map("delta.columnMapping.mode" -> "name"))
+    DeltaLog.writeBatch(Seq((2L, 20L, "y")).toDF("id", "v", "note"), table)
+    assert(DeltaLog.renameColumn(spark, table, "v", "vol").contains(2L))
+    assert(DeltaLog.dropColumns(spark, table, Seq("note")).contains(3L))
+    DeltaLog.writeCheckpoint(spark, table, 3L)
+    // age out the whole JSON head: the checkpoint alone must replay the
+    // renamed+dropped schema WITH its mapping bindings
+    (0L to 3L).foreach(v => java.nio.file.Files.delete(
+      Paths.get(table, "_delta_log", f"$v%020d.json")))
+    DeltaLog.clearSnapshotCache()
+    val snap = DeltaLog.snapshot(spark, table).get
+    assert(snap.schema.fieldNames.toSeq == Seq("id", "vol"))
+    assert(snap.schema("vol").metadata
+      .contains("delta.columnMapping.physicalName"))
+    assert(DeltaLog.read(spark, table).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq ==
+      Seq((1L, 10L), (2L, 20L)))
+  }
+
+  test("iceberg: equality deletes keyed on a since-DROPPED column refuse loudly") {
+    import spark.implicits._
+    val table = tmp("ice_eqdrop")
+    IcebergLog.writeBatch(
+      Seq((1L, 10L, "a"), (2L, 20L, "b")).toDF("id", "v", "extra"), table)
+    // merge-keys upsert lands an equality-delete file keyed on (v)
+    assert(IcebergLog.upsertAppend(spark, table,
+      Seq((3L, 10L, "c", false)).toDF("id", "v", "extra", "__graft_deleted"),
+      keys = Seq("v")).isDefined)
+    assert(IcebergLog.read(spark, table).select("id").collect()
+      .map(_.getLong(0)).sorted.toSeq == Seq(2L, 3L))
+    // drop the KEY column: the standing delete file's field id no longer
+    // resolves — reads refuse loudly instead of over-returning id=1
+    assert(IcebergLog.dropColumns(spark, table, Seq("v")).isDefined)
+    val e = intercept[Exception] { IcebergLog.read(spark, table).collect() }
+    assert(e.getMessage.contains("dropped") ||
+      e.getMessage.contains("field id"), e.getMessage)
+  }
+
   // ── streaming views under a mid-stream rename (pinned: REFUSE) ───────
 
   test("delta: a mapped streaming view refuses loudly on a mid-stream rename") {
