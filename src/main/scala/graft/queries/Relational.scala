@@ -680,21 +680,26 @@ object Relational {
           partitionBy = Seq("l_returnflag"),
           tableConf = Map("delta.columnMapping.mode" -> "id"))
         graft.sinks.DeltaLog.deleteWhere(s, table, "l_quantity > 45")
+        // the UPDATE sets BOTH a top-level column and a NESTED leaf
+        // (r15 nested SET) off a nested predicate — old-row semantics
         graft.sinks.DeltaLog.updateWhere(s, table,
-          Seq("l_quantity" -> "l_quantity * 2"), Some("meta.ln >= 4"))
+          Seq("l_quantity" -> "l_quantity * 2",
+            "meta.price" -> "meta.price * 2"), Some("meta.ln >= 4"))
         graft.sinks.DeltaLog.read(s, table, scanFilter = Some("l_quantity <= 30"))
           .groupBy(col("l_returnflag"))
           .agg(count(lit(1)).as("n"), dsum(col("l_quantity")).as("sum_qty"),
             dsum(col("meta.price")).as("sum_price"))
       },
       Some(s"""WITH base AS (
-              |  SELECT l_returnflag, l_extendedprice,
+              |  SELECT l_returnflag,
+              |    CASE WHEN l_linenumber >= 4 THEN l_extendedprice * 2
+              |         ELSE l_extendedprice END AS price,
               |    CASE WHEN l_linenumber >= 4 THEN l_quantity * 2
               |         ELSE l_quantity END AS q
               |  FROM lineitem WHERE NOT (l_quantity > 45)
               |)
               |SELECT l_returnflag, COUNT(*) AS n, ${oSum("q")} AS sum_qty,
-              |  ${oSum("l_extendedprice")} AS sum_price
+              |  ${oSum("price")} AS sum_price
               |FROM base WHERE q <= 30 GROUP BY 1""".stripMargin)),
 
     // ── RENAME/DROP COLUMN on a mapped delta table (r15): CREATE with

@@ -2095,20 +2095,54 @@ object DeltaLog {
       sets: Seq[(String, String)], predicate: Option[String]): Option[Long] = {
     import org.apache.spark.sql.functions.{coalesce, col, expr, lit, when}
     require(sets.nonEmpty, "UPDATE: no SET assignments")
-    val byCol = sets.toMap
-    require(byCol.size == sets.size, "UPDATE: duplicate SET column")
+    require(sets.map(_._1).distinct.size == sets.size,
+      "UPDATE: duplicate SET column")
+    // dotted lhs = a NESTED field assignment (`SET s.qty = …`, r15):
+    // the struct rebuilds via withField, grouped per top-level column
+    val (nested, flat) = sets.partition(_._1.contains("."))
+    val byCol = flat.toMap
+    val nestedByTop: Map[String, Seq[(Seq[String], String)]] =
+      nested.map { case (c, e) => (c.split('.').toSeq, e) }
+        .groupBy(_._1.head)
+    nestedByTop.keys.foreach(t => require(!byCol.contains(t),
+      s"UPDATE: cannot SET both $t and a field inside it"))
     val p = predicate.map(_.trim).filter(_.nonEmpty)
     val cond = coalesce(p.map(expr).getOrElse(lit(true)), lit(false))
-    // post-image projection, shared by the rewrite and the change feed
-    def applySets(df: DataFrame, schema: StructType, onlyMatching: Boolean) =
+    /** The nested field's type at `segs` (struct nesting only). */
+    def typeAtPath(schema: StructType, segs: Seq[String]): DataType =
+      segs.foldLeft[DataType](schema) {
+        case (st: StructType, seg) =>
+          require(st.fieldNames.contains(seg),
+            s"UPDATE $table: no column ${segs.mkString(".")}")
+          st(seg).dataType
+        case (other, seg) => throw new IllegalArgumentException(
+          s"UPDATE $table: '$seg' reached through ${other.simpleString}, " +
+            "not a struct")
+      }
+    // post-image projection, shared by the rewrite and the change feed.
+    // ONE select: every RHS and the predicate evaluate against the OLD
+    // row (SQL UPDATE semantics), nested or not.
+    def applySets(df: DataFrame, schema: StructType, onlyMatching: Boolean) = {
+      (flat.map(_._1) ++ nestedByTop.keys).foreach(c => require(
+        schema.fieldNames.contains(c.split('.').head),
+        s"UPDATE $table: no column $c"))
       df.select(schema.fields.toIndexedSeq.map { f =>
-        byCol.get(f.name) match {
-          case Some(e) if onlyMatching => expr(e).cast(f.dataType).as(f.name)
-          case Some(e) =>
+        (byCol.get(f.name), nestedByTop.get(f.name)) match {
+          case (Some(e), _) if onlyMatching =>
+            expr(e).cast(f.dataType).as(f.name)
+          case (Some(e), _) =>
             when(cond, expr(e).cast(f.dataType)).otherwise(col(f.name)).as(f.name)
-          case None => col(f.name)
+          case (None, Some(ns)) =>
+            val updated = ns.foldLeft(col(quoted(f.name))) {
+              case (c, (segs, e)) => c.withField(segs.tail.mkString("."),
+                expr(e).cast(typeAtPath(schema, segs)))
+            }
+            (if (onlyMatching) updated
+             else when(cond, updated).otherwise(col(quoted(f.name)))).as(f.name)
+          case _ => col(f.name)
         }
       }: _*)
+    }
     val s0 = snapshot(spark, table)
       .getOrElse(sys.error(s"$table is not a Delta table (no _delta_log)"))
     if (dvEnabled(s0.configuration))
@@ -2121,8 +2155,7 @@ object DeltaLog {
             .unionAll(applySets(pre, schema, onlyMatching = true)
               .withColumn(Cdf.changeTypeCol, lit("update_postimage")))
         }) { (cand, schema) =>
-        sets.foreach { case (c, _) =>
-          require(schema.fieldNames.contains(c), s"UPDATE: no column $c") }
+        // applySets validates every lhs (top-level AND nested paths)
         val matched = p.map(pp => cand.filter(coalesce(expr(pp), lit(false))))
           .getOrElse(cand)
         (matched.select(col(dvFileCol), col(dvPosCol)),
@@ -2139,8 +2172,7 @@ object DeltaLog {
             .withColumn(Cdf.changeTypeCol, lit("update_postimage")))
       }) {
       (touched, _, schema) =>
-        sets.foreach { case (c, _) =>
-          require(schema.fieldNames.contains(c), s"UPDATE: no column $c") }
+        // applySets validates every lhs (top-level AND nested paths)
         applySets(touched, schema, onlyMatching = false)
     }
   }

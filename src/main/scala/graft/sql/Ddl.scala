@@ -207,7 +207,8 @@ object Ddl {
     def parseSets(s: String): Seq[(String, String)] =
       splitTop(s, ',').map(_.trim).filter(_.nonEmpty).map { a =>
         a.split("=", 2) match {
-          case Array(c, e) if c.trim.matches("[A-Za-z_][A-Za-z0-9_]*") && e.trim.nonEmpty =>
+          case Array(c, e) if c.trim.matches(
+              "[A-Za-z_][A-Za-z0-9_]*(\\.[A-Za-z_][A-Za-z0-9_]*)*") && e.trim.nonEmpty =>
             (c.trim, e.trim)
           case _ => bad(s"malformed SET assignment '$a' (expected col = expr)")
         }
@@ -459,7 +460,8 @@ object Ddl {
       val (setsStr, where) = splitAtWhere(body)
       val sets = splitTop(setsStr, ',').map(_.trim).filter(_.nonEmpty).map { a =>
         a.split("=", 2) match {
-          case Array(c, e) if c.trim.matches("[A-Za-z_][A-Za-z0-9_]*") && e.trim.nonEmpty =>
+          case Array(c, e) if c.trim.matches(
+              "[A-Za-z_][A-Za-z0-9_]*(\\.[A-Za-z_][A-Za-z0-9_]*)*") && e.trim.nonEmpty =>
             (c.trim, e.trim)
           case _ => throw new IllegalArgumentException(
             s"UPDATE $name: malformed SET assignment '$a' (expected col = expr)")

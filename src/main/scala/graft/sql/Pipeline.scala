@@ -439,9 +439,14 @@ class Pipeline(spark: SparkSession, streaming: Boolean = false) {
         throw new IllegalArgumentException(
           s"$op is only supported on delta/iceberg tables (got connector '${t.connector}')")
       val tPath = t.path.getOrElse(sys.error(s"table $name: path required"))
-      if (t.schema.fields.nonEmpty) sets.foreach { case (c, _) =>
-        if (!t.schema.fieldNames.contains(c)) throw new IllegalArgumentException(
-          s"UPDATE $name: no column $c") }
+      if (t.schema.fields.nonEmpty) sets.filterNot(_._1.contains(".")).foreach {
+        case (c, _) =>
+          if (!t.schema.fieldNames.contains(c)) throw new IllegalArgumentException(
+            s"UPDATE $name: no column $c") }
+      if (t.connector == "iceberg") sets.filter(_._1.contains(".")).foreach {
+        case (c, _) => throw new IllegalArgumentException(
+          s"UPDATE $name: nested SET ($c) is a delta feature — this " +
+            "iceberg sink writes flat schemas") }
       // plan() must VALIDATE DML statements, never run them
       if (!planOnly) (op, t.connector) match {
         case ("delete", "delta") =>

@@ -151,6 +151,17 @@ class SchemaRenameDropSpec extends SparkSpec {
     val e2 = intercept[IllegalArgumentException] {
       DeltaLog.dropColumns(spark, table, Seq("s.qty")) }
     assert(e2.getMessage.contains("empty its struct"), e2.getMessage)
+    // nested UPDATE SET (r15): the RHS and the predicate evaluate
+    // against the OLD row; only the named leaf changes inside the struct
+    assert(DeltaLog.updateWhere(spark, table,
+      Seq("s.qty" -> "s.qty * 3"), Some("s.qty = 20")).isDefined)
+    assert(DeltaLog.read(spark, table).selectExpr("s.qty").collect()
+      .map(_.getLong(0)).sorted.toSeq == Seq(10L, 60L))
+    // mixing a struct and a field inside it refuses
+    val e3 = intercept[IllegalArgumentException] {
+      DeltaLog.updateWhere(spark, table,
+        Seq("s" -> "s", "s.qty" -> "1"), None) }
+    assert(e3.getMessage.contains("inside it"), e3.getMessage)
     // id-mode twin: nested rename under field-id binding
     val idT = tmp("delta_nested_rd_id")
     assert(DeltaLog.writeBatch(df, idT,
