@@ -1319,7 +1319,6 @@ object IcebergLog {
       // catalog-managed metadata naming: the authoritative pointer lives
       // in the owning catalog — a filesystem-claimed vN commit here would
       // be invisible to it (and its next commit would silently drop ours)
-      cur.foreach(m => requireNoInitialDefaults(table, m))
       cur.foreach(m => require(!m.catalogManaged,
         s"$table uses catalog-managed metadata naming (${m.metaFileName}); " +
           "this engine commits the HadoopCatalog filesystem form only — " +
@@ -1363,6 +1362,26 @@ object IcebergLog {
           if (conflict.isDefined && m.schema.json != schema0.json) return None
           m.schema
         case None => schema0
+      }
+      // v3 initial-default tables: plain EXACT-SCHEMA appends are safe
+      // (the schema entry carries forward verbatim, so the default
+      // attributes survive, and this engine's appends write every
+      // column, so write-default never engages). Everything else
+      // refuses: evolution re-mints the schema json and would DROP the
+      // defaults; rewrites/DML would null them in pre-field postimages.
+      cur.foreach { m =>
+        if (initialDefaultFields(m).nonEmpty) {
+          require(operation == "append" && !isRewrite && !schemaReplace &&
+            deleteAdded.isEmpty && supersededDv.isEmpty,
+            s"$table: v3 schema carries initial-default field(s); this " +
+              "engine APPENDS and READS such tables but does not " +
+              "DML/rewrite/evolve them — route those through the writer " +
+              "that owns the defaults")
+          require(schema.json == m.schema.json,
+            s"$table: schema evolution on an initial-default table would " +
+              "re-mint the schema entry and DROP the default attributes; " +
+              "route evolution through the writer that owns the defaults")
+        }
       }
       // a RENAME COLUMN on a partition column arrives with the NEW name;
       // otherwise the table's own partitioning is authoritative

@@ -396,9 +396,26 @@ class IcebergV3Spec extends SparkSpec {
     // scan_filter composes AFTER the fill
     assert(IcebergLog.read(spark, table, scanFilter = Some("bonus = 7"))
       .collect().map(_.getLong(0)).sorted.toSeq == Seq(1L, 2L))
-    // every commit surface refuses; the table stays readable
+    // plain EXACT-SCHEMA appends are safe: the schema entry carries
+    // forward verbatim (defaults survive) and every column is written
+    assert(IcebergLog.writeBatch(
+      Seq((9L, 90L, Some(9L))).toDF("id", "v", "bonus").coalesce(1), table)
+      .isDefined)
+    val got2 = IcebergLog.read(spark, table).collect()
+      .map(r => (r.getLong(0), if (r.isNullAt(2)) -1L else r.getLong(2)))
+      .sortBy(_._1).toSeq
+    assert(got2 == Seq((1L, 7L), (2L, 7L), (3L, 300L), (4L, -1L), (9L, 9L)),
+      got2)
+    // the default attributes SURVIVED the append commit
+    assert(IcebergLog.initialDefaultFields(IcebergLog.current(table).get)
+      .map(_._1.name) == Seq("bonus"))
+    // evolution / DML / streams / changelog still refuse
+    val eEvo = intercept[IllegalArgumentException] {
+      IcebergLog.addColumns(spark, table,
+        Seq("more" -> org.apache.spark.sql.types.LongType)) }
+    assert(eEvo.getMessage.contains("default"), eEvo.getMessage)
     val eW = intercept[IllegalArgumentException] {
-      IcebergLog.writeBatch(Seq((9L, 90L, Some(9L))).toDF("id", "v", "bonus"), table) }
+      IcebergLog.deleteWhere(spark, table, "id = 1") }
     assert(eW.getMessage.contains("initial-default"), eW.getMessage)
     val eS = intercept[IllegalArgumentException] {
       graft.sources.IcebergStreamSource.open(spark, table) }
