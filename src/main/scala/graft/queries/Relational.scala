@@ -780,6 +780,46 @@ object Relational {
               |  CAST(0 AS BIGINT) AS n_resurrected
               |FROM base WHERE qty <= 60 GROUP BY 1""".stripMargin)),
 
+    // ── NESTED types on the iceberg write path (r16): CREATE a
+    //    partitioned iceberg table with a STRUCT column (path-keyed
+    //    field ids minted past the top level, parquet ids stamped at
+    //    every depth, footer metrics keyed by leaf id), then the DML
+    //    cycle: a CoW DELETE, an UPDATE whose predicate reads a NESTED
+    //    leaf AND whose SET writes one (withField postimages under
+    //    old-row semantics), then a pruned read. A hash match proves
+    //    the nested schema JSON, id minting, stamping, and nested DML
+    //    against DuckDB replaying the algebra.
+    Q("q_iceberg_nested",
+      (s, dir) => {
+        val li = t(s, dir, "lineitem").select(
+          col("l_orderkey"), col("l_returnflag"), col("l_quantity"),
+          struct(col("l_linenumber").as("ln"),
+            col("l_extendedprice").as("price")).as("meta"))
+        val table = java.nio.file.Files
+          .createTempDirectory("graft-iceberg-nested").toString
+        graft.sinks.IcebergLog.writeBatch(li.repartition(4), table,
+          partitionBy = Seq("l_returnflag"))
+        graft.sinks.IcebergLog.deleteWhere(s, table, "l_quantity > 45")
+        graft.sinks.IcebergLog.updateWhere(s, table,
+          Seq("l_quantity" -> "l_quantity * 2",
+            "meta.price" -> "meta.price * 2"), Some("meta.ln >= 4"))
+        graft.sinks.IcebergLog.read(s, table, scanFilter = Some("l_quantity <= 30"))
+          .groupBy(col("l_returnflag"))
+          .agg(count(lit(1)).as("n"), dsum(col("l_quantity")).as("sum_qty"),
+            dsum(col("meta.price")).as("sum_price"))
+      },
+      Some(s"""WITH base AS (
+              |  SELECT l_returnflag,
+              |    CASE WHEN l_linenumber >= 4 THEN l_extendedprice * 2
+              |         ELSE l_extendedprice END AS price,
+              |    CASE WHEN l_linenumber >= 4 THEN l_quantity * 2
+              |         ELSE l_quantity END AS q
+              |  FROM lineitem WHERE NOT (l_quantity > 45)
+              |)
+              |SELECT l_returnflag, COUNT(*) AS n, ${oSum("q")} AS sum_qty,
+              |  ${oSum("price")} AS sum_price
+              |FROM base WHERE q <= 30 GROUP BY 1""".stripMargin)),
+
     // ── iceberg v3 INITIAL-DEFAULT reads (r15): files written BEFORE a
     //    field existed return the field's `initial-default` (the spec's
     //    column-projection rule), while post-field files keep their own

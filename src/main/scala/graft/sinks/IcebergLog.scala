@@ -280,7 +280,7 @@ object IcebergLog {
     case DateType => "date"
     case d: DecimalType => s"decimal(${d.precision}, ${d.scale})"
     case other => throw new IllegalArgumentException(
-      s"iceberg sink: unsupported column type $other (flat schemas only)")
+      s"iceberg sink: unsupported primitive column type $other")
   }
 
   private def sparkType(t: String): DataType = t match {
@@ -299,12 +299,151 @@ object IcebergLog {
     case other => throw new IllegalArgumentException(s"iceberg: unsupported type $other")
   }
 
+  /** Spark type of an iceberg schema TYPE node — a quoted primitive
+    * string, or the spec's nested object forms (`struct`/`list`/`map`,
+    * r16). `element-required`/`value-required` default to optional when
+    * absent; a `required` nested field round-trips as non-nullable.
+    */
+  private def sparkTypeOf(n: com.fasterxml.jackson.databind.JsonNode): DataType =
+    if (n.isTextual) sparkType(n.asText())
+    else n.get("type").asText() match {
+      case "struct" =>
+        val fs = n.get("fields")
+        StructType((0 until fs.size()).map { i =>
+          val f = fs.get(i)
+          StructField(f.get("name").asText(), sparkTypeOf(f.get("type")),
+            nullable = !f.get("required").asBoolean())
+        })
+      case "list" =>
+        ArrayType(sparkTypeOf(n.get("element")),
+          containsNull = !Option(n.get("element-required")).exists(_.asBoolean()))
+      case "map" =>
+        MapType(sparkTypeOf(n.get("key")), sparkTypeOf(n.get("value")),
+          valueContainsNull = !Option(n.get("value-required")).exists(_.asBoolean()))
+      case other => throw new IllegalArgumentException(
+        s"iceberg: unsupported nested type $other")
+    }
+
+  /** Iceberg JSON VALUE for `dt` rooted at `path`: primitives quote,
+    * nested types emit the spec's object forms with their ids resolved
+    * from the PATH-keyed id map (`s.x`, `arr.element`, `m.key`,
+    * `m.value` — [[fieldIdsFor]]'s dialect). A missing NESTED id is a
+    * caller bug (the mint walks every path), never a positional guess —
+    * guessing here would re-bind parquet data under evolution.
+    */
+  private def icebergTypeJson(dt: DataType, path: String,
+      ids: Map[String, Int]): String = {
+    def idOf(p: String): Int = ids.getOrElse(p, sys.error(
+      s"iceberg: no declared/minted field id for nested path $p"))
+    dt match {
+      case st: StructType =>
+        val fs = st.fields.map { f =>
+          val p = s"$path.${f.name}"
+          s"""{"id":${idOf(p)},"name":"${f.name}","required":${!f.nullable},""" +
+            s""""type":${icebergTypeJson(f.dataType, p, ids)}}"""
+        }
+        s"""{"type":"struct","fields":[${fs.mkString(",")}]}"""
+      case at: ArrayType =>
+        val p = s"$path.element"
+        s"""{"type":"list","element-id":${idOf(p)},""" +
+          s""""element":${icebergTypeJson(at.elementType, p, ids)},""" +
+          s""""element-required":${!at.containsNull}}"""
+      case mt: MapType =>
+        val (kp, vp) = (s"$path.key", s"$path.value")
+        s"""{"type":"map","key-id":${idOf(kp)},""" +
+          s""""key":${icebergTypeJson(mt.keyType, kp, ids)},""" +
+          s""""value-id":${idOf(vp)},""" +
+          s""""value":${icebergTypeJson(mt.valueType, vp, ids)},""" +
+          s""""value-required":${!mt.valueContainsNull}}"""
+      case prim => "\"" + icebergType(prim) + "\""
+    }
+  }
+
   private def schemaJson(schema: StructType, schemaId: Int = 0,
       ids: Map[String, Int] = Map.empty): String = {
     val fields = schema.fields.zipWithIndex.map { case (f, i) =>
-      s"""{"id":${ids.getOrElse(f.name, i + 1)},"name":"${f.name}","required":${!f.nullable},"type":"${icebergType(f.dataType)}"}"""
+      s"""{"id":${ids.getOrElse(f.name, i + 1)},"name":"${f.name}","required":${!f.nullable},"type":${icebergTypeJson(f.dataType, f.name, ids)}}"""
     }
     s"""{"type":"struct","schema-id":$schemaId,"fields":[${fields.mkString(",")}]}"""
+  }
+
+  /** PATH-keyed field ids a schema JSON node declares: top-level names
+    * plus every nested `s.x` / `arr.element` / `m.key` / `m.value`
+    * path (r16). The spec's column identity at every depth — parquet
+    * stamps, footer metrics, evolution and rename/drop all key off
+    * these, never positions.
+    */
+  private def pathIdsOf(n: com.fasterxml.jackson.databind.JsonNode): Map[String, Int] = {
+    val out = Map.newBuilder[String, Int]
+    def walkType(path: String, t: com.fasterxml.jackson.databind.JsonNode): Unit =
+      if (!t.isTextual) t.get("type").asText() match {
+        case "struct" =>
+          val fs = t.get("fields")
+          (0 until fs.size()).foreach { i =>
+            val f = fs.get(i)
+            val p = s"$path.${f.get("name").asText()}"
+            out += p -> f.get("id").asInt()
+            walkType(p, f.get("type"))
+          }
+        case "list" =>
+          out += s"$path.element" -> t.get("element-id").asInt()
+          walkType(s"$path.element", t.get("element"))
+        case "map" =>
+          out += s"$path.key" -> t.get("key-id").asInt()
+          walkType(s"$path.key", t.get("key"))
+          out += s"$path.value" -> t.get("value-id").asInt()
+          walkType(s"$path.value", t.get("value"))
+        case _ => ()
+      }
+    val fs = n.get("fields")
+    (0 until fs.size()).foreach { i =>
+      val f = fs.get(i)
+      val p = f.get("name").asText()
+      out += p -> f.get("id").asInt()
+      walkType(p, f.get("type"))
+    }
+    out.result()
+  }
+
+  /** Is `dt` free of list/map at every depth? Spark stamps
+    * `parquet.field.id` from StructField metadata ONLY — a list
+    * element / map key/value parquet node can never carry one, so
+    * id-stamping such a schema would land a PARTIAL id set (a
+    * spec-conformant id-resolving reader treats the id-less columns as
+    * absent). Struct-only schemas stamp ids at every depth;
+    * list/map-bearing schemas write NO ids and bind through the nested
+    * name mapping instead ([[nameMappingJson]]).
+    */
+  private def idStampable(dt: DataType): Boolean = dt match {
+    case st: StructType => st.fields.forall(f => idStampable(f.dataType))
+    case _: ArrayType | _: MapType => false
+    case _ => true
+  }
+  private def idStampable(schema: StructType): Boolean =
+    schema.fields.forall(f => idStampable(f.dataType))
+
+  /** `schema` with `parquet.field.id` metadata at EVERY struct depth
+    * (caller guarantees [[idStampable]]). The external-row re-type pass
+    * in [[withFieldIds]] lands these in the parquet footers.
+    */
+  private def withIdMetadata(schema: StructType,
+      ids: Map[String, Int]): StructType = {
+    def idOf(p: String): Long = ids.getOrElse(p, sys.error(
+      s"iceberg: no field id for path $p")).toLong
+    def conv(path: String, dt: DataType): DataType = dt match {
+      case st: StructType => StructType(st.fields.map { f =>
+        val p = s"$path.${f.name}"
+        f.copy(dataType = conv(p, f.dataType),
+          metadata = new MetadataBuilder().withMetadata(f.metadata)
+            .putLong("parquet.field.id", idOf(p)).build())
+      })
+      case other => other
+    }
+    StructType(schema.fields.map { f =>
+      f.copy(dataType = conv(f.name, f.dataType),
+        metadata = new MetadataBuilder().withMetadata(f.metadata)
+          .putLong("parquet.field.id", idOf(f.name)).build())
+    })
   }
 
   /** id → field of `schema` through the DECLARED ids (positional for
@@ -317,31 +456,44 @@ object IcebergLog {
     schema.fields.zipWithIndex.map { case (f, i) =>
       ids.getOrElse(f.name, i + 1) -> f }.toMap
 
-  /** The field ids `schema` commits/writes under: the table's DECLARED
-    * ids where the name is known; fresh names (append evolution) mint
-    * sequentially past `last-column-id`, never re-using a dropped id.
-    * Fresh tables mint positionally (1..n), the id shape this engine
-    * has always created.
+  /** The PATH-keyed field ids `schema` commits/writes under: the
+    * table's DECLARED ids where the path is known; fresh paths (append
+    * evolution, new nested fields) mint sequentially past
+    * `last-column-id`, never re-using a dropped id. Mint order is
+    * LEVEL order per struct (a struct's direct fields before any
+    * descent — iceberg-java's fresh-assignment shape), so fresh FLAT
+    * tables keep the positional 1..n ids this engine has always
+    * created, and nested ids land past every top-level id of their
+    * minting round.
     */
-  private def fieldIdsFor(cur: Option[Meta], schema: StructType): Map[String, Int] =
-    cur match {
-      case None =>
-        schema.fieldNames.zipWithIndex.map { case (n, i) => n -> (i + 1) }.toMap
-      case Some(m) =>
-        val known = m.fieldIds
-        var next = m.lastColumnId
-        schema.fieldNames.map { n =>
-          known.get(n) match {
-            case Some(id) => n -> id
-            case None => next += 1; n -> next
-          }
-        }.toMap
+  private def fieldIdsFor(cur: Option[Meta], schema: StructType): Map[String, Int] = {
+    val known = cur.map(_.fieldIdPaths).getOrElse(Map.empty[String, Int])
+    var next = cur.map(_.lastColumnId).getOrElse(0)
+    val out = Map.newBuilder[String, Int]
+    def mint(p: String): Unit = known.get(p) match {
+      case Some(id) => out += p -> id
+      case None => next += 1; out += p -> next
     }
+    def walk(path: String, dt: DataType): Unit = dt match {
+      case st: StructType =>
+        st.fields.foreach(f => mint(s"$path.${f.name}"))
+        st.fields.foreach(f => walk(s"$path.${f.name}", f.dataType))
+      case at: ArrayType =>
+        mint(s"$path.element"); walk(s"$path.element", at.elementType)
+      case mt: MapType =>
+        mint(s"$path.key"); walk(s"$path.key", mt.keyType)
+        mint(s"$path.value"); walk(s"$path.value", mt.valueType)
+      case _ => ()
+    }
+    schema.fields.foreach(f => mint(f.name))
+    schema.fields.foreach(f => walk(f.name, f.dataType))
+    out.result()
+  }
 
   private def schemaOf(n: com.fasterxml.jackson.databind.JsonNode): StructType =
     StructType((0 until n.get("fields").size()).map { i =>
       val f = n.get("fields").get(i)
-      StructField(f.get("name").asText(), sparkType(f.get("type").asText()),
+      StructField(f.get("name").asText(), sparkTypeOf(f.get("type")),
         nullable = !f.get("required").asBoolean())
     })
 
@@ -374,11 +526,12 @@ object IcebergLog {
     val nameOfId = scala.collection.mutable.Map.empty[Int, String]
     val idOfName = scala.collection.mutable.Map.empty[String, Int]
     val bad = scala.collection.mutable.Set.empty[Int]
-    for (si <- 0 until arr.size(); f = arr.get(si).get("fields");
-         fi <- 0 until f.size()) {
-      val fld = f.get(fi)
-      val id = fld.get("id").asInt()
-      val name = fld.get("name").asText()
+    // full PATHS, not just top-level names (r16): renaming a struct
+    // column moves every descendant's path, and a NESTED rename in a
+    // third-party history is the same misresolution hazard one level
+    // down — both force field-id reads
+    for (si <- 0 until arr.size();
+         (name, id) <- pathIdsOf(arr.get(si)).toSeq.sortBy(_._1)) {
       if (nameOfId.getOrElse(id, name) != name) bad += id
       if (idOfName.getOrElse(name, id) != id) { bad += id; bad += idOfName(name) }
       nameOfId(id) = name
@@ -391,19 +544,29 @@ object IcebergLog {
     renamedFieldIds(m).nonEmpty
 
   private[graft] def dataReadSchema(spark: SparkSession, m: Meta): StructType = {
-    val arr = m.node.get("schemas")
     val renamed = renamedFieldIds(m)
     if (renamed.isEmpty) m.schema
     else {
+      // list/map columns were never id-stamped (Spark cannot attach ids
+      // below a list/map node — [[idStampable]]), so a rename history
+      // makes their pre-rename files unreadable BY ID; refuse loudly
+      // instead of binding what field-id resolution can't cover
+      require(idStampable(m.schema),
+        "iceberg: rename history on a table with list/map columns — data " +
+          "files carry no complete parquet field ids below list/map nodes, " +
+          "so by-id binding cannot resolve pre-rename files; rewrite the " +
+          "table under its current names first")
       spark.conf.set("spark.sql.parquet.fieldId.read.enabled", "true")
-      val cur = (0 until arr.size()).map(arr.get)
-        .find(_.get("schema-id").asInt() == m.currentSchemaId).getOrElse(arr.get(0))
-      val ids = (0 until cur.get("fields").size()).map { i =>
-        val f = cur.get("fields").get(i)
-        f.get("name").asText() -> f.get("id").asLong()
-      }.toMap
-      StructType(m.schema.fields.map(f => f.copy(metadata =
-        new MetadataBuilder().putLong("parquet.field.id", ids(f.name)).build())))
+      // nested schema pruning REBUILDS pruned struct fields without
+      // their metadata — the parquet.field.id stamps vanish and every
+      // pre-rename file silently reads null in a pruned nested column
+      // (verified against Spark 4.1). Correctness beats pruning: flip
+      // it off for the session the moment a renamed-history NESTED
+      // table is read; flat renamed tables and un-renamed nested
+      // tables keep full pruning.
+      if (m.schema.fields.exists(_.dataType.isInstanceOf[StructType]))
+        spark.conf.set("spark.sql.optimizer.nestedSchemaPruning.enabled", "false")
+      withIdMetadata(m.schema, m.fieldIdPaths)
     }
   }
 
@@ -441,6 +604,28 @@ object IcebergLog {
     val cur = (0 until arr.size()).map(arr.get)
       .find(_.get("schema-id").asInt() == m.currentSchemaId).getOrElse(arr.get(0))
     val fields = cur.get("fields")
+    // a NESTED initial-default (a field added inside a struct after
+    // data existed) is invisible to the top-level fill below — filling
+    // nothing would silently null it, so refuse the read outright
+    def nestedDefault(t: com.fasterxml.jackson.databind.JsonNode): Boolean =
+      !t.isTextual && (t.get("type").asText() match {
+        case "struct" =>
+          val fs = t.get("fields")
+          (0 until fs.size()).exists { i =>
+            val f = fs.get(i)
+            Option(f.get("initial-default")).exists(!_.isNull) ||
+              nestedDefault(f.get("type"))
+          }
+        case "list" => nestedDefault(t.get("element"))
+        case "map" => nestedDefault(t.get("key")) || nestedDefault(t.get("value"))
+        case _ => false
+      })
+    (0 until fields.size()).foreach { i =>
+      if (nestedDefault(fields.get(i).get("type"))) sys.error(
+        "iceberg: a NESTED field carries initial-default — this engine's " +
+          "default fill resolves top-level columns only; refusing to read " +
+          "what it would silently null")
+    }
     (0 until fields.size()).flatMap { i =>
       val f = fields.get(i)
       Option(f.get("initial-default")).filterNot(_.isNull).map { d =>
@@ -603,7 +788,7 @@ object IcebergLog {
       val fields = n.get("fields")
       (0 until fields.size()).map(fields.get)
         .find(f => Option(f.get("id")).exists(_.asInt() == id))
-        .map(f => sparkType(f.get("type").asText()))
+        .map(f => sparkTypeOf(f.get("type")))
     }
     /** The CURRENT schema's declared field ids, name → id. These — not
       * schema POSITIONS — are the spec's column identity: after a
@@ -612,24 +797,28 @@ object IcebergLog {
       * Every id-keyed structure (parquet field ids, footer metrics,
       * stats pruning, spec source-ids, name mapping) must key off this.
       */
-    def fieldIds: Map[String, Int] = {
+    def fieldIds: Map[String, Int] =
+      fieldIdPaths.filter { case (p, _) => !p.contains('.') }
+    /** PATH-keyed declared ids of the CURRENT schema — top-level names
+      * plus nested `s.x` / `arr.element` / `m.key` / `m.value` paths
+      * (r16). The full column-identity map every nested id-keyed
+      * structure resolves through.
+      */
+    def fieldIdPaths: Map[String, Int] = {
       val arr = node.get("schemas")
       val cur = currentSchemaId
       val n = (0 until arr.size()).map(arr.get)
         .find(s => s.get("schema-id").asInt() == cur).getOrElse(arr.get(0))
-      val fields = n.get("fields")
-      (0 until fields.size()).map { i =>
-        val f = fields.get(i)
-        f.get("name").asText() -> f.get("id").asInt()
-      }.toMap
+      pathIdsOf(n)
     }
     /** High-water mark for field-id minting (`last-column-id`): a
       * DROPPED column's id must never be re-minted — a reader would
-      * bind the dead column's parquet data to the new field.
+      * bind the dead column's parquet data to the new field. Nested
+      * ids count (r16): a dropped struct retires its leaf ids too.
       */
     def lastColumnId: Int = math.max(
       Option(node.get("last-column-id")).map(_.asInt()).getOrElse(0),
-      fieldIds.values.foldLeft(0)(math.max))
+      fieldIdPaths.values.foldLeft(0)(math.max))
     def formatVersion: Int =
       Option(node.get("format-version")).map(_.asInt()).getOrElse(1)
     /** v3 row-lineage counter (`next-row-id`, required in v3 metadata):
@@ -786,11 +975,36 @@ object IcebergLog {
     * timestamps and NaN-tainted float stats are skipped — pruning must be
     * conservative, never clever).
     */
+  /** Primitive LEAVES of `schema` keyed by their PARQUET column path
+    * (dots), each resolved to its declared field id and type. Parquet
+    * interior nodes differ from iceberg paths: Spark writes 3-level
+    * lists (`arr.list.element`) and `key_value` map groups — the walk
+    * translates so footer chunks key straight into spec metrics maps.
+    */
+  private def metricLeaves(schema: StructType,
+      ids: Map[String, Int]): Map[String, (Int, DataType)] = {
+    val out = Map.newBuilder[String, (Int, DataType)]
+    def walk(ice: String, pq: String, dt: DataType, fallback: Int): Unit = dt match {
+      case st: StructType => st.fields.foreach(f =>
+        walk(s"$ice.${f.name}", s"$pq.${f.name}", f.dataType, -1))
+      case at: ArrayType =>
+        walk(s"$ice.element", s"$pq.list.element", at.elementType, -1)
+      case mt: MapType =>
+        walk(s"$ice.key", s"$pq.key_value.key", mt.keyType, -1)
+        walk(s"$ice.value", s"$pq.key_value.value", mt.valueType, -1)
+      case prim =>
+        ids.get(ice).orElse(Some(fallback).filter(_ > 0))
+          .foreach(id => out += pq -> (id, prim))
+    }
+    schema.fields.zipWithIndex.foreach { case (f, i) =>
+      walk(f.name, f.name, f.dataType, i + 1) }
+    out.result()
+  }
+
   private def footerMetrics(
       footer: org.apache.parquet.hadoop.metadata.ParquetMetadata,
       schema: StructType, ids: Map[String, Int]): ColMetrics = {
-    val byName = schema.fields.zipWithIndex.map { case (f, i) =>
-      f.name -> (ids.getOrElse(f.name, i + 1), f.dataType) }.toMap
+    val byName = metricLeaves(schema, ids)
     val vc = scala.collection.mutable.Map.empty[Int, Long]
     val nc = scala.collection.mutable.Map.empty[Int, Long]
     val lo = scala.collection.mutable.Map.empty[Int, Any]
@@ -1102,13 +1316,30 @@ object IcebergLog {
     */
   private def withFieldIds(df: DataFrame, ids: Map[String, Int]): DataFrame = {
     import org.apache.spark.sql.functions.col
-    df.select(df.columns.map { c =>
-      ids.get(c) match {
-        case Some(id) => col(s"`$c`").as(c,
-          new MetadataBuilder().putLong("parquet.field.id", id.toLong).build())
-        case None => col(s"`$c`")
-      }
-    }.toIndexedSeq: _*)
+    val nested = df.schema.fields.exists(f => f.dataType match {
+      case _: StructType | _: ArrayType | _: MapType => true; case _ => false })
+    if (!nested)
+      // flat: alias metadata stamps top-level ids inside codegen
+      df.select(df.columns.map { c =>
+        ids.get(c) match {
+          case Some(id) => col(s"`$c`").as(c,
+            new MetadataBuilder().putLong("parquet.field.id", id.toLong).build())
+          case None => col(s"`$c`")
+        }
+      }.toIndexedSeq: _*)
+    else if (idStampable(df.schema)) {
+      // struct nesting (r16): Catalyst aliases cannot carry NESTED field
+      // metadata — one external-row re-type pass lands ids at every
+      // depth (the delta id-mode template, DeltaLog.toMappedPhysFrame).
+      // Costs a codegen break, paid only by nested writes.
+      df.sparkSession.conf.set("spark.sql.parquet.fieldId.write.enabled", "true")
+      df.sparkSession.createDataFrame(df.rdd, withIdMetadata(df.schema, ids))
+    } else
+      // list/map present: ids would be PARTIAL (no id below a list/map
+      // node is expressible) and a spec-conformant id-resolving reader
+      // treats id-less columns as absent — write NO ids; the nested
+      // name mapping ([[nameMappingJson]]) is the binding instead
+      df
   }
 
   private def tableFieldIds(schema: StructType): Map[String, Int] =
@@ -1116,13 +1347,33 @@ object IcebergLog {
 
   /** The `schema.name-mapping.default` table property (spec: Column
     * Projection fallback for files WITHOUT parquet field ids — e.g.
-    * files this engine wrote before r12, or third-party imports).
+    * files this engine wrote before r12, third-party imports, or
+    * list/map-bearing schemas whose files deliberately carry no ids).
+    * Nested fields map through the spec's recursive `fields` attribute
+    * (list elements as "element", map sides as "key"/"value").
     */
   private def nameMappingJson(schema: StructType,
-      ids: Map[String, Int]): String =
-    schema.fieldNames.zipWithIndex.map { case (n, i) =>
-      s"""{"field-id":${ids.getOrElse(n, i + 1)},"names":["$n"]}"""
-    }.mkString("[", ",", "]")
+      ids: Map[String, Int]): String = {
+    def entry(path: String, name: String, dt: DataType, fallback: Int): String = {
+      val id = ids.getOrElse(path,
+        if (fallback > 0) fallback
+        else sys.error(s"iceberg name mapping: no field id for path $path"))
+      val nested = dt match {
+        case st: StructType => Some(st.fields.map(f =>
+          entry(s"$path.${f.name}", f.name, f.dataType, -1)).mkString("[", ",", "]"))
+        case at: ArrayType => Some(
+          "[" + entry(s"$path.element", "element", at.elementType, -1) + "]")
+        case mt: MapType => Some(
+          "[" + entry(s"$path.key", "key", mt.keyType, -1) + "," +
+            entry(s"$path.value", "value", mt.valueType, -1) + "]")
+        case _ => None
+      }
+      s"""{"field-id":$id,"names":["$name"]""" +
+        nested.map(n => s""","fields":$n""").getOrElse("") + "}"
+    }
+    schema.fields.zipWithIndex.map { case (f, i) =>
+      entry(f.name, f.name, f.dataType, i + 1) }.mkString("[", ",", "]")
+  }
 
   /** Write `df`'s rows as fresh table data files: scratch write, then
     * link under `data/` preserving hive partition dirs — each file under
@@ -3068,10 +3319,25 @@ object IcebergLog {
         s"RENAME COLUMN: no column $from in $table")
       require(!m.schema.fieldNames.contains(to),
         s"RENAME COLUMN: column $to already exists in $table")
+      // pre-rename files must become id-resolvable, but a list/map
+      // schema's files carry no (complete) parquet field ids — the
+      // rename would leave the table unreadable; refuse it instead
+      require(idStampable(m.schema),
+        s"RENAME COLUMN: $table has list/map columns whose data files " +
+          "carry no complete parquet field ids; a rename would make " +
+          "pre-rename files unresolvable — rewrite under the new layout " +
+          "instead")
       val evolved = StructType(m.schema.fields.map(f =>
         if (f.name == from) f.copy(name = to) else f))
-      val ids = m.fieldIds
-      val newIds = (ids - from) + (to -> ids(from))
+      // PATH-keyed: the renamed column's descendants move with it
+      // (`s.x` → `t.x`), every id unchanged — nested data keeps binding
+      val ids = m.fieldIdPaths
+      val newIds = ids.map {
+        case (p, id) if p == from => to -> id
+        case (p, id) if p.startsWith(from + ".") =>
+          (to + p.stripPrefix(from)) -> id
+        case kv => kv
+      }
       val parts = m.partitionColumns.map(pc => if (pc == from) to else pc)
       val committed = commitSnapshot(spark, table, evolved, parts, Seq.empty,
         txn = None, operation = "append", replaced = Set.empty,
@@ -3115,7 +3381,10 @@ object IcebergLog {
       val committed = commitSnapshot(spark, table, evolved, m.partitionColumns,
         Seq.empty, txn = None, operation = "append", replaced = Set.empty,
         schemaReplace = true, schemaBase = Some(m.schema.json),
-        explicitIds = Some(m.fieldIds -- cols))
+        // a dropped struct retires its descendants' ids with it
+        // (last-column-id keeps them never-reused)
+        explicitIds = Some(m.fieldIdPaths.filter { case (p, _) =>
+          !cols.exists(c => p == c || p.startsWith(c + ".")) }))
       if (committed.isDefined) return committed
     }
     sys.error(s"$table: DROP COLUMN lost 5 concurrent-evolution races; giving up")
@@ -3666,9 +3935,54 @@ object IcebergLog {
       sets: Seq[(String, String)], predicate: Option[String]): Option[Int] = {
     import org.apache.spark.sql.functions.{coalesce, col, expr, lit, when}
     require(sets.nonEmpty, "UPDATE: no SET assignments")
-    val byCol = sets.toMap
-    require(byCol.size == sets.size, "UPDATE: duplicate SET column")
+    require(sets.map(_._1).distinct.size == sets.size,
+      "UPDATE: duplicate SET column")
+    // dotted lhs = NESTED field assignment (`SET s.qty = …`, r16 — the
+    // delta twin's shape): the struct rebuilds via withField, grouped
+    // per top-level column, everything evaluated against the OLD row
+    val (nested, flat) = sets.partition(_._1.contains("."))
+    val byCol = flat.toMap
+    val nestedByTop: Map[String, Seq[(Seq[String], String)]] =
+      nested.map { case (c, e) => (c.split('.').toSeq, e) }
+        .groupBy(_._1.head)
+    nestedByTop.keys.foreach(t => require(!byCol.contains(t),
+      s"UPDATE: cannot SET both $t and a field inside it"))
     val p = predicate.map(_.trim).filter(_.nonEmpty)
+    val cond = coalesce(p.map(expr).getOrElse(lit(true)), lit(false))
+    def typeAtPath(schema: StructType, segs: Seq[String]): DataType =
+      segs.foldLeft[DataType](schema) {
+        case (st: StructType, seg) =>
+          require(st.fieldNames.contains(seg),
+            s"UPDATE $table: no column ${segs.mkString(".")}")
+          st(seg).dataType
+        case (other, seg) => throw new IllegalArgumentException(
+          s"UPDATE $table: '$seg' reached through ${other.simpleString}, " +
+            "not a struct")
+      }
+    def quoted(n: String): String = s"`${n.replace("`", "``")}`"
+    // post-image projection shared by CoW and MoR: SQL UPDATE semantics
+    // (every RHS and the predicate see the OLD row), nested or flat
+    def applySets(df: DataFrame, schema: StructType, onlyMatching: Boolean) = {
+      (flat.map(_._1) ++ nestedByTop.keys).foreach(c => require(
+        schema.fieldNames.contains(c.split('.').head),
+        s"UPDATE $table: no column $c"))
+      df.select(schema.fields.toIndexedSeq.map { f =>
+        (byCol.get(f.name), nestedByTop.get(f.name)) match {
+          case (Some(e), _) if onlyMatching =>
+            expr(e).cast(f.dataType).as(f.name)
+          case (Some(e), _) =>
+            when(cond, expr(e).cast(f.dataType)).otherwise(col(f.name)).as(f.name)
+          case (None, Some(ns)) =>
+            val updated = ns.foldLeft(col(quoted(f.name))) {
+              case (c, (segs, e)) => c.withField(segs.tail.mkString("."),
+                expr(e).cast(typeAtPath(schema, segs)))
+            }
+            (if (onlyMatching) updated
+             else when(cond, updated).otherwise(col(quoted(f.name)))).as(f.name)
+          case _ => col(f.name)
+        }
+      }: _*)
+    }
     val m = current(table).getOrElse(
       sys.error(s"$table is not an Iceberg table (no metadata/v*.metadata.json)"))
     if (morMode(m, "update"))
@@ -3677,31 +3991,16 @@ object IcebergLog {
       // with the partitioned append write)
       return morRun(spark, table, scanFilter = p, conflictPred = p) {
         (cand, schema) =>
-          sets.foreach { case (c, _) =>
-            require(schema.fieldNames.contains(c), s"UPDATE: no column $c") }
           val matched = p.map(pp => cand.filter(coalesce(expr(pp), lit(false))))
             .getOrElse(cand)
-          val post = matched.select(schema.fields.toIndexedSeq.map { f =>
-            byCol.get(f.name).map(e => expr(e).cast(f.dataType).as(f.name))
-              .getOrElse(col(f.name))
-          }: _*)
+          val post = applySets(matched, schema, onlyMatching = true)
           (matched.select(col(posFileCol), col(posPosCol)), Some(post))
       }
     DmlRewrite.run(spark, new DmlFormat(spark, table), scanFilter = p,
       conflictPred = p,
       matcher = df => p.map(pp => df.filter(coalesce(expr(pp), lit(false))))
         .getOrElse(df)) {
-      (touched, _, schema) =>
-        sets.foreach { case (c, _) =>
-          require(schema.fieldNames.contains(c), s"UPDATE: no column $c") }
-        val cond = coalesce(p.map(expr).getOrElse(lit(true)), lit(false))
-        touched.select(schema.fields.toIndexedSeq.map { f =>
-          byCol.get(f.name) match {
-            case Some(e) =>
-              when(cond, expr(e).cast(f.dataType)).otherwise(col(f.name)).as(f.name)
-            case None => col(f.name)
-          }
-        }: _*)
+      (touched, _, schema) => applySets(touched, schema, onlyMatching = false)
     }
   }
 

@@ -443,10 +443,6 @@ class Pipeline(spark: SparkSession, streaming: Boolean = false) {
         case (c, _) =>
           if (!t.schema.fieldNames.contains(c)) throw new IllegalArgumentException(
             s"UPDATE $name: no column $c") }
-      if (t.connector == "iceberg") sets.filter(_._1.contains(".")).foreach {
-        case (c, _) => throw new IllegalArgumentException(
-          s"UPDATE $name: nested SET ($c) is a delta feature — this " +
-            "iceberg sink writes flat schemas") }
       // plan() must VALIDATE DML statements, never run them
       if (!planOnly) (op, t.connector) match {
         case ("delete", "delta") =>
