@@ -873,9 +873,17 @@ object Relational {
             }
           }
         java.nio.file.Files.write(p, node.toString.getBytes("UTF-8"))
-        graft.sinks.IcebergLog.read(s, table, scanFilter = Some("bonus >= 7"))
+        // r16: evolution on an initial-default table goes through — the
+        // carried schema-entry nodes keep the default attributes. ADD a
+        // column (new entry, defaults carried) and RENAME the default
+        // field itself (same id under the new name); the fill must
+        // still resolve through the evolved history.
+        graft.sinks.IcebergLog.addColumns(s, table,
+          Seq("extra" -> org.apache.spark.sql.types.LongType))
+        graft.sinks.IcebergLog.renameColumn(s, table, "bonus", "boon")
+        graft.sinks.IcebergLog.read(s, table, scanFilter = Some("boon >= 7"))
           .groupBy(col("l_returnflag"))
-          .agg(count(lit(1)).as("n"), sum(col("bonus")).as("sum_bonus"))
+          .agg(count(lit(1)).as("n"), sum(col("boon")).as("sum_bonus"))
       },
       Some("""SELECT l_returnflag, COUNT(*) AS n,
              |  CAST(SUM(CASE WHEN l_orderkey % 2 = 0 THEN 7
@@ -885,15 +893,18 @@ object Relational {
              |            ELSE l_linenumber * 10 END) >= 7
              |GROUP BY 1""".stripMargin)),
 
-    // ── iceberg v3 ROW LINEAGE (r15): _row_id assigns per the spec —
-    //    file first_row_id (from the adding snapshot's first-row-id)
-    //    + row position — so under a TOTAL sort into one file the ids
-    //    are exactly ROW_NUMBER()-1, which DuckDB can replay. Rows
-    //    landed BEFORE the v3 upgrade carry null ids (the upgrade
-    //    rule). OPTIMIZE then compacts the files, which MATERIALIZES
-    //    the ids into the rewritten parquet — the read afterwards takes
-    //    the materialized path, so the hash match proves assignment AND
-    //    rewrite preservation end-to-end.
+    // ── iceberg v3 ROW LINEAGE (r15, DML-deep in r16): _row_id assigns
+    //    per the spec — file first_row_id (from the adding snapshot's
+    //    first-row-id) + row position — so under a TOTAL sort into one
+    //    file the ids are exactly ROW_NUMBER()-1, which DuckDB can
+    //    replay. Rows landed BEFORE the v3 upgrade carry null ids (the
+    //    upgrade rule; seq 1). Then the DML story: a CoW UPDATE keeps
+    //    every matched row's _row_id and BUMPS its
+    //    _last_updated_sequence_number to the committing snapshot's
+    //    sequence (3); a CoW DELETE removes rows while the survivors
+    //    keep id AND sequence. sum_seq pins the full per-row sequence
+    //    algebra (evens 1, odd unmatched 2, odd updated 3) — a hash
+    //    match proves assignment, DML preservation, and bumping.
     Q("q_iceberg_row_lineage",
       (s, dir) => {
         val li = t(s, dir, "lineitem").select(
@@ -905,31 +916,44 @@ object Relational {
           .createTempDirectory("graft-iceberg-rl").toString
         graft.sinks.IcebergLog.writeBatch(
           li.filter(col("l_orderkey") % 2 === 0).repartition(1)
-            .sortWithinPartitions(sortCols: _*), table)
+            .sortWithinPartitions(sortCols: _*), table)       // seq 1 (pre-v3)
         graft.sinks.IcebergLog.setTableProperties(s, table,
           Map("format-version" -> "3"))
         graft.sinks.IcebergLog.writeBatch(
           li.filter(col("l_orderkey") % 2 === 1).repartition(1)
-            .sortWithinPartitions(sortCols: _*), table)
-        graft.sinks.IcebergLog.rewriteDataFiles(s, table)
+            .sortWithinPartitions(sortCols: _*), table)       // seq 2 (tracked)
+        // mid-history DML, odd-file-scoped so the pre-v3 file stays
+        // untouched (its untracked nulls would lazily assign on rewrite)
+        graft.sinks.IcebergLog.updateWhere(s, table,           // seq 3
+          Seq("l_quantity" -> "l_quantity + 100"),
+          Some("l_orderkey % 2 = 1 AND l_quantity >= 40"))
+        graft.sinks.IcebergLog.deleteWhere(s, table,           // seq 4
+          "l_orderkey % 2 = 1 AND l_quantity < 10")
         graft.sinks.IcebergLog.readWithLineage(s, table)
           .groupBy(col("l_returnflag"))
           .agg(count(lit(1)).as("n"),
             count(col("_row_id")).as("n_with_id"),
-            sum(col("_row_id")).as("sum_rid"))
+            sum(col("_row_id")).as("sum_rid"),
+            sum(col("_last_updated_sequence_number")).as("sum_seq"))
       },
-      Some("""WITH b AS (
-             |  SELECT l_returnflag,
+      Some("""WITH odd AS (
+             |  SELECT l_returnflag, l_quantity,
              |    ROW_NUMBER() OVER (ORDER BY l_orderkey, l_linenumber,
              |      l_quantity, l_returnflag) - 1 AS rid
              |  FROM lineitem WHERE l_orderkey % 2 = 1
+             |), rows_after AS (
+             |  SELECT l_returnflag, rid,
+             |    CASE WHEN l_quantity >= 40 THEN 3 ELSE 2 END AS seq
+             |  FROM odd WHERE NOT (l_quantity < 10)
+             |  UNION ALL
+             |  SELECT l_returnflag, NULL AS rid, 1 AS seq
+             |  FROM lineitem WHERE l_orderkey % 2 = 0
              |)
-             |SELECT l.l_returnflag, COUNT(*) AS n,
-             |  CAST(COUNT(CASE WHEN l.l_orderkey % 2 = 1 THEN 1 END) AS BIGINT)
-             |    AS n_with_id,
-             |  (SELECT CAST(SUM(rid) AS BIGINT) FROM b
-             |   WHERE b.l_returnflag = l.l_returnflag) AS sum_rid
-             |FROM lineitem l GROUP BY 1""".stripMargin)),
+             |SELECT l_returnflag, COUNT(*) AS n,
+             |  CAST(COUNT(rid) AS BIGINT) AS n_with_id,
+             |  CAST(SUM(rid) AS BIGINT) AS sum_rid,
+             |  CAST(SUM(seq) AS BIGINT) AS sum_seq
+             |FROM rows_after GROUP BY 1""".stripMargin)),
 
     // ── iceberg FORMAT-VERSION 3 interop (r13): run a merge-on-read
     //    DELETE, then re-shape the table the way a v3 writer leaves it —

@@ -1690,25 +1690,42 @@ object DeltaLog {
 
   /** Rebuild `schema` with `leafOp` applied to the struct HOLDING the
     * path's last segment — the shared navigation for nested RENAME/DROP.
-    * Prefix segments must be struct fields (renaming through
-    * arrays/maps is not supported by this writer); every untouched
-    * field's metadata (the columnMapping binding) carries verbatim.
+    * Prefix segments traverse struct fields, and (r16) `array<struct>`
+    * via an explicit `element` segment and `map` via `key`/`value`
+    * segments (`a.element.x`, `m.value.x` — delta-spark's path
+    * dialect); the element-level columnMapping binding carries exactly
+    * like struct fields, so readers keep resolving every existing
+    * file. Every untouched field's metadata carries verbatim.
     */
   private def rewriteAtPath(table: String, schema: StructType,
       path: Seq[String])(leafOp: (StructType, String) => StructType)
       : StructType = {
+    def walkType(dt: DataType, segs: Seq[String], at: String): DataType =
+      (dt, segs) match {
+        case (inner: StructType, _) => walk(inner, segs)
+        case (arr: ArrayType, "element" +: rest) if rest.nonEmpty =>
+          arr.copy(elementType =
+            walkType(arr.elementType, rest, s"$at.element"))
+        case (mt: MapType, "key" +: rest) if rest.nonEmpty =>
+          mt.copy(keyType = walkType(mt.keyType, rest, s"$at.key"))
+        case (mt: MapType, "value" +: rest) if rest.nonEmpty =>
+          mt.copy(valueType = walkType(mt.valueType, rest, s"$at.value"))
+        case (arr: ArrayType, seg +: _) => throw new IllegalArgumentException(
+          s"$table: '$at' is ${arr.simpleString} — address its rows as " +
+            s"'$at.element.…', not '$at.$seg'")
+        case (mt: MapType, seg +: _) => throw new IllegalArgumentException(
+          s"$table: '$at' is ${mt.simpleString} — address its sides as " +
+            s"'$at.key.…' / '$at.value.…', not '$at.$seg'")
+        case (other, _) => throw new IllegalArgumentException(
+          s"$table: '$at' is ${other.simpleString}, not a struct — " +
+            "fields evolve through struct/array-element/map-side nesting only")
+      }
     def walk(st: StructType, segs: Seq[String]): StructType = segs match {
       case Seq(leaf) => leafOp(st, leaf)
       case head +: rest =>
         val i = st.fieldIndex(head)
-        st.fields(i).dataType match {
-          case inner: StructType =>
-            StructType(st.fields.updated(i,
-              st.fields(i).copy(dataType = walk(inner, rest))))
-          case other => throw new IllegalArgumentException(
-            s"$table: '$head' is ${other.simpleString}, not a struct — " +
-              "this writer evolves fields through struct nesting only")
-        }
+        StructType(st.fields.updated(i, st.fields(i).copy(dataType =
+          walkType(st.fields(i).dataType, rest, head))))
     }
     try walk(schema, path)
     catch { case e: IllegalArgumentException if e.getMessage != null &&

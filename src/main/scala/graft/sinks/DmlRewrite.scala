@@ -100,6 +100,14 @@ private[sinks] object DmlRewrite {
       * where hive dirs (and so partitionValues keys) are physical.
       */
     def writePartitionColumns(plan: Plan): Seq[String] = plan.partitionColumns
+    /** Extra columns `readFiles` attaches that must SURVIVE past the
+      * schema projection into `transform` and the written output —
+      * iceberg's v3 row-lineage materialization (`_row_id`,
+      * `_last_updated_sequence_number`) rides here (r16). `transform`
+      * must emit them (pass-through, bump-to-null, or null for
+      * inserted rows); empty (the default) keeps the legacy shape.
+      */
+    def carryFields: Seq[org.apache.spark.sql.types.StructField] = Seq.empty
     /** Read `paths` as this format's LIVE rows (hive partition recovery
       * via `basePath`); `fileCol` additionally captures each row's
       * source file as an absolute path/URI that
@@ -143,9 +151,11 @@ private[sinks] object DmlRewrite {
       val candidates = plan.candidates
       if (candidates.isEmpty && !commitWhenUntouched) return None
       val byAbs = candidates.map(c => c.absPath -> c).toMap
-      val emptyDf =
-        spark.createDataFrame(spark.sparkContext.emptyRDD[Row], plan.schema)
-      val schemaCols = plan.schema.fieldNames.map(col).toIndexedSeq
+      val carry = fmt.carryFields
+      val emptyDf = spark.createDataFrame(spark.sparkContext.emptyRDD[Row],
+        StructType(plan.schema.fields ++ carry))
+      val schemaCols =
+        (plan.schema.fieldNames ++ carry.map(_.name)).map(col).toIndexedSeq
       val fileCol = "__graft_input_file"
       val candDf0 =
         if (candidates.isEmpty) emptyDf.withColumn(fileCol, lit(""))

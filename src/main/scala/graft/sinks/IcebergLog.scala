@@ -647,19 +647,21 @@ object IcebergLog {
     }
   }
 
-  /** Write-path gate: this engine's metadata rebuild would DROP the
-    * default attributes from an evolved schema entry, and a DML
-    * postimage of a pre-field file would null the default — so every
-    * commit surface refuses on a table carrying initial-defaults. The
-    * table stays fully readable ([[read]] fills the defaults).
+  /** DML/stream gate: a DML postimage (or rewrite) reads pre-field
+    * files RAW and would null the defaults — those surfaces refuse on
+    * a table carrying initial-defaults. Appends and schema evolution
+    * are allowed (r16): carried fields copy their schema-entry nodes
+    * verbatim through [[commitSnapshot]], so the default attributes
+    * survive. The table stays fully readable ([[read]] fills).
     */
   private[graft] def requireNoInitialDefaults(table: String, m: Meta): Unit =
     require(initialDefaultFields(m).isEmpty,
       s"$table: v3 schema carries initial-default field(s) " +
         s"(${initialDefaultFields(m).map(_._1.name).mkString(", ")}); this " +
-        "engine READS them (defaults fill for pre-field files) but does " +
-        "not write/DML/stream such tables — route writes through the " +
-        "writer that owns the defaults")
+        "engine READS them (defaults fill for pre-field files), APPENDS " +
+        "and EVOLVES such tables (r16), but does not DML/rewrite/stream " +
+        "them — a postimage read raw would null the defaults; route " +
+        "row-level changes through the writer that owns the defaults")
 
   /** The default-carrying fields `file` must FILL on read, resolved
     * with no silent wrong answer possible:
@@ -1385,11 +1387,16 @@ object IcebergLog {
     * them on a lost race.
     */
   private def writeDataFiles(spark: SparkSession, table: String, df: DataFrame,
-      partitionBy: Seq[String], statSchema: StructType): Seq[DataFileInfo] = {
+      partitionBy: Seq[String], statSchema: StructType,
+      /** Reserved metadata columns riding the frame beyond the table
+        * schema (v3 lineage materialization, r16): their fields extend
+        * the stats harvest and their FIXED ids override any minting. */
+      extraStatFields: Seq[StructField] = Seq.empty,
+      extraIds: Map[String, Int] = Map.empty): Seq[DataFileInfo] = {
     Files.createDirectories(Paths.get(table, "data"))
     // DECLARED ids, hoisted once per write op (after a RENAME/DROP they
     // are no longer positional; statFile below must key metrics the same)
-    val ids = fieldIdsFor(current(table), statSchema)
+    val ids = fieldIdsFor(current(table), statSchema) ++ extraIds
     val scratch = Paths.get(table, s".graft-iceberg-${UUID.randomUUID()}")
     val w = withFieldIds(df, ids).write.mode("overwrite")
     (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w)
@@ -1407,7 +1414,8 @@ object IcebergLog {
       try Files.createLink(dest, p)
       catch { case _: UnsupportedOperationException =>
         Files.move(p, dest, StandardCopyOption.ATOMIC_MOVE) }
-      statFile(spark, table, dest, statSchema, ids)
+      statFile(spark, table, dest,
+        StructType(statSchema.fields ++ extraStatFields), ids)
     }
     walkDir(scratch).reverse.foreach(Files.deleteIfExists(_))
     added
@@ -1614,24 +1622,31 @@ object IcebergLog {
           m.schema
         case None => schema0
       }
-      // v3 initial-default tables: plain EXACT-SCHEMA appends are safe
-      // (the schema entry carries forward verbatim, so the default
-      // attributes survive, and this engine's appends write every
-      // column, so write-default never engages). Everything else
-      // refuses: evolution re-mints the schema json and would DROP the
-      // defaults; rewrites/DML would null them in pre-field postimages.
+      // v3 initial-default tables (r16): appends, schema EVOLUTION (ADD
+      // COLUMNS / mergeSchema), and RENAME/DROP are all safe now that
+      // carried fields copy their schema-entry nodes VERBATIM (the
+      // default attributes survive evolution instead of re-minting
+      // away). Two refusals remain: DML/rewrites (their postimages read
+      // pre-field files raw and would null the defaults), and
+      // data-bearing appends whose batch OMITS a default column (that
+      // engages the spec's write-default semantics — out of scope for
+      // an engine that writes every column it declares).
       cur.foreach { m =>
-        if (initialDefaultFields(m).nonEmpty) {
-          require(operation == "append" && !isRewrite && !schemaReplace &&
+        val defaults = initialDefaultFields(m)
+        if (defaults.nonEmpty) {
+          require(operation == "append" && !isRewrite &&
             deleteAdded.isEmpty && supersededDv.isEmpty,
             s"$table: v3 schema carries initial-default field(s); this " +
-              "engine APPENDS and READS such tables but does not " +
-              "DML/rewrite/evolve them — route those through the writer " +
-              "that owns the defaults")
-          require(schema.json == m.schema.json,
-            s"$table: schema evolution on an initial-default table would " +
-              "re-mint the schema entry and DROP the default attributes; " +
-              "route evolution through the writer that owns the defaults")
+              "engine APPENDS, EVOLVES and READS such tables but does " +
+              "not DML/rewrite them (postimages would null the " +
+              "defaults) — route those through the writer that owns " +
+              "the defaults")
+          if (added.nonEmpty) defaults.foreach { case (sf, _) =>
+            require(schema0.fieldNames.contains(sf.name),
+              s"$table: append omits default-carrying column ${sf.name} — " +
+                "its files would engage write-default semantics this " +
+                "engine does not implement; write the column explicitly")
+          }
         }
       }
       // a RENAME COLUMN on a partition column arrives with the NEW name;
@@ -1645,18 +1660,49 @@ object IcebergLog {
       val fieldIdOf: Map[String, Int] =
         explicitIds.getOrElse(fieldIdsFor(cur, schema))
       // schemas is an append-only HISTORY (evolution appends a new entry
-      // with the next schema-id); current-schema-id selects
+      // with the next schema-id); current-schema-id selects. Fields
+      // carried from the prior CURRENT entry copy their JSON nodes
+      // VERBATIM (name refreshed — a rename), so unknown per-field
+      // attributes — v3 initial-default/write-default, doc — survive
+      // evolution instead of being silently re-minted away (r16).
+      // Sound because evolution never changes a carried field's type or
+      // nullability; only genuinely NEW fields mint fresh nodes.
       val priorSchemas: Seq[com.fasterxml.jackson.databind.JsonNode] =
         cur.map { m =>
           val arr = m.node.get("schemas")
           (0 until arr.size()).map(arr.get)
         }.getOrElse(Seq.empty)
+      def evolvedEntry(m: Meta, next: Int): com.fasterxml.jackson.databind.JsonNode = {
+        val minted = mapper.readTree(schemaJson(schema, next, fieldIdOf))
+          .asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode]
+        val arr = m.node.get("schemas")
+        val priorCur = (0 until arr.size()).map(arr.get)
+          .find(_.get("schema-id").asInt() == m.currentSchemaId)
+          .getOrElse(arr.get(0))
+        val priorById = (0 until priorCur.get("fields").size())
+          .map(priorCur.get("fields").get)
+          .map(f => f.get("id").asInt() -> f).toMap
+        val fs = minted.get("fields")
+          .asInstanceOf[com.fasterxml.jackson.databind.node.ArrayNode]
+        (0 until fs.size()).foreach { i =>
+          val f = fs.get(i).asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode]
+          priorById.get(f.get("id").asInt()).foreach { pf =>
+            val copy = pf.deepCopy[com.fasterxml.jackson.databind.JsonNode]()
+              .asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode]
+            copy.set[com.fasterxml.jackson.databind.JsonNode]("name",
+              f.get("name").deepCopy[com.fasterxml.jackson.databind.JsonNode]())
+            fs.set(i, copy)
+            ()
+          }
+        }
+        minted
+      }
       val (schemaId, allSchemas) = cur match {
         case Some(m) if m.schema.json == schema.json =>
           (m.currentSchemaId, priorSchemas)
-        case Some(_) =>
+        case Some(m) =>
           val next = priorSchemas.map(_.get("schema-id").asInt()).max + 1
-          (next, priorSchemas :+ mapper.readTree(schemaJson(schema, next, fieldIdOf)))
+          (next, priorSchemas :+ evolvedEntry(m, next))
         case None => (0, Seq(mapper.readTree(schemaJson(schema, 0, fieldIdOf))))
       }
       // conflict detection against this attempt's FRESH snapshot: every
@@ -2799,11 +2845,16 @@ object IcebergLog {
     * rows carry null ids, the upgrade rule). */
   private[graft] final case class LinAssigned(first: Option[Long],
       seq: Long) extends Lineage
-  /** Added by a REWRITE that materialized `_row_id` /
+  /** Added by a REWRITE or DML that materialized `_row_id` /
     * `_last_updated_sequence_number` into the file (proven by the
     * reserved field ids in its manifest metrics) — the columns are
-    * authoritative. */
-  private[graft] final case class LinMaterialized(seq: Long) extends Lineage
+    * authoritative where non-null; NULL values take the spec's
+    * inheritance rule (r16): `_row_id` = the file's assignment base +
+    * row position (how DML-inserted rows mint), and
+    * `_last_updated_sequence_number` = the file's data sequence (how
+    * DML-updated rows bump). */
+  private[graft] final case class LinMaterialized(first: Option[Long],
+      seq: Long) extends Lineage
 
   private def lineageFields: Seq[StructField] = Seq(
     StructField("_row_id", LongType, nullable = true,
@@ -2850,7 +2901,10 @@ object IcebergLog {
                   firstRowId.map(_ => next), dseq)
               else if (metricsByName.get(name)
                   .exists(_.valueCounts.contains(rowIdFieldId)))
-                out(name) = LinMaterialized(dseq)
+                // the assignment base rides along (r16): NULL
+                // materialized ids (DML-inserted rows) inherit base +
+                // position, per the spec's inheritance rule
+                out(name) = LinMaterialized(firstRowId.map(_ => next), dseq)
               // else: unrecoverable — absent
             }
             next += df0.getLong(4) // record_count advances the range
@@ -2900,7 +2954,10 @@ object IcebergLog {
         "this engine's OPTIMIZE materialize lineage going forward")
     val baseDf = broadcast(lin.toSeq.map {
       case (n, LinAssigned(first, seq)) => (n, first, Option(seq))
-      case (n, LinMaterialized(_)) => (n, None: Option[Long], None: Option[Long])
+      // materialized files fall back to the inheritance rule for NULL
+      // values (DML inserts mint base+pos; DML updates bump to the
+      // file's data sequence) — the same coalesce serves both classes
+      case (n, LinMaterialized(first, seq)) => (n, first, Option(seq))
     }.toDF(posNameCol, "__graft_first_row_id", "__graft_dseq"))
     val dels = deleteFiles(table, None)
     val basePath = Paths.get(table, "data").toAbsolutePath.toString
@@ -3190,8 +3247,10 @@ object IcebergLog {
           val baseDf = broadcast(files.map { f =>
             lin(fileNameOf(f.path)) match {
               case LinAssigned(first, seq) => (fileNameOf(f.path), first, Option(seq))
-              case LinMaterialized(_) =>
-                (fileNameOf(f.path), None: Option[Long], None: Option[Long])
+              // inheritance fallback: a DML file's NULL-id insert rows
+              // materialize their inherited ids through this rewrite
+              case LinMaterialized(first, seq) =>
+                (fileNameOf(f.path), first, Option(seq))
             }
           }.toDF(posNameCol, "__graft_first_row_id", "__graft_dseq"))
           val raw =
@@ -3421,10 +3480,19 @@ object IcebergLog {
     */
   private def morRun(spark: SparkSession, table: String,
       scanFilter: Option[String], conflictPred: Option[String],
-      commitWhenUntouched: Boolean = false)
+      commitWhenUntouched: Boolean = false,
+      /** v3 row-lineage through MoR postimages (r16): the candidate
+        * frame carries materialized `_row_id`/
+        * `_last_updated_sequence_number` (inheritance-resolved), so the
+        * caller's postimage projection keeps ids and bumps sequences;
+        * the appended files stamp the reserved parquet field ids and
+        * their metrics prove presence. Armed per round only when every
+        * candidate's lineage is resolvable — otherwise legacy. */
+      withLineage: Boolean = false)
       (delta: (DataFrame, StructType) => (DataFrame, Option[DataFrame]))
       : Option[Int] = {
-    import org.apache.spark.sql.functions.col
+    import org.apache.spark.sql.functions.{broadcast, coalesce, col, substring_index}
+    import spark.implicits._
     val basePath = Paths.get(table, "data").toAbsolutePath.toString
     var round = 0
     while (round < 5) {
@@ -3446,14 +3514,54 @@ object IcebergLog {
             StatsPruning.mayMatch(fileStats(file, m.schema, m.fieldIds), c, m.schema)))
       }
       if (cands.isEmpty && !commitWhenUntouched) return None
+      val lin: Option[Map[String, (Option[Long], Long)]] =
+        if (!withLineage || m.formatVersion != 3) None
+        else {
+          val l = lineageOf(table, m)
+          if (cands.forall(f => l.contains(fileNameOf(f.path))))
+            Some(l.view.mapValues {
+              case LinAssigned(first, seq) => (first, seq)
+              case LinMaterialized(first, seq) => (first, seq)
+            }.toMap)
+          else None
+        }
+      val readSchema0 = dataReadSchema(spark, m)
+      val readSchema = lin.map(_ =>
+        StructType(readSchema0.fields ++ lineageFields)).getOrElse(readSchema0)
+      val readIds = lin.map(_ => m.fieldIds +
+        ("_row_id" -> rowIdFieldId) +
+        ("_last_updated_sequence_number" -> lastUpdatedSeqFieldId))
+        .getOrElse(m.fieldIds)
       val candDf =
         if (cands.isEmpty)
           spark.createDataFrame(spark.sparkContext.emptyRDD[Row],
-            StructType(m.schema.fields ++ Seq(
+            StructType(m.schema.fields ++
+              lin.map(_ => lineageFields).getOrElse(Seq.empty) ++ Seq(
               StructField(posFileCol, StringType),
               StructField(posPosCol, LongType))))
-        else readWithDeletes(spark, table, dataReadSchema(spark, m),
-          Some(basePath), cands, dels, withMeta = true, ids = m.fieldIds)
+        else {
+          val raw = readWithDeletes(spark, table, readSchema,
+            Some(basePath), cands, dels, withMeta = true, ids = readIds)
+          lin match {
+            case None => raw
+            case Some(l) =>
+              val baseDf = broadcast(cands.map { f =>
+                val (first, dseq) = l(fileNameOf(f.path))
+                (fileNameOf(f.path), first, Option(dseq))
+              }.toDF(posNameCol, "__graft_first_row_id", "__graft_dseq"))
+              raw.withColumn(posNameCol,
+                  substring_index(col(posFileCol), "/", -1))
+                .join(baseDf, posNameCol)
+                .withColumn("_row_id", coalesce(col("_row_id"),
+                  col("__graft_first_row_id") + col(posPosCol)))
+                .withColumn("_last_updated_sequence_number",
+                  coalesce(col("_last_updated_sequence_number"),
+                    col("__graft_dseq")))
+                .select((m.schema.fieldNames.toIndexedSeq ++
+                  Seq("_row_id", "_last_updated_sequence_number",
+                    posFileCol, posPosCol)).map(col): _*)
+          }
+        }
       val (posDf0, appends) = delta(candDf, m.schema)
       val posDf = posDf0.select(col(posFileCol), col(posPosCol)).persist()
       try {
@@ -3475,7 +3583,15 @@ object IcebergLog {
           else if (useDv) writeDvFiles(spark, table, posDf, dels)
           else (writeDeleteFiles(spark, table, posDf, nPos), Set.empty[String])
         val added = appends.map(a =>
-          writeDataFiles(spark, table, a, m.partitionColumns, m.schema))
+          writeDataFiles(spark, table, a, m.partitionColumns, m.schema,
+            extraStatFields =
+              if (lin.isDefined && a.columns.contains("_row_id"))
+                lineageFields else Seq.empty,
+            extraIds =
+              if (lin.isDefined && a.columns.contains("_row_id"))
+                Map("_row_id" -> rowIdFieldId,
+                  "_last_updated_sequence_number" -> lastUpdatedSeqFieldId)
+              else Map.empty))
           .getOrElse(Seq.empty)
         if (deleteAdded.isEmpty && added.isEmpty) return None // true no-op
         val op =
@@ -3918,9 +4034,13 @@ object IcebergLog {
         (cand, _) => (cand.filter(coalesce(expr(p), lit(false)))
           .select(col(posFileCol), col(posPosCol)), None)
       }
-    else DmlRewrite.run(spark, new DmlFormat(spark, table), scanFilter = Some(p),
+    else DmlRewrite.run(spark, new DmlFormat(spark, table, withLineage = true),
+      scanFilter = Some(p),
       conflictPred = Some(p),
       matcher = df => df.filter(coalesce(expr(p), lit(false)))) {
+      // the filter keeps every input column — the lineage carry columns
+      // (when armed) ride through unchanged: survivors of a DELETE keep
+      // both their _row_id and their _last_updated_sequence_number
       (touched, _, _) => touched.filter(not(coalesce(expr(p), lit(false))))
     }
   }
@@ -3961,11 +4081,21 @@ object IcebergLog {
       }
     def quoted(n: String): String = s"`${n.replace("`", "``")}`"
     // post-image projection shared by CoW and MoR: SQL UPDATE semantics
-    // (every RHS and the predicate see the OLD row), nested or flat
+    // (every RHS and the predicate see the OLD row), nested or flat.
+    // When the input carries the v3 lineage columns (r16), postimages
+    // KEEP `_row_id` and BUMP `_last_updated_sequence_number` to null —
+    // the committing file's data sequence inherits, per the spec.
     def applySets(df: DataFrame, schema: StructType, onlyMatching: Boolean) = {
       (flat.map(_._1) ++ nestedByTop.keys).foreach(c => require(
         schema.fieldNames.contains(c.split('.').head),
         s"UPDATE $table: no column $c"))
+      val lineageCarry: Seq[org.apache.spark.sql.Column] =
+        if (!df.columns.contains("_row_id")) Seq.empty
+        else Seq(col("_row_id"),
+          (if (onlyMatching) lit(null).cast(LongType)
+           else when(cond, lit(null).cast(LongType))
+             .otherwise(col("_last_updated_sequence_number")))
+            .as("_last_updated_sequence_number"))
       df.select(schema.fields.toIndexedSeq.map { f =>
         (byCol.get(f.name), nestedByTop.get(f.name)) match {
           case (Some(e), _) if onlyMatching =>
@@ -3981,7 +4111,7 @@ object IcebergLog {
              else when(cond, updated).otherwise(col(quoted(f.name)))).as(f.name)
           case _ => col(f.name)
         }
-      }: _*)
+      } ++ lineageCarry: _*)
     }
     val m = current(table).getOrElse(
       sys.error(s"$table is not an Iceberg table (no metadata/v*.metadata.json)"))
@@ -3989,14 +4119,16 @@ object IcebergLog {
       // merge-on-read row delta: retract matching positions, append the
       // postimages (rows whose identity-partition value changed migrate
       // with the partitioned append write)
-      return morRun(spark, table, scanFilter = p, conflictPred = p) {
+      return morRun(spark, table, scanFilter = p, conflictPred = p,
+        withLineage = true) {
         (cand, schema) =>
           val matched = p.map(pp => cand.filter(coalesce(expr(pp), lit(false))))
             .getOrElse(cand)
           val post = applySets(matched, schema, onlyMatching = true)
           (matched.select(col(posFileCol), col(posPosCol)), Some(post))
       }
-    DmlRewrite.run(spark, new DmlFormat(spark, table), scanFilter = p,
+    DmlRewrite.run(spark, new DmlFormat(spark, table, withLineage = true),
+      scanFilter = p,
       conflictPred = p,
       matcher = df => p.map(pp => df.filter(coalesce(expr(pp), lit(false))))
         .getOrElse(df)) {
@@ -4059,7 +4191,17 @@ object IcebergLog {
     * running stream refuse (or, under ignore_deletes, silently skip)
     * rows a plain append delivers.
     */
-  private final class DmlFormat(spark: SparkSession, val table: String)
+  private final class DmlFormat(spark: SparkSession, val table: String,
+      /** v3 row-lineage materialization (r16): UPDATE/DELETE rewrites
+        * carry `_row_id`/`_last_updated_sequence_number` through the
+        * cycle and land them in the rewritten files (reserved field
+        * ids; manifest metrics prove presence). Armed per planning
+        * round only when EVERY candidate's lineage is resolvable —
+        * otherwise the legacy rewrite runs and lineage reads keep
+        * refusing those files, exactly as before. MERGE keeps the flag
+        * off (its insert machinery doesn't thread the columns; a
+        * documented boundary). */
+      withLineage: Boolean = false)
       extends DmlRewrite.Format[DataFileInfo, Int] {
     // the delete files the current planning round saw: candidate reads
     // apply them (a copy-on-write rewrite must NOT resurrect
@@ -4073,6 +4215,8 @@ object IcebergLog {
     // reads must resolve pre-rename files by id, or the rewrite would
     // null the renamed column in every row it carries forward
     @volatile private var plannedReadSchema: StructType = new StructType()
+    // name → (assignment base, data sequence) when lineage is armed
+    @volatile private var plannedLin: Option[Map[String, (Option[Long], Long)]] = None
     def plan(scanFilter: Option[String]): DmlRewrite.Plan = {
       val m = current(table).getOrElse(
         sys.error(s"$table is not an Iceberg table (no metadata/v*.metadata.json)"))
@@ -4087,11 +4231,27 @@ object IcebergLog {
       plannedLive = liveNow.map(f =>
         Paths.get(f.path).toAbsolutePath.normalize.toString -> f).toMap
       val (candidates, _) = planFiles(spark, table, None, scanFilter)
+      plannedLin =
+        if (!withLineage || m.formatVersion != 3) None
+        else {
+          val lin = lineageOf(table, m)
+          if (candidates.forall(f => lin.contains(fileNameOf(f.path))))
+            Some(lin.view.mapValues {
+              case LinAssigned(first, seq) => (first, seq)
+              case LinMaterialized(first, seq) => (first, seq)
+            }.toMap)
+          else None
+        }
       DmlRewrite.Plan(m.schema, m.partitionColumns,
         candidates.map(f => DmlRewrite.Cand(
           Paths.get(f.path).toAbsolutePath.normalize.toString, f.path, f.size)),
         baseLive)
     }
+    override def carryFields: Seq[StructField] =
+      if (plannedLin.isDefined) lineageFields else Seq.empty
+    private def lineageIdMap: Map[String, Int] = plannedIds +
+      ("_row_id" -> rowIdFieldId) +
+      ("_last_updated_sequence_number" -> lastUpdatedSeqFieldId)
     def basePath: String = Paths.get(table, "data").toAbsolutePath.toString
     def dataRoot: Path = Paths.get(table, "data")
     def scratchPrefix: String = ".graft-iceberg-dml-"
@@ -4110,6 +4270,14 @@ object IcebergLog {
             "renamed-history table; by-name binding would misread " +
             "pre-rename files")
         else schema0
+      plannedLin match {
+        case Some(lin) => readWithCarriedLineage(spark, schema, paths, fileCol, lin)
+        case None => readPlain(spark, schema, paths, fileCol)
+      }
+    }
+    private def readPlain(spark: SparkSession, schema: StructType,
+        paths: Seq[String], fileCol: Option[String]): DataFrame = {
+      import org.apache.spark.sql.functions.col
       if (plannedDeletes.isEmpty)
         return super.readFiles(spark, schema, paths, fileCol)
       // carry the CALLER's path form in the meta column (DmlRewrite
@@ -4135,10 +4303,71 @@ object IcebergLog {
           .select(sel: _*).unionAll(dirtyDf.select(sel: _*))
       }
     }
+    /** The lineage-armed candidate read (r16): each row comes back with
+      * MATERIALIZED `_row_id`/`_last_updated_sequence_number` — the
+      * file's own columns where present, else the spec's inheritance
+      * (assignment base + the row's position in ITS OWN file / the
+      * file's data sequence) through one broadcast per-FILE join.
+      */
+    private def readWithCarriedLineage(spark: SparkSession,
+        schema: StructType, paths: Seq[String], fileCol: Option[String],
+        lin: Map[String, (Option[Long], Long)]): DataFrame = {
+      import org.apache.spark.sql.functions.{broadcast, coalesce, col, substring_index}
+      import spark.implicits._
+      val readSchema = StructType(schema.fields ++ lineageFields)
+      val baseDf = broadcast(paths.map { p =>
+        val (first, dseq) = lin(fileNameOf(p))
+        (fileNameOf(p), first, Option(dseq))
+      }.toDF(posNameCol, "__graft_first_row_id", "__graft_dseq"))
+      val lf = paths.map(p => plannedLive.getOrElse(p, sys.error(
+        s"$table: $p is not in the planning snapshot's live set"))
+        .copy(path = p))
+      val (clean, dirty) =
+        if (plannedDeletes.isEmpty) (lf, Seq.empty[LiveFile])
+        else splitByDeletes(lf, plannedDeletes, schema, plannedIds)
+      val cleanDf =
+        if (clean.isEmpty) None
+        else Some {
+          val df = super.readFiles(spark, readSchema, clean.map(_.path), fileCol)
+          df.withColumn(posNameCol,
+              substring_index(col("_metadata.file_path"), "/", -1))
+            .withColumn(posPosCol, col("_metadata.row_index"))
+        }
+      val dirtyDf =
+        if (dirty.isEmpty) None
+        else Some {
+          val df0 = readWithDeletes(spark, table, readSchema, Some(basePath),
+            dirty, plannedDeletes, withMeta = true, ids = lineageIdMap)
+            .withColumn(posNameCol, substring_index(col(posFileCol), "/", -1))
+          fileCol.map(c => df0.withColumnRenamed(posFileCol, c))
+            .getOrElse(df0.drop(posFileCol))
+        }
+      val outCols = (schema.fieldNames.toIndexedSeq ++ fileCol.toSeq ++
+        Seq("_row_id", "_last_updated_sequence_number")).map(col)
+      (cleanDf ++ dirtyDf).map { df =>
+        df.join(baseDf, posNameCol)
+          .withColumn("_row_id", coalesce(col("_row_id"),
+            col("__graft_first_row_id") + col(posPosCol)))
+          .withColumn("_last_updated_sequence_number",
+            coalesce(col("_last_updated_sequence_number"), col("__graft_dseq")))
+          .select(outCols: _*)
+      }.reduceOption(_ unionAll _).getOrElse(
+        spark.createDataFrame(spark.sparkContext.emptyRDD[Row],
+          StructType(schema.fields ++
+            fileCol.map(c => StructField(c, StringType)) ++ lineageFields)))
+    }
     override def stampOutput(df: DataFrame, plan: DmlRewrite.Plan): DataFrame =
-      withFieldIds(df, plannedIds)
+      withFieldIds(df,
+        if (plannedLin.isDefined) lineageIdMap else plannedIds)
     def harvest(dest: Path, plan: DmlRewrite.Plan): (DataFileInfo, Long) = {
-      val info = statFile(spark, table, dest, plan.schema, plannedIds)
+      // lineage-armed rewrites harvest the reserved-id columns too:
+      // their presence in the manifest metrics is what future lineage
+      // reads verify
+      val (hSchema, hIds) =
+        if (plannedLin.isDefined)
+          (StructType(plan.schema.fields ++ lineageFields), lineageIdMap)
+        else (plan.schema, plannedIds)
+      val info = statFile(spark, table, dest, hSchema, hIds)
       (info, info.records)
     }
     def deletePlaced(a: DataFileInfo): Unit =

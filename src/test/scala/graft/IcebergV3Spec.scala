@@ -409,11 +409,35 @@ class IcebergV3Spec extends SparkSpec {
     // the default attributes SURVIVED the append commit
     assert(IcebergLog.initialDefaultFields(IcebergLog.current(table).get)
       .map(_._1.name) == Seq("bonus"))
-    // evolution / DML / streams / changelog still refuse
-    val eEvo = intercept[IllegalArgumentException] {
-      IcebergLog.addColumns(spark, table,
-        Seq("more" -> org.apache.spark.sql.types.LongType)) }
-    assert(eEvo.getMessage.contains("default"), eEvo.getMessage)
+    // schema EVOLUTION goes through (r16): carried fields copy their
+    // schema-entry nodes verbatim, so the default attributes survive
+    // ADD COLUMNS...
+    assert(IcebergLog.addColumns(spark, table,
+      Seq("more" -> org.apache.spark.sql.types.LongType)).isDefined)
+    assert(IcebergLog.initialDefaultFields(IcebergLog.current(table).get)
+      .map(_._1.name) == Seq("bonus"))
+    // ...a mergeSchema data append under the evolved shape...
+    assert(IcebergLog.writeBatch(
+      Seq((11L, 110L, Some(11L), Some(1L))).toDF("id", "v", "bonus", "more")
+        .coalesce(1), table, mergeSchema = true).isDefined)
+    // ...and RENAME of the default column itself (same id, new name)
+    assert(IcebergLog.renameColumn(spark, table, "bonus", "boon").isDefined)
+    assert(IcebergLog.initialDefaultFields(IcebergLog.current(table).get)
+      .map(_._1.name) == Seq("boon"))
+    // pre-field rows STILL fill through the whole evolved history
+    val got3 = IcebergLog.read(spark, table).collect()
+      .map(r => (r.getLong(0), if (r.isNullAt(2)) -1L else r.getLong(2)))
+      .sortBy(_._1).toSeq
+    assert(got3 == Seq((1L, 7L), (2L, 7L), (3L, 300L), (4L, -1L),
+      (9L, 9L), (11L, 11L)), got3)
+    // an append OMITTING the default column would engage write-default
+    // semantics — refuse
+    val eOmit = intercept[IllegalArgumentException] {
+      IcebergLog.writeBatch(Seq((12L, 120L)).toDF("id", "v"), table,
+        mergeSchema = true) }
+    assert(eOmit.getMessage.contains("write-default"), eOmit.getMessage)
+    // DML / streams / changelog still refuse (postimages would null
+    // the defaults)
     val eW = intercept[IllegalArgumentException] {
       IcebergLog.deleteWhere(spark, table, "id = 1") }
     assert(eW.getMessage.contains("initial-default"), eW.getMessage)
@@ -458,21 +482,58 @@ class IcebergV3Spec extends SparkSpec {
     assert(!l2.contains(1L) && l2(0L)._1.contains(0L) &&
       l2(2L)._1.contains(2L), l2)
     // OPTIMIZE MATERIALIZES lineage into the rewritten files (the
-    // spec's rewrite rule): every id — including the DV'd gap and the
-    // pre-v3 nulls — survives compaction byte-identically
+    // spec's rewrite rule): every TRACKED id — including the DV'd gap —
+    // survives compaction byte-identically; the pre-v3 row's untracked
+    // (null) id gets LAZILY ASSIGNED from the rewritten file's range
+    // (r16 — the spec's inheritance rule for null ids in v3-written
+    // files), while its _last_updated_sequence_number stays truthful
     assert(IcebergLog.rewriteDataFiles(spark, table).isDefined)
     val l3 = lineage()
-    assert(l3 == l2, s"compaction changed lineage: $l2 -> $l3")
-    // a CoW rewrite's carried rows lose their recoverable lineage —
-    // refuse loudly, never mint fresh ids for old rows
+    assert((l3 - 100L) == (l2 - 100L), s"compaction changed lineage: $l2 -> $l3")
+    assert(l3(100L)._1.isDefined, l3) // lazily assigned on first rewrite
+    assert(l3(100L)._1.get >= 5L, l3) // ...from a fresh range, no collision
+    assert(l3(100L)._2 == l2(100L)._2, l3) // sequence untouched by replace
+    val l2b = l3 // the materialized state later steps compare against
+    // a CoW UPDATE preserves lineage (r16): the rewrite materializes
+    // carried rows' ids; the UPDATED row keeps its _row_id and BUMPS
+    // _last_updated_sequence_number to the committing snapshot's
+    // sequence (null-materialized → inherits the file's data sequence)
     IcebergLog.setTableProperties(spark, table,
       Map("write.update.mode" -> "copy-on-write"))
     assert(IcebergLog.updateWhere(spark, table,
       Seq("v" -> "'z'"), Some("id = 3")).isDefined)
-    val e = intercept[IllegalArgumentException] { lineage() }
-    assert(e.getMessage.contains("lineage"), e.getMessage)
-    // the plain read is untouched by the refusal
+    val l4 = lineage()
+    assert(l4(3L)._1.contains(3L), l4) // updated row KEEPS its id
+    assert(l4(3L)._2 > l2b(3L)._2, l4) // ...and bumps its sequence
+    // carried rows in the same rewritten file keep BOTH
+    assert(l4(4L) == l2b(4L), l4)
+    // untouched files unchanged (incl. the pre-v3 null and the DV gap)
+    assert(l4(100L) == l2b(100L) && l4(0L) == l2b(0L) && !l4.contains(1L), l4)
     assert(IcebergLog.read(spark, table).count() == 5)
+    // a CoW DELETE preserves the survivors' lineage the same way
+    assert(IcebergLog.setTableProperties(spark, table,
+      Map("write.delete.mode" -> "copy-on-write")) > 0)
+    assert(IcebergLog.deleteWhere(spark, table, "id = 4").isDefined)
+    val l5 = lineage()
+    assert(!l5.contains(4L), l5)
+    assert(l5(3L) == l4(3L) && l5(0L) == l4(0L) &&
+      l5(100L) == l4(100L), l5) // survivors keep id AND sequence
+
+    // merge-on-read UPDATE (DV retraction + postimage append): the
+    // postimage file materializes the kept _row_id with a bumped
+    // sequence; unmatched rows stay put under their DV'd file
+    IcebergLog.setTableProperties(spark, table,
+      Map("write.update.mode" -> "merge-on-read"))
+    assert(IcebergLog.updateWhere(spark, table,
+      Seq("v" -> "'m'"), Some("id = 0")).isDefined)
+    val l6 = lineage()
+    assert(l6(0L)._1.contains(0L), l6) // postimage KEEPS the id
+    assert(l6(0L)._2 > l5(0L)._2, l6) // ...bumps the sequence
+    assert(l6(2L) == l5(2L) && l6(3L) == l5(3L) &&
+      l6(100L) == l5(100L), l6) // everything else unchanged
+    assert(IcebergLog.read(spark, table)
+      .filter(org.apache.spark.sql.functions.col("id") === 0L)
+      .head().getString(1) == "m")
 
     // EXPIRED adding snapshots make row-id ranges unrecoverable — the
     // lineage read must refuse a partial answer, never drop rows

@@ -172,6 +172,62 @@ class SchemaRenameDropSpec extends SparkSpec {
       Seq((1L, "x"), (2L, "y")))
   }
 
+  test("delta: rename/drop through ARRAY elements and MAP values (r16)") {
+    import spark.implicits._
+    val table = tmp("delta_arr_rd")
+    val df = Seq(
+      (1L, Seq((10L, "x"), (11L, "xx")), Map("k1" -> (5L, "m"))),
+      (2L, Seq((20L, "y")), Map("k2" -> (6L, "n"))))
+      .toDF("id", "arr0", "kv0")
+      .select(col("id"),
+        expr("transform(arr0, e -> named_struct('a', e._1, 'b', e._2))").as("arr"),
+        expr("map_from_arrays(map_keys(kv0), " +
+          "transform(map_values(kv0), v -> named_struct('p', v._1, 'q', v._2)))")
+          .as("kv"))
+    assert(DeltaLog.writeBatch(df, table,
+      tableConf = Map("delta.columnMapping.mode" -> "name")).contains(0L))
+    // rename a field INSIDE array<struct<…>> via the element segment:
+    // metaData-only; the element-level physicalName binding keeps every
+    // existing file resolving
+    assert(DeltaLog.renameColumn(spark, table, "arr.element.a", "qty")
+      .contains(1L))
+    assert(DeltaLog.read(spark, table)
+      .selectExpr("id", "arr[0].qty").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq ==
+      Seq((1L, 10L), (2L, 20L)))
+    // rename inside map VALUES the same way
+    assert(DeltaLog.renameColumn(spark, table, "kv.value.p", "amt")
+      .contains(2L))
+    assert(DeltaLog.read(spark, table)
+      .selectExpr("id", "element_at(map_values(kv), 1).amt").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq ==
+      Seq((1L, 5L), (2L, 6L)))
+    // drop a field inside the array element; the array (and binding) stays
+    assert(DeltaLog.dropColumns(spark, table, Seq("arr.element.b")).isDefined)
+    val arrElem = DeltaLog.snapshot(spark, table).get.schema("arr")
+      .dataType.asInstanceOf[ArrayType].elementType.asInstanceOf[StructType]
+    assert(arrElem.fieldNames.toSeq == Seq("qty"))
+    assert(DeltaLog.read(spark, table).selectExpr("arr[0].qty").collect()
+      .map(_.getLong(0)).sorted.toSeq == Seq(10L, 20L))
+    // appends under the evolved shape still land and read back
+    val df2 = Seq((3L, Seq(30L), Map("k3" -> 7L))).toDF("id", "arr0", "kv0")
+      .select(col("id"),
+        expr("transform(arr0, e -> named_struct('qty', e))").as("arr"),
+        expr("map_from_arrays(map_keys(kv0), " +
+          "transform(map_values(kv0), v -> named_struct('amt', v, 'q', 'z')))")
+          .as("kv"))
+    assert(DeltaLog.writeBatch(df2, table).isDefined)
+    assert(DeltaLog.read(spark, table).selectExpr("arr[0].qty").collect()
+      .map(_.getLong(0)).sorted.toSeq == Seq(10L, 20L, 30L))
+    // guards: wrong segment name through an array; map sides need key/value
+    val e1 = intercept[IllegalArgumentException] {
+      DeltaLog.renameColumn(spark, table, "arr.a", "z") }
+    assert(e1.getMessage.contains("element"), e1.getMessage)
+    val e2 = intercept[IllegalArgumentException] {
+      DeltaLog.renameColumn(spark, table, "kv.p", "z") }
+    assert(e2.getMessage.contains("key"), e2.getMessage)
+  }
+
   // ── iceberg ───────────────────────────────────────────────────────────
 
   test("iceberg: rename keeps field-id identity; pre-rename files read by id") {
