@@ -4159,24 +4159,30 @@ object IcebergLog {
         Merge.keyBoundsFilter(spark, clauses, source, m0.schema) else None
       if (morMode(m0, "merge"))
         // merge-on-read row delta: matched rows taking a clause retract
-        // by position; updates' postimages + not-matched inserts append
+        // by position; updates' postimages + not-matched inserts append.
+        // Lineage-armed (r16): postimages keep _row_id / bump sequence,
+        // inserts inherit from the appended file's assignment base
         return morRun(spark, table, scanFilter, conflictPred = None,
-          commitWhenUntouched = clauses.notMatchedInsert.isDefined) {
+          commitWhenUntouched = clauses.notMatchedInsert.isDefined,
+          withLineage = true) {
           (cand, schema) => {
             val (positions, appends) =
               Merge.rowDelta(cand, source, schema, clauses, posFileCol, posPosCol)
             (positions, Some(appends))
           }
         }
-      val fmt = new DmlFormat(spark, table)
       if (clauses.matched.isEmpty && clauses.notBySource.isEmpty)
-        DmlRewrite.run(spark, fmt, scanFilter, conflictPred = None,
+        // insert-only fast path: a pure APPEND snapshot — the spec's
+        // assignment rule covers it, no lineage materialization needed
+        DmlRewrite.run(spark, new DmlFormat(spark, table), scanFilter,
+          conflictPred = None,
           matcher = identity, touchDetect = false,
           commitWhenUntouched = clauses.notMatchedInsert.isDefined) {
           (_, cands, schema) => Merge.insertRows(cands, source, schema, clauses)
         }
       else
-        DmlRewrite.run(spark, fmt, scanFilter, conflictPred = None,
+        DmlRewrite.run(spark, new DmlFormat(spark, table, withLineage = true),
+          scanFilter, conflictPred = None,
           matcher = Merge.matcher(source, clauses),
           commitWhenUntouched = clauses.notMatchedInsert.isDefined) {
           (touched, _, schema) => Merge.rewrite(touched, source, schema, clauses)

@@ -134,6 +134,18 @@ private[graft] object Merge {
         case (_, acc) => acc
       }.as(f.name)
     }
+    /** v3 row-lineage carry columns (r16), present only when the
+      * TARGET frame rides them (iceberg's lineage-armed DML cycle):
+      * every row keeps its `_row_id`; rows a clause UPDATED bump
+      * `_last_updated_sequence_number` to null (the committing file's
+      * data sequence inherits, per the spec), carried rows keep theirs.
+      */
+    def lineageCarry: Seq[Column] =
+      if (!touched.columns.contains("_row_id")) Seq.empty
+      else Seq(col(s"${c.targetAlias}._row_id").as("_row_id"),
+        when(col(clauseCol) >= 0, lit(null).cast(LongType))
+          .otherwise(col(s"${c.targetAlias}._last_updated_sequence_number"))
+          .as("_last_updated_sequence_number"))
   }
 
   /** Rows of the touched target files × source → their replacements
@@ -145,7 +157,7 @@ private[graft] object Merge {
     val plan = new ClausePlan(touched, source, schema, c, withUid = true)
     plan.requireSingleSourceRow()
     val survivors = plan.withIdx.filter(!plan.isDelete)
-      .select(plan.postImage: _*)
+      .select(plan.postImage ++ plan.lineageCarry: _*)
     val inserts = c.notMatchedInsert.map(_ => insertRows(touched, source, schema, c))
     inserts.map(survivors.unionAll).getOrElse(survivors)
   }
@@ -169,7 +181,8 @@ private[graft] object Merge {
     val positions = fired.select(
       col(s"${c.targetAlias}.$fileCol").as(fileCol),
       col(s"${c.targetAlias}.$posCol").as(posCol))
-    val posts = fired.filter(!plan.isDelete).select(plan.postImage: _*)
+    val posts = fired.filter(!plan.isDelete)
+      .select(plan.postImage ++ plan.lineageCarry: _*)
     val appends = c.notMatchedInsert
       .map(_ => posts.unionAll(insertRows(cands, source, schema, c)))
       .getOrElse(posts)
@@ -193,12 +206,19 @@ private[graft] object Merge {
     val unmatched = and.map(a => unmatched0.filter(expr(a))).getOrElse(unmatched0)
     val bySet = sets.toMap
     val srcCols = source.schema.fieldNames.toSet
+    // lineage-armed targets (r16): inserted rows carry NULL lineage —
+    // the spec's inheritance mints their ids from the appended file's
+    // assignment base, no write-time coordination needed
+    val lineageNulls: Seq[Column] =
+      if (!base.columns.contains("_row_id")) Seq.empty
+      else Seq(lit(null).cast(LongType).as("_row_id"),
+        lit(null).cast(LongType).as("_last_updated_sequence_number"))
     unmatched.select(schema.fields.toIndexedSeq.map { f =>
       (if (sets.isEmpty) // INSERT *: by name, absent → null
         (if (srcCols.contains(f.name)) col(f.name) else lit(null))
       else bySet.get(f.name).map(expr).getOrElse(lit(null)))
         .cast(f.dataType).as(f.name)
-    }: _*)
+    } ++ lineageNulls: _*)
   }
 
   /** Change-feed rows for a merge, computed only when the target table

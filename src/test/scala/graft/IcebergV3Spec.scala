@@ -535,6 +535,37 @@ class IcebergV3Spec extends SparkSpec {
       .filter(org.apache.spark.sql.functions.col("id") === 0L)
       .head().getString(1) == "m")
 
+    // MERGE preserves lineage too (r16): matched updates keep their id
+    // and bump; inserts mint via the appended file's assignment base
+    IcebergLog.setTableProperties(spark, table,
+      Map("write.merge.mode" -> "copy-on-write"))
+    val src = Seq((2L, "merged"), (50L, "new")).toDF("id", "v")
+    assert(IcebergLog.merge(spark, table, src, graft.sinks.Merge.Clauses(
+      cond = "t.id = s.id", targetAlias = "t", sourceAlias = "s",
+      matched = Seq(graft.sinks.Merge.MatchedClause(None,
+        Left(Seq("v" -> "s.v")))),
+      notMatchedInsert = Some((None, Seq.empty)))).isDefined)
+    val l7 = lineage()
+    assert(l7(2L)._1 == l6(2L)._1, l7) // updated row KEEPS its id
+    assert(l7(2L)._2 > l6(2L)._2, l7) // ...bumps its sequence
+    assert(l7(50L)._1.isDefined, l7) // insert MINTS a fresh id
+    assert(!l6.values.flatMap(_._1).toSet.contains(l7(50L)._1.get), l7)
+    assert(l7(0L) == l6(0L) && l7(3L) == l6(3L) &&
+      l7(100L) == l6(100L), l7) // untouched rows unchanged
+    // ...and the merge-on-read MERGE (row delta) twin
+    IcebergLog.setTableProperties(spark, table,
+      Map("write.merge.mode" -> "merge-on-read"))
+    val src2 = Seq((3L, "mor-merged")).toDF("id", "v")
+    assert(IcebergLog.merge(spark, table, src2, graft.sinks.Merge.Clauses(
+      cond = "t.id = s.id", targetAlias = "t", sourceAlias = "s",
+      matched = Seq(graft.sinks.Merge.MatchedClause(None,
+        Left(Seq("v" -> "s.v")))),
+      notMatchedInsert = None)).isDefined)
+    val l8 = lineage()
+    assert(l8(3L)._1 == l7(3L)._1, l8) // MoR postimage keeps the id
+    assert(l8(3L)._2 > l7(3L)._2, l8) // ...bumps the sequence
+    assert(l8(2L) == l7(2L) && l8(50L) == l7(50L), l8)
+
     // EXPIRED adding snapshots make row-id ranges unrecoverable — the
     // lineage read must refuse a partial answer, never drop rows
     val t2 = tmpTable()
