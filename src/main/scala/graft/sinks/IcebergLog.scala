@@ -1691,6 +1691,13 @@ object IcebergLog {
               .asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode]
             copy.set[com.fasterxml.jackson.databind.JsonNode]("name",
               f.get("name").deepCopy[com.fasterxml.jackson.databind.JsonNode]())
+            // NESTED evolution (rename/drop/add at depth) changes the
+            // type node itself — keep the MINTED type then (Jackson
+            // equality is structural, so an unchanged type — however
+            // the prior writer formatted it — still carries verbatim)
+            if (!copy.get("type").equals(f.get("type")))
+              copy.set[com.fasterxml.jackson.databind.JsonNode]("type",
+                f.get("type").deepCopy[com.fasterxml.jackson.databind.JsonNode]())
             fs.set(i, copy)
             ()
           }
@@ -3339,20 +3346,76 @@ object IcebergLog {
     * Lands as an empty fast-append snapshot (no data files; streaming
     * tails link nothing). Returns the committed metadata version.
     */
+  /** Rebuild `schema` with `leafOp` applied to the struct HOLDING the
+    * dotted path's last segment — the iceberg twin of the delta
+    * navigation (r16). STRUCT nesting only: a rename below a list/map
+    * node could never re-resolve (those files carry no parquet field
+    * ids — [[idStampable]]), so evolution stops at struct depth.
+    */
+  private def rewriteStructPath(table: String, schema: StructType,
+      path: Seq[String])(leafOp: (StructType, String) => StructType)
+      : StructType = {
+    def walk(st: StructType, segs: Seq[String]): StructType = segs match {
+      case Seq(leaf) => leafOp(st, leaf)
+      case head +: rest =>
+        val i = st.fieldIndex(head)
+        st.fields(i).dataType match {
+          case inner: StructType =>
+            StructType(st.fields.updated(i,
+              st.fields(i).copy(dataType = walk(inner, rest))))
+          case other => throw new IllegalArgumentException(
+            s"$table: '$head' is ${other.simpleString}, not a struct — " +
+              "iceberg fields evolve through struct nesting only (list/map " +
+              "files carry no field ids to re-resolve by)")
+        }
+    }
+    try walk(schema, path)
+    catch { case e: IllegalArgumentException if e.getMessage != null &&
+        e.getMessage.contains("does not exist") =>
+      throw new IllegalArgumentException(
+        s"$table: no column ${path.mkString(".")}") }
+  }
+
   def addColumns(spark: SparkSession, table: String,
       cols: Seq[(String, DataType)]): Option[Int] = {
     require(cols.nonEmpty, "ADD COLUMNS: no columns")
-    val m = current(table).getOrElse(
-      sys.error(s"$table is not an Iceberg table (no metadata/v*.metadata.json)"))
-    cols.foreach { case (n, _) =>
-      require(!m.schema.fieldNames.contains(n),
-        s"ADD COLUMNS: column $n already exists in $table") }
     require(cols.map(_._1).distinct.size == cols.size,
       "ADD COLUMNS: duplicate column name")
-    val evolved = StructType(m.schema.fields ++
-      cols.map { case (n, dt) => StructField(n, dt, nullable = true) })
-    commitSnapshot(spark, table, evolved, m.partitionColumns, Seq.empty,
-      txn = None, operation = "append", replaced = Set.empty, mergeSchema = true)
+    val (nested, flat) = cols.partition(_._1.contains("."))
+    var round = 0
+    while (round < 5) {
+      round += 1
+      val m = current(table).getOrElse(
+        sys.error(s"$table is not an Iceberg table (no metadata/v*.metadata.json)"))
+      flat.foreach { case (n, _) =>
+        require(!m.schema.fieldNames.contains(n),
+          s"ADD COLUMNS: column $n already exists in $table") }
+      val widened = StructType(m.schema.fields ++
+        flat.map { case (n, dt) => StructField(n, dt, nullable = true) })
+      if (nested.isEmpty)
+        return commitSnapshot(spark, table, widened, m.partitionColumns,
+          Seq.empty, txn = None, operation = "append", replaced = Set.empty,
+          mergeSchema = true)
+      // NESTED adds (`s.z` — r16): the field appends at the END of its
+      // struct with a FRESH path id minted past last-column-id
+      // ([[fieldIdsFor]]); old files simply lack the leaf and read null
+      // at depth. Commits via schemaReplace (append-only SchemaEvolution
+      // cannot express a grown nested type), schemaBase-raced.
+      val evolved = nested.foldLeft(widened) { case (sch, (path, dt)) =>
+        rewriteStructPath(table, sch, path.split('.').toSeq) { (st, leaf) =>
+          require(!st.fieldNames.contains(leaf),
+            s"ADD COLUMNS: column $path already exists in $table")
+          StructType(st.fields :+ StructField(leaf, dt, nullable = true))
+        }
+      }
+      val committed = commitSnapshot(spark, table, evolved,
+        m.partitionColumns, Seq.empty, txn = None, operation = "append",
+        replaced = Set.empty, schemaReplace = true,
+        schemaBase = Some(m.schema.json),
+        explicitIds = Some(fieldIdsFor(Some(m), evolved)))
+      if (committed.isDefined) return committed
+    }
+    sys.error(s"$table: ADD COLUMNS lost 5 concurrent-evolution races; giving up")
   }
 
   /** `ALTER TABLE … RENAME COLUMN from TO to`: a metadata-only commit
@@ -3369,15 +3432,18 @@ object IcebergLog {
   def renameColumn(spark: SparkSession, table: String, from: String,
       to: String): Option[Int] = {
     require(from != to, s"RENAME COLUMN: '$from' to itself")
+    require(!to.contains("."),
+      s"RENAME COLUMN: new name '$to' must be a plain leaf name " +
+        "(the field stays at its position; renames never move fields)")
+    // `from` may be a dotted NESTED path (`s.a` — r16): the leaf
+    // renames in place, its id (and its descendants' ids) unchanged
+    val path = from.split('.').toSeq
+    val toPath = (path.dropRight(1) :+ to).mkString(".")
     var round = 0
     while (round < 5) {
       round += 1
       val m = current(table).getOrElse(
         sys.error(s"$table is not an Iceberg table (no metadata/v*.metadata.json)"))
-      require(m.schema.fieldNames.contains(from),
-        s"RENAME COLUMN: no column $from in $table")
-      require(!m.schema.fieldNames.contains(to),
-        s"RENAME COLUMN: column $to already exists in $table")
       // pre-rename files must become id-resolvable, but a list/map
       // schema's files carry no (complete) parquet field ids — the
       // rename would leave the table unreadable; refuse it instead
@@ -3386,18 +3452,27 @@ object IcebergLog {
           "carry no complete parquet field ids; a rename would make " +
           "pre-rename files unresolvable — rewrite under the new layout " +
           "instead")
-      val evolved = StructType(m.schema.fields.map(f =>
-        if (f.name == from) f.copy(name = to) else f))
-      // PATH-keyed: the renamed column's descendants move with it
-      // (`s.x` → `t.x`), every id unchanged — nested data keeps binding
+      val evolved = rewriteStructPath(table, m.schema, path) { (st, leaf) =>
+        require(st.fieldNames.contains(leaf),
+          s"RENAME COLUMN: no column $from in $table")
+        require(!st.fieldNames.contains(to),
+          s"RENAME COLUMN: column $to already exists beside $from in $table")
+        StructType(st.fields.map(f =>
+          if (f.name == leaf) f.copy(name = to) else f))
+      }
+      // PATH-keyed: the renamed field's descendants move with it
+      // (`s.x` → `s.qty` moves `s.x.*` → `s.qty.*`), every id unchanged
+      // — existing data keeps binding
       val ids = m.fieldIdPaths
       val newIds = ids.map {
-        case (p, id) if p == from => to -> id
+        case (p, id) if p == from => toPath -> id
         case (p, id) if p.startsWith(from + ".") =>
-          (to + p.stripPrefix(from)) -> id
+          (toPath + p.stripPrefix(from)) -> id
         case kv => kv
       }
-      val parts = m.partitionColumns.map(pc => if (pc == from) to else pc)
+      val parts =
+        if (path.size > 1) m.partitionColumns
+        else m.partitionColumns.map(pc => if (pc == from) to else pc)
       val committed = commitSnapshot(spark, table, evolved, parts, Seq.empty,
         txn = None, operation = "append", replaced = Set.empty,
         schemaReplace = true, schemaBase = Some(m.schema.json),
@@ -3428,13 +3503,22 @@ object IcebergLog {
       val m = current(table).getOrElse(
         sys.error(s"$table is not an Iceberg table (no metadata/v*.metadata.json)"))
       cols.foreach { c =>
-        require(m.schema.fieldNames.contains(c),
-          s"DROP COLUMN: no column $c in $table")
         require(!m.partitionColumns.contains(c),
           s"DROP COLUMN: $c is a partition column of $table — " +
             "repartitioning requires a rewrite, not a schema commit")
       }
-      val evolved = StructType(m.schema.fields.filterNot(f => cols.contains(f.name)))
+      // each name may be a dotted NESTED path (`s.a` — r16): the field
+      // leaves its struct, the struct (and every other id) stays
+      val evolved = cols.foldLeft(m.schema) { (sch, c) =>
+        rewriteStructPath(table, sch, c.split('.').toSeq) { (st, leaf) =>
+          require(st.fieldNames.contains(leaf),
+            s"DROP COLUMN: no column $c in $table")
+          val kept = StructType(st.fields.filterNot(_.name == leaf))
+          if (c.contains(".")) require(kept.fields.nonEmpty,
+            s"DROP COLUMN: $c would empty its struct — drop the struct itself")
+          kept
+        }
+      }
       require(evolved.fields.nonEmpty,
         s"DROP COLUMN: cannot drop every column of $table")
       val committed = commitSnapshot(spark, table, evolved, m.partitionColumns,

@@ -204,6 +204,62 @@ class IcebergNestedSpec extends SparkSpec {
     spark.conf.set("spark.sql.optimizer.nestedSchemaPruning.enabled", "true")
   }
 
+  test("NESTED field rename/drop/add (dotted paths) under field-id identity (r16)") {
+    val table = tmp()
+    import spark.implicits._
+    val df = Seq((1L, 10, 1.0, "a"), (2L, 20, 2.0, "b")).toDF("id", "q", "p", "t")
+      .select(col("id"),
+        struct(col("q"), struct(col("p"), col("t")).as("in")).as("s"))
+    IcebergLog.writeBatch(df, table)
+    val before = latestMeta(table).fieldIdPaths
+    // rename a LEAF inside a struct: id unchanged, descendants move
+    assert(IcebergLog.renameColumn(spark, table, "s.q", "qty").isDefined)
+    // rename a MID-LEVEL struct: its children's paths move with it
+    assert(IcebergLog.renameColumn(spark, table, "s.in", "meta").isDefined)
+    val after = latestMeta(table).fieldIdPaths
+    assert(after("s.qty") == before("s.q"))
+    assert(after("s.meta") == before("s.in"))
+    assert(after("s.meta.p") == before("s.in.p"))
+    // pre-rename files resolve by id at every depth
+    val r = IcebergLog.read(spark, table)
+      .select(col("id"), col("s.qty"), col("s.meta.t")).collect()
+      .map(x => (x.getLong(0), x.getInt(1), x.getString(2))).sortBy(_._1)
+    assert(r.toSeq == Seq((1L, 10, "a"), (2L, 20, "b")))
+    // DROP a nested leaf: survivors keep ids; the id is retired
+    assert(IcebergLog.dropColumns(spark, table, Seq("s.meta.t")).isDefined)
+    val m2 = latestMeta(table)
+    assert(!m2.fieldIdPaths.contains("s.meta.t"))
+    assert(m2.lastColumnId >= before("s.in.t"))
+    // ADD a nested field: fresh id past last-column-id, old rows null
+    assert(IcebergLog.addColumns(spark, table,
+      Seq("s.bonus" -> org.apache.spark.sql.types.LongType)).isDefined)
+    val m3 = latestMeta(table)
+    assert(m3.fieldIdPaths("s.bonus") > m2.lastColumnId)
+    val r2 = IcebergLog.read(spark, table)
+      .select(col("id"), col("s.bonus")).collect().sortBy(_.getLong(0))
+    assert(r2.forall(_.isNullAt(1)))
+    // re-ADD the dropped nested name: FRESH id — old bytes stay dead
+    assert(IcebergLog.addColumns(spark, table,
+      Seq("s.meta.t" -> org.apache.spark.sql.types.StringType)).isDefined)
+    assert(latestMeta(table).fieldIdPaths("s.meta.t") != before("s.in.t"))
+    val r3 = IcebergLog.read(spark, table)
+      .select(col("s.meta.t")).collect()
+    assert(r3.forall(_.isNullAt(0)), r3.mkString(","))
+    // DML still binds through the evolved nested names
+    assert(IcebergLog.updateWhere(spark, table,
+      Seq("s.qty" -> "s.qty + 5"), Some("s.meta.p = 1.0")).isDefined)
+    assert(IcebergLog.read(spark, table).filter(col("id") === 1L)
+      .select(col("s.qty")).head().getInt(0) == 15)
+    // guards: renaming through a non-struct refuses; emptying refuses
+    val e1 = intercept[IllegalArgumentException](
+      IcebergLog.renameColumn(spark, table, "id.x", "y"))
+    assert(e1.getMessage.contains("struct"), e1.getMessage)
+    val e2 = intercept[IllegalArgumentException](
+      IcebergLog.dropColumns(spark, table, Seq("s.meta.p", "s.meta.t")))
+    assert(e2.getMessage.contains("empty its struct"), e2.getMessage)
+    spark.conf.set("spark.sql.optimizer.nestedSchemaPruning.enabled", "true")
+  }
+
   test("RENAME refuses on list/map schemas (files carry no ids to resolve by)") {
     val table = tmp()
     import spark.implicits._
