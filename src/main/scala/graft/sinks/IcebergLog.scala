@@ -2742,7 +2742,7 @@ object IcebergLog {
       case None => (live, live.size)
       case Some(f) =>
         val m = current(table).get
-        val ids = m.fieldIds
+        val ids = m.fieldIdPaths // nested-leaf bounds prune too (r16)
         val conj = StatsPruning.conjunctsOf(spark, f)
         (live.filter(file =>
           conj.forall(c => StatsPruning.mayMatch(fileStats(file, m.schema, ids), c, m.schema))),
@@ -2762,17 +2762,26 @@ object IcebergLog {
   private def fileStats(file: LiveFile, schema: StructType,
       ids: Map[String, Int]): StatsPruning.FileStats =
     new StatsPruning.FileStats {
-      private def id(name: String) =
-        ids.getOrElse(name, schema.fieldIndex(name) + 1)
+      // `name` may be a dotted nested path (r16) — resolved through the
+      // PATH-keyed declared ids; the positional fallback serves only
+      // top-level names of id-less legacy metadata, and an unknown
+      // nested path is simply statless (keep the file)
+      private def id(name: String): Option[Int] =
+        ids.get(name).orElse(
+          if (name.contains('.')) None
+          else Some(schema.fieldIndex(name) + 1))
       def partitionValue(name: String): Option[Any] =
         if (file.partitionValues.contains(name)) Some(file.partitionValues(name)) else None
       def bounds(name: String, dt: DataType): Option[(Any, Any)] =
         for {
-          lo <- file.lowerBounds.get(id(name))
-          hi <- file.upperBounds.get(id(name))
+          i <- id(name)
+          lo <- file.lowerBounds.get(i)
+          hi <- file.upperBounds.get(i)
         } yield (boundValue(lo, dt), boundValue(hi, dt))
-      def valueCount(name: String): Option[Long] = file.valueCounts.get(id(name))
-      def nullCount(name: String): Option[Long] = file.nullCounts.get(id(name))
+      def valueCount(name: String): Option[Long] =
+        id(name).flatMap(file.valueCounts.get)
+      def nullCount(name: String): Option[Long] =
+        id(name).flatMap(file.nullCounts.get)
     }
 
 
@@ -3595,7 +3604,7 @@ object IcebergLog {
         case Some(f) =>
           val conj = StatsPruning.conjunctsOf(spark, f)
           live.filter(file => conj.forall(c =>
-            StatsPruning.mayMatch(fileStats(file, m.schema, m.fieldIds), c, m.schema)))
+            StatsPruning.mayMatch(fileStats(file, m.schema, m.fieldIdPaths), c, m.schema)))
       }
       if (cands.isEmpty && !commitWhenUntouched) return None
       val lin: Option[Map[String, (Option[Long], Long)]] =

@@ -119,9 +119,26 @@ private[graft] object StatsPruning {
     * InclusiveMetricsEvaluator shape (public spec semantics).
     */
   def mayMatch(file: FileStats, c: Expression, schema: StructType): Boolean = {
+    // dotted refs resolve through STRUCT nesting only (r16 — iceberg
+    // manifests key nested-leaf bounds by field id): a leaf inside a
+    // struct is single-valued per row, so its file bounds prune exactly
+    // like a top-level column's. Array/map interiors are multi-valued
+    // and never resolve here (GetArrayItem etc. aren't
+    // UnresolvedAttribute anyway) — conservative, keep the file.
+    def nestedType(parts: Seq[String]): Option[DataType] =
+      parts.foldLeft(Option[DataType](schema)) {
+        case (Some(st: StructType), seg) if st.fieldNames.contains(seg) =>
+          Some(st(seg).dataType)
+        case _ => None
+      }
     def colOf(e: Expression): Option[(String, DataType)] = e match {
       case a: UnresolvedAttribute if schema.fieldNames.contains(a.name) =>
         Some(a.name -> schema(schema.fieldIndex(a.name)).dataType)
+      case a: UnresolvedAttribute if a.nameParts.size > 1 =>
+        nestedType(a.nameParts).collect {
+          case leaf if !leaf.isInstanceOf[StructType] =>
+            a.nameParts.mkString(".") -> leaf
+        }
       case _ => None
     }
     // containsNullsOnly: every value in this file's column is null, so

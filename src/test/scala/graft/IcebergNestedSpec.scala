@@ -318,14 +318,27 @@ class IcebergNestedSpec extends SparkSpec {
     assert(rows.toSeq == Seq((1L, 10), (3L, 30)))
   }
 
-  test("nested stats prune: manifest bounds on a nested leaf are conservative (file kept when it may match)") {
+  test("nested stats prune: manifest bounds on a nested LEAF skip whole files (r16)") {
     val table = tmp()
-    IcebergLog.writeBatch(nestedDf.repartition(4, col("id")), table)
-    // predicate on a top-level column still prunes; nested predicates
-    // scan conservatively (no nested pruning claimed) but return right
+    import spark.implicits._
+    // two files with disjoint s.qty ranges: [10,20] and [30,40]
+    val mk = (rows: Seq[(Long, Int, Double)]) => rows.toDF("id", "qty", "p")
+      .select(col("id"), struct(col("qty"), col("p")).as("s")).coalesce(1)
+    IcebergLog.writeBatch(mk(Seq((1L, 10, 1.0), (2L, 20, 2.0))), table)
+    IcebergLog.writeBatch(mk(Seq((3L, 30, 3.0), (4L, 40, 4.0))), table)
+    // the nested-leaf predicate prunes to ONE file via the manifest
+    // bounds keyed by the leaf's declared field id
+    val (kept, total) = IcebergLog.planFiles(spark, table, None,
+      Some("s.qty >= 30"))
+    assert(total == 2 && kept.size == 1, s"kept ${kept.size} of $total")
     val rows = IcebergLog.read(spark, table, scanFilter = Some("s.qty >= 30"))
       .select(col("id")).collect().map(_.getLong(0)).sorted
     assert(rows.toSeq == Seq(3L, 4L))
+    // deeper nesting prunes the same way; an unprunable nested ref
+    // (unknown path) conservatively keeps everything
+    val (keptAll, _) = IcebergLog.planFiles(spark, table, None,
+      Some("s.qty >= 0"))
+    assert(keptAll.size == 2)
   }
 
   test("OPTIMIZE (rewriteDataFiles) preserves nested values and nested footer ids") {
