@@ -1169,16 +1169,17 @@ object DeltaLog {
     prune(spark, s, scanFilter)
   }
 
-  private def prune(spark: SparkSession, s: Snapshot,
+  private[graft] def prune(spark: SparkSession, s: Snapshot,
       scanFilter: Option[String]): (Seq[String], Int) =
     scanFilter.map(_.trim).filter(_.nonEmpty) match {
       case None => (s.files, s.adds.size)
       case Some(f) =>
         val conj = StatsPruning.conjunctsOf(spark, f)
         // mapped tables key stats and partitionValues by PHYSICAL name
-        val physOf: Map[String, String] =
+        // (path-keyed — nested leaves translate per level, r16)
+        val physOf: Map[String, Seq[String]] =
           if (mappingMode(s.configuration) == "none") Map.empty
-          else s.schema.fields.map(f => f.name -> physName(f)).toMap
+          else physPathsOf(s.schema)
         (s.adds.filter { case (_, info) =>
           val fs = addFileStats(info, physOf)
           conj.forall(c => StatsPruning.mayMatch(fs, c, s.schema))
@@ -1192,28 +1193,58 @@ object DeltaLog {
     * column-mapped table's stats/partitionValues record.
     */
   private def addFileStats(info: AddInfo,
-      physOf: Map[String, String] = Map.empty): StatsPruning.FileStats =
+      physOf: Map[String, Seq[String]] = Map.empty): StatsPruning.FileStats =
     new StatsPruning.FileStats {
-      private def phys(name: String): String = physOf.getOrElse(name, name)
+      // `name` may be a dotted NESTED path (r16): stats JSON nests per
+      // struct (the protocol shape), so the lookup walks segment by
+      // segment — each translated to its physical name on mapped tables
+      private def segs(name: String): Seq[String] =
+        physOf.getOrElse(name, name.split('.').toSeq)
       private val pv = info.partitionValues.toMap
       private lazy val statsNode = info.stats.flatMap(s =>
         try Some(mapper.readTree(s)) catch { case _: Exception => None })
       private def field(section: String, name: String) =
-        statsNode.flatMap(n => Option(n.get(section)))
-          .flatMap(sec => Option(sec.get(phys(name)))).filterNot(_.isNull)
-      def partitionValue(name: String): Option[Any] =
-        if (pv.contains(phys(name))) Some(pv(phys(name))) else None
+        segs(name).foldLeft(
+          statsNode.flatMap(n => Option(n.get(section)))) {
+          (node, seg) => node.flatMap(n => Option(n.get(seg)))
+        }.filterNot(_.isNull)
+      def partitionValue(name: String): Option[Any] = {
+        val sg = segs(name)
+        if (sg.size == 1 && pv.contains(sg.head)) Some(pv(sg.head)) else None
+      }
       def bounds(name: String, dt: DataType): Option[(Any, Any)] =
         for {
           lo <- field("minValues", name).flatMap(jsonStatValue(_, dt))
           hi <- field("maxValues", name).flatMap(jsonStatValue(_, dt))
         } yield (lo, hi)
       def valueCount(name: String): Option[Long] =
-        if (pv.contains(phys(name))) None
+        if (partitionValue(name).isDefined) None
         else statsNode.flatMap(n => Option(n.get("numRecords"))).map(_.asLong)
       def nullCount(name: String): Option[Long] =
         field("nullCount", name).map(_.asLong)
     }
+
+  /** Logical dotted path → PHYSICAL path segments for every (nested)
+    * struct leaf and interior — what a mapped table's stats JSON and
+    * partitionValues key by (r16: nested paths included).
+    */
+  private def physPathsOf(schema: StructType): Map[String, Seq[String]] = {
+    val out = Map.newBuilder[String, Seq[String]]
+    def walk(logical: String, phys: Seq[String], dt: DataType): Unit = dt match {
+      case st: StructType => st.fields.foreach { f =>
+        val lp = s"$logical.${f.name}"
+        val pp = phys :+ physName(f)
+        out += lp -> pp
+        walk(lp, pp, f.dataType)
+      }
+      case _ => ()
+    }
+    schema.fields.foreach { f =>
+      out += f.name -> Seq(physName(f))
+      walk(f.name, Seq(physName(f)), f.dataType)
+    }
+    out.result()
+  }
 
   /** JSON stats value → the plain JVM value [[StatsPruning.compareValues]]
     * orders (dates/timestamps serialize as ISO strings, the protocol
@@ -1250,7 +1281,20 @@ object DeltaLog {
         org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
           new org.apache.hadoop.fs.Path(dest.toAbsolutePath.toString), conf))
       try {
-        val byName = dataSchema.fields.map(f => f.name -> f.dataType).toMap
+        // nested STRUCT leaves harvest too (r16): chunk paths are dotted
+        // and the stats JSON nests per struct, the protocol shape.
+        // Array/map interiors carry no delta stats (multi-valued).
+        val byName: Map[String, DataType] = {
+          val out = Map.newBuilder[String, DataType]
+          def walk(path: String, dt: DataType): Unit = dt match {
+            case st: StructType =>
+              st.fields.foreach(f => walk(s"$path.${f.name}", f.dataType))
+            case _: ArrayType | _: MapType => ()
+            case prim => out += path -> prim
+          }
+          dataSchema.fields.foreach(f => walk(f.name, f.dataType))
+          out.result()
+        }
         val nc = scala.collection.mutable.Map.empty[String, Long]
         val lo = scala.collection.mutable.Map.empty[String, Any]
         val hi = scala.collection.mutable.Map.empty[String, Any]
@@ -1291,13 +1335,31 @@ object DeltaLog {
         val minO = root.putObject("minValues")
         val maxO = root.putObject("maxValues")
         val nullO = root.putObject("nullCount")
-        dataSchema.fields.foreach { f =>
-          if (statsOk.getOrElse(f.name, false)) {
-            putStatValue(minO, f.name, lo(f.name), f.dataType)
-            putStatValue(maxO, f.name, hi(f.name), f.dataType)
+        // nested leaves land under nested objects (minValues.s.q — the
+        // protocol's shape), intermediate objects created on demand
+        def obj(o: com.fasterxml.jackson.databind.node.ObjectNode,
+            segs: Seq[String]): com.fasterxml.jackson.databind.node.ObjectNode =
+          segs.foldLeft(o) { (cur, seg) =>
+            cur.get(seg) match {
+              case x: com.fasterxml.jackson.databind.node.ObjectNode => x
+              case _ => cur.putObject(seg)
+            }
           }
-          if (nullsOk.getOrElse(f.name, false)) nullO.put(f.name, nc(f.name))
+        def emit(path: Seq[String], dt: DataType): Unit = dt match {
+          case st: StructType =>
+            st.fields.foreach(f => emit(path :+ f.name, f.dataType))
+          case _: ArrayType | _: MapType => ()
+          case prim =>
+            val key = path.mkString(".")
+            if (statsOk.getOrElse(key, false)) {
+              putStatValue(obj(minO, path.init), path.last, lo(key), prim)
+              putStatValue(obj(maxO, path.init), path.last, hi(key), prim)
+            }
+            if (nullsOk.getOrElse(key, false))
+              obj(nullO, path.init).put(path.last, nc(key))
+            ()
         }
+        dataSchema.fields.foreach(f => emit(Seq(f.name), f.dataType))
         Some(root.toString)
       } finally reader.close()
     } catch { case _: Exception => None }
@@ -2514,9 +2576,9 @@ object DeltaLog {
               val conj = StatsPruning.conjunctsOf(spark, p)
               // mapped tables key concurrent adds' stats physically —
               // translate the logical predicate names like prune() does
-              val physOf: Map[String, String] = snap match {
+              val physOf: Map[String, Seq[String]] = snap match {
                 case Some(s0) if mappingMode(s0.configuration) != "none" =>
-                  s0.schema.fields.map(f => f.name -> physName(f)).toMap
+                  physPathsOf(s0.schema)
                 case _ => Map.empty
               }
               newAdds.exists { case (_, info) =>

@@ -172,6 +172,39 @@ class SchemaRenameDropSpec extends SparkSpec {
       Seq((1L, "x"), (2L, "y")))
   }
 
+  test("delta: NESTED-leaf stats prune whole files, physically keyed on mapped tables (r16)") {
+    import spark.implicits._
+    def mk(rows: Seq[(Long, Int)]) = rows.toDF("id", "q")
+      .select(col("id"), struct(col("q"), (col("q") * 2).as("p")).as("s"))
+      .coalesce(1)
+    // unmapped table: stats nest per struct (minValues.s.q)
+    val t1 = tmp("delta_nested_stats")
+    assert(DeltaLog.writeBatch(mk(Seq((1L, 10), (2L, 20))), t1).contains(0L))
+    assert(DeltaLog.writeBatch(mk(Seq((3L, 30), (4L, 40))), t1).contains(1L))
+    val s1 = DeltaLog.snapshot(spark, t1).get
+    val (kept1, total1) = DeltaLog.prune(spark, s1, Some("s.q >= 30"))
+    assert(total1 == 2 && kept1.size == 1, s"kept ${kept1.size} of $total1")
+    assert(DeltaLog.read(spark, t1, scanFilter = Some("s.q >= 30"))
+      .select("id").collect().map(_.getLong(0)).sorted.toSeq == Seq(3L, 4L))
+    // MAPPED table: nested stats key by the per-level physical names
+    // and the dotted logical predicate still prunes through them
+    val t2 = tmp("delta_nested_stats_m")
+    assert(DeltaLog.writeBatch(mk(Seq((1L, 10), (2L, 20))), t2,
+      tableConf = Map("delta.columnMapping.mode" -> "name")).contains(0L))
+    assert(DeltaLog.writeBatch(mk(Seq((3L, 30), (4L, 40))), t2).contains(1L))
+    val s2 = DeltaLog.snapshot(spark, t2).get
+    val (kept2, total2) = DeltaLog.prune(spark, s2, Some("s.q >= 30"))
+    assert(total2 == 2 && kept2.size == 1, s"kept ${kept2.size} of $total2")
+    assert(DeltaLog.read(spark, t2, scanFilter = Some("s.q >= 30"))
+      .select("id").collect().map(_.getLong(0)).sorted.toSeq == Seq(3L, 4L))
+    // post-RENAME of the nested leaf, the NEW name prunes through the
+    // same physical stats key
+    assert(DeltaLog.renameColumn(spark, t2, "s.q", "qty").isDefined)
+    val s3 = DeltaLog.snapshot(spark, t2).get
+    val (kept3, total3) = DeltaLog.prune(spark, s3, Some("s.qty >= 30"))
+    assert(total3 == 2 && kept3.size == 1, s"kept ${kept3.size} of $total3")
+  }
+
   test("delta: rename/drop through ARRAY elements and MAP values (r16)") {
     import spark.implicits._
     val table = tmp("delta_arr_rd")
