@@ -1679,6 +1679,10 @@ object DeltaLog {
     require(cols.nonEmpty, "ADD COLUMNS: no columns")
     require(cols.map(_._1).distinct.size == cols.size,
       "ADD COLUMNS: duplicate column name")
+    // dotted names are NESTED adds (`s.z` — r16): the field appends at
+    // the END of its struct (through array/map nesting via
+    // element/key/value segments, the rewriteAtPath dialect)
+    val (nestedCols, flatCols) = cols.partition(_._1.contains("."))
     // the whole snapshot→mint→commit cycle RETRIES under the schemaBase
     // guard: a concurrent ADD COLUMNS landing first would otherwise be
     // clobbered (and, on mapped tables, its freshly-minted id DUPLICATED
@@ -1688,7 +1692,7 @@ object DeltaLog {
       round += 1
       val s = snapshot(spark, table)
         .getOrElse(sys.error(s"$table is not a Delta table (no _delta_log)"))
-      cols.foreach { case (n, _) =>
+      flatCols.foreach { case (n, _) =>
         require(!s.schema.fieldNames.contains(n),
           s"ADD COLUMNS: column $n already exists in $table") }
       // column-mapped tables (r14): ANY writer may evolve — the protocol's
@@ -1696,55 +1700,65 @@ object DeltaLog {
       // allocation across writers (new id = maxColumnId+1, bump the
       // property in the SAME metaData commit)
       val mapped = mappingMode(s.configuration) != "none"
-      val (newFields, conf) =
-        if (!mapped)
-          (cols.map { case (n, dt) => StructField(n, dt, nullable = true) },
-            Map.empty[String, String])
-        else {
-          // fallback when the property is absent: the max cm id across
-          // the WHOLE type tree (nested fields carry ids too — a
-          // top-level count would collide with them); when both exist,
-          // the larger wins (a lagging property must never re-mint a
-          // live id)
-          def maxCmId(dt: DataType): Long = dt match {
-            case st: StructType => st.fields.foldLeft(0L)((m, f) =>
-              math.max(m, math.max(cmFieldId(f).getOrElse(0L),
-                maxCmId(f.dataType))))
-            case at: ArrayType => maxCmId(at.elementType)
-            case mt: MapType =>
-              math.max(maxCmId(mt.keyType), maxCmId(mt.valueType))
-            case _ => 0L
-          }
-          var next = math.max(
-            s.configuration.get("delta.columnMapping.maxColumnId")
-              .map(_.toLong).getOrElse(0L),
-            maxCmId(s.schema))
-          // mint at EVERY depth (the mintMapping shape): struct members
-          // get their own id + physicalName, arrays/maps recurse
-          def mint(dt: DataType): DataType = dt match {
-            case st: StructType => StructType(st.fields.map { f =>
-              next += 1
-              val id = next
-              f.copy(dataType = mint(f.dataType), metadata =
-                new org.apache.spark.sql.types.MetadataBuilder()
-                  .withMetadata(f.metadata)
-                  .putLong(CmIdKey, id)
-                  .putString(CmPhysKey, s"col-${UUID.randomUUID()}")
-                  .build())
-            })
-            case at: ArrayType => at.copy(elementType = mint(at.elementType))
-            case mt: MapType =>
-              mt.copy(keyType = mint(mt.keyType), valueType = mint(mt.valueType))
-            case other => other
-          }
-          val minted = mint(StructType(cols.map { case (n, dt) =>
-            StructField(n, dt, nullable = true) })).asInstanceOf[StructType].fields.toSeq
-          (minted, Map("delta.columnMapping.maxColumnId" -> next.toString))
+      // fallback when the property is absent: the max cm id across
+      // the WHOLE type tree (nested fields carry ids too — a
+      // top-level count would collide with them); when both exist,
+      // the larger wins (a lagging property must never re-mint a
+      // live id)
+      def maxCmId(dt: DataType): Long = dt match {
+        case st: StructType => st.fields.foldLeft(0L)((m, f) =>
+          math.max(m, math.max(cmFieldId(f).getOrElse(0L),
+            maxCmId(f.dataType))))
+        case at: ArrayType => maxCmId(at.elementType)
+        case mt: MapType =>
+          math.max(maxCmId(mt.keyType), maxCmId(mt.valueType))
+        case _ => 0L
+      }
+      var next = if (!mapped) 0L else math.max(
+        s.configuration.get("delta.columnMapping.maxColumnId")
+          .map(_.toLong).getOrElse(0L),
+        maxCmId(s.schema))
+      // mint at EVERY depth (the mintMapping shape): struct members
+      // get their own id + physicalName, arrays/maps recurse
+      def mint(dt: DataType): DataType = dt match {
+        case st: StructType => StructType(st.fields.map { f =>
+          next += 1
+          val id = next
+          f.copy(dataType = mint(f.dataType), metadata =
+            new org.apache.spark.sql.types.MetadataBuilder()
+              .withMetadata(f.metadata)
+              .putLong(CmIdKey, id)
+              .putString(CmPhysKey, s"col-${UUID.randomUUID()}")
+              .build())
+        })
+        case at: ArrayType => at.copy(elementType = mint(at.elementType))
+        case mt: MapType =>
+          mt.copy(keyType = mint(mt.keyType), valueType = mint(mt.valueType))
+        case other => other
+      }
+      def mintField(n: String, dt: DataType): StructField =
+        if (!mapped) StructField(n, dt, nullable = true)
+        else mint(StructType(Seq(StructField(n, dt, nullable = true))))
+          .asInstanceOf[StructType].fields.head
+      val widened = StructType(s.schema.fields ++
+        flatCols.map { case (n, dt) => mintField(n, dt) })
+      val evolved = nestedCols.foldLeft(widened) { case (sch, (path, dt)) =>
+        rewriteAtPath(table, sch, path.split('.').toSeq) { (st, leaf) =>
+          require(!st.fieldNames.contains(leaf),
+            s"ADD COLUMNS: column $path already exists in $table")
+          StructType(st.fields :+ mintField(leaf, dt))
         }
-      val evolved = StructType(s.schema.fields ++ newFields)
+      }
+      val conf = if (mapped)
+        Map("delta.columnMapping.maxColumnId" -> next.toString)
+      else Map.empty[String, String]
       val committed = commit(spark, table, evolved, s.partitionColumns,
         added = Seq.empty, txn = None, mergeSchema = true, tableConf = conf,
-        allowMapped = mapped, schemaBase = Some(s.schema.json))
+        allowMapped = mapped, schemaBase = Some(s.schema.json),
+        // a nested add changes an EXISTING column's type — append-only
+        // SchemaEvolution can't express that; commit the schema verbatim
+        // under the schemaBase race guard instead
+        schemaReplace = nestedCols.nonEmpty)
       if (committed.isDefined) return committed
     }
     sys.error(s"$table: ADD COLUMNS lost 5 concurrent-evolution races; giving up")

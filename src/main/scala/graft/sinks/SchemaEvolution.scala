@@ -1,6 +1,6 @@
 package graft.sinks
 
-import org.apache.spark.sql.types.{DataType, StructType}
+import org.apache.spark.sql.types.{ArrayType, DataType, MapType, StructType}
 
 /** Append-time schema resolution shared by the Delta and Iceberg logs.
   *
@@ -22,6 +22,23 @@ import org.apache.spark.sql.types.{DataType, StructType}
   */
 private[graft] object SchemaEvolution {
 
+  /** Structural type equality for drift detection: nested NULLABILITY
+    * and field METADATA are write-shape details, not type drift (r16 —
+    * a batch whose struct came from non-null literals must append into
+    * a table whose matching nested field is declared nullable, and a
+    * mapped table's columnMapping metadata lives only on the table
+    * side). Field NAMES and primitive types still compare exactly.
+    */
+  private def sameShape(a: DataType, b: DataType): Boolean = (a, b) match {
+    case (x: StructType, y: StructType) =>
+      x.length == y.length && x.fields.zip(y.fields).forall { case (f, g) =>
+        f.name == g.name && sameShape(f.dataType, g.dataType) }
+    case (x: ArrayType, y: ArrayType) => sameShape(x.elementType, y.elementType)
+    case (x: MapType, y: MapType) =>
+      sameShape(x.keyType, y.keyType) && sameShape(x.valueType, y.valueType)
+    case _ => a == b
+  }
+
   /** The shared-column checks every evolution path runs: exact-type
     * match on same-named columns, no case-variant collisions. Returns
     * the DataFrame-only fields (genuinely new columns).
@@ -32,7 +49,7 @@ private[graft] object SchemaEvolution {
     val tableByLower = tableSchema.fields.map(f => f.name.toLowerCase -> f).toMap
     val clashes = dfSchema.fields.toSeq
       .flatMap(f => tableByName.get(f.name).map(t => (f, t)))
-      .filter { case (f, t) => f.dataType != t.dataType }
+      .filter { case (f, t) => !sameShape(f.dataType, t.dataType) }
     if (clashes.nonEmpty) throw new IllegalArgumentException(
       s"$what: column type drift on append: " + clashes.map { case (f, t) =>
         s"${f.name} is ${t.dataType.simpleString} in the table but " +

@@ -172,6 +172,48 @@ class SchemaRenameDropSpec extends SparkSpec {
       Seq((1L, "x"), (2L, "y")))
   }
 
+  test("delta: NESTED ADD COLUMNS (dotted paths) — unmapped, mapped minting, array elements (r16)") {
+    import spark.implicits._
+    def mk(rows: Seq[(Long, Int)]) = rows.toDF("id", "q")
+      .select(col("id"), struct(col("q")).as("s"),
+        expr("array(named_struct('a', q))").as("arr"))
+    // unmapped: the new nested field reads null from old files by name
+    val t1 = tmp("delta_nested_add")
+    assert(DeltaLog.writeBatch(mk(Seq((1L, 10))), t1).contains(0L))
+    assert(DeltaLog.addColumns(spark, t1,
+      Seq("s.z" -> LongType, "arr.element.b" -> StringType)).isDefined)
+    val sch1 = DeltaLog.snapshot(spark, t1).get.schema
+    assert(sch1("s").dataType.asInstanceOf[StructType].fieldNames.toSeq ==
+      Seq("q", "z"))
+    assert(sch1("arr").dataType.asInstanceOf[ArrayType].elementType
+      .asInstanceOf[StructType].fieldNames.toSeq == Seq("a", "b"))
+    val r1 = DeltaLog.read(spark, t1).selectExpr("s.z", "arr[0].b").head()
+    assert(r1.isNullAt(0) && r1.isNullAt(1))
+    // new-shape appends land and read back beside the nulls
+    val df2 = Seq((2L, 20)).toDF("id", "q")
+      .select(col("id"), struct(col("q"), lit(7L).as("z")).as("s"),
+        expr("array(named_struct('a', q, 'b', 'x'))").as("arr"))
+    assert(DeltaLog.writeBatch(df2, t1).isDefined)
+    assert(DeltaLog.read(spark, t1).selectExpr("s.z").collect()
+      .map(r => if (r.isNullAt(0)) -1L else r.getLong(0)).sorted.toSeq ==
+      Seq(-1L, 7L))
+    // MAPPED name-mode: the nested add mints a fresh cm id + physicalName
+    // and bumps maxColumnId
+    val t2 = tmp("delta_nested_add_m")
+    assert(DeltaLog.writeBatch(mk(Seq((1L, 10))), t2,
+      tableConf = Map("delta.columnMapping.mode" -> "name")).contains(0L))
+    val maxBefore = DeltaLog.snapshot(spark, t2).get
+      .configuration("delta.columnMapping.maxColumnId").toLong
+    assert(DeltaLog.addColumns(spark, t2, Seq("s.z" -> LongType)).isDefined)
+    val s2 = DeltaLog.snapshot(spark, t2).get
+    assert(s2.configuration("delta.columnMapping.maxColumnId").toLong >
+      maxBefore)
+    val zField = s2.schema("s").dataType.asInstanceOf[StructType]("z")
+    assert(zField.metadata.contains("delta.columnMapping.id"))
+    assert(zField.metadata.contains("delta.columnMapping.physicalName"))
+    assert(DeltaLog.read(spark, t2).selectExpr("s.z").head().isNullAt(0))
+  }
+
   test("delta: NESTED-leaf stats prune whole files, physically keyed on mapped tables (r16)") {
     import spark.implicits._
     def mk(rows: Seq[(Long, Int)]) = rows.toDF("id", "q")
