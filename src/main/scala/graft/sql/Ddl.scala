@@ -445,7 +445,21 @@ object Ddl {
       val unwrapped =
         if (body.startsWith("(") && body.endsWith(")")) body.substring(1, body.length - 1)
         else body
-      val (cols, _, _) = parseColumns(unwrapped)
+      // dotted names are NESTED adds (`s.z BIGINT` — r16), legal ONLY
+      // here (never in CREATE TABLE), so they parse before the shared
+      // column parser sees them
+      val DottedColRe = """(?is)^\s*([A-Za-z_][A-Za-z0-9_]*(?:\.[A-Za-z_][A-Za-z0-9_]*)+)\s+(.+?)\s*$""".r
+      val (dottedStrs, plainStrs) = splitTop(unwrapped, ',')
+        .partition(e => DottedColRe.findFirstIn(e).isDefined)
+      val dotted = dottedStrs.map {
+        case DottedColRe(n, tpe) => ColumnDef(n, normalizeType(tpe), None)
+        case other => throw new IllegalArgumentException(
+          s"cannot parse column def: '$other'")
+      }
+      val (plain, _, _) =
+        if (plainStrs.isEmpty) (Seq.empty[ColumnDef], None, None)
+        else parseColumns(plainStrs.mkString(", "))
+      val cols = plain ++ dotted
       if (cols.isEmpty) throw new IllegalArgumentException(
         s"ALTER TABLE $name ADD COLUMNS: no columns")
       if (cols.exists(_.virtualExpr.isDefined)) throw new IllegalArgumentException(

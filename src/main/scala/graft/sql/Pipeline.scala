@@ -350,13 +350,16 @@ class Pipeline(spark: SparkSession, streaming: Boolean = false) {
           s"ALTER TABLE ADD COLUMNS is only supported on delta/iceberg tables " +
             s"(got connector '${t.connector}')")
       val tPath = t.path.getOrElse(sys.error(s"table $name: path required"))
-      cols.foreach { cd =>
+      cols.filterNot(_.name.contains(".")).foreach { cd =>
         if (t.schema.fieldNames.contains(cd.name)) throw new IllegalArgumentException(
           s"ALTER TABLE $name: column ${cd.name} already exists") }
       val typed = cols.map(cd =>
         cd.name -> org.apache.spark.sql.types.DataType.fromDDL(cd.sqlType))
-      // later statements in this run see the evolved schema
-      catalog += name -> t.copy(columns = t.columns ++ cols)
+      // later statements in this run see the evolved schema (nested
+      // dotted adds land inside an existing top-level column — the
+      // catalog tracks top-level columns only)
+      catalog += name -> t.copy(columns =
+        t.columns ++ cols.filterNot(_.name.contains(".")))
       // plan() must VALIDATE schema changes, never run them
       if (!planOnly) {
         if (t.connector == "delta") graft.sinks.DeltaLog.addColumns(spark, tPath, typed)

@@ -363,9 +363,12 @@ class IcebergNestedSpec extends SparkSpec {
     sqlFace.run(
       s"""CREATE TABLE t (id BIGINT, s STRUCT<q INT, p DOUBLE>) WITH (
          |  connector = 'iceberg', path = '$table', type = 'source');
-         |UPDATE t SET s.q = s.q + 100 WHERE id = 2;""".stripMargin)
+         |UPDATE t SET s.q = s.q + 100 WHERE id = 2;
+         |ALTER TABLE t ADD COLUMNS (s.z BIGINT);
+         |ALTER TABLE t RENAME COLUMN s.p TO price;""".stripMargin)
     val r = IcebergLog.read(spark, table).filter(col("id") === 2L)
-      .select(col("s.q")).head()
-    assert(r.getInt(0) == 120)
+      .select(col("s.q"), col("s.z"), col("s.price")).head()
+    assert(r.getInt(0) == 120 && r.isNullAt(1) && r.getDouble(2) == 2.0)
+    spark.conf.set("spark.sql.optimizer.nestedSchemaPruning.enabled", "true")
   }
 }

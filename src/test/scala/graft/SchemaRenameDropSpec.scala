@@ -527,5 +527,43 @@ class SchemaRenameDropSpec extends SparkSpec {
     }
     intercept[IllegalArgumentException] {
       Ddl.parse("ALTER TABLE t DROP COLUMNS (a, 1bad)") }
+    // dotted NESTED adds parse here (and only here — CREATE TABLE
+    // rejects them), alongside plain columns
+    Ddl.parse("ALTER TABLE t ADD COLUMNS (s.z BIGINT, top INT)") match {
+      case Ddl.AlterAdd("t", cols) =>
+        assert(cols.map(c => (c.name, c.sqlType)).toSet ==
+          Set(("s.z", "BIGINT"), ("top", "INT")), cols)
+      case other => fail(s"parsed $other")
+    }
+    intercept[IllegalArgumentException] {
+      Ddl.parse("CREATE TABLE t (s.z BIGINT) WITH (connector = 'delta')") }
+  }
+
+  test("v3 lineage survives DML on a PARTITIONED table (postimages migrate, ids keep)") {
+    import spark.implicits._
+    val table = Files.createTempDirectory("iceberg_part_lineage").toString
+    val df = Seq((0L, "a", 1L), (1L, "a", 2L), (2L, "b", 3L), (3L, "b", 4L))
+      .toDF("id", "part", "v").coalesce(1)
+      .sortWithinPartitions(col("id"))
+    IcebergLog.writeBatch(df, table, partitionBy = Seq("part"))
+    IcebergLog.setTableProperties(spark, table, Map("format-version" -> "3"))
+    IcebergLog.writeBatch(
+      Seq((10L, "a", 5L)).toDF("id", "part", "v").coalesce(1), table,
+      partitionBy = Seq("part"))
+    def lineage(): Map[Long, Option[Long]] =
+      IcebergLog.readWithLineage(spark, table).collect().map(r =>
+        r.getLong(0) -> (if (r.isNullAt(3)) None else Some(r.getLong(3)))).toMap
+    val l1 = lineage()
+    assert(l1(10L).isDefined) // post-upgrade append tracked
+    // CoW UPDATE that also MIGRATES a row to another partition: the id
+    // follows the row into its new partition directory
+    assert(IcebergLog.updateWhere(spark, table,
+      Seq("part" -> "'b'"), Some("id = 10")).isDefined)
+    val l2 = lineage()
+    assert(l2(10L) == l1(10L), s"$l1 -> $l2") // id survived the migration
+    assert(IcebergLog.read(spark, table, scanFilter = Some("part = 'b'"))
+      .collect().map(_.getLong(0)).sorted.toSeq == Seq(2L, 3L, 10L))
+    // pre-upgrade rows stay untracked through the untouched partition
+    assert(l2(0L).isEmpty && l2(2L).isEmpty)
   }
 }
