@@ -487,7 +487,26 @@ object IcebergLog {
     }
     schema.fields.foreach(f => mint(f.name))
     schema.fields.foreach(f => walk(f.name, f.dataType))
-    out.result()
+    val result = out.result()
+    // a column literally named "a.b" beside a struct "a" with field "b"
+    // would alias one PATH key to two fields — silent id corruption;
+    // refuse the write instead (reads of such tables are unaffected)
+    val minted = {
+      var c = 0
+      def count(dt: DataType): Unit = dt match {
+        case st: StructType => c += st.size; st.fields.foreach(f => count(f.dataType))
+        case at: ArrayType => c += 1; count(at.elementType)
+        case mt: MapType => c += 2; count(mt.keyType); count(mt.valueType)
+        case _ => ()
+      }
+      c += schema.size; schema.fields.foreach(f => count(f.dataType))
+      c
+    }
+    require(result.size == minted,
+      "iceberg: a dotted COLUMN NAME collides with a nested field path " +
+        "(e.g. a column named \"a.b\" beside struct a.b) — the PATH-keyed " +
+        "field ids would alias; rename the column before writing")
+    result
   }
 
   private def schemaOf(n: com.fasterxml.jackson.databind.JsonNode): StructType =
@@ -2961,6 +2980,10 @@ object IcebergLog {
         "not fill them — use read() for values, or drop the defaults")
     val lin = lineageOf(table, m)
     val kept = liveFiles(table, None).filter(_.status != 2)
+    // the base join below keys by FILE NAME — same-named files in
+    // different partition dirs would cross-assign their id ranges
+    // (this engine mints UUID names; a third-party layout might not)
+    requireUniqueNames(table, kept.map(_.path), "lineage-read data files")
     val missing = kept.map(_.path).filterNot(p => lin.contains(fileNameOf(p)))
     require(missing.isEmpty,
       s"$table: live file(s) ${missing.take(3).mkString(", ")} have " +
@@ -3229,7 +3252,11 @@ object IcebergLog {
       if (m.formatVersion != 3) None
       else {
         val lin = lineageOf(table, m)
-        if (victims.forall(f => lin.contains(fileNameOf(f.path)))) Some(lin)
+        val names = victims.map(f => fileNameOf(f.path))
+        // name-keyed joins must never mis-assign: duplicate victim
+        // names (third-party layout) fall back to the legacy rewrite
+        if (names.distinct.size == names.size &&
+            victims.forall(f => lin.contains(fileNameOf(f.path)))) Some(lin)
         else None
       }
     val lineageIds = m.fieldIds +
@@ -3611,7 +3638,12 @@ object IcebergLog {
         if (!withLineage || m.formatVersion != 3) None
         else {
           val l = lineageOf(table, m)
-          if (cands.forall(f => l.contains(fileNameOf(f.path))))
+          // same fallback rules as the CoW cycle: duplicate names or an
+          // unresolvable candidate → legacy (the name-keyed base join
+          // must never mis-assign)
+          val names = cands.map(f => fileNameOf(f.path))
+          if (names.distinct.size == names.size &&
+              cands.forall(f => l.contains(fileNameOf(f.path))))
             Some(l.view.mapValues {
               case LinAssigned(first, seq) => (first, seq)
               case LinMaterialized(first, seq) => (first, seq)
@@ -4334,7 +4366,13 @@ object IcebergLog {
         if (!withLineage || m.formatVersion != 3) None
         else {
           val lin = lineageOf(table, m)
-          if (candidates.forall(f => lin.contains(fileNameOf(f.path))))
+          // name-keyed resolution: duplicate file names (a third-party
+          // layout) or an unresolvable candidate both fall back to the
+          // legacy rewrite — lineage reads refuse those files either
+          // way, so nothing regresses and nothing mis-assigns
+          val names = candidates.map(f => fileNameOf(f.path))
+          if (names.distinct.size == names.size &&
+              candidates.forall(f => lin.contains(fileNameOf(f.path))))
             Some(lin.view.mapValues {
               case LinAssigned(first, seq) => (first, seq)
               case LinMaterialized(first, seq) => (first, seq)
