@@ -877,21 +877,31 @@ object Relational {
         // carried schema-entry nodes keep the default attributes. ADD a
         // column (new entry, defaults carried) and RENAME the default
         // field itself (same id under the new name); the fill must
-        // still resolve through the evolved history.
+        // still resolve through the evolved history. DML composes too:
+        // the UPDATE's candidate reads FILL per file, so the predicate
+        // on the default column matches pre-field rows on their filled
+        // value, and the rewrite MATERIALIZES it (old-row semantics).
         graft.sinks.IcebergLog.addColumns(s, table,
           Seq("extra" -> org.apache.spark.sql.types.LongType))
         graft.sinks.IcebergLog.renameColumn(s, table, "bonus", "boon")
+        graft.sinks.IcebergLog.updateWhere(s, table,
+          Seq("boon" -> "boon + 100"),
+          Some("boon = 7 AND l_linenumber >= 4"))
         graft.sinks.IcebergLog.read(s, table, scanFilter = Some("boon >= 7"))
           .groupBy(col("l_returnflag"))
           .agg(count(lit(1)).as("n"), sum(col("boon")).as("sum_bonus"))
       },
-      Some("""SELECT l_returnflag, COUNT(*) AS n,
-             |  CAST(SUM(CASE WHEN l_orderkey % 2 = 0 THEN 7
-             |               ELSE l_linenumber * 10 END) AS BIGINT) AS sum_bonus
-             |FROM lineitem
-             |WHERE (CASE WHEN l_orderkey % 2 = 0 THEN 7
-             |            ELSE l_linenumber * 10 END) >= 7
-             |GROUP BY 1""".stripMargin)),
+      Some("""WITH base AS (
+             |  SELECT l_returnflag,
+             |    CASE WHEN l_orderkey % 2 = 0 AND l_linenumber >= 4
+             |         THEN 107
+             |         WHEN l_orderkey % 2 = 0 THEN 7
+             |         ELSE l_linenumber * 10 END AS boon
+             |  FROM lineitem
+             |)
+             |SELECT l_returnflag, COUNT(*) AS n,
+             |  CAST(SUM(boon) AS BIGINT) AS sum_bonus
+             |FROM base WHERE boon >= 7 GROUP BY 1""".stripMargin)),
 
     // ── iceberg v3 ROW LINEAGE (r15, DML-deep in r16): _row_id assigns
     //    per the spec — file first_row_id (from the adding snapshot's

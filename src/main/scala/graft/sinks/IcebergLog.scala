@@ -666,21 +666,21 @@ object IcebergLog {
     }
   }
 
-  /** DML/stream gate: a DML postimage (or rewrite) reads pre-field
-    * files RAW and would null the defaults — those surfaces refuse on
-    * a table carrying initial-defaults. Appends and schema evolution
-    * are allowed (r16): carried fields copy their schema-entry nodes
-    * verbatim through [[commitSnapshot]], so the default attributes
-    * survive. The table stays fully readable ([[read]] fills).
+  /** Stream/changelog gate: those surfaces replay OLD files raw (no
+    * per-file default filling), so they refuse on a table carrying
+    * initial-defaults. Everything else now composes (r16): reads fill,
+    * appends/evolution carry the schema-entry attributes verbatim, and
+    * DML/OPTIMIZE read their candidates through the same per-file
+    * fills, so postimages materialize the correct values.
     */
   private[graft] def requireNoInitialDefaults(table: String, m: Meta): Unit =
     require(initialDefaultFields(m).isEmpty,
       s"$table: v3 schema carries initial-default field(s) " +
         s"(${initialDefaultFields(m).map(_._1.name).mkString(", ")}); this " +
-        "engine READS them (defaults fill for pre-field files), APPENDS " +
-        "and EVOLVES such tables (r16), but does not DML/rewrite/stream " +
-        "them — a postimage read raw would null the defaults; route " +
-        "row-level changes through the writer that owns the defaults")
+        "engine READS/APPENDS/EVOLVES/DMLs such tables (r16), but the " +
+        "streaming and changelog surfaces replay old files raw — their " +
+        "rows would null the defaults; route streams through the writer " +
+        "that owns the defaults")
 
   /** The default-carrying fields `file` must FILL on read, resolved
     * with no silent wrong answer possible:
@@ -1569,7 +1569,12 @@ object IcebergLog {
         * survivors' ids — minting here would re-bind parquet data). */
       schemaReplace: Boolean = false,
       schemaBase: Option[String] = None,
-      explicitIds: Option[Map[String, Int]] = None): Option[Int] = {
+      explicitIds: Option[Map[String, Int]] = None,
+      /** The caller's reads FILLED initial-defaults per file (r16 —
+        * DML/OPTIMIZE through [[fillFieldsOf]]), so its postimages and
+        * rewrites carry the correct values; lifts the default-table
+        * rewrite refusal for exactly those paths. */
+      fillAware: Boolean = false): Option[Int] = {
     require(!schemaReplace || (added.isEmpty && deleteAdded.isEmpty &&
       replaced.isEmpty && schemaBase.isDefined && explicitIds.isDefined),
       "schemaReplace commits must be metadata-only, schemaBase-guarded, " +
@@ -1653,13 +1658,17 @@ object IcebergLog {
       cur.foreach { m =>
         val defaults = initialDefaultFields(m)
         if (defaults.nonEmpty) {
-          require(operation == "append" && !isRewrite &&
-            deleteAdded.isEmpty && supersededDv.isEmpty,
+          // fill-aware callers (DML/MoR/OPTIMIZE, r16) read every
+          // candidate with per-file default fills, so their postimages
+          // and rewrites carry correct values; anything else that
+          // rewrites rows would null the defaults — refuse
+          require(fillAware || (operation == "append" && !isRewrite &&
+            deleteAdded.isEmpty && supersededDv.isEmpty),
             s"$table: v3 schema carries initial-default field(s); this " +
-              "engine APPENDS, EVOLVES and READS such tables but does " +
-              "not DML/rewrite them (postimages would null the " +
-              "defaults) — route those through the writer that owns " +
-              "the defaults")
+              "engine APPENDS, EVOLVES, DMLs and READS such tables " +
+              "through default-filling reads, but this commit path " +
+              "reads raw — route it through the writer that owns the " +
+              "defaults")
           if (added.nonEmpty) defaults.foreach { case (sf, _) =>
             require(schema0.fieldNames.contains(sf.name),
               s"$table: append omits default-carrying column ${sf.name} — " +
@@ -3248,8 +3257,13 @@ object IcebergLog {
     // future lineage reads). Unresolvable victims (pre-r15 rewrites,
     // expired history) fall back to the legacy rewrite — the lineage
     // read refuses those files either way, so nothing regresses.
+    // initial-default victims read with per-file fills (r16) — the
+    // default materializes into the rewritten bytes, which is the
+    // row's value; lineage never composes with defaults (the lineage
+    // read refuses such tables)
+    val rwDefaults = initialDefaultFields(m)
     val lineage: Option[Map[String, Lineage]] =
-      if (m.formatVersion != 3) None
+      if (m.formatVersion != 3 || rwDefaults.nonEmpty) None
       else {
         val lin = lineageOf(table, m)
         val names = victims.map(f => fileNameOf(f.path))
@@ -3275,12 +3289,24 @@ object IcebergLog {
       // ids), then projects back down to the data columns
       val in = lineage match {
         case None =>
-          if (dels.isEmpty) spark.read.schema(dataSchema).parquet(files.map(_.path): _*)
-          else readWithDeletes(spark, table, readSchemaAll,
-            Some(Paths.get(table, "data").toAbsolutePath.toString), files.toSeq,
-            dels, ids = m.fieldIds)
-            .select(dataSchema.fieldNames.map(org.apache.spark.sql.functions.col)
-              .toIndexedSeq: _*)
+          import org.apache.spark.sql.functions.{col, lit}
+          def readGroup(group: Seq[LiveFile]): DataFrame =
+            if (dels.isEmpty)
+              spark.read.schema(dataSchema).parquet(group.map(_.path): _*)
+            else readWithDeletes(spark, table, readSchemaAll,
+              Some(Paths.get(table, "data").toAbsolutePath.toString), group,
+              dels, ids = m.fieldIds)
+              .select(dataSchema.fieldNames.map(col).toIndexedSeq: _*)
+          if (rwDefaults.isEmpty) readGroup(files.toSeq)
+          else files.groupBy(f =>
+              fillFieldsOf(table, m, rwDefaults, m.fieldIds, f).map(_._1.name))
+            .toSeq.sortBy(_._1.mkString(","))
+            .map { case (fillNames, group) =>
+              rwDefaults.filter(d => fillNames.contains(d._1.name))
+                .foldLeft(readGroup(group.toSeq)) { case (df, (sf, v)) =>
+                  df.withColumn(sf.name, lit(v).cast(sf.dataType))
+                }.select(dataSchema.fieldNames.map(col).toIndexedSeq: _*)
+            }.reduce(_ unionAll _)
         case Some(lin) =>
           // lineage-preserving rewrite: each row carries its id forward
           // (materialized column if the victim already has one, else the
@@ -3361,6 +3387,7 @@ object IcebergLog {
     // fresh snapshot (not here) so a concurrent append is never lost
     val committed = commitSnapshot(spark, table, m.schema, m.partitionColumns,
       scratchFiles.toSeq, txn = None, operation = "replace",
+      fillAware = true,
       replaced = victimPaths,
       // purge the delete manifests: every live file they could bind to
       // was just rewritten with the deletes applied — guarded against a
@@ -3619,7 +3646,9 @@ object IcebergLog {
       round += 1
       val m = current(table).getOrElse(
         sys.error(s"$table is not an Iceberg table (no metadata/v*.metadata.json)"))
-      requireNoInitialDefaults(table, m)
+      // v3 initial-defaults: candidate reads FILL per file below (r16),
+      // so postimages carry the correct values
+      val defaults = initialDefaultFields(m)
       // ONE manifest walk per round: live set, delete files, and the
       // stats-pruned candidates all derive from it (the commit-time
       // guards re-judge against a fresh snapshot anyway)
@@ -3635,7 +3664,7 @@ object IcebergLog {
       }
       if (cands.isEmpty && !commitWhenUntouched) return None
       val lin: Option[Map[String, (Option[Long], Long)]] =
-        if (!withLineage || m.formatVersion != 3) None
+        if (!withLineage || m.formatVersion != 3 || defaults.nonEmpty) None
         else {
           val l = lineageOf(table, m)
           // same fallback rules as the CoW cycle: duplicate names or an
@@ -3664,7 +3693,24 @@ object IcebergLog {
               lin.map(_ => lineageFields).getOrElse(Seq.empty) ++ Seq(
               StructField(posFileCol, StringType),
               StructField(posPosCol, LongType))))
-        else {
+        else if (defaults.nonEmpty) {
+          // fill-grouped candidate read: each group reads with the
+          // defaults its files must FILL, keeping the row-position meta
+          import org.apache.spark.sql.functions.lit
+          val outCols = (m.schema.fieldNames.toIndexedSeq ++
+            Seq(posFileCol, posPosCol)).map(col)
+          cands.groupBy(f =>
+              fillFieldsOf(table, m, defaults, m.fieldIds, f).map(_._1.name))
+            .toSeq.sortBy(_._1.mkString(","))
+            .map { case (fillNames, group) =>
+              val fills = defaults.filter(d => fillNames.contains(d._1.name))
+              fills.foldLeft(readWithDeletes(spark, table, readSchema,
+                Some(basePath), group, dels, withMeta = true, ids = readIds)) {
+                case (df, (sf, v)) =>
+                  df.withColumn(sf.name, lit(v).cast(sf.dataType))
+              }.select(outCols: _*)
+            }.reduce(_ unionAll _)
+        } else {
           val raw = readWithDeletes(spark, table, readSchema,
             Some(basePath), cands, dels, withMeta = true, ids = readIds)
           lin match {
@@ -3730,7 +3776,8 @@ object IcebergLog {
           deleteAdded = deleteAdded,
           mustBeLive = touchedFiles,
           baseDeletes = Some(dels.map(_.path).toSet),
-          supersededDv = superseded)
+          supersededDv = superseded,
+          fillAware = true)
         committed match {
           case Some(_) =>
             maybeAutoOptimize(spark, table)
@@ -4348,10 +4395,15 @@ object IcebergLog {
     @volatile private var plannedReadSchema: StructType = new StructType()
     // name → (assignment base, data sequence) when lineage is armed
     @volatile private var plannedLin: Option[Map[String, (Option[Long], Long)]] = None
+    // v3 initial-defaults this round's candidate reads must FILL per
+    // file (r16 — lifts the DML refusal on default-carrying tables)
+    @volatile private var plannedM: Option[Meta] = None
+    @volatile private var plannedDefaults: Seq[(StructField, Any)] = Seq.empty
     def plan(scanFilter: Option[String]): DmlRewrite.Plan = {
       val m = current(table).getOrElse(
         sys.error(s"$table is not an Iceberg table (no metadata/v*.metadata.json)"))
-      requireNoInitialDefaults(table, m)
+      plannedM = Some(m)
+      plannedDefaults = initialDefaultFields(m)
       plannedIds = fieldIdsFor(Some(m), m.schema)
       plannedReadSchema = dataReadSchema(spark, m)
       // plan-time live set: anything appearing after this is a potential
@@ -4363,7 +4415,8 @@ object IcebergLog {
         Paths.get(f.path).toAbsolutePath.normalize.toString -> f).toMap
       val (candidates, _) = planFiles(spark, table, None, scanFilter)
       plannedLin =
-        if (!withLineage || m.formatVersion != 3) None
+        if (!withLineage || m.formatVersion != 3 ||
+            plannedDefaults.nonEmpty) None // lineage reads refuse defaults
         else {
           val lin = lineageOf(table, m)
           // name-keyed resolution: duplicate file names (a third-party
@@ -4409,7 +4462,33 @@ object IcebergLog {
         else schema0
       plannedLin match {
         case Some(lin) => readWithCarriedLineage(spark, schema, paths, fileCol, lin)
-        case None => readPlain(spark, schema, paths, fileCol)
+        case None if plannedDefaults.isEmpty =>
+          readPlain(spark, schema, paths, fileCol)
+        case None =>
+          // initial-default candidates (r16): group by the fills each
+          // FILE needs (metadata-only, ≤2^|defaults| groups) so the
+          // rewrite reads CORRECT values — the default materializes
+          // into postimages, which is exactly the row's value
+          import org.apache.spark.sql.functions.{col, lit}
+          val m = plannedM.get
+          val outCols = (schema.fieldNames.toIndexedSeq ++ fileCol.toSeq).map(col)
+          paths.groupBy { p =>
+            val lf = plannedLive.getOrElse(p, sys.error(
+              s"$table: $p is not in the planning snapshot's live set"))
+            fillFieldsOf(table, m, plannedDefaults, m.fieldIds, lf)
+              .map(_._1.name)
+          }.toSeq.sortBy(_._1.mkString(","))
+            .map { case (fillNames, subset) =>
+              val fills = plannedDefaults.filter(d => fillNames.contains(d._1.name))
+              fills.foldLeft(readPlain(spark, schema, subset, fileCol)) {
+                case (df, (sf, v)) =>
+                  df.withColumn(sf.name, lit(v).cast(sf.dataType))
+              }.select(outCols: _*)
+            }.reduceOption(_ unionAll _)
+            .getOrElse(spark.createDataFrame(
+              spark.sparkContext.emptyRDD[Row],
+              StructType(schema.fields ++
+                fileCol.map(c => StructField(c, StringType)))))
       }
     }
     private def readPlain(spark: SparkSession, schema: StructType,
@@ -4517,7 +4596,8 @@ object IcebergLog {
         operation = if (touchedTokens.isEmpty) "append" else "overwrite",
         replaced = touchedTokens.toSet,
         conflict = Some((plan.conflictBase, conflictPred)),
-        baseDeletes = Some(plannedDeletes.map(_.path).toSet))
+        baseDeletes = Some(plannedDeletes.map(_.path).toSet),
+        fillAware = true)
   }
 
   /** Drop snapshots older than `olderThanMs` (always keeping the current

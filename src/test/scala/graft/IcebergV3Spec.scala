@@ -436,11 +436,33 @@ class IcebergV3Spec extends SparkSpec {
       IcebergLog.writeBatch(Seq((12L, 120L)).toDF("id", "v"), table,
         mergeSchema = true) }
     assert(eOmit.getMessage.contains("write-default"), eOmit.getMessage)
-    // DML / streams / changelog still refuse (postimages would null
-    // the defaults)
-    val eW = intercept[IllegalArgumentException] {
-      IcebergLog.deleteWhere(spark, table, "id = 1") }
-    assert(eW.getMessage.contains("initial-default"), eW.getMessage)
+    // DML goes through too (r16): candidate reads FILL per file, so
+    // postimages materialize the default — which IS the row's value.
+    // An UPDATE whose predicate reads the default column must match
+    // pre-field rows on their filled value...
+    assert(IcebergLog.updateWhere(spark, table,
+      Seq("v" -> "v + 1000"), Some("boon = 7")).isDefined)
+    val afterUpd = IcebergLog.read(spark, table).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1).toSeq
+    assert(afterUpd == Seq((1L, 1010L), (2L, 1020L), (3L, 30L), (4L, 40L),
+      (9L, 90L), (11L, 110L)), afterUpd)
+    // ...and the rewritten file MATERIALIZED the default: the column
+    // now proves present in its metrics, values intact
+    val afterBoon = IcebergLog.read(spark, table).collect()
+      .map(r => (r.getLong(0), if (r.isNullAt(2)) -1L else r.getLong(2)))
+      .sortBy(_._1).toSeq
+    assert(afterBoon == Seq((1L, 7L), (2L, 7L), (3L, 300L), (4L, -1L),
+      (9L, 9L), (11L, 11L)), afterBoon)
+    // a DELETE keyed on the default value, then OPTIMIZE — both fill
+    assert(IcebergLog.deleteWhere(spark, table, "id = 1").isDefined)
+    assert(IcebergLog.rewriteDataFiles(spark, table,
+      smallBytes = Some(Long.MaxValue)).isDefined)
+    val afterAll = IcebergLog.read(spark, table).collect()
+      .map(r => (r.getLong(0), if (r.isNullAt(2)) -1L else r.getLong(2)))
+      .sortBy(_._1).toSeq
+    assert(afterAll == Seq((2L, 7L), (3L, 300L), (4L, -1L),
+      (9L, 9L), (11L, 11L)), afterAll)
+    // streams / changelog still refuse (they replay old files raw)
     val eS = intercept[IllegalArgumentException] {
       graft.sources.IcebergStreamSource.open(spark, table) }
     assert(eS.getMessage.contains("initial-default"), eS.getMessage)
