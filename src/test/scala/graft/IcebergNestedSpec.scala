@@ -260,6 +260,32 @@ class IcebergNestedSpec extends SparkSpec {
     spark.conf.set("spark.sql.optimizer.nestedSchemaPruning.enabled", "true")
   }
 
+  test("v3 ROW LINEAGE composes with nested schemas: ids survive a nested-SET UPDATE") {
+    val table = tmp()
+    import spark.implicits._
+    val df = Seq((0L, 10, 1.0), (1L, 20, 2.0), (2L, 30, 3.0))
+      .toDF("id", "q", "p")
+      .select(col("id"), struct(col("q"), col("p")).as("s")).coalesce(1)
+    IcebergLog.writeBatch(Seq((100L, 5, 0.5)).toDF("id", "q", "p")
+      .select(col("id"), struct(col("q"), col("p")).as("s")).coalesce(1), table)
+    IcebergLog.setTableProperties(spark, table, Map("format-version" -> "3"))
+    IcebergLog.writeBatch(df, table)
+    def lineage(): Map[Long, Option[Long]] =
+      IcebergLog.readWithLineage(spark, table).collect().map(r =>
+        r.getLong(0) -> (if (r.isNullAt(2)) None else Some(r.getLong(2)))).toMap
+    val l1 = lineage()
+    assert(l1(0L).contains(0L) && l1(2L).contains(2L) && l1(100L).isEmpty, l1)
+    // CoW UPDATE with a nested predicate AND a nested SET: the touched
+    // file rewrites with BOTH the new struct value and materialized ids
+    assert(IcebergLog.updateWhere(spark, table,
+      Seq("s.p" -> "s.p * 10"), Some("s.q >= 20")).isDefined)
+    val l2 = lineage()
+    assert(l2(1L) == l1(1L) && l2(2L) == l1(2L) && l2(0L) == l1(0L), l2)
+    assert(IcebergLog.read(spark, table)
+      .filter(col("id") === 2L).select(col("s.p")).head().getDouble(0) == 30.0)
+    spark.conf.set("spark.sql.optimizer.nestedSchemaPruning.enabled", "true")
+  }
+
   test("RENAME refuses on list/map schemas (files carry no ids to resolve by)") {
     val table = tmp()
     import spark.implicits._
