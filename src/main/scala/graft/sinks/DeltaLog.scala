@@ -109,7 +109,14 @@ object DeltaLog {
       /** Merge-on-read deletion vector ([[DeletionVectors]]): the add's
         * rows minus the DV's row indexes are the file's LIVE rows.
         */
-      dv: Option[DeletionVectors.Descriptor] = None) {
+      dv: Option[DeletionVectors.Descriptor] = None,
+      /** rowTracking (r16): the add's fresh-row-id assignment base and
+        * commit version, carried VERBATIM through snapshots so
+        * checkpoint rewrites never drop them (a reader losing baseRowId
+        * loses every row's identity).
+        */
+      baseRowId: Option[Long] = None,
+      defaultRowCommitVersion: Option[Long] = None) {
     /** Concurrency identity of the DV state — a DML commit must abort
       * when a file it read got a different DV underneath it.
       */
@@ -137,8 +144,27 @@ object DeltaLog {
         * third-party table's protocol (columnMapping, inCommitTimestamp,
         * …) and let feature-unaware readers silently misread.
         */
-      protocolJson: Option[String] = None) {
+      protocolJson: Option[String] = None,
+      /** Live `domainMetadata` actions (r16): domain → configuration
+        * JSON string, latest wins, removed=true deletes. Carried
+        * through checkpoints — the rowTracking high-water mark lives at
+        * `delta.rowTracking`, and dropping a foreign domain would
+        * corrupt whatever writer owns it.
+        */
+      domainMetadata: Map[String, String] = Map.empty) {
     def files: Seq[String] = adds.map(_._1)
+    /** Does the protocol list `rowTracking` as a writer feature? When
+      * supported, every NEW add must carry a fresh baseRowId past the
+      * `delta.rowTracking` high-water mark (r16).
+      */
+    def rowTrackingSupported: Boolean =
+      protocolJson.exists(_.contains("\"rowTracking\""))
+    def rowIdHighWaterMark: Long =
+      domainMetadata.get("delta.rowTracking").flatMap { cfg =>
+        try Option(mapper.readTree(cfg).get("rowIdHighWaterMark"))
+          .map(_.asLong())
+        catch { case _: Exception => None }
+      }.getOrElse(-1L)
   }
 
   /** Replay the log from the newest checkpoint (if any) plus the JSON
@@ -199,6 +225,7 @@ object DeltaLog {
     var protocolJson: Option[String] = None
     val adds = scala.collection.mutable.LinkedHashMap.empty[String, AddInfo]
     val appVersions = scala.collection.mutable.Map.empty[String, Long]
+    val domains = scala.collection.mutable.Map.empty[String, String]
 
     def applyJsonLine(line: String): Unit = {
         val n = mapper.readTree(line)
@@ -225,12 +252,23 @@ object DeltaLog {
             pv.properties().asScala.map(e => e.getKey ->
               (if (e.getValue.isNull) null else e.getValue.asText())).toSeq.sorted,
             Option(a.get("stats")).filterNot(_.isNull).map(_.asText()),
-            parseDv(a))
+            parseDv(a),
+            Option(a.get("baseRowId")).filterNot(_.isNull).map(_.asLong()),
+            Option(a.get("defaultRowCommitVersion")).filterNot(_.isNull)
+              .map(_.asLong()))
         }
         if (n.has("remove")) adds -= decodePath(n.get("remove").get("path").asText())
         if (n.has("txn")) {
           val t = n.get("txn")
           appVersions += t.get("appId").asText() -> t.get("version").asLong()
+        }
+        if (n.has("domainMetadata")) {
+          val d = n.get("domainMetadata")
+          val domain = d.get("domain").asText()
+          if (Option(d.get("removed")).exists(_.asBoolean())) domains -= domain
+          else domains += domain ->
+            Option(d.get("configuration")).filterNot(_.isNull)
+              .map(_.asText()).getOrElse("{}")
         }
       }
 
@@ -290,6 +328,10 @@ object DeltaLog {
               d.getAs[Int]("sizeInBytes"),
               d.getAs[Long]("cardinality")))
           } else None
+        def optLong(col: String): Option[Long] =
+          if (a.schema.fieldNames.contains(col))
+            Option(a.getAs[Any](col)).collect { case n: Number => n.longValue() }
+          else None
         adds += decodePath(a.getAs[String]("path")) -> AddInfo(
           a.getAs[Long]("size"), a.getAs[Long]("modificationTime"),
           a.getAs[scala.collection.Map[String, String]]("partitionValues").toSeq.sorted,
@@ -297,7 +339,16 @@ object DeltaLog {
           if (a.schema.fieldNames.contains("stats"))
             Option(a.getAs[String]("stats"))
           else None,
-          dv)
+          dv,
+          optLong("baseRowId"), optLong("defaultRowCommitVersion"))
+      }
+      if (r.schema.fieldNames.contains("domainMetadata") &&
+          !r.isNullAt(i("domainMetadata"))) {
+        val d = r.getStruct(i("domainMetadata"))
+        val domain = d.getAs[String]("domain")
+        if (Option(d.getAs[Any]("removed")).exists(_ == true)) domains -= domain
+        else domains += domain ->
+          Option(d.getAs[String]("configuration")).getOrElse("{}")
       }
     }
 
@@ -385,6 +436,7 @@ object DeltaLog {
         protocolJson = c.protocolJson
         adds ++= c.adds
         appVersions ++= c.appVersions
+        domains ++= c.domainMetadata
         jsons.filter(_._1 > c.version).foreach { case (_, p) => applyJson(p) }
       case None =>
         val cpVersion: Long = checkpoints.lastOption match {
@@ -415,7 +467,7 @@ object DeltaLog {
     require(schemaJson != null, s"$table: no metaData action in _delta_log")
     val snap = Snapshot(DataType.fromJson(schemaJson).asInstanceOf[StructType],
       partCols, adds.toSeq, target, appVersions.toMap, metaId, createdTime,
-      config, protocolJson)
+      config, protocolJson, domains.toMap)
     // only the true latest state may overwrite the cache (asOf snapshots
     // are historical); an unconditional put also self-heals a recreated
     // table whose cache entry is ahead of the new log
@@ -652,7 +704,13 @@ object DeltaLog {
     "timestampNtz", "v2Checkpoint", "vacuumProtocolCheck",
     // commits stamp a monotonic commitInfo.inCommitTimestamp when the
     // table enables it (see commit())
-    "inCommitTimestamp")
+    "inCommitTimestamp",
+    // r16: domainMetadata actions replay, carry through checkpoints,
+    // and never drop; rowTracking appends assign fresh baseRowIds past
+    // the delta.rowTracking watermark and bump it in the same commit
+    // (row-REWRITING ops refuse inside commit() — id preservation needs
+    // materialized columns this engine doesn't write)
+    "domainMetadata", "rowTracking")
 
   /** PROTOCOL.md's legacy implication table: the writer features a
     * pre-table-features `minWriterVersion` binds. ONE copy — both the
@@ -2630,6 +2688,42 @@ object DeltaLog {
       // CREATE with change_feed='true' lands delta.enableChangeDataFeed
       // here, and enabling it later is a metaData-only commit)
       val configuration = snap.map(_.configuration).getOrElse(Map.empty) ++ tableConf
+      // rowTracking (r16): when the protocol SUPPORTS the feature, every
+      // NEW add claims a fresh baseRowId past the delta.rowTracking
+      // high-water mark and the commit bumps the watermark domain
+      // metadata. This engine APPENDS to such tables; anything that
+      // rewrites or retracts rows would need the materialized-column id
+      // preservation it doesn't implement — refuse loudly.
+      val rowTrackingOn = snap.exists(_.rowTrackingSupported)
+      val (added2, rowIdDomain): (Seq[(String, AddInfo)], Option[Long]) =
+        if (!rowTrackingOn) (added, None)
+        else {
+          val liveBase = snap.map(_.adds.toMap).getOrElse(Map.empty)
+          require(removed.isEmpty && cdc.isEmpty &&
+            added.forall { case (p, _) => !liveBase.contains(p) },
+            s"$table enables rowTracking; this engine APPENDS to such " +
+              "tables (fresh row ids + watermark) but does not " +
+              "rewrite/retract rows — row-id preservation needs the " +
+              "materialized-column machinery; route DML/OPTIMIZE through " +
+              "a writer that implements it")
+          if (added.isEmpty) (added, None)
+          else {
+            var hwm = snap.map(_.rowIdHighWaterMark).getOrElse(-1L)
+            val assigned = added.map { case (p, info) =>
+              val records = info.stats.flatMap { s =>
+                try Option(mapper.readTree(s).get("numRecords")).map(_.asLong())
+                catch { case _: Exception => None }
+              }.getOrElse(sys.error(
+                s"$table: rowTracking requires numRecords stats to assign " +
+                  s"row ids, and $p has none"))
+              val base = hwm + 1
+              hwm += records
+              p -> info.copy(baseRowId = Some(base),
+                defaultRowCommitVersion = Some(version))
+            }
+            (assigned, Some(hwm))
+          }
+        }
       val sb = new StringBuilder
       def line(n: com.fasterxml.jackson.databind.node.ObjectNode): Unit = {
         sb.append(n.toString).append('\n'); ()
@@ -2806,7 +2900,17 @@ object DeltaLog {
         r.put("dataChange", dataChange)
         line(rn)
       }
-      added.foreach { case (name, info) =>
+      // the watermark bump lands in the SAME commit as the adds whose
+      // ids it covers (rowTracking's atomicity contract)
+      rowIdDomain.foreach { hwm =>
+        val dn = mapper.createObjectNode()
+        val d = dn.putObject("domainMetadata")
+        d.put("domain", "delta.rowTracking")
+        d.put("configuration", s"""{"rowIdHighWaterMark":$hwm}""")
+        d.put("removed", false)
+        line(dn)
+      }
+      added2.foreach { case (name, info) =>
         val an = mapper.createObjectNode()
         val a = an.putObject("add")
         a.put("path", encodePath(name))
@@ -2816,6 +2920,9 @@ object DeltaLog {
         a.put("modificationTime", info.modificationTime)
         a.put("dataChange", dataChange)
         info.stats.foreach(s => a.put("stats", s))
+        info.baseRowId.foreach(b => { a.put("baseRowId", b); () })
+        info.defaultRowCommitVersion.foreach(v =>
+          { a.put("defaultRowCommitVersion", v); () })
         info.dv.foreach { d =>
           val dn = a.putObject("deletionVector")
           dn.put("storageType", d.storageType)
@@ -2862,6 +2969,11 @@ object DeltaLog {
     }
     sys.error(s"delta commit lost $attempt version races; giving up")
   }
+
+  private val domainMetadataType = StructType(Seq(
+    StructField("domain", StringType),
+    StructField("configuration", StringType),
+    StructField("removed", BooleanType)))
 
   // checkpoint rows: one live action per row, exactly one non-null column
   private val checkpointSchema = StructType(Seq(
@@ -2938,27 +3050,52 @@ object DeltaLog {
     val metaRow = Row(s.metaId, Row("parquet", Map.empty[String, String]),
       s.schema.json, s.partitionColumns, s.configuration, s.createdTime)
     val txnRows = s.appVersions.toSeq.sortBy(_._1)
+    // rowTracking tables (r16): the add struct grows
+    // baseRowId/defaultRowCommitVersion — a checkpoint dropping them
+    // would erase every row's identity for cold replays; domainMetadata
+    // actions (the watermark among them) persist as their own column.
+    // Legacy tables keep the byte-identical 5-column shape.
+    val withRowIds = s.adds.exists(_._2.baseRowId.isDefined)
+    val domains = s.domainMetadata.toSeq.sortBy(_._1)
+    val addType = StructType(
+      checkpointSchema("add").dataType.asInstanceOf[StructType].fields ++
+        (if (withRowIds) Seq(StructField("baseRowId", LongType),
+          StructField("defaultRowCommitVersion", LongType)) else Seq.empty))
     val addRows: Seq[Row] = s.adds.map { case (path, info) =>
-      Row(encodePath(path), info.partitionValues.toMap, info.size,
-        info.modificationTime, true, info.stats.orNull,
+      val base = Seq[Any](encodePath(path), info.partitionValues.toMap,
+        info.size, info.modificationTime, true, info.stats.orNull,
         info.dv.map(d => Row(d.storageType, d.pathOrInlineDv,
           d.offset.map(Integer.valueOf).orNull, d.sizeInBytes,
           d.cardinality)).orNull)
+      Row((if (withRowIds) base ++ Seq(
+        info.baseRowId.map(java.lang.Long.valueOf).orNull,
+        info.defaultRowCommitVersion.map(java.lang.Long.valueOf).orNull)
+      else base): _*)
     }
+    val domainRows: Seq[Row] =
+      domains.map { case (d, cfg) => Row(d, cfg, false) }
     // a v2Checkpoint-enabled table's checkpoints take the V2 form (r15):
     // a UUID-named manifest holding the non-file actions +
     // checkpointMetadata + `sidecar` pointers, with the add actions in
     // UUID-named parquet files under _delta_log/_sidecars/
     if (s.protocolJson.exists(_.contains("\"v2Checkpoint\""))) {
       writeV2Checkpoint(spark, table, version, protoRow, metaRow,
-        txnRows, addRows)
+        txnRows, addRows, addType, domainRows)
       return
     }
+    val cpSchema = StructType(
+      checkpointSchema.fields.map(f =>
+        if (f.name == "add") f.copy(dataType = addType) else f) ++
+        (if (domainRows.nonEmpty) Seq(StructField("domainMetadata",
+          domainMetadataType)) else Seq.empty))
+    def pad(r5: Seq[Any]): Row =
+      Row((if (domainRows.nonEmpty) r5 :+ null else r5): _*)
     val rows = Seq(
-      Row(null, null, null, null, protoRow),
-      Row(null, null, null, metaRow, null)) ++
-      txnRows.map { case (app, v) => Row(Row(app, v), null, null, null, null) } ++
-      addRows.map(a => Row(null, a, null, null, null))
+      pad(Seq(null, null, null, null, protoRow)),
+      pad(Seq(null, null, null, metaRow, null))) ++
+      txnRows.map { case (app, v) => pad(Seq(Row(app, v), null, null, null, null)) } ++
+      domainRows.map(d => Row(Seq[Any](null, null, null, null, null, d): _*)) ++
+      addRows.map(a => pad(Seq(null, a, null, null, null)))
     // MULTI-PART classic checkpoint (PROTOCOL.md
     // `<v>.checkpoint.<part>.<n>.parquet`) past the row threshold: one
     // giant single-file checkpoint serializes its write AND forces
@@ -2969,7 +3106,7 @@ object DeltaLog {
       (rows.size + checkpointRowsPerPart - 1) / checkpointRowsPerPart).toInt
     val scratch = Files.createTempDirectory("delta-cp")
     if (nParts == 1) {
-      spark.createDataFrame(rows.asJava, checkpointSchema)
+      spark.createDataFrame(rows.asJava, cpSchema)
         .coalesce(1).write.mode("overwrite").parquet(scratch.toString)
       val part = listDir(scratch)
         .find(_.getFileName.toString.endsWith(".parquet"))
@@ -2983,7 +3120,7 @@ object DeltaLog {
       // repartition() here pays a full 10⁶-row exchange for nothing,
       // and the sequential per-part form serialized the writes
       spark.createDataFrame(
-        spark.sparkContext.parallelize(rows, nParts), checkpointSchema)
+        spark.sparkContext.parallelize(rows, nParts), cpSchema)
         .write.mode("overwrite").parquet(scratch.toString)
       val parts = listDir(scratch)
         .filter(_.getFileName.toString.endsWith(".parquet")).sortBy(_.toString)
@@ -3013,13 +3150,6 @@ object DeltaLog {
     */
   private[graft] var checkpointRowsPerPart: Long = 500000L
 
-  /** Sidecar file shape (PROTOCOL.md "V2 Checkpoints": sidecars carry
-    * file actions only).
-    */
-  private lazy val sidecarFileSchema = StructType(Seq(
-    StructField("add", checkpointSchema("add").dataType),
-    StructField("remove", checkpointSchema("remove").dataType)))
-
   /** V2 manifest shape: non-file actions + `checkpointMetadata` +
     * `sidecar` pointers.
     */
@@ -3047,7 +3177,14 @@ object DeltaLog {
     */
   private def writeV2Checkpoint(spark: SparkSession, table: String,
       version: Long, protoRow: Row, metaRow: Row,
-      txnRows: Seq[(String, Long)], addRows: Seq[Row]): Unit = {
+      txnRows: Seq[(String, Long)], addRows: Seq[Row],
+      addType: StructType, domainRows: Seq[Row]): Unit = {
+    val scFileSchema = StructType(Seq(
+      StructField("add", addType),
+      StructField("remove", checkpointSchema("remove").dataType)))
+    val manifestSchema = StructType(v2ManifestSchema.fields ++
+      (if (domainRows.nonEmpty)
+        Seq(StructField("domainMetadata", domainMetadataType)) else Seq.empty))
     val log = logDir(table)
     val scDir = log.resolve("_sidecars")
     Files.createDirectories(scDir)
@@ -3059,9 +3196,9 @@ object DeltaLog {
       else {
         val scratch = Files.createTempDirectory("delta-cp-sc")
         (if (nParts == 1)
-          spark.createDataFrame(sidecarRows.asJava, sidecarFileSchema).coalesce(1)
+          spark.createDataFrame(sidecarRows.asJava, scFileSchema).coalesce(1)
         else spark.createDataFrame(
-          spark.sparkContext.parallelize(sidecarRows, nParts), sidecarFileSchema))
+          spark.sparkContext.parallelize(sidecarRows, nParts), scFileSchema))
           .write.mode("overwrite").parquet(scratch.toString)
         val parts = listDir(scratch)
           .filter(_.getFileName.toString.endsWith(".parquet")).sortBy(_.toString)
@@ -3077,16 +3214,19 @@ object DeltaLog {
         walkDir(scratch).reverse.foreach(Files.deleteIfExists(_))
         moved
       }
+    def pad(r5: Seq[Any]): Row =
+      Row((if (domainRows.nonEmpty) r5 :+ null else r5): _*)
     val manifestRows: Seq[Row] =
       Seq(
-        Row(null, null, null, Row(version, null), null),
-        Row(null, null, protoRow, null, null),
-        Row(null, metaRow, null, null, null)) ++
-      txnRows.map { case (app, v) => Row(Row(app, v), null, null, null, null) } ++
+        pad(Seq(null, null, null, Row(version, null), null)),
+        pad(Seq(null, null, protoRow, null, null)),
+        pad(Seq(null, metaRow, null, null, null))) ++
+      txnRows.map { case (app, v) => pad(Seq(Row(app, v), null, null, null, null)) } ++
+      domainRows.map(d => Row(Seq[Any](null, null, null, null, null, d): _*)) ++
       sidecars.map { case (name, size, mtime) =>
-        Row(null, null, null, null, Row(name, size, mtime, null)) }
+        pad(Seq(null, null, null, null, Row(name, size, mtime, null))) }
     val scratch = Files.createTempDirectory("delta-cp-v2")
-    spark.createDataFrame(manifestRows.asJava, v2ManifestSchema)
+    spark.createDataFrame(manifestRows.asJava, manifestSchema)
       .coalesce(1).write.mode("overwrite").parquet(scratch.toString)
     val part = listDir(scratch)
       .find(_.getFileName.toString.endsWith(".parquet"))

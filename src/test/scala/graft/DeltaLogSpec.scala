@@ -419,20 +419,24 @@ class DeltaLogSpec extends SparkSpec {
     val table = tmpTable()
     DeltaLog.writeBatch(Seq((1L, "a")).toDF("id", "v"), table)
     val log = Paths.get(table, "_delta_log")
-    // a third-party upgrade enables rowTracking: every commit must
-    // materialize baseRowId, which this writer doesn't — refuse, the
-    // table stays readable
+    // a third-party upgrade enables a writer feature this engine has no
+    // contract for (icebergCompatV2's parquet constraints): every
+    // commit refuses, the table stays readable. rowTracking rides along
+    // SUPPORTED (r16: appends assign baseRowIds) and must not be named.
     Files.write(log.resolve(f"${1L}%020d.json"),
       ("""{"protocol":{"minReaderVersion":3,"minWriterVersion":7,""" +
         """"readerFeatures":["deletionVectors"],""" +
-        """"writerFeatures":["deletionVectors","rowTracking","invariants"]}}""" +
+        """"writerFeatures":["deletionVectors","rowTracking",""" +
+        """"icebergCompatV2","invariants"]}}""" +
         "\n").getBytes("UTF-8"))
     DeltaLog.clearSnapshotCache()
     assert(DeltaLog.read(spark, table).count() == 1)
     val e = intercept[IllegalArgumentException] {
       DeltaLog.writeBatch(Seq((2L, "b")).toDF("id", "v"), table)
     }
-    assert(e.getMessage.contains("rowTracking"), e.getMessage)
+    assert(e.getMessage.contains("icebergCompatV2"), e.getMessage)
+    assert(!e.getMessage.contains("rowTracking"),
+      "rowTracking is supported (r16) and must not be in the refusal")
     assert(!e.getMessage.contains("invariants"),
       "invariants is vacuous here (no delta.invariants in the schema)")
     // constraint-class features the table doesn't actually use pass

@@ -1,0 +1,166 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.functions._
+
+import graft.sinks.DeltaLog
+
+import scala.jdk.CollectionConverters._
+
+/** Delta rowTracking writer-feature support (r16): appends to tables
+  * whose protocol lists `rowTracking` assign fresh `baseRowId` /
+  * `defaultRowCommitVersion` on every add past the `delta.rowTracking`
+  * domain-metadata high-water mark, bumping it in the SAME commit;
+  * domainMetadata actions replay through the log AND checkpoints; row-
+  * REWRITING operations refuse loudly (id preservation needs the
+  * materialized-column machinery this engine doesn't write).
+  *
+  * Fixtures mimic a third-party-created table: our CREATE, then the
+  * protocol/config rewritten to the rowTracking shape (writer features
+  * rowTracking + domainMetadata, delta.enableRowTracking=true).
+  */
+class DeltaRowTrackingSpec extends SparkSpec {
+  private val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+
+  private def tmp(): String =
+    Files.createTempDirectory("delta_rowtracking").resolve("t").toString
+
+  /** Rewrite commit 0 so the table carries the rowTracking protocol —
+    * the layout delta-spark leaves when delta.enableRowTracking=true.
+    */
+  private def armRowTracking(table: String): Unit = {
+    val v0 = Paths.get(table, "_delta_log", f"${0L}%020d.json")
+    val lines = Files.readAllLines(v0)
+    val out = new java.lang.StringBuilder
+    lines.forEach { line =>
+      if (line.isEmpty) ()
+      else {
+        val n = mapper.readTree(line)
+        if (n.has("protocol")) {
+          val p = n.get("protocol")
+            .asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode]
+          p.put("minReaderVersion", 1)
+          p.put("minWriterVersion", 7)
+          val wf = p.putArray("writerFeatures")
+          Seq("rowTracking", "domainMetadata").foreach(wf.add)
+        }
+        if (n.has("metaData")) {
+          val cfg = n.get("metaData").get("configuration")
+            .asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode]
+          cfg.put("delta.enableRowTracking", "true")
+          ()
+        }
+        out.append(n.toString).append('\n')
+      }
+    }
+    Files.write(v0, out.toString.getBytes("UTF-8"))
+    DeltaLog.clearSnapshotCache()
+  }
+
+  private def addActions(table: String): Seq[com.fasterxml.jackson.databind.JsonNode] = {
+    val dir = Paths.get(table, "_delta_log")
+    Files.list(dir).iterator().asScala.toSeq
+      .filter(_.getFileName.toString.endsWith(".json"))
+      .sortBy(_.getFileName.toString)
+      .flatMap(p => Files.readAllLines(p).asScala)
+      .filter(_.nonEmpty).map(mapper.readTree)
+      .filter(_.has("add")).map(_.get("add"))
+  }
+
+  test("appends assign contiguous baseRowIds past the watermark; domain metadata bumps in the same commit") {
+    import spark.implicits._
+    val table = tmp()
+    assert(DeltaLog.writeBatch(
+      Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("id", "v").coalesce(1),
+      table).contains(0L))
+    armRowTracking(table)
+    // two appends: ids claim [hwm+1, hwm+records] per file, in order
+    assert(DeltaLog.writeBatch(
+      Seq((4L, "d"), (5L, "e")).toDF("id", "v").coalesce(1), table)
+      .contains(1L))
+    assert(DeltaLog.writeBatch(
+      Seq((6L, "f")).toDF("id", "v").coalesce(1), table).contains(2L))
+    val adds = addActions(table)
+    // commit 0 predates the feature: no baseRowId; commits 1-2 carry it
+    assert(!adds.head.has("baseRowId"))
+    val tracked = adds.filter(_.has("baseRowId"))
+    assert(tracked.size == 2, adds.mkString("\n"))
+    assert(tracked(0).get("baseRowId").asLong() == 0L)
+    assert(tracked(0).get("defaultRowCommitVersion").asLong() == 1L)
+    assert(tracked(1).get("baseRowId").asLong() == 2L) // past 2 rows
+    assert(tracked(1).get("defaultRowCommitVersion").asLong() == 2L)
+    val s = DeltaLog.snapshot(spark, table).get
+    assert(s.rowIdHighWaterMark == 2L)
+    assert(s.domainMetadata.contains("delta.rowTracking"))
+    // values read back whole
+    assert(DeltaLog.read(spark, table).count() == 6)
+  }
+
+  test("the watermark and baseRowIds survive a CHECKPOINT cold replay; appends continue the sequence") {
+    import spark.implicits._
+    val table = tmp()
+    assert(DeltaLog.writeBatch(
+      Seq((1L, "a")).toDF("id", "v").coalesce(1), table).contains(0L))
+    armRowTracking(table)
+    (0 until 3).foreach { i =>
+      assert(DeltaLog.writeBatch(
+        Seq((10L + i, s"x$i")).toDF("id", "v").coalesce(1), table).isDefined)
+    }
+    DeltaLog.writeCheckpoint(spark, table, 3L)
+    // age out the JSON tail the checkpoint covers, force cold replay
+    val dir = Paths.get(table, "_delta_log")
+    (0L to 3L).foreach(v =>
+      Files.deleteIfExists(dir.resolve(f"$v%020d.json")))
+    DeltaLog.clearSnapshotCache()
+    val s = DeltaLog.snapshot(spark, table).get
+    assert(s.rowIdHighWaterMark == 2L, s.domainMetadata)
+    assert(s.adds.flatMap(_._2.baseRowId).sorted == Seq(0L, 1L, 2L))
+    // the next append continues PAST the replayed watermark — a lost
+    // watermark would re-mint id 0 and collide
+    assert(DeltaLog.writeBatch(
+      Seq((99L, "z")).toDF("id", "v").coalesce(1), table).isDefined)
+    val s2 = DeltaLog.snapshot(spark, table).get
+    assert(s2.rowIdHighWaterMark == 3L)
+    assert(s2.adds.flatMap(_._2.baseRowId).sorted == Seq(0L, 1L, 2L, 3L))
+  }
+
+  test("row-rewriting operations refuse loudly; foreign domain metadata carries through commits and checkpoints") {
+    import spark.implicits._
+    val table = tmp()
+    assert(DeltaLog.writeBatch(
+      Seq((1L, "a"), (2L, "b")).toDF("id", "v").coalesce(1), table)
+      .contains(0L))
+    armRowTracking(table)
+    // plant a FOREIGN domain the way a third-party writer would
+    val dir = Paths.get(table, "_delta_log")
+    Files.write(dir.resolve(f"${1L}%020d.json"),
+      ("""{"domainMetadata":{"domain":"acme.custom","configuration":"{\"k\":1}","removed":false}}""" + "\n")
+        .getBytes("UTF-8"))
+    DeltaLog.clearSnapshotCache()
+    assert(DeltaLog.writeBatch(
+      Seq((3L, "c")).toDF("id", "v").coalesce(1), table).isDefined)
+    val s = DeltaLog.snapshot(spark, table).get
+    assert(s.domainMetadata.get("acme.custom").contains("""{"k":1}"""))
+    // checkpoint → cold replay keeps BOTH domains
+    DeltaLog.writeCheckpoint(spark, table, s.version)
+    (0L to s.version).foreach(v =>
+      Files.deleteIfExists(dir.resolve(f"$v%020d.json")))
+    DeltaLog.clearSnapshotCache()
+    val s2 = DeltaLog.snapshot(spark, table).get
+    assert(s2.domainMetadata.get("acme.custom").contains("""{"k":1}"""))
+    assert(s2.domainMetadata.contains("delta.rowTracking"))
+    // rewriting/retracting rows refuses: DELETE, UPDATE, OPTIMIZE
+    val e1 = intercept[IllegalArgumentException] {
+      DeltaLog.deleteWhere(spark, table, "id = 1") }
+    assert(e1.getMessage.contains("rowTracking"), e1.getMessage)
+    val e2 = intercept[IllegalArgumentException] {
+      DeltaLog.updateWhere(spark, table, Seq("v" -> "'z'"), Some("id = 1")) }
+    assert(e2.getMessage.contains("rowTracking"), e2.getMessage)
+    val e3 = intercept[IllegalArgumentException] {
+      DeltaLog.optimize(spark, table, smallFileBytes = Long.MaxValue) }
+    assert(e3.getMessage.contains("rowTracking"), e3.getMessage)
+    // the table stays readable throughout
+    assert(DeltaLog.read(spark, table).count() == 3)
+  }
+}
