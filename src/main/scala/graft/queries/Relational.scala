@@ -903,6 +903,82 @@ object Relational {
              |  CAST(SUM(boon) AS BIGINT) AS sum_bonus
              |FROM base WHERE boon >= 7 GROUP BY 1""".stripMargin)),
 
+    // ── delta ROW TRACKING (r16): the twin of the iceberg lineage
+    //    story — a table whose protocol lists the rowTracking writer
+    //    feature (the shape modern delta writers leave behind) takes
+    //    this engine's appends, each add claiming fresh baseRowIds past
+    //    the delta.rowTracking high-water mark; under a TOTAL sort into
+    //    one file per append the ids are exactly ROW_NUMBER()-1. A DV
+    //    DELETE retracts rows while survivors keep their positions —
+    //    and therefore their ids. Pre-feature files stay untracked
+    //    (null ids). sum_rid + per-row commit versions hash-match
+    //    DuckDB replaying the algebra.
+    Q("q_delta_row_tracking",
+      (s, dir) => {
+        val li = t(s, dir, "lineitem").select(
+          col("l_orderkey"), col("l_linenumber"), col("l_returnflag"),
+          col("l_quantity"))
+        val sortCols = Seq(col("l_orderkey"), col("l_linenumber"),
+          col("l_quantity"), col("l_returnflag"))
+        val table = java.nio.file.Files
+          .createTempDirectory("graft-delta-rt").resolve("t").toString
+        graft.sinks.DeltaLog.writeBatch(
+          li.filter(col("l_orderkey") % 2 === 0).repartition(1)
+            .sortWithinPartitions(sortCols: _*), table)     // pre-feature
+        // → the modern-writer shape: rowTracking + domainMetadata
+        val v0 = java.nio.file.Paths.get(table, "_delta_log",
+          f"${0L}%020d.json")
+        val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+        val out = new java.lang.StringBuilder
+        java.nio.file.Files.readAllLines(v0).forEach { line =>
+          if (line.nonEmpty) {
+            val n = mapper.readTree(line)
+            if (n.has("protocol")) {
+              val p = n.get("protocol")
+                .asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode]
+              p.put("minReaderVersion", 1)
+              p.put("minWriterVersion", 7)
+              val wf = p.putArray("writerFeatures")
+              Seq("rowTracking", "domainMetadata").foreach(wf.add)
+            }
+            out.append(n.toString).append('\n')
+            ()
+          }
+        }
+        java.nio.file.Files.write(v0, out.toString.getBytes("UTF-8"))
+        graft.sinks.DeltaLog.clearSnapshotCache()
+        graft.sinks.DeltaLog.writeBatch(
+          li.filter(col("l_orderkey") % 2 === 1).repartition(1)
+            .sortWithinPartitions(sortCols: _*), table)     // tracked
+        graft.sinks.DeltaLog.setTableProperties(s, table,
+          Map("delta.enableDeletionVectors" -> "true"))
+        graft.sinks.DeltaLog.deleteWhere(s, table,
+          "l_orderkey % 2 = 1 AND l_quantity < 10")         // DV retraction
+        graft.sinks.DeltaLog.readWithRowIds(s, table)
+          .groupBy(col("l_returnflag"))
+          .agg(count(lit(1)).as("n"),
+            count(col("_row_id")).as("n_with_id"),
+            sum(col("_row_id")).as("sum_rid"),
+            sum(col("_row_commit_version")).as("sum_ver"))
+      },
+      Some("""WITH odd AS (
+             |  SELECT l_returnflag, l_quantity,
+             |    ROW_NUMBER() OVER (ORDER BY l_orderkey, l_linenumber,
+             |      l_quantity, l_returnflag) - 1 AS rid
+             |  FROM lineitem WHERE l_orderkey % 2 = 1
+             |), rows_after AS (
+             |  SELECT l_returnflag, rid, 1 AS ver
+             |  FROM odd WHERE NOT (l_quantity < 10)
+             |  UNION ALL
+             |  SELECT l_returnflag, NULL AS rid, NULL AS ver
+             |  FROM lineitem WHERE l_orderkey % 2 = 0
+             |)
+             |SELECT l_returnflag, COUNT(*) AS n,
+             |  CAST(COUNT(rid) AS BIGINT) AS n_with_id,
+             |  CAST(SUM(rid) AS BIGINT) AS sum_rid,
+             |  CAST(SUM(ver) AS BIGINT) AS sum_ver
+             |FROM rows_after GROUP BY 1""".stripMargin)),
+
     // ── iceberg v3 ROW LINEAGE (r15, DML-deep in r16): _row_id assigns
     //    per the spec — file first_row_id (from the adding snapshot's
     //    first-row-id) + row position — so under a TOTAL sort into one

@@ -943,6 +943,48 @@ object DeltaLog {
       .getOrElse(base)
   }
 
+  /** rowTracking READ (r16): [[read]] plus `_row_id` /
+    * `_row_commit_version` per the protocol's fresh-row rule —
+    * baseRowId + the row's position in its file (DV retractions keep
+    * survivors' positions, hence their ids), overridden by the
+    * MATERIALIZED columns where the table declares them and a file
+    * carries values (a third-party writer's preserved ids after its
+    * DML). Pre-feature files return null ids — lineage was never
+    * tracked for their rows.
+    */
+  def readWithRowIds(spark: SparkSession, table: String): DataFrame = {
+    import org.apache.spark.sql.functions.{broadcast, coalesce, col, lit}
+    import spark.implicits._
+    val s = snapshot(spark, table)
+      .getOrElse(sys.error(s"$table is not a Delta table (no _delta_log)"))
+    require(s.rowTrackingSupported,
+      s"$table does not carry the rowTracking writer feature")
+    val matId = s.configuration
+      .get("delta.rowTracking.materializedRowIdColumnName")
+    val matVer = s.configuration
+      .get("delta.rowTracking.materializedRowCommitVersionColumnName")
+    require(matId.isEmpty || mappingMode(s.configuration) == "none",
+      s"$table: materialized row-id columns on a column-mapped table are " +
+        "not implemented here — the base+position rule still serves " +
+        "tables without preserved ids")
+    val extras = (matId.toSeq ++ matVer.toSeq)
+      .map(n => StructField(n, LongType, nullable = true))
+    val df = readKept(spark, table, s, s.files, withMeta = true,
+      extraFields = extras)
+    val baseDf = broadcast(s.adds.map { case (rel, info) =>
+      (rel, info.baseRowId, info.defaultRowCommitVersion)
+    }.toDF(dvFileCol, "__graft_base_row_id", "__graft_commit_ver"))
+    df.join(baseDf, dvFileCol)
+      .withColumn("_row_id", coalesce(
+        matId.map(col).getOrElse(lit(null).cast(LongType)),
+        col("__graft_base_row_id") + col(dvPosCol)))
+      .withColumn("_row_commit_version", coalesce(
+        matVer.map(col).getOrElse(lit(null).cast(LongType)),
+        col("__graft_commit_ver")))
+      .select(s.schema.fieldNames.map(col).toIndexedSeq :+
+        col("_row_id") :+ col("_row_commit_version"): _*)
+  }
+
   private val dvNameCol = "__graft_dv_name"
   private[graft] val dvFileCol = "__graft_file"
   private[graft] val dvPosCol = "__graft_pos"
@@ -962,9 +1004,16 @@ object DeltaLog {
     * asserted loudly here.
     */
   private[graft] def readKept(spark: SparkSession, table: String, s: Snapshot,
-      kept: Seq[String], withMeta: Boolean = false): DataFrame = {
+      kept: Seq[String], withMeta: Boolean = false,
+      /** Physical columns beyond the table schema some files MAY carry
+        * (rowTracking's materialized row-id columns, r16) — absent files
+        * read null. Unmapped tables only. */
+      extraFields: Seq[StructField] = Seq.empty): DataFrame = {
     import org.apache.spark.sql.functions.{broadcast, col, substring_index, udf}
     if (mappingMode(s.configuration) != "none") {
+      require(extraFields.isEmpty,
+        s"$table: extra physical read columns on a column-mapped table " +
+          "are not implemented")
       val infoOf = s.adds.toMap
       return readMappedFiles(spark, table, s,
         kept.map { rel =>
@@ -973,9 +1022,11 @@ object DeltaLog {
     }
     val byRel = s.adds.toMap
     val root = Paths.get(table).toAbsolutePath.normalize
-    val schemaCols = s.schema.fieldNames.map(col).toIndexedSeq
+    val readSchema = StructType(s.schema.fields ++ extraFields)
+    val schemaCols =
+      (s.schema.fieldNames ++ extraFields.map(_.name)).map(col).toIndexedSeq
     if (kept.isEmpty) {
-      val sch = if (!withMeta) s.schema else StructType(s.schema.fields ++ Seq(
+      val sch = if (!withMeta) readSchema else StructType(readSchema.fields ++ Seq(
         StructField(dvFileCol, StringType), StructField(dvPosCol, LongType)))
       return spark.createDataFrame(spark.sparkContext.emptyRDD[Row], sch)
     }
@@ -987,7 +1038,7 @@ object DeltaLog {
         "deletion vectors key on unique names — OPTIMIZE the table first.")
     }
     def metaRead(rels: Seq[String]): DataFrame =
-      spark.read.schema(s.schema).option("basePath", table)
+      spark.read.schema(readSchema).option("basePath", table)
         .parquet(rels.map(r => root.resolve(r).toString): _*)
         .withColumn(dvNameCol,
           substring_index(col("_metadata.file_path"), "/", -1))
@@ -1009,7 +1060,7 @@ object DeltaLog {
     if (!withMeta) {
       val cleanDf =
         if (clean.isEmpty) None
-        else Some(spark.read.schema(s.schema).option("basePath", table)
+        else Some(spark.read.schema(readSchema).option("basePath", table)
           .parquet(clean.map(r => root.resolve(r).toString): _*)
           .select(schemaCols: _*))
       (cleanDf ++ dirtyDf.map(_.select(schemaCols: _*))).reduce(_ unionAll _)
@@ -2699,14 +2750,34 @@ object DeltaLog {
         if (!rowTrackingOn) (added, None)
         else {
           val liveBase = snap.map(_.adds.toMap).getOrElse(Map.empty)
-          require(removed.isEmpty && cdc.isEmpty &&
-            added.forall { case (p, _) => !liveBase.contains(p) },
+          val (reAdds, freshAdds) =
+            added.partition { case (p, _) => liveBase.contains(p) }
+          // sound shapes: pure appends (fresh ids assign), metadata-only
+          // commits, and pure DV retractions — delta's DV swap removes
+          // and re-ADDS the same path with a new deletion vector, which
+          // keeps the file (and every surviving row's position, hence
+          // its id) stable. Everything that REWRITES rows (CoW removes
+          // of paths not re-added, MoR postimages = fresh adds beside
+          // re-adds, cdc) would need id preservation through the
+          // materialized-column machinery.
+          val reAddSet = reAdds.map(_._1).toSet
+          val dvSwapOnly = removed.nonEmpty &&
+            removed.forall(reAddSet.contains) && freshAdds.isEmpty
+          require(cdc.isEmpty &&
+            (dvSwapOnly || (removed.isEmpty && reAdds.isEmpty)),
             s"$table enables rowTracking; this engine APPENDS to such " +
-              "tables (fresh row ids + watermark) but does not " +
-              "rewrite/retract rows — row-id preservation needs the " +
-              "materialized-column machinery; route DML/OPTIMIZE through " +
-              "a writer that implements it")
+              "tables (fresh row ids + watermark) and retracts via pure " +
+              "DELETION VECTORS (positions stable, ids preserved), but " +
+              "does not rewrite rows — id preservation through rewrites " +
+              "needs the materialized-column machinery; route that DML " +
+              "through a writer that implements it")
           if (added.isEmpty) (added, None)
+          else if (freshAdds.isEmpty)
+            // DV retraction: each re-add keeps the LIVE add's identity
+            (added.map { case (p, info) =>
+              p -> info.copy(baseRowId = liveBase(p).baseRowId,
+                defaultRowCommitVersion = liveBase(p).defaultRowCommitVersion)
+            }, None)
           else {
             var hwm = snap.map(_.rowIdHighWaterMark).getOrElse(-1L)
             val assigned = added.map { case (p, info) =>

@@ -125,6 +125,78 @@ class DeltaRowTrackingSpec extends SparkSpec {
     assert(s2.adds.flatMap(_._2.baseRowId).sorted == Seq(0L, 1L, 2L, 3L))
   }
 
+  test("readWithRowIds: base+position ids, DV survivors keep them, materialized columns override") {
+    import spark.implicits._
+    val table = tmp()
+    assert(DeltaLog.writeBatch(
+      Seq((100L, "pre")).toDF("id", "v").coalesce(1), table).contains(0L))
+    armRowTracking(table)
+    assert(DeltaLog.writeBatch(
+      Seq((0L, "a"), (1L, "b"), (2L, "c")).toDF("id", "v").coalesce(1), table)
+      .isDefined)
+    def ids(): Map[Long, Option[Long]] =
+      DeltaLog.readWithRowIds(spark, table).collect().map(r =>
+        r.getLong(0) -> (if (r.isNullAt(2)) None else Some(r.getLong(2)))).toMap
+    val l1 = ids()
+    assert(l1(100L).isEmpty, l1) // pre-feature file: untracked
+    assert(l1(0L).contains(0L) && l1(1L).contains(1L) && l1(2L).contains(2L), l1)
+    // DV retraction: survivors keep their positions, hence their ids
+    DeltaLog.setTableProperties(spark, table,
+      Map("delta.enableDeletionVectors" -> "true"))
+    assert(DeltaLog.deleteWhere(spark, table, "id = 1").isDefined)
+    val l2 = ids()
+    assert(!l2.contains(1L) && l2(0L).contains(0L) && l2(2L).contains(2L), l2)
+    // a MATERIALIZED row-id column (the preserved-id shape a delta-spark
+    // UPDATE leaves behind) overrides base+position where present
+    val matTable = tmp()
+    assert(DeltaLog.writeBatch(
+      Seq((1L, "a"), (2L, "b")).toDF("id", "v").coalesce(1), matTable)
+      .contains(0L))
+    armRowTracking(matTable)
+    val v0 = Paths.get(matTable, "_delta_log", f"${0L}%020d.json")
+    val rewritten = Files.readAllLines(v0).asScala.map { l =>
+      if (!l.contains("metaData")) l
+      else {
+        val n = mapper.readTree(l)
+        val cfg = n.get("metaData").get("configuration")
+          .asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode]
+        cfg.put("delta.rowTracking.materializedRowIdColumnName",
+          "_row_id_col_x")
+        n.toString
+      }
+    }
+    Files.write(v0, rewritten.mkString("", "\n", "\n").getBytes("UTF-8"))
+    DeltaLog.clearSnapshotCache()
+    // one appended file CARRIES the materialized column (ids 500, 501);
+    // the plain append's file lacks it and falls back to base+position
+    assert(DeltaLog.writeBatch(
+      Seq((3L, "c")).toDF("id", "v").coalesce(1), matTable).isDefined)
+    val s = DeltaLog.snapshot(spark, matTable).get
+    val fileDf = Seq((4L, "d", 500L), (5L, "e", 501L))
+      .toDF("id", "v", "_row_id_col_x").coalesce(1)
+    val scratch = Files.createTempDirectory("rowid-mat")
+    fileDf.write.mode("overwrite").parquet(scratch.toString)
+    val part = Files.list(scratch).iterator().asScala
+      .find(_.getFileName.toString.endsWith(".parquet")).get
+    val dest = Paths.get(matTable, "part-materialized.parquet")
+    Files.move(part, dest)
+    val hwm = s.rowIdHighWaterMark
+    Files.write(Paths.get(matTable, "_delta_log", f"${s.version + 1}%020d.json"),
+      (s"""{"add":{"path":"part-materialized.parquet","partitionValues":{},""" +
+        s""""size":${Files.size(dest)},"modificationTime":0,"dataChange":true,""" +
+        s""""baseRowId":${hwm + 1},"defaultRowCommitVersion":${s.version + 1},""" +
+        s""""stats":"{\\"numRecords\\":2}"}}""" + "\n" +
+        s"""{"domainMetadata":{"domain":"delta.rowTracking","configuration":""" +
+        s""""{\\"rowIdHighWaterMark\\":${hwm + 2}}","removed":false}}""" + "\n")
+        .getBytes("UTF-8"))
+    DeltaLog.clearSnapshotCache()
+    val got = DeltaLog.readWithRowIds(spark, matTable).collect().map(r =>
+      r.getLong(0) -> (if (r.isNullAt(2)) -1L else r.getLong(2))).toMap
+    assert(got(4L) == 500L && got(5L) == 501L, got) // materialized wins
+    assert(got(3L) == 0L, got) // column-less file: base+position
+    assert(got(1L) == -1L && got(2L) == -1L, got) // pre-feature: null
+  }
+
   test("row-rewriting operations refuse loudly; foreign domain metadata carries through commits and checkpoints") {
     import spark.implicits._
     val table = tmp()
