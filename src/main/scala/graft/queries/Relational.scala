@@ -951,9 +951,16 @@ object Relational {
           li.filter(col("l_orderkey") % 2 === 1).repartition(1)
             .sortWithinPartitions(sortCols: _*), table)     // tracked
         graft.sinks.DeltaLog.setTableProperties(s, table,
-          Map("delta.enableDeletionVectors" -> "true"))
+          Map("delta.enableDeletionVectors" -> "true"))     // version 2
         graft.sinks.DeltaLog.deleteWhere(s, table,
-          "l_orderkey % 2 = 1 AND l_quantity < 10")         // DV retraction
+          "l_orderkey % 2 = 1 AND l_quantity < 10")         // v3: DV retraction
+        graft.sinks.DeltaLog.setTableProperties(s, table,
+          Map("delta.enableDeletionVectors" -> "false"))    // version 4
+        // CoW UPDATE (r16): the rewrite MATERIALIZES row ids — matched
+        // rows keep their id and bump to this commit's version (5)
+        graft.sinks.DeltaLog.updateWhere(s, table,
+          Seq("l_quantity" -> "l_quantity + 100"),
+          Some("l_orderkey % 2 = 1 AND l_quantity >= 40"))  // version 5
         graft.sinks.DeltaLog.readWithRowIds(s, table)
           .groupBy(col("l_returnflag"))
           .agg(count(lit(1)).as("n"),
@@ -967,7 +974,8 @@ object Relational {
              |      l_quantity, l_returnflag) - 1 AS rid
              |  FROM lineitem WHERE l_orderkey % 2 = 1
              |), rows_after AS (
-             |  SELECT l_returnflag, rid, 1 AS ver
+             |  SELECT l_returnflag, rid,
+             |    CASE WHEN l_quantity >= 40 THEN 5 ELSE 1 END AS ver
              |  FROM odd WHERE NOT (l_quantity < 10)
              |  UNION ALL
              |  SELECT l_returnflag, NULL AS rid, NULL AS ver

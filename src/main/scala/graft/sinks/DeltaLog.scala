@@ -2323,11 +2323,21 @@ object DeltaLog {
       }
     // post-image projection, shared by the rewrite and the change feed.
     // ONE select: every RHS and the predicate evaluate against the OLD
-    // row (SQL UPDATE semantics), nested or not.
+    // row (SQL UPDATE semantics), nested or not. When the input carries
+    // the rowTracking id columns (r16), postimages KEEP `_row_id` and
+    // null the commit-version carry — the rewritten add's
+    // defaultRowCommitVersion (this DML's version) inherits.
     def applySets(df: DataFrame, schema: StructType, onlyMatching: Boolean) = {
       (flat.map(_._1) ++ nestedByTop.keys).foreach(c => require(
         schema.fieldNames.contains(c.split('.').head),
         s"UPDATE $table: no column $c"))
+      val rowIdCarry: Seq[org.apache.spark.sql.Column] =
+        if (!df.columns.contains("_row_id")) Seq.empty
+        else Seq(col("_row_id"),
+          (if (onlyMatching) lit(null).cast(LongType)
+           else when(cond, lit(null).cast(LongType))
+             .otherwise(col("_last_updated_sequence_number")))
+            .as("_last_updated_sequence_number"))
       df.select(schema.fields.toIndexedSeq.map { f =>
         (byCol.get(f.name), nestedByTop.get(f.name)) match {
           case (Some(e), _) if onlyMatching =>
@@ -2343,7 +2353,7 @@ object DeltaLog {
              else when(cond, updated).otherwise(col(quoted(f.name)))).as(f.name)
           case _ => col(f.name)
         }
-      }: _*)
+      } ++ rowIdCarry: _*)
     }
     val s0 = snapshot(spark, table)
       .getOrElse(sys.error(s"$table is not a Delta table (no _delta_log)"))
@@ -2452,10 +2462,36 @@ object DeltaLog {
     @volatile private var planned: Option[Snapshot] = None
     private def mapped: Boolean =
       planned.exists(s => mappingMode(s.configuration) != "none")
+    // rowTracking DML (r16): (materialized row-id col, row-commit-ver
+    // col) the rewrite must WRITE — declared names from the table
+    // config, or minted here (the config change rides the same commit
+    // via mintedConf). Unmapped tables only; a mapped rowTracking
+    // table's DML refuses at commit (loud), never silently drops ids.
+    @volatile private var plannedRowIds: Option[(String, String)] = None
+    @volatile private var mintedConf: Map[String, String] = Map.empty
     def plan(scanFilter: Option[String]): DmlRewrite.Plan = {
       val s = snapshot(spark, table)
         .getOrElse(sys.error(s"$table is not a Delta table (no _delta_log)"))
       planned = Some(s)
+      plannedRowIds =
+        if (!s.rowTrackingSupported ||
+            mappingMode(s.configuration) != "none") None
+        else {
+          val idC = s.configuration
+            .get("delta.rowTracking.materializedRowIdColumnName")
+          val verC = s.configuration
+            .get("delta.rowTracking.materializedRowCommitVersionColumnName")
+          val idN = idC.getOrElse(s"_row-id-col-${UUID.randomUUID()}")
+          val verN = verC.getOrElse(s"_row-commit-version-col-${UUID.randomUUID()}")
+          mintedConf =
+            (if (idC.isEmpty)
+              Map("delta.rowTracking.materializedRowIdColumnName" -> idN)
+            else Map.empty[String, String]) ++
+            (if (verC.isEmpty)
+              Map("delta.rowTracking.materializedRowCommitVersionColumnName" -> verN)
+            else Map.empty[String, String])
+          Some((idN, verN))
+        }
       val bySize = s.adds.toMap
       val (candidates, _) = prune(spark, s, scanFilter)
       DmlRewrite.Plan(s.schema, s.partitionColumns,
@@ -2463,36 +2499,86 @@ object DeltaLog {
           root.resolve(rel).normalize.toString, rel, bySize(rel).size)),
         s.files.toSet)
     }
+    // the carry layer reuses the shared neutral names the transforms
+    // (Merge.lineageCarry, applySets) already detect; stampOutput
+    // renames them to the DECLARED physical columns on the way out
+    override def carryFields: Seq[StructField] =
+      if (plannedRowIds.isEmpty) Seq.empty
+      else Seq(StructField("_row_id", LongType, nullable = true),
+        StructField("_last_updated_sequence_number", LongType, nullable = true))
     def basePath: String = root.toString
     def dataRoot: Path = root
     def scratchPrefix: String = ".graft-dml-"
     override def readFiles(spark: SparkSession, schema: StructType,
         paths: Seq[String], fileCol: Option[String]): DataFrame = {
-      import org.apache.spark.sql.functions.{col, concat, lit}
+      import org.apache.spark.sql.functions.{broadcast, coalesce, col, concat, lit}
+      import spark.implicits._
       val s = planned.get
       val byRel = s.adds.toMap
       val rels = paths.map(p => root.relativize(
         Paths.get(p).toAbsolutePath.normalize).toString)
-      // mapped tables ALWAYS route through readKept (physical-name /
-      // field-id resolution + log-sourced partition values); unmapped
-      // tables only when a candidate carries live deletion vectors
-      if (!mapped &&
-          !rels.exists(r => byRel.get(r).exists(_.dv.exists(_.cardinality > 0))))
-        super.readFiles(spark, schema, paths, fileCol)
-      else {
-        val df = readKept(spark, table, s, rels, withMeta = fileCol.isDefined)
-        fileCol.map(c => df
-          .withColumn(c, concat(lit(root.toString + "/"), col(dvFileCol)))
-          .drop(dvFileCol, dvPosCol)).getOrElse(df)
+      plannedRowIds match {
+        case Some(_) =>
+          // rowTracking candidate read: every row comes back with its
+          // id/commit-version MATERIALIZED — the file's own declared
+          // columns where present (a prior preserved rewrite), else
+          // baseRowId + position / defaultRowCommitVersion
+          val declaredId = s.configuration
+            .get("delta.rowTracking.materializedRowIdColumnName")
+          val declaredVer = s.configuration
+            .get("delta.rowTracking.materializedRowCommitVersionColumnName")
+          val extras = (declaredId.toSeq ++ declaredVer.toSeq)
+            .map(n => StructField(n, LongType, nullable = true))
+          val df = readKept(spark, table, s, rels, withMeta = true,
+            extraFields = extras)
+          val baseDf = broadcast(rels.map { r =>
+            val i = byRel(r)
+            (r, i.baseRowId, i.defaultRowCommitVersion)
+          }.toDF(dvFileCol, "__graft_base_row_id", "__graft_commit_ver"))
+          val joined = df.join(baseDf, dvFileCol)
+            .withColumn("_row_id", coalesce(
+              declaredId.map(col).getOrElse(lit(null).cast(LongType)),
+              col("__graft_base_row_id") + col(dvPosCol)))
+            .withColumn("_last_updated_sequence_number", coalesce(
+              declaredVer.map(col).getOrElse(lit(null).cast(LongType)),
+              col("__graft_commit_ver")))
+          val outCols = (schema.fieldNames.toIndexedSeq ++ fileCol.toSeq ++
+            Seq("_row_id", "_last_updated_sequence_number")).map(col)
+          fileCol.map(c => joined
+            .withColumn(c, concat(lit(root.toString + "/"), col(dvFileCol))))
+            .getOrElse(joined)
+            .select(outCols: _*)
+        case None =>
+          // mapped tables ALWAYS route through readKept (physical-name /
+          // field-id resolution + log-sourced partition values); unmapped
+          // tables only when a candidate carries live deletion vectors
+          if (!mapped &&
+              !rels.exists(r => byRel.get(r).exists(_.dv.exists(_.cardinality > 0))))
+            super.readFiles(spark, schema, paths, fileCol)
+          else {
+            val df = readKept(spark, table, s, rels, withMeta = fileCol.isDefined)
+            fileCol.map(c => df
+              .withColumn(c, concat(lit(root.toString + "/"), col(dvFileCol)))
+              .drop(dvFileCol, dvPosCol)).getOrElse(df)
+          }
       }
     }
     /** Mapped tables write replacement files in the PHYSICAL shape —
-      * same projection the append path uses.
+      * same projection the append path uses. rowTracking rewrites
+      * rename the carried id columns to the DECLARED physical names
+      * (hidden columns — not in the table schema; readers that don't
+      * know them ignore them, readers that do get preserved ids).
       */
     override def stampOutput(df: DataFrame, plan: DmlRewrite.Plan): DataFrame =
-      if (!mapped) df
-      else toMappedPhysFrame(df, plan.schema, stampNestedIds =
-        planned.exists(s => needsNestedIdStamp(s.configuration, plan.schema)))
+      plannedRowIds match {
+        case Some((idN, verN)) =>
+          df.withColumnRenamed("_row_id", idN)
+            .withColumnRenamed("_last_updated_sequence_number", verN)
+        case None =>
+          if (!mapped) df
+          else toMappedPhysFrame(df, plan.schema, stampNestedIds =
+            planned.exists(s => needsNestedIdStamp(s.configuration, plan.schema)))
+      }
     override def writePartitionColumns(plan: DmlRewrite.Plan): Seq[String] =
       if (!mapped) plan.partitionColumns else mappedPartCols(planned.get)
     def harvest(dest: Path, plan: DmlRewrite.Plan): ((String, AddInfo), Long) = {
@@ -2532,6 +2618,8 @@ object DeltaLog {
         plan.partitionColumns, added, txn = None, removed = touchedTokens,
         dataChange = true, conflict = Some((plan.conflictBase, conflictPred)),
         cdc = cdcFiles, allowMapped = mapped,
+        tableConf = mintedConf,
+        rowIdsPreserved = plannedRowIds.isDefined,
         dvBase = planned.map(s => {
           val byRel = s.adds.toMap
           plan.candidates.map(c => c.token -> byRel(c.token).dvId).toMap
@@ -2641,7 +2729,13 @@ object DeltaLog {
         * metaData-only commit whose new schema is not a superset of the
         * old). Only sound under `schemaBase` (concurrent drift aborts)
         * and with no files attached. */
-      schemaReplace: Boolean = false): Option[Long] = {
+      schemaReplace: Boolean = false,
+      /** The caller's rewrite MATERIALIZED row ids into its replacement
+        * files (the rowTracking DML path, r16) — lifts the
+        * row-rewriting refusal for exactly those commits; fresh adds
+        * still claim assignment bases (null materialized values — the
+        * inserts — inherit base+position). */
+      rowIdsPreserved: Boolean = false): Option[Long] = {
     require(!schemaReplace || (added.isEmpty && cdc.isEmpty &&
       removed.isEmpty && schemaBase.isDefined),
       "schemaReplace commits must be metaData-only and schemaBase-guarded")
@@ -2763,36 +2857,41 @@ object DeltaLog {
           val reAddSet = reAdds.map(_._1).toSet
           val dvSwapOnly = removed.nonEmpty &&
             removed.forall(reAddSet.contains) && freshAdds.isEmpty
-          require(cdc.isEmpty &&
-            (dvSwapOnly || (removed.isEmpty && reAdds.isEmpty)),
+          require(rowIdsPreserved || (cdc.isEmpty &&
+            (dvSwapOnly || (removed.isEmpty && reAdds.isEmpty))),
             s"$table enables rowTracking; this engine APPENDS to such " +
-              "tables (fresh row ids + watermark) and retracts via pure " +
-              "DELETION VECTORS (positions stable, ids preserved), but " +
-              "does not rewrite rows — id preservation through rewrites " +
-              "needs the materialized-column machinery; route that DML " +
-              "through a writer that implements it")
+              "tables (fresh row ids + watermark), retracts via pure " +
+              "DELETION VECTORS (positions stable, ids preserved), and " +
+              "runs copy-on-write DML through materialized row-id " +
+              "columns — but this commit shape would rewrite rows " +
+              "WITHOUT preserving their ids; route it through a writer " +
+              "that implements preservation for it")
           if (added.isEmpty) (added, None)
-          else if (freshAdds.isEmpty)
-            // DV retraction: each re-add keeps the LIVE add's identity
-            (added.map { case (p, info) =>
-              p -> info.copy(baseRowId = liveBase(p).baseRowId,
-                defaultRowCommitVersion = liveBase(p).defaultRowCommitVersion)
-            }, None)
           else {
+            // re-adds (DV swaps) inherit the live add's identity; fresh
+            // adds claim past the watermark
             var hwm = snap.map(_.rowIdHighWaterMark).getOrElse(-1L)
-            val assigned = added.map { case (p, info) =>
-              val records = info.stats.flatMap { s =>
-                try Option(mapper.readTree(s).get("numRecords")).map(_.asLong())
-                catch { case _: Exception => None }
-              }.getOrElse(sys.error(
-                s"$table: rowTracking requires numRecords stats to assign " +
-                  s"row ids, and $p has none"))
-              val base = hwm + 1
-              hwm += records
-              p -> info.copy(baseRowId = Some(base),
-                defaultRowCommitVersion = Some(version))
+            var bumped = false
+            val out = added.map { case (p, info) =>
+              liveBase.get(p) match {
+                case Some(live) =>
+                  p -> info.copy(baseRowId = live.baseRowId,
+                    defaultRowCommitVersion = live.defaultRowCommitVersion)
+                case None =>
+                  val records = info.stats.flatMap { s =>
+                    try Option(mapper.readTree(s).get("numRecords")).map(_.asLong())
+                    catch { case _: Exception => None }
+                  }.getOrElse(sys.error(
+                    s"$table: rowTracking requires numRecords stats to assign " +
+                      s"row ids, and $p has none"))
+                  val base = hwm + 1
+                  hwm += records
+                  bumped = true
+                  p -> info.copy(baseRowId = Some(base),
+                    defaultRowCommitVersion = Some(version))
+              }
             }
-            (assigned, Some(hwm))
+            (out, if (bumped) Some(hwm) else None)
           }
         }
       val sb = new StringBuilder

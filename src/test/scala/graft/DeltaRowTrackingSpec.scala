@@ -222,17 +222,41 @@ class DeltaRowTrackingSpec extends SparkSpec {
     val s2 = DeltaLog.snapshot(spark, table).get
     assert(s2.domainMetadata.get("acme.custom").contains("""{"k":1}"""))
     assert(s2.domainMetadata.contains("delta.rowTracking"))
-    // rewriting/retracting rows refuses: DELETE, UPDATE, OPTIMIZE
-    val e1 = intercept[IllegalArgumentException] {
-      DeltaLog.deleteWhere(spark, table, "id = 1") }
-    assert(e1.getMessage.contains("rowTracking"), e1.getMessage)
-    val e2 = intercept[IllegalArgumentException] {
-      DeltaLog.updateWhere(spark, table, Seq("v" -> "'z'"), Some("id = 1")) }
-    assert(e2.getMessage.contains("rowTracking"), e2.getMessage)
+    // copy-on-write DML PRESERVES ids through materialized columns
+    // (r16): the first DML MINTS the column names into the config, the
+    // rewrite lands _row_id/_row_commit_version physically, and the
+    // read-side coalesce keeps every surviving row's identity
+    def ids(): Map[Long, (Option[Long], Option[Long])] =
+      DeltaLog.readWithRowIds(spark, table).collect().map(r =>
+        r.getLong(0) -> ((if (r.isNullAt(2)) None else Some(r.getLong(2))),
+          if (r.isNullAt(3)) None else Some(r.getLong(3)))).toMap
+    val before = ids()
+    assert(DeltaLog.updateWhere(spark, table,
+      Seq("v" -> "'z'"), Some("id = 3")).isDefined)
+    val s3 = DeltaLog.snapshot(spark, table).get
+    assert(s3.configuration.contains(
+      "delta.rowTracking.materializedRowIdColumnName"))
+    val afterUpd = ids()
+    // the updated row keeps its id, bumps its commit version; carried
+    // rows in the same rewritten file keep BOTH
+    assert(afterUpd(3L)._1 == before(3L)._1, s"$before -> $afterUpd")
+    assert(afterUpd(3L)._2.contains(s3.version), afterUpd)
+    assert(afterUpd(1L) == before(1L) && afterUpd(2L) == before(2L), afterUpd)
+    // a CoW DELETE keeps TRACKED survivors' identity; the pre-feature
+    // survivor (untracked null id) gets LAZILY ASSIGNED on its first
+    // rewrite — null materialized values inherit the new add's
+    // base+position, the protocol's fresh-row rule
+    assert(DeltaLog.deleteWhere(spark, table, "id = 1").isDefined)
+    val afterDel = ids()
+    assert(!afterDel.contains(1L), afterDel)
+    assert(afterDel(3L) == afterUpd(3L), afterDel) // tracked: untouched
+    assert(afterDel(2L)._1.isDefined &&
+      afterDel(2L)._2.contains(s3.version + 1), afterDel)
+    // OPTIMIZE still refuses — its rewrite path doesn't materialize
     val e3 = intercept[IllegalArgumentException] {
       DeltaLog.optimize(spark, table, smallFileBytes = Long.MaxValue) }
     assert(e3.getMessage.contains("rowTracking"), e3.getMessage)
     // the table stays readable throughout
-    assert(DeltaLog.read(spark, table).count() == 3)
+    assert(DeltaLog.read(spark, table).count() == 2)
   }
 }
