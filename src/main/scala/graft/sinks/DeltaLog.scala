@@ -943,6 +943,27 @@ object DeltaLog {
       .getOrElse(base)
   }
 
+  /** The MATERIALIZED row-id column names a rowTracking rewrite must
+    * write: the table's declared names, or freshly minted ones whose
+    * config entries (`conf`) ride the SAME commit (r16).
+    */
+  private def mintRowIdCols(s: Snapshot): (String, String, Map[String, String]) = {
+    val idC = s.configuration
+      .get("delta.rowTracking.materializedRowIdColumnName")
+    val verC = s.configuration
+      .get("delta.rowTracking.materializedRowCommitVersionColumnName")
+    val idN = idC.getOrElse(s"_row-id-col-${UUID.randomUUID()}")
+    val verN = verC.getOrElse(s"_row-commit-version-col-${UUID.randomUUID()}")
+    val conf =
+      (if (idC.isEmpty)
+        Map("delta.rowTracking.materializedRowIdColumnName" -> idN)
+      else Map.empty[String, String]) ++
+      (if (verC.isEmpty)
+        Map("delta.rowTracking.materializedRowCommitVersionColumnName" -> verN)
+      else Map.empty[String, String])
+    (idN, verN, conf)
+  }
+
   /** rowTracking READ (r16): [[read]] plus `_row_id` /
     * `_row_commit_version` per the protocol's fresh-row rule —
     * baseRowId + the row's position in its file (DV retractions keep
@@ -1708,13 +1729,47 @@ object DeltaLog {
     if (small.size < (if (zorderBy.nonEmpty) 1 else 2) && dvDirty.isEmpty)
       return None
     if (small.isEmpty) return None
-    val df = readKept(spark, table, s, small.map(_._1))
+    val mapped = mappingMode(s.configuration) != "none"
+    // rowTracking compaction (r16): the rewrite MATERIALIZES every
+    // victim row's id/commit-version into the replacement files
+    // (declared columns where a prior writer preserved them, else
+    // baseRowId + position) — ids survive compaction, the same rule
+    // the iceberg OPTIMIZE follows. Mapped rowTracking still refuses
+    // at commit.
+    val rowIds: Option[(String, String, Map[String, String])] =
+      if (!s.rowTrackingSupported || mapped) None
+      else Some(mintRowIdCols(s))
+    val df = rowIds match {
+      case None => readKept(spark, table, s, small.map(_._1))
+      case Some((idN, verN, _)) =>
+        import org.apache.spark.sql.functions.{broadcast, coalesce, col, lit}
+        import spark.implicits._
+        val declaredId = s.configuration
+          .get("delta.rowTracking.materializedRowIdColumnName")
+        val declaredVer = s.configuration
+          .get("delta.rowTracking.materializedRowCommitVersionColumnName")
+        val extras = (declaredId.toSeq ++ declaredVer.toSeq)
+          .map(n => StructField(n, LongType, nullable = true))
+        val byRel = s.adds.toMap
+        val raw = readKept(spark, table, s, small.map(_._1), withMeta = true,
+          extraFields = extras)
+        val baseDf = broadcast(small.map { case (rel, info) =>
+          (rel, info.baseRowId, info.defaultRowCommitVersion)
+        }.toDF(dvFileCol, "__graft_base_row_id", "__graft_commit_ver"))
+        raw.join(baseDf, dvFileCol)
+          .withColumn(idN, coalesce(
+            declaredId.map(col).getOrElse(lit(null).cast(LongType)),
+            col("__graft_base_row_id") + col(dvPosCol)))
+          .withColumn(verN, coalesce(
+            declaredVer.map(col).getOrElse(lit(null).cast(LongType)),
+            col("__graft_commit_ver")))
+          .select((s.schema.fieldNames.toIndexedSeq ++ Seq(idN, verN)).map(col): _*)
+    }
     val nOut = math.max(1,
       (small.map(_._2.size).sum / math.max(1L, targetFileBytes)).toInt + 1)
     val out =
       if (zorderBy.isEmpty) df.coalesce(nOut)
       else graft.operators.ZOrder.cluster(df, zorderBy, nOut)
-    val mapped = mappingMode(s.configuration) != "none"
     val added =
       if (mapped) placeMappedDataFiles(spark, table, s, out)
       else placeDataFiles(spark, table, s.schema, s.partitionColumns, out)
@@ -1722,6 +1777,8 @@ object DeltaLog {
     val committed = commit(spark, table, s.schema, s.partitionColumns, added,
       txn = None, removed = small.map(_._1), dataChange = false,
       allowMapped = mapped,
+      tableConf = rowIds.map(_._3).getOrElse(Map.empty),
+      rowIdsPreserved = rowIds.isDefined,
       // a concurrent DV landing on a victim between plan and commit
       // would be silently dropped by this rewrite — abort instead.
       // UNCONDITIONAL: dvId is "" for DV-less victims, so a first DV
@@ -2477,19 +2534,8 @@ object DeltaLog {
         if (!s.rowTrackingSupported ||
             mappingMode(s.configuration) != "none") None
         else {
-          val idC = s.configuration
-            .get("delta.rowTracking.materializedRowIdColumnName")
-          val verC = s.configuration
-            .get("delta.rowTracking.materializedRowCommitVersionColumnName")
-          val idN = idC.getOrElse(s"_row-id-col-${UUID.randomUUID()}")
-          val verN = verC.getOrElse(s"_row-commit-version-col-${UUID.randomUUID()}")
-          mintedConf =
-            (if (idC.isEmpty)
-              Map("delta.rowTracking.materializedRowIdColumnName" -> idN)
-            else Map.empty[String, String]) ++
-            (if (verC.isEmpty)
-              Map("delta.rowTracking.materializedRowCommitVersionColumnName" -> verN)
-            else Map.empty[String, String])
+          val (idN, verN, conf) = mintRowIdCols(s)
+          mintedConf = conf
           Some((idN, verN))
         }
       val bySize = s.adds.toMap

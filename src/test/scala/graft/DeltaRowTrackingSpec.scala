@@ -252,10 +252,12 @@ class DeltaRowTrackingSpec extends SparkSpec {
     assert(afterDel(3L) == afterUpd(3L), afterDel) // tracked: untouched
     assert(afterDel(2L)._1.isDefined &&
       afterDel(2L)._2.contains(s3.version + 1), afterDel)
-    // OPTIMIZE still refuses — its rewrite path doesn't materialize
-    val e3 = intercept[IllegalArgumentException] {
-      DeltaLog.optimize(spark, table, smallFileBytes = Long.MaxValue) }
-    assert(e3.getMessage.contains("rowTracking"), e3.getMessage)
+    // OPTIMIZE preserves too (r16): the compaction materializes every
+    // victim row's id — identities survive the rewrite byte-identically
+    val beforeOpt = ids()
+    assert(DeltaLog.optimize(spark, table,
+      smallFileBytes = Long.MaxValue).isDefined)
+    assert(ids() == beforeOpt, s"$beforeOpt -> ${ids()}")
     // the table stays readable throughout
     assert(DeltaLog.read(spark, table).count() == 2)
   }
