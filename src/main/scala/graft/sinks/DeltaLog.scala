@@ -2230,9 +2230,50 @@ object DeltaLog {
       val byRel = s.adds.toMap
       val (kept, _) = prune(spark, s, scanFilter)
       if (kept.isEmpty && !commitWhenUntouched) return None
-      val candDf = readKept(spark, table, s, kept, withMeta = true)
+      // rowTracking MoR (r16): candidates carry their resolved
+      // id/commit-version so postimages preserve identity — the DV
+      // retraction side needs nothing (positions stable)
+      val rowIds: Option[(String, String, Map[String, String])] =
+        if (!s.rowTrackingSupported || mapped) None
+        else Some(mintRowIdCols(s))
+      val candDf = rowIds match {
+        case None => readKept(spark, table, s, kept, withMeta = true)
+        case Some(_) =>
+          import org.apache.spark.sql.functions.{broadcast, coalesce, lit}
+          import spark.implicits._
+          val declaredId = s.configuration
+            .get("delta.rowTracking.materializedRowIdColumnName")
+          val declaredVer = s.configuration
+            .get("delta.rowTracking.materializedRowCommitVersionColumnName")
+          val extras = (declaredId.toSeq ++ declaredVer.toSeq)
+            .map(n => StructField(n, LongType, nullable = true))
+          val raw = readKept(spark, table, s, kept, withMeta = true,
+            extraFields = extras)
+          val baseDf = broadcast(kept.map { rel =>
+            val i = byRel(rel)
+            (rel, i.baseRowId, i.defaultRowCommitVersion)
+          }.toDF(dvFileCol, "__graft_base_row_id", "__graft_commit_ver"))
+          raw.join(baseDf, dvFileCol)
+            .withColumn("_row_id", coalesce(
+              declaredId.map(col).getOrElse(lit(null).cast(LongType)),
+              col("__graft_base_row_id") + col(dvPosCol)))
+            .withColumn("_last_updated_sequence_number", coalesce(
+              declaredVer.map(col).getOrElse(lit(null).cast(LongType)),
+              col("__graft_commit_ver")))
+            .select((s.schema.fieldNames.toIndexedSeq ++
+              Seq("_row_id", "_last_updated_sequence_number",
+                dvFileCol, dvPosCol)).map(col): _*)
+      }
       val candPlain = candDf.select(s.schema.fieldNames.map(col).toIndexedSeq: _*)
-      val (posDf0, appends) = delta(candDf, s.schema)
+      val (posDf0, appends0) = delta(candDf, s.schema)
+      // postimages rename the carried ids to the DECLARED physical
+      // columns on their way into the appended files
+      val appends = (rowIds, appends0) match {
+        case (Some((idN, verN, _)), Some(a)) if a.columns.contains("_row_id") =>
+          Some(a.withColumnRenamed("_row_id", idN)
+            .withColumnRenamed("_last_updated_sequence_number", verN))
+        case _ => appends0
+      }
       val posDf = posDf0.select(col(dvFileCol), col(dvPosCol)).persist()
       try {
         val nPos = posDf.count()
@@ -2283,6 +2324,8 @@ object DeltaLog {
           dataChange = true,
           conflict = Some((s.files.toSet, conflictPred)),
           cdc = cdcFiles, allowMapped = mapped,
+          tableConf = rowIds.map(_._3).getOrElse(Map.empty),
+          rowIdsPreserved = rowIds.isDefined,
           dvBase = Some(kept.map(rel => rel -> byRel(rel).dvId).toMap))
         committed match {
           case Some(v) =>

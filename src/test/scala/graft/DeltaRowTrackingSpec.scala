@@ -197,6 +197,35 @@ class DeltaRowTrackingSpec extends SparkSpec {
     assert(got(1L) == -1L && got(2L) == -1L, got) // pre-feature: null
   }
 
+  test("merge-on-read UPDATE preserves ids: DV retracts, the postimage carries the identity") {
+    import spark.implicits._
+    val table = tmp()
+    assert(DeltaLog.writeBatch(
+      Seq((0L, "a"), (1L, "b"), (2L, "c")).toDF("id", "v").coalesce(1), table)
+      .contains(0L))
+    armRowTracking(table)
+    assert(DeltaLog.writeBatch(
+      Seq((3L, "d"), (4L, "e")).toDF("id", "v").coalesce(1), table).isDefined)
+    DeltaLog.setTableProperties(spark, table,
+      Map("delta.enableDeletionVectors" -> "true"))
+    def ids(): Map[Long, (Option[Long], Option[Long])] =
+      DeltaLog.readWithRowIds(spark, table).collect().map(r =>
+        r.getLong(0) -> ((if (r.isNullAt(2)) None else Some(r.getLong(2))),
+          if (r.isNullAt(3)) None else Some(r.getLong(3)))).toMap
+    val before = ids()
+    assert(before(3L)._1.contains(0L) && before(4L)._1.contains(1L), before)
+    assert(DeltaLog.updateWhere(spark, table,
+      Seq("v" -> "'m'"), Some("id = 3")).isDefined)
+    val s = DeltaLog.snapshot(spark, table).get
+    val after = ids()
+    assert(after(3L)._1 == before(3L)._1, s"$before -> $after") // id kept
+    assert(after(3L)._2.contains(s.version), after) // version bumped
+    assert(after(4L) == before(4L), after) // DV survivor untouched
+    assert(after(0L)._1.isEmpty, after) // pre-feature rows stay untracked
+    assert(DeltaLog.read(spark, table)
+      .filter(col("id") === 3L).head().getString(1) == "m")
+  }
+
   test("row-rewriting operations refuse loudly; foreign domain metadata carries through commits and checkpoints") {
     import spark.implicits._
     val table = tmp()
