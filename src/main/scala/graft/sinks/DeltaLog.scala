@@ -2929,6 +2929,19 @@ object DeltaLog {
       // rewrites or retracts rows would need the materialized-column id
       // preservation it doesn't implement — refuse loudly.
       val rowTrackingOn = snap.exists(_.rowTrackingSupported)
+      // minted-materialized-name race guard (r16): a concurrent first
+      // DML may have DECLARED different column names since this caller
+      // planned — overlaying ours would orphan the winner's physically
+      // written ids (reads would silently fall back to base+position
+      // on its rewritten files). Abort; the caller re-plans and adopts
+      // the declared names.
+      if (rowIdsPreserved) {
+        val declared = snap.map(_.configuration).getOrElse(Map.empty)
+        for (k <- Seq("delta.rowTracking.materializedRowIdColumnName",
+          "delta.rowTracking.materializedRowCommitVersionColumnName"))
+          if (tableConf.contains(k) && declared.get(k).exists(_ != tableConf(k)))
+            return None
+      }
       val (added2, rowIdDomain): (Seq[(String, AddInfo)], Option[Long]) =
         if (!rowTrackingOn) (added, None)
         else {
