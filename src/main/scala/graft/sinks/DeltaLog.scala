@@ -1119,11 +1119,6 @@ object DeltaLog {
       withMeta: Boolean = false): DataFrame = {
     import org.apache.spark.sql.functions.{broadcast, col, substring_index}
     val mode = mappingMode(s.configuration)
-    // session-scoped but inert elsewhere: it only changes resolution for
-    // read schemas that CARRY parquet.field.id metadata, which only this
-    // path builds (the iceberg sink stamps ids on its write frames only)
-    if (mode == "id")
-      spark.conf.set("spark.sql.parquet.fieldId.read.enabled", "true")
     val outSchema = StructType(s.schema.fields ++ extraPhys ++
       (if (withMeta) Seq(StructField(dvFileCol, StringType),
         StructField(dvPosCol, LongType)) else Seq.empty))
@@ -1139,14 +1134,21 @@ object DeltaLog {
     val physSchema = StructType(
       physicalReadType(StructType(dataFields), mode == "id")
         .asInstanceOf[StructType].fields ++ extraPhys)
-    var df = spark.read.schema(physSchema)
-      .parquet(files.map(f => root.resolve(f._1).toString): _*)
-      .withColumn(dvNameCol, substring_index(col("_metadata.file_path"), "/", -1))
     val bitmaps: Map[String, DeletionVectors.Bitmap] = files.collect {
       case (rel, _, Some(dv)) if dv.cardinality > 0 => fileNameOf(rel) -> dv.load(root)
     }.toMap
-    if (bitmaps.nonEmpty || withMeta)
-      df = df.withColumn(dvPosCol, col("_metadata.row_index"))
+    // id-mode physSchema carries parquet.field.id stamps → the fence
+    // scopes fieldId.read + the nested-pruning disable around THIS scan
+    // (r17, replacing the session-global flip); name mode passes through
+    var df = FencedScan(spark, physSchema) {
+      val d0 = spark.read.schema(physSchema)
+        .parquet(files.map(f => root.resolve(f._1).toString): _*)
+        .withColumn(dvNameCol,
+          substring_index(col("_metadata.file_path"), "/", -1))
+      if (bitmaps.nonEmpty || withMeta)
+        d0.withColumn(dvPosCol, col("_metadata.row_index"))
+      else d0
+    }
     if (bitmaps.nonEmpty) {
       val bc = spark.sparkContext.broadcast(bitmaps)
       df = df.filter(org.apache.spark.sql.GraftShim.column(graft.functions.DvAliveF(

@@ -575,16 +575,12 @@ object IcebergLog {
           "files carry no complete parquet field ids below list/map nodes, " +
           "so by-id binding cannot resolve pre-rename files; rewrite the " +
           "table under its current names first")
-      spark.conf.set("spark.sql.parquet.fieldId.read.enabled", "true")
-      // nested schema pruning REBUILDS pruned struct fields without
-      // their metadata — the parquet.field.id stamps vanish and every
-      // pre-rename file silently reads null in a pruned nested column
-      // (verified against Spark 4.1). Correctness beats pruning: flip
-      // it off for the session the moment a renamed-history NESTED
-      // table is read; flat renamed tables and un-renamed nested
-      // tables keep full pruning.
-      if (m.schema.fields.exists(_.dataType.isInstanceOf[StructType]))
-        spark.conf.set("spark.sql.optimizer.nestedSchemaPruning.enabled", "false")
+      // PURE since r17: the two conf flips id-resolution reads need
+      // (fieldId.read on, nested pruning off — Spark's pruning strips
+      // the id metadata and silently nulls pre-rename files) used to
+      // land here, session-globally; they now scope around each scan
+      // via [[FencedScan]] at every read site that consumes this
+      // stamped schema.
       withIdMetadata(m.schema, m.fieldIdPaths)
     }
   }
@@ -2495,12 +2491,16 @@ object IcebergLog {
     // partition's delete dirtied
     val eqGroups = dels.filter(_.content == 2)
       .groupBy(d => (d.eqFieldIds, d.partition)).toSeq
-    val r0 = spark.read.schema(schema)
-    val r = basePath.map(r0.option("basePath", _)).getOrElse(r0)
-    var d = r.parquet(dirty.map(_.path): _*)
-      .withColumn(posNameCol,
-        substring_index(col("_metadata.file_path"), "/", -1))
-      .withColumn(posPosCol, col("_metadata.row_index"))
+    // scoped field-id read (r17): the scan + its _metadata projections
+    // compile inside the fence; the delete joins below stay outside
+    var d = FencedScan(spark, schema) {
+      val r0 = spark.read.schema(schema)
+      val r = basePath.map(r0.option("basePath", _)).getOrElse(r0)
+      r.parquet(dirty.map(_.path): _*)
+        .withColumn(posNameCol,
+          substring_index(col("_metadata.file_path"), "/", -1))
+        .withColumn(posPosCol, col("_metadata.row_index"))
+    }
     if (dvDels.nonEmpty) {
       // v3 DELETION VECTORS: one roaring bitmap per referenced data
       // file, loaded driver-side (bounded by the DV count) and filtered
@@ -2553,9 +2553,13 @@ object IcebergLog {
         requireUniqueNames(table, files.map(_.path), "equality-delete files")
         val eqSchema = StructType(eqIds.map(id =>
           fieldOf(id).copy(nullable = true)))
-        val eq0 = spark.read.schema(eqSchema).parquet(files.map(_.path): _*)
-          .withColumn(posNameCol,
-            substring_index(col("_metadata.file_path"), "/", -1))
+        // pre-rename EQUALITY-delete files carry the OLD key-column
+        // names — the fenced id read is what binds them (r17)
+        val eq0 = FencedScan(spark, eqSchema) {
+          spark.read.schema(eqSchema).parquet(files.map(_.path): _*)
+            .withColumn(posNameCol,
+              substring_index(col("_metadata.file_path"), "/", -1))
+        }
           .join(broadcast(files.map(f => (fileNameOf(f.path), f.seq))
             .toDF(posNameCol, eqSeqCol)), posNameCol)
           .select((names.map(n => col(n).as(s"__graft_eq_$n")) :+ col(eqSeqCol)): _*)
@@ -2605,9 +2609,12 @@ object IcebergLog {
     import org.apache.spark.sql.functions.{col, substring_index}
     if (dirty.isEmpty) return None
     requireUniqueNames(table, dirty, "live data files")
-    Some(spark.read.schema(schema).option("basePath", basePath).parquet(dirty: _*)
-      .withColumn(posNameCol, substring_index(col("_metadata.file_path"), "/", -1))
-      .withColumn(posPosCol, col("_metadata.row_index"))
+    Some(FencedScan(spark, schema) {
+      spark.read.schema(schema).option("basePath", basePath).parquet(dirty: _*)
+        .withColumn(posNameCol,
+          substring_index(col("_metadata.file_path"), "/", -1))
+        .withColumn(posPosCol, col("_metadata.row_index"))
+    }
       .join(positions, Seq(posNameCol, posPosCol), "left_semi")
       .select(schema.fieldNames.map(col).toIndexedSeq: _*))
   }
@@ -2681,8 +2688,10 @@ object IcebergLog {
         val names = ids.map(id => byId(id).name)
         val eqSchema = StructType(ids.map(id =>
           byId(id).copy(nullable = true)))
-        val keys0 = spark.read.schema(eqSchema).parquet(files.map(_.path): _*)
-          .select(names.map(n => col(n).as(s"__graft_eq_$n")): _*).distinct()
+        val keys0 = FencedScan(spark, eqSchema) {
+          spark.read.schema(eqSchema).parquet(files.map(_.path): _*)
+            .select(names.map(n => col(n).as(s"__graft_eq_$n")): _*)
+        }.distinct() // the exchange stays OUTSIDE the fence
         val keys = if (files.map(_.records).sum <= 4000000L) broadcast(keys0)
           else keys0
         val liveRows = readWithDeletes(spark, table, schema, Some(basePath),
@@ -2843,8 +2852,10 @@ object IcebergLog {
       val (clean, dirty) = splitByDeletes(files, dels, m.schema, m.fieldIds)
       val cleanDf =
         if (clean.isEmpty) None
-        else Some(spark.read.schema(readSchema).option("basePath", basePath)
-          .parquet(clean.map(_.path): _*).select(schemaCols: _*))
+        else Some(FencedScan(spark, readSchema) {
+          spark.read.schema(readSchema).option("basePath", basePath)
+            .parquet(clean.map(_.path): _*).select(schemaCols: _*)
+        })
       val dirtyDf =
         if (dirty.isEmpty) None
         else Some(readWithDeletes(spark, table, readSchema, Some(basePath),
@@ -3019,11 +3030,13 @@ object IcebergLog {
       ("_last_updated_sequence_number" -> lastUpdatedSeqFieldId)
     val cleanDf =
       if (clean.isEmpty) None
-      else Some(spark.read.schema(readSchema).option("basePath", basePath)
-        .parquet(clean.map(_.path): _*)
-        .withColumn(posNameCol,
-          substring_index(col("_metadata.file_path"), "/", -1))
-        .withColumn(posPosCol, col("_metadata.row_index")))
+      else Some(FencedScan(spark, readSchema) {
+        spark.read.schema(readSchema).option("basePath", basePath)
+          .parquet(clean.map(_.path): _*)
+          .withColumn(posNameCol,
+            substring_index(col("_metadata.file_path"), "/", -1))
+          .withColumn(posPosCol, col("_metadata.row_index"))
+      })
     val dirtyDf =
       if (dirty.isEmpty) None
       else Some(readWithDeletes(spark, table, readSchema, Some(basePath),
@@ -3084,9 +3097,10 @@ object IcebergLog {
     val basePath = Paths.get(table, "data").toAbsolutePath.toString
     def readFiles(paths: Seq[String], changeType: String): Option[DataFrame] =
       if (paths.isEmpty) None
-      else Some(spark.read.schema(schema).option("basePath", basePath)
-        .parquet(paths: _*).select(schemaCols: _*)
-        .withColumn(Cdf.changeTypeCol, lit(changeType)))
+      else Some(FencedScan(spark, schema) {
+        spark.read.schema(schema).option("basePath", basePath)
+          .parquet(paths: _*).select(schemaCols: _*)
+      }.withColumn(Cdf.changeTypeCol, lit(changeType)))
     val frames = snaps.flatMap { case (seq, s) =>
       val sid = s.get("snapshot-id").asLong()
       val ts = s.get("timestamp-ms").asLong()
@@ -3263,7 +3277,10 @@ object IcebergLog {
     // read refuses such tables)
     val rwDefaults = initialDefaultFields(m)
     val lineage: Option[Map[String, Lineage]] =
-      if (m.formatVersion != 3 || rwDefaults.nonEmpty) None
+      // !idStampable (r17): see the DML cycle — id-less lineage columns
+      // are invisible to a spec-conformant reader, so don't materialize
+      if (m.formatVersion != 3 || rwDefaults.nonEmpty ||
+          !idStampable(m.schema)) None
       else {
         val lin = lineageOf(table, m)
         val names = victims.map(f => fileNameOf(f.path))
@@ -3292,7 +3309,8 @@ object IcebergLog {
           import org.apache.spark.sql.functions.{col, lit}
           def readGroup(group: Seq[LiveFile]): DataFrame =
             if (dels.isEmpty)
-              spark.read.schema(dataSchema).parquet(group.map(_.path): _*)
+              FencedScan(spark, dataSchema)(
+                spark.read.schema(dataSchema).parquet(group.map(_.path): _*))
             else readWithDeletes(spark, table, readSchemaAll,
               Some(Paths.get(table, "data").toAbsolutePath.toString), group,
               dels, ids = m.fieldIds)
@@ -3323,13 +3341,16 @@ object IcebergLog {
             }
           }.toDF(posNameCol, "__graft_first_row_id", "__graft_dseq"))
           val raw =
-            if (dels.isEmpty)
-              spark.read.schema(StructType(dataSchema.fields ++ lineageFields))
-                .parquet(files.map(_.path): _*)
-                .withColumn(posNameCol,
-                  substring_index(col("_metadata.file_path"), "/", -1))
-                .withColumn(posPosCol, col("_metadata.row_index"))
-            else readWithDeletes(spark, table,
+            if (dels.isEmpty) {
+              val linSchema = StructType(dataSchema.fields ++ lineageFields)
+              FencedScan(spark, linSchema) {
+                spark.read.schema(linSchema)
+                  .parquet(files.map(_.path): _*)
+                  .withColumn(posNameCol,
+                    substring_index(col("_metadata.file_path"), "/", -1))
+                  .withColumn(posPosCol, col("_metadata.row_index"))
+              }
+            } else readWithDeletes(spark, table,
               StructType(readSchemaAll.fields ++ lineageFields),
               Some(Paths.get(table, "data").toAbsolutePath.toString),
               files.toSeq, dels, withMeta = true, ids = lineageIds)
@@ -3664,7 +3685,11 @@ object IcebergLog {
       }
       if (cands.isEmpty && !commitWhenUntouched) return None
       val lin: Option[Map[String, (Option[Long], Long)]] =
-        if (!withLineage || m.formatVersion != 3 || defaults.nonEmpty) None
+        // !idStampable (r17): list/map schemas write no parquet field
+        // ids, so materialized lineage columns would miss the reserved
+        // ids an id-resolving reader needs — legacy path instead
+        if (!withLineage || m.formatVersion != 3 || defaults.nonEmpty ||
+            !idStampable(m.schema)) None
         else {
           val l = lineageOf(table, m)
           // same fallback rules as the CoW cycle: duplicate names or an
@@ -4376,9 +4401,10 @@ object IcebergLog {
         * ids; manifest metrics prove presence). Armed per planning
         * round only when EVERY candidate's lineage is resolvable —
         * otherwise the legacy rewrite runs and lineage reads keep
-        * refusing those files, exactly as before. MERGE keeps the flag
-        * off (its insert machinery doesn't thread the columns; a
-        * documented boundary). */
+        * refusing those files, exactly as before. MERGE is
+        * lineage-armed too (both CoW and MoR pass withLineage=true;
+        * Merge.lineageCarry/insertRows thread the columns — inserts
+        * carry null ids and inherit from the appended file). */
       withLineage: Boolean = false)
       extends DmlRewrite.Format[DataFileInfo, Int] {
     // the delete files the current planning round saw: candidate reads
@@ -4415,8 +4441,13 @@ object IcebergLog {
         Paths.get(f.path).toAbsolutePath.normalize.toString -> f).toMap
       val (candidates, _) = planFiles(spark, table, None, scanFilter)
       plannedLin =
+        // lineage reads refuse defaults; non-idStampable schemas (r17 —
+        // list/map columns) write NO parquet field ids, so materialized
+        // lineage columns would lack the reserved ids a spec-conformant
+        // reader resolves by (name mapping doesn't cover them either) —
+        // legacy rewrite instead, like the duplicate-name fallback
         if (!withLineage || m.formatVersion != 3 ||
-            plannedDefaults.nonEmpty) None // lineage reads refuse defaults
+            plannedDefaults.nonEmpty || !idStampable(m.schema)) None
         else {
           val lin = lineageOf(table, m)
           // name-keyed resolution: duplicate file names (a third-party
@@ -4495,7 +4526,8 @@ object IcebergLog {
         paths: Seq[String], fileCol: Option[String]): DataFrame = {
       import org.apache.spark.sql.functions.col
       if (plannedDeletes.isEmpty)
-        return super.readFiles(spark, schema, paths, fileCol)
+        return FencedScan(spark, schema)(
+          super.readFiles(spark, schema, paths, fileCol))
       // carry the CALLER's path form in the meta column (DmlRewrite
       // keys its candidates by normalized absolute path)
       val lf = paths.map(p => plannedLive.getOrElse(p, sys.error(
@@ -4505,7 +4537,8 @@ object IcebergLog {
       // side keeps the plain whole-stage-codegen scan
       val (clean, dirty) = splitByDeletes(lf, plannedDeletes, schema, plannedIds)
       if (dirty.isEmpty)
-        return super.readFiles(spark, schema, paths, fileCol)
+        return FencedScan(spark, schema)(
+          super.readFiles(spark, schema, paths, fileCol))
       val dirtyDf0 = readWithDeletes(spark, table, schema, Some(basePath),
         dirty, plannedDeletes, withMeta = fileCol.isDefined, ids = plannedIds)
       val dirtyDf = fileCol.map(c =>
@@ -4515,7 +4548,8 @@ object IcebergLog {
       else {
         val cols = schema.fieldNames.map(col).toIndexedSeq
         val sel = fileCol.map(c => cols :+ col(c)).getOrElse(cols)
-        super.readFiles(spark, schema, clean.map(_.path), fileCol)
+        FencedScan(spark, schema)(
+          super.readFiles(spark, schema, clean.map(_.path), fileCol))
           .select(sel: _*).unionAll(dirtyDf.select(sel: _*))
       }
     }
@@ -4543,12 +4577,12 @@ object IcebergLog {
         else splitByDeletes(lf, plannedDeletes, schema, plannedIds)
       val cleanDf =
         if (clean.isEmpty) None
-        else Some {
-          val df = super.readFiles(spark, readSchema, clean.map(_.path), fileCol)
-          df.withColumn(posNameCol,
+        else Some(FencedScan(spark, readSchema) {
+          super.readFiles(spark, readSchema, clean.map(_.path), fileCol)
+            .withColumn(posNameCol,
               substring_index(col("_metadata.file_path"), "/", -1))
             .withColumn(posPosCol, col("_metadata.row_index"))
-        }
+        })
       val dirtyDf =
         if (dirty.isEmpty) None
         else Some {

@@ -22,22 +22,32 @@ import org.apache.spark.sql.types.{ArrayType, DataType, MapType, StructType}
   */
 private[graft] object SchemaEvolution {
 
-  /** Structural type equality for drift detection: nested NULLABILITY
-    * and field METADATA are write-shape details, not type drift (r16 —
-    * a batch whose struct came from non-null literals must append into
-    * a table whose matching nested field is declared nullable, and a
-    * mapped table's columnMapping metadata lives only on the table
-    * side). Field NAMES and primitive types still compare exactly.
+  /** Structural compatibility for drift detection, oriented BATCH →
+    * TABLE. Field METADATA is a write-shape detail (a mapped table's
+    * columnMapping metadata lives only on the table side), and nested
+    * nullability relaxes in one direction only (r17): a non-null batch
+    * field — e.g. a struct built from literals — appends fine into a
+    * table field declared nullable, but a NULLABLE batch field into a
+    * REQUIRED table field is refused, because no row-level null check
+    * runs at append time and a null landing in an iceberg
+    * `"required": true` / delta non-nullable column is a silent
+    * constraint violation for every conformant reader. Field NAMES and
+    * primitive types still compare exactly.
     */
-  private def sameShape(a: DataType, b: DataType): Boolean = (a, b) match {
-    case (x: StructType, y: StructType) =>
-      x.length == y.length && x.fields.zip(y.fields).forall { case (f, g) =>
-        f.name == g.name && sameShape(f.dataType, g.dataType) }
-    case (x: ArrayType, y: ArrayType) => sameShape(x.elementType, y.elementType)
-    case (x: MapType, y: MapType) =>
-      sameShape(x.keyType, y.keyType) && sameShape(x.valueType, y.valueType)
-    case _ => a == b
-  }
+  private def sameShape(batch: DataType, table: DataType): Boolean =
+    (batch, table) match {
+      case (x: StructType, y: StructType) =>
+        x.length == y.length && x.fields.zip(y.fields).forall { case (f, g) =>
+          f.name == g.name && (g.nullable || !f.nullable) &&
+            sameShape(f.dataType, g.dataType) }
+      case (x: ArrayType, y: ArrayType) =>
+        (y.containsNull || !x.containsNull) &&
+          sameShape(x.elementType, y.elementType)
+      case (x: MapType, y: MapType) =>
+        (y.valueContainsNull || !x.valueContainsNull) &&
+          sameShape(x.keyType, y.keyType) && sameShape(x.valueType, y.valueType)
+      case _ => batch == table
+    }
 
   /** The shared-column checks every evolution path runs: exact-type
     * match on same-named columns, no case-variant collisions. Returns
@@ -53,7 +63,13 @@ private[graft] object SchemaEvolution {
     if (clashes.nonEmpty) throw new IllegalArgumentException(
       s"$what: column type drift on append: " + clashes.map { case (f, t) =>
         s"${f.name} is ${t.dataType.simpleString} in the table but " +
-          s"${f.dataType.simpleString} in the batch" }.mkString("; ") +
+          s"${f.dataType.simpleString} in the batch" +
+          // simpleString hides nullability, so a nullability-only clash
+          // would otherwise print two identical types
+          (if (f.dataType.simpleString == t.dataType.simpleString)
+             " (nullability: a nullable batch field cannot append into a " +
+               "required table field)"
+           else "") }.mkString("; ") +
         " (schema evolution never changes an existing column's type)")
     val caseVariants = dfSchema.fields.toSeq
       .filterNot(f => tableByName.contains(f.name))

@@ -255,10 +255,14 @@ object IcebergStreamSource {
       if (added.isEmpty) return 0
       val readSchema = IcebergLog.dataReadSchema(sp, m)
       val basePath = Paths.get(table, "data").toAbsolutePath.toString
-      val df = sp.read.schema(readSchema).option("basePath", basePath)
-        .parquet(added.map(_.path): _*)
-        .select(m.schema.fieldNames.toIndexedSeq
-          .map(org.apache.spark.sql.functions.col): _*)
+      // scoped field-id read (r17): the fence carries the conf flips
+      // dataReadSchema used to make session-globally
+      val df = graft.sinks.FencedScan(sp, readSchema) {
+        sp.read.schema(readSchema).option("basePath", basePath)
+          .parquet(added.map(_.path): _*)
+          .select(m.schema.fieldNames.toIndexedSeq
+            .map(org.apache.spark.sql.functions.col): _*)
+      }
       graft.sinks.Cdf.materializeInto(dir.resolve("data"), df,
         m.partitionColumns, s"add-$seq", Some(added.map(_.records).sum))
     }

@@ -29,4 +29,25 @@ object GraftShim {
     */
   def sqlCacheIsEmpty(spark: SparkSession): Boolean =
     spark.sharedState.cacheManager.isEmpty
+
+  /** Compile `df`'s physical plan NOW and return it re-wrapped as an
+    * RDD-backed frame (r17). Two properties the stamped-schema read
+    * paths need: (a) session confs influencing the plan are captured at
+    * THIS call (`toRdd` forces analysis → optimization → physical
+    * planning eagerly, and SQLExecutionRDD snapshots the session conf
+    * for the executors), so a caller can scope a conf flip around this
+    * call instead of mutating the session for the frame's lazy
+    * lifetime; (b) no outer optimizer — whatever query or session the
+    * frame later composes under — can rewrite through the RDD
+    * boundary, so a plan whose correctness depends on those confs
+    * (field-id parquet resolution with nested pruning off) stays
+    * correct under composition. Caller contract: `df` must be
+    * exchange-free (scan + projections/filters) — compiling it then
+    * runs no Spark jobs. Costs one codegen break and the loss of
+    * pushdown from above; callers project what they need INSIDE `df`.
+    */
+  def fencePlan(df: DataFrame): DataFrame = {
+    val cdf = df.asInstanceOf[classic.Dataset[Row]]
+    cdf.sparkSession.internalCreateDataFrame(cdf.queryExecution.toRdd, cdf.schema)
+  }
 }

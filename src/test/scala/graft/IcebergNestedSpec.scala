@@ -198,10 +198,40 @@ class IcebergNestedSpec extends SparkSpec {
       Some("id = 1"))
     assert(IcebergLog.read(spark, table).filter(col("id") === 1L)
       .select(col("meta.q")).head().getInt(0) == 11)
-    // the renamed-nested read flips nested pruning off session-wide
-    // (correctness: pruning drops parquet.field.id stamps) — restore
-    // for the suites sharing this session
+  }
+
+  test("renamed-table reads leave session confs untouched; unrelated nested scans keep pruning (r17)") {
+    import spark.implicits._
+    val table = tmp()
+    val df = Seq((1L, 10, 1.0), (2L, 20, 2.0)).toDF("id", "q", "p")
+      .select(col("id"), struct(col("q"), col("p")).as("s"))
+    IcebergLog.writeBatch(df, table)
+    IcebergLog.renameColumn(spark, table, "s", "meta")
     spark.conf.set("spark.sql.optimizer.nestedSchemaPruning.enabled", "true")
+    val idBefore = spark.conf.get("spark.sql.parquet.fieldId.read.enabled")
+    // the renamed read is null-safe WITH session pruning on: the
+    // FencedScan compiles the id-resolving plan under its own scoped
+    // confs, and the RDD fence keeps any outer optimizer from
+    // re-pruning the stamped scan into nulls — even composed under a
+    // join planned by the (pruning-on) session
+    val renamed = IcebergLog.read(spark, table)
+    val other = Seq((1L, "x"), (2L, "y")).toDF("id", "t")
+    val joined = renamed.join(other, "id").select(col("id"), col("meta.q"))
+      .collect().map(r => (r.getLong(0), r.getInt(1))).sortBy(_._1)
+    assert(joined.toSeq == Seq((1L, 10), (2L, 20)), joined.mkString(","))
+    // ...and the confs did NOT leak: still exactly as before the read
+    assert(spark.conf.get(
+      "spark.sql.optimizer.nestedSchemaPruning.enabled") == "true")
+    assert(spark.conf.get(
+      "spark.sql.parquet.fieldId.read.enabled") == idBefore)
+    // an UNRELATED nested parquet scan in the same session still prunes:
+    // selecting one leaf reads a one-leaf struct, not the whole struct
+    val plainDir = tmp()
+    df.write.mode("overwrite").parquet(plainDir)
+    val q = spark.read.parquet(plainDir).select(col("s.q"))
+    val scan = q.queryExecution.executedPlan.toString
+    assert(scan.contains("struct<s:struct<q:int>>"),
+      s"nested pruning lost after a renamed-table read:\n$scan")
   }
 
   test("NESTED field rename/drop/add (dotted paths) under field-id identity (r16)") {
@@ -250,6 +280,8 @@ class IcebergNestedSpec extends SparkSpec {
       Seq("s.qty" -> "s.qty + 5"), Some("s.meta.p = 1.0")).isDefined)
     assert(IcebergLog.read(spark, table).filter(col("id") === 1L)
       .select(col("s.qty")).head().getInt(0) == 15)
+    // (pre-r17 a manual pruning-conf restore lived here; reads no
+    // longer mutate session confs)
     // guards: renaming through a non-struct refuses; emptying refuses
     val e1 = intercept[IllegalArgumentException](
       IcebergLog.renameColumn(spark, table, "id.x", "y"))
@@ -257,7 +289,6 @@ class IcebergNestedSpec extends SparkSpec {
     val e2 = intercept[IllegalArgumentException](
       IcebergLog.dropColumns(spark, table, Seq("s.meta.p", "s.meta.t")))
     assert(e2.getMessage.contains("empty its struct"), e2.getMessage)
-    spark.conf.set("spark.sql.optimizer.nestedSchemaPruning.enabled", "true")
   }
 
   test("v3 ROW LINEAGE composes with nested schemas: ids survive a nested-SET UPDATE") {
@@ -283,7 +314,45 @@ class IcebergNestedSpec extends SparkSpec {
     assert(l2(1L) == l1(1L) && l2(2L) == l1(2L) && l2(0L) == l1(0L), l2)
     assert(IcebergLog.read(spark, table)
       .filter(col("id") === 2L).select(col("s.p")).head().getDouble(0) == 30.0)
-    spark.conf.set("spark.sql.optimizer.nestedSchemaPruning.enabled", "true")
+  }
+
+  test("v3 lineage arming skips list/map schemas: DML/OPTIMIZE rewrites carry NO id-less lineage columns (r17)") {
+    import spark.implicits._
+    val table = tmp()
+    def footerFieldNames(): Set[String] = {
+      val conf = spark.sessionState.newHadoopConf()
+      val files = Files.walk(Paths.get(table, "data")).iterator()
+      val out = scala.collection.mutable.Set.empty[String]
+      files.forEachRemaining { p =>
+        if (p.toString.endsWith(".parquet")) {
+          val rd = org.apache.parquet.hadoop.ParquetFileReader.open(
+            org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+              new org.apache.hadoop.fs.Path(p.toString), conf))
+          try rd.getFooter.getFileMetaData.getSchema.getFields
+            .forEach(f => out += f.getName)
+          finally rd.close()
+        }
+      }
+      out.toSet
+    }
+    IcebergLog.writeBatch(
+      Seq((1L, 10, Seq(1, 2)), (2L, 20, Seq(3))).toDF("id", "q", "xs"), table)
+    IcebergLog.setTableProperties(spark, table, Map("format-version" -> "3"))
+    // list column ⇒ files carry NO parquet field ids, so a materialized
+    // _row_id would be invisible to a spec-conformant id-resolving
+    // reader (name mapping doesn't cover the reserved lineage fields) —
+    // the DML cycle must take the LEGACY rewrite, not arm lineage
+    assert(IcebergLog.updateWhere(spark, table,
+      Seq("q" -> "q + 1"), Some("id = 1")).isDefined)
+    assert(!footerFieldNames().contains("_row_id"),
+      s"id-less lineage column materialized: ${footerFieldNames()}")
+    IcebergLog.rewriteDataFiles(spark, table)
+    assert(!footerFieldNames().contains("_row_id"),
+      s"OPTIMIZE materialized an id-less lineage column")
+    val rows = IcebergLog.read(spark, table)
+      .select(col("id"), col("q")).collect()
+      .map(r => (r.getLong(0), r.getInt(1))).sortBy(_._1)
+    assert(rows.toSeq == Seq((1L, 11), (2L, 20)))
   }
 
   test("RENAME refuses on list/map schemas (files carry no ids to resolve by)") {
@@ -315,7 +384,6 @@ class IcebergNestedSpec extends SparkSpec {
       intersect retired).isEmpty, "a dropped id was re-minted")
     val r = IcebergLog.read(spark, table).select(col("id"), col("s")).head()
     assert(r.getLong(0) == 1L && r.isNullAt(1))
-    spark.conf.set("spark.sql.optimizer.nestedSchemaPruning.enabled", "true")
   }
 
   test("nested schema evolution: mergeSchema append adds a nested column with fresh leaf ids past last-column-id") {
@@ -395,6 +463,5 @@ class IcebergNestedSpec extends SparkSpec {
     val r = IcebergLog.read(spark, table).filter(col("id") === 2L)
       .select(col("s.q"), col("s.z"), col("s.price")).head()
     assert(r.getInt(0) == 120 && r.isNullAt(1) && r.getDouble(2) == 2.0)
-    spark.conf.set("spark.sql.optimizer.nestedSchemaPruning.enabled", "true")
   }
 }

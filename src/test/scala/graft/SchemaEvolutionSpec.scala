@@ -227,4 +227,36 @@ class SchemaEvolutionSpec extends SparkSpec {
            |ALTER TABLE x ADD COLUMNS (y BIGINT);""".stripMargin)
     }.getMessage.contains("delta"))
   }
+
+  test("nested nullability relaxes ONE WAY: non-null batch into nullable table ok; nullable batch into required table refused (r17)") {
+    import spark.implicits._
+    // struct() over toDF-int columns is non-nullable; when() without
+    // otherwise makes the nested field nullable
+    def reqDf(id: Long, q: Int) = Seq((id, q)).toDF("id", "q")
+      .select(col("id"), struct(col("q")).as("s"))
+    def nullableDf(id: Long, q: Int) = Seq((id, q)).toDF("id", "q")
+      .select(col("id"), struct(when(col("q") >= 0, col("q")).as("q")).as("s"))
+    for (fmt <- Seq("delta", "iceberg")) {
+      def write(df: org.apache.spark.sql.DataFrame, t: String) = fmt match {
+        case "delta" => DeltaLog.writeBatch(df, t); ()
+        case _ => IcebergLog.writeBatch(df, t); ()
+      }
+      // direction 1: table nested field REQUIRED, batch nullable → the
+      // append would admit nulls into a required column with no
+      // row-level check — refused
+      val t1 = tmpTable(s"${fmt}_req")
+      write(reqDf(1L, 10), t1)
+      val e = intercept[IllegalArgumentException](write(nullableDf(2L, 20), t1))
+      assert(e.getMessage.contains("nullability"), s"$fmt: ${e.getMessage}")
+      // direction 2: table nested field NULLABLE, batch non-null → fine
+      val t2 = tmpTable(s"${fmt}_nullable")
+      write(nullableDf(1L, 10), t2)
+      write(reqDf(2L, 20), t2)
+      val n = fmt match {
+        case "delta" => DeltaLog.read(spark, t2).count()
+        case _ => IcebergLog.read(spark, t2).count()
+      }
+      assert(n == 2L, s"$fmt: $n")
+    }
+  }
 }
