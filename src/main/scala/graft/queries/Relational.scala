@@ -867,8 +867,11 @@ object Relational {
           .find(_.get("schema-id").asInt() == curId).get.get("fields")
           .forEach { f =>
             if (f.get("name").asText() == "bonus") {
-              f.asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode]
-                .put("initial-default", 7)
+              val o = f.asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode]
+              o.put("initial-default", 7)
+              // write-default too (the iceberg-java 1.8 shape sets both):
+              // the omitted-column append below fills it at write time
+              o.put("write-default", 7)
               ()
             }
           }
@@ -887,7 +890,26 @@ object Relational {
         graft.sinks.IcebergLog.updateWhere(s, table,
           Seq("boon" -> "boon + 100"),
           Some("boon = 7 AND l_linenumber >= 4"))
-        graft.sinks.IcebergLog.read(s, table, scanFilter = Some("boon >= 7"))
+        // r17: the answer comes off the STREAMING view, not the batch
+        // read — the snapshot materializes the FILLED shape (pre-field
+        // files carry boon, renamed files resolve by field id), and a
+        // per-commit add that OMITS the default column lands the
+        // spec's write-default (7) in its file bytes before streaming
+        val (sdf, view) = graft.sources.IcebergStreamSource.open(s, table)
+        val qn = "idef_" +
+          java.util.UUID.randomUUID().toString.replace("-", "")
+        val sq = sdf.writeStream.format("memory").queryName(qn)
+          .outputMode("append")
+          .trigger(org.apache.spark.sql.streaming.Trigger.ProcessingTime(100))
+          .start()
+        try {
+          sq.processAllAvailable()
+          graft.sinks.IcebergLog.writeBatch(
+            li.filter(col("l_linenumber") === 1), table, mergeSchema = true)
+          view.sync()
+          sq.processAllAvailable()
+        } finally { sq.stop(); view.close() }
+        s.table(qn).filter(col("boon") >= 7)
           .groupBy(col("l_returnflag"))
           .agg(count(lit(1)).as("n"), sum(col("boon")).as("sum_bonus"))
       },
@@ -898,6 +920,9 @@ object Relational {
              |         WHEN l_orderkey % 2 = 0 THEN 7
              |         ELSE l_linenumber * 10 END AS boon
              |  FROM lineitem
+             |  UNION ALL
+             |  SELECT l_returnflag, 7 AS boon
+             |  FROM lineitem WHERE l_linenumber = 1
              |)
              |SELECT l_returnflag, COUNT(*) AS n,
              |  CAST(SUM(boon) AS BIGINT) AS sum_bonus

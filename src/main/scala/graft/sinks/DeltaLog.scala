@@ -835,19 +835,24 @@ object DeltaLog {
     * OPTIMIZE rewrites of mapped tables share.
     */
   private def placeMappedDataFiles(spark: SparkSession, table: String,
-      s0: Snapshot, df: DataFrame): Seq[(String, AddInfo)] =
+      s0: Snapshot, df: DataFrame,
+      passThrough: Seq[String] = Seq.empty): Seq[(String, AddInfo)] =
     placeMappedDataFiles(spark, table, s0.schema, s0.partitionColumns, df,
-      needsNestedIdStamp(s0.configuration, s0.schema))
+      needsNestedIdStamp(s0.configuration, s0.schema), passThrough)
 
   private def placeMappedDataFiles(spark: SparkSession, table: String,
       schema: StructType, partitionColumns: Seq[String],
-      df: DataFrame, stampNestedIds: Boolean): Seq[(String, AddInfo)] = {
+      df: DataFrame, stampNestedIds: Boolean,
+      /** Non-mapped physical columns riding after the mapped ones —
+        * rowTracking's materialized id columns (r17). */
+      passThrough: Seq[String]): Seq[(String, AddInfo)] = {
     val physSchema = physicalReadType(schema, withIds = true)
       .asInstanceOf[StructType]
     val physPartCols = partitionColumns.map(pc =>
       physName(schema(schema.fieldIndex(pc))))
     placeDataFiles(spark, table, physSchema, physPartCols,
-      toMappedPhysFrame(df, schema, stampNestedIds = stampNestedIds))
+      toMappedPhysFrame(df, schema, passThrough = passThrough,
+        stampNestedIds = stampNestedIds))
   }
 
   /** Mint a fresh column mapping over `schema` (mapped-table CREATE —
@@ -984,10 +989,9 @@ object DeltaLog {
       .get("delta.rowTracking.materializedRowIdColumnName")
     val matVer = s.configuration
       .get("delta.rowTracking.materializedRowCommitVersionColumnName")
-    require(matId.isEmpty || mappingMode(s.configuration) == "none",
-      s"$table: materialized row-id columns on a column-mapped table are " +
-        "not implemented here — the base+position rule still serves " +
-        "tables without preserved ids")
+    // mapped tables compose (r17): the materialized names are PHYSICAL
+    // (hidden columns outside the mapping) — readKept routes them as
+    // extra physical read fields
     val extras = (matId.toSeq ++ matVer.toSeq)
       .map(n => StructField(n, LongType, nullable = true))
     val df = readKept(spark, table, s, s.files, withMeta = true,
@@ -996,6 +1000,63 @@ object DeltaLog {
       (rel, info.baseRowId, info.defaultRowCommitVersion)
     }.toDF(dvFileCol, "__graft_base_row_id", "__graft_commit_ver"))
     df.join(baseDf, dvFileCol)
+      .withColumn("_row_id", coalesce(
+        matId.map(col).getOrElse(lit(null).cast(LongType)),
+        col("__graft_base_row_id") + col(dvPosCol)))
+      .withColumn("_row_commit_version", coalesce(
+        matVer.map(col).getOrElse(lit(null).cast(LongType)),
+        col("__graft_commit_ver")))
+      .select(s.schema.fieldNames.map(col).toIndexedSeq :+
+        col("_row_id") :+ col("_row_commit_version"): _*)
+  }
+
+  /** Rows of specific ADDED files with their row-tracking identity
+    * attached (r17 — the streaming view's add materialization):
+    * `_row_id` = the add's baseRowId + the row's position in its file
+    * and `_row_commit_version` = its defaultRowCommitVersion, each
+    * overridden by the table's MATERIALIZED columns where the file
+    * carries values (a third-party writer's preserved ids). `adds` =
+    * (rel path, partitionValues, baseRowId, defaultRowCommitVersion)
+    * from the commit's OWN action lines — a pure function of the log,
+    * so crash replays materialize identical bytes — read by explicit
+    * path (a later OPTIMIZE may have tombstoned them out of the
+    * current snapshot; the bytes stay until VACUUM).
+    */
+  private[graft] def readAddsWithRowIds(spark: SparkSession, table: String,
+      adds: Seq[(String, Seq[(String, String)], Option[Long], Option[Long])])
+      : DataFrame = {
+    import org.apache.spark.sql.functions.{broadcast, coalesce, col, lit, substring_index}
+    import spark.implicits._
+    val s = snapshot(spark, table)
+      .getOrElse(sys.error(s"$table is not a Delta table (no _delta_log)"))
+    val matId = s.configuration
+      .get("delta.rowTracking.materializedRowIdColumnName")
+    val matVer = s.configuration
+      .get("delta.rowTracking.materializedRowCommitVersionColumnName")
+    val extras = (matId.toSeq ++ matVer.toSeq)
+      .map(n => StructField(n, LongType, nullable = true))
+    val root = Paths.get(table).toAbsolutePath.normalize
+    val names = adds.map(a => fileNameOf(a._1))
+    require(names.distinct.size == names.size,
+      s"$table: one commit's adds share a file name; row-id attachment " +
+        "keys on unique names")
+    val raw =
+      if (mappingMode(s.configuration) != "none")
+        readMappedFiles(spark, table, s,
+          adds.map { case (rel, pv, _, _) => (rel, pv, None) },
+          extraPhys = extras, withMeta = true)
+          .withColumn(dvNameCol, substring_index(col(dvFileCol), "/", -1))
+      else
+        spark.read.schema(StructType(s.schema.fields ++ extras))
+          .option("basePath", table)
+          .parquet(adds.map(a => root.resolve(a._1).toString): _*)
+          .withColumn(dvNameCol,
+            substring_index(col("_metadata.file_path"), "/", -1))
+          .withColumn(dvPosCol, col("_metadata.row_index"))
+    val baseDf = broadcast(adds.map { case (rel, _, b, v) =>
+      (fileNameOf(rel), b, v)
+    }.toDF(dvNameCol, "__graft_base_row_id", "__graft_commit_ver"))
+    raw.join(baseDf, dvNameCol)
       .withColumn("_row_id", coalesce(
         matId.map(col).getOrElse(lit(null).cast(LongType)),
         col("__graft_base_row_id") + col(dvPosCol)))
@@ -1032,14 +1093,15 @@ object DeltaLog {
       extraFields: Seq[StructField] = Seq.empty): DataFrame = {
     import org.apache.spark.sql.functions.{broadcast, col, substring_index, udf}
     if (mappingMode(s.configuration) != "none") {
-      require(extraFields.isEmpty,
-        s"$table: extra physical read columns on a column-mapped table " +
-          "are not implemented")
+      // extraFields on a mapped table are the rowTracking materialized
+      // columns (r17): the config value IS the physical column name
+      // (hidden columns live outside the logical mapping), so they read
+      // as extra PHYSICAL fields — absent files return null
       val infoOf = s.adds.toMap
       return readMappedFiles(spark, table, s,
         kept.map { rel =>
           val i = infoOf(rel); (rel, i.partitionValues, i.dv)
-        }, withMeta = withMeta)
+        }, extraPhys = extraFields, withMeta = withMeta)
     }
     val byRel = s.adds.toMap
     val root = Paths.get(table).toAbsolutePath.normalize
@@ -1665,7 +1727,7 @@ object DeltaLog {
     val effectiveConf =
       snap0.map(_.configuration).getOrElse(Map.empty) ++ conf
     val added = placeMappedDataFiles(spark, table, tableSchema, partCols,
-      df1, needsNestedIdStamp(effectiveConf, tableSchema))
+      df1, needsNestedIdStamp(effectiveConf, tableSchema), Seq.empty)
     val committed = commit(spark, table, tableSchema, partCols,
       added, txn, tableConf = conf, allowMapped = true)
     committed match {
@@ -1736,10 +1798,10 @@ object DeltaLog {
     // victim row's id/commit-version into the replacement files
     // (declared columns where a prior writer preserved them, else
     // baseRowId + position) — ids survive compaction, the same rule
-    // the iceberg OPTIMIZE follows. Mapped rowTracking still refuses
-    // at commit.
+    // the iceberg OPTIMIZE follows. Composes with column mapping (r17):
+    // the materialized names are physical and ride as passThrough.
     val rowIds: Option[(String, String, Map[String, String])] =
-      if (!s.rowTrackingSupported || mapped) None
+      if (!s.rowTrackingSupported) None
       else Some(mintRowIdCols(s))
     val df = rowIds match {
       case None => readKept(spark, table, s, small.map(_._1))
@@ -1773,7 +1835,9 @@ object DeltaLog {
       if (zorderBy.isEmpty) df.coalesce(nOut)
       else graft.operators.ZOrder.cluster(df, zorderBy, nOut)
     val added =
-      if (mapped) placeMappedDataFiles(spark, table, s, out)
+      if (mapped) placeMappedDataFiles(spark, table, s, out,
+        passThrough = rowIds.map { case (idN, verN, _) => Seq(idN, verN) }
+          .getOrElse(Seq.empty))
       else placeDataFiles(spark, table, s.schema, s.partitionColumns, out)
     onOptimizeCommit()
     val committed = commit(spark, table, s.schema, s.partitionColumns, added,
@@ -2234,9 +2298,10 @@ object DeltaLog {
       if (kept.isEmpty && !commitWhenUntouched) return None
       // rowTracking MoR (r16): candidates carry their resolved
       // id/commit-version so postimages preserve identity — the DV
-      // retraction side needs nothing (positions stable)
+      // retraction side needs nothing (positions stable). Mapped tables
+      // compose (r17): materialized names are physical passThrough.
       val rowIds: Option[(String, String, Map[String, String])] =
-        if (!s.rowTrackingSupported || mapped) None
+        if (!s.rowTrackingSupported) None
         else Some(mintRowIdCols(s))
       val candDf = rowIds match {
         case None => readKept(spark, table, s, kept, withMeta = true)
@@ -2310,7 +2375,9 @@ object DeltaLog {
           rel -> byRel(rel).copy(dv = Some(d)) }
         val removedRels = mergedBitmaps.map(_._1)
         val placedAppends = appends.map(a =>
-          if (mapped) placeMappedDataFiles(spark, table, s, a)
+          if (mapped) placeMappedDataFiles(spark, table, s, a,
+            passThrough = rowIds.map { case (idN, verN, _) =>
+              Seq(idN, verN).filter(a.columns.contains) }.getOrElse(Seq.empty))
           else placeDataFiles(spark, table, s.schema, s.partitionColumns, a))
           .getOrElse(Seq.empty)
         if (removedRels.isEmpty && placedAppends.isEmpty) return None
@@ -2567,8 +2634,9 @@ object DeltaLog {
     // rowTracking DML (r16): (materialized row-id col, row-commit-ver
     // col) the rewrite must WRITE — declared names from the table
     // config, or minted here (the config change rides the same commit
-    // via mintedConf). Unmapped tables only; a mapped rowTracking
-    // table's DML refuses at commit (loud), never silently drops ids.
+    // via mintedConf). Composes with column mapping (r17): the
+    // materialized names are physical and ride stampOutput's
+    // passThrough into the physical-shape replacement files.
     @volatile private var plannedRowIds: Option[(String, String)] = None
     @volatile private var mintedConf: Map[String, String] = Map.empty
     def plan(scanFilter: Option[String]): DmlRewrite.Plan = {
@@ -2576,8 +2644,7 @@ object DeltaLog {
         .getOrElse(sys.error(s"$table is not a Delta table (no _delta_log)"))
       planned = Some(s)
       plannedRowIds =
-        if (!s.rowTrackingSupported ||
-            mappingMode(s.configuration) != "none") None
+        if (!s.rowTrackingSupported) None
         else {
           val (idN, verN, conf) = mintRowIdCols(s)
           mintedConf = conf
@@ -2663,8 +2730,15 @@ object DeltaLog {
     override def stampOutput(df: DataFrame, plan: DmlRewrite.Plan): DataFrame =
       plannedRowIds match {
         case Some((idN, verN)) =>
-          df.withColumnRenamed("_row_id", idN)
+          val renamed = df.withColumnRenamed("_row_id", idN)
             .withColumnRenamed("_last_updated_sequence_number", verN)
+          if (!mapped) renamed
+          // mapped + rowTracking (r17): data columns land physical, the
+          // materialized id columns ride unchanged (they ARE physical)
+          else toMappedPhysFrame(renamed, plan.schema,
+            passThrough = Seq(idN, verN),
+            stampNestedIds = planned.exists(s =>
+              needsNestedIdStamp(s.configuration, plan.schema)))
         case None =>
           if (!mapped) df
           else toMappedPhysFrame(df, plan.schema, stampNestedIds =

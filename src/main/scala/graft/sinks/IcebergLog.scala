@@ -613,22 +613,31 @@ object IcebergLog {
     * JSON single-value serialization. Temporal/decimal defaults stay
     * strings and cast at projection time.
     */
-  private[graft] def initialDefaultFields(m: Meta): Seq[(StructField, Any)] = {
+  private[graft] def initialDefaultFields(m: Meta): Seq[(StructField, Any)] =
+    defaultFieldsOf(m, "initial-default")
+
+  /** CURRENT-schema fields carrying a v3 `write-default` — the value a
+    * WRITER must materialize when an append omits the column (r17).
+    */
+  private[graft] def writeDefaultFields(m: Meta): Seq[(StructField, Any)] =
+    defaultFieldsOf(m, "write-default")
+
+  private def defaultFieldsOf(m: Meta, attr: String): Seq[(StructField, Any)] = {
     if (m.formatVersion < 3) return Seq.empty
     val arr = m.node.get("schemas")
     val cur = (0 until arr.size()).map(arr.get)
       .find(_.get("schema-id").asInt() == m.currentSchemaId).getOrElse(arr.get(0))
     val fields = cur.get("fields")
-    // a NESTED initial-default (a field added inside a struct after
-    // data existed) is invisible to the top-level fill below — filling
-    // nothing would silently null it, so refuse the read outright
+    // a NESTED default (a field added inside a struct after data
+    // existed) is invisible to the top-level fill below — filling
+    // nothing would silently null it, so refuse outright
     def nestedDefault(t: com.fasterxml.jackson.databind.JsonNode): Boolean =
       !t.isTextual && (t.get("type").asText() match {
         case "struct" =>
           val fs = t.get("fields")
           (0 until fs.size()).exists { i =>
             val f = fs.get(i)
-            Option(f.get("initial-default")).exists(!_.isNull) ||
+            Option(f.get(attr)).exists(!_.isNull) ||
               nestedDefault(f.get("type"))
           }
         case "list" => nestedDefault(t.get("element"))
@@ -637,13 +646,13 @@ object IcebergLog {
       })
     (0 until fields.size()).foreach { i =>
       if (nestedDefault(fields.get(i).get("type"))) sys.error(
-        "iceberg: a NESTED field carries initial-default — this engine's " +
-          "default fill resolves top-level columns only; refusing to read " +
-          "what it would silently null")
+        s"iceberg: a NESTED field carries $attr — this engine's " +
+          "default fill resolves top-level columns only; refusing to " +
+          "guess what it would silently null")
     }
     (0 until fields.size()).flatMap { i =>
       val f = fields.get(i)
-      Option(f.get("initial-default")).filterNot(_.isNull).map { d =>
+      Option(f.get(attr)).filterNot(_.isNull).map { d =>
         val name = f.get("name").asText()
         val sf = m.schema(m.schema.fieldIndex(name))
         val v: Any = sf.dataType match {
@@ -655,28 +664,42 @@ object IcebergLog {
           case StringType => d.asText()
           case _: DecimalType | DateType | TimestampType => d.asText()
           case other => sys.error(
-            s"iceberg: initial-default on type $other is not implemented")
+            s"iceberg: $attr on type $other is not implemented")
         }
         (sf, v)
       }
     }
   }
 
-  /** Stream/changelog gate: those surfaces replay OLD files raw (no
-    * per-file default filling), so they refuse on a table carrying
-    * initial-defaults. Everything else now composes (r16): reads fill,
-    * appends/evolution carry the schema-entry attributes verbatim, and
-    * DML/OPTIMIZE read their candidates through the same per-file
-    * fills, so postimages materialize the correct values.
+  /** Plain (no-deletes-applied) read of specific data files in LOGICAL
+    * shape: field-id-stamped schema when the history shows a rename,
+    * per-file initial-default FILLS (r17 — what lifted the streaming
+    * view's refusal on default-carrying tables: add materialization
+    * reads through this). Grouping is metadata-only, ≤2^|defaults|
+    * groups.
     */
-  private[graft] def requireNoInitialDefaults(table: String, m: Meta): Unit =
-    require(initialDefaultFields(m).isEmpty,
-      s"$table: v3 schema carries initial-default field(s) " +
-        s"(${initialDefaultFields(m).map(_._1.name).mkString(", ")}); this " +
-        "engine READS/APPENDS/EVOLVES/DMLs such tables (r16), but the " +
-        "streaming and changelog surfaces replay old files raw — their " +
-        "rows would null the defaults; route streams through the writer " +
-        "that owns the defaults")
+  private[graft] def readLiveFilesFilled(spark: SparkSession, table: String,
+      m: Meta, files: Seq[LiveFile]): DataFrame = {
+    import org.apache.spark.sql.functions.{col, lit}
+    val readSchema = dataReadSchema(spark, m)
+    val basePath = Paths.get(table, "data").toAbsolutePath.toString
+    val cols = m.schema.fieldNames.map(col).toIndexedSeq
+    val defaults = initialDefaultFields(m)
+    def read(group: Seq[LiveFile]): DataFrame = FencedScan(spark, readSchema) {
+      spark.read.schema(readSchema).option("basePath", basePath)
+        .parquet(group.map(_.path): _*).select(cols: _*)
+    }
+    if (defaults.isEmpty || files.isEmpty) read(files)
+    else files.groupBy(f =>
+        fillFieldsOf(table, m, defaults, m.fieldIds, f).map(_._1.name))
+      .toSeq.sortBy(_._1.mkString(","))
+      .map { case (fillNames, group) =>
+        val fills = defaults.filter(d => fillNames.contains(d._1.name))
+        fills.foldLeft(read(group)) { case (d0, (sf, v)) =>
+          d0.withColumn(sf.name, lit(v).cast(sf.dataType))
+        }.select(cols: _*)
+      }.reduce(_ unionAll _)
+  }
 
   /** The default-carrying fields `file` must FILL on read, resolved
     * with no silent wrong answer possible:
@@ -935,11 +958,11 @@ object IcebergLog {
       s"$table is Iceberg format-version $fv; this engine reads " +
         "format-versions 2 and 3 (sequence numbers, row-level deletes, " +
         "v3 deletion vectors) — refusing to guess other semantics")
-    // v3 initial-default (r15): READS fill the default for files that
-    // predate the field ([[read]]); WRITES refuse
-    // ([[requireNoInitialDefaults]] in commitSnapshot) — this engine's
-    // metadata rebuild would drop the default attributes, and DML
-    // postimages of pre-field files would null them.
+    // v3 defaults: READS fill initial-default per file ([[read]],
+    // [[readChanges]], the streaming view's materializations); APPENDS
+    // fill write-default for omitted columns ([[writeBatch]]); DML
+    // candidate reads fill too, so postimages materialize the values.
+    // Evolution carries the schema-entry nodes verbatim (r16).
     Some(Meta(v, node, metaFile.getFileName.toString))
   }
 
@@ -1309,14 +1332,28 @@ object IcebergLog {
       if (current(table).exists(_.appVersions.get(app).exists(_ >= v)))
         return None
     }
+    val cur0 = current(table)
+    // v3 WRITE-DEFAULT application (r17): an append omitting a column
+    // that carries `write-default` materializes the spec's value into
+    // the written bytes — exactly what a conformant writer does (absent
+    // bytes would read back the column's initial-default instead, which
+    // may differ). Omitted columns carrying ONLY an initial-default
+    // still refuse in commitSnapshot.
+    val df1 = cur0.map { m =>
+      writeDefaultFields(m).filterNot(d => df.columns.contains(d._1.name))
+        .foldLeft(df) { case (d0, (sf, v)) =>
+          d0.withColumn(sf.name,
+            org.apache.spark.sql.functions.lit(v).cast(sf.dataType))
+        }
+    }.getOrElse(df)
     // field ids are TABLE-schema positions: under evolution the batch's
     // column order may differ, so metrics must key off the schema the
     // commit will land under (fresh table: the batch's own schema)
-    val statSchema = current(table)
-      .map(m => SchemaEvolution.resolve(m.schema, df.schema, mergeSchema, table))
-      .getOrElse(df.schema)
-    val added = writeDataFiles(spark, table, df, partitionBy, statSchema)
-    val committed = commit(spark, table, df.schema, partitionBy, added, txn,
+    val statSchema = cur0
+      .map(m => SchemaEvolution.resolve(m.schema, df1.schema, mergeSchema, table))
+      .getOrElse(df1.schema)
+    val added = writeDataFiles(spark, table, df1, partitionBy, statSchema)
+    val committed = commit(spark, table, df1.schema, partitionBy, added, txn,
       mergeSchema)
     if (committed.isEmpty)
       added.foreach(a => Files.deleteIfExists(Paths.get(a.path)))
@@ -1666,10 +1703,15 @@ object IcebergLog {
               "reads raw — route it through the writer that owns the " +
               "defaults")
           if (added.nonEmpty) defaults.foreach { case (sf, _) =>
+            // writeBatch fills write-default columns upstream (r17), so
+            // a column still missing HERE either carries only an
+            // initial-default (omission would silently read back the
+            // initial-default — ambiguous with "writer meant null") or
+            // came through a path that bypassed the fill; refuse both
             require(schema0.fieldNames.contains(sf.name),
-              s"$table: append omits default-carrying column ${sf.name} — " +
-                "its files would engage write-default semantics this " +
-                "engine does not implement; write the column explicitly")
+              s"$table: append omits default-carrying column ${sf.name} " +
+                "and the field declares no write-default to fill; write " +
+                "the column explicitly")
           }
         }
       }
@@ -3076,9 +3118,6 @@ object IcebergLog {
     import org.apache.spark.sql.functions.{col, lit}
     val m = current(table).getOrElse(
       sys.error(s"$table is not an Iceberg table (no metadata/v*.metadata.json)"))
-    // the changelog replays OLD files; per-file default filling is a
-    // [[read]]-path feature — refuse loudly rather than null defaults
-    requireNoInitialDefaults(table, m)
     val hi = toSeq.getOrElse(m.lastSeq)
     require(fromSeq >= 1 && fromSeq <= hi,
       s"readChanges: bad sequence range $fromSeq..$hi")
@@ -3095,12 +3134,36 @@ object IcebergLog {
     val schema = dataReadSchema(spark, m)
     val schemaCols = schema.fieldNames.map(col).toIndexedSeq
     val basePath = Paths.get(table, "data").toAbsolutePath.toString
-    def readFiles(paths: Seq[String], changeType: String): Option[DataFrame] =
+    // v3 initial-defaults (r17, lifting the r16 refusal): the changelog
+    // replays OLD files, and a replayed row's LOGICAL value includes
+    // the fill its file needs — so every replay path below groups its
+    // files by fill class (the [[read]]-path machinery, ≤2^|defaults|
+    // metadata-only groups) and folds the fills over each group's rows.
+    // Restricting a read to a fill group is sound because every replay
+    // primitive here is per-file row reads + per-row matching.
+    val idefs = initialDefaultFields(m)
+    def filledBy[T](items: Seq[T])(fillClass: T => Seq[String])(
+        read: Seq[T] => Option[DataFrame]): Option[DataFrame] =
+      if (idefs.isEmpty || items.isEmpty) read(items)
+      else items.groupBy(fillClass).toSeq.sortBy(_._1.mkString(","))
+        .flatMap { case (fillNames, group) =>
+          val fills = idefs.filter(d => fillNames.contains(d._1.name))
+          read(group).map(df => fills.foldLeft(df) { case (d0, (sf, v)) =>
+            d0.withColumn(sf.name, lit(v).cast(sf.dataType)) })
+        }.reduceOption(_ unionAll _)
+    def fillClassOf(f: LiveFile): Seq[String] =
+      fillFieldsOf(table, m, idefs, m.fieldIds, f).map(_._1.name)
+    def filled(files: Seq[LiveFile])(
+        read: Seq[LiveFile] => Option[DataFrame]): Option[DataFrame] =
+      filledBy(files)(fillClassOf)(read)
+    def readFiles0(paths: Seq[String], changeType: String): Option[DataFrame] =
       if (paths.isEmpty) None
       else Some(FencedScan(spark, schema) {
         spark.read.schema(schema).option("basePath", basePath)
           .parquet(paths: _*).select(schemaCols: _*)
       }.withColumn(Cdf.changeTypeCol, lit(changeType)))
+    def readFiles(files: Seq[LiveFile], changeType: String): Option[DataFrame] =
+      filled(files)(g => readFiles0(g.map(_.path), changeType))
     val frames = snaps.flatMap { case (seq, s) =>
       val sid = s.get("snapshot-id").asLong()
       val ts = s.get("timestamp-ms").asLong()
@@ -3112,12 +3175,11 @@ object IcebergLog {
           val added = liveFiles(table, Some(sid))
             .filter(f => f.status == 1 && f.entryRow.get(1) == sid)
           requireResolvablePartitions(table, m, added)
-          readFiles(added.map(_.path), "insert")
+          readFiles(added, "insert")
         case "overwrite" | "delete" =>
           val live = liveFiles(table, Some(sid)).filter(_.status != 2)
           requireResolvablePartitions(table, m, live)
           val added = live.filter(f => f.status == 1 && f.entryRow.get(1) == sid)
-            .map(_.path)
           val parentId = Option(s.get("parent-snapshot-id")).map(_.asLong())
             .getOrElse(sys.error(
               s"$table: $op snapshot $sid has no parent; cannot diff"))
@@ -3130,10 +3192,11 @@ object IcebergLog {
           val rm = parentLive.filter(f => removed.contains(f.path)).sortBy(_.path)
           val fileDels =
             if (rm.isEmpty) None
-            else if (parentDels.isEmpty) readFiles(rm.map(_.path), "delete")
-            else Some(readWithDeletes(spark, table, schema, Some(basePath),
-              rm, parentDels, ids = m.fieldIds)
-              .withColumn(Cdf.changeTypeCol, lit("delete")))
+            else if (parentDels.isEmpty) readFiles(rm, "delete")
+            else filled(rm) { g =>
+              Some(readWithDeletes(spark, table, schema, Some(basePath),
+                g, parentDels, ids = m.fieldIds))
+            }.map(_.withColumn(Cdf.changeTypeCol, lit("delete")))
           // merge-on-read: delete files ADDED by this snapshot retract
           // exact rows — per-row changelog, not file-diff. Position
           // deletes name their rows; equality deletes match the parent's
@@ -3146,16 +3209,32 @@ object IcebergLog {
             else {
               val (_, dirtyP) = splitByDeletes(parentLive, posNew, schema,
                 m.fieldIds)
-              positionDeleteRows(spark, table, schema, basePath,
-                dirtyP.map(_.path), posNew)
-                .map(_.withColumn(Cdf.changeTypeCol, lit("delete")))
+              filled(dirtyP) { g =>
+                positionDeleteRows(spark, table, schema, basePath,
+                  g.map(_.path), posNew)
+              }.map(_.withColumn(Cdf.changeTypeCol, lit("delete")))
             }
-          val dvDels = dvDeleteRows(spark, table, schema, basePath,
-            parentLive, parentDels, dvNew)
-            .map(_.withColumn(Cdf.changeTypeCol, lit("delete")))
-          val eqDels = equalityDeleteRows(spark, table, schema, basePath,
-            parentLive, parentDels, delsNew.filter(_.content == 2), m.fieldIds)
-            .map(_.withColumn(Cdf.changeTypeCol, lit("delete")))
+          // DV diffs read the REFERENCED parent file's rows: group the
+          // DVs by their referenced file's fill class (a DV whose file
+          // was rewritten is inert — empty class, reads nothing anyway)
+          val parentByName = parentLive.map(f => fileNameOf(f.path) -> f).toMap
+          val dvDels = filledBy(dvNew)(d =>
+            d.referencedDataFile.map(fileNameOf).flatMap(parentByName.get)
+              .map(fillClassOf).getOrElse(Seq.empty)) { g =>
+            dvDeleteRows(spark, table, schema, basePath,
+              parentLive, parentDels, g)
+          }.map(_.withColumn(Cdf.changeTypeCol, lit("delete")))
+          // equality retracts read the parent's live rows per key:
+          // restricting parentLive to one fill group keeps the per-file
+          // read + per-row key-match semantics exactly
+          val eqNew = delsNew.filter(_.content == 2)
+          val eqDels = (
+            if (eqNew.isEmpty) None
+            else filled(parentLive) { g =>
+              equalityDeleteRows(spark, table, schema, basePath,
+                g, parentDels, eqNew, m.fieldIds)
+                .reduceOption(_ unionAll _)
+            }).map(_.withColumn(Cdf.changeTypeCol, lit("delete")))
           val ins = readFiles(added, "insert")
           (fileDels ++ posDels ++ dvDels ++ eqDels ++ ins).reduceOption(_ unionAll _)
         case other => sys.error(

@@ -61,7 +61,16 @@ object DeltaStreamSource {
         * of hard-linking — one copy of the appended rows, never the
         * table; deterministically named per version (replay-idempotent).
         */
-      val mapped: Boolean = false) {
+      val mapped: Boolean = false,
+      /** rowTracking stream (r17): the frame carries `_row_id` /
+        * `_row_commit_version` like the batch face's readWithRowIds, so
+        * the view MATERIALIZES — the snapshot with resolved ids, then
+        * each commit's adds with theirs (the add action's baseRowId +
+        * position / defaultRowCommitVersion, overridden by materialized
+        * columns where a file carries them). Raw links can't surface
+        * ids: they're per-file log state, invisible to a file stream.
+        */
+      val rowTracking: Boolean = false) {
     @volatile private[DeltaStreamSource] var lastVersion: Long = -1L
     /** Has this view EVER emitted a retraction (materialized a change
       * commit)? Until then, pure appends RAW-LINK even into a
@@ -204,6 +213,25 @@ object DeltaStreamSource {
               "ignore_deletes=true to skip change commits whole, or enable " +
               s"${graft.sinks.Cdf.enableProp} and open with change_feed=true " +
               "to stream the changes as retractions.")
+        else if (!changeCommit && rowTracking) {
+          // rowTracking stream: materialize the commit's adds with their
+          // row identity from the commit's OWN action lines
+          val adds = actions.filter(n => n.has("add") &&
+            Option(n.get("add").get("dataChange")).forall(_.asBoolean(true)))
+            .map { n =>
+              val a = n.get("add")
+              ((decodePath(a.get("path").asText()),
+                Option(a.get("partitionValues")).map(_.properties().asScala
+                  .map(e => e.getKey -> (if (e.getValue.isNull) null
+                    else e.getValue.asText())).toSeq.sorted)
+                  .getOrElse(Seq.empty),
+                Option(a.get("baseRowId")).filterNot(_.isNull).map(_.asLong()),
+                Option(a.get("defaultRowCommitVersion")).filterNot(_.isNull)
+                  .map(_.asLong())),
+                Option(a.get("stats")).filterNot(_.isNull).map(_.asText()))
+            }
+          if (adds.nonEmpty) linked += materializeAddsWithIds(v, adds)
+        }
         else if (!changeCommit && mapped) {
           // mapped tables: the raw files are physical-named — materialize
           // the commit's added rows in logical shape instead of linking
@@ -280,6 +308,28 @@ object DeltaStreamSource {
         }
       }
       graft.sinks.Cdf.materializeInto(dir, chg, partCols, s"cdf-$v", hint)
+    }
+
+    /** Materialize one version's ADDED rows with their row-tracking
+      * identity (r17): payload + `_row_id` + `_row_commit_version` from
+      * the commit's own add actions. Same hint/determinism rules as
+      * [[materializeAdds]].
+      */
+    private def materializeAddsWithIds(v: Long,
+        adds: Seq[((String, Seq[(String, String)], Option[Long], Option[Long]),
+          Option[String])]): Int = {
+      val sp = spark.getOrElse(throw new IllegalStateException(
+        s"$table: row_tracking view opened without a SparkSession"))
+      val partCols = DeltaLog.snapshot(sp, table)
+        .map(_.partitionColumns).getOrElse(Seq.empty)
+      val counts = adds.map(_._2.flatMap(st =>
+        try Some(mapper.readTree(st).get("numRecords").asLong())
+        catch { case _: Exception => None }))
+      val hint = if (counts.nonEmpty && counts.forall(_.isDefined))
+        Some(counts.flatten.sum) else None
+      graft.sinks.Cdf.materializeInto(dir,
+        DeltaLog.readAddsWithRowIds(sp, table, adds.map(_._1)),
+        partCols, s"add-$v", hint)
     }
 
     /** Materialize one version's ADDED rows (mapped tables) in logical
@@ -372,12 +422,21 @@ object DeltaStreamSource {
       changeFeed: Boolean = false,
       keys: Seq[String] = Seq.empty,
       viewDir: Option[Path] = None,
-      startingVersion: Option[Long] = None): (DataFrame, View) = {
+      startingVersion: Option[Long] = None,
+      /** Surface `_row_id`/`_row_commit_version` per row (r17) — the
+        * streaming face of [[DeltaLog.readWithRowIds]]. Snapshot and
+        * per-commit adds materialize with resolved ids. */
+      rowTracking: Boolean = false): (DataFrame, View) = {
     require(!(changeFeed && ignoreDeletes),
       "change_feed and ignore_deletes are mutually exclusive (the change " +
         "feed streams exactly the commits ignore_deletes would drop)")
+    require(!(rowTracking && changeFeed),
+      "row_tracking and change_feed are mutually exclusive (the change " +
+        "feed's retraction frame carries its own identity columns)")
     val snap = DeltaLog.snapshot(spark, table)
       .getOrElse(sys.error(s"$table is not a Delta table (no _delta_log)"))
+    require(!rowTracking || snap.rowTrackingSupported,
+      s"$table does not carry the rowTracking writer feature")
     // column-mapped tables: raw files are physical-named, so the view
     // MATERIALIZES (initial snapshot once, then each commit's added
     // rows) instead of hard-linking — logical-shaped copies, bounded by
@@ -394,7 +453,8 @@ object DeltaStreamSource {
     // change-feed sync probe on partitioned views (Cdf.stampViewEra)
     graft.sinks.Cdf.stampViewEra(dir)
     val view = new View(table, dir, ignoreDeletes, changeFeed, Some(spark),
-      persistent = viewDir.isDefined, mapped = mapped)
+      persistent = viewDir.isDefined, mapped = mapped,
+      rowTracking = rowTracking)
     views.add(view)
     val resumed = view.persistent && Files.exists(view.stateFile)
     if (resumed) {
@@ -412,6 +472,17 @@ object DeltaStreamSource {
           s"$table: starting_version $sv is past the log (${snap.version})")
         view.lastVersion = sv - 1
         view.sync()
+      case None if rowTracking =>
+        // rowTracking initial state: ONE materialization of the whole
+        // snapshot with RESOLVED ids (materialized columns override
+        // base+position — the batch face's rule), so rows rewritten by
+        // prior DML stream out under their preserved identity
+        if (snap.files.nonEmpty)
+          graft.sinks.Cdf.materializeInto(view.dir,
+            DeltaLog.readWithRowIds(spark, table),
+            snap.partitionColumns, s"rt-${snap.version}")
+        view.lastVersion = snap.version
+        view.saveState()
       case None if mapped =>
         // mapped initial state: ONE logical-shaped materialization of the
         // whole snapshot (readKept's mapped path handles partitions + DVs)
@@ -444,8 +515,16 @@ object DeltaStreamSource {
     // UNDER the running stream is not (sync fails loudly)
     val schemaNow = DeltaLog.snapshot(spark, table).get.schema
     view.openSchemaJson = schemaNow.json
+    val rtFields = Seq(
+      org.apache.spark.sql.types.StructField("_row_id",
+        org.apache.spark.sql.types.LongType, nullable = true),
+      org.apache.spark.sql.types.StructField("_row_commit_version",
+        org.apache.spark.sql.types.LongType, nullable = true))
     val readSchema =
-      if (changeFeed) graft.sinks.Cdf.streamSchema(schemaNow) else schemaNow
+      if (changeFeed) graft.sinks.Cdf.streamSchema(schemaNow)
+      else if (rowTracking)
+        org.apache.spark.sql.types.StructType(schemaNow.fields ++ rtFields)
+      else schemaNow
     val df0 = spark.readStream.schema(readSchema)
       .option("basePath", view.dir.toString)
       .parquet(view.dir.toString)
@@ -461,7 +540,9 @@ object DeltaStreamSource {
           .map(org.apache.spark.sql.functions.col): _*),
         schemaNow, keys)
       else df0.select(
-        schemaNow.fieldNames.map(org.apache.spark.sql.functions.col).toIndexedSeq: _*)
+        (schemaNow.fieldNames.toIndexedSeq ++
+          (if (rowTracking) Seq("_row_id", "_row_commit_version") else Seq.empty))
+          .map(org.apache.spark.sql.functions.col): _*)
     pollMs.foreach { ms =>
       val t = new Thread(() => {
         try while (true) { view.sync(); Thread.sleep(ms) }

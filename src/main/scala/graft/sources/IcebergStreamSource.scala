@@ -120,6 +120,12 @@ object IcebergStreamSource {
       val news = m.snapshots
         .filter(_.get("sequence-number").asLong() > lastSeq)
         .sortBy(_.get("sequence-number").asLong())
+      // v3 initial-defaults, re-judged per sync (r17 — a default can
+      // appear mid-stream via third-party metadata evolution): raw
+      // links are unsound the moment one exists, because a pre-field
+      // file's rows must carry the FILL — materialize instead, exactly
+      // like the renamed case. Nested defaults fail loudly inside.
+      val defaults = IcebergLog.initialDefaultFields(m).nonEmpty
       var linked = 0
       news.foreach { s =>
         val seq = s.get("sequence-number").asLong()
@@ -133,14 +139,16 @@ object IcebergStreamSource {
           .flatMap(sm => Option(sm.get("operation"))).map(_.asText())
           .getOrElse("append")
         op match {
-          case "append" if renamed =>
+          case "append" if renamed || defaults =>
             // renamed table: links are unsound (name-resolved reads of
-            // pre-rename files) — materialize the snapshot's added rows
-            // through the field-id read schema instead (change-feed
-            // views included: the add-materialization carries no
-            // _change_seq, which is exactly the null-first contract a
-            // retraction-free stream relies on — and once retractions
-            // exist, materializeChanges takes this case)
+            // pre-rename files); default-carrying table: links are
+            // unsound too (pre-field files must read FILLED) —
+            // materialize the snapshot's added rows through the
+            // field-id read schema + per-file fills instead
+            // (change-feed views included: the add-materialization
+            // carries no _change_seq, which is exactly the null-first
+            // contract a retraction-free stream relies on — and once
+            // retractions exist, materializeChanges takes this case)
             if (changeFeed && retractsSeen) linked += materializeChanges(seq)
             else linked += materializeAdds(seq, sid)
           case "append" if changeFeed && retractsSeen =>
@@ -241,28 +249,21 @@ object IcebergStreamSource {
     }
 
     /** Materialize one append snapshot's ADDED rows in logical shape
-      * (renamed tables — the field-id-stamped read schema resolves
-      * pre-rename files; hive partition recovery rides basePath like
-      * the batch read). Hint = Σ manifest record counts (pure function
-      * of the snapshot — replay-stable).
+      * (renamed tables: the field-id-stamped read schema resolves
+      * pre-rename files; default-carrying tables: per-file
+      * initial-default fills — both via [[IcebergLog
+      * .readLiveFilesFilled]]; hive partition recovery rides basePath
+      * like the batch read). Hint = Σ manifest record counts (pure
+      * function of the snapshot — replay-stable).
       */
     private def materializeAdds(seq: Long, sid: Long): Int = {
       val sp = spark.getOrElse(throw new IllegalStateException(
-        s"$table: renamed-table view opened without a SparkSession"))
+        s"$table: materializing view opened without a SparkSession"))
       val m = IcebergLog.current(table).get
       val added = IcebergLog.liveFiles(table, Some(sid))
         .filter(f => f.status == 1 && f.entryRow.get(1) == sid)
       if (added.isEmpty) return 0
-      val readSchema = IcebergLog.dataReadSchema(sp, m)
-      val basePath = Paths.get(table, "data").toAbsolutePath.toString
-      // scoped field-id read (r17): the fence carries the conf flips
-      // dataReadSchema used to make session-globally
-      val df = graft.sinks.FencedScan(sp, readSchema) {
-        sp.read.schema(readSchema).option("basePath", basePath)
-          .parquet(added.map(_.path): _*)
-          .select(m.schema.fieldNames.toIndexedSeq
-            .map(org.apache.spark.sql.functions.col): _*)
-      }
+      val df = IcebergLog.readLiveFilesFilled(sp, table, m, added)
       graft.sinks.Cdf.materializeInto(dir.resolve("data"), df,
         m.partitionColumns, s"add-$seq", Some(added.map(_.records).sum))
     }
@@ -325,9 +326,11 @@ object IcebergStreamSource {
         "feed streams exactly the snapshots ignore_deletes would drop)")
     val m = IcebergLog.current(table).getOrElse(
       sys.error(s"$table is not an Iceberg table (no metadata/v*.metadata.json)"))
-    // raw links / materialized views can't fill v3 initial-defaults
-    // per file — the batch read path can; streams refuse loudly
-    IcebergLog.requireNoInitialDefaults(table, m)
+    // v3 initial-defaults (r17, lifting the r16 refusal): raw links
+    // can't fill per file, so default-carrying tables MATERIALIZE their
+    // snapshot and per-commit adds in filled shape — the renamed-table
+    // pattern. Nested defaults still fail loudly inside.
+    val hasDefaults = IcebergLog.initialDefaultFields(m).nonEmpty
     // a renamed table's pre-rename files carry the OLD parquet column
     // name (field ids are the identity): raw hard-links read by NAME
     // would silently null the renamed column, so such views (r14)
@@ -357,10 +360,11 @@ object IcebergStreamSource {
           s"$table: starting_version $sv is past the log (${m.lastSeq})")
         view.lastSeq = sv - 1
         view.sync()
-      case None if renamed =>
-        // renamed initial state: ONE logical-shaped materialization of
-        // the whole snapshot (the batch read resolves pre-rename files
-        // by field id and applies deletes); deterministic prefix →
+      case None if renamed || hasDefaults =>
+        // renamed / default-carrying initial state: ONE logical-shaped
+        // materialization of the whole snapshot (the batch read
+        // resolves pre-rename files by field id, applies deletes, and
+        // fills initial-defaults per file); deterministic prefix →
         // crash replay is idempotent
         graft.sinks.Cdf.materializeInto(dir.resolve("data"),
           IcebergLog.read(spark, table),

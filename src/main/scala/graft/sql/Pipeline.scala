@@ -1255,7 +1255,11 @@ class Pipeline(spark: SparkSession, streaming: Boolean = false) {
                 .map(java.nio.file.Paths.get(_)),
               // starting_version = 'n' (r11): replay the log from that
               // version instead of starting at the current snapshot
-              startingVersion = t.options.get("starting_version").map(_.toLong))
+              startingVersion = t.options.get("starting_version").map(_.toLong),
+              // row_tracking = 'true' (r17): surface _row_id /
+              // _row_commit_version — the streaming face of the batch
+              // reader's row-id read
+              rowTracking = t.options.get("row_tracking").exists(_.toBoolean))
             tableViews += (() => view.close())
             df
           } else {

@@ -226,6 +226,104 @@ class DeltaRowTrackingSpec extends SparkSpec {
       .filter(col("id") === 3L).head().getString(1) == "m")
   }
 
+  test("rowTracking composes with COLUMN MAPPING (r17): arm → append → CoW DML → OPTIMIZE keep ids; file bytes stay physical") {
+    import spark.implicits._
+    val table = tmp()
+    // name-mode mapped CREATE (this writer mints the mapping)
+    assert(DeltaLog.writeBatch(Seq((1L, "a")).toDF("id", "v").coalesce(1),
+      table, tableConf = Map("delta.columnMapping.mode" -> "name"))
+      .contains(0L))
+    // arm rowTracking the third-party way, KEEPING the mapping features:
+    // protocol 3/7, columnMapping in both feature lists
+    val v0 = Paths.get(table, "_delta_log", f"${0L}%020d.json")
+    val out = new java.lang.StringBuilder
+    Files.readAllLines(v0).forEach { line =>
+      if (line.nonEmpty) {
+        val n = mapper.readTree(line)
+        if (n.has("protocol")) {
+          val p = n.get("protocol")
+            .asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode]
+          p.put("minReaderVersion", 3)
+          p.put("minWriterVersion", 7)
+          val rf = p.putArray("readerFeatures")
+          rf.add("columnMapping")
+          val wf = p.putArray("writerFeatures")
+          Seq("columnMapping", "rowTracking", "domainMetadata").foreach(wf.add)
+        }
+        if (n.has("metaData")) {
+          val cfg = n.get("metaData").get("configuration")
+            .asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode]
+          cfg.put("delta.enableRowTracking", "true")
+          ()
+        }
+        out.append(n.toString).append('\n')
+        ()
+      }
+    }
+    Files.write(v0, out.toString.getBytes("UTF-8"))
+    DeltaLog.clearSnapshotCache()
+    // appends assign fresh ids (physical-shape files, phys-keyed stats)
+    assert(DeltaLog.writeBatch(
+      Seq((2L, "b"), (3L, "c")).toDF("id", "v").coalesce(1), table).isDefined)
+    def ids(): Map[Long, (Option[Long], Option[Long])] =
+      DeltaLog.readWithRowIds(spark, table).collect().map(r =>
+        r.getLong(0) -> ((if (r.isNullAt(2)) None else Some(r.getLong(2))),
+          if (r.isNullAt(3)) None else Some(r.getLong(3)))).toMap
+    val before = ids()
+    assert(before(1L)._1.isEmpty, before) // pre-feature: untracked
+    assert(before(2L)._1.contains(0L) && before(3L)._1.contains(1L), before)
+    // CoW UPDATE mints the materialized PHYSICAL column names and
+    // preserves the matched row's identity through the rewrite
+    assert(DeltaLog.updateWhere(spark, table,
+      Seq("v" -> "'m'"), Some("id = 2")).isDefined)
+    val s = DeltaLog.snapshot(spark, table).get
+    assert(s.configuration.contains(
+      "delta.rowTracking.materializedRowIdColumnName"))
+    val matId = s.configuration("delta.rowTracking.materializedRowIdColumnName")
+    val matVer = s.configuration(
+      "delta.rowTracking.materializedRowCommitVersionColumnName")
+    val after = ids()
+    assert(after(2L)._1 == before(2L)._1, s"$before -> $after")
+    assert(after(2L)._2.contains(s.version), after)
+    assert(after(3L) == before(3L), after)
+    // the rewritten file's BYTES are physical: every parquet column is a
+    // mapped physicalName or a materialized id column — no logical name
+    val conf = spark.sessionState.newHadoopConf()
+    // the UPDATE's replacement file is the add claiming THIS commit
+    val newest = s.adds.toSeq
+      .find(_._2.defaultRowCommitVersion.contains(s.version))
+      .getOrElse(fail(s"no add at version ${s.version}: ${s.adds}"))._1
+    val rd = org.apache.parquet.hadoop.ParquetFileReader.open(
+      org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+        new org.apache.hadoop.fs.Path(
+          Paths.get(table, newest).toAbsolutePath.toString), conf))
+    val footerCols = try {
+      val g = rd.getFooter.getFileMetaData.getSchema
+      (0 until g.getFieldCount).map(g.getFieldName)
+    } finally rd.close()
+    assert(footerCols.forall(c =>
+      c.startsWith("col-") || c == matId || c == matVer),
+      s"logical name leaked into mapped bytes: $footerCols")
+    assert(footerCols.contains(matId) && footerCols.contains(matVer),
+      footerCols.mkString(","))
+    // logical predicates still prune/read through phys-keyed stats
+    assert(DeltaLog.read(spark, table, scanFilter = Some("id = 2"))
+      .head().getString(1) == "m")
+    // CoW DELETE keeps tracked survivors; OPTIMIZE preserves everything
+    assert(DeltaLog.deleteWhere(spark, table, "id = 1").isDefined)
+    val afterDel = ids()
+    assert(!afterDel.contains(1L) && afterDel(2L) == after(2L), afterDel)
+    // a second live file so the compaction has victims to merge
+    assert(DeltaLog.writeBatch(
+      Seq((5L, "x")).toDF("id", "v").coalesce(1), table).isDefined)
+    val beforeOpt = ids()
+    assert(beforeOpt(5L)._1.isDefined, beforeOpt)
+    assert(DeltaLog.optimize(spark, table,
+      smallFileBytes = Long.MaxValue).isDefined)
+    assert(ids() == beforeOpt, s"$beforeOpt -> ${ids()}")
+    assert(DeltaLog.read(spark, table).count() == 3)
+  }
+
   test("row-rewriting operations refuse loudly; foreign domain metadata carries through commits and checkpoints") {
     import spark.implicits._
     val table = tmp()

@@ -61,6 +61,71 @@ class DeltaStreamSpec extends SparkSpec {
     assert(!Files.exists(view.dir), "view dir must be deleted on close")
   }
 
+  test("row_tracking stream surfaces _row_id/_row_commit_version: DML-preserved ids in the snapshot, fresh ids on adds (r17)") {
+    import spark.implicits._
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val table = Files.createTempDirectory("delta_rt_stream").resolve("t").toString
+    DeltaLog.writeBatch(
+      Seq((0L, "a"), (1L, "b"), (2L, "c")).toDF("id", "v").coalesce(1), table)
+    // arm rowTracking (the third-party shape — see DeltaRowTrackingSpec)
+    val v0 = Paths.get(table, "_delta_log", f"${0L}%020d.json")
+    val out = new java.lang.StringBuilder
+    Files.readAllLines(v0).forEach { line =>
+      if (line.nonEmpty) {
+        val n = mapper.readTree(line)
+        if (n.has("protocol")) {
+          val p = n.get("protocol")
+            .asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode]
+          p.put("minReaderVersion", 1)
+          p.put("minWriterVersion", 7)
+          val wf = p.putArray("writerFeatures")
+          Seq("rowTracking", "domainMetadata").foreach(wf.add)
+        }
+        out.append(n.toString).append('\n')
+        ()
+      }
+    }
+    Files.write(v0, out.toString.getBytes("UTF-8"))
+    DeltaLog.clearSnapshotCache()
+    DeltaLog.writeBatch(
+      Seq((3L, "d"), (4L, "e")).toDF("id", "v").coalesce(1), table) // base 0-1
+    // CoW UPDATE before the stream opens: id preserved via the
+    // materialized columns, commit version bumped
+    assert(DeltaLog.updateWhere(spark, table,
+      Seq("v" -> "'m'"), Some("id = 3")).isDefined)
+    val updVer = DeltaLog.snapshot(spark, table).get.version
+    val (df, view) = DeltaStreamSource.open(spark, table, rowTracking = true)
+    assert(df.schema.fieldNames.toSeq ==
+      Seq("id", "v", "_row_id", "_row_commit_version"))
+    val q = df.writeStream.format("memory").queryName("rtstream")
+      .outputMode("append").trigger(Trigger.ProcessingTime(100)).start()
+    def got(): Map[Long, (Option[Long], Option[Long])] =
+      spark.table("rtstream").collect().map(r =>
+        r.getLong(0) -> ((if (r.isNullAt(2)) None else Some(r.getLong(2))),
+          if (r.isNullAt(3)) None else Some(r.getLong(3)))).toMap
+    try {
+      q.processAllAvailable()
+      val snap = got()
+      // snapshot: DML-preserved ids stream STABLE (materialized columns
+      // override the rewritten file's fresh base+position)
+      assert(snap(3L) == ((Some(0L), Some(updVer))), snap)
+      assert(snap(4L) == ((Some(1L), Some(1L))), snap) // carried row keeps both
+      assert(snap(0L)._1.isEmpty && snap(2L)._1.isEmpty, snap) // pre-feature
+      // a per-commit add claims fresh ids past the watermark (the
+      // UPDATE's rewrite claimed 2-3, so the next append starts at 4)
+      DeltaLog.writeBatch(Seq((9L, "z")).toDF("id", "v").coalesce(1), table)
+      view.sync()
+      q.processAllAvailable()
+      assert(got()(9L) == ((Some(4L), Some(updVer + 1))), got())
+      // OPTIMIZE mid-stream (dataChange=false) re-emits nothing
+      assert(DeltaLog.optimize(spark, table,
+        smallFileBytes = Long.MaxValue).isDefined)
+      view.sync()
+      q.processAllAvailable()
+      assert(got().size == 6, got())
+    } finally { q.stop(); view.close() }
+  }
+
   test("poller keeps a continuous stream current without manual sync") {
     import spark.implicits._
     val table = Files.createTempDirectory("delta_poll").toString

@@ -353,7 +353,7 @@ class IcebergV3Spec extends SparkSpec {
       .map(r => (r.getLong(0), r.getLong(1))).toSeq == Seq((1L, 10L)))
   }
 
-  test("v3 initial-default: pre-field files fill; post-field values (incl. null) keep; writes/streams refuse") {
+  test("v3 initial-default: pre-field files fill; post-field values (incl. null) keep; DML/OPTIMIZE/changelog compose") {
     import spark.implicits._
     import org.apache.spark.sql.types.LongType
     val table = tmpTable()
@@ -430,12 +430,8 @@ class IcebergV3Spec extends SparkSpec {
       .sortBy(_._1).toSeq
     assert(got3 == Seq((1L, 7L), (2L, 7L), (3L, 300L), (4L, -1L),
       (9L, 9L), (11L, 11L)), got3)
-    // an append OMITTING the default column would engage write-default
-    // semantics — refuse
-    val eOmit = intercept[IllegalArgumentException] {
-      IcebergLog.writeBatch(Seq((12L, 120L)).toDF("id", "v"), table,
-        mergeSchema = true) }
-    assert(eOmit.getMessage.contains("write-default"), eOmit.getMessage)
+    // (an append OMITTING the default column engages WRITE-DEFAULT
+    // semantics — exercised at the end of this test, r17)
     // DML goes through too (r16): candidate reads FILL per file, so
     // postimages materialize the default — which IS the row's value.
     // An UPDATE whose predicate reads the default column must match
@@ -462,13 +458,82 @@ class IcebergV3Spec extends SparkSpec {
       .sortBy(_._1).toSeq
     assert(afterAll == Seq((2L, 7L), (3L, 300L), (4L, -1L),
       (9L, 9L), (11L, 11L)), afterAll)
-    // streams / changelog still refuse (they replay old files raw)
-    val eS = intercept[IllegalArgumentException] {
-      graft.sources.IcebergStreamSource.open(spark, table) }
-    assert(eS.getMessage.contains("initial-default"), eS.getMessage)
-    val eC = intercept[IllegalArgumentException] {
-      IcebergLog.readChanges(spark, table, 1L) }
-    assert(eC.getMessage.contains("initial-default"), eC.getMessage)
+    // WRITE-DEFAULT on appends (r17): a batch omitting the column gets
+    // the spec's write-default MATERIALIZED into the file bytes. Value
+    // 7 (non-null) for id=12 proves materialization: were the column
+    // physically absent, fillFieldsOf would refuse the read outright
+    // (the adding snapshot's schema declares the field), and a null
+    // write would read -1 here
+    assert(IcebergLog.writeBatch(Seq((12L, 120L)).toDF("id", "v"), table,
+      mergeSchema = true).isDefined)
+    val afterOmit = IcebergLog.read(spark, table).collect()
+      .map(r => (r.getLong(0), if (r.isNullAt(2)) -1L else r.getLong(2)))
+      .sortBy(_._1).toSeq
+    assert(afterOmit == Seq((2L, 7L), (3L, 300L), (4L, -1L),
+      (9L, 9L), (11L, 11L), (12L, 7L)), afterOmit)
+    // CHANGELOG fills too (r17, refusal lifted): replaying sequence 1
+    // (the pre-field file) emits its rows with boon FILLED, not null
+    val chg = IcebergLog.readChanges(spark, table, 1L, Some(1L)).collect()
+      .map(r => (r.getLong(0),
+        if (r.isNullAt(2)) -1L else r.getLong(2),
+        r.getString(r.fieldIndex(graft.sinks.Cdf.changeTypeCol))))
+    assert(chg.toSet == Set((1L, 7L, "insert"), (2L, 7L, "insert")),
+      chg.mkString(","))
+  }
+
+  test("v3 initial-default: streaming view materializes the FILLED shape — snapshot + per-commit adds (r17)") {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.Trigger
+    import org.apache.spark.sql.types.LongType
+    val table = tmpTable()
+    IcebergLog.writeBatch(
+      Seq((1L, 10L), (2L, 20L)).toDF("id", "v").coalesce(1), table)
+    assert(IcebergLog.addColumns(spark, table, Seq("bonus" -> LongType)).isDefined)
+    IcebergLog.writeBatch(
+      Seq((3L, 30L, Some(300L)), (4L, 40L, None: Option[Long]))
+        .toDF("id", "v", "bonus").coalesce(1), table)
+    // → iceberg-java 1.8 shape: v3 + initial-default/write-default
+    val dir = Paths.get(table, "metadata")
+    val vf = Files.list(dir).iterator().asScala.map(_.getFileName.toString)
+      .filter(s => s.startsWith("v") && s.endsWith(".metadata.json"))
+      .map(s => s.stripPrefix("v").stripSuffix(".metadata.json").toInt).max
+    val p = dir.resolve(s"v$vf.metadata.json")
+    val node = mapper.readTree(Files.readAllBytes(p))
+      .asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode]
+    node.put("format-version", 3)
+    val curId = node.get("current-schema-id").asInt()
+    val schemas = node.get("schemas")
+    (0 until schemas.size()).map(schemas.get)
+      .find(_.get("schema-id").asInt() == curId).get.get("fields")
+      .forEach { f =>
+        if (f.get("name").asText() == "bonus") {
+          val o = f.asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode]
+          o.put("initial-default", 7)
+          o.put("write-default", 7)
+          ()
+        }
+      }
+    Files.write(p, node.toString.getBytes("UTF-8"))
+    // the r16 refusal is lifted: the view materializes the snapshot in
+    // FILLED shape (the pre-field file's rows carry 7, never null)
+    val (sdf, view) = graft.sources.IcebergStreamSource.open(spark, table)
+    val q = sdf.writeStream.format("memory").queryName("idefstream")
+      .outputMode("append").trigger(Trigger.ProcessingTime(100)).start()
+    try {
+      q.processAllAvailable()
+      def got() = spark.table("idefstream").collect()
+        .map(r => (r.getLong(0), if (r.isNullAt(2)) -1L else r.getLong(2)))
+        .sortBy(_._1).toSeq
+      assert(got() == Seq((1L, 7L), (2L, 7L), (3L, 300L), (4L, -1L)), got())
+      // per-commit add whose batch OMITS the column: write-default
+      // lands in the bytes and the stream emits the filled row
+      assert(IcebergLog.writeBatch(Seq((5L, 50L)).toDF("id", "v").coalesce(1),
+        table, mergeSchema = true).isDefined)
+      view.sync()
+      q.processAllAvailable()
+      assert(got() == Seq((1L, 7L), (2L, 7L), (3L, 300L), (4L, -1L),
+        (5L, 7L)), got())
+    } finally { q.stop(); view.close() }
   }
 
   test("v3 row lineage: spec assignment on appends, DV survivors keep ids, rewrites refuse") {
