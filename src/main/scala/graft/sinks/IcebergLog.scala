@@ -671,6 +671,20 @@ object IcebergLog {
     }
   }
 
+  /** Does ANY of `files` need an initial-default fill on read? False
+    * for a default-free table, and — the steady state that keeps the
+    * streaming view zero-copy (r17) — for files that all POSTDATE the
+    * default-carrying fields (their metrics prove the columns present,
+    * so raw bytes are already the logical rows). Metadata-only;
+    * unprovable presence fails loudly inside [[fillFieldsOf]].
+    */
+  private[graft] def anyFillNeeded(table: String, m: Meta,
+      files: Seq[LiveFile]): Boolean = {
+    val defaults = initialDefaultFields(m)
+    defaults.nonEmpty && files.exists(f =>
+      fillFieldsOf(table, m, defaults, m.fieldIds, f).nonEmpty)
+  }
+
   /** Plain (no-deletes-applied) read of specific data files in LOGICAL
     * shape: field-id-stamped schema when the history shows a rename,
     * per-file initial-default FILLS (r17 — what lifted the streaming
@@ -3028,7 +3042,17 @@ object IcebergLog {
     * or its adding snapshot expired) refuses loudly — never a partial
     * or freshly-minted answer.
     */
-  def readWithLineage(spark: SparkSession, table: String): DataFrame = {
+  def readWithLineage(spark: SparkSession, table: String): DataFrame =
+    readWithLineage(spark, table, None)
+
+  /** `only` (r17, the streaming view's add materialization): restrict
+    * the lineage read to specific ADDED files and read them RAW — no
+    * delete application, because the stream replays each append AS
+    * COMMITTED; any later retraction is a later event the stream
+    * handles under its own contract (refuse / ignore_deletes).
+    */
+  private[graft] def readWithLineage(spark: SparkSession, table: String,
+      only: Option[Seq[LiveFile]]): DataFrame = {
     import org.apache.spark.sql.functions.{broadcast, coalesce, col, substring_index}
     import spark.implicits._
     val m = current(table).getOrElse(
@@ -3041,7 +3065,7 @@ object IcebergLog {
       s"$table carries initial-default fields; the row-lineage read does " +
         "not fill them — use read() for values, or drop the defaults")
     val lin = lineageOf(table, m)
-    val kept = liveFiles(table, None).filter(_.status != 2)
+    val kept = only.getOrElse(liveFiles(table, None).filter(_.status != 2))
     // the base join below keys by FILE NAME — same-named files in
     // different partition dirs would cross-assign their id ranges
     // (this engine mints UUID names; a third-party layout might not)
@@ -3060,9 +3084,11 @@ object IcebergLog {
       // file's data sequence) — the same coalesce serves both classes
       case (n, LinMaterialized(first, seq)) => (n, first, Option(seq))
     }.toDF(posNameCol, "__graft_first_row_id", "__graft_dseq"))
-    val dels = deleteFiles(table, None)
+    val dels = if (only.isDefined) Seq.empty else deleteFiles(table, None)
     val basePath = Paths.get(table, "data").toAbsolutePath.toString
-    val (clean, dirty) = splitByDeletes(kept, dels, m.schema, m.fieldIds)
+    val (clean, dirty) =
+      if (only.isDefined) (kept, Seq.empty[LiveFile])
+      else splitByDeletes(kept, dels, m.schema, m.fieldIds)
     // materialized columns ride the read schema (reserved parquet field
     // ids stamped); files without them read null and take the base path
     val readSchema = StructType(

@@ -49,7 +49,15 @@ object IcebergStreamSource {
         * silently null the renamed column — every sync MATERIALIZES
         * logical-shape rows via the field-id-stamped read schema
         * instead (the delta mapped-view pattern). */
-      val renamed: Boolean = false) {
+      val renamed: Boolean = false,
+      /** v3 row-lineage stream (r17): the frame carries `_row_id` /
+        * `_last_updated_sequence_number` like the batch face's
+        * readWithLineage, so the view MATERIALIZES — the snapshot with
+        * resolved ids, then each append's adds with theirs (spec
+        * assignment: the snapshot's first-row-id + position, overridden
+        * by materialized columns where a file carries them). The delta
+        * twin is DeltaStreamSource's rowTracking. */
+      val rowLineage: Boolean = false) {
     @volatile private[IcebergStreamSource] var lastSeq: Long = -1L
     /** Has this view EVER emitted a retraction (materialized an
       * overwrite/delete snapshot)? Until then, pure appends RAW-LINK
@@ -139,18 +147,34 @@ object IcebergStreamSource {
           .flatMap(sm => Option(sm.get("operation"))).map(_.asText())
           .getOrElse("append")
         op match {
+          case "append" if rowLineage =>
+            // lineage stream: materialize the adds with resolved ids
+            // (the lineage read handles renamed histories by field id
+            // itself and refuses initial-default tables loudly)
+            linked += materializeAddsLineage(seq, sid)
           case "append" if renamed || defaults =>
             // renamed table: links are unsound (name-resolved reads of
             // pre-rename files); default-carrying table: links are
-            // unsound too (pre-field files must read FILLED) —
-            // materialize the snapshot's added rows through the
+            // unsound for files PREDATING a default field (their rows
+            // must read FILLED) — materialize those through the
             // field-id read schema + per-file fills instead
             // (change-feed views included: the add-materialization
             // carries no _change_seq, which is exactly the null-first
             // contract a retraction-free stream relies on — and once
             // retractions exist, materializeChanges takes this case)
             if (changeFeed && retractsSeen) linked += materializeChanges(seq)
-            else linked += materializeAdds(seq, sid)
+            else if (renamed) linked += materializeAdds(seq, sid)
+            else {
+              // defaults only: adds postdating every default field ARE
+              // the logical rows — raw-link them (the steady-state
+              // zero-copy path once the schema settles); only
+              // fill-needing adds pay a materialization
+              val added = IcebergLog.liveFiles(table, Some(sid))
+                .filter(f => f.status == 1 && f.entryRow.get(1) == sid)
+              if (IcebergLog.anyFillNeeded(table, m, added))
+                linked += materializeAdds(seq, sid)
+              else added.foreach(f => if (link(f.path)) linked += 1)
+            }
           case "append" if changeFeed && retractsSeen =>
             // CHANGE FEED past the first retraction: materialize rather
             // than link, so every row carries its _change_seq (commit
@@ -248,6 +272,24 @@ object IcebergStreamSource {
         m.partitionColumns, s"cdf-$seq", hint)
     }
 
+    /** Materialize one append snapshot's ADDED rows WITH their v3 row
+      * lineage (r17): payload + `_row_id` +
+      * `_last_updated_sequence_number`, resolved from the snapshot
+      * history exactly like the batch lineage read, files read RAW (an
+      * append replays as committed). Hint = Σ manifest record counts.
+      */
+    private def materializeAddsLineage(seq: Long, sid: Long): Int = {
+      val sp = spark.getOrElse(throw new IllegalStateException(
+        s"$table: row_lineage view opened without a SparkSession"))
+      val m = IcebergLog.current(table).get
+      val added = IcebergLog.liveFiles(table, Some(sid))
+        .filter(f => f.status == 1 && f.entryRow.get(1) == sid)
+      if (added.isEmpty) return 0
+      graft.sinks.Cdf.materializeInto(dir.resolve("data"),
+        IcebergLog.readWithLineage(sp, table, Some(added)),
+        m.partitionColumns, s"add-$seq", Some(added.map(_.records).sum))
+    }
+
     /** Materialize one append snapshot's ADDED rows in logical shape
       * (renamed tables: the field-id-stamped read schema resolves
       * pre-rename files; default-carrying tables: per-file
@@ -320,10 +362,17 @@ object IcebergStreamSource {
       changeFeed: Boolean = false,
       keys: Seq[String] = Seq.empty,
       viewDir: Option[Path] = None,
-      startingVersion: Option[Long] = None): (DataFrame, View) = {
+      startingVersion: Option[Long] = None,
+      /** Surface `_row_id`/`_last_updated_sequence_number` per row
+        * (r17) — the streaming face of [[IcebergLog.readWithLineage]];
+        * the delta twin is DeltaStreamSource's rowTracking. */
+      rowLineage: Boolean = false): (DataFrame, View) = {
     require(!(changeFeed && ignoreDeletes),
       "change_feed and ignore_deletes are mutually exclusive (the change " +
         "feed streams exactly the snapshots ignore_deletes would drop)")
+    require(!(rowLineage && changeFeed),
+      "row_lineage and change_feed are mutually exclusive (the change " +
+        "feed's retraction frame carries its own identity columns)")
     val m = IcebergLog.current(table).getOrElse(
       sys.error(s"$table is not an Iceberg table (no metadata/v*.metadata.json)"))
     // v3 initial-defaults (r17, lifting the r16 refusal): raw links
@@ -345,7 +394,8 @@ object IcebergStreamSource {
     // change-feed sync probe on partitioned views (Cdf.stampViewEra)
     graft.sinks.Cdf.stampViewEra(dir.resolve("data"))
     val view = new View(table, dir, ignoreDeletes, changeFeed, Some(spark),
-      persistent = viewDir.isDefined, renamed = renamed)
+      persistent = viewDir.isDefined, renamed = renamed,
+      rowLineage = rowLineage)
     views.add(view)
     val resumed = view.persistent && Files.exists(view.stateFile)
     if (resumed) {
@@ -360,12 +410,25 @@ object IcebergStreamSource {
           s"$table: starting_version $sv is past the log (${m.lastSeq})")
         view.lastSeq = sv - 1
         view.sync()
-      case None if renamed || hasDefaults =>
-        // renamed / default-carrying initial state: ONE logical-shaped
+      case None if rowLineage =>
+        // lineage initial state: ONE materialization of the whole
+        // snapshot with resolved ids (the batch lineage read — refuses
+        // loudly on non-v3 / unresolvable / default-carrying tables)
+        graft.sinks.Cdf.materializeInto(dir.resolve("data"),
+          IcebergLog.readWithLineage(spark, table),
+          m.partitionColumns, s"lin-${m.lastSeq}")
+        view.lastSeq = m.lastSeq
+        view.saveState()
+      case None if renamed || (hasDefaults &&
+          IcebergLog.anyFillNeeded(table, m,
+            IcebergLog.liveFiles(table, None).filter(_.status != 2))) =>
+        // renamed / fill-needing initial state: ONE logical-shaped
         // materialization of the whole snapshot (the batch read
         // resolves pre-rename files by field id, applies deletes, and
         // fills initial-defaults per file); deterministic prefix →
-        // crash replay is idempotent
+        // crash replay is idempotent. A default-carrying table whose
+        // live files ALL postdate the fields skips this and takes the
+        // zero-copy link path below.
         graft.sinks.Cdf.materializeInto(dir.resolve("data"),
           IcebergLog.read(spark, table),
           m.partitionColumns, s"snap-${m.lastSeq}")
@@ -399,8 +462,16 @@ object IcebergStreamSource {
     // frame from the post-catch-up schema — see the delta twin
     val schemaNow = IcebergLog.current(table).get.schema
     view.openSchemaJson = schemaNow.json
+    val linFields = Seq(
+      org.apache.spark.sql.types.StructField("_row_id",
+        org.apache.spark.sql.types.LongType, nullable = true),
+      org.apache.spark.sql.types.StructField("_last_updated_sequence_number",
+        org.apache.spark.sql.types.LongType, nullable = true))
     val readSchema =
-      if (changeFeed) graft.sinks.Cdf.streamSchema(schemaNow) else schemaNow
+      if (changeFeed) graft.sinks.Cdf.streamSchema(schemaNow)
+      else if (rowLineage)
+        org.apache.spark.sql.types.StructType(schemaNow.fields ++ linFields)
+      else schemaNow
     val df0 = spark.readStream.schema(readSchema)
       .option("basePath", dataDir.toString)
       .parquet(dataDir.toString)
@@ -415,7 +486,9 @@ object IcebergStreamSource {
           .map(org.apache.spark.sql.functions.col): _*),
         schemaNow, keys)
       else df0.select(
-        schemaNow.fieldNames.map(org.apache.spark.sql.functions.col).toIndexedSeq: _*)
+        (schemaNow.fieldNames.toIndexedSeq ++
+          (if (rowLineage) linFields.map(_.name) else Seq.empty))
+          .map(org.apache.spark.sql.functions.col): _*)
     pollMs.foreach { ms =>
       val t = new Thread(() => {
         try while (true) { view.sync(); Thread.sleep(ms) }

@@ -1280,6 +1280,15 @@ class Pipeline(spark: SparkSession, streaming: Boolean = false) {
               graft.sinks.DeltaLog.readChanges(spark, tPath,
                 t.options("changes_from_version").toLong,
                 t.options.get("changes_to_version").map(_.toLong))
+            // row_tracking = 'true' (r17): table columns + _row_id +
+            // _row_commit_version — the delta twin of iceberg's
+            // row_lineage batch option
+            else if (t.options.get("row_tracking").exists(_.toBoolean)) {
+              require(!t.options.contains("version_as_of") &&
+                !t.options.contains("timestamp_as_of"),
+                s"table ${t.name}: row_tracking reads the CURRENT snapshot")
+              graft.sinks.DeltaLog.readWithRowIds(spark, tPath)
+            }
             else {
               val asOf = t.options.get("version_as_of").map(_.toLong)
                 .orElse(t.options.get("timestamp_as_of").map { s =>
@@ -1310,7 +1319,11 @@ class Pipeline(spark: SparkSession, streaming: Boolean = false) {
                 .getOrElse(t.pkColumns),
               viewDir = t.options.get("view_dir")
                 .map(java.nio.file.Paths.get(_)), // persistent view (r11)
-              startingVersion = t.options.get("starting_version").map(_.toLong))
+              startingVersion = t.options.get("starting_version").map(_.toLong),
+              // row_lineage = 'true' (r17): surface _row_id /
+              // _last_updated_sequence_number — the streaming face of
+              // the batch row_lineage option
+              rowLineage = t.options.get("row_lineage").exists(_.toBoolean))
             tableViews += (() => view.close())
             df
           } else {

@@ -527,12 +527,70 @@ class IcebergV3Spec extends SparkSpec {
       assert(got() == Seq((1L, 7L), (2L, 7L), (3L, 300L), (4L, -1L)), got())
       // per-commit add whose batch OMITS the column: write-default
       // lands in the bytes and the stream emits the filled row
+      def dataNames(root: java.nio.file.Path): Set[String] = {
+        val s = Files.walk(root)
+        try s.iterator().asScala.filter(_.toString.endsWith(".parquet"))
+          .map(_.getFileName.toString).toSet
+        finally s.close()
+      }
+      val beforeAdd = dataNames(Paths.get(table, "data"))
       assert(IcebergLog.writeBatch(Seq((5L, 50L)).toDF("id", "v").coalesce(1),
         table, mergeSchema = true).isDefined)
       view.sync()
       q.processAllAvailable()
       assert(got() == Seq((1L, 7L), (2L, 7L), (3L, 300L), (4L, -1L),
         (5L, 7L)), got())
+      // steady-state ZERO COPY (r17): the add postdates the default
+      // field (its write-default landed in the bytes), so the view
+      // RAW-LINKED it under its own name instead of materializing
+      val newNames = dataNames(Paths.get(table, "data")) -- beforeAdd
+      assert(newNames.nonEmpty)
+      assert(newNames.subsetOf(dataNames(view.dir.resolve("data"))),
+        s"fill-free add was materialized, not linked: $newNames")
+    } finally { q.stop(); view.close() }
+  }
+
+  test("v3 row_lineage stream surfaces _row_id/_last_updated_sequence_number: snapshot + per-commit adds match the batch read (r17)") {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.Trigger
+    val table = tmpTable()
+    IcebergLog.writeBatch(Seq((100L, "pre")).toDF("id", "v").coalesce(1), table)
+    IcebergLog.setTableProperties(spark, table, Map("format-version" -> "3"))
+    IcebergLog.writeBatch(
+      Seq((0L, "a"), (1L, "b"), (2L, "c")).toDF("id", "v").coalesce(1), table)
+    // CoW UPDATE: matched row keeps its id, bumps its sequence (r16);
+    // the stream snapshot must carry the PRESERVED identity
+    assert(IcebergLog.updateWhere(spark, table,
+      Seq("v" -> "'m'"), Some("id = 1")).isDefined)
+    def batchLin(): Map[Long, (Option[Long], Option[Long])] =
+      IcebergLog.readWithLineage(spark, table).collect().map(r =>
+        r.getLong(0) -> ((if (r.isNullAt(2)) None else Some(r.getLong(2))),
+          if (r.isNullAt(3)) None else Some(r.getLong(3)))).toMap
+    val expect = batchLin()
+    assert(expect(100L)._1.isEmpty, expect) // pre-v3 rows: untracked
+    assert(expect(1L)._1.isDefined, expect)
+    val (sdf, view) = graft.sources.IcebergStreamSource.open(spark, table,
+      rowLineage = true)
+    assert(sdf.schema.fieldNames.toSeq ==
+      Seq("id", "v", "_row_id", "_last_updated_sequence_number"))
+    val q = sdf.writeStream.format("memory").queryName("ilinstream")
+      .outputMode("append").trigger(Trigger.ProcessingTime(100)).start()
+    def got(): Map[Long, (Option[Long], Option[Long])] =
+      spark.table("ilinstream").collect().map(r =>
+        r.getLong(0) -> ((if (r.isNullAt(2)) None else Some(r.getLong(2))),
+          if (r.isNullAt(3)) None else Some(r.getLong(3)))).toMap
+    try {
+      q.processAllAvailable()
+      assert(got() == expect, s"stream ${got()} != batch $expect")
+      // per-commit add claims fresh ids per the spec assignment —
+      // stream and batch agree on the new rows too
+      IcebergLog.writeBatch(
+        Seq((5L, "z"), (6L, "w")).toDF("id", "v").coalesce(1), table)
+      view.sync()
+      q.processAllAvailable()
+      val after = batchLin()
+      assert(after(5L)._1.isDefined && after(6L)._1.isDefined, after)
+      assert(got() == after, s"stream ${got()} != batch $after")
     } finally { q.stop(); view.close() }
   }
 
