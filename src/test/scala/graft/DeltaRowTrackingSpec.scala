@@ -322,6 +322,21 @@ class DeltaRowTrackingSpec extends SparkSpec {
       smallFileBytes = Long.MaxValue).isDefined)
     assert(ids() == beforeOpt, s"$beforeOpt -> ${ids()}")
     assert(DeltaLog.read(spark, table).count() == 3)
+    // MERGE composes too: the matched row keeps its id and bumps to the
+    // merge's version; the insert mints a fresh id past the watermark
+    val src = Seq((2L, "mm"), (7L, "new")).toDF("id", "v")
+    assert(DeltaLog.merge(spark, table, src,
+      graft.sinks.Merge.Clauses("t", "s", "t.id = s.id",
+        Seq(graft.sinks.Merge.MatchedClause(None, Left(Seq("v" -> "s.v")))),
+        Some((None, Seq.empty)))).isDefined)
+    val sM = DeltaLog.snapshot(spark, table).get
+    val afterMerge = ids()
+    assert(afterMerge(2L)._1 == before(2L)._1, s"$before -> $afterMerge")
+    assert(afterMerge(2L)._2.contains(sM.version), afterMerge)
+    assert(afterMerge(7L)._1.isDefined, afterMerge)
+    assert(afterMerge(3L) == beforeOpt(3L), afterMerge)
+    assert(DeltaLog.read(spark, table).filter(col("id") === 2L)
+      .head().getString(1) == "mm")
   }
 
   test("row-rewriting operations refuse loudly; foreign domain metadata carries through commits and checkpoints") {
