@@ -4453,6 +4453,11 @@ object IcebergLog {
     clauses.updateCols.foreach(cname =>
       require(m0.schema.fieldNames.contains(cname),
         s"MERGE: no column $cname in $table"))
+    // v3 write-defaults (r17): an INSERT clause leaving a
+    // default-carrying column unspecified writes the spec's value —
+    // same rule the append path applies; an explicit SET always wins
+    val wd: Map[String, Any] =
+      writeDefaultFields(m0).map { case (sf, v) => sf.name -> v }.toMap
     source.persist()
     try {
       // NOT MATCHED BY SOURCE must see every target row absent from the
@@ -4469,7 +4474,8 @@ object IcebergLog {
           withLineage = true) {
           (cand, schema) => {
             val (positions, appends) =
-              Merge.rowDelta(cand, source, schema, clauses, posFileCol, posPosCol)
+              Merge.rowDelta(cand, source, schema, clauses, posFileCol,
+                posPosCol, wd)
             (positions, Some(appends))
           }
         }
@@ -4480,14 +4486,16 @@ object IcebergLog {
           conflictPred = None,
           matcher = identity, touchDetect = false,
           commitWhenUntouched = clauses.notMatchedInsert.isDefined) {
-          (_, cands, schema) => Merge.insertRows(cands, source, schema, clauses)
+          (_, cands, schema) =>
+            Merge.insertRows(cands, source, schema, clauses, wd)
         }
       else
         DmlRewrite.run(spark, new DmlFormat(spark, table, withLineage = true),
           scanFilter, conflictPred = None,
           matcher = Merge.matcher(source, clauses),
           commitWhenUntouched = clauses.notMatchedInsert.isDefined) {
-          (touched, _, schema) => Merge.rewrite(touched, source, schema, clauses)
+          (touched, _, schema) =>
+            Merge.rewrite(touched, source, schema, clauses, wd)
         }
     } finally { source.unpersist(); () }
   }

@@ -153,12 +153,13 @@ private[graft] object Merge {
     * Runs the multiple-source-rows guard eagerly (one job).
     */
   def rewrite(touched: DataFrame, source: DataFrame, schema: StructType,
-      c: Clauses): DataFrame = {
+      c: Clauses, writeDefaults: Map[String, Any] = Map.empty): DataFrame = {
     val plan = new ClausePlan(touched, source, schema, c, withUid = true)
     plan.requireSingleSourceRow()
     val survivors = plan.withIdx.filter(!plan.isDelete)
       .select(plan.postImage ++ plan.lineageCarry: _*)
-    val inserts = c.notMatchedInsert.map(_ => insertRows(touched, source, schema, c))
+    val inserts = c.notMatchedInsert.map(_ =>
+      insertRows(touched, source, schema, c, writeDefaults))
     inserts.map(survivors.unionAll).getOrElse(survivors)
   }
 
@@ -172,7 +173,8 @@ private[graft] object Merge {
     * multiple-source-rows guard.
     */
   def rowDelta(cands: DataFrame, source: DataFrame, schema: StructType,
-      c: Clauses, fileCol: String, posCol: String): (DataFrame, DataFrame) = {
+      c: Clauses, fileCol: String, posCol: String,
+      writeDefaults: Map[String, Any] = Map.empty): (DataFrame, DataFrame) = {
     Seq(fileCol, posCol).foreach(mc => require(!source.columns.contains(mc),
       s"MERGE: source column $mc collides with the row-position metadata"))
     val plan = new ClausePlan(cands, source, schema, c, withUid = true)
@@ -184,7 +186,8 @@ private[graft] object Merge {
     val posts = fired.filter(!plan.isDelete)
       .select(plan.postImage ++ plan.lineageCarry: _*)
     val appends = c.notMatchedInsert
-      .map(_ => posts.unionAll(insertRows(cands, source, schema, c)))
+      .map(_ => posts.unionAll(
+        insertRows(cands, source, schema, c, writeDefaults)))
       .getOrElse(posts)
     (positions, appends)
   }
@@ -198,7 +201,13 @@ private[graft] object Merge {
     * equally exact).
     */
   def insertRows(base: DataFrame, source: DataFrame, schema: StructType,
-      c: Clauses): DataFrame = {
+      c: Clauses,
+      /** Column → the value an insert leaving it UNSPECIFIED must write
+        * (iceberg v3 `write-default`, r17) — the spec's rule for INSERT
+        * clauses omitting a default-carrying column; an explicit SET
+        * (even to null) always wins. Empty for delta (no such concept).
+        */
+      writeDefaults: Map[String, Any] = Map.empty): DataFrame = {
     val (and, sets) = c.notMatchedInsert.getOrElse(
       throw new IllegalArgumentException("MERGE: no NOT MATCHED clause"))
     val unmatched0 = source.alias(c.sourceAlias)
@@ -213,10 +222,12 @@ private[graft] object Merge {
       if (!base.columns.contains("_row_id")) Seq.empty
       else Seq(lit(null).cast(LongType).as("_row_id"),
         lit(null).cast(LongType).as("_last_updated_sequence_number"))
+    def defaultOrNull(name: String): Column =
+      writeDefaults.get(name).map(v => lit(v)).getOrElse(lit(null))
     unmatched.select(schema.fields.toIndexedSeq.map { f =>
-      (if (sets.isEmpty) // INSERT *: by name, absent → null
-        (if (srcCols.contains(f.name)) col(f.name) else lit(null))
-      else bySet.get(f.name).map(expr).getOrElse(lit(null)))
+      (if (sets.isEmpty) // INSERT *: by name, absent → write-default/null
+        (if (srcCols.contains(f.name)) col(f.name) else defaultOrNull(f.name))
+      else bySet.get(f.name).map(expr).getOrElse(defaultOrNull(f.name)))
         .cast(f.dataType).as(f.name)
     } ++ lineageNulls: _*)
   }

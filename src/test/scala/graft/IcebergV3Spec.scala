@@ -479,6 +479,17 @@ class IcebergV3Spec extends SparkSpec {
         r.getString(r.fieldIndex(graft.sinks.Cdf.changeTypeCol))))
     assert(chg.toSet == Set((1L, 7L, "insert"), (2L, 7L, "insert")),
       chg.mkString(","))
+    // a MERGE INSERT leaving the default column UNSPECIFIED writes the
+    // write-default too (r17) — the spec's INSERT rule; columns with no
+    // default stay null
+    assert(IcebergLog.merge(spark, table, Seq((20L, 200L)).toDF("id", "v"),
+      graft.sinks.Merge.Clauses("t", "s", "t.id = s.id",
+        Seq(graft.sinks.Merge.MatchedClause(None, Left(Seq("v" -> "s.v")))),
+        Some((None, Seq("id" -> "s.id", "v" -> "s.v"))))).isDefined)
+    val m20 = IcebergLog.read(spark, table)
+      .filter(org.apache.spark.sql.functions.col("id") === 20L).head()
+    assert(m20.getLong(2) == 7L, m20) // boon = write-default, in the bytes
+    assert(m20.isNullAt(3), m20)      // more: no default → null
   }
 
   test("v3 initial-default: streaming view materializes the FILLED shape — snapshot + per-commit adds (r17)") {
