@@ -44,6 +44,16 @@ private[graft] object FencedScan {
     schema.fields.exists(f => f.metadata.contains("parquet.field.id") &&
       !byNameAnyway.contains(f.name))
 
+  /** Serializes the conf-flip + eager-compile window: two concurrent
+    * fences on one session (a poller thread's view sync racing a
+    * foreground read) could otherwise interleave set/restore and leave
+    * one fence compiling with pruning ON — exactly the silent-null bug
+    * the fence prevents. Global (not per-session) — the stamped path is
+    * rare and compiles in milliseconds, so over-serialization across
+    * sessions costs nothing measurable.
+    */
+  private val fenceLock = new Object
+
   /** Build and eagerly compile a scan under the two confs, restoring
     * them after; identity when `schema` carries no table-column stamps.
     * `build` must be exchange-free (scan + projections/filters) so the
@@ -53,7 +63,7 @@ private[graft] object FencedScan {
   def apply(spark: SparkSession, schema: StructType)(
       build: => DataFrame): DataFrame =
     if (!needsIdResolution(schema)) build
-    else {
+    else fenceLock.synchronized {
       val idKey = "spark.sql.parquet.fieldId.read.enabled"
       val pruneKey = "spark.sql.optimizer.nestedSchemaPruning.enabled"
       val prevId = spark.conf.getOption(idKey)

@@ -694,25 +694,18 @@ object IcebergLog {
     */
   private[graft] def readLiveFilesFilled(spark: SparkSession, table: String,
       m: Meta, files: Seq[LiveFile]): DataFrame = {
-    import org.apache.spark.sql.functions.{col, lit}
+    import org.apache.spark.sql.functions.col
     val readSchema = dataReadSchema(spark, m)
     val basePath = Paths.get(table, "data").toAbsolutePath.toString
     val cols = m.schema.fieldNames.map(col).toIndexedSeq
-    val defaults = initialDefaultFields(m)
-    def read(group: Seq[LiveFile]): DataFrame = FencedScan(spark, readSchema) {
-      spark.read.schema(readSchema).option("basePath", basePath)
-        .parquet(group.map(_.path): _*).select(cols: _*)
-    }
-    if (defaults.isEmpty || files.isEmpty) read(files)
-    else files.groupBy(f =>
-        fillFieldsOf(table, m, defaults, m.fieldIds, f).map(_._1.name))
-      .toSeq.sortBy(_._1.mkString(","))
-      .map { case (fillNames, group) =>
-        val fills = defaults.filter(d => fillNames.contains(d._1.name))
-        fills.foldLeft(read(group)) { case (d0, (sf, v)) =>
-          d0.withColumn(sf.name, lit(v).cast(sf.dataType))
-        }.select(cols: _*)
-      }.reduce(_ unionAll _)
+    fillGrouped(table, m, initialDefaultFields(m), files) { (group, _) =>
+      if (group.isEmpty) None
+      else Some(FencedScan(spark, readSchema) {
+        spark.read.schema(readSchema).option("basePath", basePath)
+          .parquet(group.map(_.path): _*).select(cols: _*)
+      })
+    }.getOrElse(
+      spark.createDataFrame(spark.sparkContext.emptyRDD[Row], m.schema))
   }
 
   /** The default-carrying fields `file` must FILL on read, resolved
@@ -755,6 +748,39 @@ object IcebergLog {
         "initial-default and the file's own values")
     }
   }
+
+  /** Group `items` by the initial-default fills each must take, read
+    * every group — the reader RECEIVES its group's fills so VALUE-based
+    * delete matching can see logical rows (pass them to
+    * [[readWithDeletes]]; readers without value matching may ignore
+    * them) — fold the fills over each group's output (same-value no-op
+    * where the reader already applied them), and union. ONE shared
+    * implementation (r17 review) behind the batch read, the changelog,
+    * the DML candidate reads, and the streaming view. ≤2^|defaults|
+    * groups, metadata-only; deterministic group order.
+    */
+  private def fillGroupedBy[T](defaults: Seq[(StructField, Any)],
+      items: Seq[T])(fillClass: T => Seq[String])(
+      read: (Seq[T], Seq[(StructField, Any)]) => Option[DataFrame])
+      : Option[DataFrame] = {
+    import org.apache.spark.sql.functions.lit
+    if (defaults.isEmpty || items.isEmpty) read(items, Seq.empty)
+    else items.groupBy(fillClass).toSeq.sortBy(_._1.mkString(","))
+      .flatMap { case (fillNames, group) =>
+        val fills = defaults.filter(x => fillNames.contains(x._1.name))
+        read(group, fills).map(df => fills.foldLeft(df) {
+          case (d0, (sf, v)) => d0.withColumn(sf.name, lit(v).cast(sf.dataType))
+        })
+      }.reduceOption(_ unionAll _)
+  }
+
+  /** [[fillGroupedBy]] keyed by [[fillFieldsOf]] over live files. */
+  private def fillGrouped(table: String, m: Meta,
+      defaults: Seq[(StructField, Any)], files: Seq[LiveFile])(
+      read: (Seq[LiveFile], Seq[(StructField, Any)]) => Option[DataFrame])
+      : Option[DataFrame] =
+    fillGroupedBy(defaults, files)(f =>
+      fillFieldsOf(table, m, defaults, m.fieldIds, f).map(_._1.name))(read)
 
   /** Live files whose hive path still carries a PRE-RENAME partition
     * segment: partition values recover from dir names, which field-id
@@ -2535,8 +2561,16 @@ object IcebergLog {
   private[graft] def readWithDeletes(spark: SparkSession, table: String,
       schema: StructType, basePath: Option[String], dirty: Seq[LiveFile],
       dels: Seq[DeleteFile], withMeta: Boolean = false,
-      ids: Map[String, Int] = Map.empty): DataFrame = {
-    import org.apache.spark.sql.functions.{broadcast, col, substring_index}
+      ids: Map[String, Int] = Map.empty,
+      /** v3 initial-default fills EVERY file of `dirty` must take (the
+        * caller groups by fill class), applied right after the scan —
+        * BEFORE the equality anti-joins below, because an equality
+        * delete keys on the row's LOGICAL value: a delete on `k = 7`
+        * must retract rows of a pre-field file whose logical `k` is the
+        * default 7, which the raw bytes read as null (r17 review fix).
+        */
+      fills: Seq[(StructField, Any)] = Seq.empty): DataFrame = {
+    import org.apache.spark.sql.functions.{broadcast, col, lit, substring_index}
     import spark.implicits._
     requireUniqueNames(table, dirty.map(_.path), "live data files")
     val byId = fieldsById(schema, ids)
@@ -2557,6 +2591,8 @@ object IcebergLog {
           substring_index(col("_metadata.file_path"), "/", -1))
         .withColumn(posPosCol, col("_metadata.row_index"))
     }
+    d = fills.foldLeft(d) { case (d0, (sf, v)) =>
+      d0.withColumn(sf.name, lit(v).cast(sf.dataType)) }
     if (dvDels.nonEmpty) {
       // v3 DELETION VECTORS: one roaring bitmap per referenced data
       // file, loaded driver-side (bounded by the DV count) and filtered
@@ -2730,7 +2766,12 @@ object IcebergLog {
   private def equalityDeleteRows(spark: SparkSession, table: String,
       schema: StructType, basePath: String, parentLive: Seq[LiveFile],
       parentDels: Seq[DeleteFile], eqNew: Seq[DeleteFile],
-      fieldIds: Map[String, Int]): Seq[DataFrame] = {
+      fieldIds: Map[String, Int],
+      /** v3 initial-default fills every `parentLive` file shares (the
+        * caller groups by fill class) — applied at scan time so the
+        * key match below compares LOGICAL values (r17).
+        */
+      fills: Seq[(StructField, Any)] = Seq.empty): Seq[DataFrame] = {
     import org.apache.spark.sql.functions.{broadcast, col}
     // grouped by (equality columns, PARTITION SCOPE): splitByDeletes'
     // per-file partition rule then confines each group's dirty set to
@@ -2751,7 +2792,7 @@ object IcebergLog {
         val keys = if (files.map(_.records).sum <= 4000000L) broadcast(keys0)
           else keys0
         val liveRows = readWithDeletes(spark, table, schema, Some(basePath),
-          dirty, parentDels, ids = fieldIds)
+          dirty, parentDels, ids = fieldIds, fills = fills)
         val cond = names.map(n => liveRows(n) <=> keys(s"__graft_eq_$n"))
           .reduce(_ && _)
         Some(liveRows.join(keys, cond, "left_semi"))
@@ -2903,42 +2944,30 @@ object IcebergLog {
     val schemaCols = m.schema.fieldNames.map(org.apache.spark.sql.functions.col).toIndexedSeq
     // field-id-stamped iff the schema history shows a rename
     val readSchema = dataReadSchema(spark, m)
-    def readGroup(files: Seq[LiveFile]): Option[DataFrame] = {
-      if (files.isEmpty) return None
-      val (clean, dirty) = splitByDeletes(files, dels, m.schema, m.fieldIds)
-      val cleanDf =
-        if (clean.isEmpty) None
-        else Some(FencedScan(spark, readSchema) {
-          spark.read.schema(readSchema).option("basePath", basePath)
-            .parquet(clean.map(_.path): _*).select(schemaCols: _*)
-        })
-      val dirtyDf =
-        if (dirty.isEmpty) None
-        else Some(readWithDeletes(spark, table, readSchema, Some(basePath),
-          dirty, dels, ids = m.fieldIds).select(schemaCols: _*))
-      (cleanDf ++ dirtyDf).reduceOption(_ unionAll _)
-    }
     // v3 initial-default: group kept files by the default fields they
     // must FILL (a file that predates the field returns the default,
-    // per the spec's column-projection rule). Grouping is metadata-only
-    // and the group count is bounded by 2^|default fields| — in
-    // practice 2 — so the plan stays a union of plain scans.
-    val defaults = initialDefaultFields(m)
-    val base: DataFrame = (
-      if (defaults.isEmpty) readGroup(kept)
-      else kept.groupBy(f =>
-          fillFieldsOf(table, m, defaults, m.fieldIds, f).map(_._1.name))
-        .toSeq.sortBy(_._1.mkString(","))
-        .flatMap { case (fillNames, files) =>
-          val fills = defaults.filter(d => fillNames.contains(d._1.name))
-          readGroup(files).map { df =>
-            fills.foldLeft(df) { case (d0, (sf, v)) =>
-              d0.withColumn(sf.name,
-                org.apache.spark.sql.functions.lit(v).cast(sf.dataType))
-            }.select(schemaCols: _*)
-          }
-        }.reduceOption(_ unionAll _)
-      ).getOrElse(
+    // per the spec's column-projection rule) — the shared fillGrouped
+    // machinery (≤2^|defaults| metadata-only groups; the dirty read
+    // takes the fills so equality-delete matching sees LOGICAL values)
+    val base: DataFrame =
+      fillGrouped(table, m, initialDefaultFields(m), kept) { (files, fills) =>
+        if (files.isEmpty) None
+        else {
+          val (clean, dirty) = splitByDeletes(files, dels, m.schema, m.fieldIds)
+          val cleanDf =
+            if (clean.isEmpty) None
+            else Some(FencedScan(spark, readSchema) {
+              spark.read.schema(readSchema).option("basePath", basePath)
+                .parquet(clean.map(_.path): _*).select(schemaCols: _*)
+            })
+          val dirtyDf =
+            if (dirty.isEmpty) None
+            else Some(readWithDeletes(spark, table, readSchema, Some(basePath),
+              dirty, dels, ids = m.fieldIds, fills = fills)
+              .select(schemaCols: _*))
+          (cleanDf ++ dirtyDf).reduceOption(_ unionAll _)
+        }
+      }.getOrElse(
         spark.createDataFrame(spark.sparkContext.emptyRDD[Row], m.schema))
     scanFilter.map(_.trim).filter(_.nonEmpty)
       .map(f => base.filter(org.apache.spark.sql.functions.expr(f)))
@@ -2980,7 +3009,14 @@ object IcebergLog {
     * columns, or adding snapshot expired) are simply absent — callers
     * decide whether absence refuses.
     */
-  private def lineageOf(table: String, m: Meta): Map[String, Lineage] = {
+  private def lineageOf(table: String, m: Meta,
+      /** r17 (the streaming view's catch-up case): false maps files
+        * that are NO LONGER live too — an append at sequence N whose
+        * file a later rewrite replaced still needs its assignment when
+        * a lagging stream materializes snapshot N. Append-op
+        * assignments don't need live metrics; overwrite-op files
+        * resolve only while live (materialized-column proof). */
+      restrictToLive: Boolean = true): Map[String, Lineage] = {
     val live = liveFiles(table, None).filter(_.status != 2)
     val livePaths = live.map(_.path).toSet
     val metricsByName = live.map(f => fileNameOf(f.path) -> f).toMap
@@ -3003,7 +3039,7 @@ object IcebergLog {
           })
           if (addedHere) {
             val path = df0.getString(1)
-            if (livePaths.contains(path)) {
+            if (!restrictToLive || livePaths.contains(path)) {
               val name = fileNameOf(path)
               val dseq = e.get(2) match { case l: java.lang.Long => l.longValue()
                 case _ => mf.getLong(4) }
@@ -3064,7 +3100,10 @@ object IcebergLog {
     require(initialDefaultFields(m).isEmpty,
       s"$table carries initial-default fields; the row-lineage read does " +
         "not fill them — use read() for values, or drop the defaults")
-    val lin = lineageOf(table, m)
+    // `only` files may already have been rewritten out of the live set
+    // (a lagging stream materializing an old append) — resolve their
+    // assignments from history regardless of liveness
+    val lin = lineageOf(table, m, restrictToLive = only.isEmpty)
     val kept = only.getOrElse(liveFiles(table, None).filter(_.status != 2))
     // the base join below keys by FILE NAME — same-named files in
     // different partition dirs would cross-assign their id ranges
@@ -3163,25 +3202,18 @@ object IcebergLog {
     // v3 initial-defaults (r17, lifting the r16 refusal): the changelog
     // replays OLD files, and a replayed row's LOGICAL value includes
     // the fill its file needs — so every replay path below groups its
-    // files by fill class (the [[read]]-path machinery, ≤2^|defaults|
-    // metadata-only groups) and folds the fills over each group's rows.
-    // Restricting a read to a fill group is sound because every replay
-    // primitive here is per-file row reads + per-row matching.
+    // files by fill class through the shared [[fillGrouped]] machinery
+    // (≤2^|defaults| metadata-only groups), with VALUE-matching reads
+    // (equality deletes) taking the fills pre-match. Restricting a read
+    // to a fill group is sound because every replay primitive here is
+    // per-file row reads + per-row matching.
     val idefs = initialDefaultFields(m)
-    def filledBy[T](items: Seq[T])(fillClass: T => Seq[String])(
-        read: Seq[T] => Option[DataFrame]): Option[DataFrame] =
-      if (idefs.isEmpty || items.isEmpty) read(items)
-      else items.groupBy(fillClass).toSeq.sortBy(_._1.mkString(","))
-        .flatMap { case (fillNames, group) =>
-          val fills = idefs.filter(d => fillNames.contains(d._1.name))
-          read(group).map(df => fills.foldLeft(df) { case (d0, (sf, v)) =>
-            d0.withColumn(sf.name, lit(v).cast(sf.dataType)) })
-        }.reduceOption(_ unionAll _)
     def fillClassOf(f: LiveFile): Seq[String] =
       fillFieldsOf(table, m, idefs, m.fieldIds, f).map(_._1.name)
     def filled(files: Seq[LiveFile])(
-        read: Seq[LiveFile] => Option[DataFrame]): Option[DataFrame] =
-      filledBy(files)(fillClassOf)(read)
+        read: (Seq[LiveFile], Seq[(StructField, Any)]) => Option[DataFrame])
+        : Option[DataFrame] =
+      fillGrouped(table, m, idefs, files)(read)
     def readFiles0(paths: Seq[String], changeType: String): Option[DataFrame] =
       if (paths.isEmpty) None
       else Some(FencedScan(spark, schema) {
@@ -3189,7 +3221,7 @@ object IcebergLog {
           .parquet(paths: _*).select(schemaCols: _*)
       }.withColumn(Cdf.changeTypeCol, lit(changeType)))
     def readFiles(files: Seq[LiveFile], changeType: String): Option[DataFrame] =
-      filled(files)(g => readFiles0(g.map(_.path), changeType))
+      filled(files)((g, _) => readFiles0(g.map(_.path), changeType))
     val frames = snaps.flatMap { case (seq, s) =>
       val sid = s.get("snapshot-id").asLong()
       val ts = s.get("timestamp-ms").asLong()
@@ -3219,9 +3251,9 @@ object IcebergLog {
           val fileDels =
             if (rm.isEmpty) None
             else if (parentDels.isEmpty) readFiles(rm, "delete")
-            else filled(rm) { g =>
+            else filled(rm) { (g, fills) =>
               Some(readWithDeletes(spark, table, schema, Some(basePath),
-                g, parentDels, ids = m.fieldIds))
+                g, parentDels, ids = m.fieldIds, fills = fills))
             }.map(_.withColumn(Cdf.changeTypeCol, lit("delete")))
           // merge-on-read: delete files ADDED by this snapshot retract
           // exact rows — per-row changelog, not file-diff. Position
@@ -3235,7 +3267,7 @@ object IcebergLog {
             else {
               val (_, dirtyP) = splitByDeletes(parentLive, posNew, schema,
                 m.fieldIds)
-              filled(dirtyP) { g =>
+              filled(dirtyP) { (g, _) => // position-matched: no value keys
                 positionDeleteRows(spark, table, schema, basePath,
                   g.map(_.path), posNew)
               }.map(_.withColumn(Cdf.changeTypeCol, lit("delete")))
@@ -3244,21 +3276,24 @@ object IcebergLog {
           // DVs by their referenced file's fill class (a DV whose file
           // was rewritten is inert — empty class, reads nothing anyway)
           val parentByName = parentLive.map(f => fileNameOf(f.path) -> f).toMap
-          val dvDels = filledBy(dvNew)(d =>
+          val dvDels = fillGroupedBy(idefs, dvNew)(d =>
             d.referencedDataFile.map(fileNameOf).flatMap(parentByName.get)
-              .map(fillClassOf).getOrElse(Seq.empty)) { g =>
+              .map(fillClassOf).getOrElse(Seq.empty)) { (g, _) =>
             dvDeleteRows(spark, table, schema, basePath,
               parentLive, parentDels, g)
           }.map(_.withColumn(Cdf.changeTypeCol, lit("delete")))
-          // equality retracts read the parent's live rows per key:
+          // equality retracts match the parent's live rows BY VALUE:
           // restricting parentLive to one fill group keeps the per-file
-          // read + per-row key-match semantics exactly
+          // read + per-row key-match semantics, and the fills pass
+          // through so the match sees LOGICAL values (r17 review fix —
+          // a delete on k=7 must retract pre-field rows whose logical
+          // k IS the default 7)
           val eqNew = delsNew.filter(_.content == 2)
           val eqDels = (
             if (eqNew.isEmpty) None
-            else filled(parentLive) { g =>
+            else filled(parentLive) { (g, fills) =>
               equalityDeleteRows(spark, table, schema, basePath,
-                g, parentDels, eqNew, m.fieldIds)
+                g, parentDels, eqNew, m.fieldIds, fills)
                 .reduceOption(_ unionAll _)
             }).map(_.withColumn(Cdf.changeTypeCol, lit("delete")))
           val ins = readFiles(added, "insert")
@@ -3824,22 +3859,18 @@ object IcebergLog {
               StructField(posFileCol, StringType),
               StructField(posPosCol, LongType))))
         else if (defaults.nonEmpty) {
-          // fill-grouped candidate read: each group reads with the
-          // defaults its files must FILL, keeping the row-position meta
-          import org.apache.spark.sql.functions.lit
+          // fill-grouped candidate read (shared machinery): each group
+          // reads with the defaults its files must FILL — passed into
+          // the read so equality-delete matching sees logical values —
+          // keeping the row-position meta
           val outCols = (m.schema.fieldNames.toIndexedSeq ++
             Seq(posFileCol, posPosCol)).map(col)
-          cands.groupBy(f =>
-              fillFieldsOf(table, m, defaults, m.fieldIds, f).map(_._1.name))
-            .toSeq.sortBy(_._1.mkString(","))
-            .map { case (fillNames, group) =>
-              val fills = defaults.filter(d => fillNames.contains(d._1.name))
-              fills.foldLeft(readWithDeletes(spark, table, readSchema,
-                Some(basePath), group, dels, withMeta = true, ids = readIds)) {
-                case (df, (sf, v)) =>
-                  df.withColumn(sf.name, lit(v).cast(sf.dataType))
-              }.select(outCols: _*)
-            }.reduce(_ unionAll _)
+          fillGrouped(table, m, defaults, cands) { (group, fills) =>
+            if (group.isEmpty) None
+            else Some(readWithDeletes(spark, table, readSchema,
+              Some(basePath), group, dels, withMeta = true, ids = readIds,
+              fills = fills).select(outCols: _*))
+          }.map(_.select(outCols: _*)).get
         } else {
           val raw = readWithDeletes(spark, table, readSchema,
             Some(basePath), cands, dels, withMeta = true, ids = readIds)
@@ -4142,9 +4173,14 @@ object IcebergLog {
       val alive = batch.filter(!col("__graft_deleted"))
         .select(m.schema.fieldNames.map(col).toIndexedSeq: _*)
       val added = writeDataFiles(spark, table, alive, m.partitionColumns, m.schema)
+      // fillAware (r17): the zero-read upsert writes delete+append
+      // without reading the target, and initial-defaults only matter at
+      // READ time — where the equality match now sees per-file FILLED
+      // values (readWithDeletes' fills), so a delete keyed on a default
+      // column retracts pre-field rows correctly
       val committed = commitSnapshot(spark, table, m.schema, m.partitionColumns,
         added, txn = None, operation = "overwrite", replaced = Set.empty,
-        deleteAdded = eqAdded, deleteContent = 2)
+        deleteAdded = eqAdded, deleteContent = 2, fillAware = true)
       if (committed.isEmpty)
         (eqAdded ++ added).foreach(a => Files.deleteIfExists(Paths.get(a.path)))
       else maybeAutoOptimize(spark, table)
@@ -4609,26 +4645,25 @@ object IcebergLog {
         case None if plannedDefaults.isEmpty =>
           readPlain(spark, schema, paths, fileCol)
         case None =>
-          // initial-default candidates (r16): group by the fills each
-          // FILE needs (metadata-only, ≤2^|defaults| groups) so the
-          // rewrite reads CORRECT values — the default materializes
-          // into postimages, which is exactly the row's value
-          import org.apache.spark.sql.functions.{col, lit}
+          // initial-default candidates (r16, shared fill machinery in
+          // r17): group by the fills each FILE needs (metadata-only,
+          // ≤2^|defaults| groups) so the rewrite reads CORRECT values —
+          // the default materializes into postimages, which is exactly
+          // the row's value; the fills thread into the delete-aware
+          // read so equality-delete matching sees logical values
+          import org.apache.spark.sql.functions.col
           val m = plannedM.get
           val outCols = (schema.fieldNames.toIndexedSeq ++ fileCol.toSeq).map(col)
-          paths.groupBy { p =>
+          fillGroupedBy(plannedDefaults, paths) { p =>
             val lf = plannedLive.getOrElse(p, sys.error(
               s"$table: $p is not in the planning snapshot's live set"))
             fillFieldsOf(table, m, plannedDefaults, m.fieldIds, lf)
               .map(_._1.name)
-          }.toSeq.sortBy(_._1.mkString(","))
-            .map { case (fillNames, subset) =>
-              val fills = plannedDefaults.filter(d => fillNames.contains(d._1.name))
-              fills.foldLeft(readPlain(spark, schema, subset, fileCol)) {
-                case (df, (sf, v)) =>
-                  df.withColumn(sf.name, lit(v).cast(sf.dataType))
-              }.select(outCols: _*)
-            }.reduceOption(_ unionAll _)
+          } { (subset, fills) =>
+            if (subset.isEmpty) None
+            else Some(readPlain(spark, schema, subset, fileCol, fills)
+              .select(outCols: _*))
+          }.map(_.select(outCols: _*))
             .getOrElse(spark.createDataFrame(
               spark.sparkContext.emptyRDD[Row],
               StructType(schema.fields ++
@@ -4636,7 +4671,8 @@ object IcebergLog {
       }
     }
     private def readPlain(spark: SparkSession, schema: StructType,
-        paths: Seq[String], fileCol: Option[String]): DataFrame = {
+        paths: Seq[String], fileCol: Option[String],
+        fills: Seq[(StructField, Any)] = Seq.empty): DataFrame = {
       import org.apache.spark.sql.functions.col
       if (plannedDeletes.isEmpty)
         return FencedScan(spark, schema)(
@@ -4653,7 +4689,8 @@ object IcebergLog {
         return FencedScan(spark, schema)(
           super.readFiles(spark, schema, paths, fileCol))
       val dirtyDf0 = readWithDeletes(spark, table, schema, Some(basePath),
-        dirty, plannedDeletes, withMeta = fileCol.isDefined, ids = plannedIds)
+        dirty, plannedDeletes, withMeta = fileCol.isDefined, ids = plannedIds,
+        fills = fills)
       val dirtyDf = fileCol.map(c =>
         dirtyDf0.withColumnRenamed(posFileCol, c).drop(posPosCol))
         .getOrElse(dirtyDf0)

@@ -59,7 +59,12 @@ private[graft] object SchemaEvolution {
     val tableByLower = tableSchema.fields.map(f => f.name.toLowerCase -> f).toMap
     val clashes = dfSchema.fields.toSeq
       .flatMap(f => tableByName.get(f.name).map(t => (f, t)))
-      .filter { case (f, t) => !sameShape(f.dataType, t.dataType) }
+      // top-level nullability takes the same one-way rule as the
+      // nested fields inside sameShape (r17 review): a nullable batch
+      // column into a required table column has no row-level null
+      // check and would silently violate the declared constraint
+      .filter { case (f, t) => !sameShape(f.dataType, t.dataType) ||
+        (f.nullable && !t.nullable) }
     if (clashes.nonEmpty) throw new IllegalArgumentException(
       s"$what: column type drift on append: " + clashes.map { case (f, t) =>
         s"${f.name} is ${t.dataType.simpleString} in the table but " +

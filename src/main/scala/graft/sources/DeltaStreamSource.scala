@@ -216,36 +216,16 @@ object DeltaStreamSource {
         else if (!changeCommit && rowTracking) {
           // rowTracking stream: materialize the commit's adds with their
           // row identity from the commit's OWN action lines
-          val adds = actions.filter(n => n.has("add") &&
-            Option(n.get("add").get("dataChange")).forall(_.asBoolean(true)))
-            .map { n =>
-              val a = n.get("add")
-              ((decodePath(a.get("path").asText()),
-                Option(a.get("partitionValues")).map(_.properties().asScala
-                  .map(e => e.getKey -> (if (e.getValue.isNull) null
-                    else e.getValue.asText())).toSeq.sorted)
-                  .getOrElse(Seq.empty),
-                Option(a.get("baseRowId")).filterNot(_.isNull).map(_.asLong()),
-                Option(a.get("defaultRowCommitVersion")).filterNot(_.isNull)
-                  .map(_.asLong())),
-                Option(a.get("stats")).filterNot(_.isNull).map(_.asText()))
-            }
+          val adds = parseDcAdds(actions).map(a =>
+            ((a.rel, a.partitionValues, a.baseRowId, a.defaultRowCommitVersion),
+              a.stats))
           if (adds.nonEmpty) linked += materializeAddsWithIds(v, adds)
         }
         else if (!changeCommit && mapped) {
           // mapped tables: the raw files are physical-named — materialize
           // the commit's added rows in logical shape instead of linking
-          val adds = actions.filter(n => n.has("add") &&
-            Option(n.get("add").get("dataChange")).forall(_.asBoolean(true)))
-            .map { n =>
-              val a = n.get("add")
-              (decodePath(a.get("path").asText()),
-                Option(a.get("partitionValues")).map(_.properties().asScala
-                  .map(e => e.getKey -> (if (e.getValue.isNull) null
-                    else e.getValue.asText())).toSeq.sorted)
-                  .getOrElse(Seq.empty),
-                Option(a.get("stats")).filterNot(_.isNull).map(_.asText()))
-            }
+          val adds = parseDcAdds(actions)
+            .map(a => (a.rel, a.partitionValues, a.stats))
           if (adds.nonEmpty) linked += materializeAdds(v, adds)
         }
         else if (!changeCommit) actions.foreach { n =>
@@ -564,4 +544,31 @@ object DeltaStreamSource {
   // percent-decode ONLY (same rule as DeltaLog.decodePath)
   private def decodePath(p: String): String =
     java.net.URLDecoder.decode(p.replace("+", "%2B"), "UTF-8")
+
+  /** One parsed dataChange=true add action (r17 — the one decode both
+    * the mapped and rowTracking sync branches share; an absent
+    * dataChange key defaults TRUE per the protocol).
+    */
+  private final case class ParsedAdd(rel: String,
+      partitionValues: Seq[(String, String)],
+      stats: Option[String],
+      baseRowId: Option[Long], defaultRowCommitVersion: Option[Long])
+
+  private def parseDcAdds(
+      actions: Seq[com.fasterxml.jackson.databind.JsonNode]): Seq[ParsedAdd] =
+    actions.filter(n => n.has("add") &&
+      Option(n.get("add").get("dataChange")).forall(_.asBoolean(true)))
+      .map { n =>
+        val a = n.get("add")
+        ParsedAdd(
+          decodePath(a.get("path").asText()),
+          Option(a.get("partitionValues")).map(_.properties().asScala
+            .map(e => e.getKey -> (if (e.getValue.isNull) null
+              else e.getValue.asText())).toSeq.sorted)
+            .getOrElse(Seq.empty),
+          Option(a.get("stats")).filterNot(_.isNull).map(_.asText()),
+          Option(a.get("baseRowId")).filterNot(_.isNull).map(_.asLong()),
+          Option(a.get("defaultRowCommitVersion")).filterNot(_.isNull)
+            .map(_.asLong()))
+      }
 }

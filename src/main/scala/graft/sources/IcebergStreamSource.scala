@@ -413,10 +413,14 @@ object IcebergStreamSource {
       case None if rowLineage =>
         // lineage initial state: ONE materialization of the whole
         // snapshot with resolved ids (the batch lineage read — refuses
-        // loudly on non-v3 / unresolvable / default-carrying tables)
-        graft.sinks.Cdf.materializeInto(dir.resolve("data"),
-          IcebergLog.readWithLineage(spark, table),
-          m.partitionColumns, s"lin-${m.lastSeq}")
+        // loudly on non-v3 / unresolvable / default-carrying tables).
+        // An EMPTY table (stream opened before the first append — the
+        // natural setup order) materializes nothing; the first sync's
+        // adds carry the rows.
+        if (IcebergLog.liveFiles(table, None).exists(_.status != 2))
+          graft.sinks.Cdf.materializeInto(dir.resolve("data"),
+            IcebergLog.readWithLineage(spark, table),
+            m.partitionColumns, s"lin-${m.lastSeq}")
         view.lastSeq = m.lastSeq
         view.saveState()
       case None if renamed || (hasDefaults &&

@@ -602,7 +602,95 @@ class IcebergV3Spec extends SparkSpec {
       val after = batchLin()
       assert(after(5L)._1.isDefined && after(6L)._1.isDefined, after)
       assert(got() == after, s"stream ${got()} != batch $after")
+      // catch-up past a rewrite (r17 review fix): an append whose file
+      // OPTIMIZE already compacted away before the sync still
+      // materializes with its historic assignment (the bytes stay until
+      // expire_snapshots GC; lineage resolves from history, not the
+      // live set)
+      IcebergLog.writeBatch(Seq((7L, "q")).toDF("id", "v").coalesce(1), table)
+      assert(IcebergLog.rewriteDataFiles(spark, table,
+        smallBytes = Some(Long.MaxValue)).isDefined)
+      view.sync() // processes the append (file rewritten) THEN the replace
+      q.processAllAvailable()
+      val after2 = batchLin()
+      assert(got()(7L) == after2(7L), s"stream ${got()} != batch $after2")
     } finally { q.stop(); view.close() }
+  }
+
+  test("row_lineage stream on an EMPTY table opens; the first append delivers (r17 review fix)") {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.Trigger
+    val table = tmpTable()
+    IcebergLog.writeBatch(Seq((1L, "a")).toDF("id", "v").coalesce(1), table)
+    IcebergLog.setTableProperties(spark, table, Map("format-version" -> "3"))
+    assert(IcebergLog.deleteWhere(spark, table, "id = 1").isDefined)
+    val (sdf, view) = graft.sources.IcebergStreamSource.open(spark, table,
+      rowLineage = true)
+    val q = sdf.writeStream.format("memory").queryName("ilinempty")
+      .outputMode("append").trigger(Trigger.ProcessingTime(100)).start()
+    try {
+      q.processAllAvailable()
+      assert(spark.table("ilinempty").count() == 0)
+      IcebergLog.writeBatch(Seq((2L, "b")).toDF("id", "v").coalesce(1), table)
+      view.sync()
+      q.processAllAvailable()
+      val r = spark.table("ilinempty").collect()
+      assert(r.length == 1 && r.head.getLong(0) == 2L && !r.head.isNullAt(2),
+        r.mkString(","))
+    } finally { q.stop(); view.close() }
+  }
+
+  test("equality deletes keyed on a default column retract pre-field rows by their LOGICAL (filled) value (r17 review fix)") {
+    import spark.implicits._
+    import org.apache.spark.sql.types.LongType
+    val table = tmpTable()
+    IcebergLog.writeBatch(
+      Seq((1L, 10L), (2L, 20L)).toDF("id", "v").coalesce(1), table) // pre-field
+    assert(IcebergLog.addColumns(spark, table, Seq("bonus" -> LongType)).isDefined)
+    IcebergLog.writeBatch(
+      Seq((3L, 30L, 300L), (4L, 40L, 7L)).toDF("id", "v", "bonus")
+        .coalesce(1), table)
+    IcebergLog.setTableProperties(spark, table,
+      Map("write.upsert.enabled" -> "true"))
+    // → v3 + initial-default/write-default 7 on bonus
+    val dir = Paths.get(table, "metadata")
+    val vf = Files.list(dir).iterator().asScala.map(_.getFileName.toString)
+      .filter(s => s.startsWith("v") && s.endsWith(".metadata.json"))
+      .map(s => s.stripPrefix("v").stripSuffix(".metadata.json").toInt).max
+    val p = dir.resolve(s"v$vf.metadata.json")
+    val node = mapper.readTree(Files.readAllBytes(p))
+      .asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode]
+    node.put("format-version", 3)
+    val curId = node.get("current-schema-id").asInt()
+    val schemas = node.get("schemas")
+    (0 until schemas.size()).map(schemas.get)
+      .find(_.get("schema-id").asInt() == curId).get.get("fields")
+      .forEach { f =>
+        if (f.get("name").asText() == "bonus") {
+          val o = f.asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode]
+          o.put("initial-default", 7)
+          o.put("write-default", 7)
+          ()
+        }
+      }
+    Files.write(p, node.toString.getBytes("UTF-8"))
+    // equality upsert keyed on BONUS with the default value: the delete
+    // must retract ids 1,2 (their LOGICAL bonus is the fill 7 — the raw
+    // bytes have no column at all) and id 4 (explicit 7); id 3 survives
+    IcebergLog.upsertAppend(spark, table,
+      Seq((99L, 990L, 7L, false)).toDF("id", "v", "bonus", "__graft_deleted"),
+      Seq("bonus"), checkUnique = true)
+    val got = IcebergLog.read(spark, table).collect()
+      .map(_.getLong(0)).sorted.toSeq
+    assert(got == Seq(3L, 99L), got)
+    // the changelog emits the same retractions with FILLED preimages
+    val seq = IcebergLog.current(table).get.lastSeq
+    val chg = IcebergLog.readChanges(spark, table, seq, Some(seq)).collect()
+      .map(r => (r.getLong(0),
+        if (r.isNullAt(2)) -1L else r.getLong(2),
+        r.getString(r.fieldIndex(graft.sinks.Cdf.changeTypeCol)))).toSet
+    assert(chg == Set((1L, 7L, "delete"), (2L, 7L, "delete"),
+      (4L, 7L, "delete"), (99L, 7L, "insert")), chg)
   }
 
   test("v3 row lineage: spec assignment on appends, DV survivors keep ids, rewrites refuse") {

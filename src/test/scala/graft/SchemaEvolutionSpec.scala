@@ -257,6 +257,21 @@ class SchemaEvolutionSpec extends SparkSpec {
         case _ => IcebergLog.read(spark, t2).count()
       }
       assert(n == 2L, s"$fmt: $n")
+      // TOP-LEVEL columns take the same one-way rule (r17 review): a
+      // nullable batch column refuses into a required table column
+      // (explicit schema — expression-level nullability like
+      // when(lit(true), …) simplifies away at analysis)
+      val t3 = tmpTable(s"${fmt}_toplevel")
+      write(Seq((1L, 10)).toDF("id", "q"), t3) // both non-nullable
+      val nullableTop = spark.createDataFrame(
+        java.util.Arrays.asList(org.apache.spark.sql.Row(2L, 20)),
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("id", LongType,
+            nullable = true),
+          org.apache.spark.sql.types.StructField("q",
+            org.apache.spark.sql.types.IntegerType, nullable = false))))
+      val e3 = intercept[IllegalArgumentException](write(nullableTop, t3))
+      assert(e3.getMessage.contains("nullability"), s"$fmt: ${e3.getMessage}")
     }
   }
 }
