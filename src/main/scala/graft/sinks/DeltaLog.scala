@@ -1624,9 +1624,14 @@ object DeltaLog {
         checkpointInterval, mergeSchema, tableConf)
     }
     Files.createDirectories(Paths.get(table))
+    // declared-nullable columns landing in REQUIRED table columns get a
+    // row-level null guard (r17) — the write fails on the first actual
+    // null instead of refusing every file-sourced (always-nullable) batch
+    val dfW = snap0.map(s0 =>
+      SchemaEvolution.withRequiredGuards(df, s0.schema)).getOrElse(df)
     // data files exclude the partition columns (they live in the path and
     // in partitionValues), matching Delta's physical layout
-    val added = placeDataFiles(spark, table, df.schema, partitionBy, df)
+    val added = placeDataFiles(spark, table, df.schema, partitionBy, dfW)
     val committed = commit(spark, table, df.schema, partitionBy, added, txn,
       mergeSchema = mergeSchema, tableConf = tableConf)
     committed match {

@@ -1392,7 +1392,11 @@ object IcebergLog {
     val statSchema = cur0
       .map(m => SchemaEvolution.resolve(m.schema, df1.schema, mergeSchema, table))
       .getOrElse(df1.schema)
-    val added = writeDataFiles(spark, table, df1, partitionBy, statSchema)
+    // declared-nullable columns landing in REQUIRED table columns get a
+    // row-level null guard (r17) — the write fails on the first actual
+    // null instead of refusing every file-sourced (always-nullable) batch
+    val dfW = SchemaEvolution.withRequiredGuards(df1, statSchema)
+    val added = writeDataFiles(spark, table, dfW, partitionBy, statSchema)
     val committed = commit(spark, table, df1.schema, partitionBy, added, txn,
       mergeSchema)
     if (committed.isEmpty)
@@ -3021,6 +3025,12 @@ object IcebergLog {
     val livePaths = live.map(_.path).toSet
     val metricsByName = live.map(f => fileNameOf(f.path) -> f).toMap
     val out = scala.collection.mutable.Map.empty[String, Lineage]
+    // NAME-keyed map: a name resolved by more than one historical file
+    // is ambiguous (third-party layouts may reuse part names across
+    // dirs) — drop it so the caller's missing-lineage check refuses
+    // LOUDLY instead of a later entry silently overwriting an earlier
+    // assignment (matters once restrictToLive=false widens the pool)
+    val ambiguous = scala.collection.mutable.Set.empty[String]
     m.snapshots.sortBy(_.get("sequence-number").asLong()).foreach { snap =>
       val sid = snap.get("snapshot-id").asLong()
       val op = Option(snap.get("summary")).map(_.get("operation").asText())
@@ -3041,6 +3051,7 @@ object IcebergLog {
             val path = df0.getString(1)
             if (!restrictToLive || livePaths.contains(path)) {
               val name = fileNameOf(path)
+              if (out.contains(name)) ambiguous += name
               val dseq = e.get(2) match { case l: java.lang.Long => l.longValue()
                 case _ => mf.getLong(4) }
               if (op == "append")
@@ -3059,7 +3070,7 @@ object IcebergLog {
         }
       }
     }
-    out.toMap
+    (out --= ambiguous).toMap
   }
 
   /** v3 ROW LINEAGE read (spec "Row Lineage"): [[read]] plus the spec's
@@ -3870,7 +3881,7 @@ object IcebergLog {
             else Some(readWithDeletes(spark, table, readSchema,
               Some(basePath), group, dels, withMeta = true, ids = readIds,
               fills = fills).select(outCols: _*))
-          }.map(_.select(outCols: _*)).get
+          }.get // cands nonEmpty here; the fold preserves column order
         } else {
           val raw = readWithDeletes(spark, table, readSchema,
             Some(basePath), cands, dels, withMeta = true, ids = readIds)
@@ -4662,9 +4673,8 @@ object IcebergLog {
           } { (subset, fills) =>
             if (subset.isEmpty) None
             else Some(readPlain(spark, schema, subset, fileCol, fills)
-              .select(outCols: _*))
-          }.map(_.select(outCols: _*))
-            .getOrElse(spark.createDataFrame(
+              .select(outCols: _*)) // the fold preserves column order
+          }.getOrElse(spark.createDataFrame(
               spark.sparkContext.emptyRDD[Row],
               StructType(schema.fields ++
                 fileCol.map(c => StructField(c, StringType)))))

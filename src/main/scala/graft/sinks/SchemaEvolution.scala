@@ -57,14 +57,17 @@ private[graft] object SchemaEvolution {
       what: String) = {
     val tableByName = tableSchema.fields.map(f => f.name -> f).toMap
     val tableByLower = tableSchema.fields.map(f => f.name.toLowerCase -> f).toMap
+    // top-level nullability is NOT checked here: every file-sourced
+    // DataFrame is declared nullable, so a declared-only refusal would
+    // break the ordinary read-transform-append flow — instead
+    // [[withRequiredGuards]] adds a ROW-LEVEL null check at write time
+    // (delta-spark's invariant behavior, iceberg-java's required-field
+    // write check). Nested fields keep the declared one-way refusal in
+    // [[sameShape]] — no guard can be spliced below a struct cheaply,
+    // and nested batches are built explicitly.
     val clashes = dfSchema.fields.toSeq
       .flatMap(f => tableByName.get(f.name).map(t => (f, t)))
-      // top-level nullability takes the same one-way rule as the
-      // nested fields inside sameShape (r17 review): a nullable batch
-      // column into a required table column has no row-level null
-      // check and would silently violate the declared constraint
-      .filter { case (f, t) => !sameShape(f.dataType, t.dataType) ||
-        (f.nullable && !t.nullable) }
+      .filter { case (f, t) => !sameShape(f.dataType, t.dataType) }
     if (clashes.nonEmpty) throw new IllegalArgumentException(
       s"$what: column type drift on append: " + clashes.map { case (f, t) =>
         s"${f.name} is ${t.dataType.simpleString} in the table but " +
@@ -102,6 +105,30 @@ private[graft] object SchemaEvolution {
         "— set merge_schema=true to evolve the table (new columns append " +
         "as nullable; missing ones read as null), or fix the writer")
     else StructType(tableSchema.fields ++ dfOnly.map(_.copy(nullable = true)))
+  }
+
+  /** Row-level required-column guard (r17): for every batch column
+    * DECLARED nullable that lands in a table column declared REQUIRED,
+    * wrap the value so the WRITE JOB fails on the first actual null
+    * instead of silently landing it — the delta-spark invariant /
+    * iceberg-java required-field behavior. Zero extra pass (the guard
+    * rides the write projection, codegen'd); columns with matching
+    * declarations pass through untouched.
+    */
+  def withRequiredGuards(df: org.apache.spark.sql.DataFrame,
+      tableSchema: StructType): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions.{col, lit, raise_error, when}
+    val tableByName = tableSchema.fields.map(f => f.name -> f).toMap
+    val guarded = df.schema.fields.filter(f =>
+      f.nullable && tableByName.get(f.name).exists(!_.nullable))
+    if (guarded.isEmpty) df
+    else guarded.foldLeft(df) { (d, f) =>
+      d.withColumn(f.name, when(col(s"`${f.name}`").isNull,
+        raise_error(lit(s"required column ${f.name} received a NULL on " +
+          "append (the table declares it non-nullable); fix the writer " +
+          "or relax the column")))
+        .otherwise(col(s"`${f.name}`")))
+    }
   }
 
   /** Upsert-batch variant: a MERGE source may legitimately carry a

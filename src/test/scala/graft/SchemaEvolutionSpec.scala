@@ -257,21 +257,34 @@ class SchemaEvolutionSpec extends SparkSpec {
         case _ => IcebergLog.read(spark, t2).count()
       }
       assert(n == 2L, s"$fmt: $n")
-      // TOP-LEVEL columns take the same one-way rule (r17 review): a
-      // nullable batch column refuses into a required table column
-      // (explicit schema — expression-level nullability like
-      // when(lit(true), …) simplifies away at analysis)
+      // TOP-LEVEL columns: declared nullability alone does NOT refuse
+      // (every file-sourced batch is declared nullable) — instead a
+      // ROW-LEVEL guard fails the write on the first ACTUAL null
+      // (r17 review; the delta-spark invariant behavior)
       val t3 = tmpTable(s"${fmt}_toplevel")
       write(Seq((1L, 10)).toDF("id", "q"), t3) // both non-nullable
-      val nullableTop = spark.createDataFrame(
-        java.util.Arrays.asList(org.apache.spark.sql.Row(2L, 20)),
-        org.apache.spark.sql.types.StructType(Seq(
-          org.apache.spark.sql.types.StructField("id", LongType,
-            nullable = true),
-          org.apache.spark.sql.types.StructField("q",
-            org.apache.spark.sql.types.IntegerType, nullable = false))))
-      val e3 = intercept[IllegalArgumentException](write(nullableTop, t3))
-      assert(e3.getMessage.contains("nullability"), s"$fmt: ${e3.getMessage}")
+      val schemaN = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("id", LongType,
+          nullable = true),
+        org.apache.spark.sql.types.StructField("q",
+          org.apache.spark.sql.types.IntegerType, nullable = false)))
+      // declared-nullable but actually non-null: lands
+      write(spark.createDataFrame(
+        java.util.Arrays.asList(org.apache.spark.sql.Row(2L, 20)), schemaN), t3)
+      // an ACTUAL null in the required column: the write job fails
+      def messages(t: Throwable): String =
+        Iterator.iterate(t)(_.getCause).takeWhile(_ != null)
+          .map(x => Option(x.getMessage).getOrElse("")).mkString(" | ")
+      val e3 = intercept[Exception](write(spark.createDataFrame(
+        java.util.Arrays.asList(org.apache.spark.sql.Row(null, 30)),
+        schemaN), t3))
+      assert(messages(e3).contains("required column id"),
+        s"$fmt: ${messages(e3)}")
+      val n3 = fmt match {
+        case "delta" => DeltaLog.read(spark, t3).count()
+        case _ => IcebergLog.read(spark, t3).count()
+      }
+      assert(n3 == 2L, s"$fmt: $n3")
     }
   }
 }
