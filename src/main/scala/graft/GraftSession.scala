@@ -23,6 +23,14 @@ object GraftSession {
       .config("spark.ui.enabled", "false")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      // r17 note: coalescePartitions.parallelismFirst stays at its TRUE
+      // default, measured deliberately (R17Probe): size-based coalescing
+      // (false + 64 MB advisory) collapsed the dedup pipelines' shuffles
+      // to 1 task and serialized their CPU-heavy, small-byte stages —
+      // q_tfidf 1.9 s → 9.3 s, q_ngram_jaccard 1.7 s → 5.2 s. This
+      // engine's post-shuffle stages are compute-bound per byte (hash
+      // self-joins, signature math), the exact case the parallelism
+      // floor exists for.
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
       .config("spark.sql.autoBroadcastJoinThreshold", (64L * 1024 * 1024).toString)
       .config("spark.sql.parquet.filterPushdown", "true")
@@ -105,8 +113,27 @@ object Tables {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
+  /** Parquet schemas per table path, inferred once per JVM (r17): without
+    * this, EVERY `spark.read.parquet` call runs a footer-inference job
+    * before the query proper — ~30-50 ms × 1-6 tables × every query
+    * construction (guide §6: table formats carry schema in metadata for
+    * exactly this reason; a production deployment gets it from the
+    * metastore). Metadata only — no result caching: each query still
+    * reads every byte from parquet.
+    */
+  private val schemaCache =
+    new java.util.concurrent.ConcurrentHashMap[String, org.apache.spark.sql.types.StructType]()
+
   def load(spark: SparkSession, sfDir: String, name: String): DataFrame = {
-    val df = spark.read.parquet(s"$sfDir/$name.parquet")
+    val path = s"$sfDir/$name.parquet"
+    val cached = schemaCache.get(path)
+    val df =
+      if (cached != null) spark.read.schema(cached).parquet(path)
+      else {
+        val d = spark.read.parquet(path)
+        schemaCache.put(path, d.schema)
+        d
+      }
     if (name == "events") normalizeEvents(df) else df
   }
 

@@ -29,10 +29,19 @@ object Dedup {
     * (`keeperAssignment` manages its own loop-carried caches the same way.)
     */
   private[operators] def materializeAndRelease(result: DataFrame, pinned: DataFrame*): DataFrame = {
+    val tap = planTap
+    if (tap != null) tap(result)
     val out = result.localCheckpoint(true)
     pinned.foreach(_.unpersist())
     out
   }
+
+  /** Dev-only plan tap (examples.R17Plans): when set, receives the
+    * pre-checkpoint pipeline frame so `explain` tooling can see through
+    * [[materializeAndRelease]]'s lineage truncation. Never set in
+    * production paths; null checks cost nothing.
+    */
+  @volatile private[graft] var planTap: DataFrame => Unit = null
 
   /** Exact dedup by content hash: one shuffle on md5(text).
     * Returns one row per distinct content: the surviving (minimum) id, the
@@ -69,17 +78,12 @@ object Dedup {
     * starts from. Spreads under-partitioned corpora before the per-row
     * work (round-robin: no key needed yet).
     */
-  def shingleArrays(df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame = {
-    val toks = tokens(col(textCol))
+  def shingleArrays(df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame =
     spreadForCompute(df).select(
       col(idCol).as("doc"),
-      array_distinct(
-        when(size(toks) >= n,
-          transform(sequence(lit(0), size(toks) - n),
-            i => concat_ws(" ", slice(toks, i + 1, lit(n)))))
-          .otherwise(array(concat_ws(" ", toks))))
+      org.apache.spark.sql.GraftShim.column(graft.functions.ShingleStringsF(
+        org.apache.spark.sql.GraftShim.expression(tokens(col(textCol))), n))
         .as("shingle_list"))
-  }
 
   /** Exploded (doc, shingle) pairs — the inverted-index form used by
     * exact-jaccard dedup and the shingle-statistics query. The shingle is
@@ -94,24 +98,23 @@ object Dedup {
     * scale). The hash is applied INSIDE the same projection so
     * array_distinct compares longs, not strings.
     *
-    * PERF NOTE: the explode MUST take the shingle expression inline
-    * (`explode(array_distinct(<expr>))` in one projection). Materializing
-    * the array in a separate Project below the Generate measured 13×
-    * slower at sf0.1 (6.0s vs 0.45s for the full shingle count) — the
-    * Generate boundary forces the large array through UnsafeRow and breaks
-    * whole-stage fusion with the scan.
+    * PERF NOTE (r17): shingle construction is the codegen'd
+    * [[graft.functions.ShingleHashesF]] — the old higher-order-function
+    * chain (`array_distinct(transform(sequence, i => concat_ws(slice)))`)
+    * ran interpreted (Spark never codegens lambdas) at ~32 µs/shingle and
+    * dominated every dedup query's executor time (R17Probe: 13-19 CPU-s
+    * per corpus traversal at sf0.1, ×2 traversals here). Value-identical:
+    * same windows, " " join, first-occurrence distinct on the hash,
+    * xxhash64 seed 42. The explode still takes the expression inline in
+    * one projection (the round-4 lesson: a separate Project below the
+    * Generate broke scan fusion, 13× slower).
     */
-  def shingles(df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame = {
-    val toks = tokens(col(textCol))
-    val grams =
-      when(size(toks) >= n,
-        transform(sequence(lit(0), size(toks) - n),
-          i => concat_ws(" ", slice(toks, i + 1, lit(n)))))
-        .otherwise(array(concat_ws(" ", toks)))
+  def shingles(df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame =
     spreadForCompute(df).select(
       col(idCol).as("doc"),
-      explode(array_distinct(transform(grams, s => xxhash64(s)))).as("shingle"))
-  }
+      explode(org.apache.spark.sql.GraftShim.column(graft.functions.ShingleHashesF(
+        org.apache.spark.sql.GraftShim.expression(tokens(col(textCol))), n)))
+        .as("shingle"))
 
   /** MinHash signature per doc, computed ROW-LOCALLY by the codegen'd
     * [[graft.functions.MinHashSigF]] expression (Kirsch-Mitzenmacher double
@@ -121,10 +124,15 @@ object Dedup {
     */
   def minhashSignatures(df: DataFrame, idCol: String, textCol: String,
       shingleSize: Int, numHashes: Int): DataFrame =
-    shingleArrays(df, idCol, textCol, shingleSize).select(
-      col("doc"),
-      org.apache.spark.sql.GraftShim.column(graft.functions.MinHashSigF(
-        org.apache.spark.sql.GraftShim.expression(col("shingle_list")), numHashes)).as("sig"))
+    // r17: fused tokens → signature ([[graft.functions.MinHashTokensF]]):
+    // no shingle-string array materialization, no distinct pass (a
+    // duplicate shingle cannot change a minimum) — value-identical to the
+    // shingleArrays + MinHashSigF chain (ShingleFSpec pins it)
+    spreadForCompute(df).select(
+      col(idCol).as("doc"),
+      org.apache.spark.sql.GraftShim.column(graft.functions.MinHashTokensF(
+        org.apache.spark.sql.GraftShim.expression(tokens(col(textCol))),
+        shingleSize, numHashes)).as("sig"))
 
   /** MinHash + LSH banding dedup.
     *
@@ -575,25 +583,21 @@ object Dedup {
     val longIds = pairs.schema.take(2).forall(
       _.dataType == org.apache.spark.sql.types.LongType)
     val probeN = math.min(maxDriverEdges + 1, Int.MaxValue.toLong).toInt
-    // ONE pass over the (possibly expensive — LSH joins) pair pipeline,
-    // WITHOUT collecting an over-budget graph to the driver: the limited
-    // frame is persisted executor-side, the count reads the cache, and
-    // only a within-budget graph is then collected (also from cache). An
-    // overflow (count > budget) ships nothing to the driver and falls
-    // through to the distributed path. (A bare limit-count probe ran the
-    // pipeline twice on every fast-path hit; a bare collect-first put
-    // probeN boxed rows on the driver precisely when the graph was too
-    // big for it.)
-    val limited =
-      if (longIds)
-        Some(pairs.select(col("doc_a").cast("long"), col("doc_b").cast("long"))
-          .limit(probeN)
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
-      else None
-    val smallGraph = limited.exists(_.count() <= maxDriverEdges)
+    // ONE pass, ONE job over the (possibly expensive — LSH joins) pair
+    // pipeline: collect the limit(budget+1) frame directly and decide from
+    // its length (r17 — the previous persist+count+collect shape read the
+    // cache twice, paying a second job's scheduling latency per keeper
+    // call). Driver footprint is bounded either way: at most probeN
+    // two-long rows (~90 B each ⇒ ≲400 MB transient at the 4M default)
+    // live exactly until the length check, and only when the graph
+    // overflows the budget — in which case they are dropped and the
+    // distributed path recomputes from `pairs`, same as before.
     val probed: Option[Array[org.apache.spark.sql.Row]] =
-      if (smallGraph) limited.map(_.collect()) else None
-    limited.foreach(_.unpersist())
+      if (longIds) {
+        val rows = pairs.select(col("doc_a").cast("long"), col("doc_b").cast("long"))
+          .limit(probeN).collect()
+        if (rows.length <= maxDriverEdges) Some(rows) else None
+      } else None
     if (probed.isDefined) {
       val parent = new java.util.HashMap[Long, Long]()
       def find(x: Long): Long = {
@@ -672,14 +676,26 @@ object Dedup {
     materializeAndRelease(resolved, labels)
   }
 
-  /** Exact n-gram Jaccard similarity via inverted index join.
-    * (id, shingle) self-join on shingle → per-pair intersection counts;
-    * union sizes from per-doc shingle counts. `maxDocFreq` drops ubiquitous
-    * shingles (stopword-like n-grams) that would otherwise create skewed,
-    * near-cartesian join keys — the standard scale guard for index joins
-    * (cost is Σ df² per shingle; one hot shingle dominates everything).
-    * Jaccard is computed over the surviving shingles on both sides of the
-    * ratio, so the metric stays internally consistent under the cap.
+  /** Exact n-gram Jaccard similarity via a POSTINGS-LIST inverted index
+    * (r17 redesign, guide §2.3/§2.4): ONE corpus traversal groups the
+    * (doc, shingle) pairs by shingle into a CAP-BOUNDED postings list
+    * ([[graft.functions.CollectUpToF]] keeps at most maxDocFreq+1 doc ids
+    * per shingle — 8 bytes × (cap+1) of state no matter how hot the key,
+    * so a df=10⁹ boilerplate shingle cannot OOM the aggregate the way
+    * collect_list would); lists that stayed ≤ maxDocFreq are COMPLETE by
+    * construction and the df cap is exact. Per-doc sizes and the per-pair
+    * intersection counts both derive from the (vocab-bounded) postings
+    * frame — no second corpus pass, no self-join: pairs stream out of a
+    * double explode with an a < b filter.
+    *
+    * vs the previous shape (df-count aggregate + join back + self-join):
+    * corpus traversals 2 → 1, full-data exchanges 2 → 1 (only the
+    * postings groupBy shuffles corpus-sized data; sizes/pairs shuffle
+    * vocab- and output-bounded rows). The Σ df² pair-emit cost and the
+    * cap semantics are unchanged: Jaccard is computed over the surviving
+    * shingles on both sides of the ratio, so the metric stays internally
+    * consistent under the cap. Non-long doc ids keep the join-based
+    * fallback (value-identical; DedupSpec pins the two paths equal).
     */
   def ngramJaccardPairs(
       df: DataFrame,
@@ -689,18 +705,41 @@ object Dedup {
       threshold: Double = 0.5,
       maxDocFreq: Int = 1000): DataFrame = {
     val sh = shingles(df, idCol, textCol, shingleSize)
-    val okShingles = sh.groupBy("shingle").agg(count(lit(1)).as("df"))
-      .filter(col("df") <= maxDocFreq)
-      .select("shingle")
-    // persisted: feeds per-doc sizes and both sides of the self-join
-    val filtered = sh.join(okShingles, "shingle")
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val sizes = filtered.groupBy("doc").agg(count(lit(1)).as("n_sh"))
-
-    val inter = filtered.as("x").join(filtered.as("y"),
-        col("x.shingle") === col("y.shingle") && col("x.doc") < col("y.doc"))
-      .groupBy(col("x.doc").as("doc_a"), col("y.doc").as("doc_b"))
-      .agg(count(lit(1)).as("inter"))
+    val (sizes, inter, pinned) =
+      if (sh.schema("doc").dataType == org.apache.spark.sql.types.LongType) {
+        // postings per shingle; only complete (≤ cap) lists survive.
+        // persisted: feeds per-doc sizes and the pair expansion; vocab ×
+        // ≤cap longs — orders of magnitude under the exploded corpus form
+        val ok = sh.groupBy("shingle")
+          .agg(org.apache.spark.sql.GraftShim.column(
+            graft.functions.CollectUpToF(
+              org.apache.spark.sql.GraftShim.expression(col("doc")), maxDocFreq)
+              .toAggregateExpression()).as("docs"))
+          .filter(size(col("docs")) <= maxDocFreq)
+          .select("docs")
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val sizes = ok.select(explode(col("docs")).as("doc"))
+          .groupBy("doc").agg(count(lit(1)).as("n_sh"))
+        val inter = ok.select(col("docs"), explode(col("docs")).as("doc_a"))
+          .select(col("doc_a"), explode(col("docs")).as("doc_b"))
+          .filter(col("doc_a") < col("doc_b"))
+          .groupBy(col("doc_a"), col("doc_b"))
+          .agg(count(lit(1)).as("inter"))
+        (sizes, inter, ok)
+      } else {
+        val okShingles = sh.groupBy("shingle").agg(count(lit(1)).as("df"))
+          .filter(col("df") <= maxDocFreq)
+          .select("shingle")
+        // persisted: feeds per-doc sizes and both sides of the self-join
+        val filtered = sh.join(okShingles, "shingle")
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val sizes = filtered.groupBy("doc").agg(count(lit(1)).as("n_sh"))
+        val inter = filtered.as("x").join(filtered.as("y"),
+            col("x.shingle") === col("y.shingle") && col("x.doc") < col("y.doc"))
+          .groupBy(col("x.doc").as("doc_a"), col("y.doc").as("doc_b"))
+          .agg(count(lit(1)).as("inter"))
+        (sizes, inter, filtered)
+      }
 
     val scored = inter
       .join(sizes.withColumnRenamed("doc", "doc_a").withColumnRenamed("n_sh", "size_a"), "doc_a")
@@ -709,7 +748,7 @@ object Dedup {
         col("inter").cast("double") / (col("size_a") + col("size_b") - col("inter")))
       .filter(col("jaccard") >= threshold)
       .select("doc_a", "doc_b", "jaccard")
-    materializeAndRelease(scored, filtered)
+    materializeAndRelease(scored, pinned)
   }
 
   /** TF-IDF weighted cosine near-dup pairs — the frequency-aware sibling of
@@ -736,8 +775,10 @@ object Dedup {
     * ran > 300× sf0.1 before the absolute cap, ~linear after). idf
     * handles the soft end of the spectrum below the caps.
     *
-    * Scale shape: tf is one (doc, term)-keyed shuffle with map-side
-    * partials; df/idf derive from the tf table (vocab-bounded, NOT a second
+    * Scale shape: tf is ROW-LOCAL (codegen'd [[graft.functions.TermFreqF]],
+    * r17 — a doc's term frequencies are a pure function of the doc, so the
+    * former (doc, term)-keyed aggregate exchange was structural overhead);
+    * df/idf derive from the tf table (vocab-bounded, NOT a second
     * corpus pass); terms ride as xxhash64 ids (equality-only downstream, 8
     * bytes through every shuffle — the round-4 ngram lesson); the pair join
     * is the same inverted-index shape as [[ngramJaccardPairs]] with the
@@ -755,11 +796,17 @@ object Dedup {
     // totals pattern) — no driver-side count() action, no corpus pass
     // before the pipeline runs; the oracle replays COUNT(*) identically
     val totals = df.agg(count(lit(1)).as("n_docs"))
+    // tf is ROW-LOCAL (r17, codegen'd [[graft.functions.TermFreqF]]): the
+    // old explode(tokens) → groupBy(doc, term_h).count() paid a full
+    // corpus-sized exchange on (doc, term_h) — but a document's term
+    // frequencies are a pure function of that document, so the aggregate
+    // was structural overhead (the MinHashSigF move). Plan: 2 full-data
+    // exchanges before `w` → 1 (only the join-with-idf shuffle remains).
     val tf = spreadForCompute(df)
       .select(col(idCol).as("doc"),
-        explode(tokens(col(textCol))).as("term"))
-      .select(col("doc"), xxhash64(col("term")).as("term_h"))
-      .groupBy("doc", "term_h").agg(count(lit(1)).as("tf"))
+        explode(org.apache.spark.sql.GraftShim.column(graft.functions.TermFreqF(
+          org.apache.spark.sql.GraftShim.expression(tokens(col(textCol)))))).as("e"))
+      .select(col("doc"), col("e.term_h").as("term_h"), col("e.tf").as("tf"))
     // df from the tf table (one row per doc×term already): vocab-bounded
     val idf = tf.groupBy("term_h").agg(count(lit(1)).as("df"))
       .crossJoin(broadcast(totals))
