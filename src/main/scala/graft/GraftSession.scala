@@ -32,6 +32,16 @@ object GraftSession {
       // self-joins, signature math), the exact case the parallelism
       // floor exists for.
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
+      // r17 (guide §3.1/§9): let the planner pick shuffled-hash over
+      // sort-merge when its size conditions hold, and let AQE rewrite an
+      // already-shuffled SMJ to SHJ when every post-shuffle partition is
+      // under the local-map threshold — both drop the per-partition sorts.
+      // OOM risk is bounded by the same size conditions (and AQE skew
+      // splitting stays on); sort-merge remains the fallback everywhere
+      // the build side could be large.
+      .config("spark.sql.join.preferSortMergeJoin", "false")
+      .config("spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold",
+        (64L * 1024 * 1024).toString)
       .config("spark.sql.autoBroadcastJoinThreshold", (64L * 1024 * 1024).toString)
       .config("spark.sql.parquet.filterPushdown", "true")
       .config("spark.sql.files.maxPartitionBytes", (128L * 1024 * 1024).toString)

@@ -174,21 +174,39 @@ object Dedup {
     val banded = sigArr.select(col("doc"), posexplode(array(bandHashes: _*)))
       .withColumnRenamed("pos", "band").withColumnRenamed("col", "band_hash")
 
-    // Bucket by (band, band_hash); cap pathological buckets. groupBy+join
-    // instead of a window count: partial aggregation shrinks the shuffle to
-    // one row per bucket and avoids the window's sort.
-    val okBuckets = banded.groupBy(col("band"), col("band_hash"))
-      .agg(count(lit(1)).as("bn"))
-      .filter(col("bn") <= maxBucket)
-      .select(col("band"), col("band_hash"))
-    val buckets = banded.join(okBuckets, Seq("band", "band_hash"))
-
-    val rawPairs = buckets.as("a").join(buckets.as("b"),
-        col("a.band") === col("b.band") &&
-          col("a.band_hash") === col("b.band_hash") &&
-          col("a.doc") < col("b.doc"))
-      .select(col("a.doc").as("doc_a"), col("b.doc").as("doc_b"))
-      .dropDuplicates("doc_a", "doc_b")
+    // Bucket by (band, band_hash); cap pathological buckets. r17: the
+    // bucket members are gathered into a CAP-BOUNDED postings list
+    // ([[graft.functions.CollectUpToF]] — at most maxBucket+1 doc ids per
+    // bucket, so a degenerate bucket holds KBs of state, never GBs) and
+    // candidate pairs stream out of a double explode — one exchange where
+    // the previous count-filter-join-back + self-join paid three (the
+    // ngramJaccardPairs postings redesign applied to LSH banding; results
+    // identical, DedupSpec + the quality oracles pin it). Non-long doc
+    // ids keep the join-based shape.
+    val rawPairs = (if (sigArr.schema("doc").dataType ==
+        org.apache.spark.sql.types.LongType) {
+      val ok = banded.groupBy(col("band"), col("band_hash"))
+        .agg(org.apache.spark.sql.GraftShim.column(
+          graft.functions.CollectUpToF(
+            org.apache.spark.sql.GraftShim.expression(col("doc")), maxBucket)
+            .toAggregateExpression()).as("docs"))
+        .filter(size(col("docs")) <= maxBucket)
+        .select("docs")
+      ok.select(col("docs"), explode(col("docs")).as("doc_a"))
+        .select(col("doc_a"), explode(col("docs")).as("doc_b"))
+        .filter(col("doc_a") < col("doc_b"))
+    } else {
+      val okBuckets = banded.groupBy(col("band"), col("band_hash"))
+        .agg(count(lit(1)).as("bn"))
+        .filter(col("bn") <= maxBucket)
+        .select(col("band"), col("band_hash"))
+      val buckets = banded.join(okBuckets, Seq("band", "band_hash"))
+      buckets.as("a").join(buckets.as("b"),
+          col("a.band") === col("b.band") &&
+            col("a.band_hash") === col("b.band_hash") &&
+            col("a.doc") < col("b.doc"))
+        .select(col("a.doc").as("doc_a"), col("b.doc").as("doc_b"))
+    }).dropDuplicates("doc_a", "doc_b")
 
     val scored = rawPairs
       .join(sigArr.select(col("doc").as("doc_a"), col("sig").as("sig_a")), "doc_a")
