@@ -178,6 +178,87 @@ object ShingleMath {
     UnsafeArrayData.fromPrimitiveArray(sig)
   }
 
+  /** ALL n-gram window strings in positional order (non-distinct) —
+    * identical to transform(sequence(0, k-n), i => concat_ws(" ",
+    * slice(toks, i+1, n))); empty array when k < n (callers either
+    * filter on size first or posexplode the empty array to zero rows).
+    */
+  def gramStrings(toks: ArrayData, n: Int): ArrayData = {
+    val k = if (toks == null) 0 else toks.numElements()
+    if (k < n) return new GenericArrayData(Array.empty[Any])
+    val out = new Array[Any](k - n + 1)
+    var i = 0
+    while (i <= k - n) { out(i) = joined(toks, i, n); i += 1 }
+    new GenericArrayData(out)
+  }
+
+  /** ALL n-gram windows as md5 hex strings in positional order — identical
+    * to transform(sequence(0, k-L), i => md5(concat_ws(" ", slice(toks,
+    * i+1, L)))) with the `otherwise(empty)` fallback for k < L; digests
+    * run over the same window bytes the joined string would hold.
+    */
+  def gramMd5(toks: ArrayData, n: Int): ArrayData = {
+    val k = if (toks == null) 0 else toks.numElements()
+    if (k < n) return new GenericArrayData(Array.empty[Any])
+    val out = new Array[Any](k - n + 1)
+    var i = 0
+    while (i <= k - n) {
+      // DigestUtils.md5Hex over the string bytes = Spark's Md5 expression
+      out(i) = UTF8String.fromString(
+        org.apache.commons.codec.digest.DigestUtils.md5Hex(joined(toks, i, n).getBytes))
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  /** All (n, pos, gram) windows for EVERY n in `ns`, flattened — the
+    * one-pass gram emitter [[graft.operators.TextAnalysis.gopherRepetitionRules]]
+    * explodes (previously nine interpreted transform/filter/slice/concat_ws
+    * chains per row). Order matches per-n position order; consumers
+    * aggregate, so inter-n order is irrelevant. Null/short toks yield the
+    * same windows the filtered sequence produced (none below n tokens).
+    */
+  def multiGrams(toks: ArrayData, ns: Array[Int]): ArrayData = {
+    val k = if (toks == null) 0 else toks.numElements()
+    var total = 0
+    var j = 0
+    while (j < ns.length) { if (k >= ns(j)) total += k - ns(j) + 1; j += 1 }
+    val out = new Array[Any](total)
+    var o = 0
+    j = 0
+    while (j < ns.length) {
+      val n = ns(j)
+      var i = 0
+      while (i <= k - n) {
+        out(o) = new GenericInternalRow(Array[Any](n, i, joined(toks, i, n)))
+        o += 1
+        i += 1
+      }
+      j += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  /** All adjacent token pairs (w1, w2) in positional order — identical to
+    * transform(sequence(0, k-2), i => struct(toks[i+1], toks[i+2])); empty
+    * below 2 tokens. Values are defensive copies so the output never
+    * aliases a reusable input buffer.
+    */
+  def bigrams(toks: ArrayData): ArrayData = {
+    val k = if (toks == null) 0 else toks.numElements()
+    if (k < 2) return new GenericArrayData(Array.empty[Any])
+    val out = new Array[Any](k - 1)
+    var i = 0
+    var prev = if (toks.isNullAt(0)) null else toks.getUTF8String(0).clone()
+    while (i < k - 1) {
+      val next = if (toks.isNullAt(i + 1)) null else toks.getUTF8String(i + 1).clone()
+      out(i) = new GenericInternalRow(Array[Any](prev, next))
+      prev = next
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
   /** Per-row term frequencies keyed by xxhash64(term, seed 42):
     * array<struct<term_h, tf>> with one entry per distinct term — the
     * row-local equivalent of explode(toks) → xxhash64 → groupBy(doc,
@@ -263,6 +344,106 @@ case class ShingleHashesF(child: Expression, n: Int)
       """, isNull = FalseLiteral)
   }
   override protected def withNewChildInternal(newChild: Expression): ShingleHashesF =
+    copy(child = newChild)
+}
+
+/** Codegen'd positional (non-distinct) n-gram strings: array<string>
+  * tokens → array<string> windows (see [[ShingleMath.gramStrings]]).
+  */
+case class GramStringsF(child: Expression, n: Int)
+    extends UnaryExpression with TokArrayInput {
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def eval(input: InternalRow): Any =
+    ShingleMath.gramStrings(child.eval(input).asInstanceOf[ArrayData], n)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val c = child.genCode(ctx)
+    val arrCls = "org.apache.spark.sql.catalyst.util.ArrayData"
+    ev.copy(code =
+      code"""
+        ${c.code}
+        $arrCls ${ev.value} = graft.functions.ShingleMath.gramStrings(
+          ${c.isNull} ? null : ($arrCls) ${c.value}, $n);
+      """, isNull = FalseLiteral)
+  }
+  override protected def withNewChildInternal(newChild: Expression): GramStringsF =
+    copy(child = newChild)
+}
+
+/** Codegen'd positional n-gram md5 hex hashes: array<string> tokens →
+  * array<string> md5(window) (see [[ShingleMath.gramMd5]]).
+  */
+case class GramMd5F(child: Expression, n: Int)
+    extends UnaryExpression with TokArrayInput {
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def eval(input: InternalRow): Any =
+    ShingleMath.gramMd5(child.eval(input).asInstanceOf[ArrayData], n)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val c = child.genCode(ctx)
+    val arrCls = "org.apache.spark.sql.catalyst.util.ArrayData"
+    ev.copy(code =
+      code"""
+        ${c.code}
+        $arrCls ${ev.value} = graft.functions.ShingleMath.gramMd5(
+          ${c.isNull} ? null : ($arrCls) ${c.value}, $n);
+      """, isNull = FalseLiteral)
+  }
+  override protected def withNewChildInternal(newChild: Expression): GramMd5F =
+    copy(child = newChild)
+}
+
+/** Codegen'd multi-size gram emitter: array<string> tokens →
+  * array<struct<n:int, pos:int, gram:string>> over every window size in
+  * `ns` (see [[ShingleMath.multiGrams]]).
+  */
+case class MultiGramsF(child: Expression, ns: Seq[Int])
+    extends UnaryExpression with TokArrayInput {
+  private lazy val nsArr = ns.toArray
+  override def dataType: DataType = ArrayType(
+    StructType(Seq(
+      StructField("n", org.apache.spark.sql.types.IntegerType, nullable = false),
+      StructField("pos", org.apache.spark.sql.types.IntegerType, nullable = false),
+      StructField("gram", StringType, nullable = false))),
+    containsNull = false)
+  override def eval(input: InternalRow): Any =
+    ShingleMath.multiGrams(child.eval(input).asInstanceOf[ArrayData], nsArr)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val c = child.genCode(ctx)
+    val arrCls = "org.apache.spark.sql.catalyst.util.ArrayData"
+    val nsRef = ctx.addReferenceObj("ns", nsArr, "int[]")
+    ev.copy(code =
+      code"""
+        ${c.code}
+        $arrCls ${ev.value} = graft.functions.ShingleMath.multiGrams(
+          ${c.isNull} ? null : ($arrCls) ${c.value}, $nsRef);
+      """, isNull = FalseLiteral)
+  }
+  override protected def withNewChildInternal(newChild: Expression): MultiGramsF =
+    copy(child = newChild)
+}
+
+/** Codegen'd adjacent-pair emitter: array<string> tokens →
+  * array<struct<w1:string, w2:string>> (see [[ShingleMath.bigrams]]).
+  */
+case class BigramsF(child: Expression)
+    extends UnaryExpression with TokArrayInput {
+  override def dataType: DataType = ArrayType(
+    StructType(Seq(
+      StructField("w1", StringType, nullable = true),
+      StructField("w2", StringType, nullable = true))),
+    containsNull = false)
+  override def eval(input: InternalRow): Any =
+    ShingleMath.bigrams(child.eval(input).asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val c = child.genCode(ctx)
+    val arrCls = "org.apache.spark.sql.catalyst.util.ArrayData"
+    ev.copy(code =
+      code"""
+        ${c.code}
+        $arrCls ${ev.value} = graft.functions.ShingleMath.bigrams(
+          ${c.isNull} ? null : ($arrCls) ${c.value});
+      """, isNull = FalseLiteral)
+  }
+  override protected def withNewChildInternal(newChild: Expression): BigramsF =
     copy(child = newChild)
 }
 

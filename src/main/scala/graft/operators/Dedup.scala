@@ -923,12 +923,13 @@ object Dedup {
     val toks = tokens(col(textCol))
     val base = spreadForCompute(df).select(
       col(idCol).as("doc"), toks.as("toks"))
+    // positional md5 grams are codegen'd (r17, [[graft.functions.GramMd5F]]:
+    // same windows, same md5 hex, empty array below L tokens — the
+    // interpreted transform/slice/concat_ws/md5 chain was the hotspot)
     val grams = base.select(col("doc"), size(col("toks")).as("n_tokens"),
-        posexplode(
-          when(size(col("toks")) >= L,
-            transform(sequence(lit(0), size(col("toks")) - L),
-              i => md5(concat_ws(" ", slice(col("toks"), i + 1, lit(L))))))
-            .otherwise(typedLit(Array.empty[String]))).as(Seq("pos", "gh")))
+        posexplode(org.apache.spark.sql.GraftShim.column(graft.functions.GramMd5F(
+          org.apache.spark.sql.GraftShim.expression(col("toks")), L)))
+          .as(Seq("pos", "gh")))
     val dupGrams = grams.groupBy("gh").agg(count(lit(1)).as("n"))
       .filter(col("n") > 1).select("gh")
     val dupPos = grams.join(dupGrams, Seq("gh"), "left_semi")
@@ -971,11 +972,9 @@ object Dedup {
     val toks = tokens(col(textCol))
     val base = spreadForCompute(df).select(col(idCol).as("doc"), toks.as("toks"))
     val grams = base.select(col("doc"),
-        posexplode(
-          when(size(col("toks")) >= L,
-            transform(sequence(lit(0), size(col("toks")) - L),
-              i => md5(concat_ws(" ", slice(col("toks"), i + 1, lit(L))))))
-            .otherwise(typedLit(Array.empty[String]))).as(Seq("pos", "gh")))
+        posexplode(org.apache.spark.sql.GraftShim.column(graft.functions.GramMd5F(
+          org.apache.spark.sql.GraftShim.expression(col("toks")), L)))
+          .as(Seq("pos", "gh")))
     val dupGrams = grams.groupBy("gh").agg(count(lit(1)).as("n"))
       .filter(col("n") > 1).select("gh")
     val dupStarts = grams.join(dupGrams, Seq("gh"), "left_semi")

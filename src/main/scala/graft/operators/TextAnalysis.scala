@@ -259,11 +259,14 @@ object TextAnalysis {
     */
   def repetition(df: DataFrame, idCol: String, textCol: String, n: Int = 3): DataFrame = {
     val toks = Dedup.tokens(col(textCol))
+    // gram construction is codegen'd (r17, [[graft.functions.GramStringsF]]
+    // — the interpreted transform/slice/concat_ws chain was the dedup-wide
+    // hotspot; value-identical windows)
     val grams = df
       .filter(size(toks) >= n)
       .select(col(idCol).as("doc"),
-        explode(transform(sequence(lit(0), size(toks) - n),
-          i => concat_ws(" ", slice(toks, i + 1, lit(n))))).as("gram"))
+        explode(org.apache.spark.sql.GraftShim.column(graft.functions.GramStringsF(
+          org.apache.spark.sql.GraftShim.expression(toks), n))).as("gram"))
     grams.groupBy("doc", "gram").agg(count(lit(1)).as("cnt"))
       .groupBy("doc")
       .agg(max(col("cnt")).as("max_gram_freq"),
@@ -303,12 +306,14 @@ object TextAnalysis {
     */
   def lmScore(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     val toks = Dedup.tokens(col(textCol))
+    // bigram emission is codegen'd (r17, [[graft.functions.BigramsF]] —
+    // same positional pairs, no interpreted per-window struct lambdas);
+    // this projection is traversed twice (see the scaladoc trade), so the
+    // per-window cost counts double
     val pairs = df.filter(size(toks) >= 2).select(
         col(idCol).as("doc"),
-        explode(transform(sequence(lit(0), size(toks) - 2),
-          i => struct(
-            element_at(toks, i + 1).as("w1"),
-            element_at(toks, i + 2).as("w2")))).as("bg"))
+        explode(org.apache.spark.sql.GraftShim.column(graft.functions.BigramsF(
+          org.apache.spark.sql.GraftShim.expression(toks)))).as("bg"))
       .select(col("doc"), col("bg.w1").as("w1"), col("bg.w2").as("w2"))
     val bigramCounts = pairs.groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
     val contextCounts = bigramCounts.groupBy("w1").agg(sum("c12").as("c1"))
@@ -547,18 +552,15 @@ object TextAnalysis {
         (col("dup_line_chars").cast("double") / greatest(col("line_chars"), lit(1L)))
           .as("dup_line_char_frac"))
 
-    // ── one explode for every gram size: (doc, n, pos, gram). Start
-    // positions come from filtering the always-non-empty 0..size sequence
-    // (no empty-array literal needed for short docs).
-    val gramArrays = (topNs ++ dupNs).map { n =>
-      transform(
-        filter(sequence(lit(0), size(col("toks"))),
-          i => i + n <= size(col("toks"))),
-        i => struct(lit(n).as("n"), i.as("pos"),
-          concat_ws(" ", slice(col("toks"), i + 1, lit(n))).as("gram")))
-    }
+    // ── one explode for every gram size: (doc, n, pos, gram), emitted by
+    // the codegen'd [[graft.functions.MultiGramsF]] (r17 — the nine
+    // interpreted transform/filter/slice/concat_ws chains per row were the
+    // heaviest expression work in the whole text battery; windows and
+    // values are identical)
     val grams = base.select(col("doc"),
-        explode(flatten(array(gramArrays: _*))).as("g"))
+        explode(org.apache.spark.sql.GraftShim.column(graft.functions.MultiGramsF(
+          org.apache.spark.sql.GraftShim.expression(col("toks")),
+          topNs ++ dupNs))).as("g"))
       .select(col("doc"), col("g.n").as("n"), col("g.pos").as("pos"),
         col("g.gram").as("gram"))
     val gramCounts = grams.groupBy("doc", "n", "gram")

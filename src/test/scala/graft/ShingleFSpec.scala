@@ -69,6 +69,34 @@ class ShingleFSpec extends SparkSpec {
     }
   }
 
+  for (n <- Seq(1, 2, 5)) {
+    test(s"GramStringsF equals positional transform windows (n=$n)") {
+      val got = corpus.select(col("doc_id"),
+        GraftShim.column(graft.functions.GramStringsF(
+          GraftShim.expression(toks), n)).as("g")).collect()
+      val want = corpus.select(col("doc_id"),
+        when(size(toks) >= n,
+          transform(sequence(lit(0), size(toks) - n),
+            i => concat_ws(" ", slice(toks, i + 1, lit(n)))))
+          .otherwise(typedLit(Array.empty[String])).as("g")).collect()
+      assert(got.map(r => (r.getLong(0), r.getSeq[String](1))).toSeq ===
+        want.map(r => (r.getLong(0), r.getSeq[String](1))).toSeq)
+    }
+
+    test(s"GramMd5F equals positional md5(window) (n=$n)") {
+      val got = corpus.select(col("doc_id"),
+        GraftShim.column(graft.functions.GramMd5F(
+          GraftShim.expression(toks), n)).as("g")).collect()
+      val want = corpus.select(col("doc_id"),
+        when(size(toks) >= n,
+          transform(sequence(lit(0), size(toks) - n),
+            i => md5(concat_ws(" ", slice(toks, i + 1, lit(n))))))
+          .otherwise(typedLit(Array.empty[String])).as("g")).collect()
+      assert(got.map(r => (r.getLong(0), r.getSeq[String](1))).toSeq ===
+        want.map(r => (r.getLong(0), r.getSeq[String](1))).toSeq)
+    }
+  }
+
   test("TermFreqF equals explode → xxhash64 → groupBy(doc, term_h).count") {
     val got = corpus.select(col("doc_id").as("doc"),
         explode(GraftShim.column(graft.functions.TermFreqF(
