@@ -31,6 +31,18 @@ object Bench {
     val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt.max(1)
     val builder = GraftSession.builder("graft-bench")
     tmpfsLocalDir().foreach(d => builder.config("spark.local.dir", d))
+    // r17: flush pending kernel writeback BEFORE the battery. A prior
+    // JVM (sbt compile/test) routinely leaves ~400 MB of dirty pages that
+    // the kernel then flushes mid-battery, stealing I/O and CPU from
+    // whichever query happens to be running — one measured confound
+    // behind the long-standing run-to-run bimodality (SCALE.md r4/5;
+    // this round: q_minhash_lsh samples 9.6/9.1/2.5 s on unchanged code
+    // at 424 MB dirty). Host-level contention epochs remain the other,
+    // uncontrollable source — read the env block. sync runs before any
+    // timing starts, so the methodology is unchanged; best-effort (boxes
+    // without /bin/sync skip it).
+    try { val p = new ProcessBuilder("sync").start(); p.waitFor() }
+    catch { case _: Exception => }
     val spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 

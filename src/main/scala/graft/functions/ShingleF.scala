@@ -76,7 +76,8 @@ object ShingleMath {
   /** Open-addressed long set with first-occurrence order tracking — the
     * allocation-free replacement for LinkedHashSet<Long> in the shingle
     * hash dedup (the set lives for one row; power-of-two capacity, linear
-    * probing; 0 is handled via a sentinel flag).
+    * probing; occupancy tracked in a parallel boolean array so every long
+    * value, including 0, is a valid member).
     */
   private final class LongOrderSet(expected: Int) {
     private var cap = Integer.highestOneBit(math.max(16, expected * 2) - 1) << 1
