@@ -825,26 +825,68 @@ object Dedup {
         explode(org.apache.spark.sql.GraftShim.column(graft.functions.TermFreqF(
           org.apache.spark.sql.GraftShim.expression(tokens(col(textCol)))))).as("e"))
       .select(col("doc"), col("e.term_h").as("term_h"), col("e.tf").as("tf"))
-    // df from the tf table (one row per doc×term already): vocab-bounded
-    val idf = tf.groupBy("term_h").agg(count(lit(1)).as("df"))
-      .crossJoin(broadcast(totals))
-      .filter(col("df") <=
-        greatest(lit(1L),
-          least(ceil(lit(maxDocFreqRatio) * col("n_docs")), lit(maxDocFreqAbs))))
-      .select(col("term_h"),
-        round(log(col("n_docs").cast("double") / col("df")) * 1e6)
-          .cast("long").as("idf6"))
-    // persisted: feeds norms and both sides of the self-join
-    val w = tf.join(idf, "term_h")
-      .select(col("doc"), col("term_h"), (col("tf") * col("idf6")).as("w"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val dec = DecimalType(38, 0)
-    val norms = w.groupBy("doc")
-      .agg(sum(col("w").cast(dec) * col("w")).as("n2"))
-    val dots = w.as("a").join(w.as("b"),
-        col("a.term_h") === col("b.term_h") && col("a.doc") < col("b.doc"))
-      .groupBy(col("a.doc").as("doc_a"), col("b.doc").as("doc_b"))
-      .agg(sum(col("a.w").cast(dec) * col("b.w")).as("dot"))
+    val effCap = greatest(lit(1L),
+      least(ceil(lit(maxDocFreqRatio) * col("n_docs")), lit(maxDocFreqAbs)))
+    val (norms, dots, pinned) =
+      if (df.schema(idCol).dataType == org.apache.spark.sql.types.LongType &&
+          maxDocFreqAbs <= (Int.MaxValue / 2) - 2) {
+        // POSTINGS path (r17, the ngramJaccardPairs design): ONE corpus
+        // exchange gathers each term's (doc, tf) postings with hard-capped
+        // state ([[graft.functions.CollectPairsUpToF]], ≤ maxDocFreqAbs+1
+        // entries/term); a list that stayed ≤ the abs cap is COMPLETE, so
+        // df = size(postings) and the dual relative+absolute cap applies
+        // exactly. idf attaches ROW-LOCALLY (df is the list size; N rides
+        // as the broadcast totals), norms explode the postings, and dots
+        // stream out of a double explode — the idf join and the w
+        // self-join (both corpus-sized exchanges) disappear, as does the
+        // corpus-sized `w` persist: the pinned frame is vocab × ≤cap
+        // entries. Values are bit-identical: same df filter, same idf6
+        // rounding, w = tf·idf6 in long, decimal dot/norm sums.
+        val posted = tf.groupBy("term_h")
+          .agg(org.apache.spark.sql.GraftShim.column(
+            graft.functions.CollectPairsUpToF(
+              org.apache.spark.sql.GraftShim.expression(col("doc")),
+              org.apache.spark.sql.GraftShim.expression(col("tf")),
+              maxDocFreqAbs.toInt).toAggregateExpression()).as("ps"))
+          .crossJoin(broadcast(totals))
+          .filter(size(col("ps")).cast("long") <= effCap)
+          .select(col("ps"),
+            round(log(col("n_docs").cast("double") / size(col("ps"))) * 1e6)
+              .cast("long").as("idf6"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val norms = posted
+          .select(explode(col("ps")).as("e"), col("idf6"))
+          .select(col("e.k").as("doc"), (col("e.v") * col("idf6")).as("w"))
+          .groupBy("doc").agg(sum(col("w").cast(dec) * col("w")).as("n2"))
+        val dots = posted
+          .select(col("ps"), col("idf6"), explode(col("ps")).as("a"))
+          .select(col("a"), col("idf6"), explode(col("ps")).as("b"))
+          .filter(col("a.k") < col("b.k"))
+          .groupBy(col("a.k").as("doc_a"), col("b.k").as("doc_b"))
+          .agg(sum((col("a.v") * col("idf6")).cast(dec) *
+            (col("b.v") * col("idf6"))).as("dot"))
+        (norms, dots, posted)
+      } else {
+        // df from the tf table (one row per doc×term already): vocab-bounded
+        val idf = tf.groupBy("term_h").agg(count(lit(1)).as("df"))
+          .crossJoin(broadcast(totals))
+          .filter(col("df") <= effCap)
+          .select(col("term_h"),
+            round(log(col("n_docs").cast("double") / col("df")) * 1e6)
+              .cast("long").as("idf6"))
+        // persisted: feeds norms and both sides of the self-join
+        val w = tf.join(idf, "term_h")
+          .select(col("doc"), col("term_h"), (col("tf") * col("idf6")).as("w"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val norms = w.groupBy("doc")
+          .agg(sum(col("w").cast(dec) * col("w")).as("n2"))
+        val dots = w.as("a").join(w.as("b"),
+            col("a.term_h") === col("b.term_h") && col("a.doc") < col("b.doc"))
+          .groupBy(col("a.doc").as("doc_a"), col("b.doc").as("doc_b"))
+          .agg(sum(col("a.w").cast(dec) * col("b.w")).as("dot"))
+        (norms, dots, w)
+      }
     val scored = dots
       .join(norms.select(col("doc").as("doc_a"), col("n2").as("n2_a")), "doc_a")
       .join(norms.select(col("doc").as("doc_b"), col("n2").as("n2_b")), "doc_b")
@@ -852,7 +894,7 @@ object Dedup {
         sqrt(col("n2_a").cast("double") * col("n2_b").cast("double")))
       .filter(col("cosine") >= threshold)
       .select(col("doc_a"), col("doc_b"), col("cosine"))
-    materializeAndRelease(scored, w)
+    materializeAndRelease(scored, pinned)
   }
 
   /** C4-style corpus-level LINE dedup: a line (or sentence) that appears in
