@@ -11,6 +11,19 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// r18 (VERDICT r17 #1): the driver parses Bench's one-line JSON from the
+// stdout of `sbt "runMain graft.Bench"`. sbt's default LoggedOutput wraps
+// every forked-process line with [info]/[error] prefixes, which broke that
+// parse in every round since r14 (BENCH_r14..r17: parsed=null). StdoutOutput
+// pipes the forked JVM's stdout/stderr through UNWRAPPED, and showSuccess
+// drops the trailing "[success] Total time ..." footer — so the bare JSON
+// line Bench prints after spark.stop() is the LAST line on stdout. Scoped to
+// `run` (runMain shares run's fork settings); test output stays logged.
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
+Global / showSuccess := false
+// the fork-options task consumes run/outputStrategy at runtime; sbt's
+// static lint can't see that — verified working (bare JSON, r18)
+Global / excludeLintKeys += run / outputStrategy
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -138,11 +138,21 @@ object Bench {
     // loadavg ≫ battery's own parallelism ⇒ suspect the box, read the
     // per-sample arrays before believing the medians).
     val envAfter = envTelemetry()
+    // r18 (VERDICT r17 #2): self-identifying contamination hint — a battery
+    // started on a box already carrying load ≳ cpus/8 is in a noise epoch
+    // and its per-query deltas under ~0.3 s are environment, not code. The
+    // hint only LABELS the run (methodology unchanged); readers should
+    // distrust medians and read the samples arrays when it is true.
+    val cpusN = GraftSession.defaultCpus.toDoubleOption.getOrElse(32.0)
+    val load1 = envBefore._1.split("\\s+").headOption
+      .flatMap(_.toDoubleOption).getOrElse(0.0)
+    val contaminated = load1 > cpusN / 8.0
     val envJson =
       s"""{"loadavg_before":"${jsonEscape(envBefore._1)}",""" +
         s""""dirty_kb_before":${envBefore._2},""" +
         s""""loadavg_after":"${jsonEscape(envAfter._1)}",""" +
-        s""""dirty_kb_after":${envAfter._2}}"""
+        s""""dirty_kb_after":${envAfter._2},""" +
+        s""""contaminated_hint":$contaminated}"""
     // "sf" names the data directory: totals are only comparable between
     // runs over the SAME directory (an sf0.001 total vs an sf0.1 total is
     // a scale change, not a speedup — ADVICE r5)
