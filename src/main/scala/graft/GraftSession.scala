@@ -39,6 +39,15 @@ object GraftSession {
       // OOM risk is bounded by the same size conditions (and AQE skew
       // splitting stays on); sort-merge remains the fallback everywhere
       // the build side could be large.
+      // ADVICE r17 note: this is session-wide, so every GraftSession
+      // consumer inherits the assumption that a planner-accepted SHJ build
+      // side fits executor memory (SHJ maps cannot spill). The conditions
+      // guarding it: the planner only picks SHJ when the build side is
+      // under the per-partition size threshold, AQE re-plans from RUNTIME
+      // sizes (not estimates), and skew-split keeps one giant partition
+      // from concentrating a build map. Deployments with small executors
+      // and badly skewed stats can restore preferSortMergeJoin=true
+      // per-session without touching operator code.
       .config("spark.sql.join.preferSortMergeJoin", "false")
       .config("spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold",
         (64L * 1024 * 1024).toString)
@@ -132,16 +141,28 @@ object Tables {
     * reads every byte from parquet.
     */
   private val schemaCache =
-    new java.util.concurrent.ConcurrentHashMap[String, org.apache.spark.sql.types.StructType]()
+    new java.util.concurrent.ConcurrentHashMap[(String, Long), org.apache.spark.sql.types.StructType]()
 
   def load(spark: SparkSession, sfDir: String, name: String): DataFrame = {
     val path = s"$sfDir/$name.parquet"
-    val cached = schemaCache.get(path)
+    // r18 (ADVICE r17): key the cache on (path, directory mtime) so a
+    // rewritten table (test-data regeneration within one JVM) re-infers
+    // instead of silently reading with a stale schema. One FS stat call
+    // (~µs) versus the ~30-50 ms footer-inference job the cache avoids;
+    // an unreadable status (exotic FS) falls back to uncached inference.
+    val mtime =
+      try {
+        val p = new org.apache.hadoop.fs.Path(path)
+        p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+          .getFileStatus(p).getModificationTime
+      } catch { case _: Exception => -1L }
+    val key = (path, mtime)
+    val cached = if (mtime >= 0) schemaCache.get(key) else null
     val df =
       if (cached != null) spark.read.schema(cached).parquet(path)
       else {
         val d = spark.read.parquet(path)
-        schemaCache.put(path, d.schema)
+        if (mtime >= 0) schemaCache.put(key, d.schema)
         d
       }
     if (name == "events") normalizeEvents(df) else df

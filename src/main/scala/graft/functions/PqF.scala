@@ -94,6 +94,90 @@ case class PqCosineF(left: Expression, right: Expression,
       newRight: Expression): PqCosineF = copy(left = newLeft, right = newRight)
 }
 
+/** Per-QUERY ADC lookup table (r18, guide §1.2 step 2): [[PqCosineF]]
+  * reconstructed the codebook dot product per (row × query) — M·dsub =
+  * full-dimension multiplies per scanned row, plus a full-dimension query
+  * self-dot, i.e. the same flop count as EXACT cosine (PQ was saving scan
+  * bytes but no compute). Classic ADC instead precomputes, per query, the
+  * table lut[s][c] = dot(query subvector s, codeword c) — dim × K
+  * multiplies ONCE per query on the tiny broadcast side — after which each
+  * scanned row costs M table lookups. Output layout: array<double> of
+  * length M·K + 1, lut[s·K + c] as above, last slot = ‖query‖² (the
+  * query self-dot, also per-query-constant, hoisted out of the row loop).
+  *
+  * Value note: the per-subspace partial sums accumulate in a different
+  * grouping than [[PqMath.adcCosine]]'s flat loop, so results can differ
+  * in the last ulp; candidate sets are rank-separated far above ulp noise
+  * (PqSpec pins equality on the bench corpora, and the exact re-rank
+  * downstream re-scores every survivor with true cosine).
+  */
+case class PqLutF(child: Expression, codebooks: Array[Array[Array[Float]]])
+    extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(s"pq_lut requires array<float>, got $t")
+  }
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+
+  override protected def nullSafeEval(input: Any): Any =
+    new GenericArrayData(PqMath.adcLut(input.asInstanceOf[ArrayData], codebooks))
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val cb = ctx.addReferenceObj("pqCodebooks", codebooks, "float[][][]")
+    nullSafeCodeGen(ctx, ev, v => {
+      code"""
+        ${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData(
+          graft.functions.PqMath.adcLut($v, $cb));
+      """.toString
+    })
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): PqLutF =
+    copy(child = newChild)
+}
+
+/** ADC cosine from a precomputed [[PqLutF]] table: M lookups + M norm²
+  * lookups + one sqrt per row — no per-row reconstruction.
+  * left = codes (array<int>), right = lut (array<double>).
+  */
+case class PqCosineLutF(left: Expression, right: Expression,
+    codebooks: Array[Array[Array[Float]]]) extends BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = (left.dataType, right.dataType) match {
+    case (ArrayType(IntegerType, _), ArrayType(DoubleType, _)) =>
+      TypeCheckResult.TypeCheckSuccess
+    case (l, r) => TypeCheckResult.TypeCheckFailure(
+      s"pq_cosine_lut requires (array<int> codes, array<double> lut), got ($l, $r)")
+  }
+  override def dataType: DataType = DoubleType
+
+  /** ‖codeword‖² per (subspace, code) — identical to [[PqCosineF]]. */
+  private lazy val norms2: Array[Array[Double]] =
+    codebooks.map(_.map { cw =>
+      var s = 0.0; var i = 0
+      while (i < cw.length) { s += cw(i).toDouble * cw(i).toDouble; i += 1 }
+      s
+    })
+  private val codesPerSubspace: Int = codebooks.headOption.map(_.length).getOrElse(0)
+
+  override protected def nullSafeEval(codes: Any, lut: Any): Any =
+    PqMath.adcCosineLut(codes.asInstanceOf[ArrayData], lut.asInstanceOf[ArrayData],
+      norms2, codesPerSubspace)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val n2 = ctx.addReferenceObj("pqNorms2", norms2, "double[][]")
+    nullSafeCodeGen(ctx, ev, (c, l) => {
+      code"""
+        ${ev.value} = graft.functions.PqMath.adcCosineLut($c, $l, $n2, $codesPerSubspace);
+      """.toString
+    })
+  }
+
+  override protected def withNewChildrenInternal(newLeft: Expression,
+      newRight: Expression): PqCosineLutF = copy(left = newLeft, right = newRight)
+}
+
 /** Top-level object ⇒ static forwarders callable from generated Java. */
 object PqMath {
 
@@ -132,6 +216,62 @@ object PqMath {
       s += 1
     }
     out
+  }
+
+  /** Per-query ADC table for [[PqLutF]]: lut[s·K + c] = dot(query
+    * subvector s, codeword c) with the same padded inner-loop order as
+    * [[adcCosine]]'s reconstruction; last slot = ‖query‖² (same full-length
+    * self-dot loop).
+    */
+  def adcLut(query: ArrayData, cb: Array[Array[Array[Float]]]): Array[Double] = {
+    val m = cb.length
+    val k = if (m == 0) 0 else cb(0).length
+    val qn = query.numElements()
+    val out = new Array[Double](m * k + 1)
+    var q2 = 0.0
+    var i = 0
+    while (i < qn) { val x = query.getFloat(i).toDouble; q2 += x * x; i += 1 }
+    out(m * k) = q2
+    var s = 0
+    var off = 0
+    while (s < m) {
+      val words = cb(s)
+      val dsub = if (words.length == 0) 0 else words(0).length
+      var c = 0
+      while (c < words.length) {
+        val w = words(c)
+        var dot = 0.0
+        i = 0
+        while (i < dsub) {
+          val q = if (off + i < qn) query.getFloat(off + i).toDouble else 0.0
+          dot += q * w(i).toDouble
+          i += 1
+        }
+        out(s * k + c) = dot
+        c += 1
+      }
+      off += dsub
+      s += 1
+    }
+    out
+  }
+
+  /** cosine(query, x̂) from the precomputed per-query table: M lookups. */
+  def adcCosineLut(codes: ArrayData, lut: ArrayData, norms2: Array[Array[Double]],
+      k: Int): Double = {
+    val m = math.min(codes.numElements(), norms2.length)
+    var dot = 0.0
+    var x2 = 0.0
+    var s = 0
+    while (s < m) {
+      val code = codes.getInt(s)
+      dot += lut.getDouble(s * k + code)
+      x2 += norms2(s)(code)
+      s += 1
+    }
+    val q2 = lut.getDouble(lut.numElements() - 1)
+    val denom = math.sqrt(q2) * math.sqrt(x2)
+    if (denom == 0.0) 0.0 else dot / denom
   }
 
   /** cosine(query, x̂) where x̂ is the codebook reconstruction of `codes`. */

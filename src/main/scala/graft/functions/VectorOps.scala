@@ -84,4 +84,21 @@ object VectorOps {
     val denom = normF(a) * normF(b)
     when(denom =!= 0.0, dotF(a, b) / denom).otherwise(0.0)
   }
+
+  /** [[cosineF]] with the two norms supplied as precomputed columns — the
+    * r18 hoist for pair-forming joins (guide §1.2 step 2): `cosineF` inside
+    * an N×M join/cross-join evaluates THREE full-dimension dot loops per
+    * PAIR (dot(a,b) + both self-dots under the sqrt), but each norm is a
+    * pure function of one row, so hoisting `normF` into a per-row column
+    * before the join cuts the per-pair work to one dot loop. BIT-IDENTICAL
+    * to cosineF by construction: the hoisted norm is the same sqrt(dotF(x,
+    * x)) expression evaluated over the same row (same loop, same order,
+    * same double), and the null/zero-denominator branches are unchanged —
+    * a null vector yields a null norm, a null denom, and the same 0.0.
+    */
+  def cosinePre(a: Column, b: Column, normA: Column, normB: Column): Column = {
+    import org.apache.spark.sql.functions.when
+    val denom = normA * normB
+    when(denom =!= 0.0, dotF(a, b) / denom).otherwise(0.0)
+  }
 }

@@ -30,7 +30,9 @@ object Dedup {
     */
   private[operators] def materializeAndRelease(result: DataFrame, pinned: DataFrame*): DataFrame = {
     val tap = planTap
-    if (tap != null) tap(result)
+    // advisory only (ADVICE r17): a dev-tap failure must never propagate
+    // into a production dedup pipeline
+    if (tap != null) try tap(result) catch { case _: Throwable => () }
     val out = result.localCheckpoint(true)
     pinned.foreach(_.unpersist())
     out
@@ -610,12 +612,33 @@ object Dedup {
     // live exactly until the length check, and only when the graph
     // overflows the budget — in which case they are dropped and the
     // distributed path recomputes from `pairs`, same as before.
+    // r18 (ADVICE r17): probe CHEAPLY before shipping a potentially
+    // ~400 MB boxed edge set to the driver. The first collect is capped at
+    // 64Ki rows (≤ ~6 MB) — near-dup pair graphs are orders of magnitude
+    // smaller than their corpus, so this is the overwhelmingly common case
+    // and keeps the r17 one-job shape. Only a graph that overflows the
+    // small probe pays a persist + bounded count, and the full collect
+    // happens only once the count has PROVEN the set fits the budget — the
+    // driver never holds more than maxDriverEdges+1 rows.
     val probed: Option[Array[org.apache.spark.sql.Row]] =
-      if (longIds) {
-        val rows = pairs.select(col("doc_a").cast("long"), col("doc_b").cast("long"))
-          .limit(probeN).collect()
-        if (rows.length <= maxDriverEdges) Some(rows) else None
-      } else None
+      if (!longIds) None
+      else {
+        val slim = pairs.select(col("doc_a").cast("long"), col("doc_b").cast("long"))
+        val firstN = math.min(65537L, probeN.toLong).toInt
+        val first = slim.limit(firstN).collect()
+        if (first.length < firstN) {
+          if (first.length <= maxDriverEdges) Some(first) else None
+        } else if (first.length > maxDriverEdges) None
+        else {
+          // ambiguous: the small probe filled up — count (bounded by the
+          // limit) against a persisted pair pipeline, collect only if it fits
+          val p = slim.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          try {
+            val n = p.limit(probeN).count()
+            if (n <= maxDriverEdges) Some(p.limit(probeN).collect()) else None
+          } finally p.unpersist()
+        }
+      }
     if (probed.isDefined) {
       val parent = new java.util.HashMap[Long, Long]()
       def find(x: Long): Long = {
@@ -1079,14 +1102,45 @@ object Dedup {
       shiftrightunsigned(col("simhash"), q * 16).bitwiseAND(lit(0xFFFFL)))
     val banded = fp.select(col("doc"), col("simhash"), posexplode(array(quarters: _*)))
       .withColumnRenamed("pos", "q").withColumnRenamed("col", "qval")
-    val cand = banded.as("a").join(banded.as("b"),
-        col("a.q") === col("b.q") && col("a.qval") === col("b.qval") &&
-          col("a.doc") < col("b.doc"))
-      .select(col("a.doc").as("doc_a"), col("b.doc").as("doc_b"),
-        col("a.simhash").as("h_a"), col("b.simhash").as("h_b"))
-      .dropDuplicates("doc_a", "doc_b")
+    // r18 (VERDICT r17 #3): the quarter-band SELF-JOIN — the last
+    // join-shaped candidate generator — becomes the postings form the
+    // other three generators use: one groupBy (q, qval) gathers each
+    // bucket's (doc, simhash) entries ([[graft.functions.CollectPairsUpToF]])
+    // and candidate pairs stream out of a double explode, so the banded
+    // frame crosses ONE exchange instead of two join-side exchanges plus
+    // the join itself. Unlike the LSH/df-capped generators there is no
+    // semantic bucket cap here, so the collect cap is set to the aggregate's
+    // maximum (~2³⁰ entries) — unreachable by any input that could finish
+    // the Σ bucket² pair expansion anyway — keeping results EXACTLY equal
+    // to the join shape (DedupSpec pins the two paths; non-long ids keep
+    // the join). The hamming gate now runs BEFORE the pair dropDuplicates
+    // in both paths: hamming is a pure function of the pair, so the dedup
+    // exchange carries only hamming-surviving pairs (order-of-operations
+    // per cosineDupPairs' filter-then-dedupe lesson).
+    val cand =
+      if (fp.schema("doc").dataType == org.apache.spark.sql.types.LongType) {
+        val buckets = banded.groupBy(col("q"), col("qval"))
+          .agg(org.apache.spark.sql.GraftShim.column(
+            graft.functions.CollectPairsUpToF(
+              org.apache.spark.sql.GraftShim.expression(col("doc")),
+              org.apache.spark.sql.GraftShim.expression(col("simhash")),
+              (Int.MaxValue / 2) - 2).toAggregateExpression()).as("ps"))
+          .select("ps")
+        buckets.select(col("ps"), explode(col("ps")).as("a"))
+          .select(col("a"), explode(col("ps")).as("b"))
+          .filter(col("a.k") < col("b.k"))
+          .select(col("a.k").as("doc_a"), col("b.k").as("doc_b"),
+            col("a.v").as("h_a"), col("b.v").as("h_b"))
+      } else {
+        banded.as("a").join(banded.as("b"),
+            col("a.q") === col("b.q") && col("a.qval") === col("b.qval") &&
+              col("a.doc") < col("b.doc"))
+          .select(col("a.doc").as("doc_a"), col("b.doc").as("doc_b"),
+            col("a.simhash").as("h_a"), col("b.simhash").as("h_b"))
+      }
     val blocked = cand.withColumn("hamming", bit_count(col("h_a").bitwiseXOR(col("h_b"))))
       .filter(col("hamming") <= maxHamming)
+      .dropDuplicates("doc_a", "doc_b")
       .select("doc_a", "doc_b", "hamming")
     if (!verify) blocked
     else {

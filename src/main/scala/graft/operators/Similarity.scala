@@ -28,8 +28,14 @@ object Similarity {
   def bruteForceTopK(corpus: DataFrame, queries: DataFrame, k: Int,
       idCol: String = "vec_id", vecCol: String = "embedding",
       queryIdCol: String = "query_id", queryVecCol: String = "query_vec"): DataFrame = {
-    val scored = corpus.crossJoin(broadcast(queries))
-      .withColumn("sim", VectorOps.cosineF(col(vecCol), col(queryVecCol)))
+    // r18: norms hoisted to per-row columns — the corpus×queries scoring
+    // loop pays ONE dot per pair instead of three (cosinePre scaladoc;
+    // bit-identical values)
+    val scored = corpus.withColumn("__cn", VectorOps.normF(col(vecCol)))
+      .crossJoin(broadcast(
+        queries.withColumn("__qn", VectorOps.normF(col(queryVecCol)))))
+      .withColumn("sim", VectorOps.cosinePre(col(vecCol), col(queryVecCol),
+        col("__cn"), col("__qn")))
     val w = Window.partitionBy(col(queryIdCol)).orderBy(col("sim").desc, col(idCol))
     scored.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
@@ -78,20 +84,25 @@ object Similarity {
       queryIdCol: String = "query_id", queryVecCol: String = "query_vec"): DataFrame = {
     def buckets(vec: Column) =
       array((0 until nTables).map(t => lshSignature(vec, nPlanes, t * nPlanes)): _*)
+    // r18: norms hoisted BEFORE the bucket explode/join (one normF per row,
+    // not per candidate pair — cosinePre scaladoc; bit-identical values)
     val cb = corpus.select(col(idCol), col(vecCol),
+      VectorOps.normF(col(vecCol)).as("__cn"),
       posexplode(buckets(col(vecCol))).as(Seq("tbl", "bucket")))
     val qb0 = queries.select(col(queryIdCol), col(queryVecCol),
+      VectorOps.normF(col(queryVecCol)).as("__qn"),
       posexplode(buckets(col(queryVecCol))).as(Seq("tbl", "bucket")))
     val qb =
       if (!multiProbe) qb0
-      else qb0.select(col(queryIdCol), col(queryVecCol), col("tbl"),
+      else qb0.select(col(queryIdCol), col(queryVecCol), col("__qn"), col("tbl"),
         explode(array(col("bucket") +:
           (0 until nPlanes).map(i => col("bucket").bitwiseXOR(lit(1L << i))): _*))
           .as("bucket"))
     val cand = cb.join(broadcast(qb), Seq("tbl", "bucket"))
       .dropDuplicates(queryIdCol, idCol)
     val scored = cand
-      .withColumn("sim", VectorOps.cosineF(col(vecCol), col(queryVecCol)))
+      .withColumn("sim", VectorOps.cosinePre(col(vecCol), col(queryVecCol),
+        col("__cn"), col("__qn")))
     val w = Window.partitionBy(col(queryIdCol)).orderBy(col("sim").desc, col(idCol))
     scored.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
@@ -115,6 +126,26 @@ object Similarity {
       graft.functions.PqCosineF(
         org.apache.spark.sql.GraftShim.expression(codes),
         org.apache.spark.sql.GraftShim.expression(queryVec), codebooks))
+
+  /** Per-query ADC lookup table ([[graft.functions.PqLutF]], r18): computed
+    * ONCE per query row on the broadcast side, so the corpus-sized ADC scan
+    * pays M table lookups per row instead of a full-dimension
+    * reconstruction dot (see PqLutF scaladoc).
+    */
+  def pqLut(queryVec: Column, codebooks: Array[Array[Array[Float]]]): Column =
+    org.apache.spark.sql.GraftShim.column(
+      graft.functions.PqLutF(
+        org.apache.spark.sql.GraftShim.expression(queryVec), codebooks))
+
+  /** ADC cosine from a precomputed [[pqLut]] table
+    * ([[graft.functions.PqCosineLutF]], codegen'd).
+    */
+  def pqCosineLut(codes: Column, lut: Column,
+      codebooks: Array[Array[Array[Float]]]): Column =
+    org.apache.spark.sql.GraftShim.column(
+      graft.functions.PqCosineLutF(
+        org.apache.spark.sql.GraftShim.expression(codes),
+        org.apache.spark.sql.GraftShim.expression(lut), codebooks))
 
   /** Train per-subspace PQ codebooks on a bounded, deterministic sample:
     * `sampleSize` hash-spread corpus vectors ([[seedCentroids]]' pooled
@@ -150,8 +181,16 @@ object Similarity {
 
   def trainPqCodebooks(corpus: DataFrame, nSubspaces: Int, nCodes: Int,
       sampleSize: Int = 256, sweeps: Int = 10,
-      idCol: String = "vec_id", vecCol: String = "embedding"): Array[Array[Array[Float]]] = {
-    val sample = seedCentroids(corpus, sampleSize, idCol, vecCol)
+      idCol: String = "vec_id", vecCol: String = "embedding"): Array[Array[Array[Float]]] =
+    trainPqCodebooksFromSample(
+      seedCentroids(corpus, sampleSize, idCol, vecCol), nSubspaces, nCodes, sweeps)
+
+  /** Driver-local Lloyd training over an already-fetched sample — split out
+    * (r18) so [[ivfPqTopK]]/[[buildIvfPqIndex]] can feed it from the shared
+    * [[seedPools]] scan instead of re-scanning the corpus. Identical math.
+    */
+  private[operators] def trainPqCodebooksFromSample(sample: Array[Array[Float]],
+      nSubspaces: Int, nCodes: Int, sweeps: Int = 10): Array[Array[Array[Float]]] = {
     require(sample.nonEmpty, "pq training: empty corpus")
     val dim = sample.head.length
     // nSubspaces <= 0 = auto ([[autoSubspaces]]): scale with dimension so
@@ -216,9 +255,13 @@ object Similarity {
     // the ADC rank shuffle carries (query_id, id, sim_adc) ONLY — the
     // query vector is re-attached to the ≤ queries×rerank survivors by a
     // broadcast join instead of riding every corpus×queries row through
-    // the window exchange (~dim×4 B/row × |corpus|×|queries| saved, r7)
-    val cand = encoded.crossJoin(broadcast(queries.select(col(queryIdCol), col(queryVecCol))))
-      .withColumn("sim_adc", pqCosine(col("pq_codes"), col(queryVecCol), cb))
+    // the window exchange (~dim×4 B/row × |corpus|×|queries| saved, r7).
+    // r18: the broadcast side carries the per-query ADC TABLE instead of
+    // the raw query vector, so the corpus×queries scan is M lookups/row
+    // (PqLutF scaladoc) — the scan was paying exact-cosine flops before.
+    val cand = encoded.crossJoin(broadcast(queries.select(col(queryIdCol),
+        pqLut(col(queryVecCol), cb).as("__lut"))))
+      .withColumn("sim_adc", pqCosineLut(col("pq_codes"), col("__lut"), cb))
       .select(col(queryIdCol), col(idCol), col("sim_adc"))
       .withColumn("arank", row_number().over(aw))
       .filter(col("arank") <= r)
@@ -267,8 +310,11 @@ object Similarity {
       queryIdCol: String = "query_id", queryVecCol: String = "query_vec"): DataFrame = {
     val spark = corpus.sparkSession
     import spark.implicits._
-    val centroids = seedCentroids(corpus, nCentroids, idCol, vecCol)
-    val cb = trainPqCodebooks(corpus, nSubspaces, nCodes, idCol = idCol, vecCol = vecCol)
+    // r18: one pooled seeding scan feeds both the centroid seed and the PQ
+    // training sample (seedPools scaladoc — value-identical, scans 2 → 1)
+    val pools = seedPools(corpus, Seq(nCentroids, 256), idCol, vecCol)
+    val centroids = pools(0)
+    val cb = trainPqCodebooksFromSample(pools(1), nSubspaces, nCodes)
     // one corpus pass builds the whole index: (id, cell, codes)
     val index = corpus.select(col(idCol),
       nearestCentroid(col(vecCol), centroids).as("cell"),
@@ -276,17 +322,19 @@ object Similarity {
     val centroidsDf = broadcast(
       centroids.zipWithIndex.map { case (v, i) => (i, v.toSeq) }.toSeq.toDF("cell", "cvec"))
     val pw = Window.partitionBy(col(queryIdCol)).orderBy(col("csim").desc, col("cell"))
+    // r18: probes carry the per-query ADC TABLE instead of the raw query
+    // vector (PqLutF scaladoc) — the probed-cells scan is M lookups/row
     val probes = queries.crossJoin(centroidsDf)
       .withColumn("csim", VectorOps.cosineF(col(queryVecCol), col("cvec")))
       .withColumn("crn", row_number().over(pw))
       .filter(col("crn") <= nProbe)
-      .select(col(queryIdCol), col(queryVecCol), col("cell"))
+      .select(col(queryIdCol), pqLut(col(queryVecCol), cb).as("__lut"), col("cell"))
     val r = math.max(k, rerank)
     val aw = Window.partitionBy(col(queryIdCol)).orderBy(col("sim_adc").desc, col(idCol))
     // slim ADC rank shuffle (see pqTopK): query vectors re-attach to the
     // survivors via broadcast, never riding the per-candidate exchange
     val cand = index.join(broadcast(probes), "cell")
-      .withColumn("sim_adc", pqCosine(col("pq_codes"), col(queryVecCol), cb))
+      .withColumn("sim_adc", pqCosineLut(col("pq_codes"), col("__lut"), cb))
       .select(col(queryIdCol), col(idCol), col("sim_adc"))
       .withColumn("arank", row_number().over(aw))
       .filter(col("arank") <= r)
@@ -348,6 +396,8 @@ object Similarity {
     }
 
     val cells = corpus.withColumn("cell", nearestCentroid(col(vecCol), centroidMat))
+      // r18: norm hoisted out of the probe join (cosinePre scaladoc)
+      .withColumn("__cn", VectorOps.normF(col(vecCol)))
 
     // query side is tiny (queries ≪ corpus): rank centroids per query with
     // a window over queries × nCentroids rows
@@ -359,10 +409,12 @@ object Similarity {
       .withColumn("csim", VectorOps.cosineF(col(queryVecCol), col("cvec")))
       .withColumn("crn", row_number().over(pw))
       .filter(col("crn") <= nProbe)
-      .select(col(queryIdCol), col(queryVecCol), col("cell"))
+      .select(col(queryIdCol), col(queryVecCol), col("cell"),
+        VectorOps.normF(col(queryVecCol)).as("__qn"))
 
     val scored = cells.join(broadcast(probes), "cell")
-      .withColumn("sim", VectorOps.cosineF(col(vecCol), col(queryVecCol)))
+      .withColumn("sim", VectorOps.cosinePre(col(vecCol), col(queryVecCol),
+        col("__cn"), col("__qn")))
     val w = Window.partitionBy(col(queryIdCol)).orderBy(col("sim").desc, col(idCol))
     scored.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
@@ -380,7 +432,7 @@ object Similarity {
     * moves ≤ partitions × nCentroids small rows through one task, a
     * one-off.
     */
-  private[operators] def seedCentroids(corpus: DataFrame, nCentroids: Int,
+  private[graft] def seedCentroids(corpus: DataFrame, nCentroids: Int,
       idCol: String, vecCol: String): Array[Array[Float]] = {
     val spark = corpus.sparkSession
     import spark.implicits._
@@ -393,6 +445,41 @@ object Similarity {
       .orderBy(xxhash64(col("sid")), col("sid")).limit(nCentroids)
       .select(col("v"))
       .collect().map(_.getSeq[Float](0).toArray)
+  }
+
+  /** Multi-size sibling of [[seedCentroids]] (r18, VERDICT r17 #4):
+    * operators that need BOTH a centroid seed and a PQ training sample
+    * ([[ivfPqTopK]], [[buildIvfPqIndex]]) paid one bounded corpus scan per
+    * seedCentroids call. This takes the per-partition pool ONCE — up to
+    * max(ns) rows per partition, each tagged with its within-partition
+    * index — localCheckpoints that small frame (≤ partitions × max(ns)
+    * rows), and answers every requested size from it with seedCentroids'
+    * exact selection: rows with pool index < n, hash-ordered, first n.
+    * Value-IDENTICAL per size (`it.take(maxN)` filtered to `idx < n` IS
+    * `it.take(n)` over the same deterministic partition order, and the
+    * order-by/limit is byte-for-byte the same — SimilaritySpec pins the
+    * equality), so centroid/codebook identity — and therefore every
+    * declared ANN result — is unchanged. All sizes collect in ONE union
+    * job: corpus scans drop from ns.length to 1 and the job count stays 2.
+    */
+  private[graft] def seedPools(corpus: DataFrame, ns: Seq[Int],
+      idCol: String, vecCol: String): Seq[Array[Array[Float]]] = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val maxN = ns.max
+    val pool = corpus
+      .select(col(idCol).cast("string").as("sid"), col(vecCol).as("v"))
+      .as[(String, Seq[Float])]
+      .mapPartitions(_.take(maxN).zipWithIndex.map { case ((s, v), i) => (s, v, i) })
+      .toDF("sid", "v", "pidx")
+      .localCheckpoint(true)
+    val tagged = ns.zipWithIndex.map { case (n, i) =>
+      pool.filter(col("pidx") < n)
+        .orderBy(xxhash64(col("sid")), col("sid")).limit(n)
+        .select(lit(i).as("si"), col("v"))
+    }.reduce(_ unionAll _)
+    val rows = tagged.collect()
+    ns.indices.map(i => rows.filter(_.getInt(0) == i).map(_.getSeq[Float](1).toArray))
   }
 
   /** SemDeDup-style SEMANTIC dedup: cluster the corpus around `nCentroids`
@@ -437,12 +524,16 @@ object Similarity {
       if (nCentroids > 0) nCentroids
       else math.max(64L, corpus.count() / 512L).toInt
     val centroids = seedCentroids(corpus, cellsWanted, idCol, vecCol)
+    // r18: norm hoisted to one column per ROW — the Σ cell² pair scoring
+    // loop pays one dot per pair instead of three (cosinePre scaladoc)
     val cells = corpus.select(col(idCol), col(vecCol),
-      nearestCentroid(col(vecCol), centroids).as("cell"))
+      nearestCentroid(col(vecCol), centroids).as("cell"),
+      VectorOps.normF(col(vecCol)).as("__vn"))
     val pairs = cells.as("a").join(cells.as("b"),
         col("a.cell") === col("b.cell") && col(s"a.$idCol") < col(s"b.$idCol"))
       .select(col(s"a.$idCol").as("doc_a"), col(s"b.$idCol").as("doc_b"),
-        VectorOps.cosineF(col(s"a.$vecCol"), col(s"b.$vecCol")).as("sim"))
+        VectorOps.cosinePre(col(s"a.$vecCol"), col(s"b.$vecCol"),
+          col("a.__vn"), col("b.__vn")).as("sim"))
       .filter(col("sim") >= threshold)
       .select("doc_a", "doc_b")
     Dedup.keeperAssignment(corpus.select(col(idCol)), idCol, pairs)
@@ -489,20 +580,28 @@ object Similarity {
             ledgerDir, idCol, vecCol)
           // computed once, feeds the cross-batch join, the within-batch
           // pair join (both sides), and the ledger write
+          // r18: norms hoisted per row before the cell-bucketed joins
+          // (cosinePre scaladoc; the ledger keeps its (id, cell, vec)
+          // schema — prior keepers re-derive the norm on read)
           val cells = batch.select(col(idCol), col(vecCol),
-              nearestCentroid(col(vecCol), centroids).as("cell"))
+              nearestCentroid(col(vecCol), centroids).as("cell"),
+              VectorOps.normF(col(vecCol)).as("__vn"))
             .localCheckpoint(true)
-          val prior = readKeeperLedger(spark, ledgerDir, batchId, cells)
+          val prior = readKeeperLedger(spark, ledgerDir, batchId,
+              cells.select(col(idCol), col("cell"), col(vecCol)))
+            .withColumn("__vn", VectorOps.normF(col(vecCol)))
           val matched = cells.as("n").join(prior.as("p"),
               col("n.cell") === col("p.cell"))
-            .filter(VectorOps.cosineF(col(s"n.$vecCol"), col(s"p.$vecCol")) >= threshold)
+            .filter(VectorOps.cosinePre(col(s"n.$vecCol"), col(s"p.$vecCol"),
+              col("n.__vn"), col("p.__vn")) >= threshold)
             .groupBy(col(s"n.$idCol").as(idCol))
             .agg(min(col(s"p.$idCol")).as("keep_as"))
           val fresh = cells.join(matched.select(col(idCol)), Seq(idCol), "left_anti")
           val pairs = fresh.as("a").join(fresh.as("b"),
               col("a.cell") === col("b.cell") && col(s"a.$idCol") < col(s"b.$idCol"))
             .select(col(s"a.$idCol").as("doc_a"), col(s"b.$idCol").as("doc_b"),
-              VectorOps.cosineF(col(s"a.$vecCol"), col(s"b.$vecCol")).as("sim"))
+              VectorOps.cosinePre(col(s"a.$vecCol"), col(s"b.$vecCol"),
+                col("a.__vn"), col("b.__vn")).as("sim"))
             .filter(col("sim") >= threshold)
             .select("doc_a", "doc_b")
           val within = Dedup.keeperAssignment(fresh.select(col(idCol)), idCol, pairs)
@@ -583,14 +682,18 @@ object Similarity {
   def cosineDupPairs(corpus: DataFrame, threshold: Double, nPlanes: Int = 8,
       nTables: Int = 2,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    // r18: norm hoisted before the bucket explode/self-join (cosinePre
+    // scaladoc; one dot per candidate pair instead of three)
     val b = corpus.select(col(idCol), col(vecCol),
+      VectorOps.normF(col(vecCol)).as("__vn"),
       posexplode(array((0 until nTables).map(t =>
         lshSignature(col(vecCol), nPlanes, t * nPlanes)): _*)).as(Seq("tbl", "bucket")))
     b.as("a").join(b.as("b"),
         col("a.tbl") === col("b.tbl") && col("a.bucket") === col("b.bucket") &&
           col(s"a.$idCol") < col(s"b.$idCol"))
       .select(col(s"a.$idCol").as("id_a"), col(s"b.$idCol").as("id_b"),
-        VectorOps.cosineF(col(s"a.$vecCol"), col(s"b.$vecCol")).as("sim"))
+        VectorOps.cosinePre(col(s"a.$vecCol"), col(s"b.$vecCol"),
+          col("a.__vn"), col("b.__vn")).as("sim"))
       .filter(col("sim") >= threshold)
       .dropDuplicates("id_a", "id_b")
   }
@@ -617,9 +720,14 @@ object Similarity {
   def semanticDecontaminate(train: DataFrame, evalSet: DataFrame, tau: Double,
       idCol: String = "vec_id", vecCol: String = "embedding",
       evalIdCol: String = "eval_id"): DataFrame = {
-    val ev = broadcast(evalSet.select(col(evalIdCol).as("__eid"), col(vecCol).as("__evec")))
-    train.select(col(idCol), col(vecCol)).crossJoin(ev)
-      .withColumn("__cos", VectorOps.cosineF(col(vecCol), col("__evec")))
+    // r18: norms hoisted — the train×eval screening loop pays one dot per
+    // pair instead of three (cosinePre scaladoc; bit-identical values)
+    val ev = broadcast(evalSet.select(col(evalIdCol).as("__eid"), col(vecCol).as("__evec"),
+      VectorOps.normF(col(vecCol)).as("__en")))
+    train.select(col(idCol), col(vecCol),
+        VectorOps.normF(col(vecCol)).as("__tn")).crossJoin(ev)
+      .withColumn("__cos", VectorOps.cosinePre(col(vecCol), col("__evec"),
+        col("__tn"), col("__en")))
       .filter(col("__cos") >= tau)
       .groupBy(col(idCol))
       .agg(count(lit(1)).as("n_eval_hits"),
@@ -674,8 +782,10 @@ object Similarity {
       idCol: String = "vec_id", vecCol: String = "embedding"): Unit = {
     val spark = corpus.sparkSession
     import spark.implicits._
-    val centroids = seedCentroids(corpus, nCentroids, idCol, vecCol)
-    val cb = trainPqCodebooks(corpus, nSubspaces, nCodes, idCol = idCol, vecCol = vecCol)
+    // r18: one pooled seeding scan for seed + PQ sample (seedPools scaladoc)
+    val pools = seedPools(corpus, Seq(nCentroids, 256), idCol, vecCol)
+    val centroids = pools(0)
+    val cb = trainPqCodebooksFromSample(pools(1), nSubspaces, nCodes)
     corpus.select(col(idCol),
         nearestCentroid(col(vecCol), centroids).as("cell"),
         pqEncode(col(vecCol), cb).as("pq_codes"),
@@ -813,8 +923,10 @@ object Similarity {
       // second parquet read of the cells, no join back. The QUERY vector
       // does NOT ride that shuffle (it would double the bytes): it
       // re-attaches to the bounded survivor set by broadcast join.
-      val cand = cells.join(broadcast(probes), "cell")
-        .withColumn("sim_adc", pqCosine(col("pq_codes"), col(queryVecCol), cb))
+      // r18: per-query ADC table on the broadcast side (PqLutF scaladoc)
+      val cand = cells.join(broadcast(probes.withColumn("__lut",
+          pqLut(col(queryVecCol), cb))), "cell")
+        .withColumn("sim_adc", pqCosineLut(col("pq_codes"), col("__lut"), cb))
         .select(col(queryIdCol), col(idCol), col("sim_adc"), col("vec"))
         .withColumn("arank", row_number().over(aw))
         .filter(col("arank") <= r)
@@ -831,8 +943,10 @@ object Similarity {
       // partition-pruned read fetches only the (id, vec) columns of the
       // probed cells for the broadcast-joined survivors. The vec column
       // never crosses an exchange at any dimension.
-      val survRows = cells.join(broadcast(probes), "cell")
-        .withColumn("sim_adc", pqCosine(col("pq_codes"), col(queryVecCol), cb))
+      // r18: per-query ADC table on the broadcast side (PqLutF scaladoc)
+      val survRows = cells.join(broadcast(probes.withColumn("__lut",
+          pqLut(col(queryVecCol), cb))), "cell")
+        .withColumn("sim_adc", pqCosineLut(col("pq_codes"), col("__lut"), cb))
         .select(col(queryIdCol), col(idCol), col("sim_adc"))
         .withColumn("arank", row_number().over(aw))
         .filter(col("arank") <= r)
