@@ -52,6 +52,19 @@ object GraftSession {
       .config("spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold",
         (64L * 1024 * 1024).toString)
       .config("spark.sql.autoBroadcastJoinThreshold", (64L * 1024 * 1024).toString)
+      // r18: ObjectHashAggregate (the executor of every TypedImperative
+      // aggregate here — postings CollectUpToF/CollectPairsUpToF, TopKByF)
+      // falls back to SORT-BASED aggregation after 128 distinct keys by
+      // default — tuned for unbounded collect_list states. Ours carry
+      // HARD-BOUNDED per-key state (df/bucket caps, top-k heaps), so 4096
+      // in-memory groups are ≤ tens of MB worst-case; below 4096 groups
+      // (the ANN per-query top-k: groups = |queries|) the aggregate stays
+      // hash-based instead of degenerating into exactly the sort the
+      // aggregate was chosen to avoid (measured: q_ann_pq's ADC stage ran
+      // sort-based under the default). Key-heavy aggregates (vocab-sized
+      // postings) still fall back past 4096 keys — the memory-safety
+      // mechanism is intact, it just engages 32× later on bounded state.
+      .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "4096")
       .config("spark.sql.parquet.filterPushdown", "true")
       .config("spark.sql.files.maxPartitionBytes", (128L * 1024 * 1024).toString)
       // testdata events.parquet stores TIMESTAMP(NANOS); Spark has no ns type.

@@ -44,7 +44,10 @@ object R18Micro {
       docs.select(sum((TextAnalysis.qualityScore(col("text")) * 1000).cast("long")))
         .collect()(0).getLong(0))
     t("fingerprint (aggregate-struct HOF)")(
-      docs.select(sum(TextAnalysis.fingerprint(col("text")))).collect()(0).getLong(0))
+      // decimal sum: 62-bit fingerprints overflow a long sum under ANSI
+      docs.select(sum(TextAnalysis.fingerprint(col("text"))
+          .cast(org.apache.spark.sql.types.DecimalType(38, 0))))
+        .collect()(0).getDecimal(0).longValue())
     t("gopherQualityFlags-ish: punct+upper+digit regex")(
       docs.select(sum((TextAnalysis.punctRatio(col("text"))
         + TextAnalysis.upperRatio(col("text"))

@@ -34,16 +34,18 @@ case class PqEncodeF(child: Expression, codebooks: Array[Array[Array[Float]]])
   }
   override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
 
+  // UnsafeArrayData (r18): the codes are read 1-16× per candidate PAIR in
+  // the ADC scan — a GenericArrayData would unbox an Object per getInt
   override protected def nullSafeEval(input: Any): Any =
-    new GenericArrayData(
-      PqMath.encode(input.asInstanceOf[ArrayData], codebooks).map(_.asInstanceOf[Any]))
+    org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray(
+      PqMath.encode(input.asInstanceOf[ArrayData], codebooks))
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val cb = ctx.addReferenceObj("pqCodebooks", codebooks, "float[][][]")
     nullSafeCodeGen(ctx, ev, v => {
       code"""
-        ${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData(
-          graft.functions.PqMath.encode($v, $cb));
+        ${ev.value} = org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+          .fromPrimitiveArray(graft.functions.PqMath.encode($v, $cb));
       """.toString
     })
   }
@@ -120,15 +122,17 @@ case class PqLutF(child: Expression, codebooks: Array[Array[Array[Float]]])
   }
   override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
 
+  // UnsafeArrayData (r18): the table is probed 16× per candidate pair
   override protected def nullSafeEval(input: Any): Any =
-    new GenericArrayData(PqMath.adcLut(input.asInstanceOf[ArrayData], codebooks))
+    org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray(
+      PqMath.adcLut(input.asInstanceOf[ArrayData], codebooks))
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val cb = ctx.addReferenceObj("pqCodebooks", codebooks, "float[][][]")
     nullSafeCodeGen(ctx, ev, v => {
       code"""
-        ${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData(
-          graft.functions.PqMath.adcLut($v, $cb));
+        ${ev.value} = org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+          .fromPrimitiveArray(graft.functions.PqMath.adcLut($v, $cb));
       """.toString
     })
   }

@@ -614,17 +614,18 @@ object Dedup {
     // distributed path recomputes from `pairs`, same as before.
     // r18 (ADVICE r17): probe CHEAPLY before shipping a potentially
     // ~400 MB boxed edge set to the driver. The first collect is capped at
-    // 64Ki rows (≤ ~6 MB) — near-dup pair graphs are orders of magnitude
-    // smaller than their corpus, so this is the overwhelmingly common case
-    // and keeps the r17 one-job shape. Only a graph that overflows the
-    // small probe pays a persist + bounded count, and the full collect
-    // happens only once the count has PROVEN the set fits the budget — the
-    // driver never holds more than maxDriverEdges+1 rows.
+    // 256Ki rows (≤ ~25 MB boxed) — near-dup pair graphs are orders of
+    // magnitude smaller than their corpus (sf1's heaviest, q_semdedup's
+    // duplicate-rich graph, is ~90k edges), so this is the overwhelmingly
+    // common case and keeps the r17 one-job shape. Only a graph that
+    // overflows the small probe pays a persist + bounded count, and the
+    // full collect happens only once the count has PROVEN the set fits the
+    // budget — the driver never holds an over-budget edge set.
     val probed: Option[Array[org.apache.spark.sql.Row]] =
       if (!longIds) None
       else {
         val slim = pairs.select(col("doc_a").cast("long"), col("doc_b").cast("long"))
-        val firstN = math.min(65537L, probeN.toLong).toInt
+        val firstN = math.min(262145L, probeN.toLong).toInt
         val first = slim.limit(firstN).collect()
         if (first.length < firstN) {
           if (first.length <= maxDriverEdges) Some(first) else None

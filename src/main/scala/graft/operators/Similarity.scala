@@ -21,6 +21,32 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
+  /** (group, id, score, rank) rows of the k best long ids per group — the
+    * r18 aggregate replacement for `row_number().over(partitionBy(group)
+    * .orderBy(score desc, id)) <= k` on corpus-sized inputs: the window
+    * form locally SORTS every candidate row (even under WindowGroupLimit's
+    * partial top-k — 34 of q_ann_pq's ADC-stage executor-seconds at sf1
+    * were this sort), where the aggregate keeps an O(k) heap per group
+    * with map-side partials ([[graft.functions.TopKByF]] scaladoc; strict
+    * (score, id) total order makes the two forms value-identical —
+    * R18OptSpec pins it). Callers dispatch on the id type and keep the
+    * window for non-long ids.
+    */
+  private def topKAgg(df: DataFrame, groupCol: String, scoreCol: String,
+      idCol: String, k: Int): DataFrame =
+    df.groupBy(col(groupCol))
+      .agg(org.apache.spark.sql.GraftShim.column(
+        graft.functions.TopKByF(
+          org.apache.spark.sql.GraftShim.expression(col(scoreCol)),
+          org.apache.spark.sql.GraftShim.expression(col(idCol)), k)
+          .toAggregateExpression()).as("__topk"))
+      .select(col(groupCol), posexplode(col("__topk")).as(Seq("__pos", "__e")))
+      .select(col(groupCol), col("__e.id").as(idCol),
+        col("__e.score").as(scoreCol), (col("__pos") + 1).cast("int").as("rank"))
+
+  private def isLong(df: DataFrame, c: String): Boolean =
+    df.schema(c).dataType == org.apache.spark.sql.types.LongType
+
   /** Exact top-k by cosine similarity for each query vector.
     * Output: (query_id, vec_id, sim, rank), rank 1..k per query,
     * deterministic tie-break on vec_id.
@@ -36,10 +62,15 @@ object Similarity {
         queries.withColumn("__qn", VectorOps.normF(col(queryVecCol)))))
       .withColumn("sim", VectorOps.cosinePre(col(vecCol), col(queryVecCol),
         col("__cn"), col("__qn")))
-    val w = Window.partitionBy(col(queryIdCol)).orderBy(col("sim").desc, col(idCol))
-    scored.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col(queryIdCol), col(idCol), col("sim"), col("rank"))
+    if (isLong(corpus, idCol))
+      topKAgg(scored, queryIdCol, "sim", idCol, k)
+        .select(col(queryIdCol), col(idCol), col("sim"), col("rank"))
+    else {
+      val w = Window.partitionBy(col(queryIdCol)).orderBy(col("sim").desc, col(idCol))
+      scored.withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= k)
+        .select(col(queryIdCol), col(idCol), col("sim"), col("rank"))
+    }
   }
 
   /** Deterministic pseudo-random hyperplane component for (plane, dim):
@@ -98,15 +129,28 @@ object Similarity {
         explode(array(col("bucket") +:
           (0 until nPlanes).map(i => col("bucket").bitwiseXOR(lit(1L << i))): _*))
           .as("bucket"))
-    val cand = cb.join(broadcast(qb), Seq("tbl", "bucket"))
+    // r18 (guide §2.3 / the cosineDupPairs order-of-operations lesson):
+    // score INSIDE the join stage and dedup the slim (query, id, sim)
+    // triple — previously both raw vectors rode the candidate
+    // dropDuplicates exchange (measured 579 MB / 1.9 M rows at sf1, ~305 B
+    // per row; now 24 B per row). A pair collides at most nTables×(probes)
+    // times and sim is a pure function of the pair, so re-scoring the few
+    // duplicate collisions is far cheaper than shuffling the payload, and
+    // dedup-then-score vs score-then-dedup is value-identical.
+    val scored = cb.join(broadcast(qb), Seq("tbl", "bucket"))
+      .select(col(queryIdCol), col(idCol),
+        VectorOps.cosinePre(col(vecCol), col(queryVecCol),
+          col("__cn"), col("__qn")).as("sim"))
       .dropDuplicates(queryIdCol, idCol)
-    val scored = cand
-      .withColumn("sim", VectorOps.cosinePre(col(vecCol), col(queryVecCol),
-        col("__cn"), col("__qn")))
-    val w = Window.partitionBy(col(queryIdCol)).orderBy(col("sim").desc, col(idCol))
-    scored.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col(queryIdCol), col(idCol), col("sim"), col("rank"))
+    if (isLong(corpus, idCol))
+      topKAgg(scored, queryIdCol, "sim", idCol, k)
+        .select(col(queryIdCol), col(idCol), col("sim"), col("rank"))
+    else {
+      val w = Window.partitionBy(col(queryIdCol)).orderBy(col("sim").desc, col(idCol))
+      scored.withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= k)
+        .select(col(queryIdCol), col(idCol), col("sim"), col("rank"))
+    }
   }
 
   /** Row-local PQ encode: vector → M nearest-codeword indices
@@ -259,20 +303,33 @@ object Similarity {
     // r18: the broadcast side carries the per-query ADC TABLE instead of
     // the raw query vector, so the corpus×queries scan is M lookups/row
     // (PqLutF scaladoc) — the scan was paying exact-cosine flops before.
-    val cand = encoded.crossJoin(broadcast(queries.select(col(queryIdCol),
+    // r18: the corpus×queries ADC rank runs as a bounded-heap AGGREGATE
+    // (topKAgg scaladoc) — the window form locally sorted every candidate
+    // row; the rerank top-k follows the same form (long ids; non-long
+    // keeps the window shape)
+    val adc = encoded.crossJoin(broadcast(queries.select(col(queryIdCol),
         pqLut(col(queryVecCol), cb).as("__lut"))))
       .withColumn("sim_adc", pqCosineLut(col("pq_codes"), col("__lut"), cb))
       .select(col(queryIdCol), col(idCol), col("sim_adc"))
-      .withColumn("arank", row_number().over(aw))
-      .filter(col("arank") <= r)
-      .select(col(queryIdCol), col(idCol))
-    val w = Window.partitionBy(col(queryIdCol)).orderBy(col("sim").desc, col(idCol))
-    corpus.join(broadcast(cand), idCol)
+    val cand =
+      if (isLong(corpus, idCol))
+        topKAgg(adc, queryIdCol, "sim_adc", idCol, r)
+          .select(col(queryIdCol), col(idCol))
+      else adc.withColumn("arank", row_number().over(aw))
+        .filter(col("arank") <= r)
+        .select(col(queryIdCol), col(idCol))
+    val reranked = corpus.join(broadcast(cand), idCol)
       .join(broadcast(queries.select(col(queryIdCol), col(queryVecCol))), queryIdCol)
       .withColumn("sim", VectorOps.cosineF(col(vecCol), col(queryVecCol)))
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col(queryIdCol), col(idCol), col("sim"), col("rank"))
+    if (isLong(corpus, idCol))
+      topKAgg(reranked, queryIdCol, "sim", idCol, k)
+        .select(col(queryIdCol), col(idCol), col("sim"), col("rank"))
+    else {
+      val w = Window.partitionBy(col(queryIdCol)).orderBy(col("sim").desc, col(idCol))
+      reranked.withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= k)
+        .select(col(queryIdCol), col(idCol), col("sim"), col("rank"))
+    }
   }
 
   /** IVF + PQ composed — the billion-vector architecture proper (FAISS
@@ -332,20 +389,31 @@ object Similarity {
     val r = math.max(k, rerank)
     val aw = Window.partitionBy(col(queryIdCol)).orderBy(col("sim_adc").desc, col(idCol))
     // slim ADC rank shuffle (see pqTopK): query vectors re-attach to the
-    // survivors via broadcast, never riding the per-candidate exchange
-    val cand = index.join(broadcast(probes), "cell")
+    // survivors via broadcast, never riding the per-candidate exchange.
+    // r18: ADC rank + rerank run as bounded-heap aggregates (topKAgg
+    // scaladoc) on long ids; non-long keeps the window shape.
+    val adc = index.join(broadcast(probes), "cell")
       .withColumn("sim_adc", pqCosineLut(col("pq_codes"), col("__lut"), cb))
       .select(col(queryIdCol), col(idCol), col("sim_adc"))
-      .withColumn("arank", row_number().over(aw))
-      .filter(col("arank") <= r)
-      .select(col(queryIdCol), col(idCol))
-    val w = Window.partitionBy(col(queryIdCol)).orderBy(col("sim").desc, col(idCol))
-    corpus.join(broadcast(cand), idCol)
+    val cand =
+      if (isLong(corpus, idCol))
+        topKAgg(adc, queryIdCol, "sim_adc", idCol, r)
+          .select(col(queryIdCol), col(idCol))
+      else adc.withColumn("arank", row_number().over(aw))
+        .filter(col("arank") <= r)
+        .select(col(queryIdCol), col(idCol))
+    val reranked = corpus.join(broadcast(cand), idCol)
       .join(broadcast(queries.select(col(queryIdCol), col(queryVecCol))), queryIdCol)
       .withColumn("sim", VectorOps.cosineF(col(vecCol), col(queryVecCol)))
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col(queryIdCol), col(idCol), col("sim"), col("rank"))
+    if (isLong(corpus, idCol))
+      topKAgg(reranked, queryIdCol, "sim", idCol, k)
+        .select(col(queryIdCol), col(idCol), col("sim"), col("rank"))
+    else {
+      val w = Window.partitionBy(col(queryIdCol)).orderBy(col("sim").desc, col(idCol))
+      reranked.withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= k)
+        .select(col(queryIdCol), col(idCol), col("sim"), col("rank"))
+    }
   }
 
   /** Row-local cell assignment: cosine-argmax over the driver-side centroid
@@ -415,10 +483,17 @@ object Similarity {
     val scored = cells.join(broadcast(probes), "cell")
       .withColumn("sim", VectorOps.cosinePre(col(vecCol), col(queryVecCol),
         col("__cn"), col("__qn")))
-    val w = Window.partitionBy(col(queryIdCol)).orderBy(col("sim").desc, col(idCol))
-    scored.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col(queryIdCol), col(idCol), col("sim"), col("rank"))
+    // r18: bounded-heap top-k aggregate instead of the window sort
+    // (topKAgg scaladoc); non-long ids keep the window shape
+    if (isLong(corpus, idCol))
+      topKAgg(scored, queryIdCol, "sim", idCol, k)
+        .select(col(queryIdCol), col(idCol), col("sim"), col("rank"))
+    else {
+      val w = Window.partitionBy(col(queryIdCol)).orderBy(col("sim").desc, col(idCol))
+      scored.withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= k)
+        .select(col(queryIdCol), col(idCol), col("sim"), col("rank"))
+    }
   }
 
   /** Centroid seeding shared by [[ivfTopK]] and [[semanticDedup]]: a

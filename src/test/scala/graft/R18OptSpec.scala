@@ -117,10 +117,45 @@ class R18OptSpec extends SparkSpec {
     assert(topK("direct") === topK("lut"))
   }
 
+  test("TopKByF aggregate equals the row_number window (ties, -0.0, nulls)") {
+    val rows = Seq[(Int, java.lang.Long, java.lang.Double)](
+      (1, 10L, 0.9), (1, 11L, 0.9), (1, 12L, 0.9),      // three-way tie → id asc
+      (1, 13L, 0.95), (1, 14L, -0.5), (1, 15L, null),   // null score ranks last
+      (2, 20L, 0.0), (2, 21L, -0.0), (2, 22L, -0.0),    // -0.0 == 0.0 ties → id
+      (2, 23L, 1e-300), (3, 30L, 0.7)
+    )
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows.map(r =>
+        org.apache.spark.sql.Row(r._1, r._2, r._3)), 3),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("g",
+          org.apache.spark.sql.types.IntegerType),
+        org.apache.spark.sql.types.StructField("id",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("s",
+          org.apache.spark.sql.types.DoubleType))))
+    for (k <- Seq(1, 2, 3, 6)) {
+      val viaAgg = df.groupBy(col("g"))
+        .agg(GraftShim.column(graft.functions.TopKByF(
+          GraftShim.expression(col("s")), GraftShim.expression(col("id")), k)
+          .toAggregateExpression()).as("tk"))
+        .select(col("g"), posexplode(col("tk")).as(Seq("p", "e")))
+        .select(col("g"), col("e.id").as("id"), (col("p") + 1).as("rank"))
+        .collect().map(r => (r.getInt(0), r.getLong(1), r.getInt(2))).toSet
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("g")).orderBy(col("s").desc, col("id"))
+      val viaWindow = df.withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= k)
+        .select(col("g"), col("id"), col("rank"))
+        .collect().map(r => (r.getInt(0), r.getLong(1), r.getInt(2))).toSet
+      assert(viaAgg === viaWindow, s"k=$k")
+    }
+  }
+
   test("keeperAssignment chunked probe: identical across the small-probe boundary") {
-    // 70 000 edges: overflows the 64Ki first collect (exercises the r18
+    // 262 200 edges: overflows the 256Ki first collect (exercises the r18
     // persist + bounded-count branch) but fits the default driver budget
-    val n = 70000L
+    val n = 262200L
     val docsBig = spark.range(0L, n + 1).select(col("id").as("doc_id"))
     val pairsBig = spark.range(0L, n)
       .select(col("id").as("doc_a"), (col("id") + 1L).as("doc_b"))
