@@ -169,11 +169,32 @@ case class PqCosineLutF(left: Expression, right: Expression,
     PqMath.adcCosineLut(codes.asInstanceOf[ArrayData], lut.asInstanceOf[ArrayData],
       norms2, codesPerSubspace)
 
+  // the loop is emitted INLINE (the DotProductF pattern) rather than as a
+  // shared static helper: this runs once per candidate PAIR, and a shared
+  // helper's ArrayData accessors are megamorphic call sites the JIT cannot
+  // devirtualize, where per-generated-class call sites stay monomorphic
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val n2 = ctx.addReferenceObj("pqNorms2", norms2, "double[][]")
     nullSafeCodeGen(ctx, ev, (c, l) => {
+      val m = ctx.freshName("m")
+      val s = ctx.freshName("s")
+      val cc = ctx.freshName("cc")
+      val dot = ctx.freshName("dot")
+      val x2 = ctx.freshName("x2")
+      val q2 = ctx.freshName("q2")
+      val denom = ctx.freshName("denom")
       code"""
-        ${ev.value} = graft.functions.PqMath.adcCosineLut($c, $l, $n2, $codesPerSubspace);
+        int $m = java.lang.Math.min($c.numElements(), $n2.length);
+        double $dot = 0.0;
+        double $x2 = 0.0;
+        for (int $s = 0; $s < $m; $s++) {
+          int $cc = $c.getInt($s);
+          $dot += $l.getDouble($s * $codesPerSubspace + $cc);
+          $x2 += $n2[$s][$cc];
+        }
+        double $q2 = $l.getDouble($l.numElements() - 1);
+        double $denom = java.lang.Math.sqrt($q2) * java.lang.Math.sqrt($x2);
+        ${ev.value} = ($denom == 0.0) ? 0.0 : $dot / $denom;
       """.toString
     })
   }
