@@ -47,6 +47,16 @@ object Similarity {
   private def isLong(df: DataFrame, c: String): Boolean =
     df.schema(c).dataType == org.apache.spark.sql.types.LongType
 
+  /** Force a hoisted per-row column (norms, PQ codes) to actually evaluate
+    * once per row on the STREAM side of a broadcast join — codegen
+    * otherwise defers it into the per-build-row loop and re-evaluates it
+    * once per PAIR ([[graft.functions.EvalOnceF]] scaladoc; measured: the
+    * entire pqEncode ran per candidate pair in q_ann_pq's ADC scan).
+    */
+  private def evalOnce(c: Column): Column =
+    org.apache.spark.sql.GraftShim.column(graft.functions.EvalOnceF(
+      org.apache.spark.sql.GraftShim.expression(c)))
+
   /** Exact top-k by cosine similarity for each query vector.
     * Output: (query_id, vec_id, sim, rank), rank 1..k per query,
     * deterministic tie-break on vec_id.
@@ -57,7 +67,7 @@ object Similarity {
     // r18: norms hoisted to per-row columns — the corpus×queries scoring
     // loop pays ONE dot per pair instead of three (cosinePre scaladoc;
     // bit-identical values)
-    val scored = corpus.withColumn("__cn", VectorOps.normF(col(vecCol)))
+    val scored = corpus.withColumn("__cn", evalOnce(VectorOps.normF(col(vecCol))))
       .crossJoin(broadcast(
         queries.withColumn("__qn", VectorOps.normF(col(queryVecCol)))))
       .withColumn("sim", VectorOps.cosinePre(col(vecCol), col(queryVecCol),
@@ -118,7 +128,7 @@ object Similarity {
     // r18: norms hoisted BEFORE the bucket explode/join (one normF per row,
     // not per candidate pair — cosinePre scaladoc; bit-identical values)
     val cb = corpus.select(col(idCol), col(vecCol),
-      VectorOps.normF(col(vecCol)).as("__cn"),
+      evalOnce(VectorOps.normF(col(vecCol))).as("__cn"),
       posexplode(buckets(col(vecCol))).as(Seq("tbl", "bucket")))
     val qb0 = queries.select(col(queryIdCol), col(queryVecCol),
       VectorOps.normF(col(queryVecCol)).as("__qn"),
@@ -293,7 +303,8 @@ object Similarity {
       idCol: String = "vec_id", vecCol: String = "embedding",
       queryIdCol: String = "query_id", queryVecCol: String = "query_vec"): DataFrame = {
     val cb = trainPqCodebooks(corpus, nSubspaces, nCodes, idCol = idCol, vecCol = vecCol)
-    val encoded = corpus.select(col(idCol), pqEncode(col(vecCol), cb).as("pq_codes"))
+    val encoded = corpus.select(col(idCol),
+      evalOnce(pqEncode(col(vecCol), cb)).as("pq_codes"))
     val r = math.max(k, rerank)
     val aw = Window.partitionBy(col(queryIdCol)).orderBy(col("sim_adc").desc, col(idCol))
     // the ADC rank shuffle carries (query_id, id, sim_adc) ONLY — the
@@ -375,7 +386,7 @@ object Similarity {
     // one corpus pass builds the whole index: (id, cell, codes)
     val index = corpus.select(col(idCol),
       nearestCentroid(col(vecCol), centroids).as("cell"),
-      pqEncode(col(vecCol), cb).as("pq_codes"))
+      evalOnce(pqEncode(col(vecCol), cb)).as("pq_codes"))
     val centroidsDf = broadcast(
       centroids.zipWithIndex.map { case (v, i) => (i, v.toSeq) }.toSeq.toDF("cell", "cvec"))
     val pw = Window.partitionBy(col(queryIdCol)).orderBy(col("csim").desc, col("cell"))
@@ -465,7 +476,7 @@ object Similarity {
 
     val cells = corpus.withColumn("cell", nearestCentroid(col(vecCol), centroidMat))
       // r18: norm hoisted out of the probe join (cosinePre scaladoc)
-      .withColumn("__cn", VectorOps.normF(col(vecCol)))
+      .withColumn("__cn", evalOnce(VectorOps.normF(col(vecCol))))
 
     // query side is tiny (queries ≪ corpus): rank centroids per query with
     // a window over queries × nCentroids rows
@@ -800,7 +811,7 @@ object Similarity {
     val ev = broadcast(evalSet.select(col(evalIdCol).as("__eid"), col(vecCol).as("__evec"),
       VectorOps.normF(col(vecCol)).as("__en")))
     train.select(col(idCol), col(vecCol),
-        VectorOps.normF(col(vecCol)).as("__tn")).crossJoin(ev)
+        evalOnce(VectorOps.normF(col(vecCol))).as("__tn")).crossJoin(ev)
       .withColumn("__cos", VectorOps.cosinePre(col(vecCol), col("__evec"),
         col("__tn"), col("__en")))
       .filter(col("__cos") >= tau)

@@ -152,6 +152,30 @@ class R18OptSpec extends SparkSpec {
     }
   }
 
+  test("EvalOnceF is a value no-op (wrapped vs bare, incl. nulls)") {
+    val df = Seq(
+      (1L, Some(Seq(1.0f, 2.0f))), (2L, Some(Seq(0.0f, 0.0f))),
+      (3L, Option.empty[Seq[Float]])
+    ).toDF("id", "v")
+    def once(c: org.apache.spark.sql.Column) =
+      GraftShim.column(graft.functions.EvalOnceF(GraftShim.expression(c)))
+    val rows = df.select(
+        VectorOps.normF(col("v")).as("bare"),
+        once(VectorOps.normF(col("v"))).as("wrapped"))
+      .collect()
+    rows.foreach { r =>
+      assert(r.isNullAt(0) == r.isNullAt(1), s"null mismatch: $r")
+      if (!r.isNullAt(0)) assert(r.getDouble(0) == r.getDouble(1), s"value: $r")
+    }
+    // and through a broadcast-join pipeline (the site it exists for)
+    val q = Seq((10L, Seq(1.0f, 0.0f))).toDF("qid", "qv")
+    val viaWrapped = Similarity.bruteForceTopK(
+        df.filter(col("v").isNotNull).select(col("id").as("vec_id"), col("v").as("embedding")),
+        q.select(col("qid").as("query_id"), col("qv").as("query_vec")), k = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).toSet
+    assert(viaWrapped.nonEmpty)
+  }
+
   test("keeperAssignment chunked probe: identical across the small-probe boundary") {
     // 262 200 edges: overflows the 256Ki first collect (exercises the r18
     // persist + bounded-count branch) but fits the default driver budget
